@@ -1,0 +1,185 @@
+"""Per-table JSON snapshot log with atomic-rename commits.
+
+The log is the table's entire metadata: schema, partition spec, and an
+ordered list of snapshots. Each snapshot records its operation and the data
+files it ADDED (with per-file partition values, so flat layouts — partition
+info only in metadata, main-polars.py:2-5 — work identically to hive
+layouts). The live file set at any snapshot is derived by replay: ``append``
+and ``add_files`` accumulate, ``overwrite`` resets, ``replace`` swaps a
+subset (used by partition-scoped upsert/compaction).
+
+Commit protocol (SURVEY.md §7 hard-part 3): serialize to a temp file in the
+same directory, ``os.replace`` onto the log path (atomic on POSIX), with an
+optimistic concurrency check on the expected snapshot count — same
+single-writer posture as the reference's SQLite catalog.
+
+Mirrors: snapshot history read_history.py:10-11; metadata location
+read_history.py:8; one-snapshot-per-append vs transactional batching
+main-daft.py:121-138 vs main-polars.py:165-186.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import types as T
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    operation: str  # create | append | overwrite | add_files | replace
+    timestamp_ms: int
+    added_files: list[dict[str, Any]]  # {"path": str, "partition": {col: str}, "rows": int|None}
+    removed_paths: list[str] = field(default_factory=list)  # for replace
+    summary: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "operation": self.operation,
+            "timestamp_ms": self.timestamp_ms,
+            "added_files": self.added_files,
+            "removed_paths": self.removed_paths,
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "Snapshot":
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            parent_id=d.get("parent_id"),
+            operation=d["operation"],
+            timestamp_ms=d["timestamp_ms"],
+            added_files=d.get("added_files", []),
+            removed_paths=d.get("removed_paths", []),
+            summary=d.get("summary", {}),
+        )
+
+
+class SnapshotLog:
+    """Loads, mutates, and atomically commits one table's metadata."""
+
+    FILENAME = "_snaplog.json"
+
+    def __init__(self, table_dir: str):
+        self.table_dir = table_dir
+        self.path = os.path.join(table_dir, self.FILENAME)
+        self.schema_json: str | None = None
+        self.partition_by: list[str] = []
+        self.properties: dict[str, str] = {}
+        self.snapshots: list[Snapshot] = []
+
+    # ------------------------------------------------------------- state --
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def load(self) -> "SnapshotLog":
+        with open(self.path) as f:
+            d = json.load(f)
+        self.schema_json = d["schema"]
+        self.partition_by = d.get("partition_by", [])
+        self.properties = d.get("properties", {})
+        self.snapshots = [Snapshot.from_json(s) for s in d.get("snapshots", [])]
+        return self
+
+    def schema(self) -> T.StructType:
+        assert self.schema_json is not None
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+    def current_snapshot_id(self) -> int | None:
+        return self.snapshots[-1].snapshot_id if self.snapshots else None
+
+    def live_files(self, snapshot_id: int | None = None) -> list[dict[str, Any]]:
+        """Replay the log up to ``snapshot_id`` (default: head) -> file set."""
+        live: dict[str, dict[str, Any]] = {}
+        for snap in self.snapshots:
+            if snap.operation == "overwrite":
+                live = {}
+            for p in snap.removed_paths:
+                live.pop(p, None)
+            for f in snap.added_files:
+                live[f["path"]] = f
+            if snapshot_id is not None and snap.snapshot_id == snapshot_id:
+                break
+        else:
+            if snapshot_id is not None:
+                raise KeyError(f"snapshot {snapshot_id} not found in {self.path}")
+        return list(live.values())
+
+    # ------------------------------------------------------------ commits --
+
+    def init_table(
+        self,
+        schema: T.StructType,
+        partition_by: list[str],
+        properties: dict[str, str] | None = None,
+    ) -> None:
+        self.schema_json = schema.json()
+        self.partition_by = list(partition_by)
+        self.properties = dict(properties or {})
+        self.snapshots = [
+            Snapshot(
+                snapshot_id=1,
+                parent_id=None,
+                operation="create",
+                timestamp_ms=int(time.time() * 1000),
+                added_files=[],
+            )
+        ]
+        os.makedirs(self.table_dir, exist_ok=True)
+        self._write(expected_len=None)
+
+    def commit(
+        self,
+        operation: str,
+        added_files: list[dict[str, Any]],
+        removed_paths: list[str] | None = None,
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Append one snapshot atomically (optimistic single-writer check)."""
+        expected = len(self.snapshots)
+        on_disk = SnapshotLog(self.table_dir).load()
+        if len(on_disk.snapshots) != expected:
+            raise RuntimeError(
+                f"concurrent commit detected on {self.path}: "
+                f"expected {expected} snapshots, found {len(on_disk.snapshots)}"
+            )
+        snap = Snapshot(
+            snapshot_id=(self.current_snapshot_id() or 0) + 1,
+            parent_id=self.current_snapshot_id(),
+            operation=operation,
+            timestamp_ms=int(time.time() * 1000),
+            added_files=added_files,
+            removed_paths=list(removed_paths or []),
+            summary=dict(summary or {}),
+        )
+        self.snapshots.append(snap)
+        self._write(expected_len=expected + 1)
+        return snap
+
+    def _write(self, expected_len: int | None) -> None:
+        payload = {
+            "format_version": 1,
+            "schema": self.schema_json,
+            "partition_by": self.partition_by,
+            "properties": self.properties,
+            "snapshots": [s.to_json() for s in self.snapshots],
+        }
+        fd, tmp = tempfile.mkstemp(prefix=".snaplog.", dir=self.table_dir)
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(payload, f)
+            os.replace(tmp, self.path)  # atomic on POSIX
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise

@@ -1,0 +1,134 @@
+"""Driver-facing lakehouse lifecycle queries (Q1-Q5 composites).
+
+Each query builds a throwaway warehouse under /tmp, runs a real lifecycle
+(create/append/upsert/time-travel/add_files) through the snapshot log, and
+returns the final scan; the oracle expresses the EXPECTED end state directly
+over the source tables in SQL. This oracle-checks the lifecycle semantics,
+not just the plumbing.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyiceberg_lakehouse_spark.lakehouse.table import Lakehouse
+from pyiceberg_lakehouse_spark.lakehouse.upsert import upsert_partitioned
+from pyiceberg_lakehouse_spark.registry import register
+from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+ORDER_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+
+def _warehouse() -> str:
+    return tempfile.mkdtemp(prefix="lakehouse_q_")
+
+
+@register(
+    "lh_ingest_roundtrip",
+    f"select {ORDER_COLS} from orders",
+)
+def lh_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: partitioned ingest (create + append) then full scan-back.
+
+    Single-pass partitionBy write — deliberately NOT the reference's
+    V-passes-over-the-data per distinct value (main-polars.py:113-119,
+    SURVEY.md §4 anti-pattern).
+    """
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.orders", SCHEMAS["orders"], partition_by=["o_orderpriority"])
+    t.append(load_table(spark, sf_dir, "orders"))
+    return t.scan().select(*[c.strip() for c in ORDER_COLS.split(",")])
+
+
+@register(
+    "lh_time_travel",
+    f"select {ORDER_COLS} from orders where o_orderstatus = 'O'",
+)
+def lh_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3/Q5: two appends, then read the FIRST append's snapshot."""
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.orders_tt", SCHEMAS["orders"], partition_by=["o_orderstatus"])
+    orders = load_table(spark, sf_dir, "orders")
+    snap1 = t.append(orders.filter(F.col("o_orderstatus") == "O"))
+    t.append(orders.filter(F.col("o_orderstatus") != "O"))
+    return t.read_snapshot(snap1.snapshot_id).select(
+        *[c.strip() for c in ORDER_COLS.split(",")]
+    )
+
+
+@register(
+    "lh_upsert",
+    f"""
+    select o_orderkey, o_custkey, o_orderstatus,
+           case when o_orderkey % 5 = 0 then o_totalprice + 100000.0
+                else o_totalprice end as o_totalprice,
+           o_orderdate, o_orderpriority
+    from orders
+    where o_orderkey % 3 != 0 or o_orderkey % 5 = 0
+    """,
+)
+def lh_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: keyed last-wins upsert, partition-scoped rewrite variant.
+
+    Base = orders with key%3!=0; batch = orders with key%5==0 at +100000
+    price. Matched keys take the new price, unmatched insert — verified
+    against the CASE-expressed expected state.
+    """
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.orders_up", SCHEMAS["orders"], partition_by=["o_orderstatus"])
+    orders = load_table(spark, sf_dir, "orders")
+    t.append(orders.filter(F.col("o_orderkey") % 3 != 0))
+    batch = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(100000.0)
+    )
+    upsert_partitioned(t, batch, key_cols=["o_orderkey"])
+    return t.scan().select(*[c.strip() for c in ORDER_COLS.split(",")])
+
+
+@register(
+    "lh_add_files",
+    "select r_regionkey, r_name from region",
+)
+def lh_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4/W10: metadata-only registration — scan sees the rows, the file was
+    never copied or rewritten."""
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.region_reg", SCHEMAS["region"])
+    t.add_files([f"{sf_dir}/region.parquet"])
+    return t.scan().select("r_regionkey", "r_name")
+
+
+@register(
+    "lh_commit_batching",
+    """
+    select 'append_each' as mode, 4 as n_snapshots,
+           (select count(*) from nation) as n_rows
+    union all
+    select 'append_many' as mode, 2 as n_snapshots,
+           (select count(*) from nation) as n_rows
+    """,
+)
+def lh_commit_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: per-append snapshots (3 appends -> 3 snapshots, main-daft.py:137)
+    vs one-transaction batching (3 appends -> 1 snapshot,
+    main-polars.py:165-186), both scanning back identical rows."""
+    nation = load_table(spark, sf_dir, "nation")
+    chunks = [
+        nation.filter(F.col("n_regionkey") < 2),
+        nation.filter(F.col("n_regionkey") == 2),
+        nation.filter(F.col("n_regionkey") > 2),
+    ]
+    lh = Lakehouse(spark, _warehouse())
+    t_each = lh.create_table("ns.nation_each", SCHEMAS["nation"])
+    for c in chunks:
+        t_each.append(c)
+    t_many = lh.create_table("ns.nation_many", SCHEMAS["nation"])
+    t_many.append_many(chunks)
+    rows = [
+        ("append_each", len(t_each.history()), t_each.scan().count()),
+        ("append_many", len(t_many.history()), t_many.scan().count()),
+    ]
+    return spark.createDataFrame(rows, "mode string, n_snapshots int, n_rows long")

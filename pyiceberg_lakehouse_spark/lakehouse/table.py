@@ -1,0 +1,291 @@
+"""Lakehouse engine: namespaces, tables, append/overwrite/add_files/scan.
+
+API parity with the reference lifecycle (SURVEY.md §2.7-2.8):
+
+- ``Lakehouse.create_namespace``            (M2, main-daft.py:95-99)
+- ``Lakehouse.create_table``                (M3, main-daft.py:102-107)
+- ``Lakehouse.load_table``                  (M4, upsert.py:69)
+- ``LakehouseTable.append``                 (W6/W8, main-daft.py:121-138)
+- ``LakehouseTable.append_many``            (W7 one-snapshot txn, main-polars.py:165-186)
+- ``LakehouseTable.overwrite``              (W9, upsert.py:84)
+- ``LakehouseTable.add_files``              (W10/Q4, main-ray.py:109-121)
+- ``LakehouseTable.scan`` / ``read_snapshot`` (S10/Q5, query_iceberg_duckdb.py:24-29)
+- ``LakehouseTable.history`` / ``metadata_location`` (M5/M6, read_history.py:8-11)
+
+Physical layout: each commit writes hive-partitioned zstd parquet into its
+own ``data/commit-<n>`` directory (reference: 512 MB target file size,
+main-daft.py:106; zstd, main-daft.py:69), so commits never collide and
+time travel is pure metadata. Partition values are ALSO stored per-file in
+the snapshot log, which makes flat layouts (W3/add_files) equivalent to hive
+layouts at scan time and lets the planner prune the file list before Spark
+ever sees it (SURVEY.md §4 "custom work" item 1).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import re
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyiceberg_lakehouse_spark.lakehouse.log import SnapshotLog, Snapshot
+
+_HIVE_SEG = re.compile(r"([^/=]+)=([^/]+)")
+
+
+class Lakehouse:
+    """Warehouse root holding ``<namespace>/<table>`` directories."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def create_namespace(self, namespace: str) -> None:
+        """Idempotent, like the reference's try/except (main-daft.py:95-99)."""
+        os.makedirs(os.path.join(self.warehouse, namespace), exist_ok=True)
+
+    def create_table(
+        self,
+        identifier: str,
+        schema: T.StructType,
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+        if_not_exists: bool = False,
+    ) -> "LakehouseTable":
+        ns, name = self._split(identifier)
+        self.create_namespace(ns)
+        table_dir = os.path.join(self.warehouse, ns, name)
+        log = SnapshotLog(table_dir)
+        if log.exists():
+            if if_not_exists:
+                return LakehouseTable(self.spark, table_dir)
+            raise FileExistsError(f"table {identifier} already exists at {table_dir}")
+        props = {"write.target-file-size-bytes": str(512 * 1024 * 1024)}
+        props.update(properties or {})
+        log.init_table(schema, partition_by or [], props)
+        return LakehouseTable(self.spark, table_dir)
+
+    def load_table(self, identifier: str) -> "LakehouseTable":
+        ns, name = self._split(identifier)
+        table_dir = os.path.join(self.warehouse, ns, name)
+        if not SnapshotLog(table_dir).exists():
+            raise FileNotFoundError(f"no such table {identifier} under {self.warehouse}")
+        return LakehouseTable(self.spark, table_dir)
+
+    def drop_table(self, identifier: str) -> None:
+        import shutil
+
+        ns, name = self._split(identifier)
+        shutil.rmtree(os.path.join(self.warehouse, ns, name), ignore_errors=True)
+
+    @staticmethod
+    def _split(identifier: str) -> tuple[str, str]:
+        parts = identifier.split(".")
+        if len(parts) != 2:
+            raise ValueError(f"identifier must be namespace.table, got {identifier!r}")
+        return parts[0], parts[1]
+
+
+class LakehouseTable:
+    """Handle over one table directory + its snapshot log."""
+
+    def __init__(self, spark: SparkSession, table_dir: str):
+        self.spark = spark
+        self.table_dir = table_dir
+        self.log = SnapshotLog(table_dir).load()
+
+    # ---------------------------------------------------------- metadata --
+
+    @property
+    def metadata_location(self) -> str:
+        """M6 (read_history.py:8)."""
+        return self.log.path
+
+    def schema(self) -> T.StructType:
+        """M7 (main-daft.py:142)."""
+        return self.log.schema()
+
+    def history(self) -> list[Snapshot]:
+        """M5 (read_history.py:10-11)."""
+        return list(self.log.snapshots)
+
+    def current_snapshot_id(self) -> int | None:
+        return self.log.current_snapshot_id()
+
+    # ------------------------------------------------------------ writes --
+
+    def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
+        """One append = one snapshot (W6/W8, main-daft.py:137)."""
+        files = self._write_data(df)
+        return self._commit("append", files, summary=summary)
+
+    def append_many(self, dfs: list[DataFrame]) -> Snapshot:
+        """Transactional multi-append: N writes, ONE snapshot (W7,
+        main-polars.py:165-186). The union is a single Spark job."""
+        df = reduce(DataFrame.unionByName, dfs)
+        files = self._write_data(df)
+        return self._commit("append", files, summary={"batches": len(dfs)})
+
+    def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
+        """Atomic replace of the table contents (W9, upsert.py:84)."""
+        files = self._write_data(df)
+        return self._commit("overwrite", files, summary=summary)
+
+    def replace_partitions(
+        self, df: DataFrame, partitions: list[dict[str, str]]
+    ) -> Snapshot:
+        """Swap only the listed partitions' files for ``df``'s data — the
+        partition-scoped rewrite used by upsert at scale (SURVEY.md §7 step 4)."""
+        removed = [
+            f["path"]
+            for f in self.log.live_files()
+            if any(all(f["partition"].get(k) == v for k, v in p.items()) for p in partitions)
+        ]
+        files = self._write_data(df)
+        return self._commit("replace", files, removed_paths=removed,
+                            summary={"partitions": partitions})
+
+    def add_files(
+        self,
+        paths: list[str],
+        partition_values: dict[str, str] | None = None,
+        batch_size: int = 100,
+    ) -> list[Snapshot]:
+        """Metadata-only registration — no data is read or moved (W10/Q4,
+        main-ray.py:109-121, batches of 100)."""
+        snaps = []
+        for i in range(0, len(paths), batch_size):
+            batch = paths[i : i + batch_size]
+            files = [
+                {"path": p, "partition": dict(partition_values or {}), "rows": None}
+                for p in batch
+            ]
+            snaps.append(self._commit("add_files", files, summary={"batch": i // batch_size}))
+        return snaps
+
+    # ------------------------------------------------------------- reads --
+
+    def scan(
+        self,
+        snapshot_id: int | None = None,
+        partition_filter: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Snapshot-aware scan (S10/Q5). Partition pruning happens HERE, on
+        the metadata file list, before Spark plans the read — a 100 TB scan
+        with a partition filter only ever lists the matching files."""
+        files = self.log.live_files(snapshot_id)
+        if partition_filter:
+            files = [
+                f
+                for f in files
+                if all(f["partition"].get(k) == v for k, v in partition_filter.items())
+            ]
+        return self._read_files(files)
+
+    def read_snapshot(self, snapshot_id: int) -> DataFrame:
+        """Time travel to an exact snapshot (Q5 variant)."""
+        return self.scan(snapshot_id=snapshot_id)
+
+    def to_df(self) -> DataFrame:
+        return self.scan()
+
+    # ---------------------------------------------------------- internals --
+
+    def _data_schema(self) -> T.StructType:
+        """Schema of the data files: table schema minus partition columns."""
+        parts = set(self.log.partition_by)
+        return T.StructType([f for f in self.schema().fields if f.name not in parts])
+
+    def _write_data(self, df: DataFrame) -> list[dict[str, Any]]:
+        """Write one commit's hive-partitioned zstd parquet; return file
+        entries with partition values parsed from the paths."""
+        schema = self.schema()
+        df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+        commit_no = (self.log.current_snapshot_id() or 0) + 1
+        out_dir = os.path.join(self.table_dir, "data", f"commit-{commit_no}")
+        writer = df.write.mode("error").option("compression", "zstd")
+        if self.log.partition_by:
+            writer = writer.partitionBy(*self.log.partition_by)
+        writer.parquet(out_dir)
+        entries = []
+        for path in sorted(
+            _glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)
+        ):
+            rel = os.path.relpath(path, out_dir)
+            partition = {
+                k: v for k, v in _HIVE_SEG.findall(rel.replace(os.sep, "/"))
+            }
+            entries.append({"path": path, "partition": partition, "rows": None})
+        return entries
+
+    def _read_files(self, files: list[dict[str, Any]]) -> DataFrame:
+        """File-list read. Hive-layout files go through one scan with
+        basePath (Spark re-derives partition columns); metadata-only files
+        (add_files/flat layout) get partition columns attached from the log."""
+        schema = self.schema()
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        parts = self.log.partition_by
+        if not parts:
+            # unpartitioned: every file (including externally registered
+            # add_files paths) carries the full schema — one multi-file scan
+            df = self.spark.read.schema(schema).parquet(*[f["path"] for f in files])
+            return df.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            )
+        data_dir = os.path.join(self.table_dir, "data")
+        hive = [f for f in files if _is_hive(f, parts, data_dir)]
+        flat = [f for f in files if not _is_hive(f, parts, data_dir)]
+        dfs: list[DataFrame] = []
+        if hive:
+            # one scan per commit dir (basePath anchors partition discovery
+            # below the commit dir, so hive segments parse cleanly)
+            by_commit: dict[str, list[str]] = {}
+            for f in hive:
+                rel = os.path.relpath(f["path"], os.path.join(self.table_dir, "data"))
+                commit = rel.replace(os.sep, "/").split("/", 1)[0]
+                by_commit.setdefault(commit, []).append(f["path"])
+            for commit in sorted(by_commit):
+                df = (
+                    self.spark.read.schema(self._data_schema())
+                    .option("basePath", os.path.join(self.table_dir, "data", commit))
+                    .parquet(*by_commit[commit])
+                )
+                dfs.append(
+                    df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
+                )
+        if flat:
+            by_part: dict[tuple, list[str]] = {}
+            for f in flat:
+                key = tuple(sorted(f["partition"].items()))
+                by_part.setdefault(key, []).append(f["path"])
+            for key, paths in sorted(by_part.items()):
+                pvals = dict(key)
+                df = self.spark.read.parquet(*paths)
+                for col in parts:
+                    if col not in df.columns:
+                        ftype = schema[col].dataType
+                        df = df.withColumn(col, F.lit(pvals.get(col)).cast(ftype))
+                dfs.append(
+                    df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
+                )
+        return reduce(DataFrame.unionByName, dfs)
+
+    def _commit(self, operation, files, removed_paths=None, summary=None) -> Snapshot:
+        return self.log.commit(operation, files, removed_paths, summary)
+
+
+def _is_hive(f: dict[str, Any], parts: list[str], data_dir: str) -> bool:
+    """Hive-readable = lives under this table's data dir AND encodes every
+    partition column in its path; anything else is metadata-only."""
+    path = f["path"].replace(os.sep, "/")
+    if not path.startswith(data_dir.replace(os.sep, "/") + "/"):
+        return False
+    found = dict(_HIVE_SEG.findall(path))
+    return all(p in found for p in parts)

@@ -1,0 +1,92 @@
+"""Keyed upsert (last-wins MERGE) — the reference's flagship composite (Q2).
+
+Semantics of upsert.py:58-86 / upsert_parquet-lazy-polars.py:58-98:
+``MERGE INTO t USING new ON keys WHEN MATCHED THEN UPDATE * WHEN NOT MATCHED
+THEN INSERT *``. The reference's "last wins" depends on pandas concat file
+order (upsert.py:53); we make it deterministic with an explicit source
+priority column ordered in a row_number window (SURVEY.md §7 hard-part 1).
+
+Two physical strategies:
+
+- ``upsert``: full-table merge + overwrite. One shuffle on the key. Fine for
+  small tables; at 100 TB it rewrites everything.
+- ``upsert_partitioned``: partition-scoped rewrite — only partitions whose
+  keys appear in the new batch are read, merged, and replaced; everything
+  else is untouched metadata. The partition list comes from the (small) new
+  batch via distinct+collect, so the rewrite cost is proportional to the
+  touched data, not the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyiceberg_lakehouse_spark.lakehouse.table import LakehouseTable
+
+
+def merge_keep_last(
+    current: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Deterministic last-wins merge of two frames on ``key_cols``.
+
+    ``new`` rows outrank ``current`` rows; within a side, ``order_col``
+    (descending) breaks ties if given. Output has ``current``'s column set.
+    """
+    cols = current.columns
+    tagged = current.select(*cols).withColumn("_src_priority", F.lit(0)).unionByName(
+        new.select(*cols).withColumn("_src_priority", F.lit(1))
+    )
+    order = [F.desc("_src_priority")]
+    if order_col:
+        order.append(F.desc(order_col))
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_src_priority", "_rn")
+    )
+
+
+def upsert(
+    table: LakehouseTable,
+    new: DataFrame,
+    key_cols: list[str],
+    order_col: str | None = None,
+):
+    """Full merge-overwrite (matches upsert.py:58-86 exactly)."""
+    merged = merge_keep_last(table.scan(), new, key_cols, order_col)
+    return table.overwrite(merged, summary={"op": "upsert", "keys": key_cols})
+
+
+def upsert_partitioned(
+    table: LakehouseTable,
+    new: DataFrame,
+    key_cols: list[str],
+    order_col: str | None = None,
+):
+    """Partition-scoped upsert: rewrite only partitions touched by ``new``.
+
+    Requires the table to be partitioned. The distinct partition values of
+    the new batch are collected driver-side (low cardinality by construction
+    — identity partition columns, main-polars.py:113) and drive both the
+    pruned scan and the replace commit.
+    """
+    parts = table.log.partition_by
+    if not parts:
+        raise ValueError("table is not partitioned; use upsert()")
+    touched = [
+        {p: str(r[p]) for p in parts}
+        for r in new.select(*parts).distinct().collect()
+    ]
+    current = None
+    for i, pv in enumerate(touched):
+        chunk = table.scan(partition_filter=pv)
+        current = chunk if current is None else current.unionByName(chunk)
+    if current is None:
+        current = table.scan().limit(0)
+    merged = merge_keep_last(current, new, key_cols, order_col)
+    return table.replace_partitions(merged, touched)

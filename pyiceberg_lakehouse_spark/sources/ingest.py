@@ -1,0 +1,82 @@
+"""Strict-cast ingestion with per-file error isolation.
+
+The reference reads each discovered file, strict-casts it to the canonical
+schema, and appends — catching per-file failures and continuing
+(main-daft.py:121-138, the ``try: ... except: continue`` at 134-136). Arrow's
+``cast`` raises on lossy conversion while Spark's ``cast`` silently
+nulls/wraps, so we reproduce strictness with ``try_cast`` + a null-check
+count: a file whose cast produces new nulls is rejected, not silently
+corrupted (SURVEY.md §7 hard-part 2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def strict_cast(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Cast ``df`` to ``schema`` exactly; raise if any value would be lost.
+
+    Equivalent of Arrow's strict ``table.cast(schema)`` (main-daft.py:133,
+    upsert.py:36): columns are matched by name, extra columns are an error,
+    lossy values are an error. One distributed pass computes all per-column
+    violation counts (no per-column jobs).
+    """
+    want = {f.name for f in schema.fields}
+    have = set(df.columns)
+    if have != want:
+        raise ValueError(f"schema mismatch: missing={sorted(want - have)} extra={sorted(have - want)}")
+
+    casted = df.select(
+        *[F.col(f.name).try_cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+    # a try_cast that yields NULL from a non-NULL input is a lossy conversion
+    def null_counts(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in frame.columns]
+        )
+
+    before = null_counts(df)
+    after = null_counts(casted)
+    b, a = before.collect()[0], after.collect()[0]
+    bad = {c: a[c] - (b[c] or 0) for c in df.columns if (a[c] or 0) > (b[c] or 0)}
+    if bad:
+        raise ValueError(f"strict cast would lose values: {bad}")
+    return casted
+
+
+@dataclass
+class IngestReport:
+    """Mirrors the reference's printed per-file progress (main-daft.py:138)."""
+
+    ok_files: list[str] = field(default_factory=list)
+    failed: dict[str, str] = field(default_factory=dict)
+    rows: int = 0
+
+
+def ingest_files(
+    spark: SparkSession,
+    files: list[str],
+    schema: T.StructType,
+    sink,  # callable(DataFrame) -> None, e.g. LakehouseTable.append
+) -> IngestReport:
+    """Per-file read -> strict cast -> sink, skipping bad files.
+
+    Reproduces main-daft.py:121-138 semantics (one sink call per file; error
+    isolation per file). For the single-snapshot variant, union the files
+    first and call the sink once (main-polars.py:165-186 / W7).
+    """
+    report = IngestReport()
+    for path in files:
+        try:
+            df = strict_cast(spark.read.parquet(path), schema)
+            sink(df)
+            report.ok_files.append(path)
+            report.rows += df.count()
+        except Exception as exc:  # per-file isolation, main-daft.py:134-136
+            report.failed[path] = str(exc)
+    return report

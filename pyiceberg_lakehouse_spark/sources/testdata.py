@@ -141,11 +141,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.schema(SCHEMAS[name]).parquet(path)
     if name == "events":
+        # exact LONG integer division — double division near 1.7e18 exceeds
+        # 2^53 and lands ~10% of rows one microsecond off the oracle
         df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
     return df
 

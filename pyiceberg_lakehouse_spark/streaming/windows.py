@@ -1,0 +1,91 @@
+"""Structured Streaming primitives over the events table.
+
+The reference has no streaming surface (SURVEY.md §1.1); this covers the
+gap-list category (§2.10): file-source streams, watermarks, tumbling/sliding
+windows, and stateful dedup. Batch-equivalence is the correctness story —
+every streaming query here has a batch SQL twin the oracle runs.
+
+The events parquet stores TIMESTAMP(NANOS); the stream source applies the
+same nanos->micros conversion as the batch loader (sources/testdata.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (one-file directory).
+
+    The sf dir mixes all tables, so the stream reads through a symlinked
+    single-table directory; ``pathGlobFilter`` would also work but the
+    explicit dir keeps file listing O(1).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(stage, "events.parquet"),
+    )
+    # watermarks require TIMESTAMP (with local tz), not NTZ; the session runs
+    # UTC so wall-clock values match the batch/oracle NTZ values
+    raw = spark.readStream.schema(SCHEMAS["events"]).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """Drain a stream into an in-memory table with availableNow, return it."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def tumbling_counts(
+    events: DataFrame, window_len: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window count + exact sum per window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len).alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n", "sum_value"
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window_len: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Sliding-window event counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n")
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup on event_id (dropDuplicatesWithinWatermark)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
