@@ -205,10 +205,17 @@ class LakehouseTable:
     def _write_data(self, df: DataFrame) -> list[dict[str, Any]]:
         """Write one commit's hive-partitioned zstd parquet; return file
         entries with partition values parsed from the paths."""
+        import uuid
+
         schema = self.schema()
         df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
         commit_no = (self.log.current_snapshot_id() or 0) + 1
-        out_dir = os.path.join(self.table_dir, "data", f"commit-{commit_no}")
+        # uuid suffix: two writers racing never collide on data paths — the
+        # snapshot-log commit (optimistic check + atomic rename) is the only
+        # serialization point, same as Iceberg's write-then-commit protocol
+        out_dir = os.path.join(
+            self.table_dir, "data", f"commit-{commit_no}-{uuid.uuid4().hex[:8]}"
+        )
         writer = df.write.mode("error").option("compression", "zstd")
         if self.log.partition_by:
             writer = writer.partitionBy(*self.log.partition_by)

@@ -1,0 +1,144 @@
+"""Lakehouse lifecycle properties (SURVEY.md §5.3).
+
+N appends => N snapshots; transactional append => 1; time travel returns the
+pre-append state; add_files moves no data; overwrite resets; compaction
+preserves rows while reducing files; expiry deletes only unreachable files.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+from pyiceberg_lakehouse_spark.lakehouse.maintenance import compact, expire_snapshots
+from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+
+@pytest.fixture()
+def nation_chunks(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    return nation, [
+        nation.filter(F.col("n_regionkey") < 2),
+        nation.filter(F.col("n_regionkey") == 2),
+        nation.filter(F.col("n_regionkey") > 2),
+    ]
+
+
+def test_append_per_call_snapshots(spark, warehouse, nation_chunks):
+    nation, chunks = nation_chunks
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.nation", SCHEMAS["nation"])
+    for c in chunks:
+        t.append(c)
+    # create + 3 appends, mirroring one-snapshot-per-file (main-daft.py:137)
+    assert [s.operation for s in t.history()] == ["create", "append", "append", "append"]
+    assert t.scan().count() == nation.count()
+
+
+def test_transactional_append_one_snapshot(spark, warehouse, nation_chunks):
+    nation, chunks = nation_chunks
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.nation_txn", SCHEMAS["nation"])
+    t.append_many(chunks)
+    # one snapshot for the whole batch (main-polars.py:165-186)
+    assert [s.operation for s in t.history()] == ["create", "append"]
+    assert t.scan().count() == nation.count()
+
+
+def test_time_travel(spark, warehouse, nation_chunks):
+    _, chunks = nation_chunks
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.nation_tt", SCHEMAS["nation"])
+    s1 = t.append(chunks[0])
+    t.append(chunks[1])
+    n_first = chunks[0].count()
+    assert t.read_snapshot(s1.snapshot_id).count() == n_first
+    assert t.scan().count() == n_first + chunks[1].count()
+
+
+def test_add_files_moves_no_data(spark, warehouse, sf_dir):
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.region", SCHEMAS["region"])
+    src = f"{sf_dir}/region.parquet"
+    mtime = os.path.getmtime(src)
+    t.add_files([src])
+    # scan sees the rows; the source file was not copied into the warehouse
+    assert t.scan().count() == 5
+    assert os.path.getmtime(src) == mtime
+    data_dir = os.path.join(t.table_dir, "data")
+    assert not os.path.exists(data_dir) or not os.listdir(data_dir)
+
+
+def test_overwrite_resets_state(spark, warehouse, nation_chunks):
+    nation, chunks = nation_chunks
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.nation_ow", SCHEMAS["nation"])
+    t.append(nation)
+    t.overwrite(chunks[0])
+    assert t.scan().count() == chunks[0].count()
+    assert t.history()[-1].operation == "overwrite"
+
+
+def test_partitioned_roundtrip_values(spark, warehouse, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.orders", SCHEMAS["orders"], partition_by=["o_orderstatus"])
+    t.append(orders)
+    back = t.scan()
+    assert back.count() == orders.count()
+    # values (incl. the partition column) survive the hive roundtrip
+    a = {tuple(r) for r in orders.select("o_orderkey", "o_orderstatus").collect()}
+    b = {tuple(r) for r in back.select("o_orderkey", "o_orderstatus").collect()}
+    assert a == b
+
+
+def test_partition_pruned_scan(spark, warehouse, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.orders_p", SCHEMAS["orders"], partition_by=["o_orderstatus"])
+    t.append(orders)
+    pruned = t.scan(partition_filter={"o_orderstatus": "O"})
+    expected = orders.filter(F.col("o_orderstatus") == "O").count()
+    assert pruned.count() == expected
+    # pruning happened on the metadata file list, before Spark planned it
+    live = t.log.live_files()
+    o_files = [f for f in live if f["partition"].get("o_orderstatus") == "O"]
+    assert len(o_files) < len(live)
+
+
+def test_compaction_preserves_rows(spark, warehouse, nation_chunks):
+    nation, chunks = nation_chunks
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.nation_c", SCHEMAS["nation"])
+    for c in chunks:
+        t.append(c)
+    before_files = len(t.log.live_files())
+    snap = compact(t, target_file_bytes=64 * 1024 * 1024)
+    assert snap.operation == "replace"
+    assert len(t.log.live_files()) <= before_files
+    assert t.scan().count() == nation.count()
+
+
+def test_expire_snapshots_deletes_orphans(spark, warehouse, nation_chunks):
+    nation, chunks = nation_chunks
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.nation_e", SCHEMAS["nation"])
+    t.append(nation)
+    first_files = [f["path"] for f in t.log.live_files()]
+    t.overwrite(chunks[0])
+    deleted = expire_snapshots(t, keep_last=1)
+    assert set(deleted) == set(first_files)
+    for p in deleted:
+        assert not os.path.exists(p)
+    assert t.scan().count() == chunks[0].count()
+
+
+def test_concurrent_commit_detection(spark, warehouse, nation_chunks):
+    _, chunks = nation_chunks
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.nation_cc", SCHEMAS["nation"])
+    stale = lh.load_table("ns.nation_cc")  # second handle, same table
+    t.append(chunks[0])
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        stale.append(chunks[1])

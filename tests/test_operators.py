@@ -1,0 +1,146 @@
+"""Dedup / similarity / text / multimodal / as-of operator semantics.
+
+Planted-duplicate recall tests give the sketch-based operators (MinHash,
+SimHash, hyperplane LSH) the correctness signal their engine-specific hash
+families can't get from the SQL oracle.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyiceberg_lakehouse_spark.operators import dedup, multimodal, similarity, text
+from pyiceberg_lakehouse_spark.operators.asof import asof_join_events
+from pyiceberg_lakehouse_spark.sources.testdata import load_table
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """20 pairwise-disjoint docs + exact dups + near dups (one word changed)."""
+    base = [" ".join(f"d{i}w{j}" for j in range(30)) for i in range(20)]
+    rows = [(i, t) for i, t in enumerate(base)]
+    rows += [(100 + i, base[i]) for i in range(5)]  # exact dups of 0-4
+    near = [base[i].replace(f"d{i}w3 ", "changed ", 1) for i in range(5, 10)]
+    rows += [(200 + i, t) for i, t in enumerate(near, start=5)]  # near dups of 5-9
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark, planted_docs):
+    out = dedup.exact_dedup(planted_docs).collect()
+    dups = {r.keeper_id: r.n_dups for r in out if r.n_dups > 1}
+    assert dups == {0: 2, 1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_ngram_jaccard_finds_planted_pairs(spark, planted_docs):
+    pairs = dedup.ngram_jaccard_pairs(planted_docs, threshold=0.6).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    for i in range(5):
+        assert (i, 100 + i) in got  # exact dups -> jaccard 1.0
+    for i in range(5, 10):
+        assert (i, 200 + i) in got  # near dups -> high jaccard
+
+
+def test_minhash_lsh_recall(spark, planted_docs):
+    truth = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(planted_docs, threshold=0.6).collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            planted_docs, num_hashes=32, bands=8, verify_threshold=0.6
+        ).collect()
+    }
+    assert truth, "planted pairs must exist"
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"minhash recall {recall}: {truth - found}"
+    # verification step guarantees precision 1.0 vs the exact measure
+    assert found <= truth
+
+
+def test_simhash_exact_dups_collide(spark, planted_docs):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(planted_docs).collect()}
+    for i in range(5):
+        assert sh[i] == sh[100 + i]
+    cand = {
+        (r.id_a, r.id_b) for r in dedup.simhash_near_dup_pairs(planted_docs).collect()
+    }
+    for i in range(5):
+        assert (i, 100 + i) in cand
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, queries, k=3).collect()
+    approx = similarity.lsh_topk(emb, queries, dim=64, k=3, n_planes=8).collect()
+    truth = {(r.qid, r.vid) for r in exact}
+    found = {(r.qid, r.vid) for r in approx}
+    recall = len(found & truth) / len(truth)
+    # 8-bit single-table LSH on random vectors: modest recall is expected;
+    # the point is the candidate set shrinks ~2^8-fold, not perfect recall
+    assert recall >= 0.2, f"lsh recall {recall}"
+
+
+def test_embedding_near_dup_blocking(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.9, within="label")
+    for r in pairs.limit(5).collect():
+        assert r.id_a < r.id_b
+
+
+def test_text_quality_known_values(spark):
+    df = spark.createDataFrame([(1, "the cat and the hat")], "doc_id long, text string")
+    q = text.quality_score(df).collect()[0]
+    assert q.n_tokens == 5
+    assert q.type_token_ratio == pytest.approx(4 / 5)
+    assert q.stopword_ratio == pytest.approx(3 / 5)  # the, and, the
+    s = text.token_stats(df).collect()[0]
+    assert s.n_distinct_tokens == 4
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze und der vogel"),
+            (3, "xyz abc nothing matches here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.pred_lang for r in text.lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_multimodal_plumbing_roundtrip(spark, sf_dir):
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    out = multimodal.extract_features(multimodal.attach_binary(docs))
+    got = {r.doc_id: (r.n_bytes, r.checksum) for r in out.collect()}
+    for r in docs.collect():
+        raw = r.text.encode("utf-8")
+        assert got[r.doc_id] == (len(raw), hashlib.md5(raw).hexdigest())
+
+
+def test_multimodal_decode_stub_gates_unknown_mime():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"bytes", "image/png")
+
+
+def test_asof_join_matches_correlated_semantics(spark):
+    rows = [
+        # (event_id, ts_micros, user_id, type)
+        (1, 100, 1, "click"),
+        (2, 200, 1, "purchase"),   # -> click 1
+        (3, 300, 1, "click"),
+        (4, 300, 1, "purchase"),   # same ts, click 3 has smaller id -> matches
+        (5, 50, 2, "purchase"),    # no earlier click -> null
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string"
+    ).withColumn("ts", F.timestamp_micros("ts").cast("timestamp_ntz"))
+    out = {
+        r.event_id: r.click_event_id
+        for r in asof_join_events(ev, "purchase", "click").collect()
+    }
+    assert out == {2: 1, 4: 3, 5: None}

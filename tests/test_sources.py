@@ -1,0 +1,96 @@
+"""Loader / inference / strict-cast coverage (SURVEY.md §5 fixtures)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyiceberg_lakehouse_spark.sources import (
+    SCHEMAS,
+    TABLES,
+    infer_spark_schema,
+    load_table,
+    strict_cast,
+)
+
+EXPECTED_ROWS = {
+    "region": 5,
+    "nation": 25,
+    "customer": 150,
+    "supplier": 10,
+    "part": 200,
+    "orders": 1500,
+    "lineitem": 6000,
+    "events": 1000,
+    "documents": 500,
+    "embeddings": 500,
+}
+
+
+@pytest.mark.parametrize("name", TABLES)
+def test_load_every_table(spark, sf_dir, name):
+    df = load_table(spark, sf_dir, name)
+    assert df.count() == EXPECTED_ROWS[name]
+
+
+def test_events_ts_is_exact_micros(spark, sf_dir):
+    """The nanos->micros conversion must be exact integer division."""
+    ev = load_table(spark, sf_dir, "events")
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampNTZType)
+    # row-level check against python integer division of the raw longs
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.read.schema(SCHEMAS["events"])
+        .parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "ts")
+        .collect()
+    )
+    got = {r.event_id: r.ts for r in ev.select("event_id", "ts").collect()}
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    for r in raw[:200]:
+        micros = r.ts // 1000
+        assert got[r.event_id] == epoch + datetime.timedelta(microseconds=micros)
+
+
+def test_infer_schema_matches_declared(sf_dir):
+    inferred = infer_spark_schema(f"{sf_dir}/lineitem.parquet")
+    assert [f.name for f in inferred.fields] == [f.name for f in SCHEMAS["lineitem"].fields]
+    assert isinstance(inferred["l_quantity"].dataType, T.DoubleType)
+    assert isinstance(inferred["l_shipdate"].dataType, T.TimestampNTZType)
+
+
+def test_infer_schema_embeddings_list(sf_dir):
+    inferred = infer_spark_schema(f"{sf_dir}/embeddings.parquet")
+    assert inferred["embedding"].dataType == T.ArrayType(T.FloatType())
+
+
+def test_strict_cast_roundtrip(spark, sf_dir):
+    df = load_table(spark, sf_dir, "customer")
+    out = strict_cast(df, SCHEMAS["customer"])
+    assert out.count() == 150
+
+
+def test_strict_cast_rejects_lossy(spark):
+    df = spark.createDataFrame([("abc",), ("123",)], ["x"])
+    target = T.StructType([T.StructField("x", T.IntegerType())])
+    with pytest.raises(ValueError, match="lose values"):
+        strict_cast(df, target)
+
+
+def test_strict_cast_rejects_schema_drift(spark):
+    df = spark.createDataFrame([(1, 2)], ["a", "b"])
+    target = T.StructType([T.StructField("a", T.IntegerType())])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        strict_cast(df, target)
+
+
+def test_synthetic_mock_dataset_shape(spark):
+    from pyiceberg_lakehouse_spark.sources.synthetic import mock_dataset
+
+    df = mock_dataset(spark, 1000)
+    assert df.columns == ["id", "group", "value1", "value2"]
+    groups = {r.group for r in df.select("group").distinct().collect()}
+    assert groups == {"A", "B", "C", "D"}
+    v2 = df.agg(F.min("value2"), F.max("value2")).collect()[0]
+    assert v2[0] >= 1 and v2[1] <= 1000

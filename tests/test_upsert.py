@@ -1,0 +1,95 @@
+"""Keyed upsert properties (SURVEY.md §5.4, reference upsert.py:44-86).
+
+For any key overlap: |result| = |keys(old) ∪ keys(new)|, new values win,
+and upserting the same batch twice changes nothing (idempotence). The
+partition-scoped variant must leave untouched partitions' files alone.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+from pyiceberg_lakehouse_spark.lakehouse.upsert import (
+    merge_keep_last,
+    upsert,
+    upsert_partitioned,
+)
+from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+
+@pytest.fixture()
+def orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders")
+
+
+def _base_and_batch(orders):
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    batch = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    return base, batch
+
+
+def test_merge_union_of_keys_and_new_wins(spark, orders):
+    base, batch = _base_and_batch(orders)
+    merged = merge_keep_last(base, batch, ["o_orderkey"])
+    base_keys = {r.o_orderkey for r in base.select("o_orderkey").collect()}
+    batch_keys = {r.o_orderkey for r in batch.select("o_orderkey").collect()}
+    assert merged.count() == len(base_keys | batch_keys)
+    new_prices = {r.o_orderkey: r.o_totalprice for r in batch.collect()}
+    for r in merged.filter(F.col("o_orderkey") % 5 == 0).collect():
+        assert r.o_totalprice == new_prices[r.o_orderkey]
+
+
+def test_upsert_idempotent(spark, warehouse, orders):
+    base, batch = _base_and_batch(orders)
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.orders", SCHEMAS["orders"])
+    t.append(base)
+    upsert(t, batch, ["o_orderkey"])
+    once = sorted(map(tuple, t.scan().collect()))
+    upsert(t, batch, ["o_orderkey"])
+    twice = sorted(map(tuple, t.scan().collect()))
+    assert once == twice
+
+
+def test_partition_scoped_upsert_leaves_untouched_partitions(spark, warehouse, orders):
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.orders_p", SCHEMAS["orders"], partition_by=["o_orderstatus"])
+    t.append(orders)
+    files_before = {
+        f["path"]: f["partition"] for f in t.log.live_files()
+    }
+    # batch touches only status 'O' rows
+    batch = (
+        orders.filter((F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 7 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(5.0))
+    )
+    upsert_partitioned(t, batch, ["o_orderkey"])
+    files_after = {f["path"]: f["partition"] for f in t.log.live_files()}
+    untouched_before = {p for p, pv in files_before.items() if pv.get("o_orderstatus") != "O"}
+    untouched_after = {p for p, pv in files_after.items() if pv.get("o_orderstatus") != "O"}
+    # non-'O' partitions: exact same physical files (no rewrite)
+    assert untouched_before == untouched_after
+    # 'O' partition: replaced
+    o_before = {p for p, pv in files_before.items() if pv.get("o_orderstatus") == "O"}
+    o_after = {p for p, pv in files_after.items() if pv.get("o_orderstatus") == "O"}
+    assert o_before.isdisjoint(o_after)
+    # and the merge is correct
+    assert t.scan().count() == orders.count()
+    changed = t.scan().filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 7 == 0)
+    )
+    orig = orders.filter((F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 7 == 0))
+    got = {r.o_orderkey: r.o_totalprice for r in changed.collect()}
+    for r in orig.collect():
+        assert got[r.o_orderkey] == pytest.approx(r.o_totalprice + 5.0)
+
+
+def test_merge_deterministic_order_col(spark):
+    rows = [(1, "a", 1), (1, "b", 2), (2, "c", 1)]
+    cur = spark.createDataFrame([], "k int, v string, seq int")
+    new = spark.createDataFrame(rows, "k int, v string, seq int")
+    merged = merge_keep_last(cur, new, ["k"], order_col="seq")
+    got = {r.k: r.v for r in merged.collect()}
+    assert got == {1: "b", 2: "c"}  # highest seq wins, not file order
