@@ -1,0 +1,110 @@
+"""Benchmark harness: headline queries + lakehouse phases at SPARK_GRAFT_SF_DIR.
+
+Times the same three phases the reference instruments — full ingest
+(single_operation.py:131-135), append commit alone, upsert (upsert.py:85) —
+plus the flagship analytics and LLM-data operators. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query results are drained with the noop sink (full compute, no driver-side
+collect), so timings measure the engine, not pandas conversion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pyiceberg_lakehouse_spark.registry import QUERIES, load_all  # noqa: E402
+from pyiceberg_lakehouse_spark.session import get_spark  # noqa: E402
+from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# registry queries that form the analytics headline set
+HEADLINE = [
+    ("q1_pricing", "agg_q1_pricing_summary"),
+    ("q5_multiway_join", "join_multiway_revenue"),
+    ("topk_window", "win_topk_per_group"),
+    ("events_hourly", "fn_datetime"),
+    ("asof_join", "join_asof"),
+    ("dedup_exact", "dedup_exact"),
+    ("dedup_minhash_lsh", "dedup_minhash_lsh"),
+    ("cosine_topk", "sim_cosine_topk"),
+    ("text_quality", "text_quality"),
+]
+
+
+def drain(df) -> int:
+    """Force full execution without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    load_all()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footers once so timings measure steady state
+    load_table(spark, SF_DIR, "lineitem").count()
+
+    for label, qname in HEADLINE:
+        t0 = time.time()
+        drain(QUERIES[qname](spark, SF_DIR))
+        timings[label] = round(time.time() - t0, 3)
+
+    # lakehouse phases (reference-instrumented: ingest / append / upsert)
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.upsert import upsert_partitioned
+
+    wh = tempfile.mkdtemp(prefix="bench_wh_")
+    lh = Lakehouse(spark, wh)
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+
+    t0 = time.time()
+    t = lh.create_table("bench.lineitem", SCHEMAS["lineitem"], partition_by=["l_returnflag"])
+    t.append(lineitem)
+    timings["ingest_partitioned"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    t.append(lineitem.filter(F.col("l_orderkey") % 100 == 0))
+    timings["append_commit"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    batch = lineitem.filter(F.col("l_orderkey") % 10 == 0).withColumn(
+        "l_quantity", F.col("l_quantity") + 1.0
+    )
+    upsert_partitioned(t, batch, key_cols=["l_orderkey", "l_linenumber"])
+    timings["upsert"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    drain(t.scan(partition_filter={"l_returnflag": "R"}))
+    timings["pruned_scan"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

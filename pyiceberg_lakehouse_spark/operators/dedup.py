@@ -37,9 +37,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def word_shingles(col: F.Column, k: int = 3) -> F.Column:
-    """Distinct k-word shingles of a normalized document (array<string>)."""
-    tokens = F.split(normalize_text(col), " ")
+def word_shingles(tokens: F.Column, k: int = 3) -> F.Column:
+    """Distinct k-word shingles from a token-array column.
+
+    IMPORTANT: pass a materialized token COLUMN, not an inline
+    split(regexp(...)) expression — Catalyst substitutes lambda bodies
+    textually, so an inline expression would re-tokenize the document for
+    every element_at (k x shingles x docs regexp evaluations).
+    """
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(tokens) - k, F.lit(0))),
@@ -61,9 +66,10 @@ def exploded_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """(id, shingle) pairs, distinct per document."""
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    toks = df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_toks")
     )
+    return toks.select(F.col(id_col), F.explode(word_shingles(F.col("_toks"), k)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -182,9 +188,46 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    exact = ngram_jaccard_pairs(df, text_col, id_col, k, threshold=0.0)
-    return cand.join(exact, ["id_a", "id_b"]).filter(
-        F.col("jaccard") >= verify_threshold
+    return verify_pairs_jaccard(df, cand, text_col, id_col, k, verify_threshold)
+
+
+def verify_pairs_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard, computed ONLY for the given candidate pairs.
+
+    This is the scale-critical half of LSH dedup: work is O(candidates x
+    shingles-per-doc), never O(all-pairs). Shingle sets attach to each side
+    of the pair by id join; the intersection count is an equi-join on
+    (pair, shingle).
+    """
+    sh = exploded_shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

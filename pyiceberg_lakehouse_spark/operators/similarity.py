@@ -18,14 +18,6 @@ from pyspark.sql import functions as F
 from pyiceberg_lakehouse_spark.functions.exact import dot_product_exact
 
 
-def _cosine(a: str, b: str) -> F.Column:
-    """Exact-deterministic cosine: decimal dots, double sqrt/divide."""
-    dot = dot_product_exact(a, b)
-    na = F.sqrt(dot_product_exact(a, a))
-    nb = F.sqrt(dot_product_exact(b, b))
-    return dot / (na * nb)
-
-
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -38,13 +30,26 @@ def cosine_topk(
     The corpus is never shuffled — queries broadcast to every partition, the
     per-query top-k window shuffles only (qid, vid, score) triples.
     """
+    # norms are per-vector, so compute them once per row on each side —
+    # not per pair (which would redo the decimal fold O(Q*N) extra times)
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("q_vec"),
+            F.sqrt(dot_product_exact(vec_col, vec_col)).alias("q_norm"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("c_vec"),
+        F.sqrt(dot_product_exact(vec_col, vec_col)).alias("c_norm"),
+    )
     scored = (
         c.join(q, F.col("qid") != F.col("vid"))
-        .withColumn("score", _cosine("q_vec", "c_vec"))
+        .withColumn(
+            "score",
+            dot_product_exact("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
+        )
         .select("qid", "vid", "score")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vid"))
@@ -110,16 +115,25 @@ def lsh_topk(
     """
     qb = F.broadcast(
         lsh_bucket(queries, dim, n_planes, id_col, vec_col).select(
-            F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"), "bucket"
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("q_vec"),
+            F.sqrt(dot_product_exact(vec_col, vec_col)).alias("q_norm"),
+            "bucket",
         )
     )
     cb = lsh_bucket(corpus, dim, n_planes, id_col, vec_col).select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("c_vec"), "bucket"
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("c_vec"),
+        F.sqrt(dot_product_exact(vec_col, vec_col)).alias("c_norm"),
+        "bucket",
     )
     scored = (
         cb.join(qb, "bucket")
         .filter(F.col("qid") != F.col("vid"))
-        .withColumn("score", _cosine("q_vec", "c_vec"))
+        .withColumn(
+            "score",
+            dot_product_exact("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
+        )
         .select("qid", "vid", "score")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vid"))
@@ -142,15 +156,30 @@ def embedding_near_dup_pairs(
     ``within`` restricts comparisons to a blocking key (here: label), the
     same bucketing idea as LSH — never an unblocked all-pairs product.
     """
-    a = df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), *( [within] if within else [])
+    normed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(dot_product_exact(vec_col, vec_col)).alias("_norm"),
+        *([within] if within else []),
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), *( [within] if within else [])
+    a = normed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("_norm").alias("norm_a"),
+        *([within] if within else []),
+    )
+    b = normed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("_norm").alias("norm_b"),
+        *([within] if within else []),
     )
     joined = a.join(b, [within] if within else [F.lit(True)]).filter(F.col("id_a") < F.col("id_b"))
     return (
-        joined.withColumn("score", _cosine("vec_a", "vec_b"))
+        joined.withColumn(
+            "score",
+            dot_product_exact("vec_a", "vec_b") / (F.col("norm_a") * F.col("norm_b")),
+        )
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
