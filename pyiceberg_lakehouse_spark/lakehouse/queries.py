@@ -102,6 +102,28 @@ def lh_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lh_compact_roundtrip",
+    "select n_nationkey, n_name, n_regionkey from nation",
+)
+def lh_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance: 3 small commits compacted into target-size files via a
+    replace snapshot — contents unchanged, file count reduced."""
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import compact
+
+    nation = load_table(spark, sf_dir, "nation")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.nation_cmp", SCHEMAS["nation"])
+    for chunk in (
+        nation.filter(F.col("n_regionkey") < 2),
+        nation.filter(F.col("n_regionkey") == 2),
+        nation.filter(F.col("n_regionkey") > 2),
+    ):
+        t.append(chunk)
+    compact(t)
+    return t.scan().select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
     "lh_commit_batching",
     """
     select 'append_each' as mode, 4 as n_snapshots,
