@@ -102,6 +102,29 @@ def lh_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lh_flat_layout_roundtrip",
+    "select c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment from customer",
+)
+def lh_flat_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 + W10: flat-layout write (partition value only in the filename)
+    registered metadata-only; the scan re-attaches partition values from the
+    snapshot log — partition info never lives in the file or a hive dir,
+    exactly the reference's 'unstructured folder approach'
+    (main-polars.py:2-5, 115-119)."""
+    from pyiceberg_lakehouse_spark.sources.sinks import write_flat
+
+    wh = _warehouse()
+    docs = load_table(spark, sf_dir, "customer")
+    flat_dir = f"{wh}/flat_customer"
+    files = write_flat(docs, flat_dir, partition_by="c_mktsegment")
+    lh = Lakehouse(spark, wh)
+    t = lh.create_table("ns.customer_flat", SCHEMAS["customer"], partition_by=["c_mktsegment"])
+    for value, path in files.items():
+        t.add_files([path], partition_values={"c_mktsegment": value})
+    return t.scan().select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
+@register(
     "lh_compact_roundtrip",
     "select n_nationkey, n_name, n_regionkey from nation",
 )

@@ -116,6 +116,32 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
+EMB_NEARDUP_SQL = f"""
+    with v as (select vec_id, label, embedding from embeddings),
+    pairs as (
+      select a.vec_id as id_a, b.vec_id as id_b,
+             a.embedding as va, b.embedding as vb
+      from v a join v b on a.label = b.label and a.vec_id < b.vec_id
+    )
+    select id_a, id_b,
+           {DOT.format(a="va", b="vb")}
+             / (sqrt({DOT.format(a="va", b="va")})
+                * sqrt({DOT.format(a="vb", b="vb")})) as score
+    from pairs
+    where {DOT.format(a="va", b="vb")}
+             / (sqrt({DOT.format(a="va", b="va")})
+                * sqrt({DOT.format(a="vb", b="vb")})) >= 0.4
+"""
+
+
+@register("dedup_embedding_cosine", EMB_NEARDUP_SQL)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (no all-pairs)."""
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, within="label"
+    )
+
+
 @register("sim_ann_lsh")  # rows-only: bucketing is engine-specific
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-3 (the 100 TB scale path)."""
