@@ -1,0 +1,90 @@
+"""Per-file column statistics for scan-time data skipping.
+
+Iceberg manifests carry per-file column bounds so planners skip files whose
+[min, max] can't satisfy a predicate; at 100 TB this is the difference
+between listing a few files and scanning a few thousand. Our snapshot log
+stores the same bounds per file entry (``stats: {col: [min, max]}``), read
+from the parquet FOOTER at commit time (row-group statistics — no data pages
+touched), and ``prune_files`` evaluates simple predicates against them
+before Spark ever sees the file list.
+
+Stats collection is driver-side footer reads — O(files), not O(rows) — the
+same cost class as the reference's schema probe (main-daft.py:45).
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Any
+
+import pyarrow.parquet as pq
+
+# stat-typed columns only: orderable primitives with a JSON-safe encoding
+_STATABLE = (int, float, str)
+
+
+def collect_file_stats(path: str, columns: list[str] | None = None) -> dict[str, list]:
+    """Column -> [min, max] from the parquet footer's row-group statistics."""
+    meta = pq.ParquetFile(path).metadata
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    for rg in range(meta.num_row_groups):
+        for ci in range(meta.num_columns):
+            col = meta.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if columns is not None and name not in columns:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = _jsonable(st.min), _jsonable(st.max)
+            if lo is None or hi is None:
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {c: [mins[c], maxs[c]] for c in mins if c in maxs}
+
+
+def _jsonable(v: Any):
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v if isinstance(v, _STATABLE) else None
+
+
+def prune_files(
+    files: list[dict[str, Any]], predicates: dict[str, tuple[str, Any]]
+) -> list[dict[str, Any]]:
+    """Keep files whose stats MIGHT satisfy every predicate.
+
+    ``predicates`` maps column -> (op, value) with op in {"=", "<", "<=",
+    ">", ">="}. A file with no stats for a column is kept (skipping must be
+    conservative). Values compare after the same normalization used at
+    collection time.
+    """
+    out = []
+    for f in files:
+        stats = f.get("stats") or {}
+        keep = True
+        for col, (op, value) in predicates.items():
+            if col not in stats:
+                continue
+            lo, hi = stats[col]
+            v = _jsonable(value)
+            if v is None:
+                continue
+            if op == "=" and not (lo <= v <= hi):
+                keep = False
+            elif op in ("<", "<=") and not (lo <= v if op == "<=" else lo < v):
+                keep = False
+            elif op in (">", ">=") and not (v <= hi if op == ">=" else v < hi):
+                keep = False
+            if not keep:
+                break
+        if keep:
+            out.append(f)
+    return out

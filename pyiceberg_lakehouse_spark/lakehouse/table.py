@@ -118,6 +118,20 @@ class LakehouseTable:
     def current_snapshot_id(self) -> int | None:
         return self.log.current_snapshot_id()
 
+    def add_column(self, name: str, dtype: T.DataType) -> None:
+        """Schema evolution: append a nullable column (metadata-only).
+
+        Files written before the change simply lack the column; Spark's
+        schema-projected read returns NULL for it — the same read-side
+        semantics as Iceberg's add-column evolution."""
+        schema = self.schema()
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        self.log.schema_json = T.StructType(
+            [*schema.fields, T.StructField(name, dtype, True)]
+        ).json()
+        self.log.commit("schema_change", [], summary={"add_column": name})
+
     # ------------------------------------------------------------ writes --
 
     def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
@@ -175,10 +189,18 @@ class LakehouseTable:
         self,
         snapshot_id: int | None = None,
         partition_filter: dict[str, str] | None = None,
+        stat_filter: dict[str, tuple] | None = None,
     ) -> DataFrame:
-        """Snapshot-aware scan (S10/Q5). Partition pruning happens HERE, on
-        the metadata file list, before Spark plans the read — a 100 TB scan
-        with a partition filter only ever lists the matching files."""
+        """Snapshot-aware scan (S10/Q5). Partition pruning AND min/max file
+        skipping happen HERE, on the metadata file list, before Spark plans
+        the read — a 100 TB scan with a selective predicate only ever lists
+        the files whose bounds can match.
+
+        ``stat_filter``: {col: (op, value)}, op in =, <, <=, >, >= — apply
+        the SAME predicate in the query too (skipping is file-granular).
+        """
+        from pyiceberg_lakehouse_spark.lakehouse.stats import prune_files
+
         files = self.log.live_files(snapshot_id)
         if partition_filter:
             files = [
@@ -186,6 +208,8 @@ class LakehouseTable:
                 for f in files
                 if all(f["partition"].get(k) == v for k, v in partition_filter.items())
             ]
+        if stat_filter:
+            files = prune_files(files, stat_filter)
         return self._read_files(files)
 
     def read_snapshot(self, snapshot_id: int) -> DataFrame:
@@ -220,6 +244,8 @@ class LakehouseTable:
         if self.log.partition_by:
             writer = writer.partitionBy(*self.log.partition_by)
         writer.parquet(out_dir)
+        from pyiceberg_lakehouse_spark.lakehouse.stats import collect_file_stats
+
         entries = []
         for path in sorted(
             _glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)
@@ -228,7 +254,16 @@ class LakehouseTable:
             partition = {
                 k: v for k, v in _HIVE_SEG.findall(rel.replace(os.sep, "/"))
             }
-            entries.append({"path": path, "partition": partition, "rows": None})
+            entries.append(
+                {
+                    "path": path,
+                    "partition": partition,
+                    "rows": None,
+                    # per-file column bounds from the footer: O(files) driver
+                    # reads that buy file-level data skipping at scan time
+                    "stats": collect_file_stats(path),
+                }
+            )
         return entries
 
     def _read_files(self, files: list[dict[str, Any]]) -> DataFrame:

@@ -1,0 +1,121 @@
+"""Third relational batch: outer joins, struct construction/access, null
+handling, conditional expressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyiceberg_lakehouse_spark.registry import register
+from pyiceberg_lakehouse_spark.sources.testdata import load_table
+
+
+@register(
+    "join_full_outer",
+    """
+    select a.o_custkey as cust_o, b.o_custkey as cust_f,
+           a.n as n_open, b.n as n_finished
+    from (select o_custkey, count(*) as n from orders where o_orderstatus = 'O' group by 1) a
+    full outer join
+         (select o_custkey, count(*) as n from orders where o_orderstatus = 'F' group by 1) b
+      on a.o_custkey = b.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with non-matching rows on both sides."""
+    o = load_table(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("o_custkey").alias("cust_o"), F.col("n").alias("n_open"))
+    )
+    b = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("o_custkey").alias("cust_f"), F.col("n").alias("n_finished"))
+    )
+    return a.join(b, a.cust_o == b.cust_f, "full_outer").select(
+        "cust_o", "cust_f", "n_open", "n_finished"
+    )
+
+
+@register(
+    "join_right_outer",
+    """
+    select o.o_orderkey, c.c_custkey, c.c_mktsegment
+    from (select * from orders where o_totalprice > 450000) o
+    right join customer c on o.o_custkey = c.c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving customers with no qualifying order."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "fn_struct_ops",
+    """
+    select s.k as custkey, s.seg as segment, s.bal as balance
+    from (
+      select struct_pack(k := c_custkey, seg := c_mktsegment, bal := c_acctbal) as s
+      from customer where c_acctbal > 0
+    )
+    """,
+)
+def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + field access (nested data surface)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    nested = c.select(
+        F.struct(
+            F.col("c_custkey").alias("k"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_acctbal").alias("bal"),
+        ).alias("s")
+    )
+    return nested.select(
+        F.col("s.k").alias("custkey"),
+        F.col("s.seg").alias("segment"),
+        F.col("s.bal").alias("balance"),
+    )
+
+
+@register(
+    "fn_null_handling",
+    """
+    select o_orderkey,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') as status_resolved,
+           greatest(o_totalprice, 250000.0) as price_floor,
+           least(o_totalprice, 250000.0) as price_cap,
+           o_totalprice is null as price_missing
+    from orders
+    """,
+)
+def fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / greatest / least / IS NULL."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_resolved"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(250000.0)).alias("price_floor"),
+        F.least(F.col("o_totalprice"), F.lit(250000.0)).alias("price_cap"),
+        F.col("o_totalprice").isNull().alias("price_missing"),
+    )
+
+
+@register("sample_reservoir")  # rows-only: sampling is engine-specific
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded 1% Bernoulli sample (deterministic within Spark, not across
+    engines) — training-data subsampling primitive."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .sample(fraction=0.01, seed=42)
+        .select("l_orderkey", "l_linenumber")
+    )
