@@ -339,11 +339,15 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inner equi-join + aggregation; customer side broadcast (small dim)."""
+    """Inner equi-join + aggregation.
+
+    No broadcast hint: customer SCALES with the dataset (1.5M rows/TB-ish),
+    so pinning a broadcast would break at 100 TB. AQE broadcasts it at
+    runtime whenever the built side is actually small."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue"))
     )
@@ -409,11 +413,13 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_broadcast_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact x broadcast dimension: zero-shuffle join side at any scale."""
+    """Fact x pre-reduced dimension: project part down to (key, brand)
+    before the join so the build side is as small as possible; the hint is
+    left to AQE because part scales with the dataset."""
     li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(F.count("*").alias("n_items"), dsum("l_extendedprice", "revenue"))
     )
@@ -433,13 +439,17 @@ def join_broadcast_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-table star join (TPC-H Q5 shape): all dims broadcast, one shuffle."""
+    """4-table star join (TPC-H Q5 shape).
+
+    nation (25 rows) and region (5 rows) are BOUNDED — broadcast hints are
+    correct at any scale. customer scales, so its join strategy is left to
+    AQE (shuffle join at 100 TB, runtime broadcast at small sf)."""
     o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
@@ -466,7 +476,9 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (li.l_quantity >= p.p_size - 2)
         & (li.l_quantity <= p.p_size + 2)
     )
-    return li.join(F.broadcast(p), cond).groupBy("p_brand").agg(F.count("*").alias("n"))
+    # equi-key anchors the hash join; the range terms ride along as the
+    # join condition (no nested-loop). part scales, so no broadcast pin.
+    return li.join(p, cond).groupBy("p_brand").agg(F.count("*").alias("n"))
 
 
 @register(
