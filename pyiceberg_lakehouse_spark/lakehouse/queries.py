@@ -102,6 +102,31 @@ def lh_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lh_sql_read",
+    """
+    select o_orderstatus, count(*) as n,
+           cast(sum(cast(o_totalprice as decimal(18,4))) as double) as revenue
+    from orders group by o_orderstatus
+    """,
+)
+def lh_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5/S11: SQL over the latest snapshot of a lakehouse table — the
+    Spark-side equivalent of DuckDB's iceberg_scan SQL read
+    (query_iceberg_duckdb.py:24-29)."""
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.orders_sql", SCHEMAS["orders"], partition_by=["o_orderstatus"])
+    t.append(load_table(spark, sf_dir, "orders"))
+    t.scan().createOrReplaceTempView("lh_orders_sql")
+    return spark.sql(
+        """
+        select o_orderstatus, count(*) as n,
+               cast(sum(cast(o_totalprice as decimal(18,4))) as double) as revenue
+        from lh_orders_sql group by o_orderstatus
+        """
+    )
+
+
+@register(
     "lh_flat_layout_roundtrip",
     "select c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment from customer",
 )

@@ -110,6 +110,21 @@ def fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scan_repartition_blocks",
+    "select 4 as n_partitions, count(*) as n from lineitem",
+)
+def scan_repartition_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: explicit block-count scan (ray.data override_num_blocks=4,
+    main-ray.py:62) == repartition(4); row count is unchanged and the
+    partition count is observable."""
+    df = load_table(spark, sf_dir, "lineitem").repartition(4)
+    n_parts = df.rdd.getNumPartitions()
+    return df.agg(
+        F.lit(n_parts).alias("n_partitions"), F.count("*").alias("n")
+    )
+
+
 @register("sample_reservoir")  # rows-only: sampling is engine-specific
 def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded 1% Bernoulli sample (deterministic within Spark, not across
