@@ -34,10 +34,12 @@ from pyspark.sql import types as T
 class Snapshot:
     snapshot_id: int
     parent_id: int | None
-    operation: str  # create | append | overwrite | add_files | replace
+    operation: str  # create | append | overwrite | add_files | replace | delete | schema_change
     timestamp_ms: int
     added_files: list[dict[str, Any]]  # {"path": str, "partition": {col: str}, "rows": int|None}
     removed_paths: list[str] = field(default_factory=list)  # for replace
+    added_deletes: list[dict[str, Any]] = field(default_factory=list)
+    # ^ merge-on-read equality deletes: {"path", "key_cols", "snapshot_id"}
     summary: dict[str, Any] = field(default_factory=dict)
 
     def to_json(self) -> dict[str, Any]:
@@ -48,6 +50,7 @@ class Snapshot:
             "timestamp_ms": self.timestamp_ms,
             "added_files": self.added_files,
             "removed_paths": self.removed_paths,
+            "added_deletes": self.added_deletes,
             "summary": self.summary,
         }
 
@@ -60,6 +63,7 @@ class Snapshot:
             timestamp_ms=d["timestamp_ms"],
             added_files=d.get("added_files", []),
             removed_paths=d.get("removed_paths", []),
+            added_deletes=d.get("added_deletes", []),
             summary=d.get("summary", {}),
         )
 
@@ -99,7 +103,11 @@ class SnapshotLog:
         return self.snapshots[-1].snapshot_id if self.snapshots else None
 
     def live_files(self, snapshot_id: int | None = None) -> list[dict[str, Any]]:
-        """Replay the log up to ``snapshot_id`` (default: head) -> file set."""
+        """Replay the log up to ``snapshot_id`` (default: head) -> file set.
+
+        Each entry carries ``added_in`` (the committing snapshot id), which
+        sequences it against merge-on-read deletes.
+        """
         live: dict[str, dict[str, Any]] = {}
         for snap in self.snapshots:
             if snap.operation == "overwrite":
@@ -107,13 +115,29 @@ class SnapshotLog:
             for p in snap.removed_paths:
                 live.pop(p, None)
             for f in snap.added_files:
-                live[f["path"]] = f
+                live[f["path"]] = {**f, "added_in": f.get("added_in", snap.snapshot_id)}
             if snapshot_id is not None and snap.snapshot_id == snapshot_id:
                 break
         else:
             if snapshot_id is not None:
                 raise KeyError(f"snapshot {snapshot_id} not found in {self.path}")
         return list(live.values())
+
+    def live_deletes(self, snapshot_id: int | None = None) -> list[dict[str, Any]]:
+        """Equality-delete files in effect at ``snapshot_id``.
+
+        An ``overwrite`` resets deletes along with the data; ``replace``
+        keeps them (replacement files get a LATER added_in than any existing
+        delete, so sequencing already exempts them).
+        """
+        deletes: list[dict[str, Any]] = []
+        for snap in self.snapshots:
+            if snap.operation == "overwrite":
+                deletes = []
+            deletes.extend(snap.added_deletes)
+            if snapshot_id is not None and snap.snapshot_id == snapshot_id:
+                break
+        return deletes
 
     # ------------------------------------------------------------ commits --
 
@@ -144,6 +168,7 @@ class SnapshotLog:
         added_files: list[dict[str, Any]],
         removed_paths: list[str] | None = None,
         summary: dict[str, Any] | None = None,
+        added_deletes: list[dict[str, Any]] | None = None,
     ) -> Snapshot:
         """Append one snapshot atomically (optimistic single-writer check)."""
         expected = len(self.snapshots)
@@ -153,13 +178,15 @@ class SnapshotLog:
                 f"concurrent commit detected on {self.path}: "
                 f"expected {expected} snapshots, found {len(on_disk.snapshots)}"
             )
+        snap_id = (self.current_snapshot_id() or 0) + 1
         snap = Snapshot(
-            snapshot_id=(self.current_snapshot_id() or 0) + 1,
+            snapshot_id=snap_id,
             parent_id=self.current_snapshot_id(),
             operation=operation,
             timestamp_ms=int(time.time() * 1000),
-            added_files=added_files,
+            added_files=[{**f, "added_in": snap_id} for f in added_files],
             removed_paths=list(removed_paths or []),
+            added_deletes=[{**d, "snapshot_id": snap_id} for d in (added_deletes or [])],
             summary=dict(summary or {}),
         )
         self.snapshots.append(snap)

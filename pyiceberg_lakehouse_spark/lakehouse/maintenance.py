@@ -59,11 +59,18 @@ def expire_snapshots(table: LakehouseTable, keep_last: int = 1) -> list[str]:
     # every file ever added
     all_paths = {f["path"] for s in log.snapshots for f in s.added_files}
     orphaned = sorted(all_paths - reachable)
-    # squash: keep a synthetic base snapshot carrying the oldest retained state
+    # squash: keep a synthetic base snapshot carrying the oldest retained
+    # state — including the merge-on-read deletes in effect there, so
+    # deleted keys cannot resurrect after history is dropped
     base_files = log.live_files(retained_ids[0])
+    base_deletes = log.live_deletes(retained_ids[0])
     base = log.snapshots[-keep_last]
     base.added_files = base_files
     base.removed_paths = []
+    existing = {d["path"] for d in base.added_deletes}
+    base.added_deletes = base.added_deletes + [
+        d for d in base_deletes if d["path"] not in existing
+    ]
     base.operation = "overwrite" if base.operation != "create" else "create"
     log.snapshots = log.snapshots[-keep_last:]
     log._write(expected_len=None)

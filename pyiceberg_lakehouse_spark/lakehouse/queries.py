@@ -102,6 +102,31 @@ def lh_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lh_merge_on_read_delete",
+    f"""
+    select {ORDER_COLS} from orders where o_orderkey % 7 != 0
+    union all
+    select {ORDER_COLS} from orders where o_orderkey % 14 = 0
+    """,
+)
+def lh_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality delete: keys are deleted metadata-only (no
+    rewrite), the scan anti-joins; keys re-appended AFTER the delete are
+    visible again (Iceberg-style sequence-number semantics)."""
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.orders_mor", SCHEMAS["orders"])
+    orders = load_table(spark, sf_dir, "orders")
+    t.append(orders)
+    t.delete_keys(
+        orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        key_cols=["o_orderkey"],
+    )
+    # re-insert a subset of the deleted keys — must be visible again
+    t.append(orders.filter(F.col("o_orderkey") % 14 == 0))
+    return t.scan().select(*[c.strip() for c in ORDER_COLS.split(",")])
+
+
+@register(
     "lh_sql_read",
     """
     select o_orderstatus, count(*) as n,

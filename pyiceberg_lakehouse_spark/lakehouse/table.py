@@ -183,6 +183,28 @@ class LakehouseTable:
             snaps.append(self._commit("add_files", files, summary={"batch": i // batch_size}))
         return snaps
 
+    def delete_keys(self, keys: DataFrame, key_cols: list[str]) -> Snapshot:
+        """Merge-on-read equality delete: write the keys as a delete file,
+        commit metadata — NO data rewrite (the read side anti-joins).
+
+        Sequencing matches Iceberg's: a delete applies only to data files
+        committed strictly BEFORE it, so re-inserting a deleted key later is
+        visible. ``compact()`` (a replace) materializes deletes away.
+        """
+        import uuid
+
+        del_dir = os.path.join(
+            self.table_dir, "deletes", f"d-{(self.log.current_snapshot_id() or 0) + 1}-{uuid.uuid4().hex[:8]}"
+        )
+        keys.select(*key_cols).distinct().write.mode("error").parquet(del_dir)
+        paths = sorted(_glob.glob(os.path.join(del_dir, "*.parquet")))
+        return self._commit(
+            "delete",
+            [],
+            added_deletes=[{"path": p, "key_cols": key_cols} for p in paths],
+            summary={"key_cols": key_cols},
+        )
+
     # ------------------------------------------------------------- reads --
 
     def scan(
@@ -210,7 +232,31 @@ class LakehouseTable:
             ]
         if stat_filter:
             files = prune_files(files, stat_filter)
-        return self._read_files(files)
+        deletes = self.log.live_deletes(snapshot_id)
+        if not deletes:
+            return self._read_files(files)
+        # sequence-aware merge-on-read: a delete applies only to files added
+        # strictly before it. Files are classed by their applicable-delete
+        # set; each class anti-joins its deletes, classes union.
+        classes: dict[tuple, list] = {}
+        for f in files:
+            applicable = tuple(
+                i for i, d in enumerate(deletes) if f.get("added_in", 0) < d["snapshot_id"]
+            )
+            classes.setdefault(applicable, []).append(f)
+        result = None
+        for applicable, flist in sorted(classes.items()):
+            df = self._read_files(flist)
+            by_keys: dict[tuple, list[str]] = {}
+            for i in applicable:
+                by_keys.setdefault(tuple(deletes[i]["key_cols"]), []).append(
+                    deletes[i]["path"]
+                )
+            for key_cols, paths in sorted(by_keys.items()):
+                dkeys = self.spark.read.parquet(*paths).select(*key_cols).distinct()
+                df = df.join(dkeys, on=list(key_cols), how="left_anti")
+            result = df if result is None else result.unionByName(df)
+        return result if result is not None else self._read_files(files)
 
     def read_snapshot(self, snapshot_id: int) -> DataFrame:
         """Time travel to an exact snapshot (Q5 variant)."""
@@ -319,8 +365,10 @@ class LakehouseTable:
                 )
         return reduce(DataFrame.unionByName, dfs)
 
-    def _commit(self, operation, files, removed_paths=None, summary=None) -> Snapshot:
-        return self.log.commit(operation, files, removed_paths, summary)
+    def _commit(
+        self, operation, files, removed_paths=None, summary=None, added_deletes=None
+    ) -> Snapshot:
+        return self.log.commit(operation, files, removed_paths, summary, added_deletes)
 
 
 def _is_hive(f: dict[str, Any], parts: list[str], data_dir: str) -> bool:

@@ -125,6 +125,79 @@ def scan_repartition_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q3_SQL = """
+    select l_orderkey,
+           cast(sum(cast(l_extendedprice as decimal(18,4))
+                    * cast(1 - l_discount as decimal(8,4))) as double) as revenue,
+           o_orderdate, o_orderpriority
+    from customer c
+    join orders o on c.c_custkey = o.o_custkey
+    join lineitem l on l.l_orderkey = o.o_orderkey
+    where c.c_mktsegment = 'BUILDING'
+      and o.o_orderdate < timestamp '1998-01-01'
+      and l.l_shipdate > timestamp '1998-01-01'
+    group by l_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+@register("agg_q3_shipping_priority", Q3_SQL)
+def agg_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join + grouped revenue."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+Q18_SQL = """
+    with big as (
+      select l_orderkey from lineitem
+      group by l_orderkey having sum(l_quantity) > 150
+    )
+    select c.c_custkey, o.o_orderkey, o.o_totalprice,
+           cast(sum(cast(l.l_quantity as decimal(18,4))) as double) as total_qty
+    from orders o
+    join big on big.l_orderkey = o.o_orderkey
+    join customer c on c.c_custkey = o.o_custkey
+    join lineitem l on l.l_orderkey = o.o_orderkey
+    group by c.c_custkey, o.o_orderkey, o.o_totalprice
+"""
+
+
+@register("agg_q18_large_orders", Q18_SQL)
+def agg_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: semi-join against a grouped-HAVING subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("total_qty"))
+    )
+
+
 @register("sample_reservoir")  # rows-only: sampling is engine-specific
 def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded 1% Bernoulli sample (deterministic within Spark, not across
