@@ -102,6 +102,52 @@ def lh_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lh_bucketed_colocated_join",
+    """
+    select c.c_custkey, c.c_mktsegment, count(o.o_orderkey) as n_orders,
+           cast(sum(cast(o.o_totalprice as decimal(18,4))) as double) as revenue
+    from customer c join orders o on o.o_custkey = c.c_custkey
+    group by c.c_custkey, c.c_mktsegment
+    """,
+)
+def lh_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides persisted hash-bucketed on the
+    join key, so the join plans with NO shuffle on either side — the
+    persistent-layout answer to 100 TB fact-fact joins (pytest asserts the
+    Exchange-free plan; this query checks result parity)."""
+    import uuid
+
+    from pyiceberg_lakehouse_spark.lakehouse.bucketing import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    wh = _warehouse()
+    tag = uuid.uuid4().hex[:8]
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    write_bucketed(
+        orders.withColumnRenamed("o_custkey", "custkey"),
+        f"bk_orders_{tag}", f"{wh}/bk_orders", "custkey", 8,
+    )
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "custkey"),
+        f"bk_customer_{tag}", f"{wh}/bk_customer", "custkey", 8,
+    )
+    joined = colocated_join(spark, f"bk_customer_{tag}", f"bk_orders_{tag}", "custkey")
+    return (
+        joined.groupBy("custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+        )
+        .select(
+            F.col("custkey").alias("c_custkey"), "c_mktsegment", "n_orders", "revenue"
+        )
+    )
+
+
+@register(
     "lh_merge_on_read_delete",
     f"""
     select {ORDER_COLS} from orders where o_orderkey % 7 != 0
