@@ -132,6 +132,21 @@ class LakehouseTable:
         ).json()
         self.log.commit("schema_change", [], summary={"add_column": name})
 
+    def drop_column(self, name: str) -> None:
+        """Schema evolution: drop a column (metadata-only projection change).
+
+        Data files keep the bytes; reads simply stop projecting the column
+        — Iceberg's drop-column semantics. Partition columns can't drop."""
+        if name in self.log.partition_by:
+            raise ValueError(f"cannot drop partition column {name!r}")
+        schema = self.schema()
+        if name not in schema.fieldNames():
+            raise KeyError(f"no such column {name!r}")
+        self.log.schema_json = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        ).json()
+        self.log.commit("schema_change", [], summary={"drop_column": name})
+
     # ------------------------------------------------------------ writes --
 
     def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
