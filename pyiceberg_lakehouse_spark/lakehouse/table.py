@@ -302,6 +302,18 @@ class LakehouseTable:
             self.table_dir, "data", f"commit-{commit_no}-{uuid.uuid4().hex[:8]}"
         )
         writer = df.write.mode("error").option("compression", "zstd")
+        # enforce the reference's write.target-file-size-bytes table property
+        # (main-daft.py:106): Spark sizes output files by records, so the
+        # property converts via an estimated row width. At 100 TB this is
+        # what keeps files near 512 MB instead of one-per-task shards.
+        records = self.log.properties.get("write.target-records-per-file")
+        if records is None:
+            target = int(
+                self.log.properties.get("write.target-file-size-bytes", 512 * 1024 * 1024)
+            )
+            est_row_bytes = int(self.log.properties.get("write.estimated-row-bytes", 64))
+            records = target // est_row_bytes
+        writer = writer.option("maxRecordsPerFile", int(records))
         if self.log.partition_by:
             writer = writer.partitionBy(*self.log.partition_by)
         writer.parquet(out_dir)
