@@ -149,6 +149,17 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=3)
 
 
+@register("sim_ann_ivf")  # rows-only: index layout is engine-specific
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3: coarse-quantize the corpus into cells, probe
+    only each query's nearest cells (recall grows with n_probe)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.sample_centroids(emb, k=16)
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), cents, k=3, n_probe=4
+    )
+
+
 @register(
     "text_token_stats",
     f"""

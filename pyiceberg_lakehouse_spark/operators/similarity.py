@@ -144,6 +144,112 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    Centroids arrive as plain lists (decided driver-side — k-means on a
+    SAMPLE, or here a deterministic seed set); assignment is a broadcast of
+    k centroid literals + an argmax over k dot products, fully codegen'd.
+    The argmax rides array_max over (score, cell) structs — a single linear
+    expression; chained CASE WHEN would double the tree per centroid.
+    """
+    cells = []
+    for i, c in enumerate(centroids):
+        arr = F.array(*[F.lit(v) for v in c])
+        score = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cells.append(F.struct(score.alias("s"), F.lit(i).alias("cell")))
+    best = F.array_max(F.array(*cells))
+    return df.withColumn("ivf_cell", best["cell"].cast("int"))
+
+
+def sample_centroids(
+    df: DataFrame, k: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic centroid seed: the k lowest-id vectors, normalized.
+
+    A production IVF would Lloyd-iterate on a sample; for a reproducible
+    index the seed choice just needs to be fixed and spread — recall is
+    controlled by n_probe, which the search below takes as a parameter.
+    """
+    rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    out = []
+    for r in rows:
+        v = [float(x) for x in r[0]]
+        norm = sum(x * x for x in v) ** 0.5 or 1.0
+        out.append([x / norm for x in v])
+    return out
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only corpus cells among each query's
+    ``n_probe`` nearest centroids.
+
+    The corpus shuffles once by cell (or stays put if pre-partitioned by
+    cell at ingest); each query fans out to n_probe cells, so scored pairs
+    shrink by ~k/n_probe versus brute force with recall rising in n_probe.
+    """
+    cb = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("c_vec"),
+        F.sqrt(dot_product_exact(vec_col, vec_col)).alias("c_norm"),
+        "ivf_cell",
+    )
+    # per-query probe list: rank all centroids, keep n_probe
+    probes = []
+    for i, c in enumerate(centroids):
+        arr = F.array(*[F.lit(v) for v in c])
+        score = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        probes.append(F.struct(score.alias("s"), F.lit(i).alias("cell")))
+    probe_cells = F.slice(
+        F.reverse(F.array_sort(F.array(*probes))), 1, n_probe
+    )
+    qb = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("q_vec"),
+            F.sqrt(dot_product_exact(vec_col, vec_col)).alias("q_norm"),
+            F.explode(F.transform(probe_cells, lambda p: p["cell"])).alias("ivf_cell"),
+        )
+    )
+    scored = (
+        cb.join(qb, "ivf_cell")
+        .filter(F.col("qid") != F.col("vid"))
+        .withColumn(
+            "score",
+            dot_product_exact("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
+        )
+        .select("qid", "vid", "score")
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vid", "rank", "score")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,

@@ -81,6 +81,24 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.2, f"lsh recall {recall}"
 
 
+def test_ivf_topk_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    cents = similarity.sample_centroids(emb, k=16)
+    exact = similarity.cosine_topk(emb, queries, k=3).collect()
+    approx = similarity.ivf_topk(emb, queries, cents, k=3, n_probe=6).collect()
+    truth = {(r.qid, r.vid) for r in exact}
+    found = {(r.qid, r.vid) for r in approx}
+    recall = len(found & truth) / len(truth)
+    # 6 of 16 cells probed -> strong recall on near-random vectors
+    assert recall >= 0.5, f"ivf recall {recall}"
+    # scores for true hits are the exact cosine (same arithmetic path)
+    exact_scores = {(r.qid, r.vid): r.score for r in exact}
+    for r in approx:
+        if (r.qid, r.vid) in exact_scores:
+            assert r.score == exact_scores[(r.qid, r.vid)]
+
+
 def test_embedding_near_dup_blocking(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.9, within="label")
