@@ -273,3 +273,64 @@ def lh_commit_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("append_many", len(t_many.history()), t_many.scan().count()),
     ]
     return spark.createDataFrame(rows, "mode string, n_snapshots int, n_rows long")
+
+
+@register(
+    "lh_bloom_point_lookup",
+    f"select {ORDER_COLS} from orders where o_orderkey = 7",
+)
+def lh_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through per-file bloom filters.
+
+    Min/max bounds can't prune an equality probe on a key whose range spans
+    every file; the blooms (built in one distributed pass at commit,
+    lakehouse/bloom.py) prove absence per file, so the scan only reads the
+    file(s) that might hold the key. The residual filter stays in the query
+    — skipping is file-granular, correctness never depends on it.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table(
+        "ns.orders_bloom",
+        SCHEMAS["orders"],
+        properties={
+            "write.bloom-columns": "o_orderkey",
+            # small files -> many files -> observable skipping at test scale
+            "write.target-records-per-file": "4000",
+        },
+    )
+    t.append(orders)
+    return t.scan(bloom_filter={"o_orderkey": 7}).filter(
+        F.col("o_orderkey") == 7
+    ).select(*[c.strip() for c in ORDER_COLS.split(",")])
+
+
+@register(
+    "lh_zorder_scan",
+    """
+    select l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+    from lineitem where l_partkey <= 20 and l_suppkey <= 3
+    """,
+)
+def lh_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering: rewrite lineitem clustered on (l_partkey,
+    l_suppkey), then answer a two-column box predicate with min/max file
+    skipping on BOTH columns (a linear sort only tightens its lead column).
+    """
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import cluster_zorder
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    lh = Lakehouse(spark, _warehouse())
+    schema = li.schema
+    t = lh.create_table(
+        "ns.lineitem_z",
+        schema,
+        properties={"write.target-records-per-file": "8000"},
+    )
+    t.append(li)
+    cluster_zorder(t, ["l_partkey", "l_suppkey"], target_file_bytes=64 * 1024)
+    return t.scan(
+        stat_filter={"l_partkey": ("<=", 20), "l_suppkey": ("<=", 3)}
+    ).filter((F.col("l_partkey") <= 20) & (F.col("l_suppkey") <= 3))

@@ -227,6 +227,7 @@ class LakehouseTable:
         snapshot_id: int | None = None,
         partition_filter: dict[str, str] | None = None,
         stat_filter: dict[str, tuple] | None = None,
+        bloom_filter: dict[str, Any] | None = None,
     ) -> DataFrame:
         """Snapshot-aware scan (S10/Q5). Partition pruning AND min/max file
         skipping happen HERE, on the metadata file list, before Spark plans
@@ -235,6 +236,9 @@ class LakehouseTable:
 
         ``stat_filter``: {col: (op, value)}, op in =, <, <=, >, >= — apply
         the SAME predicate in the query too (skipping is file-granular).
+        ``bloom_filter``: {col: value} equality probes against per-file
+        bloom filters (tables with ``write.bloom-columns``) — prunes point
+        lookups that min/max bounds can't.
         """
         from pyiceberg_lakehouse_spark.lakehouse.stats import prune_files
 
@@ -247,6 +251,10 @@ class LakehouseTable:
             ]
         if stat_filter:
             files = prune_files(files, stat_filter)
+        if bloom_filter:
+            from pyiceberg_lakehouse_spark.lakehouse.bloom import prune_files_bloom
+
+            files = prune_files_bloom(self.spark, files, bloom_filter)
         deletes = self.log.live_deletes(snapshot_id)
         if not deletes:
             return self._read_files(files)
@@ -287,7 +295,9 @@ class LakehouseTable:
         parts = set(self.log.partition_by)
         return T.StructType([f for f in self.schema().fields if f.name not in parts])
 
-    def _write_data(self, df: DataFrame) -> list[dict[str, Any]]:
+    def _write_data(
+        self, df: DataFrame, records_per_file: int | None = None
+    ) -> list[dict[str, Any]]:
         """Write one commit's hive-partitioned zstd parquet; return file
         entries with partition values parsed from the paths."""
         import uuid
@@ -306,7 +316,9 @@ class LakehouseTable:
         # (main-daft.py:106): Spark sizes output files by records, so the
         # property converts via an estimated row width. At 100 TB this is
         # what keeps files near 512 MB instead of one-per-task shards.
-        records = self.log.properties.get("write.target-records-per-file")
+        records = records_per_file
+        if records is None:
+            records = self.log.properties.get("write.target-records-per-file")
         if records is None:
             target = int(
                 self.log.properties.get("write.target-file-size-bytes", 512 * 1024 * 1024)
@@ -337,6 +349,25 @@ class LakehouseTable:
                     "stats": collect_file_stats(path),
                 }
             )
+        # opt-in per-file bloom filters (point-lookup skipping where min/max
+        # can't prune): one distributed pass over the new files
+        bloom_cols = [
+            c.strip()
+            for c in self.log.properties.get("write.bloom-columns", "").split(",")
+            if c.strip()
+        ]
+        if bloom_cols and entries:
+            from pyiceberg_lakehouse_spark.lakehouse.bloom import build_file_blooms
+
+            data_cols = {f.name for f in self._data_schema().fields}
+            blooms = build_file_blooms(
+                self.spark,
+                [e["path"] for e in entries],
+                [c for c in bloom_cols if c in data_cols],
+            )
+            for e in entries:
+                if e["path"] in blooms:
+                    e["bloom"] = blooms[e["path"]]
         return entries
 
     def _read_files(self, files: list[dict[str, Any]]) -> DataFrame:

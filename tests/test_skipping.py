@@ -1,0 +1,100 @@
+"""File-skipping layers: per-file bloom filters (point lookups) and Z-order
+clustering (multi-column range predicates), on top of the min/max stats
+pruning exercised in test_stats_evolution."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+from pyiceberg_lakehouse_spark.lakehouse.bloom import prune_files_bloom
+from pyiceberg_lakehouse_spark.lakehouse.maintenance import cluster_zorder
+from pyiceberg_lakehouse_spark.lakehouse.stats import prune_files
+from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+
+@pytest.fixture()
+def bloom_table(spark, warehouse, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table(
+        "ns.orders_bloom",
+        SCHEMAS["orders"],
+        properties={
+            "write.bloom-columns": "o_orderkey",
+            "write.target-records-per-file": "400",
+        },
+    )
+    t.append(orders)
+    return t, orders
+
+
+def test_bloom_no_false_negatives(spark, bloom_table):
+    """Every planted key must survive pruning (bloom absence is definite)."""
+    t, orders = bloom_table
+    files = t.log.live_files()
+    assert len(files) > 3, "need multiple files for skipping to mean anything"
+    assert all("o_orderkey" in (f.get("bloom") or {}) for f in files)
+    for key in (0, 7, 501, 1400):
+        kept = prune_files_bloom(spark, files, {"o_orderkey": key})
+        got = t.scan(bloom_filter={"o_orderkey": key}).filter(
+            F.col("o_orderkey") == key
+        )
+        expected = orders.filter(F.col("o_orderkey") == key)
+        assert got.count() == expected.count() != 0
+        assert len(kept) >= 1
+
+
+def test_bloom_prunes_most_files(spark, bloom_table):
+    """A single key lives in one file; blooms should skip nearly all others
+    (allowing ~2% false positives)."""
+    t, _ = bloom_table
+    files = t.log.live_files()
+    kept = prune_files_bloom(spark, files, {"o_orderkey": 7})
+    assert len(kept) <= max(2, len(files) // 3), (len(kept), len(files))
+
+
+def test_bloom_absent_key_prunes_everything(spark, bloom_table):
+    t, _ = bloom_table
+    files = t.log.live_files()
+    kept = prune_files_bloom(spark, files, {"o_orderkey": 10_000_000})
+    # an absent key may hit a false positive in a file or two, never most
+    assert len(kept) <= max(1, len(files) // 4)
+    assert t.scan(bloom_filter={"o_orderkey": 10_000_000}).filter(
+        F.col("o_orderkey") == 10_000_000
+    ).count() == 0
+
+
+def test_zorder_tightens_both_columns(spark, warehouse, sf_dir):
+    """After Z-order clustering, a two-column box predicate prunes files on
+    BOTH columns; a linear sort would only prune on its lead column."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.li_z", li.schema)
+    t.append(li)
+    snap = cluster_zorder(t, ["l_partkey", "l_suppkey"], target_file_bytes=4 * 1024)
+    assert snap.operation == "replace"
+    files = t.log.live_files()
+    assert len(files) > 4
+    box = {"l_partkey": ("<=", 20), "l_suppkey": ("<=", 3)}
+    kept = prune_files(files, box)
+    assert len(kept) < len(files), "z-order produced no skippable layout"
+    got = t.scan(stat_filter=box).filter(
+        (F.col("l_partkey") <= 20) & (F.col("l_suppkey") <= 3)
+    )
+    expected = li.filter((F.col("l_partkey") <= 20) & (F.col("l_suppkey") <= 3))
+    assert got.count() == expected.count() != 0
+
+
+def test_zorder_preserves_content(spark, warehouse, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.li_z2", li.schema)
+    t.append(li)
+    cluster_zorder(t, ["l_partkey", "l_suppkey"], target_file_bytes=32 * 1024)
+    assert t.scan().count() == li.count()
+    assert t.scan().exceptAll(li).count() == 0
+    assert li.exceptAll(t.scan()).count() == 0
