@@ -20,6 +20,7 @@ main-daft.py:121-138 vs main-polars.py:165-186.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import tempfile
@@ -28,6 +29,38 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import types as T
+
+
+@contextlib.contextmanager
+def _commit_lock(table_dir: str, timeout_s: float = 30.0, stale_s: float = 300.0):
+    """Exclusive inter-process lock via O_CREAT|O_EXCL on a lock file.
+
+    Creation is atomic on POSIX (including NFS for open+excl on modern
+    kernels); a crashed writer's lock older than ``stale_s`` is broken.
+    """
+    lock_path = os.path.join(table_dir, ".commit.lock")
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock_path) > stale_s:
+                    os.unlink(lock_path)  # break a dead writer's lock
+                    continue
+            except FileNotFoundError:
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"commit lock busy: {lock_path}")
+            time.sleep(0.05)
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(lock_path)
 
 
 @dataclass
@@ -162,6 +195,12 @@ class SnapshotLog:
         os.makedirs(self.table_dir, exist_ok=True)
         self._write(expected_len=None)
 
+    # ops safe to auto-retry after refreshing to the winner's state: they
+    # only ADD files, so their outcome doesn't depend on the state they were
+    # planned against. overwrite/replace/delete computed file sets against a
+    # now-stale snapshot and must surface the conflict to the caller.
+    COMMUTATIVE_OPS = ("append", "add_files", "schema_change")
+
     def commit(
         self,
         operation: str,
@@ -169,29 +208,49 @@ class SnapshotLog:
         removed_paths: list[str] | None = None,
         summary: dict[str, Any] | None = None,
         added_deletes: list[dict[str, Any]] | None = None,
+        retry_conflicts: int = 0,
     ) -> Snapshot:
-        """Append one snapshot atomically (optimistic single-writer check)."""
-        expected = len(self.snapshots)
-        on_disk = SnapshotLog(self.table_dir).load()
-        if len(on_disk.snapshots) != expected:
-            raise RuntimeError(
-                f"concurrent commit detected on {self.path}: "
-                f"expected {expected} snapshots, found {len(on_disk.snapshots)}"
-            )
-        snap_id = (self.current_snapshot_id() or 0) + 1
-        snap = Snapshot(
-            snapshot_id=snap_id,
-            parent_id=self.current_snapshot_id(),
-            operation=operation,
-            timestamp_ms=int(time.time() * 1000),
-            added_files=[{**f, "added_in": snap_id} for f in added_files],
-            removed_paths=list(removed_paths or []),
-            added_deletes=[{**d, "snapshot_id": snap_id} for d in (added_deletes or [])],
-            summary=dict(summary or {}),
-        )
-        self.snapshots.append(snap)
-        self._write(expected_len=expected + 1)
-        return snap
+        """Append one snapshot atomically.
+
+        The optimistic check + rewrite runs under an O_EXCL lock file so two
+        processes can't interleave check-then-replace (the rename alone is
+        atomic but last-write-wins). On conflict, commutative operations may
+        refresh to the winner's state and retry up to ``retry_conflicts``
+        times — the multi-writer append story; everything else raises.
+        """
+        attempts = 0
+        while True:
+            with _commit_lock(self.table_dir):
+                on_disk = SnapshotLog(self.table_dir).load()
+                if len(on_disk.snapshots) == len(self.snapshots):
+                    snap_id = (self.current_snapshot_id() or 0) + 1
+                    snap = Snapshot(
+                        snapshot_id=snap_id,
+                        parent_id=self.current_snapshot_id(),
+                        operation=operation,
+                        timestamp_ms=int(time.time() * 1000),
+                        added_files=[{**f, "added_in": snap_id} for f in added_files],
+                        removed_paths=list(removed_paths or []),
+                        added_deletes=[
+                            {**d, "snapshot_id": snap_id} for d in (added_deletes or [])
+                        ],
+                        summary=dict(summary or {}),
+                    )
+                    self.snapshots.append(snap)
+                    self._write(expected_len=len(self.snapshots))
+                    return snap
+            # conflict: another writer advanced the log since we loaded it
+            if attempts >= retry_conflicts or operation not in self.COMMUTATIVE_OPS:
+                raise RuntimeError(
+                    f"concurrent commit detected on {self.path}: "
+                    f"expected {len(self.snapshots)} snapshots, "
+                    f"found {len(on_disk.snapshots)}"
+                )
+            attempts += 1
+            self.schema_json = on_disk.schema_json
+            self.partition_by = on_disk.partition_by
+            self.properties = on_disk.properties
+            self.snapshots = on_disk.snapshots
 
     def _write(self, expected_len: int | None) -> None:
         payload = {

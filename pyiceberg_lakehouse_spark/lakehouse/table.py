@@ -149,10 +149,21 @@ class LakehouseTable:
 
     # ------------------------------------------------------------ writes --
 
-    def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
-        """One append = one snapshot (W6/W8, main-daft.py:137)."""
+    def append(
+        self,
+        df: DataFrame,
+        summary: dict[str, Any] | None = None,
+        retries: int = 0,
+    ) -> Snapshot:
+        """One append = one snapshot (W6/W8, main-daft.py:137).
+
+        ``retries``: appends commute, so on a concurrent-commit conflict the
+        log can refresh to the winner's state and retry — the multi-writer
+        story (data files are already on disk under a unique commit dir;
+        only the metadata commit re-runs).
+        """
         files = self._write_data(df)
-        return self._commit("append", files, summary=summary)
+        return self._commit("append", files, summary=summary, retry_conflicts=retries)
 
     def append_many(self, dfs: list[DataFrame]) -> Snapshot:
         """Transactional multi-append: N writes, ONE snapshot (W7,
@@ -424,9 +435,17 @@ class LakehouseTable:
         return reduce(DataFrame.unionByName, dfs)
 
     def _commit(
-        self, operation, files, removed_paths=None, summary=None, added_deletes=None
+        self,
+        operation,
+        files,
+        removed_paths=None,
+        summary=None,
+        added_deletes=None,
+        retry_conflicts=0,
     ) -> Snapshot:
-        return self.log.commit(operation, files, removed_paths, summary, added_deletes)
+        return self.log.commit(
+            operation, files, removed_paths, summary, added_deletes, retry_conflicts
+        )
 
 
 def _is_hive(f: dict[str, Any], parts: list[str], data_dir: str) -> bool:

@@ -47,4 +47,5 @@ def load_all() -> None:
     import pyiceberg_lakehouse_spark.lakehouse.queries  # noqa: F401
     import pyiceberg_lakehouse_spark.streaming.queries  # noqa: F401
     import pyiceberg_lakehouse_spark.streaming.queries2  # noqa: F401
+    import pyiceberg_lakehouse_spark.streaming.queries_lakehouse  # noqa: F401
     import pyiceberg_lakehouse_spark.sources.synthetic  # noqa: F401

@@ -1,0 +1,103 @@
+"""Lakehouse table as a Structured Streaming sink and source.
+
+Sink: ``foreachBatch`` appends each micro-batch as one snapshot, recording
+the batch id in the snapshot summary. Streaming restarts replay the last
+uncommitted batch; the batch-id check makes the append idempotent, so the
+table sees each micro-batch exactly once even though foreachBatch itself is
+at-least-once. (Same idea as Iceberg's Spark streaming writer, which stores
+the batch id in snapshot properties.)
+
+Source: the data directory is a file-stream source — new commit directories
+match the glob on each micro-batch listing, so every APPENDED file streams
+exactly once (the checkpoint tracks seen paths). Restriction, shared with
+file-based change feeds generally: the streamed table must be append-only;
+``overwrite``/``replace`` (compaction, upsert) rewrite history that a file
+stream cannot represent, and readers should re-seed from a fresh checkpoint
+after such operations.
+
+At 100 TB the sink path is the same write path as batch appends (partitioned
+zstd parquet + one atomic log commit per trigger) and the source never lists
+more than the data dir — O(files), with the micro-batch size capped by
+``maxFilesPerTrigger`` if backfill pressure matters.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from pyiceberg_lakehouse_spark.lakehouse.table import LakehouseTable
+
+
+def committed_batch_ids(table: LakehouseTable) -> set[int]:
+    """Batch ids already appended by a streaming sink (replay guard)."""
+    return {
+        int(s.summary["streaming_batch_id"])
+        for s in table.log.snapshots
+        if "streaming_batch_id" in s.summary
+    }
+
+
+def write_stream_to_table(
+    stream_df: DataFrame,
+    table: LakehouseTable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream into a lakehouse table: one idempotent append per micro-batch."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # reload the log so a restarted query sees commits from the prior run
+        table.log.load()
+        if batch_id in committed_batch_ids(table):
+            return  # replayed batch — already committed, exactly-once holds
+        if batch_df.isEmpty():
+            return
+        table.append(batch_df, summary={"streaming_batch_id": batch_id})
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_table_stream(
+    spark: SparkSession,
+    table: LakehouseTable,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over an append-only lakehouse table's data files.
+
+    Partition columns are not re-derived (hive segments under varying commit
+    dirs defeat the stream source's discovery), so this serves unpartitioned
+    tables — partitioned streaming reads go through periodic batch
+    ``scan()`` + snapshot diffing instead.
+    """
+    if table.log.partition_by:
+        raise ValueError(
+            "streaming source supports unpartitioned tables; "
+            "use scan() snapshot diffs for partitioned ones"
+        )
+    schema: T.StructType = table.schema()
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    glob_path = os.path.join(table.table_dir, "data", "*")
+    return reader.option("pathGlobFilter", "*.parquet").parquet(glob_path)
+
+
+def stream_table_to_memory(
+    df: DataFrame, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a (table-sourced) stream into a memory table; returns it."""
+    from pyiceberg_lakehouse_spark.streaming.windows import run_to_memory
+
+    return run_to_memory(df, output_mode=output_mode)

@@ -1,0 +1,93 @@
+"""Lakehouse streaming integration queries: table as sink, table as source.
+
+Batch-equivalence is the oracle story, as with the other streaming queries:
+the streamed pipeline's end state must equal the batch SQL over the same
+events parquet.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyiceberg_lakehouse_spark.lakehouse.table import Lakehouse
+from pyiceberg_lakehouse_spark.registry import register
+from pyiceberg_lakehouse_spark.streaming import windows as W
+from pyiceberg_lakehouse_spark.streaming.lakehouse_io import (
+    read_table_stream,
+    stream_table_to_memory,
+    write_stream_to_table,
+)
+
+
+EVENTS_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@register(
+    "stream_lh_sink_hourly",
+    """
+    select date_trunc('hour', ts) as hour_start,
+           count(*) as n,
+           cast(sum(cast(value as decimal(18,4))) as double) as sum_value
+    from events group by 1
+    """,
+)
+def stream_lh_sink_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events file-stream -> lakehouse sink (one idempotent snapshot per
+    micro-batch) -> batch scan of the table == batch GROUP BY over the
+    source. Exercises the full exactly-once write path."""
+    lh = Lakehouse(spark, tempfile.mkdtemp(prefix="lh_stream_q_"))
+    t = lh.create_table("ns.events_sink", EVENTS_TABLE_SCHEMA)
+    ev = W.events_stream(spark, sf_dir)
+    q = write_stream_to_table(
+        ev, t, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_"), available_now=True
+    )
+    q.awaitTermination()
+    return (
+        t.scan()
+        .groupBy(F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "stream_lh_source_by_type",
+    """
+    select event_type, count(*) as n,
+           cast(sum(cast(value as decimal(18,4))) as double) as sum_value
+    from events group by event_type
+    """,
+)
+def stream_lh_source_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse table as a STREAM source: batch-append events to a table,
+    file-stream the table's data files into memory, then aggregate — equal
+    to the batch GROUP BY over the source parquet."""
+    from pyiceberg_lakehouse_spark.sources.testdata import load_table
+
+    lh = Lakehouse(spark, tempfile.mkdtemp(prefix="lh_stream_src_"))
+    t = lh.create_table("ns.events_src", EVENTS_TABLE_SCHEMA)
+    ev = load_table(spark, sf_dir, "events")
+    # two appends -> two commit dirs: the stream must discover both
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    stream = read_table_stream(spark, t)
+    drained = stream_table_to_memory(stream.select("event_type", "value"))
+    return drained.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )

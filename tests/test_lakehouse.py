@@ -142,3 +142,47 @@ def test_concurrent_commit_detection(spark, warehouse, nation_chunks):
     t.append(chunks[0])
     with pytest.raises(RuntimeError, match="concurrent commit"):
         stale.append(chunks[1])
+
+
+def test_append_retry_resolves_conflict(spark, warehouse, nation_chunks):
+    """A stale handle's append succeeds with retries: it refreshes to the
+    winner's log and re-commits; both writers' rows land, in order."""
+    nation, chunks = nation_chunks
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.nation_mw", SCHEMAS["nation"])
+    stale = lh.load_table("ns.nation_mw")
+    t.append(chunks[0])
+    snap = stale.append(chunks[1], retries=3)  # stale view -> conflict -> retry
+    assert snap.snapshot_id == 3  # create, append, append
+    assert stale.scan().count() == chunks[0].count() + chunks[1].count()
+
+
+def test_overwrite_conflict_never_retries(spark, warehouse, nation_chunks):
+    """Non-commutative ops must surface conflicts even when retries are
+    requested at the log layer."""
+    _, chunks = nation_chunks
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.nation_ow", SCHEMAS["nation"])
+    stale = lh.load_table("ns.nation_ow")
+    t.append(chunks[0])
+    files = stale._write_data(chunks[1])
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        stale.log.commit("overwrite", files, retry_conflicts=3)
+
+
+def test_commit_lock_breaks_stale_lock(spark, warehouse, nation_chunks):
+    """A dead writer's abandoned lock file older than the staleness bound is
+    broken instead of deadlocking every future commit."""
+    import os as _os
+    import time as _time
+
+    _, chunks = nation_chunks
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.nation_lk", SCHEMAS["nation"])
+    lock = _os.path.join(t.table_dir, ".commit.lock")
+    with open(lock, "w") as f:
+        f.write("99999")
+    old = _time.time() - 600
+    _os.utime(lock, (old, old))
+    t.append(chunks[0])  # breaks the stale lock and commits
+    assert t.scan().count() == chunks[0].count()

@@ -1,0 +1,85 @@
+"""Lakehouse streaming sink/source properties: exactly-once micro-batch
+appends across restarts, and incremental file discovery on the source side."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+from pyiceberg_lakehouse_spark.sources.testdata import load_table
+from pyiceberg_lakehouse_spark.streaming import windows as W
+from pyiceberg_lakehouse_spark.streaming.lakehouse_io import (
+    committed_batch_ids,
+    read_table_stream,
+    stream_table_to_memory,
+    write_stream_to_table,
+)
+from pyiceberg_lakehouse_spark.streaming.queries_lakehouse import EVENTS_TABLE_SCHEMA
+
+
+@pytest.fixture()
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_sink_appends_all_rows_once(spark, warehouse, tmp_path, sf_dir, events):
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.ev_sink", EVENTS_TABLE_SCHEMA)
+    q = write_stream_to_table(
+        W.events_stream(spark, sf_dir), t, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    assert t.scan().count() == events.count()
+    batches = committed_batch_ids(t)
+    assert batches, "sink recorded no batch ids"
+
+
+def test_sink_restart_is_exactly_once(spark, warehouse, tmp_path, sf_dir, events):
+    """Re-running the SAME stream+checkpoint must not duplicate rows: the
+    file source has nothing new, and even a replayed batch id is skipped."""
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.ev_once", EVENTS_TABLE_SCHEMA)
+    ckpt = str(tmp_path / "ckpt")
+    stream = W.events_stream(spark, sf_dir)
+    write_stream_to_table(stream, t, checkpoint_dir=ckpt).awaitTermination()
+    n1 = t.scan().count()
+    snaps1 = len(t.log.snapshots)
+    # restart against the same checkpoint — availableNow finds nothing new
+    write_stream_to_table(stream, t, checkpoint_dir=ckpt).awaitTermination()
+    t.log.load()
+    assert t.scan().count() == n1 == events.count()
+    assert len(t.log.snapshots) == snaps1
+
+
+def test_sink_replayed_batch_id_skipped(spark, warehouse, tmp_path, sf_dir, events):
+    """foreachBatch at-least-once replay: a FRESH checkpoint re-emits the
+    whole input as batch 0 again; the batch-id guard must skip the append."""
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.ev_replay", EVENTS_TABLE_SCHEMA)
+    stream = W.events_stream(spark, sf_dir)
+    write_stream_to_table(stream, t, checkpoint_dir=str(tmp_path / "c1")).awaitTermination()
+    n1 = t.scan().count()
+    assert committed_batch_ids(t) == {0}
+    # new checkpoint -> the same files replay under the same batch id 0
+    write_stream_to_table(stream, t, checkpoint_dir=str(tmp_path / "c2")).awaitTermination()
+    t.log.load()
+    assert t.scan().count() == n1 == events.count()
+    assert committed_batch_ids(t) == {0}
+
+
+def test_source_streams_every_append_once(spark, warehouse, events):
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.ev_src", EVENTS_TABLE_SCHEMA)
+    t.append(events.filter(F.col("event_id") % 3 == 0))
+    t.append(events.filter(F.col("event_id") % 3 != 0))
+    out = stream_table_to_memory(read_table_stream(spark, t).select("event_id"))
+    assert out.count() == events.count()
+    assert out.distinct().count() == events.count()
+
+
+def test_source_rejects_partitioned_table(spark, warehouse, events):
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table(
+        "ns.ev_part", EVENTS_TABLE_SCHEMA, partition_by=["event_type"]
+    )
+    with pytest.raises(ValueError, match="unpartitioned"):
+        read_table_stream(spark, t)
