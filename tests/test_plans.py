@@ -1,0 +1,122 @@
+"""Physical-plan audits: the 100 TB posture, machine-checked.
+
+Correctness gates prove WHAT each query computes; these prove HOW — that
+the plan Catalyst produces is the plan you'd want on a 1000-executor
+cluster: filters reach the parquet scan, scans read only referenced
+columns, small dimensions broadcast instead of shuffling the fact table,
+aggregations combine map-side, and nothing degenerates to a cartesian
+product. A regression here is a performance bug even while results stay
+correct, which is exactly why it needs its own tests.
+"""
+
+import re
+
+import pytest
+
+from pyiceberg_lakehouse_spark.registry import QUERIES, load_all
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load():
+    load_all()
+
+
+def plan_of(spark, name: str, sf_dir: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def scan_sections(plan: str) -> list[str]:
+    """Split the formatted plan into its per-node detail blocks."""
+    return re.split(r"\n\(\d+\) ", plan)
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, "agg_q1_pricing_summary", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # map-side partial aggregation before the single shuffle
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    """The aggregation pipeline must compile to whole-stage-generated code
+    (decimal arithmetic included) — no interpreted row-at-a-time fallback."""
+    df = QUERIES["agg_q1_pricing_summary"](spark, sf_dir)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" prefixes mark operators fused into WholeStageCodegen stage n
+    assert re.search(r"\*\(\d+\) HashAggregate", plan), plan[:500]
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    plan = plan_of(spark, "agg_q1_pricing_summary", sf_dir)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in plan"
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # Q1 references 7 of lineitem's 11 columns; the scan must not read more
+    assert cols == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    }
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(spark, "agg_q3_shipping_priority", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # selective filters reach every scan
+    assert plan.count("PushedFilters: [") >= 3
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_no_cartesian_all_filters_pushed(spark, sf_dir):
+    plan = plan_of(spark, "agg_q5_local_supplier_volume", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_projection_reads_only_selected_columns(spark, sf_dir):
+    plan = plan_of(spark, "proj_columns", sf_dir)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # the 2-column projection must prune the other 9 lineitem columns
+    assert cols == {"l_orderkey", "l_extendedprice"}
+
+
+def test_equality_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, "filter_eq", sf_dir)
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo", plan)
+
+
+def test_cosine_topk_broadcasts_queries_not_cartesian(spark, sf_dir):
+    plan = plan_of(spark, "sim_cosine_topk", sf_dir)
+    # the query side is broadcast; the corpus is NOT shuffled
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_join_is_hash_join_on_bucket(spark, sf_dir):
+    plan = plan_of(spark, "sim_ann_lsh", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, "LSH must join on bucket equality"
+
+
+def test_asof_join_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, "join_asof", sf_dir)
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "dedup_exact", sf_dir)
+    # hash-groupBy on the fingerprint: one exchange, partial agg before it
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert "CartesianProduct" not in plan
