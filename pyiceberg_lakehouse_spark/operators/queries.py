@@ -235,3 +235,47 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas (stubbed decode)."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.attach_binary(docs))
+
+
+WINNOW_SQL = """
+    with toks as (
+      select doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t != '') as tk
+      from documents
+    ), th as (
+      select doc_id,
+             list_transform(tk, t -> ('0x' || substring(md5(t),1,8))::bigint) as h
+      from toks
+    ), kg as (
+      select doc_id, cast(len(h) as bigint) as n_tokens,
+             case when len(h) >= 3 then
+               list_transform(generate_series(1, len(h)-2),
+                 i -> (h[i]*961 + h[i+1]*31 + h[i+2]) % 1000000007)
+             else [] end as g
+      from th
+    ), mn as (
+      select doc_id, n_tokens,
+             case when len(g) >= 4 then
+               list_transform(generate_series(1, len(g)-3),
+                 i -> list_min(g[i:i+3]))
+             when len(g) > 0 then [list_min(g)]
+             else [] end as mins
+      from kg
+    )
+    select doc_id, n_tokens,
+           cast(len(list_distinct(mins)) as bigint) as n_fingerprints,
+           list_min(list_distinct(mins)) as min_fp,
+           list_max(list_distinct(mins)) as max_fp
+    from mn
+"""
+
+
+@register("text_winnow_fingerprint", WINNOW_SQL)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash fingerprints over documents — the
+    document-fingerprinting member of the training-data toolkit. Token
+    hashes ride md5 hex (engine-portable), so the DuckDB oracle reproduces
+    every fingerprint bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(docs, k=3, w=4)

@@ -98,3 +98,80 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(
         F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing (MOSS-style) rolling-hash fingerprints, summarized per doc.
+
+    Pipeline, entirely in array higher-order functions (no UDF):
+    tokens -> per-token hash (first 8 hex digits of md5 as a long — engine-
+    portable, unlike murmur/xxhash) -> k-gram polynomial hashes -> minimum
+    per sliding window of w -> distinct fingerprint set. The returned
+    summary (count/min/max) is scalar so the differential oracle compares
+    values, not array stringification.
+
+    Each stage lives in its own projection: Catalyst substitutes column
+    references textually into lambda bodies, so inlining would re-hash every
+    token once per reference.
+    """
+    M = 1_000_000_007
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+        ).alias("_toks"),
+    )
+    th = toks.select(
+        F.col(id_col),
+        F.transform(
+            F.col("_toks"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        ).alias("_th"),
+    )
+    n = F.size(F.col("_th"))
+
+    def _kgram(i):
+        acc = F.lit(0).cast("long")
+        for j in range(k):
+            acc = acc + F.element_at(F.col("_th"), i + j) * (31 ** (k - 1 - j))
+        return acc % M
+
+    kg = th.select(
+        F.col(id_col),
+        F.when(
+            n >= k,
+            F.transform(F.sequence(F.lit(1), n - (k - 1)), _kgram),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("_kg"),
+        n.cast("long").alias("n_tokens"),
+    )
+    m = F.size(F.col("_kg"))
+    mins = kg.select(
+        F.col(id_col),
+        "n_tokens",
+        F.when(
+            m >= w,
+            F.transform(
+                F.sequence(F.lit(1), m - (w - 1)),
+                lambda i: F.array_min(F.slice(F.col("_kg"), i, w)),
+            ),
+        )
+        .when(m > 0, F.array(F.array_min(F.col("_kg"))))
+        .otherwise(F.array().cast("array<long>"))
+        .alias("_mins"),
+    )
+    fps = F.array_distinct(F.col("_mins"))
+    return mins.select(
+        F.col(id_col),
+        "n_tokens",
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    )
