@@ -1,0 +1,96 @@
+"""Fourth relational batch: bounded window frames, schema-typed JSON
+parsing, and the vectorized scalar pandas_udf surface."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyiceberg_lakehouse_spark.registry import register
+from pyiceberg_lakehouse_spark.sources.testdata import load_table
+
+
+@register(
+    "win_bounded_frame",
+    """
+    select o_custkey, o_orderkey,
+           cast(sum(cast(o_totalprice as decimal(18,4)))
+                over (partition by o_custkey order by o_orderdate, o_orderkey
+                      rows between 2 preceding and current row) as double)
+             as moving_spend,
+           count(*) over (partition by o_custkey order by o_orderdate, o_orderkey
+                          rows between 2 preceding and current row) as frame_n
+    from orders
+    """,
+)
+def win_bounded_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS frame (moving 3-order sum) — the frame-spec surface the
+    unbounded running-sum query doesn't touch."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("moving_spend"),
+        F.count("*").over(w).alias("frame_n"),
+    )
+
+
+@register(
+    "fn_from_json_struct",
+    """
+    select event_id, cast(props->>'$.k' as bigint) as k_typed,
+           (cast(props->>'$.k' as bigint) is not null) as parsed_ok
+    from events
+    """,
+)
+def fn_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-typed JSON parsing (from_json -> struct), complementing the
+    path-extraction form in fn_json. Malformed documents yield nulls, not
+    errors — the PERMISSIVE contract a 100 TB ingest needs."""
+    ev = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = ev.select(
+        "event_id", F.from_json("props", schema).alias("_p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("_p.k").alias("k_typed"),
+        F.col("_p.k").isNotNull().alias("parsed_ok"),
+    )
+
+
+@F.pandas_udf(T.LongType())
+def _vowel_count(s: pd.Series) -> pd.Series:
+    """Arrow-vectorized scalar UDF: one pandas str-op per batch, no per-row
+    Python. Deterministic (regex count), so it oracle-checks exactly."""
+    return s.str.lower().str.count("[aeiou]").astype("int64")
+
+
+@register(
+    "fn_pandas_scalar",
+    """
+    select doc_id,
+           cast(length(lower(text)) -
+                length(regexp_replace(lower(text), '[aeiou]', '', 'g')) as bigint)
+             as n_vowels
+    from documents
+    """,
+)
+def fn_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized scalar pandas_udf surface (SURVEY §2.10 UDF row).
+
+    The hot-path guidance stands — builtins beat UDFs — but when Python is
+    unavoidable this is the shape: @pandas_udf over Arrow batches, ~10-100x
+    a row-at-a-time Python UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", _vowel_count(F.col("text")).alias("n_vowels"))

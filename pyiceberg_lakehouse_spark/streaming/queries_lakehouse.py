@@ -91,3 +91,53 @@ def stream_lh_source_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "stream_stream_join",
+    """
+    select a.event_id as click_id, b.event_id as purchase_id,
+           a.user_id as user_id
+    from events a
+    join events b
+      on a.user_id = b.user_id
+     and a.event_type = 'click' and b.event_type = 'purchase'
+     and b.ts >= a.ts and b.ts <= a.ts + interval 12 hour
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a time-interval condition: clicks
+    joined to purchases by the same user within 12 hours.
+
+    Both sides carry watermarks so the join state is bounded — Spark evicts
+    click state once the purchase-side watermark passes click.ts + 12h,
+    which is what makes this viable on an unbounded 100 TB stream. The
+    batch self-join SQL is the oracle."""
+    clicks = (
+        W.events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        W.events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "13 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 12 hours")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id")
+    return W.run_to_memory(joined, output_mode="append")
