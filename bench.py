@@ -37,7 +37,9 @@ HEADLINE = [
     ("dedup_exact", "dedup_exact"),
     ("dedup_minhash_lsh", "dedup_minhash_lsh"),
     ("cosine_topk", "sim_cosine_topk"),
+    ("ann_ivf", "sim_ann_ivf"),
     ("text_quality", "text_quality"),
+    ("winnow_fingerprint", "text_winnow_fingerprint"),
 ]
 
 
@@ -92,6 +94,40 @@ def main() -> None:
     t0 = time.time()
     drain(t.scan(partition_filter={"l_returnflag": "R"}))
     timings["pruned_scan"] = round(time.time() - t0, 3)
+
+    # scale-path skipping layers: Z-order rewrite + box scan, bloom lookup
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import cluster_zorder
+
+    zt = lh.create_table(
+        "bench.lineitem_z",
+        lineitem.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity").schema,
+    )
+    zt.append(lineitem.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"))
+    t0 = time.time()
+    cluster_zorder(zt, ["l_partkey", "l_suppkey"], target_file_bytes=512 * 1024)
+    timings["zorder_rewrite"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    drain(
+        zt.scan(stat_filter={"l_partkey": ("<=", 20), "l_suppkey": ("<=", 3)}).filter(
+            (F.col("l_partkey") <= 20) & (F.col("l_suppkey") <= 3)
+        )
+    )
+    timings["zorder_box_scan"] = round(time.time() - t0, 3)
+
+    bt = lh.create_table(
+        "bench.orders_bloom",
+        SCHEMAS["orders"],
+        properties={
+            "write.bloom-columns": "o_orderkey",
+            "write.target-records-per-file": "20000",
+        },
+    )
+    bt.append(load_table(spark, SF_DIR, "orders"))
+    t0 = time.time()
+    drain(
+        bt.scan(bloom_filter={"o_orderkey": 7}).filter(F.col("o_orderkey") == 7)
+    )
+    timings["bloom_point_lookup"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
