@@ -94,3 +94,80 @@ def fn_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     a row-at-a-time Python UDF."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", _vowel_count(F.col("text")).alias("n_vowels"))
+
+
+@register(
+    "agg_unpivot",
+    """
+    select o_orderkey, metric, cast(val as double) as val
+    from (select o_orderkey,
+                 o_totalprice as price,
+                 cast(o_custkey as double) as custkey_num
+          from orders)
+    unpivot (val for metric in (price, custkey_num))
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt) — the inverse of agg_pivot."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_custkey").cast("double").alias("custkey_num"),
+    )
+    return o.unpivot(
+        "o_orderkey", ["price", "custkey_num"], "metric", "val"
+    ).select("o_orderkey", "metric", F.col("val").cast("double").alias("val"))
+
+
+@register(
+    "filter_exists_correlated",
+    """
+    select o_orderkey, o_totalprice
+    from orders o
+    where exists (select 1 from lineitem l
+                  where l.l_orderkey = o.o_orderkey and l.l_quantity >= 49)
+      and not exists (select 1 from lineitem l
+                      where l.l_orderkey = o.o_orderkey and l.l_discount > 0.09)
+    """,
+)
+def filter_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL surface — Catalyst
+    rewrites them to semi/anti joins (the same plan the DataFrame forms in
+    join_semi/join_anti produce)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_x_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_x_lineitem")
+    return spark.sql(
+        """
+        select o_orderkey, o_totalprice
+        from _x_orders o
+        where exists (select 1 from _x_lineitem l
+                      where l.l_orderkey = o.o_orderkey and l.l_quantity >= 49)
+          and not exists (select 1 from _x_lineitem l
+                          where l.l_orderkey = o.o_orderkey and l.l_discount > 0.09)
+        """
+    )
+
+
+@register(
+    "fn_posexplode",
+    """
+    select doc_id, cast(i - 1 as integer) as pos, tk[i] as tok
+    from (select doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t != '') as tk
+          from documents) d,
+         unnest(generate_series(1, len(d.tk))) as u(i)
+    """,
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: token with its position (lateral-view surface)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+        ).alias("_tk"),
+    )
+    return toks.select("doc_id", F.posexplode("_tk").alias("pos", "tok")).select(
+        "doc_id", "pos", "tok"
+    )
