@@ -334,3 +334,22 @@ def lh_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(
         stat_filter={"l_partkey": ("<=", 20), "l_suppkey": ("<=", 3)}
     ).filter((F.col("l_partkey") <= 20) & (F.col("l_suppkey") <= 3))
+
+
+@register(
+    "lh_incremental_read",
+    f"select {ORDER_COLS} from orders where o_orderstatus != 'O'",
+)
+def lh_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style incremental scan: three appends, read only the delta
+    AFTER the first one — the CDC primitive a downstream consumer polls
+    instead of rescanning the table."""
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.orders_inc", SCHEMAS["orders"])
+    orders = load_table(spark, sf_dir, "orders")
+    snap1 = t.append(orders.filter(F.col("o_orderstatus") == "O"))
+    t.append(orders.filter(F.col("o_orderstatus") == "F"))
+    t.append(orders.filter(~F.col("o_orderstatus").isin("O", "F")))
+    return t.read_incremental(from_snapshot=snap1.snapshot_id).select(
+        *[c.strip() for c in ORDER_COLS.split(",")]
+    )

@@ -296,6 +296,35 @@ class LakehouseTable:
         """Time travel to an exact snapshot (Q5 variant)."""
         return self.scan(snapshot_id=snapshot_id)
 
+    def read_incremental(
+        self, from_snapshot: int, to_snapshot: int | None = None
+    ) -> DataFrame:
+        """Rows APPENDED after ``from_snapshot`` up to ``to_snapshot``
+        (default: head) — Iceberg-style incremental scan.
+
+        Metadata-only planning: the file list is every ``added_files`` entry
+        of append/add_files snapshots in the interval, so a consumer polling
+        a 100 TB table reads just the delta, never the table. Overwrite and
+        replace snapshots in the interval raise: their rewritten files do
+        not represent an append-only delta (same contract as Iceberg's
+        incremental read and our streaming source).
+        """
+        ids = [s.snapshot_id for s in self.log.snapshots]
+        if from_snapshot not in ids:
+            raise KeyError(f"snapshot {from_snapshot} not found")
+        hi = to_snapshot if to_snapshot is not None else ids[-1]
+        files: list[dict[str, Any]] = []
+        for snap in self.log.snapshots:
+            if snap.snapshot_id <= from_snapshot or snap.snapshot_id > hi:
+                continue
+            if snap.operation in ("overwrite", "replace", "delete"):
+                raise ValueError(
+                    f"snapshot {snap.snapshot_id} is {snap.operation!r}; "
+                    "incremental read covers append-only history"
+                )
+            files.extend(snap.added_files)
+        return self._read_files(files)
+
     def to_df(self) -> DataFrame:
         return self.scan()
 

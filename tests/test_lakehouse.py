@@ -186,3 +186,59 @@ def test_commit_lock_breaks_stale_lock(spark, warehouse, nation_chunks):
     _os.utime(lock, (old, old))
     t.append(chunks[0])  # breaks the stale lock and commits
     assert t.scan().count() == chunks[0].count()
+
+
+def test_incremental_read_returns_only_delta(spark, warehouse, nation_chunks):
+    nation, chunks = nation_chunks
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.nation_inc", SCHEMAS["nation"])
+    s1 = t.append(chunks[0])
+    t.append(chunks[1])
+    s3 = t.append(chunks[2])
+    inc = t.read_incremental(from_snapshot=s1.snapshot_id)
+    assert inc.count() == chunks[1].count() + chunks[2].count()
+    # bounded upper end: only the second append
+    mid = t.read_incremental(from_snapshot=s1.snapshot_id, to_snapshot=s3.snapshot_id - 1)
+    assert mid.count() == chunks[1].count()
+    # full-history delta from the create snapshot = the whole table
+    assert t.read_incremental(from_snapshot=1).count() == nation.count()
+
+
+def test_incremental_read_rejects_rewrites(spark, warehouse, nation_chunks):
+    _, chunks = nation_chunks
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.nation_incow", SCHEMAS["nation"])
+    s1 = t.append(chunks[0])
+    t.overwrite(chunks[1])
+    with pytest.raises(ValueError, match="overwrite"):
+        t.read_incremental(from_snapshot=s1.snapshot_id)
+
+
+def test_threaded_writers_all_commit(spark, warehouse, sf_dir):
+    """4 threads append concurrently with retries: every commit lands, no
+    rows lost, snapshot ids stay dense — the O_EXCL lock serializes the
+    check-and-swap and retry absorbs the conflicts."""
+    import threading
+
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, warehouse)
+    lh.create_table("ns.orders_thr", SCHEMAS["orders"])
+    chunks = [orders.filter(F.col("o_orderkey") % 4 == i) for i in range(4)]
+    errors = []
+
+    def writer(i):
+        try:
+            handle = lh.load_table("ns.orders_thr")
+            handle.append(chunks[i], retries=10)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    t = lh.load_table("ns.orders_thr")
+    assert t.scan().count() == orders.count()
+    assert [s.snapshot_id for s in t.log.snapshots] == [1, 2, 3, 4, 5]

@@ -120,3 +120,42 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
     # hash-groupBy on the fingerprint: one exchange, partial agg before it
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """AQE skew-join handling: a join keyed 90% on one value must show
+    skew-split partitions in the final adaptive plan (the runtime answer to
+    skewed keys at 100 TB, complementing the manual salting operator)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        # force a sort-merge join and make the skew thresholds tiny so the
+        # test-scale partitions qualify as skewed
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        joined = big.join(small, "k")
+        # run THIS DataFrame's own query execution (a .write/.count would
+        # clone the plan and leave this one isFinalPlan=false)
+        joined._jdf.queryExecution().executedPlan().execute().count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:800]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
