@@ -353,3 +353,32 @@ def lh_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read_incremental(from_snapshot=snap1.snapshot_id).select(
         *[c.strip() for c in ORDER_COLS.split(",")]
     )
+
+
+@register(
+    "lh_hidden_partition_month",
+    f"""
+    select {ORDER_COLS} from orders
+    where o_orderdate >= timestamp '1996-03-01'
+      and o_orderdate <  timestamp '1996-04-01'
+    """,
+)
+def lh_hidden_partition_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning: the table partitions by month(o_orderdate) —
+    a transform, not a column — and the query filters the SOURCE column.
+    partition_probe maps the probe date to its month so the scan reads only
+    that month's files; the residual filter keeps correctness file-exact."""
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table(
+        "ns.orders_hp", SCHEMAS["orders"], partition_by=["month(o_orderdate)"]
+    )
+    t.append(load_table(spark, sf_dir, "orders"))
+    probe = t.partition_probe({"o_orderdate": "1996-03-15"})
+    return (
+        t.scan(partition_filter=probe)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .select(*[c.strip() for c in ORDER_COLS.split(",")])
+    )

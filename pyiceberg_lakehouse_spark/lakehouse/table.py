@@ -34,6 +34,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pyiceberg_lakehouse_spark.lakehouse.log import SnapshotLog, Snapshot
+from pyiceberg_lakehouse_spark.lakehouse.transforms import (
+    PartitionField,
+    derived_column_typed,
+    parse_fields,
+    probe_value,
+)
 
 _HIVE_SEG = re.compile(r"([^/=]+)=([^/]+)")
 
@@ -118,6 +124,31 @@ class LakehouseTable:
     def current_snapshot_id(self) -> int | None:
         return self.log.current_snapshot_id()
 
+    @property
+    def partition_fields(self) -> list[PartitionField]:
+        """Parsed partition spec — identity and transform fields alike."""
+        return parse_fields(self.log.partition_by)
+
+    @property
+    def partition_names(self) -> list[str]:
+        """Partition directory keys (identity: source name; transforms:
+        ``<source>_<transform>``)."""
+        return [pf.name for pf in self.partition_fields]
+
+    def partition_probe(self, source_filter: dict[str, Any]) -> dict[str, str]:
+        """Map SOURCE-column equality values to the partition values they
+        land in — hidden partitioning's pruning hook: callers filter on the
+        source column; this derives the partition_filter for scan()."""
+        schema = self.schema()
+        out: dict[str, str] = {}
+        for pf in self.partition_fields:
+            if pf.source in source_filter:
+                dtype = schema[pf.source].dataType.simpleString()
+                out[pf.name] = probe_value(
+                    self.spark, pf, source_filter[pf.source], dtype
+                )
+        return out
+
     def add_column(self, name: str, dtype: T.DataType) -> None:
         """Schema evolution: append a nullable column (metadata-only).
 
@@ -137,7 +168,7 @@ class LakehouseTable:
 
         Data files keep the bytes; reads simply stop projecting the column
         — Iceberg's drop-column semantics. Partition columns can't drop."""
-        if name in self.log.partition_by:
+        if name in {pf.source for pf in self.partition_fields}:
             raise ValueError(f"cannot drop partition column {name!r}")
         schema = self.schema()
         if name not in schema.fieldNames():
@@ -331,9 +362,11 @@ class LakehouseTable:
     # ---------------------------------------------------------- internals --
 
     def _data_schema(self) -> T.StructType:
-        """Schema of the data files: table schema minus partition columns."""
-        parts = set(self.log.partition_by)
-        return T.StructType([f for f in self.schema().fields if f.name not in parts])
+        """Schema of the data files: table schema minus IDENTITY partition
+        columns. Transform sources stay in the data (the derived partition
+        value is lossy), which is what makes hidden partitioning hidden."""
+        identity = {pf.source for pf in self.partition_fields if pf.is_identity}
+        return T.StructType([f for f in self.schema().fields if f.name not in identity])
 
     def _write_data(
         self, df: DataFrame, records_per_file: int | None = None
@@ -344,6 +377,12 @@ class LakehouseTable:
 
         schema = self.schema()
         df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+        # hidden partitioning: compute derived partition values as Catalyst
+        # expressions; identity columns partition directly
+        for pf in self.partition_fields:
+            if not pf.is_identity:
+                dtype = schema[pf.source].dataType.simpleString()
+                df = df.withColumn(pf.name, derived_column_typed(pf, dtype))
         commit_no = (self.log.current_snapshot_id() or 0) + 1
         # uuid suffix: two writers racing never collide on data paths — the
         # snapshot-log commit (optimistic check + atomic rename) is the only
@@ -367,7 +406,7 @@ class LakehouseTable:
             records = target // est_row_bytes
         writer = writer.option("maxRecordsPerFile", int(records))
         if self.log.partition_by:
-            writer = writer.partitionBy(*self.log.partition_by)
+            writer = writer.partitionBy(*self.partition_names)
         writer.parquet(out_dir)
         from pyiceberg_lakehouse_spark.lakehouse.stats import collect_file_stats
 
@@ -417,7 +456,7 @@ class LakehouseTable:
         schema = self.schema()
         if not files:
             return self.spark.createDataFrame([], schema)
-        parts = self.log.partition_by
+        parts = self.partition_names
         if not parts:
             # unpartitioned: every file (including externally registered
             # add_files paths) carries the full schema — one multi-file scan
@@ -451,12 +490,17 @@ class LakehouseTable:
             for f in flat:
                 key = tuple(sorted(f["partition"].items()))
                 by_part.setdefault(key, []).append(f["path"])
+            identity_fields = {
+                pf.name: pf for pf in self.partition_fields if pf.is_identity
+            }
             for key, paths in sorted(by_part.items()):
                 pvals = dict(key)
                 df = self.spark.read.parquet(*paths)
-                for col in parts:
+                # only identity partition values materialize as columns;
+                # transform sources already live in the data files
+                for col, pf in identity_fields.items():
                     if col not in df.columns:
-                        ftype = schema[col].dataType
+                        ftype = schema[pf.source].dataType
                         df = df.withColumn(col, F.lit(pvals.get(col)).cast(ftype))
                 dfs.append(
                     df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])

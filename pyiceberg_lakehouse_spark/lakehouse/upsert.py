@@ -75,12 +75,25 @@ def upsert_partitioned(
     — identity partition columns, main-polars.py:113) and drive both the
     pruned scan and the replace commit.
     """
-    parts = table.log.partition_by
-    if not parts:
+    pfs = table.partition_fields
+    if not pfs:
         raise ValueError("table is not partitioned; use upsert()")
+    # derive partition values (identity or transform) of the new batch —
+    # hidden partitioning keeps this transparent to the caller
+    from pyiceberg_lakehouse_spark.lakehouse.transforms import derived_column_typed
+
+    schema = table.schema()
+    tagged = new
+    for pf in pfs:
+        if not pf.is_identity:
+            tagged = tagged.withColumn(
+                pf.name,
+                derived_column_typed(pf, schema[pf.source].dataType.simpleString()),
+            )
+    names = [pf.name for pf in pfs]
     touched = [
-        {p: str(r[p]) for p in parts}
-        for r in new.select(*parts).distinct().collect()
+        {p: str(r[p]) for p in names}
+        for r in tagged.select(*names).distinct().collect()
     ]
     current = None
     for i, pv in enumerate(touched):
