@@ -382,3 +382,66 @@ def lh_hidden_partition_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(*[c.strip() for c in ORDER_COLS.split(",")])
     )
+
+
+@register(
+    "lh_metadata_count",
+    """
+    select cast(count(*) as bigint) as n_rows,
+           cast(count(*) filter (where o_orderstatus = 'O') as bigint) as n_open
+    from orders
+    """,
+)
+def lh_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) answered from snapshot-log file metadata — zero data reads
+    (footer-exact per-file row counts, like engines answering counts from
+    Iceberg manifests). The partition-scoped count sums only the matching
+    partition's files."""
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table(
+        "ns.orders_mc", SCHEMAS["orders"], partition_by=["o_orderstatus"]
+    )
+    t.append(load_table(spark, sf_dir, "orders"))
+    total = t.metadata_count()
+    open_rows = sum(
+        f["rows"]
+        for f in t.log.live_files()
+        if f["partition"].get("o_orderstatus") == "O"
+    )
+    assert total is not None
+    return spark.createDataFrame([(total, open_rows)], "n_rows long, n_open long")
+
+
+@register(
+    "lh_cdc_apply",
+    """
+    select o_orderkey, o_custkey, o_orderstatus,
+           case when o_orderkey % 11 = 0 and o_orderkey % 13 != 0
+                then o_totalprice + 1000.0 else o_totalprice end as o_totalprice,
+           o_orderdate, o_orderpriority
+    from orders
+    where o_orderkey % 13 != 0
+    """,
+)
+def lh_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC round trip: a change batch (upserts for key%11, deletes for
+    key%13) applies through apply_changes — upserts via partition-scoped
+    rewrite, deletes as merge-on-read equality deletes (metadata-only)."""
+    from pyiceberg_lakehouse_spark.lakehouse.upsert import apply_changes
+
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table(
+        "ns.orders_cdc", SCHEMAS["orders"], partition_by=["o_orderpriority"]
+    )
+    t.append(orders)
+    ups = (
+        orders.filter((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 13 != 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("_op", F.lit("upsert"))
+    )
+    dels = orders.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "_op", F.lit("delete")
+    )
+    apply_changes(t, ups.unionByName(dels), key_cols=["o_orderkey"], op_col="_op")
+    return t.scan().select(*[c.strip() for c in ORDER_COLS.split(",")])

@@ -23,6 +23,11 @@ import pyarrow.parquet as pq
 _STATABLE = (int, float, str)
 
 
+def file_row_count(path: str) -> int:
+    """Exact row count from the parquet footer — no data pages touched."""
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def collect_file_stats(path: str, columns: list[str] | None = None) -> dict[str, list]:
     """Column -> [min, max] from the parquet footer's row-group statistics."""
     meta = pq.ParquetFile(path).metadata

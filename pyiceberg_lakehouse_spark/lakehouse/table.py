@@ -359,6 +359,63 @@ class LakehouseTable:
     def to_df(self) -> DataFrame:
         return self.scan()
 
+    # --------------------------------------------------- metadata tables --
+
+    def files(self) -> DataFrame:
+        """Iceberg's ``table.files`` metadata table: one row per live data
+        file with partition values, row count, and size — queryable with
+        the full DataFrame API, built purely from the snapshot log."""
+        rows = [
+            (
+                f["path"],
+                dict(f.get("partition") or {}),
+                f.get("rows"),
+                os.path.getsize(f["path"]) if os.path.exists(f["path"]) else None,
+                f.get("added_in"),
+            )
+            for f in self.log.live_files()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, partition map<string,string>, record_count long, "
+            "file_size_bytes long, added_snapshot_id int",
+        )
+
+    def snapshots(self) -> DataFrame:
+        """Iceberg's ``table.snapshots`` metadata table."""
+        rows = [
+            (
+                s.snapshot_id,
+                s.parent_id,
+                s.operation,
+                s.timestamp_ms,
+                len(s.added_files),
+                len(s.removed_paths),
+            )
+            for s in self.log.snapshots
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id int, parent_id int, operation string, "
+            "committed_at_ms long, added_files int, removed_files int",
+        )
+
+    def metadata_count(self, snapshot_id: int | None = None) -> int | None:
+        """COUNT(*) from file metadata alone — zero data reads.
+
+        Returns None when the count can't be answered from metadata:
+        merge-on-read deletes are in effect, or some file (e.g. registered
+        via add_files without footer probing) lacks a recorded row count.
+        Callers fall back to ``scan().count()`` — the same contract as
+        engines answering COUNT(*) from Iceberg manifest statistics.
+        """
+        if self.log.live_deletes(snapshot_id):
+            return None
+        counts = [f.get("rows") for f in self.log.live_files(snapshot_id)]
+        if any(c is None for c in counts):
+            return None
+        return sum(counts)
+
     # ---------------------------------------------------------- internals --
 
     def _data_schema(self) -> T.StructType:
@@ -408,7 +465,10 @@ class LakehouseTable:
         if self.log.partition_by:
             writer = writer.partitionBy(*self.partition_names)
         writer.parquet(out_dir)
-        from pyiceberg_lakehouse_spark.lakehouse.stats import collect_file_stats
+        from pyiceberg_lakehouse_spark.lakehouse.stats import (
+            collect_file_stats,
+            file_row_count,
+        )
 
         entries = []
         for path in sorted(
@@ -422,7 +482,8 @@ class LakehouseTable:
                 {
                     "path": path,
                     "partition": partition,
-                    "rows": None,
+                    # footer-exact row count: powers metadata-only COUNT(*)
+                    "rows": file_row_count(path),
                     # per-file column bounds from the footer: O(files) driver
                     # reads that buy file-level data skipping at scan time
                     "stats": collect_file_stats(path),

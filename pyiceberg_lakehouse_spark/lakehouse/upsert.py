@@ -103,3 +103,45 @@ def upsert_partitioned(
         current = table.scan().limit(0)
     merged = merge_keep_last(current, new, key_cols, order_col)
     return table.replace_partitions(merged, touched)
+
+
+def apply_changes(
+    table: LakehouseTable,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "_op",
+    order_col: str | None = None,
+):
+    """CDC apply: merge a change stream ('upsert'/'delete' ops) into the
+    table — the consumer side of ``read_incremental``.
+
+    The batch first reduces to one final action per key (``order_col``
+    descending breaks intra-batch ties, e.g. a change-log sequence number);
+    surviving upserts merge via the partition-scoped rewrite when the table
+    is partitioned, and deletes commit as merge-on-read equality deletes —
+    no data rewrite for the delete half, which at 100 TB is the difference
+    between a metadata commit and rewriting every touched partition.
+    """
+    w_order = [F.desc(order_col)] if order_col else []
+    if w_order:
+        w = Window.partitionBy(*key_cols).orderBy(*w_order)
+        latest = (
+            changes.withColumn("_cdc_rn", F.row_number().over(w))
+            .filter(F.col("_cdc_rn") == 1)
+            .drop("_cdc_rn")
+        )
+    else:
+        latest = changes  # caller guarantees one action per key
+    ups = latest.filter(F.col(op_col) == "upsert").drop(op_col)
+    if order_col:
+        ups = ups.drop(order_col) if order_col not in table.schema().fieldNames() else ups
+    dels = latest.filter(F.col(op_col) == "delete").select(*key_cols)
+    snaps = []
+    if not ups.isEmpty():
+        if table.log.partition_by:
+            snaps.append(upsert_partitioned(table, ups, key_cols, order_col=None))
+        else:
+            snaps.append(upsert(table, ups, key_cols, order_col=None))
+    if not dels.isEmpty():
+        snaps.append(table.delete_keys(dels, key_cols))
+    return snaps

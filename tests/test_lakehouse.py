@@ -242,3 +242,24 @@ def test_threaded_writers_all_commit(spark, warehouse, sf_dir):
     t = lh.load_table("ns.orders_thr")
     assert t.scan().count() == orders.count()
     assert [s.snapshot_id for s in t.log.snapshots] == [1, 2, 3, 4, 5]
+
+
+def test_metadata_tables_and_count(spark, warehouse, nation_chunks):
+    nation, chunks = nation_chunks
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.nation_md", SCHEMAS["nation"])
+    for c in chunks:
+        t.append(c)
+    # metadata-only count == real count, no scan needed
+    assert t.metadata_count() == nation.count()
+    files = t.files()
+    assert files.count() == len(t.log.live_files())
+    assert files.agg({"record_count": "sum"}).collect()[0][0] == nation.count()
+    snaps = t.snapshots()
+    assert snaps.count() == 4  # create + 3 appends
+    assert [r.operation for r in snaps.orderBy("snapshot_id").collect()] == [
+        "create", "append", "append", "append",
+    ]
+    # merge-on-read deletes poison the metadata count (correct refusal)
+    t.delete_keys(nation.limit(2), key_cols=["n_nationkey"])
+    assert t.metadata_count() is None

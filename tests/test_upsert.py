@@ -93,3 +93,53 @@ def test_merge_deterministic_order_col(spark):
     merged = merge_keep_last(cur, new, ["k"], order_col="seq")
     got = {r.k: r.v for r in merged.collect()}
     assert got == {1: "b", 2: "c"}  # highest seq wins, not file order
+
+
+def test_apply_changes_cdc(spark, warehouse, sf_dir):
+    """CDC apply: updates win, inserts land, deletes disappear, and a key
+    whose LAST action is delete stays deleted even if also upserted."""
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.upsert import apply_changes
+    from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.nation_cdc", SCHEMAS["nation"])
+    t.append(nation)
+
+    F_ = F
+    changes = (
+        nation.filter(F_.col("n_nationkey") < 3)
+        .withColumn("n_name", F_.concat(F_.col("n_name"), F_.lit("_v2")))
+        .withColumn("_op", F_.lit("upsert"))
+        .withColumn("_seq", F_.lit(1))
+        .unionByName(
+            spark.createDataFrame(
+                [(99, "NEWLAND", 0)], "n_nationkey int, n_name string, n_regionkey int"
+            )
+            .withColumn("_op", F_.lit("upsert"))
+            .withColumn("_seq", F_.lit(1))
+        )
+        .unionByName(
+            nation.filter(F_.col("n_nationkey").isin(5, 6))
+            .withColumn("_op", F_.lit("delete"))
+            .withColumn("_seq", F_.lit(1))
+        )
+        .unionByName(  # key 7: upsert at seq 1, delete at seq 2 -> deleted
+            nation.filter(F_.col("n_nationkey") == 7)
+            .withColumn("_op", F_.lit("upsert"))
+            .withColumn("_seq", F_.lit(1))
+        )
+        .unionByName(
+            nation.filter(F_.col("n_nationkey") == 7)
+            .withColumn("_op", F_.lit("delete"))
+            .withColumn("_seq", F_.lit(2))
+        )
+    )
+    apply_changes(t, changes, key_cols=["n_nationkey"], op_col="_op", order_col="_seq")
+    final = t.scan()
+    assert final.count() == nation.count() + 1 - 3  # +NEWLAND, -5,-6,-7
+    assert final.filter(F_.col("n_nationkey").isin(5, 6, 7)).count() == 0
+    assert final.filter(F_.col("n_name") == "NEWLAND").count() == 1
+    v2 = final.filter(F_.col("n_nationkey") < 3)
+    assert all(r.n_name.endswith("_v2") for r in v2.collect())
