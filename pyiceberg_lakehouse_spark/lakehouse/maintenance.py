@@ -33,7 +33,12 @@ def compact(table: LakehouseTable, target_file_bytes: int | None = None):
         return None
     total = sum(os.path.getsize(f["path"]) for f in files if os.path.exists(f["path"]))
     n_files = max(1, math.ceil(total / target_file_bytes))
-    df = table.scan().repartition(n_files, *(table.log.partition_by or []))
+    # repartition on the partition SOURCE columns (spec strings may be
+    # transforms like day(ts); the write path derives the actual values)
+    part_cols = [pf.source for pf in table.partition_fields]
+    df = table.scan().repartition(n_files, *part_cols) if part_cols else (
+        table.scan().repartition(n_files)
+    )
     removed = [f["path"] for f in files]
     new_files = table._write_data(df)
     return table._commit(

@@ -178,6 +178,40 @@ class LakehouseTable:
         ).json()
         self.log.commit("schema_change", [], summary={"drop_column": name})
 
+    def update_partition_spec(self, new_specs: list[str]) -> Snapshot:
+        """Partition evolution (metadata-only): future writes use the new
+        spec; existing files keep theirs and stay readable.
+
+        The classic move is granularity: ``["month(ts)"] -> ["day(ts)"]``
+        as a table grows. Restriction: the IDENTITY column set must not
+        change — identity columns are physically absent from data files, so
+        altering that set would change the data schema of past files.
+        Transform changes are free because transform sources always stay in
+        the data. Scans stay correct across the boundary: metadata pruning
+        keeps files that lack a probed partition key (conservative), and
+        ``compact()`` rewrites history onto the current spec.
+        """
+        old_identity = {pf.source for pf in self.partition_fields if pf.is_identity}
+        new_fields = parse_fields(new_specs)
+        new_identity = {pf.source for pf in new_fields if pf.is_identity}
+        if old_identity != new_identity:
+            raise ValueError(
+                f"identity partition columns must not change "
+                f"({sorted(old_identity)} -> {sorted(new_identity)}); "
+                "create a new table and rewrite instead"
+            )
+        schema_cols = set(self.schema().fieldNames())
+        for pf in new_fields:
+            if pf.source not in schema_cols:
+                raise KeyError(f"partition source column {pf.source!r} not in schema")
+        old = list(self.log.partition_by)
+        self.log.partition_by = list(new_specs)
+        return self.log.commit(
+            "schema_change",
+            [],
+            summary={"partition_spec": {"from": old, "to": list(new_specs)}},
+        )
+
     # ------------------------------------------------------------ writes --
 
     def append(
@@ -286,10 +320,16 @@ class LakehouseTable:
 
         files = self.log.live_files(snapshot_id)
         if partition_filter:
+            # conservative: a file written under an OLDER partition spec may
+            # lack the key — keep it (skipping is an optimization; the
+            # query's residual filter owns correctness)
             files = [
                 f
                 for f in files
-                if all(f["partition"].get(k) == v for k, v in partition_filter.items())
+                if all(
+                    k not in f["partition"] or f["partition"][k] == v
+                    for k, v in partition_filter.items()
+                )
             ]
         if stat_filter:
             files = prune_files(files, stat_filter)

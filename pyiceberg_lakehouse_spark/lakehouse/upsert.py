@@ -78,6 +78,18 @@ def upsert_partitioned(
     pfs = table.partition_fields
     if not pfs:
         raise ValueError("table is not partitioned; use upsert()")
+    # partition-scoped rewrite removes files by exact partition match; files
+    # written under an older spec (partition evolution) don't carry the
+    # current keys and would merge without being replaced -> duplicates.
+    names = [pf.name for pf in pfs]
+    if any(
+        any(n not in (f.get("partition") or {}) for n in names)
+        for f in table.log.live_files()
+    ):
+        raise ValueError(
+            "live files span partition specs (after evolution); "
+            "compact() to the current spec first or use upsert()"
+        )
     # derive partition values (identity or transform) of the new batch —
     # hidden partitioning keeps this transparent to the caller
     from pyiceberg_lakehouse_spark.lakehouse.transforms import derived_column_typed

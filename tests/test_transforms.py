@@ -107,3 +107,68 @@ def test_upsert_on_transform_partitioned_table(spark, warehouse, sf_dir):
     ).collect()[0]["s"]
     want = batch.agg(F.sum("o_totalprice").alias("s")).collect()[0]["s"]
     assert abs(got - want) < 1e-6
+
+
+def test_partition_evolution_month_to_day(spark, warehouse, sf_dir):
+    """Evolve month(ts) -> day(ts): old files keep month dirs, new writes
+    get day dirs, scans stay correct across the boundary, and pruning on
+    the new key conservatively keeps pre-evolution files."""
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderkey") % 2 == 0)
+    late = orders.filter(F.col("o_orderkey") % 2 == 1)
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table(
+        "ns.orders_ev", SCHEMAS["orders"], partition_by=["month(o_orderdate)"]
+    )
+    t.append(early)
+    t.update_partition_spec(["day(o_orderdate)"])
+    t.append(late)
+    assert t.scan().count() == orders.count()
+    files = t.log.live_files()
+    assert any("o_orderdate_month" in f["partition"] for f in files)
+    assert any("o_orderdate_day" in f["partition"] for f in files)
+    # pruning on the current spec: old-spec files stay (conservative),
+    # new-spec files narrow to the probed day
+    probe = t.partition_probe({"o_orderdate": "1996-03-15"})
+    assert probe == {"o_orderdate_day": "1996-03-15"}
+    kept = t.scan(partition_filter=probe).filter(
+        F.to_date("o_orderdate") == "1996-03-15"
+    )
+    expected = orders.filter(F.to_date("o_orderdate") == "1996-03-15")
+    assert kept.count() == expected.count()
+    # compaction rewrites history onto the current spec
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import compact
+
+    compact(t)
+    assert all(
+        "o_orderdate_day" in f["partition"] for f in t.log.live_files()
+    )
+    assert t.scan().count() == orders.count()
+
+
+def test_partition_evolution_rejects_identity_change(spark, warehouse, sf_dir):
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table(
+        "ns.orders_ev2", SCHEMAS["orders"], partition_by=["o_orderstatus"]
+    )
+    with pytest.raises(ValueError, match="identity"):
+        t.update_partition_spec(["month(o_orderdate)"])
+    with pytest.raises(KeyError):
+        lh.create_table(
+            "ns.orders_ev3", SCHEMAS["orders"], partition_by=["o_orderstatus"]
+        ).update_partition_spec(["o_orderstatus", "day(nonexistent)"])
+
+
+def test_upsert_guard_on_mixed_specs(spark, warehouse, sf_dir):
+    from pyiceberg_lakehouse_spark.lakehouse.upsert import upsert_partitioned
+
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table(
+        "ns.orders_ev4", SCHEMAS["orders"], partition_by=["month(o_orderdate)"]
+    )
+    t.append(orders.limit(100))
+    t.update_partition_spec(["day(o_orderdate)"])
+    t.append(orders.limit(50))
+    with pytest.raises(ValueError, match="partition specs"):
+        upsert_partitioned(t, orders.limit(10), key_cols=["o_orderkey"])
