@@ -445,3 +445,37 @@ def lh_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     apply_changes(t, ups.unionByName(dels), key_cols=["o_orderkey"], op_col="_op")
     return t.scan().select(*[c.strip() for c in ORDER_COLS.split(",")])
+
+
+@register(
+    "lh_delete_where",
+    f"""
+    select {ORDER_COLS} from orders
+    where not (o_orderdate >= timestamp '1996-01-01'
+               and o_orderdate < timestamp '1996-07-01')
+    """,
+)
+def lh_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write ranged purge: delete H1-1996 orders rewriting only the
+    files whose min/max date bounds overlap the range (the table is written
+    date-sorted so bounds are tight); untouched files survive as metadata."""
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table(
+        "ns.orders_dw",
+        SCHEMAS["orders"],
+        properties={"write.target-records-per-file": "4000"},
+    )
+    t.append(orders.orderBy("o_orderdate"))
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-07-01").cast("timestamp_ntz")
+    t.delete_where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi),
+        stat_filter={
+            "o_orderdate": [
+                (">=", "1996-01-01T00:00:00"),
+                ("<", "1996-07-01T00:00:00"),
+            ],
+        },
+    )
+    return t.scan().select(*[c.strip() for c in ORDER_COLS.split(",")])

@@ -62,32 +62,38 @@ def _jsonable(v: Any):
 
 
 def prune_files(
-    files: list[dict[str, Any]], predicates: dict[str, tuple[str, Any]]
+    files: list[dict[str, Any]], predicates: dict[str, Any]
 ) -> list[dict[str, Any]]:
     """Keep files whose stats MIGHT satisfy every predicate.
 
-    ``predicates`` maps column -> (op, value) with op in {"=", "<", "<=",
-    ">", ">="}. A file with no stats for a column is kept (skipping must be
-    conservative). Values compare after the same normalization used at
-    collection time.
+    ``predicates`` maps column -> (op, value) or a LIST of (op, value)
+    conjuncts (e.g. a range is ``[(">=", lo), ("<", hi)]``), op in {"=",
+    "<", "<=", ">", ">="}. A file with no stats for a column is kept
+    (skipping must be conservative). Values compare after the same
+    normalization used at collection time.
     """
     out = []
     for f in files:
         stats = f.get("stats") or {}
         keep = True
-        for col, (op, value) in predicates.items():
+        for col, preds in predicates.items():
             if col not in stats:
                 continue
             lo, hi = stats[col]
-            v = _jsonable(value)
-            if v is None:
-                continue
-            if op == "=" and not (lo <= v <= hi):
-                keep = False
-            elif op in ("<", "<=") and not (lo <= v if op == "<=" else lo < v):
-                keep = False
-            elif op in (">", ">=") and not (v <= hi if op == ">=" else v < hi):
-                keep = False
+            if isinstance(preds, tuple):
+                preds = [preds]
+            for op, value in preds:
+                v = _jsonable(value)
+                if v is None:
+                    continue
+                if op == "=" and not (lo <= v <= hi):
+                    keep = False
+                elif op in ("<", "<=") and not (lo <= v if op == "<=" else lo < v):
+                    keep = False
+                elif op in (">", ">=") and not (v <= hi if op == ">=" else v < hi):
+                    keep = False
+                if not keep:
+                    break
             if not keep:
                 break
         if keep:

@@ -90,6 +90,51 @@ class Lakehouse:
         ns, name = self._split(identifier)
         shutil.rmtree(os.path.join(self.warehouse, ns, name), ignore_errors=True)
 
+    def list_namespaces(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    def list_tables(self, namespace: str) -> list[str]:
+        ns_dir = os.path.join(self.warehouse, namespace)
+        if not os.path.isdir(ns_dir):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(ns_dir)
+            if SnapshotLog(os.path.join(ns_dir, d)).exists()
+        )
+
+    def rename_table(self, src: str, dst: str) -> None:
+        """Atomic same-warehouse rename (data paths in the log are absolute,
+        so the moved log is rewritten to the new locations)."""
+        sns, sname = self._split(src)
+        dns, dname = self._split(dst)
+        src_dir = os.path.join(self.warehouse, sns, sname)
+        dst_dir = os.path.join(self.warehouse, dns, dname)
+        if not SnapshotLog(src_dir).exists():
+            raise FileNotFoundError(f"no such table {src}")
+        if os.path.exists(dst_dir):
+            raise FileExistsError(f"table {dst} already exists")
+        self.create_namespace(dns)
+        os.rename(src_dir, dst_dir)
+        log = SnapshotLog(dst_dir).load()
+        prefix = src_dir.rstrip(os.sep) + os.sep
+        for snap in log.snapshots:
+            for f in snap.added_files:
+                if f["path"].startswith(prefix):
+                    f["path"] = os.path.join(dst_dir, f["path"][len(prefix):])
+            snap.removed_paths = [
+                os.path.join(dst_dir, p[len(prefix):]) if p.startswith(prefix) else p
+                for p in snap.removed_paths
+            ]
+            for d in snap.added_deletes:
+                if d["path"].startswith(prefix):
+                    d["path"] = os.path.join(dst_dir, d["path"][len(prefix):])
+        log._write(expected_len=None)
+
     @staticmethod
     def _split(identifier: str) -> tuple[str, str]:
         parts = identifier.split(".")
@@ -273,6 +318,59 @@ class LakehouseTable:
             ]
             snaps.append(self._commit("add_files", files, summary={"batch": i // batch_size}))
         return snaps
+
+    def rollback_to(self, snapshot_id: int) -> Snapshot:
+        """Restore an earlier snapshot's state as a NEW snapshot (history is
+        preserved — this is Iceberg's rollback, not a history rewrite).
+
+        Metadata-only: the restoring snapshot re-lists the old file set; no
+        data moves. Merge-on-read deletes issued after the target stop
+        applying because the restored entries keep their original
+        ``added_in`` — strictly older than any later delete — so the commit
+        clears them by materializing the target state's delete set too.
+        """
+        target_files = self.log.live_files(snapshot_id)
+        target_deletes = self.log.live_deletes(snapshot_id)
+        snap = self._commit(
+            "overwrite",
+            [],
+            summary={"op": "rollback", "to": snapshot_id},
+        )
+        # an overwrite resets files AND deletes; re-add the target state
+        # verbatim (added_in preserved so delete sequencing stays correct)
+        snap.added_files = [dict(f) for f in target_files]
+        snap.added_deletes = [dict(d) for d in target_deletes]
+        self.log._write(expected_len=None)
+        return snap
+
+    def delete_where(
+        self,
+        predicate,
+        stat_filter: dict[str, tuple] | None = None,
+    ) -> Snapshot:
+        """Copy-on-write row deletion: rewrite ONLY the files that might
+        contain matching rows, keep the rest as metadata.
+
+        ``stat_filter`` (same shape as scan's) narrows the rewrite set via
+        per-file min/max bounds — at 100 TB a date-ranged purge rewrites
+        the few files whose bounds overlap, not the table. Complement of
+        ``delete_keys`` (merge-on-read): this pays the rewrite now and
+        keeps reads zero-cost.
+        """
+        from pyiceberg_lakehouse_spark.lakehouse.stats import prune_files
+
+        files = self.log.live_files()
+        touched = prune_files(files, stat_filter) if stat_filter else files
+        if not touched:
+            return self._commit("replace", [], summary={"op": "delete_where"})
+        kept_rows = self._read_files(touched).filter(~predicate)
+        new_files = self._write_data(kept_rows)
+        return self._commit(
+            "replace",
+            new_files,
+            removed_paths=[f["path"] for f in touched],
+            summary={"op": "delete_where", "rewritten_files": len(touched)},
+        )
 
     def delete_keys(self, keys: DataFrame, key_cols: list[str]) -> Snapshot:
         """Merge-on-read equality delete: write the keys as a delete file,

@@ -263,3 +263,58 @@ def test_metadata_tables_and_count(spark, warehouse, nation_chunks):
     # merge-on-read deletes poison the metadata count (correct refusal)
     t.delete_keys(nation.limit(2), key_cols=["n_nationkey"])
     assert t.metadata_count() is None
+
+
+def test_rollback_restores_state_as_new_snapshot(spark, warehouse, nation_chunks):
+    nation, chunks = nation_chunks
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.nation_rb", SCHEMAS["nation"])
+    s1 = t.append(chunks[0])
+    t.append(chunks[1])
+    t.delete_keys(chunks[0].limit(1), key_cols=["n_nationkey"])
+    n_before = len(t.log.snapshots)
+    snap = t.rollback_to(s1.snapshot_id)
+    assert len(t.log.snapshots) == n_before + 1  # history preserved
+    assert t.scan().count() == chunks[0].count()  # delete + 2nd append undone
+    # rolling forward again also works (rollback is just another snapshot)
+    t.rollback_to(snap.snapshot_id - 1)
+    assert t.scan().count() == chunks[0].count() + chunks[1].count() - 1
+
+
+def test_delete_where_rewrites_only_overlapping_files(spark, warehouse, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table(
+        "ns.orders_dw",
+        SCHEMAS["orders"],
+        properties={"write.target-records-per-file": "400"},
+    )
+    # sort by key so per-file key ranges are tight -> stats can skip files
+    t.append(orders.orderBy("o_orderkey"))
+    files_before = {f["path"] for f in t.log.live_files()}
+    snap = t.delete_where(
+        F.col("o_orderkey") < 100, stat_filter={"o_orderkey": ("<", 100)}
+    )
+    assert snap.summary["rewritten_files"] < len(files_before)
+    assert t.scan().filter(F.col("o_orderkey") < 100).count() == 0
+    expected = orders.filter(F.col("o_orderkey") >= 100).count()
+    assert t.scan().count() == expected
+    untouched = files_before & {f["path"] for f in t.log.live_files()}
+    assert untouched, "delete_where rewrote files it could have skipped"
+
+
+def test_catalog_list_and_rename(spark, warehouse, nation_chunks):
+    nation, chunks = nation_chunks
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.nation_a", SCHEMAS["nation"])
+    t.append(chunks[0])
+    lh.create_table("ns2.nation_b", SCHEMAS["nation"])
+    assert "ns" in lh.list_namespaces() and "ns2" in lh.list_namespaces()
+    assert lh.list_tables("ns") == ["nation_a"]
+    lh.rename_table("ns.nation_a", "ns2.renamed")
+    assert lh.list_tables("ns") == []
+    assert "renamed" in lh.list_tables("ns2")
+    moved = lh.load_table("ns2.renamed")
+    assert moved.scan().count() == chunks[0].count()  # data paths rewritten
+    with pytest.raises(FileNotFoundError):
+        lh.load_table("ns.nation_a")
