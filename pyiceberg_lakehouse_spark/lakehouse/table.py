@@ -578,6 +578,14 @@ class LakehouseTable:
             if not pf.is_identity:
                 dtype = schema[pf.source].dataType.simpleString()
                 df = df.withColumn(pf.name, derived_column_typed(pf, dtype))
+        # table sort order (Iceberg's write.sort-order): cluster rows within
+        # each task so every file's min/max bounds on the sort columns are
+        # tight — stats skipping works on every write, not just after an
+        # explicit zorder/compact. No extra shuffle: sort is per-partition.
+        sort_order = self.log.properties.get("write.sort-order")
+        if sort_order:
+            sort_cols = [c.strip() for c in sort_order.split(",") if c.strip()]
+            df = df.sortWithinPartitions(*sort_cols)
         commit_no = (self.log.current_snapshot_id() or 0) + 1
         # uuid suffix: two writers racing never collide on data paths — the
         # snapshot-log commit (optimistic check + atomic rename) is the only

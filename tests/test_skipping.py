@@ -98,3 +98,28 @@ def test_zorder_preserves_content(spark, warehouse, sf_dir):
     assert t.scan().count() == li.count()
     assert t.scan().exceptAll(li).count() == 0
     assert li.exceptAll(t.scan()).count() == 0
+
+
+def test_sort_order_property_tightens_file_bounds(spark, warehouse, sf_dir):
+    """write.sort-order clusters rows at write time, so a range predicate
+    skips files immediately — no explicit zorder/compact needed."""
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table(
+        "ns.orders_so",
+        SCHEMAS["orders"],
+        properties={
+            "write.sort-order": "o_totalprice",
+            "write.target-records-per-file": "300",
+        },
+    )
+    # single writer partition => one sorted run => near-disjoint file bounds
+    t.append(orders.repartition(1))
+    files = t.log.live_files()
+    assert len(files) > 3
+    kept = prune_files(files, {"o_totalprice": ("<", 50000.0)})
+    assert len(kept) < len(files) / 2, (len(kept), len(files))
+    got = t.scan(stat_filter={"o_totalprice": ("<", 50000.0)}).filter(
+        F.col("o_totalprice") < 50000.0
+    )
+    assert got.count() == orders.filter(F.col("o_totalprice") < 50000.0).count()
