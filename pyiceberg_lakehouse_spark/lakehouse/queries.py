@@ -479,3 +479,39 @@ def lh_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return t.scan().select(*[c.strip() for c in ORDER_COLS.split(",")])
+
+
+@register(
+    "lh_datasource_pushdown_scan",
+    """
+    select o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    from orders
+    where o_orderstatus = 'F' and o_totalprice < 100000.0
+    """,
+)
+def lh_datasource_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read through the registered ``lakehouse`` format
+    (sources/datasource.py): the WHERE clause reaches the source as
+    pushFilters, which prunes the file list against the log's identity
+    partition values (o_orderstatus) AND per-file min/max stats
+    (o_totalprice — the table is written price-sorted so bounds are tight).
+    Spark still evaluates the residual row filter; skipping is file-granular.
+    """
+    from pyiceberg_lakehouse_spark.sources.datasource import register_lakehouse_source
+
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table(
+        "ns.orders_fmt",
+        SCHEMAS["orders"],
+        partition_by=["o_orderstatus"],
+        properties={
+            "write.sort-order": "o_totalprice",
+            "write.target-records-per-file": "4000",
+        },
+    )
+    t.append(load_table(spark, sf_dir, "orders"))
+    register_lakehouse_source(spark)
+    df = spark.read.format("lakehouse").load(t.table_dir)
+    return df.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 100000.0)
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")

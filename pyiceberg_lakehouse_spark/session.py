@@ -32,6 +32,8 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # lets Python data sources (sources/datasource.py) receive pushFilters
+    "spark.sql.python.filterPushdown.enabled": "true",
     # 512 MB reference target-file-size (main-daft.py:106) is a *write*
     # target; for reads we keep the Spark default-ish split size so a 100 TB
     # scan fans out across all executor cores.

@@ -141,3 +141,37 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("click_id", "purchase_id", "user_id")
     return W.run_to_memory(joined, output_mode="append")
+
+
+@register(
+    "stream_lh_datasource_partitioned",
+    """
+    select event_type, count(*) as n,
+           cast(sum(cast(value as decimal(18,4))) as double) as sum_value
+    from events group by event_type
+    """,
+)
+def stream_lh_datasource_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED lakehouse table as a stream source via
+    ``readStream.format("lakehouse")`` (sources/datasource.py): offsets are
+    snapshot ids, and partition values re-attach from log metadata — the
+    hive-path-discovery restriction of the file-stream source
+    (lakehouse_io.py) does not apply. Two appends -> two snapshots; the
+    availableNow drain must see both, equal to the batch GROUP BY."""
+    from pyiceberg_lakehouse_spark.sources.datasource import register_lakehouse_source
+    from pyiceberg_lakehouse_spark.sources.testdata import load_table
+
+    lh = Lakehouse(spark, tempfile.mkdtemp(prefix="lh_ds_src_"))
+    t = lh.create_table(
+        "ns.events_ds_src", EVENTS_TABLE_SCHEMA, partition_by=["event_type"]
+    )
+    ev = load_table(spark, sf_dir, "events")
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    register_lakehouse_source(spark)
+    stream = spark.readStream.format("lakehouse").load(t.table_dir)
+    drained = stream_table_to_memory(stream.select("event_type", "value"))
+    return drained.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )

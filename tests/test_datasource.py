@@ -1,0 +1,122 @@
+"""The registered ``lakehouse`` format (sources/datasource.py): batch read
+with pushed-filter file skipping, time travel, and the partitioned
+snapshot-offset streaming source with exactly-once restarts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, LessThan
+
+from pyiceberg_lakehouse_spark.lakehouse.table import Lakehouse
+from pyiceberg_lakehouse_spark.sources.datasource import (
+    LakehouseBatchReader,
+    register_lakehouse_source,
+)
+from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+
+@pytest.fixture()
+def orders_table(spark, warehouse, sf_dir):
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table(
+        "ns.orders_fmt",
+        SCHEMAS["orders"],
+        partition_by=["o_orderstatus"],
+        properties={
+            "write.sort-order": "o_totalprice",
+            "write.target-records-per-file": "300",
+        },
+    )
+    t.append(load_table(spark, sf_dir, "orders"))
+    register_lakehouse_source(spark)
+    return t
+
+
+def test_batch_read_matches_scan(spark, orders_table, sf_dir):
+    df = spark.read.format("lakehouse").load(orders_table.table_dir)
+    assert df.schema == orders_table.schema()
+    assert df.count() == load_table(spark, sf_dir, "orders").count()
+    assert df.exceptAll(orders_table.scan()).count() == 0
+
+
+def test_pushed_filters_prune_files(orders_table):
+    baseline = LakehouseBatchReader({"path": orders_table.table_dir})
+    n_all = len(baseline.partitions())
+    pruned = LakehouseBatchReader({"path": orders_table.table_dir})
+    residual = pruned.pushFilters(
+        [EqualTo(("o_orderstatus",), "O"), LessThan(("o_totalprice",), 50000.0)]
+    )
+    # file skipping is file-granular: every filter must come back to Spark
+    assert len(list(residual)) == 2
+    assert len(pruned.partitions()) < n_all
+
+
+def test_pushed_filter_results_correct(spark, orders_table, sf_dir):
+    df = spark.read.format("lakehouse").load(orders_table.table_dir)
+    got = df.filter("o_orderstatus = 'O' and o_totalprice < 50000").count()
+    exp = (
+        load_table(spark, sf_dir, "orders")
+        .filter("o_orderstatus = 'O' and o_totalprice < 50000")
+        .count()
+    )
+    assert got == exp > 0
+
+
+def test_time_travel_option(spark, orders_table, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    snap1 = orders_table.log.current_snapshot_id()
+    orders_table.append(orders.limit(10))
+    head = spark.read.format("lakehouse").load(orders_table.table_dir)
+    past = (
+        spark.read.format("lakehouse")
+        .option("snapshot_id", snap1)
+        .load(orders_table.table_dir)
+    )
+    assert head.count() == orders.count() + 10
+    assert past.count() == orders.count()
+
+
+def test_partitioned_stream_exactly_once_restart(
+    spark, orders_table, sf_dir, tmp_path
+):
+    """The gap the file-stream source can't cover: a PARTITIONED table
+    streamed with snapshot-id offsets, surviving a restart without
+    re-reading or losing rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def drain() -> int:
+        s = spark.readStream.format("lakehouse").load(orders_table.table_dir)
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).count()
+
+    n = orders.count()
+    assert drain() == n
+    orders_table.append(orders.limit(7))
+    assert drain() == n + 7  # restart reads exactly the new snapshot
+    assert drain() == n + 7  # nothing new -> nothing appended
+    # partition column round-trips through log metadata, not hive paths
+    streamed = spark.read.parquet(out)
+    assert streamed.filter(F.col("o_orderstatus").isNull()).count() == 0
+
+
+def test_stream_rejects_rewrite_history(spark, orders_table, tmp_path):
+    orders_table.delete_where(F.col("o_orderkey") % 2 == 0)
+    s = spark.readStream.format("lakehouse").load(orders_table.table_dir)
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out2"))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="append-only|STREAM"):
+        q.awaitTermination(120)
