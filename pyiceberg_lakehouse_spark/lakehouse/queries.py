@@ -515,3 +515,30 @@ def lh_datasource_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(
         (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 100000.0)
     ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "lh_datasource_write_roundtrip",
+    f"select {ORDER_COLS} from orders",
+)
+def lh_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.write.format("lakehouse")`` end to end: executor tasks write
+    hive-partitioned zstd parquet + footer stats, the driver folds their
+    commit messages into ONE snapshot, and the read path (same format)
+    returns exactly the input. Write-then-commit behind Spark's writer API.
+    """
+    from pyiceberg_lakehouse_spark.sources.datasource import register_lakehouse_source
+
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table(
+        "ns.orders_wds", SCHEMAS["orders"], partition_by=["o_orderpriority"]
+    )
+    register_lakehouse_source(spark)
+    load_table(spark, sf_dir, "orders").write.format("lakehouse").mode(
+        "append"
+    ).save(t.table_dir)
+    return (
+        spark.read.format("lakehouse")
+        .load(t.table_dir)
+        .select(*[c.strip() for c in ORDER_COLS.split(",")])
+    )

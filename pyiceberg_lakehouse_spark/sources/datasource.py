@@ -41,8 +41,10 @@ from urllib.parse import unquote
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -51,6 +53,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from pyiceberg_lakehouse_spark.lakehouse.log import SnapshotLog
@@ -212,6 +215,194 @@ class LakehouseStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class FilesWritten(WriterCommitMessage):
+    """Per-task commit message: the file entries this task produced."""
+
+    entries: list = field(default_factory=list)
+
+
+def _writer_state(options: dict) -> dict:
+    """Driver-side prep shared by batch and stream writers: load the log,
+    reject specs the executor-side writer can't derive, size files."""
+    table_dir = options["path"]
+    log = SnapshotLog(table_dir).load()
+    from pyiceberg_lakehouse_spark.lakehouse.transforms import parse_spec
+
+    for spec in log.partition_by:
+        if not parse_spec(spec).is_identity:
+            raise ValueError(
+                f"partition spec {spec!r} is a hidden-partitioning transform; "
+                "write through LakehouseTable.append(), which derives it"
+            )
+    records = log.properties.get("write.target-records-per-file")
+    if records is None:
+        target = int(log.properties.get("write.target-file-size-bytes", 512 * 1024 * 1024))
+        records = target // int(log.properties.get("write.estimated-row-bytes", 64))
+    return {
+        "table_dir": table_dir,
+        "partition_by": list(log.partition_by),
+        "columns": [f.name for f in log.schema().fields],
+        "records_per_file": int(records),
+    }
+
+
+def _write_task_batches(batches, state: dict, subdir: str) -> FilesWritten:
+    """Executor side: write this task's Arrow batches as hive-partitioned
+    zstd parquet under ``data/<subdir>/`` and collect per-file footer stats.
+
+    Unique basenames make concurrent tasks (and streaming epochs) collision
+    free in the shared directory; stats collection is executor-local footer
+    reads, so at 100 TB the driver never touches a data file."""
+    import re
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from pyiceberg_lakehouse_spark.lakehouse.stats import (
+        collect_file_stats,
+        file_row_count,
+    )
+
+    batches = [b for b in batches if b.num_rows > 0]
+    if not batches:
+        return FilesWritten([])
+    out_dir = os.path.join(state["table_dir"], "data", subdir)
+    written: list[str] = []
+    kwargs: dict[str, Any] = {}
+    if state["partition_by"]:
+        kwargs["partitioning"] = pads.partitioning(
+            pa.schema(
+                [batches[0].schema.field(c) for c in state["partition_by"]]
+            ),
+            flavor="hive",
+        )
+    pads.write_dataset(
+        batches,
+        out_dir,
+        schema=batches[0].schema,
+        format="parquet",
+        basename_template=f"task-{uuid.uuid4().hex[:12]}-{{i}}.parquet",
+        existing_data_behavior="overwrite_or_ignore",
+        max_rows_per_file=state["records_per_file"],
+        max_rows_per_group=min(state["records_per_file"], 1 << 20),
+        file_options=pads.ParquetFileFormat().make_write_options(compression="zstd"),
+        file_visitor=lambda f: written.append(f.path),
+        **kwargs,
+    )
+    entries = []
+    for path in sorted(written):
+        rel = os.path.relpath(path, out_dir).replace(os.sep, "/")
+        partition = dict(re.findall(r"([^/=]+)=([^/]+)(?=/)", rel + "/"))
+        partition = {k: v for k, v in partition.items() if k in state["partition_by"]}
+        entries.append(
+            {
+                "path": path,
+                "partition": partition,
+                "rows": file_row_count(path),
+                "stats": collect_file_stats(path),
+            }
+        )
+    return FilesWritten(entries)
+
+
+def _delete_written(messages) -> None:
+    for msg in messages:
+        for e in getattr(msg, "entries", []) or []:
+            if os.path.exists(e["path"]):
+                os.unlink(e["path"])
+
+
+class LakehouseBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("lakehouse").mode("append"|"overwrite").save(dir)``.
+
+    Tasks write files (Arrow -> hive-partitioned zstd parquet, executor-side
+    footer stats); the driver turns the collected commit messages into ONE
+    snapshot-log commit — the same write-then-commit protocol as
+    ``LakehouseTable.append``, now behind Spark's own writer API."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
+        self.state = _writer_state(options)
+        self.overwrite = overwrite
+        self.subdir = f"commit-w-{uuid.uuid4().hex[:8]}"
+
+    def write(self, iterator) -> FilesWritten:
+        return _write_task_batches(iterator, self.state, self.subdir)
+
+    def commit(self, messages) -> None:
+        entries = [e for m in messages if m is not None for e in m.entries]
+        log = SnapshotLog(self.state["table_dir"]).load()
+        log.commit(
+            "overwrite" if self.overwrite else "append",
+            entries,
+            summary={"writer": "datasource", "mode": "overwrite" if self.overwrite else "append"},
+            retry_conflicts=0 if self.overwrite else 3,
+        )
+
+    def abort(self, messages) -> None:
+        _delete_written(m for m in messages if m is not None)
+
+
+class LakehouseStreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("lakehouse")...start(dir)``: one idempotent
+    snapshot per micro-batch, exactly-once via the batch id recorded in the
+    snapshot summary (same replay guard as streaming/lakehouse_io.py)."""
+
+    def __init__(self, options: dict):
+        import uuid
+
+        self.state = _writer_state(options)
+        self.subdir = f"stream-{uuid.uuid4().hex[:8]}"
+
+    def write(self, iterator) -> FilesWritten:
+        # rows arrive as an Arrow-batch iterator only for DataSourceArrowWriter;
+        # the stream writer receives Rows — convert through pyarrow for the
+        # same vectorized file write
+        import pyarrow as pa
+
+        schema = None
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        rows = list(iterator)
+        if not rows:
+            return FilesWritten([])
+        schema = to_arrow_schema(
+            T.StructType.fromJson(
+                json.loads(SnapshotLog(self.state["table_dir"]).load().schema_json)
+            )
+        )
+        cols = {
+            f.name: pa.array([r[f.name] for r in rows]).cast(f.type)
+            for f in schema
+        }
+        batch = pa.RecordBatch.from_arrays([cols[f.name] for f in schema], schema=schema)
+        return _write_task_batches([batch], self.state, self.subdir)
+
+    def commit(self, messages, batchId: int) -> None:
+        log = SnapshotLog(self.state["table_dir"]).load()
+        committed = {
+            int(s.summary["streaming_batch_id"])
+            for s in log.snapshots
+            if "streaming_batch_id" in s.summary
+        }
+        if batchId in committed:  # replayed epoch — exactly-once holds
+            _delete_written(m for m in messages if m is not None)
+            return
+        entries = [e for m in messages if m is not None for e in m.entries]
+        log.commit(
+            "append",
+            entries,
+            summary={"writer": "datasource-stream", "streaming_batch_id": batchId},
+            retry_conflicts=3,
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _delete_written(m for m in messages if m is not None)
+
+
 class LakehouseDataSource(DataSource):
     """``spark.dataSource.register(LakehouseDataSource)`` then
     ``spark.read.format("lakehouse").load(table_dir)`` (batch, time travel
@@ -231,6 +422,18 @@ class LakehouseDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         return LakehouseStreamReader(self.options)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> LakehouseBatchWriter:
+        expected = set(self.schema().names)
+        got = set(schema.names)
+        if got != expected:
+            raise ValueError(
+                f"dataframe columns {sorted(got)} != table columns {sorted(expected)}"
+            )
+        return LakehouseBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> LakehouseStreamWriter:
+        return LakehouseStreamWriter(self.options)
 
 
 def register_lakehouse_source(spark) -> None:

@@ -120,3 +120,74 @@ def test_stream_rejects_rewrite_history(spark, orders_table, tmp_path):
     )
     with pytest.raises(Exception, match="append-only|STREAM"):
         q.awaitTermination(120)
+
+
+def test_writer_append_roundtrip(spark, orders_table, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    before = orders_table.scan().count()
+    orders.limit(50).write.format("lakehouse").mode("append").save(
+        orders_table.table_dir
+    )
+    orders_table.log.load()
+    assert orders_table.scan().count() == before + 50
+    snap = orders_table.log.snapshots[-1]
+    assert snap.operation == "append"
+    # executor-side footer stats landed in the log for every new file
+    assert all(f.get("stats") for f in snap.added_files)
+
+
+def test_writer_overwrite(spark, orders_table, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    orders.limit(25).write.format("lakehouse").mode("overwrite").save(
+        orders_table.table_dir
+    )
+    orders_table.log.load()
+    assert orders_table.scan().count() == 25
+
+
+def test_writer_rejects_schema_mismatch(spark, orders_table, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    with pytest.raises(Exception, match="columns"):
+        orders.drop("o_custkey").write.format("lakehouse").mode("append").save(
+            orders_table.table_dir
+        )
+
+
+def test_writer_rejects_transform_partitioning(spark, warehouse, sf_dir):
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table(
+        "ns.orders_tr", SCHEMAS["orders"], partition_by=["month(o_orderdate)"]
+    )
+    register_lakehouse_source(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    with pytest.raises(Exception, match="hidden-partitioning|transform"):
+        orders.write.format("lakehouse").mode("append").save(t.table_dir)
+
+
+def test_stream_writer_exactly_once(spark, warehouse, sf_dir, tmp_path):
+    from pyiceberg_lakehouse_spark.streaming.queries_lakehouse import (
+        EVENTS_TABLE_SCHEMA,
+    )
+    from pyiceberg_lakehouse_spark.streaming.windows import events_stream
+
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.events_w", EVENTS_TABLE_SCHEMA)
+    register_lakehouse_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, sf_dir, "events")
+    # one source dir for both runs — the checkpoint pins the source path
+    stream = events_stream(spark, sf_dir)
+
+    def run():
+        q = (
+            stream.writeStream.format("lakehouse")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(t.table_dir)
+        )
+        q.awaitTermination(120)
+        t.log.load()
+        return t.scan().count()
+
+    assert run() == ev.count()
+    assert run() == ev.count()  # replay/no-new-data never duplicates
