@@ -113,6 +113,7 @@ class SnapshotLog:
         self.partition_by: list[str] = []
         self.properties: dict[str, str] = {}
         self.snapshots: list[Snapshot] = []
+        self.refs: dict[str, int] = {}  # named tags -> snapshot_id
 
     # ------------------------------------------------------------- state --
 
@@ -126,6 +127,7 @@ class SnapshotLog:
         self.partition_by = d.get("partition_by", [])
         self.properties = d.get("properties", {})
         self.snapshots = [Snapshot.from_json(s) for s in d.get("snapshots", [])]
+        self.refs = {k: int(v) for k, v in d.get("refs", {}).items()}
         return self
 
     def schema(self) -> T.StructType:
@@ -171,6 +173,38 @@ class SnapshotLog:
             if snapshot_id is not None and snap.snapshot_id == snapshot_id:
                 break
         return deletes
+
+    def snapshot_at(self, timestamp_ms: int) -> int:
+        """Latest snapshot committed at or before ``timestamp_ms``
+        (Iceberg's as-of-timestamp resolution)."""
+        eligible = [s.snapshot_id for s in self.snapshots if s.timestamp_ms <= timestamp_ms]
+        if not eligible:
+            raise KeyError(f"no snapshot at or before {timestamp_ms} in {self.path}")
+        return eligible[-1]
+
+    def set_ref(self, name: str, snapshot_id: int) -> None:
+        """Create/update a named tag pointing at an existing snapshot.
+
+        Metadata-only and atomic (same lock + rename as commits); tags pin
+        history for reproducible reads — e.g. tag a training-data snapshot
+        and every consumer reads exactly those files regardless of later
+        appends. ``expire_snapshots`` keeps tagged snapshots reachable only
+        if they fall in the retained window, same as Iceberg's retention.
+        """
+        with _commit_lock(self.table_dir):
+            on_disk = SnapshotLog(self.table_dir).load()
+            if snapshot_id not in [s.snapshot_id for s in on_disk.snapshots]:
+                raise KeyError(f"snapshot {snapshot_id} not found in {self.path}")
+            on_disk.refs[name] = snapshot_id
+            on_disk._write(expected_len=None)
+            self.load()
+
+    def drop_ref(self, name: str) -> None:
+        with _commit_lock(self.table_dir):
+            on_disk = SnapshotLog(self.table_dir).load()
+            on_disk.refs.pop(name, None)
+            on_disk._write(expected_len=None)
+            self.load()
 
     # ------------------------------------------------------------ commits --
 
@@ -259,6 +293,7 @@ class SnapshotLog:
             "partition_by": self.partition_by,
             "properties": self.properties,
             "snapshots": [s.to_json() for s in self.snapshots],
+            "refs": self.refs,
         }
         fd, tmp = tempfile.mkstemp(prefix=".snaplog.", dir=self.table_dir)
         try:

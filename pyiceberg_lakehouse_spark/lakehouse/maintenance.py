@@ -132,6 +132,39 @@ def cluster_zorder(
     )
 
 
+def remove_orphan_files(table: LakehouseTable, older_than_s: float = 3600.0) -> list[str]:
+    """Delete data files under the table dir that no snapshot references.
+
+    Orphans come from crashed writers (files written, commit never issued)
+    and failed tasks. The age guard keeps in-flight writes safe: a writer
+    that has produced files but not yet committed is younger than
+    ``older_than_s``. Returns the deleted paths. O(files-on-disk) driver
+    work, no data reads — same maintenance posture as Iceberg's
+    remove_orphan_files action.
+    """
+    import glob as _glob
+    import time as _time
+
+    table.log.load()
+    referenced = {f["path"] for s in table.log.snapshots for f in s.added_files}
+    referenced |= {d["path"] for s in table.log.snapshots for d in s.added_deletes}
+    cutoff = _time.time() - older_than_s
+    deleted = []
+    for path in _glob.glob(
+        os.path.join(table.table_dir, "data", "**", "*.parquet"), recursive=True
+    ):
+        if path in referenced:
+            continue
+        try:
+            if os.path.getmtime(path) > cutoff:
+                continue
+            os.unlink(path)
+            deleted.append(path)
+        except FileNotFoundError:
+            continue
+    return sorted(deleted)
+
+
 def expire_snapshots(table: LakehouseTable, keep_last: int = 1) -> list[str]:
     """Drop history older than the last ``keep_last`` snapshots and delete
     data files no longer reachable from any retained snapshot state.

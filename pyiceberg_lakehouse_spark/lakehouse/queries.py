@@ -542,3 +542,20 @@ def lh_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         .load(t.table_dir)
         .select(*[c.strip() for c in ORDER_COLS.split(",")])
     )
+
+
+@register(
+    "lh_tag_read",
+    f"select {ORDER_COLS} from orders where o_orderstatus = 'O'",
+)
+def lh_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-tag time travel: tag the first append, keep appending, read the
+    tag — reproducible-by-name reads for e.g. a pinned training-data
+    snapshot. Metadata-only (refs live in the snapshot log)."""
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.orders_tag", SCHEMAS["orders"])
+    orders = load_table(spark, sf_dir, "orders")
+    t.append(orders.filter(F.col("o_orderstatus") == "O"))
+    t.tag("train-v1")
+    t.append(orders.filter(F.col("o_orderstatus") != "O"))
+    return t.read_tag("train-v1").select(*[c.strip() for c in ORDER_COLS.split(",")])

@@ -465,6 +465,25 @@ class LakehouseTable:
         """Time travel to an exact snapshot (Q5 variant)."""
         return self.scan(snapshot_id=snapshot_id)
 
+    def read_as_of(self, timestamp_ms: int) -> DataFrame:
+        """Time travel by wall clock: the table as of ``timestamp_ms``."""
+        return self.scan(snapshot_id=self.log.snapshot_at(timestamp_ms))
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin a named tag to a snapshot (default: current head).
+
+        Tags make reads reproducible by name — ``read_tag("train-v1")``
+        returns the same rows forever, regardless of later appends."""
+        sid = snapshot_id if snapshot_id is not None else self.log.current_snapshot_id()
+        self.log.set_ref(name, sid)
+        return sid
+
+    def read_tag(self, name: str) -> DataFrame:
+        self.log.load()
+        if name not in self.log.refs:
+            raise KeyError(f"tag {name!r} not found; have {sorted(self.log.refs)}")
+        return self.scan(snapshot_id=self.log.refs[name])
+
     def read_incremental(
         self, from_snapshot: int, to_snapshot: int | None = None
     ) -> DataFrame:

@@ -318,3 +318,59 @@ def test_catalog_list_and_rename(spark, warehouse, nation_chunks):
     assert moved.scan().count() == chunks[0].count()  # data paths rewritten
     with pytest.raises(FileNotFoundError):
         lh.load_table("ns.nation_a")
+
+
+def test_tags_and_as_of_timestamp(spark, warehouse, sf_dir):
+    """Tags pin state by name; as-of-timestamp resolves between commits."""
+    from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.orders_refs", SCHEMAS["orders"])
+    orders = load_table(spark, sf_dir, "orders")
+    t.append(orders.limit(100))
+    t.tag("v1")
+    ts_after_first = t.log.snapshots[-1].timestamp_ms
+    t.append(orders.limit(40))
+    assert t.read_tag("v1").count() == 100
+    assert t.scan().count() == 140
+    # as-of just after the first append resolves to it, not the second
+    assert t.read_as_of(ts_after_first).count() == 100
+    assert t.read_as_of(t.log.snapshots[-1].timestamp_ms).count() == 140
+    # tags survive reload; dropping one removes only the name
+    t.log.load()
+    assert "v1" in t.log.refs
+    t.log.drop_ref("v1")
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        t.read_tag("v1")
+    with _pytest.raises(KeyError):
+        t.read_as_of(0)
+
+
+def test_remove_orphan_files(spark, warehouse, sf_dir):
+    """Crashed-writer debris is deleted; referenced data and young
+    (possibly in-flight) files survive."""
+    import os
+    import time
+
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import remove_orphan_files
+    from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.orders_orph", SCHEMAS["orders"])
+    orders = load_table(spark, sf_dir, "orders")
+    t.append(orders.limit(100))
+    n = t.scan().count()
+    orphan_dir = os.path.join(t.table_dir, "data", "commit-dead-beef")
+    os.makedirs(orphan_dir)
+    old_orphan = os.path.join(orphan_dir, "crashed.parquet")
+    orders.limit(5).toPandas().to_parquet(old_orphan)
+    os.utime(old_orphan, (time.time() - 7200, time.time() - 7200))
+    young_orphan = os.path.join(orphan_dir, "inflight.parquet")
+    orders.limit(5).toPandas().to_parquet(young_orphan)
+
+    deleted = remove_orphan_files(t, older_than_s=3600)
+    assert deleted == [old_orphan]
+    assert os.path.exists(young_orphan)  # age guard protects in-flight writes
+    assert t.scan().count() == n  # referenced files untouched

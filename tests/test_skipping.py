@@ -123,3 +123,45 @@ def test_sort_order_property_tightens_file_bounds(spark, warehouse, sf_dir):
         F.col("o_totalprice") < 50000.0
     )
     assert got.count() == orders.filter(F.col("o_totalprice") < 50000.0).count()
+
+
+def test_zorder_three_columns(spark, warehouse, sf_dir):
+    """Morton interleave generalizes past 2 dims: a 3-column box predicate
+    prunes files after clustering on all three."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_quantity", T.DoubleType()),
+        ]
+    )
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table(
+        "ns.li_z3", schema, properties={"write.target-records-per-file": "500"}
+    )
+    t.append(li)
+    cluster_zorder(
+        t, ["l_orderkey", "l_partkey", "l_suppkey"], bits=10, target_file_bytes=12_000
+    )
+    files = t.log.live_files()
+    assert len(files) >= 4
+    box = {
+        "l_orderkey": [(">=", 0), ("<", 1500)],
+        "l_partkey": [(">=", 0), ("<", 100)],
+        "l_suppkey": [(">=", 0), ("<", 5)],
+    }
+    kept = prune_files(files, box)
+    assert len(kept) < len(files), (len(kept), len(files))
+    got = t.scan(stat_filter=box).filter(
+        (F.col("l_orderkey") < 1500) & (F.col("l_partkey") < 100) & (F.col("l_suppkey") < 5)
+    )
+    exp = li.filter(
+        (F.col("l_orderkey") < 1500) & (F.col("l_partkey") < 100) & (F.col("l_suppkey") < 5)
+    )
+    assert got.count() == exp.count()
