@@ -559,3 +559,31 @@ def lh_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.tag("train-v1")
     t.append(orders.filter(F.col("o_orderstatus") != "O"))
     return t.read_tag("train-v1").select(*[c.strip() for c in ORDER_COLS.split(",")])
+
+
+@register(
+    "lh_rename_column",
+    """
+    select o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice as price, o_orderdate, o_orderpriority
+    from orders
+    """,
+)
+def lh_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename-without-rewrite: half the data written under the old column
+    name, the rename commits metadata-only, the other half written under
+    the new name — one scan serves both epochs under the current schema."""
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.orders_rn_q", SCHEMAS["orders"])
+    orders = load_table(spark, sf_dir, "orders")
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.rename_column("o_totalprice", "price")
+    t.append(
+        orders.filter(F.col("o_orderkey") % 2 == 1).withColumnRenamed(
+            "o_totalprice", "price"
+        )
+    )
+    return t.scan().select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "price", "o_orderdate",
+        "o_orderpriority",
+    )

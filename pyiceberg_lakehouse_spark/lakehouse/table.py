@@ -223,6 +223,57 @@ class LakehouseTable:
         ).json()
         self.log.commit("schema_change", [], summary={"drop_column": name})
 
+    def rename_column(self, old: str, new: str) -> None:
+        """Schema evolution: rename a column without rewriting any data
+        (Iceberg's flagship rename semantics).
+
+        Metadata-only: the rename is recorded in the snapshot log, and the
+        read path maps each file's HISTORICAL column name forward based on
+        when the file was added vs when renames committed — so files written
+        before the rename keep serving under the new name. Partition source
+        columns can't be renamed (their name is baked into data paths and
+        partition specs); rewrite via partition-spec evolution instead.
+        """
+        schema = self.schema()
+        if old not in schema.names:
+            raise KeyError(f"column {old!r} not in schema {schema.names}")
+        if new in schema.names:
+            raise ValueError(f"column {new!r} already exists")
+        part_sources = {pf.source for pf in self.partition_fields}
+        if old in part_sources or old in self.partition_names:
+            raise ValueError(f"{old!r} is a partition source/name; cannot rename")
+        self.log.schema_json = T.StructType(
+            [
+                f if f.name != old else T.StructField(new, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        ).json()
+        self.log.commit(
+            "schema_change", [], summary={"rename_column": {"from": old, "to": new}}
+        )
+
+    def _rename_events(self) -> list[tuple[int, str, str]]:
+        """(snapshot_id, old, new) for every committed rename, in order."""
+        out = []
+        for s in self.log.snapshots:
+            rc = s.summary.get("rename_column")
+            if rc:
+                out.append((s.snapshot_id, rc["from"], rc["to"]))
+        return out
+
+    def _historical_names(self, added_in: int) -> dict[str, str]:
+        """current column name -> the name it had when a file committed in
+        snapshot ``added_in`` was written (walk renames newest-first)."""
+        renames = self._rename_events()
+        mapping = {}
+        for f in self.schema().fields:
+            name = f.name
+            for sid, old, new in reversed(renames):
+                if sid > added_in and name == new:
+                    name = old
+            mapping[f.name] = name
+        return mapping
+
     def update_partition_spec(self, new_specs: list[str]) -> Snapshot:
         """Partition evolution (metadata-only): future writes use the new
         spec; existing files keep theirs and stay readable.
@@ -597,6 +648,24 @@ class LakehouseTable:
             if not pf.is_identity:
                 dtype = schema[pf.source].dataType.simpleString()
                 df = df.withColumn(pf.name, derived_column_typed(pf, dtype))
+        # write distribution (Iceberg's write.distribution-mode): without it,
+        # EVERY task holding rows of a partition writes its own file there —
+        # a 1000-task write into 100 partitions can shed 100k small files.
+        # "hash" co-locates each partition's rows on one task (one shuffle);
+        # "range" range-partitions on partition + sort columns, which also
+        # pre-orders data for tight file bounds.
+        dist_mode = self.log.properties.get("write.distribution-mode", "none")
+        sort_cols_prop = [
+            c.strip()
+            for c in self.log.properties.get("write.sort-order", "").split(",")
+            if c.strip()
+        ]
+        if dist_mode == "hash" and self.log.partition_by:
+            df = df.repartition(*self.partition_names)
+        elif dist_mode == "range":
+            range_cols = [*self.partition_names, *sort_cols_prop]
+            if range_cols:
+                df = df.repartitionByRange(*range_cols)
         # table sort order (Iceberg's write.sort-order): cluster rows within
         # each task so every file's min/max bounds on the sort columns are
         # tight — stats skipping works on every write, not just after an
@@ -678,59 +747,99 @@ class LakehouseTable:
     def _read_files(self, files: list[dict[str, Any]]) -> DataFrame:
         """File-list read. Hive-layout files go through one scan with
         basePath (Spark re-derives partition columns); metadata-only files
-        (add_files/flat layout) get partition columns attached from the log."""
+        (add_files/flat layout) get partition columns attached from the log.
+
+        When renames have committed, files are additionally grouped by the
+        snapshot they were added in, read under their HISTORICAL column
+        names, and aliased forward — rename-without-rewrite. With no
+        renames the grouping collapses and the original single-scan paths
+        apply unchanged."""
         schema = self.schema()
         if not files:
             return self.spark.createDataFrame([], schema)
+        has_renames = bool(self._rename_events())
+
+        def hist_for(added_in: int) -> dict[str, str]:
+            return self._historical_names(added_in) if has_renames else {}
+
+        def conform(df: DataFrame, hist: dict[str, str]) -> DataFrame:
+            return df.select(
+                *[
+                    F.col(hist.get(f.name, f.name)).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+
         parts = self.partition_names
         if not parts:
             # unpartitioned: every file (including externally registered
-            # add_files paths) carries the full schema — one multi-file scan
-            df = self.spark.read.schema(schema).parquet(*[f["path"] for f in files])
-            return df.select(
-                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
-            )
+            # add_files paths) carries the full schema — one scan per rename
+            # epoch (a single multi-file scan when no renames exist)
+            by_epoch: dict[int, list[str]] = {}
+            for f in files:
+                epoch = f.get("added_in", 0) if has_renames else 0
+                by_epoch.setdefault(epoch, []).append(f["path"])
+            dfs = []
+            for epoch, paths in sorted(by_epoch.items()):
+                hist = hist_for(epoch)
+                read_schema = T.StructType(
+                    [
+                        T.StructField(hist.get(f.name, f.name), f.dataType, True)
+                        for f in schema.fields
+                    ]
+                )
+                dfs.append(
+                    conform(self.spark.read.schema(read_schema).parquet(*paths), hist)
+                )
+            return reduce(DataFrame.unionByName, dfs)
         data_dir = os.path.join(self.table_dir, "data")
         hive = [f for f in files if _is_hive(f, parts, data_dir)]
         flat = [f for f in files if not _is_hive(f, parts, data_dir)]
         dfs: list[DataFrame] = []
         if hive:
             # one scan per commit dir (basePath anchors partition discovery
-            # below the commit dir, so hive segments parse cleanly)
-            by_commit: dict[str, list[str]] = {}
+            # below the commit dir, so hive segments parse cleanly); a commit
+            # dir is a single snapshot, so it is also a single rename epoch
+            by_commit: dict[str, list[dict]] = {}
             for f in hive:
                 rel = os.path.relpath(f["path"], os.path.join(self.table_dir, "data"))
                 commit = rel.replace(os.sep, "/").split("/", 1)[0]
-                by_commit.setdefault(commit, []).append(f["path"])
+                by_commit.setdefault(commit, []).append(f)
             for commit in sorted(by_commit):
+                group = by_commit[commit]
+                hist = hist_for(group[0].get("added_in", 0))
+                read_schema = T.StructType(
+                    [
+                        T.StructField(hist.get(f.name, f.name), f.dataType, True)
+                        for f in self._data_schema().fields
+                    ]
+                )
                 df = (
-                    self.spark.read.schema(self._data_schema())
+                    self.spark.read.schema(read_schema)
                     .option("basePath", os.path.join(self.table_dir, "data", commit))
-                    .parquet(*by_commit[commit])
+                    .parquet(*[f["path"] for f in group])
                 )
-                dfs.append(
-                    df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
-                )
+                dfs.append(conform(df, hist))
         if flat:
-            by_part: dict[tuple, list[str]] = {}
+            by_part: dict[tuple, list[dict]] = {}
             for f in flat:
-                key = tuple(sorted(f["partition"].items()))
-                by_part.setdefault(key, []).append(f["path"])
+                epoch = f.get("added_in", 0) if has_renames else 0
+                key = (tuple(sorted(f["partition"].items())), epoch)
+                by_part.setdefault(key, []).append(f)
             identity_fields = {
                 pf.name: pf for pf in self.partition_fields if pf.is_identity
             }
-            for key, paths in sorted(by_part.items()):
+            for (key, epoch), group in sorted(by_part.items()):
                 pvals = dict(key)
-                df = self.spark.read.parquet(*paths)
+                hist = hist_for(epoch)
+                df = self.spark.read.parquet(*[f["path"] for f in group])
                 # only identity partition values materialize as columns;
                 # transform sources already live in the data files
                 for col, pf in identity_fields.items():
                     if col not in df.columns:
                         ftype = schema[pf.source].dataType
                         df = df.withColumn(col, F.lit(pvals.get(col)).cast(ftype))
-                dfs.append(
-                    df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
-                )
+                dfs.append(conform(df, hist))
         return reduce(DataFrame.unionByName, dfs)
 
     def _commit(

@@ -64,10 +64,37 @@ from pyiceberg_lakehouse_spark.lakehouse.stats import prune_files
 class FileSlice(InputPartition):
     """One data file + its identity partition values (hive-path columns are
     stripped from the file by Spark's writer, so the reader re-attaches
-    them as constants from log metadata — flat and hive layouts unify)."""
+    them as constants from log metadata — flat and hive layouts unify).
+    ``column_map`` carries current-name -> historical-name for files written
+    before a rename_column commit."""
 
     path: str
     partition: dict = field(default_factory=dict)
+    column_map: dict = field(default_factory=dict)
+
+
+def _rename_events(log: SnapshotLog) -> list[tuple[int, str, str]]:
+    out = []
+    for s in log.snapshots:
+        rc = s.summary.get("rename_column")
+        if rc:
+            out.append((s.snapshot_id, rc["from"], rc["to"]))
+    return out
+
+
+def _historical_map(
+    current_names: list[str], renames: list[tuple[int, str, str]], added_in: int
+) -> dict[str, str]:
+    """current name -> name at the time snapshot ``added_in`` was written."""
+    mapping = {}
+    for cur in current_names:
+        name = cur
+        for sid, old, new in reversed(renames):
+            if sid > added_in and name == new:
+                name = old
+        if name != cur:
+            mapping[cur] = name
+    return mapping
 
 
 def _read_slice(slice_: FileSlice, schema_json: str) -> Iterator[Any]:
@@ -84,14 +111,20 @@ def _read_slice(slice_: FileSlice, schema_json: str) -> Iterator[Any]:
     target = to_arrow_schema(schema)
     pf = pq.ParquetFile(slice_.path)
     file_cols = set(pf.schema_arrow.names)
-    read_cols = [f.name for f in target if f.name in file_cols]
+    cmap = slice_.column_map  # current -> historical (usually empty)
+    read_cols = [
+        cmap.get(f.name, f.name)
+        for f in target
+        if cmap.get(f.name, f.name) in file_cols
+    ]
     for batch in pf.iter_batches(batch_size=1 << 16, columns=read_cols):
         tbl = pa.Table.from_batches([batch])
         n = len(tbl)
         arrays = []
         for f in target:
-            if f.name in file_cols:
-                arrays.append(tbl.column(f.name).cast(f.type).combine_chunks())
+            fname = cmap.get(f.name, f.name)
+            if fname in file_cols:
+                arrays.append(tbl.column(fname).cast(f.type).combine_chunks())
             elif f.name in slice_.partition:
                 arrays.append(
                     pa.array([slice_.partition[f.name]] * n, pa.string()).cast(f.type)
@@ -101,10 +134,18 @@ def _read_slice(slice_: FileSlice, schema_json: str) -> Iterator[Any]:
         yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
 
-def _to_slice(f: dict[str, Any]) -> FileSlice:
+def _to_slice(
+    f: dict[str, Any],
+    renames: list[tuple[int, str, str]] | None = None,
+    names: list[str] | None = None,
+) -> FileSlice:
+    cmap = (
+        _historical_map(names, renames, f.get("added_in", 0)) if renames else {}
+    )
     return FileSlice(
         path=f["path"],
         partition={k: unquote(str(v)) for k, v in (f.get("partition") or {}).items()},
+        column_map=cmap,
     )
 
 
@@ -123,6 +164,8 @@ class LakehouseBatchReader(DataSourceReader):
             )
         self.schema_json = log.schema_json
         self.files = log.live_files(self.snapshot_id)
+        self.renames = _rename_events(log)
+        self.names = [f.name for f in log.schema().fields]
         # col -> list of (op, value) conjuncts for stats pruning
         self.stat_preds: dict[str, list] = {}
         # col -> allowed string values for identity-partition pruning
@@ -170,7 +213,9 @@ class LakehouseBatchReader(DataSourceReader):
                 or unquote(str(f["partition"][col])) in allowed
             ]
         # Spark requires >=1 partition; an empty path reads as no rows
-        return [_to_slice(f) for f in files] or [FileSlice(path="")]
+        return [_to_slice(f, self.renames, self.names) for f in files] or [
+            FileSlice(path="")
+        ]
 
     def read(self, partition: FileSlice) -> Iterator[Any]:
         return _read_slice(partition, self.schema_json)
@@ -204,7 +249,10 @@ class LakehouseStreamReader(DataSourceStreamReader):
                     "streaming source covers append-only history — restart "
                     "from a fresh checkpoint past the rewrite"
                 )
-            slices.extend(_to_slice(f) for f in snap.added_files)
+            slices.extend(
+                _to_slice(f, _rename_events(log), [x.name for x in log.schema().fields])
+                for f in snap.added_files
+            )
         return slices or [FileSlice(path="")]
 
     def read(self, partition: FileSlice) -> Iterator[Any]:

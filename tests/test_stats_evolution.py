@@ -53,3 +53,64 @@ def test_add_column_evolution(spark, warehouse, sf_dir):
     )
     assert t.scan().filter(F.col("comment") == "updated").count() == 2
     assert t.history()[-2].operation == "schema_change"
+
+
+def test_rename_column_without_rewrite(spark, warehouse, sf_dir):
+    """Files written before the rename serve under the new name; files
+    written after carry it natively; values line up across epochs."""
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.orders_rn", SCHEMAS["orders"])
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.filter(F.col("o_orderkey") % 2 == 0)
+    second = orders.filter(F.col("o_orderkey") % 2 == 1)
+    t.append(first)
+    t.rename_column("o_totalprice", "price")
+    t.append(second.withColumnRenamed("o_totalprice", "price"))
+    got = t.scan()
+    assert "price" in got.columns and "o_totalprice" not in got.columns
+    assert got.count() == orders.count()
+    exp = orders.withColumnRenamed("o_totalprice", "price")
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_rename_column_chained_and_partitioned(spark, warehouse, sf_dir):
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table(
+        "ns.orders_rn2", SCHEMAS["orders"], partition_by=["o_orderstatus"]
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    t.append(orders)
+    t.rename_column("o_totalprice", "price_v1")
+    t.rename_column("price_v1", "price")
+    got = t.scan()
+    assert "price" in got.columns
+    assert got.agg(F.sum("price")).collect()[0][0] is not None
+    assert got.count() == orders.count()
+    # partition columns are off-limits
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.rename_column("o_orderstatus", "status")
+
+
+def test_rename_column_via_datasource(spark, warehouse, sf_dir):
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.sources.datasource import register_lakehouse_source
+    from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.orders_rn3", SCHEMAS["orders"])
+    orders = load_table(spark, sf_dir, "orders")
+    t.append(orders.limit(200))
+    t.rename_column("o_custkey", "customer_id")
+    register_lakehouse_source(spark)
+    df = spark.read.format("lakehouse").load(t.table_dir)
+    assert "customer_id" in df.columns
+    assert df.filter(F.col("customer_id").isNull()).count() == 0
+    assert df.count() == 200
