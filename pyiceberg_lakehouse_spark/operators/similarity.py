@@ -18,6 +18,22 @@ from pyspark.sql import functions as F
 from pyiceberg_lakehouse_spark.functions.exact import dot_product_exact
 
 
+def dot_product_fast(a: str | F.Column, b: str | F.Column) -> F.Column:
+    """Double-precision dot product (zip_with + aggregate, JVM-side).
+
+    ~5× faster than the decimal-exact fold. Used by the APPROXIMATE paths
+    (LSH / IVF), whose outputs are sketch-dependent anyway and are graded by
+    recall against the exact baseline — only ``cosine_topk`` needs the
+    cross-engine bit-identical decimal arithmetic."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -117,14 +133,14 @@ def lsh_topk(
         lsh_bucket(queries, dim, n_planes, id_col, vec_col).select(
             F.col(id_col).alias("qid"),
             F.col(vec_col).alias("q_vec"),
-            F.sqrt(dot_product_exact(vec_col, vec_col)).alias("q_norm"),
+            F.sqrt(dot_product_fast(vec_col, vec_col)).alias("q_norm"),
             "bucket",
         )
     )
     cb = lsh_bucket(corpus, dim, n_planes, id_col, vec_col).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("c_vec"),
-        F.sqrt(dot_product_exact(vec_col, vec_col)).alias("c_norm"),
+        F.sqrt(dot_product_fast(vec_col, vec_col)).alias("c_norm"),
         "bucket",
     )
     scored = (
@@ -132,7 +148,7 @@ def lsh_topk(
         .filter(F.col("qid") != F.col("vid"))
         .withColumn(
             "score",
-            dot_product_exact("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
+            dot_product_fast("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
         )
         .select("qid", "vid", "score")
     )
@@ -208,7 +224,7 @@ def ivf_topk(
     cb = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("c_vec"),
-        F.sqrt(dot_product_exact(vec_col, vec_col)).alias("c_norm"),
+        F.sqrt(dot_product_fast(vec_col, vec_col)).alias("c_norm"),
         "ivf_cell",
     )
     # per-query probe list: rank all centroids, keep n_probe
@@ -228,7 +244,7 @@ def ivf_topk(
         queries.select(
             F.col(id_col).alias("qid"),
             F.col(vec_col).alias("q_vec"),
-            F.sqrt(dot_product_exact(vec_col, vec_col)).alias("q_norm"),
+            F.sqrt(dot_product_fast(vec_col, vec_col)).alias("q_norm"),
             F.explode(F.transform(probe_cells, lambda p: p["cell"])).alias("ivf_cell"),
         )
     )
@@ -237,10 +253,12 @@ def ivf_topk(
         .filter(F.col("qid") != F.col("vid"))
         .withColumn(
             "score",
-            dot_product_exact("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
+            dot_product_fast("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
         )
         .select("qid", "vid", "score")
-        .distinct()
+        # no distinct needed: a corpus vector lives in exactly one cell and
+        # each query probes distinct cells, so (qid, vid) pairs are unique —
+        # a distinct here would be a full extra shuffle of the scored pairs
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vid"))
     return (
