@@ -281,3 +281,75 @@ def simhash_near_dup_pairs(
     return (
         a.join(b, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-duplicate PAIRS into duplicate GROUPS: connected
+    components by iterative min-label propagation.
+
+    ``(id, component)`` for every node, where component = the smallest id
+    reachable from it. This is the step a real dedup pipeline runs between
+    pair generation (MinHash-LSH / SimHash) and canonical-document
+    selection — A~B and B~C must collapse to ONE group even though (A, C)
+    was never emitted as a pair.
+
+    Scale posture: each round is one shuffle-join + min-aggregate, both on
+    the component key; rounds needed = graph diameter (near-dup graphs are
+    shallow — duplicate clusters are dense, so a handful of rounds). Lineage
+    is truncated every round with an eager localCheckpoint, without which
+    iterative Spark plans grow until planning dominates; convergence is
+    detected with a changed-label count, so the loop stops as soon as labels
+    are stable rather than running max_iter blindly.
+    """
+    sym = edges.select(
+        F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
+    )
+    sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.id)
+            .select(F.col("dst").alias("id"), "comp")
+            .groupBy("id")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("n_comp", "comp")).alias("comp"),
+                (F.coalesce("n_comp", "comp") < F.col("comp")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_groups_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """End-to-end near-dedup: collapse each connected duplicate group to its
+    canonical (smallest-id) member; documents in no pair survive as-is."""
+    comps = connected_components(pairs, src_col, dst_col)
+    losers = comps.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -279,3 +279,13 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     every fingerprint bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
     return text.winnow_fingerprints(docs, k=3, w=4)
+
+
+@register("dedup_group_components")  # rows-only: iterative algorithm over
+# engine-specific MinHash pairs; pytest checks it against driver union-find
+def dedup_group_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dedup pipeline: MinHash-LSH pairs -> connected components
+    (transitive closure) -> keep each group's canonical document."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, verify_threshold=0.1)
+    return dedup.dedup_groups_keep_canonical(docs, pairs).select("doc_id", "lang")

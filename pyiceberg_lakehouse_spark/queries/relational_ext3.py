@@ -171,3 +171,39 @@ def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select("doc_id", F.posexplode("_tk").alias("pos", "tok")).select(
         "doc_id", "pos", "tok"
     )
+
+
+@register(
+    "fn_grouped_pandas_demean",
+    """
+    select l_orderkey, l_linenumber, l_returnflag,
+           l_quantity - avg(l_quantity) over (partition by l_returnflag)
+             as qty_dev
+    from lineitem
+    """,
+)
+def fn_grouped_pandas_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (SURVEY §2.10 UDF row): per-group
+    demeaning, each group one Arrow-backed pandas frame.
+
+    Bit-exactness argument: l_quantity is integer-valued, so the group sum
+    is exact in float64 (< 2^53) in pandas, Spark, and DuckDB alike; the
+    single division and subtraction then round identically (IEEE). Avoid
+    this pattern for true-float columns — engine mean algorithms differ.
+    """
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["l_orderkey", "l_linenumber", "l_returnflag"]].copy()
+        qty = pdf["l_quantity"]
+        out["qty_dev"] = qty - (float(qty.sum()) / len(qty))
+        return out
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        demean,
+        "l_orderkey long, l_linenumber long, l_returnflag string, qty_dev double",
+    )

@@ -163,3 +163,58 @@ def test_asof_join_matches_correlated_semantics(spark):
         for r in asof_join_events(ev, "purchase", "click").collect()
     }
     assert out == {2: 1, 4: 3, 5: None}
+
+
+def test_connected_components_vs_union_find(spark, sf_dir):
+    """Label propagation must agree with a driver-side union-find on the
+    same pair set (small scale makes the exact check feasible)."""
+    from pyiceberg_lakehouse_spark.operators import dedup
+    from pyiceberg_lakehouse_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, verify_threshold=0.1)
+    got = {
+        (r.id, r.comp)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {(x, find(x)) for x in parent}
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_connected_components_chain(spark):
+    """A-B, B-C, D-E: transitivity collapses A/B/C though (A,C) never paired."""
+    from pyiceberg_lakehouse_spark.operators.dedup import (
+        connected_components,
+        dedup_groups_keep_canonical,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comps = {(r.id, r.comp) for r in connected_components(edges).collect()}
+    assert comps == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id long, text string"
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_groups_keep_canonical(docs, edges).collect()
+    )
+    assert kept == [1, 10, 99]
