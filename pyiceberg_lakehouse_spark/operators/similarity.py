@@ -307,3 +307,40 @@ def embedding_near_dup_pairs(
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    centroids: list[list[float]],
+    iters: int = 3,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd iterations to refine IVF centroids on the full corpus.
+
+    Each round: assign (broadcast argmax, same codegen path as ivf_assign),
+    then average member vectors per cell — posexplode to (cell, dim, value)
+    rows, one groupBy, and a k×dim collect. Driver state stays k×dim floats
+    regardless of corpus size, so the loop is cluster-safe at 100 TB; iters
+    is fixed and small (diminishing recall returns beyond a few rounds).
+    Empty cells keep their previous centroid.
+    """
+    k = len(centroids)
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, vec_col=vec_col)
+        sums = (
+            assigned.select("ivf_cell", F.posexplode(F.col(vec_col)).alias("dim", "v"))
+            .groupBy("ivf_cell", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new_cents = [list(c) for c in centroids]
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cell.setdefault(r.ivf_cell, {})[r.dim] = r.m
+        for cell, dims in by_cell.items():
+            if 0 <= cell < k:
+                vec = [dims.get(d, 0.0) for d in range(len(centroids[cell]))]
+                norm = sum(x * x for x in vec) ** 0.5 or 1.0
+                new_cents[cell] = [x / norm for x in vec]
+        centroids = new_cents
+    return centroids

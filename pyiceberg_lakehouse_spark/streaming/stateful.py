@@ -58,3 +58,45 @@ def user_running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class RunningTotalsProcessor:
+    """The same per-user running totals on Spark 4's transformWithState API
+    (StatefulProcessor + typed ValueState) — the successor to
+    applyInPandasWithState, with named state slots, TTL support, and timers.
+
+    State layout matches ``_update`` above: (n, cents) per user, integer
+    cents so accumulation order can't perturb the emitted double.
+    """
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        self._totals.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [cents / 100.0]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas variant of ``user_running_totals``."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclassing at call time keeps the module importable on older PySpark
+    proc = type(
+        "RunningTotalsTWS", (StatefulProcessor,), dict(RunningTotalsProcessor.__dict__)
+    )()
+    return events.groupBy("user_id").transformWithStateInPandas(
+        proc,
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

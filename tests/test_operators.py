@@ -218,3 +218,30 @@ def test_connected_components_chain(spark):
         r.doc_id for r in dedup_groups_keep_canonical(docs, edges).collect()
     )
     assert kept == [1, 10, 99]
+
+
+def test_kmeans_refine_improves_or_matches_recall(spark, sf_dir):
+    """Refined centroids must not degrade IVF recall vs the raw seed (same
+    n_probe budget); shapes stay k x dim and unit-normalized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    seed = similarity.sample_centroids(emb, k=16)
+    refined = similarity.kmeans_refine(emb, seed, iters=2)
+    assert len(refined) == len(seed)
+    assert all(len(c) == len(seed[0]) for c in refined)
+    for c in refined:
+        assert abs(sum(x * x for x in c) ** 0.5 - 1.0) < 1e-9
+    truth = {
+        (r.qid, r.vid)
+        for r in similarity.cosine_topk(emb, queries, k=3).collect()
+    }
+
+    def recall(cents):
+        found = {
+            (r.qid, r.vid)
+            for r in similarity.ivf_topk(emb, queries, cents, k=3, n_probe=6).collect()
+        }
+        return len(found & truth) / len(truth)
+
+    r_seed, r_refined = recall(seed), recall(refined)
+    assert r_refined >= r_seed - 0.05, (r_seed, r_refined)

@@ -83,3 +83,31 @@ def test_source_rejects_partitioned_table(spark, warehouse, events):
     )
     with pytest.raises(ValueError, match="unpartitioned"):
         read_table_stream(spark, t)
+
+
+def test_transform_with_state_surface(spark, sf_dir):
+    """transformWithStateInPandas running totals == batch aggregate.
+
+    Spark 4's StatefulProcessor path needs protobuf for the state server;
+    this container ships a broken google.protobuf, so the test skips there
+    while still guarding the operator where the dependency exists."""
+    import pytest as _pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        _pytest.skip("google.protobuf unavailable; transformWithState needs it")
+    from pyiceberg_lakehouse_spark.sources.testdata import load_table
+    from pyiceberg_lakehouse_spark.streaming import windows as W
+    from pyiceberg_lakehouse_spark.streaming.stateful import user_running_totals_tws
+
+    ev = W.events_stream(spark, sf_dir).select("user_id", "value")
+    got = W.run_to_memory(user_running_totals_tws(ev), output_mode="update")
+    exp = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert {(r.user_id, r.n_events) for r in got.select("user_id", "n_events").collect()} == {
+        (r.user_id, r.n_events) for r in exp.collect()
+    }
