@@ -289,3 +289,87 @@ def dedup_group_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, verify_threshold=0.1)
     return dedup.dedup_groups_keep_canonical(docs, pairs).select("doc_id", "lang")
+
+
+# portable deterministic hash bucket: Spark conv(substr(md5,1,15),16,10) ==
+# DuckDB ('0x'||substr(md5,1,15))::bigint (same trick the winnow oracle uses)
+HB = "(('0x' || substr(md5(cast({col} as varchar)), 1, 15))::bigint % {n})"
+
+
+@register(
+    "train_split_hash",
+    f"""
+    select doc_id, lang,
+           case when {HB.format(col="doc_id", n=100)} < 10 then 'test'
+                else 'train' end as split
+    from documents
+    """,
+)
+def train_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash train/test split: membership is stable under
+    reruns, repartitioning, and corpus growth — no RNG state anywhere."""
+    from pyiceberg_lakehouse_spark.operators import traindata
+
+    docs = load_table(spark, sf_dir, "documents")
+    return traindata.split_train_test(docs, test_pct=10).select(
+        "doc_id", "lang", "split"
+    )
+
+
+@register(
+    "train_balance_labels",
+    f"""
+    with ranked as (
+      select doc_id, lang,
+             row_number() over (
+               partition by lang
+               order by {HB.format(col="doc_id", n=1000000)}, doc_id
+             ) as rk
+      from documents
+    ),
+    m as (select min(n) as m from (select count(*) as n from documents group by lang))
+    select doc_id, lang from ranked, m where rk <= m.m
+    """,
+)
+def train_balance_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample every language to the minority class size, selecting by
+    deterministic hash order (unbiased and rerun-stable)."""
+    from pyiceberg_lakehouse_spark.operators import traindata
+
+    docs = load_table(spark, sf_dir, "documents")
+    return traindata.balance_labels(docs, label_col="lang").select("doc_id", "lang")
+
+
+@register(
+    "train_mix_weighted",
+    f"""
+    select doc_id, cast(0 as int) as source_id from documents
+    where doc_id % 2 = 0 and {HB.format(col="doc_id", n=1000000)} < 500000
+    union all
+    select doc_id, cast(1 as int) as source_id from documents
+    where doc_id % 2 = 1
+    """,
+)
+def train_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: half of source 0 (even ids), all of source 1
+    (odd ids) — per-source deterministic sampling rates."""
+    from pyiceberg_lakehouse_spark.operators import traindata
+
+    docs = load_table(spark, sf_dir, "documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    return traindata.mix_weighted([(even, 0.5), (odd, 1.0)]).select(
+        "doc_id", "source_id"
+    )
+
+
+@register("train_pack_sequences")  # rows-only: greedy packing is inherently
+# sequential per group; pytest asserts the bin-capacity invariants
+def train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing of documents into <=512-token bins, packed
+    independently per hash group (parallel across the cluster)."""
+    from pyiceberg_lakehouse_spark.operators import text, traindata
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.token_stats(docs).select("doc_id", "n_tokens")
+    return traindata.pack_sequences(toks, max_tokens=512)

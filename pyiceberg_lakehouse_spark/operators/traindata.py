@@ -1,0 +1,137 @@
+"""Training-data preparation operators: deterministic splits, label
+balancing, weighted source mixing, and sequence packing.
+
+The ops a large-scale LLM data pipeline runs after cleaning/dedup and
+before tokenized shards. Everything is DETERMINISTIC — no RNG state — so
+reruns, retries, and incremental rebuilds produce identical assignments:
+randomness comes from an md5-derived hash bucket that is portable across
+engines (Spark ``conv(substr(md5(x),1,15),16,10)`` equals DuckDB
+``('0x' || substr(md5(x),1,15))::bigint``), which is what lets the oracle
+check split membership value-for-value.
+
+Scale posture: split/balance/mix are pure Catalyst expressions (hash, window
+rank) — no shuffle beyond what the semantics require (balance needs one
+window per label). Packing is an applyInPandas over hash-bucketed groups:
+each group packs independently, so the operation parallelizes by bucket and
+never materializes a global order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: F.Column | str, n_buckets: int = 100) -> F.Column:
+    """Deterministic, engine-portable bucket in [0, n_buckets) from md5."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def split_train_test(
+    df: DataFrame, id_col: str = "doc_id", test_pct: int = 10
+) -> DataFrame:
+    """Add a ``split`` column ('train'/'test') by hashed id.
+
+    Hash-based (not row-number-based) so membership is stable under
+    repartitioning, appends, and reruns — a document never migrates between
+    splits when the corpus grows."""
+    b = hash_bucket(id_col, 100)
+    return df.withColumn(
+        "split", F.when(b < test_pct, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def balance_labels(
+    df: DataFrame, label_col: str = "lang", id_col: str = "doc_id"
+) -> DataFrame:
+    """Downsample every label to the minority class size.
+
+    Selection is by hash order (then id for total determinism), so the kept
+    subset is an unbiased, rerun-stable sample of each label. One window
+    rank per label partition + a broadcast scalar min — two shuffles total,
+    independent of label skew."""
+    w = Window.partitionBy(label_col).orderBy(hash_bucket(id_col, 1_000_000), id_col)
+    counts = df.groupBy(label_col).agg(F.count("*").alias("n"))
+    min_n = counts.agg(F.min("n").alias("m"))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(min_n))
+        .filter(F.col("_rk") <= F.col("m"))
+        .drop("_rk", "m")
+    )
+
+
+def mix_weighted(
+    sources: list[tuple[DataFrame, float]], id_col: str = "doc_id"
+) -> DataFrame:
+    """Mix corpora at per-source sampling rates (0 < rate <= 1).
+
+    ``[(df, 0.5), (df2, 1.0)]`` keeps a deterministic-hash half of source 0
+    and all of source 1, tagging each row's ``source_id``. The mix is
+    reproducible and incremental: new rows in a source join the sample at
+    the same rate with no reshuffling of old membership."""
+    parts = []
+    for i, (df, rate) in enumerate(sources):
+        if not 0 < rate <= 1:
+            raise ValueError(f"rate {rate} for source {i} not in (0, 1]")
+        sampled = df.filter(hash_bucket(id_col, 1_000_000) < int(rate * 1_000_000))
+        parts.append(sampled.withColumn("source_id", F.lit(i)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+PACK_SCHEMA = "doc_id long, n_tokens long, pack_group int, bin_id long"
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    n_groups: int = 64,
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to bins of <= max_tokens.
+
+    Documents are hash-assigned to ``n_groups`` independent pack groups;
+    within a group, a first-fit-by-id-order pass (Arrow-batched pandas,
+    sequential by necessity — packing is order-dependent) fills bins.
+    Bin ids are globally unique as (pack_group, local bin) pairs. A doc
+    longer than max_tokens gets a bin of its own rather than being dropped.
+
+    At 100 TB: groups pack in parallel (n_groups ~ cluster cores); the
+    per-group state is one running counter, so memory is O(batch), and the
+    whole operation is one shuffle (the groupBy).
+    """
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins, used, cur = [], 0, 0
+        for t in pdf[token_col]:
+            t = int(t)
+            if used > 0 and used + t > max_tokens:
+                cur += 1
+                used = 0
+            bins.append(cur)
+            used += t
+            if used >= max_tokens:  # exactly full (or oversized doc): close
+                cur += 1
+                used = 0
+        out = pdf[[id_col, token_col, "pack_group"]].copy()
+        out["bin_id"] = [b * n_groups + int(pdf["pack_group"].iloc[0]) for b in bins]
+        return out
+
+    grouped = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(token_col).cast("long").alias(token_col),
+        hash_bucket(id_col, n_groups).cast("int").alias("pack_group"),
+    )
+    return grouped.groupBy("pack_group").applyInPandas(pack, PACK_SCHEMA)

@@ -245,3 +245,43 @@ def test_kmeans_refine_improves_or_matches_recall(spark, sf_dir):
 
     r_seed, r_refined = recall(seed), recall(refined)
     assert r_refined >= r_seed - 0.05, (r_seed, r_refined)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Every doc packed exactly once; no bin over capacity unless it holds a
+    single oversized doc; assignment is deterministic across runs."""
+    from pyiceberg_lakehouse_spark.operators import text, traindata
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.token_stats(docs).select("doc_id", "n_tokens")
+    max_tokens = 512
+    packed = traindata.pack_sequences(toks, max_tokens=max_tokens)
+    rows = packed.collect()
+    assert len(rows) == toks.count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_bin: dict = {}
+    for r in rows:
+        by_bin.setdefault(r.bin_id, []).append(int(r.n_tokens))
+    for bin_id, sizes in by_bin.items():
+        assert sum(sizes) <= max_tokens or len(sizes) == 1, (bin_id, sizes)
+    rows2 = traindata.pack_sequences(toks, max_tokens=max_tokens).collect()
+    assert {(r.doc_id, r.bin_id) for r in rows2} == {
+        (r.doc_id, r.bin_id) for r in rows
+    }
+
+
+def test_split_and_balance_determinism(spark, sf_dir):
+    from pyiceberg_lakehouse_spark.operators import traindata
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = {(r.doc_id, r.split) for r in traindata.split_train_test(docs).collect()}
+    s2 = {
+        (r.doc_id, r.split)
+        for r in traindata.split_train_test(docs.repartition(7)).collect()
+    }
+    assert s1 == s2  # stable under physical layout
+    n_test = sum(1 for _, s in s1 if s == "test")
+    assert 0.03 < n_test / len(s1) < 0.2  # ~10% with hash variance
+    bal = traindata.balance_labels(docs, label_col="lang")
+    counts = {r.lang: r.n for r in bal.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert len(set(counts.values())) == 1  # every label at minority size
