@@ -285,3 +285,33 @@ def test_split_and_balance_determinism(spark, sf_dir):
     bal = traindata.balance_labels(docs, label_col="lang")
     counts = {r.lang: r.n for r in bal.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert len(set(counts.values())) == 1  # every label at minority size
+
+
+def test_pack_sequences_hypothesis(spark):
+    """Property: for arbitrary token-length corpora, packing preserves the
+    doc set and never overfills a multi-doc bin."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyiceberg_lakehouse_spark.operators import traindata
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=700), min_size=1, max_size=60),
+        st.integers(min_value=64, max_value=512),
+    )
+    def check(lengths, max_tokens):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(lengths)], "doc_id long, n_tokens long"
+        )
+        rows = traindata.pack_sequences(
+            df, max_tokens=max_tokens, n_groups=4
+        ).collect()
+        assert sorted(r.doc_id for r in rows) == list(range(len(lengths)))
+        by_bin: dict = {}
+        for r in rows:
+            by_bin.setdefault(r.bin_id, []).append(int(r.n_tokens))
+        for sizes in by_bin.values():
+            assert sum(sizes) <= max_tokens or len(sizes) == 1
+
+    check()
