@@ -704,25 +704,28 @@ class LakehouseTable:
             file_row_count,
         )
 
-        entries = []
-        for path in sorted(
+        paths = sorted(
             _glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)
-        ):
+        )
+
+        def _entry(path: str) -> dict[str, Any]:
             rel = os.path.relpath(path, out_dir)
-            partition = {
-                k: v for k, v in _HIVE_SEG.findall(rel.replace(os.sep, "/"))
+            return {
+                "path": path,
+                "partition": dict(_HIVE_SEG.findall(rel.replace(os.sep, "/"))),
+                # footer-exact row count: powers metadata-only COUNT(*)
+                "rows": file_row_count(path),
+                # per-file column bounds from the footer: O(files) driver
+                # reads that buy file-level data skipping at scan time
+                "stats": collect_file_stats(path),
             }
-            entries.append(
-                {
-                    "path": path,
-                    "partition": partition,
-                    # footer-exact row count: powers metadata-only COUNT(*)
-                    "rows": file_row_count(path),
-                    # per-file column bounds from the footer: O(files) driver
-                    # reads that buy file-level data skipping at scan time
-                    "stats": collect_file_stats(path),
-                }
-            )
+
+        # footer probes are tiny independent IO — a commit of hundreds of
+        # files collects stats concurrently instead of one footer at a time
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            entries = list(pool.map(_entry, paths))
         # opt-in per-file bloom filters (point-lookup skipping where min/max
         # can't prune): one distributed pass over the new files
         bloom_cols = [
