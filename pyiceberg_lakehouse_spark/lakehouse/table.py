@@ -107,6 +107,19 @@ class Lakehouse:
             if SnapshotLog(os.path.join(ns_dir, d)).exists()
         )
 
+    def register_sql_views(self, prefix: str = "") -> list[str]:
+        """Expose every table in the warehouse to ``spark.sql`` as a temp
+        view named ``[prefix]namespace_table`` (latest snapshot, deletes
+        applied). Views are lazy plans over the current file list; re-call
+        after commits to pick up new snapshots. Returns the view names."""
+        names = []
+        for ns in self.list_namespaces():
+            for tbl in self.list_tables(ns):
+                view = f"{prefix}{ns}_{tbl}"
+                self.load_table(f"{ns}.{tbl}").scan().createOrReplaceTempView(view)
+                names.append(view)
+        return names
+
     def rename_table(self, src: str, dst: str) -> None:
         """Atomic same-warehouse rename (data paths in the log are absolute,
         so the moved log is rewritten to the new locations)."""

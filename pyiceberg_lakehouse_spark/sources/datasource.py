@@ -163,7 +163,27 @@ class LakehouseBatchReader(DataSourceReader):
                 "LakehouseTable.scan(), which applies them"
             )
         self.schema_json = log.schema_json
-        self.files = log.live_files(self.snapshot_id)
+        from_snap = options.get("from_snapshot")
+        if from_snap is not None:
+            # batch incremental read: only files APPENDED in
+            # (from_snapshot, to_snapshot] — Iceberg's incremental scan
+            to_snap = options.get("to_snapshot")
+            hi = int(to_snap) if to_snap is not None else (
+                log.current_snapshot_id() or 0
+            )
+            lo = int(from_snap)
+            self.files = []
+            for s in log.snapshots:
+                if not (lo < s.snapshot_id <= hi):
+                    continue
+                if s.operation in ("overwrite", "replace", "delete"):
+                    raise ValueError(
+                        f"snapshot {s.snapshot_id} is {s.operation!r}; "
+                        "incremental read covers append-only history"
+                    )
+                self.files.extend(s.added_files)
+        else:
+            self.files = log.live_files(self.snapshot_id)
         self.renames = _rename_events(log)
         self.names = [f.name for f in log.schema().fields]
         # col -> list of (op, value) conjuncts for stats pruning

@@ -191,3 +191,43 @@ def test_stream_writer_exactly_once(spark, warehouse, sf_dir, tmp_path):
 
     assert run() == ev.count()
     assert run() == ev.count()  # replay/no-new-data never duplicates
+
+
+def test_batch_read_transform_partitioned_table(spark, warehouse, sf_dir):
+    """Hidden partitioning: derived month(o_orderdate) values never appear
+    in the schema; the reader serves the source columns straight from the
+    data files and ignores the derived partition segment."""
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table(
+        "ns.orders_hp", SCHEMAS["orders"], partition_by=["month(o_orderdate)"]
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    t.append(orders)
+    register_lakehouse_source(spark)
+    df = spark.read.format("lakehouse").load(t.table_dir)
+    assert df.schema == t.schema()
+    assert df.count() == orders.count()
+    assert df.filter(F.col("o_orderdate").isNull()).count() == 0
+
+
+def test_batch_incremental_options(spark, orders_table, sf_dir):
+    """format("lakehouse") incremental scan: only the files appended in
+    (from_snapshot, to_snapshot] are planned."""
+    orders = load_table(spark, sf_dir, "orders")
+    snap0 = orders_table.log.current_snapshot_id()
+    orders_table.append(orders.limit(10))
+    snap1 = orders_table.log.current_snapshot_id()
+    orders_table.append(orders.limit(4))
+    inc = (
+        spark.read.format("lakehouse")
+        .option("from_snapshot", snap0)
+        .load(orders_table.table_dir)
+    )
+    assert inc.count() == 14
+    bounded = (
+        spark.read.format("lakehouse")
+        .option("from_snapshot", snap0)
+        .option("to_snapshot", snap1)
+        .load(orders_table.table_dir)
+    )
+    assert bounded.count() == 10

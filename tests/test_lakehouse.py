@@ -374,3 +374,26 @@ def test_remove_orphan_files(spark, warehouse, sf_dir):
     assert deleted == [old_orphan]
     assert os.path.exists(young_orphan)  # age guard protects in-flight writes
     assert t.scan().count() == n  # referenced files untouched
+
+
+def test_register_sql_views(spark, warehouse, sf_dir):
+    from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+    lh = Lakehouse(spark, warehouse)
+    t1 = lh.create_table("ns.orders_v", SCHEMAS["orders"])
+    t2 = lh.create_table("ns2.nation_v", SCHEMAS["nation"])
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    t1.append(orders)
+    t2.append(nation)
+    views = lh.register_sql_views(prefix="lk_")
+    assert views == ["lk_ns_orders_v", "lk_ns2_nation_v"]
+    got = spark.sql(
+        "select count(*) as n from lk_ns_orders_v"
+    ).collect()[0].n
+    assert got == orders.count()
+    joined = spark.sql(
+        "select count(*) as n from lk_ns_orders_v o join lk_ns2_nation_v n "
+        "on o.o_custkey % 25 = n.n_nationkey"
+    ).collect()[0].n
+    assert joined == orders.count()
