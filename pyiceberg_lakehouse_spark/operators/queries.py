@@ -373,3 +373,59 @@ def train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = text.token_stats(docs).select("doc_id", "n_tokens")
     return traindata.pack_sequences(toks, max_tokens=512)
+
+
+@register(
+    "pipeline_clean_corpus",
+    f"""
+    with scored as (
+      select doc_id, lang, text,
+             len(string_split({NORM}, ' ')) as n_tokens,
+             md5({NORM}) as fp
+      from documents
+    ),
+    filtered as (
+      select * from scored where n_tokens >= 20 and lang in ('en', 'de')
+    ),
+    deduped as (
+      select doc_id, lang, n_tokens,
+             row_number() over (partition by fp order by doc_id) as rn
+      from filtered
+    )
+    select doc_id, lang, cast(n_tokens as integer) as n_tokens,
+           case when {HB.format(col="doc_id", n=100)} < 10 then 'test'
+                else 'train' end as split
+    from deduped where rn = 1
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation, the composition a real training-data
+    pipeline runs: token-count quality floor -> language allowlist -> exact
+    dedup (keep smallest id per content fingerprint) -> deterministic
+    train/test split. Every stage is a Catalyst expression; the whole
+    pipeline is ONE job with a single shuffle for the dedup window."""
+    from pyspark.sql import Window as W_
+
+    from pyiceberg_lakehouse_spark.operators import traindata
+    from pyiceberg_lakehouse_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(norm, " ")).alias("n_tokens"),
+        F.md5(norm).alias("fp"),
+    )
+    filtered = scored.filter(
+        (F.col("n_tokens") >= 20) & F.col("lang").isin("en", "de")
+    )
+    w = W_.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    return traindata.split_train_test(deduped).select(
+        "doc_id", "lang", "n_tokens", "split"
+    )
