@@ -505,7 +505,17 @@ class LakehouseDataSource(DataSource):
 
 
 def register_lakehouse_source(spark) -> None:
-    """Idempotent registration of the ``lakehouse`` format."""
+    """Idempotent registration of the ``lakehouse`` format.
+
+    Note for multi-threaded drivers: Python data source lookup goes through
+    the JVM's thread-local active session. A Python thread created after
+    registration maps to a new JVM thread with no active session, so
+    ``format("lakehouse")`` fails there with DATA_SOURCE_NOT_FOUND until the
+    thread re-activates it::
+
+        spark._jvm.org.apache.spark.sql.classic.SparkSession\\
+            .setActiveSession(spark._jsparkSession)
+    """
     # required for pushFilters to participate in planning (off by default)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(LakehouseDataSource)

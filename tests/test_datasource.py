@@ -231,3 +231,70 @@ def test_batch_incremental_options(spark, orders_table, sf_dir):
         .load(orders_table.table_dir)
     )
     assert bounded.count() == 10
+
+
+def test_writer_abort_leaves_no_committed_state(spark, orders_table, sf_dir):
+    """A write that fails mid-flight must not commit: the snapshot log is
+    unchanged, reads are unaffected, and the debris is orphan-cleanable."""
+    import os
+
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import remove_orphan_files
+
+    orders = load_table(spark, sf_dir, "orders")
+    before_snapshots = len(orders_table.log.snapshots)
+    before_rows = orders_table.scan().count()
+    poisoned = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") >= 0, F.col("o_custkey")).otherwise(
+            F.raise_error(F.lit("boom"))
+        ),
+    ).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 500 == 7, F.raise_error(F.lit("boom")))
+        .otherwise(F.col("o_totalprice"))
+        .cast("double"),
+    )
+    with pytest.raises(Exception):
+        poisoned.write.format("lakehouse").mode("append").save(
+            orders_table.table_dir
+        )
+    orders_table.log.load()
+    assert len(orders_table.log.snapshots) == before_snapshots
+    assert orders_table.scan().count() == before_rows
+    # any stray task output is unreferenced and reclaimable immediately
+    remove_orphan_files(orders_table, older_than_s=0)
+    assert orders_table.scan().count() == before_rows
+
+
+def test_concurrent_datasource_appends_both_commit(spark, orders_table, sf_dir):
+    """Two racing format("lakehouse") appends: the optimistic-retry commit
+    path lands both as separate snapshots with no lost update.
+
+    Python data source lookup consults the JVM's THREAD-LOCAL active
+    session; a fresh Python thread maps to a fresh JVM thread with none
+    set, so the write fails with DATA_SOURCE_NOT_FOUND unless the thread
+    re-activates the session first (same workaround Spark's own
+    multi-threading docs prescribe for session-scoped state)."""
+    from pyspark import InheritableThread
+
+    orders = load_table(spark, sf_dir, "orders")
+    before = orders_table.scan().count()
+    errs = []
+
+    def write(n):
+        try:
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
+            orders.limit(n).write.format("lakehouse").mode("append").save(
+                orders_table.table_dir
+            )
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errs.append(e)
+
+    t1 = InheritableThread(target=write, args=(11,))
+    t2 = InheritableThread(target=write, args=(23,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    orders_table.log.load()
+    assert orders_table.scan().count() == before + 34

@@ -159,3 +159,20 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pipeline_clean_corpus_single_shuffle_key(spark, sf_dir):
+    """The whole clean-corpus pipeline shuffles ONLY for the dedup window
+    (every Exchange hashes on the content fingerprint) — quality filter,
+    lang filter, and split add no data movement."""
+    import re
+
+    import pyiceberg_lakehouse_spark.registry as registry
+
+    registry.load_all()
+    df = registry.QUERIES["pipeline_clean_corpus"](spark, sf_dir)
+    df._jdf.queryExecution().executedPlan().execute().count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"Exchange \w+partitioning\((\w+)#", plan)
+    assert exchanges, "expected the dedup window shuffle"
+    assert set(exchanges) == {"fp"}, exchanges
