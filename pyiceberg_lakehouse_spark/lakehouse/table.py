@@ -621,6 +621,26 @@ class LakehouseTable:
             "committed_at_ms long, added_files int, removed_files int",
         )
 
+    def stats(self) -> dict[str, Any]:
+        """Table health summary from metadata alone (zero data reads):
+        rows, file count, bytes, partitions, snapshots, deletes in effect."""
+        files = self.log.live_files()
+        sizes = [
+            os.path.getsize(f["path"]) for f in files if os.path.exists(f["path"])
+        ]
+        rows = [f.get("rows") for f in files]
+        return {
+            "files": len(files),
+            "bytes": sum(sizes),
+            "avg_file_bytes": (sum(sizes) // len(sizes)) if sizes else 0,
+            "rows": sum(r for r in rows if r is not None)
+            if all(r is not None for r in rows)
+            else None,
+            "partitions": len({tuple(sorted(f["partition"].items())) for f in files}),
+            "snapshots": len(self.log.snapshots),
+            "equality_deletes": len(self.log.live_deletes()),
+        }
+
     def metadata_count(self, snapshot_id: int | None = None) -> int | None:
         """COUNT(*) from file metadata alone — zero data reads.
 
@@ -679,6 +699,25 @@ class LakehouseTable:
             range_cols = [*self.partition_names, *sort_cols_prop]
             if range_cols:
                 df = df.repartitionByRange(*range_cols)
+        elif dist_mode == "zorder":
+            # continuous Z-clustering: every append range-partitions + sorts
+            # on the Morton key of write.zorder-columns, so multi-column
+            # skipping works on fresh data without a separate rewrite pass.
+            # Costs one extra bounds-agg over the batch (cheap vs the write).
+            from pyiceberg_lakehouse_spark.lakehouse.maintenance import zorder_value
+
+            zcols = [
+                c.strip()
+                for c in self.log.properties.get("write.zorder-columns", "").split(",")
+                if c.strip()
+            ]
+            if zcols:
+                df = (
+                    df.withColumn("_zval", zorder_value(df, zcols))
+                    .repartitionByRange("_zval")
+                    .sortWithinPartitions("_zval")
+                    .drop("_zval")
+                )
         # table sort order (Iceberg's write.sort-order): cluster rows within
         # each task so every file's min/max bounds on the sort columns are
         # tight — stats skipping works on every write, not just after an

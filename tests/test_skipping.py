@@ -165,3 +165,48 @@ def test_zorder_three_columns(spark, warehouse, sf_dir):
         (F.col("l_orderkey") < 1500) & (F.col("l_partkey") < 100) & (F.col("l_suppkey") < 5)
     )
     assert got.count() == exp.count()
+
+
+def test_zorder_distribution_mode_on_append(spark, warehouse, sf_dir):
+    """write.distribution-mode=zorder clusters every append on the Morton
+    key — a 2-column box predicate prunes freshly written files with no
+    rewrite step."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_quantity", T.DoubleType()),
+        ]
+    )
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table(
+        "ns.li_zw",
+        schema,
+        properties={
+            "write.distribution-mode": "zorder",
+            "write.zorder-columns": "l_orderkey,l_partkey",
+            "write.target-records-per-file": "500",
+        },
+    )
+    t.append(li.repartition(8))
+    files = t.log.live_files()
+    assert len(files) >= 4
+    box = {
+        "l_orderkey": [(">=", 0), ("<", 1500)],
+        "l_partkey": [(">=", 0), ("<", 100)],
+    }
+    kept = prune_files(files, box)
+    assert len(kept) < len(files), (len(kept), len(files))
+    got = t.scan(stat_filter=box).filter(
+        (F.col("l_orderkey") < 1500) & (F.col("l_partkey") < 100)
+    )
+    exp = li.filter((F.col("l_orderkey") < 1500) & (F.col("l_partkey") < 100))
+    assert got.count() == exp.count()
+    s = t.stats()
+    assert s["files"] == len(files) and s["rows"] == li.count()
+    assert s["snapshots"] == 2 and s["equality_deletes"] == 0
