@@ -207,3 +207,83 @@ def fn_grouped_pandas_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
         demean,
         "l_orderkey long, l_linenumber long, l_returnflag string, qty_dev double",
     )
+
+
+@register(
+    "agg_conditional",
+    """
+    select o_orderpriority,
+           cast(count(*) filter (where o_totalprice > 150000.0) as bigint)
+             as n_large,
+           bool_and(o_totalprice > 900.0) as all_above_floor,
+           bool_or(o_orderstatus = 'P') as any_pending
+    from orders group by o_orderpriority
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregates: count_if, every (bool_and), any
+    (bool_or) per group."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000.0).alias("n_large"),
+        F.every(F.col("o_totalprice") > 900.0).alias("all_above_floor"),
+        F.some(F.col("o_orderstatus") == "P").alias("any_pending"),
+    )
+
+
+@register(
+    "fn_bitwise",
+    """
+    select o_orderkey,
+           cast(o_orderkey & 255 as bigint) as low_byte,
+           cast(o_orderkey << 2 as bigint) as shifted,
+           cast(xor(o_orderkey, 12345) as bigint) as xored,
+           cast(bit_count(o_orderkey) as integer) as popcount
+    from orders where o_orderkey < 500
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface: and/shift/xor/popcount."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.shiftleft(F.col("o_orderkey"), 2).alias("shifted"),
+        F.col("o_orderkey").bitwiseXOR(F.lit(12345)).alias("xored"),
+        F.bit_count(F.col("o_orderkey")).alias("popcount"),
+    )
+
+
+@register(
+    "fn_array_higher_order",
+    """
+    with t as (select doc_id,
+                      string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                        as toks
+               from documents where doc_id < 100)
+    select doc_id,
+           cast(len(list_filter(toks, x -> length(x) > 4)) as integer) as n_long,
+           list_transform(list_filter(toks, x -> length(x) > 6),
+                          x -> upper(x)) as long_upper,
+           cast(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                            (a, b) -> a + b) as bigint) as total_chars
+    from t
+    """,
+)
+def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: filter, transform, aggregate (fold) —
+    the Catalyst lambda surface the similarity/dedup operators build on."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    from pyiceberg_lakehouse_spark.operators.dedup import normalize_text
+
+    toks = F.split(normalize_text(F.col("text")), " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.transform(
+            F.filter(toks, lambda x: F.length(x) > 6), lambda x: F.upper(x)
+        ).alias("long_upper"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+    )
