@@ -323,6 +323,30 @@ class LakehouseTable:
 
     # ------------------------------------------------------------ writes --
 
+    def _validate_constraints(self, df: DataFrame) -> None:
+        """Enforce table CHECK constraints (properties ``check.<name>`` =
+        SQL predicate) on incoming data before any file is written.
+
+        SQL-standard semantics: a row violates only when the predicate is
+        FALSE (NULL passes). One short-circuiting job per constraint
+        (limit(1)), proportional to the batch — never the table. Enforced on
+        the table-API write paths (append/overwrite/replace); the
+        ``format("lakehouse")`` writer commits via the log directly and does
+        not validate."""
+        checks = {
+            k[len("check.") :]: v
+            for k, v in self.log.properties.items()
+            if k.startswith("check.")
+        }
+        for name, pred in checks.items():
+            bad = df.filter(
+                ~F.coalesce(F.expr(pred), F.lit(True))
+            ).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({pred}) violated, e.g. {bad[0]}"
+                )
+
     def append(
         self,
         df: DataFrame,
@@ -336,6 +360,7 @@ class LakehouseTable:
         story (data files are already on disk under a unique commit dir;
         only the metadata commit re-runs).
         """
+        self._validate_constraints(df)
         files = self._write_data(df)
         return self._commit("append", files, summary=summary, retry_conflicts=retries)
 
@@ -343,11 +368,13 @@ class LakehouseTable:
         """Transactional multi-append: N writes, ONE snapshot (W7,
         main-polars.py:165-186). The union is a single Spark job."""
         df = reduce(DataFrame.unionByName, dfs)
+        self._validate_constraints(df)
         files = self._write_data(df)
         return self._commit("append", files, summary={"batches": len(dfs)})
 
     def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
         """Atomic replace of the table contents (W9, upsert.py:84)."""
+        self._validate_constraints(df)
         files = self._write_data(df)
         return self._commit("overwrite", files, summary=summary)
 

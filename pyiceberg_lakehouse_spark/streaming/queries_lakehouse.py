@@ -175,3 +175,87 @@ def stream_lh_datasource_partitioned(spark: SparkSession, sf_dir: str) -> DataFr
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "stream_lh_cdc_apply",
+    """
+    with base as (
+      select o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      from orders where o_orderkey % 3 != 0
+    ),
+    ups as (
+      select o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 100000.0 as o_totalprice
+      from orders where o_orderkey % 5 = 0
+    ),
+    merged as (
+      select * from ups
+      union all
+      select * from base
+      where o_orderkey not in (select o_orderkey from ups)
+    )
+    select o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    from merged where o_orderkey % 7 != 0
+    """,
+)
+def stream_lh_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC consumption end to end: a change stream (upsert +
+    delete ops) applied to a lakehouse table via foreachBatch ->
+    ``apply_changes`` (keyed merge + merge-on-read deletes). The oracle
+    states the expected final table directly over the source."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from pyiceberg_lakehouse_spark.lakehouse.upsert import apply_changes
+    from pyiceberg_lakehouse_spark.sources.testdata import load_table
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    lh = Lakehouse(spark, tempfile.mkdtemp(prefix="lh_cdc_s_"))
+    t = lh.create_table("ns.orders_cdc_s", schema)
+    t.append(orders.filter(SF.col("o_orderkey") % 3 != 0))
+
+    # change feed on disk: upserts (+100000 price) then deletes, one file
+    changes_dir = tempfile.mkdtemp(prefix="cdc_feed_")
+    ups = (
+        orders.filter(SF.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", SF.col("o_totalprice") + SF.lit(100000.0))
+        .withColumn("_op", SF.lit("upsert"))
+    )
+    dels = (
+        orders.filter(SF.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey")
+        .withColumn("o_custkey", SF.lit(None).cast("long"))
+        .withColumn("o_orderstatus", SF.lit(None).cast("string"))
+        .withColumn("o_totalprice", SF.lit(None).cast("double"))
+        .withColumn("_op", SF.lit("delete"))
+    )
+    ups.unionByName(dels).coalesce(1).write.mode("overwrite").parquet(changes_dir)
+
+    change_schema = schema.add("_op", T.StringType())
+    stream = spark.readStream.schema(change_schema).parquet(changes_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t.log.load()
+        apply_changes(t, batch_df, key_cols=["o_orderkey"], op_col="_op")
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cdc_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return t.scan().select(*cols)

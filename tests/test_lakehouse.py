@@ -397,3 +397,37 @@ def test_register_sql_views(spark, warehouse, sf_dir):
         "on o.o_custkey % 25 = n.n_nationkey"
     ).collect()[0].n
     assert joined == orders.count()
+
+
+def test_check_constraints(spark, warehouse, sf_dir):
+    """CHECK constraints (properties check.<name>) reject violating batches
+    before any write; NULL predicates pass (SQL semantics)."""
+    from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table(
+        "ns.orders_ck",
+        SCHEMAS["orders"],
+        properties={
+            "check.positive_price": "o_totalprice > 0",
+            "check.known_status": "o_orderstatus in ('O', 'F', 'P')",
+        },
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    t.append(orders.limit(100))  # clean data passes
+    assert t.scan().count() == 100
+    bad = orders.limit(5).withColumn(
+        "o_totalprice", F.lit(-1.0).cast("double")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive_price"):
+        t.append(bad)
+    t.log.load()
+    assert t.scan().count() == 100  # nothing committed
+    # NULL predicate result passes, per SQL CHECK semantics
+    nullish = orders.limit(3).withColumn(
+        "o_totalprice", F.lit(None).cast("double")
+    )
+    t.append(nullish)
+    assert t.scan().count() == 103
