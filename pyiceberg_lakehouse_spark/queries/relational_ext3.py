@@ -287,3 +287,43 @@ def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
         ).alias("total_chars"),
     )
+
+
+@register(
+    "ts_gapfill_hourly",
+    """
+    with bounds as (
+      select date_trunc('hour', min(ts)) as lo, date_trunc('hour', max(ts)) as hi
+      from events
+    ),
+    grid as (
+      select unnest(generate_series(lo, hi, interval 1 hour)) as hour_start
+      from bounds
+    ),
+    agg as (
+      select date_trunc('hour', ts) as hour_start, count(*) as n
+      from events group by 1
+    )
+    select g.hour_start, cast(coalesce(a.n, 0) as bigint) as n
+    from grid g left join agg a on g.hour_start = a.hour_start
+    """,
+)
+def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling: a dense hourly grid
+    (sequence + explode) left-joined to the hourly counts, zeros where no
+    events landed. The grid is generated from one tiny min/max agg — never
+    collected — so the pattern scales to any time range."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    ).select(F.col("h").cast("timestamp_ntz").alias("hour_start"))
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start")
+    ).agg(F.count("*").alias("n"))
+    return grid.join(agg, "hour_start", "left").select(
+        "hour_start", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )

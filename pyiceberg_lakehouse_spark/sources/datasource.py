@@ -204,9 +204,14 @@ class LakehouseBatchReader(DataSourceReader):
                 continue
             col = flt.attribute[0]
             op = ops.get(type(flt))
+            # partition-value pruning compares str(value) against the hive
+            # path segment — reliable only for types with one canonical
+            # string form (floats may format differently than Spark wrote
+            # them, which would prune a matching file)
+            exact_str = (str, int, bool)
             if op is not None:
                 self.stat_preds.setdefault(col, []).append((op, flt.value))
-                if op == "=":
+                if op == "=" and isinstance(flt.value, exact_str):
                     self.part_preds.setdefault(col, set()).add(str(flt.value))
             elif isinstance(flt, In) and flt.value:
                 vals = list(flt.value)
@@ -215,7 +220,10 @@ class LakehouseBatchReader(DataSourceReader):
                 except TypeError:
                     continue
                 self.stat_preds.setdefault(col, []).extend(conj)
-                self.part_preds.setdefault(col, set()).update(str(v) for v in vals)
+                if all(isinstance(v, exact_str) for v in vals):
+                    self.part_preds.setdefault(col, set()).update(
+                        str(v) for v in vals
+                    )
         # skipping is file-granular — Spark still evaluates every filter
         # against the rows, so partially-pruned files stay correct
         return filters
