@@ -274,6 +274,19 @@ class LakehouseTable:
                 out.append((s.snapshot_id, rc["from"], rc["to"]))
         return out
 
+    def _forward_names(self, names: list[str], since_snapshot: int) -> list[str]:
+        """Map column names recorded at ``since_snapshot`` forward through
+        every rename committed after it, yielding current-schema names."""
+        renames = self._rename_events()
+        out = []
+        for n in names:
+            cur = n
+            for sid, old, new in renames:
+                if sid > since_snapshot and cur == old:
+                    cur = new
+            out.append(cur)
+        return out
+
     def _historical_names(self, added_in: int) -> dict[str, str]:
         """current column name -> the name it had when a file committed in
         snapshot ``added_in`` was written (walk renames newest-first)."""
@@ -541,14 +554,24 @@ class LakehouseTable:
         result = None
         for applicable, flist in sorted(classes.items()):
             df = self._read_files(flist)
+            # delete files carry the key column names AS OF their commit; a
+            # later rename_column means the anti-join key must be mapped
+            # forward to the current schema (hist name in the file, current
+            # name in df) — group by both so unrenamed tables batch as before
             by_keys: dict[tuple, list[str]] = {}
             for i in applicable:
-                by_keys.setdefault(tuple(deletes[i]["key_cols"]), []).append(
-                    deletes[i]["path"]
+                hist = tuple(deletes[i]["key_cols"])
+                cur = tuple(self._forward_names(list(hist), deletes[i]["snapshot_id"]))
+                by_keys.setdefault((hist, cur), []).append(deletes[i]["path"])
+            for (hist, cur), paths in sorted(by_keys.items()):
+                dkeys = (
+                    self.spark.read.parquet(*paths)
+                    .select(
+                        *[F.col(h).alias(c) for h, c in zip(hist, cur)]
+                    )
+                    .distinct()
                 )
-            for key_cols, paths in sorted(by_keys.items()):
-                dkeys = self.spark.read.parquet(*paths).select(*key_cols).distinct()
-                df = df.join(dkeys, on=list(key_cols), how="left_anti")
+                df = df.join(dkeys, on=list(cur), how="left_anti")
             result = df if result is None else result.unionByName(df)
         return result if result is not None else self._read_files(files)
 

@@ -114,3 +114,27 @@ def test_rename_column_via_datasource(spark, warehouse, sf_dir):
     assert "customer_id" in df.columns
     assert df.filter(F.col("customer_id").isNull()).count() == 0
     assert df.count() == 200
+
+
+def test_rename_key_column_after_mor_delete(spark, warehouse, sf_dir):
+    """Delete files store key columns under their at-commit names; renaming
+    the key afterwards must not break the anti-join (names map forward)."""
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.orders_rnd", SCHEMAS["orders"])
+    orders = load_table(spark, sf_dir, "orders").limit(100)
+    t.append(orders)
+    t.delete_keys(
+        orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    expected = orders.filter(F.col("o_orderkey") % 2 != 0).count()
+    assert t.scan().count() == expected
+    t.rename_column("o_orderkey", "order_id")
+    got = t.scan()
+    assert "order_id" in got.columns
+    assert got.count() == expected
+    # the surviving ids are exactly the odd ones, under the new name
+    assert got.filter(F.col("order_id") % 2 == 0).count() == 0
