@@ -189,6 +189,20 @@ def expire_snapshots(table: LakehouseTable, keep_last: int = 1) -> list[str]:
     base_files = log.live_files(retained_ids[0])
     base_deletes = log.live_deletes(retained_ids[0])
     base = log.snapshots[-keep_last]
+    # rename history must survive expiry: retained files keep their original
+    # added_in, so reading them still depends on renames recorded in the
+    # snapshots being dropped — stash those events on the base snapshot
+    dropped_renames = []
+    for s in log.snapshots[:-keep_last]:
+        if "rename_column" in s.summary:
+            dropped_renames.append(
+                {"snapshot_id": s.snapshot_id, **s.summary["rename_column"]}
+            )
+        dropped_renames.extend(s.summary.get("rename_history", []))
+    if dropped_renames:
+        base.summary["rename_history"] = dropped_renames + base.summary.get(
+            "rename_history", []
+        )
     base.added_files = base_files
     base.removed_paths = []
     existing = {d["path"] for d in base.added_deletes}

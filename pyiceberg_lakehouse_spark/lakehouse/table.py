@@ -266,13 +266,17 @@ class LakehouseTable:
         )
 
     def _rename_events(self) -> list[tuple[int, str, str]]:
-        """(snapshot_id, old, new) for every committed rename, in order."""
+        """(snapshot_id, old, new) for every committed rename, in order —
+        including events stashed as ``rename_history`` by snapshot expiry
+        (the rename's own snapshot may no longer exist)."""
         out = []
         for s in self.log.snapshots:
+            for h in s.summary.get("rename_history", []):
+                out.append((h["snapshot_id"], h["from"], h["to"]))
             rc = s.summary.get("rename_column")
             if rc:
                 out.append((s.snapshot_id, rc["from"], rc["to"]))
-        return out
+        return sorted(out)
 
     def _forward_names(self, names: list[str], since_snapshot: int) -> list[str]:
         """Map column names recorded at ``since_snapshot`` forward through

@@ -76,10 +76,12 @@ class FileSlice(InputPartition):
 def _rename_events(log: SnapshotLog) -> list[tuple[int, str, str]]:
     out = []
     for s in log.snapshots:
+        for h in s.summary.get("rename_history", []):
+            out.append((h["snapshot_id"], h["from"], h["to"]))
         rc = s.summary.get("rename_column")
         if rc:
             out.append((s.snapshot_id, rc["from"], rc["to"]))
-    return out
+    return sorted(out)
 
 
 def _historical_map(

@@ -138,3 +138,23 @@ def test_rename_key_column_after_mor_delete(spark, warehouse, sf_dir):
     assert got.count() == expected
     # the surviving ids are exactly the odd ones, under the new name
     assert got.filter(F.col("order_id") % 2 == 0).count() == 0
+
+
+def test_rename_survives_snapshot_expiry(spark, warehouse, sf_dir):
+    """Expiring the snapshot that recorded a rename must not break reads of
+    files written before it (the rename event is stashed on the base)."""
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import expire_snapshots
+    from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.orders_rne", SCHEMAS["orders"])
+    orders = load_table(spark, sf_dir, "orders").limit(120)
+    t.append(orders)  # written under o_totalprice
+    t.rename_column("o_totalprice", "price")
+    t.append(orders.limit(30).withColumnRenamed("o_totalprice", "price"))
+    expire_snapshots(t, keep_last=1)  # drops the rename snapshot itself
+    got = t.scan()
+    assert got.count() == 150
+    # the old files' column still serves under the new name, not as nulls
+    assert got.filter(F.col("price").isNull()).count() == 0
