@@ -203,6 +203,20 @@ def expire_snapshots(table: LakehouseTable, keep_last: int = 1) -> list[str]:
         base.summary["rename_history"] = dropped_renames + base.summary.get(
             "rename_history", []
         )
+    # same for add/drop column events: the re-add null guard needs them
+    dropped_cols = []
+    for s in log.snapshots[:-keep_last]:
+        for op in ("add", "drop"):
+            key = f"{op}_column"
+            if key in s.summary:
+                dropped_cols.append(
+                    {"snapshot_id": s.snapshot_id, "op": op, "name": s.summary[key]}
+                )
+        dropped_cols.extend(s.summary.get("column_history", []))
+    if dropped_cols:
+        base.summary["column_history"] = dropped_cols + base.summary.get(
+            "column_history", []
+        )
     base.added_files = base_files
     base.removed_paths = []
     existing = {d["path"] for d in base.added_deletes}

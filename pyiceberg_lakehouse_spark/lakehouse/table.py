@@ -278,6 +278,40 @@ class LakehouseTable:
                 out.append((s.snapshot_id, rc["from"], rc["to"]))
         return sorted(out)
 
+    def _column_events(self) -> list[tuple[int, str, str]]:
+        """(snapshot_id, op, name) for add/drop column commits — including
+        events stashed as ``column_history`` by snapshot expiry."""
+        out = []
+        for s in self.log.snapshots:
+            for h in s.summary.get("column_history", []):
+                out.append((h["snapshot_id"], h["op"], h["name"]))
+            if "add_column" in s.summary:
+                out.append((s.snapshot_id, "add", s.summary["add_column"]))
+            if "drop_column" in s.summary:
+                out.append((s.snapshot_id, "drop", s.summary["drop_column"]))
+        return sorted(out)
+
+    def _readded_null_cols(self, added_in: int) -> set[str]:
+        """Columns that must read as NULL from files of epoch ``added_in``:
+        a drop-then-re-add of the same name after the file was written means
+        the file's bytes for that name are STALE (pre-drop data), not the
+        re-added column's values — without field ids, name-based resolution
+        would silently resurrect them."""
+        events = self._column_events()
+        nulls = set()
+        for f in self.schema().fields:
+            drop_after = [
+                sid for sid, op, n in events if op == "drop" and n == f.name and sid > added_in
+            ]
+            if not drop_after:
+                continue
+            readd = [
+                sid for sid, op, n in events if op == "add" and n == f.name and sid > drop_after[0]
+            ]
+            if readd:
+                nulls.add(f.name)
+        return nulls
+
     def _forward_names(self, names: list[str], since_snapshot: int) -> list[str]:
         """Map column names recorded at ``since_snapshot`` forward through
         every rename committed after it, yielding current-schema names."""
@@ -867,14 +901,27 @@ class LakehouseTable:
         if not files:
             return self.spark.createDataFrame([], schema)
         has_renames = bool(self._rename_events())
+        events = self._column_events()
+        dropped = {n for _, op, n in events if op == "drop"}
+        has_readds = any(op == "add" and n in dropped for _, op, n in events)
+        # epoch grouping activates for renames AND for drop-then-re-add
+        # (stale-byte resurrection guard); otherwise single-scan paths apply
+        per_epoch = has_renames or has_readds
 
         def hist_for(added_in: int) -> dict[str, str]:
             return self._historical_names(added_in) if has_renames else {}
 
-        def conform(df: DataFrame, hist: dict[str, str]) -> DataFrame:
+        def nulls_for(added_in: int) -> set:
+            return self._readded_null_cols(added_in) if has_readds else set()
+
+        def conform(
+            df: DataFrame, hist: dict[str, str], nulls: set = frozenset()
+        ) -> DataFrame:
             return df.select(
                 *[
-                    F.col(hist.get(f.name, f.name)).cast(f.dataType).alias(f.name)
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    if f.name in nulls
+                    else F.col(hist.get(f.name, f.name)).cast(f.dataType).alias(f.name)
                     for f in schema.fields
                 ]
             )
@@ -886,7 +933,7 @@ class LakehouseTable:
             # epoch (a single multi-file scan when no renames exist)
             by_epoch: dict[int, list[str]] = {}
             for f in files:
-                epoch = f.get("added_in", 0) if has_renames else 0
+                epoch = f.get("added_in", 0) if per_epoch else 0
                 by_epoch.setdefault(epoch, []).append(f["path"])
             dfs = []
             for epoch, paths in sorted(by_epoch.items()):
@@ -898,7 +945,11 @@ class LakehouseTable:
                     ]
                 )
                 dfs.append(
-                    conform(self.spark.read.schema(read_schema).parquet(*paths), hist)
+                    conform(
+                        self.spark.read.schema(read_schema).parquet(*paths),
+                        hist,
+                        nulls_for(epoch),
+                    )
                 )
             return reduce(DataFrame.unionByName, dfs)
         data_dir = os.path.join(self.table_dir, "data")
@@ -916,7 +967,8 @@ class LakehouseTable:
                 by_commit.setdefault(commit, []).append(f)
             for commit in sorted(by_commit):
                 group = by_commit[commit]
-                hist = hist_for(group[0].get("added_in", 0))
+                epoch = group[0].get("added_in", 0)
+                hist = hist_for(epoch)
                 read_schema = T.StructType(
                     [
                         T.StructField(hist.get(f.name, f.name), f.dataType, True)
@@ -928,11 +980,11 @@ class LakehouseTable:
                     .option("basePath", os.path.join(self.table_dir, "data", commit))
                     .parquet(*[f["path"] for f in group])
                 )
-                dfs.append(conform(df, hist))
+                dfs.append(conform(df, hist, nulls_for(epoch)))
         if flat:
             by_part: dict[tuple, list[dict]] = {}
             for f in flat:
-                epoch = f.get("added_in", 0) if has_renames else 0
+                epoch = f.get("added_in", 0) if per_epoch else 0
                 key = (tuple(sorted(f["partition"].items())), epoch)
                 by_part.setdefault(key, []).append(f)
             identity_fields = {
@@ -948,7 +1000,7 @@ class LakehouseTable:
                     if col not in df.columns:
                         ftype = schema[pf.source].dataType
                         df = df.withColumn(col, F.lit(pvals.get(col)).cast(ftype))
-                dfs.append(conform(df, hist))
+                dfs.append(conform(df, hist, nulls_for(epoch)))
         return reduce(DataFrame.unionByName, dfs)
 
     def _commit(

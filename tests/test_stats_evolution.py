@@ -158,3 +158,26 @@ def test_rename_survives_snapshot_expiry(spark, warehouse, sf_dir):
     assert got.count() == 150
     # the old files' column still serves under the new name, not as nulls
     assert got.filter(F.col("price").isNull()).count() == 0
+
+
+def test_drop_then_readd_column_does_not_resurrect(spark, warehouse, sf_dir):
+    """Without field ids, name-based resolution would serve STALE bytes for
+    a dropped-then-re-added column; the epoch guard nulls them instead."""
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+    from pyspark.sql import types as T
+
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.orders_readd", SCHEMAS["orders"])
+    orders = load_table(spark, sf_dir, "orders").limit(80)
+    t.append(orders)  # epoch 1: files CONTAIN o_comment-like data? use o_custkey
+    t.drop_column("o_custkey")
+    t.add_column("o_custkey", T.LongType())
+    got = t.scan()
+    assert got.count() == 80
+    # every pre-re-add row must be NULL, not the resurrected original value
+    assert got.filter(F.col("o_custkey").isNotNull()).count() == 0
+    # rows appended after the re-add serve real values
+    t.append(orders.limit(10))
+    got2 = t.scan()
+    assert got2.filter(F.col("o_custkey").isNotNull()).count() == 10
