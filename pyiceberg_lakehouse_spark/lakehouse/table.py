@@ -670,6 +670,29 @@ class LakehouseTable:
 
     # --------------------------------------------------- metadata tables --
 
+    def partitions(self) -> DataFrame:
+        """Iceberg's ``table.partitions`` metadata table: per-partition
+        file count, row count, and bytes — from the snapshot log alone.
+        The first stop for diagnosing skew or small-file buildup without
+        touching data."""
+        agg: dict[tuple, dict[str, int]] = {}
+        for f in self.log.live_files():
+            key = tuple(sorted((f.get("partition") or {}).items()))
+            a = agg.setdefault(key, {"files": 0, "rows": 0, "bytes": 0})
+            a["files"] += 1
+            a["rows"] += f.get("rows") or 0
+            a["bytes"] += (
+                os.path.getsize(f["path"]) if os.path.exists(f["path"]) else 0
+            )
+        rows = [
+            (dict(k), a["files"], a["rows"], a["bytes"]) for k, a in sorted(agg.items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "partition map<string,string>, file_count int, "
+            "record_count long, total_bytes long",
+        )
+
     def files(self) -> DataFrame:
         """Iceberg's ``table.files`` metadata table: one row per live data
         file with partition values, row count, and size — queryable with

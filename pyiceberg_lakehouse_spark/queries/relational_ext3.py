@@ -327,3 +327,49 @@ def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.join(agg, "hour_start", "left").select(
         "hour_start", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
     )
+
+
+@register(
+    "fn_regexp_extract_all",
+    """
+    select doc_id,
+           regexp_extract_all(lower(text), '[a-z]*ing') as ing_words,
+           cast(len(regexp_extract_all(lower(text), '[0-9]+')) as integer)
+             as n_numbers
+    from documents where doc_id < 200
+    """,
+)
+def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all: every match as an array, plus a match count."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    low = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.regexp_extract_all(low, F.lit("[a-z]*ing")).alias("ing_words"),
+        F.size(F.regexp_extract_all(low, F.lit("[0-9]+"))).alias("n_numbers"),
+    )
+
+
+@register(
+    "fn_try_arithmetic",
+    """
+    select o_orderkey,
+           o_totalprice / nullif(cast(o_orderkey % 10 as double), 0.0)
+             as price_per_bucket,
+           try_cast(o_orderpriority as bigint) as prio_num,
+           try_cast(substr(o_orderpriority, 1, 1) as bigint) as prio_digit
+    from orders where o_orderkey < 2000
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe arithmetic surface: try_divide (null on /0, never an
+    error) and try_cast (null on malformed input)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 10).cast("double")
+        ).alias("price_per_bucket"),
+        F.col("o_orderpriority").try_cast("bigint").alias("prio_num"),
+        F.substring("o_orderpriority", 1, 1).try_cast("bigint").alias("prio_digit"),
+    )

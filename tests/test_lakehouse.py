@@ -431,3 +431,21 @@ def test_check_constraints(spark, warehouse, sf_dir):
     )
     t.append(nullish)
     assert t.scan().count() == 103
+
+
+def test_partitions_metadata_table(spark, warehouse, sf_dir):
+    from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table(
+        "ns.orders_pm", SCHEMAS["orders"], partition_by=["o_orderstatus"]
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    t.append(orders)
+    parts = {r.partition["o_orderstatus"]: r for r in t.partitions().collect()}
+    expected = {
+        r.o_orderstatus: r.n
+        for r in orders.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    assert {k: v.record_count for k, v in parts.items()} == expected
+    assert all(v.file_count >= 1 and v.total_bytes > 0 for v in parts.values())
