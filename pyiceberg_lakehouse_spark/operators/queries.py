@@ -429,3 +429,44 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traindata.split_train_test(deduped).select(
         "doc_id", "lang", "n_tokens", "split"
     )
+
+
+@register(
+    "text_top_bigrams",
+    f"""
+    with toks as (
+      select doc_id, string_split({NORM}, ' ') as tk from documents
+    ),
+    bi as (
+      select tk[i] || ' ' || tk[i + 1] as bigram
+      from toks, unnest(generate_series(1, len(tk) - 1)) as u(i)
+    )
+    select bigram, cast(count(*) as bigint) as n
+    from bi group by bigram
+    order by n desc, bigram limit 50
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-50 bigrams: adjacent-token pairs via a zip of the
+    token array with itself shifted (one explode, no self-join), then a
+    count + global top-k. The n-gram frequency table every corpus analysis
+    starts with."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyiceberg_lakehouse_spark.operators.dedup import normalize_text
+
+    tk = F.split(normalize_text(F.col("text")), " ")
+    bigrams = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+                F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )
