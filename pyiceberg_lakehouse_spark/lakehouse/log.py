@@ -102,13 +102,25 @@ class Snapshot:
 
 
 class SnapshotLog:
-    """Loads, mutates, and atomically commits one table's metadata."""
+    """Loads, mutates, and atomically commits one table's metadata.
+
+    ``branch`` selects an alternative log file (``_snaplog-branch-<name>``):
+    branches are full snapshot logs sharing the table's immutable data
+    files, so branch writes never touch main's metadata. All branches of a
+    table serialize through the same commit lock.
+    """
 
     FILENAME = "_snaplog.json"
 
-    def __init__(self, table_dir: str):
+    def __init__(self, table_dir: str, branch: str | None = None):
         self.table_dir = table_dir
-        self.path = os.path.join(table_dir, self.FILENAME)
+        self.branch = branch if branch not in (None, "main") else None
+        fname = (
+            self.FILENAME
+            if self.branch is None
+            else f"_snaplog-branch-{self.branch}.json"
+        )
+        self.path = os.path.join(table_dir, fname)
         self.schema_json: str | None = None
         self.partition_by: list[str] = []
         self.properties: dict[str, str] = {}
@@ -192,7 +204,7 @@ class SnapshotLog:
         if they fall in the retained window, same as Iceberg's retention.
         """
         with _commit_lock(self.table_dir):
-            on_disk = SnapshotLog(self.table_dir).load()
+            on_disk = SnapshotLog(self.table_dir, self.branch).load()
             if snapshot_id not in [s.snapshot_id for s in on_disk.snapshots]:
                 raise KeyError(f"snapshot {snapshot_id} not found in {self.path}")
             on_disk.refs[name] = snapshot_id
@@ -201,7 +213,7 @@ class SnapshotLog:
 
     def drop_ref(self, name: str) -> None:
         with _commit_lock(self.table_dir):
-            on_disk = SnapshotLog(self.table_dir).load()
+            on_disk = SnapshotLog(self.table_dir, self.branch).load()
             on_disk.refs.pop(name, None)
             on_disk._write(expected_len=None)
             self.load()
@@ -255,7 +267,7 @@ class SnapshotLog:
         attempts = 0
         while True:
             with _commit_lock(self.table_dir):
-                on_disk = SnapshotLog(self.table_dir).load()
+                on_disk = SnapshotLog(self.table_dir, self.branch).load()
                 if len(on_disk.snapshots) == len(self.snapshots):
                     snap_id = (self.current_snapshot_id() or 0) + 1
                     snap = Snapshot(

@@ -172,6 +172,14 @@ def expire_snapshots(table: LakehouseTable, keep_last: int = 1) -> list[str]:
     Returns the deleted paths. Time travel to expired snapshots stops
     working (that is the point); the current state is never touched.
     """
+    if table.branches():
+        # branches share data files with main; expiry reachability is
+        # computed against ONE log, so deleting files here could orphan a
+        # branch's state. Land or drop branches first.
+        raise RuntimeError(
+            f"table has branches {table.branches()}; expire after landing/"
+            "dropping them"
+        )
     log = table.log
     if len(log.snapshots) <= keep_last:
         return []

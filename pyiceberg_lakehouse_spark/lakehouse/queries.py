@@ -587,3 +587,24 @@ def lh_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "price", "o_orderdate",
         "o_orderpriority",
     )
+
+
+@register(
+    "lh_branch_merge",
+    f"select {ORDER_COLS} from orders",
+)
+def lh_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch-based ingestion: fork a writable branch (metadata-sized — data
+    files are shared), stage the second half of the load there, validate on
+    the branch, then land it with an atomic fast-forward. Main never shows a
+    partial state."""
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.orders_brq", SCHEMAS["orders"])
+    orders = load_table(spark, sf_dir, "orders")
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    staging = t.create_branch("staging")
+    staging.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    assert t.scan().count() < staging.scan().count()  # isolation held
+    t.fast_forward("staging")
+    t.drop_branch("staging")
+    return t.scan().select(*[c.strip() for c in ORDER_COLS.split(",")])

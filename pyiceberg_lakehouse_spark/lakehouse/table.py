@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pyiceberg_lakehouse_spark.lakehouse.log import SnapshotLog, Snapshot
+from pyiceberg_lakehouse_spark.lakehouse.log import (
+    SnapshotLog,
+    Snapshot,
+    _commit_lock,
+)
 from pyiceberg_lakehouse_spark.lakehouse.transforms import (
     PartitionField,
     derived_column_typed,
@@ -77,12 +81,16 @@ class Lakehouse:
         log.init_table(schema, partition_by or [], props)
         return LakehouseTable(self.spark, table_dir)
 
-    def load_table(self, identifier: str) -> "LakehouseTable":
+    def load_table(self, identifier: str, branch: str | None = None) -> "LakehouseTable":
         ns, name = self._split(identifier)
         table_dir = os.path.join(self.warehouse, ns, name)
-        if not SnapshotLog(table_dir).exists():
-            raise FileNotFoundError(f"no such table {identifier} under {self.warehouse}")
-        return LakehouseTable(self.spark, table_dir)
+        if not SnapshotLog(table_dir, branch).exists():
+            raise FileNotFoundError(
+                f"no such table {identifier}"
+                + (f" (branch {branch})" if branch else "")
+                + f" under {self.warehouse}"
+            )
+        return LakehouseTable(self.spark, table_dir, branch=branch)
 
     def drop_table(self, identifier: str) -> None:
         import shutil
@@ -157,12 +165,78 @@ class Lakehouse:
 
 
 class LakehouseTable:
-    """Handle over one table directory + its snapshot log."""
+    """Handle over one table directory + its snapshot log (one branch)."""
 
-    def __init__(self, spark: SparkSession, table_dir: str):
+    def __init__(self, spark: SparkSession, table_dir: str, branch: str | None = None):
         self.spark = spark
         self.table_dir = table_dir
-        self.log = SnapshotLog(table_dir).load()
+        self.branch = branch if branch not in (None, "main") else None
+        self.log = SnapshotLog(table_dir, self.branch).load()
+
+    # ---------------------------------------------------------- branches --
+
+    def create_branch(self, name: str) -> "LakehouseTable":
+        """Fork a writable branch at the current head (Git-style).
+
+        The branch is a full copy of this branch's LOG — data files are
+        shared and immutable, so forking is metadata-sized no matter how big
+        the table is. Writes through the returned handle commit only to the
+        branch; this handle's history is untouched. Use ``fast_forward`` to
+        land the branch back.
+        """
+        if name in (None, "", "main"):
+            raise ValueError("branch name must be a non-empty name other than 'main'")
+        dst = SnapshotLog(self.table_dir, name)
+        if dst.exists():
+            raise FileExistsError(f"branch {name!r} already exists")
+        src = SnapshotLog(self.table_dir, self.branch).load()
+        dst.schema_json = src.schema_json
+        dst.partition_by = src.partition_by
+        dst.properties = dict(src.properties)
+        dst.snapshots = src.snapshots
+        dst.refs = dict(src.refs)
+        dst._write(expected_len=None)
+        return LakehouseTable(self.spark, self.table_dir, branch=name)
+
+    def branches(self) -> list[str]:
+        out = []
+        for fn in os.listdir(self.table_dir):
+            if fn.startswith("_snaplog-branch-") and fn.endswith(".json"):
+                out.append(fn[len("_snaplog-branch-") : -len(".json")])
+        return sorted(out)
+
+    def drop_branch(self, name: str) -> None:
+        path = SnapshotLog(self.table_dir, name).path
+        if os.path.exists(path):
+            os.unlink(path)
+
+    def fast_forward(self, from_branch: str) -> None:
+        """Land ``from_branch`` onto THIS branch, fast-forward only.
+
+        Valid iff this branch's history is a strict prefix of the source
+        branch's (nothing committed here since the fork) — then the merge is
+        one atomic log swap, exactly Git's fast-forward. Diverged histories
+        raise; rebase by replaying the branch's operations instead.
+        """
+        with _commit_lock(self.table_dir):
+            ours = SnapshotLog(self.table_dir, self.branch).load()
+            theirs = SnapshotLog(self.table_dir, from_branch).load()
+            # prefix equality by full snapshot CONTENT — ids alone are
+            # sequential ints, so two diverged histories can share them
+            ours_snaps = [s.to_json() for s in ours.snapshots]
+            theirs_snaps = [s.to_json() for s in theirs.snapshots]
+            if theirs_snaps[: len(ours_snaps)] != ours_snaps:
+                raise RuntimeError(
+                    f"branch {from_branch!r} diverged from "
+                    f"{self.branch or 'main'}; fast-forward impossible"
+                )
+            ours.schema_json = theirs.schema_json
+            ours.partition_by = theirs.partition_by
+            ours.properties = dict(theirs.properties)
+            ours.snapshots = theirs.snapshots
+            ours.refs = dict(theirs.refs)
+            ours._write(expected_len=None)
+        self.log.load()
 
     # ---------------------------------------------------------- metadata --
 

@@ -449,3 +449,59 @@ def test_partitions_metadata_table(spark, warehouse, sf_dir):
     }
     assert {k: v.record_count for k, v in parts.items()} == expected
     assert all(v.file_count >= 1 and v.total_bytes > 0 for v in parts.values())
+def test_branch_write_isolation(spark, warehouse, sf_dir):
+    """Branch commits never touch main; both read their own heads."""
+    from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.orders_br", SCHEMAS["orders"])
+    orders = load_table(spark, sf_dir, "orders")
+    t.append(orders.limit(100))
+    dev = t.create_branch("dev")
+    dev.append(orders.limit(40))
+    assert dev.scan().count() == 140
+    t.log.load()
+    assert t.scan().count() == 100  # main unaffected
+    assert t.branches() == ["dev"]
+    # reload by name works
+    again = lh.load_table("ns.orders_br", branch="dev")
+    assert again.scan().count() == 140
+
+
+def test_branch_fast_forward(spark, warehouse, sf_dir):
+    from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.orders_ff", SCHEMAS["orders"])
+    orders = load_table(spark, sf_dir, "orders")
+    t.append(orders.limit(100))
+    dev = t.create_branch("dev")
+    dev.append(orders.limit(25))
+    dev.rename_column("o_custkey", "customer_id")
+    t.fast_forward("dev")
+    assert t.scan().count() == 125
+    assert "customer_id" in t.scan().columns  # schema landed too
+    t.drop_branch("dev")
+    assert t.branches() == []
+
+
+def test_branch_fast_forward_rejects_divergence(spark, warehouse, sf_dir):
+    from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.orders_div", SCHEMAS["orders"])
+    orders = load_table(spark, sf_dir, "orders")
+    t.append(orders.limit(50))
+    dev = t.create_branch("dev")
+    dev.append(orders.limit(10))
+    t.append(orders.limit(5))  # main moves -> diverged
+    with pytest.raises(RuntimeError, match="diverged"):
+        t.fast_forward("dev")
+    # expiry refuses while branches exist (shared data files)
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import expire_snapshots
+
+    with pytest.raises(RuntimeError, match="branches"):
+        expire_snapshots(t, keep_last=1)
+    t.drop_branch("dev")
+    assert expire_snapshots(t, keep_last=1) is not None
+
