@@ -210,6 +210,37 @@ class LakehouseTable:
         if os.path.exists(path):
             os.unlink(path)
 
+    def write_audit_publish(
+        self,
+        df: DataFrame,
+        audits: list | None = None,
+        branch: str = "_wap",
+    ) -> Snapshot:
+        """The WAP pattern in one call: stage ``df`` on a throwaway branch,
+        run audits against the branch's FULL post-write state (not just the
+        batch — cross-batch invariants like key uniqueness need the whole
+        table), publish with an atomic fast-forward only if every audit
+        passes. Main never exposes unaudited data; a failed audit leaves
+        main byte-identical and drops the branch.
+
+        ``audits``: callables ``(DataFrame) -> bool`` over the staged scan.
+        Table CHECK constraints apply at the staged append as usual.
+        """
+        staged = self.create_branch(branch)
+        try:
+            staged.append(df)
+            view = staged.scan()
+            for i, audit in enumerate(audits or []):
+                if not audit(view):
+                    raise ValueError(
+                        f"WAP audit #{i} ({getattr(audit, '__name__', 'audit')}) "
+                        "failed; nothing published"
+                    )
+            self.fast_forward(branch)
+            return self.log.snapshots[-1]
+        finally:
+            self.drop_branch(branch)
+
     def fast_forward(self, from_branch: str) -> None:
         """Land ``from_branch`` onto THIS branch, fast-forward only.
 

@@ -158,7 +158,7 @@ class LakehouseBatchReader(DataSourceReader):
         self.table_dir = options["path"]
         snap = options.get("snapshot_id")
         self.snapshot_id = int(snap) if snap is not None else None
-        log = SnapshotLog(self.table_dir).load()
+        log = SnapshotLog(self.table_dir, options.get("branch")).load()
         if log.live_deletes(self.snapshot_id):
             raise ValueError(
                 "table has merge-on-read deletes; read it via "

@@ -298,3 +298,16 @@ def test_concurrent_datasource_appends_both_commit(spark, orders_table, sf_dir):
     assert not errs, errs
     orders_table.log.load()
     assert orders_table.scan().count() == before + 34
+
+
+def test_batch_read_branch_option(spark, orders_table, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    dev = orders_table.create_branch("dev")
+    dev.append(orders.limit(9))
+    main_df = spark.read.format("lakehouse").load(orders_table.table_dir)
+    dev_df = (
+        spark.read.format("lakehouse")
+        .option("branch", "dev")
+        .load(orders_table.table_dir)
+    )
+    assert dev_df.count() == main_df.count() + 9

@@ -505,3 +505,33 @@ def test_branch_fast_forward_rejects_divergence(spark, warehouse, sf_dir):
     t.drop_branch("dev")
     assert expire_snapshots(t, keep_last=1) is not None
 
+
+
+def test_write_audit_publish(spark, warehouse, sf_dir):
+    """WAP: audits gate publication; failures leave main byte-identical."""
+    from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.orders_wap", SCHEMAS["orders"])
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") < 1000)
+    batch = orders.filter(F.col("o_orderkey") >= 1000)
+    n_base, n_batch = base.count(), batch.count()
+    assert n_batch > 0
+    t.append(base)
+
+    def no_duplicate_keys(df):
+        return df.groupBy("o_orderkey").count().filter("count > 1").isEmpty()
+
+    # disjoint batch passes the audit and publishes
+    t.write_audit_publish(batch, audits=[no_duplicate_keys])
+    assert t.scan().count() == n_base + n_batch
+    assert t.branches() == []  # staging branch cleaned up
+    # re-publishing the same rows fails the uniqueness audit -> no change
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="audit"):
+        t.write_audit_publish(batch, audits=[no_duplicate_keys])
+    t.log.load()
+    assert t.scan().count() == n_base + n_batch
+    assert t.branches() == []
