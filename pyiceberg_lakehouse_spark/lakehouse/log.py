@@ -255,6 +255,7 @@ class SnapshotLog:
         summary: dict[str, Any] | None = None,
         added_deletes: list[dict[str, Any]] | None = None,
         retry_conflicts: int = 0,
+        preserve_sequencing: bool = False,
     ) -> Snapshot:
         """Append one snapshot atomically.
 
@@ -263,22 +264,43 @@ class SnapshotLog:
         atomic but last-write-wins). On conflict, commutative operations may
         refresh to the winner's state and retry up to ``retry_conflicts``
         times — the multi-writer append story; everything else raises.
+
+        ``preserve_sequencing=True`` keeps a pre-existing ``added_in`` /
+        ``snapshot_id`` on the supplied entries instead of stamping the new
+        snapshot's id — rollback re-lists an older file set and must keep
+        the original sequence numbers so merge-on-read delete ordering stays
+        correct, all within this single atomic commit.
         """
         attempts = 0
         while True:
             with _commit_lock(self.table_dir):
                 on_disk = SnapshotLog(self.table_dir, self.branch).load()
-                if len(on_disk.snapshots) == len(self.snapshots):
+                # head id must match too: after expire_snapshots shrinks the
+                # log, a stale handle's cached LENGTH can alias the new length
+                # (expiry + N commits) even though its snapshot list is stale;
+                # ids are monotonic so the head id never aliases.
+                if (
+                    len(on_disk.snapshots) == len(self.snapshots)
+                    and on_disk.current_snapshot_id() == self.current_snapshot_id()
+                ):
                     snap_id = (self.current_snapshot_id() or 0) + 1
                     snap = Snapshot(
                         snapshot_id=snap_id,
                         parent_id=self.current_snapshot_id(),
                         operation=operation,
                         timestamp_ms=int(time.time() * 1000),
-                        added_files=[{**f, "added_in": snap_id} for f in added_files],
+                        added_files=[
+                            {"added_in": snap_id, **f}
+                            if preserve_sequencing
+                            else {**f, "added_in": snap_id}
+                            for f in added_files
+                        ],
                         removed_paths=list(removed_paths or []),
                         added_deletes=[
-                            {**d, "snapshot_id": snap_id} for d in (added_deletes or [])
+                            {"snapshot_id": snap_id, **d}
+                            if preserve_sequencing
+                            else {**d, "snapshot_id": snap_id}
+                            for d in (added_deletes or [])
                         ],
                         summary=dict(summary or {}),
                     )
@@ -289,8 +311,10 @@ class SnapshotLog:
             if attempts >= retry_conflicts or operation not in self.COMMUTATIVE_OPS:
                 raise RuntimeError(
                     f"concurrent commit detected on {self.path}: "
-                    f"expected {len(self.snapshots)} snapshots, "
-                    f"found {len(on_disk.snapshots)}"
+                    f"expected {len(self.snapshots)} snapshots "
+                    f"(head {self.current_snapshot_id()}), "
+                    f"found {len(on_disk.snapshots)} "
+                    f"(head {on_disk.current_snapshot_id()})"
                 )
             attempts += 1
             self.schema_json = on_disk.schema_json

@@ -150,9 +150,14 @@ def remove_orphan_files(table: LakehouseTable, older_than_s: float = 3600.0) -> 
     referenced |= {d["path"] for s in table.log.snapshots for d in s.added_deletes}
     cutoff = _time.time() - older_than_s
     deleted = []
-    for path in _glob.glob(
+    # deletes/ holds merge-on-read equality-delete files — they orphan the
+    # same way data files do (crashed delete_keys, dropped by overwrite)
+    candidates = _glob.glob(
         os.path.join(table.table_dir, "data", "**", "*.parquet"), recursive=True
-    ):
+    ) + _glob.glob(
+        os.path.join(table.table_dir, "deletes", "**", "*.parquet"), recursive=True
+    )
+    for path in candidates:
         if path in referenced:
             continue
         try:
@@ -188,8 +193,12 @@ def expire_snapshots(table: LakehouseTable, keep_last: int = 1) -> list[str]:
     reachable: set[str] = set()
     for sid in retained_ids:
         reachable.update(f["path"] for f in log.live_files(sid))
-    # every file ever added
+    # every file ever added — including equality-delete files, which
+    # otherwise accumulate forever once overwrite/expiry drops them
     all_paths = {f["path"] for s in log.snapshots for f in s.added_files}
+    all_paths |= {d["path"] for s in log.snapshots for d in s.added_deletes}
+    for sid in retained_ids:
+        reachable.update(d["path"] for d in log.live_deletes(sid))
     orphaned = sorted(all_paths - reachable)
     # squash: keep a synthetic base snapshot carrying the oldest retained
     # state — including the merge-on-read deletes in effect there, so

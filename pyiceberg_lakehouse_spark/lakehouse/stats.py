@@ -86,12 +86,18 @@ def prune_files(
                 v = _jsonable(value)
                 if v is None:
                     continue
-                if op == "=" and not (lo <= v <= hi):
-                    keep = False
-                elif op in ("<", "<=") and not (lo <= v if op == "<=" else lo < v):
-                    keep = False
-                elif op in (">", ">=") and not (v <= hi if op == ">=" else v < hi):
-                    keep = False
+                # incomparable types (int probe vs string stats recorded
+                # under an older schema) must keep the file, not fail the
+                # scan — skipping is always conservative
+                try:
+                    if op == "=" and not (lo <= v <= hi):
+                        keep = False
+                    elif op in ("<", "<=") and not (lo <= v if op == "<=" else lo < v):
+                        keep = False
+                    elif op in (">", ">=") and not (v <= hi if op == ">=" else v < hi):
+                        keep = False
+                except TypeError:
+                    continue
                 if not keep:
                     break
             if not keep:

@@ -578,17 +578,16 @@ class LakehouseTable:
         """
         target_files = self.log.live_files(snapshot_id)
         target_deletes = self.log.live_deletes(snapshot_id)
-        snap = self._commit(
+        # one atomic overwrite commit carrying the full restored state; the
+        # original added_in / delete snapshot_id values are preserved so
+        # merge-on-read sequencing is identical to the target snapshot's
+        return self.log.commit(
             "overwrite",
-            [],
+            [dict(f) for f in target_files],
             summary={"op": "rollback", "to": snapshot_id},
+            added_deletes=[dict(d) for d in target_deletes],
+            preserve_sequencing=True,
         )
-        # an overwrite resets files AND deletes; re-add the target state
-        # verbatim (added_in preserved so delete sequencing stays correct)
-        snap.added_files = [dict(f) for f in target_files]
-        snap.added_deletes = [dict(d) for d in target_deletes]
-        self.log._write(expected_len=None)
-        return snap
 
     def delete_where(
         self,

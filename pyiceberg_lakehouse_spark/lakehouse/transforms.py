@@ -108,6 +108,19 @@ def derived_column_typed(pf: PartitionField, dtype_simple: str) -> Column:
     return derived_column(pf)
 
 
+def canon_part_str(value: Any) -> str:
+    """Canonical hive-path string for a partition value.
+
+    Hive layouts (and the snapshot log's partition entries) store booleans
+    lowercase (``flag=true``); Python's ``str(True)`` is ``'True'``, which
+    would prune every matching file. Normalize bools; everything else keeps
+    its ``str`` form.
+    """
+    if isinstance(value, bool):
+        return str(value).lower()
+    return str(value)
+
+
 def probe_value(spark, pf: PartitionField, value: Any, dtype_simple: str) -> str:
     """Partition value a given SOURCE value lands in — drives scan pruning.
 
@@ -115,7 +128,7 @@ def probe_value(spark, pf: PartitionField, value: Any, dtype_simple: str) -> str
     1-row Spark job so the hash is exactly the write path's xxhash64.
     """
     if pf.transform == "identity":
-        return str(value)
+        return canon_part_str(value)
     if pf.transform in ("year", "month", "day", "hour"):
         v = value
         if isinstance(v, str):

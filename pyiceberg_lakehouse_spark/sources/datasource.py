@@ -58,6 +58,7 @@ from pyspark.sql.datasource import (
 
 from pyiceberg_lakehouse_spark.lakehouse.log import SnapshotLog
 from pyiceberg_lakehouse_spark.lakehouse.stats import prune_files
+from pyiceberg_lakehouse_spark.lakehouse.transforms import canon_part_str
 
 
 @dataclass
@@ -214,7 +215,9 @@ class LakehouseBatchReader(DataSourceReader):
             if op is not None:
                 self.stat_preds.setdefault(col, []).append((op, flt.value))
                 if op == "=" and isinstance(flt.value, exact_str):
-                    self.part_preds.setdefault(col, set()).add(str(flt.value))
+                    self.part_preds.setdefault(col, set()).add(
+                        canon_part_str(flt.value)
+                    )
             elif isinstance(flt, In) and flt.value:
                 vals = list(flt.value)
                 try:
@@ -224,7 +227,7 @@ class LakehouseBatchReader(DataSourceReader):
                 self.stat_preds.setdefault(col, []).extend(conj)
                 if all(isinstance(v, exact_str) for v in vals):
                     self.part_preds.setdefault(col, set()).update(
-                        str(v) for v in vals
+                        canon_part_str(v) for v in vals
                     )
         # skipping is file-granular — Spark still evaluates every filter
         # against the rows, so partially-pruned files stay correct
