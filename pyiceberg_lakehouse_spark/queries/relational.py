@@ -317,11 +317,32 @@ def agg_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # rows-only: HLL estimate is engine-specific
+@register(
+    "agg_approx_distinct",
+    """
+    select count(distinct l_partkey) as exact_parts, true as within_bound
+    from lineitem
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct — sketch-based, no exact oracle by design."""
-    return load_table(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    """approx_count_distinct with a SELF-CHECKING contract.
+
+    The HLL estimate itself is engine-specific (no bitwise oracle exists),
+    so the query emits the exact distinct count plus an in-query assertion
+    that the sketch landed within its configured 2% rsd (bound checked at
+    5%). DuckDB's twin computes the same exact count and a literal true —
+    a wrong estimate OR a wrong exact count flips the hash."""
+    agg = load_table(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("_est"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "exact_parts",
+        (
+            F.abs(F.col("_est") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            < F.lit(0.05)
+        ).alias("within_bound"),
     )
 
 

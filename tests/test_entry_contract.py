@@ -32,3 +32,14 @@ def test_query_names_are_stable_identifiers():
     mod = _load_entry()
     for name in mod.queries():
         assert name.replace("_", "").isalnum(), name
+
+
+def test_driver_window_spans_every_category():
+    """The driver's correctness sweep reads the first 50 registry entries;
+    they must sample every engine category (VERDICT r2 task #1)."""
+    mod = _load_entry()
+    head = list(mod.queries())[:50]
+    assert "agg_q1_pricing_summary" in head
+    for prefix in ("lh_", "dedup_", "sim_", "stream_", "train_", "text_",
+                   "multimodal_", "join_", "win_", "fn_", "agg_q3", "scan_"):
+        assert any(n.startswith(prefix) for n in head), f"no {prefix}* in driver window"
