@@ -2,16 +2,20 @@
 
 Convention: a multimodal asset is a ``binary`` column (``content``) plus a
 struct of metadata (``media``: mime type, byte length, checksum). Decode /
-feature-extraction runs as Arrow-batched ``mapInPandas`` — the Spark-side
-plumbing (schema, batch shape, partitioning) is real and tested; the actual
-image/audio decode is STUBBED (no codec libraries in this container) behind
-``decode_stub``, which raises NotImplementedError unless a deterministic fake
-is requested.
+feature-extraction runs as Arrow-batched ``mapInPandas``.
+
+Decode is REAL for two container formats that need no codec library —
+BMP (BITMAPINFOHEADER parse -> width/height/bpp) and WAV (RIFF/fmt chunk
+parse -> sample rate/channels/sample count) — implemented as pure-Python
+``struct`` header parsing. Compressed codecs (PNG/JPEG/MP3/...) would need
+libraries this container doesn't ship; those mimes still raise
+NotImplementedError in ``decode_stub``.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct as _struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -45,14 +49,199 @@ def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_stub(payload: bytes, mime: str) -> bytes:
-    """Placeholder for a real decoder (PIL / libsndfile / ffmpeg).
+    """Placeholder for decoders that need codec LIBRARIES (PIL / ffmpeg).
 
-    The container ships no codec libraries, so real decode is out of scope;
-    pipelines exercise the Spark plumbing with the raw bytes instead.
+    text/plain passes through; BMP and WAV have real header decoders below
+    (``decode_bmp`` / ``decode_wav``); everything else is out of scope in
+    this container.
     """
     if mime == "text/plain":
-        return payload  # deterministic fake: identity "decode"
+        return payload  # identity "decode"
     raise NotImplementedError(f"no decoder available for {mime!r} in this environment")
+
+
+# ------------------------------------------------- BMP / WAV codecs ----------
+# Uncompressed container formats: synthesis + decode are exact inverses, so
+# the decode path is testable end-to-end with no third-party codec.
+
+
+def make_bmp(width: int, height: int) -> bytes:
+    """24-bit uncompressed BMP with a deterministic pixel pattern.
+
+    Layout: 14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER + BGR rows
+    padded to 4-byte stride (bottom-up, the format default).
+    """
+    stride = ((width * 3 + 3) // 4) * 4
+    rows = bytearray()
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(((x * 7 + y * 13) % 256, (x * 3) % 256, (y * 5) % 256))
+        row += b"\x00" * (stride - len(row))
+        rows += row
+    header = _struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    info = _struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return header + info + bytes(rows)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int]:
+    """Parse a BMP header -> (width, height, bits-per-pixel)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size, width, height = _struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    bpp = _struct.unpack_from("<H", payload, 28)[0]
+    return width, abs(height), bpp
+
+
+def make_wav(sample_rate: int, n_samples: int) -> bytes:
+    """16-bit mono PCM WAV with a deterministic sample pattern."""
+    samples = b"".join(
+        _struct.pack("<h", ((i * 2654435761) % 65536) - 32768)
+        for i in range(n_samples)
+    )
+    byte_rate = sample_rate * 2
+    return (
+        _struct.pack("<4sI4s", b"RIFF", 36 + len(samples), b"WAVE")
+        + _struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, byte_rate, 2, 16
+        )
+        + _struct.pack("<4sI", b"data", len(samples))
+        + samples
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int]:
+    """Parse a RIFF/WAVE header -> (sample_rate, n_channels, n_samples)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    # walk chunks: fmt gives rate/channels/width, data gives sample count
+    pos, rate, channels, bytes_per_sample, n_samples = 12, None, None, 2, None
+    while pos + 8 <= len(payload):
+        cid, size = _struct.unpack_from("<4sI", payload, pos)
+        if cid == b"fmt ":
+            _, channels, rate, _, block_align, bits = _struct.unpack_from(
+                "<HHIIHH", payload, pos + 8
+            )
+            bytes_per_sample = max(1, bits // 8) * max(1, channels)
+        elif cid == b"data":
+            n_samples = size // bytes_per_sample
+        pos += 8 + size + (size % 2)
+    if rate is None or n_samples is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return rate, channels, n_samples
+
+
+# deterministic per-doc asset parameters — closed-form in doc_id so a SQL
+# oracle can predict every decoded feature without running the decoder
+def _asset_params(doc_id: int) -> dict:
+    kind = doc_id % 3
+    if kind == 1:
+        return {"mime": "image/bmp", "width": 4 + doc_id % 16, "height": 2 + doc_id % 8}
+    if kind == 2:
+        return {
+            "mime": "audio/wav",
+            "rate": 8000 + (doc_id % 4) * 4000,
+            "n_samples": 100 + doc_id % 50,
+        }
+    return {"mime": "text/plain"}
+
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+    ]
+)
+
+
+def attach_media_assets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Synthesize a mixed-mime binary ``content`` column (text/BMP/WAV by
+    ``doc_id % 3``) + ``media`` metadata struct, Arrow-batched.
+
+    Stands in for reading real assets from object storage: downstream
+    operators see exactly the (binary, metadata) shape they would there.
+    """
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, mimes = [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
+                p = _asset_params(int(doc_id))
+                mimes.append(p["mime"])
+                if p["mime"] == "image/bmp":
+                    payloads.append(make_bmp(p["width"], p["height"]))
+                elif p["mime"] == "audio/wav":
+                    payloads.append(make_wav(p["rate"], p["n_samples"]))
+                else:
+                    payloads.append(str(txt).encode("utf-8"))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "mime": mimes, "content": payloads}
+            )
+
+    out = src.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("mime", T.StringType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    return out.withColumn(
+        "media",
+        F.struct(F.col("mime"), F.octet_length("content").alias("n_bytes")),
+    ).drop("mime")
+
+
+def extract_media_features(df: DataFrame) -> DataFrame:
+    """REAL decode over mixed-mime binary payloads (Arrow-batched).
+
+    BMP -> width/height; WAV -> sample_rate/n_samples; text -> byte stats
+    only. Columns not applicable to a mime are NULL — one typed schema for
+    the whole corpus, the shape a 100 TB media pipeline needs (decode runs
+    where the bytes are; only small typed features shuffle).
+    """
+
+    src = df.select("doc_id", "content", F.col("media.mime").alias("mime"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "mime": pdf["mime"],
+                "n_bytes": pd.Series([len(c) for c in pdf["content"]], dtype="int32"),
+                "width": [],
+                "height": [],
+                "sample_rate": [],
+                "n_samples": [],
+            }
+            for content, mime in zip(pdf["content"], pdf["mime"]):
+                w = h = rate = n = None
+                payload = bytes(content)
+                if mime == "image/bmp":
+                    w, h, _ = decode_bmp(payload)
+                elif mime == "audio/wav":
+                    rate, _, n = decode_wav(payload)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+            for c in ("width", "height", "sample_rate", "n_samples"):
+                out[c] = pd.Series(out[c], dtype="Int32")
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(batches, MEDIA_FEATURE_SCHEMA)
 
 
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

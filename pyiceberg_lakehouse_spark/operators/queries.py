@@ -152,9 +152,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sim_ann_ivf")  # rows-only: index layout is engine-specific
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-3: coarse-quantize the corpus into cells, probe
-    only each query's nearest cells (recall grows with n_probe)."""
+    only each query's nearest cells (recall grows with n_probe).
+
+    Centroids are Lloyd-refined (2 iterations) from the deterministic seed —
+    driver state stays k x dim regardless of corpus size, and better-centered
+    cells buy recall at the same n_probe budget."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.sample_centroids(emb, k=16)
+    cents = similarity.kmeans_refine(
+        emb, similarity.sample_centroids(emb, k=16), iters=2
+    )
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), cents, k=3, n_probe=4
     )
@@ -221,20 +227,40 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "multimodal_features",
-    """
+# every decoded media feature is a closed form in doc_id (the synthesizer's
+# parameters), so DuckDB predicts what the REAL header decoder must emit —
+# a wrong BMP stride, WAV chunk walk, or byte count flips the hash
+_MM_W = "(4 + doc_id % 16)"
+_MM_H = "(2 + doc_id % 8)"
+_MM_NSAMP = "(100 + doc_id % 50)"
+
+MULTIMODAL_SQL = f"""
     select doc_id,
-           cast(octet_length(encode(text)) as integer) as n_bytes,
-           md5(text) as checksum
+           case cast(doc_id % 3 as integer)
+               when 1 then 'image/bmp'
+               when 2 then 'audio/wav'
+               else 'text/plain' end as mime,
+           cast(case cast(doc_id % 3 as integer)
+               when 1 then 54 + (({_MM_W} * 3 + 3) // 4) * 4 * {_MM_H}
+               when 2 then 44 + {_MM_NSAMP} * 2
+               else octet_length(encode(text)) end as integer) as n_bytes,
+           cast(case when doc_id % 3 = 1 then {_MM_W} end as integer) as width,
+           cast(case when doc_id % 3 = 1 then {_MM_H} end as integer) as height,
+           cast(case when doc_id % 3 = 2 then 8000 + (doc_id % 4) * 4000 end
+               as integer) as sample_rate,
+           cast(case when doc_id % 3 = 2 then {_MM_NSAMP} end as integer)
+               as n_samples
     from documents
-    """,
-)
+"""
+
+
+@register("multimodal_features", MULTIMODAL_SQL)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing: attach payload, extract features via
-    Arrow-batched mapInPandas (stubbed decode)."""
+    """Mixed-mime binary columns with REAL header decode: synthesize
+    text/BMP/WAV payloads per doc, then parse them back (width/height,
+    sample rate/count) via Arrow-batched mapInPandas."""
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.extract_features(multimodal.attach_binary(docs))
+    return multimodal.extract_media_features(multimodal.attach_media_assets(docs))
 
 
 WINNOW_SQL = """

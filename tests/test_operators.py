@@ -146,6 +146,42 @@ def test_multimodal_decode_stub_gates_unknown_mime():
         multimodal.decode_stub(b"bytes", "image/png")
 
 
+def test_bmp_wav_codec_roundtrip():
+    for w, h in [(1, 1), (4, 2), (7, 9), (19, 3)]:
+        payload = make_bmp_ref = multimodal.make_bmp(w, h)
+        assert multimodal.decode_bmp(payload) == (w, h, 24)
+        # documented byte layout: 54-byte headers + 4-byte-aligned BGR rows
+        assert len(make_bmp_ref) == 54 + ((w * 3 + 3) // 4) * 4 * h
+    for rate, n in [(8000, 100), (16000, 149), (44100, 1)]:
+        payload = multimodal.make_wav(rate, n)
+        assert multimodal.decode_wav(payload) == (rate, 1, n)
+        assert len(payload) == 44 + 2 * n
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"notabmp")
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_multimodal_real_decode_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    out = multimodal.extract_media_features(multimodal.attach_media_assets(docs))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 60
+    for doc_id, r in rows.items():
+        kind = doc_id % 3
+        if kind == 1:
+            assert r.mime == "image/bmp"
+            assert (r.width, r.height) == (4 + doc_id % 16, 2 + doc_id % 8)
+            assert r.sample_rate is None
+        elif kind == 2:
+            assert r.mime == "audio/wav"
+            assert r.sample_rate == 8000 + (doc_id % 4) * 4000
+            assert r.n_samples == 100 + doc_id % 50
+            assert r.width is None
+        else:
+            assert r.mime == "text/plain" and r.width is None
+
+
 def test_asof_join_matches_correlated_semantics(spark):
     rows = [
         # (event_id, ts_micros, user_id, type)
@@ -239,12 +275,14 @@ def test_kmeans_refine_improves_or_matches_recall(spark, sf_dir):
     def recall(cents):
         found = {
             (r.qid, r.vid)
-            for r in similarity.ivf_topk(emb, queries, cents, k=3, n_probe=6).collect()
+            for r in similarity.ivf_topk(emb, queries, cents, k=3, n_probe=4).collect()
         }
         return len(found & truth) / len(truth)
 
+    # same n_probe budget as the registry's sim_ann_ivf: refinement must
+    # never lose recall (data is deterministic, so this is exact)
     r_seed, r_refined = recall(seed), recall(refined)
-    assert r_refined >= r_seed - 0.05, (r_seed, r_refined)
+    assert r_refined >= r_seed, (r_seed, r_refined)
 
 
 def test_pack_sequences_invariants(spark, sf_dir):
