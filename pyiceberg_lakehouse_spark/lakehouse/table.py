@@ -648,6 +648,7 @@ class LakehouseTable:
         partition_filter: dict[str, str] | None = None,
         stat_filter: dict[str, tuple] | None = None,
         bloom_filter: dict[str, Any] | None = None,
+        partition_filter_any: list[dict[str, str]] | None = None,
     ) -> DataFrame:
         """Snapshot-aware scan (S10/Q5). Partition pruning AND min/max file
         skipping happen HERE, on the metadata file list, before Spark plans
@@ -663,6 +664,24 @@ class LakehouseTable:
         from pyiceberg_lakehouse_spark.lakehouse.stats import prune_files
 
         files = self.log.live_files(snapshot_id)
+        if partition_filter_any:
+            # IN-list over COMPOSITE partition values: keep a file if any
+            # candidate dict fully matches. One metadata prune, one read node
+            # — plan size stays constant no matter how many partitions the
+            # caller touches (vs. a per-partition scan+union loop). Missing
+            # keys (older spec) keep the file, same conservative rule as
+            # partition_filter.
+            files = [
+                f
+                for f in files
+                if any(
+                    all(
+                        k not in f["partition"] or f["partition"][k] == v
+                        for k, v in pv.items()
+                    )
+                    for pv in partition_filter_any
+                )
+            ]
         if partition_filter:
             # conservative: a file written under an OLDER partition spec may
             # lack the key — keep it (skipping is an optimization; the

@@ -107,14 +107,30 @@ def upsert_partitioned(
         {p: str(r[p]) for p in names}
         for r in tagged.select(*names).distinct().collect()
     ]
-    current = None
-    for i, pv in enumerate(touched):
-        chunk = table.scan(partition_filter=pv)
-        current = chunk if current is None else current.unionByName(chunk)
-    if current is None:
-        current = table.scan().limit(0)
-    merged = merge_keep_last(current, new, key_cols, order_col)
+    merged, touched = _merged_for_upsert(table, new, key_cols, order_col, touched)
     return table.replace_partitions(merged, touched)
+
+
+def _merged_for_upsert(
+    table: LakehouseTable,
+    new: DataFrame,
+    key_cols: list[str],
+    order_col: str | None,
+    touched: list[dict[str, str]],
+):
+    """Build the replacement frame for a partition-scoped upsert.
+
+    ONE pruned scan with a composite partition IN-list — plan size (and
+    read-node count) is constant in the number of touched partitions; the
+    exactness guard in ``upsert_partitioned`` (all live files carry all
+    current partition keys) makes the conservative missing-key rule exact.
+    """
+    current = (
+        table.scan(partition_filter_any=touched)
+        if touched
+        else table.scan().limit(0)
+    )
+    return merge_keep_last(current, new, key_cols, order_col), touched
 
 
 def apply_changes(

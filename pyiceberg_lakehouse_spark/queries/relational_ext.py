@@ -107,20 +107,22 @@ def fn_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filter against a scalar subquery (1.5x mean price)."""
+    """Filter against a scalar subquery (1.5x mean price).
+
+    ONE Catalyst plan: the 1-row aggregate broadcast-joins onto the scan —
+    no driver-side collect, so the threshold computes inside the same job
+    (and the whole thing stays re-optimizable / cacheable as a unit)."""
     o = load_table(spark, sf_dir, "orders")
-    avg_price = (
-        o.agg(
-            (
-                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
-                / F.count("*")
-            ).alias("a")
-        )
-        .collect()[0]
-        .a
+    avg_price = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("_avg_price")
     )
-    return o.filter(F.col("o_totalprice") > 1.5 * avg_price).select(
-        "o_orderkey", "o_totalprice"
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("_avg_price"))
+        .select("o_orderkey", "o_totalprice")
     )
 
 

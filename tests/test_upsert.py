@@ -143,3 +143,28 @@ def test_apply_changes_cdc(spark, warehouse, sf_dir):
     assert final.filter(F_.col("n_name") == "NEWLAND").count() == 1
     v2 = final.filter(F_.col("n_nationkey") < 3)
     assert all(r.n_name.endswith("_v2") for r in v2.collect())
+
+
+def test_partition_scoped_upsert_constant_plan_size(spark, warehouse, orders):
+    """The merge plan must contain ONE table read regardless of how many
+    partitions the batch touches (no per-partition scan+union loop)."""
+    import re
+
+    from pyiceberg_lakehouse_spark.lakehouse.upsert import _merged_for_upsert
+
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.o_plan", SCHEMAS["orders"], partition_by=["o_orderstatus"])
+    t.append(orders)
+    batch = orders.limit(100).withColumn("o_totalprice", F.lit(1.0))
+    touched = [
+        {"o_orderstatus": r.o_orderstatus}
+        for r in batch.select("o_orderstatus").distinct().collect()
+    ]
+    assert len(touched) >= 2
+    merged, _ = _merged_for_upsert(t, batch, ["o_orderkey"], None, touched)
+    plan = merged._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    # one read node for the table + one for the (parquet-backed) batch source
+    assert len(scans) <= 2, plan[:2000]
