@@ -608,3 +608,25 @@ def lh_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.fast_forward("staging")
     t.drop_branch("staging")
     return t.scan().select(*[c.strip() for c in ORDER_COLS.split(",")])
+
+
+@register(
+    "lh_sql_catalog_lifecycle",
+    f"select {ORDER_COLS} from orders where o_orderstatus = 'F'",
+)
+def lh_sql_catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-catalog lifecycle (reference main-daft-psql.py:214-223): create a
+    table through a SQLite catalog, append, POINTER-rename (no directory
+    move), and read back through the new name via a second catalog handle."""
+    wh = _warehouse()
+    uri = f"sqlite:///{wh}/catalog.db"
+    lh = Lakehouse(spark, wh, catalog_uri=uri)
+    t = lh.create_table("ns.orders_cat", SCHEMAS["orders"])
+    t.append(load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F"))
+    lh.rename_table("ns.orders_cat", "analytics.orders_final")
+    fresh = Lakehouse(spark, wh, catalog_uri=uri)
+    return (
+        fresh.load_table("analytics.orders_final")
+        .scan()
+        .select(*[c.strip() for c in ORDER_COLS.split(",")])
+    )

@@ -49,16 +49,32 @@ _HIVE_SEG = re.compile(r"([^/=]+)=([^/]+)")
 
 
 class Lakehouse:
-    """Warehouse root holding ``<namespace>/<table>`` directories."""
+    """Warehouse root holding ``<namespace>/<table>`` directories.
 
-    def __init__(self, spark: SparkSession, warehouse: str):
+    ``catalog_uri`` switches name resolution from directory-listing to a
+    shared SQL catalog (``sqlite:///path/catalog.db``, mirroring the
+    reference's SQL catalog backends, main-daft-psql.py:214-223): the DB
+    atomically arbitrates create/rename races across hosts and makes rename
+    a pointer update instead of a directory move. Data files and the
+    snapshot-log commit protocol are identical either way.
+    """
+
+    def __init__(self, spark: SparkSession, warehouse: str, catalog_uri: str | None = None):
         self.spark = spark
         self.warehouse = warehouse
         os.makedirs(warehouse, exist_ok=True)
+        if catalog_uri:
+            from pyiceberg_lakehouse_spark.lakehouse.catalog import SqlCatalog
+
+            self.catalog: SqlCatalog | None = SqlCatalog(catalog_uri)
+        else:
+            self.catalog = None
 
     def create_namespace(self, namespace: str) -> None:
         """Idempotent, like the reference's try/except (main-daft.py:95-99)."""
         os.makedirs(os.path.join(self.warehouse, namespace), exist_ok=True)
+        if self.catalog:
+            self.catalog.create_namespace(namespace)
 
     def create_table(
         self,
@@ -71,11 +87,24 @@ class Lakehouse:
         ns, name = self._split(identifier)
         self.create_namespace(ns)
         table_dir = os.path.join(self.warehouse, ns, name)
+        if self.catalog:
+            # the catalog's PK insert is the cross-host arbiter: exactly one
+            # creator wins the name; losers see FileExistsError with no
+            # check-then-create window
+            try:
+                self.catalog.register_table(ns, name, table_dir)
+            except FileExistsError:
+                if if_not_exists:
+                    return self.load_table(identifier)
+                raise
         log = SnapshotLog(table_dir)
         if log.exists():
             if if_not_exists:
                 return LakehouseTable(self.spark, table_dir)
-            raise FileExistsError(f"table {identifier} already exists at {table_dir}")
+            if not self.catalog:
+                raise FileExistsError(
+                    f"table {identifier} already exists at {table_dir}"
+                )
         props = {"write.target-file-size-bytes": str(512 * 1024 * 1024)}
         props.update(properties or {})
         log.init_table(schema, partition_by or [], props)
@@ -83,6 +112,9 @@ class Lakehouse:
 
     def load_table(self, identifier: str, branch: str | None = None) -> "LakehouseTable":
         ns, name = self._split(identifier)
+        if self.catalog:
+            table_dir = self.catalog.load_location(ns, name)
+            return LakehouseTable(self.spark, table_dir, branch=branch)
         table_dir = os.path.join(self.warehouse, ns, name)
         if not SnapshotLog(table_dir, branch).exists():
             raise FileNotFoundError(
@@ -96,9 +128,19 @@ class Lakehouse:
         import shutil
 
         ns, name = self._split(identifier)
+        if self.catalog:
+            try:
+                table_dir = self.catalog.load_location(ns, name)
+            except FileNotFoundError:
+                return
+            self.catalog.drop_table(ns, name)
+            shutil.rmtree(table_dir, ignore_errors=True)
+            return
         shutil.rmtree(os.path.join(self.warehouse, ns, name), ignore_errors=True)
 
     def list_namespaces(self) -> list[str]:
+        if self.catalog:
+            return self.catalog.list_namespaces()
         return sorted(
             d
             for d in os.listdir(self.warehouse)
@@ -106,6 +148,8 @@ class Lakehouse:
         )
 
     def list_tables(self, namespace: str) -> list[str]:
+        if self.catalog:
+            return self.catalog.list_tables(namespace)
         ns_dir = os.path.join(self.warehouse, namespace)
         if not os.path.isdir(ns_dir):
             return []
@@ -130,9 +174,15 @@ class Lakehouse:
 
     def rename_table(self, src: str, dst: str) -> None:
         """Atomic same-warehouse rename (data paths in the log are absolute,
-        so the moved log is rewritten to the new locations)."""
+        so the moved log is rewritten to the new locations).
+
+        With a SQL catalog the rename is a pointer UPDATE — O(1), no
+        directory move, no log rewrite, any table size."""
         sns, sname = self._split(src)
         dns, dname = self._split(dst)
+        if self.catalog:
+            self.catalog.rename_table(sns, sname, dns, dname)
+            return
         src_dir = os.path.join(self.warehouse, sns, sname)
         dst_dir = os.path.join(self.warehouse, dns, dname)
         if not SnapshotLog(src_dir).exists():
