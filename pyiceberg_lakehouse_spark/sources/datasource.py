@@ -255,23 +255,28 @@ class LakehouseBatchReader(DataSourceReader):
 
 
 class LakehouseStreamReader(DataSourceStreamReader):
-    """Micro-batch source whose offsets are snapshot ids."""
+    """Micro-batch source whose offsets are snapshot ids.
+
+    ``branch`` targets a branch ref's log — a live pipeline can stream a
+    staging branch's commits (audit consumers) without ever reading main.
+    """
 
     def __init__(self, options: dict):
         self.table_dir = options["path"]
+        self.branch = options.get("branch")
         self.start_snapshot = int(options.get("from_snapshot", 0))
-        self.schema_json = SnapshotLog(self.table_dir).load().schema_json
+        self.schema_json = SnapshotLog(self.table_dir, self.branch).load().schema_json
 
     def initialOffset(self) -> dict:
         return {"snapshot_id": self.start_snapshot}
 
     def latestOffset(self) -> dict:
-        log = SnapshotLog(self.table_dir).load()
+        log = SnapshotLog(self.table_dir, self.branch).load()
         return {"snapshot_id": log.current_snapshot_id() or 0}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start["snapshot_id"], end["snapshot_id"]
-        log = SnapshotLog(self.table_dir).load()
+        log = SnapshotLog(self.table_dir, self.branch).load()
         slices: list[FileSlice] = []
         for snap in log.snapshots:
             if not (lo < snap.snapshot_id <= hi):

@@ -101,3 +101,53 @@ def stream_table_to_memory(
     from pyiceberg_lakehouse_spark.streaming.windows import run_to_memory
 
     return run_to_memory(df, output_mode=output_mode)
+
+
+def stream_write_audit_publish(
+    stream_df: DataFrame,
+    table: LakehouseTable,
+    checkpoint_dir: str,
+    audits: list | None = None,
+    branch: str = "_wap_stream",
+) -> Any:
+    """Write-audit-publish on a LIVE pipeline: stream micro-batches onto a
+    branch ref (same exactly-once batch-id sink), audit the branch's full
+    staged state once the stream drains, then land it on this table with an
+    atomic fast-forward.
+
+    Main never exposes unaudited micro-batches — the difference from the
+    plain streaming sink, where each trigger publishes immediately. A failed
+    audit drops the branch; main stays byte-identical and the stream can be
+    re-run from a fresh checkpoint after the upstream fix. The branch
+    carries only metadata (snapshots + file lists); staged data files are
+    shared with main's directory, so staging cost is the data write itself,
+    no copy on publish.
+
+    Restart safety: if the branch already exists (a prior attempt crashed
+    before publish), it is resumed — the batch-id guard skips every
+    micro-batch the old run committed, so re-running the same checkpoint
+    converges instead of duplicating.
+
+    ``audits``: callables ``(DataFrame) -> bool`` over the staged scan,
+    same contract as ``LakehouseTable.write_audit_publish``.
+    """
+    staged = (
+        LakehouseTable(table.spark, table.table_dir, branch=branch)
+        if branch in table.branches()
+        else table.create_branch(branch)
+    )
+    try:
+        q = write_stream_to_table(stream_df, staged, checkpoint_dir)
+        q.awaitTermination()
+        view = staged.scan()
+        for i, audit in enumerate(audits or []):
+            if not audit(view):
+                raise ValueError(
+                    f"streaming WAP audit #{i} "
+                    f"({getattr(audit, '__name__', 'audit')}) failed; "
+                    "nothing published"
+                )
+        table.fast_forward(branch)
+        return table.log.snapshots[-1]
+    finally:
+        table.drop_branch(branch)

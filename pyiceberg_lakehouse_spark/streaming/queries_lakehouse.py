@@ -259,3 +259,39 @@ def stream_lh_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return t.scan().select(*cols)
+
+
+@register(
+    "stream_lh_wap_publish",
+    """
+    select event_type, count(*) as n,
+           cast(sum(cast(value as decimal(18,4))) as double) as sum_value
+    from events
+    group by event_type
+    """,
+)
+def stream_lh_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming write-audit-publish: micro-batches stage on a branch ref,
+    an audit validates the FULL staged state, then one atomic fast-forward
+    publishes to main — a live pipeline never exposes unaudited data. The
+    oracle states the published table contents directly over the source."""
+    from pyiceberg_lakehouse_spark.streaming.lakehouse_io import (
+        stream_write_audit_publish,
+    )
+
+    lh = Lakehouse(spark, tempfile.mkdtemp(prefix="lh_stream_q_"))
+    t = lh.create_table("ns.events_wap", EVENTS_TABLE_SCHEMA)
+    stream_write_audit_publish(
+        W.events_stream(spark, sf_dir),
+        t,
+        checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_"),
+        audits=[lambda df: df.count() > 0],
+    )
+    return (
+        t.scan()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )

@@ -111,3 +111,81 @@ def test_transform_with_state_surface(spark, sf_dir):
     assert {(r.user_id, r.n_events) for r in got.select("user_id", "n_events").collect()} == {
         (r.user_id, r.n_events) for r in exp.collect()
     }
+
+
+def test_stream_wap_publishes_audited_state(spark, warehouse, tmp_path, sf_dir, events):
+    """Streaming write-audit-publish: micro-batches land on a branch; main
+    stays empty until the audit passes and the fast-forward publishes."""
+    from pyiceberg_lakehouse_spark.streaming.lakehouse_io import (
+        stream_write_audit_publish,
+    )
+
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.ev_wap", EVENTS_TABLE_SCHEMA)
+
+    def audit_nonempty(df):
+        return df.count() == events.count()
+
+    # one stream DF reused across runs: the checkpoint pins the source dir
+    stream = W.events_stream(spark, sf_dir)
+    stream_write_audit_publish(
+        stream, t, checkpoint_dir=str(tmp_path / "ckpt"), audits=[audit_nonempty]
+    )
+    t.log.load()
+    assert t.scan().count() == events.count()
+    assert t.branches() == []  # staging branch cleaned up
+    # exactly-once survives a re-run on the same checkpoint: nothing new
+    stream_write_audit_publish(
+        stream, t, checkpoint_dir=str(tmp_path / "ckpt"), audits=[audit_nonempty]
+    )
+    t.log.load()
+    assert t.scan().count() == events.count()
+
+
+def test_stream_wap_failed_audit_keeps_main_untouched(
+    spark, warehouse, tmp_path, sf_dir, events
+):
+    from pyiceberg_lakehouse_spark.streaming.lakehouse_io import (
+        stream_write_audit_publish,
+    )
+
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.ev_wap_fail", EVENTS_TABLE_SCHEMA)
+    head = t.log.current_snapshot_id()
+
+    with pytest.raises(ValueError, match="audit #0"):
+        stream_write_audit_publish(
+            W.events_stream(spark, sf_dir),
+            t,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            audits=[lambda df: False],
+        )
+    t.log.load()
+    assert t.scan().count() == 0
+    assert t.log.current_snapshot_id() == head
+    assert t.branches() == []
+
+
+def test_branch_stream_source_reads_only_branch_commits(spark, warehouse, events):
+    """The snapshot-offset stream source with option('branch') follows the
+    branch's log: staged commits stream to audit consumers while main's
+    reads see nothing."""
+    from pyiceberg_lakehouse_spark.sources.datasource import register_lakehouse_source
+
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.ev_brsrc", EVENTS_TABLE_SCHEMA)
+    t.append(events.filter(F.col("event_id") % 2 == 0))
+    staging = t.create_branch("staging")
+    staging.append(events.filter(F.col("event_id") % 2 == 1))
+
+    register_lakehouse_source(spark)
+    stream = (
+        spark.readStream.format("lakehouse")
+        .option("branch", "staging")
+        .load(t.table_dir)
+    )
+    out = stream_table_to_memory(stream.select("event_id"))
+    # the branch log holds BOTH commits (fork copies history)
+    assert out.count() == events.count()
+    assert t.scan().count() == events.filter(F.col("event_id") % 2 == 0).count()
+    t.drop_branch("staging")
