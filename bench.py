@@ -129,6 +129,50 @@ def main() -> None:
     )
     timings["bloom_point_lookup"] = round(time.time() - t0, 3)
 
+    # delete / incremental / CDC surfaces (round-3 breadth): merge-on-read
+    # delete commit + read, copy-on-write ranged purge, snapshot-diff
+    # incremental read, and a CDC upsert+delete batch applied end to end
+    from pyiceberg_lakehouse_spark.lakehouse.upsert import apply_changes
+
+    orders = load_table(spark, SF_DIR, "orders")
+    ot = lh.create_table(
+        "bench.orders_mut", SCHEMAS["orders"], partition_by=["o_orderstatus"]
+    )
+    ot.append(orders)
+
+    t0 = time.time()
+    ot.delete_keys(
+        orders.filter(F.col("o_orderkey") % 50 == 0).select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    timings["mor_delete_commit"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    drain(ot.scan())
+    timings["mor_read"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    ot.delete_where(
+        F.col("o_orderkey") <= 1000, stat_filter={"o_orderkey": ("<=", 1000)}
+    )
+    timings["cow_delete_where"] = round(time.time() - t0, 3)
+
+    base_snap = ot.log.current_snapshot_id()
+    ot.append(orders.filter(F.col("o_orderkey") % 97 == 0))
+    t0 = time.time()
+    drain(ot.read_incremental(base_snap))
+    timings["incremental_read"] = round(time.time() - t0, 3)
+
+    changes = orders.filter(F.col("o_orderkey") % 20 == 0).withColumn(
+        "_op",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("delete")).otherwise(
+            F.lit("upsert")
+        ),
+    )
+    t0 = time.time()
+    apply_changes(ot, changes, key_cols=["o_orderkey"])
+    timings["cdc_apply"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
