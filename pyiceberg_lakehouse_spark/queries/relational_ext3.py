@@ -263,8 +263,8 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
                from documents where doc_id < 100)
     select doc_id,
            cast(len(list_filter(toks, x -> length(x) > 4)) as integer) as n_long,
-           list_transform(list_filter(toks, x -> length(x) > 6),
-                          x -> upper(x)) as long_upper,
+           coalesce(array_to_string(list_transform(list_filter(toks, x -> length(x) > 6),
+                                                   x -> upper(x)), ' '), '') as long_upper,
            cast(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
                             (a, b) -> a + b) as bigint) as total_chars
     from t
@@ -280,8 +280,11 @@ def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
-        F.transform(
-            F.filter(toks, lambda x: F.length(x) > 6), lambda x: F.upper(x)
+        F.array_join(
+            F.transform(
+                F.filter(toks, lambda x: F.length(x) > 6), lambda x: F.upper(x)
+            ),
+            " ",
         ).alias("long_upper"),
         F.aggregate(
             toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)

@@ -34,6 +34,30 @@ def test_query_names_are_stable_identifiers():
         assert name.replace("_", "").isalnum(), name
 
 
+def test_driver_window_has_no_complex_typed_columns(spark, sf_dir):
+    """The driver's canonicalizer sorts result rows with pandas Categorical,
+    which cannot hash ndarray/dict cells — an array/map/struct column in any
+    driver-window query errors the row before comparison (r3's only red row,
+    fn_array_higher_order). Every driver-visible query must return scalar
+    columns only; flatten with array_join / to_json at the query edge."""
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.registry import DRIVER_WINDOW, QUERIES, load_all
+
+    load_all()
+    offenders = {}
+    for name in DRIVER_WINDOW:
+        df = QUERIES[name](spark, sf_dir)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"driver-window queries with unhashable columns: {offenders}"
+
+
 def test_driver_window_spans_every_category():
     """The driver's correctness sweep reads the first 50 registry entries;
     they must sample every engine category (VERDICT r2 task #1)."""

@@ -56,7 +56,12 @@ def _norm(v):
 def main() -> int:
     import duckdb
 
-    from pyiceberg_lakehouse_spark.registry import ORACLE, QUERIES, load_all
+    from pyiceberg_lakehouse_spark.registry import (
+        DRIVER_WINDOW,
+        ORACLE,
+        QUERIES,
+        load_all,
+    )
     from pyiceberg_lakehouse_spark.session import get_spark
     from pyiceberg_lakehouse_spark.sources.testdata import TABLES
 
@@ -75,7 +80,28 @@ def main() -> int:
     for name in names:
         t0 = time.time()
         try:
-            sdf = QUERIES[name](spark, sf_dir).toPandas()
+            spark_df = QUERIES[name](spark, sf_dir)
+            if name in DRIVER_WINDOW:
+                # The driver's canonicalizer sorts rows with pandas
+                # Categorical, which cannot hash ndarray/dict cells.  Reject
+                # complex-typed columns HERE (no tuple-izing) so local-green
+                # always implies driver-green (VERDICT r3 task #2).
+                from pyspark.sql import types as T
+
+                complex_cols = [
+                    f.name
+                    for f in spark_df.schema.fields
+                    if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+                ]
+                if complex_cols:
+                    failed.append(
+                        (name, f"driver-window query returns complex-typed "
+                               f"columns {complex_cols} — the driver cannot "
+                               f"hash these; flatten (array_join/to_json)")
+                    )
+                    print(f"FAIL  {name}  (complex column in driver window)")
+                    continue
+            sdf = spark_df.toPandas()
         except Exception:
             failed.append((name, "SPARK ERROR:\n" + traceback.format_exc(limit=8)))
             print(f"FAIL  {name}  (spark error)")
