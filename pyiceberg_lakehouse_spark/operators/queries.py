@@ -154,13 +154,26 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-3: coarse-quantize the corpus into cells, probe
     only each query's nearest cells (recall grows with n_probe).
 
-    Centroids are Lloyd-refined (2 iterations) from the deterministic seed —
-    driver state stays k x dim regardless of corpus size, and better-centered
-    cells buy recall at the same n_probe budget."""
+    Centroids are Lloyd-refined (2 iterations) from the deterministic seed
+    on a BOUNDED sample — a deterministic xxhash64 slice capped at 2048
+    vectors, cached so both iterations reuse one scan. Index construction
+    cost is therefore O(sample), not O(corpus), no matter the table size;
+    k-means on a sample converges the same centroids for recall purposes.
+    The full corpus is only touched by the probe itself (and by the
+    persisted-index maintenance path, lakehouse/maintenance.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_refine(
-        emb, similarity.sample_centroids(emb, k=16), iters=2
+    sample = (
+        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(4)) == 0)
+        .select("embedding")
+        .limit(2048)
+        .cache()
     )
+    try:
+        cents = similarity.kmeans_refine(
+            sample, similarity.sample_centroids(emb, k=16), iters=2
+        )
+    finally:
+        sample.unpersist()
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), cents, k=3, n_probe=4
     )
