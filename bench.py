@@ -5,6 +5,12 @@ Times the same three phases the reference instruments — full ingest
 plus the flagship analytics and LLM-data operators. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
+Every phase reports the MEDIAN of three runs (sub-second phases on a shared
+sandbox swing ~30% run-to-run; medians make round-over-round deltas
+adjudicable). Analytics queries get one extra untimed warmup first;
+lakehouse mutation sequences re-run against a fresh warehouse each
+repetition so every timed run is a cold, state-identical mutation.
+
 Query results are drained with the noop sink (full compute, no driver-side
 collect), so timings measure the engine, not pandas conversion.
 """
@@ -13,6 +19,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -26,6 +34,7 @@ from pyiceberg_lakehouse_spark.session import get_spark  # noqa: E402
 from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 # registry queries that form the analytics headline set
 HEADLINE = [
@@ -49,130 +58,149 @@ def drain(df) -> int:
     return 0
 
 
+def lakehouse_phases(spark) -> dict[str, float]:
+    """One cold pass over the full lakehouse mutation sequence in a fresh
+    warehouse; returns per-phase wall seconds."""
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import cluster_zorder
+    from pyiceberg_lakehouse_spark.lakehouse.upsert import (
+        apply_changes,
+        upsert_partitioned,
+    )
+
+    timings: dict[str, float] = {}
+    wh = tempfile.mkdtemp(prefix="bench_wh_")
+    try:
+        lh = Lakehouse(spark, wh)
+        lineitem = load_table(spark, SF_DIR, "lineitem")
+
+        t0 = time.time()
+        t = lh.create_table(
+            "bench.lineitem", SCHEMAS["lineitem"], partition_by=["l_returnflag"]
+        )
+        t.append(lineitem)
+        timings["ingest_partitioned"] = time.time() - t0
+
+        t0 = time.time()
+        t.append(lineitem.filter(F.col("l_orderkey") % 100 == 0))
+        timings["append_commit"] = time.time() - t0
+
+        t0 = time.time()
+        batch = lineitem.filter(F.col("l_orderkey") % 10 == 0).withColumn(
+            "l_quantity", F.col("l_quantity") + 1.0
+        )
+        upsert_partitioned(t, batch, key_cols=["l_orderkey", "l_linenumber"])
+        timings["upsert"] = time.time() - t0
+
+        t0 = time.time()
+        drain(t.scan(partition_filter={"l_returnflag": "R"}))
+        timings["pruned_scan"] = time.time() - t0
+
+        # scale-path skipping layers: Z-order rewrite + box scan, bloom lookup
+        zt = lh.create_table(
+            "bench.lineitem_z",
+            lineitem.select(
+                "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+            ).schema,
+        )
+        zt.append(lineitem.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"))
+        t0 = time.time()
+        cluster_zorder(zt, ["l_partkey", "l_suppkey"], target_file_bytes=512 * 1024)
+        timings["zorder_rewrite"] = time.time() - t0
+        t0 = time.time()
+        drain(
+            zt.scan(stat_filter={"l_partkey": ("<=", 20), "l_suppkey": ("<=", 3)}).filter(
+                (F.col("l_partkey") <= 20) & (F.col("l_suppkey") <= 3)
+            )
+        )
+        timings["zorder_box_scan"] = time.time() - t0
+
+        bt = lh.create_table(
+            "bench.orders_bloom",
+            SCHEMAS["orders"],
+            properties={
+                "write.bloom-columns": "o_orderkey",
+                "write.target-records-per-file": "20000",
+            },
+        )
+        bt.append(load_table(spark, SF_DIR, "orders"))
+        t0 = time.time()
+        drain(bt.scan(bloom_filter={"o_orderkey": 7}).filter(F.col("o_orderkey") == 7))
+        timings["bloom_point_lookup"] = time.time() - t0
+
+        # delete / incremental / CDC surfaces: merge-on-read delete commit +
+        # read, copy-on-write ranged purge, snapshot-diff incremental read,
+        # and a CDC upsert+delete batch applied end to end
+        orders = load_table(spark, SF_DIR, "orders")
+        ot = lh.create_table(
+            "bench.orders_mut", SCHEMAS["orders"], partition_by=["o_orderstatus"]
+        )
+        ot.append(orders)
+
+        t0 = time.time()
+        ot.delete_keys(
+            orders.filter(F.col("o_orderkey") % 50 == 0).select("o_orderkey"),
+            ["o_orderkey"],
+        )
+        timings["mor_delete_commit"] = time.time() - t0
+
+        t0 = time.time()
+        drain(ot.scan())
+        timings["mor_read"] = time.time() - t0
+
+        t0 = time.time()
+        ot.delete_where(
+            F.col("o_orderkey") <= 1000, stat_filter={"o_orderkey": ("<=", 1000)}
+        )
+        timings["cow_delete_where"] = time.time() - t0
+
+        base_snap = ot.log.current_snapshot_id()
+        ot.append(orders.filter(F.col("o_orderkey") % 97 == 0))
+        t0 = time.time()
+        drain(ot.read_incremental(base_snap))
+        timings["incremental_read"] = time.time() - t0
+
+        changes = orders.filter(F.col("o_orderkey") % 20 == 0).withColumn(
+            "_op",
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("delete")).otherwise(
+                F.lit("upsert")
+            ),
+        )
+        t0 = time.time()
+        apply_changes(ot, changes, key_cols=["o_orderkey"])
+        timings["cdc_apply"] = time.time() - t0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return timings
+
+
 def main() -> None:
     load_all()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
 
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
 
     # analytics queries: one untimed warmup run (whole-stage codegen JIT,
-    # footer caches), then the timed run — steady-state throughput, which is
-    # what a long-lived cluster actually delivers. Lakehouse mutation phases
-    # below stay cold, matching the reference's cold-ingest timers.
+    # footer caches), then REPS timed runs — steady-state throughput, which
+    # is what a long-lived cluster actually delivers.
     for label, qname in HEADLINE:
         drain(QUERIES[qname](spark, SF_DIR))
-        t0 = time.time()
-        drain(QUERIES[qname](spark, SF_DIR))
-        timings[label] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(REPS):
+            t0 = time.time()
+            drain(QUERIES[qname](spark, SF_DIR))
+            runs.append(time.time() - t0)
+        samples[label] = runs
 
-    # lakehouse phases (reference-instrumented: ingest / append / upsert)
-    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
-    from pyiceberg_lakehouse_spark.lakehouse.upsert import upsert_partitioned
+    # lakehouse phases stay cold (fresh warehouse per repetition), matching
+    # the reference's cold-ingest timers
+    for _ in range(REPS):
+        for label, sec in lakehouse_phases(spark).items():
+            samples.setdefault(label, []).append(sec)
 
-    wh = tempfile.mkdtemp(prefix="bench_wh_")
-    lh = Lakehouse(spark, wh)
-    lineitem = load_table(spark, SF_DIR, "lineitem")
-
-    t0 = time.time()
-    t = lh.create_table("bench.lineitem", SCHEMAS["lineitem"], partition_by=["l_returnflag"])
-    t.append(lineitem)
-    timings["ingest_partitioned"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    t.append(lineitem.filter(F.col("l_orderkey") % 100 == 0))
-    timings["append_commit"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    batch = lineitem.filter(F.col("l_orderkey") % 10 == 0).withColumn(
-        "l_quantity", F.col("l_quantity") + 1.0
-    )
-    upsert_partitioned(t, batch, key_cols=["l_orderkey", "l_linenumber"])
-    timings["upsert"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    drain(t.scan(partition_filter={"l_returnflag": "R"}))
-    timings["pruned_scan"] = round(time.time() - t0, 3)
-
-    # scale-path skipping layers: Z-order rewrite + box scan, bloom lookup
-    from pyiceberg_lakehouse_spark.lakehouse.maintenance import cluster_zorder
-
-    zt = lh.create_table(
-        "bench.lineitem_z",
-        lineitem.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity").schema,
-    )
-    zt.append(lineitem.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"))
-    t0 = time.time()
-    cluster_zorder(zt, ["l_partkey", "l_suppkey"], target_file_bytes=512 * 1024)
-    timings["zorder_rewrite"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    drain(
-        zt.scan(stat_filter={"l_partkey": ("<=", 20), "l_suppkey": ("<=", 3)}).filter(
-            (F.col("l_partkey") <= 20) & (F.col("l_suppkey") <= 3)
-        )
-    )
-    timings["zorder_box_scan"] = round(time.time() - t0, 3)
-
-    bt = lh.create_table(
-        "bench.orders_bloom",
-        SCHEMAS["orders"],
-        properties={
-            "write.bloom-columns": "o_orderkey",
-            "write.target-records-per-file": "20000",
-        },
-    )
-    bt.append(load_table(spark, SF_DIR, "orders"))
-    t0 = time.time()
-    drain(
-        bt.scan(bloom_filter={"o_orderkey": 7}).filter(F.col("o_orderkey") == 7)
-    )
-    timings["bloom_point_lookup"] = round(time.time() - t0, 3)
-
-    # delete / incremental / CDC surfaces (round-3 breadth): merge-on-read
-    # delete commit + read, copy-on-write ranged purge, snapshot-diff
-    # incremental read, and a CDC upsert+delete batch applied end to end
-    from pyiceberg_lakehouse_spark.lakehouse.upsert import apply_changes
-
-    orders = load_table(spark, SF_DIR, "orders")
-    ot = lh.create_table(
-        "bench.orders_mut", SCHEMAS["orders"], partition_by=["o_orderstatus"]
-    )
-    ot.append(orders)
-
-    t0 = time.time()
-    ot.delete_keys(
-        orders.filter(F.col("o_orderkey") % 50 == 0).select("o_orderkey"),
-        ["o_orderkey"],
-    )
-    timings["mor_delete_commit"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    drain(ot.scan())
-    timings["mor_read"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    ot.delete_where(
-        F.col("o_orderkey") <= 1000, stat_filter={"o_orderkey": ("<=", 1000)}
-    )
-    timings["cow_delete_where"] = round(time.time() - t0, 3)
-
-    base_snap = ot.log.current_snapshot_id()
-    ot.append(orders.filter(F.col("o_orderkey") % 97 == 0))
-    t0 = time.time()
-    drain(ot.read_incremental(base_snap))
-    timings["incremental_read"] = round(time.time() - t0, 3)
-
-    changes = orders.filter(F.col("o_orderkey") % 20 == 0).withColumn(
-        "_op",
-        F.when(F.col("o_orderkey") % 3 == 0, F.lit("delete")).otherwise(
-            F.lit("upsert")
-        ),
-    )
-    t0 = time.time()
-    apply_changes(ot, changes, key_cols=["o_orderkey"])
-    timings["cdc_apply"] = round(time.time() - t0, 3)
-
+    timings = {k: round(statistics.median(v), 3) for k, v in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -183,6 +211,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+                "reps": REPS,
+                "stat": "median",
             }
         )
     )
