@@ -132,6 +132,72 @@ def cluster_zorder(
     )
 
 
+def build_ivf_index(
+    table: LakehouseTable,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 2,
+    sample_cap: int = 2048,
+):
+    """Persist an IVF index INTO the table: an ``ivf_cell`` column (nearest
+    centroid per row), files clustered by cell, and the centroids stored in
+    table properties — one replace snapshot, same pattern as z-order/bloom.
+
+    This moves ANN index construction out of the read path: queries
+    (``similarity.ivf_index_topk``) read centroids from metadata, compute
+    their probe cells, and scan ONLY the files whose ``ivf_cell`` bounds
+    intersect — never re-assigning the corpus. Centroid fitting is bounded
+    (k-means on a deterministic xxhash64 sample, never the full corpus);
+    the single full pass is the clustered rewrite itself, which is the same
+    cost class as compact()/cluster_zorder() and runs at maintenance time.
+    Rebuilding on a table that already has the index reuses the column.
+    """
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import similarity
+
+    df = table.scan()
+    if "ivf_cell" in df.columns:
+        df = df.drop("ivf_cell")
+    sample = (
+        df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(4)) == 0)
+        .select(vec_col)
+        .limit(sample_cap)
+        .cache()
+    )
+    try:
+        cents = similarity.kmeans_refine(
+            sample,
+            similarity.sample_centroids(df, k=k, id_col=id_col, vec_col=vec_col),
+            iters=iters,
+            vec_col=vec_col,
+        )
+    finally:
+        sample.unpersist()
+    if "ivf_cell" not in table.schema().fieldNames():
+        table.add_column("ivf_cell", T.IntegerType())
+    assigned = similarity.ivf_assign(df, cents, id_col=id_col, vec_col=vec_col)
+    # one range partition per cell: each output file covers one cell (or a
+    # tight boundary range), so the footer's ivf_cell [min, max] makes the
+    # ("in", probed_cells) stat filter prune to O(n_probe) files
+    clustered = assigned.repartitionByRange(k, "ivf_cell").sortWithinPartitions(
+        "ivf_cell"
+    )
+    files = table.log.live_files()
+    new_files = table._write_data(clustered)
+    table.log.properties["ivf.centroids"] = _json.dumps(cents)
+    table.log.properties["ivf.vec-col"] = vec_col
+    return table._commit(
+        "replace",
+        new_files,
+        removed_paths=[f["path"] for f in files],
+        summary={"op": "ivf_index", "k": k, "files_after": len(new_files)},
+    )
+
+
 def remove_orphan_files(table: LakehouseTable, older_than_s: float = 3600.0) -> list[str]:
     """Delete data files under the table dir that no snapshot references.
 

@@ -68,9 +68,11 @@ def prune_files(
 
     ``predicates`` maps column -> (op, value) or a LIST of (op, value)
     conjuncts (e.g. a range is ``[(">=", lo), ("<", hi)]``), op in {"=",
-    "<", "<=", ">", ">="}. A file with no stats for a column is kept
-    (skipping must be conservative). Values compare after the same
-    normalization used at collection time.
+    "<", "<=", ">", ">=", "in"}. ``("in", [v1, v2, ...])`` keeps a file if
+    ANY listed value falls inside its [min, max] — the probe shape for
+    IN-list point lookups (e.g. IVF cell probes). A file with no stats for
+    a column is kept (skipping must be conservative). Values compare after
+    the same normalization used at collection time.
     """
     out = []
     for f in files:
@@ -83,6 +85,16 @@ def prune_files(
             if isinstance(preds, tuple):
                 preds = [preds]
             for op, value in preds:
+                if op == "in":
+                    vs = [x for x in (_jsonable(v) for v in value) if x is not None]
+                    try:
+                        if vs and not any(lo <= v <= hi for v in vs):
+                            keep = False
+                    except TypeError:
+                        continue
+                    if not keep:
+                        break
+                    continue
                 v = _jsonable(value)
                 if v is None:
                     continue

@@ -179,6 +179,30 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("lh_ann_indexed")  # rows-only: persisted index layout is engine-specific
+def lh_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 over a PERSISTED IVF index: ``build_ivf_index`` stores an
+    ``ivf_cell`` column + centroid metadata in a lakehouse table (one
+    maintenance rewrite), then the probe reads centroids from table
+    properties and scans ONLY files whose cell bounds intersect the probed
+    cells — index construction never runs in the read path. This is the
+    100 TB ANN design; ``sim_ann_ivf`` is the same math without the
+    persisted index."""
+    import tempfile
+
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lh = Lakehouse(spark, tempfile.mkdtemp(prefix="ann_idx_"))
+    t = lh.create_table("ns.embeddings_ivf", emb.schema)
+    t.append(emb)
+    build_ivf_index(t, k=16, iters=2)
+    return similarity.ivf_index_topk(
+        t, emb.filter(F.col("vec_id") < 10), k=3, n_probe=4
+    )
+
+
 @register(
     "text_token_stats",
     f"""

@@ -205,6 +205,64 @@ def sample_centroids(
     return out
 
 
+def probe_cells_expr(
+    centroids: list[list[float]], n_probe: int, vec_col: str = "embedding"
+) -> F.Column:
+    """Array of each row's ``n_probe`` nearest centroid ids (ranked by dot
+    product) — the per-query probe list, as a pure Catalyst expression."""
+    probes = []
+    for i, c in enumerate(centroids):
+        arr = F.array(*[F.lit(v) for v in c])
+        score = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        probes.append(F.struct(score.alias("s"), F.lit(i).alias("cell")))
+    ranked = F.slice(F.reverse(F.array_sort(F.array(*probes))), 1, n_probe)
+    return F.transform(ranked, lambda p: p["cell"])
+
+
+def _probe_topk(
+    cb: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared probe tail: broadcast query fan-out over probe cells, in-cell
+    scoring, per-query top-k window. ``cb`` must carry (vid, c_vec, c_norm,
+    ivf_cell)."""
+    qb = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("q_vec"),
+            F.sqrt(dot_product_fast(vec_col, vec_col)).alias("q_norm"),
+            F.explode(probe_cells_expr(centroids, n_probe, vec_col)).alias("ivf_cell"),
+        )
+    )
+    scored = (
+        cb.join(qb, "ivf_cell")
+        .filter(F.col("qid") != F.col("vid"))
+        .withColumn(
+            "score",
+            dot_product_fast("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
+        )
+        .select("qid", "vid", "score")
+        # no distinct needed: a corpus vector lives in exactly one cell and
+        # each query probes distinct cells, so (qid, vid) pairs are unique —
+        # a distinct here would be a full extra shuffle of the scored pairs
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vid", "rank", "score")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -227,45 +285,52 @@ def ivf_topk(
         F.sqrt(dot_product_fast(vec_col, vec_col)).alias("c_norm"),
         "ivf_cell",
     )
-    # per-query probe list: rank all centroids, keep n_probe
-    probes = []
-    for i, c in enumerate(centroids):
-        arr = F.array(*[F.lit(v) for v in c])
-        score = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    return _probe_topk(cb, queries, centroids, k, n_probe, id_col, vec_col)
+
+
+def ivf_index_topk(
+    table,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over a PERSISTED IVF index (lakehouse table prepared by
+    ``maintenance.build_ivf_index``): the stored ``ivf_cell`` column plus
+    file-level stats pruning mean a probe never re-assigns the corpus —
+    only the files whose cell range intersects the probed cells are read.
+
+    This is the 100 TB read path: index construction happens once in the
+    maintenance op; a query's cost is O(files in n_probe cells), not
+    O(corpus). The driver-side cell collect is bounded by the number of
+    centroids (k x n_probe ints at most), never data-sized.
+    """
+    import json as _json
+
+    centroids = _json.loads(table.log.properties["ivf.centroids"])
+    q = queries.select(id_col, vec_col).cache()
+    try:
+        probed = sorted(
+            r[0]
+            for r in q.select(
+                F.explode(probe_cells_expr(centroids, n_probe, vec_col)).alias("c")
+            )
+            .distinct()
+            .collect()
         )
-        probes.append(F.struct(score.alias("s"), F.lit(i).alias("cell")))
-    probe_cells = F.slice(
-        F.reverse(F.array_sort(F.array(*probes))), 1, n_probe
-    )
-    qb = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("qid"),
-            F.col(vec_col).alias("q_vec"),
-            F.sqrt(dot_product_fast(vec_col, vec_col)).alias("q_norm"),
-            F.explode(F.transform(probe_cells, lambda p: p["cell"])).alias("ivf_cell"),
+        corpus = table.scan(stat_filter={"ivf_cell": ("in", probed)}).filter(
+            F.col("ivf_cell").isin(probed)
         )
-    )
-    scored = (
-        cb.join(qb, "ivf_cell")
-        .filter(F.col("qid") != F.col("vid"))
-        .withColumn(
-            "score",
-            dot_product_fast("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
+        cb = corpus.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("c_vec"),
+            F.sqrt(dot_product_fast(vec_col, vec_col)).alias("c_norm"),
+            "ivf_cell",
         )
-        .select("qid", "vid", "score")
-        # no distinct needed: a corpus vector lives in exactly one cell and
-        # each query probes distinct cells, so (qid, vid) pairs are unique —
-        # a distinct here would be a full extra shuffle of the scored pairs
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "vid", "rank", "score")
-    )
+        return _probe_topk(cb, q, centroids, k, n_probe, id_col, vec_col)
+    finally:
+        q.unpersist()
 
 
 def embedding_near_dup_pairs(

@@ -100,6 +100,50 @@ def test_ivf_topk_recall(spark, sf_dir):
             assert abs(r.score - exact_scores[(r.qid, r.vid)]) < 1e-6
 
 
+def test_ivf_persisted_index_prunes_files_and_matches(spark, sf_dir, warehouse):
+    """The 100 TB ANN read path: build_ivf_index persists ivf_cell + centroid
+    metadata; a probe must (a) read ONLY files whose cell bounds intersect
+    the probed cells — never the whole corpus — and (b) return exactly what
+    the unindexed ivf_topk computes from the same centroids."""
+    import json
+
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import build_ivf_index
+    from pyiceberg_lakehouse_spark.operators.similarity import probe_cells_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.emb_ivf", emb.schema)
+    t.append(emb)
+    build_ivf_index(t, k=8, iters=1)
+
+    cents = json.loads(t.log.properties["ivf.centroids"])
+    assert len(cents) == 8
+    assert "ivf_cell" in t.schema().fieldNames()
+    total_files = len(t.log.live_files())
+    assert total_files >= 4  # one per range partition; pruning must matter
+
+    queries = emb.filter(F.col("vec_id") == 0)
+    probed = sorted(
+        r[0]
+        for r in queries.select(
+            F.explode(probe_cells_expr(cents, n_probe=2)).alias("c")
+        ).collect()
+    )
+    pruned = t.scan(stat_filter={"ivf_cell": ("in", probed)})
+    n_read = len(pruned.inputFiles())
+    # each probed cell lives in one range-partition file (+1 for a possible
+    # boundary-spanning file); the scan must NOT touch the rest of the corpus
+    assert n_read <= len(probed) + 1
+    assert n_read < total_files
+
+    got = similarity.ivf_index_topk(t, queries, k=3, n_probe=2).collect()
+    twin = similarity.ivf_topk(emb, queries, cents, k=3, n_probe=2).collect()
+    assert sorted((r.qid, r.vid, r.rank) for r in got) == sorted(
+        (r.qid, r.vid, r.rank) for r in twin
+    )
+
+
 def test_embedding_near_dup_blocking(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.9, within="label")
