@@ -2,8 +2,9 @@
 
 Explicit schemas (no inference cost, strict on drift) for the ten tables at
 ``/root/testdata/sf*/``. The only normalization applied is the events ``ts``
-column: stored as parquet TIMESTAMP(NANOS), which Spark reads as a raw long
-(see session.RUNTIME_CONFS) and we convert to a microsecond timestamp —
+column: stored as parquet TIMESTAMP(NANOS or MICROS depending on the
+testdata generation — the footer is probed), read as a raw long (see
+session.RUNTIME_CONFS) and converted to a microsecond timestamp —
 equivalent to the reference's per-file cast-to-canonical-schema step
 (main-daft.py:133, main-polars-lazy.py:160-162).
 """
@@ -126,12 +127,27 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+# events.parquet's ts unit differs across testdata generations (TIMESTAMP
+# NANOS vs MICROS); probe the footer once per path so the long->timestamp
+# conversion always matches what's actually on disk.
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def events_ts_unit(path: str) -> str:
+    """'ns' or 'us' from the parquet footer (one driver-side footer read)."""
+    if path not in _TS_UNIT_CACHE:
+        import pyarrow.parquet as pq
+
+        _TS_UNIT_CACHE[path] = pq.ParquetFile(path).schema_arrow.field("ts").type.unit
+    return _TS_UNIT_CACHE[path]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with its canonical schema.
 
-    ``events.ts`` arrives as epoch-nanos long and is converted to a
-    TIMESTAMP_NTZ — integer division stays inside whole-stage codegen, no
-    Python round-trip.
+    ``events.ts`` arrives as an epoch long (nanos or micros, per the file's
+    parquet type) and is converted to a TIMESTAMP_NTZ — integer division
+    stays inside whole-stage codegen, no Python round-trip.
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -143,8 +159,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # exact LONG integer division — double division near 1.7e18 exceeds
         # 2^53 and lands ~10% of rows one microsecond off the oracle
+        micros = "ts div 1000" if events_ts_unit(path) == "ns" else "ts"
         df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            "ts", F.timestamp_micros(F.expr(micros)).cast("timestamp_ntz")
         )
     return df
 

@@ -5,8 +5,9 @@ gap-list category (§2.10): file-source streams, watermarks, tumbling/sliding
 windows, and stateful dedup. Batch-equivalence is the correctness story —
 every streaming query here has a batch SQL twin the oracle runs.
 
-The events parquet stores TIMESTAMP(NANOS); the stream source applies the
-same nanos->micros conversion as the batch loader (sources/testdata.py).
+The events parquet stores TIMESTAMP(NANOS or MICROS, generation-dependent);
+the stream source applies the same footer-probed long->micros conversion as
+the batch loader (sources/testdata.py).
 """
 
 from __future__ import annotations
@@ -18,7 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS
+from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, events_ts_unit
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -29,15 +30,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit dir keeps file listing O(1).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     stage = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(
-        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-        os.path.join(stage, "events.parquet"),
-    )
+    os.symlink(src, os.path.join(stage, "events.parquet"))
     # watermarks require TIMESTAMP (with local tz), not NTZ; the session runs
     # UTC so wall-clock values match the batch/oracle NTZ values
     raw = spark.readStream.schema(SCHEMAS["events"]).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    micros = "ts div 1000" if events_ts_unit(src) == "ns" else "ts"
+    return raw.withColumn("ts", F.timestamp_micros(F.expr(micros)))
 
 
 def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:

@@ -33,9 +33,16 @@ def test_load_every_table(spark, sf_dir, name):
 
 
 def test_events_ts_is_exact_micros(spark, sf_dir):
-    """The nanos->micros conversion must be exact integer division."""
+    """The long->micros conversion must be exact integer division, using
+    the unit actually declared in the parquet footer (testdata generations
+    have shipped both TIMESTAMP_NS and TIMESTAMP_US)."""
+    from pyiceberg_lakehouse_spark.sources.testdata import events_ts_unit
+
     ev = load_table(spark, sf_dir, "events")
     assert isinstance(ev.schema["ts"].dataType, T.TimestampNTZType)
+    unit = events_ts_unit(f"{sf_dir}/events.parquet")
+    assert unit in ("ns", "us")
+    divisor = 1000 if unit == "ns" else 1
     # row-level check against python integer division of the raw longs
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
@@ -49,7 +56,7 @@ def test_events_ts_is_exact_micros(spark, sf_dir):
 
     epoch = datetime.datetime(1970, 1, 1)
     for r in raw[:200]:
-        micros = r.ts // 1000
+        micros = r.ts // divisor
         assert got[r.event_id] == epoch + datetime.timedelta(microseconds=micros)
 
 
