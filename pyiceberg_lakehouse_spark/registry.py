@@ -44,17 +44,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # — so the externally-visible gate exercises the whole engine, not just the
 # first modules imported. Everything not listed follows in registration
 # order and is verified by the identical local gate (tools/verify_local.py).
+# A handful of proven-stable slots rotate each round to queries that have
+# never had a driver row, growing the driver-verified set over time while
+# keeping every category represented.
 DRIVER_WINDOW: tuple[str, ...] = (
     # parquet scans + filters
     "scan_region",
     "scan_glob_schema_enforced",
     "scan_events_ts_bounds",
-    "proj_columns",
+    "ts_gapfill_hourly",
     "filter_eq",
-    "filter_compound",
+    "filter_exists_correlated",
     # core aggregation (flagship first)
     "agg_q1_pricing_summary",
-    "agg_group_orders",
+    "sql_grouping_sets",
     "agg_rollup",
     "agg_keep_last",
     "agg_approx_distinct",
@@ -85,7 +88,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lh_ingest_roundtrip",
     "lh_time_travel",
     "lh_upsert",
-    "lh_add_files",
+    "lh_zorder_scan",
     "lh_commit_batching",
     "lh_merge_on_read_delete",
     "lh_incremental_read",
@@ -97,11 +100,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_cosine_topk",
     "dedup_embedding_cosine",
     # text + multimodal
-    "text_quality",
+    "text_lang_id",
     "text_winnow_fingerprint",
     "multimodal_features",
     # training-data ops
-    "train_split_hash",
+    "train_balance_labels",
     "pipeline_clean_corpus",
     # structured streaming
     "stream_tumbling_hourly",
