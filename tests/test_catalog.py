@@ -69,6 +69,108 @@ def test_postgres_uri_gated():
         SqlCatalog("postgresql+psycopg2://root:x@localhost/catalog_db")
 
 
+# --- Postgres code path against a mocked DB-API driver -----------------------
+# No Postgres server ships in this environment, so the "format"-paramstyle /
+# driver-IntegrityError / plain-BEGIN path is proven with a DB-API shim over
+# sqlite: the catalog SQL is identical for both backends by construction.
+
+import sqlite3  # noqa: E402
+
+
+class _FakeIntegrityError(Exception):
+    """Stands in for psycopg2.IntegrityError / pg8000.IntegrityError."""
+
+
+class _FakePgCursor:
+    def __init__(self, cur):
+        self._cur = cur
+
+    def execute(self, sql, params=()):
+        assert "?" not in sql, f"unconverted qmark placeholder in {sql!r}"
+        try:
+            self._cur.execute(sql.replace("%s", "?"), params)
+        except sqlite3.IntegrityError as e:
+            raise _FakeIntegrityError(str(e)) from None
+
+    def fetchone(self):
+        return self._cur.fetchone()
+
+    def fetchall(self):
+        return self._cur.fetchall()
+
+    @property
+    def rowcount(self):
+        return self._cur.rowcount
+
+
+class _FakePgConnection:
+    def __init__(self, path):
+        self._con = sqlite3.connect(path, timeout=30.0)
+        self._con.isolation_level = None
+        self.autocommit = True
+
+    def cursor(self):
+        return _FakePgCursor(self._con.cursor())
+
+    def close(self):
+        self._con.close()
+
+
+def _pg_catalog(path: str) -> SqlCatalog:
+    return SqlCatalog(
+        "postgresql://mock-host/catalog_db",
+        connection_factory=lambda: _FakePgConnection(path),
+        paramstyle="format",
+        integrity_error=_FakeIntegrityError,
+    )
+
+
+def test_mocked_postgres_dbapi_lifecycle(tmp_path):
+    """create/register/load/rename/drop through the Postgres code path:
+    %s placeholders everywhere, driver IntegrityError translated to
+    FileExistsError, rename races decided by the PK."""
+    cat = _pg_catalog(str(tmp_path / "pg.db"))
+    cat.create_namespace("ns")
+    cat.create_namespace("ns")  # idempotent (ON CONFLICT DO NOTHING)
+    cat.register_table("ns", "t1", "/loc/1")
+    assert cat.load_location("ns", "t1") == "/loc/1"
+    with pytest.raises(FileExistsError):
+        cat.register_table("ns", "t1", "/loc/2")
+    assert cat.load_location("ns", "t1") == "/loc/1"  # loser didn't clobber
+    cat.register_table("ns", "t2", "/loc/2")
+    assert cat.list_tables("ns") == ["t1", "t2"]
+    cat.rename_table("ns", "t1", "ns2", "t1")
+    with pytest.raises(FileExistsError):
+        cat.rename_table("ns", "t2", "ns2", "t1")
+    with pytest.raises(FileNotFoundError):
+        cat.rename_table("ns", "missing", "ns", "x")
+    assert cat.list_namespaces() == ["ns", "ns2"]
+    assert cat.table_exists("ns2", "t1")
+    cat.drop_table("ns", "t2")
+    assert cat.list_tables("ns") == []
+
+
+def test_mocked_postgres_create_race_single_winner(tmp_path):
+    """8 workers race to claim one table through the mocked-DB-API Postgres
+    path; the PK picks exactly one winner and losers get FileExistsError."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "pg_race.db")
+    _pg_catalog(path)  # init schema before racing
+
+    def claim(i: int):
+        try:
+            _pg_catalog(path).register_table("ns", "contested", f"/loc/{i}")
+            return i
+        except FileExistsError:
+            return None
+
+    with ThreadPoolExecutor(8) as ex:
+        winners = [r for r in ex.map(claim, range(8)) if r is not None]
+    assert len(winners) == 1
+    assert _pg_catalog(path).load_location("ns", "contested") == f"/loc/{winners[0]}"
+
+
 def _race_create(args):
     uri, winner_marker = args
     cat = SqlCatalog(uri)
