@@ -160,16 +160,27 @@ def apply_changes(
         )
     else:
         latest = changes  # caller guarantees one action per key
-    ups = latest.filter(F.col(op_col) == "upsert").drop(op_col)
-    if order_col:
-        ups = ups.drop(order_col) if order_col not in table.schema().fieldNames() else ups
-    dels = latest.filter(F.col(op_col) == "delete").select(*key_cols)
-    snaps = []
-    if not ups.isEmpty():
-        if table.log.partition_by:
-            snaps.append(upsert_partitioned(table, ups, key_cols, order_col=None))
-        else:
-            snaps.append(upsert(table, ups, key_cols, order_col=None))
-    if not dels.isEmpty():
-        snaps.append(table.delete_keys(dels, key_cols))
-    return snaps
+    # one cached materialization of the reduced batch + ONE counting job
+    # decide both commits — not two isEmpty() jobs that each re-run the
+    # key-reduction window (and would run it twice more in the merge paths)
+    latest = latest.cache()
+    try:
+        counts = latest.agg(
+            F.count(F.when(F.col(op_col) == "upsert", 1)).alias("ups"),
+            F.count(F.when(F.col(op_col) == "delete", 1)).alias("dels"),
+        ).collect()[0]
+        ups = latest.filter(F.col(op_col) == "upsert").drop(op_col)
+        if order_col:
+            ups = ups.drop(order_col) if order_col not in table.schema().fieldNames() else ups
+        dels = latest.filter(F.col(op_col) == "delete").select(*key_cols)
+        snaps = []
+        if counts["ups"]:
+            if table.log.partition_by:
+                snaps.append(upsert_partitioned(table, ups, key_cols, order_col=None))
+            else:
+                snaps.append(upsert(table, ups, key_cols, order_col=None))
+        if counts["dels"]:
+            snaps.append(table.delete_keys(dels, key_cols))
+        return snaps
+    finally:
+        latest.unpersist()
