@@ -162,21 +162,13 @@ def build_ivf_index(
     df = table.scan()
     if "ivf_cell" in df.columns:
         df = df.drop("ivf_cell")
-    sample = (
-        df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(4)) == 0)
-        .select(vec_col)
-        .limit(sample_cap)
-        .cache()
+    cents = similarity.kmeans_refine_local(
+        df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(4)) == 0),
+        similarity.sample_centroids(df, k=k, id_col=id_col, vec_col=vec_col),
+        iters=iters,
+        vec_col=vec_col,
+        cap=sample_cap,
     )
-    try:
-        cents = similarity.kmeans_refine(
-            sample,
-            similarity.sample_centroids(df, k=k, id_col=id_col, vec_col=vec_col),
-            iters=iters,
-            vec_col=vec_col,
-        )
-    finally:
-        sample.unpersist()
     if "ivf_cell" not in table.schema().fieldNames():
         table.add_column("ivf_cell", T.IntegerType())
     assigned = similarity.ivf_assign(df, cents, id_col=id_col, vec_col=vec_col)

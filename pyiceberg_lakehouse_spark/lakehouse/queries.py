@@ -243,6 +243,58 @@ def lh_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lh_rollback",
+    """
+    select n_nationkey, n_name, n_regionkey from nation
+    where n_regionkey < 2
+    """,
+)
+def lh_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle: append A, append B, delete some of A, then roll back to
+    the first append's snapshot — the scan must be exactly A again (later
+    appends AND merge-on-read deletes stop applying), with history
+    preserved as a new snapshot rather than rewritten."""
+    nation = load_table(spark, sf_dir, "nation")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.nation_rb", SCHEMAS["nation"])
+    snap_a = t.append(nation.filter(F.col("n_regionkey") < 2))
+    t.append(nation.filter(F.col("n_regionkey") >= 2))
+    t.delete_keys(
+        nation.filter(F.col("n_nationkey") % 2 == 0).select("n_nationkey"),
+        ["n_nationkey"],
+    )
+    t.rollback_to(snap_a.snapshot_id)
+    return t.scan().select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "lh_expire_snapshots",
+    """
+    select n_nationkey, n_name, n_regionkey from nation
+    where n_nationkey % 3 != 0
+    """,
+)
+def lh_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance: build up history (2 appends + a merge-on-read delete),
+    expire all but the head snapshot, and scan back — the current state
+    must be byte-identical while unreachable files are reclaimed and
+    deleted keys cannot resurrect from squashed history."""
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import expire_snapshots
+
+    nation = load_table(spark, sf_dir, "nation")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.nation_exp", SCHEMAS["nation"])
+    t.append(nation.filter(F.col("n_regionkey") < 2))
+    t.append(nation.filter(F.col("n_regionkey") >= 2))
+    t.delete_keys(
+        nation.filter(F.col("n_nationkey") % 3 == 0).select("n_nationkey"),
+        ["n_nationkey"],
+    )
+    expire_snapshots(t, keep_last=1)
+    return t.scan().select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
     "lh_commit_batching",
     """
     select 'append_each' as mode, 4 as n_snapshots,

@@ -244,6 +244,132 @@ def extract_media_features(df: DataFrame) -> DataFrame:
     return src.mapInPandas(batches, MEDIA_FEATURE_SCHEMA)
 
 
+def encode_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 BGR array as a 24-bit uncompressed BMP."""
+    h, w = int(pixels.shape[0]), int(pixels.shape[1])
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = bytearray()
+    for y in range(h):
+        row = bytes(pixels[y].reshape(-1))
+        rows += row + b"\x00" * (stride - len(row))
+    header = _struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    info = _struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return header + info + bytes(rows)
+
+
+def encode_wav(sample_rate: int, samples) -> bytes:
+    """Encode an int16 sample array as 16-bit mono PCM WAV."""
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * 2
+    return (
+        _struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + _struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + _struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def _bmp_pixels(payload: bytes):
+    """Decode a 24-bit BMP's full pixel array -> (h, w, 3) uint8 (stored row
+    order, BGR) — REAL pixel decode, not just the header."""
+    import numpy as np
+
+    w, h, bpp = decode_bmp(payload)
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+    offset = _struct.unpack_from("<I", payload, 10)[0]
+    stride = ((w * 3 + 3) // 4) * 4
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    return raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+
+
+def _wav_samples(payload: bytes):
+    """Decode a 16-bit mono WAV's sample array -> int16 ndarray."""
+    import numpy as np
+
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, size = _struct.unpack_from("<4sI", payload, pos)
+        if cid == b"data":
+            return np.frombuffer(payload, dtype="<i2", count=size // 2, offset=pos + 8)
+        pos += 8 + size + (size % 2)
+    raise ValueError("WAV missing data chunk")
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("out_sample_rate", T.IntegerType()),
+        T.StructField("out_n_samples", T.IntegerType()),
+        T.StructField("value_sum", T.LongType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL media transform, Arrow-batched: decode the full pixel/sample
+    array, nearest-neighbor decimate by ``factor``, RE-ENCODE to a valid
+    container, then re-decode the new payload for the reported features —
+    a wrong stride, row order, or sample width anywhere in the
+    decode/encode pipeline flips ``value_sum``.
+
+    Images: every ``factor``-th row/column survives; audio: every
+    ``factor``-th sample, sample rate divided accordingly. ``value_sum`` is
+    the exact integer sum over the re-decoded payload (all BGR channels /
+    all signed samples), which the SQL oracle predicts closed-form from the
+    synthesizer's parameters. Text rows pass through as NULL features.
+
+    At 100 TB this is the canonical shape: decode + transform run where the
+    bytes live (mapInPandas over the scan), only small typed features (or
+    the re-encoded, smaller payloads) move downstream.
+    """
+    import numpy as np
+
+    src = df.select("doc_id", "content", F.col("media.mime").alias("mime"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "mime": pdf["mime"],
+                "out_width": [],
+                "out_height": [],
+                "out_sample_rate": [],
+                "out_n_samples": [],
+                "value_sum": [],
+            }
+            for content, mime in zip(pdf["content"], pdf["mime"]):
+                w = h = rate = n = vsum = None
+                payload = bytes(content)
+                if mime == "image/bmp":
+                    small = _bmp_pixels(payload)[::factor, ::factor, :]
+                    reencoded = encode_bmp(small)
+                    w, h, _ = decode_bmp(reencoded)
+                    vsum = int(_bmp_pixels(reencoded).astype(np.int64).sum())
+                elif mime == "audio/wav":
+                    in_rate, _, _ = decode_wav(payload)
+                    small = _wav_samples(payload)[::factor]
+                    reencoded = encode_wav(in_rate // factor, small)
+                    rate, _, n = decode_wav(reencoded)
+                    vsum = int(_wav_samples(reencoded).astype(np.int64).sum())
+                out["out_width"].append(w)
+                out["out_height"].append(h)
+                out["out_sample_rate"].append(rate)
+                out["out_n_samples"].append(n)
+                out["value_sum"].append(vsum)
+            for c in ("out_width", "out_height", "out_sample_rate", "out_n_samples"):
+                out[c] = pd.Series(out[c], dtype="Int32")
+            out["value_sum"] = pd.Series(out["value_sum"], dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(batches, RESIZE_SCHEMA)
+
+
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (mapInPandas).
 

@@ -156,24 +156,18 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Centroids are Lloyd-refined (2 iterations) from the deterministic seed
     on a BOUNDED sample — a deterministic xxhash64 slice capped at 2048
-    vectors, cached so both iterations reuse one scan. Index construction
-    cost is therefore O(sample), not O(corpus), no matter the table size;
-    k-means on a sample converges the same centroids for recall purposes.
-    The full corpus is only touched by the probe itself (and by the
-    persisted-index maintenance path, lakehouse/maintenance.py)."""
+    vectors, collected ONCE and refined in numpy (kmeans_refine_local):
+    index construction costs one bounded collect + zero extra Spark jobs,
+    no matter the table size; k-means on a sample converges the same
+    centroids for recall purposes. The full corpus is only touched by the
+    probe itself (and by the persisted-index maintenance path,
+    lakehouse/maintenance.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sample = (
-        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(4)) == 0)
-        .select("embedding")
-        .limit(2048)
-        .cache()
+    cents = similarity.kmeans_refine_local(
+        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(4)) == 0),
+        similarity.sample_centroids(emb, k=16),
+        iters=2,
     )
-    try:
-        cents = similarity.kmeans_refine(
-            sample, similarity.sample_centroids(emb, k=16), iters=2
-        )
-    finally:
-        sample.unpersist()
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), cents, k=3, n_probe=4
     )
@@ -298,6 +292,59 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample rate/count) via Arrow-batched mapInPandas."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_media_features(multimodal.attach_media_assets(docs))
+
+
+# the decimated image keeps pixels at even (x, y); the synthesizer's pixel
+# (x, y) is B=(x*7+y*13)%256, G=(x*3)%256, R=(y*5)%256 — so the oracle can
+# predict the decode->decimate->re-encode->re-decode sum closed-form. Audio
+# keeps even samples of value ((i*2654435761)%65536)-32768 at half the rate.
+RESIZE_SQL = f"""
+    with img as (
+      select doc_id, {_MM_W} as w, {_MM_H} as h
+      from documents where doc_id % 3 = 1
+    ),
+    img_f as (
+      select doc_id, 'image/bmp' as mime,
+             cast((w + 1) // 2 as integer) as out_width,
+             cast((h + 1) // 2 as integer) as out_height,
+             cast(null as integer) as out_sample_rate,
+             cast(null as integer) as out_n_samples,
+             cast((select sum(((x*7 + y*13) % 256) + ((x*3) % 256) + ((y*5) % 256))
+                   from generate_series(0, 18, 2) gx(x),
+                        generate_series(0, 8, 2) gy(y)
+                   where x < w and y < h) as bigint) as value_sum
+      from img
+    ),
+    aud as (
+      select doc_id, 8000 + (doc_id % 4) * 4000 as rate, {_MM_NSAMP} as n
+      from documents where doc_id % 3 = 2
+    ),
+    aud_f as (
+      select doc_id, 'audio/wav' as mime,
+             cast(null as integer) as out_width,
+             cast(null as integer) as out_height,
+             cast(rate // 2 as integer) as out_sample_rate,
+             cast((n + 1) // 2 as integer) as out_n_samples,
+             cast((select sum(((i * 2654435761) % 65536) - 32768)
+                   from generate_series(0, 148, 2) g(i)
+                   where i < n) as bigint) as value_sum
+      from aud
+    )
+    select * from img_f union all select * from aud_f
+"""
+
+
+@register("multimodal_resize", RESIZE_SQL)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media RESIZE with real pixel/sample work: decode the full BMP pixel
+    array / WAV sample array, nearest-neighbor decimate 2x, re-encode a
+    valid container, and report features + exact value sum from the
+    RE-DECODED payload. The oracle predicts every sum closed-form from the
+    synthesizer parameters, so any stride/row-order/sample-width bug in the
+    four-stage pipeline flips the hash."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 != 0)
+    assets = multimodal.attach_media_assets(docs)
+    return multimodal.resize_media(assets, factor=2)
 
 
 WINNOW_SQL = """

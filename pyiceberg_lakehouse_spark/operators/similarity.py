@@ -160,6 +160,47 @@ def lsh_topk(
     )
 
 
+def centroid_scores_expr(
+    centroids: list[list[float]], vec_col: str = "embedding"
+) -> F.Column:
+    """Array of dot(vec, centroid_i) for every centroid — ONE nested
+    higher-order expression over a single k x dim array literal.
+
+    Expanding a separate zip_with/aggregate chain per centroid multiplies
+    the expression tree by k; with k=16, dim=64 that is thousands of nodes
+    and driver-side query construction costs seconds per query (one py4j
+    round-trip PER literal). The nested form parses the whole k x dim
+    literal JVM-side from one SQL string — one py4j call — and keeps the
+    lambda tree constant-size regardless of k, so planning stays
+    milliseconds while the generated work is identical. repr() keeps every
+    double bit-exact (shortest round-trip form).
+    """
+    cl = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")" for c in centroids
+        )
+        + ")"
+    )
+    return F.transform(
+        cl,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def _scored_cells_expr(centroids: list[list[float]], vec_col: str) -> F.Column:
+    """Array of (score, cell) structs for argmax / ranking."""
+    scores = centroid_scores_expr(centroids, vec_col)
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    return F.zip_with(
+        scores, idx, lambda s, i: F.struct(s.alias("s"), i.alias("cell"))
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
@@ -170,20 +211,11 @@ def ivf_assign(
 
     Centroids arrive as plain lists (decided driver-side — k-means on a
     SAMPLE, or here a deterministic seed set); assignment is a broadcast of
-    k centroid literals + an argmax over k dot products, fully codegen'd.
-    The argmax rides array_max over (score, cell) structs — a single linear
-    expression; chained CASE WHEN would double the tree per centroid.
+    one k x dim centroid literal + an argmax over the k dot products
+    (array_max over (score, cell) structs) — a constant-size expression no
+    matter how many centroids there are.
     """
-    cells = []
-    for i, c in enumerate(centroids):
-        arr = F.array(*[F.lit(v) for v in c])
-        score = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        cells.append(F.struct(score.alias("s"), F.lit(i).alias("cell")))
-    best = F.array_max(F.array(*cells))
+    best = F.array_max(_scored_cells_expr(centroids, vec_col))
     return df.withColumn("ivf_cell", best["cell"].cast("int"))
 
 
@@ -209,17 +241,11 @@ def probe_cells_expr(
     centroids: list[list[float]], n_probe: int, vec_col: str = "embedding"
 ) -> F.Column:
     """Array of each row's ``n_probe`` nearest centroid ids (ranked by dot
-    product) — the per-query probe list, as a pure Catalyst expression."""
-    probes = []
-    for i, c in enumerate(centroids):
-        arr = F.array(*[F.lit(v) for v in c])
-        score = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        probes.append(F.struct(score.alias("s"), F.lit(i).alias("cell")))
-    ranked = F.slice(F.reverse(F.array_sort(F.array(*probes))), 1, n_probe)
+    product) — the per-query probe list, as a pure Catalyst expression of
+    constant size in k (see centroid_scores_expr)."""
+    ranked = F.slice(
+        F.reverse(F.array_sort(_scored_cells_expr(centroids, vec_col))), 1, n_probe
+    )
     return F.transform(ranked, lambda p: p["cell"])
 
 
@@ -372,6 +398,44 @@ def embedding_near_dup_pairs(
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+def kmeans_refine_local(
+    df: DataFrame,
+    centroids: list[list[float]],
+    iters: int = 3,
+    vec_col: str = "embedding",
+    cap: int = 2048,
+) -> list[list[float]]:
+    """Lloyd refinement on a driver-collected BOUNDED sample (numpy).
+
+    ONE bounded collect (``cap`` x dim floats — the same driver-state class
+    as a bloom bitmap), then the iterations are pure numpy: no Spark job,
+    no k x dim literal plan per round. This is the index-construction fast
+    path — k-means on a sample converges the same centroids for recall
+    purposes, and the cap keeps driver memory constant no matter the corpus
+    size. For samples beyond driver scale, the distributed ``kmeans_refine``
+    below runs the identical update rule as Spark jobs.
+
+    Same quantizer as ``ivf_assign`` (max dot product); empty cells keep
+    their previous centroid; outputs are unit-normalized.
+    """
+    import numpy as np
+
+    rows = df.select(vec_col).limit(cap).collect()
+    if not rows:
+        return [list(c) for c in centroids]
+    X = np.array([[float(v) for v in r[0]] for r in rows], dtype=np.float64)
+    C = np.array(centroids, dtype=np.float64)
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for cell in range(C.shape[0]):
+            members = X[assign == cell]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = float(np.sqrt((m * m).sum())) or 1.0
+                C[cell] = m / norm
+    return [[float(v) for v in row] for row in C]
 
 
 def kmeans_refine(

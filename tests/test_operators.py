@@ -300,6 +300,33 @@ def test_connected_components_chain(spark):
     assert kept == [1, 10, 99]
 
 
+def test_kmeans_refine_local_improves_or_matches_recall(spark, sf_dir):
+    """The numpy sample-refine (the index-construction fast path) must keep
+    the same guarantees as the distributed refine: shapes k x dim, unit
+    norm, and no recall loss vs the raw seed at the same n_probe budget."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    seed = similarity.sample_centroids(emb, k=16)
+    refined = similarity.kmeans_refine_local(emb, seed, iters=2)
+    assert len(refined) == len(seed)
+    assert all(len(c) == len(seed[0]) for c in refined)
+    for c in refined:
+        assert abs(sum(x * x for x in c) ** 0.5 - 1.0) < 1e-9
+    truth = {
+        (r.qid, r.vid)
+        for r in similarity.cosine_topk(emb, queries, k=3).collect()
+    }
+
+    def recall(cents):
+        found = {
+            (r.qid, r.vid)
+            for r in similarity.ivf_topk(emb, queries, cents, k=3, n_probe=4).collect()
+        }
+        return len(found & truth) / len(truth)
+
+    assert recall(refined) >= recall(seed)
+
+
 def test_kmeans_refine_improves_or_matches_recall(spark, sf_dir):
     """Refined centroids must not degrade IVF recall vs the raw seed (same
     n_probe budget); shapes stay k x dim and unit-normalized."""
