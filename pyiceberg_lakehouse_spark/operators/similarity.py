@@ -99,17 +99,40 @@ def lsh_bucket(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Sign-of-projection LSH bucket id per vector (one int column added)."""
+    """Sign-of-projection LSH bucket id per vector (one int column added).
+
+    The planes ride ONE n_planes x dim array literal parsed JVM-side from a
+    single SQL string (one py4j call), and the sign-bit fold is a
+    constant-size nested higher-order expression — the same
+    construction-cost discipline as centroid_scores_expr.
+    """
     planes = _hyperplanes(dim, n_planes)
-    bucket = F.lit(0)
-    for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(v) for v in plane])
-        proj = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+    pl = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in p) + ")" for p in planes
+        )
+        + ")"
+    )
+    projections = F.transform(
+        pl,
+        lambda p: F.aggregate(
+            F.zip_with(F.col(vec_col), p, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
             lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        ),
+    )
+    bucket = F.aggregate(
+        F.zip_with(
+            projections,
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda proj, i: F.when(
+                proj > 0, F.pow(F.lit(2.0), i).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
     return df.withColumn("bucket", bucket.cast("int"))
 
 
