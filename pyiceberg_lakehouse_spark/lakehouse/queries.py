@@ -295,6 +295,74 @@ def lh_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lh_schema_evolution",
+    """
+    select n_nationkey, n_name as nation_name, n_regionkey,
+           case when n_regionkey >= 2 then n_nationkey * 1.5 end as extra
+    from nation
+    """,
+)
+def lh_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution lifecycle: append under the original schema, ADD a
+    column (old files read NULL for it), append data that fills it, then
+    RENAME a column — all metadata-only, no file rewritten; the final scan
+    must present one coherent current schema across both file generations."""
+    nation = load_table(spark, sf_dir, "nation")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.nation_evo", SCHEMAS["nation"])
+    t.append(nation.filter(F.col("n_regionkey") < 2))
+    from pyspark.sql import types as T
+
+    t.add_column("extra", T.DoubleType())
+    t.append(
+        nation.filter(F.col("n_regionkey") >= 2).withColumn(
+            "extra", F.col("n_nationkey") * 1.5
+        )
+    )
+    t.rename_column("n_name", "nation_name")
+    return t.scan().select("n_nationkey", "nation_name", "n_regionkey", "extra")
+
+
+@register(
+    "lh_partition_evolution",
+    f"""
+    select {ORDER_COLS} from orders
+    where o_orderkey % 2 = 0
+       or (o_orderkey % 2 = 1 and date_trunc('month', o_orderdate)
+           = (select date_trunc('month', min(o_orderdate)) from orders))
+    """,
+)
+def lh_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution: ingest under month(o_orderdate), evolve the
+    spec to day(o_orderdate) (metadata-only), ingest one month more at day
+    granularity — the scan must read both file generations correctly across
+    the spec boundary. (The classic granularity move; the day-spec batch is
+    one month so the example stays ~30 partitions, not two years of days.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table(
+        "ns.orders_pe",
+        SCHEMAS["orders"],
+        partition_by=["month(o_orderdate)"],
+        # hash distribution: one writer task per partition value, so the
+        # example commits ~1 file per month/day instead of tasks x partitions
+        properties={"write.distribution-mode": "hash"},
+    )
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.update_partition_spec(["day(o_orderdate)"])
+    first_month = orders.select(
+        F.date_trunc("month", F.min("o_orderdate")).alias("m")
+    )
+    t.append(
+        orders.filter(F.col("o_orderkey") % 2 == 1).join(
+            F.broadcast(first_month),
+            F.date_trunc("month", F.col("o_orderdate")) == F.col("m"),
+        ).drop("m")
+    )
+    return t.scan().select(*[c.strip() for c in ORDER_COLS.split(",")])
+
+
+@register(
     "lh_commit_batching",
     """
     select 'append_each' as mode, 4 as n_snapshots,

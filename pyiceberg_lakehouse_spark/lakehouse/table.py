@@ -1178,18 +1178,41 @@ class LakehouseTable:
                 )
                 dfs.append(conform(df, hist, nulls_for(epoch)))
         if flat:
-            by_part: dict[tuple, list[dict]] = {}
-            for f in flat:
-                epoch = f.get("added_in", 0) if per_epoch else 0
-                key = (tuple(sorted(f["partition"].items())), epoch)
-                by_part.setdefault(key, []).append(f)
+            # group ONLY by the identity partition values that must be
+            # re-attached as literal columns (plus rename epoch) — NOT by the
+            # full partition tuple. Transform-partitioned files (e.g. a
+            # month-spec generation after evolving to day) need no attached
+            # columns at all, so they collapse into ONE multi-file scan
+            # instead of one scan per historical partition value.
             identity_fields = {
                 pf.name: pf for pf in self.partition_fields if pf.is_identity
             }
-            for (key, epoch), group in sorted(by_part.items()):
-                pvals = dict(key)
+            by_group: dict[tuple, list[dict]] = {}
+            for f in flat:
+                epoch = f.get("added_in", 0) if per_epoch else 0
+                ident = tuple(
+                    sorted(
+                        (k, v)
+                        for k, v in f["partition"].items()
+                        if k in identity_fields
+                    )
+                )
+                by_group.setdefault((ident, epoch), []).append(f)
+            for (ident, epoch), group in sorted(by_group.items()):
+                pvals = dict(ident)
                 hist = hist_for(epoch)
-                df = self.spark.read.parquet(*[f["path"] for f in group])
+                # explicit schema (historical names): no per-group footer
+                # inference job; files missing a column read it as NULL,
+                # exactly like the hive path's schema projection
+                read_schema = T.StructType(
+                    [
+                        T.StructField(hist.get(f.name, f.name), f.dataType, True)
+                        for f in self._data_schema().fields
+                    ]
+                )
+                df = self.spark.read.schema(read_schema).parquet(
+                    *[f["path"] for f in group]
+                )
                 # only identity partition values materialize as columns;
                 # transform sources already live in the data files
                 for col, pf in identity_fields.items():
