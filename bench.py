@@ -202,6 +202,20 @@ def main() -> None:
 
     timings = {k: round(statistics.median(v), 3) for k, v in samples.items()}
     total = round(sum(timings.values()), 3)
+
+    # machine calibration: a fixed, data-independent CPU-bound job (hash +
+    # aggregate over a generated range). Round-over-round phase deltas can
+    # be normalized by this to separate engine changes from sandbox-speed
+    # changes; excluded from the headline total.
+    calib_runs = []
+    for _ in range(max(REPS, 2)):
+        t0 = time.time()
+        spark.range(0, 50_000_000, 1, 32).select(
+            F.sum(F.xxhash64("id")).alias("h")
+        ).collect()
+        calib_runs.append(time.time() - t0)
+    calib = round(statistics.median(calib_runs), 3)
+
     print(
         json.dumps(
             {
@@ -213,6 +227,7 @@ def main() -> None:
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
                 "reps": REPS,
                 "stat": "median",
+                "calib_cpu_sec": calib,
             }
         )
     )

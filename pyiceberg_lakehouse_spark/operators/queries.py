@@ -198,6 +198,50 @@ def lh_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lh_ann_indexed_selfcheck",
+    """
+    select vec_id as qid, cast(3 as integer) as n_results,
+           true as matches_unindexed
+    from embeddings where vec_id < 10
+    """,
+)
+def lh_ann_indexed_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential proof of the PERSISTED IVF index the driver can hash:
+    for every query vector, the index probe (stored ivf_cell + file
+    pruning, similarity.ivf_index_topk) must return exactly the top-3 the
+    unindexed ivf_topk computes from the same centroids. Any bug in the
+    clustered rewrite, stats IN-list pruning, or stored-cell assignment
+    breaks per-qid equality and flips the hash."""
+    import json
+    import tempfile
+
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    lh = Lakehouse(spark, tempfile.mkdtemp(prefix="ann_chk_"))
+    t = lh.create_table("ns.embeddings_chk", emb.schema)
+    t.append(emb)
+    build_ivf_index(t, k=16, iters=2)
+    cents = json.loads(t.log.properties["ivf.centroids"])
+    got = similarity.ivf_index_topk(t, q, k=3, n_probe=4)
+    twin = similarity.ivf_topk(emb, q, cents, k=3, n_probe=4)
+    a = got.groupBy("qid").agg(
+        F.sort_array(F.collect_list(F.struct("rank", "vid"))).alias("res"),
+        F.count("*").cast("int").alias("n_results"),
+    )
+    b = twin.groupBy("qid").agg(
+        F.sort_array(F.collect_list(F.struct("rank", "vid"))).alias("res_twin")
+    )
+    return a.join(b, "qid").select(
+        "qid",
+        "n_results",
+        (F.col("res") == F.col("res_twin")).alias("matches_unindexed"),
+    )
+
+
+@register(
     "text_token_stats",
     f"""
     select doc_id,
