@@ -211,7 +211,7 @@ def main() -> None:
     for _ in range(max(REPS, 2)):
         t0 = time.time()
         spark.range(0, 50_000_000, 1, 32).select(
-            F.sum(F.xxhash64("id")).alias("h")
+            F.count(F.when(F.xxhash64("id") % 7 == 0, 1)).alias("h")
         ).collect()
         calib_runs.append(time.time() - t0)
     calib = round(statistics.median(calib_runs), 3)

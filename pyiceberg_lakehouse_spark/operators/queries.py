@@ -585,6 +585,69 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_SQL = f"""
+    with toks as (
+      select doc_id, string_split({NORM}, ' ') as tk from documents
+    ),
+    pairs as (
+      select doc_id, t.term from toks, unnest(tk) as t(term) where t.term != ''
+    ),
+    tf as (select doc_id, term, count(*) as tf from pairs group by 1, 2),
+    dfreq as (select term, count(distinct doc_id) as df_count from pairs group by 1),
+    n as (select count(distinct doc_id) as n_docs from documents),
+    scored as (
+      select tf.doc_id, tf.term, tf.tf, dfreq.df_count,
+             round(tf.tf * ln(cast(n.n_docs as double) / dfreq.df_count), 6) as tfidf
+      from tf join dfreq using (term), n
+    )
+    select doc_id, cast(rank as integer) as rank, term,
+           cast(tf as bigint) as tf, cast(df_count as bigint) as df_count, tfidf
+    from (
+      select *, row_number() over (partition by doc_id order by tfidf desc, term) as rank
+      from scored
+    ) where rank <= 3
+"""
+
+
+@register("text_tfidf_top_terms", TFIDF_SQL)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document by TF-IDF: one token explode,
+    map-side-combined term frequencies, broadcast vocabulary join, top-k
+    window. Scores round to 6 decimals before ranking so Spark and DuckDB
+    order identically despite 1-ulp ln() divergence."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.tf_idf_top_terms(docs, top_n=3)
+    return out.select(
+        "doc_id",
+        "rank",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df_count").cast("long").alias("df_count"),
+        "tfidf",
+    )
+
+
+@register(
+    "train_stratified_sample",
+    f"""
+    select doc_id, lang from documents
+    where {HB.format(col="doc_id", n=100)} <
+          case lang when 'en' then 25 when 'de' then 100 when 'zh' then 50
+                    else 10 end
+    """,
+)
+def train_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: per-language keep rates (25% en, 100% de, 50%
+    zh, 10% default) selected by deterministic id hash — zero shuffles,
+    rerun/append-stable membership."""
+    from pyiceberg_lakehouse_spark.operators import traindata
+
+    docs = load_table(spark, sf_dir, "documents")
+    return traindata.sample_stratified(
+        docs, {"en": 25, "de": 100, "zh": 50}, default_pct=10
+    ).select("doc_id", "lang")
+
+
 @register(
     "text_top_bigrams",
     f"""

@@ -93,6 +93,54 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return hits.select(F.col(id_col), best.alias("pred_lang"), best_n.alias("marker_hits"))
 
 
+def tf_idf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+) -> DataFrame:
+    """Top-``top_n`` distinctive terms per document by TF-IDF.
+
+    One explode to (doc, term) pairs, one groupBy for term frequencies, one
+    corpus-level aggregate for document frequencies (broadcast back — the
+    vocabulary is the small side), then a per-document top-k window. Score
+    = tf * ln(N / df), ROUNDED to 6 decimals before ranking so both engines
+    order identically (ln is correctly-rounded to ~1 ulp per engine; the
+    rounding collapses that divergence), with the term as the
+    deterministic tiebreak.
+    """
+    from pyspark.sql import Window as W
+
+    toks = _with_tokens(df, text_col, id_col)
+    pairs = toks.select(
+        F.col(id_col), F.explode("_toks").alias("term")
+    ).filter(F.col("term") != "")
+    tf = pairs.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        pairs.groupBy("term")
+        .agg(F.count_distinct(F.col(id_col)).alias("df_count"))
+    )
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df_count")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "rank", "term", "tf", "df_count", "tfidf")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """128-bit content fingerprint of the normalized text (md5)."""
     return df.select(

@@ -68,6 +68,28 @@ def balance_labels(
     )
 
 
+def sample_stratified(
+    df: DataFrame,
+    fractions: dict[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Stratified sampling: keep ``fractions[stratum]`` percent of each
+    stratum, selected by deterministic id hash — no RNG state, membership
+    stable under reruns/appends/repartitioning (the same guarantee as
+    split_train_test, per stratum).
+
+    One narrow filter expression, zero shuffles: the per-stratum rate is a
+    CASE over the stratum column against the shared hash bucket.
+    """
+    b = hash_bucket(id_col, 100)
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(fractions.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.filter(b < rate)
+
+
 def mix_weighted(
     sources: list[tuple[DataFrame, float]], id_col: str = "doc_id"
 ) -> DataFrame:

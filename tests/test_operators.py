@@ -161,6 +161,52 @@ def test_text_quality_known_values(spark):
     assert s.n_distinct_tokens == 4
 
 
+def test_tfidf_known_values(spark):
+    """3 tiny docs with a hand-computable vocabulary: 'cat' appears in 1 of
+    3 docs (idf=ln 3), 'the' in all 3 (idf=0, never a top term over
+    something rarer)."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the dog sat"),
+            (3, "the bird flew"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df_count, r.tfidf)
+        for r in text.tf_idf_top_terms(df, top_n=2).collect()
+    }
+    # doc 1: cat (df=1, score=ln 3) beats sat (df=2, score=ln 1.5) beats the (0)
+    assert out[(1, 1)][0] == "cat"
+    assert out[(1, 1)][2] == 1
+    assert out[(1, 1)][3] == pytest.approx(round(math.log(3.0), 6))
+    assert out[(1, 2)][0] == "sat"
+    assert out[(3, 1)][0] in ("bird", "flew")  # tie: term asc -> bird
+    assert out[(3, 1)][0] == "bird"
+
+
+def test_stratified_sample_deterministic_and_rated(spark, sf_dir):
+    from pyiceberg_lakehouse_spark.operators.traindata import sample_stratified
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sample_stratified(docs, {"de": 100, "en": 25}, default_pct=0)
+    counts = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("de") == totals["de"]  # 100% stratum kept whole
+    assert 0 < counts.get("en", 0) < totals["en"]  # sampled stratum shrank
+    assert set(counts) <= {"de", "en"}  # default 0: every other stratum gone
+    # rerun-stable membership
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(
+        r.doc_id
+        for r in sample_stratified(docs, {"de": 100, "en": 25}, default_pct=0).collect()
+    )
+    assert a == b
+
+
 def test_lang_id_markers(spark):
     df = spark.createDataFrame(
         [
