@@ -648,6 +648,61 @@ def train_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+PII_SQL = """
+    with aug as (
+      select doc_id,
+             lower(text)
+               || case when doc_id % 7 = 0
+                       then ' see https://site' || doc_id || '.example/page ok'
+                       else '' end
+               || case when doc_id % 5 = 0
+                       then ' contact user' || doc_id || '@example.com now'
+                       else '' end as t
+      from documents
+    )
+    select doc_id,
+           regexp_replace(regexp_replace(t, 'https?://[^ ]+', '<URL>', 'g'),
+                          '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g')
+             as clean_text,
+           cast(len(regexp_extract_all(t, 'https?://[^ ]+')) as integer) as n_urls,
+           cast(len(regexp_extract_all(
+                 regexp_replace(t, 'https?://[^ ]+', '<URL>', 'g'),
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) as integer) as n_emails
+    from aug
+"""
+
+
+@register("text_pii_scrub", PII_SQL)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a corpus with deterministically planted emails /
+    URLs (so the differential exercises real redactions): URLs then emails
+    redacted to typed tokens, per-doc counts reported. Pure regexp
+    expressions — the training-data hygiene pass every corpus needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.lower(F.col("text")),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" see https://site"),
+                    d.cast("string"),
+                    F.lit(".example/page ok"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"), d.cast("string"), F.lit("@example.com now")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.scrub_pii(aug)
+
+
 @register(
     "text_top_bigrams",
     f"""

@@ -141,6 +141,36 @@ def tf_idf_top_terms(
     )
 
 
+# portable across Java regex (Spark) and RE2 (DuckDB): character classes,
+# +/{m,} quantifiers only — no lookaround, no backrefs, no \b
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+URL_RE = "https?://[^ ]+"
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing for training corpora: redact URLs then emails to
+    typed placeholder tokens, reporting per-document redaction counts.
+
+    Pure regexp expressions (codegen, no UDF); URL redaction runs first so
+    an address inside a URL counts once as a URL. The patterns are
+    deliberately lookaround-free so every engine orders matches the same
+    way.
+    """
+    t = F.lower(F.col(text_col))
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_RE), F.lit(0)))
+    after_urls = F.regexp_replace(t, URL_RE, "<URL>")
+    n_emails = F.size(F.regexp_extract_all(after_urls, F.lit(EMAIL_RE), F.lit(0)))
+    clean = F.regexp_replace(after_urls, EMAIL_RE, "<EMAIL>")
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_urls.cast("int").alias("n_urls"),
+        n_emails.cast("int").alias("n_emails"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """128-bit content fingerprint of the normalized text (md5)."""
     return df.select(

@@ -207,6 +207,26 @@ def test_stratified_sample_deterministic_and_rated(spark, sf_dir):
     assert a == b
 
 
+def test_scrub_pii_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org today"),
+            (2, "docs at https://a.example/p?q=1 and https://b.example/x"),
+            (3, "nothing sensitive here"),
+            (4, "inside url https://a.example/u?email=a@b.co stays one URL"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text.scrub_pii(df).collect()}
+    assert got[1].n_emails == 1 and got[1].n_urls == 0
+    assert "<EMAIL>" in got[1].clean_text and "@" not in got[1].clean_text
+    assert got[2].n_urls == 2 and got[2].n_emails == 0
+    assert got[2].clean_text == "docs at <URL> and <URL>"
+    assert got[3].n_urls == 0 and got[3].n_emails == 0
+    # an email inside a URL is redacted as part of the URL, counted once
+    assert got[4].n_urls == 1 and got[4].n_emails == 0
+
+
 def test_lang_id_markers(spark):
     df = spark.createDataFrame(
         [

@@ -176,3 +176,29 @@ def test_pipeline_clean_corpus_single_shuffle_key(spark, sf_dir):
     exchanges = re.findall(r"Exchange \w+partitioning\((\w+)#", plan)
     assert exchanges, "expected the dedup window shuffle"
     assert set(exchanges) == {"fp"}, exchanges
+
+
+def test_tfidf_broadcasts_vocabulary(spark, sf_dir):
+    """The (term, df) vocabulary and the 1-row corpus count must broadcast;
+    the only shuffles are the tf groupBy and the per-doc top-k window —
+    the token pairs are never reshuffled for the joins."""
+    plan = plan_of(spark, "text_tfidf_top_terms", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multimodal_resize_no_shuffle(spark, sf_dir):
+    """Decode/decimate/re-encode runs where the bytes are (mapInPandas over
+    the scan) — a shuffle of binary payloads would be a 100 TB bug."""
+    plan = plan_of(spark, "multimodal_resize", sf_dir)
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_ivf_probe_no_cartesian_no_corpus_assign(spark, sf_dir):
+    """The IVF probe joins corpus cells to broadcast query fan-out on cell
+    equality — never a cartesian pairing."""
+    plan = plan_of(spark, "sim_ann_ivf", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
