@@ -102,11 +102,15 @@ def tf_idf_top_terms(
     """Top-``top_n`` distinctive terms per document by TF-IDF.
 
     One explode to (doc, term) pairs, one groupBy for term frequencies, one
-    corpus-level aggregate for document frequencies (broadcast back — the
-    vocabulary is the small side), then a per-document top-k window. Score
-    = tf * ln(N / df), ROUNDED to 6 decimals before ranking so both engines
-    order identically (ln is correctly-rounded to ~1 ulp per engine; the
-    rounding collapses that divergence), with the term as the
+    corpus-level aggregate for document frequencies, then a per-document
+    top-k window. The tf/df join stays UNHINTED: both sides are already
+    term-keyed aggregates, so at 100 TB (where a vocabulary can be GBs) it
+    hash-joins on term without any replan, while AQE broadcasts it at
+    runtime whenever the vocabulary is actually small — forcing broadcast
+    here would be the scale bug. Only the 1-row corpus count is hinted.
+    Score = tf * ln(N / df), ROUNDED to 6 decimals before ranking so both
+    engines order identically (ln is correctly-rounded to ~1 ulp per
+    engine; the rounding collapses that divergence), with the term as the
     deterministic tiebreak.
     """
     from pyspark.sql import Window as W
@@ -122,7 +126,7 @@ def tf_idf_top_terms(
     )
     n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
