@@ -165,7 +165,14 @@ def minhash_lsh_pairs(
     candidates are re-checked with exact Jaccard (on candidates only).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    # checkpoint the signature table before the band self-join: both join
+    # sides would otherwise recompute the whole tokenize->shingle->minhash
+    # pipeline. Signatures are (id, num_hashes longs) — orders of magnitude
+    # smaller than the corpus, so materializing them is the scale-right
+    # trade (same pattern as dedup_groups' per-round checkpoint).
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k).localCheckpoint(
+        eager=False
+    )
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
