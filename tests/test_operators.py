@@ -207,6 +207,56 @@ def test_stratified_sample_deterministic_and_rated(spark, sf_dir):
     assert a == b
 
 
+def test_bmp_wav_roundtrip_hypothesis():
+    """Encode/decode are exact inverses for ANY dims/rates, and decimation
+    keeps exactly the even-index rows/cols/samples — pure-python property
+    checks on the codec layer the Spark resize operator rides."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyiceberg_lakehouse_spark.operators.multimodal import (
+        _bmp_pixels,
+        _wav_samples,
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=20),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def bmp_prop(w, h, seed):
+        rng = np.random.default_rng(seed)
+        pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = encode_bmp(pix)
+        assert decode_bmp(payload) == (w, h, 24)
+        assert (_bmp_pixels(payload) == pix).all()
+        small = pix[::2, ::2, :]
+        assert (_bmp_pixels(encode_bmp(small)) == small).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=500),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def wav_prop(n, rate, seed):
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        payload = encode_wav(rate, samples)
+        assert decode_wav(payload) == (rate, 1, n)
+        assert (_wav_samples(payload) == samples).all()
+        assert (_wav_samples(encode_wav(rate // 2, samples[::2])) == samples[::2]).all()
+
+    bmp_prop()
+    wav_prop()
+
+
 def test_scrub_pii_known_values(spark):
     df = spark.createDataFrame(
         [
