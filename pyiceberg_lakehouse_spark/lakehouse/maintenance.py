@@ -169,6 +169,8 @@ def build_ivf_index(
         vec_col=vec_col,
         cap=sample_cap,
     )
+    if not cents:
+        return None  # empty table: nothing to index (same contract as compact)
     if "ivf_cell" not in table.schema().fieldNames():
         table.add_column("ivf_cell", T.IntegerType())
     assigned = similarity.ivf_assign(df, cents, id_col=id_col, vec_col=vec_col)

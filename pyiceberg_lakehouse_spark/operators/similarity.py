@@ -198,6 +198,8 @@ def centroid_scores_expr(
     milliseconds while the generated work is identical. repr() keeps every
     double bit-exact (shortest round-trip form).
     """
+    if not centroids:
+        raise ValueError("centroids must be non-empty (empty corpus/sample?)")
     cl = F.expr(
         "array("
         + ",".join(

@@ -144,6 +144,29 @@ def test_ivf_persisted_index_prunes_files_and_matches(spark, sf_dir, warehouse):
     )
 
 
+def test_empty_input_edges(spark, warehouse):
+    """Operators must degrade cleanly on empty inputs: empty results, a
+    clear error for unusable centroid sets, and a no-op index build."""
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import build_ivf_index
+    from pyiceberg_lakehouse_spark.operators import dedup
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert dedup.exact_dedup(empty_docs).count() == 0
+    assert text.tf_idf_top_terms(empty_docs).count() == 0
+    assert text.scrub_pii(empty_docs).count() == 0
+    emb_empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert similarity.sample_centroids(emb_empty, k=4) == []
+    with pytest.raises(ValueError, match="centroids"):
+        similarity.ivf_topk(emb_empty, emb_empty, [], k=3)
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.empty_emb", emb_empty.schema)
+    assert build_ivf_index(t, k=4) is None  # no-op, not a crash
+    assert "ivf_cell" not in t.schema().fieldNames()
+
+
 def test_embedding_near_dup_blocking(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.9, within="label")
