@@ -173,6 +173,26 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_ann_pq")  # rows-only: codebooks are engine-specific sketch state
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-3 (FAISS-style ADC): 8x16 codebooks
+    trained on a bounded sample, corpus encoded to 8 small ints per vector
+    (32x smaller than the float embeddings), queries score via per-query
+    lookup tables — 8 LUT adds per candidate instead of a 64-dim dot.
+    Composable with the IVF cell pruning (IVF narrows candidates, PQ makes
+    scoring them cheap + shrinks what the scan reads)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_train_local(
+        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(4)) == 0),
+        n_subspaces=8,
+        n_codes=16,
+    )
+    corpus = similarity.pq_encode(emb, books).select("vec_id", "pq_codes")
+    return similarity.pq_adc_topk(
+        corpus, emb.filter(F.col("vec_id") < 10), books, k=3
+    )
+
+
 @register("lh_ann_indexed")  # rows-only: persisted index layout is engine-specific
 def lh_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-3 over a PERSISTED IVF index: ``build_ivf_index`` stores an

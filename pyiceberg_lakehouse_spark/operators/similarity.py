@@ -12,6 +12,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -422,6 +423,167 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
+    )
+
+
+def pq_train_local(
+    df: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    cap: int = 2048,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks on a driver-collected BOUNDED
+    sample: the vector is split into ``n_subspaces`` contiguous subvectors
+    and each subspace gets its own ``n_codes``-entry L2 k-means codebook
+    (classic PQ, Jégou et al.). Returns codebooks[s][c] = centroid vector.
+
+    Vectors are L2-normalized before training so ADC dot products rank like
+    cosine. Same driver-state discipline as kmeans_refine_local: one
+    bounded collect, numpy iterations, O(cap x dim) memory.
+    """
+    import numpy as np
+
+    rows = df.select(vec_col).limit(cap).collect()
+    if not rows:
+        return []
+    X = np.array([[float(v) for v in r[0]] for r in rows], dtype=np.float64)
+    norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
+    norms[norms == 0.0] = 1.0
+    X = X / norms
+    dim = X.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    d = dim // n_subspaces
+    books = []
+    for s in range(n_subspaces):
+        Xs = X[:, s * d : (s + 1) * d]
+        # deterministic init: the first n_codes distinct-ish sample rows
+        C = Xs[: min(n_codes, len(Xs))].copy()
+        if len(C) < n_codes:  # degenerate tiny sample: pad by repetition
+            C = np.resize(C, (n_codes, d))
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = Xs[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append([[float(v) for v in row] for row in C])
+    return books
+
+
+def _pq_arrays(codebooks: list[list[list[float]]]):
+    """(C, bias) numpy views of the codebooks: C (n_sub, n_codes, d) and
+    bias (n_sub, n_codes) = -||c||^2/2, making argmax(<x_s,c> + bias) the
+    L2-nearest entry."""
+    import numpy as np
+
+    C = np.array(codebooks, dtype=np.float64)
+    return C, -0.5 * (C * C).sum(axis=2)
+
+
+def _normalize_rows(X):
+    import numpy as np
+
+    norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
+    norms[norms == 0.0] = 1.0
+    return X / norms
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each (normalized) vector as ``n_subspaces`` byte-small codes:
+    per subspace, the L2-nearest codebook entry. Adds a ``pq_codes``
+    array<int> column — at 100 TB this is the column a maintenance rewrite
+    persists: 8 ints instead of 64 floats per vector (the same pattern as
+    build_ivf_index's ivf_cell, with which it composes: IVF prunes cells,
+    PQ makes in-cell scoring cheap).
+
+    The kernel is a vectorized Arrow-batched pandas UDF (one einsum per
+    batch) — the documented slow-path escape: Catalyst cannot constant-fold
+    a codebook literal inside higher-order-function lambda bodies, so the
+    expression form re-materializes all n_sub*n_codes centroids per row,
+    while the numpy closure holds them once per executor.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_sub, n_codes = len(codebooks), len(codebooks[0])
+    d = len(codebooks[0][0])
+    C, bias = _pq_arrays(codebooks)
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        X = _normalize_rows(np.array(v.tolist(), dtype=np.float64))
+        Xs = X.reshape(len(X), n_sub, d)
+        scores = np.einsum("nsd,scd->nsc", Xs, C) + bias[None, :, :]
+        codes = scores.argmax(axis=2).astype("int32")
+        return pd.Series(list(codes))
+
+    return df.withColumn("pq_codes", encode(F.col(vec_col)))
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query precomputes a
+    lookup table of <q_s, codebook[s][c]> for every subspace entry (one
+    n_sub*n_codes float array riding the broadcast), and scoring a corpus
+    vector is ``n_subspaces`` LUT gathers instead of a full-dimension dot —
+    with the corpus side reading only the small code column, never the
+    embeddings. LUT build and gather are vectorized Arrow-batched pandas
+    UDFs (see pq_encode for why not expression HOFs). Scores approximate
+    cosine (vectors normalized at encode time); recall is sketch-dependent
+    and pytest-checked vs cosine_topk.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_sub, n_codes = len(codebooks), len(codebooks[0])
+    d = len(codebooks[0][0])
+    C, _ = _pq_arrays(codebooks)
+
+    @pandas_udf("array<double>")
+    def lut(v: pd.Series) -> pd.Series:
+        Q = _normalize_rows(np.array(v.tolist(), dtype=np.float64))
+        Qs = Q.reshape(len(Q), n_sub, d)
+        tables = np.einsum("nsd,scd->nsc", Qs, C).reshape(len(Q), n_sub * n_codes)
+        return pd.Series(list(tables))
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series, tables: pd.Series) -> pd.Series:
+        Cm = np.array(codes.tolist(), dtype=np.int64)
+        L = np.array(tables.tolist(), dtype=np.float64)
+        idx = Cm + (np.arange(n_sub) * n_codes)[None, :]
+        return pd.Series(np.take_along_axis(L, idx, axis=1).sum(axis=1))
+
+    qb = F.broadcast(
+        queries.select(F.col(id_col).alias("qid"), lut(F.col(vec_col)).alias("_lut"))
+    )
+    scored = (
+        corpus_codes.select(F.col(id_col).alias("vid"), "pq_codes")
+        .join(qb, F.col("qid") != F.col("vid"))
+        .withColumn("score", adc(F.col("pq_codes"), F.col("_lut")))
+        .select("qid", "vid", "score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vid", "rank", "score")
     )
 
 

@@ -167,6 +167,34 @@ def test_empty_input_edges(spark, warehouse):
     assert "ivf_cell" not in t.schema().fieldNames()
 
 
+def test_pq_adc_recall_and_shapes(spark, sf_dir):
+    """PQ codes must be valid (n_subspaces entries in [0, n_codes)), and
+    ADC top-k must overlap the exact cosine top-k well enough to be a
+    useful sketch (8x16 on 64-dim: coarse, so the bar is modest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_train_local(emb, n_subspaces=8, n_codes=16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    coded = similarity.pq_encode(emb, books)
+    row = coded.select("pq_codes").first()
+    assert len(row[0]) == 8
+    assert all(0 <= c < 16 for c in row[0])
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, queries, k=3).collect()
+    approx = similarity.pq_adc_topk(
+        coded.select("vec_id", "pq_codes"), queries, books, k=3
+    ).collect()
+    truth = {(r.qid, r.vid) for r in exact}
+    found = {(r.qid, r.vid) for r in approx}
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.25, f"pq recall {recall}"
+    # every query produced a full top-3
+    from collections import Counter
+
+    per_q = Counter(r.qid for r in approx)
+    assert all(v == 3 for v in per_q.values())
+
+
 def test_embedding_near_dup_blocking(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.9, within="label")
