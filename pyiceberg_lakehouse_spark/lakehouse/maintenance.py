@@ -192,6 +192,70 @@ def build_ivf_index(
     )
 
 
+def build_pq_index(
+    table: LakehouseTable,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    sample_cap: int = 2048,
+):
+    """Persist product-quantization codes INTO the table: a ``pq_codes``
+    array<int> column (Arrow-vectorized encode) + the codebooks in table
+    properties — one replace snapshot, composing with ``build_ivf_index``:
+    run both and an ANN query prunes files by IVF cell, then scores
+    candidates from the 8-int codes without ever reading the embeddings
+    (``similarity.ivf_pq_topk``).
+
+    Codebook training is bounded (numpy k-means on a deterministic sample);
+    the single full pass is the encode rewrite, the same cost class as the
+    other maintenance rewrites. If the table already carries ``ivf_cell``,
+    the rewrite preserves the cell clustering so IVF file pruning keeps
+    working.
+    """
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import similarity
+
+    df = table.scan()
+    if "pq_codes" in df.columns:
+        df = df.drop("pq_codes")
+    books = similarity.pq_train_local(
+        df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(4)) == 0),
+        n_subspaces=n_subspaces,
+        n_codes=n_codes,
+        vec_col=vec_col,
+        cap=sample_cap,
+    )
+    if not books:
+        return None  # empty table: nothing to index
+    if "pq_codes" not in table.schema().fieldNames():
+        table.add_column("pq_codes", T.ArrayType(T.IntegerType()))
+    encoded = similarity.pq_encode(df, books, id_col=id_col, vec_col=vec_col)
+    if "ivf_cell" in df.columns:
+        k = len(_json.loads(table.log.properties.get("ivf.centroids", "[]"))) or 16
+        encoded = encoded.repartitionByRange(k, "ivf_cell").sortWithinPartitions(
+            "ivf_cell"
+        )
+    files = table.log.live_files()
+    new_files = table._write_data(encoded)
+    table.log.properties["pq.codebooks"] = _json.dumps(books)
+    table.log.properties["pq.vec-col"] = vec_col
+    return table._commit(
+        "replace",
+        new_files,
+        removed_paths=[f["path"] for f in files],
+        summary={
+            "op": "pq_index",
+            "n_subspaces": n_subspaces,
+            "n_codes": n_codes,
+            "files_after": len(new_files),
+        },
+    )
+
+
 def remove_orphan_files(table: LakehouseTable, older_than_s: float = 3600.0) -> list[str]:
     """Delete data files under the table dir that no snapshot references.
 

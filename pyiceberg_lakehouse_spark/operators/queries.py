@@ -193,6 +193,32 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("lh_ann_ivfpq")  # rows-only: persisted index layout is engine-specific
+def lh_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete persisted ANN index (FAISS IVF-PQ on lakehouse
+    metadata): build_ivf_index clusters files by cell, build_pq_index adds
+    8-int codes + codebooks; the probe prunes files by cell and ADC-scores
+    candidates from the code column — embeddings never read at query
+    time."""
+    import tempfile
+
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import (
+        build_ivf_index,
+        build_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lh = Lakehouse(spark, tempfile.mkdtemp(prefix="ann_ivfpq_"))
+    t = lh.create_table("ns.embeddings_ivfpq", emb.schema)
+    t.append(emb)
+    build_ivf_index(t, k=16, iters=2)
+    build_pq_index(t)
+    return similarity.ivf_pq_topk(
+        t, emb.filter(F.col("vec_id") < 10), k=3, n_probe=4
+    )
+
+
 @register("lh_ann_indexed")  # rows-only: persisted index layout is engine-specific
 def lh_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-3 over a PERSISTED IVF index: ``build_ivf_index`` stores an

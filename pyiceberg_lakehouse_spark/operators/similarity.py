@@ -587,6 +587,89 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_topk(
+    table,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full persisted-index ANN read path: IVF cells prune FILES
+    (stats IN-list on the stored ``ivf_cell``), PQ codes make scoring the
+    surviving candidates cheap (ADC lookup tables over the stored 8-int
+    ``pq_codes``) — the corpus embeddings are never read at query time.
+    Requires ``build_ivf_index`` + ``build_pq_index`` to have run.
+
+    This is the FAISS IVF-PQ architecture expressed on lakehouse metadata:
+    query cost is O(files in n_probe cells) IO on a code column ~32x
+    smaller than the vectors, plus n_subspaces LUT adds per candidate.
+    """
+    import json as _json
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    centroids = _json.loads(table.log.properties["ivf.centroids"])
+    books = _json.loads(table.log.properties["pq.codebooks"])
+    n_sub, n_codes = len(books), len(books[0])
+    d = len(books[0][0])
+    C, _ = _pq_arrays(books)
+
+    @pandas_udf("array<double>")
+    def lut(v: pd.Series) -> pd.Series:
+        Q = _normalize_rows(np.array(v.tolist(), dtype=np.float64))
+        Qs = Q.reshape(len(Q), n_sub, d)
+        tables = np.einsum("nsd,scd->nsc", Qs, C).reshape(len(Q), n_sub * n_codes)
+        return pd.Series(list(tables))
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series, tables: pd.Series) -> pd.Series:
+        Cm = np.array(codes.tolist(), dtype=np.int64)
+        L = np.array(tables.tolist(), dtype=np.float64)
+        idx = Cm + (np.arange(n_sub) * n_codes)[None, :]
+        return pd.Series(np.take_along_axis(L, idx, axis=1).sum(axis=1))
+
+    q = queries.select(id_col, vec_col).cache()
+    try:
+        probed = sorted(
+            r[0]
+            for r in q.select(
+                F.explode(probe_cells_expr(centroids, n_probe, vec_col)).alias("c")
+            )
+            .distinct()
+            .collect()
+        )
+        corpus = (
+            table.scan(stat_filter={"ivf_cell": ("in", probed)})
+            .filter(F.col("ivf_cell").isin(probed))
+            .select(F.col(id_col).alias("vid"), "ivf_cell", "pq_codes")
+        )
+        qb = F.broadcast(
+            q.select(
+                F.col(id_col).alias("qid"),
+                lut(F.col(vec_col)).alias("_lut"),
+                F.explode(
+                    probe_cells_expr(centroids, n_probe, vec_col)
+                ).alias("ivf_cell"),
+            )
+        )
+        scored = (
+            corpus.join(qb, "ivf_cell")
+            .filter(F.col("qid") != F.col("vid"))
+            .withColumn("score", adc(F.col("pq_codes"), F.col("_lut")))
+            .select("qid", "vid", "score")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vid"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "vid", "rank", "score")
+        )
+    finally:
+        q.unpersist()
+
+
 def kmeans_refine_local(
     df: DataFrame,
     centroids: list[list[float]],

@@ -195,6 +195,56 @@ def test_pq_adc_recall_and_shapes(spark, sf_dir):
     assert all(v == 3 for v in per_q.values())
 
 
+def test_ivf_pq_combined_index(spark, sf_dir, warehouse):
+    """build_ivf_index + build_pq_index on one table: the probe must read
+    only probed cells' files, score from stored codes, keep useful recall
+    vs the exact baseline, and the PQ rewrite must preserve cell
+    clustering (file pruning still works after both rewrites)."""
+    import json
+
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import (
+        build_ivf_index,
+        build_pq_index,
+    )
+    from pyiceberg_lakehouse_spark.operators.similarity import probe_cells_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.emb_ivfpq", emb.schema)
+    t.append(emb)
+    build_ivf_index(t, k=8, iters=1)
+    build_pq_index(t, n_codes=32)  # random uniform vectors are PQ's worst
+    # case (no cluster structure); 32 codes/subspace keeps the sketch useful
+    assert "pq_codes" in t.schema().fieldNames()
+    cents = json.loads(t.log.properties["ivf.centroids"])
+    assert len(json.loads(t.log.properties["pq.codebooks"])) == 8
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    got = similarity.ivf_pq_topk(t, queries, k=3, n_probe=6).collect()
+    from collections import Counter
+
+    per_q = Counter(r.qid for r in got)
+    assert len(per_q) == 20 and all(v == 3 for v in per_q.values())
+    truth = {
+        (r.qid, r.vid) for r in similarity.cosine_topk(emb, queries, k=3).collect()
+    }
+    recall = len({(r.qid, r.vid) for r in got} & truth) / len(truth)
+    assert recall >= 0.15, f"ivf-pq recall {recall}"
+
+    # file pruning survives the PQ rewrite: one query's 2 probed cells must
+    # not read the whole corpus
+    one = emb.filter(F.col("vec_id") == 0)
+    probed = sorted(
+        r[0]
+        for r in one.select(
+            F.explode(probe_cells_expr(cents, n_probe=2)).alias("c")
+        ).collect()
+    )
+    pruned = t.scan(stat_filter={"ivf_cell": ("in", probed)})
+    assert len(pruned.inputFiles()) < len(t.log.live_files())
+
+
 def test_embedding_near_dup_blocking(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.9, within="label")
