@@ -174,11 +174,28 @@ def lakehouse_phases(spark) -> dict[str, float]:
     return timings
 
 
+def calib_run(spark) -> float:
+    """One run of the fixed, data-independent CPU-bound calibration job
+    (hash + aggregate over a generated range). Phase timings divided by the
+    calibration median are sandbox-speed-independent, so round-over-round
+    deltas self-adjudicate (VERDICT r4: a uniform ~1.5x swing across
+    unrelated phases is machine speed, not code)."""
+    t0 = time.time()
+    spark.range(0, 50_000_000, 1, 32).select(
+        F.count(F.when(F.xxhash64("id") % 7 == 0, 1)).alias("h")
+    ).collect()
+    return time.time() - t0
+
+
 def main() -> None:
     load_all()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+    # calibration bracket: measure machine speed BEFORE and AFTER the sweep
+    # (the sandbox can change speed mid-run); first run doubles as JVM warmup
+    calib_runs = [calib_run(spark) for _ in range(2)][1:]
 
     samples: dict[str, list[float]] = {}
 
@@ -203,17 +220,8 @@ def main() -> None:
     timings = {k: round(statistics.median(v), 3) for k, v in samples.items()}
     total = round(sum(timings.values()), 3)
 
-    # machine calibration: a fixed, data-independent CPU-bound job (hash +
-    # aggregate over a generated range). Round-over-round phase deltas can
-    # be normalized by this to separate engine changes from sandbox-speed
-    # changes; excluded from the headline total.
-    calib_runs = []
-    for _ in range(max(REPS, 2)):
-        t0 = time.time()
-        spark.range(0, 50_000_000, 1, 32).select(
-            F.count(F.when(F.xxhash64("id") % 7 == 0, 1)).alias("h")
-        ).collect()
-        calib_runs.append(time.time() - t0)
+    # close the calibration bracket (see calib_run); excluded from total
+    calib_runs += [calib_run(spark) for _ in range(max(REPS - 1, 2))]
     calib = round(statistics.median(calib_runs), 3)
 
     print(
@@ -228,6 +236,16 @@ def main() -> None:
                 "reps": REPS,
                 "stat": "median",
                 "calib_cpu_sec": calib,
+                "calib_samples": [round(c, 3) for c in calib_runs],
+                # raw per-rep wall seconds behind each median
+                "samples": {k: [round(x, 3) for x in v] for k, v in samples.items()},
+                # median / calib: dimensionless, machine-speed-independent.
+                # Compare these across rounds, not raw seconds.
+                "normalized": {
+                    k: round(statistics.median(v) / calib, 2)
+                    for k, v in samples.items()
+                },
+                "normalized_total": round(total / calib, 2),
             }
         )
     )

@@ -13,10 +13,10 @@ Backends: stdlib ``sqlite3`` (reference default, main-daft-psql.py:48-49:
 ``sqlite:///catalog.db``) ships ready to use; ``postgresql://`` URIs bind
 to psycopg2 or pg8000 when either is importable (neither ships in this
 container — the URI raises with a pointer instead of half-working). The SQL
-is deliberately portable (one table, PK-decided inserts, ON CONFLICT DO
-NOTHING), so ANY DB-API connection drops in via ``connection_factory`` —
-that is also how the test suite proves the Postgres code path without a
-server.
+is deliberately portable (one table, PK-decided inserts, per-backend
+insert-ignore: OR IGNORE on sqlite3, a targeted ON CONFLICT elsewhere), so
+ANY DB-API connection drops in via ``connection_factory`` — that is also
+how the test suite proves the Postgres code path without a server.
 
 Concurrency: every mutation runs in an explicit transaction (``BEGIN
 IMMEDIATE`` on SQLite, plain ``BEGIN`` elsewhere) and the primary-key
@@ -30,6 +30,7 @@ from __future__ import annotations
 import contextlib
 import os
 import sqlite3
+import warnings
 from collections.abc import Callable
 
 _DDL = (
@@ -62,10 +63,25 @@ class SqlCatalog:
     ):
         self.uri = uri
         self._begin = "begin"
+        # Explicit conflict target: portable to PostgreSQL and SQLite >= 3.24
+        # (a bare ON CONFLICT needs SQLite >= 3.35); the sqlite3 branch below
+        # swaps in INSERT OR IGNORE, which works on any SQLite.
+        self._ns_insert = (
+            "insert into lakehouse_namespaces values (?)"
+            " on conflict (namespace) do nothing"
+        )
         self._integrity: tuple = (
             integrity_error if isinstance(integrity_error, tuple) else (integrity_error,)
         )
         if connection_factory is not None:
+            if not self._integrity:
+                warnings.warn(
+                    "SqlCatalog(connection_factory=...) without integrity_error: "
+                    "create/rename races will surface as raw driver exceptions "
+                    "instead of FileExistsError; pass the driver's "
+                    "IntegrityError class(es) to keep the documented contract",
+                    stacklevel=2,
+                )
             self._connect = connection_factory
             self._param = "?" if paramstyle == "qmark" else "%s"
         elif uri.startswith("postgresql"):
@@ -86,6 +102,7 @@ class SqlCatalog:
             self._connect = self._sqlite_factory(path)
             self._param = "?"
             self._begin = "begin immediate"
+            self._ns_insert = "insert or ignore into lakehouse_namespaces values (?)"
             self._integrity = self._integrity + (sqlite3.IntegrityError,)
         with self._tx() as cur:
             for ddl in _DDL:
@@ -178,13 +195,7 @@ class SqlCatalog:
 
     def create_namespace(self, namespace: str) -> None:
         with self._tx() as cur:
-            cur.execute(
-                self._q(
-                    "insert into lakehouse_namespaces values (?)"
-                    " on conflict do nothing"
-                ),
-                (namespace,),
-            )
+            cur.execute(self._q(self._ns_insert), (namespace,))
 
     def list_namespaces(self) -> list[str]:
         with self._tx() as cur:
@@ -210,13 +221,7 @@ class SqlCatalog:
                     self._q("insert into lakehouse_tables values (?,?,?)"),
                     (namespace, name, metadata_location),
                 )
-                cur.execute(
-                    self._q(
-                        "insert into lakehouse_namespaces values (?)"
-                        " on conflict do nothing"
-                    ),
-                    (namespace,),
-                )
+                cur.execute(self._q(self._ns_insert), (namespace,))
         except self._integrity:
             raise FileExistsError(
                 f"table {namespace}.{name} already registered"
@@ -263,29 +268,32 @@ class SqlCatalog:
     def rename_table(self, src_ns: str, src: str, dst_ns: str, dst: str) -> None:
         """Metadata-only pointer rename: the table directory never moves, so
         rename is O(1) regardless of table size (vs. the filesystem
-        catalog's dir move + log path rewrite)."""
-        with self._tx(immediate=True) as cur:
-            cur.execute(
-                self._q(
-                    "select 1 from lakehouse_tables where namespace=? and name=?"
-                ),
-                (dst_ns, dst),
-            )
-            if cur.fetchone():
-                raise FileExistsError(f"table {dst_ns}.{dst} already exists")
-            cur.execute(
-                self._q(
-                    "update lakehouse_tables set namespace=?, name=?"
-                    " where namespace=? and name=?"
-                ),
-                (dst_ns, dst, src_ns, src),
-            )
-            if cur.rowcount == 0:
-                raise FileNotFoundError(f"no such table {src_ns}.{src}")
-            cur.execute(
-                self._q(
-                    "insert into lakehouse_namespaces values (?)"
-                    " on conflict do nothing"
-                ),
-                (dst_ns,),
-            )
+        catalog's dir move + log path rewrite).
+
+        The SELECT pre-check gives the friendly error in the common case; a
+        concurrent rename racing past it loses on the PK constraint instead
+        (READ COMMITTED lets both renames pass the SELECT), which is
+        translated to the same FileExistsError a single process would see.
+        """
+        try:
+            with self._tx(immediate=True) as cur:
+                cur.execute(
+                    self._q(
+                        "select 1 from lakehouse_tables where namespace=? and name=?"
+                    ),
+                    (dst_ns, dst),
+                )
+                if cur.fetchone():
+                    raise FileExistsError(f"table {dst_ns}.{dst} already exists")
+                cur.execute(
+                    self._q(
+                        "update lakehouse_tables set namespace=?, name=?"
+                        " where namespace=? and name=?"
+                    ),
+                    (dst_ns, dst, src_ns, src),
+                )
+                if cur.rowcount == 0:
+                    raise FileNotFoundError(f"no such table {src_ns}.{src}")
+                cur.execute(self._q(self._ns_insert), (dst_ns,))
+        except self._integrity:
+            raise FileExistsError(f"table {dst_ns}.{dst} already exists") from None

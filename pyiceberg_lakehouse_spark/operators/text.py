@@ -160,13 +160,16 @@ def scrub_pii(
     Pure regexp expressions (codegen, no UDF); URL redaction runs first so
     an address inside a URL counts once as a URL. The patterns are
     deliberately lookaround-free so every engine orders matches the same
-    way.
+    way, and matching is case-insensitive via the ``(?i)`` inline flag
+    (supported by both Java regex and RE2) — the document text itself is
+    NOT case-folded: redaction must not mutate the surviving corpus.
     """
-    t = F.lower(F.col(text_col))
-    n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_RE), F.lit(0)))
-    after_urls = F.regexp_replace(t, URL_RE, "<URL>")
-    n_emails = F.size(F.regexp_extract_all(after_urls, F.lit(EMAIL_RE), F.lit(0)))
-    clean = F.regexp_replace(after_urls, EMAIL_RE, "<EMAIL>")
+    t = F.col(text_col)
+    url_ci, email_ci = "(?i)" + URL_RE, "(?i)" + EMAIL_RE
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(url_ci), F.lit(0)))
+    after_urls = F.regexp_replace(t, url_ci, "<URL>")
+    n_emails = F.size(F.regexp_extract_all(after_urls, F.lit(email_ci), F.lit(0)))
+    clean = F.regexp_replace(after_urls, email_ci, "<EMAIL>")
     return df.select(
         F.col(id_col),
         clean.alias("clean_text"),

@@ -51,7 +51,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # parquet scans + filters
     "scan_region",
     "scan_glob_schema_enforced",
-    "scan_events_ts_bounds",
     "ts_gapfill_hourly",
     "filter_eq",
     "filter_exists_correlated",
@@ -60,12 +59,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sql_grouping_sets",
     "agg_rollup",
     "agg_keep_last",
-    "agg_approx_distinct",
     # joins
     "join_inner_agg",
     "join_broadcast_parts",
     "join_multiway_revenue",
-    "join_range",
     "join_asof",
     # windows / sort / set ops
     "win_topk_per_group",
@@ -73,7 +70,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sort_topk_global",
     "set_union_all",
     # scalar functions, casts, subqueries
-    "fn_string",
     "fn_array_higher_order",
     "cast_whole_table",
     "filter_scalar_subquery",
@@ -84,7 +80,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_q3_shipping_priority",
     "agg_q5_local_supplier_volume",
     "agg_q19_discounted_revenue",
-    # lakehouse lifecycle
+    # lakehouse lifecycle (+ schema evolution + persisted-ANN selfcheck,
+    # rotated in r5: first driver rows for the evolution lifecycle and the
+    # IVF-index differential)
     "lh_ingest_roundtrip",
     "lh_time_travel",
     "lh_upsert",
@@ -94,17 +92,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lh_incremental_read",
     "lh_cdc_apply",
     "lh_branch_merge",
+    "lh_schema_evolution",
+    "lh_ann_indexed_selfcheck",
     # dedup + similarity
     "dedup_exact",
     "dedup_ngram_jaccard",
     "sim_cosine_topk",
     "dedup_embedding_cosine",
-    # text + multimodal
+    # text + multimodal (tfidf/pii/resize rotated in r5)
     "text_lang_id",
-    "text_winnow_fingerprint",
-    "multimodal_features",
+    "text_tfidf_top_terms",
+    "text_pii_scrub",
+    "multimodal_resize",
     # training-data ops
     "train_balance_labels",
+    "train_stratified_sample",
     "pipeline_clean_corpus",
     # structured streaming
     "stream_tumbling_hourly",

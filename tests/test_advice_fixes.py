@@ -161,3 +161,22 @@ def test_remove_orphan_files_scans_deletes_dir(spark, warehouse):
     deleted = remove_orphan_files(t, older_than_s=0.0)
     assert any("d-crashed" in p for p in deleted)
     assert t.scan().count() == 10
+
+
+def test_scrub_pii_preserves_case(spark):
+    """ADVICE r4: scrub_pii must not case-fold the surviving corpus — only
+    redact. Mixed-case URLs/emails still match (case-insensitive patterns)."""
+    from pyiceberg_lakehouse_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello World, mail Bob.Smith@Example.COM or see HTTPS://X.example/Y now"),
+            (2, "No PII Here, Just Mixed Case"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert rows[1]["clean_text"] == "Hello World, mail <EMAIL> or see <URL> now"
+    assert rows[1]["n_urls"] == 1 and rows[1]["n_emails"] == 1
+    assert rows[2]["clean_text"] == "No PII Here, Just Mixed Case"
+    assert rows[2]["n_urls"] == 0 and rows[2]["n_emails"] == 0

@@ -191,3 +191,69 @@ def test_multiprocess_create_race_single_winner(tmp_path):
     winners = [r for r in results if r is not None]
     assert len(winners) == 1
     assert SqlCatalog(uri).load_location("ns", "contested") == winners[0]
+
+
+# ---- round-5 advisor regressions (ADVICE.md r4) ---------------------------
+
+
+class _RaceBlindCursor(_FakePgCursor):
+    """Simulates READ COMMITTED: the rename pre-check SELECT never sees the
+    concurrently-committed destination row, so the UPDATE must lose on the
+    PK constraint instead."""
+
+    def execute(self, sql, params=()):
+        self._blind = sql.lstrip().lower().startswith("select 1 from lakehouse_tables")
+        super().execute(sql, params)
+
+    def fetchone(self):
+        if getattr(self, "_blind", False):
+            return None
+        return super().fetchone()
+
+
+class _RaceBlindConnection(_FakePgConnection):
+    def cursor(self):
+        return _RaceBlindCursor(self._con.cursor())
+
+
+def test_rename_race_past_precheck_translated_to_fileexists(tmp_path):
+    """Two renames to the same destination under READ COMMITTED: the loser
+    passes the SELECT pre-check, hits the PK on UPDATE, and must get the
+    same FileExistsError a single process would — not a raw driver error."""
+    path = str(tmp_path / "pg_rename_race.db")
+    cat = _pg_catalog(path)
+    cat.register_table("ns", "a", "/loc/a")
+    cat.register_table("ns", "b", "/loc/b")
+    cat.rename_table("ns", "a", "ns", "dst")  # winner commits first
+    blind = SqlCatalog(
+        "postgresql://mock-host/catalog_db",
+        connection_factory=lambda: _RaceBlindConnection(path),
+        paramstyle="format",
+        integrity_error=_FakeIntegrityError,
+    )
+    with pytest.raises(FileExistsError):
+        blind.rename_table("ns", "b", "ns", "dst")
+    # loser's transaction rolled back: b is still there, dst still points at a
+    assert cat.load_location("ns", "b") == "/loc/b"
+    assert cat.load_location("ns", "dst") == "/loc/a"
+
+
+def test_connection_factory_without_integrity_error_warns(tmp_path):
+    path = str(tmp_path / "pg_warn.db")
+    with pytest.warns(UserWarning, match="integrity_error"):
+        SqlCatalog(
+            "postgresql://mock-host/catalog_db",
+            connection_factory=lambda: _FakePgConnection(path),
+            paramstyle="format",
+        )
+
+
+def test_sqlite_backend_uses_or_ignore(tmp_path):
+    """INSERT OR IGNORE works on any SQLite; bare ON CONFLICT needs 3.35+.
+    The sqlite branch must pick the portable spelling, and namespace
+    creation must stay idempotent."""
+    cat = SqlCatalog(f"sqlite:///{tmp_path}/old_sqlite.db")
+    assert cat._ns_insert.lower().startswith("insert or ignore")
+    cat.create_namespace("ns")
+    cat.create_namespace("ns")
+    assert cat.list_namespaces() == ["ns"]
