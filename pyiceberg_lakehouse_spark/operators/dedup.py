@@ -156,6 +156,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k: int = 3,
     verify_threshold: float | None = 0.5,
+    checkpoint_signatures: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -170,9 +171,11 @@ def minhash_lsh_pairs(
     # pipeline. Signatures are (id, num_hashes longs) — orders of magnitude
     # smaller than the corpus, so materializing them is the scale-right
     # trade (same pattern as dedup_groups' per-round checkpoint).
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k).localCheckpoint(
-        eager=False
-    )
+    # ``checkpoint_signatures=False`` exists so tools/bench_scale.py can
+    # measure both variants; see BENCH_SCALE.json for the measured crossover.
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    if checkpoint_signatures:
+        sig = sig.localCheckpoint(eager=False)
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),

@@ -604,12 +604,18 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup (keep smallest id per content fingerprint) -> deterministic
     train/test split. Every stage is a Catalyst expression; the whole
     pipeline is ONE job with a single shuffle for the dedup window."""
+    return clean_corpus(load_table(spark, sf_dir, "documents"))
+
+
+def clean_corpus(docs: DataFrame) -> DataFrame:
+    """The pipeline_clean_corpus composition over ANY (doc_id, text, lang)
+    frame — factored out so the scale harness (tools/bench_scale.py) runs the
+    identical plan on a 10x synthetic corpus."""
     from pyspark.sql import Window as W_
 
     from pyiceberg_lakehouse_spark.operators import traindata
     from pyiceberg_lakehouse_spark.operators.dedup import normalize_text
 
-    docs = load_table(spark, sf_dir, "documents")
     norm = normalize_text(F.col("text"))
     scored = docs.select(
         "doc_id",

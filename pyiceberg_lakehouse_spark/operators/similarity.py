@@ -41,31 +41,66 @@ def cosine_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query set, one pass over the corpus.
 
     The corpus is never shuffled — queries broadcast to every partition, the
     per-query top-k window shuffles only (qid, vid, score) triples.
+
+    ``exact=True`` (default) accumulates dot products in decimal so scores
+    are bit-identical to the DuckDB oracle. ``exact=False`` is the SCALE
+    brute-force baseline (tools/bench_scale.py): queries collect to the
+    driver (bounded — a query set is small by definition), each corpus
+    partition computes its local top-k with one numpy matmul
+    (functions/dense.py:local_topk_scores), and the global merge window
+    sees only O(partitions x Q x k) candidate rows — the corpus is never
+    shuffled and never crosses into a pair join.
     """
+    if not exact:
+        from pyiceberg_lakehouse_spark.functions import dense
+
+        qrows = queries.select(id_col, vec_col).limit(65_537).collect()
+        if len(qrows) > 65_536:
+            raise ValueError(
+                "cosine_topk(exact=False) collects the query set to the "
+                "driver; cap is 65536 rows — use an ANN index for "
+                "query sets at corpus scale"
+            )
+        cand = dense.local_topk_scores(
+            corpus,
+            [r[0] for r in qrows],
+            [[float(x) for x in r[1]] for r in qrows],
+            k,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vid"))
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "vid", "rank", "score")
+        )
+    dot = dot_product_exact
     # norms are per-vector, so compute them once per row on each side —
     # not per pair (which would redo the decimal fold O(Q*N) extra times)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("qid"),
             F.col(vec_col).alias("q_vec"),
-            F.sqrt(dot_product_exact(vec_col, vec_col)).alias("q_norm"),
+            F.sqrt(dot(vec_col, vec_col)).alias("q_norm"),
         )
     )
     c = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("c_vec"),
-        F.sqrt(dot_product_exact(vec_col, vec_col)).alias("c_norm"),
+        F.sqrt(dot(vec_col, vec_col)).alias("c_norm"),
     )
     scored = (
         c.join(q, F.col("qid") != F.col("vid"))
         .withColumn(
             "score",
-            dot_product_exact("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
+            dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
         )
         .select("qid", "vid", "score")
     )
@@ -102,39 +137,16 @@ def lsh_bucket(
 ) -> DataFrame:
     """Sign-of-projection LSH bucket id per vector (one int column added).
 
-    The planes ride ONE n_planes x dim array literal parsed JVM-side from a
-    single SQL string (one py4j call), and the sign-bit fold is a
-    constant-size nested higher-order expression — the same
-    construction-cost discipline as centroid_scores_expr.
+    The projections are a bulk dense kernel, so they ride the Arrow-batched
+    numpy matmul (functions/dense.py:hyperplane_bucket) — the planes matrix
+    lives in the task closure, each batch is one BLAS call. The expression-
+    HOF form this replaced evaluated the lambda per element per row and was
+    ~100x slower at corpus scale (see functions/dense.py module docstring).
     """
+    from pyiceberg_lakehouse_spark.functions import dense
+
     planes = _hyperplanes(dim, n_planes)
-    pl = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{float(v)!r}D" for v in p) + ")" for p in planes
-        )
-        + ")"
-    )
-    projections = F.transform(
-        pl,
-        lambda p: F.aggregate(
-            F.zip_with(F.col(vec_col), p, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
-    bucket = F.aggregate(
-        F.zip_with(
-            projections,
-            F.sequence(F.lit(0), F.lit(n_planes - 1)),
-            lambda proj, i: F.when(
-                proj > 0, F.pow(F.lit(2.0), i).cast("long")
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    return df.withColumn("bucket", bucket.cast("int"))
+    return df.withColumn("bucket", dense.hyperplane_bucket(vec_col, planes))
 
 
 def lsh_topk(
@@ -153,27 +165,24 @@ def lsh_topk(
     pairs are scored. Recall < 1.0 by construction; pytest checks it against
     ``cosine_topk`` ground truth.
     """
+    from pyiceberg_lakehouse_spark.functions import dense
+
     qb = F.broadcast(
         lsh_bucket(queries, dim, n_planes, id_col, vec_col).select(
             F.col(id_col).alias("qid"),
             F.col(vec_col).alias("q_vec"),
-            F.sqrt(dot_product_fast(vec_col, vec_col)).alias("q_norm"),
             "bucket",
         )
     )
     cb = lsh_bucket(corpus, dim, n_planes, id_col, vec_col).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("c_vec"),
-        F.sqrt(dot_product_fast(vec_col, vec_col)).alias("c_norm"),
         "bucket",
     )
     scored = (
         cb.join(qb, "bucket")
         .filter(F.col("qid") != F.col("vid"))
-        .withColumn(
-            "score",
-            dot_product_fast("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
-        )
+        .withColumn("score", dense.cosine_pair("q_vec", "c_vec"))
         .select("qid", "vid", "score")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vid"))
@@ -236,13 +245,18 @@ def ivf_assign(
     """Assign each vector to its nearest centroid (IVF coarse quantizer).
 
     Centroids arrive as plain lists (decided driver-side — k-means on a
-    SAMPLE, or here a deterministic seed set); assignment is a broadcast of
-    one k x dim centroid literal + an argmax over the k dot products
-    (array_max over (score, cell) structs) — a constant-size expression no
-    matter how many centroids there are.
+    SAMPLE); assignment is the bulk dense kernel, so it rides the
+    Arrow-batched numpy argmax (functions/dense.py:nearest_cell): the
+    centroid matrix ships once per task in the closure and each batch is
+    one matmul. The expression-HOF argmax this replaced took ~7 min for
+    200k rows x 64 centroids; the kernel takes seconds, and cost stays
+    O(N x k x dim) FLOPs at BLAS speed as both N and k grow.
     """
-    best = F.array_max(_scored_cells_expr(centroids, vec_col))
-    return df.withColumn("ivf_cell", best["cell"].cast("int"))
+    if not centroids:
+        raise ValueError("centroids must be non-empty (empty corpus/sample?)")
+    from pyiceberg_lakehouse_spark.functions import dense
+
+    return df.withColumn("ivf_cell", dense.nearest_cell(vec_col, centroids))
 
 
 def sample_centroids(
@@ -285,23 +299,23 @@ def _probe_topk(
     vec_col: str,
 ) -> DataFrame:
     """Shared probe tail: broadcast query fan-out over probe cells, in-cell
-    scoring, per-query top-k window. ``cb`` must carry (vid, c_vec, c_norm,
-    ivf_cell)."""
+    scoring, per-query top-k window. ``cb`` must carry (vid, c_vec,
+    ivf_cell). Probe-cell ranking stays a Catalyst expression (queries are
+    few rows); the in-cell candidate scoring is the bulk kernel
+    (functions/dense.py:cosine_pair, one einsum per Arrow batch)."""
+    from pyiceberg_lakehouse_spark.functions import dense
+
     qb = F.broadcast(
         queries.select(
             F.col(id_col).alias("qid"),
             F.col(vec_col).alias("q_vec"),
-            F.sqrt(dot_product_fast(vec_col, vec_col)).alias("q_norm"),
             F.explode(probe_cells_expr(centroids, n_probe, vec_col)).alias("ivf_cell"),
         )
     )
     scored = (
         cb.join(qb, "ivf_cell")
         .filter(F.col("qid") != F.col("vid"))
-        .withColumn(
-            "score",
-            dot_product_fast("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
-        )
+        .withColumn("score", dense.cosine_pair("q_vec", "c_vec"))
         .select("qid", "vid", "score")
         # no distinct needed: a corpus vector lives in exactly one cell and
         # each query probes distinct cells, so (qid, vid) pairs are unique —
@@ -334,7 +348,6 @@ def ivf_topk(
     cb = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("c_vec"),
-        F.sqrt(dot_product_fast(vec_col, vec_col)).alias("c_norm"),
         "ivf_cell",
     )
     return _probe_topk(cb, queries, centroids, k, n_probe, id_col, vec_col)
@@ -377,7 +390,6 @@ def ivf_index_topk(
         cb = corpus.select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("c_vec"),
-            F.sqrt(dot_product_fast(vec_col, vec_col)).alias("c_norm"),
             "ivf_cell",
         )
         return _probe_topk(cb, q, centroids, k, n_probe, id_col, vec_col)

@@ -30,6 +30,85 @@ def mock_dataset(spark: SparkSession, num_rows: int = 10_000_000) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Scale-test corpora (tools/bench_scale.py): deterministic documents and
+# clustered embeddings at ANY row count, generated distributed (spark.range +
+# hash expressions — no driver-side data, no RNG state). The shapes mirror
+# /root/testdata documents.parquet / embeddings.parquet so the same operators
+# run unchanged at 10-100x the sf0.1 sizes.
+
+_VOCAB = (
+    "spark table query scan column row value batch part line order sort fast "
+    "small agg join group filter read write file block cache hash merge split "
+    "index store vector text token count range shuffle stage plan code page "
+    "byte key pair list map set tree node edge path graph slot tick span mark "
+    "seed gate lane rank tier fold wrap clip trim pad"
+).split()
+
+
+def mock_documents(spark: SparkSession, num_rows: int) -> DataFrame:
+    """(doc_id, text, lang) word-salad corpus with planted near-duplicates.
+
+    Every 20th id (id % 20 == 1) re-generates its predecessor's word stream
+    (same seed) with only the final word mutated — a ~0.9-Jaccard planted
+    pair, so MinHash-LSH recall is measurable at any scale. Word choice,
+    length (20-59 words) and lang are all xxhash64 of the id: fully
+    deterministic, fully distributed.
+    """
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    nv = len(_VOCAB)
+    df = spark.range(num_rows).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") - F.when(F.col("id") % 20 == 1, 1).otherwise(0)).alias("_seed"),
+    )
+    n_words = (F.pmod(F.xxhash64(F.col("_seed") * 31 + 5), F.lit(40)) + 20).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda i: F.element_at(
+            vocab, (F.pmod(F.xxhash64(F.col("_seed") * 97 + i), nv) + 1).cast("int")
+        ),
+    )
+    mut = F.element_at(
+        vocab, (F.pmod(F.xxhash64(F.col("doc_id") * 131 + 7), nv) + 1).cast("int")
+    )
+    text = F.when(
+        F.col("doc_id") % 20 == 1,
+        F.concat_ws(
+            " ", F.concat(F.slice(words, 1, F.size(words) - 1), F.array(mut))
+        ),
+    ).otherwise(F.concat_ws(" ", words))
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("zh"), F.lit("fr")),
+        (F.pmod(F.xxhash64(F.col("doc_id") * 53 + 3), 4) + 1).cast("int"),
+    )
+    return df.select("doc_id", text.alias("text"), lang.alias("lang"))
+
+
+def mock_embeddings(
+    spark: SparkSession, num_rows: int, dim: int = 64, n_clusters: int = 32
+) -> DataFrame:
+    """(vec_id, embedding array<float>, label) with real cluster structure.
+
+    Each vector = 0.8 * its cluster's center + 0.3 * per-vector noise, both
+    hash-derived uniform[-1,1] per dimension — so IVF centroids genuinely
+    separate the data and ANN recall against brute force is meaningful.
+    """
+
+    def u(hash_col):  # xxhash64 -> uniform [-1, 1]
+        return F.pmod(hash_col, F.lit(2000003)).cast("double") / 1000001.5 - 1.0
+
+    label = F.pmod(F.xxhash64(F.col("id") * 29 + 1), F.lit(n_clusters)).cast("int")
+    df = spark.range(num_rows).select(F.col("id").alias("vec_id"), label.alias("label"))
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            0.8 * u(F.xxhash64(F.col("label") * 8191 + d * 131 + 17))
+            + 0.3 * u(F.xxhash64(F.col("vec_id") * 6151 + d * 257 + 11))
+        ).cast("float"),
+    )
+    return df.select("vec_id", emb.alias("embedding"), "label")
+
+
 # the oracle-checked aggregate keeps value1 as its exact integer numerator
 # (k / 2^31-1 * 100 in double would hit decimal rounding ties); the division
 # happens once, on the exact integer sum — bit-identical in both engines

@@ -1,0 +1,276 @@
+"""Scale-stress harness: proves the 100 TB design claims empirically.
+
+sf0.1 correctness runs touch 5k documents and 2k embeddings; every scale
+claim in the docs ("bucketed candidates, never all-pairs", "probe cost is
+O(files in probed cells), not O(corpus)", "partition-scoped upsert") was
+architectural until this harness. It generates synthetic corpora at 10-100x
+those sizes (sources/synthetic.py: deterministic, distributed, no driver
+data) and measures:
+
+1. **ANN probe ~flat vs brute-force ~linear** as the corpus grows 10x:
+   cells scale with N (constant cell size), the persisted index prunes
+   files by cell, so a probe reads n_probe cells regardless of N, while
+   the brute-force baseline must score all N rows.
+2. **MinHash-LSH dedup near-linear** at 10x (banded self-join, exact
+   verify on candidates only) + the signature-checkpoint trade, measured
+   both ways at both scales (VERDICT r4 task #3).
+3. **clean-corpus pipeline linear** (single dedup-window shuffle).
+4. **Partitioned upsert cost tracks touched partitions, not table size**
+   at the reference's own 10M-row mock workload (mock_dataset_gen.py:9-14):
+   a batch confined to one of four partitions should cost ~1/4 of a batch
+   spread over all four.
+
+Run:   python tools/bench_scale.py            (writes BENCH_SCALE.json)
+Env:   SPARK_GRAFT_SCALE=1.0  multiplies all row counts (0.1 = smoke run)
+       SPARK_GRAFT_SCALE_REPS=3  repetitions for the cheap (probe) phases
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pyiceberg_lakehouse_spark.session import get_spark  # noqa: E402
+from pyiceberg_lakehouse_spark.sources.synthetic import (  # noqa: E402
+    mock_dataset,
+    mock_documents,
+    mock_embeddings,
+)
+
+SCALE = float(os.environ.get("SPARK_GRAFT_SCALE", "1.0"))
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "BENCH_SCALE.json")
+
+DOC_SCALES = [int(100_000 * SCALE), int(1_000_000 * SCALE)]
+VEC_SCALES = [int(1_000_000 * SCALE), int(10_000_000 * SCALE)]
+MOCK_ROWS = int(10_000_000 * SCALE)
+N_QUERIES, TOP_K, N_PROBE = 8, 10, 4
+CELL_ROWS = 16_384  # constant target cell size => cells scale with N
+
+
+def drain(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+class Bench:
+    def __init__(self):
+        self.phases: dict[str, float] = {}
+        self.samples: dict[str, list[float]] = {}
+        self.notes: dict[str, object] = {}
+
+    def run(self, label: str, fn, reps: int = 1):
+        runs, result = [], None
+        for _ in range(reps):
+            t0 = time.time()
+            result = fn()
+            runs.append(time.time() - t0)
+        self.samples[label] = [round(x, 3) for x in runs]
+        self.phases[label] = round(statistics.median(runs), 3)
+        print(f"{label}: {self.phases[label]}s  {runs}", flush=True)
+        return result
+
+
+def bench_documents(spark, b: Bench, tmp: str) -> None:
+    from pyiceberg_lakehouse_spark.operators.dedup import minhash_lsh_pairs
+    from pyiceberg_lakehouse_spark.operators.queries import clean_corpus
+
+    for n in DOC_SCALES:
+        tag = f"{n//1000}k"
+        path = os.path.join(tmp, f"docs_{n}")
+        mock_documents(spark, n).write.mode("overwrite").parquet(path)
+        docs = spark.read.parquet(path)
+
+        pairs = b.run(
+            f"minhash_ckpt_{tag}",
+            lambda d=docs: minhash_lsh_pairs(d, "text", "doc_id").count(),
+        )
+        b.notes[f"minhash_pairs_{tag}"] = pairs
+        b.run(
+            f"minhash_nockpt_{tag}",
+            lambda d=docs: minhash_lsh_pairs(
+                d, "text", "doc_id", checkpoint_signatures=False
+            ).count(),
+        )
+        # planted truth: one ~0.9-Jaccard pair per 20 ids => recall check
+        planted = sum(1 for i in range(n) if i % 20 == 1)
+        b.notes[f"minhash_planted_{tag}"] = planted
+        b.run(
+            f"clean_corpus_{tag}", lambda d=docs: drain(clean_corpus(d)), reps=REPS
+        )
+
+
+def bench_embeddings(spark, b: Bench, tmp: str) -> None:
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import (
+        build_ivf_index,
+        build_pq_index,
+    )
+    from pyiceberg_lakehouse_spark.operators import similarity
+
+    for n in VEC_SCALES:
+        tag = f"{n//1000}k"
+        wh = os.path.join(tmp, f"wh_{n}")
+        lh = Lakehouse(spark, wh)
+        emb = mock_embeddings(spark, n)
+        t = lh.create_table(f"scale.emb_{n}", emb.schema)
+        b.run(f"emb_ingest_{tag}", lambda: t.append(emb))
+
+        queries = t.scan().filter(F.col("vec_id") < N_QUERIES).select(
+            "vec_id", "embedding"
+        )
+        brute = b.run(
+            f"brute_topk_{tag}",
+            lambda: {
+                (r.qid, r.vid)
+                for r in similarity.cosine_topk(
+                    t.scan(), queries, k=TOP_K, exact=False
+                ).collect()
+            },
+            reps=REPS,
+        )
+
+        k_cells = max(16, n // CELL_ROWS)
+        b.notes[f"ivf_cells_{tag}"] = k_cells
+        b.run(
+            f"ivf_build_{tag}",
+            lambda: build_ivf_index(
+                t, k=k_cells, sample_cap=max(4096, 8 * k_cells)
+            ),
+        )
+        b.run(f"pq_build_{tag}", lambda: build_pq_index(t))
+
+        probe = b.run(
+            f"ivf_probe_{tag}",
+            lambda: {
+                (r.qid, r.vid)
+                for r in similarity.ivf_index_topk(
+                    t, queries, k=TOP_K, n_probe=N_PROBE
+                ).collect()
+            },
+            reps=REPS,
+        )
+        pq_probe = b.run(
+            f"ivfpq_probe_{tag}",
+            lambda: {
+                (r.qid, r.vid)
+                for r in similarity.ivf_pq_topk(
+                    t, queries, k=TOP_K, n_probe=N_PROBE
+                ).collect()
+            },
+            reps=REPS,
+        )
+        b.notes[f"ivf_recall_{tag}"] = round(len(probe & brute) / len(brute), 3)
+        b.notes[f"ivfpq_recall_{tag}"] = round(
+            len(pq_probe & brute) / len(brute), 3
+        )
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def bench_mock_upsert(spark, b: Bench, tmp: str) -> None:
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.upsert import upsert_partitioned
+
+    wh = os.path.join(tmp, "wh_mock")
+    lh = Lakehouse(spark, wh)
+    mock = mock_dataset(spark, MOCK_ROWS)
+    t = lh.create_table("scale.mock", mock.schema, partition_by=["group"])
+    b.run("mock_ingest_10m", lambda: t.append(mock))
+    b.run(
+        "mock_agg_10m",
+        lambda: drain(
+            t.scan()
+            .groupBy("group")
+            .agg(F.count("*").alias("n"), F.avg("value1").alias("avg_v1"))
+        ),
+        reps=REPS,
+    )
+    # 10% batch confined to ONE of four partitions vs spread over all four:
+    # partition-scoped rewrite should make the confined upsert ~4x cheaper
+    one = mock.filter((F.col("group") == "A") & (F.col("id") % 10 == 0)).withColumn(
+        "value2", F.col("value2") + 1
+    )
+    b.run("upsert_one_partition_10m", lambda: upsert_partitioned(t, one, ["id"]))
+    allp = mock.filter(F.col("id") % 10 == 1).withColumn(
+        "value2", F.col("value2") + 1
+    )
+    b.run("upsert_all_partitions_10m", lambda: upsert_partitioned(t, allp, ["id"]))
+    shutil.rmtree(wh, ignore_errors=True)
+
+
+def main() -> None:
+    spark = get_spark("bench_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    b = Bench()
+
+    t0 = time.time()
+    spark.range(0, 50_000_000, 1, 32).select(
+        F.count(F.when(F.xxhash64("id") % 7 == 0, 1)).alias("h")
+    ).collect()  # warmup
+    t0 = time.time()
+    spark.range(0, 50_000_000, 1, 32).select(
+        F.count(F.when(F.xxhash64("id") % 7 == 0, 1)).alias("h")
+    ).collect()
+    calib = round(time.time() - t0, 3)
+
+    tmp = tempfile.mkdtemp(prefix="bench_scale_")
+    try:
+        bench_documents(spark, b, tmp)
+        bench_embeddings(spark, b, tmp)
+        bench_mock_upsert(spark, b, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def ratio(a: str, z: str) -> float | None:
+        if b.phases.get(a) and b.phases.get(z):
+            return round(b.phases[z] / b.phases[a], 2)
+        return None
+
+    t1, t2 = f"{DOC_SCALES[0]//1000}k", f"{DOC_SCALES[1]//1000}k"
+    v1, v2 = f"{VEC_SCALES[0]//1000}k", f"{VEC_SCALES[1]//1000}k"
+    claims = {
+        # corpus grew 10x; flat probe => ~1, linear brute => ~10
+        "brute_growth_10x": ratio(f"brute_topk_{v1}", f"brute_topk_{v2}"),
+        "ivf_probe_growth_10x": ratio(f"ivf_probe_{v1}", f"ivf_probe_{v2}"),
+        "ivfpq_probe_growth_10x": ratio(f"ivfpq_probe_{v1}", f"ivfpq_probe_{v2}"),
+        "minhash_growth_10x": ratio(f"minhash_ckpt_{t1}", f"minhash_ckpt_{t2}"),
+        "clean_corpus_growth_10x": ratio(f"clean_corpus_{t1}", f"clean_corpus_{t2}"),
+        "minhash_ckpt_vs_nockpt_small": ratio(
+            f"minhash_ckpt_{t1}", f"minhash_nockpt_{t1}"
+        ),
+        "minhash_ckpt_vs_nockpt_large": ratio(
+            f"minhash_ckpt_{t2}", f"minhash_nockpt_{t2}"
+        ),
+        "upsert_all_vs_one_partition": ratio(
+            "upsert_one_partition_10m", "upsert_all_partitions_10m"
+        ),
+    }
+    out = {
+        "scale": SCALE,
+        "doc_rows": DOC_SCALES,
+        "vec_rows": VEC_SCALES,
+        "mock_rows": MOCK_ROWS,
+        "reps_cheap_phases": REPS,
+        "calib_cpu_sec": calib,
+        "phases": b.phases,
+        "samples": b.samples,
+        "notes": b.notes,
+        "claims": claims,
+    }
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"wrote": OUT, "claims": claims}))
+
+
+if __name__ == "__main__":
+    main()
