@@ -218,7 +218,8 @@ def test_ivf_pq_combined_index(spark, sf_dir, warehouse):
     # case (no cluster structure); 32 codes/subspace keeps the sketch useful
     assert "pq_codes" in t.schema().fieldNames()
     cents = json.loads(t.log.properties["ivf.centroids"])
-    assert len(json.loads(t.log.properties["pq.codebooks"])) == 8
+    assert len(json.loads(t.log.properties["pq.codebooks"])) == 16
+    assert t.log.properties["pq.residual"] == "true"  # composed on IVF cells
 
     queries = emb.filter(F.col("vec_id") < 20)
     got = similarity.ivf_pq_topk(t, queries, k=3, n_probe=6).collect()
@@ -230,7 +231,9 @@ def test_ivf_pq_combined_index(spark, sf_dir, warehouse):
         (r.qid, r.vid) for r in similarity.cosine_topk(emb, queries, k=3).collect()
     }
     recall = len({(r.qid, r.vid) for r in got} & truth) / len(truth)
-    assert recall >= 0.15, f"ivf-pq recall {recall}"
+    # with the refine stage, ranking within probed cells is exact, so recall
+    # is bounded mainly by cell coverage (n_probe=6 of 8 cells)
+    assert recall >= 0.5, f"ivf-pq recall {recall}"
 
     # file pruning survives the PQ rewrite: one query's 2 probed cells must
     # not read the whole corpus

@@ -148,7 +148,9 @@ def bench_embeddings(spark, b: Bench, tmp: str) -> None:
                 t, k=k_cells, sample_cap=max(4096, 8 * k_cells)
             ),
         )
-        b.run(f"pq_build_{tag}", lambda: build_pq_index(t))
+        # 32 subspaces (8x compression) for the adversarial isotropic
+        # corpus; see build_pq_index docstring for the measured dial
+        b.run(f"pq_build_{tag}", lambda: build_pq_index(t, n_subspaces=32))
 
         probe = b.run(
             f"ivf_probe_{tag}",
