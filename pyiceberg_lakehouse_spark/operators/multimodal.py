@@ -7,9 +7,11 @@ feature-extraction runs as Arrow-batched ``mapInPandas``.
 Decode is REAL for two container formats that need no codec library —
 BMP (BITMAPINFOHEADER parse -> width/height/bpp) and WAV (RIFF/fmt chunk
 parse -> sample rate/channels/sample count) — implemented as pure-Python
-``struct`` header parsing. Compressed codecs (PNG/JPEG/MP3/...) would need
-libraries this container doesn't ship; those mimes still raise
-NotImplementedError in ``decode_stub``.
+``struct`` header parsing. Compressed image codecs (PNG/JPEG) decode via
+Pillow WHEN it is importable (the same runtime availability gate as
+psycopg2 in lakehouse/catalog.py — this container doesn't ship it, real
+deployments do); without it those mimes raise NotImplementedError rather
+than half-working. Audio/video codecs (MP3/MP4/...) stay NotImplemented.
 """
 
 from __future__ import annotations
@@ -22,6 +24,16 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # runtime availability gate — never a hard dependency
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
+_PIL_MIMES = ("image/png", "image/jpeg")
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -49,15 +61,30 @@ def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_stub(payload: bytes, mime: str) -> bytes:
-    """Placeholder for decoders that need codec LIBRARIES (PIL / ffmpeg).
+    """Decode dispatch for mimes without a built-in struct parser.
 
     text/plain passes through; BMP and WAV have real header decoders below
-    (``decode_bmp`` / ``decode_wav``); everything else is out of scope in
-    this container.
+    (``decode_bmp`` / ``decode_wav``); PNG/JPEG decode to raw RGB bytes via
+    Pillow when it is importable; everything else (and PNG/JPEG without
+    Pillow) raises instead of half-working.
     """
     if mime == "text/plain":
         return payload  # identity "decode"
+    if mime in _PIL_MIMES and HAS_PIL:
+        import io
+
+        return _PILImage.open(io.BytesIO(payload)).convert("RGB").tobytes()
     raise NotImplementedError(f"no decoder available for {mime!r} in this environment")
+
+
+def decode_image_codec(payload: bytes) -> tuple[int, int, str]:
+    """PNG/JPEG -> (width, height, pil_mode). Requires Pillow (HAS_PIL)."""
+    if not HAS_PIL:
+        raise NotImplementedError("Pillow not available in this environment")
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload))
+    return img.width, img.height, img.mode
 
 
 # ------------------------------------------------- BMP / WAV codecs ----------
@@ -233,6 +260,8 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                     w, h, _ = decode_bmp(payload)
                 elif mime == "audio/wav":
                     rate, _, n = decode_wav(payload)
+                elif mime in _PIL_MIMES:
+                    w, h, _ = decode_image_codec(payload)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["sample_rate"].append(rate)

@@ -407,7 +407,26 @@ def test_multimodal_plumbing_roundtrip(spark, sf_dir):
 
 def test_multimodal_decode_stub_gates_unknown_mime():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_stub(b"bytes", "image/png")
+        multimodal.decode_stub(b"bytes", "audio/mp3")
+    if not multimodal.HAS_PIL:  # codec mimes gate on Pillow availability
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_stub(b"bytes", "image/png")
+
+
+@pytest.mark.skipif(not multimodal.HAS_PIL, reason="Pillow not installed")
+def test_multimodal_png_decode_via_pil():
+    """When Pillow IS available, PNG round-trips through the codec gate."""
+    import io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (5, 3), (10, 20, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+    assert multimodal.decode_image_codec(payload) == (5, 3, "RGB")
+    raw = multimodal.decode_stub(payload, "image/png")
+    assert raw == bytes([10, 20, 30]) * 15
 
 
 def test_bmp_wav_codec_roundtrip():
