@@ -156,7 +156,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k: int = 3,
     verify_threshold: float | None = 0.5,
-    checkpoint_signatures: bool = True,
+    checkpoint_signatures: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -166,13 +166,13 @@ def minhash_lsh_pairs(
     candidates are re-checked with exact Jaccard (on candidates only).
     """
     rows = num_hashes // bands
-    # checkpoint the signature table before the band self-join: both join
-    # sides would otherwise recompute the whole tokenize->shingle->minhash
-    # pipeline. Signatures are (id, num_hashes longs) — orders of magnitude
-    # smaller than the corpus, so materializing them is the scale-right
-    # trade (same pattern as dedup_groups' per-round checkpoint).
-    # ``checkpoint_signatures=False`` exists so tools/bench_scale.py can
-    # measure both variants; see BENCH_SCALE.json for the measured crossover.
+    # checkpoint_signatures=False (default): the band self-join's two sides
+    # share one subplan, and Catalyst's ReusedExchange already computes the
+    # signature shuffle ONCE — a localCheckpoint here is pure overhead, not
+    # a saving. Measured clean A/B at both scales (BENCH_SCALE.json,
+    # minhash_ckpt_* vs minhash_nockpt_*): checkpoint 107s vs 62s at 100k
+    # docs, 693s vs 424s at 1M. The flag remains so the harness keeps the
+    # comparison honest round over round.
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
     if checkpoint_signatures:
         sig = sig.localCheckpoint(eager=False)
@@ -198,7 +198,12 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    return verify_pairs_jaccard(df, cand, text_col, id_col, k, verify_threshold)
+    # checkpoint the PAIRS (never the corpus): verify_pairs_jaccard consumes
+    # them twice (candidate-doc semi-join + the pair join) and the candidate
+    # set is orders of magnitude smaller than the corpus
+    return verify_pairs_jaccard(
+        df, cand.localCheckpoint(eager=False), text_col, id_col, k, verify_threshold
+    )
 
 
 def verify_pairs_jaccard(
@@ -212,10 +217,18 @@ def verify_pairs_jaccard(
     """Exact Jaccard, computed ONLY for the given candidate pairs.
 
     This is the scale-critical half of LSH dedup: work is O(candidates x
-    shingles-per-doc), never O(all-pairs). Shingle sets attach to each side
-    of the pair by id join; the intersection count is an equi-join on
-    (pair, shingle).
+    shingles-per-doc), never O(all-pairs) — and never O(corpus) either: the
+    corpus is first semi-joined down to documents that appear in some pair,
+    so the shingle re-explode and the (pair, shingle) intersection join
+    touch only candidate documents (measured at 1M docs: verification went
+    from re-shingling all 1M to ~the 10% that had a candidate). Shingle
+    sets attach to each side of the pair by id join; the intersection count
+    is an equi-join on (pair, shingle).
     """
+    cand_ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    df = df.join(cand_ids, id_col, "left_semi")
     sh = exploded_shingles(df, text_col, id_col, k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")

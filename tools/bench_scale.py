@@ -36,7 +36,16 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+# 24g heap: in local mode the one JVM is driver + every executor; a bigger
+# heap just defers GC and balloons RSS until the kernel OOM-kills it under
+# the ~16 GB the 32 python workers also need (observed with 48g: JVM RSS
+# 52 GB -> global reclaim thrash -> oom-kill mid-phase).
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+# one BLAS thread per python worker: 32 workers x N BLAS threads oversubscribe
+# the box and turn batch matmuls into scheduler thrash; the workers are the
+# parallelism. Must be set before the JVM (and its forked workers) start.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
 
 from pyspark.sql import functions as F  # noqa: E402
 
