@@ -545,17 +545,25 @@ def pq_encode(
     n_sub, n_codes = len(codebooks), len(codebooks[0])
     d = len(codebooks[0][0])
     C, bias = _pq_arrays(codebooks)
+    IC = np.array(centroids, dtype=np.float64) if centroids is not None else None
 
-    if centroids is not None:
-        IC = np.array(centroids, dtype=np.float64)
+    def _codes(X: "np.ndarray") -> "np.ndarray":
+        # one subspace at a time: peak temp is (batch x n_codes), not the
+        # (batch x n_sub x n_codes) einsum tensor — with 256 codes and a 10k
+        # Arrow batch the latter is 655 MB per worker and thrashes the box
+        Xs = X.reshape(len(X), n_sub, d)
+        codes = np.empty((len(X), n_sub), dtype=np.int32)
+        for s in range(n_sub):
+            codes[:, s] = (Xs[:, s, :] @ C[s].T + bias[s]).argmax(axis=1)
+        return codes
+
+    if IC is not None:
 
         @pandas_udf("array<int>")
         def encode_residual(v: pd.Series, cell: pd.Series) -> pd.Series:
             X = _normalize_rows(np.array(v.tolist(), dtype=np.float64))
             X = X - IC[cell.to_numpy(dtype=np.int64)]
-            Xs = X.reshape(len(X), n_sub, d)
-            scores = np.einsum("nsd,scd->nsc", Xs, C) + bias[None, :, :]
-            return pd.Series(list(scores.argmax(axis=2).astype("int32")))
+            return pd.Series(list(_codes(X)))
 
         return df.withColumn(
             "pq_codes", encode_residual(F.col(vec_col), F.col(cell_col))
@@ -564,10 +572,7 @@ def pq_encode(
     @pandas_udf("array<int>")
     def encode(v: pd.Series) -> pd.Series:
         X = _normalize_rows(np.array(v.tolist(), dtype=np.float64))
-        Xs = X.reshape(len(X), n_sub, d)
-        scores = np.einsum("nsd,scd->nsc", Xs, C) + bias[None, :, :]
-        codes = scores.argmax(axis=2).astype("int32")
-        return pd.Series(list(codes))
+        return pd.Series(list(_codes(X)))
 
     return df.withColumn("pq_codes", encode(F.col(vec_col)))
 
@@ -663,7 +668,6 @@ def ivf_pq_topk(
     import json as _json
 
     import numpy as np
-    from pyspark.sql.functions import pandas_udf
 
     centroids = _json.loads(table.log.properties["ivf.centroids"])
     books = _json.loads(table.log.properties["pq.codebooks"])
@@ -672,107 +676,110 @@ def ivf_pq_topk(
     d = len(books[0][0])
     C, _ = _pq_arrays(books)
     IC = np.array(centroids, dtype=np.float64)
+    spark = queries.sparkSession
 
-    @pandas_udf("array<double>")
-    def lut(v: pd.Series) -> pd.Series:
-        Q = _normalize_rows(np.array(v.tolist(), dtype=np.float64))
-        Qs = Q.reshape(len(Q), n_sub, d)
-        tables = np.einsum("nsd,scd->nsc", Qs, C).reshape(len(Q), n_sub * n_codes)
-        return pd.Series(list(tables))
+    # The query set is small by definition: collect it once (same bounded-
+    # driver-state cap as cosine_topk(exact=False)) and do probe selection +
+    # LUT construction in numpy. The LUTs then ride the mapInPandas CLOSURE
+    # (shipped once per task) instead of a 8*n_codes-double array column on
+    # every candidate row — the join form moved ~65 KB of LUT per candidate
+    # through Arrow, which at 1M rows was GBs of pure overhead.
+    qrows = queries.select(id_col, vec_col).limit(65_537).collect()
+    if len(qrows) > 65_536:
+        raise ValueError(
+            "ivf_pq_topk collects the query set to the driver; cap is 65536 "
+            "rows — run corpus-scale query sets in batches"
+        )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "qid long, vid long, rank int, score double"
+        )
+    qids = np.array([int(r[0]) for r in qrows])
+    Q = _normalize_rows(
+        np.array([[float(x) for x in r[1]] for r in qrows], dtype=np.float64)
+    )
+    nq = len(qids)
+    cell_scores = Q @ IC.T  # (nq, n_cells) — same quantizer as ivf_assign
+    plists = np.argsort(-cell_scores, axis=1)[:, :n_probe]
+    probed = sorted({int(c) for row in plists for c in row})
+    LUT = np.empty((nq, n_sub, n_codes), dtype=np.float64)
+    Qs = Q.reshape(nq, n_sub, d)
+    for s in range(n_sub):
+        LUT[:, s, :] = Qs[:, s, :] @ C[s].T
+    # residual decomposition: cos(q, x) = <qn, centroid[cell]> + <qn, r>
+    qc = cell_scores if residual else np.zeros_like(cell_scores)
+    m = k * (rerank_factor if rerank_factor > 0 else 1)
+    offsets = (np.arange(n_sub) * n_codes)[None, :]
+    plist_arrs = [np.asarray(p) for p in plists]
 
-    @pandas_udf("double")
-    def query_cell_dot(v: pd.Series, cell: pd.Series) -> pd.Series:
-        # residual decomposition: cos(q, x) = <qn, centroid[cell]> + <qn, r>
-        Q = _normalize_rows(np.array(v.tolist(), dtype=np.float64))
-        return pd.Series(
-            np.einsum("ij,ij->i", Q, IC[cell.to_numpy(dtype=np.int64)])
-        )
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["pq_codes"].tolist(), dtype=np.int64)
+            cells = pdf["ivf_cell"].to_numpy(dtype=np.int64)
+            vids_b = pdf["vid"].to_numpy(dtype=np.int64)
+            # vectorized ADC gather: (nq, n) scores via one fancy index
+            G = LUT.reshape(nq, -1)[:, codes + offsets].sum(axis=2)
+            for qi in range(nq):
+                mask = np.isin(cells, plist_arrs[qi]) & (vids_b != qids[qi])
+                if not mask.any():
+                    continue
+                s = G[qi, mask] + qc[qi, cells[mask]]
+                vv = vids_b[mask]
+                order = np.lexsort((vv, -s))[:m]  # local top-m, global-window tie rules
+                yield pd.DataFrame(
+                    {"qid": qids[qi], "vid": vv[order], "score": s[order]}
+                )
 
-    @pandas_udf("double")
-    def adc(codes: pd.Series, tables: pd.Series) -> pd.Series:
-        Cm = np.array(codes.tolist(), dtype=np.int64)
-        L = np.array(tables.tolist(), dtype=np.float64)
-        idx = Cm + (np.arange(n_sub) * n_codes)[None, :]
-        return pd.Series(np.take_along_axis(L, idx, axis=1).sum(axis=1))
-
-    q = queries.select(id_col, vec_col).cache()
-    try:
-        probed = sorted(
-            r[0]
-            for r in q.select(
-                F.explode(probe_cells_expr(centroids, n_probe, vec_col)).alias("c")
-            )
-            .distinct()
-            .collect()
-        )
-        corpus = (
-            table.scan(stat_filter={"ivf_cell": ("in", probed)})
-            .filter(F.col("ivf_cell").isin(probed))
-            .select(F.col(id_col).alias("vid"), "ivf_cell", "pq_codes")
-        )
-        qb = q.select(
-            F.col(id_col).alias("qid"),
-            lut(F.col(vec_col)).alias("_lut"),
-            F.col(vec_col).alias("_qv"),
-            F.explode(
-                probe_cells_expr(centroids, n_probe, vec_col)
-            ).alias("ivf_cell"),
-        )
-        if residual:
-            qb = qb.withColumn(
-                "_qc", query_cell_dot(F.col("_qv"), F.col("ivf_cell"))
-            )
-        qb = F.broadcast(qb.drop("_qv"))
-        scored = (
-            corpus.join(qb, "ivf_cell")
-            .filter(F.col("qid") != F.col("vid"))
-            .withColumn("score", adc(F.col("pq_codes"), F.col("_lut")))
-        )
-        if residual:
-            scored = scored.withColumn("score", F.col("score") + F.col("_qc"))
-        scored = scored.select("qid", "vid", "score")
-        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vid"))
-        if rerank_factor <= 0:
-            return (
-                scored.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("qid", "vid", "rank", "score")
-            )
-        # FAISS refine: exact re-score of the ADC top k*factor. The collect
-        # is bounded by Q x k x factor pairs (never data-sized) and feeds an
-        # IN-list-pruned point read of just those vectors.
-        cand = (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k * rerank_factor)
-            .select("qid", "vid")
-            .collect()
-        )
-        from pyiceberg_lakehouse_spark.functions import dense
-
-        vids = sorted({r.vid for r in cand})
-        spark = queries.sparkSession
-        pairs = spark.createDataFrame(
-            [(r.qid, r.vid) for r in cand], "qid long, vid long"
-        )
-        vecs = (
-            table.scan(stat_filter={id_col: ("in", vids)})
-            .filter(F.col(id_col).isin(vids))
-            .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("c_vec"))
-        )
-        qv = q.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
-        rescored = (
-            vecs.join(F.broadcast(pairs), "vid")
-            .join(F.broadcast(qv), "qid")
-            .withColumn("score", dense.cosine_pair("q_vec", "c_vec"))
-            .select("qid", "vid", "score")
-        )
+    corpus = (
+        table.scan(stat_filter={"ivf_cell": ("in", probed)})
+        .filter(F.col("ivf_cell").isin(probed))
+        .select(F.col(id_col).alias("vid"), "ivf_cell", "pq_codes")
+    )
+    scored = corpus.mapInPandas(score_batches, "qid long, vid long, score double")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vid"))
+    if rerank_factor <= 0:
         return (
-            rescored.withColumn("rank", F.row_number().over(w))
+            scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "vid", "rank", "score")
         )
-    finally:
-        q.unpersist()
+    # FAISS refine: exact re-score of the ADC top k*factor. The collect
+    # is bounded by Q x k x factor pairs (never data-sized) and feeds an
+    # IN-list-pruned point read of just those vectors.
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= m)
+        .select("qid", "vid")
+        .collect()
+    )
+    from pyiceberg_lakehouse_spark.functions import dense
+
+    vids = sorted({r.vid for r in cand})
+    pairs = spark.createDataFrame(
+        [(r.qid, r.vid) for r in cand], "qid long, vid long"
+    )
+    vecs = (
+        table.scan(stat_filter={id_col: ("in", vids)})
+        .filter(F.col(id_col).isin(vids))
+        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("c_vec"))
+    )
+    qv = spark.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
+        "qid long, q_vec array<double>",
+    )
+    rescored = (
+        vecs.join(F.broadcast(pairs), "vid")
+        .join(F.broadcast(qv), "qid")
+        .withColumn("score", dense.cosine_pair("q_vec", "c_vec"))
+        .select("qid", "vid", "score")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vid", "rank", "score")
+    )
 
 
 def kmeans_refine_local(
