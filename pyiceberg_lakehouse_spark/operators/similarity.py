@@ -289,38 +289,74 @@ def probe_cells_expr(
     return F.transform(ranked, lambda p: p["cell"])
 
 
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Bounded driver collect of a query set: (ids, raw float64 matrix).
+
+    Query sets are small by definition; the cap keeps driver state bounded
+    (same contract as cosine_topk(exact=False) / ivf_pq_topk)."""
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).limit(65_537).collect()
+    if len(qrows) > 65_536:
+        raise ValueError(
+            "ANN probes collect the query set to the driver; cap is 65536 "
+            "rows — run corpus-scale query sets in batches"
+        )
+    ids = [int(r[0]) for r in qrows]
+    Q = np.array([[float(x) for x in r[1]] for r in qrows], dtype=np.float64)
+    return ids, Q
+
+
 def _probe_topk(
     cb: DataFrame,
-    queries: DataFrame,
+    qids: list[int],
+    Q,
     centroids: list[list[float]],
     k: int,
     n_probe: int,
-    id_col: str,
-    vec_col: str,
 ) -> DataFrame:
-    """Shared probe tail: broadcast query fan-out over probe cells, in-cell
-    scoring, per-query top-k window. ``cb`` must carry (vid, c_vec,
-    ivf_cell). Probe-cell ranking stays a Catalyst expression (queries are
-    few rows); the in-cell candidate scoring is the bulk kernel
-    (functions/dense.py:cosine_pair, one einsum per Arrow batch)."""
-    from pyiceberg_lakehouse_spark.functions import dense
+    """Shared probe tail over collected queries: probe lists + scoring both
+    ride the mapInPandas closure (queries are bounded driver state), so the
+    plan carries NO k x dim centroid literal — at 610 cells that literal
+    alone made plan construction+parse the dominant probe cost — and each
+    corpus batch emits at most k rows per query with global-window tie
+    rules. ``cb`` must carry (vid, c_vec, ivf_cell)."""
+    import numpy as np
 
-    qb = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("qid"),
-            F.col(vec_col).alias("q_vec"),
-            F.explode(probe_cells_expr(centroids, n_probe, vec_col)).alias("ivf_cell"),
+    spark = cb.sparkSession
+    if not qids:
+        return spark.createDataFrame(
+            [], "qid long, vid long, rank int, score double"
         )
-    )
-    scored = (
-        cb.join(qb, "ivf_cell")
-        .filter(F.col("qid") != F.col("vid"))
-        .withColumn("score", dense.cosine_pair("q_vec", "c_vec"))
-        .select("qid", "vid", "score")
-        # no distinct needed: a corpus vector lives in exactly one cell and
-        # each query probes distinct cells, so (qid, vid) pairs are unique —
-        # a distinct here would be a full extra shuffle of the scored pairs
-    )
+    IC = np.array(centroids, dtype=np.float64)
+    # rank cells by raw dot product — the same quantizer ranking as
+    # probe_cells_expr (scaling by 1/|q| preserves per-query order)
+    plists = np.argsort(-(Q @ IC.T), axis=1)[:, :n_probe]
+    plist_arrs = [np.asarray(p) for p in plists]
+    qarr = np.array(qids)
+    Qn = _normalize_rows(Q)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
+            cells = pdf["ivf_cell"].to_numpy(dtype=np.int64)
+            vids = pdf["vid"].to_numpy(dtype=np.int64)
+            nx = np.sqrt(np.einsum("ij,ij->i", X, X))
+            nx[nx == 0.0] = 1.0
+            S = (X / nx[:, None]) @ Qn.T  # (n, nq) cosines
+            for qi in range(len(qarr)):
+                mask = np.isin(cells, plist_arrs[qi]) & (vids != qarr[qi])
+                if not mask.any():
+                    continue
+                s, vv = S[mask, qi], vids[mask]
+                order = np.lexsort((vv, -s))[:k]
+                yield pd.DataFrame(
+                    {"qid": qarr[qi], "vid": vv[order], "score": s[order]}
+                )
+
+    scored = cb.mapInPandas(score_batches, "qid long, vid long, score double")
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -345,12 +381,21 @@ def ivf_topk(
     cell at ingest); each query fans out to n_probe cells, so scored pairs
     shrink by ~k/n_probe versus brute force with recall rising in n_probe.
     """
+    import numpy as np
+
+    qids, Q = _collect_queries(queries, id_col, vec_col)
     cb = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("c_vec"),
         "ivf_cell",
     )
-    return _probe_topk(cb, queries, centroids, k, n_probe, id_col, vec_col)
+    if qids:
+        IC = np.array(centroids, dtype=np.float64)
+        probed = sorted(
+            {int(c) for row in np.argsort(-(Q @ IC.T), axis=1)[:, :n_probe] for c in row}
+        )
+        cb = cb.filter(F.col("ivf_cell").isin(probed))
+    return _probe_topk(cb, qids, Q, centroids, k, n_probe)
 
 
 def ivf_index_topk(
@@ -368,33 +413,30 @@ def ivf_index_topk(
 
     This is the 100 TB read path: index construction happens once in the
     maintenance op; a query's cost is O(files in n_probe cells), not
-    O(corpus). The driver-side cell collect is bounded by the number of
-    centroids (k x n_probe ints at most), never data-sized.
+    O(corpus). Driver state stays bounded: the collected query set (capped)
+    plus k x n_probe cell ids — never data-sized.
     """
     import json as _json
 
+    import numpy as np
+
     centroids = _json.loads(table.log.properties["ivf.centroids"])
-    q = queries.select(id_col, vec_col).cache()
-    try:
-        probed = sorted(
-            r[0]
-            for r in q.select(
-                F.explode(probe_cells_expr(centroids, n_probe, vec_col)).alias("c")
-            )
-            .distinct()
-            .collect()
-        )
-        corpus = table.scan(stat_filter={"ivf_cell": ("in", probed)}).filter(
-            F.col("ivf_cell").isin(probed)
-        )
-        cb = corpus.select(
-            F.col(id_col).alias("vid"),
-            F.col(vec_col).alias("c_vec"),
-            "ivf_cell",
-        )
-        return _probe_topk(cb, q, centroids, k, n_probe, id_col, vec_col)
-    finally:
-        q.unpersist()
+    qids, Q = _collect_queries(queries, id_col, vec_col)
+    if not qids:
+        return _probe_topk(table.scan().limit(0), qids, Q, centroids, k, n_probe)
+    IC = np.array(centroids, dtype=np.float64)
+    probed = sorted(
+        {int(c) for row in np.argsort(-(Q @ IC.T), axis=1)[:, :n_probe] for c in row}
+    )
+    corpus = table.scan(stat_filter={"ivf_cell": ("in", probed)}).filter(
+        F.col("ivf_cell").isin(probed)
+    )
+    cb = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("c_vec"),
+        "ivf_cell",
+    )
+    return _probe_topk(cb, qids, Q, centroids, k, n_probe)
 
 
 def embedding_near_dup_pairs(

@@ -200,8 +200,11 @@ def test_multimodal_resize_no_shuffle(spark, sf_dir):
 
 
 def test_ivf_probe_no_cartesian_no_corpus_assign(spark, sf_dir):
-    """The IVF probe joins corpus cells to broadcast query fan-out on cell
-    equality — never a cartesian pairing."""
+    """The IVF probe scores candidates in a closure-constant mapInPandas
+    (probe lists + query matrix ship once per task) — never a cartesian
+    pairing, and no join materializing (query x candidate) vector pairs.
+    The only shuffle left is the O(partitions x Q x k) candidate merge."""
     plan = plan_of(spark, "sim_ann_ivf", sf_dir)
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
