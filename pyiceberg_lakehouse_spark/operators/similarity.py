@@ -802,8 +802,13 @@ def ivf_pq_topk(
     pairs = spark.createDataFrame(
         [(r.qid, r.vid) for r in cand], "qid long, vid long"
     )
+    # candidates live in probed cells by construction, and files are
+    # clustered by cell — so the refine read prunes by ivf_cell FIRST
+    # (vec_id ranges span every file and prune nothing on their own)
     vecs = (
-        table.scan(stat_filter={id_col: ("in", vids)})
+        table.scan(
+            stat_filter={"ivf_cell": ("in", probed), id_col: ("in", vids)}
+        )
         .filter(F.col(id_col).isin(vids))
         .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("c_vec"))
     )
