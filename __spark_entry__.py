@@ -17,7 +17,15 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyiceberg_lakehouse_spark.registry import ORACLE, QUERIES, load_all  # noqa: E402
-from pyiceberg_lakehouse_spark.session import ensure_runtime_confs  # noqa: E402
+from pyiceberg_lakehouse_spark.session import (  # noqa: E402
+    ensure_runtime_confs,
+    export_worker_pythonpath,
+)
+
+# The driver creates its own SparkSession after importing this module;
+# workers need the repo root on PYTHONPATH before that JVM starts so they
+# can deserialize the package's Arrow-batched UDF closures.
+export_worker_pythonpath()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -31,24 +31,11 @@ execution; Python UDFs appear only where Spark builtins genuinely cannot
 express the semantics (and then as Arrow-vectorized pandas UDFs).
 """
 
-import os as _os
+from pyiceberg_lakehouse_spark.session import (
+    ensure_runtime_confs,
+    export_worker_pythonpath,
+    get_spark,
+)
 
-# Spark python workers resolve pandas-UDF / mapInPandas closures by importing
-# this package BY NAME; they inherit PYTHONPATH, not the driver's sys.path.
-# Exporting the repo root at import time makes every session — including ones
-# created from an arbitrary cwd (the correctness driver, notebooks,
-# tools/bench_scale.py) — able to deserialize the Arrow-batched kernels
-# (functions/dense.py, operators/similarity.py) on workers. Must run before
-# the JVM starts, hence at package import, not inside get_spark().
-_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-if _ROOT not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
-    _os.environ["PYTHONPATH"] = _ROOT + (
-        _os.pathsep + _os.environ["PYTHONPATH"]
-        if _os.environ.get("PYTHONPATH")
-        else ""
-    )
-
-from pyiceberg_lakehouse_spark.session import get_spark, ensure_runtime_confs  # noqa: E402
-
-__all__ = ["get_spark", "ensure_runtime_confs"]
+__all__ = ["get_spark", "ensure_runtime_confs", "export_worker_pythonpath"]
 __version__ = "0.1.0"

@@ -73,17 +73,26 @@ def nearest_cell(vec_col: str | Column, matrix: list[list[float]]) -> Column:
 
 
 def hyperplane_bucket(vec_col: str | Column, planes: list[list[float]]) -> Column:
-    """int LSH bucket: bit i set iff dot(vec, planes[i]) > 0."""
+    """long LSH bucket: bit i set iff dot(vec, planes[i]) > 0.
+
+    Returns int64 so up to 62 planes fit without sign-bit aliasing; more
+    planes than that is rejected (the bucket would silently wrap, merging
+    unrelated buckets and destroying LSH recall guarantees).
+    """
+    if len(planes) > 62:
+        raise ValueError(
+            f"hyperplane_bucket supports at most 62 planes, got {len(planes)}"
+        )
     Pt = np.array(planes, dtype=np.float64).T
     weights = (1 << np.arange(len(planes))).astype(np.int64)
 
-    @pandas_udf("int")
+    @pandas_udf("long")
     def f(v: pd.Series) -> pd.Series:
         X = _rows(v)
         if X.size == 0:
-            return pd.Series(np.zeros(len(v), dtype=np.int32))
+            return pd.Series(np.zeros(len(v), dtype=np.int64))
         bits = (X @ Pt) > 0
-        return pd.Series((bits @ weights).astype(np.int32))
+        return pd.Series(bits @ weights)
 
     return f(_col(vec_col))
 
@@ -120,6 +129,9 @@ def local_topk_scores(
     mapInPandas: each corpus partition emits at most k rows per query —
     (qid, vid, score) — so the global merge shuffles O(partitions x Q x k)
     rows, never O(N x Q) pairs, and the corpus itself is never shuffled.
+    The running per-query top-k is folded ACROSS the partition's Arrow
+    batches before anything is yielded (state is a bounded Q x k set, merged
+    batch-by-batch), so the bound holds per partition, not per batch.
     The caller applies the global top-k window over this candidate stream.
 
     Ordering inside a partition matches the global window exactly
@@ -132,6 +144,9 @@ def local_topk_scores(
     out_schema = "qid long, vid long, score double"
 
     def score_partition(batches):
+        # running per-query top-k across this partition's batches:
+        # best[j] = (scores, vids), each at most k long
+        best: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -146,9 +161,12 @@ def local_topk_scores(
                 sv, vv = s[mask], vids[mask]
                 if not len(sv):
                     continue
+                if j in best:
+                    sv = np.concatenate([best[j][0], sv])
+                    vv = np.concatenate([best[j][1], vv])
                 order = np.lexsort((vv, -sv))[:k]
-                yield pd.DataFrame(
-                    {"qid": qids[j], "vid": vv[order], "score": sv[order]}
-                )
+                best[j] = (sv[order], vv[order])
+        for j, (sv, vv) in best.items():
+            yield pd.DataFrame({"qid": qids[j], "vid": vv, "score": sv})
 
     return corpus.select(id_col, vec_col).mapInPandas(score_partition, out_schema)

@@ -169,10 +169,12 @@ def minhash_lsh_pairs(
     # checkpoint_signatures=False (default): the band self-join's two sides
     # share one subplan, and Catalyst's ReusedExchange already computes the
     # signature shuffle ONCE — a localCheckpoint here is pure overhead, not
-    # a saving. Measured clean A/B at both scales (BENCH_SCALE.json,
-    # minhash_ckpt_* vs minhash_nockpt_*): checkpoint 107s vs 62s at 100k
-    # docs, 693s vs 424s at 1M. The flag remains so the harness keeps the
-    # comparison honest round over round.
+    # a saving. Measured clean A/B at both scales — see BENCH_SCALE.json
+    # keys minhash_ckpt_100k vs minhash_nockpt_100k and minhash_ckpt_1000k
+    # vs minhash_nockpt_1000k (checkpoint slower or at best equal at both
+    # scales; the numbers live in the json, not here, so they cannot go
+    # stale — tests/test_advice_fixes.py asserts the cited keys exist).
+    # The flag remains so the harness keeps the comparison honest.
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
     if checkpoint_signatures:
         sig = sig.localCheckpoint(eager=False)

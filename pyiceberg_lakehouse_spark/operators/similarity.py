@@ -18,6 +18,11 @@ from pyspark.sql import functions as F
 
 from pyiceberg_lakehouse_spark.functions.exact import dot_product_exact
 
+# Worker-side memory budget for a single query-chunk score matrix /
+# ADC-gather intermediate inside the mapInPandas kernels. Keeps per-batch
+# temporaries ~256 MB even at the 65536-query driver cap.
+_SCORE_MATRIX_BYTES = 256 * 1024 * 1024
+
 
 def dot_product_fast(a: str | F.Column, b: str | F.Column) -> F.Column:
     """Double-precision dot product (zip_with + aggregate, JVM-side).
@@ -135,7 +140,7 @@ def lsh_bucket(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Sign-of-projection LSH bucket id per vector (one int column added).
+    """Sign-of-projection LSH bucket id per vector (one long column added).
 
     The projections are a bulk dense kernel, so they ride the Arrow-batched
     numpy matmul (functions/dense.py:hyperplane_bucket) — the planes matrix
@@ -345,16 +350,24 @@ def _probe_topk(
             vids = pdf["vid"].to_numpy(dtype=np.int64)
             nx = np.sqrt(np.einsum("ij,ij->i", X, X))
             nx[nx == 0.0] = 1.0
-            S = (X / nx[:, None]) @ Qn.T  # (n, nq) cosines
-            for qi in range(len(qarr)):
-                mask = np.isin(cells, plist_arrs[qi]) & (vids != qarr[qi])
-                if not mask.any():
-                    continue
-                s, vv = S[mask, qi], vids[mask]
-                order = np.lexsort((vv, -s))[:k]
-                yield pd.DataFrame(
-                    {"qid": qarr[qi], "vid": vv[order], "score": s[order]}
-                )
+            Xn = X / nx[:, None]
+            # chunk queries so the (rows, chunk) score matrix stays under
+            # _SCORE_MATRIX_BYTES regardless of query-set size — near the
+            # 65536-query driver cap an unchunked matrix is multiple GB
+            # per worker per Arrow batch
+            chunk = max(1, _SCORE_MATRIX_BYTES // (8 * len(X)))
+            for q0 in range(0, len(qarr), chunk):
+                q1 = min(q0 + chunk, len(qarr))
+                S = Xn @ Qn[q0:q1].T  # (n, chunk) cosines
+                for qi in range(q0, q1):
+                    mask = np.isin(cells, plist_arrs[qi]) & (vids != qarr[qi])
+                    if not mask.any():
+                        continue
+                    s, vv = S[mask, qi - q0], vids[mask]
+                    order = np.lexsort((vv, -s))[:k]
+                    yield pd.DataFrame(
+                        {"qid": qarr[qi], "vid": vv[order], "score": s[order]}
+                    )
 
     scored = cb.mapInPandas(score_batches, "qid long, vid long, score double")
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vid"))
@@ -761,18 +774,26 @@ def ivf_pq_topk(
             codes = np.array(pdf["pq_codes"].tolist(), dtype=np.int64)
             cells = pdf["ivf_cell"].to_numpy(dtype=np.int64)
             vids_b = pdf["vid"].to_numpy(dtype=np.int64)
-            # vectorized ADC gather: (nq, n) scores via one fancy index
-            G = LUT.reshape(nq, -1)[:, codes + offsets].sum(axis=2)
-            for qi in range(nq):
-                mask = np.isin(cells, plist_arrs[qi]) & (vids_b != qids[qi])
-                if not mask.any():
-                    continue
-                s = G[qi, mask] + qc[qi, cells[mask]]
-                vv = vids_b[mask]
-                order = np.lexsort((vv, -s))[:m]  # local top-m, global-window tie rules
-                yield pd.DataFrame(
-                    {"qid": qids[qi], "vid": vv[order], "score": s[order]}
-                )
+            flat_idx = codes + offsets  # (n, n_sub)
+            # chunk queries so the fancy-index gather's (chunk, n, n_sub)
+            # intermediate stays under _SCORE_MATRIX_BYTES — near the
+            # 65536-query cap an unchunked gather is many GB per batch
+            chunk = max(1, _SCORE_MATRIX_BYTES // (8 * flat_idx.size))
+            LUT_flat = LUT.reshape(nq, -1)
+            for q0 in range(0, nq, chunk):
+                q1 = min(q0 + chunk, nq)
+                # vectorized ADC gather: (chunk, n) scores via one fancy index
+                G = LUT_flat[q0:q1][:, flat_idx].sum(axis=2)
+                for qi in range(q0, q1):
+                    mask = np.isin(cells, plist_arrs[qi]) & (vids_b != qids[qi])
+                    if not mask.any():
+                        continue
+                    s = G[qi - q0, mask] + qc[qi, cells[mask]]
+                    vv = vids_b[mask]
+                    order = np.lexsort((vv, -s))[:m]  # local top-m, global-window tie rules
+                    yield pd.DataFrame(
+                        {"qid": qids[qi], "vid": vv[order], "score": s[order]}
+                    )
 
     corpus = (
         table.scan(stat_filter={"ivf_cell": ("in", probed)})

@@ -47,59 +47,66 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # A handful of proven-stable slots rotate each round to queries that have
 # never had a driver row, growing the driver-verified set over time while
 # keeping every category represented.
+#
+# Round-6 rotation (12 slots, double the usual pace per VERDICT r5 task #1):
+# rotated OUT twelve multi-round-green rows (ts_gapfill_hourly,
+# filter_exists_correlated, sql_grouping_sets, join_multiway_revenue,
+# win_running_sum, set_union_all, cast_whole_table, filter_scalar_subquery,
+# agg_q5_local_supplier_volume, lh_time_travel, lh_cdc_apply,
+# stream_stream_join); rotated IN twelve never-driver-verified queries,
+# prioritizing the lakehouse lifecycle/maintenance cluster.
 DRIVER_WINDOW: tuple[str, ...] = (
     # parquet scans + filters
     "scan_region",
     "scan_glob_schema_enforced",
-    "ts_gapfill_hourly",
     "filter_eq",
-    "filter_exists_correlated",
     # core aggregation (flagship first)
     "agg_q1_pricing_summary",
-    "sql_grouping_sets",
     "agg_rollup",
     "agg_keep_last",
+    "agg_salted_groupby",
     # joins
     "join_inner_agg",
     "join_broadcast_parts",
-    "join_multiway_revenue",
+    "join_full_outer",
     "join_asof",
-    # windows / sort / set ops
+    # windows / sort / set ops / time series
     "win_topk_per_group",
-    "win_running_sum",
     "sort_topk_global",
-    "set_union_all",
+    "events_session_windows",
     # scalar functions, casts, subqueries
     "fn_array_higher_order",
-    "cast_whole_table",
-    "filter_scalar_subquery",
+    "fn_from_json_struct",
     # pandas-UDF surface
     "fn_pandas_scalar",
     "fn_grouped_pandas_demean",
     # TPC-H shapes
     "agg_q3_shipping_priority",
-    "agg_q5_local_supplier_volume",
+    "agg_q18_large_orders",
     "agg_q19_discounted_revenue",
-    # lakehouse lifecycle (+ schema evolution + persisted-ANN selfcheck,
-    # rotated in r5: first driver rows for the evolution lifecycle and the
-    # IVF-index differential)
+    # lakehouse lifecycle + maintenance (r6 rotation: first driver rows for
+    # compact, partition evolution, rollback, bloom pruning, hidden
+    # month-partitioning)
     "lh_ingest_roundtrip",
-    "lh_time_travel",
     "lh_upsert",
     "lh_zorder_scan",
     "lh_commit_batching",
     "lh_merge_on_read_delete",
     "lh_incremental_read",
-    "lh_cdc_apply",
     "lh_branch_merge",
     "lh_schema_evolution",
     "lh_ann_indexed_selfcheck",
+    "lh_compact_roundtrip",
+    "lh_partition_evolution",
+    "lh_rollback",
+    "lh_bloom_point_lookup",
+    "lh_hidden_partition_month",
     # dedup + similarity
     "dedup_exact",
     "dedup_ngram_jaccard",
     "sim_cosine_topk",
     "dedup_embedding_cosine",
-    # text + multimodal (tfidf/pii/resize rotated in r5)
+    # text + multimodal
     "text_lang_id",
     "text_tfidf_top_terms",
     "text_pii_scrub",
@@ -107,11 +114,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # training-data ops
     "train_balance_labels",
     "train_stratified_sample",
+    "train_mix_weighted",
     "pipeline_clean_corpus",
-    # structured streaming
+    # structured streaming (r6 rotation: first driver row for WAP publish)
     "stream_tumbling_hourly",
-    "stream_stream_join",
     "stream_lh_cdc_apply",
+    "stream_lh_wap_publish",
 )
 
 

@@ -41,6 +41,24 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def export_worker_pythonpath() -> None:
+    """Put the repo root on PYTHONPATH so Spark python workers can import
+    this package BY NAME when deserializing pandas-UDF / mapInPandas
+    closures (functions/dense.py, operators/similarity.py) — workers inherit
+    PYTHONPATH from the JVM's environment, not the driver's sys.path.
+
+    Must run in the driver process BEFORE the JVM starts: ``get_spark``
+    calls it ahead of ``getOrCreate``, and ``__spark_entry__`` calls it at
+    import (the correctness driver imports the entry module before creating
+    its own session). Kept out of package import so merely importing
+    ``pyiceberg_lakehouse_spark`` stays side-effect free.
+    """
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = root + (os.pathsep + existing if existing else "")
+
+
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally created session."""
     for key, value in RUNTIME_CONFS.items():
@@ -70,6 +88,7 @@ def get_spark(
     to the session parallelism (32 on the test rig) — on a real cluster set
     it to 2-3x total executor cores or rely on AQE coalescing.
     """
+    export_worker_pythonpath()
     if master is None:
         master = os.environ.get("SPARK_MASTER")
     if master is None:

@@ -180,3 +180,119 @@ def test_scrub_pii_preserves_case(spark):
     assert rows[1]["n_urls"] == 1 and rows[1]["n_emails"] == 1
     assert rows[2]["clean_text"] == "No PII Here, Just Mixed Case"
     assert rows[2]["n_urls"] == 0 and rows[2]["n_emails"] == 0
+
+
+# ---- round-5 advisor findings (ADVICE.md r5) ----
+
+
+def test_hyperplane_bucket_long_and_plane_guard(spark):
+    """ADVICE r5: hyperplane_bucket returned int32 while computing int64
+    bit weights — n_planes >= 32 silently wrapped buckets. Now: long return
+    type, hard error past 62 planes (sign bit)."""
+    import numpy as np
+
+    from pyiceberg_lakehouse_spark.functions import dense
+
+    X = np.eye(40, dtype=np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    # 40 planes: plane i fires only on basis vector i -> bucket 2**i;
+    # with the old int32 cast, i >= 31 wrapped negative/aliased
+    planes = [[1.0 if d == i else -0.001 for d in range(40)] for i in range(40)]
+    got = {
+        r.vec_id: r.b
+        for r in df.select(
+            "vec_id", dense.hyperplane_bucket("embedding", planes).alias("b")
+        ).collect()
+    }
+    assert got[39] == 1 << 39 and got[31] == 1 << 31 and got[0] == 1
+    with pytest.raises(ValueError, match="62"):
+        dense.hyperplane_bucket("embedding", [[0.0] * 4] * 63)
+
+
+def test_local_topk_bounded_per_partition_not_per_batch(spark):
+    """ADVICE r5: local_topk_scores must emit at most k rows per query per
+    PARTITION (folded across Arrow batches), and the fold must be lossless
+    vs a single-batch run."""
+    import numpy as np
+
+    from pyiceberg_lakehouse_spark.functions import dense
+
+    rng = np.random.default_rng(7)
+    n, dim, k = 400, 8, 5
+    V = rng.normal(size=(n, dim))
+    rows = [(i, [float(x) for x in V[i]]) for i in range(n)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    # tiny Arrow batches force many batches within the single partition
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        qids = [0, 1]
+        qvecs = [[float(x) for x in V[0]], [float(x) for x in V[1]]]
+        out = dense.local_topk_scores(corpus, qids, qvecs, k).collect()
+        # bound: one partition -> at most k rows per query TOTAL
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r.qid, []).append((r.vid, r.score))
+        assert all(len(v) <= k for v in per_q.values())
+        # lossless: matches exact numpy top-k (score desc, vid asc)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        for qi, qid in enumerate(qids):
+            S = Vn @ Vn[qid]
+            order = [
+                int(v)
+                for v in np.lexsort((np.arange(n), -S))
+                if v != qid
+            ][:k]
+            got = [v for v, _ in sorted(per_q[qid], key=lambda t: (-t[1], t[0]))]
+            assert got == order
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_package_import_has_no_env_side_effect():
+    """ADVICE r5: importing the package must not mutate os.environ; the
+    PYTHONPATH export happens at session creation / driver entry instead."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os, json; before = os.environ.get('PYTHONPATH');"
+        "os.environ.pop('PYTHONPATH', None);"
+        "import pyiceberg_lakehouse_spark;"
+        "assert 'PYTHONPATH' not in os.environ, os.environ.get('PYTHONPATH');"
+        "from pyiceberg_lakehouse_spark.session import export_worker_pythonpath;"
+        "export_worker_pythonpath();"
+        "assert 'PYTHONPATH' in os.environ;"
+        "print('ok')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "ok"
+
+
+def test_bench_scale_cited_keys_exist():
+    """The dedup.py checkpoint comment cites BENCH_SCALE.json keys; keep
+    comment and data from drifting apart (VERDICT r5 wrong #1)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "BENCH_SCALE.json")
+    if not os.path.exists(path):
+        pytest.skip("BENCH_SCALE.json not generated yet")
+    with open(path) as fh:
+        data = json.load(fh)
+    phases = data.get("phases", data)
+    for key in (
+        "minhash_ckpt_100k",
+        "minhash_nockpt_100k",
+        "minhash_ckpt_1000k",
+        "minhash_nockpt_1000k",
+    ):
+        assert key in phases, f"dedup.py cites BENCH_SCALE key {key!r} which is absent"

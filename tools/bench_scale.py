@@ -107,9 +107,16 @@ def bench_documents(spark, b: Bench, tmp: str) -> None:
         mock_documents(spark, n).write.mode("overwrite").parquet(path)
         docs = spark.read.parquet(path)
 
+        # A/B: checkpoint_signatures now defaults to False, so the ckpt arm
+        # must opt IN explicitly. A throwaway warmup run first so neither
+        # arm gets penalized for cold file/JVM caches (the second arm used
+        # to run on a warm cache the first never had).
+        minhash_lsh_pairs(docs, "text", "doc_id").count()
         pairs = b.run(
             f"minhash_ckpt_{tag}",
-            lambda d=docs: minhash_lsh_pairs(d, "text", "doc_id").count(),
+            lambda d=docs: minhash_lsh_pairs(
+                d, "text", "doc_id", checkpoint_signatures=True
+            ).count(),
         )
         b.notes[f"minhash_pairs_{tag}"] = pairs
         b.run(
