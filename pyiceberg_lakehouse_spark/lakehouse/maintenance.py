@@ -274,6 +274,98 @@ def build_pq_index(
     )
 
 
+# summary ops that mark the table's files as index-consistent: every live
+# file committed at-or-before one of these carries ivf_cell (and pq_codes
+# when built) values matching the stored centroids/codebooks
+_INDEX_OPS = ("ivf_index", "pq_index", "ann_refresh")
+
+
+def refresh_ann_indexes(
+    table: LakehouseTable,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_file_bytes: int | None = None,
+):
+    """Incrementally extend the persisted ANN index(es) to rows appended
+    since the last index commit: encode ONLY the new files against the
+    EXISTING centroids (and codebooks, when PQ is built), rewrite just
+    those files clustered by cell, and leave every already-indexed file
+    untouched — one replace snapshot removing only the stale paths.
+
+    This is W10's metadata-only philosophy (reference main-ray.py:109-121,
+    register-without-rewrite) applied to index state: at 100 TB a full
+    ``build_ivf_index``/``build_pq_index`` rebuild re-clusters the entire
+    corpus on every append batch; refresh cost is proportional to the
+    APPENDED rows instead (measured in BENCH_SCALE.json, ``ivf_refresh_*``
+    vs ``ivf_build_*``). Quantizers are NOT retrained — run a full build
+    when the data distribution has drifted enough that cell balance or PQ
+    distortion degrades (same trade as FAISS's add() vs train()).
+
+    Returns the refresh snapshot, or None when every live file is already
+    index-consistent. Raises if no index has ever been built.
+    """
+    import json as _json
+    import math as _math
+
+    from pyiceberg_lakehouse_spark.operators import similarity
+
+    snaps = table.log.snapshots
+    last_index = max(
+        (i for i, s in enumerate(snaps) if s.summary.get("op") in _INDEX_OPS),
+        default=None,
+    )
+    if last_index is None:
+        raise ValueError(
+            "no persisted ANN index on this table; run build_ivf_index "
+            "(and optionally build_pq_index) first"
+        )
+    later_ids = {s.snapshot_id for s in snaps[last_index + 1 :]}
+    stale = [f for f in table.log.live_files() if f["added_in"] in later_ids]
+    if not stale:
+        return None
+    cents = _json.loads(table.log.properties["ivf.centroids"])
+    books = _json.loads(table.log.properties.get("pq.codebooks", "null"))
+    residual = table.log.properties.get("pq.residual") == "true"
+    df = table._read_files(stale)
+    for col in ("ivf_cell", "pq_codes"):
+        if col in df.columns:
+            df = df.drop(col)
+    assigned = similarity.ivf_assign(df, cents, id_col=id_col, vec_col=vec_col)
+    if books:
+        assigned = similarity.pq_encode(
+            assigned,
+            books,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids=cents if residual else None,
+        )
+    # cluster ONLY the new rows by cell, file count sized from the stale
+    # bytes (same sizing rule as compact) so a small append yields a few
+    # tight-cell-range files, not k near-empty ones
+    if target_file_bytes is None:
+        target_file_bytes = int(
+            table.log.properties.get("write.target-file-size-bytes", 512 * 1024 * 1024)
+        )
+    total = sum(
+        os.path.getsize(f["path"]) for f in stale if os.path.exists(f["path"])
+    )
+    n_files = max(1, _math.ceil(total / target_file_bytes))
+    clustered = assigned.repartitionByRange(n_files, "ivf_cell").sortWithinPartitions(
+        "ivf_cell"
+    )
+    new_files = table._write_data(clustered)
+    return table._commit(
+        "replace",
+        new_files,
+        removed_paths=[f["path"] for f in stale],
+        summary={
+            "op": "ann_refresh",
+            "files_refreshed": len(stale),
+            "files_after": len(new_files),
+        },
+    )
+
+
 def remove_orphan_files(table: LakehouseTable, older_than_s: float = 3600.0) -> list[str]:
     """Delete data files under the table dir that no snapshot references.
 

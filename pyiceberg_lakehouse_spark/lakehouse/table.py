@@ -557,14 +557,16 @@ class LakehouseTable:
         self,
         df: DataFrame,
         summary: dict[str, Any] | None = None,
-        retries: int = 0,
+        retries: int = 3,
     ) -> Snapshot:
         """One append = one snapshot (W6/W8, main-daft.py:137).
 
         ``retries``: appends commute, so on a concurrent-commit conflict the
-        log can refresh to the winner's state and retry — the multi-writer
-        story (data files are already on disk under a unique commit dir;
-        only the metadata commit re-runs).
+        log refreshes to the winner's state and retries BY DEFAULT — the
+        optimistic multi-writer story (data files are already on disk under
+        a unique commit dir; only the metadata commit re-runs). Conflicting
+        overwrite/replace/delete commits still error (COMMUTATIVE_OPS in
+        lakehouse/log.py); set ``retries=0`` for strict single-writer mode.
         """
         self._validate_constraints(df)
         files = self._write_data(df)
@@ -603,9 +605,11 @@ class LakehouseTable:
         paths: list[str],
         partition_values: dict[str, str] | None = None,
         batch_size: int = 100,
+        retries: int = 3,
     ) -> list[Snapshot]:
         """Metadata-only registration — no data is read or moved (W10/Q4,
-        main-ray.py:109-121, batches of 100)."""
+        main-ray.py:109-121, batches of 100). Commutes with concurrent
+        appends, so conflicts rebase-retry by default like ``append``."""
         snaps = []
         for i in range(0, len(paths), batch_size):
             batch = paths[i : i + batch_size]
@@ -613,7 +617,14 @@ class LakehouseTable:
                 {"path": p, "partition": dict(partition_values or {}), "rows": None}
                 for p in batch
             ]
-            snaps.append(self._commit("add_files", files, summary={"batch": i // batch_size}))
+            snaps.append(
+                self._commit(
+                    "add_files",
+                    files,
+                    summary={"batch": i // batch_size},
+                    retry_conflicts=retries,
+                )
+            )
         return snaps
 
     def rollback_to(self, snapshot_id: int) -> Snapshot:
@@ -958,7 +969,20 @@ class LakehouseTable:
         import uuid
 
         schema = self.schema()
-        df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+        # evolved columns are optional for writers (Iceberg add-column
+        # semantics): an append missing a post-evolution column — e.g. raw
+        # ingest into a table carrying ivf_cell/pq_codes index columns —
+        # writes NULL there instead of erroring, so existing pipelines
+        # survive schema evolution and index builds
+        present = set(df.columns)
+        df = df.select(
+            *[
+                F.col(f.name).cast(f.dataType)
+                if f.name in present
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
         # hidden partitioning: compute derived partition values as Catalyst
         # expressions; identity columns partition directly
         for pf in self.partition_fields:

@@ -23,6 +23,27 @@ from pyiceberg_lakehouse_spark.functions.exact import dot_product_exact
 # temporaries ~256 MB even at the 65536-query driver cap.
 _SCORE_MATRIX_BYTES = 256 * 1024 * 1024
 
+# Auto n_probe: probe this fraction of cells (FAISS rule-of-thumb class),
+# floored at 4. Cell counts scale ~N/cell_rows, so a FIXED probe count
+# means recall decays as the corpus grows (measured: recall@10 0.988 at 61
+# cells -> 0.80 at 610 cells with n_probe=4, BENCH_SCALE.json r5). A fixed
+# FRACTION keeps the probed share of the corpus — and hence recall —
+# roughly constant, trading probe time linear in n_cells.
+_PROBE_FRACTION = 1 / 16
+
+
+def resolve_n_probe(n_cells: int, n_probe: int | None) -> int:
+    """Resolve the probe width: an explicit ``n_probe`` wins (clamped to the
+    cell count); ``None`` auto-scales with the cell count so recall holds as
+    the corpus grows. See ``_PROBE_FRACTION``."""
+    import math
+
+    if n_cells <= 0:
+        return 1
+    if n_probe is not None:
+        return max(1, min(n_probe, n_cells))
+    return max(4, min(n_cells, math.ceil(n_cells * _PROBE_FRACTION)))
+
 
 def dot_product_fast(a: str | F.Column, b: str | F.Column) -> F.Column:
     """Double-precision dot product (zip_with + aggregate, JVM-side).
@@ -383,12 +404,13 @@ def ivf_topk(
     queries: DataFrame,
     centroids: list[list[float]],
     k: int = 3,
-    n_probe: int = 4,
+    n_probe: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF approximate top-k: score only corpus cells among each query's
-    ``n_probe`` nearest centroids.
+    ``n_probe`` nearest centroids (``None`` = auto-scale with cell count,
+    see ``resolve_n_probe``).
 
     The corpus shuffles once by cell (or stays put if pre-partitioned by
     cell at ingest); each query fans out to n_probe cells, so scored pairs
@@ -396,6 +418,7 @@ def ivf_topk(
     """
     import numpy as np
 
+    n_probe = resolve_n_probe(len(centroids), n_probe)
     qids, Q = _collect_queries(queries, id_col, vec_col)
     cb = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("vid"),
@@ -415,7 +438,7 @@ def ivf_index_topk(
     table,
     queries: DataFrame,
     k: int = 3,
-    n_probe: int = 4,
+    n_probe: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -434,6 +457,7 @@ def ivf_index_topk(
     import numpy as np
 
     centroids = _json.loads(table.log.properties["ivf.centroids"])
+    n_probe = resolve_n_probe(len(centroids), n_probe)
     qids, Q = _collect_queries(queries, id_col, vec_col)
     if not qids:
         return _probe_topk(table.scan().limit(0), qids, Q, centroids, k, n_probe)
@@ -693,7 +717,7 @@ def ivf_pq_topk(
     table,
     queries: DataFrame,
     k: int = 3,
-    n_probe: int = 4,
+    n_probe: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank_factor: int = 16,
@@ -725,6 +749,7 @@ def ivf_pq_topk(
     import numpy as np
 
     centroids = _json.loads(table.log.properties["ivf.centroids"])
+    n_probe = resolve_n_probe(len(centroids), n_probe)
     books = _json.loads(table.log.properties["pq.codebooks"])
     residual = table.log.properties.get("pq.residual") == "true"
     n_sub, n_codes = len(books), len(books[0])

@@ -135,13 +135,15 @@ def test_expire_snapshots_deletes_orphans(spark, warehouse, nation_chunks):
 
 
 def test_concurrent_commit_detection(spark, warehouse, nation_chunks):
+    """Strict single-writer mode (retries=0) still surfaces the conflict;
+    the default append rebase-retries instead (see the next test)."""
     _, chunks = nation_chunks
     lh = Lakehouse(spark, warehouse)
     t = lh.create_table("ns.nation_cc", SCHEMAS["nation"])
     stale = lh.load_table("ns.nation_cc")  # second handle, same table
     t.append(chunks[0])
     with pytest.raises(RuntimeError, match="concurrent commit"):
-        stale.append(chunks[1])
+        stale.append(chunks[1], retries=0)
 
 
 def test_append_retry_resolves_conflict(spark, warehouse, nation_chunks):
