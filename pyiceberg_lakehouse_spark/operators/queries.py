@@ -288,6 +288,67 @@ def lh_ann_indexed_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lh_ann_refresh_selfcheck",
+    """
+    select vec_id as qid, cast(3 as integer) as n_results,
+           true as matches_unindexed, true as indexed_files_untouched
+    from embeddings where vec_id < 10
+    """,
+)
+def lh_ann_refresh_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential proof of INCREMENTAL index maintenance the driver can
+    hash: build the IVF index on 80% of the corpus, append the other 20%,
+    refresh_ann_indexes — then (a) the probe over the refreshed table must
+    equal the unindexed ivf_topk over the FULL corpus with the same
+    centroids (appended vectors findable, nothing lost), and (b) every
+    file from the original build must survive byte-untouched (refresh cost
+    tracks the append, not the corpus — maintenance.py:refresh_ann_indexes,
+    the register-without-rewrite philosophy of main-ray.py:109-121)."""
+    import json
+    import os as _os
+    import tempfile
+
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import (
+        build_ivf_index,
+        refresh_ann_indexes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    extra = emb.filter(F.col("vec_id") % 5 == 0)
+    q = emb.filter(F.col("vec_id") < 10)
+    lh = Lakehouse(spark, tempfile.mkdtemp(prefix="ann_rfr_"))
+    t = lh.create_table("ns.embeddings_rfr", emb.schema)
+    t.append(base)
+    build_ivf_index(t, k=16, iters=2)
+    indexed = {
+        f["path"]: _os.path.getmtime(f["path"]) for f in t.log.live_files()
+    }
+    t.append(extra)
+    refresh_ann_indexes(t)
+    untouched = all(
+        _os.path.exists(p) and _os.path.getmtime(p) == m for p, m in indexed.items()
+    )
+    cents = json.loads(t.log.properties["ivf.centroids"])
+    got = similarity.ivf_index_topk(t, q, k=3, n_probe=4)
+    twin = similarity.ivf_topk(emb, q, cents, k=3, n_probe=4)
+    a = got.groupBy("qid").agg(
+        F.sort_array(F.collect_list(F.struct("rank", "vid"))).alias("res"),
+        F.count("*").cast("int").alias("n_results"),
+    )
+    b = twin.groupBy("qid").agg(
+        F.sort_array(F.collect_list(F.struct("rank", "vid"))).alias("res_twin")
+    )
+    return a.join(b, "qid").select(
+        "qid",
+        "n_results",
+        (F.col("res") == F.col("res_twin")).alias("matches_unindexed"),
+        F.lit(untouched).alias("indexed_files_untouched"),
+    )
+
+
+@register(
     "text_token_stats",
     f"""
     select doc_id,

@@ -48,13 +48,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # never had a driver row, growing the driver-verified set over time while
 # keeping every category represented.
 #
-# Round-6 rotation (12 slots, double the usual pace per VERDICT r5 task #1):
-# rotated OUT twelve multi-round-green rows (ts_gapfill_hourly,
+# Round-6 rotation (13 slots, double the usual pace per VERDICT r5 task #1):
+# rotated OUT thirteen multi-round-green rows (ts_gapfill_hourly,
 # filter_exists_correlated, sql_grouping_sets, join_multiway_revenue,
 # win_running_sum, set_union_all, cast_whole_table, filter_scalar_subquery,
 # agg_q5_local_supplier_volume, lh_time_travel, lh_cdc_apply,
-# stream_stream_join); rotated IN twelve never-driver-verified queries,
-# prioritizing the lakehouse lifecycle/maintenance cluster.
+# stream_stream_join, dedup_ngram_jaccard); rotated IN twelve
+# never-driver-verified queries prioritizing the lakehouse lifecycle/
+# maintenance cluster, plus the new lh_ann_refresh_selfcheck differential.
 DRIVER_WINDOW: tuple[str, ...] = (
     # parquet scans + filters
     "scan_region",
@@ -96,14 +97,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lh_branch_merge",
     "lh_schema_evolution",
     "lh_ann_indexed_selfcheck",
+    "lh_ann_refresh_selfcheck",
     "lh_compact_roundtrip",
     "lh_partition_evolution",
     "lh_rollback",
     "lh_bloom_point_lookup",
     "lh_hidden_partition_month",
-    # dedup + similarity
+    # dedup + similarity (ngram_jaccard rotated out in r6 for the new
+    # refresh selfcheck; exact + embedding-cosine keep the category covered)
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "sim_cosine_topk",
     "dedup_embedding_cosine",
     # text + multimodal
