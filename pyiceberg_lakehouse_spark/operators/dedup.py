@@ -156,7 +156,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k: int = 3,
     verify_threshold: float | None = 0.5,
-    checkpoint_signatures: bool = False,
+    checkpoint_signatures: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -166,15 +166,19 @@ def minhash_lsh_pairs(
     candidates are re-checked with exact Jaccard (on candidates only).
     """
     rows = num_hashes // bands
-    # checkpoint_signatures=False (default): the band self-join's two sides
-    # share one subplan, and Catalyst's ReusedExchange already computes the
-    # signature shuffle ONCE — a localCheckpoint here is pure overhead, not
-    # a saving. Measured clean A/B at both scales — see BENCH_SCALE.json
-    # keys minhash_ckpt_100k vs minhash_nockpt_100k and minhash_ckpt_1000k
-    # vs minhash_nockpt_1000k (checkpoint slower or at best equal at both
-    # scales; the numbers live in the json, not here, so they cannot go
-    # stale — tests/test_advice_fixes.py asserts the cited keys exist).
-    # The flag remains so the harness keeps the comparison honest.
+    # checkpoint_signatures=True (default): the round-6 A/B — the first
+    # clean one: explicit flag on both arms plus an untimed warmup so
+    # neither arm rides the other's page cache (the r5 "checkpoint loses"
+    # numbers compared the same no-checkpoint code against itself, cold vs
+    # warm) — shows checkpointing the signatures WINS at 100k docs and ties
+    # at 1M. ReusedExchange does share the signature shuffle across the
+    # band self-join's two sides, but the checkpoint also cuts the lineage
+    # replayed by the verify stage's second pass over the pairs. See
+    # BENCH_SCALE.json keys minhash_ckpt_100k vs minhash_nockpt_100k and
+    # minhash_ckpt_1000k vs minhash_nockpt_1000k (numbers live in the json,
+    # not here, so they cannot go stale — tests/test_advice_fixes.py
+    # asserts the cited keys exist). The flag remains so the harness keeps
+    # the comparison honest round over round.
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
     if checkpoint_signatures:
         sig = sig.localCheckpoint(eager=False)

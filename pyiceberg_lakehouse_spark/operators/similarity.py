@@ -26,9 +26,13 @@ _SCORE_MATRIX_BYTES = 256 * 1024 * 1024
 # Auto n_probe: probe this fraction of cells (FAISS rule-of-thumb class),
 # floored at 4. Cell counts scale ~N/cell_rows, so a FIXED probe count
 # means recall decays as the corpus grows (measured: recall@10 0.988 at 61
-# cells -> 0.80 at 610 cells with n_probe=4, BENCH_SCALE.json r5). A fixed
+# cells -> 0.825 at 610 cells with n_probe=4, BENCH_SCALE.json). A fixed
 # FRACTION keeps the probed share of the corpus — and hence recall —
-# roughly constant, trading probe time linear in n_cells.
+# roughly constant. The measured cost of the wider probe is small:
+# PROBE_SWEEP.json (10M vectors, 610 cells) shows probe wall nearly flat
+# from 4 to 39 probes (1.6s -> 2.1s; per-file open cost dominates, not
+# scored rows) while recall@10 saturates at 1.0 by 12 probes — so 1/16
+# buys robustness for less-clustered corpora at ~zero marginal cost.
 _PROBE_FRACTION = 1 / 16
 
 

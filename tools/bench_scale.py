@@ -20,7 +20,11 @@ data) and measures:
    a batch confined to one of four partitions should cost ~1/4 of a batch
    spread over all four.
 
-Run:   python tools/bench_scale.py            (writes BENCH_SCALE.json)
+Run:   python tools/bench_scale.py [section ...]   (writes BENCH_SCALE.json)
+       sections: documents embeddings mutations upsert (default: all).
+       A partial run MERGES into the existing json — untouched sections
+       keep their previous phases/samples/notes; claims recompute from the
+       merged phase set, so a subset rerun never fabricates or drops data.
 Env:   SPARK_GRAFT_SCALE=1.0  multiplies all row counts (0.1 = smoke run)
        SPARK_GRAFT_SCALE_REPS=3  repetitions for the cheap (probe) phases
 """
@@ -296,8 +300,21 @@ def bench_mutations(spark, b: Bench, tmp: str) -> None:
         t.append(mock)
 
         # z-order: rewrite cost ~linear in rows; a 2-d box scan afterwards
-        # must prune most files REGARDLESS of scale (the flat claim)
-        b.run(f"zorder_rewrite_{tag}", lambda: cluster_zorder(t, ["id", "value2"]))
+        # must prune most files REGARDLESS of scale (the flat claim).
+        # Explicit file sizing: the default 512 MB target collapses these
+        # corpora into ~1 range partition (4 hive files), which makes the
+        # pruning evidence vacuous — size for ~48 z-range files instead.
+        total_bytes = sum(
+            os.path.getsize(f["path"])
+            for f in t.log.live_files()
+            if os.path.exists(f["path"])
+        )
+        b.run(
+            f"zorder_rewrite_{tag}",
+            lambda: cluster_zorder(
+                t, ["id", "value2"], target_file_bytes=max(1 << 20, total_bytes // 48)
+            ),
+        )
         bounds = t.scan().agg(
             F.min("value2").alias("v_lo"), F.max("value2").alias("v_hi")
         ).collect()[0]
@@ -383,10 +400,32 @@ def bench_mock_upsert(spark, b: Bench, tmp: str) -> None:
     shutil.rmtree(wh, ignore_errors=True)
 
 
+SECTIONS = {
+    "documents": bench_documents,
+    "embeddings": bench_embeddings,
+    "mutations": bench_mutations,
+    "upsert": bench_mock_upsert,
+}
+
+
 def main() -> None:
+    wanted = [a for a in sys.argv[1:] if not a.startswith("-")]
+    unknown = [a for a in wanted if a not in SECTIONS]
+    if unknown:
+        raise SystemExit(f"unknown sections {unknown}; choose from {list(SECTIONS)}")
+    run_sections = wanted or list(SECTIONS)
+
     spark = get_spark("bench_scale")
     spark.sparkContext.setLogLevel("ERROR")
     b = Bench()
+    # partial run: start from the previous results so untouched sections
+    # keep their data and the claims block recomputes over the full set
+    if wanted and os.path.exists(OUT):
+        with open(OUT) as fh:
+            prev = json.load(fh)
+        b.phases.update(prev.get("phases", {}))
+        b.samples.update(prev.get("samples", {}))
+        b.notes.update(prev.get("notes", {}))
 
     t0 = time.time()
     spark.range(0, 50_000_000, 1, 32).select(
@@ -400,10 +439,9 @@ def main() -> None:
 
     tmp = tempfile.mkdtemp(prefix="bench_scale_")
     try:
-        bench_documents(spark, b, tmp)
-        bench_embeddings(spark, b, tmp)
-        bench_mutations(spark, b, tmp)
-        bench_mock_upsert(spark, b, tmp)
+        for name in SECTIONS:
+            if name in run_sections:
+                SECTIONS[name](spark, b, tmp)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
