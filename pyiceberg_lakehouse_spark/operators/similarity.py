@@ -572,12 +572,13 @@ def pq_train_local(
         if len(C) < n_codes:  # degenerate tiny sample: pad by repetition
             C = np.resize(C, (n_codes, d))
         for _ in range(iters):
-            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
-            for c in range(n_codes):
-                members = Xs[assign == c]
-                if len(members):
-                    C[c] = members.mean(axis=0)
+            # argmin ||x - c||^2 == argmax (2 x.c - |c|^2): one BLAS matmul,
+            # no (n, codes, d) broadcast tensor
+            scores = 2.0 * (Xs @ C.T) - (C * C).sum(axis=1)
+            assign = np.argmax(scores, axis=1)
+            sums, counts = _group_sums(assign, Xs, n_codes)
+            nz = counts > 0  # empty codes keep their previous entry
+            C[nz] = sums[nz] / counts[nz, None]
         books.append([[float(v) for v in row] for row in C])
     return books
 
@@ -879,6 +880,24 @@ def ivf_pq_topk(
     )
 
 
+def _group_sums(assign, X, n_groups):
+    """Per-group (sums, counts) of X rows grouped by assign — dim bincount
+    passes instead of n_groups boolean-mask scans. The mask form cost
+    O(n_groups * n) per iteration and dominated pq_train_local (measured
+    ~19s of a 44s train at 32 subspaces x 256 codes); this is O(dim * n)."""
+    import numpy as np
+
+    counts = np.bincount(assign, minlength=n_groups).astype(np.float64)
+    sums = np.stack(
+        [
+            np.bincount(assign, weights=X[:, j], minlength=n_groups)
+            for j in range(X.shape[1])
+        ],
+        axis=1,
+    )
+    return sums, counts
+
+
 def kmeans_refine_local(
     df: DataFrame,
     centroids: list[list[float]],
@@ -908,12 +927,12 @@ def kmeans_refine_local(
     C = np.array(centroids, dtype=np.float64)
     for _ in range(iters):
         assign = np.argmax(X @ C.T, axis=1)
-        for cell in range(C.shape[0]):
-            members = X[assign == cell]
-            if len(members):
-                m = members.mean(axis=0)
-                norm = float(np.sqrt((m * m).sum())) or 1.0
-                C[cell] = m / norm
+        sums, counts = _group_sums(assign, X, C.shape[0])
+        nz = counts > 0  # empty cells keep their previous centroid
+        means = sums[nz] / counts[nz, None]
+        norms = np.sqrt((means * means).sum(axis=1, keepdims=True))
+        norms[norms == 0.0] = 1.0
+        C[nz] = means / norms
     return [[float(v) for v in row] for row in C]
 
 
