@@ -310,17 +310,25 @@ def refresh_ann_indexes(
     from pyiceberg_lakehouse_spark.operators import similarity
 
     snaps = table.log.snapshots
-    last_index = max(
-        (i for i, s in enumerate(snaps) if s.summary.get("op") in _INDEX_OPS),
-        default=None,
-    )
-    if last_index is None:
+    # epoch = highest snapshot id at which the whole live file set was
+    # index-consistent. Snapshot ids are monotonic and survive expiry, so
+    # the comparison is by id, and expire_snapshots stashes the dropped
+    # index commit's id on the squash base (``ann_index_epoch``) the same
+    # way it preserves rename history — the index must stay refreshable
+    # after history is expired.
+    epoch_ids = [s.snapshot_id for s in snaps if s.summary.get("op") in _INDEX_OPS]
+    epoch_ids += [
+        s.summary["ann_index_epoch"]
+        for s in snaps
+        if "ann_index_epoch" in s.summary
+    ]
+    if not epoch_ids:
         raise ValueError(
             "no persisted ANN index on this table; run build_ivf_index "
             "(and optionally build_pq_index) first"
         )
-    later_ids = {s.snapshot_id for s in snaps[last_index + 1 :]}
-    stale = [f for f in table.log.live_files() if f["added_in"] in later_ids]
+    epoch = max(epoch_ids)
+    stale = [f for f in table.log.live_files() if f["added_in"] > epoch]
     if not stale:
         return None
     cents = _json.loads(table.log.properties["ivf.centroids"])
@@ -467,6 +475,21 @@ def expire_snapshots(table: LakehouseTable, keep_last: int = 1) -> list[str]:
     if dropped_cols:
         base.summary["column_history"] = dropped_cols + base.summary.get(
             "column_history", []
+        )
+    # ANN-index epoch must survive expiry too: refresh_ann_indexes keys off
+    # the last index commit's id, and the squash may drop that snapshot
+    dropped_epochs = [
+        s.snapshot_id
+        for s in log.snapshots[:-keep_last]
+        if s.summary.get("op") in _INDEX_OPS
+    ] + [
+        s.summary["ann_index_epoch"]
+        for s in log.snapshots[:-keep_last]
+        if "ann_index_epoch" in s.summary
+    ]
+    if dropped_epochs:
+        base.summary["ann_index_epoch"] = max(
+            [*dropped_epochs, base.summary.get("ann_index_epoch", 0)]
         )
     base.added_files = base_files
     base.removed_paths = []

@@ -140,3 +140,30 @@ def test_second_refresh_after_more_appends(spark, sf_dir, warehouse):
         assert path in after and after[path] == mtime
     assert t.scan().filter(F.col("ivf_cell").isNull()).count() == 0
     assert t.scan().count() == emb.count()
+
+
+def test_refresh_survives_snapshot_expiry(spark, sf_dir, warehouse):
+    """expire_snapshots squashes history — the index commit's snapshot may
+    be dropped, but the table still carries a live index (properties +
+    ivf_cell files). Refresh must keep working: the epoch survives on the
+    squash base, pre-expiry files count as indexed, post-expiry appends
+    get encoded."""
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import expire_snapshots
+
+    emb, base, extra = _split_emb(spark, sf_dir)
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.emb_refresh_expire", base.schema)
+    t.append(base)
+    build_ivf_index(t, k=8, iters=1)
+    expire_snapshots(t, keep_last=1)
+    assert refresh_ann_indexes(t) is None  # still recognized, nothing stale
+
+    indexed = _file_state(t)
+    t.append(extra)
+    snap = refresh_ann_indexes(t)
+    assert snap is not None and snap.summary["op"] == "ann_refresh"
+    after = _file_state(t)
+    for path, mtime in indexed.items():
+        assert path in after and after[path] == mtime
+    assert t.scan().filter(F.col("ivf_cell").isNull()).count() == 0
+    assert t.scan().count() == emb.count()
