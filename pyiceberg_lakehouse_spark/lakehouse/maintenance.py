@@ -280,6 +280,46 @@ def build_pq_index(
 _INDEX_OPS = ("ivf_index", "pq_index", "ann_refresh")
 
 
+def ann_index_epoch(table: LakehouseTable) -> int | None:
+    """Snapshot id of the last index-consistent commit, or None if no ANN
+    index was ever built. Ids are monotonic and survive expiry (the squash
+    base carries ``ann_index_epoch`` for dropped index commits)."""
+    ids = [
+        s.snapshot_id
+        for s in table.log.snapshots
+        if s.summary.get("op") in _INDEX_OPS
+    ]
+    ids += [
+        s.summary["ann_index_epoch"]
+        for s in table.log.snapshots
+        if "ann_index_epoch" in s.summary
+    ]
+    return max(ids) if ids else None
+
+
+def ann_index_stale_files(table: LakehouseTable) -> list[dict]:
+    """Live files whose rows are INVISIBLE to index probes: added after the
+    last index commit, or lacking ivf_cell values entirely (e.g. restored
+    by a rollback past the index build). Metadata-only — no data reads."""
+    epoch = ann_index_epoch(table)
+    if epoch is None:
+        raise ValueError(
+            "no persisted ANN index on this table; run build_ivf_index "
+            "(and optionally build_pq_index) first"
+        )
+
+    def lacks_cells(f: dict) -> bool:
+        stats = f.get("stats") or {}
+        lohi = stats.get("ivf_cell")
+        return lohi is None or lohi[0] is None
+
+    return [
+        f
+        for f in table.log.live_files()
+        if f["added_in"] > epoch or lacks_cells(f)
+    ]
+
+
 def refresh_ann_indexes(
     table: LakehouseTable,
     id_col: str = "vec_id",
@@ -309,26 +349,7 @@ def refresh_ann_indexes(
 
     from pyiceberg_lakehouse_spark.operators import similarity
 
-    snaps = table.log.snapshots
-    # epoch = highest snapshot id at which the whole live file set was
-    # index-consistent. Snapshot ids are monotonic and survive expiry, so
-    # the comparison is by id, and expire_snapshots stashes the dropped
-    # index commit's id on the squash base (``ann_index_epoch``) the same
-    # way it preserves rename history — the index must stay refreshable
-    # after history is expired.
-    epoch_ids = [s.snapshot_id for s in snaps if s.summary.get("op") in _INDEX_OPS]
-    epoch_ids += [
-        s.summary["ann_index_epoch"]
-        for s in snaps
-        if "ann_index_epoch" in s.summary
-    ]
-    if not epoch_ids:
-        raise ValueError(
-            "no persisted ANN index on this table; run build_ivf_index "
-            "(and optionally build_pq_index) first"
-        )
-    epoch = max(epoch_ids)
-    stale = [f for f in table.log.live_files() if f["added_in"] > epoch]
+    stale = ann_index_stale_files(table)
     if not stale:
         return None
     cents = _json.loads(table.log.properties["ivf.centroids"])

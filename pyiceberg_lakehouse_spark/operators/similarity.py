@@ -438,6 +438,24 @@ def ivf_topk(
     return _probe_topk(cb, qids, Q, centroids, k, n_probe)
 
 
+def _guard_index_staleness(table, allow_stale: bool) -> None:
+    """Fail loudly when live files are invisible to index probes (added
+    after the last index commit, or restored from a pre-index snapshot):
+    silently missing rows is the worst ANN failure mode. Metadata-only."""
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import (
+        ann_index_stale_files,
+    )
+
+    stale = ann_index_stale_files(table)
+    if stale and not allow_stale:
+        raise ValueError(
+            f"{len(stale)} live file(s) are not covered by the ANN index — "
+            "their rows are invisible to index probes. Run "
+            "maintenance.refresh_ann_indexes(table) (or rebuild), or pass "
+            "allow_stale=True to knowingly probe only the indexed subset."
+        )
+
+
 def ivf_index_topk(
     table,
     queries: DataFrame,
@@ -445,6 +463,7 @@ def ivf_index_topk(
     n_probe: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allow_stale: bool = False,
 ) -> DataFrame:
     """ANN top-k over a PERSISTED IVF index (lakehouse table prepared by
     ``maintenance.build_ivf_index``): the stored ``ivf_cell`` column plus
@@ -460,6 +479,7 @@ def ivf_index_topk(
 
     import numpy as np
 
+    _guard_index_staleness(table, allow_stale)
     centroids = _json.loads(table.log.properties["ivf.centroids"])
     n_probe = resolve_n_probe(len(centroids), n_probe)
     qids, Q = _collect_queries(queries, id_col, vec_col)
@@ -737,6 +757,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank_factor: int = 16,
+    allow_stale: bool = False,
 ) -> DataFrame:
     """The full persisted-index ANN read path: IVF cells prune FILES
     (stats IN-list on the stored ``ivf_cell``), PQ codes make scoring the
@@ -764,6 +785,7 @@ def ivf_pq_topk(
 
     import numpy as np
 
+    _guard_index_staleness(table, allow_stale)
     centroids = _json.loads(table.log.properties["ivf.centroids"])
     n_probe = resolve_n_probe(len(centroids), n_probe)
     books = _json.loads(table.log.properties["pq.codebooks"])

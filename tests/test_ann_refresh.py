@@ -167,3 +167,25 @@ def test_refresh_survives_snapshot_expiry(spark, sf_dir, warehouse):
         assert path in after and after[path] == mtime
     assert t.scan().filter(F.col("ivf_cell").isNull()).count() == 0
     assert t.scan().count() == emb.count()
+
+
+def test_probe_raises_on_stale_index(spark, sf_dir, warehouse):
+    """Appending to an indexed table makes the new rows invisible to index
+    probes; the probe must refuse (not silently drop rows) until refresh,
+    unless allow_stale=True is passed explicitly."""
+    emb, base, extra = _split_emb(spark, sf_dir)
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.emb_stale_guard", base.schema)
+    t.append(base)
+    build_ivf_index(t, k=8, iters=1)
+    q = emb.filter(F.col("vec_id") == 0)
+    assert len(similarity.ivf_index_topk(t, q, k=3).collect()) == 3  # fresh: fine
+
+    t.append(extra)
+    with pytest.raises(ValueError, match="refresh_ann_indexes"):
+        similarity.ivf_index_topk(t, q, k=3)
+    # explicit opt-in probes the indexed subset
+    got = similarity.ivf_index_topk(t, q, k=3, allow_stale=True).collect()
+    assert len(got) == 3
+    refresh_ann_indexes(t)
+    assert len(similarity.ivf_index_topk(t, q, k=3).collect()) == 3
