@@ -132,6 +132,7 @@ def load_all() -> None:
     import pyiceberg_lakehouse_spark.queries.relational_ext  # noqa: F401
     import pyiceberg_lakehouse_spark.queries.relational_ext2  # noqa: F401
     import pyiceberg_lakehouse_spark.queries.relational_tpch  # noqa: F401
+    import pyiceberg_lakehouse_spark.queries.relational_tpch2  # noqa: F401
     import pyiceberg_lakehouse_spark.queries.relational_ext3  # noqa: F401
     import pyiceberg_lakehouse_spark.operators.queries  # noqa: F401
     import pyiceberg_lakehouse_spark.lakehouse.queries  # noqa: F401
