@@ -208,3 +208,50 @@ def test_ivf_probe_no_cartesian_no_corpus_assign(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "MapInPandas" in plan
     assert "Join" not in plan
+
+
+# ---- TPC-H batch three (Q2..Q22 shapes) ----
+
+
+def test_q6_all_filters_pushed_single_scan(spark, sf_dir):
+    """Q6 is scan-filter-aggregate: every predicate must reach the parquet
+    reader and the plan must contain exactly one lineitem scan."""
+    plan = plan_of(spark, "agg_q6_forecast_revenue", sf_dir)
+    assert "CartesianProduct" not in plan
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed.group(1)
+    # exactly one scan node in the detail sections (tree + detail both
+    # print the node name, so count the numbered detail headers)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_q8_no_cartesian_dimensions_broadcast(spark, sf_dir):
+    """Q8's 8-way join: no cartesian, dimension sides broadcast."""
+    plan = plan_of(spark, "agg_q8_market_share", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q21_decorrelated_no_cartesian(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair is expressed via one per-order
+    aggregate + equi-joins; a cartesian or nested-loop self-join over
+    lineitem would be the scale killer."""
+    plan = plan_of(spark, "agg_q21_suppliers_kept_waiting", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q17_correlated_avg_is_one_aggregate(spark, sf_dir):
+    """Q17's per-part AVG threshold must decorrelate: one grouped
+    aggregate joined back, never a per-row subquery re-execution."""
+    plan = plan_of(spark, "agg_q17_small_quantity_revenue", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_anti_join_shape(spark, sf_dir):
+    plan = plan_of(spark, "agg_q22_global_sales_opportunity", sf_dir)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
