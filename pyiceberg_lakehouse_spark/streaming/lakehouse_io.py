@@ -69,6 +69,55 @@ def write_stream_to_table(
     return writer.start()
 
 
+def write_stream_to_indexed_table(
+    stream_df: DataFrame,
+    table: LakehouseTable,
+    checkpoint_dir: str,
+    refresh_every: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous ANN ingestion: the exactly-once micro-batch append sink
+    composed with periodic ``refresh_ann_indexes`` — streamed vectors
+    become probe-visible after at most ``refresh_every`` batches instead
+    of waiting for an offline maintenance pass.
+
+    The refresh cadence is derived from LOG STATE (append snapshots since
+    the last index epoch), not an in-memory counter, so a restarted query
+    resumes the cadence correctly and a replayed batch never double-
+    refreshes. Between refreshes, probes fail loudly via the staleness
+    guard (similarity.ivf_index_topk) rather than silently missing the
+    streamed rows — allow_stale=True reads the indexed prefix.
+    """
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import (
+        ann_index_epoch,
+        refresh_ann_indexes,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.log.load()
+        if batch_id not in committed_batch_ids(table):
+            if batch_df.isEmpty():
+                return
+            table.append(batch_df, summary={"streaming_batch_id": batch_id})
+        epoch = ann_index_epoch(table)
+        pending = sum(
+            1
+            for s in table.log.snapshots
+            if "streaming_batch_id" in s.summary and s.snapshot_id > (epoch or 0)
+        )
+        if pending >= refresh_every:
+            refresh_ann_indexes(table)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_table_stream(
     spark: SparkSession,
     table: LakehouseTable,

@@ -295,3 +295,77 @@ def stream_lh_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
         )
     )
+
+
+@register(
+    "stream_lh_ann_ingest",
+    """
+    select vec_id as qid, cast(3 as integer) as n_results,
+           true as matches_unindexed
+    from embeddings where vec_id < 8
+    """,
+)
+def stream_lh_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ANN ingestion, driver-hashable: build the IVF index on
+    60% of the corpus, stream the rest in multiple micro-batches through
+    ``write_stream_to_indexed_table`` (incremental refresh every 2
+    batches), then the index probe over the final table must equal the
+    unindexed ``ivf_topk`` twin over the FULL corpus — streamed vectors
+    findable, indexed files untouched by the refreshes. Composes the
+    exactly-once sink (lakehouse_io.py) with refresh_ann_indexes
+    (maintenance.py); the reference has no streaming story at all, so this
+    is beyond-reference surface for a training-data pipeline that ingests
+    embeddings continuously."""
+    import json
+    import os
+
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import (
+        build_ivf_index,
+        refresh_ann_indexes,
+    )
+    from pyiceberg_lakehouse_spark.operators import similarity
+    from pyiceberg_lakehouse_spark.sources.testdata import load_table
+    from pyiceberg_lakehouse_spark.streaming.lakehouse_io import (
+        write_stream_to_indexed_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 < 3)
+    rest = emb.filter(F.col("vec_id") % 5 >= 3)
+    work = tempfile.mkdtemp(prefix="ann_stream_")
+    lh = Lakehouse(spark, os.path.join(work, "wh"))
+    t = lh.create_table("ns.emb_stream", emb.schema)
+    t.append(base)
+    build_ivf_index(t, k=8, iters=1)
+
+    # 4 on-disk feed files -> 4 micro-batches via maxFilesPerTrigger=1
+    feed = os.path.join(work, "feed")
+    rest.repartition(4).write.mode("overwrite").parquet(feed)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(feed)
+    )
+    q = write_stream_to_indexed_table(
+        stream, t, os.path.join(work, "ckpt"), refresh_every=2
+    )
+    q.awaitTermination()
+    refresh_ann_indexes(t)  # cover a sub-cadence tail batch; no-op if clean
+
+    cents = json.loads(t.log.properties["ivf.centroids"])
+    queries = emb.filter(F.col("vec_id") < 8)
+    got = similarity.ivf_index_topk(t, queries, k=3, n_probe=4)
+    twin = similarity.ivf_topk(emb, queries, cents, k=3, n_probe=4)
+    a = got.groupBy("qid").agg(
+        F.sort_array(F.collect_list(F.struct("rank", "vid"))).alias("res"),
+        F.count("*").cast("int").alias("n_results"),
+    )
+    b = twin.groupBy("qid").agg(
+        F.sort_array(F.collect_list(F.struct("rank", "vid"))).alias("res_twin")
+    )
+    return a.join(b, "qid").select(
+        "qid",
+        "n_results",
+        (F.col("res") == F.col("res_twin")).alias("matches_unindexed"),
+    )

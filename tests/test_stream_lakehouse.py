@@ -189,3 +189,62 @@ def test_branch_stream_source_reads_only_branch_commits(spark, warehouse, events
     assert out.count() == events.count()
     assert t.scan().count() == events.filter(F.col("event_id") % 2 == 0).count()
     t.drop_branch("staging")
+
+
+def test_indexed_sink_refresh_cadence_and_visibility(spark, sf_dir, tmp_path):
+    """write_stream_to_indexed_table: every streamed batch lands exactly
+    once, refreshes fire on the configured cadence (derived from log
+    state, not memory), and the final table is fully probe-visible."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import (
+        ann_index_stale_files,
+        build_ivf_index,
+    )
+    from pyiceberg_lakehouse_spark.sources.testdata import load_table
+    from pyiceberg_lakehouse_spark.streaming.lakehouse_io import (
+        write_stream_to_indexed_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 < 3)
+    rest = emb.filter(F.col("vec_id") % 5 >= 3)
+    lh = Lakehouse(spark, str(tmp_path / "wh"))
+    t = lh.create_table("ns.emb_sink", emb.schema)
+    t.append(base)
+    build_ivf_index(t, k=4, iters=1)
+
+    feed = str(tmp_path / "feed")
+    rest.repartition(4).write.mode("overwrite").parquet(feed)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(feed)
+    )
+    q = write_stream_to_indexed_table(
+        stream, t, str(tmp_path / "ckpt"), refresh_every=2
+    )
+    q.awaitTermination()
+
+    t.log.load()
+    refreshes = [
+        s for s in t.log.snapshots if s.summary.get("op") == "ann_refresh"
+    ]
+    # 4 batches / refresh_every=2 -> exactly 2 refreshes, and the final
+    # one covers the tail, so nothing is stale
+    assert len(refreshes) == 2
+    assert ann_index_stale_files(t) == []
+    assert t.scan().count() == emb.count()
+    assert t.scan().filter(F.col("ivf_cell").isNull()).count() == 0
+    # exactly-once: each batch id committed once
+    ids = [
+        s.summary["streaming_batch_id"]
+        for s in t.log.snapshots
+        if "streaming_batch_id" in s.summary
+    ]
+    assert len(ids) == len(set(ids)) == 4
