@@ -118,8 +118,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "train_stratified_sample",
     "train_mix_weighted",
     "pipeline_clean_corpus",
-    # structured streaming (r6 rotation: first driver row for WAP publish)
-    "stream_tumbling_hourly",
+    # structured streaming (r6 rotation: first driver rows for WAP publish
+    # and the new continuous-ANN-ingestion composition; tumbling rotated
+    # out after three green rounds)
+    "stream_lh_ann_ingest",
     "stream_lh_cdc_apply",
     "stream_lh_wap_publish",
 )
