@@ -355,7 +355,10 @@ def refresh_ann_indexes(
     cents = _json.loads(table.log.properties["ivf.centroids"])
     books = _json.loads(table.log.properties.get("pq.codebooks", "null"))
     residual = table.log.properties.get("pq.residual") == "true"
-    df = table._read_files(stale)
+    # read WITH applicable equality deletes: the rewritten files' added_in
+    # postdates every delete snapshot, so rows deleted from a stale file
+    # would resurrect if read via the raw file list (_read_files)
+    df = table._read_files_with_deletes(stale)
     for col in ("ivf_cell", "pq_codes"):
         if col in df.columns:
             df = df.drop(col)

@@ -761,6 +761,22 @@ class LakehouseTable:
             from pyiceberg_lakehouse_spark.lakehouse.bloom import prune_files_bloom
 
             files = prune_files_bloom(self.spark, files, bloom_filter)
+        return self._read_files_with_deletes(files, snapshot_id)
+
+    def _read_files_with_deletes(
+        self, files: list[dict[str, Any]], snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Read a file list with the snapshot's applicable merge-on-read
+        equality deletes anti-joined — ``scan()``'s delete semantics
+        restricted to ``files``.
+
+        Every maintenance rewrite that reads a SUBSET of live files
+        (``refresh_ann_indexes`` reads only index-stale files) must route
+        through this, not ``_read_files``: a rewrite's output files get
+        ``added_in`` newer than every delete snapshot, so sequencing exempts
+        them from those deletes — rows deleted after the source file was
+        added would otherwise permanently resurrect in the rewrite.
+        """
         deletes = self.log.live_deletes(snapshot_id)
         if not deletes:
             return self._read_files(files)
@@ -969,12 +985,26 @@ class LakehouseTable:
         import uuid
 
         schema = self.schema()
-        # evolved columns are optional for writers (Iceberg add-column
-        # semantics): an append missing a post-evolution column — e.g. raw
-        # ingest into a table carrying ivf_cell/pq_codes index columns —
-        # writes NULL there instead of erroring, so existing pipelines
-        # survive schema evolution and index builds
+        # ONLY evolution-added columns are optional for writers (Iceberg
+        # add-column semantics): an append missing a post-evolution column —
+        # e.g. raw ingest into a table carrying ivf_cell/pq_codes index
+        # columns — writes NULL there, so existing pipelines survive schema
+        # evolution and index builds. A missing ORIGINAL column is a writer
+        # bug (misspelled/dropped field) and raises, instead of silently
+        # landing an all-NULL column.
         present = set(df.columns)
+        evolved = {n for _, op, n in self._column_events() if op == "add"}
+        missing_core = [
+            f.name
+            for f in schema.fields
+            if f.name not in present and f.name not in evolved
+        ]
+        if missing_core:
+            raise ValueError(
+                f"incoming data lacks required column(s) {missing_core}; only "
+                "columns added via schema evolution may be omitted (they "
+                f"NULL-fill). Table schema: {schema.fieldNames()}"
+            )
         df = df.select(
             *[
                 F.col(f.name).cast(f.dataType)

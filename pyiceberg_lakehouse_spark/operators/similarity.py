@@ -774,7 +774,12 @@ def ivf_pq_topk(
     corpus: ADC-only top-10 recall 0.04-0.08; with rerank 16, recall 0.81
     at 16 subspaces and 0.99 at 32); the ADC pass's job is shrinking
     n_probe cells of candidates to k x factor, which it does at
-    code-column IO cost. ``rerank_factor=0`` gives pure ADC ranking.
+    code-column IO cost. ``rerank_factor=0`` gives pure ADC ranking —
+    note the ADC kernel accumulates in float32 (LUT + residual term both
+    downcast for memory bandwidth), so with the refine stage disabled the
+    returned scores carry f32 precision emitted as double and tie-order
+    near equal scores can differ from the exact f64 path; with the default
+    refine stage the output scores are exact float64.
 
     This is the FAISS IVF-PQ(+refine) architecture expressed on lakehouse
     metadata: query cost is O(files in n_probe cells) IO on a code column

@@ -93,6 +93,17 @@ def write_stream_to_indexed_table(
         refresh_ann_indexes,
     )
 
+    # fail fast BEFORE any batch commits: if no index was ever built,
+    # refresh_ann_indexes would raise AFTER the first append — and on
+    # restart the batch id is already committed, so it raises again
+    # immediately and the stream is permanently wedged half-ingested
+    if ann_index_epoch(table) is None:
+        raise ValueError(
+            f"table at {table.table_dir!r} has no persisted ANN index; run "
+            "build_ivf_index (and optionally build_pq_index) before "
+            "streaming into it"
+        )
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         table.log.load()
         if batch_id not in committed_batch_ids(table):

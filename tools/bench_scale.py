@@ -112,10 +112,11 @@ def bench_documents(spark, b: Bench, tmp: str) -> None:
         mock_documents(spark, n).write.mode("overwrite").parquet(path)
         docs = spark.read.parquet(path)
 
-        # A/B: checkpoint_signatures now defaults to False, so the ckpt arm
-        # must opt IN explicitly. A throwaway warmup run first so neither
-        # arm gets penalized for cold file/JVM caches (the second arm used
-        # to run on a warm cache the first never had).
+        # A/B: checkpoint_signatures defaults to True in dedup.py; BOTH arms
+        # pass the flag explicitly anyway so the comparison stays honest
+        # regardless of the shipped default. A throwaway warmup run first so
+        # neither arm gets penalized for cold file/JVM caches (the second
+        # arm used to run on a warm cache the first never had).
         minhash_lsh_pairs(docs, "text", "doc_id").count()
         pairs = b.run(
             f"minhash_ckpt_{tag}",
