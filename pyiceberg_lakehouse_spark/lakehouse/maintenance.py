@@ -136,13 +136,20 @@ def build_ivf_index(
     table: LakehouseTable,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 16,
+    k: int | None = None,
     iters: int = 2,
-    sample_cap: int = 2048,
+    sample_cap: int | None = None,
 ):
     """Persist an IVF index INTO the table: an ``ivf_cell`` column (nearest
     centroid per row), files clustered by cell, and the centroids stored in
     table properties — one replace snapshot, same pattern as z-order/bloom.
+
+    ``k=None`` sizes the cell count as ``~0.2 * sqrt(rows)`` (FAISS
+    practice; see ``similarity.default_n_cells`` for why sqrt-N sizing is
+    what keeps both the build O(N^1.5) and the recall-governed probe cost
+    ~sqrt(N) as the corpus grows — a linear cell count makes assignment
+    quadratic in N). ``sample_cap=None`` scales the k-means sample with k
+    (8 rows per centroid, floored at 2048).
 
     This moves ANN index construction out of the read path: queries
     (``similarity.ivf_index_topk``) read centroids from metadata, compute
@@ -162,6 +169,11 @@ def build_ivf_index(
     df = table.scan()
     if "ivf_cell" in df.columns:
         df = df.drop("ivf_cell")
+    if k is None:
+        rows = table.metadata_count()
+        k = similarity.default_n_cells(rows if rows is not None else df.count())
+    if sample_cap is None:
+        sample_cap = max(2048, 8 * k)
     cents = similarity.kmeans_refine_local(
         df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(4)) == 0),
         similarity.sample_centroids(df, k=k, id_col=id_col, vec_col=vec_col),

@@ -23,30 +23,76 @@ from pyiceberg_lakehouse_spark.functions.exact import dot_product_exact
 # temporaries ~256 MB even at the 65536-query driver cap.
 _SCORE_MATRIX_BYTES = 256 * 1024 * 1024
 
-# Auto n_probe: probe this fraction of cells (FAISS rule-of-thumb class),
-# floored at 4. Cell counts scale ~N/cell_rows, so a FIXED probe count
-# means recall decays as the corpus grows (measured: recall@10 0.988 at 61
-# cells -> 0.825 at 610 cells with n_probe=4, BENCH_SCALE.json). A fixed
-# FRACTION keeps the probed share of the corpus — and hence recall —
-# roughly constant. The measured cost of the wider probe is small:
-# PROBE_SWEEP.json (10M vectors, 610 cells) shows probe wall nearly flat
-# from 4 to 39 probes (1.6s -> 2.1s; per-file open cost dominates, not
-# scored rows) while recall@10 saturates at 1.0 by 12 probes — so 1/16
-# buys robustness for less-clustered corpora at ~zero marginal cost.
-_PROBE_FRACTION = 1 / 16
+# Auto n_probe floor: probe at least this many cells. 16 sits above the
+# measured recall-1.0 probe width (12 at the 610-cell / 10M-vector
+# calibration point, PROBE_SWEEP.json) with headroom for less-clustered
+# corpora, at near-zero marginal wall cost (probe time is nearly flat in
+# n_probe there: per-file open cost dominates scored rows).
+_PROBE_FLOOR = 16
+
+
+def default_n_cells(n_rows: int) -> int:
+    """IVF cell count for a corpus of ``n_rows``: ``~0.2 * sqrt(N)``,
+    floored at 16 (FAISS practice sizes cells by sqrt(N); the coefficient
+    anchors the policy to the calibrated 10M-vector operating point of
+    ~610 cells, PROBE_SWEEP.json).
+
+    sqrt-N sizing is what keeps BOTH halves of the index sublinear as the
+    corpus grows:
+
+    - build: centroid assignment is O(N * cells * dim) — linear cell
+      growth (the old constant-rows-per-cell rule) made the build
+      QUADRATIC in N; sqrt cells makes it O(N^1.5) in total but the
+      per-10x growth of assignment cost is ~31x -> bounded, and k-means
+      training stays feasible (cells, not rows, bound the driver state).
+    - probe: probed rows = n_probe * N / cells. With sqrt-N cells and the
+      recall-targeted ``resolve_n_probe`` width, probed rows grow
+      ~sqrt(10) ~ 3.2x per 10x corpus in the calibrated regime (N^0.75
+      asymptotically — always sublinear) instead of the old linear
+      trajectory (fixed cell fraction -> probed rows ~ N/16).
+    - files: one file per cell means rows-per-file also grows as sqrt(N),
+      so per-cell files approach the 512 MB target at scale instead of
+      shrinking toward metadata-dominated shards.
+    """
+    import math
+
+    return max(16, math.ceil(0.2 * math.sqrt(max(0, n_rows))))
 
 
 def resolve_n_probe(n_cells: int, n_probe: int | None) -> int:
-    """Resolve the probe width: an explicit ``n_probe`` wins (clamped to the
-    cell count); ``None`` auto-scales with the cell count so recall holds as
-    the corpus grows. See ``_PROBE_FRACTION``."""
+    """Resolve the probe width: an explicit ``n_probe`` wins (clamped to
+    the cell count); ``None`` picks a RECALL-TARGETED width:
+
+        max(_PROBE_FLOOR, ceil(sqrt(n_cells) / 2))
+
+    calibrated on two measured points (PROBE_SWEEP.json + BENCH_SCALE
+    history, isotropic worst-case corpus, recall@10): 61 cells needed ~4
+    probes (0.988) and 610 cells needed ~12 (1.000) — both on the
+    ceil(sqrt(cells)/2) curve; the floor adds headroom within the
+    calibrated range. sqrt growth tracks the finer cell partition (a
+    query's neighbor ball spans more cells as cells shrink) without the
+    old fixed-fraction rule's linear cost trajectory.
+
+    Cost model (why this stays sublinear): probe cost ~ file opens
+    (= n_probe, one file per cell) + scored rows (= n_probe * N /
+    n_cells). With ``default_n_cells`` ~ 0.2*sqrt(N) and this width,
+    probed rows grow ~sqrt(10) ~ 3.2x per 10x corpus while the floor
+    dominates (through ~1e8 rows / 1024 cells) and ~N^0.75 beyond —
+    always sublinear, vs the old fixed-fraction rule's strictly linear
+    N/16. The calibrated decade is asserted by the
+    ``ivf_probed_rows_growth_10x`` claim in BENCH_SCALE.json so the
+    linear trajectory cannot silently return.
+    """
     import math
 
     if n_cells <= 0:
         return 1
     if n_probe is not None:
         return max(1, min(n_probe, n_cells))
-    return max(4, min(n_cells, math.ceil(n_cells * _PROBE_FRACTION)))
+    return max(
+        min(_PROBE_FLOOR, n_cells),
+        min(n_cells, math.ceil(math.sqrt(n_cells) / 2)),
+    )
 
 
 def dot_product_fast(a: str | F.Column, b: str | F.Column) -> F.Column:

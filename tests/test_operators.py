@@ -663,3 +663,45 @@ def test_pack_sequences_hypothesis(spark):
             assert sum(sizes) <= max_tokens or len(sizes) == 1
 
     check()
+
+
+def test_ivf_sizing_policy_is_sublinear():
+    """The IVF scaling policy (VERDICT r6 task #1): sqrt-N cell sizing +
+    recall-targeted probe width must keep BOTH build assignment cost and
+    governed probed-rows growth sublinear per 10x corpus — the r6
+    fixed-fraction rule walked a linear probe trajectory (2.78x wall on
+    10x data, only 1.5x cheaper than brute force at 10M)."""
+    decades = [10_000, 100_000, 1_000_000, 10_000_000, 100_000_000,
+               1_000_000_000, 10_000_000_000]
+    prev_cells = prev_probed = prev_assign = None
+    for n in decades:
+        cells = similarity.default_n_cells(n)
+        np_auto = similarity.resolve_n_probe(cells, None)
+        probed = np_auto * n / cells
+        assign = n * cells  # centroid-assignment flops (x dim)
+        if prev_cells is not None:
+            assert cells / prev_cells <= 3.5  # sqrt growth, not linear
+            assert probed / prev_probed < 10  # strictly sublinear probe
+            assert assign / prev_assign <= 35  # build never quadratic
+        prev_cells, prev_probed, prev_assign = cells, probed, assign
+    # calibrated decade (the BENCH_SCALE-measured one): ~sqrt(10) growth
+    c1, c2 = similarity.default_n_cells(10**6), similarity.default_n_cells(10**7)
+    p1 = similarity.resolve_n_probe(c1, None) * 10**6 / c1
+    p2 = similarity.resolve_n_probe(c2, None) * 10**7 / c2
+    assert p2 / p1 <= 3.5
+    # anchored to the PROBE_SWEEP calibration point: ~610 cells at 10M,
+    # auto width >= the measured recall-1.0 knee (12) and well under the
+    # old rule's 39
+    assert 550 <= c2 <= 700
+    assert 12 <= similarity.resolve_n_probe(c2, None) <= 20
+
+
+def test_resolve_n_probe_contract():
+    # explicit width wins and clamps to the cell count
+    assert similarity.resolve_n_probe(610, 4) == 4
+    assert similarity.resolve_n_probe(610, 9999) == 610
+    # auto: floor dominates small cell counts, sqrt beyond
+    assert similarity.resolve_n_probe(8, None) == 8  # never exceeds cells
+    assert similarity.resolve_n_probe(0, None) == 1
+    assert similarity.resolve_n_probe(200, None) == 16
+    assert similarity.resolve_n_probe(10_000, None) == 50

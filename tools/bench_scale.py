@@ -7,10 +7,13 @@ architectural until this harness. It generates synthetic corpora at 10-100x
 those sizes (sources/synthetic.py: deterministic, distributed, no driver
 data) and measures:
 
-1. **ANN probe ~flat vs brute-force ~linear** as the corpus grows 10x:
-   cells scale with N (constant cell size), the persisted index prunes
-   files by cell, so a probe reads n_probe cells regardless of N, while
-   the brute-force baseline must score all N rows.
+1. **ANN probe ~sqrt(N) vs brute-force ~linear** as the corpus grows 10x:
+   cells scale ~0.2*sqrt(N) (similarity.default_n_cells — linear cells
+   make the build quadratic), the persisted index prunes files by cell,
+   and the recall-targeted auto probe width keeps probed rows growing
+   ~sqrt(10) ~ 3.2x per 10x corpus (asserted by the
+   ivf_probed_rows_growth_10x claim), while the brute-force baseline must
+   score all N rows.
 2. **MinHash-LSH dedup near-linear** at 10x (banded self-join, exact
    verify on candidates only) + the signature-checkpoint trade, measured
    both ways at both scales (VERDICT r4 task #3).
@@ -70,7 +73,6 @@ VEC_SCALES = [int(1_000_000 * SCALE), int(10_000_000 * SCALE)]
 MOCK_ROWS = int(10_000_000 * SCALE)
 MUT_SCALES = [int(1_000_000 * SCALE), int(10_000_000 * SCALE)]
 N_QUERIES, TOP_K, N_PROBE = 8, 10, 4
-CELL_ROWS = 16_384  # constant target cell size => cells scale with N
 
 
 def drain(df) -> None:
@@ -169,7 +171,7 @@ def bench_embeddings(spark, b: Bench, tmp: str) -> None:
             reps=REPS,
         )
 
-        k_cells = max(16, n // CELL_ROWS)
+        k_cells = similarity.default_n_cells(n)
         b.notes[f"ivf_cells_{tag}"] = k_cells
         b.run(
             f"ivf_build_{tag}",
@@ -233,6 +235,11 @@ def bench_embeddings(spark, b: Bench, tmp: str) -> None:
         # where a FIXED n_probe decays (0.988 -> 0.80 measured in r5)
         auto_np = similarity.resolve_n_probe(k_cells, None)
         b.notes[f"ivf_auto_n_probe_{tag}"] = auto_np
+        # cost-model evidence: rows the governed probe must score. The
+        # sqrt-N cell sizing + recall-targeted width must keep this growing
+        # ~sqrt(10) per 10x corpus (claim ivf_probed_rows_growth_10x) —
+        # the r5/r6 fixed-fraction rule walked a LINEAR trajectory here
+        b.notes[f"ivf_probed_rows_{tag}"] = auto_np * n // k_cells
         auto = b.run(
             f"ivf_probe_auto_{tag}",
             lambda: {
@@ -479,6 +486,29 @@ def main() -> None:
         "ivf_recall_auto_floor_ok": (
             (b.notes.get(f"ivf_recall_auto_{v2}") or 0.0) >= 0.9
         ),
+        # probe-cost trajectory gate (VERDICT r6 task #6): rows scored by
+        # the GOVERNED probe may grow at most ~sqrt(10) per 10x corpus
+        # (sqrt-N cells x recall-targeted width; 3.5 allows ceil slack).
+        # The r6 fixed-fraction policy measured ~10x here — this claim is
+        # what keeps the linear trajectory from silently returning.
+        "ivf_probed_rows_growth_10x": (
+            round(
+                b.notes[f"ivf_probed_rows_{v2}"] / b.notes[f"ivf_probed_rows_{v1}"],
+                2,
+            )
+            if b.notes.get(f"ivf_probed_rows_{v1}")
+            and b.notes.get(f"ivf_probed_rows_{v2}")
+            else None
+        ),
+        "ivf_probed_rows_growth_ok": (
+            (
+                b.notes[f"ivf_probed_rows_{v2}"] / b.notes[f"ivf_probed_rows_{v1}"]
+                <= 3.5
+            )
+            if b.notes.get(f"ivf_probed_rows_{v1}")
+            and b.notes.get(f"ivf_probed_rows_{v2}")
+            else None
+        ),
         # incremental refresh: cost of indexing a 2% append vs the full
         # rebuilds at the same scale (VERDICT r5 task #3)
         "ann_refresh_vs_ivf_build_large": ratio(
@@ -520,6 +550,14 @@ def main() -> None:
         raise SystemExit(
             f"ANN recall floor violated: recall@{TOP_K} "
             f"{claims['ivf_recall_auto_large']} < 0.9 at {VEC_SCALES[1]} vectors"
+        )
+    # probe-cost trajectory is a hard gate too: a policy change that makes
+    # governed probed-rows grow super-sqrt again must fail the harness
+    if claims["ivf_probed_rows_growth_ok"] is False:
+        raise SystemExit(
+            "ANN probe-cost trajectory violated: governed probed rows grew "
+            f"{claims['ivf_probed_rows_growth_10x']}x on 10x corpus (> 3.5, "
+            "the ~sqrt(10) bound)"
         )
 
 
