@@ -224,18 +224,15 @@ def main() -> None:
     calib_runs += [calib_run(spark) for _ in range(max(REPS - 1, 2))]
     calib = round(statistics.median(calib_runs), 3)
 
+    # full detail first (raw samples + normalized ratios) for humans and
+    # round-over-round adjudication...
     print(
         json.dumps(
             {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+                "detail": "full",
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
                 "reps": REPS,
                 "stat": "median",
-                "calib_cpu_sec": calib,
                 "calib_samples": [round(c, 3) for c in calib_runs],
                 # raw per-rep wall seconds behind each median
                 "samples": {k: [round(x, 3) for x in v] for k, v in samples.items()},
@@ -247,6 +244,22 @@ def main() -> None:
                 },
                 "normalized_total": round(total / calib, 2),
             }
+        )
+    )
+    # ...then the contract line LAST and COMPACT (<1 KB), so a tail-capture
+    # of stdout always ends with parseable machine-comparable results
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "calib_cpu_sec": calib,
+                "normalized_total": round(total / calib, 2),
+            },
+            separators=(",", ":"),
         )
     )
 

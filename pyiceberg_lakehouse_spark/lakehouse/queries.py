@@ -9,7 +9,7 @@ not just the plumbing.
 
 from __future__ import annotations
 
-import tempfile
+from pyiceberg_lakehouse_spark.tmpdirs import session_tmpdir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,7 +23,7 @@ ORDER_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o
 
 
 def _warehouse() -> str:
-    return tempfile.mkdtemp(prefix="lakehouse_q_")
+    return session_tmpdir(prefix="lakehouse_q_")
 
 
 @register(

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from pyiceberg_lakehouse_spark.operators import dedup, multimodal, similarity, text
 from pyiceberg_lakehouse_spark.registry import register
+from pyiceberg_lakehouse_spark.tmpdirs import session_tmpdir
 from pyiceberg_lakehouse_spark.sources.testdata import load_table
 
 # DuckDB twin of dedup.normalize_text
@@ -200,8 +201,6 @@ def lh_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-int codes + codebooks; the probe prunes files by cell and ADC-scores
     candidates from the code column — embeddings never read at query
     time."""
-    import tempfile
-
     from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
     from pyiceberg_lakehouse_spark.lakehouse.maintenance import (
         build_ivf_index,
@@ -209,7 +208,7 @@ def lh_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    lh = Lakehouse(spark, tempfile.mkdtemp(prefix="ann_ivfpq_"))
+    lh = Lakehouse(spark, session_tmpdir(prefix="ann_ivfpq_"))
     t = lh.create_table("ns.embeddings_ivfpq", emb.schema)
     t.append(emb)
     build_ivf_index(t, k=16, iters=2)
@@ -228,13 +227,12 @@ def lh_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells — index construction never runs in the read path. This is the
     100 TB ANN design; ``sim_ann_ivf`` is the same math without the
     persisted index."""
-    import tempfile
 
     from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
     from pyiceberg_lakehouse_spark.lakehouse.maintenance import build_ivf_index
 
     emb = load_table(spark, sf_dir, "embeddings")
-    lh = Lakehouse(spark, tempfile.mkdtemp(prefix="ann_idx_"))
+    lh = Lakehouse(spark, session_tmpdir(prefix="ann_idx_"))
     t = lh.create_table("ns.embeddings_ivf", emb.schema)
     t.append(emb)
     build_ivf_index(t, k=16, iters=2)
@@ -259,14 +257,13 @@ def lh_ann_indexed_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered rewrite, stats IN-list pruning, or stored-cell assignment
     breaks per-qid equality and flips the hash."""
     import json
-    import tempfile
 
     from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
     from pyiceberg_lakehouse_spark.lakehouse.maintenance import build_ivf_index
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    lh = Lakehouse(spark, tempfile.mkdtemp(prefix="ann_chk_"))
+    lh = Lakehouse(spark, session_tmpdir(prefix="ann_chk_"))
     t = lh.create_table("ns.embeddings_chk", emb.schema)
     t.append(emb)
     build_ivf_index(t, k=16, iters=2)
@@ -306,7 +303,6 @@ def lh_ann_refresh_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     the register-without-rewrite philosophy of main-ray.py:109-121)."""
     import json
     import os as _os
-    import tempfile
 
     from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
     from pyiceberg_lakehouse_spark.lakehouse.maintenance import (
@@ -318,7 +314,7 @@ def lh_ann_refresh_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(F.col("vec_id") % 5 != 0)
     extra = emb.filter(F.col("vec_id") % 5 == 0)
     q = emb.filter(F.col("vec_id") < 10)
-    lh = Lakehouse(spark, tempfile.mkdtemp(prefix="ann_rfr_"))
+    lh = Lakehouse(spark, session_tmpdir(prefix="ann_rfr_"))
     t = lh.create_table("ns.embeddings_rfr", emb.schema)
     t.append(base)
     build_ivf_index(t, k=16, iters=2)

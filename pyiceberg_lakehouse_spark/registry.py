@@ -48,53 +48,59 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # never had a driver row, growing the driver-verified set over time while
 # keeping every category represented.
 #
-# Round-6 rotation (13 slots, double the usual pace per VERDICT r5 task #1):
-# rotated OUT thirteen multi-round-green rows (ts_gapfill_hourly,
-# filter_exists_correlated, sql_grouping_sets, join_multiway_revenue,
-# win_running_sum, set_union_all, cast_whole_table, filter_scalar_subquery,
-# agg_q5_local_supplier_volume, lh_time_travel, lh_cdc_apply,
-# stream_stream_join, dedup_ngram_jaccard); rotated IN twelve
-# never-driver-verified queries prioritizing the lakehouse lifecycle/
-# maintenance cluster, plus the new lh_ann_refresh_selfcheck differential.
+# Round-7 rotation (21 slots — the largest yet, per VERDICT r6 task #2:
+# the 17 TPC-H shapes that had never held a driver slot are the newest
+# code and therefore the highest-latent-defect-risk unverified queries).
+# Rotated OUT 21 multi-round-green rows (scan_region, filter_eq,
+# agg_rollup, join_inner_agg, join_broadcast_parts, join_asof,
+# win_topk_per_group, sort_topk_global, fn_array_higher_order,
+# fn_pandas_scalar, agg_q3, agg_q19, lh_ingest_roundtrip, lh_upsert,
+# lh_zorder_scan, lh_commit_batching, lh_merge_on_read_delete,
+# lh_incremental_read, lh_branch_merge, dedup_embedding_cosine,
+# stream_lh_cdc_apply — every one green >= 3 consecutive rounds); rotated
+# IN all 17 never-verified TPC-H topologies plus four lakehouse
+# backfills (lh_sql_read, lh_expire_snapshots, lh_delete_where,
+# lh_datasource_pushdown_scan). Every engine category keeps at least one
+# recently-green representative.
 DRIVER_WINDOW: tuple[str, ...] = (
     # parquet scans + filters
-    "scan_region",
     "scan_glob_schema_enforced",
-    "filter_eq",
     # core aggregation (flagship first)
     "agg_q1_pricing_summary",
-    "agg_rollup",
     "agg_keep_last",
     "agg_salted_groupby",
     # joins
-    "join_inner_agg",
-    "join_broadcast_parts",
     "join_full_outer",
-    "join_asof",
-    # windows / sort / set ops / time series
-    "win_topk_per_group",
-    "sort_topk_global",
+    # windows / sort / time series (win_bounded_frame: never-verified
+    # window-frame query takes the windows slot)
+    "win_bounded_frame",
     "events_session_windows",
-    # scalar functions, casts, subqueries
-    "fn_array_higher_order",
+    # scalar functions
     "fn_from_json_struct",
     # pandas-UDF surface
-    "fn_pandas_scalar",
     "fn_grouped_pandas_demean",
-    # TPC-H shapes
-    "agg_q3_shipping_priority",
+    # TPC-H shapes: the full never-driver-verified batch (r7 rotation)
+    "agg_q2_min_cost_supplier",
+    "agg_q4_priority_check",
+    "agg_q6_forecast_revenue",
+    "agg_q7_volume_shipping",
+    "agg_q8_market_share",
+    "agg_q9_product_profit",
+    "agg_q10_returned_items",
+    "agg_q11_important_stock",
+    "agg_q12_shipping_lag",
+    "agg_q13_customer_distribution",
+    "agg_q14_promo_share",
+    "agg_q15_top_supplier",
+    "agg_q16_supplier_variety",
+    "agg_q17_small_quantity_revenue",
     "agg_q18_large_orders",
-    "agg_q19_discounted_revenue",
-    # lakehouse lifecycle + maintenance (r6 rotation: first driver rows for
-    # compact, partition evolution, rollback, bloom pruning, hidden
-    # month-partitioning)
-    "lh_ingest_roundtrip",
-    "lh_upsert",
-    "lh_zorder_scan",
-    "lh_commit_batching",
-    "lh_merge_on_read_delete",
-    "lh_incremental_read",
-    "lh_branch_merge",
+    "agg_q20_potential_promotion",
+    "agg_q21_suppliers_kept_waiting",
+    "agg_q22_global_sales_opportunity",
+    # lakehouse lifecycle + maintenance (r6 first-timers held for a second
+    # round; + r7 backfills: SQL read, expiry, copy-on-write delete, the
+    # registered Spark data source's pushdown scan)
     "lh_schema_evolution",
     "lh_ann_indexed_selfcheck",
     "lh_ann_refresh_selfcheck",
@@ -103,26 +109,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lh_rollback",
     "lh_bloom_point_lookup",
     "lh_hidden_partition_month",
-    # dedup + similarity (ngram_jaccard rotated out in r6 for the new
-    # refresh selfcheck; exact + embedding-cosine keep the category covered)
+    "lh_sql_read",
+    "lh_expire_snapshots",
+    "lh_delete_where",
+    "lh_datasource_pushdown_scan",
+    # dedup + similarity
     "dedup_exact",
     "sim_cosine_topk",
-    "dedup_embedding_cosine",
     # text + multimodal
     "text_lang_id",
     "text_tfidf_top_terms",
     "text_pii_scrub",
     "multimodal_resize",
-    # training-data ops
-    "train_balance_labels",
+    # training-data ops (balance_labels rotated out — 3 rounds green —
+    # to hold the 50-slot budget with the windows slot restored)
     "train_stratified_sample",
     "train_mix_weighted",
     "pipeline_clean_corpus",
-    # structured streaming (r6 rotation: first driver rows for WAP publish
-    # and the new continuous-ANN-ingestion composition; tumbling rotated
-    # out after three green rounds)
+    # structured streaming
     "stream_lh_ann_ingest",
-    "stream_lh_cdc_apply",
     "stream_lh_wap_publish",
 )
 

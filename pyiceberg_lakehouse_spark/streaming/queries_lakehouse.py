@@ -7,7 +7,7 @@ events parquet.
 
 from __future__ import annotations
 
-import tempfile
+from pyiceberg_lakehouse_spark.tmpdirs import session_tmpdir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,11 +48,11 @@ def stream_lh_sink_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events file-stream -> lakehouse sink (one idempotent snapshot per
     micro-batch) -> batch scan of the table == batch GROUP BY over the
     source. Exercises the full exactly-once write path."""
-    lh = Lakehouse(spark, tempfile.mkdtemp(prefix="lh_stream_q_"))
+    lh = Lakehouse(spark, session_tmpdir(prefix="lh_stream_q_"))
     t = lh.create_table("ns.events_sink", EVENTS_TABLE_SCHEMA)
     ev = W.events_stream(spark, sf_dir)
     q = write_stream_to_table(
-        ev, t, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_"), available_now=True
+        ev, t, checkpoint_dir=session_tmpdir(prefix="ckpt_"), available_now=True
     )
     q.awaitTermination()
     return (
@@ -79,7 +79,7 @@ def stream_lh_source_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the batch GROUP BY over the source parquet."""
     from pyiceberg_lakehouse_spark.sources.testdata import load_table
 
-    lh = Lakehouse(spark, tempfile.mkdtemp(prefix="lh_stream_src_"))
+    lh = Lakehouse(spark, session_tmpdir(prefix="lh_stream_src_"))
     t = lh.create_table("ns.events_src", EVENTS_TABLE_SCHEMA)
     ev = load_table(spark, sf_dir, "events")
     # two appends -> two commit dirs: the stream must discover both
@@ -161,7 +161,7 @@ def stream_lh_datasource_partitioned(spark: SparkSession, sf_dir: str) -> DataFr
     from pyiceberg_lakehouse_spark.sources.datasource import register_lakehouse_source
     from pyiceberg_lakehouse_spark.sources.testdata import load_table
 
-    lh = Lakehouse(spark, tempfile.mkdtemp(prefix="lh_ds_src_"))
+    lh = Lakehouse(spark, session_tmpdir(prefix="lh_ds_src_"))
     t = lh.create_table(
         "ns.events_ds_src", EVENTS_TABLE_SCHEMA, partition_by=["event_type"]
     )
@@ -221,12 +221,12 @@ def stream_lh_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cols = [f.name for f in schema.fields]
     orders = load_table(spark, sf_dir, "orders").select(*cols)
-    lh = Lakehouse(spark, tempfile.mkdtemp(prefix="lh_cdc_s_"))
+    lh = Lakehouse(spark, session_tmpdir(prefix="lh_cdc_s_"))
     t = lh.create_table("ns.orders_cdc_s", schema)
     t.append(orders.filter(SF.col("o_orderkey") % 3 != 0))
 
     # change feed on disk: upserts (+100000 price) then deletes, one file
-    changes_dir = tempfile.mkdtemp(prefix="cdc_feed_")
+    changes_dir = session_tmpdir(prefix="cdc_feed_")
     ups = (
         orders.filter(SF.col("o_orderkey") % 5 == 0)
         .withColumn("o_totalprice", SF.col("o_totalprice") + SF.lit(100000.0))
@@ -253,7 +253,7 @@ def stream_lh_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="cdc_ckpt_"))
+        .option("checkpointLocation", session_tmpdir(prefix="cdc_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -279,12 +279,12 @@ def stream_lh_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_write_audit_publish,
     )
 
-    lh = Lakehouse(spark, tempfile.mkdtemp(prefix="lh_stream_q_"))
+    lh = Lakehouse(spark, session_tmpdir(prefix="lh_stream_q_"))
     t = lh.create_table("ns.events_wap", EVENTS_TABLE_SCHEMA)
     stream_write_audit_publish(
         W.events_stream(spark, sf_dir),
         t,
-        checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_"),
+        checkpoint_dir=session_tmpdir(prefix="ckpt_"),
         audits=[lambda df: df.count() > 0],
     )
     return (
@@ -332,7 +332,7 @@ def stream_lh_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % 5 < 3)
     rest = emb.filter(F.col("vec_id") % 5 >= 3)
-    work = tempfile.mkdtemp(prefix="ann_stream_")
+    work = session_tmpdir(prefix="ann_stream_")
     lh = Lakehouse(spark, os.path.join(work, "wh"))
     t = lh.create_table("ns.emb_stream", emb.schema)
     t.append(base)

@@ -13,13 +13,13 @@ the batch loader (sources/testdata.py).
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, events_ts_unit
+from pyiceberg_lakehouse_spark.tmpdirs import session_tmpdir
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -31,7 +31,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
-    stage = tempfile.mkdtemp(prefix="events_stream_")
+    stage = session_tmpdir(prefix="events_stream_")
     os.symlink(src, os.path.join(stage, "events.parquet"))
     # watermarks require TIMESTAMP (with local tz), not NTZ; the session runs
     # UTC so wall-clock values match the batch/oracle NTZ values

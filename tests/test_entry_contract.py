@@ -65,5 +65,7 @@ def test_driver_window_spans_every_category():
     head = list(mod.queries())[:50]
     assert "agg_q1_pricing_summary" in head
     for prefix in ("lh_", "dedup_", "sim_", "stream_", "train_", "text_",
-                   "multimodal_", "join_", "win_", "fn_", "agg_q3", "scan_"):
+                   "multimodal_", "join_", "win_", "fn_", "scan_"):
         assert any(n.startswith(prefix) for n in head), f"no {prefix}* in driver window"
+    # TPC-H plan topologies stay strongly represented (specific ids rotate)
+    assert sum(n.startswith("agg_q") for n in head) >= 5
