@@ -332,6 +332,85 @@ def ann_index_stale_files(table: LakehouseTable) -> list[dict]:
     ]
 
 
+def ann_index_health(
+    table: LakehouseTable,
+    stale_rebuild_fraction: float = 0.25,
+    balance_rebuild_factor: float = 4.0,
+    cells_rebuild_factor: float = 2.0,
+) -> dict:
+    """Metadata-only ANN index health report: when to ``refresh`` (encode
+    the appended tail against existing quantizers) vs ``rebuild`` (retrain
+    centroids/codebooks) — the FAISS add()-vs-train() trade made
+    inspectable from the snapshot log alone, zero data reads.
+
+    Signals (all from per-file stats the write path already records):
+
+    - ``stale_fraction``: rows invisible to probes / total rows. Small ->
+      refresh; above ``stale_rebuild_fraction`` the un-retrained quantizer
+      has absorbed so much new data that cell balance degrades -> rebuild.
+    - ``cell_balance``: hottest cell's estimated rows vs the per-cell mean
+      over INDEXED files (files are cell-clustered, so each file's row
+      count spreads over its tight [min, max] cell span). k-means keeps
+      this near 1-2 on stationary data; sustained growth means the data
+      distribution drifted away from the trained centroids.
+    - ``cells_due_factor``: ``default_n_cells(total_rows) / built_cells``.
+      The sqrt-N sizing policy says a corpus that grew ~4x deserves ~2x
+      the cells; beyond ``cells_rebuild_factor`` a refresh keeps paying
+      probe cost on oversized cells -> rebuild.
+
+    Returns a dict with the raw signals and a ``recommendation`` of
+    ``"ok"`` / ``"refresh"`` / ``"rebuild"``. Raises if no index exists
+    (same contract as ``ann_index_stale_files``).
+    """
+    import json as _json
+    from collections import defaultdict
+
+    from pyiceberg_lakehouse_spark.operators.similarity import default_n_cells
+
+    stale = {f["path"] for f in ann_index_stale_files(table)}
+    files = table.log.live_files()
+    total_rows = sum(f.get("rows") or 0 for f in files)
+    stale_rows = sum(f.get("rows") or 0 for f in files if f["path"] in stale)
+    k = len(_json.loads(table.log.properties.get("ivf.centroids", "[]")))
+    per_cell: dict[int, float] = defaultdict(float)
+    for f in files:
+        if f["path"] in stale:
+            continue
+        lohi = (f.get("stats") or {}).get("ivf_cell")
+        if lohi is None or lohi[0] is None:
+            continue
+        lo, hi = int(lohi[0]), int(lohi[1])
+        span = max(1, hi - lo + 1)
+        for c in range(lo, hi + 1):
+            per_cell[c] += (f.get("rows") or 0) / span
+    indexed_rows = total_rows - stale_rows
+    mean_cell = indexed_rows / k if k else 0.0
+    balance = (max(per_cell.values()) / mean_cell) if per_cell and mean_cell else 1.0
+    stale_fraction = stale_rows / total_rows if total_rows else 0.0
+    cells_due = default_n_cells(total_rows) / k if k else float("inf")
+    if stale_fraction == 0.0 and balance <= balance_rebuild_factor and (
+        cells_due < cells_rebuild_factor
+    ):
+        rec = "ok"
+    elif (
+        stale_fraction > stale_rebuild_fraction
+        or balance > balance_rebuild_factor
+        or cells_due >= cells_rebuild_factor
+    ):
+        rec = "rebuild"
+    else:
+        rec = "refresh"
+    return {
+        "total_rows": total_rows,
+        "stale_rows": stale_rows,
+        "stale_fraction": round(stale_fraction, 4),
+        "built_cells": k,
+        "cell_balance": round(balance, 2),
+        "cells_due_factor": round(cells_due, 2),
+        "recommendation": rec,
+    }
+
+
 def refresh_ann_indexes(
     table: LakehouseTable,
     id_col: str = "vec_id",

@@ -189,3 +189,48 @@ def test_probe_raises_on_stale_index(spark, sf_dir, warehouse):
     assert len(got) == 3
     refresh_ann_indexes(t)
     assert len(similarity.ivf_index_topk(t, q, k=3).collect()) == 3
+
+
+def test_ann_index_health_signals(spark, sf_dir, warehouse):
+    """ann_index_health: fresh index reads ok, small append recommends
+    refresh, large append (quantizer drift territory) recommends rebuild —
+    all from file metadata alone."""
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import ann_index_health
+
+    emb, base, extra = _split_emb(spark, sf_dir)
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.emb_health", base.schema)
+    t.append(base)
+    # build at the policy size (k=None); an explicit undersized k would
+    # legitimately read as cells_due_factor >= 2 -> rebuild
+    build_ivf_index(t, iters=1)
+
+    h = ann_index_health(t)
+    assert h["recommendation"] == "ok"
+    assert h["stale_fraction"] == 0.0 and h["built_cells"] == 16
+
+    t.append(extra)  # ~20% of rows: stale but under the rebuild threshold
+    h = ann_index_health(t)
+    assert h["recommendation"] == "refresh"
+    assert 0.0 < h["stale_fraction"] <= 0.25
+
+    refresh_ann_indexes(t)
+    assert ann_index_health(t)["recommendation"] == "ok"
+
+    # double the corpus: stale fraction crosses the rebuild threshold
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    t.append(shifted)
+    h = ann_index_health(t)
+    assert h["recommendation"] == "rebuild"
+    assert h["stale_fraction"] > 0.25
+
+
+def test_ann_index_health_requires_index(spark, sf_dir, warehouse):
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import ann_index_health
+
+    emb, base, _ = _split_emb(spark, sf_dir)
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.emb_nohealth", base.schema)
+    t.append(base)
+    with pytest.raises(ValueError, match="no persisted ANN index"):
+        ann_index_health(t)
