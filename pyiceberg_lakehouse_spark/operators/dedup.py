@@ -118,6 +118,42 @@ def ngram_jaccard_pairs(
     return out
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag training documents that share >= ``min_hits`` distinct k-word
+    shingles with an evaluation set — n-gram eval-set decontamination (the
+    GPT-3/PaLM recipe; k of 8-13 words is the published operating range,
+    smaller k for short documents). Returns (id, n_contaminated) per
+    flagged training doc; anti-join the result against the corpus to drop
+    them.
+
+    100 TB posture: the eval set is small BY DEFINITION, so its distinct
+    shingle set broadcasts — the training corpus is scanned ONCE, exploded
+    to (id, shingle), hash-joined against the broadcast set, and reduced
+    map-side; no self-join, no shuffle of document text, cost linear in
+    the training corpus. Contrast with dedup (train x train), where the
+    banded-LSH candidate join is required; train x eval never needs it.
+    """
+    ev = (
+        exploded_shingles(eval_df, text_col, id_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    tr = exploded_shingles(train, text_col, id_col, k)
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+        .filter(F.col("n_contaminated") >= min_hits)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -620,6 +620,37 @@ def train_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "train_decontaminate",
+    f"""
+    with toks as (
+      select doc_id, string_split({NORM}, ' ') as t from documents
+    ),
+    sh as (
+      select distinct doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) as shingle
+      from toks
+    ),
+    ev as (select distinct shingle from sh where doc_id % 41 = 0)
+    select s.doc_id, count(*) as n_contaminated
+    from sh s join ev using (shingle)
+    where s.doc_id % 41 != 0
+    group by 1
+    """,
+)
+def train_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (GPT-3-style n-gram overlap): flag training
+    documents sharing any 3-word shingle with the held-out eval slice
+    (doc_id % 41 == 0). Eval shingles broadcast; the training corpus is
+    scanned once — no self-join. k=3 fits the synthetic short documents;
+    production text uses the published k=8-13 range."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    ev = docs.filter(F.col("doc_id") % 41 == 0)
+    return dedup.decontaminate(train, ev, k=3)
+
+
 @register("train_pack_sequences")  # rows-only: greedy packing is inherently
 # sequential per group; pytest asserts the bin-capacity invariants
 def train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

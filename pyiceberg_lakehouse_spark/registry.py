@@ -121,9 +121,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_tfidf_top_terms",
     "text_pii_scrub",
     "multimodal_resize",
-    # training-data ops (balance_labels rotated out — 3 rounds green —
-    # to hold the 50-slot budget with the windows slot restored)
-    "train_stratified_sample",
+    # training-data ops (balance_labels and stratified_sample rotated out
+    # — 3 and 2 rounds green — for the windows slot and the brand-new
+    # decontamination operator, this round's newest code)
+    "train_decontaminate",
     "train_mix_weighted",
     "pipeline_clean_corpus",
     # structured streaming

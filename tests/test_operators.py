@@ -705,3 +705,29 @@ def test_resolve_n_probe_contract():
     assert similarity.resolve_n_probe(0, None) == 1
     assert similarity.resolve_n_probe(200, None) == 16
     assert similarity.resolve_n_probe(10_000, None) == 50
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    """decontaminate: a train doc sharing a k-gram with the eval set is
+    flagged with the right distinct-shingle count; disjoint docs are not;
+    and the plan broadcasts the eval side (never a shuffle or cartesian)."""
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with no overlap here at all"),
+            (3, "quick brown fox appears in this training document too"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "watch the quick brown fox run")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_contaminated for r in dedup.decontaminate(train, ev, k=3).collect()}
+    # doc 1 shares "the quick brown" + "quick brown fox"; doc 3 shares
+    # "quick brown fox"; doc 2 shares nothing
+    assert got == {1: 2, 3: 1}
+    plan = dedup.decontaminate(train, ev, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+    # min_hits raises the bar
+    got2 = {r.doc_id for r in dedup.decontaminate(train, ev, k=3, min_hits=2).collect()}
+    assert got2 == {1}
