@@ -255,3 +255,51 @@ def test_q22_anti_join_shape(spark, sf_dir):
     plan = plan_of(spark, "agg_q22_global_sales_opportunity", sf_dir)
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+TPCH_ALL = [
+    "agg_q1_pricing_summary", "agg_q2_min_cost_supplier",
+    "agg_q3_shipping_priority", "agg_q4_priority_check",
+    "agg_q5_local_supplier_volume", "agg_q6_forecast_revenue",
+    "agg_q7_volume_shipping", "agg_q8_market_share",
+    "agg_q9_product_profit", "agg_q10_returned_items",
+    "agg_q11_important_stock", "agg_q12_shipping_lag",
+    "agg_q13_customer_distribution", "agg_q14_promo_share",
+    "agg_q15_top_supplier", "agg_q16_supplier_variety",
+    "agg_q17_small_quantity_revenue", "agg_q18_large_orders",
+    "agg_q19_discounted_revenue", "agg_q20_potential_promotion",
+    "agg_q21_suppliers_kept_waiting", "agg_q22_global_sales_opportunity",
+]
+# Q11/Q22 compare against a SINGLE-ROW scalar aggregate (global threshold);
+# Spark joins a one-row broadcast side without an equi-key as a
+# BroadcastNestedLoopJoin — O(N x 1), benign at any scale. Everywhere else
+# a nested-loop join is a scale killer and fails the audit.
+SCALAR_THRESHOLD = {"agg_q11_important_stock", "agg_q22_global_sales_opportunity"}
+
+
+def test_all_22_tpch_shapes_no_scale_killers(spark, sf_dir):
+    """Every TPC-H topology: no cartesian product anywhere, nested-loop
+    joins only against one-row scalar aggregates, and map-side partial
+    aggregation present — the whole-suite 1000-executor posture check."""
+    for name in TPCH_ALL:
+        plan = plan_of(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        if name in SCALAR_THRESHOLD:
+            # the nested-loop's broadcast side must be the ungrouped
+            # (one-row) aggregate, not a data-sized relation
+            assert "BroadcastNestedLoopJoin" in plan, name
+            assert re.search(r"Keys: \[\]", plan), name
+        else:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "partial_" in plan, f"{name}: no map-side partial aggregation"
+
+
+def test_tpch_distinctive_join_shapes(spark, sf_dir):
+    """The shapes where the WRONG join type silently still returns rows:
+    EXISTS must plan as semi joins (Q4/Q18/Q20), Q13's zero-order
+    customers need the left outer, Q22's NOT EXISTS the anti."""
+    assert "LeftSemi" in plan_of(spark, "agg_q4_priority_check", sf_dir)
+    assert "LeftSemi" in plan_of(spark, "agg_q18_large_orders", sf_dir)
+    assert "LeftSemi" in plan_of(spark, "agg_q20_potential_promotion", sf_dir)
+    assert re.search(r"LeftOuter|RightOuter", plan_of(spark, "agg_q13_customer_distribution", sf_dir))
+    assert "LeftAnti" in plan_of(spark, "agg_q22_global_sales_opportunity", sf_dir)
