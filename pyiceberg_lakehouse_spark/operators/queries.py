@@ -360,6 +360,30 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_stats",
+    f"""
+    with toks as (select doc_id, string_split({NORM}, ' ') as t from documents),
+    g as (
+      select doc_id,
+             list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                            i -> concat_ws(' ', t[i], t[i+1], t[i+2])) as l
+      from toks
+    )
+    select doc_id,
+           cast(len(l) as integer) as n_grams,
+           cast(len(list_distinct(l)) as integer) as n_distinct,
+           cast(len(l) - len(list_distinct(l)) as double)
+             / cast(len(l) as double) as dup_fraction
+    from g
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition: fraction of duplicated
+    3-grams per document (shuffle-free per-row expressions)."""
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "text_quality",
     f"""
     with t as (select doc_id, string_split({NORM}, ' ') as toks from documents)

@@ -93,6 +93,43 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return hits.select(F.col(id_col), best.alias("pred_lang"), best_n.alias("marker_hits"))
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Intra-document repetition signal (Gopher-style quality rule): the
+    fraction of a document's k-word n-grams that are duplicates of an
+    earlier occurrence. Heavily templated / looping text scores high and
+    is filtered before training.
+
+    Pure per-row expression work — no shuffle at all: tokenize once,
+    enumerate ALL k-grams (not distinct), compare against the distinct
+    count. The double division is exact-int over exact-int, so the oracle
+    comparison is bitwise stable.
+    """
+    toks = _with_tokens(df, text_col, id_col)
+    # materialize the gram array once — transform lambdas substitute
+    # textually, so inlining it into 3 size() expressions would enumerate
+    # the grams three times per row (same pitfall as word_shingles)
+    grams = toks.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("_toks") - k, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("_toks"), i + j + 1) for j in range(k)]
+            ),
+        ).alias("_grams"),
+    )
+    return grams.select(
+        F.col(id_col),
+        F.size("_grams").alias("n_grams"),
+        F.size(F.array_distinct("_grams")).alias("n_distinct"),
+        (
+            (F.size("_grams") - F.size(F.array_distinct("_grams"))).cast("double")
+            / F.size("_grams").cast("double")
+        ).alias("dup_fraction"),
+    )
+
+
 def tf_idf_top_terms(
     df: DataFrame,
     text_col: str = "text",

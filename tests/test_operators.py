@@ -731,3 +731,21 @@ def test_decontaminate_flags_overlap_only(spark):
     # min_hits raises the bar
     got2 = {r.doc_id for r in dedup.decontaminate(train, ev, k=3, min_hits=2).collect()}
     assert got2 == {1}
+
+
+def test_repetition_stats_planted(spark):
+    """repetition_stats: a looping document scores high, unique text scores
+    0, and the plan is pure per-row expression work (no exchange)."""
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham eggs " * 10),          # one 3-gram repeated 28x
+            (2, "all these words appear once only here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.repetition_stats(df).collect()}
+    assert rows[2].dup_fraction == 0.0 and rows[2].n_grams == rows[2].n_distinct
+    assert rows[1].n_grams == 28 and rows[1].n_distinct == 3
+    assert rows[1].dup_fraction == (28 - 3) / 28
+    plan = text.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
