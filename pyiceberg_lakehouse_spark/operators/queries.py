@@ -360,6 +360,26 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_subword_tokens",
+    f"""
+    select doc_id,
+           cast(len(regexp_extract_all({NORM},
+             '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+')) as integer)
+             as n_subword_tokens,
+           cast(length({NORM}) as integer) as n_chars_norm,
+           cast(length({NORM}) as double)
+             / cast(greatest(len(regexp_extract_all({NORM},
+                 '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+')), 1) as double)
+             as chars_per_token
+    from documents
+    """,
+)
+def text_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style subword token estimate (regexp pre-tokenizer pieces)."""
+    return text.subword_token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "text_repetition_stats",
     f"""
     with toks as (select doc_id, string_split({NORM}, ' ') as t from documents),

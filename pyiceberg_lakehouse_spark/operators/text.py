@@ -44,6 +44,39 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# GPT-2-style pre-tokenizer pieces over normalized (lowercased) text:
+# contraction suffixes, space-prefixed letter runs, digit runs, punctuation
+# runs. Deliberately restricted to constructs Java regex and RE2 interpret
+# identically (no backrefs, no lookaround), so the DuckDB oracle matches.
+SUBWORD_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+
+
+def subword_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Subword ("BPE-ish") token estimate per document: counts GPT-2-style
+    pre-tokenizer pieces via one regexp pass — the budgeting number a
+    training pipeline needs (sequence packing, mixture weights, cost
+    estimates) without shipping a real tokenizer to executors. Whitespace
+    words underestimate tokens on punctuation/digit-heavy text; this
+    tracks the real pre-tokenizer's piece boundaries.
+
+    Shuffle-free per-row expression work; chars_per_token is exact-int /
+    exact-int so the double is engine-stable.
+    """
+    norm = normalize_text(F.col(text_col))
+    pieces = F.regexp_extract_all(norm, F.lit(SUBWORD_PATTERN), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        F.size(pieces).alias("n_subword_tokens"),
+        F.length(norm).alias("n_chars_norm"),
+        (
+            F.length(norm).cast("double")
+            / F.greatest(F.size(pieces), F.lit(1)).cast("double")
+        ).alias("chars_per_token"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality features: type-token ratio, mean token length,
     stopword ratio. Ratios are int/int double divisions — exact parity."""

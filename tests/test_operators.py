@@ -749,3 +749,18 @@ def test_repetition_stats_planted(spark):
     assert rows[1].dup_fraction == (28 - 3) / 28
     plan = text.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_subword_token_stats_planted(spark):
+    """subword_token_stats: pre-tokenizer pieces split contractions,
+    digit runs, and punctuation runs that whitespace tokens merge."""
+    df = spark.createDataFrame(
+        [(1, "don't stop 123 now!!"), (2, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in text.subword_token_stats(df).collect()}
+    # don | 't | <sp>stop | <sp>123 | <sp>now | !! -> 6 pieces
+    assert rows[1].n_subword_tokens == 6
+    assert rows[1].n_chars_norm == 20
+    assert rows[1].chars_per_token == 20 / 6
+    # empty text: zero pieces, greatest() guards the division
+    assert rows[2].n_subword_tokens == 0 and rows[2].chars_per_token == 0.0
