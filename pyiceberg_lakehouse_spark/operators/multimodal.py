@@ -425,3 +425,133 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return src.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------------- video -----
+# 'RVID' is the same honest-plumbing stance as BMP/WAV: an uncompressed
+# frame-sequence container needing no codec library — a 12-byte header
+# (magic, width, height, n_frames, fps) followed by n_frames packed
+# (h, w, 3) BGR frames. Real video codecs (MP4/H.264/...) stay behind the
+# NotImplementedError gate in decode_stub, same as PNG without Pillow.
+
+def make_rawvid(width: int, height: int, n_frames: int, fps: int = 8) -> bytes:
+    """Uncompressed RVID video with a deterministic per-frame pattern."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    frames = bytearray()
+    for f in range(n_frames):
+        px = np.empty((height, width, 3), dtype=np.uint8)
+        px[:, :, 0] = (x * 7 + y * 13 + f * 29) % 256
+        px[:, :, 1] = (x * 3 + f) % 256
+        px[:, :, 2] = (y * 5 + 2 * f) % 256
+        frames += px.tobytes()
+    return _struct.pack("<4sHHHH", b"RVID", width, height, n_frames, fps) + bytes(
+        frames
+    )
+
+
+def decode_rawvid_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse an RVID header -> (width, height, n_frames, fps)."""
+    if payload[:4] != b"RVID":
+        raise ValueError("not an RVID payload")
+    return _struct.unpack_from("<HHHH", payload, 4)
+
+
+def _rawvid_frame(payload: bytes, idx: int):
+    """Decode frame ``idx`` -> (h, w, 3) uint8 BGR array (zero-copy view)."""
+    import numpy as np
+
+    w, h, n_frames, _ = decode_rawvid_header(payload)
+    if not 0 <= idx < n_frames:
+        raise IndexError(f"frame {idx} out of range [0, {n_frames})")
+    fsize = w * h * 3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=fsize, offset=12 + idx * fsize)
+    return raw.reshape(h, w, 3)
+
+
+def attach_video_assets(
+    df: DataFrame, id_col: str = "doc_id", fps: int = 8
+) -> DataFrame:
+    """Synthesize an RVID ``content`` column + metadata struct per row
+    (dims/length derived from the id), Arrow-batched — the video twin of
+    ``attach_media_assets``."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                make_rawvid(
+                    4 + int(d) % 8, 2 + int(d) % 6, 4 + int(d) % 13, fps
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "content": payloads}
+            )
+
+    out = src.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    return out.withColumn(
+        "media",
+        F.struct(
+            F.lit("video/rvid").alias("mime"),
+            F.octet_length("content").alias("n_bytes"),
+        ),
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_s", T.DoubleType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video frame-sampling, Arrow-batched: explode each RVID payload into
+    every ``every_n``-th frame RE-ENCODED as a standalone 24-bit BMP, with
+    its index and fps-derived timestamp — so sampled frames flow straight
+    into the existing image operators (``extract_media_features``,
+    ``resize_media``) unchanged.
+
+    One input row yields ceil(n_frames / every_n) output rows; the decode
+    is a zero-copy numpy view per frame and nothing shuffles — at 100 TB
+    the sampler is a pure map stage whose output size the caller controls
+    via ``every_n`` (the training-pipeline knob: frames per clip).
+    """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "ts_s": [],
+                "width": [], "height": [], "frame": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                payload = bytes(payload)
+                w, h, n_frames, fps = decode_rawvid_header(payload)
+                for idx in range(0, n_frames, every_n):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["ts_s"].append(idx / fps)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["frame"].append(encode_bmp(_rawvid_frame(payload, idx)))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "content").mapInPandas(batches, FRAME_SCHEMA)

@@ -538,6 +538,39 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_media(assets, factor=2)
 
 
+@register(
+    "multimodal_frame_sample",
+    """
+    with v as (
+      select doc_id,
+             4 + doc_id % 8 as width,
+             2 + doc_id % 6 as height,
+             4 + doc_id % 13 as n_frames
+      from documents where doc_id % 7 = 0
+    ),
+    f as (
+      select doc_id, width, height,
+             unnest(generate_series(0, n_frames - 1, 2)) as frame_idx
+      from v
+    )
+    select doc_id,
+           cast(frame_idx as integer) as frame_idx,
+           cast(frame_idx as double) / 8.0 as ts_s,
+           cast(width as integer) as width,
+           cast(height as integer) as height
+    from f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling over synthesized RVID clips: every 2nd frame
+    exploded to (doc_id, frame_idx, ts_s, dims) + a standalone BMP payload
+    (dropped here — the oracle predicts the metadata closed-form from the
+    synthesizer parameters; the pixel bytes are pytest-verified)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    vids = multimodal.attach_video_assets(docs)
+    return multimodal.sample_frames(vids, every_n=2).drop("frame")
+
+
 WINNOW_SQL = """
     with toks as (
       select doc_id,

@@ -764,3 +764,40 @@ def test_subword_token_stats_planted(spark):
     assert rows[1].chars_per_token == 20 / 6
     # empty text: zero pieces, greatest() guards the division
     assert rows[2].n_subword_tokens == 0 and rows[2].chars_per_token == 0.0
+
+
+def test_sample_frames_pixels_and_composition(spark):
+    """sample_frames: sampled BMP frames carry the exact per-frame pixels
+    of the source video, indices/timestamps follow the stride, and the
+    frames feed the existing image decode path unchanged."""
+    import numpy as np
+
+    df = spark.createDataFrame([(5,), (12,)], "doc_id long")
+    vids = multimodal.attach_video_assets(df)
+    frames = multimodal.sample_frames(vids, every_n=3).collect()
+    by_doc: dict = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id in (5, 12):
+        w, h, n, fps = 4 + doc_id % 8, 2 + doc_id % 6, 4 + doc_id % 13, 8
+        rows = sorted(by_doc[doc_id], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in rows] == list(range(0, n, 3))
+        assert all(r.ts_s == r.frame_idx / fps for r in rows)
+        payload = multimodal.make_rawvid(w, h, n, fps)
+        for r in rows:
+            ww, hh, bpp = multimodal.decode_bmp(bytes(r.frame))
+            assert (ww, hh, bpp) == (w, h, 24)
+            got = multimodal._bmp_pixels(bytes(r.frame))
+            want = multimodal._rawvid_frame(payload, r.frame_idx)
+            # encode_bmp and _bmp_pixels both use STORED row order, so
+            # the roundtrip is an identity on the array
+            assert np.array_equal(got, want)
+
+
+def test_sample_frames_guards(spark):
+    with pytest.raises(ValueError, match="every_n"):
+        multimodal.sample_frames(
+            spark.createDataFrame([(1,)], "doc_id long"), every_n=0
+        )
+    with pytest.raises(ValueError, match="RVID"):
+        multimodal.decode_rawvid_header(b"nope")
