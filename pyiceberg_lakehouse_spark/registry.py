@@ -116,9 +116,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dedup + similarity
     "dedup_exact",
     "sim_cosine_topk",
-    # text + multimodal
-    "text_lang_id",
-    "text_tfidf_top_terms",
+    # text + multimodal (lang_id/tfidf — 3 and 2 rounds green — rotate out
+    # for this round's two new text operators; pii_scrub stays as the
+    # category's proven-green row. multimodal_frame_sample, also new this
+    # round, waits for the r8 rotation so multimodal keeps a green row.)
+    "text_repetition_stats",
+    "text_subword_tokens",
     "text_pii_scrub",
     "multimodal_resize",
     # training-data ops (balance_labels and stratified_sample rotated out
