@@ -59,9 +59,27 @@ def default_n_cells(n_rows: int) -> int:
     return max(16, math.ceil(0.2 * math.sqrt(max(0, n_rows))))
 
 
-def resolve_n_probe(n_cells: int, n_probe: int | None) -> int:
+# Measured recall-vs-width anchors (PROBE_SWEEP.json, 633 cells / 10M
+# vectors, worst-case isotropic corpus, recall@10), expressed as the
+# coefficient c in width = ceil(c * sqrt(cells)): 16 probes (c=0.64) ->
+# 1.000, 12 (0.48) -> 0.988, 8 (0.32) -> 0.938, 4 (0.16) -> 0.775. The
+# r5 61-cell sweep fits the same curve (4 = 0.51*sqrt(61) -> 0.988).
+_RECALL_WIDTHS: tuple[tuple[float, float], ...] = (
+    (0.99, 0.64),
+    (0.95, 0.48),
+    (0.90, 0.32),
+    (0.0, 0.16),
+)
+
+
+def resolve_n_probe(
+    n_cells: int, n_probe: int | None, recall_target: float | None = None
+) -> int:
     """Resolve the probe width: an explicit ``n_probe`` wins (clamped to
-    the cell count); ``None`` picks a RECALL-TARGETED width:
+    the cell count); a ``recall_target`` picks the cheapest measured-
+    calibrated width meeting it (see ``_RECALL_WIDTHS`` — e.g. 0.95 costs
+    ~25% fewer scanned rows than the default at 10M vectors, 0.8 ~75%
+    fewer); ``None``/``None`` picks the default RECALL-TARGETED width:
 
         max(_PROBE_FLOOR, ceil(sqrt(n_cells) / 2))
 
@@ -89,6 +107,9 @@ def resolve_n_probe(n_cells: int, n_probe: int | None) -> int:
         return 1
     if n_probe is not None:
         return max(1, min(n_probe, n_cells))
+    if recall_target is not None:
+        coef = next(c for thr, c in _RECALL_WIDTHS if recall_target >= thr)
+        return max(4, min(n_cells, math.ceil(coef * math.sqrt(n_cells))))
     return max(
         min(_PROBE_FLOOR, n_cells),
         min(n_cells, math.ceil(math.sqrt(n_cells) / 2)),
@@ -457,10 +478,12 @@ def ivf_topk(
     n_probe: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    recall_target: float | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score only corpus cells among each query's
-    ``n_probe`` nearest centroids (``None`` = auto-scale with cell count,
-    see ``resolve_n_probe``).
+    ``n_probe`` nearest centroids (``None`` = the default recall-targeted
+    width; or pass ``recall_target`` to dial width for a measured recall
+    level — see ``resolve_n_probe``).
 
     The corpus shuffles once by cell (or stays put if pre-partitioned by
     cell at ingest); each query fans out to n_probe cells, so scored pairs
@@ -468,7 +491,7 @@ def ivf_topk(
     """
     import numpy as np
 
-    n_probe = resolve_n_probe(len(centroids), n_probe)
+    n_probe = resolve_n_probe(len(centroids), n_probe, recall_target)
     qids, Q = _collect_queries(queries, id_col, vec_col)
     cb = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("vid"),
@@ -510,6 +533,7 @@ def ivf_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     allow_stale: bool = False,
+    recall_target: float | None = None,
 ) -> DataFrame:
     """ANN top-k over a PERSISTED IVF index (lakehouse table prepared by
     ``maintenance.build_ivf_index``): the stored ``ivf_cell`` column plus
@@ -527,7 +551,7 @@ def ivf_index_topk(
 
     _guard_index_staleness(table, allow_stale)
     centroids = _json.loads(table.log.properties["ivf.centroids"])
-    n_probe = resolve_n_probe(len(centroids), n_probe)
+    n_probe = resolve_n_probe(len(centroids), n_probe, recall_target)
     qids, Q = _collect_queries(queries, id_col, vec_col)
     if not qids:
         return _probe_topk(table.scan().limit(0), qids, Q, centroids, k, n_probe)
@@ -804,6 +828,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     rerank_factor: int = 16,
     allow_stale: bool = False,
+    recall_target: float | None = None,
 ) -> DataFrame:
     """The full persisted-index ANN read path: IVF cells prune FILES
     (stats IN-list on the stored ``ivf_cell``), PQ codes make scoring the
@@ -838,7 +863,10 @@ def ivf_pq_topk(
 
     _guard_index_staleness(table, allow_stale)
     centroids = _json.loads(table.log.properties["ivf.centroids"])
-    n_probe = resolve_n_probe(len(centroids), n_probe)
+    # note the ADC+rerank recall plateau (0.963 at rerank 16 on the sweep
+    # corpus): a recall_target above it needs a larger rerank_factor, not
+    # a wider probe
+    n_probe = resolve_n_probe(len(centroids), n_probe, recall_target)
     books = _json.loads(table.log.properties["pq.codebooks"])
     residual = table.log.properties.get("pq.residual") == "true"
     n_sub, n_codes = len(books), len(books[0])

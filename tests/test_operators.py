@@ -801,3 +801,19 @@ def test_sample_frames_guards(spark):
         )
     with pytest.raises(ValueError, match="RVID"):
         multimodal.decode_rawvid_header(b"nope")
+
+
+def test_recall_target_widths():
+    """recall_target picks the cheapest measured-calibrated width; explicit
+    n_probe still wins; default unchanged."""
+    rs = similarity.resolve_n_probe
+    assert rs(633, None, 1.0) == 17    # >= the measured recall-1.0 knee (16)
+    assert rs(633, None, 0.95) == 13   # the 0.988-measured width + ceil
+    assert rs(633, None, 0.90) == 9
+    assert rs(633, None, 0.50) == 5
+    assert rs(633, 4, 0.99) == 4       # explicit width beats the target
+    assert rs(633, None, None) == 16   # default policy untouched
+    assert rs(4, None, 1.0) == 4       # clamped to the cell count
+    # monotone: a higher target never probes fewer cells
+    widths = [rs(633, None, t) for t in (0.5, 0.9, 0.95, 0.99, 1.0)]
+    assert widths == sorted(widths)
