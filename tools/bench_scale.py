@@ -105,7 +105,10 @@ class Bench:
 
 
 def bench_documents(spark, b: Bench, tmp: str) -> None:
-    from pyiceberg_lakehouse_spark.operators.dedup import minhash_lsh_pairs
+    from pyiceberg_lakehouse_spark.operators.dedup import (
+        decontaminate,
+        minhash_lsh_pairs,
+    )
     from pyiceberg_lakehouse_spark.operators.queries import clean_corpus
 
     for n in DOC_SCALES:
@@ -139,6 +142,19 @@ def bench_documents(spark, b: Bench, tmp: str) -> None:
         b.run(
             f"clean_corpus_{tag}", lambda d=docs: drain(clean_corpus(d)), reps=REPS
         )
+        # eval-set decontamination: ~1% of docs as the eval side; cost must
+        # track the TRAIN side linearly (one exploded pass + broadcast
+        # shingle join — no self-join), so 10x docs => ~10x wall, never the
+        # candidate-pair blowup of the dedup path
+        ev = docs.filter(F.col("doc_id") % 101 == 0)
+        tr = docs.filter(F.col("doc_id") % 101 != 0)
+        flagged = b.run(
+            f"decontam_{tag}",
+            lambda t=tr, e=ev: decontaminate(t, e, k=3).count(),
+            reps=REPS,
+            warmup=True,
+        )
+        b.notes[f"decontam_flagged_{tag}"] = flagged
 
 
 def bench_embeddings(spark, b: Bench, tmp: str) -> None:
@@ -467,6 +483,9 @@ def main() -> None:
         "ivfpq_probe_growth_10x": ratio(f"ivfpq_probe_{v1}", f"ivfpq_probe_{v2}"),
         "minhash_growth_10x": ratio(f"minhash_ckpt_{t1}", f"minhash_ckpt_{t2}"),
         "clean_corpus_growth_10x": ratio(f"clean_corpus_{t1}", f"clean_corpus_{t2}"),
+        # decontamination must stay ~linear in the train corpus (broadcast
+        # shingle join, no self-join): 10x docs => ~10x wall, not pair-count
+        "decontam_growth_10x": ratio(f"decontam_{t1}", f"decontam_{t2}"),
         "minhash_ckpt_vs_nockpt_small": ratio(
             f"minhash_ckpt_{t1}", f"minhash_nockpt_{t1}"
         ),
