@@ -48,20 +48,22 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # never had a driver row, growing the driver-verified set over time while
 # keeping every category represented.
 #
-# Round-7 rotation (21 slots — the largest yet, per VERDICT r6 task #2:
-# the 17 TPC-H shapes that had never held a driver slot are the newest
-# code and therefore the highest-latent-defect-risk unverified queries).
-# Rotated OUT 21 multi-round-green rows (scan_region, filter_eq,
-# agg_rollup, join_inner_agg, join_broadcast_parts, join_asof,
-# win_topk_per_group, sort_topk_global, fn_array_higher_order,
-# fn_pandas_scalar, agg_q3, agg_q19, lh_ingest_roundtrip, lh_upsert,
-# lh_zorder_scan, lh_commit_batching, lh_merge_on_read_delete,
-# lh_incremental_read, lh_branch_merge, dedup_embedding_cosine,
-# stream_lh_cdc_apply — every one green >= 3 consecutive rounds); rotated
-# IN all 17 never-verified TPC-H topologies plus four lakehouse
-# backfills (lh_sql_read, lh_expire_snapshots, lh_delete_where,
-# lh_datasource_pushdown_scan). Every engine category keeps at least one
-# recently-green representative.
+# Round-7 rotation (25 first-time slots — the largest yet, per VERDICT r6
+# task #2: the 17 TPC-H shapes that had never held a driver slot are the
+# highest-latent-defect-risk unverified queries). Rotated OUT 25 rows
+# green >= 2 consecutive rounds (scan_region, filter_eq, agg_rollup,
+# join_inner_agg, join_broadcast_parts, join_asof, win_topk_per_group,
+# sort_topk_global, fn_array_higher_order, fn_pandas_scalar, agg_q3,
+# agg_q19, lh_ingest_roundtrip, lh_upsert, lh_zorder_scan,
+# lh_commit_batching, lh_merge_on_read_delete, lh_incremental_read,
+# lh_branch_merge, dedup_embedding_cosine, stream_lh_cdc_apply,
+# train_balance_labels, train_stratified_sample, text_lang_id,
+# text_tfidf_top_terms); rotated IN all 17 never-verified TPC-H
+# topologies, four lakehouse backfills (lh_sql_read, lh_expire_snapshots,
+# lh_delete_where, lh_datasource_pushdown_scan), the bounded-window-frame
+# query, and this round's three brand-new operators
+# (train_decontaminate, text_repetition_stats, text_subword_tokens).
+# Every engine category keeps at least one recently-green representative.
 DRIVER_WINDOW: tuple[str, ...] = (
     # parquet scans + filters
     "scan_glob_schema_enforced",
