@@ -845,7 +845,12 @@ def ivf_pq_topk(
     corpus: ADC-only top-10 recall 0.04-0.08; with rerank 16, recall 0.81
     at 16 subspaces and 0.99 at 32); the ADC pass's job is shrinking
     n_probe cells of candidates to k x factor, which it does at
-    code-column IO cost. ``rerank_factor=0`` gives pure ADC ranking —
+    code-column IO cost. The full measured dial at 10M vectors / 32
+    subspaces / auto probe width (PROBE_SWEEP.json ivfpq_rerank_curve):
+    rerank 0 -> 0.45, 4 -> 0.73, 16 -> 0.96, 32 -> 1.00 recall@10 — so
+    rerank_factor, not probe width, is the recall knob past the ADC
+    plateau, at ~linear wall cost in the factor.
+    ``rerank_factor=0`` gives pure ADC ranking —
     note the ADC kernel accumulates in float32 (LUT + residual term both
     downcast for memory bandwidth), so with the refine stage disabled the
     returned scores carry f32 precision emitted as double and tie-order

@@ -120,6 +120,33 @@ def main() -> None:
             k_cells,
             brute,
         )
+        # the OTHER IVF-PQ recall dial: at the auto probe width, sweep the
+        # refine stage's rerank_factor — the ADC+rerank plateau moves with
+        # it (k*factor exact re-scores per query), while n_probe past the
+        # knee buys nothing (see ivfpq_curve)
+        print("--- ivfpq rerank curve (auto probe width)", flush=True)
+        rerank_points = []
+        for factor in (0, 4, 16, 32, 64):
+            got, runs = None, []
+            for rep in range(3):
+                t0 = time.time()
+                got = {
+                    (r.qid, r.vid)
+                    for r in similarity.ivf_pq_topk(
+                        t, queries, k=TOP_K, n_probe=auto_np, rerank_factor=factor
+                    ).collect()
+                }
+                if rep:
+                    runs.append(round(time.time() - t0, 3))
+            point = {
+                "rerank_factor": factor,
+                "recall": round(len(got & brute) / len(brute), 3),
+                "sec": round(statistics.median(runs), 3),
+                "samples": runs,
+            }
+            rerank_points.append(point)
+            print(json.dumps(point), flush=True)
+
         out = {
             "rows": n,
             "cells": k_cells,
@@ -127,6 +154,7 @@ def main() -> None:
             "auto_n_probe": auto_np,
             "curve": ivf_points,
             "ivfpq_curve": ivfpq_points,
+            "ivfpq_rerank_curve": rerank_points,
         }
         with open(OUT, "w") as fh:
             json.dump(out, fh, indent=1)
