@@ -45,10 +45,16 @@ def word_shingles(tokens: F.Column, k: int = 3) -> F.Column:
     textually, so an inline expression would re-tokenize the document for
     every element_at (k x shingles x docs regexp evaluations).
     """
+    # try_element_at: a document SHORTER than k tokens yields one shortened
+    # shingle (out-of-range positions read NULL, concat_ws skips them) —
+    # the same semantics as the DuckDB oracle's t[i], where plain
+    # element_at under ANSI mode would fail the whole job on a short doc
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(tokens) - k, F.lit(0))),
-            lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j + 1) for j in range(k)]),
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(tokens, i + j + 1) for j in range(k)]
+            ),
         )
     )
 

@@ -772,6 +772,77 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "pipeline_train_prep",
+    f"""
+    with toks as (
+      select doc_id, string_split({NORM}, ' ') as t from documents
+    ),
+    sh as (
+      select distinct doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) as shingle
+      from toks
+    ),
+    ev as (select distinct shingle from sh where doc_id % 41 = 0),
+    flagged as (
+      select distinct s.doc_id from sh s join ev using (shingle)
+      where s.doc_id % 41 != 0
+    ),
+    scored as (
+      select doc_id, lang,
+             len(string_split({NORM}, ' ')) as n_tokens,
+             md5({NORM}) as fp
+      from documents
+      where doc_id % 41 != 0
+        and doc_id not in (select doc_id from flagged)
+    ),
+    filtered as (select * from scored where n_tokens >= 20),
+    deduped as (
+      select doc_id, lang, n_tokens,
+             row_number() over (partition by fp order by doc_id) as rn
+      from filtered
+    )
+    select doc_id, lang, cast(n_tokens as integer) as n_tokens,
+           case when {HB.format(col="doc_id", n=100)} < 10 then 'test'
+                else 'train' end as split
+    from deduped where rn = 1
+    """,
+)
+def pipeline_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontaminating variant of the corpus-prep pipeline: drop any
+    training doc sharing a 3-gram with the eval slice (doc_id % 41 == 0),
+    then quality floor -> exact dedup keep-first -> deterministic split.
+    Composition cost at scale: decontamination adds ONE exploded pass +
+    broadcast shingle join in front of the clean-corpus plan's single
+    dedup-window shuffle."""
+    from pyiceberg_lakehouse_spark.operators import traindata
+    from pyiceberg_lakehouse_spark.operators.dedup import normalize_text
+    from pyspark.sql import Window as W_
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 41 == 0)
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    flagged = dedup.decontaminate(train, ev, k=3).select("doc_id")
+    kept = train.join(flagged, "doc_id", "left_anti")
+    norm = normalize_text(F.col("text"))
+    scored = kept.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(norm, " ")).alias("n_tokens"),
+        F.md5(norm).alias("fp"),
+    ).filter(F.col("n_tokens") >= 20)
+    w = W_.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    return traindata.split_train_test(deduped).select(
+        "doc_id", "lang", "n_tokens", "split"
+    )
+
+
 def clean_corpus(docs: DataFrame) -> DataFrame:
     """The pipeline_clean_corpus composition over ANY (doc_id, text, lang)
     frame — factored out so the scale harness (tools/bench_scale.py) runs the

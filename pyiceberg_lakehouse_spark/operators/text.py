@@ -148,7 +148,9 @@ def repetition_stats(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size("_toks") - k, F.lit(0))),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(F.col("_toks"), i + j + 1) for j in range(k)]
+                # try_element_at: short docs read NULL past the end (skipped
+                # by concat_ws) instead of an ANSI out-of-bounds failure
+                " ", *[F.try_element_at(F.col("_toks"), i + j + 1) for j in range(k)]
             ),
         ).alias("_grams"),
     )

@@ -817,3 +817,69 @@ def test_recall_target_widths():
     # monotone: a higher target never probes fewer cells
     widths = [rs(633, None, t) for t in (0.5, 0.9, 0.95, 0.99, 1.0)]
     assert widths == sorted(widths)
+
+
+def test_decontaminate_property_vs_reference(spark):
+    """Property: for random word-soup corpora, decontaminate's flagged set
+    and per-doc counts equal a pure-python shingle-set reference."""
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = [f"w{i}" for i in range(12)]
+
+    def norm(t: str) -> str:
+        return _re.sub(r"\s+", " ", t.lower()).strip()
+
+    def shingles(t: str, k: int = 3) -> set:
+        toks = norm(t).split(" ")
+        n = max(len(toks) - k, 0)
+        return {" ".join(toks[i : i + k]) for i in range(n + 1)}
+
+    doc = st.lists(st.sampled_from(words), min_size=1, max_size=12).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(doc, min_size=1, max_size=8),
+        st.lists(doc, min_size=1, max_size=3),
+    )
+    def check(train_texts, eval_texts):
+        ev_sh = set().union(*(shingles(t) for t in eval_texts))
+        want = {}
+        for i, t in enumerate(train_texts):
+            hits = len(shingles(t) & ev_sh)
+            if hits:
+                want[i] = hits
+        train = spark.createDataFrame(
+            list(enumerate(train_texts)), "doc_id long, text string"
+        )
+        ev = spark.createDataFrame(
+            [(1000 + i, t) for i, t in enumerate(eval_texts)],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.n_contaminated
+            for r in dedup.decontaminate(train, ev, k=3).collect()
+        }
+        assert got == want
+
+    check()
+
+
+def test_shingle_operators_survive_short_docs(spark):
+    """Documents shorter than the shingle width must not fail the job
+    under ANSI mode (Spark 4 default): out-of-range gram positions read
+    NULL via try_element_at — the DuckDB t[i] semantics — yielding one
+    shortened shingle. Found by the decontaminate property test."""
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, "three whole words here")],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id for r in dedup.exploded_shingles(docs).collect()}
+    assert sh == {1, 2, 3}
+    assert dedup.ngram_jaccard_pairs(docs, threshold=0.1).count() == 0
+    rows = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
+    assert rows[1].n_grams == 1 and rows[1].dup_fraction == 0.0
+    ev = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
+    assert {r.doc_id for r in dedup.decontaminate(docs, ev, k=3).collect()} == {1}
