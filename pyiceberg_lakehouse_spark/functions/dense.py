@@ -33,10 +33,35 @@ from pyspark.sql.functions import pandas_udf
 
 
 def _rows(v: pd.Series) -> np.ndarray:
-    """Stack a Series of array<float> values into an (n, dim) float64 matrix."""
+    """Stack a Series of array<float> values into an (n, dim) float64 matrix.
+
+    Assumes every value is non-null and same-dim; kernels over UNTRUSTED
+    vector columns use ``_rows_masked`` instead — a 100 TB corpus will
+    contain NULL and mis-dimensioned poison rows, and one of them must not
+    fail the whole job."""
     if len(v) == 0:
         return np.empty((0, 0), dtype=np.float64)
     return np.array(v.tolist(), dtype=np.float64)
+
+
+def _rows_masked(
+    v: pd.Series, dim: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """(X, mask): stack the VALID rows of a vector Series into an (m, dim)
+    float64 matrix; ``mask[i]`` says whether input row i participated.
+    Valid = non-null with the expected dimension (``dim``, or the first
+    non-null row's length when unspecified). Kernels emit NULL (aligned
+    outputs) or skip (candidate streams) for masked-out rows."""
+    vals = v.tolist()
+    if dim is None:
+        dim = next((len(x) for x in vals if x is not None), 0)
+    mask = np.fromiter(
+        (x is not None and len(x) == dim for x in vals), dtype=bool, count=len(vals)
+    )
+    if not mask.any():
+        return np.empty((0, dim), dtype=np.float64), mask
+    X = np.array([vals[i] for i in np.flatnonzero(mask)], dtype=np.float64)
+    return X, mask
 
 
 def _col(c: str | Column) -> Column:
@@ -50,10 +75,12 @@ def matrix_scores(vec_col: str | Column, matrix: list[list[float]]) -> Column:
 
     @pandas_udf("array<double>")
     def f(v: pd.Series) -> pd.Series:
-        X = _rows(v)
-        if X.size == 0:
-            return pd.Series([[] for _ in range(len(v))])
-        return pd.Series(list(X @ Mt))
+        X, mask = _rows_masked(v, Mt.shape[0])
+        out = [None] * len(v)
+        if X.size:
+            for i, row in zip(np.flatnonzero(mask), X @ Mt):
+                out[i] = list(row)
+        return pd.Series(out)
 
     return f(_col(vec_col))
 
@@ -64,10 +91,11 @@ def nearest_cell(vec_col: str | Column, matrix: list[list[float]]) -> Column:
 
     @pandas_udf("int")
     def f(v: pd.Series) -> pd.Series:
-        X = _rows(v)
-        if X.size == 0:
-            return pd.Series(np.zeros(len(v), dtype=np.int32))
-        return pd.Series((X @ Mt).argmax(axis=1).astype(np.int32))
+        X, mask = _rows_masked(v, Mt.shape[0])
+        out = pd.array([None] * len(v), dtype="Int32")
+        if X.size:
+            out[np.flatnonzero(mask)] = (X @ Mt).argmax(axis=1).astype(np.int32)
+        return pd.Series(out)
 
     return f(_col(vec_col))
 
@@ -88,11 +116,12 @@ def hyperplane_bucket(vec_col: str | Column, planes: list[list[float]]) -> Colum
 
     @pandas_udf("long")
     def f(v: pd.Series) -> pd.Series:
-        X = _rows(v)
-        if X.size == 0:
-            return pd.Series(np.zeros(len(v), dtype=np.int64))
-        bits = (X @ Pt) > 0
-        return pd.Series(bits @ weights)
+        X, mask = _rows_masked(v, Pt.shape[0])
+        out = pd.array([None] * len(v), dtype="Int64")
+        if X.size:
+            bits = (X @ Pt) > 0
+            out[np.flatnonzero(mask)] = bits @ weights
+        return pd.Series(out)
 
     return f(_col(vec_col))
 
@@ -104,15 +133,21 @@ def cosine_pair(a: str | Column, b: str | Column) -> Column:
 
     @pandas_udf("double")
     def f(va: pd.Series, vb: pd.Series) -> pd.Series:
-        A, B = _rows(va), _rows(vb)
-        if A.size == 0:
-            return pd.Series(np.zeros(len(va), dtype=np.float64))
-        num = np.einsum("ij,ij->i", A, B)
-        na = np.sqrt(np.einsum("ij,ij->i", A, A))
-        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
-        den = na * nb
-        den[den == 0.0] = 1.0
-        return pd.Series(num / den)
+        A, ma = _rows_masked(va)
+        B, mb = _rows_masked(vb, A.shape[1] if A.size else None)
+        mask = ma & mb
+        out = np.full(len(va), np.nan)
+        if mask.any():
+            idx = np.flatnonzero(mask)
+            Av = np.array([va.iloc[i] for i in idx], dtype=np.float64)
+            Bv = np.array([vb.iloc[i] for i in idx], dtype=np.float64)
+            num = np.einsum("ij,ij->i", Av, Bv)
+            na = np.sqrt(np.einsum("ij,ij->i", Av, Av))
+            nb = np.sqrt(np.einsum("ij,ij->i", Bv, Bv))
+            den = na * nb
+            den[den == 0.0] = 1.0
+            out[idx] = num / den
+        return pd.Series(out)
 
     return f(_col(a), _col(b))
 
@@ -150,8 +185,10 @@ def local_topk_scores(
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            vids = pdf[id_col].to_numpy()
+            X, mask = _rows_masked(pdf[vec_col], Q.shape[1])
+            if not mask.any():
+                continue  # poison rows (NULL / wrong dim) never kill the job
+            vids = pdf[id_col].to_numpy()[mask]
             nx = np.sqrt((X * X).sum(axis=1, keepdims=True))
             nx[nx == 0.0] = 1.0
             S = (X / nx) @ Qn.T  # (n, Q)

@@ -164,6 +164,7 @@ def cosine_topk(
                 "driver; cap is 65536 rows — use an ANN index for "
                 "query sets at corpus scale"
             )
+        qrows, _ = _valid_vecs(qrows, vec_idx=1)
         cand = dense.local_topk_scores(
             corpus,
             [r[0] for r in qrows],
@@ -199,6 +200,9 @@ def cosine_topk(
             "score",
             dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
         )
+        # poison rows (NULL / mis-dimensioned vectors) null the fold; they
+        # are unrankable and must not occupy top-k slots
+        .filter(F.col("score").isNotNull())
         .select("qid", "vid", "score")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vid"))
@@ -280,6 +284,9 @@ def lsh_topk(
         cb.join(qb, "bucket")
         .filter(F.col("qid") != F.col("vid"))
         .withColumn("score", dense.cosine_pair("q_vec", "c_vec"))
+        # NaN marks poison rows (NULL / ragged vectors); Spark sorts NaN
+        # GREATEST under desc, so they'd otherwise top the ranking
+        .filter(~F.isnan("score"))
         .select("qid", "vid", "score")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vid"))
@@ -366,6 +373,7 @@ def sample_centroids(
     controlled by n_probe, which the search below takes as a parameter.
     """
     rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    rows, _ = _valid_vecs(rows)
     out = []
     for r in rows:
         v = [float(x) for x in r[0]]
@@ -386,6 +394,22 @@ def probe_cells_expr(
     return F.transform(ranked, lambda p: p["cell"])
 
 
+def _valid_vecs(rows, vec_idx: int = 0, dim: int | None = None):
+    """Filter driver-collected rows to those whose vector is non-null with
+    a consistent dimension (the first valid row's, unless given). Poison
+    rows — NULL embeddings, ragged dims — exist in any real corpus and
+    must degrade to exclusion, not a crashed build/probe."""
+    if dim is None:
+        dim = next(
+            (len(r[vec_idx]) for r in rows if r[vec_idx] is not None), None
+        )
+    if dim is None:
+        return [], 0
+    return [
+        r for r in rows if r[vec_idx] is not None and len(r[vec_idx]) == dim
+    ], dim
+
+
 def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
     """Bounded driver collect of a query set: (ids, raw float64 matrix).
 
@@ -399,6 +423,7 @@ def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
             "ANN probes collect the query set to the driver; cap is 65536 "
             "rows — run corpus-scale query sets in batches"
         )
+    qrows, _ = _valid_vecs(qrows, vec_idx=1)
     ids = [int(r[0]) for r in qrows]
     Q = np.array([[float(x) for x in r[1]] for r in qrows], dtype=np.float64)
     return ids, Q
@@ -437,9 +462,13 @@ def _probe_topk(
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
-            cells = pdf["ivf_cell"].to_numpy(dtype=np.int64)
-            vids = pdf["vid"].to_numpy(dtype=np.int64)
+            from pyiceberg_lakehouse_spark.functions.dense import _rows_masked
+
+            X, vmask = _rows_masked(pdf["c_vec"], Qn.shape[1])
+            if not vmask.any():
+                continue
+            cells = pdf["ivf_cell"].to_numpy(dtype=np.int64)[vmask]
+            vids = pdf["vid"].to_numpy(dtype=np.int64)[vmask]
             nx = np.sqrt(np.einsum("ij,ij->i", X, X))
             nx[nx == 0.0] = 1.0
             Xn = X / nx[:, None]
@@ -641,6 +670,9 @@ def pq_train_local(
 
     cols = [vec_col] + ([cell_col] if centroids is not None else [])
     rows = df.select(*cols).limit(cap).collect()
+    rows, _ = _valid_vecs(rows)
+    if centroids is not None:
+        rows = [r for r in rows if r[1] is not None]  # residual needs a cell
     if not rows:
         return []
     X = np.array([[float(v) for v in r[0]] for r in rows], dtype=np.float64)
@@ -746,9 +778,20 @@ def pq_encode(
 
         @pandas_udf("array<int>")
         def encode_residual(v: pd.Series, cell: pd.Series) -> pd.Series:
-            X = _normalize_rows(np.array(v.tolist(), dtype=np.float64))
-            X = X - IC[cell.to_numpy(dtype=np.int64)]
-            return pd.Series(list(_codes(X)))
+            from pyiceberg_lakehouse_spark.functions.dense import _rows_masked
+
+            X, mask = _rows_masked(v, IC.shape[1])
+            mask &= cell.notna().to_numpy()
+            out = [None] * len(v)
+            if mask.any():
+                idx = np.flatnonzero(mask)
+                Xv = _normalize_rows(
+                    np.array([v.iloc[i] for i in idx], dtype=np.float64)
+                )
+                Xv = Xv - IC[cell.iloc[idx].to_numpy(dtype=np.int64)]
+                for i, code in zip(idx, _codes(Xv)):
+                    out[i] = list(code)
+            return pd.Series(out)
 
         return df.withColumn(
             "pq_codes", encode_residual(F.col(vec_col), F.col(cell_col))
@@ -756,8 +799,14 @@ def pq_encode(
 
     @pandas_udf("array<int>")
     def encode(v: pd.Series) -> pd.Series:
-        X = _normalize_rows(np.array(v.tolist(), dtype=np.float64))
-        return pd.Series(list(_codes(X)))
+        from pyiceberg_lakehouse_spark.functions.dense import _rows_masked
+
+        X, mask = _rows_masked(v)
+        out = [None] * len(v)
+        if X.size:
+            for i, code in zip(np.flatnonzero(mask), _codes(_normalize_rows(X))):
+                out[i] = list(code)
+        return pd.Series(out)
 
     return df.withColumn("pq_codes", encode(F.col(vec_col)))
 
@@ -790,17 +839,35 @@ def pq_adc_topk(
 
     @pandas_udf("array<double>")
     def lut(v: pd.Series) -> pd.Series:
-        Q = _normalize_rows(np.array(v.tolist(), dtype=np.float64))
-        Qs = Q.reshape(len(Q), n_sub, d)
-        tables = np.einsum("nsd,scd->nsc", Qs, C).reshape(len(Q), n_sub * n_codes)
-        return pd.Series(list(tables))
+        from pyiceberg_lakehouse_spark.functions.dense import _rows_masked
+
+        X, mask = _rows_masked(v, n_sub * d)
+        out = [None] * len(v)
+        if X.size:
+            Q = _normalize_rows(X)
+            Qs = Q.reshape(len(Q), n_sub, d)
+            tables = np.einsum("nsd,scd->nsc", Qs, C).reshape(
+                len(Q), n_sub * n_codes
+            )
+            for i, t in zip(np.flatnonzero(mask), tables):
+                out[i] = list(t)
+        return pd.Series(out)
 
     @pandas_udf("double")
     def adc(codes: pd.Series, tables: pd.Series) -> pd.Series:
-        Cm = np.array(codes.tolist(), dtype=np.int64)
-        L = np.array(tables.tolist(), dtype=np.float64)
-        idx = Cm + (np.arange(n_sub) * n_codes)[None, :]
-        return pd.Series(np.take_along_axis(L, idx, axis=1).sum(axis=1))
+        cvals, tvals = codes.tolist(), tables.tolist()
+        valid = [
+            i
+            for i in range(len(cvals))
+            if cvals[i] is not None and tvals[i] is not None
+        ]
+        out = np.full(len(cvals), np.nan)
+        if valid:
+            Cm = np.array([cvals[i] for i in valid], dtype=np.int64)
+            L = np.array([tvals[i] for i in valid], dtype=np.float64)
+            idx = Cm + (np.arange(n_sub) * n_codes)[None, :]
+            out[valid] = np.take_along_axis(L, idx, axis=1).sum(axis=1)
+        return pd.Series(out)
 
     qb = F.broadcast(
         queries.select(F.col(id_col).alias("qid"), lut(F.col(vec_col)).alias("_lut"))
@@ -809,6 +876,7 @@ def pq_adc_topk(
         corpus_codes.select(F.col(id_col).alias("vid"), "pq_codes")
         .join(qb, F.col("qid") != F.col("vid"))
         .withColumn("score", adc(F.col("pq_codes"), F.col("_lut")))
+        .filter(~F.isnan("score"))  # see lsh_topk: NaN sorts greatest
         .select("qid", "vid", "score")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vid"))
@@ -994,6 +1062,7 @@ def ivf_pq_topk(
         vecs.join(F.broadcast(pairs), "vid")
         .join(F.broadcast(qv), "qid")
         .withColumn("score", dense.cosine_pair("q_vec", "c_vec"))
+        .filter(~F.isnan("score"))  # see lsh_topk: NaN sorts greatest
         .select("qid", "vid", "score")
     )
     return (
@@ -1044,6 +1113,7 @@ def kmeans_refine_local(
     import numpy as np
 
     rows = df.select(vec_col).limit(cap).collect()
+    rows, _ = _valid_vecs(rows)
     if not rows:
         return [list(c) for c in centroids]
     X = np.array([[float(v) for v in r[0]] for r in rows], dtype=np.float64)

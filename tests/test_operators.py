@@ -883,3 +883,56 @@ def test_shingle_operators_survive_short_docs(spark):
     assert rows[1].n_grams == 1 and rows[1].dup_fraction == 0.0
     ev = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
     assert {r.doc_id for r in dedup.decontaminate(docs, ev, k=3).collect()} == {1}
+
+
+def test_poison_vector_rows_never_kill_or_rank(spark, tmp_path):
+    """Poison-row contract: NULL or mis-dimensioned embedding rows — which
+    any 100 TB corpus contains — are EXCLUDED from similarity results and
+    index state, never crash a kernel, and never occupy a top-k slot (a
+    naive NaN score would sort GREATEST under desc ordering)."""
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import (
+        build_ivf_index,
+        build_pq_index,
+        refresh_ann_indexes,
+    )
+
+    rows = [(i, [0.1 * ((i % 7) + 1)] * 64, i % 2) for i in range(1, 40)]
+    rows += [(100, None, 0), (101, [1.0] * 32, 1)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = emb.filter("vec_id in (1, 100, 101)")
+
+    for df in (
+        similarity.cosine_topk(emb, q, k=2),
+        similarity.cosine_topk(emb, q, k=2, exact=False),
+        similarity.lsh_topk(emb, q, dim=64, k=2),
+    ):
+        got = df.collect()
+        assert got, "valid query must still return results"
+        assert all(r.vid not in (100, 101) for r in got)
+        assert all(r.qid == 1 for r in got)  # poison queries drop out
+    cents = similarity.sample_centroids(emb, k=4)
+    assert all(len(c) == 64 for c in cents)
+
+    # persisted-index lifecycle: build + PQ + append-with-poison + refresh
+    lh = Lakehouse(spark, str(tmp_path / "wh"))
+    t = lh.create_table("ns.hostile_emb", emb.schema)
+    t.append(emb)
+    build_ivf_index(t, k=4, iters=1)
+    build_pq_index(t, n_subspaces=8, n_codes=8, sample_cap=256)
+    t.append(
+        spark.createDataFrame(
+            [(200, None, 0), (201, [0.3] * 64, 1)], emb.schema
+        )
+    )
+    refresh_ann_indexes(t)
+    # poison rows persist in the TABLE (no silent data loss) with NULL
+    # index state, and probes exclude them
+    assert t.scan().filter("vec_id in (100, 200)").count() == 2
+    assert t.scan().filter("vec_id = 100").select("ivf_cell").first()[0] is None
+    probe = similarity.ivf_index_topk(t, q.filter("vec_id = 1"), k=3, n_probe=None)
+    pq_probe = similarity.ivf_pq_topk(t, q.filter("vec_id = 1"), k=3, n_probe=None)
+    for df in (probe, pq_probe):
+        got = df.collect()
+        assert len(got) == 3
+        assert all(r.vid not in (100, 101, 200) for r in got)
