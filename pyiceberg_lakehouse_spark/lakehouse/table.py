@@ -48,6 +48,26 @@ from pyiceberg_lakehouse_spark.lakehouse.transforms import (
 _HIVE_SEG = re.compile(r"([^/=]+)=([^/]+)")
 
 
+def _parse_hive_partition(rel_path: str) -> dict[str, str]:
+    """key=value partition segments from a path, PERCENT-DECODED.
+
+    Spark escapes special characters in partition path segments
+    (``a/b=c`` -> ``a%2Fb%3Dc``); the log must store the DECODED value or
+    a ``partition_filter={"cat": "a/b=c"}`` prunes away the matching file
+    — a wrong-answer bug, since pruning is supposed to be a pure
+    optimization. NULL partitions keep Spark's sentinel string as-is.
+    (Empty-string partition values are a Hive-layout limitation: Spark
+    writes ``cat=`` and reads it back as NULL — same semantics as plain
+    ``partitionBy`` parquet; avoid "" as a partition value.)
+    """
+    from urllib.parse import unquote
+
+    return {
+        k: unquote(v)
+        for k, v in _HIVE_SEG.findall(rel_path.replace(os.sep, "/"))
+    }
+
+
 class Lakehouse:
     """Warehouse root holding ``<namespace>/<table>`` directories.
 
@@ -1102,7 +1122,7 @@ class LakehouseTable:
             rel = os.path.relpath(path, out_dir)
             return {
                 "path": path,
-                "partition": dict(_HIVE_SEG.findall(rel.replace(os.sep, "/"))),
+                "partition": _parse_hive_partition(rel),
                 # footer-exact row count: powers metadata-only COUNT(*)
                 "rows": file_row_count(path),
                 # per-file column bounds from the footer: O(files) driver

@@ -537,3 +537,29 @@ def test_write_audit_publish(spark, warehouse, sf_dir):
     t.log.load()
     assert t.scan().count() == n_base + n_batch
     assert t.branches() == []
+
+
+def test_partition_values_with_special_characters(spark, warehouse):
+    """Partition values containing '/', '=', '%', spaces, or unicode are
+    percent-encoded by Spark in hive paths; the snapshot log must store
+    the DECODED value or partition pruning silently drops the matching
+    file — a wrong-answer bug, since pruning must be a pure optimization."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "plain", 10), (2, "has space", 20), (3, "a/b=c", 30),
+        (4, "ünïcode", 40), (5, "100%sure", 50),
+    ]
+    df = spark.createDataFrame(rows, "id long, cat string, val long")
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.special_parts", df.schema, partition_by=["cat"])
+    t.append(df)
+    assert t.scan().count() == 5
+    for cat in ("plain", "has space", "a/b=c", "ünïcode", "100%sure"):
+        got = t.scan(partition_filter={"cat": cat}).filter(
+            F.col("cat") == cat
+        ).collect()
+        assert len(got) == 1, f"partition filter lost rows for {cat!r}"
+    # the log's metadata view holds the decoded value (one file per cat)
+    cats = sorted(f["partition"]["cat"] for f in t.log.live_files())
+    assert cats == sorted(c for _, c, _ in rows)
