@@ -258,6 +258,13 @@ def main() -> None:
                 "sf": sf,
                 "calib_cpu_sec": calib,
                 "normalized_total": round(total / calib, 2),
+                # same-code spread measured across clean identical-code runs
+                # (BENCH_ADJUDICATION.md): per-phase normalized deltas below
+                # this factor are box noise, not adjudicable regressions —
+                # a claimed regression needs the phase's code in the diff or
+                # >= 3 interleaved A/B reproductions.
+                "noise_band": 1.5,
+                "noise_band_total": 1.27,
             },
             separators=(",", ":"),
         )

@@ -48,22 +48,21 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # never had a driver row, growing the driver-verified set over time while
 # keeping every category represented.
 #
-# Round-7 rotation (25 first-time slots — the largest yet, per VERDICT r6
-# task #2: the 17 TPC-H shapes that had never held a driver slot are the
-# highest-latent-defect-risk unverified queries). Rotated OUT 25 rows
-# green >= 2 consecutive rounds (scan_region, filter_eq, agg_rollup,
-# join_inner_agg, join_broadcast_parts, join_asof, win_topk_per_group,
-# sort_topk_global, fn_array_higher_order, fn_pandas_scalar, agg_q3,
-# agg_q19, lh_ingest_roundtrip, lh_upsert, lh_zorder_scan,
-# lh_commit_batching, lh_merge_on_read_delete, lh_incremental_read,
-# lh_branch_merge, dedup_embedding_cosine, stream_lh_cdc_apply,
-# train_balance_labels, train_stratified_sample, text_lang_id,
-# text_tfidf_top_terms); rotated IN all 17 never-verified TPC-H
-# topologies, four lakehouse backfills (lh_sql_read, lh_expire_snapshots,
-# lh_delete_where, lh_datasource_pushdown_scan), the bounded-window-frame
-# query, and this round's three brand-new operators
-# (train_decontaminate, text_repetition_stats, text_subword_tokens).
-# Every engine category keeps at least one recently-green representative.
+# Round-8 rotation (15 first-time slots, per VERDICT r7 task #2: the
+# composite/lifecycle queries among the 33 never-driver-verified rows are
+# the highest-value backfills). Rotated OUT 15 rows green >= 2 consecutive
+# rounds (join_full_outer, events_session_windows, dedup_exact,
+# multimodal_resize, pipeline_clean_corpus, train_mix_weighted,
+# stream_lh_ann_ingest, stream_lh_wap_publish, lh_ann_indexed_selfcheck,
+# lh_ann_refresh_selfcheck, lh_bloom_point_lookup, lh_compact_roundtrip,
+# lh_hidden_partition_month, lh_partition_evolution, lh_rollback);
+# rotated IN all 14 VERDICT-named never-verified queries plus
+# multimodal_frame_sample (new in r7, promised the r8 multimodal slot).
+# All 25 round-7 first-timers hold for their second green round.
+# sim_cosine_topk stays in-window by requirement: its plan was rewritten
+# this round (double-evaluation fix) and must re-prove driver-green.
+# Every engine category keeps at least one recently-green representative
+# (joins ride the 17 held TPC-H topologies + lh_bucketed_colocated_join).
 DRIVER_WINDOW: tuple[str, ...] = (
     # parquet scans + filters
     "scan_glob_schema_enforced",
@@ -71,12 +70,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_q1_pricing_summary",
     "agg_keep_last",
     "agg_salted_groupby",
-    # joins
-    "join_full_outer",
-    # windows / sort / time series (win_bounded_frame: never-verified
-    # window-frame query takes the windows slot)
+    # set ops (never-verified EXCEPT ALL takes the set-ops slot)
+    "set_except_all",
+    # windows (r7 first-timer holds for its second round)
     "win_bounded_frame",
-    "events_session_windows",
     # scalar functions
     "fn_from_json_struct",
     # pandas-UDF surface
@@ -100,41 +97,42 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_q20_potential_promotion",
     "agg_q21_suppliers_kept_waiting",
     "agg_q22_global_sales_opportunity",
-    # lakehouse lifecycle + maintenance (r6 first-timers held for a second
-    # round; + r7 backfills: SQL read, expiry, copy-on-write delete, the
-    # registered Spark data source's pushdown scan)
+    # lakehouse lifecycle + maintenance (r7 backfills hold for a second
+    # round; + r8 first-timers: datasource write roundtrip, SQL-catalog
+    # lifecycle, metadata-only count, tag read, column rename, flat-layout
+    # write, bucketed co-located join)
     "lh_schema_evolution",
-    "lh_ann_indexed_selfcheck",
-    "lh_ann_refresh_selfcheck",
-    "lh_compact_roundtrip",
-    "lh_partition_evolution",
-    "lh_rollback",
-    "lh_bloom_point_lookup",
-    "lh_hidden_partition_month",
     "lh_sql_read",
     "lh_expire_snapshots",
     "lh_delete_where",
     "lh_datasource_pushdown_scan",
-    # dedup + similarity
-    "dedup_exact",
+    "lh_datasource_write_roundtrip",
+    "lh_sql_catalog_lifecycle",
+    "lh_metadata_count",
+    "lh_tag_read",
+    "lh_rename_column",
+    "lh_flat_layout_roundtrip",
+    "lh_bucketed_colocated_join",
+    # dedup + similarity (cosine_topk plan rewritten this round — must
+    # re-prove driver-green after the double-evaluation fix)
     "sim_cosine_topk",
-    # text + multimodal (lang_id/tfidf — 3 and 2 rounds green — rotate out
-    # for this round's two new text operators; pii_scrub stays as the
-    # category's proven-green row. multimodal_frame_sample, also new this
-    # round, waits for the r8 rotation so multimodal keeps a green row.)
+    # text + multimodal (r7 first-timers hold; frame_sample takes the
+    # multimodal slot as promised in the r7 rotation note)
     "text_repetition_stats",
     "text_subword_tokens",
     "text_pii_scrub",
-    "multimodal_resize",
-    # training-data ops (balance_labels and stratified_sample rotated out
-    # — 3 and 2 rounds green — for the windows slot and the brand-new
-    # decontamination operator, this round's newest code)
+    "multimodal_frame_sample",
+    # training-data ops (decontaminate holds; train-prep pipeline is the
+    # never-verified composite backfill)
     "train_decontaminate",
-    "train_mix_weighted",
-    "pipeline_clean_corpus",
-    # structured streaming
-    "stream_lh_ann_ingest",
-    "stream_lh_wap_publish",
+    "pipeline_train_prep",
+    # structured streaming (all five never-verified rows rotate in; the
+    # category's two 2-round-green rows rotate out)
+    "stream_lh_sink_hourly",
+    "stream_lh_source_by_type",
+    "stream_lh_datasource_partitioned",
+    "stream_user_running_totals",
+    "stream_sliding_2h",
 )
 
 
