@@ -140,6 +140,26 @@ class SnapshotLog:
         self.properties = d.get("properties", {})
         self.snapshots = [Snapshot.from_json(s) for s in d.get("snapshots", [])]
         self.refs = {k: int(v) for k, v in d.get("refs", {}).items()}
+        # format_version 1 logs persisted partition dicts as Spark wrote the
+        # path segments — percent-ENCODED keys and values (``a/b=c`` stored
+        # as ``a%2Fb%3Dc``), so partition_filter with special-character
+        # values wrongly pruned the matching files. v2 stores them decoded
+        # at write time; older logs are decoded once here at load. One-time
+        # migration caveat: a v1 log written by a build that already decoded
+        # VALUES keeps literal ``%XX`` sequences in user data only if the
+        # user value itself contained them — those decode a second time
+        # here; values without percent-escapes are unaffected (unquote
+        # leaves invalid escapes alone).
+        if int(d.get("format_version", 1)) < 2:
+            from urllib.parse import unquote
+
+            for snap in self.snapshots:
+                for fentry in snap.added_files:
+                    part = fentry.get("partition")
+                    if part:
+                        fentry["partition"] = {
+                            unquote(k): unquote(v) for k, v in part.items()
+                        }
         return self
 
     def schema(self) -> T.StructType:
@@ -324,7 +344,9 @@ class SnapshotLog:
 
     def _write(self, expected_len: int | None) -> None:
         payload = {
-            "format_version": 1,
+            # v2: partition dicts are stored percent-DECODED (keys and
+            # values); see the load() migration note
+            "format_version": 2,
             "schema": self.schema_json,
             "partition_by": self.partition_by,
             "properties": self.properties,

@@ -311,24 +311,47 @@ def ann_index_epoch(table: LakehouseTable) -> int | None:
 
 def ann_index_stale_files(table: LakehouseTable) -> list[dict]:
     """Live files whose rows are INVISIBLE to index probes: added after the
-    last index commit, or lacking ivf_cell values entirely (e.g. restored
-    by a rollback past the index build). Metadata-only — no data reads."""
+    last index commit, or — when an IVF index exists — lacking ivf_cell
+    values entirely (e.g. restored by a rollback past the index build).
+    Metadata-only — no data reads.
+
+    A PQ-ONLY table has no cell column to lack — the footer stats can't
+    attest an array column like pq_codes, and treating its absence from
+    stats as staleness marked every file of a fresh PQ-only index stale
+    (ADVICE r7). Staleness there is purely commit-sequenced: added after
+    the LAST index commit, or added before the FIRST one (rollback
+    preserves ``added_in``, so a file restored from a pre-index snapshot
+    predates every index commit and cannot carry codes; every file between
+    the first and last index commits was encoded by the build/refresh that
+    defines the last epoch).
+    """
     epoch = ann_index_epoch(table)
     if epoch is None:
         raise ValueError(
             "no persisted ANN index on this table; run build_ivf_index "
             "(and optionally build_pq_index) first"
         )
+    has_ivf = bool(table.log.properties.get("ivf.centroids"))
+    first_epoch = min(
+        (
+            s.snapshot_id
+            for s in table.log.snapshots
+            if s.summary.get("op") in _INDEX_OPS
+        ),
+        default=epoch,
+    )
 
-    def lacks_cells(f: dict) -> bool:
-        stats = f.get("stats") or {}
-        lohi = stats.get("ivf_cell")
-        return lohi is None or lohi[0] is None
+    def invisible(f: dict) -> bool:
+        if has_ivf:
+            stats = f.get("stats") or {}
+            lohi = stats.get("ivf_cell")
+            return lohi is None or lohi[0] is None
+        return f["added_in"] < first_epoch
 
     return [
         f
         for f in table.log.live_files()
-        if f["added_in"] > epoch or lacks_cells(f)
+        if f["added_in"] > epoch or invisible(f)
     ]
 
 
@@ -387,7 +410,12 @@ def ann_index_health(
     mean_cell = indexed_rows / k if k else 0.0
     balance = (max(per_cell.values()) / mean_cell) if per_cell and mean_cell else 1.0
     stale_fraction = stale_rows / total_rows if total_rows else 0.0
-    cells_due = default_n_cells(total_rows) / k if k else float("inf")
+    # cell sizing only applies when an IVF index exists: a PQ-only table
+    # (codebooks, no centroids) has no cells to be due, so its health is
+    # governed by stale_fraction alone — k=0 previously made this factor
+    # infinity and the recommendation unconditionally "rebuild" even on a
+    # perfectly fresh index (ADVICE r7)
+    cells_due = default_n_cells(total_rows) / k if k else 1.0
     if stale_fraction == 0.0 and balance <= balance_rebuild_factor and (
         cells_due < cells_rebuild_factor
     ):

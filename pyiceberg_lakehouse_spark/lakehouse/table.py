@@ -51,11 +51,13 @@ _HIVE_SEG = re.compile(r"([^/=]+)=([^/]+)")
 def _parse_hive_partition(rel_path: str) -> dict[str, str]:
     """key=value partition segments from a path, PERCENT-DECODED.
 
-    Spark escapes special characters in partition path segments
-    (``a/b=c`` -> ``a%2Fb%3Dc``); the log must store the DECODED value or
-    a ``partition_filter={"cat": "a/b=c"}`` prunes away the matching file
-    — a wrong-answer bug, since pruning is supposed to be a pure
-    optimization. NULL partitions keep Spark's sentinel string as-is.
+    Spark escapes special characters in partition path segments — in the
+    KEY as well as the value (``a/b=c`` -> ``a%2Fb%3Dc``); the log must
+    store the DECODED pair or a ``partition_filter={"cat": "a/b=c"}``
+    prunes away the matching file — a wrong-answer bug, since pruning is
+    supposed to be a pure optimization. Logs written before this decode
+    (format_version < 2) are decoded once at load (see SnapshotLog.load).
+    NULL partitions keep Spark's sentinel string as-is.
     (Empty-string partition values are a Hive-layout limitation: Spark
     writes ``cat=`` and reads it back as NULL — same semantics as plain
     ``partitionBy`` parquet; avoid "" as a partition value.)
@@ -63,7 +65,7 @@ def _parse_hive_partition(rel_path: str) -> dict[str, str]:
     from urllib.parse import unquote
 
     return {
-        k: unquote(v)
+        unquote(k): unquote(v)
         for k, v in _HIVE_SEG.findall(rel_path.replace(os.sep, "/"))
     }
 

@@ -71,6 +71,35 @@ _RECALL_WIDTHS: tuple[tuple[float, float], ...] = (
     (0.0, 0.16),
 )
 
+# Measured refine-dial anchors for the IVF-PQ read path (PROBE_SWEEP.json
+# ivfpq_rerank_curve, 10M vectors / 32 subspaces / auto probe width,
+# recall@10): rerank_factor 32 -> 1.000, 16 -> 0.963, 4 -> 0.725. The ADC
+# stage plateaus at ~0.963 regardless of probe width (ivfpq_curve), so a
+# recall_target above the plateau must widen the REFINE stage, not the
+# probe — this table is how ``ivf_pq_topk(recall_target=...)`` picks the
+# (n_probe, rerank_factor) pair from one dial, same UX as the plain-IVF
+# paths.
+_RECALL_RERANKS: tuple[tuple[float, int], ...] = (
+    (0.99, 32),
+    (0.95, 16),
+    (0.90, 16),
+    (0.0, 8),
+)
+
+
+def resolve_rerank_factor(
+    rerank_factor: int | None, recall_target: float | None
+) -> int:
+    """Resolve the IVF-PQ refine width: an explicit ``rerank_factor`` wins;
+    a ``recall_target`` picks the cheapest measured-calibrated factor
+    meeting it (``_RECALL_RERANKS``); ``None``/``None`` keeps the default
+    16 (the 0.963-recall operating point)."""
+    if rerank_factor is not None:
+        return rerank_factor
+    if recall_target is not None:
+        return next(f for thr, f in _RECALL_RERANKS if recall_target >= thr)
+    return 16
+
 
 def resolve_n_probe(
     n_cells: int, n_probe: int | None, recall_target: float | None = None
@@ -403,13 +432,23 @@ def probe_cells_expr(
 
 def _valid_vecs(rows, vec_idx: int = 0, dim: int | None = None):
     """Filter driver-collected rows to those whose vector is non-null with
-    a consistent dimension (the first valid row's, unless given). Poison
-    rows — NULL embeddings, ragged dims — exist in any real corpus and
-    must degrade to exclusion, not a crashed build/probe."""
+    a consistent dimension. Poison rows — NULL embeddings, ragged dims —
+    exist in any real corpus and must degrade to exclusion, not a crashed
+    build/probe.
+
+    Callers with an authoritative dimension (existing centroids/codebooks)
+    pass ``dim``; otherwise the reference dim is the MAJORITY length over
+    the sample — first-row inference let a single ragged poison row that
+    happened to sort first become the reference dim, silently discarding
+    every legitimate row and training the index at the wrong dimension
+    (ADVICE r7)."""
     if dim is None:
-        dim = next(
-            (len(r[vec_idx]) for r in rows if r[vec_idx] is not None), None
+        from collections import Counter
+
+        lengths = Counter(
+            len(r[vec_idx]) for r in rows if r[vec_idx] is not None
         )
+        dim = lengths.most_common(1)[0][0] if lengths else None
     if dim is None:
         return [], 0
     return [
@@ -417,11 +456,15 @@ def _valid_vecs(rows, vec_idx: int = 0, dim: int | None = None):
     ], dim
 
 
-def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+def _collect_queries(
+    queries: DataFrame, id_col: str, vec_col: str, dim: int | None = None
+):
     """Bounded driver collect of a query set: (ids, raw float64 matrix).
 
     Query sets are small by definition; the cap keeps driver state bounded
-    (same contract as cosine_topk(exact=False) / ivf_pq_topk)."""
+    (same contract as cosine_topk(exact=False) / ivf_pq_topk). ``dim`` is
+    the authoritative vector dimension when the caller has one (the index's
+    centroid dim) — poison queries of any other length drop out."""
     import numpy as np
 
     qrows = queries.select(id_col, vec_col).limit(65_537).collect()
@@ -430,7 +473,7 @@ def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
             "ANN probes collect the query set to the driver; cap is 65536 "
             "rows — run corpus-scale query sets in batches"
         )
-    qrows, _ = _valid_vecs(qrows, vec_idx=1)
+    qrows, _ = _valid_vecs(qrows, vec_idx=1, dim=dim)
     ids = [int(r[0]) for r in qrows]
     Q = np.array([[float(x) for x in r[1]] for r in qrows], dtype=np.float64)
     return ids, Q
@@ -528,7 +571,9 @@ def ivf_topk(
     import numpy as np
 
     n_probe = resolve_n_probe(len(centroids), n_probe, recall_target)
-    qids, Q = _collect_queries(queries, id_col, vec_col)
+    qids, Q = _collect_queries(
+        queries, id_col, vec_col, dim=len(centroids[0]) if centroids else None
+    )
     cb = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("c_vec"),
@@ -588,7 +633,7 @@ def ivf_index_topk(
     _guard_index_staleness(table, allow_stale)
     centroids = _json.loads(table.log.properties["ivf.centroids"])
     n_probe = resolve_n_probe(len(centroids), n_probe, recall_target)
-    qids, Q = _collect_queries(queries, id_col, vec_col)
+    qids, Q = _collect_queries(queries, id_col, vec_col, dim=len(centroids[0]))
     if not qids:
         return _probe_topk(table.scan().limit(0), qids, Q, centroids, k, n_probe)
     IC = np.array(centroids, dtype=np.float64)
@@ -677,7 +722,11 @@ def pq_train_local(
 
     cols = [vec_col] + ([cell_col] if centroids is not None else [])
     rows = df.select(*cols).limit(cap).collect()
-    rows, _ = _valid_vecs(rows)
+    # residual training has an authoritative dim (the IVF centroids');
+    # raw training majority-votes over the sample (see _valid_vecs)
+    rows, _ = _valid_vecs(
+        rows, dim=len(centroids[0]) if centroids else None
+    )
     if centroids is not None:
         rows = [r for r in rows if r[1] is not None]  # residual needs a cell
     if not rows:
@@ -808,7 +857,10 @@ def pq_encode(
     def encode(v: pd.Series) -> pd.Series:
         from pyiceberg_lakehouse_spark.functions.dense import _rows_masked
 
-        X, mask = _rows_masked(v)
+        # the codebooks fix the dim statically; inferring it per batch let
+        # a mis-dimensioned first row mask out every valid row and crash
+        # _codes' reshape on the poison ones (ADVICE r7)
+        X, mask = _rows_masked(v, n_sub * d)
         out = [None] * len(v)
         if X.size:
             for i, code in zip(np.flatnonzero(mask), _codes(_normalize_rows(X))):
@@ -901,7 +953,7 @@ def ivf_pq_topk(
     n_probe: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    rerank_factor: int = 16,
+    rerank_factor: int | None = None,
     allow_stale: bool = False,
     recall_target: float | None = None,
 ) -> DataFrame:
@@ -911,7 +963,9 @@ def ivf_pq_topk(
     ``pq_codes``) — the ADC pass never reads the corpus embeddings.
     Requires ``build_ivf_index`` + ``build_pq_index`` to have run.
 
-    ``rerank_factor > 0`` adds the FAISS refine stage (IndexRefineFlat):
+    ``rerank_factor`` (``None`` = resolve from ``recall_target`` via the
+    measured ``_RECALL_RERANKS`` anchors, defaulting to 16) > 0 adds the
+    FAISS refine stage (IndexRefineFlat):
     the ADC top ``k * rerank_factor`` per query are re-scored EXACTLY from
     their stored vectors — a bounded point read (<= Q x k x factor rows,
     IN-list-pruned scan), after which top-k is exact within the candidate
@@ -943,10 +997,13 @@ def ivf_pq_topk(
 
     _guard_index_staleness(table, allow_stale)
     centroids = _json.loads(table.log.properties["ivf.centroids"])
-    # note the ADC+rerank recall plateau (0.963 at rerank 16 on the sweep
-    # corpus): a recall_target above it needs a larger rerank_factor, not
-    # a wider probe
+    # one dial drives both stages: recall_target resolves the probe width
+    # AND the refine factor from their measured curves (the ADC stage
+    # plateaus at ~0.963, so targets above it must widen the REFINE stage,
+    # not the probe — see _RECALL_RERANKS). Explicit n_probe/rerank_factor
+    # values still win.
     n_probe = resolve_n_probe(len(centroids), n_probe, recall_target)
+    rerank_factor = resolve_rerank_factor(rerank_factor, recall_target)
     books = _json.loads(table.log.properties["pq.codebooks"])
     residual = table.log.properties.get("pq.residual") == "true"
     n_sub, n_codes = len(books), len(books[0])
@@ -967,6 +1024,11 @@ def ivf_pq_topk(
             "ivf_pq_topk collects the query set to the driver; cap is 65536 "
             "rows — run corpus-scale query sets in batches"
         )
+    # poison queries (NULL / mis-dimensioned vectors) drop out, same
+    # contract as every sibling probe path; the codebooks give the
+    # authoritative dim (ADVICE r7: a NULL query vector crashed the
+    # driver-side float() loop here)
+    qrows, _ = _valid_vecs(qrows, vec_idx=1, dim=n_sub * d)
     if not qrows:
         return spark.createDataFrame(
             [], "qid long, vid long, rank int, score double"
@@ -1120,7 +1182,10 @@ def kmeans_refine_local(
     import numpy as np
 
     rows = df.select(vec_col).limit(cap).collect()
-    rows, _ = _valid_vecs(rows)
+    # the seed centroids' dim is authoritative for the refinement sample
+    rows, _ = _valid_vecs(
+        rows, dim=len(centroids[0]) if centroids else None
+    )
     if not rows:
         return [list(c) for c in centroids]
     X = np.array([[float(v) for v in r[0]] for r in rows], dtype=np.float64)
