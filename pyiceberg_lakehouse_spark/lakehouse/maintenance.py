@@ -159,6 +159,25 @@ def build_ivf_index(
     the single full pass is the clustered rewrite itself, which is the same
     cost class as compact()/cluster_zorder() and runs at maintenance time.
     Rebuilding on a table that already has the index reuses the column.
+
+    Build-cost model (measured at 10M x 64-dim, local[32]): centroid
+    sampling ~3 s + sampled k-means refine ~1 s (both bounded, O(cap x
+    cells x dim) driver numpy) + corpus assignment ~14 s (O(N x cells x
+    dim) FLOPs at Arrow-batched BLAS speed — N^1.5 total under sqrt-N
+    cells, so per-10x growth of this term is ~31x but it stays minor until
+    ~1e9 rows) + the clustered rewrite, which DOMINATES (~30-55 s;
+    repartitionByRange(cells) shuffle + one zstd parquet file per cell).
+    The rewrite is O(N) bytes, but at bench scale its wall is FILE-COUNT
+    bound (cells ~ sqrt(N) files of only ~5*sqrt(N) rows each; interleaved
+    A/B: 61 -> 200 cells alone was 1.8x wall at 1M, while the poison-row
+    masking kernel and the 8k-vs-2k k-means sample measured free) — an
+    overhead regime that amortizes away as rows-per-file grow toward the
+    512 MB target at production scale. Measured per-10x growth: ivf_build
+    2.7x, pq_build 4.3x (N^0.43/N^0.64), asserted sublinear by the
+    ``ann_build_growth_ok`` claim in BENCH_SCALE.json; write-phase wall
+    swings up to ~3x between same-code runs on this sandbox (page-cache/
+    writeback state — see BENCH_ADJUDICATION.md), which is why the claim
+    gates the growth RATIO, not absolute seconds.
     """
     import json as _json
 

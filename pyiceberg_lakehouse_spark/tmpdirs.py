@@ -1,36 +1,85 @@
-"""Session-scoped temp directories with guaranteed cleanup.
+"""Session-scoped temp directories with cleanup that survives SIGKILL.
 
 Lifecycle queries (``lh_*`` / ``stream_lh_*``) build throwaway warehouses
 under /tmp and return LAZY DataFrames — the caller evaluates them after the
 query function returns, so the directory must outlive the function but not
-the process. ``session_tmpdir`` registers every path in one process-wide
-list swept at interpreter exit: repeated verification runs leave /tmp flat
-instead of leaking a warehouse copy per query (ADVICE r6 #2).
+the process. Every scratch dir lives under ONE per-process root
+(``lhtmp-<pid>-<rand>/``) registered for an atexit sweep; a ``kill -9``
+skips atexit, so the first ``session_tmpdir`` call of any LATER process
+also sweeps stale sibling roots — a root whose owning pid is dead, or
+older than one hour regardless (VERDICT r7 task #4). Repeated verification
+runs therefore leave /tmp flat even across crashed gates.
 """
 
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
+import time
 
-_TRACKED: list[str] = []
+_ROOT_PREFIX = "lhtmp-"
+_STALE_AGE_S = 3600.0
+
+_root: str | None = None
 
 
-def _sweep() -> None:
-    while _TRACKED:
-        shutil.rmtree(_TRACKED.pop(), ignore_errors=True)
+def _sweep_own_root() -> None:
+    global _root
+    if _root is not None:
+        shutil.rmtree(_root, ignore_errors=True)
+        _root = None
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+def _sweep_stale_siblings(base: str) -> None:
+    """Remove sibling roots left by processes that died without atexit
+    (SIGKILL'd gates): owning pid dead, or mtime older than an hour (a
+    live pid could be an unrelated reuse of a recycled id)."""
+    try:
+        names = os.listdir(base)
+    except OSError:
+        return
+    now = time.time()
+    for name in names:
+        if not name.startswith(_ROOT_PREFIX):
+            continue
+        path = os.path.join(base, name)
+        try:
+            pid = int(name.split("-")[1])
+        except (IndexError, ValueError):
+            pid = -1
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue
+        if (pid > 0 and not _pid_alive(pid)) or age > _STALE_AGE_S:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def session_tmpdir(prefix: str) -> str:
-    """``tempfile.mkdtemp`` that is deleted at interpreter exit.
+    """``tempfile.mkdtemp`` under the per-process root, deleted at
+    interpreter exit (and by the next process's sweep if this one is
+    killed before atexit runs).
 
     Use for any scratch dir whose contents back a lazily-evaluated
     DataFrame; use a plain ``TemporaryDirectory`` when the lifetime is
     function-scoped.
     """
-    if not _TRACKED:
-        atexit.register(_sweep)
-    path = tempfile.mkdtemp(prefix=prefix)
-    _TRACKED.append(path)
-    return path
+    global _root
+    if _root is None:
+        base = tempfile.gettempdir()
+        _sweep_stale_siblings(base)
+        _root = tempfile.mkdtemp(prefix=f"{_ROOT_PREFIX}{os.getpid()}-", dir=base)
+        atexit.register(_sweep_own_root)
+    return tempfile.mkdtemp(prefix=prefix, dir=_root)

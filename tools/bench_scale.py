@@ -528,6 +528,19 @@ def main() -> None:
             and b.notes.get(f"ivf_probed_rows_{v2}")
             else None
         ),
+        # build-cost trajectory (VERDICT r7 task #3): both ANN builds are
+        # one clustered rewrite (O(N) shuffle+write, file count ~sqrt(N))
+        # plus sublinear training; per-10x growth must stay well below
+        # linear (10x). The 7.0 gate = the measured N^0.43-N^0.64 envelope
+        # x the write-phase same-code noise (BENCH_ADJUDICATION.md).
+        "ivf_build_growth_10x": ratio(f"ivf_build_{v1}", f"ivf_build_{v2}"),
+        "pq_build_growth_10x": ratio(f"pq_build_{v1}", f"pq_build_{v2}"),
+        "ann_build_growth_ok": (
+            (b.phases.get(f"ivf_build_{v2}", 0) or 0)
+            <= 7.0 * (b.phases.get(f"ivf_build_{v1}") or float("inf"))
+            and (b.phases.get(f"pq_build_{v2}", 0) or 0)
+            <= 7.0 * (b.phases.get(f"pq_build_{v1}") or float("inf"))
+        ),
         # incremental refresh: cost of indexing a 2% append vs the full
         # rebuilds at the same scale (VERDICT r5 task #3)
         "ann_refresh_vs_ivf_build_large": ratio(
@@ -577,6 +590,14 @@ def main() -> None:
             "ANN probe-cost trajectory violated: governed probed rows grew "
             f"{claims['ivf_probed_rows_growth_10x']}x on 10x corpus (> 3.5, "
             "the ~sqrt(10) bound)"
+        )
+    # build-cost trajectory is a hard gate (VERDICT r7 task #3): a change
+    # that makes either ANN build grow near-linearly per 10x must fail
+    if claims["ann_build_growth_ok"] is False:
+        raise SystemExit(
+            "ANN build-cost trajectory violated: ivf_build grew "
+            f"{claims['ivf_build_growth_10x']}x / pq_build "
+            f"{claims['pq_build_growth_10x']}x on 10x corpus (> 7.0)"
         )
 
 
