@@ -666,3 +666,49 @@ def expire_snapshots(table: LakehouseTable, keep_last: int = 1) -> list[str]:
         if os.path.exists(p):
             os.unlink(p)
     return orphaned
+
+
+def ensure_ann_fresh(
+    table: LakehouseTable,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **health_kwargs,
+) -> dict:
+    """Execute ``ann_index_health``'s recommendation and return the report
+    (with an ``action`` key recording what ran) — the FAISS add-vs-train
+    decision closed into one idempotent maintenance call, suitable for a
+    scheduler tick or a streaming sink's commit hook.
+
+    - ``ok``      -> no-op (zero data reads — the health report is
+                     metadata-only).
+    - ``refresh`` -> ``refresh_ann_indexes``: encode only the appended tail
+                     against the existing quantizers, cost ~ appended rows.
+    - ``rebuild`` -> retrain from current data: ``build_ivf_index`` with
+                     ``k=None`` so the cell count re-derives from the GROWN
+                     row count (``similarity.default_n_cells`` — the reason
+                     a rebuild was recommended may be exactly that the
+                     corpus outgrew its cells), then ``build_pq_index``
+                     re-using the stored subspace count when PQ was built.
+
+    Thresholds pass through to ``ann_index_health`` via ``health_kwargs``.
+    """
+    import json as _json
+
+    report = ann_index_health(table, **health_kwargs)
+    rec = report["recommendation"]
+    if rec == "refresh":
+        refresh_ann_indexes(table, id_col=id_col, vec_col=vec_col)
+    elif rec == "rebuild":
+        has_ivf = bool(table.log.properties.get("ivf.centroids"))
+        books = _json.loads(table.log.properties.get("pq.codebooks", "[]"))
+        if has_ivf:
+            build_ivf_index(table, id_col=id_col, vec_col=vec_col)
+        if books:
+            build_pq_index(
+                table,
+                id_col=id_col,
+                vec_col=vec_col,
+                n_subspaces=len(books),
+                n_codes=len(books[0]),
+            )
+    return {**report, "action": rec}

@@ -48,16 +48,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # never had a driver row, growing the driver-verified set over time while
 # keeping every category represented.
 #
-# Round-8 rotation (15 first-time slots, per VERDICT r7 task #2: the
+# Round-8 rotation (17 first-time slots, per VERDICT r7 task #2: the
 # composite/lifecycle queries among the 33 never-driver-verified rows are
-# the highest-value backfills). Rotated OUT 15 rows green >= 2 consecutive
+# the highest-value backfills). Rotated OUT 17 rows green >= 2 consecutive
 # rounds (join_full_outer, events_session_windows, dedup_exact,
-# multimodal_resize, pipeline_clean_corpus, train_mix_weighted,
-# stream_lh_ann_ingest, stream_lh_wap_publish, lh_ann_indexed_selfcheck,
-# lh_ann_refresh_selfcheck, lh_bloom_point_lookup, lh_compact_roundtrip,
-# lh_hidden_partition_month, lh_partition_evolution, lh_rollback);
-# rotated IN all 14 VERDICT-named never-verified queries plus
-# multimodal_frame_sample (new in r7, promised the r8 multimodal slot).
+# agg_keep_last, text_pii_scrub, multimodal_resize, pipeline_clean_corpus,
+# train_mix_weighted, stream_lh_ann_ingest, stream_lh_wap_publish,
+# lh_ann_indexed_selfcheck, lh_ann_refresh_selfcheck,
+# lh_bloom_point_lookup, lh_compact_roundtrip, lh_hidden_partition_month,
+# lh_partition_evolution, lh_rollback); rotated IN all 14 VERDICT-named
+# never-verified queries plus multimodal_frame_sample (new in r7, promised
+# the r8 multimodal slot), join_right_outer, and dedup_group_components.
 # All 25 round-7 first-timers hold for their second green round.
 # sim_cosine_topk stays in-window by requirement: its plan was rewritten
 # this round (double-evaluation fix) and must re-prove driver-green.
@@ -68,8 +69,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scan_glob_schema_enforced",
     # core aggregation (flagship first)
     "agg_q1_pricing_summary",
-    "agg_keep_last",
     "agg_salted_groupby",
+    # joins (never-verified RIGHT OUTER takes the join slot; the 17 held
+    # TPC-H topologies cover the rest of the join surface)
+    "join_right_outer",
     # set ops (never-verified EXCEPT ALL takes the set-ops slot)
     "set_except_all",
     # windows (r7 first-timer holds for its second round)
@@ -114,13 +117,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lh_flat_layout_roundtrip",
     "lh_bucketed_colocated_join",
     # dedup + similarity (cosine_topk plan rewritten this round — must
-    # re-prove driver-green after the double-evaluation fix)
+    # re-prove driver-green after the double-evaluation fix;
+    # group_components is the never-verified composite dedup row,
+    # rows-only by nature — iterative label propagation has no SQL twin)
     "sim_cosine_topk",
+    "dedup_group_components",
     # text + multimodal (r7 first-timers hold; frame_sample takes the
     # multimodal slot as promised in the r7 rotation note)
     "text_repetition_stats",
     "text_subword_tokens",
-    "text_pii_scrub",
     "multimodal_frame_sample",
     # training-data ops (decontaminate holds; train-prep pipeline is the
     # never-verified composite backfill)

@@ -234,3 +234,57 @@ def test_ann_index_health_requires_index(spark, sf_dir, warehouse):
     t.append(base)
     with pytest.raises(ValueError, match="no persisted ANN index"):
         ann_index_health(t)
+
+
+def test_ensure_ann_fresh_executes_recommendation(spark, warehouse):
+    """ensure_ann_fresh closes the health->action loop: ok is a no-op,
+    refresh encodes only the tail, rebuild retrains with re-derived cell
+    count and preserved PQ geometry."""
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import (
+        ann_index_health,
+        ensure_ann_fresh,
+    )
+    from pyiceberg_lakehouse_spark.sources.synthetic import mock_embeddings
+
+    emb = mock_embeddings(spark, 3000, dim=32, n_clusters=4).drop("label")
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.auto_fresh", emb.schema)
+    t.append(emb)
+    # policy-sized cells (default_n_cells(3000) = 16): an undersized k
+    # would itself justify a rebuild via cells_due_factor
+    build_ivf_index(t, k=16, iters=1)
+    build_pq_index(t, n_subspaces=8, n_codes=16, sample_cap=512)
+
+    snap_before = t.log.current_snapshot_id()
+    r = ensure_ann_fresh(t)
+    assert r["action"] == "ok"
+    assert t.log.current_snapshot_id() == snap_before  # no-op commits nothing
+
+    # small append -> refresh path
+    t.append(
+        mock_embeddings(spark, 200, dim=32, n_clusters=4)
+        .drop("label")
+        .withColumn("vec_id", F.col("vec_id") + 100_000)
+    )
+    r = ensure_ann_fresh(t)
+    assert r["action"] == "refresh"
+    assert ann_index_health(t)["recommendation"] == "ok"
+
+    # large append (>25% stale) -> rebuild path; PQ geometry preserved
+    t.append(
+        mock_embeddings(spark, 6000, dim=32, n_clusters=4)
+        .drop("label")
+        .withColumn("vec_id", F.col("vec_id") + 200_000)
+    )
+    r = ensure_ann_fresh(t)
+    assert r["action"] == "rebuild"
+    h = ann_index_health(t)
+    assert h["recommendation"] == "ok"
+    import json as _json
+
+    books = _json.loads(t.log.properties["pq.codebooks"])
+    assert len(books) == 8 and len(books[0]) == 16
+    # probes see every row after the action
+    q = t.scan().filter("vec_id = 1").select("vec_id", "embedding")
+    got = similarity.ivf_index_topk(t, q, k=3).collect()
+    assert len(got) == 3
