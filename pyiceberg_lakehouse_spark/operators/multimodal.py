@@ -4,14 +4,16 @@ Convention: a multimodal asset is a ``binary`` column (``content``) plus a
 struct of metadata (``media``: mime type, byte length, checksum). Decode /
 feature-extraction runs as Arrow-batched ``mapInPandas``.
 
-Decode is REAL for two container formats that need no codec library —
+Decode is REAL for three formats that need no third-party codec library —
 BMP (BITMAPINFOHEADER parse -> width/height/bpp) and WAV (RIFF/fmt chunk
-parse -> sample rate/channels/sample count) — implemented as pure-Python
-``struct`` header parsing. Compressed image codecs (PNG/JPEG) decode via
-Pillow WHEN it is importable (the same runtime availability gate as
-psycopg2 in lakehouse/catalog.py — this container doesn't ship it, real
-deployments do); without it those mimes raise NotImplementedError rather
-than half-working. Audio/video codecs (MP3/MP4/...) stay NotImplemented.
+parse -> sample rate/channels/sample count) as pure-Python ``struct``
+header parsing, and PNG as a full pure-numpy codec (zlib-compressed
+filtered scanlines per RFC 2083; stdlib zlib — see the PNG section below
+for the supported subset). JPEG decodes via Pillow WHEN it is importable
+(the same runtime availability gate as psycopg2 in lakehouse/catalog.py —
+this container doesn't ship it, real deployments do); without it that mime
+raises NotImplementedError rather than half-working. Audio/video codecs
+(MP3/MP4/...) stay NotImplemented.
 """
 
 from __future__ import annotations
@@ -64,12 +66,17 @@ def decode_stub(payload: bytes, mime: str) -> bytes:
     """Decode dispatch for mimes without a built-in struct parser.
 
     text/plain passes through; BMP and WAV have real header decoders below
-    (``decode_bmp`` / ``decode_wav``); PNG/JPEG decode to raw RGB bytes via
-    Pillow when it is importable; everything else (and PNG/JPEG without
-    Pillow) raises instead of half-working.
+    (``decode_bmp`` / ``decode_wav``); PNG decodes to raw RGB bytes via the
+    built-in pure-numpy codec (``decode_png`` — zlib is stdlib, no
+    third-party library needed); JPEG decodes via Pillow when it is
+    importable; everything else (and JPEG without Pillow) raises instead
+    of half-working.
     """
     if mime == "text/plain":
         return payload  # identity "decode"
+    if mime == "image/png":
+        px = decode_png(payload)
+        return _to_rgb(px).tobytes()
     if mime in _PIL_MIMES and HAS_PIL:
         import io
 
@@ -78,13 +85,208 @@ def decode_stub(payload: bytes, mime: str) -> bytes:
 
 
 def decode_image_codec(payload: bytes) -> tuple[int, int, str]:
-    """PNG/JPEG -> (width, height, pil_mode). Requires Pillow (HAS_PIL)."""
+    """PNG/JPEG -> (width, height, mode). PNG parses natively
+    (``png_header``); JPEG requires Pillow (HAS_PIL)."""
+    if payload[:8] == _PNG_SIG:
+        w, h, color_type = png_header(payload)
+        return w, h, _PNG_MODES[color_type]
     if not HAS_PIL:
         raise NotImplementedError("Pillow not available in this environment")
     import io
 
     img = _PILImage.open(io.BytesIO(payload))
     return img.width, img.height, img.mode
+
+
+# ------------------------------------------------------ PNG codec ----------
+# A REAL compressed-image codec with no third-party dependency: PNG is
+# zlib-compressed filtered scanlines (RFC 2083), and zlib is stdlib. Scope:
+# 8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA),
+# non-interlaced — the working set of ML training corpora; palette (3),
+# 16-bit, and Adam7 interlace raise NotImplementedError honestly. Filters
+# 0-4 (None/Sub/Up/Average/Paeth) are fully implemented on both sides:
+# encode picks Up (cheap, effective on natural images), decode handles
+# whatever filter each scanline declares.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_MODES = {0: "L", 2: "RGB", 4: "LA", 6: "RGBA"}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib as _zlib
+
+    return (
+        _struct.pack(">I", len(body))
+        + tag
+        + body
+        + _struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def png_header(payload: bytes) -> tuple[int, int, int]:
+    """IHDR parse -> (width, height, color_type); validates signature and
+    the supported-subset constraints (8-bit, non-interlaced, no palette)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    if len(payload) < 29:
+        raise ValueError("truncated PNG (no complete IHDR)")
+    if payload[12:16] != b"IHDR":
+        raise ValueError("corrupt PNG (IHDR not first chunk)")
+    w, h, depth, color_type, comp, filt, interlace = _struct.unpack(
+        ">IIBBBBB", payload[16:29]
+    )
+    if depth != 8 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color_type}: only 8-bit "
+            "gray/RGB/LA/RGBA supported (no palette/16-bit)"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("corrupt PNG (unknown compression/filter method)")
+    return w, h, color_type
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes):
+    """PNG -> (h, w, channels) uint8 numpy array (pure numpy + stdlib zlib).
+
+    Un-filtering is per-scanline: Up is vectorized; Sub is a mod-256
+    prefix sum over pixel lanes; Average/Paeth fall back to a per-pixel
+    loop (their left term is inherently sequential) — fine for the
+    mapInPandas batch shapes this feeds, where decode runs where the bytes
+    live and only typed features shuffle.
+    """
+    import zlib as _zlib
+
+    import numpy as np
+
+    w, h, color_type = png_header(payload)
+    ch = _PNG_CHANNELS[color_type]
+    # walk chunks; IDAT may be split across any number of chunks
+    idat = bytearray()
+    off = 8
+    while off + 8 <= len(payload):
+        (length,) = _struct.unpack(">I", payload[off : off + 4])
+        tag = payload[off + 4 : off + 8]
+        if tag == b"IDAT":
+            idat += payload[off + 8 : off + 8 + length]
+        if tag == b"IEND":
+            break
+        off += 12 + length
+    raw = _zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("corrupt PNG (decompressed size mismatch)")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 1:  # Sub: prefix sum over each byte lane, mod 256
+            lanes = line.reshape(w, ch).astype(np.uint32)
+            recon = np.cumsum(lanes, axis=0).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up
+            recon = line + prior
+        elif ftype == 3:  # Average
+            recon = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(recon[i - ch]) if i >= ch else 0
+                recon[i] = (int(line[i]) + ((left + int(prior[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            recon = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(recon[i - ch]) if i >= ch else 0
+                up_left = int(prior[i - ch]) if i >= ch else 0
+                recon[i] = (
+                    int(line[i]) + _paeth(left, int(prior[i]), up_left)
+                ) & 0xFF
+        else:
+            raise ValueError(f"corrupt PNG (filter type {ftype})")
+        out[y] = recon
+        prior = out[y]
+    return out.reshape(h, w, ch)
+
+
+def encode_png(pixels, filter_type: int = 2) -> bytes:
+    """(h, w) or (h, w, channels) uint8 array -> PNG bytes.
+
+    ``filter_type`` applies to every scanline (0=None, 1=Sub, 2=Up,
+    3=Average, 4=Paeth — the per-row forced choice also lets tests
+    exercise each decode path independently). Round-trips exactly with
+    ``decode_png``.
+    """
+    import zlib as _zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    prior = np.zeros(w * ch, dtype=np.int32)
+    lines = bytearray()
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prior
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            filt = cur - ((left + prior) >> 1)
+        elif filter_type == 4:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            up_left = np.concatenate([np.zeros(ch, np.int32), prior[:-ch]])
+            pred = np.array(
+                [
+                    _paeth(int(a), int(b), int(c))
+                    for a, b, c in zip(left, prior, up_left)
+                ],
+                dtype=np.int32,
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"unknown filter type {filter_type}")
+        lines.append(filter_type)
+        lines += (filt & 0xFF).astype(np.uint8).tobytes()
+        prior = cur
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _to_rgb(px):
+    """(h, w, ch) uint8 -> (h, w, 3) RGB (gray broadcast, alpha dropped)."""
+    import numpy as np
+
+    ch = px.shape[2]
+    if ch == 3:
+        return np.ascontiguousarray(px)
+    if ch == 4:
+        return np.ascontiguousarray(px[:, :, :3])
+    return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
 
 
 # ------------------------------------------------- BMP / WAV codecs ----------
@@ -432,7 +634,7 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # frame-sequence container needing no codec library — a 12-byte header
 # (magic, width, height, n_frames, fps) followed by n_frames packed
 # (h, w, 3) BGR frames. Real video codecs (MP4/H.264/...) stay behind the
-# NotImplementedError gate in decode_stub, same as PNG without Pillow.
+# NotImplementedError gate in decode_stub, same as JPEG without Pillow.
 
 def make_rawvid(width: int, height: int, n_frames: int, fps: int = 8) -> bytes:
     """Uncompressed RVID video with a deterministic per-frame pattern."""

@@ -571,6 +571,93 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(vids, every_n=2).drop("frame")
 
 
+# PNG decode differential gate: pixel (y, x, c) = (doc_id*31 + y*7 + x*3 +
+# c*11) % 256 and dims/channels/filter are all closed forms in doc_id, so
+# the oracle predicts the ENCODE -> zlib -> DECODE round-trip sum without
+# running either codec. filter_type = doc_id % 5 exercises every PNG
+# filter (None/Sub/Up/Average/Paeth) across the corpus — a wrong predictor
+# or un-filter on ANY scanline path flips the hash.
+_PNG_W = "(3 + doc_id % 6)"
+_PNG_H = "(2 + doc_id % 4)"
+_PNG_CH = "(case cast(doc_id % 3 as integer) when 0 then 1 when 1 then 3 else 4 end)"
+
+PNG_SQL = f"""
+    select doc_id,
+           cast({_PNG_W} as integer) as width,
+           cast({_PNG_H} as integer) as height,
+           cast({_PNG_CH} as integer) as channels,
+           cast(doc_id % 5 as integer) as filter_type,
+           cast((select sum((doc_id * 31 + y * 7 + x * 3 + c * 11) % 256)
+                 from generate_series(0, 4) gy(y),
+                      generate_series(0, 8) gx(x),
+                      generate_series(0, 3) gc(c)
+                 where y < {_PNG_H} and x < {_PNG_W} and c < {_PNG_CH})
+                as bigint) as value_sum
+    from documents where doc_id % 4 = 1
+"""
+
+
+@register("multimodal_png_decode", PNG_SQL)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image round-trip: per doc, synthesize a deterministic
+    pixel array, encode it with the pure-numpy PNG codec (zlib-compressed
+    filtered scanlines, one of the five filter types per doc), decode the
+    payload back, and report dims + the decoded pixel sum — which the SQL
+    oracle predicts closed-form. Runs as Arrow-batched mapInPandas: encode
+    and decode happen where the (synthesized) bytes live, only typed
+    features shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 1)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("filter_type", T.IntegerType()),
+            T.StructField("value_sum", T.LongType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "width", "height", "channels",
+                                    "filter_type", "value_sum")}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 3 + d % 6, 2 + d % 4
+                ch = (1, 3, 4)[d % 3]
+                y, x, c = np.ogrid[0:h, 0:w, 0:ch]
+                px = ((d * 31 + y * 7 + x * 3 + c * 11) % 256).astype(np.uint8)
+                payload = multimodal.encode_png(px, filter_type=d % 5)
+                out = multimodal.decode_png(payload)
+                rows["doc_id"].append(d)
+                rows["width"].append(out.shape[1])
+                rows["height"].append(out.shape[0])
+                rows["channels"].append(out.shape[2])
+                rows["filter_type"].append(d % 5)
+                rows["value_sum"].append(int(out.astype(np.int64).sum()))
+            yield pd.DataFrame(rows)
+
+    out = docs.mapInPandas(batches, schema)
+    return out.select(
+        "doc_id",
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        F.col("channels").cast("int"),
+        F.col("filter_type").cast("int"),
+        F.col("value_sum").cast("long"),
+    )
+
+
 WINNOW_SQL = """
     with toks as (
       select doc_id,
