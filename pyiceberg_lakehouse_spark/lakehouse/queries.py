@@ -750,3 +750,58 @@ def lh_sql_catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .scan()
         .select(*[c.strip() for c in ORDER_COLS.split(",")])
     )
+
+
+@register(
+    "lh_rollup_incremental",
+    """
+    select l_returnflag, l_linestatus,
+           sum(l_quantity) as sum_l_quantity,
+           count(*) as cnt_rows,
+           min(l_extendedprice) as min_l_extendedprice,
+           max(l_extendedprice) as max_l_extendedprice
+    from lineitem
+    group by l_returnflag, l_linestatus
+    """,
+)
+def lh_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate rollup (lakehouse/rollup.py): build
+    the summary over half the fact table, append the other half, then
+    refresh — which aggregates ONLY the appended files (metadata-planned
+    delta) and merges partials into the summary. The final state must equal
+    a from-scratch groupBy over the whole table, which is exactly what the
+    oracle computes. Sums stay exact across the two-stage merge because
+    l_quantity is integer-valued (double addition of small integers is
+    exact in any order); min/max are order-free by nature.
+    """
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import (
+        create_rollup,
+        refresh_rollup,
+    )
+
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.lineitem_fact", SCHEMAS["lineitem"])
+    li = load_table(spark, sf_dir, "lineitem")
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0))
+    r = create_rollup(
+        lh,
+        t,
+        "ns.lineitem_rollup",
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("l_quantity", "sum"),
+            ("*", "count"),
+            ("l_extendedprice", "min"),
+            ("l_extendedprice", "max"),
+        ],
+    )
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1))
+    refresh_rollup(r, t)
+    return r.scan().select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_l_quantity",
+        "cnt_rows",
+        "min_l_extendedprice",
+        "max_l_extendedprice",
+    )

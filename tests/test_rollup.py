@@ -1,0 +1,121 @@
+"""Incrementally-maintained rollups (lakehouse/rollup.py).
+
+The scale contract under test: a refresh advances the summary from the
+source's snapshot DIFF — the fact table's already-aggregated files are
+never reopened — and any history that voids partial merges (deletes,
+overwrites, an expired cursor) silently switches to a correct full
+recompute, with the mode recorded in the commit summary.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+from pyiceberg_lakehouse_spark.lakehouse.rollup import (
+    create_rollup,
+    refresh_rollup,
+)
+from pyiceberg_lakehouse_spark.sources.testdata import load_table
+
+AGGS = [
+    ("l_quantity", "sum"),
+    ("*", "count"),
+    ("l_extendedprice", "min"),
+    ("l_extendedprice", "max"),
+]
+DIMS = ["l_returnflag", "l_linestatus"]
+
+
+def _direct(df):
+    rows = (
+        df.groupBy(*DIMS)
+        .agg(
+            F.sum("l_quantity").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        .collect()
+    )
+    return {(r[0], r[1]): (r.s, r.c, r.mn, r.mx) for r in rows}
+
+
+def _state(rollup):
+    rows = rollup.scan().collect()
+    return {
+        (r.l_returnflag, r.l_linestatus): (
+            r.sum_l_quantity,
+            r.cnt_rows,
+            r.min_l_extendedprice,
+            r.max_l_extendedprice,
+        )
+        for r in rows
+    }
+
+
+def test_rollup_incremental_merge_and_fallbacks(spark, sf_dir, warehouse):
+    li = load_table(spark, sf_dir, "lineitem")
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.fact", li.schema)
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0))
+    r = create_rollup(lh, t, "ns.fact_ru", DIMS, AGGS)
+    assert _state(r) == _direct(t.scan())
+
+    # append-only delta -> incremental merge, exact vs from-scratch
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1))
+    res = refresh_rollup(r, t)
+    assert res["mode"] == "incremental"
+    assert _state(r) == _direct(li)
+    assert r.log.snapshots[-1].summary["rollup.mode"] == "incremental"
+
+    # no new snapshot -> noop, no commit
+    head = r.log.current_snapshot_id()
+    assert refresh_rollup(r, t)["mode"] == "noop"
+    assert r.log.current_snapshot_id() == head
+
+    # merge-on-read delete voids partial merging -> full recompute, exact
+    t.delete_keys(
+        li.filter(F.col("l_orderkey") % 7 == 0).select("l_orderkey"),
+        ["l_orderkey"],
+    )
+    res = refresh_rollup(r, t)
+    assert res["mode"] == "full"
+    assert _state(r) == _direct(t.scan())
+    assert r.log.snapshots[-1].summary["rollup.mode"] == "full"
+
+
+def test_rollup_incremental_never_reopens_base_files(spark, sf_dir, warehouse):
+    """The 100 TB property, enforced physically: rename the base data files
+    away after the initial build — an incremental refresh still succeeds
+    (its plan touches only the DELTA files plus the small summary table),
+    while a full recompute over the same state would have to fail."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.fact_phys", li.schema)
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0))
+    r = create_rollup(lh, t, "ns.fact_phys_ru", DIMS, AGGS)
+    expected = _direct(li)  # compute BEFORE hiding the base files
+
+    base_files = [f["path"] for f in t.log.live_files()]
+    for p in base_files:
+        os.rename(p, p + ".hidden")
+    try:
+        t.append(li.filter(F.col("l_orderkey") % 2 == 1))
+        assert refresh_rollup(r, t)["mode"] == "incremental"
+        assert _state(r) == expected
+    finally:
+        for p in base_files:
+            os.rename(p + ".hidden", p)
+
+
+def test_rollup_rejects_unmergeable_aggregates(spark, sf_dir, warehouse):
+    li = load_table(spark, sf_dir, "lineitem")
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.fact_bad", li.schema)
+    t.append(li.limit(10))
+    with pytest.raises(ValueError, match="unsupported rollup aggregate"):
+        create_rollup(lh, t, "ns.bad_ru", DIMS, [("l_quantity", "avg")])
