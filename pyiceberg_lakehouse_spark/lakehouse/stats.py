@@ -39,10 +39,18 @@ def collect_file_stats(path: str, columns: list[str] | None = None) -> dict[str,
             name = col.path_in_schema
             if columns is not None and name not in columns:
                 continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo_raw, hi_raw = st.min, st.max
+            except NotImplementedError:
+                # pyarrow can't surface stats for some physical types
+                # (e.g. decimals); a statless column just can't be pruned
+                # on — it must never fail the COMMIT (skipping is an
+                # optimization, not a requirement)
                 continue
-            lo, hi = _jsonable(st.min), _jsonable(st.max)
+            lo, hi = _jsonable(lo_raw), _jsonable(hi_raw)
             if lo is None or hi is None:
                 continue
             mins[name] = lo if name not in mins else min(mins[name], lo)

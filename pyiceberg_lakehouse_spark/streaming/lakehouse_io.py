@@ -211,3 +211,42 @@ def stream_write_audit_publish(
         return table.log.snapshots[-1]
     finally:
         table.drop_branch(branch)
+
+
+def write_stream_with_rollup(
+    stream_df: DataFrame,
+    table: LakehouseTable,
+    rollup: LakehouseTable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous aggregate maintenance: the exactly-once micro-batch
+    append sink composed with ``refresh_rollup`` — the summary table tracks
+    the stream at micro-batch granularity, and each refresh aggregates ONLY
+    that batch's files (the rollup cursor advances along the snapshot log;
+    the fact table is never rescanned).
+
+    Replays are idempotent twice over: a committed batch id skips the
+    append, and a refresh with no new snapshot is a metadata noop — so a
+    restarted query converges to the same summary state it would have
+    reached uninterrupted.
+    """
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import refresh_rollup
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.log.load()
+        if batch_id not in committed_batch_ids(table):
+            if batch_df.isEmpty():
+                return
+            table.append(batch_df, summary={"streaming_batch_id": batch_id})
+        rollup.log.load()
+        refresh_rollup(rollup, table)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -369,3 +369,75 @@ def stream_lh_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_results",
         (F.col("res") == F.col("res_twin")).alias("matches_unindexed"),
     )
+
+
+@register(
+    "stream_lh_rollup_maintain",
+    """
+    select event_type,
+           cast(sum(cast(value as decimal(18,4))) as double) as sum_value,
+           count(*) as cnt_rows,
+           min(value) as min_value,
+           max(value) as max_value
+    from events
+    group by event_type
+    """,
+)
+def stream_lh_rollup_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate maintenance, driver-hashable: seed a fact table
+    with 40% of the events, build its rollup, then stream the remaining
+    60% in micro-batches through ``write_stream_with_rollup`` — each batch
+    advances the summary from that batch's snapshot diff alone. The final
+    summary must hash-equal DuckDB's from-scratch GROUP BY over ALL
+    events. The streamed sum stays bit-exact across the per-batch partial
+    merges because it accumulates in decimal(18,4) (order-independent;
+    functions/exact.py) and only casts to double at the read edge.
+    """
+    import os
+
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import create_rollup
+    from pyiceberg_lakehouse_spark.sources.testdata import load_table
+    from pyiceberg_lakehouse_spark.streaming.lakehouse_io import (
+        write_stream_with_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,4)")
+    )
+    base = events.filter(F.col("event_id") % 5 < 2)
+    rest = events.filter(F.col("event_id") % 5 >= 2)
+    work = session_tmpdir(prefix="rollup_stream_")
+    lh = Lakehouse(spark, os.path.join(work, "wh"))
+    t = lh.create_table("ns.events_fact", events.schema)
+    t.append(base)
+    r = create_rollup(
+        lh,
+        t,
+        "ns.events_rollup",
+        ["event_type"],
+        [
+            ("value_dec", "sum"),
+            ("*", "count"),
+            ("value", "min"),
+            ("value", "max"),
+        ],
+    )
+
+    feed = os.path.join(work, "feed")
+    rest.repartition(3).write.mode("overwrite").parquet(feed)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(feed)
+    )
+    q = write_stream_with_rollup(stream, t, r, os.path.join(work, "ckpt"))
+    q.awaitTermination()
+
+    return r.scan().select(
+        "event_type",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+        "cnt_rows",
+        "min_value",
+        "max_value",
+    )

@@ -119,3 +119,38 @@ def test_rollup_rejects_unmergeable_aggregates(spark, sf_dir, warehouse):
     t.append(li.limit(10))
     with pytest.raises(ValueError, match="unsupported rollup aggregate"):
         create_rollup(lh, t, "ns.bad_ru", DIMS, [("l_quantity", "avg")])
+
+
+def test_stream_rollup_restart_converges(spark, sf_dir, warehouse, tmp_path):
+    """A restarted streaming query (same checkpoint) must not double-count:
+    committed batch ids skip the append and the cursor makes the refresh a
+    noop, so the summary converges to the uninterrupted state."""
+    from pyiceberg_lakehouse_spark.streaming.lakehouse_io import (
+        write_stream_with_rollup,
+    )
+
+    # deterministic subset (limit() without order can differ per job)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.fact_stream", li.schema)
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0))
+    r = create_rollup(lh, t, "ns.fact_stream_ru", DIMS, AGGS)
+
+    feed = str(tmp_path / "feed")
+    li.filter(F.col("l_orderkey") % 2 == 1).repartition(2).write.parquet(feed)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(li.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(feed)
+        )
+        write_stream_with_rollup(stream, t, r, ckpt).awaitTermination()
+
+    run()
+    state1 = _state(r)
+    assert state1 == _direct(li)
+    run()  # restart over the same checkpoint: everything already committed
+    assert _state(r) == state1
