@@ -805,3 +805,45 @@ def lh_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_l_extendedprice",
         "max_l_extendedprice",
     )
+
+
+@register(
+    "lh_rollup_hourly",
+    """
+    select event_type,
+           date_trunc('hour', ts) as hour_bucket,
+           count(*) as cnt_rows,
+           min(value) as min_value,
+           max(value) as max_value
+    from events
+    group by event_type, date_trunc('hour', ts)
+    """,
+)
+def lh_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucketed rollup: the hour bucket is a DERIVED
+    dimension (``("hour_bucket", "date_trunc('HOUR', ts)")``) computed in
+    the delta pass — the fact table never materializes it. Build on half
+    the events, refresh over the appended half, and the summary must
+    hash-equal DuckDB's from-scratch hourly GROUP BY."""
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import (
+        create_rollup,
+        refresh_rollup,
+    )
+    from pyiceberg_lakehouse_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.events_hourly_fact", ev.schema)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    r = create_rollup(
+        lh,
+        t,
+        "ns.events_hourly_rollup",
+        ["event_type", ("hour_bucket", "date_trunc('HOUR', ts)")],
+        [("*", "count"), ("value", "min"), ("value", "max")],
+    )
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    refresh_rollup(r, t)
+    return r.scan().select(
+        "event_type", "hour_bucket", "cnt_rows", "min_value", "max_value"
+    )

@@ -39,7 +39,24 @@ def _out_col(col: str, fn: str) -> str:
     return "cnt_rows" if fn == "count" else f"{fn}_{col}"
 
 
-def _delta_agg(df: DataFrame, dims: list[str], aggs: list[tuple[str, str]]) -> DataFrame:
+def _dim_cols(df: DataFrame, dims: list) -> tuple[DataFrame, list[str]]:
+    """Resolve dims: a plain string groups by that column; a (name, sql)
+    pair derives the dimension with ``F.expr`` first — the hypertable
+    time-bucket shape (e.g. ``("hour_bucket", "date_trunc('HOUR', ts)")``)
+    without the fact table having to materialize the bucket column."""
+    names = []
+    for d in dims:
+        if isinstance(d, str):
+            names.append(d)
+        else:
+            name, sql = d
+            df = df.withColumn(name, F.expr(sql))
+            names.append(name)
+    return df, names
+
+
+def _delta_agg(df: DataFrame, dims: list, aggs: list[tuple[str, str]]) -> DataFrame:
+    df, dims = _dim_cols(df, dims)
     exprs = []
     for col, fn in aggs:
         name = _out_col(col, fn)
@@ -56,7 +73,13 @@ def _delta_agg(df: DataFrame, dims: list[str], aggs: list[tuple[str, str]]) -> D
     return df.groupBy(*dims).agg(*exprs)
 
 
-def _merge_agg(df: DataFrame, dims: list[str], aggs: list[tuple[str, str]]) -> DataFrame:
+def _dim_names(dims: list) -> list[str]:
+    return [d if isinstance(d, str) else d[0] for d in dims]
+
+
+def _merge_agg(df: DataFrame, dims: list, aggs: list[tuple[str, str]]) -> DataFrame:
+    # partials already carry the (possibly derived) dimension columns
+    dims = _dim_names(dims)
     exprs = []
     for col, fn in aggs:
         name = _out_col(col, fn)

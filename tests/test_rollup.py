@@ -154,3 +154,34 @@ def test_stream_rollup_restart_converges(spark, sf_dir, warehouse, tmp_path):
     assert state1 == _direct(li)
     run()  # restart over the same checkpoint: everything already committed
     assert _state(r) == state1
+
+
+def test_rollup_derived_time_bucket_dims(spark, sf_dir, warehouse):
+    """Derived (hypertable) dims: the bucket expression runs in the delta
+    pass only; merge groups on the materialized bucket column."""
+    ev = load_table(spark, sf_dir, "events")
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.ev_hb", ev.schema)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    r = create_rollup(
+        lh,
+        t,
+        "ns.ev_hb_ru",
+        ["event_type", ("hour_bucket", "date_trunc('HOUR', ts)")],
+        [("*", "count"), ("value", "min"), ("value", "max")],
+    )
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    assert refresh_rollup(r, t)["mode"] == "incremental"
+    got = {
+        (x.event_type, x.hour_bucket): (x.cnt_rows, x.min_value, x.max_value)
+        for x in r.scan().collect()
+    }
+    want = {
+        (x[0], x[1]): (x[2], x[3], x[4])
+        for x in ev.groupBy(
+            "event_type", F.date_trunc("HOUR", "ts").alias("h")
+        )
+        .agg(F.count(F.lit(1)), F.min("value"), F.max("value"))
+        .collect()
+    }
+    assert got == want
