@@ -1117,3 +1117,70 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(50)
     )
+
+
+# connected components, oracle-checked: DETERMINISTIC n-gram Jaccard edges
+# (same shingle math as dedup_ngram_jaccard's oracle) + a recursive-CTE
+# transitive closure in DuckDB. Near-dup groups are small and dense, so the
+# closure's quadratic-in-component cost is fine at oracle scale, while the
+# Spark side runs the scale algorithm (min-label propagation, one
+# shuffle-join per round).
+COMPONENTS_SQL = """
+    with toks as (
+      select doc_id, lang, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as t from documents
+    ),
+    sh as (
+      select distinct doc_id, lang,
+             unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) as shingle
+      from toks
+    ),
+    sizes as (select doc_id, count(*) as n_sh from sh group by 1),
+    common as (
+      select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_common
+      from sh a join sh b on a.shingle = b.shingle and a.lang = b.lang
+                         and a.doc_id < b.doc_id
+      group by 1, 2
+    ),
+    edges as (
+      select id_a, id_b
+      from common
+      join sizes sa on sa.doc_id = id_a
+      join sizes sb on sb.doc_id = id_b
+      where cast(n_common as double) / cast(sa.n_sh + sb.n_sh - n_common as double) >= 0.6
+    ),
+    sym as (
+      select id_a as src, id_b as dst from edges
+      union all
+      select id_b, id_a from edges
+    ),
+    reach as (
+      with recursive reach(id, r) as (
+        select src, src from sym
+        union
+        select reach.id, s.dst from reach join sym s on s.src = reach.r
+      )
+      select * from reach
+    ),
+    losers as (
+      select id from (select id, min(r) as comp from reach group by id)
+      where id != comp
+    )
+    select doc_id, lang from documents
+    where doc_id not in (select id from losers)
+"""
+
+
+@register("dedup_components_exact", COMPONENTS_SQL)
+def dedup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dedup with a full differential gate: edges are
+    DETERMINISTIC n-gram Jaccard pairs (no hash family), so DuckDB can
+    rebuild the same graph and take its transitive closure with a
+    recursive CTE — the iterative min-label propagation
+    (dedup.connected_components) is hash-checked end-to-end, canonical
+    selection included. The MinHash-pairs twin (dedup_group_components)
+    stays rows-only because its edges are engine-specific; this query
+    pins the component ALGORITHM itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.6, within="lang")
+    return dedup.dedup_groups_keep_canonical(docs, pairs).select("doc_id", "lang")
