@@ -185,3 +185,62 @@ def test_rollup_derived_time_bucket_dims(spark, sf_dir, warehouse):
         .collect()
     }
     assert got == want
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "delete", "refresh"]),
+            st.integers(2, 9),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_rollup_property_any_mutation_sequence(spark, tmp_path, ops):
+    """For ANY interleaving of appends, MoR deletes, and refreshes, a final
+    refresh leaves the summary equal to a from-scratch aggregate of the
+    live table — the incremental/full mode choice is an optimization the
+    result can never depend on."""
+    import uuid
+
+    rows = [(i, "g" + str(i % 3), float(i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    lh = Lakehouse(spark, str(tmp_path / uuid.uuid4().hex))
+    t = lh.create_table("ns.prop", df.schema)
+    t.append(df.filter(F.col("id") < 50))
+    r = create_rollup(
+        lh, t, "ns.prop_ru", ["g"], [("v", "sum"), ("*", "count"), ("v", "max")]
+    )
+    hi = 50
+    for op, m in ops:
+        if op == "append" and hi < 200:
+            t.append(df.filter((F.col("id") >= hi) & (F.col("id") < hi + 50)))
+            hi += 50
+        elif op == "delete":
+            t.delete_keys(
+                df.filter(F.col("id") % m == 0).select("id"), ["id"]
+            )
+        else:
+            refresh_rollup(r, t)
+    refresh_rollup(r, t)
+    got = {
+        x.g: (x.sum_v, x.cnt_rows, x.max_v) for x in r.scan().collect()
+    }
+    want = {
+        x[0]: (x[1], x[2], x[3])
+        for x in t.scan()
+        .groupBy("g")
+        .agg(F.sum("v"), F.count(F.lit(1)), F.max("v"))
+        .collect()
+    }
+    assert got == want
