@@ -1184,3 +1184,97 @@ def dedup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.6, within="lang")
     return dedup.dedup_groups_keep_canonical(docs, pairs).select("doc_id", "lang")
+
+
+@register(
+    "train_mix_temperature",
+    f"""
+    select doc_id, cast(0 as int) as source_id from documents
+    where doc_id % 2 = 0
+    union all
+    select doc_id, cast(1 as int) as source_id from documents
+    where doc_id % 2 = 1 and {HB.format(col="doc_id", n=1000000)} < 353553
+    """,
+)
+def train_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixing (T=2) of an 8:1-weighted pair of sources:
+    rates follow w^(1/T) normalized to the head source, so the minor
+    source keeps sqrt(1/8) ~ 0.3536 of its rows (the oracle hard-codes the
+    same fixed-point threshold 353553 = int(0.353553.. * 1e6) the hash
+    sampler uses). T=1 would reproduce proportional weighting; higher T
+    flattens toward uniform."""
+    from pyiceberg_lakehouse_spark.operators import traindata
+
+    docs = load_table(spark, sf_dir, "documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    return traindata.mix_temperature(
+        [(even, 8.0), (odd, 1.0)], temperature=2.0
+    ).select("doc_id", "source_id")
+
+
+# corpus-level bigram document frequency -> per-document novelty: the
+# boilerplate/gibberish quality dial. df(bigram) = #docs containing it
+# (DISTINCT per doc); a doc's rare_fraction is the share of its bigrams
+# seen in no other document. Counts are integers and the fraction is one
+# correctly-rounded division of ints < 2^53, so both engines agree bitwise.
+BIGRAM_NOVELTY_SQL = """
+    with toks as (
+      select doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as t
+      from documents
+    ),
+    bg as (
+      select distinct doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(t) - 1, 1)),
+                                   i -> concat_ws(' ', t[i], t[i+1]))) as bigram
+      from toks
+    ),
+    df_counts as (select bigram, count(*) as df from bg group by 1)
+    select b.doc_id,
+           cast(count(*) as bigint) as n_bigrams,
+           cast(sum(case when d.df = 1 then 1 else 0 end) as bigint) as n_rare,
+           cast(sum(case when d.df = 1 then 1 else 0 end) as double)
+             / cast(count(*) as double) as rare_fraction
+    from bg b join df_counts d on d.bigram = b.bigram
+    group by b.doc_id
+"""
+
+
+@register("text_bigram_novelty", BIGRAM_NOVELTY_SQL)
+def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram novelty against the corpus: explode DISTINCT
+    bigrams per doc, one groupBy for corpus document frequency, join back
+    (no self-join — the bigram side is the join key), and report each
+    doc's count/share of corpus-unique bigrams. LOW rare_fraction flags
+    boilerplate (every bigram seen elsewhere), HIGH flags
+    gibberish/novel text — the corpus-statistics quality dial next to the
+    per-document heuristics in text.quality_score."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+        ).alias("t"),
+    )
+    n = F.greatest(F.size("t") - 1, F.lit(1))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    ).distinct()
+    dfc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
+    joined = bg.join(dfc, "bigram")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("long").alias("n_rare"),
+        (
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("rare_fraction"),
+    )

@@ -157,3 +157,27 @@ def pack_sequences(
         hash_bucket(id_col, n_groups).cast("int").alias("pack_group"),
     )
     return grouped.groupBy("pack_group").applyInPandas(pack, PACK_SCHEMA)
+
+
+def mix_temperature(
+    sources: list[tuple[DataFrame, float]],
+    temperature: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled corpus mixing (multilingual-LM practice): source
+    sampling rates follow ``w_i^(1/T)``, normalized so the largest-weight
+    source keeps rate 1.0 — ``T=1`` reproduces proportional weighting,
+    ``T -> inf`` flattens toward uniform, ``T < 1`` sharpens toward the
+    head source. Rates feed :func:`mix_weighted`, so membership stays the
+    same deterministic hash sample (reproducible, incremental — raising T
+    later only ADDS rows to the smaller sources' samples).
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if any(w <= 0 for _, w in sources):
+        raise ValueError("source weights must be > 0")
+    scaled = [w ** (1.0 / temperature) for _, w in sources]
+    top = max(scaled)
+    return mix_weighted(
+        [(df, s / top) for (df, _), s in zip(sources, scaled)], id_col
+    )

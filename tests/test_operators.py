@@ -1073,3 +1073,26 @@ def test_png_codec_rejects_unsupported_honestly():
     # truncated payload fails loudly
     with pytest.raises(ValueError):
         multimodal.decode_png(good[:20] + b"x" * 4)
+
+
+def test_mix_temperature_limits(spark):
+    """T=1 reproduces proportional rates; T->inf flattens; guards raise."""
+    from pyiceberg_lakehouse_spark.operators import traindata
+
+    rows = [(i,) for i in range(400)]
+    a = spark.createDataFrame(rows, "doc_id long")
+    b = spark.createDataFrame(rows, "doc_id long")
+    # T=1, weights 4:1 -> head keeps all, minor keeps ~1/4
+    out = traindata.mix_temperature([(a, 4.0), (b, 1.0)], temperature=1.0)
+    n = {r.source_id: r.cnt for r in out.groupBy("source_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert n[0] == 400 and 50 <= n[1] <= 150
+    # huge T -> near-uniform: both sources keep ~all rows
+    out = traindata.mix_temperature([(a, 4.0), (b, 1.0)], temperature=1000.0)
+    n = {r.source_id: r.cnt for r in out.groupBy("source_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert n[0] == 400 and n[1] >= 390
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="temperature"):
+        traindata.mix_temperature([(a, 1.0)], temperature=0.0)
+    with _pt.raises(ValueError, match="weights"):
+        traindata.mix_temperature([(a, -1.0)], temperature=1.0)
