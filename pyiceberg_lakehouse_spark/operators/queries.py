@@ -1268,8 +1268,14 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram"),
     ).distinct()
-    dfc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
-    joined = bg.join(dfc, "bigram")
+    # corpus df via a count window over the bigram partition: one shuffle
+    # on bigram and NO join — the aggregate-then-join-back form would
+    # shuffle and materialize the exploded bigrams twice
+    from pyspark.sql import Window as _W
+
+    joined = bg.withColumn(
+        "df", F.count(F.lit(1)).over(_W.partitionBy("bigram"))
+    )
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("long").alias("n_rare"),
