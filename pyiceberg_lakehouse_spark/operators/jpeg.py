@@ -1,0 +1,462 @@
+"""Baseline JPEG (ITU-T T.81 sequential DCT) codec in pure numpy.
+
+The remaining compressed-image stub made real without any codec library:
+encode = level-shift -> 8x8 orthonormal DCT (one matrix sandwich per
+block) -> quality-scaled quantization -> zigzag -> DPCM DC + run/size AC
+-> canonical Huffman with byte stuffing; decode inverts every stage,
+reading quantization and Huffman tables FROM the stream (so files from
+other encoders with optimal tables decode too).
+
+Scope (honest gates, same stance as the PNG codec): 8-bit baseline
+sequential, grayscale or YCbCr 4:4:4; progressive scans, subsampled
+chroma (2x1/2x2 sampling factors), restart intervals, 12-bit precision,
+and arithmetic coding raise NotImplementedError. The emitted Huffman
+tables are flat 8-bit canonical codes — deliberately suboptimal for
+SIZE but trivially correct, and legal because the tables travel in DHT
+segments (a decoder never assumes Annex K defaults).
+
+Self-validation strategy (no reference codec in this container): the
+stages that could hide a matched encoder/decoder bug are pinned
+independently — the DCT matrix is checked orthonormal, the zigzag table
+against a generated spiral, the color transform against hand-computed
+BT.601 constants — and round-trips assert pixel error bounded by the
+quantization step (flat blocks reconstruct near-exactly: only the DC
+coefficient is nonzero and its quantizer is known).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------- constants -----
+
+# zigzag scan order: index i holds the (row*8+col) position of the i-th
+# coefficient in scan order (T.81 figure 5)
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K base quantization tables (public constants)
+QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+).reshape(8, 8)
+QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.float64,
+).reshape(8, 8)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix: forward F = D @ B @ D.T."""
+    D = np.zeros((8, 8))
+    for u in range(8):
+        c = np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8)
+        for x in range(8):
+            D[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16)
+    return D
+
+
+_D = _dct_matrix()
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K base tables (1..100)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (QT_LUMA, QT_CHROMA):
+        t = np.floor((base * scale + 50) / 100)
+        out.append(np.clip(t, 1, 255))
+    return out[0], out[1]
+
+
+# flat canonical Huffman: every symbol gets an 8-bit code (Kraft-feasible
+# for <= 255 symbols, and code values stay below 0xFF so no all-ones code)
+_DC_SYMBOLS = list(range(12))  # DC size categories 0..11
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+
+
+def _flat_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """(BITS[16], HUFFVAL) with every symbol at length 8."""
+    assert len(symbols) < 255
+    bits = [0] * 16
+    bits[7] = len(symbols)  # length 8 -> index 7
+    return bits, list(symbols)
+
+
+def _codes_from_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment (T.81 Annex C): symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per T.81
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, length: int) -> int:
+        while self.n < length:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # unstuff
+                else:
+                    raise ValueError("unexpected marker inside entropy data")
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
+        out = (self.acc >> (self.n - length)) & ((1 << length) - 1)
+        self.n -= length
+        self.acc &= (1 << self.n) - 1
+        return out
+
+
+def _huff_decode(r: _BitReader, decode: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | r.read(1)
+        length += 1
+        sym = decode.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _amplitude_bits(v: int, size: int) -> int:
+    # positive: value itself; negative: ones-complement (v - 1 in 2's)
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    """Full-range BT.601 (JFIF): Y in [0,255], Cb/Cr centered at 128."""
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255)
+
+
+def _blocks(channel: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad a (h, w) plane to 8-multiples by edge replication and cut into
+    (n_blocks_y, n_blocks_x, 8, 8)."""
+    h, w = channel.shape
+    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(channel, ((0, H - h), (0, W - w)), mode="edge")
+    by, bx = H // 8, W // 8
+    return (
+        padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3),
+        by,
+        bx,
+    )
+
+
+def encode_jpeg(pixels, quality: int = 90) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JPEG bytes."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    qt_l, qt_c = quality_tables(quality)
+    if gray:
+        planes = [px.astype(np.float64)]
+        qts = [qt_l]
+        qt_ids = [0]
+    else:
+        ycc = rgb_to_ycbcr(px)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qts = [qt_l, qt_c, qt_c]
+        qt_ids = [0, 1, 1]
+
+    dc_bits, dc_vals = _flat_table(_DC_SYMBOLS)
+    ac_bits, ac_vals = _flat_table(_AC_SYMBOLS)
+    dc_codes = _codes_from_table(dc_bits, dc_vals)
+    ac_codes = _codes_from_table(ac_bits, ac_vals)
+
+    # quantized zigzag coefficients per component, MCU order
+    comp_coeffs = []
+    for plane, qt in zip(planes, qts):
+        blocks, by, bx = _blocks(plane)
+        shifted = blocks - 128.0
+        dct = np.einsum("ux,ybxc,vc->ybuv", _D, shifted, _D, optimize=True)
+        # ybuv: (by, bx, 8, 8) frequency blocks
+        quant = np.round(dct / qt).astype(np.int64)
+        comp_coeffs.append(quant.reshape(by * bx, 64)[:, ZIGZAG])
+
+    wtr = _BitWriter()
+    preds = [0] * len(planes)
+    for m in range(comp_coeffs[0].shape[0]):
+        for ci, coeffs in enumerate(comp_coeffs):
+            zz = coeffs[m]
+            diff = int(zz[0]) - preds[ci]
+            preds[ci] = int(zz[0])
+            size = _category(diff)
+            code, length = dc_codes[size]
+            wtr.write(code, length)
+            if size:
+                wtr.write(_amplitude_bits(diff, size), size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz[1:])[0])) + 1 if np.any(zz[1:]) else 0
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]
+                    wtr.write(c, ln)  # ZRL
+                    run -= 16
+                size = _category(v)
+                c, ln = ac_codes[(run << 4) | size]
+                wtr.write(c, ln)
+                wtr.write(_amplitude_bits(v, size), size)
+                run = 0
+            if last_nz < 63:
+                c, ln = ac_codes[0x00]
+                wtr.write(c, ln)  # EOB
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tid, qt in ((0, qt_l),) if gray else ((0, qt_l), (1, qt_c)):
+        body = bytes([tid]) + bytes(
+            int(qt.reshape(64)[ZIGZAG[i]]) for i in range(64)
+        )
+        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, qt_ids[ci]])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    for tc, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += wtr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (h, w) or (h, w, 3) uint8 (RGB)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, qt_id)
+    h = w = 0
+    scan: bytes | None = None
+    scan_comps: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG (expected marker)")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += 2 + seglen
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                zz = np.frombuffer(body[off + 1 : off + 65], dtype=np.uint8)
+                t = np.zeros(64)
+                t[ZIGZAG] = zz
+                qts[tq] = t.reshape(8, 8)
+                off += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) unsupported"
+            )
+        elif marker == 0xC0:
+            if body[0] != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            h, w = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + ci * 3 : 9 + ci * 3]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled chroma (non-1x1 sampling) unsupported"
+                    )
+                comps.append((cid, samp, tq))
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nv])
+                codes = _codes_from_table(bits, vals)
+                huff[(tc, th)] = {(ln, c): s for s, (c, ln) in codes.items()}
+                off += 17 + nv
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = []
+            for si in range(ns):
+                cid, tabs = body[1 + si * 2 : 3 + si * 2]
+                idx = next(i for i, c in enumerate(comps) if c[0] == cid)
+                scan_comps.append((idx, tabs >> 4, tabs & 0x0F))
+            if tuple(body[1 + ns * 2 : 4 + ns * 2]) != (0, 63, 0):
+                raise NotImplementedError("progressive scan unsupported")
+            scan = payload[pos:]
+            break
+    if scan is None or not comps:
+        raise ValueError("corrupt JPEG (no scan data)")
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    r = _BitReader(scan)
+    planes = [np.zeros((by * 8, bx * 8)) for _ in comps]
+    preds = [0] * len(comps)
+    for myy in range(by):
+        for mxx in range(bx):
+            for idx, dct_id, act_id in scan_comps:
+                dc_tab, ac_tab = huff[(0, dct_id)], huff[(1, act_id)]
+                zz = np.zeros(64, dtype=np.int64)
+                size = _huff_decode(r, dc_tab)
+                diff = _extend(r.read(size), size) if size else 0
+                preds[idx] += diff
+                zz[0] = preds[idx]
+                k = 1
+                while k < 64:
+                    sym = _huff_decode(r, ac_tab)
+                    if sym == 0x00:
+                        break  # EOB
+                    if sym == 0xF0:
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    size = sym & 0x0F
+                    if k > 63:
+                        raise ValueError("corrupt JPEG (AC index overflow)")
+                    zz[k] = _extend(r.read(size), size)
+                    k += 1
+                block = np.zeros(64)
+                block[ZIGZAG] = zz
+                freq = block.reshape(8, 8) * qts[comps[idx][2]]
+                spatial = _D.T @ freq @ _D + 128.0
+                planes[idx][myy * 8 : myy * 8 + 8, mxx * 8 : mxx * 8 + 8] = spatial
+    planes = [p[:h, :w] for p in planes]
+    if len(planes) == 1:
+        return np.clip(planes[0], 0, 255).astype(np.uint8)
+    out = ycbcr_to_rgb(np.stack(planes, axis=-1))
+    return out.astype(np.uint8)
+
+
+def jpeg_header(payload: bytes) -> tuple[int, int, int]:
+    """SOF0 parse -> (width, height, n_components) without full decode."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG (expected marker)")
+        marker = payload[pos + 1]
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if marker == 0xC0:
+            body = payload[pos + 4 : pos + 2 + seglen]
+            h, w = struct.unpack(">HH", body[1:5])
+            return w, h, body[5]
+        if marker == 0xDA or marker == 0xD9:
+            break
+        pos += 2 + seglen
+    raise ValueError("corrupt JPEG (no SOF0 header)")

@@ -4,16 +4,17 @@ Convention: a multimodal asset is a ``binary`` column (``content``) plus a
 struct of metadata (``media``: mime type, byte length, checksum). Decode /
 feature-extraction runs as Arrow-batched ``mapInPandas``.
 
-Decode is REAL for three formats that need no third-party codec library —
+Decode is REAL for four formats that need no third-party codec library —
 BMP (BITMAPINFOHEADER parse -> width/height/bpp) and WAV (RIFF/fmt chunk
 parse -> sample rate/channels/sample count) as pure-Python ``struct``
-header parsing, and PNG as a full pure-numpy codec (zlib-compressed
-filtered scanlines per RFC 2083; stdlib zlib — see the PNG section below
-for the supported subset). JPEG decodes via Pillow WHEN it is importable
-(the same runtime availability gate as psycopg2 in lakehouse/catalog.py —
-this container doesn't ship it, real deployments do); without it that mime
-raises NotImplementedError rather than half-working. Audio/video codecs
-(MP3/MP4/...) stay NotImplemented.
+header parsing, PNG as a full pure-numpy codec (zlib-compressed filtered
+scanlines per RFC 2083; stdlib zlib), and baseline JPEG as a full
+pure-numpy codec too (operators/jpeg.py: 8x8 DCT + quantization + Huffman
+entropy coding both ways; progressive/subsampled variants gate honestly).
+Anything else (and non-baseline JPEG) falls through to Pillow WHEN it is
+importable (the same runtime availability gate as psycopg2 in
+lakehouse/catalog.py); audio/video codecs (MP3/MP4/...) stay
+NotImplemented.
 """
 
 from __future__ import annotations
@@ -77,6 +78,15 @@ def decode_stub(payload: bytes, mime: str) -> bytes:
     if mime == "image/png":
         px = decode_png(payload)
         return _to_rgb(px).tobytes()
+    if mime == "image/jpeg":
+        import numpy as np
+
+        from pyiceberg_lakehouse_spark.operators import jpeg
+
+        px = jpeg.decode_jpeg(payload)
+        if px.ndim == 2:
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        return np.ascontiguousarray(px).tobytes()
     if mime in _PIL_MIMES and HAS_PIL:
         import io
 
@@ -85,11 +95,17 @@ def decode_stub(payload: bytes, mime: str) -> bytes:
 
 
 def decode_image_codec(payload: bytes) -> tuple[int, int, str]:
-    """PNG/JPEG -> (width, height, mode). PNG parses natively
-    (``png_header``); JPEG requires Pillow (HAS_PIL)."""
+    """PNG/JPEG -> (width, height, mode), both parsed natively
+    (``png_header`` / ``jpeg.jpeg_header``); anything else falls through
+    to Pillow when available."""
     if payload[:8] == _PNG_SIG:
         w, h, color_type = png_header(payload)
         return w, h, _PNG_MODES[color_type]
+    if payload[:2] == b"\xff\xd8":
+        from pyiceberg_lakehouse_spark.operators import jpeg
+
+        w, h, ncomp = jpeg.jpeg_header(payload)
+        return w, h, "L" if ncomp == 1 else "RGB"
     if not HAS_PIL:
         raise NotImplementedError("Pillow not available in this environment")
     import io

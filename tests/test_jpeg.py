@@ -1,0 +1,156 @@
+"""Baseline JPEG codec (operators/jpeg.py).
+
+No reference codec ships in this container, so the tests are built to
+catch MATCHED encoder/decoder bugs, not just round-trip consistency: the
+stages where a shared mistake could hide are pinned independently
+(orthonormal DCT, generated-vs-constant zigzag, hand-computed BT.601
+constants, Kraft-valid Huffman tables), and the round-trip error bounds
+derive from the known quantization step (a flat block keeps only its DC
+coefficient, whose quantizer divisor is table position 0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyiceberg_lakehouse_spark.operators import jpeg, multimodal
+
+
+def test_dct_matrix_orthonormal():
+    D = jpeg._dct_matrix()
+    assert np.allclose(D @ D.T, np.eye(8), atol=1e-12)
+    # Parseval: energy preserved through the transform
+    rng = np.random.default_rng(1)
+    B = rng.normal(size=(8, 8))
+    F = D @ B @ D.T
+    assert np.isclose((B * B).sum(), (F * F).sum())
+
+
+def test_zigzag_against_generated_spiral():
+    """Regenerate the zigzag order from the diagonal-walk definition and
+    compare to the constant table (a transposed or mirrored table would
+    still round-trip, so this must be independent)."""
+    order = []
+    for s in range(15):  # anti-diagonals
+        rng_ = range(max(0, s - 7), min(s, 7) + 1)
+        diag = [(s - j, j) for j in rng_]  # bottom-left -> top-right
+        if s % 2 == 1:
+            diag = diag[::-1]  # odd diagonals walk top-right -> bottom-left
+        order.extend(r * 8 + c for r, c in diag)
+    assert order == list(jpeg.ZIGZAG)
+
+
+def test_ycbcr_constants_hand_computed():
+    # pure red (255,0,0): Y = .299*255 = 76.245; Cr = .5*255+128 = 255.5
+    ycc = jpeg.rgb_to_ycbcr(np.array([[[255, 0, 0]]], dtype=np.uint8))
+    assert np.isclose(ycc[0, 0, 0], 76.245, atol=1e-9)
+    assert np.isclose(ycc[0, 0, 1], -0.168736 * 255 + 128.0)
+    assert np.isclose(ycc[0, 0, 2], 0.5 * 255 + 128.0)
+    # gray is a fixed point: (g, g, g) -> Y=g, Cb=Cr=128
+    ycc = jpeg.rgb_to_ycbcr(np.full((1, 1, 3), 77, dtype=np.uint8))
+    assert np.allclose(ycc[0, 0], [77.0, 128.0, 128.0])
+    # inverse really inverts (before quantization)
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    back = jpeg.ycbcr_to_rgb(jpeg.rgb_to_ycbcr(px))
+    # the published 4-digit inverse constants are rounded, not the exact
+    # matrix inverse of the forward transform — sub-ULP-of-a-pixel error
+    assert np.abs(back - px).max() < 0.05
+
+
+def test_huffman_tables_kraft_valid_and_canonical():
+    for syms in (jpeg._DC_SYMBOLS, jpeg._AC_SYMBOLS):
+        bits, vals = jpeg._flat_table(syms)
+        assert sum(bits) == len(syms)
+        codes = jpeg._codes_from_table(bits, vals)
+        # Kraft inequality and prefix-freeness at a single length = all
+        # codes distinct and below 2^len
+        lens = {ln for _, ln in codes.values()}
+        assert lens == {8}
+        cs = [c for c, _ in codes.values()]
+        assert len(set(cs)) == len(cs) and max(cs) < 0xFF  # no all-ones code
+
+
+def test_flat_block_roundtrip_exact():
+    """A uniform block has only a DC coefficient; with DC quantizer
+    table[0][0] the reconstruction must be exact for any level."""
+    for level in (0, 17, 128, 131, 255):
+        img = np.full((8, 8), level, dtype=np.uint8)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+        assert out.shape == (8, 8)
+        assert int(np.abs(out.astype(int) - level).max()) <= 1, level
+
+
+def test_roundtrip_error_bounds_and_shapes():
+    rng = np.random.default_rng(7)
+    # smooth content: tight bound at high quality
+    x = np.linspace(0, 255, 40)
+    smooth = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth, quality=95))
+    assert np.abs(out.astype(int) - smooth.astype(int)).mean() < 2.0
+    # random RGB with odd (non-multiple-of-8) dims survives edge padding
+    img = rng.integers(0, 256, (21, 13, 3), dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    assert out.shape == (21, 13, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 16.0
+    # lower quality degrades monotonically-ish but still decodes
+    out50 = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=30))
+    assert out50.shape == (21, 13, 3)
+
+
+def test_quality_dial_changes_tables():
+    l90, c90 = jpeg.quality_tables(90)
+    l10, c10 = jpeg.quality_tables(10)
+    assert (l10 >= l90).all() and l10.sum() > l90.sum()
+    assert l90.min() >= 1 and l10.max() <= 255
+
+
+def test_header_parse_and_dispatch():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (10, 17, 3), dtype=np.uint8)
+    payload = jpeg.encode_jpeg(img, quality=85)
+    assert jpeg.jpeg_header(payload) == (17, 10, 3)
+    assert multimodal.decode_image_codec(payload) == (17, 10, "RGB")
+    raw = multimodal.decode_stub(payload, "image/jpeg")
+    assert len(raw) == 10 * 17 * 3
+    gray = jpeg.encode_jpeg(img[:, :, 0], quality=85)
+    assert multimodal.decode_image_codec(gray) == (17, 10, "L")
+    assert len(multimodal.decode_stub(gray, "image/jpeg")) == 10 * 17 * 3
+
+
+def test_rejects_unsupported_honestly():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    good = bytearray(jpeg.encode_jpeg(img))
+    # flip SOF0 -> SOF2 (progressive)
+    i = bytes(good).find(b"\xff\xc0")
+    prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2 :])
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError):
+        jpeg.jpeg_header(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF
+    # truncated entropy stream fails loudly
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(good[: len(good) // 2]))
+
+
+@pytest.mark.skipif(not multimodal.HAS_PIL, reason="Pillow not installed")
+def test_cross_check_against_pillow():
+    """When a reference codec IS available, our decoder must read its
+    output and Pillow must read ours."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    ours = jpeg.encode_jpeg(img, quality=90)
+    theirs_px = np.asarray(Image.open(io.BytesIO(ours)).convert("RGB"))
+    assert np.abs(theirs_px.astype(int) - img.astype(int)).mean() < 16.0
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90, subsampling=0)
+    ours_px = jpeg.decode_jpeg(buf.getvalue())
+    assert np.abs(ours_px.astype(int) - img.astype(int)).mean() < 16.0

@@ -408,12 +408,12 @@ def test_multimodal_plumbing_roundtrip(spark, sf_dir):
 def test_multimodal_decode_stub_gates_unknown_mime():
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"bytes", "audio/mp3")
-    if not multimodal.HAS_PIL:  # JPEG still gates on Pillow availability
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_stub(b"bytes", "image/jpeg")
-    # PNG decodes natively now; corrupt bytes fail loudly, not half-decode
+    # PNG and JPEG decode natively now; corrupt bytes fail loudly rather
+    # than half-decoding
     with pytest.raises(ValueError):
         multimodal.decode_stub(b"bytes", "image/png")
+    with pytest.raises(ValueError):
+        multimodal.decode_stub(b"bytes", "image/jpeg")
 
 
 @pytest.mark.skipif(not multimodal.HAS_PIL, reason="Pillow not installed")
