@@ -1363,3 +1363,66 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "lh_ann_auto_maintain",
+    """
+    select vec_id as qid, cast(3 as integer) as n_results,
+           true as matches_unindexed,
+           'refresh' as small_append_action,
+           'rebuild' as large_append_action
+    from embeddings where vec_id < 10
+    """,
+)
+def lh_ann_auto_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential proof of the health->action loop the driver can hash:
+    ensure_ann_fresh must pick REFRESH after a small append and REBUILD
+    after a corpus-doubling one (maintenance.py:ann_index_health
+    thresholds), and after both actions the index probe must equal the
+    unindexed ivf_topk twin over the full corpus with the post-action
+    centroids — the maintenance policy can never cost correctness."""
+    import json
+
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import (
+        build_ivf_index,
+        ensure_ann_fresh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    lh = Lakehouse(spark, session_tmpdir(prefix="ann_auto_"))
+    t = lh.create_table("ns.embeddings_auto", emb.schema)
+    t.append(emb)
+    build_ivf_index(t, k=None, iters=2)  # policy-sized cells
+
+    # small tail (~5%) -> refresh path
+    t.append(
+        emb.filter(F.col("vec_id") % 20 == 0).withColumn(
+            "vec_id", F.col("vec_id") + 1_000_000
+        )
+    )
+    first = ensure_ann_fresh(t)["action"]
+    # corpus-doubling append -> stale fraction past the rebuild threshold
+    t.append(emb.withColumn("vec_id", F.col("vec_id") + 2_000_000))
+    second = ensure_ann_fresh(t)["action"]
+
+    cents = json.loads(t.log.properties["ivf.centroids"])
+    full = t.scan().select("vec_id", "embedding")
+    got = similarity.ivf_index_topk(t, q, k=3, n_probe=6)
+    twin = similarity.ivf_topk(full, q, cents, k=3, n_probe=6)
+    a = got.groupBy("qid").agg(
+        F.sort_array(F.collect_list(F.struct("rank", "vid"))).alias("res"),
+        F.count("*").cast("int").alias("n_results"),
+    )
+    b = twin.groupBy("qid").agg(
+        F.sort_array(F.collect_list(F.struct("rank", "vid"))).alias("res_twin")
+    )
+    return a.join(b, "qid").select(
+        "qid",
+        "n_results",
+        (F.col("res") == F.col("res_twin")).alias("matches_unindexed"),
+        F.lit(first).alias("small_append_action"),
+        F.lit(second).alias("large_append_action"),
+    )
