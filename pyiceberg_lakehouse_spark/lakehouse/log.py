@@ -31,6 +31,28 @@ from typing import Any
 from pyspark.sql import types as T
 
 
+# Spark/Hive escapePathName charset: ASCII control chars, DEL, and these
+# printables are percent-encoded in partition path segments; everything
+# else (including space) passes through literally.
+_V1_PATH_ESCAPED = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
+
+
+def _v1_safe_unquote(v: str) -> str:
+    """Decode a v1 partition VALUE only if it is an exact image of the
+    Spark path encoder — re-encoding the decoded string must reproduce the
+    stored one. Anything else (already-decoded user data with literal
+    ``%XX``) is returned unchanged. See the load() migration note."""
+    from urllib.parse import unquote
+
+    dec = unquote(v)
+    if dec == v:
+        return v
+    reenc = "".join(
+        f"%{ord(ch):02X}" if ch in _V1_PATH_ESCAPED else ch for ch in dec
+    )
+    return dec if reenc == v else v
+
+
 @contextlib.contextmanager
 def _commit_lock(table_dir: str, timeout_s: float = 30.0, stale_s: float = 300.0):
     """Exclusive inter-process lock via O_CREAT|O_EXCL on a lock file.
@@ -144,12 +166,18 @@ class SnapshotLog:
         # path segments — percent-ENCODED keys and values (``a/b=c`` stored
         # as ``a%2Fb%3Dc``), so partition_filter with special-character
         # values wrongly pruned the matching files. v2 stores them decoded
-        # at write time; older logs are decoded once here at load. One-time
-        # migration caveat: a v1 log written by a build that already decoded
-        # VALUES keeps literal ``%XX`` sequences in user data only if the
-        # user value itself contained them — those decode a second time
-        # here; values without percent-escapes are unaffected (unquote
-        # leaves invalid escapes alone).
+        # at write time; older logs are decoded once here at load. Keys are
+        # always decoded (column names are schema-controlled). VALUES are
+        # decoded only when re-encoding the decoded string with Spark's own
+        # path-escape charset round-trips to the stored one — i.e. the
+        # stored string is an exact image of the v1 encoder. This protects
+        # the intermediate v1 generation that already stored DECODED values
+        # (keys still encoded): user data whose escapes are not a Spark
+        # encoding image (e.g. ``100%20off`` — Spark never escapes spaces)
+        # passes through untouched instead of being decoded a second time
+        # (ADVICE r8). A value that IS an exact encoder image (``a%2Fb``)
+        # remains formally ambiguous between the two generations; we take
+        # the decode, matching the dominant v1 population.
         if int(d.get("format_version", 1)) < 2:
             from urllib.parse import unquote
 
@@ -158,7 +186,8 @@ class SnapshotLog:
                     part = fentry.get("partition")
                     if part:
                         fentry["partition"] = {
-                            unquote(k): unquote(v) for k, v in part.items()
+                            unquote(k): _v1_safe_unquote(v)
+                            for k, v in part.items()
                         }
         return self
 

@@ -808,6 +808,55 @@ def lh_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lh_rollup_avg",
+    """
+    select l_returnflag, l_linestatus,
+           count(*) as cnt_rows,
+           case when count(l_quantity) > 0
+                then sum(l_quantity) / count(l_quantity) end as avg_l_quantity,
+           case when count(l_quantity) > 1
+                then sqrt((sum(l_quantity * l_quantity)
+                           - sum(l_quantity) * sum(l_quantity) / count(l_quantity))
+                          / (count(l_quantity) - 1)) end as stddev_l_quantity
+    from lineitem
+    group by l_returnflag, l_linestatus
+    """,
+)
+def lh_rollup_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg/stddev rollup via mergeable sum/sumsq/count decomposition
+    (lakehouse/rollup.py): the stored state is psum/psumsq/pcnt parts that
+    merge additively across incremental refreshes; ``read_rollup`` derives
+    avg = psum/pcnt and sample stddev = sqrt((psumsq - psum²/n)/(n-1)) at
+    read time. Build on half the fact table, append the other half,
+    refresh (delta-only aggregation), and the derived columns must
+    hash-equal DuckDB computing the SAME formula from scratch — exact
+    because l_quantity is integer-valued, so every partial sum/sum-of-
+    squares is order-independent in double, and the final derivation is
+    the identical scalar IEEE expression on both engines.
+    """
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import (
+        create_rollup,
+        read_rollup,
+        refresh_rollup,
+    )
+
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.lineitem_avg_fact", SCHEMAS["lineitem"])
+    li = load_table(spark, sf_dir, "lineitem")
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0))
+    r = create_rollup(
+        lh,
+        t,
+        "ns.lineitem_avg_rollup",
+        ["l_returnflag", "l_linestatus"],
+        [("*", "count"), ("l_quantity", "avg"), ("l_quantity", "stddev")],
+    )
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1))
+    refresh_rollup(r, t)
+    return read_rollup(r)
+
+
+@register(
     "lh_rollup_hourly",
     """
     select event_type,

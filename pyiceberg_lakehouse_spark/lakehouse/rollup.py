@@ -9,14 +9,18 @@ files only (``read_incremental`` plans them from metadata), aggregates the
 delta, and merges it with the existing summary by a groupBy over summary
 rows; the fact table is never rescanned.
 
-Only incrementally MERGEABLE aggregates are supported — sum, count, min,
-max (avg = sum/count at read time). Merge rules: partial sums/counts add;
-partial mins/maxes fold with least/greatest. History that is not an
-append-only delta (overwrite / replace / delete snapshots, or an expired
-refresh cursor) cannot be merged incrementally; ``refresh_rollup`` detects
-that from the log and falls back to a FULL recompute, recording which mode
-ran in the commit summary — correctness never depends on the fast path
-applying.
+Only incrementally MERGEABLE state is stored. sum/count/min/max store
+their own value; avg and stddev are DECOMPOSED into mergeable parts —
+non-null sum (``psum_<col>``), sum of squares (``psumsq_<col>``), and
+non-null count (``pcnt_<col>``) — and the final column is derived at read
+time by :func:`read_rollup` (avg = psum/pcnt; sample stddev =
+sqrt((psumsq - psum²/pcnt)/(pcnt-1))). Merge rules: partial sums/counts/
+squares add; partial mins/maxes fold with least/greatest. History that is
+not an append-only delta (overwrite / replace / delete snapshots, or an
+expired refresh cursor) cannot be merged incrementally; ``refresh_rollup``
+detects that from the log and falls back to a FULL recompute, recording
+which mode ran in the commit summary — correctness never depends on the
+fast path applying.
 """
 
 from __future__ import annotations
@@ -29,14 +33,32 @@ from pyspark.sql import functions as F
 
 from pyiceberg_lakehouse_spark.lakehouse.table import LakehouseTable
 
-# supported aggregate -> (delta aggregation, partial-merge aggregation).
-# Both stages use the same function for min/max (associative) and sum;
-# count's merge stage SUMS the partial counts.
-_SUPPORTED = ("sum", "count", "min", "max")
+# requested aggregate surface; avg/stddev are stored as decomposed parts
+_SUPPORTED = ("sum", "count", "min", "max", "avg", "stddev")
 
 
 def _out_col(col: str, fn: str) -> str:
     return "cnt_rows" if fn == "count" else f"{fn}_{col}"
+
+
+def _part_cols(aggs: list[tuple[str, str]]) -> dict[str, tuple[str, str]]:
+    """Expand requested aggregates into the mergeable STORAGE parts:
+    ``{storage_column: (part_kind, source_column)}``. avg and stddev on
+    the same column share their psum/pcnt parts (dict keying dedups)."""
+    parts: dict[str, tuple[str, str]] = {}
+    for col, fn in aggs:
+        if fn in ("sum", "count", "min", "max"):
+            parts[_out_col(col, fn)] = (fn, col)
+        elif fn == "avg":
+            parts[f"psum_{col}"] = ("psum", col)
+            parts[f"pcnt_{col}"] = ("pcnt", col)
+        elif fn == "stddev":
+            parts[f"psum_{col}"] = ("psum", col)
+            parts[f"psumsq_{col}"] = ("psumsq", col)
+            parts[f"pcnt_{col}"] = ("pcnt", col)
+        else:
+            raise ValueError(f"unsupported rollup aggregate {fn!r}; use {_SUPPORTED}")
+    return parts
 
 
 def _dim_cols(df: DataFrame, dims: list) -> tuple[DataFrame, list[str]]:
@@ -58,18 +80,21 @@ def _dim_cols(df: DataFrame, dims: list) -> tuple[DataFrame, list[str]]:
 def _delta_agg(df: DataFrame, dims: list, aggs: list[tuple[str, str]]) -> DataFrame:
     df, dims = _dim_cols(df, dims)
     exprs = []
-    for col, fn in aggs:
-        name = _out_col(col, fn)
-        if fn == "count":
+    for name, (kind, col) in _part_cols(aggs).items():
+        if kind == "count":
             exprs.append(F.count(F.lit(1)).cast("long").alias(name))
-        elif fn == "sum":
+        elif kind == "sum":
             exprs.append(F.sum(col).alias(name))
-        elif fn == "min":
+        elif kind == "min":
             exprs.append(F.min(col).alias(name))
-        elif fn == "max":
+        elif kind == "max":
             exprs.append(F.max(col).alias(name))
-        else:
-            raise ValueError(f"unsupported rollup aggregate {fn!r}; use {_SUPPORTED}")
+        elif kind == "psum":
+            exprs.append(F.sum(col).alias(name))
+        elif kind == "psumsq":
+            exprs.append(F.sum(F.col(col) * F.col(col)).alias(name))
+        else:  # pcnt: NON-NULL count, the avg/stddev denominator
+            exprs.append(F.count(col).cast("long").alias(name))
     return df.groupBy(*dims).agg(*exprs)
 
 
@@ -81,15 +106,14 @@ def _merge_agg(df: DataFrame, dims: list, aggs: list[tuple[str, str]]) -> DataFr
     # partials already carry the (possibly derived) dimension columns
     dims = _dim_names(dims)
     exprs = []
-    for col, fn in aggs:
-        name = _out_col(col, fn)
-        if fn in ("sum", "count"):
-            merged = F.sum(name)
-        elif fn == "min":
+    for name, (kind, _col) in _part_cols(aggs).items():
+        if kind == "min":
             merged = F.min(name)
-        else:
+        elif kind == "max":
             merged = F.max(name)
-        if fn == "count":
+        else:  # sum/count/psum/psumsq/pcnt are all additive
+            merged = F.sum(name)
+        if kind in ("count", "pcnt"):
             merged = merged.cast("long")
         exprs.append(merged.alias(name))
     return df.groupBy(*dims).agg(*exprs)
@@ -103,9 +127,11 @@ def create_rollup(
     aggs: list[tuple[str, str]],
 ) -> LakehouseTable:
     """Materialize ``source`` grouped by ``dims`` with mergeable ``aggs``
-    (list of ``(column, fn)``; fn in sum/count/min/max, column ignored for
-    count) into a new lakehouse table, and record the maintenance contract
-    (source dims/aggs + the snapshot the state covers) in its properties.
+    (list of ``(column, fn)``; fn in sum/count/min/max/avg/stddev, column
+    ignored for count; avg/stddev stored as decomposed psum/psumsq/pcnt
+    parts — read the requested shape back via :func:`read_rollup`) into a
+    new lakehouse table, and record the maintenance contract (source
+    dims/aggs + the snapshot the state covers) in its properties.
 
     The initial build is the one full pass; every later ``refresh_rollup``
     advances from the recorded snapshot cursor.
@@ -126,6 +152,39 @@ def create_rollup(
     )
     rollup.append(state)
     return rollup
+
+
+def read_rollup(rollup: LakehouseTable) -> DataFrame:
+    """Read the rollup in its REQUESTED-aggregate shape: dims plus one
+    column per requested aggregate. sum/count/min/max read their stored
+    column directly; avg and stddev are derived from the mergeable parts —
+    avg = psum/pcnt, sample stddev = sqrt((psumsq - psum²/pcnt)/(pcnt-1)),
+    NULL for empty/singleton populations.
+
+    The derivation is a handful of scalar IEEE ops on exactly-merged
+    parts, so (for integer-valued or decimal-routed measures) the result
+    is bit-identical to a from-scratch avg/stddev over the fact table
+    computed with the same formula — the property the differential oracle
+    checks.
+    """
+    dims = _dim_names(json.loads(rollup.log.properties["rollup.dims"]))
+    aggs = [tuple(a) for a in json.loads(rollup.log.properties["rollup.aggs"])]
+    cols: list = [F.col(d) for d in dims]
+    for col, fn in aggs:
+        if fn in ("sum", "count", "min", "max"):
+            cols.append(F.col(_out_col(col, fn)))
+        elif fn == "avg":
+            n = F.col(f"pcnt_{col}").cast("double")
+            cols.append(
+                F.when(n > 0, F.col(f"psum_{col}") / n).alias(f"avg_{col}")
+            )
+        else:  # stddev (sample)
+            n = F.col(f"pcnt_{col}").cast("double")
+            s = F.col(f"psum_{col}")
+            ss = F.col(f"psumsq_{col}")
+            var = (ss - s * s / n) / (n - F.lit(1.0))
+            cols.append(F.when(n > 1, F.sqrt(var)).alias(f"stddev_{col}"))
+    return rollup.scan().select(*cols)
 
 
 def refresh_rollup(rollup: LakehouseTable, source: LakehouseTable) -> dict[str, Any]:

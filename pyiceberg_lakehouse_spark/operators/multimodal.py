@@ -69,9 +69,11 @@ def decode_stub(payload: bytes, mime: str) -> bytes:
     text/plain passes through; BMP and WAV have real header decoders below
     (``decode_bmp`` / ``decode_wav``); PNG decodes to raw RGB bytes via the
     built-in pure-numpy codec (``decode_png`` — zlib is stdlib, no
-    third-party library needed); JPEG decodes via Pillow when it is
-    importable; everything else (and JPEG without Pillow) raises instead
-    of half-working.
+    third-party library needed); JPEG dispatches native-first to the
+    built-in baseline codec (operators/jpeg.py) and falls through to
+    Pillow for what the native path rejects (progressive / subsampled /
+    no-SOF0) when Pillow is importable; everything else (and non-baseline
+    JPEG without Pillow) raises instead of half-working.
     """
     if mime == "text/plain":
         return payload  # identity "decode"
@@ -83,7 +85,14 @@ def decode_stub(payload: bytes, mime: str) -> bytes:
 
         from pyiceberg_lakehouse_spark.operators import jpeg
 
-        px = jpeg.decode_jpeg(payload)
+        try:
+            px = jpeg.decode_jpeg(payload)
+        except (NotImplementedError, ValueError):
+            if not HAS_PIL:
+                raise
+            import io
+
+            return _PILImage.open(io.BytesIO(payload)).convert("RGB").tobytes()
         if px.ndim == 2:
             px = np.repeat(px[:, :, None], 3, axis=2)
         return np.ascontiguousarray(px).tobytes()
@@ -96,16 +105,22 @@ def decode_stub(payload: bytes, mime: str) -> bytes:
 
 def decode_image_codec(payload: bytes) -> tuple[int, int, str]:
     """PNG/JPEG -> (width, height, mode), both parsed natively
-    (``png_header`` / ``jpeg.jpeg_header``); anything else falls through
-    to Pillow when available."""
+    (``png_header`` / ``jpeg.jpeg_header``); JPEGs the native header probe
+    rejects (progressive — no SOF0) and any other format fall through to
+    Pillow when available."""
     if payload[:8] == _PNG_SIG:
         w, h, color_type = png_header(payload)
         return w, h, _PNG_MODES[color_type]
     if payload[:2] == b"\xff\xd8":
         from pyiceberg_lakehouse_spark.operators import jpeg
 
-        w, h, ncomp = jpeg.jpeg_header(payload)
-        return w, h, "L" if ncomp == 1 else "RGB"
+        try:
+            w, h, ncomp = jpeg.jpeg_header(payload)
+        except (NotImplementedError, ValueError):
+            if not HAS_PIL:
+                raise
+        else:
+            return w, h, "L" if ncomp == 1 else "RGB"
     if not HAS_PIL:
         raise NotImplementedError("Pillow not available in this environment")
     import io

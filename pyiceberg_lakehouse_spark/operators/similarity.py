@@ -97,7 +97,12 @@ def resolve_rerank_factor(
     if rerank_factor is not None:
         return rerank_factor
     if recall_target is not None:
-        return next(f for thr, f in _RECALL_RERANKS if recall_target >= thr)
+        # below-table targets (incl. caller bugs like -1) resolve to the
+        # cheapest anchor instead of raising StopIteration (ADVICE r8)
+        return next(
+            (f for thr, f in _RECALL_RERANKS if recall_target >= thr),
+            _RECALL_RERANKS[-1][1],
+        )
     return 16
 
 
@@ -137,7 +142,11 @@ def resolve_n_probe(
     if n_probe is not None:
         return max(1, min(n_probe, n_cells))
     if recall_target is not None:
-        coef = next(c for thr, c in _RECALL_WIDTHS if recall_target >= thr)
+        # same below-table guard as resolve_rerank_factor (ADVICE r8)
+        coef = next(
+            (c for thr, c in _RECALL_WIDTHS if recall_target >= thr),
+            _RECALL_WIDTHS[-1][1],
+        )
         return max(4, min(n_cells, math.ceil(coef * math.sqrt(n_cells))))
     return max(
         min(_PROBE_FLOOR, n_cells),

@@ -191,15 +191,18 @@ def numeric_profile(
     hi: float | None = None,
 ) -> DataFrame:
     """Dataset-profiling histogram of a numeric column: one row per bucket
-    with exact counts, plus sentinel rows for NULLs (bucket -1) and
-    out-of-range values (bucket n). Bounds default to the observed
-    min/max (one tiny agg — metadata-cheap next to the scan itself).
+    with exact counts, plus distinct sentinel rows for NULLs (bucket -1),
+    below-range values (bucket -2, only reachable with an explicit ``lo``),
+    and above-range values (bucket n, only reachable with an explicit
+    ``hi``). Bounds default to the observed min/max (one tiny agg —
+    metadata-cheap next to the scan itself). ``lo_edge`` is meaningful for
+    real buckets 0..n-1 only.
 
-    Bucketing is ``floor((x - lo) / (hi - lo) * n)`` clamped into range —
-    a single multiply+floor whose IEEE rounding every engine performs
-    identically, so the histogram is EXACT cross-engine (unlike
-    quantile-sketch profiles). One groupBy; at 100 TB the shuffle carries
-    n_buckets+2 rows per map task.
+    Bucketing is ``floor((x - lo) / (hi - lo) * n)`` — a single
+    multiply+floor whose IEEE rounding every engine performs identically,
+    so the histogram is EXACT cross-engine (unlike quantile-sketch
+    profiles). One groupBy; at 100 TB the shuffle carries n_buckets+3 rows
+    per map task.
     """
     c = F.col(col).cast("double")
     if lo is None or hi is None:
@@ -207,17 +210,15 @@ def numeric_profile(
         lo = float(b["lo"]) if lo is None else lo
         hi = float(b["hi"]) if hi is None else hi
     span = (hi - lo) or 1.0
-    bucket = F.when(c.isNull(), F.lit(-1)).otherwise(
-        F.least(
-            F.lit(n_buckets),
-            F.greatest(
-                F.lit(-1),
-                F.floor((c - F.lit(lo)) / F.lit(span) * n_buckets).cast("int"),
-            ),
-        )
+    raw = F.floor((c - F.lit(lo)) / F.lit(span) * n_buckets).cast("int")
+    bucket = (
+        F.when(c.isNull(), F.lit(-1))
+        # values exactly at hi land in the last real bucket, not overflow
+        .when(c == F.lit(hi), F.lit(n_buckets - 1))
+        .when(raw < 0, F.lit(-2))  # below explicit lo — NOT the NULL bucket
+        .when(raw >= n_buckets, F.lit(n_buckets))  # above explicit hi
+        .otherwise(raw)
     )
-    # values exactly at hi land in the last real bucket, not overflow
-    bucket = F.when(c == F.lit(hi), F.lit(n_buckets - 1)).otherwise(bucket)
     return (
         df.select(bucket.alias("bucket"))
         .groupBy("bucket")

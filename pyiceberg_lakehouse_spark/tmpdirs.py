@@ -6,8 +6,12 @@ query function returns, so the directory must outlive the function but not
 the process. Every scratch dir lives under ONE per-process root
 (``lhtmp-<pid>-<rand>/``) registered for an atexit sweep; a ``kill -9``
 skips atexit, so the first ``session_tmpdir`` call of any LATER process
-also sweeps stale sibling roots — a root whose owning pid is dead, or
-older than one hour regardless (VERDICT r7 task #4). Repeated verification
+also sweeps stale sibling roots — a root whose owning pid is verifiably
+dead, or whose name carries no parseable pid and is older than one hour
+(VERDICT r7 task #4). A root whose pid is ALIVE is never age-swept:
+sessions routinely exceed an hour and the scratch dirs back
+lazily-evaluated DataFrames, so deleting by age alone could pull a live
+session's warehouse out from under it (ADVICE r8). Repeated verification
 runs therefore leave /tmp flat even across crashed gates.
 """
 
@@ -44,8 +48,12 @@ def _pid_alive(pid: int) -> bool:
 
 def _sweep_stale_siblings(base: str) -> None:
     """Remove sibling roots left by processes that died without atexit
-    (SIGKILL'd gates): owning pid dead, or mtime older than an hour (a
-    live pid could be an unrelated reuse of a recycled id)."""
+    (SIGKILL'd gates): owning pid verifiably dead, or — only when the name
+    carries no parseable pid — mtime older than an hour. A root whose pid
+    is alive is left alone regardless of age: long sessions are normal and
+    their scratch dirs back live lazy DataFrames (ADVICE r8). Pid recycling
+    can at worst DELAY cleanup (a recycled live pid keeps a dead root until
+    the next sweep after that pid exits); it can never delete live data."""
     try:
         names = os.listdir(base)
     except OSError:
@@ -63,7 +71,7 @@ def _sweep_stale_siblings(base: str) -> None:
             age = now - os.path.getmtime(path)
         except OSError:
             continue
-        if (pid > 0 and not _pid_alive(pid)) or age > _STALE_AGE_S:
+        if (pid > 0 and not _pid_alive(pid)) or (pid <= 0 and age > _STALE_AGE_S):
             shutil.rmtree(path, ignore_errors=True)
 
 

@@ -118,7 +118,76 @@ def test_rollup_rejects_unmergeable_aggregates(spark, sf_dir, warehouse):
     t = lh.create_table("ns.fact_bad", li.schema)
     t.append(li.limit(10))
     with pytest.raises(ValueError, match="unsupported rollup aggregate"):
-        create_rollup(lh, t, "ns.bad_ru", DIMS, [("l_quantity", "avg")])
+        create_rollup(lh, t, "ns.bad_ru", DIMS, [("l_quantity", "median")])
+
+
+def test_rollup_avg_stddev_incremental_equals_full(spark, tmp_path):
+    """avg/stddev are stored as mergeable psum/psumsq/pcnt parts; after an
+    incremental refresh the DERIVED columns must exactly equal a
+    from-scratch computation with the same formula — including NULL
+    measures (excluded from pcnt, so they never skew the denominator)."""
+    import math
+    import uuid
+
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import read_rollup
+
+    rows = [
+        (i, "g" + str(i % 3), float(i % 11) if i % 5 else None)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    lh = Lakehouse(spark, str(tmp_path / uuid.uuid4().hex))
+    t = lh.create_table("ns.avgfact", df.schema)
+    t.append(df.filter(F.col("id") < 100))
+    r = create_rollup(
+        lh,
+        t,
+        "ns.avgfact_ru",
+        ["g"],
+        [("*", "count"), ("v", "avg"), ("v", "stddev")],
+    )
+    t.append(df.filter(F.col("id") >= 100))
+    assert refresh_rollup(r, t)["mode"] == "incremental"
+
+    got = {x.g: (x.cnt_rows, x.avg_v, x.stddev_v) for x in read_rollup(r).collect()}
+
+    # from-scratch with the identical decomposition formula
+    import statistics
+
+    by_g: dict[str, list[float]] = {}
+    n_rows: dict[str, int] = {}
+    for _i, g, v in rows:
+        n_rows[g] = n_rows.get(g, 0) + 1
+        if v is not None:
+            by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        cnt, avg, sd = got[g]
+        assert cnt == n_rows[g]
+        assert avg == sum(vals) / len(vals)  # exact: integer-valued doubles
+        s, ss, n = sum(vals), sum(v * v for v in vals), float(len(vals))
+        assert sd == math.sqrt((ss - s * s / n) / (n - 1.0))
+        # and the formula agrees with textbook sample stddev to fp tolerance
+        assert abs(sd - statistics.stdev(vals)) < 1e-9
+
+
+def test_rollup_avg_singleton_and_empty_groups_null(spark, tmp_path):
+    """pcnt==0 -> avg NULL; pcnt==1 -> stddev NULL (never NaN/inf)."""
+    import uuid
+
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import read_rollup
+
+    rows = [(1, "only_null", None), (2, "single", 4.0), (3, "single2", 7.0)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    lh = Lakehouse(spark, str(tmp_path / uuid.uuid4().hex))
+    t = lh.create_table("ns.edgefact", df.schema)
+    t.append(df)
+    r = create_rollup(
+        lh, t, "ns.edgefact_ru", ["g"], [("v", "avg"), ("v", "stddev")]
+    )
+    got = {x.g: (x.avg_v, x.stddev_v) for x in read_rollup(r).collect()}
+    assert got["only_null"] == (None, None)
+    assert got["single"] == (4.0, None)
+    assert got["single2"] == (7.0, None)
 
 
 def test_stream_rollup_restart_converges(spark, sf_dir, warehouse, tmp_path):

@@ -64,6 +64,25 @@ def test_sigkill_orphan_swept_by_next_process():
     assert not os.path.exists(root)
 
 
+def test_live_pid_root_never_age_swept():
+    """ADVICE r8: sessions routinely exceed 1h and scratch dirs back live
+    lazy DataFrames — a root whose owning pid is ALIVE must survive the
+    sweep regardless of age."""
+    base = tempfile.gettempdir()
+    live = os.path.join(base, f"lhtmp-{os.getpid()}-livetest")
+    os.makedirs(live, exist_ok=True)
+    old = time.time() - 3 * 3600
+    os.utime(live, (old, old))
+    try:
+        _run_child(
+            "from pyiceberg_lakehouse_spark.tmpdirs import session_tmpdir\n"
+            "session_tmpdir('x_')"
+        )
+        assert os.path.exists(live), "live-pid root must never be age-swept"
+    finally:
+        shutil.rmtree(live, ignore_errors=True)
+
+
 def test_age_sweep_for_unparseable_roots():
     base = tempfile.gettempdir()
     stale = os.path.join(base, "lhtmp-notapid-zzz")
