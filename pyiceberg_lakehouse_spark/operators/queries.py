@@ -1426,3 +1426,67 @@ def lh_ann_auto_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(first).alias("small_append_action"),
         F.lit(second).alias("large_append_action"),
     )
+
+
+@register(
+    "text_chunk_overlap",
+    f"""
+    with toks as (select doc_id, string_split({NORM}, ' ') as t from documents),
+    base as (select doc_id, t, len(t) as n from toks),
+    ix as (
+      select doc_id, t,
+             unnest(generate_series(0,
+               case when n <= 16 then 0 else (n - 16 + 11) // 12 end)) as i
+      from base
+    )
+    select doc_id,
+           cast(i as integer) as chunk_id,
+           cast(len(list_slice(t, i*12 + 1, i*12 + 16)) as integer)
+             as n_chunk_tokens,
+           array_to_string(list_slice(t, i*12 + 1, i*12 + 16), ' ')
+             as chunk_text
+    from ix
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap (text.chunk_tokens): every doc
+    split into 16-token windows stepping by 12 (4-token overlap), tail
+    kept. Map-only — tokenize, integer-derived start sequence, posexplode,
+    slice; zero shuffles at any corpus size. The oracle reproduces the
+    identical integer chunk arithmetic and slicing in DuckDB."""
+    return text.chunk_tokens(
+        load_table(spark, sf_dir, "documents"), size=16, overlap=4
+    )
+
+
+@register(
+    "train_numeric_profile",
+    """
+    with b as (
+      select case when value is null then -1
+                  when value = 300.0 then 9
+                  when floor((value - 50.0) / 250.0 * 10) < 0 then -2
+                  when floor((value - 50.0) / 250.0 * 10) >= 10 then 10
+                  else cast(floor((value - 50.0) / 250.0 * 10) as integer)
+             end as bucket
+      from events
+    )
+    select cast(bucket as integer) as bucket,
+           count(*) as n,
+           50.0 + bucket * 25.0 as lo_edge
+    from b
+    group by bucket
+    """,
+)
+def train_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dataset-profiling histogram (traindata.numeric_profile) over
+    events.value with EXPLICIT bounds [50, 300) x 10 buckets, so the
+    below-range (-2) and above-range (10) sentinel buckets are both
+    populated and driver-hashed. The bucket index is one multiply+floor
+    whose IEEE rounding DuckDB performs identically, making the histogram
+    exact cross-engine; the shuffle carries n_buckets+3 rows per map task
+    regardless of table size."""
+    from pyiceberg_lakehouse_spark.operators.traindata import numeric_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return numeric_profile(ev, "value", n_buckets=10, lo=50.0, hi=300.0)

@@ -332,3 +332,46 @@ def winnow_fingerprints(
         F.array_min(fps).alias("min_fp"),
         F.array_max(fps).alias("max_fp"),
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 16,
+    overlap: int = 4,
+) -> DataFrame:
+    """Token-window document chunking with overlap — the context-window
+    prep step of a training/RAG pipeline: each document becomes
+    ``ceil((n - size) / (size - overlap)) + 1`` chunks (one chunk when
+    ``n <= size``); chunk ``i`` covers tokens ``[i*step, i*step + size)``
+    with ``step = size - overlap``, so consecutive chunks share ``overlap``
+    tokens and the (possibly short) tail is never dropped.
+
+    Map-only at any scale: tokenize, derive the chunk-start sequence from
+    the token count with INTEGER arithmetic, posexplode, slice — no
+    shuffle, no UDF; output partitioning follows the input files. Returns
+    (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    step = size - overlap
+    toks = _with_tokens(df, text_col, id_col)
+    n = F.size("_toks")
+    # last chunk index, integer-exact on both engines: 0 when n <= size,
+    # else ceil((n - size) / step) via (n - size + step - 1) div step
+    last = F.when(n <= size, F.lit(0)).otherwise(
+        F.expr(f"(size(_toks) - {size} + {step - 1}) div {step}")
+    )
+    chunks = toks.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.posexplode(F.sequence(F.lit(0), last)).alias("chunk_id", "_i"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("chunk_id") * step + 1, size)
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(piece).cast("int").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -336,19 +336,25 @@ def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_regexp_extract_all",
     """
     select doc_id,
-           regexp_extract_all(lower(text), '[a-z]*ing') as ing_words,
+           coalesce(
+             array_to_string(regexp_extract_all(lower(text), '[a-z]*ing'), ' '),
+             '') as ing_words,
            cast(len(regexp_extract_all(lower(text), '[0-9]+')) as integer)
              as n_numbers
     from documents where doc_id < 200
     """,
 )
 def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """regexp_extract_all: every match as an array, plus a match count."""
+    """regexp_extract_all: every match (flattened to a string at the query
+    edge — the driver's canonicalizer hashes scalars only), plus a match
+    count."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     low = F.lower(F.col("text"))
     return docs.select(
         "doc_id",
-        F.regexp_extract_all(low, F.lit("[a-z]*ing")).alias("ing_words"),
+        F.array_join(
+            F.regexp_extract_all(low, F.lit("[a-z]*ing")), " "
+        ).alias("ing_words"),
         F.size(F.regexp_extract_all(low, F.lit("[0-9]+"))).alias("n_numbers"),
     )
 
@@ -375,4 +381,114 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price_per_bucket"),
         F.col("o_orderpriority").try_cast("bigint").alias("prio_num"),
         F.substring("o_orderpriority", 1, 1).try_cast("bigint").alias("prio_digit"),
+    )
+
+
+@register(
+    "events_funnel_steps",
+    """
+    with per as (
+      select user_id, min(case when event_type = 'signup' then ts end) as s
+      from events group by user_id
+    ),
+    c as (
+      select e.user_id, min(e.ts) as c
+      from events e join per using (user_id)
+      where e.event_type = 'click' and e.ts > per.s
+      group by e.user_id
+    ),
+    p as (
+      select e.user_id, min(e.ts) as p
+      from events e join c using (user_id)
+      where e.event_type = 'purchase' and e.ts > c.c
+      group by e.user_id
+    )
+    select (select count(*) from per) as n_users,
+           (select count(s) from per) as n_signup,
+           (select count(*) from c) as n_click_after_signup,
+           (select count(*) from p) as n_purchase_after_click,
+           case when (select count(s) from per) > 0
+                then cast((select count(*) from p) as double)
+                     / (select count(s) from per) end as signup_to_purchase
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered product-analytics funnel: signup -> first click AFTER the
+    signup -> first purchase AFTER that click, counted per user. The
+    sequencing constraint (each stage strictly after the previous stage's
+    timestamp) is what distinguishes a funnel from three filters.
+
+    ONE shuffle on user_id: three same-partition window passes derive the
+    per-user stage timestamps (s, c, p) without self-joins — at 100 TB
+    this is a single exchange keyed by user, while the equivalent
+    join-chain would shuffle the events table three times. The final
+    stage-count aggregate reduces to one row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    e = ev.withColumn(
+        "s",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+    )
+    e = e.withColumn(
+        "c",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("s")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    e = e.withColumn(
+        "p",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    stages = e.select("user_id", "s", "c", "p").distinct()
+    n_signup = F.count("s")
+    return stages.agg(
+        F.count("user_id").alias("n_users"),
+        n_signup.alias("n_signup"),
+        F.count("c").alias("n_click_after_signup"),
+        F.count("p").alias("n_purchase_after_click"),
+        F.when(
+            n_signup > 0, F.count("p").cast("double") / n_signup
+        ).alias("signup_to_purchase"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    with d as (select user_id, date_trunc('day', ts) as d from events),
+    c as (select user_id, min(d) as cohort from d group by user_id)
+    select c.cohort,
+           cast(date_diff('day', c.cohort, d.d) as integer) as offset_days,
+           count(distinct d.user_id) as n_users
+    from d join c using (user_id)
+    group by 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day (cohort),
+    counted distinct on each day-offset they return. Pure integer/date
+    arithmetic — exact cross-engine.
+
+    One shuffle on user_id computes each user's cohort via a window (no
+    join back against a per-user aggregate — at scale that join would
+    shuffle the fact table a second time), then one shuffle for the
+    (cohort, offset) count-distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    e = ev.select("user_id", F.date_trunc("DAY", "ts").alias("d")).withColumn(
+        "cohort", F.min("d").over(w)
+    )
+    return (
+        e.groupBy(
+            "cohort", F.datediff("d", "cohort").alias("offset_days")
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
     )

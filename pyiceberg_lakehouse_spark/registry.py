@@ -48,67 +48,62 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # never had a driver row, growing the driver-verified set over time while
 # keeping every category represented.
 #
-# Round-8 rotation (17 first-time slots, per VERDICT r7 task #2: the
-# composite/lifecycle queries among the 33 never-driver-verified rows are
-# the highest-value backfills). Rotated OUT 17 rows green >= 2 consecutive
-# rounds (join_full_outer, events_session_windows, dedup_exact,
-# agg_keep_last, text_pii_scrub, multimodal_resize, pipeline_clean_corpus,
-# train_mix_weighted, stream_lh_ann_ingest, stream_lh_wap_publish,
-# lh_ann_indexed_selfcheck, lh_ann_refresh_selfcheck,
-# lh_bloom_point_lookup, lh_compact_roundtrip, lh_hidden_partition_month,
-# lh_partition_evolution, lh_rollback); rotated IN all 14 VERDICT-named
-# never-verified queries plus multimodal_frame_sample (new in r7, promised
-# the r8 multimodal slot), join_right_outer, and dedup_group_components.
-# All 25 round-7 first-timers hold for their second green round.
-# sim_cosine_topk stays in-window by requirement: its plan was rewritten
-# this round (double-evaluation fix) and must re-prove driver-green.
-# Every engine category keeps at least one recently-green representative
-# (joins ride the 17 held TPC-H topologies + lh_bucketed_colocated_join).
+# Round-9 rotation (VERDICT r8 tasks #1/#2/#5: retire the driver-evidence
+# tail). Rotated OUT every row green >= 2 consecutive rounds (all 18 TPC-H
+# shapes verified in the r7+r8 windows, scan_glob_schema_enforced,
+# agg_salted_groupby, win_bounded_frame, fn_from_json_struct,
+# fn_grouped_pandas_demean, lh_schema_evolution, lh_sql_read,
+# lh_expire_snapshots, lh_delete_where, lh_datasource_pushdown_scan,
+# sim_cosine_topk — its r8 plan fix is machine-guarded by
+# tests/test_plans.py — text_repetition_stats, text_subword_tokens,
+# train_decontaminate) plus the rows-only dedup_group_components (an r8
+# window slot that produced no hash evidence; per VERDICT r8 task #2 its
+# oracle-checked twin dedup_components_exact takes the slot). Rotated IN
+# ALL 26 never-driver-verified oracle-checkable queries (the 9 r8
+# newcomers, the 8 long-tail scalar fns, and the 9 remaining singles) and
+# the 5 queries NEW this round. The 16 r8 first-timers hold for their
+# second green round. Stable anchors keep the heavyweight paths
+# represented per the standing category contract
+# (tests/test_entry_contract.py): the flagship pricing summary plus four
+# structurally-diverse TPC-H topologies (deep join chain, big semi-join,
+# multi-EXISTS, outer-join agg), the rewritten cosine top-k, and the
+# reference's flagship upsert composite. Four of the eight long-tail
+# fn_* queries (date_arithmetic, null_handling, posexplode,
+# string_extended) wait for the r10 window — the five NEW queries
+# outrank them for driver evidence.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # parquet scans + filters
-    "scan_glob_schema_enforced",
-    # core aggregation (flagship first)
+    # parquet scans + synthetic source (never-verified)
+    "scan_repartition_blocks",
+    "synthetic_mock_dataset",
+    # core aggregation (flagship anchor + never-verified shapes)
     "agg_q1_pricing_summary",
-    "agg_salted_groupby",
-    # joins (never-verified RIGHT OUTER takes the join slot; the 17 held
-    # TPC-H topologies cover the rest of the join surface)
+    "agg_conditional",
+    "agg_unpivot",
+    # joins: r8 first-timer holds + four structurally-diverse TPC-H
+    # topology anchors (plan shapes of all 22 stay machine-checked in
+    # tests/test_plans.py on every run)
     "join_right_outer",
-    # set ops (never-verified EXCEPT ALL takes the set-ops slot)
-    "set_except_all",
-    # windows (r7 first-timer holds for its second round)
-    "win_bounded_frame",
-    # scalar functions
-    "fn_from_json_struct",
-    # pandas-UDF surface
-    "fn_grouped_pandas_demean",
-    # TPC-H shapes: the full never-driver-verified batch (r7 rotation)
-    "agg_q2_min_cost_supplier",
-    "agg_q4_priority_check",
-    "agg_q6_forecast_revenue",
-    "agg_q7_volume_shipping",
-    "agg_q8_market_share",
     "agg_q9_product_profit",
-    "agg_q10_returned_items",
-    "agg_q11_important_stock",
-    "agg_q12_shipping_lag",
     "agg_q13_customer_distribution",
-    "agg_q14_promo_share",
-    "agg_q15_top_supplier",
-    "agg_q16_supplier_variety",
-    "agg_q17_small_quantity_revenue",
     "agg_q18_large_orders",
-    "agg_q20_potential_promotion",
     "agg_q21_suppliers_kept_waiting",
-    "agg_q22_global_sales_opportunity",
-    # lakehouse lifecycle + maintenance (r7 backfills hold for a second
-    # round; + r8 first-timers: datasource write roundtrip, SQL-catalog
-    # lifecycle, metadata-only count, tag read, column rename, flat-layout
-    # write, bucketed co-located join)
-    "lh_schema_evolution",
-    "lh_sql_read",
-    "lh_expire_snapshots",
-    "lh_delete_where",
-    "lh_datasource_pushdown_scan",
+    # set ops (r8 first-timer holds + never-verified by-name union)
+    "set_except_all",
+    "set_union_missing_columns",
+    # windows (never-verified ntile/cume_dist)
+    "win_ntile_cume",
+    # scalar-function long tail (VERDICT r8 task #5 — four of the eight
+    # never-verified; the other four take r10 slots)
+    "fn_bitwise",
+    "fn_struct_ops",
+    "fn_try_arithmetic",
+    "fn_regexp_extract_all",
+    # time-series analytics (NEW this round: ordered funnel + retention)
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    # lakehouse lifecycle + maintenance (r8 first-timers hold; upsert
+    # anchor; never-verified rollups + ANN health->action; NEW avg rollup)
+    "lh_upsert",
     "lh_datasource_write_roundtrip",
     "lh_sql_catalog_lifecycle",
     "lh_metadata_count",
@@ -116,28 +111,38 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lh_rename_column",
     "lh_flat_layout_roundtrip",
     "lh_bucketed_colocated_join",
-    # dedup + similarity (cosine_topk plan rewritten this round — must
-    # re-prove driver-green after the double-evaluation fix;
-    # group_components is the never-verified composite dedup row,
-    # rows-only by nature — iterative label propagation has no SQL twin)
+    "lh_rollup_incremental",
+    "lh_rollup_hourly",
+    "lh_rollup_avg",
+    "lh_ann_auto_maintain",
+    # dedup + similarity (VERDICT r8 task #2: the oracle-checked
+    # connected-components twin takes the slot its rows-only sibling
+    # wasted in r8; cosine top-k anchors the sim_ category)
+    "dedup_components_exact",
     "sim_cosine_topk",
-    "dedup_group_components",
-    # text + multimodal (r7 first-timers hold; frame_sample takes the
-    # multimodal slot as promised in the r7 rotation note)
-    "text_repetition_stats",
-    "text_subword_tokens",
+    # text + multimodal (never-verified tail + pure-numpy codecs + NEW
+    # chunking; frame_sample holds for its second round)
+    "text_token_stats",
+    "text_top_bigrams",
+    "text_bigram_novelty",
+    "text_chunk_overlap",
     "multimodal_frame_sample",
-    # training-data ops (decontaminate holds; train-prep pipeline is the
-    # never-verified composite backfill)
-    "train_decontaminate",
+    "multimodal_png_decode",
+    "multimodal_jpeg_roundtrip",
+    # training-data ops (never-verified temperature mixing; NEW histogram
+    # profile; train-prep composite holds for its second round)
+    "train_mix_temperature",
+    "train_numeric_profile",
     "pipeline_train_prep",
-    # structured streaming (all five never-verified rows rotate in; the
-    # category's two 2-round-green rows rotate out)
+    # structured streaming (r8 first-timers hold; never-verified dedup
+    # count + rollup maintenance rotate in)
     "stream_lh_sink_hourly",
     "stream_lh_source_by_type",
     "stream_lh_datasource_partitioned",
     "stream_user_running_totals",
     "stream_sliding_2h",
+    "stream_dedup_count",
+    "stream_lh_rollup_maintain",
 )
 
 

@@ -590,15 +590,17 @@ def main() -> None:
         # build-cost trajectory (VERDICT r7 task #3): both ANN builds are
         # one clustered rewrite (O(N) shuffle+write, file count ~sqrt(N))
         # plus sublinear training; per-10x growth must stay well below
-        # linear (10x). The 7.0 gate = the measured N^0.43-N^0.64 envelope
-        # x the write-phase same-code noise (BENCH_ADJUDICATION.md).
+        # linear (10x). Tightened 7.0 -> 6.0 per VERDICT r8 task #3: two
+        # rounds measure 5.26x/5.76x, so a drift toward ~N^0.85 now fails
+        # one round earlier (envelope x write-phase same-code noise,
+        # BENCH_ADJUDICATION.md).
         "ivf_build_growth_10x": ratio(f"ivf_build_{v1}", f"ivf_build_{v2}"),
         "pq_build_growth_10x": ratio(f"pq_build_{v1}", f"pq_build_{v2}"),
         "ann_build_growth_ok": (
             (b.phases.get(f"ivf_build_{v2}", 0) or 0)
-            <= 7.0 * (b.phases.get(f"ivf_build_{v1}") or float("inf"))
+            <= 6.0 * (b.phases.get(f"ivf_build_{v1}") or float("inf"))
             and (b.phases.get(f"pq_build_{v2}", 0) or 0)
-            <= 7.0 * (b.phases.get(f"pq_build_{v1}") or float("inf"))
+            <= 6.0 * (b.phases.get(f"pq_build_{v1}") or float("inf"))
         ),
         # incremental refresh: cost of indexing a 2% append vs the full
         # rebuilds at the same scale (VERDICT r5 task #3)
@@ -656,7 +658,7 @@ def main() -> None:
         raise SystemExit(
             "ANN build-cost trajectory violated: ivf_build grew "
             f"{claims['ivf_build_growth_10x']}x / pq_build "
-            f"{claims['pq_build_growth_10x']}x on 10x corpus (> 7.0)"
+            f"{claims['pq_build_growth_10x']}x on 10x corpus (> 6.0)"
         )
 
 
