@@ -896,3 +896,54 @@ def lh_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.scan().select(
         "event_type", "hour_bucket", "cnt_rows", "min_value", "max_value"
     )
+
+
+@register(
+    "lh_dedup_incremental",
+    """
+    select md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             as fingerprint,
+           min(doc_id) as min_doc_id,
+           count(*) as cnt_rows
+    from documents
+    group by 1
+    """,
+)
+def lh_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained EXACT-dedup index: a rollup whose derived
+    dimension is the content fingerprint (md5 of normalized text) and
+    whose state is (min doc_id, copy count) per fingerprint. New document
+    batches are fingerprinted from the appended files ONLY
+    (read_incremental plans them from snapshot metadata) and merged into
+    the index — at 100 TB the corpus is never re-read to keep the dedup
+    index current, the economics that make continuous dedup of a growing
+    corpus viable. After building on half the corpus and refreshing over
+    the appended half, the index must hash-equal DuckDB's from-scratch
+    fingerprint GROUP BY. Composes lakehouse/rollup.py (incremental
+    maintenance, full-recompute fallback on non-append history) with
+    operators/dedup.py's canonical fingerprint.
+    """
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import (
+        create_rollup,
+        refresh_rollup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.docs_corpus", docs.schema)
+    t.append(docs.filter(F.col("doc_id") % 2 == 0))
+    r = create_rollup(
+        lh,
+        t,
+        "ns.docs_dedup_index",
+        [
+            (
+                "fingerprint",
+                r"md5(trim(regexp_replace(lower(text), '\\s+', ' ')))",
+            )
+        ],
+        [("doc_id", "min"), ("*", "count")],
+    )
+    t.append(docs.filter(F.col("doc_id") % 2 == 1))
+    refresh_rollup(r, t)
+    return r.scan().select("fingerprint", "min_doc_id", "cnt_rows")

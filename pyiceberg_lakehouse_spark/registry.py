@@ -101,9 +101,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # time-series analytics (NEW this round: ordered funnel + retention)
     "events_funnel_steps",
     "events_retention_cohorts",
-    # lakehouse lifecycle + maintenance (r8 first-timers hold; upsert
-    # anchor; never-verified rollups + ANN health->action; NEW avg rollup)
-    "lh_upsert",
+    # lakehouse lifecycle + maintenance (r8 first-timers hold;
+    # never-verified rollups + ANN health->action; NEW avg rollup and NEW
+    # incremental dedup index — the lh_upsert anchor yields its slot to
+    # the fresh composite, upsert semantics stay covered by
+    # lh_datasource_write_roundtrip + the CDC/upsert pytest suites)
+    "lh_dedup_incremental",
     "lh_datasource_write_roundtrip",
     "lh_sql_catalog_lifecycle",
     "lh_metadata_count",

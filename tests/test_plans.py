@@ -321,3 +321,46 @@ def test_tpch_distinctive_join_shapes(spark, sf_dir):
     assert "LeftSemi" in plan_of(spark, "agg_q20_potential_promotion", sf_dir)
     assert re.search(r"LeftOuter|RightOuter", plan_of(spark, "agg_q13_customer_distribution", sf_dir))
     assert "LeftAnti" in plan_of(spark, "agg_q22_global_sales_opportunity", sf_dir)
+
+
+def test_chunk_overlap_map_only(spark, sf_dir):
+    """Token-window chunking must stay shuffle-free at any corpus size:
+    tokenize -> integer start sequence -> posexplode -> slice is pure
+    per-row work; an Exchange here would mean the operator broke the
+    map-only contract."""
+    plan = plan_of(spark, "text_chunk_overlap", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan[:800]
+    assert "Generate" in plan  # the posexplode
+
+
+def test_funnel_three_windows_share_one_user_exchange(spark, sf_dir):
+    """The ordered funnel derives all three stage timestamps (signup ->
+    click-after -> purchase-after) with windows over the SAME user_id
+    partitioning: one exchange keyed by user feeds all three Window
+    nodes. A join-chain formulation would shuffle the events table three
+    times; three exchanges here means the sharing regressed."""
+    plan = plan_of(spark, "events_funnel_steps", sf_dir)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 3
+    # one exchange for the user windows + one for the final global agg
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan[:800]
+    assert "CartesianProduct" not in plan
+
+
+def test_retention_no_fact_rejoin(spark, sf_dir):
+    """Cohort derivation must come from a window over user_id, not a join
+    back against a per-user aggregate (which would scan and shuffle the
+    events table twice)."""
+    plan = plan_of(spark, "events_retention_cohorts", sf_dir)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert len(re.findall(r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)) == 0
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, (
+        "events must be scanned once"
+    )
+
+
+def test_numeric_profile_single_shuffle_partial_agg(spark, sf_dir):
+    """The histogram reduces to n_buckets+3 rows per map task before its
+    single exchange — the property that makes it metadata-cheap at 100 TB."""
+    plan = plan_of(spark, "train_numeric_profile", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2  # partial+final
