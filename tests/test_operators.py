@@ -1096,3 +1096,88 @@ def test_mix_temperature_limits(spark):
         traindata.mix_temperature([(a, 1.0)], temperature=0.0)
     with _pt.raises(ValueError, match="weights"):
         traindata.mix_temperature([(a, -1.0)], temperature=1.0)
+
+
+def test_chunk_tokens_boundaries(spark):
+    """Closed-form chunk arithmetic: exact boundary (n == size) yields one
+    chunk; n == size+1 yields two with the tail overlapping; short docs
+    yield one short chunk; consecutive chunks share exactly `overlap`
+    tokens."""
+    from pyiceberg_lakehouse_spark.operators.text import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(16))),  # n == size -> 1 chunk
+            (2, " ".join(f"w{i}" for i in range(17))),  # n == size+1 -> 2
+            (3, "a b c"),  # short -> 1 chunk of 3
+            (4, " ".join(f"w{i}" for i in range(40))),  # 3 chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_tokens(docs, size=16, overlap=4)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    by_doc = {}
+    for (d, c), r in rows.items():
+        by_doc.setdefault(d, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_chunk_tokens == 16
+    assert len(by_doc[2]) == 2
+    # doc 2 chunk 1 starts at token 12: tokens 12..16 -> 5 tokens
+    assert rows[(2, 1)].n_chunk_tokens == 5
+    assert rows[(2, 1)].chunk_text.split()[0] == "w12"
+    assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_text == "a b c"
+    # 40 tokens: starts 0,12,24 cover through 39; start 36 not needed?
+    # ceil((40-16)/12)+1 = 3 chunks; last covers 24..39 (16 tokens)
+    assert len(by_doc[4]) == 3
+    assert rows[(4, 2)].n_chunk_tokens == 16
+    # overlap contract: chunk i's last 4 tokens == chunk i+1's first 4
+    c0, c1 = rows[(4, 0)].chunk_text.split(), rows[(4, 1)].chunk_text.split()
+    assert c0[-4:] == c1[:4]
+    # every token appears in at least one chunk (tail never dropped)
+    covered = set()
+    for r in by_doc[4]:
+        covered.update(r.chunk_text.split())
+    assert covered == {f"w{i}" for i in range(40)}
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_tokens(docs, size=8, overlap=8)
+
+
+def test_funnel_strictly_after_semantics(spark, sf_dir):
+    """The funnel's sequencing constraint on a hand-built fixture: a click
+    BEFORE the user's signup must not count as a funnel click, and a
+    purchase before the qualifying click must not count either."""
+    import datetime as dt
+
+    from pyiceberg_lakehouse_spark.registry import QUERIES, load_all
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, dt.datetime(2024, 1, 1, 10), 1, "signup", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 11), 1, "click", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 12), 1, "purchase", 1.0, "{}"),
+        # user 2: click BEFORE signup, purchase after signup but no
+        # qualifying click -> stops at signup
+        (4, dt.datetime(2024, 1, 2, 9), 2, "click", 1.0, "{}"),
+        (5, dt.datetime(2024, 1, 2, 10), 2, "signup", 1.0, "{}"),
+        (6, dt.datetime(2024, 1, 2, 11), 2, "purchase", 1.0, "{}"),
+        # user 3: purchase before the qualifying click -> stops at click
+        (7, dt.datetime(2024, 1, 3, 10), 3, "signup", 1.0, "{}"),
+        (8, dt.datetime(2024, 1, 3, 11), 3, "purchase", 1.0, "{}"),
+        (9, dt.datetime(2024, 1, 3, 12), 3, "click", 1.0, "{}"),
+        # user 4: never signs up -> counted in n_users only
+        (10, dt.datetime(2024, 1, 4, 10), 4, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        # testdata layout is one parquet FILE per table
+        df.toPandas().to_parquet(f"{d}/events.parquet", index=False)
+        load_all()
+        got = QUERIES["events_funnel_steps"](spark, d).collect()[0]
+    assert got.n_users == 4
+    assert got.n_signup == 3
+    assert got.n_click_after_signup == 2  # users 1 and 3
+    assert got.n_purchase_after_click == 1  # user 1 only
+    assert got.signup_to_purchase == 1.0 / 3.0
