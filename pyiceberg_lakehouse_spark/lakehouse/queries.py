@@ -947,3 +947,44 @@ def lh_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(docs.filter(F.col("doc_id") % 2 == 1))
     refresh_rollup(r, t)
     return r.scan().select("fingerprint", "min_doc_id", "cnt_rows")
+
+
+@register(
+    "lh_merge_into",
+    """
+    select o_orderkey, o_custkey, o_orderstatus,
+           case when o_orderkey % 4 = 0 then o_totalprice + 50000.0
+                else o_totalprice end as o_totalprice,
+           o_orderdate, o_orderpriority
+    from orders
+    where (o_orderkey % 3 != 0 and o_orderkey % 4 != 0)
+       or (o_orderkey % 3 != 0 and o_orderkey % 4 = 0
+           and o_orderstatus != 'F')
+       or (o_orderkey % 3 = 0 and o_orderkey % 4 = 0
+           and o_totalprice + 50000.0 > 60000.0)
+    """,
+)
+def lh_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE INTO (lakehouse/upsert.py::merge_into): base =
+    orders with key%3!=0; source = orders with key%4==0 at +50000 price.
+    Matched 'F'-status rows DELETE, other matches UPDATE to the source
+    price, unmatched source rows INSERT only above a price threshold —
+    the three-clause conditional surface that op-tagged CDC can't
+    express. The oracle states the expected final table directly."""
+    from pyiceberg_lakehouse_spark.lakehouse.upsert import merge_into
+
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.orders_mi", SCHEMAS["orders"])
+    orders = load_table(spark, sf_dir, "orders")
+    t.append(orders.filter(F.col("o_orderkey") % 3 != 0))
+    batch = orders.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(50000.0)
+    )
+    merge_into(
+        t,
+        batch,
+        ["o_orderkey"],
+        matched_delete=F.col("o_orderstatus") == "F",
+        not_matched_insert=F.col("_src_o_totalprice") > 60000.0,
+    )
+    return t.scan().select(*[c.strip() for c in ORDER_COLS.split(",")])

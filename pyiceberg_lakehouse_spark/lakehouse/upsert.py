@@ -184,3 +184,68 @@ def apply_changes(
         return snaps
     finally:
         latest.unpersist()
+
+
+def merge_into(
+    table: LakehouseTable,
+    source: DataFrame,
+    on: list[str],
+    *,
+    matched_update: F.Column | bool = True,
+    matched_delete: F.Column | bool = False,
+    not_matched_insert: F.Column | bool = True,
+):
+    """Conditional MERGE (Delta/Iceberg ``MERGE INTO`` surface)::
+
+        MERGE INTO table USING source ON <on>
+        WHEN MATCHED AND <matched_delete>      THEN DELETE
+        WHEN MATCHED AND <matched_update>      THEN UPDATE SET *
+        WHEN NOT MATCHED AND <not_matched_insert> THEN INSERT *
+
+    Clause order follows the SQL standard: DELETE is evaluated before
+    UPDATE, so a matched row satisfying both conditions is deleted.
+    Conditions are boolean Columns over the joined row — target columns by
+    name, source columns as ``_src_<name>`` — or plain True/False to
+    enable/disable a clause unconditionally. ``source`` must carry the
+    target's column set; one row per key (pre-reduce with
+    ``merge_keep_last`` when batches can contain key duplicates).
+
+    One full-outer shuffle join on the key + overwrite. At 100 TB prefer
+    ``apply_changes`` (partition-scoped rewrite + metadata-only deletes)
+    when the change batch is op-tagged; this entry point exists for the
+    conditional-clause semantics those ops can't express.
+    """
+    cols = table.schema().fieldNames()
+    cur = table.scan()
+    src = source.select(*cols)
+    src_named = src.select(
+        *[F.col(c).alias(f"_src_{c}") for c in cols]
+    ).withColumn("_src_present", F.lit(True))
+    joined = cur.withColumn("_tgt_present", F.lit(True)).join(
+        src_named,
+        on=[F.col(k).eqNullSafe(F.col(f"_src_{k}")) for k in on],
+        how="full_outer",
+    )
+
+    def _cond(c: F.Column | bool) -> F.Column:
+        return F.lit(c) if isinstance(c, bool) else c
+
+    matched = F.col("_tgt_present").isNotNull() & F.col("_src_present").isNotNull()
+    delete_hit = matched & _cond(matched_delete)
+    update_hit = matched & ~_cond(matched_delete) & _cond(matched_update)
+    insert_hit = (
+        F.col("_tgt_present").isNull()
+        & F.col("_src_present").isNotNull()
+        & _cond(not_matched_insert)
+    )
+    keep_target = F.col("_tgt_present").isNotNull() & ~delete_hit & ~update_hit
+    out_cols = [
+        F.when(update_hit | insert_hit, F.col(f"_src_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in cols
+    ]
+    merged = joined.filter(keep_target | update_hit | insert_hit).select(*out_cols)
+    return table.overwrite(
+        merged, summary={"op": "merge_into", "keys": list(on)}
+    )

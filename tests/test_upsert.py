@@ -168,3 +168,66 @@ def test_partition_scoped_upsert_constant_plan_size(spark, warehouse, orders):
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     # one read node for the table + one for the (parquet-backed) batch source
     assert len(scans) <= 2, plan[:2000]
+
+
+def test_merge_into_clause_semantics(spark, tmp_path):
+    """Conditional MERGE: DELETE beats UPDATE when both conditions hold
+    (SQL clause order); disabled clauses are inert; unmatched target rows
+    never move."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.upsert import merge_into
+
+    lh = Lakehouse(spark, str(tmp_path / uuid.uuid4().hex))
+    df = spark.createDataFrame(
+        [(1, "keep", 10.0), (2, "upd", 20.0), (3, "del", 30.0), (4, "both", 40.0)],
+        "id long, tag string, v double",
+    )
+    t = lh.create_table("ns.mi", df.schema)
+    t.append(df)
+    src = spark.createDataFrame(
+        [(2, "upd", 99.0), (3, "del", 99.0), (4, "both", 99.0), (5, "new", 50.0),
+         (6, "new_blocked", 1.0)],
+        "id long, tag string, v double",
+    )
+    merge_into(
+        t,
+        src,
+        ["id"],
+        # delete tag 'del' AND 'both'; update everything else matched
+        matched_delete=F.col("tag").isin("del", "both"),
+        not_matched_insert=F.col("_src_v") > 10.0,
+    )
+    got = {r.id: (r.tag, r.v) for r in t.scan().collect()}
+    assert got == {
+        1: ("keep", 10.0),   # unmatched target untouched
+        2: ("upd", 99.0),    # matched update takes source values
+        5: ("new", 50.0),    # insert passes its condition
+        # 3, 4 deleted (4 satisfied update too -> DELETE wins)
+        # 6 blocked by the insert condition
+    }
+
+
+def test_merge_into_disabled_clauses(spark, tmp_path):
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.upsert import merge_into
+
+    lh = Lakehouse(spark, str(tmp_path / uuid.uuid4().hex))
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    t = lh.create_table("ns.mi2", df.schema)
+    t.append(df)
+    src = spark.createDataFrame([(2, 9.0), (3, 9.0)], "id long, v double")
+    # update disabled, insert disabled -> table unchanged
+    merge_into(t, src, ["id"], matched_update=False, not_matched_insert=False)
+    assert {r.id: r.v for r in t.scan().collect()} == {1: 1.0, 2: 2.0}
+    # delete-only merge
+    merge_into(t, src, ["id"], matched_update=False, matched_delete=True,
+               not_matched_insert=False)
+    assert {r.id: r.v for r in t.scan().collect()} == {1: 1.0}
