@@ -988,3 +988,45 @@ def lh_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         not_matched_insert=F.col("_src_o_totalprice") > 60000.0,
     )
     return t.scan().select(*[c.strip() for c in ORDER_COLS.split(",")])
+
+
+@register(
+    "lh_type_promotion",
+    """
+    select cast(o_orderkey as bigint) as k,
+           cast(cast(o_totalprice as float) as double) as v
+    from orders where o_orderkey % 2 = 0
+    union all
+    select cast(o_orderkey as bigint) as k, o_totalprice as v
+    from orders where o_orderkey % 2 = 1
+    """,
+)
+def lh_type_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style type promotion without rewrite: append under
+    (int, float), promote to (bigint, double) — metadata-only — then
+    append a wide-typed batch; the scan serves BOTH generations of files
+    under the widened schema (old int32/float pages widen in the reader).
+    The oracle states the expected union with the same exact widenings
+    (float -> double is value-preserving)."""
+    from pyspark.sql import types as T
+
+    lh = Lakehouse(spark, _warehouse())
+    narrow = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.FloatType())]
+    )
+    t = lh.create_table("ns.orders_promo", narrow)
+    orders = load_table(spark, sf_dir, "orders")
+    t.append(
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_orderkey").cast("int").alias("k"),
+            F.col("o_totalprice").cast("float").alias("v"),
+        )
+    )
+    t.promote_column("k", T.LongType())
+    t.promote_column("v", T.DoubleType())
+    t.append(
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v")
+        )
+    )
+    return t.scan().select("k", "v")

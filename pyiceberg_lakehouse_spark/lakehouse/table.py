@@ -442,6 +442,56 @@ class LakehouseTable:
             "schema_change", [], summary={"rename_column": {"from": old, "to": new}}
         )
 
+    def promote_column(self, name: str, new_type: T.DataType) -> None:
+        """Schema evolution: widen a column's type (metadata-only), the
+        Iceberg type-promotion rules — int -> long, float -> double,
+        decimal(P,S) -> decimal(P',S) with P' > P. No data rewrite:
+        Spark's parquet reader serves old narrow-typed files under the
+        widened read schema natively (int32 pages as bigint, float as
+        double, rescaled decimals), and the epoch/conform read path casts
+        explicitly, so files written before and after the promotion read
+        under one schema. Narrowing or cross-family changes are rejected
+        — they would silently corrupt or fail old files at read time."""
+        schema = self.schema()
+        if name not in schema.fieldNames():
+            raise KeyError(f"no such column {name!r}")
+        old = schema[name].dataType
+        ok = (
+            (isinstance(old, T.IntegerType) and isinstance(new_type, T.LongType))
+            or (isinstance(old, T.FloatType) and isinstance(new_type, T.DoubleType))
+            or (
+                isinstance(old, T.DecimalType)
+                and isinstance(new_type, T.DecimalType)
+                and new_type.scale == old.scale
+                and new_type.precision > old.precision
+            )
+        )
+        if not ok:
+            raise ValueError(
+                f"illegal type promotion {old.simpleString()} -> "
+                f"{new_type.simpleString()}; allowed: int->bigint, "
+                "float->double, decimal precision widening at equal scale"
+            )
+        self.log.schema_json = T.StructType(
+            [
+                f
+                if f.name != name
+                else T.StructField(name, new_type, f.nullable)
+                for f in schema.fields
+            ]
+        ).json()
+        self.log.commit(
+            "schema_change",
+            [],
+            summary={
+                "promote_column": {
+                    "name": name,
+                    "from": old.simpleString(),
+                    "to": new_type.simpleString(),
+                }
+            },
+        )
+
     def _rename_events(self) -> list[tuple[int, str, str]]:
         """(snapshot_id, old, new) for every committed rename, in order —
         including events stashed as ``rename_history`` by snapshot expiry

@@ -181,3 +181,61 @@ def test_drop_then_readd_column_does_not_resurrect(spark, warehouse, sf_dir):
     t.append(orders.limit(10))
     got2 = t.scan()
     assert got2.filter(F.col("o_custkey").isNotNull()).count() == 10
+
+
+def test_promote_column_widens_without_rewrite(spark, warehouse):
+    """int->bigint, float->double, decimal precision widening: old narrow
+    files byte-untouched, values exactly preserved across generations;
+    illegal promotions rejected."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+
+    lh = Lakehouse(spark, warehouse)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.FloatType()),
+            T.StructField("d", T.DecimalType(10, 2)),
+        ]
+    )
+    t = lh.create_table("ns.promo", schema)
+    df = spark.range(5).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") + 0.5).cast("float").alias("v"),
+        F.col("id").cast("decimal(10,2)").alias("d"),
+    )
+    t.append(df)
+    old_files = {f["path"]: os.path.getmtime(f["path"]) for f in t.log.live_files()}
+
+    t.promote_column("k", T.LongType())
+    t.promote_column("v", T.DoubleType())
+    t.promote_column("d", T.DecimalType(20, 2))
+
+    # illegal: narrowing, cross-family, scale change
+    with _pytest.raises(ValueError, match="illegal type promotion"):
+        t.promote_column("k", T.IntegerType())
+    with _pytest.raises(ValueError, match="illegal type promotion"):
+        t.promote_column("v", T.StringType())
+    with _pytest.raises(ValueError, match="illegal type promotion"):
+        t.promote_column("d", T.DecimalType(22, 4))
+
+    # wide-typed append lands next to the narrow files
+    t.append(
+        spark.range(5, 8).select(
+            F.col("id").alias("k"),
+            (F.col("id") + 0.5).cast("double").alias("v"),
+            F.col("id").cast("decimal(20,2)").alias("d"),
+        )
+    )
+    got = t.scan().orderBy("k").collect()
+    assert t.scan().schema.simpleString() == "struct<k:bigint,v:double,d:decimal(20,2)>"
+    assert [r.k for r in got] == list(range(8))
+    # float 0.5 offsets widen exactly
+    assert all(abs(r.v - (r.k + 0.5)) == 0.0 for r in got)
+    # no data file was rewritten by the promotions
+    for p, mtime in old_files.items():
+        assert os.path.getmtime(p) == mtime
