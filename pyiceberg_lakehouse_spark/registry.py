@@ -92,10 +92,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "set_union_missing_columns",
     # windows (never-verified ntile/cume_dist)
     "win_ntile_cume",
-    # scalar-function long tail (VERDICT r8 task #5 — four of the eight
-    # never-verified; the other four take r10 slots)
-    "fn_bitwise",
-    "fn_struct_ops",
+    # scalar-function long tail (VERDICT r8 task #5 — two of the eight
+    # never-verified; the rest take r10 slots, outranked here by the NEW
+    # lakehouse composites below, which are fresher code)
     "fn_try_arithmetic",
     "fn_regexp_extract_all",
     # time-series analytics (NEW this round: ordered funnel + retention)
@@ -107,6 +106,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the fresh composite, upsert semantics stay covered by
     # lh_datasource_write_roundtrip + the CDC/upsert pytest suites)
     "lh_dedup_incremental",
+    "lh_merge_into",
+    "lh_type_promotion",
     "lh_datasource_write_roundtrip",
     "lh_sql_catalog_lifecycle",
     "lh_metadata_count",
