@@ -1030,3 +1030,69 @@ def lh_type_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return t.scan().select("k", "v")
+
+
+@register(
+    "lh_rollup_reaggregate",
+    """
+    with f as (select *, cast(floor(value) as bigint) as value_floor
+               from events)
+    select date_trunc('day', ts) as day_bucket, event_type,
+           count(*) as cnt_rows,
+           min(value) as min_value,
+           max(value) as max_value,
+           case when count(value_floor) > 0
+                then sum(value_floor) / count(value_floor)
+           end as avg_value_floor,
+           case when count(value_floor) > 1
+                then sqrt((sum(value_floor * value_floor)
+                           - sum(value_floor) * sum(value_floor)
+                             / count(value_floor))
+                          / (count(value_floor) - 1))
+           end as stddev_value_floor
+    from f
+    group by 1, 2
+    """,
+)
+def lh_rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate READ path: an hourly rollup (built on half the
+    events, incrementally refreshed over the appended half) answers a
+    DAILY question via ``reaggregate_rollup`` — summary rows re-merge on
+    the coarser bucket, the fact table is never touched. avg/stddev ride
+    their psum/psumsq/pcnt parts through BOTH merge levels (hourly
+    refresh, then daily re-merge) and only derive at the end, so the
+    twice-merged result must hash-equal DuckDB's from-scratch daily
+    aggregate (exact: the measure is floor(value) — integer-valued, so
+    every partial sum is order-independent). Cost of the daily answer is
+    O(|hourly summary|), independent of fact-table size."""
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import (
+        create_rollup,
+        reaggregate_rollup,
+        refresh_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_floor", F.floor("value").cast("long")
+    )
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.events_ra_fact", ev.schema)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    r = create_rollup(
+        lh,
+        t,
+        "ns.events_ra_rollup",
+        [("hour_bucket", "date_trunc('HOUR', ts)"), "event_type"],
+        [
+            ("*", "count"),
+            ("value", "min"),
+            ("value", "max"),
+            ("value_floor", "avg"),
+            ("value_floor", "stddev"),
+        ],
+    )
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    refresh_rollup(r, t)
+    daily = reaggregate_rollup(
+        r, [("day_bucket", "date_trunc('DAY', hour_bucket)"), "event_type"]
+    )
+    return daily

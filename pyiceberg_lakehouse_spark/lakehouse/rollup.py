@@ -169,7 +169,15 @@ def read_rollup(rollup: LakehouseTable) -> DataFrame:
     """
     dims = _dim_names(json.loads(rollup.log.properties["rollup.dims"]))
     aggs = [tuple(a) for a in json.loads(rollup.log.properties["rollup.aggs"])]
-    cols: list = [F.col(d) for d in dims]
+    return _derive_requested(rollup.scan(), dims, aggs)
+
+
+def _derive_requested(
+    df: DataFrame, dim_names: list[str], aggs: list[tuple[str, str]]
+) -> DataFrame:
+    """Project summary-state rows (dims + mergeable parts) into the
+    REQUESTED-aggregate shape."""
+    cols: list = [F.col(d) for d in dim_names]
     for col, fn in aggs:
         if fn in ("sum", "count", "min", "max"):
             cols.append(F.col(_out_col(col, fn)))
@@ -184,7 +192,27 @@ def read_rollup(rollup: LakehouseTable) -> DataFrame:
             ss = F.col(f"psumsq_{col}")
             var = (ss - s * s / n) / (n - F.lit(1.0))
             cols.append(F.when(n > 1, F.sqrt(var)).alias(f"stddev_{col}"))
-    return rollup.scan().select(*cols)
+    return df.select(*cols)
+
+
+def reaggregate_rollup(rollup: LakehouseTable, dims: list) -> DataFrame:
+    """Answer a COARSER aggregate query from the summary table without
+    touching the fact table — the continuous-aggregate read path ("roll up
+    the rollup"): an hourly rollup answers daily/weekly questions, a
+    per-(a,b) rollup answers per-a questions.
+
+    ``dims`` group the SUMMARY rows: plain strings name stored dimension
+    columns; ``(name, sql)`` pairs derive coarser buckets from them (e.g.
+    ``("day_bucket", "date_trunc('DAY', hour_bucket)")``). All stored
+    aggregates re-merge exactly — sums/counts/psums add, min/max fold, and
+    the avg/stddev parts stay decomposed until the final derivation, so a
+    twice-merged average equals the from-scratch one bit-for-bit. Cost is
+    O(|summary|) regardless of fact-table size.
+    """
+    aggs = [tuple(a) for a in json.loads(rollup.log.properties["rollup.aggs"])]
+    df, names = _dim_cols(rollup.scan(), dims)
+    merged = _merge_agg(df, names, aggs)
+    return _derive_requested(merged, _dim_names(dims), aggs)
 
 
 def refresh_rollup(rollup: LakehouseTable, source: LakehouseTable) -> dict[str, Any]:

@@ -313,3 +313,54 @@ def test_rollup_property_any_mutation_sequence(spark, tmp_path, ops):
         .collect()
     }
     assert got == want
+
+
+def test_reaggregate_answers_from_summary_only(spark, sf_dir, warehouse):
+    """The continuous-aggregate read path must be servable from summary
+    rows alone: hide the fact table's data files after the rollup is
+    current — a coarser re-aggregate still answers, and equals the
+    from-scratch daily aggregate computed before hiding. avg parts must
+    survive two merge levels exactly."""
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import reaggregate_rollup
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "vf", F.floor("value").cast("long")
+    )
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.ra_fact", ev.schema)
+    t.append(ev)
+    r = create_rollup(
+        lh,
+        t,
+        "ns.ra_ru",
+        [("hour_bucket", "date_trunc('HOUR', ts)"), "event_type"],
+        [("*", "count"), ("vf", "avg")],
+    )
+    want = {
+        (x[0], x[1]): (x[2], x[3])
+        for x in ev.groupBy(
+            F.date_trunc("DAY", "ts").alias("d"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            (
+                F.sum("vf").cast("double") / F.count("vf").cast("double")
+            ).alias("a"),
+        )
+        .collect()
+    }
+    fact_files = [f["path"] for f in t.log.live_files()]
+    for p in fact_files:
+        os.rename(p, p + ".hidden")
+    try:
+        daily = reaggregate_rollup(
+            r, [("day_bucket", "date_trunc('DAY', hour_bucket)"), "event_type"]
+        )
+        got = {
+            (x.day_bucket, x.event_type): (x.cnt_rows, x.avg_vf)
+            for x in daily.collect()
+        }
+    finally:
+        for p in fact_files:
+            os.rename(p + ".hidden", p)
+    assert got == want
