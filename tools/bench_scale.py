@@ -468,12 +468,63 @@ def bench_rollup(spark, b: Bench, tmp: str) -> None:
     shutil.rmtree(wh, ignore_errors=True)
 
 
+def bench_dedup_index(spark, b: Bench, tmp: str) -> None:
+    """Incremental exact-dedup index economics at 1M documents: refreshing
+    the fingerprint index over a 1% append must fingerprint the DELTA
+    files only — md5 over full text is real per-row CPU (unlike the
+    narrow rollup mock), so the wall ratio is meaningful here in addition
+    to the rows-planned structural claim."""
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import (
+        create_rollup,
+        refresh_rollup,
+    )
+
+    wh = os.path.join(tmp, "wh_dedup_idx")
+    lh = Lakehouse(spark, wh)
+    n = DOC_SCALES[1]
+    docs = mock_documents(spark, n)
+    t = lh.create_table("scale.ddfact", docs.schema)
+    t.append(docs.filter(F.col("doc_id") % 100 != 0))
+    fp_dim = (
+        "fingerprint",
+        r"md5(trim(regexp_replace(lower(text), '\\s+', ' ')))",
+    )
+    tag = f"{n//1000}k"
+    b.run(
+        f"dedup_index_build_{tag}",
+        lambda: create_rollup(
+            lh, t, "scale.ddindex", [fp_dim], [("doc_id", "min"), ("*", "count")]
+        ),
+    )
+    r = lh.load_table("scale.ddindex")
+    cursor = t.log.current_snapshot_id()
+    t.append(docs.filter(F.col("doc_id") % 100 == 0))  # 1% delta
+    delta_rows = sum(
+        f.get("rows") or 0
+        for sn in t.log.snapshots
+        if sn.snapshot_id > cursor
+        for f in sn.added_files
+    )
+    total_rows = sum(f.get("rows") or 0 for f in t.log.live_files())
+    b.notes["dedup_index_delta_rows"] = delta_rows
+    b.notes["dedup_index_total_rows"] = total_rows
+    res = b.run(f"dedup_index_refresh_1pct_{tag}", lambda: refresh_rollup(r, t))
+    b.notes["dedup_index_refresh_mode"] = res["mode"]
+    # force the full path at the same scale for the contrast
+    t.delete_keys(docs.filter(F.col("doc_id") % 997 == 0).select("doc_id"), ["doc_id"])
+    res = b.run(f"dedup_index_full_{tag}", lambda: refresh_rollup(r, t))
+    b.notes["dedup_index_full_mode"] = res["mode"]
+    shutil.rmtree(wh, ignore_errors=True)
+
+
 SECTIONS = {
     "documents": bench_documents,
     "embeddings": bench_embeddings,
     "mutations": bench_mutations,
     "upsert": bench_mock_upsert,
     "rollup": bench_rollup,
+    "dedup_index": bench_dedup_index,
 }
 
 
@@ -552,6 +603,22 @@ def main() -> None:
         "rollup_planned_rows_fraction": (
             round(b.notes["rollup_delta_rows"] / b.notes["rollup_total_rows"], 4)
             if b.notes.get("rollup_total_rows")
+            else None
+        ),
+        # incremental exact-dedup index: refresh over a 1% append vs full
+        # re-fingerprint at 1M docs — md5-over-text is the dominant cost,
+        # so BOTH the wall ratio and the planned-rows fraction must show
+        # the corpus is not re-read (r9 lh_dedup_incremental at scale)
+        "dedup_index_incremental_vs_full_1m": ratio(
+            f"dedup_index_refresh_1pct_{t2}", f"dedup_index_full_{t2}"
+        ),
+        "dedup_index_planned_rows_fraction": (
+            round(
+                b.notes["dedup_index_delta_rows"]
+                / b.notes["dedup_index_total_rows"],
+                4,
+            )
+            if b.notes.get("dedup_index_total_rows")
             else None
         ),
         # recall governance: auto n_probe must hold recall >= 0.9 on the
