@@ -422,7 +422,16 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user stage timestamps (s, c, p) without self-joins — at 100 TB
     this is a single exchange keyed by user, while the equivalent
     join-chain would shuffle the events table three times. The final
-    stage-count aggregate reduces to one row."""
+    stage-count aggregate reduces to one row.
+
+    Skew note: windows require a user's whole history in one partition,
+    so a pathologically hot user (bot traffic) lands on one task and AQE
+    cannot split it (skew-join splitting applies to joins, not windows).
+    If per-user event counts are heavy-tailed, pre-filter bot users or
+    switch to the join-chain formulation: per-user conditional-min
+    aggregates combine map-side (hot keys shrink before the shuffle) and
+    the subsequent event-to-stage joins are AQE-skew-splittable — three
+    shuffles, but each one skew-robust."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
     e = ev.withColumn(

@@ -231,3 +231,60 @@ def test_merge_into_disabled_clauses(spark, tmp_path):
     merge_into(t, src, ["id"], matched_update=False, matched_delete=True,
                not_matched_insert=False)
     assert {r.id: r.v for r in t.scan().collect()} == {1: 1.0}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tgt_ids=st.sets(st.integers(0, 12), min_size=1, max_size=8),
+    src_ids=st.sets(st.integers(0, 12), min_size=1, max_size=8),
+    del_mod=st.integers(2, 5),
+    ins_floor=st.integers(0, 12),
+)
+def test_merge_into_matches_reference_model(spark, tmp_path, tgt_ids, src_ids, del_mod, ins_floor):
+    """merge_into vs a trivial Python reference for arbitrary key overlaps
+    and conditions: matched & id%del_mod==0 -> delete, other matched ->
+    update, unmatched source inserts only when id >= ins_floor."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.upsert import merge_into
+
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in sorted(tgt_ids)], "id long, v double"
+    )
+    lh = Lakehouse(spark, str(tmp_path / uuid.uuid4().hex))
+    t = lh.create_table("ns.mip", base.schema)
+    t.append(base)
+    src = spark.createDataFrame(
+        [(i, float(i) + 100.0) for i in sorted(src_ids)], "id long, v double"
+    )
+    merge_into(
+        t,
+        src,
+        ["id"],
+        matched_delete=F.col("id") % del_mod == 0,
+        not_matched_insert=F.col("_src_id") >= ins_floor,
+    )
+    expect = {}
+    for i in tgt_ids:
+        if i in src_ids:
+            if i % del_mod == 0:
+                continue  # deleted
+            expect[i] = float(i) + 100.0  # updated
+        else:
+            expect[i] = float(i)  # untouched
+    for i in src_ids - tgt_ids:
+        if i >= ins_floor:
+            expect[i] = float(i) + 100.0  # inserted
+    got = {r.id: r.v for r in t.scan().collect()}
+    assert got == expect
