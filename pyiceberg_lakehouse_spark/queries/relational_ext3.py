@@ -501,3 +501,83 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "events_funnel_skewsafe",
+    """
+    with per as (
+      select user_id, min(case when event_type = 'signup' then ts end) as s
+      from events group by user_id
+    ),
+    c as (
+      select e.user_id, min(e.ts) as c
+      from events e join per using (user_id)
+      where e.event_type = 'click' and e.ts > per.s
+      group by e.user_id
+    ),
+    p as (
+      select e.user_id, min(e.ts) as p
+      from events e join c using (user_id)
+      where e.event_type = 'purchase' and e.ts > c.c
+      group by e.user_id
+    )
+    select (select count(*) from per) as n_users,
+           (select count(s) from per) as n_signup,
+           (select count(*) from c) as n_click_after_signup,
+           (select count(*) from p) as n_purchase_after_click,
+           case when (select count(s) from per) > 0
+                then cast((select count(*) from p) as double)
+                     / (select count(s) from per) end as signup_to_purchase
+    """,
+)
+def events_funnel_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-ROBUST funnel formulation (see events_funnel_steps' skew
+    note): per-user conditional-min AGGREGATES instead of windows. Each
+    stage is a groupBy whose partial aggregation shrinks hot users
+    map-side before the shuffle, and each stage-filtering join is
+    AQE-skew-splittable — three skew-tolerant shuffles vs the window
+    variant's one skew-fragile exchange. Both formulations register
+    against the IDENTICAL oracle, so the driver hash proves they agree.
+
+    The per-user stage frames are small (one row per user with a signup);
+    they broadcast when under the threshold, degrading gracefully to a
+    shuffle join beyond it."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s")
+    )
+    signed = per.filter(F.col("s").isNotNull())
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(signed), "user_id")
+        .filter(F.col("ts") > F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("c"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    counts = per.agg(
+        F.count("user_id").alias("n_users"),
+        F.count("s").alias("n_signup_"),
+    )
+    return (
+        counts.crossJoin(c.agg(F.count("user_id").alias("n_click_after_signup")))
+        .crossJoin(p.agg(F.count("user_id").alias("n_purchase_after_click")))
+        .select(
+            "n_users",
+            F.col("n_signup_").alias("n_signup"),
+            "n_click_after_signup",
+            "n_purchase_after_click",
+            F.when(
+                F.col("n_signup_") > 0,
+                F.col("n_purchase_after_click").cast("double")
+                / F.col("n_signup_"),
+            ).alias("signup_to_purchase"),
+        )
+    )

@@ -364,3 +364,15 @@ def test_numeric_profile_single_shuffle_partial_agg(spark, sf_dir):
     plan = plan_of(spark, "train_numeric_profile", sf_dir)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2  # partial+final
+
+
+def test_funnel_skewsafe_partial_aggs_and_no_windows(spark, sf_dir):
+    """The skew-robust funnel must contain NO Window nodes (hot users
+    would pin a task) — every per-user reduction is a partial-combining
+    HashAggregate, and the small stage frames broadcast."""
+    plan = plan_of(spark, "events_funnel_skewsafe", sf_dir)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", ""
+    )  # the final 1-row count combine may nest-loop; real data never does
