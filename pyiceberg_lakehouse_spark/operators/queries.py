@@ -1490,3 +1490,44 @@ def train_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return numeric_profile(ev, "value", n_buckets=10, lo=50.0, hi=300.0)
+
+
+@register(
+    "multimodal_container_probe",
+    """
+    with base as (select doc_id from documents),
+    mp4 as (
+      select doc_id, 'video/mp4' as mime,
+             cast(317 as integer) as n_bytes,
+             cast(1000 + (doc_id % 30) * 500 as bigint) as duration_ms,
+             cast(320 + (doc_id % 4) * 160 as integer) as width,
+             cast(240 + (doc_id % 4) * 120 as integer) as height,
+             cast(null as integer) as bitrate_kbps,
+             cast(null as integer) as sample_rate
+      from base where doc_id % 2 = 0
+    ),
+    mp3 as (
+      select doc_id, 'audio/mpeg' as mime,
+             cast((144 * br * 1000 // sr) * nf as integer) as n_bytes,
+             cast(nf * 1152 * 1000 // sr as bigint) as duration_ms,
+             cast(null as integer) as width,
+             cast(null as integer) as height,
+             cast(br as integer) as bitrate_kbps,
+             cast(sr as integer) as sample_rate
+      from (select doc_id, 10 + doc_id % 40 as nf,
+                   [56,64,80,96,112,128][cast(doc_id % 6 as integer) + 1] as br,
+                   [44100,48000,32000][cast(doc_id % 3 as integer) + 1] as sr
+            from base where doc_id % 2 = 1)
+    )
+    select * from mp4 union all select * from mp3
+    """,
+)
+def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 box-walk and MP3 frame-walk metadata probes
+    (multimodal.probe_mp4 / probe_mp3) over per-doc synthesized
+    containers: duration, dimensions, bitrate, sample rate — the fields a
+    curation pass filters on WITHOUT decoding samples (sample decode for
+    these codecs stays honestly gated). The oracle predicts every probed
+    field closed-form from doc_id, so any parsing error in the box/frame
+    walkers flips the hash."""
+    return multimodal.probe_containers(load_table(spark, sf_dir, "documents"))

@@ -1181,3 +1181,48 @@ def test_funnel_strictly_after_semantics(spark, sf_dir):
     assert got.n_click_after_signup == 2  # users 1 and 3
     assert got.n_purchase_after_click == 1  # user 1 only
     assert got.signup_to_purchase == 1.0 / 3.0
+
+
+def test_mp4_probe_parses_what_it_writes_and_rejects_garbage():
+    from pyiceberg_lakehouse_spark.operators.multimodal import make_mp4, probe_mp4
+
+    brand, dur, w, h, n = probe_mp4(make_mp4(123456, 1920, 1080))
+    assert (brand, dur, w, h, n) == ("isom", 123456, 1920, 1080, 1)
+    # 64-bit mvhd (version 1) path: hand-build a v1 mvhd inside moov
+    import struct
+
+    def box(t, p):
+        return struct.pack(">I4s", 8 + len(p), t) + p
+
+    mvhd_v1 = box(
+        b"mvhd",
+        struct.pack(">B3x", 1)
+        + struct.pack(">QQIQ", 0, 0, 90000, 90000 * 7)  # 7 s at 90 kHz
+        + b"\x00" * 80,
+    )
+    payload = box(b"ftyp", b"mp42" + b"\x00" * 8) + box(b"moov", mvhd_v1)
+    brand, dur, w, h, n = probe_mp4(payload)
+    assert (brand, dur, n) == ("mp42", 7000, 0)
+    with pytest.raises(ValueError, match="missing ftyp"):
+        probe_mp4(b"\x00" * 32)
+    # a box whose declared size overruns the payload must error, not
+    # silently truncate the walk
+    bad = box(b"ftyp", b"isom" + b"\x00" * 8) + struct.pack(
+        ">I4s", 10**6, b"moov"
+    )
+    with pytest.raises(ValueError, match="corrupt MP4 box"):
+        probe_mp4(bad)
+
+
+def test_mp3_probe_frame_walk_and_gates():
+    from pyiceberg_lakehouse_spark.operators.multimodal import make_mp3, probe_mp3
+
+    nf, br, sr, dur = probe_mp3(make_mp3(38, 192, 48000))
+    assert (nf, br, sr) == (38, 192, 48000)
+    assert dur == 38 * 1152 * 1000 // 48000
+    # MPEG-2 (sample-rate family) honestly gated, not mis-parsed
+    mpeg2 = bytes([0xFF, 0xF3, 0x90, 0x00]) + b"\x00" * 100
+    with pytest.raises(NotImplementedError):
+        probe_mp3(mpeg2)
+    with pytest.raises(ValueError, match="frame sync"):
+        probe_mp3(b"ID3garbage")
