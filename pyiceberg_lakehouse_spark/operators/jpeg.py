@@ -8,9 +8,11 @@ reading quantization and Huffman tables FROM the stream (so files from
 other encoders with optimal tables decode too).
 
 Scope (honest gates, same stance as the PNG codec): 8-bit baseline
-sequential, grayscale or YCbCr 4:4:4; progressive scans, subsampled
-chroma (2x1/2x2 sampling factors), restart intervals, 12-bit precision,
-and arithmetic coding raise NotImplementedError. The emitted Huffman
+sequential, grayscale or YCbCr 4:4:4; PROGRESSIVE streams (SOF2)
+dispatch to the multi-scan decoder in operators/jpeg_progressive.py;
+subsampled chroma (2x1/2x2 sampling factors), restart intervals, 12-bit
+precision, lossless (SOF3), and arithmetic coding raise
+NotImplementedError. The emitted Huffman
 tables are flat 8-bit canonical codes — deliberately suboptimal for
 SIZE but trivially correct, and legal because the tables travel in DHT
 segments (a decoder never assumes Annex K defaults).
@@ -361,7 +363,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 t[ZIGZAG] = zz
                 qts[tq] = t.reshape(8, 8)
                 off += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC2:
+            # progressive DCT: delegate the WHOLE stream to the
+            # multi-scan decoder (operators/jpeg_progressive.py)
+            from pyiceberg_lakehouse_spark.operators.jpeg_progressive import (
+                decode_progressive,
+            )
+
+            return decode_progressive(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) unsupported"
             )
@@ -452,7 +462,7 @@ def jpeg_header(payload: bytes) -> tuple[int, int, int]:
             raise ValueError("corrupt JPEG (expected marker)")
         marker = payload[pos + 1]
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
-        if marker == 0xC0:
+        if marker in (0xC0, 0xC2):  # baseline or progressive frame header
             body = payload[pos + 4 : pos + 2 + seglen]
             h, w = struct.unpack(">HH", body[1:5])
             return w, h, body[5]

@@ -1,0 +1,447 @@
+"""Progressive JPEG (ITU-T T.81 SOF2, spectral selection + successive
+approximation) in pure numpy — the decoder half of the last image gate
+made real, plus a scan-scripted encoder to produce test streams.
+
+Builds on the baseline codec's primitives (operators/jpeg.py): zigzag,
+quality tables, flat canonical Huffman, bit IO, DCT sandwich, BT.601.
+A progressive stream is the SAME quantized coefficients as baseline,
+delivered across multiple scans:
+
+- DC first scan (Ss=0, Ah=0): DPCM over the point-transformed DC
+  (ARITHMETIC shift ``coef >> Al`` — floor, so the later refinement can
+  OR true low bits into the two's-complement representation), may be
+  interleaved over all components;
+- DC refinement (Ah>0): one raw bit per block, ``coef |= bit << Al``;
+- AC first scan (Ss>0, Ah=0, single component): run/size coding of the
+  band [Ss..Se] with EOB-run escapes (``s=0, r<15`` → EOBRUN =
+  2^r - 1 + r extra bits), values point-transformed TOWARD ZERO
+  (sign * (|coef| >> Al) — sign-magnitude, unlike DC);
+- AC refinement (Ah>0): the correction-bit algorithm — newly-significant
+  coefficients arrive as ±2^Al after a run counted over ZERO-HISTORY
+  positions only, while every already-significant coefficient crossed
+  (including those inside EOB runs) contributes one magnitude-correction
+  bit (T.81 G.1.2.3 / G.2; the widely-implemented libjpeg structure).
+
+Scope: 8-bit, greyscale or YCbCr 4:4:4 (same honest subsampling gate as
+the baseline decoder), no restart intervals. The encoder's scan script
+(DC Al=1 → DC refine → per-component AC Al=1 → per-component AC refine)
+exercises all four scan types, so a full decode round-trip covers every
+code path foreign progressive files (libjpeg's standard script) use.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from pyiceberg_lakehouse_spark.operators.jpeg import (
+    ZIGZAG,
+    _amplitude_bits,
+    _BitReader,
+    _BitWriter,
+    _blocks,
+    _category,
+    _codes_from_table,
+    _D,
+    _extend,
+    _flat_table,
+    _huff_decode,
+    quality_tables,
+    rgb_to_ycbcr,
+    ycbcr_to_rgb,
+    _AC_SYMBOLS,
+    _DC_SYMBOLS,
+)
+
+# ----------------------------------------------------------- decoder -----
+
+
+def _entropy_span(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Slice the entropy-coded bytes starting at ``pos``: they end at the
+    first 0xFF followed by a real marker (stuffed 0xFF00 passes through;
+    RST markers are unsupported and error loudly)."""
+    i = pos
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00:
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                raise NotImplementedError("restart intervals unsupported")
+            return payload[pos:i], i
+        i += 1
+    return payload[pos:n], n
+
+
+def decode_progressive(payload: bytes) -> np.ndarray:
+    """Progressive JPEG bytes -> (h, w) or (h, w, 3) uint8 (RGB)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, qt_id)
+    h = w = 0
+    coefs: list[np.ndarray] | None = None  # per comp: (n_blocks, 64) zigzag
+    by = bx = 0
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG (expected marker)")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += 2 + seglen
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                zz = np.frombuffer(body[off + 1 : off + 65], dtype=np.uint8)
+                t = np.zeros(64)
+                t[ZIGZAG] = zz
+                qts[tq] = t.reshape(8, 8)
+                off += 65
+        elif marker == 0xC2:
+            if body[0] != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            h, w = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + ci * 3 : 9 + ci * 3]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled chroma (non-1x1 sampling) unsupported"
+                    )
+                comps.append((cid, samp, tq))
+            by, bx = (h + 7) // 8, (w + 7) // 8
+            coefs = [np.zeros((by * bx, 64), dtype=np.int64) for _ in comps]
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nv])
+                codes = _codes_from_table(bits, vals)
+                huff[(tc, th)] = {(ln, c): s for s, (c, ln) in codes.items()}
+                off += 17 + nv
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker in (0xC0, 0xC1, 0xC3):
+            raise ValueError("not a progressive JPEG (sequential SOF)")
+        elif marker == 0xDA:
+            if coefs is None:
+                raise ValueError("corrupt JPEG (SOS before SOF2)")
+            ns = body[0]
+            scan_comps = []
+            for si in range(ns):
+                cid, tabs = body[1 + si * 2 : 3 + si * 2]
+                idx = next(i for i, c in enumerate(comps) if c[0] == cid)
+                scan_comps.append((idx, tabs >> 4, tabs & 0x0F))
+            ss, se, a = body[1 + ns * 2 : 4 + ns * 2]
+            ah, al = a >> 4, a & 0x0F
+            data, pos = _entropy_span(payload, pos)
+            # EOB-run state is per scan (any residue dies with the scan)
+            _decode_scan(
+                _BitReader(data), coefs, huff, scan_comps, ss, se, ah, al,
+                by, bx,
+            )
+        # other markers (APPn, COM) are skipped
+    if coefs is None or not comps:
+        raise ValueError("corrupt JPEG (no scan data)")
+    planes = []
+    for idx, (_cid, _s, tq) in enumerate(comps):
+        blocks = np.zeros((by * bx, 64))
+        blocks[:, ZIGZAG] = coefs[idx]
+        freq = blocks.reshape(by, bx, 8, 8) * qts[tq]
+        spatial = np.einsum("xu,ybuv,cv->ybxc", _D.T, freq, _D.T, optimize=True)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(planes[0], 0, 255).astype(np.uint8)
+    return ycbcr_to_rgb(np.stack(planes, axis=-1)).astype(np.uint8)
+
+
+def _decode_scan(r, coefs, huff, scan_comps, ss, se, ah, al, by, bx) -> int:
+    n_blocks = by * bx
+    if ss == 0:
+        # ---- DC scan (may be interleaved) ----
+        if se != 0:
+            raise ValueError("corrupt scan header (DC scan with Se != 0)")
+        if ah == 0:
+            preds = {idx: 0 for idx, _, _ in scan_comps}
+            for b in range(n_blocks):
+                for idx, dct, _act in scan_comps:
+                    size = _huff_decode(r, huff[(0, dct)])
+                    diff = _extend(r.read(size), size) if size else 0
+                    preds[idx] += diff
+                    coefs[idx][b, 0] = preds[idx] << al
+        else:
+            for b in range(n_blocks):
+                for idx, _dct, _act in scan_comps:
+                    if r.read(1):
+                        coefs[idx][b, 0] |= 1 << al
+        return 0
+    # ---- AC scan: single component, non-interleaved ----
+    if len(scan_comps) != 1:
+        raise ValueError("corrupt scan header (interleaved AC scan)")
+    idx, _dct, act = scan_comps[0]
+    table = huff[(1, act)]
+    coef = coefs[idx]
+    eobrun = 0
+    if ah == 0:
+        for b in range(n_blocks):
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = _huff_decode(r, table)
+                rr, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if rr == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << rr) - 1 + (r.read(rr) if rr else 0)
+                    break
+                k += rr
+                if k > se:
+                    raise ValueError("corrupt JPEG (AC index overflow)")
+                coef[b, k] = _extend(r.read(s), s) << al
+                k += 1
+        return eobrun
+    # ---- AC refinement (T.81 G.1.2.3; libjpeg structure) ----
+    p1, m1 = 1 << al, -1 << al
+    for b in range(n_blocks):
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _huff_decode(r, table)
+                rr, s = sym >> 4, sym & 0x0F
+                newval = 0
+                if s:
+                    if s != 1:
+                        raise ValueError(
+                            "corrupt JPEG (refinement size > 1)"
+                        )
+                    newval = p1 if r.read(1) else m1
+                else:
+                    if rr != 15:
+                        eobrun = (1 << rr) + (r.read(rr) if rr else 0)
+                        break
+                    # rr == 15: ZRL — pass over 16 zero-history coefs
+                # advance over rr zero-history coefficients, correcting
+                # every already-significant coefficient crossed
+                while k <= se:
+                    if coef[b, k] != 0:
+                        if r.read(1) and not (coef[b, k] & p1):
+                            coef[b, k] += p1 if coef[b, k] >= 0 else m1
+                    else:
+                        if rr == 0:
+                            if newval:
+                                coef[b, k] = newval
+                            k += 1
+                            break
+                        rr -= 1
+                    k += 1
+        if eobrun > 0:
+            # inside an EOB run: only correction bits for significant coefs
+            while k <= se:
+                if coef[b, k] != 0:
+                    if r.read(1) and not (coef[b, k] & p1):
+                        coef[b, k] += p1 if coef[b, k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+    return eobrun
+
+
+# ----------------------------------------------------------- encoder -----
+
+
+def encode_progressive(pixels, quality: int = 90) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 -> progressive JPEG whose
+    scan script (DC Al=1 → DC refine → AC first Al=1 per comp → AC refine
+    per comp) exercises every progressive scan type. Decodes to the SAME
+    pixels as the baseline encoder at the same quality — the coefficients
+    are identical; only the delivery differs.
+    """
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    qt_l, qt_c = quality_tables(quality)
+    if gray:
+        planes, qts, qt_ids = [px.astype(np.float64)], [qt_l], [0]
+    else:
+        ycc = rgb_to_ycbcr(px)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qts, qt_ids = [qt_l, qt_c, qt_c], [0, 1, 1]
+
+    comp_coeffs = []
+    for plane, qt in zip(planes, qts):
+        blocks, nby, nbx = _blocks(plane)
+        dct = np.einsum("ux,ybxc,vc->ybuv", _D, blocks - 128.0, _D, optimize=True)
+        quant = np.round(dct / qt).astype(np.int64)
+        comp_coeffs.append(quant.reshape(nby * nbx, 64)[:, ZIGZAG])
+
+    dc_bits, dc_vals = _flat_table(_DC_SYMBOLS)
+    ac_bits, ac_vals = _flat_table(_AC_SYMBOLS)
+    dc_codes = _codes_from_table(dc_bits, dc_vals)
+    ac_codes = _codes_from_table(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+    for tid, qt in ((0, qt_l),) if gray else ((0, qt_l), (1, qt_c)):
+        body = bytes([tid]) + bytes(int(qt.reshape(64)[ZIGZAG[i]]) for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    ncomp = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, qt_ids[ci]])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    for tc, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int, data: bytes):
+        hdr = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            hdr += bytes([cid, 0x00])  # DC table 0 / AC table 0
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + struct.pack(">H", len(hdr) + 2) + hdr)
+        out.extend(data)
+
+    all_ids = [ci + 1 for ci in range(ncomp)]
+
+    # scan 1: DC first, Al=1, interleaved (arithmetic shift for DPCM)
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    for b in range(comp_coeffs[0].shape[0]):
+        for ci in range(ncomp):
+            v = int(comp_coeffs[ci][b, 0]) >> 1
+            diff = v - preds[ci]
+            preds[ci] = v
+            size = _category(diff)
+            c, ln = dc_codes[size]
+            wtr.write(c, ln)
+            if size:
+                wtr.write(_amplitude_bits(diff, size), size)
+    sos(all_ids, 0, 0, 0, 1, wtr.flush())
+
+    # scan 2: DC refinement, Ah=1 -> Al=0 (raw low bits)
+    wtr = _BitWriter()
+    for b in range(comp_coeffs[0].shape[0]):
+        for ci in range(ncomp):
+            wtr.write(int(comp_coeffs[ci][b, 0]) & 1, 1)
+    sos(all_ids, 0, 0, 1, 0, wtr.flush())
+
+    # scans 3..: per component, AC first pass at Al=1 then refinement
+    for ci in range(ncomp):
+        coeffs = comp_coeffs[ci]
+        wtr = _BitWriter()
+        for b in range(coeffs.shape[0]):
+            run = 0
+            wrote_any = False
+            for k in range(1, 64):
+                v = int(coeffs[b, k])
+                t = (abs(v) >> 1) * (1 if v >= 0 else -1)  # toward zero
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]
+                    wtr.write(c, ln)
+                    run -= 16
+                size = _category(t)
+                c, ln = ac_codes[(run << 4) | size]
+                wtr.write(c, ln)
+                wtr.write(_amplitude_bits(t, size), size)
+                run = 0
+                wrote_any = True
+            if run or not wrote_any:
+                c, ln = ac_codes[0x00]  # EOB (run length 1)
+                wtr.write(c, ln)
+        sos([ci + 1], 1, 63, 0, 1, wtr.flush())
+
+        # AC refinement Ah=1 -> Al=0: emitted by SIMULATING the decoder's
+        # advance cursor, so every correction bit lands exactly where the
+        # decoder's symbol-advance (or EOB sweep) will read it — a naive
+        # "flush all buffered bits after each ZRL" desyncs whenever a
+        # still-significant coefficient sits beyond a ZRL's 16-zero span.
+        wtr = _BitWriter()
+        for b in range(coeffs.shape[0]):
+            vals = [int(coeffs[b, k]) for k in range(64)]
+            absv = [abs(v) for v in vals]
+            newly = [k for k in range(1, 64) if absv[k] == 1]
+            cursor = 1
+
+            def _advance(stop_after_zeros: int, place: int | None) -> None:
+                """Mirror the decoder: walk from ``cursor``, emitting a
+                correction bit at every already-significant coefficient,
+                consuming ``stop_after_zeros`` zero-history positions; the
+                final zero position receives ``place`` (or nothing for a
+                ZRL)."""
+                nonlocal cursor
+                zeros = stop_after_zeros
+                while cursor < 64:
+                    if absv[cursor] > 1:
+                        wtr.write(absv[cursor] & 1, 1)
+                    else:
+                        if zeros == 0:
+                            cursor += 1
+                            return
+                        zeros -= 1
+                    cursor += 1
+
+            for ns in newly:
+                run = sum(
+                    1 for k in range(cursor, ns) if absv[k] <= 1
+                )  # zero-history positions before the new coefficient
+                while run > 15:
+                    c, ln = ac_codes[0xF0]
+                    wtr.write(c, ln)
+                    _advance(15, None)  # ZRL: 16 zero-history positions
+                    run -= 16
+                c, ln = ac_codes[(run << 4) | 1]
+                wtr.write(c, ln)
+                wtr.write(1 if vals[ns] >= 0 else 0, 1)
+                _advance(run, ns)
+            if any(absv[k] > 1 for k in range(cursor, 64)) or cursor < 64:
+                # EOB: decoder sweeps cursor..63 reading a correction bit
+                # at every significant coefficient
+                c, ln = ac_codes[0x00]
+                wtr.write(c, ln)
+                for k in range(cursor, 64):
+                    if absv[k] > 1:
+                        wtr.write(absv[k] & 1, 1)
+        sos([ci + 1], 1, 63, 1, 0, wtr.flush())
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def progressive_header(payload: bytes) -> tuple[int, int, int]:
+    """SOF2 parse -> (width, height, n_components)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG (expected marker)")
+        marker = payload[pos + 1]
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if marker == 0xC2:
+            body = payload[pos + 4 : pos + 2 + seglen]
+            h, w = struct.unpack(">HH", body[1:5])
+            return w, h, body[5]
+        if marker in (0xDA, 0xD9):
+            break
+        pos += 2 + seglen
+    raise ValueError("corrupt JPEG (no SOF2 header)")

@@ -10,11 +10,13 @@ parse -> sample rate/channels/sample count) as pure-Python ``struct``
 header parsing, PNG as a full pure-numpy codec (zlib-compressed filtered
 scanlines per RFC 2083; stdlib zlib), and baseline JPEG as a full
 pure-numpy codec too (operators/jpeg.py: 8x8 DCT + quantization + Huffman
-entropy coding both ways; progressive/subsampled variants gate honestly).
-Anything else (and non-baseline JPEG) falls through to Pillow WHEN it is
-importable (the same runtime availability gate as psycopg2 in
-lakehouse/catalog.py); audio/video codecs (MP3/MP4/...) stay
-NotImplemented.
+entropy coding both ways); PROGRESSIVE JPEG decodes natively as well
+(operators/jpeg_progressive.py: spectral selection + successive
+approximation, all four scan types). Anything else (subsampled chroma,
+lossless JPEG) falls through to Pillow WHEN it is importable (the same
+runtime availability gate as psycopg2 in lakehouse/catalog.py); MP4/MP3
+expose real container-metadata PROBES (box walk / frame walk below)
+while their sample decode stays NotImplemented.
 """
 
 from __future__ import annotations
@@ -70,10 +72,11 @@ def decode_stub(payload: bytes, mime: str) -> bytes:
     (``decode_bmp`` / ``decode_wav``); PNG decodes to raw RGB bytes via the
     built-in pure-numpy codec (``decode_png`` — zlib is stdlib, no
     third-party library needed); JPEG dispatches native-first to the
-    built-in baseline codec (operators/jpeg.py) and falls through to
-    Pillow for what the native path rejects (progressive / subsampled /
-    no-SOF0) when Pillow is importable; everything else (and non-baseline
-    JPEG without Pillow) raises instead of half-working.
+    built-in codecs (baseline in operators/jpeg.py, progressive in
+    operators/jpeg_progressive.py) and falls through to Pillow for what
+    the native paths reject (subsampled chroma / lossless) when Pillow is
+    importable; everything else (and unsupported JPEG variants without
+    Pillow) raises instead of half-working.
     """
     if mime == "text/plain":
         return payload  # identity "decode"
@@ -105,9 +108,10 @@ def decode_stub(payload: bytes, mime: str) -> bytes:
 
 def decode_image_codec(payload: bytes) -> tuple[int, int, str]:
     """PNG/JPEG -> (width, height, mode), both parsed natively
-    (``png_header`` / ``jpeg.jpeg_header``); JPEGs the native header probe
-    rejects (progressive — no SOF0) and any other format fall through to
-    Pillow when available."""
+    (``png_header`` / ``jpeg.jpeg_header`` — baseline SOF0 and
+    progressive SOF2 alike); JPEGs with neither frame header (lossless
+    SOF3, corrupt) and any other format fall through to Pillow when
+    available."""
     if payload[:8] == _PNG_SIG:
         w, h, color_type = png_header(payload)
         return w, h, _PNG_MODES[color_type]

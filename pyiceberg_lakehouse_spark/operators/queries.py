@@ -1531,3 +1531,84 @@ def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     field closed-form from doc_id, so any parsing error in the box/frame
     walkers flips the hash."""
     return multimodal.probe_containers(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_jpeg_progressive",
+    """
+    select doc_id,
+           cast(3 + doc_id % 6 as integer) as width,
+           cast(2 + doc_id % 4 as integer) as height,
+           cast(case when doc_id % 2 = 0 then 1 else 3 end as integer)
+               as n_components,
+           true as matches_baseline,
+           true as err_within_bound
+    from documents where doc_id % 4 = 3
+    """,
+)
+def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PROGRESSIVE-JPEG round-trip (operators/
+    jpeg_progressive.py): per doc, synthesize a deterministic image,
+    encode with the multi-scan progressive encoder (DC successive
+    approximation + per-band AC first/refinement — all four scan types),
+    decode, and hash TWO booleans the driver can check: the decode must
+    BIT-EQUAL the baseline codec's decode of the same pixels (same
+    quantized coefficients, two independent entropy deliveries), and the
+    reconstruction error must sit under the lossy ceiling. Header dims
+    ride the SOF2 probe."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import jpeg as _jpeg
+    from pyiceberg_lakehouse_spark.operators import jpeg_progressive as _prog
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 3)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_components", T.IntegerType()),
+            T.StructField("matches_baseline", T.BooleanType()),
+            T.StructField("err_within_bound", T.BooleanType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "width", "height",
+                                    "n_components", "matches_baseline",
+                                    "err_within_bound")}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 3 + d % 6, 2 + d % 4
+                if d % 2 == 0:
+                    y, x = np.ogrid[0:h, 0:w]
+                    px = ((d * 37 + y * 11 + x * 5) % 256).astype(np.uint8)
+                else:
+                    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                    px = ((d * 37 + y * 11 + x * 5 + c * 3) % 256).astype(
+                        np.uint8
+                    )
+                payload = _prog.encode_progressive(px, quality=90)
+                pw, ph, ncomp = _prog.progressive_header(payload)
+                out = _jpeg.decode_jpeg(payload)  # via the SOF2 dispatch
+                twin = _jpeg.decode_jpeg(_jpeg.encode_jpeg(px, quality=90))
+                err = float(
+                    np.abs(out.astype(np.int64) - px.astype(np.int64)).mean()
+                )
+                rows["doc_id"].append(d)
+                rows["width"].append(pw)
+                rows["height"].append(ph)
+                rows["n_components"].append(ncomp)
+                rows["matches_baseline"].append(bool(np.array_equal(out, twin)))
+                rows["err_within_bound"].append(bool(err < 20.0))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(batches, schema)

@@ -71,27 +71,43 @@ class _FakePILImage:
     width, height, mode = 7, 5, "RGB"
 
 
-def _progressive_jpeg() -> bytes:
-    # SOI + SOF2 (progressive) header: enough for the native path to
-    # reject with NotImplementedError/ValueError
-    return bytes.fromhex("ffd8ffc2000b08000500070300110001ffd9")
+def _lossless_jpeg() -> bytes:
+    # SOI + SOF3 (lossless sequential) header: a frame type the native
+    # paths genuinely do not support (progressive SOF2 decodes natively
+    # since round 9, so it no longer exercises the fallthrough)
+    return bytes.fromhex("ffd8ffc3000b08000500070300110001ffd9")
 
 
 def test_jpeg_falls_through_to_pillow_when_present(monkeypatch):
     monkeypatch.setattr(multimodal, "HAS_PIL", True)
     monkeypatch.setattr(multimodal, "_PILImage", _FakePILImage, raising=False)
-    out = multimodal.decode_stub(_progressive_jpeg(), "image/jpeg")
+    out = multimodal.decode_stub(_lossless_jpeg(), "image/jpeg")
     assert out == _FakePILImage.marker
-    w, h, mode = multimodal.decode_image_codec(_progressive_jpeg())
+    w, h, mode = multimodal.decode_image_codec(_lossless_jpeg())
     assert (w, h, mode) == (7, 5, "RGB")
 
 
 def test_jpeg_raises_honestly_without_pillow(monkeypatch):
     monkeypatch.setattr(multimodal, "HAS_PIL", False)
     with pytest.raises((NotImplementedError, ValueError)):
-        multimodal.decode_stub(_progressive_jpeg(), "image/jpeg")
+        multimodal.decode_stub(_lossless_jpeg(), "image/jpeg")
     with pytest.raises((NotImplementedError, ValueError)):
-        multimodal.decode_image_codec(_progressive_jpeg())
+        multimodal.decode_image_codec(_lossless_jpeg())
+
+
+def test_progressive_jpeg_decodes_natively_no_pillow_needed(monkeypatch):
+    import numpy as np
+
+    from pyiceberg_lakehouse_spark.operators.jpeg_progressive import (
+        encode_progressive,
+    )
+
+    monkeypatch.setattr(multimodal, "HAS_PIL", False)
+    px = np.full((8, 8), 90, dtype=np.uint8)
+    out = multimodal.decode_stub(encode_progressive(px), "image/jpeg")
+    assert len(out) == 8 * 8 * 3
+    w, h, mode = multimodal.decode_image_codec(encode_progressive(px))
+    assert (w, h, mode) == (8, 8, "L")
 
 
 def test_baseline_jpeg_still_native_even_with_pillow(monkeypatch):

@@ -123,10 +123,15 @@ def test_rejects_unsupported_honestly():
     rng = np.random.default_rng(11)
     img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
     good = bytearray(jpeg.encode_jpeg(img))
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF3 (lossless sequential — still unsupported)
     i = bytes(good).find(b"\xff\xc0")
-    prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2 :])
+    lossless = bytes(good[:i]) + b"\xff\xc3" + bytes(good[i + 2 :])
     with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(lossless)
+    # SOF2 now DISPATCHES to the progressive decoder; a baseline scan
+    # header inside a progressive frame is malformed, not "unsupported"
+    prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2 :])
+    with pytest.raises(ValueError):
         jpeg.decode_jpeg(prog)
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(b"not a jpeg")
