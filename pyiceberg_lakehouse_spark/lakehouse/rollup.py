@@ -191,6 +191,10 @@ def _derive_requested(
             s = F.col(f"psum_{col}")
             ss = F.col(f"psumsq_{col}")
             var = (ss - s * s / n) / (n - F.lit(1.0))
+            # FP rounding can push the derivation fractionally negative for
+            # near-constant non-integer measures; clamp so stddev surfaces
+            # 0.0 there, never NaN from sqrt of a tiny negative.
+            var = F.greatest(var, F.lit(0.0))
             cols.append(F.when(n > 1, F.sqrt(var)).alias(f"stddev_{col}"))
     return df.select(*cols)
 

@@ -228,7 +228,11 @@ def merge_into(
     )
 
     def _cond(c: F.Column | bool) -> F.Column:
-        return F.lit(c) if isinstance(c, bool) else c
+        # SQL MERGE treats a NULL clause condition as not-satisfied (falls
+        # through to the next clause); without the coalesce, a NULL column in
+        # the condition would NULL delete_hit/update_hit/keep_target and the
+        # row-disposition filter would silently DROP the row — data loss.
+        return F.lit(c) if isinstance(c, bool) else F.coalesce(c, F.lit(False))
 
     matched = F.col("_tgt_present").isNotNull() & F.col("_src_present").isNotNull()
     delete_hit = matched & _cond(matched_delete)

@@ -344,6 +344,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG (expected marker)")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2 fill bytes before a marker
+        if pos + 2 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:
             break
@@ -460,6 +464,10 @@ def jpeg_header(payload: bytes) -> tuple[int, int, int]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG (expected marker)")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # T.81 fill bytes before a marker
+        if pos + 4 > len(payload):
+            break
         marker = payload[pos + 1]
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         if marker in (0xC0, 0xC2):  # baseline or progressive frame header

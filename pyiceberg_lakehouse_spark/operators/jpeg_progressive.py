@@ -90,6 +90,14 @@ def decode_progressive(payload: bytes) -> np.ndarray:
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG (expected marker)")
+        # T.81 B.1.1.2: markers may be preceded by fill bytes (repeated
+        # 0xFF). Skip them, mirroring libjpeg — otherwise 0xFF FF <marker>
+        # parses the second 0xFF as a marker code and the real marker byte
+        # as the high byte of a segment length.
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:
             break
@@ -435,6 +443,10 @@ def progressive_header(payload: bytes) -> tuple[int, int, int]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG (expected marker)")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # T.81 fill bytes before a marker
+        if pos + 4 > len(payload):
+            break
         marker = payload[pos + 1]
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         if marker == 0xC2:

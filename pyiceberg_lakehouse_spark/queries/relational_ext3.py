@@ -540,9 +540,11 @@ def events_funnel_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant's one skew-fragile exchange. Both formulations register
     against the IDENTICAL oracle, so the driver hash proves they agree.
 
-    The per-user stage frames are small (one row per user with a signup);
-    they broadcast when under the threshold, degrading gracefully to a
-    shuffle join beyond it."""
+    The per-user stage frames are small (one row per user with a signup).
+    No broadcast hint is forced: AQE picks a broadcast join when the stage
+    frame's runtime size is under the threshold and degrades to a (skew-
+    splittable) shuffle join beyond it — an unconditional hint would OOM
+    or fail the job outright on a billion-signed-user frame at 100 TB."""
     ev = load_table(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s")
@@ -550,14 +552,14 @@ def events_funnel_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed = per.filter(F.col("s").isNotNull())
     c = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(signed), "user_id")
+        .join(signed, "user_id")
         .filter(F.col("ts") > F.col("s"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c"))
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(F.col("ts") > F.col("c"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("p"))

@@ -369,10 +369,14 @@ def test_numeric_profile_single_shuffle_partial_agg(spark, sf_dir):
 def test_funnel_skewsafe_partial_aggs_and_no_windows(spark, sf_dir):
     """The skew-robust funnel must contain NO Window nodes (hot users
     would pin a task) — every per-user reduction is a partial-combining
-    HashAggregate, and the small stage frames broadcast."""
+    HashAggregate. No broadcast hint is forced (an unconditional hint
+    would fail outright on a huge signed-user frame at 100 TB); on THIS
+    small test data the optimizer's size estimate still picks a broadcast
+    join, which we assert to catch anyone re-adding a shuffle-forcing
+    repartition on the stage frames."""
     plan = plan_of(spark, "events_funnel_skewsafe", sf_dir)
     assert len(re.findall(r"\(\d+\) Window", plan)) == 0
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in plan  # small-data plan only; AQE-chosen
     assert "CartesianProduct" not in plan.replace(
         "BroadcastNestedLoopJoin", ""
     )  # the final 1-row count combine may nest-loop; real data never does
