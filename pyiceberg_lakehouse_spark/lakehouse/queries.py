@@ -991,6 +991,55 @@ def lh_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lh_merge_into_partitioned",
+    """
+    select o_orderkey, o_custkey, o_orderstatus,
+           case when o_orderkey % 4 = 0 and o_orderstatus = 'O'
+                then o_totalprice + 50000.0
+                else o_totalprice end as o_totalprice,
+           o_orderdate, o_orderpriority
+    from orders
+    where (o_orderkey % 3 != 0
+           and not (o_orderkey % 4 = 0 and o_orderstatus = 'O'))
+       or (o_orderkey % 3 != 0 and o_orderkey % 4 = 0
+           and o_orderstatus = 'O' and o_orderkey % 8 != 0)
+       or (o_orderkey % 3 = 0 and o_orderkey % 4 = 0
+           and o_orderstatus = 'O' and o_totalprice + 50000.0 > 60000.0)
+    """,
+)
+def lh_merge_into_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped conditional MERGE INTO
+    (lakehouse/upsert.py::merge_into_partitioned): same three-clause
+    surface as lh_merge_into, but on a status-partitioned table with a
+    source batch that only touches the 'O' partition — the 'F'/'P'
+    partitions are untouched metadata (their files are swapped by
+    NOTHING; tests/test_upsert.py proves byte-identity). Base = orders
+    with key%3!=0; source = 'O'-status orders with key%4==0 at +50000
+    price; matched key%8==0 rows DELETE, other matches UPDATE, unmatched
+    source rows INSERT above a price threshold. The oracle states the
+    final table directly."""
+    from pyiceberg_lakehouse_spark.lakehouse.upsert import merge_into_partitioned
+
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table(
+        "ns.orders_mip", SCHEMAS["orders"], partition_by=["o_orderstatus"]
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    t.append(orders.filter(F.col("o_orderkey") % 3 != 0))
+    batch = orders.filter(
+        (F.col("o_orderkey") % 4 == 0) & (F.col("o_orderstatus") == "O")
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(50000.0))
+    merge_into_partitioned(
+        t,
+        batch,
+        ["o_orderkey"],
+        matched_delete=F.col("o_orderkey") % 8 == 0,
+        not_matched_insert=F.col("_src_o_totalprice") > 60000.0,
+    )
+    return t.scan().select(*[c.strip() for c in ORDER_COLS.split(",")])
+
+
+@register(
     "lh_type_promotion",
     """
     select cast(o_orderkey as bigint) as k,

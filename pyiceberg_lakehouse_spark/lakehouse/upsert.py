@@ -78,35 +78,10 @@ def upsert_partitioned(
     pfs = table.partition_fields
     if not pfs:
         raise ValueError("table is not partitioned; use upsert()")
-    # partition-scoped rewrite removes files by exact partition match; files
-    # written under an older spec (partition evolution) don't carry the
-    # current keys and would merge without being replaced -> duplicates.
-    names = [pf.name for pf in pfs]
-    if any(
-        any(n not in (f.get("partition") or {}) for n in names)
-        for f in table.log.live_files()
-    ):
-        raise ValueError(
-            "live files span partition specs (after evolution); "
-            "compact() to the current spec first or use upsert()"
-        )
+    _guard_single_spec(table, [pf.name for pf in pfs])
     # derive partition values (identity or transform) of the new batch —
     # hidden partitioning keeps this transparent to the caller
-    from pyiceberg_lakehouse_spark.lakehouse.transforms import derived_column_typed
-
-    schema = table.schema()
-    tagged = new
-    for pf in pfs:
-        if not pf.is_identity:
-            tagged = tagged.withColumn(
-                pf.name,
-                derived_column_typed(pf, schema[pf.source].dataType.simpleString()),
-            )
-    names = [pf.name for pf in pfs]
-    touched = [
-        {p: str(r[p]) for p in names}
-        for r in tagged.select(*names).distinct().collect()
-    ]
+    touched = _touched_partitions(table, new)
     merged, touched = _merged_for_upsert(table, new, key_cols, order_col, touched)
     return table.replace_partitions(merged, touched)
 
@@ -206,17 +181,121 @@ def merge_into(
     UPDATE, so a matched row satisfying both conditions is deleted.
     Conditions are boolean Columns over the joined row — target columns by
     name, source columns as ``_src_<name>`` — or plain True/False to
-    enable/disable a clause unconditionally. ``source`` must carry the
-    target's column set; one row per key (pre-reduce with
-    ``merge_keep_last`` when batches can contain key duplicates).
+    enable/disable a clause unconditionally. A condition that evaluates to
+    NULL is not-satisfied (SQL MERGE semantics) and falls through to the
+    next clause. ``source`` must carry the target's column set; one row per
+    key (pre-reduce with ``merge_keep_last`` when batches can contain key
+    duplicates).
 
-    One full-outer shuffle join on the key + overwrite. At 100 TB prefer
-    ``apply_changes`` (partition-scoped rewrite + metadata-only deletes)
-    when the change batch is op-tagged; this entry point exists for the
-    conditional-clause semantics those ops can't express.
+    One full-outer shuffle join on the key + overwrite — fine for small
+    and unpartitioned tables. On a partitioned table use
+    ``merge_into_partitioned`` (same clause semantics, cost proportional
+    to the touched partitions); for op-tagged change batches prefer
+    ``apply_changes`` (metadata-only deletes).
     """
     cols = table.schema().fieldNames()
-    cur = table.scan()
+    merged = _merge_clauses(
+        table.scan(), source, cols, on,
+        matched_update, matched_delete, not_matched_insert,
+    )
+    return table.overwrite(
+        merged, summary={"op": "merge_into", "keys": list(on)}
+    )
+
+
+def merge_into_partitioned(
+    table: LakehouseTable,
+    source: DataFrame,
+    on: list[str],
+    *,
+    matched_update: F.Column | bool = True,
+    matched_delete: F.Column | bool = False,
+    not_matched_insert: F.Column | bool = True,
+):
+    """Partition-scoped conditional MERGE: identical clause semantics to
+    ``merge_into`` but only partitions touched by the source batch are
+    read, merged, and replaced — everything else is untouched metadata, so
+    the cost is proportional to the touched data, not the table (the
+    difference between a partition swap and rewriting 100 TB).
+
+    The touched-partition list comes from the source batch's (derived)
+    partition values, exactly like ``upsert_partitioned`` — and it shares
+    that function's contract: a key's partition value must be stable (the
+    MATCHED target row lives in the same partition as its source row), the
+    usual property of identity/time-bucket partitioning where the
+    partition column is immutable per key. Keys outside the touched
+    partitions are untouched BY CONSTRUCTION, which is also what makes the
+    NOT-MATCHED test exact: a source row's key can only match inside its
+    own partition.
+    """
+    pfs = table.partition_fields
+    if not pfs:
+        raise ValueError("table is not partitioned; use merge_into()")
+    _guard_single_spec(table, [pf.name for pf in pfs])
+    cols = table.schema().fieldNames()
+    touched = _touched_partitions(table, source.select(*cols))
+    cur = (
+        table.scan(partition_filter_any=touched)
+        if touched
+        else table.scan().limit(0)
+    )
+    merged = _merge_clauses(
+        cur, source, cols, on,
+        matched_update, matched_delete, not_matched_insert,
+    )
+    return table.replace_partitions(merged, touched)
+
+
+def _guard_single_spec(table: LakehouseTable, names: list[str]) -> None:
+    """Partition-scoped rewrites remove files by exact partition match;
+    files written under an older spec don't carry the current keys and
+    would merge without being replaced -> duplicates. Refuse loudly."""
+    if any(
+        any(n not in (f.get("partition") or {}) for n in names)
+        for f in table.log.live_files()
+    ):
+        raise ValueError(
+            "live files span partition specs (after evolution); "
+            "compact() to the current spec first or use the full-table op"
+        )
+
+
+def _touched_partitions(
+    table: LakehouseTable, batch: DataFrame
+) -> list[dict[str, str]]:
+    """Distinct (derived) partition values of ``batch`` — low cardinality
+    by construction (identity/transform partition columns), collected
+    driver-side to drive both the pruned scan and the replace commit."""
+    from pyiceberg_lakehouse_spark.lakehouse.transforms import derived_column_typed
+
+    pfs = table.partition_fields
+    schema = table.schema()
+    tagged = batch
+    for pf in pfs:
+        if not pf.is_identity:
+            tagged = tagged.withColumn(
+                pf.name,
+                derived_column_typed(pf, schema[pf.source].dataType.simpleString()),
+            )
+    names = [pf.name for pf in pfs]
+    return [
+        {p: str(r[p]) for p in names}
+        for r in tagged.select(*names).distinct().collect()
+    ]
+
+
+def _merge_clauses(
+    cur: DataFrame,
+    source: DataFrame,
+    cols: list[str],
+    on: list[str],
+    matched_update: F.Column | bool,
+    matched_delete: F.Column | bool,
+    not_matched_insert: F.Column | bool,
+) -> DataFrame:
+    """The MERGE INTO row-disposition frame shared by the full-table and
+    partition-scoped variants: full-outer join target vs source on the
+    key, then apply DELETE > UPDATE > INSERT clause precedence."""
     src = source.select(*cols)
     src_named = src.select(
         *[F.col(c).alias(f"_src_{c}") for c in cols]
@@ -249,7 +328,4 @@ def merge_into(
         .alias(c)
         for c in cols
     ]
-    merged = joined.filter(keep_target | update_hit | insert_hit).select(*out_cols)
-    return table.overwrite(
-        merged, summary={"op": "merge_into", "keys": list(on)}
-    )
+    return joined.filter(keep_target | update_hit | insert_hit).select(*out_cols)

@@ -702,11 +702,17 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnow_fingerprints(docs, k=3, w=4)
 
 
-@register("dedup_group_components")  # rows-only: iterative algorithm over
-# engine-specific MinHash pairs; pytest checks it against driver union-find
 def dedup_group_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dedup pipeline: MinHash-LSH pairs -> connected components
-    (transitive closure) -> keep each group's canonical document."""
+    (transitive closure) -> keep each group's canonical document.
+
+    Deliberately NOT a registered query: its MinHash edges are
+    engine-specific, so a driver row could only ever be ``no_oracle``.
+    The component ALGORITHM is hash-checked end-to-end by the registered
+    twin ``dedup_components_exact`` (deterministic Jaccard edges, DuckDB
+    recursive-CTE oracle), and the label propagation is property-tested
+    against a driver-side union-find (tests/test_operators.py). This
+    composition remains the production near-dedup entry point."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, verify_threshold=0.1)
     return dedup.dedup_groups_keep_canonical(docs, pairs).select("doc_id", "lang")

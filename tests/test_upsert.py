@@ -288,3 +288,97 @@ def test_merge_into_matches_reference_model(spark, tmp_path, tgt_ids, src_ids, d
             expect[i] = float(i) + 100.0  # inserted
     got = {r.id: r.v for r in t.scan().collect()}
     assert got == expect
+
+
+def test_merge_into_partitioned_untouched_partitions_byte_identical(
+    spark, warehouse, orders
+):
+    """Partition-scoped MERGE: partitions the source batch doesn't touch
+    keep the EXACT same physical files, byte for byte; touched partitions
+    are swapped; clause semantics match the full-table merge_into."""
+    import hashlib
+    import uuid
+    from pathlib import Path
+
+    from pyiceberg_lakehouse_spark.lakehouse.upsert import (
+        merge_into,
+        merge_into_partitioned,
+    )
+
+    def digests(table, pred):
+        return {
+            f["path"]: hashlib.sha256(Path(f["path"]).read_bytes()).hexdigest()
+            for f in table.log.live_files()
+            if pred(f["partition"])
+        }
+
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table(
+        "ns.orders_mip", SCHEMAS["orders"], partition_by=["o_orderstatus"]
+    )
+    t.append(orders)
+    # source touches ONLY status 'O'
+    src = orders.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 6 == 0)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(7.0))
+    before_rest = digests(t, lambda pv: pv.get("o_orderstatus") != "O")
+    before_o = set(digests(t, lambda pv: pv.get("o_orderstatus") == "O"))
+    merge_into_partitioned(
+        t,
+        src,
+        ["o_orderkey"],
+        matched_delete=F.col("o_orderkey") % 12 == 0,
+        not_matched_insert=False,
+    )
+    after_rest = digests(t, lambda pv: pv.get("o_orderstatus") != "O")
+    after_o = set(digests(t, lambda pv: pv.get("o_orderstatus") == "O"))
+    assert before_rest == after_rest  # same paths AND same bytes
+    assert before_o.isdisjoint(after_o)  # 'O' partition swapped
+    # semantics: identical to the full-table merge on a twin table
+    t2 = lh.create_table(
+        "ns.orders_mi_twin" + uuid.uuid4().hex[:6], SCHEMAS["orders"]
+    )
+    t2.append(orders)
+    merge_into(
+        t2,
+        src,
+        ["o_orderkey"],
+        matched_delete=F.col("o_orderkey") % 12 == 0,
+        not_matched_insert=False,
+    )
+    got = sorted(map(tuple, t.scan().collect()))
+    want = sorted(map(tuple, t2.scan().collect()))
+    assert got == want
+
+
+def test_merge_into_partitioned_insert_lands_in_new_partition(
+    spark, warehouse
+):
+    """An inserted source row whose partition value doesn't exist yet must
+    create that partition; other partitions stay byte-identical."""
+    from pyiceberg_lakehouse_spark.lakehouse.upsert import merge_into_partitioned
+
+    lh = Lakehouse(spark, warehouse)
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, part string, v double"
+    )
+    t = lh.create_table("ns.mip_new", df.schema, partition_by=["part"])
+    t.append(df)
+    src = spark.createDataFrame([(9, "c", 9.0)], "id long, part string, v double")
+    before = {f["path"] for f in t.log.live_files()}
+    merge_into_partitioned(t, src, ["id"])
+    after = {f["path"] for f in t.log.live_files()}
+    assert before < after  # old files all kept, new partition added
+    got = {(r.id, r.part, r.v) for r in t.scan().collect()}
+    assert got == {(1, "a", 1.0), (2, "b", 2.0), (9, "c", 9.0)}
+
+
+def test_merge_into_partitioned_requires_partitioning(spark, warehouse):
+    from pyiceberg_lakehouse_spark.lakehouse.upsert import merge_into_partitioned
+
+    lh = Lakehouse(spark, warehouse)
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    t = lh.create_table("ns.mip_flat", df.schema)
+    t.append(df)
+    with pytest.raises(ValueError, match="not partitioned"):
+        merge_into_partitioned(t, df, ["id"])
