@@ -856,6 +856,86 @@ def lh_rollup_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_rollup(r)
 
 
+# rank = 24 - bitlength(w) over the 23-bit rank field, as an integer CASE
+# chain (mirrors rollup._hll_rank — no float log2 anywhere)
+_HLL_RANK_CASES = "\n".join(
+    f"           when w >= {1 << b} then {23 - b}" for b in range(22, -1, -1)
+)
+
+
+@register(
+    "lh_rollup_distinct",
+    f"""
+    with h as (
+      select event_type,
+             (('0x'||substr(md5(cast(user_id as varchar)),1,15))::bigint) as h
+      from events where user_id is not null
+    ),
+    b as (
+      select event_type, h & 1023 as idx, (h >> 10) & 8388607 as w from h
+    ),
+    r as (
+      select event_type, idx,
+             max(case
+{_HLL_RANK_CASES}
+                 else 24 end) as rank
+      from b group by event_type, idx
+    ),
+    s as (
+      select event_type,
+             cast(sum(cast(pow(2.0, 24 - rank) as bigint))
+                  + (1024 - count(*)) * 16777216 as bigint) as hll_sum,
+             cast(1024 - count(*) as int) as hll_zeros
+      from r group by event_type
+    )
+    select s.event_type, s.hll_sum, s.hll_zeros, d.n_exact
+    from s join (
+      select event_type, count(distinct user_id) as n_exact
+      from events group by event_type
+    ) d using (event_type)
+    """,
+)
+def lh_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count (HLL) rollup (lakehouse/rollup.py): the
+    summary stores a 1024-register HLL vector per event_type, advanced
+    incrementally (element-wise max merge) from appended files only. The
+    driver-hashed output is the INTEGER-EXACT register state — the scaled
+    indicator sum and the zero-register count — which the oracle rebuilds
+    from scratch in SQL with the same portable 60-bit md5 hash, plus the
+    exact distinct count for context. A hash match proves the
+    incrementally-maintained registers are bit-identical to a from-scratch
+    build; the (float) estimate derivation is covered by
+    tests/test_rollup.py within-error assertions."""
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import (
+        create_rollup,
+        hll_scaled_sum,
+        hll_zero_count,
+        refresh_rollup,
+    )
+
+    lh = Lakehouse(spark, _warehouse())
+    ev = load_table(spark, sf_dir, "events")
+    t = lh.create_table("ns.events_hll_fact", ev.schema)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    r = create_rollup(
+        lh, t, "ns.events_hll_rollup", ["event_type"], [("user_id", "distinct")]
+    )
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    refresh_rollup(r, t)
+    exact = t.scan().groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return (
+        r.scan()
+        .select(
+            "event_type",
+            hll_scaled_sum("hll_user_id").alias("hll_sum"),
+            hll_zero_count("hll_user_id").alias("hll_zeros"),
+        )
+        .join(exact, "event_type")
+    )
+
+
 @register(
     "lh_rollup_hourly",
     """

@@ -33,8 +33,120 @@ from pyspark.sql import functions as F
 
 from pyiceberg_lakehouse_spark.lakehouse.table import LakehouseTable
 
-# requested aggregate surface; avg/stddev are stored as decomposed parts
-_SUPPORTED = ("sum", "count", "min", "max", "avg", "stddev")
+# requested aggregate surface; avg/stddev are stored as decomposed parts,
+# distinct as a mergeable HLL register vector
+_SUPPORTED = ("sum", "count", "min", "max", "avg", "stddev", "distinct")
+
+# ---------------------------------------------------------------- HLL ----
+# HyperLogLog parameters. The hash is the engine-portable 60-bit md5 trick
+# used across the corpus (Spark conv(substr(md5(x),1,15),16,10) == DuckDB
+# ('0x'||substr(md5(x),1,15))::bigint), split into a register index (low
+# p bits) and a rank field (next HLL_RANK_BITS bits). Register values are
+# therefore in [1, HLL_RANK_BITS+1] and the scaled indicator sum
+# sum(2^(RANK_BITS+1 - r)) over all m registers is an EXACT bigint
+# (max m * 2^24 = 2^34) — every piece of HLL state is integer-exact and
+# bit-reproducible by a SQL oracle, no float accumulation anywhere.
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024 registers -> ~1.04/sqrt(m) = 3.25% std error
+HLL_RANK_BITS = 23
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _hll_zero() -> F.Column:
+    return F.array_repeat(F.lit(0), HLL_M)
+
+
+def _hll_rank(w: F.Column) -> F.Column:
+    """rank = (RANK_BITS+1) - bitlength(w) via an integer-compare chain —
+    portable (the oracle uses the same CASE chain), no float log2."""
+    c = F.when(w >= F.lit(1 << (HLL_RANK_BITS - 1)), F.lit(1))
+    for b in range(HLL_RANK_BITS - 2, -1, -1):
+        c = c.when(w >= F.lit(1 << b), F.lit(HLL_RANK_BITS - b))
+    return c.otherwise(F.lit(HLL_RANK_BITS + 1))  # w == 0
+
+
+def _hll_delta(
+    df: DataFrame, dim_names: list[str], col: str, name: str
+) -> DataFrame:
+    """Per-dims dense HLL register vector for ``col`` over raw fact rows.
+
+    Two partial-combining shuffles: (dims, idx) -> max rank reduces each
+    group to <= m rows MAP-SIDE before the exchange (a hot group never
+    ships its raw rows), then dims -> dense array over the tiny sparse
+    set. NULL values contribute nothing, matching COUNT(DISTINCT)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    idx = h.bitwiseAND(F.lit(HLL_M - 1)).cast("int")
+    w = F.shiftright(h, HLL_P).bitwiseAND(F.lit((1 << HLL_RANK_BITS) - 1))
+    sparse = (
+        df.filter(F.col(col).isNotNull())
+        .select(*dim_names, idx.alias("_hll_idx"), _hll_rank(w).alias("_hll_rank"))
+        .groupBy(*dim_names, "_hll_idx")
+        .agg(F.max("_hll_rank").alias("_hll_rank"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(HLL_M - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_hll_map"), i), F.lit(0)),
+    )
+    return (
+        sparse.groupBy(*dim_names)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_hll_idx", "_hll_rank"))
+            ).alias("_hll_map")
+        )
+        .select(*dim_names, dense.cast("array<int>").alias(name))
+    )
+
+
+def _hll_merge_expr(name: str) -> F.Column:
+    """Element-wise max of register vectors across a group's partial rows
+    (collect_list is bounded by the number of PARTIALS per dim combo —
+    at refresh time that's 2: old state + delta)."""
+    return (
+        F.aggregate(
+            F.collect_list(name),
+            _hll_zero(),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.greatest(a, b)),
+        )
+        .cast("array<int>")  # containsNull=true, matching the read schema
+        .alias(name)
+    )
+
+
+def hll_scaled_sum(name: str) -> F.Column:
+    """sum(2^-r) over the registers, scaled by 2^(RANK_BITS+1) — an EXACT
+    bigint (the HLL indicator in integer form; empty registers contribute
+    2^(RANK_BITS+1))."""
+    # 2^(RANK_BITS+1 - r) via pow: exact for these exponents (<= 2^24 fits
+    # a double mantissa); shiftleft would be natural but takes only a
+    # literal shift amount
+    return F.aggregate(
+        F.col(name),
+        F.lit(0).cast("long"),
+        lambda acc, r: acc
+        + F.pow(F.lit(2.0), F.lit(HLL_RANK_BITS + 1) - r).cast("long"),
+    )
+
+
+def hll_zero_count(name: str) -> F.Column:
+    """Number of empty registers (the linear-counting input)."""
+    return F.size(F.filter(F.col(name), lambda r: r == F.lit(0)))
+
+
+def hll_estimate(name: str) -> F.Column:
+    """HLL cardinality estimate with the standard small-range (linear
+    counting) correction."""
+    s = hll_scaled_sum(name).cast("double") / F.lit(
+        float(1 << (HLL_RANK_BITS + 1))
+    )
+    raw = F.lit(_HLL_ALPHA * HLL_M * HLL_M) / s
+    v = hll_zero_count(name)
+    return F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(raw)
 
 
 def _out_col(col: str, fn: str) -> str:
@@ -56,6 +168,8 @@ def _part_cols(aggs: list[tuple[str, str]]) -> dict[str, tuple[str, str]]:
             parts[f"psum_{col}"] = ("psum", col)
             parts[f"psumsq_{col}"] = ("psumsq", col)
             parts[f"pcnt_{col}"] = ("pcnt", col)
+        elif fn == "distinct":
+            parts[f"hll_{col}"] = ("hll", col)
         else:
             raise ValueError(f"unsupported rollup aggregate {fn!r}; use {_SUPPORTED}")
     return parts
@@ -79,7 +193,7 @@ def _dim_cols(df: DataFrame, dims: list) -> tuple[DataFrame, list[str]]:
 
 def _delta_agg(df: DataFrame, dims: list, aggs: list[tuple[str, str]]) -> DataFrame:
     df, dims = _dim_cols(df, dims)
-    exprs = []
+    exprs, hll = [], []
     for name, (kind, col) in _part_cols(aggs).items():
         if kind == "count":
             exprs.append(F.count(F.lit(1)).cast("long").alias(name))
@@ -93,9 +207,37 @@ def _delta_agg(df: DataFrame, dims: list, aggs: list[tuple[str, str]]) -> DataFr
             exprs.append(F.sum(col).alias(name))
         elif kind == "psumsq":
             exprs.append(F.sum(F.col(col) * F.col(col)).alias(name))
+        elif kind == "hll":
+            hll.append((name, col))
         else:  # pcnt: NON-NULL count, the avg/stddev denominator
             exprs.append(F.count(col).cast("long").alias(name))
-    return df.groupBy(*dims).agg(*exprs)
+    out = (
+        df.groupBy(*dims).agg(*exprs)
+        if exprs
+        else df.select(*dims).distinct()
+    )
+    # HLL register vectors are built per distinct-column in their own
+    # two-stage aggregation (see _hll_delta) and joined back on the dims —
+    # a summary-scale join. A group whose values were all NULL gets the
+    # empty register vector.
+    for name, col in hll:
+        regs = _hll_delta(df, dims, col, name)
+        if dims:
+            right = regs.select(
+                *[F.col(d).alias(f"_hll_d_{d}") for d in dims], name
+            )
+            cond = [
+                F.col(d).eqNullSafe(F.col(f"_hll_d_{d}")) for d in dims
+            ]
+            out = out.join(right, cond, "left").drop(
+                *[f"_hll_d_{d}" for d in dims]
+            )
+        else:
+            out = out.crossJoin(regs)
+        out = out.withColumn(
+            name, F.coalesce(F.col(name), _hll_zero().cast("array<int>"))
+        )
+    return out
 
 
 def _dim_names(dims: list) -> list[str]:
@@ -111,6 +253,9 @@ def _merge_agg(df: DataFrame, dims: list, aggs: list[tuple[str, str]]) -> DataFr
             merged = F.min(name)
         elif kind == "max":
             merged = F.max(name)
+        elif kind == "hll":
+            exprs.append(_hll_merge_expr(name))
+            continue
         else:  # sum/count/psum/psumsq/pcnt are all additive
             merged = F.sum(name)
         if kind in ("count", "pcnt"):
@@ -186,6 +331,8 @@ def _derive_requested(
             cols.append(
                 F.when(n > 0, F.col(f"psum_{col}") / n).alias(f"avg_{col}")
             )
+        elif fn == "distinct":
+            cols.append(hll_estimate(f"hll_{col}").alias(f"distinct_{col}"))
         else:  # stddev (sample)
             n = F.col(f"pcnt_{col}").cast("double")
             s = F.col(f"psum_{col}")

@@ -364,3 +364,90 @@ def test_reaggregate_answers_from_summary_only(spark, sf_dir, warehouse):
         for p in fact_files:
             os.rename(p + ".hidden", p)
     assert got == want
+
+
+def test_rollup_hll_distinct_incremental_equals_full(spark, tmp_path):
+    """HLL distinct rollup: after incremental refreshes, the register
+    vectors — and therefore the derived estimates — must be BIT-IDENTICAL
+    to a from-scratch rollup over the same final fact table (element-wise
+    max is order- and batching-insensitive). The estimate must land within
+    HLL error of the exact distinct count, NULLs excluded."""
+    import uuid
+
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import read_rollup
+
+    rows = [
+        (i, "g" + str(i % 3), (i * 7919) % 500 if i % 17 else None)
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, u long")
+    lh = Lakehouse(spark, str(tmp_path / uuid.uuid4().hex))
+    t = lh.create_table("ns.hllfact", df.schema)
+    t.append(df.filter(F.col("id") < 1000))
+    r = create_rollup(
+        lh, t, "ns.hllfact_ru", ["g"], [("u", "distinct"), ("*", "count")]
+    )
+    t.append(df.filter((F.col("id") >= 1000) & (F.col("id") < 2000)))
+    assert refresh_rollup(r, t)["mode"] == "incremental"
+    t.append(df.filter(F.col("id") >= 2000))
+    assert refresh_rollup(r, t)["mode"] == "incremental"
+
+    # from-scratch twin over the same final fact table
+    r2 = create_rollup(
+        lh, t, "ns.hllfact_ru2", ["g"], [("u", "distinct"), ("*", "count")]
+    )
+    inc = {x.g: x.hll_u for x in r.scan().collect()}
+    full = {x.g: x.hll_u for x in r2.scan().collect()}
+    assert inc == full  # registers bit-identical
+
+    est = {x.g: x.distinct_u for x in read_rollup(r).collect()}
+    exact = {
+        x.g: x.n
+        for x in t.scan()
+        .groupBy("g")
+        .agg(F.count_distinct("u").alias("n"))
+        .collect()
+    }
+    for g, n in exact.items():
+        assert abs(est[g] / n - 1.0) < 0.15, (g, est[g], n)  # ~4.6 sigma
+
+
+def test_rollup_hll_all_null_group_estimates_zero(spark, tmp_path):
+    """A group whose distinct-column values are all NULL stores the empty
+    register vector and derives... linear counting of V=m -> ln(1)=0."""
+    import uuid
+
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import read_rollup
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", None)],
+        "id long, g string, u long",
+    )
+    lh = Lakehouse(spark, str(tmp_path / uuid.uuid4().hex))
+    t = lh.create_table("ns.hllnull", df.schema)
+    t.append(df)
+    r = create_rollup(lh, t, "ns.hllnull_ru", ["g"], [("u", "distinct")])
+    got = {x.g: x.distinct_u for x in read_rollup(r).collect()}
+    assert got["b"] == 0.0
+    assert abs(got["a"] - 2.0) < 0.2
+
+
+def test_rollup_hll_reaggregate_merges_registers(spark, tmp_path):
+    """reaggregate_rollup over an HLL rollup must merge register vectors
+    element-wise, so a coarser grouping's estimate equals a direct rollup
+    at that grain — union semantics, NOT sum of per-group estimates."""
+    import uuid
+
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import reaggregate_rollup
+
+    # g pairs share the same users heavily: sum-of-estimates would ~double
+    rows = [(i, "g" + str(i % 2), i % 40) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, g string, u long")
+    lh = Lakehouse(spark, str(tmp_path / uuid.uuid4().hex))
+    t = lh.create_table("ns.hllre", df.schema)
+    t.append(df)
+    r = create_rollup(lh, t, "ns.hllre_ru", ["g"], [("u", "distinct")])
+    coarse = reaggregate_rollup(r, [("all_", "'x'")]).collect()
+    assert len(coarse) == 1
+    # 40 distinct users total across both groups (not ~80)
+    assert abs(coarse[0]["distinct_u"] / 40.0 - 1.0) < 0.15
