@@ -8,9 +8,11 @@ reading quantization and Huffman tables FROM the stream (so files from
 other encoders with optimal tables decode too).
 
 Scope (honest gates, same stance as the PNG codec): 8-bit baseline
-sequential, grayscale or YCbCr 4:4:4; PROGRESSIVE streams (SOF2)
-dispatch to the multi-scan decoder in operators/jpeg_progressive.py;
-subsampled chroma (2x1/2x2 sampling factors), restart intervals, 12-bit
+sequential, grayscale or YCbCr at 4:4:4, 4:2:2, or 4:2:0 chroma
+subsampling (any integer-ratio Hi x Vi factors decode; the encoder
+emits the three standard schemes); PROGRESSIVE streams (SOF2) dispatch
+to the multi-scan decoder in operators/jpeg_progressive.py; restart
+intervals, multi-scan (non-interleaved color) baseline, 12-bit
 precision, lossless (SOF3), and arithmetic coding raise
 NotImplementedError. The emitted Huffman
 tables are flat 8-bit canonical codes — deliberately suboptimal for
@@ -243,19 +245,64 @@ def _blocks(channel: np.ndarray) -> tuple[np.ndarray, int, int]:
     )
 
 
-def encode_jpeg(pixels, quality: int = 90) -> bytes:
-    """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JPEG bytes."""
+def _blocks_grid(channel: np.ndarray, by: int, bx: int) -> np.ndarray:
+    """Like _blocks but padded to an EXPLICIT (by, bx) block grid — the
+    MCU-aligned grid a subsampled component must fill (T.81 A.2.4 pads
+    the frame to complete MCUs, not just complete blocks)."""
+    h, w = channel.shape
+    padded = np.pad(
+        channel, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge"
+    )
+    return padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+
+
+def _box_downsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Deterministic box-mean chroma downsample by integer factors,
+    edge-replicating odd trailing rows/columns first."""
+    if fy == 1 and fx == 1:
+        return plane
+    h, w = plane.shape
+    H, W = (h + fy - 1) // fy * fy, (w + fx - 1) // fx * fx
+    p = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+    return p.reshape(H // fy, fy, W // fx, fx).mean(axis=(1, 3))
+
+
+# subsampling name -> per-component (Hi, Vi) sampling factors (Y, Cb, Cr)
+_SUBSAMPLING = {
+    "4:4:4": [(1, 1), (1, 1), (1, 1)],
+    "4:2:2": [(2, 1), (1, 1), (1, 1)],
+    "4:2:0": [(2, 2), (1, 1), (1, 1)],
+}
+
+
+def encode_jpeg(pixels, quality: int = 90, subsampling: str = "4:4:4") -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JPEG bytes.
+
+    ``subsampling``: "4:4:4" (default), "4:2:2" (chroma halved
+    horizontally), or "4:2:0" (chroma halved both ways) — the scheme the
+    vast majority of real-world JPEGs use. Chroma is box-mean
+    downsampled; blocks are emitted MCU-interleaved with per-component
+    Hi x Vi factors per T.81 A.2.3. Ignored for grayscale."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
     qt_l, qt_c = quality_tables(quality)
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
     if gray:
         planes = [px.astype(np.float64)]
         qts = [qt_l]
         qt_ids = [0]
+        hv = [(1, 1)]
     else:
+        hv = _SUBSAMPLING[subsampling]
+        hmax = max(x for x, _ in hv)
+        vmax = max(y for _, y in hv)
         ycc = rgb_to_ycbcr(px)
-        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        planes = [
+            _box_downsample(ycc[..., i], vmax // vi, hmax // hi)
+            for i, (hi, vi) in enumerate(hv)
+        ]
         qts = [qt_l, qt_c, qt_c]
         qt_ids = [0, 1, 1]
 
@@ -264,47 +311,61 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
     dc_codes = _codes_from_table(dc_bits, dc_vals)
     ac_codes = _codes_from_table(ac_bits, ac_vals)
 
-    # quantized zigzag coefficients per component, MCU order
+    hmax = max(x for x, _ in hv)
+    vmax = max(y for _, y in hv)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # quantized zigzag coefficients per component over its MCU-aligned
+    # block grid (mcuy*Vi x mcux*Hi blocks)
     comp_coeffs = []
-    for plane, qt in zip(planes, qts):
-        blocks, by, bx = _blocks(plane)
+    comp_bx = []
+    for plane, qt, (hi, vi) in zip(planes, qts, hv):
+        byi, bxi = mcuy * vi, mcux * hi
+        blocks = _blocks_grid(plane, byi, bxi)
         shifted = blocks - 128.0
         dct = np.einsum("ux,ybxc,vc->ybuv", _D, shifted, _D, optimize=True)
-        # ybuv: (by, bx, 8, 8) frequency blocks
         quant = np.round(dct / qt).astype(np.int64)
-        comp_coeffs.append(quant.reshape(by * bx, 64)[:, ZIGZAG])
+        comp_coeffs.append(quant.reshape(byi * bxi, 64)[:, ZIGZAG])
+        comp_bx.append(bxi)
+
+    def _emit(wtr, preds, ci, zz):
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        size = _category(diff)
+        code, length = dc_codes[size]
+        wtr.write(code, length)
+        if size:
+            wtr.write(_amplitude_bits(diff, size), size)
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz[1:])[0])) + 1 if np.any(zz[1:]) else 0
+        for k in range(1, last_nz + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]
+                wtr.write(c, ln)  # ZRL
+                run -= 16
+            size = _category(v)
+            c, ln = ac_codes[(run << 4) | size]
+            wtr.write(c, ln)
+            wtr.write(_amplitude_bits(v, size), size)
+            run = 0
+        if last_nz < 63:
+            c, ln = ac_codes[0x00]
+            wtr.write(c, ln)  # EOB
 
     wtr = _BitWriter()
     preds = [0] * len(planes)
-    for m in range(comp_coeffs[0].shape[0]):
-        for ci, coeffs in enumerate(comp_coeffs):
-            zz = coeffs[m]
-            diff = int(zz[0]) - preds[ci]
-            preds[ci] = int(zz[0])
-            size = _category(diff)
-            code, length = dc_codes[size]
-            wtr.write(code, length)
-            if size:
-                wtr.write(_amplitude_bits(diff, size), size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz[1:])[0])) + 1 if np.any(zz[1:]) else 0
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = ac_codes[0xF0]
-                    wtr.write(c, ln)  # ZRL
-                    run -= 16
-                size = _category(v)
-                c, ln = ac_codes[(run << 4) | size]
-                wtr.write(c, ln)
-                wtr.write(_amplitude_bits(v, size), size)
-                run = 0
-            if last_nz < 63:
-                c, ln = ac_codes[0x00]
-                wtr.write(c, ln)  # EOB
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi) in enumerate(hv):
+                for v in range(vi):
+                    for hb in range(hi):
+                        m = (my * vi + v) * comp_bx[ci] + (mx * hi + hb)
+                        _emit(wtr, preds, ci, comp_coeffs[ci][m])
 
     out = bytearray(b"\xff\xd8")  # SOI
     for tid, qt in ((0, qt_l),) if gray else ((0, qt_l), (1, qt_c)):
@@ -315,7 +376,8 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
     ncomp = 1 if gray else 3
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, qt_ids[ci]])
+        hi, vi = hv[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qt_ids[ci]])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     for tc, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
         body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
@@ -387,10 +449,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + ci * 3 : 9 + ci * 3]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "subsampled chroma (non-1x1 sampling) unsupported"
-                    )
                 comps.append((cid, samp, tq))
         elif marker == 0xC4:
             off = 0
@@ -417,43 +475,129 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             break
     if scan is None or not comps:
         raise ValueError("corrupt JPEG (no scan data)")
-    by, bx = (h + 7) // 8, (w + 7) // 8
+    hs = [(c[1] >> 4) or 1 for c in comps]
+    vs = [(c[1] & 0x0F) or 1 for c in comps]
+    hmax, vmax = max(hs), max(vs)
+    if any(hmax % x or vmax % y for x, y in zip(hs, vs)):
+        raise NotImplementedError(
+            "fractional chroma sampling ratios unsupported"
+        )
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     r = _BitReader(scan)
-    planes = [np.zeros((by * 8, bx * 8)) for _ in comps]
     preds = [0] * len(comps)
-    for myy in range(by):
-        for mxx in range(bx):
-            for idx, dct_id, act_id in scan_comps:
-                dc_tab, ac_tab = huff[(0, dct_id)], huff[(1, act_id)]
-                zz = np.zeros(64, dtype=np.int64)
-                size = _huff_decode(r, dc_tab)
-                diff = _extend(r.read(size), size) if size else 0
-                preds[idx] += diff
-                zz[0] = preds[idx]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode(r, ac_tab)
-                    if sym == 0x00:
-                        break  # EOB
-                    if sym == 0xF0:
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    size = sym & 0x0F
-                    if k > 63:
-                        raise ValueError("corrupt JPEG (AC index overflow)")
-                    zz[k] = _extend(r.read(size), size)
-                    k += 1
-                block = np.zeros(64)
-                block[ZIGZAG] = zz
-                freq = block.reshape(8, 8) * qts[comps[idx][2]]
-                spatial = _D.T @ freq @ _D + 128.0
-                planes[idx][myy * 8 : myy * 8 + 8, mxx * 8 : mxx * 8 + 8] = spatial
-    planes = [p[:h, :w] for p in planes]
-    if len(planes) == 1:
-        return np.clip(planes[0], 0, 255).astype(np.uint8)
-    out = ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+    def _block(idx: int, dc_tab, ac_tab) -> np.ndarray:
+        zz = np.zeros(64, dtype=np.int64)
+        size = _huff_decode(r, dc_tab)
+        diff = _extend(r.read(size), size) if size else 0
+        preds[idx] += diff
+        zz[0] = preds[idx]
+        k = 1
+        while k < 64:
+            sym = _huff_decode(r, ac_tab)
+            if sym == 0x00:
+                break  # EOB
+            if sym == 0xF0:
+                k += 16
+                continue
+            k += sym >> 4
+            size = sym & 0x0F
+            if k > 63:
+                raise ValueError("corrupt JPEG (AC index overflow)")
+            zz[k] = _extend(r.read(size), size)
+            k += 1
+        block = np.zeros(64)
+        block[ZIGZAG] = zz
+        freq = block.reshape(8, 8) * qts[comps[idx][2]]
+        return _D.T @ freq @ _D + 128.0
+
+    if len(scan_comps) == 1:
+        # single-component scan: non-interleaved, the MCU is one block and
+        # the walk covers the COMPONENT's own block grid (T.81 A.2.2)
+        idx, dct_id, act_id = scan_comps[0]
+        hi, vi = hs[idx], vs[idx]
+        hi_px = (h * vi + vmax - 1) // vmax
+        wi_px = (w * hi + hmax - 1) // hmax
+        byi, bxi = (hi_px + 7) // 8, (wi_px + 7) // 8
+        plane = np.zeros((byi * 8, bxi * 8))
+        dc_tab, ac_tab = huff[(0, dct_id)], huff[(1, act_id)]
+        for myy in range(byi):
+            for mxx in range(bxi):
+                plane[myy * 8 : myy * 8 + 8, mxx * 8 : mxx * 8 + 8] = _block(
+                    idx, dc_tab, ac_tab
+                )
+        planes = {idx: plane}
+    else:
+        # interleaved scan: per MCU, each component contributes its
+        # Vi x Hi raster of blocks (T.81 A.2.3)
+        planes = {
+            idx: np.zeros((mcuy * vs[idx] * 8, mcux * hs[idx] * 8))
+            for idx, _, _ in scan_comps
+        }
+        for myy in range(mcuy):
+            for mxx in range(mcux):
+                for idx, dct_id, act_id in scan_comps:
+                    dc_tab, ac_tab = huff[(0, dct_id)], huff[(1, act_id)]
+                    hi, vi = hs[idx], vs[idx]
+                    for v in range(vi):
+                        for hb in range(hi):
+                            br, bc = myy * vi + v, mxx * hi + hb
+                            planes[idx][
+                                br * 8 : br * 8 + 8, bc * 8 : bc * 8 + 8
+                            ] = _block(idx, dc_tab, ac_tab)
+
+    if len(planes) < len(comps):
+        raise NotImplementedError(
+            "multi-scan (non-interleaved color) baseline JPEG unsupported"
+        )
+    # crop each component to its true sample dims, then nearest-neighbor
+    # upsample back to full resolution (the JFIF simple upsampling)
+    full = []
+    for idx in range(len(comps)):
+        hi, vi = hs[idx], vs[idx]
+        hi_px = (h * vi + vmax - 1) // vmax
+        wi_px = (w * hi + hmax - 1) // hmax
+        p = planes[idx][:hi_px, :wi_px]
+        if vi != vmax or hi != hmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(full[0], 0, 255).astype(np.uint8)
+    out = ycbcr_to_rgb(np.stack(full, axis=-1))
     return out.astype(np.uint8)
+
+
+def jpeg_sampling(payload: bytes) -> str:
+    """Chroma subsampling declared in the frame header: "4:4:4", "4:2:2",
+    "4:2:0", "gray", or "HxV,..." for non-standard factor sets — without
+    full decode."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG (expected marker)")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # T.81 fill bytes before a marker
+        if pos + 4 > len(payload):
+            break
+        marker = payload[pos + 1]
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if marker in (0xC0, 0xC2):
+            body = payload[pos + 4 : pos + 2 + seglen]
+            ncomp = body[5]
+            if ncomp == 1:
+                return "gray"
+            samps = [body[6 + ci * 3 + 1] for ci in range(ncomp)]
+            for name, hv in _SUBSAMPLING.items():
+                if ncomp == 3 and samps == [(hi << 4) | vi for hi, vi in hv]:
+                    return name
+            return ",".join(f"{s >> 4}x{s & 0x0F}" for s in samps)
+        if marker in (0xDA, 0xD9):
+            break
+        pos += 2 + seglen
+    raise ValueError("corrupt JPEG (no frame header)")
 
 
 def jpeg_header(payload: bytes) -> tuple[int, int, int]:

@@ -12,8 +12,9 @@ scanlines per RFC 2083; stdlib zlib), and baseline JPEG as a full
 pure-numpy codec too (operators/jpeg.py: 8x8 DCT + quantization + Huffman
 entropy coding both ways); PROGRESSIVE JPEG decodes natively as well
 (operators/jpeg_progressive.py: spectral selection + successive
-approximation, all four scan types). Anything else (subsampled chroma,
-lossless JPEG) falls through to Pillow WHEN it is importable (the same
+approximation, all four scan types), and chroma-subsampled (4:2:0 /
+4:2:2) baseline streams decode natively too. What remains (lossless
+JPEG, restart intervals) falls through to Pillow WHEN it is importable (the same
 runtime availability gate as psycopg2 in lakehouse/catalog.py); MP4/MP3
 expose real container-metadata PROBES (box walk / frame walk below)
 while their sample decode stays NotImplemented.
@@ -74,8 +75,8 @@ def decode_stub(payload: bytes, mime: str) -> bytes:
     third-party library needed); JPEG dispatches native-first to the
     built-in codecs (baseline in operators/jpeg.py, progressive in
     operators/jpeg_progressive.py) and falls through to Pillow for what
-    the native paths reject (subsampled chroma / lossless) when Pillow is
-    importable; everything else (and unsupported JPEG variants without
+    the native paths reject (lossless / restart intervals) when Pillow
+    is importable; everything else (and unsupported JPEG variants without
     Pillow) raises instead of half-working.
     """
     if mime == "text/plain":

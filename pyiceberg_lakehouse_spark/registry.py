@@ -48,103 +48,96 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # never had a driver row, growing the driver-verified set over time while
 # keeping every category represented.
 #
-# Round-9 rotation (VERDICT r8 tasks #1/#2/#5: retire the driver-evidence
-# tail). Rotated OUT every row green >= 2 consecutive rounds (all 18 TPC-H
-# shapes verified in the r7+r8 windows, scan_glob_schema_enforced,
-# agg_salted_groupby, win_bounded_frame, fn_from_json_struct,
-# fn_grouped_pandas_demean, lh_schema_evolution, lh_sql_read,
-# lh_expire_snapshots, lh_delete_where, lh_datasource_pushdown_scan,
-# sim_cosine_topk — its r8 plan fix is machine-guarded by
-# tests/test_plans.py — text_repetition_stats, text_subword_tokens,
-# train_decontaminate) plus the rows-only dedup_group_components (an r8
-# window slot that produced no hash evidence; per VERDICT r8 task #2 its
-# oracle-checked twin dedup_components_exact takes the slot). Rotated IN
-# ALL 26 never-driver-verified oracle-checkable queries (the 9 r8
-# newcomers, the 8 long-tail scalar fns, and the 9 remaining singles) and
-# the 5 queries NEW this round. The 16 r8 first-timers hold for their
-# second green round. Stable anchors keep the heavyweight paths
-# represented per the standing category contract
+# Round-10 rotation (VERDICT r9 task #1: retire the driver-evidence tail
+# for good). Rotated OUT the 13 rows green in BOTH r8 and r9 that are not
+# category anchors (set_except_all, lh_bucketed_colocated_join,
+# lh_flat_layout_roundtrip, lh_metadata_count, lh_rename_column,
+# lh_sql_catalog_lifecycle, lh_tag_read, multimodal_frame_sample,
+# pipeline_train_prep, stream_lh_datasource_partitioned,
+# stream_lh_source_by_type, stream_sliding_2h,
+# stream_user_running_totals). Rotated IN all 10 oracle-checkable
+# never-driver-verified queries (the 4 post-freeze r9 newcomers —
+# events_funnel_skewsafe, lh_rollup_reaggregate,
+# multimodal_container_probe, multimodal_jpeg_progressive — plus the
+# 6-query scalar-fn tail) and the 3 queries NEW this round
+# (lh_merge_into_partitioned, lh_rollup_distinct,
+# multimodal_jpeg_subsampled). After this window hashes green, every
+# registered oracle-checkable query has a driver row. The 28 r9
+# first-timers hold for their second green round. Stable anchors keep
+# the heavyweight paths represented per the standing category contract
 # (tests/test_entry_contract.py): the flagship pricing summary plus four
-# structurally-diverse TPC-H topologies (deep join chain, big semi-join,
-# multi-EXISTS, outer-join agg), the rewritten cosine top-k, and the
-# reference's flagship upsert composite. Four of the eight long-tail
-# fn_* queries (date_arithmetic, null_handling, posexplode,
-# string_extended) wait for the r10 window — the five NEW queries
-# outrank them for driver evidence.
+# structurally-diverse TPC-H topologies, join_right_outer, the rewritten
+# cosine top-k, the reference's flagship upsert composite, and the
+# exactly-once streaming sink.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # parquet scans + synthetic source (never-verified)
+    # parquet scans + synthetic source (r9 first-timers hold)
     "scan_repartition_blocks",
     "synthetic_mock_dataset",
-    # core aggregation (flagship anchor + never-verified shapes)
+    # core aggregation (flagship anchor + r9 first-timers hold)
     "agg_q1_pricing_summary",
     "agg_conditional",
     "agg_unpivot",
-    # joins: r8 first-timer holds + four structurally-diverse TPC-H
-    # topology anchors (plan shapes of all 22 stay machine-checked in
-    # tests/test_plans.py on every run)
+    # joins: anchor + four structurally-diverse TPC-H topology anchors
+    # (plan shapes of all 22 stay machine-checked in tests/test_plans.py)
     "join_right_outer",
     "agg_q9_product_profit",
     "agg_q13_customer_distribution",
     "agg_q18_large_orders",
     "agg_q21_suppliers_kept_waiting",
-    # set ops (r8 first-timer holds + never-verified by-name union)
-    "set_except_all",
+    # set ops (r9 first-timer holds)
     "set_union_missing_columns",
-    # windows (never-verified ntile/cume_dist)
+    # windows (r9 first-timer holds)
     "win_ntile_cume",
-    # scalar-function long tail (VERDICT r8 task #5 — two of the eight
-    # never-verified; the rest take r10 slots, outranked here by the NEW
-    # lakehouse composites below, which are fresher code)
+    # scalar-function long tail: the final 6 never-verified rotate in
+    # (r9 task #1), the two r9 first-timers hold
     "fn_try_arithmetic",
     "fn_regexp_extract_all",
-    # time-series analytics (NEW this round: ordered funnel + retention)
+    "fn_bitwise",
+    "fn_date_arithmetic",
+    "fn_null_handling",
+    "fn_posexplode",
+    "fn_string_extended",
+    "fn_struct_ops",
+    # time-series analytics (r9 first-timers hold; the skew-safe funnel
+    # twin — post-freeze r9 code — rotates in)
     "events_funnel_steps",
     "events_retention_cohorts",
-    # lakehouse lifecycle + maintenance (r8 first-timers hold;
-    # never-verified rollups + ANN health->action; NEW avg rollup and NEW
-    # incremental dedup index — the lh_upsert anchor yields its slot to
-    # the fresh composite, upsert semantics stay covered by
-    # lh_datasource_write_roundtrip + the CDC/upsert pytest suites)
+    "events_funnel_skewsafe",
+    # lakehouse lifecycle + maintenance (r9 first-timers hold; NEW
+    # partition-scoped MERGE INTO + HLL distinct rollup; post-freeze
+    # reaggregate read path rotates in)
     "lh_dedup_incremental",
     "lh_merge_into",
+    "lh_merge_into_partitioned",
     "lh_type_promotion",
     "lh_datasource_write_roundtrip",
-    "lh_sql_catalog_lifecycle",
-    "lh_metadata_count",
-    "lh_tag_read",
-    "lh_rename_column",
-    "lh_flat_layout_roundtrip",
-    "lh_bucketed_colocated_join",
     "lh_rollup_incremental",
     "lh_rollup_hourly",
     "lh_rollup_avg",
+    "lh_rollup_distinct",
+    "lh_rollup_reaggregate",
     "lh_ann_auto_maintain",
-    # dedup + similarity (VERDICT r8 task #2: the oracle-checked
-    # connected-components twin takes the slot its rows-only sibling
-    # wasted in r8; cosine top-k anchors the sim_ category)
+    # dedup + similarity (components twin holds; cosine top-k anchors)
     "dedup_components_exact",
     "sim_cosine_topk",
-    # text + multimodal (never-verified tail + pure-numpy codecs + NEW
-    # chunking; frame_sample holds for its second round)
+    # text + multimodal (r9 first-timers hold; post-freeze progressive
+    # JPEG + container probes rotate in; NEW 4:2:0/4:2:2 subsampled
+    # decode)
     "text_token_stats",
     "text_top_bigrams",
     "text_bigram_novelty",
     "text_chunk_overlap",
-    "multimodal_frame_sample",
     "multimodal_png_decode",
     "multimodal_jpeg_roundtrip",
-    # training-data ops (never-verified temperature mixing; NEW histogram
-    # profile; train-prep composite holds for its second round)
+    "multimodal_jpeg_progressive",
+    "multimodal_jpeg_subsampled",
+    "multimodal_container_probe",
+    # training-data ops (r9 first-timers hold)
     "train_mix_temperature",
     "train_numeric_profile",
-    "pipeline_train_prep",
-    # structured streaming (r8 first-timers hold; never-verified dedup
-    # count + rollup maintenance rotate in)
+    # structured streaming (r9 first-timers hold; exactly-once sink
+    # anchors the heavyweight path)
     "stream_lh_sink_hourly",
-    "stream_lh_source_by_type",
-    "stream_lh_datasource_partitioned",
-    "stream_user_running_totals",
-    "stream_sliding_2h",
     "stream_dedup_count",
     "stream_lh_rollup_maintain",
 )

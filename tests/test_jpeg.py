@@ -159,3 +159,119 @@ def test_cross_check_against_pillow():
     Image.fromarray(img).save(buf, format="JPEG", quality=90, subsampling=0)
     ours_px = jpeg.decode_jpeg(buf.getvalue())
     assert np.abs(ours_px.astype(int) - img.astype(int)).mean() < 16.0
+
+
+# ------------------------------------------------- chroma subsampling ----
+
+
+def _smooth_rgb(h, w, seed=0):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            128 + 70 * np.sin((y + seed) / 9.0) * np.cos(x / 7.0),
+            128 + 55 * np.cos((x + seed) / 8.0),
+            128 + 60 * np.sin((y + x) / 11.0),
+        ],
+        axis=-1,
+    ).clip(0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("ss", ["4:2:0", "4:2:2"])
+@pytest.mark.parametrize("shape", [(16, 16), (37, 29), (8, 50), (50, 9)])
+def test_subsampled_roundtrip_error_bounds(ss, shape):
+    """Odd dims and multi-MCU grids round-trip within a quantization +
+    chroma-averaging error bound on smooth content."""
+    px = _smooth_rgb(*shape, seed=shape[0])
+    payload = jpeg.encode_jpeg(px, quality=92, subsampling=ss)
+    out = jpeg.decode_jpeg(payload)
+    assert out.shape == px.shape
+    assert np.abs(out.astype(int) - px.astype(int)).mean() < 8.0
+    assert jpeg.jpeg_sampling(payload) == ss
+    assert jpeg.jpeg_header(payload) == (shape[1], shape[0], 3)
+
+
+def test_flat_color_exact_at_420_and_channel_mapping():
+    """A flat color image is DC-only in every plane: the 4:2:0 round-trip
+    must reproduce the exact color — catching any Cb/Cr swap or
+    upsample misalignment at the source."""
+    for color in [(200, 50, 100), (30, 180, 220)]:
+        px = np.full((16, 16, 3), color, np.uint8)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=90, subsampling="4:2:0"))
+        assert np.abs(out.astype(int) - np.array(color)).max() <= 2
+
+
+def test_chroma_constant_image_matches_444():
+    """When chroma is constant, downsampling loses nothing: the 4:2:0
+    decode must track the 4:4:4 decode within a couple of quant levels."""
+    y, x = np.mgrid[0:24, 0:21]
+    # luma-only variation (equal RGB -> Cb=Cr=128 exactly)
+    g = ((y * 5 + x * 3) % 200 + 20).astype(np.uint8)
+    px = np.stack([g, g, g], axis=-1)
+    d444 = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=95)).astype(int)
+    d420 = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(px, quality=95, subsampling="4:2:0")
+    ).astype(int)
+    assert np.abs(d444 - d420).max() <= 2
+
+
+def test_422_direction_of_subsampling():
+    """4:2:2 halves chroma HORIZONTALLY only: per-pixel chroma
+    alternation along x is destroyed (box mean flattens it) while the
+    same alternation along y survives untouched — pinning that the Hi/Vi
+    factors are not transposed. 4:2:0 destroys both directions."""
+    y, x = np.mgrid[0:32, 0:32]
+    lum = np.full((32, 32), 128.0)
+
+    def mk(cb):
+        ycc = np.stack([lum, cb, np.full((32, 32), 128.0)], -1)
+        return jpeg.ycbcr_to_rgb(ycc).astype(np.uint8)
+
+    xvar = mk(128 + 40.0 * ((x % 2) * 2 - 1))  # chroma alternates along x
+    yvar = mk(128 + 40.0 * ((y % 2) * 2 - 1))  # chroma alternates along y
+
+    def err(px, ss):
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=95, subsampling=ss))
+        return np.abs(out.astype(int) - px.astype(int)).mean()
+
+    # measured: 4:2:2 xvar=28.0 yvar=0.33; 4:2:0 xvar=yvar=28.0
+    assert err(xvar, "4:2:2") > 10.0 > err(yvar, "4:2:2")
+    assert err(xvar, "4:2:0") > 10.0 and err(yvar, "4:2:0") > 10.0
+    assert err(xvar, "4:4:4") < 2.0 and err(yvar, "4:4:4") < 2.0
+
+
+def test_444_encoder_output_unchanged():
+    """subsampling='4:4:4' must be bit-identical to the historical
+    default encoder output (no regression for existing streams)."""
+    px = _smooth_rgb(19, 23, seed=7)
+    assert jpeg.encode_jpeg(px, quality=85) == jpeg.encode_jpeg(
+        px, quality=85, subsampling="4:4:4"
+    )
+    with pytest.raises(ValueError):
+        jpeg.encode_jpeg(px, quality=85, subsampling="4:1:1")
+
+
+def test_sampling_probe_gray_and_444():
+    g = np.zeros((8, 8), np.uint8)
+    assert jpeg.jpeg_sampling(jpeg.encode_jpeg(g)) == "gray"
+    px = _smooth_rgb(8, 8)
+    assert jpeg.jpeg_sampling(jpeg.encode_jpeg(px)) == "4:4:4"
+
+
+@pytest.mark.skipif(not multimodal.HAS_PIL, reason="Pillow not installed")
+def test_subsampled_cross_check_against_pillow():
+    """Our 4:2:0 output must decode in Pillow, and Pillow's 4:2:0 output
+    (the real-world default) must decode natively in ours."""
+    import io
+
+    from PIL import Image
+
+    px = _smooth_rgb(24, 24, seed=3)
+    theirs = np.asarray(
+        Image.open(io.BytesIO(jpeg.encode_jpeg(px, quality=90, subsampling="4:2:0"))).convert("RGB")
+    )
+    assert np.abs(theirs.astype(int) - px.astype(int)).mean() < 10.0
+    buf = io.BytesIO()
+    Image.fromarray(px).save(buf, format="JPEG", quality=90, subsampling=2)
+    ours = jpeg.decode_jpeg(buf.getvalue())
+    assert jpeg.jpeg_sampling(buf.getvalue()) == "4:2:0"
+    assert np.abs(ours.astype(int) - px.astype(int)).mean() < 10.0
