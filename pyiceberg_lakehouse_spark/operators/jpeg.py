@@ -10,11 +10,11 @@ other encoders with optimal tables decode too).
 Scope (honest gates, same stance as the PNG codec): 8-bit baseline
 sequential, grayscale or YCbCr at 4:4:4, 4:2:2, or 4:2:0 chroma
 subsampling (any integer-ratio Hi x Vi factors decode; the encoder
-emits the three standard schemes); PROGRESSIVE streams (SOF2) dispatch
-to the multi-scan decoder in operators/jpeg_progressive.py; restart
-intervals, multi-scan (non-interleaved color) baseline, 12-bit
-precision, lossless (SOF3), and arithmetic coding raise
-NotImplementedError. The emitted Huffman
+emits the three standard schemes), with restart intervals (DRI/RSTm)
+on both encode and decode; PROGRESSIVE streams (SOF2) dispatch to the
+multi-scan decoder in operators/jpeg_progressive.py; multi-scan
+(non-interleaved color) baseline, 12-bit precision, lossless (SOF3),
+and arithmetic coding raise NotImplementedError. The emitted Huffman
 tables are flat 8-bit canonical codes — deliberately suboptimal for
 SIZE but trivially correct, and legal because the tables travel in DHT
 segments (a decoder never assumes Annex K defaults).
@@ -158,6 +158,12 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per T.81
         return bytes(self.buf)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-bit padding) and emit RSTm — written RAW, never
+        byte-stuffed (it is a real marker, T.81 B.2.1.2)."""
+        self.flush()
+        self.buf += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 class _BitReader:
     def __init__(self, data: bytes) -> None:
@@ -184,6 +190,18 @@ class _BitReader:
         self.n -= length
         self.acc &= (1 << self.n) - 1
         return out
+
+    def align_restart(self, expect: int) -> None:
+        """Drop padding bits to the byte boundary and consume the expected
+        RSTm marker (T.81 E.2.4: markers restart modulo 8)."""
+        self.acc = 0
+        self.n = 0
+        tag = self.data[self.pos : self.pos + 2]
+        if tag != bytes([0xFF, 0xD0 + (expect & 7)]):
+            raise ValueError(
+                f"missing restart marker RST{expect & 7} in entropy stream"
+            )
+        self.pos += 2
 
 
 def _huff_decode(r: _BitReader, decode: dict[tuple[int, int], int]) -> int:
@@ -275,14 +293,23 @@ _SUBSAMPLING = {
 }
 
 
-def encode_jpeg(pixels, quality: int = 90, subsampling: str = "4:4:4") -> bytes:
+def encode_jpeg(
+    pixels,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JPEG bytes.
 
     ``subsampling``: "4:4:4" (default), "4:2:2" (chroma halved
     horizontally), or "4:2:0" (chroma halved both ways) — the scheme the
     vast majority of real-world JPEGs use. Chroma is box-mean
     downsampled; blocks are emitted MCU-interleaved with per-component
-    Hi x Vi factors per T.81 A.2.3. Ignored for grayscale."""
+    Hi x Vi factors per T.81 A.2.3. Ignored for grayscale.
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTm marker every
+    that many MCUs (byte-aligned, DC predictors reset) — the
+    error-resilience feature most camera JPEGs carry."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -359,8 +386,13 @@ def encode_jpeg(pixels, quality: int = 90, subsampling: str = "4:4:4") -> bytes:
 
     wtr = _BitWriter()
     preds = [0] * len(planes)
+    mcu_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                wtr.restart((mcu_n // restart_interval - 1) % 8)
+                preds = [0] * len(planes)
+            mcu_n += 1
             for ci, (hi, vi) in enumerate(hv):
                 for v in range(vi):
                     for hb in range(hi):
@@ -382,6 +414,8 @@ def encode_jpeg(pixels, quality: int = 90, subsampling: str = "4:4:4") -> bytes:
     for tc, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
         body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
@@ -401,6 +435,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps: list[tuple[int, int, int]] = []  # (id, sampling, qt_id)
     h = w = 0
+    restart_interval = 0
     scan: bytes | None = None
     scan_comps: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
     while pos + 4 <= len(payload):
@@ -461,7 +496,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 huff[(tc, th)] = {(ln, c): s for s, (c, ln) in codes.items()}
                 off += 17 + nv
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             ns = body[0]
             scan_comps = []
@@ -522,8 +557,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         byi, bxi = (hi_px + 7) // 8, (wi_px + 7) // 8
         plane = np.zeros((byi * 8, bxi * 8))
         dc_tab, ac_tab = huff[(0, dct_id)], huff[(1, act_id)]
+        mcu_n = 0
         for myy in range(byi):
             for mxx in range(bxi):
+                if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                    r.align_restart(mcu_n // restart_interval - 1)
+                    preds[idx] = 0
+                mcu_n += 1
                 plane[myy * 8 : myy * 8 + 8, mxx * 8 : mxx * 8 + 8] = _block(
                     idx, dc_tab, ac_tab
                 )
@@ -535,8 +575,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             idx: np.zeros((mcuy * vs[idx] * 8, mcux * hs[idx] * 8))
             for idx, _, _ in scan_comps
         }
+        mcu_n = 0
         for myy in range(mcuy):
             for mxx in range(mcux):
+                if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                    r.align_restart(mcu_n // restart_interval - 1)
+                    preds[:] = [0] * len(preds)
+                mcu_n += 1
                 for idx, dct_id, act_id in scan_comps:
                     dc_tab, ac_tab = huff[(0, dct_id)], huff[(1, act_id)]
                     hi, vi = hs[idx], vs[idx]

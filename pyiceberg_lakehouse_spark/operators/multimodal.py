@@ -13,8 +13,8 @@ pure-numpy codec too (operators/jpeg.py: 8x8 DCT + quantization + Huffman
 entropy coding both ways); PROGRESSIVE JPEG decodes natively as well
 (operators/jpeg_progressive.py: spectral selection + successive
 approximation, all four scan types), and chroma-subsampled (4:2:0 /
-4:2:2) baseline streams decode natively too. What remains (lossless
-JPEG, restart intervals) falls through to Pillow WHEN it is importable (the same
+4:2:2) and restart-interval baseline streams decode natively too. What
+remains (lossless JPEG) falls through to Pillow WHEN it is importable (the same
 runtime availability gate as psycopg2 in lakehouse/catalog.py); MP4/MP3
 expose real container-metadata PROBES (box walk / frame walk below)
 while their sample decode stays NotImplemented.
@@ -75,7 +75,7 @@ def decode_stub(payload: bytes, mime: str) -> bytes:
     third-party library needed); JPEG dispatches native-first to the
     built-in codecs (baseline in operators/jpeg.py, progressive in
     operators/jpeg_progressive.py) and falls through to Pillow for what
-    the native paths reject (lossless / restart intervals) when Pillow
+    the native paths reject (lossless, exotic precisions) when Pillow
     is importable; everything else (and unsupported JPEG variants without
     Pillow) raises instead of half-working.
     """

@@ -275,3 +275,65 @@ def test_subsampled_cross_check_against_pillow():
     ours = jpeg.decode_jpeg(buf.getvalue())
     assert jpeg.jpeg_sampling(buf.getvalue()) == "4:2:0"
     assert np.abs(ours.astype(int) - px.astype(int)).mean() < 10.0
+
+
+# -------------------------------------------------- restart intervals ----
+
+
+def test_restart_interval_roundtrip_identical_pixels():
+    """RSTm markers byte-align the stream and reset DC predictors; the
+    decoded pixels must be IDENTICAL to the restart-free encoding of the
+    same image (restarts change framing, never values)."""
+    px = _smooth_rgb(40, 33, seed=5)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=90))
+    for ri in (1, 2, 5):
+        enc = jpeg.encode_jpeg(px, quality=90, restart_interval=ri)
+        assert any(bytes([0xFF, 0xD0 + k]) in enc for k in range(8))
+        assert np.array_equal(jpeg.decode_jpeg(enc), base)
+    # subsampled + restarts compose
+    enc = jpeg.encode_jpeg(px, quality=90, subsampling="4:2:0", restart_interval=2)
+    b420 = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=90, subsampling="4:2:0"))
+    assert np.array_equal(jpeg.decode_jpeg(enc), b420)
+    # grayscale too
+    g = _smooth_rgb(25, 19, seed=9)[..., 0]
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=90, restart_interval=3)),
+        jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=90)),
+    )
+
+
+def test_restart_marker_mismatch_fails_loudly():
+    """A corrupted RSTm sequence number must raise, not desync silently."""
+    px = _smooth_rgb(24, 24, seed=2)
+    enc = bytearray(jpeg.encode_jpeg(px, quality=90, restart_interval=1))
+    i = bytes(enc).find(b"\xff\xd0")
+    assert i > 0
+    enc[i + 1] = 0xD3  # wrong modulo-8 sequence
+    with pytest.raises(ValueError, match="restart"):
+        jpeg.decode_jpeg(bytes(enc))
+
+
+@pytest.mark.skipif(not multimodal.HAS_PIL, reason="Pillow not installed")
+def test_restart_cross_check_against_pillow():
+    """Pillow must decode our restart-interval streams, and our decoder
+    must read Pillow's (restart_marker_blocks) when that save option
+    exists in the installed Pillow."""
+    import io
+
+    from PIL import Image
+
+    px = _smooth_rgb(24, 24, seed=4)
+    ours = jpeg.encode_jpeg(px, quality=90, restart_interval=2)
+    theirs_px = np.asarray(Image.open(io.BytesIO(ours)).convert("RGB"))
+    assert np.abs(theirs_px.astype(int) - px.astype(int)).mean() < 10.0
+    buf = io.BytesIO()
+    try:
+        Image.fromarray(px).save(
+            buf, format="JPEG", quality=90, subsampling=0, restart_marker_blocks=2
+        )
+    except TypeError:
+        pytest.skip("Pillow too old for restart_marker_blocks")
+    if not any(bytes([0xFF, 0xD0 + k]) in buf.getvalue() for k in range(8)):
+        pytest.skip("Pillow ignored restart_marker_blocks")
+    ours_px = jpeg.decode_jpeg(buf.getvalue())
+    assert np.abs(ours_px.astype(int) - px.astype(int)).mean() < 10.0
