@@ -22,8 +22,12 @@ delivered across multiple scans:
   (including those inside EOB runs) contributes one magnitude-correction
   bit (T.81 G.1.2.3 / G.2; the widely-implemented libjpeg structure).
 
-Scope: 8-bit, greyscale or YCbCr 4:4:4 (same honest subsampling gate as
-the baseline decoder), no restart intervals. The encoder's scan script
+Scope: 8-bit, greyscale or YCbCr at 4:4:4 / 4:2:2 / 4:2:0 chroma
+subsampling (any integer-ratio Hi x Vi factors decode: interleaved DC
+scans walk the MCU order, non-interleaved scans walk each component's
+OWN block grid per T.81 A.2.2, so subsampled components' MCU-padding
+blocks are DC-only — exactly how libjpeg emits them); no restart
+intervals. The encoder's scan script
 (DC Al=1 → DC refine → per-component AC Al=1 → per-component AC refine)
 exercises all four scan types, so a full decode round-trip covers every
 code path foreign progressive files (libjpeg's standard script) use.
@@ -40,13 +44,15 @@ from pyiceberg_lakehouse_spark.operators.jpeg import (
     _amplitude_bits,
     _BitReader,
     _BitWriter,
-    _blocks,
+    _blocks_grid,
+    _box_downsample,
     _category,
     _codes_from_table,
     _D,
     _extend,
     _flat_table,
     _huff_decode,
+    _SUBSAMPLING,
     quality_tables,
     rgb_to_ycbcr,
     ycbcr_to_rgb,
@@ -76,6 +82,69 @@ def _entropy_span(payload: bytes, pos: int) -> tuple[bytes, int]:
     return payload[pos:n], n
 
 
+class _Geometry:
+    """Per-component block geometry for a (possibly subsampled) frame.
+
+    ``bym/bxm``: the MCU-ALIGNED grid each component's coefficient array
+    covers (mcuy*Vi x mcux*Hi blocks — T.81 A.2.4 pads to whole MCUs);
+    ``byn/bxn``: the component's OWN block grid (ceil of its true sample
+    dims / 8), the grid NON-INTERLEAVED scans walk (A.2.2). For 4:4:4
+    the two coincide."""
+
+    def __init__(self, h: int, w: int, samps: list[int]) -> None:
+        self.h, self.w = h, w
+        self.hs = [(s >> 4) or 1 for s in samps]
+        self.vs = [(s & 0x0F) or 1 for s in samps]
+        self.hmax, self.vmax = max(self.hs), max(self.vs)
+        if any(
+            self.hmax % x or self.vmax % y
+            for x, y in zip(self.hs, self.vs)
+        ):
+            raise NotImplementedError(
+                "fractional chroma sampling ratios unsupported"
+            )
+        self.mcuy = (h + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.mcux = (w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.bym = [self.mcuy * v for v in self.vs]
+        self.bxm = [self.mcux * x for x in self.hs]
+        self.hpx = [
+            (h * v + self.vmax - 1) // self.vmax for v in self.vs
+        ]
+        self.wpx = [
+            (w * x + self.hmax - 1) // self.hmax for x in self.hs
+        ]
+        self.byn = [(p + 7) // 8 for p in self.hpx]
+        self.bxn = [(p + 7) // 8 for p in self.wpx]
+
+    def noninterleaved_blocks(self, idx: int) -> list[int]:
+        """Coefficient-array indices a non-interleaved scan visits, in
+        raster order over the component's OWN grid (MCU-padding blocks
+        beyond it are not coded in such a scan)."""
+        bxm = self.bxm[idx]
+        return [
+            r * bxm + c
+            for r in range(self.byn[idx])
+            for c in range(self.bxn[idx])
+        ]
+
+    def interleaved_blocks(
+        self, scan_comps: list[tuple[int, int, int]]
+    ) -> list[tuple[int, int]]:
+        """(component, coefficient-array index) pairs in MCU-interleaved
+        order: per MCU, each component contributes its Vi x Hi raster."""
+        out = []
+        for my in range(self.mcuy):
+            for mx in range(self.mcux):
+                for idx, _dct, _act in scan_comps:
+                    hi, vi = self.hs[idx], self.vs[idx]
+                    for v in range(vi):
+                        for hb in range(hi):
+                            out.append(
+                                (idx, (my * vi + v) * self.bxm[idx] + mx * hi + hb)
+                            )
+        return out
+
+
 def decode_progressive(payload: bytes) -> np.ndarray:
     """Progressive JPEG bytes -> (h, w) or (h, w, 3) uint8 (RGB)."""
     if payload[:2] != b"\xff\xd8":
@@ -86,7 +155,7 @@ def decode_progressive(payload: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int]] = []  # (id, sampling, qt_id)
     h = w = 0
     coefs: list[np.ndarray] | None = None  # per comp: (n_blocks, 64) zigzag
-    by = bx = 0
+    geom: _Geometry | None = None
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG (expected marker)")
@@ -125,13 +194,12 @@ def decode_progressive(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + ci * 3 : 9 + ci * 3]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "subsampled chroma (non-1x1 sampling) unsupported"
-                    )
                 comps.append((cid, samp, tq))
-            by, bx = (h + 7) // 8, (w + 7) // 8
-            coefs = [np.zeros((by * bx, 64), dtype=np.int64) for _ in comps]
+            geom = _Geometry(h, w, [c[1] for c in comps])
+            coefs = [
+                np.zeros((geom.bym[i] * geom.bxm[i], 64), dtype=np.int64)
+                for i in range(ncomp)
+            ]
         elif marker == 0xC4:
             off = 0
             while off < len(body):
@@ -161,43 +229,53 @@ def decode_progressive(payload: bytes) -> np.ndarray:
             # EOB-run state is per scan (any residue dies with the scan)
             _decode_scan(
                 _BitReader(data), coefs, huff, scan_comps, ss, se, ah, al,
-                by, bx,
+                geom,
             )
         # other markers (APPn, COM) are skipped
-    if coefs is None or not comps:
+    if coefs is None or not comps or geom is None:
         raise ValueError("corrupt JPEG (no scan data)")
     planes = []
     for idx, (_cid, _s, tq) in enumerate(comps):
-        blocks = np.zeros((by * bx, 64))
+        bym, bxm = geom.bym[idx], geom.bxm[idx]
+        blocks = np.zeros((bym * bxm, 64))
         blocks[:, ZIGZAG] = coefs[idx]
-        freq = blocks.reshape(by, bx, 8, 8) * qts[tq]
+        freq = blocks.reshape(bym, bxm, 8, 8) * qts[tq]
         spatial = np.einsum("xu,ybuv,cv->ybxc", _D.T, freq, _D.T, optimize=True)
-        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bym * 8, bxm * 8) + 128.0
+        # crop to true sample dims, then JFIF nearest-neighbor upsample
+        plane = plane[: geom.hpx[idx], : geom.wpx[idx]]
+        fy, fx = geom.vmax // geom.vs[idx], geom.hmax // geom.hs[idx]
+        if fy != 1 or fx != 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         return np.clip(planes[0], 0, 255).astype(np.uint8)
     return ycbcr_to_rgb(np.stack(planes, axis=-1)).astype(np.uint8)
 
 
-def _decode_scan(r, coefs, huff, scan_comps, ss, se, ah, al, by, bx) -> int:
-    n_blocks = by * bx
+def _decode_scan(r, coefs, huff, scan_comps, ss, se, ah, al, geom) -> int:
+    tabs = {idx: dct for idx, dct, _act in scan_comps}
     if ss == 0:
-        # ---- DC scan (may be interleaved) ----
+        # ---- DC scan (interleaved over the MCU order when multi-
+        # component, else the component's own grid) ----
         if se != 0:
             raise ValueError("corrupt scan header (DC scan with Se != 0)")
+        if len(scan_comps) == 1:
+            only = scan_comps[0][0]
+            walk = [(only, b) for b in geom.noninterleaved_blocks(only)]
+        else:
+            walk = geom.interleaved_blocks(scan_comps)
         if ah == 0:
             preds = {idx: 0 for idx, _, _ in scan_comps}
-            for b in range(n_blocks):
-                for idx, dct, _act in scan_comps:
-                    size = _huff_decode(r, huff[(0, dct)])
-                    diff = _extend(r.read(size), size) if size else 0
-                    preds[idx] += diff
-                    coefs[idx][b, 0] = preds[idx] << al
+            for idx, b in walk:
+                size = _huff_decode(r, huff[(0, tabs[idx])])
+                diff = _extend(r.read(size), size) if size else 0
+                preds[idx] += diff
+                coefs[idx][b, 0] = preds[idx] << al
         else:
-            for b in range(n_blocks):
-                for idx, _dct, _act in scan_comps:
-                    if r.read(1):
-                        coefs[idx][b, 0] |= 1 << al
+            for idx, b in walk:
+                if r.read(1):
+                    coefs[idx][b, 0] |= 1 << al
         return 0
     # ---- AC scan: single component, non-interleaved ----
     if len(scan_comps) != 1:
@@ -205,9 +283,10 @@ def _decode_scan(r, coefs, huff, scan_comps, ss, se, ah, al, by, bx) -> int:
     idx, _dct, act = scan_comps[0]
     table = huff[(1, act)]
     coef = coefs[idx]
+    blocks = geom.noninterleaved_blocks(idx)
     eobrun = 0
     if ah == 0:
-        for b in range(n_blocks):
+        for b in blocks:
             if eobrun > 0:
                 eobrun -= 1
                 continue
@@ -229,7 +308,7 @@ def _decode_scan(r, coefs, huff, scan_comps, ss, se, ah, al, by, bx) -> int:
         return eobrun
     # ---- AC refinement (T.81 G.1.2.3; libjpeg structure) ----
     p1, m1 = 1 << al, -1 << al
-    for b in range(n_blocks):
+    for b in blocks:
         k = ss
         if eobrun == 0:
             while k <= se:
@@ -275,30 +354,48 @@ def _decode_scan(r, coefs, huff, scan_comps, ss, se, ah, al, by, bx) -> int:
 # ----------------------------------------------------------- encoder -----
 
 
-def encode_progressive(pixels, quality: int = 90) -> bytes:
+def encode_progressive(
+    pixels, quality: int = 90, subsampling: str = "4:4:4"
+) -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 -> progressive JPEG whose
     scan script (DC Al=1 → DC refine → AC first Al=1 per comp → AC refine
     per comp) exercises every progressive scan type. Decodes to the SAME
-    pixels as the baseline encoder at the same quality — the coefficients
-    are identical; only the delivery differs.
-    """
+    pixels as the baseline encoder at the same quality and subsampling —
+    the coefficients are identical; only the delivery differs.
+
+    ``subsampling``: "4:4:4" (default) / "4:2:2" / "4:2:0"; the DC scan
+    interleaves components in MCU order with Hi x Vi factors, the AC
+    scans (non-interleaved per T.81) walk each component's OWN block
+    grid. Ignored for grayscale."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
     qt_l, qt_c = quality_tables(quality)
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
     if gray:
         planes, qts, qt_ids = [px.astype(np.float64)], [qt_l], [0]
+        hv = [(1, 1)]
     else:
+        hv = _SUBSAMPLING[subsampling]
+        hmax0 = max(x for x, _ in hv)
+        vmax0 = max(y for _, y in hv)
         ycc = rgb_to_ycbcr(px)
-        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        planes = [
+            _box_downsample(ycc[..., i], vmax0 // vi, hmax0 // hi)
+            for i, (hi, vi) in enumerate(hv)
+        ]
         qts, qt_ids = [qt_l, qt_c, qt_c], [0, 1, 1]
 
+    geom = _Geometry(h, w, [(hi << 4) | vi for hi, vi in hv])
     comp_coeffs = []
-    for plane, qt in zip(planes, qts):
-        blocks, nby, nbx = _blocks(plane)
+    for i, (plane, qt) in enumerate(zip(planes, qts)):
+        blocks = _blocks_grid(plane, geom.bym[i], geom.bxm[i])
         dct = np.einsum("ux,ybxc,vc->ybuv", _D, blocks - 128.0, _D, optimize=True)
         quant = np.round(dct / qt).astype(np.int64)
-        comp_coeffs.append(quant.reshape(nby * nbx, 64)[:, ZIGZAG])
+        comp_coeffs.append(
+            quant.reshape(geom.bym[i] * geom.bxm[i], 64)[:, ZIGZAG]
+        )
 
     dc_bits, dc_vals = _flat_table(_DC_SYMBOLS)
     ac_bits, ac_vals = _flat_table(_AC_SYMBOLS)
@@ -312,7 +409,8 @@ def encode_progressive(pixels, quality: int = 90) -> bytes:
     ncomp = len(planes)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, qt_ids[ci]])
+        hi, vi = hv[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qt_ids[ci]])
     out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
     for tc, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
         body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
@@ -327,34 +425,41 @@ def encode_progressive(pixels, quality: int = 90) -> bytes:
         out.extend(data)
 
     all_ids = [ci + 1 for ci in range(ncomp)]
+    dc_scan_comps = [(ci, 0, 0) for ci in range(ncomp)]
+    dc_walk = (
+        geom.interleaved_blocks(dc_scan_comps)
+        if ncomp > 1
+        else [(0, b) for b in geom.noninterleaved_blocks(0)]
+    )
 
     # scan 1: DC first, Al=1, interleaved (arithmetic shift for DPCM)
     wtr = _BitWriter()
     preds = [0] * ncomp
-    for b in range(comp_coeffs[0].shape[0]):
-        for ci in range(ncomp):
-            v = int(comp_coeffs[ci][b, 0]) >> 1
-            diff = v - preds[ci]
-            preds[ci] = v
-            size = _category(diff)
-            c, ln = dc_codes[size]
-            wtr.write(c, ln)
-            if size:
-                wtr.write(_amplitude_bits(diff, size), size)
+    for ci, b in dc_walk:
+        v = int(comp_coeffs[ci][b, 0]) >> 1
+        diff = v - preds[ci]
+        preds[ci] = v
+        size = _category(diff)
+        c, ln = dc_codes[size]
+        wtr.write(c, ln)
+        if size:
+            wtr.write(_amplitude_bits(diff, size), size)
     sos(all_ids, 0, 0, 0, 1, wtr.flush())
 
     # scan 2: DC refinement, Ah=1 -> Al=0 (raw low bits)
     wtr = _BitWriter()
-    for b in range(comp_coeffs[0].shape[0]):
-        for ci in range(ncomp):
-            wtr.write(int(comp_coeffs[ci][b, 0]) & 1, 1)
+    for ci, b in dc_walk:
+        wtr.write(int(comp_coeffs[ci][b, 0]) & 1, 1)
     sos(all_ids, 0, 0, 1, 0, wtr.flush())
 
-    # scans 3..: per component, AC first pass at Al=1 then refinement
+    # scans 3..: per component, AC first pass at Al=1 then refinement —
+    # non-interleaved, walking the component's OWN grid (MCU-padding
+    # blocks beyond it are not coded, matching the decoder)
     for ci in range(ncomp):
         coeffs = comp_coeffs[ci]
+        ac_blocks = geom.noninterleaved_blocks(ci)
         wtr = _BitWriter()
-        for b in range(coeffs.shape[0]):
+        for b in ac_blocks:
             run = 0
             wrote_any = False
             for k in range(1, 64):
@@ -384,7 +489,7 @@ def encode_progressive(pixels, quality: int = 90) -> bytes:
         # "flush all buffered bits after each ZRL" desyncs whenever a
         # still-significant coefficient sits beyond a ZRL's 16-zero span.
         wtr = _BitWriter()
-        for b in range(coeffs.shape[0]):
+        for b in ac_blocks:
             vals = [int(coeffs[b, k]) for k in range(64)]
             absv = [abs(v) for v in vals]
             newly = [k for k in range(1, 64) if absv[k] == 1]

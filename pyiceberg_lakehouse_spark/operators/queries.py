@@ -1381,7 +1381,8 @@ JPEG_SUBSAMPLED_SQL = """
            cast(10 + doc_id % 9 as integer) as width,
            cast(9 + doc_id % 7 as integer) as height,
            case when doc_id % 2 = 1 then '4:2:0' else '4:2:2' end as sampling,
-           true as err_within_bound
+           true as err_within_bound,
+           true as prog_matches_baseline
     from documents where doc_id % 4 = 3
 """
 
@@ -1414,13 +1415,17 @@ def multimodal_jpeg_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("height", T.IntegerType()),
             T.StructField("sampling", T.StringType()),
             T.StructField("err_within_bound", T.BooleanType()),
+            T.StructField("prog_matches_baseline", T.BooleanType()),
         ]
     )
 
     def batches(it):
+        from pyiceberg_lakehouse_spark.operators import jpeg_progressive as _prog
+
         for pdf in it:
             rows = {k: [] for k in ("doc_id", "width", "height",
-                                    "sampling", "err_within_bound")}
+                                    "sampling", "err_within_bound",
+                                    "prog_matches_baseline")}
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h = 10 + d % 9, 9 + d % 7
@@ -1445,6 +1450,10 @@ def multimodal_jpeg_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["height"].append(ph)
                 rows["sampling"].append(_jpeg.jpeg_sampling(payload))
                 rows["err_within_bound"].append(bool(err < 20.0))
+                pp = _prog.encode_progressive(px, quality=92, subsampling=ss)
+                rows["prog_matches_baseline"].append(
+                    bool(np.array_equal(_prog.decode_progressive(pp), out))
+                )
             yield pd.DataFrame(rows)
 
     return docs.mapInPandas(batches, schema)

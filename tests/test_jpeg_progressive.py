@@ -129,18 +129,50 @@ def test_foreign_eobrun_spanning_blocks():
 
 
 def test_honest_gates():
-    px = _noise((8, 8), 9)
+    px = _noise((8, 8, 3), 9)
     payload = bytearray(encode_progressive(px, quality=90))
-    # subsampled progressive must still raise (find SOF2, patch sampling)
+    # subsampled progressive now DECODES; the remaining sampling gate is
+    # fractional ratios (Hmax not a multiple of a component's Hi)
     i = payload.find(b"\xff\xc2")
     assert i > 0
     patched = bytearray(payload)
-    patched[i + 2 + 2 + 1 + 4 + 1 + 1] = 0x22  # comp 0 sampling 2x2
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    base = i + 2 + 2 + 1 + 4 + 1  # first component triple
+    patched[base + 1] = 0x31  # comp 0: 3x1
+    patched[base + 4] = 0x21  # comp 1: 2x1 -> 3 % 2 != 0
+    with pytest.raises(NotImplementedError, match="fractional"):
         decode_progressive(bytes(patched))
     # sequential stream rejected by the progressive entry point
-    seq = jpeg.encode_jpeg(px, quality=90)
+    seq = jpeg.encode_jpeg(px[..., 0], quality=90)
     with pytest.raises(ValueError, match="not a progressive"):
         decode_progressive(seq)
     with pytest.raises(ValueError, match="missing SOI"):
         decode_progressive(b"nope")
+
+
+@pytest.mark.parametrize("ss", ["4:2:0", "4:2:2"])
+@pytest.mark.parametrize("shape", [(16, 16), (37, 29), (9, 50)])
+def test_progressive_subsampled_bitequal_to_baseline(ss, shape):
+    """The strongest cross-check available: the progressive and baseline
+    encoders quantize the SAME subsampled coefficients, so decoding the
+    progressive multi-scan delivery must reproduce the baseline decode
+    BIT-FOR-BIT at every subsampling scheme and geometry (incl. MCU
+    padding rows/cols that only interleaved DC scans cover)."""
+    h, w = shape
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.stack(
+        [
+            128 + 70 * np.sin(y / 9.0) * np.cos(x / 7.0),
+            128 + 55 * np.cos(x / 8.0),
+            128 + 60 * np.sin((y + x) / 11.0),
+        ],
+        axis=-1,
+    ).clip(0, 255).astype(np.uint8)
+    prog = decode_progressive(encode_progressive(px, quality=90, subsampling=ss))
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=90, subsampling=ss))
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_subsampled_flat_color_exact():
+    px = np.full((16, 16, 3), (60, 190, 120), np.uint8)
+    out = decode_progressive(encode_progressive(px, quality=90, subsampling="4:2:0"))
+    assert np.abs(out.astype(int) - np.array((60, 190, 120))).max() <= 2
