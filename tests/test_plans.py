@@ -380,3 +380,32 @@ def test_funnel_skewsafe_partial_aggs_and_no_windows(spark, sf_dir):
     assert "CartesianProduct" not in plan.replace(
         "BroadcastNestedLoopJoin", ""
     )  # the final 1-row count combine may nest-loop; real data never does
+
+
+def test_hll_rollup_delta_partial_agg_no_raw_row_shuffle(spark, sf_dir):
+    """The HLL register build must reduce (dims, register-idx) -> max rank
+    with MAP-SIDE partial aggregation before its exchange — a hot group
+    ships at most 1024 rows per task, never its raw rows — and the final
+    dims-level vector build is a second partial-combining aggregate. A
+    grouped-map/pandas formulation (full raw shuffle) would be a scale
+    regression this test pins out."""
+    from pyspark.sql import functions as F
+
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import _delta_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = _delta_agg(ev, ["event_type"], [("user_id", "distinct"), ("*", "count")])
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    # both aggregation levels partial+final (>= 4 HashAggregate nodes:
+    # scalar parts 2 + idx-stage 2 + dims-stage objhashagg for collect)
+    assert len(re.findall(r"\(\d+\) (?:Object)?HashAggregate", plan)) >= 4, plan[:1200]
+    # no pandas/python evaluation anywhere in the register build
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # partial_max over the rank before the exchange (map-side combine)
+    assert re.search(r"partial_max", plan) or re.search(
+        r"HashAggregate.*max", plan, re.DOTALL
+    )

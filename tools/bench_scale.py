@@ -421,6 +421,42 @@ def bench_mock_upsert(spark, b: Bench, tmp: str) -> None:
         "value2", F.col("value2") + 1
     )
     b.run("upsert_all_partitions_10m", lambda: upsert_partitioned(t, allp, ["id"]))
+
+    # partition-scoped MERGE INTO (r10): a conditional merge whose source
+    # touches ONE of four partitions must cost ~the touched quarter, not
+    # the table — wall ratio plus the structural files-removed fraction
+    from pyiceberg_lakehouse_spark.lakehouse.upsert import (
+        merge_into,
+        merge_into_partitioned,
+    )
+
+    live_before = len(t.log.live_files())
+    m_one = mock.filter((F.col("group") == "B") & (F.col("id") % 10 == 2)).withColumn(
+        "value2", F.col("value2") + 2
+    )
+    snap = b.run(
+        "merge_into_one_partition_10m",
+        lambda: merge_into_partitioned(
+            t, m_one, ["id"], matched_delete=F.col("id") % 40 == 2
+        ),
+    )
+    b.notes["merge_partitioned_files_touched_fraction"] = round(
+        1
+        - sum(
+            1
+            for f in t.log.live_files()
+            if f.get("added_in", 0) < snap.snapshot_id
+        )
+        / max(live_before, 1),
+        4,
+    )
+    m_all = mock.filter(F.col("id") % 10 == 3).withColumn(
+        "value2", F.col("value2") + 2
+    )
+    b.run(
+        "merge_into_full_table_10m",
+        lambda: merge_into(t, m_all, ["id"], matched_delete=F.col("id") % 40 == 3),
+    )
     shutil.rmtree(wh, ignore_errors=True)
 
 
@@ -445,6 +481,17 @@ def bench_rollup(spark, b: Bench, tmp: str) -> None:
         lambda: create_rollup(lh, t, "scale.rufact_ru", ["group"], aggs),
     )
     r = lh.load_table("scale.rufact_ru")
+    # HLL distinct rollup at the same scale (r10): ~2.5M distinct value1
+    # per group against 1024 registers — deep in raw-HLL range, so this
+    # measures both the incremental economics AND the estimate accuracy
+    # far beyond the small-range correction the sf tests exercise
+    b.run(
+        "hll_rollup_build_10m",
+        lambda: create_rollup(
+            lh, t, "scale.rufact_hll", ["group"], [("value1", "distinct")]
+        ),
+    )
+    rh = lh.load_table("scale.rufact_hll")
     cursor = t.log.current_snapshot_id()
     t.append(mock.filter(F.col("id") % 100 == 0))  # 1% delta
     # IO-independent evidence (wall on this narrow 4-column mock is
@@ -461,10 +508,28 @@ def bench_rollup(spark, b: Bench, tmp: str) -> None:
     b.notes["rollup_total_rows"] = total_rows
     res = b.run("rollup_refresh_1pct_10m", lambda: refresh_rollup(r, t))
     b.notes["rollup_refresh_mode"] = res["mode"]
+    res = b.run("hll_rollup_refresh_1pct_10m", lambda: refresh_rollup(rh, t))
+    b.notes["hll_rollup_refresh_mode"] = res["mode"]
+    # accuracy at 10M: incrementally-merged registers vs exact distinct
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import read_rollup
+
+    est = {x["group"]: x["distinct_value1"] for x in read_rollup(rh).collect()}
+    exact = {
+        x["group"]: x["n"]
+        for x in t.scan()
+        .groupBy("group")
+        .agg(F.count_distinct("value1").alias("n"))
+        .collect()
+    }
+    b.notes["hll_rollup_max_rel_err_10m"] = round(
+        max(abs(est[g] / n - 1.0) for g, n in exact.items()), 4
+    )
     # force the full-recompute path at the same scale for the contrast
     t.delete_keys(mock.filter(F.col("id") % 1009 == 0).select("id"), ["id"])
     res = b.run("rollup_full_recompute_10m", lambda: refresh_rollup(r, t))
     b.notes["rollup_full_mode"] = res["mode"]
+    res = b.run("hll_rollup_full_recompute_10m", lambda: refresh_rollup(rh, t))
+    b.notes["hll_rollup_full_mode"] = res["mode"]
     shutil.rmtree(wh, ignore_errors=True)
 
 
@@ -599,6 +664,29 @@ def main() -> None:
         # and corpus size where wall would.
         "rollup_incremental_vs_full_10m": ratio(
             "rollup_refresh_1pct_10m", "rollup_full_recompute_10m"
+        ),
+        # HLL distinct rollup (r10): incremental refresh vs full recompute
+        # at 10M, plus estimate accuracy at ~2.5M distinct per group — raw
+        # HLL range, 1024 registers => ~3.25% sigma; bar 0.15 (~4.6 sigma)
+        "hll_rollup_incremental_vs_full_10m": ratio(
+            "hll_rollup_refresh_1pct_10m", "hll_rollup_full_recompute_10m"
+        ),
+        "hll_rollup_max_rel_err_10m": b.notes.get("hll_rollup_max_rel_err_10m"),
+        "hll_rollup_accuracy_ok": (
+            (b.notes.get("hll_rollup_max_rel_err_10m") or 1.0) <= 0.15
+        ),
+        # partition-scoped MERGE INTO (r10): a one-partition source must
+        # merge cheaper than the full-table merge at the same batch size,
+        # and must physically replace only that partition's files
+        "merge_partitioned_vs_full_10m": ratio(
+            "merge_into_one_partition_10m", "merge_into_full_table_10m"
+        ),
+        "merge_partitioned_files_touched_fraction": b.notes.get(
+            "merge_partitioned_files_touched_fraction"
+        ),
+        "merge_partitioned_scope_ok": (
+            (b.notes.get("merge_partitioned_files_touched_fraction") or 1.0)
+            <= 0.5
         ),
         "rollup_planned_rows_fraction": (
             round(b.notes["rollup_delta_rows"] / b.notes["rollup_total_rows"], 4)
