@@ -26,8 +26,10 @@ Scope: 8-bit, greyscale or YCbCr at 4:4:4 / 4:2:2 / 4:2:0 chroma
 subsampling (any integer-ratio Hi x Vi factors decode: interleaved DC
 scans walk the MCU order, non-interleaved scans walk each component's
 OWN block grid per T.81 A.2.2, so subsampled components' MCU-padding
-blocks are DC-only — exactly how libjpeg emits them); no restart
-intervals. The encoder's scan script
+blocks are DC-only — exactly how libjpeg emits them), with restart
+intervals (DRI/RSTm) on both encode and decode — byte-aligned, DC
+predictors and EOB-run state reset at every boundary, the modulo-8
+marker counter restarting per scan. The encoder's scan script
 (DC Al=1 → DC refine → per-component AC Al=1 → per-component AC refine)
 exercises all four scan types, so a full decode round-trip covers every
 code path foreign progressive files (libjpeg's standard script) use.
@@ -66,17 +68,16 @@ from pyiceberg_lakehouse_spark.operators.jpeg import (
 def _entropy_span(payload: bytes, pos: int) -> tuple[bytes, int]:
     """Slice the entropy-coded bytes starting at ``pos``: they end at the
     first 0xFF followed by a real marker (stuffed 0xFF00 passes through;
-    RST markers are unsupported and error loudly)."""
+    RSTm markers belong to the scan's entropy data and are consumed by
+    the reader's restart alignment)."""
     i = pos
     n = len(payload)
     while i + 1 < n:
         if payload[i] == 0xFF:
             nxt = payload[i + 1]
-            if nxt == 0x00:
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
                 i += 2
                 continue
-            if 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError("restart intervals unsupported")
             return payload[pos:i], i
         i += 1
     return payload[pos:n], n
@@ -154,6 +155,7 @@ def decode_progressive(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps: list[tuple[int, int, int]] = []  # (id, sampling, qt_id)
     h = w = 0
+    restart_interval = 0
     coefs: list[np.ndarray] | None = None  # per comp: (n_blocks, 64) zigzag
     geom: _Geometry | None = None
     while pos + 2 <= len(payload):
@@ -211,7 +213,7 @@ def decode_progressive(payload: bytes) -> np.ndarray:
                 huff[(tc, th)] = {(ln, c): s for s, (c, ln) in codes.items()}
                 off += 17 + nv
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker in (0xC0, 0xC1, 0xC3):
             raise ValueError("not a progressive JPEG (sequential SOF)")
         elif marker == 0xDA:
@@ -229,7 +231,7 @@ def decode_progressive(payload: bytes) -> np.ndarray:
             # EOB-run state is per scan (any residue dies with the scan)
             _decode_scan(
                 _BitReader(data), coefs, huff, scan_comps, ss, se, ah, al,
-                geom,
+                geom, restart_interval,
             )
         # other markers (APPn, COM) are skipped
     if coefs is None or not comps or geom is None:
@@ -253,8 +255,21 @@ def decode_progressive(payload: bytes) -> np.ndarray:
     return ycbcr_to_rgb(np.stack(planes, axis=-1)).astype(np.uint8)
 
 
-def _decode_scan(r, coefs, huff, scan_comps, ss, se, ah, al, geom) -> int:
+def _decode_scan(
+    r, coefs, huff, scan_comps, ss, se, ah, al, geom, restart_interval=0
+) -> int:
     tabs = {idx: dct for idx, dct, _act in scan_comps}
+
+    def _restart_points(n_mcus: int, per_mcu: int):
+        """Flat walk indices where an RSTm boundary falls, mapped to the
+        expected modulo-8 sequence number."""
+        if not restart_interval:
+            return {}
+        return {
+            m * per_mcu: (m // restart_interval - 1) % 8
+            for m in range(restart_interval, n_mcus, restart_interval)
+        }
+
     if ss == 0:
         # ---- DC scan (interleaved over the MCU order when multi-
         # component, else the component's own grid) ----
@@ -263,17 +278,27 @@ def _decode_scan(r, coefs, huff, scan_comps, ss, se, ah, al, geom) -> int:
         if len(scan_comps) == 1:
             only = scan_comps[0][0]
             walk = [(only, b) for b in geom.noninterleaved_blocks(only)]
+            per_mcu = 1
         else:
             walk = geom.interleaved_blocks(scan_comps)
+            per_mcu = sum(
+                geom.hs[idx] * geom.vs[idx] for idx, _, _ in scan_comps
+            )
+        rst = _restart_points(len(walk) // per_mcu, per_mcu)
         if ah == 0:
             preds = {idx: 0 for idx, _, _ in scan_comps}
-            for idx, b in walk:
+            for i, (idx, b) in enumerate(walk):
+                if i in rst:
+                    r.align_restart(rst[i])
+                    preds = {k: 0 for k in preds}  # DC predictors reset
                 size = _huff_decode(r, huff[(0, tabs[idx])])
                 diff = _extend(r.read(size), size) if size else 0
                 preds[idx] += diff
                 coefs[idx][b, 0] = preds[idx] << al
         else:
-            for idx, b in walk:
+            for i, (idx, b) in enumerate(walk):
+                if i in rst:
+                    r.align_restart(rst[i])
                 if r.read(1):
                     coefs[idx][b, 0] |= 1 << al
         return 0
@@ -284,9 +309,13 @@ def _decode_scan(r, coefs, huff, scan_comps, ss, se, ah, al, geom) -> int:
     table = huff[(1, act)]
     coef = coefs[idx]
     blocks = geom.noninterleaved_blocks(idx)
+    rst = _restart_points(len(blocks), 1)
     eobrun = 0
     if ah == 0:
-        for b in blocks:
+        for i, b in enumerate(blocks):
+            if i in rst:
+                r.align_restart(rst[i])
+                eobrun = 0  # EOB runs never cross a restart boundary
             if eobrun > 0:
                 eobrun -= 1
                 continue
@@ -308,7 +337,10 @@ def _decode_scan(r, coefs, huff, scan_comps, ss, se, ah, al, geom) -> int:
         return eobrun
     # ---- AC refinement (T.81 G.1.2.3; libjpeg structure) ----
     p1, m1 = 1 << al, -1 << al
-    for b in blocks:
+    for i, b in enumerate(blocks):
+        if i in rst:
+            r.align_restart(rst[i])
+            eobrun = 0  # EOB runs never cross a restart boundary
         k = ss
         if eobrun == 0:
             while k <= se:
@@ -355,7 +387,10 @@ def _decode_scan(r, coefs, huff, scan_comps, ss, se, ah, al, geom) -> int:
 
 
 def encode_progressive(
-    pixels, quality: int = 90, subsampling: str = "4:4:4"
+    pixels,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 -> progressive JPEG whose
     scan script (DC Al=1 → DC refine → AC first Al=1 per comp → AC refine
@@ -415,6 +450,8 @@ def encode_progressive(
     for tc, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
         body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int, data: bytes):
         hdr = bytes([len(comp_ids)])
@@ -432,10 +469,26 @@ def encode_progressive(
         else [(0, b) for b in geom.noninterleaved_blocks(0)]
     )
 
+    dc_per_mcu = (
+        sum(hi * vi for hi, vi in hv) if ncomp > 1 else 1
+    )
+
+    def rst_at(i: int, per_mcu: int) -> int | None:
+        if not restart_interval or i == 0 or i % per_mcu:
+            return None
+        m = i // per_mcu
+        if m % restart_interval:
+            return None
+        return (m // restart_interval - 1) % 8
+
     # scan 1: DC first, Al=1, interleaved (arithmetic shift for DPCM)
     wtr = _BitWriter()
     preds = [0] * ncomp
-    for ci, b in dc_walk:
+    for i, (ci, b) in enumerate(dc_walk):
+        m = rst_at(i, dc_per_mcu)
+        if m is not None:
+            wtr.restart(m)
+            preds = [0] * ncomp
         v = int(comp_coeffs[ci][b, 0]) >> 1
         diff = v - preds[ci]
         preds[ci] = v
@@ -448,7 +501,10 @@ def encode_progressive(
 
     # scan 2: DC refinement, Ah=1 -> Al=0 (raw low bits)
     wtr = _BitWriter()
-    for ci, b in dc_walk:
+    for i, (ci, b) in enumerate(dc_walk):
+        m = rst_at(i, dc_per_mcu)
+        if m is not None:
+            wtr.restart(m)
         wtr.write(int(comp_coeffs[ci][b, 0]) & 1, 1)
     sos(all_ids, 0, 0, 1, 0, wtr.flush())
 
@@ -459,7 +515,10 @@ def encode_progressive(
         coeffs = comp_coeffs[ci]
         ac_blocks = geom.noninterleaved_blocks(ci)
         wtr = _BitWriter()
-        for b in ac_blocks:
+        for i, b in enumerate(ac_blocks):
+            m = rst_at(i, 1)
+            if m is not None:
+                wtr.restart(m)
             run = 0
             wrote_any = False
             for k in range(1, 64):
@@ -489,7 +548,10 @@ def encode_progressive(
         # "flush all buffered bits after each ZRL" desyncs whenever a
         # still-significant coefficient sits beyond a ZRL's 16-zero span.
         wtr = _BitWriter()
-        for b in ac_blocks:
+        for i, b in enumerate(ac_blocks):
+            m = rst_at(i, 1)
+            if m is not None:
+                wtr.restart(m)
             vals = [int(coeffs[b, k]) for k in range(64)]
             absv = [abs(v) for v in vals]
             newly = [k for k in range(1, 64) if absv[k] == 1]

@@ -176,3 +176,35 @@ def test_progressive_subsampled_flat_color_exact():
     px = np.full((16, 16, 3), (60, 190, 120), np.uint8)
     out = decode_progressive(encode_progressive(px, quality=90, subsampling="4:2:0"))
     assert np.abs(out.astype(int) - np.array((60, 190, 120))).max() <= 2
+
+
+@pytest.mark.parametrize("ss", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("ri", [1, 2, 5])
+def test_progressive_restart_intervals_bitequal(ss, ri):
+    """Restart markers in EVERY progressive scan type (interleaved DC,
+    DC refinement, AC first, AC refinement) must not change a single
+    pixel: decode equals the baseline codec bit-for-bit, as without
+    restarts. EOB runs and DC predictors reset at each boundary."""
+    y, x = np.mgrid[0:40, 0:33]
+    px = np.stack(
+        [
+            128 + 70 * np.sin(y / 9.0) * np.cos(x / 7.0),
+            128 + 55 * np.cos(x / 8.0),
+            128 + 60 * np.sin((y + x) / 11.0),
+        ],
+        axis=-1,
+    ).clip(0, 255).astype(np.uint8)
+    enc = encode_progressive(px, quality=90, subsampling=ss, restart_interval=ri)
+    assert any(bytes([0xFF, 0xD0 + k]) in enc for k in range(8))
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=90, subsampling=ss))
+    assert np.array_equal(decode_progressive(enc), base)
+
+
+def test_progressive_restart_mismatch_fails_loudly():
+    px = _noise((24, 24), 3)
+    enc = bytearray(encode_progressive(px, quality=90, restart_interval=1))
+    i = bytes(enc).find(b"\xff\xd0")
+    assert i > 0
+    enc[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="restart"):
+        decode_progressive(bytes(enc))
