@@ -138,8 +138,9 @@ def decode_image_codec(payload: bytes) -> tuple[int, int, str]:
 # A REAL compressed-image codec with no third-party dependency: PNG is
 # zlib-compressed filtered scanlines (RFC 2083), and zlib is stdlib. Scope:
 # 8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA),
-# non-interlaced — the working set of ML training corpora; palette (3),
-# 16-bit, and Adam7 interlace raise NotImplementedError honestly. Filters
+# non-interlaced AND Adam7-interlaced (both decode; the encoder can emit
+# either) — the working set of ML training corpora; palette (3) and
+# 16-bit raise NotImplementedError honestly. Filters
 # 0-4 (None/Sub/Up/Average/Paeth) are fully implemented on both sides:
 # encode picks Up (cheap, effective on natural images), decode handles
 # whatever filter each scanline declares.
@@ -162,7 +163,8 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
 
 def png_header(payload: bytes) -> tuple[int, int, int]:
     """IHDR parse -> (width, height, color_type); validates signature and
-    the supported-subset constraints (8-bit, non-interlaced, no palette)."""
+    the supported-subset constraints (8-bit, no palette/16-bit;
+    interlace 0 and Adam7 both accepted)."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     if len(payload) < 29:
@@ -177,11 +179,24 @@ def png_header(payload: bytes) -> tuple[int, int, int]:
             f"PNG depth={depth} color_type={color_type}: only 8-bit "
             "gray/RGB/LA/RGBA supported (no palette/16-bit)"
         )
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"corrupt PNG (interlace method {interlace})")
     if comp != 0 or filt != 0:
         raise ValueError("corrupt PNG (unknown compression/filter method)")
     return w, h, color_type
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass (RFC 2083
+# section 2.6); passes whose sub-image is empty for small dims emit nothing
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -219,16 +234,48 @@ def decode_png(payload: bytes):
             break
         off += 12 + length
     raw = _zlib.decompress(bytes(idat))
+    interlace = payload[28]
+    if interlace == 0:
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            raise ValueError("corrupt PNG (decompressed size mismatch)")
+        out, _ = _png_unfilter(raw, 0, w, h, ch)
+        return out.reshape(h, w, ch)
+    # Adam7: seven independently-filtered sub-images, scattered onto the
+    # pass grid (each pass's filter chain restarts with a zero prior row)
+    img = np.zeros((h, w, ch), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub, off = _png_unfilter(raw, off, pw, ph, ch)
+        img[y0::dy, x0::dx, :] = sub.reshape(ph, pw, ch)
+    if off != len(raw):
+        raise ValueError("corrupt PNG (interlaced size mismatch)")
+    return img
+
+
+def _png_unfilter(raw: bytes, off: int, w: int, h: int, ch: int):
+    """Un-filter ``h`` scanlines of ``w`` pixels starting at ``off`` in the
+    decompressed stream; returns ((h, w*ch) array, new offset). Up is
+    vectorized; Sub is a mod-256 prefix sum over pixel lanes;
+    Average/Paeth fall back to a per-pixel loop (their left term is
+    inherently sequential)."""
+    import numpy as np
+
     stride = w * ch
-    if len(raw) != h * (stride + 1):
+    if len(raw) < off + h * (stride + 1):
         raise ValueError("corrupt PNG (decompressed size mismatch)")
     out = np.zeros((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        ftype = raw[y * (stride + 1)]
+        ftype = raw[off]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, dtype=np.uint8, count=stride, offset=off + 1
         ).copy()
+        off += stride + 1
         if ftype == 0:  # None
             recon = line
         elif ftype == 1:  # Sub: prefix sum over each byte lane, mod 256
@@ -253,16 +300,18 @@ def decode_png(payload: bytes):
             raise ValueError(f"corrupt PNG (filter type {ftype})")
         out[y] = recon
         prior = out[y]
-    return out.reshape(h, w, ch)
+    return out, off
 
 
-def encode_png(pixels, filter_type: int = 2) -> bytes:
+def encode_png(pixels, filter_type: int = 2, interlace: bool = False) -> bytes:
     """(h, w) or (h, w, channels) uint8 array -> PNG bytes.
 
     ``filter_type`` applies to every scanline (0=None, 1=Sub, 2=Up,
     3=Average, 4=Paeth — the per-row forced choice also lets tests
-    exercise each decode path independently). Round-trips exactly with
-    ``decode_png``.
+    exercise each decode path independently). ``interlace=True`` emits an
+    Adam7-interlaced stream: seven sub-images, each filtered
+    independently with a fresh zero prior row. Round-trips exactly with
+    ``decode_png`` either way.
     """
     import zlib as _zlib
 
@@ -273,6 +322,30 @@ def encode_png(pixels, filter_type: int = 2) -> bytes:
         px = px[:, :, None]
     h, w, ch = px.shape
     color_type = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
+    if interlace:
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx, :]
+            if sub.shape[0] and sub.shape[1]:
+                lines += _png_filter_lines(sub, filter_type)
+    else:
+        lines = _png_filter_lines(px, filter_type)
+    ihdr = _struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_lines(px, filter_type: int) -> bytearray:
+    """Filter an (h, w, ch) sub-image's scanlines (fresh zero prior)."""
+    import numpy as np
+
+    h, w, ch = px.shape
     flat = px.reshape(h, w * ch).astype(np.int32)
     prior = np.zeros(w * ch, dtype=np.int32)
     lines = bytearray()
@@ -304,13 +377,7 @@ def encode_png(pixels, filter_type: int = 2) -> bytes:
         lines.append(filter_type)
         lines += (filt & 0xFF).astype(np.uint8).tobytes()
         prior = cur
-    ihdr = _struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", _zlib.compress(bytes(lines), 6))
-        + _png_chunk(b"IEND", b"")
-    )
+    return lines
 
 
 def _to_rgb(px):

@@ -1226,3 +1226,40 @@ def test_mp3_probe_frame_walk_and_gates():
         probe_mp3(mpeg2)
     with pytest.raises(ValueError, match="frame sync"):
         probe_mp3(b"ID3garbage")
+
+
+def test_png_adam7_interlaced_roundtrip_exact():
+    """Adam7-interlaced PNG: seven independently-filtered sub-images
+    scattered on the pass grid must round-trip EXACTLY (PNG is lossless)
+    across channel counts, every filter type, and small geometries where
+    some passes are empty; Pillow cross-checks both directions when
+    available."""
+    import numpy as np
+
+    from pyiceberg_lakehouse_spark.operators.multimodal import (
+        HAS_PIL,
+        decode_png,
+        encode_png,
+        png_header,
+    )
+
+    rng = np.random.default_rng(23)
+    for shape in [(1, 1), (3, 3), (5, 7), (23, 17)]:
+        for ch in (1, 2, 3, 4):
+            px = rng.integers(0, 256, (*shape, ch), dtype=np.uint8)
+            for ft in range(5):
+                enc = encode_png(px, filter_type=ft, interlace=True)
+                assert enc[28] == 1  # IHDR interlace byte
+                assert np.array_equal(decode_png(enc), px), (shape, ch, ft)
+    assert png_header(encode_png(rng.integers(0, 256, (4, 6, 3), np.uint8),
+                                 interlace=True)) == (6, 4, 2)
+    if HAS_PIL:
+        import io
+
+        from PIL import Image
+
+        px = rng.integers(0, 256, (21, 13, 3), dtype=np.uint8)
+        theirs = np.asarray(
+            Image.open(io.BytesIO(encode_png(px, interlace=True))).convert("RGB")
+        )
+        assert np.array_equal(theirs, px)
