@@ -181,13 +181,20 @@ def decode_progressive(payload: bytes) -> np.ndarray:
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables unsupported")
-                zz = np.frombuffer(body[off + 1 : off + 65], dtype=np.uint8)
+                if pq not in (0, 1):
+                    raise ValueError(f"corrupt JPEG (DQT precision {pq})")
+                # pq=1: 16-bit big-endian table entries (T.81 B.2.4.1) —
+                # used by very-high-quality foreign encoders
+                if pq:
+                    zz = np.frombuffer(
+                        body[off + 1 : off + 129], dtype=">u2"
+                    ).astype(np.float64)
+                else:
+                    zz = np.frombuffer(body[off + 1 : off + 65], dtype=np.uint8)
                 t = np.zeros(64)
                 t[ZIGZAG] = zz
                 qts[tq] = t.reshape(8, 8)
-                off += 65
+                off += 129 if pq else 65
         elif marker == 0xC2:
             if body[0] != 8:
                 raise NotImplementedError("only 8-bit precision supported")

@@ -137,17 +137,18 @@ def decode_image_codec(payload: bytes) -> tuple[int, int, str]:
 # ------------------------------------------------------ PNG codec ----------
 # A REAL compressed-image codec with no third-party dependency: PNG is
 # zlib-compressed filtered scanlines (RFC 2083), and zlib is stdlib. Scope:
-# 8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA),
-# non-interlaced AND Adam7-interlaced (both decode; the encoder can emit
-# either) — the working set of ML training corpora; palette (3) and
-# 16-bit raise NotImplementedError honestly. Filters
+# 8-bit color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA) plus palette
+# (3) at depths 1/2/4/8 with tRNS alpha, non-interlaced AND
+# Adam7-interlaced (all decode; the encoder emits 0/2/4/6 either way) —
+# the working set of ML training corpora; 16-bit depth raises
+# NotImplementedError honestly. Filters
 # 0-4 (None/Sub/Up/Average/Paeth) are fully implemented on both sides:
 # encode picks Up (cheap, effective on natural images), decode handles
 # whatever filter each scanline declares.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
-_PNG_MODES = {0: "L", 2: "RGB", 4: "LA", 6: "RGBA"}
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
 
 
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
@@ -174,10 +175,13 @@ def png_header(payload: bytes) -> tuple[int, int, int]:
     w, h, depth, color_type, comp, filt, interlace = _struct.unpack(
         ">IIBBBBB", payload[16:29]
     )
-    if depth != 8 or color_type not in _PNG_CHANNELS:
+    ok = (depth == 8 and color_type in _PNG_CHANNELS) or (
+        color_type == 3 and depth in (1, 2, 4, 8)
+    )
+    if not ok:
         raise NotImplementedError(
-            f"PNG depth={depth} color_type={color_type}: only 8-bit "
-            "gray/RGB/LA/RGBA supported (no palette/16-bit)"
+            f"PNG depth={depth} color_type={color_type}: 8-bit "
+            "gray/RGB/LA/RGBA and 1/2/4/8-bit palette supported (no 16-bit)"
         )
     if interlace not in (0, 1):
         raise ValueError(f"corrupt PNG (interlace method {interlace})")
@@ -210,6 +214,12 @@ def _paeth(a: int, b: int, c: int) -> int:
 def decode_png(payload: bytes):
     """PNG -> (h, w, channels) uint8 numpy array (pure numpy + stdlib zlib).
 
+    Palette images (color type 3, depths 1/2/4/8) decode through the PLTE
+    lookup to RGB — RGBA when a tRNS chunk carries per-entry alpha. The
+    scanline filter for sub-byte depths operates on PACKED bytes with a
+    one-byte "left" distance (RFC 2083 6.3), which _png_unfilter models
+    as a 1-channel image of the row's byte count.
+
     Un-filtering is per-scanline: Up is vectorized; Sub is a mod-256
     prefix sum over pixel lanes; Average/Paeth fall back to a per-pixel
     loop (their left term is inherently sequential) — fine for the
@@ -221,40 +231,87 @@ def decode_png(payload: bytes):
     import numpy as np
 
     w, h, color_type = png_header(payload)
-    ch = _PNG_CHANNELS[color_type]
+    depth = payload[24]
     # walk chunks; IDAT may be split across any number of chunks
     idat = bytearray()
+    plte = trns = None
     off = 8
     while off + 8 <= len(payload):
         (length,) = _struct.unpack(">I", payload[off : off + 4])
         tag = payload[off + 4 : off + 8]
         if tag == b"IDAT":
             idat += payload[off + 8 : off + 8 + length]
+        elif tag == b"PLTE":
+            plte = np.frombuffer(
+                payload[off + 8 : off + 8 + length], dtype=np.uint8
+            ).reshape(-1, 3)
+        elif tag == b"tRNS" and color_type == 3:
+            trns = np.frombuffer(
+                payload[off + 8 : off + 8 + length], dtype=np.uint8
+            )
         if tag == b"IEND":
             break
         off += 12 + length
     raw = _zlib.decompress(bytes(idat))
     interlace = payload[28]
+
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("corrupt PNG (palette image without PLTE)")
+        lut = plte
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            lut = np.concatenate([plte, alpha[:, None]], axis=1)
+
+        def unfilter_pass(raw, off, pw, ph):
+            row_bytes = (pw * depth + 7) // 8
+            packed, off = _png_unfilter(raw, off, row_bytes, ph, 1)
+            idx = _png_unpack_indices(packed, pw, depth)
+            return lut[idx], off  # (ph, pw, 3|4)
+
+        out_ch = lut.shape[1]
+    else:
+        ch = _PNG_CHANNELS[color_type]
+
+        def unfilter_pass(raw, off, pw, ph):
+            sub, off = _png_unfilter(raw, off, pw, ph, ch)
+            return sub.reshape(ph, pw, ch), off
+
+        out_ch = ch
+
     if interlace == 0:
-        stride = w * ch
-        if len(raw) != h * (stride + 1):
+        img, off = unfilter_pass(raw, 0, w, h)
+        if off != len(raw):
             raise ValueError("corrupt PNG (decompressed size mismatch)")
-        out, _ = _png_unfilter(raw, 0, w, h, ch)
-        return out.reshape(h, w, ch)
+        return img
     # Adam7: seven independently-filtered sub-images, scattered onto the
     # pass grid (each pass's filter chain restarts with a zero prior row)
-    img = np.zeros((h, w, ch), dtype=np.uint8)
+    img = np.zeros((h, w, out_ch), dtype=np.uint8)
     off = 0
     for x0, y0, dx, dy in _ADAM7:
         pw = (w - x0 + dx - 1) // dx
         ph = (h - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue
-        sub, off = _png_unfilter(raw, off, pw, ph, ch)
-        img[y0::dy, x0::dx, :] = sub.reshape(ph, pw, ch)
+        sub, off = unfilter_pass(raw, off, pw, ph)
+        img[y0::dy, x0::dx, :] = sub
     if off != len(raw):
         raise ValueError("corrupt PNG (interlaced size mismatch)")
     return img
+
+
+def _png_unpack_indices(packed, w: int, depth: int):
+    """(h, row_bytes) packed palette indices -> (h, w) ints (big-endian
+    bit order within each byte per RFC 2083; trailing pad bits dropped)."""
+    import numpy as np
+
+    if depth == 8:
+        return packed[:, :w].astype(np.int64)
+    bits = np.unpackbits(packed, axis=1)  # (h, row_bytes*8), MSB first
+    per = bits.reshape(packed.shape[0], -1, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (per * weights).sum(axis=2)[:, :w].astype(np.int64)
 
 
 def _png_unfilter(raw: bytes, off: int, w: int, h: int, ch: int):

@@ -1060,16 +1060,25 @@ def test_png_codec_rejects_unsupported_honestly():
 
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     good = multimodal.encode_png(px)
-    # 16-bit depth and palette color gate as NotImplemented, not garbage
-    for depth, ctype in ((16, 2), (8, 3)):
-        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, 0)
-        bad = (
-            multimodal._PNG_SIG
-            + multimodal._png_chunk(b"IHDR", ihdr)
-            + good[good.index(b"IDAT") - 4 :]
-        )
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_png(bad)
+    # 16-bit depth gates as NotImplemented, not garbage (palette now
+    # decodes — covered by test_png_palette_decode_all_depths; a palette
+    # stream MISSING its PLTE is corrupt, not unsupported)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + good[good.index(b"IDAT") - 4 :]
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_png(bad)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    no_plte = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + good[good.index(b"IDAT") - 4 :]
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        multimodal.decode_png(no_plte)
     # truncated payload fails loudly
     with pytest.raises(ValueError):
         multimodal.decode_png(good[:20] + b"x" * 4)
@@ -1263,3 +1272,107 @@ def test_png_adam7_interlaced_roundtrip_exact():
             Image.open(io.BytesIO(encode_png(px, interlace=True))).convert("RGB")
         )
         assert np.array_equal(theirs, px)
+
+
+def _make_palette_png(idx, palette, depth, trns=None, interlace=0):
+    """Hand-assembled palette PNG (foreign-style fixture; filter 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pyiceberg_lakehouse_spark.operators.multimodal import (
+        _ADAM7,
+        _png_chunk,
+        _PNG_SIG,
+    )
+
+    h, w = idx.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, interlace)
+
+    def pack_rows(sub):
+        rows = bytearray()
+        for r in sub:
+            if depth == 8:
+                packed = np.asarray(r, np.uint8).tobytes()
+            else:
+                bb = np.unpackbits(
+                    np.asarray(r, np.uint8)[:, None], axis=1
+                )[:, 8 - depth :]
+                packed = np.packbits(bb.flatten()).tobytes()[
+                    : (len(r) * depth + 7) // 8
+                ]
+            rows.append(0)
+            rows += packed
+        return rows
+
+    if interlace == 0:
+        lines = pack_rows(idx)
+    else:
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = idx[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                lines += pack_rows(sub)
+    out = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.tobytes())
+    )
+    if trns is not None:
+        out += _png_chunk(b"tRNS", bytes(trns))
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+    out += _png_chunk(b"IEND", b"")
+    return out
+
+
+def test_png_palette_decode_all_depths():
+    """Palette (color type 3) PNGs at depths 1/2/4/8, plain and Adam7,
+    decode through the PLTE lookup exactly; tRNS produces RGBA with
+    per-entry alpha defaulting to 255 beyond the chunk."""
+    import numpy as np
+
+    from pyiceberg_lakehouse_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(31)
+    for depth in (1, 2, 4, 8):
+        n = 2**depth
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, (13, 17))
+        for il in (0, 1):
+            dec = decode_png(_make_palette_png(idx, pal, depth, interlace=il))
+            assert dec.shape == (13, 17, 3)
+            assert np.array_equal(dec, pal[idx]), (depth, il)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, (5, 6))
+    dec = decode_png(_make_palette_png(idx, pal, 2, trns=[0, 128]))
+    assert dec.shape == (5, 6, 4)
+    assert np.array_equal(dec[..., :3], pal[idx])
+    assert np.array_equal(dec[..., 3], np.array([0, 128, 255, 255], np.uint8)[idx])
+
+
+def test_jpeg_16bit_quant_tables_decode():
+    """A DQT with pq=1 (16-bit big-endian entries) decodes identically to
+    the same table at 8-bit — the high-quality foreign-encoder shape."""
+    import struct
+
+    import numpy as np
+
+    from pyiceberg_lakehouse_spark.operators import jpeg
+
+    px = np.random.default_rng(1).integers(0, 256, (16, 16), np.uint8)
+    enc = jpeg.encode_jpeg(px, quality=90)
+    i = enc.find(b"\xff\xdb")
+    (seglen,) = struct.unpack(">H", enc[i + 2 : i + 4])
+    body = enc[i + 4 : i + 2 + seglen]
+    body16 = bytes([0x10 | (body[0] & 0x0F)]) + b"".join(
+        struct.pack(">H", v) for v in body[1:65]
+    )
+    patched = (
+        enc[:i]
+        + b"\xff\xdb"
+        + struct.pack(">H", len(body16) + 2)
+        + body16
+        + enc[i + 2 + seglen :]
+    )
+    assert np.array_equal(jpeg.decode_jpeg(patched), jpeg.decode_jpeg(enc))
