@@ -140,8 +140,8 @@ def decode_image_codec(payload: bytes) -> tuple[int, int, str]:
 # 8-bit color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA) plus palette
 # (3) at depths 1/2/4/8 with tRNS alpha, non-interlaced AND
 # Adam7-interlaced (all decode; the encoder emits 0/2/4/6 either way) —
-# the working set of ML training corpora; 16-bit depth raises
-# NotImplementedError honestly. Filters
+# the working set of ML training corpora — and 16-bit samples decode to
+# uint16. Filters
 # 0-4 (None/Sub/Up/Average/Paeth) are fully implemented on both sides:
 # encode picks Up (cheap, effective on natural images), decode handles
 # whatever filter each scanline declares.
@@ -175,13 +175,13 @@ def png_header(payload: bytes) -> tuple[int, int, int]:
     w, h, depth, color_type, comp, filt, interlace = _struct.unpack(
         ">IIBBBBB", payload[16:29]
     )
-    ok = (depth == 8 and color_type in _PNG_CHANNELS) or (
+    ok = (depth in (8, 16) and color_type in _PNG_CHANNELS) or (
         color_type == 3 and depth in (1, 2, 4, 8)
     )
     if not ok:
         raise NotImplementedError(
-            f"PNG depth={depth} color_type={color_type}: 8-bit "
-            "gray/RGB/LA/RGBA and 1/2/4/8-bit palette supported (no 16-bit)"
+            f"PNG depth={depth} color_type={color_type}: 8/16-bit "
+            "gray/RGB/LA/RGBA and 1/2/4/8-bit palette supported"
         )
     if interlace not in (0, 1):
         raise ValueError(f"corrupt PNG (interlace method {interlace})")
@@ -214,8 +214,9 @@ def _paeth(a: int, b: int, c: int) -> int:
 def decode_png(payload: bytes):
     """PNG -> (h, w, channels) uint8 numpy array (pure numpy + stdlib zlib).
 
-    Palette images (color type 3, depths 1/2/4/8) decode through the PLTE
-    lookup to RGB — RGBA when a tRNS chunk carries per-entry alpha. The
+    Returns uint8 for 8-bit streams and uint16 (full precision, never
+    silently truncated) for 16-bit ones. Palette images (color type 3,
+    depths 1/2/4/8) decode through the PLTE lookup to RGB — RGBA when a tRNS chunk carries per-entry alpha. The
     scanline filter for sub-byte depths operates on PACKED bytes with a
     one-byte "left" distance (RFC 2083 6.3), which _png_unfilter models
     as a 1-channel image of the row's byte count.
@@ -271,6 +272,18 @@ def decode_png(payload: bytes):
             return lut[idx], off  # (ph, pw, 3|4)
 
         out_ch = lut.shape[1]
+    elif depth == 16:
+        # RFC 2083 6.3: filtering treats each scanline as bytes with a
+        # "left" distance of bpp = 2*ch bytes; recombine big-endian pairs
+        # into uint16 samples after un-filtering
+        ch = _PNG_CHANNELS[color_type]
+
+        def unfilter_pass(raw, off, pw, ph):
+            sub, off = _png_unfilter(raw, off, pw, ph, 2 * ch)
+            pairs = sub.reshape(ph, pw, ch, 2).astype(np.uint16)
+            return (pairs[..., 0] << 8) | pairs[..., 1], off
+
+        out_ch = ch
     else:
         ch = _PNG_CHANNELS[color_type]
 
@@ -287,7 +300,10 @@ def decode_png(payload: bytes):
         return img
     # Adam7: seven independently-filtered sub-images, scattered onto the
     # pass grid (each pass's filter chain restarts with a zero prior row)
-    img = np.zeros((h, w, out_ch), dtype=np.uint8)
+    img = np.zeros(
+        (h, w, out_ch),
+        dtype=np.uint16 if (color_type != 3 and depth == 16) else np.uint8,
+    )
     off = 0
     for x0, y0, dx, dy in _ADAM7:
         pw = (w - x0 + dx - 1) // dx
@@ -438,9 +454,12 @@ def _png_filter_lines(px, filter_type: int) -> bytearray:
 
 
 def _to_rgb(px):
-    """(h, w, ch) uint8 -> (h, w, 3) RGB (gray broadcast, alpha dropped)."""
+    """(h, w, ch) uint8/uint16 -> (h, w, 3) uint8 RGB (gray broadcast,
+    alpha dropped, 16-bit samples scaled to 8 by the high byte)."""
     import numpy as np
 
+    if px.dtype == np.uint16:
+        px = (px >> 8).astype(np.uint8)
     ch = px.shape[2]
     if ch == 3:
         return np.ascontiguousarray(px)

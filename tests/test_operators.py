@@ -1060,10 +1060,11 @@ def test_png_codec_rejects_unsupported_honestly():
 
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     good = multimodal.encode_png(px)
-    # 16-bit depth gates as NotImplemented, not garbage (palette now
-    # decodes — covered by test_png_palette_decode_all_depths; a palette
-    # stream MISSING its PLTE is corrupt, not unsupported)
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    # a sub-byte depth on a truecolor type is outside the supported set
+    # (and illegal PNG) -> NotImplemented, not garbage; palette and
+    # 16-bit now DECODE (covered by their own tests); a palette stream
+    # MISSING its PLTE is corrupt, not unsupported
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
     bad = (
         multimodal._PNG_SIG
         + multimodal._png_chunk(b"IHDR", ihdr)
@@ -1071,6 +1072,15 @@ def test_png_codec_rejects_unsupported_honestly():
     )
     with pytest.raises(NotImplementedError):
         multimodal.decode_png(bad)
+    # declared 16-bit with an 8-bit payload: loud size mismatch
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    mismatch = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr16)
+        + good[good.index(b"IDAT") - 4 :]
+    )
+    with pytest.raises(ValueError):
+        multimodal.decode_png(mismatch)
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
     no_plte = (
         multimodal._PNG_SIG
@@ -1376,3 +1386,65 @@ def test_jpeg_16bit_quant_tables_decode():
         + enc[i + 2 + seglen :]
     )
     assert np.array_equal(jpeg.decode_jpeg(patched), jpeg.decode_jpeg(enc))
+
+
+def test_png_16bit_decode_exact_uint16():
+    """16-bit PNGs (filters over bpp=2*ch BYTES per RFC 2083 6.3) decode
+    to uint16 with full precision, plain and Adam7; _to_rgb scales by the
+    high byte for the raw-RGB path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pyiceberg_lakehouse_spark.operators.multimodal import (
+        _ADAM7,
+        _png_chunk,
+        _PNG_SIG,
+        _to_rgb,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(41)
+
+    def make16(px, interlace=0, ftype=2):
+        h, w, ch = px.shape
+        ctype = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, interlace)
+
+        def pack(sub):
+            rows = bytearray()
+            prior = np.zeros(sub.shape[1] * ch * 2, np.int32)
+            for r in sub:
+                cur = np.frombuffer(r.astype(">u2").tobytes(), np.uint8).astype(
+                    np.int32
+                )
+                filt = cur if ftype == 0 else cur - prior
+                rows.append(ftype)
+                rows += (filt & 0xFF).astype(np.uint8).tobytes()
+                prior = cur
+            return rows
+
+        if interlace == 0:
+            lines = pack(px)
+        else:
+            lines = bytearray()
+            for x0, y0, dx, dy in _ADAM7:
+                sub = px[y0::dy, x0::dx]
+                if sub.shape[0] and sub.shape[1]:
+                    lines += pack(sub)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    for ch in (1, 3, 4):
+        for il in (0, 1):
+            px = rng.integers(0, 65536, (11, 7, ch), dtype=np.uint16)
+            dec = decode_png(make16(px, interlace=il))
+            assert dec.dtype == np.uint16 and np.array_equal(dec, px), (ch, il)
+    px = rng.integers(0, 65536, (4, 5, 3), dtype=np.uint16)
+    rgb = _to_rgb(decode_png(make16(px)))
+    assert rgb.dtype == np.uint8 and np.array_equal(rgb, (px >> 8).astype(np.uint8))
