@@ -11,10 +11,11 @@ Scope (honest gates, same stance as the PNG codec): 8-bit baseline
 sequential, grayscale or YCbCr at 4:4:4, 4:2:2, or 4:2:0 chroma
 subsampling (any integer-ratio Hi x Vi factors decode; the encoder
 emits the three standard schemes), with restart intervals (DRI/RSTm)
-on both encode and decode; PROGRESSIVE streams (SOF2) dispatch to the
-multi-scan decoder in operators/jpeg_progressive.py; multi-scan
-(non-interleaved color) baseline, 12-bit precision, lossless (SOF3),
-and arithmetic coding raise NotImplementedError. The emitted Huffman
+on both encode and decode, multi-scan (non-interleaved color) baseline
+streams, and 8- or 16-bit quantization tables; PROGRESSIVE streams
+(SOF2) dispatch to the multi-scan decoder in
+operators/jpeg_progressive.py; 12-bit precision, lossless (SOF3), and
+arithmetic coding raise NotImplementedError. The emitted Huffman
 tables are flat 8-bit canonical codes — deliberately suboptimal for
 SIZE but trivially correct, and legal because the tables travel in DHT
 segments (a decoder never assumes Annex K defaults).
@@ -202,6 +203,88 @@ class _BitReader:
                 f"missing restart marker RST{expect & 7} in entropy stream"
             )
         self.pos += 2
+
+
+def _entropy_span(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Slice the entropy-coded bytes starting at ``pos``: they end at the
+    first 0xFF followed by a real marker (stuffed 0xFF00 passes through;
+    RSTm markers belong to the scan's entropy data and are consumed by
+    the reader's restart alignment)."""
+    i = pos
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            return payload[pos:i], i
+        i += 1
+    return payload[pos:n], n
+
+
+class _Geometry:
+    """Per-component block geometry for a (possibly subsampled) frame.
+
+    ``bym/bxm``: the MCU-ALIGNED grid each component's coefficient array
+    covers (mcuy*Vi x mcux*Hi blocks — T.81 A.2.4 pads to whole MCUs);
+    ``byn/bxn``: the component's OWN block grid (ceil of its true sample
+    dims / 8), the grid NON-INTERLEAVED scans walk (A.2.2). For 4:4:4
+    the two coincide."""
+
+    def __init__(self, h: int, w: int, samps: list[int]) -> None:
+        self.h, self.w = h, w
+        self.hs = [(s >> 4) or 1 for s in samps]
+        self.vs = [(s & 0x0F) or 1 for s in samps]
+        self.hmax, self.vmax = max(self.hs), max(self.vs)
+        if any(
+            self.hmax % x or self.vmax % y
+            for x, y in zip(self.hs, self.vs)
+        ):
+            raise NotImplementedError(
+                "fractional chroma sampling ratios unsupported"
+            )
+        self.mcuy = (h + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.mcux = (w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.bym = [self.mcuy * v for v in self.vs]
+        self.bxm = [self.mcux * x for x in self.hs]
+        self.hpx = [
+            (h * v + self.vmax - 1) // self.vmax for v in self.vs
+        ]
+        self.wpx = [
+            (w * x + self.hmax - 1) // self.hmax for x in self.hs
+        ]
+        self.byn = [(p + 7) // 8 for p in self.hpx]
+        self.bxn = [(p + 7) // 8 for p in self.wpx]
+
+    def noninterleaved_blocks(self, idx: int) -> list[int]:
+        """Coefficient-array indices a non-interleaved scan visits, in
+        raster order over the component's OWN grid (MCU-padding blocks
+        beyond it are not coded in such a scan)."""
+        bxm = self.bxm[idx]
+        return [
+            r * bxm + c
+            for r in range(self.byn[idx])
+            for c in range(self.bxn[idx])
+        ]
+
+    def interleaved_blocks(
+        self, scan_comps: list[tuple[int, int, int]]
+    ) -> list[tuple[int, int]]:
+        """(component, coefficient-array index) pairs in MCU-interleaved
+        order: per MCU, each component contributes its Vi x Hi raster."""
+        out = []
+        for my in range(self.mcuy):
+            for mx in range(self.mcux):
+                for idx, _dct, _act in scan_comps:
+                    hi, vi = self.hs[idx], self.vs[idx]
+                    for v in range(vi):
+                        for hb in range(hi):
+                            out.append(
+                                (idx, (my * vi + v) * self.bxm[idx] + mx * hi + hb)
+                            )
+        return out
+
 
 
 def _huff_decode(r: _BitReader, decode: dict[tuple[int, int], int]) -> int:
@@ -436,8 +519,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int]] = []  # (id, sampling, qt_id)
     h = w = 0
     restart_interval = 0
-    scan: bytes | None = None
-    scan_comps: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
+    scans: list[tuple[list[tuple[int, int, int]], bytes, int]] = []
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG (expected marker)")
@@ -513,21 +595,47 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 scan_comps.append((idx, tabs >> 4, tabs & 0x0F))
             if tuple(body[1 + ns * 2 : 4 + ns * 2]) != (0, 63, 0):
                 raise NotImplementedError("progressive scan unsupported")
-            scan = payload[pos:]
-            break
-    if scan is None or not comps:
+            data, pos = _entropy_span(payload, pos)
+            # DRI may change between scans; capture its value per scan
+            scans.append((scan_comps, data, restart_interval))
+    if not scans or not comps:
         raise ValueError("corrupt JPEG (no scan data)")
-    hs = [(c[1] >> 4) or 1 for c in comps]
-    vs = [(c[1] & 0x0F) or 1 for c in comps]
-    hmax, vmax = max(hs), max(vs)
-    if any(hmax % x or vmax % y for x, y in zip(hs, vs)):
-        raise NotImplementedError(
-            "fractional chroma sampling ratios unsupported"
+    geom = _Geometry(h, w, [c[1] for c in comps])
+    seen = set()
+    for scan_comps, _d, _ri in scans:
+        seen.update(idx for idx, _, _ in scan_comps)
+    if len(seen) < len(comps):
+        raise ValueError("corrupt JPEG (components never scanned)")
+    planes = {
+        idx: np.zeros((geom.bym[idx] * 8, geom.bxm[idx] * 8))
+        for idx in range(len(comps))
+    }
+    for scan_comps, data, ri in scans:
+        _decode_baseline_scan(
+            _BitReader(data), planes, qts, huff, comps, scan_comps, geom, ri
         )
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    r = _BitReader(scan)
-    preds = [0] * len(comps)
+    # crop each component to its true sample dims, then nearest-neighbor
+    # upsample back to full resolution (the JFIF simple upsampling)
+    full = []
+    for idx in range(len(comps)):
+        p = planes[idx][: geom.hpx[idx], : geom.wpx[idx]]
+        fy, fx = geom.vmax // geom.vs[idx], geom.hmax // geom.hs[idx]
+        if fy != 1 or fx != 1:
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(full[0], 0, 255).astype(np.uint8)
+    out = ycbcr_to_rgb(np.stack(full, axis=-1))
+    return out.astype(np.uint8)
+
+
+def _decode_baseline_scan(
+    r, planes, qts, huff, comps, scan_comps, geom, restart_interval
+) -> None:
+    """One sequential-DCT scan: interleaved (all components, MCU order)
+    or non-interleaved (one component, its own grid — the multi-scan
+    baseline shape some encoders emit). DC predictors are per scan."""
+    preds = {idx: 0 for idx, _, _ in scan_comps}
 
     def _block(idx: int, dc_tab, ac_tab) -> np.ndarray:
         zz = np.zeros(64, dtype=np.int64)
@@ -554,70 +662,30 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         freq = block.reshape(8, 8) * qts[comps[idx][2]]
         return _D.T @ freq @ _D + 128.0
 
+    tabs = {idx: (huff[(0, d)], huff[(1, a)]) for idx, d, a in scan_comps}
     if len(scan_comps) == 1:
-        # single-component scan: non-interleaved, the MCU is one block and
-        # the walk covers the COMPONENT's own block grid (T.81 A.2.2)
-        idx, dct_id, act_id = scan_comps[0]
-        hi, vi = hs[idx], vs[idx]
-        hi_px = (h * vi + vmax - 1) // vmax
-        wi_px = (w * hi + hmax - 1) // hmax
-        byi, bxi = (hi_px + 7) // 8, (wi_px + 7) // 8
-        plane = np.zeros((byi * 8, bxi * 8))
-        dc_tab, ac_tab = huff[(0, dct_id)], huff[(1, act_id)]
-        mcu_n = 0
-        for myy in range(byi):
-            for mxx in range(bxi):
-                if restart_interval and mcu_n and mcu_n % restart_interval == 0:
-                    r.align_restart(mcu_n // restart_interval - 1)
-                    preds[idx] = 0
-                mcu_n += 1
-                plane[myy * 8 : myy * 8 + 8, mxx * 8 : mxx * 8 + 8] = _block(
-                    idx, dc_tab, ac_tab
-                )
-        planes = {idx: plane}
+        only = scan_comps[0][0]
+        walk = [(only, b) for b in geom.noninterleaved_blocks(only)]
+        per_mcu = 1
     else:
-        # interleaved scan: per MCU, each component contributes its
-        # Vi x Hi raster of blocks (T.81 A.2.3)
-        planes = {
-            idx: np.zeros((mcuy * vs[idx] * 8, mcux * hs[idx] * 8))
-            for idx, _, _ in scan_comps
-        }
-        mcu_n = 0
-        for myy in range(mcuy):
-            for mxx in range(mcux):
-                if restart_interval and mcu_n and mcu_n % restart_interval == 0:
-                    r.align_restart(mcu_n // restart_interval - 1)
-                    preds[:] = [0] * len(preds)
-                mcu_n += 1
-                for idx, dct_id, act_id in scan_comps:
-                    dc_tab, ac_tab = huff[(0, dct_id)], huff[(1, act_id)]
-                    hi, vi = hs[idx], vs[idx]
-                    for v in range(vi):
-                        for hb in range(hi):
-                            br, bc = myy * vi + v, mxx * hi + hb
-                            planes[idx][
-                                br * 8 : br * 8 + 8, bc * 8 : bc * 8 + 8
-                            ] = _block(idx, dc_tab, ac_tab)
-
-    if len(planes) < len(comps):
-        raise NotImplementedError(
-            "multi-scan (non-interleaved color) baseline JPEG unsupported"
+        walk = geom.interleaved_blocks(scan_comps)
+        per_mcu = sum(geom.hs[idx] * geom.vs[idx] for idx, _, _ in scan_comps)
+    mcu_n = 0
+    for i, (idx, b) in enumerate(walk):
+        if i % per_mcu == 0:
+            if (
+                restart_interval
+                and mcu_n
+                and mcu_n % restart_interval == 0
+            ):
+                r.align_restart(mcu_n // restart_interval - 1)
+                preds = {k: 0 for k in preds}
+            mcu_n += 1
+        bxm = geom.bxm[idx]
+        br, bc = b // bxm, b % bxm
+        planes[idx][br * 8 : br * 8 + 8, bc * 8 : bc * 8 + 8] = _block(
+            idx, *tabs[idx]
         )
-    # crop each component to its true sample dims, then nearest-neighbor
-    # upsample back to full resolution (the JFIF simple upsampling)
-    full = []
-    for idx in range(len(comps)):
-        hi, vi = hs[idx], vs[idx]
-        hi_px = (h * vi + vmax - 1) // vmax
-        wi_px = (w * hi + hmax - 1) // hmax
-        p = planes[idx][:hi_px, :wi_px]
-        if vi != vmax or hi != hmax:
-            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
-        full.append(p[:h, :w])
-    if len(full) == 1:
-        return np.clip(full[0], 0, 255).astype(np.uint8)
-    out = ycbcr_to_rgb(np.stack(full, axis=-1))
-    return out.astype(np.uint8)
 
 
 def jpeg_sampling(payload: bytes) -> str:

@@ -43,6 +43,8 @@ import numpy as np
 
 from pyiceberg_lakehouse_spark.operators.jpeg import (
     ZIGZAG,
+    _entropy_span,
+    _Geometry,
     _amplitude_bits,
     _BitReader,
     _BitWriter,
@@ -63,87 +65,6 @@ from pyiceberg_lakehouse_spark.operators.jpeg import (
 )
 
 # ----------------------------------------------------------- decoder -----
-
-
-def _entropy_span(payload: bytes, pos: int) -> tuple[bytes, int]:
-    """Slice the entropy-coded bytes starting at ``pos``: they end at the
-    first 0xFF followed by a real marker (stuffed 0xFF00 passes through;
-    RSTm markers belong to the scan's entropy data and are consumed by
-    the reader's restart alignment)."""
-    i = pos
-    n = len(payload)
-    while i + 1 < n:
-        if payload[i] == 0xFF:
-            nxt = payload[i + 1]
-            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
-                i += 2
-                continue
-            return payload[pos:i], i
-        i += 1
-    return payload[pos:n], n
-
-
-class _Geometry:
-    """Per-component block geometry for a (possibly subsampled) frame.
-
-    ``bym/bxm``: the MCU-ALIGNED grid each component's coefficient array
-    covers (mcuy*Vi x mcux*Hi blocks — T.81 A.2.4 pads to whole MCUs);
-    ``byn/bxn``: the component's OWN block grid (ceil of its true sample
-    dims / 8), the grid NON-INTERLEAVED scans walk (A.2.2). For 4:4:4
-    the two coincide."""
-
-    def __init__(self, h: int, w: int, samps: list[int]) -> None:
-        self.h, self.w = h, w
-        self.hs = [(s >> 4) or 1 for s in samps]
-        self.vs = [(s & 0x0F) or 1 for s in samps]
-        self.hmax, self.vmax = max(self.hs), max(self.vs)
-        if any(
-            self.hmax % x or self.vmax % y
-            for x, y in zip(self.hs, self.vs)
-        ):
-            raise NotImplementedError(
-                "fractional chroma sampling ratios unsupported"
-            )
-        self.mcuy = (h + 8 * self.vmax - 1) // (8 * self.vmax)
-        self.mcux = (w + 8 * self.hmax - 1) // (8 * self.hmax)
-        self.bym = [self.mcuy * v for v in self.vs]
-        self.bxm = [self.mcux * x for x in self.hs]
-        self.hpx = [
-            (h * v + self.vmax - 1) // self.vmax for v in self.vs
-        ]
-        self.wpx = [
-            (w * x + self.hmax - 1) // self.hmax for x in self.hs
-        ]
-        self.byn = [(p + 7) // 8 for p in self.hpx]
-        self.bxn = [(p + 7) // 8 for p in self.wpx]
-
-    def noninterleaved_blocks(self, idx: int) -> list[int]:
-        """Coefficient-array indices a non-interleaved scan visits, in
-        raster order over the component's OWN grid (MCU-padding blocks
-        beyond it are not coded in such a scan)."""
-        bxm = self.bxm[idx]
-        return [
-            r * bxm + c
-            for r in range(self.byn[idx])
-            for c in range(self.bxn[idx])
-        ]
-
-    def interleaved_blocks(
-        self, scan_comps: list[tuple[int, int, int]]
-    ) -> list[tuple[int, int]]:
-        """(component, coefficient-array index) pairs in MCU-interleaved
-        order: per MCU, each component contributes its Vi x Hi raster."""
-        out = []
-        for my in range(self.mcuy):
-            for mx in range(self.mcux):
-                for idx, _dct, _act in scan_comps:
-                    hi, vi = self.hs[idx], self.vs[idx]
-                    for v in range(vi):
-                        for hb in range(hi):
-                            out.append(
-                                (idx, (my * vi + v) * self.bxm[idx] + mx * hi + hb)
-                            )
-        return out
 
 
 def decode_progressive(payload: bytes) -> np.ndarray:

@@ -337,3 +337,114 @@ def test_restart_cross_check_against_pillow():
         pytest.skip("Pillow ignored restart_marker_blocks")
     ours_px = jpeg.decode_jpeg(buf.getvalue())
     assert np.abs(ours_px.astype(int) - px.astype(int)).mean() < 10.0
+
+
+# ------------------------------------------------- multi-scan baseline ----
+
+
+def _encode_multiscan_baseline(px, quality=90, subsampling="4:4:4"):
+    """Foreign-style fixture: baseline JPEG delivered as THREE
+    single-component full-band scans (T.81 allows up to 4 components per
+    scan but some encoders emit one per scan); our encoder never
+    produces this shape."""
+    import struct
+
+    from pyiceberg_lakehouse_spark.operators.jpeg import (
+        _AC_SYMBOLS,
+        _amplitude_bits,
+        _BitWriter,
+        _blocks_grid,
+        _box_downsample,
+        _category,
+        _codes_from_table,
+        _D,
+        _DC_SYMBOLS,
+        _flat_table,
+        _Geometry,
+        _SUBSAMPLING,
+        quality_tables,
+        rgb_to_ycbcr,
+        ZIGZAG,
+    )
+
+    h, w, _ = px.shape
+    qt_l, qt_c = quality_tables(quality)
+    hv = _SUBSAMPLING[subsampling]
+    hmax = max(x for x, _ in hv)
+    vmax = max(y for _, y in hv)
+    ycc = rgb_to_ycbcr(px)
+    planes = [
+        _box_downsample(ycc[..., i], vmax // vi, hmax // hi)
+        for i, (hi, vi) in enumerate(hv)
+    ]
+    qts, qt_ids = [qt_l, qt_c, qt_c], [0, 1, 1]
+    geom = _Geometry(h, w, [(hi << 4) | vi for hi, vi in hv])
+    coeffs = []
+    for i, (plane, qt) in enumerate(zip(planes, qts)):
+        blocks = _blocks_grid(plane, geom.bym[i], geom.bxm[i])
+        dct = np.einsum("ux,ybxc,vc->ybuv", _D, blocks - 128.0, _D, optimize=True)
+        coeffs.append(np.round(dct / qt).astype(np.int64).reshape(-1, 64)[:, ZIGZAG])
+    dc_bits, dc_vals = _flat_table(_DC_SYMBOLS)
+    ac_bits, ac_vals = _flat_table(_AC_SYMBOLS)
+    dc_codes = _codes_from_table(dc_bits, dc_vals)
+    ac_codes = _codes_from_table(ac_bits, ac_vals)
+    out = bytearray(b"\xff\xd8")
+    for tid, qt in ((0, qt_l), (1, qt_c)):
+        body = bytes([tid]) + bytes(int(qt.reshape(64)[ZIGZAG[i]]) for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for ci in range(3):
+        hi, vi = hv[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qt_ids[ci]])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    for tc, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    for ci in range(3):
+        wtr = _BitWriter()
+        pred = 0
+        for b in geom.noninterleaved_blocks(ci):
+            zz = coeffs[ci][b]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            size = _category(diff)
+            c, ln = dc_codes[size]
+            wtr.write(c, ln)
+            if size:
+                wtr.write(_amplitude_bits(diff, size), size)
+            run = 0
+            last = int(np.max(np.nonzero(zz[1:])[0])) + 1 if np.any(zz[1:]) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]
+                    wtr.write(c, ln)
+                    run -= 16
+                size = _category(v)
+                c, ln = ac_codes[(run << 4) | size]
+                wtr.write(c, ln)
+                wtr.write(_amplitude_bits(v, size), size)
+                run = 0
+            if last < 63:
+                c, ln = ac_codes[0x00]
+                wtr.write(c, ln)
+        hdr = bytes([1, ci + 1, 0x00, 0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", len(hdr) + 2) + hdr + wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ss", ["4:4:4", "4:2:0"])
+def test_multiscan_baseline_decode_equals_interleaved(ss):
+    """A baseline file delivered as three single-component scans must
+    decode BIT-EQUAL to the interleaved single-scan encoding of the same
+    pixels (same quantized coefficients, different scan framing) —
+    subsampled components' non-interleaved scans walk their OWN block
+    grid, skipping MCU-padding blocks per T.81 A.2.2."""
+    px = _smooth_rgb(37, 29, seed=6)
+    ms = jpeg.decode_jpeg(_encode_multiscan_baseline(px, 90, ss))
+    il = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=90, subsampling=ss))
+    assert np.array_equal(ms, il)
