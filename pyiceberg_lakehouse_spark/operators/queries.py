@@ -1085,6 +1085,50 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_lm_familiarity",
+    f"""
+    with toks as (
+      select doc_id, string_split({NORM}, ' ') as tk from documents
+    ),
+    bi as (
+      select doc_id, tk[i] as w1, tk[i + 1] as w2
+      from toks, unnest(generate_series(1, len(tk) - 1)) as u(i)
+    ),
+    ref as (
+      select w1, w2, count(*) as c12 from bi
+      where doc_id % 10 < 8 group by w1, w2
+    ),
+    c1 as (select w1, sum(c12) as c1 from ref group by w1)
+    select b.doc_id,
+           count(*) as n_bigrams,
+           cast(sum(case when r.c12 is null then 1 else 0 end) as bigint)
+               as n_oov,
+           cast(coalesce(sum(case when r.c12 is null then null
+                    else (1000000 * r.c12) // c1.c1 end), 0) as bigint)
+               as fam_sum
+    from bi b
+    left join ref r on b.w1 = r.w1 and b.w2 = r.w2
+    left join c1 on b.w1 = c1.w1
+    where b.doc_id % 10 >= 8
+    group by b.doc_id
+    """,
+)
+def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring (operators/text.py::
+    lm_familiarity): a bigram model trained on 80% of the corpus scores
+    the held-out 20% by scaled integer conditional frequencies — the
+    reference-perplexity training-data filter with every output exact
+    (floor division of bigints), so the driver hash covers the whole
+    train-then-score pipeline. OOV-bigram counts ride along as the
+    perplexity-spike signal."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lm_familiarity(
+        docs.filter(F.col("doc_id") % 10 >= 8),
+        docs.filter(F.col("doc_id") % 10 < 8),
+    )
+
+
+@register(
     "text_top_bigrams",
     f"""
     with toks as (

@@ -375,3 +375,77 @@ def chunk_tokens(
         F.size(piece).cast("int").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def _bigram_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) adjacent-token pairs: one zip of the token array with
+    itself shifted, one explode — never a positional self-join."""
+    toks = _with_tokens(df, text_col, id_col)
+    t = F.col("_toks")
+    pair = F.explode(
+        F.zip_with(
+            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    ).alias("_bg")
+    return toks.select(F.col(id_col), pair).select(
+        id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
+    )
+
+
+def lm_familiarity(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """CCNet-style n-gram language-model quality scoring, integer-exact.
+
+    A bigram LM is "trained" on ``reference`` (conditional frequency
+    C(w1,w2) / C(w1·)), and each document in ``docs`` is scored by how
+    familiar its bigrams are to that model — the standard
+    reference-corpus perplexity filter for training-data curation,
+    reformulated so every output is EXACT integer arithmetic (no
+    transcendental log whose last ulp differs across engines):
+
+    - ``n_bigrams``: the document's adjacent-token pair count;
+    - ``n_oov``: pairs the reference never saw (the perplexity spikes);
+    - ``fam_sum``: sum over seen pairs of
+      ``(scale * C(w1,w2)) div C(w1·)`` — integer floor division of
+      bigints, so the per-pair scaled conditional probability is the
+      same number in any engine. ``fam_sum / (scale * n_bigrams)`` is
+      the mean conditional probability; rank ascending to surface
+      gibberish/boilerplate, or threshold as a corpus filter.
+
+    Shape at 100 TB: the model is two partial-aggregated counts over the
+    reference (one shuffle each), scoring is two equi-joins on the token
+    keys — both AQE-skew-splittable (stopword heads are the classic hot
+    keys) — and one per-document partial-aggregated sum. Documents with
+    fewer than two tokens have no bigrams and produce no row, matching
+    an LM that has nothing to condition on.
+    """
+    ref_bg = _bigram_pairs(reference, text_col, id_col)
+    c12 = ref_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
+    doc_bg = _bigram_pairs(docs, text_col, id_col)
+    scored = (
+        doc_bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .select(
+            id_col,
+            F.col("_c12"),
+            F.when(
+                F.col("_c12").isNotNull(),
+                F.expr(f"({scale} * _c12) div _c1"),
+            ).alias("_fam"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.when(F.col("_c12").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.coalesce(F.sum("_fam"), F.lit(0)).cast("long").alias("fam_sum"),
+    )

@@ -122,8 +122,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_cosine_topk",
     # text + multimodal (r9 first-timers hold; post-freeze progressive
     # JPEG + container probes rotate in; NEW 4:2:0/4:2:2 subsampled
-    # decode)
-    "text_token_stats",
+    # decode; NEW LM-familiarity scorer takes text_token_stats' hold slot
+    # — fresh code outranks a second-round hold per the standing rotation
+    # principle, and token_stats stays covered by the local gate +
+    # tests/test_operators.py)
+    "text_lm_familiarity",
     "text_top_bigrams",
     "text_bigram_novelty",
     "text_chunk_overlap",

@@ -1448,3 +1448,30 @@ def test_png_16bit_decode_exact_uint16():
     px = rng.integers(0, 65536, (4, 5, 3), dtype=np.uint16)
     rgb = _to_rgb(decode_png(make16(px)))
     assert rgb.dtype == np.uint8 and np.array_equal(rgb, (px >> 8).astype(np.uint8))
+
+
+def test_lm_familiarity_properties(spark):
+    """The integer-exact LM scorer: a doc repeating reference bigrams
+    scores near scale*n_bigrams, gibberish scores 0 with all-OOV, and a
+    sub-2-token doc produces no row."""
+    from pyiceberg_lakehouse_spark.operators import text
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "a dog sat")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "the cat sat"),       # all bigrams seen
+            (11, "zx qy wv"),          # gibberish: all OOV
+            (12, "the dog"),           # 'the dog' unseen, w1 seen
+            (13, "word"),              # < 2 tokens: no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text.lm_familiarity(docs, ref).collect()}
+    assert set(got) == {10, 11, 12}
+    # doc 10: 'the cat' C12=2/C1=2 -> 1e6; 'cat sat' C12=1/C1=2 -> 5e5
+    assert (got[10].n_bigrams, got[10].n_oov, got[10].fam_sum) == (2, 0, 1_500_000)
+    assert (got[11].n_bigrams, got[11].n_oov, got[11].fam_sum) == (2, 2, 0)
+    assert (got[12].n_bigrams, got[12].n_oov, got[12].fam_sum) == (1, 1, 0)
