@@ -138,10 +138,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # training-data ops (r9 first-timers hold)
     "train_mix_temperature",
     "train_numeric_profile",
-    # structured streaming (r9 first-timers hold; exactly-once sink
-    # anchors the heavyweight path)
+    # structured streaming (exactly-once sink anchors the heavyweight
+    # path; NEW watermark-complete left-outer stream-stream join takes
+    # stream_dedup_count's hold slot — fresh code outranks a second-round
+    # hold, dedup_count stays covered by the local gate)
     "stream_lh_sink_hourly",
-    "stream_dedup_count",
+    "stream_stream_left_join",
     "stream_lh_rollup_maintain",
 )
 

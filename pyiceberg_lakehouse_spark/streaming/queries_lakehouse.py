@@ -144,6 +144,67 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_left_join",
+    """
+    select a.event_id as click_id, b.event_id as purchase_id,
+           a.user_id as user_id
+    from (select * from events where event_type = 'click') a
+    left join (select * from events where event_type = 'purchase') b
+      on a.user_id = b.user_id
+     and b.ts >= a.ts and b.ts <= a.ts + interval 12 hour
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with a time-interval condition:
+    every click emits, with NULL purchase columns when no same-user
+    purchase follows within 12 hours — the abandonment/attribution shape.
+
+    Outer-ness is what makes this harder than the inner twin: a null-
+    extended row may only be emitted once the purchase-side watermark
+    PROVES no match can still arrive (click_ts + 12h + delay), so a
+    finite replay needs the watermark pushed past the last real event —
+    ``events_stream_with_horizon`` stages sentinel batches shaped to
+    survive Catalyst's filter pushdown below the EventTimeWatermark node
+    (see its docstring for the trap), and sentinel artifacts are dropped
+    from the SINK's batch output, never inside the streaming plan. The
+    batch left-join SQL is the oracle; the driver hash covers the
+    null-extended rows too."""
+    stream = W.events_stream_with_horizon(spark, sf_dir)
+    clicks = (
+        stream.select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            "event_type",
+        )
+        .withWatermark("click_ts", "1 hour")
+        .filter(F.col("event_type") == "click")
+        .drop("event_type")
+    )
+    purchases = (
+        stream.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            "event_type",
+        )
+        .withWatermark("purchase_ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 12 hours")),
+        "left_outer",
+    ).select("click_id", "purchase_id", "user_id")
+    drained = W.run_to_memory(joined, output_mode="append")
+    # batch-side sentinel exclusion (post-sink on purpose; see docstring)
+    return drained.filter(F.col("user_id") != W.SENTINEL_USER)
+
+
+@register(
     "stream_lh_datasource_partitioned",
     """
     select event_type, count(*) as n,

@@ -40,6 +40,72 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr(micros)))
 
 
+SENTINEL_USER = -1
+
+
+def events_stream_with_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events stream plus two trailing SENTINEL batches that push the
+    event-time watermark far past every real event — the harness that
+    makes OUTER stream-stream joins emit their null-extended rows
+    deterministically under availableNow.
+
+    Why sentinels and not a plain filter trick: an outer join's
+    null-extended output for row R is emitted only when the watermark
+    proves no future match for R can arrive, and the watermark advances
+    from rows that flow THROUGH the EventTimeWatermark node. Catalyst
+    pushes deterministic filters (event-type pre-filters, and even
+    post-join predicates on join keys) BELOW that node, so a sentinel
+    must be shaped to SURVIVE every pushed filter: it carries a real
+    event_type ('click'/'purchase') and the reserved ``SENTINEL_USER``
+    id, and callers drop sentinel artifacts from the SINK's batch output
+    (a streaming-side filter would be pushed below the watermark and
+    defeat the whole mechanism). Two sentinel files (not one) because an
+    eviction pass runs with the watermark as of the PREVIOUS batch — the
+    second sentinel batch flushes state the first one unlocked.
+
+    On a production unbounded stream none of this is needed: real
+    traffic keeps advancing the watermark and outer results stream out
+    continuously; the horizon only finalizes a FINITE replay.
+    """
+    import datetime
+    import glob
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    stage = session_tmpdir(prefix="events_stream_hz_")
+    os.symlink(src, os.path.join(stage, "0_events.parquet"))
+    unit = events_ts_unit(src)
+    mult = 1_000_000_000 if unit == "ns" else 1_000_000
+    mx = (
+        spark.read.schema(SCHEMAS["events"])
+        .parquet(src)
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )  # raw long in the file's unit
+    for i, days in ((1, 30), (2, 60)):
+        ts_raw = int(mx) + days * 86400 * mult
+        sent = spark.createDataFrame(
+            [
+                (99999980 + i * 2, ts_raw, SENTINEL_USER, "click", 0.0, "{}"),
+                (99999981 + i * 2, ts_raw, SENTINEL_USER, "purchase", 0.0, "{}"),
+            ],
+            SCHEMAS["events"],
+        )
+        d = os.path.join(stage, f"_tmp{i}")
+        sent.coalesce(1).write.mode("overwrite").parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(stage, f"{i}_sentinel.parquet"))
+        shutil.rmtree(d)
+    raw = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    micros = "ts div 1000" if unit == "ns" else "ts"
+    return raw.withColumn("ts", F.timestamp_micros(F.expr(micros)))
+
+
 def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     """Drain a stream into an in-memory table with availableNow, return it."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
