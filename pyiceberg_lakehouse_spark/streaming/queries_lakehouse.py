@@ -205,6 +205,61 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_full_join",
+    """
+    select a.event_id as click_id, b.event_id as purchase_id,
+           coalesce(a.user_id, b.user_id) as user_id
+    from (select * from events where event_type = 'click') a
+    full join (select * from events where event_type = 'purchase') b
+      on a.user_id = b.user_id
+     and b.ts >= a.ts and b.ts <= a.ts + interval 12 hour
+    """,
+)
+def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: unmatched clicks AND
+    unmatched purchases both emit null-extended rows once the opposing
+    side's watermark proves no match can arrive — same sentinel-horizon
+    finalization as the left-outer twin (see stream_stream_left_join),
+    with sentinel artifacts from EITHER side dropped post-sink."""
+    stream = W.events_stream_with_horizon(spark, sf_dir)
+    clicks = (
+        stream.select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            "event_type",
+        )
+        .withWatermark("click_ts", "1 hour")
+        .filter(F.col("event_type") == "click")
+        .drop("event_type")
+    )
+    purchases = (
+        stream.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            "event_type",
+        )
+        .withWatermark("purchase_ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 12 hours")),
+        "full_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+    )
+    drained = W.run_to_memory(joined, output_mode="append")
+    return drained.filter(F.col("user_id") != W.SENTINEL_USER)
+
+
+@register(
     "stream_lh_datasource_partitioned",
     """
     select event_type, count(*) as n,
