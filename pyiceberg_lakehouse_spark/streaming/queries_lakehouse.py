@@ -260,6 +260,53 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_semi_join",
+    """
+    select a.event_id as click_id, a.user_id as user_id
+    from (select * from events where event_type = 'click') a
+    where exists (
+      select 1 from events b
+      where b.event_type = 'purchase' and b.user_id = a.user_id
+        and b.ts >= a.ts and b.ts <= a.ts + interval 12 hour
+    )
+    """,
+)
+def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join: a click emits exactly once,
+    when its FIRST qualifying purchase arrives — converted-click
+    detection without duplicating per purchase. Unlike the outer twins,
+    matched rows need no watermark finalization (they emit on match), so
+    the plain stream suffices; the watermark still bounds the join
+    state. The EXISTS batch query is the oracle."""
+    stream = W.events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "13 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 12 hours")),
+        "left_semi",
+    ).select("click_id", "user_id")
+    return W.run_to_memory(joined, output_mode="append")
+
+
+@register(
     "stream_lh_datasource_partitioned",
     """
     select event_type, count(*) as n,
