@@ -602,6 +602,56 @@ def lh_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lh_update_where",
+    f"""
+    select o_orderkey, o_custkey, o_orderstatus,
+           case when o_orderdate >= timestamp '1996-01-01'
+                 and o_orderdate < timestamp '1996-07-01'
+                then o_totalprice * 1.1 + 5.0
+                else o_totalprice end as o_totalprice,
+           o_orderdate,
+           case when o_orderdate >= timestamp '1996-01-01'
+                 and o_orderdate < timestamp '1996-07-01'
+                then 'REPRICED' else o_orderpriority end as o_orderpriority
+    from orders
+    """,
+)
+def lh_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE ... WHERE (table.update_where): reprice
+    H1-1996 orders (+10% and a fee, priority stamped) rewriting only the
+    files whose min/max date bounds overlap the range — the same
+    stat-pruned rewrite surface as lh_delete_where, now with SET
+    semantics. Non-matching rows in rewritten files carry through
+    value-identical; the oracle states the final table as a CASE. The
+    arithmetic is plain double ops on identical inputs, so both engines
+    produce bitwise-equal results."""
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table(
+        "ns.orders_uw",
+        SCHEMAS["orders"],
+        properties={"write.target-records-per-file": "4000"},
+    )
+    t.append(orders.orderBy("o_orderdate"))
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-07-01").cast("timestamp_ntz")
+    t.update_where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi),
+        {
+            "o_totalprice": F.col("o_totalprice") * 1.1 + 5.0,
+            "o_orderpriority": "REPRICED",
+        },
+        stat_filter={
+            "o_orderdate": [
+                (">=", "1996-01-01T00:00:00"),
+                ("<", "1996-07-01T00:00:00"),
+            ],
+        },
+    )
+    return t.scan().select(*[c.strip() for c in ORDER_COLS.split(",")])
+
+
+@register(
     "lh_datasource_pushdown_scan",
     """
     select o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -751,6 +751,58 @@ class LakehouseTable:
             summary={"op": "delete_where", "rewritten_files": len(touched)},
         )
 
+    def update_where(
+        self,
+        predicate,
+        assignments: dict[str, Any],
+        stat_filter: dict[str, tuple] | None = None,
+    ) -> Snapshot:
+        """Copy-on-write ``UPDATE ... SET ... WHERE``: rewrite ONLY the
+        files that might contain matching rows; every other file survives
+        as untouched metadata.
+
+        ``assignments`` maps column name -> Column expression (or literal)
+        evaluated over the matching row; non-matching rows in a rewritten
+        file are carried through byte-for-value unchanged. ``stat_filter``
+        (scan's shape) narrows the rewrite set via per-file min/max
+        bounds — at 100 TB a date-ranged repricing rewrites the files
+        whose bounds overlap, not the table. Assignments to partition or
+        constraint columns are validated by the normal write path.
+        """
+        from pyiceberg_lakehouse_spark.lakehouse.stats import prune_files
+
+        schema = self.schema()
+        unknown = [c for c in assignments if c not in schema.fieldNames()]
+        if unknown:
+            raise ValueError(f"UPDATE of unknown columns {unknown}")
+        files = self.log.live_files()
+        touched = prune_files(files, stat_filter) if stat_filter else files
+        if not touched:
+            return self._commit("replace", [], summary={"op": "update_where"})
+        rows = self._read_files(touched)
+        cols = []
+        for name in schema.fieldNames():
+            if name in assignments:
+                v = assignments[name]
+                val = v if hasattr(v, "cast") else F.lit(v)
+                cols.append(
+                    F.when(predicate, val)
+                    .otherwise(F.col(name))
+                    .cast(schema[name].dataType)
+                    .alias(name)
+                )
+            else:
+                cols.append(F.col(name))
+        updated = rows.select(*cols)
+        self._validate_constraints(updated)
+        new_files = self._write_data(updated)
+        return self._commit(
+            "replace",
+            new_files,
+            removed_paths=[f["path"] for f in touched],
+            summary={"op": "update_where", "rewritten_files": len(touched)},
+        )
+
     def delete_keys(self, keys: DataFrame, key_cols: list[str]) -> Snapshot:
         """Merge-on-read equality delete: write the keys as a delete file,
         commit metadata — NO data rewrite (the read side anti-joins).

@@ -563,3 +563,74 @@ def test_partition_values_with_special_characters(spark, warehouse):
     # the log's metadata view holds the decoded value (one file per cat)
     cats = sorted(f["partition"]["cat"] for f in t.log.live_files())
     assert cats == sorted(c for _, c, _ in rows)
+
+
+def test_update_where_rewrites_only_overlapping_files(spark, sf_dir, tmp_path):
+    """COW UPDATE: files whose min/max bounds cannot contain matches
+    survive byte-identical; matching rows take the SET expressions,
+    non-matching rows in rewritten files carry through unchanged."""
+    import hashlib
+    import uuid
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, str(tmp_path / uuid.uuid4().hex))
+    t = lh.create_table(
+        "ns.orders_uw",
+        orders.schema,
+        properties={"write.target-records-per-file": "300"},
+    )
+    t.append(orders.orderBy("o_orderdate"))
+
+    def digests(table):
+        return {
+            f["path"]: hashlib.sha256(Path(f["path"]).read_bytes()).hexdigest()
+            for f in table.log.live_files()
+        }
+
+    before = digests(t)
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01").cast("timestamp_ntz")
+    t.update_where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi),
+        {"o_totalprice": F.col("o_totalprice") + 7.0},
+        stat_filter={
+            "o_orderdate": [
+                (">=", "1996-01-01T00:00:00"),
+                ("<", "1996-04-01T00:00:00"),
+            ],
+        },
+    )
+    after = digests(t)
+    survivors = set(before) & set(after)
+    assert survivors, "stat pruning kept no files — bounds too loose"
+    for p in survivors:
+        assert before[p] == after[p]  # byte-identical
+    assert set(after) != set(before)  # something was rewritten
+    # value semantics vs a plain CASE over the source
+    got = {r.o_orderkey: r.o_totalprice for r in t.scan().collect()}
+    for r in orders.collect():
+        inside = "1996-01-01" <= str(r.o_orderdate) < "1996-04-01"
+        want = r.o_totalprice + 7.0 if inside else r.o_totalprice
+        assert got[r.o_orderkey] == want
+
+
+def test_update_where_rejects_unknown_column(spark, sf_dir, tmp_path):
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, str(tmp_path / uuid.uuid4().hex))
+    t = lh.create_table("ns.orders_uw2", orders.schema)
+    t.append(orders.limit(10))
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where(F.col("o_orderkey") > 0, {"nope": 1})
