@@ -382,3 +382,51 @@ def test_merge_into_partitioned_requires_partitioning(spark, warehouse):
     t.append(df)
     with pytest.raises(ValueError, match="not partitioned"):
         merge_into_partitioned(t, df, ["id"])
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tgt_ids=st.sets(st.integers(0, 15), min_size=1, max_size=10),
+    src_ids=st.sets(st.integers(0, 15), min_size=1, max_size=10),
+    del_mod=st.integers(2, 5),
+    n_parts=st.integers(2, 3),
+)
+def test_merge_into_partitioned_equals_full(spark, tmp_path, tgt_ids, src_ids, del_mod, n_parts):
+    """For any key overlap and clause conditions, the partition-scoped
+    MERGE must produce exactly the same table as the full-table variant
+    (partition value derived stably from the key, per the contract)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.upsert import (
+        merge_into,
+        merge_into_partitioned,
+    )
+
+    def rows(ids, bump):
+        return [(i, f"p{i % n_parts}", float(i) + bump) for i in sorted(ids)]
+
+    lh = Lakehouse(spark, str(tmp_path / uuid.uuid4().hex))
+    base = spark.createDataFrame(rows(tgt_ids, 0.0), "id long, part string, v double")
+    src = spark.createDataFrame(rows(src_ids, 100.0), "id long, part string, v double")
+    tp = lh.create_table(
+        "ns.hp" + uuid.uuid4().hex[:6], base.schema, partition_by=["part"]
+    )
+    tf = lh.create_table("ns.hf" + uuid.uuid4().hex[:6], base.schema)
+    tp.append(base)
+    tf.append(base)
+    kwargs = dict(
+        matched_delete=F.col("id") % del_mod == 0,
+        not_matched_insert=F.col("_src_v") >= 100.0,
+    )
+    merge_into_partitioned(tp, src, ["id"], **kwargs)
+    merge_into(tf, src, ["id"], **kwargs)
+    got_p = sorted(map(tuple, tp.scan().collect()))
+    got_f = sorted(map(tuple, tf.scan().collect()))
+    assert got_p == got_f
