@@ -987,6 +987,53 @@ def lh_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lh_rollup_percentile",
+    """
+    select l_returnflag, l_linestatus,
+           count(*) as cnt_rows,
+           cast(percentile_disc(0.5) within group (order by l_quantity)
+                as bigint) as p50_l_quantity,
+           cast(percentile_disc(0.95) within group (order by l_quantity)
+                as bigint) as p95_l_quantity
+    from lineitem
+    group by l_returnflag, l_linestatus
+    """,
+)
+def lh_rollup_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mergeable-percentile rollup (lakehouse/rollup.py): the summary
+    stores a dense value-count histogram per group over l_quantity's
+    declared integer domain [1, 50]; counts merge by element-wise addition
+    across incremental refreshes, and the read path derives the
+    SQL-standard percentile_disc rank (smallest value whose cumulative
+    count c has c*100 >= pct*n) with pure integer arithmetic. Build on
+    half the fact table, append the other half, refresh (delta-only
+    aggregation), and the derived p50/p95 must hash-equal DuckDB's
+    sort-based percentile_disc from scratch — EXACT, no sketch error,
+    while the maintained state never rescans the fact table."""
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import (
+        create_rollup,
+        read_rollup,
+        refresh_rollup,
+    )
+
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.lineitem_pct_fact", SCHEMAS["lineitem"])
+    li = load_table(spark, sf_dir, "lineitem")
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0))
+    r = create_rollup(
+        lh,
+        t,
+        "ns.lineitem_pct_rollup",
+        ["l_returnflag", "l_linestatus"],
+        [("*", "count"), ("l_quantity", "p50"), ("l_quantity", "p95")],
+        domains={"l_quantity": (1, 50)},
+    )
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1))
+    refresh_rollup(r, t)
+    return read_rollup(r)
+
+
+@register(
     "lh_rollup_hourly",
     """
     select event_type,

@@ -14,8 +14,17 @@ their own value; avg and stddev are DECOMPOSED into mergeable parts —
 non-null sum (``psum_<col>``), sum of squares (``psumsq_<col>``), and
 non-null count (``pcnt_<col>``) — and the final column is derived at read
 time by :func:`read_rollup` (avg = psum/pcnt; sample stddev =
-sqrt((psumsq - psum²/pcnt)/(pcnt-1))). Merge rules: partial sums/counts/
-squares add; partial mins/maxes fold with least/greatest. History that is
+sqrt((psumsq - psum²/pcnt)/(pcnt-1))). Percentiles (``p50``/``p95``/...)
+store an EXACT dense value-count histogram over a bounded integer domain
+declared at create time (``domains={"col": (lo, hi)}``): counts merge by
+element-wise addition, and the read path derives the SQL-standard
+``percentile_disc`` answer (smallest value whose cumulative count reaches
+ceil(q*n)) with pure integer arithmetic — bit-identical to a from-scratch
+sort-based percentile, no sketch error. Values outside the declared
+domain (or non-integral values) land in sentinel under/overflow slots and
+make the derived percentile NULL rather than silently wrong. Merge rules:
+partial sums/counts/squares/histograms add; partial mins/maxes fold with
+least/greatest. History that is
 not an append-only delta (overwrite / replace / delete snapshots, or an
 expired refresh cursor) cannot be merged incrementally; ``refresh_rollup``
 detects that from the log and falls back to a FULL recompute, recording
@@ -26,6 +35,7 @@ fast path applying.
 from __future__ import annotations
 
 import json
+import re
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -34,8 +44,16 @@ from pyspark.sql import functions as F
 from pyiceberg_lakehouse_spark.lakehouse.table import LakehouseTable
 
 # requested aggregate surface; avg/stddev are stored as decomposed parts,
-# distinct as a mergeable HLL register vector
-_SUPPORTED = ("sum", "count", "min", "max", "avg", "stddev", "distinct")
+# distinct as a mergeable HLL register vector, pNN percentiles as an exact
+# dense histogram over a declared bounded integer domain
+_SUPPORTED = ("sum", "count", "min", "max", "avg", "stddev", "distinct", "p1..p99")
+
+_PCT_RE = re.compile(r"^p([1-9][0-9]?)$")
+
+
+def _pct_of(fn: str) -> int | None:
+    m = _PCT_RE.match(fn)
+    return int(m.group(1)) if m else None
 
 # ---------------------------------------------------------------- HLL ----
 # HyperLogLog parameters. The hash is the engine-portable 60-bit md5 trick
@@ -149,6 +167,117 @@ def hll_estimate(name: str) -> F.Column:
     ).otherwise(raw)
 
 
+# ---------------------------------------------------- exact histogram ----
+# Percentile state: a dense bigint count vector over the declared integer
+# domain [lo, hi], with slot 0 = underflow and slot len-1 = overflow (the
+# numeric_profile sentinel convention); value v maps to slot v-lo+1. Counts
+# are integers, merges are element-wise adds, so every refresh/reaggregate
+# is EXACT — the derived percentile is the SQL-standard percentile_disc
+# answer, not a sketch estimate.
+
+
+def _hist_len(lo: int, hi: int) -> int:
+    return hi - lo + 3
+
+
+def _hist_delta(
+    df: DataFrame, dim_names: list[str], col: str, name: str, lo: int, hi: int
+) -> DataFrame:
+    """Per-dims dense count histogram for ``col`` over raw fact rows.
+
+    Same two-shuffle shape as :func:`_hll_delta`: (dims, slot) -> count
+    partial-combines map-side (a hot group ships at most ``hi-lo+3`` rows
+    per map task), then dims -> dense array over the tiny sparse set.
+    NULLs contribute nothing (percentile_disc ignores them); non-integral
+    values count as overflow so the derived percentile goes NULL instead
+    of silently truncating them into a wrong bucket."""
+    n = _hist_len(lo, hi)
+    v = F.col(col).cast("long")
+    integral = F.col(col).cast("double") == v.cast("double")
+    idx = (
+        F.when(~integral, F.lit(n - 1))
+        .when(v < lo, F.lit(0))
+        .when(v > hi, F.lit(n - 1))
+        .otherwise((v - F.lit(lo) + 1).cast("int"))
+    )
+    sparse = (
+        df.filter(F.col(col).isNotNull())
+        .select(*dim_names, idx.cast("int").alias("_h_idx"))
+        .groupBy(*dim_names, "_h_idx")
+        .agg(F.count(F.lit(1)).alias("_h_cnt"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_h_map"), i), F.lit(0).cast("long")
+        ),
+    )
+    return (
+        sparse.groupBy(*dim_names)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_h_idx", "_h_cnt"))
+            ).alias("_h_map")
+        )
+        .select(*dim_names, dense.cast("array<bigint>").alias(name))
+    )
+
+
+def _hist_zero(n: int) -> F.Column:
+    return F.array_repeat(F.lit(0).cast("long"), n)
+
+
+def _hist_merge_expr(name: str, n: int) -> F.Column:
+    """Element-wise sum of count vectors across a group's partial rows
+    (bounded by the number of PARTIALS per dim combo — 2 at refresh)."""
+    return (
+        F.aggregate(
+            F.collect_list(name),
+            _hist_zero(n),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        )
+        .cast("array<bigint>")
+        .alias(name)
+    )
+
+
+def hist_percentile(name: str, lo: int, hi: int, pct: int) -> F.Column:
+    """SQL-standard ``percentile_disc(pct/100)`` from the dense histogram:
+    the smallest in-domain value whose cumulative count c satisfies
+    c*100 >= pct*n — pure integer arithmetic (no float rank), exactly the
+    rank rule DuckDB's percentile_disc implements. NULL when the group has
+    out-of-domain/non-integral values (sentinel slots non-empty) or no
+    in-domain values at all."""
+    nvals = hi - lo + 1
+    hist = F.col(name)
+    vals = F.slice(hist, 2, nvals)
+    total = F.aggregate(vals, F.lit(0).cast("long"), lambda a, x: a + x)
+    oob = hist.getItem(0) + hist.getItem(nvals + 1)
+    pairs = F.transform(
+        vals, lambda x, i: F.struct(x.alias("c"), i.alias("i"))
+    )
+    acc = F.aggregate(
+        pairs,
+        F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(None).cast("int").alias("k"),
+        ),
+        lambda a, p: F.struct(
+            (a["cum"] + p["c"]).alias("cum"),
+            F.coalesce(
+                a["k"],
+                F.when(
+                    (a["cum"] + p["c"]) * F.lit(100) >= F.lit(pct) * total,
+                    p["i"],
+                ),
+            ).alias("k"),
+        ),
+    )
+    return F.when(
+        (oob == 0) & (total > 0), (F.lit(lo) + acc["k"]).cast("long")
+    )
+
+
 def _out_col(col: str, fn: str) -> str:
     return "cnt_rows" if fn == "count" else f"{fn}_{col}"
 
@@ -170,9 +299,24 @@ def _part_cols(aggs: list[tuple[str, str]]) -> dict[str, tuple[str, str]]:
             parts[f"pcnt_{col}"] = ("pcnt", col)
         elif fn == "distinct":
             parts[f"hll_{col}"] = ("hll", col)
+        elif _pct_of(fn) is not None:
+            # every pNN on the same column shares ONE histogram part
+            parts[f"hist_{col}"] = ("hist", col)
         else:
             raise ValueError(f"unsupported rollup aggregate {fn!r}; use {_SUPPORTED}")
     return parts
+
+
+def _domain_of(domains: dict[str, tuple[int, int]] | None, col: str) -> tuple[int, int]:
+    if not domains or col not in domains:
+        raise ValueError(
+            f"percentile rollup over {col!r} needs a declared integer domain: "
+            'pass domains={"%s": (lo, hi)} to create_rollup' % col
+        )
+    lo, hi = domains[col]
+    if not (isinstance(lo, int) and isinstance(hi, int) and lo <= hi):
+        raise ValueError(f"invalid histogram domain for {col!r}: {(lo, hi)!r}")
+    return lo, hi
 
 
 def _dim_cols(df: DataFrame, dims: list) -> tuple[DataFrame, list[str]]:
@@ -191,9 +335,14 @@ def _dim_cols(df: DataFrame, dims: list) -> tuple[DataFrame, list[str]]:
     return df, names
 
 
-def _delta_agg(df: DataFrame, dims: list, aggs: list[tuple[str, str]]) -> DataFrame:
+def _delta_agg(
+    df: DataFrame,
+    dims: list,
+    aggs: list[tuple[str, str]],
+    domains: dict[str, tuple[int, int]] | None = None,
+) -> DataFrame:
     df, dims = _dim_cols(df, dims)
-    exprs, hll = [], []
+    exprs, vectors = [], []
     for name, (kind, col) in _part_cols(aggs).items():
         if kind == "count":
             exprs.append(F.count(F.lit(1)).cast("long").alias(name))
@@ -208,7 +357,16 @@ def _delta_agg(df: DataFrame, dims: list, aggs: list[tuple[str, str]]) -> DataFr
         elif kind == "psumsq":
             exprs.append(F.sum(F.col(col) * F.col(col)).alias(name))
         elif kind == "hll":
-            hll.append((name, col))
+            vectors.append((name, _hll_delta(df, dims, col, name), _hll_zero().cast("array<int>")))
+        elif kind == "hist":
+            lo, hi = _domain_of(domains, col)
+            vectors.append(
+                (
+                    name,
+                    _hist_delta(df, dims, col, name, lo, hi),
+                    _hist_zero(_hist_len(lo, hi)).cast("array<bigint>"),
+                )
+            )
         else:  # pcnt: NON-NULL count, the avg/stddev denominator
             exprs.append(F.count(col).cast("long").alias(name))
     out = (
@@ -216,27 +374,22 @@ def _delta_agg(df: DataFrame, dims: list, aggs: list[tuple[str, str]]) -> DataFr
         if exprs
         else df.select(*dims).distinct()
     )
-    # HLL register vectors are built per distinct-column in their own
-    # two-stage aggregation (see _hll_delta) and joined back on the dims —
-    # a summary-scale join. A group whose values were all NULL gets the
-    # empty register vector.
-    for name, col in hll:
-        regs = _hll_delta(df, dims, col, name)
+    # HLL register / histogram count vectors are built per column in their
+    # own two-stage aggregation (see _hll_delta/_hist_delta) and joined
+    # back on the dims — a summary-scale join. A group whose values were
+    # all NULL gets the zero vector.
+    for name, vec, zero in vectors:
         if dims:
-            right = regs.select(
-                *[F.col(d).alias(f"_hll_d_{d}") for d in dims], name
+            right = vec.select(
+                *[F.col(d).alias(f"_v_d_{d}") for d in dims], name
             )
-            cond = [
-                F.col(d).eqNullSafe(F.col(f"_hll_d_{d}")) for d in dims
-            ]
+            cond = [F.col(d).eqNullSafe(F.col(f"_v_d_{d}")) for d in dims]
             out = out.join(right, cond, "left").drop(
-                *[f"_hll_d_{d}" for d in dims]
+                *[f"_v_d_{d}" for d in dims]
             )
         else:
-            out = out.crossJoin(regs)
-        out = out.withColumn(
-            name, F.coalesce(F.col(name), _hll_zero().cast("array<int>"))
-        )
+            out = out.crossJoin(vec)
+        out = out.withColumn(name, F.coalesce(F.col(name), zero))
     return out
 
 
@@ -244,17 +397,26 @@ def _dim_names(dims: list) -> list[str]:
     return [d if isinstance(d, str) else d[0] for d in dims]
 
 
-def _merge_agg(df: DataFrame, dims: list, aggs: list[tuple[str, str]]) -> DataFrame:
+def _merge_agg(
+    df: DataFrame,
+    dims: list,
+    aggs: list[tuple[str, str]],
+    domains: dict[str, tuple[int, int]] | None = None,
+) -> DataFrame:
     # partials already carry the (possibly derived) dimension columns
     dims = _dim_names(dims)
     exprs = []
-    for name, (kind, _col) in _part_cols(aggs).items():
+    for name, (kind, col) in _part_cols(aggs).items():
         if kind == "min":
             merged = F.min(name)
         elif kind == "max":
             merged = F.max(name)
         elif kind == "hll":
             exprs.append(_hll_merge_expr(name))
+            continue
+        elif kind == "hist":
+            lo, hi = _domain_of(domains, col)
+            exprs.append(_hist_merge_expr(name, _hist_len(lo, hi)))
             continue
         else:  # sum/count/psum/psumsq/pcnt are all additive
             merged = F.sum(name)
@@ -270,33 +432,47 @@ def create_rollup(
     identifier: str,
     dims: list[str],
     aggs: list[tuple[str, str]],
+    domains: dict[str, tuple[int, int]] | None = None,
 ) -> LakehouseTable:
     """Materialize ``source`` grouped by ``dims`` with mergeable ``aggs``
-    (list of ``(column, fn)``; fn in sum/count/min/max/avg/stddev, column
-    ignored for count; avg/stddev stored as decomposed psum/psumsq/pcnt
-    parts — read the requested shape back via :func:`read_rollup`) into a
-    new lakehouse table, and record the maintenance contract (source
-    dims/aggs + the snapshot the state covers) in its properties.
+    (list of ``(column, fn)``; fn in sum/count/min/max/avg/stddev/distinct
+    or ``pNN`` percentiles, column ignored for count; avg/stddev stored as
+    decomposed psum/psumsq/pcnt parts, percentiles as an exact bounded
+    histogram — read the requested shape back via :func:`read_rollup`)
+    into a new lakehouse table, and record the maintenance contract
+    (source dims/aggs/domains + the snapshot the state covers) in its
+    properties.
+
+    ``pNN`` aggregates require ``domains`` to declare the measure's closed
+    integer domain, e.g. ``domains={"l_quantity": (1, 50)}``.
 
     The initial build is the one full pass; every later ``refresh_rollup``
     advances from the recorded snapshot cursor.
     """
-    for _, fn in aggs:
-        if fn not in _SUPPORTED:
+    for col, fn in aggs:
+        if fn not in _SUPPORTED and _pct_of(fn) is None:
             raise ValueError(f"unsupported rollup aggregate {fn!r}; use {_SUPPORTED}")
+        if _pct_of(fn) is not None:
+            _domain_of(domains, col)  # validate eagerly, before any write
     covered = source.log.current_snapshot_id()
-    state = _delta_agg(source.scan(), dims, aggs)
+    state = _delta_agg(source.scan(), dims, aggs, domains)
     rollup = lh.create_table(identifier, state.schema)
     rollup.log.properties.update(
         {
             "rollup.source": source.table_dir,
             "rollup.dims": json.dumps(dims),
             "rollup.aggs": json.dumps(aggs),
+            "rollup.domains": json.dumps(domains or {}),
             "rollup.last-snapshot": str(covered),
         }
     )
     rollup.append(state)
     return rollup
+
+
+def _stored_domains(rollup: LakehouseTable) -> dict[str, tuple[int, int]]:
+    raw = json.loads(rollup.log.properties.get("rollup.domains", "{}"))
+    return {k: (int(v[0]), int(v[1])) for k, v in raw.items()}
 
 
 def read_rollup(rollup: LakehouseTable) -> DataFrame:
@@ -314,17 +490,27 @@ def read_rollup(rollup: LakehouseTable) -> DataFrame:
     """
     dims = _dim_names(json.loads(rollup.log.properties["rollup.dims"]))
     aggs = [tuple(a) for a in json.loads(rollup.log.properties["rollup.aggs"])]
-    return _derive_requested(rollup.scan(), dims, aggs)
+    return _derive_requested(rollup.scan(), dims, aggs, _stored_domains(rollup))
 
 
 def _derive_requested(
-    df: DataFrame, dim_names: list[str], aggs: list[tuple[str, str]]
+    df: DataFrame,
+    dim_names: list[str],
+    aggs: list[tuple[str, str]],
+    domains: dict[str, tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Project summary-state rows (dims + mergeable parts) into the
     REQUESTED-aggregate shape."""
     cols: list = [F.col(d) for d in dim_names]
     for col, fn in aggs:
-        if fn in ("sum", "count", "min", "max"):
+        if _pct_of(fn) is not None:
+            lo, hi = _domain_of(domains, col)
+            cols.append(
+                hist_percentile(f"hist_{col}", lo, hi, _pct_of(fn)).alias(
+                    f"{fn}_{col}"
+                )
+            )
+        elif fn in ("sum", "count", "min", "max"):
             cols.append(F.col(_out_col(col, fn)))
         elif fn == "avg":
             n = F.col(f"pcnt_{col}").cast("double")
@@ -361,9 +547,10 @@ def reaggregate_rollup(rollup: LakehouseTable, dims: list) -> DataFrame:
     O(|summary|) regardless of fact-table size.
     """
     aggs = [tuple(a) for a in json.loads(rollup.log.properties["rollup.aggs"])]
+    domains = _stored_domains(rollup)
     df, names = _dim_cols(rollup.scan(), dims)
-    merged = _merge_agg(df, names, aggs)
-    return _derive_requested(merged, _dim_names(dims), aggs)
+    merged = _merge_agg(df, names, aggs, domains)
+    return _derive_requested(merged, _dim_names(dims), aggs, domains)
 
 
 def refresh_rollup(rollup: LakehouseTable, source: LakehouseTable) -> dict[str, Any]:
@@ -381,6 +568,7 @@ def refresh_rollup(rollup: LakehouseTable, source: LakehouseTable) -> dict[str, 
     """
     dims = json.loads(rollup.log.properties["rollup.dims"])
     aggs = [tuple(a) for a in json.loads(rollup.log.properties["rollup.aggs"])]
+    domains = _stored_domains(rollup)
     cursor = int(rollup.log.properties["rollup.last-snapshot"])
     head = source.log.current_snapshot_id()
     if head == cursor:
@@ -389,13 +577,16 @@ def refresh_rollup(rollup: LakehouseTable, source: LakehouseTable) -> dict[str, 
     try:
         delta = source.read_incremental(cursor, head)
         state = _merge_agg(
-            rollup.scan().unionByName(_delta_agg(delta, dims, aggs)), dims, aggs
+            rollup.scan().unionByName(_delta_agg(delta, dims, aggs, domains)),
+            dims,
+            aggs,
+            domains,
         )
     except (ValueError, KeyError):
         # non-append history in the interval, or expired cursor: partials
         # cannot merge — recompute from the live snapshot instead
         mode = "full"
-        state = _delta_agg(source.scan(), dims, aggs)
+        state = _delta_agg(source.scan(), dims, aggs, domains)
     # align to the rollup schema (summary tables are small; the overwrite
     # rewrites O(|dims-combinations|) rows, never fact-table bytes)
     state = state.select(*[f.name for f in rollup.schema().fields])

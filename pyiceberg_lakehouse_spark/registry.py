@@ -111,9 +111,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lh_merge_into_partitioned",
     "lh_type_promotion",
     "lh_datasource_write_roundtrip",
+    # (lh_rollup_avg's hold slot goes to the NEW exact-percentile rollup —
+    # fresh code outranks a second-round hold; avg stays local-gated)
     "lh_rollup_incremental",
     "lh_rollup_hourly",
-    "lh_rollup_avg",
+    "lh_rollup_percentile",
     "lh_rollup_distinct",
     "lh_rollup_reaggregate",
     "lh_ann_auto_maintain",

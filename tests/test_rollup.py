@@ -451,3 +451,117 @@ def test_rollup_hll_reaggregate_merges_registers(spark, tmp_path):
     assert len(coarse) == 1
     # 40 distinct users total across both groups (not ~80)
     assert abs(coarse[0]["distinct_u"] / 40.0 - 1.0) < 0.15
+
+
+def test_rollup_percentile_incremental_equals_sort_based(spark, tmp_path):
+    """Exact-histogram percentile rollup: after incremental refreshes the
+    derived p50/p95 must EQUAL Spark's own sort-based percentile_disc over
+    the final fact table — no sketch error — and the count vectors must be
+    bit-identical to a from-scratch rollup (element-wise add is order- and
+    batching-insensitive)."""
+    import uuid
+
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import read_rollup
+
+    rows = [
+        (i, "g" + str(i % 3), (i * 7919) % 50 + 1 if i % 13 else None)
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    lh = Lakehouse(spark, str(tmp_path / uuid.uuid4().hex))
+    t = lh.create_table("ns.pctfact", df.schema)
+    t.append(df.filter(F.col("id") < 1000))
+    mk = lambda ident: create_rollup(  # noqa: E731
+        lh,
+        t,
+        ident,
+        ["g"],
+        [("*", "count"), ("v", "p50"), ("v", "p95")],
+        domains={"v": (1, 50)},
+    )
+    r = mk("ns.pctfact_ru")
+    t.append(df.filter((F.col("id") >= 1000) & (F.col("id") < 2000)))
+    assert refresh_rollup(r, t)["mode"] == "incremental"
+    t.append(df.filter(F.col("id") >= 2000))
+    assert refresh_rollup(r, t)["mode"] == "incremental"
+
+    full = mk("ns.pctfact_ru2")
+    assert {x.g: x.hist_v for x in r.scan().collect()} == {
+        x.g: x.hist_v for x in full.scan().collect()
+    }
+
+    got = {x.g: (x.p50_v, x.p95_v) for x in read_rollup(r).collect()}
+    ref = {
+        x.g: (x.p50, x.p95)
+        for x in t.scan()
+        .groupBy("g")
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) within group (order by v)"
+            ).alias("p50"),
+            F.expr(
+                "percentile_disc(0.95) within group (order by v)"
+            ).alias("p95"),
+        )
+        .collect()
+    }
+    assert got == ref
+
+
+def test_rollup_percentile_out_of_domain_and_nulls(spark, tmp_path):
+    """Out-of-domain and non-integral values land in the sentinel slots
+    and force the derived percentile to NULL (never a silently-wrong
+    answer); an all-NULL group derives NULL; a clean group still answers.
+    A percentile agg without a declared domain is rejected eagerly."""
+    import uuid
+
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import read_rollup
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean", 5.0),
+            (2, "clean", 7.0),
+            (3, "high", 99.0),  # > hi
+            (4, "frac", 5.5),  # non-integral
+            (5, "nulls", None),
+        ],
+        "id long, g string, v double",
+    )
+    lh = Lakehouse(spark, str(tmp_path / uuid.uuid4().hex))
+    t = lh.create_table("ns.pctoob", df.schema)
+    t.append(df)
+    r = create_rollup(
+        lh, t, "ns.pctoob_ru", ["g"], [("v", "p50")], domains={"v": (1, 10)}
+    )
+    got = {x.g: x.p50_v for x in read_rollup(r).collect()}
+    assert got == {"clean": 5, "high": None, "frac": None, "nulls": None}
+
+    with pytest.raises(ValueError, match="domain"):
+        create_rollup(lh, t, "ns.pctoob_bad", ["g"], [("v", "p50")])
+
+
+def test_rollup_percentile_reaggregate_merges_histograms(spark, tmp_path):
+    """reaggregate_rollup over a percentile rollup must merge count
+    vectors element-wise, so a coarser grouping's percentile equals the
+    sort-based percentile at that grain — NOT any combination of
+    per-group percentiles."""
+    import uuid
+
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import reaggregate_rollup
+
+    # skewed per-group distributions so no per-group combination works
+    rows = [(i, "lo", 1 + i % 5) for i in range(400)] + [
+        (1000 + i, "hi", 40 + i % 10) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    lh = Lakehouse(spark, str(tmp_path / uuid.uuid4().hex))
+    t = lh.create_table("ns.pctre", df.schema)
+    t.append(df)
+    r = create_rollup(
+        lh, t, "ns.pctre_ru", ["g"], [("v", "p90")], domains={"v": (1, 50)}
+    )
+    coarse = reaggregate_rollup(r, [("all_", "'x'")]).collect()
+    ref = t.scan().agg(
+        F.expr("percentile_disc(0.9) within group (order by v)").alias("p")
+    ).collect()[0]["p"]
+    assert len(coarse) == 1 and coarse[0]["p90_v"] == ref
