@@ -307,6 +307,120 @@ def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_anti_join",
+    """
+    select a.event_id as click_id, a.user_id as user_id
+    from (select * from events where event_type = 'click') a
+    where not exists (
+      select 1 from events b
+      where b.event_type = 'purchase' and b.user_id = a.user_id
+        and b.ts >= a.ts and b.ts <= a.ts + interval 12 hour
+    )
+    """,
+)
+def stream_stream_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT ANTI interval join: a click emits exactly once,
+    and only when the purchase-side watermark PROVES no same-user purchase
+    followed within 12 hours — unconverted-click detection, the retention/
+    remarketing feed shape.
+
+    Structured Streaming has no native left_anti stream-stream join
+    (supported modes stop at leftSemi), but the semantics compose exactly:
+    the watermark-complete LEFT OUTER join already emits a null-extended
+    row precisely when a click is finally PROVEN unmatched, so anti ==
+    left_outer + ``purchase_id IS NULL``. The filter runs on the SINK's
+    batch output (never inside the streaming plan, where it would race
+    finalization); same sentinel-horizon machinery as the outer twins.
+    The NOT EXISTS batch query is the oracle."""
+    stream = W.events_stream_with_horizon(spark, sf_dir)
+    clicks = (
+        stream.select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            "event_type",
+        )
+        .withWatermark("click_ts", "1 hour")
+        .filter(F.col("event_type") == "click")
+        .drop("event_type")
+    )
+    purchases = (
+        stream.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            "event_type",
+        )
+        .withWatermark("purchase_ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 12 hours")),
+        "left_outer",
+    ).select("click_id", "purchase_id", "user_id")
+    drained = W.run_to_memory(joined, output_mode="append")
+    return drained.filter(
+        (F.col("user_id") != W.SENTINEL_USER) & F.col("purchase_id").isNull()
+    ).select("click_id", "user_id")
+
+
+@register(
+    "stream_stream_right_join",
+    """
+    select a.event_id as click_id, b.event_id as purchase_id,
+           b.user_id as user_id
+    from (select * from events where event_type = 'click') a
+    right join (select * from events where event_type = 'purchase') b
+      on a.user_id = b.user_id
+     and b.ts >= a.ts and b.ts <= a.ts + interval 12 hour
+    """,
+)
+def stream_stream_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream RIGHT OUTER interval join: every purchase emits, with
+    NULL click columns when no same-user click preceded it within 12
+    hours — organic-purchase attribution. The null-extended purchase may
+    only emit once the click-side watermark proves no qualifying click
+    can still arrive; same sentinel-horizon finalization as the other
+    outer twins, sentinel artifacts dropped post-sink."""
+    stream = W.events_stream_with_horizon(spark, sf_dir)
+    clicks = (
+        stream.select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            "event_type",
+        )
+        .withWatermark("click_ts", "1 hour")
+        .filter(F.col("event_type") == "click")
+        .drop("event_type")
+    )
+    purchases = (
+        stream.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            "event_type",
+        )
+        .withWatermark("purchase_ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 12 hours")),
+        "right_outer",
+    ).select("click_id", "purchase_id", "user_id")
+    drained = W.run_to_memory(joined, output_mode="append")
+    return drained.filter(F.col("user_id") != W.SENTINEL_USER)
+
+
+@register(
     "stream_lh_datasource_partitioned",
     """
     select event_type, count(*) as n,
