@@ -11,7 +11,7 @@ as a small-data oracle/recall baseline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # 2^31 - 1 (prime). Shingle hashes are first folded mod MERSENNE so the
@@ -157,6 +157,80 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contaminated"))
         .filter(F.col("n_contaminated") >= min_hits)
+    )
+
+
+def duplicated_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring coverage per document: the fraction of
+    each document's tokens lying inside a k-token span that occurs
+    >= ``min_count`` times anywhere in the corpus (including repeats
+    within the same document) — the substring-level dedup signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (suffix-array ExactSubstr), re-expressed relationally: a
+    token position is covered iff some duplicated k-gram starts within
+    the previous k positions, and the union length of equal-length
+    intervals needs no gaps-and-islands pass — sorted duplicate starts
+    p_1 < p_2 < ... contribute sum(least(k, p_i - p_{i-1})) with the
+    first start contributing k.
+
+    Returns (id, n_tokens, dup_tokens, dup_frac) for EVERY document.
+
+    100 TB posture: one explode to (md5(k-gram), position) pairs — k-grams
+    ship as 32-byte hashes, never text; the duplicate-k-gram groupBy
+    partial-aggregates map-side; the occurrence->duplicate-set join is a
+    hash join on the k-gram hash (AQE-skewable, broadcastable when the
+    duplicate set is small); the coverage pass is ONE per-document window
+    exchange. No suffix array, no self-join, no all-pairs.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    base = toks.select(
+        F.col(id_col), F.size("_toks").cast("long").alias("n_tokens")
+    )
+    # start positions are 1-based; a doc shorter than k tokens has no
+    # k-grams (the CASE guards Spark's descending sequence(1, 0) trap)
+    kg = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(CASE WHEN size(_toks) >= {k} THEN"
+                f" sequence(1, size(_toks) - {k} + 1) ELSE"
+                " array() END,"
+                f" i -> md5(concat_ws(' ', slice(_toks, i, {k}))))"
+            )
+        ).alias("_p0", "h"),
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("p"), "h")
+    dup = (
+        kg.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("h")
+    )
+    starts = kg.join(dup, "h").select(id_col, "p")
+    w = Window.partitionBy(id_col).orderBy("p")
+    cov = (
+        starts.withColumn(
+            "_add",
+            F.least(F.lit(k).cast("long"), F.coalesce(F.col("p") - F.lag("p").over(w), F.lit(k).cast("long"))),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_add").alias("dup_tokens"))
+    )
+    return (
+        base.join(cov, id_col, "left")
+        .withColumn("dup_tokens", F.coalesce(F.col("dup_tokens"), F.lit(0).cast("long")))
+        .withColumn(
+            "dup_frac",
+            F.col("dup_tokens").cast("double") / F.col("n_tokens").cast("double"),
+        )
     )
 
 

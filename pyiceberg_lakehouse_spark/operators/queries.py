@@ -78,6 +78,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_substring_spans",
+    f"""
+    with toks as (
+      select doc_id, string_split({NORM}, ' ') as t from documents
+    ),
+    base as (select doc_id, len(t) as n_tokens from toks),
+    kg as (
+      select doc_id, i as p, md5(array_to_string(t[i:i+4], ' ')) as h
+      from toks, unnest(generate_series(1, len(t) - 4)) u(i)
+    ),
+    dup as (select h from kg group by h having count(*) >= 2),
+    starts as (select kg.doc_id, kg.p from kg join dup using (h)),
+    cov as (
+      select doc_id, sum(add_) as dup_tokens from (
+        select doc_id,
+               least(5, coalesce(p - lag(p) over (partition by doc_id
+                                                  order by p), 5)) as add_
+        from starts
+      ) group by doc_id
+    )
+    select b.doc_id, b.n_tokens,
+           coalesce(c.dup_tokens, 0) as dup_tokens,
+           cast(coalesce(c.dup_tokens, 0) as double)
+             / cast(b.n_tokens as double) as dup_frac
+    from base b left join cov c using (doc_id)
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring coverage (Lee et al. ExactSubstr class):
+    per-document fraction of tokens inside a 5-token span occurring >= 2
+    times corpus-wide. The oracle rebuilds the identical interval-union
+    arithmetic in SQL (duplicate k-gram starts -> least(k, gap) window
+    sum), so the hash match proves the relational reformulation of the
+    suffix-array algorithm end-to-end."""
+    return dedup.duplicated_span_coverage(
+        load_table(spark, sf_dir, "documents"), k=5, min_count=2
+    )
+
+
 @register("dedup_minhash_lsh")  # rows-only: hash family is engine-specific
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH candidates, exact-Jaccard verified (scale path)."""

@@ -119,8 +119,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lh_rollup_distinct",
     "lh_rollup_reaggregate",
     "lh_ann_auto_maintain",
-    # dedup + similarity (components twin holds; cosine top-k anchors)
+    # dedup + similarity (components twin holds; cosine top-k anchors;
+    # NEW exact substring-span coverage — the Lee-et-al ExactSubstr class —
+    # takes text_bigram_novelty's hold slot per the fresh-code principle)
     "dedup_components_exact",
+    "dedup_substring_spans",
     "sim_cosine_topk",
     # text + multimodal (r9 first-timers hold; post-freeze progressive
     # JPEG + container probes rotate in; NEW 4:2:0/4:2:2 subsampled
@@ -130,7 +133,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # tests/test_operators.py)
     "text_lm_familiarity",
     "text_top_bigrams",
-    "text_bigram_novelty",
     "text_chunk_overlap",
     "multimodal_png_decode",
     "multimodal_jpeg_roundtrip",

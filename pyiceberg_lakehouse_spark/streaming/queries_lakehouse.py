@@ -15,6 +15,7 @@ from pyspark.sql import types as T
 
 from pyiceberg_lakehouse_spark.lakehouse.table import Lakehouse
 from pyiceberg_lakehouse_spark.registry import register
+from pyiceberg_lakehouse_spark.sources.testdata import load_table
 from pyiceberg_lakehouse_spark.streaming import windows as W
 from pyiceberg_lakehouse_spark.streaming.lakehouse_io import (
     read_table_stream,
@@ -418,6 +419,40 @@ def stream_stream_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("click_id", "purchase_id", "user_id")
     drained = W.run_to_memory(joined, output_mode="append")
     return drained.filter(F.col("user_id") != W.SENTINEL_USER)
+
+
+@register(
+    "stream_static_enrich",
+    """
+    select e.event_id, e.user_id, c.c_mktsegment as segment
+    from events e
+    left join customer c on c.c_custkey = e.user_id
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC left join: enrich every event in the stream with a
+    dimension attribute from a static table — the most common production
+    streaming shape (fact stream x slowly-changing dim).
+
+    Stateless by construction: each micro-batch hash-joins against the
+    static side with no watermark and no join state, so at 100 TB/day the
+    cost is the batch-join cost of each micro-batch and the dim side
+    broadcasts when small (Catalyst plans it exactly like a batch
+    broadcast join inside every micro-batch). Left-ness keeps events whose
+    key has no dim row — NULL-extended, never dropped. The batch left-join
+    SQL is the oracle over the same inputs."""
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("_dim_key"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    ev = W.events_stream(spark, sf_dir).select("event_id", "user_id")
+    joined = ev.join(
+        dim, F.col("user_id") == F.col("_dim_key"), "left"
+    ).select("event_id", "user_id", "segment")
+    return W.run_to_memory(joined, output_mode="append")
 
 
 @register(

@@ -1475,3 +1475,51 @@ def test_lm_familiarity_properties(spark):
     assert (got[10].n_bigrams, got[10].n_oov, got[10].fam_sum) == (2, 0, 1_500_000)
     assert (got[11].n_bigrams, got[11].n_oov, got[11].fam_sum) == (2, 2, 0)
     assert (got[12].n_bigrams, got[12].n_oov, got[12].fam_sum) == (1, 1, 0)
+
+
+def test_duplicated_span_coverage_hand_corpus(spark):
+    """Exact substring-span coverage on a hand-computed corpus (k=3):
+    overlapping duplicated k-grams merge via least(k, gap), within-doc
+    repeats count toward the corpus threshold, unique docs report 0, and
+    a fully-duplicated doc reports coverage == n_tokens."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),  # shares "a b c d" with doc 2
+            (2, "x x a b c d y"),
+            (3, "p q r s"),  # unique
+            (4, "m m m m m"),  # self-repeating "m m m" at starts 1,2,3
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_frac)
+        for r in dedup.duplicated_span_coverage(df, k=3, min_count=2).collect()
+    }
+    # doc 1: dup starts {1,2} -> 3 + 1 = 4 covered (a b c d)
+    # doc 2: dup starts {3,4} -> 3 + 1 = 4 covered (a b c d)
+    # doc 4: starts {1,2,3} -> 3 + 1 + 1 = 5 = every token
+    assert out == {
+        1: (6, 4, 4 / 6),
+        2: (7, 4, 4 / 7),
+        3: (4, 0, 0.0),
+        4: (5, 5, 1.0),
+    }
+
+
+def test_duplicated_span_coverage_short_docs_and_min_count(spark):
+    """Docs shorter than k yield no k-grams (0 coverage, no crash); a
+    min_count above the corpus multiplicity suppresses the span."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c d e f"), (3, "c d e g")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.dup_tokens
+        for r in dedup.duplicated_span_coverage(df, k=3, min_count=2).collect()
+    }
+    assert out == {1: 0, 2: 3, 3: 3}  # "c d e" shared
+    out3 = {
+        r.doc_id: r.dup_tokens
+        for r in dedup.duplicated_span_coverage(df, k=3, min_count=3).collect()
+    }
+    assert out3 == {1: 0, 2: 0, 3: 0}
