@@ -85,6 +85,36 @@ def _commit_lock(table_dir: str, timeout_s: float = 30.0, stale_s: float = 300.0
             os.unlink(lock_path)
 
 
+def _winners_touch(
+    on_disk: "SnapshotLog", head: int, parts: list[dict[str, str]]
+) -> bool:
+    """Did any commit that landed after our ``head`` touch one of the
+    partitions in ``parts``? Added files carry their partition values
+    directly; removed paths are resolved through every added-file entry in
+    the on-disk log (a file can only be removed after being added there).
+    Unresolvable paths count as touching — unknown state is a conflict,
+    never a silent retry."""
+
+    def in_parts(pd: dict[str, str]) -> bool:
+        return any(all(pd.get(k) == v for k, v in p.items()) for p in parts)
+
+    winners = [s for s in on_disk.snapshots if s.snapshot_id > head]
+    partition_of = {
+        f["path"]: f.get("partition") or {}
+        for s in on_disk.snapshots
+        for f in s.added_files
+    }
+    for s in winners:
+        for f in s.added_files:
+            if in_parts(f.get("partition") or {}):
+                return True
+        for rp in s.removed_paths:
+            pd = partition_of.get(rp)
+            if pd is None or in_parts(pd):
+                return True
+    return False
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
@@ -305,6 +335,7 @@ class SnapshotLog:
         added_deletes: list[dict[str, Any]] | None = None,
         retry_conflicts: int = 0,
         preserve_sequencing: bool = False,
+        touched_partitions: list[dict[str, str]] | None = None,
     ) -> Snapshot:
         """Append one snapshot atomically.
 
@@ -313,6 +344,18 @@ class SnapshotLog:
         atomic but last-write-wins). On conflict, commutative operations may
         refresh to the winner's state and retry up to ``retry_conflicts``
         times — the multi-writer append story; everything else raises.
+
+        ``touched_partitions`` narrows the conflict check for ``replace``
+        commits (Iceberg-style overwrite validation): the replace was
+        planned from ONLY those partitions' state, so a concurrent commit
+        that touched none of them — hourly-partition ingest, a disjoint
+        backfill, another partition-scoped upsert elsewhere — is no
+        conflict at all; the commit refreshes to the winner's state and
+        retries (up to ``retry_conflicts``). A winner that added to or
+        removed from a touched partition still raises: our file swap was
+        computed against state it just changed. This is what lets many
+        writers land partition-scoped merges concurrently instead of
+        serializing through failures.
 
         ``preserve_sequencing=True`` keeps a pre-existing ``added_in`` /
         ``snapshot_id`` on the supplied entries instead of stamping the new
@@ -357,7 +400,14 @@ class SnapshotLog:
                     self._write(expected_len=len(self.snapshots))
                     return snap
             # conflict: another writer advanced the log since we loaded it
-            if attempts >= retry_conflicts or operation not in self.COMMUTATIVE_OPS:
+            retryable = operation in self.COMMUTATIVE_OPS or (
+                operation == "replace"
+                and touched_partitions is not None
+                and not _winners_touch(
+                    on_disk, self.current_snapshot_id() or 0, touched_partitions
+                )
+            )
+            if attempts >= retry_conflicts or not retryable:
                 raise RuntimeError(
                     f"concurrent commit detected on {self.path}: "
                     f"expected {len(self.snapshots)} snapshots "

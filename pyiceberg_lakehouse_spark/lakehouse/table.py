@@ -659,10 +659,17 @@ class LakehouseTable:
         return self._commit("overwrite", files, summary=summary)
 
     def replace_partitions(
-        self, df: DataFrame, partitions: list[dict[str, str]]
+        self, df: DataFrame, partitions: list[dict[str, str]], retries: int = 3
     ) -> Snapshot:
         """Swap only the listed partitions' files for ``df``'s data — the
-        partition-scoped rewrite used by upsert at scale (SURVEY.md §7 step 4)."""
+        partition-scoped rewrite used by upsert at scale (SURVEY.md §7 step 4).
+
+        Conflict detection is partition-scoped (Iceberg-style overwrite
+        validation): a concurrent commit that touched NONE of the listed
+        partitions rebase-retries up to ``retries`` times instead of
+        failing — disjoint partition-scoped writers land concurrently; a
+        writer that added to or removed from a listed partition still
+        surfaces the conflict."""
         removed = [
             f["path"]
             for f in self.log.live_files()
@@ -670,7 +677,9 @@ class LakehouseTable:
         ]
         files = self._write_data(df)
         return self._commit("replace", files, removed_paths=removed,
-                            summary={"partitions": partitions})
+                            summary={"partitions": partitions},
+                            retry_conflicts=retries,
+                            touched_partitions=partitions)
 
     def add_files(
         self,
@@ -1408,9 +1417,16 @@ class LakehouseTable:
         summary=None,
         added_deletes=None,
         retry_conflicts=0,
+        touched_partitions=None,
     ) -> Snapshot:
         return self.log.commit(
-            operation, files, removed_paths, summary, added_deletes, retry_conflicts
+            operation,
+            files,
+            removed_paths,
+            summary,
+            added_deletes,
+            retry_conflicts,
+            touched_partitions=touched_partitions,
         )
 
 

@@ -118,3 +118,128 @@ def test_process_overwrite_conflict_still_errors(spark, warehouse):
     assert "conflict-detected" in out.stdout
     # table state unchanged by the failed overwrite
     assert t.scan().count() == 3
+
+
+_REPLACE_WORKER = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from pyiceberg_lakehouse_spark.lakehouse.log import SnapshotLog
+
+table_dir, part = sys.argv[1], sys.argv[2]
+go = os.path.join(table_dir, "_go")
+deadline = time.time() + 30
+while not os.path.exists(go):
+    if time.time() > deadline:
+        raise SystemExit("barrier never released")
+    time.sleep(0.002)
+log = SnapshotLog(table_dir).load()
+removed = [f["path"] for f in log.live_files() if f["partition"].get("p") == part]
+log.commit(
+    "replace",
+    [{{"path": f"/fake/new_{{part}}.parquet", "partition": {{"p": part}}, "rows": 1}}],
+    removed_paths=removed,
+    summary={{"partitions": [{{"p": part}}]}},
+    retry_conflicts=10,
+    touched_partitions=[{{"p": part}}],
+)
+print("done", part)
+"""
+
+
+def test_two_process_disjoint_partition_replaces_both_commit(spark, warehouse):
+    """Partition-scoped conflict detection: two processes replacing
+    DISJOINT partitions of the same table must both land (one rebases over
+    the other instead of failing) — the concurrent hourly-partition
+    writer story. The final live set carries exactly each writer's new
+    file for its partition and neither writer clobbered the other."""
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.mp_replace", _schema())
+    log = SnapshotLog(t.table_dir).load()
+    for part in ("a", "b"):
+        log.commit(
+            "append",
+            [{"path": f"/fake/base_{part}.parquet", "partition": {"p": part}, "rows": 1}],
+        )
+
+    workers = [
+        subprocess.Popen(
+            [sys.executable, "-c", _REPLACE_WORKER.format(repo=REPO), t.table_dir, part],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for part in ("a", "b")
+    ]
+    time.sleep(0.3)
+    with open(os.path.join(t.table_dir, "_go"), "w") as fh:
+        fh.write("go")
+    for w in workers:
+        out, err = w.communicate(timeout=60)
+        assert w.returncode == 0, f"worker failed: {err}\n{out}"
+
+    final = SnapshotLog(t.table_dir).load()
+    paths = {f["path"] for f in final.live_files()}
+    assert paths == {"/fake/new_a.parquet", "/fake/new_b.parquet"}
+    assert [s.operation for s in final.snapshots].count("replace") == 2
+
+
+def test_partition_replace_overlap_still_conflicts(spark, warehouse):
+    """A stale replace must STILL error when the interleaved winner
+    touched one of its partitions — whether by adding a file into it or
+    by removing one of its files — and must rebase cleanly when the
+    winner's work was entirely elsewhere."""
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.mp_replace_overlap", _schema())
+    log = SnapshotLog(t.table_dir).load()
+    for part in ("a", "b"):
+        log.commit(
+            "append",
+            [{"path": f"/fake/base_{part}.parquet", "partition": {"p": part}, "rows": 1}],
+        )
+
+    def stale_handle():
+        h = SnapshotLog(t.table_dir).load()
+        return h
+
+    def try_replace(handle, part):
+        return handle.commit(
+            "replace",
+            [{"path": f"/fake/r_{part}_{handle.current_snapshot_id()}.parquet",
+              "partition": {"p": part}, "rows": 1}],
+            removed_paths=[f"/fake/base_{part}.parquet"],
+            retry_conflicts=5,
+            touched_partitions=[{"p": part}],
+        )
+
+    # winner appends INTO partition a -> stale replace of a conflicts
+    stale = stale_handle()
+    SnapshotLog(t.table_dir).load().commit(
+        "append", [{"path": "/fake/win1.parquet", "partition": {"p": "a"}, "rows": 1}]
+    )
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        try_replace(stale, "a")
+    # ...but the same stale handle may still replace b (winner untouched it)
+    try_replace(stale, "b")
+
+    # winner REMOVES a file of partition a -> stale replace of a conflicts
+    stale2 = stale_handle()
+    SnapshotLog(t.table_dir).load().commit(
+        "replace",
+        [{"path": "/fake/win2.parquet", "partition": {"p": "a"}, "rows": 1}],
+        removed_paths=["/fake/win1.parquet"],
+    )
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        try_replace(stale2, "a")
+
+    # without touched_partitions the old always-conflict behavior holds
+    stale3 = stale_handle()
+    SnapshotLog(t.table_dir).load().commit(
+        "append", [{"path": "/fake/elsewhere.parquet", "partition": {"p": "z"}, "rows": 1}]
+    )
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        stale3.commit(
+            "replace",
+            [{"path": "/fake/r_plain.parquet", "partition": {"p": "b"}, "rows": 1}],
+            removed_paths=[],
+            retry_conflicts=5,
+        )

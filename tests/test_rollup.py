@@ -565,3 +565,70 @@ def test_rollup_percentile_reaggregate_merges_histograms(spark, tmp_path):
         F.expr("percentile_disc(0.9) within group (order by v)").alias("p")
     ).collect()[0]["p"]
     assert len(coarse) == 1 and coarse[0]["p90_v"] == ref
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "delete", "refresh"]),
+            st.integers(2, 9),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_rollup_percentile_property_any_mutation_sequence(spark, tmp_path, ops):
+    """For ANY interleaving of appends, MoR deletes, and refreshes, a
+    final refresh leaves the derived percentiles equal to sort-based
+    percentile_disc over the live table — incremental histogram merges
+    and full-recompute fallbacks can never change the answer."""
+    import uuid
+
+    rows = [(i, "g" + str(i % 3), (i * 13) % 7 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    lh = Lakehouse(spark, str(tmp_path / uuid.uuid4().hex))
+    t = lh.create_table("ns.pctprop", df.schema)
+    t.append(df.filter(F.col("id") < 50))
+    r = create_rollup(
+        lh,
+        t,
+        "ns.pctprop_ru",
+        ["g"],
+        [("v", "p25"), ("v", "p50"), ("v", "p99")],
+        domains={"v": (1, 7)},
+    )
+    hi = 50
+    for op, m in ops:
+        if op == "append" and hi < 200:
+            t.append(df.filter((F.col("id") >= hi) & (F.col("id") < hi + 50)))
+            hi += 50
+        elif op == "delete":
+            t.delete_keys(df.filter(F.col("id") % m == 0).select("id"), ["id"])
+        else:
+            refresh_rollup(r, t)
+    refresh_rollup(r, t)
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import read_rollup
+
+    got = {
+        x.g: (x.p25_v, x.p50_v, x.p99_v) for x in read_rollup(r).collect()
+    }
+    want = {
+        x[0]: (x[1], x[2], x[3])
+        for x in t.scan()
+        .groupBy("g")
+        .agg(
+            *[
+                F.expr(
+                    f"percentile_disc({q}) within group (order by v)"
+                ).alias(f"p{n}")
+                for q, n in ((0.25, 25), (0.5, 50), (0.99, 99))
+            ]
+        )
+        .collect()
+    }
+    assert got == want

@@ -155,6 +155,20 @@ def bench_documents(spark, b: Bench, tmp: str) -> None:
             warmup=True,
         )
         b.notes[f"decontam_flagged_{tag}"] = flagged
+        # exact substring-span coverage (r10): one kgram groupBy + one
+        # per-doc window — cost must track total tokens ~linearly, never
+        # any pairwise blowup; the planted near-dup pairs guarantee real
+        # duplicated spans exist at every scale
+        from pyiceberg_lakehouse_spark.operators.dedup import (
+            duplicated_span_coverage,
+        )
+
+        b.run(
+            f"substring_spans_{tag}",
+            lambda d=docs: drain(duplicated_span_coverage(d)),
+            reps=REPS,
+            warmup=True,
+        )
 
 
 def bench_embeddings(spark, b: Bench, tmp: str) -> None:
@@ -492,6 +506,22 @@ def bench_rollup(spark, b: Bench, tmp: str) -> None:
         ),
     )
     rh = lh.load_table("scale.rufact_hll")
+    # exact-percentile rollup at the same scale (r10): value2's declared
+    # domain is [1, 1000] (1003-slot count histogram); the claim is both
+    # the incremental economics AND bit-exactness of the incrementally-
+    # merged histogram's percentile vs a sort-based percentile_disc at 10M
+    b.run(
+        "pct_rollup_build_10m",
+        lambda: create_rollup(
+            lh,
+            t,
+            "scale.rufact_pct",
+            ["group"],
+            [("value2", "p50"), ("value2", "p95")],
+            domains={"value2": (1, 1000)},
+        ),
+    )
+    rp = lh.load_table("scale.rufact_pct")
     cursor = t.log.current_snapshot_id()
     t.append(mock.filter(F.col("id") % 100 == 0))  # 1% delta
     # IO-independent evidence (wall on this narrow 4-column mock is
@@ -510,6 +540,8 @@ def bench_rollup(spark, b: Bench, tmp: str) -> None:
     b.notes["rollup_refresh_mode"] = res["mode"]
     res = b.run("hll_rollup_refresh_1pct_10m", lambda: refresh_rollup(rh, t))
     b.notes["hll_rollup_refresh_mode"] = res["mode"]
+    res = b.run("pct_rollup_refresh_1pct_10m", lambda: refresh_rollup(rp, t))
+    b.notes["pct_rollup_refresh_mode"] = res["mode"]
     # accuracy at 10M: incrementally-merged registers vs exact distinct
     from pyiceberg_lakehouse_spark.lakehouse.rollup import read_rollup
 
@@ -524,12 +556,35 @@ def bench_rollup(spark, b: Bench, tmp: str) -> None:
     b.notes["hll_rollup_max_rel_err_10m"] = round(
         max(abs(est[g] / n - 1.0) for g, n in exact.items()), 4
     )
+    # exactness at 10M: incrementally-merged histogram percentile must
+    # EQUAL the sort-based percentile_disc over the final fact table
+    got = {
+        x["group"]: (x["p50_value2"], x["p95_value2"])
+        for x in read_rollup(rp).collect()
+    }
+    ref = {
+        x["group"]: (x["p50"], x["p95"])
+        for x in t.scan()
+        .groupBy("group")
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) within group (order by value2)"
+            ).alias("p50"),
+            F.expr(
+                "percentile_disc(0.95) within group (order by value2)"
+            ).alias("p95"),
+        )
+        .collect()
+    }
+    b.notes["pct_rollup_exact_10m"] = bool(got == ref)
     # force the full-recompute path at the same scale for the contrast
     t.delete_keys(mock.filter(F.col("id") % 1009 == 0).select("id"), ["id"])
     res = b.run("rollup_full_recompute_10m", lambda: refresh_rollup(r, t))
     b.notes["rollup_full_mode"] = res["mode"]
     res = b.run("hll_rollup_full_recompute_10m", lambda: refresh_rollup(rh, t))
     b.notes["hll_rollup_full_mode"] = res["mode"]
+    res = b.run("pct_rollup_full_recompute_10m", lambda: refresh_rollup(rp, t))
+    b.notes["pct_rollup_full_mode"] = res["mode"]
     shutil.rmtree(wh, ignore_errors=True)
 
 
@@ -674,6 +729,18 @@ def main() -> None:
         "hll_rollup_max_rel_err_10m": b.notes.get("hll_rollup_max_rel_err_10m"),
         "hll_rollup_accuracy_ok": (
             (b.notes.get("hll_rollup_max_rel_err_10m") or 1.0) <= 0.15
+        ),
+        # exact-percentile rollup (r10): incremental economics + the
+        # incrementally-merged histogram's percentile must EQUAL the
+        # sort-based percentile_disc at 10M — exact, not within-error
+        "pct_rollup_incremental_vs_full_10m": ratio(
+            "pct_rollup_refresh_1pct_10m", "pct_rollup_full_recompute_10m"
+        ),
+        "pct_rollup_exact_ok": b.notes.get("pct_rollup_exact_10m"),
+        # substring-span coverage (r10): 10x docs => ~10x tokens; the
+        # kgram groupBy + per-doc window must track that ~linearly
+        "substring_spans_growth_10x": ratio(
+            f"substring_spans_{t1}", f"substring_spans_{t2}"
         ),
         # partition-scoped MERGE INTO (r10): a one-partition source must
         # merge cheaper than the full-table merge at the same batch size,
