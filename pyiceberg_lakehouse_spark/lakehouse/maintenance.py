@@ -578,8 +578,12 @@ def expire_snapshots(table: LakehouseTable, keep_last: int = 1) -> list[str]:
     """Drop history older than the last ``keep_last`` snapshots and delete
     data files no longer reachable from any retained snapshot state.
 
-    Returns the deleted paths. Time travel to expired snapshots stops
-    working (that is the point); the current state is never touched.
+    Tags are RETENTION ROOTS: ``read_tag`` promises the same rows forever,
+    so every snapshot from the oldest tagged one forward is kept (and its
+    files stay reachable) no matter how small ``keep_last`` is — dropping
+    the tag is what releases that history. Returns the deleted paths.
+    Time travel to expired snapshots stops working (that is the point);
+    the current state is never touched.
     """
     if table.branches():
         # branches share data files with main; expiry reachability is
@@ -590,10 +594,19 @@ def expire_snapshots(table: LakehouseTable, keep_last: int = 1) -> list[str]:
             "dropping them"
         )
     log = table.log
-    if len(log.snapshots) <= keep_last:
+    # the cut point: everything before it squashes into the base snapshot.
+    # Tagged snapshots pull the cut back so they (and everything after
+    # them, which their replay does not need but monotone history keeps
+    # the squash simple) survive.
+    keep_from = len(log.snapshots) - keep_last
+    id_pos = {s.snapshot_id: i for i, s in enumerate(log.snapshots)}
+    for sid in log.refs.values():
+        if sid in id_pos:
+            keep_from = min(keep_from, id_pos[sid])
+    if keep_from <= 0:
         return []
     # files reachable from any retained snapshot's replayed state
-    retained_ids = [s.snapshot_id for s in log.snapshots[-keep_last:]]
+    retained_ids = [s.snapshot_id for s in log.snapshots[keep_from:]]
     reachable: set[str] = set()
     for sid in retained_ids:
         reachable.update(f["path"] for f in log.live_files(sid))
@@ -609,12 +622,12 @@ def expire_snapshots(table: LakehouseTable, keep_last: int = 1) -> list[str]:
     # deleted keys cannot resurrect after history is dropped
     base_files = log.live_files(retained_ids[0])
     base_deletes = log.live_deletes(retained_ids[0])
-    base = log.snapshots[-keep_last]
+    base = log.snapshots[keep_from]
     # rename history must survive expiry: retained files keep their original
     # added_in, so reading them still depends on renames recorded in the
     # snapshots being dropped — stash those events on the base snapshot
     dropped_renames = []
-    for s in log.snapshots[:-keep_last]:
+    for s in log.snapshots[:keep_from]:
         if "rename_column" in s.summary:
             dropped_renames.append(
                 {"snapshot_id": s.snapshot_id, **s.summary["rename_column"]}
@@ -626,7 +639,7 @@ def expire_snapshots(table: LakehouseTable, keep_last: int = 1) -> list[str]:
         )
     # same for add/drop column events: the re-add null guard needs them
     dropped_cols = []
-    for s in log.snapshots[:-keep_last]:
+    for s in log.snapshots[:keep_from]:
         for op in ("add", "drop"):
             key = f"{op}_column"
             if key in s.summary:
@@ -642,11 +655,11 @@ def expire_snapshots(table: LakehouseTable, keep_last: int = 1) -> list[str]:
     # the last index commit's id, and the squash may drop that snapshot
     dropped_epochs = [
         s.snapshot_id
-        for s in log.snapshots[:-keep_last]
+        for s in log.snapshots[:keep_from]
         if s.summary.get("op") in _INDEX_OPS
     ] + [
         s.summary["ann_index_epoch"]
-        for s in log.snapshots[:-keep_last]
+        for s in log.snapshots[:keep_from]
         if "ann_index_epoch" in s.summary
     ]
     if dropped_epochs:
@@ -660,7 +673,7 @@ def expire_snapshots(table: LakehouseTable, keep_last: int = 1) -> list[str]:
         d for d in base_deletes if d["path"] not in existing
     ]
     base.operation = "overwrite" if base.operation != "create" else "create"
-    log.snapshots = log.snapshots[-keep_last:]
+    log.snapshots = log.snapshots[keep_from:]
     log._write(expected_len=None)
     for p in orphaned:
         if os.path.exists(p):

@@ -634,3 +634,36 @@ def test_update_where_rejects_unknown_column(spark, sf_dir, tmp_path):
     t.append(orders.limit(10))
     with pytest.raises(ValueError, match="unknown columns"):
         t.update_where(F.col("o_orderkey") > 0, {"nope": 1})
+
+
+def test_expire_snapshots_tags_are_retention_roots(spark, warehouse, nation_chunks):
+    """read_tag promises the same rows forever, so expiry must keep every
+    snapshot from the oldest tag forward (and its files on disk) even at
+    keep_last=1; dropping the tag releases that history on the next
+    expire."""
+    nation, chunks = nation_chunks
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.nation_tag_exp", SCHEMAS["nation"])
+    t.append(chunks[0])
+    t.tag("v1")
+    tagged_rows = t.scan().count()
+    tagged_files = [f["path"] for f in t.log.live_files()]
+    t.overwrite(chunks[1])
+    t.append(chunks[2])
+
+    deleted = expire_snapshots(t, keep_last=1)
+    # nothing the tag depends on was deleted, and the tag still replays
+    assert not (set(deleted) & set(tagged_files))
+    assert t.read_tag("v1").count() == tagged_rows
+    for p in tagged_files:
+        assert os.path.exists(p)
+    # head state untouched
+    assert t.scan().count() == chunks[1].count() + chunks[2].count()
+
+    # dropping the tag releases the history: now the old files go away
+    t.log.drop_ref("v1")
+    deleted2 = expire_snapshots(t, keep_last=1)
+    assert set(tagged_files) <= set(deleted2)
+    for p in tagged_files:
+        assert not os.path.exists(p)
+    assert t.scan().count() == chunks[1].count() + chunks[2].count()
