@@ -295,6 +295,39 @@ def lh_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lh_expire_tag_retention",
+    """
+    select 'tag' as src, n_nationkey, n_name, n_regionkey from nation
+    where n_regionkey < 2
+    union all
+    select 'head' as src, n_nationkey, n_name, n_regionkey from nation
+    where n_regionkey >= 2
+    """,
+)
+def lh_expire_tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tags are retention roots across maintenance: tag a snapshot, then
+    OVERWRITE the table and expire aggressively (keep_last=1) — the tag
+    must still replay its exact rows (its history and files survive the
+    squash) while the head reads the post-overwrite state. The oracle is
+    the two states side by side; a hash match proves read_tag's
+    reproducibility contract holds through expiry."""
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import expire_snapshots
+
+    nation = load_table(spark, sf_dir, "nation")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.nation_tag_exp", SCHEMAS["nation"])
+    t.append(nation.filter(F.col("n_regionkey") < 2))
+    t.tag("pinned")
+    t.overwrite(nation.filter(F.col("n_regionkey") >= 2))
+    expire_snapshots(t, keep_last=1)
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    return (
+        t.read_tag("pinned").select(F.lit("tag").alias("src"), *cols)
+        .unionByName(t.scan().select(F.lit("head").alias("src"), *cols))
+    )
+
+
+@register(
     "lh_schema_evolution",
     """
     select n_nationkey, n_name as nation_name, n_regionkey,

@@ -70,9 +70,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # cosine top-k, the reference's flagship upsert composite, and the
 # exactly-once streaming sink.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # parquet scans + synthetic source (r9 first-timers hold)
-    "scan_repartition_blocks",
+    # parquet scans + synthetic source (scan_repartition_blocks' hold slot
+    # goes to the NEW tag-retention expiry proof — fresh code outranks a
+    # second-round hold; the scan stays local-gated and driver-prior)
     "synthetic_mock_dataset",
+    "lh_expire_tag_retention",
     # core aggregation (flagship anchor + r9 first-timers hold)
     "agg_q1_pricing_summary",
     "agg_conditional",
