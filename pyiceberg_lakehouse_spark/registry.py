@@ -70,11 +70,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # cosine top-k, the reference's flagship upsert composite, and the
 # exactly-once streaming sink.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # parquet scans + synthetic source (scan_repartition_blocks' hold slot
-    # goes to the NEW tag-retention expiry proof — fresh code outranks a
-    # second-round hold; the scan stays local-gated and driver-prior)
+    # parquet scans + synthetic source (r9 first-timers hold)
+    "scan_repartition_blocks",
     "synthetic_mock_dataset",
-    "lh_expire_tag_retention",
     # core aggregation (flagship anchor + r9 first-timers hold)
     "agg_q1_pricing_summary",
     "agg_conditional",
@@ -111,7 +109,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lh_dedup_incremental",
     "lh_merge_into",
     "lh_merge_into_partitioned",
-    "lh_type_promotion",
+    # (lh_type_promotion's hold slot goes to the NEW tag-retention expiry
+    # proof — fresh code outranks a second-round hold; type promotion
+    # stays local-gated + pytest-pinned)
+    "lh_expire_tag_retention",
     "lh_datasource_write_roundtrip",
     # (lh_rollup_avg's hold slot goes to the NEW exact-percentile rollup —
     # fresh code outranks a second-round hold; avg stays local-gated)
