@@ -88,6 +88,27 @@ def prune_files(
         keep = True
         for col, preds in predicates.items():
             if col not in stats:
+                # a partition VALUE is an exact stat (min == max == value):
+                # identity-partitioned files carry no in-file stats for the
+                # column, but equality/IN predicates on it prune exactly.
+                # String-compare both sides (partition values are stored
+                # hive-encoded); range ops stay conservative (lexicographic
+                # order would lie for numerics), so they keep the file.
+                pv = (f.get("partition") or {}).get(col)
+                if pv is not None:
+                    for op, value in (
+                        [preds] if isinstance(preds, tuple) else preds
+                    ):
+                        if op == "=" and str(value) != str(pv):
+                            keep = False
+                        elif op == "in" and all(
+                            str(v) != str(pv) for v in value
+                        ):
+                            keep = False
+                        if not keep:
+                            break
+                if not keep:
+                    break
                 continue
             lo, hi = stats[col]
             if isinstance(preds, tuple):

@@ -744,6 +744,14 @@ class LakehouseTable:
         the few files whose bounds overlap, not the table. Complement of
         ``delete_keys`` (merge-on-read): this pays the rewrite now and
         keeps reads zero-cost.
+
+        Concurrency is SNAPSHOT-isolation shaped: the conflict check is
+        scoped to the rewritten files' partitions, so a concurrent commit
+        entirely elsewhere rebase-retries instead of failing; the delete
+        applies to rows as of the planning snapshot (a concurrent append
+        of matching rows into an untouched partition survives — re-run
+        the delete to cover it). A winner touching a rewritten partition
+        still errors.
         """
         from pyiceberg_lakehouse_spark.lakehouse.stats import prune_files
 
@@ -758,6 +766,8 @@ class LakehouseTable:
             new_files,
             removed_paths=[f["path"] for f in touched],
             summary={"op": "delete_where", "rewritten_files": len(touched)},
+            retry_conflicts=3,
+            touched_partitions=_partitions_of(touched),
         )
 
     def update_where(
@@ -777,6 +787,9 @@ class LakehouseTable:
         bounds — at 100 TB a date-ranged repricing rewrites the files
         whose bounds overlap, not the table. Assignments to partition or
         constraint columns are validated by the normal write path.
+        Concurrency matches ``delete_where``: partition-scoped conflict
+        detection, snapshot-isolation semantics for concurrent appends
+        landing outside the rewritten partitions.
         """
         from pyiceberg_lakehouse_spark.lakehouse.stats import prune_files
 
@@ -810,6 +823,8 @@ class LakehouseTable:
             new_files,
             removed_paths=[f["path"] for f in touched],
             summary={"op": "update_where", "rewritten_files": len(touched)},
+            retry_conflicts=3,
+            touched_partitions=_partitions_of(touched),
         )
 
     def delete_keys(self, keys: DataFrame, key_cols: list[str]) -> Snapshot:
@@ -1428,6 +1443,20 @@ class LakehouseTable:
             retry_conflicts,
             touched_partitions=touched_partitions,
         )
+
+
+def _partitions_of(files: list[dict[str, Any]]) -> list[dict[str, str]]:
+    """Distinct partition-value dicts across file entries — the conflict
+    scope of a copy-on-write rewrite. An unpartitioned file contributes
+    the empty dict, which matches EVERY concurrent commit in
+    ``_winners_touch`` (all() over no keys), so unpartitioned tables keep
+    the strict always-conflict behavior."""
+    return [
+        dict(t)
+        for t in {
+            tuple(sorted((f.get("partition") or {}).items())) for f in files
+        }
+    ]
 
 
 def _is_hive(f: dict[str, Any], parts: list[str], data_dir: str) -> bool:

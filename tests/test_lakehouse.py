@@ -667,3 +667,53 @@ def test_expire_snapshots_tags_are_retention_roots(spark, warehouse, nation_chun
     for p in tagged_files:
         assert not os.path.exists(p)
     assert t.scan().count() == chunks[1].count() + chunks[2].count()
+
+
+def test_delete_where_concurrent_append_elsewhere_rebases(
+    spark, warehouse, sf_dir
+):
+    """Copy-on-write DELETE on a partitioned table: a concurrent append
+    into a partition the delete does not rewrite lands first and the
+    delete rebase-retries over it (snapshot isolation — the winner's rows
+    survive untouched); a concurrent append INTO a rewritten partition
+    still conflicts."""
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table(
+        "ns.orders_dw_cc", SCHEMAS["orders"], partition_by=["o_orderstatus"]
+    )
+    t.append(orders)
+    statuses = [r[0] for r in t.scan().select("o_orderstatus").distinct().collect()]
+    victim = sorted(statuses)[0]
+    other = sorted(statuses)[-1]
+    assert victim != other
+
+    # stale handle plans the delete; winner appends into ANOTHER partition
+    stale = lh.load_table("ns.orders_dw_cc")
+    winner_rows = orders.filter(F.col("o_orderstatus") == other).limit(5)
+    t.append(winner_rows)
+    pre_other = t.scan().filter(F.col("o_orderstatus") == other).count()
+    snap = stale.delete_where(
+        (F.col("o_orderstatus") == victim) & (F.col("o_orderkey") % 2 == 0),
+        stat_filter={"o_orderstatus": ("=", victim)},
+    )
+    assert snap.summary["op"] == "delete_where"
+    final = lh.load_table("ns.orders_dw_cc")
+    # winner's append survived AND the delete applied
+    assert final.scan().filter(F.col("o_orderstatus") == other).count() == pre_other
+    assert (
+        final.scan()
+        .filter((F.col("o_orderstatus") == victim) & (F.col("o_orderkey") % 2 == 0))
+        .count()
+        == 0
+    )
+
+    # now the winner appends INTO the partition being rewritten -> error
+    stale2 = lh.load_table("ns.orders_dw_cc")
+    t2 = lh.load_table("ns.orders_dw_cc")
+    t2.append(orders.filter(F.col("o_orderstatus") == victim).limit(3))
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        stale2.delete_where(
+            F.col("o_orderstatus") == victim,
+            stat_filter={"o_orderstatus": ("=", victim)},
+        )

@@ -210,3 +210,24 @@ def test_zorder_distribution_mode_on_append(spark, warehouse, sf_dir):
     s = t.stats()
     assert s["files"] == len(files) and s["rows"] == li.count()
     assert s["snapshots"] == 2 and s["equality_deletes"] == 0
+
+
+def test_prune_files_uses_partition_values_for_equality():
+    """Identity-partitioned files carry no in-file stats for the partition
+    column, but the partition VALUE is an exact stat: equality and IN
+    predicates prune on it; range ops stay conservative (hive-encoded
+    strings would order lexicographically) and keep the file."""
+    files = [
+        {"path": "/a", "partition": {"p": "x", "d": "10"}, "stats": {}},
+        {"path": "/b", "partition": {"p": "y", "d": "9"}, "stats": {}},
+        {"path": "/c", "partition": {}, "stats": {}},
+    ]
+    got = {f["path"] for f in prune_files(files, {"p": ("=", "x")})}
+    assert got == {"/a", "/c"}  # no partition value -> conservative keep
+    got = {f["path"] for f in prune_files(files, {"p": ("in", ["y", "z"])})}
+    assert got == {"/b", "/c"}
+    # numeric-looking strings: equality still exact, ranges conservative
+    got = {f["path"] for f in prune_files(files, {"d": ("=", 9)})}
+    assert got == {"/b", "/c"}
+    got = {f["path"] for f in prune_files(files, {"d": ("<", "5")})}
+    assert got == {"/a", "/b", "/c"}
