@@ -49,6 +49,9 @@ HEADLINE = [
     ("ann_ivf", "sim_ann_ivf"),
     ("text_quality", "text_quality"),
     ("winnow_fingerprint", "text_winnow_fingerprint"),
+    # r10 addition: exact substring-span dedup (kgram groupBy + per-doc
+    # window) — the heaviest new text-scale operator this round
+    ("substring_spans", "dedup_substring_spans"),
 ]
 
 
