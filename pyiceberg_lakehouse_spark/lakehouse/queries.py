@@ -328,6 +328,35 @@ def lh_expire_tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lh_table_changes",
+    f"""
+    select 'insert' as _change_type, {ORDER_COLS} from orders
+    where o_orderkey % 2 = 1 and o_orderkey % 7 <> 0
+    union all
+    select 'delete' as _change_type, {ORDER_COLS} from orders
+    where o_orderkey % 2 = 0 and o_orderkey % 7 = 0
+    """,
+)
+def lh_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch change-data-feed (table.table_changes): append half the
+    orders, cursor, append the other half, then copy-on-write DELETE of
+    every 7th key — the interval now contains a replace snapshot, so the
+    feed runs the full multiset diff and must emit exactly the
+    odd-keyed survivors as inserts and the even-keyed purged rows as
+    deletes. The oracle states both sets closed-form; the append-only
+    metadata fast path is pinned separately in tests/test_lakehouse.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.orders_cdf", SCHEMAS["orders"])
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    cursor = t.log.current_snapshot_id()
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    t.delete_where(F.col("o_orderkey") % 7 == 0)
+    cols = [c.strip() for c in ORDER_COLS.split(",")]
+    return t.table_changes(cursor).select("_change_type", *cols)
+
+
+@register(
     "lh_schema_evolution",
     """
     select n_nationkey, n_name as nation_name, n_regionkey,

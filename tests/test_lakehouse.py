@@ -717,3 +717,52 @@ def test_delete_where_concurrent_append_elsewhere_rebases(
             F.col("o_orderstatus") == victim,
             stat_filter={"o_orderstatus": ("=", victim)},
         )
+
+
+def test_table_changes_append_only_fast_path_and_fallback(
+    spark, warehouse, nation_chunks
+):
+    """table_changes: an append-only interval plans inserts from metadata
+    (delta files only — no diff, no old-file reads); an interval with a
+    merge-on-read delete or an overwrite falls back to the full multiset
+    diff and reports the delete rows; equal snapshots diff to empty."""
+    nation, chunks = nation_chunks
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.nation_cdf", SCHEMAS["nation"])
+    t.append(chunks[0])
+    s0 = t.log.current_snapshot_id()
+
+    # append-only interval: inserts == the appended chunk, no deletes
+    t.append(chunks[1])
+    ch = t.table_changes(s0)
+    assert ch.filter(F.col("_change_type") == "delete").count() == 0
+    got = {r.n_nationkey for r in ch.collect()}
+    assert got == {r.n_nationkey for r in chunks[1].collect()}
+    # the fast path must not read the pre-cursor files: every scanned file
+    # was added after the cursor
+    planned = {
+        f["path"]
+        for s in t.log.snapshots
+        if s.snapshot_id > s0
+        for f in s.added_files
+    }
+    scanned = {
+        r.file.removeprefix("file://")
+        for r in ch.select(F.input_file_name().alias("file")).distinct().collect()
+    }
+    assert scanned <= planned
+
+    # MoR delete in the interval -> diff path emits the deleted row
+    s1 = t.log.current_snapshot_id()
+    victim = chunks[0].select("n_nationkey").limit(1).collect()[0][0]
+    t.delete_keys(
+        spark.createDataFrame([(victim,)], "n_nationkey long"), ["n_nationkey"]
+    )
+    ch2 = {
+        (r._change_type, r.n_nationkey) for r in t.table_changes(s1).collect()
+    }
+    assert ch2 == {("delete", victim)}
+
+    # equal snapshots -> empty feed
+    head = t.log.current_snapshot_id()
+    assert t.table_changes(head).count() == 0
