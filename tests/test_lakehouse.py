@@ -766,3 +766,61 @@ def test_table_changes_append_only_fast_path_and_fallback(
     # equal snapshots -> empty feed
     head = t.log.current_snapshot_id()
     assert t.table_changes(head).count() == 0
+
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "cow_delete", "mor_delete", "update"]),
+            st.integers(2, 9),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_table_changes_property_feed_reproduces_after_state(
+    spark, tmp_path, ops
+):
+    """The defining CDF invariant, for ANY mutation sequence: applying the
+    change feed to the before state reproduces the after state exactly —
+    before + inserts - deletes == after as MULTISETS — regardless of which
+    plan (metadata fast path or full diff) served the feed."""
+    import uuid
+
+    rows = [(i, i % 5, float(i % 11)) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, k long, v double")
+    lh = Lakehouse(spark, str(tmp_path / uuid.uuid4().hex))
+    t = lh.create_table("ns.cdfprop", df.schema)
+    t.append(df.filter(F.col("id") < 40))
+    cursor = t.log.current_snapshot_id()
+    hi = 40
+    for op, m in ops:
+        if op == "append" and hi < 120:
+            t.append(df.filter((F.col("id") >= hi) & (F.col("id") < hi + 40)))
+            hi += 40
+        elif op == "cow_delete":
+            t.delete_where(F.col("id") % m == 0)
+        elif op == "mor_delete":
+            t.delete_keys(df.filter(F.col("id") % m == 1).select("id"), ["id"])
+        else:
+            t.update_where(F.col("id") % m == 2, {"v": F.col("v") + 1.0})
+
+    key = lambda r: (r.id, r.k, r.v)  # noqa: E731
+    before = Counter(map(key, t.read_snapshot(cursor).collect()))
+    after = Counter(map(key, t.scan().collect()))
+    feed = t.table_changes(cursor).collect()
+    ins = Counter(key(r) for r in feed if r._change_type == "insert")
+    dels = Counter(key(r) for r in feed if r._change_type == "delete")
+    assert dels <= before  # never deletes a row that wasn't there
+    assert before + ins - dels == after
