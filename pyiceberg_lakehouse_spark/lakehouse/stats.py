@@ -91,18 +91,36 @@ def prune_files(
                 # a partition VALUE is an exact stat (min == max == value):
                 # identity-partitioned files carry no in-file stats for the
                 # column, but equality/IN predicates on it prune exactly.
-                # String-compare both sides (partition values are stored
-                # hive-encoded); range ops stay conservative (lexicographic
-                # order would lie for numerics), so they keep the file.
+                # Compare through canon_part_str (hive stores booleans
+                # lowercase; str(True) is 'True') and only for types with
+                # ONE canonical string form — floats may format differently
+                # than the writer's path segment, so they keep the file.
+                # Range ops stay conservative too (lexicographic order
+                # would lie for numerics).
                 pv = (f.get("partition") or {}).get(col)
                 if pv is not None:
+                    from urllib.parse import unquote
+
+                    from pyiceberg_lakehouse_spark.lakehouse.transforms import (
+                        canon_part_str,
+                    )
+
+                    exact = (str, int, bool)
+                    pv_s = unquote(str(pv))
                     for op, value in (
                         [preds] if isinstance(preds, tuple) else preds
                     ):
-                        if op == "=" and str(value) != str(pv):
+                        if (
+                            op == "="
+                            and isinstance(value, exact)
+                            and canon_part_str(value) != pv_s
+                        ):
                             keep = False
-                        elif op == "in" and all(
-                            str(v) != str(pv) for v in value
+                        elif (
+                            op == "in"
+                            and value
+                            and all(isinstance(v, exact) for v in value)
+                            and all(canon_part_str(v) != pv_s for v in value)
                         ):
                             keep = False
                         if not keep:
