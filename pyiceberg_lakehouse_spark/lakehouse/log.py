@@ -297,6 +297,16 @@ class SnapshotLog:
             on_disk._write(expected_len=None)
             self.load()
 
+    def set_properties(self, props: dict[str, str]) -> None:
+        """ALTER TABLE SET TBLPROPERTIES — atomic, metadata-only (same lock
+        + rename as commits). Used e.g. to enable the change-data feed on an
+        existing table; snapshots already committed are unaffected."""
+        with _commit_lock(self.table_dir):
+            on_disk = SnapshotLog(self.table_dir, self.branch).load()
+            on_disk.properties.update({k: str(v) for k, v in props.items()})
+            on_disk._write(expected_len=None)
+            self.load()
+
     # ------------------------------------------------------------ commits --
 
     def init_table(

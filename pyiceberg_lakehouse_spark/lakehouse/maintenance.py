@@ -45,7 +45,15 @@ def compact(table: LakehouseTable, target_file_bytes: int | None = None):
         "replace",
         new_files,
         removed_paths=removed,
-        summary={"op": "compact", "files_before": len(files), "files_after": len(new_files)},
+        # data-change=false: the row multiset is untouched, so incremental
+        # readers and the change feed skip this commit entirely (Delta's
+        # dataChange=false) — compaction is invisible to consumers
+        summary={
+            "op": "compact",
+            "files_before": len(files),
+            "files_after": len(new_files),
+            "data-change": False,
+        },
     )
 
 
@@ -128,7 +136,12 @@ def cluster_zorder(
         "replace",
         new_files,
         removed_paths=removed,
-        summary={"op": "zorder", "cols": cols, "files_after": len(new_files)},
+        summary={
+            "op": "zorder",
+            "cols": cols,
+            "files_after": len(new_files),
+            "data-change": False,
+        },
     )
 
 

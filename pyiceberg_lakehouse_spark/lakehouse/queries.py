@@ -357,6 +357,49 @@ def lh_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lh_cdf_feed",
+    f"""
+    select 'insert' as _change_type, {ORDER_COLS.replace("o_totalprice",
+        "case when o_orderstatus='F' then o_totalprice + 1000.0 "
+        "else o_totalprice end as o_totalprice")}
+    from orders
+    where o_orderkey % 7 <> 0 and (o_orderkey % 2 = 1 or o_orderstatus = 'F')
+    union all
+    select 'delete' as _change_type, {ORDER_COLS} from orders
+    where o_orderkey % 2 = 0 and (o_orderkey % 7 = 0 or o_orderstatus = 'F')
+    """,
+)
+def lh_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-time change-data files (Delta-CDF shape): on a table with
+    ``change-data-feed=true``, copy-on-write DELETE and UPDATE persist
+    their row-level delta at commit, so ``table_changes`` plans the feed
+    from DELTA files alone — the interval here contains an append, a CoW
+    delete, and a CoW update, and no table state is ever diffed (the
+    rewrite-only case is physically pinned in tests/test_cdf.py by
+    removing the data files). The oracle states the NET feed closed-form:
+    inserts are the surviving appended/updated images, deletes the purged
+    rows and update pre-images."""
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table(
+        "ns.orders_cdf_feed",
+        SCHEMAS["orders"],
+        properties={"change-data-feed": "true"},
+    )
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    cursor = t.log.current_snapshot_id()
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    t.delete_where(F.col("o_orderkey") % 7 == 0)
+    t.update_where(
+        F.col("o_orderstatus") == "F",
+        {"o_totalprice": F.col("o_totalprice") + 1000.0},
+    )
+    assert t._plan_changes(cursor, t.log.current_snapshot_id()) is not None
+    cols = [c.strip() for c in ORDER_COLS.split(",")]
+    return t.table_changes(cursor).select("_change_type", *cols)
+
+
+@register(
     "lh_schema_evolution",
     """
     select n_nationkey, n_name as nation_name, n_regionkey,

@@ -344,6 +344,22 @@ class LakehouseTable:
     # ---------------------------------------------------------- metadata --
 
     @property
+    def cdf_enabled(self) -> bool:
+        """Table property ``change-data-feed=true``: copy-on-write mutation
+        commits also persist their row-level delta as change-data files
+        (Delta's ``enableChangeDataFeed``), which keeps ``table_changes``
+        and the streaming change-feed source metadata-planned across
+        rewrites — at 100 TB the difference between reading the delta and
+        diffing two table states."""
+        return (
+            self.log.properties.get("change-data-feed", "").lower() == "true"
+        )
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        """ALTER TABLE SET TBLPROPERTIES (atomic, metadata-only)."""
+        self.log.set_properties(props)
+
+    @property
     def metadata_location(self) -> str:
         """M6 (read_history.py:8)."""
         return self.log.path
@@ -652,14 +668,31 @@ class LakehouseTable:
         files = self._write_data(df)
         return self._commit("append", files, summary={"batches": len(dfs)})
 
-    def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
-        """Atomic replace of the table contents (W9, upsert.py:84)."""
+    def overwrite(
+        self,
+        df: DataFrame,
+        summary: dict[str, Any] | None = None,
+        change_rows: DataFrame | None = None,
+    ) -> Snapshot:
+        """Atomic replace of the table contents (W9, upsert.py:84).
+
+        ``change_rows`` (data columns + ``_change_type``): the caller's
+        row-level delta for this overwrite — persisted as change-data files
+        when the change feed is enabled, so even a full-table MERGE stays
+        metadata-plannable for feed consumers."""
         self._validate_constraints(df)
+        summary = dict(summary or {})
+        if change_rows is not None and self.cdf_enabled:
+            summary["change-data-files"] = self._write_change_data(change_rows)
         files = self._write_data(df)
         return self._commit("overwrite", files, summary=summary)
 
     def replace_partitions(
-        self, df: DataFrame, partitions: list[dict[str, str]], retries: int = 3
+        self,
+        df: DataFrame,
+        partitions: list[dict[str, str]],
+        retries: int = 3,
+        change_rows: DataFrame | None = None,
     ) -> Snapshot:
         """Swap only the listed partitions' files for ``df``'s data — the
         partition-scoped rewrite used by upsert at scale (SURVEY.md §7 step 4).
@@ -675,9 +708,12 @@ class LakehouseTable:
             for f in self.log.live_files()
             if any(all(f["partition"].get(k) == v for k, v in p.items()) for p in partitions)
         ]
+        summary: dict[str, Any] = {"partitions": partitions}
+        if change_rows is not None and self.cdf_enabled:
+            summary["change-data-files"] = self._write_change_data(change_rows)
         files = self._write_data(df)
         return self._commit("replace", files, removed_paths=removed,
-                            summary={"partitions": partitions},
+                            summary=summary,
                             retry_conflicts=retries,
                             touched_partitions=partitions)
 
@@ -759,13 +795,28 @@ class LakehouseTable:
         touched = prune_files(files, stat_filter) if stat_filter else files
         if not touched:
             return self._commit("replace", [], summary={"op": "delete_where"})
-        kept_rows = self._read_files(touched).filter(~predicate)
+        rows = self._read_files(touched)
+        # SQL DELETE removes rows where the predicate is TRUE; a NULL
+        # predicate keeps the row (filter(~pred) would silently drop it)
+        hit = F.coalesce(predicate, F.lit(False))
+        kept_rows = rows.filter(~hit)
+        summary: dict[str, Any] = {
+            "op": "delete_where",
+            "rewritten_files": len(touched),
+        }
+        if self.cdf_enabled:
+            deleted = (
+                rows.filter(hit)
+                .select(*self.schema().fieldNames())
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            summary["change-data-files"] = self._write_change_data(deleted)
         new_files = self._write_data(kept_rows)
         return self._commit(
             "replace",
             new_files,
             removed_paths=[f["path"] for f in touched],
-            summary={"op": "delete_where", "rewritten_files": len(touched)},
+            summary=summary,
             retry_conflicts=3,
             touched_partitions=_partitions_of(touched),
         )
@@ -817,12 +868,46 @@ class LakehouseTable:
                 cols.append(F.col(name))
         updated = rows.select(*cols)
         self._validate_constraints(updated)
+        summary: dict[str, Any] = {
+            "op": "update_where",
+            "rewritten_files": len(touched),
+        }
+        if self.cdf_enabled:
+            # delta = rows where the predicate holds AND some assigned
+            # column actually changes value (no-op assignments emit
+            # nothing, keeping the feed exactly equal to the state diff);
+            # pre-image rows tag 'delete', post-images 'insert'
+            diffs = []
+            for name, v in assignments.items():
+                val = v if hasattr(v, "cast") else F.lit(v)
+                diffs.append(
+                    ~F.col(name).eqNullSafe(val.cast(schema[name].dataType))
+                )
+            changed = F.coalesce(predicate, F.lit(False)) & reduce(
+                lambda a, b: a | b, diffs
+            )
+            data_cols = schema.fieldNames()
+            marked = rows.withColumn("_cdf_hit", changed)
+            pre = (
+                marked.filter("_cdf_hit")
+                .select(*data_cols)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            post = (
+                marked.filter("_cdf_hit")
+                .select(*cols)
+                .select(*data_cols)
+                .withColumn("_change_type", F.lit("insert"))
+            )
+            summary["change-data-files"] = self._write_change_data(
+                pre.unionByName(post)
+            )
         new_files = self._write_data(updated)
         return self._commit(
             "replace",
             new_files,
             removed_paths=[f["path"] for f in touched],
-            summary={"op": "update_where", "rewritten_files": len(touched)},
+            summary=summary,
             retry_conflicts=3,
             touched_partitions=_partitions_of(touched),
         )
@@ -1005,6 +1090,11 @@ class LakehouseTable:
         for snap in self.log.snapshots:
             if snap.snapshot_id <= from_snapshot or snap.snapshot_id > hi:
                 continue
+            # compaction / z-order rewrites commit data-change=false: the
+            # row multiset is untouched, so incremental consumers skip them
+            # (Delta's dataChange=false semantics) instead of erroring
+            if snap.summary.get("data-change") is False:
+                continue
             if snap.operation in ("overwrite", "replace", "delete"):
                 raise ValueError(
                     f"snapshot {snap.snapshot_id} is {snap.operation!r}; "
@@ -1022,17 +1112,21 @@ class LakehouseTable:
         as its delete+insert pair. Unlike ``read_incremental`` this covers
         ANY history, not just appends.
 
-        Two plans, chosen from the log alone:
+        Three plans, chosen from the log alone (cheapest that applies):
 
         - append-only interval: inserts come straight from the interval's
           added files (metadata-planned; the table is never rescanned and
           no diff runs) — the 100 TB polling path;
-        - interval containing overwrite/replace/delete snapshots: a full
-          multiset diff of the two snapshot states (``exceptAll`` both
-          ways — two shuffles over the two states). Correct for arbitrary
-          rewrites, priced accordingly; consumers that need cheap feeds
-          should keep history append-only between their cursors (or read
-          the CDC source that produced the rewrite).
+        - interval whose rewrites all carry change-data files (table
+          property ``change-data-feed=true``; compaction/z-order commits
+          are data-change=false and skip entirely): the feed is the NET of
+          the per-commit deltas — ``exceptAll`` cancellation runs over the
+          DELTA rows only, never a table state, so cost is proportional to
+          what changed;
+        - anything else (rewrite without CDF, merge-on-read deletes,
+          renames since the cursor): a full multiset diff of the two
+          snapshot states (``exceptAll`` both ways — two shuffles over the
+          two states). Correct for arbitrary history, priced accordingly.
         """
         ids = [s.snapshot_id for s in self.log.snapshots]
         if from_snapshot not in ids:
@@ -1040,6 +1134,9 @@ class LakehouseTable:
         hi = to_snapshot if to_snapshot is not None else ids[-1]
         tag = lambda df, t: df.withColumn("_change_type", F.lit(t))  # noqa: E731
         try:
+            planned = self._plan_changes(from_snapshot, hi)
+            if planned is not None:
+                return planned
             inserted = self.read_incremental(from_snapshot, hi)
             # MoR deletes committed in the interval remove rows from the
             # BEFORE state too; read_incremental already applies delete
@@ -1063,6 +1160,68 @@ class LakehouseTable:
             return tag(after.select(cols).exceptAll(before.select(cols)), "insert").unionByName(
                 tag(before.select(cols).exceptAll(after.select(cols)), "delete")
             )
+
+    def _plan_changes(self, from_snapshot: int, hi: int) -> DataFrame | None:
+        """Metadata-planned change feed over commit-time change-data files.
+
+        Applies when at least one interval snapshot carries
+        ``change-data-files`` and EVERY snapshot is one of: append/add_files
+        (its added files are the insert rows), data-change=false
+        reorganization (skipped — compaction is invisible to the feed), a
+        rewrite carrying change-data files (its delta rows), or the create
+        snapshot. The result is the NET of the per-commit deltas
+        (``exceptAll`` cancellation over delta rows only — a row inserted
+        then deleted inside the interval nets out, matching the diff
+        fallback exactly) at a cost proportional to the CHANGED data.
+        Returns None when the interval doesn't qualify (pure-append
+        intervals keep the even cheaper insert-only path; anything else
+        falls back to the full state diff) — also under schema evolution
+        since the cursor, where persisted delta files may predate
+        renames/drops."""
+        snaps = [
+            s
+            for s in self.log.snapshots
+            if from_snapshot < s.snapshot_id <= hi
+        ]
+        if not any(s.summary.get("change-data-files") for s in snaps):
+            return None
+        if any(s.added_deletes for s in snaps):
+            return None
+        if any(
+            sid > from_snapshot
+            for sid, _, _ in (*self._rename_events(), *self._column_events())
+        ):
+            return None
+        ins_files: list[dict[str, Any]] = []
+        cdf_paths: list[str] = []
+        for s in snaps:
+            if s.summary.get("data-change") is False or s.operation == "create":
+                continue
+            if s.operation in ("append", "add_files"):
+                ins_files.extend(s.added_files)
+            elif s.summary.get("change-data-files"):
+                cdf_paths.extend(
+                    f["path"] for f in s.summary["change-data-files"]
+                )
+            else:
+                return None
+        schema = self.schema()
+        cols = schema.fieldNames()
+
+        def conform(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[F.col(c).cast(schema[c].dataType).alias(c) for c in cols]
+            )
+
+        delta = self.spark.read.parquet(*cdf_paths)
+        ins = conform(delta.filter(F.col("_change_type") == "insert"))
+        dels = conform(delta.filter(F.col("_change_type") == "delete"))
+        if ins_files:
+            ins = conform(self._read_files(ins_files)).unionByName(ins)
+        tag = lambda df, t: df.withColumn("_change_type", F.lit(t))  # noqa: E731
+        return tag(ins.exceptAll(dels), "insert").unionByName(
+            tag(dels.exceptAll(ins), "delete")
+        )
 
     def to_df(self) -> DataFrame:
         return self.scan()
@@ -1335,6 +1494,41 @@ class LakehouseTable:
                 if e["path"] in blooms:
                     e["bloom"] = blooms[e["path"]]
         return entries
+
+    def _write_change_data(self, changes: DataFrame) -> list[dict[str, Any]]:
+        """Persist one mutation commit's row-level delta (data columns +
+        ``_change_type`` 'insert'/'delete') as zstd parquet under
+        ``_change_data/`` — Delta's CDF layout. Sized like data files;
+        NOT registered as table data (the snapshot records them in its
+        summary), so scans never see them and the change feed reads the
+        delta without touching the table."""
+        import uuid
+
+        commit_no = (self.log.current_snapshot_id() or 0) + 1
+        out_dir = os.path.join(
+            self.table_dir,
+            "_change_data",
+            f"commit-{commit_no}-{uuid.uuid4().hex[:8]}",
+        )
+        # FULL table schema (unlike data files, identity partition columns
+        # are kept inline — change files are not hive-partitioned)
+        cols = [*self.schema().fieldNames(), "_change_type"]
+        records = int(
+            self.log.properties.get("write.target-file-size-bytes", 512 * 1024 * 1024)
+        ) // int(self.log.properties.get("write.estimated-row-bytes", 64))
+        (
+            changes.select(*cols)
+            .write.mode("error")
+            .option("compression", "zstd")
+            .option("maxRecordsPerFile", records)
+            .parquet(out_dir)
+        )
+        from pyiceberg_lakehouse_spark.lakehouse.stats import file_row_count
+
+        return [
+            {"path": p, "rows": file_row_count(p)}
+            for p in sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
+        ]
 
     def _read_files(self, files: list[dict[str, Any]]) -> DataFrame:
         """File-list read. Hive-layout files go through one scan with

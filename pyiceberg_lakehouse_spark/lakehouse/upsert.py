@@ -19,6 +19,8 @@ Two physical strategies:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -194,12 +196,21 @@ def merge_into(
     ``apply_changes`` (metadata-only deletes).
     """
     cols = table.schema().fieldNames()
-    merged = _merge_clauses(
-        table.scan(), source, cols, on,
-        matched_update, matched_delete, not_matched_insert,
-    )
+    changes = None
+    if table.cdf_enabled:
+        merged, changes = _merge_clauses(
+            table.scan(), source, cols, on,
+            matched_update, matched_delete, not_matched_insert,
+            with_changes=True,
+        )
+    else:
+        merged = _merge_clauses(
+            table.scan(), source, cols, on,
+            matched_update, matched_delete, not_matched_insert,
+        )
     return table.overwrite(
-        merged, summary={"op": "merge_into", "keys": list(on)}
+        merged, summary={"op": "merge_into", "keys": list(on)},
+        change_rows=changes,
     )
 
 
@@ -239,11 +250,19 @@ def merge_into_partitioned(
         if touched
         else table.scan().limit(0)
     )
-    merged = _merge_clauses(
-        cur, source, cols, on,
-        matched_update, matched_delete, not_matched_insert,
-    )
-    return table.replace_partitions(merged, touched)
+    changes = None
+    if table.cdf_enabled:
+        merged, changes = _merge_clauses(
+            cur, source, cols, on,
+            matched_update, matched_delete, not_matched_insert,
+            with_changes=True,
+        )
+    else:
+        merged = _merge_clauses(
+            cur, source, cols, on,
+            matched_update, matched_delete, not_matched_insert,
+        )
+    return table.replace_partitions(merged, touched, change_rows=changes)
 
 
 def _guard_single_spec(table: LakehouseTable, names: list[str]) -> None:
@@ -292,10 +311,13 @@ def _merge_clauses(
     matched_update: F.Column | bool,
     matched_delete: F.Column | bool,
     not_matched_insert: F.Column | bool,
-) -> DataFrame:
+    with_changes: bool = False,
+):
     """The MERGE INTO row-disposition frame shared by the full-table and
     partition-scoped variants: full-outer join target vs source on the
-    key, then apply DELETE > UPDATE > INSERT clause precedence."""
+    key, then apply DELETE > UPDATE > INSERT clause precedence.
+    ``with_changes=True`` additionally returns the merge's row-level delta
+    (``_change_type``-tagged) for change-data-feed commits."""
     src = source.select(*cols)
     src_named = src.select(
         *[F.col(c).alias(f"_src_{c}") for c in cols]
@@ -328,4 +350,28 @@ def _merge_clauses(
         .alias(c)
         for c in cols
     ]
-    return joined.filter(keep_target | update_hit | insert_hit).select(*out_cols)
+    out = joined.filter(keep_target | update_hit | insert_hit).select(*out_cols)
+    if not with_changes:
+        return out
+    # Row-level delta of the merge for the change-data feed: DELETEd rows
+    # and changed-UPDATE pre-images tag 'delete'; INSERTs and changed-UPDATE
+    # post-images tag 'insert'. An UPDATE that assigns identical values
+    # emits nothing, so the feed equals the state diff exactly. Both
+    # branches re-filter the same join; each is scoped to the frame the
+    # caller already pruned (touched partitions for the partitioned merge).
+    same = reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"_src_{c}")) for c in cols],
+    )
+    eff_update = update_hit & ~same
+    pre = (
+        joined.filter(delete_hit | eff_update)
+        .select(*cols)
+        .withColumn("_change_type", F.lit("delete"))
+    )
+    post = (
+        joined.filter(insert_hit | eff_update)
+        .select(*[F.col(f"_src_{c}").alias(c) for c in cols])
+        .withColumn("_change_type", F.lit("insert"))
+    )
+    return out, pre.unionByName(post)

@@ -115,9 +115,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lh_expire_tag_retention",
     "lh_datasource_write_roundtrip",
     # (lh_rollup_avg's hold slot goes to the NEW exact-percentile rollup —
-    # fresh code outranks a second-round hold; avg stays local-gated)
+    # fresh code outranks a second-round hold; avg stays local-gated.
+    # lh_rollup_hourly's hold slot goes to the NEW commit-time change-data
+    # feed — same principle; hourly stays local-gated + pytest-pinned)
+    "lh_cdf_feed",
     "lh_rollup_incremental",
-    "lh_rollup_hourly",
     "lh_rollup_percentile",
     "lh_rollup_distinct",
     "lh_rollup_reaggregate",
@@ -149,9 +151,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # path; NEW watermark-complete left-outer stream-stream join takes
     # stream_dedup_count's hold slot — fresh code outranks a second-round
     # hold, dedup_count stays covered by the local gate)
+    # (stream_lh_rollup_maintain's hold slot goes to the NEW streaming
+    # change-feed source — fresh code outranks a second-round hold;
+    # rollup-maintain stays local-gated + pytest-pinned)
     "stream_lh_sink_hourly",
     "stream_stream_left_join",
-    "stream_lh_rollup_maintain",
+    "stream_lh_change_feed",
 )
 
 

@@ -74,6 +74,21 @@ class FileSlice(InputPartition):
     column_map: dict = field(default_factory=dict)
 
 
+def _opt_true(options: dict, key: str) -> bool:
+    return str(options.get(key, "")).lower() in ("true", "1")
+
+
+def _change_feed_schema(schema: T.StructType) -> T.StructType:
+    """Table schema + the change-feed metadata columns (Delta CDF shape)."""
+    return T.StructType(
+        [
+            *schema.fields,
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_snapshot_id", T.LongType()),
+        ]
+    )
+
+
 def _rename_events(log: SnapshotLog) -> list[tuple[int, str, str]]:
     out = []
     for s in log.snapshots:
@@ -259,13 +274,28 @@ class LakehouseStreamReader(DataSourceStreamReader):
 
     ``branch`` targets a branch ref's log — a live pipeline can stream a
     staging branch's commits (audit consumers) without ever reading main.
+
+    ``change_feed=true`` streams the row-level CHANGE FEED instead of the
+    append stream: every row carries ``_change_type`` ('insert'/'delete')
+    and ``_commit_snapshot_id``. Appends plan their added files as insert
+    rows; copy-on-write rewrites plan the change-data files their commit
+    persisted (table property ``change-data-feed=true``); compaction and
+    z-order commit data-change=false and are invisible. Planning is pure
+    metadata either way — no diff ever runs, so a consumer of a 100 TB
+    table reads exactly the delta of each commit.
     """
 
     def __init__(self, options: dict):
         self.table_dir = options["path"]
         self.branch = options.get("branch")
         self.start_snapshot = int(options.get("from_snapshot", 0))
-        self.schema_json = SnapshotLog(self.table_dir, self.branch).load().schema_json
+        self.change_feed = _opt_true(options, "change_feed")
+        log = SnapshotLog(self.table_dir, self.branch).load()
+        self.schema_json = (
+            _change_feed_schema(log.schema()).json()
+            if self.change_feed
+            else log.schema_json
+        )
 
     def initialOffset(self) -> dict:
         return {"snapshot_id": self.start_snapshot}
@@ -277,20 +307,49 @@ class LakehouseStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start["snapshot_id"], end["snapshot_id"]
         log = SnapshotLog(self.table_dir, self.branch).load()
+        renames = _rename_events(log)
+        names = [x.name for x in log.schema().fields]
         slices: list[FileSlice] = []
         for snap in log.snapshots:
             if not (lo < snap.snapshot_id <= hi):
                 continue
-            if snap.operation in ("overwrite", "replace", "delete"):
-                raise ValueError(
-                    f"snapshot {snap.snapshot_id} is {snap.operation!r}; the "
-                    "streaming source covers append-only history — restart "
-                    "from a fresh checkpoint past the rewrite"
+            # reorganization (compact/z-order) leaves the row multiset
+            # untouched — both stream modes skip it (dataChange=false)
+            if snap.summary.get("data-change") is False:
+                continue
+            if self.change_feed:
+                meta = {"_commit_snapshot_id": str(snap.snapshot_id)}
+                if snap.operation in ("append", "add_files"):
+                    for f in snap.added_files:
+                        s = _to_slice(f, renames, names)
+                        s.partition.update({**meta, "_change_type": "insert"})
+                        slices.append(s)
+                elif snap.summary.get("change-data-files"):
+                    # delta rows carry _change_type in-file; the commit id
+                    # attaches as a partition constant
+                    slices.extend(
+                        FileSlice(path=f["path"], partition=dict(meta))
+                        for f in snap.summary["change-data-files"]
+                    )
+                elif snap.operation in ("create", "schema_change"):
+                    continue
+                else:
+                    raise ValueError(
+                        f"snapshot {snap.snapshot_id} is {snap.operation!r} "
+                        "without change-data files; enable the table "
+                        "property change-data-feed=true before mutating, "
+                        "or restart the feed past this commit"
+                    )
+            else:
+                if snap.operation in ("overwrite", "replace", "delete"):
+                    raise ValueError(
+                        f"snapshot {snap.snapshot_id} is {snap.operation!r}; the "
+                        "streaming source covers append-only history — restart "
+                        "from a fresh checkpoint past the rewrite"
+                    )
+                slices.extend(
+                    _to_slice(f, renames, names) for f in snap.added_files
                 )
-            slices.extend(
-                _to_slice(f, _rename_events(log), [x.name for x in log.schema().fields])
-                for f in snap.added_files
-            )
         return slices or [FileSlice(path="")]
 
     def read(self, partition: FileSlice) -> Iterator[Any]:
@@ -501,6 +560,8 @@ class LakehouseDataSource(DataSource):
 
     def schema(self) -> T.StructType:
         log = SnapshotLog(self.options["path"]).load()
+        if _opt_true(self.options, "change_feed"):
+            return _change_feed_schema(log.schema())
         return log.schema()
 
     def reader(self, schema: T.StructType) -> DataSourceReader:

@@ -163,6 +163,32 @@ def stream_table_to_memory(
     return run_to_memory(df, output_mode=output_mode)
 
 
+def read_changes_stream(
+    spark: SparkSession, table: LakehouseTable, from_snapshot: int = 0
+) -> DataFrame:
+    """Stream a table's row-level CHANGE FEED (``_change_type`` +
+    ``_commit_snapshot_id`` on every row) via the registered data source.
+
+    Appends plan as insert rows from metadata; copy-on-write rewrites plan
+    the change-data files their commits persisted (table property
+    ``change-data-feed=true``); compaction/z-order are invisible
+    (data-change=false). The delta of each commit is all that is ever
+    read — the streaming twin of ``LakehouseTable.table_changes``."""
+    from pyiceberg_lakehouse_spark.sources.datasource import (
+        register_lakehouse_source,
+    )
+
+    register_lakehouse_source(spark)
+    reader = (
+        spark.readStream.format("lakehouse")
+        .option("change_feed", "true")
+        .option("from_snapshot", from_snapshot)
+    )
+    if table.log.branch:
+        reader = reader.option("branch", table.log.branch)
+    return reader.load(table.table_dir)
+
+
 def stream_write_audit_publish(
     stream_df: DataFrame,
     table: LakehouseTable,

@@ -456,6 +456,49 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_lh_change_feed",
+    """
+    select 'insert' as _change_type, count(*) as n,
+           cast(sum(event_id) as bigint) as sum_id
+    from events
+    union all
+    select 'delete' as _change_type, count(*) as n,
+           cast(sum(event_id) as bigint) as sum_id
+    from events where event_id % 10 = 0
+    """,
+)
+def stream_lh_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CHANGE FEED over a mutating lakehouse table: append even
+    event_ids, copy-on-write DELETE every 10th id (its commit persists
+    change-data files — table property ``change-data-feed=true``), append
+    the odds, then stream the feed. The per-commit feed semantics: both
+    appends' rows arrive as inserts, the purged rows as deletes — the
+    oracle states both sets closed-form (ids %10==0 are all even, so the
+    delete hits exactly them). Planning is metadata-only per commit; no
+    state diff ever runs."""
+    from pyiceberg_lakehouse_spark.streaming.lakehouse_io import (
+        read_changes_stream,
+    )
+
+    lh = Lakehouse(spark, session_tmpdir(prefix="lh_cdf_stream_"))
+    t = lh.create_table(
+        "ns.events_cdf_feed",
+        EVENTS_TABLE_SCHEMA,
+        properties={"change-data-feed": "true"},
+    )
+    ev = load_table(spark, sf_dir, "events")
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    t.delete_where(F.col("event_id") % 10 == 0)
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    feed = read_changes_stream(spark, t)
+    drained = stream_table_to_memory(feed.select("_change_type", "event_id"))
+    return drained.groupBy("_change_type").agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("sum_id"),
+    )
+
+
+@register(
     "stream_lh_datasource_partitioned",
     """
     select event_type, count(*) as n,

@@ -638,6 +638,48 @@ def bench_dedup_index(spark, b: Bench, tmp: str) -> None:
     shutil.rmtree(wh, ignore_errors=True)
 
 
+def bench_cdf(spark, b: Bench, tmp: str) -> None:
+    """Change-feed economics at 1M rows: after a 1% copy-on-write delete,
+    the CDF fast path (commit-time change-data files) must read the DELTA
+    rows only, while the no-CDF fallback diffs both table states — the
+    wall contrast and the planned-rows fraction are the 100 TB claim that
+    polling a mutating table costs what CHANGED, not what exists."""
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+
+    n = MUT_SCALES[0]
+    tag = f"{n//1000}k"
+    wh = os.path.join(tmp, "wh_cdf")
+    lh = Lakehouse(spark, wh)
+    mock = mock_dataset(spark, n)
+    for name, props in (
+        ("scale.cdf_on", {"change-data-feed": "true"}),
+        ("scale.cdf_off", {}),
+    ):
+        t = lh.create_table(name, mock.schema, partition_by=["group"], properties=props)
+        t.append(mock)
+        cursor = t.log.current_snapshot_id()
+        t.delete_where(F.col("id") % 100 == 0)  # 1% CoW purge
+        mode = "fast" if props else "diff"
+        if props:
+            delta_rows = sum(
+                f.get("rows") or 0
+                for sn in t.log.snapshots
+                if sn.snapshot_id > cursor
+                for f in (sn.summary.get("change-data-files") or [])
+            )
+            total_rows = sum(f.get("rows") or 0 for f in t.log.live_files())
+            b.notes["cdf_delta_rows"] = delta_rows
+            b.notes["cdf_total_rows"] = total_rows
+            assert t._plan_changes(cursor, t.log.current_snapshot_id()) is not None
+        b.run(
+            f"cdf_feed_{mode}_{tag}",
+            lambda: drain(t.table_changes(cursor)),
+            reps=REPS,
+            warmup=True,
+        )
+    shutil.rmtree(wh, ignore_errors=True)
+
+
 SECTIONS = {
     "documents": bench_documents,
     "embeddings": bench_embeddings,
@@ -645,6 +687,7 @@ SECTIONS = {
     "upsert": bench_mock_upsert,
     "rollup": bench_rollup,
     "dedup_index": bench_dedup_index,
+    "cdf": bench_cdf,
 }
 
 
@@ -774,6 +817,18 @@ def main() -> None:
                 4,
             )
             if b.notes.get("dedup_index_total_rows")
+            else None
+        ),
+        # change feed over a 1% CoW delete: the CDF fast path reads delta
+        # rows only (fraction ~0.01 of the table) and must beat the
+        # state-diff fallback on wall time at the same scale
+        "cdf_feed_fast_vs_diff_1m": ratio(
+            f"cdf_feed_diff_{MUT_SCALES[0]//1000}k",
+            f"cdf_feed_fast_{MUT_SCALES[0]//1000}k",
+        ),
+        "cdf_planned_rows_fraction": (
+            round(b.notes["cdf_delta_rows"] / b.notes["cdf_total_rows"], 4)
+            if b.notes.get("cdf_total_rows")
             else None
         ),
         # recall governance: auto n_probe must hold recall >= 0.9 on the
