@@ -149,3 +149,59 @@ def prune_files_bloom(
         if keep:
             out.append(f)
     return out
+
+
+def probe_positions_many(
+    spark: SparkSession,
+    values: list[Any],
+    m: int,
+    k: int,
+    dtype: str | None = None,
+) -> dict[Any, list[int]]:
+    """value -> bit positions for a SET of probe values, in ONE Spark job.
+
+    The join-driven probe (`prune_files_bloom_any`) hashes every dim key;
+    doing that one key at a time would cost a Spark job per key. The values
+    ride a single local DataFrame instead — same ``_positions`` expression
+    as the build, so hashes can never diverge."""
+    if not values:
+        return {}
+    df = spark.createDataFrame(
+        [(v,) for v in values], f"value {dtype or 'bigint'}"
+    )
+    rows = df.select(
+        "value", _positions(F.col("value"), m, k).alias("pos")
+    ).collect()
+    return {r["value"]: list(r["pos"]) for r in rows}
+
+
+def prune_files_bloom_any(
+    spark: SparkSession,
+    files: list[dict[str, Any]],
+    col: str,
+    values: list[Any],
+) -> list[dict[str, Any]]:
+    """Drop files whose bloom proves EVERY probed key absent (IN-list /
+    join-key semantics: a file survives if ANY key might be present).
+
+    This is the file-granular half of a bloom-reduced join: the dim side's
+    (bounded) key set probes each fact file's bloom, so files holding none
+    of the keys are never planned, let alone read. Files without a bloom
+    for ``col`` are kept — skipping stays conservative and the join owns
+    correctness. Probe hashes are computed once per (m, k, type) descriptor
+    shape, one Spark job each, never per file."""
+    pos_cache: dict[tuple, dict[Any, list[int]]] = {}
+    out = []
+    for f in files:
+        b = (f.get("bloom") or {}).get(col)
+        if b is None:
+            out.append(f)
+            continue
+        key = (b["m"], b["k"], b.get("type"))
+        if key not in pos_cache:
+            pos_cache[key] = probe_positions_many(
+                spark, values, b["m"], b["k"], b.get("type")
+            )
+        if any(might_contain(b, pos) for pos in pos_cache[key].values()):
+            out.append(f)
+    return out

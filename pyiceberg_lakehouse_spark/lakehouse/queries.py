@@ -1427,3 +1427,51 @@ def lh_rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         r, [("day_bucket", "date_trunc('DAY', hour_bucket)"), "event_type"]
     )
     return daily
+
+
+@register(
+    "lh_bloom_join_scan",
+    f"""
+    select {ORDER_COLS.replace("o_", "o.o_")}, c.c_acctbal
+    from orders o join customer c on o.o_custkey = c.c_custkey
+    where c.c_acctbal > 9900
+    """,
+)
+def lh_bloom_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index-driven join file pruning: the dim side's key set probes
+    the fact table's per-file blooms so files holding NONE of the keys are
+    never planned (lakehouse/bloom.py::prune_files_bloom_any).
+
+    Min/max bounds can't skip here — the table is laid out by date, so
+    every file's custkey range spans the key space. The dim key set is
+    bounded (it's a selective filter; the cap assertion keeps the
+    metadata-priced collect honest — same 65,537 bound the query caps
+    use), the probe is one Spark hash job per bloom shape, and the scan
+    reads only surviving files. The residual join owns correctness, so
+    bloom false positives never surface.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9900
+    )
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table(
+        "ns.orders_bloom_join",
+        SCHEMAS["orders"],
+        properties={
+            "write.bloom-columns": "o_custkey",
+            # small files -> many files -> observable skipping at test scale
+            "write.target-records-per-file": "2000",
+        },
+    )
+    # date-clustered layout: the natural time layout, and the one min/max
+    # custkey bounds cannot prune
+    t.append(orders.sortWithinPartitions("o_orderdate"))
+    keys = [r[0] for r in cust.select("c_custkey").distinct().collect()]
+    assert len(keys) <= 65537, "dim key set exceeds the bounded-probe cap"
+    scanned = t.scan(bloom_filter_any={"o_custkey": keys})
+    cols = [c.strip() for c in ORDER_COLS.split(",")]
+    return scanned.join(
+        F.broadcast(cust.select("c_custkey", "c_acctbal")),
+        scanned.o_custkey == F.col("c_custkey"),
+    ).select(*cols, "c_acctbal")

@@ -943,6 +943,7 @@ class LakehouseTable:
         stat_filter: dict[str, tuple] | None = None,
         bloom_filter: dict[str, Any] | None = None,
         partition_filter_any: list[dict[str, str]] | None = None,
+        bloom_filter_any: dict[str, list[Any]] | None = None,
     ) -> DataFrame:
         """Snapshot-aware scan (S10/Q5). Partition pruning AND min/max file
         skipping happen HERE, on the metadata file list, before Spark plans
@@ -954,6 +955,10 @@ class LakehouseTable:
         ``bloom_filter``: {col: value} equality probes against per-file
         bloom filters (tables with ``write.bloom-columns``) — prunes point
         lookups that min/max bounds can't.
+        ``bloom_filter_any``: {col: [values]} IN-list / join-key probes —
+        a file survives if ANY key might be present. This is how a
+        bloom-reduced join plans its fact scan: the dim side's bounded key
+        set prunes whole files before Spark ever lists them.
         """
         from pyiceberg_lakehouse_spark.lakehouse.stats import prune_files
 
@@ -994,6 +999,13 @@ class LakehouseTable:
             from pyiceberg_lakehouse_spark.lakehouse.bloom import prune_files_bloom
 
             files = prune_files_bloom(self.spark, files, bloom_filter)
+        if bloom_filter_any:
+            from pyiceberg_lakehouse_spark.lakehouse.bloom import (
+                prune_files_bloom_any,
+            )
+
+            for col, values in bloom_filter_any.items():
+                files = prune_files_bloom_any(self.spark, files, col, values)
         return self._read_files_with_deletes(files, snapshot_id)
 
     def _read_files_with_deletes(

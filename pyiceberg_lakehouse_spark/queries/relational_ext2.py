@@ -207,3 +207,58 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sample(fraction=0.01, seed=42)
         .select("l_orderkey", "l_linenumber")
     )
+
+
+DSUM = "cast(sum(cast({x} as decimal(18,4))) as double)"
+
+
+@register(
+    "join_bloom_reduced",
+    f"""
+    select n.n_name,
+           count(*) as n_items,
+           {DSUM.format(x="l.l_extendedprice")} as revenue
+    from lineitem l
+    join supplier s on l.l_suppkey = s.s_suppkey
+    join nation n on s.s_nationkey = n.n_nationkey
+    join region r on n.n_regionkey = r.r_regionkey
+    where r.r_name = 'EUROPE' and s.s_acctbal > 3000
+    group by n.n_name
+    """,
+)
+def join_bloom_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter (semi-join) reduction of a fact/dim join
+    (operators/joins.py::semi_join_reduce).
+
+    The dim side — European suppliers above a balance floor — is selective
+    but SCALES with the dataset, so neither a broadcast of the dim nor a
+    collected IN-list survives 100 TB. The reducer broadcasts only the
+    ``distinct(pmod(xxhash64(key), m))`` bucket set (≤ 8·m bytes however
+    large the dim grows) and drops non-matching lineitem rows map-side,
+    BEFORE the join's exchange; bloom false positives are swallowed by the
+    real join that follows. Oracle is the plain three-way join — the
+    reduction is provably semantics-free.
+    """
+    from pyiceberg_lakehouse_spark.functions.exact import dsum
+    from pyiceberg_lakehouse_spark.operators.joins import semi_join_reduce
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 3000)
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    dim = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    reduced = semi_join_reduce(li, dim, "l_suppkey", "s_suppkey")
+    return (
+        reduced.join(dim, reduced.l_suppkey == dim.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_extendedprice", "revenue"),
+        )
+    )

@@ -473,3 +473,27 @@ def test_stream_static_enrich_is_stateless(spark, sf_dir):
     assert "StreamingRelation" in plan  # left side really is a stream
     # the batch result already proved semantics; state-freedom is the point
     assert df.count() > 0
+
+
+def test_bloom_reduced_join_semi_filters_fact_map_side(spark, sf_dir):
+    """The semi-join reducer must filter the fact side MAP-SIDE: a
+    BroadcastHashJoin LeftSemi on the hash-bucket set whose streamed input
+    comes STRAIGHT from the lineitem scan — no Exchange in between — so
+    only surviving rows ever shuffle. The bucket build side is bounded by
+    m (8 MB worst-case) whatever the dim cardinality, which is why the
+    broadcast is safe to assert unconditionally."""
+    plan = plan_of(spark, "join_bloom_reduced", sf_dir)
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    semi_at = next(
+        i for i, ln in enumerate(lines) if "BroadcastHashJoin LeftSemi" in ln
+    )
+    # the semi's first (streamed) child subtree runs down to the fact scan;
+    # any Exchange before that scan means fact rows shuffled pre-reduction
+    for ln in lines[semi_at + 1 :]:
+        if "Scan parquet" in ln:
+            break
+        assert "Exchange" not in ln, f"fact shuffles before the reducer: {ln}"
+    else:
+        raise AssertionError("no fact scan under the semi-join reducer")
+    assert "CartesianProduct" not in plan

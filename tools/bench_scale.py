@@ -680,6 +680,46 @@ def bench_cdf(spark, b: Bench, tmp: str) -> None:
     shutil.rmtree(wh, ignore_errors=True)
 
 
+def bench_semi_join(spark, b: Bench, tmp: str) -> None:
+    """Semi-join reduction economics at 10M fact rows vs a 1%-selective
+    dim: the reducer (operators/joins.py) must cut the fact rows reaching
+    the join's exchange to ~the match fraction (+ ~1% bloom false
+    positives at m=2^20), and the reduced join must beat the plain one on
+    wall. Auto-broadcast is disabled for the REAL join only — emulating
+    the regime the reducer exists for, a dim too large to broadcast — the
+    reducer's own bucket-set broadcast is an explicit hint and still
+    applies (that m-bounded broadcast-always property IS the design)."""
+    from pyiceberg_lakehouse_spark.operators.joins import semi_join_reduce
+
+    n = MUT_SCALES[1]
+    tag = f"{n//1000000}m"
+    fact = mock_dataset(spark, n).select(
+        (F.col("id").cast("long") % 1_000_000).alias("k"), "value1"
+    )
+    dim = spark.range(10_000).select((F.col("id") * 100).alias("dk"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        reduced_df = semi_join_reduce(fact, dim, "k", "dk")
+        b.notes["semijoin_survivor_fraction"] = round(
+            reduced_df.count() / n, 4
+        )
+        b.run(
+            f"semijoin_plain_{tag}",
+            lambda: drain(fact.join(dim, fact.k == dim.dk)),
+            reps=REPS,
+            warmup=True,
+        )
+        b.run(
+            f"semijoin_reduced_{tag}",
+            lambda: drain(reduced_df.join(dim, reduced_df.k == dim.dk)),
+            reps=REPS,
+            warmup=True,
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 SECTIONS = {
     "documents": bench_documents,
     "embeddings": bench_embeddings,
@@ -688,6 +728,7 @@ SECTIONS = {
     "rollup": bench_rollup,
     "dedup_index": bench_dedup_index,
     "cdf": bench_cdf,
+    "semi_join": bench_semi_join,
 }
 
 
@@ -830,6 +871,17 @@ def main() -> None:
             round(b.notes["cdf_delta_rows"] / b.notes["cdf_total_rows"], 4)
             if b.notes.get("cdf_total_rows")
             else None
+        ),
+        # semi-join reduction (r10): fraction of the 10M-row fact that
+        # survives to the join's exchange (~match rate + ~1% bloom FP at
+        # m=2^20) and the wall ratio of the reduced join vs the plain one
+        # in the no-broadcast regime the reducer exists for
+        "semijoin_shuffled_rows_fraction": b.notes.get(
+            "semijoin_survivor_fraction"
+        ),
+        "semijoin_reduced_vs_plain_10m": ratio(
+            f"semijoin_plain_{MUT_SCALES[1]//1000000}m",
+            f"semijoin_reduced_{MUT_SCALES[1]//1000000}m",
         ),
         # recall governance: auto n_probe must hold recall >= 0.9 on the
         # 10x corpus while probe wall-time stays <= 1.5x its small-scale
