@@ -1790,3 +1790,68 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "text_bpe_pair_stats",
+    r"""
+    with words as (
+      select word, count(*) as cnt
+      from (select unnest(string_split_regex(text, '\s+')) as word
+            from documents)
+      where length(word) > 0
+      group by word
+    )
+    select substr(word, i, 1) as left_sym,
+           substr(word, i + 1, 1) as right_sym,
+           cast(sum(cnt) as bigint) as pair_freq
+    from words, unnest(range(1, length(word))) as t(i)
+    where length(word) >= 2
+    group by 1, 2
+    """,
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iteration 0 of the distributed BPE learner (operators/bpe.py),
+    driver-hash-checkable: word-frequency-weighted adjacent character-pair
+    counts — the statistic every merge decision ranks on. The full
+    iterative learner is the rows-only twin ``text_bpe_learn`` (its loop
+    isn't one SQL statement), pinned merge-for-merge against a driver-side
+    reference implementation in tests/test_bpe.py."""
+    from pyiceberg_lakehouse_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.pair_stats(docs)
+
+
+@register("text_bpe_learn")
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary learning (operators/bpe.py): 16 merges
+    over the corpus's word-frequency table, one JVM-side pair-count
+    aggregation + codegen'd array fold per merge. Deterministic
+    (lexicographic tie-break) but inherently iterative, so rows-only for
+    the driver; exactness vs a reference learner is pytest-pinned."""
+    from pyiceberg_lakehouse_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe(docs, num_merges=16)
+    return bpe.merges_df(spark, merges)
+
+
+@register("text_bpe_tokenize")
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword tokenization with a corpus-learned BPE vocabulary: learn 16
+    merges, then tokenize every document (Arrow-batched pandas UDF with a
+    per-batch word cache). Returns per-doc token statistics — the real
+    token budget, replacing the regex pre-tokenizer ESTIMATE
+    (text_subword_tokens) with the learned-vocab count."""
+    from pyiceberg_lakehouse_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe(docs, num_merges=16)
+    tok = bpe.apply_bpe(docs, merges)
+    return tok.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_distinct_tokens"),
+        F.element_at("tokens", 1).alias("first_token"),
+    )
