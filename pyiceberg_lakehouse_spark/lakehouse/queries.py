@@ -1475,3 +1475,63 @@ def lh_bloom_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cust.select("c_custkey", "c_acctbal")),
         scanned.o_custkey == F.col("c_custkey"),
     ).select(*cols, "c_acctbal")
+
+
+@register(
+    "lh_rollup_topk",
+    """
+    with c as (
+      select event_type, props as v, count(*) as cnt
+      from events where props is not null
+      group by 1, 2
+    ),
+    r as (
+      select event_type, v, cnt,
+             row_number() over (
+               partition by event_type order by cnt desc, v asc
+             ) as rn
+      from c
+    )
+    select event_type,
+           string_agg(v || ':' || cnt, ',' order by rn) as top3_props,
+           n_events
+    from r join (
+      select event_type, count(*) as n_events from events group by 1
+    ) n using (event_type)
+    where rn <= 3
+    group by event_type, n_events
+    """,
+)
+def lh_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy-hitters rollup (lakehouse/rollup.py): the summary
+    stores a value->count map per event_type, advanced incrementally from
+    appended files only (key-union addition — EXACT under the declared
+    distinct cap, no sketch error) with a sticky overflow sentinel past
+    the cap. The driver-hashed output is the canonical top-3 string
+    (count desc, value asc), which the oracle rebuilds from scratch with a
+    windowed string_agg — a hash match proves the incrementally-merged
+    maps reproduce exact SQL heavy hitters."""
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import (
+        create_rollup,
+        read_rollup,
+        refresh_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.events_topk_fact", ev.schema)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    r = create_rollup(
+        lh,
+        t,
+        "ns.events_topk_rollup",
+        ["event_type"],
+        [("props", "top3"), ("*", "count")],
+    )
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    assert refresh_rollup(r, t)["mode"] == "incremental"
+    return read_rollup(r).select(
+        "event_type",
+        "top3_props",
+        F.col("cnt_rows").alias("n_events"),
+    )

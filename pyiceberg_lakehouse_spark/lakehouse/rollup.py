@@ -22,9 +22,14 @@ element-wise addition, and the read path derives the SQL-standard
 ceil(q*n)) with pure integer arithmetic — bit-identical to a from-scratch
 sort-based percentile, no sketch error. Values outside the declared
 domain (or non-integral values) land in sentinel under/overflow slots and
-make the derived percentile NULL rather than silently wrong. Merge rules:
+make the derived percentile NULL rather than silently wrong. Heavy hitters
+(``top1``/``top5``/...) store the full value->count map per group under a
+declared distinct-cardinality cap (``freq_caps={"col": n}``, default
+10,000): maps merge by key-union addition — exact, no sketch error — and
+collapse to a sticky overflow sentinel (derived topN reads NULL) the
+moment a group exceeds the cap. Merge rules:
 partial sums/counts/squares/histograms add; partial mins/maxes fold with
-least/greatest. History that is
+least/greatest; frequency maps union-add. History that is
 not an append-only delta (overwrite / replace / delete snapshots, or an
 expired refresh cursor) cannot be merged incrementally; ``refresh_rollup``
 detects that from the log and falls back to a FULL recompute, recording
@@ -46,7 +51,10 @@ from pyiceberg_lakehouse_spark.lakehouse.table import LakehouseTable
 # requested aggregate surface; avg/stddev are stored as decomposed parts,
 # distinct as a mergeable HLL register vector, pNN percentiles as an exact
 # dense histogram over a declared bounded integer domain
-_SUPPORTED = ("sum", "count", "min", "max", "avg", "stddev", "distinct", "p1..p99")
+_SUPPORTED = (
+    "sum", "count", "min", "max", "avg", "stddev", "distinct",
+    "p1..p99", "top1..top99",
+)
 
 _PCT_RE = re.compile(r"^p([1-9][0-9]?)$")
 
@@ -278,6 +286,107 @@ def hist_percentile(name: str, lo: int, hi: int, pct: int) -> F.Column:
     )
 
 
+# ------------------------------------------------------- heavy hitters ----
+# topN rollups store the FULL value->count map per group (map<string,bigint>)
+# under a declared distinct-cardinality cap: maps merge by key-union count
+# addition, so the merged state is EXACT — no sketch error — as long as the
+# group's distinct values stay within the cap (the common heavy-hitter
+# columns: status codes, languages, domains, event types). The moment a
+# delta or a merge would exceed the cap the state collapses to a sentinel
+# and every derived topN reads NULL — honest, never silently wrong, same
+# contract as the percentile histogram's out-of-domain slots.
+
+FREQ_CAP_DEFAULT = 10_000
+_FREQ_OVERFLOW = "__overflow__"
+
+_TOP_RE = re.compile(r"^top([1-9][0-9]?)$")
+
+
+def _top_of(fn: str) -> int | None:
+    m = _TOP_RE.match(fn)
+    return int(m.group(1)) if m else None
+
+
+def _freq_sentinel() -> F.Column:
+    return F.create_map(F.lit(_FREQ_OVERFLOW), F.lit(-1).cast("long"))
+
+
+def _freq_zero() -> F.Column:
+    return F.expr("cast(map() as map<string,bigint>)")
+
+
+def _freq_capped(mcol: F.Column, cap: int) -> F.Column:
+    return F.when(
+        F.array_contains(F.map_keys(mcol), _FREQ_OVERFLOW)
+        | (F.size(mcol) > cap),
+        _freq_sentinel(),
+    ).otherwise(mcol)
+
+
+def _freq_delta(
+    df: DataFrame, dims: list[str], col: str, name: str, cap: int
+) -> DataFrame:
+    """Per-group value->count map for the delta: exact per-(dims, value)
+    counts first (partial-combining, the only corpus-sized stage), then a
+    summary-scale fold into the map column."""
+    per_val = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*dims, F.col(col).cast("string").alias("_fv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_fc"))
+    )
+    m = per_val.groupBy(*dims).agg(
+        F.map_from_entries(F.collect_list(F.struct("_fv", "_fc"))).alias(name)
+    )
+    return m.withColumn(name, _freq_capped(F.col(name), cap))
+
+
+def _freq_merge_expr(name: str, cap: int) -> F.Column:
+    """Key-union count addition across a group's partial maps (bounded by
+    the number of PARTIALS per dim combo — 2 at refresh); overflow
+    sentinels are sticky."""
+    merged = F.aggregate(
+        F.collect_list(name),
+        _freq_zero(),
+        lambda acc, m: F.map_zip_with(
+            acc,
+            m,
+            lambda _, v1, v2: F.coalesce(v1, F.lit(0).cast("long"))
+            + F.coalesce(v2, F.lit(0).cast("long")),
+        ),
+    )
+    return _freq_capped(merged, cap).alias(name)
+
+
+def freq_topn(name: str, n: int) -> F.Column:
+    """Derive the top-n heavy hitters from the stored map as the canonical
+    string ``value:count,value:count,...`` (count desc, value asc — fully
+    deterministic, so driver-hashable and SQL-twin-reproducible). NULL on
+    overflow or an empty group."""
+    entries = F.expr(
+        f"array_sort(map_entries({name}), (a, b) -> case"
+        " when a.value > b.value then -1 when a.value < b.value then 1"
+        " when a.key < b.key then -1 when a.key > b.key then 1 else 0 end)"
+    )
+    joined = F.array_join(
+        F.transform(
+            F.slice(entries, 1, n),
+            lambda e: F.concat(
+                e["key"], F.lit(":"), e["value"].cast("string")
+            ),
+        ),
+        ",",
+    )
+    return F.when(
+        (F.size(F.col(name)) > 0)
+        & ~F.array_contains(F.map_keys(F.col(name)), _FREQ_OVERFLOW),
+        joined,
+    )
+
+
+def _cap_of(caps: dict[str, int] | None, col: str) -> int:
+    return int((caps or {}).get(col, FREQ_CAP_DEFAULT))
+
+
 def _out_col(col: str, fn: str) -> str:
     return "cnt_rows" if fn == "count" else f"{fn}_{col}"
 
@@ -299,6 +408,9 @@ def _part_cols(aggs: list[tuple[str, str]]) -> dict[str, tuple[str, str]]:
             parts[f"pcnt_{col}"] = ("pcnt", col)
         elif fn == "distinct":
             parts[f"hll_{col}"] = ("hll", col)
+        elif _top_of(fn) is not None:
+            # every topN on the same column shares ONE frequency-map part
+            parts[f"freq_{col}"] = ("freq", col)
         elif _pct_of(fn) is not None:
             # every pNN on the same column shares ONE histogram part
             parts[f"hist_{col}"] = ("hist", col)
@@ -340,6 +452,7 @@ def _delta_agg(
     dims: list,
     aggs: list[tuple[str, str]],
     domains: dict[str, tuple[int, int]] | None = None,
+    caps: dict[str, int] | None = None,
 ) -> DataFrame:
     df, dims = _dim_cols(df, dims)
     exprs, vectors = [], []
@@ -358,6 +471,14 @@ def _delta_agg(
             exprs.append(F.sum(F.col(col) * F.col(col)).alias(name))
         elif kind == "hll":
             vectors.append((name, _hll_delta(df, dims, col, name), _hll_zero().cast("array<int>")))
+        elif kind == "freq":
+            vectors.append(
+                (
+                    name,
+                    _freq_delta(df, dims, col, name, _cap_of(caps, col)),
+                    _freq_zero(),
+                )
+            )
         elif kind == "hist":
             lo, hi = _domain_of(domains, col)
             vectors.append(
@@ -402,6 +523,7 @@ def _merge_agg(
     dims: list,
     aggs: list[tuple[str, str]],
     domains: dict[str, tuple[int, int]] | None = None,
+    caps: dict[str, int] | None = None,
 ) -> DataFrame:
     # partials already carry the (possibly derived) dimension columns
     dims = _dim_names(dims)
@@ -413,6 +535,9 @@ def _merge_agg(
             merged = F.max(name)
         elif kind == "hll":
             exprs.append(_hll_merge_expr(name))
+            continue
+        elif kind == "freq":
+            exprs.append(_freq_merge_expr(name, _cap_of(caps, col)))
             continue
         elif kind == "hist":
             lo, hi = _domain_of(domains, col)
@@ -433,6 +558,7 @@ def create_rollup(
     dims: list[str],
     aggs: list[tuple[str, str]],
     domains: dict[str, tuple[int, int]] | None = None,
+    freq_caps: dict[str, int] | None = None,
 ) -> LakehouseTable:
     """Materialize ``source`` grouped by ``dims`` with mergeable ``aggs``
     (list of ``(column, fn)``; fn in sum/count/min/max/avg/stddev/distinct
@@ -450,12 +576,12 @@ def create_rollup(
     advances from the recorded snapshot cursor.
     """
     for col, fn in aggs:
-        if fn not in _SUPPORTED and _pct_of(fn) is None:
+        if fn not in _SUPPORTED and _pct_of(fn) is None and _top_of(fn) is None:
             raise ValueError(f"unsupported rollup aggregate {fn!r}; use {_SUPPORTED}")
         if _pct_of(fn) is not None:
             _domain_of(domains, col)  # validate eagerly, before any write
     covered = source.log.current_snapshot_id()
-    state = _delta_agg(source.scan(), dims, aggs, domains)
+    state = _delta_agg(source.scan(), dims, aggs, domains, freq_caps)
     rollup = lh.create_table(identifier, state.schema)
     rollup.log.properties.update(
         {
@@ -463,6 +589,7 @@ def create_rollup(
             "rollup.dims": json.dumps(dims),
             "rollup.aggs": json.dumps(aggs),
             "rollup.domains": json.dumps(domains or {}),
+            "rollup.freq-caps": json.dumps(freq_caps or {}),
             "rollup.last-snapshot": str(covered),
         }
     )
@@ -473,6 +600,11 @@ def create_rollup(
 def _stored_domains(rollup: LakehouseTable) -> dict[str, tuple[int, int]]:
     raw = json.loads(rollup.log.properties.get("rollup.domains", "{}"))
     return {k: (int(v[0]), int(v[1])) for k, v in raw.items()}
+
+
+def _stored_caps(rollup: LakehouseTable) -> dict[str, int]:
+    raw = json.loads(rollup.log.properties.get("rollup.freq-caps", "{}"))
+    return {k: int(v) for k, v in raw.items()}
 
 
 def read_rollup(rollup: LakehouseTable) -> DataFrame:
@@ -509,6 +641,10 @@ def _derive_requested(
                 hist_percentile(f"hist_{col}", lo, hi, _pct_of(fn)).alias(
                     f"{fn}_{col}"
                 )
+            )
+        elif _top_of(fn) is not None:
+            cols.append(
+                freq_topn(f"freq_{col}", _top_of(fn)).alias(f"{fn}_{col}")
             )
         elif fn in ("sum", "count", "min", "max"):
             cols.append(F.col(_out_col(col, fn)))
@@ -549,7 +685,7 @@ def reaggregate_rollup(rollup: LakehouseTable, dims: list) -> DataFrame:
     aggs = [tuple(a) for a in json.loads(rollup.log.properties["rollup.aggs"])]
     domains = _stored_domains(rollup)
     df, names = _dim_cols(rollup.scan(), dims)
-    merged = _merge_agg(df, names, aggs, domains)
+    merged = _merge_agg(df, names, aggs, domains, _stored_caps(rollup))
     return _derive_requested(merged, _dim_names(dims), aggs, domains)
 
 
@@ -569,6 +705,7 @@ def refresh_rollup(rollup: LakehouseTable, source: LakehouseTable) -> dict[str, 
     dims = json.loads(rollup.log.properties["rollup.dims"])
     aggs = [tuple(a) for a in json.loads(rollup.log.properties["rollup.aggs"])]
     domains = _stored_domains(rollup)
+    caps = _stored_caps(rollup)
     cursor = int(rollup.log.properties["rollup.last-snapshot"])
     head = source.log.current_snapshot_id()
     if head == cursor:
@@ -577,16 +714,19 @@ def refresh_rollup(rollup: LakehouseTable, source: LakehouseTable) -> dict[str, 
     try:
         delta = source.read_incremental(cursor, head)
         state = _merge_agg(
-            rollup.scan().unionByName(_delta_agg(delta, dims, aggs, domains)),
+            rollup.scan().unionByName(
+                _delta_agg(delta, dims, aggs, domains, caps)
+            ),
             dims,
             aggs,
             domains,
+            caps,
         )
     except (ValueError, KeyError):
         # non-append history in the interval, or expired cursor: partials
         # cannot merge — recompute from the live snapshot instead
         mode = "full"
-        state = _delta_agg(source.scan(), dims, aggs, domains)
+        state = _delta_agg(source.scan(), dims, aggs, domains, caps)
     # align to the rollup schema (summary tables are small; the overwrite
     # rewrites O(|dims-combinations|) rows, never fact-table bytes)
     state = state.select(*[f.name for f in rollup.schema().fields])

@@ -123,8 +123,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # fresh code outranks a second-round hold; avg stays local-gated.
     # lh_rollup_hourly's hold slot goes to the NEW commit-time change-data
     # feed — same principle; hourly stays local-gated + pytest-pinned)
+    # (lh_rollup_incremental's second-round hold slot goes to the NEW
+    # heavy-hitters rollup — every remaining rollup row in this window
+    # already exercises the create→append→incremental-refresh path)
     "lh_cdf_feed",
-    "lh_rollup_incremental",
+    "lh_rollup_topk",
     "lh_rollup_percentile",
     "lh_rollup_distinct",
     "lh_rollup_reaggregate",
@@ -141,9 +144,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # — fresh code outranks a second-round hold per the standing rotation
     # principle, and token_stats stays covered by the local gate +
     # tests/test_operators.py)
+    # (text_chunk_overlap's second-round hold slot goes to the NEW BPE
+    # learner's hash-checkable pair-stats twin — fresh code outranks a
+    # hold; chunk_overlap stays local-gated + plan-test-enforced)
     "text_lm_familiarity",
     "text_top_bigrams",
-    "text_chunk_overlap",
+    "text_bpe_pair_stats",
     "multimodal_png_decode",
     "multimodal_jpeg_roundtrip",
     "multimodal_jpeg_progressive",

@@ -632,3 +632,108 @@ def test_rollup_percentile_property_any_mutation_sequence(spark, tmp_path, ops):
         .collect()
     }
     assert got == want
+
+
+def test_rollup_topn_incremental_equals_full_and_exact(spark, tmp_path):
+    """topN heavy-hitters rollup: after incremental refreshes the stored
+    frequency maps — and the derived top strings — must equal a
+    from-scratch rollup AND the exact SQL top-n over the final fact table
+    (key-union addition is order/batching-insensitive and, under the cap,
+    has no sketch error)."""
+    import uuid
+
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import read_rollup
+
+    rows = [
+        (i, "g" + str(i % 3), "v" + str((i * i) % 7) if i % 13 else None)
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v string")
+    lh = Lakehouse(spark, str(tmp_path / uuid.uuid4().hex))
+    t = lh.create_table("ns.topfact", df.schema)
+    t.append(df.filter(F.col("id") < 1000))
+    r = create_rollup(
+        lh, t, "ns.topfact_ru", ["g"], [("v", "top3"), ("*", "count")]
+    )
+    t.append(df.filter(F.col("id") >= 1000))
+    assert refresh_rollup(r, t)["mode"] == "incremental"
+
+    r2 = create_rollup(
+        lh, t, "ns.topfact_ru2", ["g"], [("v", "top3"), ("*", "count")]
+    )
+    inc = {x.g: x.freq_v for x in r.scan().collect()}
+    full = {x.g: x.freq_v for x in r2.scan().collect()}
+    assert inc == full
+
+    got = {x.g: x.top3_v for x in read_rollup(r).collect()}
+    truth = (
+        t.scan()
+        .filter(F.col("v").isNotNull())
+        .groupBy("g", "v")
+        .count()
+        .collect()
+    )
+    by_g: dict = {}
+    for x in truth:
+        by_g.setdefault(x.g, []).append((x.v, x["count"]))
+    for g, pairs in by_g.items():
+        pairs.sort(key=lambda p: (-p[1], p[0]))
+        expect = ",".join(f"{v}:{c}" for v, c in pairs[:3])
+        assert got[g] == expect, (g, got[g], expect)
+
+
+def test_rollup_topn_overflow_sentinel_is_sticky(spark, tmp_path):
+    """Exceeding the declared cap collapses the group's map to the
+    overflow sentinel — the derived topN reads NULL, and the sentinel
+    survives later merges (never un-overflows)."""
+    import uuid
+
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import read_rollup
+
+    df = spark.createDataFrame(
+        [(i, "a", "v" + str(i % 5)) for i in range(100)]
+        + [(i, "b", "w" + str(i % 2)) for i in range(100)],
+        "id long, g string, v string",
+    )
+    lh = Lakehouse(spark, str(tmp_path / uuid.uuid4().hex))
+    t = lh.create_table("ns.capfact", df.schema)
+    t.append(df)
+    r = create_rollup(
+        lh, t, "ns.capfact_ru", ["g"], [("v", "top2")],
+        freq_caps={"v": 3},
+    )
+    got = {x.g: x.top2_v for x in read_rollup(r).collect()}
+    assert got["a"] is None  # 5 distinct > cap 3 -> honest NULL
+    assert got["b"] == "w0:50,w1:50"
+    # sticky: appending MORE rows (even low-cardinality ones) never
+    # resurrects the overflowed group
+    t.append(df.filter(F.col("v") == "v0"))
+    assert refresh_rollup(r, t)["mode"] == "incremental"
+    got2 = {x.g: x.top2_v for x in read_rollup(r).collect()}
+    assert got2["a"] is None
+    assert got2["b"] == "w0:50,w1:50"
+
+
+def test_rollup_topn_tiebreak_and_reaggregate(spark, tmp_path):
+    """Count ties order by value ascending (deterministic, hash-safe), and
+    a coarser reaggregate derives its topN from merged maps without
+    touching the fact table."""
+    import uuid
+
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import reaggregate_rollup
+
+    df = spark.createDataFrame(
+        [(1, "x", "a", "zz"), (2, "x", "a", "aa"), (3, "x", "b", "aa"),
+         (4, "y", "a", "zz"), (5, "y", "b", "zz"), (6, "y", "b", "aa")],
+        "id long, g string, h string, v string",
+    )
+    lh = Lakehouse(spark, str(tmp_path / uuid.uuid4().hex))
+    t = lh.create_table("ns.tiefact", df.schema)
+    t.append(df)
+    r = create_rollup(lh, t, "ns.tiefact_ru", ["g", "h"], [("v", "top1")])
+    coarse = {x.g: x.top1_v for x in reaggregate_rollup(r, ["g"]).collect()}
+    # g=x: aa x2, zz x1 -> aa:2 ; g=y: tie aa=1? no: zz x2, aa x1 -> zz:2
+    assert coarse == {"x": "aa:2", "y": "zz:2"}
+    # global reaggregate: aa=3, zz=3 tie -> value-ascending picks aa
+    g_all = reaggregate_rollup(r, []).collect()
+    assert g_all[0].top1_v == "aa:3"

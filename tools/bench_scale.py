@@ -169,6 +169,17 @@ def bench_documents(spark, b: Bench, tmp: str) -> None:
             reps=REPS,
             warmup=True,
         )
+        # BPE vocabulary learning (r10): after the single word-frequency
+        # pass, every merge iteration runs over the VOCABULARY-sized table,
+        # so 10x docs must cost ~the first pass's growth, nowhere near 10x
+        # per iteration
+        from pyiceberg_lakehouse_spark.operators.bpe import learn_bpe
+
+        b.run(
+            f"bpe_learn_{tag}",
+            lambda d=docs: len(learn_bpe(d, num_merges=8)),
+            warmup=True,
+        )
 
 
 def bench_embeddings(spark, b: Bench, tmp: str) -> None:
@@ -826,6 +837,10 @@ def main() -> None:
         "substring_spans_growth_10x": ratio(
             f"substring_spans_{t1}", f"substring_spans_{t2}"
         ),
+        # BPE learning (r10): iteration cost is vocabulary-bound, so 10x
+        # docs must grow total learn wall well under 10x (the word-freq
+        # pass is the only corpus-sized stage)
+        "bpe_learn_growth_10x": ratio(f"bpe_learn_{t1}", f"bpe_learn_{t2}"),
         # partition-scoped MERGE INTO (r10): a one-partition source must
         # merge cheaper than the full-table merge at the same batch size,
         # and must physically replace only that partition's files
