@@ -738,3 +738,181 @@ def ensure_ann_fresh(
                 n_codes=len(books[0]),
             )
     return {**report, "action": rec}
+
+
+def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
+    """Right-to-be-forgotten purge: physically remove matching rows from
+    the CURRENT state and from EVERY retained snapshot, so neither a scan
+    nor time travel nor the change feed can resurrect them.
+
+    DELETE removes rows going forward; history still serves them — exactly
+    what a GDPR/CCPA erasure request forbids. This rewrites history
+    instead: every parquet file referenced by ANY snapshot that contains a
+    matching row is rewritten without those rows (stats and blooms rebuilt
+    — bloom bitmaps derived from purged keys go with them), every
+    snapshot's file list is remapped old->new in place, commit-time
+    change-data files are rewritten the same way, and the old files are
+    unlinked. Snapshot ids, history shape, refs and non-matching rows are
+    untouched.
+
+    A final empty ``replace`` audit snapshot (summary op=purge_rows)
+    makes the purge visible to incremental consumers: ``read_incremental``
+    and rollup refreshes refuse to merge across a replace, so every
+    downstream summary falls back to a full recompute and the purged
+    contribution leaves derived tables too.
+
+    Scale: one distributed match-count scan over the historical file set
+    plans the rewrite (only files PROVEN to hold matches rewrite); the
+    rewrites themselves cost one file-scoped write job each. Honest gates:
+    merge-on-read delete files and schema-evolution history interleave
+    file bytes with commit metadata in ways a row rewrite cannot untangle
+    — compact + expire_snapshots first (both raise below).
+    """
+    from urllib.parse import unquote, urlparse
+
+    log = table.log
+    if table.branches():
+        raise RuntimeError(
+            f"table has branches {table.branches()}; purge after landing/"
+            "dropping them"
+        )
+    if any(s.added_deletes for s in log.snapshots):
+        raise NotImplementedError(
+            "purge over merge-on-read delete history: compact and "
+            "expire_snapshots first so history is copy-on-write only"
+        )
+    if table._rename_events() or table._column_events():
+        raise NotImplementedError(
+            "purge across schema-evolution history: expire_snapshots past "
+            "the evolution point first"
+        )
+    hit = F.coalesce(predicate, F.lit(False))
+
+    def _canon(uri: str) -> str:
+        p = urlparse(uri)
+        return unquote(p.path) if p.scheme else uri
+
+    # one entry per unique path referenced ANYWHERE in history
+    by_path: dict[str, dict] = {}
+    for s in log.snapshots:
+        for f in s.added_files:
+            by_path.setdefault(f["path"], f)
+    # plan: one distributed scan proves which files hold matching rows
+    matched: dict[str, int] = {}
+    if by_path:
+        counts = (
+            table._read_files(list(by_path.values()))
+            .withColumn("_pf", F.input_file_name())
+            .filter(hit)
+            .groupBy("_pf")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        matched = {_canon(r["_pf"]): int(r["n"]) for r in counts}
+    # change-data files carry full inline rows — scan them the same way
+    cdf_refs: dict[str, list] = {}
+    for s in log.snapshots:
+        for f in s.summary.get("change-data-files") or []:
+            cdf_refs.setdefault(f["path"], []).append(f)
+    cdf_matched: set[str] = set()
+    if cdf_refs:
+        existing = [p for p in cdf_refs if os.path.exists(p)]
+        if existing:
+            rows = (
+                table.spark.read.parquet(*existing)
+                .withColumn("_pf", F.input_file_name())
+                .filter(hit)
+                .select("_pf")
+                .distinct()
+                .collect()
+            )
+            cdf_matched = {_canon(r["_pf"]) for r in rows}
+    if not matched and not cdf_matched:
+        return {"files_rewritten": 0, "files_dropped": 0, "rows_purged": 0}
+
+    # rewrite each matching data file without the rows; _write_data
+    # re-derives partition values, stats and blooms for the replacements
+    replacements: dict[str, list[dict]] = {}
+    for path in sorted(matched):
+        entry = by_path[path]
+        kept = table._read_files([entry]).filter(~hit)
+        replacements[path] = table._write_data(kept)
+    # rewrite matching change-data files in place-equivalent new files
+    import glob as _glob
+    import uuid as _uuid
+
+    cdf_replacements: dict[str, list[dict]] = {}
+    for path in sorted(cdf_matched):
+        out_dir = os.path.join(
+            table.table_dir, "_change_data", f"purge-{_uuid.uuid4().hex[:8]}"
+        )
+        (
+            table.spark.read.parquet(path)
+            .filter(~hit)
+            .coalesce(1)
+            .write.mode("error")
+            .option("compression", "zstd")
+            .parquet(out_dir)
+        )
+        from pyiceberg_lakehouse_spark.lakehouse.stats import file_row_count
+
+        cdf_replacements[path] = [
+            {"path": p, "rows": file_row_count(p)}
+            for p in sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
+            if file_row_count(p) > 0
+        ]
+
+    # remap every snapshot in place, preserving ids and sequencing
+    dropped = 0
+    for s in log.snapshots:
+        new_files: list[dict] = []
+        for f in s.added_files:
+            if f["path"] not in replacements:
+                new_files.append(f)
+                continue
+            reps = replacements[f["path"]]
+            if not reps:
+                dropped += 1
+            for r in reps:
+                new_files.append({**r, "added_in": f.get("added_in", s.snapshot_id)})
+        s.added_files = new_files
+        s.removed_paths = [
+            np
+            for p in s.removed_paths
+            for np in (
+                [r["path"] for r in replacements[p]]
+                if p in replacements
+                else [p]
+            )
+        ]
+        if s.summary.get("change-data-files"):
+            s.summary["change-data-files"] = [
+                nf
+                for f in s.summary["change-data-files"]
+                for nf in (
+                    cdf_replacements[f["path"]]
+                    if f["path"] in cdf_matched
+                    else [f]
+                )
+            ]
+    log._write(expected_len=None)
+    for p in list(matched) + sorted(cdf_matched):
+        if os.path.exists(p):
+            os.unlink(p)
+    rows_purged = sum(matched.values())
+    table._commit(
+        "replace",
+        [],
+        summary={
+            "op": "purge_rows",
+            "files_rewritten": len(matched),
+            "change_files_rewritten": len(cdf_matched),
+            "rows_purged": rows_purged,
+        },
+    )
+    return {
+        "files_rewritten": len(matched),
+        "files_dropped": dropped,
+        "change_files_rewritten": len(cdf_matched),
+        "rows_purged": rows_purged,
+    }

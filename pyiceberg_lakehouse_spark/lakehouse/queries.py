@@ -1535,3 +1535,40 @@ def lh_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top3_props",
         F.col("cnt_rows").alias("n_events"),
     )
+
+
+@register(
+    "lh_purge_rows",
+    f"""
+    select 'old' as which, {ORDER_COLS} from orders
+    where o_orderkey % 2 = 0 and o_custkey % 100 <> 7
+    union all
+    select 'head' as which, {ORDER_COLS} from orders
+    where o_custkey % 100 <> 7
+    """,
+)
+def lh_purge_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten history purge
+    (lakehouse/maintenance.py::purge_rows): matching rows are physically
+    rewritten out of every file ANY snapshot references, old files
+    unlinked, snapshot ids preserved, and an audit replace snapshot forces
+    incremental consumers to resync. The driver-hashed output reads the
+    PRE-PURGE snapshot and the head side by side — proving time travel
+    cannot resurrect the purged subject while every other row survives
+    bit-for-bit. The oracle states both reads closed-form."""
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import purge_rows
+
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.orders_purge", SCHEMAS["orders"])
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    old_snap = t.log.current_snapshot_id()
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    out = purge_rows(t, F.col("o_custkey") % 100 == 7)
+    assert out["rows_purged"] > 0 and out["files_rewritten"] > 0
+    cols = [c.strip() for c in ORDER_COLS.split(",")]
+    old = t.scan(snapshot_id=old_snap).select(
+        F.lit("old").alias("which"), *cols
+    )
+    head = t.scan().select(F.lit("head").alias("which"), *cols)
+    return old.unionByName(head)

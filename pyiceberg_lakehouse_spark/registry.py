@@ -111,7 +111,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # lakehouse lifecycle + maintenance (r9 first-timers hold; NEW
     # partition-scoped MERGE INTO + HLL distinct rollup; post-freeze
     # reaggregate read path rotates in)
-    "lh_dedup_incremental",
+    # (lh_dedup_incremental's second-round hold slot goes to the NEW
+    # right-to-be-forgotten history purge — fresh code outranks a hold;
+    # the dedup index stays local-gated + pytest- and BENCH_SCALE-proven)
+    "lh_purge_rows",
     "lh_merge_into",
     "lh_merge_into_partitioned",
     # (lh_type_promotion's hold slot goes to the NEW tag-retention expiry

@@ -1,0 +1,150 @@
+"""History purge (right-to-be-forgotten) — lakehouse/maintenance.py::purge_rows.
+
+The contract: after a purge no read path — current scan, time travel to ANY
+retained snapshot, the change feed — can produce a matching row; every
+non-matching row and the history shape (ids, refs, snapshot count) are
+untouched; untouched files are byte-identical; and incremental consumers
+are forced to resync by the audit replace snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+from pyiceberg_lakehouse_spark.lakehouse.maintenance import purge_rows
+from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _orders_table(spark, warehouse, **props):
+    lh = Lakehouse(spark, warehouse)
+    t = lh.create_table("ns.purge_t", SCHEMAS["orders"], properties=props or None)
+    orders = load_table(spark, SF, "orders")
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    return t, orders
+
+
+def test_purge_erases_from_current_and_history(spark, warehouse):
+    t, orders = _orders_table(spark, warehouse)
+    old_snap = t.log.snapshots[1].snapshot_id  # after the first append
+    victims = F.col("o_custkey") == 7
+    n_history = len(t.log.snapshots)
+    out = purge_rows(t, victims)
+    assert out["rows_purged"] > 0 and out["files_rewritten"] > 0
+    # audit snapshot appended; prior ids intact
+    assert len(t.log.snapshots) == n_history + 1
+    assert t.log.snapshots[-1].summary["op"] == "purge_rows"
+    # current state: gone, and the survivors are exactly the non-victims
+    assert t.scan().filter(victims).count() == 0
+    expect = orders.filter(~victims)
+    assert t.scan().exceptAll(expect).count() == 0
+    assert expect.exceptAll(t.scan()).count() == 0
+    # time travel cannot resurrect them
+    assert t.scan(snapshot_id=old_snap).filter(victims).count() == 0
+    surv = orders.filter((F.col("o_orderkey") % 2 == 0) & ~victims)
+    assert t.scan(snapshot_id=old_snap).exceptAll(surv).count() == 0
+    assert surv.exceptAll(t.scan(snapshot_id=old_snap)).count() == 0
+
+
+def test_purge_leaves_unmatched_files_byte_identical(spark, warehouse):
+    t, _ = _orders_table(spark, warehouse)
+    before = {
+        f["path"]: os.path.getmtime(f["path"]) for f in t.log.live_files()
+    }
+    # victims isolated to one orderkey: most files hold none
+    out = purge_rows(t, F.col("o_orderkey") == 4)
+    untouched = [p for p in before if os.path.exists(p)]
+    assert untouched, "some files must survive"
+    for p in untouched:
+        assert os.path.getmtime(p) == before[p]
+    assert out["files_rewritten"] >= 1
+    assert len(untouched) == len(before) - out["files_rewritten"]
+
+
+def test_purge_scrubs_change_data_feed(spark, warehouse):
+    t, _ = _orders_table(spark, warehouse, **{"change-data-feed": "true"})
+    cursor = t.log.current_snapshot_id()
+    t.update_where(
+        F.col("o_custkey") == 7,
+        {"o_totalprice": F.col("o_totalprice") + 1.0},
+    )
+    feed = t.table_changes(cursor)
+    assert feed.filter(F.col("o_custkey") == 7).count() > 0
+    out = purge_rows(t, F.col("o_custkey") == 7)
+    assert out["change_files_rewritten"] >= 1
+    # the feed (read via the fallback diff after the audit replace) and
+    # the raw change files are both scrubbed
+    assert t.table_changes(cursor).filter(F.col("o_custkey") == 7).count() == 0
+    for s in t.log.snapshots:
+        for f in s.summary.get("change-data-files") or []:
+            got = spark.read.parquet(f["path"])
+            assert got.filter(F.col("o_custkey") == 7).count() == 0
+
+
+def test_purge_forces_rollup_full_recompute(spark, warehouse):
+    from pyiceberg_lakehouse_spark.lakehouse.rollup import (
+        create_rollup,
+        read_rollup,
+        refresh_rollup,
+    )
+
+    t, orders = _orders_table(spark, warehouse)
+    lh = Lakehouse(spark, warehouse)
+    r = create_rollup(
+        lh, t, "ns.purge_ru", ["o_orderstatus"], [("*", "count")]
+    )
+    purge_rows(t, F.col("o_custkey") == 7)
+    assert refresh_rollup(r, t)["mode"] == "full"
+    got = {x.o_orderstatus: x.cnt_rows for x in read_rollup(r).collect()}
+    expect = {
+        x.o_orderstatus: x.n
+        for x in orders.filter(F.col("o_custkey") != 7)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_purge_no_matches_is_a_noop(spark, warehouse):
+    t, _ = _orders_table(spark, warehouse)
+    n = len(t.log.snapshots)
+    out = purge_rows(t, F.col("o_custkey") == -1)
+    assert out == {"files_rewritten": 0, "files_dropped": 0, "rows_purged": 0}
+    assert len(t.log.snapshots) == n  # no audit noise for a no-op
+
+
+def test_purge_gates_on_mor_and_evolution(spark, warehouse):
+    t, _ = _orders_table(spark, warehouse)
+    t.delete_keys(
+        spark.createDataFrame([(2,)], "o_orderkey int"), ["o_orderkey"]
+    )
+    with pytest.raises(NotImplementedError, match="merge-on-read"):
+        purge_rows(t, F.col("o_custkey") == 7)
+
+    lh = Lakehouse(spark, warehouse)
+    t2 = lh.create_table("ns.purge_t2", SCHEMAS["orders"])
+    t2.append(load_table(spark, SF, "orders"))
+    t2.rename_column("o_orderpriority", "prio")
+    with pytest.raises(NotImplementedError, match="schema-evolution"):
+        purge_rows(t2, F.col("o_custkey") == 7)
+
+
+def test_purge_null_predicate_keeps_row(spark, warehouse):
+    """A NULL predicate result must KEEP the row (it is not a match) —
+    mirrors delete_where's NULL semantics."""
+    lh = Lakehouse(spark, warehouse)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "x")], "id long, tag string"
+    )
+    t = lh.create_table("ns.purge_null", df.schema)
+    t.append(df)
+    purge_rows(t, F.col("tag") == "x")
+    got = sorted((r.id, r.tag) for r in t.scan().collect())
+    assert got == [(1, "a"), (2, None)]
