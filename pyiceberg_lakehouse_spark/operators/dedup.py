@@ -498,3 +498,47 @@ def dedup_groups_keep_canonical(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    k_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embeddings, compare cosine
+    similarity only WITHIN a cluster, and collapse each near-duplicate
+    group to its lowest-id representative.
+
+    The reference pipeline's embedding near-dedup requires a natural
+    blocking key; SemDeDup LEARNS the blocks instead — clusters play the
+    role LSH bands play for text. Composition of existing audited pieces:
+    deterministic seeded + sample-bounded-Lloyd centroids
+    (similarity.sample_centroids / kmeans_refine_local — driver state is
+    cap x dim floats, never the corpus), Arrow-batched assignment
+    (similarity.ivf_assign), cluster-blocked exact-cosine pairs
+    (embedding_near_dup_pairs(within='ivf_cell') — never an unblocked
+    all-pairs product; worst-case pair count is sum of per-cluster
+    squares, ~N^1.5 under sqrt-N cells), and connected-components
+    keep-canonical. Known method limit, inherited from the paper:
+    near-duplicates that straddle a cluster boundary are missed —
+    identical embeddings always co-assign, so exact-duplicate recall is 1.
+
+    Returns the surviving rows of ``df`` (schema unchanged).
+    """
+    from pyiceberg_lakehouse_spark.operators import similarity
+
+    if k_cells is None:
+        k_cells = similarity.default_n_cells(df.count())
+    cents = similarity.kmeans_refine_local(
+        df,
+        similarity.sample_centroids(df, k=k_cells, id_col=id_col, vec_col=vec_col),
+        vec_col=vec_col,
+    )
+    assigned = similarity.ivf_assign(df, cents, vec_col=vec_col)
+    pairs = similarity.embedding_near_dup_pairs(
+        assigned, threshold, id_col=id_col, vec_col=vec_col, within="ivf_cell"
+    )
+    return dedup_groups_keep_canonical(df, pairs, id_col=id_col)

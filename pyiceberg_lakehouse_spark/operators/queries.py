@@ -1855,3 +1855,32 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("tokens")).alias("n_distinct_tokens"),
         F.element_at("tokens", 1).alias("first_token"),
     )
+
+
+@register(
+    "dedup_semantic",
+    "select vec_id, label from embeddings",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/dedup.py::semantic_dedup):
+    learned k-means clusters as the blocking key, exact cosine within
+    clusters, keep-lowest-id per near-dup group.
+
+    Driver-hashable by construction: the corpus is the embeddings table
+    UNION an exact copy of every 5th vector under a shifted id. Identical
+    vectors always co-assign (so the method's only recall limit — pairs
+    straddling a cluster boundary — cannot apply), every planted copy
+    pairs with its original at cosine 1 and loses the keep-lowest-id rule,
+    and the corpus's own pairs top out near cosine 0.51 (verified), far
+    under the 0.97 threshold. The output must therefore equal the original
+    table EXACTLY — the oracle states it closed-form, and a hash match
+    proves the whole cluster->pair->component->keep pipeline removes the
+    planted duplicates and nothing else."""
+    from pyiceberg_lakehouse_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(planted)
+    return semantic_dedup(corpus, threshold=0.97).select("vec_id", "label")

@@ -138,8 +138,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dedup + similarity (components twin holds; cosine top-k anchors;
     # NEW exact substring-span coverage — the Lee-et-al ExactSubstr class —
     # takes text_bigram_novelty's hold slot per the fresh-code principle)
+    # (text_top_bigrams' second-round hold slot goes to the NEW SemDeDup
+    # semantic dedup — driver-hashable by planted-duplicate construction)
     "dedup_components_exact",
     "dedup_substring_spans",
+    "dedup_semantic",
     "sim_cosine_topk",
     # text + multimodal (r9 first-timers hold; post-freeze progressive
     # JPEG + container probes rotate in; NEW 4:2:0/4:2:2 subsampled
@@ -151,7 +154,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # learner's hash-checkable pair-stats twin — fresh code outranks a
     # hold; chunk_overlap stays local-gated + plan-test-enforced)
     "text_lm_familiarity",
-    "text_top_bigrams",
     "text_bpe_pair_stats",
     "multimodal_png_decode",
     "multimodal_jpeg_roundtrip",
