@@ -52,6 +52,11 @@ HEADLINE = [
     # r10 addition: exact substring-span dedup (kgram groupBy + per-doc
     # window) — the heaviest new text-scale operator this round
     ("substring_spans", "dedup_substring_spans"),
+    # r10 addition: runtime-filter semi-join reduction (SemDeDup was
+    # measured 50 s at sf0.1 — decimal-exact pair folds dominate — and
+    # stays out of the headline set so round-over-round totals compare;
+    # its scale posture is covered by the cluster-blocked pair bound)
+    ("bloom_semi_join", "join_bloom_reduced"),
 ]
 
 

@@ -539,6 +539,11 @@ def semantic_dedup(
     )
     assigned = similarity.ivf_assign(df, cents, vec_col=vec_col)
     pairs = similarity.embedding_near_dup_pairs(
-        assigned, threshold, id_col=id_col, vec_col=vec_col, within="ivf_cell"
+        assigned,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        within="ivf_cell",
+        exact=False,  # threshold consumer: the 5x-faster double fold
     )
     return dedup_groups_keep_canonical(df, pairs, id_col=id_col)

@@ -1884,3 +1884,29 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select("vec_id", "embedding", "label").unionByName(planted)
     return semantic_dedup(corpus, threshold=0.97).select("vec_id", "label")
+
+
+RANGE_SEARCH_SQL = f"""
+    with q as (select vec_id as qid, embedding as q_vec from embeddings where vec_id < 10),
+    c as (select vec_id as vid, embedding as c_vec from embeddings),
+    scored as (
+      select qid, vid,
+             {DOT.format(a="q_vec", b="c_vec")}
+               / (sqrt({DOT.format(a="q_vec", b="q_vec")})
+                  * sqrt({DOT.format(a="c_vec", b="c_vec")})) as score
+      from q, c where qid != vid
+    )
+    select qid, vid, score from scored where score >= 0.3
+"""
+
+
+@register("sim_range_search", RANGE_SEARCH_SQL)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine range search (operators/similarity.py::range_search):
+    radius-bounded retrieval, FAISS range_search semantics. Queries
+    broadcast, the corpus scans once with no shuffle and no per-query
+    window; decimal-exact scores hash-match the DuckDB oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.range_search(
+        emb, emb.filter(F.col("vec_id") < 10), radius=0.3
+    )

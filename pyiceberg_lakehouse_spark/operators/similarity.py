@@ -666,16 +666,22 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     within: str | None = "label",
+    exact: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= threshold).
 
     ``within`` restricts comparisons to a blocking key (here: label), the
     same bucketing idea as LSH — never an unblocked all-pairs product.
+    ``exact=False`` swaps the decimal fold for the ~5x-faster double fold —
+    right for THRESHOLD consumers (semantic_dedup), where float error
+    ~1e-7 cannot flip a comparison unless a pair sits exactly on the
+    threshold; keep the default for anything hash-compared to an oracle.
     """
+    dot = dot_product_exact if exact else dot_product_fast
     normed = df.select(
         F.col(id_col),
         F.col(vec_col),
-        F.sqrt(dot_product_exact(vec_col, vec_col)).alias("_norm"),
+        F.sqrt(dot(vec_col, vec_col)).alias("_norm"),
         *([within] if within else []),
     )
     a = normed.select(
@@ -694,7 +700,7 @@ def embedding_near_dup_pairs(
     return (
         joined.withColumn(
             "score",
-            dot_product_exact("vec_a", "vec_b") / (F.col("norm_a") * F.col("norm_b")),
+            dot("vec_a", "vec_b") / (F.col("norm_a") * F.col("norm_b")),
         )
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
@@ -1245,3 +1251,39 @@ def kmeans_refine(
                 new_cents[cell] = [x / norm for x in vec]
         centroids = new_cents
     return centroids
+
+
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS-style range search: every corpus vector within a cosine
+    ``radius`` of each query — top-k's sibling for radius-bounded retrieval
+    (dedup candidates, recall sweeps, density probes).
+
+    Same scale shape as :func:`cosine_topk`: the query set broadcasts, the
+    corpus is scanned once and never shuffled — and with no per-query
+    window at all, the only exchange in the plan is whatever the sink
+    needs. Scores accumulate in decimal (dot_product_exact) so results are
+    bit-identical to the SQL oracle."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("c_vec")
+    )
+    scored = c.join(F.broadcast(q), F.col("qid") != F.col("vid")).select(
+        "qid",
+        "vid",
+        (
+            dot_product_exact("q_vec", "c_vec")
+            / (
+                F.sqrt(dot_product_exact("q_vec", "q_vec"))
+                * F.sqrt(dot_product_exact("c_vec", "c_vec"))
+            )
+        ).alias("score"),
+    )
+    return scored.filter(F.col("score") >= F.lit(radius))

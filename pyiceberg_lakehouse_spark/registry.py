@@ -142,8 +142,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # semantic dedup — driver-hashable by planted-duplicate construction)
     "dedup_components_exact",
     "dedup_substring_spans",
+    # (train_mix_temperature's second-round hold slot goes to the NEW
+    # cosine range search — train_ stays represented by numeric_profile)
     "dedup_semantic",
     "sim_cosine_topk",
+    "sim_range_search",
     # text + multimodal (r9 first-timers hold; post-freeze progressive
     # JPEG + container probes rotate in; NEW 4:2:0/4:2:2 subsampled
     # decode; NEW LM-familiarity scorer takes text_token_stats' hold slot
@@ -160,8 +163,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_jpeg_progressive",
     "multimodal_jpeg_subsampled",
     "multimodal_container_probe",
-    # training-data ops (r9 first-timers hold)
-    "train_mix_temperature",
+    # training-data ops (r9 first-timer holds)
     "train_numeric_profile",
     # structured streaming (exactly-once sink anchors the heavyweight
     # path; NEW watermark-complete left-outer stream-stream join takes

@@ -497,3 +497,14 @@ def test_bloom_reduced_join_semi_filters_fact_map_side(spark, sf_dir):
     else:
         raise AssertionError("no fact scan under the semi-join reducer")
     assert "CartesianProduct" not in plan
+
+
+def test_range_search_no_corpus_shuffle(spark, sf_dir):
+    """Range search must broadcast the query set and scan the corpus once
+    — no Exchange feeding the join (the corpus never shuffles), no
+    cartesian product, no Window."""
+    plan = plan_of(spark, "sim_range_search", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan[:600]
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0
+    assert "CartesianProduct" not in plan

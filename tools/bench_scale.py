@@ -691,6 +691,44 @@ def bench_cdf(spark, b: Bench, tmp: str) -> None:
     shutil.rmtree(wh, ignore_errors=True)
 
 
+def bench_purge(spark, b: Bench, tmp: str) -> None:
+    """Right-to-be-forgotten purge economics at 1M rows: the distributed
+    match-count scan plans the rewrite, so purging a subject whose rows
+    live in ONE of ~50 files rewrites only that file — the fraction is the
+    100 TB claim (a purge costs what the subject TOUCHES, not the table),
+    while history-wide erasure is the correctness half, pinned in
+    tests/test_purge.py."""
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import purge_rows
+
+    n = MUT_SCALES[0]
+    tag = f"{n//1000}k"
+    wh = os.path.join(tmp, "wh_purge")
+    lh = Lakehouse(spark, wh)
+    mock = mock_dataset(spark, n)
+    t = lh.create_table(
+        "scale.purge_t",
+        mock.schema,
+        properties={"write.target-records-per-file": str(n // 50)},
+    )
+    # two appends -> history with two generations of files
+    t.append(mock.filter(F.col("id") % 2 == 0))
+    t.append(mock.filter(F.col("id") % 2 == 1))
+    total_files = len({f["path"] for s in t.log.snapshots for f in s.added_files})
+    out: dict = {}
+
+    def _run():
+        out.update(purge_rows(t, F.col("id") < n // 100))  # one subject, 1% of rows
+        return out["files_rewritten"]
+
+    b.run(f"purge_1pct_{tag}", _run)
+    b.notes["purge_files_rewritten"] = out["files_rewritten"]
+    b.notes["purge_total_history_files"] = total_files
+    b.notes["purge_rows_purged"] = out["rows_purged"]
+    assert t.scan().filter(F.col("id") < n // 100).count() == 0
+    shutil.rmtree(wh, ignore_errors=True)
+
+
 def bench_semi_join(spark, b: Bench, tmp: str) -> None:
     """Semi-join reduction economics at 10M fact rows vs a 1%-selective
     dim: the reducer (operators/joins.py) must cut the fact rows reaching
@@ -740,6 +778,7 @@ SECTIONS = {
     "dedup_index": bench_dedup_index,
     "cdf": bench_cdf,
     "semi_join": bench_semi_join,
+    "purge": bench_purge,
 }
 
 
@@ -897,6 +936,18 @@ def main() -> None:
         "semijoin_reduced_vs_plain_10m": ratio(
             f"semijoin_plain_{MUT_SCALES[1]//1000000}m",
             f"semijoin_reduced_{MUT_SCALES[1]//1000000}m",
+        ),
+        # purge (r10): rewrite cost proportional to the files the subject
+        # TOUCHES (here its rows live in ~2 of ~100 history files), never
+        # the table
+        "purge_files_rewritten_fraction": (
+            round(
+                b.notes["purge_files_rewritten"]
+                / b.notes["purge_total_history_files"],
+                4,
+            )
+            if b.notes.get("purge_total_history_files")
+            else None
         ),
         # recall governance: auto n_probe must hold recall >= 0.9 on the
         # 10x corpus while probe wall-time stays <= 1.5x its small-scale
