@@ -17,18 +17,40 @@ from pyspark.sql import functions as F
 from pyiceberg_lakehouse_spark.lakehouse.table import LakehouseTable
 
 
-def compact(table: LakehouseTable, target_file_bytes: int | None = None):
+def compact(
+    table: LakehouseTable,
+    target_file_bytes: int | None = None,
+    partition_filter: dict[str, str] | None = None,
+):
     """Rewrite the live file set at target file size (one replace snapshot).
 
     File count is sized from the actual on-disk bytes; the rewrite is
     repartitioned by the partition columns so each output file stays within
     one partition (no partition-crossing files, same as the write path).
+
+    ``partition_filter`` scopes the rewrite to matching partitions — the
+    OPTIMIZE ... WHERE shape: at 100 TB you compact yesterday's hot
+    partition after its small-file ingest, never the whole table. Only
+    matching partitions' files are read, rewritten and swapped; the commit
+    records them as touched so concurrent writers to OTHER partitions
+    never conflict (the same scoping replace_partitions uses). Files
+    written under an older spec that lack a filter key are conservatively
+    INCLUDED in the rewrite (they may hold matching rows).
     """
     if target_file_bytes is None:
         target_file_bytes = int(
             table.log.properties.get("write.target-file-size-bytes", 512 * 1024 * 1024)
         )
     files = table.log.live_files()
+    if partition_filter:
+        files = [
+            f
+            for f in files
+            if all(
+                k not in f["partition"] or f["partition"][k] == v
+                for k, v in partition_filter.items()
+            )
+        ]
     if not files:
         return None
     total = sum(os.path.getsize(f["path"]) for f in files if os.path.exists(f["path"]))
@@ -36,24 +58,33 @@ def compact(table: LakehouseTable, target_file_bytes: int | None = None):
     # repartition on the partition SOURCE columns (spec strings may be
     # transforms like day(ts); the write path derives the actual values)
     part_cols = [pf.source for pf in table.partition_fields]
-    df = table.scan().repartition(n_files, *part_cols) if part_cols else (
-        table.scan().repartition(n_files)
+    # read THROUGH merge-on-read deletes (compaction materializes them away
+    # for the rewritten partitions; _read_files_with_deletes applies the
+    # sequence-aware anti-joins the plain file read would miss)
+    src = table._read_files_with_deletes(files)
+    df = src.repartition(n_files, *part_cols) if part_cols else (
+        src.repartition(n_files)
     )
     removed = [f["path"] for f in files]
     new_files = table._write_data(df)
+    summary = {
+        "op": "compact",
+        "files_before": len(files),
+        "files_after": len(new_files),
+        # data-change=false: the row multiset is untouched, so incremental
+        # readers and the change feed skip this commit entirely (Delta's
+        # dataChange=false) — compaction is invisible to consumers
+        "data-change": False,
+    }
+    if partition_filter:
+        summary["partitions"] = [partition_filter]
     return table._commit(
         "replace",
         new_files,
         removed_paths=removed,
-        # data-change=false: the row multiset is untouched, so incremental
-        # readers and the change feed skip this commit entirely (Delta's
-        # dataChange=false) — compaction is invisible to consumers
-        summary={
-            "op": "compact",
-            "files_before": len(files),
-            "files_after": len(new_files),
-            "data-change": False,
-        },
+        summary=summary,
+        retry_conflicts=3 if partition_filter else 0,
+        touched_partitions=[partition_filter] if partition_filter else None,
     )
 
 
@@ -916,3 +947,58 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
         "change_files_rewritten": len(cdf_matched),
         "rows_purged": rows_purged,
     }
+
+
+def shallow_clone(lh, source: LakehouseTable, identifier: str) -> LakehouseTable:
+    """Zero-copy SHALLOW CLONE (Delta's CLONE semantics): a new table whose
+    first snapshot REFERENCES the source's live data files — no bytes are
+    read or copied, the clone commit is pure metadata whatever the table
+    size. Writes to either table diverge from the clone point; the clone
+    starts its own snapshot history.
+
+    File entries are copied verbatim (partition values, stats, blooms), so
+    the clone prunes and point-looks-up exactly like the source. Live
+    merge-on-read deletes carry over with their original sequence numbers
+    (``preserve_sequencing`` — the rollback machinery), so deleted keys
+    stay deleted in the clone.
+
+    Operational hazard, same as Delta's: the source's ``remove_orphan_
+    files``/``expire_snapshots`` compute reachability against the SOURCE
+    log only — purging the source can delete files a shallow clone still
+    references. Clones are for experiments and short-lived branches-
+    across-tables; materialize (compact the clone) before expiring the
+    source.
+    """
+    clone = lh.create_table(
+        identifier,
+        source.schema(),
+        partition_by=list(source.log.partition_by or []) or None,
+        properties=dict(source.log.properties),
+    )
+    files = [dict(f) for f in source.log.live_files()]
+    deletes = [dict(d) for d in source.log.live_deletes()]
+    snap = clone.log.commit(
+        "add_files",
+        files,
+        added_deletes=deletes,
+        summary={
+            "op": "shallow_clone",
+            "source": source.table_dir,
+            "source_snapshot": source.log.current_snapshot_id(),
+        },
+        preserve_sequencing=True,
+    )
+    # preserved sequence numbers come from the SOURCE's id space, which can
+    # run far past this young log's counter; bump the clone commit's own id
+    # above them so every FUTURE clone commit (ids are current+1) sequences
+    # after every cloned entry — otherwise a new MoR delete in the clone
+    # would wrongly exempt the cloned files as "added later"
+    max_seq = max(
+        [snap.snapshot_id]
+        + [f.get("added_in", 0) for f in files]
+        + [d.get("snapshot_id", 0) for d in deletes]
+    )
+    if max_seq > snap.snapshot_id:
+        snap.snapshot_id = max_seq
+        clone.log._write(expected_len=None)
+    return clone

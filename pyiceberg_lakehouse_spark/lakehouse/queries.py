@@ -1572,3 +1572,67 @@ def lh_purge_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     head = t.scan().select(F.lit("head").alias("which"), *cols)
     return old.unionByName(head)
+
+
+@register(
+    "lh_shallow_clone",
+    f"""
+    select 'src' as which, {ORDER_COLS} from orders
+    union all
+    select 'clone' as which, {ORDER_COLS} from orders
+    where o_orderkey % 7 <> 0
+    """,
+)
+def lh_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE (lakehouse/maintenance.py::shallow_clone):
+    the clone's first snapshot references the source's live files — pure
+    metadata, no bytes copied (asserted in-query) — and histories diverge
+    from the clone point. The driver-hashed output reads BOTH tables after
+    mutating only the clone: the source must still be the full orders
+    table, the clone the deleted subset. Oracle states both closed-form."""
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import shallow_clone
+
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, _warehouse())
+    src = lh.create_table("ns.orders_clone_src", SCHEMAS["orders"])
+    src.append(orders)
+    src_paths = {f["path"] for f in src.log.live_files()}
+    clone = shallow_clone(lh, src, "ns.orders_clone_dst")
+    assert {f["path"] for f in clone.log.live_files()} == src_paths
+    clone.delete_where(F.col("o_orderkey") % 7 == 0)
+    cols = [c.strip() for c in ORDER_COLS.split(",")]
+    return src.scan().select(F.lit("src").alias("which"), *cols).unionByName(
+        clone.scan().select(F.lit("clone").alias("which"), *cols)
+    )
+
+
+@register(
+    "lh_compact_partition",
+    f"select {ORDER_COLS} from orders",
+)
+def lh_compact_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped compaction — OPTIMIZE ... WHERE
+    (lakehouse/maintenance.py::compact(partition_filter=...)): after three
+    small-file appends, only the 'O' partition's files rewrite (asserted
+    in-query: every other partition's paths survive untouched, the commit
+    is data-change=false); the table's row multiset must be byte-exactly
+    the input — the oracle states it directly."""
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import compact
+
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table(
+        "ns.orders_compact_part", SCHEMAS["orders"], partition_by=["o_orderstatus"]
+    )
+    for i in range(3):
+        t.append(orders.filter(F.col("o_orderkey") % 3 == i))
+    before = {
+        f["path"]
+        for f in t.log.live_files()
+        if f["partition"].get("o_orderstatus") != "O"
+    }
+    snap = compact(t, partition_filter={"o_orderstatus": "O"})
+    assert snap.summary["data-change"] is False
+    after_all = {f["path"] for f in t.log.live_files()}
+    assert before <= after_all, "non-matching partitions' files were touched"
+    return t.scan().select(*[c.strip() for c in ORDER_COLS.split(",")])

@@ -103,11 +103,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fn_posexplode",
     "fn_string_extended",
     "fn_struct_ops",
-    # time-series analytics (r9 first-timers hold; the skew-safe funnel
-    # twin — post-freeze r9 code — rotates in)
-    "events_funnel_steps",
-    "events_retention_cohorts",
+    # time-series analytics (the skew-safe funnel twin — post-freeze r9
+    # code — rotates in; funnel_steps/retention_cohorts' second-round hold
+    # slots go to the NEW shallow clone + partition-scoped compaction)
     "events_funnel_skewsafe",
+    "lh_shallow_clone",
+    "lh_compact_partition",
     # lakehouse lifecycle + maintenance (r9 first-timers hold; NEW
     # partition-scoped MERGE INTO + HLL distinct rollup; post-freeze
     # reaggregate read path rotates in)
