@@ -1636,3 +1636,102 @@ def lh_compact_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     after_all = {f["path"] for f in t.log.live_files()}
     assert before <= after_all, "non-matching partitions' files were touched"
     return t.scan().select(*[c.strip() for c in ORDER_COLS.split(",")])
+
+
+@register(
+    "lh_text_search",
+    r"""
+    with toks as (
+      select doc_id, unnest(string_split_regex(lower(text), '\s+')) as token
+      from documents
+    ),
+    f as (
+      select distinct doc_id, token from toks
+      where token in ('table', 'join')
+    )
+    select doc_id from f group by doc_id having count(*) = 2
+    """,
+)
+def lh_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND search over the incrementally-maintained inverted index
+    (lakehouse/text_index.py): postings built on half the corpus, advanced
+    over the appended half from snapshot metadata alone (mode asserted
+    incremental — the corpus is never re-tokenized), then the query scans
+    ONLY the two terms' postings. The oracle answers the same search from
+    scratch over the raw documents — a hash match proves the incremental
+    index serves exactly the full-corpus answer."""
+    from pyiceberg_lakehouse_spark.lakehouse.text_index import (
+        create_text_index,
+        refresh_text_index,
+        search_all_terms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.docs_search", docs.schema)
+    t.append(docs.filter(F.col("doc_id") % 2 == 0))
+    idx = create_text_index(lh, t, "ns.docs_search_idx")
+    t.append(docs.filter(F.col("doc_id") % 2 == 1))
+    assert refresh_text_index(idx, t)["mode"] == "incremental"
+    return search_all_terms(idx, ["table", "join"])
+
+
+@register(
+    "lh_text_bm25",
+    r"""
+    with toks as (
+      select doc_id, unnest(string_split_regex(lower(text), '\s+')) as token
+      from documents
+    ),
+    tf as (select doc_id, token, count(*) as tf from toks group by 1, 2),
+    dl as (select doc_id, count(*) as doc_len from toks group by 1),
+    stats as (
+      select cast(count(*) as double) as n_docs,
+             avg(doc_len) as avgdl
+      from dl
+    ),
+    dfq as (
+      select token, cast(count(distinct doc_id) as double) as df
+      from tf where token in ('merge', 'window') group by 1
+    ),
+    w as (
+      select tf.doc_id,
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl)) as wt
+      from tf
+      join dfq using (token)
+      join dl using (doc_id)
+      cross join stats
+    ),
+    s as (select doc_id, round(sum(wt), 6) as score from w group by 1),
+    r as (
+      select doc_id, score,
+             row_number() over (order by score desc, doc_id) as rank
+      from s
+    )
+    select doc_id, score, rank from r where rank <= 10
+    """,
+)
+def lh_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 from the inverted index
+    (lakehouse/text_index.py::bm25_topk): df/N/avgdl reduce from the index
+    itself — the corpus is never touched at query time. Scores round to 6
+    decimals before ranking (the tf_idf cross-engine ln device; the
+    two-term sum stays commutative so accumulation order can't split the
+    hash), and the oracle recomputes the identical formula from the raw
+    documents."""
+    from pyiceberg_lakehouse_spark.lakehouse.text_index import (
+        bm25_topk,
+        create_text_index,
+        refresh_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.docs_bm25", docs.schema)
+    t.append(docs.filter(F.col("doc_id") % 2 == 0))
+    idx = create_text_index(lh, t, "ns.docs_bm25_idx")
+    t.append(docs.filter(F.col("doc_id") % 2 == 1))
+    assert refresh_text_index(idx, t)["mode"] == "incremental"
+    return bm25_topk(idx, ["merge", "window"], k=10)

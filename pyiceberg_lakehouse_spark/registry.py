@@ -76,9 +76,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # pruner — fresh code outranks a second-round hold; both displaced
     # queries stay local-gated)
     "scan_repartition_blocks",
-    # core aggregation (flagship anchor + r9 first-timer holds)
+    # core aggregation (flagship anchor; agg_conditional's and
+    # fn_try_arithmetic's second-round hold slots go to the NEW inverted
+    # text index's AND-search and BM25 rows)
     "agg_q1_pricing_summary",
-    "agg_conditional",
+    "lh_text_search",
+    "lh_text_bm25",
     # joins: anchor + four structurally-diverse TPC-H topology anchors
     # (plan shapes of all 22 stay machine-checked in tests/test_plans.py);
     # NEW runtime-filter semi-join reduction + bloom-index join pruning
@@ -95,7 +98,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_ntile_cume",
     # scalar-function long tail: the final 6 never-verified rotate in
     # (r9 task #1), the two r9 first-timers hold
-    "fn_try_arithmetic",
     "fn_regexp_extract_all",
     "fn_bitwise",
     "fn_date_arithmetic",
