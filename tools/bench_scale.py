@@ -649,6 +649,58 @@ def bench_dedup_index(spark, b: Bench, tmp: str) -> None:
     shutil.rmtree(wh, ignore_errors=True)
 
 
+def bench_text_index(spark, b: Bench, tmp: str) -> None:
+    """Inverted-index economics at 1M documents: refreshing over a 1%
+    append must tokenize the DELTA files only (token explode + two
+    aggregations are real per-row CPU, so the wall ratio is meaningful),
+    and a BM25 query must cost the query terms' postings, not the corpus."""
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.text_index import (
+        bm25_topk,
+        create_text_index,
+        refresh_text_index,
+    )
+
+    wh = os.path.join(tmp, "wh_text_idx")
+    lh = Lakehouse(spark, wh)
+    n = DOC_SCALES[1]
+    tag = f"{n//1000}k"
+    docs = mock_documents(spark, n)
+    t = lh.create_table("scale.tifact", docs.schema)
+    t.append(docs.filter(F.col("doc_id") % 100 != 0))
+    b.run(
+        f"text_index_build_{tag}",
+        lambda: create_text_index(lh, t, "scale.tiindex"),
+    )
+    idx = lh.load_table("scale.tiindex")
+    cursor = t.log.current_snapshot_id()
+    t.append(docs.filter(F.col("doc_id") % 100 == 0))  # 1% delta
+    b.notes["text_index_delta_rows"] = sum(
+        f.get("rows") or 0
+        for sn in t.log.snapshots
+        if sn.snapshot_id > cursor
+        for f in sn.added_files
+    )
+    b.notes["text_index_total_rows"] = sum(
+        f.get("rows") or 0 for f in t.log.live_files()
+    )
+    res = b.run(
+        f"text_index_refresh_1pct_{tag}", lambda: refresh_text_index(idx, t)
+    )
+    b.notes["text_index_refresh_mode"] = res["mode"]
+    b.run(
+        f"bm25_query_{tag}",
+        lambda: drain(bm25_topk(idx, ["merge", "shuffle"], k=10)),
+        reps=REPS,
+        warmup=True,
+    )
+    # force the full path at the same scale for the contrast
+    t.delete_where(F.col("doc_id") % 997 == 0)
+    res = b.run(f"text_index_full_{tag}", lambda: refresh_text_index(idx, t))
+    b.notes["text_index_full_mode"] = res["mode"]
+    shutil.rmtree(wh, ignore_errors=True)
+
+
 def bench_cdf(spark, b: Bench, tmp: str) -> None:
     """Change-feed economics at 1M rows: after a 1% copy-on-write delete,
     the CDF fast path (commit-time change-data files) must read the DELTA
@@ -776,6 +828,7 @@ SECTIONS = {
     "upsert": bench_mock_upsert,
     "rollup": bench_rollup,
     "dedup_index": bench_dedup_index,
+    "text_index": bench_text_index,
     "cdf": bench_cdf,
     "semi_join": bench_semi_join,
     "purge": bench_purge,
@@ -904,6 +957,20 @@ def main() -> None:
         # the corpus is not re-read (r9 lh_dedup_incremental at scale)
         "dedup_index_incremental_vs_full_1m": ratio(
             f"dedup_index_refresh_1pct_{t2}", f"dedup_index_full_{t2}"
+        ),
+        # inverted text index (r10): refresh over a 1% append tokenizes
+        # delta files only — wall ratio + planned-rows fraction
+        "text_index_incremental_vs_full_1m": ratio(
+            f"text_index_refresh_1pct_{t2}", f"text_index_full_{t2}"
+        ),
+        "text_index_planned_rows_fraction": (
+            round(
+                b.notes["text_index_delta_rows"]
+                / b.notes["text_index_total_rows"],
+                4,
+            )
+            if b.notes.get("text_index_total_rows")
+            else None
         ),
         "dedup_index_planned_rows_fraction": (
             round(
