@@ -67,16 +67,35 @@ def create_text_index(
     covered = source.log.current_snapshot_id()
     postings = _postings(source.scan(), text_col, id_col)
     idx = lh.create_table(identifier, postings.schema)
+    n_docs, sum_dl = _corpus_stats(postings)
     idx.log.properties.update(
         {
             "textindex.source": source.table_dir,
             "textindex.text-col": text_col,
             "textindex.id-col": id_col,
             "textindex.last-snapshot": str(covered),
+            # corpus stats maintained as METADATA (additive under append):
+            # BM25 reads N/avgdl from here instead of re-scanning the
+            # whole postings table per query
+            "textindex.n-docs": str(n_docs),
+            "textindex.sum-doc-len": str(sum_dl),
         }
     )
     idx.append(postings)
     return idx
+
+
+def _corpus_stats(postings: DataFrame) -> tuple[int, int]:
+    row = (
+        postings.select("doc_id", "doc_len")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_len").alias("s"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"] or 0), int(row["s"] or 0)
 
 
 def refresh_text_index(idx: LakehouseTable, source: LakehouseTable) -> dict:
@@ -93,15 +112,25 @@ def refresh_text_index(idx: LakehouseTable, source: LakehouseTable) -> dict:
         return {"mode": "noop", "covered_snapshot": cursor}
     try:
         delta = source.read_incremental(cursor, head)
+        new_postings = _postings(delta, text_col, id_col)
+        dn, ds = _corpus_stats(new_postings)
         idx.log.properties["textindex.last-snapshot"] = str(head)
-        idx.append(_postings(delta, text_col, id_col))
+        # stats are additive under append: new documents only
+        idx.log.properties["textindex.n-docs"] = str(
+            int(idx.log.properties.get("textindex.n-docs", "0")) + dn
+        )
+        idx.log.properties["textindex.sum-doc-len"] = str(
+            int(idx.log.properties.get("textindex.sum-doc-len", "0")) + ds
+        )
+        idx.append(new_postings)
         mode = "incremental"
     except (ValueError, KeyError):
+        postings = _postings(source.scan(), text_col, id_col)
+        n, s = _corpus_stats(postings)
         idx.log.properties["textindex.last-snapshot"] = str(head)
-        idx.overwrite(
-            _postings(source.scan(), text_col, id_col),
-            summary={"op": "textindex_rebuild"},
-        )
+        idx.log.properties["textindex.n-docs"] = str(n)
+        idx.log.properties["textindex.sum-doc-len"] = str(s)
+        idx.overwrite(postings, summary={"op": "textindex_rebuild"})
         mode = "full"
     return {"mode": mode, "covered_snapshot": head}
 
@@ -129,19 +158,23 @@ def bm25_topk(
     """Okapi BM25 top-k over the postings: (doc_id, score, rank).
 
     idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); the per-term weight is
-    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)). N/avgdl reduce from
-    the index's distinct documents, df per term from the query terms'
-    postings — the corpus is never touched. Scores round to 6 decimals
-    BEFORE ranking (cross-engine 1-ulp ln safety), doc_id breaks ties.
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)). N and avgdl come
+    from the index's PROPERTIES — maintained additively at refresh time —
+    so a query plans exactly two things: the query terms' postings and
+    their df aggregate; neither the corpus nor the full index is ever
+    scanned. Scores round to 6 decimals BEFORE ranking (cross-engine
+    1-ulp ln safety), doc_id breaks ties.
     """
     from pyspark.sql import Window as W
 
     want = sorted({t.lower() for t in terms})
     p = idx.scan().filter(F.col("token").isin(want))
-    docs = idx.scan().select("doc_id", "doc_len").distinct()
-    stats = docs.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("doc_len").alias("avgdl"),
+    n_docs = int(idx.log.properties["textindex.n-docs"])
+    sum_dl = int(idx.log.properties["textindex.sum-doc-len"])
+    stats = idx.spark.range(1).select(
+        F.lit(float(n_docs)).alias("n_docs"),
+        # same arithmetic shape as avg(bigint): exact integer sum / count
+        (F.lit(sum_dl).cast("double") / F.lit(float(n_docs))).alias("avgdl"),
     )
     dfreq = p.groupBy("token").agg(
         F.count_distinct("doc_id").cast("double").alias("df")
