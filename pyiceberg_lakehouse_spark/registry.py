@@ -49,22 +49,25 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # keeping every category represented.
 #
 # Round-10 rotation (VERDICT r9 task #1: retire the driver-evidence tail
-# for good). Rotated OUT the 13 rows green in BOTH r8 and r9 that are not
-# category anchors (set_except_all, lh_bucketed_colocated_join,
-# lh_flat_layout_roundtrip, lh_metadata_count, lh_rename_column,
-# lh_sql_catalog_lifecycle, lh_tag_read, multimodal_frame_sample,
-# pipeline_train_prep, stream_lh_datasource_partitioned,
-# stream_lh_source_by_type, stream_sliding_2h,
-# stream_user_running_totals). Rotated IN all 10 oracle-checkable
-# never-driver-verified queries (the 4 post-freeze r9 newcomers —
-# events_funnel_skewsafe, lh_rollup_reaggregate,
-# multimodal_container_probe, multimodal_jpeg_progressive — plus the
-# 6-query scalar-fn tail) and the 3 queries NEW this round
-# (lh_merge_into_partitioned, lh_rollup_distinct,
-# multimodal_jpeg_subsampled). After this window hashes green, every
-# registered oracle-checkable query has a driver row. The 28 r9
-# first-timers hold for their second green round. Stable anchors keep
-# the heavyweight paths represented per the standing category contract
+# for good). Rotated OUT every row already green in BOTH r8 and r9 that is
+# not a category anchor, plus — as round-10 code landed — eleven r9
+# first-timers whose second-round hold slots went to fresh code (the
+# standing fresh-outranks-hold principle; every displaced query stays
+# covered by the identical local differential gate, tools/verify_local.py).
+# Rotated IN: (a) all 10 oracle-checkable never-driver-verified queries —
+# the 4 post-freeze r9 newcomers (events_funnel_skewsafe,
+# lh_rollup_reaggregate, multimodal_container_probe,
+# multimodal_jpeg_progressive) and the 6-query scalar-fn tail — so after
+# this window hashes green, every oracle-checkable query registered
+# through r9 has a driver row; and (b) the 16 queries NEW this round:
+# lh_merge_into_partitioned, lh_rollup_distinct,
+# multimodal_jpeg_subsampled, lh_cdf_feed, stream_lh_change_feed,
+# join_bloom_reduced, lh_bloom_join_scan, lh_rollup_topk, lh_purge_rows,
+# text_bpe_pair_stats, dedup_semantic, sim_range_search, lh_shallow_clone,
+# lh_compact_partition, lh_text_search, lh_text_bm25 — every new
+# oracle-checkable r10 query gets its driver row in ITS OWN round, so no
+# evidence tail regrows. Stable anchors keep the heavyweight paths
+# represented per the standing category contract
 # (tests/test_entry_contract.py): the flagship pricing summary plus four
 # structurally-diverse TPC-H topologies, join_right_outer, the rewritten
 # cosine top-k, the reference's flagship upsert composite, and the
