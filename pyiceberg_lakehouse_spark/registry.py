@@ -178,8 +178,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (stream_lh_rollup_maintain's hold slot goes to the NEW streaming
     # change-feed source — fresh code outranks a second-round hold;
     # rollup-maintain stays local-gated + pytest-pinned)
+    # (stream_stream_left_join's second-round hold slot goes to the NEW
+    # continuous inverted-index maintenance — fresh code outranks a hold)
     "stream_lh_sink_hourly",
-    "stream_stream_left_join",
+    "stream_lh_text_search",
     "stream_lh_change_feed",
 )
 

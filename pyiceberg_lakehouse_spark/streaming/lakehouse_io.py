@@ -276,3 +276,40 @@ def write_stream_with_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_stream_with_text_index(
+    stream_df: DataFrame,
+    table: LakehouseTable,
+    index: LakehouseTable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous LEXICAL-search maintenance: the exactly-once micro-batch
+    append sink composed with ``refresh_text_index`` — the inverted index
+    tracks the document stream at micro-batch granularity, tokenizing only
+    each batch's files (the index cursor advances along the snapshot log;
+    the corpus is never re-read). Replays are idempotent the same two ways
+    as the rollup sink: committed batch ids skip the append, and a refresh
+    with no new snapshot is a noop."""
+    from pyiceberg_lakehouse_spark.lakehouse.text_index import (
+        refresh_text_index,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.log.load()
+        if batch_id not in committed_batch_ids(table):
+            if batch_df.isEmpty():
+                return
+            table.append(batch_df, summary={"streaming_batch_id": batch_id})
+        index.log.load()
+        refresh_text_index(index, table)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

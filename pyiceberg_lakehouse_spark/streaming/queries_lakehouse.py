@@ -796,3 +796,57 @@ def stream_lh_rollup_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@register(
+    "stream_lh_text_search",
+    r"""
+    with toks as (
+      select doc_id, unnest(string_split_regex(lower(text), '\s+')) as token
+      from documents
+    ),
+    f as (
+      select distinct doc_id, token from toks
+      where token in ('scan', 'merge')
+    )
+    select doc_id from f group by doc_id having count(*) = 2
+    """,
+)
+def stream_lh_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous lexical-search maintenance, driver-hashable: seed a
+    corpus table with 40% of the documents, build its inverted index, then
+    stream the remaining 60% in micro-batches through
+    ``write_stream_with_text_index`` — each batch tokenizes only its own
+    files. The final AND-search must hash-equal DuckDB's from-scratch
+    answer over ALL documents."""
+    import os
+
+    from pyiceberg_lakehouse_spark.lakehouse.text_index import (
+        create_text_index,
+        search_all_terms,
+    )
+    from pyiceberg_lakehouse_spark.sources.testdata import load_table
+    from pyiceberg_lakehouse_spark.streaming.lakehouse_io import (
+        write_stream_with_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 < 2)
+    rest = docs.filter(F.col("doc_id") % 5 >= 2)
+    work = session_tmpdir(prefix="ti_stream_")
+    lh = Lakehouse(spark, os.path.join(work, "wh"))
+    t = lh.create_table("ns.docs_fact", docs.schema)
+    t.append(base)
+    idx = create_text_index(lh, t, "ns.docs_ti")
+
+    feed = os.path.join(work, "feed")
+    rest.repartition(3).write.mode("overwrite").parquet(feed)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(feed)
+    )
+    q = write_stream_with_text_index(stream, t, idx, os.path.join(work, "ckpt"))
+    q.awaitTermination()
+    return search_all_terms(idx, ["scan", "merge"])

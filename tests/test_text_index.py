@@ -79,3 +79,46 @@ def test_bm25_prefers_higher_tf_and_rarer_terms(spark, warehouse):
     # rarer term outweighs common one at equal tf
     kiwi = bm25_topk(idx, ["kiwi"], k=1).collect()[0]
     assert kiwi.doc_id == 4
+
+
+def test_streaming_maintenance_converges_and_restart_is_idempotent(
+    spark, warehouse, tmp_path
+):
+    import os
+
+    from pyiceberg_lakehouse_spark.streaming.lakehouse_io import (
+        write_stream_with_text_index,
+    )
+
+    lh = Lakehouse(spark, warehouse)
+    docs = load_table(spark, SF, "documents")
+    t = lh.create_table("ns.ti_sdocs", docs.schema)
+    t.append(docs.filter(F.col("doc_id") % 5 == 0))
+    idx = create_text_index(lh, t, "ns.ti_sidx")
+
+    feed = str(tmp_path / "feed")
+    docs.filter(F.col("doc_id") % 5 != 0).repartition(3).write.parquet(feed)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    write_stream_with_text_index(stream, t, idx, ckpt).awaitTermination()
+    # a RESTART over the same checkpoint replays nothing new
+    before = idx.scan().count()
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    write_stream_with_text_index(stream2, t, idx, ckpt).awaitTermination()
+    assert idx.scan().count() == before
+    # converged index == from-scratch index over the final corpus
+    full = create_text_index(lh, t, "ns.ti_sidx_full")
+    assert idx.scan().exceptAll(full.scan()).count() == 0
+    assert full.scan().exceptAll(idx.scan()).count() == 0
+    assert (
+        idx.log.properties["textindex.n-docs"]
+        == full.log.properties["textindex.n-docs"]
+    )
