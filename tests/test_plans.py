@@ -508,3 +508,13 @@ def test_range_search_no_corpus_shuffle(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan[:600]
     assert len(re.findall(r"\(\d+\) Window", plan)) == 0
     assert "CartesianProduct" not in plan
+
+
+def test_text_search_pushes_token_inlist_to_postings_scan(spark, sf_dir):
+    """Lexical search must plan O(query-term postings): the token IN-list
+    reaches the postings parquet scan as a pushed filter, so row groups
+    without the terms never decode."""
+    plan = plan_of(spark, "lh_text_search", sf_dir)
+    m = re.search(r"PushedFilters: \[[^\]]*In\(token", plan)
+    assert m, plan[plan.find("PushedFilters"):][:300]
+    assert "CartesianProduct" not in plan
