@@ -41,6 +41,14 @@ _DDL = (
     " primary key (namespace, name))",
     "create table if not exists lakehouse_namespaces ("
     " namespace text primary key)",
+    # CREATE VIEW surface: views store SQL TEXT, resolved against the
+    # warehouse's tables at read time — pure metadata, same PK-decides-
+    # the-race contract as table registration
+    "create table if not exists lakehouse_views ("
+    " namespace text not null,"
+    " name text not null,"
+    " sql_text text not null,"
+    " primary key (namespace, name))",
 )
 
 
@@ -257,6 +265,63 @@ class SqlCatalog:
                 (namespace,),
             )
             return [r[0] for r in cur.fetchall()]
+
+    def register_view(
+        self, namespace: str, name: str, sql_text: str, replace: bool = False
+    ) -> None:
+        """Atomically claim a view name; ``replace=True`` is CREATE OR
+        REPLACE (delete + insert in ONE transaction, so a concurrent
+        reader never observes the name missing)."""
+        try:
+            with self._tx(immediate=True) as cur:
+                if replace:
+                    cur.execute(
+                        self._q(
+                            "delete from lakehouse_views"
+                            " where namespace=? and name=?"
+                        ),
+                        (namespace, name),
+                    )
+                cur.execute(
+                    self._q("insert into lakehouse_views values (?,?,?)"),
+                    (namespace, name, sql_text),
+                )
+                cur.execute(self._q(self._ns_insert), (namespace,))
+        except self._integrity:
+            raise FileExistsError(
+                f"view {namespace}.{name} already registered"
+            ) from None
+
+    def load_view(self, namespace: str, name: str) -> str:
+        with self._tx() as cur:
+            cur.execute(
+                self._q(
+                    "select sql_text from lakehouse_views"
+                    " where namespace=? and name=?"
+                ),
+                (namespace, name),
+            )
+            row = cur.fetchone()
+        if row is None:
+            raise FileNotFoundError(f"no such view {namespace}.{name} in catalog")
+        return row[0]
+
+    def list_views(self, namespace: str) -> list[str]:
+        with self._tx() as cur:
+            cur.execute(
+                self._q(
+                    "select name from lakehouse_views where namespace=? order by 1"
+                ),
+                (namespace,),
+            )
+            return [r[0] for r in cur.fetchall()]
+
+    def drop_view(self, namespace: str, name: str) -> None:
+        with self._tx(immediate=True) as cur:
+            cur.execute(
+                self._q("delete from lakehouse_views where namespace=? and name=?"),
+                (namespace, name),
+            )
 
     def drop_table(self, namespace: str, name: str) -> None:
         with self._tx(immediate=True) as cur:

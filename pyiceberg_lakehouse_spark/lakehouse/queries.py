@@ -1735,3 +1735,39 @@ def lh_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(docs.filter(F.col("doc_id") % 2 == 1))
     assert refresh_text_index(idx, t)["mode"] == "incremental"
     return bm25_topk(idx, ["merge", "window"], k=10)
+
+
+@register(
+    "lh_catalog_view",
+    """
+    select o_orderstatus,
+           count(*) as n,
+           cast(sum(cast(o_totalprice as decimal(18,4))) as double) as revenue
+    from orders group by o_orderstatus
+    """,
+)
+def lh_catalog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW lifecycle (table.py::create_view/read_view): the view
+    stores SQL text in the catalog — pure metadata — and resolves against
+    each table's LATEST snapshot at read. Created after the first append,
+    read after the second: the driver hash proves the view tracks the
+    table (it is never a frozen result), and the full-orders oracle states
+    the expected answer closed-form. The SQL-catalog twin of the same
+    lifecycle (register/load/list/drop + PK-race contract) runs in
+    tests/test_catalog_views.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.orders_viewed", SCHEMAS["orders"])
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    lh.create_view(
+        "ns.orders_by_status",
+        """
+        select o_orderstatus,
+               count(*) as n,
+               cast(sum(cast(o_totalprice as decimal(18,4))) as double) as revenue
+        from ns_orders_viewed group by o_orderstatus
+        """,
+    )
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    assert lh.list_views("ns") == ["orders_by_status"]
+    return lh.read_view("ns.orders_by_status")

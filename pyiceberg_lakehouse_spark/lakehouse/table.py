@@ -24,6 +24,7 @@ ever sees it (SURVEY.md §4 "custom work" item 1).
 from __future__ import annotations
 
 import glob as _glob
+import json
 import os
 import re
 from functools import reduce
@@ -193,6 +194,63 @@ class Lakehouse:
                 self.load_table(f"{ns}.{tbl}").scan().createOrReplaceTempView(view)
                 names.append(view)
         return names
+
+    # ------------------------------------------------------------- views --
+
+    def create_view(self, identifier: str, sql_text: str, replace: bool = False) -> None:
+        """CREATE [OR REPLACE] VIEW: store SQL text in the catalog (pure
+        metadata, table-size-independent). The SQL references tables by
+        their ``namespace_table`` temp-view names (the
+        ``register_sql_views`` convention); resolution happens at READ
+        time, so a view always reflects each table's LATEST snapshot."""
+        ns, name = self._split(identifier)
+        if self.catalog:
+            self.catalog.register_view(ns, name, sql_text, replace=replace)
+            return
+        vdir = os.path.join(self.warehouse, ns, ".views")
+        os.makedirs(vdir, exist_ok=True)
+        path = os.path.join(vdir, f"{name}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"sql": sql_text}, fh)
+        if not replace and os.path.exists(path):
+            os.unlink(tmp)
+            raise FileExistsError(f"view {identifier} already exists")
+        os.replace(tmp, path)
+
+    def read_view(self, identifier: str) -> DataFrame:
+        """Resolve a stored view: register every table as a SQL temp view
+        (latest snapshots), then run the stored text."""
+        ns, name = self._split(identifier)
+        if self.catalog:
+            sql_text = self.catalog.load_view(ns, name)
+        else:
+            path = os.path.join(self.warehouse, ns, ".views", f"{name}.json")
+            if not os.path.exists(path):
+                raise FileNotFoundError(f"no such view {identifier}")
+            with open(path) as fh:
+                sql_text = json.load(fh)["sql"]
+        self.register_sql_views()
+        return self.spark.sql(sql_text)
+
+    def list_views(self, namespace: str) -> list[str]:
+        if self.catalog:
+            return self.catalog.list_views(namespace)
+        vdir = os.path.join(self.warehouse, namespace, ".views")
+        if not os.path.isdir(vdir):
+            return []
+        return sorted(
+            f[: -len(".json")] for f in os.listdir(vdir) if f.endswith(".json")
+        )
+
+    def drop_view(self, identifier: str) -> None:
+        ns, name = self._split(identifier)
+        if self.catalog:
+            self.catalog.drop_view(ns, name)
+            return
+        path = os.path.join(self.warehouse, ns, ".views", f"{name}.json")
+        if os.path.exists(path):
+            os.unlink(path)
 
     def rename_table(self, src: str, dst: str) -> None:
         """Atomic same-warehouse rename (data paths in the log are absolute,

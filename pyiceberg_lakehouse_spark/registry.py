@@ -95,8 +95,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_q13_customer_distribution",
     "agg_q18_large_orders",
     "agg_q21_suppliers_kept_waiting",
-    # set ops (r9 first-timer holds)
-    "set_union_missing_columns",
+    # (set_union_missing_columns' second-round hold slot goes to the NEW
+    # CREATE VIEW lifecycle row; set ops stay local-gated)
+    "lh_catalog_view",
     # windows (r9 first-timer holds)
     "win_ntile_cume",
     # scalar-function long tail: the final 6 never-verified rotate in
