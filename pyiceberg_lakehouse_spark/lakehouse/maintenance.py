@@ -794,10 +794,14 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
 
     Scale: one distributed match-count scan over the historical file set
     plans the rewrite (only files PROVEN to hold matches rewrite); the
-    rewrites themselves cost one file-scoped write job each. Honest gates:
-    merge-on-read delete files and schema-evolution history interleave
-    file bytes with commit metadata in ways a row rewrite cannot untangle
-    — compact + expire_snapshots first (both raise below).
+    rewrites themselves cost one file-scoped write job each. Merge-on-read
+    delete files (which store deleted rows' KEY VALUES — PII for a keyed
+    subject) are scrubbed too when the predicate is evaluable on their key
+    columns; dropping a matching key is safe because every data row it
+    could un-delete is purged in the same operation. Honest gates: a
+    predicate NOT evaluable on the delete files' columns, or
+    schema-evolution history, cannot be untangled by a row rewrite —
+    compact + expire_snapshots first (both raise below).
     """
     from urllib.parse import unquote, urlparse
 
@@ -807,11 +811,26 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
             f"table has branches {table.branches()}; purge after landing/"
             "dropping them"
         )
-    if any(s.added_deletes for s in log.snapshots):
-        raise NotImplementedError(
-            "purge over merge-on-read delete history: compact and "
-            "expire_snapshots first so history is copy-on-write only"
-        )
+    # merge-on-read delete files hold the KEY VALUES of deleted rows — for
+    # a keyed subject those values are exactly the PII being erased, so
+    # they must be scrubbed too. That is only decidable when the predicate
+    # is evaluable on the delete file's key columns (checked below); a
+    # predicate over non-key columns cannot identify which delete keys
+    # belong to the subject and keeps the honest gate.
+    delete_refs: dict[str, list[dict]] = {}
+    for s in log.snapshots:
+        for d in s.added_deletes:
+            delete_refs.setdefault(d["path"], []).append(d)
+    for path in delete_refs:
+        try:
+            table.spark.read.parquet(path).filter(predicate).schema
+        except Exception:
+            raise NotImplementedError(
+                "purge over merge-on-read delete history needs a predicate "
+                "evaluable on the delete files' key columns (the stored "
+                "key VALUES are what must be erased); otherwise compact + "
+                "expire_snapshots first"
+            ) from None
     if table._rename_events() or table._column_events():
         raise NotImplementedError(
             "purge across schema-evolution history: expire_snapshots past "
@@ -858,7 +877,20 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
                 .collect()
             )
             cdf_matched = {_canon(r["_pf"]) for r in rows}
-    if not matched and not cdf_matched:
+    del_matched: set[str] = set()
+    if delete_refs:
+        existing = [p for p in delete_refs if os.path.exists(p)]
+        if existing:
+            rows = (
+                table.spark.read.parquet(*existing)
+                .withColumn("_pf", F.input_file_name())
+                .filter(hit)
+                .select("_pf")
+                .distinct()
+                .collect()
+            )
+            del_matched = {_canon(r["_pf"]) for r in rows}
+    if not matched and not cdf_matched and not del_matched:
         return {"files_rewritten": 0, "files_dropped": 0, "rows_purged": 0}
 
     # rewrite each matching data file without the rows; _write_data
@@ -889,6 +921,33 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
 
         cdf_replacements[path] = [
             {"path": p, "rows": file_row_count(p)}
+            for p in sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
+            if file_row_count(p) > 0
+        ]
+
+    # rewrite matching delete files without the subject's keys. Dropping a
+    # key K is safe ONLY because every data row matching the predicate is
+    # being purged in the same operation: a key-column predicate matching
+    # K's delete row matches ALL data rows with key K, so nothing remains
+    # for the dropped delete entry to un-delete.
+    del_replacements: dict[str, list[dict]] = {}
+    for path in sorted(del_matched):
+        out_dir = os.path.join(
+            table.table_dir, "deletes", f"purge-{_uuid.uuid4().hex[:8]}"
+        )
+        (
+            table.spark.read.parquet(path)
+            .filter(~hit)
+            .coalesce(1)
+            .write.mode("error")
+            .parquet(out_dir)
+        )
+        from pyiceberg_lakehouse_spark.lakehouse.stats import file_row_count
+
+        # replacement PATHS only: each snapshot's entry keeps its own
+        # key_cols/snapshot_id metadata when remapped below
+        del_replacements[path] = [
+            p
             for p in sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
             if file_row_count(p) > 0
         ]
@@ -926,8 +985,18 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
                     else [f]
                 )
             ]
+        if s.added_deletes:
+            s.added_deletes = [
+                {**d, "path": np}
+                for d in s.added_deletes
+                for np in (
+                    del_replacements[d["path"]]
+                    if d["path"] in del_matched
+                    else [d["path"]]
+                )
+            ]
     log._write(expected_len=None)
-    for p in list(matched) + sorted(cdf_matched):
+    for p in list(matched) + sorted(cdf_matched) + sorted(del_matched):
         if os.path.exists(p):
             os.unlink(p)
     rows_purged = sum(matched.values())

@@ -148,3 +148,25 @@ def test_purge_null_predicate_keeps_row(spark, warehouse):
     purge_rows(t, F.col("tag") == "x")
     got = sorted((r.id, r.tag) for r in t.scan().collect())
     assert got == [(1, "a"), (2, None)]
+
+
+def test_purge_scrubs_mor_delete_files_on_key_predicate(spark, warehouse):
+    """A key-column purge over MoR history must also erase the subject's
+    key from delete files (the stored key VALUES are the PII), without
+    resurrecting any other deleted key."""
+    t, orders = _orders_table(spark, warehouse)
+    t.delete_keys(
+        spark.createDataFrame([(2,), (4,)], "o_orderkey int"), ["o_orderkey"]
+    )
+    out = purge_rows(t, F.col("o_orderkey").isin([2, 6]))
+    assert out["rows_purged"] > 0
+    # subject gone from data AND from every delete file's key values
+    assert t.scan().filter(F.col("o_orderkey").isin([2, 6])).count() == 0
+    for s in t.log.snapshots:
+        for d in s.added_deletes:
+            keys = spark.read.parquet(d["path"])
+            assert keys.filter(F.col("o_orderkey") == 2).count() == 0
+    # the OTHER deleted key stays deleted (no resurrection)
+    assert t.scan().filter(F.col("o_orderkey") == 4).count() == 0
+    # and a non-deleted, non-purged row is untouched
+    assert t.scan().filter(F.col("o_orderkey") == 1).count() == 1
