@@ -1910,3 +1910,30 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.range_search(
         emb, emb.filter(F.col("vec_id") < 10), radius=0.3
     )
+
+
+@register(
+    "train_epoch_shards",
+    f"""
+    with h as (
+      select doc_id, lang,
+             ('0x' || substr(md5(cast(doc_id as varchar) || ':3'), 1, 15))::bigint as ek
+      from documents
+    )
+    select doc_id, lang,
+           cast(ek % 8 as int) as shard,
+           cast(row_number() over (partition by ek % 8 order by ek, doc_id) as bigint) as pos
+    from h
+    """,
+)
+def train_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch shuffle sharding
+    (operators/traindata.py::epoch_shards): reproducible training order
+    with no RNG state — shard and in-shard position are pure functions of
+    (id, epoch), ranked within shards so the window scales out. The oracle
+    rebuilds the identical order from the portable md5 key."""
+    from pyiceberg_lakehouse_spark.operators import traindata
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = traindata.epoch_shards(docs, epoch=3, n_shards=8)
+    return out.select("doc_id", "lang", "shard", F.col("pos").cast("long").alias("pos"))

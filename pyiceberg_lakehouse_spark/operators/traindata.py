@@ -225,3 +225,37 @@ def numeric_profile(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .withColumn("lo_edge", F.lit(lo) + F.col("bucket") * F.lit(span / n_buckets))
     )
+
+
+def epoch_shards(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle for training data loaders:
+    every row gets a ``shard`` and a dense ``pos`` within it, both pure
+    functions of (id, epoch) — a different but fully reproducible order
+    each epoch, identical across reruns, engines and cluster sizes (the
+    training-run resumability property).
+
+    The order key is the portable md5 hash of ``id || ':' || epoch``
+    (engine-portable like every sampling decision in this module), so no
+    RNG state exists anywhere. Positions are ranked WITHIN shards — a
+    window partitioned by shard, which scales out — never a global
+    row_number; loaders consume shard files in (shard, pos) order.
+    """
+    c = F.col(id_col).cast("string")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(c, F.lit(":"), F.lit(str(epoch)))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql import Window as W
+
+    shard = (h % n_shards).cast("int")
+    out = df.withColumn("_ek", h).withColumn("shard", shard)
+    w = W.partitionBy("shard").orderBy(F.col("_ek"), F.col(id_col))
+    return out.withColumn("pos", F.row_number().over(w)).drop("_ek")

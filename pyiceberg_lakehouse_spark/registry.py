@@ -101,8 +101,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # windows (r9 first-timer holds)
     "win_ntile_cume",
     # scalar-function long tail: the final 6 never-verified rotate in
-    # (r9 task #1), the two r9 first-timers hold
-    "fn_regexp_extract_all",
+    # (r9 task #1; fn_regexp_extract_all's second-round hold slot goes to
+    # the NEW deterministic epoch-shuffle sharding)
+    "train_epoch_shards",
     "fn_bitwise",
     "fn_date_arithmetic",
     "fn_null_handling",

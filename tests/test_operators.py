@@ -1523,3 +1523,22 @@ def test_duplicated_span_coverage_short_docs_and_min_count(spark):
         for r in dedup.duplicated_span_coverage(df, k=3, min_count=3).collect()
     }
     assert out3 == {1: 0, 2: 0, 3: 0}
+
+
+def test_epoch_shards_deterministic_and_epoch_varying(spark):
+    from pyiceberg_lakehouse_spark.operators.traindata import epoch_shards
+    from pyiceberg_lakehouse_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {(r.doc_id): (r.shard, r.pos) for r in epoch_shards(docs, 1, 4).collect()}
+    b = {(r.doc_id): (r.shard, r.pos) for r in epoch_shards(docs, 1, 4).collect()}
+    c = {(r.doc_id): (r.shard, r.pos) for r in epoch_shards(docs, 2, 4).collect()}
+    assert a == b  # rerun-stable
+    assert a != c  # epoch changes the order
+    # positions are dense 1..len within every shard
+    from collections import Counter
+
+    per_shard = Counter(s for s, _ in a.values())
+    for shard, n in per_shard.items():
+        poss = sorted(p for s, p in a.values() if s == shard)
+        assert poss == list(range(1, n + 1))
