@@ -1937,3 +1937,61 @@ def train_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = traindata.epoch_shards(docs, epoch=3, n_shards=8)
     return out.select("doc_id", "lang", "shard", F.col("pos").cast("long").alias("pos"))
+
+
+@register(
+    "lh_ann_range_selfcheck",
+    """
+    select vec_id as qid, true as matches_unindexed
+    from embeddings where vec_id < 10
+    """,
+)
+def lh_ann_range_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential proof of INDEXED range search the driver can hash
+    (similarity.ivf_index_range_search): per query, the persisted-index
+    path (stored ivf_cell + file pruning) must return EXACTLY the result
+    set of an unindexed range search restricted to the same probed cells
+    (fresh ivf_assign with the stored centroids). Queries with empty
+    result sets match vacuously, so every qid yields a row and the oracle
+    is closed-form."""
+    import json
+
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    lh = Lakehouse(spark, session_tmpdir(prefix="ann_rng_"))
+    t = lh.create_table("ns.embeddings_rng", emb.schema)
+    t.append(emb)
+    build_ivf_index(t, k=16, iters=2)
+    cents = json.loads(t.log.properties["ivf.centroids"])
+
+    got = similarity.ivf_index_range_search(t, q, radius=0.3, n_probe=4)
+    # twin: same probed-cell restriction, derived by re-assigning the RAW
+    # corpus with the stored centroids — no index structures involved
+    import numpy as np
+
+    qids, Q = similarity._collect_queries(q, "vec_id", "embedding", dim=len(cents[0]))
+    IC = np.array(cents, dtype=np.float64)
+    probed = sorted(
+        {int(c) for row in np.argsort(-(Q @ IC.T), axis=1)[:, :4] for c in row}
+    )
+    assigned = similarity.ivf_assign(emb, cents).filter(
+        F.col("ivf_cell").isin(probed)
+    )
+    twin = similarity.range_search(assigned, q, radius=0.3)
+
+    a = got.groupBy("qid").agg(F.sort_array(F.collect_list("vid")).alias("res"))
+    b = twin.groupBy("qid").agg(
+        F.sort_array(F.collect_list("vid")).alias("res_twin")
+    )
+    base = q.select(F.col("vec_id").alias("qid"))
+    return (
+        base.join(a, "qid", "left")
+        .join(b, "qid", "left")
+        .select(
+            "qid",
+            F.col("res").eqNullSafe(F.col("res_twin")).alias("matches_unindexed"),
+        )
+    )

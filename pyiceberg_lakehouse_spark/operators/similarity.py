@@ -1287,3 +1287,42 @@ def range_search(
         ).alias("score"),
     )
     return scored.filter(F.col("score") >= F.lit(radius))
+
+
+def ivf_index_range_search(
+    table,
+    queries: DataFrame,
+    radius: float,
+    n_probe: int | None = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allow_stale: bool = False,
+    recall_target: float | None = None,
+) -> DataFrame:
+    """Radius retrieval over a PERSISTED IVF index — :func:`range_search`'s
+    scale path, sharing :func:`ivf_index_topk`'s probe machinery: probed
+    cells come from the stored centroids, file-level stats pruning scans
+    only those cells' files, and the exact (decimal) cosine + radius
+    filter runs on the candidates alone. Approximation is the standard IVF
+    trade: in-radius vectors living in unprobed cells are missed, governed
+    by the same recall-targeted ``n_probe`` dial as top-k."""
+    import json as _json
+
+    import numpy as np
+
+    _guard_index_staleness(table, allow_stale)
+    centroids = _json.loads(table.log.properties["ivf.centroids"])
+    n_probe = resolve_n_probe(len(centroids), n_probe, recall_target)
+    qids, Q = _collect_queries(queries, id_col, vec_col, dim=len(centroids[0]))
+    if not qids:
+        return range_search(
+            table.scan().limit(0), queries.limit(0), radius, id_col, vec_col
+        )
+    IC = np.array(centroids, dtype=np.float64)
+    probed = sorted(
+        {int(c) for row in np.argsort(-(Q @ IC.T), axis=1)[:, :n_probe] for c in row}
+    )
+    corpus = table.scan(stat_filter={"ivf_cell": ("in", probed)}).filter(
+        F.col("ivf_cell").isin(probed)
+    )
+    return range_search(corpus, queries, radius, id_col, vec_col)

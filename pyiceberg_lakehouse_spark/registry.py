@@ -141,8 +141,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lh_rollup_topk",
     "lh_rollup_percentile",
     "lh_rollup_distinct",
+    # (lh_ann_auto_maintain's second-round hold slot goes to the NEW
+    # indexed range-search differential — fresh code outranks a hold)
     "lh_rollup_reaggregate",
-    "lh_ann_auto_maintain",
+    "lh_ann_range_selfcheck",
     # dedup + similarity (components twin holds; cosine top-k anchors;
     # NEW exact substring-span coverage — the Lee-et-al ExactSubstr class —
     # takes text_bigram_novelty's hold slot per the fresh-code principle)

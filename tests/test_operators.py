@@ -1542,3 +1542,38 @@ def test_epoch_shards_deterministic_and_epoch_varying(spark):
     for shard, n in per_shard.items():
         poss = sorted(p for s, p in a.values() if s == shard)
         assert poss == list(range(1, n + 1))
+
+
+def test_ivf_range_search_recall_and_no_false_positives(spark, tmp_path):
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import build_ivf_index
+    from pyiceberg_lakehouse_spark.operators import similarity
+    from pyiceberg_lakehouse_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    lh = Lakehouse(spark, str(tmp_path / "wh"))
+    t = lh.create_table("ns.rng", emb.schema)
+    t.append(emb)
+    build_ivf_index(t, k=8, iters=2)
+    exact = {
+        (r.qid, r.vid)
+        for r in similarity.range_search(emb, q, radius=0.25).collect()
+    }
+    # probing EVERY cell must recover the exact answer (no false positives
+    # either — the radius filter is exact on candidates)
+    full_probe = {
+        (r.qid, r.vid)
+        for r in similarity.ivf_index_range_search(
+            t, q, radius=0.25, n_probe=8
+        ).collect()
+    }
+    assert full_probe == exact
+    # a narrow probe returns a SUBSET (the IVF trade), never extra pairs
+    narrow = {
+        (r.qid, r.vid)
+        for r in similarity.ivf_index_range_search(
+            t, q, radius=0.25, n_probe=2
+        ).collect()
+    }
+    assert narrow <= exact
