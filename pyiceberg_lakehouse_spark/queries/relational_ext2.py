@@ -262,3 +262,50 @@ def join_bloom_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", "revenue"),
         )
     )
+
+
+@register(
+    "scan_csv_checked_roundtrip",
+    """
+    select c_custkey, c_mktsegment, c_acctbal,
+           cast(0 as bigint) as n_quarantined
+    from customer
+    """,
+)
+def scan_csv_checked_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion with corrupt-record isolation
+    (sources/ingest.py::read_csv_checked): customers round-trip through a
+    CSV export + PERMISSIVE typed re-read, and two hand-poisoned lines are
+    QUARANTINED instead of failing the job or leaking as rows — the bad
+    count rides every output row (asserted 2 in-query, hashed as 0
+    quarantined-good rows by construction... the oracle states the clean
+    table plus the zero-leak flag closed-form)."""
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.sources.ingest import read_csv_checked
+    from pyiceberg_lakehouse_spark.tmpdirs import session_tmpdir
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    work = session_tmpdir(prefix="csv_ingest_")
+    path = f"{work}/cust_csv"
+    cust.coalesce(2).write.mode("overwrite").option("header", True).csv(path)
+    # poison the drop with a NEW file (appending in place would fight the
+    # session's file-status cache): two lines that cannot parse as
+    # (bigint, string, double), plus the header the reader expects per file
+    with open(f"{path}/poison.csv", "w") as fh:
+        fh.write("c_custkey,c_mktsegment,c_acctbal\n")
+        fh.write("not_a_number,SEGMENT,xyz\n")
+        fh.write("12,OK,extra,columns,here,break,the,schema\n")
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    good, bad = read_csv_checked(spark, path, schema)
+    n_bad = bad.count()
+    assert n_bad == 2, f"expected 2 quarantined lines, got {n_bad}"
+    return good.withColumn("n_quarantined", F.lit(0).cast("long"))

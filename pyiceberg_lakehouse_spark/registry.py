@@ -73,12 +73,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # cosine top-k, the reference's flagship upsert composite, and the
 # exactly-once streaming sink.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # parquet scans (r9 first-timer holds; synthetic_mock_dataset's and
-    # agg_unpivot's second-round hold slots go to the TWO queries newly
-    # written this round — the semi-join reducer and the bloom-join file
-    # pruner — fresh code outranks a second-round hold; both displaced
-    # queries stay local-gated)
-    "scan_repartition_blocks",
+    # scans (scan_repartition_blocks' second-round hold slot goes to the
+    # NEW corrupt-record-isolating CSV ingest — fresh code outranks a
+    # hold; every displaced query stays local-gated)
+    "scan_csv_checked_roundtrip",
     # core aggregation (flagship anchor; agg_conditional's and
     # fn_try_arithmetic's second-round hold slots go to the NEW inverted
     # text index's AND-search and BM25 rows)

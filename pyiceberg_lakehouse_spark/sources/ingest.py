@@ -80,3 +80,64 @@ def ingest_files(
         except Exception as exc:  # per-file isolation, main-daft.py:134-136
             report.failed[path] = str(exc)
     return report
+
+
+def read_csv_checked(
+    spark,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV ingestion with corrupt-record ISOLATION: returns
+    ``(good_rows, bad_records)``.
+
+    PERMISSIVE mode captures unparseable lines in ``_corrupt_record``
+    instead of failing the job (one poisoned line in a 100 TB drop must
+    not kill the ingest) — good rows flow on schema-typed, bad raw lines
+    are returned for quarantine. Spark refuses a plan referencing ONLY the
+    internal corrupt column over an uncached source, so the raw batch is
+    cache()d: the cached unit is the INGEST BATCH (bounded by the drop
+    being loaded), never the table; the caller unpersists after the
+    quarantine side is drained."""
+    read_schema = T.StructType(
+        [*schema.fields, T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    opts = {
+        "header": str(header).lower(),
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": "_corrupt_record",
+    }
+    raw = spark.read.options(**opts).schema(read_schema).csv(path).cache()
+    good = raw.filter(F.col("_corrupt_record").isNull()).select(
+        *[F.col(f.name) for f in schema.fields]
+    )
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad
+
+
+def read_json_checked(
+    spark,
+    path: str,
+    schema: T.StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines ingestion with corrupt-record isolation — same contract
+    as :func:`read_csv_checked`."""
+    read_schema = T.StructType(
+        [*schema.fields, T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    raw = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(read_schema)
+        .json(path)
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).select(
+        *[F.col(f.name) for f in schema.fields]
+    )
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad

@@ -101,3 +101,47 @@ def test_synthetic_mock_dataset_shape(spark):
     assert groups == {"A", "B", "C", "D"}
     v2 = df.agg(F.min("value2"), F.max("value2")).collect()[0]
     assert v2[0] >= 1 and v2[1] <= 1000
+
+
+def test_read_csv_checked_quarantines_bad_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.sources.ingest import read_csv_checked
+
+    p = tmp_path / "drop"
+    p.mkdir()
+    (p / "a.csv").write_text(
+        "id,name,score\n1,alpha,2.5\n2,beta,3.5\nbad,gamma,xyz\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    good, bad = read_csv_checked(spark, str(p), schema)
+    assert sorted(r.id for r in good.collect()) == [1, 2]
+    assert [r.raw_line for r in bad.collect()] == ["bad,gamma,xyz"]
+
+
+def test_read_json_checked_quarantines_bad_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.sources.ingest import read_json_checked
+
+    p = tmp_path / "jdrop"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"id": 1, "name": "alpha"}\n{not json at all}\n{"id": 2, "name": "beta"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    good, bad = read_json_checked(spark, str(p), schema)
+    assert sorted(r.id for r in good.collect()) == [1, 2]
+    assert bad.count() == 1
+    assert "not json" in bad.collect()[0].raw_line
