@@ -84,8 +84,6 @@ def test_bm25_prefers_higher_tf_and_rarer_terms(spark, warehouse):
 def test_streaming_maintenance_converges_and_restart_is_idempotent(
     spark, warehouse, tmp_path
 ):
-    import os
-
     from pyiceberg_lakehouse_spark.streaming.lakehouse_io import (
         write_stream_with_text_index,
     )
