@@ -1995,3 +1995,31 @@ def lh_ann_range_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("res").eqNullSafe(F.col("res_twin")).alias("matches_unindexed"),
         )
     )
+
+
+@register(
+    "train_split_leakage_safe",
+    f"""
+    with fp as (
+      select doc_id, lang,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as f
+      from documents
+    ),
+    canon as (select f, min(doc_id) as c from fp group by f)
+    select fp.doc_id, fp.lang,
+           case when {HB.format(col="c", n=100)} < 10 then 'test'
+                else 'train' end as split
+    from fp join canon using (f)
+    """,
+)
+def train_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split
+    (operators/traindata.py::split_leakage_safe): the split hashes the
+    duplicate group's CANONICAL id, so exact copies of a document can
+    never straddle train and test — the memorization-leak hole a row-id
+    split leaves open. Oracle rebuilds the fingerprint -> canonical ->
+    bucket pipeline closed-form."""
+    from pyiceberg_lakehouse_spark.operators import traindata
+
+    docs = load_table(spark, sf_dir, "documents")
+    return traindata.split_leakage_safe(docs).select("doc_id", "lang", "split")

@@ -259,3 +259,37 @@ def epoch_shards(
     out = df.withColumn("_ek", h).withColumn("shard", shard)
     w = W.partitionBy("shard").orderBy(F.col("_ek"), F.col(id_col))
     return out.withColumn("pos", F.row_number().over(w)).drop("_ek")
+
+
+def split_leakage_safe(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    test_pct: int = 10,
+) -> DataFrame:
+    """Train/test split that cannot leak duplicated content: the split
+    decision hashes the duplicate GROUP's canonical id (min id sharing the
+    normalized-text md5 fingerprint), not the row's own id — so every copy
+    of a document lands in the SAME split. Splitting on row ids instead
+    puts one copy in train and another in test, and the eval score
+    measures memorization; this is the standard leakage hole exact-dedup
+    fingerprinting closes.
+
+    One fingerprint groupBy (partial-combining) + one fingerprint-keyed
+    join — both AQE-skew-splittable; no per-row Python.
+    """
+    from pyspark.sql import Window as W
+
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    ).alias("_fp")
+    with_fp = df.withColumn("_fp", fp)
+    canon = with_fp.groupBy("_fp").agg(F.min(id_col).alias("_canon"))
+    out = with_fp.join(canon, "_fp")
+    bucket = hash_bucket(F.col("_canon"), 100)
+    return (
+        out.withColumn(
+            "split", F.when(bucket < test_pct, "test").otherwise("train")
+        )
+        .drop("_fp", "_canon")
+    )

@@ -120,8 +120,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (lh_dedup_incremental's second-round hold slot goes to the NEW
     # right-to-be-forgotten history purge — fresh code outranks a hold;
     # the dedup index stays local-gated + pytest- and BENCH_SCALE-proven)
+    # (lh_merge_into's second-round hold slot goes to the NEW leakage-safe
+    # split — the partition-scoped MERGE row keeps the clause semantics
+    # driver-covered)
     "lh_purge_rows",
-    "lh_merge_into",
+    "train_split_leakage_safe",
     "lh_merge_into_partitioned",
     # (lh_type_promotion's hold slot goes to the NEW tag-retention expiry
     # proof — fresh code outranks a second-round hold; type promotion

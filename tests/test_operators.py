@@ -1577,3 +1577,16 @@ def test_ivf_range_search_recall_and_no_false_positives(spark, tmp_path):
         ).collect()
     }
     assert narrow <= exact
+
+
+def test_split_leakage_safe_colocates_duplicates(spark):
+    from pyiceberg_lakehouse_spark.operators.traindata import split_leakage_safe
+
+    rows = [(i, f"unique text {i}") for i in range(200)]
+    rows += [(1000 + i, f"unique text {i}") for i in range(0, 200, 3)]  # copies
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = split_leakage_safe(df).collect()
+    split_of = {r.doc_id: r.split for r in out}
+    for i in range(0, 200, 3):
+        assert split_of[i] == split_of[1000 + i], i  # copies co-located
+    assert {r.split for r in out} == {"train", "test"}
