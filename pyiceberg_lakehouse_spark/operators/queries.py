@@ -2023,3 +2023,108 @@ def train_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return traindata.split_leakage_safe(docs).select("doc_id", "lang", "split")
+
+
+RAG_PREP_SQL = f"""
+    with fp as (
+      select doc_id, {NORM} as norm,
+             md5({NORM}) as f
+      from documents where n_chars >= 150
+    ),
+    keep as (
+      select fp.doc_id, fp.norm
+      from fp join (select f, min(doc_id) as mn from fp group by f) c
+        on fp.f = c.f and fp.doc_id = c.mn
+    ),
+    base as (select doc_id, string_split(norm, ' ') as t,
+                    len(string_split(norm, ' ')) as n from keep),
+    ix as (
+      select doc_id, t,
+             unnest(generate_series(0,
+               case when n <= 16 then 0 else (n - 16 + 11) // 12 end)) as i
+      from base
+    ),
+    chunks as (
+      select doc_id * 100000 + i as ck,
+             list_slice(t, i*12 + 1, i*12 + 16) as ct
+      from ix
+    ),
+    ctoks as (select ck, unnest(ct) as token from chunks),
+    tf as (select ck, token, count(*) as tf from ctoks group by 1, 2),
+    dl as (select ck, count(*) as doc_len from ctoks group by 1),
+    stats as (
+      select cast(count(*) as double) as n_docs, avg(doc_len) as avgdl from dl
+    ),
+    dfq as (
+      select token, cast(count(distinct ck) as double) as df
+      from tf where token in ('merge', 'window') group by 1
+    ),
+    w as (
+      select tf.ck,
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl)) as wt
+      from tf join dfq using (token) join dl using (ck) cross join stats
+    ),
+    s as (select ck, round(sum(wt), 6) as score from w group by 1),
+    r as (
+      select ck, score,
+             row_number() over (order by score desc, ck) as rank
+      from s
+    )
+    select ck as chunk_key, score, rank from r where rank <= 10
+"""
+
+
+@register("pipeline_rag_prep", RAG_PREP_SQL)
+def pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG corpus preparation, driver-hashable: quality floor ->
+    exact dedup (keep-canonical) -> overlapping token-window chunking ->
+    chunks ingested into a lakehouse table -> inverted index built ->
+    Okapi BM25 top-10 chunks for a query. Every stage is an
+    already-audited component (traindata fingerprints, text.chunk_tokens,
+    lakehouse/text_index.py); this composite proves they compose into the
+    retrieval pipeline a user would actually run, and the oracle rebuilds
+    the WHOLE pipeline — dedup through ranking — in SQL."""
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.text_index import (
+        bm25_topk,
+        create_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") >= 150
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    with_fp = docs.select(
+        "doc_id", norm.alias("norm"), F.md5(norm).alias("_fp")
+    )
+    canon = with_fp.groupBy("_fp").agg(F.min("doc_id").alias("_mn"))
+    kept = with_fp.join(
+        canon,
+        (with_fp._fp == canon._fp) & (with_fp.doc_id == canon._mn),
+    ).select("doc_id", F.col("norm").alias("text"))
+    chunks = text.chunk_tokens(kept, size=16, overlap=4)
+    ctab = chunks.select(
+        (F.col("doc_id") * 100000 + F.col("chunk_id")).alias("chunk_key"),
+        "chunk_text",
+    )
+    lh = Lakehouse(spark, session_tmpdir(prefix="rag_prep_"))
+    t = lh.create_table(
+        "ns.rag_chunks",
+        T.StructType(
+            [
+                T.StructField("chunk_key", T.LongType()),
+                T.StructField("chunk_text", T.StringType()),
+            ]
+        ),
+    )
+    t.append(ctab)
+    idx = create_text_index(
+        lh, t, "ns.rag_chunks_idx", text_col="chunk_text", id_col="chunk_key"
+    )
+    return bm25_topk(idx, ["merge", "window"], k=10).select(
+        F.col("doc_id").alias("chunk_key"), "score", "rank"
+    )

@@ -174,8 +174,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_jpeg_progressive",
     "multimodal_jpeg_subsampled",
     "multimodal_container_probe",
-    # training-data ops (r9 first-timer holds)
-    "train_numeric_profile",
+    # training-data ops (train_numeric_profile's second-round hold slot
+    # goes to the NEW end-to-end RAG-prep composite; train_ stays
+    # represented by epoch_shards + split_leakage_safe)
+    "pipeline_rag_prep",
     # structured streaming (exactly-once sink anchors the heavyweight
     # path; NEW watermark-complete left-outer stream-stream join takes
     # stream_dedup_count's hold slot — fresh code outranks a second-round
