@@ -59,14 +59,18 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # lh_rollup_reaggregate, multimodal_container_probe,
 # multimodal_jpeg_progressive) and the 6-query scalar-fn tail — so after
 # this window hashes green, every oracle-checkable query registered
-# through r9 has a driver row; and (b) the 16 queries NEW this round:
-# lh_merge_into_partitioned, lh_rollup_distinct,
+# through r9 has a driver row; and (b) all 23 oracle-checkable queries NEW
+# this round: lh_merge_into_partitioned, lh_rollup_distinct,
 # multimodal_jpeg_subsampled, lh_cdf_feed, stream_lh_change_feed,
 # join_bloom_reduced, lh_bloom_join_scan, lh_rollup_topk, lh_purge_rows,
 # text_bpe_pair_stats, dedup_semantic, sim_range_search, lh_shallow_clone,
-# lh_compact_partition, lh_text_search, lh_text_bm25 — every new
-# oracle-checkable r10 query gets its driver row in ITS OWN round, so no
-# evidence tail regrows. Stable anchors keep the heavyweight paths
+# lh_compact_partition, lh_text_search, lh_text_bm25, lh_catalog_view,
+# train_epoch_shards, stream_lh_text_search, lh_ann_range_selfcheck,
+# scan_csv_checked_roundtrip, train_split_leakage_safe, pipeline_rag_prep
+# — every new oracle-checkable r10 query gets its driver row in ITS OWN
+# round, so no evidence tail regrows (the round's only rows-only newcomers
+# are the BPE learner/tokenizer, iterative by nature, pytest-pinned
+# against a reference implementation). Stable anchors keep the heavyweight paths
 # represented per the standing category contract
 # (tests/test_entry_contract.py): the flagship pricing summary plus four
 # structurally-diverse TPC-H topologies, join_right_outer, the rewritten
