@@ -801,7 +801,12 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
     could un-delete is purged in the same operation. Honest gates: a
     predicate NOT evaluable on the delete files' columns, or
     schema-evolution history, cannot be untangled by a row rewrite —
-    compact + expire_snapshots first (both raise below).
+    compact + expire_snapshots first (both raise below). Files living
+    OUTSIDE the table directory (add_files registrations, shallow-clone
+    views of a source) are remapped in this table's log but their bytes
+    are never unlinked — they may be shared; the commit summary records
+    ``shared_files_kept``, and a nonzero value means the OWNING table must
+    be purged too before the bytes are truly gone.
     """
     from urllib.parse import unquote, urlparse
 
@@ -996,7 +1001,17 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
                 )
             ]
     log._write(expected_len=None)
+    # unlink ONLY bytes this table owns: files outside table_dir may be
+    # shared — registered via add_files, or referenced by a shallow clone
+    # (or BE a clone's view of its source). The rewritten replacements
+    # fully cover THIS table's log either way; foreign owners keep their
+    # bytes, and orphan cleanup on the owning table reclaims them.
+    own = os.path.abspath(table.table_dir) + os.sep
+    skipped_shared = 0
     for p in list(matched) + sorted(cdf_matched) + sorted(del_matched):
+        if not os.path.abspath(p).startswith(own):
+            skipped_shared += 1
+            continue
         if os.path.exists(p):
             os.unlink(p)
     rows_purged = sum(matched.values())
@@ -1008,6 +1023,7 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
             "files_rewritten": len(matched),
             "change_files_rewritten": len(cdf_matched),
             "rows_purged": rows_purged,
+            "shared_files_kept": skipped_shared,
         },
     )
     return {
@@ -1032,9 +1048,11 @@ def shallow_clone(lh, source: LakehouseTable, identifier: str) -> LakehouseTable
     stay deleted in the clone.
 
     Operational hazard, same as Delta's: the source's ``remove_orphan_
-    files``/``expire_snapshots`` compute reachability against the SOURCE
-    log only — purging the source can delete files a shallow clone still
-    references. Clones are for experiments and short-lived branches-
+    files``/``expire_snapshots``/``purge_rows`` compute reachability
+    against the SOURCE log only — running them on the source can delete
+    files a shallow clone still references. The reverse is safe:
+    ``purge_rows`` on a clone rewrites its own view but never unlinks
+    bytes outside its table directory. Clones are for experiments and short-lived branches-
     across-tables; materialize (compact the clone) before expiring the
     source.
     """

@@ -170,3 +170,26 @@ def test_purge_scrubs_mor_delete_files_on_key_predicate(spark, warehouse):
     assert t.scan().filter(F.col("o_orderkey") == 4).count() == 0
     # and a non-deleted, non-purged row is untouched
     assert t.scan().filter(F.col("o_orderkey") == 1).count() == 1
+
+
+def test_purge_on_shallow_clone_never_unlinks_source_bytes(spark, warehouse):
+    """purge_rows on a clone rewrites the CLONE's view but must not unlink
+    the shared bytes the source still references; the skipped count is
+    recorded for erasure auditing."""
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import shallow_clone
+
+    t, orders = _orders_table(spark, warehouse)
+    lh = Lakehouse(spark, warehouse)
+    clone = shallow_clone(lh, t, "ns.purge_clone")
+    src_before = {
+        (r.o_orderkey, r.o_custkey) for r in t.scan().collect()
+    }
+    out = purge_rows(clone, F.col("o_custkey") == 7)
+    assert out["rows_purged"] > 0
+    # clone purged...
+    assert clone.scan().filter(F.col("o_custkey") == 7).count() == 0
+    # ...but the source is bit-for-bit intact (its files were shared)
+    assert {
+        (r.o_orderkey, r.o_custkey) for r in t.scan().collect()
+    } == src_before
+    assert clone.log.snapshots[-1].summary["shared_files_kept"] > 0
