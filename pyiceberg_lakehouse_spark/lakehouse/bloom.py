@@ -13,10 +13,15 @@ h1 = xxhash64(col), h2 = xxhash64(col, 'bloom2'). The probe computes the
 same positions through a 1-row Spark job, so build and probe can never
 disagree on the hash function.
 
-Sizing: m=8192 bits (1 KiB/file/column), k=4 → ~2% false positives at
-50k distinct keys/file; a false positive only costs reading one extra file.
-At 100 TB with 512 MB files that's ~200k files → 200 MB of bloom metadata
-per column, still driver-manageable and O(1) per probe.
+Sizing: the default m=8192 bits (1 KiB/file/column) at k=4 holds ~1%
+false positives up to ~800 distinct keys per file and saturates (FP -> 1,
+no pruning) past a few thousand — size ``write.bloom-bits`` to ~10x the
+expected distinct keys per file (and optionally ``write.bloom-hashes``).
+At 100 TB with 512 MB files of ~500k distinct keys that's m ~ 5M bits =
+640 KiB/file/column → ~120 GB of bloom metadata per column across 200k
+files, which no longer fits one driver JSON log comfortably — at that
+scale store blooms per-file-sidecar and load lazily; within this repo's
+metadata budget the dial covers the tested range honestly.
 """
 
 from __future__ import annotations

@@ -1460,7 +1460,9 @@ def lh_bloom_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         SCHEMAS["orders"],
         properties={
             "write.bloom-columns": "o_custkey",
-            # small files -> many files -> observable skipping at test scale
+            # small files -> many files -> observable skipping at test scale;
+            # bloom sized ~10 bits per expected distinct key per file
+            "write.bloom-bits": str(1 << 14),
             "write.target-records-per-file": "2000",
         },
     )

@@ -1555,10 +1555,21 @@ class LakehouseTable:
             from pyiceberg_lakehouse_spark.lakehouse.bloom import build_file_blooms
 
             data_cols = {f.name for f in self._data_schema().fields}
+            from pyiceberg_lakehouse_spark.lakehouse.bloom import (
+                DEFAULT_K,
+                DEFAULT_M,
+            )
+
             blooms = build_file_blooms(
                 self.spark,
                 [e["path"] for e in entries],
                 [c for c in bloom_cols if c in data_cols],
+                # size to the expected per-file key cardinality:
+                # write.bloom-bits ~ 10x the distinct keys per file keeps
+                # FP ~1% at k=4; the 8 KiB default saturates past ~1k
+                # distinct keys/file and stops pruning
+                m=int(self.log.properties.get("write.bloom-bits", DEFAULT_M)),
+                k=int(self.log.properties.get("write.bloom-hashes", DEFAULT_K)),
             )
             for e in entries:
                 if e["path"] in blooms:

@@ -828,6 +828,33 @@ def bench_semi_join(spark, b: Bench, tmp: str) -> None:
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # bloom-index JOIN file pruning at 1M rows / ~50 id-ordered files: a
+    # 3-key dim probe must plan only the files whose blooms might hold a
+    # key — the structural fraction is the claim (IO-independent)
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.bloom import prune_files_bloom_any
+
+    wh = os.path.join(tmp, "wh_bloomjoin")
+    lh = Lakehouse(spark, wh)
+    n1 = MUT_SCALES[0]
+    mock2 = mock_dataset(spark, n1)
+    tb = lh.create_table(
+        "scale.bloomjoin_t",
+        mock2.schema,
+        properties={
+            "write.bloom-columns": "id",
+            # ~20k distinct ids/file -> 10 bits/key (FP ~1% at k=4)
+            "write.bloom-bits": str(1 << 18),
+            "write.target-records-per-file": str(n1 // 50),
+        },
+    )
+    tb.append(mock2)
+    bj_files = tb.log.live_files()
+    keys = [7, n1 // 2, n1 - 3]
+    kept = prune_files_bloom_any(spark, bj_files, "id", keys)
+    b.notes["bloom_join_files_total"] = len(bj_files)
+    b.notes["bloom_join_files_kept"] = len(kept)
+    shutil.rmtree(wh, ignore_errors=True)
 
 
 SECTIONS = {
@@ -1012,6 +1039,19 @@ def main() -> None:
         "semijoin_reduced_vs_plain_10m": ratio(
             f"semijoin_plain_{MUT_SCALES[1]//1000000}m",
             f"semijoin_reduced_{MUT_SCALES[1]//1000000}m",
+        ),
+        # bloom-join file pruning: fraction of a 1M-row/50-file table's
+        # files PLANNED for a 3-key dim probe (id-typed blooms; min/max
+        # also prune here since the layout is id-ordered — the bloom claim
+        # is the one that survives any layout)
+        "bloom_join_files_planned_fraction": (
+            round(
+                b.notes["bloom_join_files_kept"]
+                / b.notes["bloom_join_files_total"],
+                4,
+            )
+            if b.notes.get("bloom_join_files_total")
+            else None
         ),
         # purge (r10): rewrite cost proportional to the files the subject
         # TOUCHES (here its rows live in ~2 of ~100 history files), never
