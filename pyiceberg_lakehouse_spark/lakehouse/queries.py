@@ -520,7 +520,9 @@ def lh_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SCHEMAS["orders"],
         properties={
             "write.bloom-columns": "o_orderkey",
-            # small files -> many files -> observable skipping at test scale
+            # small files -> many files -> observable skipping at test
+            # scale; ~4k distinct keys/file -> 16 bits/key (FP ~0.1%)
+            "write.bloom-bits": str(1 << 16),
             "write.target-records-per-file": "4000",
         },
     )
