@@ -195,6 +195,26 @@ def calib_run(spark) -> float:
     return time.time() - t0
 
 
+def _prev_round() -> tuple[str | None, dict | None]:
+    """Newest recorded BENCH_r*.json (the driver writes one per round);
+    used to emit comparable-set and dual-calibration fields so a
+    calibration shift can never masquerade as a regression (VERDICT r10
+    task #6: r10's 14% calib move inflated every normalized ratio while
+    walls were flat)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+        try:
+            d = json.load(open(path))
+            parsed = d.get("parsed") or {}
+            if parsed.get("queries"):
+                return os.path.basename(path), parsed
+        except Exception:
+            continue
+    return None, None
+
+
 def main() -> None:
     load_all()
     spark = get_spark("bench")
@@ -254,7 +274,31 @@ def main() -> None:
             }
         )
     )
-    # ...then the contract line LAST and COMPACT (<1 KB), so a tail-capture
+    # comparable-set + calibration-band fields: the wall ratio over the
+    # query set shared with the previous recorded round is the primary
+    # round-over-round signal; the band shows what the normalized total
+    # would read under the bracket's slowest/fastest calibration samples,
+    # and prev_calib re-expresses it under LAST round's calibration so a
+    # calibration shift reads as a band, not a regression.
+    prev_name, prev = _prev_round()
+    compare: dict[str, object] = {}
+    if prev:
+        shared = sorted(set(timings) & set(prev["queries"]))
+        cur_w = round(sum(timings[k] for k in shared), 3)
+        prev_w = round(sum(prev["queries"][k] for k in shared), 3)
+        compare = {
+            "prev_bench": prev_name,
+            "comparable_queries": len(shared),
+            "comparable_wall": cur_w,
+            "comparable_wall_prev": prev_w,
+            "comparable_wall_ratio": round(cur_w / prev_w, 3) if prev_w else None,
+        }
+        if prev.get("calib_cpu_sec"):
+            compare["normalized_total_prev_calib"] = round(
+                total / prev["calib_cpu_sec"], 2
+            )
+
+    # ...then the contract line LAST and COMPACT (<2 KB), so a tail-capture
     # of stdout always ends with parseable machine-comparable results
     print(
         json.dumps(
@@ -266,6 +310,11 @@ def main() -> None:
                 "sf": sf,
                 "calib_cpu_sec": calib,
                 "normalized_total": round(total / calib, 2),
+                "normalized_total_band": [
+                    round(total / max(calib_runs), 2),
+                    round(total / min(calib_runs), 2),
+                ],
+                **compare,
                 # same-code spread measured across clean identical-code runs
                 # (BENCH_ADJUDICATION.md): per-phase normalized deltas below
                 # this factor are box noise, not adjudicable regressions —

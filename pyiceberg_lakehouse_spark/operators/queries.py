@@ -100,7 +100,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) group by doc_id
     )
     select b.doc_id, b.n_tokens,
-           coalesce(c.dup_tokens, 0) as dup_tokens,
+           cast(coalesce(c.dup_tokens, 0) as bigint) as dup_tokens,
            cast(coalesce(c.dup_tokens, 0) as double)
              / cast(b.n_tokens as double) as dup_frac
     from base b left join cov c using (doc_id)

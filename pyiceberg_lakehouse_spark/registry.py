@@ -48,6 +48,28 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # never had a driver row, growing the driver-verified set over time while
 # keeping every category represented.
 #
+# Round-11 rotation (VERDICT r10 task #3: zero the evidence tail). The 8
+# oracle-checkable queries written after the r10 window froze rotate IN —
+# lh_table_changes, lh_update_where, stream_static_enrich, and all five
+# watermark-complete stream-stream join modes
+# (stream_stream_{left,right,full,semi,anti}_join) — after which every
+# oracle-checkable query in the registry has had a driver window slot.
+# Rotated OUT, per the standing principles: four second-round holds green
+# in BOTH r9 and r10 (multimodal_png_decode, multimodal_jpeg_roundtrip,
+# dedup_components_exact, lh_datasource_write_roundtrip) and four r10
+# first-timers whose hold slots go to the fresh post-freeze code
+# (fn_bitwise, fn_null_handling, fn_posexplode, train_epoch_shards —
+# fresh outranks a hold; fn_ stays represented by date_arithmetic/
+# string_extended/struct_ops, train_ by split_leakage_safe, multimodal_ by
+# progressive/subsampled/container_probe, dedup_ by substring_spans/
+# semantic). dedup_substring_spans HOLDS its slot: its r10 red row was an
+# oracle dtype bug (DuckDB HUGEINT sum -> float64 vs Spark bigint; values
+# cell-exact), fixed by casting the oracle sum to bigint — it must
+# re-green in r11 (VERDICT r10 task #1). Every displaced query stays
+# covered by the identical strict local gate (tools/verify_local.py, now
+# type-tagged) and the registry-wide pytest differential
+# (tests/test_oracle_dtype_parity.py).
+#
 # Round-10 rotation (VERDICT r9 task #1: retire the driver-evidence tail
 # for good). Rotated OUT every row already green in BOTH r8 and r9 that is
 # not a category anchor, plus — as round-10 code landed — eleven r9
@@ -105,11 +127,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # scalar-function long tail: the final 6 never-verified rotate in
     # (r9 task #1; fn_regexp_extract_all's second-round hold slot goes to
     # the NEW deterministic epoch-shuffle sharding)
-    "train_epoch_shards",
-    "fn_bitwise",
+    # (train_epoch_shards', fn_bitwise's and fn_null_handling's r11 hold
+    # slots go to the three post-freeze lakehouse/static-enrich rows)
+    "lh_table_changes",
+    "lh_update_where",
+    "stream_static_enrich",
     "fn_date_arithmetic",
-    "fn_null_handling",
-    "fn_posexplode",
     "fn_string_extended",
     "fn_struct_ops",
     # time-series analytics (the skew-safe funnel twin — post-freeze r9
@@ -134,7 +157,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # proof — fresh code outranks a second-round hold; type promotion
     # stays local-gated + pytest-pinned)
     "lh_expire_tag_retention",
-    "lh_datasource_write_roundtrip",
+    # (lh_datasource_write_roundtrip's second-round hold slot goes to the
+    # post-freeze watermark-complete left-outer stream-stream join)
+    "stream_stream_left_join",
     # (lh_rollup_avg's hold slot goes to the NEW exact-percentile rollup —
     # fresh code outranks a second-round hold; avg stays local-gated.
     # lh_rollup_hourly's hold slot goes to the NEW commit-time change-data
@@ -155,7 +180,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # takes text_bigram_novelty's hold slot per the fresh-code principle)
     # (text_top_bigrams' second-round hold slot goes to the NEW SemDeDup
     # semantic dedup — driver-hashable by planted-duplicate construction)
-    "dedup_components_exact",
+    # (dedup_components_exact's second-round hold slot goes to the
+    # post-freeze right-outer stream-stream join; substring_spans HOLDS —
+    # its oracle dtype fix must re-green this round)
+    "stream_stream_right_join",
     "dedup_substring_spans",
     # (train_mix_temperature's second-round hold slot goes to the NEW
     # cosine range search — train_ stays represented by numeric_profile)
@@ -173,8 +201,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # hold; chunk_overlap stays local-gated + plan-test-enforced)
     "text_lm_familiarity",
     "text_bpe_pair_stats",
-    "multimodal_png_decode",
-    "multimodal_jpeg_roundtrip",
+    # (multimodal_png_decode's and multimodal_jpeg_roundtrip's
+    # second-round hold slots go to the post-freeze full-outer and
+    # semi stream-stream joins)
+    "stream_stream_full_join",
+    "stream_stream_semi_join",
     "multimodal_jpeg_progressive",
     "multimodal_jpeg_subsampled",
     "multimodal_container_probe",
@@ -182,6 +213,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # goes to the NEW end-to-end RAG-prep composite; train_ stays
     # represented by epoch_shards + split_leakage_safe)
     "pipeline_rag_prep",
+    # (fn_posexplode's r11 hold slot goes to the post-freeze anti
+    # stream-stream join — the subtlest watermark-finalization mode)
+    "stream_stream_anti_join",
     # structured streaming (exactly-once sink anchors the heavyweight
     # path; NEW watermark-complete left-outer stream-stream join takes
     # stream_dedup_count's hold slot — fresh code outranks a second-round
