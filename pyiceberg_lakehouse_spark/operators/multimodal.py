@@ -16,8 +16,11 @@ approximation, all four scan types), and chroma-subsampled (4:2:0 /
 4:2:2) and restart-interval baseline streams decode natively too. What
 remains (lossless JPEG) falls through to Pillow WHEN it is importable (the same
 runtime availability gate as psycopg2 in lakehouse/catalog.py); MP4/MP3
-expose real container-metadata PROBES (box walk / frame walk below)
-while their sample decode stays NotImplemented.
+expose real container-metadata PROBES (box walk / frame walk below), and
+MP4 additionally a full sample-table DEMUX (stts/stsc/stsz/stco/stss ->
+per-sample bytes + timestamps + key-frame flags, make_mp4_media /
+demux_mp4 below) — the video CODEC itself (H.264 et al.) and MP3
+Layer-III sample synthesis stay NotImplemented.
 """
 
 from __future__ import annotations
@@ -1071,6 +1074,350 @@ def probe_mp3(payload: bytes) -> tuple[int, int, int, int]:
         n_frames += 1
     duration_ms = n_frames * 1152 * 1000 // rate if rate else 0
     return n_frames, bitrate or 0, rate or 0, duration_ms
+
+
+# ------------------------------------------- MP4 sample-table demux ------
+# Real ISO BMFF DEMUX (ISO 14496-12 §8.6-8.7): the sample tables that map
+# a sample index to its bytes and timestamp. This is the honest "sample
+# decode" for MP4 in a training pipeline — frame extraction needs the
+# demux (the stts/stsc/stsz/stco/stss join logic) before any codec runs;
+# the video codec itself (H.264 et al.) stays out of scope, the same
+# honesty split as MP3 Layer-III synthesis. Reference parity:
+# pyiceberg-lakehouse treats media as opaque binary columns end-to-end;
+# this engine adds the demux layer a frame-sampling curation pass needs.
+
+
+def make_mp4_media(
+    samples: list[bytes],
+    stts_runs: list[tuple[int, int]],
+    sync_every: int = 4,
+    samples_per_chunk: int = 3,
+    timescale: int = 1000,
+) -> bytes:
+    """Playable-layout ISO BMFF: ftyp + moov(trak/mdia/minf/stbl) + mdat
+    carrying the given sample payloads.
+
+    Every sample-table entry derives from the ACTUAL mdat layout: stts
+    holds the given (count, delta) runs, stss marks every
+    ``sync_every``-th sample (1-based), stsc holds a constant
+    ``samples_per_chunk`` run plus a ragged final run when it doesn't
+    divide, stsz is per-sample, and stco holds absolute file offsets —
+    the moov is built twice (once to measure its length, then re-emitted
+    with patched stco), the standard faststart layout trick. The stsd
+    entry is minimal (codec config is out of scope — the demuxer maps
+    samples, it does not decode them)."""
+    n = len(samples)
+    if sum(c for c, _ in stts_runs) != n:
+        raise ValueError("stts run counts must sum to the sample count")
+    dur = sum(c * d for c, d in stts_runs)
+    sizes = [len(s) for s in samples]
+    n_chunks = max((n + samples_per_chunk - 1) // samples_per_chunk, 1)
+
+    stsd = _box(
+        b"stsd",
+        _struct.pack(">B3xI", 0, 1)
+        + _box(b"mp4v", b"\x00" * 6 + _struct.pack(">H", 1)),
+    )
+    stts = _box(
+        b"stts",
+        _struct.pack(">B3xI", 0, len(stts_runs))
+        + b"".join(_struct.pack(">II", c, d) for c, d in stts_runs),
+    )
+    sync = [i for i in range(n) if i % sync_every == 0]
+    stss = _box(
+        b"stss",
+        _struct.pack(">B3xI", 0, len(sync))
+        + b"".join(_struct.pack(">I", i + 1) for i in sync),
+    )
+    if n_chunks == 1:
+        entries = [(1, n)]
+    else:
+        entries = [(1, samples_per_chunk)]
+        rem = n - (n_chunks - 1) * samples_per_chunk
+        if rem != samples_per_chunk:
+            entries.append((n_chunks, rem))
+    stsc = _box(
+        b"stsc",
+        _struct.pack(">B3xI", 0, len(entries))
+        + b"".join(_struct.pack(">III", fc, spc, 1) for fc, spc in entries),
+    )
+    stsz = _box(
+        b"stsz",
+        _struct.pack(">B3xII", 0, 0, n)
+        + b"".join(_struct.pack(">I", s) for s in sizes),
+    )
+
+    def build_moov(chunk_offsets: list[int]) -> bytes:
+        stco = _box(
+            b"stco",
+            _struct.pack(">B3xI", 0, n_chunks)
+            + b"".join(_struct.pack(">I", o) for o in chunk_offsets),
+        )
+        stbl = _box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
+        vmhd = _box(b"vmhd", _struct.pack(">B3s4H", 0, b"\x00\x00\x01", 0, 0, 0, 0))
+        minf = _box(b"minf", vmhd + stbl)
+        mdhd = _box(
+            b"mdhd",
+            _struct.pack(">B3x4I", 0, 0, 0, timescale, dur)
+            + _struct.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = _box(b"hdlr", _struct.pack(">B3x4x4s12x", 0, b"vide") + b"\x00")
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        tkhd = _box(
+            b"tkhd",
+            _struct.pack(">B3s3I4xI8x", 0, b"\x00\x00\x07", 0, 0, 1, dur)
+            + _struct.pack(">HHHH", 0, 0, 0, 0)
+            + b"\x00" * 36
+            + _struct.pack(">II", 64 << 16, 48 << 16),
+        )
+        trak = _box(b"trak", tkhd + mdia)
+        mvhd = _box(
+            b"mvhd",
+            _struct.pack(">B3x4I", 0, 0, 0, timescale, dur)
+            + _struct.pack(">iH2x8x", 0x00010000, 0x0100)
+            + b"\x00" * 36
+            + b"\x00" * 24
+            + _struct.pack(">I", 2),
+        )
+        return _box(b"moov", mvhd + trak)
+
+    ftyp = _box(b"ftyp", b"isom" + _struct.pack(">I", 512) + b"isomiso2mp41")
+    moov_len = len(build_moov([0] * n_chunks))
+    mdat_base = len(ftyp) + moov_len + 8
+
+    spc_by_chunk: list[int] = []
+    for c in range(1, n_chunks + 1):
+        run = entries[0]
+        for e in entries:
+            if c >= e[0]:
+                run = e
+        spc_by_chunk.append(run[1])
+    offsets, acc, idx = [], mdat_base, 0
+    for spc in spc_by_chunk:
+        offsets.append(acc)
+        acc += sum(sizes[idx : idx + spc])
+        idx += spc
+    moov = build_moov(offsets)
+    assert len(moov) == moov_len, "stco patch changed the moov length"
+    return ftyp + moov + _box(b"mdat", b"".join(samples))
+
+
+def mp4_mdat_start(payload: bytes) -> int:
+    """Byte offset of the mdat box's payload (top-level box scan)."""
+    pos = 0
+    while pos + 8 <= len(payload):
+        size, btype = _struct.unpack_from(">I4s", payload, pos)
+        body = pos + 8
+        if size == 1:
+            size = _struct.unpack_from(">Q", payload, pos + 8)[0]
+            body = pos + 16
+        if size < 8 or pos + size > len(payload):
+            raise ValueError("corrupt MP4 box")
+        if btype == b"mdat":
+            return body
+        pos += size
+    raise ValueError("no mdat box")
+
+
+def demux_mp4(payload: bytes) -> list[dict]:
+    """Full sample-table demux -> one dict per sample:
+    {idx, dts, size, offset, is_sync, data}.
+
+    Implements the complete 14496-12 mapping: stts run expansion gives
+    each sample's decode timestamp; stsc chunk runs expanded against
+    stco (or co64) plus intra-chunk size prefix-sums give each sample's
+    ABSOLUTE byte offset, from which the sample bytes are sliced; stss
+    gives the key-frame flag (an absent stss means every sample is
+    sync, per spec). Raises ValueError on any inconsistent table —
+    a demuxer that guesses is a corrupted-training-data generator."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (missing ftyp)")
+    tables: dict[bytes, tuple[int, int]] = {}
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            size, btype = _struct.unpack_from(">I4s", payload, pos)
+            body = pos + 8
+            if size == 1:
+                size = _struct.unpack_from(">Q", payload, pos + 8)[0]
+                body = pos + 16
+            if size < 8 or pos + size > hi:
+                raise ValueError("corrupt MP4 box")
+            if btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(body, pos + size)
+            elif btype in (b"stts", b"stsc", b"stsz", b"stco", b"co64", b"stss"):
+                tables[btype] = (body, pos + size)
+            pos += size
+
+    walk(0, len(payload))
+    for req in (b"stts", b"stsc", b"stsz"):
+        if req not in tables:
+            raise ValueError(f"missing {req.decode()} sample table")
+    if b"stco" not in tables and b"co64" not in tables:
+        raise ValueError("missing chunk-offset table (stco/co64)")
+
+    def table_body(btype: bytes, entry_bytes: int, count: int, header: int = 4) -> int:
+        """Bounds-checked FullBox table start: the declared entry count
+        must fit inside the box extent — a count that spills into the
+        next box is corruption, not data (and an unchecked one turns a
+        hostile file into an unbounded expansion loop)."""
+        lo, hi = tables[btype]
+        body = lo + 4  # skip FullBox version/flags
+        if body + header + entry_bytes * count > hi:
+            raise ValueError(f"{btype.decode()} entry count exceeds its box")
+        return body
+
+    lo, hi = tables[b"stsz"]
+    fixed, n = _struct.unpack_from(">II", payload, lo + 4)
+    if n > 0 and not fixed:
+        table_body(b"stsz", 4, n, header=8)
+    sizes = (
+        [fixed] * n
+        if fixed
+        else list(_struct.unpack_from(f">{n}I", payload, lo + 12))
+    )
+
+    lo = table_body(
+        b"stts", 8, _struct.unpack_from(">I", payload, tables[b"stts"][0] + 4)[0]
+    )
+    (n_runs,) = _struct.unpack_from(">I", payload, lo)
+    dts: list[int] = []
+    t = 0
+    off = lo + 4
+    for _ in range(n_runs):
+        count, delta = _struct.unpack_from(">II", payload, off)
+        off += 8
+        if len(dts) + count > n:
+            raise ValueError("stts sample count disagrees with stsz")
+        for _ in range(count):
+            dts.append(t)
+            t += delta
+    if len(dts) != n:
+        raise ValueError("stts sample count disagrees with stsz")
+
+    if b"stco" in tables:
+        (n_chunks,) = _struct.unpack_from(">I", payload, tables[b"stco"][0] + 4)
+        lo = table_body(b"stco", 4, n_chunks)
+        chunk_offsets = list(_struct.unpack_from(f">{n_chunks}I", payload, lo + 4))
+    else:
+        (n_chunks,) = _struct.unpack_from(">I", payload, tables[b"co64"][0] + 4)
+        lo = table_body(b"co64", 8, n_chunks)
+        chunk_offsets = list(_struct.unpack_from(f">{n_chunks}Q", payload, lo + 4))
+
+    (n_entries,) = _struct.unpack_from(">I", payload, tables[b"stsc"][0] + 4)
+    lo = table_body(b"stsc", 12, n_entries)
+    runs = [
+        _struct.unpack_from(">III", payload, lo + 4 + 12 * k) for k in range(n_entries)
+    ]
+    spc_by_chunk: list[int] = []
+    for k, (first, spc, _sdi) in enumerate(runs):
+        last = runs[k + 1][0] - 1 if k + 1 < len(runs) else n_chunks
+        if first > last:
+            raise ValueError("stsc chunk runs out of order")
+        spc_by_chunk.extend([spc] * (last - first + 1))
+    if len(spc_by_chunk) != n_chunks:
+        raise ValueError("stsc chunk runs disagree with stco")
+
+    if b"stss" in tables:
+        (n_sync,) = _struct.unpack_from(">I", payload, tables[b"stss"][0] + 4)
+        lo = table_body(b"stss", 4, n_sync)
+        sync: set[int] | None = set(
+            _struct.unpack_from(f">{n_sync}I", payload, lo + 4)
+        )
+    else:
+        sync = None
+
+    out: list[dict] = []
+    idx = 0
+    for c, spc in enumerate(spc_by_chunk):
+        pos = chunk_offsets[c]
+        for _ in range(spc):
+            if idx >= n:
+                break
+            data = payload[pos : pos + sizes[idx]]
+            if len(data) != sizes[idx]:
+                raise ValueError("sample bytes out of file bounds")
+            out.append(
+                {
+                    "idx": idx,
+                    "dts": dts[idx],
+                    "size": sizes[idx],
+                    "offset": pos,
+                    "is_sync": sync is None or (idx + 1) in sync,
+                    "data": data,
+                }
+            )
+            pos += sizes[idx]
+            idx += 1
+    if idx != n:
+        raise ValueError("sample-to-chunk mapping covered fewer samples than stsz")
+    return out
+
+
+MP4_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_idx", T.IntegerType()),
+        T.StructField("dts_ms", T.LongType()),
+        T.StructField("size", T.IntegerType()),
+        T.StructField("offset_in_mdat", T.LongType()),
+        T.StructField("is_sync", T.BooleanType()),
+        T.StructField("byte_sum", T.LongType()),
+    ]
+)
+
+
+def demux_mp4_samples(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a playable-layout MP4 per doc (sample count/sizes/
+    timestamps/bytes all closed-form in doc_id, standing in for
+    object-storage reads) and DEMUX it for real: one output row per
+    sample with its timestamp, byte extent, key-frame flag, and the
+    extracted bytes' sum — wrong table parsing or a wrong absolute
+    offset flips the byte sum.
+
+    Arrow-batched mapInPandas: the demux runs where the bytes live and
+    only typed sample metadata shuffles. At 100 TB this is a pure map
+    stage; the is_sync flag is the key-frame-only sampling knob a video
+    curation pipeline filters on before handing extents to a decoder."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "sample_idx", "dts_ms", "size",
+            "offset_in_mdat", "is_sync", "byte_sum",
+        ]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 8 + d % 13
+                sizes = [40 + ((d + 7 * i) % 50) for i in range(n)]
+                payloads = [
+                    bytes((d * 13 + i * 17 + j * 5) % 256 for j in range(sizes[i]))
+                    for i in range(n)
+                ]
+                mp4 = make_mp4_media(
+                    payloads, stts_runs=[(n // 2, 100), (n - n // 2, 150)]
+                )
+                base = mp4_mdat_start(mp4)
+                for s in demux_mp4(mp4):
+                    rows.append(
+                        (
+                            d, s["idx"], s["dts"], s["size"],
+                            s["offset"] - base, s["is_sync"], sum(s["data"]),
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            for c, dt in (
+                ("doc_id", "int64"), ("sample_idx", "int32"), ("dts_ms", "int64"),
+                ("size", "int32"), ("offset_in_mdat", "int64"),
+                ("is_sync", "bool"), ("byte_sum", "int64"),
+            ):
+                out[c] = out[c].astype(dt)
+            yield out
+
+    return src.mapInPandas(batches, MP4_SAMPLE_SCHEMA)
 
 
 CONTAINER_PROBE_SCHEMA = T.StructType(

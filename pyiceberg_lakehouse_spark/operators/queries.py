@@ -1712,6 +1712,55 @@ def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mp4_samples",
+    """
+    with base as (
+      select doc_id, 8 + doc_id % 13 as n
+      from documents where doc_id % 5 = 2
+    ),
+    s as (
+      select doc_id, n, i
+      from base, unnest(generate_series(0, 20)) u(i)
+      where i < n
+    ),
+    sized as (
+      select doc_id, n, i,
+             40 + ((doc_id + 7 * i) % 50) as sz,
+             case when i < n // 2 then i * 100
+                  else (n // 2) * 100 + (i - n // 2) * 150 end as dts,
+             i % 4 = 0 as sync_
+      from s
+    )
+    select doc_id,
+           cast(i as integer) as sample_idx,
+           cast(dts as bigint) as dts_ms,
+           cast(sz as integer) as size,
+           cast(coalesce(sum(sz) over (partition by doc_id order by i
+                  rows between unbounded preceding and 1 preceding), 0)
+               as bigint) as offset_in_mdat,
+           sync_ as is_sync,
+           cast((select sum((doc_id * 13 + i * 17 + j * 5) % 256)
+                 from generate_series(0, 88) g(j) where j < sz)
+               as bigint) as byte_sum
+    from sized
+    """,
+)
+def multimodal_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO BMFF sample-table demux (multimodal.demux_mp4): per doc,
+    synthesize a playable-layout MP4 whose stts (two delta runs), stsc
+    (ragged final chunk run), stsz, stco and stss tables all derive from
+    the actual mdat layout, then demux it back to one row per sample —
+    timestamp, byte extent, key-frame flag, and the extracted bytes'
+    sum. The oracle predicts every field closed-form from doc_id
+    (offsets via a prefix-sum window), so ANY table-parsing or
+    offset-arithmetic error flips the hash. This is the frame-extraction
+    layer a video curation pipeline needs before a codec ever runs."""
+    return multimodal.demux_mp4_samples(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
+    )
+
+
+@register(
     "multimodal_jpeg_progressive",
     """
     select doc_id,

@@ -53,7 +53,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # lh_table_changes, lh_update_where, stream_static_enrich, and all five
 # watermark-complete stream-stream join modes
 # (stream_stream_{left,right,full,semi,anti}_join) — after which every
-# oracle-checkable query in the registry has had a driver window slot.
+# oracle-checkable query in the registry has had a driver window slot;
+# plus the round's ONE new capability row, the ISO BMFF sample-table
+# demux multimodal_mp4_samples (VERDICT r10 task #7).
 # Rotated OUT, per the standing principles: four second-round holds green
 # in BOTH r9 and r10 (multimodal_png_decode, multimodal_jpeg_roundtrip,
 # dedup_components_exact, lh_datasource_write_roundtrip) and four r10
@@ -132,7 +134,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lh_table_changes",
     "lh_update_where",
     "stream_static_enrich",
-    "fn_date_arithmetic",
+    # (fn_date_arithmetic's r11 hold slot goes to the NEW MP4
+    # sample-table demux — fresh code outranks a hold; fn_ stays
+    # represented by string_extended + struct_ops)
+    "multimodal_mp4_samples",
     "fn_string_extended",
     "fn_struct_ops",
     # time-series analytics (the skew-safe funnel twin — post-freeze r9

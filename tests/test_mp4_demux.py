@@ -1,0 +1,97 @@
+"""ISO BMFF sample-table demux properties (operators/multimodal.py:
+make_mp4_media / demux_mp4). The differential query
+multimodal_mp4_samples pins the happy path against a closed-form
+oracle; these tests pin the table semantics the synthesizer doesn't
+exercise: fixed-size stsz, absent stss (all-sync per spec), co64,
+single-chunk layouts, and corruption rejection."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pyiceberg_lakehouse_spark.operators.multimodal import (
+    demux_mp4,
+    make_mp4_media,
+    mp4_mdat_start,
+    probe_mp4,
+)
+
+
+def _samples(n: int, base: int = 30) -> list[bytes]:
+    return [bytes((i * 7 + j) % 256 for j in range(base + i)) for i in range(n)]
+
+
+def test_roundtrip_bytes_offsets_timestamps():
+    payloads = _samples(11)
+    mp4 = make_mp4_media(payloads, stts_runs=[(5, 100), (6, 150)])
+    out = demux_mp4(mp4)
+    assert [s["data"] for s in out] == payloads
+    assert [s["dts"] for s in out] == [
+        0, 100, 200, 300, 400, 500, 650, 800, 950, 1100, 1250
+    ]
+    # every offset slices exactly its sample back out of the file
+    for s in out:
+        assert mp4[s["offset"] : s["offset"] + s["size"]] == s["data"]
+    # mdat-relative offsets are the size prefix sums (contiguous layout)
+    base = mp4_mdat_start(mp4)
+    acc = 0
+    for s, p in zip(out, payloads):
+        assert s["offset"] - base == acc
+        acc += len(p)
+
+
+def test_sync_flags_every_4th():
+    mp4 = make_mp4_media(_samples(10), stts_runs=[(10, 40)], sync_every=4)
+    assert [s["is_sync"] for s in demux_mp4(mp4)] == [
+        True, False, False, False, True, False, False, False, True, False
+    ]
+
+
+def test_absent_stss_means_all_sync():
+    mp4 = bytearray(make_mp4_media(_samples(6), stts_runs=[(6, 10)]))
+    i = bytes(mp4).find(b"stss")
+    mp4[i : i + 4] = b"free"  # neuter the box; spec: no stss => all sync
+    out = demux_mp4(bytes(mp4))
+    assert all(s["is_sync"] for s in out)
+
+
+def test_single_chunk_and_ragged_final_chunk():
+    # 7 samples at 3/chunk -> chunks of 3,3,1 (ragged stsc final run)
+    out = demux_mp4(make_mp4_media(_samples(7), stts_runs=[(7, 10)]))
+    assert len(out) == 7
+    # 2 samples -> single chunk, single stsc entry
+    out = demux_mp4(make_mp4_media(_samples(2), stts_runs=[(2, 10)]))
+    assert [s["idx"] for s in out] == [0, 1]
+
+
+def test_fixed_size_stsz():
+    payloads = [bytes(range(50))] * 4
+    mp4 = bytearray(make_mp4_media(payloads, stts_runs=[(4, 10)]))
+    # rewrite stsz to the fixed-size form: sample_size=50, no table
+    i = bytes(mp4).find(b"stsz")
+    body = i + 4
+    struct.pack_into(">B3xII", mp4, body, 0, 50, 4)
+    out = demux_mp4(bytes(mp4))
+    assert [s["size"] for s in out] == [50, 50, 50, 50]
+    assert [s["data"] for s in out] == payloads
+
+
+def test_probe_still_reads_duration():
+    mp4 = make_mp4_media(_samples(8), stts_runs=[(8, 125)])
+    _brand, duration_ms, _w, _h, n_tracks = probe_mp4(mp4)
+    assert duration_ms == 1000 and n_tracks == 1
+
+
+def test_corruption_rejected():
+    mp4 = make_mp4_media(_samples(5), stts_runs=[(5, 10)])
+    with pytest.raises(ValueError):
+        demux_mp4(mp4[:40])  # truncated mid-box
+    bad = bytearray(mp4)
+    i = bytes(bad).find(b"stts")
+    struct.pack_into(">I", bad, i + 8, 99)  # stts count disagrees with stsz
+    with pytest.raises(ValueError):
+        demux_mp4(bytes(bad))
+    with pytest.raises(ValueError):
+        demux_mp4(b"\x00\x00\x00\x08junk")  # no ftyp
