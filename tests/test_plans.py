@@ -518,3 +518,14 @@ def test_text_search_pushes_token_inlist_to_postings_scan(spark, sf_dir):
     m = re.search(r"PushedFilters: \[[^\]]*In\(token", plan)
     assert m, plan[plan.find("PushedFilters"):][:300]
     assert "CartesianProduct" not in plan
+
+
+def test_mp4_demux_map_only(spark, sf_dir):
+    """The MP4 sample-table demux must stay a pure map stage at any
+    corpus size: synthesize -> demux -> emit typed sample rows is
+    per-document work inside one Arrow-batched python evaluator — an
+    Exchange would mean sample explosion started shuffling media-scale
+    rows."""
+    plan = plan_of(spark, "multimodal_mp4_samples", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan[:800]
+    assert "MapInPandas" in plan
