@@ -857,6 +857,24 @@ def bench_semi_join(spark, b: Bench, tmp: str) -> None:
     shutil.rmtree(wh, ignore_errors=True)
 
 
+def bench_mp4_demux(spark, b: Bench, tmp: str) -> None:
+    """ISO BMFF sample-table demux (r11): a pure map stage — synthesize +
+    demux per doc where the bytes live, no Exchange (plan-tested in
+    tests/test_plans.py) — so 10x docs must cost ~10x wall (linear, the
+    best possible for per-byte work), never superlinear."""
+    from pyiceberg_lakehouse_spark.operators.multimodal import demux_mp4_samples
+
+    for n in DOC_SCALES:
+        tag = f"{n//1000}k"
+        docs = spark.range(0, n, 1, 64).withColumnRenamed("id", "doc_id")
+        b.run(
+            f"mp4_demux_{tag}",
+            lambda d=docs: drain(demux_mp4_samples(d)),
+            reps=REPS,
+            warmup=True,
+        )
+
+
 SECTIONS = {
     "documents": bench_documents,
     "embeddings": bench_embeddings,
@@ -868,6 +886,7 @@ SECTIONS = {
     "cdf": bench_cdf,
     "semi_join": bench_semi_join,
     "purge": bench_purge,
+    "mp4_demux": bench_mp4_demux,
 }
 
 
@@ -921,6 +940,9 @@ def main() -> None:
         "ivf_probe_growth_10x": ratio(f"ivf_probe_{v1}", f"ivf_probe_{v2}"),
         "ivfpq_probe_growth_10x": ratio(f"ivfpq_probe_{v1}", f"ivfpq_probe_{v2}"),
         "minhash_growth_10x": ratio(f"minhash_ckpt_{t1}", f"minhash_ckpt_{t2}"),
+        # MP4 demux (r11): shuffle-free map stage => wall tracks bytes
+        # linearly; ~10 on 10x docs is the expected (and best) shape
+        "mp4_demux_growth_10x": ratio(f"mp4_demux_{t1}", f"mp4_demux_{t2}"),
         "clean_corpus_growth_10x": ratio(f"clean_corpus_{t1}", f"clean_corpus_{t2}"),
         # decontamination must stay ~linear in the train corpus (broadcast
         # shingle join, no self-join): 10x docs => ~10x wall, not pair-count
