@@ -1234,6 +1234,70 @@ def lh_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lh_neardup_index_selfcheck",
+    """
+    select doc_id as id_a, doc_id + 1000000 as id_b, true as exact_dup
+    from documents
+    where doc_id % 5 = 3
+      and len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                               'g')), ' ')) >= 3
+    """,
+)
+def lh_neardup_index_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained near-dup (banded MinHash-LSH) index
+    (lakehouse/neardup.py): persisted (doc_id, band, bh) signatures that
+    advance from APPENDED FILES ONLY — at 100 TB the corpus is never
+    re-signatured to keep near-dup detection current.
+
+    Differential construction: index half the corpus, then append the
+    other half PLUS planted copies of every doc_id % 5 == 3 (uppercased,
+    double-spaced — raw bytes differ, normalized text is equal, so the
+    hit proves the normalization + signature path, not byte equality);
+    the refresh must run in incremental mode. Identical normalized text
+    gives an identical MinHash signature deterministically, so every
+    planted pair MUST collide in every band: the index's candidates,
+    exact-verified at the strictest level (normalized-text equality),
+    equal exactly the planted pair set the oracle states closed-form.
+    Copies of EVEN doc_ids sit in the refresh delta while their
+    originals were indexed at create time — those pairs prove old index
+    rows join new ones. Cost shape: candidates come from one (band, bh)
+    self-join; verification touches candidates only."""
+    from pyiceberg_lakehouse_spark.lakehouse.neardup import (
+        create_neardup_index,
+        neardup_candidates,
+        refresh_neardup_index,
+    )
+    from pyiceberg_lakehouse_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.nd_corpus", docs.schema)
+    t.append(docs.filter(F.col("doc_id") % 2 == 0))
+    idx = create_neardup_index(lh, t, "ns.nd_sig_index")
+    planted = (
+        docs.filter(F.col("doc_id") % 5 == 3)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000).cast("long"))
+        .withColumn("text", F.upper(F.regexp_replace(F.col("text"), " ", "  ")))
+    )
+    t.append(docs.filter(F.col("doc_id") % 2 == 1).unionByName(planted))
+    info = refresh_neardup_index(idx, t)
+    if info["mode"] != "incremental":
+        raise AssertionError(f"refresh fell back to {info['mode']}")
+    cand = neardup_candidates(idx)
+    corpus = t.scan().select(
+        F.col("doc_id"), normalize_text(F.col("text")).alias("_norm")
+    )
+    na = corpus.select(F.col("doc_id").alias("id_a"), F.col("_norm").alias("ta"))
+    nb = corpus.select(F.col("doc_id").alias("id_b"), F.col("_norm").alias("tb"))
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(F.col("ta") == F.col("tb"))
+        .select("id_a", "id_b", F.lit(True).alias("exact_dup"))
+    )
+
+
+@register(
     "lh_merge_into",
     """
     select o_orderkey, o_custkey, o_orderstatus,

@@ -138,7 +138,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sample-table demux — fresh code outranks a hold; fn_ stays
     # represented by string_extended + struct_ops)
     "multimodal_mp4_samples",
-    "fn_string_extended",
+    # (fn_string_extended's r11 hold slot goes to the NEW incremental
+    # near-dup signature index — fresh code outranks a hold; fn_ stays
+    # represented by struct_ops)
+    "lh_neardup_index_selfcheck",
     "fn_struct_ops",
     # time-series analytics (the skew-safe funnel twin — post-freeze r9
     # code — rotates in; funnel_steps/retention_cohorts' second-round hold

@@ -658,6 +658,54 @@ def bench_dedup_index(spark, b: Bench, tmp: str) -> None:
     shutil.rmtree(wh, ignore_errors=True)
 
 
+def bench_neardup_index(spark, b: Bench, tmp: str) -> None:
+    """Incremental near-dup (banded MinHash) index economics at 1M
+    documents: refreshing over a 1% append must shingle+minhash the
+    DELTA files only — the signature pass is real per-token CPU (32
+    universal hashes over every shingle), so the wall ratio is the
+    claim that makes continuous near-dup of a growing corpus viable."""
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.neardup import (
+        create_neardup_index,
+        refresh_neardup_index,
+    )
+
+    wh = os.path.join(tmp, "wh_nd_idx")
+    lh = Lakehouse(spark, wh)
+    n = DOC_SCALES[1]
+    docs = mock_documents(spark, n)
+    t = lh.create_table("scale.ndfact", docs.schema)
+    t.append(docs.filter(F.col("doc_id") % 100 != 0))
+    tag = f"{n//1000}k"
+    b.run(
+        f"neardup_index_build_{tag}",
+        lambda: create_neardup_index(lh, t, "scale.ndindex"),
+    )
+    idx = lh.load_table("scale.ndindex")
+    cursor = t.log.current_snapshot_id()
+    t.append(docs.filter(F.col("doc_id") % 100 == 0))  # 1% delta
+    delta_rows = sum(
+        f.get("rows") or 0
+        for sn in t.log.snapshots
+        if sn.snapshot_id > cursor
+        for f in sn.added_files
+    )
+    total_rows = sum(f.get("rows") or 0 for f in t.log.live_files())
+    b.notes["neardup_index_delta_rows"] = delta_rows
+    b.notes["neardup_index_total_rows"] = total_rows
+    res = b.run(
+        f"neardup_index_refresh_1pct_{tag}", lambda: refresh_neardup_index(idx, t)
+    )
+    b.notes["neardup_index_refresh_mode"] = res["mode"]
+    # force the full path at the same scale for the contrast
+    t.delete_keys(
+        docs.filter(F.col("doc_id") % 997 == 0).select("doc_id"), ["doc_id"]
+    )
+    res = b.run(f"neardup_index_full_{tag}", lambda: refresh_neardup_index(idx, t))
+    b.notes["neardup_index_full_mode"] = res["mode"]
+    shutil.rmtree(wh, ignore_errors=True)
+
+
 def bench_text_index(spark, b: Bench, tmp: str) -> None:
     """Inverted-index economics at 1M documents: refreshing over a 1%
     append must tokenize the DELTA files only (token explode + two
@@ -883,6 +931,7 @@ SECTIONS = {
     "rollup": bench_rollup,
     "dedup_index": bench_dedup_index,
     "text_index": bench_text_index,
+    "neardup_index": bench_neardup_index,
     "cdf": bench_cdf,
     "semi_join": bench_semi_join,
     "purge": bench_purge,
@@ -1028,6 +1077,20 @@ def main() -> None:
                 4,
             )
             if b.notes.get("text_index_total_rows")
+            else None
+        ),
+        # incremental near-dup index (r11): a 1% append's refresh
+        # re-signatures delta files only — wall ratio + planned fraction
+        "neardup_index_incremental_vs_full_1m": ratio(
+            f"neardup_index_refresh_1pct_{t2}", f"neardup_index_full_{t2}"
+        ),
+        "neardup_index_planned_rows_fraction": (
+            round(
+                b.notes["neardup_index_delta_rows"]
+                / b.notes["neardup_index_total_rows"],
+                4,
+            )
+            if b.notes.get("neardup_index_total_rows")
             else None
         ),
         "dedup_index_planned_rows_fraction": (
