@@ -132,6 +132,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_simhash_selfcheck",
+    """
+    select doc_id as id_a, doc_id + 1000000 as id_b, true as exact_dup
+    from documents
+    where doc_id % 7 = 2
+    """,
+)
+def dedup_simhash_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable twin for the SimHash near-dup path (the raw
+    fingerprints stay rows-only: engine-specific bit layout). Planted
+    construction: every doc_id % 7 == 2 gets a copy with raw bytes
+    perturbed (uppercased, double-spaced) but identical NORMALIZED text —
+    identical tokens vote identically, so the 64-bit fingerprint is
+    equal deterministically, every 16-bit band collides, and the
+    banded candidate join must surface exactly the planted pairs once
+    exact-verified (normalized-text equality). A wrong bit-vote, pack,
+    or band split loses pairs and flips the row count/hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = (
+        docs.filter(F.col("doc_id") % 7 == 2)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000).cast("long"))
+        .withColumn("text", F.upper(F.regexp_replace(F.col("text"), " ", "  ")))
+    )
+    corpus = docs.unionByName(planted)
+    cand = dedup.simhash_near_dup_pairs(corpus)
+    norm = corpus.select(
+        "doc_id", dedup.normalize_text(F.col("text")).alias("_n")
+    )
+    na = norm.select(F.col("doc_id").alias("id_a"), F.col("_n").alias("ta"))
+    nb = norm.select(F.col("doc_id").alias("id_b"), F.col("_n").alias("tb"))
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(F.col("ta") == F.col("tb"))
+        .select("id_a", "id_b", F.lit(True).alias("exact_dup"))
+    )
+
+
 COSINE_TOPK_SQL = f"""
     with q as (select vec_id as qid, embedding as q_vec from embeddings where vec_id < 10),
     c as (select vec_id as vid, embedding as c_vec from embeddings),

@@ -207,7 +207,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (text_chunk_overlap's second-round hold slot goes to the NEW BPE
     # learner's hash-checkable pair-stats twin — fresh code outranks a
     # hold; chunk_overlap stays local-gated + plan-test-enforced)
-    "text_lm_familiarity",
+    # (text_lm_familiarity's r11 hold slot goes to the NEW SimHash
+    # planted-recall self-check — fresh code outranks a hold; text_
+    # stays represented by bpe_pair_stats)
+    "dedup_simhash_selfcheck",
     "text_bpe_pair_stats",
     # (multimodal_png_decode's and multimodal_jpeg_roundtrip's
     # second-round hold slots go to the post-freeze full-outer and
