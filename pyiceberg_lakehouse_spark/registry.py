@@ -146,7 +146,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # time-series analytics (the skew-safe funnel twin — post-freeze r9
     # code — rotates in; funnel_steps/retention_cohorts' second-round hold
     # slots go to the NEW shallow clone + partition-scoped compaction)
-    "events_funnel_skewsafe",
+    # (events_funnel_skewsafe's r11 hold slot goes to the NEW streaming
+    # near-dup maintenance row — fresh code outranks a hold; time-series
+    # stays represented by win_/fn_datetime coverage and local gates)
+    "stream_lh_neardup",
     "lh_shallow_clone",
     "lh_compact_partition",
     # lakehouse lifecycle + maintenance (r9 first-timers hold; NEW

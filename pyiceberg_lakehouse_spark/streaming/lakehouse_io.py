@@ -313,3 +313,43 @@ def write_stream_with_text_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_stream_with_neardup_index(
+    stream_df: DataFrame,
+    table: LakehouseTable,
+    index: LakehouseTable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous NEAR-DUP maintenance: the exactly-once micro-batch
+    append sink composed with ``refresh_neardup_index`` — the banded
+    MinHash signature index tracks the document stream at micro-batch
+    granularity, re-signaturing only each batch's files (the cursor
+    advances along the snapshot log; the corpus is never re-read). This
+    is the production crawl-ingest shape: every arriving batch becomes
+    immediately near-dup-queryable against everything before it. Replays
+    are idempotent the same two ways as the rollup/text-index sinks:
+    committed batch ids skip the append, and a refresh with no new
+    snapshot is a noop."""
+    from pyiceberg_lakehouse_spark.lakehouse.neardup import (
+        refresh_neardup_index,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.log.load()
+        if batch_id not in committed_batch_ids(table):
+            if batch_df.isEmpty():
+                return
+            table.append(batch_df, summary={"streaming_batch_id": batch_id})
+        index.log.load()
+        refresh_neardup_index(index, table)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

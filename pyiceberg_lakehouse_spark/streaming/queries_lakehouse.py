@@ -850,3 +850,73 @@ def stream_lh_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = write_stream_with_text_index(stream, t, idx, os.path.join(work, "ckpt"))
     q.awaitTermination()
     return search_all_terms(idx, ["scan", "merge"])
+
+
+@register(
+    "stream_lh_neardup",
+    """
+    select doc_id as id_a, doc_id + 1000000 as id_b, true as exact_dup
+    from documents
+    where doc_id % 4 = 1
+      and len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                               'g')), ' ')) >= 3
+    """,
+)
+def stream_lh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous near-dup maintenance, driver-hashable: seed a corpus
+    table with 40% of the documents and build its banded MinHash
+    signature index (lakehouse/neardup.py), then stream the remaining
+    60% PLUS planted duplicates (of every doc_id % 4 == 1 — perturbed
+    raw bytes, identical normalized text) in micro-batches through
+    ``write_stream_with_neardup_index`` — each batch re-signatures only
+    its own files. Identical normalized text gives an identical
+    signature deterministically, so the final exact-verified candidate
+    set must equal the planted pair set the oracle states closed-form;
+    pairs whose original sat in the SEED corpus prove streamed band rows
+    join pre-stream ones."""
+    import os
+
+    from pyiceberg_lakehouse_spark.lakehouse.neardup import (
+        create_neardup_index,
+        neardup_candidates,
+    )
+    from pyiceberg_lakehouse_spark.operators.dedup import normalize_text
+    from pyiceberg_lakehouse_spark.streaming.lakehouse_io import (
+        write_stream_with_neardup_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 < 2)
+    planted = (
+        docs.filter(F.col("doc_id") % 4 == 1)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000).cast("long"))
+        .withColumn("text", F.upper(F.regexp_replace(F.col("text"), " ", "  ")))
+    )
+    rest = docs.filter(F.col("doc_id") % 5 >= 2).unionByName(planted)
+    work = session_tmpdir(prefix="nd_stream_")
+    lh = Lakehouse(spark, os.path.join(work, "wh"))
+    t = lh.create_table("ns.nd_stream_fact", docs.schema)
+    t.append(base)
+    idx = create_neardup_index(lh, t, "ns.nd_stream_idx")
+
+    feed = os.path.join(work, "feed")
+    rest.repartition(3).write.mode("overwrite").parquet(feed)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(feed)
+    )
+    q = write_stream_with_neardup_index(stream, t, idx, os.path.join(work, "ckpt"))
+    q.awaitTermination()
+
+    cand = neardup_candidates(idx)
+    corpus = t.scan().select("doc_id", normalize_text(F.col("text")).alias("_n"))
+    na = corpus.select(F.col("doc_id").alias("id_a"), F.col("_n").alias("ta"))
+    nb = corpus.select(F.col("doc_id").alias("id_b"), F.col("_n").alias("tb"))
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(F.col("ta") == F.col("tb"))
+        .select("id_a", "id_b", F.lit(True).alias("exact_dup"))
+    )

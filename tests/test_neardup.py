@@ -124,3 +124,40 @@ def test_bands_must_divide_hashes(spark, warehouse):
 
     with pytest.raises(ValueError):
         create_neardup_index(lh, t, "ns.nd_bad", num_hashes=32, bands=7)
+
+
+def test_streaming_maintenance_converges_and_restart_is_idempotent(
+    spark, warehouse, tmp_path
+):
+    from pyiceberg_lakehouse_spark.streaming.lakehouse_io import (
+        write_stream_with_neardup_index,
+    )
+
+    lh = Lakehouse(spark, warehouse)
+    docs = load_table(spark, SF, "documents")
+    t = lh.create_table("ns.nd_sdocs", docs.schema)
+    t.append(docs.filter(F.col("doc_id") % 5 == 0))
+    idx = create_neardup_index(lh, t, "ns.nd_sidx")
+
+    feed = str(tmp_path / "feed")
+    docs.filter(F.col("doc_id") % 5 != 0).repartition(3).write.parquet(feed)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    write_stream_with_neardup_index(stream, t, idx, ckpt).awaitTermination()
+    # a RESTART over the same checkpoint replays nothing new
+    before = idx.scan().count()
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    write_stream_with_neardup_index(stream2, t, idx, ckpt).awaitTermination()
+    assert idx.scan().count() == before
+    # converged index == from-scratch index over the final corpus
+    full = create_neardup_index(lh, t, "ns.nd_sidx_full")
+    assert idx.scan().exceptAll(full.scan()).count() == 0
+    assert full.scan().exceptAll(idx.scan()).count() == 0
