@@ -57,6 +57,12 @@ HEADLINE = [
     # stays out of the headline set so round-over-round totals compare;
     # its scale posture is covered by the cluster-blocked pair bound)
     ("bloom_semi_join", "join_bloom_reduced"),
+    # r11 additions (comparable-set fields exclude them from the
+    # round-over-round ratio automatically): the incremental near-dup
+    # signature index lifecycle (build half + delta refresh + banded
+    # candidates + exact verify) and the ISO BMFF sample-table demux
+    ("neardup_index", "lh_neardup_index_selfcheck"),
+    ("mp4_demux", "multimodal_mp4_samples"),
 ]
 
 

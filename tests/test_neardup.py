@@ -161,3 +161,22 @@ def test_streaming_maintenance_converges_and_restart_is_idempotent(
     full = create_neardup_index(lh, t, "ns.nd_sidx_full")
     assert idx.scan().exceptAll(full.scan()).count() == 0
     assert full.scan().exceptAll(idx.scan()).count() == 0
+
+
+def test_probe_mode_plan_semi_joins_before_bucket_join(spark, warehouse):
+    """Probe mode must reduce the probe side BEFORE the (band, bh) bucket
+    join — a LeftSemi against the batch-sized probe set — and never plan
+    a cartesian product: the index side is scanned once, bucket-joined,
+    and only batch-adjacent pairs survive."""
+    lh, docs, t = _corpus(spark, warehouse)
+    idx = create_neardup_index(lh, t, "ns.nd_idx_plan")
+    probe = docs.limit(5).select("doc_id")
+    df = neardup_candidates(idx, probe_ids=probe)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
