@@ -1298,6 +1298,56 @@ def lh_neardup_index_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lh_neardup_probe_batch",
+    """
+    select doc_id as id_a, doc_id + 1000000 as id_b, true as exact_dup
+    from documents
+    where doc_id % 5 = 3
+      and len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                               'g')), ' ')) >= 3
+    """,
+)
+def lh_neardup_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production crawl-dedup query shape, driver-hashable: after the
+    index covers corpus + planted copies, ask for near-dup candidates of
+    the PLANTED BATCH ONLY (probe mode — the probe side is semi-joined
+    down before the (band, bh) bucket join, so cost is O(batch), not
+    O(corpus^2); plan-pinned in tests/test_neardup.py). Exact-verified
+    against normalized text, the answer must equal the planted pair set:
+    every pair has its original on the corpus side and its copy in the
+    probe batch, so the hash proves the asymmetric path end to end."""
+    from pyiceberg_lakehouse_spark.lakehouse.neardup import (
+        create_neardup_index,
+        neardup_candidates,
+    )
+    from pyiceberg_lakehouse_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.nd_probe_corpus", docs.schema)
+    planted = (
+        docs.filter(F.col("doc_id") % 5 == 3)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000).cast("long"))
+        .withColumn("text", F.upper(F.regexp_replace(F.col("text"), " ", "  ")))
+    )
+    t.append(docs.unionByName(planted))
+    idx = create_neardup_index(lh, t, "ns.nd_probe_index")
+    probe = planted.select("doc_id")
+    cand = neardup_candidates(idx, probe_ids=probe)
+    corpus = t.scan().select(
+        "doc_id", normalize_text(F.col("text")).alias("_n")
+    )
+    na = corpus.select(F.col("doc_id").alias("id_a"), F.col("_n").alias("ta"))
+    nb = corpus.select(F.col("doc_id").alias("id_b"), F.col("_n").alias("tb"))
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(F.col("ta") == F.col("tb"))
+        .select("id_a", "id_b", F.lit(True).alias("exact_dup"))
+    )
+
+
+@register(
     "lh_merge_into",
     """
     select o_orderkey, o_custkey, o_orderstatus,

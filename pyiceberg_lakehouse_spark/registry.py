@@ -150,7 +150,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # near-dup maintenance row — fresh code outranks a hold; time-series
     # stays represented by win_/fn_datetime coverage and local gates)
     "stream_lh_neardup",
-    "lh_shallow_clone",
+    # (lh_shallow_clone's r11 hold slot goes to the NEW probe-batch
+    # near-dup query — the asymmetric crawl-dedup path; clone stays
+    # local-gated + pytest-pinned)
+    "lh_neardup_probe_batch",
     "lh_compact_partition",
     # lakehouse lifecycle + maintenance (r9 first-timers hold; NEW
     # partition-scoped MERGE INTO + HLL distinct rollup; post-freeze
