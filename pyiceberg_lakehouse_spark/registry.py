@@ -54,8 +54,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # watermark-complete stream-stream join modes
 # (stream_stream_{left,right,full,semi,anti}_join) — after which every
 # oracle-checkable query in the registry has had a driver window slot;
-# plus the round's ONE new capability row, the ISO BMFF sample-table
-# demux multimodal_mp4_samples (VERDICT r10 task #7).
+# plus every oracle-checkable query NEW this round, in its own round per
+# the standing no-tail principle: the ISO BMFF sample-table demux
+# multimodal_mp4_samples (VERDICT r10 task #7), the incremental near-dup
+# signature index's three faces (lh_neardup_index_selfcheck,
+# lh_neardup_probe_batch, stream_lh_neardup), and the SimHash
+# planted-recall twin dedup_simhash_selfcheck.
 # Rotated OUT, per the standing principles: four second-round holds green
 # in BOTH r9 and r10 (multimodal_png_decode, multimodal_jpeg_roundtrip,
 # dedup_components_exact, lh_datasource_write_roundtrip) and four r10
