@@ -95,3 +95,37 @@ def test_corruption_rejected():
         demux_mp4(bytes(bad))
     with pytest.raises(ValueError):
         demux_mp4(b"\x00\x00\x00\x08junk")  # no ftyp
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=40),
+    spc=st.integers(min_value=1, max_value=7),
+    sync_every=st.integers(min_value=1, max_value=9),
+    delta=st.integers(min_value=1, max_value=10_000),
+    seed=st.integers(min_value=0, max_value=255),
+)
+def test_roundtrip_property(sizes, spc, sync_every, delta, seed):
+    """Any sample-size sequence, chunking, sync cadence and timing must
+    survive the write -> demux roundtrip byte- and field-exactly."""
+    payloads = [
+        bytes((seed + i * 31 + j * 7) % 256 for j in range(n))
+        for i, n in enumerate(sizes)
+    ]
+    n = len(payloads)
+    mp4 = make_mp4_media(
+        payloads,
+        stts_runs=[(n, delta)],
+        sync_every=sync_every,
+        samples_per_chunk=spc,
+    )
+    out = demux_mp4(mp4)
+    assert [s["data"] for s in out] == payloads
+    assert [s["dts"] for s in out] == [i * delta for i in range(n)]
+    assert [s["is_sync"] for s in out] == [i % sync_every == 0 for i in range(n)]
+    for s in out:
+        assert mp4[s["offset"] : s["offset"] + s["size"]] == s["data"]
