@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyiceberg_lakehouse_spark.lakehouse.table import LakehouseTable
-from pyiceberg_lakehouse_spark.operators.dedup import minhash_signatures
+from pyiceberg_lakehouse_spark.operators.dedup import banded_signature_rows
 
 
 def _band_rows(
@@ -49,26 +49,18 @@ def _band_rows(
     bands: int,
     k: int,
 ) -> DataFrame:
-    """(doc_id, band, bh) rows: the signature folded to one md5 bucket key
-    per band. Docs shorter than k tokens have no shingles, hence no rows —
-    they cannot near-duplicate anything through this index."""
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",", *[F.col(f"mh_{bi * rows + r}") for r in range(rows)]
-                )
-            ).alias("bh"),
-        )
-        for bi in range(bands)
-    ]
-    return sig.select(
+    """(doc_id, band, bh) rows via THE shared banding construction
+    (operators/dedup.py::banded_signature_rows — one implementation, so
+    index and ad-hoc LSH band keys can never drift), with the storage
+    types pinned for the persisted table. Docs shorter than k tokens
+    have no shingles, hence no rows — they cannot near-duplicate
+    anything through this index."""
+    rows = banded_signature_rows(df, text_col, id_col, num_hashes, bands, k)
+    return rows.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(F.array(*band_cols)).alias("b"),
-    ).select("doc_id", F.col("b.band").cast("int").alias("band"), F.col("b.bh").alias("bh"))
+        F.col("band").cast("int").alias("band"),
+        "bh",
+    )
 
 
 def create_neardup_index(

@@ -1267,34 +1267,22 @@ def lh_neardup_index_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         neardup_candidates,
         refresh_neardup_index,
     )
-    from pyiceberg_lakehouse_spark.operators.dedup import normalize_text
+    from pyiceberg_lakehouse_spark.operators.dedup import (
+        plant_exact_duplicates,
+        verify_exact_pairs,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     lh = Lakehouse(spark, _warehouse())
     t = lh.create_table("ns.nd_corpus", docs.schema)
     t.append(docs.filter(F.col("doc_id") % 2 == 0))
     idx = create_neardup_index(lh, t, "ns.nd_sig_index")
-    planted = (
-        docs.filter(F.col("doc_id") % 5 == 3)
-        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000).cast("long"))
-        .withColumn("text", F.upper(F.regexp_replace(F.col("text"), " ", "  ")))
-    )
+    planted = plant_exact_duplicates(docs, modulus=5, residue=3)
     t.append(docs.filter(F.col("doc_id") % 2 == 1).unionByName(planted))
     info = refresh_neardup_index(idx, t)
     if info["mode"] != "incremental":
         raise AssertionError(f"refresh fell back to {info['mode']}")
-    cand = neardup_candidates(idx)
-    corpus = t.scan().select(
-        F.col("doc_id"), normalize_text(F.col("text")).alias("_norm")
-    )
-    na = corpus.select(F.col("doc_id").alias("id_a"), F.col("_norm").alias("ta"))
-    nb = corpus.select(F.col("doc_id").alias("id_b"), F.col("_norm").alias("tb"))
-    return (
-        cand.join(na, "id_a")
-        .join(nb, "id_b")
-        .filter(F.col("ta") == F.col("tb"))
-        .select("id_a", "id_b", F.lit(True).alias("exact_dup"))
-    )
+    return verify_exact_pairs(neardup_candidates(idx), t.scan())
 
 
 @register(
@@ -1320,31 +1308,19 @@ def lh_neardup_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         create_neardup_index,
         neardup_candidates,
     )
-    from pyiceberg_lakehouse_spark.operators.dedup import normalize_text
+    from pyiceberg_lakehouse_spark.operators.dedup import (
+        plant_exact_duplicates,
+        verify_exact_pairs,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     lh = Lakehouse(spark, _warehouse())
     t = lh.create_table("ns.nd_probe_corpus", docs.schema)
-    planted = (
-        docs.filter(F.col("doc_id") % 5 == 3)
-        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000).cast("long"))
-        .withColumn("text", F.upper(F.regexp_replace(F.col("text"), " ", "  ")))
-    )
+    planted = plant_exact_duplicates(docs, modulus=5, residue=3)
     t.append(docs.unionByName(planted))
     idx = create_neardup_index(lh, t, "ns.nd_probe_index")
-    probe = planted.select("doc_id")
-    cand = neardup_candidates(idx, probe_ids=probe)
-    corpus = t.scan().select(
-        "doc_id", normalize_text(F.col("text")).alias("_n")
-    )
-    na = corpus.select(F.col("doc_id").alias("id_a"), F.col("_n").alias("ta"))
-    nb = corpus.select(F.col("doc_id").alias("id_b"), F.col("_n").alias("tb"))
-    return (
-        cand.join(na, "id_a")
-        .join(nb, "id_b")
-        .filter(F.col("ta") == F.col("tb"))
-        .select("id_a", "id_b", F.lit(True).alias("exact_dup"))
-    )
+    cand = neardup_candidates(idx, probe_ids=planted.select("doc_id"))
+    return verify_exact_pairs(cand, t.scan())
 
 
 @register(

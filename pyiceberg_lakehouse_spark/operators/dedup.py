@@ -264,6 +264,43 @@ def _coef(i: int, salt: int) -> int:
     return x * 2 + 1  # odd, in [1, 2p)
 
 
+def banded_signature_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    checkpoint_signatures: bool = False,
+) -> DataFrame:
+    """(id, band, bh) rows: the MinHash signature folded to one md5
+    bucket key per band — THE banding construction, shared by the ad-hoc
+    LSH pair join (minhash_lsh_pairs) and the persisted incremental
+    index (lakehouse/neardup.py), so the two can never drift apart on
+    hash family, fold separator, or band split: identical text produces
+    byte-identical band keys through either path."""
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    if checkpoint_signatures:
+        sig = sig.localCheckpoint(eager=False)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"mh_{bi * rows + r}") for r in range(rows)]
+                )
+            ).alias("bh"),
+        )
+        for bi in range(bands)
+    ]
+    return sig.select(id_col, F.explode(F.array(*band_cols)).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -281,7 +318,6 @@ def minhash_lsh_pairs(
     band_hash), never an all-pairs product. With ``verify_threshold`` set,
     candidates are re-checked with exact Jaccard (on candidates only).
     """
-    rows = num_hashes // bands
     # checkpoint_signatures=True (default): the round-6 A/B — the first
     # clean one: explicit flag on both arms plus an untimed warmup so
     # neither arm rides the other's page cache (the r5 "checkpoint loses"
@@ -295,20 +331,9 @@ def minhash_lsh_pairs(
     # not here, so they cannot go stale — tests/test_advice_fixes.py
     # asserts the cited keys exist). The flag remains so the harness keeps
     # the comparison honest round over round.
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
-    if checkpoint_signatures:
-        sig = sig.localCheckpoint(eager=False)
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.md5(F.concat_ws(",", *[F.col(f"mh_{bi * rows + r}") for r in range(rows)])).alias(
-                "bh"
-            ),
-        )
-        for bi in range(bands)
-    ]
-    banded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("b")).select(
-        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    banded = banded_signature_rows(
+        df, text_col, id_col, num_hashes, bands, k,
+        checkpoint_signatures=checkpoint_signatures,
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
@@ -547,3 +572,51 @@ def semantic_dedup(
         exact=False,  # threshold consumer: the 5x-faster double fold
     )
     return dedup_groups_keep_canonical(df, pairs, id_col=id_col)
+
+
+def plant_exact_duplicates(
+    df: DataFrame,
+    modulus: int,
+    residue: int,
+    id_offset: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Differential-test device shared by the planted-recall self-checks
+    (dedup_simhash_selfcheck, lh_neardup_index_selfcheck,
+    lh_neardup_probe_batch, stream_lh_neardup and their pytests): one
+    copy of every ``id % modulus == residue`` row, id shifted by
+    ``id_offset``, raw bytes perturbed (uppercased, doubled spaces) but
+    NORMALIZED text identical — so any normalization-then-fingerprint
+    path must pair copy with original deterministically, and an oracle
+    can state the pair set closed-form. The perturbation is the
+    correctness premise; keep it in exactly one place."""
+    return (
+        df.filter(F.col(id_col) % modulus == residue)
+        .withColumn(id_col, F.col(id_col) + F.lit(id_offset).cast("long"))
+        .withColumn(
+            text_col, F.upper(F.regexp_replace(F.col(text_col), " ", "  "))
+        )
+    )
+
+
+def verify_exact_pairs(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact verification at the strictest level: keep candidate pairs
+    whose normalized text is identical -> (id_a, id_b, exact_dup=true).
+    The candidate-only twin of verify_pairs_jaccard for threshold 1."""
+    norm = corpus.select(
+        F.col(id_col).alias("_vid"), normalize_text(F.col(text_col)).alias("_vn")
+    )
+    na = norm.select(F.col("_vid").alias("id_a"), F.col("_vn").alias("ta"))
+    nb = norm.select(F.col("_vid").alias("id_b"), F.col("_vn").alias("tb"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(F.col("ta") == F.col("tb"))
+        .select("id_a", "id_b", F.lit(True).alias("exact_dup"))
+    )

@@ -1233,8 +1233,10 @@ def demux_mp4(payload: bytes) -> list[dict]:
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an MP4 (missing ftyp)")
     tables: dict[bytes, tuple[int, int]] = {}
+    n_traks = 0
 
     def walk(lo: int, hi: int) -> None:
+        nonlocal n_traks
         pos = lo
         while pos + 8 <= hi:
             size, btype = _struct.unpack_from(">I4s", payload, pos)
@@ -1245,17 +1247,37 @@ def demux_mp4(payload: bytes) -> list[dict]:
             if size < 8 or pos + size > hi:
                 raise ValueError("corrupt MP4 box")
             if btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                if btype == b"trak":
+                    n_traks += 1
                 walk(body, pos + size)
             elif btype in (b"stts", b"stsc", b"stsz", b"stco", b"co64", b"stss"):
                 tables[btype] = (body, pos + size)
             pos += size
 
     walk(0, len(payload))
+    # the flat `tables` dict holds ONE sample-table set; a second trak
+    # would overwrite the first's boxes per-type and silently mix tracks
+    # (e.g. the video trak's stss applied to audio samples) — refuse
+    # rather than guess; probe_mp4 handles multi-track metadata
+    if n_traks > 1:
+        raise ValueError(
+            f"{n_traks} traks: single-track demux only — demux each "
+            "trak's stbl separately (multi-track routing out of scope)"
+        )
     for req in (b"stts", b"stsc", b"stsz"):
         if req not in tables:
             raise ValueError(f"missing {req.decode()} sample table")
     if b"stco" not in tables and b"co64" not in tables:
         raise ValueError("missing chunk-offset table (stco/co64)")
+
+    def header_of(btype: bytes, header_bytes: int) -> int:
+        """Bounds-checked FullBox header start: the fixed header fields
+        themselves must fit inside the box — an 8-byte husk box must
+        raise, not read the NEXT box's bytes as its counts."""
+        lo, hi = tables[btype]
+        if lo + 4 + header_bytes > hi:
+            raise ValueError(f"{btype.decode()} box too small for its header")
+        return lo + 4  # skip FullBox version/flags
 
     def table_body(btype: bytes, entry_bytes: int, count: int, header: int = 4) -> int:
         """Bounds-checked FullBox table start: the declared entry count
@@ -1263,23 +1285,28 @@ def demux_mp4(payload: bytes) -> list[dict]:
         next box is corruption, not data (and an unchecked one turns a
         hostile file into an unbounded expansion loop)."""
         lo, hi = tables[btype]
-        body = lo + 4  # skip FullBox version/flags
+        body = header_of(btype, header)
         if body + header + entry_bytes * count > hi:
             raise ValueError(f"{btype.decode()} entry count exceeds its box")
         return body
 
-    lo, hi = tables[b"stsz"]
-    fixed, n = _struct.unpack_from(">II", payload, lo + 4)
-    if n > 0 and not fixed:
+    fixed, n = _struct.unpack_from(">II", payload, header_of(b"stsz", 8))
+    if fixed:
+        # fixed-size path has no per-sample table to bound the count, but
+        # the samples must still live inside the file: fixed*n beyond the
+        # file size is corruption, not a 34 GB list allocation
+        if fixed * n > len(payload):
+            raise ValueError("stsz fixed-size total exceeds the file size")
+    elif n > 0:
         table_body(b"stsz", 4, n, header=8)
     sizes = (
         [fixed] * n
         if fixed
-        else list(_struct.unpack_from(f">{n}I", payload, lo + 12))
+        else list(_struct.unpack_from(f">{n}I", payload, tables[b"stsz"][0] + 12))
     )
 
     lo = table_body(
-        b"stts", 8, _struct.unpack_from(">I", payload, tables[b"stts"][0] + 4)[0]
+        b"stts", 8, _struct.unpack_from(">I", payload, header_of(b"stts", 4))[0]
     )
     (n_runs,) = _struct.unpack_from(">I", payload, lo)
     dts: list[int] = []
@@ -1297,15 +1324,15 @@ def demux_mp4(payload: bytes) -> list[dict]:
         raise ValueError("stts sample count disagrees with stsz")
 
     if b"stco" in tables:
-        (n_chunks,) = _struct.unpack_from(">I", payload, tables[b"stco"][0] + 4)
+        (n_chunks,) = _struct.unpack_from(">I", payload, header_of(b"stco", 4))
         lo = table_body(b"stco", 4, n_chunks)
         chunk_offsets = list(_struct.unpack_from(f">{n_chunks}I", payload, lo + 4))
     else:
-        (n_chunks,) = _struct.unpack_from(">I", payload, tables[b"co64"][0] + 4)
+        (n_chunks,) = _struct.unpack_from(">I", payload, header_of(b"co64", 4))
         lo = table_body(b"co64", 8, n_chunks)
         chunk_offsets = list(_struct.unpack_from(f">{n_chunks}Q", payload, lo + 4))
 
-    (n_entries,) = _struct.unpack_from(">I", payload, tables[b"stsc"][0] + 4)
+    (n_entries,) = _struct.unpack_from(">I", payload, header_of(b"stsc", 4))
     lo = table_body(b"stsc", 12, n_entries)
     runs = [
         _struct.unpack_from(">III", payload, lo + 4 + 12 * k) for k in range(n_entries)
@@ -1320,7 +1347,7 @@ def demux_mp4(payload: bytes) -> list[dict]:
         raise ValueError("stsc chunk runs disagree with stco")
 
     if b"stss" in tables:
-        (n_sync,) = _struct.unpack_from(">I", payload, tables[b"stss"][0] + 4)
+        (n_sync,) = _struct.unpack_from(">I", payload, header_of(b"stss", 4))
         lo = table_body(b"stss", 4, n_sync)
         sync: set[int] | None = set(
             _struct.unpack_from(f">{n_sync}I", payload, lo + 4)

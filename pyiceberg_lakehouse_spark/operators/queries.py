@@ -151,23 +151,11 @@ def dedup_simhash_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-verified (normalized-text equality). A wrong bit-vote, pack,
     or band split loses pairs and flips the row count/hash."""
     docs = load_table(spark, sf_dir, "documents")
-    planted = (
-        docs.filter(F.col("doc_id") % 7 == 2)
-        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000).cast("long"))
-        .withColumn("text", F.upper(F.regexp_replace(F.col("text"), " ", "  ")))
+    corpus = docs.unionByName(
+        dedup.plant_exact_duplicates(docs, modulus=7, residue=2)
     )
-    corpus = docs.unionByName(planted)
-    cand = dedup.simhash_near_dup_pairs(corpus)
-    norm = corpus.select(
-        "doc_id", dedup.normalize_text(F.col("text")).alias("_n")
-    )
-    na = norm.select(F.col("doc_id").alias("id_a"), F.col("_n").alias("ta"))
-    nb = norm.select(F.col("doc_id").alias("id_b"), F.col("_n").alias("tb"))
-    return (
-        cand.join(na, "id_a")
-        .join(nb, "id_b")
-        .filter(F.col("ta") == F.col("tb"))
-        .select("id_a", "id_b", F.lit(True).alias("exact_dup"))
+    return dedup.verify_exact_pairs(
+        dedup.simhash_near_dup_pairs(corpus), corpus
     )
 
 

@@ -278,23 +278,24 @@ def write_stream_with_rollup(
     return writer.start()
 
 
-def write_stream_with_text_index(
+def write_stream_with_index(
     stream_df: DataFrame,
     table: LakehouseTable,
     index: LakehouseTable,
     checkpoint_dir: str,
+    refresh_fn,
     available_now: bool = True,
 ) -> StreamingQuery:
-    """Continuous LEXICAL-search maintenance: the exactly-once micro-batch
-    append sink composed with ``refresh_text_index`` — the inverted index
-    tracks the document stream at micro-batch granularity, tokenizing only
-    each batch's files (the index cursor advances along the snapshot log;
-    the corpus is never re-read). Replays are idempotent the same two ways
-    as the rollup sink: committed batch ids skip the append, and a refresh
-    with no new snapshot is a noop."""
-    from pyiceberg_lakehouse_spark.lakehouse.text_index import (
-        refresh_text_index,
-    )
+    """THE index-maintaining sink: the exactly-once micro-batch append
+    composed with an arbitrary cursor-based index refresh
+    (``refresh_fn(index, source_table) -> dict``) — one implementation
+    of the replay protocol (committed batch ids skip the append, a
+    refresh with no new snapshot is a noop, log reloads make restarts
+    see prior commits) shared by the text-index and near-dup sinks
+    below, so a fix to the exactly-once logic lands everywhere at once.
+    Each batch's refresh processes only that batch's files: the index
+    cursor advances along the snapshot log and the corpus is never
+    re-read."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         table.log.load()
@@ -303,7 +304,7 @@ def write_stream_with_text_index(
                 return
             table.append(batch_df, summary={"streaming_batch_id": batch_id})
         index.log.load()
-        refresh_text_index(index, table)
+        refresh_fn(index, table)
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)
@@ -313,6 +314,27 @@ def write_stream_with_text_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_stream_with_text_index(
+    stream_df: DataFrame,
+    table: LakehouseTable,
+    index: LakehouseTable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous LEXICAL-search maintenance: the shared index sink with
+    ``refresh_text_index`` — the inverted index tracks the document
+    stream at micro-batch granularity, tokenizing only each batch's
+    files."""
+    from pyiceberg_lakehouse_spark.lakehouse.text_index import (
+        refresh_text_index,
+    )
+
+    return write_stream_with_index(
+        stream_df, table, index, checkpoint_dir, refresh_text_index,
+        available_now=available_now,
+    )
 
 
 def write_stream_with_neardup_index(
@@ -328,28 +350,12 @@ def write_stream_with_neardup_index(
     granularity, re-signaturing only each batch's files (the cursor
     advances along the snapshot log; the corpus is never re-read). This
     is the production crawl-ingest shape: every arriving batch becomes
-    immediately near-dup-queryable against everything before it. Replays
-    are idempotent the same two ways as the rollup/text-index sinks:
-    committed batch ids skip the append, and a refresh with no new
-    snapshot is a noop."""
+    immediately near-dup-queryable against everything before it."""
     from pyiceberg_lakehouse_spark.lakehouse.neardup import (
         refresh_neardup_index,
     )
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        table.log.load()
-        if batch_id not in committed_batch_ids(table):
-            if batch_df.isEmpty():
-                return
-            table.append(batch_df, summary={"streaming_batch_id": batch_id})
-        index.log.load()
-        refresh_neardup_index(index, table)
-
-    writer = (
-        stream_df.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
+    return write_stream_with_index(
+        stream_df, table, index, checkpoint_dir, refresh_neardup_index,
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

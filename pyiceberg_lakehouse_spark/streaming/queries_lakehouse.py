@@ -880,18 +880,17 @@ def stream_lh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         create_neardup_index,
         neardup_candidates,
     )
-    from pyiceberg_lakehouse_spark.operators.dedup import normalize_text
+    from pyiceberg_lakehouse_spark.operators.dedup import (
+        plant_exact_duplicates,
+        verify_exact_pairs,
+    )
     from pyiceberg_lakehouse_spark.streaming.lakehouse_io import (
         write_stream_with_neardup_index,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 5 < 2)
-    planted = (
-        docs.filter(F.col("doc_id") % 4 == 1)
-        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000).cast("long"))
-        .withColumn("text", F.upper(F.regexp_replace(F.col("text"), " ", "  ")))
-    )
+    planted = plant_exact_duplicates(docs, modulus=4, residue=1)
     rest = docs.filter(F.col("doc_id") % 5 >= 2).unionByName(planted)
     work = session_tmpdir(prefix="nd_stream_")
     lh = Lakehouse(spark, os.path.join(work, "wh"))
@@ -910,13 +909,4 @@ def stream_lh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = write_stream_with_neardup_index(stream, t, idx, os.path.join(work, "ckpt"))
     q.awaitTermination()
 
-    cand = neardup_candidates(idx)
-    corpus = t.scan().select("doc_id", normalize_text(F.col("text")).alias("_n"))
-    na = corpus.select(F.col("doc_id").alias("id_a"), F.col("_n").alias("ta"))
-    nb = corpus.select(F.col("doc_id").alias("id_b"), F.col("_n").alias("tb"))
-    return (
-        cand.join(na, "id_a")
-        .join(nb, "id_b")
-        .filter(F.col("ta") == F.col("tb"))
-        .select("id_a", "id_b", F.lit(True).alias("exact_dup"))
-    )
+    return verify_exact_pairs(neardup_candidates(idx), t.scan())

@@ -129,3 +129,46 @@ def test_roundtrip_property(sizes, spc, sync_every, delta, seed):
     assert [s["is_sync"] for s in out] == [i % sync_every == 0 for i in range(n)]
     for s in out:
         assert mp4[s["offset"] : s["offset"] + s["size"]] == s["data"]
+
+
+def test_hostile_fixed_size_count_rejected_before_allocation():
+    """A fixed-size stsz claiming 50M samples of 50 bytes fits any box
+    header but not the file — must raise, not allocate a 400 MB list."""
+    mp4 = bytearray(make_mp4_media([bytes(50)] * 4, stts_runs=[(4, 10)]))
+    i = bytes(mp4).find(b"stsz")
+    struct.pack_into(">B3xII", mp4, i + 4, 0, 50, 50_000_000)
+    with pytest.raises(ValueError):
+        demux_mp4(bytes(mp4))
+
+
+def test_multi_track_refused_not_mixed():
+    """Two traks would overwrite each other's sample tables in the flat
+    box dict (e.g. video stss applied to audio samples) — the demux must
+    refuse rather than silently mix tracks."""
+    mp4 = make_mp4_media(_samples(4), stts_runs=[(4, 10)])
+    # graft a second (empty) trak into moov: locate moov, append a
+    # minimal trak box by rebuilding the file with the boxes re-wrapped
+    moov_at = mp4.find(b"moov") - 4
+    moov_size = struct.unpack_from(">I", mp4, moov_at)[0]
+    fake_trak = struct.pack(">I4s", 8, b"trak")
+    new_moov_body = mp4[moov_at + 8 : moov_at + moov_size] + fake_trak
+    new_moov = struct.pack(">I4s", 8 + len(new_moov_body), b"moov") + new_moov_body
+    doctored = mp4[:moov_at] + new_moov + mp4[moov_at + moov_size :]
+    with pytest.raises(ValueError, match="trak"):
+        demux_mp4(doctored)
+
+
+def test_husk_box_header_rejected():
+    """An 8-byte stsz husk (no room for its own header fields) must
+    raise instead of parsing the next box's bytes as sample counts."""
+    mp4 = make_mp4_media(_samples(3), stts_runs=[(3, 10)])
+    i = mp4.find(b"stsz") - 4
+    old_size = struct.unpack_from(">I", mp4, i)[0]
+    # shrink stsz to a husk and pad the freed bytes as a free box so the
+    # sibling walk still parses
+    doctored = bytearray(mp4)
+    struct.pack_into(">I", doctored, i, 8)
+    freed = old_size - 8
+    struct.pack_into(">I4s", doctored, i + 8, freed, b"free")
+    with pytest.raises(ValueError):
+        demux_mp4(bytes(doctored))

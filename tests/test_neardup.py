@@ -29,11 +29,9 @@ def _corpus(spark, warehouse):
 
 
 def _planted(docs):
-    return (
-        docs.filter(F.col("doc_id") % 5 == 3)
-        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000).cast("long"))
-        .withColumn("text", F.upper(F.regexp_replace(F.col("text"), " ", "  ")))
-    )
+    from pyiceberg_lakehouse_spark.operators.dedup import plant_exact_duplicates
+
+    return plant_exact_duplicates(docs, modulus=5, residue=3)
 
 
 def test_incremental_refresh_equals_full_rebuild(spark, warehouse):
