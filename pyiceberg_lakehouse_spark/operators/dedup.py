@@ -605,18 +605,34 @@ def verify_exact_pairs(
     corpus: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    planted_offset: int | None = 1_000_000,
 ) -> DataFrame:
     """Exact verification at the strictest level: keep candidate pairs
     whose normalized text is identical -> (id_a, id_b, exact_dup=true).
-    The candidate-only twin of verify_pairs_jaccard for threshold 1."""
+    The candidate-only twin of verify_pairs_jaccard for threshold 1.
+
+    ``planted_offset`` (default: plant_exact_duplicates' id shift)
+    additionally restricts output to original/copy-SHAPED pairs
+    (id_b - id_a == offset). This makes the self-check oracles robust
+    at ANY scale factor: a corpus that happens to contain NATURAL
+    normalized-text duplicates (sf0.1 has 8 such pairs) would otherwise
+    surface text-equal pairs the closed-form planted oracle cannot
+    state. A natural pair can never satisfy the shape (both ids below
+    the offset), and a copy pairs at exactly the offset only with its
+    own original — so the filtered set equals the planted set at every
+    scale, while recall through the banded index is still the claim
+    being checked. Pass None to keep every text-equal pair."""
     norm = corpus.select(
         F.col(id_col).alias("_vid"), normalize_text(F.col(text_col)).alias("_vn")
     )
     na = norm.select(F.col("_vid").alias("id_a"), F.col("_vn").alias("ta"))
     nb = norm.select(F.col("_vid").alias("id_b"), F.col("_vn").alias("tb"))
-    return (
+    out = (
         pairs.join(na, "id_a")
         .join(nb, "id_b")
         .filter(F.col("ta") == F.col("tb"))
         .select("id_a", "id_b", F.lit(True).alias("exact_dup"))
     )
+    if planted_offset is not None:
+        out = out.filter(F.col("id_b") - F.col("id_a") == planted_offset)
+    return out
