@@ -116,13 +116,21 @@ def refresh_neardup_index(idx: LakehouseTable, source: LakehouseTable) -> dict:
     try:
         delta = source.read_incremental(cursor, head)
         new_rows = _band_rows(delta, text_col, id_col, num_hashes, bands, k)
-        idx.log.properties["neardup.last-snapshot"] = str(head)
+        # cursor moves via set_properties AFTER the append commits: append's
+        # concurrent-conflict retry resets in-memory properties from disk,
+        # so a pre-mutated cursor would silently revert under a concurrent
+        # writer and the next refresh would re-append the same delta.
+        # Append-then-advance leaves only a crash window, where a re-append
+        # is tolerated (candidate pairs are distinct()-deduped).
         idx.append(new_rows)
+        idx.set_properties({"neardup.last-snapshot": str(head)})
         mode = "incremental"
     except (ValueError, KeyError):
         rows_df = _band_rows(
             source.scan(), text_col, id_col, num_hashes, bands, k
         )
+        # overwrite never auto-retries (non-commutative), so the in-memory
+        # mutation persists atomically with the commit or the commit raises
         idx.log.properties["neardup.last-snapshot"] = str(head)
         idx.overwrite(rows_df, summary={"op": "neardup_rebuild"})
         mode = "full"

@@ -114,15 +114,26 @@ def refresh_text_index(idx: LakehouseTable, source: LakehouseTable) -> dict:
         delta = source.read_incremental(cursor, head)
         new_postings = _postings(delta, text_col, id_col)
         dn, ds = _corpus_stats(new_postings)
-        idx.log.properties["textindex.last-snapshot"] = str(head)
-        # stats are additive under append: new documents only
-        idx.log.properties["textindex.n-docs"] = str(
-            int(idx.log.properties.get("textindex.n-docs", "0")) + dn
-        )
-        idx.log.properties["textindex.sum-doc-len"] = str(
-            int(idx.log.properties.get("textindex.sum-doc-len", "0")) + ds
-        )
+        # cursor + additive BM25 stats move via set_properties AFTER the
+        # append commits: append's concurrent-conflict retry resets
+        # in-memory properties from disk, so pre-mutated values would
+        # silently revert under a concurrent writer — the next refresh
+        # would then re-append the same postings AND double-count the
+        # n-docs/sum-doc-len stats, skewing BM25. Append-then-advance
+        # leaves only a crash window.
         idx.append(new_postings)
+        idx.set_properties(
+            {
+                "textindex.last-snapshot": str(head),
+                # stats are additive under append: new documents only
+                "textindex.n-docs": str(
+                    int(idx.log.properties.get("textindex.n-docs", "0")) + dn
+                ),
+                "textindex.sum-doc-len": str(
+                    int(idx.log.properties.get("textindex.sum-doc-len", "0")) + ds
+                ),
+            }
+        )
         mode = "incremental"
     except (ValueError, KeyError):
         postings = _postings(source.scan(), text_col, id_col)

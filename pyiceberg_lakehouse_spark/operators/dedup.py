@@ -590,7 +590,21 @@ def plant_exact_duplicates(
     NORMALIZED text identical — so any normalization-then-fingerprint
     path must pair copy with original deterministically, and an oracle
     can state the pair set closed-form. The perturbation is the
-    correctness premise; keep it in exactly one place."""
+    correctness premise; keep it in exactly one place.
+
+    The closed-form oracles hold only while every natural id stays below
+    ``id_offset`` (above it, planted ids collide with natural ones and a
+    natural text-equal pair can fake the verify_exact_pairs offset
+    shape), so that premise is CHECKED here — a 1-row aggregate — and a
+    too-large corpus fails loudly instead of corrupting the self-check."""
+    max_id = df.agg(F.max(F.col(id_col)).cast("long")).collect()[0][0]
+    if max_id is not None and max_id >= id_offset:
+        raise ValueError(
+            f"plant_exact_duplicates: max({id_col})={max_id} >= "
+            f"id_offset={id_offset}; planted ids would collide with "
+            "natural ids and the offset-shape oracle would be unsound — "
+            "raise id_offset above the corpus id range"
+        )
     return (
         df.filter(F.col(id_col) % modulus == residue)
         .withColumn(id_col, F.col(id_col) + F.lit(id_offset).cast("long"))

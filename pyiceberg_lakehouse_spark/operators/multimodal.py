@@ -1005,6 +1005,8 @@ def probe_mp4(payload: bytes) -> tuple[str, int, int, int, int]:
         while pos + 8 <= hi:
             size, btype = _struct.unpack_from(">I4s", payload, pos)
             if size == 1:  # 64-bit largesize
+                if pos + 16 > hi:  # truncated largesize is corruption,
+                    raise ValueError("corrupt MP4 box")  # not struct.error
                 size = _struct.unpack_from(">Q", payload, pos + 8)[0]
                 body = pos + 16
             else:
@@ -1209,6 +1211,8 @@ def mp4_mdat_start(payload: bytes) -> int:
         size, btype = _struct.unpack_from(">I4s", payload, pos)
         body = pos + 8
         if size == 1:
+            if pos + 16 > len(payload):  # truncated largesize: ValueError,
+                raise ValueError("corrupt MP4 box")  # not struct.error
             size = _struct.unpack_from(">Q", payload, pos + 8)[0]
             body = pos + 16
         if size < 8 or pos + size > len(payload):
@@ -1242,6 +1246,8 @@ def demux_mp4(payload: bytes) -> list[dict]:
             size, btype = _struct.unpack_from(">I4s", payload, pos)
             body = pos + 8
             if size == 1:
+                if pos + 16 > hi:  # truncated largesize is corruption,
+                    raise ValueError("corrupt MP4 box")  # not struct.error
                 size = _struct.unpack_from(">Q", payload, pos + 8)[0]
                 body = pos + 16
             if size < 8 or pos + size > hi:
