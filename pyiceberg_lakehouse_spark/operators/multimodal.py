@@ -29,6 +29,7 @@ import hashlib
 import struct as _struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -1096,112 +1097,212 @@ def make_mp4_media(
     samples_per_chunk: int = 3,
     timescale: int = 1000,
 ) -> bytes:
-    """Playable-layout ISO BMFF: ftyp + moov(trak/mdia/minf/stbl) + mdat
-    carrying the given sample payloads.
+    """Playable-layout single-track ISO BMFF: ftyp + moov(trak/mdia/minf/
+    stbl) + mdat carrying the given sample payloads — the one-track face
+    of :func:`make_mp4_media_multi` (one builder, so single- and
+    multi-track layouts can never drift).
 
     Every sample-table entry derives from the ACTUAL mdat layout: stts
     holds the given (count, delta) runs, stss marks every
     ``sync_every``-th sample (1-based), stsc holds a constant
     ``samples_per_chunk`` run plus a ragged final run when it doesn't
-    divide, stsz is per-sample, and stco holds absolute file offsets —
-    the moov is built twice (once to measure its length, then re-emitted
-    with patched stco), the standard faststart layout trick. The stsd
-    entry is minimal (codec config is out of scope — the demuxer maps
-    samples, it does not decode them)."""
-    n = len(samples)
-    if sum(c for c, _ in stts_runs) != n:
-        raise ValueError("stts run counts must sum to the sample count")
-    dur = sum(c * d for c, d in stts_runs)
-    sizes = [len(s) for s in samples]
-    n_chunks = max((n + samples_per_chunk - 1) // samples_per_chunk, 1)
-
-    stsd = _box(
-        b"stsd",
-        _struct.pack(">B3xI", 0, 1)
-        + _box(b"mp4v", b"\x00" * 6 + _struct.pack(">H", 1)),
-    )
-    stts = _box(
-        b"stts",
-        _struct.pack(">B3xI", 0, len(stts_runs))
-        + b"".join(_struct.pack(">II", c, d) for c, d in stts_runs),
-    )
-    sync = [i for i in range(n) if i % sync_every == 0]
-    stss = _box(
-        b"stss",
-        _struct.pack(">B3xI", 0, len(sync))
-        + b"".join(_struct.pack(">I", i + 1) for i in sync),
-    )
-    if n_chunks == 1:
-        entries = [(1, n)]
-    else:
-        entries = [(1, samples_per_chunk)]
-        rem = n - (n_chunks - 1) * samples_per_chunk
-        if rem != samples_per_chunk:
-            entries.append((n_chunks, rem))
-    stsc = _box(
-        b"stsc",
-        _struct.pack(">B3xI", 0, len(entries))
-        + b"".join(_struct.pack(">III", fc, spc, 1) for fc, spc in entries),
-    )
-    stsz = _box(
-        b"stsz",
-        _struct.pack(">B3xII", 0, 0, n)
-        + b"".join(_struct.pack(">I", s) for s in sizes),
+    divide, stsz is per-sample, and stco holds absolute file offsets."""
+    return make_mp4_media_multi(
+        [
+            {
+                "samples": samples,
+                "stts_runs": stts_runs,
+                "handler": "vide",
+                "sync_every": sync_every,
+                "samples_per_chunk": samples_per_chunk,
+            }
+        ],
+        timescale=timescale,
     )
 
-    def build_moov(chunk_offsets: list[int]) -> bytes:
+
+def make_mp4_media_multi(
+    tracks: list[dict],
+    timescale: int = 1000,
+) -> bytes:
+    """Multi-track playable-layout ISO BMFF with INTERLEAVED chunks —
+    the layout real muxers emit (video chunk, audio chunk, video chunk,
+    ...), so each trak's stco points at non-contiguous mdat regions and
+    a demuxer's absolute-offset arithmetic is genuinely exercised
+    across traks.
+
+    Each track spec is a dict: ``samples`` (list[bytes], required),
+    ``stts_runs`` (list[(count, delta)], required), ``handler``
+    ('vide'|'soun', default 'vide'), ``codec`` (sample-entry fourcc;
+    defaults mp4v for vide, ulaw for soun), ``sync_every`` (int or None
+    for no stss — audio tracks typically carry none, every sample sync
+    per spec), ``samples_per_chunk`` (default 3).
+
+    Interleave rule (mirrored closed-form by the differential oracles):
+    chunks are laid out in ascending (chunk_index, track_position)
+    order — track 0's chunk k precedes track 1's chunk k, and a longer
+    track's tail chunks follow in order. The moov is built twice (once
+    to measure, then re-emitted with patched per-trak stco), the
+    standard faststart trick. Track k (0-based position) gets
+    track_ID k+1."""
+    if not tracks:
+        raise ValueError("at least one track required")
+    specs = []
+    for spec in tracks:
+        samples_t: list[bytes] = spec["samples"]
+        runs: list[tuple[int, int]] = spec["stts_runs"]
+        handler = spec.get("handler", "vide")
+        codec = spec.get("codec", "mp4v" if handler == "vide" else "ulaw")
+        sync_every = spec.get(
+            "sync_every", 4 if handler == "vide" else None
+        )
+        spc = spec.get("samples_per_chunk", 3)
+        n = len(samples_t)
+        if n == 0:
+            raise ValueError("a trak needs at least one sample")
+        if sum(c for c, _ in runs) != n:
+            raise ValueError("stts run counts must sum to the sample count")
+        sizes = [len(s) for s in samples_t]
+        n_chunks = max((n + spc - 1) // spc, 1)
+        if n_chunks == 1:
+            entries = [(1, n)]
+        else:
+            entries = [(1, spc)]
+            rem = n - (n_chunks - 1) * spc
+            if rem != spc:
+                entries.append((n_chunks, rem))
+        spc_by_chunk: list[int] = []
+        for c in range(1, n_chunks + 1):
+            run = entries[0]
+            for e in entries:
+                if c >= e[0]:
+                    run = e
+            spc_by_chunk.append(run[1])
+        chunk_payloads, idx = [], 0
+        for spc_c in spc_by_chunk:
+            chunk_payloads.append(b"".join(samples_t[idx : idx + spc_c]))
+            idx += spc_c
+        specs.append(
+            {
+                "handler": handler,
+                "codec": codec,
+                "sync_every": sync_every,
+                "n": n,
+                "sizes": sizes,
+                "runs": runs,
+                "entries": entries,
+                "n_chunks": n_chunks,
+                "chunk_payloads": chunk_payloads,
+                "dur": sum(c * d for c, d in runs),
+                "ts": spec.get("timescale", timescale),
+            }
+        )
+
+    def build_trak(t_i: int, sp: dict, chunk_offsets: list[int]) -> bytes:
+        if sp["handler"] == "soun":
+            # audio sample entry: reserved(6)+dref(2) then version/revision/
+            # vendor/channels/samplesize/compression/packet/rate(16.16)
+            entry_body = b"\x00" * 6 + _struct.pack(">H", 1)
+            entry_body += _struct.pack(">HH4xHHHHI", 0, 0, 1, 8, 0, 0, 8000 << 16)
+        else:
+            entry_body = b"\x00" * 6 + _struct.pack(">H", 1)
+        stsd = _box(
+            b"stsd",
+            _struct.pack(">B3xI", 0, 1)
+            + _box(sp["codec"].encode("latin-1"), entry_body),
+        )
+        stts = _box(
+            b"stts",
+            _struct.pack(">B3xI", 0, len(sp["runs"]))
+            + b"".join(_struct.pack(">II", c, d) for c, d in sp["runs"]),
+        )
+        stsc = _box(
+            b"stsc",
+            _struct.pack(">B3xI", 0, len(sp["entries"]))
+            + b"".join(
+                _struct.pack(">III", fc, spc_e, 1) for fc, spc_e in sp["entries"]
+            ),
+        )
+        stsz = _box(
+            b"stsz",
+            _struct.pack(">B3xII", 0, 0, sp["n"])
+            + b"".join(_struct.pack(">I", s) for s in sp["sizes"]),
+        )
         stco = _box(
             b"stco",
-            _struct.pack(">B3xI", 0, n_chunks)
+            _struct.pack(">B3xI", 0, sp["n_chunks"])
             + b"".join(_struct.pack(">I", o) for o in chunk_offsets),
         )
-        stbl = _box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
-        vmhd = _box(b"vmhd", _struct.pack(">B3s4H", 0, b"\x00\x00\x01", 0, 0, 0, 0))
-        minf = _box(b"minf", vmhd + stbl)
+        boxes = stsd + stts
+        if sp["sync_every"] is not None:
+            sync = [i for i in range(sp["n"]) if i % sp["sync_every"] == 0]
+            boxes += _box(
+                b"stss",
+                _struct.pack(">B3xI", 0, len(sync))
+                + b"".join(_struct.pack(">I", i + 1) for i in sync),
+            )
+        stbl = _box(b"stbl", boxes + stsc + stsz + stco)
+        if sp["handler"] == "soun":
+            mhd = _box(b"smhd", _struct.pack(">B3xHH", 0, 0, 0))
+        else:
+            mhd = _box(b"vmhd", _struct.pack(">B3s4H", 0, b"\x00\x00\x01", 0, 0, 0, 0))
+        minf = _box(b"minf", mhd + stbl)
         mdhd = _box(
             b"mdhd",
-            _struct.pack(">B3x4I", 0, 0, 0, timescale, dur)
+            _struct.pack(">B3x4I", 0, 0, 0, sp["ts"], sp["dur"])
             + _struct.pack(">HH", 0x55C4, 0),
         )
-        hdlr = _box(b"hdlr", _struct.pack(">B3x4x4s12x", 0, b"vide") + b"\x00")
+        hdlr = _box(
+            b"hdlr",
+            _struct.pack(">B3x4x4s12x", 0, sp["handler"].encode("latin-1"))
+            + b"\x00",
+        )
         mdia = _box(b"mdia", mdhd + hdlr + minf)
+        w, h = (64, 48) if sp["handler"] == "vide" else (0, 0)
         tkhd = _box(
             b"tkhd",
-            _struct.pack(">B3s3I4xI8x", 0, b"\x00\x00\x07", 0, 0, 1, dur)
+            _struct.pack(">B3s3I4xI8x", 0, b"\x00\x00\x07", 0, 0, t_i + 1, sp["dur"])
             + _struct.pack(">HHHH", 0, 0, 0, 0)
             + b"\x00" * 36
-            + _struct.pack(">II", 64 << 16, 48 << 16),
+            + _struct.pack(">II", w << 16, h << 16),
         )
-        trak = _box(b"trak", tkhd + mdia)
+        return _box(b"trak", tkhd + mdia)
+
+    def build_moov(offsets_by_track: list[list[int]]) -> bytes:
         mvhd = _box(
             b"mvhd",
-            _struct.pack(">B3x4I", 0, 0, 0, timescale, dur)
+            _struct.pack(
+                ">B3x4I", 0, 0, 0, timescale, max(sp["dur"] for sp in specs)
+            )
             + _struct.pack(">iH2x8x", 0x00010000, 0x0100)
             + b"\x00" * 36
             + b"\x00" * 24
-            + _struct.pack(">I", 2),
+            + _struct.pack(">I", len(specs) + 1),
         )
-        return _box(b"moov", mvhd + trak)
+        traks = b"".join(
+            build_trak(t_i, sp, offsets_by_track[t_i])
+            for t_i, sp in enumerate(specs)
+        )
+        return _box(b"moov", mvhd + traks)
 
     ftyp = _box(b"ftyp", b"isom" + _struct.pack(">I", 512) + b"isomiso2mp41")
-    moov_len = len(build_moov([0] * n_chunks))
+    moov_len = len(build_moov([[0] * sp["n_chunks"] for sp in specs]))
     mdat_base = len(ftyp) + moov_len + 8
 
-    spc_by_chunk: list[int] = []
-    for c in range(1, n_chunks + 1):
-        run = entries[0]
-        for e in entries:
-            if c >= e[0]:
-                run = e
-        spc_by_chunk.append(run[1])
-    offsets, acc, idx = [], mdat_base, 0
-    for spc in spc_by_chunk:
-        offsets.append(acc)
-        acc += sum(sizes[idx : idx + spc])
-        idx += spc
-    moov = build_moov(offsets)
+    # the interleave: ascending (chunk_idx, track_position)
+    order = sorted(
+        (ci, ti) for ti, sp in enumerate(specs) for ci in range(sp["n_chunks"])
+    )
+    offsets_by_track: list[list[int]] = [[0] * sp["n_chunks"] for sp in specs]
+    mdat_parts, acc = [], mdat_base
+    for ci, ti in order:
+        offsets_by_track[ti][ci] = acc
+        part = specs[ti]["chunk_payloads"][ci]
+        mdat_parts.append(part)
+        acc += len(part)
+    moov = build_moov(offsets_by_track)
     assert len(moov) == moov_len, "stco patch changed the moov length"
-    return ftyp + moov + _box(b"mdat", b"".join(samples))
+    return ftyp + moov + _box(b"mdat", b"".join(mdat_parts))
 
 
 def mp4_mdat_start(payload: bytes) -> int:
@@ -1223,24 +1324,19 @@ def mp4_mdat_start(payload: bytes) -> int:
     raise ValueError("no mdat box")
 
 
-def demux_mp4(payload: bytes) -> list[dict]:
-    """Full sample-table demux -> one dict per sample:
-    {idx, dts, size, offset, is_sync, data}.
-
-    Implements the complete 14496-12 mapping: stts run expansion gives
-    each sample's decode timestamp; stsc chunk runs expanded against
-    stco (or co64) plus intra-chunk size prefix-sums give each sample's
-    ABSOLUTE byte offset, from which the sample bytes are sliced; stss
-    gives the key-frame flag (an absent stss means every sample is
-    sync, per spec). Raises ValueError on any inconsistent table —
-    a demuxer that guesses is a corrupted-training-data generator."""
+def _parse_mp4_tracks(payload: bytes) -> list[dict]:
+    """Walk the box tree collecting PER-TRAK state: each trak's sample
+    tables are scoped to ITS stbl (a flat dict would let a second trak
+    overwrite the first's boxes per-type and silently mix tracks — the
+    video stss applied to audio samples), plus the routing metadata a
+    pipeline filters on: tkhd track_ID, hdlr handler type (vide/soun),
+    mdhd timescale, and the stsd entry's codec fourcc. Bounds-checked
+    throughout; a nested trak is corruption, not data."""
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an MP4 (missing ftyp)")
-    tables: dict[bytes, tuple[int, int]] = {}
-    n_traks = 0
+    tracks: list[dict] = []
 
-    def walk(lo: int, hi: int) -> None:
-        nonlocal n_traks
+    def walk(lo: int, hi: int, ctx: dict | None) -> None:
         pos = lo
         while pos + 8 <= hi:
             size, btype = _struct.unpack_from(">I4s", payload, pos)
@@ -1252,24 +1348,63 @@ def demux_mp4(payload: bytes) -> list[dict]:
                 body = pos + 16
             if size < 8 or pos + size > hi:
                 raise ValueError("corrupt MP4 box")
-            if btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
-                if btype == b"trak":
-                    n_traks += 1
-                walk(body, pos + size)
-            elif btype in (b"stts", b"stsc", b"stsz", b"stco", b"co64", b"stss"):
-                tables[btype] = (body, pos + size)
+            end = pos + size
+            if btype == b"trak":
+                if ctx is not None:
+                    raise ValueError("nested trak box")
+                t = {
+                    "track_id": None,
+                    "handler": None,
+                    "codec": None,
+                    "timescale": None,
+                    "tables": {},
+                }
+                tracks.append(t)
+                walk(body, end, t)
+            elif btype in (b"moov", b"mdia", b"minf", b"stbl"):
+                walk(body, end, ctx)
+            elif ctx is not None:
+                if btype == b"tkhd" and body + 4 <= end:
+                    ver = payload[body]
+                    at = body + 24 if ver == 1 else body + 12
+                    if at + 4 <= end:
+                        ctx["track_id"] = _struct.unpack_from(
+                            ">I", payload, at
+                        )[0]
+                elif btype == b"hdlr" and body + 12 <= end:
+                    ctx["handler"] = payload[body + 8 : body + 12].decode(
+                        "latin-1"
+                    )
+                elif btype == b"mdhd" and body + 4 <= end:
+                    ver = payload[body]
+                    at = body + 20 if ver == 1 else body + 12
+                    if at + 4 <= end:
+                        ctx["timescale"] = _struct.unpack_from(
+                            ">I", payload, at
+                        )[0]
+                elif btype == b"stsd" and body + 16 <= end:
+                    ctx["codec"] = payload[body + 12 : body + 16].decode(
+                        "latin-1"
+                    )
+                elif btype in (b"stts", b"stsc", b"stsz", b"stco", b"co64", b"stss"):
+                    ctx["tables"][btype] = (body, end)
             pos += size
 
-    walk(0, len(payload))
-    # the flat `tables` dict holds ONE sample-table set; a second trak
-    # would overwrite the first's boxes per-type and silently mix tracks
-    # (e.g. the video trak's stss applied to audio samples) — refuse
-    # rather than guess; probe_mp4 handles multi-track metadata
-    if n_traks > 1:
-        raise ValueError(
-            f"{n_traks} traks: single-track demux only — demux each "
-            "trak's stbl separately (multi-track routing out of scope)"
-        )
+    walk(0, len(payload), None)
+    return tracks
+
+
+def _expand_sample_tables(payload: bytes, tables: dict) -> list[dict]:
+    """Expand ONE trak's sample tables -> one dict per sample:
+    {idx, dts, size, offset, is_sync, data}.
+
+    Implements the complete 14496-12 mapping: stts run expansion gives
+    each sample's decode timestamp; stsc chunk runs expanded against
+    stco (or co64) plus intra-chunk size prefix-sums give each sample's
+    ABSOLUTE byte offset, from which the sample bytes are sliced; stss
+    gives the key-frame flag (an absent stss means every sample is
+    sync, per spec). Raises ValueError on any inconsistent table —
+    a demuxer that guesses is a corrupted-training-data generator."""
     for req in (b"stts", b"stsc", b"stsz"):
         if req not in tables:
             raise ValueError(f"missing {req.decode()} sample table")
@@ -1386,6 +1521,56 @@ def demux_mp4(payload: bytes) -> list[dict]:
     if idx != n:
         raise ValueError("sample-to-chunk mapping covered fewer samples than stsz")
     return out
+
+
+def demux_mp4_tracks(payload: bytes) -> list[dict]:
+    """Full MULTI-TRACK sample-table demux: one dict per trak, in file
+    order, each carrying its routing metadata and expanded samples:
+
+        {track_id, handler, codec, timescale,
+         samples: [{idx, dts, size, offset, is_sync, data}, ...]}
+
+    Each trak's stts/stsc/stsz/stco/co64/stss are scoped to its own
+    stbl during the walk, so interleaved-chunk files (the layout real
+    muxers emit — video chunk, audio chunk, ...) demux exactly: every
+    trak's stco carries absolute file offsets into its own mdat
+    regions. Handler routing (hdlr: vide/soun) is what a curation
+    pipeline filters on — key frames from the video trak, decodable
+    payloads from the audio trak."""
+    tracks = _parse_mp4_tracks(payload)
+    if not tracks:
+        raise ValueError("no trak box")
+    out = []
+    for i, t in enumerate(tracks):
+        out.append(
+            {
+                "track_id": t["track_id"] if t["track_id"] is not None else i + 1,
+                "handler": t["handler"] or "",
+                "codec": t["codec"] or "",
+                "timescale": t["timescale"] or 0,
+                "samples": _expand_sample_tables(payload, t["tables"]),
+            }
+        )
+    return out
+
+
+def demux_mp4(payload: bytes) -> list[dict]:
+    """Single-track sample-table demux -> one dict per sample:
+    {idx, dts, size, offset, is_sync, data}.
+
+    The one-trak face of :func:`demux_mp4_tracks` (same walk, same
+    table expansion). A multi-trak file is refused HERE because this
+    signature has nowhere to put the routing: callers that want the
+    audio+video reality use demux_mp4_tracks."""
+    tracks = _parse_mp4_tracks(payload)
+    if len(tracks) > 1:
+        raise ValueError(
+            f"{len(tracks)} traks: demux_mp4 is single-track — use "
+            "demux_mp4_tracks to demux each trak with handler routing"
+        )
+    if not tracks:
+        raise ValueError("no trak box")
+    return _expand_sample_tables(payload, tracks[0]["tables"])
 
 
 MP4_SAMPLE_SCHEMA = T.StructType(
@@ -1515,3 +1700,190 @@ def probe_containers(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out
 
     return src.mapInPandas(batches, CONTAINER_PROBE_SCHEMA)
+
+
+# --------------------------------------- multi-track demux + audio decode --
+# The multi-track face of the ISO BMFF demux (demux_mp4_tracks): real-world
+# MP4s virtually always carry an audio trak next to the video trak, chunks
+# interleaved, so the per-trak stco offsets interleave through the mdat.
+# The audio decode is G.711 mu-law (the 'ulaw' sample entry): a REAL,
+# ubiquitous codec whose expansion is pure integer arithmetic — so the
+# demux -> decode composition is closed-form checkable end-to-end.
+
+
+def ulaw_decode(u8: "np.ndarray") -> "np.ndarray":
+    """G.711 mu-law expansion, vectorized: encoded byte -> linear PCM in
+    [-32124, 32124] (the canonical CCITT decode: complement, then
+    ((mant<<3)+132)<<exp, biased by 132, sign from the complemented
+    MSB). Byte 0xFF decodes to +0 and 0x00 to -32124, matching the
+    published tables."""
+    u = (~u8.astype(np.int64)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where((u & 0x80) != 0, 0x84 - t, t - 0x84)
+
+
+def _synthetic_2trak_mp4(d: int) -> tuple[bytes, int, int]:
+    """Deterministic 2-trak interleaved MP4 for doc id ``d`` (standing in
+    for an object-storage read): video trak (mp4v, 2 samples/chunk, stss
+    every 3rd) + mu-law audio trak (ulaw, 3 samples/chunk, no stss —
+    every sample sync per spec). Sample counts, sizes, timings and bytes
+    are all closed-form in ``d`` so a DuckDB oracle can state the full
+    demux output — including the cross-trak interleaved chunk offsets —
+    without parsing a byte. Returns (mp4, n_video, n_audio)."""
+    nv = 6 + d % 7
+    na = 8 + d % 5
+    v_sizes = [40 + ((d + 11 * i) % 60) for i in range(nv)]
+    a_sizes = [20 + ((d + 5 * i) % 30) for i in range(na)]
+    v_payloads = [
+        bytes((d * 7 + i * 13 + j * 3) % 256 for j in range(v_sizes[i]))
+        for i in range(nv)
+    ]
+    a_payloads = [
+        bytes((d * 3 + i * 7 + j * 11) % 256 for j in range(a_sizes[i]))
+        for i in range(na)
+    ]
+    mp4 = make_mp4_media_multi(
+        [
+            {
+                "samples": v_payloads,
+                "stts_runs": [(nv // 2, 100), (nv - nv // 2, 150)],
+                "handler": "vide",
+                "sync_every": 3,
+                "samples_per_chunk": 2,
+            },
+            {
+                "samples": a_payloads,
+                "stts_runs": [(na, 64)],
+                "handler": "soun",
+                "samples_per_chunk": 3,
+            },
+        ]
+    )
+    return mp4, nv, na
+
+
+MP4_TRACK_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("track_id", T.IntegerType()),
+        T.StructField("handler", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("sample_idx", T.IntegerType()),
+        T.StructField("dts", T.LongType()),
+        T.StructField("size", T.IntegerType()),
+        T.StructField("offset_in_mdat", T.LongType()),
+        T.StructField("is_sync", T.BooleanType()),
+        T.StructField("byte_sum", T.LongType()),
+    ]
+)
+
+
+def demux_mp4_multitrack(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a 2-trak interleaved-chunk MP4 per doc (closed-form in
+    doc_id) and DEMUX it for real with per-trak table scoping + hdlr
+    routing: one output row per (trak, sample) with the trak's routing
+    metadata, the sample's timestamp/extent/key-frame flag, and the
+    extracted bytes' sum — a wrong per-trak scope (e.g. the video stss
+    applied to audio) or a wrong interleaved offset flips the hash.
+
+    Arrow-batched mapInPandas: the demux runs where the bytes live and
+    only typed sample metadata shuffles — a pure map stage at 100 TB."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "track_id", "handler", "codec", "sample_idx",
+            "dts", "size", "offset_in_mdat", "is_sync", "byte_sum",
+        ]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mp4, _nv, _na = _synthetic_2trak_mp4(d)
+                base = mp4_mdat_start(mp4)
+                for t in demux_mp4_tracks(mp4):
+                    for s in t["samples"]:
+                        rows.append(
+                            (
+                                d, t["track_id"], t["handler"], t["codec"],
+                                s["idx"], s["dts"], s["size"],
+                                s["offset"] - base, s["is_sync"],
+                                sum(s["data"]),
+                            )
+                        )
+            out = pd.DataFrame(rows, columns=cols)
+            for c, dt in (
+                ("doc_id", "int64"), ("track_id", "int32"),
+                ("sample_idx", "int32"), ("dts", "int64"), ("size", "int32"),
+                ("offset_in_mdat", "int64"), ("is_sync", "bool"),
+                ("byte_sum", "int64"),
+            ):
+                out[c] = out[c].astype(dt)
+            yield out
+
+    return src.mapInPandas(batches, MP4_TRACK_SAMPLE_SCHEMA)
+
+
+AUDIO_PCM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_idx", T.IntegerType()),
+        T.StructField("dts", T.LongType()),
+        T.StructField("n_pcm", T.IntegerType()),
+        T.StructField("pcm_sum", T.LongType()),
+        T.StructField("pcm_min", T.IntegerType()),
+        T.StructField("pcm_max", T.IntegerType()),
+    ]
+)
+
+
+def decode_mp4_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The demux -> decode composition a real audio-curation pass runs:
+    demux the 2-trak MP4 (closed-form synthetic per doc), ROUTE by hdlr
+    to the soun trak, check the stsd codec is 'ulaw', and G.711-expand
+    every sample's bytes to linear PCM — one row per audio sample with
+    its decoded sum/min/max. The video trak's bytes never reach the
+    decoder (routing is the claim); a wrong demux extent or a wrong
+    expansion flips every aggregate.
+
+    Arrow-batched mapInPandas; decode runs where the bytes live."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "sample_idx", "dts", "n_pcm",
+            "pcm_sum", "pcm_min", "pcm_max",
+        ]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mp4, _nv, _na = _synthetic_2trak_mp4(d)
+                for t in demux_mp4_tracks(mp4):
+                    if t["handler"] != "soun":
+                        continue
+                    if t["codec"] != "ulaw":
+                        raise NotImplementedError(
+                            f"audio codec {t['codec']!r}: only G.711 "
+                            "mu-law ('ulaw') decode is implemented"
+                        )
+                    for s in t["samples"]:
+                        pcm = ulaw_decode(
+                            np.frombuffer(s["data"], dtype=np.uint8)
+                        )
+                        rows.append(
+                            (
+                                d, s["idx"], s["dts"], len(pcm),
+                                int(pcm.sum()), int(pcm.min()), int(pcm.max()),
+                            )
+                        )
+            out = pd.DataFrame(rows, columns=cols)
+            for c, dt in (
+                ("doc_id", "int64"), ("sample_idx", "int32"), ("dts", "int64"),
+                ("n_pcm", "int32"), ("pcm_sum", "int64"),
+                ("pcm_min", "int32"), ("pcm_max", "int32"),
+            ):
+                out[c] = out[c].astype(dt)
+            yield out
+
+    return src.mapInPandas(batches, AUDIO_PCM_SCHEMA)

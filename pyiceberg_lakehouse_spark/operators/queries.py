@@ -1788,6 +1788,135 @@ def multimodal_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mp4_multitrack",
+    """
+    with base as (
+      select doc_id, 6 + doc_id % 7 as nv, 8 + doc_id % 5 as na
+      from documents where doc_id % 4 = 1
+    ),
+    v as (
+      select doc_id, 1 as trk, i,
+             i // 2 as chunk_idx,
+             40 + ((doc_id + 11 * i) % 60) as sz,
+             case when i < nv // 2 then i * 100
+                  else (nv // 2) * 100 + (i - nv // 2) * 150 end as dts,
+             i % 3 = 0 as sync_
+      from base, unnest(generate_series(0, 11)) u(i) where i < nv
+    ),
+    a as (
+      select doc_id, 2 as trk, i,
+             i // 3 as chunk_idx,
+             20 + ((doc_id + 5 * i) % 30) as sz,
+             i * 64 as dts,
+             true as sync_
+      from base, unnest(generate_series(0, 11)) u(i) where i < na
+    ),
+    s as (select * from v union all select * from a),
+    ch as (
+      select doc_id, trk, chunk_idx, sum(sz) as cbytes
+      from s group by 1, 2, 3
+    ),
+    cb as (
+      select doc_id, trk, chunk_idx,
+             coalesce(sum(cbytes) over (partition by doc_id
+                 order by chunk_idx, trk
+                 rows between unbounded preceding and 1 preceding), 0) as cbase
+      from ch
+    )
+    select s.doc_id,
+           cast(s.trk as integer) as track_id,
+           case when s.trk = 1 then 'vide' else 'soun' end as handler,
+           case when s.trk = 1 then 'mp4v' else 'ulaw' end as codec,
+           cast(s.i as integer) as sample_idx,
+           cast(s.dts as bigint) as dts,
+           cast(s.sz as integer) as size,
+           cast(cb.cbase + coalesce(sum(s.sz) over (
+                  partition by s.doc_id, s.trk, s.chunk_idx
+                  order by s.i rows between unbounded preceding and 1 preceding),
+                0) as bigint) as offset_in_mdat,
+           s.sync_ as is_sync,
+           cast((select sum(case when s.trk = 1
+                                 then (s.doc_id * 7 + s.i * 13 + j * 3) % 256
+                                 else (s.doc_id * 3 + s.i * 7 + j * 11) % 256
+                            end)
+                 from generate_series(0, 98) g(j) where j < s.sz)
+               as bigint) as byte_sum
+    from s join cb using (doc_id, trk, chunk_idx)
+    """,
+)
+def multimodal_mp4_multitrack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TRACK ISO BMFF demux (multimodal.demux_mp4_tracks): per doc,
+    synthesize a 2-trak MP4 — mp4v video trak (two stts delta runs, stss
+    every 3rd, 2 samples/chunk) + ulaw audio trak (no stss, 3
+    samples/chunk) — with chunks INTERLEAVED through the mdat the way
+    real muxers lay them out, then demux with per-trak table scoping and
+    hdlr handler routing: one row per (trak, sample). The oracle states
+    every field closed-form from doc_id, including the cross-trak chunk
+    offsets (a window sum over the interleave order), so a wrong trak
+    scope (video stss applied to audio), a wrong routing fourcc, or any
+    interleaved-offset error flips the hash. Closes the single-track
+    demux's multi-trak refusal (demux_mp4 still refuses; this is the
+    path real audio+video files take)."""
+    return multimodal.demux_mp4_multitrack(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+    )
+
+
+@register(
+    "multimodal_audio_decode",
+    """
+    with base as (
+      select doc_id, 8 + doc_id % 5 as na
+      from documents where doc_id % 4 = 1
+    ),
+    s as (
+      select doc_id, i,
+             20 + ((doc_id + 5 * i) % 30) as sz,
+             i * 64 as dts
+      from base, unnest(generate_series(0, 11)) u(i) where i < na
+    ),
+    bytes_ as (
+      select doc_id, i, sz, dts,
+             255 - ((doc_id * 3 + i * 7 + j * 11) % 256) as u
+      from s, generate_series(0, 48) g(j)
+      where j < sz
+    ),
+    pcm as (
+      select doc_id, i, sz, dts,
+             case when u >= 128
+                  then 132 - (u % 16 * 8 + 132) * (1 << ((u // 16) % 8))
+                  else (u % 16 * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+             end as val
+      from bytes_
+    )
+    select doc_id,
+           cast(i as integer) as sample_idx,
+           cast(dts as bigint) as dts,
+           cast(sz as integer) as n_pcm,
+           cast(sum(val) as bigint) as pcm_sum,
+           cast(min(val) as integer) as pcm_min,
+           cast(max(val) as integer) as pcm_max
+    from pcm group by doc_id, i, sz, dts
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demux -> DECODE composition (multimodal.decode_mp4_audio): demux
+    the 2-trak MP4, route by hdlr to the soun trak, check the stsd codec
+    is 'ulaw', and G.711 mu-law-expand every audio sample's bytes to
+    linear PCM — one row per audio sample with decoded sum/min/max. The
+    oracle recomputes the expansion in pure SQL integer arithmetic
+    (complement, ((mant<<3)+132)<<exp, bias 132, sign from the
+    complemented MSB — validated against the canonical +-32124 tables),
+    so a routing error (video bytes reaching the decoder), a demux
+    extent error, or any expansion-arithmetic error flips the hash.
+    G.711 is the real telephony codec; compressed audio (MP3 Layer III
+    sample decode) stays honestly gated."""
+    return multimodal.decode_mp4_audio(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+    )
+
+
+@register(
     "multimodal_jpeg_progressive",
     """
     select doc_id,

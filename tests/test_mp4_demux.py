@@ -172,3 +172,145 @@ def test_husk_box_header_rejected():
     struct.pack_into(">I4s", doctored, i + 8, freed, b"free")
     with pytest.raises(ValueError):
         demux_mp4(bytes(doctored))
+
+
+# ------------------------------------------------- multi-track demux ------
+
+from pyiceberg_lakehouse_spark.operators.multimodal import (  # noqa: E402
+    demux_mp4_tracks,
+    make_mp4_media_multi,
+    ulaw_decode,
+)
+
+
+def _track(sizes, seed, **kw):
+    return {
+        "samples": [
+            bytes((seed + i * 31 + j * 7) % 256 for j in range(n))
+            for i, n in enumerate(sizes)
+        ],
+        "stts_runs": [(len(sizes), 10)],
+        **kw,
+    }
+
+
+def test_multitrack_handler_routing_and_per_trak_tables():
+    v = _track([40, 41, 42, 43, 44], 1, handler="vide", sync_every=2,
+               samples_per_chunk=2)
+    a = _track([20, 21, 22, 23, 24, 25, 26], 2, handler="soun",
+               samples_per_chunk=3)
+    mp4 = make_mp4_media_multi([v, a])
+    tr = demux_mp4_tracks(mp4)
+    assert [(t["track_id"], t["handler"], t["codec"]) for t in tr] == [
+        (1, "vide", "mp4v"), (2, "soun", "ulaw")
+    ]
+    # per-trak scoping: the video stss must NOT leak onto audio samples
+    assert [s["is_sync"] for s in tr[0]["samples"]] == [
+        True, False, True, False, True
+    ]
+    assert all(s["is_sync"] for s in tr[1]["samples"])  # no stss => all sync
+    assert [s["data"] for s in tr[0]["samples"]] == v["samples"]
+    assert [s["data"] for s in tr[1]["samples"]] == a["samples"]
+
+
+def test_multitrack_interleaved_chunk_offsets():
+    """Chunks are laid out v0 a0 v1 a1 ... with the longer track's tail
+    appended — every sample's absolute offset must slice its exact bytes
+    back out of the interleaved mdat."""
+    v = _track([50] * 6, 3, handler="vide", samples_per_chunk=2)
+    a = _track([30] * 12, 4, handler="soun", samples_per_chunk=3)
+    mp4 = make_mp4_media_multi([v, a])
+    tr = demux_mp4_tracks(mp4)
+    for t, src in zip(tr, (v, a)):
+        for s, payload in zip(t["samples"], src["samples"]):
+            assert mp4[s["offset"] : s["offset"] + s["size"]] == payload
+    # the mdat is genuinely interleaved: audio chunk 0 sits between video
+    # chunks 0 and 1
+    v_off = [s["offset"] for s in tr[0]["samples"]]
+    a_off = [s["offset"] for s in tr[1]["samples"]]
+    assert v_off[0] < a_off[0] < v_off[2]
+
+
+def test_single_track_demux_still_refuses_multitrack():
+    mp4 = make_mp4_media_multi(
+        [_track([40] * 3, 5), _track([20] * 3, 6, handler="soun")]
+    )
+    with pytest.raises(ValueError, match="trak"):
+        demux_mp4(mp4)
+
+
+def test_nested_trak_rejected():
+    mp4 = make_mp4_media(_samples(3), stts_runs=[(3, 10)])
+    # wrap the existing trak in ANOTHER trak box: nested traks are
+    # corruption, not data
+    i = mp4.find(b"trak") - 4
+    trak_size = struct.unpack_from(">I", mp4, i)[0]
+    inner = mp4[i : i + trak_size]
+    outer = struct.pack(">I4s", 8 + len(inner), b"trak") + inner
+    moov_at = mp4.find(b"moov") - 4
+    moov_size = struct.unpack_from(">I", mp4, moov_at)[0]
+    new_body = (
+        mp4[moov_at + 8 : i] + outer + mp4[i + trak_size : moov_at + moov_size]
+    )
+    new_moov = struct.pack(">I4s", 8 + len(new_body), b"moov") + new_body
+    doctored = mp4[:moov_at] + new_moov + mp4[moov_at + moov_size :]
+    with pytest.raises(ValueError, match="nested trak"):
+        demux_mp4_tracks(doctored)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    v_sizes=st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=20),
+    a_sizes=st.lists(st.integers(min_value=1, max_value=80), min_size=1, max_size=30),
+    v_spc=st.integers(min_value=1, max_value=5),
+    a_spc=st.integers(min_value=1, max_value=7),
+    sync_every=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=255),
+)
+def test_multitrack_roundtrip_property(v_sizes, a_sizes, v_spc, a_spc, sync_every, seed):
+    """Any 2-trak layout — arbitrary per-trak sample sizes, chunking and
+    sync cadence — must survive the interleaved write -> per-trak demux
+    roundtrip byte- and field-exactly on BOTH traks."""
+    v = _track(v_sizes, seed, handler="vide", sync_every=sync_every,
+               samples_per_chunk=v_spc)
+    a = _track(a_sizes, seed + 1, handler="soun", samples_per_chunk=a_spc)
+    mp4 = make_mp4_media_multi([v, a])
+    tr = demux_mp4_tracks(mp4)
+    assert [t["handler"] for t in tr] == ["vide", "soun"]
+    assert [s["data"] for s in tr[0]["samples"]] == v["samples"]
+    assert [s["data"] for s in tr[1]["samples"]] == a["samples"]
+    assert [s["is_sync"] for s in tr[0]["samples"]] == [
+        i % sync_every == 0 for i in range(len(v_sizes))
+    ]
+    assert all(s["is_sync"] for s in tr[1]["samples"])
+    for t in tr:
+        for s in t["samples"]:
+            assert mp4[s["offset"] : s["offset"] + s["size"]] == s["data"]
+
+
+# --------------------------------------------------- G.711 mu-law ---------
+
+import numpy as np  # noqa: E402
+
+
+def test_ulaw_decode_canonical_values():
+    """Endpoints from the published CCITT tables: 0x00 -> -32124 (max
+    negative), 0xFF -> +0, 0x7F -> -0, 0x80 -> +32124 (max positive)."""
+    vals = ulaw_decode(np.array([0x00, 0xFF, 0x7F, 0x80], dtype=np.uint8))
+    assert list(vals) == [-32124, 0, 0, 32124]
+    # full range is the 14-bit-expanded G.711 envelope
+    allv = ulaw_decode(np.arange(256, dtype=np.uint8))
+    assert allv.min() == -32124 and allv.max() == 32124
+
+
+def test_ulaw_decode_matches_scalar_reference():
+    """The vectorized decode equals the textbook scalar expansion for
+    every byte."""
+
+    def scalar(b):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    got = ulaw_decode(np.arange(256, dtype=np.uint8))
+    assert list(got) == [scalar(b) for b in range(256)]

@@ -529,3 +529,13 @@ def test_mp4_demux_map_only(spark, sf_dir):
     plan = plan_of(spark, "multimodal_mp4_samples", sf_dir)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan[:800]
     assert "MapInPandas" in plan
+
+
+def test_mp4_multitrack_and_audio_decode_map_only(spark, sf_dir):
+    """Multi-track demux and the demux->mu-law-decode composition are
+    per-document work and must stay pure map stages (no Exchange) —
+    media-scale rows never shuffle."""
+    for q in ("multimodal_mp4_multitrack", "multimodal_audio_decode"):
+        plan = plan_of(spark, q, sf_dir)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, (q, plan[:800])
+        assert "MapInPandas" in plan
