@@ -63,6 +63,12 @@ HEADLINE = [
     # candidates + exact verify) and the ISO BMFF sample-table demux
     ("neardup_index", "lh_neardup_index_selfcheck"),
     ("mp4_demux", "multimodal_mp4_samples"),
+    # r12 additions (comparable-set fields exclude them from the
+    # round-over-round ratio automatically): multi-track demux with
+    # interleaved chunks + handler routing, and the demux -> G.711
+    # mu-law audio decode composition — both map-only stages
+    ("mp4_multitrack", "multimodal_mp4_multitrack"),
+    ("audio_decode", "multimodal_audio_decode"),
 ]
 
 

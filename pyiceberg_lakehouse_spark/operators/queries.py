@@ -888,11 +888,61 @@ def train_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate(train, ev, k=3)
 
 
-@register("train_pack_sequences")  # rows-only: greedy packing is inherently
-# sequential per group; pytest asserts the bin-capacity invariants
+@register(
+    "train_pack_sequences",
+    f"""
+    with recursive toks as (
+      select doc_id,
+             cast(len(string_split({NORM}, ' ')) as bigint) as n_tokens,
+             {HB.format(col="doc_id", n=64)} as pack_group
+      from documents
+    ),
+    seq as (
+      select doc_id, n_tokens, pack_group,
+             row_number() over (partition by pack_group order by doc_id) as rn
+      from toks
+    ),
+    -- the first-fit fold, one recursion step per in-group position:
+    -- bin = this doc's assignment; (nxt_bin, nxt_used) = carried state
+    -- for the NEXT doc after the close-if-full rule
+    rec as (
+      select pack_group, rn, doc_id, n_tokens,
+             0 as bin,
+             case when n_tokens >= 512 then 1 else 0 end as nxt_bin,
+             case when n_tokens >= 512 then 0 else n_tokens end as nxt_used
+      from seq where rn = 1
+      union all
+      select pack_group, rn, doc_id, n_tokens,
+             bin,
+             case when u >= 512 then bin + 1 else bin end as nxt_bin,
+             case when u >= 512 then 0 else u end as nxt_used
+      from (
+        select s.pack_group, s.rn, s.doc_id, s.n_tokens,
+               r.nxt_bin + case when r.nxt_used > 0
+                                 and r.nxt_used + s.n_tokens > 512
+                           then 1 else 0 end as bin,
+               case when r.nxt_used > 0 and r.nxt_used + s.n_tokens > 512
+                    then 0 else r.nxt_used end + s.n_tokens as u
+        from rec r
+        join seq s on s.pack_group = r.pack_group and s.rn = r.rn + 1
+      )
+    )
+    select doc_id, n_tokens,
+           cast(pack_group as integer) as pack_group,
+           cast(bin * 64 + pack_group as bigint) as bin_id
+    from rec
+    """,
+)
 def train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing of documents into <=512-token bins, packed
-    independently per hash group (parallel across the cluster)."""
+    independently per hash group (parallel across the cluster). The
+    packing is deterministic first-fit over the explicit in-group
+    doc_id order, so the bin assignments are CLOSED-FORM: the oracle
+    replays the same fold as a recursive CTE (one step per in-group
+    position, carrying the (next_bin, running_fill) state through the
+    close-when-full rule) over the same portable md5 hash groups —
+    any drift in group assignment, ordering, capacity arithmetic, or
+    the bin-id encoding (local_bin * n_groups + group) flips the hash."""
     from pyiceberg_lakehouse_spark.operators import text, traindata
 
     docs = load_table(spark, sf_dir, "documents")

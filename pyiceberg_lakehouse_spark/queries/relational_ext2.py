@@ -198,14 +198,45 @@ def agg_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_reservoir")  # rows-only: sampling is engine-specific
+@register(
+    "sample_reservoir",
+    """
+    select l_orderkey, l_linenumber
+    from (
+      select l_orderkey, l_linenumber
+      from lineitem
+      order by md5(concat_ws('#', l_orderkey, l_linenumber, '42'))
+      limit 600
+    )
+    """,
+)
 def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded 1% Bernoulli sample (deterministic within Spark, not across
-    engines) — training-data subsampling primitive."""
+    """Seeded k-row reservoir sample as a deterministic hash top-k: order
+    every row by md5(key, seed) and keep the k smallest. This IS the
+    scale-correct distributed reservoir — Spark plans it as
+    TakeOrderedAndProject (per-partition top-k heaps, O(k) memory per
+    partition, merged once; non-sampled rows never shuffle), the sample
+    is uniform over the hash, reproducible under any partitioning, and
+    engine-portable (md5 is shared with the oracle), unlike
+    engine-seeded Bernoulli RNG which no cross-engine oracle can state.
+    Changing the seed literal draws an independent sample."""
+    li = load_table(spark, sf_dir, "lineitem")
     return (
-        load_table(spark, sf_dir, "lineitem")
-        .sample(fraction=0.01, seed=42)
-        .select("l_orderkey", "l_linenumber")
+        li.select("l_orderkey", "l_linenumber")
+        .withColumn(
+            "_hk",
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.lit("42"),
+                )
+            ),
+        )
+        .orderBy("_hk")
+        .limit(600)
+        .drop("_hk")
     )
 
 

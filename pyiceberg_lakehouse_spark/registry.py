@@ -48,6 +48,30 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # never had a driver row, growing the driver-verified set over time while
 # keeping every category represented.
 #
+# Round-12 rotation (VERDICT r11 tasks #1-#3). Rotates IN every
+# oracle-checkable query NEW or newly-oracle'd this round, each in its own
+# round per the standing no-tail principle: the multi-track MP4 demux
+# multimodal_mp4_multitrack and the demux->G.711-decode composition
+# multimodal_audio_decode (task #1/#4), plus the two former twin-less
+# rows-only queries now driver-hashable — sample_reservoir (rebuilt as the
+# deterministic md5 top-k distributed reservoir, TakeOrderedAndProject
+# plan-pinned) and train_pack_sequences (first-fit fold replayed
+# closed-form by a recursive-CTE oracle) (task #2). All 13 r11
+# first-timers HOLD for their second round (the five watermark-complete
+# stream-stream joins and the near-dup index trio are the subtlest code —
+# the verdict's named highest-value holds — plus lh_table_changes,
+# lh_update_where, stream_static_enrich, multimodal_mp4_samples,
+# dedup_simhash_selfcheck). Rotated OUT, per the standing principles, four
+# non-anchor rows green in BOTH r10 and r11 with their categories still
+# represented: train_split_leakage_safe (train_ now covered by
+# pack_sequences; leakage-safe split stays local-gated + pytest-pinned),
+# multimodal_jpeg_subsampled + multimodal_container_probe (multimodal_
+# keeps mp4_samples, jpeg_progressive and the two new rows; both stay
+# local-gated + pytest-pinned), and sim_range_search (the range-search
+# family stays driver-covered by lh_ann_range_selfcheck; sim_ keeps the
+# cosine_topk anchor). Every displaced query stays covered by the
+# identical strict local gate and the registry-wide dtype-parity pytest.
+#
 # Round-11 rotation (VERDICT r10 task #3: zero the evidence tail). The 8
 # oracle-checkable queries written after the r10 window froze rotate IN —
 # lh_table_changes, lh_update_where, stream_static_enrich, and all five
@@ -169,7 +193,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # split — the partition-scoped MERGE row keeps the clause semantics
     # driver-covered)
     "lh_purge_rows",
-    "train_split_leakage_safe",
+    # (train_split_leakage_safe's second-round hold slot goes to the NEW
+    # driver-hashable first-fit packing — fresh oracle outranks a hold;
+    # the leakage-safe split stays local-gated + pytest-pinned)
+    "train_pack_sequences",
     "lh_merge_into_partitioned",
     # (lh_type_promotion's hold slot goes to the NEW tag-retention expiry
     # proof — fresh code outranks a second-round hold; type promotion
@@ -207,7 +234,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # cosine range search — train_ stays represented by numeric_profile)
     "dedup_semantic",
     "sim_cosine_topk",
-    "sim_range_search",
+    # (sim_range_search's second-round hold slot goes to the rebuilt
+    # deterministic hash reservoir — newly oracle-checkable; the
+    # range-search family stays driver-covered by lh_ann_range_selfcheck)
+    "sample_reservoir",
     # text + multimodal (r9 first-timers hold; post-freeze progressive
     # JPEG + container probes rotate in; NEW 4:2:0/4:2:2 subsampled
     # decode; NEW LM-familiarity scorer takes text_token_stats' hold slot
@@ -228,8 +258,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_stream_full_join",
     "stream_stream_semi_join",
     "multimodal_jpeg_progressive",
-    "multimodal_jpeg_subsampled",
-    "multimodal_container_probe",
+    # (multimodal_jpeg_subsampled's and multimodal_container_probe's
+    # second-round hold slots go to the NEW multi-track demux and the
+    # demux->G.711-decode composition — fresh code outranks a hold; both
+    # displaced rows stay local-gated + pytest-pinned)
+    "multimodal_mp4_multitrack",
+    "multimodal_audio_decode",
     # training-data ops (train_numeric_profile's second-round hold slot
     # goes to the NEW end-to-end RAG-prep composite; train_ stays
     # represented by epoch_shards + split_leakage_safe)

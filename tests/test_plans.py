@@ -539,3 +539,14 @@ def test_mp4_multitrack_and_audio_decode_map_only(spark, sf_dir):
         plan = plan_of(spark, q, sf_dir)
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, (q, plan[:800])
         assert "MapInPandas" in plan
+
+
+def test_sample_reservoir_is_topk_not_global_sort(spark, sf_dir):
+    """The hash reservoir must plan as TakeOrderedAndProject (per-partition
+    top-k heaps, O(k) memory, no shuffle of non-sampled rows) over a
+    2-column pruned scan — a global Sort+Exchange would shuffle the whole
+    fact table to sample 600 rows."""
+    plan = plan_of(spark, "sample_reservoir", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan[:800]
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>" in plan
