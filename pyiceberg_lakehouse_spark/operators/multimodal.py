@@ -1182,8 +1182,12 @@ def make_mp4_media_multi(
         for spc_c in spc_by_chunk:
             chunk_payloads.append(b"".join(samples_t[idx : idx + spc_c]))
             idx += spc_c
+        ctts_offsets = spec.get("ctts_offsets")
+        if ctts_offsets is not None and len(ctts_offsets) != n:
+            raise ValueError("ctts_offsets must have one entry per sample")
         specs.append(
             {
+                "ctts": list(ctts_offsets) if ctts_offsets is not None else None,
                 "handler": handler,
                 "codec": codec,
                 "sync_every": sync_every,
@@ -1234,6 +1238,19 @@ def make_mp4_media_multi(
             + b"".join(_struct.pack(">I", o) for o in chunk_offsets),
         )
         boxes = stsd + stts
+        if sp["ctts"] is not None:
+            # run-length-encode the per-sample composition offsets (v0)
+            runs_c: list[list[int]] = []
+            for v in sp["ctts"]:
+                if runs_c and runs_c[-1][1] == v:
+                    runs_c[-1][0] += 1
+                else:
+                    runs_c.append([1, v])
+            boxes += _box(
+                b"ctts",
+                _struct.pack(">B3xI", 0, len(runs_c))
+                + b"".join(_struct.pack(">II", c, v) for c, v in runs_c),
+            )
         if sp["sync_every"] is not None:
             sync = [i for i in range(sp["n"]) if i % sp["sync_every"] == 0]
             boxes += _box(
@@ -1386,7 +1403,9 @@ def _parse_mp4_tracks(payload: bytes) -> list[dict]:
                     ctx["codec"] = payload[body + 12 : body + 16].decode(
                         "latin-1"
                     )
-                elif btype in (b"stts", b"stsc", b"stsz", b"stco", b"co64", b"stss"):
+                elif btype in (
+                    b"stts", b"stsc", b"stsz", b"stco", b"co64", b"stss", b"ctts",
+                ):
                     ctx["tables"][btype] = (body, end)
             pos += size
 
@@ -1464,6 +1483,28 @@ def _expand_sample_tables(payload: bytes, tables: dict) -> list[dict]:
     if len(dts) != n:
         raise ValueError("stts sample count disagrees with stsz")
 
+    if b"ctts" in tables:
+        # composition-time offsets (B-frame reordering): pts = dts + offset.
+        # v0 offsets are unsigned, v1 signed (negative offsets legal)
+        ver = payload[tables[b"ctts"][0]]
+        (n_centries,) = _struct.unpack_from(
+            ">I", payload, header_of(b"ctts", 4)
+        )
+        lo = table_body(b"ctts", 8, n_centries)
+        fmt = ">Ii" if ver == 1 else ">II"
+        cts_off: list[int] = []
+        off = lo + 4
+        for _ in range(n_centries):
+            count, coffset = _struct.unpack_from(fmt, payload, off)
+            off += 8
+            if len(cts_off) + count > n:
+                raise ValueError("ctts sample count disagrees with stsz")
+            cts_off.extend([coffset] * count)
+        if len(cts_off) != n:
+            raise ValueError("ctts sample count disagrees with stsz")
+    else:
+        cts_off = [0] * n  # no ctts: composition order == decode order
+
     if b"stco" in tables:
         (n_chunks,) = _struct.unpack_from(">I", payload, header_of(b"stco", 4))
         lo = table_body(b"stco", 4, n_chunks)
@@ -1510,6 +1551,7 @@ def _expand_sample_tables(payload: bytes, tables: dict) -> list[dict]:
                 {
                     "idx": idx,
                     "dts": dts[idx],
+                    "pts": dts[idx] + cts_off[idx],
                     "size": sizes[idx],
                     "offset": pos,
                     "is_sync": sync is None or (idx + 1) in sync,
@@ -1722,14 +1764,33 @@ def ulaw_decode(u8: "np.ndarray") -> "np.ndarray":
     return np.where((u & 0x80) != 0, 0x84 - t, t - 0x84)
 
 
+def alaw_decode(u8: "np.ndarray") -> "np.ndarray":
+    """G.711 A-law expansion, vectorized: encoded byte -> linear PCM in
+    [-32256, 32256] (the canonical decode: xor 0x55, segment 0 is linear
+    (mant<<4)+8, higher segments ((mant<<4)+0x108)<<(seg-1), sign from
+    the xored MSB — set means positive). Bytes 0x55/0xD5 decode to
+    -8/+8 and 0x2A/0xAA to -32256/+32256, matching the published
+    tables."""
+    a = u8.astype(np.int64) ^ 0x55
+    seg = (a >> 4) & 0x07
+    m = a & 0x0F
+    t = np.where(
+        seg == 0, (m << 4) + 8, ((m << 4) + 0x108) << np.maximum(seg - 1, 0)
+    )
+    return np.where((a & 0x80) != 0, t, -t)
+
+
 def _synthetic_2trak_mp4(d: int) -> tuple[bytes, int, int]:
     """Deterministic 2-trak interleaved MP4 for doc id ``d`` (standing in
     for an object-storage read): video trak (mp4v, 2 samples/chunk, stss
-    every 3rd) + mu-law audio trak (ulaw, 3 samples/chunk, no stss —
-    every sample sync per spec). Sample counts, sizes, timings and bytes
-    are all closed-form in ``d`` so a DuckDB oracle can state the full
-    demux output — including the cross-trak interleaved chunk offsets —
-    without parsing a byte. Returns (mp4, n_video, n_audio)."""
+    every 3rd, a B-frame-style ctts reorder pattern so pts != dts) +
+    G.711 audio trak (ulaw for even d, alaw for odd — the codec fourcc
+    drives decoder routing; 3 samples/chunk, no stss — every sample sync
+    per spec). Sample counts, sizes, timings and bytes are all
+    closed-form in ``d`` so a DuckDB oracle can state the full demux
+    output — including the cross-trak interleaved chunk offsets and the
+    composition timestamps — without parsing a byte.
+    Returns (mp4, n_video, n_audio)."""
     nv = 6 + d % 7
     na = 8 + d % 5
     v_sizes = [40 + ((d + 11 * i) % 60) for i in range(nv)]
@@ -1750,11 +1811,13 @@ def _synthetic_2trak_mp4(d: int) -> tuple[bytes, int, int]:
                 "handler": "vide",
                 "sync_every": 3,
                 "samples_per_chunk": 2,
+                "ctts_offsets": [((i + 1) % 3) * 50 for i in range(nv)],
             },
             {
                 "samples": a_payloads,
                 "stts_runs": [(na, 64)],
                 "handler": "soun",
+                "codec": "ulaw" if d % 2 == 0 else "alaw",
                 "samples_per_chunk": 3,
             },
         ]
@@ -1770,6 +1833,7 @@ MP4_TRACK_SAMPLE_SCHEMA = T.StructType(
         T.StructField("codec", T.StringType()),
         T.StructField("sample_idx", T.IntegerType()),
         T.StructField("dts", T.LongType()),
+        T.StructField("pts", T.LongType()),
         T.StructField("size", T.IntegerType()),
         T.StructField("offset_in_mdat", T.LongType()),
         T.StructField("is_sync", T.BooleanType()),
@@ -1793,7 +1857,7 @@ def demux_mp4_multitrack(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             "doc_id", "track_id", "handler", "codec", "sample_idx",
-            "dts", "size", "offset_in_mdat", "is_sync", "byte_sum",
+            "dts", "pts", "size", "offset_in_mdat", "is_sync", "byte_sum",
         ]
         for pdf in it:
             rows = []
@@ -1806,7 +1870,7 @@ def demux_mp4_multitrack(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         rows.append(
                             (
                                 d, t["track_id"], t["handler"], t["codec"],
-                                s["idx"], s["dts"], s["size"],
+                                s["idx"], s["dts"], s["pts"], s["size"],
                                 s["offset"] - base, s["is_sync"],
                                 sum(s["data"]),
                             )
@@ -1814,9 +1878,9 @@ def demux_mp4_multitrack(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out = pd.DataFrame(rows, columns=cols)
             for c, dt in (
                 ("doc_id", "int64"), ("track_id", "int32"),
-                ("sample_idx", "int32"), ("dts", "int64"), ("size", "int32"),
-                ("offset_in_mdat", "int64"), ("is_sync", "bool"),
-                ("byte_sum", "int64"),
+                ("sample_idx", "int32"), ("dts", "int64"), ("pts", "int64"),
+                ("size", "int32"), ("offset_in_mdat", "int64"),
+                ("is_sync", "bool"), ("byte_sum", "int64"),
             ):
                 out[c] = out[c].astype(dt)
             yield out
@@ -1840,11 +1904,13 @@ AUDIO_PCM_SCHEMA = T.StructType(
 def decode_mp4_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """The demux -> decode composition a real audio-curation pass runs:
     demux the 2-trak MP4 (closed-form synthetic per doc), ROUTE by hdlr
-    to the soun trak, check the stsd codec is 'ulaw', and G.711-expand
-    every sample's bytes to linear PCM — one row per audio sample with
-    its decoded sum/min/max. The video trak's bytes never reach the
-    decoder (routing is the claim); a wrong demux extent or a wrong
-    expansion flips every aggregate.
+    to the soun trak, pick the expander from the stsd codec fourcc
+    (G.711 mu-law for 'ulaw', A-law for 'alaw' — both laws appear
+    across the corpus), and expand every sample's bytes to linear PCM —
+    one row per audio sample with its decoded sum/min/max. The video
+    trak's bytes never reach the decoder (routing is the claim); a
+    wrong demux extent, a wrong law, or a wrong expansion flips every
+    aggregate.
 
     Arrow-batched mapInPandas; decode runs where the bytes live."""
     src = df.select(F.col(id_col).alias("doc_id"))
@@ -1862,13 +1928,17 @@ def decode_mp4_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 for t in demux_mp4_tracks(mp4):
                     if t["handler"] != "soun":
                         continue
-                    if t["codec"] != "ulaw":
+                    if t["codec"] == "ulaw":
+                        expand = ulaw_decode
+                    elif t["codec"] == "alaw":
+                        expand = alaw_decode
+                    else:
                         raise NotImplementedError(
                             f"audio codec {t['codec']!r}: only G.711 "
-                            "mu-law ('ulaw') decode is implemented"
+                            "('ulaw'/'alaw') decode is implemented"
                         )
                     for s in t["samples"]:
-                        pcm = ulaw_decode(
+                        pcm = expand(
                             np.frombuffer(s["data"], dtype=np.uint8)
                         )
                         rows.append(

@@ -1849,7 +1849,11 @@ def multimodal_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
              i // 2 as chunk_idx,
              40 + ((doc_id + 11 * i) % 60) as sz,
              case when i < nv // 2 then i * 100
-                  else (nv // 2) * 100 + (i - nv // 2) * 150 end as dts,
+                  else (nv // 2) * 100 + (i - nv // 2) * 150 end
+               + 0 as dts,
+             case when i < nv // 2 then i * 100
+                  else (nv // 2) * 100 + (i - nv // 2) * 150 end
+               + ((i + 1) % 3) * 50 as pts,
              i % 3 = 0 as sync_
       from base, unnest(generate_series(0, 11)) u(i) where i < nv
     ),
@@ -1858,6 +1862,7 @@ def multimodal_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
              i // 3 as chunk_idx,
              20 + ((doc_id + 5 * i) % 30) as sz,
              i * 64 as dts,
+             i * 64 as pts,
              true as sync_
       from base, unnest(generate_series(0, 11)) u(i) where i < na
     ),
@@ -1876,9 +1881,11 @@ def multimodal_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     select s.doc_id,
            cast(s.trk as integer) as track_id,
            case when s.trk = 1 then 'vide' else 'soun' end as handler,
-           case when s.trk = 1 then 'mp4v' else 'ulaw' end as codec,
+           case when s.trk = 1 then 'mp4v'
+                when s.doc_id % 2 = 0 then 'ulaw' else 'alaw' end as codec,
            cast(s.i as integer) as sample_idx,
            cast(s.dts as bigint) as dts,
+           cast(s.pts as bigint) as pts,
            cast(s.sz as integer) as size,
            cast(cb.cbase + coalesce(sum(s.sz) over (
                   partition by s.doc_id, s.trk, s.chunk_idx
@@ -1900,13 +1907,17 @@ def multimodal_mp4_multitrack(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 3rd, 2 samples/chunk) + ulaw audio trak (no stss, 3
     samples/chunk) — with chunks INTERLEAVED through the mdat the way
     real muxers lay them out, then demux with per-trak table scoping and
-    hdlr handler routing: one row per (trak, sample). The oracle states
-    every field closed-form from doc_id, including the cross-trak chunk
-    offsets (a window sum over the interleave order), so a wrong trak
-    scope (video stss applied to audio), a wrong routing fourcc, or any
-    interleaved-offset error flips the hash. Closes the single-track
-    demux's multi-trak refusal (demux_mp4 still refuses; this is the
-    path real audio+video files take)."""
+    hdlr handler routing: one row per (trak, sample). The video trak
+    carries a B-frame-style ctts reorder pattern, so every sample has
+    distinct decode (dts) and composition (pts) timestamps; the audio
+    codec fourcc alternates ulaw/alaw by doc parity, exercising the
+    routing. The oracle states every field closed-form from doc_id,
+    including the cross-trak chunk offsets (a window sum over the
+    interleave order) and pts = dts + ctts, so a wrong trak scope
+    (video stss applied to audio), a wrong routing fourcc, a ctts
+    expansion slip, or any interleaved-offset error flips the hash.
+    Closes the single-track demux's multi-trak refusal (demux_mp4 still
+    refuses; this is the path real audio+video files take)."""
     return multimodal.demux_mp4_multitrack(
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
     )
@@ -1927,17 +1938,32 @@ def multimodal_mp4_multitrack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bytes_ as (
       select doc_id, i, sz, dts,
-             255 - ((doc_id * 3 + i * 7 + j * 11) % 256) as u
+             (doc_id * 3 + i * 7 + j * 11) % 256 as b
       from s, generate_series(0, 48) g(j)
       where j < sz
     ),
+    -- even docs carry mu-law: complement, ((mant<<3)+132)<<exp, bias 132
+    -- odd docs carry A-law: xor 0x55, seg 0 linear, else <<(seg-1)
+    expanded as (
+      select doc_id, i, sz, dts,
+             255 - b as u,
+             xor(b, 85) as a
+      from bytes_
+    ),
     pcm as (
       select doc_id, i, sz, dts,
-             case when u >= 128
-                  then 132 - (u % 16 * 8 + 132) * (1 << ((u // 16) % 8))
-                  else (u % 16 * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+             case when doc_id % 2 = 0 then
+               case when u >= 128
+                    then 132 - (u % 16 * 8 + 132) * (1 << ((u // 16) % 8))
+                    else (u % 16 * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+               end
+             else
+               case when a >= 128 then 1 else -1 end *
+               case when (a // 16) % 8 = 0 then a % 16 * 16 + 8
+                    else (a % 16 * 16 + 264) * (1 << ((a // 16) % 8 - 1))
+               end
              end as val
-      from bytes_
+      from expanded
     )
     select doc_id,
            cast(i as integer) as sample_idx,
@@ -1951,16 +1977,18 @@ def multimodal_mp4_multitrack(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Demux -> DECODE composition (multimodal.decode_mp4_audio): demux
-    the 2-trak MP4, route by hdlr to the soun trak, check the stsd codec
-    is 'ulaw', and G.711 mu-law-expand every audio sample's bytes to
-    linear PCM — one row per audio sample with decoded sum/min/max. The
-    oracle recomputes the expansion in pure SQL integer arithmetic
-    (complement, ((mant<<3)+132)<<exp, bias 132, sign from the
-    complemented MSB — validated against the canonical +-32124 tables),
-    so a routing error (video bytes reaching the decoder), a demux
-    extent error, or any expansion-arithmetic error flips the hash.
-    G.711 is the real telephony codec; compressed audio (MP3 Layer III
-    sample decode) stays honestly gated."""
+    the 2-trak MP4, route by hdlr to the soun trak, pick the expander
+    from the stsd codec fourcc — G.711 mu-law ('ulaw', even docs) or
+    A-law ('alaw', odd docs) — and expand every audio sample's bytes to
+    linear PCM: one row per audio sample with decoded sum/min/max. The
+    oracle recomputes BOTH expansions in pure SQL integer arithmetic
+    (mu: complement, ((mant<<3)+132)<<exp, bias 132, endpoints +-32124;
+    A: xor 0x55, seg-0 linear else <<(seg-1), endpoints +-32256 — both
+    validated against the published tables), so a routing error (video
+    bytes reaching the decoder, or the wrong law for the fourcc), a
+    demux extent error, or any expansion-arithmetic error flips the
+    hash. G.711 is the real telephony codec pair; compressed audio
+    (MP3 Layer III sample decode) stays honestly gated."""
     return multimodal.decode_mp4_audio(
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
     )

@@ -314,3 +314,71 @@ def test_ulaw_decode_matches_scalar_reference():
 
     got = ulaw_decode(np.arange(256, dtype=np.uint8))
     assert list(got) == [scalar(b) for b in range(256)]
+
+
+# ------------------------------------------------ ctts / pts + A-law ------
+
+from pyiceberg_lakehouse_spark.operators.multimodal import alaw_decode  # noqa: E402
+
+
+def test_absent_ctts_means_pts_equals_dts():
+    mp4 = make_mp4_media(_samples(5), stts_runs=[(5, 40)])
+    assert all(s["pts"] == s["dts"] for s in demux_mp4(mp4))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    offsets=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=25),
+    delta=st.integers(min_value=1, max_value=500),
+    seed=st.integers(min_value=0, max_value=255),
+)
+def test_ctts_roundtrip_property(offsets, delta, seed):
+    """Any composition-offset sequence survives the RLE write -> run
+    expansion roundtrip: pts == dts + offset for every sample."""
+    n = len(offsets)
+    payloads = [bytes((seed + i) % 256 for _ in range(10)) for i in range(n)]
+    mp4 = make_mp4_media_multi(
+        [{"samples": payloads, "stts_runs": [(n, delta)], "ctts_offsets": offsets}]
+    )
+    out = demux_mp4_tracks(mp4)[0]["samples"]
+    assert [s["pts"] - s["dts"] for s in out] == offsets
+    assert [s["dts"] for s in out] == [i * delta for i in range(n)]
+
+
+def test_ctts_count_mismatch_rejected():
+    mp4 = bytearray(
+        make_mp4_media_multi(
+            [{"samples": [bytes(10)] * 4, "stts_runs": [(4, 10)],
+              "ctts_offsets": [1, 2, 3, 4]}]
+        )
+    )
+    i = bytes(mp4).find(b"ctts")
+    struct.pack_into(">I", mp4, i + 8, 99)  # entry count disagrees w/ stsz
+    with pytest.raises(ValueError):
+        demux_mp4_tracks(bytes(mp4))
+
+
+def test_alaw_decode_canonical_values():
+    """Endpoints from the published tables: 0x55 -> -8, 0xD5 -> +8,
+    0x2A -> -32256 (max negative), 0xAA -> +32256 (max positive)."""
+    vals = alaw_decode(np.array([0x55, 0xD5, 0x2A, 0xAA], dtype=np.uint8))
+    assert list(vals) == [-8, 8, -32256, 32256]
+    allv = alaw_decode(np.arange(256, dtype=np.uint8))
+    assert allv.min() == -32256 and allv.max() == 32256
+
+
+def test_alaw_decode_matches_scalar_reference():
+    def scalar(b):
+        a = b ^ 0x55
+        seg = (a >> 4) & 0x07
+        t = (a & 0x0F) << 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    got = alaw_decode(np.arange(256, dtype=np.uint8))
+    assert list(got) == [scalar(b) for b in range(256)]
