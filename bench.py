@@ -69,6 +69,7 @@ HEADLINE = [
     # mu-law audio decode composition — both map-only stages
     ("mp4_multitrack", "multimodal_mp4_multitrack"),
     ("audio_decode", "multimodal_audio_decode"),
+    ("mp3_frames", "multimodal_mp3_frames"),
 ]
 
 

@@ -1042,17 +1042,33 @@ _MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 32
 _MP3_RATES = (44100, 48000, 32000)
 
 
-def make_mp3(n_frames: int, bitrate_kbps: int = 128, sample_rate: int = 44100) -> bytes:
-    """MPEG-1 Layer III frame sequence with valid headers and zeroed main
-    data — every field a frame-walking probe reads is real."""
+def make_mp3(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    fill_seed: int | None = None,
+) -> bytes:
+    """MPEG-1 Layer III frame sequence with valid headers — every field a
+    frame-walking probe reads is real. Main data is zeroed by default;
+    with ``fill_seed`` each frame i carries deterministic bytes
+    ``(seed + i*7 + j*3) % 256`` so a frame demux's byte extents are
+    closed-form checkable (the Layer-III bitstream itself is not decoded
+    — same honesty split as the MP4 codec layer)."""
     br_idx = _MP3_BITRATES.index(bitrate_kbps)
     sr_idx = _MP3_RATES.index(sample_rate)
     frame_len = 144 * bitrate_kbps * 1000 // sample_rate  # no padding bit
     hdr = bytes(
         [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00]
     )  # sync, MPEG-1 L3 no-CRC, no padding, stereo
-    frame = hdr + b"\x00" * (frame_len - 4)
-    return frame * n_frames
+    if fill_seed is None:
+        return (hdr + b"\x00" * (frame_len - 4)) * n_frames
+    return b"".join(
+        hdr
+        + bytes(
+            (fill_seed + i * 7 + j * 3) % 256 for j in range(frame_len - 4)
+        )
+        for i in range(n_frames)
+    )
 
 
 def probe_mp3(payload: bytes) -> tuple[int, int, int, int]:
@@ -1077,6 +1093,47 @@ def probe_mp3(payload: bytes) -> tuple[int, int, int, int]:
         n_frames += 1
     duration_ms = n_frames * 1152 * 1000 // rate if rate else 0
     return n_frames, bitrate or 0, rate or 0, duration_ms
+
+
+def demux_mp3_frames(payload: bytes) -> list[dict]:
+    """Frame-level MP3 demux -> one dict per MPEG-1 Layer III frame:
+    {idx, offset, size, dts_ms, data}. The frame walk is the same
+    header-driven stepping as probe_mp3 but STRICT about extents — a
+    frame whose declared length overruns the buffer is corruption, not
+    a short last frame (decoders that guess generate corrupt training
+    audio). Each frame covers exactly 1152 samples, so
+    dts_ms = idx * 1152 * 1000 // rate, integer-exact. This is the
+    sample-extraction layer for MP3 (what demux_mp4 is to MP4); the
+    Layer-III bitstream decode itself stays honestly gated."""
+    out: list[dict] = []
+    pos = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF or (payload[pos + 1] & 0xE0) != 0xE0:
+            raise ValueError("lost MP3 frame sync")
+        if (payload[pos + 1] & 0x18) != 0x18 or (payload[pos + 1] & 0x06) != 0x02:
+            raise NotImplementedError("only MPEG-1 Layer III supported")
+        br_idx = payload[pos + 2] >> 4
+        sr_idx = (payload[pos + 2] >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("invalid MP3 bitrate/samplerate index")
+        rate = _MP3_RATES[sr_idx]
+        padding = (payload[pos + 2] >> 1) & 0x1
+        flen = 144 * _MP3_BITRATES[br_idx] * 1000 // rate + padding
+        if pos + flen > len(payload):
+            raise ValueError("truncated MP3 frame")
+        out.append(
+            {
+                "idx": len(out),
+                "offset": pos,
+                "size": flen,
+                "dts_ms": len(out) * 1152 * 1000 // rate,
+                "data": payload[pos : pos + flen],
+            }
+        )
+        pos += flen
+    if pos != len(payload):
+        raise ValueError("trailing bytes after the last MP3 frame")
+    return out
 
 
 # ------------------------------------------- MP4 sample-table demux ------
@@ -1957,3 +2014,56 @@ def decode_mp4_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out
 
     return src.mapInPandas(batches, AUDIO_PCM_SCHEMA)
+
+
+MP3_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("size", T.IntegerType()),
+        T.StructField("dts_ms", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+    ]
+)
+
+
+def demux_mp3_frame_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize an MPEG-1 Layer III stream per doc (frame count,
+    bitrate, sample rate and main-data bytes all closed-form in doc_id,
+    standing in for object-storage reads) and frame-DEMUX it for real:
+    one output row per frame with its byte extent, exact integer
+    timestamp, and the main-data bytes' sum — wrong frame-length
+    arithmetic (144*br/rate), a missed header field, or a misplaced
+    extent flips the sum. Arrow-batched mapInPandas: a pure map stage
+    at 100 TB, the audio twin of the MP4 sample demux."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "frame_idx", "offset", "size", "dts_ms", "byte_sum"]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = make_mp3(
+                    n_frames=10 + d % 40,
+                    bitrate_kbps=_MP3_BITRATES[4 + d % 6],
+                    sample_rate=_MP3_RATES[d % 3],
+                    fill_seed=d % 256,
+                )
+                for fr in demux_mp3_frames(payload):
+                    rows.append(
+                        (
+                            d, fr["idx"], fr["offset"], fr["size"],
+                            fr["dts_ms"], sum(fr["data"][4:]),
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            for c, dt in (
+                ("doc_id", "int64"), ("frame_idx", "int32"), ("offset", "int64"),
+                ("size", "int32"), ("dts_ms", "int64"), ("byte_sum", "int64"),
+            ):
+                out[c] = out[c].astype(dt)
+            yield out
+
+    return src.mapInPandas(batches, MP3_FRAME_SCHEMA)

@@ -1995,6 +1995,50 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mp3_frames",
+    """
+    with base as (
+      select doc_id,
+             10 + doc_id % 40 as n,
+             case doc_id % 6 when 0 then 56 when 1 then 64 when 2 then 80
+                  when 3 then 96 when 4 then 112 else 128 end as br,
+             case doc_id % 3 when 0 then 44100 when 1 then 48000
+                  else 32000 end as rate
+      from documents where doc_id % 5 = 4
+    ),
+    fr as (
+      select doc_id, i, rate,
+             (144 * br * 1000) // rate as flen
+      from base, unnest(generate_series(0, 49)) u(i) where i < n
+    )
+    select doc_id,
+           cast(i as integer) as frame_idx,
+           cast(i * flen as bigint) as offset,
+           cast(flen as integer) as size,
+           cast((i * 1152 * 1000) // rate as bigint) as dts_ms,
+           cast((select sum((doc_id + i * 7 + j * 3) % 256)
+                 from generate_series(0, 575) g(j) where j < flen - 4)
+               as bigint) as byte_sum
+    from fr
+    """,
+)
+def multimodal_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame demux (multimodal.demux_mp3_frames): per doc, synthesize
+    an MPEG-1 Layer III stream (frame count, bitrate and sample rate all
+    varying closed-form in doc_id, main data seeded) and walk its frames
+    for real — one row per frame with byte extent, integer-exact
+    1152-samples-per-frame timestamp, and the main-data byte sum. The
+    oracle restates the 144*br*1000//rate frame-length arithmetic and
+    the seeded byte sums in SQL, so a header-stepping or extent error
+    flips the hash. This is MP3's sample-extraction layer (the audio
+    twin of demux_mp4); the Layer-III bitstream decode stays honestly
+    gated."""
+    return multimodal.demux_mp3_frame_table(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 4)
+    )
+
+
+@register(
     "multimodal_jpeg_progressive",
     """
     select doc_id,

@@ -69,8 +69,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # keeps mp4_samples, jpeg_progressive and the two new rows; both stay
 # local-gated + pytest-pinned), and sim_range_search (the range-search
 # family stays driver-covered by lh_ann_range_selfcheck; sim_ keeps the
-# cosine_topk anchor). Every displaced query stays covered by the
-# identical strict local gate and the registry-wide dtype-parity pytest.
+# cosine_topk anchor). As further r12 code landed, the MP3 frame demux
+# multimodal_mp3_frames (the audio twin of the MP4 sample demux) rotated
+# in per the same no-tail principle, taking the slot of a fifth
+# double-green non-anchor, lh_rollup_reaggregate (the rollup family stays
+# driver-covered by topk/percentile/distinct + the cdf feed; reaggregate
+# stays local-gated + pytest-pinned). Every displaced query stays covered
+# by the identical strict local gate and the registry-wide dtype-parity
+# pytest.
 #
 # Round-11 rotation (VERDICT r10 task #3: zero the evidence tail). The 8
 # oracle-checkable queries written after the r10 window froze rotate IN —
@@ -217,8 +223,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lh_rollup_percentile",
     "lh_rollup_distinct",
     # (lh_ann_auto_maintain's second-round hold slot goes to the NEW
-    # indexed range-search differential — fresh code outranks a hold)
-    "lh_rollup_reaggregate",
+    # indexed range-search differential — fresh code outranks a hold;
+    # lh_rollup_reaggregate's second-round hold slot goes to the NEW MP3
+    # frame demux — fresh code outranks a hold)
+    "multimodal_mp3_frames",
     "lh_ann_range_selfcheck",
     # dedup + similarity (components twin holds; cosine top-k anchors;
     # NEW exact substring-span coverage — the Lee-et-al ExactSubstr class —

@@ -382,3 +382,54 @@ def test_alaw_decode_matches_scalar_reference():
 
     got = alaw_decode(np.arange(256, dtype=np.uint8))
     assert list(got) == [scalar(b) for b in range(256)]
+
+
+# --------------------------------------------------- MP3 frame demux ------
+
+from pyiceberg_lakehouse_spark.operators.multimodal import (  # noqa: E402
+    demux_mp3_frames,
+    make_mp3,
+)
+
+
+def test_mp3_frame_demux_extents_and_timestamps():
+    mp3 = make_mp3(n_frames=7, bitrate_kbps=96, sample_rate=48000, fill_seed=9)
+    frames = demux_mp3_frames(mp3)
+    flen = 144 * 96 * 1000 // 48000
+    assert [f["offset"] for f in frames] == [i * flen for i in range(7)]
+    assert all(f["size"] == flen for f in frames)
+    assert [f["dts_ms"] for f in frames] == [i * 1152 * 1000 // 48000 for i in range(7)]
+    # seeded main data roundtrips through the extents
+    for i, f in enumerate(frames):
+        assert f["data"][4:] == bytes(
+            (9 + i * 7 + j * 3) % 256 for j in range(flen - 4)
+        )
+        assert mp3[f["offset"] : f["offset"] + f["size"]] == f["data"]
+
+
+def test_mp3_frame_demux_strict_about_corruption():
+    mp3 = make_mp3(n_frames=3, bitrate_kbps=128, sample_rate=44100)
+    with pytest.raises(ValueError, match="truncated"):
+        demux_mp3_frames(mp3[:-10])  # last frame's length overruns
+    with pytest.raises(ValueError, match="frame sync"):
+        demux_mp3_frames(b"\x00\x00" + mp3)
+    # a padded frame steps flen+1: build one by hand (padding bit set)
+    flen = 144 * 128 * 1000 // 44100
+    hdr = bytes([0xFF, 0xFB, (9 << 4) | (0 << 2) | 0x02, 0x00])
+    padded = hdr + b"\x00" * (flen + 1 - 4)
+    frames = demux_mp3_frames(padded + mp3)
+    assert frames[0]["size"] == flen + 1 and frames[1]["offset"] == flen + 1
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=30),
+    br=st.sampled_from([56, 64, 96, 128, 160, 224]),
+    rate=st.sampled_from([44100, 48000, 32000]),
+    seed=st.integers(min_value=0, max_value=255),
+)
+def test_mp3_frame_demux_property(n, br, rate, seed):
+    mp3 = make_mp3(n_frames=n, bitrate_kbps=br, sample_rate=rate, fill_seed=seed)
+    frames = demux_mp3_frames(mp3)
+    assert len(frames) == n
+    assert b"".join(f["data"] for f in frames) == mp3

@@ -535,7 +535,8 @@ def test_mp4_multitrack_and_audio_decode_map_only(spark, sf_dir):
     """Multi-track demux and the demux->mu-law-decode composition are
     per-document work and must stay pure map stages (no Exchange) —
     media-scale rows never shuffle."""
-    for q in ("multimodal_mp4_multitrack", "multimodal_audio_decode"):
+    for q in ("multimodal_mp4_multitrack", "multimodal_audio_decode",
+              "multimodal_mp3_frames"):
         plan = plan_of(spark, q, sf_dir)
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, (q, plan[:800])
         assert "MapInPandas" in plan
