@@ -1837,21 +1837,38 @@ def alaw_decode(u8: "np.ndarray") -> "np.ndarray":
     return np.where((a & 0x80) != 0, t, -t)
 
 
+def pcm16_decode(data: bytes, big_endian: bool) -> "np.ndarray":
+    """Uncompressed 16-bit PCM sample decode — the QuickTime/ISO BMFF
+    'twos' (big-endian, two's complement) and 'sowt' (little-endian)
+    sample-entry formats. An odd byte count cannot be int16 samples:
+    corruption, not data."""
+    if len(data) % 2:
+        raise ValueError("odd byte count in a 16-bit PCM sample")
+    return np.frombuffer(data, dtype=">i2" if big_endian else "<i2").astype(
+        np.int64
+    )
+
+
 def _synthetic_2trak_mp4(d: int) -> tuple[bytes, int, int]:
     """Deterministic 2-trak interleaved MP4 for doc id ``d`` (standing in
     for an object-storage read): video trak (mp4v, 2 samples/chunk, stss
     every 3rd, a B-frame-style ctts reorder pattern so pts != dts) +
-    G.711 audio trak (ulaw for even d, alaw for odd — the codec fourcc
-    drives decoder routing; 3 samples/chunk, no stss — every sample sync
-    per spec). Sample counts, sizes, timings and bytes are all
-    closed-form in ``d`` so a DuckDB oracle can state the full demux
-    output — including the cross-trak interleaved chunk offsets and the
-    composition timestamps — without parsing a byte.
-    Returns (mp4, n_video, n_audio)."""
+    audio trak cycling all four real uncompressed/companded sample-entry
+    formats by d % 4 — G.711 'ulaw' / 'alaw' and 16-bit PCM 'sowt'
+    (little-endian) / 'twos' (big-endian); the codec fourcc drives
+    decoder routing (3 samples/chunk, no stss — every sample sync per
+    spec; PCM sample sizes are even by construction). Sample counts,
+    sizes, timings and bytes are all closed-form in ``d`` so a DuckDB
+    oracle can state the full demux output — including the cross-trak
+    interleaved chunk offsets and the composition timestamps — without
+    parsing a byte. Returns (mp4, n_video, n_audio)."""
     nv = 6 + d % 7
     na = 8 + d % 5
     v_sizes = [40 + ((d + 11 * i) % 60) for i in range(nv)]
-    a_sizes = [20 + ((d + 5 * i) % 30) for i in range(na)]
+    if d % 4 >= 2:  # PCM formats: int16 samples need even byte counts
+        a_sizes = [20 + 2 * ((d + 5 * i) % 15) for i in range(na)]
+    else:
+        a_sizes = [20 + ((d + 5 * i) % 30) for i in range(na)]
     v_payloads = [
         bytes((d * 7 + i * 13 + j * 3) % 256 for j in range(v_sizes[i]))
         for i in range(nv)
@@ -1874,7 +1891,7 @@ def _synthetic_2trak_mp4(d: int) -> tuple[bytes, int, int]:
                 "samples": a_payloads,
                 "stts_runs": [(na, 64)],
                 "handler": "soun",
-                "codec": "ulaw" if d % 2 == 0 else "alaw",
+                "codec": ("ulaw", "alaw", "sowt", "twos")[d % 4],
                 "samples_per_chunk": 3,
             },
         ]
@@ -1985,19 +2002,26 @@ def decode_mp4_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 for t in demux_mp4_tracks(mp4):
                     if t["handler"] != "soun":
                         continue
-                    if t["codec"] == "ulaw":
-                        expand = ulaw_decode
-                    elif t["codec"] == "alaw":
-                        expand = alaw_decode
+                    codec = t["codec"]
+                    if codec == "ulaw":
+                        expand = lambda b: ulaw_decode(  # noqa: E731
+                            np.frombuffer(b, dtype=np.uint8)
+                        )
+                    elif codec == "alaw":
+                        expand = lambda b: alaw_decode(  # noqa: E731
+                            np.frombuffer(b, dtype=np.uint8)
+                        )
+                    elif codec in ("sowt", "twos"):
+                        expand = lambda b: pcm16_decode(  # noqa: E731
+                            b, big_endian=(codec == "twos")
+                        )
                     else:
                         raise NotImplementedError(
-                            f"audio codec {t['codec']!r}: only G.711 "
-                            "('ulaw'/'alaw') decode is implemented"
+                            f"audio codec {codec!r}: G.711 ('ulaw'/'alaw') "
+                            "and 16-bit PCM ('sowt'/'twos') decode only"
                         )
                     for s in t["samples"]:
-                        pcm = expand(
-                            np.frombuffer(s["data"], dtype=np.uint8)
-                        )
+                        pcm = expand(s["data"])
                         rows.append(
                             (
                                 d, s["idx"], s["dts"], len(pcm),

@@ -1860,7 +1860,8 @@ def multimodal_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     a as (
       select doc_id, 2 as trk, i,
              i // 3 as chunk_idx,
-             20 + ((doc_id + 5 * i) % 30) as sz,
+             case when doc_id % 4 >= 2 then 20 + 2 * ((doc_id + 5 * i) % 15)
+                  else 20 + ((doc_id + 5 * i) % 30) end as sz,
              i * 64 as dts,
              i * 64 as pts,
              true as sync_
@@ -1882,7 +1883,9 @@ def multimodal_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(s.trk as integer) as track_id,
            case when s.trk = 1 then 'vide' else 'soun' end as handler,
            case when s.trk = 1 then 'mp4v'
-                when s.doc_id % 2 = 0 then 'ulaw' else 'alaw' end as codec,
+                when s.doc_id % 4 = 0 then 'ulaw'
+                when s.doc_id % 4 = 1 then 'alaw'
+                when s.doc_id % 4 = 2 then 'sowt' else 'twos' end as codec,
            cast(s.i as integer) as sample_idx,
            cast(s.dts as bigint) as dts,
            cast(s.pts as bigint) as pts,
@@ -1932,27 +1935,27 @@ def multimodal_mp4_multitrack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s as (
       select doc_id, i,
-             20 + ((doc_id + 5 * i) % 30) as sz,
+             case when doc_id % 4 >= 2 then 20 + 2 * ((doc_id + 5 * i) % 15)
+                  else 20 + ((doc_id + 5 * i) % 30) end as sz,
              i * 64 as dts
       from base, unnest(generate_series(0, 11)) u(i) where i < na
     ),
-    bytes_ as (
-      select doc_id, i, sz, dts,
-             (doc_id * 3 + i * 7 + j * 11) % 256 as b
-      from s, generate_series(0, 48) g(j)
-      where j < sz
-    ),
-    -- even docs carry mu-law: complement, ((mant<<3)+132)<<exp, bias 132
-    -- odd docs carry A-law: xor 0x55, seg 0 linear, else <<(seg-1)
-    expanded as (
+    -- d%4=0 mu-law: complement, ((mant<<3)+132)<<exp, bias 132
+    -- d%4=1 A-law: xor 0x55, seg 0 linear, else <<(seg-1)
+    g711 as (
       select doc_id, i, sz, dts,
              255 - b as u,
              xor(b, 85) as a
-      from bytes_
+      from (
+        select doc_id, i, sz, dts,
+               (doc_id * 3 + i * 7 + j * 11) % 256 as b
+        from s, generate_series(0, 48) g(j)
+        where doc_id % 4 < 2 and j < sz
+      )
     ),
-    pcm as (
+    g711v as (
       select doc_id, i, sz, dts,
-             case when doc_id % 2 = 0 then
+             case when doc_id % 4 = 0 then
                case when u >= 128
                     then 132 - (u % 16 * 8 + 132) * (1 << ((u // 16) % 8))
                     else (u % 16 * 8 + 132) * (1 << ((u // 16) % 8)) - 132
@@ -1963,32 +1966,53 @@ def multimodal_mp4_multitrack(spark: SparkSession, sf_dir: str) -> DataFrame:
                     else (a % 16 * 16 + 264) * (1 << ((a // 16) % 8 - 1))
                end
              end as val
-      from expanded
-    )
+      from g711
+    ),
+    -- d%4=2 'sowt' little-endian / d%4=3 'twos' big-endian int16 PCM:
+    -- sample p is the byte pair (2p, 2p+1), two's complement
+    pcmv as (
+      select doc_id, i, sz, dts,
+             case when raw >= 32768 then raw - 65536 else raw end as val
+      from (
+        select doc_id, i, sz, dts,
+               case when doc_id % 4 = 2
+                 then (doc_id * 3 + i * 7 + (2 * p) * 11) % 256
+                      + 256 * ((doc_id * 3 + i * 7 + (2 * p + 1) * 11) % 256)
+                 else (doc_id * 3 + i * 7 + (2 * p + 1) * 11) % 256
+                      + 256 * ((doc_id * 3 + i * 7 + (2 * p) * 11) % 256)
+               end as raw
+        from s, generate_series(0, 24) g(p)
+        where doc_id % 4 >= 2 and p < sz // 2
+      )
+    ),
+    allv as (select * from g711v union all select * from pcmv)
     select doc_id,
            cast(i as integer) as sample_idx,
            cast(dts as bigint) as dts,
-           cast(sz as integer) as n_pcm,
+           cast(case when doc_id % 4 >= 2 then sz // 2 else sz end
+               as integer) as n_pcm,
            cast(sum(val) as bigint) as pcm_sum,
            cast(min(val) as integer) as pcm_min,
            cast(max(val) as integer) as pcm_max
-    from pcm group by doc_id, i, sz, dts
+    from allv group by doc_id, i, sz, dts
     """,
 )
 def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Demux -> DECODE composition (multimodal.decode_mp4_audio): demux
     the 2-trak MP4, route by hdlr to the soun trak, pick the expander
-    from the stsd codec fourcc — G.711 mu-law ('ulaw', even docs) or
-    A-law ('alaw', odd docs) — and expand every audio sample's bytes to
-    linear PCM: one row per audio sample with decoded sum/min/max. The
-    oracle recomputes BOTH expansions in pure SQL integer arithmetic
-    (mu: complement, ((mant<<3)+132)<<exp, bias 132, endpoints +-32124;
-    A: xor 0x55, seg-0 linear else <<(seg-1), endpoints +-32256 — both
-    validated against the published tables), so a routing error (video
-    bytes reaching the decoder, or the wrong law for the fourcc), a
-    demux extent error, or any expansion-arithmetic error flips the
-    hash. G.711 is the real telephony codec pair; compressed audio
-    (MP3 Layer III sample decode) stays honestly gated."""
+    from the stsd codec fourcc — the corpus cycles all four real
+    uncompressed/companded formats by doc parity: G.711 mu-law 'ulaw',
+    A-law 'alaw', and 16-bit PCM 'sowt' (little-endian) / 'twos'
+    (big-endian) — and expand every audio sample's bytes to linear PCM:
+    one row per audio sample with decoded count/sum/min/max. The oracle
+    recomputes ALL FOUR decodes in pure SQL integer arithmetic (mu:
+    complement, ((mant<<3)+132)<<exp, bias 132, endpoints +-32124; A:
+    xor 0x55, seg-0 linear else <<(seg-1), endpoints +-32256; PCM:
+    byte-pair two's complement in each endianness), so a routing error
+    (video bytes reaching the decoder, or the wrong law/endianness for
+    the fourcc), a demux extent error, or any expansion-arithmetic
+    error flips the hash. Compressed audio (MP3 Layer III sample
+    decode) stays honestly gated."""
     return multimodal.decode_mp4_audio(
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
     )

@@ -433,3 +433,28 @@ def test_mp3_frame_demux_property(n, br, rate, seed):
     frames = demux_mp3_frames(mp3)
     assert len(frames) == n
     assert b"".join(f["data"] for f in frames) == mp3
+
+
+def test_pcm16_decode_both_endiannesses():
+    from pyiceberg_lakehouse_spark.operators.multimodal import pcm16_decode
+
+    data = bytes([0x01, 0x02, 0xFF, 0x7F, 0x00, 0x80])
+    le = pcm16_decode(data, big_endian=False)
+    be = pcm16_decode(data, big_endian=True)
+    assert list(le) == [0x0201, 0x7FFF, -32768]
+    assert list(be) == [0x0102, -0x81, 0x80]
+    with pytest.raises(ValueError, match="odd byte count"):
+        pcm16_decode(b"\x00\x01\x02", big_endian=False)
+
+
+def test_audio_codec_routing_cycles_all_four():
+    from pyiceberg_lakehouse_spark.operators.multimodal import _synthetic_2trak_mp4
+
+    codecs = []
+    for d in range(4, 8):
+        mp4, _nv, _na = _synthetic_2trak_mp4(d)
+        tr = demux_mp4_tracks(mp4)
+        codecs.append(tr[1]["codec"])
+        if tr[1]["codec"] in ("sowt", "twos"):
+            assert all(s["size"] % 2 == 0 for s in tr[1]["samples"])
+    assert codecs == ["ulaw", "alaw", "sowt", "twos"]
