@@ -1837,12 +1837,13 @@ def multimodal_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_mp4_multitrack",
-    """
+# The multi-track demux oracle, shared (via {filt}) by the ad-hoc query
+# and the streaming media-sample maintenance query — one closed-form
+# statement of the demux output, so the two faces can never drift.
+MP4_MULTITRACK_ORACLE = """
     with base as (
       select doc_id, 6 + doc_id % 7 as nv, 8 + doc_id % 5 as na
-      from documents where doc_id % 4 = 1
+      from documents where {filt}
     ),
     v as (
       select doc_id, 1 as trk, i,
@@ -1902,7 +1903,12 @@ def multimodal_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
                  from generate_series(0, 98) g(j) where j < s.sz)
                as bigint) as byte_sum
     from s join cb using (doc_id, trk, chunk_idx)
-    """,
+"""
+
+
+@register(
+    "multimodal_mp4_multitrack",
+    MP4_MULTITRACK_ORACLE.format(filt="doc_id % 4 = 1"),
 )
 def multimodal_mp4_multitrack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-TRACK ISO BMFF demux (multimodal.demux_mp4_tracks): per doc,

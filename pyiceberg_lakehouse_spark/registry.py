@@ -74,9 +74,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # in per the same no-tail principle, taking the slot of a fifth
 # double-green non-anchor, lh_rollup_reaggregate (the rollup family stays
 # driver-covered by topk/percentile/distinct + the cdf feed; reaggregate
-# stays local-gated + pytest-pinned). Every displaced query stays covered
-# by the identical strict local gate and the registry-wide dtype-parity
-# pytest.
+# stays local-gated + pytest-pinned), and the streaming media-demux
+# maintenance stream_lh_media_demux (the multi-track demux as a DERIVED
+# table, per-batch incremental, same oracle template as the ad-hoc query)
+# rotated in for lh_compact_partition's second-round hold slot (the
+# maintenance family stays driver-covered by purge_rows +
+# expire_tag_retention; compaction stays local-gated + pytest-pinned).
+# Every displaced query stays covered by the identical strict local gate
+# and the registry-wide dtype-parity pytest.
 #
 # Round-11 rotation (VERDICT r10 task #3: zero the evidence tail). The 8
 # oracle-checkable queries written after the r10 window froze rotate IN —
@@ -188,7 +193,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # near-dup query — the asymmetric crawl-dedup path; clone stays
     # local-gated + pytest-pinned)
     "lh_neardup_probe_batch",
-    "lh_compact_partition",
+    # (lh_compact_partition's second-round hold slot goes to the NEW
+    # streaming media-demux maintenance — fresh code outranks a hold)
+    "stream_lh_media_demux",
     # lakehouse lifecycle + maintenance (r9 first-timers hold; NEW
     # partition-scoped MERGE INTO + HLL distinct rollup; post-freeze
     # reaggregate read path rotates in)

@@ -359,3 +359,28 @@ def write_stream_with_neardup_index(
         stream_df, table, index, checkpoint_dir, refresh_neardup_index,
         available_now=available_now,
     )
+
+
+def write_stream_with_media_samples(
+    stream_df: DataFrame,
+    table: LakehouseTable,
+    index: LakehouseTable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous MEDIA-DEMUX maintenance: the exactly-once micro-batch
+    append sink composed with ``refresh_media_samples`` — the per-sample
+    table (trak routing, timestamps, byte extents, key-frame flags)
+    tracks the media-document stream at micro-batch granularity,
+    demuxing only each batch's files (the cursor advances along the
+    snapshot log; the corpus is never re-demuxed). This is the
+    production video-crawl shape: every arriving batch's key frames are
+    immediately queryable for sampling/curation."""
+    from pyiceberg_lakehouse_spark.lakehouse.media import (
+        refresh_media_samples,
+    )
+
+    return write_stream_with_index(
+        stream_df, table, index, checkpoint_dir, refresh_media_samples,
+        available_now=available_now,
+    )

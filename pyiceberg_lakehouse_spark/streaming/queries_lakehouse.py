@@ -910,3 +910,60 @@ def stream_lh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
 
     return verify_exact_pairs(neardup_candidates(idx), t.scan())
+
+
+def _mp4_multitrack_oracle(filt: str) -> str:
+    from pyiceberg_lakehouse_spark.operators.queries import (
+        MP4_MULTITRACK_ORACLE,
+    )
+
+    return MP4_MULTITRACK_ORACLE.format(filt=filt)
+
+
+@register(
+    "stream_lh_media_demux",
+    _mp4_multitrack_oracle("doc_id % 7 = 2"),
+)
+def stream_lh_media_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous media-demux maintenance, driver-hashable: seed a
+    media-document table with 40% of the docs and build its per-sample
+    table (lakehouse/media.py — the multi-track demux as a DERIVED
+    table: trak routing, dts/pts, byte extents, key-frame flags), then
+    stream the remaining 60% in micro-batches through
+    ``write_stream_with_media_samples`` — each batch demuxes only its
+    own files (the cursor advances along the snapshot log; the corpus
+    is never re-demuxed). The final sample table must hash-equal the
+    closed-form statement of the demux output over ALL docs — the SAME
+    oracle template as the ad-hoc multimodal_mp4_multitrack query, so
+    the maintained table and the one-shot operator provably agree."""
+    import os
+
+    from pyiceberg_lakehouse_spark.lakehouse.media import (
+        create_media_sample_table,
+    )
+    from pyiceberg_lakehouse_spark.streaming.lakehouse_io import (
+        write_stream_with_media_samples,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 2
+    ).select("doc_id")
+    base = docs.filter(F.col("doc_id") % 5 < 2)
+    rest = docs.filter(F.col("doc_id") % 5 >= 2)
+    work = session_tmpdir(prefix="media_stream_")
+    lh = Lakehouse(spark, os.path.join(work, "wh"))
+    t = lh.create_table("ns.media_docs", docs.schema)
+    t.append(base)
+    idx = create_media_sample_table(lh, t, "ns.media_samples")
+
+    feed = os.path.join(work, "feed")
+    rest.repartition(3).write.mode("overwrite").parquet(feed)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(feed)
+    )
+    q = write_stream_with_media_samples(stream, t, idx, os.path.join(work, "ckpt"))
+    q.awaitTermination()
+    return idx.scan()
