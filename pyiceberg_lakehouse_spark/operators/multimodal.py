@@ -1245,6 +1245,8 @@ def make_mp4_media_multi(
         specs.append(
             {
                 "ctts": list(ctts_offsets) if ctts_offsets is not None else None,
+                # (segment_duration, media_time, rate) triples -> edts/elst
+                "elst": spec.get("elst"),
                 "handler": handler,
                 "codec": codec,
                 "sync_every": sync_every,
@@ -1340,6 +1342,16 @@ def make_mp4_media_multi(
             + b"\x00" * 36
             + _struct.pack(">II", w << 16, h << 16),
         )
+        if sp["elst"] is not None:
+            elst = _box(
+                b"elst",
+                _struct.pack(">B3xI", 0, len(sp["elst"]))
+                + b"".join(
+                    _struct.pack(">IiI", dur_e, mt, int(rate * 65536))
+                    for dur_e, mt, rate in sp["elst"]
+                ),
+            )
+            return _box(b"trak", tkhd + _box(b"edts", elst) + mdia)
         return _box(b"trak", tkhd + mdia)
 
     def build_moov(offsets_by_track: list[list[int]]) -> bytes:
@@ -1431,11 +1443,12 @@ def _parse_mp4_tracks(payload: bytes) -> list[dict]:
                     "handler": None,
                     "codec": None,
                     "timescale": None,
+                    "edits": None,
                     "tables": {},
                 }
                 tracks.append(t)
                 walk(body, end, t)
-            elif btype in (b"moov", b"mdia", b"minf", b"stbl"):
+            elif btype in (b"moov", b"mdia", b"minf", b"stbl", b"edts"):
                 walk(body, end, ctx)
             elif ctx is not None:
                 if btype == b"tkhd" and body + 4 <= end:
@@ -1460,6 +1473,33 @@ def _parse_mp4_tracks(payload: bytes) -> list[dict]:
                     ctx["codec"] = payload[body + 12 : body + 16].decode(
                         "latin-1"
                     )
+                elif btype == b"elst" and body + 8 <= end:
+                    # edit list: trims/delays real camera files carry.
+                    # v0: u32 duration (MOVIE timescale) / i32 media_time
+                    # (MEDIA timescale; -1 = empty edit) / 16.16 rate.
+                    # v1 widens duration/media_time to 8 bytes.
+                    ver = payload[body]
+                    (n_edits,) = _struct.unpack_from(">I", payload, body + 4)
+                    entry_bytes = 20 if ver == 1 else 12
+                    if body + 8 + entry_bytes * n_edits > end:
+                        raise ValueError("elst entry count exceeds its box")
+                    fmt = ">Qq" if ver == 1 else ">Ii"
+                    edits = []
+                    at = body + 8
+                    for _ in range(n_edits):
+                        dur_e, mt = _struct.unpack_from(fmt, payload, at)
+                        rate = _struct.unpack_from(
+                            ">i", payload, at + (16 if ver == 1 else 8)
+                        )[0] / 65536.0
+                        edits.append(
+                            {
+                                "segment_duration": dur_e,
+                                "media_time": mt,
+                                "rate": rate,
+                            }
+                        )
+                        at += entry_bytes
+                    ctx["edits"] = edits
                 elif btype in (
                     b"stts", b"stsc", b"stsz", b"stco", b"co64", b"stss", b"ctts",
                 ):
@@ -1647,6 +1687,7 @@ def demux_mp4_tracks(payload: bytes) -> list[dict]:
                 "handler": t["handler"] or "",
                 "codec": t["codec"] or "",
                 "timescale": t["timescale"] or 0,
+                "edits": t["edits"],  # None when the trak carries no edts
                 "samples": _expand_sample_tables(payload, t["tables"]),
             }
         )

@@ -458,3 +458,34 @@ def test_audio_codec_routing_cycles_all_four():
         if tr[1]["codec"] in ("sowt", "twos"):
             assert all(s["size"] % 2 == 0 for s in tr[1]["samples"])
     assert codecs == ["ulaw", "alaw", "sowt", "twos"]
+
+
+# ------------------------------------------------------- edts / elst ------
+
+
+def test_elst_roundtrip_and_absent_is_none():
+    # iPhone-style trim: one empty edit (delay) + one trimmed segment
+    edits = [(500, -1, 1.0), (2000, 350, 1.0)]
+    mp4 = make_mp4_media_multi(
+        [{"samples": [bytes(10)] * 3, "stts_runs": [(3, 100)], "elst": edits}]
+    )
+    tr = demux_mp4_tracks(mp4)
+    assert tr[0]["edits"] == [
+        {"segment_duration": 500, "media_time": -1, "rate": 1.0},
+        {"segment_duration": 2000, "media_time": 350, "rate": 1.0},
+    ]
+    plain = make_mp4_media(_samples(3), stts_runs=[(3, 10)])
+    assert demux_mp4_tracks(plain)[0]["edits"] is None
+
+
+def test_elst_hostile_entry_count_rejected():
+    mp4 = bytearray(
+        make_mp4_media_multi(
+            [{"samples": [bytes(10)] * 3, "stts_runs": [(3, 100)],
+              "elst": [(1000, 0, 1.0)]}]
+        )
+    )
+    i = bytes(mp4).find(b"elst")
+    struct.pack_into(">I", mp4, i + 8, 1_000_000)  # count exceeds the box
+    with pytest.raises(ValueError, match="elst"):
+        demux_mp4_tracks(bytes(mp4))
