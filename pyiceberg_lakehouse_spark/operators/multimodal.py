@@ -1042,6 +1042,16 @@ _MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 32
 _MP3_RATES = (44100, 48000, 32000)
 
 
+def _cf_bytes(base: int, step: int, n: int) -> bytes:
+    """Closed-form byte string ``(base + step*j) % 256 for j in range(n)``,
+    vectorized — the synthetic-payload generator shared by the media
+    differential queries (the oracles restate the same arithmetic in SQL,
+    so this MUST stay exactly the documented formula)."""
+    return ((base + step * np.arange(n, dtype=np.int64)) % 256).astype(
+        np.uint8
+    ).tobytes()
+
+
 def make_mp3(
     n_frames: int,
     bitrate_kbps: int = 128,
@@ -1063,10 +1073,7 @@ def make_mp3(
     if fill_seed is None:
         return (hdr + b"\x00" * (frame_len - 4)) * n_frames
     return b"".join(
-        hdr
-        + bytes(
-            (fill_seed + i * 7 + j * 3) % 256 for j in range(frame_len - 4)
-        )
+        hdr + _cf_bytes(fill_seed + i * 7, 3, frame_len - 4)
         for i in range(n_frames)
     )
 
@@ -1752,8 +1759,7 @@ def demux_mp4_samples(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 n = 8 + d % 13
                 sizes = [40 + ((d + 7 * i) % 50) for i in range(n)]
                 payloads = [
-                    bytes((d * 13 + i * 17 + j * 5) % 256 for j in range(sizes[i]))
-                    for i in range(n)
+                    _cf_bytes(d * 13 + i * 17, 5, sizes[i]) for i in range(n)
                 ]
                 mp4 = make_mp4_media(
                     payloads, stts_runs=[(n // 2, 100), (n - n // 2, 150)]
@@ -1910,14 +1916,8 @@ def _synthetic_2trak_mp4(d: int) -> tuple[bytes, int, int]:
         a_sizes = [20 + 2 * ((d + 5 * i) % 15) for i in range(na)]
     else:
         a_sizes = [20 + ((d + 5 * i) % 30) for i in range(na)]
-    v_payloads = [
-        bytes((d * 7 + i * 13 + j * 3) % 256 for j in range(v_sizes[i]))
-        for i in range(nv)
-    ]
-    a_payloads = [
-        bytes((d * 3 + i * 7 + j * 11) % 256 for j in range(a_sizes[i]))
-        for i in range(na)
-    ]
+    v_payloads = [_cf_bytes(d * 7 + i * 13, 3, v_sizes[i]) for i in range(nv)]
+    a_payloads = [_cf_bytes(d * 3 + i * 7, 11, a_sizes[i]) for i in range(na)]
     mp4 = make_mp4_media_multi(
         [
             {

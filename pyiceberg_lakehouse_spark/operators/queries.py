@@ -2025,6 +2025,56 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_video_curation",
+    "with t as ("
+    + MP4_MULTITRACK_ORACLE.format(filt="doc_id % 9 = 4")
+    + """)
+    select doc_id,
+           cast(count(*) filter (where handler = 'vide' and is_sync)
+               as bigint) as n_keyframes,
+           cast(sum(size) filter (where handler = 'vide' and is_sync)
+               as bigint) as keyframe_bytes,
+           cast(max(pts) filter (where handler = 'vide')
+               as bigint) as video_span,
+           cast(count(*) filter (where handler = 'soun')
+               as bigint) as n_audio_samples,
+           cast(sum(size) filter (where handler = 'soun')
+               as bigint) as audio_bytes
+    from t group by doc_id
+    """,
+)
+def pipeline_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end video-curation composite: demux the corpus's 2-trak
+    files (one zero-shuffle map stage), route by hdlr, keep the video
+    trak's KEY FRAMES (the is_sync sampling knob a frame decoder
+    consumes) and the audio trak's extent, and emit the per-doc shot
+    list a curation pass filters on: keyframe count + bytes, composition
+    span, audio sample count + bytes. ONE job: map-stage demux then a
+    single conditional-aggregation shuffle — no joins, no second pass
+    over the media. The oracle wraps THE shared multi-track demux
+    template in the same conditional aggregates, so the whole composite
+    is hash-checked end to end."""
+    from pyiceberg_lakehouse_spark.operators.multimodal import (
+        demux_mp4_multitrack,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 9 == 4
+    )
+    rows = demux_mp4_multitrack(docs)
+    vide = F.col("handler") == "vide"
+    soun = F.col("handler") == "soun"
+    key = vide & F.col("is_sync")
+    return rows.groupBy("doc_id").agg(
+        F.count(F.when(key, 1)).alias("n_keyframes"),
+        F.sum(F.when(key, F.col("size"))).cast("bigint").alias("keyframe_bytes"),
+        F.max(F.when(vide, F.col("pts"))).alias("video_span"),
+        F.count(F.when(soun, 1)).alias("n_audio_samples"),
+        F.sum(F.when(soun, F.col("size"))).cast("bigint").alias("audio_bytes"),
+    )
+
+
+@register(
     "multimodal_mp3_frames",
     """
     with base as (

@@ -80,8 +80,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # rotated in for lh_compact_partition's second-round hold slot (the
 # maintenance family stays driver-covered by purge_rows +
 # expire_tag_retention; compaction stays local-gated + pytest-pinned).
-# Every displaced query stays covered by the identical strict local gate
-# and the registry-wide dtype-parity pytest.
+# Finally, the end-to-end video-curation composite
+# pipeline_video_curation (demux -> hdlr routing -> key-frame shot list,
+# oracle wrapping THE shared demux template in conditional aggregates)
+# rotated in for dedup_semantic's second-round hold slot (dedup_ stays
+# driver-covered by substring_spans + simhash_selfcheck; SemDeDup stays
+# local-gated + pytest-pinned). Every displaced query stays covered by
+# the identical strict local gate and the registry-wide dtype-parity
+# pytest.
 #
 # Round-11 rotation (VERDICT r10 task #3: zero the evidence tail). The 8
 # oracle-checkable queries written after the r10 window froze rotate IN —
@@ -245,9 +251,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # its oracle dtype fix must re-green this round)
     "stream_stream_right_join",
     "dedup_substring_spans",
-    # (train_mix_temperature's second-round hold slot goes to the NEW
-    # cosine range search — train_ stays represented by numeric_profile)
-    "dedup_semantic",
+    # (train_mix_temperature's second-round hold slot went to the r10
+    # cosine range search; dedup_semantic's second-round hold slot goes
+    # to the NEW end-to-end video-curation composite)
+    "pipeline_video_curation",
     "sim_cosine_topk",
     # (sim_range_search's second-round hold slot goes to the rebuilt
     # deterministic hash reservoir — newly oracle-checkable; the

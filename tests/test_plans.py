@@ -551,3 +551,15 @@ def test_sample_reservoir_is_topk_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan[:800]
     assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>" in plan
+
+
+def test_video_curation_single_shuffle(spark, sf_dir):
+    """The curation composite is demux (map stage) + ONE conditional-
+    aggregation shuffle: exactly one Exchange, no joins, no second pass
+    over the media rows."""
+    plan = plan_of(spark, "pipeline_video_curation", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:900]
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    # partial aggregation runs map-side, before the exchange
+    assert "partial" in plan.lower()
