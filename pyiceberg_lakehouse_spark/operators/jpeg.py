@@ -14,7 +14,9 @@ emits the three standard schemes), with restart intervals (DRI/RSTm)
 on both encode and decode, multi-scan (non-interleaved color) baseline
 streams, and 8- or 16-bit quantization tables; PROGRESSIVE streams
 (SOF2) dispatch to the multi-scan decoder in
-operators/jpeg_progressive.py; 12-bit precision, lossless (SOF3), and
+operators/jpeg_progressive.py; LOSSLESS streams (SOF3, T.81 process
+14) encode and decode natively below — all seven spatial predictors,
+bit-exact; 12-bit precision, lossless point transforms, and
 arithmetic coding raise NotImplementedError. The emitted Huffman
 tables are flat 8-bit canonical codes — deliberately suboptimal for
 SIZE but trivially correct, and legal because the tables travel in DHT
@@ -561,7 +563,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             )
 
             return decode_progressive(payload)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC3:
+            # lossless (process 14): delegate the whole stream to the
+            # predictive decoder below
+            return decode_jpeg_lossless(payload)
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) unsupported"
             )
@@ -742,3 +748,184 @@ def jpeg_header(payload: bytes) -> tuple[int, int, int]:
             break
         pos += 2 + seglen
     raise ValueError("corrupt JPEG (no SOF0 header)")
+
+
+# ------------------------------------------------- lossless JPEG (SOF3) ---
+# T.81 process 14: predictive lossless coding. No DCT, no quantization —
+# each sample's prediction residual (one of the seven spatial predictors,
+# H.1.2.1) is Huffman-coded with the DC category+amplitude machinery the
+# baseline codec already has. Closes the "lossless JPEG honestly gated"
+# capability: medical/archival corpora carry SOF3 files a curation
+# pipeline must read bit-exactly.
+
+_LL_PREDICTORS = (1, 2, 3, 4, 5, 6, 7)
+
+
+def _ll_predict(s: "np.ndarray", y: int, x: int, psel: int, p_bits: int) -> int:
+    """T.81 H.1: first sample 2^(P-1); rest of the first line predictor 1
+    (left); first column of later lines predictor 2 (above); elsewhere the
+    selected predictor. ``s`` holds reconstructed samples (== originals:
+    lossless), so encoder and decoder compute identical predictions."""
+    if y == 0:
+        return int(s[0, x - 1]) if x else 1 << (p_bits - 1)
+    if x == 0:
+        return int(s[y - 1, 0])
+    a, b, c = int(s[y, x - 1]), int(s[y - 1, x]), int(s[y - 1, x - 1])
+    if psel == 1:
+        return a
+    if psel == 2:
+        return b
+    if psel == 3:
+        return c
+    if psel == 4:
+        return a + b - c
+    if psel == 5:
+        return a + ((b - c) >> 1)
+    if psel == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1  # psel == 7
+
+
+def encode_jpeg_lossless(px: "np.ndarray", predictor: int = 4) -> bytes:
+    """Lossless JPEG (SOF3) encode: (h, w) or (h, w, nc) uint8 ->
+    bit-exact recoverable bytes. Components are coded independently
+    (no color transform — lossless JPEG stores samples as given),
+    interleaved sample-by-sample in one scan; one shared DC Huffman
+    table covers categories 0-16."""
+    if predictor not in _LL_PREDICTORS:
+        raise ValueError(f"predictor must be 1-7, got {predictor}")
+    arr = np.asarray(px)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.dtype != np.uint8:
+        raise ValueError("8-bit samples only")
+    h, w, nc = arr.shape
+    planes = arr.astype(np.int64)
+
+    bits, vals = _flat_table(list(range(17)))
+    codes = _codes_from_table(bits, vals)
+    wr = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for c in range(nc):
+                pred = _ll_predict(planes[:, :, c], y, x, predictor, 8)
+                v = (int(planes[y, x, c]) - pred) & 0xFFFF
+                signed = v - 65536 if v >= 32768 else v
+                if signed == -32768:
+                    code, ln = codes[16]  # SSSS=16: no amplitude bits
+                    wr.write(code, ln)
+                    continue
+                cat = _category(signed)
+                code, ln = codes[cat]
+                wr.write(code, ln)
+                if cat:
+                    wr.write(_amplitude_bits(signed, cat), cat)
+    entropy = wr.flush()
+
+    out = bytearray(b"\xff\xd8")
+    dht = bytes([0x00]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])  # Hi=Vi=1; Tq meaningless in SOF3
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + bytes(sof)
+    sos = bytearray([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])  # all components -> DC table 0
+    sos += bytes([predictor, 0, 0])  # Ss=predictor, Se=0, Ah/Al=0
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
+    out += entropy + b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
+    """Lossless JPEG (SOF3) decode -> (h, w) or (h, w, nc) uint8,
+    bit-exact. Supports any predictor 1-7 and multi-component
+    single-scan streams; point transforms (Al > 0) and restart
+    intervals stay gated (raise, never guess)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    huff: dict[int, dict[tuple[int, int], int]] = {}
+    h = w = 0
+    precision = 8
+    comps: list[int] = []  # component ids in SOF order
+    scan: tuple[list[tuple[int, int]], int, int] | None = None
+    data = b""
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG (expected marker)")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += 2 + seglen
+        if marker == 0xC3:
+            precision = body[0]
+            if not (2 <= precision <= 16):
+                raise ValueError(f"bad lossless precision {precision}")
+            if precision > 8:
+                raise NotImplementedError(
+                    "lossless precision > 8 bits unsupported"
+                )
+            h, w = struct.unpack(">HH", body[1:5])
+            comps = [body[6 + ci * 3] for ci in range(body[5])]
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                tbits = list(body[off + 1 : off + 17])
+                nv = sum(tbits)
+                tvals = list(body[off + 17 : off + 17 + nv])
+                codes = _codes_from_table(tbits, tvals)
+                huff[th] = {(ln, c): s for s, (c, ln) in codes.items()}
+                off += 17 + nv
+        elif marker == 0xDD:
+            raise NotImplementedError(
+                "restart intervals in lossless JPEG unsupported"
+            )
+        elif marker == 0xDA:
+            ns = body[0]
+            sc = []
+            for si in range(ns):
+                cid, tabs = body[1 + si * 2 : 3 + si * 2]
+                sc.append((comps.index(cid), tabs >> 4))
+            psel, _se, ahal = body[1 + ns * 2 : 4 + ns * 2]
+            if psel not in _LL_PREDICTORS:
+                raise ValueError(f"bad lossless predictor {psel}")
+            if ahal & 0x0F:
+                raise NotImplementedError(
+                    "lossless point transform (Al > 0) unsupported"
+                )
+            scan = (sc, psel, ahal)
+            data, pos = _entropy_span(payload, pos)
+            break
+    if scan is None or not comps or not h:
+        raise ValueError("corrupt lossless JPEG (no scan)")
+    sc, psel, _ = scan
+    if len(sc) != len(comps):
+        raise NotImplementedError(
+            "multi-scan lossless JPEG unsupported (single interleaved scan only)"
+        )
+    r = _BitReader(data)
+    nc = len(comps)
+    planes = np.zeros((h, w, nc), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            for idx, th in sc:
+                ssss = _huff_decode(r, huff[th])
+                if ssss == 16:
+                    diff = 32768
+                elif ssss:
+                    diff = _extend(r.read(ssss), ssss)
+                else:
+                    diff = 0
+                pred = _ll_predict(planes[:, :, idx], y, x, psel, precision)
+                planes[y, x, idx] = (pred + diff) & 0xFFFF
+    out = planes.astype(np.uint8)
+    return out[:, :, 0] if nc == 1 else out

@@ -2119,6 +2119,105 @@ def multimodal_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_lossless",
+    """
+    with base as (
+      select doc_id,
+             6 + doc_id % 9 as w,
+             5 + doc_id % 7 as h,
+             case when doc_id % 2 = 0 then 3 else 1 end as nc,
+             1 + doc_id % 7 as predictor
+      from documents where doc_id % 6 = 5
+    )
+    select doc_id,
+           cast(w as integer) as width,
+           cast(h as integer) as height,
+           cast(nc as integer) as n_components,
+           cast(predictor as integer) as predictor,
+           cast((select sum((doc_id * 5 + y * 11 + x * 3 + c * 17) % 256)
+                 from generate_series(0, 11) gy(y),
+                      generate_series(0, 14) gx(x),
+                      generate_series(0, 2) gc(c)
+                 where y < h and x < w and c < nc)
+               as bigint) as pixel_sum,
+           true as exact_roundtrip
+    from base
+    """,
+)
+def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LOSSLESS-JPEG round-trip (operators/jpeg.py: SOF3,
+    T.81 process 14): per doc, synthesize a deterministic image (gray or
+    RGB by parity), encode with the predictive lossless encoder — the
+    predictor CYCLES through all seven H.1.2.1 predictors across the
+    corpus — decode through decode_jpeg's SOF3 dispatch, and emit the
+    decoded pixel SUM plus the exact-roundtrip flag. Lossless means the
+    sum is CLOSED-FORM (unlike the lossy codecs' error-bound booleans):
+    any predictor, category-coding, or reconstruction slip flips the
+    hash, not just a tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import jpeg as _jpeg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 6 == 5)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_components", T.IntegerType()),
+            T.StructField("predictor", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+            T.StructField("exact_roundtrip", T.BooleanType()),
+        ]
+    )
+
+    def batches(it):
+        cols = [
+            "doc_id", "width", "height", "n_components", "predictor",
+            "pixel_sum", "exact_roundtrip",
+        ]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 6 + d % 9, 5 + d % 7
+                nc = 3 if d % 2 == 0 else 1
+                predictor = 1 + d % 7
+                y, x, c = np.ogrid[0:h, 0:w, 0:nc]
+                px = ((d * 5 + y * 11 + x * 3 + c * 17) % 256).astype(
+                    np.uint8
+                )
+                if nc == 1:
+                    px = px[:, :, 0]
+                enc = _jpeg.encode_jpeg_lossless(px, predictor=predictor)
+                dec = _jpeg.decode_jpeg(enc)  # via the SOF3 dispatch
+                rows.append(
+                    (
+                        d, w, h, nc, predictor,
+                        int(dec.astype(np.int64).sum()),
+                        bool(dec.shape == px.shape and (dec == px).all()),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname, dt in (
+                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
+                ("n_components", "int32"), ("predictor", "int32"),
+                ("pixel_sum", "int64"), ("exact_roundtrip", "bool"),
+            ):
+                out[cname] = out[cname].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "multimodal_jpeg_progressive",
     """
     select doc_id,

@@ -85,9 +85,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # oracle wrapping THE shared demux template in conditional aggregates)
 # rotated in for dedup_semantic's second-round hold slot (dedup_ stays
 # driver-covered by substring_spans + simhash_selfcheck; SemDeDup stays
-# local-gated + pytest-pinned). Every displaced query stays covered by
-# the identical strict local gate and the registry-wide dtype-parity
-# pytest.
+# local-gated + pytest-pinned), and the NEW lossless JPEG (SOF3, all
+# seven predictors cycling, closed-form pixel-sum oracle — the strongest
+# row in the jpeg family) rotated in for multimodal_jpeg_progressive's
+# second-round hold slot (progressive stays local-gated + pytest-pinned;
+# the jpeg family stays driver-covered by the lossless row). Every
+# displaced query stays covered by the identical strict local gate and
+# the registry-wide dtype-parity pytest.
 #
 # Round-11 rotation (VERDICT r10 task #3: zero the evidence tail). The 8
 # oracle-checkable queries written after the r10 window froze rotate IN —
@@ -279,7 +283,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # semi stream-stream joins)
     "stream_stream_full_join",
     "stream_stream_semi_join",
-    "multimodal_jpeg_progressive",
+    # (multimodal_jpeg_progressive's second-round hold slot goes to the
+    # NEW lossless SOF3 row — closed-form pixel sums beat error-bound
+    # booleans; progressive stays local-gated + pytest-pinned)
+    "multimodal_jpeg_lossless",
     # (multimodal_jpeg_subsampled's and multimodal_container_probe's
     # second-round hold slots go to the NEW multi-track demux and the
     # demux->G.711-decode composition — fresh code outranks a hold; both

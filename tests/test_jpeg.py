@@ -448,3 +448,72 @@ def test_multiscan_baseline_decode_equals_interleaved(ss):
     ms = jpeg.decode_jpeg(_encode_multiscan_baseline(px, 90, ss))
     il = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=90, subsampling=ss))
     assert np.array_equal(ms, il)
+
+
+# ----------------------------------------------- lossless JPEG (SOF3) -----
+
+from pyiceberg_lakehouse_spark.operators.jpeg import (  # noqa: E402
+    decode_jpeg_lossless,
+    encode_jpeg_lossless,
+)
+
+
+def test_lossless_exact_roundtrip_all_predictors():
+    rng = np.random.default_rng(11)
+    for predictor in range(1, 8):
+        for shape in ((7, 9), (5, 4, 3), (1, 1), (1, 6), (6, 1)):
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            dec = decode_jpeg_lossless(encode_jpeg_lossless(px, predictor))
+            assert dec.shape == px.shape and (dec == px).all(), (
+                predictor, shape,
+            )
+
+
+def test_lossless_dispatch_via_decode_jpeg():
+    px = (np.arange(60, dtype=np.uint8).reshape(6, 10) * 4) % 256
+    enc = encode_jpeg_lossless(px.astype(np.uint8), predictor=7)
+    assert (jpeg.decode_jpeg(enc) == px).all()  # SOF3 dispatch, bit-exact
+
+
+def test_lossless_rejects_gated_features_and_corruption():
+    px = np.zeros((4, 4), dtype=np.uint8)
+    enc = encode_jpeg_lossless(px)
+    with pytest.raises(ValueError):
+        decode_jpeg_lossless(enc[:20])  # truncated segment
+    with pytest.raises(ValueError):
+        encode_jpeg_lossless(px, predictor=0)
+    # point transform (Al > 0) is gated, never guessed: patch SOS Ah/Al
+    doctored = bytearray(enc)
+    i = doctored.find(b"\xff\xda")
+    seglen = int.from_bytes(doctored[i + 2 : i + 4], "big")
+    doctored[i + 2 + seglen - 1] = 0x01  # Al = 1
+    with pytest.raises(NotImplementedError, match="point transform"):
+        decode_jpeg_lossless(bytes(doctored))
+    # 12-bit precision gated
+    doctored = bytearray(enc)
+    j = doctored.find(b"\xff\xc3")
+    doctored[j + 4] = 12
+    with pytest.raises(NotImplementedError, match="precision"):
+        decode_jpeg_lossless(bytes(doctored))
+
+
+def test_lossless_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=12),
+        w=st.integers(min_value=1, max_value=12),
+        nc=st.sampled_from([1, 3]),
+        predictor=st.integers(min_value=1, max_value=7),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(h, w, nc, predictor, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if nc == 1 else (h, w, nc)
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        dec = decode_jpeg_lossless(encode_jpeg_lossless(px, predictor))
+        assert dec.shape == px.shape and (dec == px).all()
+
+    check()
