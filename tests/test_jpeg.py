@@ -123,11 +123,17 @@ def test_rejects_unsupported_honestly():
     rng = np.random.default_rng(11)
     img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
     good = bytearray(jpeg.encode_jpeg(img))
-    # flip SOF0 -> SOF3 (lossless sequential — still unsupported)
+    # SOF3 now DISPATCHES to the lossless decoder; a baseline frame
+    # relabeled SOF3 is malformed (its SOS Ss=0 is no lossless
+    # predictor), not "unsupported"
     i = bytes(good).find(b"\xff\xc0")
     lossless = bytes(good[:i]) + b"\xff\xc3" + bytes(good[i + 2 :])
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="predictor"):
         jpeg.decode_jpeg(lossless)
+    # SOF5 (differential sequential) stays honestly gated
+    sof5 = bytes(good[:i]) + b"\xff\xc5" + bytes(good[i + 2 :])
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(sof5)
     # SOF2 now DISPATCHES to the progressive decoder; a baseline scan
     # header inside a progressive frame is malformed, not "unsupported"
     prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2 :])
