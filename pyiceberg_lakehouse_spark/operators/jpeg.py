@@ -16,8 +16,8 @@ streams, and 8- or 16-bit quantization tables; PROGRESSIVE streams
 (SOF2) dispatch to the multi-scan decoder in
 operators/jpeg_progressive.py; LOSSLESS streams (SOF3, T.81 process
 14) encode and decode natively below — all seven spatial predictors,
-bit-exact; 12-bit precision, lossless point transforms, and
-arithmetic coding raise NotImplementedError. The emitted Huffman
+2-16-bit precision (uint16 above 8 bits), bit-exact; lossless point
+transforms and arithmetic coding raise NotImplementedError. The emitted Huffman
 tables are flat 8-bit canonical codes — deliberately suboptimal for
 SIZE but trivially correct, and legal because the tables travel in DHT
 segments (a decoder never assumes Annex K defaults).
@@ -786,19 +786,33 @@ def _ll_predict(s: "np.ndarray", y: int, x: int, psel: int, p_bits: int) -> int:
     return (a + b) >> 1  # psel == 7
 
 
-def encode_jpeg_lossless(px: "np.ndarray", predictor: int = 4) -> bytes:
-    """Lossless JPEG (SOF3) encode: (h, w) or (h, w, nc) uint8 ->
+def encode_jpeg_lossless(
+    px: "np.ndarray", predictor: int = 4, precision: int | None = None
+) -> bytes:
+    """Lossless JPEG (SOF3) encode: (h, w) or (h, w, nc) uint8/uint16 ->
     bit-exact recoverable bytes. Components are coded independently
     (no color transform — lossless JPEG stores samples as given),
     interleaved sample-by-sample in one scan; one shared DC Huffman
-    table covers categories 0-16."""
+    table covers categories 0-16. ``precision`` defaults to the dtype
+    width (8 for uint8, 16 for uint16); pass 12 for the medical-imagery
+    range — samples must fit the declared bits."""
     if predictor not in _LL_PREDICTORS:
         raise ValueError(f"predictor must be 1-7, got {predictor}")
     arr = np.asarray(px)
     if arr.ndim == 2:
         arr = arr[:, :, None]
-    if arr.dtype != np.uint8:
-        raise ValueError("8-bit samples only")
+    if arr.dtype == np.uint8:
+        precision = precision or 8
+    elif arr.dtype == np.uint16:
+        precision = precision or 16
+    else:
+        raise ValueError("uint8 or uint16 samples only")
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision must be 2-16, got {precision}")
+    if int(arr.max(initial=0)) >= (1 << precision):
+        raise ValueError(
+            f"samples exceed the declared {precision}-bit precision"
+        )
     h, w, nc = arr.shape
     planes = arr.astype(np.int64)
 
@@ -808,7 +822,7 @@ def encode_jpeg_lossless(px: "np.ndarray", predictor: int = 4) -> bytes:
     for y in range(h):
         for x in range(w):
             for c in range(nc):
-                pred = _ll_predict(planes[:, :, c], y, x, predictor, 8)
+                pred = _ll_predict(planes[:, :, c], y, x, predictor, precision)
                 v = (int(planes[y, x, c]) - pred) & 0xFFFF
                 signed = v - 65536 if v >= 32768 else v
                 if signed == -32768:
@@ -825,7 +839,7 @@ def encode_jpeg_lossless(px: "np.ndarray", predictor: int = 4) -> bytes:
     out = bytearray(b"\xff\xd8")
     dht = bytes([0x00]) + bytes(bits) + bytes(vals)
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
-    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    sof = bytearray([precision]) + struct.pack(">HH", h, w) + bytes([nc])
     for ci in range(nc):
         sof += bytes([ci + 1, 0x11, 0])  # Hi=Vi=1; Tq meaningless in SOF3
     out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + bytes(sof)
@@ -839,7 +853,8 @@ def encode_jpeg_lossless(px: "np.ndarray", predictor: int = 4) -> bytes:
 
 
 def decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
-    """Lossless JPEG (SOF3) decode -> (h, w) or (h, w, nc) uint8,
+    """Lossless JPEG (SOF3) decode -> (h, w) or (h, w, nc) uint8
+    (precision <= 8) or uint16 (9-16 bits, the medical-imagery range),
     bit-exact. Supports any predictor 1-7 and multi-component
     single-scan streams; point transforms (Al > 0) and restart
     intervals stay gated (raise, never guess)."""
@@ -869,10 +884,6 @@ def decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
             precision = body[0]
             if not (2 <= precision <= 16):
                 raise ValueError(f"bad lossless precision {precision}")
-            if precision > 8:
-                raise NotImplementedError(
-                    "lossless precision > 8 bits unsupported"
-                )
             h, w = struct.unpack(">HH", body[1:5])
             comps = [body[6 + ci * 3] for ci in range(body[5])]
         elif marker == 0xC4:
@@ -927,5 +938,6 @@ def decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
                     diff = 0
                 pred = _ll_predict(planes[:, :, idx], y, x, psel, precision)
                 planes[y, x, idx] = (pred + diff) & 0xFFFF
-    out = planes.astype(np.uint8)
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    out = planes.astype(dtype)
     return out[:, :, 0] if nc == 1 else out

@@ -495,12 +495,26 @@ def test_lossless_rejects_gated_features_and_corruption():
     doctored[i + 2 + seglen - 1] = 0x01  # Al = 1
     with pytest.raises(NotImplementedError, match="point transform"):
         decode_jpeg_lossless(bytes(doctored))
-    # 12-bit precision gated
+    # impossible precision rejected (2-16 is the T.81 lossless range)
     doctored = bytearray(enc)
     j = doctored.find(b"\xff\xc3")
-    doctored[j + 4] = 12
-    with pytest.raises(NotImplementedError, match="precision"):
+    doctored[j + 4] = 17
+    with pytest.raises(ValueError, match="precision"):
         decode_jpeg_lossless(bytes(doctored))
+
+
+def test_lossless_high_precision_roundtrip():
+    rng = np.random.default_rng(5)
+    for precision in (12, 16):
+        px = rng.integers(0, 1 << precision, size=(8, 6), dtype=np.uint16)
+        dec = decode_jpeg_lossless(
+            encode_jpeg_lossless(px, predictor=4, precision=precision)
+        )
+        assert dec.dtype == np.uint16 and (dec == px).all()
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg_lossless(
+            np.array([[5000]], dtype=np.uint16), precision=12
+        )
 
 
 def test_lossless_property_roundtrip():
