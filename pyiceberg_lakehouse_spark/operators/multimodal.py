@@ -1460,7 +1460,9 @@ def _parse_mp4_tracks(payload: bytes) -> list[dict]:
             elif ctx is not None:
                 if btype == b"tkhd" and body + 4 <= end:
                     ver = payload[body]
-                    at = body + 24 if ver == 1 else body + 12
+                    # v0: ver/flags(4) + ctime(4) + mtime(4) -> id at +12;
+                    # v1 widens the two times to 8 bytes -> id at +20
+                    at = body + 20 if ver == 1 else body + 12
                     if at + 4 <= end:
                         ctx["track_id"] = _struct.unpack_from(
                             ">I", payload, at

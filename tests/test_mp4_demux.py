@@ -489,3 +489,38 @@ def test_elst_hostile_entry_count_rejected():
     struct.pack_into(">I", mp4, i + 8, 1_000_000)  # count exceeds the box
     with pytest.raises(ValueError, match="elst"):
         demux_mp4_tracks(bytes(mp4))
+
+
+def test_v1_tkhd_and_mdhd_offsets():
+    """Version-1 boxes widen the time fields to 8 bytes: track_ID sits at
+    body+20 in tkhd (not +24) and timescale at body+20 in mdhd — pinned
+    with handcrafted v1 boxes since the synthesizer emits v0."""
+    from pyiceberg_lakehouse_spark.operators.multimodal import (
+        _box,
+        _parse_mp4_tracks,
+    )
+
+    tkhd_v1 = _box(
+        b"tkhd",
+        struct.pack(">B3s", 1, b"\x00\x00\x07")
+        + b"\x00" * 16  # creation + modification (8 + 8)
+        + struct.pack(">I", 77)  # track_ID
+        + b"\x00" * 4
+        + struct.pack(">Q", 1000)  # duration (v1: 8 bytes)
+        + b"\x00" * 52,
+    )
+    mdhd_v1 = _box(
+        b"mdhd",
+        struct.pack(">B3x", 1)
+        + b"\x00" * 16  # creation + modification (8 + 8)
+        + struct.pack(">IQ", 90000, 1000)  # timescale, duration
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _box(b"hdlr", struct.pack(">B3x4x4s12x", 0, b"vide") + b"\x00")
+    trak = _box(b"trak", tkhd_v1 + _box(b"mdia", mdhd_v1 + hdlr))
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    tracks = _parse_mp4_tracks(ftyp + _box(b"moov", trak))
+    assert len(tracks) == 1
+    assert tracks[0]["track_id"] == 77
+    assert tracks[0]["timescale"] == 90000
+    assert tracks[0]["handler"] == "vide"
