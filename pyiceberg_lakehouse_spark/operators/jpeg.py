@@ -727,7 +727,8 @@ def jpeg_sampling(payload: bytes) -> str:
 
 
 def jpeg_header(payload: bytes) -> tuple[int, int, int]:
-    """SOF0 parse -> (width, height, n_components) without full decode."""
+    """Frame-header parse (SOF0/SOF2/SOF3) -> (width, height,
+    n_components) without full decode."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -740,8 +741,10 @@ def jpeg_header(payload: bytes) -> tuple[int, int, int]:
             break
         marker = payload[pos + 1]
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
-        if marker in (0xC0, 0xC2):  # baseline or progressive frame header
+        if marker in (0xC0, 0xC2, 0xC3):  # baseline/progressive/lossless
             body = payload[pos + 4 : pos + 2 + seglen]
+            if len(body) < 6:
+                raise ValueError("truncated SOF header")
             h, w = struct.unpack(">HH", body[1:5])
             return w, h, body[5]
         if marker == 0xDA or marker == 0xD9:
@@ -881,6 +884,8 @@ def decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
             raise ValueError("truncated JPEG segment")
         pos += 2 + seglen
         if marker == 0xC3:
+            if len(body) < 6 or len(body) < 6 + 3 * body[5]:
+                raise ValueError("truncated SOF3 component list")
             precision = body[0]
             if not (2 <= precision <= 16):
                 raise ValueError(f"bad lossless precision {precision}")

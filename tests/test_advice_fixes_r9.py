@@ -89,10 +89,14 @@ def test_jpeg_falls_through_to_pillow_when_present(monkeypatch):
 
 def test_jpeg_raises_honestly_without_pillow(monkeypatch):
     monkeypatch.setattr(multimodal, "HAS_PIL", False)
+    # the fixture's SOF3 declares 3 components but carries 1 — the r12
+    # native lossless decoder rejects it as malformed, and with no
+    # Pillow to fall through to, the full decode raises
     with pytest.raises((NotImplementedError, ValueError)):
         multimodal.decode_stub(_lossless_jpeg(), "image/jpeg")
-    with pytest.raises((NotImplementedError, ValueError)):
-        multimodal.decode_image_codec(_lossless_jpeg())
+    # the HEADER probe, by contrast, no longer needs Pillow at all:
+    # jpeg_header reads SOF3 frame dims natively since r12
+    assert multimodal.decode_image_codec(_lossless_jpeg()) == (7, 5, "RGB")
 
 
 def test_progressive_jpeg_decodes_natively_no_pillow_needed(monkeypatch):
