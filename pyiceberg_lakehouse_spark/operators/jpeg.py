@@ -16,8 +16,9 @@ streams, and 8- or 16-bit quantization tables; PROGRESSIVE streams
 (SOF2) dispatch to the multi-scan decoder in
 operators/jpeg_progressive.py; LOSSLESS streams (SOF3, T.81 process
 14) encode and decode natively below — all seven spatial predictors,
-2-16-bit precision (uint16 above 8 bits), bit-exact; lossless point
-transforms and arithmetic coding raise NotImplementedError. The emitted Huffman
+2-16-bit precision (uint16 above 8 bits) and point transforms
+(near-lossless low-bit drop, H.2.1), bit-exact on the kept bits;
+arithmetic coding raises NotImplementedError. The emitted Huffman
 tables are flat 8-bit canonical codes — deliberately suboptimal for
 SIZE but trivially correct, and legal because the tables travel in DHT
 segments (a decoder never assumes Annex K defaults).
@@ -790,7 +791,10 @@ def _ll_predict(s: "np.ndarray", y: int, x: int, psel: int, p_bits: int) -> int:
 
 
 def encode_jpeg_lossless(
-    px: "np.ndarray", predictor: int = 4, precision: int | None = None
+    px: "np.ndarray",
+    predictor: int = 4,
+    precision: int | None = None,
+    point_transform: int = 0,
 ) -> bytes:
     """Lossless JPEG (SOF3) encode: (h, w) or (h, w, nc) uint8/uint16 ->
     bit-exact recoverable bytes. Components are coded independently
@@ -798,7 +802,10 @@ def encode_jpeg_lossless(
     interleaved sample-by-sample in one scan; one shared DC Huffman
     table covers categories 0-16. ``precision`` defaults to the dtype
     width (8 for uint8, 16 for uint16); pass 12 for the medical-imagery
-    range — samples must fit the declared bits."""
+    range — samples must fit the declared bits. ``point_transform``
+    (Al, T.81 H.2.1) drops that many low bits before coding — the
+    near-lossless knob: the decoder restores the shift, so the
+    roundtrip is exact on the kept bits ((x >> Pt) << Pt)."""
     if predictor not in _LL_PREDICTORS:
         raise ValueError(f"predictor must be 1-7, got {predictor}")
     arr = np.asarray(px)
@@ -816,8 +823,13 @@ def encode_jpeg_lossless(
         raise ValueError(
             f"samples exceed the declared {precision}-bit precision"
         )
+    if not 0 <= point_transform < precision:
+        raise ValueError(
+            f"point transform must be in [0, {precision}), got {point_transform}"
+        )
     h, w, nc = arr.shape
-    planes = arr.astype(np.int64)
+    planes = arr.astype(np.int64) >> point_transform
+    pbits = precision - point_transform  # coded precision after the shift
 
     bits, vals = _flat_table(list(range(17)))
     codes = _codes_from_table(bits, vals)
@@ -825,7 +837,7 @@ def encode_jpeg_lossless(
     for y in range(h):
         for x in range(w):
             for c in range(nc):
-                pred = _ll_predict(planes[:, :, c], y, x, predictor, precision)
+                pred = _ll_predict(planes[:, :, c], y, x, predictor, pbits)
                 v = (int(planes[y, x, c]) - pred) & 0xFFFF
                 signed = v - 65536 if v >= 32768 else v
                 if signed == -32768:
@@ -849,7 +861,8 @@ def encode_jpeg_lossless(
     sos = bytearray([nc])
     for ci in range(nc):
         sos += bytes([ci + 1, 0x00])  # all components -> DC table 0
-    sos += bytes([predictor, 0, 0])  # Ss=predictor, Se=0, Ah/Al=0
+    # Ss=predictor, Se=0, Ah=0 / Al=point transform
+    sos += bytes([predictor, 0, point_transform & 0x0F])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
     out += entropy + b"\xff\xd9"
     return bytes(out)
@@ -914,16 +927,15 @@ def decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
             psel, _se, ahal = body[1 + ns * 2 : 4 + ns * 2]
             if psel not in _LL_PREDICTORS:
                 raise ValueError(f"bad lossless predictor {psel}")
-            if ahal & 0x0F:
-                raise NotImplementedError(
-                    "lossless point transform (Al > 0) unsupported"
-                )
+            if (ahal & 0x0F) >= precision:
+                raise ValueError("point transform >= sample precision")
             scan = (sc, psel, ahal)
             data, pos = _entropy_span(payload, pos)
             break
     if scan is None or not comps or not h:
         raise ValueError("corrupt lossless JPEG (no scan)")
-    sc, psel, _ = scan
+    sc, psel, ahal = scan
+    pt = ahal & 0x0F
     if len(sc) != len(comps):
         raise NotImplementedError(
             "multi-scan lossless JPEG unsupported (single interleaved scan only)"
@@ -941,8 +953,11 @@ def decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
                     diff = _extend(r.read(ssss), ssss)
                 else:
                     diff = 0
-                pred = _ll_predict(planes[:, :, idx], y, x, psel, precision)
+                pred = _ll_predict(
+                    planes[:, :, idx], y, x, psel, precision - pt
+                )
                 planes[y, x, idx] = (pred + diff) & 0xFFFF
     dtype = np.uint8 if precision <= 8 else np.uint16
-    out = planes.astype(dtype)
+    # T.81 H.2.1: the decoder restores the point-transform shift
+    out = (planes << pt).astype(dtype)
     return out[:, :, 0] if nc == 1 else out

@@ -488,12 +488,12 @@ def test_lossless_rejects_gated_features_and_corruption():
         decode_jpeg_lossless(enc[:20])  # truncated segment
     with pytest.raises(ValueError):
         encode_jpeg_lossless(px, predictor=0)
-    # point transform (Al > 0) is gated, never guessed: patch SOS Ah/Al
+    # a point transform >= the sample precision is impossible
     doctored = bytearray(enc)
     i = doctored.find(b"\xff\xda")
     seglen = int.from_bytes(doctored[i + 2 : i + 4], "big")
-    doctored[i + 2 + seglen - 1] = 0x01  # Al = 1
-    with pytest.raises(NotImplementedError, match="point transform"):
+    doctored[i + 2 + seglen - 1] = 0x08  # Al = 8 on an 8-bit stream
+    with pytest.raises(ValueError, match="point transform"):
         decode_jpeg_lossless(bytes(doctored))
     # impossible precision rejected (2-16 is the T.81 lossless range)
     doctored = bytearray(enc)
@@ -537,3 +537,17 @@ def test_lossless_property_roundtrip():
         assert dec.shape == px.shape and (dec == px).all()
 
     check()
+
+
+def test_lossless_point_transform_near_lossless():
+    """Al > 0 drops that many low bits (T.81 H.2.1); the decoder restores
+    the shift, so the roundtrip is exact on the kept bits."""
+    rng = np.random.default_rng(17)
+    for pt in (1, 2, 4):
+        px = rng.integers(0, 256, size=(6, 9), dtype=np.uint8)
+        dec = decode_jpeg_lossless(
+            encode_jpeg_lossless(px, predictor=5, point_transform=pt)
+        )
+        assert (dec == (px >> pt) << pt).all()
+    with pytest.raises(ValueError, match="point transform"):
+        encode_jpeg_lossless(px, point_transform=8)
