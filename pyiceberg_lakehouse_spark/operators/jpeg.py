@@ -16,9 +16,10 @@ streams, and 8- or 16-bit quantization tables; PROGRESSIVE streams
 (SOF2) dispatch to the multi-scan decoder in
 operators/jpeg_progressive.py; LOSSLESS streams (SOF3, T.81 process
 14) encode and decode natively below — all seven spatial predictors,
-2-16-bit precision (uint16 above 8 bits) and point transforms
-(near-lossless low-bit drop, H.2.1), bit-exact on the kept bits;
-arithmetic coding raises NotImplementedError. The emitted Huffman
+2-16-bit precision (uint16 above 8 bits), point transforms
+(near-lossless low-bit drop, H.2.1) and multi-scan non-interleaved
+streams, bit-exact on the kept bits; arithmetic coding raises
+NotImplementedError. The emitted Huffman
 tables are flat 8-bit canonical codes — deliberately suboptimal for
 SIZE but trivially correct, and legal because the tables travel in DHT
 segments (a decoder never assumes Annex K defaults).
@@ -795,6 +796,7 @@ def encode_jpeg_lossless(
     predictor: int = 4,
     precision: int | None = None,
     point_transform: int = 0,
+    interleaved: bool = True,
 ) -> bytes:
     """Lossless JPEG (SOF3) encode: (h, w) or (h, w, nc) uint8/uint16 ->
     bit-exact recoverable bytes. Components are coded independently
@@ -805,7 +807,10 @@ def encode_jpeg_lossless(
     range — samples must fit the declared bits. ``point_transform``
     (Al, T.81 H.2.1) drops that many low bits before coding — the
     near-lossless knob: the decoder restores the shift, so the
-    roundtrip is exact on the kept bits ((x >> Pt) << Pt)."""
+    roundtrip is exact on the kept bits ((x >> Pt) << Pt).
+    ``interleaved=False`` emits one scan per component (the multi-scan
+    shape some foreign lossless encoders produce) instead of one
+    interleaved scan."""
     if predictor not in _LL_PREDICTORS:
         raise ValueError(f"predictor must be 1-7, got {predictor}")
     arr = np.asarray(px)
@@ -833,23 +838,27 @@ def encode_jpeg_lossless(
 
     bits, vals = _flat_table(list(range(17)))
     codes = _codes_from_table(bits, vals)
-    wr = _BitWriter()
-    for y in range(h):
-        for x in range(w):
-            for c in range(nc):
-                pred = _ll_predict(planes[:, :, c], y, x, predictor, pbits)
-                v = (int(planes[y, x, c]) - pred) & 0xFFFF
-                signed = v - 65536 if v >= 32768 else v
-                if signed == -32768:
-                    code, ln = codes[16]  # SSSS=16: no amplitude bits
+
+    def _scan_entropy(channels: list[int]) -> bytes:
+        wr = _BitWriter()
+        for y in range(h):
+            for x in range(w):
+                for c in channels:
+                    pred = _ll_predict(
+                        planes[:, :, c], y, x, predictor, pbits
+                    )
+                    v = (int(planes[y, x, c]) - pred) & 0xFFFF
+                    signed = v - 65536 if v >= 32768 else v
+                    if signed == -32768:
+                        code, ln = codes[16]  # SSSS=16: no amplitude bits
+                        wr.write(code, ln)
+                        continue
+                    cat = _category(signed)
+                    code, ln = codes[cat]
                     wr.write(code, ln)
-                    continue
-                cat = _category(signed)
-                code, ln = codes[cat]
-                wr.write(code, ln)
-                if cat:
-                    wr.write(_amplitude_bits(signed, cat), cat)
-    entropy = wr.flush()
+                    if cat:
+                        wr.write(_amplitude_bits(signed, cat), cat)
+        return wr.flush()
 
     out = bytearray(b"\xff\xd8")
     dht = bytes([0x00]) + bytes(bits) + bytes(vals)
@@ -858,13 +867,16 @@ def encode_jpeg_lossless(
     for ci in range(nc):
         sof += bytes([ci + 1, 0x11, 0])  # Hi=Vi=1; Tq meaningless in SOF3
     out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + bytes(sof)
-    sos = bytearray([nc])
-    for ci in range(nc):
-        sos += bytes([ci + 1, 0x00])  # all components -> DC table 0
-    # Ss=predictor, Se=0, Ah=0 / Al=point transform
-    sos += bytes([predictor, 0, point_transform & 0x0F])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
-    out += entropy + b"\xff\xd9"
+    scan_groups = [list(range(nc))] if interleaved else [[c] for c in range(nc)]
+    for group in scan_groups:
+        sos = bytearray([len(group)])
+        for ci in group:
+            sos += bytes([ci + 1, 0x00])  # all components -> DC table 0
+        # Ss=predictor, Se=0, Ah=0 / Al=point transform
+        sos += bytes([predictor, 0, point_transform & 0x0F])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
+        out += _scan_entropy(group)
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -881,8 +893,7 @@ def decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
     h = w = 0
     precision = 8
     comps: list[int] = []  # component ids in SOF order
-    scan: tuple[list[tuple[int, int]], int, int] | None = None
-    data = b""
+    scans: list[tuple[list[tuple[int, int]], int, int, bytes]] = []
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG (expected marker)")
@@ -929,35 +940,43 @@ def decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
                 raise ValueError(f"bad lossless predictor {psel}")
             if (ahal & 0x0F) >= precision:
                 raise ValueError("point transform >= sample precision")
-            scan = (sc, psel, ahal)
             data, pos = _entropy_span(payload, pos)
-            break
-    if scan is None or not comps or not h:
+            scans.append((sc, psel, ahal & 0x0F, data))
+    if not scans or not comps or not h:
         raise ValueError("corrupt lossless JPEG (no scan)")
-    sc, psel, ahal = scan
-    pt = ahal & 0x0F
-    if len(sc) != len(comps):
-        raise NotImplementedError(
-            "multi-scan lossless JPEG unsupported (single interleaved scan only)"
+    covered = [idx for sc, _p, _a, _d in scans for idx, _th in sc]
+    if sorted(covered) != list(range(len(comps))):
+        raise ValueError(
+            "lossless scans must cover every component exactly once"
         )
-    r = _BitReader(data)
     nc = len(comps)
     planes = np.zeros((h, w, nc), dtype=np.int64)
-    for y in range(h):
-        for x in range(w):
-            for idx, th in sc:
-                ssss = _huff_decode(r, huff[th])
-                if ssss == 16:
-                    diff = 32768
-                elif ssss:
-                    diff = _extend(r.read(ssss), ssss)
-                else:
-                    diff = 0
-                pred = _ll_predict(
-                    planes[:, :, idx], y, x, psel, precision - pt
-                )
-                planes[y, x, idx] = (pred + diff) & 0xFFFF
+    pts = [0] * nc
+    # each scan decodes independently: interleaved (all components per
+    # sample position) or non-interleaved per-component raster — the
+    # multi-scan shape foreign lossless encoders emit. Predictor and
+    # point transform are per-scan properties.
+    for sc, psel, pt, data in scans:
+        r = _BitReader(data)
+        for y in range(h):
+            for x in range(w):
+                for idx, th in sc:
+                    ssss = _huff_decode(r, huff[th])
+                    if ssss == 16:
+                        diff = 32768
+                    elif ssss:
+                        diff = _extend(r.read(ssss), ssss)
+                    else:
+                        diff = 0
+                    pred = _ll_predict(
+                        planes[:, :, idx], y, x, psel, precision - pt
+                    )
+                    planes[y, x, idx] = (pred + diff) & 0xFFFF
+        for idx, _th in sc:
+            pts[idx] = pt
     dtype = np.uint8 if precision <= 8 else np.uint16
     # T.81 H.2.1: the decoder restores the point-transform shift
-    out = (planes << pt).astype(dtype)
+    for idx in range(nc):
+        planes[:, :, idx] <<= pts[idx]
+    out = planes.astype(dtype)
     return out[:, :, 0] if nc == 1 else out

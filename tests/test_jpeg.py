@@ -551,3 +551,23 @@ def test_lossless_point_transform_near_lossless():
         assert (dec == (px >> pt) << pt).all()
     with pytest.raises(ValueError, match="point transform"):
         encode_jpeg_lossless(px, point_transform=8)
+
+
+def test_lossless_multiscan_per_component():
+    """Non-interleaved lossless: one scan per component (the foreign-
+    encoder multi-scan shape) must decode bit-exactly, compose with
+    point transforms and 12-bit precision, and reject a stream whose
+    scans cover a component twice."""
+    rng = np.random.default_rng(23)
+    px = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    enc = encode_jpeg_lossless(px, predictor=4, interleaved=False)
+    assert (decode_jpeg_lossless(enc) == px).all()
+    px12 = rng.integers(0, 4096, size=(5, 7, 3), dtype=np.uint16)
+    enc12 = encode_jpeg_lossless(
+        px12, predictor=6, precision=12, point_transform=2, interleaved=False
+    )
+    assert (decode_jpeg_lossless(enc12) == (px12 >> 2) << 2).all()
+    i = enc.find(b"\xff\xda")
+    j = enc.find(b"\xff\xda", i + 2)
+    with pytest.raises(ValueError, match="exactly once"):
+        decode_jpeg_lossless(enc[:j] + enc[i:j] + enc[j:])
