@@ -910,7 +910,10 @@ def bench_mp4_demux(spark, b: Bench, tmp: str) -> None:
     demux per doc where the bytes live, no Exchange (plan-tested in
     tests/test_plans.py) — so 10x docs must cost ~10x wall (linear, the
     best possible for per-byte work), never superlinear."""
-    from pyiceberg_lakehouse_spark.operators.multimodal import demux_mp4_samples
+    from pyiceberg_lakehouse_spark.operators.multimodal import (
+        demux_mp4_multitrack,
+        demux_mp4_samples,
+    )
 
     for n in DOC_SCALES:
         tag = f"{n//1000}k"
@@ -918,6 +921,15 @@ def bench_mp4_demux(spark, b: Bench, tmp: str) -> None:
         b.run(
             f"mp4_demux_{tag}",
             lambda d=docs: drain(demux_mp4_samples(d)),
+            reps=REPS,
+            warmup=True,
+        )
+        # r12: the multi-track face (per-trak scoping + interleaved
+        # chunks + hdlr routing) is the same map-stage class and must
+        # show the same ~linear growth
+        b.run(
+            f"mp4_multitrack_{tag}",
+            lambda d=docs: drain(demux_mp4_multitrack(d)),
             reps=REPS,
             warmup=True,
         )
@@ -992,6 +1004,9 @@ def main() -> None:
         # MP4 demux (r11): shuffle-free map stage => wall tracks bytes
         # linearly; ~10 on 10x docs is the expected (and best) shape
         "mp4_demux_growth_10x": ratio(f"mp4_demux_{t1}", f"mp4_demux_{t2}"),
+        "mp4_multitrack_growth_10x": ratio(
+            f"mp4_multitrack_{t1}", f"mp4_multitrack_{t2}"
+        ),
         "clean_corpus_growth_10x": ratio(f"clean_corpus_{t1}", f"clean_corpus_{t2}"),
         # decontamination must stay ~linear in the train corpus (broadcast
         # shingle join, no self-join): 10x docs => ~10x wall, not pair-count
