@@ -883,13 +883,15 @@ def encode_jpeg_lossless(
 def decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
     """Lossless JPEG (SOF3) decode -> (h, w) or (h, w, nc) uint8
     (precision <= 8) or uint16 (9-16 bits, the medical-imagery range),
-    bit-exact. Supports any predictor 1-7 and multi-component
-    single-scan streams; point transforms (Al > 0) and restart
-    intervals stay gated (raise, never guess)."""
+    bit-exact. Supports any predictor 1-7, point transforms (Al > 0,
+    T.81 H.2.1 — the decoder restores the shift), multi-component
+    interleaved and per-component multi-scan streams; restart
+    intervals (DRI), subsampled components (Hi/Vi != 1) and
+    arithmetic coding stay gated (raise, never guess)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
-    huff: dict[int, dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = 0
     precision = 8
     comps: list[int] = []  # component ids in SOF order
@@ -915,6 +917,15 @@ def decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
                 raise ValueError(f"bad lossless precision {precision}")
             h, w = struct.unpack(">HH", body[1:5])
             comps = [body[6 + ci * 3] for ci in range(body[5])]
+            # T.81 allows subsampled components in SOF3, but this decoder
+            # walks a full h*w raster per component — gate up front
+            # instead of failing late with a misleading truncation error.
+            for ci in range(body[5]):
+                if body[6 + ci * 3 + 1] != 0x11:
+                    raise NotImplementedError(
+                        "subsampled lossless components (Hi/Vi != 1) "
+                        "unsupported"
+                    )
         elif marker == 0xC4:
             off = 0
             while off < len(body):
@@ -923,7 +934,11 @@ def decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
                 nv = sum(tbits)
                 tvals = list(body[off + 17 : off + 17 + nv])
                 codes = _codes_from_table(tbits, tvals)
-                huff[th] = {(ln, c): s for s, (c, ln) in codes.items()}
+                # key by (tc, th): a stray AC-class table (tc=1) with the
+                # same id must not clobber the DC table lossless scans use
+                huff[(tc, th)] = {
+                    (ln, c): s for s, (c, ln) in codes.items()
+                }
                 off += 17 + nv
         elif marker == 0xDD:
             raise NotImplementedError(
@@ -934,6 +949,10 @@ def decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
             sc = []
             for si in range(ns):
                 cid, tabs = body[1 + si * 2 : 3 + si * 2]
+                if (0, tabs >> 4) not in huff:
+                    raise ValueError(
+                        f"scan references undefined DC table {tabs >> 4}"
+                    )
                 sc.append((comps.index(cid), tabs >> 4))
             psel, _se, ahal = body[1 + ns * 2 : 4 + ns * 2]
             if psel not in _LL_PREDICTORS:
@@ -961,7 +980,7 @@ def decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
         for y in range(h):
             for x in range(w):
                 for idx, th in sc:
-                    ssss = _huff_decode(r, huff[th])
+                    ssss = _huff_decode(r, huff[(0, th)])
                     if ssss == 16:
                         diff = 32768
                     elif ssss:

@@ -1908,7 +1908,11 @@ MP4_MULTITRACK_ORACLE = """
 
 @register(
     "multimodal_mp4_multitrack",
-    MP4_MULTITRACK_ORACLE.format(filt="doc_id % 4 = 1"),
+    # The filter modulus (5) is deliberately coprime with the codec cycle
+    # (d % 4), so the selected docs' residues mod 4 cycle 1,2,3,0,... and
+    # ALL FOUR audio sample-entry formats appear in the driver-hashed
+    # corpus (a % 4 filter would pin the codec to a single branch).
+    MP4_MULTITRACK_ORACLE.format(filt="doc_id % 5 = 1"),
 )
 def multimodal_mp4_multitrack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-TRACK ISO BMFF demux (multimodal.demux_mp4_tracks): per doc,
@@ -1919,8 +1923,10 @@ def multimodal_mp4_multitrack(spark: SparkSession, sf_dir: str) -> DataFrame:
     hdlr handler routing: one row per (trak, sample). The video trak
     carries a B-frame-style ctts reorder pattern, so every sample has
     distinct decode (dts) and composition (pts) timestamps; the audio
-    codec fourcc alternates ulaw/alaw by doc parity, exercising the
-    routing. The oracle states every field closed-form from doc_id,
+    codec fourcc cycles ulaw/alaw/sowt/twos by doc_id % 4, and the doc
+    filter modulus (5) is coprime with that cycle so all four fourccs
+    actually reach the driver-hashed rows, exercising the routing. The
+    oracle states every field closed-form from doc_id,
     including the cross-trak chunk offsets (a window sum over the
     interleave order) and pts = dts + ctts, so a wrong trak scope
     (video stss applied to audio), a wrong routing fourcc, a ctts
@@ -1928,16 +1934,18 @@ def multimodal_mp4_multitrack(spark: SparkSession, sf_dir: str) -> DataFrame:
     Closes the single-track demux's multi-trak refusal (demux_mp4 still
     refuses; this is the path real audio+video files take)."""
     return multimodal.demux_mp4_multitrack(
-        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
     )
 
 
 @register(
     "multimodal_audio_decode",
     """
+    -- Filter modulus 5 is coprime with the codec cycle (doc_id % 4), so
+    -- all four decode branches below are live in the driver-hashed rows.
     with base as (
       select doc_id, 8 + doc_id % 5 as na
-      from documents where doc_id % 4 = 1
+      from documents where doc_id % 5 = 1
     ),
     s as (
       select doc_id, i,
@@ -2007,7 +2015,7 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Demux -> DECODE composition (multimodal.decode_mp4_audio): demux
     the 2-trak MP4, route by hdlr to the soun trak, pick the expander
     from the stsd codec fourcc — the corpus cycles all four real
-    uncompressed/companded formats by doc parity: G.711 mu-law 'ulaw',
+    uncompressed/companded formats by doc_id % 4: G.711 mu-law 'ulaw',
     A-law 'alaw', and 16-bit PCM 'sowt' (little-endian) / 'twos'
     (big-endian) — and expand every audio sample's bytes to linear PCM:
     one row per audio sample with decoded count/sum/min/max. The oracle
@@ -2018,9 +2026,11 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (video bytes reaching the decoder, or the wrong law/endianness for
     the fourcc), a demux extent error, or any expansion-arithmetic
     error flips the hash. Compressed audio (MP3 Layer III sample
-    decode) stays honestly gated."""
+    decode) stays honestly gated. The doc filter modulus (5) is coprime
+    with the codec cycle (doc_id % 4), so every one of the four decode
+    branches — not just one residue's — runs in the driver check."""
     return multimodal.decode_mp4_audio(
-        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
     )
 
 
