@@ -17,8 +17,10 @@ streams, and 8- or 16-bit quantization tables; PROGRESSIVE streams
 operators/jpeg_progressive.py; LOSSLESS streams (SOF3, T.81 process
 14) encode and decode natively below — all seven spatial predictors,
 2-16-bit precision (uint16 above 8 bits), point transforms
-(near-lossless low-bit drop, H.2.1) and multi-scan non-interleaved
-streams, bit-exact on the kept bits; arithmetic coding raises
+(near-lossless low-bit drop, H.2.1), multi-scan non-interleaved
+streams and restart intervals (DRI/RSTm with the H.1.2.2 prediction
+reset, mid-row boundaries included), bit-exact on the kept bits;
+arithmetic coding and subsampled lossless components raise
 NotImplementedError. The emitted Huffman
 tables are flat 8-bit canonical codes — deliberately suboptimal for
 SIZE but trivially correct, and legal because the tables travel in DHT
@@ -766,13 +768,26 @@ def jpeg_header(payload: bytes) -> tuple[int, int, int]:
 _LL_PREDICTORS = (1, 2, 3, 4, 5, 6, 7)
 
 
-def _ll_predict(s: "np.ndarray", y: int, x: int, psel: int, p_bits: int) -> int:
+def _ll_predict(
+    s: "np.ndarray",
+    y: int,
+    x: int,
+    psel: int,
+    p_bits: int,
+    ry: int = 0,
+    rx: int = 0,
+) -> int:
     """T.81 H.1: first sample 2^(P-1); rest of the first line predictor 1
     (left); first column of later lines predictor 2 (above); elsewhere the
-    selected predictor. ``s`` holds reconstructed samples (== originals:
-    lossless), so encoder and decoder compute identical predictions."""
-    if y == 0:
-        return int(s[0, x - 1]) if x else 1 << (p_bits - 1)
+    selected predictor. ``(ry, rx)`` is the restart-interval origin —
+    T.81 H.1.2.2 resets prediction at the start of every restart interval
+    exactly as at the start of the scan, so the interval's first sample
+    takes the default and the remainder of its first line takes predictor
+    1; callers only pass positions at or after the origin in scan order.
+    ``s`` holds reconstructed samples (== originals: lossless), so encoder
+    and decoder compute identical predictions."""
+    if y == ry:
+        return int(s[y, x - 1]) if x > rx else 1 << (p_bits - 1)
     if x == 0:
         return int(s[y - 1, 0])
     a, b, c = int(s[y, x - 1]), int(s[y - 1, x]), int(s[y - 1, x - 1])
@@ -797,6 +812,7 @@ def encode_jpeg_lossless(
     precision: int | None = None,
     point_transform: int = 0,
     interleaved: bool = True,
+    restart_interval: int = 0,
 ) -> bytes:
     """Lossless JPEG (SOF3) encode: (h, w) or (h, w, nc) uint8/uint16 ->
     bit-exact recoverable bytes. Components are coded independently
@@ -810,7 +826,10 @@ def encode_jpeg_lossless(
     roundtrip is exact on the kept bits ((x >> Pt) << Pt).
     ``interleaved=False`` emits one scan per component (the multi-scan
     shape some foreign lossless encoders produce) instead of one
-    interleaved scan."""
+    interleaved scan. ``restart_interval`` > 0 emits a DRI segment and
+    an RSTm marker every that-many MCUs (one MCU = one sample position,
+    T.81 H.2.4); prediction resets at each interval start per H.1.2.2,
+    so intervals need not align with row boundaries."""
     if predictor not in _LL_PREDICTORS:
         raise ValueError(f"predictor must be 1-7, got {predictor}")
     arr = np.asarray(px)
@@ -841,11 +860,20 @@ def encode_jpeg_lossless(
 
     def _scan_entropy(channels: list[int]) -> bytes:
         wr = _BitWriter()
+        mcu_n = 0
+        ry = rx = 0  # current restart interval's origin (scan start)
         for y in range(h):
             for x in range(w):
+                # one MCU = one sample position (all of the scan's
+                # components at it, T.81 H.2.4) — restart boundaries sit
+                # between MCUs, so mid-row restarts are legal
+                if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                    wr.restart((mcu_n // restart_interval - 1) % 8)
+                    ry, rx = y, x
+                mcu_n += 1
                 for c in channels:
                     pred = _ll_predict(
-                        planes[:, :, c], y, x, predictor, pbits
+                        planes[:, :, c], y, x, predictor, pbits, ry, rx
                     )
                     v = (int(planes[y, x, c]) - pred) & 0xFFFF
                     signed = v - 65536 if v >= 32768 else v
@@ -867,6 +895,8 @@ def encode_jpeg_lossless(
     for ci in range(nc):
         sof += bytes([ci + 1, 0x11, 0])  # Hi=Vi=1; Tq meaningless in SOF3
     out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + bytes(sof)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     scan_groups = [list(range(nc))] if interleaved else [[c] for c in range(nc)]
     for group in scan_groups:
         sos = bytearray([len(group)])
@@ -885,17 +915,20 @@ def decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
     (precision <= 8) or uint16 (9-16 bits, the medical-imagery range),
     bit-exact. Supports any predictor 1-7, point transforms (Al > 0,
     T.81 H.2.1 — the decoder restores the shift), multi-component
-    interleaved and per-component multi-scan streams; restart
-    intervals (DRI), subsampled components (Hi/Vi != 1) and
-    arithmetic coding stay gated (raise, never guess)."""
+    interleaved and per-component multi-scan streams, and restart
+    intervals (DRI/RSTm, byte-aligned, sequence-validated, prediction
+    reset per H.1.2.2 — mid-row restarts included); subsampled
+    components (Hi/Vi != 1) and arithmetic coding stay gated (raise,
+    never guess)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = 0
     precision = 8
+    restart_interval = 0
     comps: list[int] = []  # component ids in SOF order
-    scans: list[tuple[list[tuple[int, int]], int, int, bytes]] = []
+    scans: list[tuple[list[tuple[int, int]], int, int, int, bytes]] = []
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG (expected marker)")
@@ -941,9 +974,9 @@ def decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
                 }
                 off += 17 + nv
         elif marker == 0xDD:
-            raise NotImplementedError(
-                "restart intervals in lossless JPEG unsupported"
-            )
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             ns = body[0]
             sc = []
@@ -960,10 +993,12 @@ def decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
             if (ahal & 0x0F) >= precision:
                 raise ValueError("point transform >= sample precision")
             data, pos = _entropy_span(payload, pos)
-            scans.append((sc, psel, ahal & 0x0F, data))
+            # DRI applies to scans that FOLLOW it (and can change between
+            # scans), so snapshot the active value per scan
+            scans.append((sc, psel, ahal & 0x0F, restart_interval, data))
     if not scans or not comps or not h:
         raise ValueError("corrupt lossless JPEG (no scan)")
-    covered = [idx for sc, _p, _a, _d in scans for idx, _th in sc]
+    covered = [idx for sc, _p, _a, _ri, _d in scans for idx, _th in sc]
     if sorted(covered) != list(range(len(comps))):
         raise ValueError(
             "lossless scans must cover every component exactly once"
@@ -973,12 +1008,21 @@ def decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
     pts = [0] * nc
     # each scan decodes independently: interleaved (all components per
     # sample position) or non-interleaved per-component raster — the
-    # multi-scan shape foreign lossless encoders emit. Predictor and
-    # point transform are per-scan properties.
-    for sc, psel, pt, data in scans:
+    # multi-scan shape foreign lossless encoders emit. Predictor, point
+    # transform and restart interval are per-scan properties.
+    for sc, psel, pt, ri, data in scans:
         r = _BitReader(data)
+        mcu_n = 0
+        ry = rx = 0  # current restart interval's origin
         for y in range(h):
             for x in range(w):
+                # one MCU = one sample position (T.81 H.2.4); at each
+                # boundary the RSTm sequence number is validated and
+                # prediction resets to the interval origin (H.1.2.2)
+                if ri and mcu_n and mcu_n % ri == 0:
+                    r.align_restart(mcu_n // ri - 1)
+                    ry, rx = y, x
+                mcu_n += 1
                 for idx, th in sc:
                     ssss = _huff_decode(r, huff[(0, th)])
                     if ssss == 16:
@@ -988,7 +1032,7 @@ def decode_jpeg_lossless(payload: bytes) -> "np.ndarray":
                     else:
                         diff = 0
                     pred = _ll_predict(
-                        planes[:, :, idx], y, x, psel, precision - pt
+                        planes[:, :, idx], y, x, psel, precision - pt, ry, rx
                     )
                     planes[y, x, idx] = (pred + diff) & 0xFFFF
         for idx, _th in sc:

@@ -2130,20 +2130,28 @@ def multimodal_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_jpeg_lossless",
+    # Filter modulus 5 is coprime with EVERY variety knob below (% 2
+    # components, % 7 predictor, % 4 restart interval, % 3 scan shape),
+    # so all branches are live in the driver-hashed corpus. (The previous
+    # % 6 = 5 filter pinned doc_id % 2 to 1 — the 3-component branch was
+    # dead in the driver check, the same class of gap the r12 advisor
+    # flagged on the audio corpus.)
     """
     with base as (
       select doc_id,
              6 + doc_id % 9 as w,
              5 + doc_id % 7 as h,
              case when doc_id % 2 = 0 then 3 else 1 end as nc,
-             1 + doc_id % 7 as predictor
-      from documents where doc_id % 6 = 5
+             1 + doc_id % 7 as predictor,
+             (doc_id % 4) * 3 as restart_interval
+      from documents where doc_id % 5 = 2
     )
     select doc_id,
            cast(w as integer) as width,
            cast(h as integer) as height,
            cast(nc as integer) as n_components,
            cast(predictor as integer) as predictor,
+           cast(restart_interval as integer) as restart_interval,
            cast((select sum((doc_id * 5 + y * 11 + x * 3 + c * 17) % 256)
                  from generate_series(0, 11) gy(y),
                       generate_series(0, 14) gx(x),
@@ -2158,12 +2166,15 @@ def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed LOSSLESS-JPEG round-trip (operators/jpeg.py: SOF3,
     T.81 process 14): per doc, synthesize a deterministic image (gray or
     RGB by parity), encode with the predictive lossless encoder — the
-    predictor CYCLES through all seven H.1.2.1 predictors across the
-    corpus — decode through decode_jpeg's SOF3 dispatch, and emit the
-    decoded pixel SUM plus the exact-roundtrip flag. Lossless means the
-    sum is CLOSED-FORM (unlike the lossy codecs' error-bound booleans):
-    any predictor, category-coding, or reconstruction slip flips the
-    hash, not just a tolerance."""
+    predictor CYCLES through all seven H.1.2.1 predictors, the restart
+    interval cycles 0/3/6/9 MCUs (0 = no DRI; 3/6/9 put RSTm boundaries
+    mid-row, exercising the H.1.2.2 prediction reset), and the scan
+    shape cycles interleaved / one-scan-per-component across the corpus
+    — decode through decode_jpeg's SOF3 dispatch, and emit the decoded
+    pixel SUM plus the exact-roundtrip flag. Lossless means the sum is
+    CLOSED-FORM (unlike the lossy codecs' error-bound booleans): any
+    predictor, category-coding, restart-reset, or reconstruction slip
+    flips the hash, not just a tolerance."""
     import numpy as np
     import pandas as pd
 
@@ -2173,7 +2184,7 @@ def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 6 == 5)
+        .filter(F.col("doc_id") % 5 == 2)
         .select("doc_id")
     )
     schema = T.StructType(
@@ -2183,6 +2194,7 @@ def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("height", T.IntegerType()),
             T.StructField("n_components", T.IntegerType()),
             T.StructField("predictor", T.IntegerType()),
+            T.StructField("restart_interval", T.IntegerType()),
             T.StructField("pixel_sum", T.LongType()),
             T.StructField("exact_roundtrip", T.BooleanType()),
         ]
@@ -2191,7 +2203,7 @@ def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     def batches(it):
         cols = [
             "doc_id", "width", "height", "n_components", "predictor",
-            "pixel_sum", "exact_roundtrip",
+            "restart_interval", "pixel_sum", "exact_roundtrip",
         ]
         for pdf in it:
             rows = []
@@ -2200,17 +2212,23 @@ def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = 6 + d % 9, 5 + d % 7
                 nc = 3 if d % 2 == 0 else 1
                 predictor = 1 + d % 7
+                ri = (d % 4) * 3
                 y, x, c = np.ogrid[0:h, 0:w, 0:nc]
                 px = ((d * 5 + y * 11 + x * 3 + c * 17) % 256).astype(
                     np.uint8
                 )
                 if nc == 1:
                     px = px[:, :, 0]
-                enc = _jpeg.encode_jpeg_lossless(px, predictor=predictor)
+                enc = _jpeg.encode_jpeg_lossless(
+                    px,
+                    predictor=predictor,
+                    restart_interval=ri,
+                    interleaved=d % 3 > 0,
+                )
                 dec = _jpeg.decode_jpeg(enc)  # via the SOF3 dispatch
                 rows.append(
                     (
-                        d, w, h, nc, predictor,
+                        d, w, h, nc, predictor, ri,
                         int(dec.astype(np.int64).sum()),
                         bool(dec.shape == px.shape and (dec == px).all()),
                     )
@@ -2219,6 +2237,7 @@ def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
             for cname, dt in (
                 ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
                 ("n_components", "int32"), ("predictor", "int32"),
+                ("restart_interval", "int32"),
                 ("pixel_sum", "int64"), ("exact_roundtrip", "bool"),
             ):
                 out[cname] = out[cname].astype(dt)
