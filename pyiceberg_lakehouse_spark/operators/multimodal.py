@@ -1898,7 +1898,83 @@ def pcm16_decode(data: bytes, big_endian: bool) -> "np.ndarray":
     )
 
 
-def _synthetic_2trak_mp4(d: int) -> tuple[bytes, int, int]:
+# IMA ADPCM (DVI/IMA, the QuickTime 'ima4' sample entry): the first REAL
+# compressed audio codec in the engine — 4 bits/sample, a per-block state
+# machine (step-size table + index adaptation) rather than a memoryless
+# byte map like G.711. Tables from the IMA Digital Audio Compression
+# Standard (also IETF RFC 3551 §4.5.1); QuickTime packs 64 samples per
+# 34-byte block behind a 2-byte big-endian preamble holding the seed
+# state: predictor = preamble & 0xFF80 (sign-extended), step index =
+# preamble & 0x7F (clamped to 88).
+_IMA_STEP_TABLE = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    ],
+    dtype=np.int64,
+)
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+IMA4_BLOCK_BYTES = 34
+IMA4_BLOCK_SAMPLES = 64
+
+
+def ima4_decode(data: bytes) -> "np.ndarray":
+    """IMA ADPCM decode of a sequence of QuickTime 'ima4' blocks -> int64
+    linear PCM (values within int16 range).
+
+    Each 34-byte block: 2-byte BE preamble (seed predictor in the top 9
+    bits, seed step index in the low 7, clamped to 88) + 32 data bytes =
+    64 nibbles, LOW nibble first. Per nibble n (IMA standard expansion):
+    diff = step>>3 (+ step if n&4) (+ step>>1 if n&2) (+ step>>2 if n&1);
+    predictor +/- diff by the sign bit (n&8), clamped to int16; index +=
+    {-1,-1,-1,-1,2,4,6,8}[n&7], clamped to [0, 88]. Blocks are mutually
+    independent, so the 64-step state walk is vectorized ACROSS blocks
+    (state arrays, one pass over nibble positions) — numpy-idiomatic,
+    no per-sample Python loop."""
+    if len(data) % IMA4_BLOCK_BYTES:
+        raise ValueError(
+            f"ima4 data must be whole {IMA4_BLOCK_BYTES}-byte blocks, "
+            f"got {len(data)} bytes"
+        )
+    raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, IMA4_BLOCK_BYTES)
+    nblk = raw.shape[0]
+    pre = raw[:, 0].astype(np.int64) * 256 + raw[:, 1]
+    pred = pre & 0xFF80
+    pred = np.where(pred >= 0x8000, pred - 0x10000, pred)
+    idx = np.minimum(pre & 0x7F, 88)
+    # nibble matrix: (nblk, 64), low nibble of each data byte first
+    body = raw[:, 2:].astype(np.int64)
+    nibs = np.empty((nblk, IMA4_BLOCK_SAMPLES), dtype=np.int64)
+    nibs[:, 0::2] = body & 0x0F
+    nibs[:, 1::2] = body >> 4
+    out = np.empty((nblk, IMA4_BLOCK_SAMPLES), dtype=np.int64)
+    for j in range(IMA4_BLOCK_SAMPLES):
+        n = nibs[:, j]
+        step = _IMA_STEP_TABLE[idx]
+        diff = (
+            (step >> 3)
+            + np.where(n & 4, step, 0)
+            + np.where(n & 2, step >> 1, 0)
+            + np.where(n & 1, step >> 2, 0)
+        )
+        pred = np.clip(
+            np.where(n & 8, pred - diff, pred + diff), -32768, 32767
+        )
+        idx = np.clip(idx + _IMA_INDEX_TABLE[n & 7], 0, 88)
+        out[:, j] = pred
+    return out.reshape(-1)
+
+
+def _synthetic_2trak_mp4(
+    d: int, audio_codec: str | None = None
+) -> tuple[bytes, int, int]:
     """Deterministic 2-trak interleaved MP4 for doc id ``d`` (standing in
     for an object-storage read): video trak (mp4v, 2 samples/chunk, stss
     every 3rd, a B-frame-style ctts reorder pattern so pts != dts) +
@@ -1906,7 +1982,11 @@ def _synthetic_2trak_mp4(d: int) -> tuple[bytes, int, int]:
     formats by d % 4 — G.711 'ulaw' / 'alaw' and 16-bit PCM 'sowt'
     (little-endian) / 'twos' (big-endian); the codec fourcc drives
     decoder routing (3 samples/chunk, no stss — every sample sync per
-    spec; PCM sample sizes are even by construction). Sample counts,
+    spec; PCM sample sizes are even by construction).
+    ``audio_codec`` overrides the cycle — 'ima4' emits whole 34-byte
+    IMA ADPCM blocks (1 or 2 per sample) whose bytes still follow the
+    one closed-form formula, so the seeded state machine is SQL-
+    replayable. Sample counts,
     sizes, timings and bytes are all closed-form in ``d`` so a DuckDB
     oracle can state the full demux output — including the cross-trak
     interleaved chunk offsets and the composition timestamps — without
@@ -1914,7 +1994,10 @@ def _synthetic_2trak_mp4(d: int) -> tuple[bytes, int, int]:
     nv = 6 + d % 7
     na = 8 + d % 5
     v_sizes = [40 + ((d + 11 * i) % 60) for i in range(nv)]
-    if d % 4 >= 2:  # PCM formats: int16 samples need even byte counts
+    codec = audio_codec or ("ulaw", "alaw", "sowt", "twos")[d % 4]
+    if codec == "ima4":  # ADPCM: whole 34-byte blocks, 1 or 2 per sample
+        a_sizes = [34 * (1 + (d + 5 * i) % 2) for i in range(na)]
+    elif codec in ("sowt", "twos"):  # int16 samples need even byte counts
         a_sizes = [20 + 2 * ((d + 5 * i) % 15) for i in range(na)]
     else:
         a_sizes = [20 + ((d + 5 * i) % 30) for i in range(na)]
@@ -1934,7 +2017,7 @@ def _synthetic_2trak_mp4(d: int) -> tuple[bytes, int, int]:
                 "samples": a_payloads,
                 "stts_runs": [(na, 64)],
                 "handler": "soun",
-                "codec": ("ulaw", "alaw", "sowt", "twos")[d % 4],
+                "codec": codec,
                 "samples_per_chunk": 3,
             },
         ]
@@ -2018,7 +2101,9 @@ AUDIO_PCM_SCHEMA = T.StructType(
 )
 
 
-def decode_mp4_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def decode_mp4_audio(
+    df: DataFrame, id_col: str = "doc_id", audio_codec: str | None = None
+) -> DataFrame:
     """The demux -> decode composition a real audio-curation pass runs:
     demux the 2-trak MP4 (closed-form synthetic per doc), ROUTE by hdlr
     to the soun trak, pick the expander from the stsd codec fourcc
@@ -2027,7 +2112,10 @@ def decode_mp4_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     one row per audio sample with its decoded sum/min/max. The video
     trak's bytes never reach the decoder (routing is the claim); a
     wrong demux extent, a wrong law, or a wrong expansion flips every
-    aggregate.
+    aggregate. ``audio_codec`` overrides the corpus's codec cycle —
+    'ima4' synthesizes IMA ADPCM block payloads and routes them through
+    the stateful expander (the fourcc still travels through the stsd
+    box and drives the routing, same as the memoryless codecs).
 
     Arrow-batched mapInPandas; decode runs where the bytes live."""
     src = df.select(F.col(id_col).alias("doc_id"))
@@ -2041,12 +2129,14 @@ def decode_mp4_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                mp4, _nv, _na = _synthetic_2trak_mp4(d)
+                mp4, _nv, _na = _synthetic_2trak_mp4(d, audio_codec)
                 for t in demux_mp4_tracks(mp4):
                     if t["handler"] != "soun":
                         continue
                     codec = t["codec"]
-                    if codec == "ulaw":
+                    if codec == "ima4":
+                        expand = ima4_decode
+                    elif codec == "ulaw":
                         expand = lambda b: ulaw_decode(  # noqa: E731
                             np.frombuffer(b, dtype=np.uint8)
                         )
@@ -2060,8 +2150,9 @@ def decode_mp4_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         )
                     else:
                         raise NotImplementedError(
-                            f"audio codec {codec!r}: G.711 ('ulaw'/'alaw') "
-                            "and 16-bit PCM ('sowt'/'twos') decode only"
+                            f"audio codec {codec!r}: G.711 ('ulaw'/'alaw'), "
+                            "16-bit PCM ('sowt'/'twos') and IMA ADPCM "
+                            "('ima4') decode only"
                         )
                     for s in t["samples"]:
                         pcm = expand(s["data"])

@@ -2034,6 +2034,111 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IMA_STEPS_SQL = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,"
+    "66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,"
+    "371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,"
+    "1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,"
+    "5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,"
+    "16818,18500,20350,22385,24623,27086,29794,32767]"
+)
+
+
+@register(
+    "multimodal_adpcm_decode",
+    # The oracle REPLAYS the IMA ADPCM state machine in pure SQL: a
+    # recursive CTE walks the 64 nibbles of every 34-byte block, carrying
+    # (predictor, step-index) state and indexing the 89-entry step table
+    # as a list literal — the first stateful-codec oracle in the corpus
+    # (G.711/PCM are memoryless byte maps; this one's output depends on
+    # the entire nibble prefix, so ANY slip anywhere in the walk corrupts
+    # every later sample and the hash).
+    f"""
+    with recursive base as (
+      select doc_id, 8 + doc_id % 5 as na
+      from documents where doc_id % 7 = 3
+    ),
+    s as (
+      select doc_id, i,
+             34 * (1 + (doc_id + 5 * i) % 2) as sz,
+             i * 64 as dts
+      from base, unnest(generate_series(0, 11)) u(i) where i < na
+    ),
+    -- 2-byte BE preamble of block b from the shared closed-form byte
+    -- formula (doc_id*3 + i*7 + j*11) % 256
+    seed as (
+      select doc_id, i, sz, dts, b,
+             ((doc_id * 3 + i * 7 + (b * 34) * 11) % 256) * 256
+               + ((doc_id * 3 + i * 7 + (b * 34 + 1) * 11) % 256) as pre
+      from s, generate_series(0, 1) g(b) where b < sz // 34
+    ),
+    -- state walk: j = -1 holds the seed state (predictor = top 9 bits
+    -- sign-extended, index = low 7 bits clamped to 88); each step
+    -- decodes nibble j+1 (low nibble of each data byte first)
+    walk(doc_id, i, sz, dts, b, j, pred, idx) as (
+      select doc_id, i, sz, dts, b, -1,
+             case when (pre & 65408) >= 32768 then (pre & 65408) - 65536
+                  else pre & 65408 end,
+             least(pre & 127, 88)
+      from seed
+      union all
+      select doc_id, i, sz, dts, b, j + 1,
+             greatest(-32768, least(32767,
+               pred + case when (nib & 8) > 0 then -diff else diff end)),
+             greatest(0, least(88, idx + case when (nib & 7) < 4 then -1
+                                              else ((nib & 7) - 3) * 2 end))
+      from (
+        select doc_id, i, sz, dts, b, j, pred, idx, nib,
+               (step >> 3)
+               + case when (nib & 4) > 0 then step else 0 end
+               + case when (nib & 2) > 0 then step >> 1 else 0 end
+               + case when (nib & 1) > 0 then step >> 2 else 0 end as diff
+        from (
+          select w2.*,
+                 case when (j + 1) % 2 = 0 then byte % 16
+                      else byte // 16 end as nib,
+                 ({_IMA_STEPS_SQL})[idx + 1] as step
+          from (
+            select walk.*,
+                   (doc_id * 3 + i * 7
+                    + (b * 34 + 2 + (j + 1) // 2) * 11) % 256 as byte
+            from walk where j < 63
+          ) w2
+        ) w3
+      ) w4
+    )
+    select doc_id,
+           cast(i as integer) as sample_idx,
+           cast(dts as bigint) as dts,
+           cast((sz // 34) * 64 as integer) as n_pcm,
+           cast(sum(pred) as bigint) as pcm_sum,
+           cast(min(pred) as integer) as pcm_min,
+           cast(max(pred) as integer) as pcm_max
+    from walk where j >= 0
+    group by doc_id, i, sz, dts
+    """,
+)
+def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-audio decode (multimodal.ima4_decode): the corpus's
+    soun traks carry IMA ADPCM 'ima4' sample entries — QuickTime 34-byte
+    blocks, 64 samples each, 4 bits/sample — and the demux -> route ->
+    expand composition runs the real IMA state machine (step-size table
+    + index adaptation, seeded from each block's 2-byte preamble),
+    vectorized ACROSS blocks in numpy. Unlike the G.711/PCM formats
+    (memoryless byte maps), every decoded sample depends on the entire
+    nibble prefix of its block, so the oracle must REPLAY the state
+    machine — it does, as a recursive CTE over nibble positions with the
+    89-entry step table as a SQL list literal. One row per audio sample
+    with decoded count/sum/min/max; a wrong step adaptation, clamp,
+    nibble order, or seed sign-extension diverges the walk and flips the
+    hash. First genuinely compressed audio codec in the engine (4:1);
+    perceptual codecs (MP3 Layer III synthesis) stay honestly gated."""
+    return multimodal.decode_mp4_audio(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 3),
+        audio_codec="ima4",
+    )
+
+
 @register(
     "pipeline_video_curation",
     "with t as ("

@@ -524,3 +524,136 @@ def test_v1_tkhd_and_mdhd_offsets():
     assert tracks[0]["track_id"] == 77
     assert tracks[0]["timescale"] == 90000
     assert tracks[0]["handler"] == "vide"
+
+
+# ---------------------------------------------------- IMA ADPCM 'ima4' ----
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pyiceberg_lakehouse_spark.operators.multimodal import (  # noqa: E402
+    _IMA_INDEX_TABLE,
+    _IMA_STEP_TABLE,
+    _cf_bytes,
+    _synthetic_2trak_mp4,
+    ima4_decode,
+)
+
+
+def test_ima4_decode_matches_scalar_reference():
+    """The block-vectorized walk equals the textbook scalar IMA state
+    machine (step table + index adaptation, int16 clamp) on arbitrary
+    block bytes, including the preamble sign-extension and index clamp."""
+
+    def scalar(data):
+        out = []
+        for b0 in range(0, len(data), 34):
+            blk = data[b0 : b0 + 34]
+            pre = blk[0] * 256 + blk[1]
+            pred = pre & 0xFF80
+            if pred >= 0x8000:
+                pred -= 0x10000
+            idx = min(pre & 0x7F, 88)
+            for j in range(64):
+                byte = blk[2 + j // 2]
+                n = byte & 0xF if j % 2 == 0 else byte >> 4
+                step = int(_IMA_STEP_TABLE[idx])
+                diff = step >> 3
+                if n & 4:
+                    diff += step
+                if n & 2:
+                    diff += step >> 1
+                if n & 1:
+                    diff += step >> 2
+                pred = pred - diff if n & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + int(_IMA_INDEX_TABLE[n & 7])))
+                out.append(pred)
+        return out
+
+    rng = np.random.default_rng(29)
+    for nblk in (1, 2, 5):
+        data = rng.integers(0, 256, size=34 * nblk, dtype=np.uint8).tobytes()
+        assert list(ima4_decode(data)) == scalar(data)
+    # seed states that hit the clamps: max step index (clamped 127 -> 88),
+    # most-negative predictor
+    edge = bytes([0x80, 0x7F]) + b"\xff" * 32
+    assert list(ima4_decode(edge)) == scalar(edge)
+
+
+def test_ima4_decode_known_vector():
+    """Hand-checkable: zero preamble (pred=0, idx=0, step=7), all-zero
+    nibbles -> every step adds step>>3 = 0 and idx walks down to 0; the
+    decode is all zeros. Nibble 8 (sign bit only) also adds -0."""
+    assert list(ima4_decode(bytes(34))) == [0] * 64
+    allsign = bytes(2) + b"\x88" * 32
+    assert list(ima4_decode(allsign)) == [0] * 64
+    # nibble 3: diff = step>>1 + step>>2 + step>>3, idx stays 0 -> every
+    # sample adds 3+1+0 = ... step=7: 3 + 1 + 0 = 4? no: 7>>3=0, 7>>1=3,
+    # 7>>2=1 -> +4 per sample, idx += -1 (clamped 0), so ramp 4,8,12,...
+    ramp = ima4_decode(bytes(2) + b"\x33" * 32)
+    assert list(ramp[:4]) == [4, 8, 12, 16]
+
+
+def test_ima4_decode_rejects_partial_block():
+    with pytest.raises(ValueError, match="whole 34-byte blocks"):
+        ima4_decode(b"\x00" * 35)
+
+
+def test_ima4_trak_routes_through_demux():
+    """The 'ima4' fourcc travels through the stsd box and the demux
+    reports it; sample sizes are whole blocks by construction."""
+    mp4, _nv, na = _synthetic_2trak_mp4(11, audio_codec="ima4")
+    tracks = demux_mp4_tracks(mp4)
+    soun = [t for t in tracks if t["handler"] == "soun"]
+    assert len(soun) == 1 and soun[0]["codec"] == "ima4"
+    assert len(soun[0]["samples"]) == na
+    for s in soun[0]["samples"]:
+        assert len(s["data"]) % 34 == 0
+        assert s["data"] == _cf_bytes(
+            11 * 3 + s["idx"] * 7, 11, len(s["data"])
+        )
+
+
+def test_ima4_unknown_codec_still_gated(spark, sf_dir):
+    """Routing honesty: a fourcc outside the five supported formats
+    raises NotImplementedError, never guesses."""
+    import pandas as pd  # noqa: F401
+
+    from pyiceberg_lakehouse_spark.operators.multimodal import (
+        decode_mp4_audio,
+    )
+    from pyiceberg_lakehouse_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 31 == 1
+    )
+    with pytest.raises(Exception, match="audio codec"):
+        decode_mp4_audio(docs, audio_codec="opus").collect()
+
+
+def test_ima4_decode_composition(spark, sf_dir):
+    """decode_mp4_audio(audio_codec='ima4') matches a direct per-doc
+    decode of the closed-form blocks."""
+    from pyiceberg_lakehouse_spark.operators.multimodal import (
+        decode_mp4_audio,
+    )
+    from pyiceberg_lakehouse_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 17 == 3
+    )
+    got = {
+        (r["doc_id"], r["sample_idx"]): (
+            r["n_pcm"], r["pcm_sum"], r["pcm_min"], r["pcm_max"]
+        )
+        for r in decode_mp4_audio(docs, audio_codec="ima4").collect()
+    }
+    assert got
+    for d in [r["doc_id"] for r in docs.select("doc_id").collect()]:
+        na = 8 + d % 5
+        for i in range(na):
+            sz = 34 * (1 + (d + 5 * i) % 2)
+            pcm = ima4_decode(_cf_bytes(d * 3 + i * 7, 11, sz))
+            assert got[(d, i)] == (
+                len(pcm), int(pcm.sum()), int(pcm.min()), int(pcm.max())
+            )
