@@ -39,6 +39,43 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"), gap="30 minutes")
 
 
+@register("stream_session_windows", SESSION_SQL)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization in append mode — the watermark-complete
+    form: ``session_window`` over the event STREAM emits a session row
+    only once the event-time watermark proves the session closed (no
+    event within the gap can still arrive). Merging is incremental
+    state-store work: sessions extend and coalesce as events arrive,
+    unlike the batch form's full-shuffle groupBy. The horizon sentinels
+    (streaming/windows.py::events_stream_with_horizon) push the
+    watermark past every real event under the finite availableNow
+    replay, so ALL sessions finalize and the append-mode output equals
+    the batch islands-and-gaps oracle exactly — same twin as
+    events_session_windows, computed by the streaming engine's state
+    machinery instead of a window function. Sentinel-user sessions are
+    dropped from the SINK output (a stream-side filter would be pushed
+    below the watermark node and defeat the horizon)."""
+    ev = W.events_stream_with_horizon(spark, sf_dir)
+    sess = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    out = W.run_to_memory(sess, output_mode="append")
+    return out.filter(F.col("user_id") != W.SENTINEL_USER)
+
+
 @register(
     "stream_user_running_totals",
     """

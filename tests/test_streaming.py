@@ -70,3 +70,26 @@ def test_salted_groupby_equals_plain(spark, sf_dir):
     assert {(r.l_returnflag, r.n) for r in salted.collect()} == {
         (r.l_returnflag, r.n) for r in plain.collect()
     }
+
+
+def test_stream_session_windows_equals_batch(spark, sf_dir):
+    """Append-mode streaming sessionization (watermark-finalized via the
+    horizon sentinels) emits exactly the batch session set — same keys,
+    same counts, same exact-decimal sums — and no sentinel artifacts."""
+    from pyiceberg_lakehouse_spark.streaming.queries2 import (
+        stream_session_windows,
+    )
+    from pyiceberg_lakehouse_spark.streaming.windows import SENTINEL_USER
+
+    got = stream_session_windows(spark, sf_dir)
+    batch = sessionize(load_table(spark, sf_dir, "events"), gap="30 minutes")
+    g = {
+        (r.user_id, r.session_start, r.n_events, r.sum_value)
+        for r in got.collect()
+    }
+    b = {
+        (r.user_id, r.session_start, r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert g == b
+    assert all(u != SENTINEL_USER for (u, *_rest) in g)
