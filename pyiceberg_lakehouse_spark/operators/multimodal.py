@@ -104,6 +104,15 @@ def decode_stub(payload: bytes, mime: str) -> bytes:
         if px.ndim == 2:
             px = np.repeat(px[:, :, None], 3, axis=2)
         return np.ascontiguousarray(px).tobytes()
+    if mime == "image/gif":
+        import numpy as np
+
+        from pyiceberg_lakehouse_spark.operators.gif import decode_gif
+
+        f = decode_gif(payload)["frames"][0]
+        return (
+            f["palette"][f["indices"]].astype(np.uint8).tobytes()
+        )
     if mime in _PIL_MIMES and HAS_PIL:
         import io
 
@@ -120,6 +129,11 @@ def decode_image_codec(payload: bytes) -> tuple[int, int, str]:
     if payload[:8] == _PNG_SIG:
         w, h, color_type = png_header(payload)
         return w, h, _PNG_MODES[color_type]
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("truncated GIF header")
+        w, h = _struct.unpack("<HH", payload[6:10])
+        return w, h, "P"
     if payload[:2] == b"\xff\xd8":
         from pyiceberg_lakehouse_spark.operators import jpeg
 

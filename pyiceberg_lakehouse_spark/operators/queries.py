@@ -2140,6 +2140,112 @@ def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_decode",
+    # Filter modulus 7 is coprime with every variety knob (% 8 width,
+    # % 6 height, % 3 palette size, % 2 interlace), so all branches are
+    # live in the driver-hashed corpus.
+    """
+    with base as (
+      select doc_id,
+             5 + doc_id % 8 as w,
+             4 + doc_id % 6 as h,
+             case cast(doc_id % 3 as integer)
+                  when 0 then 4 when 1 then 16 else 64 end as nc,
+             doc_id % 2 = 1 as interlaced
+      from documents where doc_id % 7 = 2
+    )
+    select doc_id,
+           cast(w as integer) as width,
+           cast(h as integer) as height,
+           cast(nc as integer) as n_colors,
+           interlaced,
+           cast((select sum((doc_id * 7 + y * 5 + x * 3) % nc)
+                 from generate_series(0, 9) gy(y),
+                      generate_series(0, 12) gx(x)
+                 where y < h and x < w)
+               as bigint) as value_sum,
+           true as exact_roundtrip
+    from base
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL dictionary-compression round-trip (operators/gif.py): per
+    doc, synthesize a deterministic palette-index raster, encode it as a
+    GIF89a — variable-width LZW (9..12-bit codes, LSB-first packing,
+    CLEAR/END, the KwKwK corner, width bumps with the encoder/decoder
+    off-by-one), palette size cycling 4/16/64 and Appendix-E interlacing
+    by parity — decode it back, and report dims + the decoded index sum,
+    which the SQL oracle predicts closed-form without running either
+    codec (the PNG pattern: a planted-construction oracle around a real
+    codec). Runs as Arrow-batched mapInPandas: encode and decode happen
+    where the (synthesized) bytes live, only typed features shuffle.
+    First LZW/dictionary codec in the engine; frame COMPOSITION of
+    animated GIFs (disposal/transparency) stays honestly out of scope —
+    frames decode raw with their geometry."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import gif as _gif
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 2)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_colors", T.IntegerType()),
+            T.StructField("interlaced", T.BooleanType()),
+            T.StructField("value_sum", T.LongType()),
+            T.StructField("exact_roundtrip", T.BooleanType()),
+        ]
+    )
+
+    def batches(it):
+        cols = [
+            "doc_id", "width", "height", "n_colors", "interlaced",
+            "value_sum", "exact_roundtrip",
+        ]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 5 + d % 8, 4 + d % 6
+                nc = (4, 16, 64)[d % 3]
+                interlace = d % 2 == 1
+                y, x = np.ogrid[0:h, 0:w]
+                px = (d * 7 + y * 5 + x * 3) % nc
+                enc = _gif.encode_gif(px, interlace=interlace)
+                dec = _gif.decode_gif(enc)
+                f = dec["frames"][0]
+                rows.append(
+                    (
+                        d, w, h, nc, f["interlace"],
+                        int(f["indices"].sum()),
+                        bool(
+                            f["indices"].shape == px.shape
+                            and (f["indices"] == px).all()
+                        ),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname, dt in (
+                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
+                ("n_colors", "int32"), ("interlaced", "bool"),
+                ("value_sum", "int64"), ("exact_roundtrip", "bool"),
+            ):
+                out[cname] = out[cname].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "pipeline_video_curation",
     "with t as ("
     + MP4_MULTITRACK_ORACLE.format(filt="doc_id % 9 = 4")

@@ -48,6 +48,30 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # never had a driver row, growing the driver-verified set over time while
 # keeping every category represented.
 #
+# Round-13 rotation (standing no-tail principle). Rotates IN the three
+# oracle-checkable queries written after the r12 window froze — the IMA
+# ADPCM ('ima4') predictive audio decode multimodal_adpcm_decode (the
+# recursive-CTE oracle replays the predictor/step-index state machine),
+# the append-mode watermark-finalized streaming sessionization
+# stream_session_windows, and the NEW GIF LZW codec roundtrip
+# multimodal_gif_decode (variable-width dictionary compression,
+# Appendix-E interlacing, closed-form planted-raster oracle) — so the
+# driver-evidence tail returns to zero in the round the code shipped.
+# All 8 r12 first-timers HOLD for their second round (the codec rows
+# multimodal_{mp4_multitrack,audio_decode,mp3_frames,jpeg_lossless},
+# stream_lh_media_demux, pipeline_video_curation, sample_reservoir,
+# train_pack_sequences — the subtlest fresh code). Rotated OUT, per the
+# standing principles, three non-anchor rows green in BOTH r11 and r12
+# with their categories still represented: multimodal_mp4_samples (the
+# single-trak demux is a strict subset of the held multi-track row;
+# stays local-gated + property-tested), stream_static_enrich (stream_
+# keeps eleven rows incl. all five stream-stream join modes and the new
+# sessionization), and lh_neardup_index_selfcheck (the index lifecycle
+# stays driver-covered by lh_neardup_probe_batch + stream_lh_neardup;
+# selfcheck stays local-gated + BENCH_SCALE-proven). Every displaced
+# query stays covered by the identical strict local gate and the
+# registry-wide dtype-parity pytest.
+#
 # Round-12 rotation (VERDICT r11 tasks #1-#3). Rotates IN every
 # oracle-checkable query NEW or newly-oracle'd this round, each in its own
 # round per the standing no-tail principle: the multi-track MP4 demux
@@ -182,15 +206,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # slots go to the three post-freeze lakehouse/static-enrich rows)
     "lh_table_changes",
     "lh_update_where",
-    "stream_static_enrich",
-    # (fn_date_arithmetic's r11 hold slot goes to the NEW MP4
-    # sample-table demux — fresh code outranks a hold; fn_ stays
-    # represented by string_extended + struct_ops)
-    "multimodal_mp4_samples",
-    # (fn_string_extended's r11 hold slot goes to the NEW incremental
-    # near-dup signature index — fresh code outranks a hold; fn_ stays
-    # represented by struct_ops)
-    "lh_neardup_index_selfcheck",
+    # (stream_static_enrich's r13 rotation slot goes to the post-freeze
+    # append-mode watermark-finalized sessionization — the only
+    # session_window row in the registry; static-enrich stays
+    # local-gated + pytest-pinned)
+    "stream_session_windows",
+    # (multimodal_mp4_samples' r13 rotation slot goes to the post-freeze
+    # IMA ADPCM decode — the predictive-codec row; single-trak demux is
+    # a strict subset of the held multi-track row)
+    "multimodal_adpcm_decode",
+    # (lh_neardup_index_selfcheck's r13 rotation slot goes to the NEW
+    # GIF LZW codec roundtrip — the first dictionary-compression codec;
+    # the near-dup index stays driver-covered by probe_batch +
+    # stream_lh_neardup)
+    "multimodal_gif_decode",
     "fn_struct_ops",
     # time-series analytics (the skew-safe funnel twin — post-freeze r9
     # code — rotates in; funnel_steps/retention_cohorts' second-round hold
