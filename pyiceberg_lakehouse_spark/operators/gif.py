@@ -8,12 +8,20 @@ KwKwK corner case, and the 4095-entry cap with CLEAR-and-rebuild.
 
 Scope (honest gates, same stance as the PNG/JPEG codecs):
 - decode: any GIF87a/89a with a global and/or per-frame local color
-  table, interlaced or sequential, extension blocks skipped (GCE,
-  comment, application, plain text). Multi-frame (animated) streams
-  decode to RAW per-frame index arrays with their geometry — frame
-  COMPOSITION (disposal methods, transparency blending) is out of
-  scope and the fields needed for it are returned, not interpreted.
-- encode: single frame, global color table, optional interlace.
+  table, interlaced or sequential. Graphic Control Extensions attach
+  disposal/delay/transparency to their frame; the NETSCAPE2.0 loop
+  extension sets loop_count; other extensions (comment, plain text,
+  foreign application) are skipped.
+- composition (compose_frames): the full GIF89a animation model —
+  draw with transparency punch-through, disposal 0/1 (leave),
+  2 (restore to background, rendered as transparent per every modern
+  renderer), 3 (restore previous). Gated honestly: frames with a
+  LOCAL color table differing from the global one raise
+  NotImplementedError (index-plane composition would silently blend
+  across palettes).
+- encode: single frame via encode_gif (global color table, optional
+  interlace); animations via encode_gif_animation (per-frame
+  geometry/GCE, shared global palette, NETSCAPE loop).
 
 Reference parity: ashkangoleh/pyiceberg-lakehouse treats images as
 opaque binary columns (main-daft.py:68); this engine decodes them. The
@@ -266,13 +274,16 @@ def encode_gif(
 
 
 def decode_gif(payload: bytes) -> dict:
-    """Decode a GIF87a/89a stream -> {width, height, frames: [...]}.
+    """Decode a GIF87a/89a stream -> {width, height, loop_count,
+    frames: [...]}.
 
     Each frame: {left, top, width, height, interlace, indices (h, w)
-    int64, palette (n, 3) uint8 (local if present, else global)}.
-    Extension blocks are skipped; animated streams return every frame
-    raw (no disposal composition — the geometry needed for it travels
-    with each frame)."""
+    int64, palette (n, 3) uint8 (local if present, else global),
+    has_local_palette, disposal, delay_cs, transparent_index (None
+    when the GCE transparency flag is clear)}. Frames decode RAW with
+    their geometry; compose_frames applies the animation model.
+    loop_count is the NETSCAPE2.0 iteration count (None if absent,
+    0 = loop forever per the de-facto standard)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     if len(payload) < 13:
@@ -288,6 +299,8 @@ def decode_gif(payload: bytes) -> dict:
         gct = gct.reshape(n, 3).copy()
         pos += 3 * n
     frames = []
+    loop_count = None
+    pending_gce = None
     while True:
         if pos >= len(payload):
             raise ValueError("GIF stream ends without trailer")
@@ -295,11 +308,26 @@ def decode_gif(payload: bytes) -> dict:
         pos += 1
         if block == 0x3B:  # trailer
             break
-        if block == 0x21:  # extension: label + sub-blocks, skipped
+        if block == 0x21:  # extension: label + sub-blocks
             if pos >= len(payload):
                 raise ValueError("truncated GIF extension")
+            label = payload[pos]
             pos += 1
-            _, pos = _read_sub_blocks(payload, pos)
+            data, pos = _read_sub_blocks(payload, pos)
+            if label == 0xF9:  # Graphic Control Extension
+                if len(data) != 4:
+                    raise ValueError("GCE block must be 4 bytes")
+                gpacked, delay_cs = data[0], struct.unpack("<H", data[1:3])[0]
+                pending_gce = {
+                    "disposal": (gpacked >> 2) & 0x07,
+                    "delay_cs": delay_cs,
+                    "transparent_index": data[3] if gpacked & 0x01 else None,
+                }
+            elif label == 0xFF and data[:11] == b"NETSCAPE2.0":
+                # sub-block id 1 carries the 16-bit iteration count
+                if len(data) >= 14 and data[11] == 0x01:
+                    loop_count = struct.unpack("<H", data[12:14])[0]
+            # comment / plain-text / foreign application: skipped
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
@@ -336,6 +364,10 @@ def decode_gif(payload: bytes) -> dict:
             de = np.empty_like(px)
             de[rows] = px
             px = de
+        gce = pending_gce or {
+            "disposal": 0, "delay_cs": 0, "transparent_index": None
+        }
+        pending_gce = None  # a GCE governs exactly one rendering block
         frames.append(
             {
                 "left": left,
@@ -345,8 +377,167 @@ def decode_gif(payload: bytes) -> dict:
                 "interlace": interlaced,
                 "indices": px,
                 "palette": pal,
+                "has_local_palette": bool(ipacked & 0x80),
+                **gce,
             }
         )
     if not frames:
         raise ValueError("GIF has no image frames")
-    return {"width": sw, "height": sh, "frames": frames}
+    return {
+        "width": sw, "height": sh, "loop_count": loop_count, "frames": frames
+    }
+
+
+# ------------------------------------------------------------ animation ---
+
+
+def encode_gif_animation(
+    frames: list[dict],
+    screen: tuple[int, int] | None = None,
+    palette: "np.ndarray | None" = None,
+    loop_count: int | None = None,
+) -> bytes:
+    """Multi-frame GIF89a with one shared GLOBAL color table.
+
+    Each frame dict: ``indices`` (h, w), optional ``left``/``top``
+    (default 0), ``disposal`` (0-3, default 0), ``delay_cs`` (default
+    0), ``transparent_index`` (default None), ``interlace`` (default
+    False). ``screen`` is the logical canvas (w, h); defaults to the
+    tightest box covering every frame. ``loop_count`` emits the
+    NETSCAPE2.0 application extension (0 = forever)."""
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    norm = []
+    mx = 0
+    for f in frames:
+        arr = np.asarray(f["indices"])
+        if arr.ndim != 2:
+            raise ValueError("indices must be (h, w)")
+        g = {
+            "indices": arr,
+            "left": int(f.get("left", 0)),
+            "top": int(f.get("top", 0)),
+            "disposal": int(f.get("disposal", 0)),
+            "delay_cs": int(f.get("delay_cs", 0)),
+            "transparent_index": f.get("transparent_index"),
+            "interlace": bool(f.get("interlace", False)),
+        }
+        if not 0 <= g["disposal"] <= 3:
+            raise ValueError("disposal method must be 0-3")
+        mx = max(mx, int(arr.max(initial=0)))
+        if g["transparent_index"] is not None:
+            mx = max(mx, int(g["transparent_index"]))
+        norm.append(g)
+    if palette is None:
+        n = 4
+        while n < mx + 1:
+            n *= 2
+        palette = np.repeat(np.arange(n, dtype=np.uint8)[:, None], 3, axis=1)
+    palette = np.asarray(palette, dtype=np.uint8)
+    n = palette.shape[0]
+    if n & (n - 1) or not 2 <= n <= 256:
+        raise ValueError("palette size must be a power of two in [2, 256]")
+    if mx >= n:
+        raise ValueError("pixel index exceeds the palette")
+    if screen is None:
+        screen = (
+            max(g["left"] + g["indices"].shape[1] for g in norm),
+            max(g["top"] + g["indices"].shape[0] for g in norm),
+        )
+    sw, sh = screen
+    for g in norm:
+        h, w = g["indices"].shape
+        if g["left"] + w > sw or g["top"] + h > sh:
+            raise ValueError("frame extends past the logical screen")
+
+    depth = max(n.bit_length() - 1, 1)
+    out = bytearray(b"GIF89a")
+    packed = 0x80 | ((depth - 1) << 4) | (depth - 1)
+    out += struct.pack("<HHBBB", sw, sh, packed, 0, 0)
+    out += palette.tobytes()
+    if loop_count is not None:
+        if not 0 <= int(loop_count) <= 0xFFFF:
+            raise ValueError("loop count must fit in 16 bits")
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+        out += struct.pack("<H", int(loop_count))
+        out.append(0)
+    mcs = max(depth, 2)
+    for g in norm:
+        t = g["transparent_index"]
+        gpacked = (g["disposal"] << 2) | (0x01 if t is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([gpacked])
+        out += struct.pack("<H", g["delay_cs"])
+        out += bytes([t if t is not None else 0, 0])
+        h, w = g["indices"].shape
+        out += b"\x2c" + struct.pack(
+            "<HHHHB",
+            g["left"], g["top"], w, h, 0x40 if g["interlace"] else 0,
+        )
+        rows = (
+            g["indices"][_interlace_order(h)]
+            if g["interlace"]
+            else g["indices"]
+        )
+        out.append(mcs)
+        out += _sub_blocks(lzw_encode(rows, mcs))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def compose_frames(decoded: dict) -> list[dict]:
+    """Apply the GIF89a animation model to ``decode_gif`` output.
+
+    Returns one dict per frame: {frame_idx, delay_cs, canvas} where
+    ``canvas`` is the full logical screen as (sh, sw) int64 palette
+    indices with -1 for transparent (never-painted or
+    restored-to-background) pixels — the canvas AS RENDERED for that
+    frame, i.e. after the frame draws and before its disposal runs.
+
+    Model (GIF89a §23 + universal renderer practice):
+    - the canvas starts fully transparent;
+    - a frame draws its rect, skipping pixels equal to its GCE
+      transparent index (punch-through to whatever is below);
+    - disposal 0/1: leave; 2: clear the frame RECT to transparent
+      (modern renderers treat "background" as transparent, ignoring
+      the header background-color index); 3: restore the canvas to
+      its pre-draw state.
+
+    Honest gate: composition happens on the index plane, so every
+    frame must use the GLOBAL color table — a frame with a local
+    color table raises NotImplementedError rather than blending
+    indices across palettes."""
+    sw, sh = decoded["width"], decoded["height"]
+    if sw == 0 or sh == 0:
+        raise ValueError("zero-extent logical screen")
+    canvas = np.full((sh, sw), -1, dtype=np.int64)
+    out = []
+    for i, f in enumerate(decoded["frames"]):
+        if f.get("has_local_palette"):
+            raise NotImplementedError(
+                "composition over local color tables is not supported "
+                "(index planes from different palettes cannot blend)"
+            )
+        left, top, w, h = f["left"], f["top"], f["width"], f["height"]
+        if left + w > sw or top + h > sh:
+            raise ValueError("frame extends past the logical screen")
+        saved = canvas.copy() if f["disposal"] == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        t = f["transparent_index"]
+        mask = (
+            np.ones((h, w), dtype=bool)
+            if t is None
+            else f["indices"] != t
+        )
+        region[mask] = f["indices"][mask]
+        out.append(
+            {
+                "frame_idx": i,
+                "delay_cs": f["delay_cs"],
+                "canvas": canvas.copy(),
+            }
+        )
+        if f["disposal"] == 2:
+            canvas[top : top + h, left : left + w] = -1
+        elif f["disposal"] == 3:
+            canvas = saved
+    return out

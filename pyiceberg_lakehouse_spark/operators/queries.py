@@ -2246,6 +2246,179 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_animation",
+    # Planted 5-frame animation per doc: a full-canvas base + four
+    # disjoint 2x2 patches exercising disposal 1 (leave), 2 (restore to
+    # background), 3 (restore previous) and 0, each patch
+    # checkerboard-transparent. The oracle replays the composition
+    # arithmetic closed-form: B = base-canvas sum; bo_k/be_k = base over
+    # the cells a patch paints / punches through; rendered sums chain
+    # exactly as the disposal model dictates. Filter modulus 7 keeps all
+    # variety knobs (w %6, h %4, palette %3, interlace %2, loop %4) live.
+    """
+    with params as (
+      select doc_id,
+             cast(doc_id as bigint) as d,
+             9 + doc_id % 6 as w,
+             9 + doc_id % 4 as h,
+             cast(case cast(doc_id % 3 as integer)
+                  when 0 then 4 when 1 then 16 else 64 end as bigint) as nc
+      from documents where doc_id % 7 = 3
+    ),
+    terms as (
+      select *,
+        (select sum((d + 3*x + 5*y) % nc)
+           from generate_series(0, 13) gx(x), generate_series(0, 11) gy(y)
+          where x < w and y < h) as b_all,
+        (d + 2*1) % (nc - 1) as c1,
+        (d + 2*2) % (nc - 1) as c2,
+        (d + 2*3) % (nc - 1) as c3,
+        (d + 2*4) % (nc - 1) as c4,
+        -- patch rects (left, top): p1 (0,2)  p2 (3,2)  p3 (6,2)  p4 (0,5)
+        -- bo_k = base over the painted (odd) cells (l+1,t) and (l,t+1);
+        -- be_k = base over the punched-through (even) cells
+        ((d + 3*1 + 5*2) % nc) + ((d + 3*0 + 5*3) % nc) as bo1,
+        ((d + 3*4 + 5*2) % nc) + ((d + 3*3 + 5*3) % nc) as bo2,
+        ((d + 3*7 + 5*2) % nc) + ((d + 3*6 + 5*3) % nc) as bo3,
+        ((d + 3*1 + 5*5) % nc) + ((d + 3*0 + 5*6) % nc) as bo4,
+        ((d + 3*3 + 5*2) % nc) + ((d + 3*4 + 5*3) % nc) as be2
+      from params
+    ),
+    sums as (
+      select *,
+        b_all as f0,
+        b_all - bo1 + 2*c1 as f1,
+        b_all - bo1 + 2*c1 - bo2 + 2*c2 as f2
+      from terms
+    ),
+    sums2 as (
+      -- after frame 2's restore-to-background: its painted cells and its
+      -- punched-through base cells both go transparent
+      select *, f2 - 2*c2 - be2 as s2p from sums
+    )
+    select doc_id,
+           cast(fi as integer) as frame_idx,
+           cast(w as integer) as width,
+           cast(h as integer) as height,
+           cast(nc as integer) as n_colors,
+           cast(10 + fi as integer) as delay_cs,
+           cast(doc_id % 4 as integer) as loop_count,
+           cast(case when fi >= 3 then 4 else 0 end as integer)
+               as n_transparent,
+           cast(case fi
+                when 0 then f0
+                when 1 then f1
+                when 2 then f2
+                when 3 then s2p - bo3 + 2*c3
+                else s2p - bo4 + 2*c4 end as bigint) as value_sum
+    from sums2, generate_series(0, 4) gs(fi)
+    """,
+)
+def multimodal_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF composition (operators/gif.py::compose_frames):
+    per doc, build a 5-frame GIF89a — full-canvas base (interlaced by
+    parity) then four disjoint checkerboard-transparent 2x2 patches
+    cycling disposal methods 1/2/3/0 — with per-frame Graphic Control
+    Extensions and a NETSCAPE2.0 loop count; encode it, decode it, run
+    the disposal/transparency composition model, and report per rendered
+    frame the visible-index sum + transparent-pixel count, which the SQL
+    oracle predicts closed-form without running the codec: disposal 2
+    must vacate its rect (4 transparent pixels from frame 3 on), and
+    disposal 3 must restore the canvas frame 3 painted (frame 4's sum
+    chains from the PRE-frame-3 state). Arrow-batched mapInPandas —
+    encode/decode/compose all happen where the bytes live, only typed
+    features shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import gif as _gif
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 3)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_colors", T.IntegerType()),
+            T.StructField("delay_cs", T.IntegerType()),
+            T.StructField("loop_count", T.IntegerType()),
+            T.StructField("n_transparent", T.IntegerType()),
+            T.StructField("value_sum", T.LongType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+    patch_at = ((0, 2), (3, 2), (6, 2), (0, 5))
+    disposal = (1, 2, 3, 0)
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 9 + d % 6, 9 + d % 4
+                nc = (4, 16, 64)[d % 3]
+                t = nc - 1
+                y, x = np.ogrid[0:h, 0:w]
+                base = (d + 3 * x + 5 * y) % nc
+                frames = [
+                    {
+                        "indices": base,
+                        "delay_cs": 10,
+                        "disposal": 1,
+                        "interlace": d % 2 == 1,
+                    }
+                ]
+                for k, ((pl, pt), disp) in enumerate(
+                    zip(patch_at, disposal), start=1
+                ):
+                    ck = (d + 2 * k) % (nc - 1)
+                    patch = np.where(
+                        (np.arange(2)[:, None] + np.arange(2)) % 2 == 0,
+                        t,
+                        ck,
+                    )
+                    frames.append(
+                        {
+                            "indices": patch,
+                            "left": pl,
+                            "top": pt,
+                            "disposal": disp,
+                            "delay_cs": 10 + k,
+                            "transparent_index": t,
+                        }
+                    )
+                enc = _gif.encode_gif_animation(
+                    frames, screen=(w, h), loop_count=d % 4
+                )
+                dec = _gif.decode_gif(enc)
+                for r in _gif.compose_frames(dec):
+                    cv = r["canvas"]
+                    rows.append(
+                        (
+                            d, r["frame_idx"], w, h, nc, r["delay_cs"],
+                            dec["loop_count"],
+                            int((cv < 0).sum()),
+                            int(cv[cv >= 0].sum()),
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname in cols[1:-1]:
+                out[cname] = out[cname].astype("int32")
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["value_sum"] = out["value_sum"].astype("int64")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "pipeline_video_curation",
     "with t as ("
     + MP4_MULTITRACK_ORACLE.format(filt="doc_id % 9 = 4")

@@ -70,7 +70,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # stays driver-covered by lh_neardup_probe_batch + stream_lh_neardup;
 # selfcheck stays local-gated + BENCH_SCALE-proven). Every displaced
 # query stays covered by the identical strict local gate and the
-# registry-wide dtype-parity pytest.
+# registry-wide dtype-parity pytest. As further r13 code landed, the NEW
+# animated-GIF composition row multimodal_gif_animation (disposal
+# methods 1/2/3/0 + transparency punch-through + NETSCAPE loop, rendered
+# sums chained closed-form by the oracle) rotated in per the same
+# no-tail principle, taking the slot of a fourth double-green
+# non-anchor, lh_rollup_distinct (the rollup family stays
+# driver-covered by topk/percentile + the cdf feed; the HLL distinct
+# rollup stays local-gated + pytest-pinned).
 #
 # Round-12 rotation (VERDICT r11 tasks #1-#3). Rotates IN every
 # oracle-checkable query NEW or newly-oracle'd this round, each in its own
@@ -267,7 +274,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lh_cdf_feed",
     "lh_rollup_topk",
     "lh_rollup_percentile",
-    "lh_rollup_distinct",
+    # (lh_rollup_distinct's r13 rotation slot goes to the NEW
+    # animated-GIF composition row — fresh code outranks a double-green
+    # non-anchor; the rollup family stays driver-covered by
+    # topk/percentile + the cdf feed)
+    "multimodal_gif_animation",
     # (lh_ann_auto_maintain's second-round hold slot goes to the NEW
     # indexed range-search differential — fresh code outranks a hold;
     # lh_rollup_reaggregate's second-round hold slot goes to the NEW MP3

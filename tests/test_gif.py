@@ -178,3 +178,187 @@ def test_gif_mime_route_decodes_to_rgb():
     rgb = np.frombuffer(decode_stub(g, "image/gif"), dtype=np.uint8)
     assert (rgb.reshape(4, 5, 3) == pal[px]).all()
     assert decode_image_codec(g) == (5, 4, "P")
+
+
+# ----------------------------------------------------------- animation ---
+
+
+from pyiceberg_lakehouse_spark.operators.gif import (  # noqa: E402
+    compose_frames,
+    encode_gif_animation,
+)
+
+
+def _reference_compose(decoded):
+    """Independent per-pixel simulation of the GIF89a model (pure Python
+    loops, no numpy slicing) to cross-check compose_frames."""
+    sw, sh = decoded["width"], decoded["height"]
+    canvas = [[-1] * sw for _ in range(sh)]
+    out = []
+    for f in decoded["frames"]:
+        saved = [row[:] for row in canvas] if f["disposal"] == 3 else None
+        for i in range(f["height"]):
+            for j in range(f["width"]):
+                v = int(f["indices"][i][j])
+                if f["transparent_index"] is not None and v == f[
+                    "transparent_index"
+                ]:
+                    continue
+                canvas[f["top"] + i][f["left"] + j] = v
+        out.append([row[:] for row in canvas])
+        if f["disposal"] == 2:
+            for i in range(f["height"]):
+                for j in range(f["width"]):
+                    canvas[f["top"] + i][f["left"] + j] = -1
+        elif f["disposal"] == 3:
+            canvas = saved
+    return out
+
+
+def test_gce_and_netscape_loop_parse():
+    px = np.arange(6).reshape(2, 3) % 4
+    enc = encode_gif_animation(
+        [
+            {
+                "indices": px,
+                "disposal": 2,
+                "delay_cs": 123,
+                "transparent_index": 3,
+            }
+        ],
+        loop_count=7,
+    )
+    d = decode_gif(enc)
+    assert d["loop_count"] == 7
+    f = d["frames"][0]
+    assert f["disposal"] == 2
+    assert f["delay_cs"] == 123
+    assert f["transparent_index"] == 3
+    # no GCE -> defaults, no loop extension -> None
+    d2 = decode_gif(encode_gif(px))
+    assert d2["loop_count"] is None
+    assert d2["frames"][0]["disposal"] == 0
+    assert d2["frames"][0]["transparent_index"] is None
+
+
+def test_compose_disposal_semantics_hand_pinned():
+    """4x4 canvas: base of 1s; frame2 paints 2 at (0,0) 2x2 disposal 2;
+    frame3 paints 3 at (2,2) 2x2 disposal 3; frame4 paints a single 0 at
+    (0,0) 1x1. Rendered canvases are checkable on paper."""
+    base = np.ones((4, 4), dtype=np.int64)
+    fr = [
+        {"indices": base, "disposal": 1},
+        {
+            "indices": np.full((2, 2), 2),
+            "left": 0,
+            "top": 0,
+            "disposal": 2,
+        },
+        {
+            "indices": np.full((2, 2), 3),
+            "left": 2,
+            "top": 2,
+            "disposal": 3,
+        },
+        {"indices": np.zeros((1, 1), dtype=np.int64), "left": 0, "top": 0},
+    ]
+    out = compose_frames(decode_gif(encode_gif_animation(fr)))
+    c1, c2, c3, c4 = (r["canvas"] for r in out)
+    assert (c1 == 1).all()
+    assert (c2[:2, :2] == 2).all() and (c2[2:, :] == 1).all()
+    # frame 2's rect vacated to transparent; frame 3 painted
+    assert (c3[:2, :2] == -1).all() and (c3[2:, 2:] == 3).all()
+    assert (c3[2:, :2] == 1).all() and (c3[:2, 2:] == 1).all()
+    # frame 3's disposal=previous restored its rect to base
+    assert (c4[2:, 2:] == 1).all()
+    assert c4[0, 0] == 0
+    assert (c4[:2, 1:2] == -1).all()  # rest of the vacated rect stays
+
+
+def test_compose_transparency_punches_through():
+    base = np.full((3, 3), 5, dtype=np.int64)
+    patch = np.array([[7, 6], [6, 7]])
+    fr = [
+        {"indices": base},
+        {
+            "indices": patch,
+            "left": 1,
+            "top": 1,
+            "transparent_index": 6,
+        },
+    ]
+    out = compose_frames(decode_gif(encode_gif_animation(fr)))
+    c = out[1]["canvas"]
+    assert c[1, 1] == 7 and c[2, 2] == 7
+    assert c[1, 2] == 5 and c[2, 1] == 5  # transparent -> base shows
+
+
+def test_compose_matches_reference_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frame = st.fixed_dictionaries(
+        {
+            "w": st.integers(1, 5),
+            "h": st.integers(1, 5),
+            "left": st.integers(0, 5),
+            "top": st.integers(0, 5),
+            "disposal": st.integers(0, 3),
+            "transparent": st.booleans(),
+            "seed": st.integers(0, 2**31 - 1),
+        }
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(frames=st.lists(frame, min_size=1, max_size=6))
+    def check(frames):
+        fr = []
+        for f in frames:
+            rng = np.random.default_rng(f["seed"])
+            fr.append(
+                {
+                    "indices": rng.integers(
+                        0, 8, size=(f["h"], f["w"]), dtype=np.int64
+                    ),
+                    "left": f["left"],
+                    "top": f["top"],
+                    "disposal": f["disposal"],
+                    "transparent_index": 7 if f["transparent"] else None,
+                }
+            )
+        dec = decode_gif(encode_gif_animation(fr, screen=(10, 10)))
+        got = compose_frames(dec)
+        want = _reference_compose(dec)
+        for g, wv in zip(got, want):
+            assert (g["canvas"] == np.array(wv)).all()
+
+    check()
+
+
+def test_compose_hostile_inputs():
+    px = np.arange(6).reshape(2, 3) % 4
+    # frame past the logical screen
+    with pytest.raises(ValueError, match="past the logical screen"):
+        encode_gif_animation([{"indices": px, "left": 9}], screen=(4, 4))
+    # spliced oversized frame rejected at compose time too
+    enc = bytearray(encode_gif_animation([{"indices": px}]))
+    enc[6:8] = struct.pack("<H", 2)  # shrink declared screen under frame
+    with pytest.raises(ValueError, match="past the logical screen"):
+        compose_frames(decode_gif(bytes(enc)))
+    # local color table -> honest composition gate
+    g = bytearray(encode_gif(px))
+    lct = np.zeros((4, 3), dtype=np.uint8)
+    i = g.index(0x2C, 13)
+    g[i + 9] |= 0x80 | 0x01
+    spliced = bytes(g[: i + 10]) + lct.tobytes() + bytes(g[i + 10 :])
+    with pytest.raises(NotImplementedError, match="local color table"):
+        compose_frames(decode_gif(spliced))
+    # malformed GCE length
+    hdr = encode_gif(px)
+    j = hdr.index(0x2C, 13)
+    bad = hdr[:j] + b"\x21\xf9\x03\x00\x00\x00\x00" + hdr[j:]
+    with pytest.raises(ValueError, match="GCE"):
+        decode_gif(bad)
+    # bad loop count at encode
+    with pytest.raises(ValueError, match="loop count"):
+        encode_gif_animation([{"indices": px}], loop_count=1 << 16)
