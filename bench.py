@@ -70,6 +70,11 @@ HEADLINE = [
     ("mp4_multitrack", "multimodal_mp4_multitrack"),
     ("audio_decode", "multimodal_audio_decode"),
     ("mp3_frames", "multimodal_mp3_frames"),
+    # r13 additions (auto-excluded from the comparable set): the
+    # fragmented-MP4 (DASH/HLS segment) demux and the GIF LZW codec
+    # roundtrip — both map-only stages
+    ("mp4_fragmented", "multimodal_mp4_fragmented"),
+    ("gif_decode", "multimodal_gif_decode"),
 ]
 
 

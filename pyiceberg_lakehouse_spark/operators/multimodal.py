@@ -2239,3 +2239,628 @@ def demux_mp3_frame_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out
 
     return src.mapInPandas(batches, MP3_FRAME_SCHEMA)
+
+
+# ------------------------------------------------------- fragmented MP4 ---
+# The moof/traf/tfhd/tfdt/trun path (ISO 14496-12 §8.8): the shape every
+# DASH/HLS/CMAF segment uses — an init segment (moov with EMPTY sample
+# tables + mvex/trex defaults) followed by self-describing fragments.
+# Reference parity: ashkangoleh/pyiceberg-lakehouse ingests media-style
+# blobs as opaque binary (main-daft.py:68); this engine demuxes the
+# streaming-video layout of them.
+
+_TFHD_BASE_DATA_OFFSET = 0x000001
+_TFHD_SAMPLE_DESC_IDX = 0x000002
+_TFHD_DEFAULT_DURATION = 0x000008
+_TFHD_DEFAULT_SIZE = 0x000010
+_TFHD_DEFAULT_FLAGS = 0x000020
+_TFHD_DEFAULT_BASE_IS_MOOF = 0x020000
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_FIRST_SAMPLE_FLAGS = 0x000004
+_TRUN_SAMPLE_DURATION = 0x000100
+_TRUN_SAMPLE_SIZE = 0x000200
+_TRUN_SAMPLE_FLAGS = 0x000400
+_TRUN_SAMPLE_CTS = 0x000800
+_FLAG_NON_SYNC = 0x00010000
+_FLAGS_SYNC = 0x02000000  # sample_depends_on = 2 (I-frame)
+
+
+def make_mp4_fragmented(tracks: list[dict], timescale: int = 1000) -> bytes:
+    """Synthesize a CMAF-style fragmented MP4: ftyp + moov (per-trak
+    EMPTY stbl + mvex/trex defaults) + one (moof, mdat) pair per
+    fragment, tfhd default-base-is-moof, v1 tfdt, one trun per traf.
+
+    Track spec: ``handler``, ``codec``, ``timescale``, ``frag_samples``
+    (list of fragments, each a list of sample payloads),
+    ``default_duration`` (trex), optional ``frag_durations`` (per-sample
+    trun durations per fragment; None -> trex default applies),
+    optional ``frag_cts`` (per-sample composition offsets per fragment
+    -> v1 trun), ``sync_first`` (True -> trex default flags non-sync +
+    trun first-sample-flags sync, the video pattern; False -> all sync,
+    the audio pattern). Track k gets track_ID k+1. All fragments across
+    tracks must agree in count; each fragment's mdat carries track 0's
+    samples then track 1's etc., and every trun's data_offset points
+    from the moof start (the default-base-is-moof contract)."""
+    if not tracks:
+        raise ValueError("at least one track required")
+    n_frags = len(tracks[0]["frag_samples"])
+    for t in tracks:
+        if len(t["frag_samples"]) != n_frags:
+            raise ValueError("all tracks must carry the same fragment count")
+        for key in ("frag_durations", "frag_cts"):
+            if t.get(key) is not None and (
+                len(t[key]) != n_frags
+                or any(
+                    len(a) != len(b)
+                    for a, b in zip(t[key], t["frag_samples"])
+                )
+            ):
+                raise ValueError(f"{key} must mirror frag_samples' shape")
+
+    def build_init() -> bytes:
+        ftyp = _box(
+            b"ftyp", b"iso5" + _struct.pack(">I", 512) + b"iso5iso6cmfc"
+        )
+        traks = b""
+        trexs = b""
+        for ti, t in enumerate(tracks):
+            handler = t.get("handler", "vide")
+            codec = t.get("codec", "mp4v" if handler == "vide" else "ulaw")
+            ts = t.get("timescale", timescale)
+            if handler == "soun":
+                entry_body = b"\x00" * 6 + _struct.pack(">H", 1)
+                entry_body += _struct.pack(
+                    ">HH4xHHHHI", 0, 0, 1, 8, 0, 0, 8000 << 16
+                )
+                mhd = _box(b"smhd", _struct.pack(">B3xHH", 0, 0, 0))
+            else:
+                entry_body = b"\x00" * 6 + _struct.pack(">H", 1)
+                mhd = _box(
+                    b"vmhd",
+                    _struct.pack(">B3s4H", 0, b"\x00\x00\x01", 0, 0, 0, 0),
+                )
+            stsd = _box(
+                b"stsd",
+                _struct.pack(">B3xI", 0, 1)
+                + _box(codec.encode("latin-1"), entry_body),
+            )
+            empty4 = _struct.pack(">B3xI", 0, 0)
+            stbl = _box(
+                b"stbl",
+                stsd
+                + _box(b"stts", empty4)
+                + _box(b"stsc", empty4)
+                + _box(b"stsz", _struct.pack(">B3xII", 0, 0, 0))
+                + _box(b"stco", empty4),
+            )
+            minf = _box(b"minf", mhd + stbl)
+            mdhd = _box(
+                b"mdhd",
+                _struct.pack(">B3x4I", 0, 0, 0, ts, 0)
+                + _struct.pack(">HH", 0x55C4, 0),
+            )
+            hdlr = _box(
+                b"hdlr",
+                _struct.pack(">B3x4x4s12x", 0, handler.encode("latin-1"))
+                + b"\x00",
+            )
+            mdia = _box(b"mdia", mdhd + hdlr + minf)
+            w, h = (64, 48) if handler == "vide" else (0, 0)
+            tkhd = _box(
+                b"tkhd",
+                _struct.pack(
+                    ">B3s3I4xI8x", 0, b"\x00\x00\x07", 0, 0, ti + 1, 0
+                )
+                + _struct.pack(">HHHH", 0, 0, 0, 0)
+                + b"\x00" * 36
+                + _struct.pack(">II", w << 16, h << 16),
+            )
+            traks += _box(b"trak", tkhd + mdia)
+            default_flags = (
+                _FLAG_NON_SYNC if t.get("sync_first") else _FLAGS_SYNC
+            )
+            trexs += _box(
+                b"trex",
+                _struct.pack(
+                    ">B3x5I",
+                    0,
+                    ti + 1,
+                    1,
+                    int(t.get("default_duration", 0)),
+                    0,
+                    default_flags,
+                ),
+            )
+        mvhd = _box(
+            b"mvhd",
+            _struct.pack(">B3x4I", 0, 0, 0, timescale, 0)
+            + _struct.pack(">iH2x8x", 0x00010000, 0x0100)
+            + b"\x00" * 36
+            + b"\x00" * 24
+            + _struct.pack(">I", len(tracks) + 1),
+        )
+        return ftyp + _box(b"moov", mvhd + traks + _box(b"mvex", trexs))
+
+    out = bytearray(build_init())
+    base_dts = [0] * len(tracks)
+    for f in range(n_frags):
+
+        def build_moof(data_offsets: list[int]) -> bytes:
+            trafs = b""
+            for ti, t in enumerate(tracks):
+                samples = t["frag_samples"][f]
+                durations = (
+                    t["frag_durations"][f]
+                    if t.get("frag_durations") is not None
+                    else None
+                )
+                cts = (
+                    t["frag_cts"][f] if t.get("frag_cts") is not None else None
+                )
+                tfhd = _box(
+                    b"tfhd",
+                    b"\x00"
+                    + _TFHD_DEFAULT_BASE_IS_MOOF.to_bytes(3, "big")
+                    + _struct.pack(">I", ti + 1),
+                )
+                tfdt = _box(
+                    b"tfdt",
+                    b"\x01\x00\x00\x00" + _struct.pack(">Q", base_dts[ti]),
+                )
+                tflags = _TRUN_DATA_OFFSET | _TRUN_SAMPLE_SIZE
+                if durations is not None:
+                    tflags |= _TRUN_SAMPLE_DURATION
+                if cts is not None:
+                    tflags |= _TRUN_SAMPLE_CTS
+                if t.get("sync_first"):
+                    tflags |= _TRUN_FIRST_SAMPLE_FLAGS
+                body = _struct.pack(
+                    ">B3sI", 1, tflags.to_bytes(3, "big"), len(samples)
+                )
+                body += _struct.pack(">i", data_offsets[ti])
+                if t.get("sync_first"):
+                    body += _struct.pack(">I", _FLAGS_SYNC)
+                for si, s in enumerate(samples):
+                    if durations is not None:
+                        body += _struct.pack(">I", durations[si])
+                    body += _struct.pack(">I", len(s))
+                    if cts is not None:
+                        body += _struct.pack(">i", cts[si])
+                trafs += _box(b"traf", tfhd + tfdt + _box(b"trun", body))
+            mfhd = _box(b"mfhd", _struct.pack(">B3xI", 0, f + 1))
+            return _box(b"moof", mfhd + trafs)
+
+        moof_len = len(build_moof([0] * len(tracks)))
+        offsets, acc = [], moof_len + 8  # moof + mdat header
+        mdat_payload = b""
+        for t in tracks:
+            offsets.append(acc)
+            part = b"".join(t["frag_samples"][f])
+            mdat_payload += part
+            acc += len(part)
+        moof = build_moof(offsets)
+        assert len(moof) == moof_len, "data_offset patch changed moof size"
+        out += moof + _box(b"mdat", mdat_payload)
+        for ti, t in enumerate(tracks):
+            samples = t["frag_samples"][f]
+            durations = (
+                t["frag_durations"][f]
+                if t.get("frag_durations") is not None
+                else [int(t.get("default_duration", 0))] * len(samples)
+            )
+            base_dts[ti] += sum(durations)
+    return bytes(out)
+
+
+def _top_level_boxes(payload: bytes):
+    """Yield (btype, body_start, end) over the top-level box sequence,
+    bounds-checked (shared by the fragment walk)."""
+    pos = 0
+    while pos + 8 <= len(payload):
+        size, btype = _struct.unpack_from(">I4s", payload, pos)
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > len(payload):
+                raise ValueError("corrupt MP4 box")
+            size = _struct.unpack_from(">Q", payload, pos + 8)[0]
+            body = pos + 16
+        if size < 8 or pos + size > len(payload):
+            raise ValueError("corrupt MP4 box")
+        yield btype, body, pos + size, pos
+        pos += size
+
+
+def _parse_trex_defaults(payload: bytes, moov_lo: int, moov_hi: int) -> dict:
+    """mvex/trex defaults by track_ID: {id: (duration, size, flags)}."""
+    out: dict[int, tuple[int, int, int]] = {}
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            size, btype = _struct.unpack_from(">I4s", payload, pos)
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > hi:
+                    raise ValueError("corrupt MP4 box")
+                size = _struct.unpack_from(">Q", payload, pos + 8)[0]
+                body = pos + 16
+            if size < 8 or pos + size > hi:
+                raise ValueError("corrupt MP4 box")
+            if btype == b"mvex":
+                walk(body, pos + size)
+            elif btype == b"trex":
+                if body + 24 > pos + size:
+                    raise ValueError("trex box too small")
+                _vf, tid, _sdi, ddur, dsize, dflags = _struct.unpack_from(
+                    ">6I", payload, body
+                )
+                out[tid] = (ddur, dsize, dflags)
+            pos += size
+
+    walk(moov_lo, moov_hi)
+    return out
+
+
+def demux_mp4_fragments(payload: bytes) -> list[dict]:
+    """Demux a FRAGMENTED MP4 (ISO 14496-12 §8.8 — the DASH/HLS/CMAF
+    segment shape): init-segment moov (track metadata + mvex/trex
+    defaults) followed by (moof, mdat) fragments, each traf carrying
+    tfhd / tfdt / trun(s). Returns one dict per track, as
+    demux_mp4_tracks does, each sample additionally tagged with its
+    fragment's mfhd sequence number:
+
+        {track_id, handler, codec, timescale,
+         samples: [{idx, frag_seq, dts, pts, size, offset, is_sync,
+                    data}, ...]}
+
+    Field resolution follows the spec's precedence exactly: per-sample
+    trun values, else tfhd defaults, else trex defaults (a sample whose
+    size resolves nowhere is corruption, not a guess). Base data offset:
+    tfhd base-data-offset when present, else the moof start when
+    default-base-is-moof, else the moof start for the FIRST traf (the
+    spec default); a later traf relying on the implicit
+    end-of-previous-traf rule raises NotImplementedError (honest gate —
+    real CMAF segments set default-base-is-moof). dts: v0/v1 tfdt when
+    present, else the track's accumulated duration. is_sync: the
+    sample_is_non_sync_sample bit, inverted; first-sample-flags
+    override supported. styp/sidx/free boxes are skipped. Multiple
+    truns per traf chain their data regions when later truns omit
+    data_offset."""
+    tracks = _parse_mp4_tracks(payload)
+    if not tracks:
+        raise ValueError("no trak box")
+    moov = next(
+        ((b, e) for t, b, e, _ in _top_level_boxes(payload) if t == b"moov"),
+        None,
+    )
+    if moov is None:
+        raise ValueError("no moov box")
+    trex = _parse_trex_defaults(payload, *moov)
+    by_id: dict[int, dict] = {}
+    out = []
+    for i, t in enumerate(tracks):
+        tid = t["track_id"] if t["track_id"] is not None else i + 1
+        rec = {
+            "track_id": tid,
+            "handler": t["handler"] or "",
+            "codec": t["codec"] or "",
+            "timescale": t["timescale"] or 0,
+            "samples": [],
+            "_next_dts": 0,
+        }
+        by_id[tid] = rec
+        out.append(rec)
+
+    def sub_boxes(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            size, btype = _struct.unpack_from(">I4s", payload, pos)
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > hi:
+                    raise ValueError("corrupt MP4 box")
+                size = _struct.unpack_from(">Q", payload, pos + 8)[0]
+                body = pos + 16
+            if size < 8 or pos + size > hi:
+                raise ValueError("corrupt MP4 box")
+            yield btype, body, pos + size
+            pos += size
+
+    for btype, body, end, box_start in _top_level_boxes(payload):
+        if btype != b"moof":
+            continue
+        moof_start = box_start
+        frag_seq = None
+        first_traf = True
+        for t2, b2, e2 in sub_boxes(body, end):
+            if t2 == b"mfhd":
+                if b2 + 8 > e2:
+                    raise ValueError("mfhd box too small")
+                frag_seq = _struct.unpack_from(">I", payload, b2 + 4)[0]
+            elif t2 == b"traf":
+                _demux_traf(
+                    payload, b2, e2, moof_start, first_traf, frag_seq,
+                    by_id, trex, sub_boxes,
+                )
+                first_traf = False
+    for rec in out:
+        del rec["_next_dts"]
+        for idx, s in enumerate(rec["samples"]):
+            s["idx"] = idx
+    return out
+
+
+def _demux_traf(
+    payload, lo, hi, moof_start, first_traf, frag_seq, by_id, trex, sub_boxes
+):
+    tfhd = None
+    tfdt = None
+    truns = []
+    for t3, b3, e3 in sub_boxes(lo, hi):
+        if t3 == b"tfhd":
+            tfhd = (b3, e3)
+        elif t3 == b"tfdt":
+            tfdt = (b3, e3)
+        elif t3 == b"trun":
+            truns.append((b3, e3))
+    if tfhd is None:
+        raise ValueError("traf without tfhd")
+    b3, e3 = tfhd
+    if b3 + 8 > e3:
+        raise ValueError("tfhd box too small")
+    flags = int.from_bytes(payload[b3 + 1 : b3 + 4], "big")
+    tid = _struct.unpack_from(">I", payload, b3 + 4)[0]
+    if tid not in by_id:
+        raise ValueError(f"traf references unknown track_ID {tid}")
+    rec = by_id[tid]
+    at = b3 + 8
+    base_data_offset = None
+    if flags & _TFHD_BASE_DATA_OFFSET:
+        if at + 8 > e3:
+            raise ValueError("tfhd fields exceed its box")
+        base_data_offset = _struct.unpack_from(">Q", payload, at)[0]
+        at += 8
+    if flags & _TFHD_SAMPLE_DESC_IDX:
+        at += 4
+    def_dur = def_size = def_flags = None
+    if flags & _TFHD_DEFAULT_DURATION:
+        if at + 4 > e3:
+            raise ValueError("tfhd fields exceed its box")
+        def_dur = _struct.unpack_from(">I", payload, at)[0]
+        at += 4
+    if flags & _TFHD_DEFAULT_SIZE:
+        if at + 4 > e3:
+            raise ValueError("tfhd fields exceed its box")
+        def_size = _struct.unpack_from(">I", payload, at)[0]
+        at += 4
+    if flags & _TFHD_DEFAULT_FLAGS:
+        if at + 4 > e3:
+            raise ValueError("tfhd fields exceed its box")
+        def_flags = _struct.unpack_from(">I", payload, at)[0]
+        at += 4
+    if at > e3:
+        raise ValueError("tfhd fields exceed its box")
+    tdur, tsize, tflags_d = trex.get(tid, (None, None, None))
+    if def_dur is None:
+        def_dur = tdur
+    if def_size is None:
+        def_size = tsize
+    if def_flags is None:
+        def_flags = tflags_d
+    if base_data_offset is None:
+        if flags & _TFHD_DEFAULT_BASE_IS_MOOF or first_traf:
+            base_data_offset = moof_start
+        else:
+            raise NotImplementedError(
+                "traf with neither base-data-offset nor "
+                "default-base-is-moof after the first traf (the implicit "
+                "end-of-previous-traf rule) is not supported"
+            )
+    if tfdt is not None:
+        b4, e4 = tfdt
+        ver = payload[b4]
+        need = 12 if ver == 1 else 8
+        if b4 + need > e4:
+            raise ValueError("tfdt box too small")
+        dts = _struct.unpack_from(
+            ">Q" if ver == 1 else ">I", payload, b4 + 4
+        )[0]
+    else:
+        dts = rec["_next_dts"]
+    pos_in_data = None
+    for b5, e5 in truns:
+        if b5 + 8 > e5:
+            raise ValueError("trun box too small")
+        ver = payload[b5]
+        tflags = int.from_bytes(payload[b5 + 1 : b5 + 4], "big")
+        n = _struct.unpack_from(">I", payload, b5 + 4)[0]
+        at5 = b5 + 8
+        if tflags & _TRUN_DATA_OFFSET:
+            if at5 + 4 > e5:
+                raise ValueError("trun fields exceed its box")
+            pos_in_data = (
+                base_data_offset
+                + _struct.unpack_from(">i", payload, at5)[0]
+            )
+            at5 += 4
+        elif pos_in_data is None:
+            pos_in_data = base_data_offset
+        first_flags = None
+        if tflags & _TRUN_FIRST_SAMPLE_FLAGS:
+            if at5 + 4 > e5:
+                raise ValueError("trun fields exceed its box")
+            first_flags = _struct.unpack_from(">I", payload, at5)[0]
+            at5 += 4
+        per = (
+            (4 if tflags & _TRUN_SAMPLE_DURATION else 0)
+            + (4 if tflags & _TRUN_SAMPLE_SIZE else 0)
+            + (4 if tflags & _TRUN_SAMPLE_FLAGS else 0)
+            + (4 if tflags & _TRUN_SAMPLE_CTS else 0)
+        )
+        if at5 + per * n > e5:
+            raise ValueError("trun sample count exceeds its box")
+        for si in range(n):
+            dur = def_dur
+            if tflags & _TRUN_SAMPLE_DURATION:
+                dur = _struct.unpack_from(">I", payload, at5)[0]
+                at5 += 4
+            size = def_size
+            if tflags & _TRUN_SAMPLE_SIZE:
+                size = _struct.unpack_from(">I", payload, at5)[0]
+                at5 += 4
+            sflags = def_flags
+            if tflags & _TRUN_SAMPLE_FLAGS:
+                sflags = _struct.unpack_from(">I", payload, at5)[0]
+                at5 += 4
+            elif si == 0 and first_flags is not None:
+                sflags = first_flags
+            cts = 0
+            if tflags & _TRUN_SAMPLE_CTS:
+                cts = _struct.unpack_from(
+                    ">i" if ver >= 1 else ">I", payload, at5
+                )[0]
+                at5 += 4
+            if not size:
+                # trex default_sample_size 0 means "no default", and a
+                # genuinely zero-byte sample is corruption either way
+                raise ValueError(
+                    "sample size resolves nowhere (trun/tfhd/trex)"
+                )
+            if dur is None:
+                raise ValueError(
+                    "sample duration resolves nowhere (trun/tfhd/trex)"
+                )
+            data = payload[pos_in_data : pos_in_data + size]
+            if len(data) != size:
+                raise ValueError("sample bytes out of file bounds")
+            rec["samples"].append(
+                {
+                    "idx": -1,  # assigned globally after all fragments
+                    "frag_seq": frag_seq,
+                    "dts": dts,
+                    "pts": dts + cts,
+                    "size": size,
+                    "offset": pos_in_data,
+                    "is_sync": sflags is None
+                    or not (sflags & _FLAG_NON_SYNC),
+                    "data": data,
+                }
+            )
+            pos_in_data += size
+            dts += dur
+    rec["_next_dts"] = dts
+
+
+MP4_FRAGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("track_id", T.IntegerType()),
+        T.StructField("handler", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("frag_seq", T.IntegerType()),
+        T.StructField("sample_idx", T.IntegerType()),
+        T.StructField("dts", T.LongType()),
+        T.StructField("pts", T.LongType()),
+        T.StructField("size", T.IntegerType()),
+        T.StructField("offset_in_frag", T.LongType()),
+        T.StructField("is_sync", T.BooleanType()),
+        T.StructField("byte_sum", T.LongType()),
+    ]
+)
+
+_AUDIO_FOURCC = ("ulaw", "alaw", "sowt", "twos")
+
+
+def demux_mp4_fragmented_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per doc: synthesize a 2-track CMAF-style fragmented MP4 (all
+    sample parameters closed-form in doc_id — the oracle restates them
+    in SQL), demux it with demux_mp4_fragments, and emit one row per
+    (track, sample) with the fragment sequence number and the sample's
+    byte offset RELATIVE to its fragment's data region (absolute file
+    offsets depend on box sizes, which no SQL oracle should restate).
+    Arrow-batched mapInPandas: mux + demux happen where the bytes live,
+    only typed features shuffle — at 100 TB this is a map-only stage."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MP4_FRAGMENT_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = 2 + d % 3
+                sv, sa = 3 + d % 4, 4 + d % 3
+                dv = 100 + (d % 5) * 10
+                vid = [
+                    [
+                        _cf_bytes(d * 7 + (f * sv + k) * 13, 3,
+                                  20 + (d + 7 * (f * sv + k)) % 40)
+                        for k in range(sv)
+                    ]
+                    for f in range(nf)
+                ]
+                aud = [
+                    [
+                        _cf_bytes(d * 3 + (f * sa + k) * 7, 11,
+                                  10 + (d + 3 * (f * sa + k)) % 20)
+                        for k in range(sa)
+                    ]
+                    for f in range(nf)
+                ]
+                payload = make_mp4_fragmented(
+                    [
+                        {
+                            "handler": "vide",
+                            "codec": "mp4v",
+                            "timescale": 600,
+                            "default_duration": dv,
+                            "frag_samples": vid,
+                            "frag_cts": [
+                                [((f * sv + k + 1) % 3) * 50
+                                 for k in range(sv)]
+                                for f in range(nf)
+                            ],
+                            "sync_first": True,
+                        },
+                        {
+                            "handler": "soun",
+                            "codec": _AUDIO_FOURCC[d % 4],
+                            "timescale": 8000,
+                            "frag_samples": aud,
+                            "frag_durations": [
+                                [160 + 20 * ((f * sa + k) % 2)
+                                 for k in range(sa)]
+                                for f in range(nf)
+                            ],
+                        },
+                    ]
+                )
+                tracks = demux_mp4_fragments(payload)
+                frag_base: dict[int, int] = {}
+                for t in tracks:
+                    for s in t["samples"]:
+                        fs = s["frag_seq"]
+                        if fs not in frag_base or s["offset"] < frag_base[fs]:
+                            frag_base[fs] = s["offset"]
+                for t in tracks:
+                    for s in t["samples"]:
+                        rows.append(
+                            (
+                                d, t["track_id"], t["handler"], t["codec"],
+                                s["frag_seq"], s["idx"], s["dts"], s["pts"],
+                                s["size"],
+                                s["offset"] - frag_base[s["frag_seq"]],
+                                s["is_sync"], sum(s["data"]),
+                            )
+                        )
+            out = pd.DataFrame(rows, columns=cols)
+            for c, dt in (
+                ("doc_id", "int64"), ("track_id", "int32"),
+                ("frag_seq", "int32"), ("sample_idx", "int32"),
+                ("dts", "int64"), ("pts", "int64"), ("size", "int32"),
+                ("offset_in_frag", "int64"), ("byte_sum", "int64"),
+            ):
+                out[c] = out[c].astype(dt)
+            yield out
+
+    return src.mapInPandas(batches, MP4_FRAGMENT_SCHEMA)

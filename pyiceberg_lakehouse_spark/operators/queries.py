@@ -2246,6 +2246,100 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mp4_fragmented",
+    # Filter modulus 7 is coprime with every variety knob (fragments %3,
+    # video samples %4, trex duration %5, audio codec %4), so all
+    # branches — incl. all four audio fourccs — are live in the
+    # driver-hashed corpus.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             2 + doc_id % 3 as nf, 3 + doc_id % 4 as sv,
+             4 + doc_id % 3 as sa, 100 + (doc_id % 5) * 10 as dv
+      from documents where doc_id % 7 = 4
+    ),
+    v as (
+      select doc_id, d, 1 as trk, i, i // sv as frag, i % sv as k,
+             20 + (d + 7*i) % 40 as sz,
+             dv * i as dts,
+             dv * i + ((i + 1) % 3) * 50 as pts,
+             i % sv = 0 as sync_
+      from base, unnest(generate_series(0, 23)) u(i) where i < nf * sv
+    ),
+    a as (
+      select doc_id, d, 2 as trk, i, i // sa as frag, i % sa as k,
+             10 + (d + 3*i) % 20 as sz,
+             160*i + 20*(i // 2) as dts,
+             160*i + 20*(i // 2) as pts,
+             true as sync_
+      from base, unnest(generate_series(0, 23)) u(i) where i < nf * sa
+    ),
+    vf as (
+      select doc_id, frag, sum(sz) as vbytes from v group by 1, 2
+    ),
+    s as (
+      select v.*,
+             coalesce(sum(sz) over (partition by doc_id, frag order by k
+                 rows between unbounded preceding and 1 preceding), 0)
+               as off_
+      from v
+      union all
+      select a.doc_id, a.d, a.trk, a.i, a.frag, a.k, a.sz, a.dts, a.pts,
+             a.sync_,
+             vf.vbytes
+               + coalesce(sum(a.sz) over (partition by a.doc_id, a.frag
+                   order by a.k
+                   rows between unbounded preceding and 1 preceding), 0)
+               as off_
+      from a join vf using (doc_id, frag)
+    )
+    select doc_id,
+           cast(trk as integer) as track_id,
+           case when trk = 1 then 'vide' else 'soun' end as handler,
+           case when trk = 1 then 'mp4v'
+                when doc_id % 4 = 0 then 'ulaw'
+                when doc_id % 4 = 1 then 'alaw'
+                when doc_id % 4 = 2 then 'sowt' else 'twos' end as codec,
+           cast(frag + 1 as integer) as frag_seq,
+           cast(i as integer) as sample_idx,
+           cast(dts as bigint) as dts,
+           cast(pts as bigint) as pts,
+           cast(sz as integer) as size,
+           cast(off_ as bigint) as offset_in_frag,
+           sync_ as is_sync,
+           cast((select sum(case when trk = 1
+                                 then (d * 7 + i * 13 + j * 3) % 256
+                                 else (d * 3 + i * 7 + j * 11) % 256
+                            end)
+                 from generate_series(0, 59) g(j) where j < sz)
+               as bigint) as byte_sum
+    from s
+    """,
+)
+def multimodal_mp4_fragmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAGMENTED MP4 demux (multimodal.demux_mp4_fragments — the
+    DASH/HLS/CMAF segment shape, ISO 14496-12 §8.8): per doc, synthesize
+    an init segment (moov with EMPTY sample tables + mvex/trex defaults)
+    followed by 2-4 (moof, mdat) fragments — a mp4v video traf whose
+    durations resolve from the TREX default, sync flags from trun
+    first-sample-flags over a non-sync default, and pts from v1 trun
+    composition offsets, plus an audio traf (fourcc cycling
+    ulaw/alaw/sowt/twos) with per-sample TRUN durations — then demux the
+    tfhd/tfdt/trun chain back to one row per (track, fragment, sample).
+    The oracle restates every field closed-form: dts = trex-default
+    arithmetic for video and the alternating-duration cumsum for audio
+    (both must thread CORRECTLY across fragment boundaries through
+    tfdt), offsets relative to each fragment's data region via a window
+    over the intra-fragment layout, and seeded byte sums proving the
+    data_offset arithmetic sliced the right mdat bytes. Any precedence
+    slip in the trun > tfhd > trex field-resolution chain flips the
+    hash."""
+    return multimodal.demux_mp4_fragmented_table(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 4)
+    )
+
+
+@register(
     "multimodal_gif_animation",
     # Planted 5-frame animation per doc: a full-canvas base + four
     # disjoint 2x2 patches exercising disposal 1 (leave), 2 (restore to

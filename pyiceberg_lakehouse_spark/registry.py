@@ -77,7 +77,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # no-tail principle, taking the slot of a fourth double-green
 # non-anchor, lh_rollup_distinct (the rollup family stays
 # driver-covered by topk/percentile + the cdf feed; the HLL distinct
-# rollup stays local-gated + pytest-pinned).
+# rollup stays local-gated + pytest-pinned), and the NEW fragmented-MP4
+# demux multimodal_mp4_fragmented (the DASH/HLS/CMAF moof/tfhd/tfdt/
+# trun path, trex/tfhd/trun precedence oracle-pinned) rotated in for
+# lh_expire_tag_retention's slot (a fifth double-green non-anchor; the
+# lifecycle family stays driver-covered by purge_rows + cdf_feed +
+# table_changes + update_where; tag-retention expiry stays local-gated
+# + pytest-pinned).
 #
 # Round-12 rotation (VERDICT r11 tasks #1-#3). Rotates IN every
 # oracle-checkable query NEW or newly-oracle'd this round, each in its own
@@ -257,10 +263,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the leakage-safe split stays local-gated + pytest-pinned)
     "train_pack_sequences",
     "lh_merge_into_partitioned",
-    # (lh_type_promotion's hold slot goes to the NEW tag-retention expiry
-    # proof — fresh code outranks a second-round hold; type promotion
-    # stays local-gated + pytest-pinned)
-    "lh_expire_tag_retention",
+    # (lh_expire_tag_retention's r13 rotation slot goes to the NEW
+    # fragmented-MP4 demux — fresh code outranks a double-green
+    # non-anchor; tag-retention expiry stays local-gated + pytest-pinned)
+    "multimodal_mp4_fragmented",
     # (lh_datasource_write_roundtrip's second-round hold slot goes to the
     # post-freeze watermark-complete left-outer stream-stream join)
     "stream_stream_left_join",
