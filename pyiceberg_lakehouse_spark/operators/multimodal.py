@@ -2864,3 +2864,238 @@ def demux_mp4_fragmented_table(df: DataFrame, id_col: str = "doc_id") -> DataFra
             yield out
 
     return src.mapInPandas(batches, MP4_FRAGMENT_SCHEMA)
+
+
+# ----------------------------------------------------------- ID3 tags ----
+# Real-world MP3s open with an ID3v2 tag and often close with a 128-byte
+# ID3v1 trailer; a frame walk that treats either as "lost sync" rejects
+# virtually every file a crawl actually yields. The tag layer here is
+# spec-complete for the text frames a curation pipeline filters on
+# (title/artist/album/year/genre); v2.2 (3-char frame ids) and the
+# unsynchronisation scheme stay honestly gated.
+
+_ID3_TEXT_FRAMES = ("TIT2", "TPE1", "TALB", "TYER", "TDRC", "TCON")
+
+
+def _synchsafe(n: int) -> bytes:
+    if not 0 <= n < 1 << 28:
+        raise ValueError("synchsafe size out of range")
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def _unsynchsafe(b: bytes) -> int:
+    if any(x & 0x80 for x in b):
+        raise ValueError("synchsafe byte with bit 7 set")
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def make_id3v2(frames: dict[str, str], version: int = 3) -> bytes:
+    """ID3v2.3 or v2.4 tag with latin-1 (enc 0) text frames — v2.4
+    frame sizes are synchsafe, v2.3 plain big-endian (the wire
+    difference a parser must branch on)."""
+    if version not in (3, 4):
+        raise ValueError("only ID3v2.3 / v2.4 are emitted")
+    body = b""
+    for fid, text in frames.items():
+        if len(fid) != 4:
+            raise ValueError("frame id must be 4 chars")
+        payload = b"\x00" + text.encode("latin-1")
+        size = (
+            _synchsafe(len(payload))
+            if version == 4
+            else _struct.pack(">I", len(payload))
+        )
+        body += fid.encode("latin-1") + size + b"\x00\x00" + payload
+    return b"ID3" + bytes([version, 0, 0]) + _synchsafe(len(body)) + body
+
+
+def parse_id3v2(payload: bytes) -> tuple[int, dict[str, str]]:
+    """Parse a leading ID3v2 tag -> (total tag bytes incl header,
+    {frame_id: text}). Returns (0, {}) when no tag is present. Text
+    frames decode latin-1 (enc 0), UTF-16 with BOM (enc 1) and UTF-8
+    (enc 3); other frame types are skipped by size. v2.2 and
+    unsynchronisation raise NotImplementedError (honest gates)."""
+    if payload[:3] != b"ID3":
+        return 0, {}
+    if len(payload) < 10:
+        raise ValueError("truncated ID3v2 header")
+    version, _rev, flags = payload[3], payload[4], payload[5]
+    if version == 2:
+        raise NotImplementedError("ID3v2.2 (3-char frames) not supported")
+    if version not in (3, 4):
+        raise ValueError(f"unknown ID3v2.{version} tag")
+    if flags & 0x80:
+        raise NotImplementedError("ID3v2 unsynchronisation not supported")
+    body_len = _unsynchsafe(payload[6:10])
+    total = 10 + body_len + (10 if version == 4 and flags & 0x10 else 0)
+    if total > len(payload):
+        raise ValueError("ID3v2 tag size exceeds the file")
+    if flags & 0x40:  # extended header: skip by its own size field
+        if body_len < 6:
+            raise ValueError("ID3v2 extended header exceeds the tag")
+        ext = (
+            _unsynchsafe(payload[10:14])
+            if version == 4
+            else _struct.unpack(">I", payload[10:14])[0] + 4
+        )
+        pos = 10 + ext
+    else:
+        pos = 10
+    end = 10 + body_len
+    out: dict[str, str] = {}
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":  # padding
+            break
+        size = (
+            _unsynchsafe(payload[pos + 4 : pos + 8])
+            if version == 4
+            else _struct.unpack_from(">I", payload, pos + 4)[0]
+        )
+        if pos + 10 + size > end:
+            raise ValueError("ID3v2 frame exceeds the tag")
+        data = payload[pos + 10 : pos + 10 + size]
+        if fid.decode("latin-1") in _ID3_TEXT_FRAMES and size >= 1:
+            enc, text = data[0], data[1:]
+            if enc == 0:
+                val = text.decode("latin-1")
+            elif enc == 1:
+                val = text.decode("utf-16")
+            elif enc == 3:
+                val = text.decode("utf-8")
+            else:
+                raise NotImplementedError(f"ID3v2 text encoding {enc}")
+            out[fid.decode("latin-1")] = val.rstrip("\x00")
+        pos += 10 + size
+    return total, out
+
+
+def make_id3v1(
+    title: str, artist: str, album: str, year: str, genre: int
+) -> bytes:
+    def pad(s: str, n: int) -> bytes:
+        b = s.encode("latin-1")[:n]
+        return b + b"\x00" * (n - len(b))
+
+    return (
+        b"TAG"
+        + pad(title, 30)
+        + pad(artist, 30)
+        + pad(album, 30)
+        + pad(year, 4)
+        + pad("", 30)
+        + bytes([genre & 0xFF])
+    )
+
+
+def parse_id3v1(payload: bytes) -> dict[str, str | int] | None:
+    """Trailing 128-byte ID3v1 block, or None."""
+    if len(payload) < 128 or payload[-128:-125] != b"TAG":
+        return None
+    blk = payload[-128:]
+
+    def cut(lo: int, hi: int) -> str:
+        return blk[lo:hi].split(b"\x00", 1)[0].decode("latin-1").rstrip()
+
+    return {
+        "title": cut(3, 33),
+        "artist": cut(33, 63),
+        "album": cut(63, 93),
+        "year": cut(93, 97),
+        "genre": blk[127],
+    }
+
+
+def mp3_strip_tags(payload: bytes) -> tuple[bytes, int, dict, dict | None]:
+    """-> (bare frame stream, id3v2 bytes skipped, id3v2 frames,
+    id3v1 dict or None). The composition point: demux/probe the
+    returned stream, report the tags alongside."""
+    v2_len, v2 = parse_id3v2(payload)
+    v1 = parse_id3v1(payload)
+    end = len(payload) - 128 if v1 is not None else len(payload)
+    if end < v2_len:
+        raise ValueError("ID3 tags overlap")
+    return payload[v2_len:end], v2_len, v2, v1
+
+
+MP3_ID3_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("id3_version", T.IntegerType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("artist", T.StringType()),
+        T.StructField("album", T.StringType()),
+        T.StructField("year", T.StringType()),
+        T.StructField("genre", T.StringType()),
+        T.StructField("tag_bytes", T.IntegerType()),
+        T.StructField("audio_bytes", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("v1_title", T.StringType()),
+        T.StructField("v1_genre", T.IntegerType()),
+    ]
+)
+
+
+def mp3_id3_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per doc: synthesize a REAL-WORLD-SHAPED MP3 — ID3v2 tag (v2.3 and
+    v2.4 alternating, so both frame-size wire formats run), MPEG-1
+    Layer III frames, ID3v1 trailer — then strip the tags, demux the
+    bare frame stream, and emit the curation-filter metadata row. All
+    tag texts and frame parameters are closed-form in doc_id, so the
+    oracle restates tag byte sizes (10 + sum(11 + len(text)) per the
+    v2 wire format) and the demux arithmetic without running either."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MP3_ID3_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                version = 3 + d % 2
+                year = str(1970 + d % 30)
+                frames = {
+                    "TIT2": f"title-{d}",
+                    "TPE1": f"artist-{d % 13}",
+                    "TALB": f"album-{d % 7}",
+                    ("TYER" if version == 3 else "TDRC"): year,
+                    "TCON": f"genre-{d % 5}",
+                }
+                audio = make_mp3(
+                    n_frames=10 + d % 20,
+                    bitrate_kbps=_MP3_BITRATES[4 + d % 6],
+                    sample_rate=_MP3_RATES[d % 3],
+                    fill_seed=d % 256,
+                )
+                payload = (
+                    make_id3v2(frames, version=version)
+                    + audio
+                    + make_id3v1(f"v1-{d}", "", "", year, d % 80)
+                )
+                bare, v2_len, v2, v1 = mp3_strip_tags(payload)
+                fr = demux_mp3_frames(bare)
+                n_frames, _br, rate, duration_ms = probe_mp3(bare)
+                rows.append(
+                    (
+                        d, version, v2.get("TIT2"), v2.get("TPE1"),
+                        v2.get("TALB"),
+                        v2.get("TYER") or v2.get("TDRC"),
+                        v2.get("TCON"), v2_len, len(bare),
+                        len(fr), duration_ms,
+                        v1["title"], v1["genre"],
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for c, dt in (
+                ("doc_id", "int64"), ("id3_version", "int32"),
+                ("tag_bytes", "int32"), ("audio_bytes", "int64"),
+                ("n_frames", "int32"), ("duration_ms", "int64"),
+                ("v1_genre", "int32"),
+            ):
+                out[c] = out[c].astype(dt)
+            yield out
+
+    return src.mapInPandas(batches, MP3_ID3_SCHEMA)

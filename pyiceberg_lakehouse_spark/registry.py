@@ -83,7 +83,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # lh_expire_tag_retention's slot (a fifth double-green non-anchor; the
 # lifecycle family stays driver-covered by purge_rows + cdf_feed +
 # table_changes + update_where; tag-retention expiry stays local-gated
-# + pytest-pinned).
+# + pytest-pinned). The NEW ID3-tagged MP3 metadata row
+# multimodal_mp3_id3 (v2.3/v2.4 wire formats + v1 trailer + tag-strip
+# -> frame-walk composition) rotated in for stream_stream_semi_join's
+# slot (a sixth double-green non-anchor; the watermark-complete
+# stream-stream join family stays driver-covered by the left/right/
+# full/anti modes; semi stays local-gated + pytest-pinned).
 #
 # Round-12 rotation (VERDICT r11 tasks #1-#3). Rotates IN every
 # oracle-checkable query NEW or newly-oracle'd this round, each in its own
@@ -328,7 +333,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # second-round hold slots go to the post-freeze full-outer and
     # semi stream-stream joins)
     "stream_stream_full_join",
-    "stream_stream_semi_join",
+    # (stream_stream_semi_join's r13 rotation slot goes to the NEW
+    # ID3-tagged MP3 metadata row — fresh code outranks a double-green
+    # non-anchor; the stream-stream family keeps left/right/full/anti)
+    "multimodal_mp3_id3",
     # (multimodal_jpeg_progressive's second-round hold slot goes to the
     # NEW lossless SOF3 row — closed-form pixel sums beat error-bound
     # booleans; progressive stays local-gated + pytest-pinned)

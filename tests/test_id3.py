@@ -1,0 +1,143 @@
+"""ID3v1/v2 tag layer: wire-format roundtrips (v2.3 plain vs v2.4
+synchsafe frame sizes), text encodings, tag stripping composition with
+the MP3 frame walk, and hostile inputs."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pyiceberg_lakehouse_spark.operators.multimodal import (
+    _synchsafe,
+    _unsynchsafe,
+    demux_mp3_frames,
+    make_id3v1,
+    make_id3v2,
+    make_mp3,
+    mp3_strip_tags,
+    parse_id3v1,
+    parse_id3v2,
+    probe_mp3,
+)
+
+
+def test_synchsafe_roundtrip():
+    for n in (0, 1, 127, 128, 255, 0x0FFFFF, (1 << 28) - 1):
+        assert _unsynchsafe(_synchsafe(n)) == n
+    with pytest.raises(ValueError, match="out of range"):
+        _synchsafe(1 << 28)
+    with pytest.raises(ValueError, match="bit 7"):
+        _unsynchsafe(b"\x80\x00\x00\x00")
+
+
+@pytest.mark.parametrize("version", [3, 4])
+def test_id3v2_roundtrip(version):
+    frames = {
+        "TIT2": "My Title",
+        "TPE1": "Artist Name",
+        "TALB": "Album",
+        "TCON": "genre-3",
+    }
+    tag = make_id3v2(frames, version=version)
+    total, parsed = parse_id3v2(tag + b"\xff\xfbrest")
+    assert total == len(tag)
+    assert parsed == frames
+    # closed-form size: 10 header + per frame 10 + 1 + len(text)
+    assert len(tag) == 10 + sum(11 + len(v) for v in frames.values())
+
+
+def test_id3v2_wire_formats_differ():
+    """A text long enough that synchsafe and plain sizes disagree (>127)
+    must still roundtrip in BOTH versions — the parser really branches."""
+    frames = {"TIT2": "x" * 200}
+    for version in (3, 4):
+        tag = make_id3v2(frames, version=version)
+        _, parsed = parse_id3v2(tag)
+        assert parsed["TIT2"] == "x" * 200
+    # and the size bytes on the wire genuinely differ
+    t3, t4 = make_id3v2(frames, 3), make_id3v2(frames, 4)
+    assert t3[14:18] != t4[14:18]
+
+
+def test_id3v2_utf16_and_utf8_texts():
+    """Foreign encodings decode (we emit latin-1 but must read 1/3)."""
+    text = "café – têtes"
+    body = b""
+    for enc, blob in ((1, "﻿".encode("utf-16-le")[:0] + text.encode("utf-16")), (3, text.encode("utf-8"))):
+        payload = bytes([enc]) + blob
+        body += b"TIT2" + struct.pack(">I", len(payload)) + b"\x00\x00" + payload
+    tag = b"ID3" + bytes([3, 0, 0]) + _synchsafe(len(body)) + body
+    _, parsed = parse_id3v2(tag)
+    assert parsed["TIT2"] == text  # last one wins; both decoded
+    with pytest.raises(NotImplementedError, match="encoding"):
+        bad = bytes([2]) + text.encode("utf-16-be")
+        body2 = b"TIT2" + struct.pack(">I", len(bad)) + b"\x00\x00" + bad
+        parse_id3v2(b"ID3" + bytes([3, 0, 0]) + _synchsafe(len(body2)) + body2)
+
+
+def test_id3v2_padding_and_unknown_frames_skipped():
+    apic = b"APIC" + struct.pack(">I", 5) + b"\x00\x00" + b"\x01binz"
+    tit = b"TIT2" + struct.pack(">I", 3) + b"\x00\x00" + b"\x00hi"
+    body = apic + tit + b"\x00" * 16  # trailing padding
+    tag = b"ID3" + bytes([3, 0, 0]) + _synchsafe(len(body)) + body
+    total, parsed = parse_id3v2(tag)
+    assert parsed == {"TIT2": "hi"}
+    assert total == len(tag)
+
+
+def test_id3v2_hostile_inputs():
+    with pytest.raises(ValueError, match="exceeds the file"):
+        parse_id3v2(b"ID3" + bytes([3, 0, 0]) + _synchsafe(1000))
+    with pytest.raises(NotImplementedError, match="v2.2"):
+        parse_id3v2(b"ID3" + bytes([2, 0, 0]) + _synchsafe(0))
+    with pytest.raises(NotImplementedError, match="unsynchronisation"):
+        parse_id3v2(b"ID3" + bytes([3, 0, 0x80]) + _synchsafe(0))
+    # frame overrunning the tag body
+    body = b"TIT2" + struct.pack(">I", 99) + b"\x00\x00" + b"\x00x"
+    with pytest.raises(ValueError, match="frame exceeds"):
+        parse_id3v2(b"ID3" + bytes([3, 0, 0]) + _synchsafe(len(body)) + body)
+    assert parse_id3v2(b"\xff\xfbno tag here") == (0, {})
+
+
+def test_id3v1_roundtrip_and_absence():
+    blk = make_id3v1("Title", "Artist", "Album", "1999", 17)
+    assert len(blk) == 128
+    v1 = parse_id3v1(b"audio" + blk)
+    assert v1 == {
+        "title": "Title", "artist": "Artist", "album": "Album",
+        "year": "1999", "genre": 17,
+    }
+    assert parse_id3v1(b"no trailer") is None
+
+
+def test_strip_tags_composes_with_frame_walk():
+    audio = make_mp3(n_frames=7, bitrate_kbps=96, sample_rate=32000,
+                     fill_seed=5)
+    tag = make_id3v2({"TIT2": "t"}, version=4)
+    payload = tag + audio + make_id3v1("v1", "", "", "2000", 3)
+    bare, v2_len, v2, v1 = mp3_strip_tags(payload)
+    assert bare == audio
+    assert v2_len == len(tag)
+    assert v2 == {"TIT2": "t"}
+    assert v1["title"] == "v1" and v1["genre"] == 3
+    assert len(demux_mp3_frames(bare)) == 7
+    assert probe_mp3(bare)[0] == 7
+    # untagged files pass through unchanged
+    bare2, z, v2b, v1b = mp3_strip_tags(audio)
+    assert bare2 == audio and z == 0 and v2b == {} and v1b is None
+    # a raw tagged payload still refuses the DIRECT frame walk (the
+    # strictness that motivated the strip layer)
+    with pytest.raises(ValueError, match="lost MP3 frame sync"):
+        demux_mp3_frames(payload)
+
+
+def test_overlapping_tags_rejected():
+    # an ID3v2 header whose declared size swallows the v1 trailer
+    tag = make_id3v2({"TIT2": "t"}, version=3)
+    v1 = make_id3v1("x", "", "", "2000", 1)
+    # total payload shorter than v2_len + 128
+    payload = tag[: len(tag)] + v1[:100] + v1  # garbage midsection
+    crafted = b"ID3" + bytes([3, 0, 0]) + _synchsafe(len(payload) - 10 - 100) + payload[10:]
+    with pytest.raises(ValueError, match="overlap|exceeds|frame"):
+        mp3_strip_tags(crafted)
