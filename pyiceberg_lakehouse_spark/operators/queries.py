@@ -2246,6 +2246,241 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_subtitle_cues",
+    # Filter modulus 7 is coprime with the cue-count (%5), offset (%7
+    # applies to start), multi-line (%2), markup (%3) and hour-form
+    # (%3) knobs; format alternates srt/vtt by parity, so every parser
+    # branch is live in the driver-hashed corpus.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d, 3 + doc_id % 5 as n
+      from documents where doc_id % 7 = 6
+    ),
+    c as (
+      select doc_id, d, i,
+             case when d % 2 = 0 then 'srt' else 'vtt' end as fmt,
+             i * 2000 + (d % 7) * 100
+               + case when d % 2 = 1 and d % 3 = 0
+                      then 3600000 else 0 end as start_ms
+      from base, unnest(generate_series(0, 7)) u(i) where i < n
+    )
+    select doc_id, fmt,
+           cast(i as integer) as cue_idx,
+           case when fmt = 'vtt' and i % 2 = 0 then 'id-' || i end as cue_id,
+           cast(start_ms as bigint) as start_ms,
+           cast(start_ms + 1500 + (i % 3) * 200 as bigint) as end_ms,
+           case when fmt = 'srt' then
+                  'cue-' || d || '-' || i ||
+                  case when i % 2 = 1 then chr(10) || 'line2-' || i
+                       else '' end
+                else
+                  'cue-' || d || '-' || i ||
+                  case when i % 3 = 2 then ' <3' else '' end
+           end as text,
+           cast(case when fmt = 'srt' and i % 2 = 1 then 2 else 1 end
+               as integer) as n_lines
+    from c
+    """,
+)
+def text_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL subtitle parsing (operators/subtitles.py): per doc,
+    synthesize an SRT (even docs: indexed cues, comma-decimal
+    timestamps, multi-line text) or a WebVTT (odd docs: NOTE block, cue
+    identifiers, dot-decimal timestamps in BOTH the hour and hour-less
+    forms, cue settings after the arrow, <v>/<c> voice markup stripped,
+    &lt; entities unescaped) sidecar, parse it strictly, and emit one
+    row per cue. The oracle restates every timestamp, the stripped
+    text, and the line counts closed-form — a timestamp-arithmetic
+    slip, an unstripped tag, or a swallowed second line flips the
+    hash. This is the video->caption extraction path of a training
+    pipeline; hostile inputs are pytest-pinned (tests/test_subtitles)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import subtitles as sub
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 6)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("cue_idx", T.IntegerType()),
+            T.StructField("cue_id", T.StringType()),
+            T.StructField("start_ms", T.LongType()),
+            T.StructField("end_ms", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_lines", T.IntegerType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 3 + d % 5
+                fmt = "srt" if d % 2 == 0 else "vtt"
+                cues = []
+                for i in range(n):
+                    start = i * 2000 + (d % 7) * 100
+                    if fmt == "vtt" and d % 3 == 0:
+                        start += 3600000
+                    body = f"cue-{d}-{i}"
+                    if fmt == "srt" and i % 2 == 1:
+                        body += f"\nline2-{i}"
+                    if fmt == "vtt":
+                        body = f"<v Speaker{d % 3}>{body}</v>"
+                        if i % 3 == 2:
+                            body += " &lt;3"
+                    cues.append(
+                        {
+                            "start_ms": start,
+                            "end_ms": start + 1500 + (i % 3) * 200,
+                            "text": body,
+                            "cue_id": f"id-{i}"
+                            if fmt == "vtt" and i % 2 == 0
+                            else None,
+                            "settings": fmt == "vtt" and i % 2 == 1,
+                        }
+                    )
+                if fmt == "srt":
+                    parsed = sub.parse_srt(sub.make_srt(cues))
+                else:
+                    parsed = sub.parse_webvtt(sub.make_vtt(cues))
+                for i, c in enumerate(parsed):
+                    rows.append(
+                        (
+                            d, fmt, i, c.get("cue_id"),
+                            c["start_ms"], c["end_ms"], c["text"],
+                            c["text"].count("\n") + 1,
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            for c2, dt in (
+                ("doc_id", "int64"), ("cue_idx", "int32"),
+                ("start_ms", "int64"), ("end_ms", "int64"),
+                ("n_lines", "int32"),
+            ):
+                out[c2] = out[c2].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_mp4_subtitles",
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             4 + doc_id % 4 as n, 800 + (doc_id % 3) * 100 as delta
+      from documents where doc_id % 7 = 1
+    )
+    select doc_id,
+           cast(3 as integer) as track_id,
+           cast(i as integer) as cue_idx,
+           cast(i * delta as bigint) as start_ms,
+           cast(case when i + 1 < n then (i + 1) * delta
+                     else i * delta end as bigint) as end_ms,
+           'sub-' || d || '-' || i as text
+    from base, unnest(generate_series(0, 7)) u(i) where i < n
+    """,
+)
+def multimodal_mp4_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed-text (tx3g) caption extraction from INSIDE an MP4: per doc,
+    mux a 3-trak file — mp4v video + ulaw audio + a 'text' handler trak
+    whose samples are 3GPP tx3g (u16 length + UTF-8, every 3rd sample
+    carrying a trailing style box the decoder must skip by extent) —
+    demux with handler routing, and emit cues ONLY from the text trak
+    (the routing filter is the point: video/audio samples must not leak
+    into the caption stream). Cue end = next sample's dts per the 3GPP
+    contract. The oracle restates timestamps (timescale 1000 -> ms
+    passthrough) and texts closed-form."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import multimodal as mm
+    from pyiceberg_lakehouse_spark.operators import subtitles as sub
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 1)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("track_id", T.IntegerType()),
+            T.StructField("cue_idx", T.IntegerType()),
+            T.StructField("start_ms", T.LongType()),
+            T.StructField("end_ms", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+    styl = (8).to_bytes(4, "big") + b"styl"
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 4 + d % 4
+                delta = 800 + (d % 3) * 100
+                text_samples = [
+                    sub.encode_tx3g_sample(f"sub-{d}-{i}")
+                    + (styl if i % 3 == 0 else b"")
+                    for i in range(n)
+                ]
+                payload = mm.make_mp4_media_multi(
+                    [
+                        {
+                            "samples": [b"v" * 10] * 3,
+                            "stts_runs": [(3, 100)],
+                            "handler": "vide",
+                        },
+                        {
+                            "samples": [b"a" * 6] * 4,
+                            "stts_runs": [(4, 64)],
+                            "handler": "soun",
+                        },
+                        {
+                            "samples": text_samples,
+                            "stts_runs": [(n, delta)],
+                            "handler": "text",
+                            "codec": "tx3g",
+                            "sync_every": None,
+                        },
+                    ],
+                    timescale=1000,
+                )
+                tracks = mm.demux_mp4_tracks(payload)
+                for c in sub.mp4_text_cues(tracks):
+                    rows.append(
+                        (
+                            d, c["track_id"], c["idx"],
+                            c["start_ms"], c["end_ms"], c["text"],
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            for c2, dt in (
+                ("doc_id", "int64"), ("track_id", "int32"),
+                ("cue_idx", "int32"), ("start_ms", "int64"),
+                ("end_ms", "int64"),
+            ):
+                out[c2] = out[c2].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "multimodal_mp3_id3",
     # Filter modulus 7 is coprime with the version cycle (%2), bitrate
     # (%6), rate (%3) and every tag-text knob, so both ID3v2 wire

@@ -88,7 +88,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # -> frame-walk composition) rotated in for stream_stream_semi_join's
 # slot (a sixth double-green non-anchor; the watermark-complete
 # stream-stream join family stays driver-covered by the left/right/
-# full/anti modes; semi stays local-gated + pytest-pinned).
+# full/anti modes; semi stays local-gated + pytest-pinned). The NEW
+# subtitle-extraction pair — text_subtitle_cues (SRT + WebVTT sidecar
+# parsing, markup strip, both timestamp wire forms) and
+# multimodal_mp4_subtitles (tx3g timed-text cues routed out of a 3-trak
+# MP4) — rotated in for lh_table_changes' and lh_update_where's slots
+# (double-green non-anchors; the change-feed family stays
+# driver-covered by lh_cdf_feed + stream_lh_change_feed, and update
+# semantics by lh_merge_into_partitioned + lh_purge_rows; both
+# displaced rows stay local-gated + pytest-pinned).
 #
 # Round-12 rotation (VERDICT r11 tasks #1-#3). Rotates IN every
 # oracle-checkable query NEW or newly-oracle'd this round, each in its own
@@ -222,8 +230,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the NEW deterministic epoch-shuffle sharding)
     # (train_epoch_shards', fn_bitwise's and fn_null_handling's r11 hold
     # slots go to the three post-freeze lakehouse/static-enrich rows)
-    "lh_table_changes",
-    "lh_update_where",
+    # (lh_table_changes' and lh_update_where's r13 rotation slots go to
+    # the NEW subtitle-extraction pair — fresh code outranks
+    # double-green non-anchors; change feeds stay driver-covered by
+    # lh_cdf_feed + stream_lh_change_feed, updates by
+    # lh_merge_into_partitioned + lh_purge_rows)
+    "text_subtitle_cues",
+    "multimodal_mp4_subtitles",
     # (stream_static_enrich's r13 rotation slot goes to the post-freeze
     # append-mode watermark-finalized sessionization — the only
     # session_window row in the registry; static-enrich stays
