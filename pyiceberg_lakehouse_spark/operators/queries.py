@@ -2246,6 +2246,161 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_apng_animation",
+    # Planted 6-frame APNG per doc: full-canvas base + five 2x2 patches
+    # exercising blend OVER (punch-through via alpha-0 cells), blend
+    # SOURCE (alpha-0 cells ERASE — the semantics GIF cannot express),
+    # dispose 0/1/2. The oracle chains the rendered sums closed-form.
+    # Filter modulus 7 keeps the w/h/palette/num_plays knobs live.
+    """
+    with params as (
+      select doc_id, cast(doc_id as bigint) as d,
+             9 + doc_id % 6 as w, 9 + doc_id % 4 as h,
+             cast(case cast(doc_id % 3 as integer)
+                  when 0 then 16 when 1 then 64 else 256 end as bigint) as nc
+      from documents where doc_id % 7 = 0
+    ),
+    terms as (
+      select *,
+        (select sum((d + 3*x + 5*y) % nc)
+           from generate_series(0, 13) gx(x), generate_series(0, 11) gy(y)
+          where x < w and y < h) as b_all,
+        (d + 2*1) % nc as c1, (d + 2*2) % nc as c2, (d + 2*3) % nc as c3,
+        (d + 2*4) % nc as c4, (d + 2*5) % nc as c5,
+        -- patches (left, top): p1 (0,2) p2 (3,2) p3 (6,2) p4 (0,5) p5 (3,5)
+        ((d + 3*1 + 5*2) % nc) + ((d + 3*0 + 5*3) % nc) as bo1,
+        ((d + 3*4 + 5*2) % nc) + ((d + 3*3 + 5*3) % nc) + ((d + 3*3 + 5*2) % nc) + ((d + 3*4 + 5*3) % nc) as br2,
+        ((d + 3*7 + 5*2) % nc) + ((d + 3*6 + 5*3) % nc) + ((d + 3*6 + 5*2) % nc) + ((d + 3*7 + 5*3) % nc) as br3,
+        ((d + 3*1 + 5*5) % nc) + ((d + 3*0 + 5*6) % nc) as bo4,
+        ((d + 3*1 + 5*5) % nc) + ((d + 3*0 + 5*6) % nc) + ((d + 3*0 + 5*5) % nc) + ((d + 3*1 + 5*6) % nc) as br4,
+        ((d + 3*4 + 5*5) % nc) + ((d + 3*3 + 5*6) % nc) + ((d + 3*3 + 5*5) % nc) + ((d + 3*4 + 5*6) % nc) as br5
+      from params
+    ),
+    sums as (
+      select *,
+        b_all - bo1 + 2*c1 as f1,
+        b_all - bo1 + 2*c1 - br2 + 2*c2 as f2
+      from terms
+    )
+    select doc_id,
+           cast(fi as integer) as frame_idx,
+           cast(w as integer) as width,
+           cast(h as integer) as height,
+           cast(nc as integer) as n_colors,
+           cast(1 + fi as integer) as delay_num,
+           cast(doc_id % 3 as integer) as num_plays,
+           cast(case when fi < 2 then 0 when fi < 5 then 2 else 6 end
+               as integer) as n_transparent,
+           cast(case fi
+                when 0 then b_all
+                when 1 then f1
+                when 2 then f2
+                when 3 then f2 - br3 + 4*c3
+                when 4 then f2 - bo4 + 2*c4
+                else f2 - br4 - br5 + 4*c5 end as bigint) as value_sum
+    from sums, generate_series(0, 5) gs(fi)
+    """,
+)
+def multimodal_apng_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL APNG animation composition (operators/apng.py): per doc,
+    build a 6-frame APNG — full-canvas RGBA base then five 2x2 patches:
+    OVER with alpha-0 punch-through, SOURCE whose alpha-0 cells ERASE
+    canvas pixels (the semantics GIF disposal cannot express), an
+    all-opaque OVER with dispose-previous, a punch-through OVER with
+    dispose-background, and a final opaque OVER proving both disposals
+    landed — encode it (acTL/fcTL/fdAT, PNG codec underneath), decode
+    it (shared sequence-number validation), compose it, and report per
+    rendered frame the visible red-channel sum + transparent-pixel
+    count, which the oracle chains closed-form through the blend/
+    dispose model. The OVER integer arithmetic is property-tested
+    against a float reference (tests/test_apng.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import apng as _apng
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_colors", T.IntegerType()),
+            T.StructField("delay_num", T.IntegerType()),
+            T.StructField("num_plays", T.IntegerType()),
+            T.StructField("n_transparent", T.IntegerType()),
+            T.StructField("value_sum", T.LongType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+    patch_at = ((0, 2), (3, 2), (6, 2), (0, 5), (3, 5))
+    # (blend_op, dispose_op, checkerboard) per patch frame
+    plan = (
+        (1, 0, True), (0, 0, True), (1, 2, False), (1, 1, True), (1, 0, False),
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 9 + d % 6, 9 + d % 4
+                nc = (16, 64, 256)[d % 3]
+                y, x = np.ogrid[0:h, 0:w]
+                base = np.zeros((h, w, 4), dtype=np.uint8)
+                base[:, :, 0] = (d + 3 * x + 5 * y) % nc
+                base[:, :, 3] = 255
+                frames = [{"pixels": base, "delay_num": 1}]
+                for k, ((pl, pt), (bop, dop, checker)) in enumerate(
+                    zip(patch_at, plan), start=1
+                ):
+                    ck = (d + 2 * k) % nc
+                    px = np.zeros((2, 2, 4), dtype=np.uint8)
+                    px[:, :, 0] = ck
+                    px[:, :, 3] = 255
+                    if checker:
+                        even = (
+                            np.arange(2)[:, None] + np.arange(2)
+                        ) % 2 == 0
+                        px[even] = 0
+                    frames.append(
+                        {
+                            "pixels": px, "x": pl, "y": pt,
+                            "blend_op": bop, "dispose_op": dop,
+                            "delay_num": 1 + k,
+                        }
+                    )
+                enc = _apng.encode_apng(frames, num_plays=d % 3)
+                dec = _apng.decode_apng(enc)
+                for r in _apng.compose_apng(dec):
+                    cv = r["canvas"]
+                    visible = cv[:, :, 3] == 255
+                    rows.append(
+                        (
+                            d, r["frame_idx"], w, h, nc, r["delay_num"],
+                            dec["num_plays"],
+                            int((cv[:, :, 3] == 0).sum()),
+                            int(cv[:, :, 0][visible].astype(np.int64).sum()),
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname in cols[1:-1]:
+                out[cname] = out[cname].astype("int32")
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["value_sum"] = out["value_sum"].astype("int64")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "text_subtitle_cues",
     # Filter modulus 7 is coprime with the cue-count (%5), offset (%7
     # applies to start), multi-line (%2), markup (%3) and hour-form

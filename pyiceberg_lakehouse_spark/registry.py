@@ -96,7 +96,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (double-green non-anchors; the change-feed family stays
 # driver-covered by lh_cdf_feed + stream_lh_change_feed, and update
 # semantics by lh_merge_into_partitioned + lh_purge_rows; both
-# displaced rows stay local-gated + pytest-pinned).
+# displaced rows stay local-gated + pytest-pinned). The NEW APNG
+# composition row multimodal_apng_animation (acTL/fcTL/fdAT +
+# blend-OVER/SOURCE + dispose model over RGBA) rotated in for
+# lh_rollup_topk's slot (double-green non-anchor; the rollup family
+# stays driver-covered by percentile + the cdf feed).
 #
 # Round-12 rotation (VERDICT r11 tasks #1-#3). Rotates IN every
 # oracle-checkable query NEW or newly-oracle'd this round, each in its own
@@ -296,7 +300,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # heavy-hitters rollup — every remaining rollup row in this window
     # already exercises the create→append→incremental-refresh path)
     "lh_cdf_feed",
-    "lh_rollup_topk",
+    # (lh_rollup_topk's r13 rotation slot goes to the NEW APNG
+    # composition row — fresh code outranks a double-green non-anchor;
+    # rollups stay driver-covered by percentile + the cdf feed)
+    "multimodal_apng_animation",
     "lh_rollup_percentile",
     # (lh_rollup_distinct's r13 rotation slot goes to the NEW
     # animated-GIF composition row — fresh code outranks a double-green
