@@ -113,6 +113,15 @@ def decode_stub(payload: bytes, mime: str) -> bytes:
         return (
             f["palette"][f["indices"]].astype(np.uint8).tobytes()
         )
+    if mime == "image/tiff":
+        import numpy as np
+
+        from pyiceberg_lakehouse_spark.operators.tiff import decode_tiff
+
+        px, _meta = decode_tiff(payload)
+        if px.shape[2] == 1:
+            px = np.repeat(px, 3, axis=2)
+        return np.ascontiguousarray(px).tobytes()
     if mime in _PIL_MIMES and HAS_PIL:
         import io
 
@@ -134,6 +143,17 @@ def decode_image_codec(payload: bytes) -> tuple[int, int, str]:
             raise ValueError("truncated GIF header")
         w, h = _struct.unpack("<HH", payload[6:10])
         return w, h, "P"
+    if payload[:2] in (b"II", b"MM") and len(payload) >= 4 and (
+        payload[2:4] in (b"\x2a\x00", b"\x00\x2a")
+    ):
+        from pyiceberg_lakehouse_spark.operators.tiff import decode_tiff
+
+        _px, meta = decode_tiff(payload)
+        return (
+            meta["width"],
+            meta["height"],
+            "L" if meta["channels"] == 1 else "RGB",
+        )
     if payload[:2] == b"\xff\xd8":
         from pyiceberg_lakehouse_spark.operators import jpeg
 

@@ -2246,6 +2246,117 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_tiff_decode",
+    # Filter modulus 5 is coprime with the endianness (%4), channel
+    # (%2), compression (%3) and strip (%3) knobs, so both byte orders,
+    # gray+RGB, none+PackBits, and multi-strip layouts are all live in
+    # the driver-hashed corpus.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             6 + doc_id % 9 as w, 5 + doc_id % 7 as h,
+             1 + 2 * (doc_id % 2) as ch,
+             doc_id % 4 >= 2 as big_endian,
+             case when doc_id % 3 = 0 then 1 else 32773 end as compression,
+             2 + doc_id % 3 as rps
+      from documents where doc_id % 5 = 3
+    )
+    select doc_id,
+           cast(w as integer) as width,
+           cast(h as integer) as height,
+           cast(ch as integer) as channels,
+           big_endian,
+           cast(compression as integer) as compression,
+           cast((h + rps - 1) // rps as integer) as n_strips,
+           cast((select sum((d + 3*x + 5*y + 7*c) % 256)
+                 from generate_series(0, 14) gx(x),
+                      generate_series(0, 11) gy(y),
+                      generate_series(0, 2) gc(c)
+                 where x < w and y < h and c < ch)
+               as bigint) as value_sum,
+           true as exact_roundtrip
+    from base
+    """,
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF codec roundtrip (operators/tiff.py): per doc,
+    synthesize a deterministic raster, encode it as TIFF — byte order
+    cycling II/MM (a parser that assumes one misreads every tag of the
+    other), gray/RGB, Compression 1/PackBits, multi-strip layout with a
+    ragged final strip — decode it back through the IFD tag walk with
+    inline-vs-offset value resolution, and report dims + the decoded
+    value sum, which the oracle predicts closed-form. The
+    scanned-document ingest path of an OCR corpus; LZW/tiles/planar-2
+    stay honestly gated (tests pin the refusals)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import tiff as _tiff
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 3)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("big_endian", T.BooleanType()),
+            T.StructField("compression", T.IntegerType()),
+            T.StructField("n_strips", T.IntegerType()),
+            T.StructField("value_sum", T.LongType()),
+            T.StructField("exact_roundtrip", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 6 + d % 9, 5 + d % 7
+                ch = 1 + 2 * (d % 2)
+                c = np.arange(ch)
+                y, x = np.ogrid[0:h, 0:w]
+                px = (
+                    (d + 3 * x[:, :, None] + 5 * y[:, :, None] + 7 * c)
+                    % 256
+                ).astype(np.uint8)
+                enc = _tiff.encode_tiff(
+                    px,
+                    big_endian=d % 4 >= 2,
+                    compression=1 if d % 3 == 0 else 32773,
+                    rows_per_strip=2 + d % 3,
+                )
+                got, meta = _tiff.decode_tiff(enc)
+                rows.append(
+                    (
+                        d, meta["width"], meta["height"], meta["channels"],
+                        meta["big_endian"], meta["compression"],
+                        meta["n_strips"],
+                        int(got.astype(np.int64).sum()),
+                        bool(got.shape == px.shape and (got == px).all()),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname, dt in (
+                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
+                ("channels", "int32"), ("compression", "int32"),
+                ("n_strips", "int32"), ("value_sum", "int64"),
+            ):
+                out[cname] = out[cname].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "multimodal_apng_animation",
     # Planted 6-frame APNG per doc: full-canvas base + five 2x2 patches
     # exercising blend OVER (punch-through via alpha-0 cells), blend

@@ -1,0 +1,283 @@
+"""Baseline TIFF 6.0 codec in pure numpy + stdlib — the scanned-document
+format OCR/document corpora arrive in.
+
+Implements the baseline spec: both byte orders (II little-endian and
+MM big-endian — a TIFF parser that assumes one silently misreads every
+tag of the other), the IFD tag walk with inline-vs-offset value
+resolution (values <= 4 bytes live INSIDE the tag's value field),
+strip-based layout (RowsPerStrip / StripOffsets / StripByteCounts),
+grayscale (PhotometricInterpretation 1) and RGB (2) at 8 bits per
+sample, and Compression 1 (none) + 32773 (PackBits RLE, with the
+-128 noop control byte).
+
+Honest gates (raise, never guess): other compressions (LZW §14, CCITT,
+JPEG-in-TIFF), tiled layout, planar configuration 2, bit depths other
+than 8, palette color, multi-IFD (multi-page) files return the FIRST
+page and expose next_ifd so callers see there are more.
+
+Reference parity: ashkangoleh/pyiceberg-lakehouse ingests scans as
+opaque binary (main-daft.py:68); this engine decodes them.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_TAG_WIDTH = 256
+_TAG_HEIGHT = 257
+_TAG_BITS = 258
+_TAG_COMPRESSION = 259
+_TAG_PHOTOMETRIC = 262
+_TAG_STRIP_OFFSETS = 273
+_TAG_SPP = 277
+_TAG_ROWS_PER_STRIP = 278
+_TAG_STRIP_COUNTS = 279
+_TAG_PLANAR = 284
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits: runs of >= 3 become repeat packets (control
+    1-n in [-127, -1]), everything else literal packets of <= 128."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # measure the run at i
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out.append(257 - run)  # two's complement of 1 - run
+            out.append(data[i])
+            i = j + 1
+            continue
+        # literal: scan until a >= 3 run starts or 128 bytes
+        k = i
+        while k < n and k - i < 128:
+            if (
+                k + 2 < n
+                and data[k] == data[k + 1] == data[k + 2]
+            ):
+                break
+            k += 1
+        out.append(k - i - 1)
+        out += data[i:k]
+        i = k
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """Strict: the output must be exactly ``expected`` bytes."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        c = data[i]
+        i += 1
+        if c == 128:  # noop
+            continue
+        if c < 128:  # literal of c+1 bytes
+            if i + c + 1 > len(data):
+                raise ValueError("PackBits literal overruns its strip")
+            out += data[i : i + c + 1]
+            i += c + 1
+        else:  # repeat next byte 257-c times
+            if i >= len(data):
+                raise ValueError("PackBits run without a byte to repeat")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        if len(out) > expected:
+            raise ValueError("PackBits decodes past the strip extent")
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits strip decoded {len(out)} of {expected} bytes"
+        )
+    return bytes(out)
+
+
+def encode_tiff(
+    pixels,
+    big_endian: bool = False,
+    compression: int = 1,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """(h, w) or (h, w, 1|3) uint8 -> baseline TIFF bytes."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    if ch not in (1, 3):
+        raise ValueError("1 (gray) or 3 (RGB) samples per pixel")
+    if compression not in (1, 32773):
+        raise ValueError("compression must be 1 (none) or 32773 (PackBits)")
+    if rows_per_strip is None:
+        rows_per_strip = h
+    e = ">" if big_endian else "<"
+    n_strips = (h + rows_per_strip - 1) // rows_per_strip
+    strips = []
+    for s in range(n_strips):
+        raw = px[s * rows_per_strip : (s + 1) * rows_per_strip].tobytes()
+        strips.append(
+            packbits_encode(raw) if compression == 32773 else raw
+        )
+
+    def tag(tid: int, ttype: int, values: list[int], data_off: int) -> tuple[bytes, bytes]:
+        size = _TYPE_SIZES[ttype] * len(values)
+        fmt = {3: "H", 4: "I"}[ttype]
+        packed = struct.pack(f"{e}{len(values)}{fmt}", *values)
+        if size <= 4:
+            return (
+                struct.pack(f"{e}HHI", tid, ttype, len(values))
+                + packed.ljust(4, b"\x00"),
+                b"",
+            )
+        return (
+            struct.pack(f"{e}HHII", tid, ttype, len(values), data_off),
+            packed,
+        )
+
+    # layout: header(8) + strips + [IFD] + overflow values
+    header = struct.pack(f"{e}2sHI", b"MM" if big_endian else b"II", 42, 0)
+    strip_offsets = []
+    pos = 8
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    ifd_off = pos
+    entries = [
+        (_TAG_WIDTH, 4, [w]),
+        (_TAG_HEIGHT, 4, [h]),
+        (_TAG_BITS, 3, [8] * ch),
+        (_TAG_COMPRESSION, 3, [compression]),
+        (_TAG_PHOTOMETRIC, 3, [1 if ch == 1 else 2]),
+        (_TAG_STRIP_OFFSETS, 4, strip_offsets),
+        (_TAG_SPP, 3, [ch]),
+        (_TAG_ROWS_PER_STRIP, 4, [rows_per_strip]),
+        (_TAG_STRIP_COUNTS, 4, [len(s) for s in strips]),
+        (_TAG_PLANAR, 3, [1]),
+    ]
+    ifd_size = 2 + 12 * len(entries) + 4
+    overflow_off = ifd_off + ifd_size
+    ifd = struct.pack(f"{e}H", len(entries))
+    overflow = b""
+    for tid, ttype, values in entries:
+        entry, extra = tag(tid, ttype, values, overflow_off + len(overflow))
+        ifd += entry
+        overflow += extra
+    ifd += struct.pack(f"{e}I", 0)  # no next IFD
+    out = bytearray(header)
+    struct.pack_into(f"{e}I", out, 4, ifd_off)
+    for s in strips:
+        out += s
+    out += ifd + overflow
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes):
+    """TIFF -> ((h, w, ch) uint8 array, meta dict). meta: {width,
+    height, channels, compression, big_endian, n_strips, next_ifd}."""
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
+    if payload[:2] == b"II":
+        e = "<"
+    elif payload[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    magic, ifd_off = struct.unpack_from(f"{e}HI", payload, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF (bad magic)")
+    if ifd_off + 2 > len(payload):
+        raise ValueError("IFD offset out of bounds")
+    (n_entries,) = struct.unpack_from(f"{e}H", payload, ifd_off)
+    if ifd_off + 2 + 12 * n_entries + 4 > len(payload):
+        raise ValueError("IFD exceeds the file")
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        at = ifd_off + 2 + 12 * k
+        tid, ttype, count = struct.unpack_from(f"{e}HHI", payload, at)
+        if ttype not in _TYPE_SIZES:
+            continue  # private/unknown type: skip per spec
+        size = _TYPE_SIZES[ttype] * count
+        if size <= 4:
+            src = at + 8
+        else:
+            (src,) = struct.unpack_from(f"{e}I", payload, at + 8)
+            if src + size > len(payload):
+                raise ValueError(f"tag {tid} values out of bounds")
+        if ttype == 3:
+            tags[tid] = list(
+                struct.unpack_from(f"{e}{count}H", payload, src)
+            )
+        elif ttype == 4:
+            tags[tid] = list(
+                struct.unpack_from(f"{e}{count}I", payload, src)
+            )
+        # other types (rational, ascii...) are metadata we don't need
+    (next_ifd,) = struct.unpack_from(
+        f"{e}I", payload, ifd_off + 2 + 12 * n_entries
+    )
+
+    def one(tid: int, default: int | None = None) -> int:
+        v = tags.get(tid)
+        if v is None:
+            if default is None:
+                raise ValueError(f"required TIFF tag {tid} missing")
+            return default
+        return v[0]
+
+    w, h = one(_TAG_WIDTH), one(_TAG_HEIGHT)
+    ch = one(_TAG_SPP, 1)
+    compression = one(_TAG_COMPRESSION, 1)
+    photometric = one(_TAG_PHOTOMETRIC)
+    bits = tags.get(_TAG_BITS, [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"BitsPerSample {bits}: only 8 supported")
+    if compression not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {compression}: only none/PackBits supported"
+        )
+    if one(_TAG_PLANAR, 1) != 1:
+        raise NotImplementedError("planar configuration 2 not supported")
+    if photometric not in (0, 1, 2):
+        raise NotImplementedError(
+            f"photometric {photometric}: gray/RGB supported"
+        )
+    if photometric == 2 and ch != 3:
+        raise ValueError("RGB photometric with SamplesPerPixel != 3")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF not supported")
+    offsets = tags.get(_TAG_STRIP_OFFSETS)
+    counts = tags.get(_TAG_STRIP_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("strip offsets/counts missing or inconsistent")
+    rps = one(_TAG_ROWS_PER_STRIP, h)
+    if rps == 0:
+        raise ValueError("RowsPerStrip of zero")
+    if (h + rps - 1) // rps != len(offsets):
+        raise ValueError("strip count disagrees with RowsPerStrip")
+    out = bytearray()
+    for s, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(payload):
+            raise ValueError("strip bytes out of file bounds")
+        rows = min(rps, h - s * rps)
+        expected = rows * w * ch
+        raw = payload[off : off + cnt]
+        if compression == 32773:
+            raw = packbits_decode(raw, expected)
+        elif len(raw) != expected:
+            raise ValueError("uncompressed strip size mismatch")
+        out += raw
+    px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, ch)
+    if photometric == 0:  # white-is-zero: invert to black-is-zero
+        px = 255 - px
+    meta = {
+        "width": w, "height": h, "channels": ch,
+        "compression": compression, "big_endian": e == ">",
+        "n_strips": len(offsets), "next_ifd": next_ifd,
+    }
+    return px, meta

@@ -100,7 +100,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # composition row multimodal_apng_animation (acTL/fcTL/fdAT +
 # blend-OVER/SOURCE + dispose model over RGBA) rotated in for
 # lh_rollup_topk's slot (double-green non-anchor; the rollup family
-# stays driver-covered by percentile + the cdf feed).
+# stays driver-covered by percentile + the cdf feed). The NEW baseline
+# TIFF codec row multimodal_tiff_decode (II/MM byte orders, IFD walk,
+# strips, PackBits) rotated in for pipeline_rag_prep's slot
+# (double-green non-anchor; pipeline_ stays driver-covered by the held
+# video-curation composite; rag_prep stays local-gated + pytest-pinned).
 #
 # Round-12 rotation (VERDICT r11 tasks #1-#3). Rotates IN every
 # oracle-checkable query NEW or newly-oracle'd this round, each in its own
@@ -367,10 +371,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # displaced rows stay local-gated + pytest-pinned)
     "multimodal_mp4_multitrack",
     "multimodal_audio_decode",
-    # training-data ops (train_numeric_profile's second-round hold slot
-    # goes to the NEW end-to-end RAG-prep composite; train_ stays
-    # represented by epoch_shards + split_leakage_safe)
-    "pipeline_rag_prep",
+    # (pipeline_rag_prep's r13 rotation slot goes to the NEW baseline
+    # TIFF codec — fresh code outranks a double-green non-anchor;
+    # pipeline_ stays driver-covered by the held video-curation
+    # composite)
+    "multimodal_tiff_decode",
     # (fn_posexplode's r11 hold slot goes to the post-freeze anti
     # stream-stream join — the subtlest watermark-finalization mode)
     "stream_stream_anti_join",
