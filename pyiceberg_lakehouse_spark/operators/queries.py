@@ -2246,6 +2246,118 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_exif_extract",
+    # Filter modulus 7 is coprime with orientation (%8), make (%5),
+    # model (%11), day (%28), iso (%8), exposure (%200) and endianness
+    # (%2) knobs, so every branch — including both EXIF byte orders —
+    # is live in the driver-hashed corpus.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d
+      from documents where doc_id % 5 = 0
+    )
+    select doc_id,
+           cast(1 + d % 8 as integer) as orientation,
+           'cam-' || (d % 5) as make,
+           'model-' || (d % 11) as model,
+           '2020:01:' || lpad(cast(1 + d % 28 as varchar), 2, '0')
+             || ' 12:00:00' as datetime,
+           cast(100 + (d % 8) * 50 as integer) as iso,
+           cast(1 as integer) as exposure_num,
+           cast(60 + d % 200 as integer) as exposure_den,
+           cast(8 as integer) as pixel_x,
+           cast(8 as integer) as pixel_y,
+           d % 2 = 1 as big_endian,
+           true as still_decodes
+    from base
+    """,
+)
+def multimodal_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction from camera-shaped JPEGs (operators/exif.py): per
+    doc, encode a real baseline JPEG, splice in an APP1/Exif segment —
+    a TIFF IFD chain (IFD0 + Exif sub-IFD pointer) in BOTH byte orders
+    by parity, ASCII/SHORT/LONG/RATIONAL tag types, built and parsed by
+    the same IFD machinery as the TIFF codec — and read back the
+    curation-filter fields: orientation, make/model, capture time, ISO,
+    exposure rational, pixel dims. ``still_decodes`` proves the APP1
+    splice did not break the pixel decoder (markers skip by length).
+    The oracle restates every field closed-form from doc_id."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import exif as _exif
+    from pyiceberg_lakehouse_spark.operators import jpeg as _jpeg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("orientation", T.IntegerType()),
+            T.StructField("make", T.StringType()),
+            T.StructField("model", T.StringType()),
+            T.StructField("datetime", T.StringType()),
+            T.StructField("iso", T.IntegerType()),
+            T.StructField("exposure_num", T.IntegerType()),
+            T.StructField("exposure_den", T.IntegerType()),
+            T.StructField("pixel_x", T.IntegerType()),
+            T.StructField("pixel_y", T.IntegerType()),
+            T.StructField("big_endian", T.BooleanType()),
+            T.StructField("still_decodes", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px = ((d + np.arange(64).reshape(8, 8) * 3) % 256).astype(
+                    np.uint8
+                )
+                tagged = _exif.insert_app1(
+                    _jpeg.encode_jpeg(px),
+                    _exif.build_exif_app1(
+                        orientation=1 + d % 8,
+                        make=f"cam-{d % 5}",
+                        model=f"model-{d % 11}",
+                        datetime=f"2020:01:{1 + d % 28:02d} 12:00:00",
+                        iso=100 + (d % 8) * 50,
+                        exposure=(1, 60 + d % 200),
+                        pixel_xy=(8, 8),
+                        big_endian=d % 2 == 1,
+                    ),
+                )
+                m = _exif.parse_exif(tagged)
+                decoded = _jpeg.decode_jpeg(tagged)
+                rows.append(
+                    (
+                        d, m["orientation"], m["make"], m["model"],
+                        m["datetime"], m["iso"],
+                        m["exposure"][0], m["exposure"][1],
+                        m["pixel_x"], m["pixel_y"], m["big_endian"],
+                        bool(decoded.shape == (8, 8)),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname in (
+                "orientation", "iso", "exposure_num", "exposure_den",
+                "pixel_x", "pixel_y",
+            ):
+                out[cname] = out[cname].astype("int32")
+            out["doc_id"] = out["doc_id"].astype("int64")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "multimodal_tiff_decode",
     # Filter modulus 5 is coprime with the endianness (%4), channel
     # (%2), compression (%3) and strip (%3) knobs, so both byte orders,

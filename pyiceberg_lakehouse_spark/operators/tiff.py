@@ -281,3 +281,108 @@ def decode_tiff(payload: bytes):
         "n_strips": len(offsets), "next_ifd": next_ifd,
     }
     return px, meta
+
+
+def parse_ifd(payload: bytes, ifd_off: int, e: str) -> tuple[dict, int]:
+    """General IFD walk (shared with the EXIF reader): -> ({tag: value},
+    next_ifd_offset). SHORT/LONG -> list[int], ASCII -> str (NUL
+    stripped), RATIONAL -> list[(num, den)]; other types are skipped.
+    All offsets are relative to ``payload``'s start (the TIFF header),
+    which is exactly the EXIF APP1 contract."""
+    if ifd_off + 2 > len(payload):
+        raise ValueError("IFD offset out of bounds")
+    (n_entries,) = struct.unpack_from(f"{e}H", payload, ifd_off)
+    if ifd_off + 2 + 12 * n_entries + 4 > len(payload):
+        raise ValueError("IFD exceeds the file")
+    tags: dict[int, object] = {}
+    for k in range(n_entries):
+        at = ifd_off + 2 + 12 * k
+        tid, ttype, count = struct.unpack_from(f"{e}HHI", payload, at)
+        if ttype not in _TYPE_SIZES:
+            continue
+        size = _TYPE_SIZES[ttype] * count
+        if size <= 4:
+            src = at + 8
+        else:
+            (src,) = struct.unpack_from(f"{e}I", payload, at + 8)
+            if src + size > len(payload):
+                raise ValueError(f"tag {tid} values out of bounds")
+        if ttype == 2:
+            tags[tid] = (
+                payload[src : src + count].split(b"\x00", 1)[0].decode(
+                    "latin-1"
+                )
+            )
+        elif ttype == 3:
+            tags[tid] = list(struct.unpack_from(f"{e}{count}H", payload, src))
+        elif ttype == 4:
+            tags[tid] = list(struct.unpack_from(f"{e}{count}I", payload, src))
+        elif ttype == 5:
+            vals = struct.unpack_from(f"{e}{2 * count}I", payload, src)
+            tags[tid] = [
+                (vals[2 * i], vals[2 * i + 1]) for i in range(count)
+            ]
+    (next_ifd,) = struct.unpack_from(
+        f"{e}I", payload, ifd_off + 2 + 12 * n_entries
+    )
+    return tags, next_ifd
+
+
+def build_ifds(ifds: list[list[tuple[int, int, object]]], e: str) -> bytes:
+    """Emit a TIFF stream of chained value-only IFDs (no strips) — the
+    EXIF APP1 shape. ``ifds[i]`` is a list of (tag, type, value) with
+    value str for ASCII, list[int] for SHORT/LONG, list[(num, den)] for
+    RATIONAL, and ('ifd', i) for a pointer to another IFD in the list.
+    IFD 0 is the root; returns header + IFDs + overflow values."""
+    # first pass: measure each IFD (entries are fixed 12 bytes)
+    sizes = [2 + 12 * len(entries) + 4 for entries in ifds]
+    ifd_offsets = []
+    pos = 8
+    for s in sizes:
+        ifd_offsets.append(pos)
+        pos += s
+    overflow_base = pos
+
+    def pack_value(ttype: int, value) -> bytes:
+        if ttype == 2:
+            return value.encode("latin-1") + b"\x00"
+        if ttype == 3:
+            return struct.pack(f"{e}{len(value)}H", *value)
+        if ttype == 4:
+            return struct.pack(f"{e}{len(value)}I", *value)
+        if ttype == 5:
+            flat = [x for pair in value for x in pair]
+            return struct.pack(f"{e}{len(flat)}I", *flat)
+        raise ValueError(f"unsupported IFD type {ttype}")
+
+    overflow = bytearray()
+    chunks = []
+    for entries in ifds:
+        body = struct.pack(f"{e}H", len(entries))
+        for tid, ttype, value in sorted(entries):
+            if isinstance(value, tuple) and value[0] == "ifd":
+                body += struct.pack(
+                    f"{e}HHII", tid, 4, 1, ifd_offsets[value[1]]
+                )
+                continue
+            packed = pack_value(ttype, value)
+            count = (
+                len(value)
+                if ttype != 2
+                else len(packed)
+            )
+            if len(packed) <= 4:
+                body += struct.pack(f"{e}HHI", tid, ttype, count)
+                body += packed.ljust(4, b"\x00")
+            else:
+                body += struct.pack(
+                    f"{e}HHII", tid, ttype, count,
+                    overflow_base + len(overflow),
+                )
+                overflow += packed
+        body += struct.pack(f"{e}I", 0)
+        chunks.append(body)
+    header = struct.pack(
+        f"{e}2sHI", b"MM" if e == ">" else b"II", 42, ifd_offsets[0]
+    )
+    return header + b"".join(chunks) + bytes(overflow)

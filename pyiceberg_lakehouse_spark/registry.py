@@ -105,6 +105,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # strips, PackBits) rotated in for pipeline_rag_prep's slot
 # (double-green non-anchor; pipeline_ stays driver-covered by the held
 # video-curation composite; rag_prep stays local-gated + pytest-pinned).
+# The NEW EXIF extraction row multimodal_exif_extract (APP1 TIFF-IFD
+# chain in both byte orders, built/parsed by the TIFF machinery)
+# rotated in for lh_text_bm25's slot (double-green non-anchor; the
+# inverted-index family stays driver-covered by lh_text_search +
+# stream_lh_text_search; BM25 stays local-gated + pytest-pinned).
 #
 # Round-12 rotation (VERDICT r11 tasks #1-#3). Rotates IN every
 # oracle-checkable query NEW or newly-oracle'd this round, each in its own
@@ -217,7 +222,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text index's AND-search and BM25 rows)
     "agg_q1_pricing_summary",
     "lh_text_search",
-    "lh_text_bm25",
+    # (lh_text_bm25's r13 rotation slot goes to the NEW EXIF extraction
+    # row — fresh code outranks a double-green non-anchor; the
+    # inverted-index family stays driver-covered by lh_text_search +
+    # stream_lh_text_search)
+    "multimodal_exif_extract",
     # joins: anchor + four structurally-diverse TPC-H topology anchors
     # (plan shapes of all 22 stay machine-checked in tests/test_plans.py);
     # NEW runtime-filter semi-join reduction + bloom-index join pruning
