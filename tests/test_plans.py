@@ -563,3 +563,25 @@ def test_video_curation_single_shuffle(spark, sf_dir):
     assert "Join" not in plan
     # partial aggregation runs map-side, before the exchange
     assert "partial" in plan.lower()
+
+
+def test_r13_codec_queries_map_only(spark, sf_dir):
+    """Every r13 codec/extraction query is per-document work and must
+    stay a pure map stage (no Exchange) — media-scale rows never
+    shuffle: GIF LZW roundtrip, GIF/APNG composition, fragmented-MP4
+    demux, ID3-tagged MP3 metadata, subtitle parsing (sidecar and
+    in-MP4), TIFF roundtrip, EXIF extraction."""
+    for q in (
+        "multimodal_gif_decode",
+        "multimodal_gif_animation",
+        "multimodal_apng_animation",
+        "multimodal_mp4_fragmented",
+        "multimodal_mp3_id3",
+        "text_subtitle_cues",
+        "multimodal_mp4_subtitles",
+        "multimodal_tiff_decode",
+        "multimodal_exif_extract",
+    ):
+        plan = plan_of(spark, q, sf_dir)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, (q, plan[:800])
+        assert "MapInPandas" in plan, q

@@ -933,6 +933,18 @@ def bench_mp4_demux(spark, b: Bench, tmp: str) -> None:
             reps=REPS,
             warmup=True,
         )
+        # r13: the fragmented (moof/tfhd/tfdt/trun) face — same class:
+        # mux + demux per doc where the bytes live, zero shuffle
+        from pyiceberg_lakehouse_spark.operators.multimodal import (
+            demux_mp4_fragmented_table,
+        )
+
+        b.run(
+            f"mp4_fragmented_{tag}",
+            lambda d=docs: drain(demux_mp4_fragmented_table(d)),
+            reps=REPS,
+            warmup=True,
+        )
 
 
 SECTIONS = {
