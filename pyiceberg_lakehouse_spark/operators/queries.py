@@ -2859,6 +2859,72 @@ def multimodal_mp4_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_caption_curation",
+    # The curation features a video->caption training set filters on,
+    # restated closed-form over the same cue construction as
+    # multimodal_mp4_subtitles (shared synthesis = the two faces can
+    # never drift): per doc, cue count, captioned span, coverage ratio
+    # vs the video trak's duration, and mean text length.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             4 + doc_id % 4 as n, 800 + (doc_id % 3) * 100 as delta
+      from documents where doc_id % 7 = 1
+    ),
+    cues as (
+      select doc_id, d, n, delta, i,
+             i * delta as start_ms,
+             case when i + 1 < n then (i + 1) * delta
+                  else i * delta end as end_ms,
+             length('sub-' || d || '-' || i) as n_chars
+      from base, unnest(generate_series(0, 7)) u(i) where i < n
+    )
+    select doc_id,
+           cast(count(*) as integer) as n_cues,
+           cast(max(end_ms) as bigint) as captioned_ms,
+           cast(300 as bigint) as video_ms,
+           cast(cast(max(end_ms) as double) / 300.0 as double)
+             as coverage_ratio,
+           cast(sum(n_chars) as bigint) as total_chars,
+           cast(max(end_ms) >= 300 as boolean) as keep
+    from cues
+    group by doc_id
+    """,
+)
+def pipeline_caption_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end caption-curation composite: mux (video + audio + tx3g
+    text trak) -> demux with handler routing -> cue extraction -> ONE
+    aggregation shuffle producing the per-doc curation features a
+    video->caption training set filters on: cue count, captioned span,
+    coverage ratio against the VIDEO trak's duration (3 samples x
+    100 ms), total caption characters, and the keep decision. Plan:
+    map-stage demux + exactly one Exchange (the groupBy), no joins, no
+    second pass over media rows — the same single-shuffle shape as
+    pipeline_video_curation, proven in tests/test_plans.py."""
+    cues = multimodal_mp4_subtitles(spark, sf_dir)
+    video_ms = F.lit(300).cast("bigint")
+    return (
+        cues.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_cues"),
+            F.max("end_ms").alias("captioned_ms"),
+            F.sum(F.length("text")).alias("total_chars_tmp"),
+        )
+        .select(
+            "doc_id",
+            "n_cues",
+            "captioned_ms",
+            video_ms.alias("video_ms"),
+            (F.col("captioned_ms").cast("double") / 300.0).alias(
+                "coverage_ratio"
+            ),
+            F.col("total_chars_tmp").cast("bigint").alias("total_chars"),
+            (F.col("captioned_ms") >= 300).alias("keep"),
+        )
+    )
+
+
+@register(
     "multimodal_mp3_id3",
     # Filter modulus 7 is coprime with the version cycle (%2), bitrate
     # (%6), rate (%3) and every tag-text knob, so both ID3v2 wire

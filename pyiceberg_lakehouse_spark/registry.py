@@ -109,7 +109,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # chain in both byte orders, built/parsed by the TIFF machinery)
 # rotated in for lh_text_bm25's slot (double-green non-anchor; the
 # inverted-index family stays driver-covered by lh_text_search +
-# stream_lh_text_search; BM25 stays local-gated + pytest-pinned).
+# stream_lh_text_search; BM25 stays local-gated + pytest-pinned). The
+# NEW caption-curation composite pipeline_caption_curation (demux ->
+# cue extraction -> one aggregation shuffle, the video->caption quality
+# filter) rotated in for lh_catalog_view's slot (double-green
+# non-anchor; the catalog/view lifecycle stays local-gated +
+# tests/test_catalog_views.py).
 #
 # Round-12 rotation (VERDICT r11 tasks #1-#3). Rotates IN every
 # oracle-checkable query NEW or newly-oracle'd this round, each in its own
@@ -237,9 +242,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_q13_customer_distribution",
     "agg_q18_large_orders",
     "agg_q21_suppliers_kept_waiting",
-    # (set_union_missing_columns' second-round hold slot goes to the NEW
-    # CREATE VIEW lifecycle row; set ops stay local-gated)
-    "lh_catalog_view",
+    # (lh_catalog_view's r13 rotation slot goes to the NEW
+    # caption-curation composite — fresh code outranks a double-green
+    # non-anchor; the view lifecycle stays local-gated + pytest-pinned)
+    "pipeline_caption_curation",
     # windows (r9 first-timer holds)
     "win_ntile_cume",
     # scalar-function long tail: the final 6 never-verified rotate in

@@ -585,3 +585,11 @@ def test_r13_codec_queries_map_only(spark, sf_dir):
         plan = plan_of(spark, q, sf_dir)
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, (q, plan[:800])
         assert "MapInPandas" in plan, q
+
+
+def test_caption_curation_single_shuffle(spark, sf_dir):
+    """The caption-curation composite is demux+cue extraction (map
+    stage) + ONE aggregation shuffle — no joins, no second media pass."""
+    plan = plan_of(spark, "pipeline_caption_curation", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:800]
+    assert "MapInPandas" in plan
