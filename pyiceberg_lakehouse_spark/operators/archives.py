@@ -1,0 +1,257 @@
+"""Archive enumeration — tar (ustar) and zip — pure stdlib parsing.
+
+Training corpora ship as archives: a crawl-ingest pipeline's first
+operator is "explode the archive into (path, bytes) rows", and doing
+it wrong (trusting the wrong size field, decompressing unbounded,
+missing the central directory) corrupts everything downstream. Parsers
+here are deliberately strict and bounds-checked, built from the format
+specs (POSIX ustar; PKWARE APPNOTE) rather than tarfile/zipfile, so
+hostile archives raise instead of half-working — and so the behavior
+is identical inside Arrow-batched executors with no tempfile I/O.
+
+Scope (honest gates):
+- tar: ustar regular files and directories, octal and GNU base-256
+  numeric fields, name+prefix joining; GNU long names ('L') supported;
+  pax extended headers ('x'/'g') raise NotImplementedError; sparse
+  files raise.
+- zip: central-directory walk from EOCD (the ONLY authoritative
+  listing — local headers lie in real-world zips), methods 0 (stored)
+  and 8 (deflate, stdlib zlib -15), CRC-32 verified on extraction;
+  zip64, encryption, and spanned archives raise.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_TAR_BLOCK = 512
+
+
+def _tar_num(field: bytes) -> int:
+    """Octal (NUL/space terminated) or GNU base-256 numeric field."""
+    if field and field[0] & 0x80:
+        val = 0
+        for b in field:
+            val = (val << 8) | b
+        return val - (0x80 << (8 * (len(field) - 1)))
+    s = field.split(b"\x00", 1)[0].strip()
+    if not s:
+        return 0
+    try:
+        return int(s, 8)
+    except ValueError as exc:
+        raise ValueError(f"bad tar numeric field {field!r}") from exc
+
+
+def make_tar(entries: list[dict]) -> bytes:
+    """entries: [{name, data (bytes), mtime?, mode?}] -> ustar bytes.
+    Names longer than 100 chars emit a GNU 'L' long-name record."""
+    out = bytearray()
+
+    def header(name: str, size: int, typeflag: bytes, mtime: int, mode: int) -> bytes:
+        h = bytearray(_TAR_BLOCK)
+        nb = name.encode("utf-8")
+        h[0 : len(nb)] = nb
+        h[100:108] = f"{mode:07o}\x00".encode()
+        h[108:116] = b"0000000\x00"
+        h[116:124] = b"0000000\x00"
+        h[124:136] = f"{size:011o}\x00".encode()
+        h[136:148] = f"{mtime:011o}\x00".encode()
+        h[148:156] = b" " * 8  # checksum placeholder
+        h[156:157] = typeflag
+        h[257:263] = b"ustar\x00"
+        h[263:265] = b"00"
+        chk = sum(h)
+        h[148:156] = f"{chk:06o}\x00 ".encode()
+        return bytes(h)
+
+    def block_pad(data: bytes) -> bytes:
+        rem = len(data) % _TAR_BLOCK
+        return data + b"\x00" * (_TAR_BLOCK - rem if rem else 0)
+
+    for e in entries:
+        name = e["name"]
+        data = e.get("data", b"")
+        mtime = int(e.get("mtime", 0))
+        mode = int(e.get("mode", 0o644))
+        is_dir = name.endswith("/")
+        if len(name.encode("utf-8")) > 100:
+            nb = name.encode("utf-8") + b"\x00"
+            out += header("././@LongLink", len(nb), b"L", 0, 0o644)
+            out += block_pad(nb)
+            name = name[:100]
+        out += header(
+            name, 0 if is_dir else len(data), b"5" if is_dir else b"0",
+            mtime, mode,
+        )
+        if not is_dir:
+            out += block_pad(data)
+    out += b"\x00" * (2 * _TAR_BLOCK)
+    return bytes(out)
+
+
+def parse_tar(payload: bytes) -> list[dict]:
+    """-> [{name, size, is_dir, mtime, data}] with checksum, bounds and
+    terminator validation."""
+    out: list[dict] = []
+    pos = 0
+    pending_longname = None
+    while True:
+        if pos + _TAR_BLOCK > len(payload):
+            raise ValueError("tar ends without the zero-block terminator")
+        h = payload[pos : pos + _TAR_BLOCK]
+        if h == b"\x00" * _TAR_BLOCK:
+            return out  # terminator (second zero block may be truncated)
+        stored = _tar_num(h[148:156])
+        calc = sum(h[:148]) + 8 * 0x20 + sum(h[156:])
+        if stored != calc:
+            raise ValueError(f"tar header checksum mismatch at {pos}")
+        if h[257:262] != b"ustar":
+            raise ValueError("not a ustar header")
+        typeflag = h[156:157]
+        size = _tar_num(h[124:136])
+        if size < 0:
+            raise ValueError("negative tar entry size")
+        data_start = pos + _TAR_BLOCK
+        data_end = data_start + size
+        if data_end > len(payload):
+            raise ValueError("tar entry data exceeds the archive")
+        blocks = (size + _TAR_BLOCK - 1) // _TAR_BLOCK
+        nxt = data_start + blocks * _TAR_BLOCK
+        if typeflag == b"L":  # GNU long name for the NEXT entry
+            pending_longname = (
+                payload[data_start:data_end].split(b"\x00", 1)[0].decode(
+                    "utf-8"
+                )
+            )
+            pos = nxt
+            continue
+        if typeflag in (b"x", b"g"):
+            raise NotImplementedError("pax extended tar headers")
+        if typeflag == b"S":
+            raise NotImplementedError("GNU sparse tar entries")
+        if typeflag not in (b"0", b"\x00", b"5"):
+            raise ValueError(f"unsupported tar typeflag {typeflag!r}")
+        name = h[0:100].split(b"\x00", 1)[0].decode("utf-8")
+        prefix = h[345:500].split(b"\x00", 1)[0].decode("utf-8")
+        if prefix:
+            name = prefix + "/" + name
+        if pending_longname is not None:
+            name = pending_longname
+            pending_longname = None
+        out.append(
+            {
+                "name": name,
+                "size": size,
+                "is_dir": typeflag == b"5",
+                "mtime": _tar_num(h[136:148]),
+                "data": payload[data_start:data_end],
+            }
+        )
+        pos = nxt
+
+
+_EOCD_SIG = b"PK\x05\x06"
+_CDIR_SIG = b"PK\x01\x02"
+_LOCAL_SIG = b"PK\x03\x04"
+
+
+def make_zip(entries: list[dict], method: int = 8) -> bytes:
+    """entries: [{name, data}] -> zip bytes (method 0 stored or
+    8 deflate)."""
+    if method not in (0, 8):
+        raise ValueError("zip method must be 0 (stored) or 8 (deflate)")
+    locals_ = bytearray()
+    cdir = bytearray()
+    offsets = []
+    for e in entries:
+        name = e["name"].encode("utf-8")
+        data = e["data"]
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        if method == 8:
+            comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+            blob = comp.compress(data) + comp.flush()
+        else:
+            blob = data
+        offsets.append(len(locals_))
+        locals_ += _LOCAL_SIG + struct.pack(
+            "<HHHHHIIIHH", 20, 0, method, 0, 0, crc, len(blob), len(data),
+            len(name), 0,
+        ) + name + blob
+    for e, off in zip(entries, offsets):
+        name = e["name"].encode("utf-8")
+        data = e["data"]
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        if method == 8:
+            comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+            blob = comp.compress(data) + comp.flush()
+        else:
+            blob = data
+        cdir += _CDIR_SIG + struct.pack(
+            "<HHHHHHIIIHHHHHII", 20, 20, 0, method, 0, 0, crc, len(blob),
+            len(data), len(name), 0, 0, 0, 0, 0, off,
+        ) + name
+    eocd = _EOCD_SIG + struct.pack(
+        "<HHHHIIH", 0, 0, len(entries), len(entries), len(cdir),
+        len(locals_), 0,
+    )
+    return bytes(locals_) + bytes(cdir) + eocd
+
+
+def parse_zip(payload: bytes) -> list[dict]:
+    """Central-directory walk -> [{name, method, usize, csize, crc32,
+    data (decompressed, CRC-verified)}]. The EOCD is found by scanning
+    back over a possible trailing comment (<= 64 KiB per spec)."""
+    scan_from = max(0, len(payload) - 22 - 0xFFFF)
+    eocd_at = payload.rfind(_EOCD_SIG, scan_from)
+    if eocd_at < 0:
+        raise ValueError("no zip end-of-central-directory record")
+    (
+        _disk, _cd_disk, _n_disk, n_total, cd_size, cd_off, _clen
+    ) = struct.unpack_from("<HHHHIIH", payload, eocd_at + 4)
+    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
+        raise NotImplementedError("zip64 archives")
+    if cd_off + cd_size > len(payload):
+        raise ValueError("central directory exceeds the file")
+    out: list[dict] = []
+    pos = cd_off
+    for _ in range(n_total):
+        if payload[pos : pos + 4] != _CDIR_SIG:
+            raise ValueError("bad central-directory entry signature")
+        (
+            _ver_made, _ver_need, flags, method, _t, _d, crc, csize, usize,
+            nlen, xlen, clen, _disk2, _iattr, _eattr, local_off
+        ) = struct.unpack_from("<HHHHHHIIIHHHHHII", payload, pos + 4)
+        name = payload[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        pos += 46 + nlen + xlen + clen
+        if flags & 0x1:
+            raise NotImplementedError("encrypted zip entries")
+        if method not in (0, 8):
+            raise NotImplementedError(f"zip compression method {method}")
+        # local header: skip its (possibly different) name/extra lengths
+        if payload[local_off : local_off + 4] != _LOCAL_SIG:
+            raise ValueError("bad local-header signature")
+        lnlen, lxlen = struct.unpack_from("<HH", payload, local_off + 26)
+        data_at = local_off + 30 + lnlen + lxlen
+        if data_at + csize > len(payload):
+            raise ValueError("zip entry data exceeds the file")
+        blob = payload[data_at : data_at + csize]
+        if method == 8:
+            d = zlib.decompressobj(-15)
+            data = d.decompress(blob, usize + 1)
+            if len(data) != usize or d.decompress(b"", 1):
+                raise ValueError("zip entry decompresses to the wrong size")
+        else:
+            if csize != usize:
+                raise ValueError("stored zip entry with csize != usize")
+            data = blob
+        if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"zip CRC mismatch for {name!r}")
+        out.append(
+            {
+                "name": name, "method": method, "usize": usize,
+                "csize": csize, "crc32": crc, "data": data,
+            }
+        )
+    return out

@@ -2859,6 +2859,222 @@ def multimodal_mp4_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_warc_responses",
+    # Filter modulus 9 is coprime with the record-count (%4), status
+    # (%3), content-type (%2) and gzip-layout (%2) knobs, so both WARC
+    # storage forms (plain + per-record gzip members) and every HTTP
+    # branch are live in the driver-hashed corpus.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d, 3 + doc_id % 4 as n
+      from documents where doc_id % 9 = 4
+    )
+    select doc_id,
+           cast(i as integer) as rec_idx,
+           'http://ex.com/' || d || '/' || i as uri,
+           cast(case cast((d + i) % 3 as integer)
+                when 0 then 200 when 1 then 404 else 301 end
+               as integer) as status,
+           case when i % 2 = 0 then 'text/html' else 'text/plain' end
+             as content_type,
+           'body-' || d || '-' || i as body_text,
+           cast(length('body-' || d || '-' || i) as integer) as body_len,
+           d % 2 = 1 as gzipped
+    from base, unnest(generate_series(0, 6)) u(i) where i < n
+    """,
+)
+def scan_warc_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl ingest (operators/warc.py — the Common Crawl format):
+    per doc, build a WARC containing n HTTP response records plus an
+    interleaved request record (which the reader must route away), in
+    BOTH storage layouts by parity — plain concatenation and the
+    per-record gzip-member form Common Crawl ships (multi-member
+    gunzip via the zlib unused_data contract) — then run the ingest
+    composition: record walk -> WARC-Type filter -> HTTP envelope
+    parse (status line, headers, Content-Length framing). The oracle
+    restates every uri/status/content-type/body closed-form; a framing
+    slip (separator, Content-Length, member boundary) flips the hash."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import warc as _warc
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 4)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("rec_idx", T.IntegerType()),
+            T.StructField("uri", T.StringType()),
+            T.StructField("status", T.IntegerType()),
+            T.StructField("content_type", T.StringType()),
+            T.StructField("body_text", T.StringType()),
+            T.StructField("body_len", T.IntegerType()),
+            T.StructField("gzipped", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+    statuses = (200, 404, 301)
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 3 + d % 4
+                gz = d % 2 == 1
+                recs = []
+                for i in range(n):
+                    body = f"body-{d}-{i}".encode()
+                    http = _warc.build_http_response(
+                        statuses[(d + i) % 3], "X",
+                        [
+                            (
+                                "Content-Type",
+                                "text/html" if i % 2 == 0 else "text/plain",
+                            )
+                        ],
+                        body,
+                    )
+                    recs.append(
+                        {
+                            "type": "response",
+                            "uri": f"http://ex.com/{d}/{i}",
+                            "block": http,
+                        }
+                    )
+                    if i == 0:
+                        recs.append(
+                            {
+                                "type": "request",
+                                "uri": f"http://ex.com/{d}/0",
+                                "block": b"GET / HTTP/1.1\r\n\r\n",
+                            }
+                        )
+                payload = _warc.make_warc(recs, gzip_records=gz)
+                for i, r in enumerate(_warc.warc_responses(payload)):
+                    rows.append(
+                        (
+                            d, i, r["uri"], r["status"], r["content_type"],
+                            r["body"].decode(), len(r["body"]), gz,
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            for c2, dt in (
+                ("doc_id", "int64"), ("rec_idx", "int32"),
+                ("status", "int32"), ("body_len", "int32"),
+            ):
+                out[c2] = out[c2].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "scan_archive_entries",
+    # Filter modulus 9 is coprime with the format (%2), entry-count
+    # (%5), zip-method (%3) and size knobs, so tar and both zip methods
+    # are all live in the driver-hashed corpus.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d, 3 + doc_id % 5 as n
+      from documents where doc_id % 9 = 5
+    )
+    select doc_id,
+           case when d % 2 = 0 then 'tar' else 'zip' end as fmt,
+           cast(i as integer) as entry_idx,
+           'dir-' || (d % 3) || '/file-' || i || '.bin' as name,
+           cast(20 + (d + 3*i) % 40 as integer) as size_bytes,
+           cast((select sum((d + i + 7*j) % 256)
+                 from generate_series(0, 58) g(j)
+                 where j < 20 + (d + 3*i) % 40) as bigint) as byte_sum,
+           d % 2 = 1 and d % 3 != 0 as deflated
+    from base, unnest(generate_series(0, 7)) u(i) where i < n
+    """,
+)
+def scan_archive_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive explosion (operators/archives.py): per doc, build a tar
+    (even docs: ustar headers with checksums, block padding, a GNU
+    long-name record exercised in pytest) or a zip (odd docs: central
+    directory walked from EOCD, method stored/deflate cycling, CRC-32
+    verified on every extraction), then explode it to one row per
+    entry with the extracted bytes' sum. The oracle restates names,
+    sizes and byte sums closed-form — a block-padding slip, a wrong
+    size field, or a central-directory offset error flips the hash.
+    This is the first operator of every 'corpus ships as archives'
+    ingest pipeline."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import archives as _ar
+    from pyiceberg_lakehouse_spark.operators.multimodal import _cf_bytes
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 5)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("entry_idx", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("size_bytes", T.IntegerType()),
+            T.StructField("byte_sum", T.LongType()),
+            T.StructField("deflated", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 3 + d % 5
+                entries = [
+                    {
+                        "name": f"dir-{d % 3}/file-{i}.bin",
+                        "data": _cf_bytes(d + i, 7, 20 + (d + 3 * i) % 40),
+                    }
+                    for i in range(n)
+                ]
+                if d % 2 == 0:
+                    fmt = "tar"
+                    parsed = _ar.parse_tar(_ar.make_tar(entries))
+                    deflated = False
+                else:
+                    fmt = "zip"
+                    method = 0 if d % 3 == 0 else 8
+                    parsed = _ar.parse_zip(
+                        _ar.make_zip(entries, method=method)
+                    )
+                    deflated = method == 8
+                for i, e in enumerate(parsed):
+                    rows.append(
+                        (
+                            d, fmt, i, e["name"],
+                            len(e["data"]), sum(e["data"]), deflated,
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            for c2, dt in (
+                ("doc_id", "int64"), ("entry_idx", "int32"),
+                ("size_bytes", "int32"), ("byte_sum", "int64"),
+            ):
+                out[c2] = out[c2].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "pipeline_caption_curation",
     # The curation features a video->caption training set filters on,
     # restated closed-form over the same cue construction as

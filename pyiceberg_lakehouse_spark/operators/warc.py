@@ -1,0 +1,179 @@
+"""WARC (ISO 28500) — the web-crawl archive format training corpora
+start from (Common Crawl ships WARC), parsed with pure stdlib.
+
+A crawl-ingest pipeline's first real operator is "WARC bytes ->
+(url, status, content_type, body) rows". This layer implements the
+wire format from the spec: WARC/1.0 and /1.1 version lines, CRLF
+header blocks, Content-Length-framed record blocks, the mandatory
+CRLF CRLF record separator, and BOTH storage layouts — plain
+concatenation and the per-record-gzip-member form Common Crawl
+actually uses (each record its own gzip member, so a reader can seek;
+the multi-member walk uses zlib's unused_data contract). HTTP
+response envelopes inside response records parse status line +
+headers + body with Content-Length framing when present.
+
+Honest gates: chunked transfer-encoding inside stored HTTP (rare in
+WARC — crawlers de-chunk) raises NotImplementedError; truncated
+records, bad version lines, missing separators and short blocks raise
+ValueError — a crawl reader that guesses yields corrupt training text.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+
+def build_http_response(
+    status: int,
+    reason: str,
+    headers: list[tuple[str, str]],
+    body: bytes,
+) -> bytes:
+    head = f"HTTP/1.1 {status} {reason}\r\n"
+    hdrs = "".join(f"{k}: {v}\r\n" for k, v in headers)
+    if not any(k.lower() == "content-length" for k, _ in headers):
+        hdrs += f"Content-Length: {len(body)}\r\n"
+    return head.encode("latin-1") + hdrs.encode("latin-1") + b"\r\n" + body
+
+
+def parse_http_response(block: bytes) -> dict:
+    """-> {status, reason, headers (dict, lower-cased keys), body}."""
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("HTTP envelope without a blank-line separator")
+    head_lines = block[:sep].split(b"\r\n")
+    parts = head_lines[0].split(b" ", 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ValueError(f"bad HTTP status line {head_lines[0]!r}")
+    status = int(parts[1])
+    reason = parts[2].decode("latin-1") if len(parts) > 2 else ""
+    headers: dict[str, str] = {}
+    for ln in head_lines[1:]:
+        k, _, v = ln.partition(b":")
+        headers[k.decode("latin-1").strip().lower()] = (
+            v.decode("latin-1").strip()
+        )
+    if "chunked" in headers.get("transfer-encoding", ""):
+        raise NotImplementedError("chunked HTTP bodies inside WARC")
+    body = block[sep + 4 :]
+    if "content-length" in headers:
+        n = int(headers["content-length"])
+        if n > len(body):
+            raise ValueError("HTTP body shorter than Content-Length")
+        body = body[:n]
+    return {
+        "status": status, "reason": reason, "headers": headers, "body": body
+    }
+
+
+def make_warc(records: list[dict], gzip_records: bool = True) -> bytes:
+    """records: [{type, uri?, date?, record_id?, content_type?, block}]
+    -> WARC bytes; each record its own gzip member when gzip_records
+    (the Common Crawl layout)."""
+    out = bytearray()
+    for i, r in enumerate(records):
+        block = r["block"]
+        hdrs = [
+            ("WARC-Type", r["type"]),
+            ("WARC-Record-ID", r.get("record_id", f"<urn:rec:{i}>")),
+            ("WARC-Date", r.get("date", "2020-01-01T00:00:00Z")),
+        ]
+        if r.get("uri"):
+            hdrs.append(("WARC-Target-URI", r["uri"]))
+        hdrs.append(
+            (
+                "Content-Type",
+                r.get(
+                    "content_type",
+                    "application/http; msgtype=response"
+                    if r["type"] == "response"
+                    else "application/octet-stream",
+                ),
+            )
+        )
+        hdrs.append(("Content-Length", str(len(block))))
+        rec = b"WARC/1.0\r\n"
+        rec += "".join(f"{k}: {v}\r\n" for k, v in hdrs).encode("latin-1")
+        rec += b"\r\n" + block + b"\r\n\r\n"
+        if gzip_records:
+            comp = zlib.compressobj(6, zlib.DEFLATED, 16 + 15)
+            out += comp.compress(rec) + comp.flush()
+        else:
+            out += rec
+    return bytes(out)
+
+
+def _gunzip_members(payload: bytes) -> bytes:
+    """Concatenate every gzip member (the multi-member crawl layout)."""
+    out = bytearray()
+    rest = payload
+    while rest:
+        d = zlib.decompressobj(16 + 15)
+        out += d.decompress(rest)
+        out += d.flush()
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC")
+        rest = d.unused_data
+    return bytes(out)
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """-> [{headers (dict, original-case keys lower-cased), block}].
+    Accepts plain or (multi-member) gzip storage transparently."""
+    if payload[:2] == b"\x1f\x8b":
+        payload = _gunzip_members(payload)
+    out: list[dict] = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        eol = payload.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("truncated WARC version line")
+        version = payload[pos:eol]
+        if version not in (b"WARC/1.0", b"WARC/1.1"):
+            raise ValueError(f"bad WARC version line {version!r}")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = payload.find(b"\r\n", pos)
+            if eol < 0:
+                raise ValueError("truncated WARC header block")
+            line = payload[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            k, _, v = line.partition(b":")
+            headers[k.decode("latin-1").strip().lower()] = (
+                v.decode("latin-1").strip()
+            )
+        if "content-length" not in headers:
+            raise ValueError("WARC record without Content-Length")
+        clen = int(headers["content-length"])
+        if pos + clen > n:
+            raise ValueError("WARC block exceeds the file")
+        block = payload[pos : pos + clen]
+        pos += clen
+        if payload[pos : pos + 4] != b"\r\n\r\n":
+            raise ValueError("WARC record missing its CRLF CRLF separator")
+        pos += 4
+        out.append({"headers": headers, "block": block})
+    return out
+
+
+def warc_responses(payload: bytes) -> list[dict]:
+    """The ingest composition: parse records, keep WARC-Type: response,
+    parse each HTTP envelope -> [{uri, status, content_type, body}]."""
+    out = []
+    for rec in parse_warc(payload):
+        if rec["headers"].get("warc-type") != "response":
+            continue
+        http = parse_http_response(rec["block"])
+        out.append(
+            {
+                "uri": rec["headers"].get("warc-target-uri", ""),
+                "status": http["status"],
+                "content_type": http["headers"].get("content-type", ""),
+                "body": http["body"],
+            }
+        )
+    return out

@@ -114,7 +114,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # cue extraction -> one aggregation shuffle, the video->caption quality
 # filter) rotated in for lh_catalog_view's slot (double-green
 # non-anchor; the catalog/view lifecycle stays local-gated +
-# tests/test_catalog_views.py).
+# tests/test_catalog_views.py). The NEW crawl-ingest pair —
+# scan_warc_responses (WARC record walk + per-record gzip members +
+# HTTP envelope parse, the Common Crawl format) and
+# scan_archive_entries (ustar/zip explosion, central-directory walk,
+# CRC-verified extraction) — rotated in for stream_stream_left_join's
+# and stream_stream_right_join's slots (double-green non-anchors; the
+# watermark-complete stream-stream family stays driver-covered by the
+# full + anti modes, the subtlest two; left/right stay local-gated +
+# pytest-pinned).
 #
 # Round-12 rotation (VERDICT r11 tasks #1-#3). Rotates IN every
 # oracle-checkable query NEW or newly-oracle'd this round, each in its own
@@ -308,9 +316,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # fragmented-MP4 demux — fresh code outranks a double-green
     # non-anchor; tag-retention expiry stays local-gated + pytest-pinned)
     "multimodal_mp4_fragmented",
-    # (lh_datasource_write_roundtrip's second-round hold slot goes to the
-    # post-freeze watermark-complete left-outer stream-stream join)
-    "stream_stream_left_join",
+    # (stream_stream_left_join's r13 rotation slot goes to the NEW WARC
+    # crawl-ingest row — fresh code outranks a double-green non-anchor;
+    # the stream-stream family keeps full + anti, the subtlest modes)
+    "scan_warc_responses",
     # (lh_rollup_avg's hold slot goes to the NEW exact-percentile rollup —
     # fresh code outranks a second-round hold; avg stays local-gated.
     # lh_rollup_hourly's hold slot goes to the NEW commit-time change-data
@@ -343,7 +352,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (dedup_components_exact's second-round hold slot goes to the
     # post-freeze right-outer stream-stream join; substring_spans HOLDS —
     # its oracle dtype fix must re-green this round)
-    "stream_stream_right_join",
+    # (stream_stream_right_join's r13 rotation slot goes to the NEW
+    # archive-explosion row — same principle)
+    "scan_archive_entries",
     "dedup_substring_spans",
     # (train_mix_temperature's second-round hold slot went to the r10
     # cosine range search; dedup_semantic's second-round hold slot goes

@@ -1,0 +1,206 @@
+"""Archive (tar/zip) and WARC readers: wire-format roundtrips, strict
+framing, hostile inputs, honest gates."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from pyiceberg_lakehouse_spark.operators.archives import (
+    make_tar,
+    make_zip,
+    parse_tar,
+    parse_zip,
+)
+from pyiceberg_lakehouse_spark.operators.warc import (
+    build_http_response,
+    make_warc,
+    parse_http_response,
+    parse_warc,
+    warc_responses,
+)
+
+# ------------------------------------------------------------------ tar ---
+
+
+def test_tar_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        entries=st.lists(
+            st.tuples(
+                st.text(
+                    alphabet="abcdefghij/().-_", min_size=1, max_size=140
+                ).filter(lambda s: not s.endswith("/") and ".." not in s),
+                st.binary(max_size=2000),
+            ),
+            min_size=1, max_size=8, unique_by=lambda t: t[0],
+        )
+    )
+    def check(entries):
+        tar = make_tar(
+            [{"name": n, "data": d, "mtime": 1700000000} for n, d in entries]
+        )
+        assert len(tar) % 512 == 0
+        got = parse_tar(tar)
+        assert [(e["name"], e["data"]) for e in got] == entries
+        assert all(e["mtime"] == 1700000000 for e in got)
+
+    check()
+
+
+def test_tar_hostile_inputs():
+    tar = bytearray(make_tar([{"name": "a", "data": b"x" * 100}]))
+    tar[130] ^= 0x01  # corrupt a size digit -> checksum mismatch
+    with pytest.raises(ValueError, match="checksum"):
+        parse_tar(bytes(tar))
+    good = make_tar([{"name": "a", "data": b"x" * 100}])
+    with pytest.raises(ValueError, match="exceeds the archive"):
+        parse_tar(good[:512])  # header whose data was cut off
+    with pytest.raises(ValueError, match="terminator"):
+        parse_tar(good[:1024])  # data intact, zero blocks gone
+    with pytest.raises(ValueError, match="ustar|bad tar numeric"):
+        parse_tar(b"A" * 512 + bytes(1024))
+    # pax gate: flip typeflag to 'x' and refresh the checksum
+    raw = bytearray(good)
+    raw[156] = ord("x")
+    chk = sum(raw[:148]) + 8 * 0x20 + sum(raw[156:512])
+    raw[148:156] = f"{chk:06o}\x00 ".encode()
+    with pytest.raises(NotImplementedError, match="pax"):
+        parse_tar(bytes(raw))
+
+
+def test_tar_gnu_base256_size():
+    """A base-256 size field (high bit set) must parse."""
+    raw = bytearray(make_tar([{"name": "a", "data": b"y" * 7}]))
+    raw[124:136] = b"\x80" + (7).to_bytes(11, "big")
+    chk = sum(raw[:148]) + 8 * 0x20 + sum(raw[156:512])
+    raw[148:156] = f"{chk:06o}\x00 ".encode()
+    assert parse_tar(bytes(raw))[0]["data"] == b"y" * 7
+
+
+# ------------------------------------------------------------------ zip ---
+
+
+def test_zip_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        entries=st.lists(
+            st.tuples(
+                st.text(alphabet="abcdef/.-_", min_size=1, max_size=40),
+                st.binary(max_size=3000),
+            ),
+            min_size=1, max_size=6, unique_by=lambda t: t[0],
+        ),
+        method=st.sampled_from([0, 8]),
+    )
+    def check(entries, method):
+        z = make_zip([{"name": n, "data": d} for n, d in entries], method)
+        got = parse_zip(z)
+        assert [(e["name"], e["data"]) for e in got] == entries
+        assert all(e["method"] == method for e in got)
+
+    check()
+
+
+def test_zip_crc_and_hostiles():
+    z = bytearray(make_zip([{"name": "a", "data": b"hello" * 20}], 0))
+    i = z.index(b"hello")
+    z[i] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        parse_zip(bytes(z))
+    with pytest.raises(ValueError, match="end-of-central-directory"):
+        parse_zip(b"PK\x03\x04 not a real zip")
+    # encrypted flag
+    z2 = bytearray(make_zip([{"name": "a", "data": b"x"}], 0))
+    j = z2.index(b"PK\x01\x02")
+    struct.pack_into("<H", z2, j + 8, 0x1)
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        parse_zip(bytes(z2))
+    # zip64 sentinel
+    z3 = bytearray(make_zip([{"name": "a", "data": b"x"}], 0))
+    k = z3.rindex(b"PK\x05\x06")
+    struct.pack_into("<H", z3, k + 10, 0xFFFF)
+    with pytest.raises(NotImplementedError, match="zip64"):
+        parse_zip(bytes(z3))
+
+
+def test_zip_local_header_lies_central_dir_wins():
+    """Real zips carry stale local headers; extraction must trust the
+    central directory (offsets/sizes) and still land on the data."""
+    data = b"payload" * 30
+    z = bytearray(make_zip([{"name": "a", "data": data}], 8))
+    # corrupt the LOCAL header's size fields (bytes 18-26): parse must
+    # not care (it reads name/extra lengths only)
+    struct.pack_into("<II", z, z.index(b"PK\x03\x04") + 18, 999, 999)
+    assert parse_zip(bytes(z))[0]["data"] == data
+
+
+# ----------------------------------------------------------------- warc ---
+
+
+def test_warc_both_layouts_and_routing():
+    body = b"<html>hi</html>"
+    recs = [
+        {"type": "warcinfo", "block": b"software: test\r\n"},
+        {
+            "type": "response",
+            "uri": "http://a/",
+            "block": build_http_response(
+                200, "OK", [("Content-Type", "text/html")], body
+            ),
+        },
+        {"type": "request", "uri": "http://a/",
+         "block": b"GET / HTTP/1.1\r\n\r\n"},
+    ]
+    for gz in (False, True):
+        w = make_warc(recs, gzip_records=gz)
+        assert len(parse_warc(w)) == 3
+        rs = warc_responses(w)
+        assert len(rs) == 1
+        assert rs[0]["body"] == body and rs[0]["status"] == 200
+
+
+def test_warc_strict_framing():
+    w = make_warc([{"type": "response", "uri": "u",
+                    "block": build_http_response(200, "", [], b"z")}],
+                  gzip_records=False)
+    with pytest.raises(ValueError, match="bad WARC version"):
+        parse_warc(b"HTTP/1.1 200\r\n" + w)
+    with pytest.raises(ValueError, match="separator"):
+        parse_warc(w[:-2])
+    with pytest.raises(ValueError, match="exceeds the file"):
+        parse_warc(w[: w.index(b"\r\n\r\n") + 5])
+    # truncated gzip member
+    gz = make_warc([{"type": "response", "uri": "u",
+                     "block": build_http_response(200, "", [], b"z")}])
+    with pytest.raises(ValueError, match="truncated gzip"):
+        parse_warc(gz[:-5])
+
+
+def test_http_envelope_edges():
+    r = parse_http_response(
+        b"HTTP/1.1 301 Moved Permanently\r\nLocation: /x\r\n\r\n"
+    )
+    assert r["status"] == 301 and r["headers"]["location"] == "/x"
+    with pytest.raises(NotImplementedError, match="chunked"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n0\r\n"
+        )
+    with pytest.raises(ValueError, match="status line"):
+        parse_http_response(b"garbage\r\n\r\n")
+    with pytest.raises(ValueError, match="shorter than Content-Length"):
+        parse_http_response(b"HTTP/1.1 200 OK\r\nContent-Length: 99\r\n\r\nab")
+    # Content-Length trims trailing separator bytes exactly
+    r2 = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nabEXTRA"
+    )
+    assert r2["body"] == b"ab"
+    assert zlib  # imported for the gzip test path

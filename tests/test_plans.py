@@ -581,6 +581,8 @@ def test_r13_codec_queries_map_only(spark, sf_dir):
         "multimodal_mp4_subtitles",
         "multimodal_tiff_decode",
         "multimodal_exif_extract",
+        "scan_warc_responses",
+        "scan_archive_entries",
     ):
         plan = plan_of(spark, q, sf_dir)
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, (q, plan[:800])
