@@ -2859,6 +2859,226 @@ def multimodal_mp4_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_html_extract",
+    # Filter modulus 9 is coprime with the paragraph (%3) and link (%2)
+    # knobs. The oracle states the EXTRACTED TEXT itself closed-form —
+    # block-boundary newlines, entity decodes, dropped script/style,
+    # collapsed whitespace — so any extractor-semantics drift flips the
+    # hash on the strings, not just on counts.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             2 + doc_id % 3 as np, 1 + doc_id % 2 as nl
+      from documents where doc_id % 9 = 7
+    ),
+    paras as (
+      select doc_id, string_agg('para-' || d || '-' || i || ' & co',
+                                chr(10) order by i) as ptxt
+      from base, unnest(generate_series(0, 4)) u(i) where i < np
+      group by doc_id, d, np
+    ),
+    links as (
+      select doc_id, string_agg('ln ' || j, ' ' order by j) as ltxt,
+             count(*) as n_links
+      from base, unnest(generate_series(0, 1)) v(j) where j < nl
+      group by doc_id
+    )
+    select b.doc_id,
+           'Doc ' || d as title,
+           'Doc ' || d || chr(10) || 'Head ' || d || chr(10)
+             || p.ptxt || chr(10) || l.ltxt as text,
+           cast(l.n_links as integer) as n_links,
+           'http://l/' || d || '/0?a=1&b=2' as first_link,
+           cast(14 + 2 * np + 2 * nl as integer) as n_tags
+    from base b join paras p using (doc_id) join links l using (doc_id)
+    """,
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (operators/html.py) — the crawl-to-corpus
+    step: per doc, synthesize a page with a title, a dropped <script>
+    and <style>, block paragraphs carrying &amp; entities, inline
+    links with entity-encoded hrefs, then extract. The oracle states
+    the extracted TEXT string itself closed-form (newline placement,
+    entity decodes, whitespace collapse), the title, the decoded first
+    href, and the exact tag count — extractor-semantics drift flips
+    the hash on strings. Arrow-batched mapInPandas, map-only."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import html as _html
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 7)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_links", T.IntegerType()),
+            T.StructField("first_link", T.StringType()),
+            T.StructField("n_tags", T.IntegerType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def page(d: int) -> str:
+        np_, nl = 2 + d % 3, 1 + d % 2
+        paras = "".join(
+            f"<p>para-{d}-{i} &amp; co</p>\n" for i in range(np_)
+        )
+        links = " ".join(
+            f'<a href="http://l/{d}/{j}?a=1&amp;b=2">ln {j}</a>'
+            for j in range(nl)
+        )
+        return (
+            f"<!DOCTYPE html><html><head><title>Doc {d}</title>"
+            f"<script>var x = '<p>{d}</p>';</script></head>\n"
+            f"<body><h1>Head {d}</h1><!-- c -->\n{paras}{links}\n"
+            f"<style>.x{{color:red}}</style></body></html>"
+        )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                r = _html.extract_html(page(d))
+                rows.append(
+                    (
+                        d, r["title"], r["text"], len(r["links"]),
+                        r["links"][0], r["n_tags"],
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["n_links"] = out["n_links"].astype("int32")
+            out["n_tags"] = out["n_tags"].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "pipeline_crawl_ingest",
+    # The Common Crawl ingest chain end-to-end: WARC bytes -> record
+    # walk -> HTTP envelope -> HTML text extraction -> per-page
+    # curation features. The oracle rebuilds the extracted text string
+    # in SQL and takes its length — any drift anywhere in the chain
+    # (framing, gzip members, entity decode, newline placement) moves
+    # text_len or flips keep.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d, 2 + doc_id % 3 as n
+      from documents where doc_id % 9 = 8
+    ),
+    pages as (
+      select doc_id, d, i,
+             'http://site-' || (d % 5) || '.com/' || d || '/' || i as uri,
+             case when (d + i) % 4 = 3 then 404 else 200 end as status,
+             'Page ' || d || '-' || i as title,
+             'Page ' || d || '-' || i || chr(10) || 'Head' || chr(10)
+               || 'para-' || d || '-' || i || '-0 & co' || chr(10)
+               || 'para-' || d || '-' || i || '-1 & co' as text
+      from base, unnest(generate_series(0, 4)) u(i) where i < n
+    )
+    select doc_id,
+           cast(i as integer) as page_idx,
+           uri, cast(status as integer) as status, title,
+           cast(length(text) as integer) as text_len,
+           status = 200 and length(text) >= 30 as keep
+    from pages
+    """,
+)
+def pipeline_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl ingest — the Common Crawl chain in ONE map
+    stage: per doc, build a per-record-gzipped WARC whose response
+    bodies are HTML pages (title + dropped script + entity-bearing
+    paragraphs), then run record walk -> WARC-Type routing -> HTTP
+    envelope parse -> HTML text extraction -> per-page curation row
+    (url, status, title, extracted-text length, keep decision). The
+    oracle rebuilds the extracted text in SQL and measures it, so a
+    drift ANYWHERE in the four-layer chain flips the hash. Map-only:
+    archives never shuffle, only typed curation rows do."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import html as _html
+    from pyiceberg_lakehouse_spark.operators import warc as _warc
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 8)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("page_idx", T.IntegerType()),
+            T.StructField("uri", T.StringType()),
+            T.StructField("status", T.IntegerType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("text_len", T.IntegerType()),
+            T.StructField("keep", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def page_html(d: int, i: int) -> bytes:
+        return (
+            f"<html><head><title>Page {d}-{i}</title>"
+            f"<script>var v = '<b>{d}</b>';</script></head>"
+            f"<body><h1>Head</h1>"
+            f"<p>para-{d}-{i}-0 &amp; co</p>"
+            f"<p>para-{d}-{i}-1 &amp; co</p></body></html>"
+        ).encode()
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 2 + d % 3
+                recs = []
+                for i in range(n):
+                    body = page_html(d, i)
+                    status = 404 if (d + i) % 4 == 3 else 200
+                    recs.append(
+                        {
+                            "type": "response",
+                            "uri": f"http://site-{d % 5}.com/{d}/{i}",
+                            "block": _warc.build_http_response(
+                                status, "X",
+                                [("Content-Type", "text/html")], body,
+                            ),
+                        }
+                    )
+                payload = _warc.make_warc(recs, gzip_records=True)
+                for i, r in enumerate(_warc.warc_responses(payload)):
+                    ex = _html.extract_html(r["body"].decode())
+                    rows.append(
+                        (
+                            d, i, r["uri"], r["status"], ex["title"],
+                            len(ex["text"]),
+                            r["status"] == 200 and len(ex["text"]) >= 30,
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            for c2, dt in (
+                ("doc_id", "int64"), ("page_idx", "int32"),
+                ("status", "int32"), ("text_len", "int32"),
+            ):
+                out[c2] = out[c2].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "scan_warc_responses",
     # Filter modulus 9 is coprime with the record-count (%4), status
     # (%3), content-type (%2) and gzip-layout (%2) knobs, so both WARC

@@ -122,7 +122,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # and stream_stream_right_join's slots (double-green non-anchors; the
 # watermark-complete stream-stream family stays driver-covered by the
 # full + anti modes, the subtlest two; left/right stay local-gated +
-# pytest-pinned).
+# pytest-pinned). The NEW crawl-to-text pair — text_html_extract (the
+# HTML extractor with the oracle stating the extracted STRING itself)
+# and pipeline_crawl_ingest (WARC -> HTTP -> HTML -> curation features
+# in one map stage) — rotated in for dedup_substring_spans' and
+# lh_merge_into_partitioned's slots (double-green non-anchors; dedup_
+# stays driver-covered by simhash_selfcheck, MERGE INTO by the
+# cumulative r10-r12 rows + the hypothesis property suite; both stay
+# local-gated).
 #
 # Round-12 rotation (VERDICT r11 tasks #1-#3). Rotates IN every
 # oracle-checkable query NEW or newly-oracle'd this round, each in its own
@@ -311,7 +318,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # driver-hashable first-fit packing — fresh oracle outranks a hold;
     # the leakage-safe split stays local-gated + pytest-pinned)
     "train_pack_sequences",
-    "lh_merge_into_partitioned",
+    # (lh_merge_into_partitioned's r13 rotation slot goes to the NEW
+    # end-to-end crawl-ingest composite — fresh code outranks a
+    # double-green non-anchor; MERGE INTO stays covered by the
+    # hypothesis property + sha256 partition-identity tests)
+    "pipeline_crawl_ingest",
     # (lh_expire_tag_retention's r13 rotation slot goes to the NEW
     # fragmented-MP4 demux — fresh code outranks a double-green
     # non-anchor; tag-retention expiry stays local-gated + pytest-pinned)
@@ -355,7 +366,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (stream_stream_right_join's r13 rotation slot goes to the NEW
     # archive-explosion row — same principle)
     "scan_archive_entries",
-    "dedup_substring_spans",
+    # (dedup_substring_spans' r13 rotation slot goes to the NEW HTML
+    # extractor row — fresh code outranks a double-green non-anchor;
+    # dedup_ stays driver-covered by simhash_selfcheck)
+    "text_html_extract",
     # (train_mix_temperature's second-round hold slot went to the r10
     # cosine range search; dedup_semantic's second-round hold slot goes
     # to the NEW end-to-end video-curation composite)

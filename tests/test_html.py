@@ -1,0 +1,78 @@
+"""HTML text extraction (operators/html.py): block/inline semantics,
+raw-text elements, entities, attributes, hostile markup."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyiceberg_lakehouse_spark.operators.html import (
+    decode_entities,
+    extract_html,
+)
+
+
+def test_block_vs_inline_newlines():
+    r = extract_html(
+        "<div>a<span>b</span>c</div><p>d</p>e<br>f"
+    )
+    assert r["text"] == "abc\nd\ne\nf"
+
+
+def test_raw_text_elements_skip_literally():
+    h = "<script>if (a < b && '</div>' != x) {}</script><p>t</p>"
+    r = extract_html(h)
+    assert r["text"] == "t"
+    assert r["n_tags"] == 4
+    for tag in ("style", "noscript", "template"):
+        assert extract_html(f"<{tag}>drop <b>me</b></{tag}>ok")["text"] == "ok"
+    with pytest.raises(ValueError, match="unterminated <script>"):
+        extract_html("<script>never closed")
+
+
+def test_entities_and_literal_lt():
+    # &nbsp; decodes to the real U+00A0 (which the line collapser
+    # then treats as whitespace)
+    assert decode_entities("&amp;&lt;&gt;&quot;&apos;&nbsp;") == "&<>\"' "
+    assert extract_html("<p>a&nbsp;&nbsp;b</p>")["text"] == "a b"
+    assert decode_entities("&#65;&#x42;&#x7b;") == "AB{"
+    assert decode_entities("&unknown; stays") == "&unknown; stays"
+    # bare '<' followed by non-tag chars is text per HTML5
+    assert extract_html("<p>5 < 6 and 2<3</p>")["text"] == "5 < 6 and 2<3"
+
+
+def test_title_and_links():
+    h = (
+        '<title>T &amp; U</title><a href="/x?a=1&amp;2">one</a>'
+        "<a name=anchor>no href</a><a href='y'>two</a>"
+    )
+    r = extract_html(h)
+    assert r["title"] == "T & U"
+    assert r["links"] == ["/x?a=1&2", "y"]
+    assert extract_html("<p>no title</p>")["title"] is None
+
+
+def test_attributes_quoting_and_selfclose():
+    # '>' inside a quoted attribute must not end the tag
+    r = extract_html('<img alt="a > b" src=pic.png />text')
+    assert r["text"] == "text" and r["n_tags"] == 1
+    # unquoted values and bare attributes
+    r2 = extract_html("<input disabled value=3><p>x</p>")
+    assert r2["text"] == "x"
+
+
+def test_comments_doctype_whitespace():
+    h = (
+        "<!DOCTYPE html><!-- a <p>commented</p> out -->\n"
+        "<p>  lots   of\t spaces  </p>\n\n<p></p><p>next</p>"
+    )
+    r = extract_html(h)
+    assert r["text"] == "lots of spaces\nnext"
+    with pytest.raises(ValueError, match="unterminated HTML comment"):
+        extract_html("<!-- never")
+    with pytest.raises(ValueError, match="unterminated tag"):
+        extract_html("<p attr='v'")
+
+
+def test_tables_and_lists_linebreak():
+    h = "<ul><li>a</li><li>b</li></ul><table><tr><td>c</td><td>d</td></tr></table>"
+    assert extract_html(h)["text"] == "a\nb\nc\nd"

@@ -583,6 +583,8 @@ def test_r13_codec_queries_map_only(spark, sf_dir):
         "multimodal_exif_extract",
         "scan_warc_responses",
         "scan_archive_entries",
+        "text_html_extract",
+        "pipeline_crawl_ingest",
     ):
         plan = plan_of(spark, q, sf_dir)
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, (q, plan[:800])
