@@ -2859,6 +2859,76 @@ def multimodal_mp4_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_url_canonicalize",
+    # Three messy variants of one logical URL (case, default port,
+    # fragment, tracking params, query order) plus one genuinely
+    # different URL: canonicalization must collapse the first three
+    # and keep the fourth apart. The oracle states both canonical
+    # strings and their source counts closed-form.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d
+      from documents where doc_id % 9 = 2
+    ),
+    c as (
+      select doc_id,
+             'http://site-' || (d % 7) || '.com/p/' || d
+               || '?a=1&b=' || (d % 5) as canonical_url,
+             3 as n_sources
+      from base
+      union all
+      select doc_id,
+             'https://site-' || (d % 7) || '.com/p/' || d as canonical_url,
+             1 as n_sources
+      from base
+    )
+    select doc_id, canonical_url, cast(n_sources as bigint) as n_sources
+    from c
+    """,
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup (functions/urls.py) — PURE
+    JVM path: per doc, build three messy variants of one logical URL
+    (scheme/host case, explicit default port, fragment, utm_/fbclid
+    tracking params, shuffled query order) plus one genuinely distinct
+    https URL, canonicalize with built-in Column expressions only (the
+    plan is one whole-stage-codegen span feeding one aggregation
+    Exchange — no Python evaluator anywhere, proven in
+    tests/test_plans.py), and count sources per canonical form. The
+    three variants MUST collapse to one row of 3 and the https URL
+    stay apart; the oracle states both canonical strings closed-form."""
+    from pyiceberg_lakehouse_spark.functions.urls import canonicalize_url
+
+    d = F.col("doc_id")
+    host_u = F.concat(F.lit("Site-"), d % 7, F.lit(".Com"))
+    host_l = F.lower(host_u)
+    path = F.concat(F.lit("/p/"), d)
+    b = d % 5
+    v1 = F.concat(
+        F.lit("HTTP://"), F.upper(host_u), F.lit(":80"),
+        path, F.lit("?utm_source=x&b="), b, F.lit("&a=1#top"),
+    )
+    v2 = F.concat(
+        F.lit("http://"), host_l, path, F.lit("?a=1&b="), b
+    )
+    v3 = F.concat(
+        F.lit("http://"), host_u, F.lit(":80"), path,
+        F.lit("?b="), b, F.lit("&a=1&fbclid=9"),
+    )
+    v4 = F.concat(F.lit("https://"), host_u, path)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(d % 9 == 2)
+        .select("doc_id", F.explode(F.array(v1, v2, v3, v4)).alias("url"))
+    )
+    return (
+        docs.select("doc_id", canonicalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("doc_id", "canonical_url")
+        .agg(F.count("*").alias("n_sources"))
+    )
+
+
+@register(
     "text_html_extract",
     # Filter modulus 9 is coprime with the paragraph (%3) and link (%2)
     # knobs. The oracle states the EXTRACTED TEXT itself closed-form —

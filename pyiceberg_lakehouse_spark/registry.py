@@ -129,7 +129,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # lh_merge_into_partitioned's slots (double-green non-anchors; dedup_
 # stays driver-covered by simhash_selfcheck, MERGE INTO by the
 # cumulative r10-r12 rows + the hypothesis property suite; both stay
-# local-gated).
+# local-gated). The NEW pure-JVM URL canonicalizer row
+# text_url_canonicalize (Column expressions only — zero Python in the
+# plan, pinned) rotated in for lh_purge_rows' slot (double-green
+# non-anchor; the maintenance family stays driver-covered by
+# lh_cdf_feed + the cumulative purge/expire rows; purge stays
+# local-gated + pytest-pinned).
 #
 # Round-12 rotation (VERDICT r11 tasks #1-#3). Rotates IN every
 # oracle-checkable query NEW or newly-oracle'd this round, each in its own
@@ -307,13 +312,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # lakehouse lifecycle + maintenance (r9 first-timers hold; NEW
     # partition-scoped MERGE INTO + HLL distinct rollup; post-freeze
     # reaggregate read path rotates in)
-    # (lh_dedup_incremental's second-round hold slot goes to the NEW
-    # right-to-be-forgotten history purge — fresh code outranks a hold;
-    # the dedup index stays local-gated + pytest- and BENCH_SCALE-proven)
-    # (lh_merge_into's second-round hold slot goes to the NEW leakage-safe
-    # split — the partition-scoped MERGE row keeps the clause semantics
-    # driver-covered)
-    "lh_purge_rows",
+    # (lh_purge_rows' r13 rotation slot goes to the NEW pure-JVM URL
+    # canonicalizer — fresh code outranks a double-green non-anchor;
+    # the purge stays local-gated + pytest-pinned)
+    "text_url_canonicalize",
     # (train_split_leakage_safe's second-round hold slot goes to the NEW
     # driver-hashable first-fit packing — fresh oracle outranks a hold;
     # the leakage-safe split stays local-gated + pytest-pinned)

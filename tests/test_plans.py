@@ -597,3 +597,15 @@ def test_caption_curation_single_shuffle(spark, sf_dir):
     plan = plan_of(spark, "pipeline_caption_curation", sf_dir)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:800]
     assert "MapInPandas" in plan
+
+
+def test_url_canonicalize_jvm_only_single_shuffle(spark, sf_dir):
+    """The URL canonicalizer is built from Column expressions only: the
+    plan must carry NO Python evaluator (whole-stage codegen end to
+    end) and exactly one aggregation Exchange."""
+    plan = plan_of(spark, "text_url_canonicalize", sf_dir)
+    for bad in ("BatchEvalPython", "MapInPandas", "ArrowEvalPython"):
+        assert bad not in plan, (bad, plan[:800])
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:800]
+    # codegen fusion markers only materialize in the executed plan;
+    # the no-Python assertions above are the JVM-only contract
