@@ -2859,6 +2859,117 @@ def multimodal_mp4_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_robots_decisions",
+    # Five probes per doc exercising the RFC 9309 subtleties: group
+    # selection by most-specific agent vs the '*' group, longest-match
+    # precedence with allow-wins ties, '$' end anchoring, wildcard
+    # patterns, and crawl-delay surfacing. All knobs vary by doc.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d
+      from documents where doc_id % 9 = 3
+    ),
+    probes as (
+      select doc_id, d, i,
+             case i
+               when 0 then 'bot-' || (d % 4)
+               when 1 then 'bot-' || (d % 4)
+               when 2 then 'otherbot'
+               when 3 then 'otherbot'
+               else 'bot-' || (d % 4) end as agent,
+             case i
+               when 0 then '/a/q'
+               when 1 then '/a/b' || (d % 3) || '/z'
+               when 2 then '/x123y'
+               when 3 then '/x123yz'
+               else '/free' end as path,
+             i in (1, 3, 4) as allowed,
+             case when i in (0, 1, 4)
+                  then cast(1 + d % 5 as double) end as delay_s
+      from base, unnest(generate_series(0, 4)) u(i)
+    )
+    select doc_id, cast(i as integer) as probe_idx, agent, path,
+           allowed, delay_s
+    from probes
+    """,
+)
+def scan_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt fetchability decisions (operators/robots.py —
+    RFC 9309): per doc, synthesize a policy with a specific-agent group
+    (Disallow /a/, a LONGER Allow under it, Crawl-delay) and a '*'
+    group carrying a wildcard+$-anchored pattern, then decide five
+    probes: the longest-match rule must beat order, allow must win
+    ties, '$' must anchor (the 'yz' probe is allowed ONLY if the
+    anchor works), and group selection must prefer the most specific
+    agent over '*'. The oracle states every verdict and crawl delay
+    closed-form — a precedence slip flips a boolean. Completes the
+    crawl-curation suite (WARC -> robots -> URL canonicalization ->
+    HTML -> text)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import robots as _rb
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 3)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("probe_idx", T.IntegerType()),
+            T.StructField("agent", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("allowed", T.BooleanType()),
+            T.StructField("delay_s", T.DoubleType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bot = f"bot-{d % 4}"
+                txt = (
+                    f"# policy {d}\n"
+                    f"User-agent: {bot}\n"
+                    f"Disallow: /a/\n"
+                    f"Allow: /a/b{d % 3}/\n"
+                    f"Crawl-delay: {1 + d % 5}\n"
+                    f"\n"
+                    f"User-agent: *\n"
+                    f"Disallow: /x*y$\n"
+                )
+                p = _rb.parse_robots(txt)
+                probes = [
+                    (bot, "/a/q"),
+                    (bot, f"/a/b{d % 3}/z"),
+                    ("otherbot", "/x123y"),
+                    ("otherbot", "/x123yz"),
+                    (bot, "/free"),
+                ]
+                for i, (agent, path) in enumerate(probes):
+                    rows.append(
+                        (
+                            d, i, agent, path,
+                            _rb.is_allowed(p, agent, path),
+                            _rb.crawl_delay(p, agent),
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["probe_idx"] = out["probe_idx"].astype("int32")
+            out["delay_s"] = out["delay_s"].astype("float64")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "text_url_canonicalize",
     # Three messy variants of one logical URL (case, default port,
     # fragment, tracking params, query order) plus one genuinely

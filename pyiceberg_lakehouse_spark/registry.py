@@ -134,6 +134,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # plan, pinned) rotated in for lh_purge_rows' slot (double-green
 # non-anchor; the maintenance family stays driver-covered by
 # lh_cdf_feed + the cumulative purge/expire rows; purge stays
+# local-gated + pytest-pinned). The NEW RFC 9309 robots.txt decision
+# row scan_robots_decisions (group selection, longest-match precedence,
+# $-anchoring) rotated in for scan_csv_checked_roundtrip's slot
+# (double-green non-anchor; scan_ is now represented by the warc/
+# archive/robots crawl-ingest rows; the CSV quarantine stays
 # local-gated + pytest-pinned).
 #
 # Round-12 rotation (VERDICT r11 tasks #1-#3). Rotates IN every
@@ -238,10 +243,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # cosine top-k, the reference's flagship upsert composite, and the
 # exactly-once streaming sink.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # scans (scan_repartition_blocks' second-round hold slot goes to the
-    # NEW corrupt-record-isolating CSV ingest — fresh code outranks a
-    # hold; every displaced query stays local-gated)
-    "scan_csv_checked_roundtrip",
+    # scans (scan_csv_checked_roundtrip's r13 rotation slot goes to the
+    # NEW RFC 9309 robots.txt decision row — fresh code outranks a
+    # double-green non-anchor; scan_ stays represented by the
+    # warc/archive/robots crawl-ingest rows)
+    "scan_robots_decisions",
     # core aggregation (flagship anchor; agg_conditional's and
     # fn_try_arithmetic's second-round hold slots go to the NEW inverted
     # text index's AND-search and BM25 rows)

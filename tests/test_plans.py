@@ -585,6 +585,7 @@ def test_r13_codec_queries_map_only(spark, sf_dir):
         "scan_archive_entries",
         "text_html_extract",
         "pipeline_crawl_ingest",
+        "scan_robots_decisions",
     ):
         plan = plan_of(spark, q, sf_dir)
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, (q, plan[:800])
