@@ -143,6 +143,9 @@ def decode_image_codec(payload: bytes) -> tuple[int, int, str]:
             raise ValueError("truncated GIF header")
         w, h = _struct.unpack("<HH", payload[6:10])
         return w, h, "P"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        m = probe_webp(payload)
+        return m["width"], m["height"], "RGBA" if m["has_alpha"] else "RGB"
     if payload[:2] in (b"II", b"MM") and len(payload) >= 4 and (
         payload[2:4] in (b"\x2a\x00", b"\x00\x2a")
     ):
@@ -3119,3 +3122,121 @@ def mp3_id3_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out
 
     return src.mapInPandas(batches, MP3_ID3_SCHEMA)
+
+
+# ---------------------------------------------------------------- WebP ---
+# WebP is the modern crawl's dominant image container (RIFF-framed).
+# Probe-level support, the same honesty split as the MP4/MP3 probes:
+# dimensions, format variant and feature flags come from real header
+# parsing (the curation-filter fields); the VP8/VP8L pixel decode
+# stays gated.
+
+
+def make_webp(
+    width: int,
+    height: int,
+    variant: str = "VP8 ",
+    has_alpha: bool = False,
+    animated: bool = False,
+) -> bytes:
+    """Header-accurate WebP: RIFF/WEBP framing + a VP8 (lossy keyframe
+    header), VP8L (lossless stream header) or VP8X (extended, with
+    feature flags + a nested VP8 chunk) whose dimension fields are
+    real. Payload pixels are zeros — this synthesizes what a PROBE
+    reads, the same stance as make_mp4/make_mp3."""
+    if not (1 <= width <= 16384 and 1 <= height <= 16384):
+        raise ValueError("WebP dims must be 1..16384")
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + _struct.pack("<I", len(payload)) + payload + pad
+
+    if variant == "VP8 ":
+        # 3-byte frame tag (keyframe bit 0 = 0), sync, 14-bit dims
+        body = (
+            b"\x00\x00\x00"
+            + b"\x9d\x01\x2a"
+            + _struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
+            + b"\x00" * 10
+        )
+        inner = chunk(b"VP8 ", body)
+    elif variant == "VP8L":
+        bits = (width - 1) | ((height - 1) << 14)
+        if has_alpha:
+            bits |= 1 << 28
+        if animated:
+            raise ValueError("animation needs the VP8X container")
+        body = b"\x2f" + _struct.pack("<I", bits)[:4] + b"\x00" * 6
+        inner = chunk(b"VP8L", body)
+    elif variant == "VP8X":
+        flags = (0x10 if has_alpha else 0) | (0x02 if animated else 0)
+        body = (
+            bytes([flags])
+            + b"\x00\x00\x00"
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little")
+        )
+        sub = (
+            b"\x00\x00\x00" + b"\x9d\x01\x2a"
+            + _struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
+            + b"\x00" * 10
+        )
+        inner = chunk(b"VP8X", body) + chunk(b"VP8 ", sub)
+    else:
+        raise ValueError(f"unknown WebP variant {variant!r}")
+    return b"RIFF" + _struct.pack("<I", 4 + len(inner)) + b"WEBP" + inner
+
+
+def probe_webp(payload: bytes) -> dict:
+    """-> {width, height, variant ('VP8 '|'VP8L'|'VP8X'), has_alpha,
+    animated}. Bounds-checked chunk walk; truncated or malformed
+    streams raise; pixel decode stays honestly gated."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP framing missing)")
+    (riff_size,) = _struct.unpack_from("<I", payload, 4)
+    if 8 + riff_size > len(payload):
+        raise ValueError("RIFF size exceeds the file")
+    pos = 12
+    end = 8 + riff_size
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        (csize,) = _struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if body + csize > end:
+            raise ValueError(f"WebP chunk {fourcc!r} exceeds the file")
+        if fourcc == b"VP8 ":
+            if csize < 10:
+                raise ValueError("VP8 chunk too small for its header")
+            if payload[body + 3 : body + 6] != b"\x9d\x01\x2a":
+                raise ValueError("VP8 keyframe sync code missing")
+            w, h = _struct.unpack_from("<HH", payload, body + 6)
+            return {
+                "width": w & 0x3FFF, "height": h & 0x3FFF,
+                "variant": "VP8 ", "has_alpha": False, "animated": False,
+            }
+        if fourcc == b"VP8L":
+            if csize < 5:
+                raise ValueError("VP8L chunk too small for its header")
+            if payload[body] != 0x2F:
+                raise ValueError("VP8L signature byte missing")
+            (bits,) = _struct.unpack_from("<I", payload, body + 1)
+            return {
+                "width": (bits & 0x3FFF) + 1,
+                "height": ((bits >> 14) & 0x3FFF) + 1,
+                "variant": "VP8L",
+                "has_alpha": bool((bits >> 28) & 0x1),
+                "animated": False,
+            }
+        if fourcc == b"VP8X":
+            if csize < 10:
+                raise ValueError("VP8X chunk too small")
+            flags = payload[body]
+            w = int.from_bytes(payload[body + 4 : body + 7], "little") + 1
+            h = int.from_bytes(payload[body + 7 : body + 10], "little") + 1
+            return {
+                "width": w, "height": h, "variant": "VP8X",
+                "has_alpha": bool(flags & 0x10),
+                "animated": bool(flags & 0x02),
+            }
+        pos = body + csize + (csize % 2)
+    raise ValueError("WebP carries no VP8/VP8L/VP8X chunk")

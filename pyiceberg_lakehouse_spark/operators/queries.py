@@ -2859,6 +2859,85 @@ def multimodal_mp4_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_webp_probe",
+    # Filter modulus 9 is coprime with the variant (%3), alpha (%2),
+    # animated (%5) and dim knobs, so all three WebP container variants
+    # are live in the driver-hashed corpus.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d
+      from documents where doc_id % 9 = 6
+    )
+    select doc_id,
+           case cast(d % 3 as integer)
+                when 0 then 'VP8 ' when 1 then 'VP8L' else 'VP8X' end
+             as variant,
+           cast(10 + d % 500 as integer) as width,
+           cast(8 + d % 300 as integer) as height,
+           d % 3 = 2 and d % 2 = 1 as has_alpha,
+           d % 3 = 2 and d % 5 = 0 as animated
+    from base
+    """,
+)
+def multimodal_webp_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP container probe (multimodal.probe_webp) — the modern
+    crawl's dominant image format: per doc, synthesize a header-accurate
+    WebP cycling all three container variants (lossy VP8 keyframe
+    header with its sync code, lossless VP8L stream-header bitfield,
+    extended VP8X with 24-bit canvas dims + alpha/animation flags) and
+    probe back dimensions + curation-filter flags. Same honesty split
+    as the MP4/MP3 probes: header parsing is real, VP8 pixel decode
+    stays gated. The oracle restates every field closed-form."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 6)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("variant", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("has_alpha", T.BooleanType()),
+            T.StructField("animated", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                variant = ("VP8 ", "VP8L", "VP8X")[d % 3]
+                w, h = 10 + d % 500, 8 + d % 300
+                payload = multimodal.make_webp(
+                    w, h, variant,
+                    has_alpha=variant == "VP8X" and d % 2 == 1,
+                    animated=variant == "VP8X" and d % 5 == 0,
+                )
+                m = multimodal.probe_webp(payload)
+                rows.append(
+                    (
+                        d, m["variant"], m["width"], m["height"],
+                        m["has_alpha"], m["animated"],
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "scan_robots_decisions",
     # Five probes per doc exercising the RFC 9309 subtleties: group
     # selection by most-specific agent vs the '*' group, longest-match

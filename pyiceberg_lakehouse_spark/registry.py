@@ -139,7 +139,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # $-anchoring) rotated in for scan_csv_checked_roundtrip's slot
 # (double-green non-anchor; scan_ is now represented by the warc/
 # archive/robots crawl-ingest rows; the CSV quarantine stays
-# local-gated + pytest-pinned).
+# local-gated + pytest-pinned). The NEW WebP container probe
+# multimodal_webp_probe (all three variants' header parsing) rotated in
+# for join_bloom_reduced's slot (double-green non-anchor; join_ keeps
+# the right-outer anchor and the bloom family keeps lh_bloom_join_scan;
+# the runtime-filter semi-join stays local-gated + plan-pinned).
 #
 # Round-12 rotation (VERDICT r11 tasks #1-#3). Rotates IN every
 # oracle-checkable query NEW or newly-oracle'd this round, each in its own
@@ -262,7 +266,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (plan shapes of all 22 stay machine-checked in tests/test_plans.py);
     # NEW runtime-filter semi-join reduction + bloom-index join pruning
     "join_right_outer",
-    "join_bloom_reduced",
+    # (join_bloom_reduced's r13 rotation slot goes to the NEW WebP
+    # container probe — fresh code outranks a double-green non-anchor;
+    # the bloom family stays driver-covered by lh_bloom_join_scan)
+    "multimodal_webp_probe",
     "lh_bloom_join_scan",
     "agg_q9_product_profit",
     "agg_q13_customer_distribution",

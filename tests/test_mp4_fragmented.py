@@ -235,3 +235,52 @@ def test_plain_mp4_has_no_fragments():
     tracks = demux_mp4_fragments(payload)
     assert len(tracks) == 1
     assert tracks[0]["samples"] == []
+
+
+# ----------------------------------------------------------------- webp ---
+# (colocated with the container probes rather than a new file)
+
+
+def test_webp_probe_variants():
+    from pyiceberg_lakehouse_spark.operators.multimodal import (
+        decode_image_codec,
+        make_webp,
+        probe_webp,
+    )
+
+    for v in ("VP8 ", "VP8L", "VP8X"):
+        m = probe_webp(make_webp(12345, 300, v))
+        if v == "VP8 ":
+            # lossy dims are 14-bit fields; the synthesizer masks
+            assert m["width"] == 12345 & 0x3FFF
+        else:
+            assert m["width"] == 12345
+        assert m["height"] == 300 and m["variant"] == v
+    m = probe_webp(make_webp(64, 48, "VP8L", has_alpha=True))
+    assert m["has_alpha"]
+    m = probe_webp(make_webp(64, 48, "VP8X", has_alpha=True, animated=True))
+    assert m["has_alpha"] and m["animated"]
+    assert decode_image_codec(make_webp(64, 48, "VP8X", has_alpha=True)) == (
+        64, 48, "RGBA",
+    )
+
+
+def test_webp_hostile_inputs():
+    from pyiceberg_lakehouse_spark.operators.multimodal import (
+        make_webp,
+        probe_webp,
+    )
+
+    good = make_webp(10, 10, "VP8 ")
+    with pytest.raises(ValueError, match="RIFF/WEBP"):
+        probe_webp(b"RIFX" + good[4:])
+    with pytest.raises(ValueError, match="RIFF size exceeds"):
+        probe_webp(good[:-4])
+    raw = bytearray(good)
+    raw[12 + 8 + 3 : 12 + 8 + 6] = b"\x00\x00\x00"  # break the sync code
+    with pytest.raises(ValueError, match="sync code"):
+        probe_webp(bytes(raw))
+    with pytest.raises(ValueError, match="animation needs"):
+        make_webp(4, 4, "VP8L", animated=True)
+    with pytest.raises(ValueError, match="no VP8"):
+        probe_webp(b"RIFF" + (4).to_bytes(4, "little") + b"WEBP")

@@ -586,6 +586,7 @@ def test_r13_codec_queries_map_only(spark, sf_dir):
         "text_html_extract",
         "pipeline_crawl_ingest",
         "scan_robots_decisions",
+        "multimodal_webp_probe",
     ):
         plan = plan_of(spark, q, sf_dir)
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, (q, plan[:800])
