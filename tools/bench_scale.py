@@ -947,6 +947,44 @@ def bench_mp4_demux(spark, b: Bench, tmp: str) -> None:
         )
 
 
+def bench_crawl(spark, b: Bench, tmp: str) -> None:
+    """r13 crawl-ingest chain (WARC -> HTTP -> HTML -> curation rows):
+    a pure map stage — mux + record walk + envelope parse + text
+    extraction per doc where the bytes live, no Exchange (plan-tested)
+    — so 10x docs must cost ~10x wall, never superlinear."""
+    from pyiceberg_lakehouse_spark.registry import QUERIES, load_all
+
+    load_all()
+    # drive the registered query bodies over synthetic doc ids at scale:
+    # both are (spark, sf_dir)-shaped, so feed them a view-backed dir
+    from pyiceberg_lakehouse_spark.operators.queries import (
+        pipeline_crawl_ingest,
+        scan_warc_responses,
+    )
+    import pyiceberg_lakehouse_spark.operators.queries as q
+
+    for n in DOC_SCALES:
+        tag = f"{n//1000}k"
+        docs = spark.range(0, n, 1, 64).withColumnRenamed("id", "doc_id")
+        saved = q.load_table
+        try:
+            q.load_table = lambda _s, _d, _t, d=docs: d
+            b.run(
+                f"warc_responses_{tag}",
+                lambda: drain(scan_warc_responses(spark, "unused")),
+                reps=REPS,
+                warmup=True,
+            )
+            b.run(
+                f"crawl_ingest_{tag}",
+                lambda: drain(pipeline_crawl_ingest(spark, "unused")),
+                reps=REPS,
+                warmup=True,
+            )
+        finally:
+            q.load_table = saved
+
+
 SECTIONS = {
     "documents": bench_documents,
     "embeddings": bench_embeddings,
@@ -960,6 +998,7 @@ SECTIONS = {
     "semi_join": bench_semi_join,
     "purge": bench_purge,
     "mp4_demux": bench_mp4_demux,
+    "crawl": bench_crawl,
 }
 
 
