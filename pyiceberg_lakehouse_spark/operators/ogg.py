@@ -1,0 +1,190 @@
+"""Ogg container (RFC 3533) — page walk + packet reassembly.
+
+The streaming-audio container podcasts/Vorbis/Opus ship in. The
+subtle, correctness-critical parts a demuxer must get right:
+
+- lacing: a packet is laced as floor(len/255) values of 255 plus one
+  final value len % 255 — so a packet whose length is an exact
+  multiple of 255 ends with a 0 lacing value (the classic off-by-one);
+- spanning: a page holds at most 255 lacing values; a packet whose
+  lacing spills to the next page sets that page's CONTINUATION flag,
+  and a packet is complete only at its first lacing value < 255;
+- the 32-bit Ogg CRC: polynomial 0x04C11DB7, UNREFLECTED, init 0,
+  no final xor — computed with the header's CRC field zeroed;
+- page sequence numbers are per-stream and must increase by exactly 1
+  (a gap means data loss); BOS marks the first page, EOS the last.
+
+Honest scope: single logical stream per file (one serial number);
+grouped/chained multi-stream files raise NotImplementedError. Codec
+payloads (Opus/Vorbis bitstreams) stay opaque — this is the demux
+layer, the same honesty split as the MP4/MP3 demuxes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_CRC_TABLE = []
+for _i in range(256):
+    _r = _i << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x04C11DB7) if _r & 0x80000000 else (_r << 1)
+    _CRC_TABLE.append(_r & 0xFFFFFFFF)
+
+
+def ogg_crc(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _CRC_TABLE[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+def make_ogg(
+    packets: list[bytes],
+    serial: int = 1,
+    max_segments: int = 255,
+    granules: list[int] | None = None,
+) -> bytes:
+    """Mux packets into Ogg pages. ``max_segments`` (<= 255) caps the
+    lacing values per page (small values force packet spanning, which
+    exercises the continuation flag). ``granules[i]`` is the granule
+    position stamped on the page where packet i COMPLETES (default:
+    i + 1); pages where no packet completes carry -1 per spec."""
+    if not 1 <= max_segments <= 255:
+        raise ValueError("max_segments must be 1..255")
+    if granules is not None and len(granules) != len(packets):
+        raise ValueError("granules must have one entry per packet")
+    # flatten every packet to (lacing value, data slice, completes_idx)
+    lacings: list[tuple[int, bytes, int | None]] = []
+    for idx, p in enumerate(packets):
+        n_full, tail = divmod(len(p), 255)
+        off = 0
+        for k in range(n_full):
+            is_last = k == n_full - 1 and tail == -1  # never
+            lacings.append((255, p[off : off + 255], None))
+            off += 255
+        lacings.append((tail, p[off:], idx))
+    out = bytearray()
+    page_seq = 0
+    pos = 0
+    continued = False
+    while pos < len(lacings):
+        segs = lacings[pos : pos + max_segments]
+        pos += len(segs)
+        completes = [c for _, _, c in segs if c is not None]
+        # a packet is split across pages iff the page's LAST lacing is
+        # 255 (more of that packet follows)
+        next_continued = segs[-1][0] == 255 and pos < len(lacings)
+        granule = -1 & 0xFFFFFFFFFFFFFFFF
+        if completes:
+            last = completes[-1]
+            granule = (
+                granules[last] if granules is not None else last + 1
+            ) & 0xFFFFFFFFFFFFFFFF
+        header_type = (
+            (0x01 if continued else 0)
+            | (0x02 if page_seq == 0 else 0)
+            | (0x04 if pos >= len(lacings) else 0)
+        )
+        body = b"".join(d for _, d, _ in segs)
+        header = (
+            b"OggS\x00"
+            + bytes([header_type])
+            + struct.pack("<QIIi", granule, serial, page_seq, 0)
+            + bytes([len(segs)])
+            + bytes(v for v, _, _ in segs)
+        )
+        crc = ogg_crc(header + body)
+        header = header[:22] + struct.pack("<I", crc) + header[26:]
+        out += header + body
+        page_seq += 1
+        continued = next_continued
+    return bytes(out)
+
+
+def parse_ogg(payload: bytes) -> dict:
+    """-> {serial, n_pages, packets: [{idx, size, data, first_page,
+    last_page, granule}]}. Strict: CRC, capture pattern, sequence
+    continuity and continuation-flag consistency all validated."""
+    pos = 0
+    n = len(payload)
+    serial = None
+    expected_seq = 0
+    packets: list[dict] = []
+    partial: bytearray | None = None
+    partial_first_page: int | None = None
+    n_pages = 0
+    saw_eos = False
+    while pos < n:
+        if saw_eos:
+            raise ValueError("data after the EOS page")
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError("lost Ogg capture pattern")
+        if pos + 27 > n:
+            raise ValueError("truncated Ogg page header")
+        if payload[pos + 4] != 0:
+            raise ValueError("unknown Ogg stream structure version")
+        header_type = payload[pos + 5]
+        granule, pserial, seq, crc_stored = struct.unpack_from(
+            "<QIIi", payload, pos + 6
+        )
+        n_segs = payload[pos + 26]
+        seg_table = payload[pos + 27 : pos + 27 + n_segs]
+        if len(seg_table) != n_segs:
+            raise ValueError("truncated Ogg segment table")
+        body_start = pos + 27 + n_segs
+        body_len = sum(seg_table)
+        if body_start + body_len > n:
+            raise ValueError("Ogg page body exceeds the file")
+        if serial is None:
+            serial = pserial
+        elif pserial != serial:
+            raise NotImplementedError(
+                "multiplexed/chained Ogg streams (second serial number)"
+            )
+        if seq != expected_seq:
+            raise ValueError(
+                f"Ogg page sequence gap: got {seq}, expected {expected_seq}"
+            )
+        expected_seq += 1
+        zeroed = (
+            payload[pos : pos + 22]
+            + b"\x00\x00\x00\x00"
+            + payload[pos + 26 : body_start + body_len]
+        )
+        if ogg_crc(zeroed) != crc_stored & 0xFFFFFFFF:
+            raise ValueError(f"Ogg CRC mismatch on page {seq}")
+        if bool(header_type & 0x01) != (partial is not None):
+            raise ValueError(
+                "continuation flag disagrees with the packet state"
+            )
+        if header_type & 0x02 and seq != 0:
+            raise ValueError("BOS flag on a non-first page")
+        if header_type & 0x04:
+            saw_eos = True
+        off = body_start
+        for v in seg_table:
+            if partial is None:
+                partial = bytearray()
+                partial_first_page = seq
+            partial += payload[off : off + v]
+            off += v
+            if v < 255:  # the packet completes here
+                packets.append(
+                    {
+                        "idx": len(packets),
+                        "size": len(partial),
+                        "data": bytes(partial),
+                        "first_page": partial_first_page,
+                        "last_page": seq,
+                        "granule": granule,
+                    }
+                )
+                partial = None
+        pos = body_start + body_len
+        n_pages += 1
+    if partial is not None:
+        raise ValueError("Ogg stream ends inside a spanning packet")
+    if not saw_eos:
+        raise ValueError("Ogg stream has no EOS page")
+    return {"serial": serial, "n_pages": n_pages, "packets": packets}

@@ -2859,6 +2859,128 @@ def multimodal_mp4_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_ogg_packets",
+    # Filter modulus 9 is coprime with the packet-count (%4), the
+    # 510-byte exact-multiple knob (%5, exercising the 0-lacing
+    # terminator) and the page-capacity knob (%4, forcing spanning).
+    # The oracle replays the LACING arithmetic closed-form: nsegs =
+    # size//255 + 1, pages split every ms lacing values, so
+    # first/last page indexes are window cumsums.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             3 + doc_id % 4 as n, 2 + doc_id % 4 as ms
+      from documents where doc_id % 9 = 0
+    ),
+    pk as (
+      select doc_id, d, ms, i,
+             case when (d + i) % 5 = 0 then 510
+                  else 100 + (d + 37*i) % 400 end as sz
+      from base, unnest(generate_series(0, 6)) u(i) where i < n
+    ),
+    seg as (
+      select *, sz // 255 + 1 as nsegs,
+             coalesce(sum(sz // 255 + 1) over (partition by doc_id
+                 order by i rows between unbounded preceding
+                 and 1 preceding), 0) as cum
+      from pk
+    )
+    select doc_id,
+           cast(i as integer) as pkt_idx,
+           cast(sz as integer) as size,
+           cast(nsegs as integer) as n_segments,
+           cast(cum // ms as integer) as first_page,
+           cast((cum + nsegs - 1) // ms as integer) as last_page,
+           cum // ms != (cum + nsegs - 1) // ms as spans_pages,
+           -- granule is PAGE-level: every packet completing on a page
+           -- carries the page's stamp = the LAST completer's position
+           cast(max(i + 1) over (partition by doc_id,
+                (cum + nsegs - 1) // ms) as bigint) as granule,
+           cast((select sum((d*5 + i*11 + 13*j) % 256)
+                 from generate_series(0, 509) g(j) where j < sz)
+               as bigint) as byte_sum
+    from seg
+    """,
+)
+def multimodal_ogg_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg container demux (operators/ogg.py — RFC 3533): per doc, mux
+    packets whose sizes cycle through the lacing subtleties (an exact
+    255-multiple forcing the 0-lacing terminator; sizes > 255 forcing
+    multi-lacing) into pages capped at 2-5 lacing values (forcing
+    packets to SPAN pages with continuation flags), stamp per-page
+    granules and the Ogg CRC, then demux back. The oracle replays the
+    lacing/page arithmetic closed-form — nsegs = size//255 + 1 with
+    pages splitting every ms values, so first/last page indexes are
+    window cumsums — plus seeded byte sums proving reassembly sliced
+    the right body bytes across page boundaries. granule = the value
+    stamped where each packet completes."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import ogg as _ogg
+    from pyiceberg_lakehouse_spark.operators.multimodal import _cf_bytes
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 0)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("pkt_idx", T.IntegerType()),
+            T.StructField("size", T.IntegerType()),
+            T.StructField("n_segments", T.IntegerType()),
+            T.StructField("first_page", T.IntegerType()),
+            T.StructField("last_page", T.IntegerType()),
+            T.StructField("spans_pages", T.BooleanType()),
+            T.StructField("granule", T.LongType()),
+            T.StructField("byte_sum", T.LongType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 3 + d % 4
+                ms = 2 + d % 4
+                packets = [
+                    _cf_bytes(
+                        d * 5 + i * 11, 13,
+                        510 if (d + i) % 5 == 0
+                        else 100 + (d + 37 * i) % 400,
+                    )
+                    for i in range(n)
+                ]
+                out = _ogg.parse_ogg(_ogg.make_ogg(packets, max_segments=ms))
+                for p in out["packets"]:
+                    rows.append(
+                        (
+                            d, p["idx"], p["size"],
+                            p["size"] // 255 + 1,
+                            p["first_page"], p["last_page"],
+                            p["first_page"] != p["last_page"],
+                            p["granule"], sum(p["data"]),
+                        )
+                    )
+            out2 = pd.DataFrame(rows, columns=cols)
+            for c2, dt in (
+                ("doc_id", "int64"), ("pkt_idx", "int32"),
+                ("size", "int32"), ("n_segments", "int32"),
+                ("first_page", "int32"), ("last_page", "int32"),
+                ("granule", "int64"), ("byte_sum", "int64"),
+            ):
+                out2[c2] = out2[c2].astype(dt)
+            yield out2
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "multimodal_webp_probe",
     # Filter modulus 9 is coprime with the variant (%3), alpha (%2),
     # animated (%5) and dim knobs, so all three WebP container variants

@@ -143,7 +143,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # multimodal_webp_probe (all three variants' header parsing) rotated in
 # for join_bloom_reduced's slot (double-green non-anchor; join_ keeps
 # the right-outer anchor and the bloom family keeps lh_bloom_join_scan;
-# the runtime-filter semi-join stays local-gated + plan-pinned).
+# the runtime-filter semi-join stays local-gated + plan-pinned). The
+# NEW Ogg demux row multimodal_ogg_packets (lacing/spanning/CRC, the
+# streaming-audio container) rotated in for text_bpe_pair_stats' slot
+# (double-green non-anchor; text_ is now represented by the subtitle/
+# html/url rows; BPE stays pytest-pinned merge-for-merge).
 #
 # Round-12 rotation (VERDICT r11 tasks #1-#3). Rotates IN every
 # oracle-checkable query NEW or newly-oracle'd this round, each in its own
@@ -407,7 +411,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # planted-recall self-check — fresh code outranks a hold; text_
     # stays represented by bpe_pair_stats)
     "dedup_simhash_selfcheck",
-    "text_bpe_pair_stats",
+    # (text_bpe_pair_stats' r13 rotation slot goes to the NEW Ogg demux
+    # row — fresh code outranks a double-green non-anchor; text_ stays
+    # represented by the subtitle/html/url rows)
+    "multimodal_ogg_packets",
     # (multimodal_png_decode's and multimodal_jpeg_roundtrip's
     # second-round hold slots go to the post-freeze full-outer and
     # semi stream-stream joins)

@@ -1,0 +1,110 @@
+"""Ogg container (operators/ogg.py): lacing, spanning, CRC, flags,
+hostile inputs."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pyiceberg_lakehouse_spark.operators.ogg import (
+    make_ogg,
+    ogg_crc,
+    parse_ogg,
+)
+
+
+def test_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(0, 1200), min_size=1, max_size=8),
+        ms=st.integers(1, 255),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(sizes, ms, seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        packets = [rng.bytes(s) for s in sizes]
+        out = parse_ogg(make_ogg(packets, max_segments=ms))
+        assert [p["data"] for p in out["packets"]] == packets
+        # page arithmetic: nsegs = size//255 + 1, split every ms
+        cum = 0
+        for p, s in zip(out["packets"], sizes):
+            nsegs = s // 255 + 1
+            assert p["first_page"] == cum // ms
+            assert p["last_page"] == (cum + nsegs - 1) // ms
+            cum += nsegs
+        assert out["n_pages"] == (cum + ms - 1) // ms
+
+    check()
+
+
+def test_zero_lacing_terminator_for_exact_multiples():
+    """A 510-byte packet laces as 255,255,0 — dropping the 0 would glue
+    it to the next packet."""
+    out = parse_ogg(make_ogg([b"x" * 510, b"y" * 3]))
+    assert [p["size"] for p in out["packets"]] == [510, 3]
+    # empty packet = single 0 lacing
+    out2 = parse_ogg(make_ogg([b"", b"z"]))
+    assert [p["size"] for p in out2["packets"]] == [0, 1]
+
+
+def test_flags_and_granules():
+    raw = make_ogg([b"a" * 600, b"b"], max_segments=2)
+    out = parse_ogg(raw)
+    assert out["packets"][0]["first_page"] == 0
+    assert out["packets"][0]["last_page"] == 1
+    # page 1 header: continuation set, BOS clear
+    second = raw.index(b"OggS", 4)
+    assert raw[second + 5] & 0x01
+    assert not raw[second + 5] & 0x02
+    assert raw[4 + 1] & 0x02 or raw[5] & 0x02  # first page BOS
+    # custom granules land on the completing page
+    out3 = parse_ogg(make_ogg([b"p", b"q"], granules=[100, 200],
+                              max_segments=1))
+    assert [p["granule"] for p in out3["packets"]] == [100, 200]
+
+
+def test_crc_and_hostile_inputs():
+    raw = bytearray(make_ogg([b"hello" * 30]))
+    raw[40] ^= 0xFF  # flip a lacing/body byte
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        parse_ogg(bytes(raw))
+    good = make_ogg([b"hello"])
+    with pytest.raises(ValueError, match="capture pattern"):
+        parse_ogg(b"XggS" + good[1:])
+    with pytest.raises(ValueError, match="no EOS"):
+        # strip the EOS flag and refresh the CRC
+        raw2 = bytearray(good)
+        raw2[5] &= ~0x04
+        raw2[22:26] = b"\x00\x00\x00\x00"
+        crc = ogg_crc(bytes(raw2))
+        raw2[22:26] = struct.pack("<I", crc)
+        parse_ogg(bytes(raw2))
+    with pytest.raises(ValueError, match="sequence gap"):
+        three = make_ogg([b"a" * 600], max_segments=1)  # 3 pages
+        p1 = three.index(b"OggS", 4)
+        p2 = three.index(b"OggS", p1 + 4)
+        parse_ogg(three[:p1] + three[p2:])  # drop the middle page
+    # truncated mid-packet
+    with pytest.raises(ValueError, match="exceeds the file|inside a spanning"):
+        parse_ogg(make_ogg([b"a" * 600], max_segments=2)[:-5])
+    # second serial = multiplexed -> honest gate
+    a = make_ogg([b"a"], serial=1)
+    b = make_ogg([b"b"], serial=2)
+    raw3 = bytearray(a[:5]) ; raw3 = bytearray(a)
+    raw3[5] &= ~0x04  # page 0 no longer EOS
+    raw3[22:26] = b"\x00\x00\x00\x00"
+    crc = ogg_crc(bytes(raw3))
+    raw3[22:26] = struct.pack("<I", crc)
+    fixed_b = bytearray(b)
+    fixed_b[18:22] = struct.pack("<I", 1)  # page seq 1
+    fixed_b[5] &= ~0x02
+    fixed_b[22:26] = b"\x00\x00\x00\x00"
+    fixed_b[22:26] = struct.pack("<I", ogg_crc(bytes(fixed_b)))
+    with pytest.raises(NotImplementedError, match="serial"):
+        parse_ogg(bytes(raw3) + bytes(fixed_b))

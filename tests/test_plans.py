@@ -587,6 +587,7 @@ def test_r13_codec_queries_map_only(spark, sf_dir):
         "pipeline_crawl_ingest",
         "scan_robots_decisions",
         "multimodal_webp_probe",
+        "multimodal_ogg_packets",
     ):
         plan = plan_of(spark, q, sf_dir)
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, (q, plan[:800])
