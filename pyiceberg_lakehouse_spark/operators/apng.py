@@ -26,7 +26,6 @@ Scope (honest gates, same stance as the GIF compositor):
 from __future__ import annotations
 
 import struct
-import zlib
 
 import numpy as np
 
