@@ -188,3 +188,39 @@ def parse_ogg(payload: bytes) -> dict:
     if not saw_eos:
         raise ValueError("Ogg stream has no EOS page")
     return {"serial": serial, "n_pages": n_pages, "packets": packets}
+
+
+def probe_ogg_codec(payload: bytes) -> dict:
+    """Identify the codec from the FIRST packet (the identification
+    header both Opus and Vorbis mandate on the BOS page):
+
+    - OpusHead (RFC 7845 §5.1): version, channel count, pre-skip,
+      input sample rate (informational), output gain;
+    - \\x01vorbis: version, channels, sample rate.
+
+    -> {codec ('opus'|'vorbis'), channels, sample_rate, pre_skip
+    (opus only)}. Unknown first packets raise NotImplementedError —
+    identification must never guess."""
+    first = parse_ogg(payload)["packets"][0]["data"]
+    if first[:8] == b"OpusHead":
+        if len(first) < 19:
+            raise ValueError("OpusHead shorter than its fixed fields")
+        if first[8] >> 4 != 0:  # major version must be 0 per RFC 7845
+            raise ValueError(f"unsupported OpusHead version {first[8]}")
+        return {
+            "codec": "opus",
+            "channels": first[9],
+            "pre_skip": struct.unpack_from("<H", first, 10)[0],
+            "sample_rate": struct.unpack_from("<I", first, 12)[0],
+        }
+    if first[:7] == b"\x01vorbis":
+        if len(first) < 16:
+            raise ValueError("vorbis id header too short")
+        return {
+            "codec": "vorbis",
+            "channels": first[11],
+            "sample_rate": struct.unpack_from("<I", first, 12)[0],
+        }
+    raise NotImplementedError(
+        f"unknown Ogg codec (first packet starts {first[:8]!r})"
+    )

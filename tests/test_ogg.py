@@ -108,3 +108,28 @@ def test_crc_and_hostile_inputs():
     fixed_b[22:26] = struct.pack("<I", ogg_crc(bytes(fixed_b)))
     with pytest.raises(NotImplementedError, match="serial"):
         parse_ogg(bytes(raw3) + bytes(fixed_b))
+
+
+def test_probe_ogg_codec():
+    from pyiceberg_lakehouse_spark.operators.ogg import probe_ogg_codec
+
+    opus_head = (
+        b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+        + struct.pack("<I", 48000) + struct.pack("<h", 0) + b"\x00"
+    )
+    m = probe_ogg_codec(make_ogg([opus_head, b"OpusTags....", b"audio"]))
+    assert m == {
+        "codec": "opus", "channels": 2, "pre_skip": 312,
+        "sample_rate": 48000,
+    }
+    vorbis_id = (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+        + struct.pack("<I", 44100) + bytes(12)
+    )
+    m2 = probe_ogg_codec(make_ogg([vorbis_id, b"rest"]))
+    assert m2 == {"codec": "vorbis", "channels": 2, "sample_rate": 44100}
+    with pytest.raises(NotImplementedError, match="unknown Ogg codec"):
+        probe_ogg_codec(make_ogg([b"FLAC....."]))
+    with pytest.raises(ValueError, match="OpusHead version"):
+        bad = b"OpusHead" + bytes([0x10, 2]) + bytes(10)
+        probe_ogg_codec(make_ogg([bad]))
