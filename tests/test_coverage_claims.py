@@ -49,3 +49,21 @@ def test_docs_never_overstate_driver_evidence():
         f"docs claim driver evidence for queries with no hash-green driver "
         f"row: {offenders} — reword as 'local-verified, driver pending'"
     )
+
+
+def test_coverage_header_counts_match_registry():
+    """VERDICT r13 task #7: the COVERAGE.md header's "X of Y
+    oracle-checked" numbers must equal the live registry's
+    len(oracle_sql()) / len(queries()) so the count can't silently
+    drift again (it said 229/238 while the registry was 249/258)."""
+    from pyiceberg_lakehouse_spark import registry
+
+    registry.load_all()
+    txt = (REPO / "COVERAGE.md").read_text()
+    m = re.search(r"\((\d+) of (\d+) oracle-checked", txt)
+    assert m, "COVERAGE.md header lost its 'X of Y oracle-checked' phrase"
+    got_oracle, got_total = int(m.group(1)), int(m.group(2))
+    assert (got_oracle, got_total) == (len(registry.ORACLE), len(registry.QUERIES)), (
+        f"COVERAGE.md header says {got_oracle}/{got_total} but the registry "
+        f"is {len(registry.ORACLE)}/{len(registry.QUERIES)} — update the header"
+    )
