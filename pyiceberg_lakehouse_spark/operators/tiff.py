@@ -10,10 +10,19 @@ grayscale (PhotometricInterpretation 1) and RGB (2) at 8 bits per
 sample, and Compression 1 (none) + 32773 (PackBits RLE, with the
 -128 noop control byte).
 
-Honest gates (raise, never guess): other compressions (LZW §14, CCITT,
-JPEG-in-TIFF), tiled layout, planar configuration 2, bit depths other
-than 8, palette color, multi-IFD (multi-page) files return the FIRST
-page and expose next_ifd so callers see there are more.
+Compression 5 (LZW, §14) is implemented with the quirks every real
+reader/writer shares (they follow Aldus' implementation, not the spec's
+pseudo-code): MSB-first code packing (the GIF codec's exact opposite),
+9..12-bit codes with the "early change" width bump one code before the
+power of two, CLEAR at table slot 4094, and the decoder running one
+table entry behind the encoder. Predictor 2 (tag 317, horizontal
+differencing) composes with it, as in virtually every LZW scan.
+
+Honest gates (raise, never guess): other compressions (CCITT,
+JPEG-in-TIFF, Deflate), tiled layout, planar configuration 2, bit
+depths other than 8, palette color, multi-IFD (multi-page) files
+return the FIRST page and expose next_ifd so callers see there are
+more.
 
 Reference parity: ashkangoleh/pyiceberg-lakehouse ingests scans as
 opaque binary (main-daft.py:68); this engine decodes them.
@@ -35,6 +44,7 @@ _TAG_SPP = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
 _TAG_PLANAR = 284
+_TAG_PREDICTOR = 317
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
@@ -99,11 +109,140 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+_LZW_FIRST = 258
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF §14 LZW, Aldus-compatible (what libtiff writes): codes pack
+    MSB-first, width starts at 9, the width bump is ONE CODE EARLY
+    relative to textbook LZW (encoder bumps when free_ent exceeds
+    2^width - 1 right after adding an entry — the decoder, one entry
+    behind, bumps at 2^width - 1 itself, landing on the same code
+    index), the table clears at slot 4094, and the final prefix code
+    phantom-increments free_ent so EOI is written at the width the
+    decoder will read it with."""
+    out = bytearray()
+    acc = 0
+    acc_bits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, acc_bits
+        acc = (acc << width) | code
+        acc_bits += width
+        while acc_bits >= 8:
+            out.append((acc >> (acc_bits - 8)) & 0xFF)
+            acc_bits -= 8
+
+    emit(_LZW_CLEAR)
+    table: dict[tuple[int, int], int] = {}
+    free = _LZW_FIRST
+    prefix = -1
+    for b in data:
+        if prefix < 0:
+            prefix = b
+            continue
+        nxt = table.get((prefix, b))
+        if nxt is not None:
+            prefix = nxt
+            continue
+        emit(prefix)
+        table[(prefix, b)] = free
+        free += 1
+        prefix = b
+        if free == 4094:  # libtiff: CLEAR at CODE_MAX - 1
+            emit(_LZW_CLEAR)
+            table.clear()
+            free = _LZW_FIRST
+            width = 9
+        elif free > (1 << width) - 1:
+            width += 1
+    if prefix >= 0:
+        emit(prefix)
+        # the decoder adds one more entry after this code, before EOI
+        free += 1
+        if free > (1 << width) - 1 and width < 12:
+            width += 1
+    emit(_LZW_EOI)
+    if acc_bits:
+        out.append((acc << (8 - acc_bits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, expected: int) -> bytes:
+    """Strict TIFF LZW decode: the output must be exactly ``expected``
+    bytes; unknown codes, missing EOI, or overruns raise. Handles the
+    KwKwK corner (code one past the table end), CLEAR anywhere, and the
+    early-change width bump (see lzw_encode)."""
+    out = bytearray()
+    acc = 0
+    acc_bits = 0
+    pos = 0
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+    while True:
+        while acc_bits < width:
+            if pos >= len(data):
+                raise ValueError("LZW strip ends without an EOI code")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            acc_bits += 8
+        code = (acc >> (acc_bits - width)) & ((1 << width) - 1)
+        acc_bits -= width
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            width = 9
+            table.clear()
+            prev = None
+            continue
+        if prev is None:  # first code after CLEAR must be a literal
+            if code > 255:
+                raise ValueError("LZW stream starts with a non-literal")
+            prev = bytes([code])
+            out += prev
+            continue
+        if code < 256:
+            s = bytes([code])
+        elif _LZW_FIRST <= code < _LZW_FIRST + len(table):
+            s = table[code - _LZW_FIRST]
+        elif code == _LZW_FIRST + len(table):  # KwKwK
+            s = prev + prev[:1]
+        else:
+            raise ValueError(f"LZW code {code} beyond the string table")
+        out += s
+        table.append(prev + s[:1])
+        if _LZW_FIRST + len(table) >= (1 << width) - 1 and width < 12:
+            width += 1
+        prev = s
+        if len(out) > expected:
+            raise ValueError("LZW decodes past the strip extent")
+    if len(out) != expected:
+        raise ValueError(f"LZW strip decoded {len(out)} of {expected} bytes")
+    return bytes(out)
+
+
+def _predict2_encode(px: "np.ndarray") -> "np.ndarray":
+    """Predictor 2 (horizontal differencing), per row per channel,
+    modulo-256: what LZW compresses in virtually every real scan."""
+    d = px.astype(np.int16)
+    d[:, 1:, :] -= d[:, :-1, :].copy()
+    return (d % 256).astype(np.uint8)
+
+
+def _predict2_decode(px: "np.ndarray") -> "np.ndarray":
+    return (px.astype(np.int64).cumsum(axis=1) % 256).astype(np.uint8)
+
+
 def encode_tiff(
     pixels,
     big_endian: bool = False,
     compression: int = 1,
     rows_per_strip: int | None = None,
+    predictor: int = 1,
 ) -> bytes:
     """(h, w) or (h, w, 1|3) uint8 -> baseline TIFF bytes."""
     px = np.asarray(pixels, dtype=np.uint8)
@@ -112,8 +251,14 @@ def encode_tiff(
     h, w, ch = px.shape
     if ch not in (1, 3):
         raise ValueError("1 (gray) or 3 (RGB) samples per pixel")
-    if compression not in (1, 32773):
-        raise ValueError("compression must be 1 (none) or 32773 (PackBits)")
+    if compression not in (1, 5, 32773):
+        raise ValueError(
+            "compression must be 1 (none), 5 (LZW) or 32773 (PackBits)"
+        )
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
+    if predictor == 2:
+        px = _predict2_encode(px)
     if rows_per_strip is None:
         rows_per_strip = h
     e = ">" if big_endian else "<"
@@ -121,9 +266,11 @@ def encode_tiff(
     strips = []
     for s in range(n_strips):
         raw = px[s * rows_per_strip : (s + 1) * rows_per_strip].tobytes()
-        strips.append(
-            packbits_encode(raw) if compression == 32773 else raw
-        )
+        if compression == 32773:
+            raw = packbits_encode(raw)
+        elif compression == 5:
+            raw = lzw_encode(raw)
+        strips.append(raw)
 
     def tag(tid: int, ttype: int, values: list[int], data_off: int) -> tuple[bytes, bytes]:
         size = _TYPE_SIZES[ttype] * len(values)
@@ -160,6 +307,8 @@ def encode_tiff(
         (_TAG_STRIP_COUNTS, 4, [len(s) for s in strips]),
         (_TAG_PLANAR, 3, [1]),
     ]
+    if predictor == 2:  # tags must stay in ascending order (284 < 317)
+        entries.append((_TAG_PREDICTOR, 3, [2]))
     ifd_size = 2 + 12 * len(entries) + 4
     overflow_off = ifd_off + ifd_size
     ifd = struct.pack(f"{e}H", len(entries))
@@ -237,10 +386,13 @@ def decode_tiff(payload: bytes):
     bits = tags.get(_TAG_BITS, [8])
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"BitsPerSample {bits}: only 8 supported")
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {compression}: only none/PackBits supported"
+            f"TIFF compression {compression}: none/LZW/PackBits supported"
         )
+    predictor = one(_TAG_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
     if one(_TAG_PLANAR, 1) != 1:
         raise NotImplementedError("planar configuration 2 not supported")
     if photometric not in (0, 1, 2):
@@ -269,15 +421,20 @@ def decode_tiff(payload: bytes):
         raw = payload[off : off + cnt]
         if compression == 32773:
             raw = packbits_decode(raw, expected)
+        elif compression == 5:
+            raw = lzw_decode(raw, expected)
         elif len(raw) != expected:
             raise ValueError("uncompressed strip size mismatch")
         out += raw
     px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, ch)
+    if predictor == 2:  # undo horizontal differencing, per row
+        px = _predict2_decode(px)
     if photometric == 0:  # white-is-zero: invert to black-is-zero
         px = 255 - px
     meta = {
         "width": w, "height": h, "channels": ch,
         "compression": compression, "big_endian": e == ">",
+        "predictor": predictor,
         "n_strips": len(offsets), "next_ifd": next_ifd,
     }
     return px, meta

@@ -566,12 +566,13 @@ def test_video_curation_single_shuffle(spark, sf_dir):
 
 
 def test_r13_codec_queries_map_only(spark, sf_dir):
-    """Every r13 codec/extraction query is per-document work and must
-    stay a pure map stage (no Exchange) — media-scale rows never
+    """Every r13/r14 codec/extraction query is per-document work and
+    must stay a pure map stage (no Exchange) — media-scale rows never
     shuffle: GIF LZW roundtrip, GIF/APNG composition, fragmented-MP4
     demux, ID3-tagged MP3 metadata, subtitle parsing (sidecar and
-    in-MP4), TIFF roundtrip, EXIF extraction."""
+    in-MP4), TIFF roundtrip (baseline and LZW), EXIF extraction."""
     for q in (
+        "multimodal_tiff_lzw",
         "multimodal_gif_decode",
         "multimodal_gif_animation",
         "multimodal_apng_animation",

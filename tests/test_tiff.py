@@ -25,17 +25,19 @@ def test_roundtrip_property():
     @given(
         h=st.integers(1, 20), w=st.integers(1, 20),
         ch=st.sampled_from([1, 3]), be=st.booleans(),
-        comp=st.sampled_from([1, 32773]), rps=st.integers(1, 8),
+        comp=st.sampled_from([1, 5, 32773]), rps=st.integers(1, 8),
+        pred=st.sampled_from([1, 2]),
         seed=st.integers(0, 2**31 - 1),
     )
-    def check(h, w, ch, be, comp, rps, seed):
+    def check(h, w, ch, be, comp, rps, pred, seed):
         rng = np.random.default_rng(seed)
         px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
         got, meta = decode_tiff(
             encode_tiff(px, big_endian=be, compression=comp,
-                        rows_per_strip=rps)
+                        rows_per_strip=rps, predictor=pred)
         )
         assert (got == px).all()
+        assert meta["predictor"] == pred
         assert meta["n_strips"] == (h + rps - 1) // rps
         assert meta["big_endian"] == be
 
@@ -89,8 +91,8 @@ def test_honest_gates():
             if tid == tid_want:
                 struct.pack_into(f"{e}H", raw, at + 8, value)
 
-    set_tag(259, 5)  # LZW
-    with pytest.raises(NotImplementedError, match="compression 5"):
+    set_tag(259, 7)  # JPEG-in-TIFF
+    with pytest.raises(NotImplementedError, match="compression 7"):
         decode_tiff(bytes(raw))
     set_tag(259, 1)
     set_tag(284, 2)
@@ -101,7 +103,9 @@ def test_honest_gates():
     with pytest.raises(NotImplementedError, match="BitsPerSample"):
         decode_tiff(bytes(raw))
     with pytest.raises(ValueError, match="compression must be"):
-        encode_tiff(px, compression=5)
+        encode_tiff(px, compression=7)
+    with pytest.raises(ValueError, match="predictor must be"):
+        encode_tiff(px, predictor=3)
 
 
 def test_hostile_inputs():
@@ -138,3 +142,78 @@ def test_multipage_exposes_next_ifd():
     struct.pack_into("<I", raw, ifd_off + 2 + 12 * n, 12345)
     _, meta = decode_tiff(bytes(raw))
     assert meta["next_ifd"] == 12345
+
+
+def _msb_pack(codes_widths):
+    acc, nbits, out = 0, 0, bytearray()
+    for code, width in codes_widths:
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_early_change_pinned_bit_for_bit():
+    """Pin the Aldus 'early change' against a hand-packed bitstream: with
+    255 distinct-pair literals, the decoder adds table slot 510 while
+    processing the 254th code and must read the 255th AT 10 BITS — one
+    code earlier than textbook LZW. The encoder must emit the identical
+    stream (CLEAR + 254 nine-bit codes + two ten-bit codes)."""
+    from pyiceberg_lakehouse_spark.operators.tiff import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    data = bytes(range(255))  # every (prev, next) pair is a table miss
+    hand = _msb_pack(
+        [(256, 9)]
+        + [(k, 9) for k in range(254)]  # codes c1..c254
+        + [(254, 10), (257, 10)]  # c255 and EOI at the bumped width
+    )
+    assert lzw_encode(data) == hand
+    assert lzw_decode(hand, 255) == data
+
+
+def test_lzw_edges_and_hostile():
+    from pyiceberg_lakehouse_spark.operators.tiff import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    # KwKwK: run of one symbol forces code-one-past-table immediately
+    run = b"\x07" * 50
+    assert lzw_decode(lzw_encode(run), 50) == run
+    # empty strip is just CLEAR + EOI
+    assert lzw_decode(lzw_encode(b""), 0) == b""
+    # table clear at slot 4094: high-entropy input crossing 3836 codes
+    rng = np.random.default_rng(3)
+    big = rng.integers(0, 256, 30000, dtype=np.uint8).tobytes()
+    assert lzw_decode(lzw_encode(big), len(big)) == big
+    with pytest.raises(ValueError, match="without an EOI"):
+        lzw_decode(_msb_pack([(256, 9), (65, 9)]), 1)
+    with pytest.raises(ValueError, match="non-literal"):
+        lzw_decode(_msb_pack([(256, 9), (300, 9), (257, 9)]), 1)
+    with pytest.raises(ValueError, match="beyond the string table"):
+        lzw_decode(_msb_pack([(256, 9), (65, 9), (400, 9), (257, 9)]), 5)
+    with pytest.raises(ValueError, match="decoded 1 of 3"):
+        lzw_decode(_msb_pack([(256, 9), (65, 9), (257, 9)]), 3)
+    with pytest.raises(ValueError, match="decodes past"):
+        lzw_decode(_msb_pack([(256, 9), (65, 9), (66, 9), (257, 9)]), 1)
+
+
+def test_lzw_predictor_shrinks_gradients():
+    """Predictor 2 turns smooth gradients into near-constant diffs; the
+    LZW output must get much smaller — the reason every real scan pairs
+    tag 317=2 with Compression 5."""
+    x = np.arange(64, dtype=np.int64)[None, :, None]
+    y = np.arange(48, dtype=np.int64)[:, None, None]
+    px = ((3 * x + 5 * y) % 256).astype(np.uint8)
+    plain = encode_tiff(px, compression=5, predictor=1)
+    predicted = encode_tiff(px, compression=5, predictor=2)
+    assert len(predicted) < len(plain) // 2
+    got, meta = decode_tiff(predicted)
+    assert (got == px).all() and meta["predictor"] == 2
