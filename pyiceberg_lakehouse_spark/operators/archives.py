@@ -17,7 +17,10 @@ Scope (honest gates):
 - zip: central-directory walk from EOCD (the ONLY authoritative
   listing — local headers lie in real-world zips), methods 0 (stored)
   and 8 (deflate, stdlib zlib -15), CRC-32 verified on extraction;
-  zip64, encryption, and spanned archives raise.
+  zip64 (the >4 GiB / >65535-entry header form real corpus dumps use)
+  resolves the EOCD64 locator + record and per-entry 0x0001 extra
+  fields, with each 0xFFFFFFFF/0xFFFF sentinel pulled from the 64-bit
+  values in spec order; encryption and spanned archives raise.
 """
 
 from __future__ import annotations
@@ -157,11 +160,19 @@ _CDIR_SIG = b"PK\x01\x02"
 _LOCAL_SIG = b"PK\x03\x04"
 
 
-def make_zip(entries: list[dict], method: int = 8) -> bytes:
+_EOCD64_SIG = b"PK\x06\x06"
+_EOCD64_LOC_SIG = b"PK\x06\x07"
+
+
+def make_zip(entries: list[dict], method: int = 8, zip64: bool = False) -> bytes:
     """entries: [{name, data}] -> zip bytes (method 0 stored or
-    8 deflate)."""
+    8 deflate). ``zip64`` emits the header FORM a >4 GiB archive is
+    forced into — 0xFFFFFFFF/0xFFFF sentinels with the real values in
+    per-entry 0x0001 extra fields and an EOCD64 record + locator — so
+    the reader's zip64 resolution is testable without 4 GiB of data."""
     if method not in (0, 8):
         raise ValueError("zip method must be 0 (stored) or 8 (deflate)")
+    ver = 45 if zip64 else 20
     locals_ = bytearray()
     cdir = bytearray()
     offsets = []
@@ -175,10 +186,17 @@ def make_zip(entries: list[dict], method: int = 8) -> bytes:
         else:
             blob = data
         offsets.append(len(locals_))
-        locals_ += _LOCAL_SIG + struct.pack(
-            "<HHHHHIIIHH", 20, 0, method, 0, 0, crc, len(blob), len(data),
-            len(name), 0,
-        ) + name + blob
+        if zip64:
+            extra = struct.pack("<HHQQ", 0x0001, 16, len(data), len(blob))
+            locals_ += _LOCAL_SIG + struct.pack(
+                "<HHHHHIIIHH", ver, 0, method, 0, 0, crc,
+                0xFFFFFFFF, 0xFFFFFFFF, len(name), len(extra),
+            ) + name + extra + blob
+        else:
+            locals_ += _LOCAL_SIG + struct.pack(
+                "<HHHHHIIIHH", ver, 0, method, 0, 0, crc, len(blob),
+                len(data), len(name), 0,
+            ) + name + blob
     for e, off in zip(entries, offsets):
         name = e["name"].encode("utf-8")
         data = e["data"]
@@ -188,15 +206,71 @@ def make_zip(entries: list[dict], method: int = 8) -> bytes:
             blob = comp.compress(data) + comp.flush()
         else:
             blob = data
-        cdir += _CDIR_SIG + struct.pack(
-            "<HHHHHHIIIHHHHHII", 20, 20, 0, method, 0, 0, crc, len(blob),
-            len(data), len(name), 0, 0, 0, 0, 0, off,
-        ) + name
-    eocd = _EOCD_SIG + struct.pack(
-        "<HHHHIIH", 0, 0, len(entries), len(entries), len(cdir),
-        len(locals_), 0,
-    )
-    return bytes(locals_) + bytes(cdir) + eocd
+        if zip64:
+            extra = struct.pack(
+                "<HHQQQ", 0x0001, 24, len(data), len(blob), off
+            )
+            cdir += _CDIR_SIG + struct.pack(
+                "<HHHHHHIIIHHHHHII", ver, ver, 0, method, 0, 0, crc,
+                0xFFFFFFFF, 0xFFFFFFFF, len(name), len(extra), 0, 0, 0, 0,
+                0xFFFFFFFF,
+            ) + name + extra
+        else:
+            cdir += _CDIR_SIG + struct.pack(
+                "<HHHHHHIIIHHHHHII", ver, ver, 0, method, 0, 0, crc,
+                len(blob), len(data), len(name), 0, 0, 0, 0, 0, off,
+            ) + name
+    out = bytes(locals_) + bytes(cdir)
+    if zip64:
+        eocd64_at = len(out)
+        out += _EOCD64_SIG + struct.pack(
+            "<QHHIIQQQQ", 44, ver, ver, 0, 0, len(entries), len(entries),
+            len(cdir), len(locals_),
+        )
+        out += _EOCD64_LOC_SIG + struct.pack("<IQI", 0, eocd64_at, 1)
+        out += _EOCD_SIG + struct.pack(
+            "<HHHHIIH", 0, 0, 0xFFFF, 0xFFFF, 0xFFFFFFFF, 0xFFFFFFFF, 0
+        )
+    else:
+        out += _EOCD_SIG + struct.pack(
+            "<HHHHIIH", 0, 0, len(entries), len(entries), len(cdir),
+            len(locals_), 0,
+        )
+    return out
+
+
+def _zip64_resolve(
+    extra: bytes, usize: int, csize: int, local_off: int
+) -> tuple[int, int, int]:
+    """Pull the 64-bit values for any sentinel fields out of the 0x0001
+    extra block. Values appear in spec order, ONLY for fields whose
+    32-bit form is 0xFFFFFFFF."""
+    pos = 0
+    while pos + 4 <= len(extra):
+        hid, sz = struct.unpack_from("<HH", extra, pos)
+        pos += 4
+        if pos + sz > len(extra):
+            raise ValueError("zip extra field exceeds its extent")
+        if hid == 0x0001:
+            at, end = pos, pos + sz
+
+            def take8() -> int:
+                nonlocal at
+                if at + 8 > end:
+                    raise ValueError("zip64 extra field too short")
+                (v,) = struct.unpack_from("<Q", extra, at)
+                at += 8
+                return v
+
+            if usize == 0xFFFFFFFF:
+                usize = take8()
+            if csize == 0xFFFFFFFF:
+                csize = take8()
+            if local_off == 0xFFFFFFFF:
+                local_off = take8()
+            return usize, csize, local_off
+        pos += sz
+    raise ValueError("zip64 sentinel without a 0x0001 extra field")
 
 
 def parse_zip(payload: bytes) -> list[dict]:
@@ -210,8 +284,24 @@ def parse_zip(payload: bytes) -> list[dict]:
     (
         _disk, _cd_disk, _n_disk, n_total, cd_size, cd_off, _clen
     ) = struct.unpack_from("<HHHHIIH", payload, eocd_at + 4)
-    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
-        raise NotImplementedError("zip64 archives")
+    if n_total == 0xFFFF or cd_size == 0xFFFFFFFF or cd_off == 0xFFFFFFFF:
+        loc_at = eocd_at - 20
+        if loc_at < 0 or payload[loc_at : loc_at + 4] != _EOCD64_LOC_SIG:
+            raise ValueError("zip64 sentinel without an EOCD64 locator")
+        _e64_disk, e64_at, n_disks = struct.unpack_from(
+            "<IQI", payload, loc_at + 4
+        )
+        if n_disks > 1:
+            raise NotImplementedError("spanned zip archives")
+        if (
+            e64_at + 56 > len(payload)
+            or payload[e64_at : e64_at + 4] != _EOCD64_SIG
+        ):
+            raise ValueError("EOCD64 record missing at its stated offset")
+        (
+            _rec_size, _vm, _vn, _d64, _cd64, _n_disk64, n_total, cd_size,
+            cd_off,
+        ) = struct.unpack_from("<QHHIIQQQQ", payload, e64_at + 4)
     if cd_off + cd_size > len(payload):
         raise ValueError("central directory exceeds the file")
     out: list[dict] = []
@@ -224,6 +314,15 @@ def parse_zip(payload: bytes) -> list[dict]:
             nlen, xlen, clen, _disk2, _iattr, _eattr, local_off
         ) = struct.unpack_from("<HHHHHHIIIHHHHHII", payload, pos + 4)
         name = payload[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        if (
+            usize == 0xFFFFFFFF
+            or csize == 0xFFFFFFFF
+            or local_off == 0xFFFFFFFF
+        ):
+            usize, csize, local_off = _zip64_resolve(
+                payload[pos + 46 + nlen : pos + 46 + nlen + xlen],
+                usize, csize, local_off,
+            )
         pos += 46 + nlen + xlen + clen
         if flags & 0x1:
             raise NotImplementedError("encrypted zip entries")

@@ -12,9 +12,16 @@ the multi-member walk uses zlib's unused_data contract). HTTP
 response envelopes inside response records parse status line +
 headers + body with Content-Length framing when present.
 
-Honest gates: chunked transfer-encoding inside stored HTTP (rare in
-WARC — crawlers de-chunk) raises NotImplementedError; truncated
-records, bad version lines, missing separators and short blocks raise
+Chunked transfer-encoding inside stored HTTP is de-chunked per RFC
+7230 §4.1 (hex size lines with extensions dropped, per-chunk CRLF
+framing checked, trailer fields merged into the header map) — some
+crawlers store the raw wire bytes, and a reader that can't de-chunk
+sees hex framing noise spliced into its training text. When both
+Transfer-Encoding and Content-Length are present, chunking wins, per
+RFC 7230 §3.3.3.
+
+Honest gates: truncated records, bad version lines, missing
+separators, short blocks and malformed chunk framing raise
 ValueError — a crawl reader that guesses yields corrupt training text.
 """
 
@@ -28,12 +35,68 @@ def build_http_response(
     reason: str,
     headers: list[tuple[str, str]],
     body: bytes,
+    chunk_size: int | None = None,
 ) -> bytes:
+    """``chunk_size`` set -> the body is stored chunked (RFC 7230 §4.1:
+    hex size line, chunk, CRLF, ... 0-chunk, blank trailer) instead of
+    Content-Length-framed — the raw-wire-bytes crawl layout."""
     head = f"HTTP/1.1 {status} {reason}\r\n"
     hdrs = "".join(f"{k}: {v}\r\n" for k, v in headers)
-    if not any(k.lower() == "content-length" for k, _ in headers):
+    if chunk_size is not None:
+        if chunk_size < 1:
+            raise ValueError("chunk_size must be positive")
+        hdrs += "Transfer-Encoding: chunked\r\n"
+        wire = bytearray()
+        for at in range(0, len(body), chunk_size):
+            chunk = body[at : at + chunk_size]
+            wire += f"{len(chunk):x}\r\n".encode("latin-1")
+            wire += chunk + b"\r\n"
+        wire += b"0\r\n\r\n"
+        body = bytes(wire)
+    elif not any(k.lower() == "content-length" for k, _ in headers):
         hdrs += f"Content-Length: {len(body)}\r\n"
     return head.encode("latin-1") + hdrs.encode("latin-1") + b"\r\n" + body
+
+
+def _dechunk(body: bytes) -> tuple[bytes, dict[str, str]]:
+    """RFC 7230 §4.1 chunked decoding -> (payload, trailer headers).
+    Chunk extensions (';token=...') are dropped; framing slips raise."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("chunked body: truncated chunk-size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(
+                f"chunked body: bad chunk size {size_tok!r}"
+            ) from None
+        pos = eol + 2
+        if size == 0:
+            break
+        if pos + size + 2 > len(body):
+            raise ValueError("chunked body: chunk exceeds the block")
+        out += body[pos : pos + size]
+        if body[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError("chunked body: chunk missing its CRLF")
+        pos = pos + size + 2
+    trailers: dict[str, str] = {}
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("chunked body: truncated trailer section")
+        line = body[pos:eol]
+        pos = eol + 2
+        if not line:
+            break
+        k, _, v = line.partition(b":")
+        trailers[k.decode("latin-1").strip().lower()] = (
+            v.decode("latin-1").strip()
+        )
+    return bytes(out), trailers
 
 
 def parse_http_response(block: bytes) -> dict:
@@ -53,10 +116,12 @@ def parse_http_response(block: bytes) -> dict:
         headers[k.decode("latin-1").strip().lower()] = (
             v.decode("latin-1").strip()
         )
-    if "chunked" in headers.get("transfer-encoding", ""):
-        raise NotImplementedError("chunked HTTP bodies inside WARC")
     body = block[sep + 4 :]
-    if "content-length" in headers:
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        # Transfer-Encoding beats Content-Length (RFC 7230 §3.3.3)
+        body, trailers = _dechunk(body)
+        headers.update(trailers)
+    elif "content-length" in headers:
         n = int(headers["content-length"])
         if n > len(body):
             raise ValueError("HTTP body shorter than Content-Length")

@@ -124,11 +124,11 @@ def test_zip_crc_and_hostiles():
     struct.pack_into("<H", z2, j + 8, 0x1)
     with pytest.raises(NotImplementedError, match="encrypted"):
         parse_zip(bytes(z2))
-    # zip64 sentinel
+    # zip64 sentinel without the EOCD64 locator is corruption, not zip64
     z3 = bytearray(make_zip([{"name": "a", "data": b"x"}], 0))
     k = z3.rindex(b"PK\x05\x06")
     struct.pack_into("<H", z3, k + 10, 0xFFFF)
-    with pytest.raises(NotImplementedError, match="zip64"):
+    with pytest.raises(ValueError, match="without an EOCD64 locator"):
         parse_zip(bytes(z3))
 
 
@@ -190,7 +190,7 @@ def test_http_envelope_edges():
         b"HTTP/1.1 301 Moved Permanently\r\nLocation: /x\r\n\r\n"
     )
     assert r["status"] == 301 and r["headers"]["location"] == "/x"
-    with pytest.raises(NotImplementedError, match="chunked"):
+    with pytest.raises(ValueError, match="truncated trailer"):
         parse_http_response(
             b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n0\r\n"
         )
@@ -204,3 +204,79 @@ def test_http_envelope_edges():
     )
     assert r2["body"] == b"ab"
     assert zlib  # imported for the gzip test path
+
+
+def test_chunked_transfer_encoding():
+    """RFC 7230 §4.1 de-chunking: multi-chunk bodies reassemble exactly,
+    extensions are dropped, trailers merge into the header map,
+    Transfer-Encoding beats Content-Length (§3.3.3), and framing slips
+    raise instead of splicing hex noise into training text."""
+    body = b"the quick brown fox jumps over the lazy dog " * 9
+    raw = build_http_response(200, "OK", [("Content-Type", "text/plain")],
+                              body, chunk_size=7)
+    assert b"Content-Length" not in raw.split(b"\r\n\r\n", 1)[0]
+    got = parse_http_response(raw)
+    assert got["body"] == body
+    # chunk extensions + trailers, hand-built
+    wire = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"5;ext=1\r\nhello\r\n3\r\n wo\r\n3\r\nrld\r\n0\r\n"
+            b"X-Digest: abc\r\n\r\n")
+    got = parse_http_response(wire)
+    assert got["body"] == b"hello world" and got["headers"]["x-digest"] == "abc"
+    # Transfer-Encoding wins over a lying Content-Length
+    raw2 = build_http_response(200, "OK", [("Content-Length", "3")],
+                               body, chunk_size=64)
+    assert parse_http_response(raw2)["body"] == body
+    import pytest as _pt
+    with _pt.raises(ValueError, match="bad chunk size"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\n"
+        )
+    with _pt.raises(ValueError, match="chunk exceeds"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nff\r\nab"
+        )
+    with _pt.raises(ValueError, match="missing its CRLF"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"2\r\nabXX0\r\n\r\n"
+        )
+    with _pt.raises(ValueError, match="chunk_size must be positive"):
+        build_http_response(200, "OK", [], b"x", chunk_size=0)
+
+
+def test_zip64_header_form():
+    """The >4 GiB header FORM: sentinels in EOCD + central entries,
+    real values in the EOCD64 record and per-entry 0x0001 extras —
+    resolvable without 4 GiB of data (VERDICT r13 task #3)."""
+    entries = [
+        {"name": f"p/q-{i}.bin", "data": bytes([i * 3 % 256]) * (40 + i)}
+        for i in range(6)
+    ]
+    for method in (0, 8):
+        z = make_zip(entries, method=method, zip64=True)
+        assert b"PK\x06\x06" in z and b"PK\x06\x07" in z
+        got = parse_zip(z)
+        assert [(e["name"], e["data"]) for e in got] == [
+            (e["name"], e["data"]) for e in entries
+        ]
+        assert all(e["method"] == method for e in got)
+    # spanned archives still refuse
+    z = bytearray(make_zip(entries, zip64=True))
+    loc = z.rindex(b"PK\x06\x07")
+    struct.pack_into("<I", z, loc + 16, 2)  # total disks = 2
+    with pytest.raises(NotImplementedError, match="spanned"):
+        parse_zip(bytes(z))
+    # EOCD64 offset pointing at garbage
+    z = bytearray(make_zip(entries, zip64=True))
+    loc = z.rindex(b"PK\x06\x07")
+    struct.pack_into("<Q", z, loc + 8, 1)
+    with pytest.raises(ValueError, match="EOCD64 record missing"):
+        parse_zip(bytes(z))
+    # sentinel entry whose extra block lacks the 0x0001 field
+    z = bytearray(make_zip([{"name": "a", "data": b"x" * 9}], 0, zip64=True))
+    cd = z.index(b"PK\x01\x02")
+    # overwrite the extra header id (at cd+46+nlen) with a foreign id
+    struct.pack_into("<H", z, cd + 46 + 1, 0x9999)
+    with pytest.raises(ValueError, match="without a 0x0001 extra"):
+        parse_zip(bytes(z))
