@@ -14,10 +14,18 @@ subtle, correctness-critical parts a demuxer must get right:
 - page sequence numbers are per-stream and must increase by exactly 1
   (a gap means data loss); BOS marks the first page, EOS the last.
 
-Honest scope: single logical stream per file (one serial number);
-grouped/chained multi-stream files raise NotImplementedError. Codec
-payloads (Opus/Vorbis bitstreams) stay opaque — this is the demux
-layer, the same honesty split as the MP4/MP3 demuxes.
+Chained streams (RFC 3533 §2: a logical stream ends with EOS and a
+NEW logical stream with a distinct serial begins at a BOS page — the
+shape real podcast files take at every metadata change) parse via
+parse_ogg_chain, one link at a time, each link's page sequence
+restarting at 0 and every link's serial checked unique across the
+chain. parse_ogg stays the strict single-stream form.
+
+Honest scope: grouped (interleaved-serial) multi-stream files raise
+NotImplementedError — a second serial BEFORE the current link's EOS
+is grouping, not chaining. Codec payloads (Opus/Vorbis bitstreams)
+stay opaque — this is the demux layer, the same honesty split as the
+MP4/MP3 demuxes.
 """
 
 from __future__ import annotations
@@ -105,8 +113,39 @@ def make_ogg(
 def parse_ogg(payload: bytes) -> dict:
     """-> {serial, n_pages, packets: [{idx, size, data, first_page,
     last_page, granule}]}. Strict: CRC, capture pattern, sequence
-    continuity and continuation-flag consistency all validated."""
+    continuity and continuation-flag consistency all validated.
+    Single-stream form: a chained file (a second link after EOS)
+    raises — use parse_ogg_chain for those."""
+    stream, pos = _parse_stream(payload, 0, set())
+    if pos < len(payload):
+        raise ValueError(
+            "data after the EOS page (chained stream: use parse_ogg_chain)"
+        )
+    return stream
+
+
+def parse_ogg_chain(payload: bytes) -> list[dict]:
+    """RFC 3533 chained physical bitstream -> one parse_ogg-shaped dict
+    per link, in order. Each link must begin at a BOS page with a
+    serial unused by every earlier link and end with EOS before the
+    next begins; grouping (a second serial inside a link) raises."""
+    links: list[dict] = []
+    used: set[int] = set()
     pos = 0
+    while pos < len(payload):
+        stream, pos = _parse_stream(payload, pos, used)
+        used.add(stream["serial"])
+        links.append(stream)
+    if not links:
+        raise ValueError("empty Ogg payload")
+    return links
+
+
+def _parse_stream(
+    payload: bytes, pos: int, used_serials: set[int]
+) -> tuple[dict, int]:
+    """Parse ONE logical stream starting at ``pos``; stop after its EOS
+    page. Returns (stream dict, offset just past the EOS page)."""
     n = len(payload)
     serial = None
     expected_seq = 0
@@ -115,9 +154,7 @@ def parse_ogg(payload: bytes) -> dict:
     partial_first_page: int | None = None
     n_pages = 0
     saw_eos = False
-    while pos < n:
-        if saw_eos:
-            raise ValueError("data after the EOS page")
+    while pos < n and not saw_eos:
         if payload[pos : pos + 4] != b"OggS":
             raise ValueError("lost Ogg capture pattern")
         if pos + 27 > n:
@@ -137,10 +174,16 @@ def parse_ogg(payload: bytes) -> dict:
         if body_start + body_len > n:
             raise ValueError("Ogg page body exceeds the file")
         if serial is None:
+            if pserial in used_serials:
+                raise ValueError(
+                    f"chained Ogg link reuses serial {pserial}"
+                )
+            if not header_type & 0x02:
+                raise ValueError("Ogg logical stream must start with BOS")
             serial = pserial
         elif pserial != serial:
             raise NotImplementedError(
-                "multiplexed/chained Ogg streams (second serial number)"
+                "grouped (interleaved-serial) Ogg streams"
             )
         if seq != expected_seq:
             raise ValueError(
@@ -187,7 +230,7 @@ def parse_ogg(payload: bytes) -> dict:
         raise ValueError("Ogg stream ends inside a spanning packet")
     if not saw_eos:
         raise ValueError("Ogg stream has no EOS page")
-    return {"serial": serial, "n_pages": n_pages, "packets": packets}
+    return {"serial": serial, "n_pages": n_pages, "packets": packets}, pos
 
 
 def probe_ogg_codec(payload: bytes) -> dict:
@@ -199,9 +242,11 @@ def probe_ogg_codec(payload: bytes) -> dict:
     - \\x01vorbis: version, channels, sample rate.
 
     -> {codec ('opus'|'vorbis'), channels, sample_rate, pre_skip
-    (opus only)}. Unknown first packets raise NotImplementedError —
+    (opus only)}. Chained files are probed on their FIRST link (each
+    later link has its own id header — probe those via
+    parse_ogg_chain). Unknown first packets raise NotImplementedError —
     identification must never guess."""
-    first = parse_ogg(payload)["packets"][0]["data"]
+    first = parse_ogg_chain(payload)[0]["packets"][0]["data"]
     if first[:8] == b"OpusHead":
         if len(first) < 19:
             raise ValueError("OpusHead shorter than its fixed fields")

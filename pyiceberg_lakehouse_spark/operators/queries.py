@@ -2977,32 +2977,44 @@ def multimodal_mp4_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_ogg_packets",
-    # Filter modulus 9 is coprime with the packet-count (%4), the
-    # 510-byte exact-multiple knob (%5, exercising the 0-lacing
-    # terminator) and the page-capacity knob (%4, forcing spanning).
-    # The oracle replays the LACING arithmetic closed-form: nsegs =
-    # size//255 + 1, pages split every ms lacing values, so
-    # first/last page indexes are window cumsums.
+    # Filter modulus 9 is coprime with the packet-count (%4, %3), the
+    # exact-255-multiple knob (%5, exercising the 0-lacing terminator
+    # on both links) and the page-capacity knob (%4, forcing spanning).
+    # r14: per doc the file is a TWO-LINK CHAIN (VERDICT r13 task #4)
+    # — link 0 and link 1 are independent logical streams with their
+    # own serials, packet sets and page numbering restarting at 0.
+    # The oracle replays the LACING arithmetic closed-form per link:
+    # nsegs = size//255 + 1, pages split every ms lacing values, so
+    # first/last page indexes are window cumsums partitioned by link.
     """
     with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             3 + doc_id % 4 as n, 2 + doc_id % 4 as ms
+      select doc_id, cast(doc_id as bigint) as d, 2 + doc_id % 4 as ms
       from documents where doc_id % 9 = 0
     ),
     pk as (
-      select doc_id, d, ms, i,
-             case when (d + i) % 5 = 0 then 510
-                  else 100 + (d + 37*i) % 400 end as sz
-      from base, unnest(generate_series(0, 6)) u(i) where i < n
+      select doc_id, d, ms, l, i,
+             case when l = 0 then
+               case when (d + i) % 5 = 0 then 510
+                    else 100 + (d + 37*i) % 400 end
+             else
+               case when (d + i) % 5 = 1 then 255
+                    else 60 + (d + 29*i) % 350 end
+             end as sz
+      from base,
+           unnest(generate_series(0, 1)) ul(l),
+           unnest(generate_series(0, 6)) u(i)
+      where i < case when l = 0 then 3 + d % 4 else 2 + d % 3 end
     ),
     seg as (
       select *, sz // 255 + 1 as nsegs,
-             coalesce(sum(sz // 255 + 1) over (partition by doc_id
+             coalesce(sum(sz // 255 + 1) over (partition by doc_id, l
                  order by i rows between unbounded preceding
                  and 1 preceding), 0) as cum
       from pk
     )
     select doc_id,
+           cast(l as integer) as link,
+           cast(l + 1 as integer) as serial,
            cast(i as integer) as pkt_idx,
            cast(sz as integer) as size,
            cast(nsegs as integer) as n_segments,
@@ -3011,9 +3023,10 @@ def multimodal_mp4_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
            cum // ms != (cum + nsegs - 1) // ms as spans_pages,
            -- granule is PAGE-level: every packet completing on a page
            -- carries the page's stamp = the LAST completer's position
-           cast(max(i + 1) over (partition by doc_id,
+           cast(max(i + 1) over (partition by doc_id, l,
                 (cum + nsegs - 1) // ms) as bigint) as granule,
-           cast((select sum((d*5 + i*11 + 13*j) % 256)
+           cast((select sum(((5 + 2*l)*d + i*(11 + 6*l) + (13 + 6*l)*j)
+                     % 256)
                  from generate_series(0, 509) g(j) where j < sz)
                as bigint) as byte_sum
     from seg
@@ -3021,16 +3034,21 @@ def multimodal_mp4_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_ogg_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ogg container demux (operators/ogg.py — RFC 3533): per doc, mux
-    packets whose sizes cycle through the lacing subtleties (an exact
-    255-multiple forcing the 0-lacing terminator; sizes > 255 forcing
-    multi-lacing) into pages capped at 2-5 lacing values (forcing
-    packets to SPAN pages with continuation flags), stamp per-page
-    granules and the Ogg CRC, then demux back. The oracle replays the
-    lacing/page arithmetic closed-form — nsegs = size//255 + 1 with
-    pages splitting every ms values, so first/last page indexes are
-    window cumsums — plus seeded byte sums proving reassembly sliced
-    the right body bytes across page boundaries. granule = the value
-    stamped where each packet completes."""
+    TWO logical streams and chain them (VERDICT r13 task #4 — the
+    shape real podcast files take at every metadata change: link 0
+    ends with EOS, link 1 begins at a BOS page with a new serial and
+    page numbering restarting at 0). Packet sizes cycle through the
+    lacing subtleties on both links (an exact 255-multiple forcing the
+    0-lacing terminator; sizes > 255 forcing multi-lacing) and pages
+    cap at 2-5 lacing values (forcing packets to SPAN pages with
+    continuation flags); granules and the Ogg CRC stamp every page.
+    parse_ogg_chain demuxes both links back. The oracle replays the
+    lacing/page arithmetic closed-form per link — nsegs = size//255 +
+    1 with pages splitting every ms values, so first/last page indexes
+    are window cumsums partitioned by link — plus per-link seeded byte
+    sums proving reassembly sliced the right body bytes across page
+    AND link boundaries. granule = the value stamped where each packet
+    completes."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -3046,6 +3064,8 @@ def multimodal_ogg_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
+            T.StructField("link", T.IntegerType()),
+            T.StructField("serial", T.IntegerType()),
             T.StructField("pkt_idx", T.IntegerType()),
             T.StructField("size", T.IntegerType()),
             T.StructField("n_segments", T.IntegerType()),
@@ -3063,30 +3083,45 @@ def multimodal_ogg_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                n = 3 + d % 4
                 ms = 2 + d % 4
-                packets = [
-                    _cf_bytes(
-                        d * 5 + i * 11, 13,
-                        510 if (d + i) % 5 == 0
-                        else 100 + (d + 37 * i) % 400,
-                    )
-                    for i in range(n)
-                ]
-                out = _ogg.parse_ogg(_ogg.make_ogg(packets, max_segments=ms))
-                for p in out["packets"]:
-                    rows.append(
-                        (
-                            d, p["idx"], p["size"],
-                            p["size"] // 255 + 1,
-                            p["first_page"], p["last_page"],
-                            p["first_page"] != p["last_page"],
-                            p["granule"], sum(p["data"]),
+                link_packets = [
+                    [
+                        _cf_bytes(
+                            d * 5 + i * 11, 13,
+                            510 if (d + i) % 5 == 0
+                            else 100 + (d + 37 * i) % 400,
                         )
-                    )
+                        for i in range(3 + d % 4)
+                    ],
+                    [
+                        _cf_bytes(
+                            d * 7 + i * 17, 19,
+                            255 if (d + i) % 5 == 1
+                            else 60 + (d + 29 * i) % 350,
+                        )
+                        for i in range(2 + d % 3)
+                    ],
+                ]
+                chain = b"".join(
+                    _ogg.make_ogg(pk, serial=li + 1, max_segments=ms)
+                    for li, pk in enumerate(link_packets)
+                )
+                for li, stream in enumerate(_ogg.parse_ogg_chain(chain)):
+                    for p in stream["packets"]:
+                        rows.append(
+                            (
+                                d, li, stream["serial"],
+                                p["idx"], p["size"],
+                                p["size"] // 255 + 1,
+                                p["first_page"], p["last_page"],
+                                p["first_page"] != p["last_page"],
+                                p["granule"], sum(p["data"]),
+                            )
+                        )
             out2 = pd.DataFrame(rows, columns=cols)
             for c2, dt in (
-                ("doc_id", "int64"), ("pkt_idx", "int32"),
+                ("doc_id", "int64"), ("link", "int32"), ("serial", "int32"),
+                ("pkt_idx", "int32"),
                 ("size", "int32"), ("n_segments", "int32"),
                 ("first_page", "int32"), ("last_page", "int32"),
                 ("granule", "int64"), ("byte_sum", "int64"),

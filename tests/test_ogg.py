@@ -133,3 +133,60 @@ def test_probe_ogg_codec():
     with pytest.raises(ValueError, match="OpusHead version"):
         bad = b"OpusHead" + bytes([0x10, 2]) + bytes(10)
         probe_ogg_codec(make_ogg([bad]))
+
+
+def test_chained_streams():
+    """RFC 3533 chaining (VERDICT r13 task #4): EOS ends a link, a BOS
+    page with a fresh serial begins the next, page numbering restarts.
+    parse_ogg_chain walks every link; parse_ogg stays strict."""
+    from pyiceberg_lakehouse_spark.operators.ogg import parse_ogg_chain
+
+    p1 = [b"A" * 100, b"B" * 510, b"C" * 300]
+    p2 = [b"D" * 255, b"E" * 40]
+    p3 = [b"F" * 7]
+    chain = (
+        make_ogg(p1, serial=11, max_segments=2)
+        + make_ogg(p2, serial=22, max_segments=3)
+        + make_ogg(p3, serial=33)
+    )
+    links = parse_ogg_chain(chain)
+    assert [ln["serial"] for ln in links] == [11, 22, 33]
+    assert [p["data"] for p in links[0]["packets"]] == p1
+    assert [p["data"] for p in links[1]["packets"]] == p2
+    assert [p["data"] for p in links[2]["packets"]] == p3
+    # per-link page numbering restarts at 0
+    assert links[1]["packets"][0]["first_page"] == 0
+    # the single-stream form refuses chains, pointing at the chain API
+    with pytest.raises(ValueError, match="parse_ogg_chain"):
+        parse_ogg(chain)
+    # a reused serial across links is corruption, not chaining
+    with pytest.raises(ValueError, match="reuses serial"):
+        parse_ogg_chain(
+            make_ogg(p1, serial=5) + make_ogg(p2, serial=5)
+        )
+    # a link must open with BOS: clear it on link 2's first page, re-CRC
+    second = bytearray(make_ogg(p3, serial=44))
+    second[5] &= ~0x02
+    second[22:26] = b"\x00\x00\x00\x00"
+    second[22:26] = struct.pack("<I", ogg_crc(bytes(second)))
+    with pytest.raises(ValueError, match="must start with BOS"):
+        parse_ogg_chain(make_ogg(p1, serial=11) + bytes(second))
+    with pytest.raises(ValueError, match="empty Ogg payload"):
+        parse_ogg_chain(b"")
+
+
+def test_probe_chained_first_link():
+    """A chained file identifies from its first link's id header."""
+    from pyiceberg_lakehouse_spark.operators.ogg import probe_ogg_codec
+
+    opus_head = (
+        b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+        + struct.pack("<I", 48000) + b"\x00\x00\x00"
+    )
+    chain = (
+        make_ogg([opus_head, b"data"], serial=1)
+        + make_ogg([b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+                    + struct.pack("<I", 44100) + b"\x00" * 5], serial=2)
+    )
+    got = probe_ogg_codec(chain)
+    assert got["codec"] == "opus" and got["pre_skip"] == 312
