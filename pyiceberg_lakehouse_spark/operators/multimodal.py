@@ -2894,10 +2894,40 @@ def demux_mp4_fragmented_table(df: DataFrame, id_col: str = "doc_id") -> DataFra
 # ID3v1 trailer; a frame walk that treats either as "lost sync" rejects
 # virtually every file a crawl actually yields. The tag layer here is
 # spec-complete for the text frames a curation pipeline filters on
-# (title/artist/album/year/genre); v2.2 (3-char frame ids) and the
-# unsynchronisation scheme stay honestly gated.
+# (title/artist/album/year/genre) across v2.2 (3-char frame ids,
+# 3-byte plain sizes — the oldest corpora), v2.3 (4-char ids, plain
+# sizes) and v2.4 (synchsafe frame sizes), plus tag-level
+# unsynchronisation for v2.2/v2.3 (0x00 stuffed after every 0xFF so
+# the tag can't fake an MPEG sync — removed before the frame walk,
+# with frame sizes counting DECODED bytes per the v2.3 spec). v2.4
+# per-frame unsynchronisation stays honestly gated (v2.4's synchsafe
+# sizes make it near-unused in the wild).
 
 _ID3_TEXT_FRAMES = ("TIT2", "TPE1", "TALB", "TYER", "TDRC", "TCON")
+# v2.2 §4.2 three-char ids for the same text frames
+_ID3V22_MAP = {
+    "TT2": "TIT2", "TP1": "TPE1", "TAL": "TALB",
+    "TYE": "TYER", "TCO": "TCON",
+}
+_ID3V22_REVERSE = {v: k for k, v in _ID3V22_MAP.items()}
+
+
+def _id3_unsync(body: bytes) -> bytes:
+    """Insert 0x00 after every 0xFF followed by >= 0xE0 or 0x00 (or at
+    the tag end) — ID3v2.3 §5."""
+    out = bytearray()
+    n = len(body)
+    for i, b in enumerate(body):
+        out.append(b)
+        if b == 0xFF and (i + 1 == n or body[i + 1] >= 0xE0 or body[i + 1] == 0):
+            out.append(0)
+    return bytes(out)
+
+
+def _id3_deunsync(body: bytes) -> bytes:
+    """Remove the 0x00 stuffed after every 0xFF (left-to-right,
+    non-overlapping — exactly bytes.replace's contract)."""
+    return body.replace(b"\xff\x00", b"\xff")
 
 
 def _synchsafe(n: int) -> bytes:
@@ -2914,73 +2944,111 @@ def _unsynchsafe(b: bytes) -> int:
     return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
 
 
-def make_id3v2(frames: dict[str, str], version: int = 3) -> bytes:
-    """ID3v2.3 or v2.4 tag with latin-1 (enc 0) text frames — v2.4
-    frame sizes are synchsafe, v2.3 plain big-endian (the wire
-    difference a parser must branch on)."""
-    if version not in (3, 4):
-        raise ValueError("only ID3v2.3 / v2.4 are emitted")
+def make_id3v2(
+    frames: dict[str, str], version: int = 3, unsync: bool = False
+) -> bytes:
+    """ID3v2.2 / v2.3 / v2.4 tag with latin-1 (enc 0) text frames.
+    Wire differences a parser must branch on: v2.2 uses 3-char frame
+    ids + 3-byte plain sizes and no frame flags (canonical 4-char ids
+    are mapped down, e.g. TIT2 -> TT2); v2.3 plain 4-byte big-endian
+    sizes; v2.4 synchsafe sizes. ``unsync`` (v2.2/v2.3 only) applies
+    tag-level unsynchronisation, with the header size counting the
+    STUFFED bytes."""
+    if version not in (2, 3, 4):
+        raise ValueError("only ID3v2.2 / v2.3 / v2.4 are emitted")
+    if unsync and version == 4:
+        raise ValueError("v2.4 unsynchronisation is per-frame; not emitted")
     body = b""
     for fid, text in frames.items():
         if len(fid) != 4:
             raise ValueError("frame id must be 4 chars")
         payload = b"\x00" + text.encode("latin-1")
+        if version == 2:
+            fid22 = _ID3V22_REVERSE.get(fid)
+            if fid22 is None:
+                raise ValueError(f"no ID3v2.2 id for frame {fid}")
+            body += (
+                fid22.encode("latin-1")
+                + len(payload).to_bytes(3, "big")
+                + payload
+            )
+            continue
         size = (
             _synchsafe(len(payload))
             if version == 4
             else _struct.pack(">I", len(payload))
         )
         body += fid.encode("latin-1") + size + b"\x00\x00" + payload
-    return b"ID3" + bytes([version, 0, 0]) + _synchsafe(len(body)) + body
+    flags = 0
+    if unsync:
+        body = _id3_unsync(body)
+        flags |= 0x80
+    return b"ID3" + bytes([version, 0, flags]) + _synchsafe(len(body)) + body
 
 
 def parse_id3v2(payload: bytes) -> tuple[int, dict[str, str]]:
     """Parse a leading ID3v2 tag -> (total tag bytes incl header,
-    {frame_id: text}). Returns (0, {}) when no tag is present. Text
+    {frame_id: text}). Returns (0, {}) when no tag is present. Handles
+    v2.2 (3-char ids mapped to their canonical 4-char names, 3-byte
+    plain sizes), v2.3 (plain 4-byte sizes) and v2.4 (synchsafe), plus
+    tag-level unsynchronisation on v2.2/v2.3 (the header size counts
+    stuffed bytes; the frame walk runs over the DECODED body). Text
     frames decode latin-1 (enc 0), UTF-16 with BOM (enc 1) and UTF-8
-    (enc 3); other frame types are skipped by size. v2.2 and
-    unsynchronisation raise NotImplementedError (honest gates)."""
+    (enc 3); other frame types are skipped by size. v2.4 per-frame
+    unsynchronisation and v2.2 compression raise NotImplementedError
+    (honest gates)."""
     if payload[:3] != b"ID3":
         return 0, {}
     if len(payload) < 10:
         raise ValueError("truncated ID3v2 header")
     version, _rev, flags = payload[3], payload[4], payload[5]
-    if version == 2:
-        raise NotImplementedError("ID3v2.2 (3-char frames) not supported")
-    if version not in (3, 4):
+    if version not in (2, 3, 4):
         raise ValueError(f"unknown ID3v2.{version} tag")
-    if flags & 0x80:
-        raise NotImplementedError("ID3v2 unsynchronisation not supported")
     body_len = _unsynchsafe(payload[6:10])
     total = 10 + body_len + (10 if version == 4 and flags & 0x10 else 0)
     if total > len(payload):
         raise ValueError("ID3v2 tag size exceeds the file")
-    if flags & 0x40:  # extended header: skip by its own size field
+    body = payload[10 : 10 + body_len]
+    if flags & 0x80:
+        if version == 4:
+            raise NotImplementedError(
+                "ID3v2.4 per-frame unsynchronisation not supported"
+            )
+        body = _id3_deunsync(body)
+    if version == 2:
+        if flags & 0x40:
+            raise NotImplementedError("ID3v2.2 compression not supported")
+        pos = 0
+    elif flags & 0x40:  # extended header: skip by its own size field
         if body_len < 6:
             raise ValueError("ID3v2 extended header exceeds the tag")
-        ext = (
-            _unsynchsafe(payload[10:14])
+        pos = (
+            _unsynchsafe(body[0:4])
             if version == 4
-            else _struct.unpack(">I", payload[10:14])[0] + 4
+            else _struct.unpack(">I", body[0:4])[0] + 4
         )
-        pos = 10 + ext
     else:
-        pos = 10
-    end = 10 + body_len
+        pos = 0
+    hdr_len = 6 if version == 2 else 10
+    id_len = 3 if version == 2 else 4
     out: dict[str, str] = {}
-    while pos + 10 <= end:
-        fid = payload[pos : pos + 4]
-        if fid == b"\x00\x00\x00\x00":  # padding
+    while pos + hdr_len <= len(body):
+        fid = body[pos : pos + id_len]
+        if fid == b"\x00" * id_len:  # padding
             break
-        size = (
-            _unsynchsafe(payload[pos + 4 : pos + 8])
-            if version == 4
-            else _struct.unpack_from(">I", payload, pos + 4)[0]
-        )
-        if pos + 10 + size > end:
+        if version == 2:
+            size = int.from_bytes(body[pos + 3 : pos + 6], "big")
+            name = _ID3V22_MAP.get(fid.decode("latin-1"))
+        elif version == 4:
+            size = _unsynchsafe(body[pos + 4 : pos + 8])
+            name = fid.decode("latin-1")
+        else:
+            size = _struct.unpack_from(">I", body, pos + 4)[0]
+            name = fid.decode("latin-1")
+        if pos + hdr_len + size > len(body):
             raise ValueError("ID3v2 frame exceeds the tag")
-        data = payload[pos + 10 : pos + 10 + size]
-        if fid.decode("latin-1") in _ID3_TEXT_FRAMES and size >= 1:
+        data = body[pos + hdr_len : pos + hdr_len + size]
+        if name in _ID3_TEXT_FRAMES and size >= 1:
             enc, text = data[0], data[1:]
             if enc == 0:
                 val = text.decode("latin-1")
@@ -2990,8 +3058,8 @@ def parse_id3v2(payload: bytes) -> tuple[int, dict[str, str]]:
                 val = text.decode("utf-8")
             else:
                 raise NotImplementedError(f"ID3v2 text encoding {enc}")
-            out[fid.decode("latin-1")] = val.rstrip("\x00")
-        pos += 10 + size
+            out[name] = val.rstrip("\x00")
+        pos += hdr_len + size
     return total, out
 
 
@@ -3047,6 +3115,7 @@ MP3_ID3_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("id3_version", T.IntegerType()),
+        T.StructField("unsynchronised", T.BooleanType()),
         T.StructField("title", T.StringType()),
         T.StructField("artist", T.StringType()),
         T.StructField("album", T.StringType()),
@@ -3063,13 +3132,16 @@ MP3_ID3_SCHEMA = T.StructType(
 
 
 def mp3_id3_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Per doc: synthesize a REAL-WORLD-SHAPED MP3 — ID3v2 tag (v2.3 and
-    v2.4 alternating, so both frame-size wire formats run), MPEG-1
-    Layer III frames, ID3v1 trailer — then strip the tags, demux the
-    bare frame stream, and emit the curation-filter metadata row. All
-    tag texts and frame parameters are closed-form in doc_id, so the
-    oracle restates tag byte sizes (10 + sum(11 + len(text)) per the
-    v2 wire format) and the demux arithmetic without running either."""
+    """Per doc: synthesize a REAL-WORLD-SHAPED MP3 — ID3v2 tag (v2.2,
+    v2.3 and v2.4 cycling, so all three frame-header wire formats run,
+    with tag-level unsynchronisation cycling on the v2.2/v2.3 docs and
+    'ÿ' (0xFF) bytes planted in the title so the stuffing is real) —
+    MPEG-1 Layer III frames, ID3v1 trailer — then strip the tags, demux
+    the bare frame stream, and emit the curation-filter metadata row.
+    All tag texts and frame parameters are closed-form in doc_id, so
+    the oracle restates tag byte sizes (10 + sum(hdr + len(text)) with
+    hdr 7 for v2.2 / 11 for v2.3+, +1 stuffed byte when unsynchronised)
+    and the demux arithmetic without running either."""
     src = df.select(F.col(id_col).alias("doc_id"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3078,13 +3150,14 @@ def mp3_id3_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                version = 3 + d % 2
+                version = 2 + d % 3
+                unsync = d % 4 == 1 and version != 4
                 year = str(1970 + d % 30)
                 frames = {
-                    "TIT2": f"title-{d}",
+                    "TIT2": f"title-{d}" + ("ÿÿ" if unsync else ""),
                     "TPE1": f"artist-{d % 13}",
                     "TALB": f"album-{d % 7}",
-                    ("TYER" if version == 3 else "TDRC"): year,
+                    ("TYER" if version != 4 else "TDRC"): year,
                     "TCON": f"genre-{d % 5}",
                 }
                 audio = make_mp3(
@@ -3094,7 +3167,7 @@ def mp3_id3_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     fill_seed=d % 256,
                 )
                 payload = (
-                    make_id3v2(frames, version=version)
+                    make_id3v2(frames, version=version, unsync=unsync)
                     + audio
                     + make_id3v1(f"v1-{d}", "", "", year, d % 80)
                 )
@@ -3103,7 +3176,8 @@ def mp3_id3_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 n_frames, _br, rate, duration_ms = probe_mp3(bare)
                 rows.append(
                     (
-                        d, version, v2.get("TIT2"), v2.get("TPE1"),
+                        d, version, unsync,
+                        v2.get("TIT2"), v2.get("TPE1"),
                         v2.get("TALB"),
                         v2.get("TYER") or v2.get("TDRC"),
                         v2.get("TCON"), v2_len, len(bare),

@@ -3912,56 +3912,71 @@ def pipeline_caption_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_mp3_id3",
-    # Filter modulus 7 is coprime with the version cycle (%2), bitrate
-    # (%6), rate (%3) and every tag-text knob, so both ID3v2 wire
-    # formats (v2.3 plain / v2.4 synchsafe frame sizes) and all metadata
-    # branches are live in the driver-hashed corpus.
+    # Filter modulus 7 is coprime with the version cycle (%3), unsync
+    # (%4), bitrate (%6), rate (%3) and every tag-text knob, so all
+    # three ID3v2 wire formats (v2.2 3-char/3-byte, v2.3 plain, v2.4
+    # synchsafe frame sizes), unsynchronised and plain tags, and all
+    # metadata branches are live in the driver-hashed corpus.
     """
     with base as (
       select doc_id, cast(doc_id as bigint) as d,
-             3 + doc_id % 2 as ver,
+             2 + doc_id % 3 as ver,
+             doc_id % 4 = 1 and doc_id % 3 != 2 as unsync,
              10 + doc_id % 20 as n,
              case doc_id % 6 when 0 then 56 when 1 then 64 when 2 then 80
                   when 3 then 96 when 4 then 112 else 128 end as br,
              case doc_id % 3 when 0 then 44100 when 1 then 48000
                   else 32000 end as rate
       from documents where doc_id % 7 = 5
+    ),
+    wire as (
+      -- per-frame header: v2.2 is 6 bytes + 1 encoding byte, v2.3/v2.4
+      -- 10 + 1; the unsynchronised title carries two planted 0xFF
+      -- ('ÿ') bytes of which exactly ONE gets a 0x00 stuffed after it
+      select *, case when ver = 2 then 7 else 11 end as hdr,
+             case when unsync then 2 else 0 end as ff
+      from base
     )
     select doc_id,
            cast(ver as integer) as id3_version,
-           'title-' || d as title,
+           unsync as unsynchronised,
+           'title-' || d || case when unsync then 'ÿÿ' else '' end as title,
            'artist-' || (d % 13) as artist,
            'album-' || (d % 7) as album,
            cast(1970 + d % 30 as varchar) as year,
            'genre-' || (d % 5) as genre,
-           -- v2 wire: 10-byte header + per text frame 10-byte frame
-           -- header + 1 encoding byte + the latin-1 text
            cast(10
-                + (11 + 6 + length(cast(d as varchar)))
-                + (11 + 7 + length(cast(d % 13 as varchar)))
-                + (11 + 6 + length(cast(d % 7 as varchar)))
-                + (11 + 4)
-                + (11 + 6 + length(cast(d % 5 as varchar)))
+                + (hdr + 6 + length(cast(d as varchar)) + ff)
+                + (hdr + 7 + length(cast(d % 13 as varchar)))
+                + (hdr + 6 + length(cast(d % 7 as varchar)))
+                + (hdr + 4)
+                + (hdr + 6 + length(cast(d % 5 as varchar)))
+                + case when unsync then 1 else 0 end
                as integer) as tag_bytes,
            cast(n * ((144 * br * 1000) // rate) as bigint) as audio_bytes,
            cast(n as integer) as n_frames,
            cast((n * 1152 * 1000) // rate as bigint) as duration_ms,
            'v1-' || d as v1_title,
            cast(d % 80 as integer) as v1_genre
-    from base
+    from wire
     """,
 )
 def multimodal_mp3_id3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ID3-tagged MP3 metadata extraction (multimodal.mp3_id3_table):
     per doc, build the file shape a crawl actually yields — ID3v2 tag
-    (v2.3 and v2.4 alternating by parity, exercising both the plain and
-    synchsafe frame-size wire formats), MPEG-1 Layer III frames, ID3v1
-    trailer — then parse the tags, strip them, and demux the bare frame
-    stream. The oracle restates the v2 tag's exact byte size from the
-    wire format (10 + sum over frames of 11 + text length — any
-    synchsafe/plain confusion shifts it), every text field, the bare
-    audio extent, and the frame-walk arithmetic closed-form. Closes the
-    'lost MP3 frame sync' rejection on real-world tagged files."""
+    cycling v2.2 / v2.3 / v2.4 (all three frame-header wire formats:
+    3-char ids + 3-byte plain sizes, 4-char plain, 4-char synchsafe),
+    with tag-level UNSYNCHRONISATION cycling on the v2.2/v2.3 docs and
+    'ÿ' (0xFF) bytes planted in the title so the 0x00 stuffing is real
+    (VERDICT r13 task #5) — MPEG-1 Layer III frames, ID3v1 trailer —
+    then parse the tags, strip them, and demux the bare frame stream.
+    The oracle restates the v2 tag's exact byte size from the wire
+    format (10 + sum over frames of hdr + text length, hdr 7 for v2.2
+    / 11 for v2.3+, +1 stuffed byte when unsynchronised — any
+    synchsafe/plain/stuffing confusion shifts it), every text field,
+    the bare audio extent, and the frame-walk arithmetic closed-form.
+    Closes the 'lost MP3 frame sync' rejection on real-world tagged
+    files."""
     return multimodal.mp3_id3_table(
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 5)
     )

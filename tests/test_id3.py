@@ -89,10 +89,12 @@ def test_id3v2_padding_and_unknown_frames_skipped():
 def test_id3v2_hostile_inputs():
     with pytest.raises(ValueError, match="exceeds the file"):
         parse_id3v2(b"ID3" + bytes([3, 0, 0]) + _synchsafe(1000))
-    with pytest.raises(NotImplementedError, match="v2.2"):
-        parse_id3v2(b"ID3" + bytes([2, 0, 0]) + _synchsafe(0))
-    with pytest.raises(NotImplementedError, match="unsynchronisation"):
-        parse_id3v2(b"ID3" + bytes([3, 0, 0x80]) + _synchsafe(0))
+    # v2.4 unsync is per-frame — still honestly gated
+    with pytest.raises(NotImplementedError, match="per-frame"):
+        parse_id3v2(b"ID3" + bytes([4, 0, 0x80]) + _synchsafe(0))
+    # v2.2 compression flag — gated
+    with pytest.raises(NotImplementedError, match="compression"):
+        parse_id3v2(b"ID3" + bytes([2, 0, 0x40]) + _synchsafe(0))
     # frame overrunning the tag body
     body = b"TIT2" + struct.pack(">I", 99) + b"\x00\x00" + b"\x00x"
     with pytest.raises(ValueError, match="frame exceeds"):
@@ -141,3 +143,55 @@ def test_overlapping_tags_rejected():
     crafted = b"ID3" + bytes([3, 0, 0]) + _synchsafe(len(payload) - 10 - 100) + payload[10:]
     with pytest.raises(ValueError, match="overlap|exceeds|frame"):
         mp3_strip_tags(crafted)
+
+
+@pytest.mark.parametrize("unsync", [False, True])
+def test_id3v22_roundtrip(unsync):
+    """v2.2: 3-char frame ids (TT2/TP1/TAL/TYE/TCO) with 3-byte plain
+    sizes and no frame flags, parsed back under their canonical 4-char
+    names; optional tag-level unsynchronisation on top."""
+    frames = {
+        "TIT2": "Old Title" + ("ÿÿ" if unsync else ""),
+        "TPE1": "Old Artist",
+        "TALB": "Old Album",
+        "TYER": "1987",
+        "TCON": "genre-1",
+    }
+    tag = make_id3v2(frames, version=2, unsync=unsync)
+    assert b"TT2" in tag and b"TIT2" not in tag
+    total, parsed = parse_id3v2(tag + b"\xff\xfbrest")
+    assert total == len(tag)
+    assert parsed == frames
+    # closed-form: 10 header + per frame 6 + 1 + len(text) (+1 stuffed)
+    assert len(tag) == 10 + sum(
+        7 + len(v.encode("latin-1")) for v in frames.values()
+    ) + (1 if unsync else 0)
+    # TDRC has no v2.2 equivalent — refuse rather than invent an id
+    with pytest.raises(ValueError, match="no ID3v2.2 id"):
+        make_id3v2({"TDRC": "2001"}, version=2)
+
+
+def test_id3v2_unsynchronisation():
+    """Tag-level unsync (v2.3): 0x00 stuffed after every 0xFF, header
+    size counts stuffed bytes, the frame walk sees decoded bytes."""
+    from pyiceberg_lakehouse_spark.operators.multimodal import (
+        _id3_deunsync,
+        _id3_unsync,
+    )
+
+    # stuffing rules: before >= 0xE0, before 0x00, at tag end
+    assert _id3_unsync(b"\xff\xe0") == b"\xff\x00\xe0"
+    assert _id3_unsync(b"\xff\x00") == b"\xff\x00\x00"
+    assert _id3_unsync(b"ab\xff") == b"ab\xff\x00"
+    assert _id3_unsync(b"\xff\x41") == b"\xff\x41"
+    for blob in (b"\xff\xe0\xff\xff\x00\x12", b"", b"\xff" * 9):
+        assert _id3_deunsync(_id3_unsync(blob)) == blob
+    # a title full of 0xFF bytes roundtrips through a v2.3 unsync tag
+    frames = {"TIT2": "ÿÿÿ", "TPE1": "a"}
+    tag = make_id3v2(frames, version=3, unsync=True)
+    assert tag[5] & 0x80
+    total, parsed = parse_id3v2(tag)
+    assert total == len(tag) and parsed == frames
+    # v2.4 unsync is not emitted (per-frame semantics)
+    with pytest.raises(ValueError, match="per-frame"):
+        make_id3v2(frames, version=4, unsync=True)
