@@ -422,6 +422,59 @@ class LakehouseTable:
         """M6 (read_history.py:8)."""
         return self.log.path
 
+    def write_external_manifest(
+        self, path: str | None = None, snapshot_id: int | None = None
+    ) -> str:
+        """Emit a FOREIGN-ENGINE-READABLE manifest of one snapshot's live
+        data files: NDJSON, one object per file with the absolute path,
+        hive partition values, row count and the resolved snapshot id.
+        Closes the reference's external-interop surface
+        (query_iceberg_duckdb.py:24-27, iceberg_scan('<metadata>')): an
+        engine that can read JSON + parquet resolves the table from this
+        file alone — e.g. DuckDB via read_json_auto(manifest) ->
+        read_parquet(list of paths) — with none of this engine's code in
+        the loop. Metadata-only (never opens a data file) and atomic
+        (tmp + rename), so a concurrent reader never sees a torn
+        manifest. Default path: <table_dir>/_external_manifest.json.
+
+        Honest gate: a snapshot with pending merge-on-read equality
+        deletes raises — a foreign engine reading the file list alone
+        would resurrect deleted rows; compact (rewrite) first, exactly
+        the constraint Iceberg puts on v2 readers without delete-file
+        support."""
+        import uuid
+
+        if self.log.live_deletes(snapshot_id):
+            raise NotImplementedError(
+                "external manifest of a snapshot with pending merge-on-read"
+                " deletes: a file-list-only reader would resurrect deleted"
+                " rows — compact first"
+            )
+        resolved = (
+            snapshot_id
+            if snapshot_id is not None
+            else self.log.current_snapshot_id()
+        )
+        if path is None:
+            path = os.path.join(self.table_dir, "_external_manifest.json")
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for f in self.log.live_files(snapshot_id):
+                fh.write(
+                    json.dumps(
+                        {
+                            "path": os.path.abspath(f["path"]),
+                            "partition": f.get("partition", {}),
+                            "rows": f.get("rows"),
+                            "snapshot_id": resolved,
+                            "format": "parquet",
+                        }
+                    )
+                    + "\n"
+                )
+        os.replace(tmp, path)
+        return path
+
     def schema(self) -> T.StructType:
         """M7 (main-daft.py:142)."""
         return self.log.schema()
