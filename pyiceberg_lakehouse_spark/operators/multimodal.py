@@ -122,6 +122,13 @@ def decode_stub(payload: bytes, mime: str) -> bytes:
         if px.shape[2] == 1:
             px = np.repeat(px, 3, axis=2)
         return np.ascontiguousarray(px).tobytes()
+    if mime == "image/webp":
+        import numpy as np
+
+        from pyiceberg_lakehouse_spark.operators.vp8l import decode_webp
+
+        rgba, _meta = decode_webp(payload)  # VP8L native; lossy VP8 gated
+        return np.ascontiguousarray(rgba[:, :, :3]).tobytes()
     if mime in _PIL_MIMES and HAS_PIL:
         import io
 
@@ -3200,10 +3207,10 @@ def mp3_id3_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 # ---------------------------------------------------------------- WebP ---
 # WebP is the modern crawl's dominant image container (RIFF-framed).
-# Probe-level support, the same honesty split as the MP4/MP3 probes:
-# dimensions, format variant and feature flags come from real header
-# parsing (the curation-filter fields); the VP8/VP8L pixel decode
-# stays gated.
+# The probe reads dimensions, format variant and feature flags from
+# real header parsing (the curation-filter fields); VP8L lossless
+# PIXELS decode natively via operators/vp8l.py (r14); lossy VP8 pixel
+# decode (a DCT video intra codec) stays honestly gated.
 
 
 def make_webp(

@@ -3212,6 +3212,173 @@ def multimodal_webp_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_webp_decode",
+    # Filter modulus 11 (the %7/%9 residues are claimed by r13 rows) is
+    # coprime with every variety knob: transform combo (%6), cache and
+    # palette size (%3), predictor mode (%13), block bits (%3), dims
+    # (%8, %6) — so plain coding, subtract-green, every-mode predictor,
+    # sg+predictor stacking, delta-coded palettes at all three bundled
+    # widths, two-group meta entropy images, and the color cache are
+    # all live in the driver-hashed corpus. The raster plants runs of 3
+    # along x (non-palette docs) so LZ77 back-references really fire.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             5 + doc_id % 8 as w, 4 + doc_id % 6 as h,
+             cast(doc_id % 6 as integer) as combo,
+             case cast(doc_id % 3 as integer)
+                  when 0 then 2 when 1 then 4 else 16 end as nc
+      from documents where doc_id % 11 = 6
+    ),
+    sums as (
+      select doc_id, d, w, h, combo, nc,
+        (select sum(case when combo = 4
+               then (d + 17*((d + 3*x + 5*y) % nc)) % 256
+               else (d*3 + y*7 + (x//3)*11) % 256 end)
+         from generate_series(0, 12) gx(x), generate_series(0, 9) gy(y)
+         where x < w and y < h) as r_sum,
+        (select sum(case when combo = 4
+               then (d*5 + 29*((d + 3*x + 5*y) % nc)) % 256
+               else (d*5 + y*3 + (x//3)*17) % 256 end)
+         from generate_series(0, 12) gx(x), generate_series(0, 9) gy(y)
+         where x < w and y < h) as g_sum,
+        (select sum(case when combo = 4
+               then (d*7 + 13*((d + 3*x + 5*y) % nc)) % 256
+               else (d*7 + y*11 + (x//3)*5) % 256 end)
+         from generate_series(0, 12) gx(x), generate_series(0, 9) gy(y)
+         where x < w and y < h) as b_sum
+      from base
+    )
+    select doc_id,
+           cast(w as integer) as width,
+           cast(h as integer) as height,
+           case combo when 0 then 'none' when 1 then 'sg'
+                when 2 then 'pred' when 3 then 'sg+pred'
+                when 4 then 'palette' else 'meta' end as transforms,
+           cast(case when d % 3 = 0 and combo != 5 then 4 else 0 end
+               as integer) as cache_bits,
+           cast(r_sum as bigint) as r_sum,
+           cast(g_sum as bigint) as g_sum,
+           cast(b_sum as bigint) as b_sum,
+           true as exact_roundtrip
+    from sums
+    """,
+)
+def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP VP8L lossless pixel decode (operators/vp8l.py, VERDICT
+    r13 task #1 — the modern crawl's dominant image format, previously
+    probe-only): per doc, synthesize a deterministic raster, encode it
+    as a genuine VP8L bitstream — canonical prefix codes through the
+    code-length-code machinery, LZ77 distance-1 runs via the plane-code
+    neighborhood map, the transform combo cycling none / subtract-green
+    / predictor (all 14 modes across the corpus) / stacked sg+predictor
+    / delta-coded palette with sub-byte bundling / two-group meta
+    entropy image, color cache cycling on top — wrap it in RIFF/WEBP,
+    decode it back, and report per-channel pixel sums, which the oracle
+    predicts closed-form without running either codec. Runs as
+    Arrow-batched mapInPandas: codec work happens where the bytes live,
+    only typed features shuffle. Lossy VP8 pixels stay honestly
+    gated."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import vp8l as _vp8l
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 6)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("transforms", T.StringType()),
+            T.StructField("cache_bits", T.IntegerType()),
+            T.StructField("r_sum", T.LongType()),
+            T.StructField("g_sum", T.LongType()),
+            T.StructField("b_sum", T.LongType()),
+            T.StructField("exact_roundtrip", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+    combos = ("none", "sg", "pred", "sg+pred", "palette", "meta")
+    tf_of = {
+        "none": (), "sg": ("subtract-green",), "pred": ("predictor",),
+        "sg+pred": ("subtract-green", "predictor"),
+        "palette": ("palette",), "meta": (),
+    }
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 5 + d % 8, 4 + d % 6
+                combo = combos[d % 6]
+                y, x = np.ogrid[0:h, 0:w]
+                if combo == "palette":
+                    nc = (2, 4, 16)[d % 3]
+                    i = np.arange(nc)
+                    pal = np.stack(
+                        [
+                            (d + 17 * i) % 256,
+                            (d * 5 + 29 * i) % 256,
+                            (d * 7 + 13 * i) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    px = pal[(d + 3 * x + 5 * y) % nc]
+                else:
+                    xr = x // 3  # runs of 3 so LZ77 fires
+                    px = np.dstack(
+                        [
+                            (d * 3 + y * 7 + xr * 11) % 256,
+                            (d * 5 + y * 3 + xr * 17) % 256,
+                            (d * 7 + y * 11 + xr * 5) % 256,
+                        ]
+                    ).astype(np.uint8)
+                cache = 4 if d % 3 == 0 and combo != "meta" else 0
+                enc = _vp8l.wrap_webp_lossless(
+                    _vp8l.encode_vp8l(
+                        px,
+                        transforms=tf_of[combo],
+                        predictor_mode=1 + d % 13,
+                        predictor_bits=2 + d % 3,
+                        cache_bits=cache,
+                        meta_split=combo == "meta",
+                    )
+                )
+                got, meta = _vp8l.decode_webp(enc)
+                rgb = got[:, :, :3].astype(np.int64)
+                rows.append(
+                    (
+                        d, meta["width"], meta["height"], combo, cache,
+                        int(rgb[:, :, 0].sum()),
+                        int(rgb[:, :, 1].sum()),
+                        int(rgb[:, :, 2].sum()),
+                        bool(
+                            got.shape[:2] == px.shape[:2]
+                            and (got[:, :, :3] == px).all()
+                        ),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname, dt in (
+                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
+                ("cache_bits", "int32"), ("r_sum", "int64"),
+                ("g_sum", "int64"), ("b_sum", "int64"),
+            ):
+                out[cname] = out[cname].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "scan_robots_decisions",
     # Five probes per doc exercising the RFC 9309 subtleties: group
     # selection by most-specific agent vs the '*' group, longest-match
