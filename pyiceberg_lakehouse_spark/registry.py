@@ -48,6 +48,39 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # never had a driver row, growing the driver-verified set over time while
 # keeping every category represented.
 #
+# Round-14 rotation (VERDICT r13 tasks #1/#2/#6/#8, standing no-tail
+# principle). Rotates IN the three oracle-checkable queries NEW this
+# round, each in its own round: the WebP VP8L lossless pixel decode
+# multimodal_webp_decode (task #1 — the full transform/cache/meta knob
+# matrix over real bitstreams, closed-form channel-sum oracle), the LZW
+# TIFF roundtrip multimodal_tiff_lzw (task #2 — Aldus early-change
+# codes + Predictor 2, closed-form value-sum oracle), and the
+# foreign-engine metadata read lh_external_scan (task #6 — embedded
+# DuckDB resolves the table from the NDJSON manifest alone, dead files
+# on disk making the resolution load-bearing). The four rows whose
+# CONSTRUCTIONS this round extended in place — scan_warc_responses
+# (chunked transfer-encoding), scan_archive_entries (zip64),
+# multimodal_ogg_packets (two-link chains), multimodal_mp3_id3
+# (v2.2 + unsynchronisation) — keep their slots so the r14 driver row
+# hashes the extended oracles (tasks #3/#4/#5). All 21 r13 first-timers
+# HOLD for their second round per the verdict's explicit instruction
+# (the fragmented-MP4, Ogg and crawl-pipeline rows are the named
+# highest-value holds). Rotated OUT, per the standing principles, three
+# non-anchor rows green in BOTH r12 and r13 (r12 first-timers whose
+# second-round holds completed): multimodal_mp3_frames (the MP3 frame
+# walk stays driver-covered INSIDE the held multimodal_mp3_id3 row,
+# whose construction demuxes the bare stream after the tag strip),
+# multimodal_audio_decode (the audio-decode family keeps the held IMA
+# ADPCM row — the predictive codec, strictly subtler than the
+# memoryless G.711/PCM expanders, which stay local-gated +
+# pytest-pinned), and stream_lh_media_demux (the streaming-maintenance
+# family stays driver-covered by stream_lh_neardup +
+# stream_lh_text_search + stream_lh_change_feed on the shared
+# exactly-once index sink; the media face stays local-gated +
+# restart-idempotence pytest-pinned). Every displaced query stays
+# covered by the identical strict local gate and the registry-wide
+# dtype-parity pytest.
+#
 # Round-13 rotation (standing no-tail principle). Rotates IN the three
 # oracle-checkable queries written after the r12 window froze — the IMA
 # ADPCM ('ima4') predictive audio decode multimodal_adpcm_decode (the
@@ -323,9 +356,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # near-dup query — the asymmetric crawl-dedup path; clone stays
     # local-gated + pytest-pinned)
     "lh_neardup_probe_batch",
-    # (lh_compact_partition's second-round hold slot goes to the NEW
-    # streaming media-demux maintenance — fresh code outranks a hold)
-    "stream_lh_media_demux",
+    # (stream_lh_media_demux's r14 rotation slot goes to the NEW
+    # foreign-engine metadata read — fresh code outranks a double-green
+    # non-anchor; streaming maintenance stays driver-covered by
+    # stream_lh_neardup + stream_lh_text_search + stream_lh_change_feed)
+    "lh_external_scan",
     # lakehouse lifecycle + maintenance (r9 first-timers hold; NEW
     # partition-scoped MERGE INTO + HLL distinct rollup; post-freeze
     # reaggregate read path rotates in)
@@ -368,11 +403,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # non-anchor; the rollup family stays driver-covered by
     # topk/percentile + the cdf feed)
     "multimodal_gif_animation",
-    # (lh_ann_auto_maintain's second-round hold slot goes to the NEW
-    # indexed range-search differential — fresh code outranks a hold;
-    # lh_rollup_reaggregate's second-round hold slot goes to the NEW MP3
-    # frame demux — fresh code outranks a hold)
-    "multimodal_mp3_frames",
+    # (multimodal_mp3_frames' r14 rotation slot goes to the NEW LZW
+    # TIFF roundtrip — fresh code outranks a double-green non-anchor;
+    # the MP3 frame walk stays driver-covered inside the held
+    # multimodal_mp3_id3 row, which demuxes the bare stream)
+    "multimodal_tiff_lzw",
     "lh_ann_range_selfcheck",
     # dedup + similarity (components twin holds; cosine top-k anchors;
     # NEW exact substring-span coverage — the Lee-et-al ExactSubstr class —
@@ -432,7 +467,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # demux->G.711-decode composition — fresh code outranks a hold; both
     # displaced rows stay local-gated + pytest-pinned)
     "multimodal_mp4_multitrack",
-    "multimodal_audio_decode",
+    # (multimodal_audio_decode's r14 rotation slot goes to the NEW WebP
+    # VP8L pixel decode — fresh code outranks a double-green non-anchor;
+    # audio decode keeps the held IMA ADPCM row, the predictive codec)
+    "multimodal_webp_decode",
     # (pipeline_rag_prep's r13 rotation slot goes to the NEW baseline
     # TIFF codec — fresh code outranks a double-green non-anchor;
     # pipeline_ stays driver-covered by the held video-curation
