@@ -75,6 +75,11 @@ HEADLINE = [
     # roundtrip — both map-only stages
     ("mp4_fragmented", "multimodal_mp4_fragmented"),
     ("gif_decode", "multimodal_gif_decode"),
+    # r14 additions (auto-excluded from the comparable set): the WebP
+    # VP8L lossless pixel roundtrip (the full transform/cache/meta knob
+    # matrix) and the LZW TIFF roundtrip — both map-only stages
+    ("webp_decode", "multimodal_webp_decode"),
+    ("tiff_lzw", "multimodal_tiff_lzw"),
 ]
 
 

@@ -985,6 +985,39 @@ def bench_crawl(spark, b: Bench, tmp: str) -> None:
             q.load_table = saved
 
 
+def bench_codecs(spark, b: Bench, tmp: str) -> None:
+    """r14 pixel codecs (WebP VP8L roundtrip across the transform knob
+    matrix; LZW TIFF with Predictor 2): pure map stages — encode +
+    decode per doc where the bytes live, no Exchange (plan-tested) —
+    so 10x docs must cost ~10x wall, never superlinear."""
+    import pyiceberg_lakehouse_spark.operators.queries as q
+    from pyiceberg_lakehouse_spark.operators.queries import (
+        multimodal_tiff_lzw,
+        multimodal_webp_decode,
+    )
+
+    for n in DOC_SCALES:
+        tag = f"{n//1000}k"
+        docs = spark.range(0, n, 1, 64).withColumnRenamed("id", "doc_id")
+        saved = q.load_table
+        try:
+            q.load_table = lambda _s, _d, _t, d=docs: d
+            b.run(
+                f"webp_decode_{tag}",
+                lambda: drain(multimodal_webp_decode(spark, "unused")),
+                reps=REPS,
+                warmup=True,
+            )
+            b.run(
+                f"tiff_lzw_{tag}",
+                lambda: drain(multimodal_tiff_lzw(spark, "unused")),
+                reps=REPS,
+                warmup=True,
+            )
+        finally:
+            q.load_table = saved
+
+
 SECTIONS = {
     "documents": bench_documents,
     "embeddings": bench_embeddings,
@@ -999,6 +1032,7 @@ SECTIONS = {
     "purge": bench_purge,
     "mp4_demux": bench_mp4_demux,
     "crawl": bench_crawl,
+    "codecs": bench_codecs,
 }
 
 
@@ -1289,6 +1323,12 @@ def main() -> None:
             f"mor_read_0del_{v2}", f"mor_read_16del_{v2}"
         ),
         "cdc_apply_growth_10x": ratio(f"cdc_apply_{v1}", f"cdc_apply_{v2}"),
+        # r14 pixel codecs: shuffle-free map stages => ~10 on 10x docs
+        # (linear is the best possible shape for per-byte codec work)
+        "webp_decode_growth_10x": ratio(
+            f"webp_decode_{t1}", f"webp_decode_{t2}"
+        ),
+        "tiff_lzw_growth_10x": ratio(f"tiff_lzw_{t1}", f"tiff_lzw_{t2}"),
     }
     out = {
         "scale": SCALE,
