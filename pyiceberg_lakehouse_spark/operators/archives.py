@@ -12,7 +12,10 @@ is identical inside Arrow-batched executors with no tempfile I/O.
 Scope (honest gates):
 - tar: ustar regular files and directories, octal and GNU base-256
   numeric fields, name+prefix joining; GNU long names ('L') supported;
-  pax extended headers ('x'/'g') raise NotImplementedError; sparse
+  pax extended headers ('x' per-file, 'g' global — the form GNU tar
+  emits BY DEFAULT for long names and sub-second mtimes) parse their
+  "LEN key=value\\n" records with path/size/mtime overriding the ustar
+  header fields per POSIX precedence (x beats g beats header); sparse
   files raise.
 - zip: central-directory walk from EOCD (the ONLY authoritative
   listing — local headers lie in real-world zips), methods 0 (stored)
@@ -47,9 +50,49 @@ def _tar_num(field: bytes) -> int:
         raise ValueError(f"bad tar numeric field {field!r}") from exc
 
 
-def make_tar(entries: list[dict]) -> bytes:
+def _pax_records(fields: dict[str, str]) -> bytes:
+    """POSIX pax record framing: "LEN key=value\\n" where LEN counts the
+    WHOLE record including itself and the newline (the self-referential
+    length real pax writers compute by fixpoint)."""
+    out = bytearray()
+    for k, v in fields.items():
+        body = f" {k}={v}\n"
+        n = len(body.encode("utf-8"))
+        total = n + len(str(n))
+        if len(str(total)) != len(str(n)):  # length digits grew
+            total = n + len(str(total))
+        out += f"{total}".encode() + body.encode("utf-8")
+    return bytes(out)
+
+
+def _parse_pax_records(data: bytes) -> dict[str, str]:
+    out: dict[str, str] = {}
+    pos = 0
+    while pos < len(data):
+        sp = data.find(b" ", pos)
+        if sp < 0:
+            raise ValueError("pax record without a length field")
+        try:
+            total = int(data[pos:sp])
+        except ValueError as exc:
+            raise ValueError("bad pax record length") from exc
+        end = pos + total
+        if total <= 0 or end > len(data) or data[end - 1 : end] != b"\n":
+            raise ValueError("pax record length disagrees with its framing")
+        kv = data[sp + 1 : end - 1]
+        k, eq, v = kv.partition(b"=")
+        if not eq:
+            raise ValueError("pax record without '='")
+        out[k.decode("utf-8")] = v.decode("utf-8")
+        pos = end
+    return out
+
+
+def make_tar(entries: list[dict], pax: bool = False) -> bytes:
     """entries: [{name, data (bytes), mtime?, mode?}] -> ustar bytes.
-    Names longer than 100 chars emit a GNU 'L' long-name record."""
+    Names longer than 100 chars emit a GNU 'L' long-name record, or —
+    with ``pax`` — a POSIX 'x' extended header carrying path (+ mtime),
+    the form GNU tar writes by default."""
     out = bytearray()
 
     def header(name: str, size: int, typeflag: bytes, mtime: int, mode: int) -> bytes:
@@ -79,7 +122,17 @@ def make_tar(entries: list[dict]) -> bytes:
         mtime = int(e.get("mtime", 0))
         mode = int(e.get("mode", 0o644))
         is_dir = name.endswith("/")
-        if len(name.encode("utf-8")) > 100:
+        if pax and (len(name.encode("utf-8")) > 100 or e.get("pax_mtime")):
+            fields = {"path": name}
+            if e.get("pax_mtime"):
+                fields["mtime"] = str(e["pax_mtime"])
+            rec = _pax_records(fields)
+            out += header(
+                f"./PaxHeaders/{name[:80]}", len(rec), b"x", 0, 0o644
+            )
+            out += block_pad(rec)
+            name = name[:100]
+        elif len(name.encode("utf-8")) > 100:
             nb = name.encode("utf-8") + b"\x00"
             out += header("././@LongLink", len(nb), b"L", 0, 0o644)
             out += block_pad(nb)
@@ -100,6 +153,8 @@ def parse_tar(payload: bytes) -> list[dict]:
     out: list[dict] = []
     pos = 0
     pending_longname = None
+    pending_pax: dict[str, str] | None = None
+    global_pax: dict[str, str] = {}
     while True:
         if pos + _TAR_BLOCK > len(payload):
             raise ValueError("tar ends without the zero-block terminator")
@@ -130,12 +185,32 @@ def parse_tar(payload: bytes) -> list[dict]:
             )
             pos = nxt
             continue
-        if typeflag in (b"x", b"g"):
-            raise NotImplementedError("pax extended tar headers")
+        if typeflag == b"x":  # pax: overrides for the NEXT entry
+            pending_pax = _parse_pax_records(payload[data_start:data_end])
+            pos = nxt
+            continue
+        if typeflag == b"g":  # pax global: defaults for ALL later entries
+            global_pax.update(
+                _parse_pax_records(payload[data_start:data_end])
+            )
+            pos = nxt
+            continue
         if typeflag == b"S":
             raise NotImplementedError("GNU sparse tar entries")
         if typeflag not in (b"0", b"\x00", b"5"):
             raise ValueError(f"unsupported tar typeflag {typeflag!r}")
+        pax = dict(global_pax)
+        if pending_pax is not None:
+            pax.update(pending_pax)
+            pending_pax = None
+        if "size" in pax:  # POSIX: pax size beats the header field
+            size = int(pax["size"])
+            if size < 0:
+                raise ValueError("negative pax size")
+            data_end = data_start + size
+            if data_end > len(payload):
+                raise ValueError("tar entry data exceeds the archive")
+            nxt = data_start + ((size + _TAR_BLOCK - 1) // _TAR_BLOCK) * _TAR_BLOCK
         name = h[0:100].split(b"\x00", 1)[0].decode("utf-8")
         prefix = h[345:500].split(b"\x00", 1)[0].decode("utf-8")
         if prefix:
@@ -143,12 +218,17 @@ def parse_tar(payload: bytes) -> list[dict]:
         if pending_longname is not None:
             name = pending_longname
             pending_longname = None
+        if "path" in pax:  # pax path beats GNU longname beats header
+            name = pax["path"]
+        mtime = _tar_num(h[136:148])
+        if "mtime" in pax:
+            mtime = int(float(pax["mtime"]))
         out.append(
             {
                 "name": name,
                 "size": size,
                 "is_dir": typeflag == b"5",
-                "mtime": _tar_num(h[136:148]),
+                "mtime": mtime,
                 "data": payload[data_start:data_end],
             }
         )

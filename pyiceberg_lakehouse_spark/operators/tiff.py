@@ -18,8 +18,11 @@ power of two, CLEAR at table slot 4094, and the decoder running one
 table entry behind the encoder. Predictor 2 (tag 317, horizontal
 differencing) composes with it, as in virtually every LZW scan.
 
+Compression 8 / 32946 (Adobe + old-tag Deflate) decodes via stdlib
+zlib with strict strip extents.
+
 Honest gates (raise, never guess): other compressions (CCITT,
-JPEG-in-TIFF, Deflate), tiled layout, planar configuration 2, bit
+JPEG-in-TIFF), tiled layout, planar configuration 2, bit
 depths other than 8, palette color, multi-IFD (multi-page) files
 return the FIRST page and expose next_ifd so callers see there are
 more.
@@ -31,6 +34,7 @@ opaque binary (main-daft.py:68); this engine decodes them.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -251,9 +255,10 @@ def encode_tiff(
     h, w, ch = px.shape
     if ch not in (1, 3):
         raise ValueError("1 (gray) or 3 (RGB) samples per pixel")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773):
         raise ValueError(
-            "compression must be 1 (none), 5 (LZW) or 32773 (PackBits)"
+            "compression must be 1 (none), 5 (LZW), 8 (Deflate) or "
+            "32773 (PackBits)"
         )
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
@@ -270,6 +275,8 @@ def encode_tiff(
             raw = packbits_encode(raw)
         elif compression == 5:
             raw = lzw_encode(raw)
+        elif compression == 8:
+            raw = zlib.compress(raw, 6)
         strips.append(raw)
 
     def tag(tid: int, ttype: int, values: list[int], data_off: int) -> tuple[bytes, bytes]:
@@ -386,9 +393,10 @@ def decode_tiff(payload: bytes):
     bits = tags.get(_TAG_BITS, [8])
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"BitsPerSample {bits}: only 8 supported")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {compression}: none/LZW/PackBits supported"
+            f"TIFF compression {compression}: none/LZW/Deflate/PackBits"
+            " supported"
         )
     predictor = one(_TAG_PREDICTOR, 1)
     if predictor not in (1, 2):
@@ -423,6 +431,17 @@ def decode_tiff(payload: bytes):
             raw = packbits_decode(raw, expected)
         elif compression == 5:
             raw = lzw_decode(raw, expected)
+        elif compression in (8, 32946):  # Adobe deflate + the old tag
+            try:
+                d = zlib.decompressobj()
+                raw = d.decompress(raw, expected)
+                if len(raw) != expected or d.decompress(b"", 1):
+                    raise ValueError(
+                        f"Deflate strip decoded {len(raw)} of {expected}"
+                        " bytes"
+                    )
+            except zlib.error as exc:
+                raise ValueError(f"corrupt Deflate strip: {exc}") from exc
         elif len(raw) != expected:
             raise ValueError("uncompressed strip size mismatch")
         out += raw

@@ -65,13 +65,13 @@ def test_tar_hostile_inputs():
         parse_tar(good[:1024])  # data intact, zero blocks gone
     with pytest.raises(ValueError, match="ustar|bad tar numeric"):
         parse_tar(b"A" * 512 + bytes(1024))
-    # pax gate: flip typeflag to 'x' and refresh the checksum
+    # a 'x' typeflag now parses as a pax header; garbage records raise
     raw = bytearray(good)
     raw[156] = ord("x")
     chk = sum(raw[:148]) + 8 * 0x20 + sum(raw[156:512])
     raw[148:156] = f"{chk:06o}\x00 ".encode()
-    with pytest.raises(NotImplementedError, match="pax"):
-        parse_tar(bytes(raw))
+    with pytest.raises(ValueError, match="pax record"):
+        parse_tar(bytes(raw))  # body "xxx...": not LEN key=value framing
 
 
 def test_tar_gnu_base256_size():
@@ -280,3 +280,68 @@ def test_zip64_header_form():
     struct.pack_into("<H", z, cd + 46 + 1, 0x9999)
     with pytest.raises(ValueError, match="without a 0x0001 extra"):
         parse_zip(bytes(z))
+
+
+def test_pax_extended_headers():
+    """POSIX pax ('x' per-file, 'g' global) — the form GNU tar emits BY
+    DEFAULT: record framing with the self-referential length, path/mtime
+    overrides beating the ustar fields, and a cross-check against
+    stdlib tarfile's PAX_FORMAT output (real conformance, not just
+    self-consistency)."""
+    import io
+    import tarfile
+
+    from pyiceberg_lakehouse_spark.operators.archives import (
+        _parse_pax_records,
+        _pax_records,
+    )
+
+    for fields in (
+        {"path": "a/b.txt"},
+        {"path": "x" * 200, "mtime": "1234.5"},
+        {"k": "v" * 95},  # crosses the length-digit boundary
+    ):
+        assert _parse_pax_records(_pax_records(fields)) == fields
+
+    long = "deep/" * 30 + "name.bin"
+    t = make_tar(
+        [
+            {"name": long, "data": b"abc", "pax_mtime": "1700000000.25"},
+            {"name": "short.txt", "data": b"xyz"},
+        ],
+        pax=True,
+    )
+    got = parse_tar(t)
+    assert got[0]["name"] == long and got[0]["data"] == b"abc"
+    assert got[0]["mtime"] == 1700000000
+    assert got[1]["name"] == "short.txt"
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.PAX_FORMAT) as tf:
+        for name, data in ((long, b"hello pax"), ("plain.txt", b"zz")):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 1700000123.75
+            tf.addfile(info, io.BytesIO(data))
+    got = parse_tar(buf.getvalue())
+    assert [(e["name"], e["data"]) for e in got] == [
+        (long, b"hello pax"), ("plain.txt", b"zz")
+    ]
+    assert got[0]["mtime"] == 1700000123
+
+    # 'g' global header applies without breaking the walk
+    buf = io.BytesIO()
+    with tarfile.open(
+        fileobj=buf, mode="w", format=tarfile.PAX_FORMAT,
+        pax_headers={"comment": "global"},
+    ) as tf:
+        info = tarfile.TarInfo("a.txt")
+        info.size = 2
+        tf.addfile(info, io.BytesIO(b"aa"))
+    assert parse_tar(buf.getvalue())[0]["name"] == "a.txt"
+
+    # hostile pax: record length lying about its extent
+    with pytest.raises(ValueError, match="framing"):
+        _parse_pax_records(b"99 path=x\n")
+    with pytest.raises(ValueError, match="'='"):
+        _parse_pax_records(b"7 path\n")

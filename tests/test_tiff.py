@@ -25,7 +25,7 @@ def test_roundtrip_property():
     @given(
         h=st.integers(1, 20), w=st.integers(1, 20),
         ch=st.sampled_from([1, 3]), be=st.booleans(),
-        comp=st.sampled_from([1, 5, 32773]), rps=st.integers(1, 8),
+        comp=st.sampled_from([1, 5, 8, 32773]), rps=st.integers(1, 8),
         pred=st.sampled_from([1, 2]),
         seed=st.integers(0, 2**31 - 1),
     )
@@ -217,3 +217,28 @@ def test_lzw_predictor_shrinks_gradients():
     assert len(predicted) < len(plain) // 2
     got, meta = decode_tiff(predicted)
     assert (got == px).all() and meta["predictor"] == 2
+
+
+def test_deflate_old_tag_and_strictness():
+    """Compression 32946 (the pre-Adobe deflate tag) decodes like 8; a
+    strip inflating to the wrong size raises."""
+    import struct as _st
+    import zlib as _zl
+
+    px = np.arange(60, dtype=np.uint8).reshape(4, 15, 1)
+    raw = bytearray(encode_tiff(px, compression=8, rows_per_strip=4))
+    (ifd_off,) = _st.unpack_from("<I", raw, 4)
+    (n,) = _st.unpack_from("<H", raw, ifd_off)
+    for k in range(n):
+        at = ifd_off + 2 + 12 * k
+        if _st.unpack_from("<H", raw, at)[0] == 259:
+            _st.pack_into("<H", raw, at + 8, 32946)
+    got, meta = decode_tiff(bytes(raw))
+    assert (got == px).all() and meta["compression"] == 32946
+    # corrupted deflate payload -> strict error, not partial pixels
+    enc = bytearray(encode_tiff(px, compression=8, rows_per_strip=4))
+    strip = _zl.compress(px.tobytes(), 6)
+    at = enc.index(strip)
+    enc[at + len(strip) // 2] ^= 0xFF
+    with pytest.raises(ValueError, match="Deflate strip|corrupt Deflate"):
+        decode_tiff(bytes(enc))
