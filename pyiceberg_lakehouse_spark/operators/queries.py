@@ -3379,6 +3379,209 @@ def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_webp_animation",
+    # Planted 4-frame animated WebP per doc: full-canvas opaque base
+    # (SOURCE), an OVER patch with checkerboard alpha (255/0 — the
+    # exact branches), a SOURCE patch with alpha-0 ERASE cells +
+    # dispose-to-background, and a final OVER patch proving the
+    # disposal refilled with the ANIM background. The oracle CHAINS the
+    # rendered canvas sums closed-form through the blend/dispose model
+    # (the GIF/APNG pattern). Filter modulus 11 is coprime with the
+    # canvas (%6, %4), background (%256 via d), loop (%5) and duration
+    # (%4) knobs.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             8 + doc_id % 6 as cw, 8 + doc_id % 4 as chh
+      from documents where doc_id % 11 = 9
+    ),
+    terms as (
+      select *,
+        (d % 256) + (d*3 % 256) + (d*7 % 256) as bgsum,
+        (select sum((d + 3*x + 5*y) % 256 + (d*5 + x + 7*y) % 256
+                    + (d*7 + 11*x + y) % 256)
+           from generate_series(0, 13) gx(x), generate_series(0, 11) gy(y)
+          where x < cw and y < chh) as s0,
+        (select sum((d + 13*i + 17*j + 1) % 256 + (d*3 + 7*i + 5*j + 2) % 256
+                    + (d*9 + 3*i + j + 3) % 256
+                    - ((d + 3*(2+i) + 5*(2+j)) % 256
+                       + (d*5 + (2+i) + 7*(2+j)) % 256
+                       + (d*7 + 11*(2+i) + (2+j)) % 256))
+           from generate_series(0, 3) gi(i), generate_series(0, 1) gj(j)
+          where (i + j) % 2 = 0) as delta1,
+        (select sum((d*2 + 5*i + 3*j) % 256 + (d*6 + i + 9*j) % 256
+                    + (d*8 + 7*i + 2*j) % 256)
+           from generate_series(0, 3) gi(i), generate_series(0, 1) gj(j))
+          as src2_all,
+        (select count(*) from generate_series(0, 3) gi(i),
+                              generate_series(0, 1) gj(j)
+          where (i + j) % 3 = 0) as nz2,
+        (select sum((d + 3*(4+i) + 5*j) % 256 + (d*5 + (4+i) + 7*j) % 256
+                    + (d*7 + 11*(4+i) + j) % 256)
+           from generate_series(0, 3) gi(i), generate_series(0, 1) gj(j))
+          as base2,
+        (select sum((d*4 + i + j + 4) % 256 + (d*2 + 3*i + j + 5) % 256
+                    + (d*3 + i + 2*j + 6) % 256
+                    - ((d + 3*i + 5*(4+j)) % 256
+                       + (d*5 + i + 7*(4+j)) % 256
+                       + (d*7 + 11*i + (4+j)) % 256))
+           from generate_series(0, 1) gi(i), generate_series(0, 1) gj(j))
+          as delta3
+      from base
+    )
+    select doc_id,
+           cast(l as integer) as frame_idx,
+           cast(case l when 0 then 0 when 1 then 2 when 2 then 4 else 0 end
+               as integer) as x,
+           cast(case l when 0 then 0 when 1 then 2 when 2 then 0 else 4 end
+               as integer) as y,
+           cast(case l when 0 then cw when 3 then 2 else 4 end
+               as integer) as width,
+           cast(case l when 0 then chh else 2 end as integer) as height,
+           cast(40 + 10*(d % 4) + l as bigint) as duration_ms,
+           case when l = 0 or l = 2 then 'source' else 'over' end as blend,
+           case when l = 2 then 'background' else 'none' end as dispose,
+           cast(d % 5 as integer) as loop_count,
+           cast(case l
+                when 0 then s0
+                when 1 then s0 + delta1
+                when 2 then s0 + delta1 + src2_all - base2
+                else s0 + delta1 - base2 + 8*bgsum + delta3 end
+               as bigint) as rgb_sum,
+           cast(case when l = 2 then 255*(cw*chh - nz2)
+                else 255*cw*chh end as bigint) as alpha_sum
+    from terms, unnest(generate_series(0, 3)) u(l)
+    """,
+)
+def multimodal_webp_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED WebP composition (operators/vp8l.py — the VP8X/ANIM/ANMF
+    container over real VP8L frame bitstreams): per doc, mux a 4-frame
+    animation — full-canvas opaque SOURCE base, an OVER patch whose
+    checkerboard alpha exercises the exact keep/replace branches, a
+    SOURCE patch whose alpha-0 cells ERASE (semantics GIF cannot
+    express) carrying dispose-to-background, and a final OVER patch
+    proving the disposal refilled the rect with the ANIM background
+    color — demux it (24-bit halved offsets, duration, blend/dispose
+    flag bits, per-frame VP8L pixel decode) and compose per the spec's
+    model. The oracle chains every rendered canvas's RGB and alpha sums
+    closed-form through the blend/dispose model, the GIF/APNG pattern:
+    a wrong offset halving, flag bit, blend branch, or disposal rect
+    flips the hash. Lossy (VP8/ALPH) frames stay honestly gated."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import vp8l as _vp8l
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 9)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("x", T.IntegerType()),
+            T.StructField("y", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("blend", T.StringType()),
+            T.StructField("dispose", T.StringType()),
+            T.StructField("loop_count", T.IntegerType()),
+            T.StructField("rgb_sum", T.LongType()),
+            T.StructField("alpha_sum", T.LongType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                cw, ch = 8 + d % 6, 8 + d % 4
+                y0, x0 = np.ogrid[0:ch, 0:cw]
+                base = np.dstack(
+                    [
+                        (d + 3 * x0 + 5 * y0) % 256,
+                        (d * 5 + x0 + 7 * y0) % 256,
+                        (d * 7 + 11 * x0 + y0) % 256,
+                        np.full((ch, cw), 255),
+                    ]
+                ).astype(np.uint8)
+                j1, i1 = np.ogrid[0:2, 0:4]
+                f1 = np.dstack(
+                    [
+                        (d + 13 * i1 + 17 * j1 + 1) % 256,
+                        (d * 3 + 7 * i1 + 5 * j1 + 2) % 256,
+                        (d * 9 + 3 * i1 + j1 + 3) % 256,
+                        np.where((i1 + j1) % 2 == 0, 255, 0),
+                    ]
+                ).astype(np.uint8)
+                f2 = np.dstack(
+                    [
+                        (d * 2 + 5 * i1 + 3 * j1) % 256,
+                        (d * 6 + i1 + 9 * j1) % 256,
+                        (d * 8 + 7 * i1 + 2 * j1) % 256,
+                        np.where((i1 + j1) % 3 == 0, 0, 255),
+                    ]
+                ).astype(np.uint8)
+                j3, i3 = np.ogrid[0:2, 0:2]
+                f3 = np.dstack(
+                    [
+                        (d * 4 + i3 + j3 + 4) % 256,
+                        (d * 2 + 3 * i3 + j3 + 5) % 256,
+                        (d * 3 + i3 + 2 * j3 + 6) % 256,
+                        np.full((2, 2), 255),
+                    ]
+                ).astype(np.uint8)
+                dur = 40 + 10 * (d % 4)
+                spec = [
+                    {"x": 0, "y": 0, "pixels": base, "duration_ms": dur,
+                     "blend": "source"},
+                    {"x": 2, "y": 2, "pixels": f1, "duration_ms": dur + 1,
+                     "blend": "over"},
+                    {"x": 4, "y": 0, "pixels": f2, "duration_ms": dur + 2,
+                     "blend": "source", "dispose": "background"},
+                    {"x": 0, "y": 4, "pixels": f3, "duration_ms": dur + 3,
+                     "blend": "over"},
+                ]
+                payload = _vp8l.encode_webp_animation(
+                    spec, cw, ch,
+                    background=(d % 256, d * 3 % 256, d * 7 % 256, 255),
+                    loop_count=d % 5,
+                    transforms=("subtract-green",),
+                )
+                dec = _vp8l.decode_webp_animation(payload)
+                rendered = _vp8l.compose_webp_animation(dec)
+                for f, r in zip(dec["frames"], rendered):
+                    canvas = r["canvas"].astype(np.int64)
+                    rows.append(
+                        (
+                            d, r["frame_idx"], f["x"], f["y"],
+                            f["width"], f["height"], f["duration_ms"],
+                            f["blend"], f["dispose"], dec["loop_count"],
+                            int(canvas[:, :, :3].sum()),
+                            int(canvas[:, :, 3].sum()),
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname, dt in (
+                ("doc_id", "int64"), ("frame_idx", "int32"), ("x", "int32"),
+                ("y", "int32"), ("width", "int32"), ("height", "int32"),
+                ("duration_ms", "int64"), ("loop_count", "int32"),
+                ("rgb_sum", "int64"), ("alpha_sum", "int64"),
+            ):
+                out[cname] = out[cname].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "scan_robots_decisions",
     # Five probes per doc exercising the RFC 9309 subtleties: group
     # selection by most-specific agent vs the '*' group, longest-match

@@ -1085,3 +1085,196 @@ def _write_spatial_image_2groups(
         _write_code(bw, r, (p >> 16) & 0xFF)
         _write_code(bw, b, p & 0xFF)
         _write_code(bw, a, (p >> 24) & 0xFF)
+
+
+# ------------------------------------------------------ animated WebP ---
+# The WebP Container Specification's animation layer: VP8X feature
+# flags, ANIM (background color in BGRA byte order + 16-bit loop
+# count), and ANMF frames (x/2 and y/2 in 24-bit fields — offsets must
+# be even — dims minus one, 24-bit duration, and a flags byte carrying
+# the blending method (bit 1: 1 = overwrite, 0 = alpha-blend) and the
+# disposal method (bit 0: 1 = dispose to background color)). Frame
+# pixels ride as VP8L chunks, so the lossless codec above does the
+# pixel work; ALPH+VP8 (lossy) frames stay gated with VP8 itself.
+
+
+def encode_webp_animation(
+    frames: list[dict],
+    canvas_w: int,
+    canvas_h: int,
+    background: tuple[int, int, int, int] = (255, 255, 255, 255),
+    loop_count: int = 0,
+    **vp8l_kwargs,
+) -> bytes:
+    """frames: [{x, y, pixels (h, w, 3|4) uint8, duration_ms,
+    blend ('over'|'source'), dispose ('none'|'background')}] ->
+    RIFF/WEBP bytes. Offsets must be even (the wire stores x/2, y/2)."""
+    if not frames:
+        raise ValueError("an animation needs at least one frame")
+    if not 0 <= loop_count <= 0xFFFF:
+        raise ValueError("loop_count must fit 16 bits")
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    body = chunk(
+        b"VP8X",
+        bytes([0x02 | 0x10])  # animation + alpha feature flags
+        + b"\x00\x00\x00"
+        + (canvas_w - 1).to_bytes(3, "little")
+        + (canvas_h - 1).to_bytes(3, "little"),
+    )
+    r, g, b, a = background
+    body += chunk(
+        b"ANIM", bytes([b, g, r, a]) + struct.pack("<H", loop_count)
+    )
+    for f in frames:
+        x, y = int(f["x"]), int(f["y"])
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even (stored halved)")
+        px = np.asarray(f["pixels"], dtype=np.uint8)
+        fh, fw = px.shape[:2]
+        if x + fw > canvas_w or y + fh > canvas_h:
+            raise ValueError("frame exceeds the canvas")
+        if not 0 <= int(f["duration_ms"]) < 1 << 24:
+            raise ValueError("duration must fit 24 bits")
+        flags = (0x02 if f.get("blend", "over") == "source" else 0) | (
+            0x01 if f.get("dispose", "none") == "background" else 0
+        )
+        sub = chunk(b"VP8L", encode_vp8l(px, **vp8l_kwargs))
+        body += chunk(
+            b"ANMF",
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + int(f["duration_ms"]).to_bytes(3, "little")
+            + bytes([flags])
+            + sub,
+        )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def decode_webp_animation(payload: bytes) -> dict:
+    """-> {width, height, loop_count, background (r, g, b, a),
+    frames: [{x, y, width, height, duration_ms, blend, dispose,
+    pixels (h, w, 4) uint8 RGBA}]}. Strict: VP8X must declare
+    animation, ANIM must precede ANMF, frames must fit the canvas."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP framing missing)")
+    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    pos = 12
+    canvas = None
+    background = None
+    loop_count = None
+    frames: list[dict] = []
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if len(body) != csize:
+            raise ValueError(f"WebP chunk {fourcc!r} exceeds the file")
+        if fourcc == b"VP8X":
+            if csize < 10:
+                raise ValueError("VP8X chunk too small")
+            if not body[0] & 0x02:
+                raise ValueError("VP8X without the animation flag")
+            canvas = (
+                int.from_bytes(body[4:7], "little") + 1,
+                int.from_bytes(body[7:10], "little") + 1,
+            )
+        elif fourcc == b"ANIM":
+            if csize < 6:
+                raise ValueError("ANIM chunk too small")
+            background = (body[2], body[1], body[0], body[3])  # BGRA wire
+            (loop_count,) = struct.unpack_from("<H", body, 4)
+        elif fourcc == b"ANMF":
+            if canvas is None or background is None:
+                raise ValueError("ANMF before VP8X/ANIM")
+            if csize < 16:
+                raise ValueError("ANMF header too small")
+            x = int.from_bytes(body[0:3], "little") * 2
+            y = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            duration = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            if x + fw > canvas[0] or y + fh > canvas[1]:
+                raise ValueError("ANMF frame exceeds the canvas")
+            sub = body[16:]
+            if sub[:4] == b"ALPH" or sub[:4] == b"VP8 ":
+                raise NotImplementedError(
+                    "lossy (VP8/ALPH) animation frames not supported"
+                )
+            if sub[:4] != b"VP8L":
+                raise ValueError("ANMF frame without a VP8L chunk")
+            (fsize,) = struct.unpack_from("<I", sub, 4)
+            pixels, meta = decode_vp8l(sub[8 : 8 + fsize])
+            if (meta["width"], meta["height"]) != (fw, fh):
+                raise ValueError("ANMF dims disagree with the VP8L header")
+            frames.append(
+                {
+                    "x": x, "y": y, "width": fw, "height": fh,
+                    "duration_ms": duration,
+                    "blend": "source" if flags & 0x02 else "over",
+                    "dispose": "background" if flags & 0x01 else "none",
+                    "pixels": pixels,
+                }
+            )
+        pos += 8 + csize + (csize % 2)
+    if canvas is None or not frames:
+        raise ValueError("no animation frames found")
+    return {
+        "width": canvas[0], "height": canvas[1],
+        "loop_count": loop_count, "background": background,
+        "frames": frames,
+    }
+
+
+def compose_webp_animation(decoded: dict) -> list[dict]:
+    """Apply the WebP animation model: the canvas starts filled with the
+    ANIM background color; each frame alpha-blends (the spec's OVER,
+    the exact integer port property-tested in tests/test_apng.py's
+    float cross-check) or overwrites its rect; disposal refills the
+    frame's rect with the background AFTER rendering. Returns one
+    {frame_idx, duration_ms, canvas (h, w, 4)} per frame, the canvas
+    as rendered for that frame."""
+    cw, ch = decoded["width"], decoded["height"]
+    bg = np.array(decoded["background"], dtype=np.uint8)
+    canvas = np.tile(bg, (ch, cw, 1))
+    out = []
+    for i, f in enumerate(decoded["frames"]):
+        x, y, w, h = f["x"], f["y"], f["width"], f["height"]
+        region = canvas[y : y + h, x : x + w]
+        src = f["pixels"].astype(np.int64)
+        if f["blend"] == "source":
+            region[:] = src.astype(np.uint8)
+        else:  # OVER — same integer arithmetic as apng.compose_apng
+            dst = region.astype(np.int64)
+            sa = src[:, :, 3:4]
+            da = dst[:, :, 3:4]
+            oa_num = sa * 255 + da * (255 - sa)
+            rgb_num = src[:, :, :3] * sa * 255 + dst[:, :, :3] * da * (
+                255 - sa
+            )
+            rgb = np.where(
+                oa_num > 0,
+                (rgb_num + np.maximum(oa_num, 1) // 2)
+                // np.maximum(oa_num, 1),
+                0,
+            )
+            region[:, :, :3] = rgb.astype(np.uint8)
+            region[:, :, 3] = ((oa_num + 127) // 255).astype(np.uint8)[
+                :, :, 0
+            ]
+        out.append(
+            {
+                "frame_idx": i,
+                "duration_ms": f["duration_ms"],
+                "canvas": canvas.copy(),
+            }
+        )
+        if f["dispose"] == "background":
+            canvas[y : y + h, x : x + w] = bg
+    return out

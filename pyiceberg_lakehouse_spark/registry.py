@@ -79,7 +79,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # exactly-once index sink; the media face stays local-gated +
 # restart-idempotence pytest-pinned). Every displaced query stays
 # covered by the identical strict local gate and the registry-wide
-# dtype-parity pytest.
+# dtype-parity pytest. As further r14 code landed, the NEW animated-WebP
+# composition row multimodal_webp_animation (VP8X/ANIM/ANMF over real
+# VP8L frame bitstreams: halved 24-bit offsets, blend/dispose flag
+# bits, OVER with exact keep/replace branches, SOURCE alpha-0 ERASE,
+# dispose-to-background — the rendered sums chained closed-form by the
+# oracle, the GIF/APNG pattern) rotated in per the same no-tail
+# principle, taking the slot of a fourth double-green non-anchor,
+# pipeline_video_curation (pipeline_ stays driver-covered by the held
+# caption-curation + crawl-ingest composites; video curation stays
+# local-gated + pytest-pinned).
 #
 # Round-13 rotation (standing no-tail principle). Rotates IN the three
 # oracle-checkable queries written after the r12 window froze — the IMA
@@ -424,10 +433,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # extractor row — fresh code outranks a double-green non-anchor;
     # dedup_ stays driver-covered by simhash_selfcheck)
     "text_html_extract",
-    # (train_mix_temperature's second-round hold slot went to the r10
-    # cosine range search; dedup_semantic's second-round hold slot goes
-    # to the NEW end-to-end video-curation composite)
-    "pipeline_video_curation",
+    # (pipeline_video_curation's r14 rotation slot goes to the NEW
+    # animated-WebP composition row — fresh code outranks a
+    # double-green non-anchor; pipeline_ stays driver-covered by the
+    # held caption-curation and crawl-ingest composites, and the
+    # video-curation path stays local-gated + pytest-pinned)
+    "multimodal_webp_animation",
     "sim_cosine_topk",
     # (sim_range_search's second-round hold slot goes to the rebuilt
     # deterministic hash reservoir — newly oracle-checkable; the

@@ -573,6 +573,7 @@ def test_r13_codec_queries_map_only(spark, sf_dir):
     in-MP4), TIFF roundtrip (baseline and LZW), EXIF extraction."""
     for q in (
         "multimodal_webp_decode",
+        "multimodal_webp_animation",
         "multimodal_tiff_lzw",
         "multimodal_gif_decode",
         "multimodal_gif_animation",
