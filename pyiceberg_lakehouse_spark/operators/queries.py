@@ -3763,6 +3763,116 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_pii_redact_extended",
+    # Planted construction: per doc, text with a KNOWN census of PII —
+    # 0-2 emails (%3), a NANP phone (%2), an IPv4 (%5), an SSN (%4) —
+    # plus standing decoys that must survive (a five-part version
+    # string, a 3-3-5 order number, a 13-digit id). The oracle states
+    # the SCRUBBED STRING itself closed-form (tokens substituted in the
+    # same concatenation), so an over- OR under-matching pattern flips
+    # the hash on the text, not just on counts. Filter modulus 11 is
+    # coprime with every knob.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             cast(doc_id % 3 as integer) as n_em,
+             doc_id % 2 = 0 as has_phone,
+             doc_id % 5 != 0 as has_ip,
+             doc_id % 4 = 1 as has_ssn
+      from documents where doc_id % 11 = 2
+    )
+    select doc_id,
+           'mail ' ||
+           case n_em when 0 then 'none' when 1 then '<EMAIL>'
+                else '<EMAIL> <EMAIL>' end
+           || ' tel ' || case when has_phone then '<PHONE>'
+                else 'none' end
+           || ' from ' || case when has_ip then '<IP>' else 'none' end
+           || ' ssn ' || case when has_ssn then '<SSN>' else 'none' end
+           || ' decoys v1.2.3.4.5 order 555-123-45678 id 1234567890123'
+             as scrubbed,
+           cast(n_em as integer) as n_emails,
+           cast(case when has_ssn then 1 else 0 end as integer) as n_ssns,
+           cast(case when has_phone then 1 else 0 end as integer)
+             as n_phones,
+           cast(case when has_ip then 1 else 0 end as integer) as n_ips,
+           cast(n_em + (case when has_ssn then 1 else 0 end)
+                + (case when has_phone then 1 else 0 end)
+                + (case when has_ip then 1 else 0 end) as integer)
+             as total_redactions
+    from base
+    """,
+)
+def text_pii_redact_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENDED PII redaction for training corpora (functions/pii.py) —
+    beyond the URL+email pass of the driver-prior `text_pii_scrub`
+    (operators/text.py): phones, IPv4s and SSNs with boundary guards
+    against over-matching. PURE JVM
+    path: per doc, build text with a planted census of PII (emails,
+    NANP phone forms, bounds-checked IPv4, dashed SSN) plus decoys that
+    must survive (version strings, 3-3-5 order numbers, long ids),
+    scrub with built-in regexp_replace Column expressions only (the
+    plan carries NO Python evaluator and no Exchange — machine-pinned
+    in tests/test_plans.py), and report the scrubbed text + per-kind
+    regexp_count audit columns. The oracle states the scrubbed STRING
+    closed-form. Credit-card runs are deliberately not regex-guessed
+    (the module docstring records why)."""
+    from pyiceberg_lakehouse_spark.functions.pii import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    d = F.col("doc_id")
+    n_em = (d % 3).cast("int")
+    e0 = F.concat(F.lit("user"), d, F.lit("k0@ex"), d % 7, F.lit(".com"))
+    e1 = F.concat(F.lit("user"), d, F.lit("k1@ex"), d % 7, F.lit(".com"))
+    emails = (
+        F.when(n_em == 0, F.lit("none"))
+        .when(n_em == 1, e0)
+        .otherwise(F.concat(e0, F.lit(" "), e1))
+    )
+    phone = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit("(555) 123-"), F.lpad((d % 10000).cast("string"), 4, "0")
+        ),
+    ).otherwise(F.lit("none"))
+    ip = F.when(
+        d % 5 != 0,
+        F.concat(F.lit("10."), d % 256, F.lit(".0."), d % 200),
+    ).otherwise(F.lit("none"))
+    ssn = F.when(
+        d % 4 == 1,
+        F.concat(
+            F.lit("123-45-"), F.lpad((d % 10000).cast("string"), 4, "0")
+        ),
+    ).otherwise(F.lit("none"))
+    text = F.concat(
+        F.lit("mail "), emails, F.lit(" tel "), phone,
+        F.lit(" from "), ip, F.lit(" ssn "), ssn,
+        F.lit(" decoys v1.2.3.4.5 order 555-123-45678 id 1234567890123"),
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(d % 11 == 2)
+        .select("doc_id", text.alias("text"))
+    )
+    counts = pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        scrub_pii(F.col("text")).alias("scrubbed"),
+        counts["n_emails"].cast("int").alias("n_emails"),
+        counts["n_ssns"].cast("int").alias("n_ssns"),
+        counts["n_phones"].cast("int").alias("n_phones"),
+        counts["n_ips"].cast("int").alias("n_ips"),
+        (
+            counts["n_emails"] + counts["n_ssns"] + counts["n_phones"]
+            + counts["n_ips"]
+        ).cast("int").alias("total_redactions"),
+    )
+
+
+@register(
     "text_html_extract",
     # Filter modulus 9 is coprime with the paragraph (%3) and link (%2)
     # knobs. The oracle states the EXTRACTED TEXT itself closed-form —

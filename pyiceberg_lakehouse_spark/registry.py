@@ -88,7 +88,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # principle, taking the slot of a fourth double-green non-anchor,
 # pipeline_video_curation (pipeline_ stays driver-covered by the held
 # caption-curation + crawl-ingest composites; video curation stays
-# local-gated + pytest-pinned).
+# local-gated + pytest-pinned). The NEW extended-PII redaction row
+# text_pii_redact_extended (phones/IPv4s/SSNs with boundary guards on
+# top of the URL+email pass, pure JVM, the oracle stating the scrubbed
+# STRING closed-form) rotated in for sample_reservoir's slot (a fifth
+# double-green non-anchor; the reservoir stays local-gated +
+# plan-pinned).
 #
 # Round-13 rotation (standing no-tail principle). Rotates IN the three
 # oracle-checkable queries written after the r12 window froze — the IMA
@@ -440,10 +445,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # video-curation path stays local-gated + pytest-pinned)
     "multimodal_webp_animation",
     "sim_cosine_topk",
-    # (sim_range_search's second-round hold slot goes to the rebuilt
-    # deterministic hash reservoir — newly oracle-checkable; the
-    # range-search family stays driver-covered by lh_ann_range_selfcheck)
-    "sample_reservoir",
+    # (sample_reservoir's r14 rotation slot goes to the NEW extended
+    # PII redaction row — fresh code outranks a double-green
+    # non-anchor; the reservoir stays local-gated + plan-pinned
+    # (TakeOrderedAndProject), and train_ keeps pack_sequences)
+    "text_pii_redact_extended",
     # text + multimodal (r9 first-timers hold; post-freeze progressive
     # JPEG + container probes rotate in; NEW 4:2:0/4:2:2 subsampled
     # decode; NEW LM-familiarity scorer takes text_token_stats' hold slot

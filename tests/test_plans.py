@@ -615,3 +615,13 @@ def test_url_canonicalize_jvm_only_single_shuffle(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:800]
     # codegen fusion markers only materialize in the executed plan;
     # the no-Python assertions above are the JVM-only contract
+
+
+def test_pii_redact_jvm_only_map_stage(spark, sf_dir):
+    """The extended PII redactor is built from Column expressions only:
+    NO Python evaluator in the plan and NO Exchange — a 100 TB corpus
+    scrubs in one codegen map stage (the url_canonicalize posture)."""
+    plan = plan_of(spark, "text_pii_redact_extended", sf_dir)
+    for bad in ("BatchEvalPython", "MapInPandas", "ArrowEvalPython"):
+        assert bad not in plan, (bad, plan[:800])
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan[:800]
