@@ -3873,6 +3873,87 @@ def text_pii_redact_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_markdown_extract",
+    # The oracle states the EXTRACTED TEXT itself closed-form (the
+    # html_extract pattern): header/emphasis/code/link/image/bullet/
+    # quote markers stripped, the fenced block dropped, blank runs
+    # collapsed — any extractor-semantics drift flips the hash on the
+    # strings. Filter modulus 11 is coprime with every text knob
+    # (%5, %3, %4, %7, %2, %6).
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d
+      from documents where doc_id % 11 = 7
+    )
+    select doc_id,
+           'Title ' || d || chr(10) || chr(10)
+           || 'Some bold-' || (d % 5) || ' and em-' || (d % 3)
+           || ' text with code-' || (d % 4) || ' inline.'
+           || chr(10) || chr(10)
+           || 'item one ' || (d % 7) || chr(10)
+           || 'item link-' || d || ' two' || chr(10) || chr(10)
+           || 'quote ' || (d % 2) || chr(10) || chr(10)
+           || 'ordered img-' || d || ' end' || chr(10) || chr(10)
+           || 'tail it and b-' || (d % 6) || ' x_y stays' as text,
+           cast(length(
+             'Title ' || d || chr(10) || chr(10)
+             || 'Some bold-' || (d % 5) || ' and em-' || (d % 3)
+             || ' text with code-' || (d % 4) || ' inline.'
+             || chr(10) || chr(10)
+             || 'item one ' || (d % 7) || chr(10)
+             || 'item link-' || d || ' two' || chr(10) || chr(10)
+             || 'quote ' || (d % 2) || chr(10) || chr(10)
+             || 'ordered img-' || d || ' end' || chr(10) || chr(10)
+             || 'tail it and b-' || (d % 6) || ' x_y stays'
+           ) as integer) as n_chars
+    from base
+    """,
+)
+def text_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown -> text extraction (functions/markdown.py) — PURE JVM
+    path, the documentation half of a code-adjacent corpus: per doc,
+    build a Markdown document exercising every stated rule (ATX
+    header, bold/italic in both marker styles, inline code, a fenced
+    block that must be DROPPED, bullet + ordered lists, an image (alt
+    kept), a link (label kept), a blockquote, a horizontal rule,
+    snake_case that must NOT be read as emphasis), extract with
+    regexp_replace Column expressions only (NO Python evaluator, NO
+    Exchange — machine-pinned), and report the text. The oracle
+    states the extracted STRING itself closed-form. Reference-style
+    links/tables/setext headers stay honestly unparsed as literal
+    text (the module docstring records why)."""
+    from pyiceberg_lakehouse_spark.functions.markdown import (
+        markdown_to_text,
+    )
+
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    md = F.concat(
+        F.lit("# Title "), d, nl, nl,
+        F.lit("Some **bold-"), d % 5, F.lit("** and *em-"), d % 3,
+        F.lit("* text with `code-"), d % 4, F.lit("` inline."), nl, nl,
+        F.lit("```"), nl, F.lit("fenced "), d, nl, F.lit("line2"), nl,
+        F.lit("```"), nl, nl,
+        F.lit("- item one "), d % 7, nl,
+        F.lit("- item [link-"), d, F.lit("](http://x/"), d,
+        F.lit(") two"), nl, nl,
+        F.lit("> quote "), d % 2, nl, nl,
+        F.lit("1. ordered ![img-"), d, F.lit("](u) end"), nl, nl,
+        F.lit("---"), nl, nl,
+        F.lit("tail _it_ and __b-"), d % 6, F.lit("__ x_y stays"),
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(d % 11 == 7)
+        .select(
+            "doc_id",
+            markdown_to_text(md).alias("text"),
+        )
+        .withColumn("n_chars", F.length("text").cast("int"))
+    )
+
+
+@register(
     "text_html_extract",
     # Filter modulus 9 is coprime with the paragraph (%3) and link (%2)
     # knobs. The oracle states the EXTRACTED TEXT itself closed-form —

@@ -93,7 +93,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # top of the URL+email pass, pure JVM, the oracle stating the scrubbed
 # STRING closed-form) rotated in for sample_reservoir's slot (a fifth
 # double-green non-anchor; the reservoir stays local-gated +
-# plan-pinned).
+# plan-pinned), and the NEW Markdown->text extraction row
+# text_markdown_extract (the html_extract pattern — the oracle states
+# the extracted STRING closed-form; pure JVM regexp chain) rotated in
+# for lh_ann_range_selfcheck's slot (a triple-green non-anchor; the
+# ANN family keeps the cosine_topk anchor, range search stays
+# pytest-pinned + BENCH_SCALE-evidenced).
 #
 # Round-13 rotation (standing no-tail principle). Rotates IN the three
 # oracle-checkable queries written after the r12 window froze — the IMA
@@ -422,7 +427,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the MP3 frame walk stays driver-covered inside the held
     # multimodal_mp3_id3 row, which demuxes the bare stream)
     "multimodal_tiff_lzw",
-    "lh_ann_range_selfcheck",
+    # (lh_ann_range_selfcheck's r14 rotation slot goes to the NEW
+    # Markdown->text extraction row — fresh code outranks a
+    # triple-green non-anchor; sim_/ANN keeps the cosine_topk anchor
+    # and the range-search family stays pytest-pinned +
+    # BENCH_SCALE-evidenced via the probed-cells growth claims)
+    "text_markdown_extract",
     # dedup + similarity (components twin holds; cosine top-k anchors;
     # NEW exact substring-span coverage — the Lee-et-al ExactSubstr class —
     # takes text_bigram_novelty's hold slot per the fresh-code principle)

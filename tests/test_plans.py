@@ -625,3 +625,12 @@ def test_pii_redact_jvm_only_map_stage(spark, sf_dir):
     for bad in ("BatchEvalPython", "MapInPandas", "ArrowEvalPython"):
         assert bad not in plan, (bad, plan[:800])
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan[:800]
+
+
+def test_markdown_extract_jvm_only_map_stage(spark, sf_dir):
+    """The Markdown extractor is Column expressions only: NO Python
+    evaluator and NO Exchange in the plan (the url/pii posture)."""
+    plan = plan_of(spark, "text_markdown_extract", sf_dir)
+    for bad in ("BatchEvalPython", "MapInPandas", "ArrowEvalPython"):
+        assert bad not in plan, (bad, plan[:800])
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan[:800]
