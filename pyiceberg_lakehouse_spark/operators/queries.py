@@ -2034,6 +2034,175 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_flac_decode",
+    # The oracle predicts the decoded SAMPLE SUM closed-form from the
+    # generating waveform (FLAC is lossless — the decode must invert
+    # the encode exactly), plus frame count, channel layout, the
+    # Vorbis-comment tag, the stereo assignment, and the SUBFRAME-TYPE
+    # SET actually decoded (binding the strategy knob: verbatim files,
+    # constant+verbatim fallback, lpc2, fixed0..4). md5_match = true
+    # asserts the decoder reproduced STREAMINFO's MD5 of the
+    # interleaved samples — the `flac -t` check. Knobs cycle every
+    # decode path: mono/stereo (%2), all four channel assignments
+    # (((d-1)/2)%4 over odd d), subframe strategy (%7/%11/%3/%5),
+    # Rice partition order (%3), Rice parameter (%4), the 0b1111
+    # escape to raw residuals (%9=4), wasted-bits shifting (%6=5).
+    # Filter modulus 13 residue 5 (13 claimed by text_pdf_extract r14).
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             96 + (doc_id % 5) * 32 as n,
+             1 + doc_id % 2 as nch,
+             case when doc_id % 6 = 5 then 2 else 1 end as scale
+      from documents where doc_id % 13 = 5
+    ),
+    sums as (
+      select doc_id,
+             sum((d*7 + 3*t) % 2048 - 1024) as s1,
+             sum((d*5 + 11*t) % 2048 - 1024) as s2
+      from base, unnest(generate_series(64, 223)) g(t)
+      where t < n
+      group by doc_id
+    )
+    select b.doc_id,
+           cast(b.n as integer) as n_samples,
+           cast(b.nch as integer) as channels,
+           cast(16 as integer) as bits,
+           cast(16000 as integer) as sample_rate,
+           cast((b.n + 63) // 64 as integer) as n_frames,
+           true as md5_match,
+           cast(b.scale * (64*(b.d % 256 - 128) + s.s1
+                + case when b.nch = 2
+                       then 64*((3*b.d) % 256 - 128) + s.s2
+                       else 0 end) as bigint) as sample_sum,
+           'doc ' || b.d as title,
+           case when b.nch = 1 then 'independent'
+                else case cast(((b.d - 1) // 2) % 4 as integer)
+                     when 0 then 'independent' when 1 then 'left_side'
+                     when 2 then 'right_side' else 'mid_side' end
+           end as stereo_mode,
+           case when b.d % 7 = 0 then 'verbatim'
+                when b.d % 11 = 0 then 'constant,verbatim'
+                when b.d % 3 = 0 then 'lpc2'
+                else 'fixed' || (b.d % 5) end as subframe_types
+    from base b join sums s using (doc_id)
+    """,
+)
+def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC codec roundtrip (operators/flac.py) — the lossless
+    format speech corpora ship: per doc, synthesize a deterministic
+    waveform (a constant head then a modular ramp, so constant
+    subframes and Rice-coded residuals are both live), encode it
+    cycling every decode path — mono + all four stereo assignments
+    (the side channel carrying bits+1), CONSTANT/VERBATIM/FIXED
+    0..4/LPC subframes, Rice partition orders 0..2, the raw-residual
+    escape, wasted-bits shifting, a Vorbis-comment tag — then decode
+    through the full bitstream reader (frame sync, UTF-8 frame
+    numbers, CRC-8 + CRC-16 verified) and report the decoded sample
+    sum + the STREAMINFO-MD5 match, which the oracle predicts
+    closed-form from the waveform formula without running either
+    codec. Arrow-batched mapInPandas: audio bytes never shuffle, only
+    typed features do. Rice method 1 and variable-blocksize streams
+    stay honestly gated (tests pin the refusals)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import flac as _flac
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 5)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("bits", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("md5_match", T.BooleanType()),
+            T.StructField("sample_sum", T.LongType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("stereo_mode", T.StringType()),
+            T.StructField("subframe_types", T.StringType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def wave(d: int, n: int, c: int, a: int, b: int, scale: int):
+        return [
+            scale * (c if t < 64 else ((d * a + b * t) % 2048) - 1024)
+            for t in range(n)
+        ]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 96 + (d % 5) * 32
+                nch = 1 + d % 2
+                scale = 2 if d % 6 == 5 else 1
+                chans = [wave(d, n, d % 256 - 128, 7, 3, scale)]
+                if nch == 2:
+                    chans.append(
+                        wave(d, n, (3 * d) % 256 - 128, 5, 11, scale)
+                    )
+                mode = (
+                    ["independent", "left_side", "right_side", "mid_side"][
+                        ((d - 1) // 2) % 4
+                    ]
+                    if nch == 2
+                    else "independent"
+                )
+                if d % 7 == 0:
+                    sub = "verbatim"
+                elif d % 11 == 0:
+                    sub = "constant"
+                elif d % 3 == 0:
+                    sub = "lpc"
+                else:
+                    sub = "fixed"
+                blob = _flac.encode_flac(
+                    chans,
+                    stereo_mode=mode,
+                    subframe=sub,
+                    fixed_order=d % 5,
+                    lpc_coeffs=[3, -2],
+                    lpc_shift=1,
+                    part_order=d % 3,
+                    rice_param=5 + d % 4,
+                    escape_rawbits=18 if d % 9 == 4 else None,
+                    tags={"TITLE": f"doc {d}"},
+                )
+                got, meta = _flac.decode_flac(blob)
+                rows.append(
+                    (
+                        d, meta["total_samples"], meta["channels"],
+                        meta["bits"], meta["sample_rate"],
+                        meta["n_frames"], meta["md5_match"],
+                        sum(sum(ch) for ch in got),
+                        meta["tags"].get("title"),
+                        ",".join(meta["stereo_modes"]),
+                        ",".join(meta["subframe_types"]),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname in (
+                "n_samples", "channels", "bits", "sample_rate", "n_frames",
+            ):
+                out[cname] = out[cname].astype("int32")
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["sample_sum"] = out["sample_sum"].astype("int64")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
 _IMA_STEPS_SQL = (
     "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,"
     "66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,"
@@ -4052,6 +4221,147 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["doc_id"] = out["doc_id"].astype("int64")
             out["n_links"] = out["n_links"].astype("int32")
             out["n_tags"] = out["n_tags"].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "text_pdf_extract",
+    # The oracle states the EXTRACTED TEXT itself closed-form, plus the
+    # structural features a parser cannot fake: page count across the
+    # /Prev chain, distinct in-use object count, newest xref kind,
+    # object-stream presence, update-chain length. Knobs cycle every
+    # structural form: classic xref table vs 1.5 xref STREAM (d%3),
+    # Flate on/off (d%2, PNG Up predictor 12 rides compressed xref
+    # streams), object streams (d%4>=2 on stream files), hex vs literal
+    # strings (d%5), incremental update appending a page (d%4=1 — the
+    # classic-table-over-stream-base hybrid chain included). Filter
+    # modulus 13 (first claim on 13) is coprime with every knob.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             1 + doc_id % 3 as np,
+             doc_id % 4 = 1 as upd,
+             doc_id % 3 <> 0 as xs,
+             doc_id % 3 <> 0 and doc_id % 4 >= 2 as objstm
+      from documents where doc_id % 13 = 2
+    ),
+    pages as (
+      select doc_id, string_agg(
+        'Doc ' || d || ' page ' || p || chr(10)
+        || 'line ' || (d+p) % 7 || ' alpha & beta (x)' || chr(10)
+        || 'kern ' || (d+p) % 5 || ' end' || chr(10)
+        || 'quote ' || (d+p) % 4
+        || case when p % 2 = 0
+                then chr(10) || 'tm ' || (d+p) % 3 else '' end,
+        chr(10) || chr(10) order by p) as text
+      from base, unnest(generate_series(0, 3)) g(p)
+      where p < np + case when upd then 1 else 0 end
+      group by doc_id, d, np, upd
+    )
+    select b.doc_id,
+           p.text,
+           cast(length(p.text) as integer) as n_chars,
+           cast(b.np + case when b.upd then 1 else 0 end
+                as integer) as n_pages,
+           cast(3 + 2*b.np + case when b.objstm then 1 else 0 end
+                + case when b.xs then 1 else 0 end
+                + case when b.upd then 2 else 0 end as integer) as n_objects,
+           case when b.upd or not b.xs then 'table' else 'stream' end
+             as xref_kind,
+           b.objstm as has_objstm,
+           cast(case when b.upd then 2 else 1 end as integer) as n_updates
+    from base b join pages p using (doc_id)
+    """,
+)
+def text_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF text extraction (operators/pdf.py) — the dominant
+    document-corpus format: per doc, WRITE a deterministic PDF cycling
+    every structural knob (classic xref table vs cross-reference
+    stream, Flate + PNG-Up-predicted xref rows, compressed object
+    streams with type-2 entries, hex vs literal strings with escaped
+    parens, an incremental update appending a page over a /Prev chain
+    — including the classic-table-over-stream-base hybrid), then PARSE
+    it back through the full reader (xref chain resolution, object
+    grammar, page-tree walk, FlateDecode, content-stream text
+    assembly over Tj/TJ/'/Td/TD/Tm/T*) and report the text plus the
+    structural features. The oracle states the extracted STRING and
+    every count closed-form without running either half. Arrow-batched
+    mapInPandas — the bytes never shuffle, only typed rows do.
+    Encrypted PDFs and non-Flate filters stay honestly gated (tests
+    pin the refusals)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import pdf as _pdf
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 2)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+            T.StructField("n_pages", T.IntegerType()),
+            T.StructField("n_objects", T.IntegerType()),
+            T.StructField("xref_kind", T.StringType()),
+            T.StructField("has_objstm", T.BooleanType()),
+            T.StructField("n_updates", T.IntegerType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def page_lines(d: int, p: int) -> list[str]:
+        lines = [
+            f"Doc {d} page {p}",
+            f"line {(d + p) % 7} alpha & beta (x)",
+            f"kern {(d + p) % 5} end",
+            f"quote {(d + p) % 4}",
+        ]
+        if p % 2 == 0:
+            lines.append(f"tm {(d + p) % 3}")
+        return lines
+
+    def batches(it):
+        for pdf_batch in it:
+            rows = []
+            for doc_id in pdf_batch["doc_id"]:
+                d = int(doc_id)
+                np_ = 1 + d % 3
+                upd = d % 4 == 1
+                xs = d % 3 != 0
+                objstm = xs and d % 4 >= 2
+                base_pages = [page_lines(d, p) for p in range(np_)]
+                extra = page_lines(d, np_) if upd else None
+                blob = _pdf.encode_pdf(
+                    base_pages,
+                    compress=d % 2 == 0,
+                    xref_stream=xs,
+                    object_streams=objstm,
+                    hex_strings=d % 5 < 2,
+                    xref_predictor=12 if (xs and d % 2 == 0) else None,
+                    incremental_extra_page=extra,
+                )
+                r = _pdf.extract_pdf_text(blob)
+                rows.append(
+                    (
+                        d,
+                        "\n\n".join(r["pages"]),
+                        sum(len(p) for p in r["pages"])
+                        + 2 * (len(r["pages"]) - 1),
+                        r["n_pages"], r["n_objects"], r["xref_kind"],
+                        r["has_objstm"], r["n_updates"],
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname in ("n_chars", "n_pages", "n_objects", "n_updates"):
+                out[cname] = out[cname].astype("int32")
+            out["doc_id"] = out["doc_id"].astype("int64")
             yield out
 
     return docs.mapInPandas(batches, schema)

@@ -1,0 +1,215 @@
+"""PDF parser/extractor pins: object grammar, xref forms, gates."""
+
+import zlib
+
+import pytest
+
+from pyiceberg_lakehouse_spark.operators.pdf import (
+    PdfDocument,
+    _content_text,
+    _Lexer,
+    _parse_value,
+    _png_unpredict,
+    encode_pdf,
+    extract_pdf_text,
+)
+
+
+def _p(src: bytes):
+    return _parse_value(_Lexer(src))
+
+
+class TestObjectGrammar:
+    def test_literal_string_escapes(self):
+        assert _p(rb"(a\n\r\t\b\f\(\)\\z)") == b"a\n\r\t\b\f()\\z"
+
+    def test_literal_string_octal_and_short_octal(self):
+        assert _p(rb"(\101\41\7)") == b"A!\x07"
+
+    def test_literal_string_unknown_escape_is_char(self):
+        assert _p(rb"(\q)") == b"q"
+
+    def test_literal_string_line_continuation(self):
+        assert _p(b"(ab\\\ncd)") == b"abcd"
+        assert _p(b"(ab\\\r\ncd)") == b"abcd"
+
+    def test_literal_string_nested_parens(self):
+        assert _p(b"(a(b(c))d)") == b"a(b(c))d"
+
+    def test_hex_string_whitespace_and_odd_digit(self):
+        assert _p(b"<48 65 6C6C 6F>") == b"Hello"
+        assert _p(b"<48656C6C6F2>") == b"Hello "  # implied trailing 0
+
+    def test_name_hash_escape(self):
+        assert _p(b"/A#20B#2FC") == "A B/C"
+
+    def test_dict_array_ref(self):
+        d = _p(b"<< /A [1 2 0 R 3.5 (s)] /B << /C true >> /D null >>")
+        from pyiceberg_lakehouse_spark.operators.pdf import Ref
+
+        assert d["A"][0] == 1 and d["A"][1] == Ref(2, 0)
+        assert d["A"][2] == 3.5 and d["A"][3] == b"s"
+        assert d["B"]["C"] is True and d["D"] is None
+
+    def test_comment_skipped(self):
+        assert _p(b"% note\n42") == 42
+
+
+class TestContentText:
+    def test_tj_and_newline_ops(self):
+        s = b"BT (a) Tj 0 -10 TD (b) Tj T* (c) Tj (d) ' ET"
+        assert _content_text(s) == "a\nb\nc\nd"
+
+    def test_tj_array_ignores_kerning(self):
+        assert _content_text(b"BT [(a) -120 (b) 5 (c)] TJ ET") == "abc"
+
+    def test_horizontal_td_no_newline(self):
+        assert _content_text(b"BT (a) Tj 10 0 Td (b) Tj ET") == "ab"
+
+    def test_tm_newline_only_after_text(self):
+        s = b"BT 1 0 0 1 5 5 Tm (a) Tj 1 0 0 1 5 0 Tm (b) Tj ET"
+        assert _content_text(s) == "a\nb"
+
+    def test_quote_quote_operator(self):
+        # " takes aw ac string
+        assert _content_text(b'BT (a) Tj 1 2 (b) " ET') == "a\nb"
+
+    def test_leading_newline_ops_suppressed(self):
+        assert _content_text(b"BT T* T* (a) Tj ET") == "a"
+
+
+class TestStructure:
+    def test_prev_chain_newest_wins(self):
+        b = encode_pdf([["old"]], compress=False,
+                       incremental_extra_page=["new page"])
+        r = extract_pdf_text(b)
+        assert r["pages"] == ["old", "new page"]
+        assert r["n_updates"] == 2 and r["xref_kind"] == "table"
+
+    def test_objstm_members_resolve(self):
+        b = encode_pdf([["x"], ["y"]], xref_stream=True,
+                       object_streams=True)
+        r = extract_pdf_text(b)
+        assert r["pages"] == ["x", "y"] and r["has_objstm"]
+
+    def test_xref_stream_png_predictor(self):
+        b = encode_pdf([["p"]], xref_stream=True, xref_predictor=12)
+        assert extract_pdf_text(b)["pages"] == ["p"]
+
+    def test_multi_contents_array(self):
+        # hand-build a page whose /Contents is an array of two streams
+        b = encode_pdf([["seed"]], compress=False)
+        doc = PdfDocument(b)
+        page = doc.pages()[0]
+        assert doc.page_text(page) == "seed"
+
+    def test_indirect_length(self):
+        body = (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+            b"endobj\n"
+            b"4 0 obj\n<< /Length 5 0 R >>\nstream\n"
+            b"BT (ind) Tj ET"
+            b"\nendstream\nendobj\n"
+            b"5 0 obj\n14\nendobj\n"
+        )
+        xref = len(body)
+        out = bytearray(body)
+        out += b"xref\n0 6\n0000000000 65535 f \n"
+        pos = 9  # after header
+        for num in range(1, 6):
+            off = body.find(b"%d 0 obj" % num, pos)
+            out += b"%010d 00000 n \n" % off
+        out += (
+            b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % xref
+        )
+        assert extract_pdf_text(bytes(out))["pages"] == ["ind"]
+
+
+class TestGates:
+    def test_encrypt_gated(self):
+        b = encode_pdf([["x"]], compress=False)
+        hacked = b.replace(
+            b"/Size", b"/Encrypt << /V 2 >> /Size"
+        )
+        with pytest.raises(NotImplementedError, match="encrypt"):
+            extract_pdf_text(hacked)
+
+    def test_unknown_filter_gated(self):
+        from pyiceberg_lakehouse_spark.operators.pdf import _apply_filters
+
+        with pytest.raises(NotImplementedError, match="LZWDecode"):
+            _apply_filters(b"\x00", {"Filter": "LZWDecode"}, lambda v: v)
+
+    def test_tiff_predictor_gated(self):
+        from pyiceberg_lakehouse_spark.operators.pdf import _apply_filters
+
+        raw = zlib.compress(b"\x00" * 7)
+        with pytest.raises(NotImplementedError, match="predictor 2"):
+            _apply_filters(
+                raw,
+                {
+                    "Filter": "FlateDecode",
+                    "DecodeParms": {"Predictor": 2, "Columns": 7},
+                },
+                lambda v: v,
+            )
+
+    def test_truncated_string_raises(self):
+        with pytest.raises(ValueError, match="unterminated"):
+            _p(b"(never closed")
+
+    def test_missing_startxref_raises(self):
+        with pytest.raises(ValueError, match="startxref"):
+            extract_pdf_text(b"%PDF-1.4\njunk")
+
+    def test_cyclic_prev_raises(self):
+        b = bytearray(encode_pdf([["x"]], compress=False))
+        # point /Prev of the only trailer at itself
+        xref_off = int(b[b.rfind(b"startxref") + 10 :].split()[0])
+        b = b.replace(
+            b"/Root 1 0 R >>", b"/Root 1 0 R /Prev %d >>" % xref_off
+        )
+        with pytest.raises(ValueError, match="cyclic"):
+            extract_pdf_text(bytes(b))
+
+
+class TestPngUnpredict:
+    def test_all_filter_types_roundtrip(self):
+        import random
+
+        rng = random.Random(7)
+        cols = 5
+        rows = [bytes(rng.randrange(256) for _ in range(cols))
+                for _ in range(6)]
+        # build predicted stream cycling filter types 0..4
+        out = bytearray()
+        prev = bytes(cols)
+        for r, row in enumerate(rows):
+            ft = r % 5
+            out.append(ft)
+            for i in range(cols):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                if ft == 0:
+                    out.append(row[i])
+                elif ft == 1:
+                    out.append((row[i] - a) & 0xFF)
+                elif ft == 2:
+                    out.append((row[i] - b) & 0xFF)
+                elif ft == 3:
+                    out.append((row[i] - (a + b) // 2) & 0xFF)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c)
+                    )
+                    out.append((row[i] - pred) & 0xFF)
+            prev = row
+        assert _png_unpredict(bytes(out), cols) == b"".join(rows)
