@@ -2755,6 +2755,134 @@ def multimodal_tiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_tiff_tiled",
+    # The tiled layout (§15, tags 322..325 — GeoTIFF / scanned-atlas
+    # corpora): the oracle predicts the decoded value sum AND the tile
+    # grid count closed-form. Knobs: tile geometry 16x16/32x16/16x32
+    # (%3), all four compressions (%4), predictor on/off (%5),
+    # byte order (%7), gray/RGB (%2) — every edge tile is partial in
+    # at least one axis, so padding-clip is always live. Filter
+    # modulus 13 residue 7.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             17 + doc_id % 23 as w, 14 + doc_id % 19 as h,
+             1 + 2 * (doc_id % 2) as ch,
+             case cast(doc_id % 3 as integer)
+                  when 1 then 32 else 16 end as tw,
+             case cast(doc_id % 3 as integer)
+                  when 2 then 32 else 16 end as tl,
+             case cast(doc_id % 4 as integer)
+                  when 0 then 1 when 1 then 5 when 2 then 8
+                  else 32773 end as compression,
+             case when doc_id % 5 < 3 then 2 else 1 end as predictor,
+             doc_id % 7 < 4 as big_endian
+      from documents where doc_id % 13 = 7
+    )
+    select doc_id,
+           cast(w as integer) as width,
+           cast(h as integer) as height,
+           cast(ch as integer) as channels,
+           big_endian,
+           cast(compression as integer) as compression,
+           cast(predictor as integer) as predictor,
+           cast(((w + tw - 1) // tw) * ((h + tl - 1) // tl)
+                as integer) as n_tiles,
+           cast((select sum((d + 3*x + 5*y + 7*c) % 256)
+                 from generate_series(0, 39) gx(x),
+                      generate_series(0, 32) gy(y),
+                      generate_series(0, 2) gc(c)
+                 where x < w and y < h and c < ch)
+               as bigint) as value_sum,
+           true as exact_roundtrip
+    from base
+    """,
+)
+def multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL tiled-TIFF codec roundtrip (operators/tiff.py §15 — the
+    GeoTIFF/scanned-atlas layout a 100 TB map/document crawl hits):
+    per doc, synthesize a deterministic raster, encode it TILED —
+    16-multiple tile grids cycling three geometries, edge tiles
+    zero-padded, Predictor 2 restarting per tile row, all four
+    compressions, both byte orders — decode it back (padding clipped,
+    grid validated) and report dims + the decoded value sum, which
+    the oracle predicts closed-form along with the tile-grid count.
+    Arrow-batched mapInPandas: codec work happens where the bytes
+    live, only typed features shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import tiff as _tiff
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 7)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("big_endian", T.BooleanType()),
+            T.StructField("compression", T.IntegerType()),
+            T.StructField("predictor", T.IntegerType()),
+            T.StructField("n_tiles", T.IntegerType()),
+            T.StructField("value_sum", T.LongType()),
+            T.StructField("exact_roundtrip", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 17 + d % 23, 14 + d % 19
+                ch = 1 + 2 * (d % 2)
+                c = np.arange(ch)
+                y, x = np.ogrid[0:h, 0:w]
+                px = (
+                    (d + 3 * x[:, :, None] + 5 * y[:, :, None] + 7 * c)
+                    % 256
+                ).astype(np.uint8)
+                tw = 32 if d % 3 == 1 else 16
+                tl = 32 if d % 3 == 2 else 16
+                enc = _tiff.encode_tiff(
+                    px,
+                    big_endian=d % 7 < 4,
+                    compression=[1, 5, 8, 32773][d % 4],
+                    predictor=2 if d % 5 < 3 else 1,
+                    tile=(tw, tl),
+                )
+                got, meta = _tiff.decode_tiff(enc)
+                rows.append(
+                    (
+                        d, meta["width"], meta["height"], meta["channels"],
+                        meta["big_endian"], meta["compression"],
+                        meta["predictor"], meta["n_tiles"],
+                        int(got.astype(np.int64).sum()),
+                        bool(got.shape == px.shape and (got == px).all()),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname, dt in (
+                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
+                ("channels", "int32"), ("compression", "int32"),
+                ("predictor", "int32"), ("n_tiles", "int32"),
+                ("value_sum", "int64"),
+            ):
+                out[cname] = out[cname].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "multimodal_apng_animation",
     # Planted 6-frame APNG per doc: full-canvas base + five 2x2 patches
     # exercising blend OVER (punch-through via alpha-0 cells), blend

@@ -21,8 +21,13 @@ differencing) composes with it, as in virtually every LZW scan.
 Compression 8 / 32946 (Adobe + old-tag Deflate) decodes via stdlib
 zlib with strict strip extents.
 
+Tiled layout (§15, tags 322..325 — the GeoTIFF/scanned-atlas shape)
+decodes and encodes: a tw x tl grid (multiples of 16), edge tiles
+padded to full size and clipped on read, each tile compressed
+independently, Predictor 2 restarting per tile row.
+
 Honest gates (raise, never guess): other compressions (CCITT,
-JPEG-in-TIFF), tiled layout, planar configuration 2, bit
+JPEG-in-TIFF), planar configuration 2, bit
 depths other than 8, palette color, multi-IFD (multi-page) files
 return the FIRST page and expose next_ifd so callers see there are
 more.
@@ -49,6 +54,10 @@ _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
 _TAG_PLANAR = 284
 _TAG_PREDICTOR = 317
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_COUNTS = 325
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
@@ -247,8 +256,15 @@ def encode_tiff(
     compression: int = 1,
     rows_per_strip: int | None = None,
     predictor: int = 1,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
-    """(h, w) or (h, w, 1|3) uint8 -> baseline TIFF bytes."""
+    """(h, w) or (h, w, 1|3) uint8 -> baseline TIFF bytes.
+
+    ``tile=(tw, tl)`` writes the TILED layout (tags 322..325, §15):
+    the image splits into a grid of tw x tl tiles (both multiples of
+    16 per spec), edge tiles zero-padded to full size, each tile
+    compressed independently with the predictor restarting per tile
+    row — the GeoTIFF/scanned-atlas shape."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -262,22 +278,43 @@ def encode_tiff(
         )
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
-    if predictor == 2:
-        px = _predict2_encode(px)
-    if rows_per_strip is None:
-        rows_per_strip = h
-    e = ">" if big_endian else "<"
-    n_strips = (h + rows_per_strip - 1) // rows_per_strip
-    strips = []
-    for s in range(n_strips):
-        raw = px[s * rows_per_strip : (s + 1) * rows_per_strip].tobytes()
+
+    def pack(raw: bytes) -> bytes:
         if compression == 32773:
-            raw = packbits_encode(raw)
-        elif compression == 5:
-            raw = lzw_encode(raw)
-        elif compression == 8:
-            raw = zlib.compress(raw, 6)
-        strips.append(raw)
+            return packbits_encode(raw)
+        if compression == 5:
+            return lzw_encode(raw)
+        if compression == 8:
+            return zlib.compress(raw, 6)
+        return raw
+
+    e = ">" if big_endian else "<"
+    if tile is not None:
+        tw, tl = tile
+        if tw % 16 or tl % 16:
+            raise ValueError("tile dimensions must be multiples of 16")
+        ta = (w + tw - 1) // tw
+        td = (h + tl - 1) // tl
+        padded = np.zeros((td * tl, ta * tw, ch), dtype=np.uint8)
+        padded[:h, :w] = px
+        strips = []
+        for r in range(td):
+            for c in range(ta):
+                block = padded[r * tl : (r + 1) * tl, c * tw : (c + 1) * tw]
+                if predictor == 2:
+                    block = _predict2_encode(block.copy())
+                strips.append(pack(block.tobytes()))
+        n_strips = len(strips)
+    else:
+        if predictor == 2:
+            px = _predict2_encode(px)
+        if rows_per_strip is None:
+            rows_per_strip = h
+        n_strips = (h + rows_per_strip - 1) // rows_per_strip
+        strips = []
+        for s in range(n_strips):
+            raw = px[s * rows_per_strip : (s + 1) * rows_per_strip].tobytes()
+            strips.append(pack(raw))
 
     def tag(tid: int, ttype: int, values: list[int], data_off: int) -> tuple[bytes, bytes]:
         size = _TYPE_SIZES[ttype] * len(values)
@@ -308,14 +345,22 @@ def encode_tiff(
         (_TAG_BITS, 3, [8] * ch),
         (_TAG_COMPRESSION, 3, [compression]),
         (_TAG_PHOTOMETRIC, 3, [1 if ch == 1 else 2]),
-        (_TAG_STRIP_OFFSETS, 4, strip_offsets),
         (_TAG_SPP, 3, [ch]),
-        (_TAG_ROWS_PER_STRIP, 4, [rows_per_strip]),
-        (_TAG_STRIP_COUNTS, 4, [len(s) for s in strips]),
         (_TAG_PLANAR, 3, [1]),
     ]
+    if tile is None:
+        entries.insert(5, (_TAG_STRIP_OFFSETS, 4, strip_offsets))
+        entries.insert(7, (_TAG_ROWS_PER_STRIP, 4, [rows_per_strip]))
+        entries.insert(
+            8, (_TAG_STRIP_COUNTS, 4, [len(s) for s in strips])
+        )
     if predictor == 2:  # tags must stay in ascending order (284 < 317)
         entries.append((_TAG_PREDICTOR, 3, [2]))
+    if tile is not None:  # 322..325 sort after 317
+        entries.append((_TAG_TILE_WIDTH, 3, [tile[0]]))
+        entries.append((_TAG_TILE_LENGTH, 3, [tile[1]]))
+        entries.append((_TAG_TILE_OFFSETS, 4, strip_offsets))
+        entries.append((_TAG_TILE_COUNTS, 4, [len(s) for s in strips]))
     ifd_size = 2 + 12 * len(entries) + 4
     overflow_off = ifd_off + ifd_size
     ifd = struct.pack(f"{e}H", len(entries))
@@ -409,52 +454,86 @@ def decode_tiff(payload: bytes):
         )
     if photometric == 2 and ch != 3:
         raise ValueError("RGB photometric with SamplesPerPixel != 3")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF not supported")
-    offsets = tags.get(_TAG_STRIP_OFFSETS)
-    counts = tags.get(_TAG_STRIP_COUNTS)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("strip offsets/counts missing or inconsistent")
-    rps = one(_TAG_ROWS_PER_STRIP, h)
-    if rps == 0:
-        raise ValueError("RowsPerStrip of zero")
-    if (h + rps - 1) // rps != len(offsets):
-        raise ValueError("strip count disagrees with RowsPerStrip")
-    out = bytearray()
-    for s, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(payload):
-            raise ValueError("strip bytes out of file bounds")
-        rows = min(rps, h - s * rps)
-        expected = rows * w * ch
-        raw = payload[off : off + cnt]
+    def unpack(raw: bytes, expected: int) -> bytes:
         if compression == 32773:
-            raw = packbits_decode(raw, expected)
-        elif compression == 5:
-            raw = lzw_decode(raw, expected)
-        elif compression in (8, 32946):  # Adobe deflate + the old tag
+            return packbits_decode(raw, expected)
+        if compression == 5:
+            return lzw_decode(raw, expected)
+        if compression in (8, 32946):  # Adobe deflate + the old tag
             try:
                 d = zlib.decompressobj()
-                raw = d.decompress(raw, expected)
-                if len(raw) != expected or d.decompress(b"", 1):
+                out = d.decompress(raw, expected)
+                if len(out) != expected or d.decompress(b"", 1):
                     raise ValueError(
-                        f"Deflate strip decoded {len(raw)} of {expected}"
+                        f"Deflate segment decoded {len(out)} of {expected}"
                         " bytes"
                     )
+                return out
             except zlib.error as exc:
-                raise ValueError(f"corrupt Deflate strip: {exc}") from exc
-        elif len(raw) != expected:
-            raise ValueError("uncompressed strip size mismatch")
-        out += raw
-    px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, ch)
-    if predictor == 2:  # undo horizontal differencing, per row
-        px = _predict2_decode(px)
+                raise ValueError(f"corrupt Deflate segment: {exc}") from exc
+        if len(raw) != expected:
+            raise ValueError("uncompressed segment size mismatch")
+        return raw
+
+    tiled = _TAG_TILE_WIDTH in tags or _TAG_TILE_LENGTH in tags
+    if tiled:
+        tw = one(_TAG_TILE_WIDTH)
+        tl = one(_TAG_TILE_LENGTH)
+        if tw % 16 or tl % 16:
+            raise ValueError("tile dimensions must be multiples of 16")
+        offsets = tags.get(_TAG_TILE_OFFSETS)
+        counts = tags.get(_TAG_TILE_COUNTS)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("tile offsets/counts missing or inconsistent")
+        ta = (w + tw - 1) // tw
+        td = (h + tl - 1) // tl
+        if ta * td != len(offsets):
+            raise ValueError("tile count disagrees with the tile grid")
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(payload):
+                raise ValueError("tile bytes out of file bounds")
+            raw = unpack(payload[off : off + cnt], tl * tw * ch)
+            block = np.frombuffer(raw, dtype=np.uint8).reshape(tl, tw, ch)
+            if predictor == 2:  # predictor restarts per tile row
+                block = _predict2_decode(block)
+            r, c = divmod(i, ta)
+            rows = min(tl, h - r * tl)
+            colw = min(tw, w - c * tw)
+            px[r * tl : r * tl + rows, c * tw : c * tw + colw] = block[
+                :rows, :colw
+            ]
+        n_strips = 0
+        n_tiles = len(offsets)
+    else:
+        offsets = tags.get(_TAG_STRIP_OFFSETS)
+        counts = tags.get(_TAG_STRIP_COUNTS)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("strip offsets/counts missing or inconsistent")
+        rps = one(_TAG_ROWS_PER_STRIP, h)
+        if rps == 0:
+            raise ValueError("RowsPerStrip of zero")
+        if (h + rps - 1) // rps != len(offsets):
+            raise ValueError("strip count disagrees with RowsPerStrip")
+        out = bytearray()
+        for s, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(payload):
+                raise ValueError("strip bytes out of file bounds")
+            rows = min(rps, h - s * rps)
+            out += unpack(payload[off : off + cnt], rows * w * ch)
+        px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, ch)
+        if predictor == 2:  # undo horizontal differencing, per row
+            px = _predict2_decode(px)
+        n_strips = len(offsets)
+        n_tiles = 0
     if photometric == 0:  # white-is-zero: invert to black-is-zero
         px = 255 - px
     meta = {
         "width": w, "height": h, "channels": ch,
         "compression": compression, "big_endian": e == ">",
         "predictor": predictor,
-        "n_strips": len(offsets), "next_ifd": next_ifd,
+        "n_strips": n_strips, "n_tiles": n_tiles,
+        "tiled": tiled, "next_ifd": next_ifd,
     }
     return px, meta
 

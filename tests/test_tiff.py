@@ -242,3 +242,56 @@ def test_deflate_old_tag_and_strictness():
     enc[at + len(strip) // 2] ^= 0xFF
     with pytest.raises(ValueError, match="Deflate strip|corrupt Deflate"):
         decode_tiff(bytes(enc))
+
+
+def test_tiled_layout_roundtrip_all_compressions():
+    """Tiles (§15): grid split, edge padding clipped on read, predictor
+    restarting per tile row, every compression."""
+    y, x = np.ogrid[0:37, 0:41]
+    px = ((3 * x + 5 * y) % 256).astype(np.uint8)[:, :, None].repeat(3, 2)
+    for comp in (1, 5, 8, 32773):
+        for pred in (1, 2):
+            for tile in ((16, 16), (32, 16), (16, 32)):
+                enc = encode_tiff(
+                    px, compression=comp, predictor=pred, tile=tile
+                )
+                got, meta = decode_tiff(enc)
+                assert (got == px).all(), (comp, pred, tile)
+                assert meta["tiled"] and meta["n_strips"] == 0
+                ta = (41 + tile[0] - 1) // tile[0]
+                td = (37 + tile[1] - 1) // tile[1]
+                assert meta["n_tiles"] == ta * td
+
+
+def test_tiled_predictor_differs_from_strip_predictor():
+    """Predictor 2 must restart at tile boundaries: decoding tiled
+    bytes with the strip predictor layout would corrupt pixels, so the
+    two encodings differ while both roundtrip."""
+    y, x = np.ogrid[0:16, 0:32]
+    px = ((7 * x + y) % 256).astype(np.uint8)
+    tiled = encode_tiff(px, predictor=2, tile=(16, 16))
+    strip = encode_tiff(px, predictor=2)
+    assert (decode_tiff(tiled)[0] == decode_tiff(strip)[0]).all()
+    assert tiled != strip
+
+
+def test_tile_dimensions_must_be_multiples_of_16():
+    px = np.zeros((20, 20), dtype=np.uint8)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(px, tile=(20, 16))
+
+
+def test_tile_grid_count_mismatch_raises():
+    px = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    enc = bytearray(encode_tiff(px, tile=(16, 16)))
+    # lie about the width so the grid implies 2 tiles
+    import struct as _st
+
+    (ifd_off,) = _st.unpack_from("<I", enc, 4)
+    (n,) = _st.unpack_from("<H", enc, ifd_off)
+    for k in range(n):
+        at = ifd_off + 2 + 12 * k
+        if _st.unpack_from("<H", enc, at)[0] == 256:
+            _st.pack_into("<I", enc, at + 8, 30)
+    with pytest.raises(ValueError, match="tile count"):
+        decode_tiff(bytes(enc))
