@@ -98,7 +98,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # the extracted STRING closed-form; pure JVM regexp chain) rotated in
 # for lh_ann_range_selfcheck's slot (a triple-green non-anchor; the
 # ANN family keeps the cosine_topk anchor, range search stays
-# pytest-pinned + BENCH_SCALE-evidenced).
+# pytest-pinned + BENCH_SCALE-evidenced). The second r14 build wave
+# added three more NEW oracle-checkable rows, each rotating in for a
+# double-green non-anchor per the same principle: text_pdf_extract
+# (the full PDF reader — both xref forms, ObjStm, /Prev chains,
+# content-stream text assembly — oracle stating the extracted STRING
+# + structural counts closed-form) for lh_text_search's slot (the
+# inverted-index family stays driver-covered by stream_lh_text_search
+# on the shared exactly-once sink), multimodal_flac_decode (the full
+# FLAC bitstream with STREAMINFO-MD5 verification, closed-form
+# sample-sum oracle) for stream_stream_full_join's slot (the family
+# keeps anti + session windows), and multimodal_tiff_tiled (the §15
+# tiled layout with per-tile predictor restart, closed-form value-sum
+# + grid-count oracle) for multimodal_mp4_multitrack's slot (MP4
+# stays driver-covered by the held fragmented + subtitle rows).
 #
 # Round-13 rotation (standing no-tail principle). Rotates IN the three
 # oracle-checkable queries written after the r12 window froze — the IMA
@@ -312,7 +325,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # fn_try_arithmetic's second-round hold slots go to the NEW inverted
     # text index's AND-search and BM25 rows)
     "agg_q1_pricing_summary",
-    "lh_text_search",
+    # (lh_text_search's r14 rotation slot goes to the NEW PDF text
+    # extraction row — fresh code outranks a double-green non-anchor;
+    # the inverted-index family stays driver-covered by
+    # stream_lh_text_search on the shared exactly-once index sink)
+    "text_pdf_extract",
     # (lh_text_bm25's r13 rotation slot goes to the NEW EXIF extraction
     # row — fresh code outranks a double-green non-anchor; the
     # inverted-index family stays driver-covered by lh_text_search +
@@ -480,7 +497,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (multimodal_png_decode's and multimodal_jpeg_roundtrip's
     # second-round hold slots go to the post-freeze full-outer and
     # semi stream-stream joins)
-    "stream_stream_full_join",
+    # (stream_stream_full_join's r14 rotation slot goes to the NEW FLAC
+    # codec row — fresh code outranks a double-green non-anchor; the
+    # stream-stream family keeps anti, the subtlest
+    # watermark-finalization mode, plus the session-window row)
+    "multimodal_flac_decode",
     # (stream_stream_semi_join's r13 rotation slot goes to the NEW
     # ID3-tagged MP3 metadata row — fresh code outranks a double-green
     # non-anchor; the stream-stream family keeps left/right/full/anti)
@@ -493,7 +514,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # second-round hold slots go to the NEW multi-track demux and the
     # demux->G.711-decode composition — fresh code outranks a hold; both
     # displaced rows stay local-gated + pytest-pinned)
-    "multimodal_mp4_multitrack",
+    # (multimodal_mp4_multitrack's r14 rotation slot goes to the NEW
+    # tiled-TIFF row — fresh code outranks a double-green non-anchor;
+    # the MP4 family stays driver-covered by the held fragmented-demux
+    # and subtitle rows, which exercise the same sample-table walk)
+    "multimodal_tiff_tiled",
     # (multimodal_audio_decode's r14 rotation slot goes to the NEW WebP
     # VP8L pixel decode — fresh code outranks a double-green non-anchor;
     # audio decode keeps the held IMA ADPCM row, the predictive codec)
