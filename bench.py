@@ -80,6 +80,13 @@ HEADLINE = [
     # matrix) and the LZW TIFF roundtrip — both map-only stages
     ("webp_decode", "multimodal_webp_decode"),
     ("tiff_lzw", "multimodal_tiff_lzw"),
+    # r14 second wave (auto-excluded from the comparable set): the full
+    # PDF reader (both xref forms, ObjStm, /Prev chains), the FLAC
+    # bitstream with MD5 verification, and the tiled-TIFF grid — all
+    # map-only stages
+    ("pdf_extract", "text_pdf_extract"),
+    ("flac_decode", "multimodal_flac_decode"),
+    ("tiff_tiled", "multimodal_tiff_tiled"),
 ]
 
 

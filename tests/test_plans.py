@@ -575,6 +575,9 @@ def test_r13_codec_queries_map_only(spark, sf_dir):
         "multimodal_webp_decode",
         "multimodal_webp_animation",
         "multimodal_tiff_lzw",
+        "multimodal_tiff_tiled",
+        "multimodal_flac_decode",
+        "text_pdf_extract",
         "multimodal_gif_decode",
         "multimodal_gif_animation",
         "multimodal_apng_animation",
