@@ -3879,6 +3879,134 @@ def multimodal_webp_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_sitemap_urls",
+    # The crawl-frontier format: per doc either a <urlset> (2..5 page
+    # entries with loc/lastmod/changefreq/priority) or, every fourth
+    # doc, a <sitemapindex> (1..3 child-sitemap pointers — the
+    # >50k-URL sharding shape). Parsing is Spark's native from_xml
+    # (JVM, map-only); kind routing falls out of the root-element
+    # schema. The oracle restates every field closed-form, priority
+    # via the correctly-rounded /10 division both engines share.
+    # Filter modulus 13 residue 3.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d
+      from documents where doc_id % 13 = 3
+    ),
+    pages as (
+      select doc_id, d, i from base, unnest(generate_series(0, 5)) g(i)
+      where d % 4 <> 0 and i < 2 + d % 4
+    ),
+    subs as (
+      select doc_id, d, i from base, unnest(generate_series(0, 3)) g(i)
+      where d % 4 = 0 and i < 1 + d % 3
+    )
+    select doc_id, 'urlset' as kind, cast(i as integer) as entry_idx,
+           'https://site-' || (d % 7) || '.com/p/' || d || '/' || i as loc,
+           '2025-' || lpad(cast(1 + (d + i) % 12 as varchar), 2, '0')
+             || '-' || lpad(cast(1 + (d + 3*i) % 28 as varchar), 2, '0')
+             as lastmod,
+           case cast((d + i) % 3 as integer)
+                when 0 then 'daily' when 1 then 'weekly'
+                else 'monthly' end as changefreq,
+           cast((d + i) % 10 as double) / 10 as priority
+    from pages
+    union all
+    select doc_id, 'sitemapindex', cast(i as integer),
+           'https://site-' || (d % 7) || '.com/sitemap-' || i || '.xml',
+           '2025-' || lpad(cast(1 + (d + i) % 12 as varchar), 2, '0')
+             || '-' || lpad(cast(1 + (d + 3*i) % 28 as varchar), 2, '0'),
+           cast(null as varchar), cast(null as double)
+    from subs
+    """,
+)
+def scan_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (functions/sitemap.py) — the crawl-frontier
+    companion to the robots.txt reader: per doc, build either a
+    <urlset> page sitemap or a <sitemapindex> shard pointer file
+    (namespace attribute included), parse it with Spark's NATIVE
+    from_xml expression (kind detected by root-element schema — a
+    wrong-root parse is NULL, so COALESCE routes), explode to one row
+    per entry and report loc/lastmod/changefreq/priority. Pure JVM:
+    no Python evaluator, no Exchange beyond the scan — the XML path
+    stays inside codegen. The oracle restates every field
+    closed-form."""
+    from pyiceberg_lakehouse_spark.functions.sitemap import parse_sitemap
+
+    d = F.col("doc_id")
+    is_index = d % 4 == 0
+
+    def lastmod(i):
+        return F.concat(
+            F.lit("2025-"),
+            F.lpad(((d + i) % 12 + 1).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad(((d + 3 * i) % 28 + 1).cast("string"), 2, "0"),
+        )
+
+    def url_piece(i):
+        cf = (
+            F.when((d + i) % 3 == 0, "daily")
+            .when((d + i) % 3 == 1, "weekly")
+            .otherwise("monthly")
+        )
+        return F.when(
+            F.lit(i) < 2 + d % 4,
+            F.concat(
+                F.lit("<url><loc>https://site-"), d % 7,
+                F.lit(".com/p/"), d, F.lit("/"), F.lit(i),
+                F.lit("</loc><lastmod>"), lastmod(F.lit(i)),
+                F.lit("</lastmod><changefreq>"), cf,
+                F.lit("</changefreq><priority>0."), (d + i) % 10,
+                F.lit("</priority></url>"),
+            ),
+        ).otherwise("")
+
+    def sub_piece(i):
+        return F.when(
+            F.lit(i) < 1 + d % 3,
+            F.concat(
+                F.lit("<sitemap><loc>https://site-"), d % 7,
+                F.lit(".com/sitemap-"), F.lit(i),
+                F.lit(".xml</loc><lastmod>"), lastmod(F.lit(i)),
+                F.lit("</lastmod></sitemap>"),
+            ),
+        ).otherwise("")
+
+    ns = ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    xml = F.when(
+        is_index,
+        F.concat(
+            F.lit(f"<sitemapindex{ns}>"),
+            *[sub_piece(i) for i in range(4)],
+            F.lit("</sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?>\n'),
+            F.lit(f"<urlset{ns}>"),
+            *[url_piece(i) for i in range(6)],
+            F.lit("</urlset>"),
+        )
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(d % 13 == 3)
+        .select("doc_id", parse_sitemap(xml).alias("entries"))
+        .select("doc_id", F.posexplode("entries").alias("entry_idx", "e"))
+        .select(
+            "doc_id",
+            F.col("e.kind").alias("kind"),
+            F.col("entry_idx").cast("int").alias("entry_idx"),
+            F.col("e.loc").alias("loc"),
+            F.col("e.lastmod").alias("lastmod"),
+            F.col("e.changefreq").alias("changefreq"),
+            F.col("e.priority").alias("priority"),
+        )
+    )
+
+
+@register(
     "scan_robots_decisions",
     # Five probes per doc exercising the RFC 9309 subtleties: group
     # selection by most-specific agent vs the '*' group, longest-match
