@@ -2883,6 +2883,135 @@ def multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_tiff_bilevel",
+    # The fax/scanned-page depth: BitsPerSample 1, rows bit-packed
+    # MSB-first padded per row, BOTH photometrics (0 WhiteIsZero — the
+    # fax default, stored bits inverted — and 1 BlackIsZero), strip
+    # AND tile layouts, all four compressions. The oracle predicts the
+    # decoded value sum closed-form from the bit parity of the planted
+    # checkerboard-ish pattern ((d+3x+5y)%2 == (d+x+y)%2) plus the
+    # layout counts. Filter modulus 13 residue 11.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             19 + doc_id % 21 as w, 11 + doc_id % 17 as h,
+             case cast(doc_id % 4 as integer)
+                  when 0 then 1 when 1 then 5 when 2 then 8
+                  else 32773 end as compression,
+             case when doc_id % 3 = 0 then 0 else 1 end as photometric,
+             doc_id % 5 < 2 as tiled,
+             3 + doc_id % 4 as rps
+      from documents where doc_id % 13 = 11
+    )
+    select doc_id,
+           cast(w as integer) as width,
+           cast(h as integer) as height,
+           cast(1 as integer) as bits,
+           cast(photometric as integer) as photometric,
+           cast(compression as integer) as compression,
+           tiled,
+           cast(case when tiled then 0
+                else (h + rps - 1) // rps end as integer) as n_strips,
+           cast(case when tiled
+                then ((w + 15) // 16) * ((h + 15) // 16)
+                else 0 end as integer) as n_tiles,
+           cast(255 * (select sum((d + x + y) % 2)
+                 from generate_series(0, 39) gx(x),
+                      generate_series(0, 27) gy(y)
+                 where x < w and y < h) as bigint) as value_sum,
+           true as exact_roundtrip
+    from base
+    """,
+)
+def multimodal_tiff_bilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL bilevel-TIFF roundtrip (operators/tiff.py) — the 1-bit
+    fax/scanned-page depth OCR corpora arrive in: per doc, plant a
+    deterministic bit pattern, encode it at BitsPerSample 1 (rows
+    packed MSB-first, byte-padded per row) cycling photometric 0
+    (WhiteIsZero — bits stored inverted) and 1, strip vs 16x16 tiled
+    layouts, and all four compressions; decode back to black-is-zero
+    0/255 values and report the value sum, which the oracle predicts
+    closed-form from the pattern's parity. Arrow-batched mapInPandas,
+    map-only. CCITT G3/G4 entropy coding stays honestly gated — this
+    row covers the uncompressed/LZW/Deflate/PackBits bilevel files."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import tiff as _tiff
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 11)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("bits", T.IntegerType()),
+            T.StructField("photometric", T.IntegerType()),
+            T.StructField("compression", T.IntegerType()),
+            T.StructField("tiled", T.BooleanType()),
+            T.StructField("n_strips", T.IntegerType()),
+            T.StructField("n_tiles", T.IntegerType()),
+            T.StructField("value_sum", T.LongType()),
+            T.StructField("exact_roundtrip", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 19 + d % 21, 11 + d % 17
+                y, x = np.ogrid[0:h, 0:w]
+                px = (((d + 3 * x + 5 * y) % 2) * 255).astype(np.uint8)[
+                    :, :, None
+                ]
+                pm = 0 if d % 3 == 0 else 1
+                tiled = d % 5 < 2
+                kw = (
+                    {"tile": (16, 16)}
+                    if tiled
+                    else {"rows_per_strip": 3 + d % 4}
+                )
+                enc = _tiff.encode_tiff(
+                    px,
+                    big_endian=d % 2 == 0,
+                    compression=[1, 5, 8, 32773][d % 4],
+                    bits=1,
+                    photometric=pm,
+                    **kw,
+                )
+                got, meta = _tiff.decode_tiff(enc)
+                rows.append(
+                    (
+                        d, meta["width"], meta["height"], meta["bits"],
+                        meta["photometric"], meta["compression"],
+                        meta["tiled"], meta["n_strips"], meta["n_tiles"],
+                        int(got.astype(np.int64).sum()),
+                        bool(got.shape == px.shape and (got == px).all()),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname, dt in (
+                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
+                ("bits", "int32"), ("photometric", "int32"),
+                ("compression", "int32"), ("n_strips", "int32"),
+                ("n_tiles", "int32"), ("value_sum", "int64"),
+            ):
+                out[cname] = out[cname].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "multimodal_apng_animation",
     # Planted 6-frame APNG per doc: full-canvas base + five 2x2 patches
     # exercising blend OVER (punch-through via alpha-0 cells), blend

@@ -26,11 +26,17 @@ decodes and encodes: a tw x tl grid (multiples of 16), edge tiles
 padded to full size and clipped on read, each tile compressed
 independently, Predictor 2 restarting per tile row.
 
+Bilevel data (BitsPerSample 1 — the fax/scanned-page depth) encodes
+and decodes: rows bit-packed MSB-first padded to a byte per row, both
+photometrics (0 WhiteIsZero stores inverted bits, 1 BlackIsZero),
+strip and tile layouts, all four compressions; logical values
+normalize to black-is-zero 0/255.
+
 Honest gates (raise, never guess): other compressions (CCITT,
 JPEG-in-TIFF), planar configuration 2, bit
-depths other than 8, palette color, multi-IFD (multi-page) files
-return the FIRST page and expose next_ifd so callers see there are
-more.
+depths other than 1 and 8, palette color, multi-IFD (multi-page)
+files return the FIRST page and expose next_ifd so callers see there
+are more.
 
 Reference parity: ashkangoleh/pyiceberg-lakehouse ingests scans as
 opaque binary (main-daft.py:68); this engine decodes them.
@@ -257,6 +263,8 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     predictor: int = 1,
     tile: tuple[int, int] | None = None,
+    bits: int = 8,
+    photometric: int | None = None,
 ) -> bytes:
     """(h, w) or (h, w, 1|3) uint8 -> baseline TIFF bytes.
 
@@ -264,7 +272,13 @@ def encode_tiff(
     the image splits into a grid of tw x tl tiles (both multiples of
     16 per spec), edge tiles zero-padded to full size, each tile
     compressed independently with the predictor restarting per tile
-    row — the GeoTIFF/scanned-atlas shape."""
+    row — the GeoTIFF/scanned-atlas shape.
+
+    ``bits=1`` writes BILEVEL data (the fax/scan depth): input pixels
+    are in black-is-zero space (0/255; >127 counts as set), rows pack
+    MSB-first padded to a byte boundary per row, and
+    ``photometric=0`` (WhiteIsZero, the fax default) stores the
+    INVERTED bits so logical values roundtrip."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -278,6 +292,17 @@ def encode_tiff(
         )
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
+    if bits not in (1, 8):
+        raise ValueError("bits must be 1 (bilevel) or 8")
+    if bits == 1:
+        if ch != 1:
+            raise ValueError("bilevel TIFF is single-sample")
+        if predictor == 2:
+            raise ValueError("predictor 2 requires 8-bit samples")
+        if photometric not in (None, 0, 1):
+            raise ValueError("bilevel photometric must be 0 or 1")
+    elif photometric is not None:
+        raise ValueError("explicit photometric is for bilevel writes")
 
     def pack(raw: bytes) -> bytes:
         if compression == 32773:
@@ -287,6 +312,15 @@ def encode_tiff(
         if compression == 8:
             return zlib.compress(raw, 6)
         return raw
+
+    if bits == 1 and photometric == 0:
+        px = 255 - px  # WhiteIsZero stores inverted bits
+
+    def rows_bytes(block: "np.ndarray") -> bytes:
+        """Serialize rows: 8-bit raw, 1-bit packed MSB-first per row."""
+        if bits == 8:
+            return block.tobytes()
+        return np.packbits(block[:, :, 0] > 127, axis=1).tobytes()
 
     e = ">" if big_endian else "<"
     if tile is not None:
@@ -303,7 +337,7 @@ def encode_tiff(
                 block = padded[r * tl : (r + 1) * tl, c * tw : (c + 1) * tw]
                 if predictor == 2:
                     block = _predict2_encode(block.copy())
-                strips.append(pack(block.tobytes()))
+                strips.append(pack(rows_bytes(block)))
         n_strips = len(strips)
     else:
         if predictor == 2:
@@ -313,8 +347,8 @@ def encode_tiff(
         n_strips = (h + rows_per_strip - 1) // rows_per_strip
         strips = []
         for s in range(n_strips):
-            raw = px[s * rows_per_strip : (s + 1) * rows_per_strip].tobytes()
-            strips.append(pack(raw))
+            block = px[s * rows_per_strip : (s + 1) * rows_per_strip]
+            strips.append(pack(rows_bytes(block)))
 
     def tag(tid: int, ttype: int, values: list[int], data_off: int) -> tuple[bytes, bytes]:
         size = _TYPE_SIZES[ttype] * len(values)
@@ -342,9 +376,17 @@ def encode_tiff(
     entries = [
         (_TAG_WIDTH, 4, [w]),
         (_TAG_HEIGHT, 4, [h]),
-        (_TAG_BITS, 3, [8] * ch),
+        (_TAG_BITS, 3, [bits] * ch),
         (_TAG_COMPRESSION, 3, [compression]),
-        (_TAG_PHOTOMETRIC, 3, [1 if ch == 1 else 2]),
+        (
+            _TAG_PHOTOMETRIC,
+            3,
+            [
+                photometric
+                if photometric is not None
+                else (1 if ch == 1 else 2)
+            ],
+        ),
         (_TAG_SPP, 3, [ch]),
         (_TAG_PLANAR, 3, [1]),
     ]
@@ -435,9 +477,14 @@ def decode_tiff(payload: bytes):
     ch = one(_TAG_SPP, 1)
     compression = one(_TAG_COMPRESSION, 1)
     photometric = one(_TAG_PHOTOMETRIC)
-    bits = tags.get(_TAG_BITS, [8])
-    if any(b != 8 for b in bits):
-        raise NotImplementedError(f"BitsPerSample {bits}: only 8 supported")
+    bits_list = tags.get(_TAG_BITS, [8])
+    bits = bits_list[0]
+    if any(b != bits for b in bits_list) or bits not in (1, 8):
+        raise NotImplementedError(
+            f"BitsPerSample {bits_list}: 1 (bilevel) or uniform 8 supported"
+        )
+    if bits == 1 and ch != 1:
+        raise NotImplementedError("multi-sample bilevel TIFF not supported")
     if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression}: none/LZW/Deflate/PackBits"
@@ -446,6 +493,8 @@ def decode_tiff(payload: bytes):
     predictor = one(_TAG_PREDICTOR, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
+    if predictor == 2 and bits == 1:
+        raise ValueError("predictor 2 on bilevel data is invalid")
     if one(_TAG_PLANAR, 1) != 1:
         raise NotImplementedError("planar configuration 2 not supported")
     if photometric not in (0, 1, 2):
@@ -493,8 +542,19 @@ def decode_tiff(payload: bytes):
         for i, (off, cnt) in enumerate(zip(offsets, counts)):
             if off + cnt > len(payload):
                 raise ValueError("tile bytes out of file bounds")
-            raw = unpack(payload[off : off + cnt], tl * tw * ch)
-            block = np.frombuffer(raw, dtype=np.uint8).reshape(tl, tw, ch)
+            if bits == 1:
+                raw = unpack(payload[off : off + cnt], tl * (tw // 8))
+                packed = np.frombuffer(raw, dtype=np.uint8)
+                block = (
+                    np.unpackbits(packed.reshape(tl, tw // 8), axis=1)
+                    .astype(np.uint8)[:, :, None]
+                    * 255
+                )
+            else:
+                raw = unpack(payload[off : off + cnt], tl * tw * ch)
+                block = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    tl, tw, ch
+                )
             if predictor == 2:  # predictor restarts per tile row
                 block = _predict2_decode(block)
             r, c = divmod(i, ta)
@@ -515,13 +575,22 @@ def decode_tiff(payload: bytes):
             raise ValueError("RowsPerStrip of zero")
         if (h + rps - 1) // rps != len(offsets):
             raise ValueError("strip count disagrees with RowsPerStrip")
+        rowbytes = (w + 7) // 8 if bits == 1 else w * ch
         out = bytearray()
         for s, (off, cnt) in enumerate(zip(offsets, counts)):
             if off + cnt > len(payload):
                 raise ValueError("strip bytes out of file bounds")
             rows = min(rps, h - s * rps)
-            out += unpack(payload[off : off + cnt], rows * w * ch)
-        px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, ch)
+            out += unpack(payload[off : off + cnt], rows * rowbytes)
+        if bits == 1:
+            packed = np.frombuffer(bytes(out), dtype=np.uint8)
+            px = (
+                np.unpackbits(packed.reshape(h, rowbytes), axis=1)[:, :w]
+                .astype(np.uint8)[:, :, None]
+                * 255
+            )
+        else:
+            px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, ch)
         if predictor == 2:  # undo horizontal differencing, per row
             px = _predict2_decode(px)
         n_strips = len(offsets)
@@ -531,7 +600,8 @@ def decode_tiff(payload: bytes):
     meta = {
         "width": w, "height": h, "channels": ch,
         "compression": compression, "big_endian": e == ">",
-        "predictor": predictor,
+        "predictor": predictor, "bits": bits,
+        "photometric": photometric,
         "n_strips": n_strips, "n_tiles": n_tiles,
         "tiled": tiled, "next_ifd": next_ifd,
     }

@@ -388,10 +388,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # near-dup maintenance row — fresh code outranks a hold; time-series
     # stays represented by win_/fn_datetime coverage and local gates)
     "stream_lh_neardup",
-    # (lh_shallow_clone's r11 hold slot goes to the NEW probe-batch
-    # near-dup query — the asymmetric crawl-dedup path; clone stays
+    # (lh_shallow_clone's r11 hold slot went to the probe-batch
+    # near-dup query; lh_neardup_probe_batch's r14 rotation slot goes
+    # to the NEW bilevel-TIFF row — fresh code outranks a double-green
+    # non-anchor; the near-dup family stays driver-covered by
+    # stream_lh_neardup on the same signature index, probe-batch stays
     # local-gated + pytest-pinned)
-    "lh_neardup_probe_batch",
+    "multimodal_tiff_bilevel",
     # (stream_lh_media_demux's r14 rotation slot goes to the NEW
     # foreign-engine metadata read — fresh code outranks a double-green
     # non-anchor; streaming maintenance stays driver-covered by
@@ -542,7 +545,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # continuous inverted-index maintenance — fresh code outranks a hold)
     "stream_lh_sink_hourly",
     "stream_lh_text_search",
-    "stream_lh_change_feed",
+    # (stream_lh_change_feed's r14 rotation slot goes to the NEW
+    # sitemap-parsing row — fresh code outranks a double-green
+    # non-anchor; the change-feed family stays driver-covered by
+    # lh_cdf_feed on the same commit-time CDC path, and the streaming
+    # lakehouse family keeps sink_hourly + text_search + neardup)
+    "scan_sitemap_urls",
 )
 
 

@@ -576,6 +576,7 @@ def test_r13_codec_queries_map_only(spark, sf_dir):
         "multimodal_webp_animation",
         "multimodal_tiff_lzw",
         "multimodal_tiff_tiled",
+        "multimodal_tiff_bilevel",
         "multimodal_flac_decode",
         "text_pdf_extract",
         "multimodal_gif_decode",

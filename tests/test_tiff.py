@@ -295,3 +295,54 @@ def test_tile_grid_count_mismatch_raises():
             _st.pack_into("<I", enc, at + 8, 30)
     with pytest.raises(ValueError, match="tile count"):
         decode_tiff(bytes(enc))
+
+
+def test_bilevel_roundtrip_both_photometrics_both_layouts():
+    """BitsPerSample 1: rows bit-packed MSB-first with per-row byte
+    padding; photometric 0 stores inverted bits; logical black-is-zero
+    values roundtrip exactly in strip and tile layouts."""
+    y, x = np.ogrid[0:21, 0:27]
+    px = (((3 * x + 5 * y) % 2) * 255).astype(np.uint8)[:, :, None]
+    for comp in (1, 5, 8, 32773):
+        for pm in (0, 1):
+            for kw in ({"rows_per_strip": 4}, {"tile": (16, 16)}):
+                enc = encode_tiff(
+                    px, compression=comp, bits=1, photometric=pm, **kw
+                )
+                got, meta = decode_tiff(enc)
+                assert (got == px).all(), (comp, pm, kw)
+                assert meta["bits"] == 1 and meta["photometric"] == pm
+
+
+def test_bilevel_stored_bits_actually_invert():
+    """The two photometrics must differ on the WIRE (same logical
+    image, inverted stored bits), not just in the tag."""
+    px = np.array([[255, 0, 255, 0]], dtype=np.uint8)[:, :, None]
+    a = encode_tiff(px, bits=1, photometric=1)
+    b = encode_tiff(px, bits=1, photometric=0)
+    assert a != b
+    assert (decode_tiff(a)[0] == decode_tiff(b)[0]).all()
+
+
+def test_bilevel_rejects_predictor_and_rgb():
+    px = np.zeros((4, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="predictor 2 requires 8-bit"):
+        encode_tiff(px, bits=1, predictor=2)
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="single-sample"):
+        encode_tiff(rgb, bits=1)
+
+
+def test_non_1_or_8_bit_depth_still_gated():
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    enc = bytearray(encode_tiff(px))
+    import struct as _st
+
+    (ifd_off,) = _st.unpack_from("<I", enc, 4)
+    (n,) = _st.unpack_from("<H", enc, ifd_off)
+    for k in range(n):
+        at = ifd_off + 2 + 12 * k
+        if _st.unpack_from("<H", enc, at)[0] == 258:
+            _st.pack_into("<H", enc, at + 8, 4)
+    with pytest.raises(NotImplementedError, match="BitsPerSample"):
+        decode_tiff(bytes(enc))
