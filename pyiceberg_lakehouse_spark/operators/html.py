@@ -191,3 +191,100 @@ def extract_html(html: str) -> dict:
         "links": links,
         "n_tags": n_tags,
     }
+
+
+def extract_metadata(html: str) -> dict:
+    """Structured page metadata — the caption-mining/curation fields.
+
+    Walks the same strict tag scanner as ``extract_html`` and returns:
+
+    - ``og``: dict of OpenGraph properties (``<meta property="og:x"
+      content=...>`` with either attribute order) — the alt-text
+      source image-caption pipelines (LAION-style) mine;
+    - ``meta``: dict of ``<meta name=... content=...>`` values
+      (description, robots, twitter:*);
+    - ``json_ld``: list of raw JSON strings from
+      ``<script type="application/ld+json">`` blocks (callers parse —
+      schema.org payloads are arbitrary JSON);
+    - ``images``: list of (src, alt) pairs from ``<img>`` tags, alt
+      entity-decoded ('' when absent — absent alt is a curation
+      signal, not an error);
+    - ``canonical``: the ``<link rel="canonical">`` href or None;
+    - ``lang``: the ``<html lang>`` attribute or None;
+    - ``base``: the ``<base href>`` or None.
+
+    Raw-text subtrees other than ld+json scripts are skipped whole,
+    so a ``<meta>`` string inside ordinary JavaScript is never
+    misread as metadata.
+    """
+    n = len(html)
+    i = 0
+    og: dict[str, str] = {}
+    meta: dict[str, str] = {}
+    json_ld: list[str] = []
+    images: list[tuple[str, str]] = []
+    canonical = lang = base = None
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            break
+        i = lt
+        if i + 1 < n and not (html[i + 1].isalpha() or html[i + 1] in "/!?"):
+            i += 1
+            continue
+        if html.startswith("<!--", i):
+            end = html.find("-->", i + 4)
+            if end < 0:
+                raise ValueError("unterminated HTML comment")
+            i = end + 3
+            continue
+        if html.startswith("<!", i) or html.startswith("<?", i):
+            end = html.find(">", i)
+            if end < 0:
+                raise ValueError("unterminated declaration")
+            i = end + 1
+            continue
+        name, attrs, is_close, i = _scan_tag(html, i)
+        if is_close:
+            continue
+        if name in _DROP_SUBTREE:
+            m = re.compile(rf"</{name}\s*>", re.IGNORECASE).search(html, i)
+            if not m:
+                raise ValueError(f"unterminated <{name}> element")
+            if (
+                name == "script"
+                and attrs.get("type", "").strip().lower()
+                == "application/ld+json"
+            ):
+                json_ld.append(html[i : m.start()].strip())
+            i = m.end()
+            continue
+        if name == "meta":
+            content = decode_entities(attrs.get("content", ""))
+            prop = attrs.get("property", "").lower()
+            if prop.startswith("og:"):
+                og[prop[3:]] = content
+            elif "name" in attrs:
+                meta[attrs["name"].lower()] = content
+        elif name == "img":
+            images.append(
+                (
+                    decode_entities(attrs.get("src", "")),
+                    decode_entities(attrs.get("alt", "")),
+                )
+            )
+        elif name == "link" and attrs.get("rel", "").lower() == "canonical":
+            canonical = decode_entities(attrs.get("href", ""))
+        elif name == "html" and "lang" in attrs:
+            lang = attrs["lang"]
+        elif name == "base" and "href" in attrs:
+            base = decode_entities(attrs["href"])
+    return {
+        "og": og,
+        "meta": meta,
+        "json_ld": json_ld,
+        "images": images,
+        "canonical": canonical,
+        "lang": lang,
+        "base": base,
+    }

@@ -4753,6 +4753,150 @@ def text_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_html_metadata",
+    # The caption-mining fields: OpenGraph properties, meta names,
+    # img src/alt pairs (alt '' when absent — a curation signal),
+    # canonical link, html lang, and a schema.org JSON-LD block parsed
+    # to typed fields. A planted <script> decoy carrying a fake
+    # og: meta proves the raw-text skip is load-bearing. The oracle
+    # restates every string closed-form. Filter modulus 13 residue 4.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d, 1 + doc_id % 3 as ni
+      from documents where doc_id % 13 = 4
+    ),
+    alts as (
+      select doc_id, string_agg(
+        case when i % 2 = 0 then 'cap ' || d || '-' || i || ' & co'
+             else '' end, '|' order by i) as img_alts
+      from base, unnest(generate_series(0, 3)) g(i) where i < ni
+      group by doc_id
+    )
+    select b.doc_id,
+      case cast(b.d % 3 as integer)
+           when 0 then 'en' when 1 then 'de' else 'fr' end as lang,
+      'https://c.site/p/' || b.d as canonical,
+      'OG ' || b.d as og_title,
+      'https://img-' || (b.d % 5) || '.cdn/i/' || b.d || '.jpg'
+        as og_image,
+      'Desc ' || (b.d % 7) || ' & more' as og_description,
+      'Meta ' || (b.d % 4) as meta_description,
+      'Article' as ld_type,
+      'H ' || b.d as ld_headline,
+      cast(100 + b.d % 50 as integer) as ld_wordcount,
+      cast(b.ni as integer) as n_images,
+      a.img_alts
+    from base b join alts a using (doc_id)
+    """,
+)
+def text_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML metadata extraction (operators/html.py extract_metadata) —
+    the caption-mining/curation fields an image-text pipeline needs:
+    per doc, synthesize a page with OpenGraph metas (BOTH attribute
+    orders), a meta description, img tags with and without alt text,
+    a canonical link, an html lang attribute, a schema.org JSON-LD
+    block (parsed to typed fields in the same Arrow batch), and a
+    <script> DECOY containing a fake og: meta that must NOT leak into
+    the result (the raw-text skip is load-bearing). The oracle
+    restates every field closed-form. Arrow-batched mapInPandas,
+    map-only."""
+    import json as _json
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import html as _html
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 4)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("canonical", T.StringType()),
+            T.StructField("og_title", T.StringType()),
+            T.StructField("og_image", T.StringType()),
+            T.StructField("og_description", T.StringType()),
+            T.StructField("meta_description", T.StringType()),
+            T.StructField("ld_type", T.StringType()),
+            T.StructField("ld_headline", T.StringType()),
+            T.StructField("ld_wordcount", T.IntegerType()),
+            T.StructField("n_images", T.IntegerType()),
+            T.StructField("img_alts", T.StringType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def page(d: int) -> str:
+        lang = ["en", "de", "fr"][d % 3]
+        ni = 1 + d % 3
+        imgs = "".join(
+            (
+                f'<img src="https://img/{d}/{i}.png" '
+                f'alt="cap {d}-{i} &amp; co">'
+                if i % 2 == 0
+                else f'<img src="https://img/{d}/{i}.png">'
+            )
+            for i in range(ni)
+        )
+        ld = _json.dumps(
+            {
+                "@context": "https://schema.org",
+                "@type": "Article",
+                "headline": f"H {d}",
+                "wordCount": 100 + d % 50,
+            }
+        )
+        return (
+            f'<!DOCTYPE html><html lang="{lang}"><head>'
+            f'<meta property="og:title" content="OG {d}">'
+            # reversed attribute order must parse identically
+            f'<meta content="https://img-{d % 5}.cdn/i/{d}.jpg" '
+            f'property="og:image">'
+            f'<meta property="og:description" '
+            f'content="Desc {d % 7} &amp; more">'
+            f'<meta name="description" content="Meta {d % 4}">'
+            f'<link rel="canonical" href="https://c.site/p/{d}">'
+            f'<script>var x = \'<meta property="og:decoy" '
+            f'content="x">\';</script>'
+            f'<script type="application/ld+json">{ld}</script>'
+            f"</head><body><h1>Doc {d}</h1>{imgs}</body></html>"
+        )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                m = _html.extract_metadata(page(d))
+                assert "decoy" not in m["og"], "script decoy leaked"
+                ld = _json.loads(m["json_ld"][0]) if m["json_ld"] else {}
+                rows.append(
+                    (
+                        d, m["lang"], m["canonical"],
+                        m["og"].get("title"), m["og"].get("image"),
+                        m["og"].get("description"),
+                        m["meta"].get("description"),
+                        ld.get("@type"), ld.get("headline"),
+                        ld.get("wordCount"),
+                        len(m["images"]),
+                        "|".join(alt for _src, alt in m["images"]),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["ld_wordcount"] = out["ld_wordcount"].astype("int32")
+            out["n_images"] = out["n_images"].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "pipeline_crawl_ingest",
     # The Common Crawl ingest chain end-to-end: WARC bytes -> record
     # walk -> HTTP envelope -> HTML text extraction -> per-page

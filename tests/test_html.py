@@ -76,3 +76,62 @@ def test_comments_doctype_whitespace():
 def test_tables_and_lists_linebreak():
     h = "<ul><li>a</li><li>b</li></ul><table><tr><td>c</td><td>d</td></tr></table>"
     assert extract_html(h)["text"] == "a\nb\nc\nd"
+
+
+class TestExtractMetadata:
+    def _page(self):
+        return (
+            '<!DOCTYPE html><html lang="en"><head>'
+            '<meta property="og:title" content="T &amp; Co">'
+            '<meta content="https://i/x.jpg" property="og:image">'
+            '<meta name="description" content="D1">'
+            '<link rel="canonical" href="https://c/p?a=1&amp;b=2">'
+            '<base href="https://b/">'
+            "<script>var x = '<meta property=\"og:decoy\" content=\"x\">';"
+            "</script>"
+            '<script type="application/ld+json">{"@type":"Article",'
+            '"headline":"H"}</script>'
+            '</head><body><img src="a.png" alt="cap &amp; co">'
+            '<img src="b.png"></body></html>'
+        )
+
+    def test_fields(self):
+        from pyiceberg_lakehouse_spark.operators.html import (
+            extract_metadata,
+        )
+
+        m = extract_metadata(self._page())
+        assert m["og"] == {"title": "T & Co", "image": "https://i/x.jpg"}
+        assert m["meta"] == {"description": "D1"}
+        assert m["canonical"] == "https://c/p?a=1&b=2"
+        assert m["lang"] == "en" and m["base"] == "https://b/"
+        assert m["images"] == [("a.png", "cap & co"), ("b.png", "")]
+        assert m["json_ld"] == ['{"@type":"Article","headline":"H"}']
+
+    def test_script_decoy_never_leaks(self):
+        from pyiceberg_lakehouse_spark.operators.html import (
+            extract_metadata,
+        )
+
+        m = extract_metadata(self._page())
+        assert "decoy" not in m["og"]
+
+    def test_non_ldjson_script_not_collected(self):
+        from pyiceberg_lakehouse_spark.operators.html import (
+            extract_metadata,
+        )
+
+        m = extract_metadata(
+            '<html><script type="text/javascript">{"a":1}</script></html>'
+        )
+        assert m["json_ld"] == []
+
+    def test_unterminated_script_raises(self):
+        import pytest
+
+        from pyiceberg_lakehouse_spark.operators.html import (
+            extract_metadata,
+        )
+
+        with pytest.raises(ValueError, match="unterminated"):
+            extract_metadata("<html><script>oops</html>")
