@@ -340,3 +340,40 @@ def scan_csv_checked_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bad = bad.count()
     assert n_bad == 2, f"expected 2 quarantined lines, got {n_bad}"
     return good.withColumn("n_quarantined", F.lit(0).cast("long"))
+
+
+@register(
+    "scan_orc_roundtrip",
+    """
+    select c_custkey, c_mktsegment, c_acctbal
+    from customer where c_acctbal > 1000
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source path (Spark's built-in columnar sibling to parquet —
+    the Hive-era warehouse format a migration ingests): customers
+    round-trip through a zlib ORC export and a typed re-read, and the
+    acctbal filter reaches the ORC scan as a pushed predicate
+    (asserted on the physical plan IN-QUERY, so the driver row proves
+    pushdown, not just values). Avro stays honestly gated — its data
+    source module is external and this environment installs nothing.
+    """
+    from pyiceberg_lakehouse_spark.tmpdirs import session_tmpdir
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    work = session_tmpdir(prefix="orc_scan_")
+    path = f"{work}/cust_orc"
+    (
+        cust.coalesce(2)
+        .write.mode("overwrite")
+        .option("compression", "zlib")
+        .orc(path)
+    )
+    out = spark.read.orc(path).filter(F.col("c_acctbal") > 1000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "c_acctbal" in plan.split(
+        "PushedFilters"
+    )[1][:200], "acctbal predicate did not reach the ORC scan"
+    return out
