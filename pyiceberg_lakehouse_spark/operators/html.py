@@ -193,6 +193,78 @@ def extract_html(html: str) -> dict:
     }
 
 
+_META_CHARSET = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?([a-zA-Z0-9_\-]+)", re.IGNORECASE
+)
+
+
+def decode_html_bytes(
+    body: bytes, http_content_type: str | None = None
+) -> tuple[str, str, str]:
+    """Crawl-body bytes -> (text, charset, source) per the WHATWG
+    sniffing precedence a browser applies:
+
+    1. a byte-order mark (UTF-8 / UTF-16LE / UTF-16BE) wins over
+       everything (source 'bom');
+    2. else a charset parameter on the HTTP Content-Type ('http');
+    3. else a <meta charset=...> / http-equiv form found in the first
+       1024 bytes ('meta');
+    4. else strict UTF-8, degrading to windows-1252 on invalid bytes
+       ('default') — never a job failure.
+
+    Per the WHATWG encoding standard, iso-8859-1/latin-1/ascii labels
+    normalize to windows-1252 (the superset real pages mean: 0x80 is
+    the euro sign, not a C1 control). Unknown labels fall through to
+    the default path rather than raising — hostile charset labels are
+    crawl reality.
+    """
+
+    def _normalize(label: str) -> str | None:
+        label = label.strip().lower()
+        if label in (
+            "iso-8859-1", "iso8859-1", "latin-1", "latin1",
+            "ascii", "us-ascii", "windows-1252", "cp1252",
+        ):
+            return "windows-1252"
+        if label in ("utf-8", "utf8"):
+            return "utf-8"
+        if label in ("utf-16", "utf-16le"):
+            return "utf-16le"
+        if label == "utf-16be":
+            return "utf-16be"
+        return None
+
+    if body.startswith(b"\xef\xbb\xbf"):
+        return body[3:].decode("utf-8", "replace"), "utf-8", "bom"
+    if body.startswith(b"\xff\xfe"):
+        return body[2:].decode("utf-16-le", "replace"), "utf-16le", "bom"
+    if body.startswith(b"\xfe\xff"):
+        return body[2:].decode("utf-16-be", "replace"), "utf-16be", "bom"
+    if http_content_type and "charset=" in http_content_type.lower():
+        label = http_content_type.lower().split("charset=", 1)[1]
+        label = label.split(";")[0].strip().strip('"').strip("'")
+        enc = _normalize(label)
+        if enc is not None:
+            codec = {"utf-16le": "utf-16-le", "utf-16be": "utf-16-be"}.get(
+                enc, enc
+            )
+            return body.decode(codec, "replace"), enc, "http"
+    m = _META_CHARSET.search(body[:1024])
+    if m:
+        enc = _normalize(m.group(1).decode("latin-1"))
+        if enc is not None:
+            codec = {"utf-16le": "utf-16-le", "utf-16be": "utf-16-be"}.get(
+                enc, enc
+            )
+            return body.decode(codec, "replace"), enc, "meta"
+    try:
+        return body.decode("utf-8"), "utf-8", "default"
+    except UnicodeDecodeError:
+        return body.decode("windows-1252", "replace"), "windows-1252", (
+            "default"
+        )
+
+
 def extract_metadata(html: str) -> dict:
     """Structured page metadata — the caption-mining/curation fields.
 

@@ -4753,6 +4753,123 @@ def text_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_charset_decode",
+    # The WHATWG sniffing precedence over real byte encodings: BOMs
+    # (UTF-8/UTF-16LE/UTF-16BE, surrogate-pair emoji included), the
+    # HTTP charset parameter with the ISO-8859-1 -> windows-1252
+    # normalization (the euro at 0x80 proves cp1252, which latin-1
+    # cannot express), the in-body <meta charset> sniff, and the
+    # UTF-8-else-cp1252 default. The oracle states the decoded STRING
+    # itself closed-form. Filter modulus 13 residue 6.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             cast(doc_id % 6 as integer) as k
+      from documents where doc_id % 13 = 6
+    )
+    select doc_id,
+      case when k <= 2 then 'Doc ' || d || ' café € 😀'
+           when k = 3 then 'Doc ' || d || ' café €'
+           when k = 4
+             then '<meta charset="windows-1252">Doc ' || d || ' café ’'
+           else 'Doc ' || d || ' plain' end as text,
+      case when k = 0 then 'utf-8'
+           when k = 1 then 'utf-16le'
+           when k = 2 then 'utf-16be'
+           when k in (3, 4) then 'windows-1252'
+           else 'utf-8' end as charset,
+      case when k <= 2 then 'bom'
+           when k = 3 then 'http'
+           when k = 4 then 'meta'
+           else 'default' end as source,
+      cast(length(case when k <= 2 then 'Doc ' || d || ' café € 😀'
+           when k = 3 then 'Doc ' || d || ' café €'
+           when k = 4
+             then '<meta charset="windows-1252">Doc ' || d || ' café ’'
+           else 'Doc ' || d || ' plain' end) as integer) as n_chars
+    from base
+    """,
+)
+def text_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing for crawl bodies (operators/html.py
+    decode_html_bytes) — the step between raw HTTP bytes and every
+    text operator, where a 100 TB crawl meets UTF-16 pages, cp1252
+    mislabeled as latin-1, and BOMs: per doc, encode a non-ASCII
+    string (euro sign, e-acute, an astral-plane emoji) under one of
+    six sniffing paths — three BOMs, an HTTP charset parameter whose
+    ISO-8859-1 label must normalize to windows-1252 per the WHATWG
+    encoding standard, an in-body <meta charset>, and the strict-
+    UTF-8-else-cp1252 default — then decode and report the text plus
+    the detected charset and its source. The oracle states the decoded
+    string closed-form; any sniffing-precedence drift flips the hash.
+    Arrow-batched mapInPandas, map-only."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import html as _html
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 6)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("charset", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def make(d: int) -> tuple[bytes, str | None]:
+        k = d % 6
+        if k == 0:
+            return b"\xef\xbb\xbf" + f"Doc {d} café € 😀".encode(), None
+        if k == 1:
+            return (
+                b"\xff\xfe" + f"Doc {d} café € 😀".encode("utf-16-le"),
+                None,
+            )
+        if k == 2:
+            return (
+                b"\xfe\xff" + f"Doc {d} café € 😀".encode("utf-16-be"),
+                None,
+            )
+        if k == 3:
+            return (
+                f"Doc {d} café €".encode("windows-1252"),
+                "text/html; charset=ISO-8859-1",
+            )
+        if k == 4:
+            return (
+                f'<meta charset="windows-1252">Doc {d} café ’'.encode(
+                    "windows-1252"
+                ),
+                "text/html",
+            )
+        return f"Doc {d} plain".encode(), None
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                body, ct = make(d)
+                text, charset, source = _html.decode_html_bytes(body, ct)
+                rows.append((d, text, charset, source, len(text)))
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["n_chars"] = out["n_chars"].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "text_html_metadata",
     # The caption-mining fields: OpenGraph properties, meta names,
     # img src/alt pairs (alt '' when absent — a curation signal),

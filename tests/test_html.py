@@ -135,3 +135,49 @@ class TestExtractMetadata:
 
         with pytest.raises(ValueError, match="unterminated"):
             extract_metadata("<html><script>oops</html>")
+
+
+class TestDecodeHtmlBytes:
+    def _d(self, body, ct=None):
+        from pyiceberg_lakehouse_spark.operators.html import (
+            decode_html_bytes,
+        )
+
+        return decode_html_bytes(body, ct)
+
+    def test_boms_win_over_everything(self):
+        t, cs, src = self._d(
+            b"\xef\xbb\xbfhi \xe2\x82\xac",
+            "text/html; charset=ISO-8859-1",
+        )
+        assert (t, cs, src) == ("hi €", "utf-8", "bom")
+        t, cs, src = self._d(b"\xff\xfe" + "é😀".encode("utf-16-le"))
+        assert (t, cs, src) == ("é😀", "utf-16le", "bom")
+        t, cs, src = self._d(b"\xfe\xff" + "é".encode("utf-16-be"))
+        assert (t, cs, src) == ("é", "utf-16be", "bom")
+
+    def test_latin1_label_normalizes_to_cp1252(self):
+        # 0x80 is the euro in cp1252; a literal latin-1 decode would
+        # yield the C1 control U+0080
+        t, cs, src = self._d(b"\x80", "text/html; charset=iso-8859-1")
+        assert (t, cs, src) == ("€", "windows-1252", "http")
+
+    def test_meta_charset_sniffed_in_first_1024(self):
+        body = b'<meta charset="windows-1252">caf\xe9 \x92'
+        t, cs, src = self._d(body, "text/html")
+        assert cs == "windows-1252" and src == "meta"
+        assert t.endswith("café ’")
+
+    def test_meta_beyond_1024_is_ignored(self):
+        body = b" " * 1100 + b'<meta charset="utf-16le">'
+        _t, cs, src = self._d(body)
+        assert (cs, src) == ("utf-8", "default")
+
+    def test_default_utf8_then_cp1252(self):
+        assert self._d("é".encode())[:3] == ("é", "utf-8", "default")
+        t, cs, src = self._d(b"caf\xe9")  # invalid UTF-8
+        assert (t, cs, src) == ("café", "windows-1252", "default")
+
+    def test_unknown_label_falls_through(self):
+        t, cs, src = self._d(b"ok", "text/html; charset=klingon")
+        assert (t, cs, src) == ("ok", "utf-8", "default")
