@@ -5132,10 +5132,14 @@ def pipeline_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scan_warc_responses",
     # Filter modulus 9 is coprime with the record-count (%4), status
-    # (%3), content-type (%2), gzip-layout (%2) and chunked (%4)
-    # knobs, so both WARC storage forms (plain + per-record gzip
-    # members), Content-Length AND chunked transfer-encoding framing,
-    # and every HTTP branch are live in the driver-hashed corpus.
+    # (%3), content-type (%2), gzip-layout (%2), chunked (%4) and
+    # content-encoding ((d+2i)%5) knobs, so both WARC storage forms
+    # (plain + per-record gzip members), Content-Length AND chunked
+    # transfer-encoding framing, every HTTP branch, and all three
+    # representation codings (gzip, zlib-wrapped deflate, and the
+    # raw-deflate server bug — both reported under the 'deflate'
+    # label) are live in the driver-hashed corpus, including
+    # chunked-over-compressed bodies.
     """
     with base as (
       select doc_id, cast(doc_id as bigint) as d, 3 + doc_id % 4 as n
@@ -5152,7 +5156,10 @@ def pipeline_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
            'body-' || d || '-' || i as body_text,
            cast(length('body-' || d || '-' || i) as integer) as body_len,
            d % 2 = 1 as gzipped,
-           (d + i) % 4 = 1 as chunked
+           (d + i) % 4 = 1 as chunked,
+           case cast((d + 2*i) % 5 as integer)
+                when 1 then 'gzip' when 2 then 'deflate'
+                when 3 then 'deflate' else null end as content_encoding
     from base, unnest(generate_series(0, 6)) u(i) where i < n
     """,
 )
@@ -5167,9 +5174,12 @@ def scan_warc_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse. Body framing cycles Content-Length AND RFC 7230 chunked
     transfer-encoding (de-chunked through hex size lines with 5-byte
     chunks, so every body spans several chunks — VERDICT r13 task #3).
-    The oracle restates every uri/status/content-type/body closed-form;
-    a framing slip (separator, Content-Length, chunk-size line, member
-    boundary) flips the hash."""
+    Representation coding cycles identity, gzip, zlib-wrapped deflate
+    and the widespread raw-deflate server bug (browser-style wrapped-
+    then-raw retry), composing with chunked framing the way real
+    servers layer them (chunks carry the COMPRESSED bytes). The oracle
+    restates every uri/status/content-type/body closed-form; a framing
+    or decoding slip flips the hash."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -5192,10 +5202,12 @@ def scan_warc_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("body_len", T.IntegerType()),
             T.StructField("gzipped", T.BooleanType()),
             T.StructField("chunked", T.BooleanType()),
+            T.StructField("content_encoding", T.StringType()),
         ]
     )
     cols = [f.name for f in schema.fields]
     statuses = (200, 404, 301)
+    codings = (None, "gzip", "deflate", "deflate-raw", None)
 
     def batches(it):
         for pdf in it:
@@ -5217,6 +5229,7 @@ def scan_warc_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ],
                         body,
                         chunk_size=5 if (d + i) % 4 == 1 else None,
+                        content_encoding=codings[(d + 2 * i) % 5],
                     )
                     recs.append(
                         {
@@ -5240,6 +5253,7 @@ def scan_warc_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
                             d, i, r["uri"], r["status"], r["content_type"],
                             r["body"].decode(), len(r["body"]), gz,
                             (d + i) % 4 == 1,
+                            r["headers"].get("content-encoding"),
                         )
                     )
             out = pd.DataFrame(rows, columns=cols)

@@ -20,6 +20,12 @@ sees hex framing noise spliced into its training text. When both
 Transfer-Encoding and Content-Length are present, chunking wins, per
 RFC 7230 §3.3.3.
 
+Content-Encoding (the REPRESENTATION coding, RFC 9110 §8.4)
+decodes gzip/x-gzip and deflate — including the widespread
+raw-deflate-without-zlib-wrapper server bug, handled browser-style
+(wrapped first, raw retry) — after de-chunking, the wire layering
+real servers use. br/zstd gate honestly (no codec here).
+
 Honest gates: truncated records, bad version lines, missing
 separators, short blocks and malformed chunk framing raise
 ValueError — a crawl reader that guesses yields corrupt training text.
@@ -36,12 +42,34 @@ def build_http_response(
     headers: list[tuple[str, str]],
     body: bytes,
     chunk_size: int | None = None,
+    content_encoding: str | None = None,
 ) -> bytes:
     """``chunk_size`` set -> the body is stored chunked (RFC 7230 §4.1:
     hex size line, chunk, CRLF, ... 0-chunk, blank trailer) instead of
-    Content-Length-framed — the raw-wire-bytes crawl layout."""
+    Content-Length-framed — the raw-wire-bytes crawl layout.
+    ``content_encoding`` gzip/deflate/deflate-raw compresses the body
+    representation first (deflate-raw writes the widespread
+    no-zlib-wrapper server form under the 'deflate' label)."""
     head = f"HTTP/1.1 {status} {reason}\r\n"
     hdrs = "".join(f"{k}: {v}\r\n" for k, v in headers)
+    if content_encoding is not None:
+        if content_encoding == "gzip":
+            comp = zlib.compressobj(6, zlib.DEFLATED, 16 + 15)
+            body = comp.compress(body) + comp.flush()
+        elif content_encoding == "deflate":
+            body = zlib.compress(body)
+        elif content_encoding == "deflate-raw":
+            comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+            body = comp.compress(body) + comp.flush()
+        else:
+            raise ValueError(
+                f"unsupported content_encoding {content_encoding!r}"
+            )
+        label = (
+            "deflate" if content_encoding == "deflate-raw"
+            else content_encoding
+        )
+        hdrs += f"Content-Encoding: {label}\r\n"
     if chunk_size is not None:
         if chunk_size < 1:
             raise ValueError("chunk_size must be positive")
@@ -126,9 +154,42 @@ def parse_http_response(block: bytes) -> dict:
         if n > len(body):
             raise ValueError("HTTP body shorter than Content-Length")
         body = body[:n]
+    body = _decode_content_encoding(
+        body, headers.get("content-encoding", "")
+    )
     return {
         "status": status, "reason": reason, "headers": headers, "body": body
     }
+
+
+def _decode_content_encoding(body: bytes, encoding: str) -> bytes:
+    """Undo the REPRESENTATION coding on a stored response body
+    (RFC 9110 §8.4): gzip/x-gzip and deflate — including the
+    widespread raw-DEFLATE-without-zlib-wrapper server bug, handled
+    the way browsers do (try zlib-wrapped, retry raw). br and zstd
+    gate honestly (no codec in this environment, and guessing bytes
+    would corrupt the corpus); unknown codings raise rather than
+    passing compressed bytes downstream as text."""
+    codings = [c.strip().lower() for c in encoding.split(",") if c.strip()]
+    for coding in reversed(codings):  # applied in reverse list order
+        if coding == "identity":
+            continue
+        if coding in ("gzip", "x-gzip"):
+            body = zlib.decompress(body, 16 + 15)
+        elif coding == "deflate":
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                body = zlib.decompress(body, -15)  # raw-deflate bug
+        elif coding in ("br", "zstd"):
+            raise NotImplementedError(
+                f"Content-Encoding {coding} is not supported "
+                "(no codec available; refusing rather than emitting "
+                "compressed bytes as text)"
+            )
+        else:
+            raise ValueError(f"unknown Content-Encoding {coding!r}")
+    return body
 
 
 def make_warc(records: list[dict], gzip_records: bool = True) -> bytes:
@@ -227,7 +288,8 @@ def parse_warc(payload: bytes) -> list[dict]:
 
 def warc_responses(payload: bytes) -> list[dict]:
     """The ingest composition: parse records, keep WARC-Type: response,
-    parse each HTTP envelope -> [{uri, status, content_type, body}]."""
+    parse each HTTP envelope -> [{uri, status, content_type, body,
+    headers}] (headers: the HTTP response headers, lower-cased)."""
     out = []
     for rec in parse_warc(payload):
         if rec["headers"].get("warc-type") != "response":
@@ -239,6 +301,7 @@ def warc_responses(payload: bytes) -> list[dict]:
                 "status": http["status"],
                 "content_type": http["headers"].get("content-type", ""),
                 "body": http["body"],
+                "headers": http["headers"],
             }
         )
     return out

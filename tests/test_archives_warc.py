@@ -345,3 +345,52 @@ def test_pax_extended_headers():
         _parse_pax_records(b"99 path=x\n")
     with pytest.raises(ValueError, match="'='"):
         _parse_pax_records(b"7 path\n")
+
+
+class TestContentEncoding:
+    def _roundtrip(self, enc, chunk=None):
+        from pyiceberg_lakehouse_spark.operators.warc import (
+            build_http_response,
+            parse_http_response,
+        )
+
+        body = b"hello content coding " * 7
+        wire = build_http_response(
+            200, "OK", [("Content-Type", "text/plain")], body,
+            chunk_size=chunk, content_encoding=enc,
+        )
+        return body, parse_http_response(wire)
+
+    def test_gzip_deflate_and_raw_deflate(self):
+        for enc in ("gzip", "deflate", "deflate-raw"):
+            body, r = self._roundtrip(enc)
+            assert r["body"] == body, enc
+            label = "deflate" if enc == "deflate-raw" else enc
+            assert r["headers"]["content-encoding"] == label
+
+    def test_chunked_over_compressed(self):
+        # real servers chunk the COMPRESSED representation
+        body, r = self._roundtrip("gzip", chunk=5)
+        assert r["body"] == body
+
+    def test_x_gzip_alias(self):
+        from pyiceberg_lakehouse_spark.operators.warc import (
+            _decode_content_encoding,
+        )
+        import zlib as _zl
+
+        comp = _zl.compressobj(6, _zl.DEFLATED, 16 + 15)
+        gz = comp.compress(b"abc") + comp.flush()
+        assert _decode_content_encoding(gz, "x-gzip") == b"abc"
+
+    def test_br_zstd_gated_unknown_raises(self):
+        import pytest as _pt
+
+        from pyiceberg_lakehouse_spark.operators.warc import (
+            _decode_content_encoding,
+        )
+
+        with _pt.raises(NotImplementedError, match="br"):
+            _decode_content_encoding(b"x", "br")
+        with _pt.raises(ValueError, match="unknown Content-Encoding"):
+            _decode_content_encoding(b"x", "sdch")
