@@ -21,11 +21,19 @@ parse_ogg_chain, one link at a time, each link's page sequence
 restarting at 0 and every link's serial checked unique across the
 chain. parse_ogg stays the strict single-stream form.
 
-Honest scope: grouped (interleaved-serial) multi-stream files raise
-NotImplementedError — a second serial BEFORE the current link's EOS
-is grouping, not chaining. Codec payloads (Opus/Vorbis bitstreams)
-stay opaque — this is the demux layer, the same honesty split as the
-MP4/MP3 demuxes.
+GROUPED (interleaved-serial) files — the A/V layout where audio and
+video pages interleave — demux via parse_ogg_group/make_ogg_group:
+all BOS pages must precede all data pages (the RFC 3533 grouping
+rule), each logical stream carries its own sequence space and
+packet-spanning state, per-page CRCs verified, EOS required per
+stream. parse_ogg/_parse_stream stay the strict single-stream and
+chain forms (a second serial mid-link there is a structure error,
+routed to the group parser by the caller).
+
+Honest scope: codec payloads (Opus/Vorbis bitstreams) stay opaque —
+this is the demux layer, the same honesty split as the MP4/MP3
+demuxes. Chained-of-grouped hybrids (a new BOS after all streams'
+EOS) remain unimplemented and raise.
 """
 
 from __future__ import annotations
@@ -47,17 +55,13 @@ def ogg_crc(data: bytes) -> int:
     return crc
 
 
-def make_ogg(
+def _make_pages(
     packets: list[bytes],
-    serial: int = 1,
-    max_segments: int = 255,
-    granules: list[int] | None = None,
-) -> bytes:
-    """Mux packets into Ogg pages. ``max_segments`` (<= 255) caps the
-    lacing values per page (small values force packet spanning, which
-    exercises the continuation flag). ``granules[i]`` is the granule
-    position stamped on the page where packet i COMPLETES (default:
-    i + 1); pages where no packet completes carry -1 per spec."""
+    serial: int,
+    max_segments: int,
+    granules: list[int] | None,
+) -> list[bytes]:
+    """Mux packets into a list of complete page byte strings."""
     if not 1 <= max_segments <= 255:
         raise ValueError("max_segments must be 1..255")
     if granules is not None and len(granules) != len(packets):
@@ -67,12 +71,11 @@ def make_ogg(
     for idx, p in enumerate(packets):
         n_full, tail = divmod(len(p), 255)
         off = 0
-        for k in range(n_full):
-            is_last = k == n_full - 1 and tail == -1  # never
+        for _k in range(n_full):
             lacings.append((255, p[off : off + 255], None))
             off += 255
         lacings.append((tail, p[off:], idx))
-    out = bytearray()
+    pages: list[bytes] = []
     page_seq = 0
     pos = 0
     continued = False
@@ -104,10 +107,61 @@ def make_ogg(
         )
         crc = ogg_crc(header + body)
         header = header[:22] + struct.pack("<I", crc) + header[26:]
-        out += header + body
+        pages.append(header + body)
         page_seq += 1
         continued = next_continued
-    return bytes(out)
+    return pages
+
+
+def make_ogg(
+    packets: list[bytes],
+    serial: int = 1,
+    max_segments: int = 255,
+    granules: list[int] | None = None,
+) -> bytes:
+    """Mux packets into Ogg pages. ``max_segments`` (<= 255) caps the
+    lacing values per page (small values force packet spanning, which
+    exercises the continuation flag). ``granules[i]`` is the granule
+    position stamped on the page where packet i COMPLETES (default:
+    i + 1); pages where no packet completes carry -1 per spec."""
+    return b"".join(_make_pages(packets, serial, max_segments, granules))
+
+
+def make_ogg_group(
+    streams: list[dict],
+    interleave: int = 1,
+) -> bytes:
+    """Mux a GROUPED physical stream (RFC 3533 §2: concurrent logical
+    bitstreams — the A/V layout): each ``streams[i]`` is {serial,
+    packets, max_segments?, granules?}. All BOS pages are emitted
+    first in stream order (the grouping rule), then the remaining
+    pages interleave round-robin ``interleave`` pages at a time."""
+    serials = [s["serial"] for s in streams]
+    if len(set(serials)) != len(serials):
+        raise ValueError("grouped streams need distinct serials")
+    if interleave < 1:
+        raise ValueError("interleave must be positive")
+    per = [
+        _make_pages(
+            s["packets"], s["serial"],
+            s.get("max_segments", 255), s.get("granules"),
+        )
+        for s in streams
+    ]
+    out = bytearray()
+    for pages in per:
+        out += pages[0]  # every BOS page first, in stream order
+    cursors = [1] * len(per)
+    while True:
+        emitted = False
+        for i, pages in enumerate(per):
+            take = pages[cursors[i] : cursors[i] + interleave]
+            cursors[i] += len(take)
+            for pg in take:
+                out += pg
+                emitted = True
+        if not emitted:
+            return bytes(out)
 
 
 def parse_ogg(payload: bytes) -> dict:
@@ -139,6 +193,123 @@ def parse_ogg_chain(payload: bytes) -> list[dict]:
     if not links:
         raise ValueError("empty Ogg payload")
     return links
+
+
+def parse_ogg_group(payload: bytes) -> list[dict]:
+    """GROUPED physical stream (RFC 3533 §2, the A/V layout) -> one
+    parse_ogg-shaped dict per logical stream, in BOS order.
+
+    Validates the grouping rule (every BOS page precedes every data
+    page), per-page CRCs, per-STREAM sequence continuity and
+    continuation-flag consistency (each logical stream carries its own
+    sequence space and packet-spanning state), no pages after a
+    stream's EOS, and that every stream reaches EOS."""
+    n = len(payload)
+    pos = 0
+    order: list[int] = []
+    state: dict[int, dict] = {}
+    bos_zone = True
+    while pos < n:
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError("lost Ogg capture pattern")
+        if pos + 27 > n:
+            raise ValueError("truncated Ogg page header")
+        if payload[pos + 4] != 0:
+            raise ValueError("unknown Ogg stream structure version")
+        header_type = payload[pos + 5]
+        granule, serial, seq, crc_stored = struct.unpack_from(
+            "<QIIi", payload, pos + 6
+        )
+        n_segs = payload[pos + 26]
+        seg_table = payload[pos + 27 : pos + 27 + n_segs]
+        if len(seg_table) != n_segs:
+            raise ValueError("truncated Ogg segment table")
+        body_start = pos + 27 + n_segs
+        body_len = sum(seg_table)
+        if body_start + body_len > n:
+            raise ValueError("Ogg page body exceeds the file")
+        zeroed = (
+            payload[pos : pos + 22]
+            + b"\x00\x00\x00\x00"
+            + payload[pos + 26 : body_start + body_len]
+        )
+        if ogg_crc(zeroed) != crc_stored & 0xFFFFFFFF:
+            raise ValueError(f"Ogg CRC mismatch on page seq {seq}")
+        if header_type & 0x02:
+            if not bos_zone:
+                raise ValueError(
+                    "grouped stream: BOS page after data pages "
+                    "(RFC 3533 grouping rule)"
+                )
+            if serial in state:
+                raise ValueError(f"duplicate BOS for serial {serial}")
+            if seq != 0:
+                raise ValueError("BOS page with nonzero sequence")
+            state[serial] = {
+                "expected_seq": 0, "packets": [], "partial": None,
+                "partial_first_page": None, "n_pages": 0, "eos": False,
+            }
+            order.append(serial)
+        else:
+            bos_zone = False
+            if serial not in state:
+                raise ValueError(
+                    f"page for unknown serial {serial} (no BOS)"
+                )
+            if state[serial]["eos"]:
+                raise ValueError(f"page after EOS on serial {serial}")
+        st = state[serial]
+        if seq != st["expected_seq"]:
+            raise ValueError(
+                f"serial {serial}: page sequence gap: got {seq}, "
+                f"expected {st['expected_seq']}"
+            )
+        st["expected_seq"] += 1
+        if bool(header_type & 0x01) != (st["partial"] is not None):
+            raise ValueError(
+                "continuation flag disagrees with the packet state"
+            )
+        if header_type & 0x04:
+            st["eos"] = True
+        off = body_start
+        for v in seg_table:
+            if st["partial"] is None:
+                st["partial"] = bytearray()
+                st["partial_first_page"] = seq
+            st["partial"] += payload[off : off + v]
+            off += v
+            if v < 255:  # the packet completes here
+                st["packets"].append(
+                    {
+                        "idx": len(st["packets"]),
+                        "size": len(st["partial"]),
+                        "data": bytes(st["partial"]),
+                        "first_page": st["partial_first_page"],
+                        "last_page": seq,
+                        "granule": granule,
+                    }
+                )
+                st["partial"] = None
+        st["n_pages"] += 1
+        pos = body_start + body_len
+    if not order:
+        raise ValueError("empty Ogg payload")
+    for serial in order:
+        st = state[serial]
+        if st["partial"] is not None:
+            raise ValueError(
+                f"serial {serial} ends inside a spanning packet"
+            )
+        if not st["eos"]:
+            raise ValueError(f"serial {serial} has no EOS page")
+    return [
+        {
+            "serial": serial,
+            "n_pages": state[serial]["n_pages"],
+            "packets": state[serial]["packets"],
+        }
+        for serial in order
+    ]
 
 
 def _parse_stream(

@@ -190,3 +190,100 @@ def test_probe_chained_first_link():
     )
     got = probe_ogg_codec(chain)
     assert got["codec"] == "opus" and got["pre_skip"] == 312
+
+
+class TestGroupedStreams:
+    def _mux(self, interleave=1, max_segments=255):
+        from pyiceberg_lakehouse_spark.operators.ogg import make_ogg_group
+
+        a = [bytes([1]) * 30, bytes([2]) * 600, bytes([3]) * 10]
+        v = [bytes([9]) * 700, bytes([8]) * 5]
+        blob = make_ogg_group(
+            [
+                {"serial": 11, "packets": a,
+                 "max_segments": max_segments},
+                {"serial": 22, "packets": v,
+                 "max_segments": max_segments},
+            ],
+            interleave=interleave,
+        )
+        return a, v, blob
+
+    def test_roundtrip_various_interleaves(self):
+        from pyiceberg_lakehouse_spark.operators.ogg import (
+            parse_ogg_group,
+        )
+
+        for interleave in (1, 2, 3):
+            for max_segments in (1, 2, 255):
+                a, v, blob = self._mux(interleave, max_segments)
+                streams = parse_ogg_group(blob)
+                assert [s["serial"] for s in streams] == [11, 22]
+                assert [p["data"] for p in streams[0]["packets"]] == a
+                assert [p["data"] for p in streams[1]["packets"]] == v
+
+    def test_single_stream_also_parses_as_group(self):
+        from pyiceberg_lakehouse_spark.operators.ogg import (
+            make_ogg,
+            parse_ogg_group,
+        )
+
+        blob = make_ogg([b"xy", b"z" * 300], serial=7, max_segments=2)
+        (s,) = parse_ogg_group(blob)
+        assert [p["data"] for p in s["packets"]] == [b"xy", b"z" * 300]
+
+    def test_bos_after_data_rejected(self):
+        from pyiceberg_lakehouse_spark.operators.ogg import (
+            make_ogg,
+            parse_ogg_group,
+        )
+
+        # two complete single-stream files concatenated = a CHAIN, not
+        # a group: the second BOS arrives after data pages
+        blob = make_ogg([b"a", b"b"], serial=1, max_segments=1)
+        blob += make_ogg([b"c"], serial=2)
+        with pytest.raises(ValueError, match="grouping rule|after data"):
+            parse_ogg_group(blob)
+
+    def test_per_stream_sequence_and_crc(self):
+        from pyiceberg_lakehouse_spark.operators.ogg import (
+            parse_ogg_group,
+        )
+
+        _a, _v, blob = self._mux(1, 2)
+        bad = bytearray(blob)
+        bad[-3] ^= 0x40  # flip a bit in the last page body
+        with pytest.raises(ValueError, match="CRC"):
+            parse_ogg_group(bytes(bad))
+
+    def test_unknown_serial_rejected(self):
+        from pyiceberg_lakehouse_spark.operators.ogg import (
+            make_ogg,
+            parse_ogg_group,
+        )
+
+        blob = bytearray(make_ogg([b"a", b"bb"], serial=5, max_segments=1))
+        # strip the BOS flag from the first page and fix its CRC
+        import struct as _st
+
+        from pyiceberg_lakehouse_spark.operators.ogg import ogg_crc
+
+        n_segs = blob[26]
+        body_len = sum(blob[27 : 27 + n_segs])
+        end = 27 + n_segs + body_len
+        blob[5] &= ~0x02
+        zeroed = bytes(blob[:22]) + b"\x00" * 4 + bytes(blob[26:end])
+        _st.pack_into("<I", blob, 22, ogg_crc(zeroed))
+        with pytest.raises(ValueError, match="no BOS|must start"):
+            parse_ogg_group(bytes(blob))
+
+    def test_duplicate_serial_rejected(self):
+        from pyiceberg_lakehouse_spark.operators.ogg import make_ogg_group
+
+        with pytest.raises(ValueError, match="distinct serials"):
+            make_ogg_group(
+                [
+                    {"serial": 1, "packets": [b"a"]},
+                    {"serial": 1, "packets": [b"b"]},
+                ]
+            )
