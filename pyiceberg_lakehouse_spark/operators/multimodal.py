@@ -2906,9 +2906,10 @@ def demux_mp4_fragmented_table(df: DataFrame, id_col: str = "doc_id") -> DataFra
 # sizes) and v2.4 (synchsafe frame sizes), plus tag-level
 # unsynchronisation for v2.2/v2.3 (0x00 stuffed after every 0xFF so
 # the tag can't fake an MPEG sync — removed before the frame walk,
-# with frame sizes counting DECODED bytes per the v2.3 spec). v2.4
-# per-frame unsynchronisation stays honestly gated (v2.4's synchsafe
-# sizes make it near-unused in the wild).
+# with frame sizes counting DECODED bytes per the v2.3 spec), v2.4
+# PER-FRAME unsynchronisation + data-length indicators (r14 — the
+# frame size counts stuffed on-wire bytes, the DLI the decoded ones),
+# and the v2.4 footer.
 
 _ID3_TEXT_FRAMES = ("TIT2", "TPE1", "TALB", "TYER", "TDRC", "TCON")
 # v2.2 §4.2 three-char ids for the same text frames
@@ -2952,19 +2953,28 @@ def _unsynchsafe(b: bytes) -> int:
 
 
 def make_id3v2(
-    frames: dict[str, str], version: int = 3, unsync: bool = False
+    frames: dict[str, str],
+    version: int = 3,
+    unsync: bool = False,
+    data_length_indicator: bool = False,
+    footer: bool = False,
 ) -> bytes:
     """ID3v2.2 / v2.3 / v2.4 tag with latin-1 (enc 0) text frames.
     Wire differences a parser must branch on: v2.2 uses 3-char frame
     ids + 3-byte plain sizes and no frame flags (canonical 4-char ids
     are mapped down, e.g. TIT2 -> TT2); v2.3 plain 4-byte big-endian
-    sizes; v2.4 synchsafe sizes. ``unsync`` (v2.2/v2.3 only) applies
-    tag-level unsynchronisation, with the header size counting the
-    STUFFED bytes."""
+    sizes; v2.4 synchsafe sizes. ``unsync`` on v2.2/v2.3 applies
+    TAG-level unsynchronisation (the header size counting the STUFFED
+    bytes); on v2.4 it applies PER-FRAME unsynchronisation (format
+    flag 0x02, the frame size counting the stuffed on-wire bytes, the
+    informational tag-level flag also set per §4.1.1).
+    ``data_length_indicator`` (v2.4 only) prepends the synchsafe
+    decoded length (format flag 0x01). ``footer`` (v2.4 only) appends
+    the 10-byte '3DI' footer and sets tag flag 0x10."""
     if version not in (2, 3, 4):
         raise ValueError("only ID3v2.2 / v2.3 / v2.4 are emitted")
-    if unsync and version == 4:
-        raise ValueError("v2.4 unsynchronisation is per-frame; not emitted")
+    if (data_length_indicator or footer) and version != 4:
+        raise ValueError("data-length indicator / footer are v2.4 forms")
     body = b""
     for fid, text in frames.items():
         if len(fid) != 4:
@@ -2980,17 +2990,36 @@ def make_id3v2(
                 + payload
             )
             continue
-        size = (
-            _synchsafe(len(payload))
-            if version == 4
-            else _struct.pack(">I", len(payload))
-        )
+        if version == 4:
+            fmt = 0
+            decoded_len = len(payload)
+            if data_length_indicator:
+                fmt |= 0x01
+            if unsync:
+                fmt |= 0x02
+                payload = _id3_unsync(payload)
+            if data_length_indicator:
+                payload = _synchsafe(decoded_len) + payload
+            body += (
+                fid.encode("latin-1")
+                + _synchsafe(len(payload))
+                + bytes([0, fmt])
+                + payload
+            )
+            continue
+        size = _struct.pack(">I", len(payload))
         body += fid.encode("latin-1") + size + b"\x00\x00" + payload
     flags = 0
     if unsync:
-        body = _id3_unsync(body)
-        flags |= 0x80
-    return b"ID3" + bytes([version, 0, flags]) + _synchsafe(len(body)) + body
+        if version != 4:
+            body = _id3_unsync(body)
+        flags |= 0x80  # on v2.4: informational "all frames unsynced"
+    if footer:
+        flags |= 0x10
+    out = b"ID3" + bytes([version, 0, flags]) + _synchsafe(len(body)) + body
+    if footer:
+        out += b"3DI" + bytes([version, 0, flags]) + _synchsafe(len(body))
+    return out
 
 
 def parse_id3v2(payload: bytes) -> tuple[int, dict[str, str]]:
@@ -2999,11 +3028,15 @@ def parse_id3v2(payload: bytes) -> tuple[int, dict[str, str]]:
     v2.2 (3-char ids mapped to their canonical 4-char names, 3-byte
     plain sizes), v2.3 (plain 4-byte sizes) and v2.4 (synchsafe), plus
     tag-level unsynchronisation on v2.2/v2.3 (the header size counts
-    stuffed bytes; the frame walk runs over the DECODED body). Text
+    stuffed bytes; the frame walk runs over the DECODED body), v2.4
+    PER-FRAME unsynchronisation (format flag 0x02 — the tag-level flag
+    is informational there per §4.1.1), the v2.4 data-length indicator
+    (flag 0x01, synchsafe, validated against the decoded bytes) and
+    the v2.4 footer (tag flag 0x10, counted in the total). Text
     frames decode latin-1 (enc 0), UTF-16 with BOM (enc 1) and UTF-8
-    (enc 3); other frame types are skipped by size. v2.4 per-frame
-    unsynchronisation and v2.2 compression raise NotImplementedError
-    (honest gates)."""
+    (enc 3); other frame types are skipped by size. Compressed and
+    encrypted frames (v2.3/v2.4 format flags) and v2.2 compression
+    raise NotImplementedError (honest gates)."""
     if payload[:3] != b"ID3":
         return 0, {}
     if len(payload) < 10:
@@ -3016,11 +3049,9 @@ def parse_id3v2(payload: bytes) -> tuple[int, dict[str, str]]:
     if total > len(payload):
         raise ValueError("ID3v2 tag size exceeds the file")
     body = payload[10 : 10 + body_len]
-    if flags & 0x80:
-        if version == 4:
-            raise NotImplementedError(
-                "ID3v2.4 per-frame unsynchronisation not supported"
-            )
+    if flags & 0x80 and version != 4:
+        # v2.4's tag-level flag is informational (§4.1.1) — the
+        # authoritative per-frame format flag handles decoding there
         body = _id3_deunsync(body)
     if version == 2:
         if flags & 0x40:
@@ -3055,7 +3086,30 @@ def parse_id3v2(payload: bytes) -> tuple[int, dict[str, str]]:
         if pos + hdr_len + size > len(body):
             raise ValueError("ID3v2 frame exceeds the tag")
         data = body[pos + hdr_len : pos + hdr_len + size]
-        if name in _ID3_TEXT_FRAMES and size >= 1:
+        if version in (3, 4):
+            fmt = body[pos + 9]
+            comp_bit = 0x80 if version == 3 else 0x08
+            enc_bit = 0x40 if version == 3 else 0x04
+            if fmt & comp_bit or fmt & enc_bit:
+                raise NotImplementedError(
+                    f"ID3v2.{version} compressed/encrypted frames "
+                    "not supported"
+                )
+            if version == 4:
+                dli = None
+                if fmt & 0x01:  # data length indicator (synchsafe)
+                    if len(data) < 4:
+                        raise ValueError("frame shorter than its DLI")
+                    dli = _unsynchsafe(data[:4])
+                    data = data[4:]
+                if fmt & 0x02:  # per-frame unsynchronisation
+                    data = _id3_deunsync(data)
+                if dli is not None and len(data) != dli:
+                    raise ValueError(
+                        f"frame data length {len(data)} disagrees with "
+                        f"its indicator {dli}"
+                    )
+        if name in _ID3_TEXT_FRAMES and len(data) >= 1:
             enc, text = data[0], data[1:]
             if enc == 0:
                 val = text.decode("latin-1")
@@ -3141,14 +3195,17 @@ MP3_ID3_SCHEMA = T.StructType(
 def mp3_id3_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Per doc: synthesize a REAL-WORLD-SHAPED MP3 — ID3v2 tag (v2.2,
     v2.3 and v2.4 cycling, so all three frame-header wire formats run,
-    with tag-level unsynchronisation cycling on the v2.2/v2.3 docs and
-    'ÿ' (0xFF) bytes planted in the title so the stuffing is real) —
-    MPEG-1 Layer III frames, ID3v1 trailer — then strip the tags, demux
-    the bare frame stream, and emit the curation-filter metadata row.
-    All tag texts and frame parameters are closed-form in doc_id, so
-    the oracle restates tag byte sizes (10 + sum(hdr + len(text)) with
-    hdr 7 for v2.2 / 11 for v2.3+, +1 stuffed byte when unsynchronised)
-    and the demux arithmetic without running either."""
+    with unsynchronisation cycling — TAG-level on v2.2/v2.3, PER-FRAME
+    on v2.4 (r14) — 'ÿ' (0xFF) bytes planted in the title so the
+    stuffing is real, v2.4 data-length indicators and footers
+    cycling) — MPEG-1 Layer III frames, ID3v1 trailer — then strip the
+    tags, demux the bare frame stream, and emit the curation-filter
+    metadata row. All tag texts and frame parameters are closed-form
+    in doc_id, so the oracle restates tag byte sizes (10 +
+    sum(hdr + len(text)) with hdr 7 for v2.2 / 11 for v2.3+, +1
+    stuffed byte under tag-level unsync / +2 under per-frame (the
+    payload-final 0xFF also stuffs), +4 per frame for DLIs, +10 for
+    the footer) and the demux arithmetic without running either."""
     src = df.select(F.col(id_col).alias("doc_id"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3158,7 +3215,9 @@ def mp3_id3_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 version = 2 + d % 3
-                unsync = d % 4 == 1 and version != 4
+                unsync = d % 4 == 1
+                dli = version == 4 and d % 5 < 2
+                foot = version == 4 and d % 2 == 0
                 year = str(1970 + d % 30)
                 frames = {
                     "TIT2": f"title-{d}" + ("ÿÿ" if unsync else ""),
@@ -3174,7 +3233,10 @@ def mp3_id3_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     fill_seed=d % 256,
                 )
                 payload = (
-                    make_id3v2(frames, version=version, unsync=unsync)
+                    make_id3v2(
+                        frames, version=version, unsync=unsync,
+                        data_length_indicator=dli, footer=foot,
+                    )
                     + audio
                     + make_id3v1(f"v1-{d}", "", "", year, d % 80)
                 )

@@ -5446,13 +5446,16 @@ def pipeline_caption_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Filter modulus 7 is coprime with the version cycle (%3), unsync
     # (%4), bitrate (%6), rate (%3) and every tag-text knob, so all
     # three ID3v2 wire formats (v2.2 3-char/3-byte, v2.3 plain, v2.4
-    # synchsafe frame sizes), unsynchronised and plain tags, and all
+    # synchsafe frame sizes), TAG-level unsync (v2.2/v2.3), PER-FRAME
+    # unsync + data-length indicators + footers (v2.4, r14), and all
     # metadata branches are live in the driver-hashed corpus.
     """
     with base as (
       select doc_id, cast(doc_id as bigint) as d,
              2 + doc_id % 3 as ver,
-             doc_id % 4 = 1 and doc_id % 3 != 2 as unsync,
+             doc_id % 4 = 1 as unsync,
+             doc_id % 3 = 2 and doc_id % 5 < 2 as dli,
+             doc_id % 3 = 2 and doc_id % 2 = 0 as foot,
              10 + doc_id % 20 as n,
              case doc_id % 6 when 0 then 56 when 1 then 64 when 2 then 80
                   when 3 then 96 when 4 then 112 else 128 end as br,
@@ -5463,7 +5466,11 @@ def pipeline_caption_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire as (
       -- per-frame header: v2.2 is 6 bytes + 1 encoding byte, v2.3/v2.4
       -- 10 + 1; the unsynchronised title carries two planted 0xFF
-      -- ('ÿ') bytes of which exactly ONE gets a 0x00 stuffed after it
+      -- ('ÿ') bytes: tag-level stuffing adds ONE 0x00 (the second ÿ is
+      -- followed by the next frame id), per-frame v2.4 stuffing adds
+      -- TWO (the payload-final ÿ also stuffs); a data-length indicator
+      -- adds 4 synchsafe bytes to every one of the 5 frames; a footer
+      -- adds its 10 bytes to the total
       select *, case when ver = 2 then 7 else 11 end as hdr,
              case when unsync then 2 else 0 end as ff
       from base
@@ -5482,7 +5489,10 @@ def pipeline_caption_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + (hdr + 6 + length(cast(d % 7 as varchar)))
                 + (hdr + 4)
                 + (hdr + 6 + length(cast(d % 5 as varchar)))
-                + case when unsync then 1 else 0 end
+                + case when unsync then
+                    case when ver = 4 then 2 else 1 end else 0 end
+                + case when dli then 20 else 0 end
+                + case when foot then 10 else 0 end
                as integer) as tag_bytes,
            cast(n * ((144 * br * 1000) // rate) as bigint) as audio_bytes,
            cast(n as integer) as n_frames,

@@ -89,9 +89,11 @@ def test_id3v2_padding_and_unknown_frames_skipped():
 def test_id3v2_hostile_inputs():
     with pytest.raises(ValueError, match="exceeds the file"):
         parse_id3v2(b"ID3" + bytes([3, 0, 0]) + _synchsafe(1000))
-    # v2.4 unsync is per-frame — still honestly gated
-    with pytest.raises(NotImplementedError, match="per-frame"):
-        parse_id3v2(b"ID3" + bytes([4, 0, 0x80]) + _synchsafe(0))
+    # v2.4's tag-level unsync flag is informational as of r14 — an
+    # empty tag carrying it parses instead of gating
+    assert parse_id3v2(
+        b"ID3" + bytes([4, 0, 0x80]) + _synchsafe(0)
+    ) == (10, {})
     # v2.2 compression flag — gated
     with pytest.raises(NotImplementedError, match="compression"):
         parse_id3v2(b"ID3" + bytes([2, 0, 0x40]) + _synchsafe(0))
@@ -192,6 +194,73 @@ def test_id3v2_unsynchronisation():
     assert tag[5] & 0x80
     total, parsed = parse_id3v2(tag)
     assert total == len(tag) and parsed == frames
-    # v2.4 unsync is not emitted (per-frame semantics)
-    with pytest.raises(ValueError, match="per-frame"):
-        make_id3v2(frames, version=4, unsync=True)
+    # v2.4 unsync is PER-FRAME (r14): same frames roundtrip there too
+    tag4 = make_id3v2(frames, version=4, unsync=True)
+    assert tag4[5] & 0x80  # informational tag-level flag
+    total4, parsed4 = parse_id3v2(tag4)
+    assert total4 == len(tag4) and parsed4 == frames
+
+
+class TestV24Forms:
+    """r14: per-frame unsynchronisation, data-length indicators and
+    the footer — the remaining v2.4 wire forms."""
+
+    def test_per_frame_unsync_roundtrip(self):
+        from pyiceberg_lakehouse_spark.operators.multimodal import (
+            make_id3v2,
+            parse_id3v2,
+        )
+
+        tag = make_id3v2({"TIT2": "a\xffb\xff"}, version=4, unsync=True)
+        # both 0xFFs stuff: mid-payload (followed by 'b'? no — only
+        # before >=0xE0/0x00/end) ... the final 0xFF stuffs at end
+        total, out = parse_id3v2(tag)
+        assert out["TIT2"] == "a\xffb\xff" and total == len(tag)
+
+    def test_data_length_indicator_validated(self):
+        from pyiceberg_lakehouse_spark.operators.multimodal import (
+            make_id3v2,
+            parse_id3v2,
+        )
+
+        tag = make_id3v2(
+            {"TIT2": "t\xff"}, version=4, unsync=True,
+            data_length_indicator=True,
+        )
+        _, out = parse_id3v2(tag)
+        assert out["TIT2"] == "t\xff"
+        # corrupt the DLI -> strict error
+        bad = bytearray(tag)
+        at = tag.index(b"TIT2") + 10  # frame header, then DLI
+        bad[at + 3] ^= 0x01
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="disagrees"):
+            parse_id3v2(bytes(bad))
+
+    def test_footer_counted_in_total(self):
+        from pyiceberg_lakehouse_spark.operators.multimodal import (
+            make_id3v2,
+            parse_id3v2,
+        )
+
+        plain = make_id3v2({"TIT2": "x"}, version=4)
+        with_f = make_id3v2({"TIT2": "x"}, version=4, footer=True)
+        assert len(with_f) == len(plain) + 10
+        assert with_f.rindex(b"3DI") == len(with_f) - 10
+        total, _ = parse_id3v2(with_f + b"\xff\xfb")
+        assert total == len(with_f)
+
+    def test_compressed_encrypted_frames_gated(self):
+        from pyiceberg_lakehouse_spark.operators.multimodal import (
+            make_id3v2,
+            parse_id3v2,
+        )
+        import pytest as _pt
+
+        for version, bit in ((3, 0x80), (3, 0x40), (4, 0x08), (4, 0x04)):
+            tag = bytearray(make_id3v2({"TIT2": "x"}, version=version))
+            at = tag.index(b"TIT2") + 9  # format flags byte
+            tag[at] |= bit
+            with _pt.raises(NotImplementedError, match="compressed"):
+                parse_id3v2(bytes(tag))
