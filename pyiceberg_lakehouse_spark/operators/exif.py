@@ -39,8 +39,14 @@ def build_exif_app1(
     exposure: tuple[int, int] | None = None,
     pixel_xy: tuple[int, int] | None = None,
     big_endian: bool = False,
+    gps: dict | None = None,
 ) -> bytes:
-    """-> the APP1 segment PAYLOAD (starts ``Exif\\x00\\x00``)."""
+    """-> the APP1 segment PAYLOAD (starts ``Exif\\x00\\x00``).
+
+    ``gps`` (geotagged cameras): {'lat': (deg, minute, sec100, 'N'|'S'),
+    'lon': (deg, minute, sec100, 'E'|'W'), 'alt': (num, den)?} — the
+    deg/min/sec rationals write with denominators (1, 1, 100), the
+    wire shape phones actually emit."""
     ifd0: list[tuple[int, int, object]] = [
         (_TAG_ORIENTATION, 3, [int(orientation)])
     ]
@@ -62,6 +68,18 @@ def build_exif_app1(
     if exif:
         ifd0.append((_TAG_EXIF_IFD, 4, ("ifd", 1)))
         ifds.append(exif)
+    if gps is not None:
+        glat, glon = gps["lat"], gps["lon"]
+        gtags: list[tuple[int, int, object]] = [
+            (1, 2, glat[3]),
+            (2, 5, [(glat[0], 1), (glat[1], 1), (glat[2], 100)]),
+            (3, 2, glon[3]),
+            (4, 5, [(glon[0], 1), (glon[1], 1), (glon[2], 100)]),
+        ]
+        if gps.get("alt") is not None:
+            gtags.append((6, 5, [tuple(gps["alt"])]))
+        ifd0.append((_TAG_GPS_IFD, 4, ("ifd", len(ifds))))
+        ifds.append(gtags)
     return b"Exif\x00\x00" + build_ifds(ifds, ">" if big_endian else "<")
 
 
@@ -135,4 +153,27 @@ def parse_exif(jpeg: bytes) -> dict:
     if _TAG_GPS_IFD in ifd0:
         gps, _ = parse_ifd(tiff, ifd0[_TAG_GPS_IFD][0], e)
         out["gps_tags"] = len(gps)
+
+        def dms_to_degrees(triplet, ref, neg_refs) -> float | None:
+            if not (isinstance(triplet, list) and len(triplet) == 3):
+                return None
+            (n1, d1), (n2, d2), (n3, d3) = triplet
+            if 0 in (d1, d2, d3):
+                raise ValueError("GPS rational with a zero denominator")
+            dd = (n1 / d1) + (n2 / d2) / 60 + (n3 / d3) / 3600
+            return -dd if ref in neg_refs else dd
+
+        if 2 in gps:
+            out["gps_lat"] = dms_to_degrees(
+                gps[2], gps.get(1), ("S", "S\x00")
+            )
+        if 4 in gps:
+            out["gps_lon"] = dms_to_degrees(
+                gps[4], gps.get(3), ("W", "W\x00")
+            )
+        if 6 in gps and gps[6]:
+            num, den = gps[6][0]
+            if den == 0:
+                raise ValueError("GPS altitude with a zero denominator")
+            out["gps_alt"] = num / den
     return out

@@ -2417,13 +2417,26 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_exif_extract",
     # Filter modulus 7 is coprime with orientation (%8), make (%5),
-    # model (%11), day (%28), iso (%8), exposure (%200) and endianness
-    # (%2) knobs, so every branch — including both EXIF byte orders —
-    # is live in the driver-hashed corpus.
+    # model (%11), day (%28), iso (%8), exposure (%200), endianness
+    # (%2) and the r14 GPS knobs (%4 presence, %90/%60/%6000 lat,
+    # %180 lon, %9000 alt, %5 alt presence), so every branch — both
+    # EXIF byte orders, geotagged and untagged files, all four
+    # hemisphere refs — is live in the driver-hashed corpus. The
+    # decimal-degree expressions mirror the reader's float evaluation
+    # order term for term, so the doubles are bit-identical.
     """
     with base as (
       select doc_id, cast(doc_id as bigint) as d
       from documents where doc_id % 5 = 0
+    ),
+    g as (
+      select doc_id, d,
+             d % 4 != 3 as has_gps,
+             cast(d % 90 as double) + cast(d % 60 as double)/60
+               + (cast((37*d) % 6000 as double)/100)/3600 as lat_abs,
+             cast(d % 180 as double) + cast((3*d) % 60 as double)/60
+               + (cast((53*d) % 6000 as double)/100)/3600 as lon_abs
+      from base
     )
     select doc_id,
            cast(1 + d % 8 as integer) as orientation,
@@ -2437,8 +2450,16 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(8 as integer) as pixel_x,
            cast(8 as integer) as pixel_y,
            d % 2 = 1 as big_endian,
+           case when has_gps then
+             case when d % 2 = 1 then -lat_abs else lat_abs end
+           end as gps_lat,
+           case when has_gps then
+             case when d % 3 = 0 then -lon_abs else lon_abs end
+           end as gps_lon,
+           case when has_gps and d % 5 < 3
+                then cast(d % 9000 as double)/10 end as gps_alt,
            true as still_decodes
-    from base
+    from g
     """,
 )
 def multimodal_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2477,6 +2498,9 @@ def multimodal_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("pixel_x", T.IntegerType()),
             T.StructField("pixel_y", T.IntegerType()),
             T.StructField("big_endian", T.BooleanType()),
+            T.StructField("gps_lat", T.DoubleType()),
+            T.StructField("gps_lon", T.DoubleType()),
+            T.StructField("gps_alt", T.DoubleType()),
             T.StructField("still_decodes", T.BooleanType()),
         ]
     )
@@ -2490,6 +2514,19 @@ def multimodal_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = ((d + np.arange(64).reshape(8, 8) * 3) % 256).astype(
                     np.uint8
                 )
+                gps = None
+                if d % 4 != 3:
+                    gps = {
+                        "lat": (
+                            d % 90, d % 60, (37 * d) % 6000,
+                            "N" if d % 2 == 0 else "S",
+                        ),
+                        "lon": (
+                            d % 180, (3 * d) % 60, (53 * d) % 6000,
+                            "W" if d % 3 == 0 else "E",
+                        ),
+                        "alt": (d % 9000, 10) if d % 5 < 3 else None,
+                    }
                 tagged = _exif.insert_app1(
                     _jpeg.encode_jpeg(px),
                     _exif.build_exif_app1(
@@ -2501,6 +2538,7 @@ def multimodal_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         exposure=(1, 60 + d % 200),
                         pixel_xy=(8, 8),
                         big_endian=d % 2 == 1,
+                        gps=gps,
                     ),
                 )
                 m = _exif.parse_exif(tagged)
@@ -2511,6 +2549,8 @@ def multimodal_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         m["datetime"], m["iso"],
                         m["exposure"][0], m["exposure"][1],
                         m["pixel_x"], m["pixel_y"], m["big_endian"],
+                        m.get("gps_lat"), m.get("gps_lon"),
+                        m.get("gps_alt"),
                         bool(decoded.shape == (8, 8)),
                     )
                 )

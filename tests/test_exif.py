@@ -92,3 +92,70 @@ def test_non_exif_app1_skipped():
     assert parse_exif(both) == {}
     tagged = insert_app1(both, build_exif_app1(orientation=7))
     assert parse_exif(tagged)["orientation"] == 7
+
+
+class TestGps:
+    """r14: GPS IFD coordinate extraction — the geo-curation fields."""
+
+    def _tagged(self, gps):
+        import numpy as np
+
+        from pyiceberg_lakehouse_spark.operators import jpeg as _jpeg
+        from pyiceberg_lakehouse_spark.operators.exif import (
+            build_exif_app1,
+            insert_app1,
+        )
+
+        px = np.zeros((8, 8), dtype=np.uint8)
+        return insert_app1(
+            _jpeg.encode_jpeg(px), build_exif_app1(gps=gps)
+        )
+
+    def test_signed_decimal_degrees(self):
+        from pyiceberg_lakehouse_spark.operators.exif import parse_exif
+
+        m = parse_exif(
+            self._tagged(
+                {
+                    "lat": (48, 51, 2400, "N"),
+                    "lon": (2, 17, 4000, "W"),
+                    "alt": (355, 10),
+                }
+            )
+        )
+        assert m["gps_lat"] == 48 + 51 / 60 + 24 / 3600
+        assert m["gps_lon"] == -(2 + 17 / 60 + 40 / 3600)
+        assert m["gps_alt"] == 35.5
+
+    def test_south_is_negative_and_alt_optional(self):
+        from pyiceberg_lakehouse_spark.operators.exif import parse_exif
+
+        m = parse_exif(
+            self._tagged(
+                {"lat": (10, 0, 0, "S"), "lon": (20, 30, 0, "E")}
+            )
+        )
+        assert m["gps_lat"] == -10.0 and m["gps_lon"] == 20.5
+        assert "gps_alt" not in m
+
+    def test_zero_denominator_raises(self):
+        import struct as _st
+
+        from pyiceberg_lakehouse_spark.operators.exif import parse_exif
+
+        blob = bytearray(
+            self._tagged({"lat": (1, 2, 3, "N"), "lon": (4, 5, 6, "E")})
+        )
+        # zero out the first latitude denominator (value 1, LE)
+        at = blob.index(_st.pack("<II", 1, 1) + _st.pack("<II", 2, 1))
+        _st.pack_into("<I", blob, at + 4, 0)
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="zero denominator"):
+            parse_exif(bytes(blob))
+
+    def test_untagged_file_has_no_gps_keys(self):
+        from pyiceberg_lakehouse_spark.operators.exif import parse_exif
+
+        m = parse_exif(self._tagged(None))
+        assert "gps_lat" not in m and "gps_tags" not in m
