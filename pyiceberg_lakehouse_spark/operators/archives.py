@@ -244,15 +244,28 @@ _EOCD64_SIG = b"PK\x06\x06"
 _EOCD64_LOC_SIG = b"PK\x06\x07"
 
 
-def make_zip(entries: list[dict], method: int = 8, zip64: bool = False) -> bytes:
+def make_zip(
+    entries: list[dict],
+    method: int = 8,
+    zip64: bool = False,
+    streaming: bool = False,
+) -> bytes:
     """entries: [{name, data}] -> zip bytes (method 0 stored or
     8 deflate). ``zip64`` emits the header FORM a >4 GiB archive is
     forced into — 0xFFFFFFFF/0xFFFF sentinels with the real values in
     per-entry 0x0001 extra fields and an EOCD64 record + locator — so
-    the reader's zip64 resolution is testable without 4 GiB of data."""
+    the reader's zip64 resolution is testable without 4 GiB of data.
+    ``streaming`` emits the one-pass-writer form (general-purpose flag
+    bit 3): crc/sizes ZEROED in the local header, the real values in a
+    PK\x07\x08 data descriptor after the data — jar/war and
+    pipe-written zips ship this; a central-directory reader must take
+    sizes from the CD, never the local header."""
     if method not in (0, 8):
         raise ValueError("zip method must be 0 (stored) or 8 (deflate)")
+    if streaming and zip64:
+        raise ValueError("streaming + zip64 form not emitted")
     ver = 45 if zip64 else 20
+    gpflag = 0x08 if streaming else 0
     locals_ = bytearray()
     cdir = bytearray()
     offsets = []
@@ -272,6 +285,14 @@ def make_zip(entries: list[dict], method: int = 8, zip64: bool = False) -> bytes
                 "<HHHHHIIIHH", ver, 0, method, 0, 0, crc,
                 0xFFFFFFFF, 0xFFFFFFFF, len(name), len(extra),
             ) + name + extra + blob
+        elif streaming:
+            locals_ += _LOCAL_SIG + struct.pack(
+                "<HHHHHIIIHH", ver, gpflag, method, 0, 0, 0, 0, 0,
+                len(name), 0,
+            ) + name + blob
+            locals_ += b"PK\x07\x08" + struct.pack(
+                "<III", crc, len(blob), len(data)
+            )
         else:
             locals_ += _LOCAL_SIG + struct.pack(
                 "<HHHHHIIIHH", ver, 0, method, 0, 0, crc, len(blob),
@@ -297,7 +318,7 @@ def make_zip(entries: list[dict], method: int = 8, zip64: bool = False) -> bytes
             ) + name + extra
         else:
             cdir += _CDIR_SIG + struct.pack(
-                "<HHHHHHIIIHHHHHII", ver, ver, 0, method, 0, 0, crc,
+                "<HHHHHHIIIHHHHHII", ver, ver, gpflag, method, 0, 0, crc,
                 len(blob), len(data), len(name), 0, 0, 0, 0, 0, off,
             ) + name
     out = bytes(locals_) + bytes(cdir)

@@ -5310,9 +5310,11 @@ def scan_warc_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scan_archive_entries",
     # Filter modulus 9 is coprime with the format (%2), entry-count
-    # (%5), zip-method (%3), zip64 (%7) and size knobs, so tar, both
-    # zip methods, and the classic + zip64 header forms are all live
-    # in the driver-hashed corpus.
+    # (%5), zip-method (%3), zip64 (%7), streaming (%11) and size
+    # knobs, so tar, both zip methods, the classic + zip64 header
+    # forms, AND the one-pass-writer data-descriptor form (flag bit 3,
+    # zeroed local sizes — sizes must come from the central directory)
+    # are all live in the driver-hashed corpus.
     """
     with base as (
       select doc_id, cast(doc_id as bigint) as d, 3 + doc_id % 5 as n
@@ -5327,7 +5329,8 @@ def scan_warc_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
                  from generate_series(0, 58) g(j)
                  where j < 20 + (d + 3*i) % 40) as bigint) as byte_sum,
            d % 2 = 1 and d % 3 != 0 as deflated,
-           d % 2 = 1 and d % 7 >= 4 as zip64
+           d % 2 = 1 and d % 7 >= 4 as zip64,
+           d % 2 = 1 and d % 7 < 4 and d % 11 < 4 as streaming
     from base, unnest(generate_series(0, 7)) u(i) where i < n
     """,
 )
@@ -5366,6 +5369,7 @@ def scan_archive_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("byte_sum", T.LongType()),
             T.StructField("deflated", T.BooleanType()),
             T.StructField("zip64", T.BooleanType()),
+            T.StructField("streaming", T.BooleanType()),
         ]
     )
     cols = [f.name for f in schema.fields]
@@ -5384,6 +5388,7 @@ def scan_archive_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(n)
                 ]
                 zip64 = False
+                streaming = False
                 if d % 2 == 0:
                     fmt = "tar"
                     parsed = _ar.parse_tar(_ar.make_tar(entries))
@@ -5392,8 +5397,12 @@ def scan_archive_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
                     fmt = "zip"
                     method = 0 if d % 3 == 0 else 8
                     zip64 = d % 7 >= 4
+                    streaming = not zip64 and d % 11 < 4
                     parsed = _ar.parse_zip(
-                        _ar.make_zip(entries, method=method, zip64=zip64)
+                        _ar.make_zip(
+                            entries, method=method, zip64=zip64,
+                            streaming=streaming,
+                        )
                     )
                     deflated = method == 8
                 for i, e in enumerate(parsed):
@@ -5401,7 +5410,7 @@ def scan_archive_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (
                             d, fmt, i, e["name"],
                             len(e["data"]), sum(e["data"]), deflated,
-                            zip64,
+                            zip64, streaming,
                         )
                     )
             out = pd.DataFrame(rows, columns=cols)

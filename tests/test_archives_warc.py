@@ -394,3 +394,41 @@ class TestContentEncoding:
             _decode_content_encoding(b"x", "br")
         with _pt.raises(ValueError, match="unknown Content-Encoding"):
             _decode_content_encoding(b"x", "sdch")
+
+
+class TestStreamingZip:
+    def test_data_descriptor_form_roundtrips(self):
+        from pyiceberg_lakehouse_spark.operators.archives import (
+            make_zip,
+            parse_zip,
+        )
+
+        entries = [
+            {"name": "a.txt", "data": b"alpha" * 40},
+            {"name": "b/c.bin", "data": bytes(range(200))},
+        ]
+        for method in (0, 8):
+            blob = make_zip(entries, method=method, streaming=True)
+            # local headers really carry zeroed crc/sizes
+            at = blob.index(b"PK\x03\x04")
+            import struct as _st
+
+            _v, flags, _m, _t, _d2, crc, cs, us = _st.unpack_from(
+                "<HHHHHIII", blob, at + 4
+            )
+            assert flags & 0x08 and crc == 0 and cs == 0 and us == 0
+            assert b"PK\x07\x08" in blob  # the data descriptor
+            parsed = parse_zip(blob)
+            assert [(e["name"], e["data"]) for e in parsed] == [
+                ("a.txt", b"alpha" * 40),
+                ("b/c.bin", bytes(range(200))),
+            ]
+
+    def test_streaming_zip64_not_emitted(self):
+        import pytest as _pt
+
+        from pyiceberg_lakehouse_spark.operators.archives import make_zip
+
+        with _pt.raises(ValueError, match="streaming"):
+            make_zip([{"name": "x", "data": b"y"}], zip64=True,
+                     streaming=True)

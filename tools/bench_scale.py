@@ -992,8 +992,10 @@ def bench_codecs(spark, b: Bench, tmp: str) -> None:
     so 10x docs must cost ~10x wall, never superlinear."""
     import pyiceberg_lakehouse_spark.operators.queries as q
     from pyiceberg_lakehouse_spark.operators.queries import (
+        multimodal_flac_decode,
         multimodal_tiff_lzw,
         multimodal_webp_decode,
+        text_pdf_extract,
     )
 
     for n in DOC_SCALES:
@@ -1011,6 +1013,21 @@ def bench_codecs(spark, b: Bench, tmp: str) -> None:
             b.run(
                 f"tiff_lzw_{tag}",
                 lambda: drain(multimodal_tiff_lzw(spark, "unused")),
+                reps=REPS,
+                warmup=True,
+            )
+            # r14 second wave: the PDF reader (both xref forms, ObjStm,
+            # /Prev chains) and the FLAC bitstream with MD5 verify —
+            # both pure map stages, same linear-or-better bar
+            b.run(
+                f"pdf_extract_{tag}",
+                lambda: drain(text_pdf_extract(spark, "unused")),
+                reps=REPS,
+                warmup=True,
+            )
+            b.run(
+                f"flac_decode_{tag}",
+                lambda: drain(multimodal_flac_decode(spark, "unused")),
                 reps=REPS,
                 warmup=True,
             )
@@ -1329,6 +1346,12 @@ def main() -> None:
             f"webp_decode_{t1}", f"webp_decode_{t2}"
         ),
         "tiff_lzw_growth_10x": ratio(f"tiff_lzw_{t1}", f"tiff_lzw_{t2}"),
+        "pdf_extract_growth_10x": ratio(
+            f"pdf_extract_{t1}", f"pdf_extract_{t2}"
+        ),
+        "flac_decode_growth_10x": ratio(
+            f"flac_decode_{t1}", f"flac_decode_{t2}"
+        ),
     }
     out = {
         "scale": SCALE,
