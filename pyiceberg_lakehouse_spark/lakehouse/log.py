@@ -124,7 +124,9 @@ class Snapshot:
     added_files: list[dict[str, Any]]  # {"path": str, "partition": {col: str}, "rows": int|None}
     removed_paths: list[str] = field(default_factory=list)  # for replace
     added_deletes: list[dict[str, Any]] = field(default_factory=list)
-    # ^ merge-on-read equality deletes: {"path", "key_cols", "snapshot_id"}
+    # ^ merge-on-read delete files: equality form {"path", "key_cols",
+    #   "snapshot_id"} or position form {"path", "kind": "position",
+    #   "snapshot_id"} — (file_path, pos) rows as _metadata reports them
     summary: dict[str, Any] = field(default_factory=dict)
 
     def to_json(self) -> dict[str, Any]:

@@ -816,6 +816,20 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
             f"table has branches {table.branches()}; purge after landing/"
             "dropping them"
         )
+    if any(
+        d.get("kind") == "position"
+        for s in log.snapshots
+        for d in s.added_deletes
+    ):
+        # purge rewrites data files in place — row ordinals SHIFT, so
+        # every position-delete file would silently point at the wrong
+        # rows afterward. Refusing is the only correct answer.
+        raise NotImplementedError(
+            "purge_rows with position-delete files in history: the "
+            "rewrite would shift the row ordinals they reference — "
+            "compact() (which materializes deletes) and expire_snapshots "
+            "first"
+        )
     # merge-on-read delete files hold the KEY VALUES of deleted rows — for
     # a keyed subject those values are exactly the PII being erased, so
     # they must be scrubbed too. That is only decidable when the predicate

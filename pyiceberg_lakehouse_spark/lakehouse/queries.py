@@ -173,6 +173,43 @@ def lh_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lh_delete_positions",
+    # The POSITION-delete read path: batch 1 (even keys) is appended,
+    # its 'F' rows are deleted by (file, row-ordinal) — no key column
+    # involved — then batch 2 (odd keys) appends AFTER the delete, so
+    # its 'F' rows must survive (sequence semantics). The oracle
+    # restates the surviving multiset closed-form.
+    f"""
+    select {ORDER_COLS} from orders
+    where o_orderkey % 2 = 0 and o_orderstatus <> 'F'
+    union all
+    select {ORDER_COLS} from orders where o_orderkey % 2 = 1
+    """,
+)
+def lh_delete_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read POSITION delete (the second Iceberg v2 delete-file
+    form, lakehouse/table.py delete_where_positions): matching rows are
+    identified by (data file, row ordinal) via Spark's native
+    ``_metadata.file_path``/``row_index`` — no key column required, so
+    keyless tables with legal duplicates delete exactly the physical
+    rows they mean to. Deleted metadata-only (no rewrite); the scan
+    anti-joins on the scan's own row identity; rows appended AFTER the
+    delete are visible even when identical (sequencing). ``compact``
+    materializes; ``purge_rows`` refuses while positions are pending
+    (ordinals would shift) — both pytest-pinned."""
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table(
+        "ns.orders_posdel", SCHEMAS["orders"],
+        partition_by=["o_orderstatus"],
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.delete_where_positions(F.col("o_orderstatus") == "F")
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    return t.scan().select(*[c.strip() for c in ORDER_COLS.split(",")])
+
+
+@register(
     "lh_sql_read",
     """
     select o_orderstatus, count(*) as n,

@@ -1045,6 +1045,46 @@ class LakehouseTable:
             summary={"key_cols": key_cols},
         )
 
+    def delete_where_positions(self, condition) -> Snapshot:
+        """Merge-on-read POSITION delete (the other Iceberg v2 delete-file
+        form): matching rows are identified by (data file, row ordinal) —
+        Spark's native ``_metadata.file_path``/``row_index`` — written to
+        a position-delete file, and committed metadata-only. NO data
+        rewrite, NO key columns required (works on tables with no natural
+        key, where ``delete_keys`` cannot).
+
+        Sequencing matches ``delete_keys``: the delete applies only to
+        data files committed strictly BEFORE it, so later appends —
+        including rows identical to deleted ones — stay visible.
+        ``compact()`` materializes position deletes away like equality
+        ones. ``purge_rows`` refuses while position deletes are pending
+        (a history rewrite would shift the ordinals they point at).
+        """
+        import uuid
+
+        files = self.log.live_files()
+        hits = (
+            self._read_files(files, with_pos=True)
+            .filter(condition)
+            .select(
+                F.col("__lh_fp").alias("file_path"),
+                F.col("__lh_pos").alias("pos"),
+            )
+        )
+        del_dir = os.path.join(
+            self.table_dir,
+            "deletes",
+            f"pd-{(self.log.current_snapshot_id() or 0) + 1}-{uuid.uuid4().hex[:8]}",
+        )
+        hits.write.mode("error").parquet(del_dir)
+        paths = sorted(_glob.glob(os.path.join(del_dir, "*.parquet")))
+        return self._commit(
+            "delete",
+            [],
+            added_deletes=[{"path": p, "kind": "position"} for p in paths],
+            summary={"kind": "position"},
+        )
+
     # ------------------------------------------------------------- reads --
 
     def scan(
@@ -1147,13 +1187,20 @@ class LakehouseTable:
             classes.setdefault(applicable, []).append(f)
         result = None
         for applicable, flist in sorted(classes.items()):
-            df = self._read_files(flist)
+            pos_paths = [
+                deletes[i]["path"]
+                for i in applicable
+                if deletes[i].get("kind") == "position"
+            ]
+            df = self._read_files(flist, with_pos=bool(pos_paths))
             # delete files carry the key column names AS OF their commit; a
             # later rename_column means the anti-join key must be mapped
             # forward to the current schema (hist name in the file, current
             # name in df) — group by both so unrenamed tables batch as before
             by_keys: dict[tuple, list[str]] = {}
             for i in applicable:
+                if deletes[i].get("kind") == "position":
+                    continue
                 hist = tuple(deletes[i]["key_cols"])
                 cur = tuple(self._forward_names(list(hist), deletes[i]["snapshot_id"]))
                 by_keys.setdefault((hist, cur), []).append(deletes[i]["path"])
@@ -1166,6 +1213,21 @@ class LakehouseTable:
                     .distinct()
                 )
                 df = df.join(dkeys, on=list(cur), how="left_anti")
+            if pos_paths:
+                # position deletes: anti-join on the scan's own row
+                # identity — (file path, ordinal) as Spark's _metadata
+                # reports them, stored verbatim by delete_where_positions
+                dpos = (
+                    self.spark.read.parquet(*pos_paths)
+                    .select(
+                        F.col("file_path").alias("__lh_fp"),
+                        F.col("pos").alias("__lh_pos"),
+                    )
+                    .distinct()
+                )
+                df = df.join(
+                    dpos, on=["__lh_fp", "__lh_pos"], how="left_anti"
+                ).drop("__lh_fp", "__lh_pos")
             result = df if result is None else result.unionByName(df)
         return result if result is not None else self._read_files(files)
 
@@ -1664,7 +1726,9 @@ class LakehouseTable:
             for p in sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
         ]
 
-    def _read_files(self, files: list[dict[str, Any]]) -> DataFrame:
+    def _read_files(
+        self, files: list[dict[str, Any]], with_pos: bool = False
+    ) -> DataFrame:
         """File-list read. Hive-layout files go through one scan with
         basePath (Spark re-derives partition columns); metadata-only files
         (add_files/flat layout) get partition columns attached from the log.
@@ -1673,10 +1737,21 @@ class LakehouseTable:
         snapshot they were added in, read under their HISTORICAL column
         names, and aliased forward — rename-without-rewrite. With no
         renames the grouping collapses and the original single-scan paths
-        apply unchanged."""
+        apply unchanged.
+
+        ``with_pos`` appends ``__lh_fp``/``__lh_pos`` (Spark's native
+        ``_metadata.file_path`` / ``_metadata.row_index``) to every leaf
+        scan — the row identity POSITION deletes anti-join on. The columns
+        ride from the scan itself, so they survive every epoch/partition
+        grouping above."""
         schema = self.schema()
         if not files:
-            return self.spark.createDataFrame([], schema)
+            empty = self.spark.createDataFrame([], schema)
+            if with_pos:
+                empty = empty.withColumn(
+                    "__lh_fp", F.lit(None).cast("string")
+                ).withColumn("__lh_pos", F.lit(None).cast("bigint"))
+            return empty
         has_renames = bool(self._rename_events())
         events = self._column_events()
         dropped = {n for _, op, n in events if op == "drop"}
@@ -1691,16 +1766,27 @@ class LakehouseTable:
         def nulls_for(added_in: int) -> set:
             return self._readded_null_cols(added_in) if has_readds else set()
 
+        def attach(df: DataFrame) -> DataFrame:
+            if not with_pos:
+                return df
+            return df.withColumn(
+                "__lh_fp", F.col("_metadata.file_path")
+            ).withColumn("__lh_pos", F.col("_metadata.row_index"))
+
         def conform(
             df: DataFrame, hist: dict[str, str], nulls: set = frozenset()
         ) -> DataFrame:
+            extra = (
+                [F.col("__lh_fp"), F.col("__lh_pos")] if with_pos else []
+            )
             return df.select(
                 *[
                     F.lit(None).cast(f.dataType).alias(f.name)
                     if f.name in nulls
                     else F.col(hist.get(f.name, f.name)).cast(f.dataType).alias(f.name)
                     for f in schema.fields
-                ]
+                ],
+                *extra,
             )
 
         parts = self.partition_names
@@ -1723,7 +1809,11 @@ class LakehouseTable:
                 )
                 dfs.append(
                     conform(
-                        self.spark.read.schema(read_schema).parquet(*paths),
+                        attach(
+                            self.spark.read.schema(read_schema).parquet(
+                                *paths
+                            )
+                        ),
                         hist,
                         nulls_for(epoch),
                     )
@@ -1752,7 +1842,7 @@ class LakehouseTable:
                         for f in self._data_schema().fields
                     ]
                 )
-                df = (
+                df = attach(
                     self.spark.read.schema(read_schema)
                     .option("basePath", os.path.join(self.table_dir, "data", commit))
                     .parquet(*[f["path"] for f in group])
@@ -1791,8 +1881,10 @@ class LakehouseTable:
                         for f in self._data_schema().fields
                     ]
                 )
-                df = self.spark.read.schema(read_schema).parquet(
-                    *[f["path"] for f in group]
+                df = attach(
+                    self.spark.read.schema(read_schema).parquet(
+                        *[f["path"] for f in group]
+                    )
                 )
                 # only identity partition values materialize as columns;
                 # transform sources already live in the data files
