@@ -111,7 +111,21 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # keeps anti + session windows), and multimodal_tiff_tiled (the §15
 # tiled layout with per-tile predictor restart, closed-form value-sum
 # + grid-count oracle) for multimodal_mp4_multitrack's slot (MP4
-# stays driver-covered by the held fragmented + subtitle rows).
+# stays driver-covered by the held fragmented + subtitle rows). The
+# third wave added multimodal_tiff_bilevel (for lh_neardup_probe_batch's
+# slot — the near-dup family keeps stream_lh_neardup) and
+# scan_sitemap_urls (for stream_lh_change_feed's slot — the CDF family
+# keeps lh_cdf_feed). Four further NEW oracle-checkable r14 queries
+# could not be seated without displacing a family's last driver row
+# and are queued for the r15 rotation, all local-verified now:
+# text_html_metadata, scan_orc_roundtrip, text_charset_decode,
+# lh_delete_positions. Additionally, four held rows' constructions
+# extended IN PLACE this wave (their r14 driver rows hash the
+# extended oracles): scan_warc_responses (+Content-Encoding gzip/
+# deflate/raw-deflate, chunked-over-compressed), scan_archive_entries
+# (+streaming data-descriptor zips), multimodal_mp3_id3 (+v2.4
+# per-frame unsync/DLI/footer), multimodal_exif_extract (+GPS decimal
+# degrees).
 #
 # Round-13 rotation (standing no-tail principle). Rotates IN the three
 # oracle-checkable queries written after the r12 window froze — the IMA
