@@ -583,3 +583,83 @@ def events_funnel_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("signup_to_purchase"),
         )
     )
+
+
+@register(
+    "fn_variant_extract",
+    # Spark 4's VARIANT type over semi-structured event payloads — the
+    # real training-data shape (API logs, telemetry): parse_json ->
+    # variant_get path extraction with typed casts, nested objects,
+    # array indexing, the present-null vs absent distinction
+    # (is_variant_null), and malformed rows degrading to NULLs via
+    # try_parse_json instead of failing the job. Pure JVM — no Python
+    # evaluator. The oracle restates every extracted value closed-form
+    # from the construction. Filter modulus 13 residue 8.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             doc_id % 6 <> 5 as valid
+      from documents where doc_id % 13 = 8
+    )
+    select doc_id,
+      case when valid then d end as user_id,
+      case when valid then 'u-' || (d % 7) end as user_name,
+      case when valid then 'b-' || (d % 5) end as tag1,
+      case when valid then cast(d % 7 as double) + 0.25 end as score,
+      case when valid then cast(d % 50 as integer) end as cnt,
+      cast(case when valid then case when d % 2 = 0 then 1 else 0 end
+           end as integer) as flag,
+      valid and d % 4 = 0 as extra_is_null,
+      valid
+    from base
+    """,
+)
+def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction on Spark 4's native VARIANT type —
+    the engine-level path for event/API payloads a training pipeline
+    ingests: per doc, synthesize a JSON event (nested user object,
+    tag array, decimal metric, a present-null vs absent 'extra'
+    field, a boolean, and every sixth row MALFORMED), parse with
+    try_parse_json (hostile rows become NULL variants, never job
+    failures), extract typed fields with variant_get JSON paths
+    (nested access, array index) and pin the present-null/absent
+    distinction via is_variant_null. All JVM-side Column expressions;
+    the oracle restates every value closed-form."""
+    d = F.col("doc_id")
+    j = F.when(d % 6 == 5, F.lit("not json{{")).otherwise(
+        F.concat(
+            F.lit('{"user": {"id": '), d,
+            F.lit(', "name": "u-'), d % 7,
+            F.lit('"}, "tags": ["a-'), d % 3,
+            F.lit('", "b-'), d % 5,
+            F.lit('", "c"], "metrics": {"score": '), d % 7,
+            F.lit('.25, "count": '), d % 50,
+            F.lit("}"),
+            F.when(d % 4 == 0, F.lit(', "extra": null')).otherwise(
+                F.lit("")
+            ),
+            F.lit(', "flag": '),
+            F.when(d % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+            F.lit("}"),
+        )
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(d % 13 == 8)
+        .select("doc_id", F.try_parse_json(j).alias("v"))
+        .select(
+            "doc_id",
+            F.variant_get("v", "$.user.id", "bigint").alias("user_id"),
+            F.variant_get("v", "$.user.name", "string").alias("user_name"),
+            F.variant_get("v", "$.tags[1]", "string").alias("tag1"),
+            F.variant_get("v", "$.metrics.score", "double").alias("score"),
+            F.variant_get("v", "$.metrics.count", "int").alias("cnt"),
+            F.variant_get("v", "$.flag", "boolean")
+            .cast("int")
+            .alias("flag"),
+            F.is_variant_null(
+                F.variant_get("v", "$.extra", "variant")
+            ).alias("extra_is_null"),
+            F.col("v").isNotNull().alias("valid"),
+        )
+    )
