@@ -2923,6 +2923,169 @@ def multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mkv_probe",
+    # The Matroska/WebM (EBML) container probe — modern web video:
+    # per doc a deterministic file cycles doc types, VP8/VP9/AV1 video
+    # codec ids, Opus/Vorbis audio (absent every fourth doc — NULL
+    # audio columns), explicit vs spec-default ('eng') language, the
+    # streamed unknown-Segment-size form, cluster counts and a
+    # 16-byte SegmentUUID the oracle rebuilds hex-digit by hex-digit.
+    # duration_s is exact: ticks*scale/1e9 is integer-valued and every
+    # float step is exact, so the oracle states the integer double.
+    # Filter modulus 13 residue 9.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             doc_id % 4 != 1 as has_audio
+      from documents where doc_id % 13 = 9
+    ),
+    uuid as (
+      select doc_id,
+             lower(string_agg(lpad(to_hex((d*7 + i) % 256), 2, '0'),
+                              '' order by i)) as uuid_hex
+      from base, unnest(generate_series(0, 15)) g(i)
+      group by doc_id
+    )
+    select b.doc_id,
+      case when b.d % 2 = 0 then 'webm' else 'matroska' end as doc_type,
+      cast(1 + b.d % 60 as double) as duration_s,
+      cast(1000000 as bigint) as timestamp_scale,
+      cast(case when b.has_audio then 2 else 1 end as integer) as n_tracks,
+      case cast(b.d % 3 as integer) when 0 then 'V_VP8'
+           when 1 then 'V_VP9' else 'V_AV01' end as video_codec,
+      cast(16 * (2 + b.d % 40) as integer) as width,
+      cast(16 * (1 + b.d % 30) as integer) as height,
+      'eng' as video_language,
+      case when b.has_audio then
+        case when b.d % 2 = 0 then 'A_OPUS' else 'A_VORBIS' end
+      end as audio_codec,
+      case when b.has_audio then
+        case cast(b.d % 3 as integer) when 0 then 'eng'
+             when 1 then 'fre' else 'deu' end
+      end as audio_language,
+      case when b.has_audio
+           then cast(1 + b.d % 2 as integer) end as channels,
+      case when b.has_audio then
+        case when b.d % 2 = 0 then cast(48000 as double)
+             else cast(44100 as double) end
+      end as sampling_hz,
+      cast(b.d % 5 as integer) as n_clusters,
+      b.d % 6 = 2 as streamed,
+      u.uuid_hex
+    from base b join uuid u using (doc_id)
+    """,
+)
+def multimodal_mkv_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska/WebM container probe (operators/ebml.py) — modern web
+    video's container, the curation-filter fields a video crawl needs
+    before any codec runs: per doc, write a deterministic EBML file
+    (real VINTs for ids and sizes, the streamed all-ones
+    unknown-Segment-size form cycling, an unknown element planted in
+    every TrackEntry so the forward-compatibility skip is
+    load-bearing) and probe it back — doc type, duration through the
+    TimestampScale arithmetic, video dims + codec id, audio
+    rate/channels, explicit vs spec-default language, cluster count,
+    SegmentUUID. The oracle restates every field closed-form. Codec
+    payloads (VP8/VP9/AV1/Opus frames) honestly out of scope — the
+    demux-probe layer, same split as MP4/Ogg. Arrow-batched
+    mapInPandas, map-only."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import ebml as _ebml
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 9)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("doc_type", T.StringType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("timestamp_scale", T.LongType()),
+            T.StructField("n_tracks", T.IntegerType()),
+            T.StructField("video_codec", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("video_language", T.StringType()),
+            T.StructField("audio_codec", T.StringType()),
+            T.StructField("audio_language", T.StringType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("sampling_hz", T.DoubleType()),
+            T.StructField("n_clusters", T.IntegerType()),
+            T.StructField("streamed", T.BooleanType()),
+            T.StructField("uuid_hex", T.StringType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                has_audio = d % 4 != 1
+                tracks = [
+                    {
+                        "number": 1, "type": "video",
+                        "codec_id": ["V_VP8", "V_VP9", "V_AV01"][d % 3],
+                        "width": 16 * (2 + d % 40),
+                        "height": 16 * (1 + d % 30),
+                    }
+                ]
+                if has_audio:
+                    tracks.append(
+                        {
+                            "number": 2, "type": "audio",
+                            "codec_id": "A_OPUS" if d % 2 == 0
+                            else "A_VORBIS",
+                            "language": ["eng", "fre", "deu"][d % 3],
+                            "sampling_frequency": 48000.0
+                            if d % 2 == 0 else 44100.0,
+                            "channels": 1 + d % 2,
+                            "bit_depth": 16,
+                        }
+                    )
+                blob = _ebml.make_matroska(
+                    doc_type="webm" if d % 2 == 0 else "matroska",
+                    duration=float(1000 * (1 + d % 60)),
+                    muxing_app=f"mux-{d % 9}",
+                    writing_app=f"wri-{d % 11}",
+                    tracks=tracks,
+                    n_clusters=d % 5,
+                    unknown_segment_size=d % 6 == 2,
+                    segment_uuid=bytes((d * 7 + i) % 256 for i in range(16)),
+                )
+                r = _ebml.probe_matroska(blob)
+                video = r["tracks"][0]
+                audio = r["tracks"][1] if len(r["tracks"]) > 1 else {}
+                rows.append(
+                    (
+                        d, r["doc_type"], r["duration_s"],
+                        r["timestamp_scale"], len(r["tracks"]),
+                        video["codec_id"], video["width"],
+                        video["height"], video["language"],
+                        audio.get("codec_id"), audio.get("language"),
+                        audio.get("channels"),
+                        audio.get("sampling_frequency"),
+                        r["n_clusters"], r["unknown_segment_size"],
+                        r["segment_uuid"],
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname in ("n_tracks", "width", "height", "n_clusters"):
+                out[cname] = out[cname].astype("int32")
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["timestamp_scale"] = out["timestamp_scale"].astype("int64")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "multimodal_tiff_bilevel",
     # The fax/scanned-page depth: BitsPerSample 1, rows bit-packed
     # MSB-first padded per row, BOTH photometrics (0 WhiteIsZero — the
