@@ -4815,6 +4815,120 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_ass_cues",
+    # SSA/ASS — the fansub/anime-corpus subtitle format: Format-driven
+    # field order (an extra nonstandard column cycles in so positional
+    # hardcoding would misread), override-tag stripping, \\N line
+    # breaks + \\h hard spaces, drawing-mode payload DROPPED, commas
+    # absorbed by the final Text field, centisecond timestamps. The
+    # oracle states the stripped STRING itself closed-form. Filter
+    # modulus 13 residue 10.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d, 2 + doc_id % 4 as nc
+      from documents where doc_id % 13 = 10
+    )
+    select doc_id,
+      cast(i as integer) as cue_idx,
+      cast(1000*i + 10*(d % 100) as bigint) as start_ms,
+      cast(1000*i + 10*(d % 100) + 500 + 10*(d % 50) as bigint) as end_ms,
+      case when i % 2 = 0 then 'Main' else 'Alt' end as style,
+      'spk-' || ((d + i) % 5) as name,
+      case when i = 1
+           then 'draw-' || d || ' end'
+           else 'line-' || d || '-' || i || chr(10)
+                || 'part, two ' || (d % 7) end as text
+    from base, unnest(generate_series(0, 5)) g(i) where i < nc
+    """,
+)
+def text_ass_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSA/ASS subtitle extraction (operators/subtitles.py parse_ass) —
+    the fansub format anime/video corpora ship: per doc, write an ASS
+    script whose [Events] Format line declares the field order (a
+    nonstandard extra column cycling in on every third doc, so the
+    Format-DRIVEN parse is load-bearing), with override tags
+    ({\\b1}..{\\b0}) to strip, \\N breaks, a comma inside the Text
+    field (absorbed by the last-field rule), and one DRAWING cue per
+    doc ({\\p1} vector payload {\\p0}) whose path commands must be
+    dropped, not emitted as text. Parse it back and report the cue
+    rows; the oracle states every stripped string and centisecond
+    timestamp closed-form. Arrow-batched mapInPandas, map-only."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import subtitles as _sub
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 10)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("cue_idx", T.IntegerType()),
+            T.StructField("start_ms", T.LongType()),
+            T.StructField("end_ms", T.LongType()),
+            T.StructField("style", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nc = 2 + d % 4
+                cues = []
+                for i in range(nc):
+                    start = 1000 * i + 10 * (d % 100)
+                    end = start + 500 + 10 * (d % 50)
+                    if i == 1:
+                        raw = (
+                            f"draw-{d} {{\\p1}}m 0 0 l 10 0{{\\p0}}end"
+                        )
+                    else:
+                        raw = (
+                            f"{{\\b1}}line-{d}-{i}{{\\b0}}\\N"
+                            f"part, two {d % 7}"
+                        )
+                    cues.append(
+                        {
+                            "start_ms": start, "end_ms": end,
+                            "style": "Main" if i % 2 == 0 else "Alt",
+                            "name": f"spk-{(d + i) % 5}",
+                            "text": raw,
+                        }
+                    )
+                script = _sub.make_ass(
+                    cues,
+                    title=f"doc {d}",
+                    styles=["Main", "Alt"],
+                    extra_event_field=d % 3 == 0,
+                )
+                parsed = _sub.parse_ass(script)
+                for i, c in enumerate(parsed["cues"]):
+                    rows.append(
+                        (
+                            d, i, c["start_ms"], c["end_ms"],
+                            c["style"], c["name"], c["text"],
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["cue_idx"] = out["cue_idx"].astype("int32")
+            for cname in ("start_ms", "end_ms"):
+                out[cname] = out[cname].astype("int64")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "text_pdf_extract",
     # The oracle states the EXTRACTED TEXT itself closed-form, plus the
     # structural features a parser cannot fake: page count across the

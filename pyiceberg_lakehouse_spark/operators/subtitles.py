@@ -225,3 +225,169 @@ def mp4_text_cues(tracks: list[dict], timescale_default: int = 1000) -> list[dic
                 }
             )
     return cues
+
+
+# ------------------------------------------------------------- SSA/ASS ---
+# Advanced SubStation Alpha — the fansub/anime-corpus subtitle format.
+# An INI-shaped file: [Script Info] metadata, [V4+ Styles] with a
+# Format: line naming the style columns, [Events] with a Format: line
+# naming the event columns and Dialogue: rows whose LAST declared
+# field (Text) may itself contain commas. Text carries override tags
+# in braces ({\b1}, {\pos(10,20)}...) which strip for curation, \N
+# and \n soft/hard line breaks (-> '\n'), \h hard spaces (-> ' '),
+# and drawing-mode runs ({\p1}...{\p0}, vector art not prose) whose
+# payload must be DROPPED, not emitted as text.
+
+
+def _ass_ms(ts: str) -> int:
+    """H:MM:SS.cc (centiseconds) -> milliseconds; strict."""
+    m = re.fullmatch(r"(\d+):([0-5]\d):([0-5]\d)\.(\d\d)", ts.strip())
+    if not m:
+        raise ValueError(f"bad ASS timestamp {ts!r}")
+    h, mi, s, cc = (int(g) for g in m.groups())
+    return ((h * 60 + mi) * 60 + s) * 1000 + cc * 10
+
+
+def ass_strip_text(text: str) -> str:
+    """Strip override tags / drawing runs; decode \\N/\\n/\\h."""
+    out = []
+    drawing = False
+    pos = 0
+    n = len(text)
+    while pos < n:
+        ch = text[pos]
+        if ch == "{":
+            end = text.find("}", pos + 1)
+            if end < 0:
+                raise ValueError("unterminated ASS override block")
+            block = text[pos + 1 : end]
+            # drawing mode toggles via \p<digit>; \p0 ends it
+            for m in re.finditer(r"\\p(\d+)", block):
+                drawing = m.group(1) != "0"
+            pos = end + 1
+            continue
+        if drawing:
+            pos += 1
+            continue
+        if ch == "\\" and pos + 1 < n and text[pos + 1] in "Nnh":
+            out.append("\n" if text[pos + 1] in "Nn" else " ")
+            pos += 2
+            continue
+        out.append(ch)
+        pos += 1
+    return "".join(out)
+
+
+def parse_ass(text: str) -> dict:
+    """-> {info: {key: value}, styles: [style names], cues: [{start_ms,
+    end_ms, style, name, text (stripped), raw_text}]}.
+
+    Field order comes from each section's own ``Format:`` line (the
+    format is self-describing; hardcoding the default order misreads
+    files with extra columns). The Text field is the LAST declared
+    field and absorbs all remaining commas. Comment: lines and unknown
+    sections skip. Missing [Events] or a Dialogue row with fewer
+    fields than the Format declares raises."""
+    info: dict[str, str] = {}
+    styles: list[str] = []
+    cues: list[dict] = []
+    section = ""
+    ev_fields: list[str] | None = None
+    st_fields: list[str] | None = None
+    for raw in text.splitlines():
+        line = raw.strip().lstrip("\ufeff")
+        if not line or line.startswith(";"):
+            continue
+        if line.startswith("[") and line.endswith("]"):
+            section = line[1:-1].strip().lower()
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if section == "script info":
+            if key:
+                info[key] = val
+        elif section in ("v4+ styles", "v4 styles"):
+            if key == "format":
+                st_fields = [f.strip().lower() for f in val.split(",")]
+            elif key == "style":
+                if st_fields is None:
+                    raise ValueError("Style: before its Format: line")
+                vals = val.split(",", len(st_fields) - 1)
+                styles.append(vals[st_fields.index("name")].strip())
+        elif section == "events":
+            if key == "format":
+                ev_fields = [f.strip().lower() for f in val.split(",")]
+                if ev_fields[-1] != "text":
+                    raise ValueError(
+                        "ASS Events Format must end with Text "
+                        "(it absorbs trailing commas)"
+                    )
+            elif key == "dialogue":
+                if ev_fields is None:
+                    raise ValueError("Dialogue: before its Format: line")
+                vals = val.split(",", len(ev_fields) - 1)
+                if len(vals) < len(ev_fields):
+                    raise ValueError(
+                        f"Dialogue with {len(vals)} fields; Format "
+                        f"declares {len(ev_fields)}"
+                    )
+                row = dict(zip(ev_fields, vals))
+                raw_text = row["text"]
+                cues.append(
+                    {
+                        "start_ms": _ass_ms(row["start"]),
+                        "end_ms": _ass_ms(row["end"]),
+                        "style": row.get("style", "").strip(),
+                        "name": row.get("name", "").strip(),
+                        "text": ass_strip_text(raw_text),
+                        "raw_text": raw_text,
+                    }
+                )
+            # Comment:/Picture:/Sound: rows skip
+    if ev_fields is None:
+        raise ValueError("ASS file without an [Events] section")
+    return {"info": info, "styles": styles, "cues": cues}
+
+
+def make_ass(
+    cues: list[dict],
+    title: str = "t",
+    styles: list[str] | None = None,
+    extra_event_field: bool = False,
+) -> str:
+    """Deterministic ASS writer for oracle constructions. ``cues``:
+    [{start_ms, end_ms, style?, name?, text (RAW, may carry override
+    tags)}]. ``extra_event_field`` inserts a nonstandard column before
+    Text so the Format-driven parse is load-bearing."""
+
+    def ts(ms: int) -> str:
+        cc = (ms // 10) % 100
+        s = ms // 1000
+        return f"{s // 3600}:{(s // 60) % 60:02d}:{s % 60:02d}.{cc:02d}"
+
+    out = [
+        "[Script Info]",
+        f"Title: {title}",
+        "ScriptType: v4.00+",
+        "",
+        "[V4+ Styles]",
+        "Format: Name, Fontname, Fontsize",
+    ]
+    for s in styles or ["Default"]:
+        out.append(f"Style: {s},Arial,20")
+    out += ["", "[Events]"]
+    fields = "Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, "
+    if extra_event_field:
+        fields += "Custom, "
+    out.append("Format: " + fields + "Text")
+    for c in cues:
+        row = (
+            f"Dialogue: 0,{ts(c['start_ms'])},{ts(c['end_ms'])},"
+            f"{c.get('style', 'Default')},{c.get('name', '')},0,0,0,,"
+        )
+        if extra_event_field:
+            row += "x,"
+        row += c["text"]
+        out.append(row)
+    return "\n".join(out) + "\n"

@@ -122,3 +122,72 @@ def test_mp4_text_cue_routing():
         (0, 700, "one"), (700, 1400, "two"), (1400, 1400, "three"),
     ]
     assert all(c["track_id"] == 2 for c in cues)
+
+
+class TestAss:
+    """SSA/ASS (r14): Format-driven fields, override strip, drawing."""
+
+    def test_format_driven_field_order(self):
+        from pyiceberg_lakehouse_spark.operators.subtitles import (
+            make_ass,
+            parse_ass,
+        )
+
+        cues = [{"start_ms": 0, "end_ms": 1000, "text": "a,b"}]
+        for extra in (False, True):
+            r = parse_ass(make_ass(cues, extra_event_field=extra))
+            assert r["cues"][0]["text"] == "a,b"
+
+    def test_override_strip_breaks_and_hard_space(self):
+        from pyiceberg_lakehouse_spark.operators.subtitles import (
+            ass_strip_text,
+        )
+
+        assert (
+            ass_strip_text(r"{\b1}Hi{\b0}\Nthere\hx")
+            == "Hi\nthere x"
+        )
+
+    def test_drawing_payload_dropped(self):
+        from pyiceberg_lakehouse_spark.operators.subtitles import (
+            ass_strip_text,
+        )
+
+        assert (
+            ass_strip_text(r"pre {\p1}m 0 0 l 9 9 b 1 2 3{\p0}post")
+            == "pre post"
+        )
+
+    def test_comment_rows_and_unknown_sections_skip(self):
+        from pyiceberg_lakehouse_spark.operators.subtitles import (
+            parse_ass,
+        )
+
+        r = parse_ass(
+            "[Script Info]\nTitle: x\n\n[Fonts]\njunk: y\n\n[Events]\n"
+            "Format: Layer, Start, End, Text\n"
+            "Comment: 0,0:00:00.00,0:00:01.00,hidden\n"
+            "Dialogue: 0,0:00:00.00,0:00:01.50,shown\n"
+        )
+        assert [c["text"] for c in r["cues"]] == ["shown"]
+        assert r["cues"][0]["end_ms"] == 1500
+
+    def test_hostile_inputs_raise(self):
+        import pytest as _pt
+
+        from pyiceberg_lakehouse_spark.operators.subtitles import (
+            ass_strip_text,
+            parse_ass,
+        )
+
+        with _pt.raises(ValueError, match="Events"):
+            parse_ass("[Script Info]\nTitle: x\n")
+        with _pt.raises(ValueError, match="before its Format"):
+            parse_ass("[Events]\nDialogue: 0,0:00:00.00,0:00:01.00,x\n")
+        with _pt.raises(ValueError, match="unterminated"):
+            ass_strip_text("{\\b1 oops")
+        with _pt.raises(ValueError, match="timestamp"):
+            parse_ass(
+                "[Events]\nFormat: Start, End, Text\n"
+                "Dialogue: 0:00:60.00,0:00:61.00,x\n"
+            )
