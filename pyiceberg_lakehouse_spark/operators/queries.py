@@ -4815,6 +4815,223 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_epub_extract",
+    # EPUB = the engine's own layers composed: zip explosion (the
+    # streaming data-descriptor form cycling) -> container.xml ->
+    # OPF manifest/spine (real namespace-aware XML) -> per-chapter
+    # HTML extraction. The zip stores chapters in REVERSED order on
+    # even docs while the spine keeps reading order — the oracle's
+    # chapter sequence proves the SPINE wins, not zip order. The
+    # extracted STRING is stated closed-form. Filter modulus 13
+    # residue 1.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d, 1 + doc_id % 3 as ncs
+      from documents where doc_id % 13 = 1
+    ),
+    chapters as (
+      select doc_id, string_agg(
+        'Ch ' || d || '-' || i || chr(10) || 'Ch ' || d || '-' || i
+        || chr(10) || 'para ' || d || '-' || i || '-0 & co'
+        || chr(10) || 'para ' || d || '-' || i || '-1 & co',
+        chr(12) order by i) as text
+      from base, unnest(generate_series(0, 2)) g(i) where i < ncs
+      group by doc_id
+    )
+    select b.doc_id,
+      'Book ' || (b.d % 9) as title,
+      'Auth ' || (b.d % 7) as creator,
+      case cast(b.d % 3 as integer) when 0 then 'en'
+           when 1 then 'de' else 'fr' end as language,
+      cast(b.ncs as integer) as n_chapters,
+      cast(3 + b.ncs as integer) as n_entries,
+      c.text,
+      cast(length(c.text) as integer) as n_chars
+    from base b join chapters c using (doc_id)
+    """,
+)
+def text_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB -> text (operators/office.py) — the ebook-corpus path,
+    composing the engine's own layers end to end: per doc, build an
+    EPUB (mimetype + container.xml + OPF manifest/spine + XHTML
+    chapters, chapter files stored in REVERSED zip order on even docs
+    and in the streaming data-descriptor zip form on every fifth),
+    explode the zip, resolve the package through real namespace-aware
+    XML, walk the SPINE (reading order — a reader using zip order
+    shuffles the book, and the oracle's chapter sequence would catch
+    it), and extract each chapter through the deterministic HTML
+    extractor. The oracle states the joined text closed-form.
+    Arrow-batched mapInPandas, map-only."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import office as _off
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 1)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("creator", T.StringType()),
+            T.StructField("language", T.StringType()),
+            T.StructField("n_chapters", T.IntegerType()),
+            T.StructField("n_entries", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ncs = 1 + d % 3
+                chapters = [
+                    (
+                        f"Ch {d}-{i}",
+                        [
+                            f"para {d}-{i}-0 &amp; co",
+                            f"para {d}-{i}-1 &amp; co",
+                        ],
+                    )
+                    for i in range(ncs)
+                ]
+                blob = _off.make_epub(
+                    f"Book {d % 9}",
+                    f"Auth {d % 7}",
+                    ["en", "de", "fr"][d % 3],
+                    chapters,
+                    shuffle_zip_order=d % 2 == 0,
+                    streaming_zip=d % 5 < 2,
+                )
+                r = _off.extract_epub(blob)
+                rows.append(
+                    (
+                        d, r["title"], r["creator"], r["language"],
+                        len(r["chapters"]), r["n_entries"],
+                        r["text"], len(r["text"]),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            for cname in ("n_chapters", "n_entries", "n_chars"):
+                out[cname] = out[cname].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "text_docx_extract",
+    # DOCX (OOXML): word/document.xml paragraphs with styles, run
+    # concatenation, <w:br/> -> newline, <w:tab/> -> tab, XML-escaped
+    # text, and docProps/core.xml metadata — parsed with a real
+    # namespace-aware XML walk over the exploded zip. The oracle
+    # states the extracted STRING closed-form. Filter modulus 13
+    # residue 12.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d, 2 + doc_id % 4 as np
+      from documents where doc_id % 13 = 12
+    ),
+    paras as (
+      select doc_id, string_agg(
+        'line ' || d || '-' || j || chr(10) || 'cont ' || (d % 5)
+        || chr(9) || 'end & ' || (d % 7),
+        chr(10) order by j) as text
+      from base, unnest(generate_series(0, 5)) g(j) where j < np
+      group by doc_id
+    )
+    select b.doc_id,
+      'Doc ' || (b.d % 11) as title,
+      'Auth ' || (b.d % 5) as creator,
+      cast(b.np as integer) as n_paragraphs,
+      'Heading1' as first_style,
+      p.text,
+      cast(length(p.text) as integer) as n_chars
+    from base b join paras p using (doc_id)
+    """,
+)
+def text_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX -> text (operators/office.py) — the office-document path:
+    per doc, build an OOXML package (word/document.xml with styled
+    paragraphs, multi-run text, <w:br/> and <w:tab/> inside runs,
+    XML-escaped ampersands, docProps/core.xml metadata), explode the
+    zip and extract with a namespace-aware XML walk. The oracle
+    states paragraph styles and the joined text closed-form.
+    Arrow-batched mapInPandas, map-only."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import office as _off
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 12)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("creator", T.StringType()),
+            T.StructField("n_paragraphs", T.IntegerType()),
+            T.StructField("first_style", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                np_ = 2 + d % 4
+                paragraphs = [
+                    (
+                        "Heading1" if j == 0 else None,
+                        [
+                            f"line {d}-{j}",
+                            None,
+                            f"cont {d % 5}",
+                            "\t",
+                            f"end & {d % 7}",
+                        ],
+                    )
+                    for j in range(np_)
+                ]
+                blob = _off.make_docx(
+                    f"Doc {d % 11}", f"Auth {d % 5}", paragraphs
+                )
+                r = _off.extract_docx(blob)
+                rows.append(
+                    (
+                        d, r["title"], r["creator"],
+                        len(r["paragraphs"]),
+                        r["paragraphs"][0]["style"],
+                        r["text"], len(r["text"]),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            for cname in ("n_paragraphs", "n_chars"):
+                out[cname] = out[cname].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "text_ass_cues",
     # SSA/ASS — the fansub/anime-corpus subtitle format: Format-driven
     # field order (an extra nonstandard column cycles in so positional

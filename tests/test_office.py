@@ -1,0 +1,94 @@
+"""EPUB/DOCX extraction pins: spine order, namespaces, gates."""
+
+import pytest
+
+from pyiceberg_lakehouse_spark.operators.office import (
+    extract_docx,
+    extract_epub,
+    make_docx,
+    make_epub,
+)
+
+
+class TestEpub:
+    def test_spine_order_beats_zip_order(self):
+        chapters = [("First", ["a"]), ("Second", ["b"]), ("Third", ["c"])]
+        for shuffle in (False, True):
+            r = extract_epub(
+                make_epub("T", "A", "en", chapters,
+                          shuffle_zip_order=shuffle)
+            )
+            assert [c["title"] for c in r["chapters"]] == [
+                "First", "Second", "Third",
+            ], f"shuffle={shuffle}"
+
+    def test_metadata_and_entities(self):
+        r = extract_epub(
+            make_epub("B &amp; T", "A", "fr", [("C", ["x &amp; y"])])
+        )
+        assert r["title"] == "B & T" and r["language"] == "fr"
+        assert "x & y" in r["chapters"][0]["text"]
+
+    def test_streaming_zip_form(self):
+        r = extract_epub(
+            make_epub("T", "A", "en", [("C", ["p"])], streaming_zip=True)
+        )
+        assert r["chapters"][0]["text"].endswith("p")
+
+    def test_missing_container_gated(self):
+        from pyiceberg_lakehouse_spark.operators.archives import make_zip
+
+        blob = make_zip([{"name": "mimetype",
+                          "data": b"application/epub+zip"}])
+        with pytest.raises(ValueError, match="container.xml"):
+            extract_epub(blob)
+
+    def test_dangling_spine_idref_gated(self):
+        blob = make_epub("T", "A", "en", [("C", ["p"])])
+        hacked = blob.replace(b'idref="c0"', b'idref="zz"')
+        # zip CRCs cover the changed member: rebuild instead
+        import re
+
+        from pyiceberg_lakehouse_spark.operators.archives import (
+            make_zip,
+            parse_zip,
+        )
+
+        entries = [
+            {
+                "name": e["name"],
+                "data": e["data"].replace(b'idref="c0"', b'idref="zz"'),
+            }
+            for e in parse_zip(blob)
+        ]
+        with pytest.raises(ValueError, match="missing from the manifest"):
+            extract_epub(make_zip(entries))
+        del hacked, re
+
+
+class TestDocx:
+    def test_runs_breaks_tabs_styles(self):
+        r = extract_docx(
+            make_docx(
+                "T", "A",
+                [
+                    ("Heading1", ["H"]),
+                    (None, ["a", None, "b", "\t", "c & d"]),
+                ],
+            )
+        )
+        assert r["paragraphs"][0] == {"style": "Heading1", "text": "H"}
+        assert r["paragraphs"][1]["text"] == "a\nb\tc & d"
+        assert r["text"] == "H\na\nb\tc & d"
+        assert (r["title"], r["creator"]) == ("T", "A")
+
+    def test_missing_document_xml_gated(self):
+        from pyiceberg_lakehouse_spark.operators.archives import make_zip
+
+        blob = make_zip([{"name": "word/other.xml", "data": b"<a/>"}])
+        with pytest.raises(ValueError, match="word/document.xml"):
+            extract_docx(blob)
+
+    def test_xml_space_preserved(self):
+        r = extract_docx(make_docx("T", "A", [(None, ["  padded  "])]))
+        assert r["paragraphs"][0]["text"] == "  padded  "
