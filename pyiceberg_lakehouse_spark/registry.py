@@ -119,7 +119,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # could not be seated without displacing a family's last driver row
 # and are queued for the r15 rotation, all local-verified now:
 # text_html_metadata, scan_orc_roundtrip, text_charset_decode,
-# lh_delete_positions. Additionally, four held rows' constructions
+# lh_delete_positions — and the fourth wave added five more to that
+# queue: fn_variant_extract (Spark 4 VARIANT), multimodal_mkv_probe
+# (Matroska/WebM EBML), text_ass_cues (SSA/ASS subtitles),
+# text_epub_extract + text_docx_extract (ebook/office packages
+# composed from the zip + XML + HTML layers). Additionally, four held rows' constructions
 # extended IN PLACE this wave (their r14 driver rows hash the
 # extended oracles): scan_warc_responses (+Content-Encoding gzip/
 # deflate/raw-deflate, chunked-over-compressed), scan_archive_entries

@@ -579,6 +579,12 @@ def test_r13_codec_queries_map_only(spark, sf_dir):
         "multimodal_tiff_bilevel",
         "multimodal_flac_decode",
         "text_pdf_extract",
+        "multimodal_mkv_probe",
+        "text_ass_cues",
+        "text_epub_extract",
+        "text_docx_extract",
+        "text_charset_decode",
+        "text_html_metadata",
         "multimodal_gif_decode",
         "multimodal_gif_animation",
         "multimodal_apng_animation",
