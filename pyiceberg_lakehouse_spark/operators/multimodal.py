@@ -1747,6 +1747,141 @@ def demux_mp4_tracks(payload: bytes) -> list[dict]:
     return out
 
 
+# -------------------------------------------------------- iTunes tags ---
+# M4A/M4B audiobook and podcast files carry their metadata in
+# moov/udta/meta/ilst — the iTunes atom list. The 'meta' box is a
+# FullBox per the QuickTime spec (4 version/flags bytes before its
+# children), but a well-known family of writers (old Android
+# MediaMuxer) emitted it as a PLAIN box; real parsers detect which by
+# checking whether the first child parses as 'hdlr', and so does this
+# one. Each ilst item holds a 'data' atom: 1-byte version + 3-byte
+# type flags (1 = UTF-8 text, 0 = implicit binary as in trkn,
+# 13 = JPEG cover art, 14 = PNG cover art) + 4 locale bytes + payload.
+
+
+_ITUNES_TEXT = {
+    b"\xa9nam": "title", b"\xa9ART": "artist", b"\xa9alb": "album",
+    b"\xa9day": "year", b"\xa9gen": "genre",
+}
+_ITUNES_REVERSE = {v: k for k, v in _ITUNES_TEXT.items()}
+
+
+def make_mp4_itunes(
+    tags: dict,
+    track: tuple[int, int] | None = None,
+    cover: bytes | None = None,
+    cover_fmt: str = "png",
+    plain_meta: bool = False,
+) -> bytes:
+    """ftyp + moov(mvhd + udta(meta(hdlr[mdir] + ilst))) with iTunes
+    text atoms, an optional trkn, and optional cover art. ``plain_meta``
+    writes the Android-writer form (meta as a plain box, no
+    version/flags) the parser must also accept."""
+
+    def data_atom(flags: int, payload: bytes) -> bytes:
+        return _box(b"data", _struct.pack(">I4x", flags) + payload)
+
+    items = b""
+    for key, value in tags.items():
+        fourcc = _ITUNES_REVERSE[key]
+        items += _box(fourcc, data_atom(1, value.encode("utf-8")))
+    if track is not None:
+        items += _box(
+            b"trkn",
+            data_atom(0, _struct.pack(">4H", 0, track[0], track[1], 0)),
+        )
+    if cover is not None:
+        items += _box(
+            b"covr", data_atom(13 if cover_fmt == "jpeg" else 14, cover)
+        )
+    hdlr = _box(
+        b"hdlr", _struct.pack(">B3x4x4s", 0, b"mdir") + b"appl" + b"\x00" * 10
+    )
+    ilst = _box(b"ilst", items)
+    meta_payload = hdlr + ilst
+    if not plain_meta:
+        meta_payload = _struct.pack(">B3x", 0) + meta_payload
+    udta = _box(b"udta", _box(b"meta", meta_payload))
+    mvhd = _box(
+        b"mvhd",
+        _struct.pack(">B3x4I", 0, 0, 0, 1000, 0)
+        + _struct.pack(">iH2x8x", 0x00010000, 0x0100)
+        + b"\x00" * 60
+        + _struct.pack(">I", 2),
+    )
+    return (
+        _box(b"ftyp", b"M4A \x00\x00\x00\x00M4A mp42")
+        + _box(b"moov", mvhd + udta)
+    )
+
+
+def parse_mp4_itunes(payload: bytes) -> dict:
+    """-> {title, artist, album, year, genre, track, track_total,
+    cover (bytes|None), cover_fmt ('jpeg'|'png'|None)} — absent atoms
+    stay absent from the dict (callers .get)."""
+
+    def children(data: bytes):
+        pos = 0
+        while pos + 8 <= len(data):
+            size, btype = _struct.unpack_from(">I4s", data, pos)
+            if size < 8 or pos + size > len(data):
+                raise ValueError(
+                    f"MP4 box {btype!r} size {size} exceeds its parent"
+                )
+            yield btype, data[pos + 8 : pos + size]
+            pos += size
+        if pos != len(data):
+            raise ValueError("trailing bytes inside an MP4 container box")
+
+    def find(data: bytes, btype: bytes) -> bytes | None:
+        for t, p in children(data):
+            if t == btype:
+                return p
+        return None
+
+    moov = find(payload, b"moov")
+    if moov is None:
+        raise ValueError("MP4 without a moov box")
+    udta = find(moov, b"udta")
+    out: dict = {}
+    if udta is None:
+        return out
+    meta = find(udta, b"meta")
+    if meta is None:
+        return out
+    # FullBox vs the Android plain-box form: the first child of a plain
+    # meta starts at offset 0; a FullBox's children start after 4 bytes
+    body = meta
+    if len(meta) >= 12 and meta[4:8] != b"hdlr":
+        body = meta[4:]
+    ilst = find(body, b"ilst")
+    if ilst is None:
+        return out
+    for fourcc, item in children(ilst):
+        data = find(item, b"data")
+        if data is None or len(data) < 8:
+            continue
+        flags = _struct.unpack_from(">I", data, 0)[0] & 0xFFFFFF
+        value = data[8:]
+        name = _ITUNES_TEXT.get(fourcc)
+        if name is not None:
+            if flags != 1:
+                raise ValueError(
+                    f"iTunes text atom {fourcc!r} with data type {flags}"
+                )
+            out[name] = value.decode("utf-8")
+        elif fourcc == b"trkn" and len(value) >= 6:
+            _z, trk, total = _struct.unpack_from(">3H", value, 0)
+            out["track"] = trk
+            out["track_total"] = total
+        elif fourcc == b"covr":
+            if flags not in (13, 14):
+                raise ValueError(f"covr with data type {flags}")
+            out["cover"] = value
+            out["cover_fmt"] = "jpeg" if flags == 13 else "png"
+    return out
+
+
 def demux_mp4(payload: bytes) -> list[dict]:
     """Single-track sample-table demux -> one dict per sample:
     {idx, dts, size, offset, is_sync, data}.

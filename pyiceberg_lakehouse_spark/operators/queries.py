@@ -2923,6 +2923,131 @@ def multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mp4_itunes",
+    # The M4A/M4B audiobook tag layer: moov/udta/meta/ilst with UTF-8
+    # text atoms, the implicit-binary trkn pair (absent every fourth
+    # doc — NULL columns), PNG cover art DECODED through the engine's
+    # own codec (its pixel sum closed-form in the oracle), and the
+    # meta box cycling FullBox vs the Android plain-box form — the
+    # classic 4-byte parsing gotcha made load-bearing. Filter modulus
+    # 13 residue 0.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             4 + doc_id % 5 as w, 3 + doc_id % 4 as h,
+             doc_id % 3 != 1 as has_cover,
+             doc_id % 4 != 2 as has_track
+      from documents where doc_id % 13 = 0
+    )
+    select doc_id,
+      'T ' || d as title,
+      'Art ' || (d % 7) as artist,
+      'Alb ' || (d % 5) as album,
+      cast(1970 + d % 50 as varchar) as year,
+      'G' || (d % 9) as genre,
+      case when has_track then cast(1 + d % 20 as integer) end as track,
+      case when has_track
+           then cast(10 + d % 5 as integer) end as track_total,
+      has_cover,
+      case when has_cover then 'png' end as cover_fmt,
+      case when has_cover then
+        cast((select sum((d + 3*x + 5*y) % 256)
+              from generate_series(0, 8) gx(x), generate_series(0, 6) gy(y)
+              where x < w and y < h) as bigint)
+      end as cover_sum,
+      d % 2 = 0 as plain_meta
+    from base
+    """,
+)
+def multimodal_mp4_itunes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iTunes metadata extraction (multimodal.parse_mp4_itunes) — the
+    M4A/M4B audiobook/podcast tag layer: per doc, write an MP4 whose
+    moov/udta/meta/ilst carries UTF-8 text atoms, an implicit-binary
+    trkn pair, and PNG cover art produced by the engine's own PNG
+    codec; the meta box cycles the spec FullBox form and the
+    Android-writer PLAIN form (no version/flags — the well-known
+    4-byte gotcha, detected by whether the first child parses as
+    hdlr). Parse back, decode the cover through decode_png, and
+    report every field; the oracle states texts, the trkn pair and
+    the cover's pixel sum closed-form. Arrow-batched mapInPandas,
+    map-only."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("artist", T.StringType()),
+            T.StructField("album", T.StringType()),
+            T.StructField("year", T.StringType()),
+            T.StructField("genre", T.StringType()),
+            T.StructField("track", T.IntegerType()),
+            T.StructField("track_total", T.IntegerType()),
+            T.StructField("has_cover", T.BooleanType()),
+            T.StructField("cover_fmt", T.StringType()),
+            T.StructField("cover_sum", T.LongType()),
+            T.StructField("plain_meta", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                cover = None
+                if d % 3 != 1:
+                    w, h = 4 + d % 5, 3 + d % 4
+                    y, x = np.ogrid[0:h, 0:w]
+                    px = ((d + 3 * x + 5 * y) % 256).astype(np.uint8)
+                    cover = multimodal.encode_png(px)
+                blob = multimodal.make_mp4_itunes(
+                    {
+                        "title": f"T {d}",
+                        "artist": f"Art {d % 7}",
+                        "album": f"Alb {d % 5}",
+                        "year": str(1970 + d % 50),
+                        "genre": f"G{d % 9}",
+                    },
+                    track=(1 + d % 20, 10 + d % 5)
+                    if d % 4 != 2
+                    else None,
+                    cover=cover,
+                    cover_fmt="png",
+                    plain_meta=d % 2 == 0,
+                )
+                r = multimodal.parse_mp4_itunes(blob)
+                csum = None
+                if "cover" in r:
+                    decoded = multimodal.decode_png(r["cover"])
+                    csum = int(
+                        np.asarray(decoded, dtype=np.int64).sum()
+                    )
+                rows.append(
+                    (
+                        d, r["title"], r["artist"], r["album"],
+                        r["year"], r["genre"], r.get("track"),
+                        r.get("track_total"), "cover" in r,
+                        r.get("cover_fmt"), csum, d % 2 == 0,
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "multimodal_mkv_probe",
     # The Matroska/WebM (EBML) container probe — modern web video:
     # per doc a deterministic file cycles doc types, VP8/VP9/AV1 video

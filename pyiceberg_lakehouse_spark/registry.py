@@ -123,7 +123,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # queue: fn_variant_extract (Spark 4 VARIANT), multimodal_mkv_probe
 # (Matroska/WebM EBML), text_ass_cues (SSA/ASS subtitles),
 # text_epub_extract + text_docx_extract (ebook/office packages
-# composed from the zip + XML + HTML layers). Additionally, four held rows' constructions
+# composed from the zip + XML + HTML layers), and
+# multimodal_mp4_itunes (the M4A ilst tag layer with PNG cover art
+# decoded through the engine's own codec). Additionally, four held rows' constructions
 # extended IN PLACE this wave (their r14 driver rows hash the
 # extended oracles): scan_warc_responses (+Content-Encoding gzip/
 # deflate/raw-deflate, chunked-over-compressed), scan_archive_entries

@@ -264,3 +264,74 @@ class TestV24Forms:
             tag[at] |= bit
             with _pt.raises(NotImplementedError, match="compressed"):
                 parse_id3v2(bytes(tag))
+
+
+class TestMp4Itunes:
+    """r14: the M4A/M4B ilst tag layer (the audio sibling of ID3)."""
+
+    def _blob(self, plain):
+        from pyiceberg_lakehouse_spark.operators.multimodal import (
+            make_mp4_itunes,
+        )
+
+        return make_mp4_itunes(
+            {"title": "T é", "artist": "A", "album": "B",
+             "year": "1999", "genre": "G"},
+            track=(3, 12), plain_meta=plain,
+        )
+
+    def test_both_meta_forms(self):
+        from pyiceberg_lakehouse_spark.operators.multimodal import (
+            parse_mp4_itunes,
+        )
+
+        for plain in (False, True):
+            r = parse_mp4_itunes(self._blob(plain))
+            assert r["title"] == "T é" and r["year"] == "1999"
+            assert (r["track"], r["track_total"]) == (3, 12)
+
+    def test_png_cover_roundtrips_through_the_codec(self):
+        import numpy as np
+
+        from pyiceberg_lakehouse_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+            make_mp4_itunes,
+            parse_mp4_itunes,
+        )
+
+        px = ((np.arange(35).reshape(5, 7) * 9) % 256).astype(np.uint8)
+        r = parse_mp4_itunes(
+            make_mp4_itunes({"title": "x"}, cover=encode_png(px))
+        )
+        assert r["cover_fmt"] == "png"
+        assert (decode_png(r["cover"]).squeeze() == px).all()
+
+    def test_wrong_data_type_raises(self):
+        import pytest as _pt
+
+        from pyiceberg_lakehouse_spark.operators.multimodal import (
+            parse_mp4_itunes,
+        )
+
+        blob = bytearray(self._blob(False))
+        # flip the title data atom's type flags from 1 to 7
+        at = blob.index(b"\xa9nam")
+        # fourcc(4) + size(4) + 'data'(4) -> flags at +12..16
+        blob[at + 15] = 7
+        with _pt.raises(ValueError, match="data type"):
+            parse_mp4_itunes(bytes(blob))
+
+    def test_oversized_child_raises(self):
+        import pytest as _pt
+        import struct as _st
+
+        from pyiceberg_lakehouse_spark.operators.multimodal import (
+            parse_mp4_itunes,
+        )
+
+        blob = bytearray(self._blob(False))
+        at = blob.index(b"ilst") - 4
+        _st.pack_into(">I", blob, at, 1 << 24)
+        with _pt.raises(ValueError, match="exceeds"):
+            parse_mp4_itunes(bytes(blob))
