@@ -580,6 +580,7 @@ def test_r13_codec_queries_map_only(spark, sf_dir):
         "multimodal_flac_decode",
         "text_pdf_extract",
         "multimodal_mkv_probe",
+        "multimodal_mp4_itunes",
         "text_ass_cues",
         "text_epub_extract",
         "text_docx_extract",
