@@ -136,6 +136,131 @@ def extract_docx(data: bytes) -> dict:
     }
 
 
+_ODT_TEXT_NS = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+_ODT_OFFICE_NS = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+
+
+def extract_odt(data: bytes) -> dict:
+    """ODT (OpenDocument text) bytes -> {title, creator, paragraphs:
+    [{style, text}], text, n_entries}.
+
+    ``content.xml``'s office:text children: text:h headings and text:p
+    paragraphs (style from text:style-name), with text:span runs
+    flattened, text:line-break -> newline, text:tab -> tab, and
+    text:s (run-length-encoded spaces, text:c count) expanded —
+    the OpenDocument whitespace model a naive itertext() walk loses."""
+    entries = {e["name"]: e["data"] for e in parse_zip(data)}
+    content = entries.get("content.xml")
+    if content is None:
+        raise ValueError("ODT without content.xml")
+    root = ET.fromstring(content)
+    body = root.find(
+        f"{{{_ODT_OFFICE_NS}}}body/{{{_ODT_OFFICE_NS}}}text"
+    )
+    if body is None:
+        raise ValueError("ODT content.xml without office:body/office:text")
+
+    def flatten(el) -> str:
+        parts = [el.text or ""]
+        for child in el:
+            tag = child.tag
+            if tag == f"{{{_ODT_TEXT_NS}}}line-break":
+                parts.append("\n")
+            elif tag == f"{{{_ODT_TEXT_NS}}}tab":
+                parts.append("\t")
+            elif tag == f"{{{_ODT_TEXT_NS}}}s":
+                n = int(child.attrib.get(f"{{{_ODT_TEXT_NS}}}c", "1"))
+                parts.append(" " * n)
+            else:
+                parts.append(flatten(child))
+            parts.append(child.tail or "")
+        return "".join(parts)
+
+    paragraphs = []
+    for el in body:
+        tag = el.tag
+        if tag in (f"{{{_ODT_TEXT_NS}}}p", f"{{{_ODT_TEXT_NS}}}h"):
+            paragraphs.append(
+                {
+                    "style": el.attrib.get(
+                        f"{{{_ODT_TEXT_NS}}}style-name"
+                    ),
+                    "text": flatten(el),
+                }
+            )
+    title = creator = None
+    meta = entries.get("meta.xml")
+    if meta is not None:
+        mroot = ET.fromstring(meta)
+        t = mroot.find(f".//{{{_DC_NS}}}title")
+        c = mroot.find(f".//{{{_DC_NS}}}creator")
+        title = t.text if t is not None else None
+        creator = c.text if c is not None else None
+    return {
+        "title": title,
+        "creator": creator,
+        "paragraphs": paragraphs,
+        "text": "\n".join(p["text"] for p in paragraphs),
+        "n_entries": len(entries),
+    }
+
+
+def make_odt(
+    title: str,
+    creator: str,
+    paragraphs: list[tuple[str | None, list]],
+) -> bytes:
+    """Deterministic ODT: ``paragraphs`` = [(style or None, parts)];
+    a part is a str, None for a line-break, "\t" for a tab, or an int
+    N for a run of N spaces (the text:s form)."""
+    from pyiceberg_lakehouse_spark.operators.archives import make_zip
+
+    def esc(s: str) -> str:
+        return (
+            s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;")
+        )
+
+    body = []
+    for style, parts in paragraphs:
+        attr = f' text:style-name="{style}"' if style else ""
+        inner = []
+        for p in parts:
+            if p is None:
+                inner.append("<text:line-break/>")
+            elif p == "\t":
+                inner.append("<text:tab/>")
+            elif isinstance(p, int):
+                inner.append(f'<text:s text:c="{p}"/>')
+            else:
+                inner.append(esc(p))
+        body.append(f"<text:p{attr}>{''.join(inner)}</text:p>")
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-content xmlns:office="{_ODT_OFFICE_NS}" '
+        f'xmlns:text="{_ODT_TEXT_NS}">'
+        f"<office:body><office:text>{''.join(body)}</office:text>"
+        "</office:body></office:document-content>"
+    )
+    meta = (
+        '<?xml version="1.0"?>'
+        f'<office:document-meta xmlns:office="{_ODT_OFFICE_NS}" '
+        f'xmlns:dc="{_DC_NS}"><office:meta>'
+        f"<dc:title>{esc(title)}</dc:title>"
+        f"<dc:creator>{esc(creator)}</dc:creator>"
+        "</office:meta></office:document-meta>"
+    )
+    entries = [
+        {
+            "name": "mimetype",
+            "data": b"application/vnd.oasis.opendocument.text",
+        },
+        {"name": "content.xml", "data": content.encode()},
+        {"name": "meta.xml", "data": meta.encode()},
+    ]
+    return make_zip(entries, method=8)
+
+
 # ------------------------------------------------------------- writers ---
 
 

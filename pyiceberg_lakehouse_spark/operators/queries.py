@@ -5157,6 +5157,112 @@ def text_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_odt_extract",
+    # ODT (OpenDocument): content.xml office:text paragraphs with
+    # styles, text:line-break/text:tab decodes and the text:s
+    # RUN-LENGTH-ENCODED spaces (text:c) a naive itertext() walk
+    # loses — planted in every paragraph so the expansion is
+    # load-bearing. The oracle states the extracted STRING
+    # closed-form. Filter modulus 17 residue 3 (13's residues are
+    # fully claimed).
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d, 2 + doc_id % 3 as np
+      from documents where doc_id % 17 = 3
+    ),
+    paras as (
+      select doc_id, string_agg(
+        'line ' || d || '-' || j || chr(10) || 'cont ' || (d % 5)
+        || chr(9) || '  end & ' || (d % 7),
+        chr(10) order by j) as text
+      from base, unnest(generate_series(0, 4)) g(j) where j < np
+      group by doc_id
+    )
+    select b.doc_id,
+      'Odt ' || (b.d % 9) as title,
+      'Auth ' || (b.d % 5) as creator,
+      cast(b.np as integer) as n_paragraphs,
+      'Heading' as first_style,
+      p.text,
+      cast(length(p.text) as integer) as n_chars
+    from base b join paras p using (doc_id)
+    """,
+)
+def text_odt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODT -> text (operators/office.py extract_odt) — the
+    LibreOffice/OpenDocument path: per doc, build an ODT package
+    (content.xml paragraphs with styles, line-break and tab elements
+    inside runs, the text:s run-length-encoded space form planted in
+    every paragraph, XML-escaped ampersands, meta.xml Dublin-Core
+    metadata), explode the zip and extract with a namespace-aware XML
+    walk that expands the whitespace model. The oracle states the
+    joined text closed-form. Arrow-batched mapInPandas, map-only."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import office as _off
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 3)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("creator", T.StringType()),
+            T.StructField("n_paragraphs", T.IntegerType()),
+            T.StructField("first_style", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                np_ = 2 + d % 3
+                paragraphs = [
+                    (
+                        "Heading" if j == 0 else None,
+                        [
+                            f"line {d}-{j}",
+                            None,
+                            f"cont {d % 5}",
+                            "\t",
+                            2,
+                            f"end & {d % 7}",
+                        ],
+                    )
+                    for j in range(np_)
+                ]
+                blob = _off.make_odt(
+                    f"Odt {d % 9}", f"Auth {d % 5}", paragraphs
+                )
+                r = _off.extract_odt(blob)
+                rows.append(
+                    (
+                        d, r["title"], r["creator"],
+                        len(r["paragraphs"]),
+                        r["paragraphs"][0]["style"],
+                        r["text"], len(r["text"]),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            for cname in ("n_paragraphs", "n_chars"):
+                out[cname] = out[cname].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "text_ass_cues",
     # SSA/ASS — the fansub/anime-corpus subtitle format: Format-driven
     # field order (an extra nonstandard column cycles in so positional

@@ -92,3 +92,35 @@ class TestDocx:
     def test_xml_space_preserved(self):
         r = extract_docx(make_docx("T", "A", [(None, ["  padded  "])]))
         assert r["paragraphs"][0]["text"] == "  padded  "
+
+
+class TestOdt:
+    def test_whitespace_model(self):
+        from pyiceberg_lakehouse_spark.operators.office import (
+            extract_odt,
+            make_odt,
+        )
+
+        r = extract_odt(
+            make_odt(
+                "T", "A",
+                [
+                    ("Heading", ["H"]),
+                    (None, ["a", None, "b", "\t", "c", 3, "d & e"]),
+                ],
+            )
+        )
+        assert r["paragraphs"][0] == {"style": "Heading", "text": "H"}
+        assert r["paragraphs"][1]["text"] == "a\nb\tc   d & e"
+        assert (r["title"], r["creator"]) == ("T", "A")
+
+    def test_missing_content_gated(self):
+        from pyiceberg_lakehouse_spark.operators.archives import make_zip
+        from pyiceberg_lakehouse_spark.operators.office import extract_odt
+
+        blob = make_zip(
+            [{"name": "mimetype",
+              "data": b"application/vnd.oasis.opendocument.text"}]
+        )
+        with pytest.raises(ValueError, match="content.xml"):
+            extract_odt(blob)
