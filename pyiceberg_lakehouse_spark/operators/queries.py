@@ -5157,6 +5157,103 @@ def text_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_rtf_extract",
+    # RTF — the legacy word-processor/email-attachment format: group
+    # state stack, \\'hh hex escapes through the declared code page,
+    # \\uN unicode with the \\uc fallback-skip protocol (cycling
+    # against plain cp1252 escapes so BOTH encode paths hash),
+    # ignorable {\\*\\...} destinations and the fonttbl/generator
+    # skips, \\par/\\line/\\tab decodes. The oracle states the
+    # extracted STRING (with non-ASCII literals) closed-form plus the
+    # exact group count. Filter modulus 17 residue 5.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d, 2 + doc_id % 3 as np
+      from documents where doc_id % 17 = 5
+    ),
+    paras as (
+      select doc_id, string_agg(
+        'line ' || d || '-' || j || ' café € — end ' || (d % 7)
+        || chr(9) || 'q' || (d % 5),
+        chr(10) order by j) as text
+      from base, unnest(generate_series(0, 4)) g(j) where j < np
+      group by doc_id
+    )
+    select b.doc_id,
+      p.text,
+      'cp1252' as codepage,
+      cast(case when b.d % 3 != 1 then 4 else 2 end as integer)
+        as n_groups,
+      cast(length(p.text) as integer) as n_chars
+    from base b join paras p using (doc_id)
+    """,
+)
+def text_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF -> text (operators/rtf.py) — the legacy document format:
+    per doc, write an RTF whose non-ASCII characters cycle between
+    cp1252 \\'hh hex escapes and \\uN unicode-with-ANSI-fallback (the
+    \\uc skip protocol made load-bearing — emitting the fallback too
+    would double characters and flip the hash), with the fonttbl
+    destination cycling in and an ignorable {\\*\\generator} group
+    always present; parse with the real group-state tokenizer and
+    report the text + exact group count. The oracle states the string
+    with its non-ASCII literals closed-form. Arrow-batched
+    mapInPandas, map-only."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import rtf as _rtf
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 5)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("codepage", T.StringType()),
+            T.StructField("n_groups", T.IntegerType()),
+            T.StructField("n_chars", T.IntegerType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                np_ = 2 + d % 3
+                paras = [
+                    f"line {d}-{j} café € — end {d % 7}\tq{d % 5}"
+                    for j in range(np_)
+                ]
+                blob = _rtf.make_rtf(
+                    paras,
+                    codepage=1252,
+                    with_fonttbl=d % 3 != 1,
+                    unicode_with_fallback=d % 2 == 0,
+                )
+                r = _rtf.extract_rtf(blob)
+                rows.append(
+                    (
+                        d, r["text"], r["codepage"], r["n_groups"],
+                        len(r["text"]),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            for cname in ("n_groups", "n_chars"):
+                out[cname] = out[cname].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "text_odt_extract",
     # ODT (OpenDocument): content.xml office:text paragraphs with
     # styles, text:line-break/text:tab decodes and the text:s
