@@ -584,6 +584,8 @@ def test_r13_codec_queries_map_only(spark, sf_dir):
         "text_ass_cues",
         "text_epub_extract",
         "text_docx_extract",
+        "text_odt_extract",
+        "text_rtf_extract",
         "text_charset_decode",
         "text_html_metadata",
         "multimodal_gif_decode",
