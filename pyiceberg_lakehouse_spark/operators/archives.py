@@ -244,6 +244,49 @@ _EOCD64_SIG = b"PK\x06\x06"
 _EOCD64_LOC_SIG = b"PK\x06\x07"
 
 
+def decompress_auto(data: bytes) -> tuple[bytes, str]:
+    """Undo a whole-file compression wrapper by magic bytes — the
+    .tar.gz / .tar.xz / .tar.bz2 forms corpora actually ship:
+    gzip (multi-member, the concatenated-archive layout), xz, bz2;
+    zstd is detected and gated honestly (no codec in this
+    environment). Returns (payload, codec) with codec 'none' for
+    unwrapped input — safe to call on anything."""
+    import bz2 as _bz2
+    import lzma as _lzma
+
+    if data[:2] == b"\x1f\x8b":
+        out = bytearray()
+        rest = data
+        while rest:
+            d = _zlib_decompressobj_gzip()
+            out += d.decompress(rest)
+            out += d.flush()
+            if not d.eof:
+                raise ValueError("truncated gzip member in wrapper")
+            rest = d.unused_data
+        return bytes(out), "gzip"
+    if data[:6] == b"\xfd7zXZ\x00":
+        try:
+            return _lzma.decompress(data), "xz"
+        except _lzma.LZMAError as exc:
+            raise ValueError(f"corrupt xz wrapper: {exc}") from exc
+    if data[:3] == b"BZh" and len(data) > 4 and data[3:4].isdigit():
+        try:
+            return _bz2.decompress(data), "bz2"
+        except OSError as exc:
+            raise ValueError(f"corrupt bz2 wrapper: {exc}") from exc
+    if data[:4] == b"\x28\xb5\x2f\xfd":
+        raise NotImplementedError(
+            "zstd-wrapped archive: no zstd codec in this environment "
+            "(refusing rather than emitting compressed bytes)"
+        )
+    return data, "none"
+
+
+def _zlib_decompressobj_gzip():
+    return zlib.decompressobj(16 + 15)
+
+
 def make_zip(
     entries: list[dict],
     method: int = 8,

@@ -6152,7 +6152,11 @@ def scan_warc_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
                  where j < 20 + (d + 3*i) % 40) as bigint) as byte_sum,
            d % 2 = 1 and d % 3 != 0 as deflated,
            d % 2 = 1 and d % 7 >= 4 as zip64,
-           d % 2 = 1 and d % 7 < 4 and d % 11 < 4 as streaming
+           d % 2 = 1 and d % 7 < 4 and d % 11 < 4 as streaming,
+           case when d % 2 = 1 then 'none'
+                else case cast((d // 2) % 4 as integer)
+                     when 0 then 'none' when 1 then 'gzip'
+                     when 2 then 'xz' else 'bz2' end end as wrapper
     from base, unnest(generate_series(0, 7)) u(i) where i < n
     """,
 )
@@ -6192,6 +6196,7 @@ def scan_archive_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("deflated", T.BooleanType()),
             T.StructField("zip64", T.BooleanType()),
             T.StructField("streaming", T.BooleanType()),
+            T.StructField("wrapper", T.StringType()),
         ]
     )
     cols = [f.name for f in schema.fields]
@@ -6211,9 +6216,26 @@ def scan_archive_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
                 zip64 = False
                 streaming = False
+                wrapper = "none"
                 if d % 2 == 0:
                     fmt = "tar"
-                    parsed = _ar.parse_tar(_ar.make_tar(entries))
+                    wrapper = ["none", "gzip", "xz", "bz2"][(d // 2) % 4]
+                    blob = _ar.make_tar(entries)
+                    if wrapper == "gzip":
+                        import gzip as _gz
+
+                        blob = _gz.compress(blob)
+                    elif wrapper == "xz":
+                        import lzma as _lz
+
+                        blob = _lz.compress(blob)
+                    elif wrapper == "bz2":
+                        import bz2 as _b2
+
+                        blob = _b2.compress(blob)
+                    unwrapped, got_codec = _ar.decompress_auto(blob)
+                    assert got_codec == wrapper, (got_codec, wrapper)
+                    parsed = _ar.parse_tar(unwrapped)
                     deflated = False
                 else:
                     fmt = "zip"
@@ -6232,7 +6254,7 @@ def scan_archive_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (
                             d, fmt, i, e["name"],
                             len(e["data"]), sum(e["data"]), deflated,
-                            zip64, streaming,
+                            zip64, streaming, wrapper,
                         )
                     )
             out = pd.DataFrame(rows, columns=cols)

@@ -432,3 +432,49 @@ class TestStreamingZip:
         with _pt.raises(ValueError, match="streaming"):
             make_zip([{"name": "x", "data": b"y"}], zip64=True,
                      streaming=True)
+
+
+class TestCompressionWrappers:
+    def test_all_wrappers_roundtrip(self):
+        import bz2
+        import gzip
+        import lzma
+
+        from pyiceberg_lakehouse_spark.operators.archives import (
+            decompress_auto,
+            make_tar,
+            parse_tar,
+        )
+
+        tar = make_tar([{"name": "x.bin", "data": bytes(range(200))}])
+        for wrap, codec in (
+            (lambda b: b, "none"),
+            (gzip.compress, "gzip"),
+            (lzma.compress, "xz"),
+            (bz2.compress, "bz2"),
+        ):
+            got, c = decompress_auto(wrap(tar))
+            assert (c, got) == (codec, tar)
+            assert parse_tar(got)[0]["data"] == bytes(range(200))
+
+    def test_multimember_gzip(self):
+        import gzip
+
+        from pyiceberg_lakehouse_spark.operators.archives import (
+            decompress_auto,
+        )
+
+        blob = gzip.compress(b"aaa") + gzip.compress(b"bbb")
+        assert decompress_auto(blob) == (b"aaabbb", "gzip")
+
+    def test_zstd_gated_corrupt_raises(self):
+        import pytest as _pt
+
+        from pyiceberg_lakehouse_spark.operators.archives import (
+            decompress_auto,
+        )
+
+        with _pt.raises(NotImplementedError, match="zstd"):
+            decompress_auto(b"\x28\xb5\x2f\xfdjunk")
+        with _pt.raises(ValueError, match="corrupt xz"):
+            decompress_auto(b"\xfd7zXZ\x00garbage")
