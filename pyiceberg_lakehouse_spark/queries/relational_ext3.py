@@ -663,3 +663,114 @@ def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").isNotNull().alias("valid"),
         )
     )
+
+
+@register(
+    "graph_pagerank",
+    # Link-graph PageRank for crawl curation (the harmonic-centrality
+    # style signal Common Crawl publishes), made EXACTLY verifiable:
+    # with ranks scaled by 60^k the damped update r' = 0.15 +
+    # (0.85/3) * sum(in) becomes the INTEGER recurrence
+    # R' = 9*60^k + 17 * sum(in-R) (out-degree fixed at 3, multi-edges
+    # kept), so five supersteps produce bigints both engines hash
+    # identically — no float-order tolerance anywhere. Rank mass is
+    # conserved (sum R_k = 60^k * N), bounding values far below int64.
+    """
+    with n as (select count(*) as c from documents),
+    edges as (
+      select doc_id as src, (3*doc_id + 1) % (select c from n) as dst
+      from documents
+      union all
+      select doc_id, (5*doc_id + 2) % (select c from n) from documents
+      union all
+      select doc_id, (7*doc_id + 3) % (select c from n) from documents
+    ),
+    r0 as (select doc_id as nid, cast(1 as bigint) as v from documents),
+    r1 as (
+      select d.doc_id as nid, cast(9 + 17 * coalesce(s.t, 0) as bigint) as v
+      from documents d left join (
+        select e.dst as nid, sum(r.v) as t
+        from edges e join r0 r on e.src = r.nid group by e.dst) s
+      on d.doc_id = s.nid
+    ),
+    r2 as (
+      select d.doc_id as nid,
+             cast(540 + 17 * coalesce(s.t, 0) as bigint) as v
+      from documents d left join (
+        select e.dst as nid, sum(r.v) as t
+        from edges e join r1 r on e.src = r.nid group by e.dst) s
+      on d.doc_id = s.nid
+    ),
+    r3 as (
+      select d.doc_id as nid,
+             cast(32400 + 17 * coalesce(s.t, 0) as bigint) as v
+      from documents d left join (
+        select e.dst as nid, sum(r.v) as t
+        from edges e join r2 r on e.src = r.nid group by e.dst) s
+      on d.doc_id = s.nid
+    ),
+    r4 as (
+      select d.doc_id as nid,
+             cast(1944000 + 17 * coalesce(s.t, 0) as bigint) as v
+      from documents d left join (
+        select e.dst as nid, sum(r.v) as t
+        from edges e join r3 r on e.src = r.nid group by e.dst) s
+      on d.doc_id = s.nid
+    ),
+    r5 as (
+      select d.doc_id as nid,
+             cast(116640000 + 17 * coalesce(s.t, 0) as bigint) as v
+      from documents d left join (
+        select e.dst as nid, sum(r.v) as t
+        from edges e join r4 r on e.src = r.nid group by e.dst) s
+      on d.doc_id = s.nid
+    )
+    select nid as doc_id, v as rank_scaled from r5
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (five Pregel-style supersteps as join +
+    aggregate rounds) over a deterministic 3-out-degree graph on the
+    documents table — the crawl-curation ranking signal. EXACT:
+    scaling ranks by 60^k turns the damped float update into a pure
+    integer recurrence (R' = 9*60^k + 17*sum of in-neighbor R), so
+    the result hashes bit-identically against the oracle's unrolled
+    CTE chain with no float tolerance. Node count is one bounded
+    metadata-style count() (the only driver-side scalar); each
+    superstep is one shuffle on the edge list — the standard
+    iterative-graph shape, linear in |E| per step at any scale.
+    Dangling mass is absent by construction (every node has exactly 3
+    out-edges, multi-edges kept and counted)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("nid")
+    )
+    n = docs.count()  # bounded scalar: the node count
+    edges = None
+    for a, b in ((3, 1), (5, 2), (7, 3)):
+        e = docs.select(
+            F.col("nid").alias("src"),
+            ((F.col("nid") * a + b) % F.lit(n)).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionAll(e)
+    ranks = docs.select("nid", F.lit(1).cast("long").alias("v"))
+    base = 9
+    for _k in range(5):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.nid)
+            .groupBy("dst")
+            .agg(F.sum("v").alias("t"))
+        )
+        ranks = (
+            docs.join(contrib, docs.nid == contrib.dst, "left")
+            .select(
+                "nid",
+                (
+                    F.lit(base)
+                    + F.lit(17) * F.coalesce(F.col("t"), F.lit(0))
+                ).cast("long").alias("v"),
+            )
+        )
+        base *= 60
+    return ranks.select(
+        F.col("nid").alias("doc_id"), F.col("v").alias("rank_scaled")
+    )

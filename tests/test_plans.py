@@ -647,3 +647,18 @@ def test_markdown_extract_jvm_only_map_stage(spark, sf_dir):
     for bad in ("BatchEvalPython", "MapInPandas", "ArrowEvalPython"):
         assert bad not in plan, (bad, plan[:800])
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan[:800]
+
+
+def test_pagerank_no_cartesian_and_mass_conserved(spark, sf_dir):
+    """The five supersteps must stay equi-joins (no cartesian), and the
+    integer recurrence must conserve rank mass exactly:
+    sum(R_5) == 60^5 * N — the closed-form invariant of the scaled
+    damped update over a dangling-free graph."""
+    from pyspark.sql import functions as F
+
+    plan = plan_of(spark, "graph_pagerank", sf_dir)
+    assert "CartesianProduct" not in plan
+    df = QUERIES["graph_pagerank"](spark, sf_dir)
+    n = df.count()
+    total = df.agg(F.sum("rank_scaled")).collect()[0][0]
+    assert total == (60 ** 5) * n, (total, n)
