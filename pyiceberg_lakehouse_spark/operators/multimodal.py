@@ -1747,6 +1747,45 @@ def demux_mp4_tracks(payload: bytes) -> list[dict]:
     return out
 
 
+# ---------------------------------------------------- perceptual hash ---
+# dHash (difference hash) — the resampling-invariant image-dedup
+# signal LAION-class pipelines bucket on: nearest-neighbor sample to a
+# 9x8 grid, emit one bit per horizontal gradient sign (64 bits). Pure
+# integer arithmetic end to end, so the hash is exactly verifiable —
+# and images differing only at non-sampled pixels (re-encodes, tiny
+# retouches) collide by construction, which is the point.
+
+
+def image_dhash(px) -> int:
+    """(h, w) or (h, w, 1) uint8 grayscale -> 64-bit dHash int.
+
+    Nearest-neighbor sampling (xi = x*w // 9, yi = y*h // 8 — integer
+    floor, no interpolation) keeps the hash bit-for-bit reproducible
+    across engines; bit (y, x) is 1 iff the right sample EXCEEDS the
+    left (strict), packed MSB-first per row, row 0 in the top byte."""
+    import numpy as np
+
+    a = np.asarray(px)
+    if a.ndim == 3:
+        if a.shape[2] != 1:
+            raise ValueError("dHash expects single-channel input")
+        a = a[:, :, 0]
+    h, w = a.shape
+    if h < 8 or w < 9:
+        raise ValueError("dHash needs at least 9x8 pixels")
+    xi = (np.arange(9) * w) // 9
+    yi = (np.arange(8) * h) // 8
+    g = a[np.ix_(yi, xi)].astype(np.int64)
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
+    out = 0
+    for y in range(8):
+        byte = 0
+        for x in range(8):
+            byte = (byte << 1) | int(bits[y, x])
+        out = (out << 8) | byte
+    return out
+
+
 # -------------------------------------------------------- iTunes tags ---
 # M4A/M4B audiobook and podcast files carry their metadata in
 # moov/udta/meta/ilst — the iTunes atom list. The 'meta' box is a

@@ -2923,6 +2923,119 @@ def multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_image_dhash",
+    # Perceptual image dedup: dHash over 9x8 nearest-neighbor samples,
+    # pure integer arithmetic so the 64-bit hash is EXACTLY
+    # verifiable. Docs pair up (d%5 in {0,1} share a base raster; the
+    # twin perturbs only NON-sampled pixels — the re-encode/retouch
+    # class dHash exists to catch) and must collide; the raster
+    # roundtrips through the engine's own PNG codec first, so the
+    # hash is computed on decoded-image bytes like a real pipeline.
+    # Filter modulus 17 residue 7.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             case when doc_id % 5 < 2
+                  then cast(doc_id as bigint) - (doc_id % 5)
+                  else cast(doc_id as bigint) end as b
+      from documents where doc_id % 17 = 7
+    ),
+    dims as (select *, 16 + b % 13 as w, 12 + b % 11 as h from base),
+    bytes_ as (
+      select doc_id, y,
+        sum(case when
+          (b + 7*(((x+1)*w)//9)*(((x+1)*w)//9) + 3*((y*h)//8)
+             + ((((x+1)*w)//9)*((y*h)//8)) % 5) % 256
+          >
+          (b + 7*((x*w)//9)*((x*w)//9) + 3*((y*h)//8)
+             + (((x*w)//9)*((y*h)//8)) % 5) % 256
+          then cast(128 >> x as bigint) else 0 end) as byte
+      from dims, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)
+      group by doc_id, y
+    ),
+    hexes as (
+      select doc_id,
+             string_agg(lpad(lower(to_hex(byte)), 2, '0'), ''
+                        order by y) as dhash_hex
+      from bytes_ group by doc_id
+    )
+    select m.doc_id,
+           cast(m.w as integer) as width,
+           cast(m.h as integer) as height,
+           h2.dhash_hex,
+           m.b as pair_base,
+           m.d % 5 = 1 as is_twin
+    from dims m join hexes h2 using (doc_id)
+    """,
+)
+def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup via dHash (multimodal.image_dhash) — the
+    resampling-invariant bucket key LAION-class image pipelines dedup
+    on: per doc, synthesize a raster (docs pair up on a shared base;
+    the twin perturbs only pixels OUTSIDE the 9x8 sample grid — the
+    re-encode/retouch perturbation class the hash exists to survive),
+    roundtrip it through the engine's own PNG codec, and compute the
+    64-bit difference hash in pure integer arithmetic. The oracle
+    recomputes every hash byte closed-form, so twins colliding is
+    verified exactly, not probabilistically. At scale the hash IS the
+    groupBy key — no pairwise comparisons ever. Arrow-batched
+    mapInPandas, map-only."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 7)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("dhash_hex", T.StringType()),
+            T.StructField("pair_base", T.LongType()),
+            T.StructField("is_twin", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                b = d - (d % 5) if d % 5 < 2 else d
+                w, h = 16 + b % 13, 12 + b % 11
+                y, x = np.ogrid[0:h, 0:w]
+                px = (
+                    (b + 7 * x * x + 3 * y + (x * y) % 5) % 256
+                ).astype(np.uint8)
+                if d % 5 == 1:  # twin: perturb NON-sampled pixels only
+                    xi = set(((np.arange(9) * w) // 9).tolist())
+                    yi = set(((np.arange(8) * h) // 8).tolist())
+                    mask = np.ones((h, w), dtype=bool)
+                    mask[np.ix_(sorted(yi), sorted(xi))] = False
+                    px = px.copy()
+                    px[mask] = (px[mask].astype(np.int64) + 1) % 256
+                decoded = multimodal.decode_png(multimodal.encode_png(px))
+                hv = multimodal.image_dhash(decoded)
+                rows.append(
+                    (d, w, h, f"{hv:016x}", b, d % 5 == 1)
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["pair_base"] = out["pair_base"].astype("int64")
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "multimodal_mp4_itunes",
     # The M4A/M4B audiobook tag layer: moov/udta/meta/ilst with UTF-8
     # text atoms, the implicit-binary trkn pair (absent every fourth

@@ -128,7 +128,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # decoded through the engine's own codec), and text_odt_extract
 # (OpenDocument with the text:s whitespace model), and
 # text_rtf_extract (legacy RTF with the \uc fallback protocol),
-# and graph_pagerank (exact-integer PageRank supersteps). Additionally, four held rows' constructions
+# graph_pagerank (exact-integer PageRank supersteps), and
+# dedup_image_dhash (perceptual image dedup on the PNG-decoded
+# bytes with planted non-sampled-pixel twins). Additionally, four held rows' constructions
 # extended IN PLACE this wave (their r14 driver rows hash the
 # extended oracles): scan_warc_responses (+Content-Encoding gzip/
 # deflate/raw-deflate, chunked-over-compressed), scan_archive_entries

@@ -335,3 +335,54 @@ class TestMp4Itunes:
         _st.pack_into(">I", blob, at, 1 << 24)
         with _pt.raises(ValueError, match="exceeds"):
             parse_mp4_itunes(bytes(blob))
+
+
+class TestImageDhash:
+    """r14: dHash — resampling-invariant perceptual image dedup."""
+
+    def _px(self, h=20, w=30):
+        import numpy as np
+
+        return ((np.arange(h * w).reshape(h, w) * 7) % 256).astype(
+            np.uint8
+        )
+
+    def test_non_sampled_perturbation_collides(self):
+        import numpy as np
+
+        from pyiceberg_lakehouse_spark.operators.multimodal import (
+            image_dhash,
+        )
+
+        px = self._px()
+        h1 = image_dhash(px)
+        xi = set(((np.arange(9) * 30) // 9).tolist())
+        yi = set(((np.arange(8) * 20) // 8).tolist())
+        px2 = px.copy()
+        mask = np.ones(px.shape, dtype=bool)
+        mask[np.ix_(sorted(yi), sorted(xi))] = False
+        px2[mask] = (px2[mask].astype(int) + 3) % 256
+        assert image_dhash(px2) == h1
+
+    def test_sampled_change_flips(self):
+        from pyiceberg_lakehouse_spark.operators.multimodal import (
+            image_dhash,
+        )
+
+        px = self._px()
+        px2 = px.copy()
+        px2[0, 0] = 255
+        assert image_dhash(px2) != image_dhash(px)
+
+    def test_too_small_and_multichannel_gated(self):
+        import numpy as np
+        import pytest as _pt
+
+        from pyiceberg_lakehouse_spark.operators.multimodal import (
+            image_dhash,
+        )
+
+        with _pt.raises(ValueError, match="9x8"):
+            image_dhash(np.zeros((4, 4), dtype=np.uint8))
+        with _pt.raises(ValueError, match="single-channel"):
+            image_dhash(np.zeros((20, 20, 3), dtype=np.uint8))
