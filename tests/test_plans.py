@@ -586,6 +586,7 @@ def test_r13_codec_queries_map_only(spark, sf_dir):
         "text_docx_extract",
         "text_odt_extract",
         "text_rtf_extract",
+        "dedup_image_dhash",
         "text_charset_decode",
         "text_html_metadata",
         "multimodal_gif_decode",
