@@ -2923,6 +2923,127 @@ def multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_quality",
+    # Speech-corpus curation features over DECODED audio — through the
+    # engine's own FLAC codec, so the whole decode->measure chain is
+    # under the hash: sample count, energy (sum of squares — bigint,
+    # EXACT), peak magnitude, near-silence fraction inputs (|s|<256
+    # count — the head section is planted quiet), and clipping counts
+    # (a planted alternating ±32767 tail on every third doc). The
+    # oracle restates every integer closed-form from the waveform
+    # formula. Filter modulus 17 residue 9.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             128 + (doc_id % 3) * 64 as n,
+             (cast(doc_id as bigint) % 200) - 100 as c,
+             doc_id % 3 = 0 as clipped
+      from documents where doc_id % 17 = 9
+    ),
+    ramp as (
+      select doc_id,
+             sum(((d*7 + 3*t) % 2048 - 1024)
+                 * ((d*7 + 3*t) % 2048 - 1024)) as sq,
+             max(abs((d*7 + 3*t) % 2048 - 1024)) as pk,
+             sum(case when abs((d*7 + 3*t) % 2048 - 1024) < 256
+                      then 1 else 0 end) as quiet
+      from base, unnest(generate_series(64, 255)) g(t)
+      where t < n - case when clipped then 16 else 0 end
+      group by doc_id
+    )
+    select b.doc_id,
+      cast(b.n as integer) as n_samples,
+      cast(64 * b.c * b.c + r.sq
+           + case when b.clipped
+                  then cast(16 as bigint) * 32767 * 32767
+                  else 0 end as bigint) as sum_sq,
+      cast(greatest(abs(b.c), r.pk,
+           case when b.clipped then 32767 else 0 end) as integer) as peak,
+      cast(case when abs(b.c) < 256 then 64 else 0 end + r.quiet
+           as integer) as n_quiet,
+      cast(case when b.clipped then 16 else 0 end as integer) as n_clipped,
+      true as md5_match
+    from base b join ramp r using (doc_id)
+    """,
+)
+def multimodal_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio curation features (the speech-dataset quality filters)
+    computed over samples decoded by the engine's own FLAC codec: per
+    doc, synthesize a waveform with a planted quiet head, a modular
+    ramp body, and — on every third doc — an alternating full-scale
+    ±32767 clipped tail; encode to FLAC, decode back (MD5-verified),
+    and measure sample count, EXACT integer energy (sum of squares),
+    peak magnitude, near-silence sample count (|s| < 256) and
+    clipping count (|s| = 32767). The oracle restates every integer
+    closed-form from the waveform formula — any slip anywhere in the
+    encode/decode/measure chain flips the hash. Arrow-batched
+    mapInPandas, map-only."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import flac as _flac
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 9)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sum_sq", T.LongType()),
+            T.StructField("peak", T.IntegerType()),
+            T.StructField("n_quiet", T.IntegerType()),
+            T.StructField("n_clipped", T.IntegerType()),
+            T.StructField("md5_match", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 128 + (d % 3) * 64
+                c = (d % 200) - 100
+                clipped = d % 3 == 0
+                body_end = n - 16 if clipped else n
+                sig = [
+                    c if t < 64 else ((d * 7 + 3 * t) % 2048) - 1024
+                    for t in range(body_end)
+                ]
+                if clipped:
+                    sig += [
+                        32767 if t % 2 == 0 else -32767
+                        for t in range(16)
+                    ]
+                blob = _flac.encode_flac([sig], rice_param=7)
+                got, meta = _flac.decode_flac(blob)
+                (samples,) = got
+                rows.append(
+                    (
+                        d, meta["total_samples"],
+                        sum(s * s for s in samples),
+                        max(abs(s) for s in samples),
+                        sum(1 for s in samples if abs(s) < 256),
+                        sum(1 for s in samples if abs(s) == 32767),
+                        meta["md5_match"],
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["sum_sq"] = out["sum_sq"].astype("int64")
+            for cname in ("n_samples", "peak", "n_quiet", "n_clipped"):
+                out[cname] = out[cname].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "dedup_image_dhash",
     # Perceptual image dedup: dHash over 9x8 nearest-neighbor samples,
     # pure integer arithmetic so the 64-bit hash is EXACTLY
