@@ -2923,6 +2923,112 @@ def multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_quality",
+    # Image curation features over DECODED pixels — through the
+    # engine's own PNG codec: EXACT integer brightness (value sum)
+    # and contrast inputs (sum of squares), min/max, and the
+    # near-black and near-white fractions' counts (the blank-scan /
+    # blown-out filters). The oracle restates every integer
+    # closed-form from the raster formula. Filter modulus 17
+    # residue 11.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             12 + doc_id % 9 as w, 9 + doc_id % 7 as h
+      from documents where doc_id % 17 = 11
+    ),
+    px as (
+      select doc_id,
+             sum((d + 11*x + 5*y) % 256) as s,
+             sum(((d + 11*x + 5*y) % 256) * ((d + 11*x + 5*y) % 256))
+               as sq,
+             min((d + 11*x + 5*y) % 256) as mn,
+             max((d + 11*x + 5*y) % 256) as mx,
+             sum(case when (d + 11*x + 5*y) % 256 < 16
+                      then 1 else 0 end) as dark,
+             sum(case when (d + 11*x + 5*y) % 256 >= 240
+                      then 1 else 0 end) as bright
+      from base, generate_series(0, 20) gx(x), generate_series(0, 15) gy(y)
+      where x < w and y < h
+      group by doc_id
+    )
+    select b.doc_id,
+      cast(b.w as integer) as width,
+      cast(b.h as integer) as height,
+      cast(p.s as bigint) as value_sum,
+      cast(p.sq as bigint) as value_sum_sq,
+      cast(p.mn as integer) as v_min,
+      cast(p.mx as integer) as v_max,
+      cast(p.dark as integer) as n_dark,
+      cast(p.bright as integer) as n_bright
+    from base b join px p using (doc_id)
+    """,
+)
+def multimodal_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image curation features (the blank-scan / blown-out / contrast
+    filters) computed on pixels decoded by the engine's own PNG
+    codec: per doc, synthesize a raster, roundtrip it through
+    encode_png/decode_png, and measure EXACT integer brightness and
+    contrast inputs (sum and sum of squares), min/max, and near-black
+    (<16) / near-white (>=240) pixel counts. The oracle restates
+    every integer closed-form — the audio_quality sibling for the
+    image pipeline. Arrow-batched mapInPandas, map-only."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 11)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("value_sum", T.LongType()),
+            T.StructField("value_sum_sq", T.LongType()),
+            T.StructField("v_min", T.IntegerType()),
+            T.StructField("v_max", T.IntegerType()),
+            T.StructField("n_dark", T.IntegerType()),
+            T.StructField("n_bright", T.IntegerType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 12 + d % 9, 9 + d % 7
+                y, x = np.ogrid[0:h, 0:w]
+                px = ((d + 11 * x + 5 * y) % 256).astype(np.uint8)
+                got = multimodal.decode_png(multimodal.encode_png(px))
+                a = got.astype(np.int64)
+                rows.append(
+                    (
+                        d, w, h, int(a.sum()), int((a * a).sum()),
+                        int(a.min()), int(a.max()),
+                        int((a < 16).sum()), int((a >= 240).sum()),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            for cname in ("value_sum", "value_sum_sq"):
+                out[cname] = out[cname].astype("int64")
+            for cname in (
+                "width", "height", "v_min", "v_max", "n_dark", "n_bright",
+            ):
+                out[cname] = out[cname].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "multimodal_audio_quality",
     # Speech-corpus curation features over DECODED audio — through the
     # engine's own FLAC codec, so the whole decode->measure chain is

@@ -131,8 +131,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # graph_pagerank (exact-integer PageRank supersteps), and
 # dedup_image_dhash (perceptual image dedup on the PNG-decoded
 # bytes with planted non-sampled-pixel twins), plus
-# multimodal_audio_quality (speech-curation features over
-# FLAC-decoded samples, integer-exact). Additionally, four held rows' constructions
+# multimodal_audio_quality + multimodal_image_quality
+# (speech/image curation features over codec-decoded
+# samples/pixels, integer-exact). Additionally, four held rows' constructions
 # extended IN PLACE this wave (their r14 driver rows hash the
 # extended oracles): scan_warc_responses (+Content-Encoding gzip/
 # deflate/raw-deflate, chunked-over-compressed), scan_archive_entries
