@@ -2923,6 +2923,115 @@ def multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_scene_cuts",
+    # Shot-boundary detection — the video-curation segmentation step:
+    # per doc an RVID clip with PLANTED cuts (uniform frames drifting
+    # +1/pixel within a shot, a +50 base jump at each boundary), the
+    # detector thresholds integer frame-diff energy, and the oracle
+    # states every detected boundary's global frame index and EXACT
+    # diff energy (51 per channel-pixel at a cut: the 50 jump plus
+    # the 1 drift) closed-form from the shot-length arithmetic.
+    # Filter modulus 17 residue 13.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             2 + doc_id % 3 as ns, 8 + doc_id % 5 as w, 6 + doc_id % 4 as h
+      from documents where doc_id % 17 = 13
+    ),
+    cuts as (
+      select doc_id, s,
+        (select sum(4 + (d + j) % 3) from generate_series(0, 3) g(j)
+         where j < s) as frame_idx
+      from base, generate_series(1, 3) gs(s) where s < ns
+    )
+    select b.doc_id,
+      cast(c.s - 1 as integer) as cut_idx,
+      cast(c.frame_idx as integer) as frame_idx,
+      cast(51 * b.w * b.h * 3 as bigint) as diff_energy,
+      cast((select sum(4 + (b.d + j) % 3) from generate_series(0, 3) g(j)
+            where j < b.ns) as integer) as n_frames
+    from base b join cuts c using (doc_id)
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over decoded video frames — the
+    segmentation step before per-shot sampling in a video-curation
+    pipeline: per doc, build an RVID clip of 2..4 uniform-color shots
+    (each frame drifts +1 per pixel; shot boundaries jump +50), decode
+    every frame, compute integer frame-difference energy and emit one
+    row per DETECTED boundary (energy > 10x the per-frame pixel
+    count — detection is load-bearing, not the construction). The
+    oracle restates boundary positions from the shot-length arithmetic
+    and the exact 51-per-channel-pixel cut energy. Arrow-batched
+    mapInPandas, map-only."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 13)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("cut_idx", T.IntegerType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("diff_energy", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ns = 2 + d % 3
+                w, h = 8 + d % 5, 6 + d % 4
+                lengths = [4 + (d + s) % 3 for s in range(ns)]
+                n = sum(lengths)
+                frames = bytearray()
+                f_global = 0
+                for s, ln in enumerate(lengths):
+                    for _ in range(ln):
+                        v = (10 + 50 * s + f_global) % 256
+                        frames += bytes([v]) * (w * h * 3)
+                        f_global += 1
+                import struct as _st
+
+                clip = _st.pack(
+                    "<4sHHHH", b"RVID", w, h, n, 8
+                ) + bytes(frames)
+                # decode every frame and detect boundaries
+                prev = None
+                thresh = 10 * w * h * 3
+                cuts = []
+                for f in range(n):
+                    fr = multimodal._rawvid_frame(clip, f).astype(
+                        np.int64
+                    )
+                    if prev is not None:
+                        energy = int(np.abs(fr - prev).sum())
+                        if energy > thresh:
+                            cuts.append((f, energy))
+                    prev = fr
+                for k, (f, energy) in enumerate(cuts):
+                    rows.append((d, k, f, energy, n))
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["diff_energy"] = out["diff_energy"].astype("int64")
+            for cname in ("cut_idx", "frame_idx", "n_frames"):
+                out[cname] = out[cname].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "multimodal_image_quality",
     # Image curation features over DECODED pixels — through the
     # engine's own PNG codec: EXACT integer brightness (value sum)
