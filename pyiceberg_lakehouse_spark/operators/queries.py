@@ -2923,6 +2923,90 @@ def multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unicode_nfc",
+    # Unicode normalization for dedup keys: the SAME text arrives from
+    # crawls as NFD (e + combining acute) and NFC (precomposed é) —
+    # byte-different, semantically identical, and a dedup key that
+    # skips normalization splits the duplicate group. Inputs cycle
+    # both forms plus an NFKC-only fold (the ﬁ ligature); the oracle
+    # states the normalized STRINGS closed-form (DuckDB literals are
+    # the precomposed forms). Filter modulus 17 residue 15.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d
+      from documents where doc_id % 17 = 15
+    )
+    select doc_id,
+      'Café-' || d || ' ﬁne-' || (d % 7) as nfc,
+      'Café-' || d || ' fine-' || (d % 7) as nfkc,
+      d % 2 = 0 as was_decomposed,
+      cast(length('Café-' || d || ' ﬁne-' || (d % 7))
+           + case when d % 2 = 0 then 1 else 0 end as integer)
+        as n_chars_raw,
+      cast(length('Café-' || d || ' ﬁne-' || (d % 7)) as integer)
+        as n_chars_nfc
+    from base
+    """,
+)
+def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization (NFC for identity, NFKC for ligature
+    folds) — the step a dedup key needs before hashing, because
+    crawls deliver the same text in byte-different forms: per doc,
+    build the input as NFD (e + COMBINING ACUTE) on even docs and
+    precomposed NFC on odd ones, with an ﬁ ligature that only NFKC
+    folds; normalize and report both forms plus the code-point counts
+    proving the decomposed input really was longer. The oracle states
+    the normalized strings closed-form. Arrow-batched mapInPandas,
+    map-only."""
+    import unicodedata
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 15)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("nfc", T.StringType()),
+            T.StructField("nfkc", T.StringType()),
+            T.StructField("was_decomposed", T.BooleanType()),
+            T.StructField("n_chars_raw", T.IntegerType()),
+            T.StructField("n_chars_nfc", T.IntegerType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:  # NFD: e + U+0301 COMBINING ACUTE
+                    raw = f"Cafe\u0301-{d} \ufb01ne-{d % 7}"
+                else:  # precomposed NFC e-acute
+                    raw = f"Caf\u00e9-{d} \ufb01ne-{d % 7}"
+                nfc = unicodedata.normalize("NFC", raw)
+                nfkc = unicodedata.normalize("NFKC", raw)
+                rows.append(
+                    (
+                        d, nfc, nfkc, d % 2 == 0, len(raw), len(nfc),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            for cname in ("n_chars_raw", "n_chars_nfc"):
+                out[cname] = out[cname].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "multimodal_scene_cuts",
     # Shot-boundary detection — the video-curation segmentation step:
     # per doc an RVID clip with PLANTED cuts (uniform frames drifting

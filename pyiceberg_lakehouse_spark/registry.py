@@ -134,7 +134,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # multimodal_audio_quality + multimodal_image_quality
 # (speech/image curation features over codec-decoded
 # samples/pixels, integer-exact), and multimodal_scene_cuts
-# (shot-boundary detection by integer frame-diff energy). Additionally, four held rows' constructions
+# (shot-boundary detection by integer frame-diff energy), and
+# text_unicode_nfc (NFC/NFKC normalization for dedup keys). Additionally, four held rows' constructions
 # extended IN PLACE this wave (their r14 driver rows hash the
 # extended oracles): scan_warc_responses (+Content-Encoding gzip/
 # deflate/raw-deflate, chunked-over-compressed), scan_archive_entries
