@@ -2923,6 +2923,118 @@ def multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_warc_revisits",
+    # Common Crawl's URL-level dedup form: WARC-Type revisit records
+    # carrying the original capture's payload digest + a refers-to
+    # pointer. The reader must ROUTE them (a response walk that
+    # misreads a revisit double-counts the page; a revisit walk that
+    # drops the digest cannot deduplicate) — an interleaved response
+    # record per doc pins the routing. The oracle restates every
+    # header closed-form. Filter modulus 17 residue 1.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d, 2 + doc_id % 3 as nr
+      from documents where doc_id % 17 = 1
+    )
+    select doc_id,
+      cast(i as integer) as rec_idx,
+      'http://r.ex/' || d || '/' || i as uri,
+      'sha1:DIG' || d || 'X' || i as digest,
+      '<urn:rec:' || d || '-' || i || '>' as refers_to,
+      '2020-03-' || lpad(cast(1 + (d + i) % 28 as varchar), 2, '0')
+        || 'T00:00:00Z' as date,
+      d % 2 = 1 as gzipped
+    from base, unnest(generate_series(0, 4)) g(i) where i < nr
+    """,
+)
+def scan_warc_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit records (operators/warc.py warc_revisits) — the
+    URL-level dedup accounting Common Crawl emits when a refetch
+    matches an earlier capture: per doc, build a WARC interleaving a
+    normal response record (which must route AWAY) with revisit
+    records carrying WARC-Payload-Digest + WARC-Refers-To, in both
+    storage layouts by parity, then extract the revisit rows. The
+    oracle restates every header closed-form; a digest-less revisit
+    raises rather than passing an unusable dedup row. Arrow-batched
+    mapInPandas, map-only."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import warc as _warc
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 1)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("rec_idx", T.IntegerType()),
+            T.StructField("uri", T.StringType()),
+            T.StructField("digest", T.StringType()),
+            T.StructField("refers_to", T.StringType()),
+            T.StructField("date", T.StringType()),
+            T.StructField("gzipped", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nr = 2 + d % 3
+                recs = [
+                    {
+                        "type": "response",
+                        "uri": f"http://r.ex/{d}/orig",
+                        "block": _warc.build_http_response(
+                            200, "OK",
+                            [("Content-Type", "text/html")],
+                            f"orig-{d}".encode(),
+                        ),
+                    }
+                ]
+                for i in range(nr):
+                    recs.append(
+                        {
+                            "type": "revisit",
+                            "uri": f"http://r.ex/{d}/{i}",
+                            "digest": f"sha1:DIG{d}X{i}",
+                            "refers_to": f"<urn:rec:{d}-{i}>",
+                            "date": (
+                                f"2020-03-{1 + (d + i) % 28:02d}"
+                                "T00:00:00Z"
+                            ),
+                            "profile": (
+                                "http://netpreserve.org/warc/1.1/"
+                                "revisit/identical-payload-digest"
+                            ),
+                            "block": b"HTTP/1.1 304 Not Modified\r\n\r\n",
+                        }
+                    )
+                gz = d % 2 == 1
+                payload = _warc.make_warc(recs, gzip_records=gz)
+                assert len(_warc.warc_responses(payload)) == 1
+                for i, r in enumerate(_warc.warc_revisits(payload)):
+                    rows.append(
+                        (
+                            d, i, r["uri"], r["digest"],
+                            r["refers_to"], r["date"], gz,
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["rec_idx"] = out["rec_idx"].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
     "text_unicode_nfc",
     # Unicode normalization for dedup keys: the SAME text arrives from
     # crawls as NFD (e + combining acute) and NFC (precomposed é) —

@@ -206,6 +206,12 @@ def make_warc(records: list[dict], gzip_records: bool = True) -> bytes:
         ]
         if r.get("uri"):
             hdrs.append(("WARC-Target-URI", r["uri"]))
+        if r.get("digest"):
+            hdrs.append(("WARC-Payload-Digest", r["digest"]))
+        if r.get("refers_to"):
+            hdrs.append(("WARC-Refers-To", r["refers_to"]))
+        if r.get("profile"):
+            hdrs.append(("WARC-Profile", r["profile"]))
         hdrs.append(
             (
                 "Content-Type",
@@ -302,6 +308,33 @@ def warc_responses(payload: bytes) -> list[dict]:
                 "content_type": http["headers"].get("content-type", ""),
                 "body": http["body"],
                 "headers": http["headers"],
+            }
+        )
+    return out
+
+
+def warc_revisits(payload: bytes) -> list[dict]:
+    """WARC-Type: revisit records — the URL-level dedup form Common
+    Crawl emits when a refetch matches an earlier capture: -> [{uri,
+    digest, refers_to, date}]. The payload digest (sha1 of the
+    original body) is the dedup key; refers-to names the original
+    record. Records missing the digest raise — a revisit without its
+    key cannot deduplicate anything."""
+    out = []
+    for rec in parse_warc(payload):
+        if rec["headers"].get("warc-type") != "revisit":
+            continue
+        digest = rec["headers"].get("warc-payload-digest")
+        if not digest:
+            raise ValueError(
+                "revisit record without WARC-Payload-Digest"
+            )
+        out.append(
+            {
+                "uri": rec["headers"].get("warc-target-uri", ""),
+                "digest": digest,
+                "refers_to": rec["headers"].get("warc-refers-to", ""),
+                "date": rec["headers"].get("warc-date", ""),
             }
         )
     return out

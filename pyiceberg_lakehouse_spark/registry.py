@@ -135,7 +135,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (speech/image curation features over codec-decoded
 # samples/pixels, integer-exact), and multimodal_scene_cuts
 # (shot-boundary detection by integer frame-diff energy), and
-# text_unicode_nfc (NFC/NFKC normalization for dedup keys). Additionally, four held rows' constructions
+# text_unicode_nfc (NFC/NFKC normalization for dedup keys), and
+# scan_warc_revisits (Common Crawl's revisit dedup records). Additionally, four held rows' constructions
 # extended IN PLACE this wave (their r14 driver rows hash the
 # extended oracles): scan_warc_responses (+Content-Encoding gzip/
 # deflate/raw-deflate, chunked-over-compressed), scan_archive_entries

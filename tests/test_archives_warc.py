@@ -478,3 +478,36 @@ class TestCompressionWrappers:
             decompress_auto(b"\x28\xb5\x2f\xfdjunk")
         with _pt.raises(ValueError, match="corrupt xz"):
             decompress_auto(b"\xfd7zXZ\x00garbage")
+
+
+class TestRevisits:
+    def test_routing_and_fields(self):
+        from pyiceberg_lakehouse_spark.operators import warc as W
+
+        recs = [
+            {"type": "response", "uri": "http://a/1",
+             "block": W.build_http_response(
+                 200, "OK", [("Content-Type", "text/html")], b"b")},
+            {"type": "revisit", "uri": "http://a/1",
+             "digest": "sha1:ABC", "refers_to": "<urn:rec:0>",
+             "date": "2020-02-02T00:00:00Z",
+             "block": b"HTTP/1.1 304 Not Modified\r\n\r\n"},
+        ]
+        p = W.make_warc(recs)
+        assert len(W.warc_responses(p)) == 1  # revisit routed away
+        (r,) = W.warc_revisits(p)
+        assert (r["uri"], r["digest"], r["refers_to"]) == (
+            "http://a/1", "sha1:ABC", "<urn:rec:0>",
+        )
+
+    def test_digestless_revisit_rejected(self):
+        import pytest as _pt
+
+        from pyiceberg_lakehouse_spark.operators import warc as W
+
+        p = W.make_warc(
+            [{"type": "revisit", "uri": "http://a/1",
+              "block": b"HTTP/1.1 304 X\r\n\r\n"}]
+        )
+        with _pt.raises(ValueError, match="WARC-Payload-Digest"):
+            W.warc_revisits(p)

@@ -591,6 +591,7 @@ def test_r13_codec_queries_map_only(spark, sf_dir):
         "multimodal_image_quality",
         "multimodal_scene_cuts",
         "text_unicode_nfc",
+        "scan_warc_revisits",
         "text_charset_decode",
         "text_html_metadata",
         "multimodal_gif_decode",
