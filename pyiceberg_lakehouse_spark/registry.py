@@ -347,241 +347,74 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # cosine top-k, the reference's flagship upsert composite, and the
 # exactly-once streaming sink.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # scans (scan_csv_checked_roundtrip's r13 rotation slot goes to the
-    # NEW RFC 9309 robots.txt decision row — fresh code outranks a
-    # double-green non-anchor; scan_ stays represented by the
-    # warc/archive/robots crawl-ingest rows)
-    "scan_robots_decisions",
-    # core aggregation (flagship anchor; agg_conditional's and
-    # fn_try_arithmetic's second-round hold slots go to the NEW inverted
-    # text index's AND-search and BM25 rows)
+    # ---- r15 rotation. VERDICT r14 task #1: the 19 oracle-checkable
+    # queries written after the r14 window froze take their driver slots
+    # THIS round (local-green is evidence, driver-green is the contract).
+    # Composition: 8 standing anchors (flagship pricing + four TPC-H
+    # topologies + join_right_outer + cosine top-k + the exactly-once
+    # streaming sink), 2 category sentinels (win_/train_), the 11 r14
+    # first-timers on their second-round hold, the 19 r14 post-freeze
+    # first-timers, and 10 multi-green structural keepers that new r15
+    # rows displace as they land (fresh code outranks a multi-green
+    # non-anchor, per the standing rotation principle).
+    # anchors
     "agg_q1_pricing_summary",
-    # (lh_text_search's r14 rotation slot goes to the NEW PDF text
-    # extraction row — fresh code outranks a double-green non-anchor;
-    # the inverted-index family stays driver-covered by
-    # stream_lh_text_search on the shared exactly-once index sink)
-    "text_pdf_extract",
-    # (lh_text_bm25's r13 rotation slot goes to the NEW EXIF extraction
-    # row — fresh code outranks a double-green non-anchor; the
-    # inverted-index family stays driver-covered by lh_text_search +
-    # stream_lh_text_search)
-    "multimodal_exif_extract",
-    # joins: anchor + four structurally-diverse TPC-H topology anchors
-    # (plan shapes of all 22 stay machine-checked in tests/test_plans.py);
-    # NEW runtime-filter semi-join reduction + bloom-index join pruning
-    "join_right_outer",
-    # (join_bloom_reduced's r13 rotation slot goes to the NEW WebP
-    # container probe — fresh code outranks a double-green non-anchor;
-    # the bloom family stays driver-covered by lh_bloom_join_scan)
-    "multimodal_webp_probe",
-    "lh_bloom_join_scan",
     "agg_q9_product_profit",
     "agg_q13_customer_distribution",
     "agg_q18_large_orders",
     "agg_q21_suppliers_kept_waiting",
-    # (lh_catalog_view's r13 rotation slot goes to the NEW
-    # caption-curation composite — fresh code outranks a double-green
-    # non-anchor; the view lifecycle stays local-gated + pytest-pinned)
-    "pipeline_caption_curation",
-    # windows (r9 first-timer holds)
-    "win_ntile_cume",
-    # scalar-function long tail: the final 6 never-verified rotate in
-    # (r9 task #1; fn_regexp_extract_all's second-round hold slot goes to
-    # the NEW deterministic epoch-shuffle sharding)
-    # (train_epoch_shards', fn_bitwise's and fn_null_handling's r11 hold
-    # slots go to the three post-freeze lakehouse/static-enrich rows)
-    # (lh_table_changes' and lh_update_where's r13 rotation slots go to
-    # the NEW subtitle-extraction pair — fresh code outranks
-    # double-green non-anchors; change feeds stay driver-covered by
-    # lh_cdf_feed + stream_lh_change_feed, updates by
-    # lh_merge_into_partitioned + lh_purge_rows)
-    "text_subtitle_cues",
-    "multimodal_mp4_subtitles",
-    # (stream_static_enrich's r13 rotation slot goes to the post-freeze
-    # append-mode watermark-finalized sessionization — the only
-    # session_window row in the registry; static-enrich stays
-    # local-gated + pytest-pinned)
-    "stream_session_windows",
-    # (multimodal_mp4_samples' r13 rotation slot goes to the post-freeze
-    # IMA ADPCM decode — the predictive-codec row; single-trak demux is
-    # a strict subset of the held multi-track row)
-    "multimodal_adpcm_decode",
-    # (lh_neardup_index_selfcheck's r13 rotation slot goes to the NEW
-    # GIF LZW codec roundtrip — the first dictionary-compression codec;
-    # the near-dup index stays driver-covered by probe_batch +
-    # stream_lh_neardup)
-    "multimodal_gif_decode",
-    "fn_struct_ops",
-    # time-series analytics (the skew-safe funnel twin — post-freeze r9
-    # code — rotates in; funnel_steps/retention_cohorts' second-round hold
-    # slots go to the NEW shallow clone + partition-scoped compaction)
-    # (events_funnel_skewsafe's r11 hold slot goes to the NEW streaming
-    # near-dup maintenance row — fresh code outranks a hold; time-series
-    # stays represented by win_/fn_datetime coverage and local gates)
-    "stream_lh_neardup",
-    # (lh_shallow_clone's r11 hold slot went to the probe-batch
-    # near-dup query; lh_neardup_probe_batch's r14 rotation slot goes
-    # to the NEW bilevel-TIFF row — fresh code outranks a double-green
-    # non-anchor; the near-dup family stays driver-covered by
-    # stream_lh_neardup on the same signature index, probe-batch stays
-    # local-gated + pytest-pinned)
-    "multimodal_tiff_bilevel",
-    # (stream_lh_media_demux's r14 rotation slot goes to the NEW
-    # foreign-engine metadata read — fresh code outranks a double-green
-    # non-anchor; streaming maintenance stays driver-covered by
-    # stream_lh_neardup + stream_lh_text_search + stream_lh_change_feed)
-    "lh_external_scan",
-    # lakehouse lifecycle + maintenance (r9 first-timers hold; NEW
-    # partition-scoped MERGE INTO + HLL distinct rollup; post-freeze
-    # reaggregate read path rotates in)
-    # (lh_purge_rows' r13 rotation slot goes to the NEW pure-JVM URL
-    # canonicalizer — fresh code outranks a double-green non-anchor;
-    # the purge stays local-gated + pytest-pinned)
-    "text_url_canonicalize",
-    # (train_split_leakage_safe's second-round hold slot goes to the NEW
-    # driver-hashable first-fit packing — fresh oracle outranks a hold;
-    # the leakage-safe split stays local-gated + pytest-pinned)
-    "train_pack_sequences",
-    # (lh_merge_into_partitioned's r13 rotation slot goes to the NEW
-    # end-to-end crawl-ingest composite — fresh code outranks a
-    # double-green non-anchor; MERGE INTO stays covered by the
-    # hypothesis property + sha256 partition-identity tests)
-    "pipeline_crawl_ingest",
-    # (lh_expire_tag_retention's r13 rotation slot goes to the NEW
-    # fragmented-MP4 demux — fresh code outranks a double-green
-    # non-anchor; tag-retention expiry stays local-gated + pytest-pinned)
-    "multimodal_mp4_fragmented",
-    # (stream_stream_left_join's r13 rotation slot goes to the NEW WARC
-    # crawl-ingest row — fresh code outranks a double-green non-anchor;
-    # the stream-stream family keeps full + anti, the subtlest modes)
-    "scan_warc_responses",
-    # (lh_rollup_avg's hold slot goes to the NEW exact-percentile rollup —
-    # fresh code outranks a second-round hold; avg stays local-gated.
-    # lh_rollup_hourly's hold slot goes to the NEW commit-time change-data
-    # feed — same principle; hourly stays local-gated + pytest-pinned)
-    # (lh_rollup_incremental's second-round hold slot goes to the NEW
-    # heavy-hitters rollup — every remaining rollup row in this window
-    # already exercises the create→append→incremental-refresh path)
-    "lh_cdf_feed",
-    # (lh_rollup_topk's r13 rotation slot goes to the NEW APNG
-    # composition row — fresh code outranks a double-green non-anchor;
-    # rollups stay driver-covered by percentile + the cdf feed)
-    "multimodal_apng_animation",
-    "lh_rollup_percentile",
-    # (lh_rollup_distinct's r13 rotation slot goes to the NEW
-    # animated-GIF composition row — fresh code outranks a double-green
-    # non-anchor; the rollup family stays driver-covered by
-    # topk/percentile + the cdf feed)
-    "multimodal_gif_animation",
-    # (multimodal_mp3_frames' r14 rotation slot goes to the NEW LZW
-    # TIFF roundtrip — fresh code outranks a double-green non-anchor;
-    # the MP3 frame walk stays driver-covered inside the held
-    # multimodal_mp3_id3 row, which demuxes the bare stream)
-    "multimodal_tiff_lzw",
-    # (lh_ann_range_selfcheck's r14 rotation slot goes to the NEW
-    # Markdown->text extraction row — fresh code outranks a
-    # triple-green non-anchor; sim_/ANN keeps the cosine_topk anchor
-    # and the range-search family stays pytest-pinned +
-    # BENCH_SCALE-evidenced via the probed-cells growth claims)
-    "text_markdown_extract",
-    # dedup + similarity (components twin holds; cosine top-k anchors;
-    # NEW exact substring-span coverage — the Lee-et-al ExactSubstr class —
-    # takes text_bigram_novelty's hold slot per the fresh-code principle)
-    # (text_top_bigrams' second-round hold slot goes to the NEW SemDeDup
-    # semantic dedup — driver-hashable by planted-duplicate construction)
-    # (dedup_components_exact's second-round hold slot goes to the
-    # post-freeze right-outer stream-stream join; substring_spans HOLDS —
-    # its oracle dtype fix must re-green this round)
-    # (stream_stream_right_join's r13 rotation slot goes to the NEW
-    # archive-explosion row — same principle)
-    "scan_archive_entries",
-    # (dedup_substring_spans' r13 rotation slot goes to the NEW HTML
-    # extractor row — fresh code outranks a double-green non-anchor;
-    # dedup_ stays driver-covered by simhash_selfcheck)
-    "text_html_extract",
-    # (pipeline_video_curation's r14 rotation slot goes to the NEW
-    # animated-WebP composition row — fresh code outranks a
-    # double-green non-anchor; pipeline_ stays driver-covered by the
-    # held caption-curation and crawl-ingest composites, and the
-    # video-curation path stays local-gated + pytest-pinned)
-    "multimodal_webp_animation",
+    "join_right_outer",
     "sim_cosine_topk",
-    # (sample_reservoir's r14 rotation slot goes to the NEW extended
-    # PII redaction row — fresh code outranks a double-green
-    # non-anchor; the reservoir stays local-gated + plan-pinned
-    # (TakeOrderedAndProject), and train_ keeps pack_sequences)
-    "text_pii_redact_extended",
-    # text + multimodal (r9 first-timers hold; post-freeze progressive
-    # JPEG + container probes rotate in; NEW 4:2:0/4:2:2 subsampled
-    # decode; NEW LM-familiarity scorer takes text_token_stats' hold slot
-    # — fresh code outranks a second-round hold per the standing rotation
-    # principle, and token_stats stays covered by the local gate +
-    # tests/test_operators.py)
-    # (text_chunk_overlap's second-round hold slot goes to the NEW BPE
-    # learner's hash-checkable pair-stats twin — fresh code outranks a
-    # hold; chunk_overlap stays local-gated + plan-test-enforced)
-    # (text_lm_familiarity's r11 hold slot goes to the NEW SimHash
-    # planted-recall self-check — fresh code outranks a hold; text_
-    # stays represented by bpe_pair_stats)
-    "dedup_simhash_selfcheck",
-    # (text_bpe_pair_stats' r13 rotation slot goes to the NEW Ogg demux
-    # row — fresh code outranks a double-green non-anchor; text_ stays
-    # represented by the subtitle/html/url rows)
-    "multimodal_ogg_packets",
-    # (multimodal_png_decode's and multimodal_jpeg_roundtrip's
-    # second-round hold slots go to the post-freeze full-outer and
-    # semi stream-stream joins)
-    # (stream_stream_full_join's r14 rotation slot goes to the NEW FLAC
-    # codec row — fresh code outranks a double-green non-anchor; the
-    # stream-stream family keeps anti, the subtlest
-    # watermark-finalization mode, plus the session-window row)
-    "multimodal_flac_decode",
-    # (stream_stream_semi_join's r13 rotation slot goes to the NEW
-    # ID3-tagged MP3 metadata row — fresh code outranks a double-green
-    # non-anchor; the stream-stream family keeps left/right/full/anti)
-    "multimodal_mp3_id3",
-    # (multimodal_jpeg_progressive's second-round hold slot goes to the
-    # NEW lossless SOF3 row — closed-form pixel sums beat error-bound
-    # booleans; progressive stays local-gated + pytest-pinned)
-    "multimodal_jpeg_lossless",
-    # (multimodal_jpeg_subsampled's and multimodal_container_probe's
-    # second-round hold slots go to the NEW multi-track demux and the
-    # demux->G.711-decode composition — fresh code outranks a hold; both
-    # displaced rows stay local-gated + pytest-pinned)
-    # (multimodal_mp4_multitrack's r14 rotation slot goes to the NEW
-    # tiled-TIFF row — fresh code outranks a double-green non-anchor;
-    # the MP4 family stays driver-covered by the held fragmented-demux
-    # and subtitle rows, which exercise the same sample-table walk)
-    "multimodal_tiff_tiled",
-    # (multimodal_audio_decode's r14 rotation slot goes to the NEW WebP
-    # VP8L pixel decode — fresh code outranks a double-green non-anchor;
-    # audio decode keeps the held IMA ADPCM row, the predictive codec)
-    "multimodal_webp_decode",
-    # (pipeline_rag_prep's r13 rotation slot goes to the NEW baseline
-    # TIFF codec — fresh code outranks a double-green non-anchor;
-    # pipeline_ stays driver-covered by the held video-curation
-    # composite)
-    "multimodal_tiff_decode",
-    # (fn_posexplode's r11 hold slot goes to the post-freeze anti
-    # stream-stream join — the subtlest watermark-finalization mode)
-    "stream_stream_anti_join",
-    # structured streaming (exactly-once sink anchors the heavyweight
-    # path; NEW watermark-complete left-outer stream-stream join takes
-    # stream_dedup_count's hold slot — fresh code outranks a second-round
-    # hold, dedup_count stays covered by the local gate)
-    # (stream_lh_rollup_maintain's hold slot goes to the NEW streaming
-    # change-feed source — fresh code outranks a second-round hold;
-    # rollup-maintain stays local-gated + pytest-pinned)
-    # (stream_stream_left_join's second-round hold slot goes to the NEW
-    # continuous inverted-index maintenance — fresh code outranks a hold)
     "stream_lh_sink_hourly",
-    "stream_lh_text_search",
-    # (stream_lh_change_feed's r14 rotation slot goes to the NEW
-    # sitemap-parsing row — fresh code outranks a double-green
-    # non-anchor; the change-feed family stays driver-covered by
-    # lh_cdf_feed on the same commit-time CDC path, and the streaming
-    # lakehouse family keeps sink_hourly + text_search + neardup)
+    # category sentinels (test_entry_contract: every prefix sampled)
+    "win_ntile_cume",
+    "train_pack_sequences",
+    # r14 first-timers, second-round hold (went driver-green in r14's
+    # window for the first time; one confirming round before rotation)
+    "text_pdf_extract",
+    "multimodal_tiff_bilevel",
+    "lh_external_scan",
+    "multimodal_tiff_lzw",
+    "text_markdown_extract",
+    "multimodal_webp_animation",
+    "text_pii_redact_extended",
+    "multimodal_flac_decode",
+    "multimodal_tiff_tiled",
+    "multimodal_webp_decode",
     "scan_sitemap_urls",
+    # r14 post-freeze first-timers: every oracle-checkable query that has
+    # never had a driver window slot (VERDICT r14 "what's wrong" debt)
+    "graph_pagerank",
+    "dedup_image_dhash",
+    "multimodal_audio_quality",
+    "multimodal_image_quality",
+    "multimodal_scene_cuts",
+    "multimodal_mkv_probe",
+    "multimodal_mp4_itunes",
+    "fn_variant_extract",
+    "lh_delete_positions",
+    "scan_orc_roundtrip",
+    "scan_warc_revisits",
+    "text_ass_cues",
+    "text_charset_decode",
+    "text_docx_extract",
+    "text_epub_extract",
+    "text_html_metadata",
+    "text_odt_extract",
+    "text_rtf_extract",
+    "text_unicode_nfc",
+    # multi-green structural keepers (heavyweight families stay
+    # represented; each slot is first in line for a NEW r15 row)
+    "stream_stream_anti_join",
+    "stream_lh_text_search",
+    "stream_lh_neardup",
+    "lh_cdf_feed",
+    "lh_rollup_percentile",
+    "dedup_simhash_selfcheck",
+    "lh_bloom_join_scan",
+    "fn_struct_ops",
+    "pipeline_crawl_ingest",
+    "multimodal_ogg_packets",
 )
 
 
