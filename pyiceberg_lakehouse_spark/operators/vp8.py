@@ -273,3 +273,1327 @@ AC_QLOOKUP = (
     155, 158, 161, 164, 167, 170, 173, 177, 181, 185, 189, 193, 197, 201, 205, 209,
     213, 217, 221, 225, 229, 234, 239, 245, 249, 254, 259, 264, 269, 274, 279, 284,
 )
+
+# Default coefficient-token probabilities (RFC 6386 §13.5,
+# vp8_default_coef_probs): [block_type][band][ctx][11 entropy nodes].
+# Public bitstream constants; correctness is pinned empirically by the
+# real-file consumption tests in tests/test_vp8.py.
+
+# Default coefficient-token probabilities, the per-frame
+# update-flag probabilities, and the keyframe 4x4 sub-mode probabilities
+# (RFC 6386 §11.4, §13.4-13.5): [block_type][band][ctx][11 nodes] /
+# [above][left][9 nodes]. Public bitstream constants from the spec,
+# cross-checked against the system libwebp's .rodata and empirically
+# pinned by the real-file exact-consumption tests in tests/test_vp8.py.
+DEFAULT_COEFF_PROBS = (
+    (  # block type 0: Y after Y2 (tokens start at coefficient 1)
+        (
+            (128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128),
+            (128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128),
+            (128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128),
+        ),
+        (
+            (253, 136, 254, 255, 228, 219, 128, 128, 128, 128, 128),
+            (189, 129, 242, 255, 227, 213, 255, 219, 128, 128, 128),
+            (106, 126, 227, 252, 214, 209, 255, 255, 128, 128, 128),
+        ),
+        (
+            (1, 98, 248, 255, 236, 226, 255, 255, 128, 128, 128),
+            (181, 133, 238, 254, 221, 234, 255, 154, 128, 128, 128),
+            (78, 134, 202, 247, 198, 180, 255, 219, 128, 128, 128),
+        ),
+        (
+            (1, 185, 249, 255, 243, 255, 128, 128, 128, 128, 128),
+            (184, 150, 247, 255, 236, 224, 128, 128, 128, 128, 128),
+            (77, 110, 216, 255, 236, 230, 128, 128, 128, 128, 128),
+        ),
+        (
+            (1, 101, 251, 255, 241, 255, 128, 128, 128, 128, 128),
+            (170, 139, 241, 252, 236, 209, 255, 255, 128, 128, 128),
+            (37, 116, 196, 243, 228, 255, 255, 255, 128, 128, 128),
+        ),
+        (
+            (1, 204, 254, 255, 245, 255, 128, 128, 128, 128, 128),
+            (207, 160, 250, 255, 238, 128, 128, 128, 128, 128, 128),
+            (102, 103, 231, 255, 211, 171, 128, 128, 128, 128, 128),
+        ),
+        (
+            (1, 152, 252, 255, 240, 255, 128, 128, 128, 128, 128),
+            (177, 135, 243, 255, 234, 225, 128, 128, 128, 128, 128),
+            (80, 129, 211, 255, 194, 224, 128, 128, 128, 128, 128),
+        ),
+        (
+            (1, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+            (246, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+            (255, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128),
+        ),
+    ),
+    (  # block type 1: Y2
+        (
+            (198, 35, 237, 223, 193, 187, 162, 160, 145, 155, 62),
+            (131, 45, 198, 221, 172, 176, 220, 157, 252, 221, 1),
+            (68, 47, 146, 208, 149, 167, 221, 162, 255, 223, 128),
+        ),
+        (
+            (1, 149, 241, 255, 221, 224, 255, 255, 128, 128, 128),
+            (184, 141, 234, 253, 222, 220, 255, 199, 128, 128, 128),
+            (81, 99, 181, 242, 176, 190, 249, 202, 255, 255, 128),
+        ),
+        (
+            (1, 129, 232, 253, 214, 197, 242, 196, 255, 255, 128),
+            (99, 121, 210, 250, 201, 198, 255, 202, 128, 128, 128),
+            (23, 91, 163, 242, 170, 187, 247, 210, 255, 255, 128),
+        ),
+        (
+            (1, 200, 246, 255, 234, 255, 128, 128, 128, 128, 128),
+            (109, 178, 241, 255, 231, 245, 255, 255, 128, 128, 128),
+            (44, 130, 201, 253, 205, 192, 255, 255, 128, 128, 128),
+        ),
+        (
+            (1, 132, 239, 251, 219, 209, 255, 165, 128, 128, 128),
+            (94, 136, 225, 251, 218, 190, 255, 255, 128, 128, 128),
+            (22, 100, 174, 245, 186, 161, 255, 199, 128, 128, 128),
+        ),
+        (
+            (1, 182, 249, 255, 232, 235, 128, 128, 128, 128, 128),
+            (124, 143, 241, 255, 227, 234, 128, 128, 128, 128, 128),
+            (35, 77, 181, 251, 193, 211, 255, 205, 128, 128, 128),
+        ),
+        (
+            (1, 157, 247, 255, 236, 231, 255, 255, 128, 128, 128),
+            (121, 141, 235, 255, 225, 227, 255, 255, 128, 128, 128),
+            (45, 99, 188, 251, 195, 217, 255, 224, 128, 128, 128),
+        ),
+        (
+            (1, 1, 251, 255, 213, 255, 128, 128, 128, 128, 128),
+            (203, 1, 248, 255, 255, 128, 128, 128, 128, 128, 128),
+            (137, 1, 177, 255, 224, 255, 128, 128, 128, 128, 128),
+        ),
+    ),
+    (  # block type 2: chroma
+        (
+            (253, 9, 248, 251, 207, 208, 255, 192, 128, 128, 128),
+            (175, 13, 224, 243, 193, 185, 249, 198, 255, 255, 128),
+            (73, 17, 171, 221, 161, 179, 236, 167, 255, 234, 128),
+        ),
+        (
+            (1, 95, 247, 253, 212, 183, 255, 255, 128, 128, 128),
+            (239, 90, 244, 250, 211, 209, 255, 255, 128, 128, 128),
+            (155, 77, 195, 248, 188, 195, 255, 255, 128, 128, 128),
+        ),
+        (
+            (1, 24, 239, 251, 218, 219, 255, 205, 128, 128, 128),
+            (201, 51, 219, 255, 196, 186, 128, 128, 128, 128, 128),
+            (69, 46, 190, 239, 201, 218, 255, 228, 128, 128, 128),
+        ),
+        (
+            (1, 191, 251, 255, 255, 128, 128, 128, 128, 128, 128),
+            (223, 165, 249, 255, 213, 255, 128, 128, 128, 128, 128),
+            (141, 124, 248, 255, 255, 128, 128, 128, 128, 128, 128),
+        ),
+        (
+            (1, 16, 248, 255, 255, 128, 128, 128, 128, 128, 128),
+            (190, 36, 230, 255, 236, 255, 128, 128, 128, 128, 128),
+            (149, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+        ),
+        (
+            (1, 226, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+            (247, 192, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+            (240, 128, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+        ),
+        (
+            (1, 134, 252, 255, 255, 128, 128, 128, 128, 128, 128),
+            (213, 62, 250, 255, 255, 128, 128, 128, 128, 128, 128),
+            (55, 93, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+        ),
+        (
+            (128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128),
+            (128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128),
+            (128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128),
+        ),
+    ),
+    (  # block type 3: Y in a B_PRED macroblock (carries its own DC)
+        (
+            (202, 24, 213, 235, 186, 191, 220, 160, 240, 175, 255),
+            (126, 38, 182, 232, 169, 184, 228, 174, 255, 187, 128),
+            (61, 46, 138, 219, 151, 178, 240, 170, 255, 216, 128),
+        ),
+        (
+            (1, 112, 230, 250, 199, 191, 247, 159, 255, 255, 128),
+            (166, 109, 228, 252, 211, 215, 255, 174, 128, 128, 128),
+            (39, 77, 162, 232, 172, 180, 245, 178, 255, 255, 128),
+        ),
+        (
+            (1, 52, 220, 246, 198, 199, 249, 220, 255, 255, 128),
+            (124, 74, 191, 243, 183, 193, 250, 221, 255, 255, 128),
+            (24, 71, 130, 219, 154, 170, 243, 182, 255, 255, 128),
+        ),
+        (
+            (1, 182, 225, 249, 219, 240, 255, 224, 128, 128, 128),
+            (149, 150, 226, 252, 216, 205, 255, 171, 128, 128, 128),
+            (28, 108, 170, 242, 183, 194, 254, 223, 255, 255, 128),
+        ),
+        (
+            (1, 81, 230, 252, 204, 203, 255, 192, 128, 128, 128),
+            (123, 102, 209, 247, 188, 196, 255, 233, 128, 128, 128),
+            (20, 95, 153, 243, 164, 173, 255, 203, 128, 128, 128),
+        ),
+        (
+            (1, 222, 248, 255, 216, 213, 128, 128, 128, 128, 128),
+            (168, 175, 246, 252, 235, 205, 255, 255, 128, 128, 128),
+            (47, 116, 215, 255, 211, 212, 255, 255, 128, 128, 128),
+        ),
+        (
+            (1, 121, 236, 253, 212, 214, 255, 255, 128, 128, 128),
+            (141, 84, 213, 252, 201, 202, 255, 219, 128, 128, 128),
+            (42, 80, 160, 240, 162, 185, 255, 205, 128, 128, 128),
+        ),
+        (
+            (1, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+            (244, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+            (238, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128),
+        ),
+    ),
+)
+
+COEFF_UPDATE_PROBS = (
+    (  # block type 0
+        (
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (176, 246, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (223, 241, 252, 255, 255, 255, 255, 255, 255, 255, 255),
+            (249, 253, 253, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 244, 252, 255, 255, 255, 255, 255, 255, 255, 255),
+            (234, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (253, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 246, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (239, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 248, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (251, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (251, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 254, 253, 255, 254, 255, 255, 255, 255, 255, 255),
+            (250, 255, 254, 255, 254, 255, 255, 255, 255, 255, 255),
+            (254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+    ),
+    (  # block type 1
+        (
+            (217, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (225, 252, 241, 253, 255, 255, 254, 255, 255, 255, 255),
+            (234, 250, 241, 250, 253, 255, 253, 254, 255, 255, 255),
+        ),
+        (
+            (255, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (223, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (238, 253, 254, 254, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 248, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (249, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 253, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (247, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (252, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (253, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 254, 253, 255, 255, 255, 255, 255, 255, 255, 255),
+            (250, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+    ),
+    (  # block type 2
+        (
+            (186, 251, 250, 255, 255, 255, 255, 255, 255, 255, 255),
+            (234, 251, 244, 254, 255, 255, 255, 255, 255, 255, 255),
+            (251, 251, 243, 253, 254, 255, 254, 255, 255, 255, 255),
+        ),
+        (
+            (255, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (236, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (251, 253, 253, 254, 254, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+    ),
+    (  # block type 3
+        (
+            (248, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (250, 254, 252, 254, 255, 255, 255, 255, 255, 255, 255),
+            (248, 254, 249, 253, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 253, 253, 255, 255, 255, 255, 255, 255, 255, 255),
+            (246, 253, 253, 255, 255, 255, 255, 255, 255, 255, 255),
+            (252, 254, 251, 254, 254, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 254, 252, 255, 255, 255, 255, 255, 255, 255, 255),
+            (248, 254, 253, 255, 255, 255, 255, 255, 255, 255, 255),
+            (253, 255, 254, 254, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 251, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (245, 251, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (253, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 251, 253, 255, 255, 255, 255, 255, 255, 255, 255),
+            (252, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 252, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (249, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 255, 253, 255, 255, 255, 255, 255, 255, 255, 255),
+            (250, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+        (
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+            (255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255),
+        ),
+    ),
+)
+
+KF_BMODE_PROB = (
+    (
+        (231, 120, 48, 89, 115, 113, 120, 152, 112),
+        (152, 179, 64, 126, 170, 118, 46, 70, 95),
+        (175, 69, 143, 80, 85, 82, 72, 155, 103),
+        (56, 58, 10, 171, 218, 189, 17, 13, 152),
+        (114, 26, 17, 163, 44, 195, 21, 10, 173),
+        (121, 24, 80, 195, 26, 62, 44, 64, 85),
+        (144, 71, 10, 38, 171, 213, 144, 34, 26),
+        (170, 46, 55, 19, 136, 160, 33, 206, 71),
+        (63, 20, 8, 114, 114, 208, 12, 9, 226),
+        (81, 40, 11, 96, 182, 84, 29, 16, 36),
+    ),
+    (
+        (134, 183, 89, 137, 98, 101, 106, 165, 148),
+        (72, 187, 100, 130, 157, 111, 32, 75, 80),
+        (66, 102, 167, 99, 74, 62, 40, 234, 128),
+        (41, 53, 9, 178, 241, 141, 26, 8, 107),
+        (74, 43, 26, 146, 73, 166, 49, 23, 157),
+        (65, 38, 105, 160, 51, 52, 31, 115, 128),
+        (104, 79, 12, 27, 217, 255, 87, 17, 7),
+        (87, 68, 71, 44, 114, 51, 15, 186, 23),
+        (47, 41, 14, 110, 182, 183, 21, 17, 194),
+        (66, 45, 25, 102, 197, 189, 23, 18, 22),
+    ),
+    (
+        (88, 88, 147, 150, 42, 46, 45, 196, 205),
+        (43, 97, 183, 117, 85, 38, 35, 179, 61),
+        (39, 53, 200, 87, 26, 21, 43, 232, 171),
+        (56, 34, 51, 104, 114, 102, 29, 93, 77),
+        (39, 28, 85, 171, 58, 165, 90, 98, 64),
+        (34, 22, 116, 206, 23, 34, 43, 166, 73),
+        (107, 54, 32, 26, 51, 1, 81, 43, 31),
+        (68, 25, 106, 22, 64, 171, 36, 225, 114),
+        (34, 19, 21, 102, 132, 188, 16, 76, 124),
+        (62, 18, 78, 95, 85, 57, 50, 48, 51),
+    ),
+    (
+        (193, 101, 35, 159, 215, 111, 89, 46, 111),
+        (60, 148, 31, 172, 219, 228, 21, 18, 111),
+        (112, 113, 77, 85, 179, 255, 38, 120, 114),
+        (40, 42, 1, 196, 245, 209, 10, 25, 109),
+        (88, 43, 29, 140, 166, 213, 37, 43, 154),
+        (61, 63, 30, 155, 67, 45, 68, 1, 209),
+        (100, 80, 8, 43, 154, 1, 51, 26, 71),
+        (142, 78, 78, 16, 255, 128, 34, 197, 171),
+        (41, 40, 5, 102, 211, 183, 4, 1, 221),
+        (51, 50, 17, 168, 209, 192, 23, 25, 82),
+    ),
+    (
+        (138, 31, 36, 171, 27, 166, 38, 44, 229),
+        (67, 87, 58, 169, 82, 115, 26, 59, 179),
+        (63, 59, 90, 180, 59, 166, 93, 73, 154),
+        (40, 40, 21, 116, 143, 209, 34, 39, 175),
+        (47, 15, 16, 183, 34, 223, 49, 45, 183),
+        (46, 17, 33, 183, 6, 98, 15, 32, 183),
+        (57, 46, 22, 24, 128, 1, 54, 17, 37),
+        (65, 32, 73, 115, 28, 128, 23, 128, 205),
+        (40, 3, 9, 115, 51, 192, 18, 6, 223),
+        (87, 37, 9, 115, 59, 77, 64, 21, 47),
+    ),
+    (
+        (104, 55, 44, 218, 9, 54, 53, 130, 226),
+        (64, 90, 70, 205, 40, 41, 23, 26, 57),
+        (54, 57, 112, 184, 5, 41, 38, 166, 213),
+        (30, 34, 26, 133, 152, 116, 10, 32, 134),
+        (39, 19, 53, 221, 26, 114, 32, 73, 255),
+        (31, 9, 65, 234, 2, 15, 1, 118, 73),
+        (75, 32, 12, 51, 192, 255, 160, 43, 51),
+        (88, 31, 35, 67, 102, 85, 55, 186, 85),
+        (56, 21, 23, 111, 59, 205, 45, 37, 192),
+        (55, 38, 70, 124, 73, 102, 1, 34, 98),
+    ),
+    (
+        (125, 98, 42, 88, 104, 85, 117, 175, 82),
+        (95, 84, 53, 89, 128, 100, 113, 101, 45),
+        (75, 79, 123, 47, 51, 128, 81, 171, 1),
+        (57, 17, 5, 71, 102, 57, 53, 41, 49),
+        (38, 33, 13, 121, 57, 73, 26, 1, 85),
+        (41, 10, 67, 138, 77, 110, 90, 47, 114),
+        (115, 21, 2, 10, 102, 255, 166, 23, 6),
+        (101, 29, 16, 10, 85, 128, 101, 196, 26),
+        (57, 18, 10, 102, 102, 213, 34, 20, 43),
+        (117, 20, 15, 36, 163, 128, 68, 1, 26),
+    ),
+    (
+        (102, 61, 71, 37, 34, 53, 31, 243, 192),
+        (69, 60, 71, 38, 73, 119, 28, 222, 37),
+        (68, 45, 128, 34, 1, 47, 11, 245, 171),
+        (62, 17, 19, 70, 146, 85, 55, 62, 70),
+        (37, 43, 37, 154, 100, 163, 85, 160, 1),
+        (63, 9, 92, 136, 28, 64, 32, 201, 85),
+        (75, 15, 9, 9, 64, 255, 184, 119, 16),
+        (86, 6, 28, 5, 64, 255, 25, 248, 1),
+        (56, 8, 17, 132, 137, 255, 55, 116, 128),
+        (58, 15, 20, 82, 135, 57, 26, 121, 40),
+    ),
+    (
+        (164, 50, 31, 137, 154, 133, 25, 35, 218),
+        (51, 103, 44, 131, 131, 123, 31, 6, 158),
+        (86, 40, 64, 135, 148, 224, 45, 183, 128),
+        (22, 26, 17, 131, 240, 154, 14, 1, 209),
+        (45, 16, 21, 91, 64, 222, 7, 1, 197),
+        (56, 21, 39, 155, 60, 138, 23, 102, 213),
+        (83, 12, 13, 54, 192, 255, 68, 47, 28),
+        (85, 26, 85, 85, 128, 128, 32, 146, 171),
+        (18, 11, 7, 63, 144, 171, 4, 4, 246),
+        (35, 27, 10, 146, 174, 171, 12, 26, 128),
+    ),
+    (
+        (190, 80, 35, 99, 180, 80, 126, 54, 45),
+        (85, 126, 47, 87, 176, 51, 41, 20, 32),
+        (101, 75, 128, 139, 118, 146, 116, 128, 85),
+        (56, 41, 15, 176, 236, 85, 37, 9, 62),
+        (71, 30, 17, 119, 118, 255, 17, 18, 138),
+        (101, 38, 60, 138, 55, 70, 43, 26, 142),
+        (146, 36, 19, 30, 171, 255, 97, 27, 20),
+        (138, 45, 61, 62, 219, 1, 81, 188, 64),
+        (32, 41, 20, 117, 151, 142, 20, 21, 163),
+        (112, 19, 12, 61, 195, 128, 48, 4, 24),
+    ),
+)
+
+# --------------------------------------------------------------------------
+# Dequantization, inverse transforms (RFC 6386 §14)
+# --------------------------------------------------------------------------
+
+
+def _clamp_q(i: int) -> int:
+    return 0 if i < 0 else (127 if i > 127 else i)
+
+
+def dequant_factors(
+    y_ac_qi: int,
+    y_dc_delta: int = 0,
+    y2_dc_delta: int = 0,
+    y2_ac_delta: int = 0,
+    uv_dc_delta: int = 0,
+    uv_ac_delta: int = 0,
+) -> dict:
+    """Per-plane (dc, ac) dequantization factors for one segment."""
+    y1dc = DC_QLOOKUP[_clamp_q(y_ac_qi + y_dc_delta)]
+    y1ac = AC_QLOOKUP[_clamp_q(y_ac_qi)]
+    y2dc = DC_QLOOKUP[_clamp_q(y_ac_qi + y2_dc_delta)] * 2
+    y2ac = AC_QLOOKUP[_clamp_q(y_ac_qi + y2_ac_delta)] * 155 // 100
+    if y2ac < 8:
+        y2ac = 8
+    uvdc = DC_QLOOKUP[_clamp_q(y_ac_qi + uv_dc_delta)]
+    if uvdc > 132:
+        uvdc = 132
+    uvac = AC_QLOOKUP[_clamp_q(y_ac_qi + uv_ac_delta)]
+    return {"y1": (y1dc, y1ac), "y2": (y2dc, y2ac), "uv": (uvdc, uvac)}
+
+
+_COSPI8SQRT2MINUS1 = 20091
+_SINPI8SQRT2 = 35468
+
+
+def idct4x4(coeffs: list[int]) -> list[int]:
+    """RFC 6386 §14.3 exact integer inverse DCT on a (dequantized)
+    natural-order 4x4 block; returns 16 residuals row-major."""
+    tmp = [0] * 16
+    for i in range(4):
+        ip0, ip4, ip8, ip12 = coeffs[i], coeffs[i + 4], coeffs[i + 8], coeffs[i + 12]
+        a1 = ip0 + ip8
+        b1 = ip0 - ip8
+        t1 = (ip4 * _SINPI8SQRT2) >> 16
+        t2 = ip12 + ((ip12 * _COSPI8SQRT2MINUS1) >> 16)
+        c1 = t1 - t2
+        t1 = ip4 + ((ip4 * _COSPI8SQRT2MINUS1) >> 16)
+        t2 = (ip12 * _SINPI8SQRT2) >> 16
+        d1 = t1 + t2
+        tmp[i] = a1 + d1
+        tmp[i + 12] = a1 - d1
+        tmp[i + 4] = b1 + c1
+        tmp[i + 8] = b1 - c1
+    out = [0] * 16
+    for i in range(4):
+        base = i * 4
+        ip0, ip1, ip2, ip3 = tmp[base], tmp[base + 1], tmp[base + 2], tmp[base + 3]
+        a1 = ip0 + ip2
+        b1 = ip0 - ip2
+        t1 = (ip1 * _SINPI8SQRT2) >> 16
+        t2 = ip3 + ((ip3 * _COSPI8SQRT2MINUS1) >> 16)
+        c1 = t1 - t2
+        t1 = ip1 + ((ip1 * _COSPI8SQRT2MINUS1) >> 16)
+        t2 = (ip3 * _SINPI8SQRT2) >> 16
+        d1 = t1 + t2
+        out[base] = (a1 + d1 + 4) >> 3
+        out[base + 3] = (a1 - d1 + 4) >> 3
+        out[base + 1] = (b1 + c1 + 4) >> 3
+        out[base + 2] = (b1 - c1 + 4) >> 3
+    return out
+
+
+def iwht4x4(coeffs: list[int]) -> list[int]:
+    """RFC 6386 §14.3 inverse Walsh-Hadamard for the Y2 block."""
+    tmp = [0] * 16
+    for i in range(4):
+        a1 = coeffs[i] + coeffs[i + 12]
+        b1 = coeffs[i + 4] + coeffs[i + 8]
+        c1 = coeffs[i + 4] - coeffs[i + 8]
+        d1 = coeffs[i] - coeffs[i + 12]
+        tmp[i] = a1 + b1
+        tmp[i + 4] = c1 + d1
+        tmp[i + 8] = a1 - b1
+        tmp[i + 12] = d1 - c1
+    out = [0] * 16
+    for i in range(4):
+        base = i * 4
+        a1 = tmp[base] + tmp[base + 3]
+        b1 = tmp[base + 1] + tmp[base + 2]
+        c1 = tmp[base + 1] - tmp[base + 2]
+        d1 = tmp[base] - tmp[base + 3]
+        out[base] = (a1 + b1 + 3) >> 3
+        out[base + 1] = (c1 + d1 + 3) >> 3
+        out[base + 2] = (a1 - b1 + 3) >> 3
+        out[base + 3] = (d1 - c1 + 3) >> 3
+    return out
+
+
+# --------------------------------------------------------------------------
+# Key-frame decoder (RFC 6386 §9-§13)
+# --------------------------------------------------------------------------
+
+
+class VP8Decoder:
+    """Decodes one VP8 key frame (the payload of a ``VP8 `` WebP chunk)."""
+
+    def __init__(self, payload: bytes) -> None:
+        if len(payload) < 10:
+            raise ValueError("VP8 payload shorter than the frame header")
+        tag = payload[0] | (payload[1] << 8) | (payload[2] << 16)
+        self.is_keyframe = not (tag & 1)
+        self.version = (tag >> 1) & 7
+        self.show_frame = (tag >> 4) & 1
+        self.first_part_size = tag >> 5
+        if not self.is_keyframe:
+            raise NotImplementedError(
+                "VP8 inter frame: only key (intra) frames are decoded — "
+                "still-image WebP is always a key frame"
+            )
+        if payload[3:6] != b"\x9d\x01\x2a":
+            raise ValueError("VP8 keyframe start code missing")
+        w = payload[6] | (payload[7] << 8)
+        h = payload[8] | (payload[9] << 8)
+        self.width, self.xscale = w & 0x3FFF, w >> 14
+        self.height, self.yscale = h & 0x3FFF, h >> 14
+        if not self.width or not self.height:
+            raise ValueError("zero VP8 frame dimension")
+        self.mb_cols = (self.width + 15) // 16
+        self.mb_rows = (self.height + 15) // 16
+        body = payload[10:]
+        if self.first_part_size > len(body):
+            raise ValueError("VP8 first partition overruns payload")
+        self._part1 = body[: self.first_part_size]
+        self._rest = body[self.first_part_size :]
+        self.coeff_probs = [
+            [[list(r) for r in c] for c in b] for b in DEFAULT_COEFF_PROBS
+        ]
+        self.header: dict = {}
+        self.diag: dict = {}
+
+    # ---------------------------------------------------------- header --
+
+    def _parse_header(self, bd: BoolDecoder) -> None:
+        h = self.header
+        h["color_space"] = bd.read_literal(1)
+        h["clamping_type"] = bd.read_literal(1)
+        # segmentation (parsed for real files; features honoured)
+        self.segment_quant_delta = [0, 0, 0, 0]
+        self.segment_lf_delta = [0, 0, 0, 0]
+        self.segment_abs = False
+        self.mb_segment_tree_probs = [255, 255, 255]
+        self.segmentation = bd.read_literal(1)
+        self.update_mb_segmentation_map = False
+        if self.segmentation:
+            self.update_mb_segmentation_map = bool(bd.read_literal(1))
+            update_data = bd.read_literal(1)
+            if update_data:
+                self.segment_abs = bool(bd.read_literal(1))
+                for i in range(4):
+                    if bd.read_literal(1):
+                        self.segment_quant_delta[i] = bd.read_signed(7)
+                for i in range(4):
+                    if bd.read_literal(1):
+                        self.segment_lf_delta[i] = bd.read_signed(6)
+            if self.update_mb_segmentation_map:
+                for i in range(3):
+                    if bd.read_literal(1):
+                        self.mb_segment_tree_probs[i] = bd.read_literal(8)
+        h["filter_type"] = bd.read_literal(1)
+        h["filter_level"] = bd.read_literal(6)
+        h["sharpness"] = bd.read_literal(3)
+        self.lf_delta_enabled = bool(bd.read_literal(1))
+        self.ref_lf_delta = [0, 0, 0, 0]
+        self.mode_lf_delta = [0, 0, 0, 0]
+        if self.lf_delta_enabled:
+            if bd.read_literal(1):  # deltas updated this frame
+                for i in range(4):
+                    if bd.read_literal(1):
+                        self.ref_lf_delta[i] = bd.read_signed(6)
+                for i in range(4):
+                    if bd.read_literal(1):
+                        self.mode_lf_delta[i] = bd.read_signed(6)
+        self.n_token_partitions = 1 << bd.read_literal(2)
+        y_ac_qi = bd.read_literal(7)
+
+        def q_delta() -> int:
+            return bd.read_signed(4) if bd.read_literal(1) else 0
+
+        self.q = {
+            "y_ac_qi": y_ac_qi,
+            "y_dc_delta": q_delta(),
+            "y2_dc_delta": q_delta(),
+            "y2_ac_delta": q_delta(),
+            "uv_dc_delta": q_delta(),
+            "uv_ac_delta": q_delta(),
+        }
+        h["refresh_entropy_probs"] = bd.read_literal(1)
+        # coefficient probability updates
+        for t in range(4):
+            for b in range(8):
+                for c in range(3):
+                    for n in range(11):
+                        if bd.read_bool(COEFF_UPDATE_PROBS[t][b][c][n]):
+                            self.coeff_probs[t][b][c][n] = bd.read_literal(8)
+        self.mb_no_coeff_skip = bd.read_literal(1)
+        self.prob_skip_false = bd.read_literal(8) if self.mb_no_coeff_skip else 0
+
+    # ------------------------------------------------------------ modes --
+
+    def _parse_modes(self, bd: BoolDecoder) -> None:
+        cols, rows = self.mb_cols, self.mb_rows
+        self.ymodes = [[DC_PRED] * cols for _ in range(rows)]
+        self.uvmodes = [[DC_PRED] * cols for _ in range(rows)]
+        self.bmodes = [[None] * cols for _ in range(rows)]
+        self.skips = [[False] * cols for _ in range(rows)]
+        self.segments = [[0] * cols for _ in range(rows)]
+        # above/left sub-mode context rows (B_DC_PRED outside the frame)
+        above_sub = [[B_DC_PRED] * 4 for _ in range(cols)]
+        implied = {
+            DC_PRED: B_DC_PRED, V_PRED: B_VE_PRED,
+            H_PRED: B_HE_PRED, TM_PRED: B_TM_PRED,
+        }
+        seg_tree = (2, 4, -0, -1, -2, -3)
+        for my in range(rows):
+            left_sub = [B_DC_PRED] * 4
+            for mx in range(cols):
+                if self.segmentation and self.update_mb_segmentation_map:
+                    self.segments[my][mx] = bd.read_tree(
+                        seg_tree, self.mb_segment_tree_probs
+                    )
+                if self.mb_no_coeff_skip:
+                    self.skips[my][mx] = bool(bd.read_bool(self.prob_skip_false))
+                ymode = bd.read_tree(KF_YMODE_TREE, KF_YMODE_PROB)
+                self.ymodes[my][mx] = ymode
+                if ymode == B_PRED:
+                    sub = [0] * 16
+                    for i in range(16):
+                        r, c = i >> 2, i & 3
+                        above = (
+                            sub[i - 4] if r > 0 else above_sub[mx][c]
+                        )
+                        left = sub[i - 1] if c > 0 else left_sub[r]
+                        sub[i] = bd.read_tree(
+                            BMODE_TREE, KF_BMODE_PROB[above][left]
+                        )
+                    self.bmodes[my][mx] = sub
+                    above_sub[mx] = sub[12:16]
+                    left_sub = [sub[3], sub[7], sub[11], sub[15]]
+                else:
+                    b = implied[ymode]
+                    above_sub[mx] = [b] * 4
+                    left_sub = [b] * 4
+                self.uvmodes[my][mx] = bd.read_tree(UV_MODE_TREE, KF_UV_MODE_PROB)
+
+    # ----------------------------------------------------------- tokens --
+
+    def _decode_coeffs(
+        self, bd: BoolDecoder, plane: int, ctx: int, first_coeff: int, dq
+    ) -> tuple[list[int], int]:
+        """-> (dequantized natural-order coefficients, eob index)."""
+        probs = self.coeff_probs[plane]
+        coeffs = [0] * 16
+        i = first_coeff
+        skip_eob = False
+        while i < 16:
+            p = probs[COEFF_BANDS[i]][ctx]
+            if skip_eob:
+                # a ZERO token cannot be followed by EOB: start at node 2
+                node = 2
+                while True:
+                    node = TOKEN_TREE[node + bd.read_bool(p[node >> 1])]
+                    if node <= 0:
+                        break
+                tok = -node
+            else:
+                tok = bd.read_tree(TOKEN_TREE, p)
+            if tok == EOB_TOKEN:
+                break
+            if tok == ZERO_TOKEN:
+                ctx = 0
+                skip_eob = True
+                i += 1
+                continue
+            skip_eob = False
+            if tok <= FOUR_TOKEN:
+                v = tok  # ONE..FOUR tokens carry their value
+            else:
+                v = CAT_BASE[tok]
+                extra = 0
+                for pr in CAT_PROBS[tok]:
+                    extra = (extra << 1) | bd.read_bool(pr)
+                v += extra
+            if bd.read_bool(128):
+                v = -v
+            ctx = 1 if v in (1, -1) else 2
+            coeffs[ZIGZAG[i]] = v * (dq[0] if i == 0 else dq[1])
+            i += 1
+        return coeffs, i
+
+    # ------------------------------------------------------ reconstruction --
+
+    def decode(self) -> dict:
+        bd = BoolDecoder(self._part1)
+        self._parse_header(bd)
+        self._parse_modes(bd)
+        self.diag["part1_consumed"] = bd.bytes_consumed()
+        self.diag["part1_size"] = len(self._part1)
+        # token partition sizes: (n-1) 3-byte little-endian lengths
+        n = self.n_token_partitions
+        sizes = []
+        off = 3 * (n - 1)
+        rest = self._rest
+        if len(rest) < off:
+            raise ValueError("VP8 partition size table truncated")
+        for i in range(n - 1):
+            sizes.append(
+                rest[3 * i] | (rest[3 * i + 1] << 8) | (rest[3 * i + 2] << 16)
+            )
+        body = rest[off:]
+        parts = []
+        for i in range(n - 1):
+            if sizes[i] > len(body):
+                raise ValueError("VP8 token partition overruns payload")
+            parts.append(body[: sizes[i]])
+            body = body[sizes[i] :]
+        parts.append(body)
+        self.token_bds = [BoolDecoder(p) for p in parts]
+
+        W, H = self.mb_cols * 16, self.mb_rows * 16
+        y_plane = np.full((H + 8, W + 8), 0, dtype=np.int32)
+        u_plane = np.full((H // 2 + 8, W // 2 + 8), 0, dtype=np.int32)
+        v_plane = np.full((H // 2 + 8, W // 2 + 8), 0, dtype=np.int32)
+        dqs = []
+        for seg in range(4):
+            if self.segmentation:
+                base = (
+                    self.segment_quant_delta[seg]
+                    if self.segment_abs
+                    else self.q["y_ac_qi"] + self.segment_quant_delta[seg]
+                )
+            else:
+                base = self.q["y_ac_qi"]
+            dqs.append(
+                dequant_factors(
+                    _clamp_q(base),
+                    self.q["y_dc_delta"],
+                    self.q["y2_dc_delta"],
+                    self.q["y2_ac_delta"],
+                    self.q["uv_dc_delta"],
+                    self.q["uv_ac_delta"],
+                )
+            )
+        # entropy contexts: above per mb-column, left per mb-row
+        above_y = [[0] * 4 for _ in range(self.mb_cols)]
+        above_u = [[0] * 2 for _ in range(self.mb_cols)]
+        above_v = [[0] * 2 for _ in range(self.mb_cols)]
+        above_y2 = [0] * self.mb_cols
+        self.mb_has_coeffs = [
+            [False] * self.mb_cols for _ in range(self.mb_rows)
+        ]
+        for my in range(self.mb_rows):
+            bd_t = self.token_bds[my % n]
+            left_y = [0] * 4
+            left_u = [0] * 2
+            left_v = [0] * 2
+            left_y2 = 0
+            for mx in range(self.mb_cols):
+                ymode = self.ymodes[my][mx]
+                has_y2 = ymode != B_PRED
+                dq = dqs[self.segments[my][mx]]
+                ycoeffs = [[0] * 16 for _ in range(16)]
+                ucoeffs = [[0] * 16 for _ in range(4)]
+                vcoeffs = [[0] * 16 for _ in range(4)]
+                mb_nonzero = False
+                if self.skips[my][mx]:
+                    left_y = [0] * 4
+                    left_u = [0] * 2
+                    left_v = [0] * 2
+                    above_y[mx] = [0] * 4
+                    above_u[mx] = [0] * 2
+                    above_v[mx] = [0] * 2
+                    if has_y2:
+                        left_y2 = 0
+                        above_y2[mx] = 0
+                else:
+                    if has_y2:
+                        ctx = above_y2[mx] + left_y2
+                        y2raw, eob = self._decode_coeffs(
+                            bd_t, PLANE_Y2, ctx, 0, dq["y2"]
+                        )
+                        nz = 1 if eob > 0 else 0
+                        above_y2[mx] = left_y2 = nz
+                        mb_nonzero |= bool(nz)
+                        y2out = iwht4x4(y2raw)
+                        plane_y = PLANE_Y_NO_DC
+                        first = 1
+                    else:
+                        y2out = None
+                        plane_y = PLANE_Y_WITH_DC
+                        first = 0
+                    for b in range(16):
+                        r, c = b >> 2, b & 3
+                        ctx = above_y[mx][c] + left_y[r]
+                        coeffs, eob = self._decode_coeffs(
+                            bd_t, plane_y, ctx, first, dq["y1"]
+                        )
+                        if y2out is not None:
+                            coeffs[0] = y2out[b]
+                        nz = 1 if eob > first else 0
+                        above_y[mx][c] = left_y[r] = nz
+                        mb_nonzero |= bool(nz)
+                        ycoeffs[b] = coeffs
+                    for plane, coef_out, actx, lctx in (
+                        ("u", ucoeffs, above_u, left_u),
+                        ("v", vcoeffs, above_v, left_v),
+                    ):
+                        for b in range(4):
+                            r, c = b >> 1, b & 1
+                            ctx = actx[mx][c] + lctx[r]
+                            coeffs, eob = self._decode_coeffs(
+                                bd_t, PLANE_UV, ctx, 0, dq["uv"]
+                            )
+                            nz = 1 if eob > 0 else 0
+                            actx[mx][c] = lctx[r] = nz
+                            mb_nonzero |= bool(nz)
+                            coef_out[b] = coeffs
+                self.mb_has_coeffs[my][mx] = mb_nonzero
+                self._reconstruct_mb(
+                    y_plane, u_plane, v_plane, my, mx,
+                    ycoeffs, ucoeffs, vcoeffs,
+                )
+        self.diag["token_consumed"] = [
+            b.bytes_consumed() for b in self.token_bds
+        ]
+        self.diag["token_sizes"] = [len(p) for p in parts]
+        if self.header["filter_level"]:
+            self._loop_filter(y_plane, u_plane, v_plane)
+        return {
+            "y": y_plane[:H, :W].astype(np.uint8)[: self.height, : self.width],
+            "u": u_plane[: H // 2, : W // 2].astype(np.uint8)[
+                : (self.height + 1) // 2, : (self.width + 1) // 2
+            ],
+            "v": v_plane[: H // 2, : W // 2].astype(np.uint8)[
+                : (self.height + 1) // 2, : (self.width + 1) // 2
+            ],
+            "width": self.width,
+            "height": self.height,
+            "header": dict(self.header),
+            "diag": dict(self.diag),
+        }
+
+    # -------------------------------------------------- intra prediction --
+
+    @staticmethod
+    def _pred_block(arr, y0, x0, size, mode, has_above, has_left):
+        """16x16 luma / 8x8 chroma whole-block intra prediction
+        (RFC 6386 §12.2): missing above row reads 127, missing left
+        column 129; DC averages only the available sides."""
+        above = (
+            arr[y0 - 1, x0 : x0 + size].astype(np.int32)
+            if has_above
+            else np.full(size, 127, np.int32)
+        )
+        left = (
+            arr[y0 : y0 + size, x0 - 1].astype(np.int32)
+            if has_left
+            else np.full(size, 129, np.int32)
+        )
+        if mode == DC_PRED:
+            shift = 4 if size == 16 else 3
+            if has_above and has_left:
+                dc = (int(above.sum()) + int(left.sum()) + size) >> (shift + 1)
+            elif has_above:
+                dc = (int(above.sum()) + size // 2) >> shift
+            elif has_left:
+                dc = (int(left.sum()) + size // 2) >> shift
+            else:
+                dc = 128
+            return np.full((size, size), dc, np.int32)
+        if mode == V_PRED:
+            return np.tile(above, (size, 1))
+        if mode == H_PRED:
+            return np.tile(left[:, None], (1, size))
+        # TM_PRED
+        if not has_above:
+            corner = 127
+        elif not has_left:
+            corner = 129
+        else:
+            corner = int(arr[y0 - 1, x0 - 1])
+        return np.clip(left[:, None] + above[None, :] - corner, 0, 255)
+
+    def _edge4(self, arr, by, bx, my, mx, r, c):
+        """13-pixel context for one B_PRED subblock: (above[4],
+        above_left, left[4], above_right[4]) with the spec's synthetic
+        borders and the stale above-right rule for right-column
+        subblocks."""
+        W = self.mb_cols * 16
+        if by > 0:
+            above = [int(v) for v in arr[by - 1, bx : bx + 4]]
+        else:
+            above = [127] * 4
+        if by == 0:
+            al = 127
+        elif bx == 0:
+            al = 129
+        else:
+            al = int(arr[by - 1, bx - 1])
+        if bx > 0:
+            left = [int(v) for v in arr[by : by + 4, bx - 1]]
+        else:
+            left = [129] * 4
+        if c < 3 and r > 0:
+            ar = [int(v) for v in arr[by - 1, bx + 4 : bx + 8]]
+        else:
+            # top subblock row, or the right column (which uses the row
+            # above the WHOLE macroblock even for r>0 — spec quirk)
+            src_y = my * 16 - 1
+            if src_y < 0:
+                ar = [127] * 4
+            else:
+                cols = [min(bx + 4 + k, W - 1) for k in range(4)]
+                ar = [int(arr[src_y, col]) for col in cols]
+        return above, al, left, ar
+
+    # ------------------------------------------------------ reconstruction --
+
+    def _reconstruct_mb(self, yp, up, vp, my, mx, ycoeffs, ucoeffs, vcoeffs):
+        x0, y0 = mx * 16, my * 16
+        ymode = self.ymodes[my][mx]
+        if ymode == B_PRED:
+            sub = self.bmodes[my][mx]
+            for b in range(16):
+                r, c = b >> 2, b & 3
+                by, bx = y0 + 4 * r, x0 + 4 * c
+                above, al, left, ar = self._edge4(yp, by, bx, my, mx, r, c)
+                pred = _bpred4(sub[b], above, al, left, ar)
+                cf = ycoeffs[b]
+                if any(cf):
+                    res = idct4x4(cf)
+                    for rr in range(4):
+                        for cc in range(4):
+                            v = pred[rr][cc] + res[rr * 4 + cc]
+                            yp[by + rr, bx + cc] = 0 if v < 0 else (255 if v > 255 else v)
+                else:
+                    for rr in range(4):
+                        for cc in range(4):
+                            yp[by + rr, bx + cc] = pred[rr][cc]
+        else:
+            pred = self._pred_block(yp, y0, x0, 16, ymode, my > 0, mx > 0)
+            out = pred.copy()
+            for b in range(16):
+                cf = ycoeffs[b]
+                if any(cf):
+                    r, c = b >> 2, b & 3
+                    res = np.array(idct4x4(cf), np.int32).reshape(4, 4)
+                    out[4 * r : 4 * r + 4, 4 * c : 4 * c + 4] += res
+            yp[y0 : y0 + 16, x0 : x0 + 16] = np.clip(out, 0, 255)
+        uvmode = self.uvmodes[my][mx]
+        cx0, cy0 = mx * 8, my * 8
+        for arr, coeffs in ((up, ucoeffs), (vp, vcoeffs)):
+            pred = self._pred_block(arr, cy0, cx0, 8, uvmode, my > 0, mx > 0)
+            out = pred.copy()
+            for b in range(4):
+                cf = coeffs[b]
+                if any(cf):
+                    r, c = b >> 1, b & 1
+                    res = np.array(idct4x4(cf), np.int32).reshape(4, 4)
+                    out[4 * r : 4 * r + 4, 4 * c : 4 * c + 4] += res
+            arr[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(out, 0, 255)
+
+    # ------------------------------------------------------- loop filter --
+
+    def _mb_filter_level(self, my, mx):
+        lvl = self.header["filter_level"]
+        if self.segmentation:
+            seg = self.segments[my][mx]
+            lvl = (
+                self.segment_lf_delta[seg]
+                if self.segment_abs
+                else lvl + self.segment_lf_delta[seg]
+            )
+        if self.lf_delta_enabled:
+            lvl += self.ref_lf_delta[0]  # INTRA_FRAME
+            if self.ymodes[my][mx] == B_PRED:
+                lvl += self.mode_lf_delta[0]
+        return 0 if lvl < 0 else (63 if lvl > 63 else lvl)
+
+    def _limits(self, lvl):
+        sharpness = self.header["sharpness"]
+        interior = lvl
+        if sharpness:
+            interior >>= 2 if sharpness > 4 else 1
+            if interior > 9 - sharpness:
+                interior = 9 - sharpness
+        if interior < 1:
+            interior = 1
+        hev = 0
+        if lvl >= 40:
+            hev = 2
+        elif lvl >= 15:
+            hev = 1
+        mb_edge = ((lvl + 2) * 2) + interior
+        sub_edge = (lvl * 2) + interior
+        return mb_edge, sub_edge, interior, hev
+
+    def _loop_filter(self, yp, up, vp):
+        simple = bool(self.header["filter_type"])
+        for my in range(self.mb_rows):
+            for mx in range(self.mb_cols):
+                lvl = self._mb_filter_level(my, mx)
+                if lvl == 0:
+                    continue
+                mb_e, sub_e, interior, hev_t = self._limits(lvl)
+                inner = (
+                    self.mb_has_coeffs[my][mx]
+                    or self.ymodes[my][mx] == B_PRED
+                )
+                x0, y0 = mx * 16, my * 16
+                cx0, cy0 = mx * 8, my * 8
+                if simple:
+                    if mx > 0:
+                        _filter_v(yp, y0, x0, 16, mb_e, None, None, True, True)
+                    if inner:
+                        for dx in (4, 8, 12):
+                            _filter_v(yp, y0, x0 + dx, 16, sub_e, None, None, True, True)
+                    if my > 0:
+                        _filter_h(yp, y0, x0, 16, mb_e, None, None, True, True)
+                    if inner:
+                        for dy in (4, 8, 12):
+                            _filter_h(yp, y0 + dy, x0, 16, sub_e, None, None, True, True)
+                    continue
+                if mx > 0:
+                    _filter_v(yp, y0, x0, 16, mb_e, interior, hev_t, True, False)
+                    _filter_v(up, cy0, cx0, 8, mb_e, interior, hev_t, True, False)
+                    _filter_v(vp, cy0, cx0, 8, mb_e, interior, hev_t, True, False)
+                if inner:
+                    for dx in (4, 8, 12):
+                        _filter_v(yp, y0, x0 + dx, 16, sub_e, interior, hev_t, False, False)
+                    _filter_v(up, cy0, cx0 + 4, 8, sub_e, interior, hev_t, False, False)
+                    _filter_v(vp, cy0, cx0 + 4, 8, sub_e, interior, hev_t, False, False)
+                if my > 0:
+                    _filter_h(yp, y0, x0, 16, mb_e, interior, hev_t, True, False)
+                    _filter_h(up, cy0, cx0, 8, mb_e, interior, hev_t, True, False)
+                    _filter_h(vp, cy0, cx0, 8, mb_e, interior, hev_t, True, False)
+                if inner:
+                    for dy in (4, 8, 12):
+                        _filter_h(yp, y0 + dy, x0, 16, sub_e, interior, hev_t, False, False)
+                    _filter_h(up, cy0 + 4, cx0, 8, sub_e, interior, hev_t, False, False)
+                    _filter_h(vp, cy0 + 4, cx0, 8, sub_e, interior, hev_t, False, False)
+
+
+def _bpred4(mode, A, AL, L, AR):
+    """The ten 4x4 intra sub-modes (RFC 6386 §12.3) -> 4x4 int rows."""
+    p = [[0] * 4 for _ in range(4)]
+    if mode == B_DC_PRED:
+        dc = (sum(A) + sum(L) + 4) >> 3
+        return [[dc] * 4 for _ in range(4)]
+    if mode == B_TM_PRED:
+        for r in range(4):
+            for c in range(4):
+                v = L[r] + A[c] - AL
+                p[r][c] = 0 if v < 0 else (255 if v > 255 else v)
+        return p
+    if mode == B_VE_PRED:
+        x = [AL] + A + [AR[0]]
+        row = [(x[c] + 2 * x[c + 1] + x[c + 2] + 2) >> 2 for c in range(4)]
+        return [row[:] for _ in range(4)]
+    if mode == B_HE_PRED:
+        x = [AL] + L + [L[3]]
+        col = [(x[r] + 2 * x[r + 1] + x[r + 2] + 2) >> 2 for r in range(4)]
+        return [[col[r]] * 4 for r in range(4)]
+    if mode == B_LD_PRED:
+        e = A + AR
+        for r in range(4):
+            for c in range(4):
+                i = r + c
+                if i < 6:
+                    p[r][c] = (e[i] + 2 * e[i + 1] + e[i + 2] + 2) >> 2
+                else:
+                    p[r][c] = (e[6] + 3 * e[7] + 2) >> 2
+        return p
+    if mode == B_RD_PRED:
+        e = [L[3], L[2], L[1], L[0], AL, A[0], A[1], A[2], A[3]]
+        for r in range(4):
+            for c in range(4):
+                i = c - r + 3
+                p[r][c] = (e[i - 1] + 2 * e[i] + e[i + 1] + 2) >> 2
+        return p
+    if mode == B_VR_PRED:
+        p[0] = [
+            (AL + A[0] + 1) >> 1,
+            (A[0] + A[1] + 1) >> 1,
+            (A[1] + A[2] + 1) >> 1,
+            (A[2] + A[3] + 1) >> 1,
+        ]
+        p[1] = [
+            (L[0] + 2 * AL + A[0] + 2) >> 2,
+            (AL + 2 * A[0] + A[1] + 2) >> 2,
+            (A[0] + 2 * A[1] + A[2] + 2) >> 2,
+            (A[1] + 2 * A[2] + A[3] + 2) >> 2,
+        ]
+        p[2] = [(AL + 2 * L[0] + L[1] + 2) >> 2] + p[0][:3]
+        p[3] = [(L[0] + 2 * L[1] + L[2] + 2) >> 2] + p[1][:3]
+        return p
+    if mode == B_VL_PRED:
+        a = A + AR
+        p[0] = [(a[c] + a[c + 1] + 1) >> 1 for c in range(4)]
+        p[1] = [(a[c] + 2 * a[c + 1] + a[c + 2] + 2) >> 2 for c in range(4)]
+        p[2] = p[0][1:4] + [(a[4] + 2 * a[5] + a[6] + 2) >> 2]
+        p[3] = p[1][1:4] + [(a[5] + 2 * a[6] + a[7] + 2) >> 2]
+        return p
+    if mode == B_HD_PRED:
+        p[0] = [
+            (L[0] + AL + 1) >> 1,
+            (L[0] + 2 * AL + A[0] + 2) >> 2,
+            (AL + 2 * A[0] + A[1] + 2) >> 2,
+            (A[0] + 2 * A[1] + A[2] + 2) >> 2,
+        ]
+        p[1] = [
+            (L[1] + L[0] + 1) >> 1,
+            (L[1] + 2 * L[0] + AL + 2) >> 2,
+        ] + p[0][:2]
+        p[2] = [
+            (L[2] + L[1] + 1) >> 1,
+            (L[2] + 2 * L[1] + L[0] + 2) >> 2,
+        ] + p[1][:2]
+        p[3] = [
+            (L[3] + L[2] + 1) >> 1,
+            (L[3] + 2 * L[2] + L[1] + 2) >> 2,
+        ] + p[2][:2]
+        return p
+    if mode == B_HU_PRED:
+        p[0] = [
+            (L[0] + L[1] + 1) >> 1,
+            (L[0] + 2 * L[1] + L[2] + 2) >> 2,
+            (L[1] + L[2] + 1) >> 1,
+            (L[1] + 2 * L[2] + L[3] + 2) >> 2,
+        ]
+        p[1] = p[0][2:4] + [
+            (L[2] + L[3] + 1) >> 1,
+            (L[2] + 3 * L[3] + 2) >> 2,
+        ]
+        p[2] = p[1][2:4] + [L[3], L[3]]
+        p[3] = [L[3]] * 4
+        return p
+    raise ValueError(f"unknown B_PRED sub-mode {mode}")
+
+
+# ------------------------------------------------------- loop filter ops --
+
+
+def _c8(x):
+    return np.clip(x, -128, 127)
+
+
+def _apply_filter(px, edge_limit, interior, hev_t, is_mb_edge, simple):
+    """px: int32 array (8, n) of pixel columns p3..p0,q0..q3 across an
+    edge; returns filtered copy (RFC 6386 §15.3-15.5)."""
+    p3, p2, p1, p0, q0, q1, q2, q3 = (px[i].astype(np.int64) for i in range(8))
+    mask = (np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2) <= edge_limit
+    if not simple:
+        for a, b in ((p3, p2), (p2, p1), (p1, p0), (q1, q0), (q2, q1), (q3, q2)):
+            mask &= np.abs(a - b) <= interior
+    P3, P2, P1, P0 = p3 - 128, p2 - 128, p1 - 128, p0 - 128
+    Q0, Q1, Q2, Q3 = q0 - 128, q1 - 128, q2 - 128, q3 - 128
+    out = px.astype(np.int64).copy()
+    if simple:
+        a = _c8(_c8(P1 - Q1) + 3 * (Q0 - P0))
+        f1 = _c8(a + 4) >> 3
+        f2 = _c8(a + 3) >> 3
+        out[3] = np.where(mask, _c8(P0 + f2) + 128, p0)
+        out[4] = np.where(mask, _c8(Q0 - f1) + 128, q0)
+        return out
+    hev = (np.abs(p1 - p0) > hev_t) | (np.abs(q1 - q0) > hev_t)
+    # hev (or subblock-edge) path: 4-tap common adjust
+    a = _c8(np.where(hev, _c8(P1 - Q1), 0) + 3 * (Q0 - P0))
+    f1 = _c8(a + 4) >> 3
+    f2 = _c8(a + 3) >> 3
+    np0 = _c8(P0 + f2) + 128
+    nq0 = _c8(Q0 - f1) + 128
+    a2 = _c8((f1 + 1) >> 1)
+    np1 = np.where(hev, p1, _c8(P1 + a2) + 128)
+    nq1 = np.where(hev, q1, _c8(Q1 - a2) + 128)
+    if not is_mb_edge:
+        sel = mask
+        out[2] = np.where(sel, np1, p1)
+        out[3] = np.where(sel, np0, p0)
+        out[4] = np.where(sel, nq0, q0)
+        out[5] = np.where(sel, nq1, q1)
+        return out
+    # MB edge: hev pixels take the 4-tap path, the rest the 6-tap path
+    w = _c8(_c8(P1 - Q1) + 3 * (Q0 - P0))
+    a27 = _c8((27 * w + 63) >> 7)
+    a18 = _c8((18 * w + 63) >> 7)
+    a9 = _c8((9 * w + 63) >> 7)
+    sel6 = mask & ~hev
+    sel4 = mask & hev
+    out[1] = np.where(sel6, _c8(P2 + a9) + 128, p2)
+    out[2] = np.where(sel6, _c8(P1 + a18) + 128, np.where(sel4, np1, p1))
+    out[3] = np.where(sel6, _c8(P0 + a27) + 128, np.where(sel4, np0, p0))
+    out[4] = np.where(sel6, _c8(Q0 - a27) + 128, np.where(sel4, nq0, q0))
+    out[5] = np.where(sel6, _c8(Q1 - a18) + 128, np.where(sel4, nq1, q1))
+    out[6] = np.where(sel6, _c8(Q2 - a9) + 128, q2)
+    return out
+
+
+def _filter_v(arr, y0, x, span, edge_limit, interior, hev_t, is_mb_edge, simple):
+    if x < 4:
+        return
+    px = np.stack([arr[y0 : y0 + span, x - 4 + i] for i in range(8)])
+    out = _apply_filter(px, edge_limit, interior, hev_t, is_mb_edge, simple)
+    for i in range(8):
+        arr[y0 : y0 + span, x - 4 + i] = out[i]
+
+
+def _filter_h(arr, y, x0, span, edge_limit, interior, hev_t, is_mb_edge, simple):
+    if y < 4:
+        return
+    px = np.stack([arr[y - 4 + i, x0 : x0 + span] for i in range(8)])
+    out = _apply_filter(px, edge_limit, interior, hev_t, is_mb_edge, simple)
+    for i in range(8):
+        arr[y - 4 + i, x0 : x0 + span] = out[i]
+
+# --------------------------------------------------------------------------
+# Frame-level API
+# --------------------------------------------------------------------------
+
+
+def decode_vp8_frame(payload: bytes) -> dict:
+    """``VP8 `` chunk payload -> {y, u, v (uint8 planes), width, height,
+    header, diag}. Key frames only (all still-image WebP)."""
+    return VP8Decoder(payload).decode()
+
+
+def yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """BT.601 full-swing integer conversion with 2x2 chroma upsampling
+    (nearest-neighbour — deterministic and closed-form for oracles; the
+    spec does not mandate an upsampler)."""
+    h, w = y.shape
+    uu = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)[:h, :w].astype(np.int32)
+    vv = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:h, :w].astype(np.int32)
+    yy = y.astype(np.int32)
+    r = yy + ((91881 * (vv - 128)) >> 16)
+    g = yy - ((22554 * (uu - 128) + 46802 * (vv - 128)) >> 16)
+    b = yy + ((116130 * (uu - 128)) >> 16)
+    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)

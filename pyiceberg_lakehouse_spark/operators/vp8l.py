@@ -791,6 +791,19 @@ def decode_vp8l(payload: bytes) -> tuple[np.ndarray, dict]:
     alpha_hint = br.read(1)
     if br.read(3) != 0:
         raise ValueError("unknown VP8L stream version")
+    rgba, names, cache_bits_meta = _decode_stream(br, w, h)
+    meta = {
+        "width": w, "height": h, "has_alpha": bool(alpha_hint),
+        "transforms": names, "cache_bits": cache_bits_meta,
+    }
+    return rgba, meta
+
+
+def _decode_stream(br: "BitReader", w: int, h: int):
+    """Headerless VP8L image stream (transform loop + entropy-coded
+    pixels) -> ((h, w, 4) RGBA, transform names, cache_bits). Shared by
+    the VP8L chunk decoder and the ALPH alpha-plane decoder (the WebP
+    container spec carries alpha as exactly this stream, §Alpha)."""
     transforms: list[tuple] = []
     seen: set[int] = set()
     cur_w = w
@@ -870,11 +883,51 @@ def decode_vp8l(payload: bytes) -> tuple[np.ndarray, dict]:
         ],
         axis=-1,
     ).astype(np.uint8)
-    meta = {
-        "width": w, "height": h, "has_alpha": bool(alpha_hint),
-        "transforms": names, "cache_bits": cache_bits_meta,
-    }
-    return rgba, meta
+    return rgba, names, cache_bits_meta
+
+
+def decode_alph(body: bytes, w: int, h: int) -> np.ndarray:
+    """WebP ``ALPH`` chunk -> (h, w) uint8 alpha plane.
+
+    Header byte: bits 0-1 compression (0 raw, 1 the headerless VP8L
+    stream whose GREEN channel is the alpha), bits 2-3 filtering
+    (none/horizontal/vertical/gradient, inverted here), bits 4-5
+    preprocessing (informative only)."""
+    if not body:
+        raise ValueError("empty ALPH chunk")
+    compression = body[0] & 3
+    filtering = (body[0] >> 2) & 3
+    data = body[1:]
+    if compression == 0:
+        if len(data) < w * h:
+            raise ValueError("raw ALPH plane truncated")
+        plane = np.frombuffer(data[: w * h], dtype=np.uint8).reshape(h, w).copy()
+    elif compression == 1:
+        rgba, _names, _cb = _decode_stream(BitReader(data), w, h)
+        plane = rgba[:, :, 1].copy()  # green carries alpha
+    else:
+        raise ValueError(f"reserved ALPH compression method {compression}")
+    if filtering:
+        p = plane.astype(np.int32)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif filtering == 1:  # horizontal
+                    pred = p[y, x - 1] if x else p[y - 1, x]
+                elif filtering == 2:  # vertical
+                    pred = p[y - 1, x] if y else p[y, x - 1]
+                else:  # gradient
+                    if y == 0:
+                        pred = p[y, x - 1]
+                    elif x == 0:
+                        pred = p[y - 1, x]
+                    else:
+                        g = int(p[y, x - 1]) + int(p[y - 1, x]) - int(p[y - 1, x - 1])
+                        pred = 0 if g < 0 else (255 if g > 255 else g)
+                p[y, x] = (p[y, x] + pred) & 0xFF
+        plane = p.astype(np.uint8)
+    return plane
 
 
 def encode_vp8l(
