@@ -9,6 +9,8 @@ not just the plumbing.
 
 from __future__ import annotations
 
+import os
+
 from pyiceberg_lakehouse_spark.tmpdirs import session_tmpdir
 
 from pyspark.sql import DataFrame, SparkSession
@@ -236,12 +238,14 @@ def lh_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lh_external_scan",
-    # The expected END STATE after two appends and a copy-on-write
-    # delete, grouped the same way the foreign engine groups. Both
-    # sides' aggregates are decimal-exact, so the doubles compare
-    # bitwise.
+    # The expected state at BOTH exported snapshots: 'latest' is the end
+    # state after two appends and a copy-on-write delete; 'snapshot1' is
+    # the table as of the FIRST append (even order keys, pre-delete) —
+    # the foreign engine time-travels purely by reading a different
+    # manifest file. Both sides' aggregates are decimal-exact, so the
+    # doubles compare bitwise.
     """
-    select o_orderstatus,
+    select 'latest' as as_of, o_orderstatus,
            cast(count(*) as bigint) as n,
            cast(sum(cast(o_totalprice as decimal(18,4))) as double)
              as revenue,
@@ -249,6 +253,15 @@ def lh_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orders
     where o_orderkey % 3 != 1
       and not (o_orderkey % 5 = 2 and o_orderstatus = 'F')
+    group by o_orderstatus
+    union all
+    select 'snapshot1' as as_of, o_orderstatus,
+           cast(count(*) as bigint) as n,
+           cast(sum(cast(o_totalprice as decimal(18,4))) as double)
+             as revenue,
+           cast(sum(cast(o_orderkey as bigint)) as bigint) as key_sum
+    from orders
+    where o_orderkey % 3 != 1 and o_orderkey % 2 = 0
     group by o_orderstatus
     """,
 )
@@ -266,9 +279,12 @@ def lh_external_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     with none of this engine's scan code in the loop. Dead files make
     the manifest load-bearing: a reader that globbed the directory
     instead would double-count every pre-delete row and flip the hash.
-    The DuckDB-side aggregate (3 groups) converts back to a Spark
-    DataFrame — a bounded driver-side materialization the same size as
-    the query result itself."""
+    r15: a SECOND manifest exported at the first append's snapshot id
+    proves foreign-engine TIME TRAVEL — the reference reads only
+    "latest" (query_iceberg_duckdb.py:24-27); here the historical and
+    head snapshots resolve from metadata files alone. The DuckDB-side
+    aggregate (6 groups) converts back to a Spark DataFrame — a bounded
+    driver-side materialization the same size as the query result."""
     import duckdb
 
     from pyspark.sql import types as T
@@ -285,43 +301,60 @@ def lh_external_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete_where(
         (F.col("o_orderkey") % 5 == 2) & (F.col("o_orderstatus") == "F")
     )
-    manifest = t.write_external_manifest()
+    snap1 = t.history()[1].snapshot_id  # after the first append
+    manifests = {
+        "latest": t.write_external_manifest(
+            path=os.path.join(t.table_dir, "_ext_latest.json")
+        ),
+        "snapshot1": t.write_external_manifest(
+            path=os.path.join(t.table_dir, "_ext_snap1.json"),
+            snapshot_id=snap1,
+        ),
+    }
 
     con = duckdb.connect()
-    files = [
-        r[0]
-        for r in con.execute(
-            "select path from read_json_auto(?) order by path", [manifest]
-        ).fetchall()
-    ]
-    # the delete rewrote every file, so the directory holds MORE parquet
-    # than the live snapshot — resolution through the manifest is what
-    # keeps the dead files out of the read
     import glob as _glob
 
-    on_disk = _glob.glob(f"{t.table_dir}/**/*.parquet", recursive=True)
-    assert len(on_disk) > len(files), "expected dead files beside live ones"
-    pdf = con.execute(
-        """
-        select o_orderstatus,
-               cast(count(*) as bigint) as n,
-               cast(sum(cast(o_totalprice as decimal(18,4))) as double)
-                 as revenue,
-               cast(sum(cast(o_orderkey as bigint)) as bigint) as key_sum
-        from read_parquet(?, hive_partitioning = 1)
-        group by o_orderstatus
-        """,
-        [files],
-    ).df()
+    frames = []
+    for label, manifest in manifests.items():
+        files = [
+            r[0]
+            for r in con.execute(
+                "select path from read_json_auto(?) order by path", [manifest]
+            ).fetchall()
+        ]
+        # the delete rewrote every live file, so the directory holds MORE
+        # parquet than either snapshot lists — resolution through the
+        # manifest is what keeps the other snapshot's files out of the read
+        on_disk = _glob.glob(f"{t.table_dir}/**/*.parquet", recursive=True)
+        assert len(on_disk) > len(files), "expected dead files beside live"
+        frames.append(
+            con.execute(
+                """
+                select ? as as_of, o_orderstatus,
+                       cast(count(*) as bigint) as n,
+                       cast(sum(cast(o_totalprice as decimal(18,4))) as double)
+                         as revenue,
+                       cast(sum(cast(o_orderkey as bigint)) as bigint)
+                         as key_sum
+                from read_parquet(?, hive_partitioning = 1)
+                group by o_orderstatus
+                """,
+                [label, files],
+            ).df()
+        )
+    import pandas as pd
+
     schema = T.StructType(
         [
+            T.StructField("as_of", T.StringType()),
             T.StructField("o_orderstatus", T.StringType()),
             T.StructField("n", T.LongType()),
             T.StructField("revenue", T.DoubleType()),
             T.StructField("key_sum", T.LongType()),
         ]
     )
-    return spark.createDataFrame(pdf, schema)
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True), schema)
 
 
 @register(

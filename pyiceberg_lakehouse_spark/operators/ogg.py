@@ -440,3 +440,98 @@ def probe_ogg_codec(payload: bytes) -> dict:
     raise NotImplementedError(
         f"unknown Ogg codec (first packet starts {first[:8]!r})"
     )
+
+
+# ------------------------------------------------- metadata tag headers ---
+# The VorbisComment block (the tag standard of the Ogg ecosystem,
+# Vorbis I §5 / RFC 7845 §5.2): little-endian vendor length + vendor,
+# then a count of length-prefixed UTF-8 "KEY=value" fields. Vorbis
+# carries it in its second header packet (\x03vorbis..., closed by a
+# framing bit); Opus carries it in the OpusTags packet with no framing.
+
+
+def make_vorbis_comment_packet(vendor: str, tags: list[tuple[str, str]]) -> bytes:
+    out = bytearray(b"\x03vorbis")
+    vb = vendor.encode("utf-8")
+    out += struct.pack("<I", len(vb)) + vb
+    out += struct.pack("<I", len(tags))
+    for k, v in tags:
+        f = f"{k}={v}".encode("utf-8")
+        out += struct.pack("<I", len(f)) + f
+    out += b"\x01"  # framing bit
+    return bytes(out)
+
+
+def make_opus_tags_packet(vendor: str, tags: list[tuple[str, str]]) -> bytes:
+    out = bytearray(b"OpusTags")
+    vb = vendor.encode("utf-8")
+    out += struct.pack("<I", len(vb)) + vb
+    out += struct.pack("<I", len(tags))
+    for k, v in tags:
+        f = f"{k}={v}".encode("utf-8")
+        out += struct.pack("<I", len(f)) + f
+    return bytes(out)
+
+
+def parse_comment_header(packet: bytes) -> dict:
+    """Vorbis comment header packet or OpusTags packet -> {codec,
+    vendor, tags: [(key, value)]}. Strict: lengths must fit, every
+    field must contain '=', the Vorbis framing bit must be set."""
+    if packet[:7] == b"\x03vorbis":
+        codec, pos, framed = "vorbis", 7, True
+    elif packet[:8] == b"OpusTags":
+        codec, pos, framed = "opus", 8, False
+    else:
+        raise ValueError("not a VorbisComment/OpusTags packet")
+
+    def u32(at: int) -> int:
+        if at + 4 > len(packet):
+            raise ValueError("comment header truncated")
+        return struct.unpack_from("<I", packet, at)[0]
+
+    vlen = u32(pos)
+    pos += 4
+    if pos + vlen > len(packet):
+        raise ValueError("vendor string overruns the packet")
+    vendor = packet[pos : pos + vlen].decode("utf-8")
+    pos += vlen
+    count = u32(pos)
+    pos += 4
+    tags: list[tuple[str, str]] = []
+    for _ in range(count):
+        flen = u32(pos)
+        pos += 4
+        if pos + flen > len(packet):
+            raise ValueError("comment field overruns the packet")
+        field = packet[pos : pos + flen].decode("utf-8")
+        pos += flen
+        if "=" not in field:
+            raise ValueError("comment field without '='")
+        k, _, v = field.partition("=")
+        if not k or any(not (0x20 <= ord(c) <= 0x7D) or c == "=" for c in k):
+            raise ValueError(f"invalid comment key {k!r}")
+        tags.append((k.upper(), v))
+    if framed:
+        if pos >= len(packet) or not (packet[pos] & 1):
+            raise ValueError("vorbis comment framing bit missing")
+    return {"codec": codec, "vendor": vendor, "tags": tags}
+
+
+def extract_ogg_tags(payload: bytes) -> list[dict]:
+    """Whole Ogg file (possibly chained) -> one tag dict per link:
+    {link, codec, vendor, tags} from each link's comment header (the
+    second packet of vorbis/opus streams per their mapping specs)."""
+    out = []
+    for li, link in enumerate(parse_ogg_chain(payload)):
+        packets = link["packets"]
+        if len(packets) < 2:
+            raise ValueError(f"link {li}: no comment header packet")
+        parsed = parse_comment_header(packets[1]["data"])
+        ident = probe_ogg_codec(make_ogg([packets[0]["data"]]))
+        if ident["codec"] != parsed["codec"]:
+            raise ValueError(
+                f"link {li}: id header says {ident['codec']}, comment "
+                f"header says {parsed['codec']}"
+            )
+        out.append({"link": li, **parsed})
+    return out

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyiceberg_lakehouse_spark.operators import dedup, multimodal, similarity, text
+from pyiceberg_lakehouse_spark.operators import dedup, similarity, text
 from pyiceberg_lakehouse_spark.registry import register
 from pyiceberg_lakehouse_spark.tmpdirs import session_tmpdir
 from pyiceberg_lakehouse_spark.sources.testdata import load_table
@@ -519,123 +519,6 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every decoded media feature is a closed form in doc_id (the synthesizer's
 # parameters), so DuckDB predicts what the REAL header decoder must emit —
 # a wrong BMP stride, WAV chunk walk, or byte count flips the hash
-_MM_W = "(4 + doc_id % 16)"
-_MM_H = "(2 + doc_id % 8)"
-_MM_NSAMP = "(100 + doc_id % 50)"
-
-MULTIMODAL_SQL = f"""
-    select doc_id,
-           case cast(doc_id % 3 as integer)
-               when 1 then 'image/bmp'
-               when 2 then 'audio/wav'
-               else 'text/plain' end as mime,
-           cast(case cast(doc_id % 3 as integer)
-               when 1 then 54 + (({_MM_W} * 3 + 3) // 4) * 4 * {_MM_H}
-               when 2 then 44 + {_MM_NSAMP} * 2
-               else octet_length(encode(text)) end as integer) as n_bytes,
-           cast(case when doc_id % 3 = 1 then {_MM_W} end as integer) as width,
-           cast(case when doc_id % 3 = 1 then {_MM_H} end as integer) as height,
-           cast(case when doc_id % 3 = 2 then 8000 + (doc_id % 4) * 4000 end
-               as integer) as sample_rate,
-           cast(case when doc_id % 3 = 2 then {_MM_NSAMP} end as integer)
-               as n_samples
-    from documents
-"""
-
-
-@register("multimodal_features", MULTIMODAL_SQL)
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mixed-mime binary columns with REAL header decode: synthesize
-    text/BMP/WAV payloads per doc, then parse them back (width/height,
-    sample rate/count) via Arrow-batched mapInPandas."""
-    docs = load_table(spark, sf_dir, "documents")
-    return multimodal.extract_media_features(multimodal.attach_media_assets(docs))
-
-
-# the decimated image keeps pixels at even (x, y); the synthesizer's pixel
-# (x, y) is B=(x*7+y*13)%256, G=(x*3)%256, R=(y*5)%256 — so the oracle can
-# predict the decode->decimate->re-encode->re-decode sum closed-form. Audio
-# keeps even samples of value ((i*2654435761)%65536)-32768 at half the rate.
-RESIZE_SQL = f"""
-    with img as (
-      select doc_id, {_MM_W} as w, {_MM_H} as h
-      from documents where doc_id % 3 = 1
-    ),
-    img_f as (
-      select doc_id, 'image/bmp' as mime,
-             cast((w + 1) // 2 as integer) as out_width,
-             cast((h + 1) // 2 as integer) as out_height,
-             cast(null as integer) as out_sample_rate,
-             cast(null as integer) as out_n_samples,
-             cast((select sum(((x*7 + y*13) % 256) + ((x*3) % 256) + ((y*5) % 256))
-                   from generate_series(0, 18, 2) gx(x),
-                        generate_series(0, 8, 2) gy(y)
-                   where x < w and y < h) as bigint) as value_sum
-      from img
-    ),
-    aud as (
-      select doc_id, 8000 + (doc_id % 4) * 4000 as rate, {_MM_NSAMP} as n
-      from documents where doc_id % 3 = 2
-    ),
-    aud_f as (
-      select doc_id, 'audio/wav' as mime,
-             cast(null as integer) as out_width,
-             cast(null as integer) as out_height,
-             cast(rate // 2 as integer) as out_sample_rate,
-             cast((n + 1) // 2 as integer) as out_n_samples,
-             cast((select sum(((i * 2654435761) % 65536) - 32768)
-                   from generate_series(0, 148, 2) g(i)
-                   where i < n) as bigint) as value_sum
-      from aud
-    )
-    select * from img_f union all select * from aud_f
-"""
-
-
-@register("multimodal_resize", RESIZE_SQL)
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media RESIZE with real pixel/sample work: decode the full BMP pixel
-    array / WAV sample array, nearest-neighbor decimate 2x, re-encode a
-    valid container, and report features + exact value sum from the
-    RE-DECODED payload. The oracle predicts every sum closed-form from the
-    synthesizer parameters, so any stride/row-order/sample-width bug in the
-    four-stage pipeline flips the hash."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 != 0)
-    assets = multimodal.attach_media_assets(docs)
-    return multimodal.resize_media(assets, factor=2)
-
-
-@register(
-    "multimodal_frame_sample",
-    """
-    with v as (
-      select doc_id,
-             4 + doc_id % 8 as width,
-             2 + doc_id % 6 as height,
-             4 + doc_id % 13 as n_frames
-      from documents where doc_id % 7 = 0
-    ),
-    f as (
-      select doc_id, width, height,
-             unnest(generate_series(0, n_frames - 1, 2)) as frame_idx
-      from v
-    )
-    select doc_id,
-           cast(frame_idx as integer) as frame_idx,
-           cast(frame_idx as double) / 8.0 as ts_s,
-           cast(width as integer) as width,
-           cast(height as integer) as height
-    from f
-    """,
-)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling over synthesized RVID clips: every 2nd frame
-    exploded to (doc_id, frame_idx, ts_s, dims) + a standalone BMP payload
-    (dropped here — the oracle predicts the metadata closed-form from the
-    synthesizer parameters; the pixel bytes are pytest-verified)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
-    vids = multimodal.attach_video_assets(docs)
-    return multimodal.sample_frames(vids, every_n=2).drop("frame")
 
 
 # PNG decode differential gate: pixel (y, x, c) = (doc_id*31 + y*7 + x*3 +
@@ -644,85 +527,6 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # running either codec. filter_type = doc_id % 5 exercises every PNG
 # filter (None/Sub/Up/Average/Paeth) across the corpus — a wrong predictor
 # or un-filter on ANY scanline path flips the hash.
-_PNG_W = "(3 + doc_id % 6)"
-_PNG_H = "(2 + doc_id % 4)"
-_PNG_CH = "(case cast(doc_id % 3 as integer) when 0 then 1 when 1 then 3 else 4 end)"
-
-PNG_SQL = f"""
-    select doc_id,
-           cast({_PNG_W} as integer) as width,
-           cast({_PNG_H} as integer) as height,
-           cast({_PNG_CH} as integer) as channels,
-           cast(doc_id % 5 as integer) as filter_type,
-           cast((select sum((doc_id * 31 + y * 7 + x * 3 + c * 11) % 256)
-                 from generate_series(0, 4) gy(y),
-                      generate_series(0, 8) gx(x),
-                      generate_series(0, 3) gc(c)
-                 where y < {_PNG_H} and x < {_PNG_W} and c < {_PNG_CH})
-                as bigint) as value_sum
-    from documents where doc_id % 4 = 1
-"""
-
-
-@register("multimodal_png_decode", PNG_SQL)
-def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL compressed-image round-trip: per doc, synthesize a deterministic
-    pixel array, encode it with the pure-numpy PNG codec (zlib-compressed
-    filtered scanlines, one of the five filter types per doc), decode the
-    payload back, and report dims + the decoded pixel sum — which the SQL
-    oracle predicts closed-form. Runs as Arrow-batched mapInPandas: encode
-    and decode happen where the (synthesized) bytes live, only typed
-    features shuffle."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 4 == 1)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("channels", T.IntegerType()),
-            T.StructField("filter_type", T.IntegerType()),
-            T.StructField("value_sum", T.LongType()),
-        ]
-    )
-
-    def batches(it):
-        for pdf in it:
-            rows = {k: [] for k in ("doc_id", "width", "height", "channels",
-                                    "filter_type", "value_sum")}
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 3 + d % 6, 2 + d % 4
-                ch = (1, 3, 4)[d % 3]
-                y, x, c = np.ogrid[0:h, 0:w, 0:ch]
-                px = ((d * 31 + y * 7 + x * 3 + c * 11) % 256).astype(np.uint8)
-                payload = multimodal.encode_png(px, filter_type=d % 5)
-                out = multimodal.decode_png(payload)
-                rows["doc_id"].append(d)
-                rows["width"].append(out.shape[1])
-                rows["height"].append(out.shape[0])
-                rows["channels"].append(out.shape[2])
-                rows["filter_type"].append(d % 5)
-                rows["value_sum"].append(int(out.astype(np.int64).sum()))
-            yield pd.DataFrame(rows)
-
-    out = docs.mapInPandas(batches, schema)
-    return out.select(
-        "doc_id",
-        F.col("width").cast("int"),
-        F.col("height").cast("int"),
-        F.col("channels").cast("int"),
-        F.col("filter_type").cast("int"),
-        F.col("value_sum").cast("long"),
-    )
 
 
 WINNOW_SQL = """
@@ -1453,173 +1257,6 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# JPEG is lossy, so unlike PNG the decoded pixel SUM has no closed form —
-# but the container fields are lossless and the reconstruction error is a
-# deterministic function of our codec with a provable bound: every
-# coefficient is off by at most half its quantizer step, so mean pixel
-# error at quality 90 sits far below the asserted ceiling. The oracle
-# checks dims/components exactly and the error bound as a boolean.
-JPEG_SQL = """
-    select doc_id,
-           cast(3 + doc_id % 6 as integer) as width,
-           cast(2 + doc_id % 4 as integer) as height,
-           cast(case when doc_id % 2 = 0 then 1 else 3 end as integer)
-               as n_components,
-           true as err_within_bound
-    from documents where doc_id % 4 = 2
-"""
-
-
-@register("multimodal_jpeg_roundtrip", JPEG_SQL)
-def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed baseline-JPEG round-trip: per doc, synthesize a
-    deterministic image (gray for even ids, RGB for odd), encode with the
-    pure-numpy codec at quality 90 inside mapInPandas, parse the container
-    header back, decode, and assert the reconstruction error bound. Dims
-    and component count are lossless and oracle-checked exactly; the
-    pixel-error flag pins the lossy path against a generous ceiling (mean
-    abs error < 20 — measured ~6 on worst-case uniform noise)."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import jpeg as _jpeg
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 4 == 2)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("n_components", T.IntegerType()),
-            T.StructField("err_within_bound", T.BooleanType()),
-        ]
-    )
-
-    def batches(it):
-        for pdf in it:
-            rows = {k: [] for k in ("doc_id", "width", "height",
-                                    "n_components", "err_within_bound")}
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 3 + d % 6, 2 + d % 4
-                if d % 2 == 0:
-                    y, x = np.ogrid[0:h, 0:w]
-                    px = ((d * 37 + y * 11 + x * 5) % 256).astype(np.uint8)
-                else:
-                    y, x, c = np.ogrid[0:h, 0:w, 0:3]
-                    px = ((d * 37 + y * 11 + x * 5 + c * 3) % 256).astype(
-                        np.uint8
-                    )
-                payload = _jpeg.encode_jpeg(px, quality=90)
-                pw, ph, ncomp = _jpeg.jpeg_header(payload)
-                out = _jpeg.decode_jpeg(payload)
-                err = float(
-                    np.abs(out.astype(np.int64) - px.astype(np.int64)).mean()
-                )
-                rows["doc_id"].append(d)
-                rows["width"].append(pw)
-                rows["height"].append(ph)
-                rows["n_components"].append(ncomp)
-                rows["err_within_bound"].append(bool(err < 20.0))
-            yield pd.DataFrame(rows)
-
-    return docs.mapInPandas(batches, schema)
-
-
-# chroma-subsampled JPEG: dims and the declared sampling scheme are
-# lossless container fields with closed forms; the pixel-error flag pins
-# the subsampled decode path (box-downsample + MCU-interleaved Hi x Vi
-# walk + nearest-neighbor upsample) against a generous ceiling on smooth
-# gradients, where chroma averaging loss is provably small.
-JPEG_SUBSAMPLED_SQL = """
-    select doc_id,
-           cast(10 + doc_id % 9 as integer) as width,
-           cast(9 + doc_id % 7 as integer) as height,
-           case when doc_id % 2 = 1 then '4:2:0' else '4:2:2' end as sampling,
-           true as err_within_bound,
-           true as prog_matches_baseline
-    from documents where doc_id % 4 = 3
-"""
-
-
-@register("multimodal_jpeg_subsampled", JPEG_SUBSAMPLED_SQL)
-def multimodal_jpeg_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed 4:2:0 / 4:2:2 JPEG round-trip (the schemes most
-    real-world JPEGs use): per doc, synthesize a smooth deterministic RGB
-    gradient sized to span multiple MCUs with odd trailing pixels, encode
-    with the pure-numpy codec at the doc's subsampling, parse the declared
-    sampling back from the SOF header, decode natively, and assert the
-    reconstruction error bound (mean abs error < 20; measured ~2-5 on
-    these gradients)."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import jpeg as _jpeg
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 4 == 3)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("sampling", T.StringType()),
-            T.StructField("err_within_bound", T.BooleanType()),
-            T.StructField("prog_matches_baseline", T.BooleanType()),
-        ]
-    )
-
-    def batches(it):
-        from pyiceberg_lakehouse_spark.operators import jpeg_progressive as _prog
-
-        for pdf in it:
-            rows = {k: [] for k in ("doc_id", "width", "height",
-                                    "sampling", "err_within_bound",
-                                    "prog_matches_baseline")}
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 10 + d % 9, 9 + d % 7
-                ss = "4:2:0" if d % 2 == 1 else "4:2:2"
-                y, x = np.mgrid[0:h, 0:w]
-                px = np.stack(
-                    [
-                        128 + 60 * np.sin((y + d % 13) / 9.0) * np.cos(x / 7.0),
-                        128 + 50 * np.cos((x + d % 7) / 8.0),
-                        128 + 55 * np.sin((y + x) / 11.0),
-                    ],
-                    axis=-1,
-                ).clip(0, 255).astype(np.uint8)
-                payload = _jpeg.encode_jpeg(px, quality=92, subsampling=ss)
-                pw, ph, _nc = _jpeg.jpeg_header(payload)
-                out = _jpeg.decode_jpeg(payload)
-                err = float(
-                    np.abs(out.astype(np.int64) - px.astype(np.int64)).mean()
-                )
-                rows["doc_id"].append(d)
-                rows["width"].append(pw)
-                rows["height"].append(ph)
-                rows["sampling"].append(_jpeg.jpeg_sampling(payload))
-                rows["err_within_bound"].append(bool(err < 20.0))
-                pp = _prog.encode_progressive(px, quality=92, subsampling=ss)
-                rows["prog_matches_baseline"].append(
-                    bool(np.array_equal(_prog.decode_progressive(pp), out))
-                )
-            yield pd.DataFrame(rows)
-
-    return docs.mapInPandas(batches, schema)
-
-
 @register(
     "lh_ann_auto_maintain",
     """
@@ -1745,5880 +1382,6 @@ def train_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return numeric_profile(ev, "value", n_buckets=10, lo=50.0, hi=300.0)
-
-
-@register(
-    "multimodal_container_probe",
-    """
-    with base as (select doc_id from documents),
-    mp4 as (
-      select doc_id, 'video/mp4' as mime,
-             cast(317 as integer) as n_bytes,
-             cast(1000 + (doc_id % 30) * 500 as bigint) as duration_ms,
-             cast(320 + (doc_id % 4) * 160 as integer) as width,
-             cast(240 + (doc_id % 4) * 120 as integer) as height,
-             cast(null as integer) as bitrate_kbps,
-             cast(null as integer) as sample_rate
-      from base where doc_id % 2 = 0
-    ),
-    mp3 as (
-      select doc_id, 'audio/mpeg' as mime,
-             cast((144 * br * 1000 // sr) * nf as integer) as n_bytes,
-             cast(nf * 1152 * 1000 // sr as bigint) as duration_ms,
-             cast(null as integer) as width,
-             cast(null as integer) as height,
-             cast(br as integer) as bitrate_kbps,
-             cast(sr as integer) as sample_rate
-      from (select doc_id, 10 + doc_id % 40 as nf,
-                   [56,64,80,96,112,128][cast(doc_id % 6 as integer) + 1] as br,
-                   [44100,48000,32000][cast(doc_id % 3 as integer) + 1] as sr
-            from base where doc_id % 2 = 1)
-    )
-    select * from mp4 union all select * from mp3
-    """,
-)
-def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL MP4 box-walk and MP3 frame-walk metadata probes
-    (multimodal.probe_mp4 / probe_mp3) over per-doc synthesized
-    containers: duration, dimensions, bitrate, sample rate — the fields a
-    curation pass filters on WITHOUT decoding samples (sample decode for
-    these codecs stays honestly gated). The oracle predicts every probed
-    field closed-form from doc_id, so any parsing error in the box/frame
-    walkers flips the hash."""
-    return multimodal.probe_containers(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "multimodal_mp4_samples",
-    """
-    with base as (
-      select doc_id, 8 + doc_id % 13 as n
-      from documents where doc_id % 5 = 2
-    ),
-    s as (
-      select doc_id, n, i
-      from base, unnest(generate_series(0, 20)) u(i)
-      where i < n
-    ),
-    sized as (
-      select doc_id, n, i,
-             40 + ((doc_id + 7 * i) % 50) as sz,
-             case when i < n // 2 then i * 100
-                  else (n // 2) * 100 + (i - n // 2) * 150 end as dts,
-             i % 4 = 0 as sync_
-      from s
-    )
-    select doc_id,
-           cast(i as integer) as sample_idx,
-           cast(dts as bigint) as dts_ms,
-           cast(sz as integer) as size,
-           cast(coalesce(sum(sz) over (partition by doc_id order by i
-                  rows between unbounded preceding and 1 preceding), 0)
-               as bigint) as offset_in_mdat,
-           sync_ as is_sync,
-           cast((select sum((doc_id * 13 + i * 17 + j * 5) % 256)
-                 from generate_series(0, 88) g(j) where j < sz)
-               as bigint) as byte_sum
-    from sized
-    """,
-)
-def multimodal_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL ISO BMFF sample-table demux (multimodal.demux_mp4): per doc,
-    synthesize a playable-layout MP4 whose stts (two delta runs), stsc
-    (ragged final chunk run), stsz, stco and stss tables all derive from
-    the actual mdat layout, then demux it back to one row per sample —
-    timestamp, byte extent, key-frame flag, and the extracted bytes'
-    sum. The oracle predicts every field closed-form from doc_id
-    (offsets via a prefix-sum window), so ANY table-parsing or
-    offset-arithmetic error flips the hash. This is the frame-extraction
-    layer a video curation pipeline needs before a codec ever runs."""
-    return multimodal.demux_mp4_samples(
-        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
-    )
-
-
-# The multi-track demux oracle, shared (via {filt}) by the ad-hoc query
-# and the streaming media-sample maintenance query — one closed-form
-# statement of the demux output, so the two faces can never drift.
-MP4_MULTITRACK_ORACLE = """
-    with base as (
-      select doc_id, 6 + doc_id % 7 as nv, 8 + doc_id % 5 as na
-      from documents where {filt}
-    ),
-    v as (
-      select doc_id, 1 as trk, i,
-             i // 2 as chunk_idx,
-             40 + ((doc_id + 11 * i) % 60) as sz,
-             case when i < nv // 2 then i * 100
-                  else (nv // 2) * 100 + (i - nv // 2) * 150 end
-               + 0 as dts,
-             case when i < nv // 2 then i * 100
-                  else (nv // 2) * 100 + (i - nv // 2) * 150 end
-               + ((i + 1) % 3) * 50 as pts,
-             i % 3 = 0 as sync_
-      from base, unnest(generate_series(0, 11)) u(i) where i < nv
-    ),
-    a as (
-      select doc_id, 2 as trk, i,
-             i // 3 as chunk_idx,
-             case when doc_id % 4 >= 2 then 20 + 2 * ((doc_id + 5 * i) % 15)
-                  else 20 + ((doc_id + 5 * i) % 30) end as sz,
-             i * 64 as dts,
-             i * 64 as pts,
-             true as sync_
-      from base, unnest(generate_series(0, 11)) u(i) where i < na
-    ),
-    s as (select * from v union all select * from a),
-    ch as (
-      select doc_id, trk, chunk_idx, sum(sz) as cbytes
-      from s group by 1, 2, 3
-    ),
-    cb as (
-      select doc_id, trk, chunk_idx,
-             coalesce(sum(cbytes) over (partition by doc_id
-                 order by chunk_idx, trk
-                 rows between unbounded preceding and 1 preceding), 0) as cbase
-      from ch
-    )
-    select s.doc_id,
-           cast(s.trk as integer) as track_id,
-           case when s.trk = 1 then 'vide' else 'soun' end as handler,
-           case when s.trk = 1 then 'mp4v'
-                when s.doc_id % 4 = 0 then 'ulaw'
-                when s.doc_id % 4 = 1 then 'alaw'
-                when s.doc_id % 4 = 2 then 'sowt' else 'twos' end as codec,
-           cast(s.i as integer) as sample_idx,
-           cast(s.dts as bigint) as dts,
-           cast(s.pts as bigint) as pts,
-           cast(s.sz as integer) as size,
-           cast(cb.cbase + coalesce(sum(s.sz) over (
-                  partition by s.doc_id, s.trk, s.chunk_idx
-                  order by s.i rows between unbounded preceding and 1 preceding),
-                0) as bigint) as offset_in_mdat,
-           s.sync_ as is_sync,
-           cast((select sum(case when s.trk = 1
-                                 then (s.doc_id * 7 + s.i * 13 + j * 3) % 256
-                                 else (s.doc_id * 3 + s.i * 7 + j * 11) % 256
-                            end)
-                 from generate_series(0, 98) g(j) where j < s.sz)
-               as bigint) as byte_sum
-    from s join cb using (doc_id, trk, chunk_idx)
-"""
-
-
-@register(
-    "multimodal_mp4_multitrack",
-    # The filter modulus (5) is deliberately coprime with the codec cycle
-    # (d % 4), so the selected docs' residues mod 4 cycle 1,2,3,0,... and
-    # ALL FOUR audio sample-entry formats appear in the driver-hashed
-    # corpus (a % 4 filter would pin the codec to a single branch).
-    MP4_MULTITRACK_ORACLE.format(filt="doc_id % 5 = 1"),
-)
-def multimodal_mp4_multitrack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MULTI-TRACK ISO BMFF demux (multimodal.demux_mp4_tracks): per doc,
-    synthesize a 2-trak MP4 — mp4v video trak (two stts delta runs, stss
-    every 3rd, 2 samples/chunk) + ulaw audio trak (no stss, 3
-    samples/chunk) — with chunks INTERLEAVED through the mdat the way
-    real muxers lay them out, then demux with per-trak table scoping and
-    hdlr handler routing: one row per (trak, sample). The video trak
-    carries a B-frame-style ctts reorder pattern, so every sample has
-    distinct decode (dts) and composition (pts) timestamps; the audio
-    codec fourcc cycles ulaw/alaw/sowt/twos by doc_id % 4, and the doc
-    filter modulus (5) is coprime with that cycle so all four fourccs
-    actually reach the driver-hashed rows, exercising the routing. The
-    oracle states every field closed-form from doc_id,
-    including the cross-trak chunk offsets (a window sum over the
-    interleave order) and pts = dts + ctts, so a wrong trak scope
-    (video stss applied to audio), a wrong routing fourcc, a ctts
-    expansion slip, or any interleaved-offset error flips the hash.
-    Closes the single-track demux's multi-trak refusal (demux_mp4 still
-    refuses; this is the path real audio+video files take)."""
-    return multimodal.demux_mp4_multitrack(
-        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
-    )
-
-
-@register(
-    "multimodal_audio_decode",
-    """
-    -- Filter modulus 5 is coprime with the codec cycle (doc_id % 4), so
-    -- all four decode branches below are live in the driver-hashed rows.
-    with base as (
-      select doc_id, 8 + doc_id % 5 as na
-      from documents where doc_id % 5 = 1
-    ),
-    s as (
-      select doc_id, i,
-             case when doc_id % 4 >= 2 then 20 + 2 * ((doc_id + 5 * i) % 15)
-                  else 20 + ((doc_id + 5 * i) % 30) end as sz,
-             i * 64 as dts
-      from base, unnest(generate_series(0, 11)) u(i) where i < na
-    ),
-    -- d%4=0 mu-law: complement, ((mant<<3)+132)<<exp, bias 132
-    -- d%4=1 A-law: xor 0x55, seg 0 linear, else <<(seg-1)
-    g711 as (
-      select doc_id, i, sz, dts,
-             255 - b as u,
-             xor(b, 85) as a
-      from (
-        select doc_id, i, sz, dts,
-               (doc_id * 3 + i * 7 + j * 11) % 256 as b
-        from s, generate_series(0, 48) g(j)
-        where doc_id % 4 < 2 and j < sz
-      )
-    ),
-    g711v as (
-      select doc_id, i, sz, dts,
-             case when doc_id % 4 = 0 then
-               case when u >= 128
-                    then 132 - (u % 16 * 8 + 132) * (1 << ((u // 16) % 8))
-                    else (u % 16 * 8 + 132) * (1 << ((u // 16) % 8)) - 132
-               end
-             else
-               case when a >= 128 then 1 else -1 end *
-               case when (a // 16) % 8 = 0 then a % 16 * 16 + 8
-                    else (a % 16 * 16 + 264) * (1 << ((a // 16) % 8 - 1))
-               end
-             end as val
-      from g711
-    ),
-    -- d%4=2 'sowt' little-endian / d%4=3 'twos' big-endian int16 PCM:
-    -- sample p is the byte pair (2p, 2p+1), two's complement
-    pcmv as (
-      select doc_id, i, sz, dts,
-             case when raw >= 32768 then raw - 65536 else raw end as val
-      from (
-        select doc_id, i, sz, dts,
-               case when doc_id % 4 = 2
-                 then (doc_id * 3 + i * 7 + (2 * p) * 11) % 256
-                      + 256 * ((doc_id * 3 + i * 7 + (2 * p + 1) * 11) % 256)
-                 else (doc_id * 3 + i * 7 + (2 * p + 1) * 11) % 256
-                      + 256 * ((doc_id * 3 + i * 7 + (2 * p) * 11) % 256)
-               end as raw
-        from s, generate_series(0, 24) g(p)
-        where doc_id % 4 >= 2 and p < sz // 2
-      )
-    ),
-    allv as (select * from g711v union all select * from pcmv)
-    select doc_id,
-           cast(i as integer) as sample_idx,
-           cast(dts as bigint) as dts,
-           cast(case when doc_id % 4 >= 2 then sz // 2 else sz end
-               as integer) as n_pcm,
-           cast(sum(val) as bigint) as pcm_sum,
-           cast(min(val) as integer) as pcm_min,
-           cast(max(val) as integer) as pcm_max
-    from allv group by doc_id, i, sz, dts
-    """,
-)
-def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Demux -> DECODE composition (multimodal.decode_mp4_audio): demux
-    the 2-trak MP4, route by hdlr to the soun trak, pick the expander
-    from the stsd codec fourcc — the corpus cycles all four real
-    uncompressed/companded formats by doc_id % 4: G.711 mu-law 'ulaw',
-    A-law 'alaw', and 16-bit PCM 'sowt' (little-endian) / 'twos'
-    (big-endian) — and expand every audio sample's bytes to linear PCM:
-    one row per audio sample with decoded count/sum/min/max. The oracle
-    recomputes ALL FOUR decodes in pure SQL integer arithmetic (mu:
-    complement, ((mant<<3)+132)<<exp, bias 132, endpoints +-32124; A:
-    xor 0x55, seg-0 linear else <<(seg-1), endpoints +-32256; PCM:
-    byte-pair two's complement in each endianness), so a routing error
-    (video bytes reaching the decoder, or the wrong law/endianness for
-    the fourcc), a demux extent error, or any expansion-arithmetic
-    error flips the hash. Compressed audio (MP3 Layer III sample
-    decode) stays honestly gated. The doc filter modulus (5) is coprime
-    with the codec cycle (doc_id % 4), so every one of the four decode
-    branches — not just one residue's — runs in the driver check."""
-    return multimodal.decode_mp4_audio(
-        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
-    )
-
-
-@register(
-    "multimodal_flac_decode",
-    # The oracle predicts the decoded SAMPLE SUM closed-form from the
-    # generating waveform (FLAC is lossless — the decode must invert
-    # the encode exactly), plus frame count, channel layout, the
-    # Vorbis-comment tag, the stereo assignment, and the SUBFRAME-TYPE
-    # SET actually decoded (binding the strategy knob: verbatim files,
-    # constant+verbatim fallback, lpc2, fixed0..4). md5_match = true
-    # asserts the decoder reproduced STREAMINFO's MD5 of the
-    # interleaved samples — the `flac -t` check. Knobs cycle every
-    # decode path: mono/stereo (%2), all four channel assignments
-    # (((d-1)/2)%4 over odd d), subframe strategy (%7/%11/%3/%5),
-    # Rice partition order (%3), Rice parameter (%4), the 0b1111
-    # escape to raw residuals (%9=4), wasted-bits shifting (%6=5).
-    # Filter modulus 13 residue 5 (13 claimed by text_pdf_extract r14).
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             96 + (doc_id % 5) * 32 as n,
-             1 + doc_id % 2 as nch,
-             case when doc_id % 6 = 5 then 2 else 1 end as scale
-      from documents where doc_id % 13 = 5
-    ),
-    sums as (
-      select doc_id,
-             sum((d*7 + 3*t) % 2048 - 1024) as s1,
-             sum((d*5 + 11*t) % 2048 - 1024) as s2
-      from base, unnest(generate_series(64, 223)) g(t)
-      where t < n
-      group by doc_id
-    )
-    select b.doc_id,
-           cast(b.n as integer) as n_samples,
-           cast(b.nch as integer) as channels,
-           cast(16 as integer) as bits,
-           cast(16000 as integer) as sample_rate,
-           cast((b.n + 63) // 64 as integer) as n_frames,
-           true as md5_match,
-           cast(b.scale * (64*(b.d % 256 - 128) + s.s1
-                + case when b.nch = 2
-                       then 64*((3*b.d) % 256 - 128) + s.s2
-                       else 0 end) as bigint) as sample_sum,
-           'doc ' || b.d as title,
-           case when b.nch = 1 then 'independent'
-                else case cast(((b.d - 1) // 2) % 4 as integer)
-                     when 0 then 'independent' when 1 then 'left_side'
-                     when 2 then 'right_side' else 'mid_side' end
-           end as stereo_mode,
-           case when b.d % 7 = 0 then 'verbatim'
-                when b.d % 11 = 0 then 'constant,verbatim'
-                when b.d % 3 = 0 then 'lpc2'
-                else 'fixed' || (b.d % 5) end as subframe_types
-    from base b join sums s using (doc_id)
-    """,
-)
-def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL FLAC codec roundtrip (operators/flac.py) — the lossless
-    format speech corpora ship: per doc, synthesize a deterministic
-    waveform (a constant head then a modular ramp, so constant
-    subframes and Rice-coded residuals are both live), encode it
-    cycling every decode path — mono + all four stereo assignments
-    (the side channel carrying bits+1), CONSTANT/VERBATIM/FIXED
-    0..4/LPC subframes, Rice partition orders 0..2, the raw-residual
-    escape, wasted-bits shifting, a Vorbis-comment tag — then decode
-    through the full bitstream reader (frame sync, UTF-8 frame
-    numbers, CRC-8 + CRC-16 verified) and report the decoded sample
-    sum + the STREAMINFO-MD5 match, which the oracle predicts
-    closed-form from the waveform formula without running either
-    codec. Arrow-batched mapInPandas: audio bytes never shuffle, only
-    typed features do. Rice method 1 and variable-blocksize streams
-    stay honestly gated (tests pin the refusals)."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import flac as _flac
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 13 == 5)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("n_samples", T.IntegerType()),
-            T.StructField("channels", T.IntegerType()),
-            T.StructField("bits", T.IntegerType()),
-            T.StructField("sample_rate", T.IntegerType()),
-            T.StructField("n_frames", T.IntegerType()),
-            T.StructField("md5_match", T.BooleanType()),
-            T.StructField("sample_sum", T.LongType()),
-            T.StructField("title", T.StringType()),
-            T.StructField("stereo_mode", T.StringType()),
-            T.StructField("subframe_types", T.StringType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def wave(d: int, n: int, c: int, a: int, b: int, scale: int):
-        return [
-            scale * (c if t < 64 else ((d * a + b * t) % 2048) - 1024)
-            for t in range(n)
-        ]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                n = 96 + (d % 5) * 32
-                nch = 1 + d % 2
-                scale = 2 if d % 6 == 5 else 1
-                chans = [wave(d, n, d % 256 - 128, 7, 3, scale)]
-                if nch == 2:
-                    chans.append(
-                        wave(d, n, (3 * d) % 256 - 128, 5, 11, scale)
-                    )
-                mode = (
-                    ["independent", "left_side", "right_side", "mid_side"][
-                        ((d - 1) // 2) % 4
-                    ]
-                    if nch == 2
-                    else "independent"
-                )
-                if d % 7 == 0:
-                    sub = "verbatim"
-                elif d % 11 == 0:
-                    sub = "constant"
-                elif d % 3 == 0:
-                    sub = "lpc"
-                else:
-                    sub = "fixed"
-                blob = _flac.encode_flac(
-                    chans,
-                    stereo_mode=mode,
-                    subframe=sub,
-                    fixed_order=d % 5,
-                    lpc_coeffs=[3, -2],
-                    lpc_shift=1,
-                    part_order=d % 3,
-                    rice_param=5 + d % 4,
-                    escape_rawbits=18 if d % 9 == 4 else None,
-                    tags={"TITLE": f"doc {d}"},
-                )
-                got, meta = _flac.decode_flac(blob)
-                rows.append(
-                    (
-                        d, meta["total_samples"], meta["channels"],
-                        meta["bits"], meta["sample_rate"],
-                        meta["n_frames"], meta["md5_match"],
-                        sum(sum(ch) for ch in got),
-                        meta["tags"].get("title"),
-                        ",".join(meta["stereo_modes"]),
-                        ",".join(meta["subframe_types"]),
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            for cname in (
-                "n_samples", "channels", "bits", "sample_rate", "n_frames",
-            ):
-                out[cname] = out[cname].astype("int32")
-            out["doc_id"] = out["doc_id"].astype("int64")
-            out["sample_sum"] = out["sample_sum"].astype("int64")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-_IMA_STEPS_SQL = (
-    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,"
-    "66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,"
-    "371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,"
-    "1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,"
-    "5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,"
-    "16818,18500,20350,22385,24623,27086,29794,32767]"
-)
-
-
-@register(
-    "multimodal_adpcm_decode",
-    # The oracle REPLAYS the IMA ADPCM state machine in pure SQL: a
-    # recursive CTE walks the 64 nibbles of every 34-byte block, carrying
-    # (predictor, step-index) state and indexing the 89-entry step table
-    # as a list literal — the first stateful-codec oracle in the corpus
-    # (G.711/PCM are memoryless byte maps; this one's output depends on
-    # the entire nibble prefix, so ANY slip anywhere in the walk corrupts
-    # every later sample and the hash).
-    f"""
-    with recursive base as (
-      select doc_id, 8 + doc_id % 5 as na
-      from documents where doc_id % 7 = 3
-    ),
-    s as (
-      select doc_id, i,
-             34 * (1 + (doc_id + 5 * i) % 2) as sz,
-             i * 64 as dts
-      from base, unnest(generate_series(0, 11)) u(i) where i < na
-    ),
-    -- 2-byte BE preamble of block b from the shared closed-form byte
-    -- formula (doc_id*3 + i*7 + j*11) % 256
-    seed as (
-      select doc_id, i, sz, dts, b,
-             ((doc_id * 3 + i * 7 + (b * 34) * 11) % 256) * 256
-               + ((doc_id * 3 + i * 7 + (b * 34 + 1) * 11) % 256) as pre
-      from s, generate_series(0, 1) g(b) where b < sz // 34
-    ),
-    -- state walk: j = -1 holds the seed state (predictor = top 9 bits
-    -- sign-extended, index = low 7 bits clamped to 88); each step
-    -- decodes nibble j+1 (low nibble of each data byte first)
-    walk(doc_id, i, sz, dts, b, j, pred, idx) as (
-      select doc_id, i, sz, dts, b, -1,
-             case when (pre & 65408) >= 32768 then (pre & 65408) - 65536
-                  else pre & 65408 end,
-             least(pre & 127, 88)
-      from seed
-      union all
-      select doc_id, i, sz, dts, b, j + 1,
-             greatest(-32768, least(32767,
-               pred + case when (nib & 8) > 0 then -diff else diff end)),
-             greatest(0, least(88, idx + case when (nib & 7) < 4 then -1
-                                              else ((nib & 7) - 3) * 2 end))
-      from (
-        select doc_id, i, sz, dts, b, j, pred, idx, nib,
-               (step >> 3)
-               + case when (nib & 4) > 0 then step else 0 end
-               + case when (nib & 2) > 0 then step >> 1 else 0 end
-               + case when (nib & 1) > 0 then step >> 2 else 0 end as diff
-        from (
-          select w2.*,
-                 case when (j + 1) % 2 = 0 then byte % 16
-                      else byte // 16 end as nib,
-                 ({_IMA_STEPS_SQL})[idx + 1] as step
-          from (
-            select walk.*,
-                   (doc_id * 3 + i * 7
-                    + (b * 34 + 2 + (j + 1) // 2) * 11) % 256 as byte
-            from walk where j < 63
-          ) w2
-        ) w3
-      ) w4
-    )
-    select doc_id,
-           cast(i as integer) as sample_idx,
-           cast(dts as bigint) as dts,
-           cast((sz // 34) * 64 as integer) as n_pcm,
-           cast(sum(pred) as bigint) as pcm_sum,
-           cast(min(pred) as integer) as pcm_min,
-           cast(max(pred) as integer) as pcm_max
-    from walk where j >= 0
-    group by doc_id, i, sz, dts
-    """,
-)
-def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COMPRESSED-audio decode (multimodal.ima4_decode): the corpus's
-    soun traks carry IMA ADPCM 'ima4' sample entries — QuickTime 34-byte
-    blocks, 64 samples each, 4 bits/sample — and the demux -> route ->
-    expand composition runs the real IMA state machine (step-size table
-    + index adaptation, seeded from each block's 2-byte preamble),
-    vectorized ACROSS blocks in numpy. Unlike the G.711/PCM formats
-    (memoryless byte maps), every decoded sample depends on the entire
-    nibble prefix of its block, so the oracle must REPLAY the state
-    machine — it does, as a recursive CTE over nibble positions with the
-    89-entry step table as a SQL list literal. One row per audio sample
-    with decoded count/sum/min/max; a wrong step adaptation, clamp,
-    nibble order, or seed sign-extension diverges the walk and flips the
-    hash. First genuinely compressed audio codec in the engine (4:1);
-    perceptual codecs (MP3 Layer III synthesis) stay honestly gated."""
-    return multimodal.decode_mp4_audio(
-        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 3),
-        audio_codec="ima4",
-    )
-
-
-@register(
-    "multimodal_gif_decode",
-    # Filter modulus 7 is coprime with every variety knob (% 8 width,
-    # % 6 height, % 3 palette size, % 2 interlace), so all branches are
-    # live in the driver-hashed corpus.
-    """
-    with base as (
-      select doc_id,
-             5 + doc_id % 8 as w,
-             4 + doc_id % 6 as h,
-             case cast(doc_id % 3 as integer)
-                  when 0 then 4 when 1 then 16 else 64 end as nc,
-             doc_id % 2 = 1 as interlaced
-      from documents where doc_id % 7 = 2
-    )
-    select doc_id,
-           cast(w as integer) as width,
-           cast(h as integer) as height,
-           cast(nc as integer) as n_colors,
-           interlaced,
-           cast((select sum((doc_id * 7 + y * 5 + x * 3) % nc)
-                 from generate_series(0, 9) gy(y),
-                      generate_series(0, 12) gx(x)
-                 where y < h and x < w)
-               as bigint) as value_sum,
-           true as exact_roundtrip
-    from base
-    """,
-)
-def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL dictionary-compression round-trip (operators/gif.py): per
-    doc, synthesize a deterministic palette-index raster, encode it as a
-    GIF89a — variable-width LZW (9..12-bit codes, LSB-first packing,
-    CLEAR/END, the KwKwK corner, width bumps with the encoder/decoder
-    off-by-one), palette size cycling 4/16/64 and Appendix-E interlacing
-    by parity — decode it back, and report dims + the decoded index sum,
-    which the SQL oracle predicts closed-form without running either
-    codec (the PNG pattern: a planted-construction oracle around a real
-    codec). Runs as Arrow-batched mapInPandas: encode and decode happen
-    where the (synthesized) bytes live, only typed features shuffle.
-    First LZW/dictionary codec in the engine; frame COMPOSITION of
-    animated GIFs (disposal/transparency) stays honestly out of scope —
-    frames decode raw with their geometry."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import gif as _gif
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 7 == 2)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("n_colors", T.IntegerType()),
-            T.StructField("interlaced", T.BooleanType()),
-            T.StructField("value_sum", T.LongType()),
-            T.StructField("exact_roundtrip", T.BooleanType()),
-        ]
-    )
-
-    def batches(it):
-        cols = [
-            "doc_id", "width", "height", "n_colors", "interlaced",
-            "value_sum", "exact_roundtrip",
-        ]
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 5 + d % 8, 4 + d % 6
-                nc = (4, 16, 64)[d % 3]
-                interlace = d % 2 == 1
-                y, x = np.ogrid[0:h, 0:w]
-                px = (d * 7 + y * 5 + x * 3) % nc
-                enc = _gif.encode_gif(px, interlace=interlace)
-                dec = _gif.decode_gif(enc)
-                f = dec["frames"][0]
-                rows.append(
-                    (
-                        d, w, h, nc, f["interlace"],
-                        int(f["indices"].sum()),
-                        bool(
-                            f["indices"].shape == px.shape
-                            and (f["indices"] == px).all()
-                        ),
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            for cname, dt in (
-                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
-                ("n_colors", "int32"), ("interlaced", "bool"),
-                ("value_sum", "int64"), ("exact_roundtrip", "bool"),
-            ):
-                out[cname] = out[cname].astype(dt)
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "multimodal_exif_extract",
-    # Filter modulus 7 is coprime with orientation (%8), make (%5),
-    # model (%11), day (%28), iso (%8), exposure (%200), endianness
-    # (%2) and the r14 GPS knobs (%4 presence, %90/%60/%6000 lat,
-    # %180 lon, %9000 alt, %5 alt presence), so every branch — both
-    # EXIF byte orders, geotagged and untagged files, all four
-    # hemisphere refs — is live in the driver-hashed corpus. The
-    # decimal-degree expressions mirror the reader's float evaluation
-    # order term for term, so the doubles are bit-identical.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d
-      from documents where doc_id % 5 = 0
-    ),
-    g as (
-      select doc_id, d,
-             d % 4 != 3 as has_gps,
-             cast(d % 90 as double) + cast(d % 60 as double)/60
-               + (cast((37*d) % 6000 as double)/100)/3600 as lat_abs,
-             cast(d % 180 as double) + cast((3*d) % 60 as double)/60
-               + (cast((53*d) % 6000 as double)/100)/3600 as lon_abs
-      from base
-    )
-    select doc_id,
-           cast(1 + d % 8 as integer) as orientation,
-           'cam-' || (d % 5) as make,
-           'model-' || (d % 11) as model,
-           '2020:01:' || lpad(cast(1 + d % 28 as varchar), 2, '0')
-             || ' 12:00:00' as datetime,
-           cast(100 + (d % 8) * 50 as integer) as iso,
-           cast(1 as integer) as exposure_num,
-           cast(60 + d % 200 as integer) as exposure_den,
-           cast(8 as integer) as pixel_x,
-           cast(8 as integer) as pixel_y,
-           d % 2 = 1 as big_endian,
-           case when has_gps then
-             case when d % 2 = 1 then -lat_abs else lat_abs end
-           end as gps_lat,
-           case when has_gps then
-             case when d % 3 = 0 then -lon_abs else lon_abs end
-           end as gps_lon,
-           case when has_gps and d % 5 < 3
-                then cast(d % 9000 as double)/10 end as gps_alt,
-           true as still_decodes
-    from g
-    """,
-)
-def multimodal_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXIF extraction from camera-shaped JPEGs (operators/exif.py): per
-    doc, encode a real baseline JPEG, splice in an APP1/Exif segment —
-    a TIFF IFD chain (IFD0 + Exif sub-IFD pointer) in BOTH byte orders
-    by parity, ASCII/SHORT/LONG/RATIONAL tag types, built and parsed by
-    the same IFD machinery as the TIFF codec — and read back the
-    curation-filter fields: orientation, make/model, capture time, ISO,
-    exposure rational, pixel dims. ``still_decodes`` proves the APP1
-    splice did not break the pixel decoder (markers skip by length).
-    The oracle restates every field closed-form from doc_id."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import exif as _exif
-    from pyiceberg_lakehouse_spark.operators import jpeg as _jpeg
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 5 == 0)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("orientation", T.IntegerType()),
-            T.StructField("make", T.StringType()),
-            T.StructField("model", T.StringType()),
-            T.StructField("datetime", T.StringType()),
-            T.StructField("iso", T.IntegerType()),
-            T.StructField("exposure_num", T.IntegerType()),
-            T.StructField("exposure_den", T.IntegerType()),
-            T.StructField("pixel_x", T.IntegerType()),
-            T.StructField("pixel_y", T.IntegerType()),
-            T.StructField("big_endian", T.BooleanType()),
-            T.StructField("gps_lat", T.DoubleType()),
-            T.StructField("gps_lon", T.DoubleType()),
-            T.StructField("gps_alt", T.DoubleType()),
-            T.StructField("still_decodes", T.BooleanType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                px = ((d + np.arange(64).reshape(8, 8) * 3) % 256).astype(
-                    np.uint8
-                )
-                gps = None
-                if d % 4 != 3:
-                    gps = {
-                        "lat": (
-                            d % 90, d % 60, (37 * d) % 6000,
-                            "N" if d % 2 == 0 else "S",
-                        ),
-                        "lon": (
-                            d % 180, (3 * d) % 60, (53 * d) % 6000,
-                            "W" if d % 3 == 0 else "E",
-                        ),
-                        "alt": (d % 9000, 10) if d % 5 < 3 else None,
-                    }
-                tagged = _exif.insert_app1(
-                    _jpeg.encode_jpeg(px),
-                    _exif.build_exif_app1(
-                        orientation=1 + d % 8,
-                        make=f"cam-{d % 5}",
-                        model=f"model-{d % 11}",
-                        datetime=f"2020:01:{1 + d % 28:02d} 12:00:00",
-                        iso=100 + (d % 8) * 50,
-                        exposure=(1, 60 + d % 200),
-                        pixel_xy=(8, 8),
-                        big_endian=d % 2 == 1,
-                        gps=gps,
-                    ),
-                )
-                m = _exif.parse_exif(tagged)
-                decoded = _jpeg.decode_jpeg(tagged)
-                rows.append(
-                    (
-                        d, m["orientation"], m["make"], m["model"],
-                        m["datetime"], m["iso"],
-                        m["exposure"][0], m["exposure"][1],
-                        m["pixel_x"], m["pixel_y"], m["big_endian"],
-                        m.get("gps_lat"), m.get("gps_lon"),
-                        m.get("gps_alt"),
-                        bool(decoded.shape == (8, 8)),
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            for cname in (
-                "orientation", "iso", "exposure_num", "exposure_den",
-                "pixel_x", "pixel_y",
-            ):
-                out[cname] = out[cname].astype("int32")
-            out["doc_id"] = out["doc_id"].astype("int64")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "multimodal_tiff_decode",
-    # Filter modulus 5 is coprime with the endianness (%4), channel
-    # (%2), compression (%3) and strip (%3) knobs, so both byte orders,
-    # gray+RGB, none+PackBits, and multi-strip layouts are all live in
-    # the driver-hashed corpus.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             6 + doc_id % 9 as w, 5 + doc_id % 7 as h,
-             1 + 2 * (doc_id % 2) as ch,
-             doc_id % 4 >= 2 as big_endian,
-             case when doc_id % 3 = 0 then 1 else 32773 end as compression,
-             2 + doc_id % 3 as rps
-      from documents where doc_id % 5 = 3
-    )
-    select doc_id,
-           cast(w as integer) as width,
-           cast(h as integer) as height,
-           cast(ch as integer) as channels,
-           big_endian,
-           cast(compression as integer) as compression,
-           cast((h + rps - 1) // rps as integer) as n_strips,
-           cast((select sum((d + 3*x + 5*y + 7*c) % 256)
-                 from generate_series(0, 14) gx(x),
-                      generate_series(0, 11) gy(y),
-                      generate_series(0, 2) gc(c)
-                 where x < w and y < h and c < ch)
-               as bigint) as value_sum,
-           true as exact_roundtrip
-    from base
-    """,
-)
-def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline-TIFF codec roundtrip (operators/tiff.py): per doc,
-    synthesize a deterministic raster, encode it as TIFF — byte order
-    cycling II/MM (a parser that assumes one misreads every tag of the
-    other), gray/RGB, Compression 1/PackBits, multi-strip layout with a
-    ragged final strip — decode it back through the IFD tag walk with
-    inline-vs-offset value resolution, and report dims + the decoded
-    value sum, which the oracle predicts closed-form. The
-    scanned-document ingest path of an OCR corpus; LZW/tiles/planar-2
-    stay honestly gated (tests pin the refusals)."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import tiff as _tiff
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 5 == 3)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("channels", T.IntegerType()),
-            T.StructField("big_endian", T.BooleanType()),
-            T.StructField("compression", T.IntegerType()),
-            T.StructField("n_strips", T.IntegerType()),
-            T.StructField("value_sum", T.LongType()),
-            T.StructField("exact_roundtrip", T.BooleanType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 6 + d % 9, 5 + d % 7
-                ch = 1 + 2 * (d % 2)
-                c = np.arange(ch)
-                y, x = np.ogrid[0:h, 0:w]
-                px = (
-                    (d + 3 * x[:, :, None] + 5 * y[:, :, None] + 7 * c)
-                    % 256
-                ).astype(np.uint8)
-                enc = _tiff.encode_tiff(
-                    px,
-                    big_endian=d % 4 >= 2,
-                    compression=1 if d % 3 == 0 else 32773,
-                    rows_per_strip=2 + d % 3,
-                )
-                got, meta = _tiff.decode_tiff(enc)
-                rows.append(
-                    (
-                        d, meta["width"], meta["height"], meta["channels"],
-                        meta["big_endian"], meta["compression"],
-                        meta["n_strips"],
-                        int(got.astype(np.int64).sum()),
-                        bool(got.shape == px.shape and (got == px).all()),
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            for cname, dt in (
-                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
-                ("channels", "int32"), ("compression", "int32"),
-                ("n_strips", "int32"), ("value_sum", "int64"),
-            ):
-                out[cname] = out[cname].astype(dt)
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "multimodal_tiff_lzw",
-    # Filter modulus 11 (the %7/%9 residues are fully claimed by the
-    # r13 media/crawl rows) is coprime with every variety knob (%9
-    # width, %7 height, %2 channels, %4 endianness, %3 predictor, %5
-    # strip size), so both byte orders, gray+RGB, predictor on/off and
-    # ragged multi-strip layouts are all live in the driver-hashed
-    # corpus.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             6 + doc_id % 9 as w, 5 + doc_id % 7 as h,
-             1 + 2 * (doc_id % 2) as ch,
-             doc_id % 4 >= 2 as big_endian,
-             case when doc_id % 3 = 0 then 1 else 2 end as predictor,
-             2 + doc_id % 5 as rps
-      from documents where doc_id % 11 = 4
-    )
-    select doc_id,
-           cast(w as integer) as width,
-           cast(h as integer) as height,
-           cast(ch as integer) as channels,
-           big_endian,
-           cast(predictor as integer) as predictor,
-           cast((h + rps - 1) // rps as integer) as n_strips,
-           cast((select sum((d + 3*x + 5*y + 7*c) % 256)
-                 from generate_series(0, 14) gx(x),
-                      generate_series(0, 11) gy(y),
-                      generate_series(0, 2) gc(c)
-                 where x < w and y < h and c < ch)
-               as bigint) as value_sum,
-           true as exact_roundtrip
-    from base
-    """,
-)
-def multimodal_tiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL LZW-TIFF codec roundtrip (operators/tiff.py, VERDICT r13
-    task #2 — scanned-document corpora are LZW-heavy): per doc,
-    synthesize a deterministic raster, encode it as a Compression-5
-    TIFF — MSB-first 9..12-bit codes with the Aldus early-change width
-    bump (pinned bit-for-bit in tests/test_tiff.py), Predictor 2
-    horizontal differencing cycling on/off, byte order cycling II/MM,
-    ragged multi-strip layout — decode it back and report dims + the
-    decoded value sum, which the oracle predicts closed-form without
-    running either codec. Runs as Arrow-batched mapInPandas: the codec
-    work happens where the bytes live, only typed features shuffle.
-    CCITT/JPEG-in-TIFF/tiles stay honestly gated (tests pin the
-    refusals)."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import tiff as _tiff
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 11 == 4)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("channels", T.IntegerType()),
-            T.StructField("big_endian", T.BooleanType()),
-            T.StructField("predictor", T.IntegerType()),
-            T.StructField("n_strips", T.IntegerType()),
-            T.StructField("value_sum", T.LongType()),
-            T.StructField("exact_roundtrip", T.BooleanType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 6 + d % 9, 5 + d % 7
-                ch = 1 + 2 * (d % 2)
-                c = np.arange(ch)
-                y, x = np.ogrid[0:h, 0:w]
-                px = (
-                    (d + 3 * x[:, :, None] + 5 * y[:, :, None] + 7 * c)
-                    % 256
-                ).astype(np.uint8)
-                enc = _tiff.encode_tiff(
-                    px,
-                    big_endian=d % 4 >= 2,
-                    compression=5,
-                    rows_per_strip=2 + d % 5,
-                    predictor=1 if d % 3 == 0 else 2,
-                )
-                got, meta = _tiff.decode_tiff(enc)
-                rows.append(
-                    (
-                        d, meta["width"], meta["height"], meta["channels"],
-                        meta["big_endian"], meta["predictor"],
-                        meta["n_strips"],
-                        int(got.astype(np.int64).sum()),
-                        bool(got.shape == px.shape and (got == px).all()),
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            for cname, dt in (
-                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
-                ("channels", "int32"), ("predictor", "int32"),
-                ("n_strips", "int32"), ("value_sum", "int64"),
-            ):
-                out[cname] = out[cname].astype(dt)
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "multimodal_tiff_tiled",
-    # The tiled layout (§15, tags 322..325 — GeoTIFF / scanned-atlas
-    # corpora): the oracle predicts the decoded value sum AND the tile
-    # grid count closed-form. Knobs: tile geometry 16x16/32x16/16x32
-    # (%3), all four compressions (%4), predictor on/off (%5),
-    # byte order (%7), gray/RGB (%2) — every edge tile is partial in
-    # at least one axis, so padding-clip is always live. Filter
-    # modulus 13 residue 7.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             17 + doc_id % 23 as w, 14 + doc_id % 19 as h,
-             1 + 2 * (doc_id % 2) as ch,
-             case cast(doc_id % 3 as integer)
-                  when 1 then 32 else 16 end as tw,
-             case cast(doc_id % 3 as integer)
-                  when 2 then 32 else 16 end as tl,
-             case cast(doc_id % 4 as integer)
-                  when 0 then 1 when 1 then 5 when 2 then 8
-                  else 32773 end as compression,
-             case when doc_id % 5 < 3 then 2 else 1 end as predictor,
-             doc_id % 7 < 4 as big_endian
-      from documents where doc_id % 13 = 7
-    )
-    select doc_id,
-           cast(w as integer) as width,
-           cast(h as integer) as height,
-           cast(ch as integer) as channels,
-           big_endian,
-           cast(compression as integer) as compression,
-           cast(predictor as integer) as predictor,
-           cast(((w + tw - 1) // tw) * ((h + tl - 1) // tl)
-                as integer) as n_tiles,
-           cast((select sum((d + 3*x + 5*y + 7*c) % 256)
-                 from generate_series(0, 39) gx(x),
-                      generate_series(0, 32) gy(y),
-                      generate_series(0, 2) gc(c)
-                 where x < w and y < h and c < ch)
-               as bigint) as value_sum,
-           true as exact_roundtrip
-    from base
-    """,
-)
-def multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL tiled-TIFF codec roundtrip (operators/tiff.py §15 — the
-    GeoTIFF/scanned-atlas layout a 100 TB map/document crawl hits):
-    per doc, synthesize a deterministic raster, encode it TILED —
-    16-multiple tile grids cycling three geometries, edge tiles
-    zero-padded, Predictor 2 restarting per tile row, all four
-    compressions, both byte orders — decode it back (padding clipped,
-    grid validated) and report dims + the decoded value sum, which
-    the oracle predicts closed-form along with the tile-grid count.
-    Arrow-batched mapInPandas: codec work happens where the bytes
-    live, only typed features shuffle."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import tiff as _tiff
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 13 == 7)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("channels", T.IntegerType()),
-            T.StructField("big_endian", T.BooleanType()),
-            T.StructField("compression", T.IntegerType()),
-            T.StructField("predictor", T.IntegerType()),
-            T.StructField("n_tiles", T.IntegerType()),
-            T.StructField("value_sum", T.LongType()),
-            T.StructField("exact_roundtrip", T.BooleanType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 17 + d % 23, 14 + d % 19
-                ch = 1 + 2 * (d % 2)
-                c = np.arange(ch)
-                y, x = np.ogrid[0:h, 0:w]
-                px = (
-                    (d + 3 * x[:, :, None] + 5 * y[:, :, None] + 7 * c)
-                    % 256
-                ).astype(np.uint8)
-                tw = 32 if d % 3 == 1 else 16
-                tl = 32 if d % 3 == 2 else 16
-                enc = _tiff.encode_tiff(
-                    px,
-                    big_endian=d % 7 < 4,
-                    compression=[1, 5, 8, 32773][d % 4],
-                    predictor=2 if d % 5 < 3 else 1,
-                    tile=(tw, tl),
-                )
-                got, meta = _tiff.decode_tiff(enc)
-                rows.append(
-                    (
-                        d, meta["width"], meta["height"], meta["channels"],
-                        meta["big_endian"], meta["compression"],
-                        meta["predictor"], meta["n_tiles"],
-                        int(got.astype(np.int64).sum()),
-                        bool(got.shape == px.shape and (got == px).all()),
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            for cname, dt in (
-                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
-                ("channels", "int32"), ("compression", "int32"),
-                ("predictor", "int32"), ("n_tiles", "int32"),
-                ("value_sum", "int64"),
-            ):
-                out[cname] = out[cname].astype(dt)
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "scan_warc_revisits",
-    # Common Crawl's URL-level dedup form: WARC-Type revisit records
-    # carrying the original capture's payload digest + a refers-to
-    # pointer. The reader must ROUTE them (a response walk that
-    # misreads a revisit double-counts the page; a revisit walk that
-    # drops the digest cannot deduplicate) — an interleaved response
-    # record per doc pins the routing. The oracle restates every
-    # header closed-form. Filter modulus 17 residue 1.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d, 2 + doc_id % 3 as nr
-      from documents where doc_id % 17 = 1
-    )
-    select doc_id,
-      cast(i as integer) as rec_idx,
-      'http://r.ex/' || d || '/' || i as uri,
-      'sha1:DIG' || d || 'X' || i as digest,
-      '<urn:rec:' || d || '-' || i || '>' as refers_to,
-      '2020-03-' || lpad(cast(1 + (d + i) % 28 as varchar), 2, '0')
-        || 'T00:00:00Z' as date,
-      d % 2 = 1 as gzipped
-    from base, unnest(generate_series(0, 4)) g(i) where i < nr
-    """,
-)
-def scan_warc_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC revisit records (operators/warc.py warc_revisits) — the
-    URL-level dedup accounting Common Crawl emits when a refetch
-    matches an earlier capture: per doc, build a WARC interleaving a
-    normal response record (which must route AWAY) with revisit
-    records carrying WARC-Payload-Digest + WARC-Refers-To, in both
-    storage layouts by parity, then extract the revisit rows. The
-    oracle restates every header closed-form; a digest-less revisit
-    raises rather than passing an unusable dedup row. Arrow-batched
-    mapInPandas, map-only."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import warc as _warc
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 17 == 1)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("rec_idx", T.IntegerType()),
-            T.StructField("uri", T.StringType()),
-            T.StructField("digest", T.StringType()),
-            T.StructField("refers_to", T.StringType()),
-            T.StructField("date", T.StringType()),
-            T.StructField("gzipped", T.BooleanType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                nr = 2 + d % 3
-                recs = [
-                    {
-                        "type": "response",
-                        "uri": f"http://r.ex/{d}/orig",
-                        "block": _warc.build_http_response(
-                            200, "OK",
-                            [("Content-Type", "text/html")],
-                            f"orig-{d}".encode(),
-                        ),
-                    }
-                ]
-                for i in range(nr):
-                    recs.append(
-                        {
-                            "type": "revisit",
-                            "uri": f"http://r.ex/{d}/{i}",
-                            "digest": f"sha1:DIG{d}X{i}",
-                            "refers_to": f"<urn:rec:{d}-{i}>",
-                            "date": (
-                                f"2020-03-{1 + (d + i) % 28:02d}"
-                                "T00:00:00Z"
-                            ),
-                            "profile": (
-                                "http://netpreserve.org/warc/1.1/"
-                                "revisit/identical-payload-digest"
-                            ),
-                            "block": b"HTTP/1.1 304 Not Modified\r\n\r\n",
-                        }
-                    )
-                gz = d % 2 == 1
-                payload = _warc.make_warc(recs, gzip_records=gz)
-                assert len(_warc.warc_responses(payload)) == 1
-                for i, r in enumerate(_warc.warc_revisits(payload)):
-                    rows.append(
-                        (
-                            d, i, r["uri"], r["digest"],
-                            r["refers_to"], r["date"], gz,
-                        )
-                    )
-            out = pd.DataFrame(rows, columns=cols)
-            out["doc_id"] = out["doc_id"].astype("int64")
-            out["rec_idx"] = out["rec_idx"].astype("int32")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "text_unicode_nfc",
-    # Unicode normalization for dedup keys: the SAME text arrives from
-    # crawls as NFD (e + combining acute) and NFC (precomposed é) —
-    # byte-different, semantically identical, and a dedup key that
-    # skips normalization splits the duplicate group. Inputs cycle
-    # both forms plus an NFKC-only fold (the ﬁ ligature); the oracle
-    # states the normalized STRINGS closed-form (DuckDB literals are
-    # the precomposed forms). Filter modulus 17 residue 15.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d
-      from documents where doc_id % 17 = 15
-    )
-    select doc_id,
-      'Café-' || d || ' ﬁne-' || (d % 7) as nfc,
-      'Café-' || d || ' fine-' || (d % 7) as nfkc,
-      d % 2 = 0 as was_decomposed,
-      cast(length('Café-' || d || ' ﬁne-' || (d % 7))
-           + case when d % 2 = 0 then 1 else 0 end as integer)
-        as n_chars_raw,
-      cast(length('Café-' || d || ' ﬁne-' || (d % 7)) as integer)
-        as n_chars_nfc
-    from base
-    """,
-)
-def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unicode normalization (NFC for identity, NFKC for ligature
-    folds) — the step a dedup key needs before hashing, because
-    crawls deliver the same text in byte-different forms: per doc,
-    build the input as NFD (e + COMBINING ACUTE) on even docs and
-    precomposed NFC on odd ones, with an ﬁ ligature that only NFKC
-    folds; normalize and report both forms plus the code-point counts
-    proving the decomposed input really was longer. The oracle states
-    the normalized strings closed-form. Arrow-batched mapInPandas,
-    map-only."""
-    import unicodedata
-
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 17 == 15)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("nfc", T.StringType()),
-            T.StructField("nfkc", T.StringType()),
-            T.StructField("was_decomposed", T.BooleanType()),
-            T.StructField("n_chars_raw", T.IntegerType()),
-            T.StructField("n_chars_nfc", T.IntegerType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                if d % 2 == 0:  # NFD: e + U+0301 COMBINING ACUTE
-                    raw = f"Cafe\u0301-{d} \ufb01ne-{d % 7}"
-                else:  # precomposed NFC e-acute
-                    raw = f"Caf\u00e9-{d} \ufb01ne-{d % 7}"
-                nfc = unicodedata.normalize("NFC", raw)
-                nfkc = unicodedata.normalize("NFKC", raw)
-                rows.append(
-                    (
-                        d, nfc, nfkc, d % 2 == 0, len(raw), len(nfc),
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            out["doc_id"] = out["doc_id"].astype("int64")
-            for cname in ("n_chars_raw", "n_chars_nfc"):
-                out[cname] = out[cname].astype("int32")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "multimodal_scene_cuts",
-    # Shot-boundary detection — the video-curation segmentation step:
-    # per doc an RVID clip with PLANTED cuts (uniform frames drifting
-    # +1/pixel within a shot, a +50 base jump at each boundary), the
-    # detector thresholds integer frame-diff energy, and the oracle
-    # states every detected boundary's global frame index and EXACT
-    # diff energy (51 per channel-pixel at a cut: the 50 jump plus
-    # the 1 drift) closed-form from the shot-length arithmetic.
-    # Filter modulus 17 residue 13.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             2 + doc_id % 3 as ns, 8 + doc_id % 5 as w, 6 + doc_id % 4 as h
-      from documents where doc_id % 17 = 13
-    ),
-    cuts as (
-      select doc_id, s,
-        (select sum(4 + (d + j) % 3) from generate_series(0, 3) g(j)
-         where j < s) as frame_idx
-      from base, generate_series(1, 3) gs(s) where s < ns
-    )
-    select b.doc_id,
-      cast(c.s - 1 as integer) as cut_idx,
-      cast(c.frame_idx as integer) as frame_idx,
-      cast(51 * b.w * b.h * 3 as bigint) as diff_energy,
-      cast((select sum(4 + (b.d + j) % 3) from generate_series(0, 3) g(j)
-            where j < b.ns) as integer) as n_frames
-    from base b join cuts c using (doc_id)
-    """,
-)
-def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shot-boundary detection over decoded video frames — the
-    segmentation step before per-shot sampling in a video-curation
-    pipeline: per doc, build an RVID clip of 2..4 uniform-color shots
-    (each frame drifts +1 per pixel; shot boundaries jump +50), decode
-    every frame, compute integer frame-difference energy and emit one
-    row per DETECTED boundary (energy > 10x the per-frame pixel
-    count — detection is load-bearing, not the construction). The
-    oracle restates boundary positions from the shot-length arithmetic
-    and the exact 51-per-channel-pixel cut energy. Arrow-batched
-    mapInPandas, map-only."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 17 == 13)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("cut_idx", T.IntegerType()),
-            T.StructField("frame_idx", T.IntegerType()),
-            T.StructField("diff_energy", T.LongType()),
-            T.StructField("n_frames", T.IntegerType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                ns = 2 + d % 3
-                w, h = 8 + d % 5, 6 + d % 4
-                lengths = [4 + (d + s) % 3 for s in range(ns)]
-                n = sum(lengths)
-                frames = bytearray()
-                f_global = 0
-                for s, ln in enumerate(lengths):
-                    for _ in range(ln):
-                        v = (10 + 50 * s + f_global) % 256
-                        frames += bytes([v]) * (w * h * 3)
-                        f_global += 1
-                import struct as _st
-
-                clip = _st.pack(
-                    "<4sHHHH", b"RVID", w, h, n, 8
-                ) + bytes(frames)
-                # decode every frame and detect boundaries
-                prev = None
-                thresh = 10 * w * h * 3
-                cuts = []
-                for f in range(n):
-                    fr = multimodal._rawvid_frame(clip, f).astype(
-                        np.int64
-                    )
-                    if prev is not None:
-                        energy = int(np.abs(fr - prev).sum())
-                        if energy > thresh:
-                            cuts.append((f, energy))
-                    prev = fr
-                for k, (f, energy) in enumerate(cuts):
-                    rows.append((d, k, f, energy, n))
-            out = pd.DataFrame(rows, columns=cols)
-            out["doc_id"] = out["doc_id"].astype("int64")
-            out["diff_energy"] = out["diff_energy"].astype("int64")
-            for cname in ("cut_idx", "frame_idx", "n_frames"):
-                out[cname] = out[cname].astype("int32")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "multimodal_image_quality",
-    # Image curation features over DECODED pixels — through the
-    # engine's own PNG codec: EXACT integer brightness (value sum)
-    # and contrast inputs (sum of squares), min/max, and the
-    # near-black and near-white fractions' counts (the blank-scan /
-    # blown-out filters). The oracle restates every integer
-    # closed-form from the raster formula. Filter modulus 17
-    # residue 11.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             12 + doc_id % 9 as w, 9 + doc_id % 7 as h
-      from documents where doc_id % 17 = 11
-    ),
-    px as (
-      select doc_id,
-             sum((d + 11*x + 5*y) % 256) as s,
-             sum(((d + 11*x + 5*y) % 256) * ((d + 11*x + 5*y) % 256))
-               as sq,
-             min((d + 11*x + 5*y) % 256) as mn,
-             max((d + 11*x + 5*y) % 256) as mx,
-             sum(case when (d + 11*x + 5*y) % 256 < 16
-                      then 1 else 0 end) as dark,
-             sum(case when (d + 11*x + 5*y) % 256 >= 240
-                      then 1 else 0 end) as bright
-      from base, generate_series(0, 20) gx(x), generate_series(0, 15) gy(y)
-      where x < w and y < h
-      group by doc_id
-    )
-    select b.doc_id,
-      cast(b.w as integer) as width,
-      cast(b.h as integer) as height,
-      cast(p.s as bigint) as value_sum,
-      cast(p.sq as bigint) as value_sum_sq,
-      cast(p.mn as integer) as v_min,
-      cast(p.mx as integer) as v_max,
-      cast(p.dark as integer) as n_dark,
-      cast(p.bright as integer) as n_bright
-    from base b join px p using (doc_id)
-    """,
-)
-def multimodal_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image curation features (the blank-scan / blown-out / contrast
-    filters) computed on pixels decoded by the engine's own PNG
-    codec: per doc, synthesize a raster, roundtrip it through
-    encode_png/decode_png, and measure EXACT integer brightness and
-    contrast inputs (sum and sum of squares), min/max, and near-black
-    (<16) / near-white (>=240) pixel counts. The oracle restates
-    every integer closed-form — the audio_quality sibling for the
-    image pipeline. Arrow-batched mapInPandas, map-only."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 17 == 11)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("value_sum", T.LongType()),
-            T.StructField("value_sum_sq", T.LongType()),
-            T.StructField("v_min", T.IntegerType()),
-            T.StructField("v_max", T.IntegerType()),
-            T.StructField("n_dark", T.IntegerType()),
-            T.StructField("n_bright", T.IntegerType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 12 + d % 9, 9 + d % 7
-                y, x = np.ogrid[0:h, 0:w]
-                px = ((d + 11 * x + 5 * y) % 256).astype(np.uint8)
-                got = multimodal.decode_png(multimodal.encode_png(px))
-                a = got.astype(np.int64)
-                rows.append(
-                    (
-                        d, w, h, int(a.sum()), int((a * a).sum()),
-                        int(a.min()), int(a.max()),
-                        int((a < 16).sum()), int((a >= 240).sum()),
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            out["doc_id"] = out["doc_id"].astype("int64")
-            for cname in ("value_sum", "value_sum_sq"):
-                out[cname] = out[cname].astype("int64")
-            for cname in (
-                "width", "height", "v_min", "v_max", "n_dark", "n_bright",
-            ):
-                out[cname] = out[cname].astype("int32")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "multimodal_audio_quality",
-    # Speech-corpus curation features over DECODED audio — through the
-    # engine's own FLAC codec, so the whole decode->measure chain is
-    # under the hash: sample count, energy (sum of squares — bigint,
-    # EXACT), peak magnitude, near-silence fraction inputs (|s|<256
-    # count — the head section is planted quiet), and clipping counts
-    # (a planted alternating ±32767 tail on every third doc). The
-    # oracle restates every integer closed-form from the waveform
-    # formula. Filter modulus 17 residue 9.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             128 + (doc_id % 3) * 64 as n,
-             (cast(doc_id as bigint) % 200) - 100 as c,
-             doc_id % 3 = 0 as clipped
-      from documents where doc_id % 17 = 9
-    ),
-    ramp as (
-      select doc_id,
-             sum(((d*7 + 3*t) % 2048 - 1024)
-                 * ((d*7 + 3*t) % 2048 - 1024)) as sq,
-             max(abs((d*7 + 3*t) % 2048 - 1024)) as pk,
-             sum(case when abs((d*7 + 3*t) % 2048 - 1024) < 256
-                      then 1 else 0 end) as quiet
-      from base, unnest(generate_series(64, 255)) g(t)
-      where t < n - case when clipped then 16 else 0 end
-      group by doc_id
-    )
-    select b.doc_id,
-      cast(b.n as integer) as n_samples,
-      cast(64 * b.c * b.c + r.sq
-           + case when b.clipped
-                  then cast(16 as bigint) * 32767 * 32767
-                  else 0 end as bigint) as sum_sq,
-      cast(greatest(abs(b.c), r.pk,
-           case when b.clipped then 32767 else 0 end) as integer) as peak,
-      cast(case when abs(b.c) < 256 then 64 else 0 end + r.quiet
-           as integer) as n_quiet,
-      cast(case when b.clipped then 16 else 0 end as integer) as n_clipped,
-      true as md5_match
-    from base b join ramp r using (doc_id)
-    """,
-)
-def multimodal_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio curation features (the speech-dataset quality filters)
-    computed over samples decoded by the engine's own FLAC codec: per
-    doc, synthesize a waveform with a planted quiet head, a modular
-    ramp body, and — on every third doc — an alternating full-scale
-    ±32767 clipped tail; encode to FLAC, decode back (MD5-verified),
-    and measure sample count, EXACT integer energy (sum of squares),
-    peak magnitude, near-silence sample count (|s| < 256) and
-    clipping count (|s| = 32767). The oracle restates every integer
-    closed-form from the waveform formula — any slip anywhere in the
-    encode/decode/measure chain flips the hash. Arrow-batched
-    mapInPandas, map-only."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import flac as _flac
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 17 == 9)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("n_samples", T.IntegerType()),
-            T.StructField("sum_sq", T.LongType()),
-            T.StructField("peak", T.IntegerType()),
-            T.StructField("n_quiet", T.IntegerType()),
-            T.StructField("n_clipped", T.IntegerType()),
-            T.StructField("md5_match", T.BooleanType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                n = 128 + (d % 3) * 64
-                c = (d % 200) - 100
-                clipped = d % 3 == 0
-                body_end = n - 16 if clipped else n
-                sig = [
-                    c if t < 64 else ((d * 7 + 3 * t) % 2048) - 1024
-                    for t in range(body_end)
-                ]
-                if clipped:
-                    sig += [
-                        32767 if t % 2 == 0 else -32767
-                        for t in range(16)
-                    ]
-                blob = _flac.encode_flac([sig], rice_param=7)
-                got, meta = _flac.decode_flac(blob)
-                (samples,) = got
-                rows.append(
-                    (
-                        d, meta["total_samples"],
-                        sum(s * s for s in samples),
-                        max(abs(s) for s in samples),
-                        sum(1 for s in samples if abs(s) < 256),
-                        sum(1 for s in samples if abs(s) == 32767),
-                        meta["md5_match"],
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            out["doc_id"] = out["doc_id"].astype("int64")
-            out["sum_sq"] = out["sum_sq"].astype("int64")
-            for cname in ("n_samples", "peak", "n_quiet", "n_clipped"):
-                out[cname] = out[cname].astype("int32")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "dedup_image_dhash",
-    # Perceptual image dedup: dHash over 9x8 nearest-neighbor samples,
-    # pure integer arithmetic so the 64-bit hash is EXACTLY
-    # verifiable. Docs pair up (d%5 in {0,1} share a base raster; the
-    # twin perturbs only NON-sampled pixels — the re-encode/retouch
-    # class dHash exists to catch) and must collide; the raster
-    # roundtrips through the engine's own PNG codec first, so the
-    # hash is computed on decoded-image bytes like a real pipeline.
-    # Filter modulus 17 residue 7.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             case when doc_id % 5 < 2
-                  then cast(doc_id as bigint) - (doc_id % 5)
-                  else cast(doc_id as bigint) end as b
-      from documents where doc_id % 17 = 7
-    ),
-    dims as (select *, 16 + b % 13 as w, 12 + b % 11 as h from base),
-    bytes_ as (
-      select doc_id, y,
-        sum(case when
-          (b + 7*(((x+1)*w)//9)*(((x+1)*w)//9) + 3*((y*h)//8)
-             + ((((x+1)*w)//9)*((y*h)//8)) % 5) % 256
-          >
-          (b + 7*((x*w)//9)*((x*w)//9) + 3*((y*h)//8)
-             + (((x*w)//9)*((y*h)//8)) % 5) % 256
-          then cast(128 >> x as bigint) else 0 end) as byte
-      from dims, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)
-      group by doc_id, y
-    ),
-    hexes as (
-      select doc_id,
-             string_agg(lpad(lower(to_hex(byte)), 2, '0'), ''
-                        order by y) as dhash_hex
-      from bytes_ group by doc_id
-    )
-    select m.doc_id,
-           cast(m.w as integer) as width,
-           cast(m.h as integer) as height,
-           h2.dhash_hex,
-           m.b as pair_base,
-           m.d % 5 = 1 as is_twin
-    from dims m join hexes h2 using (doc_id)
-    """,
-)
-def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual image dedup via dHash (multimodal.image_dhash) — the
-    resampling-invariant bucket key LAION-class image pipelines dedup
-    on: per doc, synthesize a raster (docs pair up on a shared base;
-    the twin perturbs only pixels OUTSIDE the 9x8 sample grid — the
-    re-encode/retouch perturbation class the hash exists to survive),
-    roundtrip it through the engine's own PNG codec, and compute the
-    64-bit difference hash in pure integer arithmetic. The oracle
-    recomputes every hash byte closed-form, so twins colliding is
-    verified exactly, not probabilistically. At scale the hash IS the
-    groupBy key — no pairwise comparisons ever. Arrow-batched
-    mapInPandas, map-only."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 17 == 7)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("dhash_hex", T.StringType()),
-            T.StructField("pair_base", T.LongType()),
-            T.StructField("is_twin", T.BooleanType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                b = d - (d % 5) if d % 5 < 2 else d
-                w, h = 16 + b % 13, 12 + b % 11
-                y, x = np.ogrid[0:h, 0:w]
-                px = (
-                    (b + 7 * x * x + 3 * y + (x * y) % 5) % 256
-                ).astype(np.uint8)
-                if d % 5 == 1:  # twin: perturb NON-sampled pixels only
-                    xi = set(((np.arange(9) * w) // 9).tolist())
-                    yi = set(((np.arange(8) * h) // 8).tolist())
-                    mask = np.ones((h, w), dtype=bool)
-                    mask[np.ix_(sorted(yi), sorted(xi))] = False
-                    px = px.copy()
-                    px[mask] = (px[mask].astype(np.int64) + 1) % 256
-                decoded = multimodal.decode_png(multimodal.encode_png(px))
-                hv = multimodal.image_dhash(decoded)
-                rows.append(
-                    (d, w, h, f"{hv:016x}", b, d % 5 == 1)
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            out["doc_id"] = out["doc_id"].astype("int64")
-            out["pair_base"] = out["pair_base"].astype("int64")
-            out["width"] = out["width"].astype("int32")
-            out["height"] = out["height"].astype("int32")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "multimodal_mp4_itunes",
-    # The M4A/M4B audiobook tag layer: moov/udta/meta/ilst with UTF-8
-    # text atoms, the implicit-binary trkn pair (absent every fourth
-    # doc — NULL columns), PNG cover art DECODED through the engine's
-    # own codec (its pixel sum closed-form in the oracle), and the
-    # meta box cycling FullBox vs the Android plain-box form — the
-    # classic 4-byte parsing gotcha made load-bearing. Filter modulus
-    # 13 residue 0.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             4 + doc_id % 5 as w, 3 + doc_id % 4 as h,
-             doc_id % 3 != 1 as has_cover,
-             doc_id % 4 != 2 as has_track
-      from documents where doc_id % 13 = 0
-    )
-    select doc_id,
-      'T ' || d as title,
-      'Art ' || (d % 7) as artist,
-      'Alb ' || (d % 5) as album,
-      cast(1970 + d % 50 as varchar) as year,
-      'G' || (d % 9) as genre,
-      case when has_track then cast(1 + d % 20 as integer) end as track,
-      case when has_track
-           then cast(10 + d % 5 as integer) end as track_total,
-      has_cover,
-      case when has_cover then 'png' end as cover_fmt,
-      case when has_cover then
-        cast((select sum((d + 3*x + 5*y) % 256)
-              from generate_series(0, 8) gx(x), generate_series(0, 6) gy(y)
-              where x < w and y < h) as bigint)
-      end as cover_sum,
-      d % 2 = 0 as plain_meta
-    from base
-    """,
-)
-def multimodal_mp4_itunes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """iTunes metadata extraction (multimodal.parse_mp4_itunes) — the
-    M4A/M4B audiobook/podcast tag layer: per doc, write an MP4 whose
-    moov/udta/meta/ilst carries UTF-8 text atoms, an implicit-binary
-    trkn pair, and PNG cover art produced by the engine's own PNG
-    codec; the meta box cycles the spec FullBox form and the
-    Android-writer PLAIN form (no version/flags — the well-known
-    4-byte gotcha, detected by whether the first child parses as
-    hdlr). Parse back, decode the cover through decode_png, and
-    report every field; the oracle states texts, the trkn pair and
-    the cover's pixel sum closed-form. Arrow-batched mapInPandas,
-    map-only."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 13 == 0)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("title", T.StringType()),
-            T.StructField("artist", T.StringType()),
-            T.StructField("album", T.StringType()),
-            T.StructField("year", T.StringType()),
-            T.StructField("genre", T.StringType()),
-            T.StructField("track", T.IntegerType()),
-            T.StructField("track_total", T.IntegerType()),
-            T.StructField("has_cover", T.BooleanType()),
-            T.StructField("cover_fmt", T.StringType()),
-            T.StructField("cover_sum", T.LongType()),
-            T.StructField("plain_meta", T.BooleanType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                cover = None
-                if d % 3 != 1:
-                    w, h = 4 + d % 5, 3 + d % 4
-                    y, x = np.ogrid[0:h, 0:w]
-                    px = ((d + 3 * x + 5 * y) % 256).astype(np.uint8)
-                    cover = multimodal.encode_png(px)
-                blob = multimodal.make_mp4_itunes(
-                    {
-                        "title": f"T {d}",
-                        "artist": f"Art {d % 7}",
-                        "album": f"Alb {d % 5}",
-                        "year": str(1970 + d % 50),
-                        "genre": f"G{d % 9}",
-                    },
-                    track=(1 + d % 20, 10 + d % 5)
-                    if d % 4 != 2
-                    else None,
-                    cover=cover,
-                    cover_fmt="png",
-                    plain_meta=d % 2 == 0,
-                )
-                r = multimodal.parse_mp4_itunes(blob)
-                csum = None
-                if "cover" in r:
-                    decoded = multimodal.decode_png(r["cover"])
-                    csum = int(
-                        np.asarray(decoded, dtype=np.int64).sum()
-                    )
-                rows.append(
-                    (
-                        d, r["title"], r["artist"], r["album"],
-                        r["year"], r["genre"], r.get("track"),
-                        r.get("track_total"), "cover" in r,
-                        r.get("cover_fmt"), csum, d % 2 == 0,
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            out["doc_id"] = out["doc_id"].astype("int64")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "multimodal_mkv_probe",
-    # The Matroska/WebM (EBML) container probe — modern web video:
-    # per doc a deterministic file cycles doc types, VP8/VP9/AV1 video
-    # codec ids, Opus/Vorbis audio (absent every fourth doc — NULL
-    # audio columns), explicit vs spec-default ('eng') language, the
-    # streamed unknown-Segment-size form, cluster counts and a
-    # 16-byte SegmentUUID the oracle rebuilds hex-digit by hex-digit.
-    # duration_s is exact: ticks*scale/1e9 is integer-valued and every
-    # float step is exact, so the oracle states the integer double.
-    # Filter modulus 13 residue 9.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             doc_id % 4 != 1 as has_audio
-      from documents where doc_id % 13 = 9
-    ),
-    uuid as (
-      select doc_id,
-             lower(string_agg(lpad(to_hex((d*7 + i) % 256), 2, '0'),
-                              '' order by i)) as uuid_hex
-      from base, unnest(generate_series(0, 15)) g(i)
-      group by doc_id
-    )
-    select b.doc_id,
-      case when b.d % 2 = 0 then 'webm' else 'matroska' end as doc_type,
-      cast(1 + b.d % 60 as double) as duration_s,
-      cast(1000000 as bigint) as timestamp_scale,
-      cast(case when b.has_audio then 2 else 1 end as integer) as n_tracks,
-      case cast(b.d % 3 as integer) when 0 then 'V_VP8'
-           when 1 then 'V_VP9' else 'V_AV01' end as video_codec,
-      cast(16 * (2 + b.d % 40) as integer) as width,
-      cast(16 * (1 + b.d % 30) as integer) as height,
-      'eng' as video_language,
-      case when b.has_audio then
-        case when b.d % 2 = 0 then 'A_OPUS' else 'A_VORBIS' end
-      end as audio_codec,
-      case when b.has_audio then
-        case cast(b.d % 3 as integer) when 0 then 'eng'
-             when 1 then 'fre' else 'deu' end
-      end as audio_language,
-      case when b.has_audio
-           then cast(1 + b.d % 2 as integer) end as channels,
-      case when b.has_audio then
-        case when b.d % 2 = 0 then cast(48000 as double)
-             else cast(44100 as double) end
-      end as sampling_hz,
-      cast(b.d % 5 as integer) as n_clusters,
-      b.d % 6 = 2 as streamed,
-      u.uuid_hex
-    from base b join uuid u using (doc_id)
-    """,
-)
-def multimodal_mkv_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Matroska/WebM container probe (operators/ebml.py) — modern web
-    video's container, the curation-filter fields a video crawl needs
-    before any codec runs: per doc, write a deterministic EBML file
-    (real VINTs for ids and sizes, the streamed all-ones
-    unknown-Segment-size form cycling, an unknown element planted in
-    every TrackEntry so the forward-compatibility skip is
-    load-bearing) and probe it back — doc type, duration through the
-    TimestampScale arithmetic, video dims + codec id, audio
-    rate/channels, explicit vs spec-default language, cluster count,
-    SegmentUUID. The oracle restates every field closed-form. Codec
-    payloads (VP8/VP9/AV1/Opus frames) honestly out of scope — the
-    demux-probe layer, same split as MP4/Ogg. Arrow-batched
-    mapInPandas, map-only."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import ebml as _ebml
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 13 == 9)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("doc_type", T.StringType()),
-            T.StructField("duration_s", T.DoubleType()),
-            T.StructField("timestamp_scale", T.LongType()),
-            T.StructField("n_tracks", T.IntegerType()),
-            T.StructField("video_codec", T.StringType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("video_language", T.StringType()),
-            T.StructField("audio_codec", T.StringType()),
-            T.StructField("audio_language", T.StringType()),
-            T.StructField("channels", T.IntegerType()),
-            T.StructField("sampling_hz", T.DoubleType()),
-            T.StructField("n_clusters", T.IntegerType()),
-            T.StructField("streamed", T.BooleanType()),
-            T.StructField("uuid_hex", T.StringType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                has_audio = d % 4 != 1
-                tracks = [
-                    {
-                        "number": 1, "type": "video",
-                        "codec_id": ["V_VP8", "V_VP9", "V_AV01"][d % 3],
-                        "width": 16 * (2 + d % 40),
-                        "height": 16 * (1 + d % 30),
-                    }
-                ]
-                if has_audio:
-                    tracks.append(
-                        {
-                            "number": 2, "type": "audio",
-                            "codec_id": "A_OPUS" if d % 2 == 0
-                            else "A_VORBIS",
-                            "language": ["eng", "fre", "deu"][d % 3],
-                            "sampling_frequency": 48000.0
-                            if d % 2 == 0 else 44100.0,
-                            "channels": 1 + d % 2,
-                            "bit_depth": 16,
-                        }
-                    )
-                blob = _ebml.make_matroska(
-                    doc_type="webm" if d % 2 == 0 else "matroska",
-                    duration=float(1000 * (1 + d % 60)),
-                    muxing_app=f"mux-{d % 9}",
-                    writing_app=f"wri-{d % 11}",
-                    tracks=tracks,
-                    n_clusters=d % 5,
-                    unknown_segment_size=d % 6 == 2,
-                    segment_uuid=bytes((d * 7 + i) % 256 for i in range(16)),
-                )
-                r = _ebml.probe_matroska(blob)
-                video = r["tracks"][0]
-                audio = r["tracks"][1] if len(r["tracks"]) > 1 else {}
-                rows.append(
-                    (
-                        d, r["doc_type"], r["duration_s"],
-                        r["timestamp_scale"], len(r["tracks"]),
-                        video["codec_id"], video["width"],
-                        video["height"], video["language"],
-                        audio.get("codec_id"), audio.get("language"),
-                        audio.get("channels"),
-                        audio.get("sampling_frequency"),
-                        r["n_clusters"], r["unknown_segment_size"],
-                        r["segment_uuid"],
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            for cname in ("n_tracks", "width", "height", "n_clusters"):
-                out[cname] = out[cname].astype("int32")
-            out["doc_id"] = out["doc_id"].astype("int64")
-            out["timestamp_scale"] = out["timestamp_scale"].astype("int64")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "multimodal_tiff_bilevel",
-    # The fax/scanned-page depth: BitsPerSample 1, rows bit-packed
-    # MSB-first padded per row, BOTH photometrics (0 WhiteIsZero — the
-    # fax default, stored bits inverted — and 1 BlackIsZero), strip
-    # AND tile layouts, all four compressions. The oracle predicts the
-    # decoded value sum closed-form from the bit parity of the planted
-    # checkerboard-ish pattern ((d+3x+5y)%2 == (d+x+y)%2) plus the
-    # layout counts. Filter modulus 13 residue 11.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             19 + doc_id % 21 as w, 11 + doc_id % 17 as h,
-             case cast(doc_id % 4 as integer)
-                  when 0 then 1 when 1 then 5 when 2 then 8
-                  else 32773 end as compression,
-             case when doc_id % 3 = 0 then 0 else 1 end as photometric,
-             doc_id % 5 < 2 as tiled,
-             3 + doc_id % 4 as rps
-      from documents where doc_id % 13 = 11
-    )
-    select doc_id,
-           cast(w as integer) as width,
-           cast(h as integer) as height,
-           cast(1 as integer) as bits,
-           cast(photometric as integer) as photometric,
-           cast(compression as integer) as compression,
-           tiled,
-           cast(case when tiled then 0
-                else (h + rps - 1) // rps end as integer) as n_strips,
-           cast(case when tiled
-                then ((w + 15) // 16) * ((h + 15) // 16)
-                else 0 end as integer) as n_tiles,
-           cast(255 * (select sum((d + x + y) % 2)
-                 from generate_series(0, 39) gx(x),
-                      generate_series(0, 27) gy(y)
-                 where x < w and y < h) as bigint) as value_sum,
-           true as exact_roundtrip
-    from base
-    """,
-)
-def multimodal_tiff_bilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL bilevel-TIFF roundtrip (operators/tiff.py) — the 1-bit
-    fax/scanned-page depth OCR corpora arrive in: per doc, plant a
-    deterministic bit pattern, encode it at BitsPerSample 1 (rows
-    packed MSB-first, byte-padded per row) cycling photometric 0
-    (WhiteIsZero — bits stored inverted) and 1, strip vs 16x16 tiled
-    layouts, and all four compressions; decode back to black-is-zero
-    0/255 values and report the value sum, which the oracle predicts
-    closed-form from the pattern's parity. Arrow-batched mapInPandas,
-    map-only. CCITT G3/G4 entropy coding stays honestly gated — this
-    row covers the uncompressed/LZW/Deflate/PackBits bilevel files."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import tiff as _tiff
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 13 == 11)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("bits", T.IntegerType()),
-            T.StructField("photometric", T.IntegerType()),
-            T.StructField("compression", T.IntegerType()),
-            T.StructField("tiled", T.BooleanType()),
-            T.StructField("n_strips", T.IntegerType()),
-            T.StructField("n_tiles", T.IntegerType()),
-            T.StructField("value_sum", T.LongType()),
-            T.StructField("exact_roundtrip", T.BooleanType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 19 + d % 21, 11 + d % 17
-                y, x = np.ogrid[0:h, 0:w]
-                px = (((d + 3 * x + 5 * y) % 2) * 255).astype(np.uint8)[
-                    :, :, None
-                ]
-                pm = 0 if d % 3 == 0 else 1
-                tiled = d % 5 < 2
-                kw = (
-                    {"tile": (16, 16)}
-                    if tiled
-                    else {"rows_per_strip": 3 + d % 4}
-                )
-                enc = _tiff.encode_tiff(
-                    px,
-                    big_endian=d % 2 == 0,
-                    compression=[1, 5, 8, 32773][d % 4],
-                    bits=1,
-                    photometric=pm,
-                    **kw,
-                )
-                got, meta = _tiff.decode_tiff(enc)
-                rows.append(
-                    (
-                        d, meta["width"], meta["height"], meta["bits"],
-                        meta["photometric"], meta["compression"],
-                        meta["tiled"], meta["n_strips"], meta["n_tiles"],
-                        int(got.astype(np.int64).sum()),
-                        bool(got.shape == px.shape and (got == px).all()),
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            for cname, dt in (
-                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
-                ("bits", "int32"), ("photometric", "int32"),
-                ("compression", "int32"), ("n_strips", "int32"),
-                ("n_tiles", "int32"), ("value_sum", "int64"),
-            ):
-                out[cname] = out[cname].astype(dt)
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "multimodal_apng_animation",
-    # Planted 6-frame APNG per doc: full-canvas base + five 2x2 patches
-    # exercising blend OVER (punch-through via alpha-0 cells), blend
-    # SOURCE (alpha-0 cells ERASE — the semantics GIF cannot express),
-    # dispose 0/1/2. The oracle chains the rendered sums closed-form.
-    # Filter modulus 7 keeps the w/h/palette/num_plays knobs live.
-    """
-    with params as (
-      select doc_id, cast(doc_id as bigint) as d,
-             9 + doc_id % 6 as w, 9 + doc_id % 4 as h,
-             cast(case cast(doc_id % 3 as integer)
-                  when 0 then 16 when 1 then 64 else 256 end as bigint) as nc
-      from documents where doc_id % 7 = 0
-    ),
-    terms as (
-      select *,
-        (select sum((d + 3*x + 5*y) % nc)
-           from generate_series(0, 13) gx(x), generate_series(0, 11) gy(y)
-          where x < w and y < h) as b_all,
-        (d + 2*1) % nc as c1, (d + 2*2) % nc as c2, (d + 2*3) % nc as c3,
-        (d + 2*4) % nc as c4, (d + 2*5) % nc as c5,
-        -- patches (left, top): p1 (0,2) p2 (3,2) p3 (6,2) p4 (0,5) p5 (3,5)
-        ((d + 3*1 + 5*2) % nc) + ((d + 3*0 + 5*3) % nc) as bo1,
-        ((d + 3*4 + 5*2) % nc) + ((d + 3*3 + 5*3) % nc) + ((d + 3*3 + 5*2) % nc) + ((d + 3*4 + 5*3) % nc) as br2,
-        ((d + 3*7 + 5*2) % nc) + ((d + 3*6 + 5*3) % nc) + ((d + 3*6 + 5*2) % nc) + ((d + 3*7 + 5*3) % nc) as br3,
-        ((d + 3*1 + 5*5) % nc) + ((d + 3*0 + 5*6) % nc) as bo4,
-        ((d + 3*1 + 5*5) % nc) + ((d + 3*0 + 5*6) % nc) + ((d + 3*0 + 5*5) % nc) + ((d + 3*1 + 5*6) % nc) as br4,
-        ((d + 3*4 + 5*5) % nc) + ((d + 3*3 + 5*6) % nc) + ((d + 3*3 + 5*5) % nc) + ((d + 3*4 + 5*6) % nc) as br5
-      from params
-    ),
-    sums as (
-      select *,
-        b_all - bo1 + 2*c1 as f1,
-        b_all - bo1 + 2*c1 - br2 + 2*c2 as f2
-      from terms
-    )
-    select doc_id,
-           cast(fi as integer) as frame_idx,
-           cast(w as integer) as width,
-           cast(h as integer) as height,
-           cast(nc as integer) as n_colors,
-           cast(1 + fi as integer) as delay_num,
-           cast(doc_id % 3 as integer) as num_plays,
-           cast(case when fi < 2 then 0 when fi < 5 then 2 else 6 end
-               as integer) as n_transparent,
-           cast(case fi
-                when 0 then b_all
-                when 1 then f1
-                when 2 then f2
-                when 3 then f2 - br3 + 4*c3
-                when 4 then f2 - bo4 + 2*c4
-                else f2 - br4 - br5 + 4*c5 end as bigint) as value_sum
-    from sums, generate_series(0, 5) gs(fi)
-    """,
-)
-def multimodal_apng_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL APNG animation composition (operators/apng.py): per doc,
-    build a 6-frame APNG — full-canvas RGBA base then five 2x2 patches:
-    OVER with alpha-0 punch-through, SOURCE whose alpha-0 cells ERASE
-    canvas pixels (the semantics GIF disposal cannot express), an
-    all-opaque OVER with dispose-previous, a punch-through OVER with
-    dispose-background, and a final opaque OVER proving both disposals
-    landed — encode it (acTL/fcTL/fdAT, PNG codec underneath), decode
-    it (shared sequence-number validation), compose it, and report per
-    rendered frame the visible red-channel sum + transparent-pixel
-    count, which the oracle chains closed-form through the blend/
-    dispose model. The OVER integer arithmetic is property-tested
-    against a float reference (tests/test_apng.py)."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import apng as _apng
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 7 == 0)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("frame_idx", T.IntegerType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("n_colors", T.IntegerType()),
-            T.StructField("delay_num", T.IntegerType()),
-            T.StructField("num_plays", T.IntegerType()),
-            T.StructField("n_transparent", T.IntegerType()),
-            T.StructField("value_sum", T.LongType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-    patch_at = ((0, 2), (3, 2), (6, 2), (0, 5), (3, 5))
-    # (blend_op, dispose_op, checkerboard) per patch frame
-    plan = (
-        (1, 0, True), (0, 0, True), (1, 2, False), (1, 1, True), (1, 0, False),
-    )
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 9 + d % 6, 9 + d % 4
-                nc = (16, 64, 256)[d % 3]
-                y, x = np.ogrid[0:h, 0:w]
-                base = np.zeros((h, w, 4), dtype=np.uint8)
-                base[:, :, 0] = (d + 3 * x + 5 * y) % nc
-                base[:, :, 3] = 255
-                frames = [{"pixels": base, "delay_num": 1}]
-                for k, ((pl, pt), (bop, dop, checker)) in enumerate(
-                    zip(patch_at, plan), start=1
-                ):
-                    ck = (d + 2 * k) % nc
-                    px = np.zeros((2, 2, 4), dtype=np.uint8)
-                    px[:, :, 0] = ck
-                    px[:, :, 3] = 255
-                    if checker:
-                        even = (
-                            np.arange(2)[:, None] + np.arange(2)
-                        ) % 2 == 0
-                        px[even] = 0
-                    frames.append(
-                        {
-                            "pixels": px, "x": pl, "y": pt,
-                            "blend_op": bop, "dispose_op": dop,
-                            "delay_num": 1 + k,
-                        }
-                    )
-                enc = _apng.encode_apng(frames, num_plays=d % 3)
-                dec = _apng.decode_apng(enc)
-                for r in _apng.compose_apng(dec):
-                    cv = r["canvas"]
-                    visible = cv[:, :, 3] == 255
-                    rows.append(
-                        (
-                            d, r["frame_idx"], w, h, nc, r["delay_num"],
-                            dec["num_plays"],
-                            int((cv[:, :, 3] == 0).sum()),
-                            int(cv[:, :, 0][visible].astype(np.int64).sum()),
-                        )
-                    )
-            out = pd.DataFrame(rows, columns=cols)
-            for cname in cols[1:-1]:
-                out[cname] = out[cname].astype("int32")
-            out["doc_id"] = out["doc_id"].astype("int64")
-            out["value_sum"] = out["value_sum"].astype("int64")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "text_subtitle_cues",
-    # Filter modulus 7 is coprime with the cue-count (%5), offset (%7
-    # applies to start), multi-line (%2), markup (%3) and hour-form
-    # (%3) knobs; format alternates srt/vtt by parity, so every parser
-    # branch is live in the driver-hashed corpus.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d, 3 + doc_id % 5 as n
-      from documents where doc_id % 7 = 6
-    ),
-    c as (
-      select doc_id, d, i,
-             case when d % 2 = 0 then 'srt' else 'vtt' end as fmt,
-             i * 2000 + (d % 7) * 100
-               + case when d % 2 = 1 and d % 3 = 0
-                      then 3600000 else 0 end as start_ms
-      from base, unnest(generate_series(0, 7)) u(i) where i < n
-    )
-    select doc_id, fmt,
-           cast(i as integer) as cue_idx,
-           case when fmt = 'vtt' and i % 2 = 0 then 'id-' || i end as cue_id,
-           cast(start_ms as bigint) as start_ms,
-           cast(start_ms + 1500 + (i % 3) * 200 as bigint) as end_ms,
-           case when fmt = 'srt' then
-                  'cue-' || d || '-' || i ||
-                  case when i % 2 = 1 then chr(10) || 'line2-' || i
-                       else '' end
-                else
-                  'cue-' || d || '-' || i ||
-                  case when i % 3 = 2 then ' <3' else '' end
-           end as text,
-           cast(case when fmt = 'srt' and i % 2 = 1 then 2 else 1 end
-               as integer) as n_lines
-    from c
-    """,
-)
-def text_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL subtitle parsing (operators/subtitles.py): per doc,
-    synthesize an SRT (even docs: indexed cues, comma-decimal
-    timestamps, multi-line text) or a WebVTT (odd docs: NOTE block, cue
-    identifiers, dot-decimal timestamps in BOTH the hour and hour-less
-    forms, cue settings after the arrow, <v>/<c> voice markup stripped,
-    &lt; entities unescaped) sidecar, parse it strictly, and emit one
-    row per cue. The oracle restates every timestamp, the stripped
-    text, and the line counts closed-form — a timestamp-arithmetic
-    slip, an unstripped tag, or a swallowed second line flips the
-    hash. This is the video->caption extraction path of a training
-    pipeline; hostile inputs are pytest-pinned (tests/test_subtitles)."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import subtitles as sub
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 7 == 6)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("fmt", T.StringType()),
-            T.StructField("cue_idx", T.IntegerType()),
-            T.StructField("cue_id", T.StringType()),
-            T.StructField("start_ms", T.LongType()),
-            T.StructField("end_ms", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("n_lines", T.IntegerType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                n = 3 + d % 5
-                fmt = "srt" if d % 2 == 0 else "vtt"
-                cues = []
-                for i in range(n):
-                    start = i * 2000 + (d % 7) * 100
-                    if fmt == "vtt" and d % 3 == 0:
-                        start += 3600000
-                    body = f"cue-{d}-{i}"
-                    if fmt == "srt" and i % 2 == 1:
-                        body += f"\nline2-{i}"
-                    if fmt == "vtt":
-                        body = f"<v Speaker{d % 3}>{body}</v>"
-                        if i % 3 == 2:
-                            body += " &lt;3"
-                    cues.append(
-                        {
-                            "start_ms": start,
-                            "end_ms": start + 1500 + (i % 3) * 200,
-                            "text": body,
-                            "cue_id": f"id-{i}"
-                            if fmt == "vtt" and i % 2 == 0
-                            else None,
-                            "settings": fmt == "vtt" and i % 2 == 1,
-                        }
-                    )
-                if fmt == "srt":
-                    parsed = sub.parse_srt(sub.make_srt(cues))
-                else:
-                    parsed = sub.parse_webvtt(sub.make_vtt(cues))
-                for i, c in enumerate(parsed):
-                    rows.append(
-                        (
-                            d, fmt, i, c.get("cue_id"),
-                            c["start_ms"], c["end_ms"], c["text"],
-                            c["text"].count("\n") + 1,
-                        )
-                    )
-            out = pd.DataFrame(rows, columns=cols)
-            for c2, dt in (
-                ("doc_id", "int64"), ("cue_idx", "int32"),
-                ("start_ms", "int64"), ("end_ms", "int64"),
-                ("n_lines", "int32"),
-            ):
-                out[c2] = out[c2].astype(dt)
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "multimodal_mp4_subtitles",
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             4 + doc_id % 4 as n, 800 + (doc_id % 3) * 100 as delta
-      from documents where doc_id % 7 = 1
-    )
-    select doc_id,
-           cast(3 as integer) as track_id,
-           cast(i as integer) as cue_idx,
-           cast(i * delta as bigint) as start_ms,
-           cast(case when i + 1 < n then (i + 1) * delta
-                     else i * delta end as bigint) as end_ms,
-           'sub-' || d || '-' || i as text
-    from base, unnest(generate_series(0, 7)) u(i) where i < n
-    """,
-)
-def multimodal_mp4_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Timed-text (tx3g) caption extraction from INSIDE an MP4: per doc,
-    mux a 3-trak file — mp4v video + ulaw audio + a 'text' handler trak
-    whose samples are 3GPP tx3g (u16 length + UTF-8, every 3rd sample
-    carrying a trailing style box the decoder must skip by extent) —
-    demux with handler routing, and emit cues ONLY from the text trak
-    (the routing filter is the point: video/audio samples must not leak
-    into the caption stream). Cue end = next sample's dts per the 3GPP
-    contract. The oracle restates timestamps (timescale 1000 -> ms
-    passthrough) and texts closed-form."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import multimodal as mm
-    from pyiceberg_lakehouse_spark.operators import subtitles as sub
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 7 == 1)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("track_id", T.IntegerType()),
-            T.StructField("cue_idx", T.IntegerType()),
-            T.StructField("start_ms", T.LongType()),
-            T.StructField("end_ms", T.LongType()),
-            T.StructField("text", T.StringType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-    styl = (8).to_bytes(4, "big") + b"styl"
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                n = 4 + d % 4
-                delta = 800 + (d % 3) * 100
-                text_samples = [
-                    sub.encode_tx3g_sample(f"sub-{d}-{i}")
-                    + (styl if i % 3 == 0 else b"")
-                    for i in range(n)
-                ]
-                payload = mm.make_mp4_media_multi(
-                    [
-                        {
-                            "samples": [b"v" * 10] * 3,
-                            "stts_runs": [(3, 100)],
-                            "handler": "vide",
-                        },
-                        {
-                            "samples": [b"a" * 6] * 4,
-                            "stts_runs": [(4, 64)],
-                            "handler": "soun",
-                        },
-                        {
-                            "samples": text_samples,
-                            "stts_runs": [(n, delta)],
-                            "handler": "text",
-                            "codec": "tx3g",
-                            "sync_every": None,
-                        },
-                    ],
-                    timescale=1000,
-                )
-                tracks = mm.demux_mp4_tracks(payload)
-                for c in sub.mp4_text_cues(tracks):
-                    rows.append(
-                        (
-                            d, c["track_id"], c["idx"],
-                            c["start_ms"], c["end_ms"], c["text"],
-                        )
-                    )
-            out = pd.DataFrame(rows, columns=cols)
-            for c2, dt in (
-                ("doc_id", "int64"), ("track_id", "int32"),
-                ("cue_idx", "int32"), ("start_ms", "int64"),
-                ("end_ms", "int64"),
-            ):
-                out[c2] = out[c2].astype(dt)
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "multimodal_ogg_packets",
-    # Filter modulus 9 is coprime with the packet-count (%4, %3), the
-    # exact-255-multiple knob (%5, exercising the 0-lacing terminator
-    # on both links) and the page-capacity knob (%4, forcing spanning).
-    # r14: per doc the file is a TWO-LINK CHAIN (VERDICT r13 task #4)
-    # — link 0 and link 1 are independent logical streams with their
-    # own serials, packet sets and page numbering restarting at 0.
-    # The oracle replays the LACING arithmetic closed-form per link:
-    # nsegs = size//255 + 1, pages split every ms lacing values, so
-    # first/last page indexes are window cumsums partitioned by link.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d, 2 + doc_id % 4 as ms
-      from documents where doc_id % 9 = 0
-    ),
-    pk as (
-      select doc_id, d, ms, l, i,
-             case when l = 0 then
-               case when (d + i) % 5 = 0 then 510
-                    else 100 + (d + 37*i) % 400 end
-             else
-               case when (d + i) % 5 = 1 then 255
-                    else 60 + (d + 29*i) % 350 end
-             end as sz
-      from base,
-           unnest(generate_series(0, 1)) ul(l),
-           unnest(generate_series(0, 6)) u(i)
-      where i < case when l = 0 then 3 + d % 4 else 2 + d % 3 end
-    ),
-    seg as (
-      select *, sz // 255 + 1 as nsegs,
-             coalesce(sum(sz // 255 + 1) over (partition by doc_id, l
-                 order by i rows between unbounded preceding
-                 and 1 preceding), 0) as cum
-      from pk
-    )
-    select doc_id,
-           cast(l as integer) as link,
-           cast(l + 1 as integer) as serial,
-           cast(i as integer) as pkt_idx,
-           cast(sz as integer) as size,
-           cast(nsegs as integer) as n_segments,
-           cast(cum // ms as integer) as first_page,
-           cast((cum + nsegs - 1) // ms as integer) as last_page,
-           cum // ms != (cum + nsegs - 1) // ms as spans_pages,
-           -- granule is PAGE-level: every packet completing on a page
-           -- carries the page's stamp = the LAST completer's position
-           cast(max(i + 1) over (partition by doc_id, l,
-                (cum + nsegs - 1) // ms) as bigint) as granule,
-           cast((select sum(((5 + 2*l)*d + i*(11 + 6*l) + (13 + 6*l)*j)
-                     % 256)
-                 from generate_series(0, 509) g(j) where j < sz)
-               as bigint) as byte_sum
-    from seg
-    """,
-)
-def multimodal_ogg_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ogg container demux (operators/ogg.py — RFC 3533): per doc, mux
-    TWO logical streams and chain them (VERDICT r13 task #4 — the
-    shape real podcast files take at every metadata change: link 0
-    ends with EOS, link 1 begins at a BOS page with a new serial and
-    page numbering restarting at 0). Packet sizes cycle through the
-    lacing subtleties on both links (an exact 255-multiple forcing the
-    0-lacing terminator; sizes > 255 forcing multi-lacing) and pages
-    cap at 2-5 lacing values (forcing packets to SPAN pages with
-    continuation flags); granules and the Ogg CRC stamp every page.
-    parse_ogg_chain demuxes both links back. The oracle replays the
-    lacing/page arithmetic closed-form per link — nsegs = size//255 +
-    1 with pages splitting every ms values, so first/last page indexes
-    are window cumsums partitioned by link — plus per-link seeded byte
-    sums proving reassembly sliced the right body bytes across page
-    AND link boundaries. granule = the value stamped where each packet
-    completes."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import ogg as _ogg
-    from pyiceberg_lakehouse_spark.operators.multimodal import _cf_bytes
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 9 == 0)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("link", T.IntegerType()),
-            T.StructField("serial", T.IntegerType()),
-            T.StructField("pkt_idx", T.IntegerType()),
-            T.StructField("size", T.IntegerType()),
-            T.StructField("n_segments", T.IntegerType()),
-            T.StructField("first_page", T.IntegerType()),
-            T.StructField("last_page", T.IntegerType()),
-            T.StructField("spans_pages", T.BooleanType()),
-            T.StructField("granule", T.LongType()),
-            T.StructField("byte_sum", T.LongType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                ms = 2 + d % 4
-                link_packets = [
-                    [
-                        _cf_bytes(
-                            d * 5 + i * 11, 13,
-                            510 if (d + i) % 5 == 0
-                            else 100 + (d + 37 * i) % 400,
-                        )
-                        for i in range(3 + d % 4)
-                    ],
-                    [
-                        _cf_bytes(
-                            d * 7 + i * 17, 19,
-                            255 if (d + i) % 5 == 1
-                            else 60 + (d + 29 * i) % 350,
-                        )
-                        for i in range(2 + d % 3)
-                    ],
-                ]
-                chain = b"".join(
-                    _ogg.make_ogg(pk, serial=li + 1, max_segments=ms)
-                    for li, pk in enumerate(link_packets)
-                )
-                for li, stream in enumerate(_ogg.parse_ogg_chain(chain)):
-                    for p in stream["packets"]:
-                        rows.append(
-                            (
-                                d, li, stream["serial"],
-                                p["idx"], p["size"],
-                                p["size"] // 255 + 1,
-                                p["first_page"], p["last_page"],
-                                p["first_page"] != p["last_page"],
-                                p["granule"], sum(p["data"]),
-                            )
-                        )
-            out2 = pd.DataFrame(rows, columns=cols)
-            for c2, dt in (
-                ("doc_id", "int64"), ("link", "int32"), ("serial", "int32"),
-                ("pkt_idx", "int32"),
-                ("size", "int32"), ("n_segments", "int32"),
-                ("first_page", "int32"), ("last_page", "int32"),
-                ("granule", "int64"), ("byte_sum", "int64"),
-            ):
-                out2[c2] = out2[c2].astype(dt)
-            yield out2
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "multimodal_webp_probe",
-    # Filter modulus 9 is coprime with the variant (%3), alpha (%2),
-    # animated (%5) and dim knobs, so all three WebP container variants
-    # are live in the driver-hashed corpus.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d
-      from documents where doc_id % 9 = 6
-    )
-    select doc_id,
-           case cast(d % 3 as integer)
-                when 0 then 'VP8 ' when 1 then 'VP8L' else 'VP8X' end
-             as variant,
-           cast(10 + d % 500 as integer) as width,
-           cast(8 + d % 300 as integer) as height,
-           d % 3 = 2 and d % 2 = 1 as has_alpha,
-           d % 3 = 2 and d % 5 = 0 as animated
-    from base
-    """,
-)
-def multimodal_webp_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WebP container probe (multimodal.probe_webp) — the modern
-    crawl's dominant image format: per doc, synthesize a header-accurate
-    WebP cycling all three container variants (lossy VP8 keyframe
-    header with its sync code, lossless VP8L stream-header bitfield,
-    extended VP8X with 24-bit canvas dims + alpha/animation flags) and
-    probe back dimensions + curation-filter flags. Same honesty split
-    as the MP4/MP3 probes: header parsing is real, VP8 pixel decode
-    stays gated. The oracle restates every field closed-form."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 9 == 6)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("variant", T.StringType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("has_alpha", T.BooleanType()),
-            T.StructField("animated", T.BooleanType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                variant = ("VP8 ", "VP8L", "VP8X")[d % 3]
-                w, h = 10 + d % 500, 8 + d % 300
-                payload = multimodal.make_webp(
-                    w, h, variant,
-                    has_alpha=variant == "VP8X" and d % 2 == 1,
-                    animated=variant == "VP8X" and d % 5 == 0,
-                )
-                m = multimodal.probe_webp(payload)
-                rows.append(
-                    (
-                        d, m["variant"], m["width"], m["height"],
-                        m["has_alpha"], m["animated"],
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            out["doc_id"] = out["doc_id"].astype("int64")
-            out["width"] = out["width"].astype("int32")
-            out["height"] = out["height"].astype("int32")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "multimodal_webp_decode",
-    # Filter modulus 11 (the %7/%9 residues are claimed by r13 rows) is
-    # coprime with every variety knob: transform combo (%6), cache and
-    # palette size (%3), predictor mode (%13), block bits (%3), dims
-    # (%8, %6) — so plain coding, subtract-green, every-mode predictor,
-    # sg+predictor stacking, delta-coded palettes at all three bundled
-    # widths, two-group meta entropy images, and the color cache are
-    # all live in the driver-hashed corpus. The raster plants runs of 3
-    # along x (non-palette docs) so LZ77 back-references really fire.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             5 + doc_id % 8 as w, 4 + doc_id % 6 as h,
-             cast(doc_id % 6 as integer) as combo,
-             case cast(doc_id % 3 as integer)
-                  when 0 then 2 when 1 then 4 else 16 end as nc
-      from documents where doc_id % 11 = 6
-    ),
-    sums as (
-      select doc_id, d, w, h, combo, nc,
-        (select sum(case when combo = 4
-               then (d + 17*((d + 3*x + 5*y) % nc)) % 256
-               else (d*3 + y*7 + (x//3)*11) % 256 end)
-         from generate_series(0, 12) gx(x), generate_series(0, 9) gy(y)
-         where x < w and y < h) as r_sum,
-        (select sum(case when combo = 4
-               then (d*5 + 29*((d + 3*x + 5*y) % nc)) % 256
-               else (d*5 + y*3 + (x//3)*17) % 256 end)
-         from generate_series(0, 12) gx(x), generate_series(0, 9) gy(y)
-         where x < w and y < h) as g_sum,
-        (select sum(case when combo = 4
-               then (d*7 + 13*((d + 3*x + 5*y) % nc)) % 256
-               else (d*7 + y*11 + (x//3)*5) % 256 end)
-         from generate_series(0, 12) gx(x), generate_series(0, 9) gy(y)
-         where x < w and y < h) as b_sum
-      from base
-    )
-    select doc_id,
-           cast(w as integer) as width,
-           cast(h as integer) as height,
-           case combo when 0 then 'none' when 1 then 'sg'
-                when 2 then 'pred' when 3 then 'sg+pred'
-                when 4 then 'palette' else 'meta' end as transforms,
-           cast(case when d % 3 = 0 and combo != 5 then 4 else 0 end
-               as integer) as cache_bits,
-           cast(r_sum as bigint) as r_sum,
-           cast(g_sum as bigint) as g_sum,
-           cast(b_sum as bigint) as b_sum,
-           true as exact_roundtrip
-    from sums
-    """,
-)
-def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL WebP VP8L lossless pixel decode (operators/vp8l.py, VERDICT
-    r13 task #1 — the modern crawl's dominant image format, previously
-    probe-only): per doc, synthesize a deterministic raster, encode it
-    as a genuine VP8L bitstream — canonical prefix codes through the
-    code-length-code machinery, LZ77 distance-1 runs via the plane-code
-    neighborhood map, the transform combo cycling none / subtract-green
-    / predictor (all 14 modes across the corpus) / stacked sg+predictor
-    / delta-coded palette with sub-byte bundling / two-group meta
-    entropy image, color cache cycling on top — wrap it in RIFF/WEBP,
-    decode it back, and report per-channel pixel sums, which the oracle
-    predicts closed-form without running either codec. Runs as
-    Arrow-batched mapInPandas: codec work happens where the bytes live,
-    only typed features shuffle. Lossy VP8 pixels stay honestly
-    gated."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import vp8l as _vp8l
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 11 == 6)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("transforms", T.StringType()),
-            T.StructField("cache_bits", T.IntegerType()),
-            T.StructField("r_sum", T.LongType()),
-            T.StructField("g_sum", T.LongType()),
-            T.StructField("b_sum", T.LongType()),
-            T.StructField("exact_roundtrip", T.BooleanType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-    combos = ("none", "sg", "pred", "sg+pred", "palette", "meta")
-    tf_of = {
-        "none": (), "sg": ("subtract-green",), "pred": ("predictor",),
-        "sg+pred": ("subtract-green", "predictor"),
-        "palette": ("palette",), "meta": (),
-    }
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 5 + d % 8, 4 + d % 6
-                combo = combos[d % 6]
-                y, x = np.ogrid[0:h, 0:w]
-                if combo == "palette":
-                    nc = (2, 4, 16)[d % 3]
-                    i = np.arange(nc)
-                    pal = np.stack(
-                        [
-                            (d + 17 * i) % 256,
-                            (d * 5 + 29 * i) % 256,
-                            (d * 7 + 13 * i) % 256,
-                        ],
-                        axis=-1,
-                    ).astype(np.uint8)
-                    px = pal[(d + 3 * x + 5 * y) % nc]
-                else:
-                    xr = x // 3  # runs of 3 so LZ77 fires
-                    px = np.dstack(
-                        [
-                            (d * 3 + y * 7 + xr * 11) % 256,
-                            (d * 5 + y * 3 + xr * 17) % 256,
-                            (d * 7 + y * 11 + xr * 5) % 256,
-                        ]
-                    ).astype(np.uint8)
-                cache = 4 if d % 3 == 0 and combo != "meta" else 0
-                enc = _vp8l.wrap_webp_lossless(
-                    _vp8l.encode_vp8l(
-                        px,
-                        transforms=tf_of[combo],
-                        predictor_mode=1 + d % 13,
-                        predictor_bits=2 + d % 3,
-                        cache_bits=cache,
-                        meta_split=combo == "meta",
-                    )
-                )
-                got, meta = _vp8l.decode_webp(enc)
-                rgb = got[:, :, :3].astype(np.int64)
-                rows.append(
-                    (
-                        d, meta["width"], meta["height"], combo, cache,
-                        int(rgb[:, :, 0].sum()),
-                        int(rgb[:, :, 1].sum()),
-                        int(rgb[:, :, 2].sum()),
-                        bool(
-                            got.shape[:2] == px.shape[:2]
-                            and (got[:, :, :3] == px).all()
-                        ),
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            for cname, dt in (
-                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
-                ("cache_bits", "int32"), ("r_sum", "int64"),
-                ("g_sum", "int64"), ("b_sum", "int64"),
-            ):
-                out[cname] = out[cname].astype(dt)
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "multimodal_webp_animation",
-    # Planted 4-frame animated WebP per doc: full-canvas opaque base
-    # (SOURCE), an OVER patch with checkerboard alpha (255/0 — the
-    # exact branches), a SOURCE patch with alpha-0 ERASE cells +
-    # dispose-to-background, and a final OVER patch proving the
-    # disposal refilled with the ANIM background. The oracle CHAINS the
-    # rendered canvas sums closed-form through the blend/dispose model
-    # (the GIF/APNG pattern). Filter modulus 11 is coprime with the
-    # canvas (%6, %4), background (%256 via d), loop (%5) and duration
-    # (%4) knobs.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             8 + doc_id % 6 as cw, 8 + doc_id % 4 as chh
-      from documents where doc_id % 11 = 9
-    ),
-    terms as (
-      select *,
-        (d % 256) + (d*3 % 256) + (d*7 % 256) as bgsum,
-        (select sum((d + 3*x + 5*y) % 256 + (d*5 + x + 7*y) % 256
-                    + (d*7 + 11*x + y) % 256)
-           from generate_series(0, 13) gx(x), generate_series(0, 11) gy(y)
-          where x < cw and y < chh) as s0,
-        (select sum((d + 13*i + 17*j + 1) % 256 + (d*3 + 7*i + 5*j + 2) % 256
-                    + (d*9 + 3*i + j + 3) % 256
-                    - ((d + 3*(2+i) + 5*(2+j)) % 256
-                       + (d*5 + (2+i) + 7*(2+j)) % 256
-                       + (d*7 + 11*(2+i) + (2+j)) % 256))
-           from generate_series(0, 3) gi(i), generate_series(0, 1) gj(j)
-          where (i + j) % 2 = 0) as delta1,
-        (select sum((d*2 + 5*i + 3*j) % 256 + (d*6 + i + 9*j) % 256
-                    + (d*8 + 7*i + 2*j) % 256)
-           from generate_series(0, 3) gi(i), generate_series(0, 1) gj(j))
-          as src2_all,
-        (select count(*) from generate_series(0, 3) gi(i),
-                              generate_series(0, 1) gj(j)
-          where (i + j) % 3 = 0) as nz2,
-        (select sum((d + 3*(4+i) + 5*j) % 256 + (d*5 + (4+i) + 7*j) % 256
-                    + (d*7 + 11*(4+i) + j) % 256)
-           from generate_series(0, 3) gi(i), generate_series(0, 1) gj(j))
-          as base2,
-        (select sum((d*4 + i + j + 4) % 256 + (d*2 + 3*i + j + 5) % 256
-                    + (d*3 + i + 2*j + 6) % 256
-                    - ((d + 3*i + 5*(4+j)) % 256
-                       + (d*5 + i + 7*(4+j)) % 256
-                       + (d*7 + 11*i + (4+j)) % 256))
-           from generate_series(0, 1) gi(i), generate_series(0, 1) gj(j))
-          as delta3
-      from base
-    )
-    select doc_id,
-           cast(l as integer) as frame_idx,
-           cast(case l when 0 then 0 when 1 then 2 when 2 then 4 else 0 end
-               as integer) as x,
-           cast(case l when 0 then 0 when 1 then 2 when 2 then 0 else 4 end
-               as integer) as y,
-           cast(case l when 0 then cw when 3 then 2 else 4 end
-               as integer) as width,
-           cast(case l when 0 then chh else 2 end as integer) as height,
-           cast(40 + 10*(d % 4) + l as bigint) as duration_ms,
-           case when l = 0 or l = 2 then 'source' else 'over' end as blend,
-           case when l = 2 then 'background' else 'none' end as dispose,
-           cast(d % 5 as integer) as loop_count,
-           cast(case l
-                when 0 then s0
-                when 1 then s0 + delta1
-                when 2 then s0 + delta1 + src2_all - base2
-                else s0 + delta1 - base2 + 8*bgsum + delta3 end
-               as bigint) as rgb_sum,
-           cast(case when l = 2 then 255*(cw*chh - nz2)
-                else 255*cw*chh end as bigint) as alpha_sum
-    from terms, unnest(generate_series(0, 3)) u(l)
-    """,
-)
-def multimodal_webp_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANIMATED WebP composition (operators/vp8l.py — the VP8X/ANIM/ANMF
-    container over real VP8L frame bitstreams): per doc, mux a 4-frame
-    animation — full-canvas opaque SOURCE base, an OVER patch whose
-    checkerboard alpha exercises the exact keep/replace branches, a
-    SOURCE patch whose alpha-0 cells ERASE (semantics GIF cannot
-    express) carrying dispose-to-background, and a final OVER patch
-    proving the disposal refilled the rect with the ANIM background
-    color — demux it (24-bit halved offsets, duration, blend/dispose
-    flag bits, per-frame VP8L pixel decode) and compose per the spec's
-    model. The oracle chains every rendered canvas's RGB and alpha sums
-    closed-form through the blend/dispose model, the GIF/APNG pattern:
-    a wrong offset halving, flag bit, blend branch, or disposal rect
-    flips the hash. Lossy (VP8/ALPH) frames stay honestly gated."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import vp8l as _vp8l
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 11 == 9)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("frame_idx", T.IntegerType()),
-            T.StructField("x", T.IntegerType()),
-            T.StructField("y", T.IntegerType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("duration_ms", T.LongType()),
-            T.StructField("blend", T.StringType()),
-            T.StructField("dispose", T.StringType()),
-            T.StructField("loop_count", T.IntegerType()),
-            T.StructField("rgb_sum", T.LongType()),
-            T.StructField("alpha_sum", T.LongType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                cw, ch = 8 + d % 6, 8 + d % 4
-                y0, x0 = np.ogrid[0:ch, 0:cw]
-                base = np.dstack(
-                    [
-                        (d + 3 * x0 + 5 * y0) % 256,
-                        (d * 5 + x0 + 7 * y0) % 256,
-                        (d * 7 + 11 * x0 + y0) % 256,
-                        np.full((ch, cw), 255),
-                    ]
-                ).astype(np.uint8)
-                j1, i1 = np.ogrid[0:2, 0:4]
-                f1 = np.dstack(
-                    [
-                        (d + 13 * i1 + 17 * j1 + 1) % 256,
-                        (d * 3 + 7 * i1 + 5 * j1 + 2) % 256,
-                        (d * 9 + 3 * i1 + j1 + 3) % 256,
-                        np.where((i1 + j1) % 2 == 0, 255, 0),
-                    ]
-                ).astype(np.uint8)
-                f2 = np.dstack(
-                    [
-                        (d * 2 + 5 * i1 + 3 * j1) % 256,
-                        (d * 6 + i1 + 9 * j1) % 256,
-                        (d * 8 + 7 * i1 + 2 * j1) % 256,
-                        np.where((i1 + j1) % 3 == 0, 0, 255),
-                    ]
-                ).astype(np.uint8)
-                j3, i3 = np.ogrid[0:2, 0:2]
-                f3 = np.dstack(
-                    [
-                        (d * 4 + i3 + j3 + 4) % 256,
-                        (d * 2 + 3 * i3 + j3 + 5) % 256,
-                        (d * 3 + i3 + 2 * j3 + 6) % 256,
-                        np.full((2, 2), 255),
-                    ]
-                ).astype(np.uint8)
-                dur = 40 + 10 * (d % 4)
-                spec = [
-                    {"x": 0, "y": 0, "pixels": base, "duration_ms": dur,
-                     "blend": "source"},
-                    {"x": 2, "y": 2, "pixels": f1, "duration_ms": dur + 1,
-                     "blend": "over"},
-                    {"x": 4, "y": 0, "pixels": f2, "duration_ms": dur + 2,
-                     "blend": "source", "dispose": "background"},
-                    {"x": 0, "y": 4, "pixels": f3, "duration_ms": dur + 3,
-                     "blend": "over"},
-                ]
-                payload = _vp8l.encode_webp_animation(
-                    spec, cw, ch,
-                    background=(d % 256, d * 3 % 256, d * 7 % 256, 255),
-                    loop_count=d % 5,
-                    transforms=("subtract-green",),
-                )
-                dec = _vp8l.decode_webp_animation(payload)
-                rendered = _vp8l.compose_webp_animation(dec)
-                for f, r in zip(dec["frames"], rendered):
-                    canvas = r["canvas"].astype(np.int64)
-                    rows.append(
-                        (
-                            d, r["frame_idx"], f["x"], f["y"],
-                            f["width"], f["height"], f["duration_ms"],
-                            f["blend"], f["dispose"], dec["loop_count"],
-                            int(canvas[:, :, :3].sum()),
-                            int(canvas[:, :, 3].sum()),
-                        )
-                    )
-            out = pd.DataFrame(rows, columns=cols)
-            for cname, dt in (
-                ("doc_id", "int64"), ("frame_idx", "int32"), ("x", "int32"),
-                ("y", "int32"), ("width", "int32"), ("height", "int32"),
-                ("duration_ms", "int64"), ("loop_count", "int32"),
-                ("rgb_sum", "int64"), ("alpha_sum", "int64"),
-            ):
-                out[cname] = out[cname].astype(dt)
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "scan_sitemap_urls",
-    # The crawl-frontier format: per doc either a <urlset> (2..5 page
-    # entries with loc/lastmod/changefreq/priority) or, every fourth
-    # doc, a <sitemapindex> (1..3 child-sitemap pointers — the
-    # >50k-URL sharding shape). Parsing is Spark's native from_xml
-    # (JVM, map-only); kind routing falls out of the root-element
-    # schema. The oracle restates every field closed-form, priority
-    # via the correctly-rounded /10 division both engines share.
-    # Filter modulus 13 residue 3.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d
-      from documents where doc_id % 13 = 3
-    ),
-    pages as (
-      select doc_id, d, i from base, unnest(generate_series(0, 5)) g(i)
-      where d % 4 <> 0 and i < 2 + d % 4
-    ),
-    subs as (
-      select doc_id, d, i from base, unnest(generate_series(0, 3)) g(i)
-      where d % 4 = 0 and i < 1 + d % 3
-    )
-    select doc_id, 'urlset' as kind, cast(i as integer) as entry_idx,
-           'https://site-' || (d % 7) || '.com/p/' || d || '/' || i as loc,
-           '2025-' || lpad(cast(1 + (d + i) % 12 as varchar), 2, '0')
-             || '-' || lpad(cast(1 + (d + 3*i) % 28 as varchar), 2, '0')
-             as lastmod,
-           case cast((d + i) % 3 as integer)
-                when 0 then 'daily' when 1 then 'weekly'
-                else 'monthly' end as changefreq,
-           cast((d + i) % 10 as double) / 10 as priority
-    from pages
-    union all
-    select doc_id, 'sitemapindex', cast(i as integer),
-           'https://site-' || (d % 7) || '.com/sitemap-' || i || '.xml',
-           '2025-' || lpad(cast(1 + (d + i) % 12 as varchar), 2, '0')
-             || '-' || lpad(cast(1 + (d + 3*i) % 28 as varchar), 2, '0'),
-           cast(null as varchar), cast(null as double)
-    from subs
-    """,
-)
-def scan_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sitemap parsing (functions/sitemap.py) — the crawl-frontier
-    companion to the robots.txt reader: per doc, build either a
-    <urlset> page sitemap or a <sitemapindex> shard pointer file
-    (namespace attribute included), parse it with Spark's NATIVE
-    from_xml expression (kind detected by root-element schema — a
-    wrong-root parse is NULL, so COALESCE routes), explode to one row
-    per entry and report loc/lastmod/changefreq/priority. Pure JVM:
-    no Python evaluator, no Exchange beyond the scan — the XML path
-    stays inside codegen. The oracle restates every field
-    closed-form."""
-    from pyiceberg_lakehouse_spark.functions.sitemap import parse_sitemap
-
-    d = F.col("doc_id")
-    is_index = d % 4 == 0
-
-    def lastmod(i):
-        return F.concat(
-            F.lit("2025-"),
-            F.lpad(((d + i) % 12 + 1).cast("string"), 2, "0"),
-            F.lit("-"),
-            F.lpad(((d + 3 * i) % 28 + 1).cast("string"), 2, "0"),
-        )
-
-    def url_piece(i):
-        cf = (
-            F.when((d + i) % 3 == 0, "daily")
-            .when((d + i) % 3 == 1, "weekly")
-            .otherwise("monthly")
-        )
-        return F.when(
-            F.lit(i) < 2 + d % 4,
-            F.concat(
-                F.lit("<url><loc>https://site-"), d % 7,
-                F.lit(".com/p/"), d, F.lit("/"), F.lit(i),
-                F.lit("</loc><lastmod>"), lastmod(F.lit(i)),
-                F.lit("</lastmod><changefreq>"), cf,
-                F.lit("</changefreq><priority>0."), (d + i) % 10,
-                F.lit("</priority></url>"),
-            ),
-        ).otherwise("")
-
-    def sub_piece(i):
-        return F.when(
-            F.lit(i) < 1 + d % 3,
-            F.concat(
-                F.lit("<sitemap><loc>https://site-"), d % 7,
-                F.lit(".com/sitemap-"), F.lit(i),
-                F.lit(".xml</loc><lastmod>"), lastmod(F.lit(i)),
-                F.lit("</lastmod></sitemap>"),
-            ),
-        ).otherwise("")
-
-    ns = ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
-    xml = F.when(
-        is_index,
-        F.concat(
-            F.lit(f"<sitemapindex{ns}>"),
-            *[sub_piece(i) for i in range(4)],
-            F.lit("</sitemapindex>"),
-        ),
-    ).otherwise(
-        F.concat(
-            F.lit('<?xml version="1.0" encoding="UTF-8"?>\n'),
-            F.lit(f"<urlset{ns}>"),
-            *[url_piece(i) for i in range(6)],
-            F.lit("</urlset>"),
-        )
-    )
-    return (
-        load_table(spark, sf_dir, "documents")
-        .filter(d % 13 == 3)
-        .select("doc_id", parse_sitemap(xml).alias("entries"))
-        .select("doc_id", F.posexplode("entries").alias("entry_idx", "e"))
-        .select(
-            "doc_id",
-            F.col("e.kind").alias("kind"),
-            F.col("entry_idx").cast("int").alias("entry_idx"),
-            F.col("e.loc").alias("loc"),
-            F.col("e.lastmod").alias("lastmod"),
-            F.col("e.changefreq").alias("changefreq"),
-            F.col("e.priority").alias("priority"),
-        )
-    )
-
-
-@register(
-    "scan_robots_decisions",
-    # Five probes per doc exercising the RFC 9309 subtleties: group
-    # selection by most-specific agent vs the '*' group, longest-match
-    # precedence with allow-wins ties, '$' end anchoring, wildcard
-    # patterns, and crawl-delay surfacing. All knobs vary by doc.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d
-      from documents where doc_id % 9 = 3
-    ),
-    probes as (
-      select doc_id, d, i,
-             case i
-               when 0 then 'bot-' || (d % 4)
-               when 1 then 'bot-' || (d % 4)
-               when 2 then 'otherbot'
-               when 3 then 'otherbot'
-               else 'bot-' || (d % 4) end as agent,
-             case i
-               when 0 then '/a/q'
-               when 1 then '/a/b' || (d % 3) || '/z'
-               when 2 then '/x123y'
-               when 3 then '/x123yz'
-               else '/free' end as path,
-             i in (1, 3, 4) as allowed,
-             case when i in (0, 1, 4)
-                  then cast(1 + d % 5 as double) end as delay_s
-      from base, unnest(generate_series(0, 4)) u(i)
-    )
-    select doc_id, cast(i as integer) as probe_idx, agent, path,
-           allowed, delay_s
-    from probes
-    """,
-)
-def scan_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots.txt fetchability decisions (operators/robots.py —
-    RFC 9309): per doc, synthesize a policy with a specific-agent group
-    (Disallow /a/, a LONGER Allow under it, Crawl-delay) and a '*'
-    group carrying a wildcard+$-anchored pattern, then decide five
-    probes: the longest-match rule must beat order, allow must win
-    ties, '$' must anchor (the 'yz' probe is allowed ONLY if the
-    anchor works), and group selection must prefer the most specific
-    agent over '*'. The oracle states every verdict and crawl delay
-    closed-form — a precedence slip flips a boolean. Completes the
-    crawl-curation suite (WARC -> robots -> URL canonicalization ->
-    HTML -> text)."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import robots as _rb
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 9 == 3)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("probe_idx", T.IntegerType()),
-            T.StructField("agent", T.StringType()),
-            T.StructField("path", T.StringType()),
-            T.StructField("allowed", T.BooleanType()),
-            T.StructField("delay_s", T.DoubleType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                bot = f"bot-{d % 4}"
-                txt = (
-                    f"# policy {d}\n"
-                    f"User-agent: {bot}\n"
-                    f"Disallow: /a/\n"
-                    f"Allow: /a/b{d % 3}/\n"
-                    f"Crawl-delay: {1 + d % 5}\n"
-                    f"\n"
-                    f"User-agent: *\n"
-                    f"Disallow: /x*y$\n"
-                )
-                p = _rb.parse_robots(txt)
-                probes = [
-                    (bot, "/a/q"),
-                    (bot, f"/a/b{d % 3}/z"),
-                    ("otherbot", "/x123y"),
-                    ("otherbot", "/x123yz"),
-                    (bot, "/free"),
-                ]
-                for i, (agent, path) in enumerate(probes):
-                    rows.append(
-                        (
-                            d, i, agent, path,
-                            _rb.is_allowed(p, agent, path),
-                            _rb.crawl_delay(p, agent),
-                        )
-                    )
-            out = pd.DataFrame(rows, columns=cols)
-            out["doc_id"] = out["doc_id"].astype("int64")
-            out["probe_idx"] = out["probe_idx"].astype("int32")
-            out["delay_s"] = out["delay_s"].astype("float64")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "text_url_canonicalize",
-    # Three messy variants of one logical URL (case, default port,
-    # fragment, tracking params, query order) plus one genuinely
-    # different URL: canonicalization must collapse the first three
-    # and keep the fourth apart. The oracle states both canonical
-    # strings and their source counts closed-form.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d
-      from documents where doc_id % 9 = 2
-    ),
-    c as (
-      select doc_id,
-             'http://site-' || (d % 7) || '.com/p/' || d
-               || '?a=1&b=' || (d % 5) as canonical_url,
-             3 as n_sources
-      from base
-      union all
-      select doc_id,
-             'https://site-' || (d % 7) || '.com/p/' || d as canonical_url,
-             1 as n_sources
-      from base
-    )
-    select doc_id, canonical_url, cast(n_sources as bigint) as n_sources
-    from c
-    """,
-)
-def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization for crawl dedup (functions/urls.py) — PURE
-    JVM path: per doc, build three messy variants of one logical URL
-    (scheme/host case, explicit default port, fragment, utm_/fbclid
-    tracking params, shuffled query order) plus one genuinely distinct
-    https URL, canonicalize with built-in Column expressions only (the
-    plan is one whole-stage-codegen span feeding one aggregation
-    Exchange — no Python evaluator anywhere, proven in
-    tests/test_plans.py), and count sources per canonical form. The
-    three variants MUST collapse to one row of 3 and the https URL
-    stay apart; the oracle states both canonical strings closed-form."""
-    from pyiceberg_lakehouse_spark.functions.urls import canonicalize_url
-
-    d = F.col("doc_id")
-    host_u = F.concat(F.lit("Site-"), d % 7, F.lit(".Com"))
-    host_l = F.lower(host_u)
-    path = F.concat(F.lit("/p/"), d)
-    b = d % 5
-    v1 = F.concat(
-        F.lit("HTTP://"), F.upper(host_u), F.lit(":80"),
-        path, F.lit("?utm_source=x&b="), b, F.lit("&a=1#top"),
-    )
-    v2 = F.concat(
-        F.lit("http://"), host_l, path, F.lit("?a=1&b="), b
-    )
-    v3 = F.concat(
-        F.lit("http://"), host_u, F.lit(":80"), path,
-        F.lit("?b="), b, F.lit("&a=1&fbclid=9"),
-    )
-    v4 = F.concat(F.lit("https://"), host_u, path)
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(d % 9 == 2)
-        .select("doc_id", F.explode(F.array(v1, v2, v3, v4)).alias("url"))
-    )
-    return (
-        docs.select("doc_id", canonicalize_url(F.col("url")).alias("canonical_url"))
-        .groupBy("doc_id", "canonical_url")
-        .agg(F.count("*").alias("n_sources"))
-    )
-
-
-@register(
-    "text_pii_redact_extended",
-    # Planted construction: per doc, text with a KNOWN census of PII —
-    # 0-2 emails (%3), a NANP phone (%2), an IPv4 (%5), an SSN (%4) —
-    # plus standing decoys that must survive (a five-part version
-    # string, a 3-3-5 order number, a 13-digit id). The oracle states
-    # the SCRUBBED STRING itself closed-form (tokens substituted in the
-    # same concatenation), so an over- OR under-matching pattern flips
-    # the hash on the text, not just on counts. Filter modulus 11 is
-    # coprime with every knob.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             cast(doc_id % 3 as integer) as n_em,
-             doc_id % 2 = 0 as has_phone,
-             doc_id % 5 != 0 as has_ip,
-             doc_id % 4 = 1 as has_ssn
-      from documents where doc_id % 11 = 2
-    )
-    select doc_id,
-           'mail ' ||
-           case n_em when 0 then 'none' when 1 then '<EMAIL>'
-                else '<EMAIL> <EMAIL>' end
-           || ' tel ' || case when has_phone then '<PHONE>'
-                else 'none' end
-           || ' from ' || case when has_ip then '<IP>' else 'none' end
-           || ' ssn ' || case when has_ssn then '<SSN>' else 'none' end
-           || ' decoys v1.2.3.4.5 order 555-123-45678 id 1234567890123'
-             as scrubbed,
-           cast(n_em as integer) as n_emails,
-           cast(case when has_ssn then 1 else 0 end as integer) as n_ssns,
-           cast(case when has_phone then 1 else 0 end as integer)
-             as n_phones,
-           cast(case when has_ip then 1 else 0 end as integer) as n_ips,
-           cast(n_em + (case when has_ssn then 1 else 0 end)
-                + (case when has_phone then 1 else 0 end)
-                + (case when has_ip then 1 else 0 end) as integer)
-             as total_redactions
-    from base
-    """,
-)
-def text_pii_redact_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXTENDED PII redaction for training corpora (functions/pii.py) —
-    beyond the URL+email pass of the driver-prior `text_pii_scrub`
-    (operators/text.py): phones, IPv4s and SSNs with boundary guards
-    against over-matching. PURE JVM
-    path: per doc, build text with a planted census of PII (emails,
-    NANP phone forms, bounds-checked IPv4, dashed SSN) plus decoys that
-    must survive (version strings, 3-3-5 order numbers, long ids),
-    scrub with built-in regexp_replace Column expressions only (the
-    plan carries NO Python evaluator and no Exchange — machine-pinned
-    in tests/test_plans.py), and report the scrubbed text + per-kind
-    regexp_count audit columns. The oracle states the scrubbed STRING
-    closed-form. Credit-card runs are deliberately not regex-guessed
-    (the module docstring records why)."""
-    from pyiceberg_lakehouse_spark.functions.pii import (
-        pii_counts,
-        scrub_pii,
-    )
-
-    d = F.col("doc_id")
-    n_em = (d % 3).cast("int")
-    e0 = F.concat(F.lit("user"), d, F.lit("k0@ex"), d % 7, F.lit(".com"))
-    e1 = F.concat(F.lit("user"), d, F.lit("k1@ex"), d % 7, F.lit(".com"))
-    emails = (
-        F.when(n_em == 0, F.lit("none"))
-        .when(n_em == 1, e0)
-        .otherwise(F.concat(e0, F.lit(" "), e1))
-    )
-    phone = F.when(
-        d % 2 == 0,
-        F.concat(
-            F.lit("(555) 123-"), F.lpad((d % 10000).cast("string"), 4, "0")
-        ),
-    ).otherwise(F.lit("none"))
-    ip = F.when(
-        d % 5 != 0,
-        F.concat(F.lit("10."), d % 256, F.lit(".0."), d % 200),
-    ).otherwise(F.lit("none"))
-    ssn = F.when(
-        d % 4 == 1,
-        F.concat(
-            F.lit("123-45-"), F.lpad((d % 10000).cast("string"), 4, "0")
-        ),
-    ).otherwise(F.lit("none"))
-    text = F.concat(
-        F.lit("mail "), emails, F.lit(" tel "), phone,
-        F.lit(" from "), ip, F.lit(" ssn "), ssn,
-        F.lit(" decoys v1.2.3.4.5 order 555-123-45678 id 1234567890123"),
-    )
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(d % 11 == 2)
-        .select("doc_id", text.alias("text"))
-    )
-    counts = pii_counts(F.col("text"))
-    return docs.select(
-        "doc_id",
-        scrub_pii(F.col("text")).alias("scrubbed"),
-        counts["n_emails"].cast("int").alias("n_emails"),
-        counts["n_ssns"].cast("int").alias("n_ssns"),
-        counts["n_phones"].cast("int").alias("n_phones"),
-        counts["n_ips"].cast("int").alias("n_ips"),
-        (
-            counts["n_emails"] + counts["n_ssns"] + counts["n_phones"]
-            + counts["n_ips"]
-        ).cast("int").alias("total_redactions"),
-    )
-
-
-@register(
-    "text_markdown_extract",
-    # The oracle states the EXTRACTED TEXT itself closed-form (the
-    # html_extract pattern): header/emphasis/code/link/image/bullet/
-    # quote markers stripped, the fenced block dropped, blank runs
-    # collapsed — any extractor-semantics drift flips the hash on the
-    # strings. Filter modulus 11 is coprime with every text knob
-    # (%5, %3, %4, %7, %2, %6).
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d
-      from documents where doc_id % 11 = 7
-    )
-    select doc_id,
-           'Title ' || d || chr(10) || chr(10)
-           || 'Some bold-' || (d % 5) || ' and em-' || (d % 3)
-           || ' text with code-' || (d % 4) || ' inline.'
-           || chr(10) || chr(10)
-           || 'item one ' || (d % 7) || chr(10)
-           || 'item link-' || d || ' two' || chr(10) || chr(10)
-           || 'quote ' || (d % 2) || chr(10) || chr(10)
-           || 'ordered img-' || d || ' end' || chr(10) || chr(10)
-           || 'tail it and b-' || (d % 6) || ' x_y stays' as text,
-           cast(length(
-             'Title ' || d || chr(10) || chr(10)
-             || 'Some bold-' || (d % 5) || ' and em-' || (d % 3)
-             || ' text with code-' || (d % 4) || ' inline.'
-             || chr(10) || chr(10)
-             || 'item one ' || (d % 7) || chr(10)
-             || 'item link-' || d || ' two' || chr(10) || chr(10)
-             || 'quote ' || (d % 2) || chr(10) || chr(10)
-             || 'ordered img-' || d || ' end' || chr(10) || chr(10)
-             || 'tail it and b-' || (d % 6) || ' x_y stays'
-           ) as integer) as n_chars
-    from base
-    """,
-)
-def text_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Markdown -> text extraction (functions/markdown.py) — PURE JVM
-    path, the documentation half of a code-adjacent corpus: per doc,
-    build a Markdown document exercising every stated rule (ATX
-    header, bold/italic in both marker styles, inline code, a fenced
-    block that must be DROPPED, bullet + ordered lists, an image (alt
-    kept), a link (label kept), a blockquote, a horizontal rule,
-    snake_case that must NOT be read as emphasis), extract with
-    regexp_replace Column expressions only (NO Python evaluator, NO
-    Exchange — machine-pinned), and report the text. The oracle
-    states the extracted STRING itself closed-form. Reference-style
-    links/tables/setext headers stay honestly unparsed as literal
-    text (the module docstring records why)."""
-    from pyiceberg_lakehouse_spark.functions.markdown import (
-        markdown_to_text,
-    )
-
-    d = F.col("doc_id")
-    nl = F.lit("\n")
-    md = F.concat(
-        F.lit("# Title "), d, nl, nl,
-        F.lit("Some **bold-"), d % 5, F.lit("** and *em-"), d % 3,
-        F.lit("* text with `code-"), d % 4, F.lit("` inline."), nl, nl,
-        F.lit("```"), nl, F.lit("fenced "), d, nl, F.lit("line2"), nl,
-        F.lit("```"), nl, nl,
-        F.lit("- item one "), d % 7, nl,
-        F.lit("- item [link-"), d, F.lit("](http://x/"), d,
-        F.lit(") two"), nl, nl,
-        F.lit("> quote "), d % 2, nl, nl,
-        F.lit("1. ordered ![img-"), d, F.lit("](u) end"), nl, nl,
-        F.lit("---"), nl, nl,
-        F.lit("tail _it_ and __b-"), d % 6, F.lit("__ x_y stays"),
-    )
-    return (
-        load_table(spark, sf_dir, "documents")
-        .filter(d % 11 == 7)
-        .select(
-            "doc_id",
-            markdown_to_text(md).alias("text"),
-        )
-        .withColumn("n_chars", F.length("text").cast("int"))
-    )
-
-
-@register(
-    "text_html_extract",
-    # Filter modulus 9 is coprime with the paragraph (%3) and link (%2)
-    # knobs. The oracle states the EXTRACTED TEXT itself closed-form —
-    # block-boundary newlines, entity decodes, dropped script/style,
-    # collapsed whitespace — so any extractor-semantics drift flips the
-    # hash on the strings, not just on counts.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             2 + doc_id % 3 as np, 1 + doc_id % 2 as nl
-      from documents where doc_id % 9 = 7
-    ),
-    paras as (
-      select doc_id, string_agg('para-' || d || '-' || i || ' & co',
-                                chr(10) order by i) as ptxt
-      from base, unnest(generate_series(0, 4)) u(i) where i < np
-      group by doc_id, d, np
-    ),
-    links as (
-      select doc_id, string_agg('ln ' || j, ' ' order by j) as ltxt,
-             count(*) as n_links
-      from base, unnest(generate_series(0, 1)) v(j) where j < nl
-      group by doc_id
-    )
-    select b.doc_id,
-           'Doc ' || d as title,
-           'Doc ' || d || chr(10) || 'Head ' || d || chr(10)
-             || p.ptxt || chr(10) || l.ltxt as text,
-           cast(l.n_links as integer) as n_links,
-           'http://l/' || d || '/0?a=1&b=2' as first_link,
-           cast(14 + 2 * np + 2 * nl as integer) as n_tags
-    from base b join paras p using (doc_id) join links l using (doc_id)
-    """,
-)
-def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTML -> text extraction (operators/html.py) — the crawl-to-corpus
-    step: per doc, synthesize a page with a title, a dropped <script>
-    and <style>, block paragraphs carrying &amp; entities, inline
-    links with entity-encoded hrefs, then extract. The oracle states
-    the extracted TEXT string itself closed-form (newline placement,
-    entity decodes, whitespace collapse), the title, the decoded first
-    href, and the exact tag count — extractor-semantics drift flips
-    the hash on strings. Arrow-batched mapInPandas, map-only."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import html as _html
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 9 == 7)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("title", T.StringType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("n_links", T.IntegerType()),
-            T.StructField("first_link", T.StringType()),
-            T.StructField("n_tags", T.IntegerType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def page(d: int) -> str:
-        np_, nl = 2 + d % 3, 1 + d % 2
-        paras = "".join(
-            f"<p>para-{d}-{i} &amp; co</p>\n" for i in range(np_)
-        )
-        links = " ".join(
-            f'<a href="http://l/{d}/{j}?a=1&amp;b=2">ln {j}</a>'
-            for j in range(nl)
-        )
-        return (
-            f"<!DOCTYPE html><html><head><title>Doc {d}</title>"
-            f"<script>var x = '<p>{d}</p>';</script></head>\n"
-            f"<body><h1>Head {d}</h1><!-- c -->\n{paras}{links}\n"
-            f"<style>.x{{color:red}}</style></body></html>"
-        )
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                r = _html.extract_html(page(d))
-                rows.append(
-                    (
-                        d, r["title"], r["text"], len(r["links"]),
-                        r["links"][0], r["n_tags"],
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            out["doc_id"] = out["doc_id"].astype("int64")
-            out["n_links"] = out["n_links"].astype("int32")
-            out["n_tags"] = out["n_tags"].astype("int32")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "text_epub_extract",
-    # EPUB = the engine's own layers composed: zip explosion (the
-    # streaming data-descriptor form cycling) -> container.xml ->
-    # OPF manifest/spine (real namespace-aware XML) -> per-chapter
-    # HTML extraction. The zip stores chapters in REVERSED order on
-    # even docs while the spine keeps reading order — the oracle's
-    # chapter sequence proves the SPINE wins, not zip order. The
-    # extracted STRING is stated closed-form. Filter modulus 13
-    # residue 1.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d, 1 + doc_id % 3 as ncs
-      from documents where doc_id % 13 = 1
-    ),
-    chapters as (
-      select doc_id, string_agg(
-        'Ch ' || d || '-' || i || chr(10) || 'Ch ' || d || '-' || i
-        || chr(10) || 'para ' || d || '-' || i || '-0 & co'
-        || chr(10) || 'para ' || d || '-' || i || '-1 & co',
-        chr(12) order by i) as text
-      from base, unnest(generate_series(0, 2)) g(i) where i < ncs
-      group by doc_id
-    )
-    select b.doc_id,
-      'Book ' || (b.d % 9) as title,
-      'Auth ' || (b.d % 7) as creator,
-      case cast(b.d % 3 as integer) when 0 then 'en'
-           when 1 then 'de' else 'fr' end as language,
-      cast(b.ncs as integer) as n_chapters,
-      cast(3 + b.ncs as integer) as n_entries,
-      c.text,
-      cast(length(c.text) as integer) as n_chars
-    from base b join chapters c using (doc_id)
-    """,
-)
-def text_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EPUB -> text (operators/office.py) — the ebook-corpus path,
-    composing the engine's own layers end to end: per doc, build an
-    EPUB (mimetype + container.xml + OPF manifest/spine + XHTML
-    chapters, chapter files stored in REVERSED zip order on even docs
-    and in the streaming data-descriptor zip form on every fifth),
-    explode the zip, resolve the package through real namespace-aware
-    XML, walk the SPINE (reading order — a reader using zip order
-    shuffles the book, and the oracle's chapter sequence would catch
-    it), and extract each chapter through the deterministic HTML
-    extractor. The oracle states the joined text closed-form.
-    Arrow-batched mapInPandas, map-only."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import office as _off
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 13 == 1)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("title", T.StringType()),
-            T.StructField("creator", T.StringType()),
-            T.StructField("language", T.StringType()),
-            T.StructField("n_chapters", T.IntegerType()),
-            T.StructField("n_entries", T.IntegerType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("n_chars", T.IntegerType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                ncs = 1 + d % 3
-                chapters = [
-                    (
-                        f"Ch {d}-{i}",
-                        [
-                            f"para {d}-{i}-0 &amp; co",
-                            f"para {d}-{i}-1 &amp; co",
-                        ],
-                    )
-                    for i in range(ncs)
-                ]
-                blob = _off.make_epub(
-                    f"Book {d % 9}",
-                    f"Auth {d % 7}",
-                    ["en", "de", "fr"][d % 3],
-                    chapters,
-                    shuffle_zip_order=d % 2 == 0,
-                    streaming_zip=d % 5 < 2,
-                )
-                r = _off.extract_epub(blob)
-                rows.append(
-                    (
-                        d, r["title"], r["creator"], r["language"],
-                        len(r["chapters"]), r["n_entries"],
-                        r["text"], len(r["text"]),
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            out["doc_id"] = out["doc_id"].astype("int64")
-            for cname in ("n_chapters", "n_entries", "n_chars"):
-                out[cname] = out[cname].astype("int32")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "text_docx_extract",
-    # DOCX (OOXML): word/document.xml paragraphs with styles, run
-    # concatenation, <w:br/> -> newline, <w:tab/> -> tab, XML-escaped
-    # text, and docProps/core.xml metadata — parsed with a real
-    # namespace-aware XML walk over the exploded zip. The oracle
-    # states the extracted STRING closed-form. Filter modulus 13
-    # residue 12.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d, 2 + doc_id % 4 as np
-      from documents where doc_id % 13 = 12
-    ),
-    paras as (
-      select doc_id, string_agg(
-        'line ' || d || '-' || j || chr(10) || 'cont ' || (d % 5)
-        || chr(9) || 'end & ' || (d % 7),
-        chr(10) order by j) as text
-      from base, unnest(generate_series(0, 5)) g(j) where j < np
-      group by doc_id
-    )
-    select b.doc_id,
-      'Doc ' || (b.d % 11) as title,
-      'Auth ' || (b.d % 5) as creator,
-      cast(b.np as integer) as n_paragraphs,
-      'Heading1' as first_style,
-      p.text,
-      cast(length(p.text) as integer) as n_chars
-    from base b join paras p using (doc_id)
-    """,
-)
-def text_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DOCX -> text (operators/office.py) — the office-document path:
-    per doc, build an OOXML package (word/document.xml with styled
-    paragraphs, multi-run text, <w:br/> and <w:tab/> inside runs,
-    XML-escaped ampersands, docProps/core.xml metadata), explode the
-    zip and extract with a namespace-aware XML walk. The oracle
-    states paragraph styles and the joined text closed-form.
-    Arrow-batched mapInPandas, map-only."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import office as _off
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 13 == 12)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("title", T.StringType()),
-            T.StructField("creator", T.StringType()),
-            T.StructField("n_paragraphs", T.IntegerType()),
-            T.StructField("first_style", T.StringType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("n_chars", T.IntegerType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                np_ = 2 + d % 4
-                paragraphs = [
-                    (
-                        "Heading1" if j == 0 else None,
-                        [
-                            f"line {d}-{j}",
-                            None,
-                            f"cont {d % 5}",
-                            "\t",
-                            f"end & {d % 7}",
-                        ],
-                    )
-                    for j in range(np_)
-                ]
-                blob = _off.make_docx(
-                    f"Doc {d % 11}", f"Auth {d % 5}", paragraphs
-                )
-                r = _off.extract_docx(blob)
-                rows.append(
-                    (
-                        d, r["title"], r["creator"],
-                        len(r["paragraphs"]),
-                        r["paragraphs"][0]["style"],
-                        r["text"], len(r["text"]),
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            out["doc_id"] = out["doc_id"].astype("int64")
-            for cname in ("n_paragraphs", "n_chars"):
-                out[cname] = out[cname].astype("int32")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "text_rtf_extract",
-    # RTF — the legacy word-processor/email-attachment format: group
-    # state stack, \\'hh hex escapes through the declared code page,
-    # \\uN unicode with the \\uc fallback-skip protocol (cycling
-    # against plain cp1252 escapes so BOTH encode paths hash),
-    # ignorable {\\*\\...} destinations and the fonttbl/generator
-    # skips, \\par/\\line/\\tab decodes. The oracle states the
-    # extracted STRING (with non-ASCII literals) closed-form plus the
-    # exact group count. Filter modulus 17 residue 5.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d, 2 + doc_id % 3 as np
-      from documents where doc_id % 17 = 5
-    ),
-    paras as (
-      select doc_id, string_agg(
-        'line ' || d || '-' || j || ' café € — end ' || (d % 7)
-        || chr(9) || 'q' || (d % 5),
-        chr(10) order by j) as text
-      from base, unnest(generate_series(0, 4)) g(j) where j < np
-      group by doc_id
-    )
-    select b.doc_id,
-      p.text,
-      'cp1252' as codepage,
-      cast(case when b.d % 3 != 1 then 4 else 2 end as integer)
-        as n_groups,
-      cast(length(p.text) as integer) as n_chars
-    from base b join paras p using (doc_id)
-    """,
-)
-def text_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RTF -> text (operators/rtf.py) — the legacy document format:
-    per doc, write an RTF whose non-ASCII characters cycle between
-    cp1252 \\'hh hex escapes and \\uN unicode-with-ANSI-fallback (the
-    \\uc skip protocol made load-bearing — emitting the fallback too
-    would double characters and flip the hash), with the fonttbl
-    destination cycling in and an ignorable {\\*\\generator} group
-    always present; parse with the real group-state tokenizer and
-    report the text + exact group count. The oracle states the string
-    with its non-ASCII literals closed-form. Arrow-batched
-    mapInPandas, map-only."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import rtf as _rtf
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 17 == 5)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("codepage", T.StringType()),
-            T.StructField("n_groups", T.IntegerType()),
-            T.StructField("n_chars", T.IntegerType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                np_ = 2 + d % 3
-                paras = [
-                    f"line {d}-{j} café € — end {d % 7}\tq{d % 5}"
-                    for j in range(np_)
-                ]
-                blob = _rtf.make_rtf(
-                    paras,
-                    codepage=1252,
-                    with_fonttbl=d % 3 != 1,
-                    unicode_with_fallback=d % 2 == 0,
-                )
-                r = _rtf.extract_rtf(blob)
-                rows.append(
-                    (
-                        d, r["text"], r["codepage"], r["n_groups"],
-                        len(r["text"]),
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            out["doc_id"] = out["doc_id"].astype("int64")
-            for cname in ("n_groups", "n_chars"):
-                out[cname] = out[cname].astype("int32")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "text_odt_extract",
-    # ODT (OpenDocument): content.xml office:text paragraphs with
-    # styles, text:line-break/text:tab decodes and the text:s
-    # RUN-LENGTH-ENCODED spaces (text:c) a naive itertext() walk
-    # loses — planted in every paragraph so the expansion is
-    # load-bearing. The oracle states the extracted STRING
-    # closed-form. Filter modulus 17 residue 3 (13's residues are
-    # fully claimed).
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d, 2 + doc_id % 3 as np
-      from documents where doc_id % 17 = 3
-    ),
-    paras as (
-      select doc_id, string_agg(
-        'line ' || d || '-' || j || chr(10) || 'cont ' || (d % 5)
-        || chr(9) || '  end & ' || (d % 7),
-        chr(10) order by j) as text
-      from base, unnest(generate_series(0, 4)) g(j) where j < np
-      group by doc_id
-    )
-    select b.doc_id,
-      'Odt ' || (b.d % 9) as title,
-      'Auth ' || (b.d % 5) as creator,
-      cast(b.np as integer) as n_paragraphs,
-      'Heading' as first_style,
-      p.text,
-      cast(length(p.text) as integer) as n_chars
-    from base b join paras p using (doc_id)
-    """,
-)
-def text_odt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ODT -> text (operators/office.py extract_odt) — the
-    LibreOffice/OpenDocument path: per doc, build an ODT package
-    (content.xml paragraphs with styles, line-break and tab elements
-    inside runs, the text:s run-length-encoded space form planted in
-    every paragraph, XML-escaped ampersands, meta.xml Dublin-Core
-    metadata), explode the zip and extract with a namespace-aware XML
-    walk that expands the whitespace model. The oracle states the
-    joined text closed-form. Arrow-batched mapInPandas, map-only."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import office as _off
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 17 == 3)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("title", T.StringType()),
-            T.StructField("creator", T.StringType()),
-            T.StructField("n_paragraphs", T.IntegerType()),
-            T.StructField("first_style", T.StringType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("n_chars", T.IntegerType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                np_ = 2 + d % 3
-                paragraphs = [
-                    (
-                        "Heading" if j == 0 else None,
-                        [
-                            f"line {d}-{j}",
-                            None,
-                            f"cont {d % 5}",
-                            "\t",
-                            2,
-                            f"end & {d % 7}",
-                        ],
-                    )
-                    for j in range(np_)
-                ]
-                blob = _off.make_odt(
-                    f"Odt {d % 9}", f"Auth {d % 5}", paragraphs
-                )
-                r = _off.extract_odt(blob)
-                rows.append(
-                    (
-                        d, r["title"], r["creator"],
-                        len(r["paragraphs"]),
-                        r["paragraphs"][0]["style"],
-                        r["text"], len(r["text"]),
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            out["doc_id"] = out["doc_id"].astype("int64")
-            for cname in ("n_paragraphs", "n_chars"):
-                out[cname] = out[cname].astype("int32")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "text_ass_cues",
-    # SSA/ASS — the fansub/anime-corpus subtitle format: Format-driven
-    # field order (an extra nonstandard column cycles in so positional
-    # hardcoding would misread), override-tag stripping, \\N line
-    # breaks + \\h hard spaces, drawing-mode payload DROPPED, commas
-    # absorbed by the final Text field, centisecond timestamps. The
-    # oracle states the stripped STRING itself closed-form. Filter
-    # modulus 13 residue 10.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d, 2 + doc_id % 4 as nc
-      from documents where doc_id % 13 = 10
-    )
-    select doc_id,
-      cast(i as integer) as cue_idx,
-      cast(1000*i + 10*(d % 100) as bigint) as start_ms,
-      cast(1000*i + 10*(d % 100) + 500 + 10*(d % 50) as bigint) as end_ms,
-      case when i % 2 = 0 then 'Main' else 'Alt' end as style,
-      'spk-' || ((d + i) % 5) as name,
-      case when i = 1
-           then 'draw-' || d || ' end'
-           else 'line-' || d || '-' || i || chr(10)
-                || 'part, two ' || (d % 7) end as text
-    from base, unnest(generate_series(0, 5)) g(i) where i < nc
-    """,
-)
-def text_ass_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SSA/ASS subtitle extraction (operators/subtitles.py parse_ass) —
-    the fansub format anime/video corpora ship: per doc, write an ASS
-    script whose [Events] Format line declares the field order (a
-    nonstandard extra column cycling in on every third doc, so the
-    Format-DRIVEN parse is load-bearing), with override tags
-    ({\\b1}..{\\b0}) to strip, \\N breaks, a comma inside the Text
-    field (absorbed by the last-field rule), and one DRAWING cue per
-    doc ({\\p1} vector payload {\\p0}) whose path commands must be
-    dropped, not emitted as text. Parse it back and report the cue
-    rows; the oracle states every stripped string and centisecond
-    timestamp closed-form. Arrow-batched mapInPandas, map-only."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import subtitles as _sub
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 13 == 10)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("cue_idx", T.IntegerType()),
-            T.StructField("start_ms", T.LongType()),
-            T.StructField("end_ms", T.LongType()),
-            T.StructField("style", T.StringType()),
-            T.StructField("name", T.StringType()),
-            T.StructField("text", T.StringType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                nc = 2 + d % 4
-                cues = []
-                for i in range(nc):
-                    start = 1000 * i + 10 * (d % 100)
-                    end = start + 500 + 10 * (d % 50)
-                    if i == 1:
-                        raw = (
-                            f"draw-{d} {{\\p1}}m 0 0 l 10 0{{\\p0}}end"
-                        )
-                    else:
-                        raw = (
-                            f"{{\\b1}}line-{d}-{i}{{\\b0}}\\N"
-                            f"part, two {d % 7}"
-                        )
-                    cues.append(
-                        {
-                            "start_ms": start, "end_ms": end,
-                            "style": "Main" if i % 2 == 0 else "Alt",
-                            "name": f"spk-{(d + i) % 5}",
-                            "text": raw,
-                        }
-                    )
-                script = _sub.make_ass(
-                    cues,
-                    title=f"doc {d}",
-                    styles=["Main", "Alt"],
-                    extra_event_field=d % 3 == 0,
-                )
-                parsed = _sub.parse_ass(script)
-                for i, c in enumerate(parsed["cues"]):
-                    rows.append(
-                        (
-                            d, i, c["start_ms"], c["end_ms"],
-                            c["style"], c["name"], c["text"],
-                        )
-                    )
-            out = pd.DataFrame(rows, columns=cols)
-            out["doc_id"] = out["doc_id"].astype("int64")
-            out["cue_idx"] = out["cue_idx"].astype("int32")
-            for cname in ("start_ms", "end_ms"):
-                out[cname] = out[cname].astype("int64")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "text_pdf_extract",
-    # The oracle states the EXTRACTED TEXT itself closed-form, plus the
-    # structural features a parser cannot fake: page count across the
-    # /Prev chain, distinct in-use object count, newest xref kind,
-    # object-stream presence, update-chain length. Knobs cycle every
-    # structural form: classic xref table vs 1.5 xref STREAM (d%3),
-    # Flate on/off (d%2, PNG Up predictor 12 rides compressed xref
-    # streams), object streams (d%4>=2 on stream files), hex vs literal
-    # strings (d%5), incremental update appending a page (d%4=1 — the
-    # classic-table-over-stream-base hybrid chain included). Filter
-    # modulus 13 (first claim on 13) is coprime with every knob.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             1 + doc_id % 3 as np,
-             doc_id % 4 = 1 as upd,
-             doc_id % 3 <> 0 as xs,
-             doc_id % 3 <> 0 and doc_id % 4 >= 2 as objstm
-      from documents where doc_id % 13 = 2
-    ),
-    pages as (
-      select doc_id, string_agg(
-        'Doc ' || d || ' page ' || p || chr(10)
-        || 'line ' || (d+p) % 7 || ' alpha & beta (x)' || chr(10)
-        || 'kern ' || (d+p) % 5 || ' end' || chr(10)
-        || 'quote ' || (d+p) % 4
-        || case when p % 2 = 0
-                then chr(10) || 'tm ' || (d+p) % 3 else '' end,
-        chr(10) || chr(10) order by p) as text
-      from base, unnest(generate_series(0, 3)) g(p)
-      where p < np + case when upd then 1 else 0 end
-      group by doc_id, d, np, upd
-    )
-    select b.doc_id,
-           p.text,
-           cast(length(p.text) as integer) as n_chars,
-           cast(b.np + case when b.upd then 1 else 0 end
-                as integer) as n_pages,
-           cast(3 + 2*b.np + case when b.objstm then 1 else 0 end
-                + case when b.xs then 1 else 0 end
-                + case when b.upd then 2 else 0 end as integer) as n_objects,
-           case when b.upd or not b.xs then 'table' else 'stream' end
-             as xref_kind,
-           b.objstm as has_objstm,
-           cast(case when b.upd then 2 else 1 end as integer) as n_updates
-    from base b join pages p using (doc_id)
-    """,
-)
-def text_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL PDF text extraction (operators/pdf.py) — the dominant
-    document-corpus format: per doc, WRITE a deterministic PDF cycling
-    every structural knob (classic xref table vs cross-reference
-    stream, Flate + PNG-Up-predicted xref rows, compressed object
-    streams with type-2 entries, hex vs literal strings with escaped
-    parens, an incremental update appending a page over a /Prev chain
-    — including the classic-table-over-stream-base hybrid), then PARSE
-    it back through the full reader (xref chain resolution, object
-    grammar, page-tree walk, FlateDecode, content-stream text
-    assembly over Tj/TJ/'/Td/TD/Tm/T*) and report the text plus the
-    structural features. The oracle states the extracted STRING and
-    every count closed-form without running either half. Arrow-batched
-    mapInPandas — the bytes never shuffle, only typed rows do.
-    Encrypted PDFs and non-Flate filters stay honestly gated (tests
-    pin the refusals)."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import pdf as _pdf
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 13 == 2)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("n_chars", T.IntegerType()),
-            T.StructField("n_pages", T.IntegerType()),
-            T.StructField("n_objects", T.IntegerType()),
-            T.StructField("xref_kind", T.StringType()),
-            T.StructField("has_objstm", T.BooleanType()),
-            T.StructField("n_updates", T.IntegerType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def page_lines(d: int, p: int) -> list[str]:
-        lines = [
-            f"Doc {d} page {p}",
-            f"line {(d + p) % 7} alpha & beta (x)",
-            f"kern {(d + p) % 5} end",
-            f"quote {(d + p) % 4}",
-        ]
-        if p % 2 == 0:
-            lines.append(f"tm {(d + p) % 3}")
-        return lines
-
-    def batches(it):
-        for pdf_batch in it:
-            rows = []
-            for doc_id in pdf_batch["doc_id"]:
-                d = int(doc_id)
-                np_ = 1 + d % 3
-                upd = d % 4 == 1
-                xs = d % 3 != 0
-                objstm = xs and d % 4 >= 2
-                base_pages = [page_lines(d, p) for p in range(np_)]
-                extra = page_lines(d, np_) if upd else None
-                blob = _pdf.encode_pdf(
-                    base_pages,
-                    compress=d % 2 == 0,
-                    xref_stream=xs,
-                    object_streams=objstm,
-                    hex_strings=d % 5 < 2,
-                    xref_predictor=12 if (xs and d % 2 == 0) else None,
-                    incremental_extra_page=extra,
-                )
-                r = _pdf.extract_pdf_text(blob)
-                rows.append(
-                    (
-                        d,
-                        "\n\n".join(r["pages"]),
-                        sum(len(p) for p in r["pages"])
-                        + 2 * (len(r["pages"]) - 1),
-                        r["n_pages"], r["n_objects"], r["xref_kind"],
-                        r["has_objstm"], r["n_updates"],
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            for cname in ("n_chars", "n_pages", "n_objects", "n_updates"):
-                out[cname] = out[cname].astype("int32")
-            out["doc_id"] = out["doc_id"].astype("int64")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "text_charset_decode",
-    # The WHATWG sniffing precedence over real byte encodings: BOMs
-    # (UTF-8/UTF-16LE/UTF-16BE, surrogate-pair emoji included), the
-    # HTTP charset parameter with the ISO-8859-1 -> windows-1252
-    # normalization (the euro at 0x80 proves cp1252, which latin-1
-    # cannot express), the in-body <meta charset> sniff, and the
-    # UTF-8-else-cp1252 default. The oracle states the decoded STRING
-    # itself closed-form. Filter modulus 13 residue 6.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             cast(doc_id % 6 as integer) as k
-      from documents where doc_id % 13 = 6
-    )
-    select doc_id,
-      case when k <= 2 then 'Doc ' || d || ' café € 😀'
-           when k = 3 then 'Doc ' || d || ' café €'
-           when k = 4
-             then '<meta charset="windows-1252">Doc ' || d || ' café ’'
-           else 'Doc ' || d || ' plain' end as text,
-      case when k = 0 then 'utf-8'
-           when k = 1 then 'utf-16le'
-           when k = 2 then 'utf-16be'
-           when k in (3, 4) then 'windows-1252'
-           else 'utf-8' end as charset,
-      case when k <= 2 then 'bom'
-           when k = 3 then 'http'
-           when k = 4 then 'meta'
-           else 'default' end as source,
-      cast(length(case when k <= 2 then 'Doc ' || d || ' café € 😀'
-           when k = 3 then 'Doc ' || d || ' café €'
-           when k = 4
-             then '<meta charset="windows-1252">Doc ' || d || ' café ’'
-           else 'Doc ' || d || ' plain' end) as integer) as n_chars
-    from base
-    """,
-)
-def text_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Charset sniffing for crawl bodies (operators/html.py
-    decode_html_bytes) — the step between raw HTTP bytes and every
-    text operator, where a 100 TB crawl meets UTF-16 pages, cp1252
-    mislabeled as latin-1, and BOMs: per doc, encode a non-ASCII
-    string (euro sign, e-acute, an astral-plane emoji) under one of
-    six sniffing paths — three BOMs, an HTTP charset parameter whose
-    ISO-8859-1 label must normalize to windows-1252 per the WHATWG
-    encoding standard, an in-body <meta charset>, and the strict-
-    UTF-8-else-cp1252 default — then decode and report the text plus
-    the detected charset and its source. The oracle states the decoded
-    string closed-form; any sniffing-precedence drift flips the hash.
-    Arrow-batched mapInPandas, map-only."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import html as _html
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 13 == 6)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("charset", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.IntegerType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def make(d: int) -> tuple[bytes, str | None]:
-        k = d % 6
-        if k == 0:
-            return b"\xef\xbb\xbf" + f"Doc {d} café € 😀".encode(), None
-        if k == 1:
-            return (
-                b"\xff\xfe" + f"Doc {d} café € 😀".encode("utf-16-le"),
-                None,
-            )
-        if k == 2:
-            return (
-                b"\xfe\xff" + f"Doc {d} café € 😀".encode("utf-16-be"),
-                None,
-            )
-        if k == 3:
-            return (
-                f"Doc {d} café €".encode("windows-1252"),
-                "text/html; charset=ISO-8859-1",
-            )
-        if k == 4:
-            return (
-                f'<meta charset="windows-1252">Doc {d} café ’'.encode(
-                    "windows-1252"
-                ),
-                "text/html",
-            )
-        return f"Doc {d} plain".encode(), None
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                body, ct = make(d)
-                text, charset, source = _html.decode_html_bytes(body, ct)
-                rows.append((d, text, charset, source, len(text)))
-            out = pd.DataFrame(rows, columns=cols)
-            out["doc_id"] = out["doc_id"].astype("int64")
-            out["n_chars"] = out["n_chars"].astype("int32")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "text_html_metadata",
-    # The caption-mining fields: OpenGraph properties, meta names,
-    # img src/alt pairs (alt '' when absent — a curation signal),
-    # canonical link, html lang, and a schema.org JSON-LD block parsed
-    # to typed fields. A planted <script> decoy carrying a fake
-    # og: meta proves the raw-text skip is load-bearing. The oracle
-    # restates every string closed-form. Filter modulus 13 residue 4.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d, 1 + doc_id % 3 as ni
-      from documents where doc_id % 13 = 4
-    ),
-    alts as (
-      select doc_id, string_agg(
-        case when i % 2 = 0 then 'cap ' || d || '-' || i || ' & co'
-             else '' end, '|' order by i) as img_alts
-      from base, unnest(generate_series(0, 3)) g(i) where i < ni
-      group by doc_id
-    )
-    select b.doc_id,
-      case cast(b.d % 3 as integer)
-           when 0 then 'en' when 1 then 'de' else 'fr' end as lang,
-      'https://c.site/p/' || b.d as canonical,
-      'OG ' || b.d as og_title,
-      'https://img-' || (b.d % 5) || '.cdn/i/' || b.d || '.jpg'
-        as og_image,
-      'Desc ' || (b.d % 7) || ' & more' as og_description,
-      'Meta ' || (b.d % 4) as meta_description,
-      'Article' as ld_type,
-      'H ' || b.d as ld_headline,
-      cast(100 + b.d % 50 as integer) as ld_wordcount,
-      cast(b.ni as integer) as n_images,
-      a.img_alts
-    from base b join alts a using (doc_id)
-    """,
-)
-def text_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTML metadata extraction (operators/html.py extract_metadata) —
-    the caption-mining/curation fields an image-text pipeline needs:
-    per doc, synthesize a page with OpenGraph metas (BOTH attribute
-    orders), a meta description, img tags with and without alt text,
-    a canonical link, an html lang attribute, a schema.org JSON-LD
-    block (parsed to typed fields in the same Arrow batch), and a
-    <script> DECOY containing a fake og: meta that must NOT leak into
-    the result (the raw-text skip is load-bearing). The oracle
-    restates every field closed-form. Arrow-batched mapInPandas,
-    map-only."""
-    import json as _json
-
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import html as _html
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 13 == 4)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("canonical", T.StringType()),
-            T.StructField("og_title", T.StringType()),
-            T.StructField("og_image", T.StringType()),
-            T.StructField("og_description", T.StringType()),
-            T.StructField("meta_description", T.StringType()),
-            T.StructField("ld_type", T.StringType()),
-            T.StructField("ld_headline", T.StringType()),
-            T.StructField("ld_wordcount", T.IntegerType()),
-            T.StructField("n_images", T.IntegerType()),
-            T.StructField("img_alts", T.StringType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def page(d: int) -> str:
-        lang = ["en", "de", "fr"][d % 3]
-        ni = 1 + d % 3
-        imgs = "".join(
-            (
-                f'<img src="https://img/{d}/{i}.png" '
-                f'alt="cap {d}-{i} &amp; co">'
-                if i % 2 == 0
-                else f'<img src="https://img/{d}/{i}.png">'
-            )
-            for i in range(ni)
-        )
-        ld = _json.dumps(
-            {
-                "@context": "https://schema.org",
-                "@type": "Article",
-                "headline": f"H {d}",
-                "wordCount": 100 + d % 50,
-            }
-        )
-        return (
-            f'<!DOCTYPE html><html lang="{lang}"><head>'
-            f'<meta property="og:title" content="OG {d}">'
-            # reversed attribute order must parse identically
-            f'<meta content="https://img-{d % 5}.cdn/i/{d}.jpg" '
-            f'property="og:image">'
-            f'<meta property="og:description" '
-            f'content="Desc {d % 7} &amp; more">'
-            f'<meta name="description" content="Meta {d % 4}">'
-            f'<link rel="canonical" href="https://c.site/p/{d}">'
-            f'<script>var x = \'<meta property="og:decoy" '
-            f'content="x">\';</script>'
-            f'<script type="application/ld+json">{ld}</script>'
-            f"</head><body><h1>Doc {d}</h1>{imgs}</body></html>"
-        )
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                m = _html.extract_metadata(page(d))
-                assert "decoy" not in m["og"], "script decoy leaked"
-                ld = _json.loads(m["json_ld"][0]) if m["json_ld"] else {}
-                rows.append(
-                    (
-                        d, m["lang"], m["canonical"],
-                        m["og"].get("title"), m["og"].get("image"),
-                        m["og"].get("description"),
-                        m["meta"].get("description"),
-                        ld.get("@type"), ld.get("headline"),
-                        ld.get("wordCount"),
-                        len(m["images"]),
-                        "|".join(alt for _src, alt in m["images"]),
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            out["doc_id"] = out["doc_id"].astype("int64")
-            out["ld_wordcount"] = out["ld_wordcount"].astype("int32")
-            out["n_images"] = out["n_images"].astype("int32")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "pipeline_crawl_ingest",
-    # The Common Crawl ingest chain end-to-end: WARC bytes -> record
-    # walk -> HTTP envelope -> HTML text extraction -> per-page
-    # curation features. The oracle rebuilds the extracted text string
-    # in SQL and takes its length — any drift anywhere in the chain
-    # (framing, gzip members, entity decode, newline placement) moves
-    # text_len or flips keep.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d, 2 + doc_id % 3 as n
-      from documents where doc_id % 9 = 8
-    ),
-    pages as (
-      select doc_id, d, i,
-             'http://site-' || (d % 5) || '.com/' || d || '/' || i as uri,
-             case when (d + i) % 4 = 3 then 404 else 200 end as status,
-             'Page ' || d || '-' || i as title,
-             'Page ' || d || '-' || i || chr(10) || 'Head' || chr(10)
-               || 'para-' || d || '-' || i || '-0 & co' || chr(10)
-               || 'para-' || d || '-' || i || '-1 & co' as text
-      from base, unnest(generate_series(0, 4)) u(i) where i < n
-    )
-    select doc_id,
-           cast(i as integer) as page_idx,
-           uri, cast(status as integer) as status, title,
-           cast(length(text) as integer) as text_len,
-           status = 200 and length(text) >= 30 as keep
-    from pages
-    """,
-)
-def pipeline_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end crawl ingest — the Common Crawl chain in ONE map
-    stage: per doc, build a per-record-gzipped WARC whose response
-    bodies are HTML pages (title + dropped script + entity-bearing
-    paragraphs), then run record walk -> WARC-Type routing -> HTTP
-    envelope parse -> HTML text extraction -> per-page curation row
-    (url, status, title, extracted-text length, keep decision). The
-    oracle rebuilds the extracted text in SQL and measures it, so a
-    drift ANYWHERE in the four-layer chain flips the hash. Map-only:
-    archives never shuffle, only typed curation rows do."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import html as _html
-    from pyiceberg_lakehouse_spark.operators import warc as _warc
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 9 == 8)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("page_idx", T.IntegerType()),
-            T.StructField("uri", T.StringType()),
-            T.StructField("status", T.IntegerType()),
-            T.StructField("title", T.StringType()),
-            T.StructField("text_len", T.IntegerType()),
-            T.StructField("keep", T.BooleanType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def page_html(d: int, i: int) -> bytes:
-        return (
-            f"<html><head><title>Page {d}-{i}</title>"
-            f"<script>var v = '<b>{d}</b>';</script></head>"
-            f"<body><h1>Head</h1>"
-            f"<p>para-{d}-{i}-0 &amp; co</p>"
-            f"<p>para-{d}-{i}-1 &amp; co</p></body></html>"
-        ).encode()
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                n = 2 + d % 3
-                recs = []
-                for i in range(n):
-                    body = page_html(d, i)
-                    status = 404 if (d + i) % 4 == 3 else 200
-                    recs.append(
-                        {
-                            "type": "response",
-                            "uri": f"http://site-{d % 5}.com/{d}/{i}",
-                            "block": _warc.build_http_response(
-                                status, "X",
-                                [("Content-Type", "text/html")], body,
-                            ),
-                        }
-                    )
-                payload = _warc.make_warc(recs, gzip_records=True)
-                for i, r in enumerate(_warc.warc_responses(payload)):
-                    ex = _html.extract_html(r["body"].decode())
-                    rows.append(
-                        (
-                            d, i, r["uri"], r["status"], ex["title"],
-                            len(ex["text"]),
-                            r["status"] == 200 and len(ex["text"]) >= 30,
-                        )
-                    )
-            out = pd.DataFrame(rows, columns=cols)
-            for c2, dt in (
-                ("doc_id", "int64"), ("page_idx", "int32"),
-                ("status", "int32"), ("text_len", "int32"),
-            ):
-                out[c2] = out[c2].astype(dt)
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "scan_warc_responses",
-    # Filter modulus 9 is coprime with the record-count (%4), status
-    # (%3), content-type (%2), gzip-layout (%2), chunked (%4) and
-    # content-encoding ((d+2i)%5) knobs, so both WARC storage forms
-    # (plain + per-record gzip members), Content-Length AND chunked
-    # transfer-encoding framing, every HTTP branch, and all three
-    # representation codings (gzip, zlib-wrapped deflate, and the
-    # raw-deflate server bug — both reported under the 'deflate'
-    # label) are live in the driver-hashed corpus, including
-    # chunked-over-compressed bodies.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d, 3 + doc_id % 4 as n
-      from documents where doc_id % 9 = 4
-    )
-    select doc_id,
-           cast(i as integer) as rec_idx,
-           'http://ex.com/' || d || '/' || i as uri,
-           cast(case cast((d + i) % 3 as integer)
-                when 0 then 200 when 1 then 404 else 301 end
-               as integer) as status,
-           case when i % 2 = 0 then 'text/html' else 'text/plain' end
-             as content_type,
-           'body-' || d || '-' || i as body_text,
-           cast(length('body-' || d || '-' || i) as integer) as body_len,
-           d % 2 = 1 as gzipped,
-           (d + i) % 4 = 1 as chunked,
-           case cast((d + 2*i) % 5 as integer)
-                when 1 then 'gzip' when 2 then 'deflate'
-                when 3 then 'deflate' else null end as content_encoding
-    from base, unnest(generate_series(0, 6)) u(i) where i < n
-    """,
-)
-def scan_warc_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC crawl ingest (operators/warc.py — the Common Crawl format):
-    per doc, build a WARC containing n HTTP response records plus an
-    interleaved request record (which the reader must route away), in
-    BOTH storage layouts by parity — plain concatenation and the
-    per-record gzip-member form Common Crawl ships (multi-member
-    gunzip via the zlib unused_data contract) — then run the ingest
-    composition: record walk -> WARC-Type filter -> HTTP envelope
-    parse. Body framing cycles Content-Length AND RFC 7230 chunked
-    transfer-encoding (de-chunked through hex size lines with 5-byte
-    chunks, so every body spans several chunks — VERDICT r13 task #3).
-    Representation coding cycles identity, gzip, zlib-wrapped deflate
-    and the widespread raw-deflate server bug (browser-style wrapped-
-    then-raw retry), composing with chunked framing the way real
-    servers layer them (chunks carry the COMPRESSED bytes). The oracle
-    restates every uri/status/content-type/body closed-form; a framing
-    or decoding slip flips the hash."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import warc as _warc
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 9 == 4)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("rec_idx", T.IntegerType()),
-            T.StructField("uri", T.StringType()),
-            T.StructField("status", T.IntegerType()),
-            T.StructField("content_type", T.StringType()),
-            T.StructField("body_text", T.StringType()),
-            T.StructField("body_len", T.IntegerType()),
-            T.StructField("gzipped", T.BooleanType()),
-            T.StructField("chunked", T.BooleanType()),
-            T.StructField("content_encoding", T.StringType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-    statuses = (200, 404, 301)
-    codings = (None, "gzip", "deflate", "deflate-raw", None)
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                n = 3 + d % 4
-                gz = d % 2 == 1
-                recs = []
-                for i in range(n):
-                    body = f"body-{d}-{i}".encode()
-                    http = _warc.build_http_response(
-                        statuses[(d + i) % 3], "X",
-                        [
-                            (
-                                "Content-Type",
-                                "text/html" if i % 2 == 0 else "text/plain",
-                            )
-                        ],
-                        body,
-                        chunk_size=5 if (d + i) % 4 == 1 else None,
-                        content_encoding=codings[(d + 2 * i) % 5],
-                    )
-                    recs.append(
-                        {
-                            "type": "response",
-                            "uri": f"http://ex.com/{d}/{i}",
-                            "block": http,
-                        }
-                    )
-                    if i == 0:
-                        recs.append(
-                            {
-                                "type": "request",
-                                "uri": f"http://ex.com/{d}/0",
-                                "block": b"GET / HTTP/1.1\r\n\r\n",
-                            }
-                        )
-                payload = _warc.make_warc(recs, gzip_records=gz)
-                for i, r in enumerate(_warc.warc_responses(payload)):
-                    rows.append(
-                        (
-                            d, i, r["uri"], r["status"], r["content_type"],
-                            r["body"].decode(), len(r["body"]), gz,
-                            (d + i) % 4 == 1,
-                            r["headers"].get("content-encoding"),
-                        )
-                    )
-            out = pd.DataFrame(rows, columns=cols)
-            for c2, dt in (
-                ("doc_id", "int64"), ("rec_idx", "int32"),
-                ("status", "int32"), ("body_len", "int32"),
-            ):
-                out[c2] = out[c2].astype(dt)
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "scan_archive_entries",
-    # Filter modulus 9 is coprime with the format (%2), entry-count
-    # (%5), zip-method (%3), zip64 (%7), streaming (%11) and size
-    # knobs, so tar, both zip methods, the classic + zip64 header
-    # forms, AND the one-pass-writer data-descriptor form (flag bit 3,
-    # zeroed local sizes — sizes must come from the central directory)
-    # are all live in the driver-hashed corpus.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d, 3 + doc_id % 5 as n
-      from documents where doc_id % 9 = 5
-    )
-    select doc_id,
-           case when d % 2 = 0 then 'tar' else 'zip' end as fmt,
-           cast(i as integer) as entry_idx,
-           'dir-' || (d % 3) || '/file-' || i || '.bin' as name,
-           cast(20 + (d + 3*i) % 40 as integer) as size_bytes,
-           cast((select sum((d + i + 7*j) % 256)
-                 from generate_series(0, 58) g(j)
-                 where j < 20 + (d + 3*i) % 40) as bigint) as byte_sum,
-           d % 2 = 1 and d % 3 != 0 as deflated,
-           d % 2 = 1 and d % 7 >= 4 as zip64,
-           d % 2 = 1 and d % 7 < 4 and d % 11 < 4 as streaming,
-           case when d % 2 = 1 then 'none'
-                else case cast((d // 2) % 4 as integer)
-                     when 0 then 'none' when 1 then 'gzip'
-                     when 2 then 'xz' else 'bz2' end end as wrapper
-    from base, unnest(generate_series(0, 7)) u(i) where i < n
-    """,
-)
-def scan_archive_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Archive explosion (operators/archives.py): per doc, build a tar
-    (even docs: ustar headers with checksums, block padding, a GNU
-    long-name record exercised in pytest) or a zip (odd docs: central
-    directory walked from EOCD, method stored/deflate cycling, CRC-32
-    verified on every extraction, and the zip64 HEADER FORM cycling in
-    — sentinel fields resolved through per-entry 0x0001 extras and the
-    EOCD64 locator + record, VERDICT r13 task #3), then explode it to
-    one row per entry with the extracted bytes' sum. The oracle
-    restates names, sizes and byte sums closed-form — a block-padding
-    slip, a wrong size field, a central-directory offset error, or a
-    zip64 sentinel misread flips the hash. This is the first operator
-    of every 'corpus ships as archives' ingest pipeline."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import archives as _ar
-    from pyiceberg_lakehouse_spark.operators.multimodal import _cf_bytes
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 9 == 5)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("fmt", T.StringType()),
-            T.StructField("entry_idx", T.IntegerType()),
-            T.StructField("name", T.StringType()),
-            T.StructField("size_bytes", T.IntegerType()),
-            T.StructField("byte_sum", T.LongType()),
-            T.StructField("deflated", T.BooleanType()),
-            T.StructField("zip64", T.BooleanType()),
-            T.StructField("streaming", T.BooleanType()),
-            T.StructField("wrapper", T.StringType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                n = 3 + d % 5
-                entries = [
-                    {
-                        "name": f"dir-{d % 3}/file-{i}.bin",
-                        "data": _cf_bytes(d + i, 7, 20 + (d + 3 * i) % 40),
-                    }
-                    for i in range(n)
-                ]
-                zip64 = False
-                streaming = False
-                wrapper = "none"
-                if d % 2 == 0:
-                    fmt = "tar"
-                    wrapper = ["none", "gzip", "xz", "bz2"][(d // 2) % 4]
-                    blob = _ar.make_tar(entries)
-                    if wrapper == "gzip":
-                        import gzip as _gz
-
-                        blob = _gz.compress(blob)
-                    elif wrapper == "xz":
-                        import lzma as _lz
-
-                        blob = _lz.compress(blob)
-                    elif wrapper == "bz2":
-                        import bz2 as _b2
-
-                        blob = _b2.compress(blob)
-                    unwrapped, got_codec = _ar.decompress_auto(blob)
-                    assert got_codec == wrapper, (got_codec, wrapper)
-                    parsed = _ar.parse_tar(unwrapped)
-                    deflated = False
-                else:
-                    fmt = "zip"
-                    method = 0 if d % 3 == 0 else 8
-                    zip64 = d % 7 >= 4
-                    streaming = not zip64 and d % 11 < 4
-                    parsed = _ar.parse_zip(
-                        _ar.make_zip(
-                            entries, method=method, zip64=zip64,
-                            streaming=streaming,
-                        )
-                    )
-                    deflated = method == 8
-                for i, e in enumerate(parsed):
-                    rows.append(
-                        (
-                            d, fmt, i, e["name"],
-                            len(e["data"]), sum(e["data"]), deflated,
-                            zip64, streaming, wrapper,
-                        )
-                    )
-            out = pd.DataFrame(rows, columns=cols)
-            for c2, dt in (
-                ("doc_id", "int64"), ("entry_idx", "int32"),
-                ("size_bytes", "int32"), ("byte_sum", "int64"),
-            ):
-                out[c2] = out[c2].astype(dt)
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "pipeline_caption_curation",
-    # The curation features a video->caption training set filters on,
-    # restated closed-form over the same cue construction as
-    # multimodal_mp4_subtitles (shared synthesis = the two faces can
-    # never drift): per doc, cue count, captioned span, coverage ratio
-    # vs the video trak's duration, and mean text length.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             4 + doc_id % 4 as n, 800 + (doc_id % 3) * 100 as delta
-      from documents where doc_id % 7 = 1
-    ),
-    cues as (
-      select doc_id, d, n, delta, i,
-             i * delta as start_ms,
-             case when i + 1 < n then (i + 1) * delta
-                  else i * delta end as end_ms,
-             length('sub-' || d || '-' || i) as n_chars
-      from base, unnest(generate_series(0, 7)) u(i) where i < n
-    )
-    select doc_id,
-           cast(count(*) as integer) as n_cues,
-           cast(max(end_ms) as bigint) as captioned_ms,
-           cast(300 as bigint) as video_ms,
-           cast(cast(max(end_ms) as double) / 300.0 as double)
-             as coverage_ratio,
-           cast(sum(n_chars) as bigint) as total_chars,
-           cast(max(end_ms) >= 300 as boolean) as keep
-    from cues
-    group by doc_id
-    """,
-)
-def pipeline_caption_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end caption-curation composite: mux (video + audio + tx3g
-    text trak) -> demux with handler routing -> cue extraction -> ONE
-    aggregation shuffle producing the per-doc curation features a
-    video->caption training set filters on: cue count, captioned span,
-    coverage ratio against the VIDEO trak's duration (3 samples x
-    100 ms), total caption characters, and the keep decision. Plan:
-    map-stage demux + exactly one Exchange (the groupBy), no joins, no
-    second pass over media rows — the same single-shuffle shape as
-    pipeline_video_curation, proven in tests/test_plans.py."""
-    cues = multimodal_mp4_subtitles(spark, sf_dir)
-    video_ms = F.lit(300).cast("bigint")
-    return (
-        cues.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("int").alias("n_cues"),
-            F.max("end_ms").alias("captioned_ms"),
-            F.sum(F.length("text")).alias("total_chars_tmp"),
-        )
-        .select(
-            "doc_id",
-            "n_cues",
-            "captioned_ms",
-            video_ms.alias("video_ms"),
-            (F.col("captioned_ms").cast("double") / 300.0).alias(
-                "coverage_ratio"
-            ),
-            F.col("total_chars_tmp").cast("bigint").alias("total_chars"),
-            (F.col("captioned_ms") >= 300).alias("keep"),
-        )
-    )
-
-
-@register(
-    "multimodal_mp3_id3",
-    # Filter modulus 7 is coprime with the version cycle (%3), unsync
-    # (%4), bitrate (%6), rate (%3) and every tag-text knob, so all
-    # three ID3v2 wire formats (v2.2 3-char/3-byte, v2.3 plain, v2.4
-    # synchsafe frame sizes), TAG-level unsync (v2.2/v2.3), PER-FRAME
-    # unsync + data-length indicators + footers (v2.4, r14), and all
-    # metadata branches are live in the driver-hashed corpus.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             2 + doc_id % 3 as ver,
-             doc_id % 4 = 1 as unsync,
-             doc_id % 3 = 2 and doc_id % 5 < 2 as dli,
-             doc_id % 3 = 2 and doc_id % 2 = 0 as foot,
-             10 + doc_id % 20 as n,
-             case doc_id % 6 when 0 then 56 when 1 then 64 when 2 then 80
-                  when 3 then 96 when 4 then 112 else 128 end as br,
-             case doc_id % 3 when 0 then 44100 when 1 then 48000
-                  else 32000 end as rate
-      from documents where doc_id % 7 = 5
-    ),
-    wire as (
-      -- per-frame header: v2.2 is 6 bytes + 1 encoding byte, v2.3/v2.4
-      -- 10 + 1; the unsynchronised title carries two planted 0xFF
-      -- ('ÿ') bytes: tag-level stuffing adds ONE 0x00 (the second ÿ is
-      -- followed by the next frame id), per-frame v2.4 stuffing adds
-      -- TWO (the payload-final ÿ also stuffs); a data-length indicator
-      -- adds 4 synchsafe bytes to every one of the 5 frames; a footer
-      -- adds its 10 bytes to the total
-      select *, case when ver = 2 then 7 else 11 end as hdr,
-             case when unsync then 2 else 0 end as ff
-      from base
-    )
-    select doc_id,
-           cast(ver as integer) as id3_version,
-           unsync as unsynchronised,
-           'title-' || d || case when unsync then 'ÿÿ' else '' end as title,
-           'artist-' || (d % 13) as artist,
-           'album-' || (d % 7) as album,
-           cast(1970 + d % 30 as varchar) as year,
-           'genre-' || (d % 5) as genre,
-           cast(10
-                + (hdr + 6 + length(cast(d as varchar)) + ff)
-                + (hdr + 7 + length(cast(d % 13 as varchar)))
-                + (hdr + 6 + length(cast(d % 7 as varchar)))
-                + (hdr + 4)
-                + (hdr + 6 + length(cast(d % 5 as varchar)))
-                + case when unsync then
-                    case when ver = 4 then 2 else 1 end else 0 end
-                + case when dli then 20 else 0 end
-                + case when foot then 10 else 0 end
-               as integer) as tag_bytes,
-           cast(n * ((144 * br * 1000) // rate) as bigint) as audio_bytes,
-           cast(n as integer) as n_frames,
-           cast((n * 1152 * 1000) // rate as bigint) as duration_ms,
-           'v1-' || d as v1_title,
-           cast(d % 80 as integer) as v1_genre
-    from wire
-    """,
-)
-def multimodal_mp3_id3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ID3-tagged MP3 metadata extraction (multimodal.mp3_id3_table):
-    per doc, build the file shape a crawl actually yields — ID3v2 tag
-    cycling v2.2 / v2.3 / v2.4 (all three frame-header wire formats:
-    3-char ids + 3-byte plain sizes, 4-char plain, 4-char synchsafe),
-    with tag-level UNSYNCHRONISATION cycling on the v2.2/v2.3 docs and
-    'ÿ' (0xFF) bytes planted in the title so the 0x00 stuffing is real
-    (VERDICT r13 task #5) — MPEG-1 Layer III frames, ID3v1 trailer —
-    then parse the tags, strip them, and demux the bare frame stream.
-    The oracle restates the v2 tag's exact byte size from the wire
-    format (10 + sum over frames of hdr + text length, hdr 7 for v2.2
-    / 11 for v2.3+, +1 stuffed byte when unsynchronised — any
-    synchsafe/plain/stuffing confusion shifts it), every text field,
-    the bare audio extent, and the frame-walk arithmetic closed-form.
-    Closes the 'lost MP3 frame sync' rejection on real-world tagged
-    files."""
-    return multimodal.mp3_id3_table(
-        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 5)
-    )
-
-
-@register(
-    "multimodal_mp4_fragmented",
-    # Filter modulus 7 is coprime with every variety knob (fragments %3,
-    # video samples %4, trex duration %5, audio codec %4), so all
-    # branches — incl. all four audio fourccs — are live in the
-    # driver-hashed corpus.
-    """
-    with base as (
-      select doc_id, cast(doc_id as bigint) as d,
-             2 + doc_id % 3 as nf, 3 + doc_id % 4 as sv,
-             4 + doc_id % 3 as sa, 100 + (doc_id % 5) * 10 as dv
-      from documents where doc_id % 7 = 4
-    ),
-    v as (
-      select doc_id, d, 1 as trk, i, i // sv as frag, i % sv as k,
-             20 + (d + 7*i) % 40 as sz,
-             dv * i as dts,
-             dv * i + ((i + 1) % 3) * 50 as pts,
-             i % sv = 0 as sync_
-      from base, unnest(generate_series(0, 23)) u(i) where i < nf * sv
-    ),
-    a as (
-      select doc_id, d, 2 as trk, i, i // sa as frag, i % sa as k,
-             10 + (d + 3*i) % 20 as sz,
-             160*i + 20*(i // 2) as dts,
-             160*i + 20*(i // 2) as pts,
-             true as sync_
-      from base, unnest(generate_series(0, 23)) u(i) where i < nf * sa
-    ),
-    vf as (
-      select doc_id, frag, sum(sz) as vbytes from v group by 1, 2
-    ),
-    s as (
-      select v.*,
-             coalesce(sum(sz) over (partition by doc_id, frag order by k
-                 rows between unbounded preceding and 1 preceding), 0)
-               as off_
-      from v
-      union all
-      select a.doc_id, a.d, a.trk, a.i, a.frag, a.k, a.sz, a.dts, a.pts,
-             a.sync_,
-             vf.vbytes
-               + coalesce(sum(a.sz) over (partition by a.doc_id, a.frag
-                   order by a.k
-                   rows between unbounded preceding and 1 preceding), 0)
-               as off_
-      from a join vf using (doc_id, frag)
-    )
-    select doc_id,
-           cast(trk as integer) as track_id,
-           case when trk = 1 then 'vide' else 'soun' end as handler,
-           case when trk = 1 then 'mp4v'
-                when doc_id % 4 = 0 then 'ulaw'
-                when doc_id % 4 = 1 then 'alaw'
-                when doc_id % 4 = 2 then 'sowt' else 'twos' end as codec,
-           cast(frag + 1 as integer) as frag_seq,
-           cast(i as integer) as sample_idx,
-           cast(dts as bigint) as dts,
-           cast(pts as bigint) as pts,
-           cast(sz as integer) as size,
-           cast(off_ as bigint) as offset_in_frag,
-           sync_ as is_sync,
-           cast((select sum(case when trk = 1
-                                 then (d * 7 + i * 13 + j * 3) % 256
-                                 else (d * 3 + i * 7 + j * 11) % 256
-                            end)
-                 from generate_series(0, 59) g(j) where j < sz)
-               as bigint) as byte_sum
-    from s
-    """,
-)
-def multimodal_mp4_fragmented(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FRAGMENTED MP4 demux (multimodal.demux_mp4_fragments — the
-    DASH/HLS/CMAF segment shape, ISO 14496-12 §8.8): per doc, synthesize
-    an init segment (moov with EMPTY sample tables + mvex/trex defaults)
-    followed by 2-4 (moof, mdat) fragments — a mp4v video traf whose
-    durations resolve from the TREX default, sync flags from trun
-    first-sample-flags over a non-sync default, and pts from v1 trun
-    composition offsets, plus an audio traf (fourcc cycling
-    ulaw/alaw/sowt/twos) with per-sample TRUN durations — then demux the
-    tfhd/tfdt/trun chain back to one row per (track, fragment, sample).
-    The oracle restates every field closed-form: dts = trex-default
-    arithmetic for video and the alternating-duration cumsum for audio
-    (both must thread CORRECTLY across fragment boundaries through
-    tfdt), offsets relative to each fragment's data region via a window
-    over the intra-fragment layout, and seeded byte sums proving the
-    data_offset arithmetic sliced the right mdat bytes. Any precedence
-    slip in the trun > tfhd > trex field-resolution chain flips the
-    hash."""
-    return multimodal.demux_mp4_fragmented_table(
-        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 4)
-    )
-
-
-@register(
-    "multimodal_gif_animation",
-    # Planted 5-frame animation per doc: a full-canvas base + four
-    # disjoint 2x2 patches exercising disposal 1 (leave), 2 (restore to
-    # background), 3 (restore previous) and 0, each patch
-    # checkerboard-transparent. The oracle replays the composition
-    # arithmetic closed-form: B = base-canvas sum; bo_k/be_k = base over
-    # the cells a patch paints / punches through; rendered sums chain
-    # exactly as the disposal model dictates. Filter modulus 7 keeps all
-    # variety knobs (w %6, h %4, palette %3, interlace %2, loop %4) live.
-    """
-    with params as (
-      select doc_id,
-             cast(doc_id as bigint) as d,
-             9 + doc_id % 6 as w,
-             9 + doc_id % 4 as h,
-             cast(case cast(doc_id % 3 as integer)
-                  when 0 then 4 when 1 then 16 else 64 end as bigint) as nc
-      from documents where doc_id % 7 = 3
-    ),
-    terms as (
-      select *,
-        (select sum((d + 3*x + 5*y) % nc)
-           from generate_series(0, 13) gx(x), generate_series(0, 11) gy(y)
-          where x < w and y < h) as b_all,
-        (d + 2*1) % (nc - 1) as c1,
-        (d + 2*2) % (nc - 1) as c2,
-        (d + 2*3) % (nc - 1) as c3,
-        (d + 2*4) % (nc - 1) as c4,
-        -- patch rects (left, top): p1 (0,2)  p2 (3,2)  p3 (6,2)  p4 (0,5)
-        -- bo_k = base over the painted (odd) cells (l+1,t) and (l,t+1);
-        -- be_k = base over the punched-through (even) cells
-        ((d + 3*1 + 5*2) % nc) + ((d + 3*0 + 5*3) % nc) as bo1,
-        ((d + 3*4 + 5*2) % nc) + ((d + 3*3 + 5*3) % nc) as bo2,
-        ((d + 3*7 + 5*2) % nc) + ((d + 3*6 + 5*3) % nc) as bo3,
-        ((d + 3*1 + 5*5) % nc) + ((d + 3*0 + 5*6) % nc) as bo4,
-        ((d + 3*3 + 5*2) % nc) + ((d + 3*4 + 5*3) % nc) as be2
-      from params
-    ),
-    sums as (
-      select *,
-        b_all as f0,
-        b_all - bo1 + 2*c1 as f1,
-        b_all - bo1 + 2*c1 - bo2 + 2*c2 as f2
-      from terms
-    ),
-    sums2 as (
-      -- after frame 2's restore-to-background: its painted cells and its
-      -- punched-through base cells both go transparent
-      select *, f2 - 2*c2 - be2 as s2p from sums
-    )
-    select doc_id,
-           cast(fi as integer) as frame_idx,
-           cast(w as integer) as width,
-           cast(h as integer) as height,
-           cast(nc as integer) as n_colors,
-           cast(10 + fi as integer) as delay_cs,
-           cast(doc_id % 4 as integer) as loop_count,
-           cast(case when fi >= 3 then 4 else 0 end as integer)
-               as n_transparent,
-           cast(case fi
-                when 0 then f0
-                when 1 then f1
-                when 2 then f2
-                when 3 then s2p - bo3 + 2*c3
-                else s2p - bo4 + 2*c4 end as bigint) as value_sum
-    from sums2, generate_series(0, 4) gs(fi)
-    """,
-)
-def multimodal_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL animated-GIF composition (operators/gif.py::compose_frames):
-    per doc, build a 5-frame GIF89a — full-canvas base (interlaced by
-    parity) then four disjoint checkerboard-transparent 2x2 patches
-    cycling disposal methods 1/2/3/0 — with per-frame Graphic Control
-    Extensions and a NETSCAPE2.0 loop count; encode it, decode it, run
-    the disposal/transparency composition model, and report per rendered
-    frame the visible-index sum + transparent-pixel count, which the SQL
-    oracle predicts closed-form without running the codec: disposal 2
-    must vacate its rect (4 transparent pixels from frame 3 on), and
-    disposal 3 must restore the canvas frame 3 painted (frame 4's sum
-    chains from the PRE-frame-3 state). Arrow-batched mapInPandas —
-    encode/decode/compose all happen where the bytes live, only typed
-    features shuffle."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import gif as _gif
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 7 == 3)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("frame_idx", T.IntegerType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("n_colors", T.IntegerType()),
-            T.StructField("delay_cs", T.IntegerType()),
-            T.StructField("loop_count", T.IntegerType()),
-            T.StructField("n_transparent", T.IntegerType()),
-            T.StructField("value_sum", T.LongType()),
-        ]
-    )
-    cols = [f.name for f in schema.fields]
-    patch_at = ((0, 2), (3, 2), (6, 2), (0, 5))
-    disposal = (1, 2, 3, 0)
-
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 9 + d % 6, 9 + d % 4
-                nc = (4, 16, 64)[d % 3]
-                t = nc - 1
-                y, x = np.ogrid[0:h, 0:w]
-                base = (d + 3 * x + 5 * y) % nc
-                frames = [
-                    {
-                        "indices": base,
-                        "delay_cs": 10,
-                        "disposal": 1,
-                        "interlace": d % 2 == 1,
-                    }
-                ]
-                for k, ((pl, pt), disp) in enumerate(
-                    zip(patch_at, disposal), start=1
-                ):
-                    ck = (d + 2 * k) % (nc - 1)
-                    patch = np.where(
-                        (np.arange(2)[:, None] + np.arange(2)) % 2 == 0,
-                        t,
-                        ck,
-                    )
-                    frames.append(
-                        {
-                            "indices": patch,
-                            "left": pl,
-                            "top": pt,
-                            "disposal": disp,
-                            "delay_cs": 10 + k,
-                            "transparent_index": t,
-                        }
-                    )
-                enc = _gif.encode_gif_animation(
-                    frames, screen=(w, h), loop_count=d % 4
-                )
-                dec = _gif.decode_gif(enc)
-                for r in _gif.compose_frames(dec):
-                    cv = r["canvas"]
-                    rows.append(
-                        (
-                            d, r["frame_idx"], w, h, nc, r["delay_cs"],
-                            dec["loop_count"],
-                            int((cv < 0).sum()),
-                            int(cv[cv >= 0].sum()),
-                        )
-                    )
-            out = pd.DataFrame(rows, columns=cols)
-            for cname in cols[1:-1]:
-                out[cname] = out[cname].astype("int32")
-            out["doc_id"] = out["doc_id"].astype("int64")
-            out["value_sum"] = out["value_sum"].astype("int64")
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "pipeline_video_curation",
-    "with t as ("
-    + MP4_MULTITRACK_ORACLE.format(filt="doc_id % 9 = 4")
-    + """)
-    select doc_id,
-           cast(count(*) filter (where handler = 'vide' and is_sync)
-               as bigint) as n_keyframes,
-           cast(sum(size) filter (where handler = 'vide' and is_sync)
-               as bigint) as keyframe_bytes,
-           cast(max(pts) filter (where handler = 'vide')
-               as bigint) as video_span,
-           cast(count(*) filter (where handler = 'soun')
-               as bigint) as n_audio_samples,
-           cast(sum(size) filter (where handler = 'soun')
-               as bigint) as audio_bytes
-    from t group by doc_id
-    """,
-)
-def pipeline_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end video-curation composite: demux the corpus's 2-trak
-    files (one zero-shuffle map stage), route by hdlr, keep the video
-    trak's KEY FRAMES (the is_sync sampling knob a frame decoder
-    consumes) and the audio trak's extent, and emit the per-doc shot
-    list a curation pass filters on: keyframe count + bytes, composition
-    span, audio sample count + bytes. ONE job: map-stage demux then a
-    single conditional-aggregation shuffle — no joins, no second pass
-    over the media. The oracle wraps THE shared multi-track demux
-    template in the same conditional aggregates, so the whole composite
-    is hash-checked end to end."""
-    from pyiceberg_lakehouse_spark.operators.multimodal import (
-        demux_mp4_multitrack,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 9 == 4
-    )
-    rows = demux_mp4_multitrack(docs)
-    vide = F.col("handler") == "vide"
-    soun = F.col("handler") == "soun"
-    key = vide & F.col("is_sync")
-    return rows.groupBy("doc_id").agg(
-        F.count(F.when(key, 1)).alias("n_keyframes"),
-        F.sum(F.when(key, F.col("size"))).cast("bigint").alias("keyframe_bytes"),
-        F.max(F.when(vide, F.col("pts"))).alias("video_span"),
-        F.count(F.when(soun, 1)).alias("n_audio_samples"),
-        F.sum(F.when(soun, F.col("size"))).cast("bigint").alias("audio_bytes"),
-    )
-
-
-@register(
-    "multimodal_mp3_frames",
-    """
-    with base as (
-      select doc_id,
-             10 + doc_id % 40 as n,
-             case doc_id % 6 when 0 then 56 when 1 then 64 when 2 then 80
-                  when 3 then 96 when 4 then 112 else 128 end as br,
-             case doc_id % 3 when 0 then 44100 when 1 then 48000
-                  else 32000 end as rate
-      from documents where doc_id % 5 = 4
-    ),
-    fr as (
-      select doc_id, i, rate,
-             (144 * br * 1000) // rate as flen
-      from base, unnest(generate_series(0, 49)) u(i) where i < n
-    )
-    select doc_id,
-           cast(i as integer) as frame_idx,
-           cast(i * flen as bigint) as offset,
-           cast(flen as integer) as size,
-           cast((i * 1152 * 1000) // rate as bigint) as dts_ms,
-           cast((select sum((doc_id + i * 7 + j * 3) % 256)
-                 from generate_series(0, 575) g(j) where j < flen - 4)
-               as bigint) as byte_sum
-    from fr
-    """,
-)
-def multimodal_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MP3 frame demux (multimodal.demux_mp3_frames): per doc, synthesize
-    an MPEG-1 Layer III stream (frame count, bitrate and sample rate all
-    varying closed-form in doc_id, main data seeded) and walk its frames
-    for real — one row per frame with byte extent, integer-exact
-    1152-samples-per-frame timestamp, and the main-data byte sum. The
-    oracle restates the 144*br*1000//rate frame-length arithmetic and
-    the seeded byte sums in SQL, so a header-stepping or extent error
-    flips the hash. This is MP3's sample-extraction layer (the audio
-    twin of demux_mp4); the Layer-III bitstream decode stays honestly
-    gated."""
-    return multimodal.demux_mp3_frame_table(
-        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 4)
-    )
-
-
-@register(
-    "multimodal_jpeg_lossless",
-    # Filter modulus 5 is coprime with EVERY variety knob below (% 2
-    # components, % 7 predictor, % 4 restart interval, % 3 scan shape),
-    # so all branches are live in the driver-hashed corpus. (The previous
-    # % 6 = 5 filter pinned doc_id % 2 to 1 — the 3-component branch was
-    # dead in the driver check, the same class of gap the r12 advisor
-    # flagged on the audio corpus.)
-    """
-    with base as (
-      select doc_id,
-             6 + doc_id % 9 as w,
-             5 + doc_id % 7 as h,
-             case when doc_id % 2 = 0 then 3 else 1 end as nc,
-             1 + doc_id % 7 as predictor,
-             (doc_id % 4) * 3 as restart_interval
-      from documents where doc_id % 5 = 2
-    )
-    select doc_id,
-           cast(w as integer) as width,
-           cast(h as integer) as height,
-           cast(nc as integer) as n_components,
-           cast(predictor as integer) as predictor,
-           cast(restart_interval as integer) as restart_interval,
-           cast((select sum((doc_id * 5 + y * 11 + x * 3 + c * 17) % 256)
-                 from generate_series(0, 11) gy(y),
-                      generate_series(0, 14) gx(x),
-                      generate_series(0, 2) gc(c)
-                 where y < h and x < w and c < nc)
-               as bigint) as pixel_sum,
-           true as exact_roundtrip
-    from base
-    """,
-)
-def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed LOSSLESS-JPEG round-trip (operators/jpeg.py: SOF3,
-    T.81 process 14): per doc, synthesize a deterministic image (gray or
-    RGB by parity), encode with the predictive lossless encoder — the
-    predictor CYCLES through all seven H.1.2.1 predictors, the restart
-    interval cycles 0/3/6/9 MCUs (0 = no DRI; 3/6/9 put RSTm boundaries
-    mid-row, exercising the H.1.2.2 prediction reset), and the scan
-    shape cycles interleaved / one-scan-per-component across the corpus
-    — decode through decode_jpeg's SOF3 dispatch, and emit the decoded
-    pixel SUM plus the exact-roundtrip flag. Lossless means the sum is
-    CLOSED-FORM (unlike the lossy codecs' error-bound booleans): any
-    predictor, category-coding, restart-reset, or reconstruction slip
-    flips the hash, not just a tolerance."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import jpeg as _jpeg
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 5 == 2)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("n_components", T.IntegerType()),
-            T.StructField("predictor", T.IntegerType()),
-            T.StructField("restart_interval", T.IntegerType()),
-            T.StructField("pixel_sum", T.LongType()),
-            T.StructField("exact_roundtrip", T.BooleanType()),
-        ]
-    )
-
-    def batches(it):
-        cols = [
-            "doc_id", "width", "height", "n_components", "predictor",
-            "restart_interval", "pixel_sum", "exact_roundtrip",
-        ]
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 6 + d % 9, 5 + d % 7
-                nc = 3 if d % 2 == 0 else 1
-                predictor = 1 + d % 7
-                ri = (d % 4) * 3
-                y, x, c = np.ogrid[0:h, 0:w, 0:nc]
-                px = ((d * 5 + y * 11 + x * 3 + c * 17) % 256).astype(
-                    np.uint8
-                )
-                if nc == 1:
-                    px = px[:, :, 0]
-                enc = _jpeg.encode_jpeg_lossless(
-                    px,
-                    predictor=predictor,
-                    restart_interval=ri,
-                    interleaved=d % 3 > 0,
-                )
-                dec = _jpeg.decode_jpeg(enc)  # via the SOF3 dispatch
-                rows.append(
-                    (
-                        d, w, h, nc, predictor, ri,
-                        int(dec.astype(np.int64).sum()),
-                        bool(dec.shape == px.shape and (dec == px).all()),
-                    )
-                )
-            out = pd.DataFrame(rows, columns=cols)
-            for cname, dt in (
-                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
-                ("n_components", "int32"), ("predictor", "int32"),
-                ("restart_interval", "int32"),
-                ("pixel_sum", "int64"), ("exact_roundtrip", "bool"),
-            ):
-                out[cname] = out[cname].astype(dt)
-            yield out
-
-    return docs.mapInPandas(batches, schema)
-
-
-@register(
-    "multimodal_jpeg_progressive",
-    """
-    select doc_id,
-           cast(3 + doc_id % 6 as integer) as width,
-           cast(2 + doc_id % 4 as integer) as height,
-           cast(case when doc_id % 2 = 0 then 1 else 3 end as integer)
-               as n_components,
-           true as matches_baseline,
-           true as err_within_bound
-    from documents where doc_id % 4 = 3
-    """,
-)
-def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PROGRESSIVE-JPEG round-trip (operators/
-    jpeg_progressive.py): per doc, synthesize a deterministic image,
-    encode with the multi-scan progressive encoder (DC successive
-    approximation + per-band AC first/refinement — all four scan types),
-    decode, and hash TWO booleans the driver can check: the decode must
-    BIT-EQUAL the baseline codec's decode of the same pixels (same
-    quantized coefficients, two independent entropy deliveries), and the
-    reconstruction error must sit under the lossy ceiling. Header dims
-    ride the SOF2 probe."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from pyiceberg_lakehouse_spark.operators import jpeg as _jpeg
-    from pyiceberg_lakehouse_spark.operators import jpeg_progressive as _prog
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 4 == 3)
-        .select("doc_id")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("n_components", T.IntegerType()),
-            T.StructField("matches_baseline", T.BooleanType()),
-            T.StructField("err_within_bound", T.BooleanType()),
-        ]
-    )
-
-    def batches(it):
-        for pdf in it:
-            rows = {k: [] for k in ("doc_id", "width", "height",
-                                    "n_components", "matches_baseline",
-                                    "err_within_bound")}
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 3 + d % 6, 2 + d % 4
-                if d % 2 == 0:
-                    y, x = np.ogrid[0:h, 0:w]
-                    px = ((d * 37 + y * 11 + x * 5) % 256).astype(np.uint8)
-                else:
-                    y, x, c = np.ogrid[0:h, 0:w, 0:3]
-                    px = ((d * 37 + y * 11 + x * 5 + c * 3) % 256).astype(
-                        np.uint8
-                    )
-                payload = _prog.encode_progressive(px, quality=90)
-                pw, ph, ncomp = _prog.progressive_header(payload)
-                out = _jpeg.decode_jpeg(payload)  # via the SOF2 dispatch
-                twin = _jpeg.decode_jpeg(_jpeg.encode_jpeg(px, quality=90))
-                err = float(
-                    np.abs(out.astype(np.int64) - px.astype(np.int64)).mean()
-                )
-                rows["doc_id"].append(d)
-                rows["width"].append(pw)
-                rows["height"].append(ph)
-                rows["n_components"].append(ncomp)
-                rows["matches_baseline"].append(bool(np.array_equal(out, twin)))
-                rows["err_within_bound"].append(bool(err < 20.0))
-            yield pd.DataFrame(rows)
-
-    return docs.mapInPandas(batches, schema)
 
 
 @register(

@@ -1,0 +1,4312 @@
+"""Media (image/audio/video codec) registry queries.
+
+Moved verbatim out of operators/queries.py in the round-15 pure-move
+split (VERDICT r14 task #6) — no semantic changes; the registry imports
+all three modules, so query names and behavior are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyiceberg_lakehouse_spark.operators import multimodal
+from pyiceberg_lakehouse_spark.registry import register
+from pyiceberg_lakehouse_spark.sources.testdata import load_table
+
+# synthetic-dimension SQL fragments shared by the media fixtures
+_MM_W = "(4 + doc_id % 16)"
+_MM_H = "(2 + doc_id % 8)"
+_MM_NSAMP = "(100 + doc_id % 50)"
+_PNG_W = "(3 + doc_id % 6)"
+_PNG_H = "(2 + doc_id % 4)"
+_PNG_CH = "(case cast(doc_id % 3 as integer) when 0 then 1 when 1 then 3 else 4 end)"
+
+
+MULTIMODAL_SQL = f"""
+    select doc_id,
+           case cast(doc_id % 3 as integer)
+               when 1 then 'image/bmp'
+               when 2 then 'audio/wav'
+               else 'text/plain' end as mime,
+           cast(case cast(doc_id % 3 as integer)
+               when 1 then 54 + (({_MM_W} * 3 + 3) // 4) * 4 * {_MM_H}
+               when 2 then 44 + {_MM_NSAMP} * 2
+               else octet_length(encode(text)) end as integer) as n_bytes,
+           cast(case when doc_id % 3 = 1 then {_MM_W} end as integer) as width,
+           cast(case when doc_id % 3 = 1 then {_MM_H} end as integer) as height,
+           cast(case when doc_id % 3 = 2 then 8000 + (doc_id % 4) * 4000 end
+               as integer) as sample_rate,
+           cast(case when doc_id % 3 = 2 then {_MM_NSAMP} end as integer)
+               as n_samples
+    from documents
+"""
+
+
+@register("multimodal_features", MULTIMODAL_SQL)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-mime binary columns with REAL header decode: synthesize
+    text/BMP/WAV payloads per doc, then parse them back (width/height,
+    sample rate/count) via Arrow-batched mapInPandas."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_media_features(multimodal.attach_media_assets(docs))
+
+
+# the decimated image keeps pixels at even (x, y); the synthesizer's pixel
+# (x, y) is B=(x*7+y*13)%256, G=(x*3)%256, R=(y*5)%256 — so the oracle can
+# predict the decode->decimate->re-encode->re-decode sum closed-form. Audio
+# keeps even samples of value ((i*2654435761)%65536)-32768 at half the rate.
+RESIZE_SQL = f"""
+    with img as (
+      select doc_id, {_MM_W} as w, {_MM_H} as h
+      from documents where doc_id % 3 = 1
+    ),
+    img_f as (
+      select doc_id, 'image/bmp' as mime,
+             cast((w + 1) // 2 as integer) as out_width,
+             cast((h + 1) // 2 as integer) as out_height,
+             cast(null as integer) as out_sample_rate,
+             cast(null as integer) as out_n_samples,
+             cast((select sum(((x*7 + y*13) % 256) + ((x*3) % 256) + ((y*5) % 256))
+                   from generate_series(0, 18, 2) gx(x),
+                        generate_series(0, 8, 2) gy(y)
+                   where x < w and y < h) as bigint) as value_sum
+      from img
+    ),
+    aud as (
+      select doc_id, 8000 + (doc_id % 4) * 4000 as rate, {_MM_NSAMP} as n
+      from documents where doc_id % 3 = 2
+    ),
+    aud_f as (
+      select doc_id, 'audio/wav' as mime,
+             cast(null as integer) as out_width,
+             cast(null as integer) as out_height,
+             cast(rate // 2 as integer) as out_sample_rate,
+             cast((n + 1) // 2 as integer) as out_n_samples,
+             cast((select sum(((i * 2654435761) % 65536) - 32768)
+                   from generate_series(0, 148, 2) g(i)
+                   where i < n) as bigint) as value_sum
+      from aud
+    )
+    select * from img_f union all select * from aud_f
+"""
+
+
+@register("multimodal_resize", RESIZE_SQL)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media RESIZE with real pixel/sample work: decode the full BMP pixel
+    array / WAV sample array, nearest-neighbor decimate 2x, re-encode a
+    valid container, and report features + exact value sum from the
+    RE-DECODED payload. The oracle predicts every sum closed-form from the
+    synthesizer parameters, so any stride/row-order/sample-width bug in the
+    four-stage pipeline flips the hash."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 != 0)
+    assets = multimodal.attach_media_assets(docs)
+    return multimodal.resize_media(assets, factor=2)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    with v as (
+      select doc_id,
+             4 + doc_id % 8 as width,
+             2 + doc_id % 6 as height,
+             4 + doc_id % 13 as n_frames
+      from documents where doc_id % 7 = 0
+    ),
+    f as (
+      select doc_id, width, height,
+             unnest(generate_series(0, n_frames - 1, 2)) as frame_idx
+      from v
+    )
+    select doc_id,
+           cast(frame_idx as integer) as frame_idx,
+           cast(frame_idx as double) / 8.0 as ts_s,
+           cast(width as integer) as width,
+           cast(height as integer) as height
+    from f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling over synthesized RVID clips: every 2nd frame
+    exploded to (doc_id, frame_idx, ts_s, dims) + a standalone BMP payload
+    (dropped here — the oracle predicts the metadata closed-form from the
+    synthesizer parameters; the pixel bytes are pytest-verified)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    vids = multimodal.attach_video_assets(docs)
+    return multimodal.sample_frames(vids, every_n=2).drop("frame")
+
+
+PNG_SQL = f"""
+    select doc_id,
+           cast({_PNG_W} as integer) as width,
+           cast({_PNG_H} as integer) as height,
+           cast({_PNG_CH} as integer) as channels,
+           cast(doc_id % 5 as integer) as filter_type,
+           cast((select sum((doc_id * 31 + y * 7 + x * 3 + c * 11) % 256)
+                 from generate_series(0, 4) gy(y),
+                      generate_series(0, 8) gx(x),
+                      generate_series(0, 3) gc(c)
+                 where y < {_PNG_H} and x < {_PNG_W} and c < {_PNG_CH})
+                as bigint) as value_sum
+    from documents where doc_id % 4 = 1
+"""
+
+
+@register("multimodal_png_decode", PNG_SQL)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image round-trip: per doc, synthesize a deterministic
+    pixel array, encode it with the pure-numpy PNG codec (zlib-compressed
+    filtered scanlines, one of the five filter types per doc), decode the
+    payload back, and report dims + the decoded pixel sum — which the SQL
+    oracle predicts closed-form. Runs as Arrow-batched mapInPandas: encode
+    and decode happen where the (synthesized) bytes live, only typed
+    features shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 1)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("filter_type", T.IntegerType()),
+            T.StructField("value_sum", T.LongType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "width", "height", "channels",
+                                    "filter_type", "value_sum")}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 3 + d % 6, 2 + d % 4
+                ch = (1, 3, 4)[d % 3]
+                y, x, c = np.ogrid[0:h, 0:w, 0:ch]
+                px = ((d * 31 + y * 7 + x * 3 + c * 11) % 256).astype(np.uint8)
+                payload = multimodal.encode_png(px, filter_type=d % 5)
+                out = multimodal.decode_png(payload)
+                rows["doc_id"].append(d)
+                rows["width"].append(out.shape[1])
+                rows["height"].append(out.shape[0])
+                rows["channels"].append(out.shape[2])
+                rows["filter_type"].append(d % 5)
+                rows["value_sum"].append(int(out.astype(np.int64).sum()))
+            yield pd.DataFrame(rows)
+
+    out = docs.mapInPandas(batches, schema)
+    return out.select(
+        "doc_id",
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        F.col("channels").cast("int"),
+        F.col("filter_type").cast("int"),
+        F.col("value_sum").cast("long"),
+    )
+
+
+# JPEG is lossy, so unlike PNG the decoded pixel SUM has no closed form —
+# but the container fields are lossless and the reconstruction error is a
+# deterministic function of our codec with a provable bound: every
+# coefficient is off by at most half its quantizer step, so mean pixel
+# error at quality 90 sits far below the asserted ceiling. The oracle
+# checks dims/components exactly and the error bound as a boolean.
+JPEG_SQL = """
+    select doc_id,
+           cast(3 + doc_id % 6 as integer) as width,
+           cast(2 + doc_id % 4 as integer) as height,
+           cast(case when doc_id % 2 = 0 then 1 else 3 end as integer)
+               as n_components,
+           true as err_within_bound
+    from documents where doc_id % 4 = 2
+"""
+
+
+@register("multimodal_jpeg_roundtrip", JPEG_SQL)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed baseline-JPEG round-trip: per doc, synthesize a
+    deterministic image (gray for even ids, RGB for odd), encode with the
+    pure-numpy codec at quality 90 inside mapInPandas, parse the container
+    header back, decode, and assert the reconstruction error bound. Dims
+    and component count are lossless and oracle-checked exactly; the
+    pixel-error flag pins the lossy path against a generous ceiling (mean
+    abs error < 20 — measured ~6 on worst-case uniform noise)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import jpeg as _jpeg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 2)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_components", T.IntegerType()),
+            T.StructField("err_within_bound", T.BooleanType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "width", "height",
+                                    "n_components", "err_within_bound")}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 3 + d % 6, 2 + d % 4
+                if d % 2 == 0:
+                    y, x = np.ogrid[0:h, 0:w]
+                    px = ((d * 37 + y * 11 + x * 5) % 256).astype(np.uint8)
+                else:
+                    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                    px = ((d * 37 + y * 11 + x * 5 + c * 3) % 256).astype(
+                        np.uint8
+                    )
+                payload = _jpeg.encode_jpeg(px, quality=90)
+                pw, ph, ncomp = _jpeg.jpeg_header(payload)
+                out = _jpeg.decode_jpeg(payload)
+                err = float(
+                    np.abs(out.astype(np.int64) - px.astype(np.int64)).mean()
+                )
+                rows["doc_id"].append(d)
+                rows["width"].append(pw)
+                rows["height"].append(ph)
+                rows["n_components"].append(ncomp)
+                rows["err_within_bound"].append(bool(err < 20.0))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(batches, schema)
+
+
+# chroma-subsampled JPEG: dims and the declared sampling scheme are
+# lossless container fields with closed forms; the pixel-error flag pins
+# the subsampled decode path (box-downsample + MCU-interleaved Hi x Vi
+# walk + nearest-neighbor upsample) against a generous ceiling on smooth
+# gradients, where chroma averaging loss is provably small.
+JPEG_SUBSAMPLED_SQL = """
+    select doc_id,
+           cast(10 + doc_id % 9 as integer) as width,
+           cast(9 + doc_id % 7 as integer) as height,
+           case when doc_id % 2 = 1 then '4:2:0' else '4:2:2' end as sampling,
+           true as err_within_bound,
+           true as prog_matches_baseline
+    from documents where doc_id % 4 = 3
+"""
+
+
+@register("multimodal_jpeg_subsampled", JPEG_SUBSAMPLED_SQL)
+def multimodal_jpeg_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed 4:2:0 / 4:2:2 JPEG round-trip (the schemes most
+    real-world JPEGs use): per doc, synthesize a smooth deterministic RGB
+    gradient sized to span multiple MCUs with odd trailing pixels, encode
+    with the pure-numpy codec at the doc's subsampling, parse the declared
+    sampling back from the SOF header, decode natively, and assert the
+    reconstruction error bound (mean abs error < 20; measured ~2-5 on
+    these gradients)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import jpeg as _jpeg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 3)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sampling", T.StringType()),
+            T.StructField("err_within_bound", T.BooleanType()),
+            T.StructField("prog_matches_baseline", T.BooleanType()),
+        ]
+    )
+
+    def batches(it):
+        from pyiceberg_lakehouse_spark.operators import jpeg_progressive as _prog
+
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "width", "height",
+                                    "sampling", "err_within_bound",
+                                    "prog_matches_baseline")}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 10 + d % 9, 9 + d % 7
+                ss = "4:2:0" if d % 2 == 1 else "4:2:2"
+                y, x = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        128 + 60 * np.sin((y + d % 13) / 9.0) * np.cos(x / 7.0),
+                        128 + 50 * np.cos((x + d % 7) / 8.0),
+                        128 + 55 * np.sin((y + x) / 11.0),
+                    ],
+                    axis=-1,
+                ).clip(0, 255).astype(np.uint8)
+                payload = _jpeg.encode_jpeg(px, quality=92, subsampling=ss)
+                pw, ph, _nc = _jpeg.jpeg_header(payload)
+                out = _jpeg.decode_jpeg(payload)
+                err = float(
+                    np.abs(out.astype(np.int64) - px.astype(np.int64)).mean()
+                )
+                rows["doc_id"].append(d)
+                rows["width"].append(pw)
+                rows["height"].append(ph)
+                rows["sampling"].append(_jpeg.jpeg_sampling(payload))
+                rows["err_within_bound"].append(bool(err < 20.0))
+                pp = _prog.encode_progressive(px, quality=92, subsampling=ss)
+                rows["prog_matches_baseline"].append(
+                    bool(np.array_equal(_prog.decode_progressive(pp), out))
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_container_probe",
+    """
+    with base as (select doc_id from documents),
+    mp4 as (
+      select doc_id, 'video/mp4' as mime,
+             cast(317 as integer) as n_bytes,
+             cast(1000 + (doc_id % 30) * 500 as bigint) as duration_ms,
+             cast(320 + (doc_id % 4) * 160 as integer) as width,
+             cast(240 + (doc_id % 4) * 120 as integer) as height,
+             cast(null as integer) as bitrate_kbps,
+             cast(null as integer) as sample_rate
+      from base where doc_id % 2 = 0
+    ),
+    mp3 as (
+      select doc_id, 'audio/mpeg' as mime,
+             cast((144 * br * 1000 // sr) * nf as integer) as n_bytes,
+             cast(nf * 1152 * 1000 // sr as bigint) as duration_ms,
+             cast(null as integer) as width,
+             cast(null as integer) as height,
+             cast(br as integer) as bitrate_kbps,
+             cast(sr as integer) as sample_rate
+      from (select doc_id, 10 + doc_id % 40 as nf,
+                   [56,64,80,96,112,128][cast(doc_id % 6 as integer) + 1] as br,
+                   [44100,48000,32000][cast(doc_id % 3 as integer) + 1] as sr
+            from base where doc_id % 2 = 1)
+    )
+    select * from mp4 union all select * from mp3
+    """,
+)
+def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 box-walk and MP3 frame-walk metadata probes
+    (multimodal.probe_mp4 / probe_mp3) over per-doc synthesized
+    containers: duration, dimensions, bitrate, sample rate — the fields a
+    curation pass filters on WITHOUT decoding samples (sample decode for
+    these codecs stays honestly gated). The oracle predicts every probed
+    field closed-form from doc_id, so any parsing error in the box/frame
+    walkers flips the hash."""
+    return multimodal.probe_containers(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_mp4_samples",
+    """
+    with base as (
+      select doc_id, 8 + doc_id % 13 as n
+      from documents where doc_id % 5 = 2
+    ),
+    s as (
+      select doc_id, n, i
+      from base, unnest(generate_series(0, 20)) u(i)
+      where i < n
+    ),
+    sized as (
+      select doc_id, n, i,
+             40 + ((doc_id + 7 * i) % 50) as sz,
+             case when i < n // 2 then i * 100
+                  else (n // 2) * 100 + (i - n // 2) * 150 end as dts,
+             i % 4 = 0 as sync_
+      from s
+    )
+    select doc_id,
+           cast(i as integer) as sample_idx,
+           cast(dts as bigint) as dts_ms,
+           cast(sz as integer) as size,
+           cast(coalesce(sum(sz) over (partition by doc_id order by i
+                  rows between unbounded preceding and 1 preceding), 0)
+               as bigint) as offset_in_mdat,
+           sync_ as is_sync,
+           cast((select sum((doc_id * 13 + i * 17 + j * 5) % 256)
+                 from generate_series(0, 88) g(j) where j < sz)
+               as bigint) as byte_sum
+    from sized
+    """,
+)
+def multimodal_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO BMFF sample-table demux (multimodal.demux_mp4): per doc,
+    synthesize a playable-layout MP4 whose stts (two delta runs), stsc
+    (ragged final chunk run), stsz, stco and stss tables all derive from
+    the actual mdat layout, then demux it back to one row per sample —
+    timestamp, byte extent, key-frame flag, and the extracted bytes'
+    sum. The oracle predicts every field closed-form from doc_id
+    (offsets via a prefix-sum window), so ANY table-parsing or
+    offset-arithmetic error flips the hash. This is the frame-extraction
+    layer a video curation pipeline needs before a codec ever runs."""
+    return multimodal.demux_mp4_samples(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
+    )
+
+
+# The multi-track demux oracle, shared (via {filt}) by the ad-hoc query
+# and the streaming media-sample maintenance query — one closed-form
+# statement of the demux output, so the two faces can never drift.
+MP4_MULTITRACK_ORACLE = """
+    with base as (
+      select doc_id, 6 + doc_id % 7 as nv, 8 + doc_id % 5 as na
+      from documents where {filt}
+    ),
+    v as (
+      select doc_id, 1 as trk, i,
+             i // 2 as chunk_idx,
+             40 + ((doc_id + 11 * i) % 60) as sz,
+             case when i < nv // 2 then i * 100
+                  else (nv // 2) * 100 + (i - nv // 2) * 150 end
+               + 0 as dts,
+             case when i < nv // 2 then i * 100
+                  else (nv // 2) * 100 + (i - nv // 2) * 150 end
+               + ((i + 1) % 3) * 50 as pts,
+             i % 3 = 0 as sync_
+      from base, unnest(generate_series(0, 11)) u(i) where i < nv
+    ),
+    a as (
+      select doc_id, 2 as trk, i,
+             i // 3 as chunk_idx,
+             case when doc_id % 4 >= 2 then 20 + 2 * ((doc_id + 5 * i) % 15)
+                  else 20 + ((doc_id + 5 * i) % 30) end as sz,
+             i * 64 as dts,
+             i * 64 as pts,
+             true as sync_
+      from base, unnest(generate_series(0, 11)) u(i) where i < na
+    ),
+    s as (select * from v union all select * from a),
+    ch as (
+      select doc_id, trk, chunk_idx, sum(sz) as cbytes
+      from s group by 1, 2, 3
+    ),
+    cb as (
+      select doc_id, trk, chunk_idx,
+             coalesce(sum(cbytes) over (partition by doc_id
+                 order by chunk_idx, trk
+                 rows between unbounded preceding and 1 preceding), 0) as cbase
+      from ch
+    )
+    select s.doc_id,
+           cast(s.trk as integer) as track_id,
+           case when s.trk = 1 then 'vide' else 'soun' end as handler,
+           case when s.trk = 1 then 'mp4v'
+                when s.doc_id % 4 = 0 then 'ulaw'
+                when s.doc_id % 4 = 1 then 'alaw'
+                when s.doc_id % 4 = 2 then 'sowt' else 'twos' end as codec,
+           cast(s.i as integer) as sample_idx,
+           cast(s.dts as bigint) as dts,
+           cast(s.pts as bigint) as pts,
+           cast(s.sz as integer) as size,
+           cast(cb.cbase + coalesce(sum(s.sz) over (
+                  partition by s.doc_id, s.trk, s.chunk_idx
+                  order by s.i rows between unbounded preceding and 1 preceding),
+                0) as bigint) as offset_in_mdat,
+           s.sync_ as is_sync,
+           cast((select sum(case when s.trk = 1
+                                 then (s.doc_id * 7 + s.i * 13 + j * 3) % 256
+                                 else (s.doc_id * 3 + s.i * 7 + j * 11) % 256
+                            end)
+                 from generate_series(0, 98) g(j) where j < s.sz)
+               as bigint) as byte_sum
+    from s join cb using (doc_id, trk, chunk_idx)
+"""
+
+
+@register(
+    "multimodal_mp4_multitrack",
+    # The filter modulus (5) is deliberately coprime with the codec cycle
+    # (d % 4), so the selected docs' residues mod 4 cycle 1,2,3,0,... and
+    # ALL FOUR audio sample-entry formats appear in the driver-hashed
+    # corpus (a % 4 filter would pin the codec to a single branch).
+    MP4_MULTITRACK_ORACLE.format(filt="doc_id % 5 = 1"),
+)
+def multimodal_mp4_multitrack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TRACK ISO BMFF demux (multimodal.demux_mp4_tracks): per doc,
+    synthesize a 2-trak MP4 — mp4v video trak (two stts delta runs, stss
+    every 3rd, 2 samples/chunk) + ulaw audio trak (no stss, 3
+    samples/chunk) — with chunks INTERLEAVED through the mdat the way
+    real muxers lay them out, then demux with per-trak table scoping and
+    hdlr handler routing: one row per (trak, sample). The video trak
+    carries a B-frame-style ctts reorder pattern, so every sample has
+    distinct decode (dts) and composition (pts) timestamps; the audio
+    codec fourcc cycles ulaw/alaw/sowt/twos by doc_id % 4, and the doc
+    filter modulus (5) is coprime with that cycle so all four fourccs
+    actually reach the driver-hashed rows, exercising the routing. The
+    oracle states every field closed-form from doc_id,
+    including the cross-trak chunk offsets (a window sum over the
+    interleave order) and pts = dts + ctts, so a wrong trak scope
+    (video stss applied to audio), a wrong routing fourcc, a ctts
+    expansion slip, or any interleaved-offset error flips the hash.
+    Closes the single-track demux's multi-trak refusal (demux_mp4 still
+    refuses; this is the path real audio+video files take)."""
+    return multimodal.demux_mp4_multitrack(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
+    )
+
+
+@register(
+    "multimodal_audio_decode",
+    """
+    -- Filter modulus 5 is coprime with the codec cycle (doc_id % 4), so
+    -- all four decode branches below are live in the driver-hashed rows.
+    with base as (
+      select doc_id, 8 + doc_id % 5 as na
+      from documents where doc_id % 5 = 1
+    ),
+    s as (
+      select doc_id, i,
+             case when doc_id % 4 >= 2 then 20 + 2 * ((doc_id + 5 * i) % 15)
+                  else 20 + ((doc_id + 5 * i) % 30) end as sz,
+             i * 64 as dts
+      from base, unnest(generate_series(0, 11)) u(i) where i < na
+    ),
+    -- d%4=0 mu-law: complement, ((mant<<3)+132)<<exp, bias 132
+    -- d%4=1 A-law: xor 0x55, seg 0 linear, else <<(seg-1)
+    g711 as (
+      select doc_id, i, sz, dts,
+             255 - b as u,
+             xor(b, 85) as a
+      from (
+        select doc_id, i, sz, dts,
+               (doc_id * 3 + i * 7 + j * 11) % 256 as b
+        from s, generate_series(0, 48) g(j)
+        where doc_id % 4 < 2 and j < sz
+      )
+    ),
+    g711v as (
+      select doc_id, i, sz, dts,
+             case when doc_id % 4 = 0 then
+               case when u >= 128
+                    then 132 - (u % 16 * 8 + 132) * (1 << ((u // 16) % 8))
+                    else (u % 16 * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+               end
+             else
+               case when a >= 128 then 1 else -1 end *
+               case when (a // 16) % 8 = 0 then a % 16 * 16 + 8
+                    else (a % 16 * 16 + 264) * (1 << ((a // 16) % 8 - 1))
+               end
+             end as val
+      from g711
+    ),
+    -- d%4=2 'sowt' little-endian / d%4=3 'twos' big-endian int16 PCM:
+    -- sample p is the byte pair (2p, 2p+1), two's complement
+    pcmv as (
+      select doc_id, i, sz, dts,
+             case when raw >= 32768 then raw - 65536 else raw end as val
+      from (
+        select doc_id, i, sz, dts,
+               case when doc_id % 4 = 2
+                 then (doc_id * 3 + i * 7 + (2 * p) * 11) % 256
+                      + 256 * ((doc_id * 3 + i * 7 + (2 * p + 1) * 11) % 256)
+                 else (doc_id * 3 + i * 7 + (2 * p + 1) * 11) % 256
+                      + 256 * ((doc_id * 3 + i * 7 + (2 * p) * 11) % 256)
+               end as raw
+        from s, generate_series(0, 24) g(p)
+        where doc_id % 4 >= 2 and p < sz // 2
+      )
+    ),
+    allv as (select * from g711v union all select * from pcmv)
+    select doc_id,
+           cast(i as integer) as sample_idx,
+           cast(dts as bigint) as dts,
+           cast(case when doc_id % 4 >= 2 then sz // 2 else sz end
+               as integer) as n_pcm,
+           cast(sum(val) as bigint) as pcm_sum,
+           cast(min(val) as integer) as pcm_min,
+           cast(max(val) as integer) as pcm_max
+    from allv group by doc_id, i, sz, dts
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demux -> DECODE composition (multimodal.decode_mp4_audio): demux
+    the 2-trak MP4, route by hdlr to the soun trak, pick the expander
+    from the stsd codec fourcc — the corpus cycles all four real
+    uncompressed/companded formats by doc_id % 4: G.711 mu-law 'ulaw',
+    A-law 'alaw', and 16-bit PCM 'sowt' (little-endian) / 'twos'
+    (big-endian) — and expand every audio sample's bytes to linear PCM:
+    one row per audio sample with decoded count/sum/min/max. The oracle
+    recomputes ALL FOUR decodes in pure SQL integer arithmetic (mu:
+    complement, ((mant<<3)+132)<<exp, bias 132, endpoints +-32124; A:
+    xor 0x55, seg-0 linear else <<(seg-1), endpoints +-32256; PCM:
+    byte-pair two's complement in each endianness), so a routing error
+    (video bytes reaching the decoder, or the wrong law/endianness for
+    the fourcc), a demux extent error, or any expansion-arithmetic
+    error flips the hash. Compressed audio (MP3 Layer III sample
+    decode) stays honestly gated. The doc filter modulus (5) is coprime
+    with the codec cycle (doc_id % 4), so every one of the four decode
+    branches — not just one residue's — runs in the driver check."""
+    return multimodal.decode_mp4_audio(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
+    )
+
+
+@register(
+    "multimodal_flac_decode",
+    # The oracle predicts the decoded SAMPLE SUM closed-form from the
+    # generating waveform (FLAC is lossless — the decode must invert
+    # the encode exactly), plus frame count, channel layout, the
+    # Vorbis-comment tag, the stereo assignment, and the SUBFRAME-TYPE
+    # SET actually decoded (binding the strategy knob: verbatim files,
+    # constant+verbatim fallback, lpc2, fixed0..4). md5_match = true
+    # asserts the decoder reproduced STREAMINFO's MD5 of the
+    # interleaved samples — the `flac -t` check. Knobs cycle every
+    # decode path: mono/stereo (%2), all four channel assignments
+    # (((d-1)/2)%4 over odd d), subframe strategy (%7/%11/%3/%5),
+    # Rice partition order (%3), Rice parameter (%4), the 0b1111
+    # escape to raw residuals (%9=4), wasted-bits shifting (%6=5).
+    # Filter modulus 13 residue 5 (13 claimed by text_pdf_extract r14).
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             96 + (doc_id % 5) * 32 as n,
+             1 + doc_id % 2 as nch,
+             case when doc_id % 6 = 5 then 2 else 1 end as scale
+      from documents where doc_id % 13 = 5
+    ),
+    sums as (
+      select doc_id,
+             sum((d*7 + 3*t) % 2048 - 1024) as s1,
+             sum((d*5 + 11*t) % 2048 - 1024) as s2
+      from base, unnest(generate_series(64, 223)) g(t)
+      where t < n
+      group by doc_id
+    )
+    select b.doc_id,
+           cast(b.n as integer) as n_samples,
+           cast(b.nch as integer) as channels,
+           cast(16 as integer) as bits,
+           cast(16000 as integer) as sample_rate,
+           cast((b.n + 63) // 64 as integer) as n_frames,
+           true as md5_match,
+           cast(b.scale * (64*(b.d % 256 - 128) + s.s1
+                + case when b.nch = 2
+                       then 64*((3*b.d) % 256 - 128) + s.s2
+                       else 0 end) as bigint) as sample_sum,
+           'doc ' || b.d as title,
+           case when b.nch = 1 then 'independent'
+                else case cast(((b.d - 1) // 2) % 4 as integer)
+                     when 0 then 'independent' when 1 then 'left_side'
+                     when 2 then 'right_side' else 'mid_side' end
+           end as stereo_mode,
+           case when b.d % 7 = 0 then 'verbatim'
+                when b.d % 11 = 0 then 'constant,verbatim'
+                when b.d % 3 = 0 then 'lpc2'
+                else 'fixed' || (b.d % 5) end as subframe_types
+    from base b join sums s using (doc_id)
+    """,
+)
+def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC codec roundtrip (operators/flac.py) — the lossless
+    format speech corpora ship: per doc, synthesize a deterministic
+    waveform (a constant head then a modular ramp, so constant
+    subframes and Rice-coded residuals are both live), encode it
+    cycling every decode path — mono + all four stereo assignments
+    (the side channel carrying bits+1), CONSTANT/VERBATIM/FIXED
+    0..4/LPC subframes, Rice partition orders 0..2, the raw-residual
+    escape, wasted-bits shifting, a Vorbis-comment tag — then decode
+    through the full bitstream reader (frame sync, UTF-8 frame
+    numbers, CRC-8 + CRC-16 verified) and report the decoded sample
+    sum + the STREAMINFO-MD5 match, which the oracle predicts
+    closed-form from the waveform formula without running either
+    codec. Arrow-batched mapInPandas: audio bytes never shuffle, only
+    typed features do. Rice method 1 and variable-blocksize streams
+    stay honestly gated (tests pin the refusals)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import flac as _flac
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 5)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("bits", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("md5_match", T.BooleanType()),
+            T.StructField("sample_sum", T.LongType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("stereo_mode", T.StringType()),
+            T.StructField("subframe_types", T.StringType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def wave(d: int, n: int, c: int, a: int, b: int, scale: int):
+        return [
+            scale * (c if t < 64 else ((d * a + b * t) % 2048) - 1024)
+            for t in range(n)
+        ]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 96 + (d % 5) * 32
+                nch = 1 + d % 2
+                scale = 2 if d % 6 == 5 else 1
+                chans = [wave(d, n, d % 256 - 128, 7, 3, scale)]
+                if nch == 2:
+                    chans.append(
+                        wave(d, n, (3 * d) % 256 - 128, 5, 11, scale)
+                    )
+                mode = (
+                    ["independent", "left_side", "right_side", "mid_side"][
+                        ((d - 1) // 2) % 4
+                    ]
+                    if nch == 2
+                    else "independent"
+                )
+                if d % 7 == 0:
+                    sub = "verbatim"
+                elif d % 11 == 0:
+                    sub = "constant"
+                elif d % 3 == 0:
+                    sub = "lpc"
+                else:
+                    sub = "fixed"
+                blob = _flac.encode_flac(
+                    chans,
+                    stereo_mode=mode,
+                    subframe=sub,
+                    fixed_order=d % 5,
+                    lpc_coeffs=[3, -2],
+                    lpc_shift=1,
+                    part_order=d % 3,
+                    rice_param=5 + d % 4,
+                    escape_rawbits=18 if d % 9 == 4 else None,
+                    tags={"TITLE": f"doc {d}"},
+                )
+                got, meta = _flac.decode_flac(blob)
+                rows.append(
+                    (
+                        d, meta["total_samples"], meta["channels"],
+                        meta["bits"], meta["sample_rate"],
+                        meta["n_frames"], meta["md5_match"],
+                        sum(sum(ch) for ch in got),
+                        meta["tags"].get("title"),
+                        ",".join(meta["stereo_modes"]),
+                        ",".join(meta["subframe_types"]),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname in (
+                "n_samples", "channels", "bits", "sample_rate", "n_frames",
+            ):
+                out[cname] = out[cname].astype("int32")
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["sample_sum"] = out["sample_sum"].astype("int64")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+_IMA_STEPS_SQL = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,"
+    "66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,"
+    "371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,"
+    "1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,"
+    "5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,"
+    "16818,18500,20350,22385,24623,27086,29794,32767]"
+)
+
+
+@register(
+    "multimodal_adpcm_decode",
+    # The oracle REPLAYS the IMA ADPCM state machine in pure SQL: a
+    # recursive CTE walks the 64 nibbles of every 34-byte block, carrying
+    # (predictor, step-index) state and indexing the 89-entry step table
+    # as a list literal — the first stateful-codec oracle in the corpus
+    # (G.711/PCM are memoryless byte maps; this one's output depends on
+    # the entire nibble prefix, so ANY slip anywhere in the walk corrupts
+    # every later sample and the hash).
+    f"""
+    with recursive base as (
+      select doc_id, 8 + doc_id % 5 as na
+      from documents where doc_id % 7 = 3
+    ),
+    s as (
+      select doc_id, i,
+             34 * (1 + (doc_id + 5 * i) % 2) as sz,
+             i * 64 as dts
+      from base, unnest(generate_series(0, 11)) u(i) where i < na
+    ),
+    -- 2-byte BE preamble of block b from the shared closed-form byte
+    -- formula (doc_id*3 + i*7 + j*11) % 256
+    seed as (
+      select doc_id, i, sz, dts, b,
+             ((doc_id * 3 + i * 7 + (b * 34) * 11) % 256) * 256
+               + ((doc_id * 3 + i * 7 + (b * 34 + 1) * 11) % 256) as pre
+      from s, generate_series(0, 1) g(b) where b < sz // 34
+    ),
+    -- state walk: j = -1 holds the seed state (predictor = top 9 bits
+    -- sign-extended, index = low 7 bits clamped to 88); each step
+    -- decodes nibble j+1 (low nibble of each data byte first)
+    walk(doc_id, i, sz, dts, b, j, pred, idx) as (
+      select doc_id, i, sz, dts, b, -1,
+             case when (pre & 65408) >= 32768 then (pre & 65408) - 65536
+                  else pre & 65408 end,
+             least(pre & 127, 88)
+      from seed
+      union all
+      select doc_id, i, sz, dts, b, j + 1,
+             greatest(-32768, least(32767,
+               pred + case when (nib & 8) > 0 then -diff else diff end)),
+             greatest(0, least(88, idx + case when (nib & 7) < 4 then -1
+                                              else ((nib & 7) - 3) * 2 end))
+      from (
+        select doc_id, i, sz, dts, b, j, pred, idx, nib,
+               (step >> 3)
+               + case when (nib & 4) > 0 then step else 0 end
+               + case when (nib & 2) > 0 then step >> 1 else 0 end
+               + case when (nib & 1) > 0 then step >> 2 else 0 end as diff
+        from (
+          select w2.*,
+                 case when (j + 1) % 2 = 0 then byte % 16
+                      else byte // 16 end as nib,
+                 ({_IMA_STEPS_SQL})[idx + 1] as step
+          from (
+            select walk.*,
+                   (doc_id * 3 + i * 7
+                    + (b * 34 + 2 + (j + 1) // 2) * 11) % 256 as byte
+            from walk where j < 63
+          ) w2
+        ) w3
+      ) w4
+    )
+    select doc_id,
+           cast(i as integer) as sample_idx,
+           cast(dts as bigint) as dts,
+           cast((sz // 34) * 64 as integer) as n_pcm,
+           cast(sum(pred) as bigint) as pcm_sum,
+           cast(min(pred) as integer) as pcm_min,
+           cast(max(pred) as integer) as pcm_max
+    from walk where j >= 0
+    group by doc_id, i, sz, dts
+    """,
+)
+def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-audio decode (multimodal.ima4_decode): the corpus's
+    soun traks carry IMA ADPCM 'ima4' sample entries — QuickTime 34-byte
+    blocks, 64 samples each, 4 bits/sample — and the demux -> route ->
+    expand composition runs the real IMA state machine (step-size table
+    + index adaptation, seeded from each block's 2-byte preamble),
+    vectorized ACROSS blocks in numpy. Unlike the G.711/PCM formats
+    (memoryless byte maps), every decoded sample depends on the entire
+    nibble prefix of its block, so the oracle must REPLAY the state
+    machine — it does, as a recursive CTE over nibble positions with the
+    89-entry step table as a SQL list literal. One row per audio sample
+    with decoded count/sum/min/max; a wrong step adaptation, clamp,
+    nibble order, or seed sign-extension diverges the walk and flips the
+    hash. First genuinely compressed audio codec in the engine (4:1);
+    perceptual codecs (MP3 Layer III synthesis) stay honestly gated."""
+    return multimodal.decode_mp4_audio(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 3),
+        audio_codec="ima4",
+    )
+
+
+@register(
+    "multimodal_gif_decode",
+    # Filter modulus 7 is coprime with every variety knob (% 8 width,
+    # % 6 height, % 3 palette size, % 2 interlace), so all branches are
+    # live in the driver-hashed corpus.
+    """
+    with base as (
+      select doc_id,
+             5 + doc_id % 8 as w,
+             4 + doc_id % 6 as h,
+             case cast(doc_id % 3 as integer)
+                  when 0 then 4 when 1 then 16 else 64 end as nc,
+             doc_id % 2 = 1 as interlaced
+      from documents where doc_id % 7 = 2
+    )
+    select doc_id,
+           cast(w as integer) as width,
+           cast(h as integer) as height,
+           cast(nc as integer) as n_colors,
+           interlaced,
+           cast((select sum((doc_id * 7 + y * 5 + x * 3) % nc)
+                 from generate_series(0, 9) gy(y),
+                      generate_series(0, 12) gx(x)
+                 where y < h and x < w)
+               as bigint) as value_sum,
+           true as exact_roundtrip
+    from base
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL dictionary-compression round-trip (operators/gif.py): per
+    doc, synthesize a deterministic palette-index raster, encode it as a
+    GIF89a — variable-width LZW (9..12-bit codes, LSB-first packing,
+    CLEAR/END, the KwKwK corner, width bumps with the encoder/decoder
+    off-by-one), palette size cycling 4/16/64 and Appendix-E interlacing
+    by parity — decode it back, and report dims + the decoded index sum,
+    which the SQL oracle predicts closed-form without running either
+    codec (the PNG pattern: a planted-construction oracle around a real
+    codec). Runs as Arrow-batched mapInPandas: encode and decode happen
+    where the (synthesized) bytes live, only typed features shuffle.
+    First LZW/dictionary codec in the engine; frame COMPOSITION of
+    animated GIFs (disposal/transparency) stays honestly out of scope —
+    frames decode raw with their geometry."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import gif as _gif
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 2)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_colors", T.IntegerType()),
+            T.StructField("interlaced", T.BooleanType()),
+            T.StructField("value_sum", T.LongType()),
+            T.StructField("exact_roundtrip", T.BooleanType()),
+        ]
+    )
+
+    def batches(it):
+        cols = [
+            "doc_id", "width", "height", "n_colors", "interlaced",
+            "value_sum", "exact_roundtrip",
+        ]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 5 + d % 8, 4 + d % 6
+                nc = (4, 16, 64)[d % 3]
+                interlace = d % 2 == 1
+                y, x = np.ogrid[0:h, 0:w]
+                px = (d * 7 + y * 5 + x * 3) % nc
+                enc = _gif.encode_gif(px, interlace=interlace)
+                dec = _gif.decode_gif(enc)
+                f = dec["frames"][0]
+                rows.append(
+                    (
+                        d, w, h, nc, f["interlace"],
+                        int(f["indices"].sum()),
+                        bool(
+                            f["indices"].shape == px.shape
+                            and (f["indices"] == px).all()
+                        ),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname, dt in (
+                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
+                ("n_colors", "int32"), ("interlaced", "bool"),
+                ("value_sum", "int64"), ("exact_roundtrip", "bool"),
+            ):
+                out[cname] = out[cname].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_exif_extract",
+    # Filter modulus 7 is coprime with orientation (%8), make (%5),
+    # model (%11), day (%28), iso (%8), exposure (%200), endianness
+    # (%2) and the r14 GPS knobs (%4 presence, %90/%60/%6000 lat,
+    # %180 lon, %9000 alt, %5 alt presence), so every branch — both
+    # EXIF byte orders, geotagged and untagged files, all four
+    # hemisphere refs — is live in the driver-hashed corpus. The
+    # decimal-degree expressions mirror the reader's float evaluation
+    # order term for term, so the doubles are bit-identical.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d
+      from documents where doc_id % 5 = 0
+    ),
+    g as (
+      select doc_id, d,
+             d % 4 != 3 as has_gps,
+             cast(d % 90 as double) + cast(d % 60 as double)/60
+               + (cast((37*d) % 6000 as double)/100)/3600 as lat_abs,
+             cast(d % 180 as double) + cast((3*d) % 60 as double)/60
+               + (cast((53*d) % 6000 as double)/100)/3600 as lon_abs
+      from base
+    )
+    select doc_id,
+           cast(1 + d % 8 as integer) as orientation,
+           'cam-' || (d % 5) as make,
+           'model-' || (d % 11) as model,
+           '2020:01:' || lpad(cast(1 + d % 28 as varchar), 2, '0')
+             || ' 12:00:00' as datetime,
+           cast(100 + (d % 8) * 50 as integer) as iso,
+           cast(1 as integer) as exposure_num,
+           cast(60 + d % 200 as integer) as exposure_den,
+           cast(8 as integer) as pixel_x,
+           cast(8 as integer) as pixel_y,
+           d % 2 = 1 as big_endian,
+           case when has_gps then
+             case when d % 2 = 1 then -lat_abs else lat_abs end
+           end as gps_lat,
+           case when has_gps then
+             case when d % 3 = 0 then -lon_abs else lon_abs end
+           end as gps_lon,
+           case when has_gps and d % 5 < 3
+                then cast(d % 9000 as double)/10 end as gps_alt,
+           true as still_decodes
+    from g
+    """,
+)
+def multimodal_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction from camera-shaped JPEGs (operators/exif.py): per
+    doc, encode a real baseline JPEG, splice in an APP1/Exif segment —
+    a TIFF IFD chain (IFD0 + Exif sub-IFD pointer) in BOTH byte orders
+    by parity, ASCII/SHORT/LONG/RATIONAL tag types, built and parsed by
+    the same IFD machinery as the TIFF codec — and read back the
+    curation-filter fields: orientation, make/model, capture time, ISO,
+    exposure rational, pixel dims. ``still_decodes`` proves the APP1
+    splice did not break the pixel decoder (markers skip by length).
+    The oracle restates every field closed-form from doc_id."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import exif as _exif
+    from pyiceberg_lakehouse_spark.operators import jpeg as _jpeg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("orientation", T.IntegerType()),
+            T.StructField("make", T.StringType()),
+            T.StructField("model", T.StringType()),
+            T.StructField("datetime", T.StringType()),
+            T.StructField("iso", T.IntegerType()),
+            T.StructField("exposure_num", T.IntegerType()),
+            T.StructField("exposure_den", T.IntegerType()),
+            T.StructField("pixel_x", T.IntegerType()),
+            T.StructField("pixel_y", T.IntegerType()),
+            T.StructField("big_endian", T.BooleanType()),
+            T.StructField("gps_lat", T.DoubleType()),
+            T.StructField("gps_lon", T.DoubleType()),
+            T.StructField("gps_alt", T.DoubleType()),
+            T.StructField("still_decodes", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px = ((d + np.arange(64).reshape(8, 8) * 3) % 256).astype(
+                    np.uint8
+                )
+                gps = None
+                if d % 4 != 3:
+                    gps = {
+                        "lat": (
+                            d % 90, d % 60, (37 * d) % 6000,
+                            "N" if d % 2 == 0 else "S",
+                        ),
+                        "lon": (
+                            d % 180, (3 * d) % 60, (53 * d) % 6000,
+                            "W" if d % 3 == 0 else "E",
+                        ),
+                        "alt": (d % 9000, 10) if d % 5 < 3 else None,
+                    }
+                tagged = _exif.insert_app1(
+                    _jpeg.encode_jpeg(px),
+                    _exif.build_exif_app1(
+                        orientation=1 + d % 8,
+                        make=f"cam-{d % 5}",
+                        model=f"model-{d % 11}",
+                        datetime=f"2020:01:{1 + d % 28:02d} 12:00:00",
+                        iso=100 + (d % 8) * 50,
+                        exposure=(1, 60 + d % 200),
+                        pixel_xy=(8, 8),
+                        big_endian=d % 2 == 1,
+                        gps=gps,
+                    ),
+                )
+                m = _exif.parse_exif(tagged)
+                decoded = _jpeg.decode_jpeg(tagged)
+                rows.append(
+                    (
+                        d, m["orientation"], m["make"], m["model"],
+                        m["datetime"], m["iso"],
+                        m["exposure"][0], m["exposure"][1],
+                        m["pixel_x"], m["pixel_y"], m["big_endian"],
+                        m.get("gps_lat"), m.get("gps_lon"),
+                        m.get("gps_alt"),
+                        bool(decoded.shape == (8, 8)),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname in (
+                "orientation", "iso", "exposure_num", "exposure_den",
+                "pixel_x", "pixel_y",
+            ):
+                out[cname] = out[cname].astype("int32")
+            out["doc_id"] = out["doc_id"].astype("int64")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_tiff_decode",
+    # Filter modulus 5 is coprime with the endianness (%4), channel
+    # (%2), compression (%3) and strip (%3) knobs, so both byte orders,
+    # gray+RGB, none+PackBits, and multi-strip layouts are all live in
+    # the driver-hashed corpus.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             6 + doc_id % 9 as w, 5 + doc_id % 7 as h,
+             1 + 2 * (doc_id % 2) as ch,
+             doc_id % 4 >= 2 as big_endian,
+             case when doc_id % 3 = 0 then 1 else 32773 end as compression,
+             2 + doc_id % 3 as rps
+      from documents where doc_id % 5 = 3
+    )
+    select doc_id,
+           cast(w as integer) as width,
+           cast(h as integer) as height,
+           cast(ch as integer) as channels,
+           big_endian,
+           cast(compression as integer) as compression,
+           cast((h + rps - 1) // rps as integer) as n_strips,
+           cast((select sum((d + 3*x + 5*y + 7*c) % 256)
+                 from generate_series(0, 14) gx(x),
+                      generate_series(0, 11) gy(y),
+                      generate_series(0, 2) gc(c)
+                 where x < w and y < h and c < ch)
+               as bigint) as value_sum,
+           true as exact_roundtrip
+    from base
+    """,
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF codec roundtrip (operators/tiff.py): per doc,
+    synthesize a deterministic raster, encode it as TIFF — byte order
+    cycling II/MM (a parser that assumes one misreads every tag of the
+    other), gray/RGB, Compression 1/PackBits, multi-strip layout with a
+    ragged final strip — decode it back through the IFD tag walk with
+    inline-vs-offset value resolution, and report dims + the decoded
+    value sum, which the oracle predicts closed-form. The
+    scanned-document ingest path of an OCR corpus; LZW/tiles/planar-2
+    stay honestly gated (tests pin the refusals)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import tiff as _tiff
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 3)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("big_endian", T.BooleanType()),
+            T.StructField("compression", T.IntegerType()),
+            T.StructField("n_strips", T.IntegerType()),
+            T.StructField("value_sum", T.LongType()),
+            T.StructField("exact_roundtrip", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 6 + d % 9, 5 + d % 7
+                ch = 1 + 2 * (d % 2)
+                c = np.arange(ch)
+                y, x = np.ogrid[0:h, 0:w]
+                px = (
+                    (d + 3 * x[:, :, None] + 5 * y[:, :, None] + 7 * c)
+                    % 256
+                ).astype(np.uint8)
+                enc = _tiff.encode_tiff(
+                    px,
+                    big_endian=d % 4 >= 2,
+                    compression=1 if d % 3 == 0 else 32773,
+                    rows_per_strip=2 + d % 3,
+                )
+                got, meta = _tiff.decode_tiff(enc)
+                rows.append(
+                    (
+                        d, meta["width"], meta["height"], meta["channels"],
+                        meta["big_endian"], meta["compression"],
+                        meta["n_strips"],
+                        int(got.astype(np.int64).sum()),
+                        bool(got.shape == px.shape and (got == px).all()),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname, dt in (
+                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
+                ("channels", "int32"), ("compression", "int32"),
+                ("n_strips", "int32"), ("value_sum", "int64"),
+            ):
+                out[cname] = out[cname].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_tiff_lzw",
+    # Filter modulus 11 (the %7/%9 residues are fully claimed by the
+    # r13 media/crawl rows) is coprime with every variety knob (%9
+    # width, %7 height, %2 channels, %4 endianness, %3 predictor, %5
+    # strip size), so both byte orders, gray+RGB, predictor on/off and
+    # ragged multi-strip layouts are all live in the driver-hashed
+    # corpus.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             6 + doc_id % 9 as w, 5 + doc_id % 7 as h,
+             1 + 2 * (doc_id % 2) as ch,
+             doc_id % 4 >= 2 as big_endian,
+             case when doc_id % 3 = 0 then 1 else 2 end as predictor,
+             2 + doc_id % 5 as rps
+      from documents where doc_id % 11 = 4
+    )
+    select doc_id,
+           cast(w as integer) as width,
+           cast(h as integer) as height,
+           cast(ch as integer) as channels,
+           big_endian,
+           cast(predictor as integer) as predictor,
+           cast((h + rps - 1) // rps as integer) as n_strips,
+           cast((select sum((d + 3*x + 5*y + 7*c) % 256)
+                 from generate_series(0, 14) gx(x),
+                      generate_series(0, 11) gy(y),
+                      generate_series(0, 2) gc(c)
+                 where x < w and y < h and c < ch)
+               as bigint) as value_sum,
+           true as exact_roundtrip
+    from base
+    """,
+)
+def multimodal_tiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW-TIFF codec roundtrip (operators/tiff.py, VERDICT r13
+    task #2 — scanned-document corpora are LZW-heavy): per doc,
+    synthesize a deterministic raster, encode it as a Compression-5
+    TIFF — MSB-first 9..12-bit codes with the Aldus early-change width
+    bump (pinned bit-for-bit in tests/test_tiff.py), Predictor 2
+    horizontal differencing cycling on/off, byte order cycling II/MM,
+    ragged multi-strip layout — decode it back and report dims + the
+    decoded value sum, which the oracle predicts closed-form without
+    running either codec. Runs as Arrow-batched mapInPandas: the codec
+    work happens where the bytes live, only typed features shuffle.
+    CCITT/JPEG-in-TIFF/tiles stay honestly gated (tests pin the
+    refusals)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import tiff as _tiff
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 4)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("big_endian", T.BooleanType()),
+            T.StructField("predictor", T.IntegerType()),
+            T.StructField("n_strips", T.IntegerType()),
+            T.StructField("value_sum", T.LongType()),
+            T.StructField("exact_roundtrip", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 6 + d % 9, 5 + d % 7
+                ch = 1 + 2 * (d % 2)
+                c = np.arange(ch)
+                y, x = np.ogrid[0:h, 0:w]
+                px = (
+                    (d + 3 * x[:, :, None] + 5 * y[:, :, None] + 7 * c)
+                    % 256
+                ).astype(np.uint8)
+                enc = _tiff.encode_tiff(
+                    px,
+                    big_endian=d % 4 >= 2,
+                    compression=5,
+                    rows_per_strip=2 + d % 5,
+                    predictor=1 if d % 3 == 0 else 2,
+                )
+                got, meta = _tiff.decode_tiff(enc)
+                rows.append(
+                    (
+                        d, meta["width"], meta["height"], meta["channels"],
+                        meta["big_endian"], meta["predictor"],
+                        meta["n_strips"],
+                        int(got.astype(np.int64).sum()),
+                        bool(got.shape == px.shape and (got == px).all()),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname, dt in (
+                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
+                ("channels", "int32"), ("predictor", "int32"),
+                ("n_strips", "int32"), ("value_sum", "int64"),
+            ):
+                out[cname] = out[cname].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_tiff_tiled",
+    # The tiled layout (§15, tags 322..325 — GeoTIFF / scanned-atlas
+    # corpora): the oracle predicts the decoded value sum AND the tile
+    # grid count closed-form. Knobs: tile geometry 16x16/32x16/16x32
+    # (%3), all four compressions (%4), predictor on/off (%5),
+    # byte order (%7), gray/RGB (%2) — every edge tile is partial in
+    # at least one axis, so padding-clip is always live. Filter
+    # modulus 13 residue 7.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             17 + doc_id % 23 as w, 14 + doc_id % 19 as h,
+             1 + 2 * (doc_id % 2) as ch,
+             case cast(doc_id % 3 as integer)
+                  when 1 then 32 else 16 end as tw,
+             case cast(doc_id % 3 as integer)
+                  when 2 then 32 else 16 end as tl,
+             case cast(doc_id % 4 as integer)
+                  when 0 then 1 when 1 then 5 when 2 then 8
+                  else 32773 end as compression,
+             case when doc_id % 5 < 3 then 2 else 1 end as predictor,
+             doc_id % 7 < 4 as big_endian
+      from documents where doc_id % 13 = 7
+    )
+    select doc_id,
+           cast(w as integer) as width,
+           cast(h as integer) as height,
+           cast(ch as integer) as channels,
+           big_endian,
+           cast(compression as integer) as compression,
+           cast(predictor as integer) as predictor,
+           cast(((w + tw - 1) // tw) * ((h + tl - 1) // tl)
+                as integer) as n_tiles,
+           cast((select sum((d + 3*x + 5*y + 7*c) % 256)
+                 from generate_series(0, 39) gx(x),
+                      generate_series(0, 32) gy(y),
+                      generate_series(0, 2) gc(c)
+                 where x < w and y < h and c < ch)
+               as bigint) as value_sum,
+           true as exact_roundtrip
+    from base
+    """,
+)
+def multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL tiled-TIFF codec roundtrip (operators/tiff.py §15 — the
+    GeoTIFF/scanned-atlas layout a 100 TB map/document crawl hits):
+    per doc, synthesize a deterministic raster, encode it TILED —
+    16-multiple tile grids cycling three geometries, edge tiles
+    zero-padded, Predictor 2 restarting per tile row, all four
+    compressions, both byte orders — decode it back (padding clipped,
+    grid validated) and report dims + the decoded value sum, which
+    the oracle predicts closed-form along with the tile-grid count.
+    Arrow-batched mapInPandas: codec work happens where the bytes
+    live, only typed features shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import tiff as _tiff
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 7)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("big_endian", T.BooleanType()),
+            T.StructField("compression", T.IntegerType()),
+            T.StructField("predictor", T.IntegerType()),
+            T.StructField("n_tiles", T.IntegerType()),
+            T.StructField("value_sum", T.LongType()),
+            T.StructField("exact_roundtrip", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 17 + d % 23, 14 + d % 19
+                ch = 1 + 2 * (d % 2)
+                c = np.arange(ch)
+                y, x = np.ogrid[0:h, 0:w]
+                px = (
+                    (d + 3 * x[:, :, None] + 5 * y[:, :, None] + 7 * c)
+                    % 256
+                ).astype(np.uint8)
+                tw = 32 if d % 3 == 1 else 16
+                tl = 32 if d % 3 == 2 else 16
+                enc = _tiff.encode_tiff(
+                    px,
+                    big_endian=d % 7 < 4,
+                    compression=[1, 5, 8, 32773, 4][d % 5],
+                    predictor=2 if d % 5 < 3 else 1,
+                    tile=(tw, tl),
+                )
+                got, meta = _tiff.decode_tiff(enc)
+                rows.append(
+                    (
+                        d, meta["width"], meta["height"], meta["channels"],
+                        meta["big_endian"], meta["compression"],
+                        meta["predictor"], meta["n_tiles"],
+                        int(got.astype(np.int64).sum()),
+                        bool(got.shape == px.shape and (got == px).all()),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname, dt in (
+                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
+                ("channels", "int32"), ("compression", "int32"),
+                ("predictor", "int32"), ("n_tiles", "int32"),
+                ("value_sum", "int64"),
+            ):
+                out[cname] = out[cname].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_scene_cuts",
+    # Shot-boundary detection — the video-curation segmentation step:
+    # per doc an RVID clip with PLANTED cuts (uniform frames drifting
+    # +1/pixel within a shot, a +50 base jump at each boundary), the
+    # detector thresholds integer frame-diff energy, and the oracle
+    # states every detected boundary's global frame index and EXACT
+    # diff energy (51 per channel-pixel at a cut: the 50 jump plus
+    # the 1 drift) closed-form from the shot-length arithmetic.
+    # Filter modulus 17 residue 13.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             2 + doc_id % 3 as ns, 8 + doc_id % 5 as w, 6 + doc_id % 4 as h
+      from documents where doc_id % 17 = 13
+    ),
+    cuts as (
+      select doc_id, s,
+        (select sum(4 + (d + j) % 3) from generate_series(0, 3) g(j)
+         where j < s) as frame_idx
+      from base, generate_series(1, 3) gs(s) where s < ns
+    )
+    select b.doc_id,
+      cast(c.s - 1 as integer) as cut_idx,
+      cast(c.frame_idx as integer) as frame_idx,
+      cast(51 * b.w * b.h * 3 as bigint) as diff_energy,
+      cast((select sum(4 + (b.d + j) % 3) from generate_series(0, 3) g(j)
+            where j < b.ns) as integer) as n_frames
+    from base b join cuts c using (doc_id)
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over decoded video frames — the
+    segmentation step before per-shot sampling in a video-curation
+    pipeline: per doc, build an RVID clip of 2..4 uniform-color shots
+    (each frame drifts +1 per pixel; shot boundaries jump +50), decode
+    every frame, compute integer frame-difference energy and emit one
+    row per DETECTED boundary (energy > 10x the per-frame pixel
+    count — detection is load-bearing, not the construction). The
+    oracle restates boundary positions from the shot-length arithmetic
+    and the exact 51-per-channel-pixel cut energy. Arrow-batched
+    mapInPandas, map-only."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 13)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("cut_idx", T.IntegerType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("diff_energy", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ns = 2 + d % 3
+                w, h = 8 + d % 5, 6 + d % 4
+                lengths = [4 + (d + s) % 3 for s in range(ns)]
+                n = sum(lengths)
+                frames = bytearray()
+                f_global = 0
+                for s, ln in enumerate(lengths):
+                    for _ in range(ln):
+                        v = (10 + 50 * s + f_global) % 256
+                        frames += bytes([v]) * (w * h * 3)
+                        f_global += 1
+                import struct as _st
+
+                clip = _st.pack(
+                    "<4sHHHH", b"RVID", w, h, n, 8
+                ) + bytes(frames)
+                # decode every frame and detect boundaries
+                prev = None
+                thresh = 10 * w * h * 3
+                cuts = []
+                for f in range(n):
+                    fr = multimodal._rawvid_frame(clip, f).astype(
+                        np.int64
+                    )
+                    if prev is not None:
+                        energy = int(np.abs(fr - prev).sum())
+                        if energy > thresh:
+                            cuts.append((f, energy))
+                    prev = fr
+                for k, (f, energy) in enumerate(cuts):
+                    rows.append((d, k, f, energy, n))
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["diff_energy"] = out["diff_energy"].astype("int64")
+            for cname in ("cut_idx", "frame_idx", "n_frames"):
+                out[cname] = out[cname].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_image_quality",
+    # Image curation features over DECODED pixels — through the
+    # engine's own PNG codec: EXACT integer brightness (value sum)
+    # and contrast inputs (sum of squares), min/max, and the
+    # near-black and near-white fractions' counts (the blank-scan /
+    # blown-out filters). The oracle restates every integer
+    # closed-form from the raster formula. Filter modulus 17
+    # residue 11.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             12 + doc_id % 9 as w, 9 + doc_id % 7 as h
+      from documents where doc_id % 17 = 11
+    ),
+    px as (
+      select doc_id,
+             sum((d + 11*x + 5*y) % 256) as s,
+             sum(((d + 11*x + 5*y) % 256) * ((d + 11*x + 5*y) % 256))
+               as sq,
+             min((d + 11*x + 5*y) % 256) as mn,
+             max((d + 11*x + 5*y) % 256) as mx,
+             sum(case when (d + 11*x + 5*y) % 256 < 16
+                      then 1 else 0 end) as dark,
+             sum(case when (d + 11*x + 5*y) % 256 >= 240
+                      then 1 else 0 end) as bright
+      from base, generate_series(0, 20) gx(x), generate_series(0, 15) gy(y)
+      where x < w and y < h
+      group by doc_id
+    )
+    select b.doc_id,
+      cast(b.w as integer) as width,
+      cast(b.h as integer) as height,
+      cast(p.s as bigint) as value_sum,
+      cast(p.sq as bigint) as value_sum_sq,
+      cast(p.mn as integer) as v_min,
+      cast(p.mx as integer) as v_max,
+      cast(p.dark as integer) as n_dark,
+      cast(p.bright as integer) as n_bright
+    from base b join px p using (doc_id)
+    """,
+)
+def multimodal_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image curation features (the blank-scan / blown-out / contrast
+    filters) computed on pixels decoded by the engine's own PNG
+    codec: per doc, synthesize a raster, roundtrip it through
+    encode_png/decode_png, and measure EXACT integer brightness and
+    contrast inputs (sum and sum of squares), min/max, and near-black
+    (<16) / near-white (>=240) pixel counts. The oracle restates
+    every integer closed-form — the audio_quality sibling for the
+    image pipeline. Arrow-batched mapInPandas, map-only."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 11)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("value_sum", T.LongType()),
+            T.StructField("value_sum_sq", T.LongType()),
+            T.StructField("v_min", T.IntegerType()),
+            T.StructField("v_max", T.IntegerType()),
+            T.StructField("n_dark", T.IntegerType()),
+            T.StructField("n_bright", T.IntegerType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 12 + d % 9, 9 + d % 7
+                y, x = np.ogrid[0:h, 0:w]
+                px = ((d + 11 * x + 5 * y) % 256).astype(np.uint8)
+                got = multimodal.decode_png(multimodal.encode_png(px))
+                a = got.astype(np.int64)
+                rows.append(
+                    (
+                        d, w, h, int(a.sum()), int((a * a).sum()),
+                        int(a.min()), int(a.max()),
+                        int((a < 16).sum()), int((a >= 240).sum()),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            for cname in ("value_sum", "value_sum_sq"):
+                out[cname] = out[cname].astype("int64")
+            for cname in (
+                "width", "height", "v_min", "v_max", "n_dark", "n_bright",
+            ):
+                out[cname] = out[cname].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_audio_quality",
+    # Speech-corpus curation features over DECODED audio — through the
+    # engine's own FLAC codec, so the whole decode->measure chain is
+    # under the hash: sample count, energy (sum of squares — bigint,
+    # EXACT), peak magnitude, near-silence fraction inputs (|s|<256
+    # count — the head section is planted quiet), and clipping counts
+    # (a planted alternating ±32767 tail on every third doc). The
+    # oracle restates every integer closed-form from the waveform
+    # formula. Filter modulus 17 residue 9.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             128 + (doc_id % 3) * 64 as n,
+             (cast(doc_id as bigint) % 200) - 100 as c,
+             doc_id % 3 = 0 as clipped
+      from documents where doc_id % 17 = 9
+    ),
+    ramp as (
+      select doc_id,
+             sum(((d*7 + 3*t) % 2048 - 1024)
+                 * ((d*7 + 3*t) % 2048 - 1024)) as sq,
+             max(abs((d*7 + 3*t) % 2048 - 1024)) as pk,
+             sum(case when abs((d*7 + 3*t) % 2048 - 1024) < 256
+                      then 1 else 0 end) as quiet
+      from base, unnest(generate_series(64, 255)) g(t)
+      where t < n - case when clipped then 16 else 0 end
+      group by doc_id
+    )
+    select b.doc_id,
+      cast(b.n as integer) as n_samples,
+      cast(64 * b.c * b.c + r.sq
+           + case when b.clipped
+                  then cast(16 as bigint) * 32767 * 32767
+                  else 0 end as bigint) as sum_sq,
+      cast(greatest(abs(b.c), r.pk,
+           case when b.clipped then 32767 else 0 end) as integer) as peak,
+      cast(case when abs(b.c) < 256 then 64 else 0 end + r.quiet
+           as integer) as n_quiet,
+      cast(case when b.clipped then 16 else 0 end as integer) as n_clipped,
+      true as md5_match
+    from base b join ramp r using (doc_id)
+    """,
+)
+def multimodal_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio curation features (the speech-dataset quality filters)
+    computed over samples decoded by the engine's own FLAC codec: per
+    doc, synthesize a waveform with a planted quiet head, a modular
+    ramp body, and — on every third doc — an alternating full-scale
+    ±32767 clipped tail; encode to FLAC, decode back (MD5-verified),
+    and measure sample count, EXACT integer energy (sum of squares),
+    peak magnitude, near-silence sample count (|s| < 256) and
+    clipping count (|s| = 32767). The oracle restates every integer
+    closed-form from the waveform formula — any slip anywhere in the
+    encode/decode/measure chain flips the hash. Arrow-batched
+    mapInPandas, map-only."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import flac as _flac
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 9)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sum_sq", T.LongType()),
+            T.StructField("peak", T.IntegerType()),
+            T.StructField("n_quiet", T.IntegerType()),
+            T.StructField("n_clipped", T.IntegerType()),
+            T.StructField("md5_match", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 128 + (d % 3) * 64
+                c = (d % 200) - 100
+                clipped = d % 3 == 0
+                body_end = n - 16 if clipped else n
+                sig = [
+                    c if t < 64 else ((d * 7 + 3 * t) % 2048) - 1024
+                    for t in range(body_end)
+                ]
+                if clipped:
+                    sig += [
+                        32767 if t % 2 == 0 else -32767
+                        for t in range(16)
+                    ]
+                blob = _flac.encode_flac([sig], rice_param=7)
+                got, meta = _flac.decode_flac(blob)
+                (samples,) = got
+                rows.append(
+                    (
+                        d, meta["total_samples"],
+                        sum(s * s for s in samples),
+                        max(abs(s) for s in samples),
+                        sum(1 for s in samples if abs(s) < 256),
+                        sum(1 for s in samples if abs(s) == 32767),
+                        meta["md5_match"],
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["sum_sq"] = out["sum_sq"].astype("int64")
+            for cname in ("n_samples", "peak", "n_quiet", "n_clipped"):
+                out[cname] = out[cname].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "dedup_image_dhash",
+    # Perceptual image dedup: dHash over 9x8 nearest-neighbor samples,
+    # pure integer arithmetic so the 64-bit hash is EXACTLY
+    # verifiable. Docs pair up (d%5 in {0,1} share a base raster; the
+    # twin perturbs only NON-sampled pixels — the re-encode/retouch
+    # class dHash exists to catch) and must collide; the raster
+    # roundtrips through the engine's own PNG codec first, so the
+    # hash is computed on decoded-image bytes like a real pipeline.
+    # Filter modulus 17 residue 7.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             case when doc_id % 5 < 2
+                  then cast(doc_id as bigint) - (doc_id % 5)
+                  else cast(doc_id as bigint) end as b
+      from documents where doc_id % 17 = 7
+    ),
+    dims as (select *, 16 + b % 13 as w, 12 + b % 11 as h from base),
+    bytes_ as (
+      select doc_id, y,
+        sum(case when
+          (b + 7*(((x+1)*w)//9)*(((x+1)*w)//9) + 3*((y*h)//8)
+             + ((((x+1)*w)//9)*((y*h)//8)) % 5) % 256
+          >
+          (b + 7*((x*w)//9)*((x*w)//9) + 3*((y*h)//8)
+             + (((x*w)//9)*((y*h)//8)) % 5) % 256
+          then cast(128 >> x as bigint) else 0 end) as byte
+      from dims, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)
+      group by doc_id, y
+    ),
+    hexes as (
+      select doc_id,
+             string_agg(lpad(lower(to_hex(byte)), 2, '0'), ''
+                        order by y) as dhash_hex
+      from bytes_ group by doc_id
+    )
+    select m.doc_id,
+           cast(m.w as integer) as width,
+           cast(m.h as integer) as height,
+           h2.dhash_hex,
+           m.b as pair_base,
+           m.d % 5 = 1 as is_twin
+    from dims m join hexes h2 using (doc_id)
+    """,
+)
+def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup via dHash (multimodal.image_dhash) — the
+    resampling-invariant bucket key LAION-class image pipelines dedup
+    on: per doc, synthesize a raster (docs pair up on a shared base;
+    the twin perturbs only pixels OUTSIDE the 9x8 sample grid — the
+    re-encode/retouch perturbation class the hash exists to survive),
+    roundtrip it through the engine's own PNG codec, and compute the
+    64-bit difference hash in pure integer arithmetic. The oracle
+    recomputes every hash byte closed-form, so twins colliding is
+    verified exactly, not probabilistically. At scale the hash IS the
+    groupBy key — no pairwise comparisons ever. Arrow-batched
+    mapInPandas, map-only."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 7)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("dhash_hex", T.StringType()),
+            T.StructField("pair_base", T.LongType()),
+            T.StructField("is_twin", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                b = d - (d % 5) if d % 5 < 2 else d
+                w, h = 16 + b % 13, 12 + b % 11
+                y, x = np.ogrid[0:h, 0:w]
+                px = (
+                    (b + 7 * x * x + 3 * y + (x * y) % 5) % 256
+                ).astype(np.uint8)
+                if d % 5 == 1:  # twin: perturb NON-sampled pixels only
+                    xi = set(((np.arange(9) * w) // 9).tolist())
+                    yi = set(((np.arange(8) * h) // 8).tolist())
+                    mask = np.ones((h, w), dtype=bool)
+                    mask[np.ix_(sorted(yi), sorted(xi))] = False
+                    px = px.copy()
+                    px[mask] = (px[mask].astype(np.int64) + 1) % 256
+                decoded = multimodal.decode_png(multimodal.encode_png(px))
+                hv = multimodal.image_dhash(decoded)
+                rows.append(
+                    (d, w, h, f"{hv:016x}", b, d % 5 == 1)
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["pair_base"] = out["pair_base"].astype("int64")
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_mp4_itunes",
+    # The M4A/M4B audiobook tag layer: moov/udta/meta/ilst with UTF-8
+    # text atoms, the implicit-binary trkn pair (absent every fourth
+    # doc — NULL columns), PNG cover art DECODED through the engine's
+    # own codec (its pixel sum closed-form in the oracle), and the
+    # meta box cycling FullBox vs the Android plain-box form — the
+    # classic 4-byte parsing gotcha made load-bearing. Filter modulus
+    # 13 residue 0.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             4 + doc_id % 5 as w, 3 + doc_id % 4 as h,
+             doc_id % 3 != 1 as has_cover,
+             doc_id % 4 != 2 as has_track
+      from documents where doc_id % 13 = 0
+    )
+    select doc_id,
+      'T ' || d as title,
+      'Art ' || (d % 7) as artist,
+      'Alb ' || (d % 5) as album,
+      cast(1970 + d % 50 as varchar) as year,
+      'G' || (d % 9) as genre,
+      case when has_track then cast(1 + d % 20 as integer) end as track,
+      case when has_track
+           then cast(10 + d % 5 as integer) end as track_total,
+      has_cover,
+      case when has_cover then 'png' end as cover_fmt,
+      case when has_cover then
+        cast((select sum((d + 3*x + 5*y) % 256)
+              from generate_series(0, 8) gx(x), generate_series(0, 6) gy(y)
+              where x < w and y < h) as bigint)
+      end as cover_sum,
+      d % 2 = 0 as plain_meta
+    from base
+    """,
+)
+def multimodal_mp4_itunes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iTunes metadata extraction (multimodal.parse_mp4_itunes) — the
+    M4A/M4B audiobook/podcast tag layer: per doc, write an MP4 whose
+    moov/udta/meta/ilst carries UTF-8 text atoms, an implicit-binary
+    trkn pair, and PNG cover art produced by the engine's own PNG
+    codec; the meta box cycles the spec FullBox form and the
+    Android-writer PLAIN form (no version/flags — the well-known
+    4-byte gotcha, detected by whether the first child parses as
+    hdlr). Parse back, decode the cover through decode_png, and
+    report every field; the oracle states texts, the trkn pair and
+    the cover's pixel sum closed-form. Arrow-batched mapInPandas,
+    map-only."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("artist", T.StringType()),
+            T.StructField("album", T.StringType()),
+            T.StructField("year", T.StringType()),
+            T.StructField("genre", T.StringType()),
+            T.StructField("track", T.IntegerType()),
+            T.StructField("track_total", T.IntegerType()),
+            T.StructField("has_cover", T.BooleanType()),
+            T.StructField("cover_fmt", T.StringType()),
+            T.StructField("cover_sum", T.LongType()),
+            T.StructField("plain_meta", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                cover = None
+                if d % 3 != 1:
+                    w, h = 4 + d % 5, 3 + d % 4
+                    y, x = np.ogrid[0:h, 0:w]
+                    px = ((d + 3 * x + 5 * y) % 256).astype(np.uint8)
+                    cover = multimodal.encode_png(px)
+                blob = multimodal.make_mp4_itunes(
+                    {
+                        "title": f"T {d}",
+                        "artist": f"Art {d % 7}",
+                        "album": f"Alb {d % 5}",
+                        "year": str(1970 + d % 50),
+                        "genre": f"G{d % 9}",
+                    },
+                    track=(1 + d % 20, 10 + d % 5)
+                    if d % 4 != 2
+                    else None,
+                    cover=cover,
+                    cover_fmt="png",
+                    plain_meta=d % 2 == 0,
+                )
+                r = multimodal.parse_mp4_itunes(blob)
+                csum = None
+                if "cover" in r:
+                    decoded = multimodal.decode_png(r["cover"])
+                    csum = int(
+                        np.asarray(decoded, dtype=np.int64).sum()
+                    )
+                rows.append(
+                    (
+                        d, r["title"], r["artist"], r["album"],
+                        r["year"], r["genre"], r.get("track"),
+                        r.get("track_total"), "cover" in r,
+                        r.get("cover_fmt"), csum, d % 2 == 0,
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_mkv_probe",
+    # The Matroska/WebM (EBML) container probe — modern web video:
+    # per doc a deterministic file cycles doc types, VP8/VP9/AV1 video
+    # codec ids, Opus/Vorbis audio (absent every fourth doc — NULL
+    # audio columns), explicit vs spec-default ('eng') language, the
+    # streamed unknown-Segment-size form, cluster counts and a
+    # 16-byte SegmentUUID the oracle rebuilds hex-digit by hex-digit.
+    # duration_s is exact: ticks*scale/1e9 is integer-valued and every
+    # float step is exact, so the oracle states the integer double.
+    # Filter modulus 13 residue 9.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             doc_id % 4 != 1 as has_audio
+      from documents where doc_id % 13 = 9
+    ),
+    uuid as (
+      select doc_id,
+             lower(string_agg(lpad(to_hex((d*7 + i) % 256), 2, '0'),
+                              '' order by i)) as uuid_hex
+      from base, unnest(generate_series(0, 15)) g(i)
+      group by doc_id
+    )
+    select b.doc_id,
+      case when b.d % 2 = 0 then 'webm' else 'matroska' end as doc_type,
+      cast(1 + b.d % 60 as double) as duration_s,
+      cast(1000000 as bigint) as timestamp_scale,
+      cast(case when b.has_audio then 2 else 1 end as integer) as n_tracks,
+      case cast(b.d % 3 as integer) when 0 then 'V_VP8'
+           when 1 then 'V_VP9' else 'V_AV01' end as video_codec,
+      cast(16 * (2 + b.d % 40) as integer) as width,
+      cast(16 * (1 + b.d % 30) as integer) as height,
+      'eng' as video_language,
+      case when b.has_audio then
+        case when b.d % 2 = 0 then 'A_OPUS' else 'A_VORBIS' end
+      end as audio_codec,
+      case when b.has_audio then
+        case cast(b.d % 3 as integer) when 0 then 'eng'
+             when 1 then 'fre' else 'deu' end
+      end as audio_language,
+      case when b.has_audio
+           then cast(1 + b.d % 2 as integer) end as channels,
+      case when b.has_audio then
+        case when b.d % 2 = 0 then cast(48000 as double)
+             else cast(44100 as double) end
+      end as sampling_hz,
+      cast(b.d % 5 as integer) as n_clusters,
+      b.d % 6 = 2 as streamed,
+      u.uuid_hex
+    from base b join uuid u using (doc_id)
+    """,
+)
+def multimodal_mkv_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska/WebM container probe (operators/ebml.py) — modern web
+    video's container, the curation-filter fields a video crawl needs
+    before any codec runs: per doc, write a deterministic EBML file
+    (real VINTs for ids and sizes, the streamed all-ones
+    unknown-Segment-size form cycling, an unknown element planted in
+    every TrackEntry so the forward-compatibility skip is
+    load-bearing) and probe it back — doc type, duration through the
+    TimestampScale arithmetic, video dims + codec id, audio
+    rate/channels, explicit vs spec-default language, cluster count,
+    SegmentUUID. The oracle restates every field closed-form. Codec
+    payloads (VP8/VP9/AV1/Opus frames) honestly out of scope — the
+    demux-probe layer, same split as MP4/Ogg. Arrow-batched
+    mapInPandas, map-only."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import ebml as _ebml
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 9)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("doc_type", T.StringType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("timestamp_scale", T.LongType()),
+            T.StructField("n_tracks", T.IntegerType()),
+            T.StructField("video_codec", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("video_language", T.StringType()),
+            T.StructField("audio_codec", T.StringType()),
+            T.StructField("audio_language", T.StringType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("sampling_hz", T.DoubleType()),
+            T.StructField("n_clusters", T.IntegerType()),
+            T.StructField("streamed", T.BooleanType()),
+            T.StructField("uuid_hex", T.StringType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                has_audio = d % 4 != 1
+                tracks = [
+                    {
+                        "number": 1, "type": "video",
+                        "codec_id": ["V_VP8", "V_VP9", "V_AV01"][d % 3],
+                        "width": 16 * (2 + d % 40),
+                        "height": 16 * (1 + d % 30),
+                    }
+                ]
+                if has_audio:
+                    tracks.append(
+                        {
+                            "number": 2, "type": "audio",
+                            "codec_id": "A_OPUS" if d % 2 == 0
+                            else "A_VORBIS",
+                            "language": ["eng", "fre", "deu"][d % 3],
+                            "sampling_frequency": 48000.0
+                            if d % 2 == 0 else 44100.0,
+                            "channels": 1 + d % 2,
+                            "bit_depth": 16,
+                        }
+                    )
+                blob = _ebml.make_matroska(
+                    doc_type="webm" if d % 2 == 0 else "matroska",
+                    duration=float(1000 * (1 + d % 60)),
+                    muxing_app=f"mux-{d % 9}",
+                    writing_app=f"wri-{d % 11}",
+                    tracks=tracks,
+                    n_clusters=d % 5,
+                    unknown_segment_size=d % 6 == 2,
+                    segment_uuid=bytes((d * 7 + i) % 256 for i in range(16)),
+                )
+                r = _ebml.probe_matroska(blob)
+                video = r["tracks"][0]
+                audio = r["tracks"][1] if len(r["tracks"]) > 1 else {}
+                rows.append(
+                    (
+                        d, r["doc_type"], r["duration_s"],
+                        r["timestamp_scale"], len(r["tracks"]),
+                        video["codec_id"], video["width"],
+                        video["height"], video["language"],
+                        audio.get("codec_id"), audio.get("language"),
+                        audio.get("channels"),
+                        audio.get("sampling_frequency"),
+                        r["n_clusters"], r["unknown_segment_size"],
+                        r["segment_uuid"],
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname in ("n_tracks", "width", "height", "n_clusters"):
+                out[cname] = out[cname].astype("int32")
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["timestamp_scale"] = out["timestamp_scale"].astype("int64")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_tiff_bilevel",
+    # The fax/scanned-page depth: BitsPerSample 1, rows bit-packed
+    # MSB-first padded per row, BOTH photometrics (0 WhiteIsZero — the
+    # fax default, stored bits inverted — and 1 BlackIsZero), strip
+    # AND tile layouts, all FIVE compressions (r15 adds CCITT G4/T.6 —
+    # operators/ccitt.py — the scanned-document entropy coding, cycling
+    # through the same roundtrip). The oracle predicts the
+    # decoded value sum closed-form from the bit parity of the planted
+    # checkerboard-ish pattern ((d+3x+5y)%2 == (d+x+y)%2) plus the
+    # layout counts. Filter modulus 13 residue 11.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             19 + doc_id % 21 as w, 11 + doc_id % 17 as h,
+             case cast(doc_id % 5 as integer)
+                  when 0 then 1 when 1 then 5 when 2 then 8
+                  when 3 then 32773 else 4 end as compression,
+             case when doc_id % 3 = 0 then 0 else 1 end as photometric,
+             doc_id % 4 < 2 as tiled,
+             3 + doc_id % 4 as rps
+      from documents where doc_id % 13 = 11
+    )
+    select doc_id,
+           cast(w as integer) as width,
+           cast(h as integer) as height,
+           cast(1 as integer) as bits,
+           cast(photometric as integer) as photometric,
+           cast(compression as integer) as compression,
+           tiled,
+           cast(case when tiled then 0
+                else (h + rps - 1) // rps end as integer) as n_strips,
+           cast(case when tiled
+                then ((w + 15) // 16) * ((h + 15) // 16)
+                else 0 end as integer) as n_tiles,
+           cast(255 * (select sum((d + x + y) % 2)
+                 from generate_series(0, 39) gx(x),
+                      generate_series(0, 27) gy(y)
+                 where x < w and y < h) as bigint) as value_sum,
+           true as exact_roundtrip
+    from base
+    """,
+)
+def multimodal_tiff_bilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL bilevel-TIFF roundtrip (operators/tiff.py) — the 1-bit
+    fax/scanned-page depth OCR corpora arrive in: per doc, plant a
+    deterministic bit pattern, encode it at BitsPerSample 1 (rows
+    packed MSB-first, byte-padded per row) cycling photometric 0
+    (WhiteIsZero — bits stored inverted) and 1, strip vs 16x16 tiled
+    layouts, and all four compressions; decode back to black-is-zero
+    0/255 values and report the value sum, which the oracle predicts
+    closed-form from the pattern's parity. Arrow-batched mapInPandas,
+    map-only. r15: Compression 4 (CCITT G4/T.6, operators/ccitt.py —
+    pass/horizontal/vertical 2-D coding over the T.4 modified-Huffman
+    run alphabets) joins the cycle; G3 (T.4 1-D/K>0) stays honestly
+    gated."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import tiff as _tiff
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 11)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("bits", T.IntegerType()),
+            T.StructField("photometric", T.IntegerType()),
+            T.StructField("compression", T.IntegerType()),
+            T.StructField("tiled", T.BooleanType()),
+            T.StructField("n_strips", T.IntegerType()),
+            T.StructField("n_tiles", T.IntegerType()),
+            T.StructField("value_sum", T.LongType()),
+            T.StructField("exact_roundtrip", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 19 + d % 21, 11 + d % 17
+                y, x = np.ogrid[0:h, 0:w]
+                px = (((d + 3 * x + 5 * y) % 2) * 255).astype(np.uint8)[
+                    :, :, None
+                ]
+                pm = 0 if d % 3 == 0 else 1
+                tiled = d % 4 < 2
+                kw = (
+                    {"tile": (16, 16)}
+                    if tiled
+                    else {"rows_per_strip": 3 + d % 4}
+                )
+                enc = _tiff.encode_tiff(
+                    px,
+                    big_endian=d % 2 == 0,
+                    compression=[1, 5, 8, 32773, 4][d % 5],
+                    bits=1,
+                    photometric=pm,
+                    **kw,
+                )
+                got, meta = _tiff.decode_tiff(enc)
+                rows.append(
+                    (
+                        d, meta["width"], meta["height"], meta["bits"],
+                        meta["photometric"], meta["compression"],
+                        meta["tiled"], meta["n_strips"], meta["n_tiles"],
+                        int(got.astype(np.int64).sum()),
+                        bool(got.shape == px.shape and (got == px).all()),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname, dt in (
+                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
+                ("bits", "int32"), ("photometric", "int32"),
+                ("compression", "int32"), ("n_strips", "int32"),
+                ("n_tiles", "int32"), ("value_sum", "int64"),
+            ):
+                out[cname] = out[cname].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_apng_animation",
+    # Planted 6-frame APNG per doc: full-canvas base + five 2x2 patches
+    # exercising blend OVER (punch-through via alpha-0 cells), blend
+    # SOURCE (alpha-0 cells ERASE — the semantics GIF cannot express),
+    # dispose 0/1/2. The oracle chains the rendered sums closed-form.
+    # Filter modulus 7 keeps the w/h/palette/num_plays knobs live.
+    """
+    with params as (
+      select doc_id, cast(doc_id as bigint) as d,
+             9 + doc_id % 6 as w, 9 + doc_id % 4 as h,
+             cast(case cast(doc_id % 3 as integer)
+                  when 0 then 16 when 1 then 64 else 256 end as bigint) as nc
+      from documents where doc_id % 7 = 0
+    ),
+    terms as (
+      select *,
+        (select sum((d + 3*x + 5*y) % nc)
+           from generate_series(0, 13) gx(x), generate_series(0, 11) gy(y)
+          where x < w and y < h) as b_all,
+        (d + 2*1) % nc as c1, (d + 2*2) % nc as c2, (d + 2*3) % nc as c3,
+        (d + 2*4) % nc as c4, (d + 2*5) % nc as c5,
+        -- patches (left, top): p1 (0,2) p2 (3,2) p3 (6,2) p4 (0,5) p5 (3,5)
+        ((d + 3*1 + 5*2) % nc) + ((d + 3*0 + 5*3) % nc) as bo1,
+        ((d + 3*4 + 5*2) % nc) + ((d + 3*3 + 5*3) % nc) + ((d + 3*3 + 5*2) % nc) + ((d + 3*4 + 5*3) % nc) as br2,
+        ((d + 3*7 + 5*2) % nc) + ((d + 3*6 + 5*3) % nc) + ((d + 3*6 + 5*2) % nc) + ((d + 3*7 + 5*3) % nc) as br3,
+        ((d + 3*1 + 5*5) % nc) + ((d + 3*0 + 5*6) % nc) as bo4,
+        ((d + 3*1 + 5*5) % nc) + ((d + 3*0 + 5*6) % nc) + ((d + 3*0 + 5*5) % nc) + ((d + 3*1 + 5*6) % nc) as br4,
+        ((d + 3*4 + 5*5) % nc) + ((d + 3*3 + 5*6) % nc) + ((d + 3*3 + 5*5) % nc) + ((d + 3*4 + 5*6) % nc) as br5
+      from params
+    ),
+    sums as (
+      select *,
+        b_all - bo1 + 2*c1 as f1,
+        b_all - bo1 + 2*c1 - br2 + 2*c2 as f2
+      from terms
+    )
+    select doc_id,
+           cast(fi as integer) as frame_idx,
+           cast(w as integer) as width,
+           cast(h as integer) as height,
+           cast(nc as integer) as n_colors,
+           cast(1 + fi as integer) as delay_num,
+           cast(doc_id % 3 as integer) as num_plays,
+           cast(case when fi < 2 then 0 when fi < 5 then 2 else 6 end
+               as integer) as n_transparent,
+           cast(case fi
+                when 0 then b_all
+                when 1 then f1
+                when 2 then f2
+                when 3 then f2 - br3 + 4*c3
+                when 4 then f2 - bo4 + 2*c4
+                else f2 - br4 - br5 + 4*c5 end as bigint) as value_sum
+    from sums, generate_series(0, 5) gs(fi)
+    """,
+)
+def multimodal_apng_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL APNG animation composition (operators/apng.py): per doc,
+    build a 6-frame APNG — full-canvas RGBA base then five 2x2 patches:
+    OVER with alpha-0 punch-through, SOURCE whose alpha-0 cells ERASE
+    canvas pixels (the semantics GIF disposal cannot express), an
+    all-opaque OVER with dispose-previous, a punch-through OVER with
+    dispose-background, and a final opaque OVER proving both disposals
+    landed — encode it (acTL/fcTL/fdAT, PNG codec underneath), decode
+    it (shared sequence-number validation), compose it, and report per
+    rendered frame the visible red-channel sum + transparent-pixel
+    count, which the oracle chains closed-form through the blend/
+    dispose model. The OVER integer arithmetic is property-tested
+    against a float reference (tests/test_apng.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import apng as _apng
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_colors", T.IntegerType()),
+            T.StructField("delay_num", T.IntegerType()),
+            T.StructField("num_plays", T.IntegerType()),
+            T.StructField("n_transparent", T.IntegerType()),
+            T.StructField("value_sum", T.LongType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+    patch_at = ((0, 2), (3, 2), (6, 2), (0, 5), (3, 5))
+    # (blend_op, dispose_op, checkerboard) per patch frame
+    plan = (
+        (1, 0, True), (0, 0, True), (1, 2, False), (1, 1, True), (1, 0, False),
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 9 + d % 6, 9 + d % 4
+                nc = (16, 64, 256)[d % 3]
+                y, x = np.ogrid[0:h, 0:w]
+                base = np.zeros((h, w, 4), dtype=np.uint8)
+                base[:, :, 0] = (d + 3 * x + 5 * y) % nc
+                base[:, :, 3] = 255
+                frames = [{"pixels": base, "delay_num": 1}]
+                for k, ((pl, pt), (bop, dop, checker)) in enumerate(
+                    zip(patch_at, plan), start=1
+                ):
+                    ck = (d + 2 * k) % nc
+                    px = np.zeros((2, 2, 4), dtype=np.uint8)
+                    px[:, :, 0] = ck
+                    px[:, :, 3] = 255
+                    if checker:
+                        even = (
+                            np.arange(2)[:, None] + np.arange(2)
+                        ) % 2 == 0
+                        px[even] = 0
+                    frames.append(
+                        {
+                            "pixels": px, "x": pl, "y": pt,
+                            "blend_op": bop, "dispose_op": dop,
+                            "delay_num": 1 + k,
+                        }
+                    )
+                enc = _apng.encode_apng(frames, num_plays=d % 3)
+                dec = _apng.decode_apng(enc)
+                for r in _apng.compose_apng(dec):
+                    cv = r["canvas"]
+                    visible = cv[:, :, 3] == 255
+                    rows.append(
+                        (
+                            d, r["frame_idx"], w, h, nc, r["delay_num"],
+                            dec["num_plays"],
+                            int((cv[:, :, 3] == 0).sum()),
+                            int(cv[:, :, 0][visible].astype(np.int64).sum()),
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname in cols[1:-1]:
+                out[cname] = out[cname].astype("int32")
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["value_sum"] = out["value_sum"].astype("int64")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_mp4_subtitles",
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             4 + doc_id % 4 as n, 800 + (doc_id % 3) * 100 as delta
+      from documents where doc_id % 7 = 1
+    )
+    select doc_id,
+           cast(3 as integer) as track_id,
+           cast(i as integer) as cue_idx,
+           cast(i * delta as bigint) as start_ms,
+           cast(case when i + 1 < n then (i + 1) * delta
+                     else i * delta end as bigint) as end_ms,
+           'sub-' || d || '-' || i as text
+    from base, unnest(generate_series(0, 7)) u(i) where i < n
+    """,
+)
+def multimodal_mp4_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed-text (tx3g) caption extraction from INSIDE an MP4: per doc,
+    mux a 3-trak file — mp4v video + ulaw audio + a 'text' handler trak
+    whose samples are 3GPP tx3g (u16 length + UTF-8, every 3rd sample
+    carrying a trailing style box the decoder must skip by extent) —
+    demux with handler routing, and emit cues ONLY from the text trak
+    (the routing filter is the point: video/audio samples must not leak
+    into the caption stream). Cue end = next sample's dts per the 3GPP
+    contract. The oracle restates timestamps (timescale 1000 -> ms
+    passthrough) and texts closed-form."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import multimodal as mm
+    from pyiceberg_lakehouse_spark.operators import subtitles as sub
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 1)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("track_id", T.IntegerType()),
+            T.StructField("cue_idx", T.IntegerType()),
+            T.StructField("start_ms", T.LongType()),
+            T.StructField("end_ms", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+    styl = (8).to_bytes(4, "big") + b"styl"
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 4 + d % 4
+                delta = 800 + (d % 3) * 100
+                text_samples = [
+                    sub.encode_tx3g_sample(f"sub-{d}-{i}")
+                    + (styl if i % 3 == 0 else b"")
+                    for i in range(n)
+                ]
+                payload = mm.make_mp4_media_multi(
+                    [
+                        {
+                            "samples": [b"v" * 10] * 3,
+                            "stts_runs": [(3, 100)],
+                            "handler": "vide",
+                        },
+                        {
+                            "samples": [b"a" * 6] * 4,
+                            "stts_runs": [(4, 64)],
+                            "handler": "soun",
+                        },
+                        {
+                            "samples": text_samples,
+                            "stts_runs": [(n, delta)],
+                            "handler": "text",
+                            "codec": "tx3g",
+                            "sync_every": None,
+                        },
+                    ],
+                    timescale=1000,
+                )
+                tracks = mm.demux_mp4_tracks(payload)
+                for c in sub.mp4_text_cues(tracks):
+                    rows.append(
+                        (
+                            d, c["track_id"], c["idx"],
+                            c["start_ms"], c["end_ms"], c["text"],
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            for c2, dt in (
+                ("doc_id", "int64"), ("track_id", "int32"),
+                ("cue_idx", "int32"), ("start_ms", "int64"),
+                ("end_ms", "int64"),
+            ):
+                out[c2] = out[c2].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_ogg_packets",
+    # Filter modulus 9 is coprime with the packet-count (%4, %3), the
+    # exact-255-multiple knob (%5, exercising the 0-lacing terminator
+    # on both links) and the page-capacity knob (%4, forcing spanning).
+    # r14: per doc the file is a TWO-LINK CHAIN (VERDICT r13 task #4)
+    # — link 0 and link 1 are independent logical streams with their
+    # own serials, packet sets and page numbering restarting at 0.
+    # The oracle replays the LACING arithmetic closed-form per link:
+    # nsegs = size//255 + 1, pages split every ms lacing values, so
+    # first/last page indexes are window cumsums partitioned by link.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d, 2 + doc_id % 4 as ms
+      from documents where doc_id % 9 = 0
+    ),
+    pk as (
+      select doc_id, d, ms, l, i,
+             case when l = 0 then
+               case when (d + i) % 5 = 0 then 510
+                    else 100 + (d + 37*i) % 400 end
+             else
+               case when (d + i) % 5 = 1 then 255
+                    else 60 + (d + 29*i) % 350 end
+             end as sz
+      from base,
+           unnest(generate_series(0, 1)) ul(l),
+           unnest(generate_series(0, 6)) u(i)
+      where i < case when l = 0 then 3 + d % 4 else 2 + d % 3 end
+    ),
+    seg as (
+      select *, sz // 255 + 1 as nsegs,
+             coalesce(sum(sz // 255 + 1) over (partition by doc_id, l
+                 order by i rows between unbounded preceding
+                 and 1 preceding), 0) as cum
+      from pk
+    )
+    select doc_id,
+           cast(l as integer) as link,
+           cast(l + 1 as integer) as serial,
+           cast(i as integer) as pkt_idx,
+           cast(sz as integer) as size,
+           cast(nsegs as integer) as n_segments,
+           cast(cum // ms as integer) as first_page,
+           cast((cum + nsegs - 1) // ms as integer) as last_page,
+           cum // ms != (cum + nsegs - 1) // ms as spans_pages,
+           -- granule is PAGE-level: every packet completing on a page
+           -- carries the page's stamp = the LAST completer's position
+           cast(max(i + 1) over (partition by doc_id, l,
+                (cum + nsegs - 1) // ms) as bigint) as granule,
+           cast((select sum(((5 + 2*l)*d + i*(11 + 6*l) + (13 + 6*l)*j)
+                     % 256)
+                 from generate_series(0, 509) g(j) where j < sz)
+               as bigint) as byte_sum
+    from seg
+    """,
+)
+def multimodal_ogg_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg container demux (operators/ogg.py — RFC 3533): per doc, mux
+    TWO logical streams and chain them (VERDICT r13 task #4 — the
+    shape real podcast files take at every metadata change: link 0
+    ends with EOS, link 1 begins at a BOS page with a new serial and
+    page numbering restarting at 0). Packet sizes cycle through the
+    lacing subtleties on both links (an exact 255-multiple forcing the
+    0-lacing terminator; sizes > 255 forcing multi-lacing) and pages
+    cap at 2-5 lacing values (forcing packets to SPAN pages with
+    continuation flags); granules and the Ogg CRC stamp every page.
+    parse_ogg_chain demuxes both links back. The oracle replays the
+    lacing/page arithmetic closed-form per link — nsegs = size//255 +
+    1 with pages splitting every ms values, so first/last page indexes
+    are window cumsums partitioned by link — plus per-link seeded byte
+    sums proving reassembly sliced the right body bytes across page
+    AND link boundaries. granule = the value stamped where each packet
+    completes."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import ogg as _ogg
+    from pyiceberg_lakehouse_spark.operators.multimodal import _cf_bytes
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 0)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("link", T.IntegerType()),
+            T.StructField("serial", T.IntegerType()),
+            T.StructField("pkt_idx", T.IntegerType()),
+            T.StructField("size", T.IntegerType()),
+            T.StructField("n_segments", T.IntegerType()),
+            T.StructField("first_page", T.IntegerType()),
+            T.StructField("last_page", T.IntegerType()),
+            T.StructField("spans_pages", T.BooleanType()),
+            T.StructField("granule", T.LongType()),
+            T.StructField("byte_sum", T.LongType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ms = 2 + d % 4
+                link_packets = [
+                    [
+                        _cf_bytes(
+                            d * 5 + i * 11, 13,
+                            510 if (d + i) % 5 == 0
+                            else 100 + (d + 37 * i) % 400,
+                        )
+                        for i in range(3 + d % 4)
+                    ],
+                    [
+                        _cf_bytes(
+                            d * 7 + i * 17, 19,
+                            255 if (d + i) % 5 == 1
+                            else 60 + (d + 29 * i) % 350,
+                        )
+                        for i in range(2 + d % 3)
+                    ],
+                ]
+                chain = b"".join(
+                    _ogg.make_ogg(pk, serial=li + 1, max_segments=ms)
+                    for li, pk in enumerate(link_packets)
+                )
+                for li, stream in enumerate(_ogg.parse_ogg_chain(chain)):
+                    for p in stream["packets"]:
+                        rows.append(
+                            (
+                                d, li, stream["serial"],
+                                p["idx"], p["size"],
+                                p["size"] // 255 + 1,
+                                p["first_page"], p["last_page"],
+                                p["first_page"] != p["last_page"],
+                                p["granule"], sum(p["data"]),
+                            )
+                        )
+            out2 = pd.DataFrame(rows, columns=cols)
+            for c2, dt in (
+                ("doc_id", "int64"), ("link", "int32"), ("serial", "int32"),
+                ("pkt_idx", "int32"),
+                ("size", "int32"), ("n_segments", "int32"),
+                ("first_page", "int32"), ("last_page", "int32"),
+                ("granule", "int64"), ("byte_sum", "int64"),
+            ):
+                out2[c2] = out2[c2].astype(dt)
+            yield out2
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_webp_probe",
+    # Filter modulus 9 is coprime with the variant (%3), alpha (%2),
+    # animated (%5) and dim knobs, so all three WebP container variants
+    # are live in the driver-hashed corpus.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d
+      from documents where doc_id % 9 = 6
+    )
+    select doc_id,
+           case cast(d % 3 as integer)
+                when 0 then 'VP8 ' when 1 then 'VP8L' else 'VP8X' end
+             as variant,
+           cast(10 + d % 500 as integer) as width,
+           cast(8 + d % 300 as integer) as height,
+           d % 3 = 2 and d % 2 = 1 as has_alpha,
+           d % 3 = 2 and d % 5 = 0 as animated
+    from base
+    """,
+)
+def multimodal_webp_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP container probe (multimodal.probe_webp) — the modern
+    crawl's dominant image format: per doc, synthesize a header-accurate
+    WebP cycling all three container variants (lossy VP8 keyframe
+    header with its sync code, lossless VP8L stream-header bitfield,
+    extended VP8X with 24-bit canvas dims + alpha/animation flags) and
+    probe back dimensions + curation-filter flags. Same honesty split
+    as the MP4/MP3 probes: header parsing is real, VP8 pixel decode
+    stays gated. The oracle restates every field closed-form."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 6)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("variant", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("has_alpha", T.BooleanType()),
+            T.StructField("animated", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                variant = ("VP8 ", "VP8L", "VP8X")[d % 3]
+                w, h = 10 + d % 500, 8 + d % 300
+                payload = multimodal.make_webp(
+                    w, h, variant,
+                    has_alpha=variant == "VP8X" and d % 2 == 1,
+                    animated=variant == "VP8X" and d % 5 == 0,
+                )
+                m = multimodal.probe_webp(payload)
+                rows.append(
+                    (
+                        d, m["variant"], m["width"], m["height"],
+                        m["has_alpha"], m["animated"],
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_webp_decode",
+    # Filter modulus 11 (the %7/%9 residues are claimed by r13 rows) is
+    # coprime with every variety knob: transform combo (%6), cache and
+    # palette size (%3), predictor mode (%13), block bits (%3), dims
+    # (%8, %6) — so plain coding, subtract-green, every-mode predictor,
+    # sg+predictor stacking, delta-coded palettes at all three bundled
+    # widths, two-group meta entropy images, and the color cache are
+    # all live in the driver-hashed corpus. The raster plants runs of 3
+    # along x (non-palette docs) so LZ77 back-references really fire.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             5 + doc_id % 8 as w, 4 + doc_id % 6 as h,
+             cast(doc_id % 6 as integer) as combo,
+             case cast(doc_id % 3 as integer)
+                  when 0 then 2 when 1 then 4 else 16 end as nc
+      from documents where doc_id % 11 = 6
+    ),
+    sums as (
+      select doc_id, d, w, h, combo, nc,
+        (select sum(case when combo = 4
+               then (d + 17*((d + 3*x + 5*y) % nc)) % 256
+               else (d*3 + y*7 + (x//3)*11) % 256 end)
+         from generate_series(0, 12) gx(x), generate_series(0, 9) gy(y)
+         where x < w and y < h) as r_sum,
+        (select sum(case when combo = 4
+               then (d*5 + 29*((d + 3*x + 5*y) % nc)) % 256
+               else (d*5 + y*3 + (x//3)*17) % 256 end)
+         from generate_series(0, 12) gx(x), generate_series(0, 9) gy(y)
+         where x < w and y < h) as g_sum,
+        (select sum(case when combo = 4
+               then (d*7 + 13*((d + 3*x + 5*y) % nc)) % 256
+               else (d*7 + y*11 + (x//3)*5) % 256 end)
+         from generate_series(0, 12) gx(x), generate_series(0, 9) gy(y)
+         where x < w and y < h) as b_sum
+      from base
+    )
+    select doc_id,
+           cast(w as integer) as width,
+           cast(h as integer) as height,
+           case combo when 0 then 'none' when 1 then 'sg'
+                when 2 then 'pred' when 3 then 'sg+pred'
+                when 4 then 'palette' else 'meta' end as transforms,
+           cast(case when d % 3 = 0 and combo != 5 then 4 else 0 end
+               as integer) as cache_bits,
+           cast(r_sum as bigint) as r_sum,
+           cast(g_sum as bigint) as g_sum,
+           cast(b_sum as bigint) as b_sum,
+           true as exact_roundtrip
+    from sums
+    """,
+)
+def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP VP8L lossless pixel decode (operators/vp8l.py, VERDICT
+    r13 task #1 — the modern crawl's dominant image format, previously
+    probe-only): per doc, synthesize a deterministic raster, encode it
+    as a genuine VP8L bitstream — canonical prefix codes through the
+    code-length-code machinery, LZ77 distance-1 runs via the plane-code
+    neighborhood map, the transform combo cycling none / subtract-green
+    / predictor (all 14 modes across the corpus) / stacked sg+predictor
+    / delta-coded palette with sub-byte bundling / two-group meta
+    entropy image, color cache cycling on top — wrap it in RIFF/WEBP,
+    decode it back, and report per-channel pixel sums, which the oracle
+    predicts closed-form without running either codec. Runs as
+    Arrow-batched mapInPandas: codec work happens where the bytes live,
+    only typed features shuffle. Lossy VP8 pixels stay honestly
+    gated."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import vp8l as _vp8l
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 6)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("transforms", T.StringType()),
+            T.StructField("cache_bits", T.IntegerType()),
+            T.StructField("r_sum", T.LongType()),
+            T.StructField("g_sum", T.LongType()),
+            T.StructField("b_sum", T.LongType()),
+            T.StructField("exact_roundtrip", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+    combos = ("none", "sg", "pred", "sg+pred", "palette", "meta")
+    tf_of = {
+        "none": (), "sg": ("subtract-green",), "pred": ("predictor",),
+        "sg+pred": ("subtract-green", "predictor"),
+        "palette": ("palette",), "meta": (),
+    }
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 5 + d % 8, 4 + d % 6
+                combo = combos[d % 6]
+                y, x = np.ogrid[0:h, 0:w]
+                if combo == "palette":
+                    nc = (2, 4, 16)[d % 3]
+                    i = np.arange(nc)
+                    pal = np.stack(
+                        [
+                            (d + 17 * i) % 256,
+                            (d * 5 + 29 * i) % 256,
+                            (d * 7 + 13 * i) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    px = pal[(d + 3 * x + 5 * y) % nc]
+                else:
+                    xr = x // 3  # runs of 3 so LZ77 fires
+                    px = np.dstack(
+                        [
+                            (d * 3 + y * 7 + xr * 11) % 256,
+                            (d * 5 + y * 3 + xr * 17) % 256,
+                            (d * 7 + y * 11 + xr * 5) % 256,
+                        ]
+                    ).astype(np.uint8)
+                cache = 4 if d % 3 == 0 and combo != "meta" else 0
+                enc = _vp8l.wrap_webp_lossless(
+                    _vp8l.encode_vp8l(
+                        px,
+                        transforms=tf_of[combo],
+                        predictor_mode=1 + d % 13,
+                        predictor_bits=2 + d % 3,
+                        cache_bits=cache,
+                        meta_split=combo == "meta",
+                    )
+                )
+                got, meta = _vp8l.decode_webp(enc)
+                rgb = got[:, :, :3].astype(np.int64)
+                rows.append(
+                    (
+                        d, meta["width"], meta["height"], combo, cache,
+                        int(rgb[:, :, 0].sum()),
+                        int(rgb[:, :, 1].sum()),
+                        int(rgb[:, :, 2].sum()),
+                        bool(
+                            got.shape[:2] == px.shape[:2]
+                            and (got[:, :, :3] == px).all()
+                        ),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname, dt in (
+                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
+                ("cache_bits", "int32"), ("r_sum", "int64"),
+                ("g_sum", "int64"), ("b_sum", "int64"),
+            ):
+                out[cname] = out[cname].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_webp_animation",
+    # Planted 4-frame animated WebP per doc: full-canvas opaque base
+    # (SOURCE), an OVER patch with checkerboard alpha (255/0 — the
+    # exact branches), a SOURCE patch with alpha-0 ERASE cells +
+    # dispose-to-background, and a final OVER patch proving the
+    # disposal refilled with the ANIM background. The oracle CHAINS the
+    # rendered canvas sums closed-form through the blend/dispose model
+    # (the GIF/APNG pattern). Filter modulus 11 is coprime with the
+    # canvas (%6, %4), background (%256 via d), loop (%5) and duration
+    # (%4) knobs.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             8 + doc_id % 6 as cw, 8 + doc_id % 4 as chh
+      from documents where doc_id % 11 = 9
+    ),
+    terms as (
+      select *,
+        (d % 256) + (d*3 % 256) + (d*7 % 256) as bgsum,
+        (select sum((d + 3*x + 5*y) % 256 + (d*5 + x + 7*y) % 256
+                    + (d*7 + 11*x + y) % 256)
+           from generate_series(0, 13) gx(x), generate_series(0, 11) gy(y)
+          where x < cw and y < chh) as s0,
+        (select sum((d + 13*i + 17*j + 1) % 256 + (d*3 + 7*i + 5*j + 2) % 256
+                    + (d*9 + 3*i + j + 3) % 256
+                    - ((d + 3*(2+i) + 5*(2+j)) % 256
+                       + (d*5 + (2+i) + 7*(2+j)) % 256
+                       + (d*7 + 11*(2+i) + (2+j)) % 256))
+           from generate_series(0, 3) gi(i), generate_series(0, 1) gj(j)
+          where (i + j) % 2 = 0) as delta1,
+        (select sum((d*2 + 5*i + 3*j) % 256 + (d*6 + i + 9*j) % 256
+                    + (d*8 + 7*i + 2*j) % 256)
+           from generate_series(0, 3) gi(i), generate_series(0, 1) gj(j))
+          as src2_all,
+        (select count(*) from generate_series(0, 3) gi(i),
+                              generate_series(0, 1) gj(j)
+          where (i + j) % 3 = 0) as nz2,
+        (select sum((d + 3*(4+i) + 5*j) % 256 + (d*5 + (4+i) + 7*j) % 256
+                    + (d*7 + 11*(4+i) + j) % 256)
+           from generate_series(0, 3) gi(i), generate_series(0, 1) gj(j))
+          as base2,
+        (select sum((d*4 + i + j + 4) % 256 + (d*2 + 3*i + j + 5) % 256
+                    + (d*3 + i + 2*j + 6) % 256
+                    - ((d + 3*i + 5*(4+j)) % 256
+                       + (d*5 + i + 7*(4+j)) % 256
+                       + (d*7 + 11*i + (4+j)) % 256))
+           from generate_series(0, 1) gi(i), generate_series(0, 1) gj(j))
+          as delta3
+      from base
+    )
+    select doc_id,
+           cast(l as integer) as frame_idx,
+           cast(case l when 0 then 0 when 1 then 2 when 2 then 4 else 0 end
+               as integer) as x,
+           cast(case l when 0 then 0 when 1 then 2 when 2 then 0 else 4 end
+               as integer) as y,
+           cast(case l when 0 then cw when 3 then 2 else 4 end
+               as integer) as width,
+           cast(case l when 0 then chh else 2 end as integer) as height,
+           cast(40 + 10*(d % 4) + l as bigint) as duration_ms,
+           case when l = 0 or l = 2 then 'source' else 'over' end as blend,
+           case when l = 2 then 'background' else 'none' end as dispose,
+           cast(d % 5 as integer) as loop_count,
+           cast(case l
+                when 0 then s0
+                when 1 then s0 + delta1
+                when 2 then s0 + delta1 + src2_all - base2
+                else s0 + delta1 - base2 + 8*bgsum + delta3 end
+               as bigint) as rgb_sum,
+           cast(case when l = 2 then 255*(cw*chh - nz2)
+                else 255*cw*chh end as bigint) as alpha_sum
+    from terms, unnest(generate_series(0, 3)) u(l)
+    """,
+)
+def multimodal_webp_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED WebP composition (operators/vp8l.py — the VP8X/ANIM/ANMF
+    container over real VP8L frame bitstreams): per doc, mux a 4-frame
+    animation — full-canvas opaque SOURCE base, an OVER patch whose
+    checkerboard alpha exercises the exact keep/replace branches, a
+    SOURCE patch whose alpha-0 cells ERASE (semantics GIF cannot
+    express) carrying dispose-to-background, and a final OVER patch
+    proving the disposal refilled the rect with the ANIM background
+    color — demux it (24-bit halved offsets, duration, blend/dispose
+    flag bits, per-frame VP8L pixel decode) and compose per the spec's
+    model. The oracle chains every rendered canvas's RGB and alpha sums
+    closed-form through the blend/dispose model, the GIF/APNG pattern:
+    a wrong offset halving, flag bit, blend branch, or disposal rect
+    flips the hash. Lossy (VP8/ALPH) frames stay honestly gated."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import vp8l as _vp8l
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 9)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("x", T.IntegerType()),
+            T.StructField("y", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("blend", T.StringType()),
+            T.StructField("dispose", T.StringType()),
+            T.StructField("loop_count", T.IntegerType()),
+            T.StructField("rgb_sum", T.LongType()),
+            T.StructField("alpha_sum", T.LongType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                cw, ch = 8 + d % 6, 8 + d % 4
+                y0, x0 = np.ogrid[0:ch, 0:cw]
+                base = np.dstack(
+                    [
+                        (d + 3 * x0 + 5 * y0) % 256,
+                        (d * 5 + x0 + 7 * y0) % 256,
+                        (d * 7 + 11 * x0 + y0) % 256,
+                        np.full((ch, cw), 255),
+                    ]
+                ).astype(np.uint8)
+                j1, i1 = np.ogrid[0:2, 0:4]
+                f1 = np.dstack(
+                    [
+                        (d + 13 * i1 + 17 * j1 + 1) % 256,
+                        (d * 3 + 7 * i1 + 5 * j1 + 2) % 256,
+                        (d * 9 + 3 * i1 + j1 + 3) % 256,
+                        np.where((i1 + j1) % 2 == 0, 255, 0),
+                    ]
+                ).astype(np.uint8)
+                f2 = np.dstack(
+                    [
+                        (d * 2 + 5 * i1 + 3 * j1) % 256,
+                        (d * 6 + i1 + 9 * j1) % 256,
+                        (d * 8 + 7 * i1 + 2 * j1) % 256,
+                        np.where((i1 + j1) % 3 == 0, 0, 255),
+                    ]
+                ).astype(np.uint8)
+                j3, i3 = np.ogrid[0:2, 0:2]
+                f3 = np.dstack(
+                    [
+                        (d * 4 + i3 + j3 + 4) % 256,
+                        (d * 2 + 3 * i3 + j3 + 5) % 256,
+                        (d * 3 + i3 + 2 * j3 + 6) % 256,
+                        np.full((2, 2), 255),
+                    ]
+                ).astype(np.uint8)
+                dur = 40 + 10 * (d % 4)
+                spec = [
+                    {"x": 0, "y": 0, "pixels": base, "duration_ms": dur,
+                     "blend": "source"},
+                    {"x": 2, "y": 2, "pixels": f1, "duration_ms": dur + 1,
+                     "blend": "over"},
+                    {"x": 4, "y": 0, "pixels": f2, "duration_ms": dur + 2,
+                     "blend": "source", "dispose": "background"},
+                    {"x": 0, "y": 4, "pixels": f3, "duration_ms": dur + 3,
+                     "blend": "over"},
+                ]
+                payload = _vp8l.encode_webp_animation(
+                    spec, cw, ch,
+                    background=(d % 256, d * 3 % 256, d * 7 % 256, 255),
+                    loop_count=d % 5,
+                    transforms=("subtract-green",),
+                )
+                dec = _vp8l.decode_webp_animation(payload)
+                rendered = _vp8l.compose_webp_animation(dec)
+                for f, r in zip(dec["frames"], rendered):
+                    canvas = r["canvas"].astype(np.int64)
+                    rows.append(
+                        (
+                            d, r["frame_idx"], f["x"], f["y"],
+                            f["width"], f["height"], f["duration_ms"],
+                            f["blend"], f["dispose"], dec["loop_count"],
+                            int(canvas[:, :, :3].sum()),
+                            int(canvas[:, :, 3].sum()),
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname, dt in (
+                ("doc_id", "int64"), ("frame_idx", "int32"), ("x", "int32"),
+                ("y", "int32"), ("width", "int32"), ("height", "int32"),
+                ("duration_ms", "int64"), ("loop_count", "int32"),
+                ("rgb_sum", "int64"), ("alpha_sum", "int64"),
+            ):
+                out[cname] = out[cname].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "pipeline_caption_curation",
+    # The curation features a video->caption training set filters on,
+    # restated closed-form over the same cue construction as
+    # multimodal_mp4_subtitles (shared synthesis = the two faces can
+    # never drift): per doc, cue count, captioned span, coverage ratio
+    # vs the video trak's duration, and mean text length.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             4 + doc_id % 4 as n, 800 + (doc_id % 3) * 100 as delta
+      from documents where doc_id % 7 = 1
+    ),
+    cues as (
+      select doc_id, d, n, delta, i,
+             i * delta as start_ms,
+             case when i + 1 < n then (i + 1) * delta
+                  else i * delta end as end_ms,
+             length('sub-' || d || '-' || i) as n_chars
+      from base, unnest(generate_series(0, 7)) u(i) where i < n
+    )
+    select doc_id,
+           cast(count(*) as integer) as n_cues,
+           cast(max(end_ms) as bigint) as captioned_ms,
+           cast(300 as bigint) as video_ms,
+           cast(cast(max(end_ms) as double) / 300.0 as double)
+             as coverage_ratio,
+           cast(sum(n_chars) as bigint) as total_chars,
+           cast(max(end_ms) >= 300 as boolean) as keep
+    from cues
+    group by doc_id
+    """,
+)
+def pipeline_caption_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end caption-curation composite: mux (video + audio + tx3g
+    text trak) -> demux with handler routing -> cue extraction -> ONE
+    aggregation shuffle producing the per-doc curation features a
+    video->caption training set filters on: cue count, captioned span,
+    coverage ratio against the VIDEO trak's duration (3 samples x
+    100 ms), total caption characters, and the keep decision. Plan:
+    map-stage demux + exactly one Exchange (the groupBy), no joins, no
+    second pass over media rows — the same single-shuffle shape as
+    pipeline_video_curation, proven in tests/test_plans.py."""
+    cues = multimodal_mp4_subtitles(spark, sf_dir)
+    video_ms = F.lit(300).cast("bigint")
+    return (
+        cues.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_cues"),
+            F.max("end_ms").alias("captioned_ms"),
+            F.sum(F.length("text")).alias("total_chars_tmp"),
+        )
+        .select(
+            "doc_id",
+            "n_cues",
+            "captioned_ms",
+            video_ms.alias("video_ms"),
+            (F.col("captioned_ms").cast("double") / 300.0).alias(
+                "coverage_ratio"
+            ),
+            F.col("total_chars_tmp").cast("bigint").alias("total_chars"),
+            (F.col("captioned_ms") >= 300).alias("keep"),
+        )
+    )
+
+
+@register(
+    "multimodal_mp3_id3",
+    # Filter modulus 7 is coprime with the version cycle (%3), unsync
+    # (%4), bitrate (%6), rate (%3) and every tag-text knob, so all
+    # three ID3v2 wire formats (v2.2 3-char/3-byte, v2.3 plain, v2.4
+    # synchsafe frame sizes), TAG-level unsync (v2.2/v2.3), PER-FRAME
+    # unsync + data-length indicators + footers (v2.4, r14), and all
+    # metadata branches are live in the driver-hashed corpus.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             2 + doc_id % 3 as ver,
+             doc_id % 4 = 1 as unsync,
+             doc_id % 3 = 2 and doc_id % 5 < 2 as dli,
+             doc_id % 3 = 2 and doc_id % 2 = 0 as foot,
+             10 + doc_id % 20 as n,
+             case doc_id % 6 when 0 then 56 when 1 then 64 when 2 then 80
+                  when 3 then 96 when 4 then 112 else 128 end as br,
+             case doc_id % 3 when 0 then 44100 when 1 then 48000
+                  else 32000 end as rate
+      from documents where doc_id % 7 = 5
+    ),
+    wire as (
+      -- per-frame header: v2.2 is 6 bytes + 1 encoding byte, v2.3/v2.4
+      -- 10 + 1; the unsynchronised title carries two planted 0xFF
+      -- ('ÿ') bytes: tag-level stuffing adds ONE 0x00 (the second ÿ is
+      -- followed by the next frame id), per-frame v2.4 stuffing adds
+      -- TWO (the payload-final ÿ also stuffs); a data-length indicator
+      -- adds 4 synchsafe bytes to every one of the 5 frames; a footer
+      -- adds its 10 bytes to the total
+      select *, case when ver = 2 then 7 else 11 end as hdr,
+             case when unsync then 2 else 0 end as ff
+      from base
+    )
+    select doc_id,
+           cast(ver as integer) as id3_version,
+           unsync as unsynchronised,
+           'title-' || d || case when unsync then 'ÿÿ' else '' end as title,
+           'artist-' || (d % 13) as artist,
+           'album-' || (d % 7) as album,
+           cast(1970 + d % 30 as varchar) as year,
+           'genre-' || (d % 5) as genre,
+           cast(10
+                + (hdr + 6 + length(cast(d as varchar)) + ff)
+                + (hdr + 7 + length(cast(d % 13 as varchar)))
+                + (hdr + 6 + length(cast(d % 7 as varchar)))
+                + (hdr + 4)
+                + (hdr + 6 + length(cast(d % 5 as varchar)))
+                + case when unsync then
+                    case when ver = 4 then 2 else 1 end else 0 end
+                + case when dli then 20 else 0 end
+                + case when foot then 10 else 0 end
+               as integer) as tag_bytes,
+           cast(n * ((144 * br * 1000) // rate) as bigint) as audio_bytes,
+           cast(n as integer) as n_frames,
+           cast((n * 1152 * 1000) // rate as bigint) as duration_ms,
+           'v1-' || d as v1_title,
+           cast(d % 80 as integer) as v1_genre
+    from wire
+    """,
+)
+def multimodal_mp3_id3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3-tagged MP3 metadata extraction (multimodal.mp3_id3_table):
+    per doc, build the file shape a crawl actually yields — ID3v2 tag
+    cycling v2.2 / v2.3 / v2.4 (all three frame-header wire formats:
+    3-char ids + 3-byte plain sizes, 4-char plain, 4-char synchsafe),
+    with tag-level UNSYNCHRONISATION cycling on the v2.2/v2.3 docs and
+    'ÿ' (0xFF) bytes planted in the title so the 0x00 stuffing is real
+    (VERDICT r13 task #5) — MPEG-1 Layer III frames, ID3v1 trailer —
+    then parse the tags, strip them, and demux the bare frame stream.
+    The oracle restates the v2 tag's exact byte size from the wire
+    format (10 + sum over frames of hdr + text length, hdr 7 for v2.2
+    / 11 for v2.3+, +1 stuffed byte when unsynchronised — any
+    synchsafe/plain/stuffing confusion shifts it), every text field,
+    the bare audio extent, and the frame-walk arithmetic closed-form.
+    Closes the 'lost MP3 frame sync' rejection on real-world tagged
+    files."""
+    return multimodal.mp3_id3_table(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 5)
+    )
+
+
+@register(
+    "multimodal_mp4_fragmented",
+    # Filter modulus 7 is coprime with every variety knob (fragments %3,
+    # video samples %4, trex duration %5, audio codec %4), so all
+    # branches — incl. all four audio fourccs — are live in the
+    # driver-hashed corpus.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d,
+             2 + doc_id % 3 as nf, 3 + doc_id % 4 as sv,
+             4 + doc_id % 3 as sa, 100 + (doc_id % 5) * 10 as dv
+      from documents where doc_id % 7 = 4
+    ),
+    v as (
+      select doc_id, d, 1 as trk, i, i // sv as frag, i % sv as k,
+             20 + (d + 7*i) % 40 as sz,
+             dv * i as dts,
+             dv * i + ((i + 1) % 3) * 50 as pts,
+             i % sv = 0 as sync_
+      from base, unnest(generate_series(0, 23)) u(i) where i < nf * sv
+    ),
+    a as (
+      select doc_id, d, 2 as trk, i, i // sa as frag, i % sa as k,
+             10 + (d + 3*i) % 20 as sz,
+             160*i + 20*(i // 2) as dts,
+             160*i + 20*(i // 2) as pts,
+             true as sync_
+      from base, unnest(generate_series(0, 23)) u(i) where i < nf * sa
+    ),
+    vf as (
+      select doc_id, frag, sum(sz) as vbytes from v group by 1, 2
+    ),
+    s as (
+      select v.*,
+             coalesce(sum(sz) over (partition by doc_id, frag order by k
+                 rows between unbounded preceding and 1 preceding), 0)
+               as off_
+      from v
+      union all
+      select a.doc_id, a.d, a.trk, a.i, a.frag, a.k, a.sz, a.dts, a.pts,
+             a.sync_,
+             vf.vbytes
+               + coalesce(sum(a.sz) over (partition by a.doc_id, a.frag
+                   order by a.k
+                   rows between unbounded preceding and 1 preceding), 0)
+               as off_
+      from a join vf using (doc_id, frag)
+    )
+    select doc_id,
+           cast(trk as integer) as track_id,
+           case when trk = 1 then 'vide' else 'soun' end as handler,
+           case when trk = 1 then 'mp4v'
+                when doc_id % 4 = 0 then 'ulaw'
+                when doc_id % 4 = 1 then 'alaw'
+                when doc_id % 4 = 2 then 'sowt' else 'twos' end as codec,
+           cast(frag + 1 as integer) as frag_seq,
+           cast(i as integer) as sample_idx,
+           cast(dts as bigint) as dts,
+           cast(pts as bigint) as pts,
+           cast(sz as integer) as size,
+           cast(off_ as bigint) as offset_in_frag,
+           sync_ as is_sync,
+           cast((select sum(case when trk = 1
+                                 then (d * 7 + i * 13 + j * 3) % 256
+                                 else (d * 3 + i * 7 + j * 11) % 256
+                            end)
+                 from generate_series(0, 59) g(j) where j < sz)
+               as bigint) as byte_sum
+    from s
+    """,
+)
+def multimodal_mp4_fragmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAGMENTED MP4 demux (multimodal.demux_mp4_fragments — the
+    DASH/HLS/CMAF segment shape, ISO 14496-12 §8.8): per doc, synthesize
+    an init segment (moov with EMPTY sample tables + mvex/trex defaults)
+    followed by 2-4 (moof, mdat) fragments — a mp4v video traf whose
+    durations resolve from the TREX default, sync flags from trun
+    first-sample-flags over a non-sync default, and pts from v1 trun
+    composition offsets, plus an audio traf (fourcc cycling
+    ulaw/alaw/sowt/twos) with per-sample TRUN durations — then demux the
+    tfhd/tfdt/trun chain back to one row per (track, fragment, sample).
+    The oracle restates every field closed-form: dts = trex-default
+    arithmetic for video and the alternating-duration cumsum for audio
+    (both must thread CORRECTLY across fragment boundaries through
+    tfdt), offsets relative to each fragment's data region via a window
+    over the intra-fragment layout, and seeded byte sums proving the
+    data_offset arithmetic sliced the right mdat bytes. Any precedence
+    slip in the trun > tfhd > trex field-resolution chain flips the
+    hash."""
+    return multimodal.demux_mp4_fragmented_table(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 4)
+    )
+
+
+@register(
+    "multimodal_gif_animation",
+    # Planted 5-frame animation per doc: a full-canvas base + four
+    # disjoint 2x2 patches exercising disposal 1 (leave), 2 (restore to
+    # background), 3 (restore previous) and 0, each patch
+    # checkerboard-transparent. The oracle replays the composition
+    # arithmetic closed-form: B = base-canvas sum; bo_k/be_k = base over
+    # the cells a patch paints / punches through; rendered sums chain
+    # exactly as the disposal model dictates. Filter modulus 7 keeps all
+    # variety knobs (w %6, h %4, palette %3, interlace %2, loop %4) live.
+    """
+    with params as (
+      select doc_id,
+             cast(doc_id as bigint) as d,
+             9 + doc_id % 6 as w,
+             9 + doc_id % 4 as h,
+             cast(case cast(doc_id % 3 as integer)
+                  when 0 then 4 when 1 then 16 else 64 end as bigint) as nc
+      from documents where doc_id % 7 = 3
+    ),
+    terms as (
+      select *,
+        (select sum((d + 3*x + 5*y) % nc)
+           from generate_series(0, 13) gx(x), generate_series(0, 11) gy(y)
+          where x < w and y < h) as b_all,
+        (d + 2*1) % (nc - 1) as c1,
+        (d + 2*2) % (nc - 1) as c2,
+        (d + 2*3) % (nc - 1) as c3,
+        (d + 2*4) % (nc - 1) as c4,
+        -- patch rects (left, top): p1 (0,2)  p2 (3,2)  p3 (6,2)  p4 (0,5)
+        -- bo_k = base over the painted (odd) cells (l+1,t) and (l,t+1);
+        -- be_k = base over the punched-through (even) cells
+        ((d + 3*1 + 5*2) % nc) + ((d + 3*0 + 5*3) % nc) as bo1,
+        ((d + 3*4 + 5*2) % nc) + ((d + 3*3 + 5*3) % nc) as bo2,
+        ((d + 3*7 + 5*2) % nc) + ((d + 3*6 + 5*3) % nc) as bo3,
+        ((d + 3*1 + 5*5) % nc) + ((d + 3*0 + 5*6) % nc) as bo4,
+        ((d + 3*3 + 5*2) % nc) + ((d + 3*4 + 5*3) % nc) as be2
+      from params
+    ),
+    sums as (
+      select *,
+        b_all as f0,
+        b_all - bo1 + 2*c1 as f1,
+        b_all - bo1 + 2*c1 - bo2 + 2*c2 as f2
+      from terms
+    ),
+    sums2 as (
+      -- after frame 2's restore-to-background: its painted cells and its
+      -- punched-through base cells both go transparent
+      select *, f2 - 2*c2 - be2 as s2p from sums
+    )
+    select doc_id,
+           cast(fi as integer) as frame_idx,
+           cast(w as integer) as width,
+           cast(h as integer) as height,
+           cast(nc as integer) as n_colors,
+           cast(10 + fi as integer) as delay_cs,
+           cast(doc_id % 4 as integer) as loop_count,
+           cast(case when fi >= 3 then 4 else 0 end as integer)
+               as n_transparent,
+           cast(case fi
+                when 0 then f0
+                when 1 then f1
+                when 2 then f2
+                when 3 then s2p - bo3 + 2*c3
+                else s2p - bo4 + 2*c4 end as bigint) as value_sum
+    from sums2, generate_series(0, 4) gs(fi)
+    """,
+)
+def multimodal_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF composition (operators/gif.py::compose_frames):
+    per doc, build a 5-frame GIF89a — full-canvas base (interlaced by
+    parity) then four disjoint checkerboard-transparent 2x2 patches
+    cycling disposal methods 1/2/3/0 — with per-frame Graphic Control
+    Extensions and a NETSCAPE2.0 loop count; encode it, decode it, run
+    the disposal/transparency composition model, and report per rendered
+    frame the visible-index sum + transparent-pixel count, which the SQL
+    oracle predicts closed-form without running the codec: disposal 2
+    must vacate its rect (4 transparent pixels from frame 3 on), and
+    disposal 3 must restore the canvas frame 3 painted (frame 4's sum
+    chains from the PRE-frame-3 state). Arrow-batched mapInPandas —
+    encode/decode/compose all happen where the bytes live, only typed
+    features shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import gif as _gif
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 3)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_colors", T.IntegerType()),
+            T.StructField("delay_cs", T.IntegerType()),
+            T.StructField("loop_count", T.IntegerType()),
+            T.StructField("n_transparent", T.IntegerType()),
+            T.StructField("value_sum", T.LongType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+    patch_at = ((0, 2), (3, 2), (6, 2), (0, 5))
+    disposal = (1, 2, 3, 0)
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 9 + d % 6, 9 + d % 4
+                nc = (4, 16, 64)[d % 3]
+                t = nc - 1
+                y, x = np.ogrid[0:h, 0:w]
+                base = (d + 3 * x + 5 * y) % nc
+                frames = [
+                    {
+                        "indices": base,
+                        "delay_cs": 10,
+                        "disposal": 1,
+                        "interlace": d % 2 == 1,
+                    }
+                ]
+                for k, ((pl, pt), disp) in enumerate(
+                    zip(patch_at, disposal), start=1
+                ):
+                    ck = (d + 2 * k) % (nc - 1)
+                    patch = np.where(
+                        (np.arange(2)[:, None] + np.arange(2)) % 2 == 0,
+                        t,
+                        ck,
+                    )
+                    frames.append(
+                        {
+                            "indices": patch,
+                            "left": pl,
+                            "top": pt,
+                            "disposal": disp,
+                            "delay_cs": 10 + k,
+                            "transparent_index": t,
+                        }
+                    )
+                enc = _gif.encode_gif_animation(
+                    frames, screen=(w, h), loop_count=d % 4
+                )
+                dec = _gif.decode_gif(enc)
+                for r in _gif.compose_frames(dec):
+                    cv = r["canvas"]
+                    rows.append(
+                        (
+                            d, r["frame_idx"], w, h, nc, r["delay_cs"],
+                            dec["loop_count"],
+                            int((cv < 0).sum()),
+                            int(cv[cv >= 0].sum()),
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname in cols[1:-1]:
+                out[cname] = out[cname].astype("int32")
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["value_sum"] = out["value_sum"].astype("int64")
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "pipeline_video_curation",
+    "with t as ("
+    + MP4_MULTITRACK_ORACLE.format(filt="doc_id % 9 = 4")
+    + """)
+    select doc_id,
+           cast(count(*) filter (where handler = 'vide' and is_sync)
+               as bigint) as n_keyframes,
+           cast(sum(size) filter (where handler = 'vide' and is_sync)
+               as bigint) as keyframe_bytes,
+           cast(max(pts) filter (where handler = 'vide')
+               as bigint) as video_span,
+           cast(count(*) filter (where handler = 'soun')
+               as bigint) as n_audio_samples,
+           cast(sum(size) filter (where handler = 'soun')
+               as bigint) as audio_bytes
+    from t group by doc_id
+    """,
+)
+def pipeline_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end video-curation composite: demux the corpus's 2-trak
+    files (one zero-shuffle map stage), route by hdlr, keep the video
+    trak's KEY FRAMES (the is_sync sampling knob a frame decoder
+    consumes) and the audio trak's extent, and emit the per-doc shot
+    list a curation pass filters on: keyframe count + bytes, composition
+    span, audio sample count + bytes. ONE job: map-stage demux then a
+    single conditional-aggregation shuffle — no joins, no second pass
+    over the media. The oracle wraps THE shared multi-track demux
+    template in the same conditional aggregates, so the whole composite
+    is hash-checked end to end."""
+    from pyiceberg_lakehouse_spark.operators.multimodal import (
+        demux_mp4_multitrack,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 9 == 4
+    )
+    rows = demux_mp4_multitrack(docs)
+    vide = F.col("handler") == "vide"
+    soun = F.col("handler") == "soun"
+    key = vide & F.col("is_sync")
+    return rows.groupBy("doc_id").agg(
+        F.count(F.when(key, 1)).alias("n_keyframes"),
+        F.sum(F.when(key, F.col("size"))).cast("bigint").alias("keyframe_bytes"),
+        F.max(F.when(vide, F.col("pts"))).alias("video_span"),
+        F.count(F.when(soun, 1)).alias("n_audio_samples"),
+        F.sum(F.when(soun, F.col("size"))).cast("bigint").alias("audio_bytes"),
+    )
+
+
+@register(
+    "multimodal_mp3_frames",
+    """
+    with base as (
+      select doc_id,
+             10 + doc_id % 40 as n,
+             case doc_id % 6 when 0 then 56 when 1 then 64 when 2 then 80
+                  when 3 then 96 when 4 then 112 else 128 end as br,
+             case doc_id % 3 when 0 then 44100 when 1 then 48000
+                  else 32000 end as rate
+      from documents where doc_id % 5 = 4
+    ),
+    fr as (
+      select doc_id, i, rate,
+             (144 * br * 1000) // rate as flen
+      from base, unnest(generate_series(0, 49)) u(i) where i < n
+    )
+    select doc_id,
+           cast(i as integer) as frame_idx,
+           cast(i * flen as bigint) as offset,
+           cast(flen as integer) as size,
+           cast((i * 1152 * 1000) // rate as bigint) as dts_ms,
+           cast((select sum((doc_id + i * 7 + j * 3) % 256)
+                 from generate_series(0, 575) g(j) where j < flen - 4)
+               as bigint) as byte_sum
+    from fr
+    """,
+)
+def multimodal_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame demux (multimodal.demux_mp3_frames): per doc, synthesize
+    an MPEG-1 Layer III stream (frame count, bitrate and sample rate all
+    varying closed-form in doc_id, main data seeded) and walk its frames
+    for real — one row per frame with byte extent, integer-exact
+    1152-samples-per-frame timestamp, and the main-data byte sum. The
+    oracle restates the 144*br*1000//rate frame-length arithmetic and
+    the seeded byte sums in SQL, so a header-stepping or extent error
+    flips the hash. This is MP3's sample-extraction layer (the audio
+    twin of demux_mp4); the Layer-III bitstream decode stays honestly
+    gated."""
+    return multimodal.demux_mp3_frame_table(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 4)
+    )
+
+
+@register(
+    "multimodal_jpeg_lossless",
+    # Filter modulus 5 is coprime with EVERY variety knob below (% 2
+    # components, % 7 predictor, % 4 restart interval, % 3 scan shape),
+    # so all branches are live in the driver-hashed corpus. (The previous
+    # % 6 = 5 filter pinned doc_id % 2 to 1 — the 3-component branch was
+    # dead in the driver check, the same class of gap the r12 advisor
+    # flagged on the audio corpus.)
+    """
+    with base as (
+      select doc_id,
+             6 + doc_id % 9 as w,
+             5 + doc_id % 7 as h,
+             case when doc_id % 2 = 0 then 3 else 1 end as nc,
+             1 + doc_id % 7 as predictor,
+             (doc_id % 4) * 3 as restart_interval
+      from documents where doc_id % 5 = 2
+    )
+    select doc_id,
+           cast(w as integer) as width,
+           cast(h as integer) as height,
+           cast(nc as integer) as n_components,
+           cast(predictor as integer) as predictor,
+           cast(restart_interval as integer) as restart_interval,
+           cast((select sum((doc_id * 5 + y * 11 + x * 3 + c * 17) % 256)
+                 from generate_series(0, 11) gy(y),
+                      generate_series(0, 14) gx(x),
+                      generate_series(0, 2) gc(c)
+                 where y < h and x < w and c < nc)
+               as bigint) as pixel_sum,
+           true as exact_roundtrip
+    from base
+    """,
+)
+def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LOSSLESS-JPEG round-trip (operators/jpeg.py: SOF3,
+    T.81 process 14): per doc, synthesize a deterministic image (gray or
+    RGB by parity), encode with the predictive lossless encoder — the
+    predictor CYCLES through all seven H.1.2.1 predictors, the restart
+    interval cycles 0/3/6/9 MCUs (0 = no DRI; 3/6/9 put RSTm boundaries
+    mid-row, exercising the H.1.2.2 prediction reset), and the scan
+    shape cycles interleaved / one-scan-per-component across the corpus
+    — decode through decode_jpeg's SOF3 dispatch, and emit the decoded
+    pixel SUM plus the exact-roundtrip flag. Lossless means the sum is
+    CLOSED-FORM (unlike the lossy codecs' error-bound booleans): any
+    predictor, category-coding, restart-reset, or reconstruction slip
+    flips the hash, not just a tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import jpeg as _jpeg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 2)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_components", T.IntegerType()),
+            T.StructField("predictor", T.IntegerType()),
+            T.StructField("restart_interval", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+            T.StructField("exact_roundtrip", T.BooleanType()),
+        ]
+    )
+
+    def batches(it):
+        cols = [
+            "doc_id", "width", "height", "n_components", "predictor",
+            "restart_interval", "pixel_sum", "exact_roundtrip",
+        ]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 6 + d % 9, 5 + d % 7
+                nc = 3 if d % 2 == 0 else 1
+                predictor = 1 + d % 7
+                ri = (d % 4) * 3
+                y, x, c = np.ogrid[0:h, 0:w, 0:nc]
+                px = ((d * 5 + y * 11 + x * 3 + c * 17) % 256).astype(
+                    np.uint8
+                )
+                if nc == 1:
+                    px = px[:, :, 0]
+                enc = _jpeg.encode_jpeg_lossless(
+                    px,
+                    predictor=predictor,
+                    restart_interval=ri,
+                    interleaved=d % 3 > 0,
+                )
+                dec = _jpeg.decode_jpeg(enc)  # via the SOF3 dispatch
+                rows.append(
+                    (
+                        d, w, h, nc, predictor, ri,
+                        int(dec.astype(np.int64).sum()),
+                        bool(dec.shape == px.shape and (dec == px).all()),
+                    )
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname, dt in (
+                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
+                ("n_components", "int32"), ("predictor", "int32"),
+                ("restart_interval", "int32"),
+                ("pixel_sum", "int64"), ("exact_roundtrip", "bool"),
+            ):
+                out[cname] = out[cname].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_jpeg_progressive",
+    """
+    select doc_id,
+           cast(3 + doc_id % 6 as integer) as width,
+           cast(2 + doc_id % 4 as integer) as height,
+           cast(case when doc_id % 2 = 0 then 1 else 3 end as integer)
+               as n_components,
+           true as matches_baseline,
+           true as err_within_bound
+    from documents where doc_id % 4 = 3
+    """,
+)
+def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PROGRESSIVE-JPEG round-trip (operators/
+    jpeg_progressive.py): per doc, synthesize a deterministic image,
+    encode with the multi-scan progressive encoder (DC successive
+    approximation + per-band AC first/refinement — all four scan types),
+    decode, and hash TWO booleans the driver can check: the decode must
+    BIT-EQUAL the baseline codec's decode of the same pixels (same
+    quantized coefficients, two independent entropy deliveries), and the
+    reconstruction error must sit under the lossy ceiling. Header dims
+    ride the SOF2 probe."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import jpeg as _jpeg
+    from pyiceberg_lakehouse_spark.operators import jpeg_progressive as _prog
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 3)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_components", T.IntegerType()),
+            T.StructField("matches_baseline", T.BooleanType()),
+            T.StructField("err_within_bound", T.BooleanType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "width", "height",
+                                    "n_components", "matches_baseline",
+                                    "err_within_bound")}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 3 + d % 6, 2 + d % 4
+                if d % 2 == 0:
+                    y, x = np.ogrid[0:h, 0:w]
+                    px = ((d * 37 + y * 11 + x * 5) % 256).astype(np.uint8)
+                else:
+                    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                    px = ((d * 37 + y * 11 + x * 5 + c * 3) % 256).astype(
+                        np.uint8
+                    )
+                payload = _prog.encode_progressive(px, quality=90)
+                pw, ph, ncomp = _prog.progressive_header(payload)
+                out = _jpeg.decode_jpeg(payload)  # via the SOF2 dispatch
+                twin = _jpeg.decode_jpeg(_jpeg.encode_jpeg(px, quality=90))
+                err = float(
+                    np.abs(out.astype(np.int64) - px.astype(np.int64)).mean()
+                )
+                rows["doc_id"].append(d)
+                rows["width"].append(pw)
+                rows["height"].append(ph)
+                rows["n_components"].append(ncomp)
+                rows["matches_baseline"].append(bool(np.array_equal(out, twin)))
+                rows["err_within_bound"].append(bool(err < 20.0))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_webp_lossy_decode",
+    # Planted lossy (VP8 key-frame) WebP per doc: a single-column image
+    # of 1-3 macroblocks whose residuals are lone Y2/chroma DC
+    # coefficients, so each decoded macroblock is UNIFORM and the
+    # DC/V/H/TM intra-prediction chain (H resets to the synthetic left
+    # border 129; DC/V/TM propagate the uniform above value) plus the
+    # dequant->IWHT->IDCT arithmetic is closed-form. The oracle chains
+    # the per-MB uniform values in SQL — quantizer lookups ride in a
+    # VALUES table taken from the RFC 6386 dc_qlookup. Filter modulus 13
+    # is coprime with the MB-count (%3), quantizer (%8), mode (+k %4)
+    # and token (%4/%3) knobs. Token partition count cycles 1/2.
+    """
+    with docs as (
+      select doc_id, cast(doc_id as bigint) as d, 1 + doc_id % 3 as nmb
+      from documents where doc_id % 13 = 5
+    ),
+    qsel(sel, qi, y2q, uvq) as (
+      values (0, 0, 8, 4), (1, 10, 26, 13), (2, 26, 48, 24),
+             (3, 44, 80, 40), (4, 63, 116, 58), (5, 80, 150, 75),
+             (6, 101, 200, 100), (7, 127, 314, 132)
+    ),
+    ks as (
+      select doc_id, d, nmb, qi, y2q, uvq, cast(u.k as bigint) as k
+      from docs join qsel on qsel.sel = d % 8,
+           unnest(generate_series(0, nmb - 1)) u(k)
+    ),
+    terms as (
+      select *,
+        (d + k) % 4 as ym,
+        ((d // 4) + k) % 4 as um,
+        (((1 + (d + 5*k) % 4) * y2q + 3) // 8 + 4) // 8 as y_add,
+        (((d + 2*k) % 3) * uvq + 4) // 8 as u_add,
+        (((d + 2*k + 1) % 3) * uvq + 4) // 8 as v_add
+      from ks
+    ),
+    grouped as (
+      select *,
+        max(case when k = 0 or ym = 2 then k end)
+          over (partition by doc_id order by k) as yj0,
+        max(case when k = 0 or um = 2 then k end)
+          over (partition by doc_id order by k) as uj0
+      from terms
+    ),
+    chains as (
+      select *,
+        (case when yj0 = 0
+              then (case d % 4 when 0 then 128 when 1 then 127 else 129 end)
+              else 129 end)
+          + sum(y_add) over (partition by doc_id, yj0 order by k) as vy,
+        (case when uj0 = 0
+              then (case (d // 4) % 4 when 0 then 128 when 1 then 127
+                    else 129 end)
+              else 129 end)
+          + sum(u_add) over (partition by doc_id, uj0 order by k) as vu,
+        (case when uj0 = 0
+              then (case (d // 4) % 4 when 0 then 128 when 1 then 127
+                    else 129 end)
+              else 129 end)
+          + sum(v_add) over (partition by doc_id, uj0 order by k) as vv
+      from grouped
+    )
+    select doc_id,
+           cast(16 as integer) as width,
+           cast(16 * max(nmb) as integer) as height,
+           cast(max(nmb) as integer) as mb_count,
+           cast(max(qi) as integer) as qindex,
+           cast(case when max(d) % 2 = 0 then 2 else 1 end as integer)
+             as partitions,
+           cast(sum(256 * vy) as bigint) as y_sum,
+           cast(sum(64 * vu) as bigint) as u_sum,
+           cast(sum(64 * vv) as bigint) as v_sum,
+           true as exact_match
+    from chains
+    group by doc_id
+    """,
+)
+def multimodal_webp_lossy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-WebP (VP8 key-frame) pixel decode — operators/vp8.py,
+    VERDICT r14 task #3: per doc, build a genuine VP8 key frame through
+    the fixture encoder (boolean arithmetic coder, default RFC 6386
+    probability tables, token trees with category extra bits, 1-2 token
+    partitions, per-MB skip flags, DC/V/H/TM mode coding), wrap it in
+    RIFF/WEBP, decode it back through the full decoder (header parse,
+    1056 update-flag reads, mode parse, token decode, dequant, inverse
+    WHT+DCT, intra prediction), and report per-plane pixel sums that the
+    oracle predicts closed-form without running either codec. The same
+    decoder is pinned against a real libwebp-encoded file in
+    tests/test_vp8.py. Arrow-batched mapInPandas: codec work happens
+    where the bytes live, only typed features shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import vp8 as _vp8
+    from pyiceberg_lakehouse_spark.operators import vp8l as _vp8l
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 5)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mb_count", T.IntegerType()),
+            T.StructField("qindex", T.IntegerType()),
+            T.StructField("partitions", T.IntegerType()),
+            T.StructField("y_sum", T.LongType()),
+            T.StructField("u_sum", T.LongType()),
+            T.StructField("v_sum", T.LongType()),
+            T.StructField("exact_match", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+    qis = (0, 10, 26, 44, 63, 80, 101, 127)
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nmb = 1 + d % 3
+                qi = qis[d % 8]
+                nparts = 2 if d % 2 == 0 else 1
+                specs = []
+                for k in range(nmb):
+                    specs.append(
+                        {
+                            "ymode": (d + k) % 4,
+                            "uvmode": ((d // 4) + k) % 4,
+                            "y2_dc": 1 + (d + 5 * k) % 4,
+                            "u_dc": (d + 2 * k) % 3,
+                            "v_dc": (d + 2 * k + 1) % 3,
+                        }
+                    )
+                payload = _vp8.encode_vp8_keyframe(
+                    specs, 1, nmb, qi, n_partitions=nparts
+                )
+                rgba, meta = _vp8l.decode_webp(_vp8.wrap_webp_lossy(payload))
+                del rgba  # RGB path exercised; sums pin the YUV planes
+                out = _vp8.decode_vp8_frame(payload)
+                ymods = [s["ymode"] for s in specs]
+                umods = [s["uvmode"] for s in specs]
+                vy = _vp8.predict_uniform_chain(
+                    ymods, [_vp8.y2_dc_add(s["y2_dc"], qi) for s in specs]
+                )
+                vu = _vp8.predict_uniform_chain(
+                    umods, [_vp8.uv_dc_add(s["u_dc"], qi) for s in specs]
+                )
+                vv = _vp8.predict_uniform_chain(
+                    umods, [_vp8.uv_dc_add(s["v_dc"], qi) for s in specs]
+                )
+                y, u, v = out["y"], out["u"], out["v"]
+                exact = bool(
+                    all(
+                        (y[16 * k : 16 * k + 16, :] == vy[k]).all()
+                        and (u[8 * k : 8 * k + 8, :] == vu[k]).all()
+                        and (v[8 * k : 8 * k + 8, :] == vv[k]).all()
+                        for k in range(nmb)
+                    )
+                    and meta["codec"] == "vp8"
+                )
+                rows.append(
+                    (
+                        d, 16, 16 * nmb, nmb, qi, nparts,
+                        int(y.astype(np.int64).sum()),
+                        int(u.astype(np.int64).sum()),
+                        int(v.astype(np.int64).sum()),
+                        exact,
+                    )
+                )
+            out_pdf = pd.DataFrame(rows, columns=cols)
+            for cname, dt in (
+                ("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
+                ("mb_count", "int32"), ("qindex", "int32"),
+                ("partitions", "int32"), ("y_sum", "int64"),
+                ("u_sum", "int64"), ("v_sum", "int64"),
+            ):
+                out_pdf[cname] = out_pdf[cname].astype(dt)
+            yield out_pdf
+
+    return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_ogg_tags",
+    # Planted VorbisComment metadata (the Ogg ecosystem's tag standard,
+    # Vorbis I §5 / RFC 7845 §5.2): per doc, 1-2 chained Ogg links
+    # alternating vorbis (\x03vorbis comment header, framing bit) and
+    # opus (OpusTags, no framing), each with a planted vendor string and
+    # 1-4 KEY=value fields; the reader walks the chain, cross-checks the
+    # id-header codec against the comment-header form, and emits one row
+    # per tag. The oracle rebuilds the same strings arithmetically.
+    # Filter modulus 11 residue 4; knobs use %2 (links), %7 (vendor),
+    # %4 (tag count), %6 (key) — coprime with the filter.
+    """
+    with docs as (
+      select doc_id, cast(doc_id as bigint) as d, 1 + doc_id % 2 as nlinks
+      from documents where doc_id % 11 = 4
+    ),
+    links as (
+      select doc_id, d, cast(u.li as bigint) as li,
+             case when (d + u.li) % 2 = 0 then 'vorbis' else 'opus' end
+               as codec,
+             'lh-ref-' || cast((d*3 + u.li) % 7 as varchar) as vendor,
+             1 + (d + u.li) % 4 as ntags
+      from docs, unnest(generate_series(0, nlinks - 1)) u(li)
+    ),
+    tags as (
+      select doc_id, li, codec, vendor, cast(t.i as bigint) as tag_idx,
+             case cast((d + 2*li + t.i) % 6 as integer)
+                  when 0 then 'TITLE' when 1 then 'ARTIST'
+                  when 2 then 'ALBUM' when 3 then 'DATE'
+                  when 4 then 'TRACKNUMBER' else 'GENRE' end as key,
+             'v' || cast((d*7 + 11*li + 3*t.i) % 1000 as varchar) as value
+      from links, unnest(generate_series(0, ntags - 1)) t(i)
+    )
+    select doc_id, cast(li as integer) as link, codec, vendor,
+           cast(tag_idx as integer) as tag_idx, key, value
+    from tags
+    """,
+)
+def multimodal_ogg_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VorbisComment / OpusTags extraction (operators/ogg.py, VERDICT
+    r14 task #5): per doc, mux 1-2 chained Ogg links — vorbis id +
+    comment + setup + audio packets, or OpusHead + OpusTags + audio —
+    through the real page writer (CRCs, lacing, BOS/EOS), then walk the
+    chain back with the strict parser and emit one row per tag field.
+    Arrow-batched mapInPandas, map-only."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import ogg as _ogg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 4)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("link", T.IntegerType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("vendor", T.StringType()),
+            T.StructField("tag_idx", T.IntegerType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("value", T.StringType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+    keys = ("TITLE", "ARTIST", "ALBUM", "DATE", "TRACKNUMBER", "GENRE")
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = b""
+                for li in range(1 + d % 2):
+                    vendor = f"lh-ref-{(d*3 + li) % 7}"
+                    tags = [
+                        (
+                            keys[(d + 2 * li + i) % 6],
+                            f"v{(d*7 + 11*li + 3*i) % 1000}",
+                        )
+                        for i in range(1 + (d + li) % 4)
+                    ]
+                    if (d + li) % 2 == 0:
+                        ident = (
+                            b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+                            + (44100).to_bytes(4, "little") + b"\x00" * 13
+                        )
+                        comment = _ogg.make_vorbis_comment_packet(vendor, tags)
+                        packets = [
+                            ident, comment, b"\x05vorbis-setup",
+                            b"audio-%d" % d,
+                        ]
+                    else:
+                        ident = (
+                            b"OpusHead" + bytes([1, 2])
+                            + (312).to_bytes(2, "little")
+                            + (48000).to_bytes(4, "little") + b"\x00" * 3
+                        )
+                        comment = _ogg.make_opus_tags_packet(vendor, tags)
+                        packets = [ident, comment, b"audio-%d" % d]
+                    payload += _ogg.make_ogg(
+                        packets, serial=100 + li, max_segments=3 + d % 5
+                    )
+                for entry in _ogg.extract_ogg_tags(payload):
+                    for i, (k, v) in enumerate(entry["tags"]):
+                        rows.append(
+                            (d, entry["link"], entry["codec"],
+                             entry["vendor"], i, k, v)
+                        )
+            out = pd.DataFrame(rows, columns=cols)
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["link"] = out["link"].astype("int32")
+            out["tag_idx"] = out["tag_idx"].astype("int32")
+            yield out
+
+    return docs.mapInPandas(batches, schema)

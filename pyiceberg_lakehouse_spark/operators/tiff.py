@@ -285,11 +285,13 @@ def encode_tiff(
     h, w, ch = px.shape
     if ch not in (1, 3):
         raise ValueError("1 (gray) or 3 (RGB) samples per pixel")
-    if compression not in (1, 5, 8, 32773):
+    if compression not in (1, 4, 5, 8, 32773):
         raise ValueError(
-            "compression must be 1 (none), 5 (LZW), 8 (Deflate) or "
-            "32773 (PackBits)"
+            "compression must be 1 (none), 4 (CCITT G4), 5 (LZW), "
+            "8 (Deflate) or 32773 (PackBits)"
         )
+    if compression == 4 and bits != 1:
+        raise ValueError("CCITT G4 applies to bilevel data only")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
     if bits not in (1, 8):
@@ -304,7 +306,11 @@ def encode_tiff(
     elif photometric is not None:
         raise ValueError("explicit photometric is for bilevel writes")
 
-    def pack(raw: bytes) -> bytes:
+    def pack(raw: bytes, dims: tuple[int, int]) -> bytes:
+        if compression == 4:
+            from pyiceberg_lakehouse_spark.operators.ccitt import g4_encode
+
+            return g4_encode(raw, dims[0], dims[1])
         if compression == 32773:
             return packbits_encode(raw)
         if compression == 5:
@@ -337,7 +343,7 @@ def encode_tiff(
                 block = padded[r * tl : (r + 1) * tl, c * tw : (c + 1) * tw]
                 if predictor == 2:
                     block = _predict2_encode(block.copy())
-                strips.append(pack(rows_bytes(block)))
+                strips.append(pack(rows_bytes(block), (tw, tl)))
         n_strips = len(strips)
     else:
         if predictor == 2:
@@ -348,7 +354,7 @@ def encode_tiff(
         strips = []
         for s in range(n_strips):
             block = px[s * rows_per_strip : (s + 1) * rows_per_strip]
-            strips.append(pack(rows_bytes(block)))
+            strips.append(pack(rows_bytes(block), (w, block.shape[0])))
 
     def tag(tid: int, ttype: int, values: list[int], data_off: int) -> tuple[bytes, bytes]:
         size = _TYPE_SIZES[ttype] * len(values)
@@ -485,11 +491,13 @@ def decode_tiff(payload: bytes):
         )
     if bits == 1 and ch != 1:
         raise NotImplementedError("multi-sample bilevel TIFF not supported")
-    if compression not in (1, 5, 8, 32773, 32946):
+    if compression not in (1, 4, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {compression}: none/LZW/Deflate/PackBits"
-            " supported"
+            f"TIFF compression {compression}: none/CCITT G4/LZW/Deflate/"
+            "PackBits supported"
         )
+    if compression == 4 and bits != 1:
+        raise ValueError("CCITT G4 applies to bilevel data only")
     predictor = one(_TAG_PREDICTOR, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
@@ -503,7 +511,17 @@ def decode_tiff(payload: bytes):
         )
     if photometric == 2 and ch != 3:
         raise ValueError("RGB photometric with SamplesPerPixel != 3")
-    def unpack(raw: bytes, expected: int) -> bytes:
+    def unpack(raw: bytes, expected: int, g4_dims: tuple[int, int] | None = None) -> bytes:
+        if compression == 4:
+            from pyiceberg_lakehouse_spark.operators.ccitt import g4_decode
+
+            gw, gh = g4_dims
+            out = g4_decode(raw, gw, gh)
+            if len(out) != expected:
+                raise ValueError(
+                    f"G4 segment decoded {len(out)} of {expected} bytes"
+                )
+            return out
         if compression == 32773:
             return packbits_decode(raw, expected)
         if compression == 5:
@@ -543,7 +561,9 @@ def decode_tiff(payload: bytes):
             if off + cnt > len(payload):
                 raise ValueError("tile bytes out of file bounds")
             if bits == 1:
-                raw = unpack(payload[off : off + cnt], tl * (tw // 8))
+                raw = unpack(
+                    payload[off : off + cnt], tl * (tw // 8), (tw, tl)
+                )
                 packed = np.frombuffer(raw, dtype=np.uint8)
                 block = (
                     np.unpackbits(packed.reshape(tl, tw // 8), axis=1)
@@ -581,7 +601,9 @@ def decode_tiff(payload: bytes):
             if off + cnt > len(payload):
                 raise ValueError("strip bytes out of file bounds")
             rows = min(rps, h - s * rps)
-            out += unpack(payload[off : off + cnt], rows * rowbytes)
+            out += unpack(
+                payload[off : off + cnt], rows * rowbytes, (w, rows)
+            )
         if bits == 1:
             packed = np.frombuffer(bytes(out), dtype=np.uint8)
             px = (

@@ -1597,3 +1597,211 @@ def yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
     g = yy - ((22554 * (uu - 128) + 46802 * (vv - 128)) >> 16)
     b = yy + ((116130 * (uu - 128)) >> 16)
     return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+
+# --------------------------------------------------------------------------
+# Fixture-grade encoder (planted key frames with closed-form pixel sums)
+# --------------------------------------------------------------------------
+
+
+def _write_coeff_token(e: BoolEncoder, probs, v: int, skip_eob: bool) -> int:
+    """Write one coefficient token for magnitude-signed value ``v``;
+    returns the follow-on context (0 zero / 1 one / 2 bigger)."""
+    mag = abs(v)
+    if mag == 0:
+        tok = ZERO_TOKEN
+    elif mag <= 4:
+        tok = mag  # ONE..FOUR tokens
+    elif mag <= 6:
+        tok = CAT1
+    elif mag <= 10:
+        tok = CAT2
+    elif mag <= 18:
+        tok = CAT3
+    elif mag <= 34:
+        tok = CAT4
+    elif mag <= 66:
+        tok = CAT5
+    else:
+        tok = CAT6
+    if skip_eob:
+        # encoder mirror of the decoder's start-at-node-2 rule
+        path: list[tuple[int, int]] = []
+        assert e._find(TOKEN_TREE, 2, tok, path)
+        for node, bit in path:
+            e.write_bool(bit, probs[node >> 1])
+    else:
+        e.write_tree(TOKEN_TREE, probs, tok)
+    if tok == ZERO_TOKEN:
+        return 0
+    if tok >= CAT1:
+        extra = mag - CAT_BASE[tok]
+        cps = CAT_PROBS[tok]
+        for k, pr in enumerate(cps):
+            e.write_bool((extra >> (len(cps) - 1 - k)) & 1, pr)
+    e.write_bool(1 if v < 0 else 0, 128)
+    return 1 if mag == 1 else 2
+
+
+def _write_dc_block(
+    e: BoolEncoder, probs_plane, ctx: int, first: int, dc: int
+) -> int:
+    """Encode a block whose only (potential) coefficient is the DC at
+    scan position ``first``; returns the nonzero flag for contexts."""
+    p = probs_plane[COEFF_BANDS[first]][ctx]
+    if dc == 0:
+        e.write_tree(TOKEN_TREE, p, EOB_TOKEN)
+        return 0
+    ctx2 = _write_coeff_token(e, p, dc, skip_eob=False)
+    p2 = probs_plane[COEFF_BANDS[first + 1]][ctx2]
+    e.write_tree(TOKEN_TREE, p2, EOB_TOKEN)
+    return 1
+
+
+def encode_vp8_keyframe(
+    mb_specs: list[dict],
+    mb_cols: int,
+    mb_rows: int,
+    qindex: int,
+    n_partitions: int = 1,
+    y2_dc_delta: int = 0,
+    uv_dc_delta: int = 0,
+    prob_skip: int = 200,
+) -> bytes:
+    """Build a spec-complete VP8 key frame from per-macroblock specs.
+
+    Each spec: {"ymode": DC/V/H/TM_PRED, "uvmode": ..., "y2_dc": int,
+    "u_dc": int, "v_dc": int} — every luma 4x4 carries only the shared
+    Y2-propagated DC, every chroma 4x4 only its DC, so decoded
+    macroblocks are uniform and pixel sums are closed-form predictable.
+    The filter level is 0 (deblocking would perturb the closed form)."""
+    assert len(mb_specs) == mb_cols * mb_rows
+    assert n_partitions in (1, 2, 4, 8)
+    width, height = mb_cols * 16, mb_rows * 16
+    e = BoolEncoder()
+    e.write_literal(0, 1)  # color space
+    e.write_literal(0, 1)  # clamping type
+    e.write_literal(0, 1)  # segmentation disabled
+    e.write_literal(0, 1)  # normal filter
+    e.write_literal(0, 6)  # filter level 0
+    e.write_literal(0, 3)  # sharpness
+    e.write_literal(0, 1)  # no lf deltas
+    e.write_literal({1: 0, 2: 1, 4: 2, 8: 3}[n_partitions], 2)
+    e.write_literal(qindex, 7)
+    for delta in (0, y2_dc_delta, 0, uv_dc_delta, 0):
+        if delta:
+            e.write_literal(1, 1)
+            e.write_signed(delta, 4)
+        else:
+            e.write_literal(0, 1)
+    e.write_literal(1, 1)  # refresh entropy probs
+    for t in range(4):
+        for b in range(8):
+            for c in range(3):
+                for n in range(11):
+                    e.write_bool(0, COEFF_UPDATE_PROBS[t][b][c][n])
+    e.write_literal(1, 1)  # mb_no_coeff_skip
+    e.write_literal(prob_skip, 8)
+    for spec in mb_specs:
+        e.write_bool(0, prob_skip)  # not skipped
+        e.write_tree(KF_YMODE_TREE, KF_YMODE_PROB, spec["ymode"])
+        e.write_tree(UV_MODE_TREE, KF_UV_MODE_PROB, spec["uvmode"])
+    part1 = e.getvalue()
+
+    encs = [BoolEncoder() for _ in range(n_partitions)]
+    above_y = [[0] * 4 for _ in range(mb_cols)]
+    above_u = [[0] * 2 for _ in range(mb_cols)]
+    above_v = [[0] * 2 for _ in range(mb_cols)]
+    above_y2 = [0] * mb_cols
+    for my in range(mb_rows):
+        te = encs[my % n_partitions]
+        left_y = [0] * 4
+        left_u = [0] * 2
+        left_v = [0] * 2
+        left_y2 = 0
+        for mx in range(mb_cols):
+            spec = mb_specs[my * mb_cols + mx]
+            # Y2 block
+            ctx = above_y2[mx] + left_y2
+            nz = _write_dc_block(
+                te, _PROBS_BY_PLANE[PLANE_Y2], ctx, 0, spec["y2_dc"]
+            )
+            above_y2[mx] = left_y2 = nz
+            # 16 luma blocks: tokens start at coeff 1, all zero -> EOB
+            for b in range(16):
+                r, c = b >> 2, b & 3
+                ctx = above_y[mx][c] + left_y[r]
+                nz = _write_dc_block(
+                    te, _PROBS_BY_PLANE[PLANE_Y_NO_DC], ctx, 1, 0
+                )
+                above_y[mx][c] = left_y[r] = nz
+            for key, actx, lctx in (
+                ("u_dc", above_u, left_u), ("v_dc", above_v, left_v)
+            ):
+                for b in range(4):
+                    r, c = b >> 1, b & 1
+                    ctx = actx[mx][c] + lctx[r]
+                    nz = _write_dc_block(
+                        te, _PROBS_BY_PLANE[PLANE_UV], ctx, 0, spec[key]
+                    )
+                    actx[mx][c] = lctx[r] = nz
+    parts = [enc.getvalue() for enc in encs]
+    tag = (0) | (0 << 1) | (1 << 4) | (len(part1) << 5)
+    head = bytes(
+        [tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF]
+    ) + b"\x9d\x01\x2a" + struct.pack("<HH", width, height)
+    out = head + part1
+    for p in parts[:-1]:
+        out += bytes([len(p) & 0xFF, (len(p) >> 8) & 0xFF, (len(p) >> 16) & 0xFF])
+    return out + b"".join(parts)
+
+
+_PROBS_BY_PLANE = {
+    p: DEFAULT_COEFF_PROBS[p]
+    for p in (PLANE_Y_NO_DC, PLANE_Y2, PLANE_UV, PLANE_Y_WITH_DC)
+}
+
+
+def wrap_webp_lossy(vp8_payload: bytes) -> bytes:
+    """RIFF/WEBP container around a ``VP8 `` chunk payload."""
+    pad = b"\x00" if len(vp8_payload) % 2 else b""
+    chunk = b"VP8 " + struct.pack("<I", len(vp8_payload)) + vp8_payload + pad
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def predict_uniform_chain(
+    modes: list[int], adds: list[int], first_base: dict | None = None
+) -> list[int]:
+    """Closed-form per-MB uniform values for a single-column fixture:
+    each MB predicts from the uniform MB above (DC/V/TM) or from the
+    synthetic left border (H -> 129); value = prediction + its uniform
+    residual. Mirrors RFC 6386 §12.2 for this construction — the oracle
+    runs the same arithmetic in SQL."""
+    base0 = first_base or {DC_PRED: 128, V_PRED: 127, H_PRED: 129, TM_PRED: 129}
+    vals: list[int] = []
+    for k, (m, a) in enumerate(zip(modes, adds)):
+        if k == 0:
+            p = base0[m]
+        elif m == H_PRED:
+            p = 129
+        else:  # DC/V/TM all reproduce the uniform above value
+            p = vals[-1]
+        v = p + a
+        assert 0 <= v <= 255, "fixture values must stay unclamped"
+        vals.append(v)
+    return vals
+
+
+def y2_dc_add(token: int, qindex: int, y2_dc_delta: int = 0) -> int:
+    """Uniform luma residual produced by a lone Y2 DC coefficient:
+    dequant -> inverse WHT dc shortcut -> per-block DC-only IDCT."""
+    q = DC_QLOOKUP[_clamp_q(qindex + y2_dc_delta)] * 2
+    wht = (token * q + 3) >> 3
+    return (wht + 4) >> 3
+
+
+def uv_dc_add(token: int, qindex: int, uv_dc_delta: int = 0) -> int:
+    """Uniform chroma residual from a lone chroma DC coefficient."""
+    q = DC_QLOOKUP[_clamp_q(qindex + uv_dc_delta)]
+    if q > 132:
+        q = 132
+    return (token * q + 4) >> 3

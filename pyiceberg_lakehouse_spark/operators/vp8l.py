@@ -1065,22 +1065,39 @@ def wrap_webp_lossless(vp8l_payload: bytes) -> bytes:
 
 
 def decode_webp(payload: bytes) -> tuple[np.ndarray, dict]:
-    """RIFF/WEBP -> pixels. VP8L (lossless) decodes natively; lossy VP8
-    stays honestly gated (a DCT video intra codec)."""
+    """RIFF/WEBP -> ((h, w, 4) RGBA, meta). VP8L (lossless) decodes
+    natively; lossy VP8 key frames decode through operators/vp8.py, with
+    an optional ALPH chunk (a headerless VP8L stream) supplying alpha."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP framing missing)")
     pos = 12
     end = 8 + struct.unpack_from("<I", payload, 4)[0]
+    alph_body = None
     while pos + 8 <= min(end, len(payload)):
         fourcc = payload[pos : pos + 4]
         (csize,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + csize]
+        if fourcc == b"ALPH":
+            alph_body = body
         if fourcc == b"VP8L":
             return decode_vp8l(body)
         if fourcc == b"VP8 ":
-            raise NotImplementedError(
-                "lossy VP8 pixel decode (DCT intra codec) not supported"
+            from pyiceberg_lakehouse_spark.operators import vp8 as _vp8
+
+            out = _vp8.decode_vp8_frame(body)
+            rgb = _vp8.yuv_to_rgb(out["y"], out["u"], out["v"])
+            w, h = out["width"], out["height"]
+            alpha = (
+                decode_alph(alph_body, w, h)
+                if alph_body is not None
+                else np.full((h, w), 255, np.uint8)
             )
+            meta = {
+                "width": w, "height": h,
+                "has_alpha": alph_body is not None,
+                "transforms": [], "cache_bits": 0, "codec": "vp8",
+            }
+            return np.dstack([rgb, alpha]), meta
         pos += 8 + csize + (csize % 2)
     raise ValueError("WebP carries no decodable image chunk")
 

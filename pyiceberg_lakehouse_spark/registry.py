@@ -412,9 +412,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lh_rollup_percentile",
     "dedup_simhash_selfcheck",
     "lh_bloom_join_scan",
-    "fn_struct_ops",
+    # (fn_struct_ops' keeper slot goes to the NEW VorbisComment/OpusTags
+    # extraction row — fn_ stays covered by fn_variant_extract)
+    "multimodal_ogg_tags",
     "pipeline_crawl_ingest",
-    "multimodal_ogg_packets",
+    # (multimodal_ogg_packets' keeper slot goes to the NEW lossy-WebP
+    # VP8 key-frame decode — the round's headline codec; the ogg demux
+    # stays local-gated + pytest-pinned)
+    "multimodal_webp_lossy_decode",
 )
 
 
@@ -428,6 +433,8 @@ def load_all() -> None:
     import pyiceberg_lakehouse_spark.queries.relational_tpch2  # noqa: F401
     import pyiceberg_lakehouse_spark.queries.relational_ext3  # noqa: F401
     import pyiceberg_lakehouse_spark.operators.queries  # noqa: F401
+    import pyiceberg_lakehouse_spark.operators.queries_media  # noqa: F401
+    import pyiceberg_lakehouse_spark.operators.queries_crawl  # noqa: F401
     import pyiceberg_lakehouse_spark.lakehouse.queries  # noqa: F401
     import pyiceberg_lakehouse_spark.streaming.queries  # noqa: F401
     import pyiceberg_lakehouse_spark.streaming.queries2  # noqa: F401

@@ -913,7 +913,7 @@ def stream_lh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mp4_multitrack_oracle(filt: str) -> str:
-    from pyiceberg_lakehouse_spark.operators.queries import (
+    from pyiceberg_lakehouse_spark.operators.queries_media import (
         MP4_MULTITRACK_ORACLE,
     )
 

@@ -1,0 +1,90 @@
+"""CCITT Group 4 (T.6) codec tests: table consistency, round-trip
+properties, and TIFF Compression 4 integration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyiceberg_lakehouse_spark.operators import ccitt, tiff
+
+
+def test_code_tables_complete_and_prefix_free():
+    # _check at import already asserts: re-run explicitly for the record
+    for codes in (ccitt.WHITE_CODES, ccitt.BLACK_CODES):
+        assert all(r in codes for r in range(64))
+        assert all(r in codes for r in range(64, 1729, 64))
+        ccitt._build_trie({**codes, **{k + 10000: v for k, v in ccitt.EXT_CODES.items()}})
+    ccitt._build_trie(ccitt.MODE_CODES)
+
+
+def _roundtrip(bits: np.ndarray) -> None:
+    h, w = bits.shape
+    packed = np.packbits(bits, axis=1).tobytes()
+    enc = ccitt.g4_encode(packed, w, h)
+    assert ccitt.g4_decode(enc, w, h) == packed
+
+
+def test_solid_and_stripes():
+    _roundtrip(np.zeros((5, 40), dtype=np.uint8))
+    _roundtrip(np.ones((5, 40), dtype=np.uint8))
+    _roundtrip((np.arange(64)[None, :] % 2).repeat(7, axis=0).astype(np.uint8))
+    _roundtrip((np.arange(9)[:, None] % 2).repeat(31, axis=1).astype(np.uint8))
+
+
+def test_single_column_and_row():
+    _roundtrip(np.array([[1]], dtype=np.uint8))
+    _roundtrip(np.array([[0]], dtype=np.uint8))
+    _roundtrip(np.array([[1, 0, 0, 1, 1, 1, 0]], dtype=np.uint8))
+    _roundtrip(np.array([[1], [0], [1]], dtype=np.uint8))
+
+
+def test_long_runs_use_makeups():
+    # runs > 2560 force chained extended makeup codes
+    row = np.zeros((2, 6000), dtype=np.uint8)
+    row[0, 100:5900] = 1
+    row[1, :] = 1
+    _roundtrip(row)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 80),
+    st.integers(1, 16),
+    st.integers(0, 2**32 - 1),
+)
+def test_random_rasters_roundtrip(w, h, seed):
+    rng = np.random.default_rng(seed)
+    # blocky structure (fax-like) plus pure noise rows
+    bits = (rng.random((h, w)) > 0.5).astype(np.uint8)
+    bits[:, : w // 2] = (rng.random() > 0.5)
+    _roundtrip(bits)
+
+
+def test_truncated_stream_raises():
+    bits = (np.arange(40)[None, :] % 3 == 0).astype(np.uint8).repeat(4, axis=0)
+    packed = np.packbits(bits, axis=1).tobytes()
+    enc = ccitt.g4_encode(packed, 40, 4)
+    with pytest.raises(ValueError):
+        ccitt.g4_decode(enc[: max(1, len(enc) // 3)], 40, 4)
+
+
+def test_tiff_g4_integration():
+    rng = np.random.default_rng(11)
+    for photo in (0, 1):
+        for tile in (None, (16, 16)):
+            px = ((rng.random((21, 37)) > 0.6) * 255).astype(np.uint8)
+            enc = tiff.encode_tiff(
+                px, compression=4, bits=1, photometric=photo, tile=tile
+            )
+            got, meta = tiff.decode_tiff(enc)
+            assert meta["compression"] == 4
+            assert (got[:, :, 0] == px).all()
+
+
+def test_tiff_g4_rejects_8bit():
+    px = np.zeros((4, 4), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        tiff.encode_tiff(px, compression=4, bits=8)

@@ -957,11 +957,11 @@ def bench_crawl(spark, b: Bench, tmp: str) -> None:
     load_all()
     # drive the registered query bodies over synthetic doc ids at scale:
     # both are (spark, sf_dir)-shaped, so feed them a view-backed dir
-    from pyiceberg_lakehouse_spark.operators.queries import (
+    from pyiceberg_lakehouse_spark.operators.queries_crawl import (
         pipeline_crawl_ingest,
         scan_warc_responses,
     )
-    import pyiceberg_lakehouse_spark.operators.queries as q
+    import pyiceberg_lakehouse_spark.operators.queries_crawl as q
 
     for n in DOC_SCALES:
         tag = f"{n//1000}k"
@@ -990,20 +990,24 @@ def bench_codecs(spark, b: Bench, tmp: str) -> None:
     matrix; LZW TIFF with Predictor 2): pure map stages — encode +
     decode per doc where the bytes live, no Exchange (plan-tested) —
     so 10x docs must cost ~10x wall, never superlinear."""
-    import pyiceberg_lakehouse_spark.operators.queries as q
-    from pyiceberg_lakehouse_spark.operators.queries import (
+    import pyiceberg_lakehouse_spark.operators.queries_crawl as qc
+    import pyiceberg_lakehouse_spark.operators.queries_media as q
+    from pyiceberg_lakehouse_spark.operators.queries_media import (
         multimodal_flac_decode,
         multimodal_tiff_lzw,
         multimodal_webp_decode,
+    )
+    from pyiceberg_lakehouse_spark.operators.queries_crawl import (
         text_pdf_extract,
     )
 
     for n in DOC_SCALES:
         tag = f"{n//1000}k"
         docs = spark.range(0, n, 1, 64).withColumnRenamed("id", "doc_id")
-        saved = q.load_table
+        saved, saved_c = q.load_table, qc.load_table
         try:
             q.load_table = lambda _s, _d, _t, d=docs: d
+            qc.load_table = lambda _s, _d, _t, d=docs: d
             b.run(
                 f"webp_decode_{tag}",
                 lambda: drain(multimodal_webp_decode(spark, "unused")),
@@ -1032,7 +1036,7 @@ def bench_codecs(spark, b: Bench, tmp: str) -> None:
                 warmup=True,
             )
         finally:
-            q.load_table = saved
+            q.load_table, qc.load_table = saved, saved_c
 
 
 SECTIONS = {
