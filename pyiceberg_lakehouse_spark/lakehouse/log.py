@@ -252,20 +252,37 @@ class SnapshotLog:
         return list(live.values())
 
     def live_deletes(self, snapshot_id: int | None = None) -> list[dict[str, Any]]:
-        """Equality-delete files in effect at ``snapshot_id``.
+        """Merge-on-read delete files in effect at ``snapshot_id``.
 
         An ``overwrite`` resets deletes along with the data; ``replace``
         keeps them (replacement files get a LATER added_in than any existing
         delete, so sequencing already exempts them).
+
+        Retirement (ADVICE r14): a delete applies only to data files with
+        ``added_in`` strictly BEFORE its commit, so once every such file
+        has left the live set (e.g. ``compact()`` rewrote them all in a
+        replace snapshot), the delete can never match a row again — it is
+        pruned here instead of forcing the with-deletes read path (and
+        its anti-joins) forever. The log entry itself stays in history,
+        so time travel to pre-compaction snapshots still sees it.
         """
         deletes: list[dict[str, Any]] = []
+        live_added_in: dict[str, int] = {}
         for snap in self.snapshots:
             if snap.operation == "overwrite":
                 deletes = []
+                live_added_in = {}
+            for p in snap.removed_paths:
+                live_added_in.pop(p, None)
+            for f in snap.added_files:
+                live_added_in[f["path"]] = f.get("added_in", snap.snapshot_id)
             deletes.extend(snap.added_deletes)
             if snapshot_id is not None and snap.snapshot_id == snapshot_id:
                 break
-        return deletes
+        oldest_live = min(live_added_in.values(), default=None)
+        if oldest_live is None:
+            return []
+        return [d for d in deletes if oldest_live < d["snapshot_id"]]
 
     def snapshot_at(self, timestamp_ms: int) -> int:
         """Latest snapshot committed at or before ``timestamp_ms``

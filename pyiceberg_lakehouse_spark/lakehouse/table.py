@@ -271,20 +271,72 @@ class Lakehouse:
             raise FileExistsError(f"table {dst} already exists")
         self.create_namespace(dns)
         os.rename(src_dir, dst_dir)
-        log = SnapshotLog(dst_dir).load()
         prefix = src_dir.rstrip(os.sep) + os.sep
-        for snap in log.snapshots:
-            for f in snap.added_files:
-                if f["path"].startswith(prefix):
-                    f["path"] = os.path.join(dst_dir, f["path"][len(prefix):])
-            snap.removed_paths = [
-                os.path.join(dst_dir, p[len(prefix):]) if p.startswith(prefix) else p
-                for p in snap.removed_paths
-            ]
-            for d in snap.added_deletes:
-                if d["path"].startswith(prefix):
-                    d["path"] = os.path.join(dst_dir, d["path"][len(prefix):])
-        log._write(expected_len=None)
+        pos_delete_paths: set[str] = set()
+        branch_logs = [None] + [
+            fn[len("_snaplog-branch-") : -len(".json")]
+            for fn in os.listdir(dst_dir)
+            if fn.startswith("_snaplog-branch-") and fn.endswith(".json")
+        ]
+        for branch in branch_logs:
+            log = SnapshotLog(dst_dir, branch).load()
+            for snap in log.snapshots:
+                for f in snap.added_files:
+                    if f["path"].startswith(prefix):
+                        f["path"] = os.path.join(dst_dir, f["path"][len(prefix):])
+                snap.removed_paths = [
+                    os.path.join(dst_dir, p[len(prefix):]) if p.startswith(prefix) else p
+                    for p in snap.removed_paths
+                ]
+                for d in snap.added_deletes:
+                    if d["path"].startswith(prefix):
+                        d["path"] = os.path.join(dst_dir, d["path"][len(prefix):])
+                    if d.get("kind") == "position":
+                        pos_delete_paths.add(d["path"])
+            log._write(expected_len=None)
+        # Position-delete parquet CONTENT stores absolute data-file paths
+        # (the scan anti-joins on _metadata.file_path): left at the old
+        # prefix they would match nothing and every deleted row would
+        # silently resurrect (ADVICE r14). Rewrite the file_path column of
+        # each delete file to the new prefix — metadata-sized work, done
+        # driver-side with pyarrow, atomic per file via tmp + replace.
+        if pos_delete_paths:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            def _repoint(p: str) -> str:
+                # Spark's _metadata.file_path carries a file: URI scheme;
+                # the snapshot log stores plain paths — handle both
+                scheme = ""
+                rest = p
+                for sch in ("file://", "file:"):
+                    if p.startswith(sch):
+                        scheme, rest = sch, p[len(sch):]
+                        break
+                if rest.startswith(prefix):
+                    rest = os.path.join(dst_dir, rest[len(prefix):])
+                return scheme + rest
+
+            for dpath in sorted(pos_delete_paths):
+                tbl = pq.read_table(dpath)
+                col = [
+                    _repoint(p) for p in tbl.column("file_path").to_pylist()
+                ]
+                idx = tbl.schema.get_field_index("file_path")
+                tbl = tbl.set_column(
+                    idx, "file_path", pa.array(col, pa.string())
+                )
+                tmp = f"{dpath}.tmp-rename"
+                pq.write_table(tbl, tmp)
+                os.replace(tmp, dpath)
+                # drop Spark's Hadoop checksum sidecar: it hashes the OLD
+                # bytes and would fail every later read of the new file
+                crc = os.path.join(
+                    os.path.dirname(dpath),
+                    f".{os.path.basename(dpath)}.crc",
+                )
+                if os.path.exists(crc):
+                    os.unlink(crc)
 
     @staticmethod
     def _split(identifier: str) -> tuple[str, str]:

@@ -246,11 +246,12 @@ _EOCD64_LOC_SIG = b"PK\x06\x07"
 
 def decompress_auto(data: bytes) -> tuple[bytes, str]:
     """Undo a whole-file compression wrapper by magic bytes — the
-    .tar.gz / .tar.xz / .tar.bz2 forms corpora actually ship:
-    gzip (multi-member, the concatenated-archive layout), xz, bz2;
-    zstd is detected and gated honestly (no codec in this
-    environment). Returns (payload, codec) with codec 'none' for
-    unwrapped input — safe to call on anything."""
+    .tar.gz / .tar.xz / .tar.bz2 / .tar.zst forms corpora actually
+    ship: gzip (multi-member, the concatenated-archive layout), xz,
+    bz2, and zstd (r15: the from-scratch RFC 8878 decoder in
+    operators/zstd.py — no stdlib zstd on this Python). Returns
+    (payload, codec) with codec 'none' for unwrapped input — safe to
+    call on anything."""
     import bz2 as _bz2
     import lzma as _lzma
 
@@ -276,10 +277,9 @@ def decompress_auto(data: bytes) -> tuple[bytes, str]:
         except OSError as exc:
             raise ValueError(f"corrupt bz2 wrapper: {exc}") from exc
     if data[:4] == b"\x28\xb5\x2f\xfd":
-        raise NotImplementedError(
-            "zstd-wrapped archive: no zstd codec in this environment "
-            "(refusing rather than emitting compressed bytes)"
-        )
+        from pyiceberg_lakehouse_spark.operators.zstd import decompress
+
+        return decompress(data), "zstd"
     return data, "none"
 
 

@@ -448,8 +448,14 @@ class PdfDocument:
                 f2 = lex.next_token()
                 kind = lex.next_token()
                 num = first + i
-                if str(kind) == "n" and num not in self.entries:
-                    self.entries[num] = ("o", int(f1))
+                if num not in self.entries:
+                    if str(kind) == "n":
+                        self.entries[num] = ("o", int(f1))
+                    else:
+                        # free entry: tombstone it so an object deleted in
+                        # a newer incremental update cannot resurrect from
+                        # an older xref section via the /Prev chain
+                        self.entries[num] = ("f",)
                 del f2
 
     def _load_xref_stream(self, offset: int) -> dict:
@@ -486,7 +492,8 @@ class PdfDocument:
                     self.entries[onum] = ("o", f2)
                 elif typ == 2:
                     self.entries[onum] = ("c", f2, f3)
-                # type 0 = free: skip
+                else:  # type 0 = free: tombstone (newest-wins deletion)
+                    self.entries[onum] = ("f",)
         del num
         return sdict
 
@@ -530,7 +537,7 @@ class PdfDocument:
         if num in self._cache:
             return self._cache[num]
         ent = self.entries.get(num)
-        if ent is None:
+        if ent is None or ent[0] == "f":
             return None  # free/missing object resolves to null (spec)
         if ent[0] == "o":
             onum, _gen, obj, raw = self._parse_indirect_at(ent[1])
@@ -678,7 +685,7 @@ def extract_pdf_text(data: bytes) -> dict:
         "version": doc.version,
         "n_pages": len(pages),
         "pages": texts,
-        "n_objects": len(doc.entries),
+        "n_objects": sum(1 for e in doc.entries.values() if e[0] != "f"),
         "xref_kind": doc.xref_kind,
         "has_objstm": doc.has_objstm,
         "n_updates": doc.n_updates,

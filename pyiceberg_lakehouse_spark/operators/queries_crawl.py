@@ -2158,9 +2158,10 @@ def scan_warc_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
            d % 2 = 1 and d % 7 >= 4 as zip64,
            d % 2 = 1 and d % 7 < 4 and d % 11 < 4 as streaming,
            case when d % 2 = 1 then 'none'
-                else case cast((d // 2) % 4 as integer)
+                else case cast((d // 2) % 5 as integer)
                      when 0 then 'none' when 1 then 'gzip'
-                     when 2 then 'xz' else 'bz2' end end as wrapper
+                     when 2 then 'xz' when 3 then 'bz2'
+                     else 'zstd' end end as wrapper
     from base, unnest(generate_series(0, 7)) u(i) where i < n
     """,
 )
@@ -2175,8 +2176,12 @@ def scan_archive_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per entry with the extracted bytes' sum. The oracle
     restates names, sizes and byte sums closed-form — a block-padding
     slip, a wrong size field, a central-directory offset error, or a
-    zip64 sentinel misread flips the hash. This is the first operator
-    of every 'corpus ships as archives' ingest pipeline."""
+    zip64 sentinel misread flips the hash. r15: the tar wrapper cycle
+    adds .tar.zst through the from-scratch RFC 8878 zstd decoder
+    (operators/zstd.py — FSE, 4-stream Huffman literals, repeat
+    offsets, xxh64), fed by libzstd-encoded frames across compression
+    levels. This is the first operator of every 'corpus ships as
+    archives' ingest pipeline."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -2223,7 +2228,9 @@ def scan_archive_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
                 wrapper = "none"
                 if d % 2 == 0:
                     fmt = "tar"
-                    wrapper = ["none", "gzip", "xz", "bz2"][(d // 2) % 4]
+                    wrapper = ["none", "gzip", "xz", "bz2", "zstd"][
+                        (d // 2) % 5
+                    ]
                     blob = _ar.make_tar(entries)
                     if wrapper == "gzip":
                         import gzip as _gz
@@ -2237,6 +2244,15 @@ def scan_archive_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
                         import bz2 as _b2
 
                         blob = _b2.compress(blob)
+                    elif wrapper == "zstd":
+                        # encoder: pyarrow's bundled libzstd (fixture
+                        # side); the read path is the from-scratch
+                        # RFC 8878 decoder in operators/zstd.py
+                        import pyarrow as _pa
+
+                        blob = _pa.Codec(
+                            "zstd", compression_level=1 + d % 19
+                        ).compress(blob, asbytes=True)
                     unwrapped, got_codec = _ar.decompress_auto(blob)
                     assert got_codec == wrapper, (got_codec, wrapper)
                     parsed = _ar.parse_tar(unwrapped)

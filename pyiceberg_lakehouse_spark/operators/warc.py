@@ -166,10 +166,11 @@ def _decode_content_encoding(body: bytes, encoding: str) -> bytes:
     """Undo the REPRESENTATION coding on a stored response body
     (RFC 9110 §8.4): gzip/x-gzip and deflate — including the
     widespread raw-DEFLATE-without-zlib-wrapper server bug, handled
-    the way browsers do (try zlib-wrapped, retry raw). br and zstd
-    gate honestly (no codec in this environment, and guessing bytes
-    would corrupt the corpus); unknown codings raise rather than
-    passing compressed bytes downstream as text."""
+    the way browsers do (try zlib-wrapped, retry raw), plus zstd via
+    the from-scratch RFC 8878 decoder (operators/zstd.py, r15). br
+    gates honestly (no Brotli codec, and guessing bytes would corrupt
+    the corpus); unknown codings raise rather than passing compressed
+    bytes downstream as text."""
     codings = [c.strip().lower() for c in encoding.split(",") if c.strip()]
     for coding in reversed(codings):  # applied in reverse list order
         if coding == "identity":
@@ -181,7 +182,14 @@ def _decode_content_encoding(body: bytes, encoding: str) -> bytes:
                 body = zlib.decompress(body)
             except zlib.error:
                 body = zlib.decompress(body, -15)  # raw-deflate bug
-        elif coding in ("br", "zstd"):
+        elif coding == "zstd":
+            from pyiceberg_lakehouse_spark.operators.zstd import decompress
+
+            try:
+                body = decompress(body)
+            except ValueError as exc:
+                raise ValueError(f"corrupt zstd body: {exc}") from exc
+        elif coding == "br":
             raise NotImplementedError(
                 f"Content-Encoding {coding} is not supported "
                 "(no codec available; refusing rather than emitting "

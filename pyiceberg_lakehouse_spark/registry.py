@@ -409,7 +409,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_lh_text_search",
     "stream_lh_neardup",
     "lh_cdf_feed",
-    "lh_rollup_percentile",
+    # (lh_rollup_percentile's keeper slot goes to the archive-explosion
+    # row, fresh again with the .tar.zst wrapper through the NEW
+    # RFC 8878 zstd decoder; rollups stay covered by lh_cdf_feed's
+    # commit-time path + local gates)
+    "scan_archive_entries",
     "dedup_simhash_selfcheck",
     "lh_bloom_join_scan",
     # (fn_struct_ops' keeper slot goes to the NEW VorbisComment/OpusTags

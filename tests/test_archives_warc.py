@@ -467,14 +467,17 @@ class TestCompressionWrappers:
         blob = gzip.compress(b"aaa") + gzip.compress(b"bbb")
         assert decompress_auto(blob) == (b"aaabbb", "gzip")
 
-    def test_zstd_gated_corrupt_raises(self):
+    def test_zstd_wrapper_decodes_and_corrupt_raises(self):
         import pytest as _pt
+        import pyarrow as _pa
 
         from pyiceberg_lakehouse_spark.operators.archives import (
             decompress_auto,
         )
 
-        with _pt.raises(NotImplementedError, match="zstd"):
+        frame = _pa.Codec("zstd").compress(b"zst payload " * 40, asbytes=True)
+        assert decompress_auto(frame) == (b"zst payload " * 40, "zstd")
+        with _pt.raises(ValueError):
             decompress_auto(b"\x28\xb5\x2f\xfdjunk")
         with _pt.raises(ValueError, match="corrupt xz"):
             decompress_auto(b"\xfd7zXZ\x00garbage")

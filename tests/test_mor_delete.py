@@ -56,9 +56,11 @@ def test_compaction_materializes_deletes(spark, warehouse, sf_dir):
     expected = orders.filter(F.col("o_orderkey") % 3 != 0).count()
     compact(t)
     assert t.scan().count() == expected
-    # compacted files postdate the delete, so no anti-join class applies it
-    deletes = t.log.live_deletes()
-    files = t.log.live_files()
-    assert all(
-        f["added_in"] >= d["snapshot_id"] for f in files for d in deletes
-    )
+    # every compacted file postdates the delete, so the delete is RETIRED
+    # outright (ADVICE r14): live_deletes prunes it and the scan takes the
+    # plain read path instead of anti-joining forever
+    assert t.log.live_deletes() == []
+    # ...but history is intact: the pre-compaction snapshot still sees it
+    pre = t.history()[-2].snapshot_id
+    assert len(t.log.live_deletes(pre)) == 1
+    assert t.read_snapshot(pre).count() == expected

@@ -213,3 +213,59 @@ class TestPngUnpredict:
                     out.append((row[i] - pred) & 0xFF)
             prev = row
         assert _png_unpredict(bytes(out), cols) == b"".join(rows)
+
+
+class TestFreeEntryTombstones:
+    """ADVICE r14: an object freed in a NEWER incremental update must not
+    resurrect from an older xref section via the /Prev chain."""
+
+    @staticmethod
+    def _build(freed: bool) -> bytes:
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            5: b"(stale)",
+        }
+        content = b"BT (seed) Tj ET"
+        body = bytearray(b"%PDF-1.4\n")
+        offs = {}
+        for num in (1, 2, 3):
+            offs[num] = len(body)
+            body += b"%d 0 obj\n%s\nendobj\n" % (num, objs[num])
+        offs[4] = len(body)
+        body += (
+            b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+            + content + b"\nendstream\nendobj\n"
+        )
+        offs[5] = len(body)
+        body += b"5 0 obj\n%s\nendobj\n" % objs[5]
+        xref1 = len(body)
+        body += b"xref\n0 6\n0000000000 65535 f \n"
+        for num in (1, 2, 3, 4, 5):
+            body += b"%010d 00000 n \n" % offs[num]
+        body += (
+            b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % xref1
+        )
+        if freed:
+            xref2 = len(body)
+            body += (
+                b"xref\n0 1\n0000000000 65535 f \n"
+                b"5 1\n0000000000 00001 f \n"
+                b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\n"
+                b"startxref\n%d\n%%%%EOF\n" % (xref1, xref2)
+            )
+        return bytes(body)
+
+    def test_live_object_resolves(self):
+        doc = PdfDocument(self._build(freed=False))
+        assert doc.get_object(5) == b"stale"
+        assert doc.page_text(doc.pages()[0]) == "seed"
+
+    def test_freed_object_does_not_resurrect(self):
+        doc = PdfDocument(self._build(freed=True))
+        assert doc.get_object(5) is None
+        assert doc.n_updates == 2
+        # the rest of the document is untouched by the free
+        assert doc.page_text(doc.pages()[0]) == "seed"

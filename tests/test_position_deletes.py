@@ -125,3 +125,48 @@ def test_works_without_any_key_column(spark, lh):
     t.delete_where_positions(F.col("s") == "a")
     rows = [(r.s, r.v) for r in t.scan().collect()]
     assert sorted(rows) == [("b", 2), ("b", 2)]
+
+
+def test_rename_table_rewrites_position_delete_contents(spark, lh):
+    """ADVICE r14: the file_path column INSIDE position-delete parquet
+    stores absolute data-file paths; a directory rename must rewrite
+    them or every position-deleted row silently resurrects."""
+    b1, b2 = _batches(spark)
+    t = lh.create_table(
+        "ns.rn", SCHEMAS["orders"], partition_by=["o_orderstatus"]
+    )
+    t.append(b1)
+    t.delete_where_positions(F.col("o_orderstatus") == "F")
+    expected = sorted(
+        r.o_orderkey
+        for r in b1.filter(F.col("o_orderstatus") != "F")
+        .select("o_orderkey")
+        .collect()
+    )
+    assert (
+        sorted(r.o_orderkey for r in t.scan().select("o_orderkey").collect())
+        == expected
+    )
+    lh.rename_table("ns.rn", "ns.rn2")
+    t2 = lh.load_table("ns.rn2")
+    got = sorted(
+        r.o_orderkey for r in t2.scan().select("o_orderkey").collect()
+    )
+    assert got == expected, "position-deleted rows resurrected after rename"
+
+
+def test_rename_table_rewrites_branch_logs_too(spark, lh):
+    b1, b2 = _batches(spark)
+    t = lh.create_table("ns.rb", SCHEMAS["orders"])
+    t.append(b1)
+    br = t.create_branch("dev")
+    br.append(b2)
+    main_count = t.scan().count()
+    dev_count = br.scan().count()
+    lh.rename_table("ns.rb", "ns.rb2")
+    t2 = lh.load_table("ns.rb2")
+    assert t2.scan().count() == main_count
+    from pyiceberg_lakehouse_spark.lakehouse.table import LakehouseTable
+
+    br2 = LakehouseTable(spark, t2.table_dir, branch="dev")
+    assert br2.scan().count() == dev_count

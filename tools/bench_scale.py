@@ -1039,6 +1039,47 @@ def bench_codecs(spark, b: Bench, tmp: str) -> None:
             q.load_table, qc.load_table = saved, saved_c
 
 
+def bench_extraction(spark, b: Bench, tmp: str) -> None:
+    """r14 document-extraction layers (EPUB/DOCX/RTF readers, Matroska
+    EBML probe) + the r15 lossy-WebP VP8 decode: all pure map stages
+    (encode-fixture + parse per doc where the bytes live, no Exchange),
+    so 10x docs must cost ~10x wall, never superlinear."""
+    import pyiceberg_lakehouse_spark.operators.queries_crawl as qc
+    import pyiceberg_lakehouse_spark.operators.queries_media as qm
+    from pyiceberg_lakehouse_spark.operators.queries_crawl import (
+        text_docx_extract,
+        text_epub_extract,
+        text_rtf_extract,
+    )
+    from pyiceberg_lakehouse_spark.operators.queries_media import (
+        multimodal_mkv_probe,
+        multimodal_webp_lossy_decode,
+    )
+
+    for n in DOC_SCALES:
+        tag = f"{n//1000}k"
+        docs = spark.range(0, n, 1, 64).withColumnRenamed("id", "doc_id")
+        saved_m, saved_c = qm.load_table, qc.load_table
+        try:
+            qm.load_table = lambda _s, _d, _t, d=docs: d
+            qc.load_table = lambda _s, _d, _t, d=docs: d
+            for name, fn in (
+                ("epub_extract", text_epub_extract),
+                ("docx_extract", text_docx_extract),
+                ("rtf_extract", text_rtf_extract),
+                ("mkv_probe", multimodal_mkv_probe),
+                ("webp_lossy", multimodal_webp_lossy_decode),
+            ):
+                b.run(
+                    f"{name}_{tag}",
+                    lambda f=fn: drain(f(spark, "unused")),
+                    reps=REPS,
+                    warmup=True,
+                )
+        finally:
+            qm.load_table, qc.load_table = saved_m, saved_c
+
+
 SECTIONS = {
     "documents": bench_documents,
     "embeddings": bench_embeddings,
@@ -1054,6 +1095,7 @@ SECTIONS = {
     "mp4_demux": bench_mp4_demux,
     "crawl": bench_crawl,
     "codecs": bench_codecs,
+    "extraction": bench_extraction,
 }
 
 
@@ -1355,6 +1397,20 @@ def main() -> None:
         ),
         "flac_decode_growth_10x": ratio(
             f"flac_decode_{t1}", f"flac_decode_{t2}"
+        ),
+        # r15: the extraction readers + VP8 — same map-only linear bar
+        "epub_extract_growth_10x": ratio(
+            f"epub_extract_{t1}", f"epub_extract_{t2}"
+        ),
+        "docx_extract_growth_10x": ratio(
+            f"docx_extract_{t1}", f"docx_extract_{t2}"
+        ),
+        "rtf_extract_growth_10x": ratio(
+            f"rtf_extract_{t1}", f"rtf_extract_{t2}"
+        ),
+        "mkv_probe_growth_10x": ratio(f"mkv_probe_{t1}", f"mkv_probe_{t2}"),
+        "webp_lossy_growth_10x": ratio(
+            f"webp_lossy_{t1}", f"webp_lossy_{t2}"
         ),
     }
     out = {
