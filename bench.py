@@ -87,6 +87,14 @@ HEADLINE = [
     ("pdf_extract", "text_pdf_extract"),
     ("flac_decode", "multimodal_flac_decode"),
     ("tiff_tiled", "multimodal_tiff_tiled"),
+    # r15 additions (auto-excluded from the comparable set): the lossy
+    # VP8 key-frame roundtrip (bool coder + token decode + intra
+    # prediction over the mode/quantizer knob matrix), the G4-cycling
+    # bilevel TIFF roundtrip, and the zstd-wrapped archive explosion —
+    # all map-only stages
+    ("webp_lossy", "multimodal_webp_lossy_decode"),
+    ("tiff_bilevel", "multimodal_tiff_bilevel"),
+    ("archive_entries", "scan_archive_entries"),
 ]
 
 

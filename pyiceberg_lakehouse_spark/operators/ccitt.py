@@ -306,3 +306,104 @@ def g4_encode(packed: bytes, width: int, height: int) -> bytes:
         ref = cur + [width, width]
     bw.write(EOFB)
     return bw.getvalue()
+
+
+# ----------------------------------------------------------- T.4 (G3) ---
+
+EOL = "000000000001"
+
+
+def _row_transitions_to_bits(cur: list[int], width: int) -> list[int]:
+    row = [0] * width
+    paint = 0
+    pos = 0
+    for t in cur + [width]:
+        t = min(max(t, 0), width)
+        if paint:
+            for x in range(pos, t):
+                row[x] = 1
+        pos = t
+        paint ^= 1
+    return row
+
+
+def _mh_encode_row(bw: _BitWriter, row: list[int], width: int) -> None:
+    """One T.4 1-D (modified Huffman) row: alternating white/black runs,
+    always starting with a (possibly zero-length) white run."""
+    x = 0
+    color = 0
+    while x <= width:
+        run = 0
+        while x + run < width and row[x + run] == color:
+            run += 1
+        _write_run(bw, run, BLACK_CODES if color else WHITE_CODES)
+        x += run
+        if x >= width:
+            break
+        color ^= 1
+
+
+def _mh_decode_row(br: _BitReader, width: int) -> list[int]:
+    """-> transition positions for one 1-D row."""
+    cur: list[int] = []
+    x = 0
+    color = 0
+    while x < width:
+        run = _read_run(br, _BLACK_TRIE if color else _WHITE_TRIE)
+        x += run
+        if x > width:
+            raise ValueError("CCITT 1-D run overruns the row")
+        cur.append(x)
+        color ^= 1
+    return cur
+
+
+def g3_1d_encode(
+    packed: bytes, width: int, height: int, byte_align: bool = True,
+    with_eol: bool = False,
+) -> bytes:
+    """T.4 1-D / TIFF Compression 2 ("CCITT RLE", byte-aligned rows) or
+    Compression 3 with EOL prefixes."""
+    rowbytes = (width + 7) // 8
+    bw = _BitWriter()
+    for y in range(height):
+        if with_eol:
+            bw.write(EOL)
+        row = [
+            (packed[y * rowbytes + (x >> 3)] >> (7 - (x & 7))) & 1
+            for x in range(width)
+        ]
+        _mh_encode_row(bw, row, width)
+        if byte_align and not with_eol:
+            used = sum(len(b) for b in bw.bits)
+            bw.write("0" * ((-used) % 8))
+    return bw.getvalue()
+
+
+def g3_1d_decode(
+    data: bytes, width: int, height: int, byte_align: bool = True,
+    with_eol: bool = False,
+) -> bytes:
+    rowbytes = (width + 7) // 8
+    out = bytearray(rowbytes * height)
+    br = _BitReader(data)
+    for y in range(height):
+        if with_eol:
+            # skip fill bits up to and including the EOL code
+            zeros = 0
+            while True:
+                bit = br.read_bit()
+                if bit:
+                    if zeros < 11:
+                        raise ValueError("CCITT G3 row lacks its EOL prefix")
+                    break
+                zeros += 1
+        elif byte_align and br.pos % 8:
+            br.pos += 8 - (br.pos % 8)
+        cur = _mh_decode_row(br, width)
+        row = _row_transitions_to_bits(cur, width)
+        base = y * rowbytes
+        for x in range(width):
+            if row[x]:
+                out[base + (x >> 3)] |= 0x80 >> (x & 7)
+    return bytes(out)

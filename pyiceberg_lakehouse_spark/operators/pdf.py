@@ -764,13 +764,17 @@ def encode_pdf(
     hex_strings: bool = False,
     xref_predictor: int | None = None,
     incremental_extra_page: list[str] | None = None,
+    images: dict[int, list[dict]] | None = None,
 ) -> bytes:
     """Write a deterministic PDF showing ``pages`` (lines per page).
 
     ``object_streams`` requires ``xref_stream`` (type-2 entries only
     exist there). ``incremental_extra_page`` appends an incremental
     update (classic-table xref with /Prev) adding one page — the real
-    shape of signed/annotated documents.
+    shape of signed/annotated documents. ``images`` maps a page index
+    to image-XObject specs ({width, height, codec 'g4'|'g3'|'flate'|
+    'raw', data}) embedded with /Resources /XObject entries and a
+    ``Do`` placement in the content stream — the scanned-page shape.
     """
     if object_streams and not xref_stream:
         raise ValueError("object streams require a cross-reference stream")
@@ -783,6 +787,16 @@ def encode_pdf(
     page_nums = [4 + 2 * i for i in range(n)]
     content_nums = [5 + 2 * i for i in range(n)]
     max_num = 3 + 2 * n
+    img_nums: dict[int, list[int]] = {}
+    if images:
+        for pi in sorted(images):
+            if not 0 <= pi < n:
+                raise ValueError(f"images refer to page {pi} of {n}")
+            nums = []
+            for _ in images[pi]:
+                max_num += 1
+                nums.append(max_num)
+            img_nums[pi] = nums
     objstm_num = xrefobj_num = None
     if object_streams:
         max_num += 1
@@ -811,11 +825,21 @@ def encode_pdf(
     font = (
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
+    def _page_res(i: int) -> bytes:
+        xo = b""
+        if i in img_nums:
+            items = b" ".join(
+                b"/Im%d %d 0 R" % (k, nn)
+                for k, nn in enumerate(img_nums[i])
+            )
+            xo = b" /XObject << " + items + b" >>"
+        return b"/Resources << /Font << /F1 3 0 R >>" + xo + b" >>"
+
     pagedicts = [
         (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 3 0 R >> >> "
-            b"/Contents %d 0 R >>" % content_nums[i]
+            + _page_res(i)
+            + b" /Contents %d 0 R >>" % content_nums[i]
         )
         for i in range(n)
     ]
@@ -850,6 +874,8 @@ def encode_pdf(
 
     for i in range(n):
         cs = _content_stream_ops(pages[i], hex_strings)
+        for k in range(len(img_nums.get(i, ()))):
+            cs += b" q 72 0 0 72 100 100 cm /Im%d Do Q" % k
         if compress:
             data = zlib.compress(cs)
             filt = b" /Filter /FlateDecode"
@@ -861,6 +887,55 @@ def encode_pdf(
             b"<< /Length %d%s >>" % (len(data), filt),
             data,
         )
+
+    if img_nums:
+        from pyiceberg_lakehouse_spark.operators import ccitt as _ccitt
+
+        for pi, nums in img_nums.items():
+            for spec, num in zip(images[pi], nums):
+                w, h = int(spec["width"]), int(spec["height"])
+                codec = spec["codec"]
+                payload = spec["data"]
+                bpc = 1 if codec in ("g4", "g3") else 8
+                black1 = bool(spec.get("blackis1", True))
+                if codec in ("g4", "g3") and not black1:
+                    # the filter's output bits get inverted by the reader
+                    # under the default BlackIs1=false, so store the
+                    # complement (pad bits beyond width are never coded)
+                    payload = bytes(b ^ 0xFF for b in payload)
+                b1s = b"true" if black1 else b"false"
+                if codec == "g4":
+                    idata = _ccitt.g4_encode(payload, w, h)
+                    filt = (
+                        b" /Filter /CCITTFaxDecode /DecodeParms"
+                        b" << /K -1 /Columns %d /Rows %d /BlackIs1 %s >>"
+                        % (w, h, b1s)
+                    )
+                elif codec == "g3":
+                    idata = _ccitt.g3_1d_encode(
+                        payload, w, h, byte_align=True, with_eol=False
+                    )
+                    filt = (
+                        b" /Filter /CCITTFaxDecode /DecodeParms"
+                        b" << /K 0 /Columns %d /Rows %d /BlackIs1 %s"
+                        b" /EncodedByteAlign true >>" % (w, h, b1s)
+                    )
+                elif codec == "flate":
+                    idata = zlib.compress(payload)
+                    filt = b" /Filter /FlateDecode"
+                elif codec == "raw":
+                    idata = payload
+                    filt = b""
+                else:
+                    raise ValueError(f"unknown image codec {codec!r}")
+                stream_obj(
+                    num,
+                    b"<< /Type /XObject /Subtype /Image /Width %d"
+                    b" /Height %d /ColorSpace /DeviceGray"
+                    b" /BitsPerComponent %d /Length %d%s >>"
+                    % (w, h, bpc, len(idata), filt),
+                    idata,
+                )
 
     if xref_stream:
         # build entry rows: W = [1, 4, 2]
@@ -973,3 +1048,99 @@ def encode_pdf(
         % (new_content + 1, prev_xref_off, xref2)
     )
     return bytes(buf)
+
+
+def extract_pdf_images(data: bytes) -> list[dict]:
+    """Image XObjects from every page — the scanned-document surface
+    (a scanned PDF is one CCITT- or Flate-compressed image per page).
+
+    Walks each page's /Resources /XObject dictionary, decodes
+    /FlateDecode and /CCITTFaxDecode (K<0 pure-2-D G4 via
+    operators/ccitt.py, K=0 1-D G3 honoring /EncodedByteAlign;
+    K>0 mixed G3 gated) with /BlackIs1 honored either way, and returns
+    one dict per image: {page, name, width, height, bpc, filter,
+    pixels} where pixels are packed 1-bit rows (1 = black) for bilevel
+    images and raw gray bytes for 8-bit ones. Unknown image filters
+    (DCT/JPX/JBIG2) raise rather than emitting compressed bytes."""
+    doc = PdfDocument(data)
+    out: list[dict] = []
+    for pi, page in enumerate(doc.pages()):
+        res = doc._resolve(page.get("Resources"))
+        if not isinstance(res, dict):
+            continue
+        xo = doc._resolve(res.get("XObject"))
+        if not isinstance(xo, dict):
+            continue
+        for name in sorted(xo, key=str):
+            obj = doc._resolve(xo[name])
+            if not isinstance(obj, _Stream):
+                continue
+            sd = obj.sdict
+            if str(sd.get("Subtype", "")) != "Image":
+                continue
+            w = int(doc._resolve(sd.get("Width")))
+            h = int(doc._resolve(sd.get("Height")))
+            bpc = int(doc._resolve(sd.get("BitsPerComponent", 8)))
+            filt = doc._resolve(sd.get("Filter"))
+            if isinstance(filt, list):
+                if len(filt) != 1:
+                    raise NotImplementedError(
+                        "image filter chains are not supported"
+                    )
+                filt = doc._resolve(filt[0])
+            fname = str(filt) if filt is not None else "none"
+            raw = obj.raw
+            if fname == "none":
+                pixels = raw
+            elif fname == "FlateDecode":
+                try:
+                    pixels = zlib.decompress(raw)
+                except zlib.error as exc:
+                    raise ValueError(f"corrupt image Flate data: {exc}") from exc
+            elif fname == "CCITTFaxDecode":
+                from pyiceberg_lakehouse_spark.operators import ccitt as _ccitt
+
+                parms = doc._resolve(sd.get("DecodeParms")) or {}
+                if isinstance(parms, list):
+                    parms = doc._resolve(parms[0]) or {}
+                k = int(doc._resolve(parms.get("K", 0)))
+                cols = int(doc._resolve(parms.get("Columns", 1728)))
+                rows = int(doc._resolve(parms.get("Rows", h)))
+                byte_align = bool(
+                    doc._resolve(parms.get("EncodedByteAlign", False))
+                )
+                black1 = bool(doc._resolve(parms.get("BlackIs1", False)))
+                if k < 0:
+                    pixels = _ccitt.g4_decode(raw, cols, rows)
+                elif k == 0:
+                    pixels = _ccitt.g3_1d_decode(
+                        raw, cols, rows,
+                        byte_align=byte_align, with_eol=False,
+                    )
+                else:
+                    raise NotImplementedError(
+                        "CCITTFaxDecode K>0 (mixed 1-D/2-D G3) is not"
+                        " supported"
+                    )
+                if not black1:  # PDF default: 0 bits are black
+                    pixels = bytes(b ^ 0xFF for b in pixels)
+                    # re-mask the row padding bits to zero
+                    rb = (cols + 7) // 8
+                    if cols % 8:
+                        mask = 0xFF << (8 - cols % 8) & 0xFF
+                        px = bytearray(pixels)
+                        for y in range(rows):
+                            px[y * rb + rb - 1] &= mask
+                        pixels = bytes(px)
+            else:
+                raise NotImplementedError(
+                    f"image filter {fname} is not supported (refusing to"
+                    " emit compressed bytes as pixels)"
+                )
+            out.append(
+                {
+                    "page": pi, "name": str(name), "width": w, "height": h,
+                    "bpc": bpc, "filter": fname, "pixels": pixels,
+                }
+            )
+    return out

@@ -2286,3 +2286,174 @@ def scan_archive_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "text_pdf_images",
+    # Planted scanned-page PDFs: per doc, 1-2 pages each carrying 1-2
+    # image XObjects cycling CCITT G4 (K<0), G3 1-D (K=0,
+    # EncodedByteAlign), Flate gray-8 and raw gray-8, with BlackIs1
+    # cycling on the CCITT forms (the filter's output-polarity knob).
+    # Bilevel value = black-pixel count of the planted parity raster
+    # ((d + pg + 3x + 5y) % 2 == (d + pg + x + y) % 2); gray value =
+    # byte sum of the planted (d*7 + 13*pg + 11*j) % 256 ramp. Filter
+    # modulus 17 residue 3 is coprime with the page (%2), image (%2),
+    # codec (%4), polarity (%3) and size (%12, %9) knobs.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d, 1 + doc_id % 2 as npages
+      from documents where doc_id % 17 = 3
+    ),
+    imgs as (
+      select doc_id, d, cast(p.pg as bigint) as pg, cast(i.i as bigint) as i,
+             9 + (d + 2*p.pg) % 12 as w, 6 + (d + 3*i.i) % 9 as h,
+             case cast((d + 2*p.pg + i.i) % 4 as integer)
+                  when 0 then 'g4' when 1 then 'g3'
+                  when 2 then 'flate' else 'raw' end as codec
+      from base,
+           unnest(generate_series(0, npages - 1)) p(pg),
+           unnest(generate_series(0, 1)) i(i)
+      where i.i <= (d + p.pg) % 2
+    )
+    select doc_id,
+           cast(pg as integer) as page,
+           cast(i as integer) as img_idx,
+           cast(w as integer) as width,
+           cast(h as integer) as height,
+           cast(case when codec in ('g4', 'g3') then 1 else 8 end
+               as integer) as bpc,
+           case when codec in ('g4', 'g3') then 'CCITTFaxDecode'
+                when codec = 'flate' then 'FlateDecode'
+                else 'none' end as filter,
+           cast(case when codec in ('g4', 'g3')
+                then (select count(*)
+                      from generate_series(0, 20) gx(x),
+                           generate_series(0, 14) gy(y)
+                      where x < w and y < h
+                        and (d + pg + x + y) % 2 = 1)
+                else (select sum((d*7 + 13*pg + 11*j) % 256)
+                      from generate_series(0, 279) gj(j)
+                      where j < w * h) end as bigint) as value_sum,
+           true as exact_roundtrip
+    from imgs
+    """,
+)
+def text_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scanned-page image extraction from PDFs (operators/pdf.py::
+    extract_pdf_images + operators/ccitt.py): per doc, build a PDF whose
+    pages embed image XObjects — CCITT G4 / G3-1D fax rasters (the
+    scanned-document overlap VERDICT r14 flagged, both BlackIs1
+    polarities), Flate-compressed and raw gray-8 ramps — then walk
+    /Resources /XObject back through the real xref machinery, decode
+    every image, and report per-image pixel statistics the oracle
+    restates closed-form. Arrow-batched mapInPandas, map-only."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import pdf as _pdf
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 3)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("page", T.IntegerType()),
+            T.StructField("img_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("bpc", T.IntegerType()),
+            T.StructField("filter", T.StringType()),
+            T.StructField("value_sum", T.LongType()),
+            T.StructField("exact_roundtrip", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf_batch in it:
+            rows = []
+            for doc_id in pdf_batch["doc_id"]:
+                d = int(doc_id)
+                npages = 1 + d % 2
+                images: dict[int, list[dict]] = {}
+                planted: dict[tuple[int, int], tuple] = {}
+                for pg in range(npages):
+                    specs = []
+                    for i in range((d + pg) % 2 + 1):
+                        w = 9 + (d + 2 * pg) % 12
+                        h = 6 + (d + 3 * i) % 9
+                        codec = ("g4", "g3", "flate", "raw")[
+                            (d + 2 * pg + i) % 4
+                        ]
+                        if codec in ("g4", "g3"):
+                            y, x = np.ogrid[0:h, 0:w]
+                            bits = ((d + pg + 3 * x + 5 * y) % 2).astype(
+                                np.uint8
+                            )
+                            data = np.packbits(bits, axis=1).tobytes()
+                            specs.append(
+                                {
+                                    "width": w, "height": h, "codec": codec,
+                                    "data": data,
+                                    "blackis1": (d + pg + i) % 3 != 0,
+                                }
+                            )
+                            planted[(pg, i)] = (codec, bits)
+                        else:
+                            data = bytes(
+                                (d * 7 + 13 * pg + 11 * j) % 256
+                                for j in range(w * h)
+                            )
+                            specs.append(
+                                {
+                                    "width": w, "height": h,
+                                    "codec": codec, "data": data,
+                                }
+                            )
+                            planted[(pg, i)] = (codec, data)
+                    images[pg] = specs
+                blob = _pdf.encode_pdf(
+                    [[f"scan {d} page {pg}"] for pg in range(npages)],
+                    compress=d % 2 == 0,
+                    xref_stream=d % 3 == 0,
+                    images=images,
+                )
+                for im in _pdf.extract_pdf_images(blob):
+                    pg, name = im["page"], im["name"]
+                    i = int(name[2:])  # Im0 / Im1
+                    codec, want = planted[(pg, i)]
+                    if codec in ("g4", "g3"):
+                        rb = (im["width"] + 7) // 8
+                        got = np.unpackbits(
+                            np.frombuffer(
+                                im["pixels"], dtype=np.uint8
+                            ).reshape(im["height"], rb),
+                            axis=1,
+                        )[:, : im["width"]]
+                        value = int(got.sum())
+                        exact = bool((got == want).all())
+                    else:
+                        value = sum(im["pixels"])
+                        exact = im["pixels"] == want
+                    rows.append(
+                        (
+                            d, pg, i, im["width"], im["height"], im["bpc"],
+                            im["filter"], value, exact,
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname, dt in (
+                ("doc_id", "int64"), ("page", "int32"),
+                ("img_idx", "int32"), ("width", "int32"),
+                ("height", "int32"), ("bpc", "int32"),
+                ("value_sum", "int64"),
+            ):
+                out[cname] = out[cname].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)

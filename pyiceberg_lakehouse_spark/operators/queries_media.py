@@ -1530,7 +1530,7 @@ def multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 enc = _tiff.encode_tiff(
                     px,
                     big_endian=d % 7 < 4,
-                    compression=[1, 5, 8, 32773, 4][d % 5],
+                    compression=[1, 5, 8, 32773, 4, 2, 3][d % 7],
                     predictor=2 if d % 5 < 3 else 1,
                     tile=(tw, tl),
                 )
@@ -2299,9 +2299,10 @@ def multimodal_mkv_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The fax/scanned-page depth: BitsPerSample 1, rows bit-packed
     # MSB-first padded per row, BOTH photometrics (0 WhiteIsZero — the
     # fax default, stored bits inverted — and 1 BlackIsZero), strip
-    # AND tile layouts, all FIVE compressions (r15 adds CCITT G4/T.6 —
-    # operators/ccitt.py — the scanned-document entropy coding, cycling
-    # through the same roundtrip). The oracle predicts the
+    # AND tile layouts, all SEVEN compressions (r15 adds CCITT G4/T.6
+    # and both G3/T.4 1-D forms — operators/ccitt.py — the
+    # scanned-document entropy codings, cycling through the same
+    # roundtrip). The oracle predicts the
     # decoded value sum closed-form from the bit parity of the planted
     # checkerboard-ish pattern ((d+3x+5y)%2 == (d+x+y)%2) plus the
     # layout counts. Filter modulus 13 residue 11.
@@ -2309,9 +2310,10 @@ def multimodal_mkv_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     with base as (
       select doc_id, cast(doc_id as bigint) as d,
              19 + doc_id % 21 as w, 11 + doc_id % 17 as h,
-             case cast(doc_id % 5 as integer)
+             case cast(doc_id % 7 as integer)
                   when 0 then 1 when 1 then 5 when 2 then 8
-                  when 3 then 32773 else 4 end as compression,
+                  when 3 then 32773 when 4 then 4 when 5 then 2
+                  else 3 end as compression,
              case when doc_id % 3 = 0 then 0 else 1 end as photometric,
              doc_id % 4 < 2 as tiled,
              3 + doc_id % 4 as rps
@@ -2346,10 +2348,11 @@ def multimodal_tiff_bilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     layouts, and all four compressions; decode back to black-is-zero
     0/255 values and report the value sum, which the oracle predicts
     closed-form from the pattern's parity. Arrow-batched mapInPandas,
-    map-only. r15: Compression 4 (CCITT G4/T.6, operators/ccitt.py —
+    map-only. r15: Compressions 4 (CCITT G4/T.6 —
     pass/horizontal/vertical 2-D coding over the T.4 modified-Huffman
-    run alphabets) joins the cycle; G3 (T.4 1-D/K>0) stays honestly
-    gated."""
+    run alphabets), 2 (G3 1-D byte-aligned "CCITT RLE") and 3 (G3 1-D
+    with EOL prefixes) join the cycle via operators/ccitt.py; T.4 2-D
+    (K>0) stays honestly gated — G4 covers 2-D coding."""
     import numpy as np
     import pandas as pd
 
@@ -2399,7 +2402,7 @@ def multimodal_tiff_bilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 enc = _tiff.encode_tiff(
                     px,
                     big_endian=d % 2 == 0,
-                    compression=[1, 5, 8, 32773, 4][d % 5],
+                    compression=[1, 5, 8, 32773, 4, 2, 3][d % 7],
                     bits=1,
                     photometric=pm,
                     **kw,

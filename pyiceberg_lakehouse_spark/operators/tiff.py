@@ -285,13 +285,13 @@ def encode_tiff(
     h, w, ch = px.shape
     if ch not in (1, 3):
         raise ValueError("1 (gray) or 3 (RGB) samples per pixel")
-    if compression not in (1, 4, 5, 8, 32773):
+    if compression not in (1, 2, 3, 4, 5, 8, 32773):
         raise ValueError(
-            "compression must be 1 (none), 4 (CCITT G4), 5 (LZW), "
-            "8 (Deflate) or 32773 (PackBits)"
+            "compression must be 1 (none), 2/3 (CCITT G3), 4 (CCITT G4),"
+            " 5 (LZW), 8 (Deflate) or 32773 (PackBits)"
         )
-    if compression == 4 and bits != 1:
-        raise ValueError("CCITT G4 applies to bilevel data only")
+    if compression in (2, 3, 4) and bits != 1:
+        raise ValueError("CCITT compressions apply to bilevel data only")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
     if bits not in (1, 8):
@@ -307,10 +307,16 @@ def encode_tiff(
         raise ValueError("explicit photometric is for bilevel writes")
 
     def pack(raw: bytes, dims: tuple[int, int]) -> bytes:
-        if compression == 4:
-            from pyiceberg_lakehouse_spark.operators.ccitt import g4_encode
+        if compression in (2, 3, 4):
+            from pyiceberg_lakehouse_spark.operators import ccitt as _ccitt
 
-            return g4_encode(raw, dims[0], dims[1])
+            if compression == 4:
+                return _ccitt.g4_encode(raw, dims[0], dims[1])
+            return _ccitt.g3_1d_encode(
+                raw, dims[0], dims[1],
+                byte_align=compression == 2,
+                with_eol=compression == 3,
+            )
         if compression == 32773:
             return packbits_encode(raw)
         if compression == 5:
@@ -491,13 +497,18 @@ def decode_tiff(payload: bytes):
         )
     if bits == 1 and ch != 1:
         raise NotImplementedError("multi-sample bilevel TIFF not supported")
-    if compression not in (1, 4, 5, 8, 32773, 32946):
+    if compression not in (1, 2, 3, 4, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {compression}: none/CCITT G4/LZW/Deflate/"
-            "PackBits supported"
+            f"TIFF compression {compression}: none/CCITT G3/G4/LZW/"
+            "Deflate/PackBits supported"
         )
-    if compression == 4 and bits != 1:
-        raise ValueError("CCITT G4 applies to bilevel data only")
+    if compression in (2, 3, 4) and bits != 1:
+        raise ValueError("CCITT compressions apply to bilevel data only")
+    if compression == 3 and one(292, 0) & 1:
+        raise NotImplementedError(
+            "T.4 2-D (T4Options bit 0) is not supported — G4 covers the"
+            " 2-D coding"
+        )
     predictor = one(_TAG_PREDICTOR, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
@@ -512,14 +523,21 @@ def decode_tiff(payload: bytes):
     if photometric == 2 and ch != 3:
         raise ValueError("RGB photometric with SamplesPerPixel != 3")
     def unpack(raw: bytes, expected: int, g4_dims: tuple[int, int] | None = None) -> bytes:
-        if compression == 4:
-            from pyiceberg_lakehouse_spark.operators.ccitt import g4_decode
+        if compression in (2, 3, 4):
+            from pyiceberg_lakehouse_spark.operators import ccitt as _ccitt
 
             gw, gh = g4_dims
-            out = g4_decode(raw, gw, gh)
+            if compression == 4:
+                out = _ccitt.g4_decode(raw, gw, gh)
+            else:
+                out = _ccitt.g3_1d_decode(
+                    raw, gw, gh,
+                    byte_align=compression == 2,
+                    with_eol=compression == 3,
+                )
             if len(out) != expected:
                 raise ValueError(
-                    f"G4 segment decoded {len(out)} of {expected} bytes"
+                    f"CCITT segment decoded {len(out)} of {expected} bytes"
                 )
             return out
         if compression == 32773:

@@ -414,7 +414,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # RFC 8878 zstd decoder; rollups stay covered by lh_cdf_feed's
     # commit-time path + local gates)
     "scan_archive_entries",
-    "dedup_simhash_selfcheck",
+    # (dedup_simhash_selfcheck's keeper slot goes to the NEW scanned-PDF
+    # image-extraction row — dedup_ stays covered by dedup_image_dhash)
+    "text_pdf_images",
     "lh_bloom_join_scan",
     # (fn_struct_ops' keeper slot goes to the NEW VorbisComment/OpusTags
     # extraction row — fn_ stays covered by fn_variant_extract)

@@ -88,3 +88,33 @@ def test_tiff_g4_rejects_8bit():
     px = np.zeros((4, 4), dtype=np.uint8)
     with pytest.raises(ValueError):
         tiff.encode_tiff(px, compression=4, bits=8)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 70), st.integers(1, 10), st.integers(0, 2**32 - 1),
+       st.booleans())
+def test_g3_1d_random_roundtrip(w, h, seed, eol):
+    rng = np.random.default_rng(seed)
+    bits = (rng.random((h, w)) > 0.5).astype(np.uint8)
+    packed = np.packbits(bits, axis=1).tobytes()
+    enc = ccitt.g3_1d_encode(packed, w, h, byte_align=not eol, with_eol=eol)
+    assert ccitt.g3_1d_decode(
+        enc, w, h, byte_align=not eol, with_eol=eol
+    ) == packed
+
+
+def test_g3_missing_eol_raises():
+    bits = np.ones((2, 16), dtype=np.uint8)
+    packed = np.packbits(bits, axis=1).tobytes()
+    enc = ccitt.g3_1d_encode(packed, 16, 2, byte_align=True, with_eol=False)
+    with pytest.raises(ValueError, match="EOL"):
+        ccitt.g3_1d_decode(enc, 16, 2, byte_align=False, with_eol=True)
+
+
+def test_tiff_g3_integration_and_2d_gate():
+    rng = np.random.default_rng(13)
+    px = ((rng.random((9, 33)) > 0.5) * 255).astype(np.uint8)
+    for comp in (2, 3):
+        enc = tiff.encode_tiff(px, compression=comp, bits=1, photometric=0)
+        got, meta = tiff.decode_tiff(enc)
+        assert meta["compression"] == comp and (got[:, :, 0] == px).all()

@@ -11,6 +11,7 @@ from pyiceberg_lakehouse_spark.operators.pdf import (
     _parse_value,
     _png_unpredict,
     encode_pdf,
+    extract_pdf_images,
     extract_pdf_text,
 )
 
@@ -269,3 +270,68 @@ class TestFreeEntryTombstones:
         assert doc.n_updates == 2
         # the rest of the document is untouched by the free
         assert doc.page_text(doc.pages()[0]) == "seed"
+
+
+class TestImageXObjects:
+    def test_images_roundtrip_all_codecs_and_xref_forms(self):
+        import numpy as np
+
+        rng = np.random.default_rng(8)
+        bits = (rng.random((10, 21)) > 0.5).astype(np.uint8)
+        packed = np.packbits(bits, axis=1).tobytes()
+        gray = bytes(rng.integers(0, 256, size=30, dtype=np.uint8))
+        for xref in (False, True):
+            b = encode_pdf(
+                [["page"], ["second"]],
+                compress=False,
+                xref_stream=xref,
+                images={
+                    0: [
+                        {"width": 21, "height": 10, "codec": "g4",
+                         "data": packed},
+                        {"width": 21, "height": 10, "codec": "g3",
+                         "data": packed},
+                    ],
+                    1: [{"width": 6, "height": 5, "codec": "flate",
+                         "data": gray}],
+                },
+            )
+            imgs = extract_pdf_images(b)
+            assert [im["filter"] for im in imgs] == [
+                "CCITTFaxDecode", "CCITTFaxDecode", "FlateDecode"
+            ]
+            assert imgs[0]["pixels"] == packed
+            assert imgs[1]["pixels"] == packed
+            assert imgs[2]["pixels"] == gray
+            # text extraction is undisturbed by the Do operators
+            assert extract_pdf_text(b)["pages"] == ["page", "second"]
+
+    def test_blackis1_polarity(self):
+        import numpy as np
+
+        bits = np.zeros((4, 9), dtype=np.uint8)
+        bits[1, 2:7] = 1
+        packed = np.packbits(bits, axis=1).tobytes()
+        for b1 in (True, False):
+            b = encode_pdf(
+                [["x"]], compress=False,
+                images={0: [{"width": 9, "height": 4, "codec": "g4",
+                             "data": packed, "blackis1": b1}]},
+            )
+            got = extract_pdf_images(b)[0]["pixels"]
+            assert got == packed, f"BlackIs1={b1} should be transparent"
+
+    def test_unknown_image_filter_gated(self):
+        import zlib as _zl
+
+        b = encode_pdf([["x"]], compress=False,
+                       images={0: [{"width": 2, "height": 2,
+                                    "codec": "flate",
+                                    "data": _zl.decompress(_zl.compress(bytes(4)))}]})
+        # same-length swap keeps every xref offset valid
+        assert b.count(b"/Filter /FlateDecode") == 1
+        b = b.replace(b"/Filter /FlateDecode", b"/Filter /DCTDecode  ")
+        import pytest as _pt
+
+        with _pt.raises(NotImplementedError, match="DCTDecode"):
+            extract_pdf_images(b)
