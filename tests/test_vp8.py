@@ -172,3 +172,52 @@ def test_garbage_rejected():
         vp8.decode_vp8_frame(b"\x00\x00\x00garbage....")
     with pytest.raises(ValueError):
         vp8.decode_vp8_frame(b"")
+
+
+def test_real_file_full_rgba_pin(real_webp):
+    """End-to-end decode_webp (VP8 luma/chroma + ALPH alpha) of the real
+    libwebp file, pinned byte-for-byte as a regression anchor."""
+    import hashlib
+
+    from pyiceberg_lakehouse_spark.operators import vp8l as _vp8l
+
+    # reassemble the original container from its chunks
+    payload = bytearray(b"RIFF\x00\x00\x00\x00WEBP")
+    for fourcc in (b"VP8X", b"ALPH", b"VP8 "):
+        body = real_webp[fourcc]
+        payload += fourcc + len(body).to_bytes(4, "little") + body
+        if len(body) % 2:
+            payload += b"\x00"
+    payload[4:8] = (len(payload) - 8).to_bytes(4, "little")
+    rgba, meta = _vp8l.decode_webp(bytes(payload))
+    assert meta["codec"] == "vp8" and meta["has_alpha"]
+    assert rgba.shape == (16, 16, 4)
+    assert int(rgba.astype(np.int64).sum()) == 136321
+    assert (
+        hashlib.sha256(rgba.tobytes()).hexdigest()
+        == "6ff03dc3e61e55927fca7958a4a7f0e9ca52e07692be44298b4431ff78576f78"
+    )
+
+
+def test_real_file_structural_coverage(real_webp):
+    """Document what the real-encoder pin exercises: a B_PRED macroblock
+    (kf_bmode probability table + six distinct 4x4 sub-modes),
+    coefficient-probability updates (the COEFF_UPDATE_PROBS read path),
+    and a live level-12 normal loop filter."""
+    dec = vp8.VP8Decoder(real_webp[b"VP8 "])
+    dec.decode()
+    assert dec.ymodes == [[vp8.B_PRED]]
+    sub = set(dec.bmodes[0][0])
+    assert {vp8.B_DC_PRED, vp8.B_VE_PRED, vp8.B_HD_PRED} <= sub
+    assert len(sub) >= 5
+    assert dec.header["filter_level"] == 12
+    assert dec.header["filter_type"] == 0  # normal filter ran
+    n_upd = sum(
+        1
+        for t in range(4)
+        for b in range(8)
+        for c in range(3)
+        for n in range(11)
+        if dec.coeff_probs[t][b][c][n] != vp8.DEFAULT_COEFF_PROBS[t][b][c][n]
+    )
+    assert n_upd == 3
