@@ -167,10 +167,11 @@ def _decode_content_encoding(body: bytes, encoding: str) -> bytes:
     (RFC 9110 §8.4): gzip/x-gzip and deflate — including the
     widespread raw-DEFLATE-without-zlib-wrapper server bug, handled
     the way browsers do (try zlib-wrapped, retry raw), plus zstd via
-    the from-scratch RFC 8878 decoder (operators/zstd.py, r15). br
-    gates honestly (no Brotli codec, and guessing bytes would corrupt
-    the corpus); unknown codings raise rather than passing compressed
-    bytes downstream as text."""
+    the from-scratch RFC 8878 decoder (operators/zstd.py, r15) and br
+    via the system libbrotlidec binding (operators/brotli.py, r15 —
+    degrades to the honest gate where no library exists); unknown
+    codings raise rather than passing compressed bytes downstream as
+    text."""
     codings = [c.strip().lower() for c in encoding.split(",") if c.strip()]
     for coding in reversed(codings):  # applied in reverse list order
         if coding == "identity":
@@ -190,6 +191,13 @@ def _decode_content_encoding(body: bytes, encoding: str) -> bytes:
             except ValueError as exc:
                 raise ValueError(f"corrupt zstd body: {exc}") from exc
         elif coding == "br":
+            from pyiceberg_lakehouse_spark.operators import brotli as _br
+
+            try:
+                body = _br.decompress(body)
+            except ValueError as exc:
+                raise ValueError(f"corrupt brotli body: {exc}") from exc
+        elif coding == "__br_gated__":
             raise NotImplementedError(
                 f"Content-Encoding {coding} is not supported "
                 "(no codec available; refusing rather than emitting "
