@@ -4313,3 +4313,165 @@ def multimodal_ogg_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_ico_decode",
+    # Planted favicon/bitmap corpus: even docs carry a standalone BMP
+    # (bpp cycling 8-palettized/24/32, bottom-up vs top-down rows, row
+    # padding to 4 bytes), odd docs an ICO whose 1-3 members alternate
+    # the embedded-PNG form (decoded through the engine's PNG codec)
+    # and the doubled-height DIB form (XOR BGRA + AND mask). One row
+    # per decoded image with per-channel pixel sums the oracle restates
+    # closed-form. Filter modulus 19 residue 7; knobs use %2 (kind),
+    # %3 (members/bpp/top-down), %9 and %7 (dims) — coprime with 19.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d
+      from documents where doc_id % 19 = 7
+    ),
+    members as (
+      select doc_id, d, cast(m.m as bigint) as m,
+             case when d % 2 = 0 then
+                  case cast((d // 2) % 3 as integer)
+                       when 0 then 'bmp8' when 1 then 'bmp24'
+                       else 'bmp32' end
+                  when (d + m.m) % 2 = 0 then 'ico-dib'
+                  else 'ico-png' end as form,
+             4 + (d + m.m) % 9 as w, 3 + (d + 2*m.m) % 7 as h
+      from base, unnest(generate_series(0, 2)) m(m)
+      where (d % 2 = 0 and m.m = 0) or (d % 2 = 1 and m.m <= d % 3)
+    )
+    select doc_id,
+           cast(m as integer) as member_idx,
+           form,
+           cast(w as integer) as width,
+           cast(h as integer) as height,
+           cast((select sum(case when form = 'bmp8'
+                      then (d*5 + x + 7*y) % 256
+                      else (d + 3*x + 5*y) % 256 end)
+                 from generate_series(0, 12) gx(x), generate_series(0, 9) gy(y)
+                 where x < w and y < h) as bigint) as r_sum,
+           cast((select sum((d*5 + x + 7*y) % 256)
+                 from generate_series(0, 12) gx(x), generate_series(0, 9) gy(y)
+                 where x < w and y < h) as bigint) as g_sum,
+           cast((select sum(case when form = 'bmp8'
+                      then (d*5 + x + 7*y) % 256
+                      else (d*7 + 11*x + y) % 256 end)
+                 from generate_series(0, 12) gx(x), generate_series(0, 9) gy(y)
+                 where x < w and y < h) as bigint) as b_sum,
+           cast(case when form in ('bmp8', 'bmp24') then 255 * w * h
+                else (select sum(((d + x + y) % 2) * 255)
+                      from generate_series(0, 12) gx(x),
+                           generate_series(0, 9) gy(y)
+                      where x < w and y < h) end as bigint) as a_sum,
+           true as exact_roundtrip
+    from members
+    """,
+)
+def multimodal_ico_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP + ICO (favicon) decode (operators/bmp.py): per doc, build a
+    standalone BMP (8-bit palettized / 24 / 32 bpp, bottom-up and
+    top-down row orders) or a multi-member ICO mixing embedded-PNG
+    members (the modern favicon layout, through the engine's own PNG
+    codec) with doubled-height DIB members (XOR BGRA pixels + 1-bit AND
+    mask), decode everything back, and report per-channel pixel sums the
+    oracle predicts closed-form. Arrow-batched mapInPandas, map-only."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import bmp as _bmp
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 19 == 7)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("member_idx", T.IntegerType()),
+            T.StructField("form", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("r_sum", T.LongType()),
+            T.StructField("g_sum", T.LongType()),
+            T.StructField("b_sum", T.LongType()),
+            T.StructField("a_sum", T.LongType()),
+            T.StructField("exact_roundtrip", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def _raster(d, m, w, h, alpha_parity):
+        y, x = np.ogrid[0:h, 0:w]
+        r = (d + 3 * x + 5 * y) % 256
+        g = (d * 5 + x + 7 * y) % 256
+        b = (d * 7 + 11 * x + y) % 256
+        if alpha_parity:
+            a = ((d + x + y) % 2) * 255
+        else:
+            a = np.full((h, w), 255)
+        return np.dstack([r, g, b, a]).astype(np.uint8)
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                decoded = []
+                if d % 2 == 0:
+                    bpp = (8, 24, 32)[(d // 2) % 3]
+                    form = {8: "bmp8", 24: "bmp24", 32: "bmp32"}[bpp]
+                    w, h = 4 + d % 9, 3 + d % 7
+                    px = _raster(d, 0, w, h, alpha_parity=bpp == 32)
+                    if bpp == 8:
+                        px[:, :, 0] = px[:, :, 2] = px[:, :, 1]
+                    enc = _bmp.encode_bmp(px, bpp=bpp, top_down=d % 3 == 0)
+                    got, meta = _bmp.decode_bmp(enc)
+                    want = px.copy()
+                    if bpp != 32:
+                        want[:, :, 3] = 255
+                    decoded.append((0, form, got, want))
+                else:
+                    specs = []
+                    wants = []
+                    forms = []
+                    for m in range(d % 3 + 1):
+                        w, h = 4 + (d + m) % 9, 3 + (d + 2 * m) % 7
+                        px = _raster(d, m, w, h, alpha_parity=True)
+                        form = "ico-dib" if (d + m) % 2 == 0 else "ico-png"
+                        specs.append(
+                            {
+                                "rgba": px,
+                                "form": "dib" if form == "ico-dib" else "png",
+                            }
+                        )
+                        wants.append(px)
+                        forms.append(form)
+                    ico = _bmp.encode_ico(specs)
+                    for m, got in enumerate(_bmp.decode_ico(ico)):
+                        decoded.append((m, forms[m], got["rgba"], wants[m]))
+                for m, form, got, want in decoded:
+                    g64 = got.astype(np.int64)
+                    rows.append(
+                        (
+                            d, m, form, got.shape[1], got.shape[0],
+                            int(g64[:, :, 0].sum()), int(g64[:, :, 1].sum()),
+                            int(g64[:, :, 2].sum()), int(g64[:, :, 3].sum()),
+                            bool(got.shape == want.shape and (got == want).all()),
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname, dt in (
+                ("doc_id", "int64"), ("member_idx", "int32"),
+                ("width", "int32"), ("height", "int32"),
+                ("r_sum", "int64"), ("g_sum", "int64"),
+                ("b_sum", "int64"), ("a_sum", "int64"),
+            ):
+                out[cname] = out[cname].astype(dt)
+            yield out
+
+    return docs.mapInPandas(batches, schema)

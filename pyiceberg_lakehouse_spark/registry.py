@@ -407,7 +407,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # represented; each slot is first in line for a NEW r15 row)
     "stream_stream_anti_join",
     "stream_lh_text_search",
-    "stream_lh_neardup",
+    # (stream_lh_neardup's keeper slot goes to the NEW BMP/ICO favicon
+    # decode row — streaming keeps anti_join + sink_hourly +
+    # text_search, and the near-dup index stays local-gated)
+    "multimodal_ico_decode",
     "lh_cdf_feed",
     # (lh_rollup_percentile's keeper slot goes to the archive-explosion
     # row, fresh again with the .tar.zst wrapper through the NEW

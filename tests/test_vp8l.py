@@ -197,10 +197,13 @@ def test_hostile_inputs():
         canonical_codes([1, 1, 1])
     with pytest.raises(NotImplementedError, match="palette combines"):
         encode_vp8l(px, transforms=("palette", "predictor"))
-    with pytest.raises(NotImplementedError, match="lossy VP8"):
-        from pyiceberg_lakehouse_spark.operators.multimodal import make_webp
+    # r15: lossy VP8 key frames now DECODE (operators/vp8.py); the
+    # header-accurate stub's zeroed payload is a legal all-default
+    # bitstream, so it yields a 4x4 frame instead of a gate
+    from pyiceberg_lakehouse_spark.operators.multimodal import make_webp
 
-        decode_webp(make_webp(4, 4, "VP8 "))
+    rgba, meta = decode_webp(make_webp(4, 4, "VP8 "))
+    assert meta["codec"] == "vp8" and rgba.shape == (4, 4, 4)
 
 
 def test_clamp_half_truncates_toward_zero():
