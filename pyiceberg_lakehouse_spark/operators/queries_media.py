@@ -1530,7 +1530,7 @@ def multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 enc = _tiff.encode_tiff(
                     px,
                     big_endian=d % 7 < 4,
-                    compression=[1, 5, 8, 32773, 4, 2, 3][d % 7],
+                    compression=[1, 5, 8, 32773][d % 4],
                     predictor=2 if d % 5 < 3 else 1,
                     tile=(tw, tl),
                 )
