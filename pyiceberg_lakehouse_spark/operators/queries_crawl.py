@@ -1999,13 +1999,14 @@ def pipeline_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_warc_responses",
     # Filter modulus 9 is coprime with the record-count (%4), status
     # (%3), content-type (%2), gzip-layout (%2), chunked (%4) and
-    # content-encoding ((d+2i)%5) knobs, so both WARC storage forms
+    # content-encoding ((d+2i)%7) knobs, so both WARC storage forms
     # (plain + per-record gzip members), Content-Length AND chunked
-    # transfer-encoding framing, every HTTP branch, and all three
-    # representation codings (gzip, zlib-wrapped deflate, and the
-    # raw-deflate server bug — both reported under the 'deflate'
-    # label) are live in the driver-hashed corpus, including
-    # chunked-over-compressed bodies.
+    # transfer-encoding framing, every HTTP branch, and ALL FIVE
+    # representation codings (gzip, zlib-wrapped deflate, the
+    # raw-deflate server bug under the 'deflate' label, and — r15 —
+    # br through the libbrotlidec binding and zstd through the
+    # from-scratch RFC 8878 decoder) are live in the driver-hashed
+    # corpus, including chunked-over-compressed bodies.
     """
     with base as (
       select doc_id, cast(doc_id as bigint) as d, 3 + doc_id % 4 as n
@@ -2023,9 +2024,10 @@ def pipeline_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(length('body-' || d || '-' || i) as integer) as body_len,
            d % 2 = 1 as gzipped,
            (d + i) % 4 = 1 as chunked,
-           case cast((d + 2*i) % 5 as integer)
+           case cast((d + 2*i) % 7 as integer)
                 when 1 then 'gzip' when 2 then 'deflate'
-                when 3 then 'deflate' else null end as content_encoding
+                when 3 then 'deflate' when 4 then 'br'
+                when 5 then 'zstd' else null end as content_encoding
     from base, unnest(generate_series(0, 6)) u(i) where i < n
     """,
 )
@@ -2073,7 +2075,7 @@ def scan_warc_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cols = [f.name for f in schema.fields]
     statuses = (200, 404, 301)
-    codings = (None, "gzip", "deflate", "deflate-raw", None)
+    codings = (None, "gzip", "deflate", "deflate-raw", "br", "zstd", None)
 
     def batches(it):
         for pdf in it:
@@ -2095,7 +2097,7 @@ def scan_warc_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ],
                         body,
                         chunk_size=5 if (d + i) % 4 == 1 else None,
-                        content_encoding=codings[(d + 2 * i) % 5],
+                        content_encoding=codings[(d + 2 * i) % 7],
                     )
                     recs.append(
                         {

@@ -47,9 +47,11 @@ def build_http_response(
     """``chunk_size`` set -> the body is stored chunked (RFC 7230 §4.1:
     hex size line, chunk, CRLF, ... 0-chunk, blank trailer) instead of
     Content-Length-framed — the raw-wire-bytes crawl layout.
-    ``content_encoding`` gzip/deflate/deflate-raw compresses the body
-    representation first (deflate-raw writes the widespread
-    no-zlib-wrapper server form under the 'deflate' label)."""
+    ``content_encoding`` gzip/deflate/deflate-raw/br/zstd compresses
+    the body representation first (deflate-raw writes the widespread
+    no-zlib-wrapper server form under the 'deflate' label; br uses the
+    system libbrotlienc, zstd pyarrow's libzstd — fixture-side
+    encoders for the engine's decode paths)."""
     head = f"HTTP/1.1 {status} {reason}\r\n"
     hdrs = "".join(f"{k}: {v}\r\n" for k, v in headers)
     if content_encoding is not None:
@@ -61,6 +63,26 @@ def build_http_response(
         elif content_encoding == "deflate-raw":
             comp = zlib.compressobj(6, zlib.DEFLATED, -15)
             body = comp.compress(body) + comp.flush()
+        elif content_encoding == "zstd":
+            import pyarrow as _pa
+
+            body = _pa.Codec("zstd").compress(body, asbytes=True)
+        elif content_encoding == "br":
+            import ctypes as _ct
+
+            enc = _ct.CDLL("libbrotlienc.so.1")
+            enc.BrotliEncoderCompress.restype = _ct.c_int
+            enc.BrotliEncoderCompress.argtypes = [
+                _ct.c_int, _ct.c_int, _ct.c_int, _ct.c_size_t,
+                _ct.c_char_p, _ct.POINTER(_ct.c_size_t), _ct.c_char_p,
+            ]
+            out_len = _ct.c_size_t(len(body) + 1024)
+            out = _ct.create_string_buffer(out_len.value)
+            if not enc.BrotliEncoderCompress(
+                5, 22, 0, len(body), body, _ct.byref(out_len), out
+            ):
+                raise RuntimeError("BrotliEncoderCompress failed")
+            body = out.raw[: out_len.value]
         else:
             raise ValueError(
                 f"unsupported content_encoding {content_encoding!r}"

@@ -406,7 +406,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # multi-green structural keepers (heavyweight families stay
     # represented; each slot is first in line for a NEW r15 row)
     "stream_stream_anti_join",
-    "stream_lh_text_search",
+    # (stream_lh_text_search's keeper slot goes to the WARC-responses
+    # row, fresh again with br/zstd Content-Encoding decode through the
+    # NEW codec layers; streaming keeps anti_join + sink_hourly, and
+    # the text-search index stays local-gated + pytest-pinned)
+    "scan_warc_responses",
     # (stream_lh_neardup's keeper slot goes to the NEW BMP/ICO favicon
     # decode row — streaming keeps anti_join + sink_hourly +
     # text_search, and the near-dup index stays local-gated)
