@@ -3557,3 +3557,205 @@ def probe_webp(payload: bytes) -> dict:
             }
         pos = body + csize + (csize % 2)
     raise ValueError("WebP carries no VP8/VP8L/VP8X chunk")
+
+
+# ------------------------------------------------------------- AVIF/HEIF --
+# The ISO-BMFF still-image layout (HEIF, ISO 23008-12) carrying AV1
+# payloads (AVIF) or HEVC (HEIC): items instead of tracks — meta/hdlr
+# 'pict', pitm primary item, iinf/infe item types, iprp/ipco shared
+# property pool (ispe dimensions, pixi planes) bound by ipma, iloc
+# extents locating the payload bytes. The codec payloads (AV1 OBUs /
+# HEVC NALs) are honestly gated; the container walk gives curation the
+# dimensions, item graph and payload sizes it needs for routing.
+
+
+def make_avif(items: list[dict], brand: bytes = b"avif") -> bytes:
+    """items: [{"id", "type" (4 bytes), "width", "height", "data",
+    "primary"?}] -> minimal HEIF/AVIF bytes (construction mirrors what
+    libavif writes: one shared ipco property pool, version-0 iloc with
+    absolute offsets)."""
+    ftyp = _box(b"ftyp", brand + (0).to_bytes(4, "big") + brand + b"mif1")
+    hdlr = _box(
+        b"hdlr", bytes(8) + b"pict" + bytes(12) + b"lh\x00"
+    )
+    primary = next(
+        (it["id"] for it in items if it.get("primary")), items[0]["id"]
+    )
+    pitm = _box(b"pitm", bytes(4) + primary.to_bytes(2, "big"))
+    infes = b""
+    for it in items:
+        infes += _box(
+            b"infe",
+            (2).to_bytes(1, "big") + bytes(3)
+            + it["id"].to_bytes(2, "big") + bytes(2)
+            + it["type"] + b"\x00",
+        )
+    iinf = _box(b"iinf", bytes(4) + len(items).to_bytes(2, "big") + infes)
+    props = b""
+    ipma_entries = b""
+    for k, it in enumerate(items):
+        props += _box(
+            b"ispe",
+            bytes(4)
+            + it["width"].to_bytes(4, "big")
+            + it["height"].to_bytes(4, "big"),
+        )
+        # item k associates with property k+1 (1-based), essential
+        ipma_entries += (
+            it["id"].to_bytes(2, "big") + bytes([1]) + bytes([0x80 | (k + 1)])
+        )
+    ipco = _box(b"ipco", props)
+    ipma = _box(b"ipma", bytes(4) + len(items).to_bytes(4, "big") + ipma_entries)
+    iprp = _box(b"iprp", ipco + ipma)
+    # iloc version 0: offset_size=4 length_size=4 base_offset_size=0
+    iloc_body = bytearray(bytes(4) + bytes([0x44, 0x00]))
+    iloc_body += len(items).to_bytes(2, "big")
+    iloc_items = []
+    for it in items:
+        iloc_items.append(bytearray(
+            it["id"].to_bytes(2, "big") + bytes(2)  # data_reference_index
+            + (1).to_bytes(2, "big")  # extent_count
+        ))
+    # compute layout: sizes of everything before mdat payloads
+    payloads = [it["data"] for it in items]
+
+    def assemble(offsets):
+        body = bytearray(bytes(4) + bytes([0x44, 0x00]))
+        body += len(items).to_bytes(2, "big")
+        for it, off in zip(items, offsets):
+            body += it["id"].to_bytes(2, "big") + bytes(2)
+            body += (1).to_bytes(2, "big")
+            body += off.to_bytes(4, "big") + len(it["data"]).to_bytes(4, "big")
+        return _box(b"iloc", bytes(body))
+
+    # two-pass: sizes are stable because offset fields are fixed-width
+    iloc_probe = assemble([0] * len(items))
+    meta_probe = _box(
+        b"meta", bytes(4) + hdlr + pitm + iinf + iprp + iloc_probe
+    )
+    mdat_payload = b"".join(payloads)
+    base = len(ftyp) + len(meta_probe) + 8  # mdat header
+    offsets = []
+    at = base
+    for p in payloads:
+        offsets.append(at)
+        at += len(p)
+    iloc = assemble(offsets)
+    meta = _box(b"meta", bytes(4) + hdlr + pitm + iinf + iprp + iloc)
+    assert len(meta) == len(meta_probe)
+    return ftyp + meta + _box(b"mdat", mdat_payload)
+
+
+def probe_avif(payload: bytes) -> dict:
+    """AVIF/HEIF -> {brand, primary_item, items: [{id, type, width,
+    height, size, is_primary}]}. Strict: missing meta/hdlr-pict, bad
+    box sizes, extents outside the file raise; AV1/HEVC payload decode
+    is honestly gated behind the container walk."""
+    boxes = _walk_boxes(payload)
+    if not boxes or boxes[0][0] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file (ftyp missing)")
+    ftyp = boxes[0][1]
+    brand = ftyp[:4].decode("latin-1")
+    if brand not in ("avif", "avis", "heic", "heix", "mif1"):
+        raise ValueError(f"not a still-image HEIF brand: {brand!r}")
+    meta = next((b for t, b in boxes if t == b"meta"), None)
+    if meta is None:
+        raise ValueError("HEIF meta box missing")
+    inner = _walk_boxes(meta[4:])  # fullbox header skipped
+    sub = {t: b for t, b in inner}
+    hdlr = sub.get(b"hdlr")
+    if hdlr is None or hdlr[8:12] != b"pict":
+        raise ValueError("HEIF hdlr is not 'pict'")
+    pitm = sub.get(b"pitm")
+    primary = int.from_bytes(pitm[4:6], "big") if pitm else None
+    # iinf/infe
+    items: dict[int, dict] = {}
+    iinf = sub.get(b"iinf")
+    if iinf is None:
+        raise ValueError("HEIF iinf missing")
+    count = int.from_bytes(iinf[4:6], "big")
+    for t, b in _walk_boxes(iinf[6:]):
+        if t != b"infe":
+            continue
+        iid = int.from_bytes(b[4:6], "big")
+        items[iid] = {
+            "id": iid, "type": b[8:12].decode("latin-1"),
+            "width": None, "height": None, "size": 0,
+        }
+    if len(items) != count:
+        raise ValueError("iinf count disagrees with infe boxes")
+    # iprp: ipco property pool + ipma associations
+    iprp = sub.get(b"iprp")
+    if iprp is not None:
+        psub = _walk_boxes(iprp)
+        ipco = next((b for t, b in psub if t == b"ipco"), b"")
+        pool = _walk_boxes(ipco)
+        ipma = next((b for t, b in psub if t == b"ipma"), None)
+        if ipma is not None:
+            n = int.from_bytes(ipma[4:8], "big")
+            at = 8
+            for _ in range(n):
+                iid = int.from_bytes(ipma[at : at + 2], "big")
+                cnt = ipma[at + 2]
+                at += 3
+                for _k in range(cnt):
+                    idx = ipma[at] & 0x7F
+                    at += 1
+                    if 1 <= idx <= len(pool) and iid in items:
+                        ptype, pbody = pool[idx - 1]
+                        if ptype == b"ispe":
+                            items[iid]["width"] = int.from_bytes(
+                                pbody[4:8], "big"
+                            )
+                            items[iid]["height"] = int.from_bytes(
+                                pbody[8:12], "big"
+                            )
+    # iloc extents -> payload sizes (validated against the file)
+    iloc = sub.get(b"iloc")
+    if iloc is not None:
+        sizes = iloc[4]
+        offset_size, length_size = sizes >> 4, sizes & 0xF
+        base_offset_size = iloc[5] >> 4
+        at = 6
+        n = int.from_bytes(iloc[at : at + 2], "big")
+        at += 2
+        for _ in range(n):
+            iid = int.from_bytes(iloc[at : at + 2], "big")
+            at += 4  # id + data_reference_index
+            base = int.from_bytes(iloc[at : at + base_offset_size], "big")
+            at += base_offset_size
+            ecount = int.from_bytes(iloc[at : at + 2], "big")
+            at += 2
+            total = 0
+            for _e in range(ecount):
+                off = int.from_bytes(iloc[at : at + offset_size], "big")
+                at += offset_size
+                ln = int.from_bytes(iloc[at : at + length_size], "big")
+                at += length_size
+                if base + off + ln > len(payload):
+                    raise ValueError("iloc extent outside the file")
+                total += ln
+            if iid in items:
+                items[iid]["size"] = total
+    out_items = [
+        {**it, "is_primary": it["id"] == primary}
+        for it in sorted(items.values(), key=lambda x: x["id"])
+    ]
+    return {"brand": brand, "primary_item": primary, "items": out_items}
+
+
+def _walk_boxes(data: bytes) -> list[tuple[bytes, bytes]]:
+    out = []
+    pos = 0
+    while pos + 8 <= len(data):
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        btype = data[pos + 4 : pos + 8]
+        if size == 0:
+            size = len(data) - pos
+        if size < 8 or pos + size > len(data):
+            raise ValueError(f"bad ISO-BMFF box size at {pos}")
+        out.append((btype, data[pos + 8 : pos + size]))
+        pos += size
+    if pos != len(data):
+        raise ValueError("trailing bytes after the last ISO-BMFF box")
+    return out

@@ -4475,3 +4475,117 @@ def multimodal_ico_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_avif_probe",
+    # Planted AVIF/HEIF (ISO 23008-12) files: the modern still-image
+    # container walked item-by-item — meta/hdlr 'pict', pitm primary,
+    # iinf/infe types (av01 image + Exif metadata item), ispe
+    # dimensions bound through the ipco/ipma property pool, iloc
+    # extents validated against the file. Brand cycles avif/heic, item
+    # count 1-3, the Exif side-item appears on d%4==1. AV1/HEVC payload
+    # decode stays honestly gated — this is the routing/curation probe.
+    # Filter modulus 23 residue 9; knobs %2 (brand), %3 (items),
+    # %4 (exif), dims %13/%11, size %29.
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d, 1 + doc_id % 3 as nimg
+      from documents where doc_id % 23 = 9
+    ),
+    items as (
+      select doc_id, d, nimg, cast(i.i as bigint) as i
+      from base, unnest(generate_series(0, 3)) i(i)
+      where i.i < nimg + case when d % 4 = 1 then 1 else 0 end
+    )
+    select doc_id,
+           cast(i + 1 as integer) as item_id,
+           case when i < nimg then 'av01' else 'Exif' end as item_type,
+           cast(case when i < nimg then 64 + (d + 5*i) % 13 * 16
+                else 0 end as integer) as width,
+           cast(case when i < nimg then 48 + (d + 3*i) % 11 * 16
+                else 0 end as integer) as height,
+           cast(case when i < nimg then 20 + (d*3 + 7*i) % 29
+                else 14 end as integer) as payload_size,
+           i = 0 as is_primary,
+           case when d % 2 = 0 then 'avif' else 'heic' end as brand
+    from items
+    """,
+)
+def multimodal_avif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVIF/HEIF container probe (operators/multimodal.py::probe_avif):
+    per doc, build a genuine ISO-BMFF still-image file — ftyp brand,
+    meta/hdlr(pict)/pitm/iinf/iprp(ipco+ipma)/iloc, payload bytes in
+    mdat addressed by iloc extents — and walk it back, emitting one row
+    per item with type, bound ispe dimensions and the located payload
+    size. The modern crawl's image-routing step for .avif/.heic
+    content. Arrow-batched mapInPandas, map-only."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import multimodal as _mm
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 9)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("item_id", T.IntegerType()),
+            T.StructField("item_type", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("payload_size", T.IntegerType()),
+            T.StructField("is_primary", T.BooleanType()),
+            T.StructField("brand", T.StringType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nimg = 1 + d % 3
+                brand = b"avif" if d % 2 == 0 else b"heic"
+                items = []
+                for i in range(nimg):
+                    size = 20 + (d * 3 + 7 * i) % 29
+                    items.append(
+                        {
+                            "id": i + 1, "type": b"av01",
+                            "width": 64 + (d + 5 * i) % 13 * 16,
+                            "height": 48 + (d + 3 * i) % 11 * 16,
+                            "data": bytes((d + i + k) % 256 for k in range(size)),
+                            "primary": i == 0,
+                        }
+                    )
+                if d % 4 == 1:
+                    items.append(
+                        {
+                            "id": nimg + 1, "type": b"Exif",
+                            "width": 0, "height": 0,
+                            "data": b"Exif\x00\x00II*\x00\x08\x00\x00\x00",
+                        }
+                    )
+                blob = _mm.make_avif(items, brand=brand)
+                probe = _mm.probe_avif(blob)
+                for entry in probe["items"]:
+                    rows.append(
+                        (
+                            d, entry["id"], entry["type"], entry["width"],
+                            entry["height"], entry["size"],
+                            entry["is_primary"], probe["brand"],
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            for cname in ("item_id", "width", "height", "payload_size"):
+                out[cname] = out[cname].astype("int32")
+            out["doc_id"] = out["doc_id"].astype("int64")
+            yield out
+
+    return docs.mapInPandas(batches, schema)

@@ -424,7 +424,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (dedup_simhash_selfcheck's keeper slot goes to the NEW scanned-PDF
     # image-extraction row — dedup_ stays covered by dedup_image_dhash)
     "text_pdf_images",
-    "lh_bloom_join_scan",
+    # (lh_bloom_join_scan's keeper slot goes to the NEW AVIF/HEIF
+    # container probe — join_ stays covered by join_right_outer, lh_ by
+    # external_scan/delete_positions/cdf_feed, and the bloom index
+    # stays local-gated + plan-pinned)
+    "multimodal_avif_probe",
     # (fn_struct_ops' keeper slot goes to the NEW VorbisComment/OpusTags
     # extraction row — fn_ stays covered by fn_variant_extract)
     "multimodal_ogg_tags",
