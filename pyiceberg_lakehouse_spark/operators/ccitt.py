@@ -182,6 +182,54 @@ def _read_run(br: _BitReader, trie: dict) -> int:
             return total
 
 
+def _decode_2d_row(br: _BitReader, ref: list[int], width: int) -> list[int]:
+    """One pass/horizontal/vertical-coded row against ``ref`` ->
+    transition positions (shared by T.6 and T.4 K>0 2-D rows)."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0  # 0 white, 1 black
+    while a0 < width:
+        # b1: first ref transition right of a0 with opposite color
+        # (transitions alternate white->black at even indices)
+        i = 0
+        while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
+            i += 1
+        b1 = ref[i] if i < len(ref) else width
+        b2 = ref[i + 1] if i + 1 < len(ref) else width
+        mode = br.read_code(_MODE_TRIE)
+        if mode == "P":
+            a0 = b2
+        elif mode == "H":
+            start = a0 if a0 > 0 else 0
+            r1 = _read_run(br, _BLACK_TRIE if color else _WHITE_TRIE)
+            r2 = _read_run(br, _WHITE_TRIE if color else _BLACK_TRIE)
+            a1 = start + r1
+            a2 = a1 + r2
+            cur.extend((a1, a2))
+            a0 = a2
+        else:
+            delta = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
+                     "VL1": -1, "VL2": -2, "VL3": -3}[mode]
+            a1 = b1 + delta
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+    return [min(max(p, 0), width) for p in cur]
+
+
+def _paint_row(out: bytearray, base: int, cur: list[int], width: int) -> None:
+    paint = 0
+    pos = 0
+    for t in cur + [width]:
+        if paint:
+            for x in range(pos, min(t, width)):
+                out[base + (x >> 3)] |= 0x80 >> (x & 7)
+        pos = t
+        paint ^= 1
+        if pos >= width:
+            break
+
+
 def g4_decode(data: bytes, width: int, height: int) -> bytes:
     """T.6 stream -> packed rows ((width+7)//8 bytes each, MSB-first,
     1 = black)."""
@@ -190,48 +238,8 @@ def g4_decode(data: bytes, width: int, height: int) -> bytes:
     out = bytearray(rowbytes * height)
     ref = [width, width]  # changing elements of the imaginary white row
     for y in range(height):
-        cur: list[int] = []
-        a0 = -1
-        color = 0  # 0 white, 1 black
-        while a0 < width:
-            # b1: first ref transition right of a0 with opposite color
-            # (transitions alternate white->black at even indices)
-            i = 0
-            while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
-                i += 1
-            b1 = ref[i] if i < len(ref) else width
-            b2 = ref[i + 1] if i + 1 < len(ref) else width
-            mode = br.read_code(_MODE_TRIE)
-            if mode == "P":
-                a0 = b2
-            elif mode == "H":
-                start = a0 if a0 > 0 else 0
-                r1 = _read_run(br, _BLACK_TRIE if color else _WHITE_TRIE)
-                r2 = _read_run(br, _WHITE_TRIE if color else _BLACK_TRIE)
-                a1 = start + r1
-                a2 = a1 + r2
-                cur.extend((a1, a2))
-                a0 = a2
-            else:
-                delta = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
-                         "VL1": -1, "VL2": -2, "VL3": -3}[mode]
-                a1 = b1 + delta
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
-        # paint the row from its transition list
-        cur = [min(max(p, 0), width) for p in cur]
-        base = y * rowbytes
-        paint = 0
-        pos = 0
-        for k, t in enumerate(cur + [width]):
-            if paint:
-                for x in range(pos, min(t, width)):
-                    out[base + (x >> 3)] |= 0x80 >> (x & 7)
-            pos = t
-            paint ^= 1
-            if pos >= width:
-                break
+        cur = _decode_2d_row(br, ref, width)
+        _paint_row(out, y * rowbytes, cur, width)
         ref = cur + [width, width]
     return bytes(out)
 
@@ -261,51 +269,63 @@ def _write_run(bw: _BitWriter, run: int, codes: dict) -> None:
     bw.write(codes[run])
 
 
+def _encode_2d_row(
+    bw: _BitWriter, cur: list[int], ref: list[int], width: int
+) -> None:
+    """Code one row against ``ref`` with pass/horizontal/vertical modes
+    (shared by T.6 and T.4 K>0 2-D rows)."""
+    a0 = -1
+    color = 0
+    ci = 0
+    while a0 < width:
+        i = 0
+        while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
+            i += 1
+        b1 = ref[i] if i < len(ref) else width
+        b2 = ref[i + 1] if i + 1 < len(ref) else width
+        a1 = cur[ci] if ci < len(cur) else width
+        if b2 < a1:
+            bw.write(MODE_CODES["P"])
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            bw.write(
+                MODE_CODES[
+                    {0: "V0", 1: "VR1", 2: "VR2", 3: "VR3",
+                     -1: "VL1", -2: "VL2", -3: "VL3"}[a1 - b1]
+                ]
+            )
+            a0 = a1
+            ci += 1
+            color ^= 1
+        else:
+            a2 = cur[ci + 1] if ci + 1 < len(cur) else width
+            start = a0 if a0 > 0 else 0
+            bw.write(MODE_CODES["H"])
+            _write_run(bw, a1 - start, BLACK_CODES if color else WHITE_CODES)
+            _write_run(bw, a2 - a1, WHITE_CODES if color else BLACK_CODES)
+            a0 = a2
+            ci += 2
+
+
+def _row_bits(packed: bytes, y: int, rowbytes: int, width: int) -> list[int]:
+    base = y * rowbytes
+    return [
+        (packed[base + (x >> 3)] >> (7 - (x & 7))) & 1 for x in range(width)
+    ]
+
+
 def g4_encode(packed: bytes, width: int, height: int) -> bytes:
     """Packed rows (1 = black) -> T.6 stream (with EOFB)."""
     rowbytes = (width + 7) // 8
     bw = _BitWriter()
     ref = [width, width]
     for y in range(height):
-        row = []
-        base = y * rowbytes
-        for x in range(width):
-            row.append((packed[base + (x >> 3)] >> (7 - (x & 7))) & 1)
-        cur = _transitions(row, width)
-        a0 = -1
-        color = 0
-        ci = 0
-        while a0 < width:
-            i = 0
-            while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
-                i += 1
-            b1 = ref[i] if i < len(ref) else width
-            b2 = ref[i + 1] if i + 1 < len(ref) else width
-            a1 = cur[ci] if ci < len(cur) else width
-            if b2 < a1:
-                bw.write(MODE_CODES["P"])
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                bw.write(
-                    MODE_CODES[
-                        {0: "V0", 1: "VR1", 2: "VR2", 3: "VR3",
-                         -1: "VL1", -2: "VL2", -3: "VL3"}[a1 - b1]
-                    ]
-                )
-                a0 = a1
-                ci += 1
-                color ^= 1
-            else:
-                a2 = cur[ci + 1] if ci + 1 < len(cur) else width
-                start = a0 if a0 > 0 else 0
-                bw.write(MODE_CODES["H"])
-                _write_run(bw, a1 - start, BLACK_CODES if color else WHITE_CODES)
-                _write_run(bw, a2 - a1, WHITE_CODES if color else BLACK_CODES)
-                a0 = a2
-                ci += 2
+        cur = _transitions(_row_bits(packed, y, rowbytes, width), width)
+        _encode_2d_row(bw, cur, ref, width)
         ref = cur + [width, width]
     bw.write(EOFB)
     return bw.getvalue()
+
 
 
 # ----------------------------------------------------------- T.4 (G3) ---
@@ -406,4 +426,56 @@ def g3_1d_decode(
         for x in range(width):
             if row[x]:
                 out[base + (x >> 3)] |= 0x80 >> (x & 7)
+    return bytes(out)
+
+
+def g3_2d_encode(packed: bytes, width: int, height: int, k: int = 2) -> bytes:
+    """T.4 K>0 mixed coding: every row is EOL-prefixed with a tag bit —
+    1 for a 1-D (MH) row, 0 for a 2-D (pass/horizontal/vertical) row
+    coded against the previous row; a 1-D anchor row appears at least
+    every ``k`` rows (the fax error-confinement contract)."""
+    if k < 1:
+        raise ValueError("K must be positive")
+    rowbytes = (width + 7) // 8
+    bw = _BitWriter()
+    ref: list[int] | None = None
+    for y in range(height):
+        row = _row_bits(packed, y, rowbytes, width)
+        cur = _transitions(row, width)
+        one_d = y % k == 0
+        bw.write(EOL)
+        bw.write("1" if one_d else "0")
+        if one_d:
+            _mh_encode_row(bw, row, width)
+        else:
+            _encode_2d_row(bw, cur, ref, width)
+        ref = cur + [width, width]
+    return bw.getvalue()
+
+
+def g3_2d_decode(data: bytes, width: int, height: int) -> bytes:
+    """T.4 K>0 stream -> packed rows (the tag bit after each EOL routes
+    1-D vs 2-D row decoding)."""
+    rowbytes = (width + 7) // 8
+    out = bytearray(rowbytes * height)
+    br = _BitReader(data)
+    ref: list[int] | None = None
+    for y in range(height):
+        zeros = 0
+        while True:
+            if br.read_bit():
+                if zeros < 11:
+                    raise ValueError("CCITT G3 row lacks its EOL prefix")
+                break
+            zeros += 1
+        one_d = bool(br.read_bit())
+        if one_d:
+            cur = _mh_decode_row(br, width)
+        else:
+            if ref is None:
+                raise ValueError("2-D G3 row with no preceding anchor row")
+            cur = _decode_2d_row(br, ref, width)
+        cur = [min(max(p, 0), width) for p in cur]
+        _paint_row(out, y * rowbytes, cur, width)
+        ref = cur + [width, width]
     return bytes(out)

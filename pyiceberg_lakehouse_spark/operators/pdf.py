@@ -896,9 +896,9 @@ def encode_pdf(
                 w, h = int(spec["width"]), int(spec["height"])
                 codec = spec["codec"]
                 payload = spec["data"]
-                bpc = 1 if codec in ("g4", "g3") else 8
+                bpc = 1 if codec in ("g4", "g3", "g3_2d") else 8
                 black1 = bool(spec.get("blackis1", True))
-                if codec in ("g4", "g3") and not black1:
+                if codec in ("g4", "g3", "g3_2d") and not black1:
                     # the filter's output bits get inverted by the reader
                     # under the default BlackIs1=false, so store the
                     # complement (pad bits beyond width are never coded)
@@ -919,6 +919,13 @@ def encode_pdf(
                         b" /Filter /CCITTFaxDecode /DecodeParms"
                         b" << /K 0 /Columns %d /Rows %d /BlackIs1 %s"
                         b" /EncodedByteAlign true >>" % (w, h, b1s)
+                    )
+                elif codec == "g3_2d":
+                    idata = _ccitt.g3_2d_encode(payload, w, h, k=2)
+                    filt = (
+                        b" /Filter /CCITTFaxDecode /DecodeParms"
+                        b" << /K 2 /Columns %d /Rows %d /BlackIs1 %s >>"
+                        % (w, h, b1s)
                     )
                 elif codec == "flate":
                     idata = zlib.compress(payload)
@@ -1117,11 +1124,8 @@ def extract_pdf_images(data: bytes) -> list[dict]:
                         raw, cols, rows,
                         byte_align=byte_align, with_eol=False,
                     )
-                else:
-                    raise NotImplementedError(
-                        "CCITTFaxDecode K>0 (mixed 1-D/2-D G3) is not"
-                        " supported"
-                    )
+                else:  # K>0: EOL-tagged mixed 1-D/2-D rows
+                    pixels = _ccitt.g3_2d_decode(raw, cols, rows)
                 if not black1:  # PDF default: 0 bits are black
                     pixels = bytes(b ^ 0xFF for b in pixels)
                     # re-mask the row padding bits to zero

@@ -2399,12 +2399,18 @@ def multimodal_tiff_bilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if tiled
                     else {"rows_per_strip": 3 + d % 4}
                 )
+                comp = [1, 5, 8, 32773, 4, 2, 3][d % 7]
                 enc = _tiff.encode_tiff(
                     px,
                     big_endian=d % 2 == 0,
-                    compression=[1, 5, 8, 32773, 4, 2, 3][d % 7],
+                    compression=comp,
                     bits=1,
                     photometric=pm,
+                    # Compression 3 alternates pure 1-D and the K>0
+                    # mixed 1-D/2-D form (T4Options bit 0) — the oracle
+                    # sees identical pixels either way, exact_roundtrip
+                    # pins the decode
+                    t4_two_d=comp == 3 and (d // 7) % 2 == 0,
                     **kw,
                 )
                 got, meta = _tiff.decode_tiff(enc)

@@ -265,6 +265,7 @@ def encode_tiff(
     tile: tuple[int, int] | None = None,
     bits: int = 8,
     photometric: int | None = None,
+    t4_two_d: bool = False,
 ) -> bytes:
     """(h, w) or (h, w, 1|3) uint8 -> baseline TIFF bytes.
 
@@ -312,6 +313,8 @@ def encode_tiff(
 
             if compression == 4:
                 return _ccitt.g4_encode(raw, dims[0], dims[1])
+            if t4_two_d:
+                return _ccitt.g3_2d_encode(raw, dims[0], dims[1], k=2)
             return _ccitt.g3_1d_encode(
                 raw, dims[0], dims[1],
                 byte_align=compression == 2,
@@ -408,6 +411,8 @@ def encode_tiff(
         entries.insert(
             8, (_TAG_STRIP_COUNTS, 4, [len(s) for s in strips])
         )
+    if compression == 3:  # T4Options (292) sorts between 284 and 317
+        entries.append((292, 4, [1 if t4_two_d else 0]))
     if predictor == 2:  # tags must stay in ascending order (284 < 317)
         entries.append((_TAG_PREDICTOR, 3, [2]))
     if tile is not None:  # 322..325 sort after 317
@@ -504,11 +509,7 @@ def decode_tiff(payload: bytes):
         )
     if compression in (2, 3, 4) and bits != 1:
         raise ValueError("CCITT compressions apply to bilevel data only")
-    if compression == 3 and one(292, 0) & 1:
-        raise NotImplementedError(
-            "T.4 2-D (T4Options bit 0) is not supported — G4 covers the"
-            " 2-D coding"
-        )
+    t4_two_d = bool(compression == 3 and one(292, 0) & 1)
     predictor = one(_TAG_PREDICTOR, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
@@ -529,6 +530,8 @@ def decode_tiff(payload: bytes):
             gw, gh = g4_dims
             if compression == 4:
                 out = _ccitt.g4_decode(raw, gw, gh)
+            elif t4_two_d:
+                out = _ccitt.g3_2d_decode(raw, gw, gh)
             else:
                 out = _ccitt.g3_1d_decode(
                     raw, gw, gh,

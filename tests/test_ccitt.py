@@ -118,3 +118,47 @@ def test_tiff_g3_integration_and_2d_gate():
         enc = tiff.encode_tiff(px, compression=comp, bits=1, photometric=0)
         got, meta = tiff.decode_tiff(enc)
         assert meta["compression"] == comp and (got[:, :, 0] == px).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 64), st.integers(1, 12), st.integers(1, 4),
+       st.integers(0, 2**32 - 1))
+def test_g3_2d_random_roundtrip(w, h, k, seed):
+    rng = np.random.default_rng(seed)
+    bits = (rng.random((h, w)) > 0.5).astype(np.uint8)
+    packed = np.packbits(bits, axis=1).tobytes()
+    enc = ccitt.g3_2d_encode(packed, w, h, k=k)
+    assert ccitt.g3_2d_decode(enc, w, h) == packed
+
+
+def test_tiff_t4_2d_integration():
+    rng = np.random.default_rng(17)
+    px = ((rng.random((18, 41)) > 0.5) * 255).astype(np.uint8)
+    for tile in (None, (16, 16)):
+        enc = tiff.encode_tiff(
+            px, compression=3, bits=1, photometric=0, tile=tile,
+            t4_two_d=True,
+        )
+        got, meta = tiff.decode_tiff(enc)
+        assert meta["compression"] == 3 and (got[:, :, 0] == px).all()
+
+
+def test_pdf_ccitt_k_positive():
+    from pyiceberg_lakehouse_spark.operators import pdf as _pdf
+
+    rng = np.random.default_rng(12)
+    bits = (rng.random((12, 27)) > 0.5).astype(np.uint8)
+    packed = np.packbits(bits, axis=1).tobytes()
+    for b1 in (True, False):
+        b = _pdf.encode_pdf(
+            [["x"]], compress=False,
+            images={0: [{"width": 27, "height": 12, "codec": "g3_2d",
+                         "data": packed, "blackis1": b1}]},
+        )
+        im = _pdf.extract_pdf_images(b)[0]
+        rb = (27 + 7) // 8
+        got = np.unpackbits(
+            np.frombuffer(im["pixels"], dtype=np.uint8).reshape(12, rb),
+            axis=1,
+        )[:, :27]
+        assert (got == bits).all()
