@@ -64,6 +64,7 @@ CHANNELS = 0x9F
 BIT_DEPTH = 0x6264
 CLUSTER = 0x1F43B675
 CLUSTER_TIMESTAMP = 0xE7
+SIMPLE_BLOCK = 0xA3
 
 _UNKNOWN_OK = {SEGMENT, CLUSTER}
 
@@ -133,6 +134,7 @@ def make_matroska(
     writing_app: str = "lakehouse",
     tracks: list[dict],
     n_clusters: int = 0,
+    blocks_per_cluster: list[list[dict]] | None = None,
     unknown_segment_size: bool = False,
     segment_uuid: bytes | None = None,
 ) -> bytes:
@@ -141,7 +143,9 @@ def make_matroska(
     ``tracks``: [{number, type ('video'|'audio'), codec_id, language?,
     width?, height?, sampling_frequency?, channels?, bit_depth?}].
     ``unknown_segment_size`` writes the streamed form (all-ones size
-    VINT on Segment) the probe must handle.
+    VINT on Segment) the probe must handle. ``blocks_per_cluster[c]``:
+    SimpleBlocks for cluster c — {track, timecode?, frames: [bytes],
+    lacing: 'none'|'xiph'|'fixed'|'ebml', keyframe?}.
     """
     header = b"".join(
         [
@@ -192,9 +196,18 @@ def make_matroska(
         entries += _elem(TRACK_ENTRY, e)
     body = _elem(SEGMENT_INFO, info) + _elem(TRACKS, entries)
     for c in range(n_clusters):
-        body += _elem(
-            CLUSTER, _uint_elem(CLUSTER_TIMESTAMP, c * 1000)
-        )
+        cbody = _uint_elem(CLUSTER_TIMESTAMP, c * 1000)
+        if blocks_per_cluster is not None and c < len(blocks_per_cluster):
+            for blk in blocks_per_cluster[c]:
+                cbody += _elem(
+                    SIMPLE_BLOCK,
+                    _simple_block(
+                        blk["track"], blk.get("timecode", 0),
+                        blk["frames"], blk.get("lacing", "none"),
+                        keyframe=blk.get("keyframe", True),
+                    ),
+                )
+        body += _elem(CLUSTER, cbody)
     if unknown_segment_size:
         seg = (
             _write_vint_id(SEGMENT)
@@ -204,6 +217,151 @@ def make_matroska(
     else:
         seg = _elem(SEGMENT, body)
     return _elem(EBML, header) + seg
+
+
+
+def _signed_vint(value: int) -> bytes:
+    """EBML-lacing signed VINT: stored as value + (2^(7*len-1) - 1)."""
+    for length in range(1, 9):
+        bias = (1 << (7 * length - 1)) - 1
+        if -bias <= value <= bias:
+            return _encode_vint_n(value + bias, length)
+    raise ValueError("lace delta out of VINT range")
+
+
+def _encode_vint_n(value: int, length: int) -> bytes:
+    out = bytearray(length)
+    for i in range(length - 1, -1, -1):
+        out[i] = value & 0xFF
+        value >>= 8
+    out[0] |= 0x80 >> (length - 1)
+    return bytes(out)
+
+
+def _read_signed_vint(data: bytes, pos: int) -> tuple[int, int]:
+    raw, pos2, _ = _read_vint(data, pos, keep_marker=False)
+    length = pos2 - pos
+    return raw - ((1 << (7 * length - 1)) - 1), pos2
+
+
+def _simple_block(
+    track: int, timecode: int, frames: list[bytes], lacing: str,
+    keyframe: bool = True,
+) -> bytes:
+    """Matroska SimpleBlock payload with all four lacing modes."""
+    if not frames:
+        raise ValueError("SimpleBlock needs at least one frame")
+    flags = 0x80 if keyframe else 0
+    body = bytearray()
+    body += _write_vint_size(track)
+    body += struct.pack(">h", timecode)
+    if lacing == "none":
+        if len(frames) != 1:
+            raise ValueError("unlaced SimpleBlock carries exactly one frame")
+        body.append(flags)
+        body += frames[0]
+        return bytes(body)
+    if lacing == "fixed":
+        if len({len(f) for f in frames}) != 1:
+            raise ValueError("fixed lacing needs equal-size frames")
+        body.append(flags | 0x04)
+        body.append(len(frames) - 1)
+        for f in frames:
+            body += f
+        return bytes(body)
+    if lacing == "xiph":
+        body.append(flags | 0x02)
+        body.append(len(frames) - 1)
+        for f in frames[:-1]:
+            n = len(f)
+            while n >= 255:
+                body.append(255)
+                n -= 255
+            body.append(n)
+        for f in frames:
+            body += f
+        return bytes(body)
+    if lacing == "ebml":
+        body.append(flags | 0x06)
+        body.append(len(frames) - 1)
+        body += _write_vint_size(len(frames[0]))
+        prev = len(frames[0])
+        for f in frames[1:-1]:
+            body += _signed_vint(len(f) - prev)
+            prev = len(f)
+        for f in frames:
+            body += f
+        return bytes(body)
+    raise ValueError(f"unknown lacing {lacing!r}")
+
+
+def _parse_simple_block(payload: bytes) -> dict:
+    """SimpleBlock -> {track, timecode, keyframe, lacing, frames}."""
+    track, pos, _ = _read_vint(payload, 0, keep_marker=False)
+    if pos + 3 > len(payload):
+        raise ValueError("SimpleBlock header truncated")
+    (timecode,) = struct.unpack_from(">h", payload, pos)
+    flags = payload[pos + 2]
+    pos += 3
+    lace_bits = flags & 0x06
+    data = payload[pos:]
+    if lace_bits == 0:
+        return {
+            "track": track, "timecode": timecode,
+            "keyframe": bool(flags & 0x80), "lacing": "none",
+            "frames": [data],
+        }
+    if not data:
+        raise ValueError("laced SimpleBlock without a lace count")
+    n_frames = data[0] + 1
+    at = 1
+    sizes: list[int] = []
+    if lace_bits == 0x04:  # fixed
+        rest = len(data) - at
+        if rest % n_frames:
+            raise ValueError("fixed lacing with unequal frame sizes")
+        sizes = [rest // n_frames] * n_frames
+        lacing = "fixed"
+    elif lace_bits == 0x02:  # Xiph
+        for _ in range(n_frames - 1):
+            size = 0
+            while True:
+                if at >= len(data):
+                    raise ValueError("Xiph lace sizes truncated")
+                b = data[at]
+                at += 1
+                size += b
+                if b != 255:
+                    break
+            sizes.append(size)
+        sizes.append(len(data) - at - sum(sizes))
+        lacing = "xiph"
+    else:  # EBML
+        first, at2 = _read_vint(data, at, keep_marker=False)[:2]
+        at = at2
+        sizes.append(first)
+        prev = first
+        for _ in range(n_frames - 2):
+            delta, at = _read_signed_vint(data, at)
+            prev += delta
+            if prev < 0:
+                raise ValueError("EBML lace size went negative")
+            sizes.append(prev)
+        sizes.append(len(data) - at - sum(sizes))
+        lacing = "ebml"
+    if sizes and sizes[-1] < 0:
+        raise ValueError("lace sizes exceed the block payload")
+    frames = []
+    for sz in sizes:
+        frames.append(data[at : at + sz])
+        at += sz
+    if at != len(data):
+        raise ValueError("SimpleBlock frame sizes disagree with its extent")
+    return {
+        "track": track, "timecode": timecode,
+        "keyframe": bool(flags & 0x80), "lacing": lacing, "frames": frames,
+    }
+
 
 
 def probe_matroska(data: bytes) -> dict:
@@ -227,6 +385,7 @@ def probe_matroska(data: bytes) -> dict:
         "doc_type_version": 1,
         "tracks": [],
         "n_clusters": 0,
+        "block_stats": {},
         "segment_uuid": None,
     }
     read_version = 1
@@ -299,6 +458,21 @@ def probe_matroska(data: bytes) -> dict:
                 out["tracks"].append(t)
         elif seid == CLUSTER:
             out["n_clusters"] += 1
+            for cid, cp in _children(payload):
+                if cid != SIMPLE_BLOCK:
+                    continue
+                blk = _parse_simple_block(cp)
+                st = out["block_stats"].setdefault(
+                    blk["track"],
+                    {"n_blocks": 0, "n_frames": 0, "frame_bytes": 0,
+                     "lacings": set()},
+                )
+                st["n_blocks"] += 1
+                st["n_frames"] += len(blk["frames"])
+                st["frame_bytes"] += sum(len(f) for f in blk["frames"])
+                st["lacings"].add(blk["lacing"])
+    for st in out["block_stats"].values():
+        st["lacings"] = sorted(st["lacings"])
     scale = out.get("timestamp_scale", 1_000_000)
     if "duration_raw" in out:
         # Duration is in TimestampScale units (ns * scale)

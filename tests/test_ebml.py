@@ -93,3 +93,64 @@ class TestProbe:
         blob[at + 1] = 0xFE  # huge 1-byte size
         with pytest.raises(ValueError, match="exceeds"):
             probe_matroska(bytes(blob))
+
+
+class TestSimpleBlockLacing:
+    """r15: cluster SimpleBlock walk with all four lacing modes (the
+    'EBML lacing depths' gate from VERDICT r14)."""
+
+    def _mkv(self):
+        from pyiceberg_lakehouse_spark.operators import ebml as E
+
+        return E.make_matroska(
+            tracks=[{"number": 1, "type": "video", "codec_id": "V_VP9",
+                     "width": 64, "height": 48},
+                    {"number": 2, "type": "audio", "codec_id": "A_OPUS",
+                     "sampling_frequency": 48000, "channels": 2}],
+            n_clusters=3,
+            blocks_per_cluster=[
+                [{"track": 1, "frames": [b"only"], "lacing": "none"},
+                 {"track": 1, "frames": [b"xx", b"yy", b"zz"],
+                  "lacing": "fixed"}],
+                [{"track": 2, "frames": [b"aaaa", b"b" * 300, b"cc"],
+                  "lacing": "xiph"}],
+                [{"track": 2,
+                  "frames": [bytes(300), b"q" * 5, b"r" * 700],
+                  "lacing": "ebml"}],
+            ],
+        )
+
+    def test_all_lacings_roundtrip(self):
+        from pyiceberg_lakehouse_spark.operators import ebml as E
+
+        r = E.probe_matroska(self._mkv())
+        v, a = r["block_stats"][1], r["block_stats"][2]
+        assert (v["n_blocks"], v["n_frames"], v["frame_bytes"]) == (2, 4, 10)
+        assert v["lacings"] == ["fixed", "none"]
+        assert (a["n_blocks"], a["n_frames"]) == (2, 6)
+        assert a["frame_bytes"] == 4 + 300 + 2 + 300 + 5 + 700
+        assert a["lacings"] == ["ebml", "xiph"]
+
+    def test_xiph_255_boundary(self):
+        # a 255-byte frame needs the 255+0 two-byte Xiph size form
+        from pyiceberg_lakehouse_spark.operators import ebml as E
+
+        mkv = E.make_matroska(
+            tracks=[{"number": 1, "type": "video", "codec_id": "V_VP8",
+                     "width": 16, "height": 16}],
+            n_clusters=1,
+            blocks_per_cluster=[[{"track": 1, "lacing": "xiph",
+                                  "frames": [b"x" * 255, b"y" * 510, b"z"]}]],
+        )
+        st = E.probe_matroska(mkv)["block_stats"][1]
+        assert st["n_frames"] == 3 and st["frame_bytes"] == 255 + 510 + 1
+
+    def test_corrupt_lace_sizes_raise(self):
+        import pytest as _pt
+
+        from pyiceberg_lakehouse_spark.operators import ebml as E
+
+        payload = bytearray(E._simple_block(1, 0, [b"abc", b"defg"], "xiph"))
+        payload[4] = 200  # first lace size now exceeds the block extent
+        with _pt.raises(ValueError):
+            E._parse_simple_block(bytes(payload))
