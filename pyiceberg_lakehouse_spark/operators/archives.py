@@ -23,7 +23,9 @@ Scope (honest gates):
   zip64 (the >4 GiB / >65535-entry header form real corpus dumps use)
   resolves the EOCD64 locator + record and per-entry 0x0001 extra
   fields, with each 0xFFFFFFFF/0xFFFF sentinel pulled from the 64-bit
-  values in spec order; encryption and spanned archives raise.
+  values in spec order; ZipCrypto (traditional PKWARE) encryption
+  decrypts with a caller password (r15, stdlib-zipfile-cross-validated)
+  while AES entries and spanned archives raise.
 """
 
 from __future__ import annotations
@@ -287,11 +289,67 @@ def _zlib_decompressobj_gzip():
     return zlib.decompressobj(16 + 15)
 
 
+
+# ----------------------------------------------- ZipCrypto (PKWARE) ---
+# The traditional zip stream cipher (APPNOTE 6.1): three rolling keys
+# driven by a table-lookup CRC-32, a 12-byte encryption header whose
+# last byte checks against the entry CRC's high byte. Weak by modern
+# standards (known-plaintext attacks are classic) but still what
+# password-protected legacy archives in crawled corpora actually use;
+# decryption correctness is cross-validated against stdlib zipfile in
+# tests/test_archives_warc.py. AES-encrypted (WinZip 0x9901) entries
+# stay honestly gated.
+
+_CRC_TABLE = []
+for _n in range(256):
+    _c = _n
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0xEDB88320 if _c & 1 else _c >> 1
+    _CRC_TABLE.append(_c)
+del _n, _c
+
+
+def _crc32_byte(crc: int, b: int) -> int:
+    return (crc >> 8) ^ _CRC_TABLE[(crc ^ b) & 0xFF]
+
+
+class _ZipCrypto:
+    def __init__(self, password: bytes) -> None:
+        self.k0, self.k1, self.k2 = 305419896, 591751049, 878082192
+        for b in password:
+            self._update(b)
+
+    def _update(self, b: int) -> None:
+        self.k0 = _crc32_byte(self.k0, b)
+        self.k1 = ((self.k1 + (self.k0 & 0xFF)) * 134775813 + 1) & 0xFFFFFFFF
+        self.k2 = _crc32_byte(self.k2, self.k1 >> 24)
+
+    def _stream_byte(self) -> int:
+        t = (self.k2 | 2) & 0xFFFF
+        return ((t * (t ^ 1)) >> 8) & 0xFF
+
+    def encrypt(self, data: bytes) -> bytes:
+        out = bytearray()
+        for b in data:
+            out.append(b ^ self._stream_byte())
+            self._update(b)
+        return bytes(out)
+
+    def decrypt(self, data: bytes) -> bytes:
+        out = bytearray()
+        for b in data:
+            p = b ^ self._stream_byte()
+            out.append(p)
+            self._update(p)
+        return bytes(out)
+
+
 def make_zip(
     entries: list[dict],
     method: int = 8,
     zip64: bool = False,
     streaming: bool = False,
+    password: bytes | None = None,
 ) -> bytes:
     """entries: [{name, data}] -> zip bytes (method 0 stored or
     8 deflate). ``zip64`` emits the header FORM a >4 GiB archive is
@@ -307,12 +365,14 @@ def make_zip(
         raise ValueError("zip method must be 0 (stored) or 8 (deflate)")
     if streaming and zip64:
         raise ValueError("streaming + zip64 form not emitted")
+    if password is not None and (streaming or zip64):
+        raise ValueError("encrypted form emitted for plain entries only")
     ver = 45 if zip64 else 20
     gpflag = 0x08 if streaming else 0
     locals_ = bytearray()
     cdir = bytearray()
     offsets = []
-    for e in entries:
+    for i, e in enumerate(entries):
         name = e["name"].encode("utf-8")
         data = e["data"]
         crc = zlib.crc32(data) & 0xFFFFFFFF
@@ -336,6 +396,22 @@ def make_zip(
             locals_ += b"PK\x07\x08" + struct.pack(
                 "<III", crc, len(blob), len(data)
             )
+        elif password is not None:
+            # ZipCrypto: flag bit 0, 12-byte encryption header whose
+            # last byte is the CRC high byte, csize includes the header
+            import os as _os
+
+            zc = _ZipCrypto(password)
+            ehdr = zc.encrypt(
+                bytes((e.get("salt", i * 17 + k) & 0xFF) for k in range(11))
+                + bytes([crc >> 24])
+            )
+            eblob = ehdr + zc.encrypt(blob)
+            locals_ += _LOCAL_SIG + struct.pack(
+                "<HHHHHIIIHH", ver, 0x01, method, 0, 0, crc,
+                len(eblob), len(data), len(name), 0,
+            ) + name + eblob
+            del _os
         else:
             locals_ += _LOCAL_SIG + struct.pack(
                 "<HHHHHIIIHH", ver, 0, method, 0, 0, crc, len(blob),
@@ -360,9 +436,11 @@ def make_zip(
                 0xFFFFFFFF,
             ) + name + extra
         else:
+            gp = 0x01 if password is not None else gpflag
+            csz = len(blob) + (12 if password is not None else 0)
             cdir += _CDIR_SIG + struct.pack(
-                "<HHHHHHIIIHHHHHII", ver, ver, gpflag, method, 0, 0, crc,
-                len(blob), len(data), len(name), 0, 0, 0, 0, 0, off,
+                "<HHHHHHIIIHHHHHII", ver, ver, gp, method, 0, 0, crc,
+                csz, len(data), len(name), 0, 0, 0, 0, 0, off,
             ) + name
     out = bytes(locals_) + bytes(cdir)
     if zip64:
@@ -417,10 +495,13 @@ def _zip64_resolve(
     raise ValueError("zip64 sentinel without a 0x0001 extra field")
 
 
-def parse_zip(payload: bytes) -> list[dict]:
+def parse_zip(payload: bytes, password: bytes | None = None) -> list[dict]:
     """Central-directory walk -> [{name, method, usize, csize, crc32,
-    data (decompressed, CRC-verified)}]. The EOCD is found by scanning
-    back over a possible trailing comment (<= 64 KiB per spec)."""
+    encrypted, data (decompressed, CRC-verified)}]. The EOCD is found by
+    scanning back over a possible trailing comment (<= 64 KiB per
+    spec). ZipCrypto entries (flag bit 0) decrypt with ``password``
+    (header check byte + CRC both verified; a wrong password raises);
+    AES-encrypted entries (method 99) stay honestly gated."""
     scan_from = max(0, len(payload) - 22 - 0xFFFF)
     eocd_at = payload.rfind(_EOCD_SIG, scan_from)
     if eocd_at < 0:
@@ -468,8 +549,14 @@ def parse_zip(payload: bytes) -> list[dict]:
                 usize, csize, local_off,
             )
         pos += 46 + nlen + xlen + clen
-        if flags & 0x1:
-            raise NotImplementedError("encrypted zip entries")
+        if method == 99:
+            raise NotImplementedError("AES-encrypted zip entries")
+        encrypted = bool(flags & 0x1)
+        if encrypted and password is None:
+            raise ValueError(
+                f"zip entry {name!r} is ZipCrypto-encrypted and no"
+                " password was given"
+            )
         if method not in (0, 8):
             raise NotImplementedError(f"zip compression method {method}")
         # local header: skip its (possibly different) name/extra lengths
@@ -480,13 +567,23 @@ def parse_zip(payload: bytes) -> list[dict]:
         if data_at + csize > len(payload):
             raise ValueError("zip entry data exceeds the file")
         blob = payload[data_at : data_at + csize]
+        if encrypted:
+            if len(blob) < 12:
+                raise ValueError("encrypted entry shorter than its header")
+            zc = _ZipCrypto(password)
+            ehdr = zc.decrypt(blob[:12])
+            if ehdr[11] != (crc >> 24) & 0xFF:
+                raise ValueError(
+                    f"wrong password for zip entry {name!r} (check byte)"
+                )
+            blob = zc.decrypt(blob[12:])
         if method == 8:
             d = zlib.decompressobj(-15)
             data = d.decompress(blob, usize + 1)
             if len(data) != usize or d.decompress(b"", 1):
                 raise ValueError("zip entry decompresses to the wrong size")
         else:
-            if csize != usize:
+            if len(blob) != usize:
                 raise ValueError("stored zip entry with csize != usize")
             data = blob
         if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
@@ -494,7 +591,8 @@ def parse_zip(payload: bytes) -> list[dict]:
         out.append(
             {
                 "name": name, "method": method, "usize": usize,
-                "csize": csize, "crc32": crc, "data": data,
+                "csize": csize, "crc32": crc, "encrypted": encrypted,
+                "data": data,
             }
         )
     return out

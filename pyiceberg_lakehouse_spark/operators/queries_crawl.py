@@ -2140,9 +2140,11 @@ def scan_warc_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Filter modulus 9 is coprime with the format (%2), entry-count
     # (%5), zip-method (%3), zip64 (%7), streaming (%11) and size
     # knobs, so tar, both zip methods, the classic + zip64 header
-    # forms, AND the one-pass-writer data-descriptor form (flag bit 3,
-    # zeroed local sizes — sizes must come from the central directory)
-    # are all live in the driver-hashed corpus.
+    # forms, the one-pass-writer data-descriptor form (flag bit 3,
+    # zeroed local sizes — sizes must come from the central directory),
+    # AND — r15 — ZipCrypto-encrypted entries (%13 knob; decrypted with
+    # the per-doc password, check byte + CRC verified) are all live in
+    # the driver-hashed corpus.
     """
     with base as (
       select doc_id, cast(doc_id as bigint) as d, 3 + doc_id % 5 as n
@@ -2159,6 +2161,8 @@ def scan_warc_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
            d % 2 = 1 and d % 3 != 0 as deflated,
            d % 2 = 1 and d % 7 >= 4 as zip64,
            d % 2 = 1 and d % 7 < 4 and d % 11 < 4 as streaming,
+           d % 2 = 1 and d % 7 < 4 and d % 11 >= 4 and d % 13 < 5
+             as encrypted,
            case when d % 2 = 1 then 'none'
                 else case cast((d // 2) % 5 as integer)
                      when 0 then 'none' when 1 then 'gzip'
@@ -2207,6 +2211,7 @@ def scan_archive_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("deflated", T.BooleanType()),
             T.StructField("zip64", T.BooleanType()),
             T.StructField("streaming", T.BooleanType()),
+            T.StructField("encrypted", T.BooleanType()),
             T.StructField("wrapper", T.StringType()),
         ]
     )
@@ -2264,11 +2269,16 @@ def scan_archive_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
                     method = 0 if d % 3 == 0 else 8
                     zip64 = d % 7 >= 4
                     streaming = not zip64 and d % 11 < 4
+                    encrypted = (
+                        not zip64 and not streaming and d % 13 < 5
+                    )
+                    pw = b"pw-%d" % d if encrypted else None
                     parsed = _ar.parse_zip(
                         _ar.make_zip(
                             entries, method=method, zip64=zip64,
-                            streaming=streaming,
-                        )
+                            streaming=streaming, password=pw,
+                        ),
+                        password=pw,
                     )
                     deflated = method == 8
                 for i, e in enumerate(parsed):
@@ -2276,7 +2286,9 @@ def scan_archive_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (
                             d, fmt, i, e["name"],
                             len(e["data"]), sum(e["data"]), deflated,
-                            zip64, streaming, wrapper,
+                            zip64, streaming,
+                            fmt == "zip" and bool(e.get("encrypted")),
+                            wrapper,
                         )
                     )
             out = pd.DataFrame(rows, columns=cols)

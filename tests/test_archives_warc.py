@@ -118,11 +118,11 @@ def test_zip_crc_and_hostiles():
         parse_zip(bytes(z))
     with pytest.raises(ValueError, match="end-of-central-directory"):
         parse_zip(b"PK\x03\x04 not a real zip")
-    # encrypted flag
+    # encrypted flag without a password is an error, not a crash
     z2 = bytearray(make_zip([{"name": "a", "data": b"x"}], 0))
     j = z2.index(b"PK\x01\x02")
     struct.pack_into("<H", z2, j + 8, 0x1)
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    with pytest.raises(ValueError, match="encrypted"):
         parse_zip(bytes(z2))
     # zip64 sentinel without the EOCD64 locator is corruption, not zip64
     z3 = bytearray(make_zip([{"name": "a", "data": b"x"}], 0))
@@ -520,3 +520,49 @@ class TestRevisits:
         )
         with _pt.raises(ValueError, match="WARC-Payload-Digest"):
             W.warc_revisits(p)
+
+
+class TestZipCrypto:
+    """r15: traditional PKWARE encryption — our encryptor's output is
+    decrypted by STDLIB zipfile (the cross-validation direction stdlib
+    supports), and our decryptor agrees; wrong/missing passwords and
+    AES entries raise."""
+
+    ENTRIES = [
+        {"name": "a/secret.txt", "data": b"top secret payload " * 9},
+        {"name": "b.bin", "data": bytes(range(256)) * 3},
+    ]
+
+    def test_stdlib_decrypts_our_output(self):
+        import io
+        import zipfile
+
+        for method in (0, 8):
+            blob = make_zip(self.ENTRIES, method=method, password=b"hunter2")
+            zf = zipfile.ZipFile(io.BytesIO(blob))
+            zf.setpassword(b"hunter2")
+            for e in self.ENTRIES:
+                assert zf.read(e["name"]) == e["data"]
+
+    def test_our_parser_roundtrip_and_wrong_password(self):
+        import pytest as _pt
+
+        for method in (0, 8):
+            blob = make_zip(self.ENTRIES, method=method, password=b"hunter2")
+            got = parse_zip(blob, password=b"hunter2")
+            assert [g["data"] for g in got] == [e["data"] for e in self.ENTRIES]
+            assert all(g["encrypted"] for g in got)
+            with _pt.raises(ValueError, match="wrong password|CRC"):
+                parse_zip(blob, password=b"wrong")
+            with _pt.raises(ValueError, match="encrypted"):
+                parse_zip(blob)
+
+    def test_aes_method_gated(self):
+        import pytest as _pt
+        import struct as _st
+
+        z = bytearray(make_zip([{"name": "a", "data": b"x"}], 0))
+        j = z.index(b"PK\x01\x02")
+        _st.pack_into("<H", z, j + 10, 99)  # method AES
+        with _pt.raises(NotImplementedError, match="AES"):
+            parse_zip(bytes(z))
