@@ -2471,3 +2471,138 @@ def text_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "scan_avro_roundtrip",
+    # Planted Avro Object Container Files (operators/avro.py — the
+    # from-scratch reader/writer closing the repo's last gated tabular
+    # source): per doc, records with long/string/nullable-double/
+    # array/enum/map columns written at codec null vs deflate and 1 vs
+    # 3-row blocks, decoded back through the strict container walk
+    # (sync markers, metadata map, zigzag varints). One row per record
+    # with scalars + flattened collection features. Filter modulus 21
+    # residue 5; knobs %2 (codec), %3 (blocking), %4 (rows), %5/%7
+    # (values).
+    """
+    with base as (
+      select doc_id, cast(doc_id as bigint) as d, 2 + doc_id % 4 as n
+      from documents where doc_id % 21 = 5
+    )
+    select doc_id,
+           cast(r as integer) as rec_idx,
+           cast(d * 100 + r as bigint) as id,
+           'name-' || d || '-' || r as name,
+           cast(case when (d + r) % 3 = 0 then null
+                else (d % 97) * 0.5 + r end as double) as score,
+           cast((d + r) % 4 as integer) as n_tags,
+           case cast((d + 2*r) % 3 as integer)
+                when 0 then 'NEW' when 1 then 'OK' else 'BAD' end as status,
+           cast((select coalesce(sum((d + r + j) % 11), 0)
+                 from generate_series(0, 2) gj(j)
+                 where j < (d + r) % 3) as bigint) as attr_sum,
+           case when d % 2 = 0 then 'null' else 'deflate' end as codec,
+           cast(case when d % 3 = 0
+                then (2 + d % 4 + 2) // 3 else 1 end as integer) as n_blocks
+    from base, unnest(generate_series(0, 5)) u(r) where r < n
+    """,
+)
+def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro object-container source (operators/avro.py): per doc, write
+    records through the from-scratch encoder — zigzag varints, union
+    null columns, array/enum/map values, null vs deflate codecs, single
+    vs multi-record blocks framed by sync markers — read them back with
+    the strict decoder, and emit one row per record with the collection
+    features flattened to scalars. The oracle restates every value
+    closed-form. Arrow-batched mapInPandas, map-only."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import avro as _avro
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 21 == 5)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("rec_idx", T.IntegerType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("n_tags", T.IntegerType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("attr_sum", T.LongType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("n_blocks", T.IntegerType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+    avro_schema = {
+        "type": "record", "name": "Doc", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": ["null", "double"]},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "status", "type": {
+                "type": "enum", "name": "S",
+                "symbols": ["NEW", "OK", "BAD"],
+            }},
+            {"name": "attrs", "type": {"type": "map", "values": "int"}},
+        ],
+    }
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 2 + d % 4
+                recs = []
+                for r in range(n):
+                    recs.append(
+                        {
+                            "id": d * 100 + r,
+                            "name": f"name-{d}-{r}",
+                            "score": (
+                                None if (d + r) % 3 == 0
+                                else (d % 97) * 0.5 + r
+                            ),
+                            "tags": [f"t{j}" for j in range((d + r) % 4)],
+                            "status": ("NEW", "OK", "BAD")[(d + 2 * r) % 3],
+                            "attrs": {
+                                f"k{j}": (d + r + j) % 11
+                                for j in range((d + r) % 3)
+                            },
+                        }
+                    )
+                codec = "null" if d % 2 == 0 else "deflate"
+                blob = _avro.encode_avro(
+                    recs, avro_schema, codec=codec,
+                    block_records=3 if d % 3 == 0 else 0,
+                )
+                out = _avro.decode_avro(blob)
+                assert out["codec"] == codec
+                for r, rec in enumerate(out["records"]):
+                    rows.append(
+                        (
+                            d, r, rec["id"], rec["name"], rec["score"],
+                            len(rec["tags"]), rec["status"],
+                            sum(rec["attrs"].values()), codec,
+                            out["n_blocks"],
+                        )
+                    )
+            out_pdf = pd.DataFrame(rows, columns=cols)
+            for cname, dt in (
+                ("doc_id", "int64"), ("rec_idx", "int32"), ("id", "int64"),
+                ("n_tags", "int32"), ("attr_sum", "int64"),
+                ("n_blocks", "int32"),
+            ):
+                out_pdf[cname] = out_pdf[cname].astype(dt)
+            out_pdf["score"] = out_pdf["score"].astype("float64")
+            yield out_pdf
+
+    return docs.mapInPandas(batches, schema)

@@ -415,7 +415,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # decode row — streaming keeps anti_join + sink_hourly +
     # text_search, and the near-dup index stays local-gated)
     "multimodal_ico_decode",
-    "lh_cdf_feed",
+    # (lh_cdf_feed's keeper slot goes to the NEW from-scratch Avro
+    # container source — the last gated tabular source; lh_ stays
+    # covered by external_scan + delete_positions, and the change-feed
+    # family stays local-gated + pytest-pinned)
+    "scan_avro_roundtrip",
     # (lh_rollup_percentile's keeper slot goes to the archive-explosion
     # row, fresh again with the .tar.zst wrapper through the NEW
     # RFC 8878 zstd decoder; rollups stay covered by lh_cdf_feed's
