@@ -355,8 +355,10 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip through a zlib ORC export and a typed re-read, and the
     acctbal filter reaches the ORC scan as a pushed predicate
     (asserted on the physical plan IN-QUERY, so the driver row proves
-    pushdown, not just values). Avro stays honestly gated — its data
-    source module is external and this environment installs nothing.
+    pushdown, not just values). Avro reads natively since r15
+    through the from-scratch container reader (operators/avro.py,
+    `scan_avro_roundtrip`) — Spark's own avro DATA SOURCE module stays
+    external and uninstalled, but the format no longer gates.
     """
     from pyiceberg_lakehouse_spark.tmpdirs import session_tmpdir
 
