@@ -2025,3 +2025,99 @@ def lh_catalog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
     assert lh.list_views("ns") == ["orders_by_status"]
     return lh.read_view("ns.orders_by_status")
+
+
+@register(
+    "lh_iceberg_metadata_scan",
+    # Expected state at both snapshots of a REAL-FORMAT Iceberg v2
+    # table read from its metadata alone: 'latest' follows the main ref
+    # after a snapshot that DELETED the even-custkey file (manifest
+    # tombstones), 'snapshot2' time-travels to the append that held
+    # both files. Decimal-exact aggregates, bitwise-comparable doubles.
+    """
+    select 'latest' as as_of, c_mktsegment,
+           cast(count(*) as bigint) as n,
+           cast(sum(cast(c_acctbal as decimal(18,4))) as double) as balance,
+           cast(sum(cast(c_custkey as bigint)) as bigint) as key_sum
+    from customer where c_custkey % 2 = 1
+    group by c_mktsegment
+    union all
+    select 'snapshot2' as as_of, c_mktsegment,
+           cast(count(*) as bigint) as n,
+           cast(sum(cast(c_acctbal as decimal(18,4))) as double) as balance,
+           cast(sum(cast(c_custkey as bigint)) as bigint) as key_sum
+    from customer
+    group by c_mktsegment
+    """,
+)
+def lh_iceberg_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APACHE ICEBERG v2 interop — the reference project's namesake
+    read path (query_iceberg_duckdb.py:24-27, iceberg_scan) with NO
+    Iceberg library in the loop: spec-shaped metadata.json +
+    manifest-list AVRO + manifest AVRO (both decoded by the
+    from-scratch operators/avro.py container reader,
+    lakehouse/iceberg_interop.py) resolve a three-snapshot table —
+    append evens, append odds, then a snapshot whose manifest
+    TOMBSTONES the even file — down to live parquet lists. 'latest'
+    follows the main ref; time travel is reading snapshot 1001 from
+    the same metadata. The deleted file stays on disk, so metadata
+    resolution (not directory listing) is load-bearing, exactly like
+    the engine's own external-manifest row."""
+    import glob as _glob
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.lakehouse import iceberg_interop as I
+
+    wh = _warehouse()
+    tdir = os.path.join(wh, "iceberg_ns", "customers_ice")
+    cust = load_table(spark, sf_dir, "customer")
+    d_even = os.path.join(tdir, "data-even")
+    d_odd = os.path.join(tdir, "data-odd")
+    cust.filter(F.col("c_custkey") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d_even)
+    cust.filter(F.col("c_custkey") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d_odd)
+
+    def one(d):
+        files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        assert len(files) == 1
+        return files[0]
+
+    f_even, f_odd = one(d_even), one(d_odd)
+    n_even = spark.read.parquet(f_even).count()
+    n_odd = spark.read.parquet(f_odd).count()
+    mp = I.write_iceberg_metadata(
+        tdir,
+        snapshots=[
+            {"files": [{"path": f_even, "records": n_even}]},
+            {"files": [{"path": f_odd, "records": n_odd}]},
+            {"deleted": [f_even]},
+        ],
+        schema_fields=[
+            {"id": i + 1, "name": f.name, "required": False,
+             "type": "string"}
+            for i, f in enumerate(cust.schema.fields)
+        ],
+    )
+    # the tombstoned file is still on disk: metadata must exclude it
+    assert os.path.exists(f_even)
+
+    def agg(df, label):
+        return df.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("balance"),
+            F.sum(F.col("c_custkey").cast("long")).alias("key_sum"),
+        ).select(
+            F.lit(label).alias("as_of"), "c_mktsegment", "n", "balance",
+            "key_sum",
+        )
+
+    latest = I.read_iceberg_table(spark, mp)
+    snap2 = I.read_iceberg_table(spark, mp, snapshot_id=1001)
+    del T
+    return agg(latest, "latest").unionByName(agg(snap2, "snapshot2"))

@@ -436,7 +436,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (fn_struct_ops' keeper slot goes to the NEW VorbisComment/OpusTags
     # extraction row — fn_ stays covered by fn_variant_extract)
     "multimodal_ogg_tags",
-    "pipeline_crawl_ingest",
+    # (pipeline_crawl_ingest's keeper slot goes to the NEW Apache
+    # Iceberg v2 metadata-interop row — the reference's namesake read
+    # path through the from-scratch Avro manifests; the crawl composite
+    # stays local-gated, its WARC/HTTP layers driver-covered by the
+    # fresh scan_warc_responses row)
+    "lh_iceberg_metadata_scan",
     # (multimodal_ogg_packets' keeper slot goes to the NEW lossy-WebP
     # VP8 key-frame decode — the round's headline codec; the ogg demux
     # stays local-gated + pytest-pinned)
