@@ -8,8 +8,9 @@ longs, length-prefixed strings/bytes, little-endian IEEE float/double,
 records as field concatenation, arrays/maps in count-prefixed blocks
 (including the negative-count + block-size form writers may emit),
 unions as index + value, enums as index, fixed as raw bytes, and the
-null + deflate codecs (snappy requires an external library and is
-honestly gated).
+null + deflate + snappy codecs (snappy through the pure-Python raw
+decoder in operators/snappy.py, CRC32-checked per the spec; the writer
+side of snappy uses pyarrow's bundled encoder, fixture-grade).
 
 Schema support covers the tabular shapes lakehouse interchange actually
 uses: records of primitives, nullable-union columns, arrays, maps,
@@ -231,8 +232,8 @@ def encode_avro(
 ) -> bytes:
     """records + writer schema -> Object Container File bytes.
     ``block_records`` > 0 splits the data into multiple blocks."""
-    if codec not in ("null", "deflate"):
-        raise ValueError("codec must be 'null' or 'deflate'")
+    if codec not in ("null", "deflate", "snappy"):
+        raise ValueError("codec must be 'null', 'deflate' or 'snappy'")
     sync = sync or bytes(range(16))
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
@@ -257,6 +258,13 @@ def encode_avro(
         if codec == "deflate":
             comp = zlib.compressobj(6, zlib.DEFLATED, -15)
             body = comp.compress(body) + comp.flush()
+        elif codec == "snappy":
+            # fixture-side encoder: pyarrow's bundled snappy; the spec
+            # appends a 4-byte big-endian CRC32 of the UNCOMPRESSED data
+            import pyarrow as _pa
+
+            crc = zlib.crc32(body) & 0xFFFFFFFF
+            body = _pa.Codec("snappy").compress(body, asbytes=True)                 + crc.to_bytes(4, "big")
         out += _zigzag_encode(len(chunk))
         out += _zigzag_encode(len(body))
         out += body
@@ -290,10 +298,9 @@ def decode_avro(data: bytes) -> dict:
         raise ValueError("avro file metadata lacks avro.schema")
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise NotImplementedError(
-            f"avro codec {codec!r} (null/deflate supported; snappy needs"
-            " an external library)"
+            f"avro codec {codec!r} (null/deflate/snappy supported)"
         )
     sync = data[pos : pos + 16]
     if len(sync) != 16:
@@ -315,6 +322,16 @@ def decode_avro(data: bytes) -> dict:
             d = zlib.decompressobj(-15)
             body = d.decompress(body)
             body += d.flush()
+        elif codec == "snappy":
+            from pyiceberg_lakehouse_spark.operators.snappy import (
+                decompress as _snappy,
+            )
+
+            if len(body) < 4:
+                raise ValueError("avro snappy block lacks its CRC")
+            body, want = _snappy(body[:-4]), int.from_bytes(body[-4:], "big")
+            if (zlib.crc32(body) & 0xFFFFFFFF) != want:
+                raise ValueError("avro snappy block CRC mismatch")
         at = 0
         for _ in range(count):
             rec, at = _decode_value(body, at, schema)

@@ -2478,8 +2478,9 @@ def text_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Planted Avro Object Container Files (operators/avro.py — the
     # from-scratch reader/writer closing the repo's last gated tabular
     # source): per doc, records with long/string/nullable-double/
-    # array/enum/map columns written at codec null vs deflate and 1 vs
-    # 3-row blocks, decoded back through the strict container walk
+    # array/enum/map columns written at codecs null/deflate/snappy
+    # (snappy decoded by the pure-Python operators/snappy.py with the
+    # spec's CRC32 suffix) and 1 vs 3-row blocks, decoded back through the strict container walk
     # (sync markers, metadata map, zigzag varints). One row per record
     # with scalars + flattened collection features. Filter modulus 21
     # residue 5; knobs %2 (codec), %3 (blocking), %4 (rows), %5/%7
@@ -2501,7 +2502,10 @@ def text_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast((select coalesce(sum((d + r + j) % 11), 0)
                  from generate_series(0, 2) gj(j)
                  where j < (d + r) % 3) as bigint) as attr_sum,
-           case when d % 2 = 0 then 'null' else 'deflate' end as codec,
+           case cast(d % 5 as integer)
+                when 0 then 'null' when 1 then 'deflate'
+                when 2 then 'snappy' when 3 then 'null'
+                else 'snappy' end as codec,
            cast(case when d % 3 = 0
                 then (2 + d % 4 + 2) // 3 else 1 end as integer) as n_blocks
     from base, unnest(generate_series(0, 5)) u(r) where r < n
@@ -2579,7 +2583,9 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                             },
                         }
                     )
-                codec = "null" if d % 2 == 0 else "deflate"
+                codec = ("null", "deflate", "snappy", "null", "snappy")[
+                    d % 5
+                ]
                 blob = _avro.encode_avro(
                     recs, avro_schema, codec=codec,
                     block_records=3 if d % 3 == 0 else 0,
