@@ -13,10 +13,15 @@ the ``main`` ref / current-snapshot-id per the spec.
 Reader tolerance follows the spec's reader contract: fields are
 resolved BY NAME from the manifest records, unknown fields are ignored
 (Avro handles that structurally), ``status=2`` (DELETED) entries drop
-out of the live set while ``EXISTING``/``ADDED`` stay, and
-``content!=0`` (delete files) raises honestly — a file-list-only read
-of a table with merge-on-read deletes would resurrect rows (the same
-gate the engine's own external manifest applies).
+out of the live set while ``EXISTING``/``ADDED`` stay, sequence
+numbers inherit from the manifest-list entry when null. v2
+merge-on-read DELETE FILES are applied at read time: position deletes
+(content=1) and equality deletes (content=2) become anti-joins against
+the data scan with the spec's sequence-number applicability rules
+(position: delete seq >= data seq; equality: strictly >), using
+Spark's ``_metadata.file_path``/``row_index`` hidden columns for row
+addressing — the same MoR machinery the engine's own lakehouse scan
+uses (lh_delete_positions / lh_merge_on_read_delete).
 
 ``write_iceberg_metadata`` is the fixture-grade writer: it emits
 spec-shaped metadata.json + manifest-list + manifest files around
@@ -73,6 +78,10 @@ _MANIFEST_SCHEMA = {
                 {"name": "file_format", "type": "string"},
                 {"name": "record_count", "type": "long"},
                 {"name": "file_size_in_bytes", "type": "long"},
+                # spec field 135: source field ids an equality-delete
+                # file (content=2) matches on; null for data/position
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}]},
             ],
         }},
     ],
@@ -90,14 +99,19 @@ def write_iceberg_metadata(
     """Fixture-grade Iceberg v2 metadata around existing parquet files.
 
     ``snapshots``: [{"files": [{"path", "records", "size"?}],
-    "deleted"?: [paths removed in this snapshot]}] — cumulative state is
+    "deleted"?: [paths removed in this snapshot],
+    "pos_deletes"?: [{"path", "records"}]  (content=1 parquet files of
+    (file_path, pos) rows), "eq_deletes"?: [{"path", "records",
+    "equality_ids": [field ids]}] (content=2)}] — cumulative state is
     derived here the way Iceberg's manifests express it (ADDED entries
-    in the new manifest, EXISTING carried forward, DELETED tombstones).
+    in the new manifest, EXISTING carried forward, DELETED tombstones;
+    delete files live in their own content=1 manifest per the spec).
     Returns the metadata.json path."""
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     snap_objs = []
     live: dict[str, dict] = {}
+    live_del: dict[str, dict] = {}
     seq = 0
     for si, snap in enumerate(snapshots):
         seq += 1
@@ -125,6 +139,7 @@ def write_iceberg_metadata(
                 "file_size_in_bytes": int(
                     f.get("size", os.path.getsize(f["path"]))
                 ),
+                "equality_ids": None,
             }
             live[f["path"]] = {"df": df, "seq": seq}
             entries.append(
@@ -147,22 +162,78 @@ def write_iceberg_metadata(
                         "data_file": prev["df"],
                     }
                 )
-        mpath = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
-        blob = encode_avro(entries, _MANIFEST_SCHEMA)
-        with open(mpath, "wb") as fh:
-            fh.write(blob)
-        added = [e for e in entries if e["status"] == _STATUS_ADDED]
-        existing = [e for e in entries if e["status"] == _STATUS_EXISTING]
-        deleted = [e for e in entries if e["status"] == _STATUS_DELETED]
-        mlist = [
-            {
+        # ---- content=1 delete manifest (position + equality files) ----
+        del_entries = []
+        for f in snap.get("pos_deletes", []):
+            df = {
+                "content": 1,
+                "file_path": os.path.abspath(f["path"]),
+                "file_format": "PARQUET",
+                "record_count": int(f["records"]),
+                "file_size_in_bytes": int(
+                    f.get("size", os.path.getsize(f["path"]))
+                ),
+                "equality_ids": None,
+            }
+            live_del[f["path"]] = {"df": df, "seq": seq}
+            del_entries.append(
+                {
+                    "status": _STATUS_ADDED,
+                    "snapshot_id": snap_id,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": df,
+                }
+            )
+        for f in snap.get("eq_deletes", []):
+            df = {
+                "content": 2,
+                "file_path": os.path.abspath(f["path"]),
+                "file_format": "PARQUET",
+                "record_count": int(f["records"]),
+                "file_size_in_bytes": int(
+                    f.get("size", os.path.getsize(f["path"]))
+                ),
+                "equality_ids": [int(i) for i in f["equality_ids"]],
+            }
+            live_del[f["path"]] = {"df": df, "seq": seq}
+            del_entries.append(
+                {
+                    "status": _STATUS_ADDED,
+                    "snapshot_id": snap_id,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": df,
+                }
+            )
+        for path, prev in live_del.items():
+            if prev["seq"] != seq:  # carried forward
+                del_entries.append(
+                    {
+                        "status": _STATUS_EXISTING,
+                        "snapshot_id": 1000 + si - 1,
+                        "sequence_number": prev["seq"],
+                        "file_sequence_number": prev["seq"],
+                        "data_file": prev["df"],
+                    }
+                )
+
+        def _mlist_entry(ents: list[dict], content: int) -> dict:
+            mpath = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+            blob = encode_avro(ents, _MANIFEST_SCHEMA)
+            with open(mpath, "wb") as fh:
+                fh.write(blob)
+            added = [e for e in ents if e["status"] == _STATUS_ADDED]
+            existing = [e for e in ents if e["status"] == _STATUS_EXISTING]
+            deleted = [e for e in ents if e["status"] == _STATUS_DELETED]
+            return {
                 "manifest_path": os.path.abspath(mpath),
                 "manifest_length": len(blob),
                 "partition_spec_id": 0,
-                "content": 0,
+                "content": content,
                 "sequence_number": seq,
                 "min_sequence_number": min(
-                    (e["sequence_number"] or seq for e in entries),
+                    (e["sequence_number"] or seq for e in ents),
                     default=seq,
                 ),
                 "added_snapshot_id": snap_id,
@@ -179,7 +250,10 @@ def write_iceberg_metadata(
                     e["data_file"]["record_count"] for e in deleted
                 ),
             }
-        ]
+
+        mlist = [_mlist_entry(entries, 0)]
+        if del_entries:
+            mlist.append(_mlist_entry(del_entries, 1))
         lpath = os.path.join(
             meta_dir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
         )
@@ -236,8 +310,12 @@ def write_iceberg_metadata(
 def iceberg_live_files(
     metadata_path: str, snapshot_id: int | None = None
 ) -> dict[str, Any]:
-    """metadata.json -> {snapshot_id, files: [{path, records}],
-    n_manifests} for the chosen (default: current) snapshot."""
+    """metadata.json -> {snapshot_id, files: [{path, records, seq}],
+    delete_files: [{path, records, seq, content, equality_ids}],
+    n_manifests, schema_fields} for the chosen (default: current)
+    snapshot. ``seq`` is the data sequence number (inherited from the
+    manifest-list entry when the manifest entry carries null, per the
+    spec's inheritance rule) — the delete-applicability key."""
     with open(metadata_path, encoding="utf-8") as fh:
         meta = json.load(fh)
     if int(meta.get("format-version", 1)) not in (1, 2):
@@ -253,15 +331,29 @@ def iceberg_live_files(
     if snapshot_id not in snaps:
         raise KeyError(f"snapshot {snapshot_id} not in the metadata")
     snap = snaps[snapshot_id]
-    with open(snap["manifest-list"], "rb") as fh:
-        mlist = decode_avro(fh.read())["records"]
+    if "manifest-list" in snap:
+        with open(snap["manifest-list"], "rb") as fh:
+            mlist = decode_avro(fh.read())["records"]
+    elif "manifests" in snap:
+        # format-version 1 snapshots may carry an inline manifest-path
+        # list instead of a manifest-list file; v1 manifests are all
+        # data manifests (no delete files exist in v1)
+        mlist = [{"manifest_path": p, "content": 0,
+                  "sequence_number": snap.get("sequence-number", 0)}
+                 for p in snap["manifests"]]
+    else:
+        raise NotImplementedError(
+            "iceberg snapshot carries neither 'manifest-list' nor the"
+            " v1 inline 'manifests' form"
+        )
     files = []
+    delete_files = []
     n_manifests = 0
     for m in mlist:
-        if m.get("content", 0) != 0:
+        m_content = m.get("content", 0)
+        if m_content not in (0, 1):
             raise NotImplementedError(
-                "iceberg DELETE manifests: a file-list-only reader would"
-                " resurrect deleted rows"
+                f"iceberg manifest content {m_content}"
             )
         n_manifests += 1
         with open(m["manifest_path"], "rb") as fh:
@@ -270,29 +362,157 @@ def iceberg_live_files(
             if e["status"] == _STATUS_DELETED:
                 continue
             df = e["data_file"]
-            if df.get("content", 0) != 0:
-                raise NotImplementedError("iceberg delete files")
+            fc = df.get("content", 0)
+            if m_content == 0 and fc != 0:
+                raise ValueError(
+                    "iceberg delete file listed in a DATA manifest"
+                )
+            if m_content == 1 and fc not in (1, 2):
+                raise ValueError(
+                    "iceberg data file listed in a DELETE manifest"
+                )
             if df["file_format"].upper() != "PARQUET":
                 raise NotImplementedError(
                     f"iceberg file format {df['file_format']}"
                 )
-            files.append(
-                {"path": df["file_path"], "records": df["record_count"]}
-            )
+            # sequence-number inheritance: ADDED entries written with a
+            # null sequence number take the manifest-list entry's
+            eseq = e.get("sequence_number")
+            if eseq is None:
+                eseq = m.get("sequence_number", 0)
+            rec = {
+                "path": df["file_path"],
+                "records": df["record_count"],
+                "seq": eseq,
+            }
+            if fc == 0:
+                files.append(rec)
+            else:
+                rec["content"] = fc
+                rec["equality_ids"] = df.get("equality_ids")
+                if fc == 2 and not rec["equality_ids"]:
+                    raise ValueError(
+                        "iceberg equality-delete file without equality_ids"
+                    )
+                delete_files.append(rec)
     return {
         "snapshot_id": snapshot_id,
         "files": files,
+        "delete_files": delete_files,
         "n_manifests": n_manifests,
         "sequence_number": snap.get("sequence-number"),
+        "schema_fields": (meta.get("schemas") or [{}])[0].get("fields", []),
     }
+
+
+def _norm_path(col):
+    """file:///x, file:/x and /x all normalize to /x so the engine's
+    ``_metadata.file_path`` URI joins against manifest-recorded paths."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, "^file:/+", "/")
 
 
 def read_iceberg_table(
     spark: SparkSession, metadata_path: str, snapshot_id: int | None = None
 ) -> DataFrame:
     """One Catalyst parquet scan over the snapshot's live file list —
-    the engine-native ``iceberg_scan``."""
+    the engine-native ``iceberg_scan`` — with v2 merge-on-read deletes
+    applied as anti-joins (the engine's own MoR machinery, the pattern
+    behind lh_delete_positions / lh_merge_on_read_delete):
+
+    - position deletes (content=1; parquet rows of (file_path, pos))
+      remove a data row when the delete file's data sequence number is
+      >= the data file's (same commit or later, per spec);
+    - equality deletes (content=2; parquet rows of the equality
+      columns, resolved from equality_ids via the table schema) remove
+      matching rows from STRICTLY OLDER data files (delete seq > data
+      seq), null-safe per the spec's NaN/null-matching rule.
+
+    Scale posture: the delete sides carry manifest record counts, so a
+    small delete set (the overwhelmingly common case) is broadcast; the
+    data side stays one Catalyst parquet scan with per-file sequence
+    numbers attached by a broadcast join on ``_metadata.file_path``."""
+    from pyspark.sql import functions as F
+
     resolved = iceberg_live_files(metadata_path, snapshot_id)
     if not resolved["files"]:
         raise ValueError("iceberg snapshot lists no data files")
-    return spark.read.parquet(*[f["path"] for f in resolved["files"]])
+    reader = spark.read.parquet(*[f["path"] for f in resolved["files"]])
+    if not resolved["delete_files"]:
+        return reader
+
+    # data rows + their file's data sequence number (metadata-scale map,
+    # broadcast) + row position within the file
+    seq_rows = [
+        (os.path.abspath(f["path"]), int(f["seq"]))
+        for f in resolved["files"]
+    ]
+    seq_df = spark.createDataFrame(seq_rows, "__ice_path string, __ice_seq long")
+    data = reader.select(
+        "*",
+        _norm_path(F.col("_metadata.file_path")).alias("__ice_path"),
+        F.col("_metadata.row_index").alias("__ice_pos"),
+    ).join(F.broadcast(seq_df), "__ice_path", "left")
+
+    BROADCAST_DELETE_ROWS = 4_000_000  # manifest-declared record counts
+
+    pos_files = [d for d in resolved["delete_files"] if d["content"] == 1]
+    if pos_files:
+        parts = []
+        for d in pos_files:
+            parts.append(
+                spark.read.parquet(d["path"]).select(
+                    _norm_path(F.col("file_path")).alias("__del_path"),
+                    F.col("pos").cast("long").alias("__del_pos"),
+                    F.lit(int(d["seq"])).alias("__del_seq"),
+                )
+            )
+        dels = parts[0]
+        for p in parts[1:]:
+            dels = dels.unionByName(p)
+        if sum(d["records"] for d in pos_files) <= BROADCAST_DELETE_ROWS:
+            dels = F.broadcast(dels)
+        data = data.join(
+            dels,
+            (F.col("__ice_path") == F.col("__del_path"))
+            & (F.col("__ice_pos") == F.col("__del_pos"))
+            & (F.col("__ice_seq") <= F.col("__del_seq")),
+            "left_anti",
+        )
+
+    eq_files = [d for d in resolved["delete_files"] if d["content"] == 2]
+    if eq_files:
+        id_to_name = {
+            int(f["id"]): f["name"] for f in resolved["schema_fields"]
+        }
+        by_cols: dict[tuple[str, ...], list[dict]] = {}
+        for d in eq_files:
+            try:
+                cols = tuple(id_to_name[int(i)] for i in d["equality_ids"])
+            except KeyError as exc:
+                raise ValueError(
+                    f"equality_ids {d['equality_ids']} not in the table"
+                    " schema"
+                ) from exc
+            by_cols.setdefault(cols, []).append(d)
+        for cols, group in by_cols.items():
+            parts = []
+            for d in group:
+                parts.append(
+                    spark.read.parquet(d["path"]).select(
+                        *[F.col(c).alias(f"__del_{c}") for c in cols],
+                        F.lit(int(d["seq"])).alias("__del_seq"),
+                    )
+                )
+            dels = parts[0]
+            for p in parts[1:]:
+                dels = dels.unionByName(p)
+            if sum(d["records"] for d in group) <= BROADCAST_DELETE_ROWS:
+                dels = F.broadcast(dels)
+            cond = F.col("__ice_seq") < F.col("__del_seq")
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__del_{c}"))
+            data = data.join(dels, cond, "left_anti")
+
+    return data.drop("__ice_path", "__ice_pos", "__ice_seq")

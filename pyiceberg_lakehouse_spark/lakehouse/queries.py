@@ -2121,3 +2121,136 @@ def lh_iceberg_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap2 = I.read_iceberg_table(spark, mp, snapshot_id=1001)
     del T
     return agg(latest, "latest").unionByName(agg(snap2, "snapshot2"))
+
+
+@register(
+    "lh_iceberg_mor_scan",
+    # Expected state of an Iceberg v2 MERGE-ON-READ table: 'latest'
+    # applies the position deletes (c_custkey%8 in {0,2}: %8=0 rows of
+    # the %4=0 file, deleted one commit later; %8=2 rows of the %4=2
+    # file, deleted in the SAME commit — the spec's >= rule) AND the
+    # equality delete on c_mktsegment='BUILDING', which being seq 3
+    # applies only to STRICTLY older files — the %4=3 file added in the
+    # same snapshot keeps its BUILDING rows. 'snapshot2' time-travels to
+    # before the equality delete and the %4=3 file.
+    """
+    select 'latest' as as_of, c_mktsegment,
+           cast(count(*) as bigint) as n,
+           cast(sum(cast(c_acctbal as decimal(18,4))) as double) as balance,
+           cast(sum(cast(c_custkey as bigint)) as bigint) as key_sum
+    from customer
+    where c_custkey % 8 not in (0, 2)
+      and not (c_mktsegment = 'BUILDING' and c_custkey % 4 <> 3)
+    group by c_mktsegment
+    union all
+    select 'snapshot2' as as_of, c_mktsegment,
+           cast(count(*) as bigint) as n,
+           cast(sum(cast(c_acctbal as decimal(18,4))) as double) as balance,
+           cast(sum(cast(c_custkey as bigint)) as bigint) as key_sum
+    from customer
+    where c_custkey % 4 <> 3 and c_custkey % 8 not in (0, 2)
+    group by c_mktsegment
+    """,
+)
+def lh_iceberg_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APACHE ICEBERG v2 MERGE-ON-READ interop — delete FILES (not just
+    manifest tombstones) resolved from the metadata alone and applied by
+    the engine's own MoR anti-joins (lakehouse/iceberg_interop.py,
+    read_iceberg_table). The construction exercises every spec rule:
+
+    - customer split into four files by c_custkey % 4;
+    - snap1 (seq1) adds the %4=0 and %4=1 files;
+    - snap2 (seq2) adds the %4=2 file, plus POSITION-delete files (the
+      spec's (file_path, pos) parquet rows, positions taken from the
+      engine's _metadata.row_index) removing %8=0 rows from the seq-1
+      file (later commit, >= applies) and %8=2 rows from the seq-2 file
+      (SAME commit, >= still applies);
+    - snap3 (seq3) adds the %4=3 file plus an EQUALITY-delete file on
+      c_mktsegment (resolved via equality_ids -> field id in the table
+      schema) deleting 'BUILDING' — which must hit the seq<=2 files but
+      NOT the %4=3 file added at the same sequence number (strict <).
+
+    Reference parity: query_iceberg_duckdb.py:24-27 (iceberg_scan) at
+    full v2 fidelity. The deleted rows stay present in the parquet on
+    disk, so delete-file application (not file pruning) is load-bearing.
+    """
+    import glob as _glob
+
+    from pyiceberg_lakehouse_spark.lakehouse import iceberg_interop as I
+
+    wh = _warehouse()
+    tdir = os.path.join(wh, "iceberg_ns", "customers_mor")
+    cust = load_table(spark, sf_dir, "customer")
+    files = {}
+    for k in range(4):
+        d = os.path.join(tdir, f"data-{k}")
+        cust.filter(F.col("c_custkey") % 4 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        got = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        assert len(got) == 1
+        files[k] = got[0]
+    counts = {k: spark.read.parquet(f).count() for k, f in files.items()}
+
+    def pos_delete_file(data_file, mod8, out_name):
+        """(file_path, pos) parquet for rows with c_custkey%8==mod8."""
+        d = os.path.join(tdir, out_name)
+        rows = (
+            spark.read.parquet(data_file)
+            .select(F.col("_metadata.row_index").alias("pos"), "c_custkey")
+            .filter(F.col("c_custkey") % 8 == mod8)
+            .select(
+                F.lit(os.path.abspath(data_file)).alias("file_path"), "pos"
+            )
+        )
+        rows.coalesce(1).write.mode("overwrite").parquet(d)
+        got = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        assert len(got) == 1
+        return got[0], spark.read.parquet(got[0]).count()
+
+    pd0, n0 = pos_delete_file(files[0], 0, "pos-del-0")
+    pd2, n2 = pos_delete_file(files[2], 2, "pos-del-2")
+
+    ed_dir = os.path.join(tdir, "eq-del")
+    spark.createDataFrame(
+        [("BUILDING",)], "c_mktsegment string"
+    ).coalesce(1).write.mode("overwrite").parquet(ed_dir)
+    ed = sorted(_glob.glob(os.path.join(ed_dir, "*.parquet")))[0]
+
+    schema_fields = [
+        {"id": i + 1, "name": f.name, "required": False, "type": "string"}
+        for i, f in enumerate(cust.schema.fields)
+    ]
+    seg_id = next(
+        f["id"] for f in schema_fields if f["name"] == "c_mktsegment"
+    )
+    mp = I.write_iceberg_metadata(
+        tdir,
+        snapshots=[
+            {"files": [{"path": files[0], "records": counts[0]},
+                       {"path": files[1], "records": counts[1]}]},
+            {"files": [{"path": files[2], "records": counts[2]}],
+             "pos_deletes": [{"path": pd0, "records": n0},
+                             {"path": pd2, "records": n2}]},
+            {"files": [{"path": files[3], "records": counts[3]}],
+             "eq_deletes": [{"path": ed, "records": 1,
+                             "equality_ids": [seg_id]}]},
+        ],
+        schema_fields=schema_fields,
+    )
+
+    def agg(df, label):
+        return df.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("balance"),
+            F.sum(F.col("c_custkey").cast("long")).alias("key_sum"),
+        ).select(
+            F.lit(label).alias("as_of"), "c_mktsegment", "n", "balance",
+            "key_sum",
+        )
+
+    latest = I.read_iceberg_table(spark, mp)
+    snap2 = I.read_iceberg_table(spark, mp, snapshot_id=1001)
+    return agg(latest, "latest").unionByName(agg(snap2, "snapshot2"))

@@ -197,6 +197,8 @@ def _decode_value(data: bytes, pos: int, schema):
             for _ in range(count):
                 if stype == "map":
                     klen, pos = _zigzag_decode(data, pos)
+                    if klen < 0 or pos + klen > len(data):
+                        raise ValueError("avro map key length out of bounds")
                     key = data[pos : pos + klen].decode("utf-8")
                     pos += klen
                     out_map[key], pos = _decode_value(
@@ -289,9 +291,13 @@ def decode_avro(data: bytes) -> dict:
             count = -count
         for _ in range(count):
             klen, pos = _zigzag_decode(data, pos)
+            if klen < 0 or pos + klen > len(data):
+                raise ValueError("avro metadata key length out of bounds")
             key = data[pos : pos + klen].decode("utf-8")
             pos += klen
             vlen, pos = _zigzag_decode(data, pos)
+            if vlen < 0 or pos + vlen > len(data):
+                raise ValueError("avro metadata value length out of bounds")
             meta[key] = data[pos : pos + vlen]
             pos += vlen
     if "avro.schema" not in meta:

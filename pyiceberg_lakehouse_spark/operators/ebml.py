@@ -284,11 +284,14 @@ def _simple_block(
     if lacing == "ebml":
         body.append(flags | 0x06)
         body.append(len(frames) - 1)
-        body += _write_vint_size(len(frames[0]))
-        prev = len(frames[0])
-        for f in frames[1:-1]:
-            body += _signed_vint(len(f) - prev)
-            prev = len(f)
+        # per the lacing spec the LAST frame's size is implicit, so a
+        # 1-frame ebml-laced block carries no size fields at all
+        if len(frames) > 1:
+            body += _write_vint_size(len(frames[0]))
+            prev = len(frames[0])
+            for f in frames[1:-1]:
+                body += _signed_vint(len(f) - prev)
+                prev = len(f)
         for f in frames:
             body += f
         return bytes(body)
@@ -337,16 +340,20 @@ def _parse_simple_block(payload: bytes) -> dict:
         sizes.append(len(data) - at - sum(sizes))
         lacing = "xiph"
     else:  # EBML
-        first, at2 = _read_vint(data, at, keep_marker=False)[:2]
-        at = at2
-        sizes.append(first)
-        prev = first
-        for _ in range(n_frames - 2):
-            delta, at = _read_signed_vint(data, at)
-            prev += delta
-            if prev < 0:
-                raise ValueError("EBML lace size went negative")
-            sizes.append(prev)
+        # the last frame's size is always implicit: a 1-frame ebml-laced
+        # block has NO size fields (reading one would misparse the frame
+        # bytes as a VINT and fabricate a spurious second frame)
+        if n_frames > 1:
+            first, at2 = _read_vint(data, at, keep_marker=False)[:2]
+            at = at2
+            sizes.append(first)
+            prev = first
+            for _ in range(n_frames - 2):
+                delta, at = _read_signed_vint(data, at)
+                prev += delta
+                if prev < 0:
+                    raise ValueError("EBML lace size went negative")
+                sizes.append(prev)
         sizes.append(len(data) - at - sum(sizes))
         lacing = "ebml"
     if sizes and sizes[-1] < 0:

@@ -553,6 +553,9 @@ def _decode_block(block: bytes, out: bytearray, rep: _RepeatTables, reps: list[i
                 reps[2] = reps[1]
                 reps[1] = reps[0]
                 reps[0] = offset
+        if lit_pos + ll > len(literals):
+            raise ValueError("zstd: sequence literals length exceeds"
+                             " the literals section")
         out += literals[lit_pos : lit_pos + ll]
         lit_pos += ll
         if offset > len(out):

@@ -347,6 +347,83 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # cosine top-k, the reference's flagship upsert composite, and the
 # exactly-once streaming sink.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # ---- r16 rotation. VERDICT r15 task #3: the 26 r15 first-timers
+    # (the 19 rotated-in backlog rows + the 7 r15-new rows) HOLD for
+    # their confirming round; 8 standing anchors + 2 category sentinels
+    # stay; the remaining 14 slots start as multi-green keepers (the 11
+    # r14 first-timers whose second-round holds completed in r15, plus
+    # the three r15 keepers stream_stream_anti_join /
+    # scan_warc_responses / scan_archive_entries) and are displaced
+    # one-by-one as NEW r16 oracle-checkable rows land, per the standing
+    # fresh-outranks-multi-green principle. New r16 rows so far:
+    # lh_iceberg_mor_scan (Iceberg v2 MERGE-ON-READ interop — position
+    # + equality delete FILES applied from the metadata alone with the
+    # spec's sequence rules; VERDICT r15 task #1) took
+    # text_markdown_extract's keeper slot (text_ stays covered by nine
+    # held text_ rows; markdown stays local-gated + pytest-pinned).
+    # anchors
+    "agg_q1_pricing_summary",
+    "agg_q9_product_profit",
+    "agg_q13_customer_distribution",
+    "agg_q18_large_orders",
+    "agg_q21_suppliers_kept_waiting",
+    "join_right_outer",
+    "sim_cosine_topk",
+    "stream_lh_sink_hourly",
+    # category sentinels (test_entry_contract: every prefix sampled)
+    "win_ntile_cume",
+    "train_pack_sequences",
+    # r15 first-timers, second-round hold (19 rotated-in backlog rows)
+    "graph_pagerank",
+    "dedup_image_dhash",
+    "multimodal_audio_quality",
+    "multimodal_image_quality",
+    "multimodal_scene_cuts",
+    "multimodal_mkv_probe",
+    "multimodal_mp4_itunes",
+    "fn_variant_extract",
+    "lh_delete_positions",
+    "scan_orc_roundtrip",
+    "scan_warc_revisits",
+    "text_ass_cues",
+    "text_charset_decode",
+    "text_docx_extract",
+    "text_epub_extract",
+    "text_html_metadata",
+    "text_odt_extract",
+    "text_rtf_extract",
+    "text_unicode_nfc",
+    # r15 first-timers, second-round hold (7 r15-new rows; the Avro
+    # roundtrip's construction extends IN PLACE this round with the
+    # zstd/bzip2/xz codecs, so its r16 row hashes the extended oracle)
+    "multimodal_webp_lossy_decode",
+    "text_pdf_images",
+    "scan_avro_roundtrip",
+    "lh_iceberg_metadata_scan",
+    "multimodal_ico_decode",
+    "multimodal_avif_probe",
+    "multimodal_ogg_tags",
+    # new r16 rows (each in its own round, no-tail principle)
+    "lh_iceberg_mor_scan",
+    # multi-green keepers (r14 first-timers double-green after r15 +
+    # the three r15 keepers; each slot is first in line for a NEW r16
+    # row as it lands)
+    "text_pdf_extract",
+    "multimodal_tiff_bilevel",
+    "lh_external_scan",
+    "multimodal_tiff_lzw",
+    "multimodal_webp_animation",
+    "text_pii_redact_extended",
+    "multimodal_flac_decode",
+    "multimodal_tiff_tiled",
+    "multimodal_webp_decode",
+    "scan_sitemap_urls",
+    "stream_stream_anti_join",
+    "scan_warc_responses",
+    "scan_archive_entries",
+)
+
+_R15_WINDOW: tuple[str, ...] = (
     # ---- r15 rotation. VERDICT r14 task #1: the 19 oracle-checkable
     # queries written after the r14 window froze take their driver slots
     # THIS round (local-green is evidence, driver-green is the contract).
