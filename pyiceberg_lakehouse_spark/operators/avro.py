@@ -7,10 +7,12 @@ and codec, 16-byte sync markers framing each block, zigzag-varint
 longs, length-prefixed strings/bytes, little-endian IEEE float/double,
 records as field concatenation, arrays/maps in count-prefixed blocks
 (including the negative-count + block-size form writers may emit),
-unions as index + value, enums as index, fixed as raw bytes, and the
-null + deflate + snappy codecs (snappy through the pure-Python raw
-decoder in operators/snappy.py, CRC32-checked per the spec; the writer
-side of snappy uses pyarrow's bundled encoder, fixture-grade).
+unions as index + value, enums as index, fixed as raw bytes, and ALL SIX
+spec codecs: null, deflate, snappy (both directions through the
+pure-Python raw codec in operators/snappy.py, CRC32-checked per the
+spec), bzip2 + xz (stdlib), and zstandard (read through the
+from-scratch RFC 8878 decoder in operators/zstd.py; the writer side of
+zstandard uses pyarrow's bundled libzstd, fixture-grade).
 
 Schema support covers the tabular shapes lakehouse interchange actually
 uses: records of primitives, nullable-union columns, arrays, maps,
@@ -234,8 +236,11 @@ def encode_avro(
 ) -> bytes:
     """records + writer schema -> Object Container File bytes.
     ``block_records`` > 0 splits the data into multiple blocks."""
-    if codec not in ("null", "deflate", "snappy"):
-        raise ValueError("codec must be 'null', 'deflate' or 'snappy'")
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz",
+                     "zstandard"):
+        raise ValueError(
+            "codec must be one of null/deflate/snappy/bzip2/xz/zstandard"
+        )
     sync = sync or bytes(range(16))
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
@@ -261,12 +266,28 @@ def encode_avro(
             comp = zlib.compressobj(6, zlib.DEFLATED, -15)
             body = comp.compress(body) + comp.flush()
         elif codec == "snappy":
-            # fixture-side encoder: pyarrow's bundled snappy; the spec
-            # appends a 4-byte big-endian CRC32 of the UNCOMPRESSED data
-            import pyarrow as _pa
+            # the spec appends a 4-byte big-endian CRC32 of the
+            # UNCOMPRESSED data after the compressed block
+            from pyiceberg_lakehouse_spark.operators.snappy import (
+                compress as _snappy_c,
+            )
 
             crc = zlib.crc32(body) & 0xFFFFFFFF
-            body = _pa.Codec("snappy").compress(body, asbytes=True)                 + crc.to_bytes(4, "big")
+            body = _snappy_c(body) + crc.to_bytes(4, "big")
+        elif codec == "bzip2":
+            import bz2 as _bz2
+
+            body = _bz2.compress(body)
+        elif codec == "xz":
+            import lzma as _lzma
+
+            body = _lzma.compress(body, format=_lzma.FORMAT_XZ)
+        elif codec == "zstandard":
+            # fixture-side encoder: pyarrow's bundled libzstd (the
+            # reader side is the from-scratch RFC 8878 decoder)
+            import pyarrow as _pa
+
+            body = _pa.Codec("zstd").compress(body, asbytes=True)
         out += _zigzag_encode(len(chunk))
         out += _zigzag_encode(len(body))
         out += body
@@ -304,9 +325,11 @@ def decode_avro(data: bytes) -> dict:
         raise ValueError("avro file metadata lacks avro.schema")
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz",
+                     "zstandard"):
         raise NotImplementedError(
-            f"avro codec {codec!r} (null/deflate/snappy supported)"
+            f"avro codec {codec!r}"
+            " (null/deflate/snappy/bzip2/xz/zstandard supported)"
         )
     sync = data[pos : pos + 16]
     if len(sync) != 16:
@@ -338,6 +361,20 @@ def decode_avro(data: bytes) -> dict:
             body, want = _snappy(body[:-4]), int.from_bytes(body[-4:], "big")
             if (zlib.crc32(body) & 0xFFFFFFFF) != want:
                 raise ValueError("avro snappy block CRC mismatch")
+        elif codec == "bzip2":
+            import bz2 as _bz2
+
+            body = _bz2.decompress(body)
+        elif codec == "xz":
+            import lzma as _lzma
+
+            body = _lzma.decompress(body, format=_lzma.FORMAT_XZ)
+        elif codec == "zstandard":
+            from pyiceberg_lakehouse_spark.operators.zstd import (
+                decompress as _zstd,
+            )
+
+            body = _zstd(body)
         at = 0
         for _ in range(count):
             rec, at = _decode_value(body, at, schema)

@@ -2478,13 +2478,15 @@ def text_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Planted Avro Object Container Files (operators/avro.py — the
     # from-scratch reader/writer closing the repo's last gated tabular
     # source): per doc, records with long/string/nullable-double/
-    # array/enum/map columns written at codecs null/deflate/snappy
-    # (snappy decoded by the pure-Python operators/snappy.py with the
-    # spec's CRC32 suffix) and 1 vs 3-row blocks, decoded back through the strict container walk
-    # (sync markers, metadata map, zigzag varints). One row per record
-    # with scalars + flattened collection features. Filter modulus 21
-    # residue 5; knobs %2 (codec), %3 (blocking), %4 (rows), %5/%7
-    # (values).
+    # array/enum/map columns written at ALL SIX spec codecs —
+    # null/deflate/snappy/bzip2/xz/zstandard (snappy round-tripped by
+    # the pure-Python operators/snappy.py with the spec's CRC32 suffix;
+    # zstandard read by the from-scratch RFC 8878 operators/zstd.py) —
+    # and 1 vs 3-row blocks, decoded back through the strict container
+    # walk (sync markers, metadata map, zigzag varints). One row per
+    # record with scalars + flattened collection features. Filter
+    # modulus 21 residue 5; knobs %6 (codec), %3 (blocking), %4 (rows),
+    # %5/%7 (values).
     """
     with base as (
       select doc_id, cast(doc_id as bigint) as d, 2 + doc_id % 4 as n
@@ -2502,10 +2504,10 @@ def text_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast((select coalesce(sum((d + r + j) % 11), 0)
                  from generate_series(0, 2) gj(j)
                  where j < (d + r) % 3) as bigint) as attr_sum,
-           case cast(d % 5 as integer)
+           case cast(d % 6 as integer)
                 when 0 then 'null' when 1 then 'deflate'
-                when 2 then 'snappy' when 3 then 'null'
-                else 'snappy' end as codec,
+                when 2 then 'snappy' when 3 then 'bzip2'
+                when 4 then 'xz' else 'zstandard' end as codec,
            cast(case when d % 3 = 0
                 then (2 + d % 4 + 2) // 3 else 1 end as integer) as n_blocks
     from base, unnest(generate_series(0, 5)) u(r) where r < n
@@ -2514,11 +2516,11 @@ def text_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro object-container source (operators/avro.py): per doc, write
     records through the from-scratch encoder — zigzag varints, union
-    null columns, array/enum/map values, null vs deflate codecs, single
-    vs multi-record blocks framed by sync markers — read them back with
-    the strict decoder, and emit one row per record with the collection
-    features flattened to scalars. The oracle restates every value
-    closed-form. Arrow-batched mapInPandas, map-only."""
+    null columns, array/enum/map values, all six spec codecs cycling,
+    single vs multi-record blocks framed by sync markers — read them
+    back with the strict decoder, and emit one row per record with the
+    collection features flattened to scalars. The oracle restates every
+    value closed-form. Arrow-batched mapInPandas, map-only."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -2583,9 +2585,8 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                             },
                         }
                     )
-                codec = ("null", "deflate", "snappy", "null", "snappy")[
-                    d % 5
-                ]
+                codec = ("null", "deflate", "snappy", "bzip2", "xz",
+                         "zstandard")[d % 6]
                 blob = _avro.encode_avro(
                     recs, avro_schema, codec=codec,
                     block_records=3 if d % 3 == 0 else 0,

@@ -1,13 +1,17 @@
-"""Snappy raw-format decompressor, pure Python.
+"""Snappy raw format, pure Python — decompressor AND compressor.
 
 The Hadoop ecosystem's default block codec (Avro's common codec,
 parquet's legacy default). Raw snappy only — a varint uncompressed
 length followed by literal / 1-2-4-byte-offset copy tags (the framing
 format with chunk headers is a different container and raises).
 
-Validated against the reference implementation: every test frame in
-tests/test_snappy.py is produced by pyarrow's bundled snappy encoder
-(the same external-validation posture as the zstd decoder).
+Validated against the reference implementation both ways: the decoder
+decodes every pyarrow-bundled-snappy frame in tests/test_snappy.py,
+and the compressor's output round-trips through pyarrow's decoder as
+well as this module's own (the same external-validation posture as the
+zstd decoder). The compressor is the standard greedy scheme: 64 KiB
+blocks, a 4-byte-sequence hash table, copy-1 tags for short
+near matches and copy-2 for the rest.
 """
 
 from __future__ import annotations
@@ -88,4 +92,81 @@ def decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
         raise ValueError(
             f"snappy header says {n} bytes, stream decoded {len(out)}"
         )
+    return bytes(out)
+
+
+# ------------------------------------------------------------ encoder --
+
+
+def _uvarint_encode(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _emit_literal(out: bytearray, data: bytes, start: int, end: int) -> None:
+    n = end - start
+    if n <= 0:
+        return
+    if n <= 60:
+        out.append((n - 1) << 2)
+    else:
+        nb = max(1, ((n - 1).bit_length() + 7) // 8)
+        out.append((59 + nb) << 2)
+        out += (n - 1).to_bytes(nb, "little")
+    out += data[start:end]
+
+
+def _emit_copy(out: bytearray, offset: int, length: int) -> None:
+    # chunk long matches: leave >= 4 for the final tag (copy-1 needs
+    # length >= 4; copy-2 accepts any, but staying >= 4 mirrors the
+    # reference encoder and keeps every tag decodable by strict readers)
+    while length >= 68:
+        out.append((63 << 2) | 2)
+        out += offset.to_bytes(2, "little")
+        length -= 64
+    if length > 64:
+        out.append((59 << 2) | 2)
+        out += offset.to_bytes(2, "little")
+        length -= 60
+    if 4 <= length <= 11 and offset < 2048:
+        out.append((((length - 4) & 7) << 2) | ((offset >> 8) << 5) | 1)
+        out.append(offset & 0xFF)
+    else:
+        out.append(((length - 1) << 2) | 2)
+        out += offset.to_bytes(2, "little")
+
+
+def compress(data: bytes) -> bytes:
+    """bytes -> raw snappy block (greedy hash matcher, 64 KiB blocks so
+    every copy offset fits the 2-byte form)."""
+    data = bytes(data)
+    out = bytearray(_uvarint_encode(len(data)))
+    BLOCK = 1 << 16
+    for base in range(0, len(data), BLOCK) or [0]:
+        end = min(len(data), base + BLOCK)
+        table: dict[bytes, int] = {}
+        i = base
+        lit_start = base
+        while i + 4 <= end:
+            key = data[i : i + 4]
+            cand = table.get(key)
+            table[key] = i
+            if cand is None or i - cand > 0xFFFF:
+                i += 1
+                continue
+            ml = 4
+            while i + ml < end and data[cand + ml] == data[i + ml]:
+                ml += 1
+            _emit_literal(out, data, lit_start, i)
+            _emit_copy(out, i - cand, ml)
+            i += ml
+            lit_start = i
+        _emit_literal(out, data, lit_start, end)
     return bytes(out)

@@ -51,7 +51,9 @@ def test_spec_encoding_vectors():
     assert avro._encode_value(None, ["null", "double"]) == b"\x00"
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize(
+    "codec", ["null", "deflate", "snappy", "bzip2", "xz", "zstandard"]
+)
 @pytest.mark.parametrize("block_records", [0, 1, 7])
 def test_roundtrip(codec, block_records):
     recs = _records()

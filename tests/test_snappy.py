@@ -1,5 +1,7 @@
-"""Raw snappy decoder tests — every frame comes from pyarrow's bundled
-reference encoder (the zstd-decoder validation posture)."""
+"""Raw snappy codec tests — decoder frames come from pyarrow's bundled
+reference encoder, and the from-scratch encoder's frames are verified
+by BOTH pyarrow's reference decoder and this module's own (no pyarrow
+in that loop)."""
 
 from __future__ import annotations
 
@@ -27,6 +29,26 @@ def test_roundtrip_vs_reference(kind, n):
         "rep": lambda: (bytes(rng.randrange(256) for _ in range(64)) * (n // 64 + 1))[:n],
     }[kind]()
     assert snappy.decompress(_codec().compress(data, asbytes=True)) == data
+    # encoder side: own frames read back by ourselves (pyarrow-free
+    # loop) AND by the reference decoder
+    enc = snappy.compress(data)
+    assert snappy.decompress(enc) == data
+    if data:
+        assert _codec().decompress(enc, len(data)).to_pybytes() == data
+
+
+def test_encoder_edge_shapes():
+    # exact literal-tag boundaries (60/61), copy-length chunking (>68),
+    # and the copy-1 short form (offset < 2048, length 4..11)
+    for data in (b"", b"a", b"x" * 60, b"x" * 61, b"ab" * 40,
+                 b"abcd" + b"q" * 300 + b"abcd", bytes(range(256)) * 1024):
+        enc = snappy.compress(data)
+        assert snappy.decompress(enc) == data
+        if data:
+            assert _codec().decompress(enc, len(data)).to_pybytes() == data
+    # long runs exercise the 64/60-chunk emission path
+    run = b"z" * 200_000
+    assert snappy.decompress(snappy.compress(run)) == run
 
 
 def test_hostiles():
