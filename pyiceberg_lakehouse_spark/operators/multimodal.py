@@ -19,8 +19,11 @@ runtime availability gate as psycopg2 in lakehouse/catalog.py); MP4/MP3
 expose real container-metadata PROBES (box walk / frame walk below), and
 MP4 additionally a full sample-table DEMUX (stts/stsc/stsz/stco/stss ->
 per-sample bytes + timestamps + key-frame flags, make_mp4_media /
-demux_mp4 below) — the video CODEC itself (H.264 et al.) and MP3
-Layer-III sample synthesis stay NotImplemented.
+demux_mp4 below) — the video CODEC itself (H.264 et al.) stays
+NotImplemented; MP3 Layer-III SAMPLE decode now lives in
+operators/mp3.py (full side-info/scalefactor/Huffman/requant/IMDCT/
+synthesis chain; Huffman tables 8-31 and the ISO synthesis window
+gated pending validation vectors, per that module's docstring).
 """
 
 from __future__ import annotations

@@ -4595,3 +4595,226 @@ def multimodal_avif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_mp3_samples",
+    # Planted MPEG-1 Layer III streams per doc (operators/mp3.py): each
+    # granule carries four big-value lines (values 1..5, table 7) in
+    # the middle of ONE target subband plus 0-2 count1 quadruples, at
+    # cycling global gains / scalefactor sets. Huffman coding is
+    # lossless, so the decoded INTEGER spectrum restates closed-form;
+    # the float chain (requant -> alias -> IMDCT -> overlap-add ->
+    # polyphase synthesis) is dual-derived in-query against an
+    # independent NumPy matrix pipeline (exact_match) and concentrates
+    # post-IMDCT energy in the planted subband (peak_subband). Filter
+    # modulus 17 residue 4; knobs %2 (frames), %22 (subband), %5
+    # (values), %3 (count1 quads), %16 (gain/scalefacs).
+    """
+    with docs as (
+      select doc_id, cast(doc_id as bigint) as d,
+             1 + doc_id % 2 as nf,
+             1 + cast(doc_id as bigint) % 22 as sb
+      from documents where doc_id % 17 = 4
+    ),
+    grans as (
+      select doc_id, d, nf, sb, cast(u.g as bigint) as g
+      from docs, unnest(generate_series(0, 2*nf - 1)) u(g)
+    ),
+    big as (
+      select doc_id,
+             sum((case when (d+g+j) % 2 = 1 then -1 else 1 end)
+                 * (1 + (d+g+j) % 5) * (18*sb + j + 1)) as s
+      from grans, unnest(generate_series(4, 7)) v(j)
+      group by doc_id
+    ),
+    c1 as (
+      select doc_id,
+             sum((case when (d+g+q) % 2 = 1 then -1 else 1 end)
+                 * (18*sb + 8 + 4*q + (d+g+q) % 4 + 1)) as s
+      from grans, unnest(generate_series(0, 2)) w(q)
+      where q < (d+g) % 3
+      group by doc_id
+    )
+    select docs.doc_id,
+           cast(nf as integer) as n_frames,
+           cast(2*nf as integer) as n_granules,
+           cast(44100 as integer) as sample_rate,
+           cast(1152*nf as bigint) as n_samples,
+           cast(sb as integer) as target_subband,
+           cast(big.s + coalesce(c1.s, 0) as bigint) as spec_sum,
+           cast(sb as integer) as peak_subband,
+           true as exact_match
+    from docs join big using (doc_id) left join c1 using (doc_id)
+    """,
+)
+def multimodal_mp3_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 Layer-III SAMPLE decode (VERDICT r15 task #5,
+    operators/mp3.py): per doc, build genuine MPEG-1 Layer III frames
+    through the fixture encoder — real side info, scalefactors, Huffman
+    table 7 big-value pairs with sign bits, count1 quadruples (tables A
+    and B cycling via the quad knob), main_data framing — then decode
+    through the full chain: side-info walk, scalefactor read, Huffman
+    spectrum decode, requantization, alias-reduction butterflies, IMDCT
+    with overlap-add and frequency inversion, and polyphase synthesis.
+    The integer spectrum round-trips exactly (hashed as spec_sum, the
+    position-weighted sum the oracle restates closed-form); the decoded
+    audio concentrates in the planted subband (peak_subband); and
+    exact_match dual-derives the float pipeline against an independent
+    NumPy matrix implementation (requant formula -> butterfly matrix ->
+    dense IMDCT -> polyphase matrixing), the vp8.py
+    predict-uniform-chain pattern. The same decoder walks the real
+    LAME-encoded file pinned in tests/test_mp3.py. Arrow-batched
+    mapInPandas, map-only."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import mp3 as _mp3
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 4)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("n_granules", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("target_subband", T.IntegerType()),
+            T.StructField("spec_sum", T.LongType()),
+            T.StructField("peak_subband", T.IntegerType()),
+            T.StructField("exact_match", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def _granule_spec(d: int, g: int, sb: int) -> dict:
+        is_ = [0] * 576
+        for j in range(4, 8):
+            v = 1 + (d + g + j) % 5
+            if (d + g + j) % 2 == 1:
+                v = -v
+            is_[18 * sb + j] = v
+        nq = (d + g) % 3
+        big_end = 18 * sb + 8
+        for q in range(nq):
+            v = -1 if (d + g + q) % 2 == 1 else 1
+            is_[big_end + 4 * q + (d + g + q) % 4] = v
+        sfc = (d + g) % 16
+        s1, s2 = _mp3.SLEN1[sfc], _mp3.SLEN2[sfc]
+        sfl = [(d + g + b) % (1 << s1) if s1 else 0 for b in range(11)] \
+            + [(d + g + b) % (1 << s2) if s2 else 0 for b in range(11, 21)]
+        return {
+            "is": is_,
+            "global_gain": 200 + (d + g) % 16,
+            "tables": [7, 7, 7],
+            "region0_count": 8,
+            "region1_count": 7,
+            "big_values": 9 * sb + 4,
+            "count1_quads": nq,
+            "count1table": (d + g) % 2,
+            "scalefac_compress": sfc,
+            "scalefac_l": sfl,
+            "scalefac_scale": d % 2,
+            "preflag": (d + g) % 2,
+        }
+
+    def _numpy_reference(specs, sr):
+        """Independent float pipeline: dense matrices, no shared loops
+        with the decoder."""
+        M = np.cos(
+            np.pi / 72.0
+            * np.outer(2 * np.arange(36) + 19, 2 * np.arange(18) + 1)
+        )
+        win = np.array(_mp3._WIN_LONG[0])
+        N = np.array(_mp3._SYNTH_N)
+        D = np.array(_mp3._SUBSTITUTE_D)
+        overlap = np.zeros((32, 18))
+        v_fifo = np.zeros(1024)
+        pcm = []
+        bands = _mp3.SFB_LONG[sr]
+        for spec in specs:
+            is_ = np.array(spec["is"], dtype=np.float64)
+            gain = spec["global_gain"] - 210
+            step = 1.0 if spec["scalefac_scale"] else 0.5
+            mult = np.zeros(576)
+            for b in range(len(bands) - 1):
+                sfv = spec["scalefac_l"][b] if b < 21 else 0
+                pre = _mp3.PRETAB[b] if spec["preflag"] else 0
+                mult[bands[b] : bands[b + 1]] = 2.0 ** (
+                    gain / 4.0 - step * (sfv + pre)
+                )
+            xr = np.sign(is_) * np.abs(is_) ** (4.0 / 3.0) * mult
+            for sbb in range(1, 32):
+                base = 18 * sbb
+                for i in range(8):
+                    lo, hi = base - 1 - i, base + i
+                    a, b2 = xr[lo], xr[hi]
+                    xr[lo] = a * _mp3._CS[i] - b2 * _mp3._CA[i]
+                    xr[hi] = b2 * _mp3._CS[i] + a * _mp3._CA[i]
+            ss = np.zeros((32, 18))
+            for sbb in range(32):
+                x36 = (M @ xr[18 * sbb : 18 * sbb + 18]) * win
+                cur = x36[:18] + overlap[sbb]
+                if sbb & 1:
+                    cur[1::2] = -cur[1::2]
+                ss[sbb] = cur
+                overlap[sbb] = x36[18:]
+            for t in range(18):
+                v_fifo = np.concatenate([N @ ss[:, t], v_fifo[:960]])
+                out = np.zeros(32)
+                for i in range(16):
+                    off = (i >> 1) * 128
+                    seg = v_fifo[off + 96 : off + 128] if i & 1 \
+                        else v_fifo[off : off + 32]
+                    out += seg * D[32 * i : 32 * i + 32]
+                pcm.extend(out.tolist())
+        return np.array(pcm)
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = 1 + d % 2
+                sb = 1 + d % 22
+                specs = [_granule_spec(d, g, sb) for g in range(2 * nf)]
+                planted = [list(s["is"]) for s in specs]
+                blob = _mp3.encode_mp3(
+                    specs, sample_rate=44100, bitrate_kbps=128
+                )
+                out = _mp3.decode_mp3(blob)
+                got = [gr[0] for gr in out["spectra"]]
+                spec_ok = got == planted
+                spec_sum = sum(
+                    v * (i + 1) for g_is in got for i, v in enumerate(g_is)
+                )
+                e = out["subband_energy"]
+                peak = max(range(32), key=lambda s: e[s])
+                ref = _numpy_reference(specs, 44100)
+                pcm = np.array(out["pcm"][0])
+                exact = bool(
+                    spec_ok
+                    and len(pcm) == len(ref)
+                    and np.allclose(pcm, ref, rtol=1e-9, atol=1e-12)
+                )
+                rows.append(
+                    (
+                        d, nf, 2 * nf, out["sample_rate"],
+                        out["n_samples"], sb, spec_sum, peak, exact,
+                    )
+                )
+            out_pdf = pd.DataFrame(rows, columns=cols)
+            for cname in ("n_frames", "n_granules", "sample_rate",
+                          "target_subband", "peak_subband"):
+                out_pdf[cname] = out_pdf[cname].astype("int32")
+            for cname in ("doc_id", "n_samples", "spec_sum"):
+                out_pdf[cname] = out_pdf[cname].astype("int64")
+            yield out_pdf
+
+    return docs.mapInPandas(batches, schema)

@@ -361,6 +361,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # spec's sequence rules; VERDICT r15 task #1) took
     # text_markdown_extract's keeper slot (text_ stays covered by nine
     # held text_ rows; markdown stays local-gated + pytest-pinned).
+    # multimodal_mp3_samples (MP3 Layer-III sample decode through the
+    # from-scratch operators/mp3.py: side-info walk, bit reservoir,
+    # scalefactors, validated Huffman tables with sign bits + count1
+    # quads, requantization, alias butterflies, IMDCT + overlap-add,
+    # polyphase synthesis; integer spectra round-trip exactly and the
+    # float chain dual-derives against a NumPy matrix pipeline; VERDICT
+    # r15 task #5) took multimodal_webp_animation's keeper slot
+    # (animated WebP stays local-gated + pytest-pinned; multimodal_
+    # keeps eleven held rows incl. the VP8 + quality rows).
     # anchors
     "agg_q1_pricing_summary",
     "agg_q9_product_profit",
@@ -405,6 +414,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_ogg_tags",
     # new r16 rows (each in its own round, no-tail principle)
     "lh_iceberg_mor_scan",
+    "multimodal_mp3_samples",
     # multi-green keepers (r14 first-timers double-green after r15 +
     # the three r15 keepers; each slot is first in line for a NEW r16
     # row as it lands)
@@ -412,7 +422,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_tiff_bilevel",
     "lh_external_scan",
     "multimodal_tiff_lzw",
-    "multimodal_webp_animation",
     "text_pii_redact_extended",
     "multimodal_flac_decode",
     "multimodal_tiff_tiled",
