@@ -30,10 +30,10 @@ stream. parse_ogg/_parse_stream stay the strict single-stream and
 chain forms (a second serial mid-link there is a structure error,
 routed to the group parser by the caller).
 
-Honest scope: codec payloads (Opus/Vorbis bitstreams) stay opaque —
-this is the demux layer, the same honesty split as the MP4/MP3
-demuxes. Chained-of-grouped hybrids (a new BOS after all streams'
-EOS) remain unimplemented and raise.
+Honest scope: this is the demux layer; VORBIS payload decode
+(floor1 + residue2 mono PCM) now lives in operators/vorbis.py —
+Opus payloads stay opaque. Chained-of-grouped hybrids (a new BOS
+after all streams' EOS) remain unimplemented and raise.
 """
 
 from __future__ import annotations

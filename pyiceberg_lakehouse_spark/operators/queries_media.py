@@ -4818,3 +4818,202 @@ def multimodal_mp3_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out_pdf
 
     return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_ogg_samples",
+    # Planted Ogg/Vorbis streams per doc (operators/vorbis.py +
+    # operators/ogg.py): real id/comment/setup headers with in-band
+    # codebooks, then audio packets whose floor1 is a single rendered
+    # line (zero-valued partition posts collapse to their predictions,
+    # so the spec's integer Bresenham equals the closed form
+    # m*y0 + sgn*(m*|y1-y0|*x // 128)) and whose residue2 partitions
+    # carry VQ vectors of exact integers ((4e+j)*5 % 16 - 4). The
+    # oracle restates the integer dB curve sum, the post predictions
+    # (render_point), and the position-weighted residue sum
+    # closed-form; the float synthesis (inverse-dB lookup -> IMDCT ->
+    # Vorbis window -> overlap-add) dual-derives in-query against a
+    # NumPy matrix pipeline. Filter modulus 19 residue 6; knobs %3
+    # (packets), %4 (multiplier), %40/%50 (floor line), %3/%8
+    # (residue classes/entries).
+    """
+    with docs as (
+      select doc_id, cast(doc_id as bigint) as d,
+             3 + doc_id % 3 as na,
+             1 + cast(doc_id as bigint) % 4 as m
+      from documents where doc_id % 19 = 6
+    ),
+    grans as (
+      select doc_id, d, na, m, cast(u.g as bigint) as g,
+             20 + (d + u.g) % 40 as y0,
+             10 + (d + u.g) % 50 as y1
+      from docs, unnest(generate_series(0, na - 1)) u(g)
+    ),
+    fl as (
+      select doc_id,
+             sum(least(255, m*y0
+                 + (case when y1 < y0 then -1 else 1 end)
+                   * ((m * abs(y1 - y0) * x) // 128))) as s
+      from grans, unnest(generate_series(0, 127)) xx(x)
+      group by doc_id
+    ),
+    posts as (
+      select doc_id,
+             sum(3*y0 + y1
+                 + (case when y1 < y0 then -1 else 1 end)
+                   * ((abs(y1 - y0) * 32) // 128)
+                 + (case when y1 < y0 then -1 else 1 end)
+                   * ((abs(y1 - y0) * 96) // 128)) as s
+      from grans
+      group by doc_id
+    ),
+    res as (
+      select doc_id,
+             sum(case when (d + g + p) % 3 = 0 then
+                 (((4 * (case when k = 0 then (d + g + p) % 8
+                          else (d + g + p + 3) % 8 end) + j) * 5) % 16
+                  - 4) * (8*p + 4*k + j + 1)
+                 else 0 end) as s
+      from grans,
+           unnest(generate_series(0, 15)) pp(p),
+           unnest(generate_series(0, 1)) kk(k),
+           unnest(generate_series(0, 3)) jj(j)
+      group by doc_id
+    )
+    select docs.doc_id,
+           cast(na as integer) as n_audio_packets,
+           cast((na - 1) * 128 as bigint) as n_samples,
+           cast(256 as integer) as blocksize,
+           cast(m as integer) as multiplier,
+           cast(fl.s as bigint) as floor_db_sum,
+           cast(posts.s as bigint) as post_sum,
+           cast(res.s as bigint) as residue_wsum,
+           true as exact_match
+    from docs join fl using (doc_id) join posts using (doc_id)
+         join res using (doc_id)
+    """,
+)
+def multimodal_ogg_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vorbis PCM decode (VERDICT r15 task #8, operators/vorbis.py):
+    per doc, build a genuine Ogg/Vorbis stream — identification +
+    comment + setup headers carrying real codebooks (canonical
+    codeword assignment, VQ lookup type 2 with float32-packed
+    min/delta), then audio packets with floor1 posts and residue2
+    partition data — mux it through the engine's own Ogg layer, demux
+    and decode through the full chain: codebook Huffman decode, floor1
+    amplitude prediction + integer Bresenham curve, residue2 classword
+    + cascade decode, inverse-dB lookup, IMDCT, Vorbis window,
+    overlap-add. Integer features (dB curve sum, render_point post
+    predictions, position-weighted residue sum) restate closed-form in
+    the oracle; exact_match dual-derives the float synthesis against an
+    independent NumPy matrix pipeline. Arrow-batched mapInPandas,
+    map-only."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import vorbis as _vorbis
+    from pyiceberg_lakehouse_spark.operators.ogg import make_ogg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 19 == 6)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_audio_packets", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("blocksize", T.IntegerType()),
+            T.StructField("multiplier", T.IntegerType()),
+            T.StructField("floor_db_sum", T.LongType()),
+            T.StructField("post_sum", T.LongType()),
+            T.StructField("residue_wsum", T.LongType()),
+            T.StructField("exact_match", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def _audio_spec(d: int, g: int) -> dict:
+        classes = [1 if (d + g + p) % 3 == 0 else 0 for p in range(16)]
+        entries = [
+            ([(d + g + p) % 8, (d + g + p + 3) % 8] if c else [])
+            for p, c in enumerate(classes)
+        ]
+        return {"y0": 20 + (d + g) % 40, "y1": 10 + (d + g) % 50,
+                "classes": classes, "entries": entries}
+
+    def _numpy_reference(specs, m, n=256):
+        n2 = n // 2
+        table = np.array(_vorbis.FLOOR1_INVERSE_DB)
+        J, K = np.meshgrid(np.arange(n), np.arange(n2), indexing="ij")
+        M = np.cos(np.pi / (2.0 * n) * (2 * J + 1 + n2) * (2 * K + 1))
+        win = np.sin(
+            0.5 * np.pi
+            * np.sin(np.pi / n * (np.arange(n) + 0.5)) ** 2
+        )
+        prev = None
+        pcm = []
+        x = np.arange(n2)
+        for spec in specs:
+            y0, y1 = spec["y0"], spec["y1"]
+            sgn = -1 if y1 < y0 else 1
+            curve = np.minimum(
+                255, m * y0 + sgn * ((m * abs(y1 - y0) * x) // 128)
+            )
+            res = np.zeros(n2)
+            for p, c in enumerate(spec["classes"]):
+                if not c:
+                    continue
+                for k, e in enumerate(spec["entries"][p]):
+                    for j in range(4):
+                        res[8 * p + 4 * k + j] = ((4 * e + j) * 5) % 16 - 4
+            y = (M @ (table[curve] * res)) * win
+            if prev is not None:
+                pcm.extend((prev + y[:n2]).tolist())
+            prev = y[n2:]
+        return np.array(pcm)
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                na = 3 + d % 3
+                m = 1 + d % 4
+                specs = [_audio_spec(d, g) for g in range(na)]
+                packets = _vorbis.encode_vorbis_fixture(
+                    specs, rate=8000, multiplier=m
+                )
+                out = _vorbis.decode_ogg_vorbis(make_ogg(packets))
+                floor_db_sum = sum(sum(c) for c in out["floor_db"])
+                post_sum = sum(sum(fp) for fp in out["floors"])
+                residue_wsum = 0
+                for res in out["residues"]:
+                    for i, v in enumerate(res):
+                        iv = int(v)
+                        assert iv == v, "residue values must be integer"
+                        residue_wsum += iv * (i + 1)
+                ref = _numpy_reference(specs, m)
+                pcm = np.array(out["pcm"])
+                exact = bool(
+                    len(pcm) == len(ref)
+                    and np.allclose(pcm, ref, rtol=1e-9, atol=1e-12)
+                )
+                rows.append(
+                    (
+                        d, na, out["n_samples"], out["blocksize"], m,
+                        floor_db_sum, post_sum, residue_wsum, exact,
+                    )
+                )
+            out_pdf = pd.DataFrame(rows, columns=cols)
+            for cname in ("n_audio_packets", "blocksize", "multiplier"):
+                out_pdf[cname] = out_pdf[cname].astype("int32")
+            for cname in ("doc_id", "n_samples", "floor_db_sum",
+                          "post_sum", "residue_wsum"):
+                out_pdf[cname] = out_pdf[cname].astype("int64")
+            yield out_pdf
+
+    return docs.mapInPandas(batches, schema)

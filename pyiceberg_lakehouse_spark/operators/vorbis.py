@@ -1,0 +1,933 @@
+"""Vorbis I audio decode (floor1 + residue2, mono) and a fixture
+encoder, pure Python, from the public Vorbis I specification.
+
+Unlike MP3, Vorbis carries its Huffman codebooks and VQ tables IN the
+setup header, so there is no spec-table transcription risk: everything
+structural here is exact-spec —
+
+- LSB-first bitpacking (the Vorbis convention, opposite of MPEG);
+- codebook decode: the spec's canonical codeword assignment ("lowest
+  available value in entry order"), ordered and sparse length lists,
+  VQ lookup types 0/1/2 with float32_unpack and sequence_p;
+- floor type 1: class/partition config, post decode through the class
+  master/subclass books, the low/high-neighbor + render_point
+  amplitude prediction with the spec's room logic, and the INTEGER
+  Bresenham render_line curve synthesis (§7.2.4) — integer-exact, so
+  planted floors restate closed-form;
+- residue type 2: classword decode via the classbook, multi-pass
+  cascade bitmaps, format-1 vector adds (mono: the §8.6.2 interleave
+  is the identity);
+- inverse MDCT (closed-form cosine basis), the Vorbis window
+  sin(pi/2 * sin^2(...)), and right/left overlap-add.
+
+The one piece of pure table data, floor1_inverse_dB_table, is
+computed from the geometric curve 10^((i-255)*7/256) at float64. The
+published float32 table follows this curve to about 1e-6 relative
+(step ratio 10^(7/256) matches its adjacent published entries
+exactly; the absolute anchor may differ in the 7th digit — no copy
+exists on this box to settle it, so the small deviation is documented
+rather than guessed). It affects only float amplitudes; decoded
+INTEGER quantities (floor posts, the rendered dB curve, residue VQ
+integer vectors) are exact-spec regardless, and fixture
+encode->decode is self-consistent by construction.
+
+Scope gates (messageful NotImplementedError, the vp8.py pattern):
+stereo coupling, floor0, residue types 0/1, two-blocksize streams
+(window transitions), lookup-type-1 sequence_p. No Vorbis decoder or
+sample file exists on this box, so validation is fixture
+encode->decode plus the spec pins above — the MP3/VP8 posture.
+
+Reference parity: the reference treats audio as opaque blobs; this
+adds the decode layer podcast-format audio curation needs
+(operators/ogg.py demuxes the transport; this decodes the packets).
+"""
+
+from __future__ import annotations
+
+import math
+
+# ------------------------------------------------------- lsb bitpacking --
+
+
+class LsbBits:
+    """LSB-first bit reader (Vorbis bitpack convention)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        pos = self.pos
+        if pos + n > 8 * len(self.data):
+            raise ValueError("vorbis: bit read past the packet end")
+        out = 0
+        for i in range(n):
+            out |= ((self.data[pos >> 3] >> (pos & 7)) & 1) << i
+            pos += 1
+        self.pos = pos
+        return out
+
+    def read1(self) -> int:
+        pos = self.pos
+        if pos >= 8 * len(self.data):
+            raise ValueError("vorbis: bit read past the packet end")
+        self.pos = pos + 1
+        return (self.data[pos >> 3] >> (pos & 7)) & 1
+
+
+class LsbWriter:
+    __slots__ = ("bits",)
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            self.bits.append((value >> i) & 1)
+
+    def to_bytes(self) -> bytes:
+        out = bytearray()
+        acc = 0
+        for i, b in enumerate(self.bits):
+            acc |= b << (i & 7)
+            if (i & 7) == 7:
+                out.append(acc)
+                acc = 0
+        if len(self.bits) & 7:
+            out.append(acc)
+        return bytes(out)
+
+
+def ilog(x: int) -> int:
+    """Spec ilog: position of the highest set bit (ilog(0) = 0)."""
+    n = 0
+    while x > 0:
+        n += 1
+        x >>= 1
+    return n
+
+
+def float32_unpack(x: int) -> float:
+    """Vorbis packed float: 21-bit mantissa, 10-bit exponent, sign."""
+    mant = x & 0x1FFFFF
+    exp = (x >> 21) & 0x3FF
+    if x & 0x80000000:
+        mant = -mant
+    return mant * (2.0 ** (exp - 788))
+
+
+def float32_pack(mant: int, exp_bias: int = 788) -> int:
+    """Fixture-side inverse for exactly-representable values:
+    value = mant * 2^(exp-788) with exp chosen as 788 (2^0)."""
+    if not -0x1FFFFF <= mant <= 0x1FFFFF:
+        raise ValueError("mantissa out of the 21-bit range")
+    sign = 0x80000000 if mant < 0 else 0
+    return sign | (exp_bias << 21) | abs(mant)
+
+
+# ------------------------------------------------------------ codebooks --
+
+
+def assign_codewords(lengths: list[int]) -> list[int | None]:
+    """The spec §3.2.1 canonical assignment: each entry receives the
+    LOWEST-valued available codeword of its length, in entry order
+    (length 0 = unused entry). Returns codeword values (None for
+    unused); raises on an overspecified tree."""
+    # free subtrees as (value-as-fraction ordering) list of (code, len)
+    free: list[tuple[int, int]] = [(0, 0)]
+    out: list[int | None] = []
+
+    def sort_key(node):
+        code, ln = node
+        return code << (32 - ln)
+
+    for ln in lengths:
+        if ln == 0:
+            out.append(None)
+            continue
+        pick = None
+        for idx, (c, lf) in enumerate(free):
+            if lf <= ln:
+                pick = idx
+                break
+        if pick is None:
+            raise ValueError("vorbis: overspecified codebook")
+        c, lf = free.pop(pick)
+        # descend leftmost to depth ln, freeing right siblings
+        for k in range(1, ln - lf + 1):
+            free.append(((c << k) | 1, lf + k))
+        free.sort(key=sort_key)
+        out.append(c << (ln - lf))
+    return out
+
+
+class Codebook:
+    def __init__(self, dim, entries, lengths, lookup):
+        self.dim = dim
+        self.entries = entries
+        self.lengths = lengths
+        codes = assign_codewords(lengths)
+        self.decode_map = {}
+        for e, (ln, code) in enumerate(zip(lengths, codes)):
+            if code is not None:
+                self.decode_map[(ln, code)] = e
+        self.encode_map = {
+            e: (lengths[e], codes[e])
+            for e in range(entries) if codes[e] is not None
+        }
+        self.lookup = lookup  # None or dict -> VQ values per entry
+        self.vq = None
+        if lookup is not None:
+            self.vq = [self._vq_entry(e, lookup) for e in range(entries)]
+
+    def _vq_entry(self, e, lk):
+        mult = lk["multiplicands"]
+        mini, delta = lk["minimum"], lk["delta"]
+        out = []
+        if lk["type"] == 1:
+            lv = lk["lookup_values"]
+            last = 0.0
+            idx_div = 1
+            for _j in range(self.dim):
+                off = (e // idx_div) % lv
+                v = mini + delta * mult[off] + last
+                if lk["sequence_p"]:
+                    last = v
+                out.append(v)
+                idx_div *= lv
+        else:
+            last = 0.0
+            for j in range(self.dim):
+                v = mini + delta * mult[e * self.dim + j] + last
+                if lk["sequence_p"]:
+                    last = v
+                out.append(v)
+        return out
+
+    def decode_scalar(self, bits: LsbBits) -> int:
+        # codewords transmit root-first: the first bit read is the top
+        # of the canonical code, one stream bit per tree level
+        code = 0
+        for ln in range(1, 33):
+            code = (code << 1) | bits.read1()
+            hit = self.decode_map.get((ln, code))
+            if hit is not None:
+                return hit
+        raise ValueError("vorbis: invalid codeword")
+
+    def decode_vq(self, bits: LsbBits) -> list[float]:
+        if self.vq is None:
+            raise ValueError("vorbis: scalar codebook used in VQ context")
+        return self.vq[self.decode_scalar(bits)]
+
+    def encode_scalar(self, w: LsbWriter, e: int) -> None:
+        ln, code = self.encode_map[e]
+        for i in range(ln - 1, -1, -1):  # root (MSB) first
+            w.write((code >> i) & 1, 1)
+
+
+def read_codebook(bits: LsbBits) -> Codebook:
+    if bits.read(24) != 0x564342:  # 'BCV' little-endian
+        raise ValueError("vorbis: codebook sync pattern missing")
+    dim = bits.read(16)
+    entries = bits.read(24)
+    ordered = bits.read1()
+    lengths = []
+    if ordered:
+        cur_len = bits.read(5) + 1
+        n = 0
+        while n < entries:
+            count = bits.read(ilog(entries - n))
+            lengths.extend([cur_len] * count)
+            n += count
+            cur_len += 1
+        if n != entries:
+            raise ValueError("vorbis: ordered length list overran")
+    else:
+        sparse = bits.read1()
+        for _ in range(entries):
+            if sparse and not bits.read1():
+                lengths.append(0)
+            else:
+                lengths.append(bits.read(5) + 1)
+    lookup_type = bits.read(4)
+    lookup = None
+    if lookup_type in (1, 2):
+        minimum = float32_unpack(bits.read(32))
+        delta = float32_unpack(bits.read(32))
+        value_bits = bits.read(4) + 1
+        sequence_p = bits.read1()
+        if lookup_type == 1:
+            lv = 0
+            while (lv + 1) ** dim <= entries:
+                lv += 1
+            n_mult = lv
+        else:
+            lv = 0
+            n_mult = entries * dim
+        mult = [bits.read(value_bits) for _ in range(n_mult)]
+        if lookup_type == 1 and sequence_p:
+            raise NotImplementedError(
+                "vorbis: lookup-type-1 sequence_p (no fixture coverage)"
+            )
+        lookup = {
+            "type": lookup_type, "minimum": minimum, "delta": delta,
+            "sequence_p": sequence_p, "multiplicands": mult,
+            "lookup_values": lv,
+        }
+    elif lookup_type != 0:
+        raise ValueError(f"vorbis: reserved lookup type {lookup_type}")
+    return Codebook(dim, entries, lengths, lookup)
+
+
+def write_codebook(w: LsbWriter, dim: int, lengths: list[int],
+                   lookup: dict | None = None) -> None:
+    """Fixture-side codebook writer (unordered, non-sparse unless a
+    length is 0)."""
+    w.write(0x564342, 24)
+    w.write(dim, 16)
+    w.write(len(lengths), 24)
+    w.write(0, 1)  # not ordered
+    sparse = 1 if any(ln == 0 for ln in lengths) else 0
+    w.write(sparse, 1)
+    for ln in lengths:
+        if sparse:
+            w.write(1 if ln else 0, 1)
+            if not ln:
+                continue
+        w.write(ln - 1, 5)
+    if lookup is None:
+        w.write(0, 4)
+        return
+    w.write(lookup["type"], 4)
+    w.write(float32_pack(lookup["minimum_mant"]), 32)
+    w.write(float32_pack(lookup["delta_mant"]), 32)
+    vb = lookup["value_bits"]
+    w.write(vb - 1, 4)
+    w.write(lookup.get("sequence_p", 0), 1)
+    for m in lookup["multiplicands"]:
+        if not 0 <= m < (1 << vb):
+            raise ValueError("multiplicand out of value_bits range")
+        w.write(m, vb)
+
+
+# --------------------------------------------------------------- floor1 --
+
+_FLOOR1_RANGES = (256, 128, 86, 64)
+# the spec's floor1_inverse_dB_table follows this geometric curve to
+# ~1e-6 relative (see the module docstring's honesty note)
+FLOOR1_INVERSE_DB = tuple(
+    10.0 ** ((i - 255) * 7.0 / 256.0) for i in range(256)
+)
+
+
+def _low_neighbor(v, x):
+    best, bi = None, -1
+    for n in range(x):
+        if v[n] < v[x] and (best is None or v[n] > best):
+            best, bi = v[n], n
+    return bi
+
+
+def _high_neighbor(v, x):
+    best, bi = None, -1
+    for n in range(x):
+        if v[n] > v[x] and (best is None or v[n] < best):
+            best, bi = v[n], n
+    return bi
+
+
+def render_point(x0, y0, x1, y1, X) -> int:
+    dy = y1 - y0
+    adx = x1 - x0
+    err = abs(dy) * (X - x0)
+    off = err // adx
+    return y0 - off if dy < 0 else y0 + off
+
+
+def render_line(x0, y0, x1, y1, v) -> None:
+    """Integer Bresenham (spec §7.2.4): writes v[x0..x1-1]."""
+    dy = y1 - y0
+    adx = x1 - x0
+    base = int(dy / adx)  # truncate toward zero, like the spec
+    sy = base - 1 if dy < 0 else base + 1
+    ady = abs(dy) - abs(base) * adx
+    x, y, err = x0, y0, 0
+    v[x0] = y
+    for x in range(x0 + 1, x1):
+        err += ady
+        if err >= adx:
+            err -= adx
+            y += sy
+        else:
+            y += base
+        v[x] = y
+
+
+def read_floor1_config(bits: LsbBits) -> dict:
+    partitions = bits.read(5)
+    class_list = [bits.read(4) for _ in range(partitions)]
+    maxc = max(class_list) if class_list else -1
+    classes = []
+    for _c in range(maxc + 1):
+        dim = bits.read(3) + 1
+        subs = bits.read(2)
+        master = bits.read(8) if subs else -1
+        books = [bits.read(8) - 1 for _ in range(1 << subs)]
+        classes.append(
+            {"dim": dim, "subclasses": subs, "masterbook": master,
+             "books": books}
+        )
+    multiplier = bits.read(2) + 1
+    rangebits = bits.read(4)
+    xs = [0, 1 << rangebits]
+    for c in class_list:
+        for _ in range(classes[c]["dim"]):
+            xs.append(bits.read(rangebits))
+    if len(set(xs)) != len(xs):
+        raise ValueError("vorbis: floor1 X values must be unique")
+    return {
+        "partitions": partitions, "class_list": class_list,
+        "classes": classes, "multiplier": multiplier,
+        "rangebits": rangebits, "xs": xs,
+    }
+
+
+def write_floor1_config(w: LsbWriter, cfg: dict) -> None:
+    w.write(cfg["partitions"], 5)
+    for c in cfg["class_list"]:
+        w.write(c, 4)
+    for cl in cfg["classes"]:
+        w.write(cl["dim"] - 1, 3)
+        w.write(cl["subclasses"], 2)
+        if cl["subclasses"]:
+            w.write(cl["masterbook"], 8)
+        for b in cl["books"]:
+            w.write(b + 1, 8)
+    w.write(cfg["multiplier"] - 1, 2)
+    w.write(cfg["rangebits"], 4)
+    for x in cfg["xs"][2:]:
+        w.write(x, cfg["rangebits"])
+
+
+def decode_floor1(bits: LsbBits, cfg: dict, books: list[Codebook],
+                  n2: int) -> tuple[list[int] | None, list[int] | None]:
+    """-> (final_Y posts in X-list order, integer dB curve[n2]) or
+    (None, None) for an unused (silent) channel."""
+    if not bits.read1():
+        return None, None
+    rng = _FLOOR1_RANGES[cfg["multiplier"] - 1]
+    xs = cfg["xs"]
+    posts = len(xs)
+    y = [0] * posts
+    b = ilog(rng - 1)
+    y[0] = bits.read(b)
+    y[1] = bits.read(b)
+    offset = 2
+    for c in cfg["class_list"]:
+        cl = cfg["classes"][c]
+        cbits = cl["subclasses"]
+        csub = (1 << cbits) - 1
+        cval = 0
+        if cbits:
+            cval = books[cl["masterbook"]].decode_scalar(bits)
+        for _j in range(cl["dim"]):
+            book = cl["books"][cval & csub]
+            cval >>= cbits
+            y[offset] = books[book].decode_scalar(bits) if book >= 0 \
+                else 0
+            offset += 1
+    # amplitude synthesis (step 1)
+    step2 = [False] * posts
+    step2[0] = step2[1] = True
+    final = [0] * posts
+    final[0], final[1] = y[0], y[1]
+    for i in range(2, posts):
+        lo = _low_neighbor(xs, i)
+        hi = _high_neighbor(xs, i)
+        pred = render_point(xs[lo], final[lo], xs[hi], final[hi], xs[i])
+        val = y[i]
+        highroom = rng - pred
+        lowroom = pred
+        room = 2 * min(highroom, lowroom)
+        if val:
+            step2[lo] = step2[hi] = step2[i] = True
+            if val >= room:
+                final[i] = (val - lowroom + pred if highroom > lowroom
+                            else pred - (val - highroom) - 1)
+            elif val % 2:
+                final[i] = pred - (val + 1) // 2
+            else:
+                final[i] = pred + val // 2
+        else:
+            step2[i] = False
+            final[i] = pred
+        final[i] = max(0, min(rng - 1, final[i]))
+    # curve synthesis (step 2)
+    order = sorted(range(posts), key=lambda i: xs[i])
+    mult = cfg["multiplier"]
+    curve = [0] * n2
+    lx, ly = 0, final[order[0]] * mult
+    hx = 0
+    hy = ly
+    for i in order[1:]:
+        if not step2[i]:
+            continue
+        hx, hy = xs[i], final[i] * mult
+        render_line(lx, ly, min(hx, n2), hy, curve) if lx < n2 else None
+        lx, ly = hx, hy
+    if hx < n2:
+        for x in range(hx, n2):
+            curve[x] = hy
+    curve = [min(v, 255) for v in curve]
+    return final, curve
+
+
+def encode_floor1(w: LsbWriter, cfg: dict, books: list[Codebook],
+                  y: list[int]) -> None:
+    """Fixture-side: writes the post values ``y`` (in X-list order)
+    verbatim; the decoder's prediction logic reconstructs them when
+    each post is coded as its raw codeword via a subclasses=0 class
+    whose single book covers the value range... to keep the planted
+    posts EXACT the fixture plants only y[0], y[1] and zero partition
+    posts (val=0 -> predicted points on the y0-y1 line)."""
+    w.write(1, 1)  # nonzero
+    rng = _FLOOR1_RANGES[cfg["multiplier"] - 1]
+    b = ilog(rng - 1)
+    w.write(y[0], b)
+    w.write(y[1], b)
+    offset = 2
+    for c in cfg["class_list"]:
+        cl = cfg["classes"][c]
+        if cl["subclasses"]:
+            raise NotImplementedError("fixture floors use subclasses=0")
+        book = cl["books"][0]
+        for _j in range(cl["dim"]):
+            if book >= 0:
+                books[book].encode_scalar(w, y[offset])
+            elif y[offset]:
+                raise ValueError("unused-book post must be zero")
+            offset += 1
+
+
+# -------------------------------------------------------------- residue2 --
+
+
+def read_residue_config(bits: LsbBits) -> dict:
+    begin = bits.read(24)
+    end = bits.read(24)
+    psize = bits.read(24) + 1
+    classifications = bits.read(6) + 1
+    classbook = bits.read(8)
+    cascade = []
+    for _ in range(classifications):
+        low = bits.read(3)
+        high = bits.read(5) if bits.read1() else 0
+        cascade.append((high << 3) | low)
+    books = []
+    for c in range(classifications):
+        row = []
+        for p in range(8):
+            row.append(bits.read(8) if cascade[c] & (1 << p) else -1)
+        books.append(row)
+    return {
+        "begin": begin, "end": end, "partition_size": psize,
+        "classifications": classifications, "classbook": classbook,
+        "cascade": cascade, "books": books,
+    }
+
+
+def write_residue_config(w: LsbWriter, cfg: dict) -> None:
+    w.write(cfg["begin"], 24)
+    w.write(cfg["end"], 24)
+    w.write(cfg["partition_size"] - 1, 24)
+    w.write(cfg["classifications"] - 1, 6)
+    w.write(cfg["classbook"], 8)
+    for c in cfg["cascade"]:
+        w.write(c & 7, 3)
+        if c >> 3:
+            w.write(1, 1)
+            w.write(c >> 3, 5)
+        else:
+            w.write(0, 1)
+    for c in range(cfg["classifications"]):
+        for p in range(8):
+            if cfg["cascade"][c] & (1 << p):
+                w.write(cfg["books"][c][p], 8)
+
+
+def decode_residue2_mono(bits: LsbBits, cfg: dict,
+                         books: list[Codebook], n2: int) -> list[float]:
+    """Residue type 2 over one channel (the §8.6.2 interleave is the
+    identity for mono): multi-pass format-1 partition decode."""
+    v = [0.0] * n2
+    begin, end = cfg["begin"], min(cfg["end"], n2)
+    if begin >= end:
+        return v
+    psize = cfg["partition_size"]
+    ptr = (end - begin) // psize
+    classbook = books[cfg["classbook"]]
+    cw = classbook.dim
+    classifs = [0] * (ptr + cw)
+    max_pass = max(
+        (p for c in cfg["cascade"] for p in range(8) if c & (1 << p)),
+        default=-1,
+    )
+    for pas in range(max_pass + 1):
+        pc = 0
+        while pc < ptr:
+            if pas == 0:
+                temp = classbook.decode_scalar(bits)
+                for i in range(cw - 1, -1, -1):
+                    classifs[pc + i] = temp % cfg["classifications"]
+                    temp //= cfg["classifications"]
+            for _i in range(cw):
+                if pc >= ptr:
+                    break
+                vq = classifs[pc]
+                if cfg["cascade"][vq] & (1 << pas):
+                    book = books[cfg["books"][vq][pas]]
+                    off = begin + pc * psize
+                    i = 0
+                    while i < psize:
+                        for val in book.decode_vq(bits):
+                            v[off + i] += val
+                            i += 1
+                pc += 1
+    return v
+
+
+def encode_residue2_mono(w: LsbWriter, cfg: dict, books: list[Codebook],
+                         classes: list[int],
+                         entries: list[list[int]]) -> None:
+    """Fixture-side single-pass residue writer: ``classes[p]`` per
+    partition, ``entries[p]`` the VQ entry numbers whose vectors fill
+    partition p (for cascade-bit-0 classes pass an empty list)."""
+    psize = cfg["partition_size"]
+    classbook = books[cfg["classbook"]]
+    cw = classbook.dim
+    ptr = len(classes)
+    pc = 0
+    while pc < ptr:
+        group = classes[pc : pc + cw]
+        if len(group) < cw:
+            group = group + [0] * (cw - len(group))
+        temp = 0
+        for cls in group:
+            temp = temp * cfg["classifications"] + cls
+        classbook.encode_scalar(w, temp)
+        for _i in range(cw):
+            if pc >= ptr:
+                break
+            vq = classes[pc]
+            if cfg["cascade"][vq] & 1:
+                book = books[cfg["books"][vq][0]]
+                need = psize // book.dim
+                if len(entries[pc]) != need:
+                    raise ValueError("partition entry count mismatch")
+                for e in entries[pc]:
+                    book.encode_scalar(w, e)
+            pc += 1
+
+
+# --------------------------------------------------------------- headers --
+
+
+def _expect_header(bits: LsbBits, kind: int) -> None:
+    if bits.read(8) != kind:
+        raise ValueError(f"vorbis: expected header packet type {kind}")
+    if bytes(bits.read(8) for _ in range(6)) != b"vorbis":
+        raise ValueError("vorbis: header magic missing")
+
+
+def read_id_header(packet: bytes) -> dict:
+    bits = LsbBits(packet)
+    _expect_header(bits, 1)
+    if bits.read(32) != 0:
+        raise ValueError("vorbis: unknown stream version")
+    nch = bits.read(8)
+    rate = bits.read(32)
+    br_max, br_nom, br_min = bits.read(32), bits.read(32), bits.read(32)
+    bs0 = 1 << bits.read(4)
+    bs1 = 1 << bits.read(4)
+    if not bits.read1():
+        raise ValueError("vorbis: id header framing bit unset")
+    if bs0 > bs1 or not 64 <= bs0 <= 8192:
+        raise ValueError("vorbis: invalid blocksizes")
+    return {"channels": nch, "rate": rate, "blocksize0": bs0,
+            "blocksize1": bs1, "bitrate_nominal": br_nom,
+            "bitrate_max": br_max, "bitrate_min": br_min}
+
+
+def write_id_header(nch: int, rate: int, bs: int) -> bytes:
+    w = LsbWriter()
+    w.write(1, 8)
+    for b in b"vorbis":
+        w.write(b, 8)
+    w.write(0, 32)
+    w.write(nch, 8)
+    w.write(rate, 32)
+    for _ in range(3):
+        w.write(0, 32)
+    exp = bs.bit_length() - 1
+    w.write(exp, 4)
+    w.write(exp, 4)
+    w.write(1, 1)
+    return w.to_bytes()
+
+
+def read_setup_header(packet: bytes, nch: int) -> dict:
+    bits = LsbBits(packet)
+    _expect_header(bits, 5)
+    books = [read_codebook(bits) for _ in range(bits.read(8) + 1)]
+    for _ in range(bits.read(6) + 1):  # time domain transforms (stubs)
+        if bits.read(16) != 0:
+            raise ValueError("vorbis: nonzero time transform type")
+    floors = []
+    for _ in range(bits.read(6) + 1):
+        ftype = bits.read(16)
+        if ftype != 1:
+            raise NotImplementedError(f"vorbis: floor type {ftype}")
+        floors.append(read_floor1_config(bits))
+    residues = []
+    for _ in range(bits.read(6) + 1):
+        rtype = bits.read(16)
+        if rtype != 2:
+            raise NotImplementedError(f"vorbis: residue type {rtype}")
+        residues.append(read_residue_config(bits))
+    mappings = []
+    for _ in range(bits.read(6) + 1):
+        mtype = bits.read(16)
+        if mtype != 0:
+            raise ValueError(f"vorbis: reserved mapping type {mtype}")
+        submaps = bits.read(4) + 1 if bits.read1() else 1
+        if bits.read1():
+            raise NotImplementedError("vorbis: channel coupling")
+        if bits.read(2):
+            raise ValueError("vorbis: reserved mapping bits set")
+        mux = [bits.read(4) for _ in range(nch)] if submaps > 1 \
+            else [0] * nch
+        sm = []
+        for _s in range(submaps):
+            bits.read(8)  # unused time config
+            sm.append({"floor": bits.read(8), "residue": bits.read(8)})
+        mappings.append({"submaps": sm, "mux": mux})
+    modes = []
+    for _ in range(bits.read(6) + 1):
+        blockflag = bits.read1()
+        if bits.read(16) or bits.read(16):
+            raise ValueError("vorbis: reserved mode window/transform")
+        modes.append({"blockflag": blockflag, "mapping": bits.read(8)})
+    if not bits.read1():
+        raise ValueError("vorbis: setup framing bit unset")
+    return {"books": books, "floors": floors, "residues": residues,
+            "mappings": mappings, "modes": modes}
+
+
+def write_setup_header(book_writers: list, floor_cfg: dict,
+                       residue_cfg: dict) -> bytes:
+    """Fixture setup header: N codebooks, one floor1, one residue2,
+    one mapping, one blockflag-0 mode."""
+    w = LsbWriter()
+    w.write(5, 8)
+    for b in b"vorbis":
+        w.write(b, 8)
+    w.write(len(book_writers) - 1, 8)
+    for bw in book_writers:
+        write_codebook(w, **bw)
+    w.write(0, 6)
+    w.write(0, 16)  # one time transform, type 0
+    w.write(0, 6)
+    w.write(1, 16)  # one floor, type 1
+    write_floor1_config(w, floor_cfg)
+    w.write(0, 6)
+    w.write(2, 16)  # one residue, type 2
+    write_residue_config(w, residue_cfg)
+    w.write(0, 6)
+    w.write(0, 16)  # one mapping, type 0
+    w.write(0, 1)   # one submap
+    w.write(0, 1)   # no coupling
+    w.write(0, 2)
+    w.write(0, 8)   # time placeholder
+    w.write(0, 8)   # floor 0
+    w.write(0, 8)   # residue 0
+    w.write(0, 6)
+    w.write(0, 1)   # one mode, blockflag 0
+    w.write(0, 16)
+    w.write(0, 16)
+    w.write(0, 8)
+    w.write(1, 1)   # framing
+    return w.to_bytes()
+
+
+# ------------------------------------------------------------ transform --
+
+
+def vorbis_window(n: int) -> list[float]:
+    return [
+        math.sin(0.5 * math.pi
+                 * math.sin(math.pi / n * (i + 0.5)) ** 2)
+        for i in range(n)
+    ]
+
+
+def imdct(X: list[float], n: int) -> list[float]:
+    """Inverse MDCT, spec phase: y[j] = sum_k X[k] cos(pi/(2n)
+    (2j+1+n/2)(2k+1))."""
+    n2 = n // 2
+    return [
+        sum(
+            X[k] * math.cos(math.pi / (2.0 * n)
+                            * (2 * j + 1 + n2) * (2 * k + 1))
+            for k in range(n2)
+        )
+        for j in range(n)
+    ]
+
+
+def decode_vorbis(packets: list[bytes]) -> dict:
+    """[id, comment, setup, audio...] packets -> {rate, channels,
+    blocksize, n_samples, pcm, floors: [per packet final_Y or None],
+    floor_db: [per packet curve], residues: [per packet vector]}."""
+    if len(packets) < 3:
+        raise ValueError("vorbis: need id/comment/setup packets")
+    ident = read_id_header(packets[0])
+    if ident["channels"] != 1:
+        raise NotImplementedError("vorbis: mono decode only (coupling)")
+    if ident["blocksize0"] != ident["blocksize1"]:
+        raise NotImplementedError(
+            "vorbis: two-blocksize streams (window transitions)"
+        )
+    cbits = LsbBits(packets[1])
+    if cbits.read(8) != 3:
+        raise ValueError("vorbis: comment header missing")
+    setup = read_setup_header(packets[2], 1)
+    n = ident["blocksize0"]
+    n2 = n // 2
+    win = vorbis_window(n)
+    mode_bits = ilog(len(setup["modes"]) - 1)
+    prev_right: list[float] | None = None
+    pcm: list[float] = []
+    floors, curves, residues = [], [], []
+    for pkt in packets[3:]:
+        bits = LsbBits(pkt)
+        if bits.read1():
+            raise ValueError("vorbis: non-audio packet in the body")
+        mode = setup["modes"][bits.read(mode_bits) if mode_bits else 0]
+        if mode["blockflag"]:
+            bits.read(2)  # prev/next window flags (equal sizes: unused)
+        mapping = setup["mappings"][mode["mapping"]]
+        sm = mapping["submaps"][0]
+        fl_cfg = setup["floors"][sm["floor"]]
+        rs_cfg = setup["residues"][sm["residue"]]
+        final_y, curve = decode_floor1(bits, fl_cfg, setup["books"], n2)
+        res = decode_residue2_mono(bits, rs_cfg, setup["books"], n2)
+        floors.append(final_y)
+        curves.append(curve)
+        residues.append(res)
+        if final_y is None:
+            spectrum = [0.0] * n2
+        else:
+            spectrum = [
+                FLOOR1_INVERSE_DB[curve[i]] * res[i] for i in range(n2)
+            ]
+        y = imdct(spectrum, n)
+        y = [y[i] * win[i] for i in range(n)]
+        if prev_right is not None:
+            pcm.extend(prev_right[i] + y[i] for i in range(n2))
+        prev_right = y[n2:]
+    return {
+        "rate": ident["rate"], "channels": 1, "blocksize": n,
+        "n_samples": len(pcm), "pcm": pcm, "floors": floors,
+        "floor_db": curves, "residues": residues,
+    }
+
+
+# ------------------------------------------------- fixture profile/encode --
+
+# the driver fixture's VQ geometry: a dim-4 lookup-type-2 book whose
+# values are the integers (i*5) % 16 - 4 (exact in float64)
+_FIX_MULT = tuple((i * 5) % 16 for i in range(32))
+
+
+def fixture_books(rng: int) -> list[dict]:
+    """write_codebook kwargs for the three fixture books: residue
+    classbook (dim 2 over 2 classes), the VQ book, the floor post
+    book."""
+    del rng
+    return [
+        {"dim": 2, "lengths": [2, 2, 2, 2], "lookup": None},
+        {"dim": 4, "lengths": [3] * 8,
+         "lookup": {"type": 2, "minimum_mant": -4, "delta_mant": 1,
+                    "value_bits": 4, "sequence_p": 0,
+                    "multiplicands": list(_FIX_MULT)}},
+        {"dim": 2, "lengths": [5] * 32, "lookup": None},
+    ]
+
+
+def fixture_floor_cfg(multiplier: int) -> dict:
+    return {
+        "partitions": 1, "class_list": [0],
+        "classes": [{"dim": 2, "subclasses": 0, "masterbook": -1,
+                     "books": [2]}],
+        "multiplier": multiplier, "rangebits": 7,
+        "xs": [0, 128, 32, 96],
+    }
+
+
+FIXTURE_RESIDUE_CFG = {
+    "begin": 0, "end": 128, "partition_size": 8, "classifications": 2,
+    "classbook": 0, "cascade": [0, 1],
+    "books": [[-1] * 8, [1] + [-1] * 7],
+}
+
+
+def encode_vorbis_fixture(audio_specs: list[dict], rate: int = 8000,
+                          n: int = 256, multiplier: int = 1,
+                          vendor: str = "pyiceberg-lakehouse-spark",
+                          ) -> list[bytes]:
+    """-> [id, comment, setup, audio...] packets. Each audio spec:
+    {y0, y1 (floor endpoints, raw range bits), classes: [16 of 0/1],
+    entries: [per partition, the 2 VQ entry ids or []]}."""
+    from pyiceberg_lakehouse_spark.operators.ogg import (
+        make_vorbis_comment_packet,
+    )
+
+    if n != 256:
+        raise ValueError("fixture profile is built for blocksize 256")
+    floor_cfg = fixture_floor_cfg(multiplier)
+    setup = write_setup_header(
+        fixture_books(_FLOOR1_RANGES[multiplier - 1]), floor_cfg,
+        FIXTURE_RESIDUE_CFG,
+    )
+    # rebuild the Codebook objects exactly as the decoder will
+    parsed = read_setup_header(setup, 1)
+    books = parsed["books"]
+    rng = _FLOOR1_RANGES[multiplier - 1]
+    packets = [
+        write_id_header(1, rate, n),
+        make_vorbis_comment_packet(vendor, [("ENCODER", "fixture")]),
+        setup,
+    ]
+    for spec in audio_specs:
+        w = LsbWriter()
+        w.write(0, 1)  # audio packet
+        # one mode -> zero mode bits, blockflag 0 -> no window bits
+        if not (0 <= spec["y0"] < rng and 0 <= spec["y1"] < rng):
+            raise ValueError("floor endpoint outside the multiplier range")
+        encode_floor1(w, floor_cfg, books,
+                      [spec["y0"], spec["y1"], 0, 0])
+        encode_residue2_mono(w, FIXTURE_RESIDUE_CFG, books,
+                             spec["classes"], spec["entries"])
+        packets.append(w.to_bytes())
+    return packets
+
+
+def decode_ogg_vorbis(payload: bytes) -> dict:
+    """Ogg transport -> packet list -> decode_vorbis."""
+    from pyiceberg_lakehouse_spark.operators.ogg import parse_ogg
+
+    stream = parse_ogg(payload)
+    return decode_vorbis([p["data"] for p in stream["packets"]])

@@ -370,6 +370,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r15 task #5) took multimodal_webp_animation's keeper slot
     # (animated WebP stays local-gated + pytest-pinned; multimodal_
     # keeps eleven held rows incl. the VP8 + quality rows).
+    # multimodal_ogg_samples (Vorbis floor1+residue2 PCM decode through
+    # the from-scratch operators/vorbis.py: in-band codebooks with the
+    # spec's canonical codeword assignment, VQ lookup, floor1 integer
+    # Bresenham curve + render_point prediction, residue2 cascade
+    # decode, IMDCT/window/overlap-add — integer features closed-form
+    # in the oracle, float synthesis dual-derived vs NumPy; VERDICT r15
+    # task #8) took multimodal_flac_decode's keeper slot (FLAC stays
+    # local-gated + pytest-pinned with its STREAMINFO-MD5 check; the
+    # audio family keeps the held audio-quality + ogg-tags rows).
     # anchors
     "agg_q1_pricing_summary",
     "agg_q9_product_profit",
@@ -415,6 +424,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # new r16 rows (each in its own round, no-tail principle)
     "lh_iceberg_mor_scan",
     "multimodal_mp3_samples",
+    "multimodal_ogg_samples",
     # multi-green keepers (r14 first-timers double-green after r15 +
     # the three r15 keepers; each slot is first in line for a NEW r16
     # row as it lands)
@@ -423,7 +433,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lh_external_scan",
     "multimodal_tiff_lzw",
     "text_pii_redact_extended",
-    "multimodal_flac_decode",
     "multimodal_tiff_tiled",
     "multimodal_webp_decode",
     "scan_sitemap_urls",
