@@ -95,6 +95,13 @@ HEADLINE = [
     ("webp_lossy", "multimodal_webp_lossy_decode"),
     ("tiff_bilevel", "multimodal_tiff_bilevel"),
     ("archive_entries", "scan_archive_entries"),
+    # r16 additions (auto-excluded from the comparable set): the MP3
+    # Layer-III and Vorbis sample decodes (map-only codec stages), and
+    # the Iceberg v2 merge-on-read metadata scan (driver-side manifest
+    # walk + anti-join delete application)
+    ("mp3_samples", "multimodal_mp3_samples"),
+    ("ogg_samples", "multimodal_ogg_samples"),
+    ("iceberg_mor", "lh_iceberg_mor_scan"),
 ]
 
 

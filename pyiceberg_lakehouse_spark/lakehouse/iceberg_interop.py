@@ -137,7 +137,8 @@ def write_iceberg_metadata(
                 "file_format": "PARQUET",
                 "record_count": int(f["records"]),
                 "file_size_in_bytes": int(
-                    f.get("size", os.path.getsize(f["path"]))
+                    f["size"] if "size" in f
+                    else os.path.getsize(f["path"])
                 ),
                 "equality_ids": None,
             }
@@ -171,7 +172,8 @@ def write_iceberg_metadata(
                 "file_format": "PARQUET",
                 "record_count": int(f["records"]),
                 "file_size_in_bytes": int(
-                    f.get("size", os.path.getsize(f["path"]))
+                    f["size"] if "size" in f
+                    else os.path.getsize(f["path"])
                 ),
                 "equality_ids": None,
             }
@@ -192,7 +194,8 @@ def write_iceberg_metadata(
                 "file_format": "PARQUET",
                 "record_count": int(f["records"]),
                 "file_size_in_bytes": int(
-                    f.get("size", os.path.getsize(f["path"]))
+                    f["size"] if "size" in f
+                    else os.path.getsize(f["path"])
                 ),
                 "equality_ids": [int(i) for i in f["equality_ids"]],
             }

@@ -636,6 +636,17 @@ def _imdct_win(block_type: int) -> list[float]:
 
 _WIN_LONG = {bt: _imdct_win(bt) for bt in (0, 1, 3)}
 _WIN_SHORT = _imdct_win(2)
+# cached IMDCT cosine bases (pure data; identical values to inline cos)
+_IMDCT36 = [
+    [math.cos(math.pi / 72.0 * (2 * i + 19) * (2 * k + 1))
+     for k in range(18)]
+    for i in range(36)
+]
+_IMDCT12 = [
+    [math.cos(math.pi / 24.0 * (2 * i + 7) * (2 * k + 1))
+     for k in range(6)]
+    for i in range(12)
+]
 
 
 def imdct_granule(xr, block_type, window_switching, overlap) -> list[float]:
@@ -651,22 +662,23 @@ def imdct_granule(xr, block_type, window_switching, overlap) -> list[float]:
             for w in range(3):
                 Xw = [X[3 * k + w] for k in range(6)]
                 for i in range(12):
+                    row = _IMDCT12[i]
                     s = 0.0
                     for k in range(6):
-                        s += Xw[k] * math.cos(
-                            math.pi / 24.0 * (2 * i + 7) * (2 * k + 1)
-                        )
+                        s += Xw[k] * row[k]
                     x36[6 + 6 * w + i] += s * _WIN_SHORT[i]
         else:
             win = _WIN_LONG[block_type]
             x36 = [0.0] * 36
-            for i in range(36):
-                s = 0.0
-                for k in range(18):
-                    s += X[k] * math.cos(
-                        math.pi / 72.0 * (2 * i + 19) * (2 * k + 1)
-                    )
-                x36[i] = s * win[i]
+            if not any(X):
+                pass  # zero granule: IMDCT of zeros is zeros
+            else:
+                for i in range(36):
+                    row = _IMDCT36[i]
+                    s = 0.0
+                    for k in range(18):
+                        s += X[k] * row[k]
+                    x36[i] = s * win[i]
         prev = overlap[sb]
         for i in range(18):
             v = x36[i] + prev[i]

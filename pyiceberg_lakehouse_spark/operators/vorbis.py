@@ -773,18 +773,31 @@ def vorbis_window(n: int) -> list[float]:
     ]
 
 
+_IMDCT_BASIS: dict[int, list[list[float]]] = {}
+
+
 def imdct(X: list[float], n: int) -> list[float]:
     """Inverse MDCT, spec phase: y[j] = sum_k X[k] cos(pi/(2n)
-    (2j+1+n/2)(2k+1))."""
+    (2j+1+n/2)(2k+1)). The cosine basis is cached per n (pure data;
+    values identical to the inline form)."""
     n2 = n // 2
-    return [
-        sum(
-            X[k] * math.cos(math.pi / (2.0 * n)
-                            * (2 * j + 1 + n2) * (2 * k + 1))
-            for k in range(n2)
-        )
-        for j in range(n)
-    ]
+    basis = _IMDCT_BASIS.get(n)
+    if basis is None:
+        basis = [
+            [math.cos(math.pi / (2.0 * n) * (2 * j + 1 + n2)
+                      * (2 * k + 1)) for k in range(n2)]
+            for j in range(n)
+        ]
+        _IMDCT_BASIS[n] = basis
+    nz = [k for k, v in enumerate(X) if v]
+    out = []
+    for j in range(n):
+        row = basis[j]
+        s = 0.0
+        for k in nz:
+            s += X[k] * row[k]
+        out.append(s)
+    return out
 
 
 def decode_vorbis(packets: list[bytes]) -> dict:

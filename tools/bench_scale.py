@@ -1080,6 +1080,70 @@ def bench_extraction(spark, b: Bench, tmp: str) -> None:
             qm.load_table, qc.load_table = saved_m, saved_c
 
 
+def bench_r16_media(spark, b: Bench, tmp: str) -> None:
+    """r16 surface: the Avro container source (all six codecs cycling),
+    the MP3 Layer-III and Vorbis sample decodes — map-only stages, so
+    10x docs must cost ~10x wall, never superlinear — plus the Iceberg
+    METADATA WALK (iceberg_live_files) at 10x snapshots/manifest
+    entries: the interop resolution is driver-side, so the claim to
+    prove is that it stays linear in METADATA size (it never touches
+    data files)."""
+    import pyiceberg_lakehouse_spark.operators.queries_crawl as qc
+    import pyiceberg_lakehouse_spark.operators.queries_media as qm
+    from pyiceberg_lakehouse_spark.lakehouse import iceberg_interop as I
+    from pyiceberg_lakehouse_spark.operators.queries_crawl import (
+        scan_avro_roundtrip,
+    )
+    from pyiceberg_lakehouse_spark.operators.queries_media import (
+        multimodal_mp3_samples,
+        multimodal_ogg_samples,
+    )
+
+    for n in DOC_SCALES:
+        tag = f"{n//1000}k"
+        docs = spark.range(0, n, 1, 64).withColumnRenamed("id", "doc_id")
+        saved_m, saved_c = qm.load_table, qc.load_table
+        try:
+            qm.load_table = lambda _s, _d, _t, d=docs: d
+            qc.load_table = lambda _s, _d, _t, d=docs: d
+            for name, fn in (
+                ("avro_roundtrip", scan_avro_roundtrip),
+                ("mp3_samples", multimodal_mp3_samples),
+                ("ogg_samples", multimodal_ogg_samples),
+            ):
+                b.run(
+                    f"{name}_{tag}",
+                    lambda f=fn: drain(f(spark, "unused")),
+                    reps=REPS,
+                    warmup=True,
+                )
+        finally:
+            qm.load_table, qc.load_table = saved_m, saved_c
+
+    # metadata walk: one file appended per snapshot, so the FINAL
+    # snapshot's manifest carries n entries; sizes are passed so no
+    # data file ever exists — resolution is metadata-only by design
+    for n in (int(50 * SCALE) or 50, int(500 * SCALE) or 500):
+        td = os.path.join(tmp, f"icewalk_{n}")
+        snaps = [
+            {"files": [{"path": os.path.join(td, f"f{i}.parquet"),
+                        "records": 100, "size": 4096}]}
+            for i in range(n)
+        ]
+        mp = I.write_iceberg_metadata(
+            td, snaps,
+            schema_fields=[{"id": 1, "name": "id", "required": False,
+                            "type": "long"}],
+        )
+        got = b.run(
+            f"iceberg_walk_{n}snaps",
+            lambda mp=mp: I.iceberg_live_files(mp),
+            reps=max(REPS, 3),
+            warmup=True,
+        )
+        b.notes[f"iceberg_walk_{n}snaps_live_files"] = len(got["files"])
+
+
 SECTIONS = {
     "documents": bench_documents,
     "embeddings": bench_embeddings,
@@ -1096,6 +1160,7 @@ SECTIONS = {
     "crawl": bench_crawl,
     "codecs": bench_codecs,
     "extraction": bench_extraction,
+    "r16_media": bench_r16_media,
 }
 
 
@@ -1411,6 +1476,23 @@ def main() -> None:
         "mkv_probe_growth_10x": ratio(f"mkv_probe_{t1}", f"mkv_probe_{t2}"),
         "webp_lossy_growth_10x": ratio(
             f"webp_lossy_{t1}", f"webp_lossy_{t2}"
+        ),
+        # r16: the Avro source (six codecs cycling), the MP3/Vorbis
+        # sample decodes — map-only, linear bar — and the Iceberg
+        # metadata walk, which must stay linear in manifest ENTRIES
+        # (10x snapshots/files => ~10x walk, data files never opened)
+        "avro_roundtrip_growth_10x": ratio(
+            f"avro_roundtrip_{t1}", f"avro_roundtrip_{t2}"
+        ),
+        "mp3_samples_growth_10x": ratio(
+            f"mp3_samples_{t1}", f"mp3_samples_{t2}"
+        ),
+        "ogg_samples_growth_10x": ratio(
+            f"ogg_samples_{t1}", f"ogg_samples_{t2}"
+        ),
+        "iceberg_walk_growth_10x": ratio(
+            f"iceberg_walk_{int(50 * SCALE) or 50}snaps",
+            f"iceberg_walk_{int(500 * SCALE) or 500}snaps",
         ),
     }
     out = {
