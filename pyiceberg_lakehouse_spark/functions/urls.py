@@ -56,3 +56,67 @@ def canonicalize_url(url: Column) -> Column:
         F.when(path == "", F.lit("/")).otherwise(path),
         F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
     )
+
+
+# RFC 3986 appendix-B reference regex, unchanged
+_URI_RE = r"^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?"
+
+
+def percent_decode(col: Column) -> Column:
+    """RFC 3986 percent-decoding as a PURE Column expression (split ->
+    transform -> conv -> char): each '%XX' escape becomes the byte XX.
+    Strict-input contract: '%' must introduce two hex digits (the RFC
+    grammar); multi-byte UTF-8 escapes decode per byte, so non-ASCII
+    sequences come back as their raw bytes — ASCII-safe, which is what
+    the dedup/canonicalization hot path needs with no Python in the
+    plan."""
+    parts = F.split(col, "%")
+    head = F.element_at(parts, 1)
+    # slice needs an exact positive length: an open-ended sentinel
+    # length makes transform see an EMPTY array
+    rest = F.when(
+        F.size(parts) > 1, F.slice(parts, 2, F.size(parts) - 1)
+    ).otherwise(F.array().cast("array<string>"))
+    decoded = F.transform(
+        rest,
+        lambda p: F.concat(
+            F.char(F.conv(F.substring(p, 1, 2), 16, 10).cast("int")),
+            F.substring(p, 3, 2147483647),
+        ),
+    )
+    return F.concat(head, F.array_join(decoded, ""))
+
+
+def parse_uri(uri: Column) -> dict[str, Column]:
+    """RFC 3986 decomposition via the spec's own appendix-B regex plus
+    the authority userinfo@host:port split — every component a pure
+    Column (no Python evaluator in the plan). Missing components are
+    NULL (never ''), matching SQL semantics."""
+    def _null_if_empty(c: Column) -> Column:
+        return F.when(c == "", F.lit(None)).otherwise(c)
+
+    scheme = _null_if_empty(F.regexp_extract(uri, _URI_RE, 2))
+    authority = F.regexp_extract(uri, _URI_RE, 4)
+    has_auth = F.regexp_extract(uri, _URI_RE, 3) != ""
+    userinfo = _null_if_empty(
+        F.regexp_extract(authority, r"^(([^@]*)@)?.*", 2)
+    )
+    hostport = F.regexp_extract(authority, r"^(?:[^@]*@)?(.*)$", 1)
+    host = _null_if_empty(
+        F.when(has_auth, F.regexp_extract(hostport, r"^([^:]*)", 1))
+    )
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    port = F.when(has_auth & (port != ""), port.cast("int"))
+    path = _null_if_empty(F.regexp_extract(uri, _URI_RE, 5))
+    query = F.when(
+        F.regexp_extract(uri, _URI_RE, 6) != "",
+        F.regexp_extract(uri, _URI_RE, 7),
+    )
+    fragment = F.when(
+        F.regexp_extract(uri, _URI_RE, 8) != "",
+        F.regexp_extract(uri, _URI_RE, 9),
+    )
+    return {
+        "scheme": scheme, "userinfo": userinfo, "host": host,
+        "port": port, "path": path, "query": query, "fragment": fragment,
+    }

@@ -379,3 +379,70 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "PushedFilters"
     )[1][:200], "acctbal predicate did not reach the ORC scan"
     return out
+
+
+@register(
+    "scan_fwf_checked",
+    # Orders round-trip through a fixed-width export (10-wide
+    # right-aligned key, 1-char status, 14-wide %.2f price, 10-wide
+    # ISO date) and the typed re-read; three poisoned lines (short
+    # record, non-numeric price, garbage) are QUARANTINED. TPC-H
+    # prices are exact 2-decimal values, so the %.2f print -> double
+    # parse is bit-stable on both engines.
+    """
+    select o_orderkey,
+           o_orderstatus,
+           cast(o_totalprice as double) as price,
+           cast(cast(o_orderdate as date) as varchar) as odate,
+           cast(0 as bigint) as n_quarantined
+    from orders where o_orderkey % 7 = 3
+    """,
+)
+def scan_fwf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width-field ingestion with per-line validation quarantine
+    (sources/ingest.py::read_fwf_checked — the mainframe-export format
+    next to the CSV/JSON isolation paths): orders are FORMATTED to
+    fixed offsets with pure Column work (lpad/rpad/format_string),
+    written as text, re-read through the strict slicer, and three
+    hand-poisoned lines (truncated record, alphabetic price, garbage)
+    land in quarantine instead of failing the job or leaking as rows.
+    The oracle states the clean typed table closed-form."""
+    from pyiceberg_lakehouse_spark.sources.ingest import read_fwf_checked
+    from pyiceberg_lakehouse_spark.tmpdirs import session_tmpdir
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 3)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate")
+    )
+    lines = orders.select(
+        F.concat(
+            F.lpad(F.col("o_orderkey").cast("string"), 10, " "),
+            F.col("o_orderstatus"),
+            F.lpad(F.format_string("%.2f", "o_totalprice"), 14, " "),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        ).alias("value")
+    )
+    work = session_tmpdir(prefix="fwf_ingest_")
+    path = f"{work}/orders_fwf"
+    lines.coalesce(2).write.mode("overwrite").text(path)
+    with open(f"{path}/poison.txt", "w") as fh:
+        fh.write("       123O\n")  # truncated record
+        fh.write("       456Fnot_a_number 2024-01-01\n")
+        fh.write("complete junk line that is long enough to slice\n")
+    good, bad = read_fwf_checked(
+        spark, path,
+        [("o_orderkey", 0, 10, "bigint"),
+         ("o_orderstatus", 10, 1, "string"),
+         ("price", 11, 14, "double"),
+         ("odate", 25, 10, "date")],
+    )
+    n_bad = bad.count()
+    assert n_bad == 3, f"expected 3 quarantined lines, got {n_bad}"
+    return good.select(
+        "o_orderkey", "o_orderstatus", "price",
+        # emitted as the ISO string so both engines hash one type
+        F.date_format("odate", "yyyy-MM-dd").alias("odate"),
+        F.lit(0).cast("long").alias("n_quarantined"),
+    )

@@ -774,3 +774,87 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("nid").alias("doc_id"), F.col("v").alias("rank_scaled")
     )
+
+
+@register(
+    "fn_uri_parse",
+    # Planted RFC 3986 URIs per doc, decomposed by the spec's own
+    # appendix-B regex as PURE Column expressions (functions/urls.py
+    # parse_uri + percent_decode — no Python evaluator, plan-pinned in
+    # tests/test_plans.py). The oracle restates every component from
+    # the same knobs: scheme %3, optional userinfo %4==1, host %10,
+    # optional port %5<2, percent-escaped path segment %2, optional
+    # query %3>0, optional fragment %4==2.
+    """
+    with docs as (
+      select doc_id, cast(doc_id as bigint) as d
+      from documents where doc_id % 23 = 7
+    )
+    select doc_id,
+           case cast(d % 3 as integer) when 0 then 'http'
+                when 1 then 'https' else 'ftp' end as scheme,
+           case when d % 4 = 1 then 'u' || (d % 7) end as userinfo,
+           'h' || (d % 10) || '.example.com' as host,
+           cast(case when d % 5 < 2 then 8000 + d % 100 end
+                as integer) as port,
+           '/p' || (d % 6) || case when d % 2 = 1 then '/x%20y'
+                                   else '' end as path,
+           case when d % 3 > 0 then 'a=' || (d % 9) || '&b=2' end
+               as query,
+           case when d % 4 = 2 then 's' || (d % 11) end as fragment,
+           '/p' || (d % 6) || case when d % 2 = 1 then '/x y'
+                                   else '' end as decoded_path
+    from docs
+    """,
+)
+def fn_uri_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 URI decomposition, pure JVM (functions/urls.py
+    parse_uri — the appendix-B reference regex + authority split — and
+    percent_decode, the split/transform/conv/char escape decoder): per
+    doc, a URI is ASSEMBLED from knob-driven components (optional
+    userinfo/port/query/fragment so every presence combination
+    appears), then parsed back; the oracle states each component
+    closed-form, so any slip in the regex group numbering, the
+    authority split or the %XX decode flips the hash. Zero Python in
+    the plan: the crawl-pipeline companion to text_url_canonicalize."""
+    from pyiceberg_lakehouse_spark.functions.urls import (
+        parse_uri,
+        percent_decode,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 7)
+        .select("doc_id", F.col("doc_id").cast("long").alias("d"))
+    )
+    d = F.col("d")
+    uri = F.concat(
+        F.when(d % 3 == 0, F.lit("http"))
+        .when(d % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("ftp")),
+        F.lit("://"),
+        F.when(d % 4 == 1, F.concat(F.lit("u"), (d % 7).cast("string"),
+                                    F.lit("@"))).otherwise(F.lit("")),
+        F.lit("h"), (d % 10).cast("string"), F.lit(".example.com"),
+        F.when(d % 5 < 2, F.concat(F.lit(":"),
+                                   (d % 100 + 8000).cast("string")))
+        .otherwise(F.lit("")),
+        F.lit("/p"), (d % 6).cast("string"),
+        F.when(d % 2 == 1, F.lit("/x%20y")).otherwise(F.lit("")),
+        F.when(d % 3 > 0, F.concat(F.lit("?a="), (d % 9).cast("string"),
+                                   F.lit("&b=2"))).otherwise(F.lit("")),
+        F.when(d % 4 == 2, F.concat(F.lit("#s"), (d % 11).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    parts = parse_uri(uri)
+    return docs.select(
+        "doc_id",
+        parts["scheme"].alias("scheme"),
+        parts["userinfo"].alias("userinfo"),
+        parts["host"].alias("host"),
+        parts["port"].alias("port"),
+        parts["path"].alias("path"),
+        parts["query"].alias("query"),
+        parts["fragment"].alias("fragment"),
+        percent_decode(parts["path"]).alias("decoded_path"),
+    )

@@ -379,6 +379,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # task #8) took multimodal_flac_decode's keeper slot (FLAC stays
     # local-gated + pytest-pinned with its STREAMINFO-MD5 check; the
     # audio family keeps the held audio-quality + ogg-tags rows).
+    # scan_fwf_checked (fixed-width-field ingest with per-line
+    # validation quarantine — the mainframe-export format closing the
+    # text-ingest isolation matrix next to CSV/JSON; pure-Column
+    # slicing, plan-pinned no-Python) took text_pii_redact_extended's
+    # keeper slot (PII redaction stays local-gated + plan-pinned;
+    # text_ keeps nine held rows). fn_uri_parse (RFC 3986
+    # decomposition via the spec's appendix-B regex + percent-decode,
+    # all pure Column expressions, plan-pinned no-Python no-Exchange)
+    # took text_pdf_extract's keeper slot (the PDF reader stays
+    # driver-covered by the held text_pdf_images row and its bench
+    # phase; fn_ keeps the held VARIANT row).
     # anchors
     "agg_q1_pricing_summary",
     "agg_q9_product_profit",
@@ -425,14 +436,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lh_iceberg_mor_scan",
     "multimodal_mp3_samples",
     "multimodal_ogg_samples",
+    "scan_fwf_checked",
+    "fn_uri_parse",
     # multi-green keepers (r14 first-timers double-green after r15 +
     # the three r15 keepers; each slot is first in line for a NEW r16
     # row as it lands)
-    "text_pdf_extract",
     "multimodal_tiff_bilevel",
     "lh_external_scan",
     "multimodal_tiff_lzw",
-    "text_pii_redact_extended",
     "multimodal_tiff_tiled",
     "multimodal_webp_decode",
     "scan_sitemap_urls",

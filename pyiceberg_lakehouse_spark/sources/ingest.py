@@ -141,3 +141,37 @@ def read_json_checked(
         F.col("_corrupt_record").alias("raw_line")
     )
     return good, bad
+
+
+def read_fwf_checked(
+    spark,
+    path: str,
+    fields: list[tuple[str, int, int, str]],
+) -> tuple[DataFrame, DataFrame]:
+    """Fixed-width-field ingestion (the mainframe/legacy-export format)
+    with per-line validation QUARANTINE: returns ``(good_rows,
+    bad_lines)``.
+
+    ``fields``: (name, start, width, dtype) with 0-based byte offsets.
+    A line is quarantined — never failed on, never leaked as a typed
+    row — when it is shorter than the declared record width or when a
+    non-blank slice refuses its declared cast (blank slices become
+    NULL, the fixed-width convention). Parsing is pure Column work
+    (substring/trim/cast): one codegen span per file split, no Python
+    in the plan — the same isolation contract as read_csv_checked."""
+    record_width = max(start + width for _n, start, width, _t in fields)
+    raw = spark.read.text(path)
+    valid = F.length("value") >= F.lit(record_width)
+    typed = []
+    for name, start, width, dtype in fields:
+        sliced = F.trim(F.substring("value", start + 1, width))
+        # try_cast: malformed input must flow to quarantine, not throw
+        # under ANSI mode
+        cast = sliced.try_cast(dtype)
+        valid = valid & (cast.isNotNull() | (sliced == ""))
+        typed.append(
+            F.when(sliced == "", F.lit(None)).otherwise(cast).alias(name)
+        )
+    good = raw.filter(valid).select(*typed)
+    bad = raw.filter(~valid).select(F.col("value").alias("raw_line"))
+    return good, bad

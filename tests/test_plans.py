@@ -668,3 +668,21 @@ def test_pagerank_no_cartesian_and_mass_conserved(spark, sf_dir):
     n = df.count()
     total = df.agg(F.sum("rank_scaled")).collect()[0][0]
     assert total == (60 ** 5) * n, (total, n)
+
+
+def test_uri_parse_jvm_only_map_stage(spark, sf_dir):
+    """RFC 3986 decomposition + percent-decode are Column expressions
+    only: NO Python evaluator and NO Exchange — one codegen map stage
+    (the url_canonicalize posture)."""
+    plan = plan_of(spark, "fn_uri_parse", sf_dir)
+    for bad in ("BatchEvalPython", "MapInPandas", "ArrowEvalPython"):
+        assert bad not in plan, (bad, plan[:800])
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_fwf_parse_jvm_only(spark, sf_dir):
+    """The fixed-width slicer (substring/trim/try_cast) must carry NO
+    Python evaluator — a 100 TB mainframe drop parses in codegen."""
+    plan = plan_of(spark, "scan_fwf_checked", sf_dir)
+    for bad in ("BatchEvalPython", "MapInPandas", "ArrowEvalPython"):
+        assert bad not in plan, (bad, plan[:800])

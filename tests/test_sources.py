@@ -145,3 +145,44 @@ def test_read_json_checked_quarantines_bad_lines(spark, tmp_path):
     assert sorted(r.id for r in good.collect()) == [1, 2]
     assert bad.count() == 1
     assert "not json" in bad.collect()[0].raw_line
+
+
+class TestFwfChecked:
+    def test_quarantine_and_nulls(self, spark, tmp_path):
+        from pyiceberg_lakehouse_spark.sources.ingest import (
+            read_fwf_checked,
+        )
+
+        p = tmp_path / "fwf"
+        p.mkdir()
+        (p / "data.txt").write_text(
+            "       123A" + "42.50".rjust(14) + "\n"   # clean
+            "       456B" + " " * 14 + "\n"   # blank amount -> NULL
+            "       789C\n"                   # short record -> quarantine
+            "      abcdD" + "10.00".rjust(14) + "\n"   # bad key
+        )
+        good, bad = read_fwf_checked(
+            spark, str(p),
+            [("k", 0, 10, "bigint"), ("tag", 10, 1, "string"),
+             ("amt", 11, 14, "double")],
+        )
+        rows = {r["k"]: r for r in good.collect()}
+        assert set(rows) == {123, 456}
+        assert rows[123]["amt"] == 42.5
+        assert rows[456]["amt"] is None
+        assert bad.count() == 2
+
+    def test_percent_decode_edges(self, spark):
+        from pyspark.sql import functions as F
+
+        from pyiceberg_lakehouse_spark.functions.urls import (
+            percent_decode,
+        )
+
+        df = spark.createDataFrame(
+            [("a%20b",), ("no-escapes",), ("%41%42c",), ("",)],
+            "s string",
+        )
+        got = [r[0] for r in
+               df.select(percent_decode(F.col("s"))).collect()]
+        assert got == ["a b", "no-escapes", "ABc", ""]
