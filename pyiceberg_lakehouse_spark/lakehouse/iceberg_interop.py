@@ -90,15 +90,37 @@ _MANIFEST_SCHEMA = {
 _STATUS_EXISTING, _STATUS_ADDED, _STATUS_DELETED = 0, 1, 2
 
 
+def _manifest_schema(partition_fields: list[tuple[str, str]]) -> dict:
+    """The manifest-entry schema with the spec's r102 partition struct
+    typed per the table's partition spec (identity transforms); the
+    container embeds this writer schema, so readers stay
+    self-describing."""
+    import copy
+
+    schema = copy.deepcopy(_MANIFEST_SCHEMA)
+    if partition_fields:
+        part_rec = {
+            "type": "record", "name": "r102", "fields": [
+                {"name": n, "type": ["null", t]}
+                for n, t in partition_fields
+            ],
+        }
+        df_fields = schema["fields"][4]["type"]["fields"]
+        df_fields.insert(3, {"name": "partition", "type": part_rec})
+    return schema
+
+
 def write_iceberg_metadata(
     table_dir: str,
     snapshots: list[dict],
     schema_fields: list[dict],
     partition_specs: list[dict] | None = None,
+    partition_fields: list[tuple[str, str]] | None = None,
 ) -> str:
     """Fixture-grade Iceberg v2 metadata around existing parquet files.
 
-    ``snapshots``: [{"files": [{"path", "records", "size"?}],
+    ``snapshots``: [{"files": [{"path", "records", "size"?,
+    "partition"?: {field: value}}],
     "deleted"?: [paths removed in this snapshot],
     "pos_deletes"?: [{"path", "records"}]  (content=1 parquet files of
     (file_path, pos) rows), "eq_deletes"?: [{"path", "records",
@@ -106,7 +128,29 @@ def write_iceberg_metadata(
     derived here the way Iceberg's manifests express it (ADDED entries
     in the new manifest, EXISTING carried forward, DELETED tombstones;
     delete files live in their own content=1 manifest per the spec).
-    Returns the metadata.json path."""
+
+    ``partition_fields``: [(name, "long"|"string")] types the spec's
+    r102 partition struct in every manifest entry and derives an
+    identity partition spec from the table schema (source-id by name,
+    field-ids from 1000). Returns the metadata.json path."""
+    partition_fields = partition_fields or []
+    manifest_schema = _manifest_schema(partition_fields)
+    if partition_fields and partition_specs is None:
+        by_name = {f["name"]: f["id"] for f in schema_fields}
+        missing = [n for n, _t in partition_fields if n not in by_name]
+        if missing:
+            raise ValueError(
+                f"identity partition fields {missing} are not table"
+                " schema columns"
+            )
+        partition_specs = [{
+            "spec-id": 0,
+            "fields": [
+                {"name": n, "transform": "identity",
+                 "source-id": by_name[n], "field-id": 1000 + i}
+                for i, (n, _t) in enumerate(partition_fields)
+            ],
+        }]
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     snap_objs = []
@@ -142,6 +186,11 @@ def write_iceberg_metadata(
                 ),
                 "equality_ids": None,
             }
+            if partition_fields:
+                part = f.get("partition", {})
+                df["partition"] = {
+                    n: part.get(n) for n, _t in partition_fields
+                }
             live[f["path"]] = {"df": df, "seq": seq}
             entries.append(
                 {
@@ -177,6 +226,8 @@ def write_iceberg_metadata(
                 ),
                 "equality_ids": None,
             }
+            if partition_fields:
+                df["partition"] = {n: None for n, _t in partition_fields}
             live_del[f["path"]] = {"df": df, "seq": seq}
             del_entries.append(
                 {
@@ -199,6 +250,8 @@ def write_iceberg_metadata(
                 ),
                 "equality_ids": [int(i) for i in f["equality_ids"]],
             }
+            if partition_fields:
+                df["partition"] = {n: None for n, _t in partition_fields}
             live_del[f["path"]] = {"df": df, "seq": seq}
             del_entries.append(
                 {
@@ -223,7 +276,7 @@ def write_iceberg_metadata(
 
         def _mlist_entry(ents: list[dict], content: int) -> dict:
             mpath = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
-            blob = encode_avro(ents, _MANIFEST_SCHEMA)
+            blob = encode_avro(ents, manifest_schema)
             with open(mpath, "wb") as fh:
                 fh.write(blob)
             added = [e for e in ents if e["status"] == _STATUS_ADDED]
@@ -387,6 +440,7 @@ def iceberg_live_files(
                 "path": df["file_path"],
                 "records": df["record_count"],
                 "seq": eseq,
+                "partition": df.get("partition"),
             }
             if fc == 0:
                 files.append(rec)
@@ -417,7 +471,10 @@ def _norm_path(col):
 
 
 def read_iceberg_table(
-    spark: SparkSession, metadata_path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    metadata_path: str,
+    snapshot_id: int | None = None,
+    partition_filter=None,
 ) -> DataFrame:
     """One Catalyst parquet scan over the snapshot's live file list —
     the engine-native ``iceberg_scan`` — with v2 merge-on-read deletes
@@ -435,10 +492,28 @@ def read_iceberg_table(
     Scale posture: the delete sides carry manifest record counts, so a
     small delete set (the overwhelmingly common case) is broadcast; the
     data side stays one Catalyst parquet scan with per-file sequence
-    numbers attached by a broadcast join on ``_metadata.file_path``."""
+    numbers attached by a broadcast join on ``_metadata.file_path``.
+
+    ``partition_filter``: a predicate over the manifest-recorded r102
+    partition-struct values (identity transforms) applied at METADATA
+    time — pruned data files never reach the scan, the planning move
+    that makes a 100 TB partitioned table readable (delete files are
+    never pruned: an equality delete must still hit every kept file it
+    is newer than)."""
     from pyspark.sql import functions as F
 
     resolved = iceberg_live_files(metadata_path, snapshot_id)
+    if partition_filter is not None:
+        kept = []
+        for f in resolved["files"]:
+            if f.get("partition") is None:
+                raise ValueError(
+                    "partition_filter on a table whose manifests carry"
+                    " no partition struct"
+                )
+            if partition_filter(f["partition"]):
+                kept.append(f)
+        resolved["files"] = kept
     if not resolved["files"]:
         raise ValueError("iceberg snapshot lists no data files")
     reader = spark.read.parquet(*[f["path"] for f in resolved["files"]])

@@ -2254,3 +2254,105 @@ def lh_iceberg_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = I.read_iceberg_table(spark, mp)
     snap2 = I.read_iceberg_table(spark, mp, snapshot_id=1001)
     return agg(latest, "latest").unionByName(agg(snap2, "snapshot2"))
+
+
+@register(
+    "lh_iceberg_partition_scan",
+    # Expected state of a PARTITIONED Iceberg v2 table read with a
+    # metadata-level partition filter: only the BUILDING and MACHINERY
+    # files are scanned (3 of 5 segment files pruned from the plan
+    # before any data IO — the counts ride every row), and the
+    # position-delete file on the kept BUILDING partition still
+    # applies (c_custkey % 9 = 2 rows gone).
+    """
+    select c_mktsegment,
+           cast(count(*) as bigint) as n,
+           cast(sum(cast(c_acctbal as decimal(18,4))) as double) as balance,
+           cast(sum(cast(c_custkey as bigint)) as bigint) as key_sum,
+           cast(2 as integer) as n_files_scanned,
+           cast(3 as integer) as n_files_pruned
+    from customer
+    where c_mktsegment in ('BUILDING', 'MACHINERY')
+      and not (c_mktsegment = 'BUILDING' and c_custkey % 9 = 2)
+    group by c_mktsegment
+    """,
+)
+def lh_iceberg_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 PARTITION PRUNING from the metadata alone
+    (lakehouse/iceberg_interop.py): customer is split into one file
+    per c_mktsegment, each manifest entry carrying the spec's r102
+    partition struct (identity transform, derived spec in
+    metadata.json); the read applies a partition_filter at METADATA
+    time, so 3 of the 5 files never reach the Catalyst scan — the
+    planning move that makes a 100 TB partitioned table readable —
+    while a position-delete file on the kept BUILDING partition still
+    applies through the MoR anti-join (pruning must not prune
+    deletes). The pruned/scanned counts are asserted in-query and
+    hashed on every row."""
+    import glob as _glob
+
+    from pyiceberg_lakehouse_spark.lakehouse import iceberg_interop as I
+
+    wh = _warehouse()
+    tdir = os.path.join(wh, "iceberg_ns", "customers_part")
+    cust = load_table(spark, sf_dir, "customer")
+    segs = [r[0] for r in
+            cust.select("c_mktsegment").distinct().orderBy(
+                "c_mktsegment").collect()]
+    assert len(segs) == 5, segs
+    files = {}
+    for seg in segs:
+        d = os.path.join(tdir, f"seg-{seg}")
+        cust.filter(F.col("c_mktsegment") == seg).coalesce(1) \
+            .write.mode("overwrite").parquet(d)
+        got = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        assert len(got) == 1
+        files[seg] = got[0]
+    counts = {s: spark.read.parquet(f).count() for s, f in files.items()}
+
+    pd_dir = os.path.join(tdir, "pos-del-building")
+    rows = (
+        spark.read.parquet(files["BUILDING"])
+        .select(F.col("_metadata.row_index").alias("pos"), "c_custkey")
+        .filter(F.col("c_custkey") % 9 == 2)
+        .select(F.lit(os.path.abspath(files["BUILDING"]))
+                .alias("file_path"), "pos")
+    )
+    rows.coalesce(1).write.mode("overwrite").parquet(pd_dir)
+    pd_file = sorted(_glob.glob(os.path.join(pd_dir, "*.parquet")))[0]
+    n_pd = spark.read.parquet(pd_file).count()
+
+    schema_fields = [
+        {"id": i + 1, "name": f.name, "required": False, "type": "string"}
+        for i, f in enumerate(cust.schema.fields)
+    ]
+    mp = I.write_iceberg_metadata(
+        tdir,
+        snapshots=[
+            {"files": [{"path": files[s], "records": counts[s],
+                        "partition": {"c_mktsegment": s}} for s in segs]},
+            {"pos_deletes": [{"path": pd_file, "records": n_pd}]},
+        ],
+        schema_fields=schema_fields,
+        partition_fields=[("c_mktsegment", "string")],
+    )
+    keep = {"BUILDING", "MACHINERY"}
+    resolved = I.iceberg_live_files(mp)
+    n_total = len(resolved["files"])
+    n_kept = sum(1 for f in resolved["files"]
+                 if f["partition"]["c_mktsegment"] in keep)
+    assert (n_total, n_kept) == (5, 2), (n_total, n_kept)
+    df = I.read_iceberg_table(
+        spark, mp,
+        partition_filter=lambda p: p["c_mktsegment"] in keep,
+    )
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+        .cast("double").alias("balance"),
+        F.sum(F.col("c_custkey").cast("long")).alias("key_sum"),
+    ).select(
+        "c_mktsegment", "n", "balance", "key_sum",
+        F.lit(2).cast("int").alias("n_files_scanned"),
+        F.lit(n_total - n_kept).cast("int").alias("n_files_pruned"),
+    )

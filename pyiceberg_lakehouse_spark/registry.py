@@ -390,6 +390,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # took text_pdf_extract's keeper slot (the PDF reader stays
     # driver-covered by the held text_pdf_images row and its bench
     # phase; fn_ keeps the held VARIANT row).
+    # lh_iceberg_partition_scan (Iceberg v2 PARTITION PRUNING from the
+    # metadata alone: r102 partition structs in the manifests, a
+    # derived identity spec in metadata.json, 3 of 5 files pruned
+    # before any data IO with a position delete still applying inside a
+    # kept partition) took multimodal_tiff_lzw's keeper slot (the TIFF
+    # family stays driver-covered by the held bilevel row + the tiled
+    # keeper; LZW stays local-gated + pytest-pinned).
     # anchors
     "agg_q1_pricing_summary",
     "agg_q9_product_profit",
@@ -438,12 +445,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_ogg_samples",
     "scan_fwf_checked",
     "fn_uri_parse",
+    "lh_iceberg_partition_scan",
     # multi-green keepers (r14 first-timers double-green after r15 +
     # the three r15 keepers; each slot is first in line for a NEW r16
     # row as it lands)
     "multimodal_tiff_bilevel",
     "lh_external_scan",
-    "multimodal_tiff_lzw",
     "multimodal_tiff_tiled",
     "multimodal_webp_decode",
     "scan_sitemap_urls",

@@ -213,3 +213,96 @@ def test_v1_inline_manifests_form(spark, table):
     with open(mp1, "w") as fh:
         json.dump(meta, fh)
     assert I.read_iceberg_table(spark, mp1, snapshot_id=1000).count() == 100
+
+
+@pytest.fixture
+def part_table(spark):
+    td = session_tmpdir(prefix="ice_part_")
+    files = {}
+    for k, lo, hi in (("a", 0, 40), ("b", 40, 70), ("c", 70, 100)):
+        d = os.path.join(td, f"d{k}")
+        spark.range(lo, hi).withColumn("v", F.col("id") * 2) \
+            .coalesce(1).write.parquet(d)
+        files[k] = _one_parquet(d)
+    mp = I.write_iceberg_metadata(
+        td,
+        snapshots=[
+            {"files": [
+                {"path": files["a"], "records": 40,
+                 "partition": {"bucket": 0}},
+                {"path": files["b"], "records": 30,
+                 "partition": {"bucket": 1}},
+                {"path": files["c"], "records": 30,
+                 "partition": {"bucket": 2}},
+            ]},
+        ],
+        schema_fields=SCHEMA_FIELDS
+        + [{"id": 3, "name": "bucket", "required": False,
+            "type": "long"}],
+        partition_fields=[("bucket", "long")],
+    )
+    return mp
+
+
+def test_partition_pruning_and_derived_spec(spark, part_table):
+    import json
+
+    info = I.iceberg_live_files(part_table)
+    assert [f["partition"]["bucket"] for f in info["files"]] == [0, 1, 2]
+    df = I.read_iceberg_table(
+        spark, part_table, partition_filter=lambda p: p["bucket"] >= 1
+    )
+    assert df.count() == 60
+    assert df.agg(F.min("id")).collect()[0][0] == 40
+    # two files in the plan, one pruned before any IO
+    files_in_plan = df.inputFiles()
+    assert len(files_in_plan) == 2
+    meta = json.load(open(part_table))
+    spec = meta["partition-specs"][0]["fields"][0]
+    assert spec["transform"] == "identity" and spec["name"] == "bucket"
+
+
+def test_partition_filter_requires_partition_struct(spark, table):
+    mp, _f1, _f2 = table
+    with pytest.raises(ValueError, match="no partition struct"):
+        I.read_iceberg_table(spark, mp,
+                             partition_filter=lambda p: True)
+
+
+def test_deletes_apply_within_kept_partitions(spark, part_table, tmp_path):
+    # position-delete ids 40..44 from the bucket-1 file, then read with
+    # a filter keeping buckets 1-2: the delete must still apply
+    import json
+
+    meta = json.load(open(part_table))
+    info = I.iceberg_live_files(part_table)
+    target = next(f for f in info["files"]
+                  if f["partition"]["bucket"] == 1)
+    pd_dir = str(tmp_path / "pd")
+    (spark.read.parquet(target["path"])
+     .select(F.col("_metadata.row_index").alias("pos"), "id")
+     .filter(F.col("id") < 45)
+     .select(F.lit(target["path"]).alias("file_path"), "pos")
+     ).coalesce(1).write.parquet(pd_dir)
+    pd_file = _one_parquet(pd_dir)
+    td = os.path.dirname(os.path.dirname(part_table))
+    mp2 = I.write_iceberg_metadata(
+        td,
+        snapshots=[
+            {"files": [
+                {"path": f["path"], "records": f["records"],
+                 "partition": f["partition"]}
+                for f in info["files"]
+            ]},
+            {"pos_deletes": [{"path": pd_file, "records": 5}]},
+        ],
+        schema_fields=SCHEMA_FIELDS
+        + [{"id": 3, "name": "bucket", "required": False,
+            "type": "long"}],
+        partition_fields=[("bucket", "long")],
+    )
+    df = I.read_iceberg_table(
+        spark, mp2, partition_filter=lambda p: p["bucket"] >= 1
+    )
+    ids = {r[0] for r in df.select("id").collect()}
+    assert ids == set(range(45, 100))
