@@ -468,7 +468,11 @@ def decode_floor1(bits: LsbBits, cfg: dict, books: list[Codebook],
     # curve synthesis (step 2)
     order = sorted(range(posts), key=lambda i: xs[i])
     mult = cfg["multiplier"]
-    curve = [0] * n2
+    # render with TRUE endpoints (the Bresenham slope is defined by the
+    # post coordinates, not the clip boundary) into a buffer wide
+    # enough for the largest X, then clip to n2
+    width = max(n2, xs[order[-1]] + 1)
+    buf = [0] * width
     lx, ly = 0, final[order[0]] * mult
     hx = 0
     hy = ly
@@ -476,12 +480,13 @@ def decode_floor1(bits: LsbBits, cfg: dict, books: list[Codebook],
         if not step2[i]:
             continue
         hx, hy = xs[i], final[i] * mult
-        render_line(lx, ly, min(hx, n2), hy, curve) if lx < n2 else None
+        if lx < width:
+            render_line(lx, ly, hx, hy, buf)
         lx, ly = hx, hy
     if hx < n2:
         for x in range(hx, n2):
-            curve[x] = hy
-    curve = [min(v, 255) for v in curve]
+            buf[x] = hy
+    curve = [min(v, 255) for v in buf[:n2]]
     return final, curve
 
 
