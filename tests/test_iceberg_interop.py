@@ -306,3 +306,18 @@ def test_deletes_apply_within_kept_partitions(spark, part_table, tmp_path):
     )
     ids = {r[0] for r in df.select("id").collect()}
     assert ids == set(range(45, 100))
+
+
+def test_mor_delete_application_broadcasts(spark, mor_table):
+    """The delete sides carry manifest record counts, so small delete
+    sets must reach the plan as BROADCAST anti-joins (no shuffle of
+    the 100 TB data side on the delete key)."""
+    df = I.read_iceberg_table(spark, mor_table)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "LeftAnti" in plan, plan[:600]
+    import re
+
+    anti = re.findall(r"BroadcastHashJoin.+LeftAnti", plan)
+    assert len(anti) >= 2, plan[:800]  # position + equality joins
