@@ -113,3 +113,92 @@ def test_truncated_valid_files_rejected_cleanly(cut):
                 f"{name} raised {type(exc).__name__} on truncation at "
                 f"{at}/{len(blob)}: {exc}"
             ) from exc
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_r16_parsers_reject_garbage_cleanly(data):
+    """The r16 decoders (MP3 Layer-III, Vorbis, Avro with the extended
+    codec set, snappy) under the same structured-rejection contract."""
+    from pyiceberg_lakehouse_spark.operators import avro, mp3, snappy, vorbis
+
+    for name, fn in (
+        ("mp3", mp3.decode_mp3),
+        ("mp3_walk", mp3.walk_frames),
+        ("vorbis", lambda b: vorbis.decode_vorbis([b, b, b])),
+        ("vorbis_ogg", vorbis.decode_ogg_vorbis),
+        ("avro", avro.decode_avro),
+        ("snappy", snappy.decompress),
+    ):
+        try:
+            fn(data)
+        except _CLEAN:
+            pass
+        except Exception as exc:  # noqa: BLE001 — the assertion itself
+            raise AssertionError(
+                f"{name} raised {type(exc).__name__} on garbage: {exc}"
+            ) from exc
+
+
+@settings(max_examples=25, deadline=None)
+@given(cut=st.integers(min_value=1, max_value=800))
+def test_r16_truncated_valid_rejected_cleanly(cut):
+    from pyiceberg_lakehouse_spark.operators import mp3, vorbis
+    from pyiceberg_lakehouse_spark.operators.ogg import make_ogg
+
+    is1 = [0] * 576
+    is1[40], is1[41] = 3, -2
+    blob = mp3.encode_mp3(
+        [{"is": is1, "global_gain": 210, "tables": [7, 7, 0],
+          "region0_count": 8, "region1_count": 7, "big_values": 21,
+          "count1_quads": 0},
+         {"is": [0] * 576, "tables": [0, 0, 0], "big_values": 0,
+          "region0_count": 0, "region1_count": 0}]
+    )
+    classes = [1 if p % 3 == 0 else 0 for p in range(16)]
+    entries = [([p % 8, (p + 3) % 8] if c else [])
+               for p, c in enumerate(classes)]
+    ogg_blob = make_ogg(vorbis.encode_vorbis_fixture(
+        [{"y0": 30, "y1": 12, "classes": classes, "entries": entries}]
+    ))
+    for name, fn, full in (
+        ("mp3", mp3.decode_mp3, blob),
+        ("vorbis_ogg", vorbis.decode_ogg_vorbis, ogg_blob),
+    ):
+        trunc = full[: max(0, len(full) - cut)]
+        if not trunc:
+            continue
+        try:
+            got = fn(trunc)
+            # a clean prefix of whole frames/pages may legally decode
+            assert isinstance(got, dict)
+        except _CLEAN:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(
+                f"{name} raised {type(exc).__name__} truncated: {exc}"
+            ) from exc
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=-5, max_value=5), min_size=0,
+                  max_size=30),
+    gain=st.integers(min_value=150, max_value=250),
+)
+def test_mp3_planted_spectrum_roundtrip_property(vals, gain):
+    """ANY table-7-rangeable planted prefix round-trips exactly (the
+    Huffman-lossless property the driver row relies on)."""
+    from pyiceberg_lakehouse_spark.operators import mp3
+
+    is1 = [0] * 576
+    for i, v in enumerate(vals):
+        is1[i] = v
+    big = -(-len(vals) // 2)  # ceil to whole pairs
+    spec = {"is": is1, "global_gain": gain, "tables": [7, 7, 7],
+            "region0_count": 8, "region1_count": 7, "big_values": big,
+            "count1_quads": 0}
+    zero = {"is": [0] * 576, "tables": [0, 0, 0], "big_values": 0,
+            "region0_count": 0, "region1_count": 0}
+    out = mp3.decode_mp3(mp3.encode_mp3([spec, zero]))
+    assert out["spectra"][0][0] == is1
