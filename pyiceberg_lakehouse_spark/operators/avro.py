@@ -8,11 +8,11 @@ longs, length-prefixed strings/bytes, little-endian IEEE float/double,
 records as field concatenation, arrays/maps in count-prefixed blocks
 (including the negative-count + block-size form writers may emit),
 unions as index + value, enums as index, fixed as raw bytes, and ALL SIX
-spec codecs: null, deflate, snappy (both directions through the
-pure-Python raw codec in operators/snappy.py, CRC32-checked per the
-spec), bzip2 + xz (stdlib), and zstandard (read through the
-from-scratch RFC 8878 decoder in operators/zstd.py; the writer side of
-zstandard uses pyarrow's bundled libzstd, fixture-grade).
+spec codecs: null, deflate, snappy AND zstandard both directions
+through the pure-Python codecs in operators/snappy.py and
+operators/zstd.py (each cross-validated against its reference
+implementation; snappy CRC32-checked per the spec), plus bzip2 + xz
+via stdlib.
 
 Schema support covers the tabular shapes lakehouse interchange actually
 uses: records of primitives, nullable-union columns, arrays, maps,
@@ -283,11 +283,14 @@ def encode_avro(
 
             body = _lzma.compress(body, format=_lzma.FORMAT_XZ)
         elif codec == "zstandard":
-            # fixture-side encoder: pyarrow's bundled libzstd (the
-            # reader side is the from-scratch RFC 8878 decoder)
-            import pyarrow as _pa
+            # both directions from scratch: operators/zstd.py's
+            # predefined-FSE compressor (libzstd-cross-validated) and
+            # its RFC 8878 decoder
+            from pyiceberg_lakehouse_spark.operators.zstd import (
+                compress as _zstd_c,
+            )
 
-            body = _pa.Codec("zstd").compress(body, asbytes=True)
+            body = _zstd_c(body)
         out += _zigzag_encode(len(chunk))
         out += _zigzag_encode(len(body))
         out += body

@@ -1,4 +1,4 @@
-"""Zstandard frame decoder (RFC 8878) in pure Python.
+"""Zstandard (RFC 8878) in pure Python — frame decoder AND compressor.
 
 Closes the archive layer's zstd gate on this Python (no stdlib zstd
 until 3.14): decodes real zstd frames — frame header forms, raw/RLE/
@@ -9,11 +9,13 @@ the literals-length-0 special cases, overlap-safe match copies, and the
 optional xxhash64 content checksum (implemented below, also pure
 Python).
 
-Validation: tests/test_zstd.py round-trips hundreds of frames produced
-by the SYSTEM zstd encoder (pyarrow's bundled libzstd) across
-compression levels and data shapes — every structural path here is
-exercised against the reference implementation's real output, the same
-external-validation posture as the VP8 decoder's libwebp file.
+Validation both ways: tests/test_zstd.py round-trips hundreds of
+frames produced by the SYSTEM zstd encoder (pyarrow's bundled libzstd)
+across compression levels and data shapes, and the from-scratch
+compressor's frames (raw literals + predefined-FSE sequence coding,
+encoder section at the bottom) decode through libzstd as well as this
+decoder — every structural path exercised against the reference
+implementation, the same posture as the VP8/snappy codecs.
 
 All constants (predefined FSE distributions, code baselines/extra-bit
 tables) are the published RFC 8878 §3.1.1.3.2 values.
@@ -655,3 +657,185 @@ def decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
                 raise ValueError("zstd: content checksum mismatch")
         out_all += out
     return bytes(out_all)
+
+
+# ------------------------------------------------------------- encoder --
+# From-scratch zstd COMPRESSOR (the decoder's symmetric half): raw
+# literals + predefined-FSE sequence coding (RFC 8878 §3.1.1.3.2.2) —
+# every frame it emits is decodable by this module's own decoder AND by
+# libzstd (tests/test_zstd.py round-trips both ways). The FSE encoder
+# is derived directly from the decode tables: for each symbol the
+# [baseline, baseline + 2^nb) ranges of its states tile the whole state
+# space, so threading states backwards from the last sequence picks the
+# unique predecessor state per transition.
+
+
+class _FwdBitWriter:
+    """Forward little-endian bit writer for the backward-read stream:
+    values are appended in REVERSE consumption order, then the padding
+    sentinel bit closes the stream (§3.1.1.1)."""
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            self.bits.append((value >> i) & 1)
+
+    def finish(self) -> bytes:
+        self.bits.append(1)  # sentinel
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            out[i >> 3] |= b << (i & 7)
+        return bytes(out)
+
+
+def _code_for(value: int, baselines, bits_tbl) -> tuple[int, int]:
+    for code in range(len(baselines) - 1, -1, -1):
+        if baselines[code] <= value:
+            extra = value - baselines[code]
+            if extra < (1 << bits_tbl[code]):
+                return code, extra
+            break
+    raise ValueError(f"zstd: no sequence code for value {value}")
+
+
+def _fse_thread_states(table, symbols):
+    """decode table + the symbol sequence -> (initial state, transition
+    bits [(value, nb)] for sequences 0..n-2, in decode order)."""
+    by_sym: dict[int, list[tuple[int, int, int]]] = {}
+    for state, (sym, nb, baseline) in enumerate(table):
+        by_sym.setdefault(sym, []).append((state, nb, baseline))
+    n = len(symbols)
+    state = by_sym[symbols[n - 1]][0][0]
+    ubits: list[tuple[int, int]] = []
+    for i in range(n - 2, -1, -1):
+        target = state
+        for st, nb, baseline in by_sym[symbols[i]]:
+            if baseline <= target < baseline + (1 << nb):
+                state = st
+                ubits.append((target - baseline, nb))
+                break
+        else:  # unreachable: the ranges tile [0, size)
+            raise ValueError("zstd: FSE state threading failed")
+    ubits.reverse()
+    return state, ubits
+
+
+def _match_block(chunk: bytes) -> tuple[bytes, list[tuple[int, int, int]]]:
+    """Greedy hash matcher -> (literals, [(ll, offset, ml)])."""
+    table: dict[bytes, int] = {}
+    lits = bytearray()
+    seqs: list[tuple[int, int, int]] = []
+    i = 0
+    lit_start = 0
+    end = len(chunk)
+    while i + 4 <= end:
+        key = chunk[i : i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is None:
+            i += 1
+            continue
+        ml = 4
+        while i + ml < end and chunk[cand + ml] == chunk[i + ml]:
+            ml += 1
+        seqs.append((i - lit_start, i - cand, ml))
+        lits += chunk[lit_start:i]
+        i += ml
+        lit_start = i
+    lits += chunk[lit_start:end]
+    return bytes(lits), seqs
+
+
+def _encode_block(chunk: bytes) -> bytes | None:
+    """One compressed-block body (literals + sequences sections), or
+    None when the chunk has no matches worth a sequence section."""
+    lits, seqs = _match_block(chunk)
+    if not seqs:
+        return None
+    # ---- literals section: Raw, 20-bit size form (sf=3) ----
+    body = bytearray()
+    size = len(lits)
+    body.append(((size & 0xF) << 4) | (3 << 2) | 0)
+    body.append((size >> 4) & 0xFF)
+    body.append((size >> 12) & 0xFF)
+    body += lits
+    # ---- sequences header ----
+    n = len(seqs)
+    if n < 128:
+        body.append(n)
+    elif n < 0x7F00:
+        body.append((n >> 8) + 128)
+        body.append(n & 0xFF)
+    else:
+        body.append(255)
+        body.append((n - 0x7F00) & 0xFF)
+        body.append((n - 0x7F00) >> 8)
+    body.append(0)  # all three channels: predefined mode
+    # ---- per-sequence codes ----
+    ll_codes, of_codes, ml_codes = [], [], []
+    extras = []  # (of_extra, of_nb, ml_extra, ml_nb, ll_extra, ll_nb)
+    for ll, offset, ml in seqs:
+        of_value = offset + 3
+        of_code = of_value.bit_length() - 1
+        if of_code > 28:
+            raise ValueError("zstd: offset beyond the predefined table")
+        of_extra = of_value - (1 << of_code)
+        ml_code, ml_extra = _code_for(ml, _ML_BASELINE, _ML_BITS)
+        ll_code, ll_extra = _code_for(ll, _LL_BASELINE, _LL_BITS)
+        of_codes.append(of_code)
+        ml_codes.append(ml_code)
+        ll_codes.append(ll_code)
+        extras.append((of_extra, of_code, ml_extra, _ML_BITS[ml_code],
+                       ll_extra, _LL_BITS[ll_code]))
+    ll_table = _fse_build_table(list(_LL_DEFAULT_DIST), _LL_DEFAULT_ALOG)
+    of_table = _fse_build_table(list(_OF_DEFAULT_DIST), _OF_DEFAULT_ALOG)
+    ml_table = _fse_build_table(list(_ML_DEFAULT_DIST), _ML_DEFAULT_ALOG)
+    ll0, ll_u = _fse_thread_states(ll_table, ll_codes)
+    of0, of_u = _fse_thread_states(of_table, of_codes)
+    ml0, ml_u = _fse_thread_states(ml_table, ml_codes)
+    # ---- assemble the reads in DECODE order, write them reversed ----
+    reads: list[tuple[int, int]] = [
+        (ll0, _LL_DEFAULT_ALOG), (of0, _OF_DEFAULT_ALOG),
+        (ml0, _ML_DEFAULT_ALOG),
+    ]
+    for i in range(n):
+        of_e, of_nb, ml_e, ml_nb, ll_e, ll_nb = extras[i]
+        reads.append((of_e, of_nb))
+        reads.append((ml_e, ml_nb))
+        reads.append((ll_e, ll_nb))
+        if i < n - 1:
+            reads.append(ll_u[i])
+            reads.append(ml_u[i])
+            reads.append(of_u[i])
+    w = _FwdBitWriter()
+    for value, nb in reversed(reads):
+        w.write(value, nb)
+    body += w.finish()
+    return bytes(body)
+
+
+def compress(data: bytes, block_size: int = 1 << 16) -> bytes:
+    """bytes -> one zstd frame (single-segment, 4-byte frame content
+    size, no checksum): compressed blocks with raw literals +
+    predefined-FSE sequences where matches exist, raw blocks
+    otherwise."""
+    data = bytes(data)
+    out = bytearray(struct.pack("<I", ZSTD_MAGIC))
+    out.append((1 << 5) | (2 << 6))  # single-segment, 4-byte FCS
+    out += struct.pack("<I", len(data))
+    chunks = [data[i : i + block_size]
+              for i in range(0, len(data), block_size)] or [b""]
+    for ci, chunk in enumerate(chunks):
+        last = 1 if ci == len(chunks) - 1 else 0
+        body = _encode_block(chunk) if chunk else None
+        if body is not None and len(body) < len(chunk):
+            bh = (len(body) << 3) | (2 << 1) | last
+            out += bh.to_bytes(3, "little")
+            out += body
+        else:
+            bh = (len(chunk) << 3) | (0 << 1) | last
+            out += bh.to_bytes(3, "little")
+            out += chunk
+    return bytes(out)

@@ -123,3 +123,65 @@ def test_checksum_frame_validates():
     bad[-1] ^= 0xFF
     with pytest.raises(ValueError, match="checksum"):
         zstd.decompress(bytes(bad))
+
+
+class TestEncoder:
+    """The from-scratch compressor (predefined-FSE sequences + raw
+    literals): every frame must decode through BOTH this module's
+    decoder and libzstd."""
+
+    CASES = [
+        b"", b"a", b"abcd" * 200, b"the quick brown fox " * 3000,
+        bytes(range(256)) * 600, b"x" * 200_000,
+    ]
+
+    def test_roundtrip_own_and_reference(self):
+        import pyarrow as pa
+
+        import random
+
+        rng = random.Random(11)
+        cases = self.CASES + [
+            bytes(rng.randrange(256) for _ in range(50_000)),
+            bytes(rng.choice(b"abcdef") for _ in range(120_000)),
+        ]
+        for data in cases:
+            enc = zstd.compress(data)
+            assert zstd.decompress(enc) == data
+            if data:
+                got = pa.Codec("zstd").decompress(
+                    enc, len(data)
+                ).to_pybytes()
+                assert got == data
+
+    def test_multi_block_frames(self):
+        data = (b"repeat me " * 5000) + bytes(range(256)) * 100
+        enc = zstd.compress(data, block_size=1 << 12)
+        assert zstd.decompress(enc) == data
+
+    def test_compresses_redundancy(self):
+        run = b"z" * 100_000
+        assert len(zstd.compress(run)) < 200
+
+    def test_fse_threading_tiles_every_symbol(self):
+        # the backward threading relies on each symbol's state ranges
+        # tiling [0, size): verify on all three predefined tables
+        for dist, alog in (
+            (zstd._LL_DEFAULT_DIST, zstd._LL_DEFAULT_ALOG),
+            (zstd._OF_DEFAULT_DIST, zstd._OF_DEFAULT_ALOG),
+            (zstd._ML_DEFAULT_DIST, zstd._ML_DEFAULT_ALOG),
+        ):
+            table = zstd._fse_build_table(list(dist), alog)
+            by_sym = {}
+            for state, (sym, nb, baseline) in enumerate(table):
+                by_sym.setdefault(sym, []).append((nb, baseline))
+            size = 1 << alog
+            for sym, states in by_sym.items():
+                covered = sorted(
+                    (baseline, baseline + (1 << nb))
+                    for nb, baseline in states
+                )
+                assert covered[0][0] == 0
+                for (a, b), (c, d) in zip(covered, covered[1:]):
+                    assert b == c, (sym, covered)
+                assert covered[-1][1] == size
