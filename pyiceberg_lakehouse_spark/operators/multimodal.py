@@ -1158,7 +1158,7 @@ def demux_mp3_frames(payload: bytes) -> list[dict]:
     audio). Each frame covers exactly 1152 samples, so
     dts_ms = idx * 1152 * 1000 // rate, integer-exact. This is the
     sample-extraction layer for MP3 (what demux_mp4 is to MP4); the
-    Layer-III bitstream decode itself stays honestly gated."""
+    Layer-III bitstream decode lives in operators/mp3.py (r16)."""
     out: list[dict] = []
     pos = 0
     while pos + 4 <= len(payload):

@@ -936,7 +936,8 @@ def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     with decoded count/sum/min/max; a wrong step adaptation, clamp,
     nibble order, or seed sign-extension diverges the walk and flips the
     hash. First genuinely compressed audio codec in the engine (4:1);
-    perceptual codecs (MP3 Layer III synthesis) stay honestly gated."""
+    the MP3 Layer-III perceptual decode lives in operators/mp3.py as
+    of r16 (multimodal_mp3_samples)."""
     return multimodal.decode_mp4_audio(
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 3),
         audio_codec="ima4",
