@@ -403,32 +403,35 @@ def _read_scalefactors_v1(bits, g, prev_sf, scfsi, gr):
     return {"long": sf}, bits.pos - start
 
 
+def _lsf_layout(sfc: int, short: bool) -> tuple[tuple, tuple, int]:
+    """13818-3 scalefac_compress -> (slen[4], nsfb[4], preflag)."""
+    if sfc < 400:
+        slen = ((sfc >> 4) // 5, (sfc >> 4) % 5, (sfc % 16) >> 2, sfc % 4)
+        nsfb = (9, 9, 9, 9) if short else (6, 5, 5, 5)
+        preflag = 0
+    elif sfc < 500:
+        s = sfc - 400
+        slen = ((s >> 2) // 5, (s >> 2) % 5, s % 4, 0)
+        nsfb = (9, 9, 12, 6) if short else (6, 5, 7, 3)
+        preflag = 0
+    else:
+        s = sfc - 500
+        slen = (s // 3, s % 3, 0, 0)
+        nsfb = (18, 18, 0, 0) if short else (11, 10, 0, 0)
+        preflag = 1
+    return slen, nsfb, preflag
+
+
 def _read_scalefactors_lsf(bits, g, mode_ext_intensity):
     """MPEG-2 LSF scalefactors (13818-3): scalefac_compress (9 bits)
     selects slen[4] + partition sizes; intensity channels gated."""
     if mode_ext_intensity:
         raise NotImplementedError("mp3: LSF intensity-stereo scalefactors")
     sfc = g["scalefac_compress"]
-    if sfc < 400:
-        slen = ((sfc >> 4) // 5, (sfc >> 4) % 5, (sfc % 16) >> 2, sfc % 4)
-        preflag = 0
-    elif sfc < 500:
-        s = sfc - 400
-        slen = ((s >> 2) // 5, (s >> 2) % 5, s % 4, 0)
-        preflag = 0
-    else:
-        s = sfc - 500
-        slen = (s // 3, s % 3, 0, 0)
-        preflag = 1
     short = g["block_type"] == 2 and g["window_switching"]
     if short and g["mixed_block"]:
         raise NotImplementedError("mp3: mixed blocks")
-    if sfc < 400:
-        nsfb = (9, 9, 9, 9) if short else (6, 5, 5, 5)
-    elif sfc < 500:
-        nsfb = (9, 9, 12, 6) if short else (6, 5, 7, 3)
-    else:
-        nsfb = (18, 18, 0, 0) if short else (11, 10, 0, 0)
+    slen, nsfb, preflag = _lsf_layout(sfc, short)
     start = bits.pos
     flat = []
     for n, sl in zip(nsfb, slen):
@@ -1037,5 +1040,68 @@ def encode_mp3(granule_specs: list[dict], sample_rate: int = 44100,
                 f"granule data ({len(body)} B) exceeds the {frame_len}-B"
                 " frame; raise the bitrate"
             )
+        out += body + bytes(frame_len - len(body))
+    return bytes(out)
+
+
+def encode_mp3_lsf(granule_specs: list[dict], sample_rate: int = 22050,
+                   bitrate_kbps: int = 64) -> bytes:
+    """Fixture encoder, MPEG-2 LSF form: one granule per frame, 9-byte
+    mono side info, 9-bit scalefac_compress with the 13818-3 partition
+    slens (long blocks; preflag derived from the sfc range). Pins the
+    LSF scalefactor path with NONZERO values — the real LAME vector on
+    this box is silence (every slen 0). Reuses _encode_granule for the
+    huffman body by writing the MPEG-1 scalefactor section with
+    scalefac_compress=0 (zero slens -> zero bits) and prepending the
+    LSF scalefactor bits here."""
+    br_idx = BITRATES_V2_L3.index(bitrate_kbps)
+    sr_idx = RATES_V2.index(sample_rate)
+    out = bytearray()
+    for spec in granule_specs:
+        if spec.get("block_type", 0) == 2:
+            raise NotImplementedError("LSF fixture writes long blocks")
+        frame_len = 72 * bitrate_kbps * 1000 // sample_rate
+        header = (0x7FF << 21) | (2 << 19) | (1 << 17) | (1 << 16) \
+            | (br_idx << 12) | (sr_idx << 10) | (3 << 6)
+        sfc = spec.get("scalefac_compress", 0)
+        slen, nsfb, _pre = _lsf_layout(sfc, False)
+        mdw = BitWriter()
+        start = mdw.tell()
+        sfl = spec.get("scalefac_l") or [0] * 21
+        at = 0
+        for n, sl in zip(nsfb, slen):
+            for _ in range(n):
+                v = sfl[at] if at < len(sfl) else 0
+                if not (0 <= v < (1 << sl)):
+                    raise ValueError(
+                        f"LSF scalefactor {v} does not fit slen {sl}"
+                    )
+                mdw.write(v, sl)
+                at += 1
+        # huffman body via the MPEG-1 granule writer with an
+        # all-zero-slen scalefactor section (writes no bits)
+        body_spec = dict(spec, scalefac_compress=0, scalefac_l=[0] * 21)
+        side = _encode_granule(mdw, body_spec, sample_rate)
+        side["part2_3_length"] = mdw.tell() - start
+        main = mdw.to_bytes()
+        sw = BitWriter()
+        sw.write(0, 8)   # main_data_begin
+        sw.write(0, 1)   # private (mono LSF)
+        sw.write(side["part2_3_length"], 12)
+        sw.write(side["big_values"], 9)
+        sw.write(side["global_gain"], 8)
+        sw.write(sfc, 9)
+        sw.write(0, 1)   # window_switching (long)
+        for t in side["table_select"]:
+            sw.write(t, 5)
+        sw.write(side["region0_count"], 4)
+        sw.write(side["region1_count"], 3)
+        sw.write(side["scalefac_scale"], 1)
+        sw.write(side["count1table_select"], 1)
+        si = sw.to_bytes()
+        assert len(si) == 9, len(si)
+        body = struct.pack(">I", header) + si + main
+        if len(body) > frame_len:
+            raise ValueError("LSF granule exceeds the frame; raise bitrate")
         out += body + bytes(frame_len - len(body))
     return bytes(out)

@@ -195,3 +195,50 @@ class TestHostilesAndGates:
         blob = M.encode_mp3([_spec([0] * 576), _spec([0] * 576)])
         f = M.walk_frames(blob)[0]
         assert f["side"]["size"] == 17
+
+
+class TestLsfFixture:
+    @pytest.mark.parametrize("sfc", [0, 281, 404, 503])
+    def test_lsf_scalefactors_roundtrip_every_regime(self, sfc):
+        """The 13818-3 scalefac_compress regimes (<400 / 400-499 /
+        >=500-with-preflag) with NONZERO scalefactors — the real LAME
+        vector is silence, so this is the value-bearing LSF pin."""
+        slen, nsfb, preflag = M._lsf_layout(sfc, False)
+        sfl = []
+        at = 0
+        for n, sl in zip(nsfb, slen):
+            for _ in range(n):
+                sfl.append(at % (1 << sl) if sl else 0)
+                at += 1
+        is_ = [0] * 576
+        # 22050 Hz long bands: line 6 sits in band 1 (nonzero slen-1
+        # scalefactor), line 210 in band 15 (pretab 2 — the preflag
+        # lever); lines 0/3 in the zero band as controls
+        for j, v in ((0, 2), (3, -4), (6, 1), (210, -5), (211, 3)):
+            is_[j] = v
+        spec = {"is": is_, "global_gain": 205, "tables": [7, 7, 0],
+                "region0_count": 8, "region1_count": 7,
+                "big_values": 106, "count1_quads": 0,
+                "scalefac_compress": sfc, "scalefac_l": sfl,
+                "scalefac_scale": 1}
+        out = M.decode_mp3(M.encode_mp3_lsf([spec, spec]))
+        assert out["version"] == 2 and out["sample_rate"] == 22050
+        assert out["n_frames"] == 2 and out["n_samples"] == 2 * 576
+        assert all(g[0] == is_ for g in out["spectra"])
+        # the preflag derivation reached requantization: with nonzero
+        # pretab bands the >=500 regime must differ from preflag=0
+        if preflag:
+            e = sum(x * x for x in out["pcm"][0])
+            spec0 = dict(spec, scalefac_compress=0,
+                         scalefac_l=[0] * 21)
+            out0 = M.decode_mp3(M.encode_mp3_lsf([spec0, spec0]))
+            e0 = sum(x * x for x in out0["pcm"][0])
+            # same spectrum, but the >=500 regime's preflag + nonzero
+            # band-0/1 scalefactors change the requantized energy
+            assert e != e0
+
+    def test_lsf_short_blocks_gated(self):
+        spec = {"is": [0] * 576, "tables": [0, 0, 0], "big_values": 0,
+                "region0_count": 0, "region1_count": 0, "block_type": 2}
+        with pytest.raises(NotImplementedError, match="long blocks"):
+            M.encode_mp3_lsf([spec])
