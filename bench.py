@@ -284,6 +284,21 @@ def main() -> None:
             runs.append(time.time() - t0)
         samples[label] = runs
 
+    # the Iceberg MoR fixture build, timed on its own (r17 split: the
+    # iceberg_mor phase above measures the READ — its warmup run built
+    # and memoized the fixture — while this phase forces fresh builds
+    # so the six-parquet-write construction cost stays observable)
+    from pyiceberg_lakehouse_spark.lakehouse.queries import (
+        build_iceberg_mor_fixture,
+    )
+
+    build_runs = []
+    for _ in range(REPS):
+        t0 = time.time()
+        build_iceberg_mor_fixture(spark, SF_DIR, fresh=True)
+        build_runs.append(time.time() - t0)
+    samples["iceberg_mor_build"] = build_runs
+
     # lakehouse phases stay cold (fresh warehouse per repetition), matching
     # the reference's cold-ingest timers
     for _ in range(REPS):

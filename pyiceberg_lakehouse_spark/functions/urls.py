@@ -65,11 +65,13 @@ _URI_RE = r"^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?"
 def percent_decode(col: Column) -> Column:
     """RFC 3986 percent-decoding as a PURE Column expression (split ->
     transform -> conv -> char): each '%XX' escape becomes the byte XX.
-    Strict-input contract: '%' must introduce two hex digits (the RFC
-    grammar); multi-byte UTF-8 escapes decode per byte, so non-ASCII
-    sequences come back as their raw bytes — ASCII-safe, which is what
-    the dedup/canonicalization hot path needs with no Python in the
-    plan."""
+    A '%' NOT followed by two hex digits (outside the RFC grammar)
+    passes through VERBATIM — malformed input stays visible instead of
+    silently dropping the segment (the conv/char chain would go NULL
+    and array_join would eat it). Multi-byte UTF-8 escapes decode per
+    byte, so non-ASCII sequences come back as their raw bytes —
+    ASCII-safe, which is what the dedup/canonicalization hot path
+    needs with no Python in the plan."""
     parts = F.split(col, "%")
     head = F.element_at(parts, 1)
     # slice needs an exact positive length: an open-ended sentinel
@@ -79,10 +81,13 @@ def percent_decode(col: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
     decoded = F.transform(
         rest,
-        lambda p: F.concat(
-            F.char(F.conv(F.substring(p, 1, 2), 16, 10).cast("int")),
-            F.substring(p, 3, 2147483647),
-        ),
+        lambda p: F.when(
+            F.substring(p, 1, 2).rlike("^[0-9A-Fa-f]{2}$"),
+            F.concat(
+                F.char(F.conv(F.substring(p, 1, 2), 16, 10).cast("int")),
+                F.substring(p, 3, 2147483647),
+            ),
+        ).otherwise(F.concat(F.lit("%"), p)),
     )
     return F.concat(head, F.array_join(decoded, ""))
 

@@ -82,6 +82,22 @@ _MANIFEST_SCHEMA = {
                 # file (content=2) matches on; null for data/position
                 {"name": "equality_ids",
                  "type": ["null", {"type": "array", "items": "int"}]},
+                # spec fields 125/128: per-column value bounds as
+                # field-id -> single-value-serialized bytes, stored in
+                # the spec's array<record{key,value}> map encoding
+                # (the k126_v127 / k129_v130 shapes real manifests use)
+                {"name": "lower_bounds", "type": ["null", {
+                    "type": "array", "items": {
+                        "type": "record", "name": "k126_v127",
+                        "fields": [{"name": "key", "type": "int"},
+                                   {"name": "value", "type": "bytes"}],
+                    }}]},
+                {"name": "upper_bounds", "type": ["null", {
+                    "type": "array", "items": {
+                        "type": "record", "name": "k129_v130",
+                        "fields": [{"name": "key", "type": "int"},
+                                   {"name": "value", "type": "bytes"}],
+                    }}]},
             ],
         }},
     ],
@@ -132,7 +148,17 @@ def write_iceberg_metadata(
     ``partition_fields``: [(name, "long"|"string")] types the spec's
     r102 partition struct in every manifest entry and derives an
     identity partition spec from the table schema (source-id by name,
-    field-ids from 1000). Returns the metadata.json path."""
+    field-ids from 1000). For NON-identity specs pass
+    ``partition_specs`` explicitly (transforms like ``bucket[4]`` /
+    ``truncate[2]``) with ``partition_fields`` naming the SPEC field
+    names — per-file values arrive pre-transformed in
+    f["partition"], the way a real writer stores them.
+
+    Data files may carry ``lower_bounds``/``upper_bounds``:
+    {field_id: single-value-serialized bytes}
+    (iceberg_transforms.serialize_single_value) — the manifest stats
+    the reader's metadata-time pruning consumes. Returns the
+    metadata.json path."""
     partition_fields = partition_fields or []
     manifest_schema = _manifest_schema(partition_fields)
     if partition_fields and partition_specs is None:
@@ -185,6 +211,16 @@ def write_iceberg_metadata(
                     else os.path.getsize(f["path"])
                 ),
                 "equality_ids": None,
+                "lower_bounds": (
+                    [{"key": int(k), "value": bytes(v)}
+                     for k, v in sorted(f["lower_bounds"].items())]
+                    if f.get("lower_bounds") else None
+                ),
+                "upper_bounds": (
+                    [{"key": int(k), "value": bytes(v)}
+                     for k, v in sorted(f["upper_bounds"].items())]
+                    if f.get("upper_bounds") else None
+                ),
             }
             if partition_fields:
                 part = f.get("partition", {})
@@ -225,6 +261,8 @@ def write_iceberg_metadata(
                     else os.path.getsize(f["path"])
                 ),
                 "equality_ids": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
             }
             if partition_fields:
                 df["partition"] = {n: None for n, _t in partition_fields}
@@ -249,6 +287,8 @@ def write_iceberg_metadata(
                     else os.path.getsize(f["path"])
                 ),
                 "equality_ids": [int(i) for i in f["equality_ids"]],
+                "lower_bounds": None,
+                "upper_bounds": None,
             }
             if partition_fields:
                 df["partition"] = {n: None for n, _t in partition_fields}
@@ -406,6 +446,7 @@ def iceberg_live_files(
     delete_files = []
     n_manifests = 0
     for m in mlist:
+        m_spec_id = m.get("partition_spec_id", 0)
         m_content = m.get("content", 0)
         if m_content not in (0, 1):
             raise NotImplementedError(
@@ -441,6 +482,20 @@ def iceberg_live_files(
                 "records": df["record_count"],
                 "seq": eseq,
                 "partition": df.get("partition"),
+                "spec_id": m_spec_id,
+                # spec map encoding: array of {key: field-id, value:
+                # single-value bytes} -> plain dicts (None when the
+                # writer recorded no stats)
+                "lower_bounds": (
+                    {int(e["key"]): bytes(e["value"])
+                     for e in df["lower_bounds"]}
+                    if df.get("lower_bounds") else None
+                ),
+                "upper_bounds": (
+                    {int(e["key"]): bytes(e["value"])
+                     for e in df["upper_bounds"]}
+                    if df.get("upper_bounds") else None
+                ),
             }
             if fc == 0:
                 files.append(rec)
@@ -452,22 +507,170 @@ def iceberg_live_files(
                         "iceberg equality-delete file without equality_ids"
                     )
                 delete_files.append(rec)
+    # resolve the CURRENT schema by current-schema-id (schemas[0] is
+    # typically the OLDEST after evolution — equality_ids and predicate
+    # columns must resolve against the schema the table is at now)
+    schemas = meta.get("schemas") or [{}]
+    cur_id = meta.get("current-schema-id")
+    current = next(
+        (s for s in schemas if s.get("schema-id") == cur_id), schemas[0]
+    )
     return {
         "snapshot_id": snapshot_id,
         "files": files,
         "delete_files": delete_files,
         "n_manifests": n_manifests,
         "sequence_number": snap.get("sequence-number"),
-        "schema_fields": (meta.get("schemas") or [{}])[0].get("fields", []),
+        "schema_fields": current.get("fields", []),
+        "partition_specs": {
+            int(s.get("spec-id", 0)): s.get("fields", [])
+            for s in meta.get("partition-specs", [])
+        },
     }
 
 
-def _norm_path(col):
+def _norm_path(col, decode: bool = False):
     """file:///x, file:/x and /x all normalize to /x so the engine's
-    ``_metadata.file_path`` URI joins against manifest-recorded paths."""
+    ``_metadata.file_path`` URI joins against manifest-recorded paths.
+    ``decode=True`` additionally percent-decodes (Spark reports the
+    Hadoop URI form, e.g. %20 for a space; manifests record the raw
+    string) — only the Spark ``_metadata`` side is decoded, manifest
+    and delete-file strings stay raw. Non-ASCII escapes decode
+    per byte (ASCII-safe); a residual mismatch surfaces as a LOUD
+    null-sequence error downstream, never as silently resurrected
+    rows."""
     from pyspark.sql import functions as F
 
-    return F.regexp_replace(col, "^file:/+", "/")
+    from pyiceberg_lakehouse_spark.functions.urls import percent_decode
+
+    out = F.regexp_replace(col, "^file:/+", "/")
+    return percent_decode(out) if decode else out
+
+
+_ICE_TO_SPARK = {
+    "boolean": "boolean", "int": "int", "long": "bigint",
+    "float": "float", "double": "double", "string": "string",
+    "date": "date", "timestamp": "timestamp", "binary": "binary",
+}
+
+
+def _spark_schema(schema_fields: list[dict]):
+    """Iceberg schema fields -> Spark StructType (primitive columns;
+    the empty-result path needs a typed frame, not a row scan)."""
+    from pyspark.sql import types as T
+
+    fields = []
+    for f in schema_fields:
+        t = f.get("type")
+        if not isinstance(t, str) or t not in _ICE_TO_SPARK:
+            raise NotImplementedError(
+                f"iceberg type {t!r} in the empty-scan schema"
+            )
+        fields.append(
+            T.StructField(
+                f["name"],
+                T._parse_datatype_string(_ICE_TO_SPARK[t]),
+                not f.get("required", False),
+            )
+        )
+    return T.StructType(fields)
+
+
+def plan_iceberg_scan(
+    metadata_path: str,
+    snapshot_id: int | None = None,
+    predicates: list[tuple] | None = None,
+    partition_filter=None,
+) -> dict[str, Any]:
+    """Metadata-time planning: resolve the snapshot's live files, then
+    prune data files a predicate provably cannot match — the move that
+    makes a 100 TB Iceberg table readable (touch 2 files, not 2,000).
+
+    ``predicates``: [(column, op, constant)], op in =, <, <=, >, >=,
+    in — each is checked against (a) the file's r102 partition struct
+    THROUGH the partition spec's transform (identity / bucket[N] /
+    truncate[W] / year/month/day/hour — the predicate constant is
+    transformed, per the spec's planning rules; bucket serves only
+    equality) and (b) the manifest's lower_bounds/upper_bounds for the
+    column's field id. Conservative throughout: missing stats, an
+    unknown transform, or an op the transform cannot serve keep the
+    file. Apply the SAME predicate in the query too — skipping is
+    file-granular. Delete files are NEVER pruned (an equality delete
+    must still hit every kept file it is newer than).
+
+    Returns the ``iceberg_live_files`` dict with ``files`` filtered
+    plus ``n_candidates`` / ``n_pruned`` for plan assertions.
+
+    Reference parity: query_iceberg_duckdb.py:24-27 gets this from
+    DuckDB's iceberg extension; native here."""
+    from pyiceberg_lakehouse_spark.lakehouse.iceberg_transforms import (
+        bounds_may_match,
+        deserialize_single_value,
+        partition_may_match,
+    )
+
+    resolved = iceberg_live_files(metadata_path, snapshot_id)
+    n_candidates = len(resolved["files"])
+    files = resolved["files"]
+    if partition_filter is not None:
+        kept = []
+        for f in files:
+            if f.get("partition") is None:
+                raise ValueError(
+                    "partition_filter on a table whose manifests carry"
+                    " no partition struct"
+                )
+            if partition_filter(f["partition"]):
+                kept.append(f)
+        files = kept
+    if predicates:
+        by_name = {f["name"]: f for f in resolved["schema_fields"]}
+        for col, op, const in predicates:
+            if col not in by_name:
+                raise ValueError(
+                    f"predicate column {col!r} not in the table schema"
+                )
+            fld = by_name[col]
+            if not isinstance(fld.get("type"), str):
+                raise NotImplementedError(
+                    f"iceberg predicate over nested type {fld.get('type')!r}"
+                )
+            fid, ice_type = int(fld["id"]), fld["type"]
+            kept = []
+            for f in files:
+                keep = True
+                # (a) partition-transform check
+                spec = resolved["partition_specs"].get(
+                    f.get("spec_id", 0), []
+                )
+                part = f.get("partition") or {}
+                for sf in spec:
+                    if int(sf.get("source-id", -1)) != fid:
+                        continue
+                    if sf["name"] not in part:
+                        continue  # older spec wrote no value: keep
+                    if not partition_may_match(
+                        sf.get("transform", "identity"),
+                        part[sf["name"]], op, const, ice_type,
+                    ):
+                        keep = False
+                        break
+                # (b) manifest stats check
+                if keep:
+                    lo_b = (f.get("lower_bounds") or {}).get(fid)
+                    up_b = (f.get("upper_bounds") or {}).get(fid)
+                    lo = (deserialize_single_value(lo_b, ice_type)
+                          if lo_b is not None else None)
+                    up = (deserialize_single_value(up_b, ice_type)
+                          if up_b is not None else None)
+                    keep = bounds_may_match(lo, up, op, const)
+                if keep:
+                    kept.append(f)
+            files = kept
+    resolved["files"] = files
+    resolved["n_candidates"] = n_candidates
+    resolved["n_pruned"] = n_candidates - len(files)
+    return resolved
 
 
 def read_iceberg_table(
@@ -475,6 +678,7 @@ def read_iceberg_table(
     metadata_path: str,
     snapshot_id: int | None = None,
     partition_filter=None,
+    predicates: list[tuple] | None = None,
 ) -> DataFrame:
     """One Catalyst parquet scan over the snapshot's live file list —
     the engine-native ``iceberg_scan`` — with v2 merge-on-read deletes
@@ -496,42 +700,65 @@ def read_iceberg_table(
 
     ``partition_filter``: a predicate over the manifest-recorded r102
     partition-struct values (identity transforms) applied at METADATA
-    time — pruned data files never reach the scan, the planning move
-    that makes a 100 TB partitioned table readable (delete files are
-    never pruned: an equality delete must still hit every kept file it
-    is newer than)."""
+    time; ``predicates``: [(col, op, const)] simple predicates pushed
+    through the spec's partition TRANSFORMS (bucket/truncate/temporal)
+    and the manifest lower/upper bounds (plan_iceberg_scan) — pruned
+    data files never reach the scan, the planning move that makes a
+    100 TB partitioned table readable (delete files are never pruned:
+    an equality delete must still hit every kept file it is newer
+    than). A filter that prunes EVERY file returns an empty, correctly
+    typed DataFrame — a legitimate query result, not an error."""
     from pyspark.sql import functions as F
 
-    resolved = iceberg_live_files(metadata_path, snapshot_id)
-    if partition_filter is not None:
-        kept = []
-        for f in resolved["files"]:
-            if f.get("partition") is None:
-                raise ValueError(
-                    "partition_filter on a table whose manifests carry"
-                    " no partition struct"
-                )
-            if partition_filter(f["partition"]):
-                kept.append(f)
-        resolved["files"] = kept
+    resolved = plan_iceberg_scan(
+        metadata_path, snapshot_id, predicates, partition_filter
+    )
     if not resolved["files"]:
+        if resolved["n_candidates"]:
+            # pruning (a legitimate no-match filter) emptied the list
+            return spark.createDataFrame(
+                [], _spark_schema(resolved["schema_fields"])
+            )
         raise ValueError("iceberg snapshot lists no data files")
     reader = spark.read.parquet(*[f["path"] for f in resolved["files"]])
     if not resolved["delete_files"]:
         return reader
 
     # data rows + their file's data sequence number (metadata-scale map,
-    # broadcast) + row position within the file
+    # broadcast) + row position within the file. The Spark-side path is
+    # percent-DECODED to the manifests' raw form; any residual
+    # normalization mismatch must surface loudly (raise), because a
+    # NULL sequence number would make every delete predicate NULL and
+    # silently RESURRECT deleted rows through the anti-joins.
     seq_rows = [
         (os.path.abspath(f["path"]), int(f["seq"]))
         for f in resolved["files"]
     ]
     seq_df = spark.createDataFrame(seq_rows, "__ice_path string, __ice_seq long")
-    data = reader.select(
-        "*",
-        _norm_path(F.col("_metadata.file_path")).alias("__ice_path"),
-        F.col("_metadata.row_index").alias("__ice_pos"),
-    ).join(F.broadcast(seq_df), "__ice_path", "left")
+    data = (
+        reader.select(
+            "*",
+            _norm_path(F.col("_metadata.file_path"), decode=True)
+            .alias("__ice_path"),
+            F.col("_metadata.row_index").alias("__ice_pos"),
+        )
+        .join(F.broadcast(seq_df), "__ice_path", "left")
+        .withColumn(
+            "__ice_seq",
+            F.when(
+                F.col("__ice_seq").isNotNull(), F.col("__ice_seq")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("iceberg: data path not in the manifest"
+                              " sequence map (URI normalization"
+                              " mismatch): "),
+                        F.col("__ice_path"),
+                    )
+                ).cast("long")
+            ),
+        )
+    )
 
     BROADCAST_DELETE_ROWS = 4_000_000  # manifest-declared record counts
 

@@ -483,6 +483,15 @@ def decode_spectrum(bits, g, hdr) -> tuple[list[int], int]:
                 f"mp3: huffman table {tid} pending a validated"
                 " transcription (tables 0-3,5-7 + count1 A/B shipped)"
             )
+        if tid not in _HUFF_RAW:
+            # ids 4 and 14 are encodable in the 5-bit table_select
+            # field but unused by the spec — a stream selecting them
+            # is corrupt and must reject CLEANLY (the fuzz suite's
+            # ValueError/NotImplementedError/EOFError contract), not
+            # KeyError
+            raise ValueError(
+                f"mp3: spec-unused huffman table {tid} selected"
+            )
         xlen, ylen, linbits, _codes = _HUFF_RAW[tid]
         x, y = _read_code(bits, _DECODE_MAPS[tid])
         if linbits and x == xlen - 1:

@@ -347,6 +347,85 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # cosine top-k, the reference's flagship upsert composite, and the
 # exactly-once streaming sink.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # ---- r17 rotation (VERDICT r16 task #6). Composition: 8 standing
+    # anchors + 2 category sentinels; the 6 r16 first-timers HOLD for
+    # their confirming round; new r17 oracle-checkable rows take slots
+    # in THEIR OWN round (lh_iceberg_stats_scan — manifest min/max
+    # stats pruning + bucket/truncate transform pruning, the r16
+    # verdict's task #3 — plus the later r17 rows as they land,
+    # displacing the remaining multi-green keepers one by one); the
+    # 26 r15 holds completed their confirming round in r16 and rotate
+    # to keeper status. The 30 freed slots fill with the LONGEST-
+    # UNWINDOWED greens recomputed from all seventeen CORRECTNESS
+    # files (not session notes): the 26 rows whose last driver hash is
+    # r02 (the core-SQL families scan/filter/agg/join/win/sort/set/fn/
+    # cast), plus lh_add_files / proj_columns / text_quality (r03) and
+    # dedup_ngram_jaccard (r05) — the last two chosen over the two
+    # next-oldest r03 rows (agg_group_orders, filter_compound, next in
+    # line for r18) to keep the contract's text_/dedup_ prefix
+    # coverage (tests/test_entry_contract.py).
+    "agg_q1_pricing_summary",
+    "agg_q9_product_profit",
+    "agg_q13_customer_distribution",
+    "agg_q18_large_orders",
+    "agg_q21_suppliers_kept_waiting",
+    "join_right_outer",
+    "sim_cosine_topk",
+    "stream_lh_sink_hourly",
+    # category sentinels (test_entry_contract: every prefix sampled)
+    "win_ntile_cume",
+    "train_pack_sequences",
+    # r16 first-timers, second-round hold
+    "lh_iceberg_mor_scan",
+    "multimodal_mp3_samples",
+    "multimodal_ogg_samples",
+    "scan_fwf_checked",
+    "fn_uri_parse",
+    "lh_iceberg_partition_scan",
+    # new r17 rows (each in its own round, no-tail principle)
+    "lh_iceberg_stats_scan",
+    # longest-unwindowed fills (last driver hash r02)
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_distinct_segments",
+    "agg_having",
+    "agg_median_percentile",
+    "agg_pivot",
+    "cast_columns",
+    "filter_in_like",
+    "filter_range",
+    "fn_array",
+    "fn_case_when",
+    "fn_datetime",
+    "fn_explode_tokens",
+    "fn_json",
+    "fn_listagg",
+    "fn_math",
+    "join_anti",
+    "join_left_count",
+    "join_semi",
+    "scan_schema_probe",
+    "set_except",
+    "set_intersect",
+    "set_intersect_all",
+    "sort_multi_limit",
+    "win_lag_lead",
+    "win_rank_dense",
+    # longest-unwindowed fills (r03/r05; prefix-coverage picks noted
+    # in the header comment)
+    "lh_add_files",
+    "proj_columns",
+    "text_quality",
+    "dedup_ngram_jaccard",
+    # multi-green keepers holding the remaining new-r17-row slots
+    # (displaced as multimodal_ogg_stereo / lh_purge_mor_history /
+    # scan_snappy_framed land this round)
+    "scan_archive_entries",
+    "stream_stream_anti_join",
+    "lh_external_scan",
+)
+
+_R16_WINDOW: tuple[str, ...] = (
     # ---- r16 rotation. VERDICT r15 task #3: the 26 r15 first-timers
     # (the 19 rotated-in backlog rows + the 7 r15-new rows) HOLD for
     # their confirming round; 8 standing anchors + 2 category sentinels

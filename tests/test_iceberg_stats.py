@@ -1,0 +1,264 @@
+"""Iceberg metadata-time stats + transform pruning and the r17 ADVICE
+fixes (lakehouse/iceberg_interop.py): manifest lower/upper bounds,
+bucket/truncate partition transforms pushed through predicates,
+empty-after-prune as a typed empty DataFrame, current-schema-id
+resolution, and URI-encoded-path joins (spaces / literal '%' in file
+paths must not resurrect deleted rows)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyiceberg_lakehouse_spark.lakehouse import iceberg_interop as I
+from pyiceberg_lakehouse_spark.lakehouse.iceberg_transforms import (
+    apply_transform,
+    serialize_single_value,
+)
+from pyiceberg_lakehouse_spark.tmpdirs import session_tmpdir
+
+SCHEMA_FIELDS = [
+    {"id": 1, "name": "id", "required": True, "type": "long"},
+    {"id": 2, "name": "v", "required": False, "type": "long"},
+    {"id": 3, "name": "s", "required": False, "type": "string"},
+]
+
+
+def _one_parquet(d):
+    return next(os.path.join(d, f) for f in os.listdir(d)
+                if f.endswith(".parquet"))
+
+
+def _write_range_file(spark, td, name, lo, hi):
+    d = os.path.join(td, name)
+    (
+        spark.range(lo, hi)
+        .withColumn("v", F.col("id") * 2)
+        .withColumn("s", F.concat(F.lit("s"), (F.col("id") % 7)))
+        .coalesce(1)
+        .write.parquet(d)
+    )
+    return _one_parquet(d)
+
+
+@pytest.fixture
+def bounded_table(spark):
+    """Three range files with manifest bounds on id (field 1)."""
+    td = session_tmpdir(prefix="ice_stats_")
+    files = []
+    for i, (lo, hi) in enumerate([(0, 100), (100, 200), (200, 300)]):
+        p = _write_range_file(spark, td, f"f{i}", lo, hi)
+        files.append({
+            "path": p, "records": hi - lo,
+            "lower_bounds": {1: serialize_single_value(lo, "long")},
+            "upper_bounds": {1: serialize_single_value(hi - 1, "long")},
+        })
+    mp = I.write_iceberg_metadata(
+        td, snapshots=[{"files": files}], schema_fields=SCHEMA_FIELDS
+    )
+    return mp
+
+
+class TestBoundsPruning:
+    def test_le_prunes_upper_files(self, spark, bounded_table):
+        plan = I.plan_iceberg_scan(
+            bounded_table, predicates=[("id", "<=", 150)]
+        )
+        assert plan["n_candidates"] == 3
+        assert plan["n_pruned"] == 1  # file [200, 300) provably out
+        df = I.read_iceberg_table(
+            spark, bounded_table, predicates=[("id", "<=", 150)]
+        ).filter(F.col("id") <= 150)
+        assert df.count() == 151
+
+    def test_eq_keeps_one(self, bounded_table):
+        plan = I.plan_iceberg_scan(
+            bounded_table, predicates=[("id", "=", 250)]
+        )
+        assert plan["n_pruned"] == 2
+        assert len(plan["files"]) == 1
+
+    def test_in_list(self, bounded_table):
+        plan = I.plan_iceberg_scan(
+            bounded_table, predicates=[("id", "in", [5, 250])]
+        )
+        assert plan["n_pruned"] == 1
+
+    def test_gt_boundary_exact(self, bounded_table):
+        # id > 199: files [0,100) and [100,200) provably out
+        plan = I.plan_iceberg_scan(
+            bounded_table, predicates=[("id", ">", 199)]
+        )
+        assert plan["n_pruned"] == 2
+        # id >= 199 keeps the [100,200) file too
+        plan = I.plan_iceberg_scan(
+            bounded_table, predicates=[("id", ">=", 199)]
+        )
+        assert plan["n_pruned"] == 1
+
+    def test_missing_bounds_conservative(self, spark):
+        td = session_tmpdir(prefix="ice_nob_")
+        p = _write_range_file(spark, td, "f0", 0, 10)
+        mp = I.write_iceberg_metadata(
+            td, snapshots=[{"files": [{"path": p, "records": 10}]}],
+            schema_fields=SCHEMA_FIELDS,
+        )
+        plan = I.plan_iceberg_scan(mp, predicates=[("id", "=", 999)])
+        assert plan["n_pruned"] == 0  # no stats: must keep
+
+    def test_empty_after_prune_is_typed_empty_frame(
+        self, spark, bounded_table
+    ):
+        df = I.read_iceberg_table(
+            spark, bounded_table, predicates=[("id", ">", 10_000)]
+        )
+        assert df.count() == 0
+        assert [f.name for f in df.schema.fields] == ["id", "v", "s"]
+        assert df.schema["id"].dataType.simpleString() == "bigint"
+        assert df.schema["s"].dataType.simpleString() == "string"
+
+    def test_unknown_predicate_column_raises(self, bounded_table):
+        with pytest.raises(ValueError, match="not in the table schema"):
+            I.plan_iceberg_scan(
+                bounded_table, predicates=[("nope", "=", 1)]
+            )
+
+
+class TestTransformPruning:
+    def _bucket_table(self, spark, n_buckets=4):
+        td = session_tmpdir(prefix="ice_bkt_")
+        files = []
+        for b in range(n_buckets):
+            d = os.path.join(td, f"b{b}")
+            rows = [
+                (i, i * 2, "x") for i in range(400)
+                if apply_transform(f"bucket[{n_buckets}]", i, "long") == b
+            ]
+            spark.createDataFrame(
+                rows, "id long, v long, s string"
+            ).coalesce(1).write.parquet(d)
+            files.append({
+                "path": _one_parquet(d),
+                "records": len(rows),
+                "partition": {"id_bucket": b},
+            })
+        mp = I.write_iceberg_metadata(
+            td,
+            snapshots=[{"files": files}],
+            schema_fields=SCHEMA_FIELDS,
+            partition_specs=[{
+                "spec-id": 0,
+                "fields": [{
+                    "name": "id_bucket", "transform": f"bucket[{n_buckets}]",
+                    "source-id": 1, "field-id": 1000,
+                }],
+            }],
+            partition_fields=[("id_bucket", "int")],
+        )
+        return mp
+
+    def test_bucket_equality_prunes(self, spark):
+        mp = self._bucket_table(spark)
+        want = apply_transform("bucket[4]", 42, "long")
+        plan = I.plan_iceberg_scan(mp, predicates=[("id", "=", 42)])
+        assert plan["n_pruned"] == 3
+        assert plan["files"][0]["partition"]["id_bucket"] == want
+        got = I.read_iceberg_table(
+            spark, mp, predicates=[("id", "=", 42)]
+        ).filter(F.col("id") == 42)
+        assert got.count() == 1
+
+    def test_bucket_range_keeps_everything(self, spark):
+        mp = self._bucket_table(spark)
+        plan = I.plan_iceberg_scan(mp, predicates=[("id", "<", 10)])
+        assert plan["n_pruned"] == 0  # hash cannot serve ranges
+
+    def test_truncate_string_prunes(self, spark):
+        td = session_tmpdir(prefix="ice_trunc_")
+        files = []
+        for word in ("apple", "apricot", "banana"):
+            d = os.path.join(td, word)
+            spark.createDataFrame(
+                [(1, 2, word)], "id long, v long, s string"
+            ).coalesce(1).write.parquet(d)
+            files.append({
+                "path": _one_parquet(d), "records": 1,
+                "partition": {"s_trunc": word[:2]},
+            })
+        mp = I.write_iceberg_metadata(
+            td,
+            snapshots=[{"files": files}],
+            schema_fields=SCHEMA_FIELDS,
+            partition_specs=[{
+                "spec-id": 0,
+                "fields": [{
+                    "name": "s_trunc", "transform": "truncate[2]",
+                    "source-id": 3, "field-id": 1000,
+                }],
+            }],
+            partition_fields=[("s_trunc", "string")],
+        )
+        plan = I.plan_iceberg_scan(mp, predicates=[("s", "=", "banana")])
+        assert plan["n_pruned"] == 2
+        plan = I.plan_iceberg_scan(mp, predicates=[("s", "=", "apple")])
+        assert plan["n_pruned"] == 1  # apple + apricot share 'ap'
+
+
+class TestSchemaResolution:
+    def test_current_schema_id_selects_newest(self, spark):
+        td = session_tmpdir(prefix="ice_schem_")
+        p = _write_range_file(spark, td, "f0", 0, 10)
+        mp = I.write_iceberg_metadata(
+            td, snapshots=[{"files": [{"path": p, "records": 10}]}],
+            schema_fields=SCHEMA_FIELDS,
+        )
+        meta = json.load(open(mp))
+        renamed = [
+            {**f, "name": ("id_renamed" if f["name"] == "id" else f["name"])}
+            for f in SCHEMA_FIELDS
+        ]
+        meta["schemas"] = [
+            {"type": "struct", "schema-id": 0, "fields": SCHEMA_FIELDS},
+            {"type": "struct", "schema-id": 7, "fields": renamed},
+        ]
+        meta["current-schema-id"] = 7
+        json.dump(meta, open(mp, "w"))
+        info = I.iceberg_live_files(mp)
+        names = [f["name"] for f in info["schema_fields"]]
+        assert "id_renamed" in names and "id" not in names
+
+
+class TestEncodedPaths:
+    def test_space_and_percent_in_path_deletes_still_apply(self, spark):
+        """Spark reports _metadata.file_path URI-encoded (%20 for a
+        space, %25 for a literal '%'); the manifests record raw
+        strings. The decoded join must line up — a mismatch would NULL
+        __ice_seq and silently resurrect deleted rows (r16 ADVICE)."""
+        td = session_tmpdir(prefix="ice_uri_")
+        sub = os.path.join(td, "with space", "odd%20dir")
+        os.makedirs(sub, exist_ok=True)
+        d1 = os.path.join(sub, "f1")
+        spark.range(0, 100).withColumn("v", F.col("id") * 2) \
+            .withColumn("s", F.lit("x")).coalesce(1).write.parquet(d1)
+        f1 = _one_parquet(d1)
+        # position-delete ids 0..9 (rows written in id order, one file)
+        pd_dir = os.path.join(td, "pd")
+        spark.createDataFrame(
+            [(os.path.abspath(f1), i) for i in range(10)],
+            "file_path string, pos long",
+        ).coalesce(1).write.parquet(pd_dir)
+        pd = _one_parquet(pd_dir)
+        mp = I.write_iceberg_metadata(
+            td,
+            snapshots=[
+                {"files": [{"path": f1, "records": 100}]},
+                {"pos_deletes": [{"path": pd, "records": 10}]},
+            ],
+            schema_fields=SCHEMA_FIELDS,
+        )
+        df = I.read_iceberg_table(spark, mp)
+        assert df.count() == 90
+        assert df.agg(F.min("id")).collect()[0][0] == 10
