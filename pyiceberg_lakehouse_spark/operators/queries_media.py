@@ -5018,3 +5018,301 @@ def multimodal_ogg_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out_pdf
 
     return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_ogg_stereo",
+    # Planted two-blocksize STEREO Ogg/Vorbis streams (operators/
+    # vorbis.py r17: square-polar channel coupling + window
+    # transitions). Per doc: na=4+d%3 packets alternating short(256)/
+    # long(512) blocks (mode g = (d+g)%2) with spec-consistent
+    # prev/next window flags; per channel a rendered floor line; the
+    # residue is ONE interleaved vector whose planted VQ integers
+    # deinterleave to (magnitude, angle) pairs — the oracle restates
+    # the §4.3.5 inverse coupling as a literal CASE table, the dB
+    # curve sums with the long-block flat tail, and the lapped sample
+    # count sum((n_prev+n_cur)/4) over transitions.
+    """
+    with docs as (
+      select doc_id, cast(doc_id as bigint) as d,
+             4 + doc_id % 3 as na,
+             1 + cast(doc_id as bigint) % 3 as m
+      from documents where doc_id % 17 = 4
+    ),
+    grans as (
+      select doc_id, d, na, m, cast(u.g as bigint) as g,
+             cast((d + u.g) % 2 as bigint) as mode,
+             256 + 256 * cast((d + u.g) % 2 as bigint) as n,
+             20 + (d + u.g) % 40 as y0a, 10 + (d + u.g) % 50 as y1a,
+             25 + (d + u.g) % 35 as y0b, 8 + (d + u.g) % 35 as y1b
+      from docs, unnest(generate_series(0, na - 1)) u(g)
+    ),
+    samp2 as (
+      select doc_id, sum((n + pn) // 4) as s
+      from (select doc_id, g, n,
+                   lag(n) over (partition by doc_id order by g) as pn
+            from grans)
+      where pn is not null
+      group by doc_id
+    ),
+    fl as (
+      select doc_id,
+             sum(least(255, m*y0a
+                 + (case when y1a < y0a then -1 else 1 end)
+                   * ((m * abs(y1a - y0a) * x) // 128))
+               + least(255, m*y0b
+                 + (case when y1b < y0b then -1 else 1 end)
+                   * ((m * abs(y1b - y0b) * x) // 128))) as s_slope
+      from grans, unnest(generate_series(0, 127)) xx(x)
+      group by doc_id
+    ),
+    fl_tail as (
+      select doc_id,
+             sum(case when mode = 1 then
+                 128 * (least(255, m*y1a) + least(255, m*y1b))
+                 else 0 end) as s_tail
+      from grans
+      group by doc_id
+    ),
+    resv as (
+      -- planted interleaved values -> (magnitude, angle) per output
+      -- index i, then the spec's inverse coupling as a CASE table;
+      -- weights (i+1) for channel 0 and 2*(i+1) for channel 1
+      select doc_id,
+             sum((case when vm > 0 then
+                    (case when va > 0 then vm else vm + va end)
+                  else
+                    (case when va > 0 then vm else vm - va end)
+                  end) * (i + 1)
+               + (case when vm > 0 then
+                    (case when va > 0 then vm - va else vm end)
+                  else
+                    (case when va > 0 then vm + va else vm end)
+                  end) * (i + 1) * 2) as s
+      from (
+        select doc_id, i,
+               (case when (d + g + (2*i) // 8) % 3 = 0 then
+                 ((4 * (case when ((2*i) % 8) // 4 = 0
+                        then (d + g + (2*i) // 8) % 8
+                        else (d + g + (2*i) // 8 + 3) % 8 end)
+                   + (2*i) % 4) * 5) % 16 - 4
+                else 0 end) as vm,
+               (case when (d + g + (2*i+1) // 8) % 3 = 0 then
+                 ((4 * (case when ((2*i+1) % 8) // 4 = 0
+                        then (d + g + (2*i+1) // 8) % 8
+                        else (d + g + (2*i+1) // 8 + 3) % 8 end)
+                   + (2*i+1) % 4) * 5) % 16 - 4
+                else 0 end) as va
+        from grans, unnest(generate_series(0, 255)) ii(i)
+        where i < 4 * (n // 8)
+      )
+      group by doc_id
+    )
+    select docs.doc_id,
+           cast(na as integer) as n_audio_packets,
+           cast(samp2.s as bigint) as n_samples,
+           cast(m as integer) as multiplier,
+           cast((select sum(mode) from grans g2
+                 where g2.doc_id = docs.doc_id) as integer) as n_long,
+           cast(fl.s_slope + fl_tail.s_tail as bigint) as floor_db_sum,
+           cast(resv.s as bigint) as residue_wsum,
+           true as exact_match
+    from docs join samp2 using (doc_id) join fl using (doc_id)
+         join fl_tail using (doc_id) join resv using (doc_id)
+    """,
+)
+def multimodal_ogg_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vorbis STEREO + two-blocksize decode (VERDICT r16 task #2,
+    operators/vorbis.py): per doc, a genuine Ogg/Vorbis stream with
+    two modes (256/512 blocks), one mapping per mode carrying a (0,1)
+    square-polar coupling step, per-channel floor1 lines and a single
+    interleaved residue2 vector — decoded through the full chain:
+    mode/window-flag parse, per-channel floor decode, §8.6.2
+    deinterleave, §4.3.5 inverse coupling (reverse step order),
+    §4.3.1 transition window shapes, IMDCT and the lapped overlap-add
+    across unequal block sizes. Integer features (coupled residue
+    weighted sum, dB curve sums with the long-block tail, the lapped
+    sample count) restate closed-form in the oracle; the float PCM
+    dual-derives against an independent absolute-timeline NumPy
+    reference (blocks added at absolute offsets between window
+    centers — not the decoder's incremental formula). Arrow-batched
+    mapInPandas, map-only."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import vorbis as _vorbis
+    from pyiceberg_lakehouse_spark.operators.ogg import make_ogg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 4)
+        .select("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_audio_packets", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("multiplier", T.IntegerType()),
+            T.StructField("n_long", T.IntegerType()),
+            T.StructField("floor_db_sum", T.LongType()),
+            T.StructField("residue_wsum", T.LongType()),
+            T.StructField("exact_match", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def _specs(d: int, na: int) -> list[dict]:
+        modes = [(d + g) % 2 for g in range(na)]
+        specs = []
+        for g in range(na):
+            nparts = 32 if modes[g] == 0 else 64
+            classes = [1 if (d + g + p) % 3 == 0 else 0
+                       for p in range(nparts)]
+            entries = [
+                ([(d + g + p) % 8, (d + g + p + 3) % 8] if c else [])
+                for p, c in enumerate(classes)
+            ]
+            specs.append({
+                "mode": modes[g],
+                "prev_flag": modes[g - 1] if g > 0 else 1,
+                "next_flag": modes[g + 1] if g + 1 < na else 1,
+                "floors": [
+                    {"y0": 20 + (d + g) % 40, "y1": 10 + (d + g) % 50},
+                    {"y0": 25 + (d + g) % 35, "y1": 8 + (d + g) % 35},
+                ],
+                "classes": classes,
+                "entries": entries,
+            })
+        return specs
+
+    def _numpy_reference(specs, m, bs0=256, bs1=512):
+        """Absolute-timeline reference (independent of the decoder's
+        incremental lap): windowed blocks add at their absolute start
+        offsets; output = region between first and last window
+        centers."""
+        table = np.array(_vorbis.FLOOR1_INVERSE_DB)
+        bases = {}
+        for n in (bs0, bs1):
+            n2 = n // 2
+            J, K = np.meshgrid(np.arange(n), np.arange(n2),
+                               indexing="ij")
+            bases[n] = np.cos(
+                np.pi / (2.0 * n) * (2 * J + 1 + n2) * (2 * K + 1)
+            )
+
+        def win(n, ps, ns):
+            ln = bs0 // 2 if ps else n // 2
+            ls = n // 4 - bs0 // 4 if ps else 0
+            rn = bs0 // 2 if ns else n // 2
+            rs = 3 * n // 4 - bs0 // 4 if ns else n // 2
+            w = np.zeros(n)
+            i = np.arange(ln)
+            w[ls:ls + ln] = np.sin(
+                0.5 * np.pi * np.sin(np.pi / (2 * ln) * (i + 0.5)) ** 2
+            )
+            w[ls + ln:rs] = 1.0
+            i = np.arange(rn)
+            w[rs:rs + rn] = np.sin(
+                0.5 * np.pi * np.cos(np.pi / (2 * rn) * (i + 0.5)) ** 2
+            )
+            return w
+
+        total = sum((bs1 if s["mode"] else bs0) for s in specs) + bs1
+        out = [np.zeros(total), np.zeros(total)]
+        center = prev_n = None
+        first_c = last_c = 0
+        for s in specs:
+            n = bs1 if s["mode"] else bs0
+            n2 = n // 2
+            center = (n // 2 if center is None
+                      else center + prev_n // 4 + n // 4)
+            if prev_n is None:
+                first_c = center
+            last_c = center
+            start = center - n // 2
+            prev_n = n
+            long_b = bool(s["mode"])
+            w = win(n, long_b and not s["prev_flag"],
+                    long_b and not s["next_flag"])
+            size = 2 * n2
+            vec = np.zeros(size)
+            for p, c in enumerate(s["classes"]):
+                if not c:
+                    continue
+                for k, e in enumerate(s["entries"][p]):
+                    for j in range(4):
+                        vec[8 * p + 4 * k + j] = ((4 * e + j) * 5) % 16 - 4
+            res = [vec[0::2].copy(), vec[1::2].copy()]
+            for i in range(n2):
+                mm, aa = res[0][i], res[1][i]
+                if mm > 0:
+                    res[0][i], res[1][i] = (mm, mm - aa) if aa > 0 \
+                        else (mm + aa, mm)
+                else:
+                    res[0][i], res[1][i] = (mm, mm + aa) if aa > 0 \
+                        else (mm - aa, mm)
+            x = np.arange(min(128, n2))
+            for ch, fl in enumerate(s["floors"]):
+                y0, y1 = fl["y0"], fl["y1"]
+                sgn = -1 if y1 < y0 else 1
+                curve = np.minimum(
+                    255, m * y0 + sgn * ((m * abs(y1 - y0) * x) // 128)
+                )
+                curve = np.concatenate(
+                    [curve,
+                     np.full(n2 - len(curve), min(255, m * y1),
+                             dtype=np.int64)]
+                )
+                yv = (bases[n] @ (table[curve] * res[ch])) * w
+                out[ch][start:start + n] += yv
+        return [o[first_c:last_c] for o in out]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                na = 4 + d % 3
+                m = 1 + d % 3
+                specs = _specs(d, na)
+                packets = _vorbis.encode_vorbis_fixture_stereo(
+                    specs, multiplier=m
+                )
+                out = _vorbis.decode_ogg_vorbis(make_ogg(packets))
+                assert out["channels"] == 2
+                n_long = sum(1 for n in out["block_sizes"] if n == 512)
+                floor_db_sum = sum(
+                    sum(cv) for pkt in out["floor_db"] for cv in pkt
+                )
+                residue_wsum = 0
+                for pkt in out["residues"]:
+                    for ch, vec in enumerate(pkt):
+                        for i, v in enumerate(vec):
+                            iv = int(v)
+                            assert iv == v, "residues must be integer"
+                            residue_wsum += iv * (i + 1) * (ch + 1)
+                ref = _numpy_reference(specs, m)
+                exact = bool(
+                    len(out["pcm"][0]) == len(ref[0])
+                    and all(
+                        np.allclose(out["pcm"][ch], ref[ch],
+                                    rtol=1e-9, atol=1e-12)
+                        for ch in range(2)
+                    )
+                )
+                rows.append(
+                    (d, na, out["n_samples"], m, n_long,
+                     floor_db_sum, residue_wsum, exact)
+                )
+            out_pdf = pd.DataFrame(rows, columns=cols)
+            for cname in ("n_audio_packets", "multiplier", "n_long"):
+                out_pdf[cname] = out_pdf[cname].astype("int32")
+            for cname in ("doc_id", "n_samples", "floor_db_sum",
+                          "residue_wsum"):
+                out_pdf[cname] = out_pdf[cname].astype("int64")
+            yield out_pdf
+
+    return docs.mapInPandas(batches, schema)

@@ -31,11 +31,28 @@ INTEGER quantities (floor posts, the rendered dB curve, residue VQ
 integer vectors) are exact-spec regardless, and fixture
 encode->decode is self-consistent by construction.
 
-Scope gates (messageful NotImplementedError, the vp8.py pattern):
-stereo coupling, floor0, residue types 0/1, two-blocksize streams
-(window transitions), lookup-type-1 sequence_p. No Vorbis decoder or
-sample file exists on this box, so validation is fixture
-encode->decode plus the spec pins above — the MP3/VP8 posture.
+r17 additions (VERDICT r16 task #2), all closed-form from the public
+spec and fixture-validated (codebooks are in-band, so no external
+vector is needed):
+
+- square-polar CHANNEL COUPLING (§4.3.5): (magnitude, angle) pairs
+  parsed from the mapping, nonzero-vector propagation (§4.3.2: a
+  coupled pair decodes residue if either floor is nonzero), inverse
+  coupling applied to residue vectors in reverse step order;
+- residue type 2 over multiple channels (§8.6.2): ONE interleaved
+  vector of length nch*n2 decoded with type-1 semantics, then
+  deinterleaved;
+- TWO-BLOCKSIZE streams (§4.3.1/4.3.8): long-block windows narrow the
+  affected slope to blocksize0 width when a neighbor is short
+  (prev/next window flags), and the lapped overlap-add returns
+  prev_n/4 + n/4 samples per block pair — the region between the two
+  window centers.
+
+Remaining scope gates (messageful NotImplementedError, the vp8.py
+pattern): floor0, residue types 0/1, lookup-type-1 sequence_p. No
+Vorbis decoder or sample file exists on this box, so validation is
+fixture encode->decode plus the spec pins above — the MP3/VP8
+posture.
 
 Reference parity: the reference treats audio as opaque blobs; this
 adds the decode layer podcast-format audio curation needs
@@ -563,14 +580,23 @@ def write_residue_config(w: LsbWriter, cfg: dict) -> None:
                 w.write(cfg["books"][c][p], 8)
 
 
-def decode_residue2_mono(bits: LsbBits, cfg: dict,
-                         books: list[Codebook], n2: int) -> list[float]:
-    """Residue type 2 over one channel (the §8.6.2 interleave is the
-    identity for mono): multi-pass format-1 partition decode."""
-    v = [0.0] * n2
-    begin, end = cfg["begin"], min(cfg["end"], n2)
+def decode_residue2(bits: LsbBits, cfg: dict, books: list[Codebook],
+                    n2: int, nch_sub: int,
+                    do_not_decode: list[bool]) -> list[list[float]]:
+    """Residue type 2 over a submap's channels (spec §8.6.2): ALL the
+    submap's channels interleave into ONE vector of length
+    nch_sub * n2, decoded with type-1 semantics (multi-pass format-1
+    partition adds), then deinterleaved v[ch][i] = vec[i*nch + ch].
+    Decode is skipped entirely — no bits consumed — only when EVERY
+    channel is flagged do-not-decode (a coupled pair decodes if either
+    side has a nonzero floor, §4.3.2)."""
+    if all(do_not_decode):
+        return [[0.0] * n2 for _ in range(nch_sub)]
+    size = nch_sub * n2
+    v = [0.0] * size
+    begin, end = cfg["begin"], min(cfg["end"], size)
     if begin >= end:
-        return v
+        return [[0.0] * n2 for _ in range(nch_sub)]
     psize = cfg["partition_size"]
     ptr = (end - begin) // psize
     classbook = books[cfg["classbook"]]
@@ -601,7 +627,32 @@ def decode_residue2_mono(bits: LsbBits, cfg: dict,
                             v[off + i] += val
                             i += 1
                 pc += 1
-    return v
+    return [[v[i * nch_sub + c] for i in range(n2)]
+            for c in range(nch_sub)]
+
+
+def decode_residue2_mono(bits: LsbBits, cfg: dict,
+                         books: list[Codebook], n2: int) -> list[float]:
+    """Residue type 2 over one channel (the §8.6.2 interleave is the
+    identity for mono)."""
+    return decode_residue2(bits, cfg, books, n2, 1, [False])[0]
+
+
+def inverse_coupling(mag: list[float], ang: list[float]) -> None:
+    """Square-polar inverse coupling (spec §4.3.5), in place over one
+    (magnitude, angle) residue-vector pair."""
+    for i in range(len(mag)):
+        m, a = mag[i], ang[i]
+        if m > 0:
+            if a > 0:
+                mag[i], ang[i] = m, m - a
+            else:
+                mag[i], ang[i] = m + a, m
+        else:
+            if a > 0:
+                mag[i], ang[i] = m, m + a
+            else:
+                mag[i], ang[i] = m - a, m
 
 
 def encode_residue2_mono(w: LsbWriter, cfg: dict, books: list[Codebook],
@@ -666,7 +717,8 @@ def read_id_header(packet: bytes) -> dict:
             "bitrate_max": br_max, "bitrate_min": br_min}
 
 
-def write_id_header(nch: int, rate: int, bs: int) -> bytes:
+def write_id_header(nch: int, rate: int, bs: int,
+                    bs1: int | None = None) -> bytes:
     w = LsbWriter()
     w.write(1, 8)
     for b in b"vorbis":
@@ -676,9 +728,8 @@ def write_id_header(nch: int, rate: int, bs: int) -> bytes:
     w.write(rate, 32)
     for _ in range(3):
         w.write(0, 32)
-    exp = bs.bit_length() - 1
-    w.write(exp, 4)
-    w.write(exp, 4)
+    w.write(bs.bit_length() - 1, 4)
+    w.write((bs1 or bs).bit_length() - 1, 4)
     w.write(1, 1)
     return w.to_bytes()
 
@@ -708,17 +759,32 @@ def read_setup_header(packet: bytes, nch: int) -> dict:
         if mtype != 0:
             raise ValueError(f"vorbis: reserved mapping type {mtype}")
         submaps = bits.read(4) + 1 if bits.read1() else 1
+        coupling = []
         if bits.read1():
-            raise NotImplementedError("vorbis: channel coupling")
+            # square-polar channel coupling (spec §4.2.4 step 5):
+            # (magnitude, angle) channel pairs, ilog(nch-1)-bit fields
+            steps = bits.read(8) + 1
+            cb = ilog(nch - 1)
+            for _ in range(steps):
+                mag = bits.read(cb)
+                ang = bits.read(cb)
+                if mag == ang or mag >= nch or ang >= nch:
+                    raise ValueError(
+                        "vorbis: invalid coupling channel pair"
+                    )
+                coupling.append((mag, ang))
         if bits.read(2):
             raise ValueError("vorbis: reserved mapping bits set")
         mux = [bits.read(4) for _ in range(nch)] if submaps > 1 \
             else [0] * nch
+        if any(m >= submaps for m in mux):
+            raise ValueError("vorbis: mux references a missing submap")
         sm = []
         for _s in range(submaps):
             bits.read(8)  # unused time config
             sm.append({"floor": bits.read(8), "residue": bits.read(8)})
-        mappings.append({"submaps": sm, "mux": mux})
+        mappings.append({"submaps": sm, "mux": mux,
+                         "coupling": coupling})
     modes = []
     for _ in range(bits.read(6) + 1):
         blockflag = bits.read1()
@@ -734,7 +800,23 @@ def read_setup_header(packet: bytes, nch: int) -> dict:
 def write_setup_header(book_writers: list, floor_cfg: dict,
                        residue_cfg: dict) -> bytes:
     """Fixture setup header: N codebooks, one floor1, one residue2,
-    one mapping, one blockflag-0 mode."""
+    one mapping, one blockflag-0 mode (the mono fixture profile)."""
+    return write_setup_header_full(
+        book_writers, [floor_cfg], [residue_cfg],
+        [{"submaps": [{"floor": 0, "residue": 0}], "mux": [0],
+          "coupling": []}],
+        [{"blockflag": 0, "mapping": 0}],
+        nch=1,
+    )
+
+
+def write_setup_header_full(book_writers: list, floor_cfgs: list[dict],
+                            residue_cfgs: list[dict],
+                            mappings: list[dict], modes: list[dict],
+                            nch: int) -> bytes:
+    """General fixture setup header: multiple floors/residues/mappings
+    (with square-polar coupling pairs and per-channel mux) and
+    multiple modes — what a two-blocksize stereo stream needs."""
     w = LsbWriter()
     w.write(5, 8)
     for b in b"vorbis":
@@ -744,25 +826,47 @@ def write_setup_header(book_writers: list, floor_cfg: dict,
         write_codebook(w, **bw)
     w.write(0, 6)
     w.write(0, 16)  # one time transform, type 0
-    w.write(0, 6)
-    w.write(1, 16)  # one floor, type 1
-    write_floor1_config(w, floor_cfg)
-    w.write(0, 6)
-    w.write(2, 16)  # one residue, type 2
-    write_residue_config(w, residue_cfg)
-    w.write(0, 6)
-    w.write(0, 16)  # one mapping, type 0
-    w.write(0, 1)   # one submap
-    w.write(0, 1)   # no coupling
-    w.write(0, 2)
-    w.write(0, 8)   # time placeholder
-    w.write(0, 8)   # floor 0
-    w.write(0, 8)   # residue 0
-    w.write(0, 6)
-    w.write(0, 1)   # one mode, blockflag 0
-    w.write(0, 16)
-    w.write(0, 16)
-    w.write(0, 8)
+    w.write(len(floor_cfgs) - 1, 6)
+    for fc in floor_cfgs:
+        w.write(1, 16)  # floor type 1
+        write_floor1_config(w, fc)
+    w.write(len(residue_cfgs) - 1, 6)
+    for rc in residue_cfgs:
+        w.write(2, 16)  # residue type 2
+        write_residue_config(w, rc)
+    w.write(len(mappings) - 1, 6)
+    for m in mappings:
+        w.write(0, 16)  # mapping type 0
+        submaps = len(m["submaps"])
+        if submaps > 1:
+            w.write(1, 1)
+            w.write(submaps - 1, 4)
+        else:
+            w.write(0, 1)
+        coupling = m.get("coupling") or []
+        if coupling:
+            w.write(1, 1)
+            w.write(len(coupling) - 1, 8)
+            cb = ilog(nch - 1)
+            for mag, ang in coupling:
+                w.write(mag, cb)
+                w.write(ang, cb)
+        else:
+            w.write(0, 1)
+        w.write(0, 2)
+        if submaps > 1:
+            for mx in m["mux"]:
+                w.write(mx, 4)
+        for sm in m["submaps"]:
+            w.write(0, 8)   # time placeholder
+            w.write(sm["floor"], 8)
+            w.write(sm["residue"], 8)
+    w.write(len(modes) - 1, 6)
+    for md in modes:
+        w.write(md["blockflag"], 1)
+        w.write(0, 16)
+        w.write(0, 16)
+        w.write(md["mapping"], 8)
     w.write(1, 1)   # framing
     return w.to_bytes()
 
@@ -776,6 +880,30 @@ def vorbis_window(n: int) -> list[float]:
                  * math.sin(math.pi / n * (i + 0.5)) ** 2)
         for i in range(n)
     ]
+
+
+def vorbis_window_shaped(n: int, prev_short: bool, next_short: bool,
+                         bs0: int) -> list[float]:
+    """Spec §4.3.1 window shape for a LONG block whose neighbor(s) are
+    short: the affected slope narrows to blocksize0 width, centered at
+    n/4 (left) / 3n/4 (right), with zeros outside and 1.0 between the
+    slopes. ``prev_short=next_short=False`` reproduces vorbis_window
+    exactly; short blocks always use the full-slope form."""
+    left_n = bs0 // 2 if prev_short else n // 2
+    left_start = n // 4 - bs0 // 4 if prev_short else 0
+    right_n = bs0 // 2 if next_short else n // 2
+    right_start = 3 * n // 4 - bs0 // 4 if next_short else n // 2
+    w = [0.0] * n
+    for i in range(left_n):
+        x = math.sin(math.pi / (2 * left_n) * (i + 0.5))
+        w[left_start + i] = math.sin(0.5 * math.pi * x * x)
+    for i in range(left_start + left_n, right_start):
+        w[i] = 1.0
+    for i in range(right_n):
+        # sin(x + pi/2) = cos(x): the right slope mirrors the left
+        x = math.cos(math.pi / (2 * right_n) * (i + 0.5))
+        w[right_start + i] = math.sin(0.5 * math.pi * x * x)
+    return w
 
 
 _IMDCT_BASIS: dict[int, list[list[float]]] = {}
@@ -807,59 +935,126 @@ def imdct(X: list[float], n: int) -> list[float]:
 
 def decode_vorbis(packets: list[bytes]) -> dict:
     """[id, comment, setup, audio...] packets -> {rate, channels,
-    blocksize, n_samples, pcm, floors: [per packet final_Y or None],
-    floor_db: [per packet curve], residues: [per packet vector]}."""
+    blocksize, n_samples, pcm, floors, floor_db, residues,
+    block_sizes}.
+
+    General Vorbis I body decode: any channel count (square-polar
+    inverse coupling per mapping, §4.3.5), both block sizes with the
+    spec's window-transition shapes (§4.3.1: a long block next to a
+    short one narrows the affected slope to blocksize0 width) and the
+    lapped overlap-add across unequal neighbors (returned samples per
+    block pair = prev_n/4 + n/4, the region between the two window
+    centers).
+
+    Output shapes: MONO keeps the r16 contract exactly — ``pcm`` a
+    flat list, ``floors``/``floor_db``/``residues`` one value per
+    packet. Multichannel returns per-packet per-channel lists and
+    ``pcm`` as [channel][sample]."""
     if len(packets) < 3:
         raise ValueError("vorbis: need id/comment/setup packets")
     ident = read_id_header(packets[0])
-    if ident["channels"] != 1:
-        raise NotImplementedError("vorbis: mono decode only (coupling)")
-    if ident["blocksize0"] != ident["blocksize1"]:
-        raise NotImplementedError(
-            "vorbis: two-blocksize streams (window transitions)"
-        )
+    nch = ident["channels"]
+    if nch < 1:
+        raise ValueError("vorbis: zero channels")
     cbits = LsbBits(packets[1])
     if cbits.read(8) != 3:
         raise ValueError("vorbis: comment header missing")
-    setup = read_setup_header(packets[2], 1)
-    n = ident["blocksize0"]
-    n2 = n // 2
-    win = vorbis_window(n)
+    setup = read_setup_header(packets[2], nch)
+    bs0, bs1 = ident["blocksize0"], ident["blocksize1"]
     mode_bits = ilog(len(setup["modes"]) - 1)
-    prev_right: list[float] | None = None
-    pcm: list[float] = []
-    floors, curves, residues = [], [], []
+    # window cache per (n, prev_short, next_short)
+    wins: dict[tuple, list[float]] = {}
+    prev_right: list[list[float]] | None = None  # per channel
+    prev_n = bs0
+    pcm: list[list[float]] = [[] for _ in range(nch)]
+    floors, curves, residues, block_sizes = [], [], [], []
     for pkt in packets[3:]:
         bits = LsbBits(pkt)
         if bits.read1():
             raise ValueError("vorbis: non-audio packet in the body")
         mode = setup["modes"][bits.read(mode_bits) if mode_bits else 0]
+        long_block = bool(mode["blockflag"]) and bs1 != bs0
+        n = bs1 if mode["blockflag"] else bs0
+        prev_flag = next_flag = 1
         if mode["blockflag"]:
-            bits.read(2)  # prev/next window flags (equal sizes: unused)
+            prev_flag = bits.read1()
+            next_flag = bits.read1()
+        n2 = n // 2
         mapping = setup["mappings"][mode["mapping"]]
-        sm = mapping["submaps"][0]
-        fl_cfg = setup["floors"][sm["floor"]]
-        rs_cfg = setup["residues"][sm["residue"]]
-        final_y, curve = decode_floor1(bits, fl_cfg, setup["books"], n2)
-        res = decode_residue2_mono(bits, rs_cfg, setup["books"], n2)
-        floors.append(final_y)
-        curves.append(curve)
-        residues.append(res)
-        if final_y is None:
-            spectrum = [0.0] * n2
-        else:
-            spectrum = [
-                FLOOR1_INVERSE_DB[curve[i]] * res[i] for i in range(n2)
-            ]
-        y = imdct(spectrum, n)
-        y = [y[i] * win[i] for i in range(n)]
-        if prev_right is not None:
-            pcm.extend(prev_right[i] + y[i] for i in range(n2))
-        prev_right = y[n2:]
+        # ---- floor curves per channel (§4.3.2) ----
+        pkt_floors, pkt_curves = [], []
+        no_residue = [False] * nch
+        for ch in range(nch):
+            sm = mapping["submaps"][mapping["mux"][ch]]
+            fl_cfg = setup["floors"][sm["floor"]]
+            fy, cv = decode_floor1(bits, fl_cfg, setup["books"], n2)
+            pkt_floors.append(fy)
+            pkt_curves.append(cv)
+            no_residue[ch] = fy is None
+        # nonzero-vector propagate: a coupled pair decodes residue if
+        # EITHER side has a nonzero floor
+        for mg, an in mapping["coupling"]:
+            if not (no_residue[mg] and no_residue[an]):
+                no_residue[mg] = no_residue[an] = False
+        # ---- residue per submap (type 2 interleave, §4.3.4) ----
+        res: list[list[float] | None] = [None] * nch
+        for s, sm in enumerate(mapping["submaps"]):
+            chs = [ch for ch in range(nch) if mapping["mux"][ch] == s]
+            if not chs:
+                continue
+            rs_cfg = setup["residues"][sm["residue"]]
+            vecs = decode_residue2(
+                bits, rs_cfg, setup["books"], n2, len(chs),
+                [no_residue[ch] for ch in chs],
+            )
+            for ch, vec in zip(chs, vecs):
+                res[ch] = vec
+        # ---- inverse coupling, REVERSE step order (§4.3.5) ----
+        for mg, an in reversed(mapping["coupling"]):
+            inverse_coupling(res[mg], res[an])
+        floors.append(pkt_floors if nch > 1 else pkt_floors[0])
+        curves.append(pkt_curves if nch > 1 else pkt_curves[0])
+        residues.append(res if nch > 1 else res[0])
+        block_sizes.append(n)
+        # ---- dot product, IMDCT, window, lapped overlap-add ----
+        wkey = (n, long_block and not prev_flag,
+                long_block and not next_flag)
+        win = wins.get(wkey)
+        if win is None:
+            win = vorbis_window_shaped(n, wkey[1], wkey[2], bs0)
+            wins[wkey] = win
+        out_len = prev_n // 4 + n // 4
+        off = n // 4 - prev_n // 4
+        emit = prev_right is not None
+        new_right: list[list[float]] = []
+        for ch in range(nch):
+            if pkt_floors[ch] is None:
+                spectrum = [0.0] * n2
+            else:
+                cv = pkt_curves[ch]
+                rv = res[ch]
+                spectrum = [
+                    FLOOR1_INVERSE_DB[cv[i]] * rv[i] for i in range(n2)
+                ]
+            y = imdct(spectrum, n)
+            y = [y[i] * win[i] for i in range(n)]
+            if emit:
+                pr = prev_right[ch]
+                pcm[ch].extend(
+                    (pr[i] if i < len(pr) else 0.0)
+                    + (y[off + i] if 0 <= off + i < n else 0.0)
+                    for i in range(out_len)
+                )
+            new_right.append(y[n2:])
+        prev_right = new_right
+        prev_n = n
+    n_samples = len(pcm[0]) if nch else 0
     return {
-        "rate": ident["rate"], "channels": 1, "blocksize": n,
-        "n_samples": len(pcm), "pcm": pcm, "floors": floors,
-        "floor_db": curves, "residues": residues,
+        "rate": ident["rate"], "channels": nch, "blocksize": bs0,
+        "blocksize1": bs1, "n_samples": n_samples,
+        "pcm": pcm[0] if nch == 1 else pcm,
+        "floors": floors, "floor_db": curves, "residues": residues,
+        "block_sizes": block_sizes,
     }
 
 
@@ -939,6 +1134,101 @@ def encode_vorbis_fixture(audio_specs: list[dict], rate: int = 8000,
                       [spec["y0"], spec["y1"], 0, 0])
         encode_residue2_mono(w, FIXTURE_RESIDUE_CFG, books,
                              spec["classes"], spec["entries"])
+        packets.append(w.to_bytes())
+    return packets
+
+
+def stereo_residue_cfg(end: int) -> dict:
+    """The stereo fixture's residue2 config over the INTERLEAVED
+    vector (2 channels x n2 = ``end``)."""
+    return {
+        "begin": 0, "end": end, "partition_size": 8,
+        "classifications": 2, "classbook": 0, "cascade": [0, 1],
+        "books": [[-1] * 8, [1] + [-1] * 7],
+    }
+
+
+def encode_vorbis_fixture_stereo(
+    audio_specs: list[dict], rate: int = 8000, bs0: int = 256,
+    bs1: int = 512, multiplier: int = 1,
+    vendor: str = "pyiceberg-lakehouse-spark",
+) -> list[bytes]:
+    """Two-blocksize STEREO fixture: two modes (short/long), one
+    mapping per mode with a (0,1) square-polar coupling step, residue2
+    over the interleaved 2-channel vector. Each audio spec:
+
+    {"mode": 0|1 (short/long), "prev_flag"/"next_flag": 0|1 (mode 1),
+     "floors": [None or {"y0","y1"} per channel — None = silent
+     channel (unused floor)],
+     "classes": [per interleaved partition, 0/1],
+     "entries": [per partition, the 2 VQ entry ids or []]}
+
+    The decoder's inverse coupling runs over what this encodes, so a
+    planted (magnitude, angle) pair restates closed-form through the
+    §4.3.5 mapping in tests/oracles."""
+    from pyiceberg_lakehouse_spark.operators.ogg import (
+        make_vorbis_comment_packet,
+    )
+
+    if (bs0, bs1) != (256, 512):
+        raise ValueError("stereo fixture profile is built for 256/512")
+    floor_cfg = fixture_floor_cfg(multiplier)
+    res_cfgs = [stereo_residue_cfg(2 * (bs0 // 2)),
+                stereo_residue_cfg(2 * (bs1 // 2))]
+    mappings = [
+        {"submaps": [{"floor": 0, "residue": r}], "mux": [0, 0],
+         "coupling": [(0, 1)]}
+        for r in (0, 1)
+    ]
+    modes = [{"blockflag": 0, "mapping": 0},
+             {"blockflag": 1, "mapping": 1}]
+    setup = write_setup_header_full(
+        fixture_books(_FLOOR1_RANGES[multiplier - 1]), [floor_cfg],
+        res_cfgs, mappings, modes, nch=2,
+    )
+    parsed = read_setup_header(setup, 2)
+    books = parsed["books"]
+    rng = _FLOOR1_RANGES[multiplier - 1]
+    packets = [
+        write_id_header(2, rate, bs0, bs1),
+        make_vorbis_comment_packet(vendor, [("ENCODER", "fixture")]),
+        setup,
+    ]
+    for spec in audio_specs:
+        w = LsbWriter()
+        w.write(0, 1)           # audio packet
+        mode = spec["mode"]
+        w.write(mode, 1)        # two modes -> one mode bit
+        if mode:
+            w.write(spec.get("prev_flag", 1), 1)
+            w.write(spec.get("next_flag", 1), 1)
+        cfg = res_cfgs[mode]
+        for fl in spec["floors"]:
+            if fl is None:
+                w.write(0, 1)   # unused floor: silent channel
+                continue
+            if not (0 <= fl["y0"] < rng and 0 <= fl["y1"] < rng):
+                raise ValueError(
+                    "floor endpoint outside the multiplier range"
+                )
+            encode_floor1(w, floor_cfg, books,
+                          [fl["y0"], fl["y1"], 0, 0])
+        if all(fl is None for fl in spec["floors"]):
+            if spec["classes"] or spec["entries"]:
+                raise ValueError(
+                    "all-silent packet must plant no residue (the"
+                    " decoder consumes none)"
+                )
+            packets.append(w.to_bytes())
+            continue
+        want = (cfg["end"] - cfg["begin"]) // cfg["partition_size"]
+        if len(spec["classes"]) != want:
+            raise ValueError(
+                f"mode {mode} needs {want} interleaved partitions,"
+                f" got {len(spec['classes'])}"
+            )
+        encode_residue2_mono(w, cfg, books, spec["classes"],
+                             spec["entries"])
         packets.append(w.to_bytes())
     return packets
 

@@ -384,6 +384,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lh_iceberg_partition_scan",
     # new r17 rows (each in its own round, no-tail principle)
     "lh_iceberg_stats_scan",
+    "multimodal_ogg_stereo",
     # longest-unwindowed fills (last driver hash r02)
     "agg_count_distinct",
     "agg_cube",
@@ -418,10 +419,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_quality",
     "dedup_ngram_jaccard",
     # multi-green keepers holding the remaining new-r17-row slots
-    # (displaced as multimodal_ogg_stereo / lh_purge_mor_history /
-    # scan_snappy_framed land this round)
+    # (displaced as lh_purge_mor_history / the snappy-framing row land
+    # this round; multimodal_ogg_stereo took stream_stream_anti_join's
+    # slot — stream_ stays covered by the anchor sink row)
     "scan_archive_entries",
-    "stream_stream_anti_join",
     "lh_external_scan",
 )
 

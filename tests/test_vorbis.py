@@ -152,25 +152,24 @@ class TestEndToEnd:
         packets = V.encode_vorbis_fixture(
             [self._spec(1, 0)], multiplier=1
         )
-        # stereo gate
+        # r17: stereo and two-blocksize are FEATURES now — a stereo id
+        # header over the mono setup (no coupling, mux both to submap
+        # 0) must parse and decode to an empty two-channel stream
         stereo_id = V.write_id_header(2, 8000, 256)
-        with pytest.raises(NotImplementedError, match="mono"):
-            V.decode_vorbis([stereo_id, packets[1], packets[2]])
-        # two-blocksize gate
+        out = V.decode_vorbis([stereo_id, packets[1], packets[2]])
+        assert out["channels"] == 2 and out["n_samples"] == 0
+        # two-blocksize id headers parse too
+        two_id = V.write_id_header(1, 8000, 256, 2048)
+        out = V.decode_vorbis([two_id, packets[1], packets[2]])
+        assert (out["blocksize"], out["blocksize1"]) == (256, 2048)
+        # an invalid coupling pair (mag == ang) still rejects cleanly
         w = V.LsbWriter()
-        w.write(1, 8)
+        w.write(5, 8)
         for bch in b"vorbis":
             w.write(bch, 8)
-        w.write(0, 32)
-        w.write(1, 8)
-        w.write(8000, 32)
-        for _ in range(3):
-            w.write(0, 32)
-        w.write(8, 4)
-        w.write(11, 4)
-        w.write(1, 1)
-        with pytest.raises(NotImplementedError, match="blocksize"):
-            V.decode_vorbis([w.to_bytes(), packets[1], packets[2]])
+        w.write(0, 8)  # one codebook...
+        with pytest.raises(ValueError):
+            V.read_setup_header(w.to_bytes(), 2)
 
     def test_hostile_truncation(self):
         packets = V.encode_vorbis_fixture(
