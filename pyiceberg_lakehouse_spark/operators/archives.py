@@ -282,6 +282,14 @@ def decompress_auto(data: bytes) -> tuple[bytes, str]:
         from pyiceberg_lakehouse_spark.operators.zstd import decompress
 
         return decompress(data), "zstd"
+    if data[:10] == b"\xff\x06\x00\x00sNaPpY":
+        # .tar.sz / .sz: the snappy FRAMING stream (r17 — the chunked
+        # CRC32C-guarded container, operators/snappy.py)
+        from pyiceberg_lakehouse_spark.operators.snappy import (
+            frame_decompress,
+        )
+
+        return frame_decompress(data), "snappy-framed"
     return data, "none"
 
 

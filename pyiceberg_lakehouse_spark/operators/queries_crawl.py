@@ -2164,10 +2164,11 @@ def scan_warc_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
            d % 2 = 1 and d % 7 < 4 and d % 11 >= 4 and d % 13 < 5
              as encrypted,
            case when d % 2 = 1 then 'none'
-                else case cast((d // 2) % 5 as integer)
+                else case cast((d // 2) % 6 as integer)
                      when 0 then 'none' when 1 then 'gzip'
                      when 2 then 'xz' when 3 then 'bz2'
-                     else 'zstd' end end as wrapper
+                     when 4 then 'zstd'
+                     else 'snappy-framed' end end as wrapper
     from base, unnest(generate_series(0, 7)) u(i) where i < n
     """,
 )
@@ -2235,9 +2236,8 @@ def scan_archive_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
                 wrapper = "none"
                 if d % 2 == 0:
                     fmt = "tar"
-                    wrapper = ["none", "gzip", "xz", "bz2", "zstd"][
-                        (d // 2) % 5
-                    ]
+                    wrapper = ["none", "gzip", "xz", "bz2", "zstd",
+                               "snappy-framed"][(d // 2) % 6]
                     blob = _ar.make_tar(entries)
                     if wrapper == "gzip":
                         import gzip as _gz
@@ -2260,6 +2260,16 @@ def scan_archive_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
                         blob = _pa.Codec(
                             "zstd", compression_level=1 + d % 19
                         ).compress(blob, asbytes=True)
+                    elif wrapper == "snappy-framed":
+                        # r17: the .tar.sz form — snappy FRAMING
+                        # stream (chunked, masked-CRC32C) from
+                        # operators/snappy.py, both directions
+                        # from scratch
+                        from pyiceberg_lakehouse_spark.operators.snappy import (  # noqa: E501
+                            frame_compress,
+                        )
+
+                        blob = frame_compress(blob)
                     unwrapped, got_codec = _ar.decompress_auto(blob)
                     assert got_codec == wrapper, (got_codec, wrapper)
                     parsed = _ar.parse_tar(unwrapped)

@@ -418,10 +418,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "proj_columns",
     "text_quality",
     "dedup_ngram_jaccard",
-    # multi-green keepers holding the remaining new-r17-row slots
-    # (displaced as lh_purge_mor_history / the snappy-framing row land
-    # this round; multimodal_ogg_stereo took stream_stream_anti_join's
-    # slot — stream_ stays covered by the anchor sink row)
+    # scan_archive_entries stays with FRESH r17 code: the snappy
+    # FRAMING wrapper (.tar.sz, masked-CRC32C chunks) cycles into its
+    # knob matrix this round, so its r17 hash covers the new codec.
+    # lh_external_scan holds the slot lh_purge_mor_history takes when
+    # it lands. (multimodal_ogg_stereo took stream_stream_anti_join's
+    # slot — stream_ stays covered by the anchor sink row.)
     "scan_archive_entries",
     "lh_external_scan",
 )

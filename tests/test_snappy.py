@@ -57,7 +57,7 @@ def test_hostiles():
         snappy.decompress(good[:-3])
     with pytest.raises(ValueError):
         snappy.decompress(b"\x05\x01\xff\xff\xff\xff\x00")  # bad offset
-    with pytest.raises(NotImplementedError, match="FRAMING"):
+    with pytest.raises(ValueError, match="frame_decompress"):
         snappy.decompress(b"\xff\x06\x00\x00sNaPpY rest")
 
 
@@ -74,3 +74,81 @@ def test_avro_snappy_codec():
     bad[-20] ^= 0xFF
     with pytest.raises(ValueError, match="CRC|sync|snappy"):
         avro.decode_avro(bytes(bad))
+
+
+class TestFraming:
+    def test_crc32c_public_vectors(self):
+        # check value from the CRC catalogue + RFC 3720 appendix B.4
+        assert snappy.crc32c(b"123456789") == 0xE3069283
+        assert snappy.crc32c(bytes(32)) == 0x8A9136AA
+        assert snappy.crc32c(bytes([0xFF] * 32)) == 0x62A8AB43
+        i32 = bytes(range(32))
+        assert snappy.crc32c(i32) == 0x46DD794E
+
+    def test_roundtrip(self):
+        import os
+
+        for blob in (b"", b"a", b"snappy " * 40_000, os.urandom(150_000),
+                     bytes(200_000)):
+            assert snappy.frame_decompress(
+                snappy.frame_compress(blob)
+            ) == blob
+
+    def test_incompressible_chunks_go_verbatim(self):
+        import os
+
+        blob = os.urandom(70_000)
+        stream = snappy.frame_compress(blob)
+        # chunk types after the stream id: both chunks uncompressed
+        assert stream[10] == 0x01
+        assert snappy.frame_decompress(stream) == blob
+
+    def test_compressible_chunks_use_type_0(self):
+        stream = snappy.frame_compress(b"ab" * 50_000)
+        assert stream[10] == 0x00
+
+    def test_padding_and_skippable_chunks(self):
+        blob = b"payload " * 1000
+        stream = bytearray(snappy.frame_compress(blob))
+        # splice a padding chunk and a reserved-skippable chunk after
+        # the stream identifier
+        pad = bytes([0xFE, 3, 0, 0]) + b"\x00\x00\x00"
+        skip = bytes([0x90, 2, 0, 0]) + b"zz"
+        spliced = bytes(stream[:10]) + pad + skip + bytes(stream[10:])
+        assert snappy.frame_decompress(spliced) == blob
+
+    def test_hostiles(self):
+        import pytest
+
+        blob = b"data " * 2000
+        good = snappy.frame_compress(blob)
+        with pytest.raises(ValueError, match="identifier"):
+            snappy.frame_decompress(good[4:])
+        # flip a payload byte -> CRC mismatch
+        bad = bytearray(good)
+        bad[-1] ^= 0x01
+        with pytest.raises(ValueError, match="CRC"):
+            snappy.frame_decompress(bytes(bad))
+        with pytest.raises(ValueError, match="truncated"):
+            snappy.frame_decompress(good[:-3])
+        # reserved unskippable chunk type
+        evil = good[:10] + bytes([0x02, 1, 0, 0, 0]) + good[10:]
+        with pytest.raises(ValueError, match="unskippable"):
+            snappy.frame_decompress(evil)
+
+    def test_tar_sz_through_decompress_auto(self):
+        from pyiceberg_lakehouse_spark.operators.archives import (
+            decompress_auto,
+            make_tar,
+            parse_tar,
+        )
+
+        tar = make_tar(
+            [{"name": f"d/f{i}.txt", "data": f"row {i} ".encode() * 50}
+             for i in range(5)]
+        )
+        payload, codec = decompress_auto(snappy.frame_compress(tar))
+        assert codec == "snappy-framed"
+        assert [e["name"] for e in parse_tar(payload)] == [
+            f"d/f{i}.txt" for i in range(5)
+        ]
