@@ -771,6 +771,101 @@ def ensure_ann_fresh(
     return {**report, "action": rec}
 
 
+def _ordered_purge_rewrite(
+    table: LakehouseTable, entry: dict, hit: F.Column, cap: int
+) -> tuple[list[dict], tuple]:
+    """Rewrite ONE data file without the matching rows, PRESERVING
+    survivor row order, so position-delete ordinals stay remappable:
+    new_pos = old_pos - |{purged p < old_pos}|.
+
+    The write bypasses ``_write_data`` deliberately: its distribution
+    mode / partitionBy machinery may reorder rows, and ordinals are row
+    IDENTITY here. One repartition(1) + local sort on the scan's own
+    row_index writes the survivors in order; partition values carry
+    over from the original entry (purge never moves rows between
+    partitions), stats and blooms rebuild like any rewrite.
+
+    Returns (replacement entries, (sorted purged ordinals, new file's
+    ``_metadata.file_path`` URI or None when no survivor file exists)).
+    The purged-ordinal set is driver-collected — bounded by the erasure
+    subject's row count in this one file, capped loudly at ``cap``
+    (a predicate matching millions of rows per file is a bulk delete,
+    not an erasure request: compact() first)."""
+    import glob as _glob
+    import uuid as _uuid
+
+    from pyiceberg_lakehouse_spark.lakehouse.stats import (
+        collect_file_stats,
+        file_row_count,
+    )
+
+    src = table._read_files([entry], with_pos=True)
+    purged = sorted(
+        r["__lh_pos"]
+        for r in src.filter(hit).select("__lh_pos").limit(cap + 1).collect()
+    )
+    if len(purged) > cap:
+        raise NotImplementedError(
+            f"purge matches more than {cap} rows in one position-"
+            "referenced file — materialize deletes with compact() and "
+            "expire_snapshots first"
+        )
+    kept = (
+        src.filter(~hit)
+        .repartition(1)
+        .sortWithinPartitions("__lh_pos")
+        .drop("__lh_fp", "__lh_pos")
+    )
+    out_dir = os.path.join(
+        table.table_dir, "data", f"purge-{_uuid.uuid4().hex[:8]}"
+    )
+    kept.write.mode("error").option("compression", "zstd").parquet(out_dir)
+    paths = [
+        p
+        for p in sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
+        if file_row_count(p) > 0
+    ]
+    if not paths:
+        return [], (purged, None)
+    assert len(paths) == 1, paths
+    new_path = paths[0]
+    reps = [{
+        "path": new_path,
+        "partition": dict(entry.get("partition") or {}),
+        "rows": file_row_count(new_path),
+        "stats": collect_file_stats(new_path),
+    }]
+    bloom_cols = [
+        c.strip()
+        for c in table.log.properties.get("write.bloom-columns", "").split(",")
+        if c.strip()
+    ]
+    if bloom_cols:
+        from pyiceberg_lakehouse_spark.lakehouse.bloom import (
+            DEFAULT_K,
+            DEFAULT_M,
+            build_file_blooms,
+        )
+
+        data_cols = {f.name for f in table._data_schema().fields}
+        blooms = build_file_blooms(
+            table.spark, [new_path],
+            [c for c in bloom_cols if c in data_cols],
+            m=int(table.log.properties.get("write.bloom-bits", DEFAULT_M)),
+            k=int(table.log.properties.get("write.bloom-hashes", DEFAULT_K)),
+        )
+        if new_path in blooms:
+            reps[0]["bloom"] = blooms[new_path]
+    # the URI form a future scan's _metadata.file_path reports for the
+    # new file — observed, not predicted (one footer-scale read)
+    new_uri = (
+        table.spark.read.parquet(new_path)
+        .select(F.col("_metadata.file_path").alias("u"))
+        .first()["u"]
+    )
+    return reps, (purged, new_uri)
+
+
 def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
     """Right-to-be-forgotten purge: physically remove matching rows from
     the CURRENT state and from EVERY retained snapshot, so neither a scan
@@ -798,10 +893,19 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
     delete files (which store deleted rows' KEY VALUES — PII for a keyed
     subject) are scrubbed too when the predicate is evaluable on their key
     columns; dropping a matching key is safe because every data row it
-    could un-delete is purged in the same operation. Honest gates: a
-    predicate NOT evaluable on the delete files' columns, or
-    schema-evolution history, cannot be untangled by a row rewrite —
-    compact + expire_snapshots first (both raise below). Files living
+    could un-delete is purged in the same operation. POSITION-delete
+    history (r17, VERDICT r16 task #8) is handled by identity
+    remapping: a data file that position deletes point at rewrites
+    ORDER-PRESERVING (ordinals are row identity), and every
+    referencing delete row moves to the new path with its ordinal
+    shifted by the purged rows before it — entries whose target row
+    was purged retire, an entirely-purged data file retires all its
+    position entries, and time travel keeps showing the historical
+    delete state minus the subject. Honest gates: a predicate NOT
+    evaluable on the key-delete files' columns, >2M matches inside one
+    position-referenced file (a bulk delete, not an erasure request),
+    or schema-evolution history cannot be untangled by a row rewrite —
+    compact + expire_snapshots first (each raises below). Files living
     OUTSIDE the table directory (add_files registrations, shallow-clone
     views of a source) are remapped in this table's log but their bytes
     are never unlinked — they may be shared; the commit summary records
@@ -816,31 +920,31 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
             f"table has branches {table.branches()}; purge after landing/"
             "dropping them"
         )
-    if any(
-        d.get("kind") == "position"
-        for s in log.snapshots
-        for d in s.added_deletes
-    ):
-        # purge rewrites data files in place — row ordinals SHIFT, so
-        # every position-delete file would silently point at the wrong
-        # rows afterward. Refusing is the only correct answer.
-        raise NotImplementedError(
-            "purge_rows with position-delete files in history: the "
-            "rewrite would shift the row ordinals they reference — "
-            "compact() (which materializes deletes) and expire_snapshots "
-            "first"
-        )
-    # merge-on-read delete files hold the KEY VALUES of deleted rows — for
-    # a keyed subject those values are exactly the PII being erased, so
-    # they must be scrubbed too. That is only decidable when the predicate
-    # is evaluable on the delete file's key columns (checked below); a
-    # predicate over non-key columns cannot identify which delete keys
-    # belong to the subject and keeps the honest gate.
+    # merge-on-read delete files split by kind (r17 closes the old
+    # position-delete refusal):
+    # - KEY (equality) delete files hold the deleted rows' KEY VALUES —
+    #   for a keyed subject those values are exactly the PII being
+    #   erased, so they are scrubbed by the predicate below. That is
+    #   only decidable when the predicate is evaluable on the delete
+    #   file's key columns; a predicate over non-key columns cannot
+    #   identify which delete keys belong to the subject and keeps the
+    #   honest gate.
+    # - POSITION delete files hold (file_path, ordinal) — no subject
+    #   values, so no predicate scrub; instead, when a data file they
+    #   reference is rewritten, the rewrite is ORDER-PRESERVING (one
+    #   sorted single-file write) and every referencing delete row is
+    #   remapped old-ordinal -> new-ordinal (entries whose target row
+    #   was itself purged retire with it).
     delete_refs: dict[str, list[dict]] = {}
+    pos_refs: set[str] = set()
     for s in log.snapshots:
         for d in s.added_deletes:
             delete_refs.setdefault(d["path"], []).append(d)
+            if d.get("kind") == "position":
+                pos_refs.add(d["path"])
     for path in delete_refs:
+        if path in pos_refs:
+            continue
         try:
             table.spark.read.parquet(path).filter(predicate).schema
         except Exception:
@@ -897,8 +1001,9 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
             )
             cdf_matched = {_canon(r["_pf"]) for r in rows}
     del_matched: set[str] = set()
-    if delete_refs:
-        existing = [p for p in delete_refs if os.path.exists(p)]
+    key_del_paths = [p for p in delete_refs if p not in pos_refs]
+    if key_del_paths:
+        existing = [p for p in key_del_paths if os.path.exists(p)]
         if existing:
             rows = (
                 table.spark.read.parquet(*existing)
@@ -909,14 +1014,37 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
                 .collect()
             )
             del_matched = {_canon(r["_pf"]) for r in rows}
+    # data files any position-delete file points at (metadata-scale:
+    # one distinct over the delete files' file_path column)
+    pos_referenced: set[str] = set()
+    if pos_refs:
+        existing = [p for p in sorted(pos_refs) if os.path.exists(p)]
+        if existing:
+            pos_referenced = {
+                _canon(r["file_path"])
+                for r in table.spark.read.parquet(*existing)
+                .select("file_path").distinct().collect()
+            }
     if not matched and not cdf_matched and not del_matched:
         return {"files_rewritten": 0, "files_dropped": 0, "rows_purged": 0}
 
     # rewrite each matching data file without the rows; _write_data
-    # re-derives partition values, stats and blooms for the replacements
+    # re-derives partition values, stats and blooms for the replacements.
+    # Files that position-delete entries point at take the ORDER-
+    # PRESERVING path instead: ordinals are row identity there, so the
+    # rewrite must keep survivor order (one locally-sorted single-file
+    # write, partition values carried from the original entry) and
+    # record the purged-ordinal set that remaps the delete rows below.
+    _POS_CAP = 2_000_000  # purged ordinals per file, driver-collected
     replacements: dict[str, list[dict]] = {}
+    ordinal_maps: dict[str, tuple] = {}  # canon path -> (ords, new_uri)
     for path in sorted(matched):
         entry = by_path[path]
+        if _canon(path) in pos_referenced:
+            replacements[path], ordinal_maps[_canon(path)] = (
+                _ordered_purge_rewrite(table, entry, hit, _POS_CAP)
+            )
+            continue
         kept = table._read_files([entry]).filter(~hit)
         replacements[path] = table._write_data(kept)
     # rewrite matching change-data files in place-equivalent new files
@@ -970,6 +1098,81 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
             for p in sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
             if file_row_count(p) > 0
         ]
+
+    # position-delete remap (r17): every delete row pointing at a
+    # rewritten data file moves to the new path with its ordinal
+    # shifted by the purged rows before it; rows whose TARGET row was
+    # purged retire with it (nothing remains for them to un-delete).
+    # Arrow-batched mapInPandas — numpy searchsorted per file, no
+    # row-at-a-time Python.
+    if ordinal_maps and pos_refs:
+        import numpy as _np
+
+        def _remap_batches(it):
+            import pandas as _pd
+
+            for pdf in it:
+                canon = pdf["file_path"].map(_canon)
+                keep_mask = _np.ones(len(pdf), dtype=bool)
+                pos = pdf["pos"].to_numpy().copy()
+                fp = pdf["file_path"].to_numpy(dtype=object)
+                for old, (purged, new_uri) in ordinal_maps.items():
+                    sel = (canon == old).to_numpy()
+                    if not sel.any():
+                        continue
+                    if new_uri is None:
+                        keep_mask &= ~sel  # whole data file purged away
+                        continue
+                    parr = _np.asarray(purged, dtype=_np.int64)
+                    p_sel = pos[sel]
+                    hit_purged = (
+                        _np.searchsorted(parr, p_sel, side="right")
+                        - _np.searchsorted(parr, p_sel, side="left")
+                    ) > 0
+                    shift = _np.searchsorted(parr, p_sel, side="left")
+                    pos[sel] = p_sel - shift
+                    drop = sel.copy()
+                    drop[sel] = hit_purged
+                    keep_mask &= ~drop
+                    fp[sel & ~drop] = new_uri
+                out = _pd.DataFrame(
+                    {"file_path": fp[keep_mask], "pos": pos[keep_mask]}
+                )
+                yield out
+
+        for path in sorted(pos_refs):
+            if not os.path.exists(path):
+                continue
+            src = table.spark.read.parquet(path)
+            touched = {
+                _canon(r["file_path"])
+                for r in src.select("file_path").distinct().collect()
+            }
+            if not (touched & set(ordinal_maps)):
+                continue
+            out_dir = os.path.join(
+                table.table_dir, "deletes",
+                f"purge-pd-{_uuid.uuid4().hex[:8]}",
+            )
+            (
+                src.select("file_path", F.col("pos").cast("long"))
+                .mapInPandas(_remap_batches, "file_path string, pos long")
+                .coalesce(1)
+                .write.mode("error")
+                .parquet(out_dir)
+            )
+            from pyiceberg_lakehouse_spark.lakehouse.stats import (
+                file_row_count as _frc,
+            )
+
+            del_replacements[path] = [
+                p
+                for p in sorted(
+                    _glob.glob(os.path.join(out_dir, "*.parquet"))
+                )
+                if _frc(p) > 0
+            ]
+            del_matched.add(_canon(path))
 
     # remap every snapshot in place, preserving ids and sequencing
     dropped = 0

@@ -1829,6 +1829,57 @@ def lh_purge_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lh_purge_mor_history",
+    f"""
+    select 'predelete' as which, {ORDER_COLS} from orders
+    where o_custkey % 100 <> 7
+    union all
+    select 'head' as which, {ORDER_COLS} from orders
+    where o_custkey % 100 <> 7 and o_orderkey % 10 <> 3
+    """,
+)
+def lh_purge_mor_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge OVER POSITION-DELETE HISTORY
+    (VERDICT r16 task #8; lakehouse/maintenance.py::purge_rows +
+    _ordered_purge_rewrite): the table carries a merge-on-read
+    position-delete snapshot (row identity = (file, ordinal)) when the
+    purge lands, so every affected data file rewrites ORDER-PRESERVING
+    and the delete rows remap to the new (path, shifted ordinal) —
+    entries whose target row was itself purged retire. The driver
+    hashes two time-travel reads side by side: the PRE-DELETE snapshot
+    (everything minus the subject — history rewritten, ids preserved)
+    and the head (position deletes still applied, subject gone). The
+    oracle states both closed-form; the subject (custkey%100=7) and
+    the position-deleted set (orderkey%10=3) overlap, so retired
+    entries, remapped entries and untouched entries are all live in
+    the hash."""
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import purge_rows
+
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table("ns.orders_purge_mor", SCHEMAS["orders"])
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    pre_delete = t.log.current_snapshot_id()
+    t.delete_where_positions(F.col("o_orderkey") % 10 == 3)
+    out = purge_rows(t, F.col("o_custkey") % 100 == 7)
+    assert out["rows_purged"] > 0 and out["files_rewritten"] > 0
+    # the remapped delete files survive with entries (subject's retired)
+    n_entries = sum(
+        spark.read.parquet(d["path"]).count()
+        for s in t.log.snapshots
+        for d in s.added_deletes
+    )
+    assert n_entries > 0
+    cols = [c.strip() for c in ORDER_COLS.split(",")]
+    pre = t.scan(snapshot_id=pre_delete).select(
+        F.lit("predelete").alias("which"), *cols
+    )
+    head = t.scan().select(F.lit("head").alias("which"), *cols)
+    return pre.unionByName(head)
+
+
+@register(
     "lh_shallow_clone",
     f"""
     select 'src' as which, {ORDER_COLS} from orders

@@ -385,6 +385,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # new r17 rows (each in its own round, no-tail principle)
     "lh_iceberg_stats_scan",
     "multimodal_ogg_stereo",
+    "lh_purge_mor_history",
     # longest-unwindowed fills (last driver hash r02)
     "agg_count_distinct",
     "agg_cube",
@@ -421,11 +422,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # scan_archive_entries stays with FRESH r17 code: the snappy
     # FRAMING wrapper (.tar.sz, masked-CRC32C chunks) cycles into its
     # knob matrix this round, so its r17 hash covers the new codec.
-    # lh_external_scan holds the slot lh_purge_mor_history takes when
-    # it lands. (multimodal_ogg_stereo took stream_stream_anti_join's
-    # slot — stream_ stays covered by the anchor sink row.)
+    # (multimodal_ogg_stereo took stream_stream_anti_join's slot —
+    # stream_ stays covered by the anchor sink row; lh_purge_mor_history
+    # took lh_external_scan's.)
     "scan_archive_entries",
-    "lh_external_scan",
 )
 
 _R16_WINDOW: tuple[str, ...] = (

@@ -78,13 +78,25 @@ def test_mixed_equality_and_position_deletes(spark, lh):
     assert t.scan().count() == exp
 
 
-def test_purge_gates_on_position_deletes(spark, lh):
+def test_purge_over_position_deletes_remaps(spark, lh):
+    """r17: purge_rows no longer refuses position-delete history — it
+    remaps ordinals through an order-preserving rewrite (full coverage
+    in tests/test_purge.py); here, pin the composed end state."""
     b1, _ = _batches(spark)
     t = lh.create_table("ns.pg", SCHEMAS["orders"])
     t.append(b1)
     t.delete_where_positions(F.col("o_orderstatus") == "F")
-    with pytest.raises(NotImplementedError, match="position-delete"):
-        M.purge_rows(t, F.col("o_custkey") == 1)
+    survivors_before = {
+        (r.o_orderkey, r.o_custkey)
+        for r in t.scan().select("o_orderkey", "o_custkey").collect()
+    }
+    out = M.purge_rows(t, F.col("o_custkey") == 1)
+    assert out["files_rewritten"] >= 1
+    got = {
+        (r.o_orderkey, r.o_custkey)
+        for r in t.scan().select("o_orderkey", "o_custkey").collect()
+    }
+    assert got == {r for r in survivors_before if r[1] != 1}
 
 
 def test_datasource_read_refuses_pending_deletes(spark, lh):

