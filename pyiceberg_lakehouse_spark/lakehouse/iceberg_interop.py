@@ -98,6 +98,20 @@ _MANIFEST_SCHEMA = {
                         "fields": [{"name": "key", "type": "int"},
                                    {"name": "value", "type": "bytes"}],
                     }}]},
+                # spec fields 109/110: per-column row / null-row counts
+                # (field-id -> long) — IS NULL / IS NOT NULL pruning
+                {"name": "value_counts", "type": ["null", {
+                    "type": "array", "items": {
+                        "type": "record", "name": "k119_v120",
+                        "fields": [{"name": "key", "type": "int"},
+                                   {"name": "value", "type": "long"}],
+                    }}]},
+                {"name": "null_value_counts", "type": ["null", {
+                    "type": "array", "items": {
+                        "type": "record", "name": "k121_v122",
+                        "fields": [{"name": "key", "type": "int"},
+                                   {"name": "value", "type": "long"}],
+                    }}]},
             ],
         }},
     ],
@@ -132,6 +146,7 @@ def write_iceberg_metadata(
     schema_fields: list[dict],
     partition_specs: list[dict] | None = None,
     partition_fields: list[tuple[str, str]] | None = None,
+    extra_refs: dict[str, dict] | None = None,
 ) -> str:
     """Fixture-grade Iceberg v2 metadata around existing parquet files.
 
@@ -221,6 +236,16 @@ def write_iceberg_metadata(
                      for k, v in sorted(f["upper_bounds"].items())]
                     if f.get("upper_bounds") else None
                 ),
+                "value_counts": (
+                    [{"key": int(k), "value": int(v)}
+                     for k, v in sorted(f["value_counts"].items())]
+                    if f.get("value_counts") else None
+                ),
+                "null_value_counts": (
+                    [{"key": int(k), "value": int(v)}
+                     for k, v in sorted(f["null_value_counts"].items())]
+                    if f.get("null_value_counts") else None
+                ),
             }
             if partition_fields:
                 part = f.get("partition", {})
@@ -263,6 +288,8 @@ def write_iceberg_metadata(
                 "equality_ids": None,
                 "lower_bounds": None,
                 "upper_bounds": None,
+                "value_counts": None,
+                "null_value_counts": None,
             }
             if partition_fields:
                 df["partition"] = {n: None for n, _t in partition_fields}
@@ -289,6 +316,8 @@ def write_iceberg_metadata(
                 "equality_ids": [int(i) for i in f["equality_ids"]],
                 "lower_bounds": None,
                 "upper_bounds": None,
+                "value_counts": None,
+                "null_value_counts": None,
             }
             if partition_fields:
                 df["partition"] = {n: None for n, _t in partition_fields}
@@ -388,7 +417,10 @@ def write_iceberg_metadata(
             "main": {
                 "snapshot-id": snap_objs[-1]["snapshot-id"],
                 "type": "branch",
-            }
+            },
+            # named tags/branches: {name: {"snapshot-id": id,
+            # "type": "tag"|"branch"}} — ref-based time travel
+            **(extra_refs or {}),
         },
         "snapshots": snap_objs,
         "snapshot-log": [
@@ -404,7 +436,8 @@ def write_iceberg_metadata(
 
 
 def iceberg_live_files(
-    metadata_path: str, snapshot_id: int | None = None
+    metadata_path: str, snapshot_id: int | None = None,
+    ref: str | None = None,
 ) -> dict[str, Any]:
     """metadata.json -> {snapshot_id, files: [{path, records, seq}],
     delete_files: [{path, records, seq, content, equality_ids}],
@@ -419,6 +452,16 @@ def iceberg_live_files(
             f"iceberg format-version {meta.get('format-version')}"
         )
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if snapshot_id is None and ref is not None:
+        # named BRANCH/TAG time travel (the spec's refs map — 'main'
+        # is just the default branch)
+        refs = meta.get("refs", {})
+        if ref not in refs:
+            raise KeyError(
+                f"iceberg ref {ref!r} not in the metadata"
+                f" (has {sorted(refs)})"
+            )
+        snapshot_id = refs[ref]["snapshot-id"]
     if snapshot_id is None:
         snapshot_id = (
             meta.get("refs", {}).get("main", {}).get("snapshot-id")
@@ -495,6 +538,16 @@ def iceberg_live_files(
                     {int(e["key"]): bytes(e["value"])
                      for e in df["upper_bounds"]}
                     if df.get("upper_bounds") else None
+                ),
+                "value_counts": (
+                    {int(e["key"]): int(e["value"])
+                     for e in df["value_counts"]}
+                    if df.get("value_counts") else None
+                ),
+                "null_value_counts": (
+                    {int(e["key"]): int(e["value"])
+                     for e in df["null_value_counts"]}
+                    if df.get("null_value_counts") else None
                 ),
             }
             if fc == 0:
@@ -581,6 +634,7 @@ def plan_iceberg_scan(
     snapshot_id: int | None = None,
     predicates: list[tuple] | None = None,
     partition_filter=None,
+    ref: str | None = None,
 ) -> dict[str, Any]:
     """Metadata-time planning: resolve the snapshot's live files, then
     prune data files a predicate provably cannot match — the move that
@@ -609,7 +663,7 @@ def plan_iceberg_scan(
         partition_may_match,
     )
 
-    resolved = iceberg_live_files(metadata_path, snapshot_id)
+    resolved = iceberg_live_files(metadata_path, snapshot_id, ref=ref)
     n_candidates = len(resolved["files"])
     files = resolved["files"]
     if partition_filter is not None:
@@ -636,6 +690,24 @@ def plan_iceberg_scan(
                     f"iceberg predicate over nested type {fld.get('type')!r}"
                 )
             fid, ice_type = int(fld["id"]), fld["type"]
+            if op in ("is null", "is not null"):
+                # null-count pruning (manifest fields 109/110): a file
+                # with zero nulls cannot serve IS NULL; a file whose
+                # every row is null cannot serve IS NOT NULL. Missing
+                # counts keep the file.
+                kept = []
+                for f in files:
+                    nulls = (f.get("null_value_counts") or {}).get(fid)
+                    vals = (f.get("value_counts") or {}).get(fid)
+                    if op == "is null":
+                        keep = nulls is None or nulls > 0
+                    else:
+                        keep = (nulls is None or vals is None
+                                or nulls < vals)
+                    if keep:
+                        kept.append(f)
+                files = kept
+                continue
             kept = []
             for f in files:
                 keep = True
@@ -679,6 +751,7 @@ def read_iceberg_table(
     snapshot_id: int | None = None,
     partition_filter=None,
     predicates: list[tuple] | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """One Catalyst parquet scan over the snapshot's live file list —
     the engine-native ``iceberg_scan`` — with v2 merge-on-read deletes
@@ -711,7 +784,7 @@ def read_iceberg_table(
     from pyspark.sql import functions as F
 
     resolved = plan_iceberg_scan(
-        metadata_path, snapshot_id, predicates, partition_filter
+        metadata_path, snapshot_id, predicates, partition_filter, ref=ref
     )
     if not resolved["files"]:
         if resolved["n_candidates"]:

@@ -2474,6 +2474,14 @@ def lh_iceberg_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(1 as integer) as n_files_scanned,
            cast(4 as integer) as n_files_pruned
     from customer where c_mktsegment = 'BUILDING'
+    union all
+    select 'nulls' as arm, 'ALL' as grp,
+           cast(count(*) as bigint) as n,
+           cast(sum(cast(c_custkey as bigint)) as bigint) as key_sum,
+           cast(2 as integer) as n_files_scanned,
+           cast(1 as integer) as n_files_pruned
+    from customer
+    where c_custkey % 3 = 1 or (c_custkey % 3 = 2 and c_custkey % 2 = 1)
     """,
 )
 def lh_iceberg_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2660,4 +2668,47 @@ def lh_iceberg_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "truncate", None, 1, 4,
     )
 
-    return arm_b.unionByName(arm_k).unionByName(arm_t)
+    # ---- arm 4: null-count pruning (manifest fields 109/110) ----
+    # three custkey%3 slices with c_name: all-NULL / kept / NULL on
+    # even keys — IS NOT NULL prunes exactly the all-null file
+    tdir = os.path.join(wh, "iceberg_ns", "cust_nulls")
+    com_id = by_name["c_name"]["id"]
+    nfiles = []
+    for k in range(3):
+        d = os.path.join(tdir, f"null-{k}")
+        part = cust.filter(F.col("c_custkey") % 3 == k)
+        if k == 0:
+            part = part.withColumn(
+                "c_name", F.lit(None).cast("string")
+            )
+        elif k == 2:
+            part = part.withColumn(
+                "c_name",
+                F.when(F.col("c_custkey") % 2 == 1, F.col("c_name")),
+            )
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        p = _one(d)
+        stats = spark.read.parquet(p).agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("c_name").isNull().cast("long")),
+        ).collect()[0]
+        nfiles.append({
+            "path": p, "records": int(stats[0]),
+            "value_counts": {com_id: int(stats[0])},
+            "null_value_counts": {com_id: int(stats[1])},
+        })
+    mp_n = I.write_iceberg_metadata(
+        tdir, snapshots=[{"files": nfiles}], schema_fields=schema_fields
+    )
+    preds_n = [("c_name", "is not null", None)]
+    plan_n = I.plan_iceberg_scan(mp_n, predicates=preds_n)
+    assert (plan_n["n_candidates"], plan_n["n_pruned"]) == (3, 1), plan_n
+    arm_n = _agg(
+        I.read_iceberg_table(spark, mp_n, predicates=preds_n)
+        .filter(F.col("c_name").isNotNull()),
+        "nulls", None, 2, 1,
+    )
+
+    return (
+        arm_b.unionByName(arm_k).unionByName(arm_t).unionByName(arm_n)
+    )

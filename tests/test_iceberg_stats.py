@@ -262,3 +262,87 @@ class TestEncodedPaths:
         df = I.read_iceberg_table(spark, mp)
         assert df.count() == 90
         assert df.agg(F.min("id")).collect()[0][0] == 10
+
+
+class TestNullCountPruning:
+    def _table(self, spark):
+        td = session_tmpdir(prefix="ice_nulls_")
+        files = []
+        plans = [
+            ("allnull", [(1, 2, None), (3, 4, None)], 2, 2),
+            ("mixed", [(5, 6, "x"), (7, 8, None)], 2, 1),
+            ("nonull", [(9, 10, "y"), (11, 12, "z")], 2, 0),
+        ]
+        for name, rows, vals, nulls in plans:
+            d = os.path.join(td, name)
+            spark.createDataFrame(
+                rows, "id long, v long, s string"
+            ).coalesce(1).write.parquet(d)
+            files.append({
+                "path": _one_parquet(d), "records": len(rows),
+                "value_counts": {3: vals},
+                "null_value_counts": {3: nulls},
+            })
+        return I.write_iceberg_metadata(
+            td, snapshots=[{"files": files}], schema_fields=SCHEMA_FIELDS
+        )
+
+    def test_is_null_prunes_null_free_files(self, spark):
+        mp = self._table(spark)
+        plan = I.plan_iceberg_scan(mp, predicates=[("s", "is null", None)])
+        assert plan["n_pruned"] == 1  # the no-null file
+        df = I.read_iceberg_table(
+            spark, mp, predicates=[("s", "is null", None)]
+        ).filter(F.col("s").isNull())
+        assert df.count() == 3
+
+    def test_is_not_null_prunes_all_null_files(self, spark):
+        mp = self._table(spark)
+        plan = I.plan_iceberg_scan(
+            mp, predicates=[("s", "is not null", None)]
+        )
+        assert plan["n_pruned"] == 1  # the all-null file
+        df = I.read_iceberg_table(
+            spark, mp, predicates=[("s", "is not null", None)]
+        ).filter(F.col("s").isNotNull())
+        assert df.count() == 3
+
+    def test_missing_counts_keep(self, spark):
+        td = session_tmpdir(prefix="ice_nullsx_")
+        p = _write_range_file(spark, td, "f0", 0, 5)
+        mp = I.write_iceberg_metadata(
+            td, snapshots=[{"files": [{"path": p, "records": 5}]}],
+            schema_fields=SCHEMA_FIELDS,
+        )
+        for op in ("is null", "is not null"):
+            assert I.plan_iceberg_scan(
+                mp, predicates=[("s", op, None)]
+            )["n_pruned"] == 0
+
+
+class TestRefTimeTravel:
+    def test_tag_and_branch_refs(self, spark):
+        td = session_tmpdir(prefix="ice_refs_")
+        f1 = _write_range_file(spark, td, "f1", 0, 10)
+        f2 = _write_range_file(spark, td, "f2", 10, 30)
+        mp = I.write_iceberg_metadata(
+            td,
+            snapshots=[
+                {"files": [{"path": f1, "records": 10}]},
+                {"files": [{"path": f2, "records": 20}]},
+            ],
+            schema_fields=SCHEMA_FIELDS,
+            extra_refs={
+                "v1.0": {"snapshot-id": 1000, "type": "tag"},
+                "audit": {"snapshot-id": 1001, "type": "branch"},
+            },
+        )
+        assert I.read_iceberg_table(spark, mp, ref="v1.0").count() == 10
+        assert I.read_iceberg_table(spark, mp, ref="audit").count() == 30
+        assert I.read_iceberg_table(spark, mp, ref="main").count() == 30
+        with pytest.raises(KeyError, match="nope"):
+            I.read_iceberg_table(spark, mp, ref="nope")
+        # explicit snapshot_id wins over ref resolution entirely
+        assert I.iceberg_live_files(mp, snapshot_id=1000, ref="audit")[
+            "snapshot_id"
+        ] == 1000

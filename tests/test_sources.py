@@ -186,3 +186,25 @@ class TestFwfChecked:
         got = [r[0] for r in
                df.select(percent_decode(F.col("s"))).collect()]
         assert got == ["a b", "no-escapes", "ABc", ""]
+
+    def test_percent_decode_malformed_passthrough(self, spark):
+        """r16 ADVICE: a '%' not followed by two hex digits must pass
+        through VERBATIM (visible), never silently drop the segment."""
+        from pyspark.sql import functions as F
+
+        from pyiceberg_lakehouse_spark.functions.urls import (
+            percent_decode,
+        )
+
+        cases = [
+            ("a%2", "a%2"),          # one hex digit
+            ("a%zq-tail", "a%zq-tail"),  # no hex digits
+            ("x%", "x%"),            # bare trailing %
+            ("x%%41", "x%A"),        # empty segment then a valid escape
+            ("%2Gh", "%2Gh"),        # second digit not hex
+            ("ok%41%zz%20end", "okA%zz end"),  # mixed
+        ]
+        df = spark.createDataFrame([(c[0],) for c in cases], "s string")
+        got = [r[0] for r in
+               df.select(percent_decode(F.col("s"))).collect()]
+        assert got == [c[1] for c in cases]
