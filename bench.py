@@ -102,6 +102,16 @@ HEADLINE = [
     ("mp3_samples", "multimodal_mp3_samples"),
     ("ogg_samples", "multimodal_ogg_samples"),
     ("iceberg_mor", "lh_iceberg_mor_scan"),
+    # r17 additions (auto-excluded from the comparable set): stereo
+    # two-blocksize Vorbis decode (map-only codec stage), the Iceberg
+    # stats/transform-pruning scan (metadata planning + four fixture
+    # builds), and the position-delete-history purge (order-preserving
+    # rewrite + ordinal remap lifecycle). iceberg_mor now times the
+    # READ (fixture memoized at warmup); iceberg_mor_build below times
+    # construction separately.
+    ("ogg_stereo", "multimodal_ogg_stereo"),
+    ("iceberg_stats", "lh_iceberg_stats_scan"),
+    ("purge_mor_history", "lh_purge_mor_history"),
 ]
 
 
