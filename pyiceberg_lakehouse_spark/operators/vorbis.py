@@ -49,10 +49,12 @@ vector is needed):
   window centers.
 
 Remaining scope gates (messageful NotImplementedError, the vp8.py
-pattern): floor0, residue types 0/1, lookup-type-1 sequence_p. No
-Vorbis decoder or sample file exists on this box, so validation is
-fixture encode->decode plus the spec pins above — the MP3/VP8
-posture.
+pattern): floor0, residue types 0/1. (Lookup-type-1 sequence_p closed
+in r17: the §3.2.1 multiplicand indexing (entry // lv^j) % lv with the
+running sequence_p accumulation is pinned closed-form in
+tests/test_vorbis_stereo.py.) No Vorbis decoder or sample file exists
+on this box, so validation is fixture encode->decode plus the spec
+pins above — the MP3/VP8 posture.
 
 Reference parity: the reference treats audio as opaque blobs; this
 adds the decode layer podcast-format audio curation needs
@@ -285,10 +287,6 @@ def read_codebook(bits: LsbBits) -> Codebook:
             lv = 0
             n_mult = entries * dim
         mult = [bits.read(value_bits) for _ in range(n_mult)]
-        if lookup_type == 1 and sequence_p:
-            raise NotImplementedError(
-                "vorbis: lookup-type-1 sequence_p (no fixture coverage)"
-            )
         lookup = {
             "type": lookup_type, "minimum": minimum, "delta": delta,
             "sequence_p": sequence_p, "multiplicands": mult,

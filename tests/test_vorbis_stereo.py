@@ -336,3 +336,96 @@ class TestMonoContractUnchanged:
         assert isinstance(out["residues"][0][0], float)
         assert isinstance(out["floor_db"][0][0], int)
         assert isinstance(out["floors"][0][0], int)
+
+
+class TestLookupType1SequenceP:
+    def test_vq_values_closed_form(self):
+        """r17 narrows the lookup gates: type-1 (lattice) VQ with
+        sequence_p — multiplicand index (entry // lv^j) % lv per
+        §3.2.1, each element accumulating the previous (sequence_p).
+        Pinned against the closed form computed independently here."""
+        w = V.LsbWriter()
+        # dim 2, 9 entries -> lookup_values lv = 3
+        V.write_codebook(
+            w, dim=2, lengths=[4] * 9,
+            lookup={"type": 1, "minimum_mant": 2, "delta_mant": 3,
+                    "value_bits": 4, "sequence_p": 1,
+                    "multiplicands": [0, 5, 11]},
+        )
+        book = V.read_codebook(V.LsbBits(w.to_bytes()))
+        assert book.lookup["lookup_values"] == 3
+        mult = [0, 5, 11]
+        for e in range(9):
+            v0 = 2 + 3 * mult[e % 3]
+            v1 = 2 + 3 * mult[(e // 3) % 3] + v0  # sequence_p adds v0
+            assert book.vq[e] == [v0, v1], e
+
+    def test_sequence_p_off_matches_independent(self):
+        w = V.LsbWriter()
+        V.write_codebook(
+            w, dim=2, lengths=[4] * 9,
+            lookup={"type": 1, "minimum_mant": -1, "delta_mant": 2,
+                    "value_bits": 4, "sequence_p": 0,
+                    "multiplicands": [1, 4, 9]},
+        )
+        book = V.read_codebook(V.LsbBits(w.to_bytes()))
+        mult = [1, 4, 9]
+        for e in range(9):
+            assert book.vq[e] == [
+                -1 + 2 * mult[e % 3], -1 + 2 * mult[(e // 3) % 3]
+            ], e
+
+    def test_lattice_book_decodes_in_residue(self):
+        """A type-1 sequence_p book carried as the residue VQ book of a
+        mono stream decodes end to end."""
+        floor_cfg = V.fixture_floor_cfg(1)
+        res_cfg = {
+            "begin": 0, "end": 128, "partition_size": 8,
+            "classifications": 2, "classbook": 0, "cascade": [0, 1],
+            "books": [[-1] * 8, [1] + [-1] * 7],
+        }
+        books_spec = [
+            {"dim": 2, "lengths": [2, 2, 2, 2], "lookup": None},
+            # dim 4, 16 entries -> lv = 2; sequence_p on
+            {"dim": 4, "lengths": [4] * 16,
+             "lookup": {"type": 1, "minimum_mant": 1, "delta_mant": 1,
+                        "value_bits": 3, "sequence_p": 1,
+                        "multiplicands": [0, 3]}},
+            {"dim": 2, "lengths": [5] * 32, "lookup": None},
+        ]
+        setup = V.write_setup_header_full(
+            books_spec, [floor_cfg], [res_cfg],
+            [{"submaps": [{"floor": 0, "residue": 0}], "mux": [0],
+              "coupling": []}],
+            [{"blockflag": 0, "mapping": 0}], nch=1,
+        )
+        books = V.read_setup_header(setup, 1)["books"]
+        w = V.LsbWriter()
+        w.write(0, 1)
+        V.encode_floor1(w, floor_cfg, books, [10, 20, 0, 0])
+        classes = [1] + [0] * 15
+        entries = [[5, 10]] + [[]] * 15
+        V.encode_residue2_mono(w, res_cfg, books, classes, entries)
+        from pyiceberg_lakehouse_spark.operators.ogg import (
+            make_vorbis_comment_packet,
+        )
+
+        packets = [V.write_id_header(1, 8000, 256),
+                   make_vorbis_comment_packet("t", []),
+                   setup]
+        out = V.decode_vorbis(packets + [w.to_bytes()])
+
+        def lattice(e):
+            mult = [0, 3]
+            vals = []
+            last = 0
+            idx = 1
+            for _j in range(4):
+                v = 1 + mult[(e // idx) % 2] + last
+                vals.append(v)
+                last = v
+                idx *= 2
+            return vals
+
+        want = lattice(5) + lattice(10)
+        assert out["residues"][0][:8] == [float(x) for x in want]
