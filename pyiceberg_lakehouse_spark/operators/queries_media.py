@@ -5188,20 +5188,27 @@ def multimodal_ogg_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
         return specs
 
+    _ref_consts: dict = {}
+
     def _numpy_reference(specs, m, bs0=256, bs1=512):
         """Absolute-timeline reference (independent of the decoder's
         incremental lap): windowed blocks add at their absolute start
         offsets; output = region between first and last window
-        centers."""
-        table = np.array(_vorbis.FLOOR1_INVERSE_DB)
-        bases = {}
-        for n in (bs0, bs1):
-            n2 = n // 2
-            J, K = np.meshgrid(np.arange(n), np.arange(n2),
-                               indexing="ij")
-            bases[n] = np.cos(
-                np.pi / (2.0 * n) * (2 * J + 1 + n2) * (2 * K + 1)
-            )
+        centers. The cosine bases are pure constants — cached across
+        the task's documents instead of rebuilt per doc."""
+        if not _ref_consts:
+            _ref_consts["table"] = np.array(_vorbis.FLOOR1_INVERSE_DB)
+            bb = {}
+            for n in (bs0, bs1):
+                n2 = n // 2
+                J, K = np.meshgrid(np.arange(n), np.arange(n2),
+                                   indexing="ij")
+                bb[n] = np.cos(
+                    np.pi / (2.0 * n) * (2 * J + 1 + n2) * (2 * K + 1)
+                )
+            _ref_consts["bases"] = bb
+        table = _ref_consts["table"]
+        bases = _ref_consts["bases"]
 
         def win(n, ps, ns):
             ln = bs0 // 2 if ps else n // 2

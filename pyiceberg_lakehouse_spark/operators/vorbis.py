@@ -904,14 +904,33 @@ def vorbis_window_shaped(n: int, prev_short: bool, next_short: bool,
     return w
 
 
+try:  # vectorized IMDCT when numpy is present (it always is under
+    # mapInPandas; the pure-Python path keeps the module dependency-free)
+    import numpy as _np
+except ImportError:  # pragma: no cover
+    _np = None
+
 _IMDCT_BASIS: dict[int, list[list[float]]] = {}
+_IMDCT_BASIS_NP: dict[int, object] = {}
 
 
 def imdct(X: list[float], n: int) -> list[float]:
     """Inverse MDCT, spec phase: y[j] = sum_k X[k] cos(pi/(2n)
     (2j+1+n/2)(2k+1)). The cosine basis is cached per n (pure data;
-    values identical to the inline form)."""
+    values identical to the inline form). With numpy available the
+    sum is one matrix-vector product — the dominant cost of the
+    sample-decode bench phases — instead of a Python loop."""
     n2 = n // 2
+    if _np is not None:
+        basis = _IMDCT_BASIS_NP.get(n)
+        if basis is None:
+            j = _np.arange(n, dtype=_np.float64)[:, None]
+            k = _np.arange(n2, dtype=_np.float64)[None, :]
+            basis = _np.cos(
+                _np.pi / (2.0 * n) * (2 * j + 1 + n2) * (2 * k + 1)
+            )
+            _IMDCT_BASIS_NP[n] = basis
+        return (basis @ _np.asarray(X, dtype=_np.float64)).tolist()
     basis = _IMDCT_BASIS.get(n)
     if basis is None:
         basis = [
