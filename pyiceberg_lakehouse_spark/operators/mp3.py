@@ -661,12 +661,60 @@ _IMDCT12 = [
 ]
 
 
+try:  # vectorized IMDCT + synthesis when numpy is present (always
+    # under mapInPandas); pure-Python fallback keeps the module
+    # dependency-free. Both paths agree to ~1e-13 (pinned in tests).
+    import numpy as _np
+except ImportError:  # pragma: no cover
+    _np = None
+
+_NP_CONSTS: dict = {}
+
+
+def _np_consts():
+    c = _NP_CONSTS
+    if not c:
+        c["M36"] = _np.asarray(_IMDCT36)          # (36, 18)
+        c["M12"] = _np.asarray(_IMDCT12)          # (12, 6)
+        c["WINL"] = {bt: _np.asarray(w) for bt, w in _WIN_LONG.items()}
+        c["WINS"] = _np.asarray(_WIN_SHORT)
+        # frequency inversion: odd subbands negate odd samples
+        s = _np.ones((32, 18))
+        s[1::2, 1::2] = -1.0
+        c["SIGN"] = s
+        c["N"] = _np.asarray(_SYNTH_N)            # (64, 32)
+        idx = _np.empty((16, 32), dtype=_np.int64)
+        for i in range(16):
+            for j in range(32):
+                idx[i, j] = (i >> 1) * 128 + ((96 + j) if i & 1 else j)
+        c["IDX"] = idx
+        c["DMAT"] = _np.asarray(
+            [[_SUBSTITUTE_D[32 * i + j] for j in range(32)]
+             for i in range(16)]
+        )
+    return c
+
+
 def imdct_granule(xr, block_type, window_switching, overlap) -> list[float]:
     """18 spectral lines per subband -> 18 time samples per subband with
     overlap-add; ``overlap`` is the persistent [32][18] state. Returns
     576 time-domain samples (subband-major), frequency-inverted."""
-    out = [0.0] * 576
     short = block_type == 2 and window_switching
+    if _np is not None:
+        c = _np_consts()
+        xmat = _np.asarray(xr, dtype=_np.float64).reshape(32, 18)
+        if short:
+            x36 = _np.zeros((36, 32))
+            for w in range(3):
+                yw = (c["M12"] @ xmat[:, w::3].T) * c["WINS"][:, None]
+                x36[6 + 6 * w : 18 + 6 * w, :] += yw
+        else:
+            x36 = (c["M36"] @ xmat.T) * c["WINL"][block_type][:, None]
+        ov = _np.asarray(overlap, dtype=_np.float64)      # (32, 18)
+        out = ((x36[:18, :].T + ov) * c["SIGN"]).reshape(-1)
+        overlap[:] = x36[18:36, :].T.tolist()
+        return out.tolist()
+    out = [0.0] * 576
     for sb in range(32):
         X = xr[18 * sb : 18 * sb + 18]
         if short:
@@ -731,11 +779,21 @@ class Synthesizer:
                 " box (no closed form; substitute window documented in"
                 " the module docstring)"
             )
-        self.v = [0.0] * 1024
+        self.v = _np.zeros(1024) if _np is not None else [0.0] * 1024
         self.window = _SUBSTITUTE_D
 
     def step(self, subband_samples: list[float]) -> list[float]:
         """One time step: 32 subband samples -> 32 PCM samples."""
+        if _np is not None:
+            c = _np_consts()
+            # shift the FIFO by 64; matrixing is one (64,32) matvec,
+            # the windowed U-vector fold one fancy-indexed gather
+            self.v = _np.concatenate(
+                (c["N"] @ _np.asarray(subband_samples,
+                                      dtype=_np.float64),
+                 self.v[:960])
+            )
+            return (self.v[c["IDX"]] * c["DMAT"]).sum(axis=0).tolist()
         v = self.v
         # shift the FIFO by 64
         del v[960:]

@@ -242,3 +242,54 @@ class TestLsfFixture:
                 "region0_count": 0, "region1_count": 0, "block_type": 2}
         with pytest.raises(NotImplementedError, match="long blocks"):
             M.encode_mp3_lsf([spec])
+
+
+class TestVectorizedPathsAgree:
+    """r17: imdct_granule and Synthesizer.step gained numpy fast paths;
+    both must match the pure-Python spec transcription bit-for-bit at
+    float64 rounding (~1e-13)."""
+
+    def test_imdct_granule_both_paths(self):
+        import random
+
+        random.seed(3)
+        for bt, ws in ((0, 0), (1, 1), (3, 1), (2, 1)):
+            xr = [random.uniform(-2, 2) if random.random() < 0.4
+                  else 0.0 for _ in range(576)]
+            ov_a = [[random.uniform(-1, 1) for _ in range(18)]
+                    for _ in range(32)]
+            ov_b = [list(r) for r in ov_a]
+            got_a = M.imdct_granule(xr, bt, ws, ov_a)
+            saved = M._np
+            M._np = None
+            try:
+                got_b = M.imdct_granule(xr, bt, ws, ov_b)
+            finally:
+                M._np = saved
+            assert max(abs(a - b) for a, b in zip(got_a, got_b)) < 1e-12
+            assert max(
+                abs(a - b)
+                for ra, rb in zip(ov_a, ov_b)
+                for a, b in zip(ra, rb)
+            ) < 1e-12
+
+    def test_synthesizer_both_paths(self):
+        import random
+
+        random.seed(5)
+        s_np = M.Synthesizer()
+        saved = M._np
+        M._np = None
+        try:
+            s_py = M.Synthesizer()
+        finally:
+            M._np = saved
+        for _ in range(40):
+            sb = [random.uniform(-1, 1) for _ in range(32)]
+            a = s_np.step(sb)
+            M._np = None
+            try:
+                b = s_py.step(sb)
+            finally:
+                M._np = saved
+            assert max(abs(x - y) for x, y in zip(a, b)) < 1e-12
