@@ -2509,6 +2509,91 @@ def lh_iceberg_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference anchor: query_iceberg_duckdb.py:24-27 — DuckDB's
     iceberg_scan does this inside the library; here it is native and
     the pruned/scanned counts are hashed on every row."""
+    from pyiceberg_lakehouse_spark.lakehouse import iceberg_interop as I
+
+    fx = build_iceberg_stats_fixture(spark, sf_dir)
+    thresh = fx["thresh"]
+
+    def _agg(df, arm, grp_col, scanned, pruned):
+        grouped = (
+            df.groupBy(F.col(grp_col).alias("grp")) if grp_col
+            else df.groupBy(F.lit("ALL").alias("grp"))
+        )
+        return grouped.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("c_custkey").cast("long")).alias("key_sum"),
+        ).select(
+            F.lit(arm).alias("arm"), "grp", "n", "key_sum",
+            F.lit(scanned).cast("int").alias("n_files_scanned"),
+            F.lit(pruned).cast("int").alias("n_files_pruned"),
+        )
+
+    # ---- arm 1: manifest bounds over custkey-range files ----
+    mp_b = fx["mp_b"]
+    preds_b = [("c_custkey", "<=", thresh)]
+    plan_b = I.plan_iceberg_scan(mp_b, predicates=preds_b)
+    assert (plan_b["n_candidates"], plan_b["n_pruned"]) == (4, 2), plan_b
+    arm_b = _agg(
+        I.read_iceberg_table(spark, mp_b, predicates=preds_b)
+        .filter(F.col("c_custkey") <= thresh),
+        "bounds", "c_mktsegment", 2, 2,
+    )
+
+    # ---- arm 2: bucket[4] transform on c_nationkey ----
+    mp_k = fx["mp_k"]
+    preds_k = [("c_nationkey", "=", 7)]
+    plan_k = I.plan_iceberg_scan(mp_k, predicates=preds_k)
+    assert (plan_k["n_candidates"], plan_k["n_pruned"]) == (4, 3), plan_k
+    # a range predicate must NOT prune through a hash
+    assert I.plan_iceberg_scan(
+        mp_k, predicates=[("c_nationkey", "<", 7)]
+    )["n_pruned"] == 0
+    arm_k = _agg(
+        I.read_iceberg_table(spark, mp_k, predicates=preds_k)
+        .filter(F.col("c_nationkey") == 7),
+        "bucket", None, 1, 3,
+    )
+
+    # ---- arm 3: truncate[2] transform on c_mktsegment ----
+    mp_t = fx["mp_t"]
+    preds_t = [("c_mktsegment", "=", "BUILDING")]
+    plan_t = I.plan_iceberg_scan(mp_t, predicates=preds_t)
+    assert (plan_t["n_candidates"], plan_t["n_pruned"]) == (5, 4), plan_t
+    arm_t = _agg(
+        I.read_iceberg_table(spark, mp_t, predicates=preds_t)
+        .filter(F.col("c_mktsegment") == "BUILDING"),
+        "truncate", None, 1, 4,
+    )
+
+    # ---- arm 4: null-count pruning (manifest fields 109/110) ----
+    mp_n = fx["mp_n"]
+    preds_n = [("c_name", "is not null", None)]
+    plan_n = I.plan_iceberg_scan(mp_n, predicates=preds_n)
+    assert (plan_n["n_candidates"], plan_n["n_pruned"]) == (3, 1), plan_n
+    arm_n = _agg(
+        I.read_iceberg_table(spark, mp_n, predicates=preds_n)
+        .filter(F.col("c_name").isNotNull()),
+        "nulls", None, 2, 1,
+    )
+
+    return (
+        arm_b.unionByName(arm_k).unionByName(arm_t).unionByName(arm_n)
+    )
+
+
+_STATS_FIXTURE_CACHE: dict[str, dict] = {}
+
+
+def build_iceberg_stats_fixture(
+    spark: SparkSession, sf_dir: str, fresh: bool = False
+) -> dict:
+    """Construct lh_iceberg_stats_scan's four fixture tables (bounds /
+    bucket / truncate / nulls — 13 parquet writes + 4 metadata emits)
+    and return {"step", "thresh", "mp_b", "mp_k", "mp_t", "mp_n"}.
+
+    Memoized per (process, sf_dir) like build_iceberg_mor_fixture: the
+    fixtures are immutable once written, so bench reps time the
+    metadata-time PLANNING + pruned scans, not construction."""
     import glob as _glob
 
     from pyspark.sql import types as T
@@ -2519,6 +2604,8 @@ def lh_iceberg_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         serialize_single_value,
     )
 
+    if not fresh and sf_dir in _STATS_FIXTURE_CACHE:
+        return _STATS_FIXTURE_CACHE[sf_dir]
     wh = _warehouse()
     cust = load_table(spark, sf_dir, "customer")
     _ICE = {
@@ -2540,21 +2627,7 @@ def lh_iceberg_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert len(got) == 1
         return got[0]
 
-    def _agg(df, arm, grp_col, scanned, pruned):
-        grouped = (
-            df.groupBy(F.col(grp_col).alias("grp")) if grp_col
-            else df.groupBy(F.lit("ALL").alias("grp"))
-        )
-        return grouped.agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.col("c_custkey").cast("long")).alias("key_sum"),
-        ).select(
-            F.lit(arm).alias("arm"), "grp", "n", "key_sum",
-            F.lit(scanned).cast("int").alias("n_files_scanned"),
-            F.lit(pruned).cast("int").alias("n_files_pruned"),
-        )
-
-    # ---- arm 1: manifest bounds over custkey-range files ----
+    # bounds table: four contiguous custkey ranges with exact min/max
     tdir = os.path.join(wh, "iceberg_ns", "cust_bounds")
     max_key = cust.agg(F.max("c_custkey")).collect()[0][0]
     step = -(-int(max_key) // 4)  # ceil
@@ -2579,17 +2652,8 @@ def lh_iceberg_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp_b = I.write_iceberg_metadata(
         tdir, snapshots=[{"files": bfiles}], schema_fields=schema_fields
     )
-    thresh = step + step // 2
-    preds_b = [("c_custkey", "<=", thresh)]
-    plan_b = I.plan_iceberg_scan(mp_b, predicates=preds_b)
-    assert (plan_b["n_candidates"], plan_b["n_pruned"]) == (4, 2), plan_b
-    arm_b = _agg(
-        I.read_iceberg_table(spark, mp_b, predicates=preds_b)
-        .filter(F.col("c_custkey") <= thresh),
-        "bounds", "c_mktsegment", 2, 2,
-    )
 
-    # ---- arm 2: bucket[4] transform on c_nationkey ----
+    # bucket table: one file per bucket[4](c_nationkey) value
     tdir = os.path.join(wh, "iceberg_ns", "cust_bucket")
     nations = [int(r[0]) for r in
                cust.select("c_nationkey").distinct().collect()]
@@ -2619,20 +2683,8 @@ def lh_iceberg_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         }],
         partition_fields=[("nat_bucket", "int")],
     )
-    preds_k = [("c_nationkey", "=", 7)]
-    plan_k = I.plan_iceberg_scan(mp_k, predicates=preds_k)
-    assert (plan_k["n_candidates"], plan_k["n_pruned"]) == (4, 3), plan_k
-    # a range predicate must NOT prune through a hash
-    assert I.plan_iceberg_scan(
-        mp_k, predicates=[("c_nationkey", "<", 7)]
-    )["n_pruned"] == 0
-    arm_k = _agg(
-        I.read_iceberg_table(spark, mp_k, predicates=preds_k)
-        .filter(F.col("c_nationkey") == 7),
-        "bucket", None, 1, 3,
-    )
 
-    # ---- arm 3: truncate[2] transform on c_mktsegment ----
+    # truncate table: one file per 2-char segment prefix
     tdir = os.path.join(wh, "iceberg_ns", "cust_trunc")
     segs = sorted(r[0] for r in
                   cust.select("c_mktsegment").distinct().collect())
@@ -2659,18 +2711,9 @@ def lh_iceberg_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         }],
         partition_fields=[("seg_trunc", "string")],
     )
-    preds_t = [("c_mktsegment", "=", "BUILDING")]
-    plan_t = I.plan_iceberg_scan(mp_t, predicates=preds_t)
-    assert (plan_t["n_candidates"], plan_t["n_pruned"]) == (5, 4), plan_t
-    arm_t = _agg(
-        I.read_iceberg_table(spark, mp_t, predicates=preds_t)
-        .filter(F.col("c_mktsegment") == "BUILDING"),
-        "truncate", None, 1, 4,
-    )
 
-    # ---- arm 4: null-count pruning (manifest fields 109/110) ----
-    # three custkey%3 slices with c_name: all-NULL / kept / NULL on
-    # even keys — IS NOT NULL prunes exactly the all-null file
+    # nulls table: three custkey%3 slices with c_name all-NULL / kept /
+    # NULL on even keys — exact value/null counts recorded
     tdir = os.path.join(wh, "iceberg_ns", "cust_nulls")
     com_id = by_name["c_name"]["id"]
     nfiles = []
@@ -2700,15 +2743,9 @@ def lh_iceberg_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp_n = I.write_iceberg_metadata(
         tdir, snapshots=[{"files": nfiles}], schema_fields=schema_fields
     )
-    preds_n = [("c_name", "is not null", None)]
-    plan_n = I.plan_iceberg_scan(mp_n, predicates=preds_n)
-    assert (plan_n["n_candidates"], plan_n["n_pruned"]) == (3, 1), plan_n
-    arm_n = _agg(
-        I.read_iceberg_table(spark, mp_n, predicates=preds_n)
-        .filter(F.col("c_name").isNotNull()),
-        "nulls", None, 2, 1,
-    )
-
-    return (
-        arm_b.unionByName(arm_k).unionByName(arm_t).unionByName(arm_n)
-    )
+    out = {
+        "step": step, "thresh": step + step // 2,
+        "mp_b": mp_b, "mp_k": mp_k, "mp_t": mp_t, "mp_n": mp_n,
+    }
+    _STATS_FIXTURE_CACHE[sf_dir] = out
+    return out
