@@ -1144,6 +1144,69 @@ def bench_r16_media(spark, b: Bench, tmp: str) -> None:
         b.notes[f"iceberg_walk_{n}snaps_live_files"] = len(got["files"])
 
 
+def bench_r17_media(spark, b, tmp):
+    """r17 arms: the STEREO two-blocksize Vorbis decode (map-only, so
+    10x docs must cost ~10x wall) and Iceberg metadata-time STATS
+    PRUNING at 10x manifest entries — planning is metadata-only
+    (bounds live in the manifests; no data file is ever opened), so
+    the claim to prove is that plan cost stays linear in METADATA size
+    while the kept-file count stays tiny (the touch-2-files-not-2000
+    move a 100 TB table depends on)."""
+    import pyiceberg_lakehouse_spark.operators.queries_media as qm
+    from pyiceberg_lakehouse_spark.lakehouse import iceberg_interop as I
+    from pyiceberg_lakehouse_spark.lakehouse.iceberg_transforms import (
+        serialize_single_value,
+    )
+    from pyiceberg_lakehouse_spark.operators.queries_media import (
+        multimodal_ogg_stereo,
+    )
+
+    for n in DOC_SCALES:
+        tag = f"{n//1000}k"
+        docs = spark.range(0, n, 1, 64).withColumnRenamed("id", "doc_id")
+        saved_m = qm.load_table
+        try:
+            qm.load_table = lambda _s, _d, _t, d=docs: d
+            b.run(
+                f"ogg_stereo_{tag}",
+                lambda: drain(multimodal_ogg_stereo(spark, "unused")),
+                reps=REPS,
+                warmup=True,
+            )
+        finally:
+            qm.load_table = saved_m
+
+    # stats-pruning plan cost at 10x manifest entries: n range files
+    # with exact custkey bounds, predicate keeping ~2 files either way
+    for n in (int(100 * SCALE) or 100, int(1000 * SCALE) or 1000):
+        td = os.path.join(tmp, f"icestats_{n}")
+        width = 1000
+        snaps = [{"files": [
+            {"path": os.path.join(td, f"f{i}.parquet"),
+             "records": width, "size": 4096,
+             "lower_bounds": {1: serialize_single_value(
+                 i * width, "long")},
+             "upper_bounds": {1: serialize_single_value(
+                 (i + 1) * width - 1, "long")}}
+            for i in range(n)
+        ]}]
+        mp = I.write_iceberg_metadata(
+            td, snaps,
+            schema_fields=[{"id": 1, "name": "id", "required": False,
+                            "type": "long"}],
+        )
+        got = b.run(
+            f"iceberg_stats_plan_{n}files",
+            lambda mp=mp: I.plan_iceberg_scan(
+                mp, predicates=[("id", "<=", int(1.5 * width))]
+            ),
+            reps=max(REPS, 3),
+            warmup=True,
+        )
+        b.notes[f"iceberg_stats_plan_{n}files_kept"] = len(got["files"])
+        b.notes[f"iceberg_stats_plan_{n}files_pruned"] = got["n_pruned"]
+
+
 SECTIONS = {
     "documents": bench_documents,
     "embeddings": bench_embeddings,
@@ -1161,6 +1224,7 @@ SECTIONS = {
     "codecs": bench_codecs,
     "extraction": bench_extraction,
     "r16_media": bench_r16_media,
+    "r17": bench_r17_media,
 }
 
 
@@ -1493,6 +1557,16 @@ def main() -> None:
         "iceberg_walk_growth_10x": ratio(
             f"iceberg_walk_{int(50 * SCALE) or 50}snaps",
             f"iceberg_walk_{int(500 * SCALE) or 500}snaps",
+        ),
+        # r17: stereo Vorbis decode (map-only, linear bar) and the
+        # stats-pruning PLAN at 10x manifest entries (metadata-linear;
+        # kept files stay ~2 at both scales, recorded in notes)
+        "ogg_stereo_growth_10x": ratio(
+            f"ogg_stereo_{t1}", f"ogg_stereo_{t2}"
+        ),
+        "iceberg_stats_plan_growth_10x": ratio(
+            f"iceberg_stats_plan_{int(100 * SCALE) or 100}files",
+            f"iceberg_stats_plan_{int(1000 * SCALE) or 1000}files",
         ),
     }
     out = {
