@@ -102,18 +102,25 @@ def serialize_single_value(value: Any, ice_type: str) -> bytes:
 
 
 def deserialize_single_value(data: bytes, ice_type: str) -> Any:
-    if ice_type == "boolean":
-        return data != b"\x00"
-    if ice_type in ("int", "date"):
-        return struct.unpack("<i", data)[0]
-    if ice_type in ("long", "time", "timestamp", "timestamptz"):
-        return struct.unpack("<q", data)[0]
-    if ice_type == "float":
-        return struct.unpack("<f", data)[0]
-    if ice_type == "double":
-        return struct.unpack("<d", data)[0]
-    if ice_type == "string":
-        return data.decode("utf-8")
+    try:
+        if ice_type == "boolean":
+            return data != b"\x00"
+        if ice_type in ("int", "date"):
+            return struct.unpack("<i", data)[0]
+        if ice_type in ("long", "time", "timestamp", "timestamptz"):
+            return struct.unpack("<q", data)[0]
+        if ice_type == "float":
+            return struct.unpack("<f", data)[0]
+        if ice_type == "double":
+            return struct.unpack("<d", data)[0]
+        if ice_type == "string":
+            return data.decode("utf-8")
+    except (struct.error, UnicodeDecodeError) as exc:
+        # corrupt manifest bytes reject structurally (the repo's
+        # clean-rejection contract), never as a raw struct crash
+        raise ValueError(
+            f"iceberg single-value bytes invalid for {ice_type}: {exc}"
+        ) from exc
     if ice_type == "binary":
         return bytes(data)
     raise NotImplementedError(

@@ -202,3 +202,70 @@ def test_mp3_planted_spectrum_roundtrip_property(vals, gain):
             "region0_count": 0, "region1_count": 0}
     out = mp3.decode_mp3(mp3.encode_mp3([spec, zero]))
     assert out["spectra"][0][0] == is1
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_r17_parsers_reject_garbage_cleanly(data):
+    """The r17 surfaces (snappy framing, stereo Vorbis, Iceberg
+    single-value deserialization) under the structured-rejection
+    contract."""
+    from pyiceberg_lakehouse_spark.lakehouse.iceberg_transforms import (
+        deserialize_single_value,
+    )
+    from pyiceberg_lakehouse_spark.operators import snappy, vorbis
+
+    for name, fn in (
+        ("snappy_frame", snappy.frame_decompress),
+        ("vorbis_stereo_setup",
+         lambda b: vorbis.read_setup_header(b, 2)),
+        ("iceberg_single_value",
+         lambda b: deserialize_single_value(b, "long")),
+        ("iceberg_single_value_str",
+         lambda b: deserialize_single_value(b, "string")),
+    ):
+        try:
+            fn(data)
+        except _CLEAN:
+            pass
+        except Exception as exc:  # noqa: BLE001 — the assertion itself
+            raise AssertionError(
+                f"{name} raised {type(exc).__name__} on garbage: {exc}"
+            ) from exc
+
+
+@settings(max_examples=25, deadline=None)
+@given(cut=st.integers(min_value=1, max_value=800))
+def test_r17_truncated_valid_rejected_cleanly(cut):
+    """Truncation anywhere in a valid framed-snappy stream or a stereo
+    two-blocksize Ogg/Vorbis stream must reject cleanly (or decode a
+    legal whole-chunk/whole-page prefix)."""
+    from pyiceberg_lakehouse_spark.operators import snappy, vorbis
+    from pyiceberg_lakehouse_spark.operators.ogg import make_ogg
+
+    framed = snappy.frame_compress(b"row data " * 9000)
+    n2 = 128
+    nparts = (2 * n2) // 8
+    classes = [1 if p % 3 == 0 else 0 for p in range(nparts)]
+    entries = [([p % 8, (p + 5) % 8] if c else [])
+               for p, c in enumerate(classes)]
+    stereo = make_ogg(vorbis.encode_vorbis_fixture_stereo([
+        {"mode": 0, "floors": [{"y0": 20, "y1": 9}, {"y0": 11, "y1": 30}],
+         "classes": classes, "entries": entries},
+    ]))
+    for name, fn, full in (
+        ("snappy_frame", snappy.frame_decompress, framed),
+        ("vorbis_stereo", vorbis.decode_ogg_vorbis, stereo),
+    ):
+        trunc = full[: max(0, len(full) - cut)]
+        if not trunc:
+            continue
+        try:
+            got = fn(trunc)
+            assert isinstance(got, (bytes, dict))
+        except _CLEAN:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(
+                f"{name} raised {type(exc).__name__} truncated: {exc}"
+            ) from exc
