@@ -721,21 +721,34 @@ def plan_iceberg_scan(
                         continue
                     if sf["name"] not in part:
                         continue  # older spec wrote no value: keep
-                    if not partition_may_match(
-                        sf.get("transform", "identity"),
-                        part[sf["name"]], op, const, ice_type,
-                    ):
+                    try:
+                        may = partition_may_match(
+                            sf.get("transform", "identity"),
+                            part[sf["name"]], op, const, ice_type,
+                        )
+                    except NotImplementedError:
+                        # a KNOWN transform over a source type this
+                        # planner can't hash/truncate (foreign-written
+                        # spec): planning is an optimization — keep
+                        # the file; the in-query filter owns
+                        # correctness
+                        may = True
+                    if not may:
                         keep = False
                         break
                 # (b) manifest stats check
                 if keep:
                     lo_b = (f.get("lower_bounds") or {}).get(fid)
                     up_b = (f.get("upper_bounds") or {}).get(fid)
-                    lo = (deserialize_single_value(lo_b, ice_type)
-                          if lo_b is not None else None)
-                    up = (deserialize_single_value(up_b, ice_type)
-                          if up_b is not None else None)
-                    keep = bounds_may_match(lo, up, op, const)
+                    try:
+                        lo = (deserialize_single_value(lo_b, ice_type)
+                              if lo_b is not None else None)
+                        up = (deserialize_single_value(up_b, ice_type)
+                              if up_b is not None else None)
+                        keep = bounds_may_match(lo, up, op, const)
+                    except NotImplementedError:
+                        keep = True  # un-deserializable bounds type:
+                        # conservative keep, same contract as above
                 if keep:
                     kept.append(f)
             files = kept

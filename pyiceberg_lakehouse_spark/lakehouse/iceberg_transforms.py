@@ -104,6 +104,13 @@ def serialize_single_value(value: Any, ice_type: str) -> bytes:
 def deserialize_single_value(data: bytes, ice_type: str) -> Any:
     try:
         if ice_type == "boolean":
+            # Appendix D: booleans are exactly one 0x00/0x01 byte;
+            # b"" or multi-byte blobs reject like the fixed-width types
+            if len(data) != 1:
+                raise ValueError(
+                    "iceberg single-value bytes invalid for boolean: "
+                    f"expected 1 byte, got {len(data)}"
+                )
             return data != b"\x00"
         if ice_type in ("int", "date"):
             return struct.unpack("<i", data)[0]

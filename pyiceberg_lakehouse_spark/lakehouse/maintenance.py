@@ -800,6 +800,11 @@ def _ordered_purge_rewrite(
     )
 
     src = table._read_files([entry], with_pos=True)
+    # Three-valued logic: a NULL-valued predicate must mean KEEP, not
+    # vanish — filter(hit) and filter(~hit) would both drop such rows,
+    # silently losing data AND shifting every downstream ordinal.
+    # Coalesce once so purged/kept exactly partition the file.
+    hit = F.coalesce(hit, F.lit(False))
     purged = sorted(
         r["__lh_pos"]
         for r in src.filter(hit).select("__lh_pos").limit(cap + 1).collect()

@@ -346,3 +346,48 @@ class TestRefTimeTravel:
         assert I.iceberg_live_files(mp, snapshot_id=1000, ref="audit")[
             "snapshot_id"
         ] == 1000
+
+
+class TestConservativeKeepOnUnsupported:
+    """r18 ADVICE pin: a KNOWN transform over a source type the planner
+    cannot hash (foreign-written spec) keeps the file — planning is an
+    optimization; the in-query filter owns correctness."""
+
+    def test_bucket_over_boolean_source_keeps_file(self, spark):
+        td = session_tmpdir(prefix="ice_conskeep_")
+        d = os.path.join(td, "f0")
+        spark.createDataFrame(
+            [(True, 1), (False, 2)], "flag boolean, v long"
+        ).coalesce(1).write.parquet(d)
+        fields = [
+            {"id": 1, "name": "flag", "required": False,
+             "type": "boolean"},
+            {"id": 2, "name": "v", "required": False, "type": "long"},
+        ]
+        mp = I.write_iceberg_metadata(
+            td,
+            snapshots=[{"files": [{
+                "path": _one_parquet(d), "records": 2,
+                "partition": {"flag_bucket": 0},
+            }]}],
+            schema_fields=fields,
+            partition_specs=[{
+                "spec-id": 0,
+                "fields": [{
+                    "name": "flag_bucket", "transform": "bucket[4]",
+                    "source-id": 1, "field-id": 1000,
+                }],
+            }],
+            partition_fields=[("flag_bucket", "int")],
+        )
+        # bucket_hash(boolean) is unsupported: the planner must keep
+        # the file, not crash mid-planning
+        plan = I.plan_iceberg_scan(mp, predicates=[("flag", "=", True)])
+        assert plan["n_pruned"] == 0
+        assert len(plan["files"]) == 1
+        # and the read still yields the right rows with the same
+        # predicate applied in-query
+        df = I.read_iceberg_table(
+            spark, mp, predicates=[("flag", "=", True)]
+        ).filter(F.col("flag") == True)  # noqa: E712
+        assert [r.v for r in df.collect()] == [1]

@@ -189,3 +189,18 @@ class TestPruneCalculus:
             partition_may_match("identity", 1, "!=", 1, "int")
         with pytest.raises(ValueError):
             bounds_may_match(1, 2, "!=", 1)
+
+
+class TestStructuralRejection18:
+    """r18 ADVICE pins: corrupt manifest bytes reject structurally."""
+
+    def test_boolean_rejects_wrong_length(self):
+        # Appendix D: exactly one byte. b'' and multi-byte blobs are
+        # corrupt bounds, not truthy values.
+        for bad in (b"", b"\x00\x00", b"\x01\x00", b"abc"):
+            with pytest.raises(ValueError, match="boolean"):
+                deserialize_single_value(bad, "boolean")
+        assert deserialize_single_value(b"\x00", "boolean") is False
+        assert deserialize_single_value(b"\x01", "boolean") is True
+        # any nonzero byte is true (spec stores 0x00/0x01; read leniently)
+        assert deserialize_single_value(b"\xff", "boolean") is True

@@ -217,8 +217,10 @@ def test_purge_over_position_delete_history(spark, warehouse):
     assert subject & pos_deleted, "fixture must exercise the overlap"
 
     out = purge_rows(t, F.col("o_custkey") == 7)
-    assert out["rows_purged"] == len(subject - pos_deleted) or \
-        out["rows_purged"] >= len(subject - pos_deleted)
+    # rows_purged counts subject rows physically present in matched
+    # data files — position-deleted subject rows are still bytes on
+    # disk that the purge erases, so the exact count is len(subject)
+    assert out["rows_purged"] == len(subject)
     # head: position deletes still applied, subject gone
     assert _rows(t.scan().select("o_orderkey", "o_custkey")) == \
         all_rows - pos_deleted - subject
@@ -308,3 +310,35 @@ def test_purge_position_history_then_expire(spark, warehouse):
     all_rows = _rows(orders.select("o_orderkey", "o_custkey"))
     want = {r for r in all_rows if r[0] % 10 != 3 and r[1] != 7}
     assert _rows(t.scan().select("o_orderkey", "o_custkey")) == want
+
+
+def test_purge_null_predicate_over_position_history(spark, warehouse):
+    """r18 ADVICE pin: _ordered_purge_rewrite under three-valued logic.
+    A nullable predicate column where some rows evaluate NULL must KEEP
+    those rows in the rewritten file AND keep every surviving
+    position-delete ordinal aligned — a NULL row silently dropped from
+    both the purged and kept sets would shift every later ordinal."""
+    lh = Lakehouse(spark, warehouse)
+    df = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else ("pii" if i % 3 == 1 else "ok"))
+         for i in range(30)],
+        "id long, tag string",
+    )
+    t = lh.create_table("ns.purge_null_pos", df.schema)
+    t.append(df.coalesce(1).sortWithinPartitions("id"))
+    # position-delete a few rows, including ones AFTER null-tag rows
+    t.delete_where_positions(F.col("id").isin([5, 14, 23]))
+    out = purge_rows(t, F.col("tag") == "pii")
+    assert out["rows_purged"] == sum(1 for i in range(30) if i % 3 == 1)
+    got = sorted(r.id for r in t.scan().collect())
+    want = sorted(
+        i for i in range(30)
+        if i % 3 != 1 and i not in (5, 14, 23)
+    )
+    assert got == want, "NULL-tag rows must survive; deletes must remap"
+    # and the NULL rows specifically are all present
+    nulls = sorted(
+        r.id for r in t.scan().filter(F.col("tag").isNull()).collect()
+    )
+    assert nulls == [i for i in range(30)
+                     if i % 3 == 0 and i not in (5, 14, 23)]
