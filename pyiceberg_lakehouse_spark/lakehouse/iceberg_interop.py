@@ -48,69 +48,95 @@ from pyiceberg_lakehouse_spark.operators.avro import decode_avro, encode_avro
 # field names are the spec's; readers resolve by name so extra fields
 # written by real Iceberg are simply ignored by our decoder's caller.
 _MANIFEST_LIST_SCHEMA = {
+    # field-id props are the spec's manifest-list ids (Manifest Lists
+    # table) — real engines resolve manifest fields BY ID, so an
+    # export-grade list must carry them; our own reader resolves by
+    # name and ignores them
     "type": "record", "name": "manifest_file", "fields": [
-        {"name": "manifest_path", "type": "string"},
-        {"name": "manifest_length", "type": "long"},
-        {"name": "partition_spec_id", "type": "int"},
-        {"name": "content", "type": "int"},
-        {"name": "sequence_number", "type": "long"},
-        {"name": "min_sequence_number", "type": "long"},
-        {"name": "added_snapshot_id", "type": "long"},
-        {"name": "added_files_count", "type": "int"},
-        {"name": "existing_files_count", "type": "int"},
-        {"name": "deleted_files_count", "type": "int"},
-        {"name": "added_rows_count", "type": "long"},
-        {"name": "existing_rows_count", "type": "long"},
-        {"name": "deleted_rows_count", "type": "long"},
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
     ],
 }
 
 _MANIFEST_SCHEMA = {
+    # field-id props per the spec's manifest-entry / data_file tables;
+    # map-shaped fields use the spec's array<record{key,value}>
+    # encoding with the documented kNNN_vNNN record names and per-key/
+    # value field-ids
     "type": "record", "name": "manifest_entry", "fields": [
-        {"name": "status", "type": "int"},
-        {"name": "snapshot_id", "type": ["null", "long"]},
-        {"name": "sequence_number", "type": ["null", "long"]},
-        {"name": "file_sequence_number", "type": ["null", "long"]},
-        {"name": "data_file", "type": {
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "field-id": 4},
+        {"name": "data_file", "field-id": 2, "type": {
             "type": "record", "name": "r2", "fields": [
-                {"name": "content", "type": "int"},
-                {"name": "file_path", "type": "string"},
-                {"name": "file_format", "type": "string"},
-                {"name": "record_count", "type": "long"},
-                {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "content", "type": "int", "field-id": 134},
+                {"name": "file_path", "type": "string", "field-id": 100},
+                {"name": "file_format", "type": "string",
+                 "field-id": 101},
+                {"name": "record_count", "type": "long",
+                 "field-id": 103},
+                {"name": "file_size_in_bytes", "type": "long",
+                 "field-id": 104},
                 # spec field 135: source field ids an equality-delete
                 # file (content=2) matches on; null for data/position
-                {"name": "equality_ids",
-                 "type": ["null", {"type": "array", "items": "int"}]},
+                {"name": "equality_ids", "field-id": 135,
+                 "type": ["null", {"type": "array", "items": "int",
+                                   "element-id": 136}]},
                 # spec fields 125/128: per-column value bounds as
                 # field-id -> single-value-serialized bytes, stored in
                 # the spec's array<record{key,value}> map encoding
                 # (the k126_v127 / k129_v130 shapes real manifests use)
-                {"name": "lower_bounds", "type": ["null", {
+                {"name": "lower_bounds", "field-id": 125,
+                 "type": ["null", {
                     "type": "array", "items": {
                         "type": "record", "name": "k126_v127",
-                        "fields": [{"name": "key", "type": "int"},
-                                   {"name": "value", "type": "bytes"}],
+                        "fields": [{"name": "key", "type": "int",
+                                    "field-id": 126},
+                                   {"name": "value", "type": "bytes",
+                                    "field-id": 127}],
                     }}]},
-                {"name": "upper_bounds", "type": ["null", {
+                {"name": "upper_bounds", "field-id": 128,
+                 "type": ["null", {
                     "type": "array", "items": {
                         "type": "record", "name": "k129_v130",
-                        "fields": [{"name": "key", "type": "int"},
-                                   {"name": "value", "type": "bytes"}],
+                        "fields": [{"name": "key", "type": "int",
+                                    "field-id": 129},
+                                   {"name": "value", "type": "bytes",
+                                    "field-id": 130}],
                     }}]},
                 # spec fields 109/110: per-column row / null-row counts
                 # (field-id -> long) — IS NULL / IS NOT NULL pruning
-                {"name": "value_counts", "type": ["null", {
+                {"name": "value_counts", "field-id": 109,
+                 "type": ["null", {
                     "type": "array", "items": {
                         "type": "record", "name": "k119_v120",
-                        "fields": [{"name": "key", "type": "int"},
-                                   {"name": "value", "type": "long"}],
+                        "fields": [{"name": "key", "type": "int",
+                                    "field-id": 119},
+                                   {"name": "value", "type": "long",
+                                    "field-id": 120}],
                     }}]},
-                {"name": "null_value_counts", "type": ["null", {
+                {"name": "null_value_counts", "field-id": 110,
+                 "type": ["null", {
                     "type": "array", "items": {
                         "type": "record", "name": "k121_v122",
-                        "fields": [{"name": "key", "type": "int"},
-                                   {"name": "value", "type": "long"}],
+                        "fields": [{"name": "key", "type": "int",
+                                    "field-id": 121},
+                                   {"name": "value", "type": "long",
+                                    "field-id": 122}],
                     }}]},
             ],
         }},
@@ -120,23 +146,33 @@ _MANIFEST_SCHEMA = {
 _STATUS_EXISTING, _STATUS_ADDED, _STATUS_DELETED = 0, 1, 2
 
 
-def _manifest_schema(partition_fields: list[tuple[str, str]]) -> dict:
+def _manifest_schema(
+    partition_fields: list[tuple[str, str]],
+    part_field_ids: list[int] | None = None,
+) -> dict:
     """The manifest-entry schema with the spec's r102 partition struct
     typed per the table's partition spec (identity transforms); the
     container embeds this writer schema, so readers stay
-    self-describing."""
+    self-describing. ``part_field_ids`` carries the partition spec's
+    field-ids into the r102 struct (default 1000+i, matching the
+    default identity spec this module derives)."""
     import copy
 
     schema = copy.deepcopy(_MANIFEST_SCHEMA)
     if partition_fields:
+        ids = part_field_ids or [
+            1000 + i for i in range(len(partition_fields))
+        ]
         part_rec = {
             "type": "record", "name": "r102", "fields": [
-                {"name": n, "type": ["null", t]}
-                for n, t in partition_fields
+                {"name": n, "type": ["null", t], "field-id": fid}
+                for (n, t), fid in zip(partition_fields, ids)
             ],
         }
         df_fields = schema["fields"][4]["type"]["fields"]
-        df_fields.insert(3, {"name": "partition", "type": part_rec})
+        df_fields.insert(
+            3, {"name": "partition", "type": part_rec, "field-id": 102}
+        )
     return schema
 
 
@@ -172,10 +208,29 @@ def write_iceberg_metadata(
     Data files may carry ``lower_bounds``/``upper_bounds``:
     {field_id: single-value-serialized bytes}
     (iceberg_transforms.serialize_single_value) — the manifest stats
-    the reader's metadata-time pruning consumes. Returns the
-    metadata.json path."""
+    the reader's metadata-time pruning consumes.
+
+    Export-grade extensions (r18, VERDICT r17 task #2): each snapshot
+    dict may carry ``snapshot_id`` / ``timestamp_ms`` / ``operation``
+    (preserved verbatim — how ``export_iceberg_table`` keeps a native
+    lakehouse table's history ids); data files may carry
+    ``value_counts`` / ``null_value_counts``; manifests and the
+    manifest list embed the spec's Avro container metadata keys
+    (``schema`` / ``partition-spec`` / ``partition-spec-id`` /
+    ``format-version`` / ``content``) and every Avro field carries its
+    spec field-id, so a foreign engine resolving by id can walk the
+    tree. Returns the metadata.json path."""
     partition_fields = partition_fields or []
-    manifest_schema = _manifest_schema(partition_fields)
+    part_field_ids = None
+    if partition_specs and partition_fields:
+        by_name = {
+            f["name"]: int(f["field-id"])
+            for f in partition_specs[0].get("fields", [])
+            if "field-id" in f
+        }
+        if all(n in by_name for n, _t in partition_fields):
+            part_field_ids = [by_name[n] for n, _t in partition_fields]
+    manifest_schema = _manifest_schema(partition_fields, part_field_ids)
     if partition_fields and partition_specs is None:
         by_name = {f["name"]: f["id"] for f in schema_fields}
         missing = [n for n, _t in partition_fields if n not in by_name]
@@ -198,9 +253,10 @@ def write_iceberg_metadata(
     live: dict[str, dict] = {}
     live_del: dict[str, dict] = {}
     seq = 0
+    prev_snap_id: int | None = None
     for si, snap in enumerate(snapshots):
         seq += 1
-        snap_id = 1000 + si
+        snap_id = int(snap.get("snapshot_id", 1000 + si))
         entries = []
         for path in snap.get("deleted", []):
             if path not in live:
@@ -252,7 +308,8 @@ def write_iceberg_metadata(
                 df["partition"] = {
                     n: part.get(n) for n, _t in partition_fields
                 }
-            live[f["path"]] = {"df": df, "seq": seq}
+            live[f["path"]] = {"df": df, "seq": seq,
+                                "snap_id": snap_id}
             entries.append(
                 {
                     "status": _STATUS_ADDED,
@@ -267,7 +324,8 @@ def write_iceberg_metadata(
                 entries.append(
                     {
                         "status": _STATUS_EXISTING,
-                        "snapshot_id": 1000 + si - 1,
+                        # spec: the snapshot that ADDED the file
+                        "snapshot_id": prev["snap_id"],
                         "sequence_number": prev["seq"],
                         "file_sequence_number": prev["seq"],
                         "data_file": prev["df"],
@@ -293,7 +351,8 @@ def write_iceberg_metadata(
             }
             if partition_fields:
                 df["partition"] = {n: None for n, _t in partition_fields}
-            live_del[f["path"]] = {"df": df, "seq": seq}
+            live_del[f["path"]] = {"df": df, "seq": seq,
+                                    "snap_id": snap_id}
             del_entries.append(
                 {
                     "status": _STATUS_ADDED,
@@ -321,7 +380,8 @@ def write_iceberg_metadata(
             }
             if partition_fields:
                 df["partition"] = {n: None for n, _t in partition_fields}
-            live_del[f["path"]] = {"df": df, "seq": seq}
+            live_del[f["path"]] = {"df": df, "seq": seq,
+                                    "snap_id": snap_id}
             del_entries.append(
                 {
                     "status": _STATUS_ADDED,
@@ -336,7 +396,7 @@ def write_iceberg_metadata(
                 del_entries.append(
                     {
                         "status": _STATUS_EXISTING,
-                        "snapshot_id": 1000 + si - 1,
+                        "snapshot_id": prev["snap_id"],
                         "sequence_number": prev["seq"],
                         "file_sequence_number": prev["seq"],
                         "data_file": prev["df"],
@@ -345,7 +405,23 @@ def write_iceberg_metadata(
 
         def _mlist_entry(ents: list[dict], content: int) -> dict:
             mpath = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
-            blob = encode_avro(ents, manifest_schema)
+            # the spec's required Avro container metadata: a foreign
+            # engine reads the manifest's own copy of the table schema
+            # and partition spec rather than re-parsing metadata.json
+            blob = encode_avro(ents, manifest_schema, extra_meta={
+                "schema": json.dumps({
+                    "type": "struct", "schema-id": 0,
+                    "fields": schema_fields,
+                }).encode(),
+                "schema-id": b"0",
+                "partition-spec": json.dumps(
+                    (partition_specs or [{"spec-id": 0, "fields": []}])
+                    [0]["fields"]
+                ).encode(),
+                "partition-spec-id": b"0",
+                "format-version": b"2",
+                "content": b"data" if content == 0 else b"deletes",
+            })
             with open(mpath, "wb") as fh:
                 fh.write(blob)
             added = [e for e in ents if e["status"] == _STATUS_ADDED]
@@ -383,24 +459,46 @@ def write_iceberg_metadata(
             meta_dir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
         )
         with open(lpath, "wb") as fh:
-            fh.write(encode_avro(mlist, _MANIFEST_LIST_SCHEMA))
+            fh.write(encode_avro(
+                mlist, _MANIFEST_LIST_SCHEMA, extra_meta={
+                    "format-version": b"2",
+                    "snapshot-id": str(snap_id).encode(),
+                    "sequence-number": str(seq).encode(),
+                    "parent-snapshot-id": (
+                        str(prev_snap_id).encode()
+                        if prev_snap_id is not None else b"null"
+                    ),
+                },
+            ))
         snap_objs.append(
             {
                 "snapshot-id": snap_id,
                 "sequence-number": seq,
-                "timestamp-ms": 1700000000000 + si,
+                "timestamp-ms": int(
+                    snap.get("timestamp_ms", 1700000000000 + si)
+                ),
                 "manifest-list": os.path.abspath(lpath),
-                "summary": {"operation": "append" if not snap.get("deleted")
-                            else "overwrite"},
-                **({"parent-snapshot-id": 1000 + si - 1} if si else {}),
+                "summary": {"operation": snap.get(
+                    "operation",
+                    "append" if not snap.get("deleted") else "overwrite",
+                )},
+                **({"parent-snapshot-id": prev_snap_id}
+                   if prev_snap_id is not None else {}),
             }
         )
+        prev_snap_id = snap_id
+    last_part_id = max(
+        (int(f["field-id"])
+         for sp in (partition_specs or [])
+         for f in sp.get("fields", []) if "field-id" in f),
+        default=999,
+    )
     metadata = {
         "format-version": 2,
         "table-uuid": str(uuid.uuid4()),
         "location": os.path.abspath(table_dir),
         "last-sequence-number": seq,
-        "last-updated-ms": 1700000000000,
+        "last-updated-ms": snap_objs[-1]["timestamp-ms"],
         "last-column-id": len(schema_fields),
         "current-schema-id": 0,
         "schemas": [
@@ -409,7 +507,7 @@ def write_iceberg_metadata(
         "default-spec-id": 0,
         "partition-specs": partition_specs
         or [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "last-partition-id": last_part_id,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": snap_objs[-1]["snapshot-id"],
@@ -603,7 +701,8 @@ def _norm_path(col, decode: bool = False):
 _ICE_TO_SPARK = {
     "boolean": "boolean", "int": "int", "long": "bigint",
     "float": "float", "double": "double", "string": "string",
-    "date": "date", "timestamp": "timestamp", "binary": "binary",
+    "date": "date", "timestamp": "timestamp",
+    "timestamptz": "timestamp", "binary": "binary",
 }
 
 
@@ -615,14 +714,19 @@ def _spark_schema(schema_fields: list[dict]):
     fields = []
     for f in schema_fields:
         t = f.get("type")
-        if not isinstance(t, str) or t not in _ICE_TO_SPARK:
+        if isinstance(t, str) and t.startswith("decimal("):
+            # iceberg "decimal(P, S)" parses as a Spark decimal directly
+            spark_t = t.replace(" ", "")
+        elif isinstance(t, str) and t in _ICE_TO_SPARK:
+            spark_t = _ICE_TO_SPARK[t]
+        else:
             raise NotImplementedError(
                 f"iceberg type {t!r} in the empty-scan schema"
             )
         fields.append(
             T.StructField(
                 f["name"],
-                T._parse_datatype_string(_ICE_TO_SPARK[t]),
+                T._parse_datatype_string(spark_t),
                 not f.get("required", False),
             )
         )
@@ -758,6 +862,75 @@ def plan_iceberg_scan(
     return resolved
 
 
+def _partition_python_value(v, ice_type: str):
+    """Manifest r102 partition value -> the Python value Spark's
+    createDataFrame needs for the column's type (date days / timestamp
+    micros decode per Appendix D's integer representations)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if ice_type in ("int", "long"):
+        return int(v)
+    if ice_type == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+    if ice_type == "timestamp":
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            microseconds=int(v)
+        )
+    if ice_type == "timestamptz":
+        return _dt.datetime(
+            1970, 1, 1, tzinfo=_dt.timezone.utc
+        ) + _dt.timedelta(microseconds=int(v))
+    if ice_type in ("float", "double"):
+        return float(v)
+    if ice_type == "boolean":
+        return bool(v)
+    if ice_type == "string":
+        return str(v)
+    raise NotImplementedError(
+        f"identity partition projection for iceberg type {ice_type!r}"
+    )
+
+
+def _identity_projection_df(spark, resolved, missing_fields):
+    """Spec 'Column Projection': per-file values for current-schema
+    fields ABSENT from the data files, resolved from the manifest's
+    r102 partition struct when an identity transform covers the field
+    (null otherwise, per the spec's fallback). Metadata-scale: one row
+    per data FILE, broadcast against the scan."""
+    from pyspark.sql import types as T
+
+    rows = []
+    for f in resolved["files"]:
+        spec = resolved["partition_specs"].get(f.get("spec_id", 0), [])
+        part = f.get("partition") or {}
+        vals = []
+        for mf in missing_fields:
+            fid = int(mf["id"])
+            src = next(
+                (sf for sf in spec
+                 if sf.get("transform", "identity") == "identity"
+                 and int(sf.get("source-id", -1)) == fid), None,
+            )
+            raw = part.get(src["name"]) if src else None
+            vals.append(_partition_python_value(raw, mf["type"]))
+        rows.append((os.path.abspath(f["path"]), *vals))
+    schema = T.StructType(
+        [T.StructField("__ice_path", T.StringType(), False)]
+        + [
+            T.StructField(
+                mf["name"],
+                _spark_schema([dict(mf, required=False)])
+                .fields[0].dataType,
+                True,
+            )
+            for mf in missing_fields
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def read_iceberg_table(
     spark: SparkSession,
     metadata_path: str,
@@ -800,15 +973,31 @@ def read_iceberg_table(
         metadata_path, snapshot_id, predicates, partition_filter, ref=ref
     )
     if not resolved["files"]:
-        if resolved["n_candidates"]:
-            # pruning (a legitimate no-match filter) emptied the list
+        if resolved["schema_fields"]:
+            # pruning emptied the list, or the snapshot is genuinely
+            # empty (a just-created table / pre-append time travel):
+            # both are legitimate empty results, typed by the schema
             return spark.createDataFrame(
                 [], _spark_schema(resolved["schema_fields"])
             )
-        raise ValueError("iceberg snapshot lists no data files")
+        raise ValueError(
+            "iceberg snapshot lists no data files and no schema"
+        )
     reader = spark.read.parquet(*[f["path"] for f in resolved["files"]])
-    if not resolved["delete_files"]:
+    # spec "Column Projection": a current-schema field id absent from
+    # the data files resolves from the manifest partition metadata
+    # when an identity transform exists for it — the shape of
+    # migrated / add_files tables and of this engine's own
+    # export_iceberg_table (hive-layout data files drop identity
+    # partition columns); no covering transform reads as null.
+    data_cols = set(reader.columns)
+    missing = [
+        f for f in resolved["schema_fields"]
+        if isinstance(f.get("type"), str) and f["name"] not in data_cols
+    ]
+    if not resolved["delete_files"] and not missing:
         return reader
+    schema_order = [f["name"] for f in resolved["schema_fields"]]
 
     # data rows + their file's data sequence number (metadata-scale map,
     # broadcast) + row position within the file. The Spark-side path is
@@ -816,18 +1005,28 @@ def read_iceberg_table(
     # normalization mismatch must surface loudly (raise), because a
     # NULL sequence number would make every delete predicate NULL and
     # silently RESURRECT deleted rows through the anti-joins.
+    base = reader.select(
+        "*",
+        _norm_path(F.col("_metadata.file_path"), decode=True)
+        .alias("__ice_path"),
+        F.col("_metadata.row_index").alias("__ice_pos"),
+    )
+    if missing:
+        base = base.join(
+            F.broadcast(_identity_projection_df(spark, resolved, missing)),
+            "__ice_path",
+            "left",
+        )
+    if not resolved["delete_files"]:
+        return base.drop("__ice_path", "__ice_pos").select(*schema_order)
+
     seq_rows = [
         (os.path.abspath(f["path"]), int(f["seq"]))
         for f in resolved["files"]
     ]
     seq_df = spark.createDataFrame(seq_rows, "__ice_path string, __ice_seq long")
     data = (
-        reader.select(
-            "*",
-            _norm_path(F.col("_metadata.file_path"), decode=True)
-            .alias("__ice_path"),
-            F.col("_metadata.row_index").alias("__ice_pos"),
-        )
+        base
         .join(F.broadcast(seq_df), "__ice_path", "left")
         .withColumn(
             "__ice_seq",
@@ -906,4 +1105,5 @@ def read_iceberg_table(
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__del_{c}"))
             data = data.join(dels, cond, "left_anti")
 
-    return data.drop("__ice_path", "__ice_pos", "__ice_seq")
+    data = data.drop("__ice_path", "__ice_pos", "__ice_seq")
+    return data.select(*schema_order) if missing else data

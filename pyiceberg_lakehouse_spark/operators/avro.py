@@ -233,9 +233,14 @@ def encode_avro(
     codec: str = "null",
     sync: bytes | None = None,
     block_records: int = 0,
+    extra_meta: dict[str, bytes] | None = None,
 ) -> bytes:
     """records + writer schema -> Object Container File bytes.
-    ``block_records`` > 0 splits the data into multiple blocks."""
+    ``block_records`` > 0 splits the data into multiple blocks.
+    ``extra_meta``: application metadata key/value pairs written into
+    the container header (e.g. Iceberg's ``schema`` /
+    ``partition-spec`` / ``format-version`` manifest keys); reserved
+    ``avro.*`` keys are rejected."""
     if codec not in ("null", "deflate", "snappy", "bzip2", "xz",
                      "zstandard"):
         raise ValueError(
@@ -248,6 +253,10 @@ def encode_avro(
         "avro.schema": json.dumps(schema).encode(),
         "avro.codec": codec.encode(),
     }
+    for k, v in (extra_meta or {}).items():
+        if k.startswith("avro."):
+            raise ValueError(f"extra_meta key {k!r} is reserved")
+        meta[k] = bytes(v)
     out = bytearray(MAGIC)
     out += _zigzag_encode(len(meta))
     for k, v in sorted(meta.items()):
@@ -388,4 +397,6 @@ def decode_avro(data: bytes) -> dict:
     return {
         "schema": schema, "codec": codec,
         "n_blocks": n_blocks, "records": records,
+        "meta": {k: v for k, v in meta.items()
+                 if not k.startswith("avro.")},
     }
