@@ -2749,3 +2749,76 @@ def build_iceberg_stats_fixture(
     }
     _STATS_FIXTURE_CACHE[sf_dir] = out
     return out
+
+
+@register(
+    "lh_iceberg_export",
+    f"""
+    select 'head' as which, {ORDER_COLS} from orders
+    where o_orderkey % 7 <> 0 and o_orderkey % 10 <> 3
+    union all
+    select 'tt' as which, {ORDER_COLS} from orders
+    union all
+    select 'pruned' as which, {ORDER_COLS} from orders
+    where o_orderkey % 7 <> 0 and o_orderkey % 10 <> 3
+      and o_orderstatus = 'F'
+    """,
+)
+def lh_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EXPORT round-trip (VERDICT r17 task #2;
+    lakehouse/iceberg_export.py::export_iceberg_table): a NATIVE
+    lakehouse table — partitioned, with append + copy-on-write delete
+    + merge-on-read position-delete history — exports to spec-exact
+    Iceberg v2 metadata (real Avro manifest lists + manifests with
+    field-ids, Appendix-D bounds bytes, value/null counts, preserved
+    snapshot ids), then every hashed row is read back EXCLUSIVELY
+    through ``read_iceberg_table`` walking that exported metadata,
+    never through ``table.scan()``. Identity partition columns are
+    absent from the hive-layout data files and reconstitute via the
+    spec's Column Projection rule from r102 partition metadata. Three
+    arms: the head state (both delete forms applied through content=1
+    manifests), TIME TRAVEL to the exported post-append snapshot (the
+    lakehouse log's own snapshot id, proving id preservation), and a
+    partition-pruned read (metadata-time identity pruning asserted,
+    predicate re-applied in-query per the file-granular contract).
+
+    Reference anchor: the reference writes tables via pyiceberg and
+    reads them with DuckDB's iceberg_scan (query_iceberg_duckdb.py:
+    24-27); this is the same interop in both directions with no
+    Iceberg library in the loop."""
+    from pyiceberg_lakehouse_spark.lakehouse import iceberg_interop as I
+    from pyiceberg_lakehouse_spark.lakehouse.iceberg_export import (
+        export_iceberg_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lh = Lakehouse(spark, _warehouse())
+    t = lh.create_table(
+        "ns.orders_ice_export", SCHEMAS["orders"],
+        partition_by=["o_orderstatus"],
+    )
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    post_append = t.log.current_snapshot_id()
+    t.delete_where(F.col("o_orderkey") % 7 == 0)          # CoW rewrite
+    t.delete_where_positions(F.col("o_orderkey") % 10 == 3)  # MoR
+    mp = export_iceberg_table(t)
+
+    cols = [c.strip() for c in ORDER_COLS.split(",")]
+    head = I.read_iceberg_table(spark, mp).select(
+        F.lit("head").alias("which"), *cols
+    )
+    # time travel through the EXPORTED metadata by the lakehouse's id
+    tt = I.read_iceberg_table(spark, mp, snapshot_id=post_append).select(
+        F.lit("tt").alias("which"), *cols
+    )
+    # identity-partition pruning at metadata time, proven in-plan
+    preds = [("o_orderstatus", "=", "F")]
+    plan = I.plan_iceberg_scan(mp, predicates=preds)
+    assert plan["n_pruned"] > 0 and plan["files"], plan
+    pruned = (
+        I.read_iceberg_table(spark, mp, predicates=preds)
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.lit("pruned").alias("which"), *cols)
+    )
+    return head.unionByName(tt).unionByName(pruned)

@@ -60,8 +60,12 @@ def _make_pages(
     serial: int,
     max_segments: int,
     granules: list[int] | None,
+    page_break_after: set[int] | None = None,
 ) -> list[bytes]:
-    """Mux packets into a list of complete page byte strings."""
+    """Mux packets into a list of complete page byte strings.
+    ``page_break_after``: packet indexes whose completion FLUSHES the
+    page early (RFC 7845 §4 needs OpusHead alone on the BOS page and
+    OpusTags finishing before audio starts)."""
     if not 1 <= max_segments <= 255:
         raise ValueError("max_segments must be 1..255")
     if granules is not None and len(granules) != len(packets):
@@ -81,6 +85,11 @@ def _make_pages(
     continued = False
     while pos < len(lacings):
         segs = lacings[pos : pos + max_segments]
+        if page_break_after:
+            for j, (_v, _d, c) in enumerate(segs):
+                if c is not None and c in page_break_after:
+                    segs = segs[: j + 1]
+                    break
         pos += len(segs)
         completes = [c for _, _, c in segs if c is not None]
         # a packet is split across pages iff the page's LAST lacing is
@@ -118,13 +127,18 @@ def make_ogg(
     serial: int = 1,
     max_segments: int = 255,
     granules: list[int] | None = None,
+    page_break_after: set[int] | None = None,
 ) -> bytes:
     """Mux packets into Ogg pages. ``max_segments`` (<= 255) caps the
     lacing values per page (small values force packet spanning, which
     exercises the continuation flag). ``granules[i]`` is the granule
     position stamped on the page where packet i COMPLETES (default:
-    i + 1); pages where no packet completes carry -1 per spec."""
-    return b"".join(_make_pages(packets, serial, max_segments, granules))
+    i + 1); pages where no packet completes carry -1 per spec.
+    ``page_break_after`` forces a page boundary after the listed
+    packet indexes (the RFC 7845 header-page rule)."""
+    return b"".join(_make_pages(
+        packets, serial, max_segments, granules, page_break_after
+    ))
 
 
 def make_ogg_group(
