@@ -5523,3 +5523,263 @@ def multimodal_opus_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_ogg_floor0",
+    # Closed-form restatement of the floor0/residue-0/1 fixture:
+    # coeff_sum16 replays the LSP book's last-accumulation arithmetic
+    # (16*v = 1 + 2*mult keeps everything integer); res_wsum0/1 replay
+    # the two residue FORMATS' placement rules over the same planted
+    # codewords (type 1 sequential at off+k*4+j, type 0 dim-strided at
+    # off+i+j*2) — the weighted sums differ exactly when the scatter
+    # does, which is the format pin. The float curve/IMDCT/overlap
+    # pipeline dual-derives in-query (exact_match).
+    """
+    with docs as (
+      select doc_id, cast(doc_id as bigint) as d,
+             4 + doc_id % 4 as ord_,
+             1 + cast(doc_id as bigint) % 63 as amp,
+             2 + doc_id % 3 as npk
+      from documents where doc_id % 23 = 4
+    ),
+    coef as (
+      select doc_id,
+             sum(case
+                 when 2*t.t < ord_ and 2*t.t + 1 < ord_ then
+                   (1 + 2*(((((d + t.t) % 16) * 2) * 7) % 16))
+                   + (1 + 2*(((((d + t.t) % 16) * 2 + 1) * 7) % 16))
+                 when 2*t.t < ord_ then
+                   (1 + 2*(((((d + t.t) % 16) * 2) * 7) % 16))
+                 else 0 end) as base_sum,
+             sum(case when 2*t.t < ord_ then 1 else 0 end) as n_pairs
+      from docs, unnest(generate_series(0, 3)) t(t)
+      group by doc_id
+    ),
+    lastsum as (
+      -- last_t = sum_{s<t} v(e_s,1); each coefficient index 2t and
+      -- 2t+1 adds last_t; count how many later coefficients inherit
+      -- each v(e_s,1): (#coeffs with index > 2s+1) = ord_ - 2s - 2
+      select doc_id,
+             sum(case when 2*s.s + 1 < ord_ then
+                 (1 + 2*(((((d + s.s) % 16) * 2 + 1) * 7) % 16))
+                 * greatest(ord_ - 2*s.s - 2, 0)
+                 else 0 end) as inherit_sum
+      from docs, unnest(generate_series(0, 3)) s(s)
+      group by doc_id
+    ),
+    res as (
+      select doc_id,
+             sum(case when (d + p) % 3 = 0 then
+                 (p*8 + k*4 + j + 1)
+                 * ((((case when k = 0 then (d + p) % 8
+                       else (d + 3*p + 2) % 8 end) * 4 + j) * 5) % 16
+                    - 4)
+                 else 0 end) as wsum1,
+             sum(case when (d + p) % 3 = 0 then
+                 (p*8 + k + j*2 + 1)
+                 * ((((case when k = 0 then (d + p) % 8
+                       else (d + 3*p + 2) % 8 end) * 4 + j) * 5) % 16
+                    - 4)
+                 else 0 end) as wsum0
+      from docs,
+           unnest(generate_series(0, 15)) pp(p),
+           unnest(generate_series(0, 1)) kk(k),
+           unnest(generate_series(0, 3)) jj(j)
+      group by doc_id
+    )
+    select docs.doc_id,
+           cast(ord_ as integer) as lsp_order,
+           cast(amp as integer) as amplitude,
+           cast(coef.base_sum + lastsum.inherit_sum as bigint)
+               as coeff_sum16,
+           cast(res.wsum0 as bigint) as res_wsum0,
+           cast(res.wsum1 as bigint) as res_wsum1,
+           res.wsum0 <> res.wsum1 as formats_differ,
+           cast((npk - 1) * 128 as bigint) as n_samples,
+           true as exact_match
+    from docs join coef using (doc_id) join lastsum using (doc_id)
+         join res using (doc_id)
+    """,
+)
+def multimodal_ogg_floor0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vorbis FLOOR 0 + residue types 0/1 (VERDICT r17 task #3;
+    operators/vorbis.py): per doc, build TWO genuine mono Ogg-less
+    Vorbis packet streams sharing the same planted codewords — one
+    with residue format 0, one with format 1 — over a floor0 (LSP)
+    config whose order (4-7, covering the even/odd product-formula
+    split), amplitude and codebook entries derive from doc_id. The
+    LSP book's values are dyadic (1/16 + mult/8, float-exact), so the
+    last-accumulated coefficient decode restates closed-form as
+    integers (coeff_sum16); the two formats' placement difference is
+    hashed as position-weighted sums (res_wsum0 vs res_wsum1, with
+    formats_differ pinning they are distinct); the float pipeline —
+    bark-map product-formula curve, IMDCT, window, overlap-add —
+    dual-derives against an independent numpy route (polynomial
+    |P|^2+|Q|^2 evaluation and a matrix IMDCT) inside the query
+    (exact_match, tolerance 1e-9).
+
+    Scale: one mapInPandas pass, map-only."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import vorbis as _V
+    from pyiceberg_lakehouse_spark.operators.ogg import (
+        make_vorbis_comment_packet,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 4)
+        .select("doc_id")
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lsp_order", T.IntegerType()),
+        T.StructField("amplitude", T.IntegerType()),
+        T.StructField("coeff_sum16", T.LongType()),
+        T.StructField("res_wsum0", T.LongType()),
+        T.StructField("res_wsum1", T.LongType()),
+        T.StructField("formats_differ", T.BooleanType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("exact_match", T.BooleanType()),
+    ])
+    cols = [f.name for f in schema.fields]
+
+    LSP_MULT = [(i * 7) % 16 for i in range(32)]
+    RES_VALS = [(i * 5) % 16 - 4 for i in range(32)]
+
+    def _books():
+        return [
+            {"dim": 2, "lengths": [2, 2, 2, 2], "lookup": None},
+            {"dim": 4, "lengths": [3] * 8,
+             "lookup": {"type": 2, "minimum_mant": -4,
+                        "delta_mant": 1, "value_bits": 4,
+                        "sequence_p": 0,
+                        "multiplicands": [(i * 5) % 16
+                                          for i in range(32)]}},
+            {"dim": 2, "lengths": [5] * 32, "lookup": None},
+            {"dim": 2, "lengths": [4] * 16,
+             "lookup": {"type": 2, "minimum_mant": 1,
+                        "minimum_exp": 784, "delta_mant": 1,
+                        "delta_exp": 785, "value_bits": 4,
+                        "sequence_p": 0,
+                        "multiplicands": LSP_MULT}},
+        ]
+
+    def batches(it):
+        import numpy as np
+
+        n, n2 = 256, 128
+        i_ = np.arange(n)
+        k_ = np.arange(n2)
+        basis = np.cos(2 * np.pi / n * (i_[:, None] + 0.5 + n / 4)
+                       * (k_[None, :] + 0.5))
+        win = np.sin(np.pi / 2
+                     * np.sin(np.pi / n * (i_ + 0.5)) ** 2)
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                order = 4 + d % 4
+                amp = 1 + d % 63
+                npk = 2 + d % 3
+                f0 = {"ftype": 0, "order": order, "rate": 8000,
+                      "bark_map_size": 77, "amplitude_bits": 6,
+                      "amplitude_offset": 120, "book_list": [3]}
+                lsp_entries = [(d + t) % 16
+                               for t in range((order + 1) // 2)]
+                classes = [1 if (d + p) % 3 == 0 else 0
+                           for p in range(16)]
+                entries = [
+                    [(d + p) % 8, (d + 3 * p + 2) % 8]
+                    if classes[p] else [] for p in range(16)
+                ]
+                outs = {}
+                for rtype in (0, 1):
+                    res = {"rtype": rtype, "begin": 0, "end": 128,
+                           "partition_size": 8, "classifications": 2,
+                           "classbook": 0, "cascade": [0, 1],
+                           "books": [[-1] * 8, [1] + [-1] * 7]}
+                    setup = _V.write_setup_header_full(
+                        _books(), [f0], [res],
+                        [{"submaps": [{"floor": 0, "residue": 0}],
+                          "mux": [0], "coupling": []}],
+                        [{"blockflag": 0, "mapping": 0}], nch=1)
+                    bks = _V.read_setup_header(setup, 1)["books"]
+                    pkts = [
+                        _V.write_id_header(1, 8000, 256),
+                        make_vorbis_comment_packet("v", []),
+                        setup,
+                    ]
+                    for _ in range(npk):
+                        w = _V.LsbWriter()
+                        w.write(0, 1)
+                        _V.encode_floor0(w, f0, bks, amp, 0,
+                                         lsp_entries)
+                        _V.encode_residue01_mono(w, res, bks,
+                                                 classes, entries)
+                        pkts.append(w.to_bytes())
+                    outs[rtype] = _V.decode_vorbis(pkts)
+                # ---- independent numpy dual-derivation ----
+                coeffs, last = [], 0.0
+                for e in lsp_entries:
+                    for j in range(2):
+                        coeffs.append(
+                            1 / 16 + LSP_MULT[e * 2 + j] / 8 + last
+                        )
+                    last = coeffs[-1]
+                coeffs = coeffs[:order]
+                coeff_sum16 = round(16 * sum(coeffs))
+                mp = np.array(_V.floor0_map(8000, 77, n2))
+                z = np.exp(-1j * np.pi * mp / 77)
+                if order % 2:
+                    P = (1 - z ** 2)
+                    Q = np.ones_like(z)
+                else:
+                    P = (1 - z)
+                    Q = (1 + z)
+                for t, c in enumerate(coeffs):
+                    f = 1 - 2 * np.cos(c) * z + z ** 2
+                    if t % 2:
+                        P = P * f
+                    else:
+                        Q = Q * f
+                pq = (np.abs(P) ** 2 + np.abs(Q) ** 2) / 4
+                lin = np.exp(0.11512925
+                             * (amp * 120 / (63 * np.sqrt(pq)) - 120))
+                wsums = {}
+                ok = True
+                for rtype in (0, 1):
+                    rv = np.zeros(n2)
+                    for p in range(16):
+                        if not classes[p]:
+                            continue
+                        for i2, e in enumerate(entries[p]):
+                            for j in range(4):
+                                pos = (p * 8 + i2 + j * 2 if rtype == 0
+                                       else p * 8 + i2 * 4 + j)
+                                rv[pos] += RES_VALS[e * 4 + j]
+                    wsums[rtype] = int(
+                        sum((i3 + 1) * rv[i3] for i3 in range(n2))
+                    )
+                    got_rv = np.array(outs[rtype]["residues"][0])
+                    ok &= np.array_equal(got_rv, rv)
+                    got_cv = np.array(outs[rtype]["floor_db"][0])
+                    ok &= bool(np.allclose(got_cv, lin, rtol=1e-9))
+                    yw = (basis @ (lin * rv)) * win
+                    want = np.concatenate(
+                        [yw[n2:] + yw[:n2]] * (npk - 1)
+                    )
+                    got_pcm = np.array(outs[rtype]["pcm"])
+                    ok &= bool(np.allclose(got_pcm, want, atol=1e-9))
+                    ok &= outs[rtype]["floors"] == [amp] * npk
+                rows.append((
+                    d, order, amp, coeff_sum16,
+                    wsums[0], wsums[1], wsums[0] != wsums[1],
+                    (npk - 1) * n2, bool(ok),
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(batches, schema)

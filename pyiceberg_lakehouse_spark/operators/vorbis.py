@@ -48,10 +48,27 @@ vector is needed):
   prev_n/4 + n/4 samples per block pair — the region between the two
   window centers.
 
-Remaining scope gates (messageful NotImplementedError, the vp8.py
-pattern): floor0, residue types 0/1. (Lookup-type-1 sequence_p closed
-in r17: the §3.2.1 multiplicand indexing (entry // lv^j) % lv with the
-running sequence_p accumulation is pinned closed-form in
+r18 additions (VERDICT r17 task #3) — the format's remaining floor
+and residue types, closing the last structural gates:
+
+- FLOOR 0 (§6.2): LSP floor — config read/write, amplitude + book
+  number + last-accumulated coefficient decode, bark-scale map, and
+  the §6.2.3 product-formula curve synthesis in LINEAR space. The
+  product formulas are pinned against an independent route (direct
+  |P(e^jw)|^2 + |Q(e^jw)|^2 evaluation of the LSP polynomial
+  factorization) in tests/test_vorbis_floor0.py;
+- RESIDUE TYPES 0 and 1 (§8.6.2/8.6.3): per-channel vectors with
+  per-channel classwords (unlike type 2's single interleave), the
+  §8.6.1 channel-interleaved partition loop, and the two formats'
+  placement rules — type 1 sequential, type 0 dim-strided scatter
+  (offset + i + k*step). The formats share a bitstream; the decoded
+  placement difference is the driver row's format pin.
+
+Reserved floor/residue/mapping type values now reject as ValueError
+(format violations), leaving NO NotImplementedError gates in this
+module. (Lookup-type-1 sequence_p closed in r17: the §3.2.1
+multiplicand indexing (entry // lv^j) % lv with the running
+sequence_p accumulation is pinned closed-form in
 tests/test_vorbis_stereo.py.) No Vorbis decoder or sample file exists
 on this box, so validation is fixture encode->decode plus the spec
 pins above — the MP3/VP8 posture.
@@ -317,8 +334,10 @@ def write_codebook(w: LsbWriter, dim: int, lengths: list[int],
         w.write(0, 4)
         return
     w.write(lookup["type"], 4)
-    w.write(float32_pack(lookup["minimum_mant"]), 32)
-    w.write(float32_pack(lookup["delta_mant"]), 32)
+    w.write(float32_pack(lookup["minimum_mant"],
+                         lookup.get("minimum_exp", 788)), 32)
+    w.write(float32_pack(lookup["delta_mant"],
+                         lookup.get("delta_exp", 788)), 32)
     vb = lookup["value_bits"]
     w.write(vb - 1, 4)
     w.write(lookup.get("sequence_p", 0), 1)
@@ -532,6 +551,180 @@ def encode_floor1(w: LsbWriter, cfg: dict, books: list[Codebook],
             offset += 1
 
 
+# --------------------------------------------------------------- floor0 --
+# Spec §6.2: the LSP (line spectral pair) floor. Rare in real encoders
+# (floor1 took over early) but part of the format's config space; the
+# curve is an all-pole magnitude envelope evaluated on a bark-scale
+# map, synthesized directly from the spec's product formulas (which
+# match |A(e^jw)|^2 = (|P|^2+|Q|^2)/4 for the LSP polynomials — the
+# independent NumPy dual-derivation in the driver row re-checks that
+# identity numerically).
+
+
+def read_floor0_config(bits: LsbBits) -> dict:
+    order = bits.read(8)
+    rate = bits.read(16)
+    bark_map_size = bits.read(16)
+    amplitude_bits = bits.read(6)
+    amplitude_offset = bits.read(8)
+    num_books = bits.read(4) + 1
+    book_list = [bits.read(8) for _ in range(num_books)]
+    if order == 0 or rate == 0 or bark_map_size == 0:
+        raise ValueError("vorbis: floor0 zero order/rate/bark size")
+    return {
+        "ftype": 0, "order": order, "rate": rate,
+        "bark_map_size": bark_map_size,
+        "amplitude_bits": amplitude_bits,
+        "amplitude_offset": amplitude_offset,
+        "book_list": book_list,
+    }
+
+
+def write_floor0_config(w: LsbWriter, cfg: dict) -> None:
+    w.write(cfg["order"], 8)
+    w.write(cfg["rate"], 16)
+    w.write(cfg["bark_map_size"], 16)
+    w.write(cfg["amplitude_bits"], 6)
+    w.write(cfg["amplitude_offset"], 8)
+    w.write(len(cfg["book_list"]) - 1, 4)
+    for b in cfg["book_list"]:
+        w.write(b, 8)
+
+
+def _bark(x: float) -> float:
+    """Spec §6.2.3 bark(x) = 13.1 atan(.00074x) + 2.24 atan(.0000000185 x^2)
+    + .0001x."""
+    import math
+
+    return (13.1 * math.atan(0.00074 * x)
+            + 2.24 * math.atan(0.0000000185 * x * x)
+            + 0.0001 * x)
+
+
+_FLOOR0_MAP_CACHE: dict[tuple, list[int]] = {}
+
+
+def floor0_map(rate: int, bark_map_size: int, n2: int) -> list[int]:
+    """Spec §6.2.3 step 1: bin i of the n2-length spectrum maps to a
+    bark-scale index, clamped to bark_map_size-1."""
+    key = (rate, bark_map_size, n2)
+    m = _FLOOR0_MAP_CACHE.get(key)
+    if m is None:
+        scale = bark_map_size / _bark(0.5 * rate)
+        m = [
+            min(bark_map_size - 1,
+                int(_bark((rate * i) / (2 * n2)) * scale))
+            for i in range(n2)
+        ]
+        _FLOOR0_MAP_CACHE[key] = m
+    return m
+
+
+def floor0_curve(amplitude: int, coeffs: list[float], cfg: dict,
+                 n2: int) -> list[float]:
+    """Spec §6.2.3 step 2: the LSP product formulas, with the run
+    optimization (equal map entries share one evaluation, giving the
+    characteristic step curve). Output is LINEAR floor values."""
+    import math
+
+    m = floor0_map(cfg["rate"], cfg["bark_map_size"], n2)
+    bms = cfg["bark_map_size"]
+    order = cfg["order"]
+    ab, ao = cfg["amplitude_bits"], cfg["amplitude_offset"]
+    cosc = [math.cos(c) for c in coeffs]
+    out = [0.0] * n2
+    i = 0
+    while i < n2:
+        omega = math.pi * m[i] / bms
+        cosw = math.cos(omega)
+        if order % 2:
+            p = 1.0 - cosw * cosw
+            for j in range((order - 1) // 2):
+                d = cosc[2 * j + 1] - cosw
+                p *= 4.0 * d * d
+            q = 0.25
+            for j in range((order + 1) // 2):
+                d = cosc[2 * j] - cosw
+                q *= 4.0 * d * d
+        else:
+            p = (1.0 - cosw) / 2.0
+            q = (1.0 + cosw) / 2.0
+            for j in range(order // 2):
+                d = cosc[2 * j + 1] - cosw
+                p *= 4.0 * d * d
+                d = cosc[2 * j] - cosw
+                q *= 4.0 * d * d
+        pq = p + q
+        if pq <= 0.0:
+            raise ValueError("vorbis: floor0 curve singular (p+q = 0)")
+        lin = math.exp(
+            0.11512925
+            * (amplitude * ao / (((1 << ab) - 1) * math.sqrt(pq)) - ao)
+        )
+        out[i] = lin
+        i += 1
+        while i < n2 and m[i] == m[i - 1]:
+            out[i] = lin
+            i += 1
+    return out
+
+
+def decode_floor0(bits: LsbBits, cfg: dict, books: list[Codebook],
+                  n2: int) -> tuple[int | None, list[float] | None]:
+    """Spec §6.2.2 -> (amplitude, linear curve) or (None, None) for an
+    unused channel (amplitude 0). Coefficients decode with the
+    last-value accumulation across VQ vectors and truncate to order."""
+    amp = bits.read(cfg["amplitude_bits"])
+    if amp <= 0:
+        return None, None
+    bn = bits.read(ilog(len(cfg["book_list"])))
+    if bn >= len(cfg["book_list"]):
+        raise ValueError("vorbis: floor0 book number out of range")
+    book = books[cfg["book_list"][bn]]
+    coeffs: list[float] = []
+    last = 0.0
+    while len(coeffs) < cfg["order"]:
+        coeffs.extend(v + last for v in book.decode_vq(bits))
+        last = coeffs[-1]
+    coeffs = coeffs[: cfg["order"]]
+    return amp, floor0_curve(amp, coeffs, cfg, n2)
+
+
+def decode_floor0_coeffs(bits: LsbBits, cfg: dict,
+                         books: list[Codebook]
+                         ) -> tuple[int, int, list[float]] | None:
+    """Header-decode only (amplitude, book number, coefficients) —
+    the closed-form-testable part, without curve synthesis."""
+    amp = bits.read(cfg["amplitude_bits"])
+    if amp <= 0:
+        return None
+    bn = bits.read(ilog(len(cfg["book_list"])))
+    book = books[cfg["book_list"][bn]]
+    coeffs: list[float] = []
+    last = 0.0
+    while len(coeffs) < cfg["order"]:
+        coeffs.extend(v + last for v in book.decode_vq(bits))
+        last = coeffs[-1]
+    return amp, bn, coeffs[: cfg["order"]]
+
+
+def encode_floor0(w: LsbWriter, cfg: dict, books: list[Codebook],
+                  amplitude: int, booknum: int,
+                  entries: list[int]) -> None:
+    """Fixture-side floor0 writer: amplitude, book number, then the VQ
+    entry ids whose accumulated vectors reach >= order scalars."""
+    w.write(amplitude, cfg["amplitude_bits"])
+    if amplitude == 0:
+        return
+    w.write(booknum, ilog(len(cfg["book_list"])))
+    book = books[cfg["book_list"][booknum]]
+    total = sum(book.dim for _ in entries)
+    if total < cfg["order"]:
+        raise ValueError("floor0 entries cover fewer scalars than order")
+    for e in entries:
+        book.encode_scalar(w, e)
+
+
 # -------------------------------------------------------------- residue2 --
 
 
@@ -634,6 +827,92 @@ def decode_residue2_mono(bits: LsbBits, cfg: dict,
     """Residue type 2 over one channel (the §8.6.2 interleave is the
     identity for mono)."""
     return decode_residue2(bits, cfg, books, n2, 1, [False])[0]
+
+
+def decode_residue01(bits: LsbBits, cfg: dict, books: list[Codebook],
+                     n2: int, rtype: int,
+                     do_not_decode: list[bool]) -> list[list[float]]:
+    """Residue types 0 and 1 over a submap's channels (spec §8.6.1-3):
+    unlike type 2's single interleaved vector, each channel keeps its
+    OWN n2-length vector and its OWN classword sequence; the partition
+    loop interleaves across channels (classwords for all channels,
+    then partitions for all channels, per pass). The two formats share
+    the bitstream layout and differ only in sample placement inside a
+    partition:
+
+    - type 1 (§8.6.3): VQ vectors lay down sequentially;
+    - type 0 (§8.6.2): dim-strided interleave — vector j of step =
+      partition_size/dim scatters to offset + j + k*step.
+
+    Channels flagged do-not-decode consume no bits (their classwords
+    are skipped too, per §8.6.1 step 5's actual-channel iteration)."""
+    nch = len(do_not_decode)
+    v = [[0.0] * n2 for _ in range(nch)]
+    actual = [j for j in range(nch) if not do_not_decode[j]]
+    if not actual:
+        return v
+    begin, end = cfg["begin"], min(cfg["end"], n2)
+    if begin >= end:
+        return v
+    psize = cfg["partition_size"]
+    ptr = (end - begin) // psize
+    classbook = books[cfg["classbook"]]
+    cw = classbook.dim
+    classifs = {j: [0] * (ptr + cw) for j in actual}
+    max_pass = max(
+        (p for c in cfg["cascade"] for p in range(8) if c & (1 << p)),
+        default=-1,
+    )
+    for pas in range(max_pass + 1):
+        pc = 0
+        while pc < ptr:
+            if pas == 0:
+                for j in actual:
+                    temp = classbook.decode_scalar(bits)
+                    for i in range(cw - 1, -1, -1):
+                        classifs[j][pc + i] = \
+                            temp % cfg["classifications"]
+                        temp //= cfg["classifications"]
+            for _i in range(cw):
+                if pc >= ptr:
+                    break
+                for j in actual:
+                    vq = classifs[j][pc]
+                    if not cfg["cascade"][vq] & (1 << pas):
+                        continue
+                    book = books[cfg["books"][vq][pas]]
+                    off = begin + pc * psize
+                    if rtype == 1:
+                        i = 0
+                        while i < psize:
+                            for val in book.decode_vq(bits):
+                                v[j][off + i] += val
+                                i += 1
+                    else:
+                        step = psize // book.dim
+                        if step * book.dim != psize:
+                            raise ValueError(
+                                "vorbis: residue-0 partition size not"
+                                " divisible by the codebook dimension"
+                            )
+                        for i in range(step):
+                            for k, val in enumerate(
+                                book.decode_vq(bits)
+                            ):
+                                v[j][off + i + k * step] += val
+                pc += 1
+    return v
+
+
+def encode_residue01_mono(w: LsbWriter, cfg: dict,
+                          books: list[Codebook], classes: list[int],
+                          entries: list[list[int]]) -> None:
+    """Fixture-side mono residue-0/1 writer. The BITSTREAM layout of
+    formats 0 and 1 is identical (same classwords, same VQ codewords);
+    only decode-side sample placement differs — so one writer serves
+    both, and the format distinction is pinned by the decoded vector's
+    position-weighted sums."""
+    encode_residue2_mono(w, cfg, books, classes, entries)
 
 
 def inverse_coupling(mag: list[float], ang: list[float]) -> None:
@@ -742,15 +1021,18 @@ def read_setup_header(packet: bytes, nch: int) -> dict:
     floors = []
     for _ in range(bits.read(6) + 1):
         ftype = bits.read(16)
-        if ftype != 1:
-            raise NotImplementedError(f"vorbis: floor type {ftype}")
-        floors.append(read_floor1_config(bits))
+        if ftype == 1:
+            floors.append({"ftype": 1, **read_floor1_config(bits)})
+        elif ftype == 0:
+            floors.append(read_floor0_config(bits))
+        else:
+            raise ValueError(f"vorbis: reserved floor type {ftype}")
     residues = []
     for _ in range(bits.read(6) + 1):
         rtype = bits.read(16)
-        if rtype != 2:
-            raise NotImplementedError(f"vorbis: residue type {rtype}")
-        residues.append(read_residue_config(bits))
+        if rtype not in (0, 1, 2):
+            raise ValueError(f"vorbis: reserved residue type {rtype}")
+        residues.append({"rtype": rtype, **read_residue_config(bits)})
     mappings = []
     for _ in range(bits.read(6) + 1):
         mtype = bits.read(16)
@@ -826,11 +1108,15 @@ def write_setup_header_full(book_writers: list, floor_cfgs: list[dict],
     w.write(0, 16)  # one time transform, type 0
     w.write(len(floor_cfgs) - 1, 6)
     for fc in floor_cfgs:
-        w.write(1, 16)  # floor type 1
-        write_floor1_config(w, fc)
+        if fc.get("ftype", 1) == 1:
+            w.write(1, 16)
+            write_floor1_config(w, fc)
+        else:
+            w.write(0, 16)
+            write_floor0_config(w, fc)
     w.write(len(residue_cfgs) - 1, 6)
     for rc in residue_cfgs:
-        w.write(2, 16)  # residue type 2
+        w.write(rc.get("rtype", 2), 16)
         write_residue_config(w, rc)
     w.write(len(mappings) - 1, 6)
     for m in mappings:
@@ -1001,10 +1287,21 @@ def decode_vorbis(packets: list[bytes]) -> dict:
         # ---- floor curves per channel (§4.3.2) ----
         pkt_floors, pkt_curves = [], []
         no_residue = [False] * nch
+        ch_ftype = [1] * nch
         for ch in range(nch):
             sm = mapping["submaps"][mapping["mux"][ch]]
             fl_cfg = setup["floors"][sm["floor"]]
-            fy, cv = decode_floor1(bits, fl_cfg, setup["books"], n2)
+            if fl_cfg.get("ftype", 1) == 1:
+                fy, cv = decode_floor1(
+                    bits, fl_cfg, setup["books"], n2
+                )
+            else:
+                # floor0: 'floors' carries the amplitude scalar,
+                # 'floor_db' slot the LINEAR curve (no dB table)
+                ch_ftype[ch] = 0
+                fy, cv = decode_floor0(
+                    bits, fl_cfg, setup["books"], n2
+                )
             pkt_floors.append(fy)
             pkt_curves.append(cv)
             no_residue[ch] = fy is None
@@ -1020,10 +1317,17 @@ def decode_vorbis(packets: list[bytes]) -> dict:
             if not chs:
                 continue
             rs_cfg = setup["residues"][sm["residue"]]
-            vecs = decode_residue2(
-                bits, rs_cfg, setup["books"], n2, len(chs),
-                [no_residue[ch] for ch in chs],
-            )
+            rtype = rs_cfg.get("rtype", 2)
+            if rtype == 2:
+                vecs = decode_residue2(
+                    bits, rs_cfg, setup["books"], n2, len(chs),
+                    [no_residue[ch] for ch in chs],
+                )
+            else:
+                vecs = decode_residue01(
+                    bits, rs_cfg, setup["books"], n2, rtype,
+                    [no_residue[ch] for ch in chs],
+                )
             for ch, vec in zip(chs, vecs):
                 res[ch] = vec
         # ---- inverse coupling, REVERSE step order (§4.3.5) ----
@@ -1047,12 +1351,16 @@ def decode_vorbis(packets: list[bytes]) -> dict:
         for ch in range(nch):
             if pkt_floors[ch] is None:
                 spectrum = [0.0] * n2
-            else:
+            elif ch_ftype[ch] == 1:
                 cv = pkt_curves[ch]
                 rv = res[ch]
                 spectrum = [
                     FLOOR1_INVERSE_DB[cv[i]] * rv[i] for i in range(n2)
                 ]
+            else:
+                cv = pkt_curves[ch]  # floor0: already linear
+                rv = res[ch]
+                spectrum = [cv[i] * rv[i] for i in range(n2)]
             y = imdct(spectrum, n)
             y = [y[i] * win[i] for i in range(n)]
             if emit:
