@@ -222,14 +222,23 @@ def parse_side_info(data: bytes, hdr: dict) -> dict:
 # is machine-checked in tests/test_mp3.py: the Kraft sum must be
 # EXACTLY 1 (complete code) and the code set prefix-free, and the
 # decoder's walk of real bitstreams must consume exactly
-# part2_3_length bits per granule. Table ids 8-15 and the linbits
-# escape families 16-23/24-31 are NOT transcribed: no reference copy
-# of the spec tables exists on this box to validate a 6x6..16x16
-# table against, and an unvalidated "plausible" table would decode
-# real files to silently wrong spectra — they raise messagefully
-# instead (the same honesty gate vp8.py applies to inter frames).
-# Table 0 codes nothing (all-zero region); 4 and 14 are unused by the
-# spec.
+# part2_3_length bits per granule.
+#
+# The structural-validation bar for the remaining B.7 tables (the r17
+# verdict's task #1): a transcription ships ONLY if its 36-256
+# explicit (hlen, hcod) pairs machine-check as a prefix-free and
+# EXACTLY Kraft-complete code — a bar a noisy transcription
+# essentially cannot pass by accident, since any wrong pair collides
+# with a neighbor or leaves a hole in the code space. Table 9 (6x6,
+# no linbits) passed that bar in r18 and ships below, with
+# encoder-side round-trips and the driver row exercising it. Tables
+# 8, 10-13, 15 and the linbits escape families 16-23/24-31 remain
+# gated: their candidate transcriptions FAILED the machine-check
+# (duplicate or hole-leaving codewords), and an unvalidated
+# "plausible" table would decode real files to silently wrong spectra
+# — they raise messagefully instead (the same honesty gate vp8.py
+# applies to inter frames). Table 0 codes nothing (all-zero region);
+# 4 and 14 are unused by the spec.
 
 _HUFF_RAW: dict[int, tuple[int, int, int, tuple[tuple[int, int], ...]]] = {
     # id: (xlen, ylen, linbits, codes)
@@ -254,6 +263,12 @@ _HUFF_RAW: dict[int, tuple[int, int, int, tuple[tuple[int, int], ...]]] = {
                   (7, 12), (7, 11), (8, 18), (9, 15), (9, 11), (9, 2),
                   (7, 7), (7, 6), (8, 9), (9, 14), (9, 3), (10, 1),
                   (8, 6), (8, 4), (9, 5), (10, 3), (10, 2), (10, 0))),
+    9: (6, 6, 0, ((3, 7), (3, 5), (5, 9), (6, 14), (8, 15), (9, 7),
+                  (3, 6), (3, 4), (4, 5), (5, 5), (6, 6), (8, 7),
+                  (4, 7), (4, 6), (5, 8), (6, 8), (7, 8), (8, 5),
+                  (6, 15), (5, 6), (6, 9), (7, 10), (7, 5), (8, 1),
+                  (7, 11), (6, 7), (7, 9), (7, 6), (8, 4), (9, 1),
+                  (8, 14), (7, 4), (8, 6), (8, 2), (9, 6), (9, 0))),
 }
 
 # count1 region quadruple tables (Table B.7 tables "A" and "B"):
@@ -480,8 +495,9 @@ def decode_spectrum(bits, g, hdr) -> tuple[list[int], int]:
             continue
         if tid in _GATED_TABLES:
             raise NotImplementedError(
-                f"mp3: huffman table {tid} pending a validated"
-                " transcription (tables 0-3,5-7 + count1 A/B shipped)"
+                f"mp3: huffman table {tid} pending a transcription"
+                " that passes the prefix-free/Kraft machine-check"
+                " (tables 0-3,5-7,9 + count1 A/B shipped)"
             )
         if tid not in _HUFF_RAW:
             # ids 4 and 14 are encodable in the 5-bit table_select
@@ -609,6 +625,71 @@ def ms_stereo(xr_l, xr_r) -> None:
         m, s = xr_l[i], xr_r[i]
         xr_l[i] = (m + s) * inv
         xr_r[i] = (m - s) * inv
+
+
+def stereo_process(hdr, g_r, sf_r, rzero_r, xr_l, xr_r) -> None:
+    """Joint-stereo reconstruction for one granule (§2.4.3.4.9):
+    MS (mode_ext & 2) and/or INTENSITY (mode_ext & 1).
+
+    Intensity stereo (MPEG-1, long blocks): the scalefactor bands
+    lying entirely in the RIGHT channel's zero part (at/above the
+    first band boundary >= rzero, the end of its coded region) carry
+    one combined signal in the left channel, re-panned by position
+    is_pos = the right channel's scalefactor for that band:
+    is_ratio = tan(is_pos * pi/12), left = xr*ratio/(1+ratio),
+    right = xr/(1+ratio). Position 6 is the pure-left limit (ratio
+    infinite: left = xr, right = 0); position 7 is ILLEGAL — the band
+    falls back to the lower-bands mode (MS when mode_ext & 2, else
+    plain L/R). The last band (sfb21 region) reuses band 20's
+    position, since only 21 long scalefactors transmit. When MS and
+    intensity combine (mode_ext == 3), MS applies ONLY below the
+    intensity border. Short/mixed-block intensity (per-window
+    positions) is gated."""
+    ms = bool(hdr["mode_ext"] & 2)
+    intens = bool(hdr["mode_ext"] & 1)
+    if not intens:
+        if ms:
+            ms_stereo(xr_l, xr_r)
+        return
+    if g_r["block_type"] == 2 and g_r["window_switching"]:
+        raise NotImplementedError(
+            "mp3: intensity stereo over short/mixed blocks"
+            " (per-window is_pos) — long-block intensity shipped r18"
+        )
+    bands = SFB_LONG[hdr["sample_rate"]]
+    border_band = next(
+        (b for b in range(len(bands)) if bands[b] >= rzero_r),
+        len(bands) - 1,
+    )
+    border_line = bands[min(border_band, len(bands) - 1)]
+    if ms:
+        inv = 1.0 / math.sqrt(2.0)
+        for i in range(border_line):
+            m, sd = xr_l[i], xr_r[i]
+            xr_l[i] = (m + sd) * inv
+            xr_r[i] = (m - sd) * inv
+    sfl = sf_r.get("long") or [0] * 21
+    for b in range(border_band, len(bands) - 1):
+        is_pos = sfl[min(b, 20)]
+        lo, hi = bands[b], bands[b + 1]
+        if is_pos == 7:
+            if ms:
+                inv = 1.0 / math.sqrt(2.0)
+                for i in range(lo, hi):
+                    m, sd = xr_l[i], xr_r[i]
+                    xr_l[i] = (m + sd) * inv
+                    xr_r[i] = (m - sd) * inv
+            continue
+        if is_pos == 6:
+            kl, kr = 1.0, 0.0
+        else:
+            ratio = math.tan(is_pos * math.pi / 12.0)
+            kl = ratio / (1.0 + ratio)
+            kr = 1.0 / (1.0 + ratio)
+        for i in range(lo, hi):
+            v = xr_l[i]
+            xr_l[i] = v * kl
+            xr_r[i] = v * kr
 
 
 def alias_reduce(xr, block_type, window_switching) -> None:
@@ -818,10 +899,13 @@ class Synthesizer:
 
 
 def decode_granule_channel(bits, g, hdr, sf) -> tuple[list[int],
-                                                      list[float]]:
+                                                      list[float], int]:
     """Huffman + count1 + requant (+ reorder) for one granule/channel.
     ``bits`` must be positioned at the start of the huffman data;
-    consumes exactly up to the part2_3 boundary."""
+    consumes exactly up to the part2_3 boundary. The third return is
+    rzero — the first line past the CODED region (big values + count1)
+    — which is the intensity-stereo border input (§2.4.3.4.9.3 keys on
+    the right channel's zero part, not on decoded-value zeroness)."""
     limit = g["_huff_end_bit"]
     is_, pos = decode_spectrum(bits, g, hdr)
     pos = decode_count1(bits, g, limit, pos, is_)
@@ -848,14 +932,16 @@ def decode_granule_channel(bits, g, hdr, sf) -> tuple[list[int],
                     is_r[3 * (start + k) + w] = is_[idx]
                     idx += 1
         is_ = is_r
-    return is_, xr
+    return is_, xr, pos
 
 
 def decode_mp3(payload: bytes, iso_window: bool = False) -> dict:
     """Bare MPEG stream -> {sample_rate, nch, n_frames, n_samples,
     spectra: [per granule [per ch is[576]]], pcm: [per ch list[float]],
-    subband_energy: [32]} through the full Layer III chain (mono and
-    MS/LR stereo; intensity stereo and mixed blocks gated)."""
+    subband_energy: [32]} through the full Layer III chain (mono,
+    MS/LR stereo, and r18: long-block INTENSITY stereo incl. the
+    MS+intensity combination; short-block intensity and mixed blocks
+    stay gated)."""
     frames = walk_frames(payload)
     if not frames:
         raise ValueError("mp3: no frames")
@@ -869,12 +955,12 @@ def decode_mp3(payload: bytes, iso_window: bool = False) -> dict:
     prev_sf: list[dict] = [{} for _ in range(nch)]
     for f, buf in assemble_main_data(frames):
         hdr, side = f["header"], f["side"]
-        if hdr["mode"] == 1 and hdr["mode_ext"] & 1:
-            raise NotImplementedError("mp3: intensity stereo")
         bits = Bits(buf)
         for gr, chs in enumerate(side["granules"]):
             gr_is = []
             gr_xr = []
+            gr_sf = []
+            gr_rzero = []
             for ch, g in enumerate(chs):
                 start = bits.pos
                 if hdr["version"] == 1:
@@ -891,11 +977,18 @@ def decode_mp3(payload: bytes, iso_window: bool = False) -> dict:
                     )
                 prev_sf[ch] = sf
                 g["_huff_end_bit"] = start + g["part2_3_length"]
-                is_, xr = decode_granule_channel(bits, g, hdr, sf)
+                is_, xr, rzero = decode_granule_channel(
+                    bits, g, hdr, sf
+                )
                 gr_is.append(is_)
                 gr_xr.append(xr)
-            if len(gr_xr) == 2 and hdr["mode"] == 1 and hdr["mode_ext"] & 2:
-                ms_stereo(gr_xr[0], gr_xr[1])
+                gr_sf.append(sf)
+                gr_rzero.append(rzero)
+            if len(gr_xr) == 2 and hdr["mode"] == 1:
+                stereo_process(
+                    hdr, chs[1], gr_sf[1], gr_rzero[1],
+                    gr_xr[0], gr_xr[1],
+                )
             for ch, g in enumerate(chs):
                 alias_reduce(
                     gr_xr[ch], g["block_type"], g["window_switching"]
@@ -1106,6 +1199,78 @@ def encode_mp3(granule_specs: list[dict], sample_rate: int = 44100,
             raise ValueError(
                 f"granule data ({len(body)} B) exceeds the {frame_len}-B"
                 " frame; raise the bitrate"
+            )
+        out += body + bytes(frame_len - len(body))
+    return bytes(out)
+
+
+def encode_mp3_stereo(granule_specs: list[list[dict]],
+                      sample_rate: int = 44100,
+                      bitrate_kbps: int = 256,
+                      mode_ext: int = 0) -> bytes:
+    """Fixture encoder, STEREO (r18, for intensity/MS validation):
+    ``granule_specs[g] = [spec_ch0, spec_ch1]`` with two granules per
+    MPEG-1 frame. Writes mode=1 (joint stereo) with the given
+    ``mode_ext`` (bit 1 = intensity, bit 2 = MS) and the 32-byte
+    stereo side info (3 private bits, 2x4 scfsi, 4x59-bit granule
+    blocks). The planted integer spectra are what the decoder's
+    Huffman stage recovers BEFORE stereo processing — intensity/MS
+    reconstruction applies to the requantized float spectra, so
+    fixtures plant the transmitted (combined) channel and the oracle
+    applies the §2.4.3.4.9 formulas closed-form."""
+    if len(granule_specs) % 2:
+        raise ValueError("MPEG-1 frames carry exactly two granules")
+    br_idx = BITRATES_V1_L3.index(bitrate_kbps)
+    sr_idx = RATES_V1.index(sample_rate)
+    out = bytearray()
+    for at in range(0, len(granule_specs), 2):
+        frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+        header = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)             | (br_idx << 12) | (sr_idx << 10) | (1 << 6)             | (mode_ext << 4)
+        mdw = BitWriter()
+        sides = []
+        for gr in range(2):
+            pair = granule_specs[at + gr]
+            if len(pair) != 2:
+                raise ValueError("stereo granule needs two channels")
+            sides.append([
+                _encode_granule(mdw, pair[ch], sample_rate)
+                for ch in range(2)
+            ])
+        main = mdw.to_bytes()
+        sw = BitWriter()
+        sw.write(0, 9)   # main_data_begin
+        sw.write(0, 3)   # private (stereo)
+        sw.write(0, 8)   # scfsi 2ch x 4
+        for gr in range(2):
+            for ch in range(2):
+                side = sides[gr][ch]
+                sw.write(side["part2_3_length"], 12)
+                sw.write(side["big_values"], 9)
+                sw.write(side["global_gain"], 8)
+                sw.write(side["scalefac_compress"], 4)
+                sw.write(side["window_switching"], 1)
+                if side["window_switching"]:
+                    sw.write(side["block_type"], 2)
+                    sw.write(side["mixed_block"], 1)
+                    for t in side["table_select"][:2]:
+                        sw.write(t, 5)
+                    for sb in side["subblock_gain"]:
+                        sw.write(sb, 3)
+                else:
+                    for t in side["table_select"]:
+                        sw.write(t, 5)
+                    sw.write(side["region0_count"], 4)
+                    sw.write(side["region1_count"], 3)
+                sw.write(side["preflag"], 1)
+                sw.write(side["scalefac_scale"], 1)
+                sw.write(side["count1table_select"], 1)
+        si = sw.to_bytes()
+        assert len(si) == 32, len(si)
+        body = struct.pack(">I", header) + si + main
+        if len(body) > frame_len:
+            raise ValueError(
+                f"granule data ({len(body)} B) exceeds the"
+                f" {frame_len}-B frame; raise the bitrate"
             )
         out += body + bytes(frame_len - len(body))
     return bytes(out)

@@ -4601,9 +4601,14 @@ def multimodal_avif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_mp3_samples",
     # Planted MPEG-1 Layer III streams per doc (operators/mp3.py): each
-    # granule carries four big-value lines (values 1..5, table 7) in
-    # the middle of ONE target subband plus 0-2 count1 quadruples, at
-    # cycling global gains / scalefactor sets. Huffman coding is
+    # granule carries four big-value lines (values 1..5; Huffman table
+    # 7 on even granule keys, table 9 — the r18 structurally-validated
+    # >7 table — on odd) in the middle of ONE target subband plus 0-2
+    # count1 quadruples, at cycling global gains / scalefactor sets.
+    # Huffman coding is lossless, so cycling the table changes only
+    # the BITSTREAM, never the decoded spectrum — the oracle is
+    # table-invariant by construction while the decode path walks both
+    # code sets. Huffman coding is
     # lossless, so the decoded INTEGER spectrum restates closed-form;
     # the float chain (requant -> alias -> IMDCT -> overlap-add ->
     # polyphase synthesis) is dual-derived in-query against an
@@ -4653,7 +4658,7 @@ def multimodal_mp3_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 Layer-III SAMPLE decode (VERDICT r15 task #5,
     operators/mp3.py): per doc, build genuine MPEG-1 Layer III frames
     through the fixture encoder — real side info, scalefactors, Huffman
-    table 7 big-value pairs with sign bits, count1 quadruples (tables A
+    table 7/9 big-value pairs with sign bits, count1 quadruples (tables A
     and B cycling via the quad knob), main_data framing — then decode
     through the full chain: side-info walk, scalefactor read, Huffman
     spectrum decode, requantization, alias-reduction butterflies, IMDCT
@@ -4713,7 +4718,9 @@ def multimodal_mp3_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         return {
             "is": is_,
             "global_gain": 200 + (d + g) % 16,
-            "tables": [7, 7, 7],
+            # same 6x6 value range; table 9 exercises the r18
+            # machine-check-validated transcription on odd keys
+            "tables": [9, 9, 9] if (d + g) % 2 else [7, 7, 7],
             "region0_count": 8,
             "region1_count": 7,
             "big_values": 9 * sb + 4,

@@ -67,7 +67,7 @@ def _spec(is_, big_values=0, tables=(0, 0, 0), **kw):
 
 
 class TestRoundTrip:
-    @pytest.mark.parametrize("tid", [1, 2, 3, 5, 6, 7])
+    @pytest.mark.parametrize("tid", [1, 2, 3, 5, 6, 7, 9])
     def test_each_table_roundtrips_its_full_range(self, tid):
         xmax = M._HUFF_RAW[tid][0] - 1
         is_ = [0] * 576
@@ -293,3 +293,183 @@ class TestVectorizedPathsAgree:
             finally:
                 M._np = saved
             assert max(abs(x - y) for x, y in zip(a, b)) < 1e-12
+
+
+class TestTable9Structural:
+    """r18 (VERDICT r17 task #1): table 9 ships via the structural
+    path — its 36 explicit (hlen, hcod) pairs machine-check as a
+    prefix-free, EXACTLY Kraft-complete code, a bar a noisy
+    transcription essentially cannot pass (any wrong pair collides or
+    leaves a hole). Tables 8/10-13/15/16-31 candidates FAILED the
+    check and stay gated."""
+
+    def test_table9_is_exactly_complete(self):
+        codes = M._HUFF_RAW[9][3]
+        assert len(codes) == 36
+        assert sum(1 << (32 - ln) for ln, _ in codes) == 1 << 32
+        # every 9-bit probe decodes to exactly one entry (complete
+        # code: no invalid bit sequence exists)
+        by = {(ln, c): i for i, (ln, c) in enumerate(codes)}
+        for probe in range(1 << 9):
+            hits = [
+                (ln, probe >> (9 - ln))
+                for ln in range(1, 10)
+                if (ln, probe >> (9 - ln)) in by
+            ]
+            assert len(hits) == 1, f"probe {probe:09b} hits {hits}"
+
+    def test_table9_differs_from_table7(self):
+        # same 6x6 geometry, different codes: a granule encoded with
+        # table 9 must produce a different bitstream than table 7 for
+        # the same spectrum, yet decode identically
+        is_ = [0] * 576
+        for i, v in enumerate((1, -2, 3, -4, 5, 0, 2, -1)):
+            is_[i] = v
+        s7 = _spec(list(is_), big_values=4, tables=[7, 7, 7])
+        s9 = _spec(list(is_), big_values=4, tables=[9, 9, 9])
+        b7 = M.encode_mp3([s7, _spec([0] * 576)])
+        b9 = M.encode_mp3([s9, _spec([0] * 576)])
+        assert b7 != b9
+        assert M.decode_mp3(b7)["spectra"][0][0] == \
+            M.decode_mp3(b9)["spectra"][0][0] == is_
+
+    def test_remaining_tables_still_gated(self):
+        for tid in (8, 10, 11, 12, 13, 15, 16, 20, 24, 31):
+            assert tid in M._GATED_TABLES
+
+
+class TestIntensityStereo:
+    """r18 (VERDICT r17 task #1's second half): MPEG-1 long-block
+    intensity stereo (§2.4.3.4.9.3) via the new stereo fixture
+    encoder — is_pos panning, the pos-6 pure-left limit, the pos-7
+    illegal fallback, the MS+intensity border split, and the
+    short-block gate."""
+
+    SR = 44100
+
+    def _stereo_pair(self, left_is, big, sfl_r, mode_ext,
+                     right_is=None, right_big=0):
+        l = _spec(list(left_is), big_values=big, tables=[7, 7, 7])
+        r = _spec(list(right_is or [0] * 576), big_values=right_big,
+                  tables=[7, 7, 7])
+        r["scalefac_compress"] = 15  # slen (4,3): positions 0..7
+        r["scalefac_l"] = list(sfl_r)
+        return M.encode_mp3_stereo([[l, r], [l, r]],
+                                   mode_ext=mode_ext)
+
+    def test_pure_intensity_panning(self):
+        import math
+
+        bands = M.SFB_LONG[self.SR]
+        left = [0] * 576
+        vals = (1, -2, 3, -4, 5, 1, -2, 3)
+        for i, v in enumerate(vals):
+            left[i] = v
+        poss = [b % 7 for b in range(21)]  # 0..6, no illegal
+        blob = self._stereo_pair(left, 4, poss, mode_ext=1)
+        out = M.decode_mp3(blob)
+        assert out["nch"] == 2
+        # integer spectra: transmitted channel intact, right empty
+        assert out["spectra"][0][0][:8] == list(vals)
+        assert not any(out["spectra"][0][1])
+        # float panning on the decoded xr, via stereo_process directly
+        xr = [(1 if v > 0 else -1) * abs(v) ** (4 / 3) for v in vals]
+        xr_l = [float(v) for v in xr] + [0.0] * 568
+        xr_r = [0.0] * 576
+        M.stereo_process(
+            {"mode_ext": 1, "sample_rate": self.SR},
+            {"block_type": 0, "window_switching": 0},
+            {"long": poss}, 0, xr_l, xr_r,
+        )
+        for i in range(8):
+            b = next(j for j in range(22)
+                     if bands[j] <= i < bands[j + 1])
+            p = poss[b]
+            if p == 6:
+                el, er = xr[i], 0.0
+            else:
+                ratio = math.tan(p * math.pi / 12)
+                el = xr[i] * ratio / (1 + ratio)
+                er = xr[i] / (1 + ratio)
+            assert abs(xr_l[i] - el) < 1e-12
+            assert abs(xr_r[i] - er) < 1e-12
+
+    def test_pos7_falls_back_and_pos6_pure_left(self):
+        xr_l = [2.0] * 576
+        xr_r = [0.5] * 576
+        poss = [7] * 21
+        M.stereo_process(
+            {"mode_ext": 1, "sample_rate": self.SR},
+            {"block_type": 0, "window_switching": 0},
+            {"long": poss}, 0, xr_l, xr_r,
+        )
+        # illegal position, no MS: untouched L/R
+        assert xr_l[0] == 2.0 and xr_r[0] == 0.5
+        xr_l = [2.0] * 576
+        xr_r = [0.0] * 576
+        M.stereo_process(
+            {"mode_ext": 1, "sample_rate": self.SR},
+            {"block_type": 0, "window_switching": 0},
+            {"long": [6] * 21}, 0, xr_l, xr_r,
+        )
+        assert xr_l[0] == 2.0 and xr_r[0] == 0.0  # pure-left limit
+
+    def test_ms_plus_intensity_border_split(self):
+        import math
+
+        bands = M.SFB_LONG[self.SR]
+        rzero = bands[3]  # right coded through band 2
+        xr_l = [1.0] * 576
+        xr_r = [0.25] * 576
+        M.stereo_process(
+            {"mode_ext": 3, "sample_rate": self.SR},
+            {"block_type": 0, "window_switching": 0},
+            {"long": [3] * 21}, rzero, xr_l, xr_r,
+        )
+        inv = 1 / math.sqrt(2)
+        # below the border: MS
+        assert abs(xr_l[0] - 1.25 * inv) < 1e-12
+        assert abs(xr_r[0] - 0.75 * inv) < 1e-12
+        # at/above the border: intensity panning of the left signal
+        ratio = math.tan(3 * math.pi / 12)
+        i = bands[3]
+        assert abs(xr_l[i] - ratio / (1 + ratio)) < 1e-12
+        assert abs(xr_r[i] - 1 / (1 + ratio)) < 1e-12
+
+    def test_border_rounds_up_to_band_boundary(self):
+        bands = M.SFB_LONG[self.SR]
+        rzero = bands[3] + 1  # inside band 3: band 3 is NOT intensity
+        xr_l = [1.0] * 576
+        xr_r = [0.5] * 576
+        M.stereo_process(
+            {"mode_ext": 1, "sample_rate": self.SR},
+            {"block_type": 0, "window_switching": 0},
+            {"long": [0] * 21}, rzero, xr_l, xr_r,
+        )
+        # band 3 untouched (partially coded), band 4 panned (pos 0 ->
+        # ratio 0 -> left 0, right v)
+        assert xr_l[bands[3]] == 1.0 and xr_r[bands[3]] == 0.5
+        assert xr_l[bands[4]] == 0.0 and xr_r[bands[4]] == 1.0
+
+    def test_full_decode_ms_intensity_roundtrip(self):
+        left = [0] * 576
+        for i in range(4):
+            left[i] = i + 1
+        right = [0] * 576
+        right[0], right[1] = 1, -1
+        poss = [2] * 21
+        blob = self._stereo_pair(
+            left, 2, poss, mode_ext=3, right_is=right, right_big=1
+        )
+        out = M.decode_mp3(blob)
+        assert out["nch"] == 2 and out["n_samples"] == 1152
+        assert out["spectra"][0][0][:4] == [1, 2, 3, 4]
+        assert out["spectra"][0][1][:2] == [1, -1]
+
+    def test_short_block_intensity_gated(self):
+        with pytest.raises(NotImplementedError, match="short"):
+            M.stereo_process(
+                {"mode_ext": 1, "sample_rate": self.SR},
+                {"block_type": 2, "window_switching": 1},
+                {"long": [0] * 21}, 0, [0.0] * 576, [0.0] * 576,
+            )
