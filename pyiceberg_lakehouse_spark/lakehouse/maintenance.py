@@ -871,6 +871,165 @@ def _ordered_purge_rewrite(
     return reps, (purged, new_uri)
 
 
+def _batched_ordered_purge_rewrite(
+    table: LakehouseTable, entries: list[dict], hit: F.Column, cap: int
+) -> dict[str, tuple[list[dict], tuple]]:
+    """Batched form of ``_ordered_purge_rewrite`` (r18, VERDICT r17
+    task #6): a subject spread across MANY position-referenced files
+    rewrites them in ONE Spark job instead of one job per file —
+    read all affected files in one scan, repartition by source file,
+    ``sortWithinPartitions`` on (source, ordinal) to preserve each
+    file's row order, and ``partitionBy`` the writer so every source
+    file yields exactly one replacement file (all rows of a source
+    hash to one task; the task writes one part file per source value).
+    Ordinal identity per file is untouched — the remap math is the
+    same as the sequential path's.
+
+    Returns {original entry path: (replacement entries,
+    (sorted purged ordinals, new file URI or None))}."""
+    import glob as _glob
+    import uuid as _uuid
+
+    from pyiceberg_lakehouse_spark.lakehouse.stats import (
+        collect_file_stats,
+        file_row_count,
+    )
+
+    hit = F.coalesce(hit, F.lit(False))
+    src = table._read_files(entries, with_pos=True)
+    # one job: per-file purge counts (cap check BEFORE materializing
+    # ordinal lists — a predicate matching millions of rows per file
+    # is a bulk delete, not an erasure request)
+    counts = (
+        src.filter(hit).groupBy("__lh_fp")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    over = [r for r in counts if r["n"] > cap]
+    if over:
+        raise NotImplementedError(
+            f"purge matches more than {cap} rows in one position-"
+            "referenced file — materialize deletes with compact() and "
+            "expire_snapshots first"
+        )
+    # one job: the purged-ordinal sets (bounded by the cap per file)
+    ord_rows = (
+        src.filter(hit).groupBy("__lh_fp")
+        .agg(F.sort_array(F.collect_list("__lh_pos")).alias("ords"))
+        .collect()
+    )
+    from urllib.parse import unquote, urlparse
+
+    def _canon(uri: str) -> str:
+        pr = urlparse(uri)
+        return unquote(pr.path) if pr.scheme else uri
+
+    ords_by_canon = {
+        _canon(r["__lh_fp"]): [int(o) for o in r["ords"]]
+        for r in ord_rows
+    }
+    entry_by_canon = {_canon(e["path"]): e for e in entries}
+    unknown = set(ords_by_canon) - set(entry_by_canon)
+    if unknown:
+        raise ValueError(
+            f"purge scan surfaced files outside the entry list:"
+            f" {sorted(unknown)[:3]}"
+        )
+    # source index map (broadcast, metadata-scale)
+    canon_sorted = sorted(entry_by_canon)
+    fp_rows = src.select("__lh_fp").distinct().collect()
+    uri_by_canon = {_canon(r["__lh_fp"]): r["__lh_fp"] for r in fp_rows}
+    map_df = table.spark.createDataFrame(
+        [(uri_by_canon[c], i) for i, c in enumerate(canon_sorted)
+         if c in uri_by_canon],
+        "__lh_fp string, __lh_src int",
+    )
+    out_dir = os.path.join(
+        table.table_dir, "data", f"purge-{_uuid.uuid4().hex[:8]}"
+    )
+    (
+        src.filter(~hit)
+        .join(F.broadcast(map_df), "__lh_fp")
+        .repartition(max(len(canon_sorted), 1), "__lh_src")
+        .sortWithinPartitions("__lh_src", "__lh_pos")
+        .drop("__lh_fp", "__lh_pos")
+        .write.mode("error")
+        .option("compression", "zstd")
+        .partitionBy("__lh_src")
+        .parquet(out_dir)
+    )
+    bloom_cols = [
+        c.strip()
+        for c in table.log.properties.get("write.bloom-columns", "").split(",")
+        if c.strip()
+    ]
+    data_cols = {f.name for f in table._data_schema().fields}
+    out: dict[str, tuple[list[dict], tuple]] = {}
+    new_paths_by_canon: dict[str, str] = {}
+    for i, canon in enumerate(canon_sorted):
+        entry = entry_by_canon[canon]
+        purged = ords_by_canon.get(canon, [])
+        part_dir = os.path.join(out_dir, f"__lh_src={i}")
+        paths = [
+            pth
+            for pth in sorted(
+                _glob.glob(os.path.join(part_dir, "*.parquet"))
+            )
+            if file_row_count(pth) > 0
+        ]
+        if not paths:
+            out[entry["path"]] = ([], (purged, None))
+            continue
+        assert len(paths) == 1, (canon, paths)
+        new_path = paths[0]
+        rep = {
+            "path": new_path,
+            "partition": dict(entry.get("partition") or {}),
+            "rows": file_row_count(new_path),
+            "stats": collect_file_stats(new_path),
+        }
+        if bloom_cols:
+            from pyiceberg_lakehouse_spark.lakehouse.bloom import (
+                DEFAULT_K,
+                DEFAULT_M,
+                build_file_blooms,
+            )
+
+            blooms = build_file_blooms(
+                table.spark, [new_path],
+                [c for c in bloom_cols if c in data_cols],
+                m=int(table.log.properties.get(
+                    "write.bloom-bits", DEFAULT_M)),
+                k=int(table.log.properties.get(
+                    "write.bloom-hashes", DEFAULT_K)),
+            )
+            if new_path in blooms:
+                rep["bloom"] = blooms[new_path]
+        out[entry["path"]] = ([rep], (purged, new_path))
+        new_paths_by_canon[canon] = new_path
+    # observe the URI form a future scan reports for every new file
+    # (one footer-scale job over all replacements)
+    if new_paths_by_canon:
+        uri_rows = (
+            table.spark.read.parquet(*new_paths_by_canon.values())
+            .select(
+                F.col("_metadata.file_path").alias("u")
+            ).distinct().collect()
+        )
+        uri_of = {_canon(r["u"]): r["u"] for r in uri_rows}
+        for canon, np_ in new_paths_by_canon.items():
+            ent = out[entry_by_canon[canon]["path"]]
+            new_uri = uri_of.get(os.path.abspath(np_))
+            if new_uri is None:
+                raise ValueError(
+                    f"rewritten file {np_} did not surface in the"
+                    " URI-observation scan"
+                )
+            out[entry_by_canon[canon]["path"]] = (
+                ent[0], (ent[1][0], new_uri)
+            )
+    return out
+
+
 def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
     """Right-to-be-forgotten purge: physically remove matching rows from
     the CURRENT state and from EVERY retained snapshot, so neither a scan
@@ -1043,7 +1202,21 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
     _POS_CAP = 2_000_000  # purged ordinals per file, driver-collected
     replacements: dict[str, list[dict]] = {}
     ordinal_maps: dict[str, tuple] = {}  # canon path -> (ords, new_uri)
+    pos_paths = [
+        p for p in sorted(matched) if _canon(p) in pos_referenced
+    ]
+    if len(pos_paths) > 1:
+        # many position-referenced files: ONE batched job (r18) —
+        # per-file sequential rewrites would serialize a spread-out
+        # subject
+        batched = _batched_ordered_purge_rewrite(
+            table, [by_path[p] for p in pos_paths], hit, _POS_CAP
+        )
+        for p in pos_paths:
+            replacements[p], ordinal_maps[_canon(p)] = batched[p]
     for path in sorted(matched):
+        if path in replacements:
+            continue
         entry = by_path[path]
         if _canon(path) in pos_referenced:
             replacements[path], ordinal_maps[_canon(path)] = (

@@ -342,3 +342,43 @@ def test_purge_null_predicate_over_position_history(spark, warehouse):
     )
     assert nulls == [i for i in range(30)
                      if i % 3 == 0 and i not in (5, 14, 23)]
+
+
+def test_batched_ordered_rewrite_many_files(spark, warehouse):
+    """r18 (VERDICT r17 task #6): a subject spread across MANY
+    position-referenced files rewrites in one batched job — each
+    source yields exactly one ordered replacement file, ordinals
+    remap identically to the sequential path."""
+    lh = Lakehouse(spark, warehouse)
+    df = spark.createDataFrame(
+        [(i, i % 25, f"t{i}") for i in range(500)],
+        "id long, cust long, tag string",
+    )
+    t = lh.create_table("ns.purge_many", df.schema)
+    # 10 separate appends -> >= 10 data files, subject in every one
+    for k in range(10):
+        t.append(
+            df.filter(F.col("id") % 10 == k)
+            .coalesce(1).sortWithinPartitions("id")
+        )
+    t.delete_where_positions(F.col("id") % 7 == 3)
+    n_files_before = len(t.log.live_files())
+    assert n_files_before >= 10
+    # subject id % 9 == 2 spans every one of the 10 residue files
+    out = purge_rows(t, F.col("id") % 9 == 2)
+    assert out["files_rewritten"] == 10
+    assert out["rows_purged"] == sum(
+        1 for i in range(500) if i % 9 == 2
+    )
+    got = sorted(r.id for r in t.scan().collect())
+    want = sorted(
+        i for i in range(500) if i % 9 != 2 and i % 7 != 3
+    )
+    assert got == want
+    # order preserved inside every rewritten file
+    for f in t.log.live_files():
+        ids = [
+            r.id for r in spark.read.parquet(f["path"])
+            .select("id").collect()
+        ]
+        assert ids == sorted(ids)
