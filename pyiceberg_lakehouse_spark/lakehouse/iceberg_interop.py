@@ -862,6 +862,16 @@ def plan_iceberg_scan(
     return resolved
 
 
+# MoR delete-application strategy threshold: delete sets whose
+# manifest-declared record counts sum at or under this broadcast
+# (hash anti-join, no shuffle of the data side); above it the
+# anti-join falls back to Spark's shuffle strategy — the path a
+# 100 TB table with years of accumulated deletes takes. Module-level
+# so the scale bench and plan-pin tests can exercise BOTH strategies
+# on one fixture (BENCH_SCALE mor_delete arms).
+BROADCAST_DELETE_ROWS = 4_000_000
+
+
 def _partition_python_value(v, ice_type: str):
     """Manifest r102 partition value -> the Python value Spark's
     createDataFrame needs for the column's type (date days / timestamp
@@ -1044,8 +1054,6 @@ def read_iceberg_table(
             ),
         )
     )
-
-    BROADCAST_DELETE_ROWS = 4_000_000  # manifest-declared record counts
 
     pos_files = [d for d in resolved["delete_files"] if d["content"] == 1]
     if pos_files:

@@ -347,23 +347,25 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # cosine top-k, the reference's flagship upsert composite, and the
 # exactly-once streaming sink.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- r17 rotation (VERDICT r16 task #6). Composition: 8 standing
-    # anchors + 2 category sentinels; the 6 r16 first-timers HOLD for
-    # their confirming round; new r17 oracle-checkable rows take slots
-    # in THEIR OWN round (lh_iceberg_stats_scan — manifest min/max
-    # stats pruning + bucket/truncate transform pruning, the r16
-    # verdict's task #3 — plus the later r17 rows as they land,
-    # displacing the remaining multi-green keepers one by one); the
-    # 26 r15 holds completed their confirming round in r16 and rotate
-    # to keeper status. The 30 freed slots fill with the LONGEST-
-    # UNWINDOWED greens recomputed from all seventeen CORRECTNESS
-    # files (not session notes): the 26 rows whose last driver hash is
-    # r02 (the core-SQL families scan/filter/agg/join/win/sort/set/fn/
-    # cast), plus lh_add_files / proj_columns / text_quality (r03) and
-    # dedup_ngram_jaccard (r05) — the last two chosen over the two
-    # next-oldest r03 rows (agg_group_orders, filter_compound, next in
-    # line for r18) to keep the contract's text_/dedup_ prefix
-    # coverage (tests/test_entry_contract.py).
+    # ---- r18 rotation (standing protocol; VERDICT r17 task #7).
+    # Composition: 10 standing anchors; the 4 r17 first-timers HOLD
+    # for their confirming round (lh_iceberg_stats_scan,
+    # multimodal_ogg_stereo, lh_purge_mor_history,
+    # scan_archive_entries); new r18 oracle-checkable rows take slots
+    # in THEIR OWN round (lh_iceberg_export — the v2 export
+    # round-trip, multimodal_opus_probe — RFC 6716/7845 TOC+head,
+    # multimodal_ogg_floor0 — LSP floor + residue formats 0/1);
+    # rows whose CODE changed materially this round stay in with
+    # fresh-code priority (multimodal_mp3_samples — Huffman table 9
+    # cycles through its fixture; lh_iceberg_mor_scan /
+    # lh_iceberg_partition_scan — the reader grew the Column
+    # Projection path and the module-level broadcast threshold;
+    # lh_purge_mor_history — batched ordered rewrite). The remaining
+    # 30 slots fill with the LONGEST-UNWINDOWED greens recomputed
+    # from all eighteen CORRECTNESS files: the 3 r03 rows, all 6 r04
+    # rows, all 13 r05 rows, and the first 8 r06 rows
+    # alphabetically. The r17 fills (r02 core-SQL families) rotated
+    # to keeper status after their r17 refresh.
     "agg_q1_pricing_summary",
     "agg_q9_product_profit",
     "agg_q13_customer_distribution",
@@ -375,57 +377,53 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # category sentinels (test_entry_contract: every prefix sampled)
     "win_ntile_cume",
     "train_pack_sequences",
-    # r16 first-timers, second-round hold
-    "lh_iceberg_mor_scan",
-    "multimodal_mp3_samples",
-    "multimodal_ogg_samples",
-    "scan_fwf_checked",
-    "fn_uri_parse",
-    "lh_iceberg_partition_scan",
-    # new r17 rows (each in its own round, no-tail principle)
+    # r17 first-timers, second-round hold
     "lh_iceberg_stats_scan",
     "multimodal_ogg_stereo",
     "lh_purge_mor_history",
-    # longest-unwindowed fills (last driver hash r02)
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_distinct_segments",
-    "agg_having",
-    "agg_median_percentile",
-    "agg_pivot",
-    "cast_columns",
-    "filter_in_like",
-    "filter_range",
-    "fn_array",
-    "fn_case_when",
-    "fn_datetime",
-    "fn_explode_tokens",
-    "fn_json",
-    "fn_listagg",
-    "fn_math",
-    "join_anti",
-    "join_left_count",
-    "join_semi",
-    "scan_schema_probe",
-    "set_except",
-    "set_intersect",
-    "set_intersect_all",
-    "sort_multi_limit",
-    "win_lag_lead",
-    "win_rank_dense",
-    # longest-unwindowed fills (r03/r05; prefix-coverage picks noted
-    # in the header comment)
-    "lh_add_files",
-    "proj_columns",
-    "text_quality",
-    "dedup_ngram_jaccard",
-    # scan_archive_entries stays with FRESH r17 code: the snappy
-    # FRAMING wrapper (.tar.sz, masked-CRC32C chunks) cycles into its
-    # knob matrix this round, so its r17 hash covers the new codec.
-    # (multimodal_ogg_stereo took stream_stream_anti_join's slot —
-    # stream_ stays covered by the anchor sink row; lh_purge_mor_history
-    # took lh_external_scan's.)
     "scan_archive_entries",
+    # new r18 rows (each in its own round, no-tail principle)
+    "lh_iceberg_export",
+    "multimodal_opus_probe",
+    "multimodal_ogg_floor0",
+    # fresh-code holds (r18 diff touches their decode/fixture paths)
+    "multimodal_mp3_samples",
+    "lh_iceberg_mor_scan",
+    "lh_iceberg_partition_scan",
+    # longest-unwindowed fills — r03
+    "agg_group_orders",
+    "filter_compound",
+    "train_split_hash",
+    # r04
+    "agg_approx_distinct",
+    "fn_string",
+    "join_range",
+    "multimodal_features",
+    "scan_events_ts_bounds",
+    "text_winnow_fingerprint",
+    # r05
+    "agg_q5_local_supplier_volume",
+    "cast_whole_table",
+    "filter_exists_correlated",
+    "filter_scalar_subquery",
+    "join_multiway_revenue",
+    "lh_cdc_apply",
+    "lh_time_travel",
+    "set_union_all",
+    "sql_grouping_sets",
+    "stream_stream_join",
+    "stream_tumbling_hourly",
+    "ts_gapfill_hourly",
+    "win_running_sum",
+    # r06 (first eight alphabetically)
+    "agg_q19_discounted_revenue",
+    "agg_q3_shipping_priority",
+    "agg_rollup",
+    "dedup_embedding_cosine",
+    "filter_eq",
+    "fn_array_higher_order",
+    "fn_pandas_scalar",
+    "join_asof",
 )
 
 _R16_WINDOW: tuple[str, ...] = (

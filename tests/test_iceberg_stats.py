@@ -391,3 +391,75 @@ class TestConservativeKeepOnUnsupported:
             spark, mp, predicates=[("flag", "=", True)]
         ).filter(F.col("flag") == True)  # noqa: E712
         assert [r.v for r in df.collect()] == [1]
+
+
+class TestMorDeleteJoinStrategy:
+    """r18 (VERDICT r17 task #4): the MoR delete anti-join strategy
+    gate. Small delete sets broadcast; above BROADCAST_DELETE_ROWS
+    the anti-join must take a shuffle strategy — and produce the SAME
+    result."""
+
+    def _mor_table(self, spark):
+        td = session_tmpdir(prefix="ice_mor_thresh_")
+        d = os.path.join(td, "data0")
+        spark.range(0, 1000).withColumn(
+            "v", F.col("id") * 2
+        ).coalesce(1).write.parquet(d)
+        data_p = _one_parquet(d)
+        dd = os.path.join(td, "del0")
+        uri = "file://" + os.path.abspath(data_p)
+        spark.createDataFrame(
+            [(uri, int(i)) for i in range(0, 1000, 10)],
+            "file_path string, pos long",
+        ).coalesce(1).write.parquet(dd)
+        fields = [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "long"},
+        ]
+        mp = I.write_iceberg_metadata(
+            td,
+            snapshots=[
+                {"files": [{"path": data_p, "records": 1000}]},
+                {"files": [],
+                 "pos_deletes": [{"path": _one_parquet(dd),
+                                  "records": 100}]},
+            ],
+            schema_fields=fields,
+        )
+        return mp
+
+    def _delete_join_is_broadcast(self, df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the delete anti-join is the LeftAnti join node
+        anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti, plan
+        return all("Broadcast" in ln for ln in anti)
+
+    def test_small_set_broadcasts_large_set_shuffles(
+        self, spark, monkeypatch
+    ):
+        """Differential pin with auto-broadcast OFF: under the
+        threshold our explicit hint drives a broadcast anti-join;
+        above it no hint is planted, so the join falls back to
+        Spark's shuffle strategy (at real scale Catalyst's own size
+        stats make the same call — the hint is what must NOT force a
+        multi-GB delete set onto the driver)."""
+        mp = self._mor_table(spark)
+        want = {(i, 2 * i) for i in range(1000) if i % 10 != 0}
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df_b = I.read_iceberg_table(spark, mp)
+            assert self._delete_join_is_broadcast(df_b), \
+                "under-threshold delete set must broadcast via the hint"
+            assert {(r.id, r.v) for r in df_b.collect()} == want
+
+            monkeypatch.setattr(I, "BROADCAST_DELETE_ROWS", 10)
+            df_s = I.read_iceberg_table(spark, mp)
+            assert not self._delete_join_is_broadcast(df_s), \
+                "above-threshold delete set must not be hint-broadcast"
+            assert {(r.id, r.v) for r in df_s.collect()} == want
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", thresh
+            )

@@ -1207,6 +1207,114 @@ def bench_r17_media(spark, b, tmp):
         b.notes[f"iceberg_stats_plan_{n}files_pruned"] = got["n_pruned"]
 
 
+def bench_r18_mor_delete(spark, b, tmp):
+    """r18 (VERDICT r17 task #4): MoR delete application ABOVE the
+    broadcast threshold. Below BROADCAST_DELETE_ROWS the delete side
+    is hint-broadcast; above it the anti-join takes Spark's shuffle
+    strategy. Arms time BOTH strategies over the same fixture (the
+    threshold is module-level precisely so this bench can flip it)
+    and grow the delete set 10x on the shuffle path — the claim is
+    sub-superlinear growth (the shuffle is linear in delete rows) and
+    a bounded broadcast->shuffle penalty at the crossover scale."""
+    from pyiceberg_lakehouse_spark.lakehouse import iceberg_interop as I
+
+    n_data = int(2_000_000 * SCALE) or 2_000_000
+    td = os.path.join(tmp, "mor_delete_large")
+    d_dir = os.path.join(td, "data")
+    (
+        spark.range(0, n_data, 1, 8)
+        .withColumn("v", F.col("id") * 2)
+        .write.parquet(d_dir)
+    )
+    import glob as _glob
+
+    data_files = sorted(_glob.glob(os.path.join(d_dir, "*.parquet")))
+    fields = [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]
+    # per-file URIs for the position-delete rows: observe the real
+    # mapping once (row_index is per file, so deletes spread evenly)
+    probe = (
+        spark.read.parquet(*data_files)
+        .select(
+            F.col("_metadata.file_path").alias("u"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .groupBy("u").agg(F.max("pos").alias("mx"))
+        .collect()
+    )
+    del_scales = [int(100_000 * SCALE) or 100_000,
+                  int(1_000_000 * SCALE) or 1_000_000]
+    mps = {}
+    for nd in del_scales:
+        per_file = max(nd // len(probe), 1)
+        dd = os.path.join(td, f"del_{nd}")
+        dels = None
+        for r in probe:
+            step = max(int(r["mx"] + 1) // per_file, 1)
+            one = (
+                spark.range(0, per_file)
+                .select(
+                    F.lit(r["u"]).alias("file_path"),
+                    (F.col("id") * step).cast("long").alias("pos"),
+                )
+                .filter(F.col("pos") <= r["mx"])
+            )
+            dels = one if dels is None else dels.unionByName(one)
+        dels.coalesce(4).write.parquet(dd)
+        del_files = sorted(_glob.glob(os.path.join(dd, "*.parquet")))
+        import pyarrow.parquet as _pq
+
+        mps[nd] = I.write_iceberg_metadata(
+            os.path.join(td, f"tab_{nd}"),
+            snapshots=[
+                {"files": [
+                    {"path": pth,
+                     "records": _pq.ParquetFile(pth).metadata.num_rows}
+                    for pth in data_files
+                ]},
+                {"files": [],
+                 "pos_deletes": [
+                     {"path": pth,
+                      "records": _pq.ParquetFile(pth).metadata.num_rows}
+                     for pth in del_files
+                 ]},
+            ],
+            schema_fields=fields,
+        )
+
+    nd0 = del_scales[0]
+    saved = I.BROADCAST_DELETE_ROWS
+    try:
+        I.BROADCAST_DELETE_ROWS = 10 ** 12  # force broadcast arm
+        got = b.run(
+            f"mor_delete_broadcast_{nd0 // 1000}k",
+            lambda: drain(I.read_iceberg_table(spark, mps[nd0])),
+            reps=REPS, warmup=True,
+        )
+        I.BROADCAST_DELETE_ROWS = 0  # force shuffle arm
+        for nd in del_scales:
+            b.run(
+                f"mor_delete_shuffle_{nd // 1000}k",
+                lambda nd=nd: drain(
+                    I.read_iceberg_table(spark, mps[nd])
+                ),
+                reps=REPS, warmup=True,
+            )
+        # correctness: both strategies agree on the survivor count
+        I.BROADCAST_DELETE_ROWS = saved
+        n_bcast = I.read_iceberg_table(spark, mps[nd0]).count()
+        I.BROADCAST_DELETE_ROWS = 0
+        n_shuf = I.read_iceberg_table(spark, mps[nd0]).count()
+        b.notes["mor_delete_strategies_agree"] = bool(n_bcast == n_shuf)
+        b.notes["mor_delete_survivors"] = int(n_shuf)
+        b.notes["mor_delete_data_rows"] = int(n_data)
+    finally:
+        I.BROADCAST_DELETE_ROWS = saved
+    del got
+
+
 SECTIONS = {
     "documents": bench_documents,
     "embeddings": bench_embeddings,
@@ -1225,6 +1333,7 @@ SECTIONS = {
     "extraction": bench_extraction,
     "r16_media": bench_r16_media,
     "r17": bench_r17_media,
+    "r18_mor": bench_r18_mor_delete,
 }
 
 
@@ -1275,6 +1384,10 @@ def main() -> None:
     claims = {
         # corpus grew 10x; flat probe => ~1, linear brute => ~10
         "brute_growth_10x": ratio(f"brute_topk_{v1}", f"brute_topk_{v2}"),
+        "mor_delete_shuffle_growth_10x": ratio(
+            f"mor_delete_shuffle_{(int(100_000 * SCALE) or 100_000) // 1000}k",
+            f"mor_delete_shuffle_{(int(1_000_000 * SCALE) or 1_000_000) // 1000}k",
+        ),
         "ivf_probe_growth_10x": ratio(f"ivf_probe_{v1}", f"ivf_probe_{v2}"),
         "ivfpq_probe_growth_10x": ratio(f"ivfpq_probe_{v1}", f"ivfpq_probe_{v2}"),
         "minhash_growth_10x": ratio(f"minhash_ckpt_{t1}", f"minhash_ckpt_{t2}"),
