@@ -112,6 +112,15 @@ HEADLINE = [
     ("ogg_stereo", "multimodal_ogg_stereo"),
     ("iceberg_stats", "lh_iceberg_stats_scan"),
     ("purge_mor_history", "lh_purge_mor_history"),
+    # r18 additions (auto-excluded from the comparable set): the
+    # Iceberg v2 EXPORT round-trip (lakehouse history -> Avro
+    # manifests -> read back through the native iceberg reader — a
+    # lifecycle phase dominated by the table build + metadata emit),
+    # the Opus probe/TOC walk and the Vorbis floor0 + residue-0/1
+    # decode (both map-only codec stages)
+    ("iceberg_export", "lh_iceberg_export"),
+    ("opus_probe", "multimodal_opus_probe"),
+    ("ogg_floor0", "multimodal_ogg_floor0"),
 ]
 
 

@@ -149,6 +149,7 @@ _STATUS_EXISTING, _STATUS_ADDED, _STATUS_DELETED = 0, 1, 2
 def _manifest_schema(
     partition_fields: list[tuple[str, str]],
     part_field_ids: list[int] | None = None,
+    with_dv_fields: bool = False,
 ) -> dict:
     """The manifest-entry schema with the spec's r102 partition struct
     typed per the table's partition spec (identity transforms); the
@@ -173,6 +174,17 @@ def _manifest_schema(
         df_fields.insert(
             3, {"name": "partition", "type": part_rec, "field-id": 102}
         )
+    if with_dv_fields:
+        schema["fields"][4]["type"]["fields"] += [
+            # v3 deletion-vector fields (spec ids 143-145): the
+            # referenced data file and the Puffin blob range
+            {"name": "referenced_data_file",
+             "type": ["null", "string"], "field-id": 143},
+            {"name": "content_offset",
+             "type": ["null", "long"], "field-id": 144},
+            {"name": "content_size_in_bytes",
+             "type": ["null", "long"], "field-id": 145},
+        ]
     return schema
 
 
@@ -183,6 +195,7 @@ def write_iceberg_metadata(
     partition_specs: list[dict] | None = None,
     partition_fields: list[tuple[str, str]] | None = None,
     extra_refs: dict[str, dict] | None = None,
+    format_version: int = 2,
 ) -> str:
     """Fixture-grade Iceberg v2 metadata around existing parquet files.
 
@@ -230,7 +243,14 @@ def write_iceberg_metadata(
         }
         if all(n in by_name for n, _t in partition_fields):
             part_field_ids = [by_name[n] for n, _t in partition_fields]
-    manifest_schema = _manifest_schema(partition_fields, part_field_ids)
+    has_dv = any(snap.get("dv_deletes") for snap in snapshots)
+    if has_dv and format_version < 3:
+        raise ValueError(
+            "deletion vectors need format_version=3"
+        )
+    manifest_schema = _manifest_schema(
+        partition_fields, part_field_ids, with_dv_fields=has_dv
+    )
     if partition_fields and partition_specs is None:
         by_name = {f["name"]: f["id"] for f in schema_fields}
         missing = [n for n, _t in partition_fields if n not in by_name]
@@ -303,6 +323,10 @@ def write_iceberg_metadata(
                     if f.get("null_value_counts") else None
                 ),
             }
+            if has_dv:
+                df.update(referenced_data_file=None,
+                          content_offset=None,
+                          content_size_in_bytes=None)
             if partition_fields:
                 part = f.get("partition", {})
                 df["partition"] = {
@@ -349,10 +373,53 @@ def write_iceberg_metadata(
                 "value_counts": None,
                 "null_value_counts": None,
             }
+            if has_dv:
+                df.update(referenced_data_file=None,
+                          content_offset=None,
+                          content_size_in_bytes=None)
             if partition_fields:
                 df["partition"] = {n: None for n, _t in partition_fields}
             live_del[f["path"]] = {"df": df, "seq": seq,
                                     "snap_id": snap_id}
+            del_entries.append(
+                {
+                    "status": _STATUS_ADDED,
+                    "snapshot_id": snap_id,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": df,
+                }
+            )
+        for f in snap.get("dv_deletes", []):
+            # v3 deletion vector: content=1, PUFFIN, blob range +
+            # referenced data file; record_count = DV cardinality
+            df = {
+                "content": 1,
+                "file_path": os.path.abspath(f["path"]),
+                "file_format": "PUFFIN",
+                "record_count": int(f["records"]),
+                "file_size_in_bytes": int(
+                    f["size"] if "size" in f
+                    else os.path.getsize(f["path"])
+                ),
+                "equality_ids": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "value_counts": None,
+                "null_value_counts": None,
+                "referenced_data_file": os.path.abspath(
+                    f["referenced_data_file"]
+                ),
+                "content_offset": int(f["content_offset"]),
+                "content_size_in_bytes": int(
+                    f["content_size_in_bytes"]
+                ),
+            }
+            if partition_fields:
+                df["partition"] = {n: None for n, _t in partition_fields}
+            live_del[f["path"] + "#" + df["referenced_data_file"]] = {
+                "df": df, "seq": seq, "snap_id": snap_id,
+            }
             del_entries.append(
                 {
                     "status": _STATUS_ADDED,
@@ -378,6 +445,10 @@ def write_iceberg_metadata(
                 "value_counts": None,
                 "null_value_counts": None,
             }
+            if has_dv:
+                df.update(referenced_data_file=None,
+                          content_offset=None,
+                          content_size_in_bytes=None)
             if partition_fields:
                 df["partition"] = {n: None for n, _t in partition_fields}
             live_del[f["path"]] = {"df": df, "seq": seq,
@@ -419,7 +490,7 @@ def write_iceberg_metadata(
                     [0]["fields"]
                 ).encode(),
                 "partition-spec-id": b"0",
-                "format-version": b"2",
+                "format-version": str(format_version).encode(),
                 "content": b"data" if content == 0 else b"deletes",
             })
             with open(mpath, "wb") as fh:
@@ -461,7 +532,7 @@ def write_iceberg_metadata(
         with open(lpath, "wb") as fh:
             fh.write(encode_avro(
                 mlist, _MANIFEST_LIST_SCHEMA, extra_meta={
-                    "format-version": b"2",
+                    "format-version": str(format_version).encode(),
                     "snapshot-id": str(snap_id).encode(),
                     "sequence-number": str(seq).encode(),
                     "parent-snapshot-id": (
@@ -494,7 +565,7 @@ def write_iceberg_metadata(
         default=999,
     )
     metadata = {
-        "format-version": 2,
+        "format-version": int(format_version),
         "table-uuid": str(uuid.uuid4()),
         "location": os.path.abspath(table_dir),
         "last-sequence-number": seq,
@@ -545,7 +616,7 @@ def iceberg_live_files(
     spec's inheritance rule) — the delete-applicability key."""
     with open(metadata_path, encoding="utf-8") as fh:
         meta = json.load(fh)
-    if int(meta.get("format-version", 1)) not in (1, 2):
+    if int(meta.get("format-version", 1)) not in (1, 2, 3):
         raise NotImplementedError(
             f"iceberg format-version {meta.get('format-version')}"
         )
@@ -609,7 +680,24 @@ def iceberg_live_files(
                 raise ValueError(
                     "iceberg data file listed in a DELETE manifest"
                 )
-            if df["file_format"].upper() != "PARQUET":
+            fmt = df["file_format"].upper()
+            is_dv = (
+                fc == 1 and df.get("referenced_data_file") is not None
+            )
+            if is_dv:
+                # v3 deletion vector: a Puffin blob range
+                if fmt != "PUFFIN":
+                    raise ValueError(
+                        "iceberg deletion-vector entry must be PUFFIN,"
+                        f" got {df['file_format']}"
+                    )
+                if (df.get("content_offset") is None
+                        or df.get("content_size_in_bytes") is None):
+                    raise ValueError(
+                        "iceberg deletion-vector entry lacks"
+                        " content_offset/content_size_in_bytes"
+                    )
+            elif fmt != "PARQUET":
                 raise NotImplementedError(
                     f"iceberg file format {df['file_format']}"
                 )
@@ -656,6 +744,13 @@ def iceberg_live_files(
                 if fc == 2 and not rec["equality_ids"]:
                     raise ValueError(
                         "iceberg equality-delete file without equality_ids"
+                    )
+                if is_dv:
+                    rec["referenced_data_file"] = \
+                        df["referenced_data_file"]
+                    rec["content_offset"] = int(df["content_offset"])
+                    rec["content_size_in_bytes"] = int(
+                        df["content_size_in_bytes"]
                     )
                 delete_files.append(rec)
     # resolve the CURRENT schema by current-schema-id (schemas[0] is
@@ -1055,8 +1150,15 @@ def read_iceberg_table(
         )
     )
 
-    pos_files = [d for d in resolved["delete_files"] if d["content"] == 1]
-    if pos_files:
+    pos_files = [
+        d for d in resolved["delete_files"]
+        if d["content"] == 1 and "referenced_data_file" not in d
+    ]
+    dv_files = [
+        d for d in resolved["delete_files"]
+        if d["content"] == 1 and "referenced_data_file" in d
+    ]
+    if pos_files or dv_files:
         parts = []
         for d in pos_files:
             parts.append(
@@ -1066,10 +1168,69 @@ def read_iceberg_table(
                     F.lit(int(d["seq"])).alias("__del_seq"),
                 )
             )
+        if dv_files:
+            # v3 DELETION VECTORS: one Puffin-framed roaring bitmap
+            # per data file (the spec's one-DV-per-file invariant,
+            # enforced), exploded to (path, pos) rows EXECUTOR-side —
+            # the driver never materializes positions, so a 100 TB
+            # table's accumulated DVs decode in parallel next to the
+            # scan they filter
+            seen: set[str] = set()
+            for d in dv_files:
+                if d["referenced_data_file"] in seen:
+                    raise ValueError(
+                        "iceberg v3: multiple deletion vectors"
+                        " reference one data file:"
+                        f" {d['referenced_data_file']}"
+                    )
+                seen.add(d["referenced_data_file"])
+            desc = spark.createDataFrame(
+                [(d["path"], int(d["content_offset"]),
+                  int(d["content_size_in_bytes"]),
+                  d["referenced_data_file"], int(d["seq"]))
+                 for d in dv_files],
+                "puffin string, off long, size long,"
+                " ref string, seq long",
+            )
+
+            def _explode_dv(it):
+                import pandas as pd
+
+                from pyiceberg_lakehouse_spark.lakehouse.puffin import (
+                    decode_deletion_vector,
+                    read_puffin_blob,
+                )
+
+                for pdf in it:
+                    for row in pdf.itertuples():
+                        pos = decode_deletion_vector(
+                            read_puffin_blob(
+                                row.puffin, row.off, row.size
+                            )
+                        )
+                        yield pd.DataFrame({
+                            "__del_path": row.ref,
+                            "__del_pos": pd.Series(pos, dtype="int64"),
+                            "__del_seq": row.seq,
+                        })
+
+            parts.append(
+                desc.repartition(min(len(dv_files), 64))
+                .mapInPandas(
+                    _explode_dv,
+                    "__del_path string, __del_pos long, __del_seq long",
+                )
+                .select(
+                    _norm_path(F.col("__del_path")).alias("__del_path"),
+                    "__del_pos", "__del_seq",
+                )
+            )
         dels = parts[0]
         for p in parts[1:]:
             dels = dels.unionByName(p)
-        if sum(d["records"] for d in pos_files) <= BROADCAST_DELETE_ROWS:
+        if sum(
+            d["records"] for d in pos_files + dv_files
+        ) <= BROADCAST_DELETE_ROWS:
             dels = F.broadcast(dels)
         data = data.join(
             dels,

@@ -2822,3 +2822,108 @@ def lh_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("pruned").alias("which"), *cols)
     )
     return head.unionByName(tt).unionByName(pruned)
+
+
+@register(
+    "lh_iceberg_dv_scan",
+    """
+    with evens as (
+      select c_custkey, c_nationkey, c_acctbal,
+             row_number() over (order by c_custkey) - 1 as pos
+      from customer where c_custkey % 2 = 0
+    ),
+    odds as (
+      select c_custkey, c_nationkey, c_acctbal,
+             row_number() over (order by c_custkey) - 1 as pos
+      from customer where c_custkey % 2 = 1
+    )
+    select 'head' as which, c_custkey, c_nationkey
+    from evens where pos % 7 <> 3
+    union all
+    select 'head' as which, c_custkey, c_nationkey
+    from odds where pos % 5 <> 2
+    union all
+    select 'pre' as which, c_custkey, c_nationkey from customer
+    """,
+)
+def lh_iceberg_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 DELETION VECTORS end to end (r18;
+    lakehouse/puffin.py + operators/roaring.py +
+    iceberg_interop v3): two data files written in a known sort
+    order, one Puffin file holding a framed deletion-vector-v1 blob
+    per data file — row ordinals as a 64-bit Roaring bitmap
+    ("portable" format, array/run containers both exercised by the
+    mod-7 and mod-5 ordinal patterns), CRC/magic framing validated on
+    read — referenced from v3 manifests via
+    referenced_data_file/content_offset/content_size_in_bytes and
+    applied as the MoR anti-join with positions decoded
+    EXECUTOR-side (mapInPandas over blob descriptors; the driver
+    never materializes a position list). Two hashed arms: the head
+    (both DVs applied) and time travel to the pre-DV snapshot. The
+    oracle restates ordinal identity as ROW_NUMBER over the same
+    sort."""
+    import glob as _glob
+    import os as _os
+
+    from pyiceberg_lakehouse_spark.lakehouse import iceberg_interop as I
+    from pyiceberg_lakehouse_spark.lakehouse.puffin import (
+        write_deletion_vector_file,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    td = session_tmpdir(prefix="lakehouse_dv_")
+    paths = {}
+    counts = {}
+    for name, parity in (("evens", 0), ("odds", 1)):
+        d = _os.path.join(td, f"dv_{name}")
+        (
+            cust.filter(F.col("c_custkey") % 2 == parity)
+            .select("c_custkey", "c_nationkey", "c_acctbal")
+            .coalesce(1)
+            .sortWithinPartitions("c_custkey")
+            .write.mode("overwrite").parquet(d)
+        )
+        paths[name] = sorted(
+            _glob.glob(_os.path.join(d, "*.parquet"))
+        )[0]
+        counts[name] = (
+            spark.read.parquet(paths[name]).count()
+        )
+    pf = _os.path.join(td, "dv.puffin")
+    entries = write_deletion_vector_file(pf, [
+        {"data_file": paths["evens"],
+         "positions": [p for p in range(counts["evens"])
+                       if p % 7 == 3]},
+        {"data_file": paths["odds"],
+         "positions": [p for p in range(counts["odds"])
+                       if p % 5 == 2]},
+    ], snapshot_id=1001, sequence_number=2)
+    fields = [
+        {"id": 1, "name": "c_custkey", "required": False,
+         "type": "long"},
+        {"id": 2, "name": "c_nationkey", "required": False,
+         "type": "long"},
+        {"id": 3, "name": "c_acctbal", "required": False,
+         "type": "double"},
+    ]
+    mp = I.write_iceberg_metadata(
+        _os.path.join(td, "dv_table"),
+        snapshots=[
+            {"files": [
+                {"path": paths["evens"], "records": counts["evens"]},
+                {"path": paths["odds"], "records": counts["odds"]},
+            ]},
+            {"files": [], "dv_deletes": [
+                {"path": pf, **e} for e in entries
+            ]},
+        ],
+        schema_fields=fields,
+        format_version=3,
+    )
+    head = I.read_iceberg_table(spark, mp).select(
+        F.lit("head").alias("which"), "c_custkey", "c_nationkey"
+    )
+    pre = I.read_iceberg_table(spark, mp, snapshot_id=1000).select(
+        F.lit("pre").alias("which"), "c_custkey", "c_nationkey"
+    )
+    return head.unionByName(pre)

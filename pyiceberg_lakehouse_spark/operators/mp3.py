@@ -404,7 +404,21 @@ def _read_scalefactors_v1(bits, g, prev_sf, scfsi, gr):
     start = bits.pos
     if g["block_type"] == 2 and g["window_switching"]:
         if g["mixed_block"]:
-            raise NotImplementedError("mp3: mixed blocks")
+            # mixed blocks (spec 2.4.2.7): 8 LONG scalefactors (slen1)
+            # for the two long subbands, then short bands 3..5 (slen1)
+            # and 6..11 (slen2), three windows each — 17*slen1 +
+            # 18*slen2 part2 bits
+            long_sf = [bits.read(s1) for _ in range(8)]
+            short_sf = [[0, 0, 0] for _ in range(3)]
+            short_sf += [[bits.read(s1) for _ in range(3)]
+                         for _ in range(3)]
+            short_sf += [[bits.read(s2) for _ in range(3)]
+                         for _ in range(6)]
+            return (
+                {"long": long_sf + [0] * 13, "short": short_sf,
+                 "mixed": True},
+                bits.pos - start,
+            )
         sf = [[bits.read(s1) for _ in range(3)] for _ in range(6)] + \
              [[bits.read(s2) for _ in range(3)] for _ in range(6)]
         return {"short": sf}, bits.pos - start
@@ -564,11 +578,31 @@ def requantize(is_, g, sf, sr) -> list[float]:
         bands = SFB_SHORT[sr]
         sfs = sf["short"]
         sbg = g["subblock_gain"]
+        mixed = bool(g.get("mixed_block")) or sf.get("mixed", False)
+        first_band = 0
+        idx = 0
+        if mixed:
+            # mixed: lines 0..35 are the LONG part (long bands 0..7,
+            # long scalefactors + pretab); the short band-major runs
+            # start at line 36 = short band 3
+            lbands = SFB_LONG[sr]
+            sfl = sf["long"]
+            for b in range(8):
+                sfv = sfl[b] if b < len(sfl) else 0
+                pre = PRETAB[b] if g["preflag"] else 0
+                mult = 2.0 ** (gain / 4.0 - step * (sfv + pre))
+                for i in range(lbands[b], min(lbands[b + 1], 36)):
+                    v = is_[i]
+                    if v:
+                        xr[i] = math.copysign(
+                            abs(v) ** (4.0 / 3.0), v
+                        ) * mult
+            first_band = 3
+            idx = 36
         # short-block spectra arrive band-major, window-minor (reorder
         # happens AFTER requantization): for each band b, window w, the
         # run covers bands[b]..bands[b+1] of that window
-        idx = 0
-        for b in range(len(bands) - 1):
+        for b in range(first_band, len(bands) - 1):
             width = bands[b + 1] - bands[b]
             for w in range(3):
                 sfv = sfs[b][w] if b < len(sfs) else 0
@@ -602,14 +636,21 @@ def requantize(is_, g, sf, sr) -> list[float]:
     return xr
 
 
-def reorder_short(xr, sr) -> list[float]:
+def reorder_short(xr, sr, mixed: bool = False) -> list[float]:
     """Short-block reorder: band-major window runs -> line-interleaved
     (within each 18-line granule-subband group, line j holds window
-    j%3, frequency j//3 — the layout the per-window IMDCT consumes)."""
+    j%3, frequency j//3 — the layout the per-window IMDCT consumes).
+    ``mixed``: the long part (lines 0..35) passes through untouched;
+    reordering starts at short band 3 (= line 36 on both sides)."""
     out = [0.0] * 576
     bands = SFB_SHORT[sr]
+    first_band = 0
     idx = 0
-    for b in range(len(bands) - 1):
+    if mixed:
+        out[:36] = xr[:36]
+        first_band = 3
+        idx = 36
+    for b in range(first_band, len(bands) - 1):
         start, width = bands[b], bands[b + 1] - bands[b]
         for w in range(3):
             for k in range(width):
@@ -692,11 +733,15 @@ def stereo_process(hdr, g_r, sf_r, rzero_r, xr_l, xr_r) -> None:
             xr_r[i] = v * kr
 
 
-def alias_reduce(xr, block_type, window_switching) -> None:
-    """Butterflies across the 31 subband boundaries (skip pure short)."""
-    if block_type == 2 and window_switching:
+def alias_reduce(xr, block_type, window_switching,
+                 mixed: bool = False) -> None:
+    """Butterflies across the 31 subband boundaries (skip pure short;
+    MIXED blocks butterfly only the long part's single internal
+    boundary, between subbands 0 and 1)."""
+    if block_type == 2 and window_switching and not mixed:
         return
-    for sb in range(1, 32):
+    n_bounds = 2 if (block_type == 2 and window_switching) else 32
+    for sb in range(1, n_bounds):
         base = 18 * sb
         for i in range(8):
             lo, hi = base - 1 - i, base + i
@@ -776,10 +821,35 @@ def _np_consts():
     return c
 
 
-def imdct_granule(xr, block_type, window_switching, overlap) -> list[float]:
+def imdct_granule(xr, block_type, window_switching, overlap,
+                  mixed: bool = False) -> list[float]:
     """18 spectral lines per subband -> 18 time samples per subband with
     overlap-add; ``overlap`` is the persistent [32][18] state. Returns
-    576 time-domain samples (subband-major), frequency-inverted."""
+    576 time-domain samples (subband-major), frequency-inverted.
+    ``mixed``: subbands 0-1 use the LONG (type 0) window, 2-31 short —
+    handled by running the long path on the first two subbands and the
+    short path on the rest (the per-subband transforms are
+    independent)."""
+    if mixed and block_type == 2 and window_switching:
+        # two passes over disjoint subband ranges sharing the overlap
+        # state: zero-input/zero-overlap dummy subbands contribute
+        # nothing, and frequency inversion keys on the subband INDEX,
+        # which both passes preserve
+        ov_long = [list(overlap[0]), list(overlap[1])] + \
+            [[0.0] * 18 for _ in range(30)]
+        ov_short = [[0.0] * 18, [0.0] * 18] + \
+            [list(overlap[sb]) for sb in range(2, 32)]
+        long_out = imdct_granule(
+            list(xr[:36]) + [0.0] * 540, 0, 0, ov_long
+        )
+        short_out = imdct_granule(
+            [0.0] * 36 + list(xr[36:]), 2, 1, ov_short
+        )
+        overlap[0] = ov_long[0]
+        overlap[1] = ov_long[1]
+        for sb in range(2, 32):
+            overlap[sb] = ov_short[sb]
+        return long_out[:36] + short_out[36:]
     short = block_type == 2 and window_switching
     if _np is not None:
         c = _np_consts()
@@ -919,13 +989,16 @@ def decode_granule_channel(bits, g, hdr, sf) -> tuple[list[int],
         )
     xr = requantize(is_, g, sf, hdr["sample_rate"])
     if g["block_type"] == 2 and g["window_switching"]:
-        xr = reorder_short(xr, hdr["sample_rate"])
+        mixed = bool(g.get("mixed_block"))
+        xr = reorder_short(xr, hdr["sample_rate"], mixed=mixed)
         is_r = [0] * 576
         # keep the integer spectrum in the same (reordered) layout the
         # float path uses, for exact-integer downstream features
         bands = SFB_SHORT[hdr["sample_rate"]]
-        idx = 0
-        for b in range(len(bands) - 1):
+        if mixed:
+            is_r[:36] = is_[:36]
+        idx = 36 if mixed else 0
+        for b in range(3 if mixed else 0, len(bands) - 1):
             start, width = bands[b], bands[b + 1] - bands[b]
             for w in range(3):
                 for k in range(width):
@@ -940,8 +1013,11 @@ def decode_mp3(payload: bytes, iso_window: bool = False) -> dict:
     spectra: [per granule [per ch is[576]]], pcm: [per ch list[float]],
     subband_energy: [32]} through the full Layer III chain (mono,
     MS/LR stereo, and r18: long-block INTENSITY stereo incl. the
-    MS+intensity combination; short-block intensity and mixed blocks
-    stay gated)."""
+    MS+intensity combination, plus MPEG-1 MIXED BLOCKS — long windows
+    on subbands 0-1, short on 2-31, with the mixed scalefactor
+    layout, partial reorder, single-boundary alias reduction and the
+    split IMDCT; short-block intensity and LSF mixed blocks stay
+    gated)."""
     frames = walk_frames(payload)
     if not frames:
         raise ValueError("mp3: no frames")
@@ -990,12 +1066,14 @@ def decode_mp3(payload: bytes, iso_window: bool = False) -> dict:
                     gr_xr[0], gr_xr[1],
                 )
             for ch, g in enumerate(chs):
+                mixed = bool(g.get("mixed_block"))
                 alias_reduce(
-                    gr_xr[ch], g["block_type"], g["window_switching"]
+                    gr_xr[ch], g["block_type"], g["window_switching"],
+                    mixed=mixed,
                 )
                 ss = imdct_granule(
                     gr_xr[ch], g["block_type"], g["window_switching"],
-                    overlap[ch],
+                    overlap[ch], mixed=mixed,
                 )
                 for sb in range(32):
                     e = 0.0
@@ -1058,7 +1136,18 @@ def _encode_granule(w: BitWriter, spec: dict, sr: int) -> dict:
             )
         w.write(value, slen)
 
-    if short:
+    if short and spec.get("mixed_block"):
+        sfl = spec.get("scalefac_l") or [0] * 8
+        for b in range(8):
+            _wsf(sfl[b], s1)
+        sfs = spec.get("scalefac_s") or [[0] * 3 for _ in range(12)]
+        for b in range(3, 6):
+            for wnd in range(3):
+                _wsf(sfs[b][wnd], s1)
+        for b in range(6, 12):
+            for wnd in range(3):
+                _wsf(sfs[b][wnd], s2)
+    elif short:
         sfs = spec.get("scalefac_s") or [[0] * 3 for _ in range(12)]
         for b in range(6):
             for wnd in range(3):
@@ -1135,7 +1224,7 @@ def _encode_granule(w: BitWriter, spec: dict, sr: int) -> dict:
         "scalefac_compress": sfc,
         "window_switching": 1 if short else 0,
         "block_type": spec.get("block_type", 0),
-        "mixed_block": 0,
+        "mixed_block": 1 if (short and spec.get("mixed_block")) else 0,
         "table_select": tables,
         "subblock_gain": spec.get("subblock_gain", [0, 0, 0]),
         "region0_count": spec.get("region0_count", 0),

@@ -657,10 +657,16 @@ def floor0_curve(amplitude: int, coeffs: list[float], cfg: dict,
         pq = p + q
         if pq <= 0.0:
             raise ValueError("vorbis: floor0 curve singular (p+q = 0)")
-        lin = math.exp(
+        arg = (
             0.11512925
             * (amplitude * ao / (((1 << ab) - 1) * math.sqrt(pq)) - ao)
         )
+        # saturation guard: a stream whose LSP envelope exceeds the
+        # double range (tiny p+q under a large amplitude/offset)
+        # decodes to the saturated value instead of crashing — real
+        # trained envelopes sit many orders below this, but the
+        # decoder must survive arbitrary streams (the fuzz contract)
+        lin = math.exp(min(arg, 700.0))
         out[i] = lin
         i += 1
         while i < n2 and m[i] == m[i - 1]:

@@ -386,6 +386,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lh_iceberg_export",
     "multimodal_opus_probe",
     "multimodal_ogg_floor0",
+    "lh_iceberg_dv_scan",
     # fresh-code holds (r18 diff touches their decode/fixture paths)
     "multimodal_mp3_samples",
     "lh_iceberg_mor_scan",
@@ -423,7 +424,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "filter_eq",
     "fn_array_higher_order",
     "fn_pandas_scalar",
-    "join_asof",
 )
 
 _R16_WINDOW: tuple[str, ...] = (

@@ -463,3 +463,121 @@ class TestMorDeleteJoinStrategy:
             spark.conf.set(
                 "spark.sql.autoBroadcastJoinThreshold", thresh
             )
+
+
+class TestV3DeletionVectors:
+    """r18: Iceberg v3 deletion vectors — Puffin-framed roaring
+    bitmaps applied through the MoR anti-join, decoded executor-side."""
+
+    def _v3_table(self, spark, dv_positions):
+        td = session_tmpdir(prefix="ice_v3_")
+        from pyiceberg_lakehouse_spark.lakehouse.puffin import (
+            write_deletion_vector_file,
+        )
+
+        d1 = os.path.join(td, "f1")
+        spark.range(0, 1000).withColumn(
+            "v", F.col("id") * 2
+        ).coalesce(1).write.parquet(d1)
+        p1 = _one_parquet(d1)
+        pf = os.path.join(td, "dv.puffin")
+        entries = write_deletion_vector_file(
+            pf, [{"data_file": p1, "positions": dv_positions}],
+            snapshot_id=1001, sequence_number=2,
+        )
+        fields = [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "long"},
+        ]
+        mp = I.write_iceberg_metadata(
+            td,
+            snapshots=[
+                {"files": [{"path": p1, "records": 1000}]},
+                {"files": [], "dv_deletes": [
+                    {"path": pf, **e} for e in entries
+                ]},
+            ],
+            schema_fields=fields,
+            format_version=3,
+        )
+        return mp, p1, pf
+
+    def test_dv_applies_and_time_travel(self, spark):
+        mp, _p1, _pf = self._v3_table(spark, list(range(0, 1000, 7)))
+        got = sorted(r.id for r in I.read_iceberg_table(
+            spark, mp).collect())
+        assert got == [i for i in range(1000) if i % 7 != 0]
+        # pre-DV snapshot sees everything
+        assert I.read_iceberg_table(
+            spark, mp, snapshot_id=1000).count() == 1000
+        # metadata declares v3
+        assert json.load(open(mp))["format-version"] == 3
+
+    def test_one_dv_per_file_invariant(self, spark):
+        mp, p1, pf = self._v3_table(spark, [1, 2])
+        from pyiceberg_lakehouse_spark.lakehouse.puffin import (
+            write_deletion_vector_file,
+        )
+
+        td = os.path.dirname(pf)
+        pf2 = os.path.join(td, "dv2.puffin")
+        e2 = write_deletion_vector_file(
+            pf2, [{"data_file": p1, "positions": [3]}])
+        fields = json.load(open(mp))["schemas"][0]["fields"]
+        mp2 = I.write_iceberg_metadata(
+            os.path.join(td, "dup"),
+            snapshots=[
+                {"files": [{"path": p1, "records": 1000}]},
+                {"files": [], "dv_deletes": (
+                    [{"path": pf, "referenced_data_file": p1,
+                      "content_offset": 4,
+                      "content_size_in_bytes": os.path.getsize(pf) - 100,
+                      "records": 2}]
+                    + [{"path": pf2, **e2[0]}]
+                )},
+            ],
+            schema_fields=fields,
+            format_version=3,
+        )
+        with pytest.raises(ValueError, match="multiple deletion"):
+            I.read_iceberg_table(spark, mp2).collect()
+
+    def test_dv_needs_v3(self, spark):
+        td = session_tmpdir(prefix="ice_v3gate_")
+        with pytest.raises(ValueError, match="format_version=3"):
+            I.write_iceberg_metadata(
+                td,
+                snapshots=[{"files": [], "dv_deletes": [
+                    {"path": "x", "referenced_data_file": "y",
+                     "content_offset": 0, "content_size_in_bytes": 1,
+                     "records": 1},
+                ]}],
+                schema_fields=[{"id": 1, "name": "id",
+                                "required": False, "type": "long"}],
+            )
+
+    def test_dv_manifest_fields_have_spec_ids(self, spark):
+        from pyiceberg_lakehouse_spark.operators.avro import decode_avro
+
+        mp, _p1, _pf = self._v3_table(spark, [5])
+        meta = json.load(open(mp))
+        head = next(s for s in meta["snapshots"]
+                    if s["snapshot-id"] == meta["current-snapshot-id"])
+        mlist = decode_avro(open(head["manifest-list"], "rb").read())
+        del_entry = next(e for e in mlist["records"]
+                         if e["content"] == 1)
+        man = decode_avro(open(del_entry["manifest_path"], "rb").read())
+        df_ids = {
+            f["name"]: f.get("field-id")
+            for f in next(
+                f for f in man["schema"]["fields"]
+                if f["name"] == "data_file"
+            )["type"]["fields"]
+        }
+        assert df_ids["referenced_data_file"] == 143
+        assert df_ids["content_offset"] == 144
+        assert df_ids["content_size_in_bytes"] == 145
+        rec = next(e for e in man["records"]
+                   if e["data_file"]["content"] == 1)["data_file"]
+        assert rec["file_format"] == "PUFFIN"
+        assert rec["referenced_data_file"].endswith(".parquet")

@@ -473,3 +473,125 @@ class TestIntensityStereo:
                 {"block_type": 2, "window_switching": 1},
                 {"long": [0] * 21}, 0, [0.0] * 576, [0.0] * 576,
             )
+
+
+class TestMixedBlocks:
+    """r18: MPEG-1 MIXED blocks (block_type 2, mixed flag) — long
+    windows on subbands 0-1 (lines 0..35, long bands 0..7 + long
+    scalefactors), short on the rest (band-major from short band 3).
+    Every stage dual-derives against independent math."""
+
+    SR = 44100
+
+    def _mixed_spec(self, is_, big):
+        return {
+            "is": list(is_), "global_gain": 210, "tables": [7, 7, 7],
+            "big_values": big, "count1_quads": 0,
+            "scalefac_compress": 9, "block_type": 2,
+            "window_switching": 1, "mixed_block": 1,
+            "subblock_gain": [0, 1, 0],
+            "scalefac_l": [1, 2, 0, 1, 0, 0, 0, 1],
+            "scalefac_s": [[0] * 3] * 3 + [[1, 0, 1], [0, 1, 0]]
+            + [[0] * 3] * 7,
+            "scalefac_scale": 0, "preflag": 0,
+        }
+
+    def _fixture(self):
+        is_ = [0] * 576
+        for i, v in enumerate([1, -2, 3, -1]):
+            is_[i] = v
+        for i, v in enumerate([2, -3, 1, -2, 4, -1, 2, -4]):
+            is_[36 + i] = v
+        return is_
+
+    def test_integer_spectrum_roundtrip(self):
+        is_ = self._fixture()
+        blob = M.encode_mp3([
+            self._mixed_spec(is_, 22), _spec([0] * 576)
+        ])
+        out = M.decode_mp3(blob)
+        dec = out["spectra"][0][0]
+        exp = [0] * 576
+        exp[:36] = is_[:36]
+        bands = M.SFB_SHORT[self.SR]
+        idx = 36
+        for b in range(3, len(bands) - 1):
+            start, width = bands[b], bands[b + 1] - bands[b]
+            for w in range(3):
+                for k in range(width):
+                    exp[3 * (start + k) + w] = is_[idx]
+                    idx += 1
+        assert dec == exp
+        assert out["n_samples"] == 1152
+
+    def test_requant_long_and_short_parts(self):
+        is_ = self._fixture()
+        g = {"global_gain": 210, "scalefac_scale": 0, "block_type": 2,
+             "window_switching": 1, "mixed_block": 1,
+             "subblock_gain": [0, 1, 0], "preflag": 0}
+        sf = {"long": [1, 2, 0, 1, 0, 0, 0, 1] + [0] * 13,
+              "short": [[0] * 3] * 3 + [[1, 0, 1], [0, 1, 0]]
+              + [[0] * 3] * 7, "mixed": True}
+        xr = M.requantize(is_, g, sf, self.SR)
+        # long part: long band 0, sf 1, step .5 -> 2^-0.5
+        assert abs(xr[0] - 2 ** -0.5) < 1e-12
+        # short part first run: band 3 window 0, sf 1 -> |2|^{4/3} 2^-0.5
+        assert abs(xr[36] - 2 ** (4 / 3) * 2 ** -0.5) < 1e-12
+        # window 1 run: subblock_gain 1 -> 2^-2
+        assert abs(xr[40] - 4 ** (4 / 3) * 2 ** -2) < 1e-12
+
+    def test_alias_single_boundary(self):
+        import random
+
+        rng = random.Random(7)
+        xr = [rng.uniform(-1, 1) for _ in range(576)]
+        got = list(xr)
+        M.alias_reduce(got, 2, 1, mixed=True)
+        want = list(xr)
+        for i in range(8):
+            lo, hi = 17 - i, 18 + i
+            a, b = want[lo], want[hi]
+            want[lo] = a * M._CS[i] - b * M._CA[i]
+            want[hi] = b * M._CS[i] + a * M._CA[i]
+        assert got == want
+        # pure short: no butterflies at all
+        got2 = list(xr)
+        M.alias_reduce(got2, 2, 1, mixed=False)
+        assert got2 == xr
+
+    def test_split_imdct_matches_per_subband_reference(self):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        xr = list(rng.uniform(-1, 1, 576))
+        ov = [[0.1 * i] * 18 for i in range(32)]
+        ov_ref = [list(r) for r in ov]
+        got = M.imdct_granule(list(xr), 2, 1, ov, mixed=True)
+        M36 = np.array(M._IMDCT36)
+        M12 = np.array(M._IMDCT12)
+        w0 = np.array(M._WIN_LONG[0])
+        ws = np.array(M._WIN_SHORT)
+        ref = []
+        for sb in range(32):
+            X = np.array(xr[18 * sb: 18 * sb + 18])
+            if sb < 2:
+                x36 = (M36 @ X) * w0
+            else:
+                x36 = np.zeros(36)
+                for w in range(3):
+                    x36[6 + 6 * w: 18 + 6 * w] += (M12 @ X[w::3]) * ws
+            cur = x36[:18] + np.array(ov_ref[sb])
+            if sb & 1:
+                cur[1::2] = -cur[1::2]
+            ref.extend(cur)
+            ov_ref[sb] = list(x36[18:])
+        assert np.allclose(np.array(got), np.array(ref), atol=1e-12)
+        for i in range(32):
+            assert np.allclose(ov[i], ov_ref[i], atol=1e-12)
+
+    def test_lsf_mixed_still_gated(self):
+        bits = M.Bits(b"\x00" * 8)
+        g = {"scalefac_compress": 0, "block_type": 2,
+             "window_switching": 1, "mixed_block": 1}
+        with pytest.raises(NotImplementedError, match="mixed"):
+            M._read_scalefactors_lsf(bits, g, False)
