@@ -801,31 +801,92 @@ _ICE_TO_SPARK = {
 }
 
 
-def _spark_schema(schema_fields: list[dict]):
-    """Iceberg schema fields -> Spark StructType (primitive columns;
-    the empty-result path needs a typed frame, not a row scan)."""
+def _spark_type(t):
+    """Iceberg type (primitive string or nested dict) -> Spark type."""
     from pyspark.sql import types as T
 
-    fields = []
-    for f in schema_fields:
-        t = f.get("type")
-        if isinstance(t, str) and t.startswith("decimal("):
-            # iceberg "decimal(P, S)" parses as a Spark decimal directly
-            spark_t = t.replace(" ", "")
-        elif isinstance(t, str) and t in _ICE_TO_SPARK:
-            spark_t = _ICE_TO_SPARK[t]
-        else:
-            raise NotImplementedError(
-                f"iceberg type {t!r} in the empty-scan schema"
+    if isinstance(t, str) and t.startswith("decimal("):
+        # iceberg "decimal(P, S)" parses as a Spark decimal directly
+        return T._parse_datatype_string(t.replace(" ", ""))
+    if isinstance(t, str) and t in _ICE_TO_SPARK:
+        return T._parse_datatype_string(_ICE_TO_SPARK[t])
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return T.StructType([
+                T.StructField(
+                    f["name"], _spark_type(f["type"]),
+                    not f.get("required", False),
+                )
+                for f in t.get("fields", [])
+            ])
+        if kind == "list":
+            return T.ArrayType(
+                _spark_type(t["element"]),
+                not t.get("element-required", False),
             )
-        fields.append(
-            T.StructField(
-                f["name"],
-                T._parse_datatype_string(spark_t),
-                not f.get("required", False),
+        if kind == "map":
+            return T.MapType(
+                _spark_type(t["key"]), _spark_type(t["value"]),
+                not t.get("value-required", False),
             )
+    raise NotImplementedError(
+        f"iceberg type {t!r} in the empty-scan schema"
+    )
+
+
+def _spark_schema(schema_fields: list[dict]):
+    """Iceberg schema fields -> Spark StructType (incl. nested
+    struct/list/map columns; the empty-result path needs a typed
+    frame, not a row scan)."""
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField(
+            f["name"], _spark_type(f.get("type")),
+            not f.get("required", False),
         )
-    return T.StructType(fields)
+        for f in schema_fields
+    ])
+
+
+def _resolve_predicate_field(
+    schema_fields: list[dict], col: str
+) -> tuple[int, str]:
+    """Predicate column (possibly a dotted struct path like
+    "addr.zip") -> (field id, primitive iceberg type). Iceberg tracks
+    NESTED fields by their own ids and manifests record bounds/counts
+    per nested field id, so struct-member predicates prune exactly
+    like top-level ones. List/map elements have no single bounds slot
+    and reject. Unknown paths raise (typo guard, same contract as
+    top-level)."""
+    parts = col.split(".")
+    fields = schema_fields
+    fld = None
+    for i, part in enumerate(parts):
+        by_name = {f["name"]: f for f in fields}
+        if part not in by_name:
+            where = ".".join(parts[: i + 1])
+            raise ValueError(
+                f"predicate column {where!r} not in the table schema"
+            )
+        fld = by_name[part]
+        t = fld.get("type")
+        if i < len(parts) - 1:
+            if not (isinstance(t, dict) and t.get("type") == "struct"):
+                raise ValueError(
+                    f"predicate path {col!r} descends through"
+                    f" non-struct field {part!r}"
+                )
+            fields = t.get("fields", [])
+    t = fld.get("type")
+    if isinstance(t, dict):
+        raise NotImplementedError(
+            f"iceberg predicate over {t.get('type')!r}-typed field"
+            f" {col!r} (list/map elements carry no single bounds slot;"
+            " struct MEMBERS prune — name them by dotted path)"
+        )
+    return int(fld["id"]), t
 
 
 def plan_iceberg_scan(
@@ -877,18 +938,14 @@ def plan_iceberg_scan(
                 kept.append(f)
         files = kept
     if predicates:
-        by_name = {f["name"]: f for f in resolved["schema_fields"]}
         for col, op, const in predicates:
-            if col not in by_name:
-                raise ValueError(
-                    f"predicate column {col!r} not in the table schema"
-                )
-            fld = by_name[col]
-            if not isinstance(fld.get("type"), str):
-                raise NotImplementedError(
-                    f"iceberg predicate over nested type {fld.get('type')!r}"
-                )
-            fid, ice_type = int(fld["id"]), fld["type"]
+            # dotted struct paths resolve to the NESTED field's own id
+            # (Iceberg manifests record bounds/null counts per nested
+            # field id, so addr.zip prunes exactly like a top-level
+            # column)
+            fid, ice_type = _resolve_predicate_field(
+                resolved["schema_fields"], col
+            )
             if op in ("is null", "is not null"):
                 # null-count pruning (manifest fields 109/110): a file
                 # with zero nulls cannot serve IS NULL; a file whose

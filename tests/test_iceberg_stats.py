@@ -581,3 +581,87 @@ class TestV3DeletionVectors:
                    if e["data_file"]["content"] == 1)["data_file"]
         assert rec["file_format"] == "PUFFIN"
         assert rec["referenced_data_file"].endswith(".parquet")
+
+
+class TestNestedPredicates:
+    """r18: struct-member predicates prune by the NESTED field's own
+    id (Iceberg manifests key bounds/counts by nested field ids)."""
+
+    def _nested_table(self, spark):
+        td = session_tmpdir(prefix="ice_nested_")
+        files = []
+        for i, (lo, hi) in enumerate([(0, 100), (100, 200)]):
+            d = os.path.join(td, f"f{i}")
+            (
+                spark.range(lo, hi)
+                .select(
+                    F.col("id"),
+                    F.struct(
+                        (F.col("id") * 10).alias("zip"),
+                        F.lit("x").alias("city"),
+                    ).alias("addr"),
+                )
+                .coalesce(1).write.parquet(d)
+            )
+            files.append({
+                "path": _one_parquet(d), "records": hi - lo,
+                "lower_bounds": {
+                    3: serialize_single_value(lo * 10, "long")},
+                "upper_bounds": {
+                    3: serialize_single_value((hi - 1) * 10, "long")},
+                "null_value_counts": {3: 0},
+                "value_counts": {3: hi - lo},
+            })
+        fields = [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "addr", "required": False, "type": {
+                "type": "struct", "fields": [
+                    {"id": 3, "name": "zip", "required": False,
+                     "type": "long"},
+                    {"id": 4, "name": "city", "required": False,
+                     "type": "string"},
+                ],
+            }},
+        ]
+        return I.write_iceberg_metadata(
+            td, snapshots=[{"files": files}], schema_fields=fields
+        )
+
+    def test_struct_member_bounds_prune(self, spark):
+        mp = self._nested_table(spark)
+        plan = I.plan_iceberg_scan(
+            mp, predicates=[("addr.zip", "<", 500)]
+        )
+        assert plan["n_candidates"] == 2
+        assert plan["n_pruned"] == 1
+        got = (
+            I.read_iceberg_table(
+                spark, mp, predicates=[("addr.zip", "<", 500)]
+            )
+            .filter(F.col("addr.zip") < 500)
+        )
+        assert got.count() == 50
+        # IS NULL prunes on the nested field's null counts
+        plan2 = I.plan_iceberg_scan(
+            mp, predicates=[("addr.zip", "is null", None)]
+        )
+        assert plan2["n_pruned"] == 2
+
+    def test_typed_empty_frame_with_struct(self, spark):
+        mp = self._nested_table(spark)
+        df = I.read_iceberg_table(
+            spark, mp, predicates=[("addr.zip", ">", 10 ** 9)]
+        )
+        assert df.count() == 0
+        assert df.schema["addr"].dataType.simpleString() == \
+            "struct<zip:bigint,city:string>"
+
+    def test_bad_paths_reject(self, spark):
+        mp = self._nested_table(spark)
+        with pytest.raises(ValueError, match="not in the table schema"):
+            I.plan_iceberg_scan(mp, predicates=[("addr.nope", "=", 1)])
+        with pytest.raises(ValueError, match="non-struct"):
+            I.plan_iceberg_scan(mp, predicates=[("id.x", "=", 1)])
+        # predicate on the struct itself (not a member) rejects
+        with pytest.raises(NotImplementedError, match="struct"):
+            I.plan_iceberg_scan(mp, predicates=[("addr", "=", 1)])
