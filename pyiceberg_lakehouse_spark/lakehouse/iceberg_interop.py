@@ -295,7 +295,7 @@ def write_iceberg_metadata(
             df = {
                 "content": 0,
                 "file_path": os.path.abspath(f["path"]),
-                "file_format": "PARQUET",
+                "file_format": f.get("file_format", "PARQUET"),
                 "record_count": int(f["records"]),
                 "file_size_in_bytes": int(
                     f["size"] if "size" in f
@@ -697,6 +697,8 @@ def iceberg_live_files(
                         "iceberg deletion-vector entry lacks"
                         " content_offset/content_size_in_bytes"
                     )
+            elif fc == 0 and fmt == "ORC":
+                pass  # ORC data files scan natively (Spark reader)
             elif fmt != "PARQUET":
                 raise NotImplementedError(
                     f"iceberg file format {df['file_format']}"
@@ -708,6 +710,7 @@ def iceberg_live_files(
                 eseq = m.get("sequence_number", 0)
             rec = {
                 "path": df["file_path"],
+                "format": fmt,
                 "records": df["record_count"],
                 "seq": eseq,
                 "partition": df.get("partition"),
@@ -1145,7 +1148,36 @@ def read_iceberg_table(
         raise ValueError(
             "iceberg snapshot lists no data files and no schema"
         )
-    reader = spark.read.parquet(*[f["path"] for f in resolved["files"]])
+    pq_paths = [
+        f["path"] for f in resolved["files"]
+        if f.get("format", "PARQUET") == "PARQUET"
+    ]
+    orc_paths = [
+        f["path"] for f in resolved["files"]
+        if f.get("format") == "ORC"
+    ]
+    readers = []  # (DataFrame, has_row_index)
+    if pq_paths:
+        readers.append((spark.read.parquet(*pq_paths), True))
+    if orc_paths:
+        # mixed-format tables (a migration reality): ORC files scan
+        # through Spark's native ORC reader and union with the
+        # parquet scan. Spark's ORC reader exposes _metadata.file_path
+        # but NOT row_index, so position deletes / deletion vectors
+        # cannot address ORC rows — gated below; equality deletes
+        # (value+sequence semantics) apply fine.
+        readers.append((spark.read.orc(*orc_paths), False))
+    reader = readers[0][0]
+    for r, _h in readers[1:]:
+        reader = reader.unionByName(r, allowMissingColumns=True)
+    if orc_paths and any(
+        d["content"] == 1 for d in resolved["delete_files"]
+    ):
+        raise NotImplementedError(
+            "iceberg position deletes / deletion vectors over ORC"
+            " data files: Spark's ORC reader exposes no"
+            " _metadata.row_index to address rows by ordinal"
+        )
     # spec "Column Projection": a current-schema field id absent from
     # the data files resolves from the manifest partition metadata
     # when an identity transform exists for it — the shape of
@@ -1167,12 +1199,22 @@ def read_iceberg_table(
     # normalization mismatch must surface loudly (raise), because a
     # NULL sequence number would make every delete predicate NULL and
     # silently RESURRECT deleted rows through the anti-joins.
-    base = reader.select(
-        "*",
-        _norm_path(F.col("_metadata.file_path"), decode=True)
-        .alias("__ice_path"),
-        F.col("_metadata.row_index").alias("__ice_pos"),
-    )
+    # _metadata is a per-scan pseudo-column: attach it on each
+    # format's reader BEFORE the union (it does not resolve through a
+    # Union node). ORC scans carry a NULL ordinal — the gate above
+    # keeps ordinal-addressed deletes off them.
+    metas = []
+    for r, has_rowidx in readers:
+        metas.append(r.select(
+            "*",
+            _norm_path(F.col("_metadata.file_path"), decode=True)
+            .alias("__ice_path"),
+            (F.col("_metadata.row_index") if has_rowidx
+             else F.lit(None).cast("long")).alias("__ice_pos"),
+        ))
+    base = metas[0]
+    for m in metas[1:]:
+        base = base.unionByName(m, allowMissingColumns=True)
     if missing:
         base = base.join(
             F.broadcast(_identity_projection_df(spark, resolved, missing)),

@@ -665,3 +665,79 @@ class TestNestedPredicates:
         # predicate on the struct itself (not a member) rejects
         with pytest.raises(NotImplementedError, match="struct"):
             I.plan_iceberg_scan(mp, predicates=[("addr", "=", 1)])
+
+
+class TestOrcDataFiles:
+    """r18: mixed parquet+ORC data files (the migration reality).
+    ORC scans through Spark's native reader; equality deletes apply
+    (value+sequence semantics); ordinal-addressed deletes gate (no
+    _metadata.row_index from the ORC reader)."""
+
+    def _mixed(self, spark, with_eq=False, with_pos=False):
+        td = session_tmpdir(prefix="ice_orc_")
+        d1 = os.path.join(td, "pq")
+        d2 = os.path.join(td, "orc")
+        spark.range(0, 100).withColumn(
+            "v", F.col("id") * 2).coalesce(1).write.parquet(d1)
+        spark.range(100, 200).withColumn(
+            "v", F.col("id") * 2).coalesce(1).write.orc(d2)
+        import glob as _g
+
+        p1 = _g.glob(d1 + "/*.parquet")[0]
+        p2 = (_g.glob(d2 + "/*.orc") or _g.glob(d2 + "/part-*"))[0]
+        fields = [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "long"},
+        ]
+        snaps = [{"files": [
+            {"path": p1, "records": 100,
+             "lower_bounds": {1: serialize_single_value(0, "long")},
+             "upper_bounds": {1: serialize_single_value(99, "long")}},
+            {"path": p2, "records": 100, "file_format": "ORC",
+             "lower_bounds": {1: serialize_single_value(100, "long")},
+             "upper_bounds": {1: serialize_single_value(199, "long")}},
+        ]}]
+        if with_eq:
+            d3 = os.path.join(td, "eq")
+            spark.createDataFrame(
+                [(5,), (150,)], "id long"
+            ).coalesce(1).write.parquet(d3)
+            snaps.append({"files": [], "eq_deletes": [
+                {"path": _g.glob(d3 + "/*.parquet")[0],
+                 "records": 2, "equality_ids": [1]},
+            ]})
+        if with_pos:
+            d4 = os.path.join(td, "pos")
+            spark.createDataFrame(
+                [("file://" + p2, 0)], "file_path string, pos long"
+            ).coalesce(1).write.parquet(d4)
+            snaps.append({"files": [], "pos_deletes": [
+                {"path": _g.glob(d4 + "/*.parquet")[0], "records": 1},
+            ]})
+        return I.write_iceberg_metadata(
+            td, snapshots=snaps, schema_fields=fields
+        )
+
+    def test_plain_mixed_scan_and_pruning(self, spark):
+        mp = self._mixed(spark)
+        df = I.read_iceberg_table(spark, mp)
+        assert df.count() == 200
+        # bounds prune works across formats
+        plan = I.plan_iceberg_scan(mp, predicates=[("id", "<", 50)])
+        assert plan["n_pruned"] == 1
+        got = I.read_iceberg_table(
+            spark, mp, predicates=[("id", ">=", 150)]
+        ).filter(F.col("id") >= 150)
+        assert got.count() == 50  # the pruned-to-ORC read works
+
+    def test_equality_deletes_across_formats(self, spark):
+        mp = self._mixed(spark, with_eq=True)
+        got = sorted(
+            r.id for r in I.read_iceberg_table(spark, mp).collect()
+        )
+        assert got == [i for i in range(200) if i not in (5, 150)]
+
+    def test_ordinal_deletes_over_orc_gate(self, spark):
+        mp = self._mixed(spark, with_pos=True)
+        with pytest.raises(NotImplementedError, match="row_index"):
+            I.read_iceberg_table(spark, mp).collect()
