@@ -269,3 +269,79 @@ def test_r17_truncated_valid_rejected_cleanly(cut):
             raise AssertionError(
                 f"{name} raised {type(exc).__name__} truncated: {exc}"
             ) from exc
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_r18_parsers_reject_garbage_cleanly(data):
+    """The r18 surfaces (Opus head/packet, roaring bitmaps, deletion-
+    vector blobs) under the structured-rejection contract. Note
+    parse_opus_packet accepts ANY non-empty byte string whose layout
+    satisfies the packing rules — garbage often IS a legal packet
+    (code-0 one-frame), which is fine; only uncontrolled exceptions
+    fail."""
+    from pyiceberg_lakehouse_spark.lakehouse.puffin import (
+        decode_deletion_vector,
+    )
+    from pyiceberg_lakehouse_spark.operators import opus, roaring
+
+    for name, fn in (
+        ("opus_head", opus.parse_opus_head),
+        ("opus_packet", opus.parse_opus_packet),
+        ("opus_probe", opus.probe_ogg_opus),
+        ("roaring32", lambda b: roaring.deserialize_roaring32(b)),
+        ("roaring64", roaring.deserialize_roaring64),
+        ("deletion_vector", decode_deletion_vector),
+    ):
+        try:
+            fn(data)
+        except _CLEAN:
+            pass
+        except Exception as exc:  # noqa: BLE001 — the assertion itself
+            raise AssertionError(
+                f"{name} raised {type(exc).__name__} on garbage: {exc}"
+            ) from exc
+
+
+@settings(max_examples=25, deadline=None)
+@given(cut=st.integers(min_value=1, max_value=600))
+def test_r18_truncated_valid_rejected_cleanly(cut):
+    """Truncation anywhere in a valid Ogg Opus stream, a serialized
+    roaring bitmap, a framed DV blob, or a floor0 Vorbis stream must
+    reject cleanly (or, for the Ogg container, decode a legal
+    whole-page prefix)."""
+    from pyiceberg_lakehouse_spark.lakehouse.puffin import (
+        decode_deletion_vector,
+        encode_deletion_vector,
+    )
+    from pyiceberg_lakehouse_spark.operators import opus, roaring
+    from pyiceberg_lakehouse_spark.operators.ogg import (
+        make_opus_tags_packet,
+    )
+
+    head = opus.build_opus_head(channels=2, pre_skip=100)
+    tags = make_opus_tags_packet("v", [("A", "b")])
+    audio = [opus.build_opus_packet(28, [b"x" * 60]),
+             opus.build_opus_packet(1, [b"y" * 25] * 2)]
+    stream = opus.make_ogg_opus(head, tags, audio, max_segments=3)
+    rbits = roaring.serialize_roaring64(
+        list(range(0, 5000, 3)) + [2 ** 40]
+    )
+    dv = encode_deletion_vector(list(range(0, 3000, 7)))
+    for name, fn, full in (
+        ("opus_probe", opus.probe_ogg_opus, stream),
+        ("roaring64", roaring.deserialize_roaring64, rbits),
+        ("deletion_vector", decode_deletion_vector, dv),
+    ):
+        trunc = full[: max(0, len(full) - cut)]
+        if not trunc:
+            continue
+        try:
+            got = fn(trunc)
+            assert isinstance(got, (dict, list))
+        except _CLEAN:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(
+                f"{name} raised {type(exc).__name__} truncated: {exc}"
+            ) from exc
