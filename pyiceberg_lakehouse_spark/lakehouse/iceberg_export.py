@@ -198,6 +198,70 @@ def _typed_partition(
     return out
 
 
+def _collect_stats_distributed(
+    spark, paths: list[str], fields: list[dict]
+) -> dict[str, dict]:
+    """One Spark job: executor-side footer reads -> the per-file
+    manifest stats maps. Result rows are metadata-scale (files x
+    stat-bearing columns)."""
+    import base64
+
+    schema = (
+        "path string, fid int, lower string, upper string,"
+        " value_count long, null_count long"
+    )
+
+    def _batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for path in pdf["path"]:
+                st = _file_stats(str(path), fields)
+                fids = (set(st["lower_bounds"])
+                        | set(st["value_counts"])
+                        | set(st["null_value_counts"]))
+                for fid in sorted(fids):
+                    lo = st["lower_bounds"].get(fid)
+                    up = st["upper_bounds"].get(fid)
+                    rows.append((
+                        str(path), fid,
+                        base64.b64encode(lo).decode() if lo is not None
+                        else None,
+                        base64.b64encode(up).decode() if up is not None
+                        else None,
+                        st["value_counts"].get(fid),
+                        st["null_value_counts"].get(fid),
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "path", "fid", "lower", "upper",
+                "value_count", "null_count",
+            ])
+
+    src = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(min(len(paths), 256))
+    out: dict[str, dict] = {
+        p: {"lower_bounds": {}, "upper_bounds": {},
+            "value_counts": {}, "null_value_counts": {}}
+        for p in paths
+    }
+    import base64
+
+    for r in src.mapInPandas(_batches, schema).collect():
+        st = out[r["path"]]
+        fid = int(r["fid"])
+        if r["lower"] is not None:
+            st["lower_bounds"][fid] = base64.b64decode(r["lower"])
+        if r["upper"] is not None:
+            st["upper_bounds"][fid] = base64.b64decode(r["upper"])
+        if r["value_count"] is not None:
+            st["value_counts"][fid] = int(r["value_count"])
+        if r["null_count"] is not None:
+            st["null_value_counts"][fid] = int(r["null_count"])
+    return out
+
+
 def export_iceberg_table(
     table, dest_dir: str | None = None, with_stats: bool = True
 ) -> str:
@@ -280,6 +344,19 @@ def export_iceberg_table(
         }]
 
     stats_cache: dict[str, dict] = {}
+    if with_stats:
+        all_paths = sorted({
+            f["path"] for snap_ in log.snapshots
+            for f in snap_.added_files
+        })
+        if len(all_paths) > 64:
+            # 100 TB posture: footer stats for a big file census
+            # collect DISTRIBUTED (one executor-side footer read per
+            # file, metadata-scale result rows) instead of a driver
+            # loop over 100k files
+            stats_cache = _collect_stats_distributed(
+                table.spark, all_paths, fields
+            )
 
     def _entry(f: dict) -> dict:
         import pyarrow.parquet as pq

@@ -265,3 +265,26 @@ def test_export_gates(spark, warehouse):
             export_iceberg_table(t2)
     finally:
         os.rename(victim + ".hidden", victim)
+
+
+def test_distributed_stats_many_files(spark, warehouse):
+    """r18 scale posture: >64 data files route footer-stats collection
+    through one Spark job (executor-side reads) instead of a driver
+    loop — same stats, same pruning, same roundtrip."""
+    lh = Lakehouse(spark, warehouse)
+    df = spark.range(0, 7000).selectExpr(
+        "id as o_orderkey", "id % 100 as o_custkey"
+    )
+    t = lh.create_table("ns.exp_many", df.schema)
+    t.append(df.repartition(70))
+    assert len(t.log.live_files()) >= 65
+    mp = export_iceberg_table(t)
+    got = _rows(I.read_iceberg_table(spark, mp),
+                ("o_orderkey", "o_custkey"))
+    want = _rows(t.scan(), ("o_orderkey", "o_custkey"))
+    assert got == want
+    # every file carries bounds: a no-match predicate prunes ALL
+    plan = I.plan_iceberg_scan(
+        mp, predicates=[("o_orderkey", ">", 10 ** 9)]
+    )
+    assert plan["n_pruned"] == plan["n_candidates"] >= 65
