@@ -1314,6 +1314,46 @@ def bench_r18_mor_delete(spark, b, tmp):
         I.BROADCAST_DELETE_ROWS = saved
     del got
 
+    # iceberg EXPORT growth in FILE COUNT (the metadata-scale claim:
+    # export cost follows the file census, not data size — footer
+    # stats collect distributed above 64 files)
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.iceberg_export import (
+        export_iceberg_table,
+    )
+
+    wh = os.path.join(tmp, "exp_wh")
+    lh = Lakehouse(spark, wh)
+    for n_files in (int(100 * SCALE) or 100, int(1000 * SCALE) or 1000):
+        t = lh.create_table(
+            f"ns.exp_growth_{n_files}",
+            spark.range(1).selectExpr("id as k", "id as v").schema,
+        )
+        # guaranteed file census: write n_files parquet parts, then
+        # register metadata-only (add_files) — the append path may
+        # legally coalesce
+        raw = os.path.join(tmp, f"exp_raw_{n_files}")
+        (
+            spark.range(0, n_files * 100)
+            .selectExpr("id as k", "id % 7 as v")
+            .repartition(n_files)
+            .write.mode("overwrite").parquet(raw)
+        )
+        parts = sorted(_glob.glob(os.path.join(raw, "*.parquet")))
+        assert len(parts) == n_files, (len(parts), n_files)
+        t.add_files(parts)
+        got2 = b.run(
+            f"iceberg_export_{n_files}files",
+            lambda t=t: export_iceberg_table(t),
+            reps=max(REPS, 2),
+            warmup=False,
+        )
+        plan = I.plan_iceberg_scan(
+            got2, predicates=[("k", ">", 10 ** 12)]
+        )
+        b.notes[f"iceberg_export_{n_files}files_pruned"] = \
+            plan["n_pruned"]
+
 
 SECTIONS = {
     "documents": bench_documents,
@@ -1387,6 +1427,10 @@ def main() -> None:
         "mor_delete_shuffle_growth_10x": ratio(
             f"mor_delete_shuffle_{(int(100_000 * SCALE) or 100_000) // 1000}k",
             f"mor_delete_shuffle_{(int(1_000_000 * SCALE) or 1_000_000) // 1000}k",
+        ),
+        "iceberg_export_growth_10x_files": ratio(
+            f"iceberg_export_{int(100 * SCALE) or 100}files",
+            f"iceberg_export_{int(1000 * SCALE) or 1000}files",
         ),
         "ivf_probe_growth_10x": ratio(f"ivf_probe_{v1}", f"ivf_probe_{v2}"),
         "ivfpq_probe_growth_10x": ratio(f"ivfpq_probe_{v1}", f"ivfpq_probe_{v2}"),
