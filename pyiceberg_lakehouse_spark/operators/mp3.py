@@ -668,69 +668,117 @@ def ms_stereo(xr_l, xr_r) -> None:
         xr_r[i] = (m - s) * inv
 
 
-def stereo_process(hdr, g_r, sf_r, rzero_r, xr_l, xr_r) -> None:
+def stereo_process(hdr, g_r, sf_r, is_r, xr_l, xr_r) -> None:
     """Joint-stereo reconstruction for one granule (§2.4.3.4.9):
     MS (mode_ext & 2) and/or INTENSITY (mode_ext & 1).
 
-    Intensity stereo (MPEG-1, long blocks): the scalefactor bands
-    lying entirely in the RIGHT channel's zero part (at/above the
-    first band boundary >= rzero, the end of its coded region) carry
-    one combined signal in the left channel, re-panned by position
+    The intensity border follows the spec's VALUE rule (dist10's
+    III_stereo): the bound is the scalefactor band holding the right
+    channel's LAST NON-ZERO decoded value; every band fully above it
+    carries one combined signal in the left channel, re-panned by
     is_pos = the right channel's scalefactor for that band:
     is_ratio = tan(is_pos * pi/12), left = xr*ratio/(1+ratio),
-    right = xr/(1+ratio). Position 6 is the pure-left limit (ratio
-    infinite: left = xr, right = 0); position 7 is ILLEGAL — the band
-    falls back to the lower-bands mode (MS when mode_ext & 2, else
-    plain L/R). The last band (sfb21 region) reuses band 20's
-    position, since only 21 long scalefactors transmit. When MS and
-    intensity combine (mode_ext == 3), MS applies ONLY below the
-    intensity border. Short/mixed-block intensity (per-window
-    positions) is gated."""
+    right = xr/(1+ratio). Position 6 is the pure-left limit (left =
+    xr, right = 0); position 7 is ILLEGAL — the band falls back to
+    the lower-bands mode (MS when mode_ext & 2, else plain L/R). The
+    last band group reuses the final transmitted position (only 21
+    long / 12 short scalefactors exist). When MS and intensity
+    combine, MS applies ONLY below the border.
+
+    LONG blocks process whole bands; SHORT (non-mixed) blocks process
+    per (band, window) over the REORDERED spectrum with each window's
+    own border and its own is_pos (sf_r["short"][band][window]).
+    Mixed-block intensity (two borders, long + short parts) stays
+    gated."""
     ms = bool(hdr["mode_ext"] & 2)
     intens = bool(hdr["mode_ext"] & 1)
     if not intens:
         if ms:
             ms_stereo(xr_l, xr_r)
         return
-    if g_r["block_type"] == 2 and g_r["window_switching"]:
+    short = g_r["block_type"] == 2 and g_r["window_switching"]
+    if short and g_r.get("mixed_block"):
         raise NotImplementedError(
-            "mp3: intensity stereo over short/mixed blocks"
-            " (per-window is_pos) — long-block intensity shipped r18"
+            "mp3: intensity stereo over MIXED blocks (a long + a"
+            " per-window short border) — long and pure-short"
+            " intensity shipped r18"
         )
-    bands = SFB_LONG[hdr["sample_rate"]]
-    border_band = next(
-        (b for b in range(len(bands)) if bands[b] >= rzero_r),
-        len(bands) - 1,
-    )
-    border_line = bands[min(border_band, len(bands) - 1)]
-    if ms:
-        inv = 1.0 / math.sqrt(2.0)
-        for i in range(border_line):
+    inv = 1.0 / math.sqrt(2.0)
+
+    def _panned(pos):
+        if pos == 6:
+            return 1.0, 0.0
+        ratio = math.tan(pos * math.pi / 12.0)
+        return ratio / (1.0 + ratio), 1.0 / (1.0 + ratio)
+
+    def _ms_run(indices):
+        for i in indices:
             m, sd = xr_l[i], xr_r[i]
             xr_l[i] = (m + sd) * inv
             xr_r[i] = (m - sd) * inv
-    sfl = sf_r.get("long") or [0] * 21
-    for b in range(border_band, len(bands) - 1):
-        is_pos = sfl[min(b, 20)]
-        lo, hi = bands[b], bands[b + 1]
-        if is_pos == 7:
-            if ms:
-                inv = 1.0 / math.sqrt(2.0)
-                for i in range(lo, hi):
-                    m, sd = xr_l[i], xr_r[i]
-                    xr_l[i] = (m + sd) * inv
-                    xr_r[i] = (m - sd) * inv
-            continue
-        if is_pos == 6:
-            kl, kr = 1.0, 0.0
-        else:
-            ratio = math.tan(is_pos * math.pi / 12.0)
-            kl = ratio / (1.0 + ratio)
-            kr = 1.0 / (1.0 + ratio)
-        for i in range(lo, hi):
-            v = xr_l[i]
-            xr_l[i] = v * kl
-            xr_r[i] = v * kr
+
+    if not short:
+        bands = SFB_LONG[hdr["sample_rate"]]
+        last_nz = -1
+        for i in range(575, -1, -1):
+            if is_r[i]:
+                last_nz = i
+                break
+        border_band = next(
+            (b for b in range(len(bands)) if bands[b] > last_nz),
+            len(bands) - 1,
+        )
+        border_line = bands[min(border_band, len(bands) - 1)]
+        if ms:
+            _ms_run(range(border_line))
+        sfl = sf_r.get("long") or [0] * 21
+        for b in range(border_band, len(bands) - 1):
+            is_pos = sfl[min(b, 20)]
+            lo, hi = bands[b], bands[b + 1]
+            if is_pos == 7:
+                if ms:
+                    _ms_run(range(lo, hi))
+                continue
+            kl, kr = _panned(is_pos)
+            for i in range(lo, hi):
+                v = xr_l[i]
+                xr_l[i] = v * kl
+                xr_r[i] = v * kr
+        return
+
+    # pure short blocks: per-window borders over the reordered layout
+    # (band b, window w occupies 3*(start+k)+w for k < width)
+    bands = SFB_SHORT[hdr["sample_rate"]]
+    n_bands = len(bands) - 1
+    sfs = sf_r.get("short") or [[0] * 3 for _ in range(12)]
+
+    def _run(b, w):
+        start, width = bands[b], bands[b + 1] - bands[b]
+        return [3 * (start + k) + w for k in range(width)
+                if 3 * (start + k) + w < 576]
+
+    for w in range(3):
+        bound = -1
+        for b in range(n_bands - 1, -1, -1):
+            if any(is_r[i] for i in _run(b, w)):
+                bound = b
+                break
+        for b in range(n_bands):
+            idxs = _run(b, w)
+            if b <= bound:
+                if ms:
+                    _ms_run(idxs)
+                continue
+            is_pos = sfs[min(b, 11)][w]
+            if is_pos == 7:
+                if ms:
+                    _ms_run(idxs)
+                continue
+            kl, kr = _panned(is_pos)
+            for i in idxs:
+                v = xr_l[i]
+                xr_l[i] = v * kl
+                xr_r[i] = v * kr
 
 
 def alias_reduce(xr, block_type, window_switching,
@@ -1012,11 +1060,12 @@ def decode_mp3(payload: bytes, iso_window: bool = False) -> dict:
     """Bare MPEG stream -> {sample_rate, nch, n_frames, n_samples,
     spectra: [per granule [per ch is[576]]], pcm: [per ch list[float]],
     subband_energy: [32]} through the full Layer III chain (mono,
-    MS/LR stereo, and r18: long-block INTENSITY stereo incl. the
-    MS+intensity combination, plus MPEG-1 MIXED BLOCKS — long windows
+    MS/LR stereo, and r18: INTENSITY stereo over long AND pure-short
+    blocks — value-rule borders, per-window positions, the
+    MS+intensity combination — plus MPEG-1 MIXED BLOCKS: long windows
     on subbands 0-1, short on 2-31, with the mixed scalefactor
     layout, partial reorder, single-boundary alias reduction and the
-    split IMDCT; short-block intensity and LSF mixed blocks stay
+    split IMDCT. Mixed-block intensity and LSF mixed blocks stay
     gated)."""
     frames = walk_frames(payload)
     if not frames:
@@ -1062,7 +1111,7 @@ def decode_mp3(payload: bytes, iso_window: bool = False) -> dict:
                 gr_rzero.append(rzero)
             if len(gr_xr) == 2 and hdr["mode"] == 1:
                 stereo_process(
-                    hdr, chs[1], gr_sf[1], gr_rzero[1],
+                    hdr, chs[1], gr_sf[1], gr_is[1],
                     gr_xr[0], gr_xr[1],
                 )
             for ch, g in enumerate(chs):

@@ -379,7 +379,7 @@ class TestIntensityStereo:
         M.stereo_process(
             {"mode_ext": 1, "sample_rate": self.SR},
             {"block_type": 0, "window_switching": 0},
-            {"long": poss}, 0, xr_l, xr_r,
+            {"long": poss}, [0] * 576, xr_l, xr_r,
         )
         for i in range(8):
             b = next(j for j in range(22)
@@ -401,7 +401,7 @@ class TestIntensityStereo:
         M.stereo_process(
             {"mode_ext": 1, "sample_rate": self.SR},
             {"block_type": 0, "window_switching": 0},
-            {"long": poss}, 0, xr_l, xr_r,
+            {"long": poss}, [0] * 576, xr_l, xr_r,
         )
         # illegal position, no MS: untouched L/R
         assert xr_l[0] == 2.0 and xr_r[0] == 0.5
@@ -410,7 +410,7 @@ class TestIntensityStereo:
         M.stereo_process(
             {"mode_ext": 1, "sample_rate": self.SR},
             {"block_type": 0, "window_switching": 0},
-            {"long": [6] * 21}, 0, xr_l, xr_r,
+            {"long": [6] * 21}, [0] * 576, xr_l, xr_r,
         )
         assert xr_l[0] == 2.0 and xr_r[0] == 0.0  # pure-left limit
 
@@ -418,13 +418,14 @@ class TestIntensityStereo:
         import math
 
         bands = M.SFB_LONG[self.SR]
-        rzero = bands[3]  # right coded through band 2
+        # right channel values through band 2 -> border at band 3
+        is_r = [1 if i < bands[3] else 0 for i in range(576)]
         xr_l = [1.0] * 576
         xr_r = [0.25] * 576
         M.stereo_process(
             {"mode_ext": 3, "sample_rate": self.SR},
             {"block_type": 0, "window_switching": 0},
-            {"long": [3] * 21}, rzero, xr_l, xr_r,
+            {"long": [3] * 21}, is_r, xr_l, xr_r,
         )
         inv = 1 / math.sqrt(2)
         # below the border: MS
@@ -438,13 +439,15 @@ class TestIntensityStereo:
 
     def test_border_rounds_up_to_band_boundary(self):
         bands = M.SFB_LONG[self.SR]
-        rzero = bands[3] + 1  # inside band 3: band 3 is NOT intensity
+        # last nonzero right value INSIDE band 3: band 3 stays L/R
+        is_r = [0] * 576
+        is_r[bands[3]] = 1
         xr_l = [1.0] * 576
         xr_r = [0.5] * 576
         M.stereo_process(
             {"mode_ext": 1, "sample_rate": self.SR},
             {"block_type": 0, "window_switching": 0},
-            {"long": [0] * 21}, rzero, xr_l, xr_r,
+            {"long": [0] * 21}, is_r, xr_l, xr_r,
         )
         # band 3 untouched (partially coded), band 4 panned (pos 0 ->
         # ratio 0 -> left 0, right v)
@@ -466,12 +469,53 @@ class TestIntensityStereo:
         assert out["spectra"][0][0][:4] == [1, 2, 3, 4]
         assert out["spectra"][0][1][:2] == [1, -1]
 
-    def test_short_block_intensity_gated(self):
-        with pytest.raises(NotImplementedError, match="short"):
+    def test_short_block_per_window_intensity(self):
+        """r18: pure-short intensity — per-window borders and
+        per-(band, window) positions over the reordered layout."""
+        import math
+
+        bands = M.SFB_SHORT[self.SR]
+        # right channel: window 0 has values through band 1; windows
+        # 1/2 empty -> their borders are -1 (all bands intensity)
+        is_r = [0] * 576
+        for b in (0, 1):
+            for k in range(bands[b + 1] - bands[b]):
+                is_r[3 * (bands[b] + k) + 0] = 1
+        sfs = [[min(b, 5), 2, 7] for b in range(12)]
+        xr_l = [1.0] * 576
+        xr_r = [0.25] * 576
+        M.stereo_process(
+            {"mode_ext": 1, "sample_rate": self.SR},
+            {"block_type": 2, "window_switching": 1,
+             "mixed_block": 0},
+            {"short": sfs}, is_r, xr_l, xr_r,
+        )
+        # window 0, band 0: below its border -> untouched L/R
+        i = 3 * bands[0] + 0
+        assert xr_l[i] == 1.0 and xr_r[i] == 0.25
+        # window 0, band 2: above border, pos = 2
+        r2 = math.tan(2 * math.pi / 12)
+        i = 3 * bands[2] + 0
+        assert abs(xr_l[i] - r2 / (1 + r2)) < 1e-12
+        assert abs(xr_r[i] - 1 / (1 + r2)) < 1e-12
+        # window 1, band 0: border -1 -> intensity with pos 2
+        i = 3 * bands[0] + 1
+        assert abs(xr_l[i] - r2 / (1 + r2)) < 1e-12
+        # window 2: pos 7 illegal, no MS -> untouched
+        i = 3 * bands[0] + 2
+        assert xr_l[i] == 1.0 and xr_r[i] == 0.25
+        # top band (index 12) reuses band 11's position
+        i = 3 * bands[12] + 1
+        assert abs(xr_l[i] - r2 / (1 + r2)) < 1e-12
+
+    def test_mixed_block_intensity_gated(self):
+        with pytest.raises(NotImplementedError, match="MIXED"):
             M.stereo_process(
                 {"mode_ext": 1, "sample_rate": self.SR},
-                {"block_type": 2, "window_switching": 1},
-                {"long": [0] * 21}, 0, [0.0] * 576, [0.0] * 576,
+                {"block_type": 2, "window_switching": 1,
+                 "mixed_block": 1},
+                {"short": [[0] * 3] * 12}, [0] * 576,
+                [0.0] * 576, [0.0] * 576,
             )
 
 
