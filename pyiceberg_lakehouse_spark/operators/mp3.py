@@ -1085,7 +1085,6 @@ def decode_mp3(payload: bytes, iso_window: bool = False) -> dict:
             gr_is = []
             gr_xr = []
             gr_sf = []
-            gr_rzero = []
             for ch, g in enumerate(chs):
                 start = bits.pos
                 if hdr["version"] == 1:
@@ -1102,13 +1101,14 @@ def decode_mp3(payload: bytes, iso_window: bool = False) -> dict:
                     )
                 prev_sf[ch] = sf
                 g["_huff_end_bit"] = start + g["part2_3_length"]
-                is_, xr, rzero = decode_granule_channel(
+                # third return (coded-region end) unused here: the
+                # intensity border keys on decoded VALUES per the spec
+                is_, xr, _rzero = decode_granule_channel(
                     bits, g, hdr, sf
                 )
                 gr_is.append(is_)
                 gr_xr.append(xr)
                 gr_sf.append(sf)
-                gr_rzero.append(rzero)
             if len(gr_xr) == 2 and hdr["mode"] == 1:
                 stereo_process(
                     hdr, chs[1], gr_sf[1], gr_is[1],
