@@ -5800,3 +5800,235 @@ def multimodal_ogg_floor0(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_mp3_stereo",
+    """
+    with docs as (
+      select doc_id, cast(doc_id as bigint) as d,
+             cast(1 + doc_id % 3 as integer) as mode_ext
+      from documents where doc_id % 29 = 5
+    ),
+    wl as (
+      select doc_id,
+             2 * sum((case when (d + j.j) % 2 = 1 then -1 else 1 end)
+                     * (1 + (d + j.j) % 5) * (j.j + 1)) as s
+      from docs, unnest(generate_series(0, 3)) j(j)
+      group by doc_id
+    ),
+    wr as (
+      select doc_id,
+             2 * sum((case when (d + j.j + 1) % 2 = 1 then -1 else 1
+                      end) * (1 + (d + j.j) % 3) * (j.j + 1)) as s
+      from docs, unnest(generate_series(0, 1)) j(j)
+      group by doc_id
+    ),
+    ip as (
+      select doc_id, sum((d + b.b) % 8) as s
+      from docs, unnest(generate_series(0, 20)) b(b)
+      group by doc_id
+    )
+    select docs.doc_id, docs.mode_ext,
+           cast(wl.s as bigint) as spec_wsum_l,
+           cast(case when docs.mode_ext in (2, 3) then wr.s else 0 end
+               as bigint) as spec_wsum_r,
+           cast(case when docs.mode_ext in (1, 3) then ip.s else 0 end
+               as integer) as is_pos_sum,
+           cast(1152 as bigint) as n_samples,
+           true as exact_match
+    from docs join wl using (doc_id) join wr using (doc_id)
+         join ip using (doc_id)
+    """,
+)
+def multimodal_mp3_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 JOINT STEREO decode (r18; operators/mp3.py): per doc, build
+    a genuine MPEG-1 Layer III joint-stereo frame through the new
+    stereo fixture encoder — mode_ext cycling 1 (intensity only), 2
+    (MS only), 3 (MS + intensity with a genuine border: the right
+    channel carries values in band 0, so MS applies below the border
+    and intensity re-pans the bands above it, positions from the
+    right channel's scalefactors incl. the illegal 7 fallback) — and
+    decode through the full stereo chain. The integer spectra
+    round-trip exactly (hashed as position-weighted sums per
+    channel); the float chain — per-channel requantization, the
+    §2.4.3.4.9 value-rule border, MS matrixing, intensity panning,
+    alias reduction, IMDCT, polyphase synthesis — dual-derives
+    against an independent numpy matrix pipeline per channel
+    (exact_match). Arrow-batched mapInPandas, map-only."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from pyiceberg_lakehouse_spark.operators import mp3 as _mp3
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 29 == 5)
+        .select("doc_id")
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mode_ext", T.IntegerType()),
+        T.StructField("spec_wsum_l", T.LongType()),
+        T.StructField("spec_wsum_r", T.LongType()),
+        T.StructField("is_pos_sum", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("exact_match", T.BooleanType()),
+    ])
+    cols = [f.name for f in schema.fields]
+    SR = 44100
+
+    def _gr_specs(d, me):
+        left = [0] * 576
+        for j in range(4):
+            v = 1 + (d + j) % 5
+            left[j] = -v if (d + j) % 2 == 1 else v
+        right = [0] * 576
+        if me in (2, 3):
+            for j in range(2):
+                v = 1 + (d + j) % 3
+                right[j] = -v if (d + j + 1) % 2 == 1 else v
+        sfl_r = [(d + b) % 8 for b in range(21)]
+        l = {"is": left, "global_gain": 210, "tables": [7, 7, 7],
+             "region0_count": 8, "region1_count": 7, "big_values": 2,
+             "count1_quads": 0, "scalefac_compress": 0,
+             "scalefac_l": [0] * 21}
+        r = {"is": right, "global_gain": 210, "tables": [7, 7, 7],
+             "region0_count": 8, "region1_count": 7,
+             "big_values": 1 if me in (2, 3) else 0,
+             "count1_quads": 0, "scalefac_compress": 15,
+             "scalefac_l": sfl_r}
+        return [l, r], sfl_r
+
+    def _dual_pcm(d, me, sfl_r):
+        """Independent per-channel pipeline with closed-form stereo."""
+        bands = _mp3.SFB_LONG[SR]
+        xr = np.zeros((2, 576))
+        for j in range(4):
+            v = 1 + (d + j) % 5
+            v = -v if (d + j) % 2 == 1 else v
+            xr[0, j] = math.copysign(abs(v) ** (4 / 3), v)
+        last_nz = -1
+        if me in (2, 3):
+            for j in range(2):
+                v = 1 + (d + j) % 3
+                v = -v if (d + j + 1) % 2 == 1 else v
+                xr[1, j] = (math.copysign(abs(v) ** (4 / 3), v)
+                            * 2.0 ** (-0.5 * sfl_r[0]))
+                last_nz = j
+        # stereo step (value-rule border)
+        inv = 1 / math.sqrt(2)
+        if me == 2:
+            m, s = xr[0].copy(), xr[1].copy()
+            xr[0], xr[1] = (m + s) * inv, (m - s) * inv
+        else:
+            border_band = next(
+                (b for b in range(len(bands))
+                 if bands[b] > last_nz), len(bands) - 1,
+            ) if me == 3 else 0
+            if me == 3:
+                lo = bands[border_band]
+                m, s = xr[0, :lo].copy(), xr[1, :lo].copy()
+                xr[0, :lo], xr[1, :lo] = (m + s) * inv, (m - s) * inv
+            for b in range(border_band, len(bands) - 1):
+                pos = sfl_r[min(b, 20)]
+                sl = slice(bands[b], bands[b + 1])
+                if pos == 7:
+                    if me == 3:
+                        m = xr[0, sl].copy()
+                        s = xr[1, sl].copy()
+                        xr[0, sl], xr[1, sl] = \
+                            (m + s) * inv, (m - s) * inv
+                    continue
+                if pos == 6:
+                    kl, kr = 1.0, 0.0
+                else:
+                    ratio = math.tan(pos * math.pi / 12)
+                    kl = ratio / (1 + ratio)
+                    kr = 1 / (1 + ratio)
+                v = xr[0, sl].copy()
+                xr[0, sl] = v * kl
+                xr[1, sl] = v * kr
+        # per-channel alias -> IMDCT -> synthesis, two granules of
+        # the SAME planted spectrum
+        M = np.cos(np.pi / 72.0 * np.outer(
+            2 * np.arange(36) + 19, 2 * np.arange(18) + 1))
+        win = np.array(_mp3._WIN_LONG[0])
+        N = np.array(_mp3._SYNTH_N)
+        D = np.array(_mp3._SUBSTITUTE_D)
+        pcms = []
+        for ch in range(2):
+            overlap = np.zeros((32, 18))
+            v_fifo = np.zeros(1024)
+            pcm = []
+            for _g in range(2):
+                x = xr[ch].copy()
+                for sbb in range(1, 32):
+                    base = 18 * sbb
+                    for i in range(8):
+                        lo_i, hi_i = base - 1 - i, base + i
+                        a, b2 = x[lo_i], x[hi_i]
+                        x[lo_i] = a * _mp3._CS[i] - b2 * _mp3._CA[i]
+                        x[hi_i] = b2 * _mp3._CS[i] + a * _mp3._CA[i]
+                ss = np.zeros((32, 18))
+                for sbb in range(32):
+                    x36 = (M @ x[18 * sbb: 18 * sbb + 18]) * win
+                    cur = x36[:18] + overlap[sbb]
+                    if sbb & 1:
+                        cur[1::2] = -cur[1::2]
+                    ss[sbb] = cur
+                    overlap[sbb] = x36[18:]
+                for t in range(18):
+                    v_fifo = np.concatenate(
+                        [N @ ss[:, t], v_fifo[:960]])
+                    out = np.zeros(32)
+                    for i in range(16):
+                        off = (i >> 1) * 128
+                        seg = (v_fifo[off + 96: off + 128] if i & 1
+                               else v_fifo[off: off + 32])
+                        out += seg * D[32 * i: 32 * i + 32]
+                    pcm.extend(out.tolist())
+            pcms.append(np.array(pcm))
+        return pcms
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                me = 1 + d % 3
+                pair, sfl_r = _gr_specs(d, me)
+                blob = _mp3.encode_mp3_stereo(
+                    [pair, [dict(pair[0]), dict(pair[1])]],
+                    sample_rate=SR, mode_ext=me,
+                )
+                out = _mp3.decode_mp3(blob)
+                assert out["nch"] == 2
+                wsum = [0, 0]
+                for gr in out["spectra"]:
+                    for ch in range(2):
+                        wsum[ch] += sum(
+                            v * (i + 1)
+                            for i, v in enumerate(gr[ch]) if v
+                        )
+                want = _dual_pcm(d, me, sfl_r)
+                ok = True
+                for ch in range(2):
+                    got = np.array(out["pcm"][ch])
+                    ok &= got.shape == want[ch].shape
+                    ok &= bool(np.allclose(
+                        got, want[ch], atol=1e-9
+                    ))
+                ips = sum((d + b) % 8 for b in range(21)) \
+                    if me in (1, 3) else 0
+                rows.append((
+                    d, me, wsum[0], wsum[1], ips,
+                    out["n_samples"], bool(ok),
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(batches, schema)

@@ -387,6 +387,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_opus_probe",
     "multimodal_ogg_floor0",
     "lh_iceberg_dv_scan",
+    "multimodal_mp3_stereo",
     # fresh-code holds (r18 diff touches their decode/fixture paths)
     "multimodal_mp3_samples",
     "lh_iceberg_mor_scan",
@@ -419,7 +420,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r06 (first eight alphabetically)
     "agg_q19_discounted_revenue",
     "agg_q3_shipping_priority",
-    "agg_rollup",
     "dedup_embedding_cosine",
     "filter_eq",
     "fn_array_higher_order",
