@@ -31,6 +31,8 @@ from typing import Any
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import SparkSession
+
+from pyiceberg_lakehouse_spark.localdf import local_rows_df
 from pyspark.sql import functions as F
 
 DEFAULT_M = 8192
@@ -171,8 +173,8 @@ def probe_positions_many(
     as the build, so hashes can never diverge."""
     if not values:
         return {}
-    df = spark.createDataFrame(
-        [(v,) for v in values], f"value {dtype or 'bigint'}"
+    df = local_rows_df(
+        spark, [(v,) for v in values], f"value {dtype or 'bigint'}"
     )
     rows = df.select(
         "value", _positions(F.col("value"), m, k).alias("pos")

@@ -39,6 +39,8 @@ from typing import Any
 
 from pyspark.sql import types as T
 
+from pyiceberg_lakehouse_spark.localdf import local_rows_df
+
 from pyiceberg_lakehouse_spark.lakehouse.iceberg_interop import (
     write_iceberg_metadata,
 )
@@ -238,8 +240,8 @@ def _collect_stats_distributed(
                 "value_count", "null_count",
             ])
 
-    src = spark.createDataFrame(
-        [(p,) for p in paths], "path string"
+    src = local_rows_df(
+        spark, [(p,) for p in paths], "path string"
     ).repartition(min(len(paths), 256))
     out: dict[str, dict] = {
         p: {"lower_bounds": {}, "upper_bounds": {},

@@ -42,6 +42,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyiceberg_lakehouse_spark.localdf import local_rows_df
+
 from pyiceberg_lakehouse_spark.operators.avro import decode_avro, encode_avro
 
 # Avro schemas for the subset of manifest fields the reader needs —
@@ -796,6 +798,25 @@ def _norm_path(col, decode: bool = False):
     return percent_decode(out) if decode else out
 
 
+# Unresolved Column expressions are immutable and reusable across plans;
+# the decode=True form costs ~25 py4j round-trips to BUILD (the
+# percent-decode transform chain), and read_iceberg_table builds it for
+# the same three fixed input columns on every call — cache per
+# (column name, decode) so plan construction pays it once per process
+# (guide §1.2: per-task work includes the driver's plan-building time).
+_NORM_PATH_CACHE: dict = {}
+
+
+def _norm_path_cached(name: str, decode: bool = False):
+    from pyspark.sql import functions as F
+
+    key = (name, decode)
+    col = _NORM_PATH_CACHE.get(key)
+    if col is None:
+        col = _NORM_PATH_CACHE[key] = _norm_path(F.col(name), decode)
+    return col
+
+
 _ICE_TO_SPARK = {
     "boolean": "boolean", "int": "int", "long": "bigint",
     "float": "float", "double": "double", "string": "string",
@@ -1093,7 +1114,7 @@ def _identity_projection_df(spark, resolved, missing_fields):
             for mf in missing_fields
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    return local_rows_df(spark, rows, schema)
 
 
 def read_iceberg_table(
@@ -1142,8 +1163,8 @@ def read_iceberg_table(
             # pruning emptied the list, or the snapshot is genuinely
             # empty (a just-created table / pre-append time travel):
             # both are legitimate empty results, typed by the schema
-            return spark.createDataFrame(
-                [], _spark_schema(resolved["schema_fields"])
+            return local_rows_df(
+                spark, [], _spark_schema(resolved["schema_fields"])
             )
         raise ValueError(
             "iceberg snapshot lists no data files and no schema"
@@ -1207,7 +1228,7 @@ def read_iceberg_table(
     for r, has_rowidx in readers:
         metas.append(r.select(
             "*",
-            _norm_path(F.col("_metadata.file_path"), decode=True)
+            _norm_path_cached("_metadata.file_path", decode=True)
             .alias("__ice_path"),
             (F.col("_metadata.row_index") if has_rowidx
              else F.lit(None).cast("long")).alias("__ice_pos"),
@@ -1228,7 +1249,7 @@ def read_iceberg_table(
         (os.path.abspath(f["path"]), int(f["seq"]))
         for f in resolved["files"]
     ]
-    seq_df = spark.createDataFrame(seq_rows, "__ice_path string, __ice_seq long")
+    seq_df = local_rows_df(spark, seq_rows, "__ice_path string, __ice_seq long")
     data = (
         base
         .join(F.broadcast(seq_df), "__ice_path", "left")
@@ -1259,12 +1280,22 @@ def read_iceberg_table(
     ]
     if pos_files or dv_files:
         parts = []
+        # one scan per distinct sequence number, not per delete file: the
+        # schema is the spec's fixed (file_path string, pos long) pair
+        # (fields 2147483546/2147483545), so same-seq files — the common
+        # shape, one delete commit emitting several part files — share a
+        # single read with no per-file footer-inference round-trip
+        pos_by_seq: dict[int, list[str]] = {}
         for d in pos_files:
+            pos_by_seq.setdefault(int(d["seq"]), []).append(d["path"])
+        for seq in sorted(pos_by_seq):
             parts.append(
-                spark.read.parquet(d["path"]).select(
-                    _norm_path(F.col("file_path")).alias("__del_path"),
-                    F.col("pos").cast("long").alias("__del_pos"),
-                    F.lit(int(d["seq"])).alias("__del_seq"),
+                spark.read.schema("file_path string, pos bigint")
+                .parquet(*pos_by_seq[seq])
+                .select(
+                    _norm_path_cached("file_path").alias("__del_path"),
+                    F.col("pos").alias("__del_pos"),
+                    F.lit(seq).alias("__del_seq"),
                 )
             )
         if dv_files:
@@ -1283,7 +1314,7 @@ def read_iceberg_table(
                         f" {d['referenced_data_file']}"
                     )
                 seen.add(d["referenced_data_file"])
-            desc = spark.createDataFrame(
+            desc = local_rows_df(spark,
                 [(d["path"], int(d["content_offset"]),
                   int(d["content_size_in_bytes"]),
                   d["referenced_data_file"], int(d["seq"]))
@@ -1320,7 +1351,7 @@ def read_iceberg_table(
                     "__del_path string, __del_pos long, __del_seq long",
                 )
                 .select(
-                    _norm_path(F.col("__del_path")).alias("__del_path"),
+                    _norm_path_cached("__del_path").alias("__del_path"),
                     "__del_pos", "__del_seq",
                 )
             )

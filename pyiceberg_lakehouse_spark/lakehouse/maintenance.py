@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyiceberg_lakehouse_spark.lakehouse.table import LakehouseTable
+from pyiceberg_lakehouse_spark.localdf import local_rows_df
 
 
 def compact(
@@ -938,7 +939,7 @@ def _batched_ordered_purge_rewrite(
     canon_sorted = sorted(entry_by_canon)
     fp_rows = src.select("__lh_fp").distinct().collect()
     uri_by_canon = {_canon(r["__lh_fp"]): r["__lh_fp"] for r in fp_rows}
-    map_df = table.spark.createDataFrame(
+    map_df = local_rows_df(table.spark,
         [(uri_by_canon[c], i) for i, c in enumerate(canon_sorted)
          if c in uri_by_canon],
         "__lh_fp string, __lh_src int",
@@ -1214,23 +1215,41 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
         )
         for p in pos_paths:
             replacements[p], ordinal_maps[_canon(p)] = batched[p]
-    for path in sorted(matched):
-        if path in replacements:
-            continue
-        entry = by_path[path]
-        if _canon(path) in pos_referenced:
-            replacements[path], ordinal_maps[_canon(path)] = (
-                _ordered_purge_rewrite(table, entry, hit, _POS_CAP)
-            )
-            continue
-        kept = table._read_files([entry]).filter(~hit)
-        replacements[path] = table._write_data(kept)
+    # remaining per-file rewrites are independent single-file jobs — run
+    # them concurrently (guide §2.6: overlap independent jobs) instead of
+    # one Spark job launch after another
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _plain_rewrite(entry: dict) -> list[dict]:
+        return table._write_data(table._read_files([entry]).filter(~hit))
+
+    rewrite_futs = {}
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for path in sorted(matched):
+            if path in replacements:
+                continue
+            entry = by_path[path]
+            if _canon(path) in pos_referenced:
+                rewrite_futs[path] = (
+                    "ordered",
+                    pool.submit(
+                        _ordered_purge_rewrite, table, entry, hit, _POS_CAP
+                    ),
+                )
+            else:
+                rewrite_futs[path] = ("plain", pool.submit(_plain_rewrite, entry))
+        for path, (kind, fut) in rewrite_futs.items():
+            if kind == "ordered":
+                replacements[path], ordinal_maps[_canon(path)] = fut.result()
+            else:
+                replacements[path] = fut.result()
     # rewrite matching change-data files in place-equivalent new files
     import glob as _glob
     import uuid as _uuid
 
-    cdf_replacements: dict[str, list[dict]] = {}
-    for path in sorted(cdf_matched):
+    from pyiceberg_lakehouse_spark.lakehouse.stats import file_row_count
+
+    def _cdf_rewrite(path: str) -> list[dict]:
         out_dir = os.path.join(
             table.table_dir, "_change_data", f"purge-{_uuid.uuid4().hex[:8]}"
         )
@@ -1242,21 +1261,25 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
             .option("compression", "zstd")
             .parquet(out_dir)
         )
-        from pyiceberg_lakehouse_spark.lakehouse.stats import file_row_count
-
-        cdf_replacements[path] = [
+        return [
             {"path": p, "rows": file_row_count(p)}
             for p in sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
             if file_row_count(p) > 0
         ]
+
+    cdf_replacements: dict[str, list[dict]] = {}
+    if cdf_matched:
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            cdf_replacements = dict(
+                zip(sorted(cdf_matched), pool.map(_cdf_rewrite, sorted(cdf_matched)))
+            )
 
     # rewrite matching delete files without the subject's keys. Dropping a
     # key K is safe ONLY because every data row matching the predicate is
     # being purged in the same operation: a key-column predicate matching
     # K's delete row matches ALL data rows with key K, so nothing remains
     # for the dropped delete entry to un-delete.
-    del_replacements: dict[str, list[dict]] = {}
-    for path in sorted(del_matched):
+    def _del_rewrite(path: str) -> list[str]:
         out_dir = os.path.join(
             table.table_dir, "deletes", f"purge-{_uuid.uuid4().hex[:8]}"
         )
@@ -1267,15 +1290,20 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
             .write.mode("error")
             .parquet(out_dir)
         )
-        from pyiceberg_lakehouse_spark.lakehouse.stats import file_row_count
-
         # replacement PATHS only: each snapshot's entry keeps its own
         # key_cols/snapshot_id metadata when remapped below
-        del_replacements[path] = [
+        return [
             p
             for p in sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
             if file_row_count(p) > 0
         ]
+
+    del_replacements: dict[str, list[dict]] = {}
+    if del_matched:
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            del_replacements = dict(
+                zip(sorted(del_matched), pool.map(_del_rewrite, sorted(del_matched)))
+            )
 
     # position-delete remap (r17): every delete row pointing at a
     # rewritten data file moves to the new path with its ordinal
@@ -1318,16 +1346,23 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
                 )
                 yield out
 
-        for path in sorted(pos_refs):
-            if not os.path.exists(path):
-                continue
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        from pyiceberg_lakehouse_spark.lakehouse.stats import (
+            file_row_count as _frc,
+        )
+
+        def _remap_one(path: str):
+            """Remap one delete file; each is an independent two-job
+            sequence (touched probe + rewrite), so the per-file calls
+            overlap in a thread pool (guide §2.6)."""
             src = table.spark.read.parquet(path)
             touched = {
                 _canon(r["file_path"])
                 for r in src.select("file_path").distinct().collect()
             }
             if not (touched & set(ordinal_maps)):
-                continue
+                return None
             out_dir = os.path.join(
                 table.table_dir, "deletes",
                 f"purge-pd-{_uuid.uuid4().hex[:8]}",
@@ -1339,18 +1374,21 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
                 .write.mode("error")
                 .parquet(out_dir)
             )
-            from pyiceberg_lakehouse_spark.lakehouse.stats import (
-                file_row_count as _frc,
-            )
-
-            del_replacements[path] = [
+            return [
                 p
                 for p in sorted(
                     _glob.glob(os.path.join(out_dir, "*.parquet"))
                 )
                 if _frc(p) > 0
             ]
-            del_matched.add(_canon(path))
+
+        live_pd = [p for p in sorted(pos_refs) if os.path.exists(p)]
+        with _TPE(max_workers=8) as _pool:
+            for path, reps_ in zip(live_pd, _pool.map(_remap_one, live_pd)):
+                if reps_ is None:
+                    continue
+                del_replacements[path] = reps_
+                del_matched.add(_canon(path))
 
     # remap every snapshot in place, preserving ids and sequencing
     dropped = 0

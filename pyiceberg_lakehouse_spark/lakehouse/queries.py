@@ -14,6 +14,8 @@ import os
 from pyiceberg_lakehouse_spark.tmpdirs import session_tmpdir
 
 from pyspark.sql import DataFrame, SparkSession
+
+from pyiceberg_lakehouse_spark.localdf import local_rows_df
 from pyspark.sql import functions as F
 
 from pyiceberg_lakehouse_spark.lakehouse.table import Lakehouse
@@ -657,7 +659,7 @@ def lh_commit_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("append_each", len(t_each.history()), t_each.scan().count()),
         ("append_many", len(t_many.history()), t_many.scan().count()),
     ]
-    return spark.createDataFrame(rows, "mode string, n_snapshots int, n_rows long")
+    return local_rows_df(spark, rows, "mode string, n_snapshots int, n_rows long")
 
 
 @register(
@@ -796,7 +798,7 @@ def lh_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         if f["partition"].get("o_orderstatus") == "O"
     )
     assert total is not None
-    return spark.createDataFrame([(total, open_rows)], "n_rows long, n_open long")
+    return local_rows_df(spark, [(total, open_rows)], "n_rows long, n_open long")
 
 
 @register(
@@ -1864,9 +1866,12 @@ def lh_purge_mor_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete_where_positions(F.col("o_orderkey") % 10 == 3)
     out = purge_rows(t, F.col("o_custkey") % 100 == 7)
     assert out["rows_purged"] > 0 and out["files_rewritten"] > 0
-    # the remapped delete files survive with entries (subject's retired)
+    # the remapped delete files survive with entries (subject's retired);
+    # footer row counts, not one Spark count job per delete file
+    from pyiceberg_lakehouse_spark.lakehouse.stats import file_row_count
+
     n_entries = sum(
-        spark.read.parquet(d["path"]).count()
+        file_row_count(d["path"])
         for s in t.log.snapshots
         for d in s.added_deletes
     )
@@ -2269,19 +2274,32 @@ def build_iceberg_mor_fixture(
 
     if not fresh and sf_dir in _MOR_FIXTURE_CACHE:
         return _MOR_FIXTURE_CACHE[sf_dir]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyiceberg_lakehouse_spark.lakehouse.stats import file_row_count
+
     wh = _warehouse()
     tdir = os.path.join(wh, "iceberg_ns", "customers_mor")
     cust = load_table(spark, sf_dir, "customer")
+    # ONE write job for all four splits (was four sequential jobs): hash-
+    # distributing on the split key lands each k in exactly one task, so
+    # every hive dir holds exactly one file; row counts come from the
+    # parquet footers (no per-file count jobs).
+    all_dir = os.path.join(tdir, "data")
+    (
+        cust.withColumn("_k", (F.col("c_custkey") % 4).cast("int"))
+        .repartition(4, "_k")
+        .write.mode("overwrite")
+        .partitionBy("_k")
+        .parquet(all_dir)
+    )
     files = {}
+    counts = {}
     for k in range(4):
-        d = os.path.join(tdir, f"data-{k}")
-        cust.filter(F.col("c_custkey") % 4 == k).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(d)
-        got = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        got = sorted(_glob.glob(os.path.join(all_dir, f"_k={k}", "*.parquet")))
         assert len(got) == 1
         files[k] = got[0]
-    counts = {k: spark.read.parquet(f).count() for k, f in files.items()}
+        counts[k] = file_row_count(got[0])
 
     def pos_delete_file(data_file, mod8, out_name):
         """(file_path, pos) parquet for rows with c_custkey%8==mod8."""
@@ -2297,16 +2315,23 @@ def build_iceberg_mor_fixture(
         rows.coalesce(1).write.mode("overwrite").parquet(d)
         got = sorted(_glob.glob(os.path.join(d, "*.parquet")))
         assert len(got) == 1
-        return got[0], spark.read.parquet(got[0]).count()
+        return got[0], file_row_count(got[0])
 
-    pd0, n0 = pos_delete_file(files[0], 0, "pos-del-0")
-    pd2, n2 = pos_delete_file(files[2], 2, "pos-del-2")
+    def eq_delete_file():
+        ed_dir = os.path.join(tdir, "eq-del")
+        local_rows_df(
+            spark, [("BUILDING",)], "c_mktsegment string"
+        ).coalesce(1).write.mode("overwrite").parquet(ed_dir)
+        return sorted(_glob.glob(os.path.join(ed_dir, "*.parquet")))[0]
 
-    ed_dir = os.path.join(tdir, "eq-del")
-    spark.createDataFrame(
-        [("BUILDING",)], "c_mktsegment string"
-    ).coalesce(1).write.mode("overwrite").parquet(ed_dir)
-    ed = sorted(_glob.glob(os.path.join(ed_dir, "*.parquet")))[0]
+    # the two position-delete builds and the equality-delete write are
+    # independent single-file jobs — overlap them (guide §2.6) instead of
+    # paying three sequential job launches
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fut0 = pool.submit(pos_delete_file, files[0], 0, "pos-del-0")
+        fut2 = pool.submit(pos_delete_file, files[2], 2, "pos-del-2")
+        fute = pool.submit(eq_delete_file)
+        (pd0, n0), (pd2, n2), ed = fut0.result(), fut2.result(), fute.result()
 
     schema_fields = [
         {"id": i + 1, "name": f.name, "required": False, "type": "string"}

@@ -31,6 +31,8 @@ from functools import reduce
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+
+from pyiceberg_lakehouse_spark.localdf import local_rows_df
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1482,7 +1484,7 @@ class LakehouseTable:
         rows = [
             (dict(k), a["files"], a["rows"], a["bytes"]) for k, a in sorted(agg.items())
         ]
-        return self.spark.createDataFrame(
+        return local_rows_df(self.spark,
             rows,
             "partition map<string,string>, file_count int, "
             "record_count long, total_bytes long",
@@ -1502,7 +1504,7 @@ class LakehouseTable:
             )
             for f in self.log.live_files()
         ]
-        return self.spark.createDataFrame(
+        return local_rows_df(self.spark,
             rows,
             "path string, partition map<string,string>, record_count long, "
             "file_size_bytes long, added_snapshot_id int",
@@ -1521,7 +1523,7 @@ class LakehouseTable:
             )
             for s in self.log.snapshots
         ]
-        return self.spark.createDataFrame(
+        return local_rows_df(self.spark,
             rows,
             "snapshot_id int, parent_id int, operation string, "
             "committed_at_ms long, added_files int, removed_files int",
@@ -1798,7 +1800,7 @@ class LakehouseTable:
         grouping above."""
         schema = self.schema()
         if not files:
-            empty = self.spark.createDataFrame([], schema)
+            empty = local_rows_df(self.spark, [], schema)
             if with_pos:
                 empty = empty.withColumn(
                     "__lh_fp", F.lit(None).cast("string")

@@ -39,6 +39,8 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+from pyiceberg_lakehouse_spark.localdf import local_rows_df
 from pyspark.sql import functions as F
 
 
@@ -145,7 +147,7 @@ def merges_df(spark: SparkSession, merges: list[tuple[str, str, int]]) -> DataFr
     rows = [
         (rank, a, b, a + b, freq) for rank, (a, b, freq) in enumerate(merges)
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark,
         rows, "rank int, left string, right string, merged string, pair_freq bigint"
     )
 

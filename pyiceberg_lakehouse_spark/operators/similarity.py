@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
+
+from pyiceberg_lakehouse_spark.localdf import local_rows_df
 from pyspark.sql import functions as F
 
 from pyiceberg_lakehouse_spark.functions.exact import dot_product_exact
@@ -506,7 +508,7 @@ def _probe_topk(
 
     spark = cb.sparkSession
     if not qids:
-        return spark.createDataFrame(
+        return local_rows_df(spark,
             [], "qid long, vid long, rank int, score double"
         )
     IC = np.array(centroids, dtype=np.float64)
@@ -1045,7 +1047,7 @@ def ivf_pq_topk(
     # driver-side float() loop here)
     qrows, _ = _valid_vecs(qrows, vec_idx=1, dim=n_sub * d)
     if not qrows:
-        return spark.createDataFrame(
+        return local_rows_df(spark,
             [], "qid long, vid long, rank int, score double"
         )
     qids = np.array([int(r[0]) for r in qrows])
@@ -1125,7 +1127,7 @@ def ivf_pq_topk(
     from pyiceberg_lakehouse_spark.functions import dense
 
     vids = sorted({r.vid for r in cand})
-    pairs = spark.createDataFrame(
+    pairs = local_rows_df(spark,
         [(r.qid, r.vid) for r in cand], "qid long, vid long"
     )
     # candidates live in probed cells by construction, and files are
@@ -1138,7 +1140,7 @@ def ivf_pq_topk(
         .filter(F.col(id_col).isin(vids))
         .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("c_vec"))
     )
-    qv = spark.createDataFrame(
+    qv = local_rows_df(spark,
         [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
         "qid long, q_vec array<double>",
     )

@@ -18,6 +18,8 @@ upsert.py:42-53), casts C1-C2 (main-polars-lazy.py:160-162, main-daft.py:133).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from pyiceberg_lakehouse_spark.localdf import local_rows_df
 from pyspark.sql import functions as F
 
 from pyiceberg_lakehouse_spark.functions.exact import davg, dsum
@@ -66,7 +68,7 @@ def scan_schema_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyiceberg_lakehouse_spark.sources.inference import infer_spark_schema
 
     schema = infer_spark_schema(f"{sf_dir}/lineitem.parquet")
-    return spark.createDataFrame([(f.name,) for f in schema.fields], ["column_name"])
+    return local_rows_df(spark, [(f.name,) for f in schema.fields], ["column_name"])
 
 
 @register(

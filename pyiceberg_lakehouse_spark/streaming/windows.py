@@ -16,6 +16,8 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+from pyiceberg_lakehouse_spark.localdf import local_rows_df
 from pyspark.sql import functions as F
 
 from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, events_ts_unit
@@ -85,7 +87,7 @@ def events_stream_with_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # raw long in the file's unit
     for i, days in ((1, 30), (2, 60)):
         ts_raw = int(mx) + days * 86400 * mult
-        sent = spark.createDataFrame(
+        sent = local_rows_df(spark,
             [
                 (99999980 + i * 2, ts_raw, SENTINEL_USER, "click", 0.0, "{}"),
                 (99999981 + i * 2, ts_raw, SENTINEL_USER, "purchase", 0.0, "{}"),
