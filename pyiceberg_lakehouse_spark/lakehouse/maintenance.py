@@ -151,8 +151,12 @@ def cluster_zorder(
     df = table.scan()
     # records-per-file enforces the file count even when AQE coalesces the
     # range partitions: each partition's zval-sorted run splits sequentially,
-    # so every output file still covers a tight, disjoint Z range
-    rows = df.count()
+    # so every output file still covers a tight, disjoint Z range.
+    # Footer-exact metadata count when available — the count() job here
+    # was a full extra pass over the table being rewritten.
+    rows = table.metadata_count()
+    if rows is None:
+        rows = df.count()
     z = zorder_value(df, cols, bits)
     clustered = (
         df.withColumn("_zval", z)

@@ -47,3 +47,20 @@ def local_rows_df(
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, slices), schema
     )
+
+
+def spread_ids(df: DataFrame) -> DataFrame:
+    """Round-robin a small id-only frame across the session's cores.
+
+    The planted-fixture multimodal/crawl queries feed ``mapInPandas``
+    from a filtered scan of the tiny ``documents`` table — at bench
+    scale that scan is a SINGLE input split, so the whole Python-side
+    codec stage (the real cost) ran on one core. Repartitioning the
+    id stream to ``defaultParallelism`` costs a shuffle of a few KB of
+    longs and fans the per-document decode out across the cluster
+    (guide §2.5 input skew: one unsplittable input → repartition right
+    after the read). Scale-adaptive by construction: the target tracks
+    the session's core count, never a constant. Only ever applied to
+    id-only frames — payload-carrying scans keep their native splits
+    so bytes are never shuffled (guide §8)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)

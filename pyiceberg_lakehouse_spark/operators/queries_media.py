@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyiceberg_lakehouse_spark.localdf import spread_ids
+
 from pyiceberg_lakehouse_spark.operators import multimodal
 from pyiceberg_lakehouse_spark.registry import register
 from pyiceberg_lakehouse_spark.sources.testdata import load_table
@@ -204,7 +206,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["value_sum"].append(int(out.astype(np.int64).sum()))
             yield pd.DataFrame(rows)
 
-    out = docs.mapInPandas(batches, schema)
+    out = spread_ids(docs).mapInPandas(batches, schema)
     return out.select(
         "doc_id",
         F.col("width").cast("int"),
@@ -291,7 +293,7 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["err_within_bound"].append(bool(err < 20.0))
             yield pd.DataFrame(rows)
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 # chroma-subsampled JPEG: dims and the declared sampling scheme are
@@ -379,7 +381,7 @@ def multimodal_jpeg_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -835,7 +837,7 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["sample_sum"] = out["sample_sum"].astype("int64")
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 _IMA_STEPS_SQL = (
@@ -1047,7 +1049,7 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype(dt)
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -1199,7 +1201,7 @@ def multimodal_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["doc_id"] = out["doc_id"].astype("int64")
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -1310,7 +1312,7 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype(dt)
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -1427,7 +1429,7 @@ def multimodal_tiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype(dt)
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -1555,7 +1557,7 @@ def multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype(dt)
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -1664,7 +1666,7 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype("int32")
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -1770,7 +1772,7 @@ def multimodal_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype("int32")
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -1891,7 +1893,7 @@ def multimodal_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype("int32")
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -2004,7 +2006,7 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["height"] = out["height"].astype("int32")
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -2129,7 +2131,7 @@ def multimodal_mp4_itunes(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["doc_id"] = out["doc_id"].astype("int64")
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -2292,7 +2294,7 @@ def multimodal_mkv_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["timestamp_scale"] = out["timestamp_scale"].astype("int64")
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -2434,7 +2436,7 @@ def multimodal_tiff_bilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype(dt)
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -2589,7 +2591,7 @@ def multimodal_apng_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["value_sum"] = out["value_sum"].astype("int64")
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -2696,7 +2698,7 @@ def multimodal_mp4_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[c2] = out[c2].astype(dt)
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -2853,7 +2855,7 @@ def multimodal_ogg_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out2[c2] = out2[c2].astype(dt)
             yield out2
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -2932,7 +2934,7 @@ def multimodal_webp_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["height"] = out["height"].astype("int32")
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -3099,7 +3101,7 @@ def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype(dt)
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -3302,7 +3304,7 @@ def multimodal_webp_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype(dt)
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -3717,7 +3719,7 @@ def multimodal_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["value_sum"] = out["value_sum"].astype("int64")
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -3929,7 +3931,7 @@ def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype(dt)
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -4010,7 +4012,7 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["err_within_bound"].append(bool(err < 20.0))
             yield pd.DataFrame(rows)
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -4198,7 +4200,7 @@ def multimodal_webp_lossy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out_pdf[cname] = out_pdf[cname].astype(dt)
             yield out_pdf
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -4319,7 +4321,7 @@ def multimodal_ogg_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["tag_idx"] = out["tag_idx"].astype("int32")
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -4481,7 +4483,7 @@ def multimodal_ico_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype(dt)
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -4595,7 +4597,7 @@ def multimodal_avif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["doc_id"] = out["doc_id"].astype("int64")
             yield out
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -4825,7 +4827,7 @@ def multimodal_mp3_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out_pdf[cname] = out_pdf[cname].astype("int64")
             yield out_pdf
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -5024,7 +5026,7 @@ def multimodal_ogg_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out_pdf[cname] = out_pdf[cname].astype("int64")
             yield out_pdf
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -5329,7 +5331,7 @@ def multimodal_ogg_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out_pdf[cname] = out_pdf[cname].astype("int64")
             yield out_pdf
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 _OPUS_CFG_VALUES = """
@@ -5529,7 +5531,7 @@ def multimodal_opus_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ))
             yield pd.DataFrame(rows, columns=cols)
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -5799,7 +5801,7 @@ def multimodal_ogg_floor0(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ))
             yield pd.DataFrame(rows, columns=cols)
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)
 
 
 @register(
@@ -6031,4 +6033,4 @@ def multimodal_mp3_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ))
             yield pd.DataFrame(rows, columns=cols)
 
-    return docs.mapInPandas(batches, schema)
+    return spread_ids(docs).mapInPandas(batches, schema)

@@ -221,24 +221,41 @@ def cosine_topk(
         )
     dot = dot_product_exact
     # norms are per-vector, so compute them once per row on each side —
-    # not per pair (which would redo the decimal fold O(Q*N) extra times)
+    # not per pair (which would redo the decimal fold O(Q*N) extra times).
+    # The float->double->decimal(10,7) element casts are ALSO per-vector
+    # work: hoisting them into a per-side transform() means the O(Q*N)
+    # pair fold multiplies pre-cast decimals instead of re-casting every
+    # element per pair — same operand values and types (decimal(10,7)
+    # products into the pinned decimal(29,14) accumulator), so scores
+    # stay bit-identical to the oracle.
+    dec = f"transform({vec_col}, x -> cast(cast(x as double) as decimal(10,7)))"
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("qid"),
-            F.col(vec_col).alias("q_vec"),
+            F.expr(dec).alias("q_dec"),
             F.sqrt(dot(vec_col, vec_col)).alias("q_norm"),
         )
     )
     c = corpus.select(
         F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("c_vec"),
+        F.expr(dec).alias("c_dec"),
         F.sqrt(dot(vec_col, vec_col)).alias("c_norm"),
+    )
+    pair_fold = F.expr(
+        """
+        cast(
+          aggregate(
+            zip_with(q_dec, c_dec, (x, y) -> x * y),
+            cast(0 as decimal(29,14)),
+            (acc, v) -> cast(acc + v as decimal(29,14))
+          ) as double)
+        """
     )
     scored = (
         c.join(q, F.col("qid") != F.col("vid"))
         .withColumn(
             "score",
-            dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
+            pair_fold / (F.col("q_norm") * F.col("c_norm")),
         )
         .select("qid", "vid", "score")
     )

@@ -32,6 +32,27 @@ def scan_sections(plan: str) -> list[str]:
     return re.split(r"\n\(\d+\) ", plan)
 
 
+def non_fanout_exchanges(plan: str) -> list[str]:
+    """Exchange detail blocks EXCEPT id-only round-robin fan-outs.
+
+    ``localdf.spread_ids`` (r18 optimization) round-robins the planted
+    doc_id stream across cores BELOW the Python evaluator so the codec
+    work parallelizes — that exchange carries a single long column, so
+    the contract these pins protect (media-scale rows never shuffle)
+    still holds. Anything else — a hash/range exchange, or a round-robin
+    over wider rows — still counts."""
+    out = []
+    for sec in scan_sections(plan):
+        if not sec.startswith("Exchange"):
+            continue
+        if "RoundRobinPartitioning" in sec and re.search(
+            r"Input \[1\]: \[doc_id#\d+L?\]", sec
+        ):
+            continue
+        out.append(sec)
+    return out
+
+
 def test_q1_filter_pushdown_and_partial_agg(spark, sf_dir):
     plan = plan_of(spark, "agg_q1_pricing_summary", sf_dir)
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
@@ -117,7 +138,9 @@ def test_cosine_topk_pair_fold_evaluated_once(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     df = similarity.cosine_topk(emb, emb.limit(4), k=3)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("zip_with(q_vec") == 1, (
+    # r18: the element casts hoisted into per-side transform()s, so the
+    # pair fold is now zip_with(q_dec, c_dec) — still exactly once
+    assert plan.count("zip_with(q_dec") == 1, (
         "pair-producing decimal fold evaluated more than once per pair"
     )
 
@@ -558,7 +581,7 @@ def test_video_curation_single_shuffle(spark, sf_dir):
     aggregation shuffle: exactly one Exchange, no joins, no second pass
     over the media rows."""
     plan = plan_of(spark, "pipeline_video_curation", sf_dir)
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:900]
+    assert len(non_fanout_exchanges(plan)) == 1, plan[:900]
     assert "MapInPandas" in plan
     assert "Join" not in plan
     # partial aggregation runs map-side, before the exchange
@@ -612,7 +635,7 @@ def test_r13_codec_queries_map_only(spark, sf_dir):
         "multimodal_ogg_packets",
     ):
         plan = plan_of(spark, q, sf_dir)
-        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, (q, plan[:800])
+        assert not non_fanout_exchanges(plan), (q, plan[:800])
         assert "MapInPandas" in plan, q
 
 
@@ -620,7 +643,7 @@ def test_caption_curation_single_shuffle(spark, sf_dir):
     """The caption-curation composite is demux+cue extraction (map
     stage) + ONE aggregation shuffle — no joins, no second media pass."""
     plan = plan_of(spark, "pipeline_caption_curation", sf_dir)
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:800]
+    assert len(non_fanout_exchanges(plan)) == 1, plan[:800]
     assert "MapInPandas" in plan
 
 
