@@ -44,6 +44,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SENTINEL_USER = -1
 
+# sf_dir -> staged horizon directory (see events_stream_with_horizon)
+_HORIZON_STAGE_CACHE: dict = {}
+
 
 def events_stream_with_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events stream plus two trailing SENTINEL batches that push the
@@ -69,36 +72,45 @@ def events_stream_with_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     traffic keeps advancing the watermark and outer results stream out
     continuously; the horizon only finalizes a FINITE replay.
     """
-    import datetime
     import glob
     import shutil
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
-    stage = session_tmpdir(prefix="events_stream_hz_")
-    os.symlink(src, os.path.join(stage, "0_events.parquet"))
     unit = events_ts_unit(src)
-    mult = 1_000_000_000 if unit == "ns" else 1_000_000
-    mx = (
-        spark.read.schema(SCHEMAS["events"])
-        .parquet(src)
-        .agg(F.max("ts").alias("m"))
-        .collect()[0]["m"]
-    )  # raw long in the file's unit
-    for i, days in ((1, 30), (2, 60)):
-        ts_raw = int(mx) + days * 86400 * mult
-        sent = local_rows_df(spark,
-            [
-                (99999980 + i * 2, ts_raw, SENTINEL_USER, "click", 0.0, "{}"),
-                (99999981 + i * 2, ts_raw, SENTINEL_USER, "purchase", 0.0, "{}"),
-            ],
-            SCHEMAS["events"],
-        )
-        d = os.path.join(stage, f"_tmp{i}")
-        sent.coalesce(1).write.mode("overwrite").parquet(d)
-        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
-        shutil.move(part, os.path.join(stage, f"{i}_sentinel.parquet"))
-        shutil.rmtree(d)
+    # The staged directory (symlink + the two sentinel files) is a pure
+    # function of sf_dir, and SIX outer/anti/semi stream-join queries each
+    # rebuilt it (a max-ts job + two single-row writes apiece). Memoize
+    # per (process, sf_dir): every query still streams and joins from the
+    # files fresh — only the deterministic fixture staging is shared,
+    # the same pattern as the MoR fixture memo (guide §2.6: don't redo
+    # identical setup work serially).
+    stage = _HORIZON_STAGE_CACHE.get(sf_dir)
+    if stage is None:
+        stage = session_tmpdir(prefix="events_stream_hz_")
+        os.symlink(src, os.path.join(stage, "0_events.parquet"))
+        mult = 1_000_000_000 if unit == "ns" else 1_000_000
+        mx = (
+            spark.read.schema(SCHEMAS["events"])
+            .parquet(src)
+            .agg(F.max("ts").alias("m"))
+            .collect()[0]["m"]
+        )  # raw long in the file's unit
+        for i, days in ((1, 30), (2, 60)):
+            ts_raw = int(mx) + days * 86400 * mult
+            sent = local_rows_df(spark,
+                [
+                    (99999980 + i * 2, ts_raw, SENTINEL_USER, "click", 0.0, "{}"),
+                    (99999981 + i * 2, ts_raw, SENTINEL_USER, "purchase", 0.0, "{}"),
+                ],
+                SCHEMAS["events"],
+            )
+            d = os.path.join(stage, f"_tmp{i}")
+            sent.coalesce(1).write.mode("overwrite").parquet(d)
+            part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(stage, f"{i}_sentinel.parquet"))
+            shutil.rmtree(d)
+        _HORIZON_STAGE_CACHE[sf_dir] = stage
     raw = (
         spark.readStream.schema(SCHEMAS["events"])
         .option("maxFilesPerTrigger", 1)
