@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyiceberg_lakehouse_spark.operators import dedup, similarity, text
 from pyiceberg_lakehouse_spark.registry import register
 from pyiceberg_lakehouse_spark.tmpdirs import session_tmpdir
-from pyiceberg_lakehouse_spark.sources.testdata import load_table
+from pyiceberg_lakehouse_spark.sources.testdata import load_table, load_table_spread
 
 # DuckDB twin of dedup.normalize_text
 NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -114,7 +114,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum), so the hash match proves the relational reformulation of the
     suffix-array algorithm end-to-end."""
     return dedup.duplicated_span_coverage(
-        load_table(spark, sf_dir, "documents"), k=5, min_count=2
+        load_table_spread(spark, sf_dir, "documents"), k=5, min_count=2
     )
 
 
@@ -122,7 +122,8 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH candidates, exact-Jaccard verified (scale path)."""
     return dedup.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), num_hashes=32, bands=8, verify_threshold=0.1
+        load_table_spread(spark, sf_dir, "documents"),
+        num_hashes=32, bands=8, verify_threshold=0.1,
     )
 
 
@@ -569,7 +570,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-fingerprinting member of the training-data toolkit. Token
     hashes ride md5 hex (engine-portable), so the DuckDB oracle reproduces
     every fingerprint bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     return text.winnow_fingerprints(docs, k=3, w=4)
 
 

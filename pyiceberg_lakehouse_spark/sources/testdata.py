@@ -170,3 +170,36 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """Register each table as a temp view (mirrors the DuckDB oracle setup)."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# (sf_dir, table) -> parquet row-group count (footer probe, cached)
+_ROW_GROUP_CACHE: dict[tuple[str, str], int] = {}
+
+
+def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load_table`` + round-robin fan-out when the file's ROW-GROUP count
+    caps scan parallelism below the session's cores.
+
+    Parquet reads parallelize at row-group granularity, so a single-row-
+    group file is an unsplittable input no matter how `maxPartitionBytes`
+    is tuned — the optimization guide's §2.5 prescription for that shape
+    is "repartition immediately after the read". The condition is a real
+    property of the input footer (cached per process): at production
+    scale files carry many row groups, the condition is false, and no
+    shuffle is added. Use only where per-row compute dominates (shingle
+    explodes, k-gram hashing) — a plain scan-aggregate stays on
+    ``load_table``."""
+    df = load_table(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    key = (sf_dir, name)
+    rgs = _ROW_GROUP_CACHE.get(key)
+    if rgs is None:
+        import pyarrow.parquet as pq
+
+        rgs = pq.ParquetFile(
+            os.path.join(sf_dir, f"{name}.parquet")
+        ).metadata.num_row_groups
+        _ROW_GROUP_CACHE[key] = rgs
+    if rgs < par:
+        df = df.repartition(par)
+    return df
