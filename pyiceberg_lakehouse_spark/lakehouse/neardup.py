@@ -41,6 +41,17 @@ from pyiceberg_lakehouse_spark.lakehouse.table import LakehouseTable
 from pyiceberg_lakehouse_spark.operators.dedup import banded_signature_rows
 
 
+def _spread_corpus(df: DataFrame, n_files: int) -> DataFrame:
+    """Fan a corpus frame out before the signature pass when its FILE
+    count caps scan parallelism below the session's cores (the
+    shingle-explode + 32-hash fold is the cost — one small file would
+    pin it to one core). File count is metadata the caller already
+    holds; at production scale files >> cores, the condition is false,
+    and no shuffle is added (guide §2.5 unsplittable-input rule)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par) if n_files < par else df
+
+
 def _band_rows(
     df: DataFrame,
     text_col: str,
@@ -81,7 +92,8 @@ def create_neardup_index(
     if num_hashes % bands:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
     head = source.log.current_snapshot_id()
-    rows_df = _band_rows(source.scan(), text_col, id_col, num_hashes, bands, k)
+    corpus = _spread_corpus(source.scan(), len(source.log.live_files()))
+    rows_df = _band_rows(corpus, text_col, id_col, num_hashes, bands, k)
     idx = lh.create_table(
         name,
         rows_df.schema,
@@ -115,7 +127,15 @@ def refresh_neardup_index(idx: LakehouseTable, source: LakehouseTable) -> dict:
         return {"mode": "noop", "covered_snapshot": cursor}
     try:
         delta = source.read_incremental(cursor, head)
-        new_rows = _band_rows(delta, text_col, id_col, num_hashes, bands, k)
+        n_delta_files = sum(
+            len(s.added_files)
+            for s in source.log.snapshots
+            if cursor < s.snapshot_id <= head
+        )
+        new_rows = _band_rows(
+            _spread_corpus(delta, n_delta_files),
+            text_col, id_col, num_hashes, bands, k,
+        )
         # cursor moves via set_properties AFTER the append commits: append's
         # concurrent-conflict retry resets in-memory properties from disk,
         # so a pre-mutated cursor would silently revert under a concurrent
@@ -127,7 +147,8 @@ def refresh_neardup_index(idx: LakehouseTable, source: LakehouseTable) -> dict:
         mode = "incremental"
     except (ValueError, KeyError):
         rows_df = _band_rows(
-            source.scan(), text_col, id_col, num_hashes, bands, k
+            _spread_corpus(source.scan(), len(source.log.live_files())),
+            text_col, id_col, num_hashes, bands, k,
         )
         # overwrite never auto-retries (non-commutative), so the in-memory
         # mutation persists atomically with the commit or the commit raises
