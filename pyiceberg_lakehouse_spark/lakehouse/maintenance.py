@@ -810,26 +810,42 @@ def _ordered_purge_rewrite(
     # silently losing data AND shifting every downstream ordinal.
     # Coalesce once so purged/kept exactly partition the file.
     hit = F.coalesce(hit, F.lit(False))
-    purged = sorted(
-        r["__lh_pos"]
-        for r in src.filter(hit).select("__lh_pos").limit(cap + 1).collect()
-    )
+
+    def _collect_purged() -> list[int]:
+        return sorted(
+            r["__lh_pos"]
+            for r in src.filter(hit).select("__lh_pos").limit(cap + 1).collect()
+        )
+
+    def _write_kept() -> str:
+        kept = (
+            src.filter(~hit)
+            .repartition(1)
+            .sortWithinPartitions("__lh_pos")
+            .drop("__lh_fp", "__lh_pos")
+        )
+        d = os.path.join(
+            table.table_dir, "data", f"purge-{_uuid.uuid4().hex[:8]}"
+        )
+        kept.write.mode("error").option("compression", "zstd").parquet(d)
+        return d
+
+    # the purged-ordinal collect and the survivor write read the same
+    # file independently — overlap the two jobs (guide §2.6); the cap
+    # check lands before any result of the write is used
+    from concurrent.futures import ThreadPoolExecutor as _TPE2
+
+    with _TPE2(max_workers=2) as _pool:
+        _f_purged = _pool.submit(_collect_purged)
+        _f_out = _pool.submit(_write_kept)
+        purged = _f_purged.result()
+        out_dir = _f_out.result()
     if len(purged) > cap:
         raise NotImplementedError(
             f"purge matches more than {cap} rows in one position-"
             "referenced file — materialize deletes with compact() and "
             "expire_snapshots first"
         )
-    kept = (
-        src.filter(~hit)
-        .repartition(1)
-        .sortWithinPartitions("__lh_pos")
-        .drop("__lh_fp", "__lh_pos")
-    )
-    out_dir = os.path.join(
-        table.table_dir, "data", f"purge-{_uuid.uuid4().hex[:8]}"
-    )
-    kept.write.mode("error").option("compression", "zstd").parquet(out_dir)
     paths = [
         p
         for p in sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
@@ -1139,9 +1155,16 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
     for s in log.snapshots:
         for f in s.added_files:
             by_path.setdefault(f["path"], f)
-    # plan: one distributed scan proves which files hold matching rows
-    matched: dict[str, int] = {}
-    if by_path:
+    # plan: the four planning scans (data-file match counts, change-data
+    # matches, key-delete matches, position-referenced census) touch
+    # disjoint file sets and feed independent decisions — run them
+    # concurrently (guide §2.6) instead of four sequential job launches
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _scan_matched() -> dict[str, int]:
+        """One distributed scan proves which files hold matching rows."""
+        if not by_path:
+            return {}
         counts = (
             table._read_files(list(by_path.values()))
             .withColumn("_pf", F.input_file_name())
@@ -1150,50 +1173,65 @@ def purge_rows(table: LakehouseTable, predicate: F.Column) -> dict:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        matched = {_canon(r["_pf"]): int(r["n"]) for r in counts}
+        return {_canon(r["_pf"]): int(r["n"]) for r in counts}
+
     # change-data files carry full inline rows — scan them the same way
     cdf_refs: dict[str, list] = {}
     for s in log.snapshots:
         for f in s.summary.get("change-data-files") or []:
             cdf_refs.setdefault(f["path"], []).append(f)
-    cdf_matched: set[str] = set()
-    if cdf_refs:
+
+    def _scan_cdf() -> set[str]:
         existing = [p for p in cdf_refs if os.path.exists(p)]
-        if existing:
-            rows = (
-                table.spark.read.parquet(*existing)
-                .withColumn("_pf", F.input_file_name())
-                .filter(hit)
-                .select("_pf")
-                .distinct()
-                .collect()
-            )
-            cdf_matched = {_canon(r["_pf"]) for r in rows}
-    del_matched: set[str] = set()
+        if not existing:
+            return set()
+        rows = (
+            table.spark.read.parquet(*existing)
+            .withColumn("_pf", F.input_file_name())
+            .filter(hit)
+            .select("_pf")
+            .distinct()
+            .collect()
+        )
+        return {_canon(r["_pf"]) for r in rows}
+
     key_del_paths = [p for p in delete_refs if p not in pos_refs]
-    if key_del_paths:
+
+    def _scan_key_dels() -> set[str]:
         existing = [p for p in key_del_paths if os.path.exists(p)]
-        if existing:
-            rows = (
-                table.spark.read.parquet(*existing)
-                .withColumn("_pf", F.input_file_name())
-                .filter(hit)
-                .select("_pf")
-                .distinct()
-                .collect()
-            )
-            del_matched = {_canon(r["_pf"]) for r in rows}
-    # data files any position-delete file points at (metadata-scale:
-    # one distinct over the delete files' file_path column)
-    pos_referenced: set[str] = set()
-    if pos_refs:
+        if not existing:
+            return set()
+        rows = (
+            table.spark.read.parquet(*existing)
+            .withColumn("_pf", F.input_file_name())
+            .filter(hit)
+            .select("_pf")
+            .distinct()
+            .collect()
+        )
+        return {_canon(r["_pf"]) for r in rows}
+
+    def _scan_pos_referenced() -> set[str]:
+        """Data files any position-delete file points at (metadata-scale:
+        one distinct over the delete files' file_path column)."""
         existing = [p for p in sorted(pos_refs) if os.path.exists(p)]
-        if existing:
-            pos_referenced = {
-                _canon(r["file_path"])
-                for r in table.spark.read.parquet(*existing)
-                .select("file_path").distinct().collect()
-            }
+        if not existing:
+            return set()
+        return {
+            _canon(r["file_path"])
+            for r in table.spark.read.parquet(*existing)
+            .select("file_path").distinct().collect()
+        }
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_matched = pool.submit(_scan_matched)
+        f_cdf = pool.submit(_scan_cdf)
+        f_del = pool.submit(_scan_key_dels)
+        f_pos = pool.submit(_scan_pos_referenced)
+        matched = f_matched.result()
+        cdf_matched = f_cdf.result()
+        del_matched = f_del.result()
+        pos_referenced = f_pos.result()
     if not matched and not cdf_matched and not del_matched:
         return {"files_rewritten": 0, "files_dropped": 0, "rows_purged": 0}
 
