@@ -264,16 +264,35 @@ def _prev_round() -> tuple[str | None, dict | None]:
     used to emit comparable-set and dual-calibration fields so a
     calibration shift can never masquerade as a regression (VERDICT r10
     task #6: r10's 14% calib move inflated every normalized ratio while
-    walls were flat)."""
+    walls were flat).
+
+    Only exact ``BENCH_r<N>.json`` records whose recorded core count
+    matches this run's are comparable (VERDICT r18 what's-wrong #3: the
+    old reverse-sorted glob picked the driver's 8-core scaling record
+    ``BENCH_r18_c8.json`` over ``BENCH_r18.json``, so a 32-core run
+    would have compared its walls against 8-core walls)."""
     import glob
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+    cur_cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    candidates = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(path))
+        if m:
+            candidates.append((int(m.group(1)), path))
+    for _, path in sorted(candidates, reverse=True):
         try:
             d = json.load(open(path))
             parsed = d.get("parsed") or {}
-            if parsed.get("queries"):
-                return os.path.basename(path), parsed
+            if not parsed.get("queries"):
+                continue
+            rec_cpus = d.get("cpus")
+            if cur_cpus is not None and rec_cpus is not None and str(
+                rec_cpus
+            ) != str(cur_cpus):
+                continue
+            return os.path.basename(path), parsed
         except Exception:
             continue
     return None, None
