@@ -808,11 +808,24 @@ _NORM_PATH_CACHE: dict = {}
 
 
 def _norm_path_cached(name: str, decode: bool = False):
+    """Memoized percent-decode normalize Column (~25 py4j round-trips to
+    build). Cached Columns wrap JVM expression handles, so entries are
+    keyed by the live SparkContext's identity (ADVICE r18): a session
+    restart / new gateway gets fresh expressions instead of stale JVM
+    handles. Classic local PySpark keeps one context for the process, so
+    the fast path is a plain dict hit."""
+    from pyspark import SparkContext
     from pyspark.sql import functions as F
 
-    key = (name, decode)
+    sc = SparkContext._active_spark_context
+    key = (id(sc), name, decode)
     col = _NORM_PATH_CACHE.get(key)
     if col is None:
+        # pop(), not del: concurrent read constructions (the export
+        # query builds its three arms in a thread pool) may race the
+        # eviction; a benign double-build stores the same expression
+        for k in [k for k in list(_NORM_PATH_CACHE) if k[0] != id(sc)]:
+            _NORM_PATH_CACHE.pop(k, None)  # drop handles of dead contexts
         col = _NORM_PATH_CACHE[key] = _norm_path(F.col(name), decode)
     return col
 
@@ -1284,7 +1297,13 @@ def read_iceberg_table(
         # schema is the spec's fixed (file_path string, pos long) pair
         # (fields 2147483546/2147483545), so same-seq files — the common
         # shape, one delete commit emitting several part files — share a
-        # single read with no per-file footer-inference round-trip
+        # single read with no per-file footer-inference round-trip.
+        # Writer-tolerance assumption (ADVICE r18): a spec-noncompliant
+        # external writer that stored pos as int32 is handled by Spark's
+        # parquet int32->bigint type widening under this explicit schema
+        # (verified: vectorized reader upcasts physical INT32 to a
+        # requested LongType), so the old read-untyped + cast('long')
+        # path's tolerance is preserved without its footer inference.
         pos_by_seq: dict[int, list[str]] = {}
         for d in pos_files:
             pos_by_seq.setdefault(int(d["seq"]), []).append(d["path"])
