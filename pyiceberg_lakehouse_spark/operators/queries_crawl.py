@@ -126,7 +126,7 @@ def scan_warc_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["rec_idx"] = out["rec_idx"].astype("int32")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -210,7 +210,7 @@ def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype("int32")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -338,7 +338,7 @@ def text_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[c2] = out[c2].astype(dt)
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -577,7 +577,7 @@ def scan_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["delay_s"] = out["delay_s"].astype("float64")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -942,7 +942,7 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["n_tags"] = out["n_tags"].astype("int32")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -1056,7 +1056,7 @@ def text_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype("int32")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -1159,7 +1159,7 @@ def text_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype("int32")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -1256,7 +1256,7 @@ def text_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype("int32")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -1362,7 +1362,7 @@ def text_odt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype("int32")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -1476,7 +1476,7 @@ def text_ass_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype("int64")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -1617,7 +1617,7 @@ def text_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["doc_id"] = out["doc_id"].astype("int64")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -1734,7 +1734,7 @@ def text_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["n_chars"] = out["n_chars"].astype("int32")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -1878,7 +1878,7 @@ def text_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["n_images"] = out["n_images"].astype("int32")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -1994,7 +1994,7 @@ def pipeline_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[c2] = out[c2].astype(dt)
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -2134,7 +2134,7 @@ def scan_warc_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[c2] = out[c2].astype(dt)
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -2311,7 +2311,7 @@ def scan_archive_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[c2] = out[c2].astype(dt)
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -2482,7 +2482,7 @@ def text_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype(dt)
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -2624,4 +2624,4 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_pdf["score"] = out_pdf["score"].astype("float64")
             yield out_pdf
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)

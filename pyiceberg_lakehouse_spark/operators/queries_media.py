@@ -206,7 +206,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["value_sum"].append(int(out.astype(np.int64).sum()))
             yield pd.DataFrame(rows)
 
-    out = spread_ids(docs).mapInPandas(batches, schema)
+    out = spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
     return out.select(
         "doc_id",
         F.col("width").cast("int"),
@@ -293,7 +293,7 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["err_within_bound"].append(bool(err < 20.0))
             yield pd.DataFrame(rows)
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 # chroma-subsampled JPEG: dims and the declared sampling scheme are
@@ -381,7 +381,7 @@ def multimodal_jpeg_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -837,7 +837,7 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["sample_sum"] = out["sample_sum"].astype("int64")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 _IMA_STEPS_SQL = (
@@ -1049,7 +1049,7 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype(dt)
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, max_width=8, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -1201,7 +1201,7 @@ def multimodal_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["doc_id"] = out["doc_id"].astype("int64")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -1312,7 +1312,7 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype(dt)
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -1429,7 +1429,7 @@ def multimodal_tiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype(dt)
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, max_width=8, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -1557,7 +1557,7 @@ def multimodal_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype(dt)
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -1666,7 +1666,7 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype("int32")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -1772,7 +1772,7 @@ def multimodal_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype("int32")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -1893,7 +1893,7 @@ def multimodal_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype("int32")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -2006,7 +2006,7 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["height"] = out["height"].astype("int32")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -2131,7 +2131,7 @@ def multimodal_mp4_itunes(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["doc_id"] = out["doc_id"].astype("int64")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -2294,7 +2294,7 @@ def multimodal_mkv_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["timestamp_scale"] = out["timestamp_scale"].astype("int64")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -2436,7 +2436,7 @@ def multimodal_tiff_bilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype(dt)
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -2591,7 +2591,7 @@ def multimodal_apng_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["value_sum"] = out["value_sum"].astype("int64")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -2698,7 +2698,7 @@ def multimodal_mp4_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[c2] = out[c2].astype(dt)
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -2855,7 +2855,7 @@ def multimodal_ogg_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out2[c2] = out2[c2].astype(dt)
             yield out2
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -2934,7 +2934,7 @@ def multimodal_webp_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["height"] = out["height"].astype("int32")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -3101,7 +3101,7 @@ def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype(dt)
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -3304,7 +3304,7 @@ def multimodal_webp_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype(dt)
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -3719,7 +3719,7 @@ def multimodal_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["value_sum"] = out["value_sum"].astype("int64")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -3931,7 +3931,7 @@ def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype(dt)
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -4012,7 +4012,7 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["err_within_bound"].append(bool(err < 20.0))
             yield pd.DataFrame(rows)
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -4200,7 +4200,7 @@ def multimodal_webp_lossy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out_pdf[cname] = out_pdf[cname].astype(dt)
             yield out_pdf
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -4321,7 +4321,7 @@ def multimodal_ogg_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["tag_idx"] = out["tag_idx"].astype("int32")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -4483,7 +4483,7 @@ def multimodal_ico_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[cname] = out[cname].astype(dt)
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -4597,7 +4597,7 @@ def multimodal_avif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["doc_id"] = out["doc_id"].astype("int64")
             yield out
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -4827,7 +4827,7 @@ def multimodal_mp3_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out_pdf[cname] = out_pdf[cname].astype("int64")
             yield out_pdf
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -5026,7 +5026,7 @@ def multimodal_ogg_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out_pdf[cname] = out_pdf[cname].astype("int64")
             yield out_pdf
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -5331,7 +5331,7 @@ def multimodal_ogg_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out_pdf[cname] = out_pdf[cname].astype("int64")
             yield out_pdf
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 _OPUS_CFG_VALUES = """
@@ -5531,7 +5531,7 @@ def multimodal_opus_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ))
             yield pd.DataFrame(rows, columns=cols)
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -5801,7 +5801,7 @@ def multimodal_ogg_floor0(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ))
             yield pd.DataFrame(rows, columns=cols)
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)
 
 
 @register(
@@ -6033,4 +6033,4 @@ def multimodal_mp3_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ))
             yield pd.DataFrame(rows, columns=cols)
 
-    return spread_ids(docs).mapInPandas(batches, schema)
+    return spread_ids(docs, sf_dir=sf_dir).mapInPandas(batches, schema)

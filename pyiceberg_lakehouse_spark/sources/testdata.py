@@ -176,6 +176,23 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
 _ROW_GROUP_CACHE: dict[tuple[str, str], int] = {}
 
 
+def row_group_count(sf_dir: str, name: str) -> int:
+    """Parquet row-group count of one testdata table (footer probe,
+    cached per process). Row groups are the unit of scan parallelism, so
+    this is the honest 'is this input splittable?' signal shared by
+    ``load_table_spread`` and ``localdf.spread_ids``."""
+    key = (sf_dir, name)
+    rgs = _ROW_GROUP_CACHE.get(key)
+    if rgs is None:
+        import pyarrow.parquet as pq
+
+        rgs = pq.ParquetFile(
+            os.path.join(sf_dir, f"{name}.parquet")
+        ).metadata.num_row_groups
+        _ROW_GROUP_CACHE[key] = rgs
+    return rgs
+
+
 def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``load_table`` + round-robin fan-out when the file's ROW-GROUP count
     caps scan parallelism below the session's cores.
@@ -191,15 +208,6 @@ def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``load_table``."""
     df = load_table(spark, sf_dir, name)
     par = spark.sparkContext.defaultParallelism
-    key = (sf_dir, name)
-    rgs = _ROW_GROUP_CACHE.get(key)
-    if rgs is None:
-        import pyarrow.parquet as pq
-
-        rgs = pq.ParquetFile(
-            os.path.join(sf_dir, f"{name}.parquet")
-        ).metadata.num_row_groups
-        _ROW_GROUP_CACHE[key] = rgs
-    if rgs < par:
+    if row_group_count(sf_dir, name) < par:
         df = df.repartition(par)
     return df
