@@ -32,25 +32,58 @@ def merge_keep_last(
     new: DataFrame,
     key_cols: list[str],
     order_col: str | None = None,
+    materialize_new: bool = True,
 ) -> DataFrame:
     """Deterministic last-wins merge of two frames on ``key_cols``.
 
-    ``new`` rows outrank ``current`` rows; within a side, ``order_col``
-    (descending) breaks ties if given. Output has ``current``'s column set.
+    ``new`` rows outrank ``current`` rows; within the new side,
+    ``order_col`` (descending) breaks ties if given. Output has
+    ``current``'s column set.
+
+    r19 (guide §2.3/§3): the old implementation shuffled current ∪ new
+    through ONE row_number window, so the exchange carried the FULL
+    table side — at 100 TB that hash-repartitions the table to apply a
+    batch orders of magnitude smaller. The merge's decisions only need
+    the NEW side's keys: reduce new to one row per key (the same window
+    ordering, now over the small side only), anti-join current against
+    those keys (broadcast-able — the table side is never shuffled), and
+    union. Null-safe key equality keeps the old window's NULL-key
+    grouping (a new NULL-key row still replaces current NULL-key rows).
+    One observable change, documented: a current side holding DUPLICATE
+    keys keeps them when their key is not in the batch — the old
+    window's pick among untouched equals was an undocumented,
+    nondeterministic dedup side effect (no order separated them), and
+    every caller's table invariant is one row per key.
     """
     cols = current.columns
-    tagged = current.select(*cols).withColumn("_src_priority", F.lit(0)).unionByName(
-        new.select(*cols).withColumn("_src_priority", F.lit(1))
-    )
-    order = [F.desc("_src_priority")]
-    if order_col:
-        order.append(F.desc(order_col))
+    order = [F.desc(order_col)] if order_col else [F.lit(1)]
     w = Window.partitionBy(*key_cols).orderBy(*order)
-    return (
-        tagged.withColumn("_rn", F.row_number().over(w))
+    new_one = (
+        new.select(*cols)
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_src_priority", "_rn")
+        .drop("_rn")
     )
+    if materialize_new:
+        # the reduced batch feeds BOTH the anti-join keys and the union;
+        # cut the lineage so its source is scanned once, not per branch
+        # (checkpointing the small side only — never the table side).
+        # Callers whose batch is already cached (apply_changes) pass
+        # False: re-reading a cache hit is cheaper than materializing.
+        new_one = new_one.localCheckpoint(eager=False)
+    cur = current.select(*cols)
+    new_keys = new_one.select(
+        *[F.col(k).alias(f"_mk_{k}") for k in key_cols]
+    )
+    survivors = cur.join(
+        new_keys,
+        on=reduce(
+            lambda a, b: a & b,
+            [F.col(k).eqNullSafe(F.col(f"_mk_{k}")) for k in key_cols],
+        ),
+        how="left_anti",
+    )
+    return survivors.unionByName(new_one)
 
 
 def upsert(
@@ -58,9 +91,13 @@ def upsert(
     new: DataFrame,
     key_cols: list[str],
     order_col: str | None = None,
+    materialize_new: bool = True,
 ):
     """Full merge-overwrite (matches upsert.py:58-86 exactly)."""
-    merged = merge_keep_last(table.scan(), new, key_cols, order_col)
+    merged = merge_keep_last(
+        table.scan(), new, key_cols, order_col,
+        materialize_new=materialize_new,
+    )
     return table.overwrite(merged, summary={"op": "upsert", "keys": key_cols})
 
 
@@ -69,13 +106,17 @@ def upsert_partitioned(
     new: DataFrame,
     key_cols: list[str],
     order_col: str | None = None,
+    touched: list[dict[str, str]] | None = None,
+    materialize_new: bool = True,
 ):
     """Partition-scoped upsert: rewrite only partitions touched by ``new``.
 
     Requires the table to be partitioned. The distinct partition values of
     the new batch are collected driver-side (low cardinality by construction
     — identity partition columns, main-polars.py:113) and drive both the
-    pruned scan and the replace commit.
+    pruned scan and the replace commit. A caller that already knows the
+    batch's partition values (``apply_changes`` collects them in its
+    op-counting job) passes ``touched`` to skip the extra batch scan.
     """
     pfs = table.partition_fields
     if not pfs:
@@ -83,8 +124,12 @@ def upsert_partitioned(
     _guard_single_spec(table, [pf.name for pf in pfs])
     # derive partition values (identity or transform) of the new batch —
     # hidden partitioning keeps this transparent to the caller
-    touched = _touched_partitions(table, new)
-    merged, touched = _merged_for_upsert(table, new, key_cols, order_col, touched)
+    if touched is None:
+        touched = _touched_partitions(table, new)
+    merged, touched = _merged_for_upsert(
+        table, new, key_cols, order_col, touched,
+        materialize_new=materialize_new,
+    )
     return table.replace_partitions(merged, touched)
 
 
@@ -94,6 +139,7 @@ def _merged_for_upsert(
     key_cols: list[str],
     order_col: str | None,
     touched: list[dict[str, str]],
+    materialize_new: bool = True,
 ):
     """Build the replacement frame for a partition-scoped upsert.
 
@@ -107,7 +153,13 @@ def _merged_for_upsert(
         if touched
         else table.scan().limit(0)
     )
-    return merge_keep_last(current, new, key_cols, order_col), touched
+    return (
+        merge_keep_last(
+            current, new, key_cols, order_col,
+            materialize_new=materialize_new,
+        ),
+        touched,
+    )
 
 
 def apply_changes(
@@ -127,6 +179,8 @@ def apply_changes(
     no data rewrite for the delete half, which at 100 TB is the difference
     between a metadata commit and rewriting every touched partition.
     """
+    from pyiceberg_lakehouse_spark.lakehouse.transforms import derived_column_typed
+
     w_order = [F.desc(order_col)] if order_col else []
     if w_order:
         w = Window.partitionBy(*key_cols).orderBy(*w_order)
@@ -137,15 +191,38 @@ def apply_changes(
         )
     else:
         latest = changes  # caller guarantees one action per key
-    # one cached materialization of the reduced batch + ONE counting job
-    # decide both commits — not two isEmpty() jobs that each re-run the
-    # key-reduction window (and would run it twice more in the merge paths)
+    # one cached materialization of the reduced batch + ONE deciding job
+    # for BOTH commits — not two isEmpty() jobs that each re-run the
+    # key-reduction window (and would run it twice more in the merge
+    # paths). r19: the same job also collects the upsert half's distinct
+    # (derived) partition values, so the partition-scoped merge skips its
+    # own full pass over the batch (_touched_partitions) — three batch
+    # scans became one.
+    pfs = table.partition_fields if table.log.partition_by else []
+    schema = table.schema()
+    part_src = latest
+    for pf in pfs:
+        if not pf.is_identity:
+            part_src = part_src.withColumn(
+                pf.name,
+                derived_column_typed(pf, schema[pf.source].dataType.simpleString()),
+            )
+    pnames = [pf.name for pf in pfs]
     latest = latest.cache()
     try:
-        counts = latest.agg(
+        agg_cols = [
             F.count(F.when(F.col(op_col) == "upsert", 1)).alias("ups"),
             F.count(F.when(F.col(op_col) == "delete", 1)).alias("dels"),
-        ).collect()[0]
+        ]
+        if pnames:
+            agg_cols.append(
+                F.collect_set(
+                    F.when(
+                        F.col(op_col) == "upsert", F.struct(*pnames)
+                    )
+                ).alias("parts")
+            )
+        counts = part_src.agg(*agg_cols).collect()[0]
         ups = latest.filter(F.col(op_col) == "upsert").drop(op_col)
         if order_col:
             ups = ups.drop(order_col) if order_col not in table.schema().fieldNames() else ups
@@ -153,9 +230,22 @@ def apply_changes(
         snaps = []
         if counts["ups"]:
             if table.log.partition_by:
-                snaps.append(upsert_partitioned(table, ups, key_cols, order_col=None))
+                touched = [
+                    {p: str(r[p]) for p in pnames} for r in counts["parts"]
+                ]
+                snaps.append(
+                    upsert_partitioned(
+                        table, ups, key_cols, order_col=None,
+                        touched=touched, materialize_new=False,
+                    )
+                )
             else:
-                snaps.append(upsert(table, ups, key_cols, order_col=None))
+                snaps.append(
+                    upsert(
+                        table, ups, key_cols, order_col=None,
+                        materialize_new=False,
+                    )
+                )
         if counts["dels"]:
             snaps.append(table.delete_keys(dels, key_cols))
         return snaps

@@ -165,9 +165,19 @@ def test_partition_scoped_upsert_constant_plan_size(spark, warehouse, orders):
     plan = merged._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
+    # the TABLE side (the 100 TB side) must be read exactly once no matter
+    # how many partitions the batch touches — count scan nodes rooted in
+    # the warehouse dir. The small batch side may appear twice since the
+    # r19 anti-join merge (keys for the anti join + rows for the union);
+    # re-scanning the small side is the guide §3.2 trade that keeps the
+    # table side out of the merge shuffle entirely.
+    table_scans = [
+        m for m in re.finditer(r"Location: [^\n]*", plan)
+        if "o_plan" in m.group(0)
+    ]
+    assert len(table_scans) == 1, plan[:2000]
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
-    # one read node for the table + one for the (parquet-backed) batch source
-    assert len(scans) <= 2, plan[:2000]
+    assert len(scans) <= 3, plan[:2000]
 
 
 def test_merge_into_clause_semantics(spark, tmp_path):
