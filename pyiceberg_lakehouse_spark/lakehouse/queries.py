@@ -30,6 +30,19 @@ def _warehouse() -> str:
     return session_tmpdir(prefix="lakehouse_q_")
 
 
+def _overlap(*fns):
+    """Run independent driver-side thunks (plan constructions, metadata
+    walks) concurrently and return their results in call order (guide
+    §2.6: actions are only sequential because the driver calls them
+    sequentially). py4j serves each thread its own gateway connection,
+    so JVM round-trips genuinely overlap."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(fns)) as pool:
+        futs = [pool.submit(f) for f in fns]
+        return [f.result() for f in futs]
+
+
 @register(
     "lh_ingest_roundtrip",
     f"select {ORDER_COLS} from orders",
@@ -2830,22 +2843,34 @@ def lh_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp = export_iceberg_table(t)
 
     cols = [c.strip() for c in ORDER_COLS.split(",")]
-    head = I.read_iceberg_table(spark, mp).select(
-        F.lit("head").alias("which"), *cols
-    )
-    # time travel through the EXPORTED metadata by the lakehouse's id
-    tt = I.read_iceberg_table(spark, mp, snapshot_id=post_append).select(
-        F.lit("tt").alias("which"), *cols
-    )
-    # identity-partition pruning at metadata time, proven in-plan
-    preds = [("o_orderstatus", "=", "F")]
-    plan = I.plan_iceberg_scan(mp, predicates=preds)
-    assert plan["n_pruned"] > 0 and plan["files"], plan
-    pruned = (
-        I.read_iceberg_table(spark, mp, predicates=preds)
-        .filter(F.col("o_orderstatus") == "F")
-        .select(F.lit("pruned").alias("which"), *cols)
-    )
+
+    def _head():
+        return I.read_iceberg_table(spark, mp).select(
+            F.lit("head").alias("which"), *cols
+        )
+
+    def _tt():
+        # time travel through the EXPORTED metadata by the lakehouse's id
+        return I.read_iceberg_table(spark, mp, snapshot_id=post_append).select(
+            F.lit("tt").alias("which"), *cols
+        )
+
+    def _pruned():
+        # identity-partition pruning at metadata time, proven in-plan
+        preds = [("o_orderstatus", "=", "F")]
+        plan = I.plan_iceberg_scan(mp, predicates=preds)
+        assert plan["n_pruned"] > 0 and plan["files"], plan
+        return (
+            I.read_iceberg_table(spark, mp, predicates=preds)
+            .filter(F.col("o_orderstatus") == "F")
+            .select(F.lit("pruned").alias("which"), *cols)
+        )
+
+    # the three readback arms are independent metadata walks + plan
+    # constructions (~0.7/0.3/0.4 s of driver-side py4j round-trips,
+    # profiled r19) — overlap them (guide §2.6); the union below keeps
+    # the arm order, so results are byte-identical to the serial build
+    head, tt, pruned = _overlap(_head, _tt, _pruned)
     return head.unionByName(tt).unionByName(pruned)
 
 
