@@ -53,6 +53,7 @@ def bool_table(spark, warehouse):
     return t
 
 
+@pytest.mark.slow
 def test_bool_partition_filter_returns_rows(spark, bool_table):
     register_lakehouse_source(spark)
     df = spark.read.format("lakehouse").load(bool_table.table_dir)
@@ -212,6 +213,7 @@ def test_hyperplane_bucket_long_and_plane_guard(spark):
         dense.hyperplane_bucket("embedding", [[0.0] * 4] * 63)
 
 
+@pytest.mark.slow
 def test_local_topk_bounded_per_partition_not_per_batch(spark):
     """ADVICE r5: local_topk_scores must emit at most k rows per query per
     PARTITION (folded across Arrow batches), and the fold must be lossless

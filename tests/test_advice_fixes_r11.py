@@ -59,6 +59,7 @@ def test_truncated_largesize_raises_valueerror_not_struct_error():
         mp4_mdat_start(probe_only + TRUNCATED_LARGESIZE)
 
 
+@pytest.mark.slow
 def test_neardup_cursor_survives_append_conflict_retry(spark, warehouse):
     lh = Lakehouse(spark, warehouse)
     docs = load_table(spark, SF, "documents")
@@ -89,6 +90,7 @@ def test_neardup_cursor_survives_append_conflict_retry(spark, warehouse):
     assert refresh_neardup_index(fresh, src)["mode"] == "noop"
 
 
+@pytest.mark.slow
 def test_text_index_stats_survive_append_conflict_retry(spark, warehouse):
     lh = Lakehouse(spark, warehouse)
     docs = load_table(spark, SF, "documents")

@@ -172,6 +172,7 @@ def _media_source(spark, tmp_path, n=8):
     return lh, src
 
 
+@pytest.mark.slow
 def test_media_refresh_crash_window_does_not_duplicate(spark, tmp_path):
     """Simulate the crash: append the delta WITH its covers summary but
     skip the cursor write; the next refresh must repair the cursor from
@@ -213,6 +214,7 @@ def test_media_refresh_crash_window_does_not_duplicate(spark, tmp_path):
     assert dupes == 0
 
 
+@pytest.mark.slow
 def test_media_refresh_repair_then_advance(spark, tmp_path):
     """A repair with MORE source appends pending both fixes the cursor and
     ingests only the genuinely-new delta."""

@@ -29,6 +29,7 @@ from pyiceberg_lakehouse_spark.operators import similarity
 from pyiceberg_lakehouse_spark.sources.testdata import load_table
 
 
+@pytest.mark.slow
 def test_refresh_applies_equality_deletes(spark, sf_dir, warehouse):
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % 5 != 0)
@@ -61,6 +62,7 @@ def test_refresh_applies_equality_deletes(spark, sf_dir, warehouse):
     assert probed.filter(F.col("vid").isin(doomed)).count() == 0
 
 
+@pytest.mark.slow
 def test_refresh_applies_deletes_on_pq_codes_too(spark, sf_dir, warehouse):
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % 5 != 0)

@@ -21,6 +21,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -41,6 +43,7 @@ def _clustered(spark, n=2000, dim=32):
     return mock_embeddings(spark, n, dim=dim, n_clusters=4).drop("label")
 
 
+@pytest.mark.slow
 def test_ivf_pq_topk_poison_queries_dont_crash(spark, warehouse):
     emb = _clustered(spark)
     lh = Lakehouse(spark, warehouse)
@@ -60,6 +63,7 @@ def test_ivf_pq_topk_poison_queries_dont_crash(spark, warehouse):
     assert similarity.ivf_pq_topk(t, poison, k=3, n_probe=4).collect() == []
 
 
+@pytest.mark.slow
 def test_pq_encode_raw_survives_poison_first_row(spark):
     # one partition, poison row FIRST (lowest id): per-batch dim inference
     # would adopt dim 7 and crash the reshape on the valid 32-dim rows

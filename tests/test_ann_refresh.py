@@ -38,6 +38,7 @@ def _file_state(table) -> dict[str, float]:
     }
 
 
+@pytest.mark.slow
 def test_refresh_encodes_only_new_files(spark, sf_dir, warehouse):
     emb, base, extra = _split_emb(spark, sf_dir)
     lh = Lakehouse(spark, warehouse)
@@ -89,6 +90,7 @@ def test_refresh_requires_an_index(spark, sf_dir, warehouse):
         refresh_ann_indexes(t)
 
 
+@pytest.mark.slow
 def test_refresh_covers_pq_codes_too(spark, sf_dir, warehouse):
     emb, base, extra = _split_emb(spark, sf_dir)
     lh = Lakehouse(spark, warehouse)
@@ -118,6 +120,7 @@ def test_refresh_covers_pq_codes_too(spark, sf_dir, warehouse):
     assert all(r.qid == 5 and r.vid != 5 for r in got)
 
 
+@pytest.mark.slow
 def test_second_refresh_after_more_appends(spark, sf_dir, warehouse):
     """Refresh must key off the LAST index-consistent commit: a second
     append after a refresh touches only the second batch."""
@@ -236,6 +239,7 @@ def test_ann_index_health_requires_index(spark, sf_dir, warehouse):
         ann_index_health(t)
 
 
+@pytest.mark.slow
 def test_ensure_ann_fresh_executes_recommendation(spark, warehouse):
     """ensure_ann_fresh closes the health->action loop: ok is a no-op,
     refresh encodes only the tail, rebuild retrains with re-derived cell

@@ -77,6 +77,7 @@ def test_time_travel_option(spark, orders_table, sf_dir):
     assert past.count() == orders.count()
 
 
+@pytest.mark.slow
 def test_partitioned_stream_exactly_once_restart(
     spark, orders_table, sf_dir, tmp_path
 ):

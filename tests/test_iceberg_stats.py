@@ -127,6 +127,7 @@ class TestBoundsPruning:
             )
 
 
+@pytest.mark.slow
 class TestTransformPruning:
     def _bucket_table(self, spark, n_buckets=4):
         td = session_tmpdir(prefix="ice_bkt_")
@@ -264,6 +265,7 @@ class TestEncodedPaths:
         assert df.agg(F.min("id")).collect()[0][0] == 10
 
 
+@pytest.mark.slow
 class TestNullCountPruning:
     def _table(self, spark):
         td = session_tmpdir(prefix="ice_nulls_")
@@ -667,6 +669,7 @@ class TestNestedPredicates:
             I.plan_iceberg_scan(mp, predicates=[("addr", "=", 1)])
 
 
+@pytest.mark.slow
 class TestOrcDataFiles:
     """r18: mixed parquet+ORC data files (the migration reality).
     ORC scans through Spark's native reader; equality deletes apply

@@ -51,6 +51,7 @@ def test_dictionary_encoded_parquet_reads_transparently(spark, tmp_path):
     old_keys=st.sets(st.integers(0, 30), max_size=15),
     new_keys=st.sets(st.integers(0, 30), max_size=15),
 )
+@pytest.mark.slow
 def test_merge_property_union_of_keys(spark, old_keys, new_keys):
     """SURVEY §5.4: for ANY key overlap, |merge| = |keys(old) ∪ keys(new)|
     and every overlapping key takes the new side's value."""

@@ -789,6 +789,7 @@ from hypothesis import strategies as st
         max_size=4,
     )
 )
+@pytest.mark.slow
 def test_table_changes_property_feed_reproduces_after_state(
     spark, tmp_path, ops
 ):

@@ -3,6 +3,8 @@ rule, plus the honestly-unparsed forms passing through as literal."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pyiceberg_lakehouse_spark.functions.markdown import markdown_to_text
@@ -32,6 +34,7 @@ def test_full_document(spark):
     assert _x(spark, md) == want
 
 
+@pytest.mark.slow
 def test_rule_by_rule(spark):
     cases = [
         ("### deep header", "deep header"),

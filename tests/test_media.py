@@ -6,6 +6,8 @@ planning, non-append fallback, and exactly-once streaming restart."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
@@ -66,6 +68,7 @@ def test_non_append_history_falls_back_to_rebuild(spark, warehouse):
     assert idx.scan().filter(F.col("doc_id") % 10 == 7).count() == 0
 
 
+@pytest.mark.slow
 def test_streaming_maintenance_converges_and_restart_is_idempotent(
     spark, warehouse, tmp_path
 ):

@@ -7,6 +7,7 @@ candidates, and the deterministic hash-family contract."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
@@ -124,6 +125,7 @@ def test_bands_must_divide_hashes(spark, warehouse):
         create_neardup_index(lh, t, "ns.nd_bad", num_hashes=32, bands=7)
 
 
+@pytest.mark.slow
 def test_streaming_maintenance_converges_and_restart_is_idempotent(
     spark, warehouse, tmp_path
 ):

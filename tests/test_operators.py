@@ -57,6 +57,7 @@ def test_minhash_lsh_recall(spark, planted_docs):
     assert found <= truth
 
 
+@pytest.mark.slow
 def test_simhash_exact_dups_collide(spark, planted_docs):
     sh = {r.doc_id: r.simhash for r in dedup.simhash(planted_docs).collect()}
     for i in range(5):
@@ -195,6 +196,7 @@ def test_pq_adc_recall_and_shapes(spark, sf_dir):
     assert all(v == 3 for v in per_q.values())
 
 
+@pytest.mark.slow
 def test_ivf_pq_combined_index(spark, sf_dir, warehouse):
     """build_ivf_index + build_pq_index on one table: the probe must read
     only probed cells' files, score from stored codes, keep useful recall
@@ -521,6 +523,7 @@ def test_connected_components_vs_union_find(spark, sf_dir):
     assert len(got) > 0
 
 
+@pytest.mark.slow
 def test_connected_components_chain(spark):
     """A-B, B-C, D-E: transitivity collapses A/B/C though (A,C) never paired."""
     from pyiceberg_lakehouse_spark.operators.dedup import (
@@ -638,6 +641,7 @@ def test_split_and_balance_determinism(spark, sf_dir):
     assert len(set(counts.values())) == 1  # every label at minority size
 
 
+@pytest.mark.slow
 def test_pack_sequences_hypothesis(spark):
     """Property: for arbitrary token-length corpora, packing preserves the
     doc set and never overfills a multi-doc bin."""
@@ -822,6 +826,7 @@ def test_recall_target_widths():
     assert widths == sorted(widths)
 
 
+@pytest.mark.slow
 def test_decontaminate_property_vs_reference(spark):
     """Property: for random word-soup corpora, decontaminate's flagged set
     and per-doc counts equal a pure-python shingle-set reference."""
@@ -888,6 +893,7 @@ def test_shingle_operators_survive_short_docs(spark):
     assert {r.doc_id for r in dedup.decontaminate(docs, ev, k=3).collect()} == {1}
 
 
+@pytest.mark.slow
 def test_poison_vector_rows_never_kill_or_rank(spark, tmp_path):
     """Poison-row contract: NULL or mis-dimensioned embedding rows — which
     any 100 TB corpus contains — are EXCLUDED from similarity results and
@@ -956,6 +962,7 @@ def test_recall_target_rerank_mapping():
     assert factors == sorted(factors)
 
 
+@pytest.mark.slow
 def test_recall_target_unified_across_read_paths(spark, sf_dir, warehouse):
     """recall_target=0.95 is one dial that works identically on all three
     ANN read paths — ad-hoc IVF, persisted IVF, persisted IVF+PQ — and

@@ -15,11 +15,18 @@ driver-visible dtype asymmetry fails in pytest, not in a driver window
 from __future__ import annotations
 
 import sys
+
+import pytest
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO / "tools"))
 
+
+# slow: the full-registry strict differential duplicates the driver's
+# oracle pass and tools/verify_local.py (337 s measured r19);
+# excluded from the default verify gate, run via -m slow.
+pytestmark = pytest.mark.slow
 
 def test_registry_strict_differential_sf0001(spark, sf_dir):
     import verify_local

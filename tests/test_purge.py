@@ -199,6 +199,7 @@ def _rows(df):
     return {(r.o_orderkey, r.o_custkey) for r in df.collect()}
 
 
+@pytest.mark.slow
 def test_purge_over_position_delete_history(spark, warehouse):
     """r17 (VERDICT r16 task #8): purge with POSITION-delete files in
     history. The rewrite preserves survivor order, delete rows remap to
@@ -250,6 +251,7 @@ def test_purge_over_position_delete_history(spark, warehouse):
                 assert 0 <= r["pos"] < n, (r["pos"], n)
 
 
+@pytest.mark.slow
 def test_purge_retires_position_entries_of_purged_targets(
     spark, warehouse
 ):
@@ -312,6 +314,7 @@ def test_purge_position_history_then_expire(spark, warehouse):
     assert _rows(t.scan().select("o_orderkey", "o_custkey")) == want
 
 
+@pytest.mark.slow
 def test_purge_null_predicate_over_position_history(spark, warehouse):
     """r18 ADVICE pin: _ordered_purge_rewrite under three-valued logic.
     A nullable predicate column where some rows evaluate NULL must KEEP
@@ -344,6 +347,7 @@ def test_purge_null_predicate_over_position_history(spark, warehouse):
                      if i % 3 == 0 and i not in (5, 14, 23)]
 
 
+@pytest.mark.slow
 def test_batched_ordered_rewrite_many_files(spark, warehouse):
     """r18 (VERDICT r17 task #6): a subject spread across MANY
     position-referenced files rewrites in one batched job — each

@@ -275,6 +275,7 @@ from hypothesis import strategies as st
         max_size=5,
     )
 )
+@pytest.mark.slow
 def test_rollup_property_any_mutation_sequence(spark, tmp_path, ops):
     """For ANY interleaving of appends, MoR deletes, and refreshes, a final
     refresh leaves the summary equal to a from-scratch aggregate of the
@@ -453,6 +454,7 @@ def test_rollup_hll_reaggregate_merges_registers(spark, tmp_path):
     assert abs(coarse[0]["distinct_u"] / 40.0 - 1.0) < 0.15
 
 
+@pytest.mark.slow
 def test_rollup_percentile_incremental_equals_sort_based(spark, tmp_path):
     """Exact-histogram percentile rollup: after incremental refreshes the
     derived p50/p95 must EQUAL Spark's own sort-based percentile_disc over
@@ -582,6 +584,7 @@ def test_rollup_percentile_reaggregate_merges_histograms(spark, tmp_path):
         max_size=5,
     )
 )
+@pytest.mark.slow
 def test_rollup_percentile_property_any_mutation_sequence(spark, tmp_path, ops):
     """For ANY interleaving of appends, MoR deletes, and refreshes, a
     final refresh leaves the derived percentiles equal to sort-based

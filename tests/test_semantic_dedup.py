@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pyiceberg_lakehouse_spark.operators.dedup import semantic_dedup
@@ -26,6 +28,7 @@ def test_planted_exact_dups_removed_survivors_intact(spark):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_near_dups_above_threshold_removed(spark):
     base = [1.0] + [0.0] * 7
     tilt = [0.999, 0.0447] + [0.0] * 6  # cos ~0.999 vs base

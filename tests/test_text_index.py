@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
@@ -81,6 +83,7 @@ def test_bm25_prefers_higher_tf_and_rarer_terms(spark, warehouse):
     assert kiwi.doc_id == 4
 
 
+@pytest.mark.slow
 def test_streaming_maintenance_converges_and_restart_is_idempotent(
     spark, warehouse, tmp_path
 ):

@@ -109,6 +109,7 @@ def test_upsert_on_transform_partitioned_table(spark, warehouse, sf_dir):
     assert abs(got - want) < 1e-6
 
 
+@pytest.mark.slow
 def test_partition_evolution_month_to_day(spark, warehouse, sf_dir):
     """Evolve month(ts) -> day(ts): old files keep month dirs, new writes
     get day dirs, scans stay correct across the boundary, and pruning on
