@@ -43,6 +43,20 @@ def _overlap(*fns):
         return [f.result() for f in futs]
 
 
+def _overlapped_appends(table, *dfs):
+    """N appends whose WRITE jobs are independent (disjoint input
+    slices into one fresh fixture table): stage every commit's data
+    files concurrently — each lands under its own uuid'd commit dir —
+    then land the commits in argument order. Snapshot history (count,
+    order, file sets, operations) is byte-identical to sequential
+    ``.append()`` calls; only the wall-clock of the write jobs overlaps
+    (guide §2.6)."""
+    for df in dfs:
+        table._validate_constraints(df)
+    file_sets = _overlap(*[lambda d=df: table._write_data(d) for df in dfs])
+    return [table._commit("append", files) for files in file_sets]
+
+
 @register(
     "lh_ingest_roundtrip",
     f"select {ORDER_COLS} from orders",
@@ -1873,8 +1887,11 @@ def lh_purge_mor_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     lh = Lakehouse(spark, _warehouse())
     t = lh.create_table("ns.orders_purge_mor", SCHEMAS["orders"])
-    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
-    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    _overlapped_appends(
+        t,
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+    )
     pre_delete = t.log.current_snapshot_id()
     t.delete_where_positions(F.col("o_orderkey") % 10 == 3)
     out = purge_rows(t, F.col("o_custkey") % 100 == 7)
@@ -2835,8 +2852,11 @@ def lh_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ns.orders_ice_export", SCHEMAS["orders"],
         partition_by=["o_orderstatus"],
     )
-    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
-    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    _overlapped_appends(
+        t,
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+    )
     post_append = t.log.current_snapshot_id()
     t.delete_where(F.col("o_orderkey") % 7 == 0)          # CoW rewrite
     t.delete_where_positions(F.col("o_orderkey") % 10 == 3)  # MoR

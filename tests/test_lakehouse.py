@@ -825,3 +825,35 @@ def test_table_changes_property_feed_reproduces_after_state(
     dels = Counter(key(r) for r in feed if r._change_type == "delete")
     assert dels <= before  # never deletes a row that wasn't there
     assert before + ins - dels == after
+
+
+def test_overlapped_appends_history_identical_to_sequential(spark, tmp_path):
+    """r19: _overlapped_appends stages the write jobs concurrently but
+    must land snapshot history byte-equivalent to sequential .append()
+    calls — same snapshot count, operations, per-commit row totals, and
+    table contents."""
+    from pyiceberg_lakehouse_spark.lakehouse import Lakehouse
+    from pyiceberg_lakehouse_spark.lakehouse.queries import _overlapped_appends
+    from pyiceberg_lakehouse_spark.sources.testdata import SCHEMAS, load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    halves = [
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+    ]
+    lh = Lakehouse(spark, str(tmp_path / "wh"))
+    seq = lh.create_table("ns.seq_app", SCHEMAS["orders"])
+    for h in halves:
+        seq.append(h)
+    ovl = lh.create_table("ns.ovl_app", SCHEMAS["orders"])
+    _overlapped_appends(ovl, *halves)
+
+    assert len(ovl.log.snapshots) == len(seq.log.snapshots)
+    assert [s.operation for s in ovl.log.snapshots] == [
+        s.operation for s in seq.log.snapshots
+    ]
+    assert [
+        sum(f["rows"] for f in s.added_files) for s in ovl.log.snapshots
+    ] == [sum(f["rows"] for f in s.added_files) for s in seq.log.snapshots]
+    assert ovl.scan().exceptAll(seq.scan()).count() == 0
+    assert seq.scan().exceptAll(ovl.scan()).count() == 0
